@@ -1,13 +1,754 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.dsl.TransformCompiler
+import graft.llmops.{DedupOps, Similarity, TextAnalysis}
+import graft.operators.{Dedup, MergeUpsert}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline extensions), each with DuckDB oracle SQL
+  * over the same parquet tables. Column names are aligned between the Spark
+  * result and the oracle; every query is deterministically ordered.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Engine confs (ANSI off, LEGACY parser, UTC) required by DSL semantics —
+    * applied to whatever session the driver hands us.
+    */
+  private def tuned(s: SparkSession): SparkSession = GraftSession.tune(s)
+
+  /** Compile a DSL transformation against a DataFrame. */
+  private def dsl(df: DataFrame, transformation: String, dataType: String = "string"): Column =
+    TransformCompiler.compile(transformation, dataType, df.columns.toSet)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ======================================================================
+  // Queries
+  // ======================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- core relational (SURVEY §2.1/2.3/2.4/2.5/2.6) -----------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      val li = t(tuned(s), dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_filter_project" -> ((s, dir) => {
+      // P4 static filter + P1 projection; pushed to the parquet scan
+      t(tuned(s), dir, "lineitem")
+        .filter(col("l_quantity").between(10, 20) && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q03_join_agg" -> ((s, dir) => {
+      // multi-join with broadcast dims (region/nation are tiny)
+      val ss = tuned(s)
+      val cust = t(ss, dir, "customer")
+      val nat = broadcast(t(ss, dir, "nation"))
+      val reg = broadcast(t(ss, dir, "region"))
+      val ord = t(ss, dir, "orders")
+      ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 4).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "q04_semi_join" -> ((s, dir) => {
+      val ss = tuned(s)
+      val cust = t(ss, dir, "customer")
+      val ord = t(ss, dir, "orders").filter(col("o_orderstatus") === "F")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q05_anti_join" -> ((s, dir) => {
+      val ss = tuned(s)
+      val cust = t(ss, dir, "customer")
+      val ord = t(ss, dir, "orders")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "q06_keep_latest" -> ((s, dir) => {
+      // W1 keep-latest dedup: newest event per user (event_id is the
+      // monotonic version column)
+      Dedup.keepLatest(t(tuned(s), dir, "events"), Seq("user_id"), Seq("event_id"))
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    }),
+
+    "q07_distinct" -> ((s, dir) => {
+      t(tuned(s), dir, "events")
+        .select("user_id", "event_type").dropDuplicates()
+        .orderBy("user_id", "event_type")
+    }),
+
+    "q08_minmax_planning" -> ((s, dir) => {
+      // A1 planning aggregate with the reference's `<> 0` guard
+      t(tuned(s), dir, "lineitem")
+        .filter(col("l_orderkey") =!= 0)
+        .agg(min(col("l_orderkey")).as("min_val"), max(col("l_orderkey")).as("max_val"))
+    }),
+
+    "q09_topk" -> ((s, dir) => {
+      t(tuned(s), dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .limit(10)
+    }),
+
+    "q10_union_distinct" -> ((s, dir) => {
+      val c = t(tuned(s), dir, "customer")
+      c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .union(c.filter(col("c_acctbal") > 9000).select("c_custkey"))
+        .distinct()
+        .orderBy("c_custkey")
+    }),
+
+    "q11_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(tuned(s), dir, "orders")
+        .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 4))
+        .select("o_custkey", "o_orderkey", "running_total")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q12_hourly_events" -> ((s, dir) => {
+      // tumbling-window aggregation (streaming-equivalent batch form).
+      // ts arrives as nanos-as-long (see GraftSession); integer-div to µs.
+      t(tuned(s), dir, "events")
+        .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(date_trunc("hour", col("ts_us")).as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+        .orderBy("hour_start", "event_type")
+    }),
+
+    // --- transformation DSL F1-F15 (SURVEY §2.7) over stringified raw ---
+    "q13_dsl_typed_casts" -> ((s, dir) => {
+      // K2 raw convention: everything lands as string; stage re-types (F5/F6)
+      val raw = t(tuned(s), dir, "orders").select(
+        col("o_orderkey").cast("string").as("o_orderkey"),
+        col("o_custkey").cast("string").as("o_custkey"),
+        col("o_totalprice").cast("string").as("o_totalprice"))
+      raw.select(
+        dsl(raw, "fn_transform_Integer(o_orderkey)", "int").as("order_id"),
+        dsl(raw, "fn_transform_Integer(o_custkey)", "int").as("cust_id"),
+        dsl(raw, "fn_transform_Double(o_totalprice)", "double").as("total_price"),
+        dsl(raw, "fn_transform_Numeric(o_totalprice)", "numeric(13,2)").as("total_dec"))
+        .orderBy("order_id")
+    }),
+
+    "q14_dsl_clearstring" -> ((s, dir) => {
+      val ss = tuned(s)
+      val messy = t(ss, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 5 === 0, lit("None"))
+          .when(col("doc_id") % 5 === 1, lit("  "))
+          .when(col("doc_id") % 5 === 2, lit(null).cast("string"))
+          .otherwise(concat(lit("  "), col("source"), lit(" "))).as("src"))
+      messy.select(
+        col("doc_id"),
+        dsl(messy, "fn_transform_ClearString(src)").as("cleaned"),
+        dsl(messy, "fn_transform_ClearString(src,$unknown)").as("cleaned_default"))
+        .orderBy("doc_id")
+    }),
+
+    "q15_dsl_concat" -> ((s, dir) => {
+      val c = t(tuned(s), dir, "customer")
+      c.select(
+        col("c_custkey"),
+        dsl(c, "fn_transform_Concatenate(c_name,c_mktsegment,LIT)").as("joined"),
+        dsl(c, "fn_transform_Concatenate_ws(c_name,c_mktsegment,-)").as("joined_ws"))
+        .orderBy("c_custkey")
+    }),
+
+    "q16_dsl_datemagic" -> ((s, dir) => {
+      // F3: FoxPro day numbers, string dates, junk, NULL — all four paths
+      val ss = tuned(s)
+      val src = t(ss, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 4 === 0, (lit(731946) + col("doc_id") % 3000).cast("string"))
+          .when(col("doc_id") % 4 === 1, lit("2024-06-25"))
+          .when(col("doc_id") % 4 === 2, lit("junk"))
+          .otherwise(lit(null).cast("string")).as("d"))
+      src.select(
+        col("doc_id"),
+        dsl(src, "fn_transform_DateMagic(d,yyyy-MM-dd)", "date").as("parsed"),
+        dsl(src, "fn_transform_DateMagic(d,yyyy-MM-dd,1900-01-01)", "date").as("parsed_default"))
+        .orderBy("doc_id")
+    }),
+
+    "q17_dsl_periodmagic" -> ((s, dir) => {
+      val ss = tuned(s)
+      val src = t(ss, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("int"))
+          .otherwise(month(col("o_orderdate"))).as("mes"),
+        year(col("o_orderdate")).as("anyo"))
+      src.select(
+        col("o_orderkey"),
+        dsl(src, "fn_transform_PeriodMagic(mes,anyo)").as("period"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q18_dsl_bytemagic" -> ((s, dir) => {
+      val ss = tuned(s)
+      val src = t(ss, dir, "events").select(
+        col("event_id"),
+        when(col("event_type") === "purchase", lit("T"))
+          .when(col("event_type") === "error", lit("0x46"))
+          .when(col("event_type") === "signup", lit("84"))
+          .when(col("event_type") === "login", lit("x"))
+          .otherwise(lit(null).cast("string")).as("flag"))
+      src.select(
+        col("event_id"),
+        dsl(src, "fn_transform_ByteMagic(flag,$F)").as("flag_tf"))
+        .orderBy("event_id")
+    }),
+
+    "q19_dsl_case" -> ((s, dir) => {
+      val li = t(tuned(s), dir, "lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          dsl(li, "fn_transform_Case(l_returnflag, A|N->keep, R->returned)").as("disposition"))
+        .groupBy("disposition").agg(count(lit(1)).as("n"))
+        .orderBy("disposition")
+    }),
+
+    "q20_dsl_case_composite" -> ((s, dir) => {
+      val li = t(tuned(s), dir, "lineitem")
+      li.select(
+          dsl(li, "fn_transform_Case_with_default(l_returnflag&l_linestatus, A&F->closed_ret, N&O->open, $other)")
+            .as("state"))
+        .groupBy("state").agg(count(lit(1)).as("n"))
+        .orderBy("state")
+    }),
+
+    "q21_dsl_datetimemagic" -> ((s, dir) => {
+      val ss = tuned(s)
+      val src = t(ss, dir, "events").select(
+        col("event_id"),
+        (lit(739062) + col("event_id") % 100).cast("string").as("d"),
+        ((col("event_id") % 24) * 10000 + (col("event_id") % 60) * 100 +
+          (col("event_id") * 7) % 60).cast("string").as("tm"))
+      src.select(
+        col("event_id"),
+        dsl(src, "fn_transform_DatetimeMagic(d,tm,yyyy-MM-dd HH:mm:ss)", "timestamp").as("ts_parsed"))
+        .orderBy("event_id")
+    }),
+
+    "q22_dsl_nested" -> ((s, dir) => {
+      // nested call: Date_to_String(DateMagic(...), yyyyMM)
+      val ss = tuned(s)
+      val src = t(ss, dir, "documents").select(
+        col("doc_id"),
+        (lit(731946) + col("doc_id") % 3000).cast("string").as("d"))
+      src.select(
+        col("doc_id"),
+        dsl(src, "fn_transform_Date_to_String(fn_transform_DateMagic(d,yyyy-MM-dd),yyyyMM)").as("period"))
+        .orderBy("doc_id")
+    }),
+
+    "q23_stringify_raw" -> ((s, dir) => {
+      // K2 stringified raw write convention
+      t(tuned(s), dir, "lineitem")
+        .select(
+          col("l_orderkey").cast("string").as("l_orderkey"),
+          col("l_linenumber").cast("string").as("l_linenumber"),
+          col("l_quantity").cast("string").as("l_quantity"),
+          col("l_returnflag").cast("string").as("l_returnflag"))
+        .orderBy(col("l_orderkey").cast("long"), col("l_linenumber").cast("int"))
+    }),
+
+    // --- incremental load semantics (SURVEY §2.8/2.9) -------------------
+    "q24_merge_upsert" -> ((s, dir) => {
+      // K5 MERGE: old = latest state per user before event 600; batch =
+      // events 600-800; new wins on key collision, both sides keep-latest'd
+      val ev = t(tuned(s), dir, "events")
+      val old = Dedup.keepLatest(ev.filter(col("event_id") < 600), Seq("user_id"), Seq("event_id"))
+        .select("user_id", "event_id", "event_type", "value")
+      val batch = Dedup.keepLatest(
+        ev.filter(col("event_id") >= 600 && col("event_id") < 800),
+        Seq("user_id"), Seq("event_id"))
+        .select("user_id", "event_id", "event_type", "value")
+      MergeUpsert.merge(old, batch, Seq("user_id"))
+        .orderBy("user_id")
+    }),
+
+    "q25_watermark_filter" -> ((s, dir) => {
+      // P6 numeric watermark predicate
+      t(tuned(s), dir, "events")
+        .filter(col("event_id") > 500)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    }),
+
+    "q26_incr_window" -> ((s, dir) => {
+      // P5 null-guarded date-range predicate (L3/L4 window semantics)
+      t(tuned(s), dir, "orders")
+        .filter(col("o_orderdate").isNotNull &&
+          col("o_orderdate").between(
+            lit("1996-01-01 00:00:00").cast("timestamp"),
+            lit("1996-12-31 23:59:59").cast("timestamp")))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .orderBy("o_orderkey")
+    }),
+
+    // --- LLM-pipeline operators ----------------------------------------
+    "q27_dedup_exact" -> ((s, dir) => {
+      DedupOps.exactDedup(t(tuned(s), dir, "documents"), "text", "doc_id")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    "q28_text_stats" -> ((s, dir) => {
+      val d = t(tuned(s), dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+        TextAnalysis.stopwordHits(col("text"), TextAnalysis.Stopwords("en")).as("sw_en"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    "q29_lang_id" -> ((s, dir) => {
+      val d = t(tuned(s), dir, "documents")
+      d.select(split(col("text"), " ").as("toks"))
+        .select(TextAnalysis.langIdFromTokens(col("toks")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang_pred")
+    }),
+
+    "q30_quality_score" -> ((s, dir) => {
+      val d = t(tuned(s), dir, "documents")
+      TextAnalysis.qualityFeatures(d, "text")
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          round(col("avg_token_len"), 4).as("avg_token_len"),
+          round(col("stopword_ratio"), 4).as("stopword_ratio"),
+          round(col("punct_ratio"), 4).as("punct_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "q31_chunk_text" -> ((s, dir) => {
+      graft.llmops.Multimodal.chunkText(t(tuned(s), dir, "documents"), "text", 100)
+        .select(col("doc_id"), col("chunk_index"), length(col("chunk_text")).as("chunk_len"))
+        .orderBy("doc_id", "chunk_index")
+    }),
+
+    "q32_sim_bruteforce" -> ((s, dir) => {
+      val ss = tuned(s)
+      val emb = t(ss, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+        .select(col("query_key"), col("neighbor_key"), col("rank"),
+          round(col("cosine"), 6).as("cosine_r"))
+        .orderBy("query_key", "rank")
+    }),
+
+    // --- fuzzy dedup (no SQL oracle: xxhash64-based; rows-only check) ---
+    "q33_minhash_neardup" -> ((s, dir) => {
+      // deterministic filter (NOT limit — limit collapses to 1 partition);
+      // doubled corpus plants guaranteed near-dups
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents").filter(col("doc_id") < 2000)
+        .repartition(32)
+      val doubled = d.unionByName(
+        d.withColumn("doc_id", col("doc_id") + 1000000))
+      DedupOps.minhashNearDups(doubled, "text", "doc_id",
+          numHashes = 16, bands = 4, threshold = 0.9, wordShingleN = Some(3))
+        .orderBy("key_a", "key_b")
+    }),
+
+    "q34_simhash_neardup" -> ((s, dir) => {
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents").filter(col("doc_id") < 2000)
+        .repartition(32)
+      val doubled = d.unionByName(
+        d.withColumn("doc_id", col("doc_id") + 1000000))
+      DedupOps.simhashNearDups(doubled, "text", "doc_id", maxDist = 3)
+        .orderBy("key_a", "key_b")
+    }),
+
+    "q35_sim_lsh" -> ((s, dir) => {
+      val ss = tuned(s)
+      val emb = t(ss, dir, "embeddings")
+      Similarity.lshTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 3, numPlanes = 10, numTables = 4)
+        .select("query_key", "neighbor_key", "rank")
+        .orderBy("query_key", "rank")
+    }),
+
+    "q36_ngram_jaccard" -> ((s, dir) => {
+      // exact n-gram Jaccard within source blocks — SQL-expressible kernel
+      val d = t(tuned(s), dir, "documents").filter(col("doc_id") < 200)
+      DedupOps.ngramJaccardPairs(d, "text", "doc_id", "source", n = 3)
+        .select(col("key_a"), col("key_b"), round(col("jaccard"), 6).as("jaccard_r"))
+        .orderBy("key_a", "key_b")
+    })
+  )
+
+  // ======================================================================
+  // DuckDB oracle SQL — column names must match the Spark results exactly
+  // ======================================================================
+
+  private val normText =
+    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private val enList = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'that')"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q03_join_agg" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice), 4) AS revenue,
+         count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name
+         ORDER BY r_name, n_name""",
+
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "q06_keep_latest" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           FROM events) WHERE rn = 1
+         ORDER BY user_id""",
+
+    "q07_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+
+    "q08_minmax_planning" ->
+      """SELECT min(l_orderkey) AS min_val, max(l_orderkey) AS max_val
+         FROM lineitem WHERE l_orderkey <> 0""",
+
+    "q09_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q10_union_distinct" ->
+      """SELECT DISTINCT c_custkey FROM (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           UNION ALL
+           SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+         ORDER BY c_custkey""",
+
+    "q11_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+         FROM orders
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q12_hourly_events" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+         count(*) AS n, round(sum(value), 4) AS total_value
+         FROM events
+         GROUP BY 1, 2
+         ORDER BY hour_start, event_type""",
+
+    "q13_dsl_typed_casts" ->
+      """SELECT TRY_CAST(CAST(o_orderkey AS VARCHAR) AS INTEGER) AS order_id,
+         TRY_CAST(CAST(o_custkey AS VARCHAR) AS INTEGER) AS cust_id,
+         TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS total_price,
+         TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(13,2)) AS total_dec
+         FROM orders ORDER BY order_id""",
+
+    "q14_dsl_clearstring" ->
+      """WITH messy AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'None'
+                  WHEN doc_id % 5 = 1 THEN '  '
+                  WHEN doc_id % 5 = 2 THEN NULL
+                  ELSE '  ' || source || ' ' END AS src
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN src IS NULL OR trim(src) = '' OR trim(src) IN ('None','NULL','null')
+                THEN NULL ELSE trim(src) END AS cleaned,
+           CASE WHEN src IS NULL OR trim(src) = '' OR trim(src) IN ('None','NULL','null')
+                THEN 'unknown' ELSE trim(src) END AS cleaned_default
+         FROM messy ORDER BY doc_id""",
+
+    "q15_dsl_concat" ->
+      """SELECT c_custkey,
+         concat_ws('|',
+           coalesce(CASE WHEN c_name IS NULL THEN ''
+                         WHEN trim(c_name) = '' THEN '' ELSE trim(c_name) END, ''),
+           coalesce(CASE WHEN c_mktsegment IS NULL THEN ''
+                         WHEN trim(c_mktsegment) = '' THEN '' ELSE trim(c_mktsegment) END, ''),
+           'LIT') AS joined,
+         concat_ws('-', coalesce(trim(c_name), ''), coalesce(trim(c_mktsegment), ''))
+           AS joined_ws
+         FROM customer ORDER BY c_custkey""",
+
+    "q16_dsl_datemagic" ->
+      """WITH src AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN CAST(731946 + doc_id % 3000 AS VARCHAR)
+                  WHEN doc_id % 4 = 1 THEN '2024-06-25'
+                  WHEN doc_id % 4 = 2 THEN 'junk'
+                  ELSE NULL END AS d
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN d IS NULL THEN NULL
+                WHEN TRY_CAST(d AS INTEGER) IS NOT NULL AND TRY_CAST(d AS INTEGER) > 100000
+                  THEN DATE '1900-01-01' + (TRY_CAST(d AS INTEGER) - 693596)
+                ELSE CAST(try_strptime(d, '%Y-%m-%d') AS DATE) END AS parsed,
+           CASE WHEN d IS NULL THEN DATE '1900-01-01'
+                WHEN TRY_CAST(d AS INTEGER) IS NOT NULL AND TRY_CAST(d AS INTEGER) > 100000
+                  THEN DATE '1900-01-01' + (TRY_CAST(d AS INTEGER) - 693596)
+                ELSE coalesce(CAST(try_strptime(d, '%Y-%m-%d') AS DATE), DATE '1900-01-01')
+                END AS parsed_default
+         FROM src ORDER BY doc_id""",
+
+    "q17_dsl_periodmagic" ->
+      """WITH src AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE month(o_orderdate) END AS mes,
+             year(o_orderdate) AS anyo
+           FROM orders)
+         SELECT o_orderkey,
+           CASE WHEN mes IS NULL OR anyo IS NULL THEN '190001'
+                ELSE CAST(anyo AS VARCHAR) || lpad(CAST(mes AS VARCHAR), 2, '0') END AS period
+         FROM src ORDER BY o_orderkey""",
+
+    "q18_dsl_bytemagic" ->
+      """WITH src AS (
+           SELECT event_id,
+             CASE WHEN event_type = 'purchase' THEN 'T'
+                  WHEN event_type = 'error' THEN '0x46'
+                  WHEN event_type = 'signup' THEN '84'
+                  WHEN event_type = 'login' THEN 'x'
+                  ELSE NULL END AS flag
+           FROM events)
+         SELECT event_id,
+           CASE WHEN flag IS NULL THEN 'F'
+                WHEN flag = 'T' THEN 'T'
+                WHEN flag = 'F' THEN 'F'
+                WHEN flag = '0x54' THEN 'T'
+                WHEN flag = '0x46' THEN 'F'
+                WHEN TRY_CAST(flag AS INTEGER) = 84 THEN 'T'
+                WHEN TRY_CAST(flag AS INTEGER) = 70 THEN 'F'
+                ELSE 'F' END AS flag_tf
+         FROM src ORDER BY event_id""",
+
+    "q19_dsl_case" ->
+      """SELECT CASE WHEN l_returnflag = 'R' THEN 'returned'
+                     WHEN l_returnflag IN ('A','N') THEN 'keep'
+                     ELSE l_returnflag END AS disposition,
+         count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY disposition""",
+
+    "q20_dsl_case_composite" ->
+      """SELECT CASE WHEN l_returnflag = 'N' AND l_linestatus = 'O' THEN 'open'
+                     WHEN l_returnflag = 'A' AND l_linestatus = 'F' THEN 'closed_ret'
+                     ELSE 'other' END AS state,
+         count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY state""",
+
+    "q21_dsl_datetimemagic" ->
+      """WITH src AS (
+           SELECT event_id,
+             CAST(739062 + event_id % 100 AS VARCHAR) AS d,
+             CAST((event_id % 24) * 10000 + (event_id % 60) * 100 +
+                  (event_id * 7) % 60 AS VARCHAR) AS tm
+           FROM events)
+         SELECT event_id,
+           try_strptime(
+             CAST(DATE '1900-01-01' + (CAST(d AS INTEGER) - 693596) AS VARCHAR)
+             || ' ' ||
+             substr(lpad(tm, 6, '0'), 1, 2) || ':' ||
+             substr(lpad(tm, 6, '0'), 3, 2) || ':' ||
+             substr(lpad(tm, 6, '0'), 5, 2),
+             '%Y-%m-%d %H:%M:%S') AS ts_parsed
+         FROM src ORDER BY event_id""",
+
+    "q22_dsl_nested" ->
+      """SELECT doc_id,
+         strftime(DATE '1900-01-01' + CAST((731946 + doc_id % 3000) - 693596 AS INTEGER),
+                  '%Y%m') AS period
+         FROM documents ORDER BY doc_id""",
+
+    "q23_stringify_raw" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+         CAST(l_linenumber AS VARCHAR) AS l_linenumber,
+         CAST(l_quantity AS VARCHAR) AS l_quantity,
+         CAST(l_returnflag AS VARCHAR) AS l_returnflag
+         FROM lineitem ORDER BY l_orderkey::BIGINT, l_linenumber::INTEGER""",
+
+    "q24_merge_upsert" ->
+      """WITH old AS (
+           SELECT user_id, event_id, event_type, value FROM (
+             SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+             FROM events WHERE event_id < 600) WHERE rn = 1),
+         batch AS (
+           SELECT user_id, event_id, event_type, value FROM (
+             SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+             FROM events WHERE event_id >= 600 AND event_id < 800) WHERE rn = 1)
+         SELECT user_id, event_id, event_type, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY prec DESC) rn
+           FROM (SELECT user_id, event_id, event_type, value, 0 AS prec FROM old
+                 UNION ALL
+                 SELECT user_id, event_id, event_type, value, 1 AS prec FROM batch))
+         WHERE rn = 1
+         ORDER BY user_id""",
+
+    "q25_watermark_filter" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE event_id > 500 ORDER BY event_id""",
+
+    "q26_incr_window" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+         WHERE o_orderdate IS NOT NULL
+           AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                               AND TIMESTAMP '1996-12-31 23:59:59'
+         ORDER BY o_orderkey""",
+
+    "q27_dedup_exact" ->
+      s"""SELECT doc_id, lang, n_chars FROM (
+           SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY md5($normText) ORDER BY doc_id) rn
+           FROM documents) WHERE rn = 1
+         ORDER BY doc_id""",
+
+    "q28_text_stats" ->
+      s"""SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpeish,
+         len(list_filter(string_split(text, ' '), x -> x IN $enList)) AS sw_en,
+         md5($normText) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+
+    "q29_lang_id" ->
+      """WITH scores AS (
+           SELECT doc_id,
+             len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','in','is','that'))) AS s_en,
+             len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','que','y','en','un','es'))) AS s_es,
+             len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist','von','mit','ein'))) AS s_de,
+             len(list_filter(string_split(text,' '), x -> x IN ('le','la','de','et','est','un','une','dans'))) AS s_fr
+           FROM documents),
+         folded AS (
+           SELECT doc_id, s_en, s_es, s_de, s_fr,
+             CASE WHEN s_es > s_en THEN s_es ELSE s_en END AS m1,
+             CASE WHEN s_es > s_en THEN 'es' ELSE 'en' END AS b1
+           FROM scores),
+         folded2 AS (
+           SELECT *, CASE WHEN s_de > m1 THEN s_de ELSE m1 END AS m2,
+             CASE WHEN s_de > m1 THEN 'de' ELSE b1 END AS b2
+           FROM folded),
+         folded3 AS (
+           SELECT *, CASE WHEN s_fr > m2 THEN s_fr ELSE m2 END AS m3,
+             CASE WHEN s_fr > m2 THEN 'fr' ELSE b2 END AS b3
+           FROM folded2)
+         SELECT CASE WHEN m3 > 0 THEN b3 ELSE 'und' END AS lang_pred, count(*) AS n
+         FROM folded3 GROUP BY 1 ORDER BY lang_pred""",
+
+    "q30_quality_score" ->
+      s"""SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0 /
+           greatest(len(string_split(text, ' ')), 1), 4) AS avg_token_len,
+         round(len(list_filter(string_split(text, ' '), x -> x IN $enList)) * 1.0 /
+           greatest(len(string_split(text, ' ')), 1), 4) AS stopword_ratio,
+         round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 /
+           greatest(length(text), 1), 4) AS punct_ratio
+         FROM documents ORDER BY doc_id""",
+
+    "q31_chunk_text" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS chunk_index,
+         length(substr(text, CAST(i AS INTEGER) * 100 + 1, 100)) AS chunk_len
+         FROM documents, range(0, 200) t(i)
+         WHERE length(substr(text, CAST(i AS INTEGER) * 100 + 1, 100)) > 0
+         ORDER BY doc_id, chunk_index""",
+
+    "q32_sim_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_key, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_key, e.vec_id AS neighbor_key,
+             CAST(list_cosine_similarity(CAST(qv AS DOUBLE[]),
+               CAST(e.embedding AS DOUBLE[])) AS DOUBLE) AS cosine
+           FROM q JOIN embeddings e ON e.vec_id <> q.query_key),
+         ranked AS (
+           SELECT query_key, neighbor_key, cosine,
+             row_number() OVER (PARTITION BY query_key
+                                ORDER BY cosine DESC, neighbor_key) AS rank
+           FROM scored)
+         SELECT query_key, neighbor_key, rank, round(cosine, 6) AS cosine_r
+         FROM ranked WHERE rank <= 3
+         ORDER BY query_key, rank""",
+
+    "q36_ngram_jaccard" ->
+      """WITH prepped AS (
+           SELECT doc_id AS key, source AS block,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+               FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS ng
+           FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+                 FROM documents WHERE doc_id < 200))
+         SELECT l.key AS key_a, r.key AS key_b,
+           round(len(list_intersect(l.ng, r.ng)) * 1.0 /
+             greatest(len(list_distinct(l.ng || r.ng)), 1), 6) AS jaccard_r
+         FROM prepped l JOIN prepped r
+           ON l.block = r.block AND l.key < r.key
+         ORDER BY key_a, key_b"""
+  )
 }

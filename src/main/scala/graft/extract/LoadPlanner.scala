@@ -1,0 +1,173 @@
+package graft.extract
+
+import graft.config.{EndpointConfig, TableConfig}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.time.ZonedDateTime
+
+/** Load-strategy planner — the reference's "query planner"
+  * (SURVEY §2.8, L1–L7; strategy classes under
+  * utils/extract_data_v2/strategies/implementations/ and the Glue path at
+  * extract_data_spark.py:653-779).
+  *
+  * Strategy = f(LOAD_TYPE, SOURCE_TABLE_TYPE, PARTITION_COLUMN, LoadMode).
+  * The output is a declarative [[ExtractPlan]]; execution maps it onto
+  * Spark's partitioned JDBC reads — the manual OFFSET/FETCH pagination of
+  * the reference is O(n²) on the source and is deliberately replaced by
+  * `spark.read.jdbc(partitionColumn, lowerBound, upperBound, numPartitions)`
+  * (SURVEY §4).
+  */
+object LoadPlanner {
+
+  /** LoadMode modifiers (utils/extract_data_v2/models/load_mode.py:4-27). */
+  sealed trait LoadMode
+  object LoadMode {
+    case object Initial extends LoadMode   // full read + save watermark
+    case object Normal extends LoadMode    // watermark-incremental
+    case object Reset extends LoadMode     // delete watermark, then full
+    case object Reprocess extends LoadMode // re-extract a window, idempotent merge
+  }
+
+  sealed trait ExtractPlan { def queries: Seq[String] }
+
+  /** L1: one pushdown query. */
+  final case class SingleQuery(query: String) extends ExtractPlan {
+    def queries: Seq[String] = Seq(query)
+  }
+
+  /** L2: range-partitioned parallel read over a numeric partition column.
+    * Bounds come from the A1 min/max planning aggregate.
+    */
+  final case class PartitionedRead(
+      baseQuery: String,
+      partitionColumn: String,
+      lowerBound: Long,
+      upperBound: Long,
+      numPartitions: Int
+  ) extends ExtractPlan {
+    /** The equivalent strided queries (for engines/tests that want SQL text;
+      * keeps the reference's last-bucket `+1` closure semantics,
+      * extract_data_spark.py:584-587).
+      */
+    def queries: Seq[String] = {
+      val span = math.max(1L, (upperBound - lowerBound) / numPartitions)
+      (0 until numPartitions).map { i =>
+        val lo = lowerBound + i * span
+        val hi = if (i == numPartitions - 1) upperBound + 1 else lo + span
+        s"$baseQuery WHERE $partitionColumn >= $lo AND $partitionColumn < $hi"
+      }
+    }
+  }
+
+  /** L4/L5: explicit date-range slices executed in parallel. */
+  final case class DateRangeQueries(slices: Seq[String]) extends ExtractPlan {
+    def queries: Seq[String] = slices
+  }
+
+  val DefaultNumPartitions = 10 // extract_data_spark.py:713
+  val MaxPartitions = 30        // query_generator.py:132
+
+  /** Choose the extraction plan for a table.
+    *
+    * @param minMax    result of the A1 planning aggregate, when the table is
+    *                  partitionable (SOURCE_TABLE_TYPE='t' + PARTITION_COLUMN)
+    * @param watermark last confirmed watermark value, if any (P6)
+    */
+  def plan(
+      table: TableConfig,
+      minMax: Option[(Long, Long)] = None,
+      watermark: Option[String] = None,
+      mode: LoadMode = LoadMode.Normal,
+      forceFullLoad: Boolean = false,
+      now: ZonedDateTime = ZonedDateTime.now(DateWindows.Lima)
+  ): ExtractPlan = {
+    val qb = new QueryBuilder(table)
+    val loadType = if (forceFullLoad) "full" else table.effectiveLoadType
+    val partitionable =
+      table.sourceTableType.equalsIgnoreCase("t") && table.partitionColumn.trim.nonEmpty
+
+    loadType match {
+      case "incremental" =>
+        val effectiveWatermark = mode match {
+          case LoadMode.Reset | LoadMode.Initial => None
+          case _                                 => watermark
+        }
+        effectiveWatermark match {
+          case Some(value) =>
+            // v2-style true watermark increment (incremental.py:257-344)
+            val colType =
+              if (table.filterDataType.trim.nonEmpty) table.filterDataType else "datetime"
+            SingleQuery(qb.standardQuery(Some(
+              qb.watermarkPredicate(table.partitionColumn, value, colType))))
+          case None if table.filterColumn.trim.nonEmpty =>
+            // Glue-style rolling month window (query_generator.py:196-211)
+            val (lo, hi) = DateWindows.dateLimits(
+              table.delayIncrementalIni, table.delayIncrementalEnd,
+              table.filterDataType, now)
+            DateRangeQueries(Seq(
+              qb.dateRangeQuery(lo, hi, table.filterColumn,
+                Option(table.filterDataType).filter(_.nonEmpty))))
+          case None =>
+            fullPlan(qb, table, minMax, partitionable)
+        }
+
+      case "between-date" | "time_range" =>
+        val (lo, hi) = DateWindows.dateLimits(
+          table.delayIncrementalIni, table.delayIncrementalEnd,
+          table.filterDataType, now)
+        DateRangeQueries(Seq(
+          qb.dateRangeQuery(lo, hi,
+            if (table.filterColumn.nonEmpty) table.filterColumn else table.partitionColumn,
+            Option(table.filterDataType).filter(_.nonEmpty))))
+
+      case _ => fullPlan(qb, table, minMax, partitionable)
+    }
+  }
+
+  private def fullPlan(
+      qb: QueryBuilder,
+      table: TableConfig,
+      minMax: Option[(Long, Long)],
+      partitionable: Boolean
+  ): ExtractPlan =
+    (partitionable, minMax) match {
+      case (true, Some((lo, hi))) if hi > lo =>
+        val n = math.min(DefaultNumPartitions, math.max(1, (hi - lo).toInt))
+        PartitionedRead(qb.standardQuery(), table.partitionColumn, lo, hi, n)
+      case _ =>
+        SingleQuery(qb.standardQuery())
+    }
+
+  /** Execute a plan as Spark JDBC reads. Each partition of a
+    * [[PartitionedRead]] becomes one concurrent JDBC cursor — Spark's
+    * built-in equivalent of the reference's strided thread-pool fan-out (X1).
+    */
+  def execute(
+      spark: SparkSession,
+      plan: ExtractPlan,
+      ep: EndpointConfig,
+      password: String,
+      fetchSize: Int = 10000
+  ): DataFrame = {
+    val target = Dialects.jdbcTarget(ep)
+    val base = spark.read.format("jdbc")
+      .option("url", target.url)
+      .option("driver", target.driver)
+      .option("user", ep.srcDbUsername)
+      .option("password", password)
+      .option("fetchsize", fetchSize.toString)
+    plan match {
+      case SingleQuery(q) => base.option("query", q).load()
+      case p: PartitionedRead =>
+        base
+          .option("dbtable", s"(${p.baseQuery}) AS graft_sub")
+          .option("partitionColumn", p.partitionColumn)
+          .option("lowerBound", p.lowerBound.toString)
+          .option("upperBound", p.upperBound.toString)
+          .option("numPartitions", p.numPartitions.toString)
+          .load()
+      case DateRangeQueries(slices) =>
+        slices.map(q => base.option("query", q).load()).reduce(_ unionByName _)
+    }
+  }
+}

@@ -1,0 +1,205 @@
+package graft.llmops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for LLM corpus curation, from exact to fuzzy.
+  *
+  * Scale design: every variant is blocking-based — candidates are generated
+  * by equality on a computed key (hash, LSH band, SimHash chunk), so the
+  * only shuffles are hash-partitioned groupBys/joins on those keys and the
+  * engine never goes O(n²) in the corpus size. This is the standard
+  * MinHash/LSH construction (Broder 1997; Leskovec-Rajaraman-Ullman ch. 3).
+  */
+object DedupOps {
+
+  /** Exact dedup on normalized text: keeps the row with the smallest
+    * `keyCol` per fingerprint (deterministic winner).
+    */
+  def exactDedup(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Character shingles (k-grams) of the normalized text, distinct. */
+  def shingles(text: Column, k: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(length(norm) - k, lit(0))),
+          i => norm.substr(i + 1, lit(k))),
+        s => length(s) === k))
+  }
+
+  /** Word shingles (n-grams of tokens), distinct. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+        s => size(split(s, " ")) === n))
+  }
+
+  /** MinHash signature of a shingle array: for each of `numHashes` seeded
+    * hash functions, the minimum xxhash64 over the shingles. Pure built-in
+    * higher-order functions — codegen'd, no UDF, no ML-vector conversion.
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleArr, s => xxhash64(s, i))))
+
+  /** LSH banding: split the signature into `bands` bands and hash each band;
+    * docs sharing any (band index, band hash) are candidates.
+    * rows-per-band = numHashes / bands.
+    */
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.alias("band"),
+        xxhash64(concat_ws("_",
+          transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
+            v => v.cast("string")))).alias("band_hash")))
+
+  /** Near-duplicate pairs via MinHash + LSH: returns (left key, right key,
+    * estimated jaccard) for candidate pairs whose true shingle-set Jaccard
+    * ≥ `threshold`.
+    *
+    * Plan shape at scale: one projection (shingles+signature+bands), one
+    * explode, one shuffle on band_hash (groupBy), candidate self-join on
+    * narrow keys, then exact verification on the candidate set only.
+    */
+  def minhashNearDups(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      shingleLen: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.6,
+      wordShingleN: Option[Int] = None
+  ): DataFrame = {
+    // Word n-grams (wordShingleN) give ~5× fewer shingles than char k-grams
+    // on prose — minhash cost is O(shingles × numHashes) per doc, so prefer
+    // them at scale; char shingles remain for short/no-whitespace text.
+    val shingleExpr = wordShingleN match {
+      case Some(n) => wordShingles(col(textCol), n)
+      case None    => shingles(col(textCol), shingleLen)
+    }
+    val rowsPerBand = numHashes / bands
+    val prepped = df.select(
+        col(keyCol).alias("key"),
+        shingleExpr.alias("sh"))
+      .filter(size(col("sh")) > 0)
+
+    // Band rows carry ONLY (key, band, band_hash) — the candidate self-join
+    // shuffles narrow keys, not the shingle arrays (which would be 8× the
+    // payload). Shingle sets are joined back for candidate pairs only.
+    val bandRows = prepped
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("key"), explode(lshBands(col("sig"), bands, rowsPerBand)).alias("b"))
+      .select(col("key"), col("b.band"), col("b.band_hash"))
+
+    val pairs = bandRows.alias("l")
+      .join(bandRows.alias("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.key") < col("r.key"))
+      .select(col("l.key").alias("key_a"), col("r.key").alias("key_b"))
+      .dropDuplicates("key_a", "key_b")
+
+    val shA = prepped.select(col("key").alias("key_a"), col("sh").alias("sh_a"))
+    val shB = prepped.select(col("key").alias("key_b"), col("sh").alias("sh_b"))
+    pairs.join(shA, "key_a").join(shB, "key_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("key_a", "key_b", "jaccard")
+  }
+
+  /** Exact pairwise n-gram Jaccard within a blocking column (e.g. a source
+    * bucket or LSH prefix) — the verification kernel, usable standalone
+    * when a cheap blocking key already exists.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      blockCol: String,
+      n: Int = 3
+  ): DataFrame = {
+    val prepped = df.select(
+      col(keyCol).alias("key"),
+      col(blockCol).alias("block"),
+      wordShingles(col(textCol), n).alias("ng"))
+    val l = prepped.alias("l")
+    val r = prepped.alias("r")
+    l.join(r, col("l.block") === col("r.block") && col("l.key") < col("r.key"))
+      .select(
+        col("l.key").alias("key_a"),
+        col("r.key").alias("key_b"),
+        (size(array_intersect(col("l.ng"), col("r.ng"))).cast("double") /
+          greatest(size(array_union(col("l.ng"), col("r.ng"))), lit(1)))
+          .alias("jaccard"))
+  }
+
+  /** 64-bit SimHash over tokens: bit b of the result is 1 iff the sum over
+    * tokens of ±1 (sign of bit b of xxhash64(token)) is positive.
+    * Built-ins only: aggregate over a 64-slot count array.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    // dynamic shift amounts need the SQL shiftright/shiftleft (the Scala
+    // functions API only takes Int literals) — call_function resolves them
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, b) => a + when(
+            call_function("shiftright", h, b.cast("int")).bitwiseAND(lit(1L)) === 1, lit(1L)
+          ).otherwise(lit(-1L)))
+      })
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, b) => when(c > 0,
+          call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))),
+      lit(0L),
+      (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-dup candidates: block on 16-bit chunks (any document pair
+    * within Hamming distance 3 of a 64-bit simhash shares at least one of
+    * the four 16-bit chunks — pigeonhole), then verify exact Hamming ≤ maxDist.
+    */
+  def simhashNearDups(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      maxDist: Int = 3
+  ): DataFrame = {
+    val chunkStructs = (0 until 4).map { i =>
+      struct(lit(i).alias("idx"),
+        shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).alias("bits"))
+    }
+    val withSim = df.select(col(keyCol).alias("key"),
+        simhash64(col(textCol)).alias("sim"))
+      .withColumn("chunk", explode(array(chunkStructs: _*)))
+    val l = withSim.alias("l")
+    val r = withSim.alias("r")
+    l.join(r,
+        col("l.chunk.idx") === col("r.chunk.idx") &&
+          col("l.chunk.bits") === col("r.chunk.bits") &&
+          col("l.key") < col("r.key"))
+      .select(col("l.key").alias("key_a"), col("r.key").alias("key_b"),
+        bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).alias("hamming"))
+      .dropDuplicates("key_a", "key_b")
+      .filter(col("hamming") <= maxDist)
+  }
+}

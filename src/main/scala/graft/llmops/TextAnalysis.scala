@@ -1,0 +1,103 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text-analysis operators for LLM training-data pipelines (the north-star
+  * extension over the reference's document helpers,
+  * aje_libs/documents/helpers/document_processor.py:10-83).
+  *
+  * Every operator is a pure Column composition (whole-stage codegen, no
+  * UDFs) so a 100 TB corpus is one projection pass over the parquet scan
+  * with full pushdown/pruning.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization — single-space convention of the corpus. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish regex tokenizer: letter runs, digit runs, single other glyphs.
+    * The pattern is deliberately RE2-compatible so external validators
+    * (e.g. a DuckDB oracle) compute the identical count.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Stopword lists for the n-gram/stopword language-ID heuristic. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "dans")
+  )
+
+  /** Count of tokens that appear in `words`. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words: _*)))
+
+  def stopwordRatio(text: Column, words: Seq[String]): Column =
+    stopwordHits(text, words) / greatest(tokenCount(text), lit(1))
+
+  /** Language-ID: argmax over per-language stopword hit counts with a
+    * deterministic tie-break (en > es > de > fr by list order), 'und'
+    * (undetermined) when no list scores.
+    *
+    * Prefer [[langIdFromTokens]] over a pre-tokenized column in wide scans —
+    * it tokenizes once instead of once per language list.
+    */
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  def langIdFromTokens(toks: Column): Column = {
+    val order = Seq("en", "es", "de", "fr")
+    val scores = order.map(l =>
+      l -> size(filter(toks, t => t.isin(Stopwords(l): _*))))
+    // fold: keep the first language with the strictly-highest score
+    val best = scores.tail.foldLeft((lit("en"), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /** Quality-score features: length, token stats, stopword & punctuation
+    * ratios — the standard cheap pre-filters for corpus curation.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    df.withColumn("n_chars_q", length(t))
+      .withColumn("n_tokens", nTok)
+      .withColumn("avg_token_len",
+        (length(t) - (nTok - lit(1))).cast("double") / greatest(nTok, lit(1)))
+      .withColumn("stopword_ratio",
+        stopwordHits(t, Stopwords("en")).cast("double") / greatest(nTok, lit(1)))
+      .withColumn("punct_ratio",
+        (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") /
+          greatest(length(t), lit(1)))
+  }
+
+  /** Composite 0..1 quality score from the features. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    qualityFeatures(df, textCol).withColumn("quality_score",
+      least(lit(1.0),
+        (col("n_tokens").cast("double") / lit(50.0)) * lit(0.5) +
+          when(col("stopword_ratio") > 0.01, lit(0.5)).otherwise(lit(0.0))))
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lower-cased
+    * text. md5 is engine-portable (identical in Spark, DuckDB, Python), so
+    * fingerprints computed by different tools agree — the property that
+    * matters for cross-system dedup.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit rolling fingerprint (xxhash64 of normalized text) for
+    * numeric-key joins at scale — cheaper shuffle key than a 32-char hex.
+    */
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

@@ -1,0 +1,81 @@
+package graft.stage
+
+import graft.config.{ColumnMetadata, TableConfig}
+import graft.operators.{Dedup, MergeUpsert}
+import graft.sources.RawLayer
+import graft.dsl.TransformCompiler
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** The stage-layer transform job: raw parquet → typed, deduped, merged table
+  * (reference: light_transform.py DataProcessor.process_table :1423-1564).
+  *
+  * Pipeline: read raw (or synthesize empty) → compile+apply DSL in one
+  * projection → error triage → keep-latest dedup (W1) → order (W2) →
+  * overwrite or key-merge (K4/K5) routed by load type + IS_ID columns.
+  */
+object StageJob {
+
+  sealed trait Status
+  case object Success extends Status
+  final case class CompletedWithWarnings(warnings: Seq[String]) extends Status
+  final case class FailedTransform(errors: Seq[String]) extends Status
+  case object EmptyInput extends Status
+
+  final case class StageResult(status: Status, rowsWritten: Long)
+
+  def run(
+      spark: SparkSession,
+      table: TableConfig,
+      columns: Seq[ColumnMetadata],
+      rawPath: String,
+      stagePath: String
+  ): StageResult = {
+    val idCols = columns.filter(_.isId).map(_.name)
+    val orderCols = columns.filter(_.isOrderBy).map(_.name)
+    val partitionCols = columns.filter(_.isPartition).map(_.name)
+
+    RawLayer.readRaw(spark, rawPath) match {
+      case None =>
+        // K8: still materialize a typed empty table (light_transform.py:1444-1462)
+        val schema = StructType(columns.sortBy(_.columnId).map(c =>
+          StructField(c.name, TransformCompiler.sparkType(c.dataType), nullable = true)))
+        RawLayer.emptyTyped(spark, schema)
+          .write.mode(SaveMode.Overwrite).parquet(stagePath)
+        StageResult(EmptyInput, 0L)
+
+      case Some(raw) =>
+        val tr = TransformationEngine.applyTransformations(raw, columns)
+        tr.outcome match {
+          case TransformationEngine.Failed(errors) =>
+            StageResult(FailedTransform(errors), 0L)
+          case other =>
+            val deduped = Dedup.keepLatest(tr.df, idCols, orderCols)
+            // W2: the reference global-sorts before write
+            // (light_transform.py:1799-1801). A global sort is one extra
+            // range-partitioning exchange; at 100 TB sortWithinPartitions
+            // gives the same file-local ordering without it.
+            val ordered =
+              if (orderCols.nonEmpty) deduped.sortWithinPartitions(orderCols.map(col): _*)
+              else deduped
+
+            val isIncremental =
+              table.effectiveLoadType == "incremental" && idCols.nonEmpty
+            if (isIncremental)
+              MergeUpsert.upsertParquet(spark, ordered, stagePath, idCols, partitionCols)
+            else {
+              val w = ordered.write.mode(SaveMode.Overwrite)
+              (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+                .parquet(stagePath)
+            }
+            val rows = spark.read.parquet(stagePath).count()
+            other match {
+              case TransformationEngine.Warning(errs) =>
+                StageResult(CompletedWithWarnings(errs), rows)
+              case _ => StageResult(Success, rows)
+            }
+        }
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConfigLoaderSpec extends AnyFunSuite {
+
+  test("parses ;-delimited CSV with header") {
+    val rows = ConfigLoader.parseCsv(
+      "COLUMN_NAME;COLUMN_ID;IS_ID;NEW_DATA_TYPE;TABLE_NAME;TRANSFORMATION\n" +
+        "Id;1;t;int;T1;fn_transform_Integer(Id)\n" +
+        "Nombre;2;;string;T1;fn_transform_ClearString(Nombre)")
+    assert(rows.size === 2)
+    assert(rows.head("COLUMN_NAME") === "Id")
+    assert(rows.head("TRANSFORMATION") === "fn_transform_Integer(Id)")
+  }
+
+  test("quote sanitization: triple quotes and wrapping quotes removed") {
+    val rows = ConfigLoader.parseCsv(
+      "A;B\n\"quoted value\";x\"\"\"y\"\"\"z")
+    assert(rows.head("A") === "quoted value")
+    assert(rows.head("B") === "x\"y\"z")
+  }
+
+  test("quoted delimiter does not split") {
+    val rows = ConfigLoader.parseCsv("A;B\n\"a;b\";c")
+    assert(rows.head("A") === "a;b")
+    assert(rows.head("B") === "c")
+  }
+
+  test("columnsFrom maps flags and ids") {
+    val rows = ConfigLoader.parseCsv(
+      "COLUMN_NAME;COLUMN_ID;IS_FILTER_DATE;IS_ID;IS_ORDER_BY;IS_PARTITION;NEW_DATA_TYPE;TABLE_NAME;TRANSFORMATION\n" +
+        "Id;1;;T;;;int;T1;fn_transform_Integer(Id)")
+    val cols = ConfigLoader.columnsFrom(rows)
+    assert(cols.head === ColumnMetadata("Id", 1, "int", "fn_transform_Integer(Id)",
+      isPartition = false, isId = true, isOrderBy = false, isFilterDate = false))
+  }
+
+  test("blank LOAD_TYPE inference: 't' → incremental, else full") {
+    assert(TableConfig(stageTableName = "s", sourceTable = "t",
+      sourceTableType = "t").effectiveLoadType === "incremental")
+    assert(TableConfig(stageTableName = "s", sourceTable = "t",
+      sourceTableType = "m").effectiveLoadType === "full")
+    assert(TableConfig(stageTableName = "s", sourceTable = "t",
+      loadType = "between-date").effectiveLoadType === "between-date")
+  }
+
+  test("multi-value PROCESS_ID splits") {
+    assert(TableConfig(stageTableName = "s", sourceTable = "t",
+      processId = "10, 20").processIds === Seq("10", "20"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.extract
+
+import graft.config.TableConfig
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.time.{ZoneId, ZonedDateTime}
+
+class QueryBuilderSpec extends AnyFunSuite {
+
+  private val base = TableConfig(
+    stageTableName = "stage_t", sourceTable = "ACTIVIDAD", sourceSchema = "dbo",
+    columns = "id, nombre, ltrim(a)+rtrim(b) full_name", idColumn = "",
+    filterExp = "estado = 1", joinExpr = "")
+
+  test("L1 standard query: SELECT list + filter") {
+    val q = new QueryBuilder(base).standardQuery()
+    assert(q === "SELECT id, nombre, ltrim(a)+rtrim(b) full_name FROM dbo.ACTIVIDAD WHERE (estado = 1)")
+  }
+
+  test("ID_COLUMN prepended as id") {
+    val q = new QueryBuilder(base.copy(idColumn = "pk")).standardQuery()
+    assert(q.startsWith("SELECT pk as id, id, nombre"))
+  }
+
+  test("JOIN_EXPR spliced verbatim (J1 passthrough)") {
+    val q = new QueryBuilder(base.copy(
+      joinExpr = "INNER JOIN dbo.X x ON x.id = ACTIVIDAD.id")).standardQuery()
+    assert(q.contains("FROM dbo.ACTIVIDAD INNER JOIN dbo.X x ON x.id = ACTIVIDAD.id WHERE"))
+  }
+
+  test("P7 partitioned query range") {
+    val q = new QueryBuilder(base).partitionedQuery("part_col", 100, 200)
+    assert(q.contains("WHERE part_col >= 100 AND part_col < 200 AND (estado = 1)"))
+  }
+
+  test("P5 date-range query: null-guarded BETWEEN; multi-column ORed") {
+    val q = new QueryBuilder(base).dateRangeQuery("2025-01-01", "2025-02-01", "f1,f2")
+    assert(q.contains(
+      "((f1 IS NOT NULL AND f1 BETWEEN '2025-01-01' AND '2025-02-01') OR " +
+        "(f2 IS NOT NULL AND f2 BETWEEN '2025-01-01' AND '2025-02-01'))"))
+  }
+
+  test("A1 min/max query with <> 0 guard") {
+    val q = new QueryBuilder(base).minMaxQuery("pcol")
+    assert(q === "SELECT MIN(pcol) as min_val, MAX(pcol) as max_val FROM dbo.ACTIVIDAD WHERE pcol <> 0 AND (estado = 1)")
+  }
+
+  test("P6 typed watermark predicate") {
+    val qb = new QueryBuilder(base)
+    assert(qb.watermarkPredicate("c", "2025-01-01 00:00:00", "datetime") ===
+      "CAST(c AS DATETIME2(6)) > CAST('2025-01-01 00:00:00' AS DATETIME2(6))")
+    assert(qb.watermarkPredicate("c", "42", "bigint") === "c > 42")
+  }
+
+  test("dialect date formatting") {
+    assert(Dialects.formatDateForDb("2025-01-01 00:00:00", "smalldatetime") ===
+      "CONVERT(smalldatetime, '2025-01-01 00:00:00', 120)")
+    assert(Dialects.formatDateForDb("2025-01-01 00:00:00", "DATE") ===
+      "TO_DATE('2025-01-01 00:00:00', 'YYYY-MM-DD HH24:MI:SS')")
+    assert(Dialects.formatDateForDb("2025-01-01 00:00:00", "BIGINT") === "1735689600")
+  }
+
+  test("column alias inference") {
+    assert(QueryBuilder.columnAlias("a AS b") === "b")
+    assert(QueryBuilder.columnAlias("ltrim(x)+rtrim(y) full_name") === "full_name")
+    assert(QueryBuilder.columnAlias("t.c") === "c")
+    assert(QueryBuilder.columnAlias("plain") === "plain")
+  }
+
+  test("L2 plan: partitioned read from min/max; strided queries closed at top") {
+    val table = base.copy(sourceTableType = "t", partitionColumn = "pc", loadType = "full")
+    val plan = LoadPlanner.plan(table, minMax = Some((0L, 100L)))
+    val pr = plan.asInstanceOf[LoadPlanner.PartitionedRead]
+    assert(pr.numPartitions === 10)
+    val qs = pr.queries
+    assert(qs.head.contains("pc >= 0 AND pc < 10"))
+    assert(qs.last.contains("pc >= 90 AND pc < 101")) // last bucket +1 closure
+  }
+
+  test("L3 plan: watermark increment when watermark exists") {
+    val table = base.copy(loadType = "incremental", partitionColumn = "ts_col",
+      filterDataType = "datetime")
+    val plan = LoadPlanner.plan(table, watermark = Some("2025-06-01 00:00:00"))
+    val q = plan.queries.head
+    assert(q.contains("CAST(ts_col AS DATETIME2(6)) > CAST('2025-06-01 00:00:00' AS DATETIME2(6))"))
+  }
+
+  test("L3 plan: rolling month window when no watermark (frozen clock)") {
+    val now = ZonedDateTime.of(2025, 10, 17, 12, 0, 0, 0, ZoneId.of("America/Lima"))
+    val table = base.copy(loadType = "incremental", filterColumn = "fecha",
+      filterDataType = "aje_period", delayIncrementalIni = "-2")
+    val plan = LoadPlanner.plan(table, now = now)
+    assert(plan.queries.head.contains("fecha IS NOT NULL AND fecha BETWEEN '202508' AND '202510'"))
+  }
+
+  test("LoadMode.Reset ignores the stored watermark") {
+    val table = base.copy(loadType = "incremental", partitionColumn = "pc")
+    val plan = LoadPlanner.plan(table, watermark = Some("99"),
+      mode = LoadPlanner.LoadMode.Reset)
+    assert(!plan.queries.head.contains("99"))
+  }
+
+  test("aje_date window: FoxPro day numbers, month-snapped") {
+    val now = ZonedDateTime.of(2025, 10, 17, 12, 0, 0, 0, ZoneId.of("America/Lima"))
+    val (lo, hi) = DateWindows.dateLimits("-2", "0", "aje_date", now)
+    // 2025-08-01 and 2025-10-31 as day numbers
+    assert(lo === DateWindows.dayNumber(java.time.LocalDate.of(2025, 8, 1)).toString)
+    assert(hi === DateWindows.dayNumber(java.time.LocalDate.of(2025, 10, 31)).toString)
+    // round-trip
+    assert(DateWindows.dateFromDayNumber(lo.toLong) === java.time.LocalDate.of(2025, 8, 1))
+  }
+}

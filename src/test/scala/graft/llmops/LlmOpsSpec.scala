@@ -1,0 +1,95 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class LlmOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exact dedup keeps one row per normalized text") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "different")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.exactDedup(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 3L)) // 2 is a case/space variant of 1
+  }
+
+  test("minhash near-dups find planted duplicates, skip unrelated") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely unrelated text about spark catalyst optimizer internals")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashNearDups(df, "text", "doc_id", threshold = 0.5)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash near-dups: identical text at distance 0") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.simhashNearDups(df, "text", "doc_id", maxDist = 3)
+      .select("key_a", "key_b", "hamming").collect()
+    assert(got.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+  }
+
+  test("brute-force cosine: identical vector ranks first") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.9f, 0.1f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        df.filter($"vec_id" === 1), "vec_id", "embedding", k = 2)
+      .orderBy("rank").select("neighbor_key").as[Long].collect()
+    assert(got.head === 2L) // exact duplicate is nearest
+  }
+
+  test("text analysis: counts, language id, fingerprint portability") {
+    val df = Seq(
+      (1L, "the cat sat of the mat"),
+      (2L, "el gato es un animal que vive en la casa"),
+      (3L, "xyzzy plugh")
+    ).toDF("doc_id", "text")
+    val got = df.select(
+      $"doc_id",
+      TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.langId($"text").as("lang"),
+      TextAnalysis.fingerprint($"text").as("fp")).collect()
+    assert(got(0).getInt(1) === 6)
+    assert(got(0).getString(2) === "en")
+    assert(got(1).getString(2) === "es")
+    assert(got(2).getString(2) === "und")
+    // md5 fingerprint matches an externally computed value (portability)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("the cat sat of the mat".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(0).getString(3) === expected)
+  }
+
+  test("chunkText splits with index and drops empty chunks") {
+    val df = Seq((1L, "a" * 250), (2L, "b" * 100)).toDF("doc_id", "text")
+    val got = Multimodal.chunkText(df, "text", 100)
+      .select("doc_id", "chunk_index", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2).length))
+    assert(got.filter(_._1 == 1L).map(t => (t._2, t._3)).sorted.toSeq ===
+      Seq((0, 100), (1, 100), (2, 50)))
+    assert(got.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq === Seq((0, 100)))
+  }
+
+  test("multimodal stub pipeline preserves schema and partitioning shape") {
+    val df = Seq(
+      (1L, "image", Array[Byte](1, 2, 3), null.asInstanceOf[String], "/a", Map("k" -> "v"))
+    ).toDF("asset_id", "modality", "content", "mime_type", "source_path", "meta")
+    val out = Multimodal.extractImageFeatures(df, dim = 4)
+    val row = out.collect().head
+    assert(out.columns.takeRight(4).toSeq === Seq("width", "height", "channels", "feature"))
+    assert(row.getAs[Seq[Float]]("feature").size === 4)
+  }
+}

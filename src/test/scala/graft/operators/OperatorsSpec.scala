@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.config.{ColumnMetadata, TableConfig}
+import graft.stage.{StageJob, TransformationEngine}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-test").toString
+
+  test("W1 keepLatest keeps newest version per key") {
+    val df = Seq(
+      (1, 10, "old"), (1, 20, "new"),
+      (2, 5, "only")).toDF("id", "version", "payload")
+    val got = Dedup.keepLatest(df, Seq("id"), Seq("version"))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(2)))
+    assert(got.toSeq === Seq((1, "new"), (2, "only")))
+  }
+
+  test("K5 merge: new wins on match, old kept, new inserted") {
+    val old = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val batch = Seq((2, "B"), (3, "C")).toDF("id", "v")
+    val got = MergeUpsert.merge(old, batch, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq === Seq((1, "a"), (2, "B"), (3, "C")))
+  }
+
+  test("merge idempotency: re-applying the same batch is a no-op") {
+    val dir = tmpDir() + "/t"
+    val b1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    MergeUpsert.upsertParquet(spark, b1, dir, Seq("id"))
+    val b2 = Seq((2, "B"), (3, "C")).toDF("id", "v")
+    MergeUpsert.upsertParquet(spark, b2, dir, Seq("id"))
+    val once = spark.read.parquet(dir).orderBy("id").collect().map(_.toSeq).toSeq
+    MergeUpsert.upsertParquet(spark, b2, dir, Seq("id"))
+    val twice = spark.read.parquet(dir).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(once === twice)
+    assert(once.map(_.head) === Seq(1, 2, 3))
+  }
+
+  test("watermark store: provisional → confirm lifecycle + reset") {
+    val store = new WatermarkStore(spark, tmpDir() + "/wm")
+    val k = store.key("proj", "tbl", "col")
+    assert(store.get(k) === None)
+    store.saveProvisional(k, "100")
+    assert(store.get(k) === None) // not confirmed yet
+    store.confirm(k)
+    assert(store.get(k) === Some("100"))
+    store.saveProvisional(k, "150")
+    store.confirm(k)
+    assert(store.get(k) === Some("150"))
+    store.delete(k)
+    assert(store.get(k) === None)
+  }
+
+  test("transformation engine: per-column error containment with typed nulls") {
+    val df = Seq(("1", "x")).toDF("a", "b")
+    val cols = Seq(
+      ColumnMetadata("a_int", 1, "int", "fn_transform_Integer(a)"),
+      ColumnMetadata("bad", 2, "int", "fn_transform_Integer(missing_col)"),
+      ColumnMetadata("b_str", 3, "string", "fn_transform_ClearString(b)"))
+    val res = TransformationEngine.applyTransformations(df, cols)
+    assert(res.errors.size === 1)
+    assert(res.outcome.isInstanceOf[TransformationEngine.Warning])
+    val row = res.df.collect().head
+    assert(row.getInt(0) === 1)
+    assert(row.isNullAt(1))
+    assert(row.getString(2) === "x")
+  }
+
+  test("stage job end-to-end: raw strings → typed, deduped, merged parquet") {
+    val root = tmpDir()
+    val rawPath = s"$root/raw"
+    val stagePath = s"$root/stage"
+    // raw convention: all strings, with a duplicate Id (newer FechaActualizacion wins)
+    Seq(
+      ("1", "  Ana ", "2024-01-01 10:00:00"),
+      ("1", "Ana v2", "2024-02-01 10:00:00"),
+      ("2", "None", "2024-01-15 09:00:00")
+    ).toDF("Id", "Nombre", "FechaActualizacion")
+      .write.mode("overwrite").parquet(rawPath)
+
+    val cols = Seq(
+      ColumnMetadata("Id", 1, "int", "fn_transform_Integer(Id)", isId = true),
+      ColumnMetadata("Nombre", 2, "string", "fn_transform_ClearString(Nombre)"),
+      ColumnMetadata("FechaActualizacion", 3, "timestamp",
+        "fn_transform_Datetime(FechaActualizacion)", isOrderBy = true))
+    val table = TableConfig(stageTableName = "anio", sourceTable = "ANIO",
+      loadType = "incremental")
+
+    val res = StageJob.run(spark, table, cols, rawPath, stagePath)
+    assert(res.status === StageJob.Success)
+    val out = spark.read.parquet(stagePath).orderBy("Id").collect()
+    assert(out.length === 2)
+    assert(out(0).getInt(0) === 1)
+    assert(out(0).getString(1) === "Ana v2") // keep-latest
+    assert(out(1).isNullAt(1))               // "None" → null
+
+    // incremental merge of a second batch: update Id=2, insert Id=3
+    Seq(
+      ("2", "Bob", "2024-03-01 08:00:00"),
+      ("3", "Cara", "2024-03-02 08:00:00")
+    ).toDF("Id", "Nombre", "FechaActualizacion")
+      .write.mode("overwrite").parquet(rawPath)
+    val res2 = StageJob.run(spark, table, cols, rawPath, stagePath)
+    assert(res2.status === StageJob.Success)
+    val out2 = spark.read.parquet(stagePath).orderBy("Id").collect()
+    assert(out2.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    assert(out2(1).getString(1) === "Bob")
+  }
+
+  test("K8 empty raw input still materializes a typed empty table") {
+    val root = tmpDir()
+    val cols = Seq(
+      ColumnMetadata("Id", 1, "int", "fn_transform_Integer(Id)", isId = true),
+      ColumnMetadata("Nombre", 2, "string", ""))
+    val table = TableConfig(stageTableName = "t", sourceTable = "T")
+    val res = StageJob.run(spark, table, cols, s"$root/nonexistent", s"$root/stage")
+    assert(res.status === StageJob.EmptyInput)
+    val out = spark.read.parquet(s"$root/stage")
+    assert(out.count() === 0)
+    assert(out.schema.map(_.name) === Seq("Id", "Nombre"))
+    assert(out.schema("Id").dataType.typeName === "integer")
+  }
+
+  test("partition path formatter tokens + reverse parse") {
+    import graft.partition.PartitionPathFormatter
+    val ts = java.time.ZonedDateTime.of(2025, 10, 17, 14, 30, 45, 0,
+      PartitionPathFormatter.Lima)
+    val f = new PartitionPathFormatter("year={YYYY}/month={MM}/day={DD}/hour={HH}")
+    assert(f.formatPath(ts) === "year=2025/month=10/day=17/hour=14")
+    val q = new PartitionPathFormatter("q={QUARTER}/y={YY}")
+    assert(q.formatPath(ts) === "q=Q4/y=25")
+    assert(PartitionPathFormatter.extractPartitionValues("a/year=2025/month=10/b") ===
+      Map("year" -> "2025", "month" -> "10"))
+    assertThrows[IllegalArgumentException](new PartitionPathFormatter("x={BOGUS}"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.operators.WatermarkStore
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class IncrementalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("runBatch: watermark advances; overlapping replay is idempotent") {
+    val root = Files.createTempDirectory("graft-incr").toString
+    val store = new WatermarkStore(spark, s"$root/wm")
+    val key = store.key("p", "t", "ts")
+
+    val b1 = Seq((1, 10, "a"), (2, 20, "b"), (1, 30, "a2"))
+      .toDF("id", "ts", "v")
+    val n1 = IncrementalRunner.runBatch(spark, b1, s"$root/stage",
+      Seq("id"), Seq("ts"), "ts", store, key)
+    assert(n1 === 2) // keep-latest collapsed id=1
+    assert(store.get(key) === Some("30"))
+    val s1 = spark.read.parquet(s"$root/stage").orderBy("id").collect()
+    assert(s1.map(r => (r.getInt(0), r.getString(2))).toSeq === Seq((1, "a2"), (2, "b")))
+
+    // overlapping batch: ts 25-50; rows ≤ 30 filtered by watermark
+    val b2 = Seq((2, 25, "stale"), (2, 50, "b2"), (3, 40, "c"))
+      .toDF("id", "ts", "v")
+    val n2 = IncrementalRunner.runBatch(spark, b2, s"$root/stage",
+      Seq("id"), Seq("ts"), "ts", store, key)
+    assert(n2 === 2)
+    assert(store.get(key) === Some("50"))
+    val s2 = spark.read.parquet(s"$root/stage").orderBy("id").collect()
+    assert(s2.map(r => (r.getInt(0), r.getString(2))).toSeq ===
+      Seq((1, "a2"), (2, "b2"), (3, "c")))
+
+    // replay of b2: everything ≤ watermark → no-op
+    val n3 = IncrementalRunner.runBatch(spark, b2, s"$root/stage",
+      Seq("id"), Seq("ts"), "ts", store, key)
+    assert(n3 === 0)
+  }
+
+  test("streaming wrapper: foreachBatch merge over a file stream") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    val srcDir = s"$root/src"
+    Seq((1, 10, "a"), (2, 20, "b")).toDF("id", "ts", "v")
+      .write.mode("overwrite").parquet(srcDir)
+
+    val store = new WatermarkStore(spark, s"$root/wm")
+    val key = store.key("p", "t", "ts")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+    val q = IncrementalRunner.runStream(spark, stream, s"$root/stage",
+      Seq("id"), Seq("ts"), "ts", store, key, s"$root/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$root/stage").count() === 2)
+    assert(store.get(key) === Some("20"))
+  }
+
+  test("windowedCounts batch form groups by tumbling window") {
+    val df = Seq(
+      ("2024-01-01 00:10:00", "click", 1.0),
+      ("2024-01-01 00:50:00", "click", 2.0),
+      ("2024-01-01 01:10:00", "view", 3.0)
+    ).toDF("ts_s", "event_type", "value")
+      .withColumn("ts", $"ts_s".cast("timestamp"))
+    val got = IncrementalRunner.windowedCounts(df, "ts", "1 hour")
+      .select($"window.start".cast("string"), $"event_type", $"n", $"total_value")
+      .orderBy("event_type")
+      .collect()
+    assert(got.length === 2)
+    assert(got(0).getString(0) === "2024-01-01 00:00:00")
+    assert(got(0).getLong(2) === 2L)
+  }
+}
