@@ -79,22 +79,26 @@ object TransformCompiler {
     * @param dfColumns      the input DataFrame's columns; params matching one
     *                       resolve to `col(...)`, everything else is literal
     */
-  def compile(transformation: String, dataType: String, dfColumns: Set[String]): Column =
+  def compile(transformation: String, dataType: String, dfColumns: Set[String]): Column = {
+    // column resolution is case-insensitive, matching Spark's default
+    // analyzer behavior (spark.sql.caseSensitive=false)
+    val canonical = dfColumns.map(_.toLowerCase)
     TransformParser.parse(transformation) match {
       case None => lit(null).cast(sparkType(dataType))
       case Some(SimpleColumn(name)) =>
-        if (!dfColumns.contains(name))
+        if (!canonical.contains(name.toLowerCase))
           throw CompileError("simple_column", s"unknown column: $name")
         col(name)
-      case Some(fc: FuncCall) => compileCall(fc, dataType, dfColumns)
+      case Some(fc: FuncCall) => compileCall(fc, dataType, canonical)
     }
+  }
 
   private def compileCall(fc: FuncCall, dataType: String, dfColumns: Set[String]): Column = {
     val params: List[P] = fc.params.map {
       case NestedCall(inner) =>
         Right(compileCall(inner, inferReturnType(inner.name), dfColumns))
       case RawParam(text) =>
-        if (dfColumns.contains(text)) Right(col(text)) else Left(text)
+        if (dfColumns.contains(text.toLowerCase)) Right(col(text)) else Left(text)
     }
     apply(fc.name, params, dataType, dfColumns)
   }
@@ -322,7 +326,7 @@ object TransformCompiler {
       case Left(s) if s.contains("&") =>
         // composite key over several columns: rule 'v1&v2|w1&w2->label'
         val keyCols = s.split('&').map(_.trim)
-        keyCols.filterNot(dfColumns.contains).foreach { missing =>
+        keyCols.filterNot(k => dfColumns.contains(k.toLowerCase)).foreach { missing =>
           throw CompileError("fn_transform_Case_with_default",
             s"composite key references unknown column: $missing")
         }

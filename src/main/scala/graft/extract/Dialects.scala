@@ -28,6 +28,12 @@ object Dialects {
       JdbcTarget(
         s"jdbc:mysql://${ep.srcServerName}:${ep.dbPortNumber}/${ep.srcDbName}",
         "com.mysql.cj.jdbc.Driver")
+    case "derby" =>
+      // embedded test dialect (ships with Spark) — lets the whole
+      // extract path run end-to-end without a database server
+      JdbcTarget(
+        s"jdbc:derby:memory:${ep.srcDbName};create=true",
+        "org.apache.derby.iapi.jdbc.AutoloadedDriver")
     case other =>
       throw new IllegalArgumentException(s"unsupported BD_TYPE: $other")
   }

@@ -1,0 +1,136 @@
+package graft.runner
+
+import graft.SparkTestBase
+import graft.catalog.CatalogSync
+import graft.config.{ColumnMetadata, EndpointConfig, TableConfig}
+import graft.extract.{Dialects, LoadPlanner}
+import graft.operators.WatermarkStore
+
+import java.nio.file.Files
+import java.sql.DriverManager
+
+/** End-to-end slice #2 (SURVEY §7.2): JDBC extract against an embedded
+  * Derby database → stringified raw parquet → stage transform → catalog,
+  * with watermark increment across two runs.
+  */
+class RunnerSpec extends SparkTestBase {
+
+  private val ep = EndpointConfig(
+    endpointName = "TEST", bdType = "derby", dbPortNumber = "0",
+    srcDbName = "graftdb", srcServerName = "local", srcDbUsername = "app")
+
+  private def seedDerby(): Unit = {
+    val conn = DriverManager.getConnection("jdbc:derby:memory:graftdb;create=true")
+    val st = conn.createStatement()
+    try st.execute("DROP TABLE APP.ACTIVIDAD") catch { case _: Exception => () }
+    st.execute(
+      "CREATE TABLE APP.ACTIVIDAD (id INT, nombre VARCHAR(50), estado INT, ts_ver INT)")
+    st.execute("INSERT INTO APP.ACTIVIDAD VALUES " +
+      "(1, '  Ana ', 1, 100), (2, 'None', 1, 110), (3, 'Bob', 0, 120), (1, 'Ana v2', 1, 130)")
+    st.close(); conn.close()
+  }
+
+  private def addRows(): Unit = {
+    val conn = DriverManager.getConnection("jdbc:derby:memory:graftdb")
+    val st = conn.createStatement()
+    st.execute("INSERT INTO APP.ACTIVIDAD VALUES (2, 'Bea', 1, 140), (4, 'Cara', 1, 150)")
+    st.close(); conn.close()
+  }
+
+  private val table = TableConfig(
+    stageTableName = "actividad", sourceTable = "ACTIVIDAD", sourceSchema = "APP",
+    sourceTableType = "t", loadType = "incremental",
+    columns = "id, nombre, estado, ts_ver",
+    partitionColumn = "ts_ver", filterDataType = "int",
+    idColumn = "", processId = "10")
+
+  private val columns = Seq(
+    ColumnMetadata("id", 1, "int", "fn_transform_Integer(id)", isId = true),
+    ColumnMetadata("nombre", 2, "string", "fn_transform_ClearString(nombre)"),
+    ColumnMetadata("estado", 3, "int", "fn_transform_Integer(estado)"),
+    ColumnMetadata("ts_ver", 4, "int", "fn_transform_Integer(ts_ver)", isOrderBy = true))
+
+  test("derby jdbc: single query and partitioned read plans execute") {
+    seedDerby()
+    val qPlan = LoadPlanner.plan(table.copy(loadType = "full", sourceTableType = "m"))
+    val df = LoadPlanner.execute(spark, qPlan, ep, password = "")
+    assert(df.count() === 4)
+
+    val pPlan = LoadPlanner.plan(
+      table.copy(loadType = "full"), minMax = Some((100L, 130L)))
+    assert(pPlan.isInstanceOf[LoadPlanner.PartitionedRead])
+    val pdf = LoadPlanner.execute(spark, pPlan, ep, password = "")
+    assert(pdf.count() === 4)
+    assert(pdf.rdd.getNumPartitions > 1) // range-partitioned JDBC read
+  }
+
+  test("full pipeline: extract → raw → stage with watermark across runs") {
+    seedDerby()
+    val root = Files.createTempDirectory("graft-runner").toString
+    val store = new WatermarkStore(spark, s"$root/wm")
+    val spec = Runner.TableSpec(table, columns,
+      rawPath = s"$root/raw/actividad", stagePath = s"$root/stage/actividad",
+      source = Left((ep, "")))
+
+    val report1 = Runner.run(spark, Seq(spec), maxConcurrency = 2,
+      watermarkStore = Some(store))
+    assert(report1.runs.head.status === "SUCCESS")
+    val s1 = spark.read.parquet(s"$root/stage/actividad").orderBy("id").collect()
+    assert(s1.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    assert(s1.head.getString(1) === "Ana v2")     // keep-latest by ts_ver
+    assert(s1(1).isNullAt(1))                     // 'None' cleaned to null
+    assert(store.get(store.key("10", "actividad", "ts_ver")) === Some("130"))
+
+    // incremental run: only rows past the watermark are extracted
+    addRows()
+    val report2 = Runner.run(spark, Seq(spec), maxConcurrency = 2,
+      watermarkStore = Some(store))
+    assert(report2.runs.head.status === "SUCCESS")
+    val s2 = spark.read.parquet(s"$root/stage/actividad").orderBy("id").collect()
+    assert(s2.map(_.getInt(0)).toSeq === Seq(1, 2, 3, 4))
+    assert(s2(1).getString(1) === "Bea")          // upserted
+    assert(store.get(store.key("10", "actividad", "ts_ver")) === Some("150"))
+
+    // raw layer of run 2 contains only the delta (watermark pushdown)
+    val raw2 = spark.read.parquet(s"$root/raw/actividad")
+    assert(raw2.count() === 2)
+    assert(raw2.schema.fields.forall(_.dataType.typeName === "string"))
+  }
+
+  test("failure isolation: one broken table does not sink the run") {
+    seedDerby()
+    val root = Files.createTempDirectory("graft-runner-f").toString
+    val good = Runner.TableSpec(table.copy(loadType = "full"), columns,
+      s"$root/raw/g", s"$root/stage/g", Left((ep, "")))
+    val bad = Runner.TableSpec(
+      table.copy(stageTableName = "broken", sourceTable = "NO_SUCH_TABLE"),
+      columns, s"$root/raw/b", s"$root/stage/b", Left((ep, "")))
+    val report = Runner.run(spark, Seq(good, bad), maxConcurrency = 2)
+    assert(report.succeeded.map(_.table) === Seq("actividad"))
+    assert(report.failed.map(_.table) === Seq("broken"))
+    assert(report.failed.head.error.nonEmpty)
+  }
+
+  test("catalog sync registers stage tables for spark.sql") {
+    seedDerby()
+    val root = Files.createTempDirectory("graft-cat").toString
+    val spec = Runner.TableSpec(table.copy(loadType = "full"), columns,
+      s"$root/raw/a", s"$root/stage/a", Left((ep, "")))
+    Runner.run(spark, Seq(spec))
+    CatalogSync.registerTable(spark, "stage", "actividad", s"$root/stage/a")
+    val got = spark.sql("SELECT id, nombre FROM stage.actividad WHERE estado = 1 ORDER BY id")
+      .collect()
+    assert(got.map(_.getInt(0)).toSeq === Seq(1, 2))
+    assert(CatalogSync.listTables(spark, "stage") === Seq("actividad"))
+  }
+
+  test("process-id group resolution includes shared tables") {
+    val ts = Seq(
+      table.copy(stageTableName = "t1", processId = "10"),
+      table.copy(stageTableName = "t2", processId = "10,20"),
+      table.copy(stageTableName = "t3", processId = "20"),
+      table.copy(stageTableName = "t4", processId = "10", status = "I"))
+    assert(Runner.tablesForProcess(ts, "10").map(_.stageTableName) === Seq("t1", "t2"))
+    assert(Runner.tablesForProcess(ts, "20").map(_.stageTableName) === Seq("t2", "t3"))
+  }
+}
