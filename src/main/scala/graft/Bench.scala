@@ -11,12 +11,16 @@ object Bench {
       shufflePartitions = cpus.toIntOption.getOrElse(32)
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // materialize every output row of the physical plan (a bare count()
+    // would let Catalyst prune the projections and under-measure)
+    def exec(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     // warm the JVM + file cache once so measured times are steady-state
     SparkEntry.queries.get("q01_pricing_summary")
-      .foreach(fn => try { fn(spark, sfDir).count() } catch { case _: Throwable => () })
+      .foreach(fn => try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { exec(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -336,8 +336,7 @@ object SparkEntry {
 
     "q29_lang_id" -> ((s, dir) => {
       val d = t(tuned(s), dir, "documents")
-      d.select(split(col("text"), " ").as("toks"))
-        .select(TextAnalysis.langIdFromTokens(col("toks")).as("lang_pred"))
+      TextAnalysis.langIdByKey(d, "doc_id", "text")
         .groupBy("lang_pred").agg(count(lit(1)).as("n"))
         .orderBy("lang_pred")
     }),

@@ -25,5 +25,7 @@ object CatalogSync {
   }
 
   def listTables(spark: SparkSession, db: String): Seq[String] =
-    spark.catalog.listTables(db).collect().map(_.name).toSeq
+    spark.catalog.listTables(db).collect()
+      .filter(!_.isTemporary) // session temp views are not catalog tables
+      .map(_.name).toSeq
 }

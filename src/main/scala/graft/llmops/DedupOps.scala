@@ -96,12 +96,29 @@ object DedupOps {
         shingleExpr.alias("sh"))
       .filter(size(col("sh")) > 0)
 
+    // Signature via explode + codegen'd min-aggregate: higher-order
+    // functions (transform/aggregate) run interpreted, so the nested
+    // HOF form is 10-50× slower per row; explode + groupBy(min) stays in
+    // whole-stage codegen and partial aggregation combines map-side, so
+    // the shuffle carries one row per doc, not per shingle.
+    val hashAggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("s"), lit(i))).alias(s"h$i"))
+    val sigCols = prepped
+      .select(col("key"), explode(col("sh")).alias("s"))
+      .groupBy(col("key"))
+      .agg(hashAggs.head, hashAggs.tail: _*)
+
     // Band rows carry ONLY (key, band, band_hash) — the candidate self-join
     // shuffles narrow keys, not the shingle arrays (which would be 8× the
     // payload). Shingle sets are joined back for candidate pairs only.
-    val bandRows = prepped
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(col("key"), explode(lshBands(col("sig"), bands, rowsPerBand)).alias("b"))
+    val bandStructs = (0 until bands).map { b =>
+      val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"h$i").cast("string"))
+      struct(lit(b).alias("band"),
+        xxhash64(concat_ws("_", bandCols: _*)).alias("band_hash"))
+    }
+    val bandRows = sigCols
+      .select(col("key"), explode(array(bandStructs: _*)).alias("b"))
       .select(col("key"), col("b.band"), col("b.band_hash"))
 
     val pairs = bandRows.alias("l")
@@ -188,8 +205,22 @@ object DedupOps {
       struct(lit(i).alias("idx"),
         shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).alias("bits"))
     }
-    val withSim = df.select(col(keyCol).alias("key"),
-        simhash64(col(textCol)).alias("sim"))
+    // codegen'd simhash: explode tokens, hash once, 64 static-shift sign
+    // sums in one partial-aggregating groupBy (the HOF simhash64 form is
+    // interpreted — fine as a scalar expression, too slow for a corpus scan)
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1, lit(1L))
+        .otherwise(lit(-1L))).alias(s"c$b"))
+    val simCol = (0 until 64).map(b =>
+      when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    val withSim = df
+      .select(col(keyCol).alias("key"),
+        explode(TextAnalysis.tokens(col(textCol))).alias("t"))
+      .select(col("key"), xxhash64(col("t")).alias("h"))
+      .groupBy(col("key"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("key"), simCol.alias("sim"))
       .withColumn("chunk", explode(array(chunkStructs: _*)))
     val l = withSim.alias("l")
     val r = withSim.alias("r")

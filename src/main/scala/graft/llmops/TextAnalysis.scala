@@ -63,6 +63,29 @@ object TextAnalysis {
     when(best._2 > 0, best._1).otherwise(lit("und"))
   }
 
+  /** Corpus-scan language-ID: explode tokens once and count stopword hits
+    * per language in a single codegen'd aggregation — the per-row
+    * [[langId]] expression runs interpreted (higher-order functions) and
+    * is 5-10× slower on a full-corpus scan.
+    * Returns (keyCol, lang_pred).
+    */
+  def langIdByKey(df: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val order = Seq("en", "es", "de", "fr")
+    val hitSums = order.map(l =>
+      sum(when(col("t").isin(Stopwords(l): _*), 1).otherwise(0)).alias(s"s_$l"))
+    val scored = df
+      .select(col(keyCol), explode(tokens(col(textCol))).alias("t"))
+      .groupBy(col(keyCol))
+      .agg(hitSums.head, hitSums.tail: _*)
+    val best = order.tail.foldLeft((lit("en"), col("s_en"))) {
+      case ((bestLang, bestScore), lang) =>
+        (when(col(s"s_$lang") > bestScore, lit(lang)).otherwise(bestLang),
+          when(col(s"s_$lang") > bestScore, col(s"s_$lang")).otherwise(bestScore))
+    }
+    scored.select(col(keyCol),
+      when(best._2 > 0, best._1).otherwise(lit("und")).alias("lang_pred"))
+  }
+
   /** Quality-score features: length, token stats, stopword & punctuation
     * ratios — the standard cheap pre-filters for corpus curation.
     */

@@ -59,6 +59,29 @@ class IncrementalSpec extends SparkTestBase {
     assert(store.get(key) === Some("20"))
   }
 
+  test("windowedCounts streaming form: watermark + tumbling window emits on close") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val src = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = IncrementalRunner.windowedCounts(src, "ts", "1 hour", Some("30 minutes"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("win_out").start()
+    mem.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:50:00"), "click", 2.0))
+    q.processAllAvailable()
+    // advance the watermark past hour 0 so its window closes and emits
+    mem.addData((java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), "view", 3.0))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT event_type, n, total_value FROM win_out").collect()
+    q.stop()
+    assert(out.length === 1) // hour-0 click window closed; hour-2 still open
+    assert(out.head.getString(0) === "click")
+    assert(out.head.getLong(1) === 2L)
+  }
+
   test("windowedCounts batch form groups by tumbling window") {
     val df = Seq(
       ("2024-01-01 00:10:00", "click", 1.0),
