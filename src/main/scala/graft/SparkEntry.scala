@@ -405,6 +405,36 @@ object SparkEntry {
         .orderBy("query_key", "rank")
     }),
 
+    "q37_dsl_date" -> ((s, dir) => {
+      // F10 plain Date with dd/MM/yyyy format + default fallback
+      val ss = tuned(s)
+      val src = t(ss, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 5 === 0, lit("junk"))
+          .when(col("o_orderkey") % 5 === 1, lit(null).cast("string"))
+          .otherwise(date_format(col("o_orderdate"), "dd/MM/yyyy")).as("d"))
+      src.select(
+        col("o_orderkey"),
+        dsl(src, "fn_transform_Date(d,dd/MM/yyyy,1900-01-01)", "date").as("parsed"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q38_dsl_boolean" -> ((s, dir) => {
+      // F5 Boolean cast: 'true'/'false'/'1'/'0'/junk/null
+      val ss = tuned(s)
+      val src = t(ss, dir, "events").select(
+        col("event_id"),
+        when(col("event_id") % 5 === 0, lit("true"))
+          .when(col("event_id") % 5 === 1, lit("false"))
+          .when(col("event_id") % 5 === 2, lit("1"))
+          .when(col("event_id") % 5 === 3, lit("junk"))
+          .otherwise(lit(null).cast("string")).as("b"))
+      src.select(
+        col("event_id"),
+        dsl(src, "fn_transform_Boolean(b)", "boolean").as("flag"))
+        .orderBy("event_id")
+    }),
+
     "q36_ngram_jaccard" -> ((s, dir) => {
       // exact n-gram Jaccard within source blocks — SQL-expressible kernel
       val d = t(tuned(s), dir, "documents").filter(col("doc_id") < 200)
@@ -735,6 +765,31 @@ object SparkEntry {
          SELECT query_key, neighbor_key, rank, round(cosine, 6) AS cosine_r
          FROM ranked WHERE rank <= 3
          ORDER BY query_key, rank""",
+
+    "q37_dsl_date" ->
+      """WITH src AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'junk'
+                  WHEN o_orderkey % 5 = 1 THEN NULL
+                  ELSE strftime(o_orderdate, '%d/%m/%Y') END AS d
+           FROM orders)
+         SELECT o_orderkey,
+           CASE WHEN d IS NULL THEN DATE '1900-01-01'
+                ELSE coalesce(CAST(try_strptime(d, '%d/%m/%Y') AS DATE), DATE '1900-01-01')
+                END AS parsed
+         FROM src ORDER BY o_orderkey""",
+
+    "q38_dsl_boolean" ->
+      """WITH src AS (
+           SELECT event_id,
+             CASE WHEN event_id % 5 = 0 THEN 'true'
+                  WHEN event_id % 5 = 1 THEN 'false'
+                  WHEN event_id % 5 = 2 THEN '1'
+                  WHEN event_id % 5 = 3 THEN 'junk'
+                  ELSE NULL END AS b
+           FROM events)
+         SELECT event_id, TRY_CAST(b AS BOOLEAN) AS flag
+         FROM src ORDER BY event_id""",
 
     "q36_ngram_jaccard" ->
       """WITH prepped AS (

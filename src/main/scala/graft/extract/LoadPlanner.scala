@@ -138,6 +138,29 @@ object LoadPlanner {
         SingleQuery(qb.standardQuery())
     }
 
+  /** S3/A1: run the min/max planning aggregate against the source and
+    * return the partition bounds (executed source-side as one scalar query,
+    * like the reference's execute_simple_query — extract_data_spark.py:443-451).
+    */
+  def fetchMinMax(
+      spark: SparkSession,
+      table: TableConfig,
+      ep: EndpointConfig,
+      password: String
+  ): Option[(Long, Long)] = {
+    if (table.partitionColumn.trim.isEmpty) return None
+    val qb = new QueryBuilder(table)
+    val row = execute(spark,
+      SingleQuery(qb.minMaxQuery(table.partitionColumn)), ep, password).collect().head
+    if (row.isNullAt(0) || row.isNullAt(1)) None
+    else Some((toLong(row.get(0)), toLong(row.get(1))))
+  }
+
+  private def toLong(v: Any): Long = v match {
+    case n: Number => n.longValue()
+    case other     => other.toString.trim.toLong
+  }
+
   /** Execute a plan as Spark JDBC reads. Each partition of a
     * [[PartitionedRead]] becomes one concurrent JDBC cursor — Spark's
     * built-in equivalent of the reference's strided thread-pool fan-out (X1).

@@ -91,22 +91,33 @@ object Similarity {
       numPlanes: Int = 12,
       numTables: Int = 4
   ): DataFrame = {
-    // distinct plane sets per table: offset the plane index by table*numPlanes
+    // Buckets via explode + codegen'd conditional sums (the zip_with/
+    // aggregate HOF form runs interpreted — too slow for a corpus scan):
+    // one (key, dim, x) explode, then numTables×numPlanes projection sums
+    // with map-side partial aggregation. Distinct plane sets per table via
+    // the plane-index offset t*numPlanes.
     def bucketed(df: DataFrame, keyAs: String, vecCol: String, vecAs: String) = {
-      val tableStructs = (0 until numTables).map { t =>
-        val vec = col(vecAs)
-        val bucket = (0 until numPlanes).map { p =>
-          val proj = aggregate(
-            zip_with(vec, sequence(lit(0), size(vec) - 1),
-              (x, d) => x.cast("double") * planeSign(t * numPlanes + p, d)),
-            lit(0.0), (acc, v) => acc + v)
-          when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-        }.reduce((a, b) => a.bitwiseOR(b))
-        struct(lit(t).alias("table"), bucket.alias("bucket"))
+      val projSums = (0 until numTables).flatMap { tb =>
+        (0 until numPlanes).map { p =>
+          sum(col("x").cast("double") * planeSign(tb * numPlanes + p, col("d")))
+            .alias(s"proj_${tb}_$p")
+        }
       }
-      df.select(col(keyAs), col(vecCol).alias(vecAs))
-        .withColumn("bt", explode(array(tableStructs: _*)))
-        .select(col(keyAs), col(vecAs), col("bt.table"), col("bt.bucket"))
+      val withProj = df
+        .select(col(keyAs), posexplode(col(vecCol)).as(Seq("d", "x")))
+        .groupBy(col(keyAs))
+        .agg(projSums.head, projSums.tail: _*)
+      val tableStructs = (0 until numTables).map { tb =>
+        val bucket = (0 until numPlanes).map { p =>
+          when(col(s"proj_${tb}_$p") > 0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b))
+        struct(lit(tb).alias("table"), bucket.alias("bucket"))
+      }
+      val buckets = withProj
+        .select(col(keyAs), explode(array(tableStructs: _*)).alias("bt"))
+        .select(col(keyAs), col("bt.table"), col("bt.bucket"))
+      // vectors re-joined only where needed (narrow bucket rows shuffle)
+      buckets.join(df.select(col(keyAs), col(vecCol).alias(vecAs)), keyAs)
     }
 
     val c = bucketed(corpus.withColumnRenamed(corpusKey, "neighbor_key"), "neighbor_key", corpusVec, "cv")

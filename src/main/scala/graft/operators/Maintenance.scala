@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Table maintenance — the parquet equivalent of the reference's Delta
+  * OPTIMIZE / VACUUM / manifest step (light_transform.py:1394-1409) and its
+  * file-metadata reporting (orchestrator.py:452-462, 914-948 — A4).
+  */
+object Maintenance {
+
+  /** K6 OPTIMIZE-equivalent: rewrite a parquet table into ~targetFileMB
+    * files. Small-file compaction is what keeps 100 TB scans at full
+    * vectorized-reader throughput — thousands of KB-sized incremental
+    * merge outputs would otherwise dominate task-scheduling overhead.
+    */
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 128): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val bytes = fs.getContentSummary(p).getLength
+    val files = math.max(1, (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
+    val df = spark.read.parquet(path)
+    val tmp = path + "__compact"
+    df.repartition(files).write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy").parquet(tmp)
+    val bak = new Path(path + "__old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    fs.rename(p, bak)
+    fs.rename(new Path(tmp), p)
+    fs.delete(bak, true)
+    ()
+  }
+
+  /** VACUUM-equivalent for the staging/backup dirs the merge path leaves on
+    * interruption.
+    */
+  def vacuum(spark: SparkSession, path: String): Unit =
+    Seq("__staging", "__old", "__compact", "__tmp").foreach { suffix =>
+      val p = new Path(path + suffix)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
+
+  /** A4 file-metadata aggregation: per-file row counts and total bytes of a
+    * parquet table, distributed (input_file_name, no driver listing of rows).
+    */
+  def fileStats(spark: SparkSession, path: String): DataFrame = {
+    // normalize URIs to plain paths: input_file_name() yields file:///x,
+    // FileStatus yields file:/x
+    val rows = spark.read.parquet(path)
+      .groupBy(regexp_replace(input_file_name(), "^[a-z]+:/+", "/").alias("file"))
+      .agg(count(lit(1)).alias("rows"))
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = fs.listStatus(p).filter(_.isFile)
+      .map(s => (s.getPath.toUri.getPath, s.getLen)).toSeq
+    import spark.implicits._
+    rows.join(sizes.toDF("file", "bytes"), Seq("file"), "left")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.config.EndpointConfig
+import graft.extract.LoadPlanner
+import graft.llmops.VectorStore
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.sql.DriverManager
+
+class MaintenanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("K6 compact rewrites many small files into few") {
+    val root = Files.createTempDirectory("graft-compact").toString
+    val path = s"$root/t"
+    (1 to 1000).toDF("x").repartition(50).write.parquet(path)
+    val before = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 50)
+    Maintenance.compact(spark, path)
+    val after = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after <= 2)
+    assert(spark.read.parquet(path).count() === 1000)
+  }
+
+  test("vacuum removes merge scratch dirs") {
+    val root = Files.createTempDirectory("graft-vac").toString
+    val path = s"$root/t"
+    Seq(1).toDF("x").write.parquet(path)
+    Seq(2).toDF("x").write.parquet(path + "__staging")
+    Maintenance.vacuum(spark, path)
+    assert(!new java.io.File(path + "__staging").exists())
+    assert(new java.io.File(path).exists())
+  }
+
+  test("A4 fileStats reports per-file rows and bytes") {
+    val root = Files.createTempDirectory("graft-stats").toString
+    val path = s"$root/t"
+    (1 to 100).toDF("x").repartition(4).write.parquet(path)
+    val stats = Maintenance.fileStats(spark, path).collect()
+    assert(stats.map(_.getAs[Long]("rows")).sum === 100)
+    assert(stats.forall(_.getAs[Long]("bytes") > 0))
+  }
+
+  test("S3 fetchMinMax runs the planning aggregate source-side") {
+    val conn = DriverManager.getConnection("jdbc:derby:memory:mmdb;create=true")
+    val st = conn.createStatement()
+    try st.execute("DROP TABLE APP.NUMS") catch { case _: Exception => () }
+    st.execute("CREATE TABLE APP.NUMS (v INT)")
+    st.execute("INSERT INTO APP.NUMS VALUES (0), (5), (17), (42)")
+    st.close(); conn.close()
+    val table = graft.config.TableConfig(
+      stageTableName = "nums", sourceTable = "NUMS", sourceSchema = "APP",
+      columns = "v", partitionColumn = "v")
+    val ep = EndpointConfig("T", "derby", "0", "mmdb", "l", "app")
+    // <> 0 guard excludes the zero row
+    assert(LoadPlanner.fetchMinMax(spark, table, ep, "") === Some((5L, 42L)))
+  }
+
+  test("K9 vector store: upsert by id + exact and approximate top-k query") {
+    val root = Files.createTempDirectory("graft-vs").toString
+    val store = new VectorStore(spark, s"$root/vs")
+    val v1 = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(0.0f, 1.0f), "b")).toDF("vec_id", "embedding", "tag")
+    store.upsert(v1)
+    // upsert overwrites id=2, inserts id=3
+    val v2 = Seq(
+      (2L, Array(0.9f, 0.1f), "b2"),
+      (3L, Array(1.0f, 0.1f), "c")).toDF("vec_id", "embedding", "tag")
+    store.upsert(v2)
+    val tbl = store.table().orderBy("vec_id").collect()
+    assert(tbl.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(tbl(1).getString(2) === "b2")
+
+    val q = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val exact = store.query(q, k = 2).orderBy("rank").collect()
+    assert(exact.head.getLong(1) === 3L) // closest to (1,0) excluding self
+    // metadata filter restricts the corpus
+    val filtered = store.query(q, k = 2, filter = Some(col("tag") === "b2")).collect()
+    assert(filtered.map(_.getLong(1)).toSeq === Seq(2L))
+  }
+
+  test("embedStub is deterministic and batch-shaped") {
+    val df = Seq((1L, "hello"), (2L, "world")).toDF("id", "text")
+    val e1 = VectorStore.embedStub(df, "text", dim = 8).select("embedding").collect()
+    val e2 = VectorStore.embedStub(df, "text", dim = 8).select("embedding").collect()
+    assert(e1.map(_.getSeq[Float](0)).toSeq === e2.map(_.getSeq[Float](0)).toSeq)
+    assert(e1.head.getSeq[Float](0).size === 8)
+  }
+}
