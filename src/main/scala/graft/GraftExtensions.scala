@@ -1,0 +1,99 @@
+package graft
+
+import graft.dsl.TransformCompiler
+import graft.llmops.TextAnalysis
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+
+/** SQL surface for the engine's scalar operators: registers `graft_*`
+  * functions so `spark.sql` users get the transformation DSL and the text
+  * operators without touching the Scala API.
+  *
+  * Usable two ways:
+  *   - `SparkSession.builder.withExtensions(new GraftExtensions)` — plants
+  *     the functions at session build time (the SparkSessionExtensions
+  *     path, also wired via `spark.sql.extensions=graft.GraftExtensions`);
+  *   - `GraftFunctions.register(spark)` — adds them to a live session.
+  *
+  * All functions compile to the same pure Catalyst expressions the Column
+  * API produces — registration adapts Column builders to
+  * `Seq[Expression] => Expression` via the Column↔Expression bridge.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""),
+        (exprs: Seq[Expression]) => builder(exprs)))
+    }
+}
+
+object GraftFunctions {
+
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expressionEager(col)
+
+  private def litText(expr: Expression, fn: String, arg: String): String =
+    expr match {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+        Option(l.value).map(_.toString).getOrElse("to_null")
+      case other =>
+        throw new IllegalArgumentException(s"$fn: $arg must be a string literal, got $other")
+    }
+
+  /** (name, usage, builder). */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_clear_string",
+      "graft_clear_string(str[, default]) - trim; blank/'None'/'NULL' become default (or NULL)",
+      exprs => e(TransformCompiler.clearString(c(exprs.head), exprs.lift(1).map(c)))),
+
+    ("graft_date_magic",
+      "graft_date_magic(v[, fmt[, default]]) - FoxPro day number or formatted date string to DATE",
+      exprs => e(TransformCompiler.dateMagic(
+        c(exprs.head),
+        exprs.lift(1).map(litText(_, "graft_date_magic", "fmt")).getOrElse("yyyy-MM-dd"),
+        exprs.lift(2).map(litText(_, "graft_date_magic", "default")).getOrElse("to_null")))),
+
+    ("graft_datetime_magic",
+      "graft_datetime_magic(d, t[, default]) - FoxPro date number + HHMMSS time to TIMESTAMP",
+      exprs => e(TransformCompiler.datetimeMagic(
+        c(exprs.head), c(exprs(1)),
+        exprs.lift(2).map(litText(_, "graft_datetime_magic", "default")).getOrElse("to_null")))),
+
+    ("graft_byte_magic",
+      "graft_byte_magic(v[, default]) - byte/char/hex flag to 'T'/'F'",
+      exprs => e(TransformCompiler.byteMagic(
+        c(exprs.head),
+        exprs.lift(1).map(c).getOrElse(org.apache.spark.sql.functions.lit("F"))))),
+
+    ("graft_period_magic",
+      "graft_period_magic(month, year) - 'YYYYMM' period; NULLs become '190001'",
+      exprs => e(TransformCompiler.periodMagic(c(exprs.head), c(exprs(1))))),
+
+    ("graft_fingerprint",
+      "graft_fingerprint(text) - md5 of whitespace-normalized lower-cased text",
+      exprs => e(TextAnalysis.fingerprint(c(exprs.head)))),
+
+    ("graft_token_count",
+      "graft_token_count(text) - whitespace token count",
+      exprs => e(TextAnalysis.tokenCount(c(exprs.head)))),
+
+    ("graft_lang_id",
+      "graft_lang_id(text) - stopword-heuristic language id (en/es/de/fr/und)",
+      exprs => e(TextAnalysis.langId(c(exprs.head)))),
+
+    ("graft_simhash",
+      "graft_simhash(text) - 64-bit SimHash of the token stream",
+      exprs => e(graft.llmops.DedupOps.simhash64(c(exprs.head))))
+  )
+
+  /** Register on a live session (temp functions, session-scoped). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+}

@@ -435,6 +435,17 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q39_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (30 min), batch form; ts arrives as nanos
+      val ev = t(tuned(s), dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000000000").as("ts_sec"))
+      graft.streaming.Sessionize.batch(ev, "user_id", "ts_sec", "event_id", 1800)
+        .withColumn("session_id", col("session_id").cast("long"))
+        .select("user_id", "session_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_id")
+    }),
+
     "q36_ngram_jaccard" -> ((s, dir) => {
       // exact n-gram Jaccard within source blocks — SQL-expressible kernel
       val d = t(tuned(s), dir, "documents").filter(col("doc_id") < 200)
@@ -790,6 +801,27 @@ object SparkEntry {
            FROM events)
          SELECT event_id, TRY_CAST(b AS BOOLEAN) AS flag
          FROM src ORDER BY event_id""",
+
+    "q39_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+           FROM events),
+         marked AS (
+           SELECT user_id, event_id, ts_sec,
+             CASE WHEN lag(ts_sec) OVER w IS NULL THEN 1
+                  WHEN ts_sec - lag(ts_sec) OVER w > 1800 THEN 1
+                  ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+         s AS (
+           SELECT user_id, ts_sec,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM marked)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts_sec) AS session_start, max(ts_sec) AS session_end,
+           count(*) AS n_events
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
 
     "q36_ngram_jaccard" ->
       """WITH prepped AS (

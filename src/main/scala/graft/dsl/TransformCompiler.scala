@@ -162,24 +162,23 @@ object TransformCompiler {
     concat_ws("|", parts: _*)
   }
 
-  /** F2 (light_transform.py:844-873). */
-  private def clearString(params: List[P]): Column = {
-    if (params.isEmpty) throw CompileError("fn_transform_ClearString", "requires a column")
-    val origin = asColumn(params.head)
+  /** F2 (light_transform.py:844-873) — public column-level form, shared by
+    * the DSL compiler and the SQL function registry.
+    */
+  def clearString(origin: Column, default: Option[Column]): Column = {
     val blank = origin.isNull || (trim(origin) === "") ||
       trim(origin).isin("None", "NULL", "null")
-    if (params.length > 1)
-      when(blank, dollarOrColumn(params(1))).otherwise(trim(origin))
-    else
-      when(blank, lit(null).cast(StringType)).otherwise(trim(origin))
+    when(blank, default.getOrElse(lit(null).cast(StringType))).otherwise(trim(origin))
+  }
+
+  private def clearString(params: List[P]): Column = {
+    if (params.isEmpty) throw CompileError("fn_transform_ClearString", "requires a column")
+    clearString(asColumn(params.head), params.lift(1).map(dollarOrColumn))
   }
 
   /** F3 (light_transform.py:875-935): FoxPro day-number or formatted string. */
-  private def dateMagic(params: List[P]): Column = {
-    if (params.length < 2) throw CompileError("fn_transform_DateMagic", "requires >= 2 params")
-    val origin = asColumn(params.head)
-    val fmt = normalizeDateFormat(rawText(params(1)).getOrElse("yyyy-MM-dd"))
-    val defaultText = params.lift(2).flatMap(rawText).getOrElse("to_null")
+  def dateMagic(origin: Column, format: String, defaultText: String): Column = {
+    val fmt = normalizeDateFormat(format)
     val toNull = defaultText.equalsIgnoreCase("to_null")
     val defaultDate =
       if (toNull) lit(null).cast(DateType) else to_date(lit(defaultText), "yyyy-MM-dd")
@@ -188,6 +187,14 @@ object TransformCompiler {
     when(origin.isNull, defaultDate)
       .when(origin.cast(IntegerType).isNotNull && (origin.cast(IntegerType) > lit(MagicThreshold)), magicDate)
       .otherwise(coalesce(to_date(origin.cast(StringType), fmt), defaultDate))
+  }
+
+  private def dateMagic(params: List[P]): Column = {
+    if (params.length < 2) throw CompileError("fn_transform_DateMagic", "requires >= 2 params")
+    dateMagic(
+      asColumn(params.head),
+      rawText(params(1)).getOrElse("yyyy-MM-dd"),
+      params.lift(2).flatMap(rawText).getOrElse("to_null"))
   }
 
   /** F4 (light_transform.py:937-951): explicit separator (last param). */
@@ -215,12 +222,7 @@ object TransformCompiler {
     }
 
   /** F8 (light_transform.py:980-1080): FoxPro date-number + HHMMSS time. */
-  private def datetimeMagic(params: List[P]): Column = {
-    if (params.length < 3) throw CompileError("fn_transform_DatetimeMagic", "requires >= 3 params")
-    val dateP = asColumn(params.head)
-    val timeP = asColumn(params(1))
-    val defaultText = params.lift(3).flatMap(rawText).getOrElse("to_null")
-
+  def datetimeMagic(dateP: Column, timeP: Column, defaultText: String): Column = {
     val dateFromMagic =
       date_add(to_date(lit(BaseDateMagic)), dateP.cast(IntegerType) - lit(MagicOffset))
     val convertedDate = when(dateP.isNull, lit(null).cast(DateType))
@@ -241,6 +243,12 @@ object TransformCompiler {
       coalesce(ts, lit(null).cast(TimestampType))
     else
       coalesce(ts, to_timestamp(lit(defaultText), "yyyy-MM-dd HH:mm:ss"))
+  }
+
+  private def datetimeMagic(params: List[P]): Column = {
+    if (params.length < 3) throw CompileError("fn_transform_DatetimeMagic", "requires >= 3 params")
+    datetimeMagic(asColumn(params.head), asColumn(params(1)),
+      params.lift(3).flatMap(rawText).getOrElse("to_null"))
   }
 
   /** F9 (light_transform.py:1082-1100). */
@@ -275,19 +283,17 @@ object TransformCompiler {
   }
 
   /** F11 (light_transform.py:1151-1178): params are (month, year) → 'YYYYMM'. */
-  private def periodMagic(params: List[P]): Column = {
-    if (params.length < 2) throw CompileError("fn_transform_PeriodMagic", "requires 2 params")
-    val month = asColumn(params.head)
-    val year = asColumn(params(1))
+  def periodMagic(month: Column, year: Column): Column =
     when(month.isNull || year.isNull, lit("190001"))
       .otherwise(concat(year.cast(StringType), lpad(month.cast(StringType), 2, "0")))
+
+  private def periodMagic(params: List[P]): Column = {
+    if (params.length < 2) throw CompileError("fn_transform_PeriodMagic", "requires 2 params")
+    periodMagic(asColumn(params.head), asColumn(params(1)))
   }
 
   /** F12 (light_transform.py:1180-1213): byte/char flag → 'T'/'F'. */
-  private def byteMagic(params: List[P]): Column = {
-    if (params.isEmpty) throw CompileError("fn_transform_ByteMagic", "requires >= 1 param")
-    val origin = asColumn(params.head)
-    val default = params.lift(1).map(dollarOrColumn).getOrElse(lit("F"))
+  def byteMagic(origin: Column, default: Column): Column =
     when(origin.isNull, default)
       .when(origin === lit("T"), lit("T"))
       .when(origin === lit("F"), lit("F"))
@@ -296,6 +302,11 @@ object TransformCompiler {
       .when(origin === lit(84), lit("T"))
       .when(origin === lit(70), lit("F"))
       .otherwise(default)
+
+  private def byteMagic(params: List[P]): Column = {
+    if (params.isEmpty) throw CompileError("fn_transform_ByteMagic", "requires >= 1 param")
+    byteMagic(asColumn(params.head),
+      params.lift(1).map(dollarOrColumn).getOrElse(lit("F")))
   }
 
   private val RuleSep = "->"

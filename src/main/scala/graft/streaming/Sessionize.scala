@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+
+/** Gap-based sessionization of an event stream — the canonical stateful
+  * operator a 100 TB event pipeline needs (not present in the reference,
+  * which has no streaming runtime; SURVEY §2.9).
+  *
+  * Two equivalent implementations:
+  *   - [[batch]]: lag + cumulative-sum window functions — one shuffle on
+  *     the user key; runs on any DataFrame and is SQL-oracle-checkable.
+  *   - [[streaming]]: `flatMapGroupsWithState` with event-time timeout —
+  *     true incremental state for unbounded streams; sessions are emitted
+  *     when the gap timeout expires.
+  */
+object Sessionize {
+
+  final case class SessionEvent(user_id: Long, ts_sec: Long, event_id: Long)
+  final case class SessionOut(
+      user_id: Long, session_start: Long, session_end: Long, n_events: Long)
+  final case class SessionState(start: Long, end: Long, n: Long)
+
+  /** Batch form: a new session starts when the gap to the previous event of
+    * the same user exceeds `gapSec`. session_id = running count of session
+    * starts; one hash shuffle on user_id, both windows share it.
+    */
+  def batch(events: DataFrame, userCol: String, tsSecCol: String,
+      tieBreakCol: String, gapSec: Long): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsSecCol), col(tieBreakCol))
+    val newSession = when(
+      col(tsSecCol) - lag(col(tsSecCol), 1).over(byUser) > gapSec, 1)
+      .otherwise(when(lag(col(tsSecCol), 1).over(byUser).isNull, 1).otherwise(0))
+    events
+      .withColumn("__new", newSession)
+      .withColumn("session_id",
+        sum(col("__new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        min(col(tsSecCol)).alias("session_start"),
+        max(col(tsSecCol)).alias("session_end"),
+        count(lit(1)).alias("n_events"))
+  }
+
+  /** Streaming form: per-user state carries the open session; an event past
+    * the gap closes it (emitting the finished session) and opens a new one.
+    * Event-time timeout flushes idle sessions without waiting for the next
+    * event of that user.
+    */
+  def streaming(
+      spark: SparkSession,
+      events: Dataset[SessionEvent],
+      gapSec: Long
+  ): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.ts_sec, e.event_id))
+          val out = Seq.newBuilder[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_sec - s.end <= gapSec =>
+                cur = Some(s.copy(end = math.max(s.end, e.ts_sec), n = s.n + 1))
+              case Some(s) =>
+                out += SessionOut(userId, s.start, s.end, s.n)
+                cur = Some(SessionState(e.ts_sec, e.ts_sec, 1))
+              case None =>
+                cur = Some(SessionState(e.ts_sec, e.ts_sec, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
+  /** Force-close all open sessions (end of a bounded replay). */
+  def flushOpenSessions(
+      spark: SparkSession,
+      events: Dataset[SessionEvent],
+      gapSec: Long
+  ): Dataset[SessionOut] = {
+    import spark.implicits._
+    val closed = batch(events.toDF(), "user_id", "ts_sec", "event_id", gapSec)
+    closed.select(
+      col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .as[SessionOut]
+  }
+}

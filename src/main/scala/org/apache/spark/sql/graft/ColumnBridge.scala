@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
 
 /** Bridge into Spark's `private[sql]` Column ↔ Catalyst Expression
   * conversion (Spark 4 moved `Column.expr` behind the Connect-compatible
@@ -10,6 +10,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * standard extension-library pattern.
   */
 object ColumnBridge {
+  /** Lazy wrapper — fine when the result goes back through DataFrame APIs
+    * that convert ColumnNodes during analysis.
+    */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager, full conversion of the ColumnNode tree to Catalyst — required
+    * when the expression is handed to paths that never see the converter
+    * (e.g. FunctionRegistry builders for SQL functions).
+    */
+  def expressionEager(c: Column): Expression =
+    ColumnNodeToExpressionConverter.apply(c.node)
+
   def column(e: Expression): Column = ExpressionUtils.column(e)
 }

@@ -1,0 +1,50 @@
+package graft
+
+class GraftExtensionsSpec extends SparkTestBase {
+
+  test("graft_* SQL functions register and evaluate") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        graft_clear_string(' None ') AS cleared,
+        graft_clear_string(' x ', 'dflt') AS trimmed,
+        graft_date_magic('739062', 'yyyy-MM-dd') AS magic_date,
+        graft_datetime_magic('739062', '70000') AS magic_ts,
+        graft_byte_magic('0x54') AS flag,
+        graft_period_magic(3, 2025) AS period,
+        graft_fingerprint('Hello  World') AS fp,
+        graft_token_count('a b c') AS n,
+        graft_lang_id('the cat sat of the mat') AS lang
+      """).collect().head
+    assert(row.isNullAt(0))
+    assert(row.getString(1) === "x")
+    assert(row.getDate(2).toString === "2024-06-25")
+    assert(row.getTimestamp(3).toString === "2024-06-25 07:00:00.0")
+    assert(row.getString(4) === "T")
+    assert(row.getString(5) === "202503")
+    assert(row.getString(6) ===
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("hello world".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(row.getInt(7) === 3)
+    assert(row.getString(8) === "en")
+  }
+
+  test("functions run against a table scan in SQL") {
+    GraftFunctions.register(spark)
+    spark.read.parquet(s"$sf0001/documents.parquet").createOrReplaceTempView("docs_ext")
+    val n = spark.sql(
+      "SELECT count(DISTINCT graft_fingerprint(text)) FROM docs_ext").collect().head.getLong(0)
+    assert(n > 0)
+    val simhash = spark.sql(
+      "SELECT graft_simhash(text) FROM docs_ext LIMIT 1").collect().head.getLong(0)
+    assert(simhash !== 0L)
+  }
+
+  test("literal-argument validation raises a clear error") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_date_magic('739062', text) FROM (SELECT 'x' AS text)").collect()
+    }
+    assert(e.getMessage.contains("must be a string literal"))
+  }
+}

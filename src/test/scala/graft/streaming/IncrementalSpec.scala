@@ -82,6 +82,39 @@ class IncrementalSpec extends SparkTestBase {
     assert(out.head.getLong(1) === 2L)
   }
 
+  test("sessionize: batch form splits on gap; streaming form agrees on closed sessions") {
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.{SessionEvent, SessionOut}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+
+    // user 1: two sessions (gap 2000s > 1800); user 2: one session
+    val rows = Seq(
+      SessionEvent(1L, 1000L, 1L), SessionEvent(1L, 1500L, 2L),
+      SessionEvent(1L, 3600L, 3L), // 2100s gap → new session
+      SessionEvent(2L, 100L, 4L))
+
+    val batchGot = Sessionize.batch(rows.toDF(), "user_id", "ts_sec", "event_id", 1800)
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(batchGot.toSeq === Seq(
+      (1L, 1000L, 1500L, 2L), (1L, 3600L, 3600L, 1L), (2L, 100L, 100L, 1L)))
+
+    // streaming: feed the same events; the second session of user 1 stays
+    // open in state, so only the closed first session is emitted
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val out = Sessionize.streaming(spark, mem.toDS(), 1800)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_out").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val emitted = spark.sql("SELECT * FROM sess_out").as[SessionOut].collect()
+    q.stop()
+    assert(emitted.toSeq === Seq(SessionOut(1L, 1000L, 1500L, 2L)))
+  }
+
   test("windowedCounts batch form groups by tumbling window") {
     val df = Seq(
       ("2024-01-01 00:10:00", "click", 1.0),
