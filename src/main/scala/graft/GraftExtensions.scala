@@ -87,7 +87,14 @@ object GraftFunctions {
 
     ("graft_simhash",
       "graft_simhash(text) - 64-bit SimHash of the token stream",
-      exprs => e(graft.llmops.DedupOps.simhash64(c(exprs.head))))
+      exprs => e(graft.llmops.DedupOps.simhash64(c(exprs.head)))),
+
+    ("graft_winnow",
+      "graft_winnow(text[, k, w]) - winnowing fingerprints (MOSS): array of selected k-gram hashes",
+      exprs => graft.expressions.WinnowFingerprint(
+        exprs.head,
+        exprs.lift(1).map(litText(_, "graft_winnow", "k").toInt).getOrElse(7),
+        exprs.lift(2).map(litText(_, "graft_winnow", "w").toInt).getOrElse(4)))
   )
 
   /** Register on a live session (temp functions, session-scoped). */

@@ -446,6 +446,48 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    "q40_count_distinct" -> ((s, dir) => {
+      t(tuned(s), dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+
+    "q41_rollup" -> ((s, dir) => {
+      val ss = tuned(s)
+      val cust = t(ss, dir, "customer")
+      val nat = broadcast(t(ss, dir, "nation"))
+      val ord = t(ss, dir, "orders")
+      ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 4).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+    }),
+
+    "q42_salted_agg" -> ((s, dir) => {
+      // skew-mitigated two-phase aggregation — same result as plain groupBy
+      val ev = t(tuned(s), dir, "events")
+      graft.operators.Skew.saltedSumCount(
+          ev, Seq("event_type"), "value", saltFrom = Seq("event_id"))
+        .select(col("event_type"), round(col("sum_value"), 4).as("total"), col("cnt"))
+        .orderBy("event_type")
+    }),
+
+    "q43_winnow_neardup" -> ((s, dir) => {
+      // winnowing fingerprints (custom codegen'd Expression) as the
+      // blocking key; no SQL oracle (bespoke hash) → rows-only check
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents").filter(col("doc_id") < 2000)
+        .repartition(32)
+      val doubled = d.unionByName(
+        d.withColumn("doc_id", col("doc_id") + 1000000))
+      DedupOps.winnowNearDups(doubled, "text", "doc_id", minSharedFrac = 0.8)
+        .orderBy("key_a", "key_b")
+    }),
+
     "q36_ngram_jaccard" -> ((s, dir) => {
       // exact n-gram Jaccard within source blocks — SQL-expressible kernel
       val d = t(tuned(s), dir, "documents").filter(col("doc_id") < 200)
@@ -822,6 +864,23 @@ object SparkEntry {
            count(*) AS n_events
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+
+    "q40_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q41_rollup" ->
+      """SELECT n_name, c_mktsegment, round(sum(o_totalprice), 4) AS revenue,
+         count(*) AS n
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP (n_name, c_mktsegment)
+         ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""",
+
+    "q42_salted_agg" ->
+      """SELECT event_type, round(sum(value), 4) AS total, count(*) AS cnt
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q36_ngram_jaccard" ->
       """WITH prepped AS (

@@ -165,6 +165,57 @@ object DedupOps {
           .alias("jaccard"))
   }
 
+  /** Winnowing fingerprints (native Catalyst expression with codegen —
+    * [[graft.expressions.WinnowFingerprint]]): any shared substring of
+    * length ≥ k+w−1 produces at least one shared fingerprint.
+    */
+  def winnowFingerprints(text: Column, k: Int = 7, w: Int = 4): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.WinnowFingerprint(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(text), k, w))
+
+  /** Near-dup candidates via winnowing: docs whose shared-fingerprint
+    * count is ≥ `minSharedFrac` of the smaller fingerprint set (containment
+    * overlap — absolute counts are meaningless when a corpus shares a
+    * small vocabulary). Plan shape: explode → equi-self-join on the
+    * fingerprint (narrow long keys) → pair count → fraction filter —
+    * blocking-based like the other variants, with MOSS's substring-match
+    * guarantee instead of Jaccard probability.
+    */
+  def winnowNearDups(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      k: Int = 7,
+      w: Int = 4,
+      minSharedFrac: Double = 0.5,
+      maxDocFreq: Int = 100
+  ): DataFrame = {
+    val fps = df.select(col(keyCol).alias("key"),
+        explode(winnowFingerprints(col(textCol), k, w)).alias("fp"))
+      .dropDuplicates("key", "fp")
+    // Stop-fingerprint removal: a fingerprint present in m docs generates
+    // m² candidate pairs — common-vocabulary k-grams would make the join
+    // quadratic in corpus size. Dropping fps with document frequency >
+    // maxDocFreq bounds any fp's contribution at maxDocFreq² while true
+    // near-dups still share their *rare* fingerprints. Overlap fractions
+    // are computed in the same rare-fp subspace for consistency.
+    val fpFreq = fps.groupBy("fp").agg(count(lit(1)).alias("df"))
+    val rare = fps.join(fpFreq.filter(col("df") <= maxDocFreq).select("fp"), "fp")
+    val counts = rare.groupBy("key").agg(count(lit(1)).alias("nfp"))
+    val shared = rare.alias("l").join(rare.alias("r"),
+        col("l.fp") === col("r.fp") && col("l.key") < col("r.key"))
+      .groupBy(col("l.key").alias("key_a"), col("r.key").alias("key_b"))
+      .agg(count(lit(1)).alias("shared_fingerprints"))
+    shared
+      .join(counts.select(col("key").alias("key_a"), col("nfp").alias("nfp_a")), "key_a")
+      .join(counts.select(col("key").alias("key_b"), col("nfp").alias("nfp_b")), "key_b")
+      .withColumn("overlap",
+        col("shared_fingerprints").cast("double") / least(col("nfp_a"), col("nfp_b")))
+      .filter(col("overlap") >= minSharedFrac)
+      .select("key_a", "key_b", "shared_fingerprints", "overlap")
+  }
+
   /** 64-bit SimHash over tokens: bit b of the result is 1 iff the sum over
     * tokens of ±1 (sign of bit b of xxhash64(token)) is positive.
     * Built-ins only: aggregate over a 64-slot count array.
