@@ -488,6 +488,29 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q44_sim_ivf" -> ((s, dir) => {
+      // IVF-partitioned ANN (approximate — no SQL oracle; rows-only)
+      val ss = tuned(s)
+      val emb = t(ss, dir, "embeddings")
+      Similarity.ivfTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 3, nCentroids = 16, nProbe = 4)
+        .select("query_key", "neighbor_key", "rank")
+        .orderBy("query_key", "rank")
+    }),
+
+    "q45_embedding_neardup" -> ((s, dir) => {
+      // embedding-space near-dup dedup on a doubled corpus (rows-only)
+      val ss = tuned(s)
+      val emb = t(ss, dir, "embeddings").filter(col("vec_id") < 2000)
+      val doubled = emb.unionByName(
+        emb.withColumn("vec_id", col("vec_id") + 1000000))
+      Similarity.embeddingNearDups(doubled, "vec_id", "embedding", minCosine = 0.999)
+        .select("key_a", "key_b")
+        .orderBy("key_a", "key_b")
+    }),
+
     "q36_ngram_jaccard" -> ((s, dir) => {
       // exact n-gram Jaccard within source blocks — SQL-expressible kernel
       val d = t(tuned(s), dir, "documents").filter(col("doc_id") < 200)

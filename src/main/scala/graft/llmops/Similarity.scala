@@ -76,6 +76,83 @@ object Similarity {
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
+    * path: partition the corpus by nearest centroid, probe only the
+    * `nProbe` centroids closest to each query.
+    *
+    * Centroids are a deterministic hash-sample of the corpus itself (a
+    * k-means iteration can refine them later; sampling already gives the
+    * recall/cost trade-off). Assignment is a broadcast join against the
+    * (tiny) centroid set — the corpus is scanned once, shuffled once on
+    * centroid id, and each query touches nProbe/nCentroids of the data.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      corpusKey: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryKey: String,
+      queryVec: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val cents = broadcast(
+      corpus
+        .withColumn("__r", pmod(xxhash64(col(corpusKey)), lit(1000000L)))
+        .orderBy(col("__r"), col(corpusKey))
+        .limit(nCentroids)
+        .select(monotonically_increasing_id().alias("cent_id"),
+          col(corpusVec).alias("cent_vec")))
+
+    def assign(df: DataFrame, keyAs: String, vecCol: String, vecAs: String, keep: Int) = {
+      val scored = df.select(col(keyAs), col(vecCol).alias(vecAs))
+        .join(cents, expr("true"))
+        .withColumn("cent_dist", -cosine(col(vecAs), col("cent_vec")))
+      val w = Window.partitionBy(col(keyAs)).orderBy(col("cent_dist"), col("cent_id"))
+      scored.withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= keep)
+        .select(col(keyAs), col(vecAs), col("cent_id"))
+    }
+
+    val corpusAssigned = assign(
+      corpus.withColumnRenamed(corpusKey, "neighbor_key"), "neighbor_key", corpusVec, "cv", 1)
+    val queryAssigned = assign(
+      queries.withColumnRenamed(queryKey, "query_key"), "query_key", queryVec, "qv", nProbe)
+
+    val cand = corpusAssigned.join(queryAssigned, Seq("cent_id"))
+      .filter(col("query_key") =!= col("neighbor_key"))
+      .dropDuplicates("query_key", "neighbor_key")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_key"))
+      .orderBy(col("cosine").desc, col("neighbor_key"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_key", "neighbor_key", "cosine", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidates
+    * verified at `minCosine` — the embedding-space member of the dedup
+    * family (exact/minhash/simhash/winnow cover the text space).
+    */
+  def embeddingNearDups(
+      corpus: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      minCosine: Double = 0.95,
+      numPlanes: Int = 12,
+      numTables: Int = 4
+  ): DataFrame = {
+    val bucketed = lshTopK(
+      corpus, keyCol, vecCol,
+      corpus.select(col(keyCol), col(vecCol)), keyCol, vecCol,
+      k = Int.MaxValue, numPlanes = numPlanes, numTables = numTables)
+    bucketed
+      .filter(col("cosine") >= minCosine && col("query_key") < col("neighbor_key"))
+      .select(col("query_key").alias("key_a"),
+        col("neighbor_key").alias("key_b"), col("cosine"))
+  }
+
   /** Approximate top-k: candidates restricted to equal LSH buckets (optionally
     * multi-probe over `numTables` independent plane sets), exact cosine +
     * rank inside the candidate set.

@@ -45,7 +45,9 @@ object Runner {
       /** Extraction input: Left = JDBC endpoint (+password), Right = an
         * already-loaded DataFrame (e.g. for tests / file sources).
         */
-      source: Either[(EndpointConfig, String), SparkSession => DataFrame]
+      source: Either[(EndpointConfig, String), SparkSession => DataFrame],
+      /** L6 load-mode modifier (INITIAL/NORMAL/RESET/REPROCESS). */
+      mode: LoadPlanner.LoadMode = LoadPlanner.LoadMode.Normal
   )
 
   /** PROCESS_ID group resolution (app.py:25-68): a table participates in a
@@ -97,10 +99,14 @@ object Runner {
           case Left((ep, password)) =>
             val wmKey = store.map(s =>
               s.key(spec.table.processId, name, spec.table.partitionColumn))
+            // RESET drops the stored watermark before planning (L6)
+            if (spec.mode == LoadPlanner.LoadMode.Reset)
+              for { s <- store; k <- wmKey } s.delete(k)
             val watermark = for {
               s <- store; k <- wmKey; v <- s.get(k)
             } yield v
-            val plan = LoadPlanner.plan(spec.table, watermark = watermark)
+            val plan = LoadPlanner.plan(spec.table, watermark = watermark,
+              mode = spec.mode)
             LoadPlanner.execute(spark, plan, ep, password)
         }
         // raw layer: all-string snappy parquet, full-row distinct (D1)

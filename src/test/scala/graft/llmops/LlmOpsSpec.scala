@@ -51,6 +51,34 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.head === 2L) // exact duplicate is nearest
   }
 
+  test("IVF top-k: identical vector ranks first via centroid probing") {
+    val vecs = (0 until 200).map { i =>
+      val base = Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat)
+      (i.toLong, base)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" === 7)
+    val got = Similarity.ivfTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 3, nCentroids = 8, nProbe = 3)
+      .orderBy("rank").collect()
+    assert(got.nonEmpty)
+    // sin-wave vectors: i and i+9 are near-identical (period ~2π/0.7≈8.98)
+    assert(got.head.getDouble(2) > 0.9)
+  }
+
+  test("embedding near-dups find planted duplicate vectors") {
+    val base = (0 until 100).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 2.17 + d * 1.3).toFloat))
+    }
+    val planted = base.map { case (id, v) => (id + 1000, v) } // exact copies
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(df, "vec_id", "embedding", minCosine = 0.999)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    // every planted copy should be found (identical vectors share all buckets)
+    val found = (0 until 100).count(i => pairs.contains((i.toLong, i + 1000L)))
+    assert(found === 100)
+  }
+
   test("text analysis: counts, language id, fingerprint portability") {
     val df = Seq(
       (1L, "the cat sat of the mat"),

@@ -73,6 +73,17 @@ class OperatorsSpec extends SparkTestBase {
     assert(row.getString(2) === "x")
   }
 
+  test("transformation engine: >50% failed columns fails the table") {
+    val df = Seq(("1", "x")).toDF("a", "b")
+    val cols = Seq(
+      ColumnMetadata("ok", 1, "int", "fn_transform_Integer(a)"),
+      ColumnMetadata("bad1", 2, "int", "fn_transform_Integer(no1)"),
+      ColumnMetadata("bad2", 3, "int", "fn_transform_Bogus(a)"))
+    val res = TransformationEngine.applyTransformations(df, cols)
+    assert(res.outcome.isInstanceOf[TransformationEngine.Failed])
+    assert(res.errors.size === 2)
+  }
+
   test("stage job end-to-end: raw strings → typed, deduped, merged parquet") {
     val root = tmpDir()
     val rawPath = s"$root/raw"
