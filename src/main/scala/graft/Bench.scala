@@ -18,10 +18,17 @@ object Bench {
     // warm the JVM + file cache once so measured times are steady-state
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () })
+    // min of two runs per query: scheduler/GC noise on a shared box easily
+    // doubles a sub-second measurement
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toIntOption.getOrElse(2)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { exec(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to math.max(1, runs)).map { _ =>
+        spark.catalog.clearCache() // operators may persist internally
+        val t0 = System.nanoTime()
+        try { exec(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -787,10 +787,10 @@ object SparkEntry {
     "q29_lang_id" ->
       """WITH scores AS (
            SELECT doc_id,
-             len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','in','is','that'))) AS s_en,
-             len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','que','y','en','un','es'))) AS s_es,
-             len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist','von','mit','ein'))) AS s_de,
-             len(list_filter(string_split(text,' '), x -> x IN ('le','la','de','et','est','un','une','dans'))) AS s_fr
+             len(list_filter(string_split(text,' '), x -> lower(x) IN ('the','a','of','and','to','in','is','that'))) AS s_en,
+             len(list_filter(string_split(text,' '), x -> lower(x) IN ('el','la','de','que','y','en','un','es'))) AS s_es,
+             len(list_filter(string_split(text,' '), x -> lower(x) IN ('der','die','das','und','ist','von','mit','ein'))) AS s_de,
+             len(list_filter(string_split(text,' '), x -> lower(x) IN ('le','la','de','et','est','un','une','dans'))) AS s_fr
            FROM documents),
          folded AS (
            SELECT doc_id, s_en, s_es, s_de, s_fr,

@@ -91,10 +91,14 @@ object DedupOps {
       case None    => shingles(col(textCol), shingleLen)
     }
     val rowsPerBand = numHashes / bands
+    // persisted: referenced by the band self-join AND both verification
+    // joins — without it the shingle projection is recomputed 3-4×
+    // (bounded at ~2× the text size; LRU-evicted when memory is tight)
     val prepped = df.select(
         col(keyCol).alias("key"),
         shingleExpr.alias("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Signature via explode + codegen'd min-aggregate: higher-order
     // functions (transform/aggregate) run interpreted, so the nested
@@ -273,6 +277,9 @@ object DedupOps {
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("key"), simCol.alias("sim"))
       .withColumn("chunk", explode(array(chunkStructs: _*)))
+      // both sides of the candidate self-join read this — persist the
+      // (tiny: 4 rows/doc) chunk table instead of recomputing simhashes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = withSim.alias("l")
     val r = withSim.alias("r")
     l.join(r,

@@ -53,7 +53,7 @@ object TextAnalysis {
   def langIdFromTokens(toks: Column): Column = {
     val order = Seq("en", "es", "de", "fr")
     val scores = order.map(l =>
-      l -> size(filter(toks, t => t.isin(Stopwords(l): _*))))
+      l -> size(filter(toks, t => lower(t).isin(Stopwords(l): _*))))
     // fold: keep the first language with the strictly-highest score
     val best = scores.tail.foldLeft((lit("en"), scores.head._2)) {
       case ((bestLang, bestScore), (lang, score)) =>
@@ -72,7 +72,7 @@ object TextAnalysis {
   def langIdByKey(df: DataFrame, keyCol: String, textCol: String): DataFrame = {
     val order = Seq("en", "es", "de", "fr")
     val hitSums = order.map(l =>
-      sum(when(col("t").isin(Stopwords(l): _*), 1).otherwise(0)).alias(s"s_$l"))
+      sum(when(lower(col("t")).isin(Stopwords(l): _*), 1).otherwise(0)).alias(s"s_$l"))
     val scored = df
       .select(col(keyCol), explode(tokens(col(textCol))).alias("t"))
       .groupBy(col(keyCol))

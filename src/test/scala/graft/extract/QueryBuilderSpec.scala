@@ -52,6 +52,29 @@ class QueryBuilderSpec extends AnyFunSuite {
     assert(qb.watermarkPredicate("c", "42", "bigint") === "c > 42")
   }
 
+  test("dialect JDBC targets per BD_TYPE") {
+    import graft.config.EndpointConfig
+    val base = EndpointConfig("E", "mssql", "1433", "DB", "host", "usr")
+    assert(Dialects.jdbcTarget(base).url ===
+      "jdbc:sqlserver://host:1433;databaseName=DB;encrypt=false")
+    assert(Dialects.jdbcTarget(base).driver === "com.microsoft.sqlserver.jdbc.SQLServerDriver")
+    assert(Dialects.jdbcTarget(base.copy(bdType = "oracle", dbPortNumber = "1521")).url ===
+      "jdbc:oracle:thin:@host:1521:DB")
+    assert(Dialects.jdbcTarget(base.copy(bdType = "mysql", dbPortNumber = "3306")).url ===
+      "jdbc:mysql://host:3306/DB")
+    assertThrows[IllegalArgumentException](Dialects.jdbcTarget(base.copy(bdType = "db2")))
+  }
+
+  test("latin-1 config file round trip with accented characters") {
+    val f = java.nio.file.Files.createTempFile("graft-cfg", ".csv")
+    java.nio.file.Files.write(f,
+      "COLUMN_NAME;TRANSFORMATION\nAño;fn_transform_ClearString(Año)\n"
+        .getBytes("ISO-8859-1"))
+    val rows = graft.config.ConfigLoader.loadFile(f.toString)
+    assert(rows.head("COLUMN_NAME") === "Año")
+    assert(rows.head("TRANSFORMATION") === "fn_transform_ClearString(Año)")
+  }
+
   test("dialect date formatting") {
     assert(Dialects.formatDateForDb("2025-01-01 00:00:00", "smalldatetime") ===
       "CONVERT(smalldatetime, '2025-01-01 00:00:00', 120)")
