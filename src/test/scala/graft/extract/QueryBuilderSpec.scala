@@ -116,6 +116,16 @@ class QueryBuilderSpec extends AnyFunSuite {
     assert(plan.queries.head.contains("fecha IS NOT NULL AND fecha BETWEEN '202508' AND '202510'"))
   }
 
+  test("L4 between-date plan: date-range slice with dialect formatting") {
+    val now = ZonedDateTime.of(2025, 10, 17, 12, 0, 0, 0, ZoneId.of("America/Lima"))
+    val table = base.copy(loadType = "between-date", filterColumn = "fecha",
+      filterDataType = "smalldatetime", delayIncrementalIni = "-1",
+      delayIncrementalEnd = "0")
+    val q = LoadPlanner.plan(table, now = now).queries.head
+    assert(q.contains("fecha IS NOT NULL AND fecha BETWEEN " +
+      "CONVERT(smalldatetime, '2025-09-17', 120) AND CONVERT(smalldatetime, '2025-10-17', 120)"))
+  }
+
   test("LoadMode.Reset ignores the stored watermark") {
     val table = base.copy(loadType = "incremental", partitionColumn = "pc")
     val plan = LoadPlanner.plan(table, watermark = Some("99"),
