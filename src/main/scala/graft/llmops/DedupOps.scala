@@ -121,9 +121,12 @@ object DedupOps {
       struct(lit(b).alias("band"),
         xxhash64(concat_ws("_", bandCols: _*)).alias("band_hash"))
     }
+    // persisted: both sides of the candidate self-join scan this — without
+    // it the whole explode+aggregate signature computation runs twice
     val bandRows = sigCols
       .select(col("key"), explode(array(bandStructs: _*)).alias("b"))
       .select(col("key"), col("b.band"), col("b.band_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val pairs = bandRows.alias("l")
       .join(bandRows.alias("r"),

@@ -27,7 +27,7 @@ final class WatermarkStore(spark: SparkSession, path: String, ttlDays: Int = 90)
   }
 
   /** Last CONFIRMED, unexpired watermark value for a key. */
-  def get(wmKey: String): Option[String] =
+  def get(wmKey: String): Option[String] = this.synchronized {
     table().flatMap { df =>
       val cutoff = System.currentTimeMillis() - ttlDays * MillisPerDay
       df.filter(col("key") === wmKey && col("status") === Confirmed &&
@@ -38,13 +38,21 @@ final class WatermarkStore(spark: SparkSession, path: String, ttlDays: Int = 90)
         .headOption
         .map(_.getAs[String]("value"))
     }
+  }
 
-  /** Phase 1: record the candidate watermark as PENDING. */
-  def saveProvisional(wmKey: String, value: String): Unit =
+  /** Phase 1: record the candidate watermark as PENDING.
+    *
+    * All mutations are serialized on the store instance: the backing file
+    * is read-modify-write, and [[graft.runner.Runner]] calls this from
+    * concurrent per-table threads (the DynamoDB original got atomicity
+    * from the database; a driver-side lock is the single-JVM equivalent).
+    */
+  def saveProvisional(wmKey: String, value: String): Unit = this.synchronized {
     put(wmKey, value, Pending)
+  }
 
   /** Phase 2: after a successful load, promote to CONFIRMED. */
-  def confirm(wmKey: String): Unit = {
+  def confirm(wmKey: String): Unit = this.synchronized {
     val pendingValue = table().flatMap { df =>
       df.filter(col("key") === wmKey && col("status") === Pending)
         .orderBy(col("updated_at").desc)
@@ -54,7 +62,9 @@ final class WatermarkStore(spark: SparkSession, path: String, ttlDays: Int = 90)
   }
 
   /** RESET load mode: drop the key entirely (models/load_mode.py:4-27). */
-  def delete(wmKey: String): Unit = rewrite(_.filter(col("key") =!= wmKey))
+  def delete(wmKey: String): Unit = this.synchronized {
+    rewrite(_.filter(col("key") =!= wmKey))
+  }
 
   private def put(wmKey: String, value: String, status: String): Unit = {
     import spark.implicits._

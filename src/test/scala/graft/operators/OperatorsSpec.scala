@@ -58,6 +58,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(store.get(k) === None)
   }
 
+  test("watermark store survives concurrent writers (runner threads)") {
+    val store = new WatermarkStore(spark, tmpDir() + "/wmc")
+    val keys = (1 to 8).map(i => store.key("p", s"t$i", "c"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val work = keys.map { k =>
+      Future { store.saveProvisional(k, k.length.toString); store.confirm(k) }
+    }
+    Await.result(Future.sequence(work), 2.minutes)
+    keys.foreach(k => assert(store.get(k) === Some(k.length.toString)))
+  }
+
   test("transformation engine: per-column error containment with typed nulls") {
     val df = Seq(("1", "x")).toDF("a", "b")
     val cols = Seq(
