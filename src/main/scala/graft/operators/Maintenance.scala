@@ -43,6 +43,29 @@ object Maintenance {
       if (fs.exists(p)) { fs.delete(p, true); () }
     }
 
+  /** Crash recovery for the merge/compact swap: if a process died between
+    * `rename(table, __old)` and `rename(staging, table)`, the table dir is
+    * missing but a backup exists — restore it. Call before reads/writes of
+    * a table that may have been interrupted (Delta gets this from its log;
+    * plain-parquet swaps need the explicit step).
+    * Returns true when a restore happened.
+    */
+  def recover(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new Path(path + "__old")
+    val staging = new Path(path + "__staging")
+    if (!fs.exists(p) && fs.exists(staging)) {
+      // staging write completed but swap-in didn't happen
+      fs.rename(staging, p)
+      if (fs.exists(bak)) fs.delete(bak, true)
+      true
+    } else if (!fs.exists(p) && fs.exists(bak)) {
+      fs.rename(bak, p)
+      true
+    } else false
+  }
+
   /** A4 file-metadata aggregation: per-file row counts and total bytes of a
     * parquet table, distributed (input_file_name, no driver listing of rows).
     */

@@ -49,6 +49,7 @@ object MergeUpsert {
   ): Unit = {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Maintenance.recover(spark, path) // self-heal an interrupted prior swap
     val deduped = batch.dropDuplicates()
     if (!fs.exists(hPath)) {
       write(deduped, path, partitionCols)

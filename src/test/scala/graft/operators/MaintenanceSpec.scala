@@ -34,6 +34,22 @@ class MaintenanceSpec extends SparkTestBase {
     assert(new java.io.File(path).exists())
   }
 
+  test("recover restores a table lost mid-swap") {
+    val root = Files.createTempDirectory("graft-rec").toString
+    val path = s"$root/t"
+    // simulate: staging write completed, table renamed away, then crash
+    (1 to 10).toDF("x").write.parquet(path + "__staging")
+    (1 to 5).toDF("x").write.parquet(path + "__old")
+    assert(Maintenance.recover(spark, path))
+    assert(spark.read.parquet(path).count() === 10) // newer staging wins
+    assert(!new java.io.File(path + "__old").exists())
+    assert(!Maintenance.recover(spark, path)) // idempotent no-op after
+
+    // upsert self-heals: a merge over the recovered table works
+    MergeUpsert.upsertParquet(spark, Seq(99).toDF("x"), path, Seq("x"))
+    assert(spark.read.parquet(path).count() === 11)
+  }
+
   test("A4 fileStats reports per-file rows and bytes") {
     val root = Files.createTempDirectory("graft-stats").toString
     val path = s"$root/t"
