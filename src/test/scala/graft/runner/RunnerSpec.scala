@@ -124,6 +124,33 @@ class RunnerSpec extends SparkTestBase {
     assert(CatalogSync.listTables(spark, "stage") === Seq("actividad"))
   }
 
+  test("concurrent multi-table run: shared session + store, all tables land") {
+    val conn = DriverManager.getConnection("jdbc:derby:memory:graftdb;create=true")
+    val st = conn.createStatement()
+    val tableNames = (1 to 6).map(i => s"MT$i")
+    tableNames.foreach { tn =>
+      try st.execute(s"DROP TABLE APP.$tn") catch { case _: Exception => () }
+      st.execute(s"CREATE TABLE APP.$tn (id INT, nombre VARCHAR(50), estado INT, ts_ver INT)")
+      st.execute(s"INSERT INTO APP.$tn VALUES (1,'a',1,10),(2,'b',1,20),(3,'c',0,30)")
+    }
+    st.close(); conn.close()
+
+    val root = Files.createTempDirectory("graft-multi").toString
+    val store = new WatermarkStore(spark, s"$root/wm")
+    val specs = tableNames.map { tn =>
+      Runner.TableSpec(
+        table.copy(stageTableName = tn.toLowerCase, sourceTable = tn),
+        columns, s"$root/raw/$tn", s"$root/stage/$tn", Left((ep, "")))
+    }
+    val report = Runner.run(spark, specs, maxConcurrency = 4,
+      watermarkStore = Some(store))
+    assert(report.failed.isEmpty, report.failed.map(_.error).mkString("; "))
+    tableNames.foreach { tn =>
+      assert(spark.read.parquet(s"$root/stage/$tn").count() === 3)
+      assert(store.get(store.key("10", tn.toLowerCase, "ts_ver")) === Some("30"))
+    }
+  }
+
   test("process-id group resolution includes shared tables") {
     val ts = Seq(
       table.copy(stageTableName = "t1", processId = "10"),
