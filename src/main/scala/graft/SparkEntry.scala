@@ -511,6 +511,19 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q46_asof_join" -> ((s, dir) => {
+      // backward as-of join: latest login at or before each purchase
+      val ev = t(tuned(s), dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "value")
+      val logins = ev.filter(col("event_type") === "login")
+        .select("user_id", "event_id")
+      graft.operators.AsOfJoin.backward(
+          purchases, logins, Seq("user_id"), "event_id",
+          Map("event_id" -> "login_event_id"))
+        .orderBy("event_id")
+    }),
+
     "q36_ngram_jaccard" -> ((s, dir) => {
       // exact n-gram Jaccard within source blocks — SQL-expressible kernel
       val d = t(tuned(s), dir, "documents").filter(col("doc_id") < 200)
@@ -904,6 +917,13 @@ object SparkEntry {
     "q42_salted_agg" ->
       """SELECT event_type, round(sum(value), 4) AS total, count(*) AS cnt
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q46_asof_join" ->
+      """SELECT l.user_id, l.event_id, l.value, r.event_id AS login_event_id
+         FROM (SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'login') r
+           ON l.user_id = r.user_id AND l.event_id >= r.event_id
+         ORDER BY l.event_id""",
 
     "q36_ngram_jaccard" ->
       """WITH prepped AS (

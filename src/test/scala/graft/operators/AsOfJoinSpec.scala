@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("backward as-of: latest right row at or before each left row per key") {
+    val trades = Seq(
+      (1, 10L, 100.0), (1, 25L, 101.0), (1, 5L, 99.0),
+      (2, 50L, 200.0)).toDF("k", "ts", "px")
+    val quotes = Seq(
+      (1, 10L, 9.9), (1, 20L, 10.1), (2, 60L, 20.0)).toDF("k", "ts", "bid")
+
+    val got = AsOfJoin.backward(trades, quotes, Seq("k"), "ts", Map("bid" -> "last_bid"))
+      .orderBy("k", "ts")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+
+    assert(got.toSeq === Seq(
+      (1, 5L, null),      // no quote at or before ts=5
+      (1, 10L, 9.9),      // tie: quote at exactly ts=10 counts (>= semantics)
+      (1, 25L, 10.1),     // latest of the two prior quotes
+      (2, 50L, null)))    // key 2's only quote is later
+  }
+
+  test("as-of join plan is one keyed shuffle, not a range join") {
+    val left = (1 to 100).map(i => (i % 5, i.toLong, i * 1.0)).toDF("k", "ts", "v")
+    val right = (1 to 50).map(i => (i % 5, i * 2L, i * 0.1)).toDF("k", "ts", "q")
+    val df = AsOfJoin.backward(left, right, Seq("k"), "ts", Map("q" -> "last_q"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"as-of must not degrade to a product join:\n$plan")
+  }
+}
