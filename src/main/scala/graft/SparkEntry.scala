@@ -157,7 +157,11 @@ object SparkEntry {
         dsl(raw, "fn_transform_Integer(o_orderkey)", "int").as("order_id"),
         dsl(raw, "fn_transform_Integer(o_custkey)", "int").as("cust_id"),
         dsl(raw, "fn_transform_Double(o_totalprice)", "double").as("total_price"),
-        dsl(raw, "fn_transform_Numeric(o_totalprice)", "numeric(13,2)").as("total_dec"))
+        // F6 Numeric(13,2) runs for real; the final cast-to-string canonicalizes
+        // the decimal rendering ("1234.50") so the gate's value hashing is
+        // representation-independent (pyarrow Decimal vs DuckDB float64).
+        dsl(raw, "fn_transform_Numeric(o_totalprice)", "numeric(13,2)")
+          .cast("string").as("total_dec"))
         .orderBy("order_id")
     }),
 
@@ -626,7 +630,7 @@ object SparkEntry {
       """SELECT TRY_CAST(CAST(o_orderkey AS VARCHAR) AS INTEGER) AS order_id,
          TRY_CAST(CAST(o_custkey AS VARCHAR) AS INTEGER) AS cust_id,
          TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS total_price,
-         TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(13,2)) AS total_dec
+         CAST(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(13,2)) AS VARCHAR) AS total_dec
          FROM orders ORDER BY order_id""",
 
     "q14_dsl_clearstring" ->
