@@ -385,6 +385,7 @@ object SparkEntry {
         d.withColumn("doc_id", col("doc_id") + 1000000))
       DedupOps.minhashNearDups(doubled, "text", "doc_id",
           numHashes = 16, bands = 4, threshold = 0.9, wordShingleN = Some(3))
+        .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("key_a", "key_b")
     }),
 
@@ -394,7 +395,12 @@ object SparkEntry {
         .repartition(32)
       val doubled = d.unionByName(
         d.withColumn("doc_id", col("doc_id") + 1000000))
-      DedupOps.simhashNearDups(doubled, "text", "doc_id", maxDist = 3)
+      // portable = true: token hashes are md5-derived so the DuckDB oracle
+      // recomputes the exact simhash; blocking recall is total (pigeonhole)
+      // so the result is provably {pairs with hamming ≤ 3}
+      DedupOps.simhashNearDups(doubled, "text", "doc_id", maxDist = 3,
+          portable = true)
+        .withColumn("hamming", col("hamming").cast("int"))
         .orderBy("key_a", "key_b")
     }),
 
@@ -488,7 +494,12 @@ object SparkEntry {
         .repartition(32)
       val doubled = d.unionByName(
         d.withColumn("doc_id", col("doc_id") + 1000000))
-      DedupOps.winnowNearDups(doubled, "text", "doc_id", minSharedFrac = 0.8)
+      // portable = true: k-gram hashes are md5-derived so the DuckDB oracle
+      // replicates the winnowed fingerprint sets and the overlap pipeline
+      DedupOps.winnowNearDups(doubled, "text", "doc_id", minSharedFrac = 0.8,
+          portable = true)
+        .withColumn("shared_fingerprints", col("shared_fingerprints").cast("long"))
+        .withColumn("overlap", round(col("overlap"), 6))
         .orderBy("key_a", "key_b")
     }),
 
@@ -858,6 +869,184 @@ object SparkEntry {
          SELECT query_key, neighbor_key, rank, round(cosine, 6) AS cosine_r
          FROM ranked WHERE rank <= 3
          ORDER BY query_key, rank""",
+
+    // --- fuzzy-dedup / ANN family: full SQL replication oracles.
+    // q33: exact-Jaccard ground truth (LSH banding provably finds every
+    //   identical-shingle-set pair; the 0.9..0.99 organic pairs are found
+    //   deterministically — verified against the true pair set, so this
+    //   oracle also asserts 100% recall on the gate data).
+    // q34/q43: the engine runs with portable md5-prefix hashes
+    //   (('0x'||substr(md5(x),1,15))::BIGINT ≡ conv(substr(md5(x),1,15),16,10))
+    //   so DuckDB recomputes identical signatures; simhash chunk blocking has
+    //   total recall by pigeonhole, making the result set exactly
+    //   {pairs: hamming ≤ 3} / the winnowed-overlap pipeline.
+    // q35/q44: plane signs are integer LCG arithmetic and centroid sampling
+    //   is md5-portable, so the approximate pipelines are replicated
+    //   end-to-end (buckets, candidates, ranking).
+    // q45: provable planted-pair set — identical vectors always share every
+    //   bucket and have cosine 1 ≥ 0.999; no organic pair exceeds 0.99.
+    "q33_minhash_neardup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+         doubled AS (SELECT doc_id, text FROM base
+                     UNION ALL SELECT doc_id + 1000000, text FROM base),
+         sh AS (
+           SELECT doc_id AS key,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+               FOR i IN range(1, len(toks) - 2 + 1)]) AS ng
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM doubled)
+           WHERE len(toks) >= 3)
+         SELECT l.key AS key_a, r.key AS key_b,
+           round(len(list_intersect(l.ng, r.ng)) * 1.0 /
+             greatest(len(list_distinct(l.ng || r.ng)), 1), 6) AS jaccard
+         FROM sh l JOIN sh r
+           ON l.key < r.key
+           AND len(l.ng) * 10 >= len(r.ng) * 9
+           AND len(r.ng) * 10 >= len(l.ng) * 9
+         WHERE len(list_intersect(l.ng, r.ng)) * 1.0 /
+           greatest(len(list_distinct(l.ng || r.ng)), 1) >= 0.9
+         ORDER BY key_a, key_b""",
+
+    "q34_simhash_neardup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+         doubled AS (SELECT doc_id, text FROM base
+                     UNION ALL SELECT doc_id + 1000000, text FROM base),
+         th AS (
+           SELECT doc_id AS key, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM doubled)),
+         bits AS (
+           SELECT key, b, sum((h >> b) & 1) AS ones, count(*) AS n
+           FROM th, range(0, 60) r(b)
+           GROUP BY key, b),
+         sim AS (
+           SELECT key,
+             CAST(sum(CASE WHEN 2 * ones > n THEN (1::BIGINT << b) ELSE 0 END)
+               AS BIGINT) AS sim
+           FROM bits GROUP BY key)
+         SELECT l.key AS key_a, r.key AS key_b,
+           CAST(bit_count(xor(l.sim, r.sim)) AS INTEGER) AS hamming
+         FROM sim l JOIN sim r ON l.key < r.key
+         WHERE bit_count(xor(l.sim, r.sim)) <= 3
+         ORDER BY key_a, key_b""",
+
+    "q35_sim_lsh" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pl0 AS (SELECT p, [((p * 1000003 + (i - 1)) * 2654435761 + 1013904223)
+                   % 2147483647 FOR i IN range(1, 65)] AS hl
+                 FROM range(0, 40) t(p)),
+         pl1 AS (SELECT p, [(xor(h, h >> 13) * 1103515245 + 12345) % 2147483647
+                   FOR h IN hl] AS hl FROM pl0),
+         pl AS (SELECT p, [CASE WHEN (((xor(h, h >> 7) * 48271) % 2147483647
+                   >> 15) & 1) = 0 THEN 1.0 ELSE -1.0 END FOR h IN hl] AS s
+                FROM pl1),
+         proj AS (
+           SELECT vec_id, p,
+             list_sum([v[i] * s[i] FOR i IN range(1, 65)]) AS proj
+           FROM emb, pl),
+         buck AS (
+           SELECT vec_id, p // 10 AS tb,
+             CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << (p % 10))
+               ELSE 0 END) AS BIGINT) AS bucket
+           FROM proj GROUP BY vec_id, p // 10),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS query_key, c.vec_id AS neighbor_key
+           FROM buck q JOIN buck c ON q.tb = c.tb AND q.bucket = c.bucket
+           WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         scored AS (
+           SELECT query_key, neighbor_key,
+             CAST(list_cosine_similarity(qe.v, ce.v) AS DOUBLE) AS cosine
+           FROM cand JOIN emb qe ON qe.vec_id = query_key
+           JOIN emb ce ON ce.vec_id = neighbor_key),
+         ranked AS (
+           SELECT query_key, neighbor_key,
+             row_number() OVER (PARTITION BY query_key
+                                ORDER BY cosine DESC, neighbor_key) AS rank
+           FROM scored)
+         SELECT query_key, neighbor_key, rank FROM ranked WHERE rank <= 3
+         ORDER BY query_key, rank""",
+
+    "q43_winnow_neardup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+         doubled AS (SELECT doc_id AS key, text FROM base
+                     UNION ALL SELECT doc_id + 1000000, text FROM base),
+         norm AS (SELECT key,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s FROM doubled),
+         pos0 AS (
+           SELECT key, len(s) - 6 AS n,
+             unnest([{'j': i,
+               'h': ('0x' || substr(md5(substr(s, i, 7)), 1, 15))::BIGINT}
+               FOR i IN range(1, len(s) - 5)]) AS u
+           FROM norm WHERE len(s) >= 7),
+         pos AS (SELECT key, n, u.j AS j, u.h AS h FROM pos0),
+         small AS (SELECT key, min(h) AS fp FROM pos WHERE n <= 4 GROUP BY key),
+         w0 AS (
+           SELECT key, j - off AS t, j, h FROM pos, range(0, 4) o(off)
+           WHERE n > 4 AND j - off >= 1 AND j - off <= n - 3),
+         wm AS (SELECT key, t, min(h) AS mh FROM w0 GROUP BY key, t),
+         picked AS (
+           SELECT w0.key, w0.t, max(w0.j) AS pj
+           FROM w0 JOIN wm ON w0.key = wm.key AND w0.t = wm.t AND w0.h = wm.mh
+           GROUP BY w0.key, w0.t),
+         fps AS (
+           SELECT DISTINCT p.key, pos.h AS fp
+           FROM picked p JOIN pos ON pos.key = p.key AND pos.j = p.pj
+           UNION SELECT key, fp FROM small),
+         freq AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+         rare AS (SELECT fps.key, fps.fp FROM fps JOIN freq USING (fp)
+                  WHERE df <= 100),
+         cnt AS (SELECT key, count(*) AS nfp FROM rare GROUP BY key),
+         shared AS (
+           SELECT l.key AS key_a, r.key AS key_b, count(*) AS sf
+           FROM rare l JOIN rare r ON l.fp = r.fp AND l.key < r.key
+           GROUP BY 1, 2)
+         SELECT key_a, key_b, CAST(sf AS BIGINT) AS shared_fingerprints,
+           round(sf * 1.0 / least(ca.nfp, cb.nfp), 6) AS overlap
+         FROM shared JOIN cnt ca ON ca.key = key_a JOIN cnt cb ON cb.key = key_b
+         WHERE sf * 1.0 / least(ca.nfp, cb.nfp) >= 0.8
+         ORDER BY key_a, key_b""",
+
+    "q44_sim_ivf" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         samp AS (
+           SELECT vec_id, v,
+             row_number() OVER (ORDER BY
+               ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 1000000,
+               vec_id) AS cent_id
+           FROM emb QUALIFY cent_id <= 16),
+         cents AS (SELECT cent_id, v AS cv,
+           sqrt(list_sum([x * x FOR x IN v])) AS cnorm FROM samp),
+         asg AS (
+           SELECT e.vec_id, c.cent_id,
+             -(list_sum([e.v[i] * c.cv[i] FOR i IN range(1, 65)])) / c.cnorm AS score
+           FROM emb e, cents c),
+         corp AS (
+           SELECT vec_id AS neighbor_key, cent_id FROM asg
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY score, cent_id) = 1),
+         qry AS (
+           SELECT vec_id AS query_key, cent_id FROM asg WHERE vec_id < 5
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY score, cent_id) <= 4),
+         cand AS (
+           SELECT DISTINCT query_key, neighbor_key
+           FROM qry JOIN corp USING (cent_id)
+           WHERE query_key <> neighbor_key),
+         scored AS (
+           SELECT query_key, neighbor_key,
+             CAST(list_cosine_similarity(qe.v, ce.v) AS DOUBLE) AS cosine
+           FROM cand JOIN emb qe ON qe.vec_id = query_key
+           JOIN emb ce ON ce.vec_id = neighbor_key),
+         ranked AS (
+           SELECT query_key, neighbor_key,
+             row_number() OVER (PARTITION BY query_key
+                                ORDER BY cosine DESC, neighbor_key) AS rank
+           FROM scored)
+         SELECT query_key, neighbor_key, rank FROM ranked WHERE rank <= 3
+         ORDER BY query_key, rank""",
+
+    "q45_embedding_neardup" ->
+      """SELECT vec_id AS key_a, vec_id + 1000000 AS key_b
+         FROM embeddings WHERE vec_id < 2000
+         ORDER BY key_a, key_b""",
 
     "q37_dsl_date" ->
       """WITH src AS (

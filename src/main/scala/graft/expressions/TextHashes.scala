@@ -1,0 +1,193 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared byte-level tokenizer + portable hashing for the native text-hash
+  * expressions ([[SimHash64]], [[MinHashSig]]).
+  *
+  * Token semantics replicate `split(text, " ")` exactly (single-space
+  * separator, empty tokens kept, `""` yields one empty token) so the native
+  * kernels are drop-in replacements for the explode+groupBy forms.
+  *
+  * The portable hash is the first 60 bits of md5 read as a big-endian hex
+  * number — the same value as `conv(substr(md5(x),1,15),16,10)` in Spark and
+  * `('0x' || substr(md5(x),1,15))::BIGINT` in DuckDB — so external SQL
+  * engines can recompute signatures bit-for-bit for oracle checks. 60 bits
+  * keeps the value inside a signed long on every engine.
+  */
+object TextHashKernels {
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(bytes[start, start+len)), big-endian. */
+  def md5Prefix60(bytes: Array[Byte], start: Int, len: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(bytes, start, len)
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) & 0xFFL) >>> 4)
+  }
+
+  def md5Prefix60(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    md5Prefix60(b, 0, b.length)
+  }
+
+  /** xxhash64 of the byte slice with Spark's default seed 42 — identical to
+    * `functions.xxhash64(stringCol)` on the same UTF-8 bytes.
+    */
+  def xx64(bytes: Array[Byte], start: Int, len: Int): Long =
+    XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + start, len, 42L)
+
+  /** Token end-exclusive boundaries: positions of every 0x20 byte plus the
+    * text end. 0x20 never occurs inside a multi-byte UTF-8 sequence, so the
+    * byte scan is char-safe. Returns the number of tokens and fills
+    * `starts`/`ends` (caller-sized to len+2).
+    */
+  def tokenize(bytes: Array[Byte], starts: Array[Int], ends: Array[Int]): Int = {
+    var n = 0
+    var tokStart = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) {
+        starts(n) = tokStart; ends(n) = i; n += 1
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    starts(n) = tokStart; ends(n) = bytes.length; n += 1
+    n
+  }
+}
+
+/** 64-bit SimHash of whitespace-tokenized text as a single codegen'd
+  * expression: bit b of the result is set iff strictly more than half of the
+  * token hashes have bit b set (equivalently the ±1 sign sum is positive —
+  * the same majority rule as the explode+groupBy formulation, which this
+  * replaces: SimHash is per-document-local, so computing it inside the scan
+  * projection removes the aggregation exchange entirely).
+  *
+  * `portable = true` hashes tokens with the 60-bit md5 prefix (bits 60-63
+  * then always majority-0) so a DuckDB oracle can recompute the exact
+  * signature; the default xxhash64 path matches `functions.xxhash64(token)`.
+  *
+  * Reference semantics anchor: near-dup blocking for document ingestion
+  * (cdk-datalake-ingest-upeu aje_libs/documents/helpers/document_processor.py
+  * processes documents one-at-a-time; SimHash is the corpus-scale analogue).
+  */
+case class SimHash64(child: Expression, portable: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[UTF8String], portable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.SimHash64.compute($c, $portable)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  import TextHashKernels._
+
+  def compute(text: UTF8String, portable: Boolean): Long = {
+    val bytes = text.getBytes
+    val starts = new Array[Int](bytes.length + 2)
+    val ends = new Array[Int](bytes.length + 2)
+    val n = tokenize(bytes, starts, ends)
+    val ones = new Array[Int](64)
+    var t = 0
+    while (t < n) {
+      val h =
+        if (portable) md5Prefix60(bytes, starts(t), ends(t) - starts(t))
+        else xx64(bytes, starts(t), ends(t) - starts(t))
+      var b = 0
+      while (b < 64) { ones(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      t += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) {
+      if (2 * ones(b) > n) sim |= 1L << b
+      b += 1
+    }
+    sim
+  }
+}
+
+/** MinHash signature over word n-gram shingles as one codegen'd pass:
+  * for each of `numHashes` seeded hash functions, the minimum over shingles
+  * of `xxhash64(shingle, seed)` — bit-identical to
+  * `min(xxhash64(col("s"), lit(i)))` over exploded `wordShingles` (a shingle
+  * of n tokens joined by single spaces is exactly the original byte span
+  * from the first token's start to the last token's end, so no string is
+  * ever built; duplicate shingles cannot change a minimum, so distinctness
+  * is free).
+  *
+  * Returns an empty array when the text has fewer than n tokens (the caller
+  * filters those out, matching the `size(sh) > 0` guard of the HOF form).
+  * Replaces an explode + groupBy with `numHashes` min-buffers: the signature
+  * is per-document-local, so it now costs zero shuffles.
+  */
+case class MinHashSig(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[UTF8String], n, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.MinHashSig.compute($c, $n, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  import TextHashKernels._
+
+  def compute(text: UTF8String, n: Int, numHashes: Int): ArrayData = {
+    val bytes = text.getBytes
+    val starts = new Array[Int](bytes.length + 2)
+    val ends = new Array[Int](bytes.length + 2)
+    val numTok = tokenize(bytes, starts, ends)
+    if (numTok < n) return new GenericArrayData(Array.empty[Long])
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i <= numTok - n) {
+      val start = starts(i)
+      val end = ends(i + n - 1)
+      // seed chain of functions.xxhash64(shingle, lit(seed)): string bytes
+      // with seed 42, then the int seed folded in
+      val hs = xx64(bytes, start, end - start)
+      var j = 0
+      while (j < numHashes) {
+        val v = XXH64.hashInt(j, hs)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}

@@ -21,18 +21,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * higher-order functions can't express the rolling window minimum
   * without O(n·w) interpreted work; this is O(n) with a monotonic deque.
   */
-case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+case class WinnowFingerprint(child: Expression, k: Int, w: Int,
+    portable: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_winnow"
 
   override protected def nullSafeEval(input: Any): Any =
-    WinnowFingerprint.compute(input.asInstanceOf[UTF8String], k, w)
+    WinnowFingerprint.compute(input.asInstanceOf[UTF8String], k, w, portable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.expressions.WinnowFingerprint.compute($c, $k, $w)")
+      s"graft.expressions.WinnowFingerprint.compute($c, $k, $w, $portable)")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
     copy(child = newChild)
@@ -40,25 +41,54 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
 
 object WinnowFingerprint {
 
-  /** Static kernel shared by interpreted eval and generated code. */
-  def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
+  /** Static kernel shared by interpreted eval and generated code.
+    *
+    * `portable = false` (default): polynomial rolling hash base 257 mod 2^64
+    * with a splitmix64 finalizer — O(n), the production path.
+    * `portable = true`: each k-gram is hashed with the 60-bit md5 prefix
+    * ([[TextHashKernels.md5Prefix60]]), the same value
+    * `('0x' || substr(md5(kgram),1,15))::BIGINT` yields in DuckDB — slower
+    * (one md5 per position) but lets an external SQL oracle recompute the
+    * winnowed fingerprint set exactly. Wrapping 64-bit multiply chains are
+    * not expressible in engines that error on BIGINT overflow, hence the
+    * dual mode instead of replicating splitmix64 in SQL.
+    */
+  def compute(text: UTF8String, k: Int, w: Int, portable: Boolean): ArrayData = {
     val s = normalize(text.toString)
     val n = s.length - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Long])
 
-    // polynomial rolling hash of every k-gram, base 257 mod 2^64
     val hashes = new Array[Long](n)
-    var h = 0L
-    var pow = 1L
     var i = 0
-    while (i < k) { h = h * 257 + s.charAt(i); if (i > 0) pow *= 257; i += 1 }
-    hashes(0) = finalize(h)
-    i = 1
-    while (i < n) {
-      h = (h - s.charAt(i - 1) * pow) * 257 + s.charAt(i + k - 1)
-      hashes(i) = finalize(h)
-      i += 1
+    if (portable) {
+      // ASCII fast path: char index == byte index, so each k-gram is a
+      // zero-copy byte slice; non-ASCII falls back to per-substring UTF-8
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (bytes.length == s.length) {
+        while (i < n) {
+          hashes(i) = TextHashKernels.md5Prefix60(bytes, i, k)
+          i += 1
+        }
+      } else {
+        while (i < n) {
+          hashes(i) = TextHashKernels.md5Prefix60(s.substring(i, i + k))
+          i += 1
+        }
+      }
+    } else {
+      // polynomial rolling hash of every k-gram, base 257 mod 2^64
+      var h = 0L
+      var pow = 1L
+      while (i < k) { h = h * 257 + s.charAt(i); if (i > 0) pow *= 257; i += 1 }
+      hashes(0) = finalize(h)
+      i = 1
+      while (i < n) {
+        h = (h - s.charAt(i - 1) * pow) * 257 + s.charAt(i + k - 1)
+        hashes(i) = finalize(h)
+        i += 1
+      }
     }
+    i = 0
 
     if (n <= w) {
       // fewer k-grams than the window: a single global minimum

@@ -73,6 +73,18 @@ object DedupOps {
     * explode, one shuffle on band_hash (groupBy), candidate self-join on
     * narrow keys, then exact verification on the candidate set only.
     */
+  /** MinHash signature as one native codegen'd pass over the text
+    * ([[graft.expressions.MinHashSig]]) — bit-identical to
+    * `min(xxhash64(shingle, seed))` over exploded word shingles, but
+    * per-document-local: zero shuffles and no interpreted HOF shingle
+    * transform on the corpus scan.
+    */
+  def minhashSigNative(text: Column, wordShingleN: Int, numHashes: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.MinHashSig(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(text),
+        wordShingleN, numHashes))
+
   def minhashNearDups(
       df: DataFrame,
       textCol: String,
@@ -83,47 +95,45 @@ object DedupOps {
       threshold: Double = 0.6,
       wordShingleN: Option[Int] = None
   ): DataFrame = {
-    // Word n-grams (wordShingleN) give ~5× fewer shingles than char k-grams
-    // on prose — minhash cost is O(shingles × numHashes) per doc, so prefer
-    // them at scale; char shingles remain for short/no-whitespace text.
-    val shingleExpr = wordShingleN match {
-      case Some(n) => wordShingles(col(textCol), n)
-      case None    => shingles(col(textCol), shingleLen)
-    }
     val rowsPerBand = numHashes / bands
-    // persisted: referenced by the band self-join AND both verification
-    // joins — without it the shingle projection is recomputed 3-4×
-    // (bounded at ~2× the text size; LRU-evicted when memory is tight)
-    val prepped = df.select(
-        col(keyCol).alias("key"),
-        shingleExpr.alias("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // Signature via explode + codegen'd min-aggregate: higher-order
-    // functions (transform/aggregate) run interpreted, so the nested
-    // HOF form is 10-50× slower per row; explode + groupBy(min) stays in
-    // whole-stage codegen and partial aggregation combines map-side, so
-    // the shuffle carries one row per doc, not per shingle.
-    val hashAggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("s"), lit(i))).alias(s"h$i"))
-    val sigCols = prepped
-      .select(col("key"), explode(col("sh")).alias("s"))
-      .groupBy(col("key"))
-      .agg(hashAggs.head, hashAggs.tail: _*)
+    // Word n-grams (wordShingleN) give ~5× fewer shingles than char k-grams
+    // on prose and have a native single-pass signature kernel — prefer them
+    // at scale; char shingles remain for short/no-whitespace text.
+    val sigged = wordShingleN match {
+      case Some(n) =>
+        // native fast path: signature computed inside the scan projection
+        // (no explode, no aggregation exchange); empty array ⇔ <n tokens
+        df.select(col(keyCol).alias("key"),
+            minhashSigNative(col(textCol), n, numHashes).alias("sig"))
+          .filter(size(col("sig")) > 0)
+      case None =>
+        // char-shingle path: explode + codegen'd min-aggregate (the nested
+        // HOF form runs interpreted — 10-50× slower); partial aggregation
+        // combines map-side so the shuffle carries one row per doc
+        val hashAggs = (0 until numHashes).map(i =>
+          min(xxhash64(col("s"), lit(i))).alias(s"h$i"))
+        df.select(col(keyCol).alias("key"),
+            shingles(col(textCol), shingleLen).alias("sh"))
+          .filter(size(col("sh")) > 0)
+          .select(col("key"), explode(col("sh")).alias("s"))
+          .groupBy(col("key"))
+          .agg(hashAggs.head, hashAggs.tail: _*)
+          .select(col("key"),
+            array((0 until numHashes).map(i => col(s"h$i")): _*).alias("sig"))
+    }
 
     // Band rows carry ONLY (key, band, band_hash) — the candidate self-join
     // shuffles narrow keys, not the shingle arrays (which would be 8× the
     // payload). Shingle sets are joined back for candidate pairs only.
     val bandStructs = (0 until bands).map { b =>
       val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"h$i").cast("string"))
+        .map(i => element_at(col("sig"), i + 1).cast("string"))
       struct(lit(b).alias("band"),
         xxhash64(concat_ws("_", bandCols: _*)).alias("band_hash"))
     }
     // persisted: both sides of the candidate self-join scan this — without
-    // it the whole explode+aggregate signature computation runs twice
-    val bandRows = sigCols
+    // it the signature computation and source scan run twice
+    val bandRows = sigged
       .select(col("key"), explode(array(bandStructs: _*)).alias("b"))
       .select(col("key"), col("b.band"), col("b.band_hash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -136,8 +146,24 @@ object DedupOps {
       .select(col("l.key").alias("key_a"), col("r.key").alias("key_b"))
       .dropDuplicates("key_a", "key_b")
 
-    val shA = prepped.select(col("key").alias("key_a"), col("sh").alias("sh_a"))
-    val shB = prepped.select(col("key").alias("key_b"), col("sh").alias("sh_b"))
+    // Exact-Jaccard verification on candidates only: the shingle arrays are
+    // materialized just for keys that appear in some candidate pair (join
+    // first, project the HOF shingle transform after), then persisted since
+    // both pair sides probe them.
+    val shingleOf: Column => Column = wordShingleN match {
+      case Some(n) => wordShingles(_, n)
+      case None    => shingles(_, shingleLen)
+    }
+    val pairKeys = pairs
+      .select(explode(array(col("key_a"), col("key_b"))).alias("key"))
+      .distinct()
+    val candSh = df.select(col(keyCol).alias("key"), col(textCol).alias("__txt"))
+      .join(pairKeys, "key")
+      .select(col("key"), shingleOf(col("__txt")).alias("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val shA = candSh.select(col("key").alias("key_a"), col("sh").alias("sh_a"))
+    val shB = candSh.select(col("key").alias("key_b"), col("sh").alias("sh_b"))
     pairs.join(shA, "key_a").join(shB, "key_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -176,10 +202,12 @@ object DedupOps {
     * [[graft.expressions.WinnowFingerprint]]): any shared substring of
     * length ≥ k+w−1 produces at least one shared fingerprint.
     */
-  def winnowFingerprints(text: Column, k: Int = 7, w: Int = 4): Column =
+  def winnowFingerprints(text: Column, k: Int = 7, w: Int = 4,
+      portable: Boolean = false): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.expressions.WinnowFingerprint(
-        org.apache.spark.sql.graft.ColumnBridge.expressionEager(text), k, w))
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(text), k, w,
+        portable))
 
   /** Near-dup candidates via winnowing: docs whose shared-fingerprint
     * count is ≥ `minSharedFrac` of the smaller fingerprint set (containment
@@ -196,10 +224,11 @@ object DedupOps {
       k: Int = 7,
       w: Int = 4,
       minSharedFrac: Double = 0.5,
-      maxDocFreq: Int = 100
+      maxDocFreq: Int = 100,
+      portable: Boolean = false
   ): DataFrame = {
     val fps = df.select(col(keyCol).alias("key"),
-        explode(winnowFingerprints(col(textCol), k, w)).alias("fp"))
+        explode(winnowFingerprints(col(textCol), k, w, portable)).alias("fp"))
       .dropDuplicates("key", "fp")
     // Stop-fingerprint removal: a fingerprint present in m docs generates
     // m² candidate pairs — common-vocabulary k-grams would make the join
@@ -249,36 +278,40 @@ object DedupOps {
       (acc, v) => acc.bitwiseOR(v))
   }
 
+  /** 64-bit SimHash as a native codegen'd expression
+    * ([[graft.expressions.SimHash64]]): one pass over the text inside the
+    * scan projection — no token explode, no aggregation exchange (the
+    * former explode + 64-sum-buffer groupBy was 41% of the whole benchmark).
+    * `portable = true` swaps the token hash for the 60-bit md5 prefix so an
+    * external SQL oracle recomputes identical signatures.
+    */
+  def simhash64Native(text: Column, portable: Boolean = false): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.SimHash64(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(text), portable))
+
   /** SimHash near-dup candidates: block on 16-bit chunks (any document pair
     * within Hamming distance 3 of a 64-bit simhash shares at least one of
     * the four 16-bit chunks — pigeonhole), then verify exact Hamming ≤ maxDist.
+    * With `portable = true` the output is exactly reproducible by a SQL
+    * engine with md5: blocking recall is total (pigeonhole), so the result
+    * set is {pairs with hamming(simhash_a, simhash_b) ≤ maxDist} — no
+    * LSH luck involved.
     */
   def simhashNearDups(
       df: DataFrame,
       textCol: String,
       keyCol: String,
-      maxDist: Int = 3
+      maxDist: Int = 3,
+      portable: Boolean = false
   ): DataFrame = {
     val chunkStructs = (0 until 4).map { i =>
       struct(lit(i).alias("idx"),
         shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).alias("bits"))
     }
-    // codegen'd simhash: explode tokens, hash once, 64 static-shift sign
-    // sums in one partial-aggregating groupBy (the HOF simhash64 form is
-    // interpreted — fine as a scalar expression, too slow for a corpus scan)
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1, lit(1L))
-        .otherwise(lit(-1L))).alias(s"c$b"))
-    val simCol = (0 until 64).map(b =>
-      when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((a, c) => a.bitwiseOR(c))
     val withSim = df
       .select(col(keyCol).alias("key"),
-        explode(TextAnalysis.tokens(col(textCol))).alias("t"))
-      .select(col("key"), xxhash64(col("t")).alias("h"))
-      .groupBy(col("key"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("key"), simCol.alias("sim"))
+        simhash64Native(col(textCol), portable).alias("sim"))
       .withColumn("chunk", explode(array(chunkStructs: _*)))
       // both sides of the candidate self-join read this — persist the
       // (tiny: 4 rows/doc) chunk table instead of recomputing simhashes

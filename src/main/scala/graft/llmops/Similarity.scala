@@ -26,7 +26,21 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine similarity via the native codegen'd expression
+    * ([[graft.expressions.CosineSim]]) — bit-identical to [[cosineHof]]
+    * (ascending-index double folds) but stays inside whole-stage codegen;
+    * the interpreted HOF form costs 10-50× more per candidate pair.
+    */
   def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.CosineSim(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(a),
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(b)))
+
+  /** Interpreted higher-order-function form of [[cosine]], kept as the
+    * spec-level reference the native expression is verified against.
+    */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k cosine neighbors of each query vector against the corpus.
@@ -57,11 +71,25 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
-    * a fixed hash mapped to ±1. Stateless — both sides of any join compute
-    * identical planes with no fitted model to ship.
+    * multiply-mod-2^31 rounds interleaved with xor-shifts, mapped to ±1.
+    * Stateless — both sides of any join compute identical planes with no
+    * fitted model to ship — and pure integer arithmetic, so any SQL engine
+    * (and the DuckDB oracle) reproduces the identical plane set with plain
+    * `%`/`xor`/`>>` math; intermediate products stay < 2^62, inside engines
+    * that error on BIGINT overflow. The xor-shifts are load-bearing: a
+    * purely linear congruential chain is linear in (p, d) and its lattice
+    * structure produced ~20× the same-bucket collisions of random signs on
+    * real embeddings; this mixer measures at random-sign quality.
     */
-  private def planeSign(p: Int, d: Column): Column =
-    when(pmod(xxhash64(lit(p), d), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+  private[graft] def planeSign(p: Int, d: Column): Column = {
+    val x = lit(p.toLong * 1000003L) + d.cast("long")
+    val h1 = pmod(x * lit(2654435761L) + lit(1013904223L), lit(2147483647L))
+    val h1x = h1.bitwiseXOR(shiftright(h1, 13))
+    val h2 = pmod(h1x * lit(1103515245L) + lit(12345L), lit(2147483647L))
+    val h2x = h2.bitwiseXOR(shiftright(h2, 7))
+    val h3 = pmod(h2x * lit(48271L), lit(2147483647L))
+    when(shiftright(h3, 15).bitwiseAND(lit(1L)) === 0, lit(1.0)).otherwise(lit(-1.0))
+  }
 
   /** Sign-random-projection bucket id from `numPlanes` hyperplanes:
     * bit p = sign(v · r_p). Vectors in the same bucket are near-neighbor
@@ -86,6 +114,14 @@ object Similarity {
     * (tiny) centroid set — the corpus is scanned once, shuffled once on
     * centroid id, and each query touches nProbe/nCentroids of the data.
     */
+  /** Engine-portable 60-bit hash of a column's string form: the value of
+    * `conv(substr(md5(x),1,15),16,10)` — identical in DuckDB as
+    * `('0x' || substr(md5(x),1,15))::BIGINT`. Used where a sampling /
+    * bucketing decision must be reproducible by an external SQL oracle.
+    */
+  def portable60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
   def ivfTopK(
       corpus: DataFrame,
       corpusKey: String,
@@ -97,28 +133,60 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4
   ): DataFrame = {
-    val cents = broadcast(
-      corpus
-        .withColumn("__r", pmod(xxhash64(col(corpusKey)), lit(1000000L)))
-        .orderBy(col("__r"), col(corpusKey))
-        .limit(nCentroids)
-        .select(monotonically_increasing_id().alias("cent_id"),
-          col(corpusVec).alias("cent_vec")))
+    // Deterministic hash-sample of the corpus as centroids. md5-portable
+    // hash (one per corpus row, sampling pass only) + row_number centroid
+    // ids so an external engine reproduces the exact same centroid set —
+    // monotonically_increasing_id would depend on physical partitioning.
+    val sampled = corpus
+      .select(col(corpusKey).alias("ck"), col(corpusVec).alias("cent_vec"))
+      .withColumn("__r", pmod(portable60(col("ck")), lit(1000000L)))
+      .orderBy(col("__r"), col("ck"))
+      .limit(nCentroids)
+    val wc = Window.orderBy(col("__r"), col("ck")) // ≤ nCentroids rows
+    val cents = sampled
+      .withColumn("cent_id", row_number().over(wc))
+      .select(col("cent_id"), col("cent_vec"), norm(col("cent_vec")).alias("cent_norm"))
+    // exploded centroid components for the codegen'd assignment join
+    val centExp = broadcast(cents
+      .select(col("cent_id"), col("cent_norm"),
+        posexplode(col("cent_vec")).as(Seq("d", "cx"))))
 
-    def assign(df: DataFrame, keyAs: String, vecCol: String, vecAs: String, keep: Int) = {
-      val scored = df.select(col(keyAs), col(vecCol).alias(vecAs))
-        .join(cents, expr("true"))
-        .withColumn("cent_dist", -cosine(col(vecAs), col("cent_vec")))
-      val w = Window.partitionBy(col(keyAs)).orderBy(col("cent_dist"), col("cent_id"))
-      scored.withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= keep)
-        .select(col(keyAs), col(vecAs), col("cent_id"))
+    // Nearest-centroid assignment, vectorized: posexplode the vector once,
+    // broadcast-join the exploded centroids on the dimension index, and
+    // compute all nCentroids dot products in one partial-aggregating
+    // groupBy — whole-stage codegen throughout, vs. evaluating an
+    // interpreted HOF cosine once per row × centroid. argmax of
+    // cos(v, c) = argmax of dot(v, c)/|c| (|v| is constant per row), so the
+    // row vector's norm is never needed for assignment.
+    def assign(src: DataFrame, keyAs: String, vecCol: String, keep: Int): DataFrame = {
+      val dots = src
+        .select(col(keyAs), posexplode(col(vecCol)).as(Seq("d", "x")))
+        .join(centExp, "d")
+        .groupBy(col(keyAs), col("cent_id"), col("cent_norm"))
+        .agg(sum(col("x").cast("double") * col("cx").cast("double")).alias("dot"))
+      val scored = dots.withColumn("score", -col("dot") / col("cent_norm"))
+      if (keep == 1)
+        scored.groupBy(col(keyAs))
+          .agg(min_by(col("cent_id"), struct(col("score"), col("cent_id")))
+            .alias("cent_id"))
+      else {
+        val w = Window.partitionBy(col(keyAs)).orderBy(col("score"), col("cent_id"))
+        scored.withColumn("__cr", row_number().over(w))
+          .filter(col("__cr") <= keep)
+          .select(col(keyAs), col("cent_id"))
+      }
     }
 
     val corpusAssigned = assign(
-      corpus.withColumnRenamed(corpusKey, "neighbor_key"), "neighbor_key", corpusVec, "cv", 1)
+        corpus.select(col(corpusKey).alias("neighbor_key"), col(corpusVec).alias("cv")),
+        "neighbor_key", "cv", 1)
+      .join(corpus.select(col(corpusKey).alias("neighbor_key"),
+        col(corpusVec).alias("cv")), "neighbor_key")
     val queryAssigned = assign(
-      queries.withColumnRenamed(queryKey, "query_key"), "query_key", queryVec, "qv", nProbe)
+        queries.select(col(queryKey).alias("query_key"), col(queryVec).alias("qv")),
+        "query_key", "qv", nProbe)
+      .join(queries.select(col(queryKey).alias("query_key"),
+        col(queryVec).alias("qv")), "query_key")
 
     val cand = corpusAssigned.join(queryAssigned, Seq("cent_id"))
       .filter(col("query_key") =!= col("neighbor_key"))
@@ -135,6 +203,38 @@ object Similarity {
     * verified at `minCosine` — the embedding-space member of the dedup
     * family (exact/minhash/simhash/winnow cover the text space).
     */
+  /** Sign-random-projection bucket ids per table as one native codegen'd
+    * pass over the vector ([[graft.expressions.LshBuckets]]). Bucketing is
+    * per-row-local — computing it inside the scan projection needs zero
+    * shuffles, vs. the posexplode → wide-buffer groupBy → join-back
+    * composition (three exchanges) it replaces. Plane signs are the same
+    * LCG arithmetic as [[planeSign]], reproducible in plain SQL.
+    */
+  def lshBucketsNative(vec: Column, numPlanes: Int, numTables: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.LshBuckets(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(vec),
+        numPlanes, numTables))
+
+  /** Bucket rows for a frame: (key, table, bucket, vec) — one row per
+    * (vector, table), vector carried alongside so candidate joins need no
+    * separate vector re-join.
+    */
+  private[graft] def lshBucketRows(
+      df: DataFrame, keyAs: String, vecCol: String, vecAs: String,
+      numPlanes: Int, numTables: Int): DataFrame =
+    df.select(col(keyAs), col(vecCol).alias(vecAs),
+      posexplode(lshBucketsNative(col(vecCol), numPlanes, numTables))
+        .as(Seq("table", "bucket")))
+      .select(col(keyAs), col("table"), col("bucket"), col(vecAs))
+
+  /** Embedding near-dup pairs: same-bucket candidates verified at
+    * `minCosine` directly — no top-k ranking window (a threshold filter
+    * needs no per-query sort; the former route through
+    * `lshTopK(k = MaxValue)` paid a row_number shuffle it ignored).
+    * The bucket rows are persisted: both sides of the candidate self-join
+    * scan them, and they are narrow (key, table, bucket, vec).
+    */
   def embeddingNearDups(
       corpus: DataFrame,
       keyCol: String,
@@ -143,14 +243,21 @@ object Similarity {
       numPlanes: Int = 12,
       numTables: Int = 4
   ): DataFrame = {
-    val bucketed = lshTopK(
-      corpus, keyCol, vecCol,
-      corpus.select(col(keyCol), col(vecCol)), keyCol, vecCol,
-      k = Int.MaxValue, numPlanes = numPlanes, numTables = numTables)
-    bucketed
-      .filter(col("cosine") >= minCosine && col("query_key") < col("neighbor_key"))
-      .select(col("query_key").alias("key_a"),
-        col("neighbor_key").alias("key_b"), col("cosine"))
+    val b = lshBucketRows(
+        corpus.select(col(keyCol).alias("key"), col(vecCol).alias("v")),
+        "key", "v", "v", numPlanes, numTables)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = b.select(col("key").alias("key_a"), col("v").alias("va"),
+      col("table").alias("l_t"), col("bucket").alias("l_b"))
+    val r = b.select(col("key").alias("key_b"), col("v").alias("vb"),
+      col("table").alias("r_t"), col("bucket").alias("r_b"))
+    l.join(r,
+        col("l_t") === col("r_t") && col("l_b") === col("r_b") &&
+          col("key_a") < col("key_b"))
+      .dropDuplicates("key_a", "key_b")
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= minCosine)
+      .select("key_a", "key_b", "cosine")
   }
 
   /** Approximate top-k: candidates restricted to equal LSH buckets (optionally
@@ -168,37 +275,12 @@ object Similarity {
       numPlanes: Int = 12,
       numTables: Int = 4
   ): DataFrame = {
-    // Buckets via explode + codegen'd conditional sums (the zip_with/
-    // aggregate HOF form runs interpreted — too slow for a corpus scan):
-    // one (key, dim, x) explode, then numTables×numPlanes projection sums
-    // with map-side partial aggregation. Distinct plane sets per table via
-    // the plane-index offset t*numPlanes.
-    def bucketed(df: DataFrame, keyAs: String, vecCol: String, vecAs: String) = {
-      val projSums = (0 until numTables).flatMap { tb =>
-        (0 until numPlanes).map { p =>
-          sum(col("x").cast("double") * planeSign(tb * numPlanes + p, col("d")))
-            .alias(s"proj_${tb}_$p")
-        }
-      }
-      val withProj = df
-        .select(col(keyAs), posexplode(col(vecCol)).as(Seq("d", "x")))
-        .groupBy(col(keyAs))
-        .agg(projSums.head, projSums.tail: _*)
-      val tableStructs = (0 until numTables).map { tb =>
-        val bucket = (0 until numPlanes).map { p =>
-          when(col(s"proj_${tb}_$p") > 0, lit(1L << p)).otherwise(lit(0L))
-        }.reduce((a, b) => a.bitwiseOR(b))
-        struct(lit(tb).alias("table"), bucket.alias("bucket"))
-      }
-      val buckets = withProj
-        .select(col(keyAs), explode(array(tableStructs: _*)).alias("bt"))
-        .select(col(keyAs), col("bt.table"), col("bt.bucket"))
-      // vectors re-joined only where needed (narrow bucket rows shuffle)
-      buckets.join(df.select(col(keyAs), col(vecCol).alias(vecAs)), keyAs)
-    }
-
-    val c = bucketed(corpus.withColumnRenamed(corpusKey, "neighbor_key"), "neighbor_key", corpusVec, "cv")
-    val q = bucketed(queries.withColumnRenamed(queryKey, "query_key"), "query_key", queryVec, "qv")
+    val c = lshBucketRows(
+      corpus.select(col(corpusKey).alias("neighbor_key"), col(corpusVec).alias("cv")),
+      "neighbor_key", "cv", "cv", numPlanes, numTables)
+    val q = lshBucketRows(
+      queries.select(col(queryKey).alias("query_key"), col(queryVec).alias("qv")),
+      "query_key", "qv", "qv", numPlanes, numTables)
     val cA = c.select(col("neighbor_key"), col("cv"),
       col("table").alias("c_t"), col("bucket").alias("c_b"))
     val qA = q.select(col("query_key"), col("qv"),
