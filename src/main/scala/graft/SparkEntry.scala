@@ -301,6 +301,29 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "q47_merge_evolve" -> ((s, dir) => {
+      // K5 end-to-end: partition-pruned parquet MERGE with Delta-autoMerge
+      // schema evolution — init partitioned by o_orderstatus, then a batch
+      // that adds `prio` and drops o_totalprice; updated keys get null
+      // totals, untouched keys get null prio. Fresh temp table per call.
+      val ss = tuned(s)
+      val ord = t(ss, dir, "orders")
+      val init = ord.filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val batch = ord.filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 5000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority").as("prio"))
+      val tableDir =
+        java.nio.file.Files.createTempDirectory("graft-q47").toString + "/t"
+      MergeUpsert.upsertParquet(ss, init, tableDir,
+        Seq("o_orderkey"), Seq("o_orderstatus"))
+      MergeUpsert.upsertParquet(ss, batch, tableDir,
+        Seq("o_orderkey"), Seq("o_orderstatus"))
+      ss.read.option("mergeSchema", "true").parquet(tableDir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "prio")
+        .orderBy("o_orderkey")
+    }),
+
     "q25_watermark_filter" -> ((s, dir) => {
       // P6 numeric watermark predicate
       t(tuned(s), dir, "events")
@@ -1047,6 +1070,23 @@ object SparkEntry {
       """SELECT vec_id AS key_a, vec_id + 1000000 AS key_b
          FROM embeddings WHERE vec_id < 2000
          ORDER BY key_a, key_b""",
+
+    "q47_merge_evolve" ->
+      """WITH oldd AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey < 3000),
+         batch AS (
+           SELECT o_orderkey, o_orderstatus, o_orderpriority AS prio
+           FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 5000)
+         SELECT b.o_orderkey, b.o_orderstatus,
+           CAST(NULL AS DOUBLE) AS o_totalprice, b.prio
+         FROM batch b
+         UNION ALL
+         SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+           CAST(NULL AS VARCHAR) AS prio
+         FROM oldd o
+         WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+         ORDER BY o_orderkey""",
 
     "q37_dsl_date" ->
       """WITH src AS (

@@ -37,26 +37,42 @@ object Maintenance {
     * interruption.
     */
   def vacuum(spark: SparkSession, path: String): Unit =
-    Seq("__staging", "__old", "__compact", "__tmp").foreach { suffix =>
+    Seq("__staging", "__old", "__compact", "__tmp", "__commit").foreach { suffix =>
       val p = new Path(path + suffix)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) { fs.delete(p, true); () }
     }
 
-  /** Crash recovery for the merge/compact swap: if a process died between
-    * `rename(table, __old)` and `rename(staging, table)`, the table dir is
-    * missing but a backup exists — restore it. Call before reads/writes of
-    * a table that may have been interrupted (Delta gets this from its log;
-    * plain-parquet swaps need the explicit step).
-    * Returns true when a restore happened.
+  /** Crash recovery for the merge/compact swap protocols. Call before
+    * reads/writes of a table that may have been interrupted (Delta gets
+    * this from its log; plain-parquet swaps need the explicit step).
+    *
+    * Partitioned-merge protocol (a `__commit` marker file exists): the
+    * staged partitions are complete — replay the idempotent per-partition
+    * swap and clean up. A `__staging` without a marker is an aborted write
+    * and is left for the next upsert's overwrite; the live table was never
+    * touched.
+    *
+    * Whole-table protocol: if a process died between `rename(table, __old)`
+    * and `rename(staging, table)`, the table dir is missing but a complete
+    * staging or backup exists — restore it.
+    *
+    * Returns true when a repair action happened.
     */
   def recover(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bak = new Path(path + "__old")
     val staging = new Path(path + "__staging")
-    if (!fs.exists(p) && fs.exists(staging)) {
-      // staging write completed but swap-in didn't happen
+    val marker = new Path(path + "__commit")
+    if (fs.exists(marker)) {
+      // partitioned commit interrupted mid-swap (or mid-cleanup): staged
+      // data is complete by protocol — finish the job
+      MergeUpsert.commitSwap(fs, path)
+      MergeUpsert.finishCommit(fs, path)
+      true
+    } else if (!fs.exists(p) && fs.exists(staging)) {
+      // whole-table: staging write completed but swap-in didn't happen
       fs.rename(staging, p)
       if (fs.exists(bak)) fs.delete(bak, true)
       true

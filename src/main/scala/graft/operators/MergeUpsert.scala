@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Key-based upsert with Delta-MERGE semantics over plain Parquet
@@ -20,14 +21,55 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * the keys. One shuffle on the id columns, no driver-side collection —
   * at 100 TB this is the same hash-partitioned join Delta MERGE performs
   * internally; AQE handles skewed keys.
+  *
+  * Scale: for partitioned tables, [[upsertParquet]] merges and rewrites
+  * ONLY the partitions present in the batch (the plain-parquet analogue of
+  * Delta MERGE touching only files containing matched keys) — an
+  * incremental batch over a 100 TB table costs O(affected partitions), not
+  * O(table). Unpartitioned tables still rewrite whole (there is no
+  * sub-partition transaction unit without a log).
   */
 object MergeUpsert {
 
-  def merge(oldDf: DataFrame, newDf: DataFrame, idCols: Seq[String]): DataFrame = {
+  /** Merge `newDf` into `oldDf` by `idCols`.
+    *
+    * `autoMerge = true` mirrors the reference's Delta
+    * `spark.databricks.delta.schema.autoMerge.enabled=true`
+    * (light_transform.py:2013): columns new in the batch are added (null
+    * for pre-existing rows), columns missing from the batch are filled with
+    * null instead of throwing. On a same-name type conflict the OLD
+    * (table) type is authoritative and the batch column is cast to it —
+    * with ANSI off an incompatible value becomes null rather than failing
+    * the pipeline (Delta would raise; the reference stack re-types
+    * upstream, so conflicts here mean a misconfigured DSL cast).
+    * Column matching is case-insensitive, like the analyzer and the DSL.
+    */
+  def merge(oldDf: DataFrame, newDf: DataFrame, idCols: Seq[String],
+      autoMerge: Boolean = false): DataFrame = {
     require(idCols.nonEmpty, "merge requires at least one id column")
-    val cols = oldDf.columns.toSeq
-    val newAligned = newDf.select(cols.map(col): _*)
-    val flagged = oldDf.withColumn("__prec", lit(0))
+    val (oldAligned, newAligned) =
+      if (!autoMerge) (oldDf, newDf.select(oldDf.columns.toSeq.map(col): _*))
+      else {
+        val oldTypes = oldDf.schema.map(f => f.name.toLowerCase -> f.dataType).toMap
+        val newTypes = newDf.schema.map(f => f.name.toLowerCase -> f.dataType).toMap
+        val newNames = newDf.schema.map(f => f.name.toLowerCase -> f.name).toMap
+        val added = newDf.columns.filterNot(c => oldTypes.contains(c.toLowerCase))
+        val unified: Seq[(String, DataType)] =
+          oldDf.columns.toSeq.map(c => c -> oldTypes(c.toLowerCase)) ++
+            added.map(c => c -> newTypes(c.toLowerCase))
+        def align(df: DataFrame, have: Map[String, DataType],
+            actual: Map[String, String]) =
+          df.select(unified.map { case (name, t) =>
+            have.get(name.toLowerCase) match {
+              case Some(dt) if dt == t => col(actual(name.toLowerCase)).as(name)
+              case Some(_) => col(actual(name.toLowerCase)).cast(t).as(name)
+              case None => lit(null).cast(t).as(name)
+            }
+          }: _*)
+        val oldNames = oldDf.schema.map(f => f.name.toLowerCase -> f.name).toMap
+        (align(oldDf, oldTypes, oldNames), align(newDf, newTypes, newNames))
+      }
+    val flagged = oldAligned.withColumn("__prec", lit(0))
       .unionByName(newAligned.withColumn("__prec", lit(1)))
     val w = Window.partitionBy(idCols.map(col): _*).orderBy(col("__prec").desc)
     flagged
@@ -37,15 +79,36 @@ object MergeUpsert {
   }
 
   /** Upsert `batch` into the Parquet table at `path`; creates it when absent.
-    * Writes to a staging dir then swaps, so readers never see a half-written
-    * table (Delta gets this from its log; plain Parquet needs the rename).
+    *
+    * Unpartitioned: write to a staging dir, swap whole-table (readers never
+    * see a half-written table; Delta gets this from its log).
+    *
+    * Partitioned: derive the batch's distinct partition tuples (driver-side
+    * KB metadata, the same role as Delta's log pruning), merge against a
+    * pruned read of only those partition directories, stage the rewritten
+    * partitions, then commit with a marker-file protocol whose per-partition
+    * swap is idempotent — [[Maintenance.recover]] replays or aborts an
+    * interrupted commit deterministically. Untouched partitions' files are
+    * never read, rewritten, or renamed.
+    *
+    * Partition-value rendering supports string / numeric / date columns
+    * (the reference's cases). Reads use mergeSchema so evolved tables
+    * (autoMerge) present their full column set.
+    *
+    * Constraint (inherent to partition-scoped merging, same as Delta with a
+    * partition-pruning merge predicate): a key's partition value must be
+    * stable — if a batch row lands in a different partition than the key's
+    * existing row, the old copy is not visible to the merge and both
+    * survive. The reference partitions by values derived from the row
+    * itself (date-process/ID columns), which satisfies this.
     */
   def upsertParquet(
       spark: SparkSession,
       batch: DataFrame,
       path: String,
       idCols: Seq[String],
-      partitionCols: Seq[String] = Nil
+      partitionCols: Seq[String] = Nil,
+      autoMerge: Boolean = true
   ): Unit = {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -53,9 +116,9 @@ object MergeUpsert {
     val deduped = batch.dropDuplicates()
     if (!fs.exists(hPath)) {
       write(deduped, path, partitionCols)
-    } else {
-      val existing = spark.read.parquet(path)
-      val merged = merge(existing, deduped, idCols)
+    } else if (partitionCols.isEmpty) {
+      val existing = spark.read.option("mergeSchema", "true").parquet(path)
+      val merged = merge(existing, deduped, idCols, autoMerge)
       val tmp = new Path(path + "__staging")
       write(merged, tmp.toString, partitionCols)
       val bak = new Path(path + "__old")
@@ -63,7 +126,122 @@ object MergeUpsert {
       fs.rename(hPath, bak)
       fs.rename(tmp, hPath)
       fs.delete(bak, true)
+    } else {
+      prunedUpsert(spark, fs, path, deduped, idCols, partitionCols, autoMerge)
     }
+    ()
+  }
+
+  private def prunedUpsert(
+      spark: SparkSession,
+      fs: FileSystem,
+      path: String,
+      batch: DataFrame,
+      idCols: Seq[String],
+      partitionCols: Seq[String],
+      autoMerge: Boolean
+  ): Unit = {
+    // 1. affected partitions: distinct tuples from the batch — bounded by
+    //    the batch, not the table; collect() here is partition *metadata*
+    val tuples = batch.select(partitionCols.map(col): _*).distinct().collect()
+    val batchTypes = partitionCols
+      .map(p => p -> batch.schema(batch.schema.fieldIndex(p)).dataType)
+    val dirs = tuples.map { row =>
+      partitionCols.indices.map { i =>
+        s"${escape(partitionCols(i))}=${renderValue(row.get(i))}"
+      }.mkString("/")
+    }
+    val liveDirs = dirs.map(d => new Path(s"$path/$d")).filter(fs.exists)
+
+    // 2. merge against only the affected slice (pruned read; mergeSchema so
+    //    an evolved table's full columns are visible)
+    val merged =
+      if (liveDirs.isEmpty) batch
+      else {
+        val existing = spark.read
+          .option("basePath", path)
+          .option("mergeSchema", "true")
+          .parquet(liveDirs.map(_.toString): _*)
+        // dir-name inference may re-type partition values (e.g. date
+        // strings); the batch's schema is authoritative for the rewrite
+        val typed = batchTypes.foldLeft(existing) { case (df, (p, dt)) =>
+          df.withColumn(p, col(p).cast(dt))
+        }
+        merge(typed, batch, idCols, autoMerge)
+      }
+
+    // 3. stage the rewritten partitions outside the table
+    val staging = new Path(path + "__staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    write(merged, staging.toString, partitionCols)
+
+    // 4. commit marker: staged data is complete from here on — recovery
+    //    replays the swap; without the marker, recovery aborts the staging
+    val marker = new Path(path + "__commit")
+    fs.create(marker, true).close()
+
+    // 5. idempotent per-partition swap + cleanup
+    commitSwap(fs, path)
+    finishCommit(fs, path)
+  }
+
+  /** Swap every staged partition into the live table; safe to re-run after
+    * a crash at any point. State per partition P is unambiguous:
+    * staging/P present + live/P present → P untouched (back up live, move
+    * staged in); staging/P present + live/P absent → backup done, move
+    * staged in; staging/P absent → P already swapped.
+    */
+  private[operators] def commitSwap(fs: FileSystem, path: String): Unit = {
+    val staging = new Path(path + "__staging")
+    val old = new Path(path + "__old")
+    if (!fs.exists(staging)) return
+    // listStatus returns scheme-qualified paths; qualify the root the same
+    // way or relativize silently returns the absolute URI
+    val stagingQ = fs.makeQualified(staging)
+    partitionLeafDirs(fs, staging).foreach { leaf =>
+      val rel = stagingQ.toUri.relativize(fs.makeQualified(leaf).toUri).getPath
+      val live = new Path(s"$path/$rel")
+      val bak = new Path(s"${old.toString}/$rel")
+      if (fs.exists(live)) {
+        fs.mkdirs(bak.getParent)
+        if (fs.exists(bak)) fs.delete(bak, true)
+        fs.rename(live, bak)
+      }
+      fs.mkdirs(live.getParent)
+      fs.rename(leaf, live)
+      ()
+    }
+  }
+
+  private[operators] def finishCommit(fs: FileSystem, path: String): Unit = {
+    fs.delete(new Path(path + "__commit"), false)
+    fs.delete(new Path(path + "__old"), true)
+    fs.delete(new Path(path + "__staging"), true)
+    ()
+  }
+
+  /** Leaf partition directories (`a=1/b=x`) under a root: descend while
+    * children are `name=value` directories.
+    */
+  private def partitionLeafDirs(fs: FileSystem, root: Path): Seq[Path] = {
+    val children = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    if (children.isEmpty) Nil
+    else children.flatMap { c =>
+      val deeper = partitionLeafDirs(fs, c.getPath)
+      if (deeper.isEmpty) Seq(c.getPath) else deeper
+    }
+  }
+
+  /** Hive-style escaping of partition names/values, matching what
+    * `DataFrameWriter.partitionBy` writes.
+    */
+  private def escape(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
+
+  private def renderValue(v: Any): String = v match {
+    case null => "__HIVE_DEFAULT_PARTITION__"
+    case other => escape(other.toString)
   }
 
   private def write(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
