@@ -34,6 +34,10 @@ final case class TableConfig(
     joinExpr: String = "",
     processId: String = "",
     partitionFormat: Option[String] = None,
+    /** DATE_PROCESS: how many days back the raw partition to process sits
+      * (light_transform.py:1633-1704 — 0 = today, 1 = yesterday).
+      */
+    dateProcess: Int = 0,
     status: String = "A"
 ) {
   /** Blank LOAD_TYPE inference (extract_data_spark.py:188-199):

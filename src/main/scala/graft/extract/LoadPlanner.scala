@@ -79,7 +79,8 @@ object LoadPlanner {
       watermark: Option[String] = None,
       mode: LoadMode = LoadMode.Normal,
       forceFullLoad: Boolean = false,
-      now: ZonedDateTime = ZonedDateTime.now(DateWindows.Lima)
+      now: ZonedDateTime = ZonedDateTime.now(DateWindows.Lima),
+      bdType: String = "mssql"
   ): ExtractPlan = {
     val qb = new QueryBuilder(table)
     val loadType = if (forceFullLoad) "full" else table.effectiveLoadType
@@ -98,7 +99,7 @@ object LoadPlanner {
             val colType =
               if (table.filterDataType.trim.nonEmpty) table.filterDataType else "datetime"
             SingleQuery(qb.standardQuery(Some(
-              qb.watermarkPredicate(table.partitionColumn, value, colType))))
+              qb.watermarkPredicate(table.partitionColumn, value, colType, bdType))))
           case None if table.filterColumn.trim.nonEmpty =>
             // Glue-style rolling month window (query_generator.py:196-211)
             val (lo, hi) = DateWindows.dateLimits(

@@ -70,13 +70,24 @@ final class QueryBuilder(table: TableConfig) {
     s"SELECT MIN($column) as min_val, MAX($column) as max_val $fromClause${whereClause(conds)}"
   }
 
-  /** P6 typed watermark predicate (incremental.py:257-344): datetime columns
-    * get a DATETIME2(6) cast on both sides; numeric columns compare raw.
+  /** P6 typed watermark predicate (incremental.py:257-344, per-dialect
+    * dispatch at :331-435): datetime columns need the source dialect's own
+    * conversion — DATETIME2 exists only on SQL Server; Oracle takes
+    * TO_TIMESTAMP; MySQL (and the embedded Derby test dialect) compare a
+    * plain literal natively. Numeric columns compare raw everywhere.
     */
-  def watermarkPredicate(column: String, value: String, columnType: String): String =
+  def watermarkPredicate(column: String, value: String, columnType: String,
+      bdType: String = "mssql"): String =
     columnType.toLowerCase match {
       case t if t.contains("datetime") || t.contains("timestamp") || t == "date" =>
-        s"CAST($column AS DATETIME2(6)) > CAST('$value' AS DATETIME2(6))"
+        bdType.toLowerCase match {
+          case "mssql" =>
+            s"CAST($column AS DATETIME2(6)) > CAST('$value' AS DATETIME2(6))"
+          case "oracle" =>
+            s"$column > TO_TIMESTAMP('$value', 'YYYY-MM-DD HH24:MI:SS.FF')"
+          case _ => // mysql, derby: engine-native literal comparison
+            s"$column > '$value'"
+        }
       case _ =>
         s"$column > $value"
     }

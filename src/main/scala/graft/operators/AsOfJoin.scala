@@ -34,21 +34,29 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val carried = rightCols.toSeq // (rightName, outputName)
 
+    // The carried right columns travel as ONE struct so a single
+    // last(ignoreNulls) window picks the whole matched row atomically:
+    // per-column carries could mix columns from different right rows and
+    // resurrect a NULL in the latest row from an older non-null one —
+    // diverging from ASOF semantics (DuckDB/pandas join the matched row,
+    // nulls included). The struct is non-null whenever a right row exists,
+    // even if every carried value in it is null.
     val taggedLeft = left
       .withColumn("__side", lit(1))
       .select(
         (keys.map(col) :+ col(ordCol).alias("__ord") :+ col("__side")) ++
           leftCols.filterNot(c => keys.contains(c) || c == ordCol)
-            .map(c => col(c).alias(s"__l_$c")) ++
-          carried.map { case (_, out) => lit(null).alias(s"__r_$out") }: _*)
+            .map(c => col(c).alias(s"__l_$c")) :+
+          lit(null).alias("__r"): _*)
 
     val taggedRight = right
       .withColumn("__side", lit(0))
       .select(
         (keys.map(col) :+ col(ordCol).alias("__ord") :+ col("__side")) ++
           leftCols.filterNot(c => keys.contains(c) || c == ordCol)
-            .map(c => lit(null).alias(s"__l_$c")) ++
-          carried.map { case (in, out) => col(in).alias(s"__r_$out") }: _*)
+            .map(c => lit(null).alias(s"__l_$c")) :+
+          struct(carried.map { case (in, out) => col(in).alias(out) }: _*)
+            .alias("__r"): _*)
 
     // right rows sort before left rows at equal __ord so "at or before"
     // includes ties (matching ASOF's >= semantics)
@@ -58,9 +66,7 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val withCarry = taggedLeft.unionByName(taggedRight)
-      .select(col("*") +: carried.map { case (_, out) =>
-        last(col(s"__r_$out"), ignoreNulls = true).over(w).alias(s"__c_$out")
-      }: _*)
+      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
 
     withCarry.filter(col("__side") === 1)
       .select(
@@ -68,6 +74,6 @@ object AsOfJoin {
           Seq(col("__ord").alias(ordCol)) ++
           leftCols.filterNot(c => keys.contains(c) || c == ordCol)
             .map(c => col(s"__l_$c").alias(c)) ++
-          carried.map { case (_, out) => col(s"__c_$out").alias(out) }: _*)
+          carried.map { case (_, out) => col("__c").getField(out).alias(out) }: _*)
   }
 }

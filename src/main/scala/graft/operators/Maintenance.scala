@@ -37,7 +37,7 @@ object Maintenance {
     * interruption.
     */
   def vacuum(spark: SparkSession, path: String): Unit =
-    Seq("__staging", "__old", "__compact", "__tmp", "__commit").foreach { suffix =>
+    Seq("__staging", "__old", "__compact", "__tmp", "__bak", "__commit").foreach { suffix =>
       val p = new Path(path + suffix)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) { fs.delete(p, true); () }

@@ -1,8 +1,11 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.SparkSession
+
+import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
 
 /** Watermark store with the reference's two-phase (PENDING → CONFIRMED)
   * semantics, keyed `project#table#column`
@@ -10,92 +13,107 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * transactional variant transactional_watermark_storage.py;
   * orchestration at core/orchestrator.py:588-627).
   *
-  * Backed by a small Parquet table `(key, value, status, updated_at)` —
-  * driver-side metadata, a few KB; read/written whole. The 90-day TTL of the
-  * DynamoDB store becomes an expiry filter on read.
+  * Backed by a single TSV file of URL-encoded fields
+  * `(key, value, status, updated_at)` — KB-scale driver-side metadata, so it
+  * is read and written with plain filesystem IO (no Spark jobs; the
+  * previous parquet-backed version ran a distributed read + collect +
+  * re-parallelize per get/put). The Hadoop FileSystem API keeps it working
+  * on file:// and object stores alike.
+  *
+  * Durability: writes go to `__tmp`, then `live → __bak`, `__tmp → live`,
+  * delete `__bak` — the same order as the merge swap, so a crash at any
+  * point leaves either the old or the new complete file recoverable, never
+  * nothing ([[load]] self-heals). The 90-day TTL of the DynamoDB store
+  * becomes an expiry filter on read. All mutations are serialized on the
+  * store instance: [[graft.runner.Runner]] calls from concurrent per-table
+  * threads (the DynamoDB original got atomicity from the database; a
+  * driver-side lock is the single-JVM equivalent).
   */
 final class WatermarkStore(spark: SparkSession, path: String, ttlDays: Int = 90) {
   import WatermarkStore._
 
+  private val live = new Path(path)
+  private val tmp = new Path(path + "__tmp")
+  private val bak = new Path(path + "__bak")
+  private def fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   def key(project: String, table: String, column: String): String =
     s"$project#$table#$column"
 
-  private def table(): Option[DataFrame] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
-  }
-
   /** Last CONFIRMED, unexpired watermark value for a key. */
   def get(wmKey: String): Option[String] = this.synchronized {
-    table().flatMap { df =>
-      val cutoff = System.currentTimeMillis() - ttlDays * MillisPerDay
-      df.filter(col("key") === wmKey && col("status") === Confirmed &&
-          col("updated_at") >= cutoff)
-        .orderBy(col("updated_at").desc)
-        .limit(1)
-        .collect()
-        .headOption
-        .map(_.getAs[String]("value"))
-    }
+    val cutoff = System.currentTimeMillis() - ttlDays * MillisPerDay
+    load()
+      .filter(e => e.key == wmKey && e.status == Confirmed && e.updatedAt >= cutoff)
+      .sortBy(-_.updatedAt)
+      .headOption
+      .map(_.value)
   }
 
-  /** Phase 1: record the candidate watermark as PENDING.
-    *
-    * All mutations are serialized on the store instance: the backing file
-    * is read-modify-write, and [[graft.runner.Runner]] calls this from
-    * concurrent per-table threads (the DynamoDB original got atomicity
-    * from the database; a driver-side lock is the single-JVM equivalent).
-    */
+  /** Phase 1: record the candidate watermark as PENDING. */
   def saveProvisional(wmKey: String, value: String): Unit = this.synchronized {
     put(wmKey, value, Pending)
   }
 
   /** Phase 2: after a successful load, promote to CONFIRMED. */
   def confirm(wmKey: String): Unit = this.synchronized {
-    val pendingValue = table().flatMap { df =>
-      df.filter(col("key") === wmKey && col("status") === Pending)
-        .orderBy(col("updated_at").desc)
-        .limit(1).collect().headOption.map(_.getAs[String]("value"))
-    }
-    pendingValue.foreach(v => put(wmKey, v, Confirmed))
+    load().filter(e => e.key == wmKey && e.status == Pending)
+      .sortBy(-_.updatedAt).headOption
+      .foreach(p => put(wmKey, p.value, Confirmed))
   }
 
   /** RESET load mode: drop the key entirely (models/load_mode.py:4-27). */
   def delete(wmKey: String): Unit = this.synchronized {
-    rewrite(_.filter(col("key") =!= wmKey))
+    save(load().filterNot(_.key == wmKey))
   }
 
   private def put(wmKey: String, value: String, status: String): Unit = {
-    import spark.implicits._
-    val row = Seq((wmKey, value, status, System.currentTimeMillis()))
-      .toDF("key", "value", "status", "updated_at")
-    table() match {
-      case Some(df) =>
-        rewrite(df.filter(!(col("key") === wmKey && col("status") === status))
-          .unionByName(row))
-      case None =>
-        row.write.mode(SaveMode.Overwrite).parquet(path)
+    val kept = load().filterNot(e => e.key == wmKey && e.status == status)
+    save(kept :+ Entry(wmKey, value, status, System.currentTimeMillis()))
+  }
+
+  private def load(): Seq[Entry] = {
+    // self-heal an interrupted swap: a complete __tmp (live missing) or the
+    // __bak from before the crash is always available
+    if (!fs.exists(live)) {
+      if (fs.exists(tmp)) { fs.rename(tmp, live); fs.delete(bak, false) }
+      else if (fs.exists(bak)) { fs.rename(bak, live); () }
     }
+    if (!fs.exists(live)) return Nil
+    val in = new BufferedReader(new InputStreamReader(fs.open(live), UTF_8))
+    try {
+      Iterator.continually(in.readLine()).takeWhile(_ != null).flatMap { line =>
+        line.split("\t", -1) match {
+          case Array(k, v, s, at) =>
+            Some(Entry(dec(k), dec(v), dec(s), at.toLong))
+          case _ => None
+        }
+      }.toVector
+    } finally in.close()
   }
 
-  private def rewrite(updated: DataFrame): Unit = {
-    // Tiny metadata table: materialize on the driver, then swap atomically.
-    val rows = updated.collect()
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), updated.schema)
-    out.write.mode(SaveMode.Overwrite).parquet(path + "__tmp")
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(path), true)
-    fs.rename(new Path(path + "__tmp"), new Path(path))
+  private def save(entries: Seq[Entry]): Unit = {
+    val out = new OutputStreamWriter(fs.create(tmp, true), UTF_8)
+    try entries.foreach(e =>
+      out.write(s"${enc(e.key)}\t${enc(e.value)}\t${enc(e.status)}\t${e.updatedAt}\n"))
+    finally out.close()
+    if (fs.exists(live)) {
+      if (fs.exists(bak)) fs.delete(bak, false)
+      fs.rename(live, bak)
+    }
+    fs.rename(tmp, live)
+    fs.delete(bak, false)
+    ()
   }
 
-  private def rewrite(f: DataFrame => DataFrame): Unit =
-    table().foreach(df => rewrite(f(df)))
+  private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = URLDecoder.decode(s, "UTF-8")
 }
 
 object WatermarkStore {
   val Pending = "PENDING"
   val Confirmed = "CONFIRMED"
   private val MillisPerDay = 24L * 3600 * 1000
+
+  final case class Entry(key: String, value: String, status: String, updatedAt: Long)
 }

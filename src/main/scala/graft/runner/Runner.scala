@@ -29,7 +29,9 @@ object Runner {
       rowsWritten: Long,
       durationMs: Long,
       error: Option[String] = None,
-      warnings: Seq[String] = Nil
+      warnings: Seq[String] = Nil,
+      /** Extraction attempts actually used (≥ 2 ⇒ transient failures retried). */
+      attempts: Int = 1
   )
 
   final case class RunReport(runs: Seq[TableRun]) {
@@ -50,6 +52,32 @@ object Runner {
       mode: LoadPlanner.LoadMode = LoadPlanner.LoadMode.Normal
   )
 
+  /** Build a TableSpec with the raw path composed from DATE_PROCESS +
+    * PARTITION_FORMAT (light_transform.py:1633-1704): the raw landing is
+    * dated — `rawRoot/<table>/<formatted partition for (now − dateProcess
+    * days)>` — while the stage table is the merged, undated
+    * `stageRoot/<table>`. Pass a frozen `now` for reproducible runs; the
+    * default is Lima-anchored like every reference date computation.
+    */
+  def datedSpec(
+      table: TableConfig,
+      columns: Seq[ColumnMetadata],
+      rawRoot: String,
+      stageRoot: String,
+      source: Either[(EndpointConfig, String), SparkSession => DataFrame],
+      mode: LoadPlanner.LoadMode = LoadPlanner.LoadMode.Normal,
+      now: java.time.ZonedDateTime =
+        java.time.ZonedDateTime.now(graft.partition.PartitionPathFormatter.Lima)
+  ): TableSpec = {
+    val fmt = new graft.partition.PartitionPathFormatter(
+      table.partitionFormat.getOrElse(graft.partition.PartitionPathFormatter.DefaultFormat))
+    val datedPart = fmt.formatPath(now.minusDays(table.dateProcess.toLong))
+    TableSpec(table, columns,
+      rawPath = s"$rawRoot/${table.stageTableName}/$datedPart",
+      stagePath = s"$stageRoot/${table.stageTableName}",
+      source = source, mode = mode)
+  }
+
   /** PROCESS_ID group resolution (app.py:25-68): a table participates in a
     * group when its (possibly comma-separated) PROCESS_ID contains it.
     */
@@ -67,60 +95,120 @@ object Runner {
       specs: Seq[TableSpec],
       maxConcurrency: Int = 15,
       watermarkStore: Option[WatermarkStore] = None,
-      runExtract: Boolean = true
+      runExtract: Boolean = true,
+      retries: Int = 3,
+      retryDelayMs: Long = 5000,
+      reportPath: Option[String] = None
   ): RunReport = {
     val pool = Executors.newFixedThreadPool(math.max(1, maxConcurrency))
-    try {
-      val futures = specs.map { spec =>
-        pool.submit(new java.util.concurrent.Callable[TableRun] {
-          def call(): TableRun = runOne(spark, spec, watermarkStore, runExtract)
-        })
+    val report =
+      try {
+        val futures = specs.map { spec =>
+          pool.submit(new java.util.concurrent.Callable[TableRun] {
+            def call(): TableRun =
+              runOne(spark, spec, watermarkStore, runExtract, retries, retryDelayMs)
+          })
+        }
+        RunReport(futures.map(_.get()))
+      } finally {
+        pool.shutdown()
+        pool.awaitTermination(1, TimeUnit.MINUTES)
+        ()
       }
-      RunReport(futures.map(_.get()))
-    } finally {
-      pool.shutdown()
-      pool.awaitTermination(1, TimeUnit.MINUTES)
-      ()
-    }
+    reportPath.foreach(p => persistReport(spark, p, report))
+    report
+  }
+
+  /** Persist the run report as appended parquet rows — the durable
+    * monitoring record replacing the reference's DynamoDB status items +
+    * SNS notifications (light_transform.py:2066-2193): every table outcome
+    * (SUCCESS/WARNING/FAILED/EMPTY) is queryable after the process exits,
+    * preserving monitoring-over-exit-code semantics.
+    */
+  def persistReport(spark: SparkSession, path: String, report: RunReport): Unit = {
+    import spark.implicits._
+    val at = System.currentTimeMillis()
+    report.runs
+      .map(r => (at, r.table, r.status, r.rowsWritten, r.durationMs,
+        r.error.orNull, r.warnings.mkString("; "), r.attempts))
+      .toDF("run_at_ms", "table", "status", "rows_written", "duration_ms",
+        "error", "warnings", "attempts")
+      .coalesce(1)
+      .write.mode("append").parquet(path)
   }
 
   private def runOne(
       spark: SparkSession,
       spec: TableSpec,
       store: Option[WatermarkStore],
-      runExtract: Boolean
+      runExtract: Boolean,
+      retries: Int,
+      retryDelayMs: Long
   ): TableRun = {
     val t0 = System.currentTimeMillis()
     val name = spec.table.stageTableName
+    var attempts = 1
     try {
       if (runExtract) {
-        val extracted: DataFrame = spec.source match {
-          case Right(load) => load(spark)
-          case Left((ep, password)) =>
-            val wmKey = store.map(s =>
-              s.key(spec.table.processId, name, spec.table.partitionColumn))
-            // RESET drops the stored watermark before planning (L6)
-            if (spec.mode == LoadPlanner.LoadMode.Reset)
-              for { s <- store; k <- wmKey } s.delete(k)
-            val watermark = for {
-              s <- store; k <- wmKey; v <- s.get(k)
-            } yield v
-            val plan = LoadPlanner.plan(spec.table, watermark = watermark,
-              mode = spec.mode)
-            LoadPlanner.execute(spark, plan, ep, password)
+        def extractOnce(): DataFrame = {
+          val extracted: DataFrame = spec.source match {
+            case Right(load) => load(spark)
+            case Left((ep, password)) =>
+              val wmKey = store.map(s =>
+                s.key(spec.table.processId, name, spec.table.partitionColumn))
+              // RESET drops the stored watermark before planning (L6)
+              if (spec.mode == LoadPlanner.LoadMode.Reset)
+                for { s <- store; k <- wmKey } s.delete(k)
+              val watermark = for {
+                s <- store; k <- wmKey; v <- s.get(k)
+              } yield v
+              val plan = LoadPlanner.plan(spec.table, watermark = watermark,
+                mode = spec.mode, bdType = ep.bdType)
+              LoadPlanner.execute(spark, plan, ep, password)
+          }
+          // persisted: the raw write AND the watermark candidate below read
+          // this — without it the JDBC extraction would re-execute and rows
+          // inserted at the source between the two runs would raise the
+          // watermark past data actually landed in raw (silent skip)
+          val cached = extracted.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // raw layer: all-string snappy parquet, full-row distinct (D1)
+            RawLayer.writeRawStringified(cached.dropDuplicates(), spec.rawPath)
+            cached
+          } catch {
+            case NonFatal(e) => cached.unpersist(); throw e
+          }
         }
-        // raw layer: all-string snappy parquet, full-row distinct (D1)
-        RawLayer.writeRawStringified(extracted.dropDuplicates(), spec.rawPath)
+        // Retry with full re-execution: each attempt re-plans and re-opens
+        // the JDBC read (Spark opens fresh connections per scan), giving the
+        // reference's reconnect-and-retry semantics
+        // (sql_server_extractor.py:140-193 — 3 attempts, fixed delay).
+        // `attempts` tracks the count even when the final attempt fails, so
+        // the run report records how hard the table was tried.
+        val maxAttempts = math.max(1, retries)
+        var cached: DataFrame = null
+        while (cached == null) {
+          try cached = extractOnce()
+          catch {
+            case NonFatal(_) if attempts < maxAttempts =>
+              attempts += 1
+              if (retryDelayMs > 0) Thread.sleep(retryDelayMs)
+          }
+        }
 
-        // A3: watermark candidate = max(partition column) of this extract
-        for {
-          s <- store
-          pc = spec.table.partitionColumn if pc.nonEmpty
-          k = s.key(spec.table.processId, name, pc)
-        } {
-          val m = extracted.agg(max(pc).cast("string")).collect().head
-          if (!m.isNullAt(0)) { s.saveProvisional(k, m.getString(0)) }
-        }
+        // A3: watermark candidate = max(partition column) of this extract —
+        // computed from the persisted frame, i.e. exactly what was landed
+        try {
+          for {
+            s <- store
+            pc = spec.table.partitionColumn if pc.nonEmpty
+            k = s.key(spec.table.processId, name, pc)
+          } {
+            val m = cached.agg(max(pc).cast("string")).collect().head
+            if (!m.isNullAt(0)) { s.saveProvisional(k, m.getString(0)) }
+          }
+        } finally cached.unpersist()
       }
 
       val result = StageJob.run(spark, spec.table, spec.columns, spec.rawPath, spec.stagePath)
@@ -129,7 +217,7 @@ object Runner {
       result.status match {
         case StageJob.FailedTransform(errors) =>
           TableRun(name, "FAILED", 0, System.currentTimeMillis() - t0,
-            error = Some(errors.mkString("; ")))
+            error = Some(errors.mkString("; ")), attempts = attempts)
         case other =>
           for {
             s <- store
@@ -138,18 +226,19 @@ object Runner {
           other match {
             case StageJob.CompletedWithWarnings(w) =>
               TableRun(name, "WARNING", result.rowsWritten,
-                System.currentTimeMillis() - t0, warnings = w)
+                System.currentTimeMillis() - t0, warnings = w, attempts = attempts)
             case StageJob.EmptyInput =>
-              TableRun(name, "EMPTY", 0, System.currentTimeMillis() - t0)
+              TableRun(name, "EMPTY", 0, System.currentTimeMillis() - t0,
+                attempts = attempts)
             case _ =>
               TableRun(name, "SUCCESS", result.rowsWritten,
-                System.currentTimeMillis() - t0)
+                System.currentTimeMillis() - t0, attempts = attempts)
           }
       }
     } catch {
       case NonFatal(e) =>
         TableRun(name, "FAILED", 0, System.currentTimeMillis() - t0,
-          error = Some(e.toString))
+          error = Some(e.toString), attempts = attempts)
     }
   }
 }

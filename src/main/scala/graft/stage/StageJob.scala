@@ -62,14 +62,25 @@ object StageJob {
 
             val isIncremental =
               table.effectiveLoadType == "incremental" && idCols.nonEmpty
-            if (isIncremental)
-              MergeUpsert.upsertParquet(spark, ordered, stagePath, idCols, partitionCols)
-            else {
-              val w = ordered.write.mode(SaveMode.Overwrite)
-              (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-                .parquet(stagePath)
-            }
-            val rows = spark.read.parquet(stagePath).count()
+            // persisted: the write and the row count both read this — the
+            // count comes from the cache instead of a second full scan of
+            // the written table (the redundant-count anti-pattern SURVEY §4
+            // flags in the reference)
+            val cached = ordered.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val rows =
+              try {
+                if (isIncremental)
+                  MergeUpsert.upsertParquet(spark, cached, stagePath, idCols, partitionCols)
+                else {
+                  val w = cached.write.mode(SaveMode.Overwrite)
+                  (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+                    .parquet(stagePath)
+                }
+                // rows written by THIS run (for merges: the batch, not the
+                // accumulated table — the run report's monitoring semantics)
+                cached.count()
+              } finally cached.unpersist()
             other match {
               case TransformationEngine.Warning(errs) =>
                 StageResult(CompletedWithWarnings(errs), rows)

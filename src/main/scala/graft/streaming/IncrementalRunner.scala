@@ -35,15 +35,20 @@ object IncrementalRunner {
       case Some(v) => batch.filter(col(wmColumn) > lit(v))
       case None    => batch
     }
-    // A3 chunk-max watermark candidate over the extracted data
-    val maxRow = fresh.agg(max(col(wmColumn)).cast("string")).collect().head
-    if (maxRow.isNullAt(0)) return 0L
+    // persisted: watermark max, merge, and row count all read this — one
+    // materialization instead of three plan re-executions
+    val cached = fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // A3 chunk-max watermark candidate over the extracted data
+      val maxRow = cached.agg(max(col(wmColumn)).cast("string")).collect().head
+      if (maxRow.isNullAt(0)) return 0L
 
-    store.saveProvisional(wmKey, maxRow.getString(0))
-    val deduped = Dedup.keepLatest(fresh, idCols, orderCols)
-    MergeUpsert.upsertParquet(spark, deduped, stagePath, idCols)
-    store.confirm(wmKey)
-    deduped.count()
+      store.saveProvisional(wmKey, maxRow.getString(0))
+      val deduped = Dedup.keepLatest(cached, idCols, orderCols)
+      MergeUpsert.upsertParquet(spark, deduped, stagePath, idCols)
+      store.confirm(wmKey)
+      deduped.count()
+    } finally cached.unpersist()
   }
 
   /** Structured-Streaming wrapper: the same transform+merge function as the

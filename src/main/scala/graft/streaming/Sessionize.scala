@@ -19,6 +19,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 object Sessionize {
 
   final case class SessionEvent(user_id: Long, ts_sec: Long, event_id: Long)
+  final case class SessionEventTs(
+      user_id: Long, ts_sec: Long, event_id: Long, event_ts: java.sql.Timestamp)
   final case class SessionOut(
       user_id: Long, session_start: Long, session_end: Long, n_events: Long)
   final case class SessionState(start: Long, end: Long, n: Long)
@@ -47,36 +49,61 @@ object Sessionize {
 
   /** Streaming form: per-user state carries the open session; an event past
     * the gap closes it (emitting the finished session) and opens a new one.
-    * Event-time timeout flushes idle sessions without waiting for the next
-    * event of that user.
+    * Event-time timeout flushes an idle session once the watermark passes
+    * `session_end + gapSec` — without it, each user's final session would
+    * sit in state forever (and state would never expire) on an unbounded
+    * stream.
+    *
+    * @param watermarkDelaySec allowed event lateness; the source must carry
+    *        event time, derived here from `ts_sec`
     */
   def streaming(
       spark: SparkSession,
       events: Dataset[SessionEvent],
-      gapSec: Long
+      gapSec: Long,
+      watermarkDelaySec: Long = 0
   ): Dataset[SessionOut] = {
     import spark.implicits._
     events
+      .withColumn("event_ts", col("ts_sec").cast("timestamp"))
+      .withWatermark("event_ts", s"$watermarkDelaySec seconds")
+      .as[SessionEventTs]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) => {
-          val sorted = rows.toSeq.sortBy(e => (e.ts_sec, e.event_id))
-          val out = Seq.newBuilder[SessionOut]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            cur match {
-              case Some(s) if e.ts_sec - s.end <= gapSec =>
-                cur = Some(s.copy(end = math.max(s.end, e.ts_sec), n = s.n + 1))
-              case Some(s) =>
-                out += SessionOut(userId, s.start, s.end, s.n)
-                cur = Some(SessionState(e.ts_sec, e.ts_sec, 1))
-              case None =>
-                cur = Some(SessionState(e.ts_sec, e.ts_sec, 1))
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (userId: Long, rows: Iterator[SessionEventTs], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            // watermark passed end+gap with no further events: the session
+            // is final — emit and expire the state
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start, s.end, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts_sec, e.event_id))
+            val out = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_sec - s.end <= gapSec =>
+                  cur = Some(s.copy(end = math.max(s.end, e.ts_sec), n = s.n + 1))
+                case Some(s) =>
+                  out += SessionOut(userId, s.start, s.end, s.n)
+                  cur = Some(SessionState(e.ts_sec, e.ts_sec, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts_sec, e.ts_sec, 1))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // fire once the event-time watermark passes the gap horizon;
+              // must be strictly beyond the current watermark or Spark
+              // rejects the timestamp (late-arriving replays)
+              val horizon = (s.end + gapSec) * 1000L
+              state.setTimeoutTimestamp(
+                math.max(horizon, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
           }
-          cur.foreach(state.update)
-          out.result().iterator
         })
   }
 

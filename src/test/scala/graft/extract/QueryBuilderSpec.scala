@@ -45,11 +45,22 @@ class QueryBuilderSpec extends AnyFunSuite {
     assert(q === "SELECT MIN(pcol) as min_val, MAX(pcol) as max_val FROM dbo.ACTIVIDAD WHERE pcol <> 0 AND (estado = 1)")
   }
 
-  test("P6 typed watermark predicate") {
+  test("P6 typed watermark predicate dispatches per dialect") {
     val qb = new QueryBuilder(base)
+    // default = mssql (DATETIME2 exists only there)
     assert(qb.watermarkPredicate("c", "2025-01-01 00:00:00", "datetime") ===
       "CAST(c AS DATETIME2(6)) > CAST('2025-01-01 00:00:00' AS DATETIME2(6))")
+    assert(qb.watermarkPredicate("c", "2025-01-01 00:00:00", "datetime", "mssql") ===
+      "CAST(c AS DATETIME2(6)) > CAST('2025-01-01 00:00:00' AS DATETIME2(6))")
+    assert(qb.watermarkPredicate("c", "2025-01-01 00:00:00.123", "timestamp", "oracle") ===
+      "c > TO_TIMESTAMP('2025-01-01 00:00:00.123', 'YYYY-MM-DD HH24:MI:SS.FF')")
+    assert(qb.watermarkPredicate("c", "2025-01-01 00:00:00", "datetime", "mysql") ===
+      "c > '2025-01-01 00:00:00'")
+    assert(qb.watermarkPredicate("c", "2025-01-01 00:00:00", "datetime", "derby") ===
+      "c > '2025-01-01 00:00:00'")
+    // numeric compares raw on every dialect
     assert(qb.watermarkPredicate("c", "42", "bigint") === "c > 42")
+    assert(qb.watermarkPredicate("c", "42", "bigint", "oracle") === "c > 42")
   }
 
   test("dialect JDBC targets per BD_TYPE") {

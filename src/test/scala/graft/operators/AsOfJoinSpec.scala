@@ -25,6 +25,37 @@ class AsOfJoinSpec extends SparkTestBase {
       (2, 50L, null)))    // key 2's only quote is later
   }
 
+  test("null values in the matched right row carry as null (struct-atomic)") {
+    // quotes: ts=10 has bid=5.0/ask=1.0; ts=20 (the match for trades ≥20)
+    // has bid=NULL/ask=2.0 — a per-column carry would resurrect bid=5.0
+    // from ts=10; ASOF semantics require the matched row verbatim
+    val trades = Seq((1, 25L, 100.0)).toDF("k", "ts", "px")
+    val quotes = Seq(
+      (1, 10L, Option(5.0), Option(1.0)),
+      (1, 20L, None: Option[Double], Option(2.0))
+    ).toDF("k", "ts", "bid", "ask")
+
+    val got = AsOfJoin.backward(trades, quotes, Seq("k"), "ts",
+        Map("bid" -> "last_bid", "ask" -> "last_ask"))
+      .collect().head
+    assert(got.isNullAt(got.fieldIndex("last_bid")),
+      "null in the matched row must not be replaced by an older row's value")
+    assert(got.getDouble(got.fieldIndex("last_ask")) === 2.0)
+  }
+
+  test("all carried columns come from the same matched right row") {
+    val trades = Seq((1, 30L, 1.0)).toDF("k", "ts", "px")
+    val quotes = Seq(
+      (1, 10L, Option(11.0), None: Option[Double]),
+      (1, 20L, None: Option[Double], Option(22.0))
+    ).toDF("k", "ts", "a", "b")
+    val got = AsOfJoin.backward(trades, quotes, Seq("k"), "ts",
+        Map("a" -> "ca", "b" -> "cb")).collect().head
+    // matched row is ts=20: a=null, b=22 — NOT (a=11 from ts=10, b=22)
+    assert(got.isNullAt(got.fieldIndex("ca")))
+    assert(got.getDouble(got.fieldIndex("cb")) === 22.0)
+  }
+
   test("as-of join plan is one keyed shuffle, not a range join") {
     val left = (1 to 100).map(i => (i % 5, i.toLong, i * 1.0)).toDF("k", "ts", "v")
     val right = (1 to 50).map(i => (i % 5, i * 2L, i * 0.1)).toDF("k", "ts", "q")

@@ -151,6 +151,98 @@ class RunnerSpec extends SparkTestBase {
     }
   }
 
+  test("extractor retry: transient failures succeed on a later attempt") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val root = Files.createTempDirectory("graft-retry").toString
+    val fails = new AtomicInteger(0)
+    val flaky = Runner.TableSpec(
+      table.copy(stageTableName = "flaky", loadType = "full"), columns,
+      s"$root/raw/f", s"$root/stage/f",
+      source = Right { s =>
+        if (fails.incrementAndGet() <= 2)
+          throw new RuntimeException("simulated connection reset")
+        import s.implicits._
+        Seq((1, "ok", 1, 10)).toDF("id", "nombre", "estado", "ts_ver")
+      })
+    val report = Runner.run(spark, Seq(flaky), retryDelayMs = 0)
+    assert(report.runs.head.status === "SUCCESS")
+    assert(report.runs.head.attempts === 3)
+    assert(spark.read.parquet(s"$root/stage/f").count() === 1)
+
+    // permanent failure: attempts capped, table FAILED, error surfaced
+    val dead = flaky.copy(
+      table = table.copy(stageTableName = "dead", loadType = "full"),
+      rawPath = s"$root/raw/d", stagePath = s"$root/stage/d",
+      source = Right(_ => throw new RuntimeException("down for good")))
+    val report2 = Runner.run(spark, Seq(dead), retries = 2, retryDelayMs = 0)
+    assert(report2.runs.head.status === "FAILED")
+    assert(report2.runs.head.attempts === 2)
+    assert(report2.runs.head.error.exists(_.contains("down for good")))
+  }
+
+  test("run report persists every outcome taxonomy row") {
+    seedDerby()
+    val root = Files.createTempDirectory("graft-report").toString
+    val reportPath = s"$root/run_report"
+    val ok = Runner.TableSpec(table.copy(loadType = "full"), columns,
+      s"$root/raw/ok", s"$root/stage/ok", Left((ep, "")))
+    val failed = Runner.TableSpec(
+      table.copy(stageTableName = "failed", sourceTable = "NO_SUCH_TABLE"),
+      columns, s"$root/raw/x", s"$root/stage/x", Left((ep, "")))
+    // warning: one bad transform among four (≤50% failed columns)
+    val warnCols = columns.updated(1,
+      ColumnMetadata("nombre", 2, "string", "fn_transform_ClearString(no_such_col)"))
+    val warn = Runner.TableSpec(
+      table.copy(stageTableName = "warned", loadType = "full"), warnCols,
+      s"$root/raw/w", s"$root/stage/w", Left((ep, "")))
+    // empty: no raw data at the path and no extract step
+    val empty = Runner.TableSpec(
+      table.copy(stageTableName = "empty", loadType = "full"), columns,
+      s"$root/raw/missing", s"$root/stage/e", Left((ep, "")))
+
+    Runner.run(spark, Seq(ok, warn, failed), retryDelayMs = 0,
+      reportPath = Some(reportPath))
+    Runner.run(spark, Seq(empty), runExtract = false, reportPath = Some(reportPath))
+
+    val persisted = spark.read.parquet(reportPath)
+      .select("table", "status", "rows_written", "attempts")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(persisted("actividad") === "SUCCESS")
+    assert(persisted("warned") === "WARNING")
+    assert(persisted("failed") === "FAILED")
+    assert(persisted("empty") === "EMPTY")
+    // appended across runs, queryable after the fact
+    assert(spark.read.parquet(reportPath).count() === 4)
+  }
+
+  test("dated raw path: frozen clock reads yesterday's partition e2e") {
+    import graft.partition.PartitionPathFormatter
+    import java.time.ZonedDateTime
+    val root = Files.createTempDirectory("graft-dated").toString
+    val frozen = ZonedDateTime.of(2026, 3, 15, 10, 0, 0, 0, PartitionPathFormatter.Lima)
+    val dated = table.copy(stageTableName = "dated", loadType = "full",
+      dateProcess = 1) // yesterday
+    val spec = Runner.datedSpec(dated, columns, s"$root/raw", s"$root/stage",
+      source = Left((ep, "")), now = frozen)
+    // composition: DATE_PROCESS=1 from 2026-03-15 → 2026-03-14, default template
+    assert(spec.rawPath === s"$root/raw/dated/year=2026/month=03/day=14")
+    assert(spec.stagePath === s"$root/stage/dated")
+    // reverse-parse round-trip (light_transform.py:1884-1902)
+    assert(PartitionPathFormatter.extractPartitionValues(spec.rawPath) ===
+      Map("year" -> "2026", "month" -> "03", "day" -> "14"))
+
+    // land raw data at yesterday's partition, then run the stage job only:
+    // it reads exactly that dated partition
+    import spark.implicits._
+    graft.sources.RawLayer.writeRawStringified(
+      Seq((7, "Dia", 1, 10)).toDF("id", "nombre", "estado", "ts_ver"),
+      spec.rawPath)
+    val report = Runner.run(spark, Seq(spec), runExtract = false)
+    assert(report.runs.head.status === "SUCCESS")
+    val got = spark.read.parquet(spec.stagePath).select("id", "nombre").collect()
+    assert(got.map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((7, "Dia")))
+  }
+
   test("process-id group resolution includes shared tables") {
     val ts = Seq(
       table.copy(stageTableName = "t1", processId = "10"),

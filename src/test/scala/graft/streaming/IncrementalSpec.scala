@@ -101,8 +101,10 @@ class IncrementalSpec extends SparkTestBase {
     assert(batchGot.toSeq === Seq(
       (1L, 1000L, 1500L, 2L), (1L, 3600L, 3600L, 1L), (2L, 100L, 100L, 1L)))
 
-    // streaming: feed the same events; the second session of user 1 stays
-    // open in state, so only the closed first session is emitted
+    // streaming: feed the same events. The watermark after the batch is
+    // 3600 (max event time, delay 0): user 1's first session closes on the
+    // gap, user 2's idle session flushes by event-time timeout
+    // (100+1800 < 3600); user 1's open session (timeout 5400) stays in state
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
     val out = Sessionize.streaming(spark, mem.toDS(), 1800)
@@ -112,7 +114,37 @@ class IncrementalSpec extends SparkTestBase {
     q.processAllAvailable()
     val emitted = spark.sql("SELECT * FROM sess_out").as[SessionOut].collect()
     q.stop()
-    assert(emitted.toSeq === Seq(SessionOut(1L, 1000L, 1500L, 2L)))
+    assert(emitted.toSeq.sortBy(_.user_id) === Seq(
+      SessionOut(1L, 1000L, 1500L, 2L), SessionOut(2L, 100L, 100L, 1L)))
+  }
+
+  test("sessionize streaming: event-time timeout flushes idle sessions") {
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.{SessionEvent, SessionOut}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val out = Sessionize.streaming(spark, mem.toDS(), gapSec = 1800)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_idle").start()
+
+    // batch 1: user 1's only session — no later user-1 events ever arrive
+    mem.addData(SessionEvent(1L, 1000L, 1L), SessionEvent(1L, 1500L, 2L))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM sess_idle").count() === 0) // still open
+
+    // batch 2 advances the watermark past 1500+1800 via another user;
+    // batch 3 evaluates timeouts against that watermark
+    mem.addData(SessionEvent(2L, 10000L, 3L))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(2L, 10001L, 4L))
+    q.processAllAvailable()
+    val emitted = spark.sql("SELECT * FROM sess_idle").as[SessionOut].collect()
+    q.stop()
+    // user 1's idle session was flushed by timeout, no further events needed
+    assert(emitted.toSeq.contains(SessionOut(1L, 1000L, 1500L, 2L)))
   }
 
   test("windowedCounts batch form groups by tumbling window") {
