@@ -22,9 +22,22 @@ object Maintenance {
     val bytes = fs.getContentSummary(p).getLength
     val files = math.max(1, (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
     val df = spark.read.parquet(path)
+    // Hive-partitioned layouts must survive compaction: detect `k=v`
+    // first-level dirs and rewrite with the same partitionBy; repartition on
+    // the partition columns first so each partition dir lands in few tasks
+    // (a flat repartition(n) + partitionBy would write up to n files per
+    // partition — small files again, the thing compaction exists to fix)
+    val partitionCols = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName.split("=", 2)(0)).distinct
     val tmp = path + "__compact"
-    df.repartition(files).write.mode(SaveMode.Overwrite)
-      .option("compression", "snappy").parquet(tmp)
+    val writer =
+      (if (partitionCols.nonEmpty)
+        df.repartition(files, partitionCols.map(col): _*)
+          .write.partitionBy(partitionCols: _*)
+      else df.repartition(files).write)
+        .mode(SaveMode.Overwrite).option("compression", "snappy")
+    writer.parquet(tmp)
     val bak = new Path(path + "__old")
     if (fs.exists(bak)) fs.delete(bak, true)
     fs.rename(p, bak)
@@ -93,7 +106,11 @@ object Maintenance {
       .agg(count(lit(1)).alias("rows"))
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sizes = fs.listStatus(p).filter(_.isFile)
+    // recursive: partitioned tables nest data files under k=v directories
+    val it = fs.listFiles(p, true)
+    val sizes = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filterNot(_.getPath.getName.startsWith("_"))
       .map(s => (s.getPath.toUri.getPath, s.getLen)).toSeq
     import spark.implicits._
     rows.join(sizes.toDF("file", "bytes"), Seq("file"), "left")

@@ -56,4 +56,40 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"),
       "LSH candidate join must be an equi-join on band keys")
   }
+
+  test("native signatures are scan-projection-local: no aggregate exchange") {
+    import org.apache.spark.sql.functions._
+    import graft.llmops.{DedupOps, Similarity}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // simhash / minhash / lsh-bucket computation must add ZERO exchanges —
+    // they are per-row expressions inside the scan projection (the explode
+    // + wide-buffer groupBy forms they replaced each cost a full shuffle)
+    val sim = docs.select(col("doc_id"),
+      DedupOps.simhash64Native(col("text")).alias("s"))
+    val simPlan = sim.queryExecution.executedPlan.toString
+    assert(!simPlan.contains("Exchange") && !simPlan.contains("HashAggregate"),
+      s"simhash must be shuffle-free:\n$simPlan")
+
+    val sig = docs.select(col("doc_id"),
+      DedupOps.minhashSigNative(col("text"), 3, 16).alias("sig"))
+    val sigPlan = sig.queryExecution.executedPlan.toString
+    assert(!sigPlan.contains("Exchange") && !sigPlan.contains("HashAggregate"),
+      s"minhash signature must be shuffle-free:\n$sigPlan")
+
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val bk = emb.select(col("vec_id"),
+      Similarity.lshBucketsNative(col("embedding"), 12, 4).alias("b"))
+    val bkPlan = bk.queryExecution.executedPlan.toString
+    assert(!bkPlan.contains("Exchange") && !bkPlan.contains("HashAggregate"),
+      s"lsh buckets must be shuffle-free:\n$bkPlan")
+  }
+
+  test("q45 embedding near-dup has no ranking window in the plan") {
+    val df = SparkEntry.queries("q45_embedding_neardup")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"threshold dedup must not pay a per-query ranking window:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

@@ -24,6 +24,38 @@ class MaintenanceSpec extends SparkTestBase {
     assert(spark.read.parquet(path).count() === 1000)
   }
 
+  test("K6 compact preserves hive partition layout and shrinks per-dir files") {
+    val root = Files.createTempDirectory("graft-compact-p").toString
+    val path = s"$root/t"
+    (1 to 1000).map(i => (i, s"p${i % 3}"))
+      .toDF("x", "pt").repartition(40)
+      .write.partitionBy("pt").parquet(path)
+    val dirBefore = new java.io.File(s"$path/pt=p0")
+    assert(dirBefore.listFiles().count(_.getName.endsWith(".parquet")) >= 30)
+    Maintenance.compact(spark, path)
+    // layout survives: same partition dirs, few files each
+    (0 to 2).foreach { i =>
+      val d = new java.io.File(s"$path/pt=p$i")
+      assert(d.isDirectory, s"partition dir pt=p$i must survive compaction")
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) <= 2)
+    }
+    val back = spark.read.parquet(path)
+    assert(back.count() === 1000)
+    assert(back.filter(col("pt") === "p0").count() === 333)
+  }
+
+  test("A4 fileStats covers nested partition-dir files") {
+    val root = Files.createTempDirectory("graft-stats-p").toString
+    val path = s"$root/t"
+    (1 to 100).map(i => (i, s"p${i % 2}")).toDF("x", "pt")
+      .repartition(1).write.partitionBy("pt").parquet(path)
+    val stats = Maintenance.fileStats(spark, path).collect()
+    assert(stats.length === 2) // one data file per partition dir
+    assert(stats.forall(r => !r.isNullAt(r.fieldIndex("bytes"))),
+      "recursive listing must supply sizes for nested files")
+    assert(stats.map(_.getAs[Long]("rows")).sum === 100)
+  }
+
   test("vacuum removes merge scratch dirs") {
     val root = Files.createTempDirectory("graft-vac").toString
     val path = s"$root/t"
