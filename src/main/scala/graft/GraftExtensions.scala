@@ -86,8 +86,26 @@ object GraftFunctions {
       exprs => e(TextAnalysis.langId(c(exprs.head)))),
 
     ("graft_simhash",
-      "graft_simhash(text) - 64-bit SimHash of the token stream",
-      exprs => e(graft.llmops.DedupOps.simhash64(c(exprs.head)))),
+      "graft_simhash(text) - 64-bit SimHash of the token stream (native codegen'd kernel)",
+      exprs => graft.expressions.SimHash64(exprs.head, portable = false)),
+
+    ("graft_minhash_sig",
+      "graft_minhash_sig(text[, n, numHashes]) - MinHash signature over word n-gram shingles",
+      exprs => graft.expressions.MinHashSig(
+        exprs.head,
+        exprs.lift(1).map(litText(_, "graft_minhash_sig", "n").toInt).getOrElse(3),
+        exprs.lift(2).map(litText(_, "graft_minhash_sig", "numHashes").toInt).getOrElse(16))),
+
+    ("graft_lsh_buckets",
+      "graft_lsh_buckets(vec[, numPlanes, numTables]) - sign-random-projection bucket id per table",
+      exprs => graft.expressions.LshBuckets(
+        exprs.head,
+        exprs.lift(1).map(litText(_, "graft_lsh_buckets", "numPlanes").toInt).getOrElse(12),
+        exprs.lift(2).map(litText(_, "graft_lsh_buckets", "numTables").toInt).getOrElse(4))),
+
+    ("graft_cosine",
+      "graft_cosine(a, b) - cosine similarity of two numeric arrays (native codegen'd kernel)",
+      exprs => graft.expressions.CosineSim(exprs.head, exprs(1))),
 
     ("graft_winnow",
       "graft_winnow(text[, k, w]) - winnowing fingerprints (MOSS): array of selected k-gram hashes",

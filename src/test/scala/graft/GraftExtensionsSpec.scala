@@ -40,6 +40,38 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(simhash !== 0L)
   }
 
+  test("native vector/text kernels are SQL-callable and agree with the Column API") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    spark.read.parquet(s"$sf0001/documents.parquet").createOrReplaceTempView("docs_nk")
+    spark.read.parquet(s"$sf0001/embeddings.parquet").createOrReplaceTempView("emb_nk")
+
+    // simhash: SQL = native Column path
+    val simMismatch = spark.sql(
+      "SELECT doc_id, graft_simhash(text) AS s FROM docs_nk")
+      .join(spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"),
+          graft.llmops.DedupOps.simhash64Native(col("text")).alias("c")), "doc_id")
+      .filter(col("s") =!= col("c")).count()
+    assert(simMismatch === 0)
+
+    // minhash signature arity + buckets arity
+    val sig = spark.sql(
+      "SELECT graft_minhash_sig(text, 3, 16) AS sig FROM docs_nk LIMIT 1")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length === 16)
+    val buckets = spark.sql(
+      "SELECT graft_lsh_buckets(embedding, 12, 4) AS b FROM emb_nk LIMIT 1")
+      .collect().head.getSeq[Long](0)
+    assert(buckets.length === 4)
+
+    // cosine of a vector with itself ≈ 1
+    val cos = spark.sql(
+      "SELECT graft_cosine(embedding, embedding) AS c FROM emb_nk LIMIT 1")
+      .collect().head.getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-9)
+  }
+
   test("literal-argument validation raises a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
