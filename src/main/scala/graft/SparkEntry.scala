@@ -386,6 +386,30 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_index")
     }),
 
+    "q49_pii_scrub" -> ((s, dir) => {
+      // PII scrubbing with deterministic planted email/IP/phone per doc;
+      // patterns are RE2-compatible so the oracle applies the identical
+      // rewrite in the same order
+      val d = t(tuned(s), dir, "documents")
+      val injected = concat(
+        col("text"), lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 tel +51 999 888 7"), (col("doc_id") % 10).cast("string"))
+      d.select(col("doc_id"),
+          graft.llmops.TextAnalysis.scrubPii(injected).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
+    "q50_line_dedup" -> ((s, dir) => {
+      // within-document line dedup (boilerplate removal), order-preserving
+      val d = t(tuned(s), dir, "documents")
+      val multi = concat_ws("\n",
+        col("source"), col("text"), col("source"), lit("x"), col("text"))
+      d.select(col("doc_id"),
+          graft.llmops.TextAnalysis.dedupLines(multi).as("deduped"))
+        .orderBy("doc_id")
+    }),
+
     "q48_doc_extract" -> ((s, dir) => {
       // S6 document path end-to-end: corpus text wrapped in HTML (with
       // style/script noise), extracted back via the real html codec inside
@@ -1086,6 +1110,22 @@ object SparkEntry {
       """SELECT vec_id AS key_a, vec_id + 1000000 AS key_b
          FROM embeddings WHERE vec_id < 2000
          ORDER BY key_a, key_b""",
+
+    "q49_pii_scrub" ->
+      """SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(
+           text || ' contact u' || doc_id::VARCHAR || '@example.com or 10.0.'
+                || (doc_id % 256)::VARCHAR || '.7 tel +51 999 888 7'
+                || (doc_id % 10)::VARCHAR,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+           '\+[0-9][0-9() -]{6,14}[0-9]', '<PHONE>', 'g') AS scrubbed
+         FROM documents ORDER BY doc_id""",
+
+    "q50_line_dedup" ->
+      """SELECT doc_id,
+         source || chr(10) || text || chr(10) || 'x' AS deduped
+         FROM documents ORDER BY doc_id""",
 
     "q48_doc_extract" ->
       """SELECT doc_id,

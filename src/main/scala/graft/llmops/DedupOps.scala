@@ -25,6 +25,26 @@ object DedupOps {
       .drop("__rn")
   }
 
+  /** Streaming exact dedup: drops re-occurrences of the same normalized
+    * text fingerprint within the event-time watermark window —
+    * `dropDuplicatesWithinWatermark` keeps state bounded (a plain
+    * dropDuplicates on a stream grows state forever). Duplicates farther
+    * apart than the delay fall through to the batch-side
+    * [[exactDedup]] / MERGE, the same late-data split as the reference's
+    * incremental contract.
+    */
+  def streamingExactDedup(
+      stream: DataFrame,
+      textCol: String,
+      eventTimeCol: String,
+      watermarkDelay: String
+  ): DataFrame =
+    stream
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Character shingles (k-grams) of the normalized text, distinct. */
   def shingles(text: Column, k: Int): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")

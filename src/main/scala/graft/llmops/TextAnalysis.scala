@@ -110,6 +110,34 @@ object TextAnalysis {
         (col("n_tokens").cast("double") / lit(50.0)) * lit(0.5) +
           when(col("stopword_ratio") > 0.01, lit(0.5)).otherwise(lit(0.0))))
 
+  /** PII scrubbing patterns — deliberately RE2-compatible (no lookaheads,
+    * ASCII classes) so external validators (DuckDB oracle, Go/Rust
+    * pipelines) apply the byte-identical rewrite. Replacement order is part
+    * of the contract: emails first (their local part may contain digits a
+    * later pass would mangle), then IPs, then phone-like runs.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\+[0-9][0-9() -]{6,14}[0-9]"
+
+  /** Scrub emails/IPv4s/international-format phones to typed tokens —
+    * the standard cheap PII pass of corpus curation. One projection, three
+    * codegen'd regexp_replace steps, fixed order (see pattern docs).
+    */
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    regexp_replace(noIp, PhonePattern, "<PHONE>")
+  }
+
+  /** Within-document exact line dedup (boilerplate removal): keeps the
+    * first occurrence of each line, preserving order — array_distinct is
+    * order-preserving on both Spark and DuckDB, which keeps the operation
+    * oracle-checkable.
+    */
+  def dedupLines(text: Column, sep: String = "\n"): Column =
+    concat_ws(sep, array_distinct(split(text, java.util.regex.Pattern.quote(sep))))
+
   /** Document fingerprint: md5 of the whitespace-normalized, lower-cased
     * text. md5 is engine-portable (identical in Spark, DuckDB, Python), so
     * fingerprints computed by different tools agree — the property that

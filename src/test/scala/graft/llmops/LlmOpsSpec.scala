@@ -111,6 +111,46 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq === Seq((0, 100)))
   }
 
+  test("PII scrub replaces emails, IPs, phones with typed tokens in order") {
+    import org.apache.spark.sql.functions._
+    val got = Seq(
+      "mail a.b+c@ex-ample.org now",
+      "host 192.168.001.7 up",
+      "call +51 (99) 888-7766 pls",
+      "none of the above 123")
+      .toDF("t").select(TextAnalysis.scrubPii(col("t"))).as[String].collect()
+    assert(got(0) === "mail <EMAIL> now")
+    assert(got(1) === "host <IP> up")
+    assert(got(2) === "call <PHONE> pls")
+    assert(got(3) === "none of the above 123")
+  }
+
+  test("dedupLines keeps first occurrence of each line, order preserved") {
+    import org.apache.spark.sql.functions._
+    val got = Seq("b\na\nb\nc\na").toDF("t")
+      .select(TextAnalysis.dedupLines(col("t"))).as[String].collect().head
+    assert(got === "b\na\nc")
+  }
+
+  test("streaming exact dedup drops in-watermark re-occurrences, bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val src = mem.toDF().toDF("id", "text", "ts")
+    val out = DedupOps.streamingExactDedup(src, "text", "ts", "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$s")
+    mem.addData((1L, "same  doc", t0), (2L, "Same doc", ts(1)), (3L, "other", ts(2)))
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT id FROM sdedup").as[Long].collect().sorted
+    q.stop()
+    // id 2 normalizes to the same fingerprint as id 1 → dropped
+    assert(ids.toSeq === Seq(1L, 3L))
+  }
+
   test("multimodal stub pipeline preserves schema and partitioning shape") {
     val df = Seq(
       (1L, "image", Array[Byte](1, 2, 3), null.asInstanceOf[String], "/a", Map("k" -> "v"))
