@@ -386,6 +386,21 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_index")
     }),
 
+    "q51_dup_clusters" -> ((s, dir) => {
+      // connected components over the minhash near-dup pair graph: the
+      // keep/drop decision of dedup. Oracle = recursive CTE over the
+      // exact-Jaccard pair set (same ground truth as q33).
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents").filter(col("doc_id") < 2000)
+        .repartition(32)
+      val doubled = d.unionByName(
+        d.withColumn("doc_id", col("doc_id") + 1000000))
+      val pairs = DedupOps.minhashNearDups(doubled, "text", "doc_id",
+          numHashes = 16, bands = 4, threshold = 0.9, wordShingleN = Some(3))
+        .select("key_a", "key_b")
+      DedupOps.duplicateClusters(pairs).orderBy("key")
+    }),
+
     "q49_pii_scrub" -> ((s, dir) => {
       // PII scrubbing with deterministic planted email/IP/phone per doc;
       // patterns are RE2-compatible so the oracle applies the identical
@@ -1110,6 +1125,34 @@ object SparkEntry {
       """SELECT vec_id AS key_a, vec_id + 1000000 AS key_b
          FROM embeddings WHERE vec_id < 2000
          ORDER BY key_a, key_b""",
+
+    "q51_dup_clusters" ->
+      """WITH RECURSIVE
+         base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+         doubled AS (SELECT doc_id, text FROM base
+                     UNION ALL SELECT doc_id + 1000000, text FROM base),
+         sh AS (
+           SELECT doc_id AS key,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+               FOR i IN range(1, len(toks) - 2 + 1)]) AS ng
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM doubled)
+           WHERE len(toks) >= 3),
+         pairs AS (
+           SELECT l.key AS key_a, r.key AS key_b
+           FROM sh l JOIN sh r
+             ON l.key < r.key
+             AND len(l.ng) * 10 >= len(r.ng) * 9
+             AND len(r.ng) * 10 >= len(l.ng) * 9
+           WHERE len(list_intersect(l.ng, r.ng)) * 1.0 /
+             greatest(len(list_distinct(l.ng || r.ng)), 1) >= 0.9),
+         edges AS (SELECT key_a AS src, key_b AS dst FROM pairs
+                   UNION SELECT key_b, key_a FROM pairs),
+         reach AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         SELECT src AS key, least(src, min(dst)) AS cluster_id
+         FROM reach GROUP BY src ORDER BY key""",
 
     "q49_pii_scrub" ->
       """SELECT doc_id,

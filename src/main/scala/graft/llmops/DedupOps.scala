@@ -45,6 +45,68 @@ object DedupOps {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Connected components over near-duplicate pairs: every key is labeled
+    * with the MINIMUM key reachable through the pair graph — the duplicate
+    * "cluster id" a curation pipeline keeps one document per.
+    *
+    * Pair emission (minhash/simhash/winnow/embedding) is only half of
+    * dedup: transitively-linked duplicates (A~B, B~C, A≁C by threshold)
+    * must still collapse to one survivor, so clustering is the step that
+    * turns candidate pairs into a keep/drop decision.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels; converges in
+    * O(diameter) rounds (duplicate clusters are near-cliques, so 2-3 rounds
+    * in practice; `maxIters` bounds pathological chains). Each round is one
+    * hash-partitioned join + partial-aggregated groupBy on the key — no
+    * driver-side graph, scales to any pair count. Label frames are
+    * localCheckpointed per round to truncate the growing lineage (the
+    * standard iterative-algorithm requirement).
+    *
+    * @param pairs (key_a, key_b) rows, any direction, duplicates allowed
+    * @return (key, cluster_id) for every key that appears in some pair
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("key_a").alias("src"), col("key_b").alias("dst"))
+      .unionByName(pairs.select(col("key_b").alias("src"), col("key_a").alias("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).alias("label"))
+      .withColumnRenamed("src", "key")
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // neighbor labels: for each key, the min label among its neighbors
+      val nbr = edges
+        .join(labels.withColumnRenamed("key", "dst"), "dst")
+        .groupBy(col("src").alias("key"))
+        .agg(min(col("label")).alias("nbr_label"))
+      val next = labels.join(nbr, Seq("key"), "left")
+        .select(col("key"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).alias("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "key")
+        .filter(col("label") =!= col("prev"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Keep one survivor per duplicate cluster: the row whose key equals the
+    * cluster id (the minimum key); rows not in any pair survive untouched.
+    */
+  def dedupByClusters(df: DataFrame, keyCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+    df.join(clusters.withColumnRenamed("key", keyCol), Seq(keyCol), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col(keyCol))
+      .drop("cluster_id")
+  }
+
   /** Character shingles (k-grams) of the normalized text, distinct. */
   def shingles(text: Column, k: Int): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")

@@ -151,6 +151,29 @@ class LlmOpsSpec extends SparkTestBase {
     assert(ids.toSeq === Seq(1L, 3L))
   }
 
+  test("duplicate clusters: transitive chains collapse to the min key") {
+    // chain 1-2, 2-3 (3 never paired with 1 directly) + island 10-11
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("key_a", "key_b")
+    val got = DedupOps.duplicateClusters(pairs)
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+
+    // dedupByClusters keeps the min key per cluster + untouched rows
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b"),
+      (99L, "solo")).toDF("doc_id", "v")
+    val kept = DedupOps.dedupByClusters(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 10L, 99L))
+  }
+
+  test("duplicate clusters converge on a long chain (diameter > 2)") {
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("key_a", "key_b")
+    val got = DedupOps.duplicateClusters(chain).collect()
+    assert(got.length === 9)
+    assert(got.forall(_.getLong(1) === 1L), "all chain members label to min=1")
+  }
+
   test("multimodal stub pipeline preserves schema and partitioning shape") {
     val df = Seq(
       (1L, "image", Array[Byte](1, 2, 3), null.asInstanceOf[String], "/a", Map("k" -> "v"))
