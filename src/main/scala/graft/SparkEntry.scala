@@ -386,6 +386,20 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_index")
     }),
 
+    "q52_hash_sample" -> ((s, dir) => {
+      // deterministic portable-hash sampling: same rows on every engine
+      graft.llmops.Sampling.hashSample(
+          t(tuned(s), dir, "documents"), "doc_id", 0.3)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "q53_ngram_counts" -> ((s, dir) => {
+      // corpus bigram occurrence counts, top 50 (deterministic total order)
+      graft.llmops.TextAnalysis.ngramCounts(
+        t(tuned(s), dir, "documents"), "text", n = 2, topK = 50)
+    }),
+
     "q51_dup_clusters" -> ((s, dir) => {
       // connected components over the minhash near-dup pair graph: the
       // keep/drop decision of dedup. Oracle = recursive CTE over the
@@ -1125,6 +1139,22 @@ object SparkEntry {
       """SELECT vec_id AS key_a, vec_id + 1000000 AS key_b
          FROM embeddings WHERE vec_id < 2000
          ORDER BY key_a, key_b""",
+
+    "q52_hash_sample" ->
+      """SELECT doc_id FROM documents
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000000 < 300000
+         ORDER BY doc_id""",
+
+    "q53_ngram_counts" ->
+      """WITH g AS (
+           SELECT unnest([array_to_string(toks[i:i+1], ' ')
+             FOR i IN range(1, len(toks))]) AS ngram
+           FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+           WHERE len(toks) >= 2)
+         SELECT ngram, count(*) AS freq FROM g
+         WHERE len(ngram) > 0
+         GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 50""",
 
     "q51_dup_clusters" ->
       """WITH RECURSIVE

@@ -1,0 +1,48 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic, engine-portable sampling for corpus curation.
+  *
+  * `df.sample()` is seed-dependent per partitioning and not reproducible
+  * across engines or re-runs with different file splits; hash-gating on a
+  * stable key is: a row is kept iff
+  * `md5-hash60(key) % 1_000_000 < fraction · 1_000_000`, so the same rows
+  * are selected by Spark, the DuckDB oracle, and any future engine, and the
+  * decision is a pure per-row filter — pushdown-friendly, zero shuffles,
+  * trivially composable with incremental loads (a row's fate never changes
+  * as the corpus grows).
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Keep-predicate for a fraction in [0, 1]. */
+  def hashGate(key: Column, fraction: Double): Column =
+    pmod(Similarity.portable60(key), lit(Buckets)) <
+      lit((fraction * Buckets).toLong)
+
+  /** Deterministic fraction of rows, keyed on `keyCol`. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(hashGate(col(keyCol), fraction))
+
+  /** Per-stratum deterministic fractions (corpus balancing): strata absent
+    * from the map fall back to `defaultFraction`.
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0
+  ): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(f)).otherwise(acc)
+    }
+    df.filter(
+      pmod(Similarity.portable60(col(keyCol)), lit(Buckets)) <
+        (frac * Buckets).cast("long"))
+  }
+}

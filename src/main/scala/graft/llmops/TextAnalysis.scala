@@ -110,6 +110,30 @@ object TextAnalysis {
         (col("n_tokens").cast("double") / lit(50.0)) * lit(0.5) +
           when(col("stopword_ratio") > 0.01, lit(0.5)).otherwise(lit(0.0))))
 
+  /** Corpus n-gram OCCURRENCE counts — vocabulary/statistics pass (top
+    * boilerplate phrases, stop-phrase candidates). One explode of word
+    * n-grams, one partial-aggregated count, rank by (count desc, ngram) —
+    * the word-count shape at 100 TB; `topK` bounds the result, not the
+    * computation. n = 1 is a pure codegen explode; n ≥ 2 builds grams with
+    * a higher-order transform (interpreted) — for full-corpus scans at
+    * scale prefer n = 1 or promote the gram builder to a native expression
+    * alongside [[graft.expressions.MinHashSig]].
+    */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int, topK: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams =
+      if (n == 1) toks
+      else filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+        s => size(split(s, " ")) === n)
+    df.select(explode(grams).alias("ngram"))
+      .filter(length(col("ngram")) > 0)
+      .groupBy("ngram").agg(count(lit(1)).alias("freq"))
+      .orderBy(col("freq").desc, col("ngram"))
+      .limit(topK)
+  }
+
   /** PII scrubbing patterns — deliberately RE2-compatible (no lookaheads,
     * ASCII classes) so external validators (DuckDB oracle, Go/Rust
     * pipelines) apply the byte-identical rewrite. Replacement order is part

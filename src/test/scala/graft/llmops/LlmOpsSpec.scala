@@ -174,6 +174,36 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.forall(_.getLong(1) === 1L), "all chain members label to min=1")
   }
 
+  test("hash sampling is deterministic, keyed, and roughly proportional") {
+    val df = (1L to 2000L).toDF("id")
+    val s1 = Sampling.hashSample(df, "id", 0.25).as[Long].collect().sorted
+    val s2 = Sampling.hashSample(df, "id", 0.25).as[Long].collect().sorted
+    assert(s1.toSeq === s2.toSeq, "same key set every run")
+    assert(s1.length > 2000 * 0.15 && s1.length < 2000 * 0.35)
+    // monotone: a larger fraction strictly contains a smaller one
+    val s3 = Sampling.hashSample(df, "id", 0.50).as[Long].collect().toSet
+    assert(s1.forall(s3.contains), "fraction gates must nest")
+  }
+
+  test("stratified hash sampling applies per-stratum fractions") {
+    val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    val got = Sampling.stratifiedHashSample(df, "stratum", "id",
+      Map("a" -> 1.0, "b" -> 0.0))
+    assert(got.filter($"stratum" === "b").count() === 0)
+    assert(got.filter($"stratum" === "a").count() === 500)
+  }
+
+  test("ngram counts: occurrence counts with total ordering") {
+    val df = Seq("a b a b c", "a b").toDF("text")
+    val got = TextAnalysis.ngramCounts(df, "text", 2, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+    val uni = TextAnalysis.ngramCounts(df, "text", 1, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(uni.toSeq === Seq(("a", 3L), ("b", 3L)))
+  }
+
   test("multimodal stub pipeline preserves schema and partitioning shape") {
     val df = Seq(
       (1L, "image", Array[Byte](1, 2, 3), null.asInstanceOf[String], "/a", Map("k" -> "v"))
