@@ -72,6 +72,77 @@ object TextHashKernels {
   }
 }
 
+/** Count of whitespace tokens contained in a fixed word set, as a native
+  * codegen'd expression — replaces `size(filter(split(text," "), isin))`,
+  * which runs interpreted per row (10-50× slower on a corpus scan).
+  * Occurrences are counted (not distinct hits), byte-equality, matching
+  * the HOF composition exactly.
+  *
+  * The word set travels INSIDE the generated code as a comma-joined string
+  * literal (parsed + memoized per unique string on each executor) — a
+  * driver-side static registry would not exist on executor JVMs. Words must
+  * not contain commas or spaces; stopword lists satisfy this by
+  * construction.
+  */
+case class TokenInSetCount(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  require(words.forall(w => !w.contains(",") && !w.contains(" ")),
+    "words must be comma- and space-free")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_token_in_set_count"
+
+  private val joined = words.mkString(",")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenInSetCount.compute(input.asInstanceOf[UTF8String], joined)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lit = joined.replace("\\", "\\\\").replace("\"", "\\\"")
+    defineCodeGen(ctx, ev, c =>
+      s"""graft.expressions.TokenInSetCount.compute($c, "$lit")""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenInSetCount =
+    copy(child = newChild)
+}
+
+object TokenInSetCount {
+  import TextHashKernels._
+
+  private val setCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[String]]()
+
+  private def setFor(joined: String): java.util.HashSet[String] = {
+    val cached = setCache.get(joined)
+    if (cached != null) cached
+    else {
+      val s = new java.util.HashSet[String]()
+      joined.split(",").foreach(w => s.add(w))
+      setCache.putIfAbsent(joined, s)
+      s
+    }
+  }
+
+  def compute(text: UTF8String, joinedWords: String): Int = {
+    val set = setFor(joinedWords)
+    val bytes = text.getBytes
+    val starts = new Array[Int](bytes.length + 2)
+    val ends = new Array[Int](bytes.length + 2)
+    val n = tokenize(bytes, starts, ends)
+    var hits = 0
+    var t = 0
+    while (t < n) {
+      val tok = new String(bytes, starts(t), ends(t) - starts(t),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (set.contains(tok)) hits += 1
+      t += 1
+    }
+    hits
+  }
+}
+
 /** 64-bit SimHash of whitespace-tokenized text as a single codegen'd
   * expression: bit b of the result is set iff strictly more than half of the
   * token hashes have bit b set (equivalently the ±1 sign sum is positive —

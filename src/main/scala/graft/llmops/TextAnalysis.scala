@@ -34,8 +34,17 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "dans")
   )
 
-  /** Count of tokens that appear in `words`. */
+  /** Count of tokens that appear in `words` — native codegen'd kernel
+    * ([[graft.expressions.TokenInSetCount]]); the HOF filter composition it
+    * replaces runs interpreted on every row of a corpus scan.
+    */
   def stopwordHits(text: Column, words: Seq[String]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.TokenInSetCount(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(text), words))
+
+  /** Interpreted HOF form of [[stopwordHits]] — spec-level reference. */
+  def stopwordHitsHof(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(words: _*)))
 
   def stopwordRatio(text: Column, words: Seq[String]): Column =

@@ -135,6 +135,20 @@ class TextHashesSpec extends SparkTestBase {
     assert(m.count() === 0)
   }
 
+  test("native TokenInSetCount equals the HOF stopword-hit composition") {
+    import graft.llmops.TextAnalysis
+    val words = TextAnalysis.Stopwords("en")
+    val m = docs
+      .withColumn("native", TextAnalysis.stopwordHits(col("text"), words))
+      .withColumn("hof", TextAnalysis.stopwordHitsHof(col("text"), words))
+      .filter(col("native") =!= col("hof"))
+    assert(m.count() === 0)
+    // occurrences, not distinct hits
+    val r = Seq("the the a x").toDF("text")
+      .select(TextAnalysis.stopwordHits(col("text"), words)).collect().head.getInt(0)
+    assert(r === 3)
+  }
+
   test("portable winnow fingerprints match the md5-prefix window-min model") {
     // tiny doc, k=3, w=2: recompute expected fingerprints in Scala with
     // the same md5-prefix hash and rightmost-tie window minimum
