@@ -78,19 +78,20 @@ object DedupOps {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // neighbor labels: for each key, the min label among its neighbors
+      // neighbor labels: for each key, the min label among its neighbors;
+      // the change flag rides in the same projection so convergence costs
+      // one aggregate over the checkpointed frame, not an extra self-join
       val nbr = edges
         .join(labels.withColumnRenamed("key", "dst"), "dst")
         .groupBy(col("src").alias("key"))
         .agg(min(col("label")).alias("nbr_label"))
       val next = labels.join(nbr, Seq("key"), "left")
         .select(col("key"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).alias("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).alias("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label")).alias("__changed"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "key")
-        .filter(col("label") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.drop("__changed")
       i += 1
     }
     edges.unpersist()
