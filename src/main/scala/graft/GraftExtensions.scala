@@ -26,7 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
-        new ExpressionInfo("graft", null, name, usage, ""),
+        new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in"),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
 }

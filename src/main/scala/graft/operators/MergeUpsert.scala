@@ -161,7 +161,7 @@ object MergeUpsert {
         val existing = spark.read
           .option("basePath", path)
           .option("mergeSchema", "true")
-          .parquet(liveDirs.map(_.toString): _*)
+          .parquet(liveDirs.map(_.toString).toIndexedSeq: _*)
         // dir-name inference may re-type partition values (e.g. date
         // strings); the batch's schema is authoritative for the rewrite
         val typed = batchTypes.foldLeft(existing) { case (df, (p, dt)) =>

@@ -56,5 +56,22 @@ package object syntax {
     /** Language-ID per row key (codegen'd corpus scan). */
     def withLangId(keyCol: String, textCol: String): DataFrame =
       df.join(TextAnalysis.langIdByKey(df, keyCol, textCol), keyCol)
+
+    /** Collapse transitive near-dup pairs to one survivor per cluster
+      * (the minimum key); rows absent from `pairs` survive untouched.
+      */
+    def dedupByClusters(keyCol: String, pairs: DataFrame): DataFrame =
+      DedupOps.dedupByClusters(df, keyCol, pairs)
+
+    /** Deterministic engine-portable hash sample (same rows every run and
+      * every engine; fractions nest).
+      */
+    def hashSample(keyCol: String, fraction: Double): DataFrame =
+      graft.llmops.Sampling.hashSample(df, keyCol, fraction)
+
+    /** Scrub emails/IPs/phones to typed tokens (RE2-portable patterns). */
+    def scrubPii(textCol: String): DataFrame =
+      df.withColumn(textCol,
+        TextAnalysis.scrubPii(org.apache.spark.sql.functions.col(textCol)))
   }
 }
