@@ -27,13 +27,20 @@ object TextHashKernels {
   private val md5Local = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
+  // digest written into a reusable thread-local buffer: winnow's portable
+  // mode hashes every k-gram position, and a fresh 16-byte array per call
+  // is measurable GC pressure at millions of positions per task
+  private val digestBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
 
   /** First 60 bits of md5(bytes[start, start+len)), big-endian. */
   def md5Prefix60(bytes: Array[Byte], start: Int, len: Int): Long = {
     val md = md5Local.get()
     md.reset()
     md.update(bytes, start, len)
-    val d = md.digest()
+    val d = digestBuf.get()
+    md.digest(d, 0, 16)
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
