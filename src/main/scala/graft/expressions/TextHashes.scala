@@ -150,6 +150,55 @@ object TokenInSetCount {
   }
 }
 
+/** Word n-grams of whitespace-tokenized text as a native codegen'd
+  * expression — each gram is the original byte span from the first token's
+  * start to the last token's end (tokens are single-space separated, so the
+  * span equals the space-joined gram), replacing the interpreted
+  * `transform(sequence(...), slice/concat_ws)` composition. `distinct`
+  * keeps first occurrences in order, matching `array_distinct`.
+  * Fewer than n tokens yield an empty array.
+  */
+case class WordNGrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordNGrams.compute(input.asInstanceOf[UTF8String], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.WordNGrams.compute($c, $n, $distinct)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
+object WordNGrams {
+  import TextHashKernels._
+
+  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val bytes = text.getBytes
+    val starts = new Array[Int](bytes.length + 2)
+    val ends = new Array[Int](bytes.length + 2)
+    val numTok = tokenize(bytes, starts, ends)
+    if (numTok < n) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[UTF8String](numTok - n + 1)
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    var i = 0
+    while (i <= numTok - n) {
+      val s = starts(i)
+      val e = ends(i + n - 1)
+      val gram = UTF8String.fromBytes(bytes, s, e - s)
+      if (seen == null || seen.add(gram)) out.add(gram)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** 64-bit SimHash of whitespace-tokenized text as a single codegen'd
   * expression: bit b of the result is set iff strictly more than half of the
   * token hashes have bit b set (equivalently the ±1 sign sum is positive —

@@ -118,8 +118,18 @@ object DedupOps {
         s => length(s) === k))
   }
 
-  /** Word shingles (n-grams of tokens), distinct. */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** Word shingles (n-grams of tokens), distinct — native codegen'd kernel
+    * ([[graft.expressions.WordNGrams]]); the HOF transform/slice
+    * composition it replaces runs interpreted per row.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.WordNGrams(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(text), n,
+        distinct = true))
+
+  /** Interpreted HOF form of [[wordShingles]] — spec-level reference. */
+  def wordShinglesHof(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)
     array_distinct(
       filter(

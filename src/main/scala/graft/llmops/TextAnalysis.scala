@@ -123,19 +123,14 @@ object TextAnalysis {
     * boilerplate phrases, stop-phrase candidates). One explode of word
     * n-grams, one partial-aggregated count, rank by (count desc, ngram) —
     * the word-count shape at 100 TB; `topK` bounds the result, not the
-    * computation. n = 1 is a pure codegen explode; n ≥ 2 builds grams with
-    * a higher-order transform (interpreted) — for full-corpus scans at
-    * scale prefer n = 1 or promote the gram builder to a native expression
-    * alongside [[graft.expressions.MinHashSig]].
+    * computation. Grams come from the native codegen'd
+    * [[graft.expressions.WordNGrams]] kernel (occurrences, not distinct).
     */
   def ngramCounts(df: DataFrame, textCol: String, n: Int, topK: Int): DataFrame = {
-    val toks = tokens(col(textCol))
-    val grams =
-      if (n == 1) toks
-      else filter(
-        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
-        s => size(split(s, " ")) === n)
+    val grams = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.WordNGrams(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(col(textCol)),
+        n, distinct = false))
     df.select(explode(grams).alias("ngram"))
       .filter(length(col("ngram")) > 0)
       .groupBy("ngram").agg(count(lit(1)).alias("freq"))

@@ -135,6 +135,22 @@ class TextHashesSpec extends SparkTestBase {
     assert(m.count() === 0)
   }
 
+  test("native WordNGrams equals the HOF shingle composition") {
+    import graft.llmops.DedupOps
+    val m = docs
+      .withColumn("native", DedupOps.wordShingles(col("text"), 3))
+      .withColumn("hof", DedupOps.wordShinglesHof(col("text"), 3))
+      .filter(col("native") =!= col("hof"))
+    assert(m.count() === 0)
+    // whitespace edges: empty tokens participate in grams; <n tokens → empty
+    val edge = Seq("a  b c", "a b", "", "x y z w").toDF("text")
+    val e = edge
+      .withColumn("native", DedupOps.wordShingles(col("text"), 3))
+      .withColumn("hof", DedupOps.wordShinglesHof(col("text"), 3))
+      .filter(col("native") =!= col("hof"))
+    assert(e.count() === 0)
+  }
+
   test("native TokenInSetCount equals the HOF stopword-hit composition") {
     import graft.llmops.TextAnalysis
     val words = TextAnalysis.Stopwords("en")
