@@ -199,6 +199,51 @@ object WordNGrams {
   }
 }
 
+/** Distinct character k-grams of whitespace-normalized lower-cased text as
+  * a native codegen'd expression — the char-shingle twin of [[WordNGrams]],
+  * replacing the interpreted `transform(sequence, substr)` composition.
+  * Normalization chain matches `regexp_replace(lower(trim(text)),"\s+"," ")`
+  * exactly: UTF8String trim/toLowerCase (the same kernels the built-ins
+  * call) then a java.util.regex replace. Fewer than k normalized chars
+  * yield an empty array. Char indexing is UTF-16-unit based (identical to
+  * code points for text inside the BMP).
+  */
+case class CharNGrams(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_char_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharNGrams.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.CharNGrams.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNGrams =
+    copy(child = newChild)
+}
+
+object CharNGrams {
+
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val norm = text.trim().toLowerCase().toString.replaceAll("\\s+", " ")
+    val n = norm.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[UTF8String](n)
+    val seen = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < n) {
+      val gram = UTF8String.fromString(norm.substring(i, i + k))
+      if (seen.add(gram)) out.add(gram)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** 64-bit SimHash of whitespace-tokenized text as a single codegen'd
   * expression: bit b of the result is set iff strictly more than half of the
   * token hashes have bit b set (equivalently the ±1 sign sum is positive —

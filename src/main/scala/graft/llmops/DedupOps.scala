@@ -108,8 +108,16 @@ object DedupOps {
       .drop("cluster_id")
   }
 
-  /** Character shingles (k-grams) of the normalized text, distinct. */
-  def shingles(text: Column, k: Int): Column = {
+  /** Character shingles (k-grams) of the normalized text, distinct —
+    * native codegen'd kernel ([[graft.expressions.CharNGrams]]).
+    */
+  def shingles(text: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.CharNGrams(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(text), k))
+
+  /** Interpreted HOF form of [[shingles]] — spec-level reference. */
+  def shinglesHof(text: Column, k: Int): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
     array_distinct(
       filter(

@@ -151,6 +151,20 @@ class TextHashesSpec extends SparkTestBase {
     assert(e.count() === 0)
   }
 
+  test("native CharNGrams equals the HOF char-shingle composition") {
+    import graft.llmops.DedupOps
+    val m = docs
+      .withColumn("native", DedupOps.shingles(col("text"), 5))
+      .withColumn("hof", DedupOps.shinglesHof(col("text"), 5))
+      .filter(col("native") =!= col("hof"))
+    assert(m.count() === 0)
+    val edge = Seq("  MiXeD   Case  ", "ab", "", "abcde").toDF("text")
+      .withColumn("native", DedupOps.shingles(col("text"), 5))
+      .withColumn("hof", DedupOps.shinglesHof(col("text"), 5))
+      .filter(col("native") =!= col("hof"))
+    assert(edge.count() === 0)
+  }
+
   test("native TokenInSetCount equals the HOF stopword-hit composition") {
     import graft.llmops.TextAnalysis
     val words = TextAnalysis.Stopwords("en")
