@@ -112,7 +112,28 @@ object GraftFunctions {
       exprs => graft.expressions.WinnowFingerprint(
         exprs.head,
         exprs.lift(1).map(litText(_, "graft_winnow", "k").toInt).getOrElse(7),
-        exprs.lift(2).map(litText(_, "graft_winnow", "w").toInt).getOrElse(4)))
+        exprs.lift(2).map(litText(_, "graft_winnow", "w").toInt).getOrElse(4))),
+
+    ("graft_word_ngrams",
+      "graft_word_ngrams(text[, n]) - distinct word n-grams (native kernel)",
+      exprs => graft.expressions.WordNGrams(
+        exprs.head,
+        exprs.lift(1).map(litText(_, "graft_word_ngrams", "n").toInt).getOrElse(3),
+        distinct = true)),
+
+    ("graft_char_ngrams",
+      "graft_char_ngrams(text[, k]) - distinct normalized char k-grams (native kernel)",
+      exprs => graft.expressions.CharNGrams(
+        exprs.head,
+        exprs.lift(1).map(litText(_, "graft_char_ngrams", "k").toInt).getOrElse(5))),
+
+    ("graft_scrub_pii",
+      "graft_scrub_pii(text) - emails/IPs/phones to typed tokens (RE2-portable patterns)",
+      exprs => e(TextAnalysis.scrubPii(c(exprs.head)))),
+
+    ("graft_dedup_lines",
+      "graft_dedup_lines(text) - drop repeated lines, first occurrence kept",
+      exprs => e(TextAnalysis.dedupLines(c(exprs.head))))
   )
 
   /** Register on a live session (temp functions, session-scoped). */

@@ -70,6 +70,17 @@ class GraftExtensionsSpec extends SparkTestBase {
       "SELECT graft_cosine(embedding, embedding) AS c FROM emb_nk LIMIT 1")
       .collect().head.getDouble(0)
     assert(math.abs(cos - 1.0) < 1e-9)
+
+    // curation functions
+    val row = spark.sql(
+      """SELECT graft_word_ngrams('a b c d', '2') AS wg,
+         graft_char_ngrams('AB CD', '2') AS cg,
+         graft_scrub_pii('mail x@y.io now') AS pii,
+         graft_dedup_lines('a\nb\na') AS dl""").collect().head
+    assert(row.getSeq[String](0) === Seq("a b", "b c", "c d"))
+    assert(row.getSeq[String](1) === Seq("ab", "b ", " c", "cd"))
+    assert(row.getString(2) === "mail <EMAIL> now")
+    assert(row.getString(3) === "a\nb")
   }
 
   test("literal-argument validation raises a clear error") {
