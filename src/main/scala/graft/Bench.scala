@@ -1,11 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
-/** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line {"metric":…,"queries":{…}}. */
+/** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR,
+  * prints one JSON line {"metric":…,"queries":{…}} AND writes the same JSON
+  * to SPARK_GRAFT_BENCH_OUT (default bench_out.json) — log scrapers lose
+  * the line to sbt prefixes, the file never does.
+  * SPARK_GRAFT_BENCH_ONLY=q34,q43 restricts to a comma-separated subset
+  * (prefix match) for quick iteration. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
       shufflePartitions = cpus.toIntOption.getOrElse(32)
@@ -21,7 +27,10 @@ object Bench {
     // min of two runs per query: scheduler/GC noise on a shared box easily
     // doubles a sub-second measurement
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toIntOption.getOrElse(2)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to math.max(1, runs)).map { _ =>
         spark.catalog.clearCache() // operators may persist internally
         val t0 = System.nanoTime()
@@ -33,7 +42,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

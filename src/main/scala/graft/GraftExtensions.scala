@@ -136,10 +136,15 @@ object GraftFunctions {
       exprs => e(TextAnalysis.dedupLines(c(exprs.head))))
   )
 
-  /** Register on a live session (temp functions, session-scoped). */
+  /** Register on a live session (temp functions, session-scoped).
+    * Idempotent: already-registered names are left alone, so repeated calls
+    * (every suite / query entry registers defensively) don't emit a
+    * "replaced a previously registered function" warning per function.
+    */
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, _, builder) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, builder, "scala_udf")
+      val registry = spark.sessionState.functionRegistry
+      if (!registry.functionExists(new FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
 }

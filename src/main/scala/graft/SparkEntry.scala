@@ -496,6 +496,21 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q34_fast" -> ((s, dir) => {
+      // production xxhash64 simhash mode — same pipeline as q34 without the
+      // portable-md5 oracle tax; no SQL oracle (xxhash64 isn't portable to
+      // DuckDB) → rows-only check, benched so the production path has a number
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents").filter(col("doc_id") < 2000)
+        .repartition(32)
+      val doubled = d.unionByName(
+        d.withColumn("doc_id", col("doc_id") + 1000000))
+      DedupOps.simhashNearDups(doubled, "text", "doc_id", maxDist = 3,
+          portable = false)
+        .withColumn("hamming", col("hamming").cast("int"))
+        .orderBy("key_a", "key_b")
+    }),
+
     "q35_sim_lsh" -> ((s, dir) => {
       val ss = tuned(s)
       val emb = t(ss, dir, "embeddings")
@@ -590,6 +605,21 @@ object SparkEntry {
       // replicates the winnowed fingerprint sets and the overlap pipeline
       DedupOps.winnowNearDups(doubled, "text", "doc_id", minSharedFrac = 0.8,
           portable = true)
+        .withColumn("shared_fingerprints", col("shared_fingerprints").cast("long"))
+        .withColumn("overlap", round(col("overlap"), 6))
+        .orderBy("key_a", "key_b")
+    }),
+
+    "q43_fast" -> ((s, dir) => {
+      // production rolling-hash winnow mode — same pipeline as q43 without
+      // the portable-md5 oracle tax; rows-only check (bespoke 64-bit hash)
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents").filter(col("doc_id") < 2000)
+        .repartition(32)
+      val doubled = d.unionByName(
+        d.withColumn("doc_id", col("doc_id") + 1000000))
+      DedupOps.winnowNearDups(doubled, "text", "doc_id", minSharedFrac = 0.8,
+          portable = false)
         .withColumn("shared_fingerprints", col("shared_fingerprints").cast("long"))
         .withColumn("overlap", round(col("overlap"), 6))
         .orderBy("key_a", "key_b")

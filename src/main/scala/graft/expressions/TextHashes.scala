@@ -52,6 +52,66 @@ object TextHashKernels {
     md5Prefix60(b, 0, b.length)
   }
 
+  // ---- memoized md5 prefix -------------------------------------------------
+  // Natural-language corpora are Zipfian: the same tokens / character
+  // k-grams recur millions of times per task, and md5 per occurrence was
+  // ~30% of benchmark wall time. The memo is a per-thread open-addressing
+  // table keyed by the EXACT bytes (verbatim compare on hit — a 64-bit
+  // probe-hash collision can never yield a wrong value, only a slower one),
+  // so portable-mode signatures stay bit-identical to the SQL oracle.
+  // Thread-locals outlive tasks in executor thread pools, which is a
+  // feature: the cache stays warm across a stage's task waves.
+  private final val MemoBits = 17
+  private final val MemoMask = (1 << MemoBits) - 1
+  private final val MemoMaxProbe = 16
+
+  private val memoKeys = new ThreadLocal[Array[Array[Byte]]] {
+    override def initialValue(): Array[Array[Byte]] =
+      new Array[Array[Byte]](1 << MemoBits)
+  }
+  private val memoVals = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](1 << MemoBits)
+  }
+
+  private def sliceEquals(k: Array[Byte], b: Array[Byte], start: Int, len: Int): Boolean = {
+    var i = 0
+    while (i < len) { if (k(i) != b(start + i)) return false; i += 1 }
+    true
+  }
+
+  /** [[md5Prefix60]] with a per-thread exact-key memo. Linear-probes up to
+    * [[MemoMaxProbe]] slots; a fully-contended neighborhood overwrites the
+    * home slot (LRU-ish — hot keys win it back on their next occurrence).
+    */
+  def md5Prefix60Memo(bytes: Array[Byte], start: Int, len: Int): Long = {
+    val keys = memoKeys.get()
+    val vals = memoVals.get()
+    val home = xx64(bytes, start, len).toInt & MemoMask
+    var idx = home
+    var probes = 0
+    while (probes < MemoMaxProbe) {
+      val k = keys(idx)
+      if (k == null) {
+        val v = md5Prefix60(bytes, start, len)
+        keys(idx) = java.util.Arrays.copyOfRange(bytes, start, start + len)
+        vals(idx) = v
+        return v
+      }
+      if (k.length == len && sliceEquals(k, bytes, start, len)) return vals(idx)
+      idx = (idx + 1) & MemoMask
+      probes += 1
+    }
+    val v = md5Prefix60(bytes, start, len)
+    keys(home) = java.util.Arrays.copyOfRange(bytes, start, start + len)
+    vals(home) = v
+    v
+  }
+
+  def md5Prefix60Memo(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    md5Prefix60Memo(b, 0, b.length)
+  }
+
   /** xxhash64 of the byte slice with Spark's default seed 42 — identical to
     * `functions.xxhash64(stringCol)` on the same UTF-8 bytes.
     */
@@ -288,7 +348,7 @@ object SimHash64 {
     var t = 0
     while (t < n) {
       val h =
-        if (portable) md5Prefix60(bytes, starts(t), ends(t) - starts(t))
+        if (portable) md5Prefix60Memo(bytes, starts(t), ends(t) - starts(t))
         else xx64(bytes, starts(t), ends(t) - starts(t))
       var b = 0
       while (b < 64) { ones(b) += ((h >>> b) & 1L).toInt; b += 1 }

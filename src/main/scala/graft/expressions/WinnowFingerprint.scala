@@ -66,12 +66,12 @@ object WinnowFingerprint {
       val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (bytes.length == s.length) {
         while (i < n) {
-          hashes(i) = TextHashKernels.md5Prefix60(bytes, i, k)
+          hashes(i) = TextHashKernels.md5Prefix60Memo(bytes, i, k)
           i += 1
         }
       } else {
         while (i < n) {
-          hashes(i) = TextHashKernels.md5Prefix60(s.substring(i, i + k))
+          hashes(i) = TextHashKernels.md5Prefix60Memo(s.substring(i, i + k))
           i += 1
         }
       }

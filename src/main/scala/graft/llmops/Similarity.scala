@@ -142,7 +142,9 @@ object Similarity {
       .withColumn("__r", pmod(portable60(col("ck")), lit(1000000L)))
       .orderBy(col("__r"), col("ck"))
       .limit(nCentroids)
-    val wc = Window.orderBy(col("__r"), col("ck")) // ≤ nCentroids rows
+    // constant partition key: same single-partition window over ≤ nCentroids
+    // rows, without WindowExec's no-partition warning polluting the logs
+    val wc = Window.partitionBy(lit(0)).orderBy(col("__r"), col("ck"))
     val cents = sampled
       .withColumn("cent_id", row_number().over(wc))
       .select(col("cent_id"), col("cent_vec"), norm(col("cent_vec")).alias("cent_norm"))
