@@ -455,6 +455,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q54_ooxml_extract" -> ((s, dir) => {
+      // S6 binary-document path: REAL .docx/.pptx/.xlsx archives (zip+XML,
+      // built by OoxmlWriter from corpus text in the driver — 300 small
+      // blobs of input construction, not the measured operator), extracted
+      // back distributed through the native DocExtractText expression. The
+      // oracle recomputes the expected text shapes from the raw text column.
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val W = graft.llmops.OoxmlWriter
+      val rows = docs.flatMap { case (id, text) =>
+        Seq(
+          (id, "docx", W.docx(Seq(s"Doc $id", text)),
+            "application/vnd.openxmlformats-officedocument.wordprocessingml.document"),
+          (id, "pptx", W.pptx(Seq(Seq(s"Doc $id", text), Seq("End"))),
+            "application/vnd.openxmlformats-officedocument.presentationml.presentation"),
+          (id, "xlsx", W.xlsx(Seq("data" -> Seq(Seq("id", id.toString), Seq("text", text)))),
+            "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"))
+      }.toSeq
+      import ss.implicits._
+      val src = rows.toDF("doc_id", "fmt", "content", "mime").repartition(32)
+      graft.llmops.DocumentText.extractDocumentText(src, "content", "mime")
+        .select(col("doc_id"), col("fmt"), col("extracted_text"))
+        .orderBy("doc_id", "fmt")
+    }),
+
     "q32_sim_bruteforce" -> ((s, dir) => {
       val ss = tuned(s)
       val emb = t(ss, dir, "embeddings")
@@ -1234,6 +1261,25 @@ object SparkEntry {
       """SELECT doc_id,
          'Head ' || trim(regexp_replace(text, '\s+', ' ', 'g')) AS extracted_text
          FROM documents ORDER BY doc_id""",
+
+    // the engine round-trips text through real zip+XML archives; the
+    // expected strings are the reference extractors' output shapes
+    // (docx: "\n"-joined paragraphs; pptx: "Slide i: " + space-joined
+    // shapes, "\n\n" between slides; xlsx: Sheet/Row lines, " | " cells,
+    // trailing blank line per sheet)
+    "q54_ooxml_extract" ->
+      """WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 300)
+         SELECT doc_id, 'docx' AS fmt,
+           'Doc ' || doc_id || chr(10) || text AS extracted_text FROM src
+         UNION ALL
+         SELECT doc_id, 'pptx' AS fmt,
+           'Slide 1: Doc ' || doc_id || ' ' || text || chr(10) || chr(10) ||
+           'Slide 2: End' AS extracted_text FROM src
+         UNION ALL
+         SELECT doc_id, 'xlsx' AS fmt,
+           'Sheet: data' || chr(10) || 'Row 1: id | ' || doc_id || chr(10) ||
+           'Row 2: text | ' || text || chr(10) AS extracted_text FROM src
+         ORDER BY doc_id, fmt""",
 
     "q47_merge_evolve" ->
       """WITH oldd AS (

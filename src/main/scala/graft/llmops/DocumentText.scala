@@ -1,8 +1,7 @@
 package graft.llmops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, Row}
 
 import java.nio.charset.StandardCharsets.UTF_8
 
@@ -12,24 +11,38 @@ import java.nio.charset.StandardCharsets.UTF_8
   *
   * Formats that need no native libraries are REAL here: plain text (BOM
   * and charset-fallback aware), HTML (state-machine tag stripping with
-  * script/style elision and entity decode), and Markdown (syntax
-  * stripping). Binary formats (PDF/DOCX/XLSX) stay behind the honest
-  * [[unsupported]] stub — the container ships no Tika/pdfbox equivalent —
-  * but route through the same dispatch so swapping a real codec in is a
-  * one-line change.
+  * script/style elision and entity decode), Markdown (syntax stripping),
+  * and the OOXML family — DOCX/XLSX/PPTX are zip+XML, parsed JDK-only by
+  * [[Ooxml]]. Only PDF stays behind the honest [[unsupported]] stub (a
+  * real content-stream parser needs pdfbox/Tika, which the container
+  * doesn't ship).
   *
-  * The DataFrame operator batches rows inside `mapPartitions` (one decoder
-  * context per partition, no per-row setup, partitioning preserved — the
-  * same shape [[Multimodal.extractImageFeatures]] documents for native
-  * codecs at scale).
+  * The DataFrame operator is a native codegen'd expression
+  * ([[graft.expressions.DocExtractText]]) evaluated in the scan
+  * projection — rows never leave Tungsten, column pruning and
+  * whole-stage codegen survive downstream.
   */
 object DocumentText {
 
-  /** Normalized extracted text: whitespace runs collapsed, trimmed. */
+  /** Extracted text per format. Text formats come back whitespace-normalized;
+    * the OOXML formats keep the reference's line structure ("\n"-joined
+    * paragraphs / slide and sheet line blocks — [[Ooxml]] documents the exact
+    * shapes), because those newlines ARE the extraction contract.
+    *
+    * The OOXML arms must precede the html/xml arm: their MIME types
+    * ("application/vnd.openxmlformats-officedocument.*+xml-ish") contain the
+    * substring "xml".
+    */
   def extractText(bytes: Array[Byte], mimeType: String): Option[String] = {
     if (bytes == null) return None
     val mime = Option(mimeType).getOrElse("").toLowerCase
     mime match {
+      case m if m.contains("wordprocessingml") || m.endsWith("/docx") =>
+        Ooxml.docxText(bytes)
+      case m if m.contains("spreadsheetml") || m.endsWith("/xlsx") =>
+        Ooxml.xlsxText(bytes)
+      case m if m.contains("presentationml") || m.endsWith("/pptx") =>
+        Ooxml.pptxText(bytes)
       case m if m.contains("html") || m.contains("xml") =>
         Some(htmlToText(decodeBytes(bytes)))
       case m if m.contains("markdown") || m == "text/md" =>
@@ -40,9 +53,12 @@ object DocumentText {
     }
   }
 
-  /** STUB for native-codec formats (pdf, docx, xlsx, pptx): the reference
-    * parses these with binary parsers that are not available offline; a
-    * real integration plugs in here without touching callers.
+  /** STUB for the remaining native-codec format: PDF. Its content streams
+    * need a real parser (object graph + stream filters + font cmaps) that
+    * the container does not ship and a JDK-only reimplementation cannot
+    * honestly cover; DOCX/XLSX/PPTX are REAL ([[Ooxml]] — zip+XML needs no
+    * external jars). A pdfbox/Tika integration plugs in here without
+    * touching callers.
     */
   def unsupported(mime: String): Option[String] = None
 
@@ -152,24 +168,23 @@ object DocumentText {
   def normalize(s: String): String =
     s.replaceAll("\\s+", " ").trim
 
+  /** Extraction column over (content: binary, mime: string) — the native
+    * codegen'd [[graft.expressions.DocExtractText]], so the decode runs
+    * inside the scan projection (no RDD round-trip: the former
+    * `df.rdd.mapPartitions` form deserialized every row and broke
+    * whole-stage codegen and column pruning for everything downstream).
+    */
+  def extractTextCol(content: org.apache.spark.sql.Column,
+      mime: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.DocExtractText(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content),
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(mime)))
+
   /** Batch extraction over (content: binary, mime: string) columns —
     * appends `extracted_text` (null for unsupported formats).
     */
   def extractDocumentText(df: DataFrame, contentCol: String,
-      mimeCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(df.schema.fields :+
-      StructField("extracted_text", StringType, nullable = true))
-    val cIdx = df.schema.fieldIndex(contentCol)
-    val mIdx = df.schema.fieldIndex(mimeCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val text = extractText(
-          r.get(cIdx).asInstanceOf[Array[Byte]],
-          if (r.isNullAt(mIdx)) null else r.getString(mIdx))
-        Row.fromSeq(r.toSeq :+ text.orNull)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+      mimeCol: String): DataFrame =
+    df.withColumn("extracted_text", extractTextCol(col(contentCol), col(mimeCol)))
 }
