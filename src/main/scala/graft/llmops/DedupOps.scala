@@ -60,21 +60,38 @@ object DedupOps {
     * in practice; `maxIters` bounds pathological chains). Each round is one
     * hash-partitioned join + partial-aggregated groupBy on the key — no
     * driver-side graph, scales to any pair count. Label frames are
-    * localCheckpointed per round to truncate the growing lineage (the
-    * standard iterative-algorithm requirement).
+    * checkpointed per round to truncate the growing lineage (the standard
+    * iterative-algorithm requirement).
+    *
+    * Checkpoint durability: by default rounds use `localCheckpoint`
+    * (executor-resident blocks — fastest, but an executor loss
+    * mid-iteration fails the job). Pass `checkpointDir` to use reliable
+    * `checkpoint()` into that directory instead: each round's labels land
+    * in fault-tolerant storage, so a 1000-executor run survives executor
+    * churn at the cost of one write+read per round. The directory is set
+    * on the SparkContext if not already configured.
     *
     * @param pairs (key_a, key_b) rows, any direction, duplicates allowed
+    * @param checkpointDir reliable checkpoint directory (HDFS-visible at
+    *                      real scale); None = localCheckpoint
     * @return (key, cluster_id) for every key that appears in some pair
     */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach { dir =>
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(dir)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col("key_a").alias("src"), col("key_b").alias("dst"))
       .unionByName(pairs.select(col("key_b").alias("src"), col("key_a").alias("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.groupBy(col("src"))
+    var labels = truncate(edges.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).alias("label"))
-      .withColumnRenamed("src", "key")
-      .localCheckpoint()
+      .withColumnRenamed("src", "key"))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -85,11 +102,10 @@ object DedupOps {
         .join(labels.withColumnRenamed("key", "dst"), "dst")
         .groupBy(col("src").alias("key"))
         .agg(min(col("label")).alias("nbr_label"))
-      val next = labels.join(nbr, Seq("key"), "left")
+      val next = truncate(labels.join(nbr, Seq("key"), "left")
         .select(col("key"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).alias("label"),
-          (coalesce(col("nbr_label"), col("label")) < col("label")).alias("__changed"))
-        .localCheckpoint()
+          (coalesce(col("nbr_label"), col("label")) < col("label")).alias("__changed")))
       converged = next.filter(col("__changed")).isEmpty
       labels = next.drop("__changed")
       i += 1

@@ -11,8 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * operators, so the capability needs no external service.
   *
   * Embedding generation itself (bedrock_helper.py:128-170) is an external
-  * model call; [[embedStub]] keeps the mapPartitions batching shape with a
-  * deterministic stand-in.
+  * model call: [[Embeddings.embedColumn]] is the real batched-client
+  * operator (pluggable [[EmbeddingClient]], retry/backoff, failure
+  * policy) and [[Embeddings.embedInto]] wires it to [[VectorStore.upsert]];
+  * [[VectorStore.embedStub]] remains the zero-dependency deterministic
+  * stand-in for environments with no endpoint at all.
   */
 final class VectorStore(spark: SparkSession, path: String) {
 

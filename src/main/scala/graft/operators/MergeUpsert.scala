@@ -31,6 +31,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object MergeUpsert {
 
+  /** A second writer attempted to upsert a table whose lease is live. */
+  final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
+  /** Default lease staleness: a writer that hasn't heartbeated for this
+    * long is presumed dead and its lock is broken.
+    */
+  val DefaultLeaseStaleMs: Long = 30L * 60 * 1000
+
   /** Merge `newDf` into `oldDf` by `idCols`.
     *
     * `autoMerge = true` mirrors the reference's Delta
@@ -108,28 +116,34 @@ object MergeUpsert {
       path: String,
       idCols: Seq[String],
       partitionCols: Seq[String] = Nil,
-      autoMerge: Boolean = true
+      autoMerge: Boolean = true,
+      leaseStaleMs: Long = DefaultLeaseStaleMs
   ): Unit = {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Maintenance.recover(spark, path) // self-heal an interrupted prior swap
-    val deduped = batch.dropDuplicates()
-    if (!fs.exists(hPath)) {
-      write(deduped, path, partitionCols)
-    } else if (partitionCols.isEmpty) {
-      val existing = spark.read.option("mergeSchema", "true").parquet(path)
-      val merged = merge(existing, deduped, idCols, autoMerge)
-      val tmp = new Path(path + "__staging")
-      write(merged, tmp.toString, partitionCols)
-      val bak = new Path(path + "__old")
-      if (fs.exists(bak)) fs.delete(bak, true)
-      fs.rename(hPath, bak)
-      fs.rename(tmp, hPath)
-      fs.delete(bak, true)
-    } else {
-      prunedUpsert(spark, fs, path, deduped, idCols, partitionCols, autoMerge)
-    }
-    ()
+    val lease = WriterLease.acquire(fs, path, leaseStaleMs)
+    try {
+      Maintenance.recover(spark, path) // self-heal an interrupted prior swap
+      val deduped = batch.dropDuplicates()
+      if (!fs.exists(hPath)) {
+        write(deduped, path, partitionCols)
+      } else if (partitionCols.isEmpty) {
+        val existing = spark.read.option("mergeSchema", "true").parquet(path)
+        val merged = merge(existing, deduped, idCols, autoMerge)
+        val tmp = new Path(path + "__staging")
+        write(merged, tmp.toString, partitionCols)
+        lease.heartbeat() // staging (the long phase) done; still alive
+        val bak = new Path(path + "__old")
+        if (fs.exists(bak)) fs.delete(bak, true)
+        fs.rename(hPath, bak)
+        fs.rename(tmp, hPath)
+        fs.delete(bak, true)
+      } else {
+        prunedUpsert(spark, fs, path, deduped, idCols, partitionCols, autoMerge,
+          lease)
+      }
+      ()
+    } finally lease.release()
   }
 
   private def prunedUpsert(
@@ -139,7 +153,8 @@ object MergeUpsert {
       batch: DataFrame,
       idCols: Seq[String],
       partitionCols: Seq[String],
-      autoMerge: Boolean
+      autoMerge: Boolean,
+      lease: WriterLease
   ): Unit = {
     // 1. affected partitions: distinct tuples from the batch — bounded by
     //    the batch, not the table; collect() here is partition *metadata*
@@ -174,6 +189,7 @@ object MergeUpsert {
     val staging = new Path(path + "__staging")
     if (fs.exists(staging)) fs.delete(staging, true)
     write(merged, staging.toString, partitionCols)
+    lease.heartbeat() // staging (the long phase) done; still alive
 
     // 4. commit marker: staged data is complete from here on — recovery
     //    replays the swap; without the marker, recovery aborts the staging

@@ -174,6 +174,23 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.forall(_.getLong(1) === 1L), "all chain members label to min=1")
   }
 
+  test("duplicate clusters with a reliable checkpoint dir: same labels, files land") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("key_a", "key_b")
+    val got = DedupOps.duplicateClusters(chain, checkpointDir = Some(dir))
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 9)
+    assert(got.forall(_._2 === 1L))
+    // reliable checkpoints actually materialized in the requested dir
+    def anyFile(p: java.nio.file.Path): Boolean = {
+      val s = java.nio.file.Files.walk(p)
+      try s.anyMatch(f => java.nio.file.Files.isRegularFile(f))
+      finally s.close()
+    }
+    assert(anyFile(java.nio.file.Paths.get(dir)),
+      "checkpoint dir stayed empty — rounds still used localCheckpoint")
+  }
+
   test("hash sampling is deterministic, keyed, and roughly proportional") {
     val df = (1L to 2000L).toDF("id")
     val s1 = Sampling.hashSample(df, "id", 0.25).as[Long].collect().sorted

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.hadoop.fs.Path
+
+class WriterLeaseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fs = new Path("/tmp").getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def tmpTable(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_lease_$name").toString + "/t"
+
+  test("a second concurrent upsert to the same path aborts cleanly") {
+    val path = tmpTable("contend")
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    MergeUpsert.upsertParquet(spark, base, path, Seq("id"))
+
+    // writer 1 holds the lease (as if mid-merge)
+    val held = WriterLease.acquire(fs, path, staleMs = 60000)
+    try {
+      val batch = Seq((2L, "B2"), (3L, "c")).toDF("id", "v")
+      intercept[MergeUpsert.ConcurrentWriteException] {
+        MergeUpsert.upsertParquet(spark, batch, path, Seq("id"),
+          leaseStaleMs = 60000)
+      }
+      // the loser never staged anything: no __staging/__commit droppings
+      assert(!fs.exists(new Path(path + "__staging")))
+      assert(!fs.exists(new Path(path + "__commit")))
+      // and the table is untouched
+      val rows = spark.read.parquet(path).orderBy("id")
+        .as[(Long, String)].collect().toSeq
+      assert(rows === Seq((1L, "a"), (2L, "b")))
+    } finally held.release()
+  }
+
+  test("a stale lock (dead writer) is broken and the upsert proceeds") {
+    val path = tmpTable("stale")
+    MergeUpsert.upsertParquet(spark, Seq((1L, "a")).toDF("id", "v"), path, Seq("id"))
+    // dead writer: lock exists, last heartbeat far in the past
+    WriterLease.acquire(fs, path, staleMs = 60000) // acquired, never released
+    val lock = new Path(path + "__lock")
+    fs.setTimes(lock, System.currentTimeMillis() - 120000, -1)
+
+    MergeUpsert.upsertParquet(spark, Seq((2L, "b")).toDF("id", "v"), path,
+      Seq("id"), leaseStaleMs = 60000)
+    val rows = spark.read.parquet(path).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows === Seq((1L, "a"), (2L, "b")))
+    // the winning writer released its own lock on the way out
+    assert(!fs.exists(lock))
+  }
+
+  test("release allows the next writer immediately") {
+    val path = tmpTable("release")
+    MergeUpsert.upsertParquet(spark, Seq((1L, "a")).toDF("id", "v"), path, Seq("id"))
+    MergeUpsert.upsertParquet(spark, Seq((2L, "b")).toDF("id", "v"), path, Seq("id"))
+    assert(spark.read.parquet(path).count() === 2)
+    assert(!fs.exists(new Path(path + "__lock")))
+  }
+
+  test("heartbeat keeps a long merge from looking dead") {
+    val path = tmpTable("beat")
+    val held = WriterLease.acquire(fs, path, staleMs = 60000)
+    val lock = new Path(path + "__lock")
+    // simulate an old acquire whose owner is still alive and heartbeating
+    fs.setTimes(lock, System.currentTimeMillis() - 120000, -1)
+    held.heartbeat()
+    intercept[MergeUpsert.ConcurrentWriteException] {
+      WriterLease.acquire(fs, path, staleMs = 60000)
+    }
+    held.release()
+  }
+
+  test("two racers after the same stale lock: exactly one wins") {
+    val path = tmpTable("race")
+    // a stale lock from a dead writer
+    WriterLease.acquire(fs, path, staleMs = 60000)
+    fs.setTimes(new Path(path + "__lock"), System.currentTimeMillis() - 120000, -1)
+
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        try {
+          WriterLease.acquire(fs, path, staleMs = 60000)
+          results.add(true)
+        } catch {
+          case _: MergeUpsert.ConcurrentWriteException => results.add(false)
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(30000))
+    val wins = results.toArray.count(_ == true.asInstanceOf[AnyRef])
+    assert(wins === 1, s"expected exactly one winner, got $results")
+  }
+}
