@@ -344,6 +344,13 @@ object DedupOps {
       maxDocFreq: Int = 100,
       portable: Boolean = false
   ): DataFrame = {
+    // No explicit persist: every consumer of `fps` (frequency pass, nfp
+    // aggregate, both self-join sides) hashes on the same fp/key columns,
+    // and Spark's ReusedExchange dedups the identical shuffle subtrees —
+    // the corpus scan + winnow kernel run once, not four times (asserted
+    // in PlanShapeSpec). An explicit cache barrier measured strictly
+    // slower: it blocks whole-stage fusion around the explode and buys
+    // nothing the exchange reuse doesn't already provide.
     val fps = df.select(col(keyCol).alias("key"),
         explode(winnowFingerprints(col(textCol), k, w, portable)).alias("fp"))
       .dropDuplicates("key", "fp")

@@ -39,6 +39,26 @@ object Runner {
     def succeeded: Seq[TableRun] = runs.filterNot(_.status == "FAILED")
   }
 
+  /** Failure-alerting hook — the pluggable seam for the reference's SNS
+    * topic publishes on table failure (light_transform.py:278-339: build
+    * message, publish, never let notification failure break the job).
+    * Called from the table's own worker thread the moment its outcome is
+    * terminal, so alerts fire while the rest of the run is still going —
+    * implementations must be thread-safe. A notifier that throws is logged
+    * and ignored: monitoring must never take down the pipeline it watches.
+    */
+  trait RunNotifier {
+    def onTableDone(run: TableRun): Unit
+  }
+
+  object RunNotifier {
+    /** The reference's posture: alert on FAILED only. */
+    def onFailure(f: TableRun => Unit): RunNotifier = new RunNotifier {
+      override def onTableDone(run: TableRun): Unit =
+        if (run.status == "FAILED") f(run)
+    }
+  }
+
   final case class TableSpec(
       table: TableConfig,
       columns: Seq[ColumnMetadata],
@@ -98,15 +118,28 @@ object Runner {
       runExtract: Boolean = true,
       retries: Int = 3,
       retryDelayMs: Long = 5000,
-      reportPath: Option[String] = None
+      reportPath: Option[String] = None,
+      notifier: Option[RunNotifier] = None
   ): RunReport = {
     val pool = Executors.newFixedThreadPool(math.max(1, maxConcurrency))
+    def notifySafe(run: TableRun): TableRun = {
+      notifier.foreach { n =>
+        try n.onTableDone(run)
+        catch {
+          case NonFatal(e) =>
+            System.err.println(
+              s"graft.Runner: notifier failed for table ${run.table}: $e")
+        }
+      }
+      run
+    }
     val report =
       try {
         val futures = specs.map { spec =>
           pool.submit(new java.util.concurrent.Callable[TableRun] {
             def call(): TableRun =
-              runOne(spark, spec, watermarkStore, runExtract, retries, retryDelayMs)
+              notifySafe(
+                runOne(spark, spec, watermarkStore, runExtract, retries, retryDelayMs))
           })
         }
         RunReport(futures.map(_.get()))

@@ -50,6 +50,47 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("RunningWindowFunction") || plan.contains("Window"))
   }
 
+  test("q48 document extraction stays in Tungsten: no RDD scan node") {
+    val df = SparkEntry.queries("q48_doc_extract")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"),
+      s"DocExtractText should run in the scan projection, not an RDD map:\n$plan")
+    assert(plan.contains("graft_doc_extract") || plan.contains("DocExtractText"),
+      s"expected the native extraction expression in:\n$plan")
+  }
+
+  test("q43 winnow pipeline reuses its shuffles: one corpus scan, not four") {
+    val df = SparkEntry.queries("q43_winnow_neardup")(spark, sf0001)
+    df.collect() // finalize AQE so reuse nodes are visible
+    // true node counts need a tree walk: the plan STRING re-prints the
+    // referenced subtree under every ReusedExchange, inflating any textual
+    // scan count
+    var scans = 0
+    var reused = 0
+    def go(n: SparkPlan): Unit = n match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        go(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        go(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        reused += 1 // leaf: references an exchange computed elsewhere
+      case other =>
+        if (other.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+          scans += 1
+        other.children.foreach(go)
+    }
+    go(df.queryExecution.executedPlan)
+    // frequency pass + nfp aggregate + both self-join sides all derive from
+    // the exploded fingerprint frame; exchange reuse must collapse them
+    // onto one physical corpus scan — which is why no explicit persist is
+    // needed (or wanted: a cache barrier measured strictly slower)
+    assert(reused >= 1, "expected ReusedExchange nodes in the winnow plan")
+    // 2 = the q43 harness's own unionByName (corpus ∪ re-keyed corpus)
+    // scanning its input twice; the dedup pipeline itself adds none on top
+    assert(scans <= 2,
+      s"winnow pipeline physically scans the corpus $scans times")
+  }
+
   test("q33 minhash near-dup join is not a cartesian product") {
     val df = SparkEntry.queries("q33_minhash_neardup")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString

@@ -105,10 +105,19 @@ class RunnerSpec extends SparkTestBase {
     val bad = Runner.TableSpec(
       table.copy(stageTableName = "broken", sourceTable = "NO_SUCH_TABLE"),
       columns, s"$root/raw/b", s"$root/stage/b", Left((ep, "")))
-    val report = Runner.run(spark, Seq(good, bad), maxConcurrency = 2)
+    // failure-alerting hook: FAILED outcomes reach the notifier (from the
+    // worker thread), a throwing notifier is swallowed, SUCCESS stays quiet
+    val alerted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val notifier = Runner.RunNotifier.onFailure { run =>
+      alerted.add(run.table)
+      throw new RuntimeException("alert channel down") // must not sink the run
+    }
+    val report = Runner.run(spark, Seq(good, bad), maxConcurrency = 2,
+      notifier = Some(notifier))
     assert(report.succeeded.map(_.table) === Seq("actividad"))
     assert(report.failed.map(_.table) === Seq("broken"))
     assert(report.failed.head.error.nonEmpty)
+    assert(alerted.toArray.toSeq === Seq("broken"))
   }
 
   test("catalog sync registers stage tables for spark.sql") {
