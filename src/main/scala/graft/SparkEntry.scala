@@ -482,6 +482,26 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q55_gopher_quality" -> ((s, dir) => {
+      // Gopher-style repetition/quality heuristics (word-count bounds, mean
+      // word length, vocabulary diversity, top-word repetition)
+      graft.llmops.TextAnalysis.gopherQualityFeatures(
+          t(tuned(s), dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "q56_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: docs sharing any word 8-gram with the
+      // "eval set" (docs 0-4 stand in); broadcast bench grams, corpus-side
+      // native WordNGrams projection, no corpus shuffle before the match
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents")
+      DedupOps.contaminatedDocs(d, "doc_id", "text",
+          d.filter(col("doc_id") < 5), "text", n = 8)
+        .withColumn("n_shared_grams", col("n_shared_grams").cast("long"))
+        .orderBy("key")
+    }),
+
     "q32_sim_bruteforce" -> ((s, dir) => {
       val ss = tuned(s)
       val emb = t(ss, dir, "embeddings")
@@ -1261,6 +1281,41 @@ object SparkEntry {
       """SELECT doc_id,
          'Head ' || trim(regexp_replace(text, '\s+', ' ', 'g')) AS extracted_text
          FROM documents ORDER BY doc_id""",
+
+    "q55_gopher_quality" ->
+      """WITH words AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         nz AS (SELECT doc_id, w FROM words WHERE length(w) > 0),
+         per AS (SELECT doc_id, w, count(*) AS c FROM nz GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             round(CAST(sum(length(w) * c) AS DOUBLE) / sum(c), 4) AS mean_word_len,
+             round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS frac_unique_words,
+             round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_word_frac
+           FROM per GROUP BY doc_id)
+         SELECT doc_id, n_words, mean_word_len, frac_unique_words, top_word_frac,
+           (n_words >= 40 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND frac_unique_words >= 0.2 AND top_word_frac <= 0.2) AS passes_quality
+         FROM agg ORDER BY doc_id""",
+
+    // constant range() + filter instead of lateral generate_series (DuckDB
+    // 1.0 can't take column args there); docs cap at ~100 words
+    "q56_decontaminate" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         bg AS (
+           SELECT DISTINCT array_to_string(list_slice(ws, i + 1, i + 8), ' ') AS gram
+           FROM docs, range(200) t(i)
+           WHERE doc_id < 5 AND i + 8 <= len(ws)),
+         dg AS (
+           SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i + 1, i + 8), ' ') AS gram
+           FROM docs, range(200) t(i)
+           WHERE i + 8 <= len(ws))
+         SELECT doc_id AS key, CAST(count(*) AS BIGINT) AS n_shared_grams
+         FROM dg WHERE gram IN (SELECT gram FROM bg)
+         GROUP BY doc_id ORDER BY key""",
 
     // the engine round-trips text through real zip+XML archives; the
     // expected strings are the reference extractors' output shapes

@@ -25,6 +25,45 @@ object DedupOps {
       .drop("__rn")
   }
 
+  /** Benchmark decontamination: documents sharing any word n-gram with the
+    * benchmark/eval set — the step that keeps test questions out of
+    * training corpora (the 13-gram overlap check of GPT-3 appendix C /
+    * The Pile; n is a parameter because modern runs use 8–13).
+    *
+    * Plan shape: benchmark n-grams are distinct'd and BROADCAST (eval sets
+    * are tiny next to a training corpus — thousands of docs vs billions),
+    * so the corpus side is one scan + native [[graft.expressions.WordNGrams]]
+    * projection + broadcast semi-ish join + per-doc count. No shuffle of
+    * corpus text, no shuffle at all on the corpus side until the final
+    * per-key aggregate of matched grams only.
+    *
+    * @return (key, n_shared_grams) for contaminated documents only
+    */
+  def contaminatedDocs(
+      docs: DataFrame,
+      keyCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 8
+  ): DataFrame = {
+    def grams(c: Column): Column =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.WordNGrams(
+          org.apache.spark.sql.graft.ColumnBridge.expressionEager(c),
+          n, distinct = true))
+    val benchGrams = bench
+      .select(explode(grams(col(benchTextCol))).alias("gram"))
+      .distinct()
+    docs
+      .select(col(keyCol).alias("key"), explode(grams(col(textCol))).alias("gram"))
+      .join(broadcast(benchGrams), "gram")
+      // grams are distinct per doc and the broadcast side is distinct, so
+      // count(*) == distinct shared grams
+      .groupBy(col("key"))
+      .agg(count(lit(1)).alias("n_shared_grams"))
+  }
+
   /** Streaming exact dedup: drops re-occurrences of the same normalized
     * text fingerprint within the event-time watermark window —
     * `dropDuplicatesWithinWatermark` keeps state bounded (a plain

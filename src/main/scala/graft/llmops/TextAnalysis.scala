@@ -119,6 +119,39 @@ object TextAnalysis {
         (col("n_tokens").cast("double") / lit(50.0)) * lit(0.5) +
           when(col("stopword_ratio") > 0.01, lit(0.5)).otherwise(lit(0.0))))
 
+  /** Gopher-style repetition/quality features (Rae et al. 2021 §A1.1, the
+    * standard heuristic battery every large-corpus curation run applies
+    * before model-based filtering): per-document word statistics that
+    * expose machine-generated or boilerplate text — word count bounds,
+    * mean word length bounds, vocabulary diversity (unique-word fraction),
+    * and repetition (most-frequent-word fraction).
+    *
+    * Plan shape: one explode of the whitespace tokens, one two-level
+    * partial-aggregated groupBy ((key, word) counts → per-key moments) —
+    * the word-count shape, fully codegen'd, no window. `passes_quality`
+    * applies the Gopher-flavored bounds; callers wanting different
+    * thresholds filter on the feature columns directly.
+    */
+  def gopherQualityFeatures(df: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(keyCol), explode(split(col(textCol), " ")).alias("w"))
+      .filter(length(col("w")) > 0)
+    val perWord = words.groupBy(col(keyCol), col("w"))
+      .agg(count(lit(1)).alias("c"))
+    perWord.groupBy(col(keyCol))
+      .agg(
+        sum(col("c")).alias("n_words"),
+        round(sum(length(col("w")) * col("c")).cast("double") / sum(col("c")), 4)
+          .alias("mean_word_len"),
+        round(count(lit(1)).cast("double") / sum(col("c")), 4)
+          .alias("frac_unique_words"),
+        round(max(col("c")).cast("double") / sum(col("c")), 4)
+          .alias("top_word_frac"))
+      .withColumn("passes_quality",
+        col("n_words") >= 40 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("frac_unique_words") >= 0.2 && col("top_word_frac") <= 0.2)
+  }
+
   /** Corpus n-gram OCCURRENCE counts — vocabulary/statistics pass (top
     * boilerplate phrases, stop-phrase candidates). One explode of word
     * n-grams, one partial-aggregated count, rank by (count desc, ngram) —

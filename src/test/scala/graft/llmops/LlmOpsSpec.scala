@@ -191,6 +191,36 @@ class LlmOpsSpec extends SparkTestBase {
       "checkpoint dir stayed empty — rounds still used localCheckpoint")
   }
 
+  test("gopher quality features: repetition and diversity caught, clean text passes") {
+    val spam = "aa aa aa bb" // 4 words, top-word 0.75, unique 0.5, mean 2.0
+    val clean = (1 to 50).map(i => s"word${i}xyz").mkString(" ") // 50 distinct 7-9 char words
+    val df = Seq((1L, spam), (2L, clean)).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQualityFeatures(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(1) === 4L)
+    assert(got(0).getDouble(2) === 2.0)            // mean_word_len
+    assert(got(0).getDouble(3) === 0.5)            // frac_unique_words
+    assert(got(0).getDouble(4) === 0.75)           // top_word_frac
+    assert(!got(0).getBoolean(5), "repetitive short text must fail")
+    assert(got(1).getLong(1) === 50L)
+    assert(got(1).getDouble(3) === 1.0)
+    assert(got(1).getBoolean(5), "diverse text inside all bounds must pass")
+  }
+
+  test("decontamination flags only docs sharing an n-gram with the benchmark") {
+    val benchText = "the quick brown fox jumps over the lazy dog tonight"
+    // doc 1 contains an 8-gram of the benchmark; doc 2 shares words but no 8-gram
+    val contaminated = s"prefix words $benchText suffix words"
+    val innocent = "quick brown cat naps over a lazy dog tonight and tomorrow"
+    val docs = Seq((1L, contaminated), (2L, innocent)).toDF("doc_id", "text")
+    val bench = Seq(Tuple1(benchText)).toDF("text")
+    val got = DedupOps.contaminatedDocs(docs, "doc_id", "text", bench, "text", n = 8)
+      .orderBy("key").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L), "only doc 1 is contaminated")
+    // benchText has 10 words → 3 distinct 8-grams, all inside doc 1
+    assert(got(0).getLong(1) === 3L)
+  }
+
   test("hash sampling is deterministic, keyed, and roughly proportional") {
     val df = (1L to 2000L).toDF("id")
     val s1 = Sampling.hashSample(df, "id", 0.25).as[Long].collect().sorted
