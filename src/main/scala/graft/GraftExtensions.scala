@@ -127,6 +127,10 @@ object GraftFunctions {
         exprs.head,
         exprs.lift(1).map(litText(_, "graft_char_ngrams", "k").toInt).getOrElse(5))),
 
+    ("graft_doc_extract",
+      "graft_doc_extract(content, mime) - document text extraction (plain/HTML/Markdown/OOXML), NULL for unsupported",
+      exprs => graft.expressions.DocExtractText(exprs.head, exprs(1))),
+
     ("graft_scrub_pii",
       "graft_scrub_pii(text) - emails/IPs/phones to typed tokens (RE2-portable patterns)",
       exprs => e(TextAnalysis.scrubPii(c(exprs.head)))),

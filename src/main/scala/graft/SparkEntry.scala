@@ -502,6 +502,36 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    "q57_image_dims" -> ((s, dir) => {
+      // multimodal metadata path: real binary headers (PNG/JPEG/GIF/BMP,
+      // built by ImageWriter with doc_id-derived dimensions — input
+      // construction in the driver, like q54) parsed back distributed by
+      // the native ImageDims expression; garbage rows exercise the NULL arm
+      val ss = tuned(s)
+      val ids = t(ss, dir, "documents").filter(col("doc_id") < 420)
+        .select(col("doc_id")).collect().map(_.getLong(0))
+      val W = graft.llmops.ImageWriter
+      val rows = ids.map { id =>
+        val (w, h) = ((id % 64 + 16).toInt, (id % 48 + 16).toInt)
+        val bytes =
+          if (id >= 400) s"not an image $id".getBytes("UTF-8")
+          else (id % 4) match {
+            case 0 => W.png(w, h)
+            case 1 => W.jpeg(w, h)
+            case 2 => W.gif(w, h)
+            case _ => W.bmp(w, h)
+          }
+        (id, bytes)
+      }.toSeq
+      import ss.implicits._
+      val src = rows.toDF("doc_id", "content").repartition(32)
+      graft.llmops.Multimodal.withImageDims(src)
+        .filter(col("img").isNotNull)
+        .select(col("doc_id"), col("img.format").as("format"),
+          col("img.width").as("width"), col("img.height").as("height"))
+        .orderBy("doc_id")
+    }),
+
     "q32_sim_bruteforce" -> ((s, dir) => {
       val ss = tuned(s)
       val emb = t(ss, dir, "embeddings")
@@ -1316,6 +1346,17 @@ object SparkEntry {
          SELECT doc_id AS key, CAST(count(*) AS BIGINT) AS n_shared_grams
          FROM dg WHERE gram IN (SELECT gram FROM bg)
          GROUP BY doc_id ORDER BY key""",
+
+    // the engine parses dimensions back out of real binary image headers;
+    // the oracle recomputes the doc_id-derived expectations (garbage rows
+    // >= 400 are dropped by the NULL filter)
+    "q57_image_dims" ->
+      """SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+           WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+         CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+         CAST(doc_id % 48 + 16 AS INTEGER) AS height
+         FROM documents WHERE doc_id < 400 ORDER BY doc_id""",
 
     // the engine round-trips text through real zip+XML archives; the
     // expected strings are the reference extractors' output shapes

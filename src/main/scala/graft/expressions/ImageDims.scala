@@ -1,0 +1,105 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Image metadata from binary headers — `ImageDims(content)` returns
+  * `struct&lt;format string, width int, height int&gt;` or NULL when the bytes
+  * are not a recognized image.
+  *
+  * The container ships no imaging libraries, but none are needed for the
+  * metadata a curation pipeline filters on: PNG (IHDR), JPEG (SOF frame
+  * header), GIF (logical screen descriptor), and BMP (info header) all
+  * carry dimensions in fixed, documented header fields. Full pixel decode
+  * stays behind [[graft.llmops.Multimodal]]'s documented stub — THIS part
+  * is real, so size/aspect filters and thumbnail routing run at scan
+  * speed inside whole-stage codegen with zero external deps.
+  */
+case class ImageDims(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ImageDims.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_image_dims"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ImageDims.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.expressions.ImageDims.compute($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ImageDims =
+    copy(child = newChild)
+}
+
+object ImageDims {
+
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  private def row(fmt: String, w: Int, h: Int): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(fmt), w, h))
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 10) return null
+    // PNG: 8-byte signature, then IHDR chunk — width/height at 16/20 (BE)
+    if (b.length >= 24 &&
+        (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      return row("png", be32(b, 16), be32(b, 20))
+    // GIF87a/GIF89a: logical screen descriptor at 6 (LE)
+    if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      return row("gif", le16(b, 6), le16(b, 8))
+    // BMP: "BM", BITMAPINFOHEADER width at 18, height at 22 (LE, height signed
+    // — negative means top-down row order, magnitude is the pixel height)
+    if (b(0) == 'B' && b(1) == 'M' && b.length >= 26)
+      return row("bmp", le32(b, 18), math.abs(le32(b, 22)))
+    // JPEG: SOI then marker segments; dimensions live in the SOF frame
+    // header (C0-CF minus the non-frame C4/C8/CC)
+    if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xFF) != 0xFF) return null // lost marker sync
+        val marker = b(i + 1) & 0xFF
+        if (marker == 0xFF) { i += 1 } // fill byte
+        else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) {
+          i += 2 // standalone marker, no length
+        } else if (marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+          // SOFn: len(2) precision(1) height(2) width(2)
+          if (i + 9 > b.length) return null
+          return row("jpeg", be16(b, i + 7), be16(b, i + 5))
+        } else {
+          if (i + 4 > b.length) return null
+          val len = be16(b, i + 2)
+          if (len < 2) return null
+          i += 2 + len
+        }
+      }
+      return null
+    }
+    null
+  }
+}

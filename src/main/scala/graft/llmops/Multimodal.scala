@@ -42,6 +42,24 @@ object Multimodal {
         col("path").alias("source_path"),
         map(lit("length"), col("length").cast(StringType)).alias("meta"))
 
+  /** REAL image metadata from binary headers — PNG/JPEG/GIF/BMP dimensions
+    * parsed by the native codegen'd [[graft.expressions.ImageDims]]
+    * expression (no imaging library needed for header fields). NULL struct
+    * for unrecognized bytes. This is the size/aspect-filter input a
+    * curation pipeline actually needs at scan time; full pixel decode
+    * remains behind [[StubCodec]].
+    */
+  def imageDims(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.ImageDims(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** Appends `img` (struct&lt;format,width,height&gt;, NULL when unrecognized)
+    * from the binary content column — scan-projection local, no shuffle.
+    */
+  def withImageDims(df: DataFrame, contentCol: String = "content"): DataFrame =
+    df.withColumn("img", imageDims(col(contentCol)))
+
   /** Deterministic stand-in for the native decode libraries. Each function
     * is the shape the real codec would have; the bodies compute stable fake
     * features from the bytes so tests are reproducible.

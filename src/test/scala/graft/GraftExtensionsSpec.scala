@@ -81,6 +81,13 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(row.getSeq[String](1) === Seq("ab", "b ", " c", "cd"))
     assert(row.getString(2) === "mail <EMAIL> now")
     assert(row.getString(3) === "a\nb")
+
+    // document extraction: text path + unsupported-format NULL
+    val doc = spark.sql(
+      """SELECT graft_doc_extract(CAST('hi  there' AS BINARY), 'text/plain') AS t,
+         graft_doc_extract(CAST('x' AS BINARY), 'application/pdf') AS p""").collect().head
+    assert(doc.getString(0) === "hi there")
+    assert(doc.isNullAt(1))
   }
 
   test("literal-argument validation raises a clear error") {
