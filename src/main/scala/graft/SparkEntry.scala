@@ -738,6 +738,49 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q58_asof_forward" -> ((s, dir) => {
+      // forward as-of: earliest login at or after each purchase
+      val ev = t(tuned(s), dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "value")
+      val logins = ev.filter(col("event_type") === "login")
+        .select("user_id", "event_id")
+      graft.operators.AsOfJoin.forward(
+          purchases, logins, Seq("user_id"), "event_id",
+          Map("event_id" -> "login_event_id"))
+        .orderBy("event_id")
+    }),
+
+    "q59_asof_nearest" -> ((s, dir) => {
+      // nearest as-of: closest login either side, equidistant → backward
+      val ev = t(tuned(s), dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "value")
+      val logins = ev.filter(col("event_type") === "login")
+        .select("user_id", "event_id")
+      graft.operators.AsOfJoin.nearest(
+          purchases, logins, Seq("user_id"), "event_id",
+          Map("event_id" -> "login_event_id"))
+        .orderBy("event_id")
+    }),
+
+    "q60_range_join" -> ((s, dir) => {
+      // bucketized point-in-interval join: purchases inside [login,
+      // login+50] activity windows — equi-join on (user, bin), never BNLJ
+      val ev = t(tuned(s), dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id")
+      val windows = ev.filter(col("event_type") === "login")
+        .select(col("user_id"), col("event_id").as("w_start"),
+          (col("event_id") + 50).as("w_end"))
+      graft.operators.RangeJoin.pointInInterval(
+          purchases, "event_id", windows, "w_start", "w_end",
+          keys = Seq("user_id"), binWidth = 64)
+        .groupBy(col("user_id"), col("event_id"))
+        .agg(count(lit(1)).alias("n_windows"))
+        .orderBy("event_id")
+    }),
+
     "q36_ngram_jaccard" -> ((s, dir) => {
       // exact n-gram Jaccard within source blocks — SQL-expressible kernel
       val d = t(tuned(s), dir, "documents").filter(col("doc_id") < 200)
@@ -1462,6 +1505,38 @@ object SparkEntry {
          FROM (SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase') l
          ASOF LEFT JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'login') r
            ON l.user_id = r.user_id AND l.event_id >= r.event_id
+         ORDER BY l.event_id""",
+
+    "q58_asof_forward" ->
+      """SELECT l.user_id, l.event_id, l.value, r.event_id AS login_event_id
+         FROM (SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'login') r
+           ON l.user_id = r.user_id AND l.event_id <= r.event_id
+         ORDER BY l.event_id""",
+
+    // no native nearest ASOF in DuckDB: rank candidates by distance with
+    // ties to the smaller (backward) event id, keep rank 1 per purchase
+    "q59_asof_nearest" ->
+      """WITH lp AS (SELECT user_id, event_id, value FROM events
+                     WHERE event_type = 'purchase'),
+         lg AS (SELECT user_id, event_id FROM events WHERE event_type = 'login'),
+         cand AS (
+           SELECT lp.user_id, lp.event_id, lp.value,
+             lg.event_id AS login_event_id,
+             row_number() OVER (PARTITION BY lp.user_id, lp.event_id
+               ORDER BY abs(lp.event_id - lg.event_id) ASC NULLS LAST,
+                        lg.event_id ASC NULLS LAST) AS rn
+           FROM lp LEFT JOIN lg ON lp.user_id = lg.user_id)
+         SELECT user_id, event_id, value, login_event_id
+         FROM cand WHERE rn = 1 ORDER BY event_id""",
+
+    "q60_range_join" ->
+      """SELECT l.user_id, l.event_id, CAST(count(*) AS BIGINT) AS n_windows
+         FROM (SELECT user_id, event_id FROM events WHERE event_type = 'purchase') l
+         JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'login') r
+           ON l.user_id = r.user_id
+          AND l.event_id >= r.event_id AND l.event_id <= r.event_id + 50
+         GROUP BY l.user_id, l.event_id
          ORDER BY l.event_id""",
 
     "q36_ngram_jaccard" ->
