@@ -1,0 +1,81 @@
+package graft
+
+import graft.config.ConfigLoader
+import graft.operators.WatermarkStore
+import graft.runner.Runner
+import org.apache.spark.sql.SparkSession
+
+/** Config-driven pipeline entrypoint — the `app.py` of this engine
+  * (reference: app.py:25-68 reads the endpoint/table/column config CSVs,
+  * resolves the tables participating in a PROCESS_ID, and launches the
+  * per-table extract→transform machinery; here that is one JVM invocation
+  * over one shared SparkSession instead of a Step-Functions fan-out).
+  *
+  * Usage:
+  * {{{
+  * runMain graft.PipelineMain \
+  *   endpoints.csv tables.csv columns.csv <processId> <rawRoot> <stageRoot> [watermarkDir]
+  * }}}
+  *
+  * CSV formats are the reference's `;`-delimited latin-1 files
+  * ([[ConfigLoader]]); the columns file carries TABLE_NAME rows for every
+  * table. The JDBC password comes from `GRAFT_DB_PASSWORD` (never a CLI
+  * arg — argv is world-readable on shared hosts). Exit code 0 = every
+  * active table landed, 1 = at least one FAILED (the run report persists
+  * either way, under `<stageRoot>/__run_report`).
+  */
+object PipelineMain {
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 6) {
+      System.err.println(
+        "usage: PipelineMain <endpoints.csv> <tables.csv> <columns.csv> " +
+          "<processId> <rawRoot> <stageRoot> [watermarkDir]")
+      sys.exit(2)
+    }
+    val spark = GraftSession.configure(
+      SparkSession.builder().appName("graft-pipeline"),
+      shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toIntOption.getOrElse(32)
+    ).getOrCreate()
+    val report = run(spark, args(0), args(1), args(2), args(3), args(4), args(5),
+      args.lift(6))
+    report.runs.foreach { r =>
+      println(s"${r.table}\t${r.status}\trows=${r.rowsWritten}\t" +
+        s"${r.durationMs}ms\tattempts=${r.attempts}${r.error.map("\t" + _).getOrElse("")}")
+    }
+    sys.exit(if (report.failed.nonEmpty) 1 else 0)
+  }
+
+  /** The testable core: build specs from the config files and run them. */
+  def run(
+      spark: SparkSession,
+      endpointsCsv: String,
+      tablesCsv: String,
+      columnsCsv: String,
+      processId: String,
+      rawRoot: String,
+      stageRoot: String,
+      watermarkDir: Option[String] = None
+  ): Runner.RunReport = {
+    val endpoints = ConfigLoader.endpointsFrom(ConfigLoader.loadFile(endpointsCsv))
+    require(endpoints.nonEmpty, s"no endpoints in $endpointsCsv")
+    val endpoint = endpoints.find(_.isPrincipal).getOrElse(endpoints.head)
+    val password = sys.env.getOrElse("GRAFT_DB_PASSWORD", "")
+
+    val tables = ConfigLoader.tablesFrom(ConfigLoader.loadFile(tablesCsv))
+    val colRows = ConfigLoader.loadFile(columnsCsv)
+    val active = Runner.tablesForProcess(tables, processId)
+
+    val specs = active.map { t =>
+      val cols = ConfigLoader.columnsFrom(colRows.filter { r =>
+        val tn = r.getOrElse("TABLE_NAME", "")
+        tn.equalsIgnoreCase(t.stageTableName) || tn.equalsIgnoreCase(t.sourceTable)
+      })
+      Runner.datedSpec(t, cols, rawRoot, stageRoot, Left((endpoint, password)))
+    }
+    val store = watermarkDir.map(d => new WatermarkStore(spark, d))
+    Runner.run(spark, specs,
+      watermarkStore = store,
+      reportPath = Some(s"$stageRoot/__run_report"))
+  }
+}
