@@ -781,6 +781,25 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q61_shuffle_shards" -> ((s, dir) => {
+      // deterministic training shuffle: portable-hash shard + in-shard rank
+      graft.llmops.TrainExport.shuffleShards(
+          t(tuned(s), dir, "documents").select("doc_id"), "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    }),
+
+    "q62_pack_sequences" -> ((s, dir) => {
+      // contiguous-stream packing: per-shard running token sum → budget bins
+      val d = t(tuned(s), dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.llmops.TrainExport.packSequences(d, "doc_id", "n_tokens",
+          nShards = 8, tokenBudget = 2048)
+        .select(col("doc_id"), col("n_tokens"), col("shard"), col("pos"), col("bin"))
+        .orderBy("doc_id")
+    }),
+
     "q36_ngram_jaccard" -> ((s, dir) => {
       // exact n-gram Jaccard within source blocks — SQL-expressible kernel
       val d = t(tuned(s), dir, "documents").filter(col("doc_id") < 200)
@@ -1506,6 +1525,33 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'login') r
            ON l.user_id = r.user_id AND l.event_id >= r.event_id
          ORDER BY l.event_id""",
+
+    "q61_shuffle_shards" ->
+      """WITH h AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hh
+           FROM documents)
+         SELECT doc_id, CAST(hh % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+             AS BIGINT) AS pos
+         FROM h ORDER BY doc_id""",
+
+    "q62_pack_sequences" ->
+      """WITH h AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hh
+           FROM documents),
+         s AS (
+           SELECT doc_id, n_tokens, CAST(hh % 8 AS INTEGER) AS shard,
+             CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+               AS BIGINT) AS pos,
+             sum(n_tokens) OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM h)
+         SELECT doc_id, n_tokens, shard, pos,
+           CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS bin
+         FROM s ORDER BY doc_id""",
 
     "q58_asof_forward" ->
       """SELECT l.user_id, l.event_id, l.value, r.event_id AS login_event_id

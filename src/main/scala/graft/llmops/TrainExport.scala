@@ -1,0 +1,73 @@
+package graft.llmops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Training-data export: the last mile between a curated corpus and a
+  * trainer's input pipeline — a deterministic global shuffle into shards,
+  * and contiguous-stream sequence packing within each shard.
+  *
+  * Shuffle quality matters for training (ordered or clustered corpora bias
+  * early optimization), but `ORDER BY rand()` is irreproducible across
+  * engines and re-runs. Hashing the document key gives a shuffle that is
+  * deterministic, engine-portable (same md5-prefix trick as [[Sampling]] —
+  * a SQL oracle reproduces shard and position bit-for-bit), stable under
+  * corpus growth (a document's shard never changes), and embarrassingly
+  * parallel: shard = hash mod n is a pure projection, and ordering is a
+  * per-shard window, not a global sort.
+  */
+object TrainExport {
+
+  /** Deterministic shuffle-shard assignment: `shard` = portable hash of the
+    * key mod `nShards`, `pos` = the row's rank inside its shard in hash
+    * order (hash ties break on the key). One hash shuffle on `shard`; no
+    * global sort anywhere.
+    */
+  def shuffleShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = Similarity.portable60(col(keyCol))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
+  /** Contiguous-stream packing: documents laid out in shuffle order form
+    * one token stream per shard; `bin` is the fixed-budget window the
+    * document STARTS in (`floor(start_offset / budget)` with
+    * `start_offset` = running token sum before the document) — the GPT-2
+    * style chunked-stream layout. A document crossing a boundary stays in
+    * its starting bin (packers cut or pad at read time; assignment here
+    * must stay deterministic and one-pass). Window sums are per shard, so
+    * parallelism is `nShards`, not 1.
+    */
+  def packSequences(
+      df: DataFrame,
+      keyCol: String,
+      tokenCountCol: String,
+      nShards: Int,
+      tokenBudget: Long
+  ): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val sharded = shuffleShards(df, keyCol, nShards)
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("__cum", sum(col(tokenCountCol)).over(w))
+      .withColumn("bin",
+        floor((col("__cum") - col(tokenCountCol)) / tokenBudget).cast("long"))
+      .drop("__cum")
+  }
+
+  /** Write the sharded corpus as one directory per shard (a trainer reads
+    * shard directories independently; `pos` preserves the shuffle order
+    * inside each file set).
+    */
+  def writeShards(df: DataFrame, keyCol: String, nShards: Int, path: String): Unit =
+    shuffleShards(df, keyCol, nShards)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+}
