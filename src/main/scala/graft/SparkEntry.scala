@@ -800,6 +800,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q63_topk_per_key" -> ((s, dir) => {
+      // custom LogicalPlan + Strategy + Exec: bounded per-key heaps, no
+      // partition sort, one hash exchange (tier-(c) operator)
+      val ev = t(tuned(s), dir, "events").select("event_type", "event_id", "value")
+      graft.plans.TopK.perKey(ev, Seq("event_type"),
+          Seq(col("value").desc, col("event_id").asc), k = 3)
+        .orderBy("event_type", "event_id")
+    }),
+
     "q36_ngram_jaccard" -> ((s, dir) => {
       // exact n-gram Jaccard within source blocks — SQL-expressible kernel
       val d = t(tuned(s), dir, "documents").filter(col("doc_id") < 200)
@@ -1525,6 +1534,15 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'login') r
            ON l.user_id = r.user_id AND l.event_id >= r.event_id
          ORDER BY l.event_id""",
+
+    "q63_topk_per_key" ->
+      """WITH ranked AS (
+           SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value DESC, event_id ASC) AS rn
+           FROM events)
+         SELECT event_type, event_id, value FROM ranked
+         WHERE rn <= 3 ORDER BY event_type, event_id""",
 
     "q61_shuffle_shards" ->
       """WITH h AS (

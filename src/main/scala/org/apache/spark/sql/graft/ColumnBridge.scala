@@ -24,3 +24,16 @@ object ColumnBridge {
 
   def column(e: Expression): Column = ExpressionUtils.column(e)
 }
+
+/** Bridge into `Dataset.ofRows` (private[sql] in Spark 4) so the engine's
+  * custom logical operators ([[graft.plans]]) can be wrapped back into a
+  * user-facing DataFrame.
+  */
+object DatasetBridge {
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  ): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}
