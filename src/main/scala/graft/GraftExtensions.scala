@@ -22,13 +22,16 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
   * `Seq[Expression] => Expression` via the Column↔Expression bridge.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in"),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
+    // custom physical operators (graft.plans) plan through this strategy
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+  }
 }
 
 object GraftFunctions {

@@ -142,9 +142,11 @@ object Similarity {
       .withColumn("__r", pmod(portable60(col("ck")), lit(1000000L)))
       .orderBy(col("__r"), col("ck"))
       .limit(nCentroids)
-    // constant partition key: same single-partition window over ≤ nCentroids
-    // rows, without WindowExec's no-partition warning polluting the logs
-    val wc = Window.partitionBy(lit(0)).orderBy(col("__r"), col("ck"))
+    // constant-VALUED but non-foldable partition key: a literal would be
+    // constant-folded out of the partition spec and re-trigger WindowExec's
+    // no-partition warning; pmod(__r, 1) is 0 for every row yet survives
+    // optimization. Same single-partition window over ≤ nCentroids rows.
+    val wc = Window.partitionBy(pmod(col("__r"), lit(1))).orderBy(col("__r"), col("ck"))
     val cents = sampled
       .withColumn("cent_id", row_number().over(wc))
       .select(col("cent_id"), col("cent_vec"), norm(col("cent_vec")).alias("cent_norm"))
