@@ -809,6 +809,29 @@ object SparkEntry {
         .orderBy("event_type", "event_id")
     }),
 
+    "q64_c4_clean" -> ((s, dir) => {
+      // C4 line rules over synthetic multi-line docs: corpus text chunked
+      // 10 words/line with terminal periods, plus injected junk lines
+      // (short / javascript / curly-brace / lorem ipsum) per doc_id mod
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents")
+      val chunked = regexp_replace(col("text"), "((?:\\S+ ){9}\\S+) ", "$1\n")
+      val dotted = concat(regexp_replace(chunked, "\n", ".\n"), lit("."))
+      val built = d.select(col("doc_id"),
+        concat(dotted,
+          when(col("doc_id") % 3 === 0, lit("\ntiny line.")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nenable javascript to view this page.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nconfig { enabled: true }")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\nlorem ipsum dolor sit amet.")).otherwise(lit(""))).as("text"))
+      graft.llmops.TextAnalysis.c4CleanLines(built, "text")
+        .select(col("doc_id"), col("c4_text"),
+          col("n_kept_lines").cast("int").as("n_kept_lines"), col("doc_keep"))
+        .orderBy("doc_id")
+    }),
+
     "q36_ngram_jaccard" -> ((s, dir) => {
       // exact n-gram Jaccard within source blocks — SQL-expressible kernel
       val d = t(tuned(s), dir, "documents").filter(col("doc_id") < 200)
@@ -1534,6 +1557,32 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'login') r
            ON l.user_id = r.user_id AND l.event_id >= r.event_id
          ORDER BY l.event_id""",
+
+    "q64_c4_clean" ->
+      """WITH built AS (
+           SELECT doc_id,
+             regexp_replace(
+               regexp_replace(text, '((?:\S+ ){9}\S+) ', '\1' || chr(10), 'g'),
+               chr(10), '.' || chr(10), 'g') || '.' ||
+             CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'tiny line.' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0
+               THEN chr(10) || 'enable javascript to view this page.' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0
+               THEN chr(10) || 'config { enabled: true }' ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0
+               THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END AS t
+           FROM documents),
+         cleaned AS (
+           SELECT doc_id, t,
+             list_filter(string_split(t, chr(10)), l ->
+               right(rtrim(l), 1) IN ('.', '!', '?', '"')
+               AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+               AND NOT contains(lower(l), 'javascript')) AS kept
+           FROM built)
+         SELECT doc_id, array_to_string(kept, chr(10)) AS c4_text,
+           CAST(len(kept) AS INTEGER) AS n_kept_lines,
+           NOT (contains(lower(t), 'lorem ipsum') OR contains(t, '{')) AS doc_keep
+         FROM cleaned ORDER BY doc_id""",
 
     "q63_topk_per_key" ->
       """WITH ranked AS (

@@ -152,6 +152,33 @@ object TextAnalysis {
           col("frac_unique_words") >= 0.2 && col("top_word_frac") <= 0.2)
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the T5
+    * corpus rules, the other standard heuristic battery next to
+    * [[gopherQualityFeatures]]): keep only lines that end in terminal
+    * punctuation, have at least `minWordsPerLine` words, and don't mention
+    * javascript; flag whole documents containing "lorem ipsum" or a curly
+    * brace for dropping. Line rules rewrite the text (`c4_text`,
+    * `n_kept_lines`); the document flag is surfaced as `doc_keep` so the
+    * caller decides between filter and audit.
+    *
+    * Pure Catalyst higher-order functions over the split lines — no UDFs,
+    * no shuffle, runs in the scan projection.
+    */
+  def c4CleanLines(df: DataFrame, textCol: String, minWordsPerLine: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => {
+      val t = rtrim(l)
+      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+        size(filter(split(l, " "), w => length(w) > 0)) >= minWordsPerLine &&
+        !lower(l).contains("javascript")
+    })
+    df.withColumn("c4_text", array_join(kept, "\n"))
+      .withColumn("n_kept_lines", size(kept))
+      .withColumn("doc_keep",
+        !(lower(col(textCol)).contains("lorem ipsum") ||
+          col(textCol).contains("{")))
+  }
+
   /** Corpus n-gram OCCURRENCE counts — vocabulary/statistics pass (top
     * boilerplate phrases, stop-phrase candidates). One explode of word
     * n-grams, one partial-aggregated count, rank by (count desc, ngram) —

@@ -221,6 +221,23 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got(0).getLong(1) === 3L)
   }
 
+  test("c4 cleaning: line rules rewrite, doc rules flag") {
+    val text = "good sentence stays right here.\n" + // kept
+      "too short.\n" +                               // < 3 words
+      "no terminal punctuation at all\n" +           // bad ending
+      "please enable javascript to continue.\n" +    // keyword
+      "ends with a question, kept?\n" +              // kept ('?')
+      "lorem ipsum makes the doc drop."              // kept line, doc flagged
+    val df = Seq((1L, text), (2L, "clean { with brace.")).toDF("doc_id", "text")
+    val got = TextAnalysis.c4CleanLines(df, "text").orderBy("doc_id").collect()
+    assert(got(0).getAs[String]("c4_text") ===
+      "good sentence stays right here.\nends with a question, kept?\n" +
+        "lorem ipsum makes the doc drop.")
+    assert(got(0).getAs[Int]("n_kept_lines") === 3)
+    assert(!got(0).getAs[Boolean]("doc_keep"), "lorem ipsum flags the doc")
+    assert(!got(1).getAs[Boolean]("doc_keep"), "curly brace flags the doc")
+  }
+
   test("hash sampling is deterministic, keyed, and roughly proportional") {
     val df = (1L to 2000L).toDF("id")
     val s1 = Sampling.hashSample(df, "id", 0.25).as[Long].collect().sorted
