@@ -134,6 +134,10 @@ object GraftFunctions {
       "graft_doc_extract(content, mime) - document text extraction (plain/HTML/Markdown/OOXML), NULL for unsupported",
       exprs => graft.expressions.DocExtractText(exprs.head, exprs(1))),
 
+    ("graft_image_dims",
+      "graft_image_dims(content) - struct(format,width,height) from PNG/JPEG/GIF/BMP headers, NULL if unrecognized",
+      exprs => graft.expressions.ImageDims(exprs.head)),
+
     ("graft_scrub_pii",
       "graft_scrub_pii(text) - emails/IPs/phones to typed tokens (RE2-portable patterns)",
       exprs => e(TextAnalysis.scrubPii(c(exprs.head)))),

@@ -88,6 +88,14 @@ class GraftExtensionsSpec extends SparkTestBase {
          graft_doc_extract(CAST('x' AS BINARY), 'application/pdf') AS p""").collect().head
     assert(doc.getString(0) === "hi there")
     assert(doc.isNullAt(1))
+
+    // image header metadata
+    spark.createDataFrame(Seq(Tuple1(graft.llmops.ImageWriter.gif(31, 17))))
+      .toDF("content").createOrReplaceTempView("img_nk")
+    val dims = spark.sql(
+      "SELECT graft_image_dims(content) AS d FROM img_nk").collect().head
+      .getStruct(0)
+    assert((dims.getString(0), dims.getInt(1), dims.getInt(2)) === ("gif", 31, 17))
   }
 
   test("literal-argument validation raises a clear error") {
