@@ -832,6 +832,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q65_group_quantiles" -> ((s, dir) => {
+      // exact sort-based percentiles per group (Spark `percentile` and
+      // DuckDB `quantile_cont` share the (1-g)a + gb interpolation)
+      t(tuned(s), dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q36_ngram_jaccard" -> ((s, dir) => {
       // exact n-gram Jaccard within source blocks — SQL-expressible kernel
       val d = t(tuned(s), dir, "documents").filter(col("doc_id") < 200)
@@ -1557,6 +1569,13 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'login') r
            ON l.user_id = r.user_id AND l.event_id >= r.event_id
          ORDER BY l.event_id""",
+
+    "q65_group_quantiles" ->
+      """SELECT o_orderpriority,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+         count(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q64_c4_clean" ->
       """WITH built AS (
