@@ -482,6 +482,32 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q66_pdf_extract" -> ((s, dir) => {
+      // S6 PDF path: real PDFs (content streams + xref, built by PdfWriter
+      // from corpus text in the driver — input construction, not the
+      // measured operator), one raw and one FlateDecode-compressed variant
+      // per doc, extracted back distributed through the native
+      // DocExtractText expression. The oracle recomputes the expected
+      // line-joined page text from the raw text column.
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val W = graft.llmops.PdfWriter
+      val rows = docs.flatMap { case (id, text) =>
+        val lines = text.split("\n", -1).toSeq
+        Seq(
+          (id, "pdf", W.pdf(Seq(s"Doc $id" +: lines)), "application/pdf"),
+          (id, "pdfz", W.pdf(Seq(Seq(s"Doc $id"), lines), compress = true),
+            "application/pdf"))
+      }.toSeq
+      import ss.implicits._
+      val src = rows.toDF("doc_id", "fmt", "content", "mime").repartition(32)
+      graft.llmops.DocumentText.extractDocumentText(src, "content", "mime")
+        .select(col("doc_id"), col("fmt"), col("extracted_text"))
+        .orderBy("doc_id", "fmt")
+    }),
+
     "q55_gopher_quality" -> ((s, dir) => {
       // Gopher-style repetition/quality heuristics (word-count bounds, mean
       // word length, vocabulary diversity, top-word repetition)
@@ -1481,6 +1507,14 @@ object SparkEntry {
          SELECT doc_id, 'xlsx' AS fmt,
            'Sheet: data' || chr(10) || 'Row 1: id | ' || doc_id || chr(10) ||
            'Row 2: text | ' || text || chr(10) AS extracted_text FROM src
+         ORDER BY doc_id, fmt""",
+
+    "q66_pdf_extract" ->
+      """WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+         fmts AS (SELECT 'pdf' AS fmt UNION ALL SELECT 'pdfz')
+         SELECT s.doc_id, f.fmt,
+           'Doc ' || s.doc_id || chr(10) || s.text AS extracted_text
+         FROM src s CROSS JOIN fmts f
          ORDER BY doc_id, fmt""",
 
     "q47_merge_evolve" ->

@@ -12,10 +12,10 @@ import java.nio.charset.StandardCharsets.UTF_8
   * Formats that need no native libraries are REAL here: plain text (BOM
   * and charset-fallback aware), HTML (state-machine tag stripping with
   * script/style elision and entity decode), Markdown (syntax stripping),
-  * and the OOXML family — DOCX/XLSX/PPTX are zip+XML, parsed JDK-only by
-  * [[Ooxml]]. Only PDF stays behind the honest [[unsupported]] stub (a
-  * real content-stream parser needs pdfbox/Tika, which the container
-  * doesn't ship).
+  * the OOXML family — DOCX/XLSX/PPTX are zip+XML, parsed JDK-only by
+  * [[Ooxml]] — and PDF via [[Pdf]]'s content-stream extractor (raw +
+  * FlateDecode streams, Tj/TJ text operators). Legacy binary formats
+  * (.doc/.xls/.ppt OLE2) stay behind the honest [[unsupported]] stub.
   *
   * The DataFrame operator is a native codegen'd expression
   * ([[graft.expressions.DocExtractText]]) evaluated in the scan
@@ -43,6 +43,8 @@ object DocumentText {
         Ooxml.xlsxText(bytes)
       case m if m.contains("presentationml") || m.endsWith("/pptx") =>
         Ooxml.pptxText(bytes)
+      case m if m.contains("pdf") =>
+        Pdf.pdfText(bytes)
       case m if m.contains("html") || m.contains("xml") =>
         Some(htmlToText(decodeBytes(bytes)))
       case m if m.contains("markdown") || m == "text/md" =>
@@ -53,12 +55,12 @@ object DocumentText {
     }
   }
 
-  /** STUB for the remaining native-codec format: PDF. Its content streams
-    * need a real parser (object graph + stream filters + font cmaps) that
-    * the container does not ship and a JDK-only reimplementation cannot
-    * honestly cover; DOCX/XLSX/PPTX are REAL ([[Ooxml]] — zip+XML needs no
-    * external jars). A pdfbox/Tika integration plugs in here without
-    * touching callers.
+  /** STUB for the remaining native-codec formats: the legacy OLE2 binary
+    * Office family (.doc/.xls/.ppt). Their compound-file format needs a
+    * real parser (POIFS) the container does not ship; the modern
+    * replacements (OOXML via [[Ooxml]], PDF via [[Pdf]]) are REAL and
+    * JDK-only. A Tika/POI integration plugs in here without touching
+    * callers.
     */
   def unsupported(mime: String): Option[String] = None
 

@@ -133,8 +133,11 @@ class OoxmlSpec extends SparkTestBase {
     assert(DocumentText.extractText(xlsx,
       "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet")
       === Some("Sheet: s\nRow 1: a\n"))
-    // pdf stays an honest stub
-    assert(DocumentText.extractText("%PDF-1.4".getBytes, "application/pdf") === None)
+    // pdf dispatches to the real content-stream extractor (PdfSpec covers it)
+    val pdfBytes = PdfWriter.pdf(Seq(Seq("pdf body")))
+    assert(DocumentText.extractText(pdfBytes, "application/pdf") === Some("pdf body"))
+    // legacy OLE2 binaries stay the honest stub
+    assert(DocumentText.extractText(Array[Byte](1, 2, 3), "application/msword") === None)
   }
 
   test("extractDocumentText is a native expression: codegen plan, no RDD scan") {
