@@ -138,6 +138,10 @@ object GraftFunctions {
       "graft_image_dims(content) - struct(format,width,height) from PNG/JPEG/GIF/BMP headers, NULL if unrecognized",
       exprs => graft.expressions.ImageDims(exprs.head)),
 
+    ("graft_av_meta",
+      "graft_av_meta(content) - struct(format,channels,sample_rate,bits,duration_ms) from WAV/MP4 headers, NULL if unrecognized",
+      exprs => graft.expressions.AvMeta(exprs.head)),
+
     ("graft_scrub_pii",
       "graft_scrub_pii(text) - emails/IPs/phones to typed tokens (RE2-portable patterns)",
       exprs => e(TextAnalysis.scrubPii(c(exprs.head)))),

@@ -482,6 +482,61 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q69_av_meta" -> ((s, dir) => {
+      // multimodal audio/video metadata path: real WAV/MP4 container
+      // headers (built by MediaWriter with doc_id-derived properties —
+      // input construction in the driver, like q57) parsed back
+      // distributed by the native AvMeta expression; garbage rows
+      // exercise the NULL arm
+      val ss = tuned(s)
+      val ids = t(ss, dir, "documents").filter(col("doc_id") < 420)
+        .select(col("doc_id")).collect().map(_.getLong(0))
+      val W = graft.llmops.MediaWriter
+      val rows = ids.map { id =>
+        val bytes =
+          if (id >= 400) s"not media $id".getBytes("UTF-8")
+          else (id % 3) match {
+            case 0 => W.wav((id % 2 + 1).toInt, 8000 + (id % 5).toInt * 2000,
+              16, (id * 37 % 4000 + 1000).toInt)
+            case 1 => W.mp4(1000, id * 211 % 90000 + 500)
+            case _ => W.mp4(600, id * 131 % 60000 + 300, version = 1)
+          }
+        (id, bytes)
+      }.toSeq
+      import ss.implicits._
+      val src = rows.toDF("doc_id", "content").repartition(32)
+      graft.llmops.Multimodal.withAvMeta(src)
+        .filter(col("av").isNotNull)
+        .select(col("doc_id"), col("av.format").as("format"),
+          col("av.channels").as("channels"),
+          col("av.sample_rate").as("sample_rate"),
+          col("av.bits").as("bits"), col("av.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
+    "q67_cube" -> ((s, dir) => {
+      // full cube over two low-cardinality dims — partial aggregation
+      // handles the 4x row expansion map-side before the single shuffle
+      t(tuned(s), dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(round(sum(col("o_totalprice")), 4).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    "q68_pivot" -> ((s, dir) => {
+      // status -> column pivot with the value list declared up front: no
+      // extra distinct-scan job, and the output schema is fixed (at 100 TB
+      // an undeclared pivot domain is both a second full pass and a
+      // schema-explosion hazard)
+      t(tuned(s), dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 4))
+        .orderBy("o_orderpriority")
+    }),
+
     "q66_pdf_extract" -> ((s, dir) => {
       // S6 PDF path: real PDFs (content streams + xref, built by PdfWriter
       // from corpus text in the driver — input construction, not the
@@ -1508,6 +1563,32 @@ object SparkEntry {
            'Sheet: data' || chr(10) || 'Row 1: id | ' || doc_id || chr(10) ||
            'Row 2: text | ' || text || chr(10) AS extracted_text FROM src
          ORDER BY doc_id, fmt""",
+
+    "q69_av_meta" ->
+      """SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'wav' ELSE 'mp4' END AS format,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 2 + 1 AS INTEGER) END AS channels,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(8000 + (doc_id % 5) * 2000 AS INTEGER) END AS sample_rate,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(16 AS INTEGER) END AS bits,
+         CAST(CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN ((doc_id * 37 % 4000 + 1000) * 1000) // (8000 + (doc_id % 5) * 2000)
+           WHEN 1 THEN doc_id * 211 % 90000 + 500
+           ELSE ((doc_id * 131 % 60000 + 300) * 1000) // 600
+         END AS BIGINT) AS duration_ms
+         FROM documents WHERE doc_id < 400 ORDER BY doc_id""",
+
+    "q67_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         round(sum(o_totalprice), 4) AS revenue, count(*) AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q68_pivot" ->
+      """SELECT o_orderpriority,
+         round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS "F",
+         round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS "O",
+         round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS "P"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q66_pdf_extract" ->
       """WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),

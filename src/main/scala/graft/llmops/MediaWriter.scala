@@ -1,0 +1,78 @@
+package graft.llmops
+
+import java.io.ByteArrayOutputStream
+
+/** Minimal, structurally valid audio/video container builders — the
+  * synthetic-input partner of [[graft.expressions.AvMeta]], on the same
+  * pattern as [[ImageWriter]]: gate queries and specs build real WAV/MP4
+  * headers with known properties instead of shipping binary fixtures.
+  * Deterministic bytes for identical inputs.
+  */
+object MediaWriter {
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+
+  /** PCM WAV: RIFF header + `fmt ` chunk + `data` chunk of `nSamples`
+    * zeroed frames (each frame = channels × bits/8 bytes).
+    */
+  def wav(channels: Int, sampleRate: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val dataSize = nSamples * blockAlign
+    val out = new ByteArrayOutputStream(44 + dataSize)
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(36L + dataSize))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII"))
+    out.write(le32(16))
+    out.write(le16(1)) // PCM
+    out.write(le16(channels))
+    out.write(le32(sampleRate))
+    out.write(le32(sampleRate.toLong * blockAlign)) // byte rate
+    out.write(le16(blockAlign))
+    out.write(le16(bits))
+    out.write("data".getBytes("US-ASCII"))
+    out.write(le32(dataSize))
+    out.write(new Array[Byte](dataSize))
+    if ((dataSize & 1) == 1) out.write(0) // RIFF word alignment
+    out.toByteArray
+  }
+
+  /** ISO BMFF skeleton: `ftyp` + `moov`(`mvhd` v0 or v1) with the given
+    * movie timescale and duration (in timescale units).
+    */
+  def mp4(timescale: Long, duration: Long, version: Int = 0): Array[Byte] = {
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(0x200) ++
+        "isomiso2".getBytes("US-ASCII"))
+    val mvhdBody =
+      if (version == 1)
+        Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(timescale) ++
+          be64(duration) ++ mvhdTail
+      else
+        Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++
+          be32(duration) ++ mvhdTail
+    val moov = box("moov", box("mvhd", mvhdBody))
+    ftyp ++ moov
+  }
+
+  // rate, volume, reserved, matrix, predefined, next-track-id
+  private def mvhdTail: Array[Byte] =
+    be32(0x00010000L) ++ Array[Byte](0, 0, 0, 0, 0, 0) ++ // rate, volume, reserved16
+      new Array[Byte](8) ++ // reserved32 x2
+      (be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000L)) ++ // unity matrix
+      new Array[Byte](24) ++ // predefined x6
+      be32(2) // next track id
+
+  private def box(tpe: String, body: Array[Byte]): Array[Byte] =
+    be32(8L + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+}

@@ -60,6 +60,23 @@ object Multimodal {
   def withImageDims(df: DataFrame, contentCol: String = "content"): DataFrame =
     df.withColumn("img", imageDims(col(contentCol)))
 
+  /** REAL audio/video container metadata from binary headers — WAV
+    * channels/rate/bits/duration and MP4 movie duration parsed by the
+    * native codegen'd [[graft.expressions.AvMeta]] expression (the
+    * audio/video sibling of [[imageDims]]). NULL struct for unrecognized
+    * bytes; sample/frame decode remains behind [[StubCodec]].
+    */
+  def avMeta(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.AvMeta(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** Appends `av` (struct&lt;format,channels,sample_rate,bits,duration_ms&gt;,
+    * NULL when unrecognized) — scan-projection local, no shuffle.
+    */
+  def withAvMeta(df: DataFrame, contentCol: String = "content"): DataFrame =
+    df.withColumn("av", avMeta(col(contentCol)))
+
   /** Deterministic stand-in for the native decode libraries. Each function
     * is the shape the real codec would have; the bodies compute stable fake
     * features from the bytes so tests are reproducible.

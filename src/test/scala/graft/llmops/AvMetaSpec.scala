@@ -1,0 +1,77 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import graft.expressions.AvMeta
+import org.apache.spark.sql.functions._
+
+/** MediaWriter → AvMeta round trips plus header edge cases. */
+class AvMetaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def meta(bytes: Array[Byte]) =
+    Option(AvMeta.compute(bytes)).map { r =>
+      (r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }
+
+  test("wav: channels, rate, bits, duration from fmt + data chunks") {
+    val b = MediaWriter.wav(channels = 2, sampleRate = 44100, bits = 16, nSamples = 44100)
+    assert(meta(b) === Some(("wav", Some(2), Some(44100), Some(16), Some(1000L))))
+    val mono = MediaWriter.wav(1, 8000, 8, 2000)
+    assert(meta(mono) === Some(("wav", Some(1), Some(8000), Some(8), Some(250L))))
+  }
+
+  test("wav: odd-length data chunk rounds duration down, not up") {
+    // 3 samples of 1ch/8bit at 1000 Hz = 3 ms
+    assert(meta(MediaWriter.wav(1, 1000, 8, 3)).get._5 === Some(3L))
+  }
+
+  test("wav: fmt without data chunk yields NULL duration (truncated stream)") {
+    val full = MediaWriter.wav(1, 8000, 16, 100)
+    val headerOnly = java.util.Arrays.copyOfRange(full, 0, 36) // RIFF+fmt, no data
+    assert(meta(headerOnly) === Some(("wav", Some(1), Some(8000), Some(16), None)))
+  }
+
+  test("mp4: mvhd v0 and v1 movie durations") {
+    assert(meta(MediaWriter.mp4(1000, 90500)) ===
+      Some(("mp4", None, None, None, Some(90500L))))
+    assert(meta(MediaWriter.mp4(600, 1234, version = 1)) ===
+      Some(("mp4", None, None, None, Some(1234L * 1000 / 600))))
+  }
+
+  test("unrecognized bytes and nulls yield NULL") {
+    assert(meta("not a container".getBytes) === None)
+    assert(meta(Array[Byte](1, 2, 3)) === None)
+    assert(meta(null) === None)
+  }
+
+  test("withAvMeta appends the struct in the scan projection") {
+    val rows = Seq(
+      (1L, MediaWriter.wav(2, 16000, 16, 8000)),
+      (2L, MediaWriter.mp4(1000, 2500)),
+      (3L, "junk".getBytes))
+    val got = Multimodal.withAvMeta(rows.toDF("id", "content"))
+      .select(col("id"), col("av.format"), col("av.duration_ms"))
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.toSeq === Seq(
+      (1L, Some("wav"), Some(500L)),
+      (2L, Some("mp4"), Some(2500L)),
+      (3L, None, None)))
+  }
+
+  test("graft_av_meta SQL function") {
+    graft.GraftFunctions.register(spark)
+    spark.createDataFrame(Seq(Tuple1(MediaWriter.wav(1, 22050, 16, 22050))))
+      .toDF("content").createOrReplaceTempView("av_nk")
+    val r = spark.sql(
+      "SELECT graft_av_meta(content) AS m FROM av_nk").collect().head.getStruct(0)
+    assert((r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)) ===
+      (("wav", 1, 22050, 16, 1000L)))
+  }
+}
