@@ -146,6 +146,18 @@ object GraftFunctions {
       "graft_scrub_pii(text) - emails/IPs/phones to typed tokens (RE2-portable patterns)",
       exprs => e(TextAnalysis.scrubPii(c(exprs.head)))),
 
+    ("graft_url_host",
+      "graft_url_host(url) - lower-cased host, port stripped",
+      exprs => e(TextAnalysis.urlHost(c(exprs.head)))),
+
+    ("graft_url_domain",
+      "graft_url_domain(url) - registrable-domain approximation (last two labels)",
+      exprs => e(TextAnalysis.urlDomain(c(exprs.head)))),
+
+    ("graft_url_normalize",
+      "graft_url_normalize(url) - canonical URL: lower scheme/host, default ports + utm params + fragment stripped",
+      exprs => e(TextAnalysis.normalizeUrl(c(exprs.head)))),
+
     ("graft_dedup_lines",
       "graft_dedup_lines(text) - drop repeated lines, first occurrence kept",
       exprs => e(TextAnalysis.dedupLines(c(exprs.head))))

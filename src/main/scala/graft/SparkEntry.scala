@@ -482,6 +482,35 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q70_url_features" -> ((s, dir) => {
+      // crawl-side URL curation over synthesized-but-messy URLs (mixed
+      // case, default ports, utm tracker params, fragments): scheme/host/
+      // domain extraction, canonicalization, blocklist verdict — one
+      // projection, no shuffle
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents")
+      val url = concat(
+        lit("HTTPS://Site"), col("doc_id") % 7, lit(".Example.COM"),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), col("doc_id"),
+        lit("?utm_source=x&id="), col("doc_id"), lit("&utm_medium=y#frag"))
+      graft.llmops.TextAnalysis.urlFeatures(
+          d.select(col("doc_id"), url.alias("url")), "url",
+          blockedHosts = Seq("site0.example.com", "bad.example.org"))
+        .select(col("doc_id"), col("scheme"), col("host"), col("domain"),
+          col("url_norm"), col("is_blocked"))
+        .orderBy("doc_id")
+    }),
+
+    "q71_tfidf" -> ((s, dir) => {
+      // TF-IDF top-3 terms per document: token explode -> (doc,term)
+      // partial-agg count -> term-keyed join against the vocabulary-sized
+      // document-frequency agg -> per-doc ranking window
+      graft.llmops.TextAnalysis.tfidfTopTerms(
+          t(tuned(s), dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rnk")
+    }),
+
     "q69_av_meta" -> ((s, dir) => {
       // multimodal audio/video metadata path: real WAV/MP4 container
       // headers (built by MediaWriter with doc_id-derived properties —
@@ -1563,6 +1592,32 @@ object SparkEntry {
            'Sheet: data' || chr(10) || 'Row 1: id | ' || doc_id || chr(10) ||
            'Row 2: text | ' || text || chr(10) AS extracted_text FROM src
          ORDER BY doc_id, fmt""",
+
+    "q70_url_features" ->
+      """SELECT doc_id, 'https' AS scheme,
+         'site' || (doc_id % 7) || '.example.com' AS host,
+         'example.com' AS domain,
+         'https://site' || (doc_id % 7) || '.example.com/p/' || doc_id ||
+           '?id=' || doc_id AS url_norm,
+         doc_id % 7 = 0 AS is_blocked
+         FROM documents ORDER BY doc_id""",
+
+    "q71_tfidf" ->
+      """WITH tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents)
+           WHERE length(term) > 0 GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+         n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * ln(CAST(nd AS DOUBLE) / df_t) AS raw,
+             row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(CAST(nd AS DOUBLE) / df_t) DESC, tf.term) AS rnk
+           FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n)
+         SELECT doc_id, term, tf, round(raw, 4) AS tfidf, rnk
+         FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk""",
 
     "q69_av_meta" ->
       """SELECT doc_id,

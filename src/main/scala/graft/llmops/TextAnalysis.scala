@@ -226,6 +226,101 @@ object TextAnalysis {
   def dedupLines(text: Column, sep: String = "\n"): Column =
     concat_ws(sep, array_distinct(split(text, java.util.regex.Pattern.quote(sep))))
 
+  /** URL curation — the crawl-side filter battery (host routing, domain
+    * blocklists, tracker-param stripping). All regexp-based and
+    * deliberately RE2-compatible so external validators apply the
+    * byte-identical parse; no java.net.URI (its parse failures throw and
+    * its normalization differs between JDKs).
+    */
+  val UrlSchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  val UrlHostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+  val UrlPathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)"
+  val UrlQueryRe = "\\?([^#]*)"
+
+  def urlScheme(url: Column): Column = lower(regexp_extract(url, UrlSchemeRe, 1))
+
+  /** Lower-cased host with any `:port` suffix removed. */
+  def urlHost(url: Column): Column =
+    lower(regexp_replace(regexp_extract(url, UrlHostRe, 1), ":[0-9]+$", ""))
+
+  /** Registrable-domain approximation: the last two dot-labels (a full
+    * public-suffix list is a data file, not an algorithm — callers with
+    * one can join it against `host`).
+    */
+  def urlDomain(url: Column): Column =
+    regexp_extract(urlHost(url), "([^.]+\\.[^.]+)$", 1)
+
+  /** Canonical URL: lower-cased scheme+host, default ports stripped,
+    * `utm_*` tracker params removed, fragment dropped. Empty queries lose
+    * their `?`.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = urlScheme(url)
+    val host = urlHost(url)
+    val port = regexp_extract(regexp_extract(url, UrlHostRe, 1), ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val path = regexp_extract(url, UrlPathRe, 1)
+    val query = regexp_extract(url, UrlQueryRe, 1)
+    val noUtm = regexp_replace(
+      regexp_replace(query, "(^|&)utm_[A-Za-z_]*=[^&]*", ""), "^&", "")
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(noUtm =!= "", concat(lit("?"), noUtm)).otherwise(lit("")))
+  }
+
+  /** URL feature battery over a URL column: scheme/host/domain/normalized
+    * plus a blocklist verdict (exact host or registrable-domain match).
+    * One projection, no shuffle — the blocklist is a literal `isin`, the
+    * right shape for the few-thousand-entry lists curation runs carry
+    * (larger lists should broadcast-join against `host` instead).
+    */
+  def urlFeatures(df: DataFrame, urlCol: String,
+      blockedHosts: Seq[String] = Nil): DataFrame = {
+    val u = col(urlCol)
+    val host = urlHost(u)
+    val domain = urlDomain(u)
+    val blocked =
+      if (blockedHosts.isEmpty) lit(false)
+      else host.isin(blockedHosts: _*) || domain.isin(blockedHosts: _*)
+    df.withColumn("scheme", urlScheme(u))
+      .withColumn("host", host)
+      .withColumn("domain", domain)
+      .withColumn("url_norm", normalizeUrl(u))
+      .withColumn("is_blocked", blocked)
+  }
+
+  /** TF-IDF top terms per document (tf × ln(N/df), the plain information-
+    * retrieval form): the keyword/topic signal corpus triage uses before
+    * anything model-based.
+    *
+    * Plan shape at 100 TB: one token explode → (doc, term) partial-agg
+    * count (the word-count shape), a term-keyed shuffle join against the
+    * document-frequency aggregate (vocabulary-sized — NOT broadcast, it
+    * can be billions of terms), then a per-document ranking window over
+    * ≤ vocabulary-of-doc rows. `numDocs` avoids the extra counting job
+    * when the caller already knows the corpus size.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int,
+      numDocs: Option[Long] = None): DataFrame = {
+    val n = numDocs.getOrElse(df.select(col(idCol)).distinct().count())
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).alias("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).alias("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).alias("df_t"))
+    val scoreRaw = col("tf") * log(lit(n.toDouble) / col("df_t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(scoreRaw.desc, col("term"))
+    tf.join(docFreq, "term")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"),
+        round(scoreRaw, 4).alias("tfidf"), col("rnk"))
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized, lower-cased
     * text. md5 is engine-portable (identical in Spark, DuckDB, Python), so
     * fingerprints computed by different tools agree — the property that

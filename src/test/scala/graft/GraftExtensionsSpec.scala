@@ -82,6 +82,16 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(row.getString(2) === "mail <EMAIL> now")
     assert(row.getString(3) === "a\nb")
 
+    // URL curation functions
+    val urlRow = spark.sql(
+      """SELECT graft_url_host('HTTP://Ex.COM:80/a') AS h,
+         graft_url_domain('http://a.b.ex.com/x') AS d,
+         graft_url_normalize('HTTP://Ex.COM:80/a?utm_source=t&k=1#f') AS n""")
+      .collect().head
+    assert(urlRow.getString(0) === "ex.com")
+    assert(urlRow.getString(1) === "ex.com")
+    assert(urlRow.getString(2) === "http://ex.com/a?k=1")
+
     // document extraction: text path + unsupported-format NULL
     val doc = spark.sql(
       """SELECT graft_doc_extract(CAST('hi  there' AS BINARY), 'text/plain') AS t,

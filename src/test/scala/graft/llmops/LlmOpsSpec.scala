@@ -125,6 +125,50 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got(3) === "none of the above 123")
   }
 
+  test("url features: parse, normalize, blocklist") {
+    val rows = Seq(
+      (1L, "HTTPS://WWW.Example.COM:443/Path/x?utm_source=a&q=1&utm_medium=b#frag"),
+      (2L, "http://bad.host.org:8080/p?utm_campaign=z"),
+      (3L, "http://plain.net"),
+      (4L, "https://sub.deep.example.co:443/a%20b?x=1&y=2"))
+      .toDF("id", "url")
+    val got = TextAnalysis.urlFeatures(rows, "url",
+        blockedHosts = Seq("bad.host.org", "example.com"))
+      .select("id", "scheme", "host", "domain", "url_norm", "is_blocked")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getBoolean(5)))
+    assert(got(0) === ((1L, "https", "www.example.com", "example.com",
+      "https://www.example.com/Path/x?q=1", true))) // domain blocklist hit
+    assert(got(1) === ((2L, "http", "bad.host.org", "host.org",
+      "http://bad.host.org:8080/p", true))) // non-default port kept, utm-only query dropped
+    assert(got(2) === ((3L, "http", "plain.net", "plain.net",
+      "http://plain.net", false)))
+    assert(got(3) === ((4L, "https", "sub.deep.example.co", "example.co",
+      "https://sub.deep.example.co/a%20b?x=1&y=2", false)))
+  }
+
+  test("tfidf top terms: corpus-wide terms score zero, rare terms rank first") {
+    val docs = Seq(
+      (1L, "apple apple banana shared"),
+      (2L, "banana cherry shared"),
+      (3L, "cherry date shared"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert(got(0) === ((1L, "apple", 2L, r4(2 * math.log(3.0)), 1)))
+    assert(got(1) === ((1L, "banana", 1L, r4(math.log(1.5)), 2)))
+    // "shared" appears in every doc -> ln(1) = 0, never outranks rare terms;
+    // banana/cherry tie in doc 2 (tf=1, df=2 each) -> term-asc tiebreak
+    assert(got.filter(_._1 == 2L).map(_._2).toSeq === Seq("banana", "cherry"))
+    // ties (cherry/date in doc 3, both tf=1 df... cherry df=2, date df=1) -> date first
+    assert(got.filter(_._1 == 3L).map(_._2).toSeq === Seq("date", "cherry"))
+  }
+
   test("dedupLines keeps first occurrence of each line, order preserved") {
     import org.apache.spark.sql.functions._
     val got = Seq("b\na\nb\nc\na").toDF("t")
