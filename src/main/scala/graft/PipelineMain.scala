@@ -19,10 +19,20 @@ import org.apache.spark.sql.SparkSession
   *
   * CSV formats are the reference's `;`-delimited latin-1 files
   * ([[ConfigLoader]]); the columns file carries TABLE_NAME rows for every
-  * table. The JDBC password comes from `GRAFT_DB_PASSWORD` (never a CLI
-  * arg — argv is world-readable on shared hosts). Exit code 0 = every
-  * active table landed, 1 = at least one FAILED (the run report persists
-  * either way, under `<stageRoot>/__run_report`).
+  * table. Every active table runs against EVERY configured endpoint
+  * (app.py:164-184 creates one extract+transform job per
+  * (table, endpoint) pair — the same source schema ingested from several
+  * database instances); with more than one endpoint the stage table name
+  * gains the reference's `_<endpoint>` suffix so landings don't collide.
+  * `GRAFT_PIPELINE_ENV` filters endpoints by their ENV column
+  * (app.py:139 keeps only current-environment credentials rows).
+  *
+  * The JDBC password comes from `GRAFT_DB_PASSWORD_<ENDPOINT_NAME>`,
+  * falling back to `GRAFT_DB_PASSWORD` (never a CLI arg — argv is
+  * world-readable on shared hosts; the reference holds one secret per
+  * endpoint, hence the per-endpoint variable). Exit code 0 = every
+  * active (table, endpoint) landed, 1 = at least one FAILED (the run
+  * report persists either way, under `<stageRoot>/__run_report`).
   */
 object PipelineMain {
 
@@ -38,7 +48,7 @@ object PipelineMain {
       shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toIntOption.getOrElse(32)
     ).getOrCreate()
     val report = run(spark, args(0), args(1), args(2), args(3), args(4), args(5),
-      args.lift(6))
+      args.lift(6), environment = sys.env.get("GRAFT_PIPELINE_ENV"))
     report.runs.foreach { r =>
       println(s"${r.table}\t${r.status}\trows=${r.rowsWritten}\t" +
         s"${r.durationMs}ms\tattempts=${r.attempts}${r.error.map("\t" + _).getOrElse("")}")
@@ -55,23 +65,42 @@ object PipelineMain {
       processId: String,
       rawRoot: String,
       stageRoot: String,
-      watermarkDir: Option[String] = None
+      watermarkDir: Option[String] = None,
+      environment: Option[String] = None
   ): Runner.RunReport = {
-    val endpoints = ConfigLoader.endpointsFrom(ConfigLoader.loadFile(endpointsCsv))
-    require(endpoints.nonEmpty, s"no endpoints in $endpointsCsv")
-    val endpoint = endpoints.find(_.isPrincipal).getOrElse(endpoints.head)
-    val password = sys.env.getOrElse("GRAFT_DB_PASSWORD", "")
+    val allEndpoints = ConfigLoader.endpointsFrom(ConfigLoader.loadFile(endpointsCsv))
+    val endpoints = environment match {
+      case Some(env) => allEndpoints.filter(_.environment.equalsIgnoreCase(env))
+      case None => allEndpoints
+    }
+    require(endpoints.nonEmpty,
+      s"no endpoints in $endpointsCsv" +
+        environment.map(e => s" for environment $e").getOrElse(""))
+    def password(ep: graft.config.EndpointConfig): String =
+      sys.env.getOrElse(s"GRAFT_DB_PASSWORD_${ep.endpointName.toUpperCase}",
+        sys.env.getOrElse("GRAFT_DB_PASSWORD", ""))
 
     val tables = ConfigLoader.tablesFrom(ConfigLoader.loadFile(tablesCsv))
     val colRows = ConfigLoader.loadFile(columnsCsv)
     val active = Runner.tablesForProcess(tables, processId)
+    val multi = endpoints.size > 1
 
-    val specs = active.map { t =>
-      val cols = ConfigLoader.columnsFrom(colRows.filter { r =>
+    // one spec per (table, endpoint) pair; the `_<endpoint>` stage suffix
+    // keeps multi-instance landings (and report rows) distinct, matching
+    // the reference's `{table}_{endpoint}` job identity
+    val specs = for {
+      t <- active
+      cols = ConfigLoader.columnsFrom(colRows.filter { r =>
         val tn = r.getOrElse("TABLE_NAME", "")
         tn.equalsIgnoreCase(t.stageTableName) || tn.equalsIgnoreCase(t.sourceTable)
       })
-      Runner.datedSpec(t, cols, rawRoot, stageRoot, Left((endpoint, password)))
+      ep <- endpoints
+    } yield {
+      val named =
+        if (multi) t.copy(stageTableName =
+          s"${t.stageTableName}_${ep.endpointName.toLowerCase}")
+        else t
+      Runner.datedSpec(named, cols, rawRoot, stageRoot, Left((ep, password(ep))))
     }
     val store = watermarkDir.map(d => new WatermarkStore(spark, d))
     Runner.run(spark, specs,

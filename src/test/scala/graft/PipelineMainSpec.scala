@@ -60,4 +60,43 @@ class PipelineMainSpec extends SparkTestBase {
     val persisted = spark.read.parquet(s"$stageRoot/__run_report")
     assert(persisted.count() === 2)
   }
+
+  test("multi-endpoint fan-out: every table lands once per endpoint, env-filtered") {
+    // two Derby instances standing in for two database endpoints
+    for (db <- Seq("graftpm_a", "graftpm_b")) {
+      val conn = DriverManager.getConnection(s"jdbc:derby:memory:$db;create=true")
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE APP.ALPHA") catch { case _: Exception => () }
+      st.execute("CREATE TABLE APP.ALPHA (id INT, nombre VARCHAR(50))")
+      st.execute(s"INSERT INTO APP.ALPHA VALUES (1, '$db')")
+      st.close(); conn.close()
+    }
+
+    val dir = Files.createTempDirectory("graft_pm_multi")
+    val endpoints = write(dir, "endpoints.csv",
+      "ENDPOINT_NAME;BD_TYPE;DB_PORT_NUMBER;SRC_DB_NAME;SRC_SERVER_NAME;SRC_DB_USERNAME;ENV;IS_PRINCIPAL\n" +
+        "EPA;derby;0;graftpm_a;local;app;DEV;true\n" +
+        "EPB;derby;0;graftpm_b;local;app;DEV;false\n" +
+        "EPX;derby;0;graftpm_x;local;app;PROD;false") // other env: filtered out
+    val tables = write(dir, "tables.csv",
+      "STAGE_TABLE_NAME;SOURCE_TABLE;SOURCE_SCHEMA;SOURCE_TABLE_TYPE;LOAD_TYPE;COLUMNS;ID_COLUMN;PROCESS_ID;STATUS\n" +
+        "alpha;ALPHA;APP;t;full;id, nombre;;77;A")
+    val columns = write(dir, "columns.csv",
+      "COLUMN_NAME;COLUMN_ID;NEW_DATA_TYPE;TRANSFORMATION;IS_ID;IS_ORDER_BY;TABLE_NAME\n" +
+        "id;1;int;fn_transform_Integer(id);t;;alpha\n" +
+        "nombre;2;string;fn_transform_ClearString(nombre);;;alpha")
+
+    val stageRoot = dir.resolve("stage").toString
+    val report = PipelineMain.run(spark, endpoints, tables, columns,
+      processId = "77", rawRoot = dir.resolve("raw").toString,
+      stageRoot = stageRoot, environment = Some("dev"))
+
+    // one run per (table, endpoint), suffixed stage names, PROD filtered
+    assert(report.runs.map(_.table).sorted === Seq("alpha_epa", "alpha_epb"))
+    assert(report.failed.isEmpty, report.failed.map(_.error).mkString("; "))
+    val a = spark.read.parquet(s"$stageRoot/alpha_epa").collect()
+    val b = spark.read.parquet(s"$stageRoot/alpha_epb").collect()
+    assert(a.map(_.getString(1)).toSeq === Seq("graftpm_a"))
+    assert(b.map(_.getString(1)).toSeq === Seq("graftpm_b"))
+  }
 }
