@@ -146,6 +146,12 @@ object GraftFunctions {
       "graft_scrub_pii(text) - emails/IPs/phones to typed tokens (RE2-portable patterns)",
       exprs => e(TextAnalysis.scrubPii(c(exprs.head)))),
 
+    ("graft_unicode_norm",
+      "graft_unicode_norm(text[, form]) - UAX #15 normalization (NFC default; NFD/NFKC/NFKD)",
+      exprs => graft.expressions.UnicodeNorm(
+        exprs.head,
+        exprs.lift(1).map(litText(_, "graft_unicode_norm", "form")).getOrElse("NFC"))),
+
     ("graft_url_host",
       "graft_url_host(url) - lower-cased host, port stripped",
       exprs => e(TextAnalysis.urlHost(c(exprs.head)))),

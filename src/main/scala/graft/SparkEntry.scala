@@ -482,6 +482,34 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q72_gopher_rep" -> ((s, dir) => {
+      // Gopher repetition signals: top-bigram and duplicate-5-gram char
+      // coverage per doc — two word-count-shaped aggregations over native
+      // WordNGrams occurrence arrays, char length carried in the group key
+      graft.llmops.TextAnalysis.gopherRepetitionSignals(
+          t(tuned(s), dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "q73_unicode_nfc" -> ((s, dir) => {
+      // NFC normalization ahead of fingerprint dedup: combining-mark text
+      // (built in-query: corpus is ASCII) composes to the precomposed
+      // form, so the md5 fingerprints of both encodings collide as they
+      // must. Native UnicodeNorm kernel with an isNormalized fast path.
+      val ss = tuned(s)
+      val T = graft.llmops.TextAnalysis
+      val decomposed = concat(col("text"), lit(" cafe\u0301")) // e + combining acute
+      val composed = concat(col("text"), lit(" caf\u00e9"))    // precomposed e-acute
+      t(ss, dir, "documents")
+        .select(col("doc_id"),
+          T.unicodeNorm(decomposed).alias("nfc_text"),
+          (T.fingerprint(T.unicodeNorm(decomposed)) ===
+            T.fingerprint(composed)).alias("fp_match"),
+          length(decomposed).alias("len_before"),
+          length(T.unicodeNorm(decomposed)).alias("len_after"))
+        .orderBy("doc_id")
+    }),
+
     "q70_url_features" -> ((s, dir) => {
       // crawl-side URL curation over synthesized-but-messy URLs (mixed
       // case, default ports, utm tracker params, fragments): scheme/host/
@@ -1592,6 +1620,43 @@ object SparkEntry {
            'Sheet: data' || chr(10) || 'Row 1: id | ' || doc_id || chr(10) ||
            'Row 2: text | ' || text || chr(10) AS extracted_text FROM src
          ORDER BY doc_id, fmt""",
+
+    "q72_gopher_rep" ->
+      """WITH base AS (
+           SELECT doc_id, length(text) AS chars, string_split(text, ' ') AS toks
+           FROM documents),
+         g2 AS (
+           SELECT doc_id, chars,
+             unnest([array_to_string(toks[i:i+1], ' ')
+               FOR i IN range(1, len(toks))]) AS g
+           FROM base WHERE len(toks) >= 2),
+         c2 AS (SELECT doc_id, chars, g, count(*) AS c
+                FROM g2 GROUP BY doc_id, chars, g),
+         top AS (
+           SELECT doc_id, chars, g, c,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+           FROM c2),
+         g5 AS (
+           SELECT doc_id,
+             unnest([array_to_string(toks[i:i+4], ' ')
+               FOR i IN range(1, len(toks) - 3)]) AS g
+           FROM base WHERE len(toks) >= 5),
+         c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+         dup AS (SELECT doc_id, sum(c * length(g)) AS dchars
+                 FROM c5 WHERE c > 1 GROUP BY doc_id)
+         SELECT t.doc_id, t.g AS top_ngram,
+           round(t.c * length(t.g) / t.chars, 4) AS top_ngram_char_frac,
+           round(coalesce(d.dchars, 0) / t.chars, 4) AS dup_ngram_char_frac
+         FROM top t LEFT JOIN dup d ON t.doc_id = d.doc_id
+         WHERE t.rn = 1 ORDER BY t.doc_id""",
+
+    "q73_unicode_nfc" ->
+      """SELECT doc_id,
+         text || ' caf' || chr(233) AS nfc_text,
+         true AS fp_match,
+         CAST(length(text) + 6 AS INTEGER) AS len_before,
+         CAST(length(text) + 5 AS INTEGER) AS len_after
+         FROM documents ORDER BY doc_id""",
 
     "q70_url_features" ->
       """SELECT doc_id, 'https' AS scheme,

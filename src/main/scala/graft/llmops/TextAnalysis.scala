@@ -152,6 +152,56 @@ object TextAnalysis {
           col("frac_unique_words") >= 0.2 && col("top_word_frac") <= 0.2)
   }
 
+  /** Gopher repetition signals (Rae et al. 2021 §A1.1, the n-gram half of
+    * the battery next to [[gopherQualityFeatures]]'s word statistics):
+    * per-document fraction of characters covered by the single most
+    * frequent word `topN`-gram, and by all word `dupN`-grams occurring
+    * more than once — the standard detectors for looped/boilerplate text.
+    *
+    * Plan shape: two explodes of native [[graft.expressions.WordNGrams]]
+    * occurrence arrays, each into a (key, gram) partial-agg count (the
+    * word-count shape); the document char length travels in the grouping
+    * key (functionally dependent on it — free) so no join back to the
+    * corpus is needed. The top gram is picked by a per-key window with a
+    * deterministic (count desc, gram asc) tie-break. Documents with fewer
+    * than `topN` words have no grams and are absent from the output.
+    */
+  def gopherRepetitionSignals(df: DataFrame, keyCol: String, textCol: String,
+      topN: Int = 2, dupN: Int = 5): DataFrame = {
+    def grams(n: Int) = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.WordNGrams(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(col(textCol)),
+        n, distinct = false))
+    val base = df.select(col(keyCol), length(col(textCol)).alias("__chars"),
+      grams(topN).alias("__gt"), grams(dupN).alias("__gd"))
+
+    val topCounts = base
+      .select(col(keyCol), col("__chars"), explode(col("__gt")).alias("g"))
+      .groupBy(col(keyCol), col("__chars"), col("g"))
+      .agg(count(lit(1)).alias("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("c").desc, col("g"))
+    val top = topCounts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("__chars"), col("g").alias("top_ngram"),
+        col("c").alias("__tc"))
+
+    val dup = base
+      .select(col(keyCol), explode(col("__gd")).alias("g"))
+      .groupBy(col(keyCol), col("g"))
+      .agg(count(lit(1)).alias("c"))
+      .filter(col("c") > 1)
+      .groupBy(col(keyCol))
+      .agg(sum(col("c") * length(col("g"))).alias("__dchars"))
+
+    top.join(dup, Seq(keyCol), "left")
+      .select(col(keyCol), col("top_ngram"),
+        round(col("__tc") * length(col("top_ngram")) /
+          col("__chars").cast("double"), 4).alias("top_ngram_char_frac"),
+        round(coalesce(col("__dchars"), lit(0L)) /
+          col("__chars").cast("double"), 4).alias("dup_ngram_char_frac"))
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the T5
     * corpus rules, the other standard heuristic battery next to
     * [[gopherQualityFeatures]]): keep only lines that end in terminal
@@ -320,6 +370,16 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"),
         round(scoreRaw, 4).alias("tfidf"), col("rnk"))
   }
+
+  /** Unicode normalization (UAX #15) — NFC before hash-keyed dedup (composed
+    * vs combining-mark encodings of identical text must hash identically),
+    * NFKC before tokenization. Native codegen'd kernel with an
+    * isNormalized fast path for the all-ASCII common case.
+    */
+  def unicodeNorm(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.UnicodeNorm(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(text), form))
 
   /** Document fingerprint: md5 of the whitespace-normalized, lower-cased
     * text. md5 is engine-portable (identical in Spark, DuckDB, Python), so

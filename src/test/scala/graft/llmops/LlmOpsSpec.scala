@@ -125,6 +125,39 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got(3) === "none of the above 123")
   }
 
+  test("gopher repetition signals: looped text flagged, varied text low") {
+    val docs = Seq(
+      (1L, "spam ham spam ham spam ham spam ham"), // "spam ham" bigram loops
+      (2L, "one two three four five six seven eight"), // all grams unique
+      (3L, "x")) // fewer than 2 words: absent
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L))
+    // doc 1: "spam ham" occurs 4x of 7 bigrams; every 5-gram repeats
+    assert(got(0)._2 === "spam ham")
+    assert(got(0)._3 === BigDecimal(4.0 * 8 / 35)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(0)._4 > 0.9) // near-total duplicate-5-gram coverage
+    // doc 2: top bigram count 1, no duplicate 5-grams at all
+    assert(got(1)._2 === "five six") // all counts 1 -> lexicographic tiebreak
+    assert(got(1)._4 === 0.0)
+  }
+
+  test("unicodeNorm composes combining marks; fingerprints then collide") {
+    val rows = Seq(("cafe\u0301 latte", "caf\u00e9 latte")).toDF("dec", "comp")
+    val r = rows.select(
+      TextAnalysis.unicodeNorm(col("dec")).alias("n"),
+      (TextAnalysis.fingerprint(TextAnalysis.unicodeNorm(col("dec"))) ===
+        TextAnalysis.fingerprint(col("comp"))).alias("m"),
+      TextAnalysis.unicodeNorm(col("comp"), "NFD").alias("d"))
+      .collect().head
+    assert(r.getString(0) === "caf\u00e9 latte")
+    assert(r.getBoolean(1))
+    assert(r.getString(2) === "cafe\u0301 latte")
+  }
+
   test("url features: parse, normalize, blocklist") {
     val rows = Seq(
       (1L, "HTTPS://WWW.Example.COM:443/Path/x?utm_source=a&q=1&utm_medium=b#frag"),
