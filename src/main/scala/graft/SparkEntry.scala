@@ -482,6 +482,18 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q74_jsonl_roundtrip" -> ((s, dir) => {
+      // JSONL source/sink: write the corpus as JSON lines, read it back
+      // with an explicit schema (no inference pass), prove lossless
+      // round-trip of ids and text through JSON escaping
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q74").toString + "/jl"
+      graft.sources.RawLayer.writeJsonl(docs, tmp)
+      graft.sources.RawLayer.readJsonl(ss, tmp, docs.schema, strict = true)
+        .orderBy("doc_id")
+    }),
+
     "q72_gopher_rep" -> ((s, dir) => {
       // Gopher repetition signals: top-bigram and duplicate-5-gram char
       // coverage per doc — two word-count-shaped aggregations over native
@@ -1620,6 +1632,9 @@ object SparkEntry {
            'Sheet: data' || chr(10) || 'Row 1: id | ' || doc_id || chr(10) ||
            'Row 2: text | ' || text || chr(10) AS extracted_text FROM src
          ORDER BY doc_id, fmt""",
+
+    "q74_jsonl_roundtrip" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""",
 
     "q72_gopher_rep" ->
       """WITH base AS (

@@ -70,4 +70,16 @@ object TrainExport {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** JSONL variant of [[writeShards]] — one directory per shard of
+    * gzipped JSON lines, the layout dataloader stacks stream directly.
+    */
+  def writeShardsJsonl(df: DataFrame, keyCol: String, nShards: Int,
+      path: String, gzip: Boolean = true): Unit = {
+    val w = shuffleShards(df, keyCol, nShards)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard")
+    (if (gzip) w.option("compression", "gzip") else w).json(path)
+  }
 }

@@ -41,6 +41,28 @@ object RawLayer {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** JSONL write (one JSON object per line) — the interchange format
+    * training stacks consume and crawl dumps arrive in. `gzip=true`
+    * compresses per-file (splittable-enough at shard granularity since
+    * each partition is its own .gz).
+    */
+  def writeJsonl(df: DataFrame, path: String, gzip: Boolean = false): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (gzip) w.option("compression", "gzip") else w).json(path)
+  }
+
+  /** JSONL read with a REQUIRED schema: Spark's schema inference is a
+    * full extra pass over the files — never acceptable at corpus scale,
+    * so this API makes the caller state the schema. Malformed lines land
+    * as nulls (PERMISSIVE) rather than failing a 100 TB job on one bad
+    * record; pass `strict=true` to FAILFAST instead.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+      strict: Boolean = false): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", if (strict) "FAILFAST" else "PERMISSIVE")
+      .json(path)
+
   /** K7 target cleanup before a full re-extract
     * (extract_data_spark.py:362-375).
     */

@@ -62,4 +62,24 @@ class TrainExportSpec extends SparkTestBase {
     val got = back.select("id", "shard").as[(Long, Int)].collect().toMap
     assert(got === expect)
   }
+
+  test("writeShardsJsonl emits gzipped JSON lines per shard dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_jl").toString
+    val docs = (1L to 120L).map(i => (i, s"doc $i")).toDF("id", "text")
+    TrainExport.writeShardsJsonl(docs, "id", 3, s"$dir/out")
+    val shardDirs = new java.io.File(s"$dir/out").listFiles
+      .filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length === 3)
+    assert(shardDirs.forall(_.listFiles.exists(_.getName.endsWith(".json.gz"))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType)))
+    val back = spark.read.schema(schema).json(s"$dir/out/shard=1")
+    assert(back.count() > 0)
+    assert(back.select("id").distinct().count() === back.count())
+  }
 }

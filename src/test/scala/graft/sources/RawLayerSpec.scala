@@ -38,6 +38,24 @@ class RawLayerSpec extends SparkTestBase {
     assert(row.getString(0) === "id, nombre")
   }
 
+  test("JSONL round trip: explicit schema, escapes survive, gzip variant") {
+    val root = Files.createTempDirectory("graft-jsonl").toString
+    val df = Seq(
+      (1L, "plain words"),
+      (2L, "quotes \" and \\ backslash\nand a newline"),
+      (3L, "unicode café 日本")).toDF("id", "text")
+    RawLayer.writeJsonl(df, s"$root/plain")
+    val back = RawLayer.readJsonl(spark, s"$root/plain", df.schema, strict = true)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq === Seq((1L, "plain words"),
+      (2L, "quotes \" and \\ backslash\nand a newline"),
+      (3L, "unicode café 日本")))
+
+    RawLayer.writeJsonl(df, s"$root/gz", gzip = true)
+    assert(new java.io.File(s"$root/gz").listFiles.exists(_.getName.endsWith(".gz")))
+    assert(RawLayer.readJsonl(spark, s"$root/gz", df.schema).count() === 3)
+  }
+
   test("K7 deletePrefix removes a target dir") {
     val root = Files.createTempDirectory("graft-del").toString
     Seq(1).toDF("x").write.parquet(s"$root/t")
