@@ -131,7 +131,7 @@ object GraftFunctions {
         exprs.lift(1).map(litText(_, "graft_char_ngrams", "k").toInt).getOrElse(5))),
 
     ("graft_doc_extract",
-      "graft_doc_extract(content, mime) - document text extraction (plain/HTML/Markdown/OOXML), NULL for unsupported",
+      "graft_doc_extract(content, mime) - document text extraction (plain/HTML/Markdown/OOXML/PDF), NULL for unsupported",
       exprs => graft.expressions.DocExtractText(exprs.head, exprs(1))),
 
     ("graft_image_dims",

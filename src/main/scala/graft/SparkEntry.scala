@@ -482,6 +482,16 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q75_bm25" -> ((s, dir) => {
+      // BM25 topic probe over the corpus: literal isin prunes the token
+      // explode to query terms before any shuffle; df/stats ride broadcast
+      // joins; global top-k via TakeOrderedAndProject
+      graft.llmops.TextAnalysis.bm25TopDocs(
+          t(tuned(s), dir, "documents"), "doc_id", "text",
+          queryTerms = Seq("spark", "vector", "merge"), k = 20)
+        .orderBy("rnk")
+    }),
+
     "q74_jsonl_roundtrip" -> ((s, dir) => {
       // JSONL source/sink: write the corpus as JSON lines, read it back
       // with an explicit schema (no inference pass), prove lossless
@@ -1635,6 +1645,33 @@ object SparkEntry {
 
     "q74_jsonl_roundtrip" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q75_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id, term FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents)
+           WHERE length(term) > 0),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         qtf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                 WHERE term IN ('spark','vector','merge')
+                 GROUP BY doc_id, term),
+         dft AS (SELECT term, count(*) AS df_t FROM qtf GROUP BY term),
+         sc AS (
+           SELECT q.doc_id,
+             round(sum(
+               ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)) *
+               q.tf * 2.2 /
+               (q.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / avgdl))), 4) AS bm25,
+             count(*) AS n_terms_hit
+           FROM qtf q JOIN dft ON q.term = dft.term
+           JOIN dl d ON q.doc_id = d.doc_id
+           CROSS JOIN stats
+           GROUP BY q.doc_id)
+         SELECT doc_id, bm25, n_terms_hit,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+         FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20""",
 
     "q72_gopher_rep" ->
       """WITH base AS (

@@ -371,6 +371,54 @@ object TextAnalysis {
         round(scoreRaw, 4).alias("tfidf"), col("rnk"))
   }
 
+  /** BM25 document ranking for a bag-of-terms query (Robertson/Okapi
+    * formulation with the +1 idf floor, as in Lucene): the retrieval
+    * sibling of [[tfidfTopTerms]], used for corpus triage ("which
+    * documents match this topic probe") and contamination auditing.
+    *
+    * Plan shape at 100 TB: one token explode; doc lengths via per-key
+    * partial-agg count; query-term tf from a literal `isin` filter on the
+    * exploded tokens (the query is a few terms — the filter prunes the
+    * explode output before any shuffle); per-term document frequencies are
+    * ≤ |query| rows, joined back BROADCAST; corpus stats (N, avgdl) ride a
+    * broadcast 1-row cross join so nothing leaves the plan. Output: top-k
+    * docs by (score desc, id asc), deterministic.
+    */
+  def bm25TopDocs(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopDocs needs at least one query term")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).alias("term"))
+      .filter(length(col("term")) > 0)
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).alias("dl"))
+    val stats = dl.agg(count(lit(1)).alias("n_docs"), avg(col("dl")).alias("avgdl"))
+    val qtf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).alias("tf"))
+    val dfT = qtf.groupBy(col("term")).agg(count(lit(1)).alias("df_t"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5)))
+    val termScore = idf * col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = qtf
+      .join(broadcast(dfT), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(round(sum(termScore), 4).alias("bm25"),
+        count(lit(1)).alias("n_terms_hit"))
+    // global top-k as orderBy+limit -> TakeOrderedAndProject (per-partition
+    // heaps, no single-partition sort of every matching doc); the ranking
+    // window then sees only k rows. pmod(hash,1) is the non-foldable
+    // constant partition key that keeps WindowExec's "no partition" warning
+    // out of the logs without changing semantics.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(xxhash64(col(idCol)), lit(1)))
+      .orderBy(col("bm25").desc, col(idCol))
+    scored.orderBy(col("bm25").desc, col(idCol)).limit(k)
+      .withColumn("rnk", row_number().over(w))
+  }
+
   /** Unicode normalization (UAX #15) — NFC before hash-keyed dedup (composed
     * vs combining-mark encodings of identical text must hash identically),
     * NFKC before tokenization. Native codegen'd kernel with an

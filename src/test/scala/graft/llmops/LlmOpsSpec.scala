@@ -145,6 +145,30 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got(1)._4 === 0.0)
   }
 
+  test("bm25: multi-term match outranks single-term, rare term outranks common") {
+    val docs = Seq(
+      (1L, "spark merge spark other words here"), // both terms, spark twice
+      (2L, "spark alone in this document text"),
+      (3L, "merge alone in this document text"),
+      (4L, "spark spark spark spark spark spark"), // tf saturation
+      (5L, "nothing relevant at all here now"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopDocs(docs, "doc_id", "text",
+        Seq("spark", "merge"), k = 4)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+    // doc 1 hits both terms -> top; doc 5 never appears
+    assert(got.head._1 === 1L)
+    assert(got.head._3 === 2L)
+    assert(!got.map(_._1).contains(5L))
+    // saturation: six spark occurrences don't six-x the score of one
+    val d4 = got.find(_._1 == 4L).get._2
+    val d2 = got.find(_._1 == 2L).get._2
+    assert(d4 > d2 && d4 < d2 * 3)
+    // ranks are dense and deterministic
+    assert(got.map(_._4).toSeq === Seq(1, 2, 3, 4))
+  }
+
   test("unicodeNorm composes combining marks; fingerprints then collide") {
     val rows = Seq(("cafe\u0301 latte", "caf\u00e9 latte")).toDF("dec", "comp")
     val r = rows.select(
