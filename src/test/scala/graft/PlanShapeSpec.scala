@@ -133,4 +133,28 @@ class PlanShapeSpec extends SparkTestBase {
       s"threshold dedup must not pay a per-query ranking window:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q75 bm25: broadcast stats/df joins, TakeOrdered top-k, no cartesian") {
+    val plan = executedPlan("q75_bm25")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), // 1-row stats cross join
+      s"df/stats must ride broadcast joins:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be TakeOrderedAndProject, not a full sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q71 tfidf: partial aggregation before both shuffles, no cartesian") {
+    val plan = executedPlan("q71_tfidf")
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"tf counting must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q65 group quantiles: percentile aggregates with map-side partials") {
+    val plan = executedPlan("q65_group_quantiles")
+    assert(plan.contains("partial_percentile") || plan.contains("partial_"),
+      s"percentile must partial-aggregate before the exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
