@@ -73,5 +73,32 @@ package object syntax {
     def scrubPii(textCol: String): DataFrame =
       df.withColumn(textCol,
         TextAnalysis.scrubPii(org.apache.spark.sql.functions.col(textCol)))
+
+    /** Unicode-normalize a text column in place (NFC default) — run before
+      * any hash-keyed dedup so encodings don't split duplicate clusters.
+      */
+    def unicodeNorm(textCol: String, form: String = "NFC"): DataFrame =
+      df.withColumn(textCol,
+        TextAnalysis.unicodeNorm(org.apache.spark.sql.functions.col(textCol), form))
+
+    /** URL parse/normalize/blocklist features (scheme, host, domain,
+      * url_norm, is_blocked).
+      */
+    def withUrlFeatures(urlCol: String, blockedHosts: Seq[String] = Nil): DataFrame =
+      TextAnalysis.urlFeatures(df, urlCol, blockedHosts)
+
+    /** Gopher repetition signals per key (top-bigram + duplicate-5-gram
+      * char coverage).
+      */
+    def gopherRepetition(keyCol: String, textCol: String): DataFrame =
+      TextAnalysis.gopherRepetitionSignals(df, keyCol, textCol)
+
+    /** BM25 top-k documents for a bag-of-terms probe. */
+    def bm25(idCol: String, textCol: String, terms: Seq[String], k: Int = 10): DataFrame =
+      TextAnalysis.bm25TopDocs(df, idCol, textCol, terms, k)
+
+    /** Deterministic shard assignment + gzipped JSONL export. */
+    def exportShardsJsonl(keyCol: String, nShards: Int, path: String): Unit =
+      graft.llmops.TrainExport.writeShardsJsonl(df, keyCol, nShards, path)
   }
 }
