@@ -482,6 +482,28 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q76_dedup_against" -> ((s, dir) => {
+      // incremental-corpus dedup: new docs (id >= 100) anti-joined on
+      // portable md5 fingerprints against a reference snapshot (id < 250)
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents")
+      graft.llmops.DedupOps.dedupAgainstCorpus(
+          d.filter(col("doc_id") >= 100).select(col("doc_id"), col("text")),
+          "text",
+          d.filter(col("doc_id") < 250), "text")
+        .orderBy("doc_id")
+    }),
+
+    "q77_chunk_overlap" -> ((s, dir) => {
+      // sliding-window chunking (RAG convention): 120-char chunks, 30-char
+      // overlap; pure HOF projection, no shuffle
+      graft.llmops.Multimodal.chunkTextOverlap(
+          t(tuned(s), dir, "documents").select(col("doc_id"), col("text")),
+          "text", chunkSize = 120, overlap = 30)
+        .select(col("doc_id"), col("chunk_index"), col("chunk_text"))
+        .orderBy("doc_id", "chunk_index")
+    }),
+
     "q75_bm25" -> ((s, dir) => {
       // BM25 topic probe over the corpus: literal isin prunes the token
       // explode to query terms before any shuffle; df/stats ride broadcast
@@ -1645,6 +1667,27 @@ object SparkEntry {
 
     "q74_jsonl_roundtrip" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q76_dedup_against" ->
+      s"""WITH ref AS (
+           SELECT DISTINCT md5($normText) AS fp
+           FROM documents WHERE doc_id < 250)
+         SELECT doc_id, text FROM documents
+         WHERE doc_id >= 100
+           AND md5($normText) NOT IN (SELECT fp FROM ref)
+         ORDER BY doc_id""",
+
+    "q77_chunk_overlap" ->
+      """WITH c AS (
+           SELECT doc_id, text,
+             unnest(range(0, greatest(
+               CAST(ceil((length(text) - 30) / 90.0) AS INTEGER), 1))) AS ci
+           FROM documents)
+         SELECT doc_id, CAST(ci AS INTEGER) AS chunk_index,
+           substr(text, CAST(ci * 90 + 1 AS INTEGER), 120) AS chunk_text
+         FROM c
+         WHERE length(substr(text, CAST(ci * 90 + 1 AS INTEGER), 120)) > 0
+         ORDER BY doc_id, chunk_index""",
 
     "q75_bm25" ->
       """WITH toks AS (

@@ -25,6 +25,23 @@ object DedupOps {
       .drop("__rn")
   }
 
+  /** Incremental-corpus dedup: drop documents whose normalized fingerprint
+    * already exists in a reference corpus (data previously trained on, an
+    * earlier crawl snapshot) — the cross-snapshot counterpart of
+    * [[exactDedup]]. An anti-join on the md5 fingerprint: both sides
+    * shuffle on a 32-char key at worst; when the reference digest set is
+    * small (the usual case when `ref` is a pre-computed fingerprint table)
+    * AQE broadcasts it and the new corpus never shuffles at all.
+    */
+  def dedupAgainstCorpus(df: DataFrame, textCol: String,
+      ref: DataFrame, refTextCol: String): DataFrame = {
+    val refFps = ref
+      .select(TextAnalysis.fingerprint(col(refTextCol)).alias("__fp"))
+      .distinct()
+    df.join(refFps,
+      TextAnalysis.fingerprint(col(textCol)) === col("__fp"), "left_anti")
+  }
+
   /** Benchmark decontamination: documents sharing any word n-gram with the
     * benchmark/eval set — the step that keeps test questions out of
     * training corpora (the 13-gram overlap check of GPT-3 appendix C /

@@ -137,6 +137,28 @@ object Multimodal {
       .filter(length(col("chunk_text")) > 0)
   }
 
+  /** Sliding-window chunking with overlap — the RAG/embedding convention
+    * (each chunk shares `overlap` chars with its predecessor so no
+    * semantic unit is cut at every boundary). Chunk i starts at
+    * i·(size−overlap); the final chunk may be short; documents shorter
+    * than `size` yield one chunk. Pure HOF projection like [[chunkText]].
+    */
+  def chunkTextOverlap(df: DataFrame, textCol: String, chunkSize: Int,
+      overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize): $overlap vs $chunkSize")
+    val stride = chunkSize - overlap
+    // chunks needed so the last one reaches the end: ceil((len-overlap)/stride)
+    val n = ceil((length(col(textCol)) - lit(overlap)).cast("double") / stride)
+      .cast("int")
+    df.withColumn("__chunks",
+        transform(sequence(lit(0), greatest(n, lit(1)) - 1),
+          i => col(textCol).substr(i * stride + 1, lit(chunkSize))))
+      .select(col("*"), posexplode(col("__chunks")).as(Seq("chunk_index", "chunk_text")))
+      .drop("__chunks")
+      .filter(length(col("chunk_text")) > 0)
+  }
+
   /** Frame-sample plumbing for video: given frame count metadata, emit one
     * row per sampled frame index (decode stubbed).
     */

@@ -101,6 +101,32 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got(0).getString(3) === expected)
   }
 
+  test("dedupAgainstCorpus drops rows whose fingerprint exists in the reference") {
+    val ref = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "Seen  Before"), // normalization variant of ref text -> dropped
+      (11L, "brand new text"),
+      (12L, "also seen")) // exact ref text -> dropped
+      .toDF("doc_id", "text")
+    val got = DedupOps.dedupAgainstCorpus(fresh, "text", ref, "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(11L))
+  }
+
+  test("chunkTextOverlap: stride = size - overlap, tail kept, short doc = 1 chunk") {
+    val df = Seq((1L, "abcdefghij"), (2L, "xy")).toDF("doc_id", "text")
+    val got = Multimodal.chunkTextOverlap(df, "text", chunkSize = 6, overlap = 2)
+      .select("doc_id", "chunk_index", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // doc 1 (len 10): starts at 0 and 4 -> "abcdef", "efghij"
+    assert(got.filter(_._1 == 1L).sortBy(_._2).map(t => (t._2, t._3)).toSeq ===
+      Seq((0, "abcdef"), (1, "efghij")))
+    assert(got.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq === Seq((0, "xy")))
+    // consecutive chunks share exactly `overlap` characters
+    val c1 = got.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    assert(c1(0).takeRight(2) === c1(1).take(2))
+  }
+
   test("chunkText splits with index and drops empty chunks") {
     val df = Seq((1L, "a" * 250), (2L, "b" * 100)).toDF("doc_id", "text")
     val got = Multimodal.chunkText(df, "text", 100)
