@@ -85,7 +85,8 @@ object AvMeta {
     var i = 12
     var channels = -1; var rate = -1; var bits = -1; var blockAlign = -1
     var dataSize = -1L
-    while (i + 8 <= b.length) {
+    var walking = true
+    while (walking && i + 8 <= b.length) {
       val size = le32(b, i + 4)
       val body = i + 8
       if (tag(b, i, "fmt ") && body + 16 <= b.length) {
@@ -96,7 +97,10 @@ object AvMeta {
       } else if (tag(b, i, "data")) {
         dataSize = size
       }
-      i = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // word-aligned advance in Long space: a corrupt 32-bit size must not
+      // wrap the index negative or stall the walk
+      val next = body.toLong + size + (size & 1L)
+      if (next <= i || next > b.length) walking = false else i = next.toInt
     }
     if (channels < 0 || rate <= 0) return null
     val ms: Any =
@@ -112,13 +116,13 @@ object AvMeta {
     var i = 0
     while (i + 8 <= b.length) {
       val size = be32(b, i)
-      if (size < 8) return row("mp4", null, null, null, null)
+      if (size < 8 || i + size > b.length) return row("mp4", null, null, null, null)
       if (tag(b, i + 4, "moov")) {
         val end = math.min(b.length.toLong, i + size).toInt
         var j = i + 8
         while (j + 8 <= end) {
           val s2 = be32(b, j)
-          if (s2 < 8) return row("mp4", null, null, null, null)
+          if (s2 < 8 || j + s2 > end) return row("mp4", null, null, null, null)
           if (tag(b, j + 4, "mvhd") && j + 12 <= end) {
             val version = b(j + 8) & 0xFF
             val ms: Any =

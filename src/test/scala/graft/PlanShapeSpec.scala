@@ -144,6 +144,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q76 incremental dedup: anti-join, reference digests broadcast") {
+    val plan = executedPlan("q76_dedup_against")
+    assert(plan.contains("LeftAnti"), s"expected an anti-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small reference digest set must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q71 tfidf: partial aggregation before both shuffles, no cartesian") {
     val plan = executedPlan("q71_tfidf")
     assert(plan.contains("partial_count") || plan.contains("partial_"),

@@ -1,0 +1,81 @@
+package graft.llmops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A curation pipeline feeds its codecs whatever bytes the crawl
+  * delivered. None of the binary parsers may throw — the contract is
+  * None/NULL for garbage, never an exception that kills a 100 TB job.
+  * Deterministic LCG fuzz (fixed seed) plus structured-prefix corruption.
+  */
+class CodecRobustnessSpec extends AnyFunSuite {
+
+  // xorshift64 — deterministic, no java.util.Random state surprises
+  private def fuzzBytes(seed: Long, len: Int): Array[Byte] = {
+    var x = seed | 1
+    Array.fill(len) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      (x & 0xFF).toByte
+    }
+  }
+
+  private val magicPrefixes: Seq[Array[Byte]] = Seq(
+    "%PDF-1.4\n".getBytes("ISO-8859-1"),
+    "RIFF1234WAVE".getBytes("ISO-8859-1"),
+    Array[Byte](0, 0, 0, 24, 'f', 't', 'y', 'p'),
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte),
+    Array(0xFF, 0xD8, 0xFF, 0xC0).map(_.toByte),
+    "GIF89a".getBytes("ISO-8859-1"),
+    "BM".getBytes("ISO-8859-1"),
+    Array[Byte]('P', 'K', 3, 4)) // zip/OOXML
+
+  private def allCodecs(bytes: Array[Byte]): Unit = {
+    Pdf.pdfText(bytes)
+    Ooxml.docxText(bytes); Ooxml.xlsxText(bytes); Ooxml.pptxText(bytes)
+    graft.expressions.ImageDims.compute(bytes)
+    graft.expressions.AvMeta.compute(bytes)
+    DocumentText.extractText(bytes, "application/pdf")
+    DocumentText.extractText(bytes, "text/html")
+    ()
+  }
+
+  test("pure garbage of many lengths never throws") {
+    for (seed <- 1L to 40L; len <- Seq(0, 1, 3, 7, 16, 64, 257, 1024)) {
+      allCodecs(fuzzBytes(seed * 2654435761L, len))
+    }
+  }
+
+  test("valid magic prefixes followed by garbage never throw") {
+    for (p <- magicPrefixes; seed <- 1L to 20L; len <- Seq(4, 32, 200, 800)) {
+      allCodecs(p ++ fuzzBytes(seed * 0x9E3779B97F4A7C15L, len))
+    }
+  }
+
+  test("truncations of genuine documents never throw") {
+    val genuine = Seq(
+      PdfWriter.pdf(Seq(Seq("alpha", "beta")), compress = true),
+      OoxmlWriter.docx(Seq("body text")),
+      OoxmlWriter.xlsx(Seq("s" -> Seq(Seq("1", "x")))),
+      MediaWriter.wav(2, 44100, 16, 1000),
+      MediaWriter.mp4(1000, 5000),
+      ImageWriter.png(20, 30))
+    for (doc <- genuine; cut <- 0 to math.min(doc.length, 120)) {
+      allCodecs(java.util.Arrays.copyOfRange(doc, 0, cut))
+    }
+    // and mid/late truncations at coarser steps
+    for (doc <- genuine; frac <- Seq(0.25, 0.5, 0.75, 0.95)) {
+      allCodecs(java.util.Arrays.copyOfRange(doc, 0, (doc.length * frac).toInt))
+    }
+  }
+
+  test("bit-flipped genuine documents never throw") {
+    val base = Seq(
+      PdfWriter.pdf(Seq(Seq("gamma delta")), compress = false),
+      OoxmlWriter.pptx(Seq(Seq("slide"))),
+      MediaWriter.wav(1, 8000, 8, 64))
+    for (doc <- base; i <- doc.indices by 7) {
+      val mutated = doc.clone()
+      mutated(i) = (mutated(i) ^ 0x5A).toByte
+      allCodecs(mutated)
+    }
+  }
+}
