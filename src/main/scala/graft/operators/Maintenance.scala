@@ -47,46 +47,79 @@ object Maintenance {
   }
 
   /** VACUUM-equivalent for the staging/backup dirs the merge path leaves on
-    * interruption.
+    * interruption. Sweeps both the fixed legacy names and the per-writer
+    * `__staging.<token>` / temp-file droppings (never the live `__lock`).
     */
-  def vacuum(spark: SparkSession, path: String): Unit =
+  def vacuum(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq("__staging", "__old", "__compact", "__tmp", "__bak", "__commit").foreach { suffix =>
       val p = new Path(path + suffix)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) { fs.delete(p, true); () }
     }
+    Seq("__staging.*", "__commit.tmp.*", "__lock.tmp.*", "__lock.broken.*")
+      .foreach { pattern =>
+        val matches =
+          try fs.globStatus(new Path(path + pattern))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (matches != null) matches.foreach(s => fs.delete(s.getPath, true))
+      }
+  }
 
   /** Crash recovery for the merge/compact swap protocols. Call before
     * reads/writes of a table that may have been interrupted (Delta gets
     * this from its log; plain-parquet swaps need the explicit step).
     *
-    * Partitioned-merge protocol (a `__commit` marker file exists): the
-    * staged partitions are complete — replay the idempotent per-partition
-    * swap and clean up. A `__staging` without a marker is an aborted write
-    * and is left for the next upsert's overwrite; the live table was never
-    * touched.
+    * A `__commit` marker file means staged data was complete when the
+    * writer died; the marker's content names the staging dir (per-writer
+    * `__staging.<token>`) and the protocol variant — "parts" replays the
+    * idempotent per-partition swap, "whole" replays the whole-table swap.
+    * An empty marker is the pre-token layout: fixed `__staging` name,
+    * partitioned protocol. A staging dir *without* a marker is an aborted
+    * write and is left alone here (the live table was never touched); the
+    * next leaseholder sweeps it.
     *
-    * Whole-table protocol: if a process died between `rename(table, __old)`
-    * and `rename(staging, table)`, the table dir is missing but a complete
-    * staging or backup exists — restore it.
+    * Legacy whole-table protocol (no marker): if a process died between
+    * `rename(table, __old)` and `rename(__staging, table)`, the table dir
+    * is missing but a complete staging or backup exists — restore it.
     *
     * Returns true when a repair action happened.
     */
-  def recover(spark: SparkSession, path: String): Boolean = {
+  def recover(spark: SparkSession, path: String): Boolean =
+    recoverFs(
+      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
+      path)
+
+  /** [[recover]] against an explicit FileSystem (no SparkSession needed —
+    * the protocol is pure metadata operations).
+    */
+  private[operators] def recoverFs(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Boolean = {
     val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bak = new Path(path + "__old")
-    val staging = new Path(path + "__staging")
+    val legacyStaging = new Path(path + "__staging")
     val marker = new Path(path + "__commit")
     if (fs.exists(marker)) {
-      // partitioned commit interrupted mid-swap (or mid-cleanup): staged
-      // data is complete by protocol — finish the job
-      MergeUpsert.commitSwap(fs, path)
-      MergeUpsert.finishCommit(fs, path)
+      // commit interrupted mid-swap (or mid-cleanup): staged data is
+      // complete by protocol — finish the job the marker describes
+      val (staging, mode) = MergeUpsert.readMarker(fs, path)
+      if (mode == MergeUpsert.ModeWhole) {
+        if (fs.exists(staging)) {
+          if (fs.exists(p)) {
+            if (fs.exists(bak)) fs.delete(bak, true)
+            fs.rename(p, bak)
+          }
+          fs.rename(staging, p)
+        } else if (!fs.exists(p) && fs.exists(bak)) {
+          fs.rename(bak, p) // defensive: never reachable by protocol order
+        }
+      } else {
+        MergeUpsert.commitSwap(fs, path, staging)
+      }
+      MergeUpsert.finishCommit(fs, path, staging)
       true
-    } else if (!fs.exists(p) && fs.exists(staging)) {
-      // whole-table: staging write completed but swap-in didn't happen
-      fs.rename(staging, p)
+    } else if (!fs.exists(p) && fs.exists(legacyStaging)) {
+      // legacy whole-table: staging write completed but swap-in didn't
+      fs.rename(legacyStaging, p)
       if (fs.exists(bak)) fs.delete(bak, true)
       true
     } else if (!fs.exists(p) && fs.exists(bak)) {

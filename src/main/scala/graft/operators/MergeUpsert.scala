@@ -99,6 +99,19 @@ object MergeUpsert {
     * interrupted commit deterministically. Untouched partitions' files are
     * never read, rewritten, or renamed.
     *
+    * Isolation: both paths stage under `__staging.<lease-token>` — unique
+    * per writer — and record that name (plus the protocol variant) inside
+    * the `__commit` marker, which is what recovery resolves. During the
+    * acknowledged POSIX displacement window (two writers briefly both
+    * believing they hold the lease, see [[WriterLease]]) the writers'
+    * staged data is therefore disjoint: a displaced writer dies at its
+    * pre-swap heartbeat having only ever written its own staging dir, and
+    * the winner's eventual swap moves data no other writer could have
+    * touched. Orphaned staging dirs from such deaths are swept by the next
+    * leaseholder. The `__old` backup dir remains shared, but is only
+    * touched after a successful heartbeat, inside the marker-protected
+    * commit — the same small residual window as the swap itself.
+    *
     * Partition-value rendering supports string / numeric / date columns
     * (the reference's cases). Reads use mergeSchema so evolved tables
     * (autoMerge) present their full column set.
@@ -124,26 +137,38 @@ object MergeUpsert {
     val lease = WriterLease.acquire(fs, path, leaseStaleMs)
     try {
       Maintenance.recover(spark, path) // self-heal an interrupted prior swap
+      sweepOrphanStaging(fs, path)     // dead writers' staged leftovers
       val deduped = batch.dropDuplicates()
       if (!fs.exists(hPath)) {
         write(deduped, path, partitionCols)
       } else if (partitionCols.isEmpty) {
         val existing = spark.read.option("mergeSchema", "true").parquet(path)
         val merged = merge(existing, deduped, idCols, autoMerge)
-        val tmp = new Path(path + "__staging")
-        write(merged, tmp.toString, partitionCols)
+        val staging = stagingPath(path, lease.token)
+        write(merged, staging.toString, partitionCols)
         lease.heartbeat() // staging (the long phase) done; still alive
-        val bak = new Path(path + "__old")
-        if (fs.exists(bak)) fs.delete(bak, true)
-        fs.rename(hPath, bak)
-        fs.rename(tmp, hPath)
-        fs.delete(bak, true)
+        writeMarker(fs, path, staging, ModeWhole)
+        wholeSwap(fs, path, staging)
+        finishCommit(fs, path, staging)
       } else {
         prunedUpsert(spark, fs, path, deduped, idCols, partitionCols, autoMerge,
           lease)
       }
       ()
     } finally lease.release()
+  }
+
+  /** Replace the live table dir with the staged one; resumable from any
+    * crash point given the marker (see [[recoverFromMarker]]): each state
+    * transition is a single atomic rename.
+    */
+  private def wholeSwap(fs: FileSystem, path: String, staging: Path): Unit = {
+    val hPath = new Path(path)
+    val bak = new Path(path + "__old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(hPath)) fs.rename(hPath, bak)
+    fs.rename(staging, hPath)
+    ()
   }
 
   private def prunedUpsert(
@@ -185,20 +210,83 @@ object MergeUpsert {
         merge(typed, batch, idCols, autoMerge)
       }
 
-    // 3. stage the rewritten partitions outside the table
-    val staging = new Path(path + "__staging")
-    if (fs.exists(staging)) fs.delete(staging, true)
+    // 3. stage the rewritten partitions outside the table, in a dir only
+    //    this leaseholder can name (per-token — see class doc)
+    val staging = stagingPath(path, lease.token)
     write(merged, staging.toString, partitionCols)
     lease.heartbeat() // staging (the long phase) done; still alive
 
     // 4. commit marker: staged data is complete from here on — recovery
-    //    replays the swap; without the marker, recovery aborts the staging
-    val marker = new Path(path + "__commit")
-    fs.create(marker, true).close()
+    //    replays the swap; without the marker, recovery ignores the staging
+    writeMarker(fs, path, staging, ModeParts)
 
     // 5. idempotent per-partition swap + cleanup
-    commitSwap(fs, path)
-    finishCommit(fs, path)
+    commitSwap(fs, path, staging)
+    finishCommit(fs, path, staging)
+  }
+
+  private[operators] def stagingPath(path: String, token: String): Path =
+    new Path(s"$path$StagingInfix$token")
+
+  private val StagingInfix = "__staging."
+  private[operators] val ModeParts = "parts"
+  private[operators] val ModeWhole = "whole"
+
+  /** Publish the commit marker. Content resolves the commit for recovery:
+    * line 1 = basename of the staging dir (per-writer unique), line 2 =
+    * protocol variant ("parts" per-partition swap | "whole" table swap).
+    * Written to a temp name then renamed into place so a crash mid-write
+    * can't leave a half-written marker; only the post-heartbeat leaseholder
+    * ever calls this.
+    */
+  private def writeMarker(fs: FileSystem, path: String, staging: Path,
+      mode: String): Unit = {
+    val tmp = new Path(s"${path}__commit.tmp.${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(s"${staging.getName}\n$mode\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    if (!fs.rename(tmp, new Path(path + "__commit"))) {
+      fs.delete(tmp, false)
+      // rename refused (HDFS semantics, marker already present): a prior
+      // writer's commit was never cleaned up — recover it, then retry once
+      Maintenance.recoverFs(fs, path)
+      val out2 = fs.create(new Path(path + "__commit"), true)
+      out2.write(s"${staging.getName}\n$mode\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out2.close()
+    }
+  }
+
+  /** Parse the commit marker: (staging dir, mode). A legacy / unreadable
+    * marker (pre-token layout wrote an empty file) resolves to the old
+    * fixed `__staging` name and the partitioned protocol.
+    */
+  private[operators] def readMarker(fs: FileSystem, path: String): (Path, String) = {
+    val lines =
+      try {
+        val in = fs.open(new Path(path + "__commit"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    lines match {
+      case name :: mode :: _ if name.nonEmpty =>
+        (new Path(new Path(path).getParent, name), mode)
+      case _ => (new Path(path + "__staging"), ModeParts)
+    }
+  }
+
+  /** Delete staging dirs left by writers that died before their commit
+    * marker (the live table was never touched; the data is an aborted
+    * batch). Caller must hold the table lease, and must run recovery
+    * first so a marker-named staging is consumed, not swept.
+    */
+  private[operators] def sweepOrphanStaging(fs: FileSystem, path: String): Unit = {
+    val orphans =
+      try fs.globStatus(new Path(path + "__staging*"))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (orphans != null) orphans.foreach(s => fs.delete(s.getPath, true))
+    ()
   }
 
   /** Swap every staged partition into the live table; safe to re-run after
@@ -207,8 +295,8 @@ object MergeUpsert {
     * staged in); staging/P present + live/P absent → backup done, move
     * staged in; staging/P absent → P already swapped.
     */
-  private[operators] def commitSwap(fs: FileSystem, path: String): Unit = {
-    val staging = new Path(path + "__staging")
+  private[operators] def commitSwap(fs: FileSystem, path: String,
+      staging: Path): Unit = {
     val old = new Path(path + "__old")
     if (!fs.exists(staging)) return
     // listStatus returns scheme-qualified paths; qualify the root the same
@@ -229,10 +317,11 @@ object MergeUpsert {
     }
   }
 
-  private[operators] def finishCommit(fs: FileSystem, path: String): Unit = {
+  private[operators] def finishCommit(fs: FileSystem, path: String,
+      staging: Path): Unit = {
     fs.delete(new Path(path + "__commit"), false)
     fs.delete(new Path(path + "__old"), true)
-    fs.delete(new Path(path + "__staging"), true)
+    fs.delete(staging, true)
     ()
   }
 

@@ -174,4 +174,104 @@ class MergePartitionSpec extends SparkTestBase {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(got === Seq((1, "A2"), (2, "b")))
   }
+
+  private def noStagingLeftovers(dir: String): Unit = {
+    val globbed = fs.globStatus(new Path(dir + "__staging*"))
+    assert(globbed == null || globbed.isEmpty,
+      s"staging leftovers: ${Option(globbed).toSeq.flatten.map(_.getPath).mkString(", ")}")
+  }
+
+  test("marker records the per-writer staging dir and recover resolves it (parts)") {
+    val dir = tmpDir() + "/t"
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "p1", "a"), (2, "p2", "b")).toDF("id", "pt", "v"),
+      dir, Seq("id"), Seq("pt"))
+    // simulate a crash after marker publish: token-named staging + marker
+    // whose content names it — exactly what prunedUpsert writes
+    val staging = MergeUpsert.stagingPath(dir, "tok-crash-1")
+    Seq((1, "p1", "A2")).toDF("id", "pt", "v")
+      .write.mode("overwrite").partitionBy("pt").parquet(staging.toString)
+    val out = fs.create(new Path(dir + "__commit"), true)
+    out.write(s"${staging.getName}\n${MergeUpsert.ModeParts}\n".getBytes("UTF-8"))
+    out.close()
+
+    assert(Maintenance.recover(spark, dir))
+    val got = spark.read.parquet(dir).select("id", "v").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got === Seq((1, "A2"), (2, "b")))
+    assert(!fs.exists(new Path(dir + "__commit")))
+    noStagingLeftovers(dir)
+    assert(!Maintenance.recover(spark, dir))
+  }
+
+  test("whole-table swap is marker-protected and recover replays it") {
+    val dir = tmpDir() + "/t"
+    MergeUpsert.upsertParquet(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"),
+      dir, Seq("id"))
+    // crash right after the marker, before any rename: live + staging + marker
+    val staging = MergeUpsert.stagingPath(dir, "tok-crash-2")
+    Seq((1, "A2"), (2, "b"), (3, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(staging.toString)
+    val out = fs.create(new Path(dir + "__commit"), true)
+    out.write(s"${staging.getName}\n${MergeUpsert.ModeWhole}\n".getBytes("UTF-8"))
+    out.close()
+
+    assert(Maintenance.recover(spark, dir))
+    val got = spark.read.parquet(dir).select("id", "v").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got === Seq((1, "A2"), (2, "b"), (3, "c")))
+    assert(!fs.exists(new Path(dir + "__commit")))
+    assert(!fs.exists(new Path(dir + "__old")))
+    noStagingLeftovers(dir)
+    assert(!Maintenance.recover(spark, dir))
+  }
+
+  test("whole-table recover finishes a swap interrupted between renames") {
+    val dir = tmpDir() + "/t"
+    MergeUpsert.upsertParquet(spark, Seq((1, "a")).toDF("id", "v"), dir, Seq("id"))
+    val staging = MergeUpsert.stagingPath(dir, "tok-crash-3")
+    Seq((1, "A2")).toDF("id", "v").write.mode("overwrite").parquet(staging.toString)
+    val out = fs.create(new Path(dir + "__commit"), true)
+    out.write(s"${staging.getName}\n${MergeUpsert.ModeWhole}\n".getBytes("UTF-8"))
+    out.close()
+    // crash point: live already renamed to __old, staged not yet moved in
+    fs.rename(new Path(dir), new Path(dir + "__old"))
+
+    assert(Maintenance.recover(spark, dir))
+    val got = spark.read.parquet(dir).select("v").collect().map(_.getString(0)).toSeq
+    assert(got === Seq("A2"))
+    assert(!fs.exists(new Path(dir + "__old")))
+    noStagingLeftovers(dir)
+  }
+
+  test("next leaseholder sweeps a dead writer's orphaned staging dir") {
+    val dir = tmpDir() + "/t"
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "p1", "a")).toDF("id", "pt", "v"), dir, Seq("id"), Seq("pt"))
+    // a writer died mid-staging (no marker): its token-named dir remains
+    val orphan = MergeUpsert.stagingPath(dir, "tok-dead")
+    Seq((9, "p1", "GHOST")).toDF("id", "pt", "v")
+      .write.mode("overwrite").partitionBy("pt").parquet(orphan.toString)
+
+    MergeUpsert.upsertParquet(spark,
+      Seq((2, "p1", "b")).toDF("id", "pt", "v"), dir, Seq("id"), Seq("pt"))
+    noStagingLeftovers(dir)
+    // the ghost batch never reached the table
+    val got = spark.read.parquet(dir).select("id").orderBy("id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(1, 2))
+  }
+
+  test("concurrent loser leaves no staging droppings under any token") {
+    val dir = tmpDir() + "/t"
+    MergeUpsert.upsertParquet(spark, Seq((1, "a")).toDF("id", "v"), dir, Seq("id"))
+    val held = WriterLease.acquire(fs, dir, staleMs = 60000)
+    try {
+      intercept[MergeUpsert.ConcurrentWriteException] {
+        MergeUpsert.upsertParquet(spark, Seq((2, "b")).toDF("id", "v"),
+          dir, Seq("id"), leaseStaleMs = 60000)
+      }
+      noStagingLeftovers(dir)
+    } finally held.release()
+  }
 }

@@ -95,4 +95,90 @@ class WriterLeaseSpec extends SparkTestBase {
     val wins = results.toArray.count(_ == true.asInstanceOf[AnyRef])
     assert(wins === 1, s"expected exactly one winner, got $results")
   }
+
+  test("many racers after the same stale lock: exactly one winner, never zero") {
+    // the both-lose race (a breaker renames a fresh lock away before its
+    // liveness check puts it back) used to strand the lease with no winner;
+    // the bounded re-publish retry closes it — stress with 8 threads
+    val path = tmpTable("stampede")
+    WriterLease.acquire(fs, path, staleMs = 60000)
+    fs.setTimes(new Path(path + "__lock"), System.currentTimeMillis() - 120000, -1)
+
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        try {
+          val l = WriterLease.acquire(fs, path, staleMs = 60000)
+          results.add(s"win:${l.token}")
+        } catch {
+          case _: MergeUpsert.ConcurrentWriteException => results.add("lose")
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(30000))
+    val wins = results.toArray.count(_.toString.startsWith("win"))
+    assert(wins === 1, s"expected exactly one winner, got $results")
+  }
+
+  test("heartbeat throws ConcurrentWriteException when the lock was stolen") {
+    val path = tmpTable("stolen")
+    val held = WriterLease.acquire(fs, path, staleMs = 60000)
+    // another writer's lock lands over ours (the POSIX rename-overwrite hole)
+    val lock = new Path(path + "__lock")
+    val out = fs.create(lock, true)
+    out.write("thief-host:999:deadbeef\n0\n".getBytes("UTF-8"))
+    out.close()
+    val e = intercept[MergeUpsert.ConcurrentWriteException](held.heartbeat())
+    assert(e.getMessage.contains("thief-host"))
+  }
+
+  test("heartbeat throws ConcurrentWriteException (not FileNotFound) when the lock vanished") {
+    val path = tmpTable("vanish")
+    val held = WriterLease.acquire(fs, path, staleMs = 60000)
+    fs.delete(new Path(path + "__lock"), false)
+    intercept[MergeUpsert.ConcurrentWriteException](held.heartbeat())
+  }
+
+  test("release leaves another writer's lock in place") {
+    val path = tmpTable("releasesafe")
+    val displaced = WriterLease.acquire(fs, path, staleMs = 60000)
+    // usurper takes over (e.g. after a stale break); displaced writer's
+    // cleanup must not free the usurper's live lease
+    fs.delete(new Path(path + "__lock"), false)
+    val usurper = WriterLease.acquire(fs, path, staleMs = 60000)
+    displaced.release()
+    assert(fs.exists(new Path(path + "__lock")))
+    usurper.heartbeat() // still the owner
+    usurper.release()
+    assert(!fs.exists(new Path(path + "__lock")))
+  }
+
+  test("each acquisition carries a distinct filesystem-safe token") {
+    val a = WriterLease.acquire(fs, tmpTable("tok1"), staleMs = 60000)
+    val b = WriterLease.acquire(fs, tmpTable("tok2"), staleMs = 60000)
+    assert(a.token !== b.token)
+    assert(a.token.matches("[A-Za-z0-9-]+"))
+    a.release(); b.release()
+  }
+
+  test("a multi-line lock file's owner line is read whole") {
+    // readOwner must loop to EOF: a short first read would truncate the
+    // owner id and misreport ownership. Exercise via heartbeat on a lock
+    // whose owner line is followed by a large tail.
+    val path = tmpTable("longlock")
+    val held = WriterLease.acquire(fs, path, staleMs = 60000)
+    // rewrite the lock preserving the owner line but padding the tail far
+    // past one 4 KiB read
+    val lock = new Path(path + "__lock")
+    val in = fs.open(lock)
+    val ownerLine = scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
+    in.close()
+    val out = fs.create(lock, true)
+    out.write((ownerLine + "\n" + ("x" * 20000) + "\n").getBytes("UTF-8"))
+    out.close()
+    held.heartbeat() // would throw if the owner line were truncated
+    held.release()
+    assert(!fs.exists(lock))
+  }
 }
