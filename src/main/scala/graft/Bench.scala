@@ -24,12 +24,27 @@ object Bench {
     // warm the JVM + file cache once so measured times are steady-state
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () })
+    // Contention canary: a fixed-work pure-CPU aggregate (no IO, no shuffle)
+    // timed immediately before and after the battery. Its cost is invariant
+    // to the query set, so an inflated canary (vs a clean-machine reference
+    // of ~0.2-0.4 s, or pre/post disagreement) flags a contaminated run —
+    // round 4's driver bench read as a 75% regression that was pure machine
+    // noise, which per-query timings alone cannot distinguish from a real one.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      exec(spark.range(0L, 400000000L, 1L, cpus.toIntOption.getOrElse(32))
+        .selectExpr("sum(id * 2654435761 % 1000003) AS s"))
+      (System.nanoTime() - t0) / 1e9
+    }
+    canary() // warm codegen for the canary plan itself
+    val canaryPre = canary()
     // min of two runs per query: scheduler/GC noise on a shared box easily
     // doubles a sub-second measurement
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toIntOption.getOrElse(2)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
-      only.forall(_.exists(name.startsWith))
-    }
+    val selected = (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)
+      .toSeq.sortBy(_._1).filter { case (name, _) =>
+        only.forall(_.exists(name.startsWith))
+      }
     val results = selected.map { case (name, fn) =>
       val times = (1 to math.max(1, runs)).map { _ =>
         spark.catalog.clearCache() // operators may persist internally
@@ -39,11 +54,13 @@ object Bench {
       }
       name -> times.min
     }
+    val canaryPost = canary()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""canary_pre":$canaryPre,"canary_post":$canaryPost,"sf":"$sfDir"}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -755,21 +755,6 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
-    "q34_fast" -> ((s, dir) => {
-      // production xxhash64 simhash mode — same pipeline as q34 without the
-      // portable-md5 oracle tax; no SQL oracle (xxhash64 isn't portable to
-      // DuckDB) → rows-only check, benched so the production path has a number
-      val ss = tuned(s)
-      val d = t(ss, dir, "documents").filter(col("doc_id") < 2000)
-        .repartition(32)
-      val doubled = d.unionByName(
-        d.withColumn("doc_id", col("doc_id") + 1000000))
-      DedupOps.simhashNearDups(doubled, "text", "doc_id", maxDist = 3,
-          portable = false)
-        .withColumn("hamming", col("hamming").cast("int"))
-        .orderBy("key_a", "key_b")
-    }),
-
     "q35_sim_lsh" -> ((s, dir) => {
       val ss = tuned(s)
       val emb = t(ss, dir, "embeddings")
@@ -864,21 +849,6 @@ object SparkEntry {
       // replicates the winnowed fingerprint sets and the overlap pipeline
       DedupOps.winnowNearDups(doubled, "text", "doc_id", minSharedFrac = 0.8,
           portable = true)
-        .withColumn("shared_fingerprints", col("shared_fingerprints").cast("long"))
-        .withColumn("overlap", round(col("overlap"), 6))
-        .orderBy("key_a", "key_b")
-    }),
-
-    "q43_fast" -> ((s, dir) => {
-      // production rolling-hash winnow mode — same pipeline as q43 without
-      // the portable-md5 oracle tax; rows-only check (bespoke 64-bit hash)
-      val ss = tuned(s)
-      val d = t(ss, dir, "documents").filter(col("doc_id") < 2000)
-        .repartition(32)
-      val doubled = d.unionByName(
-        d.withColumn("doc_id", col("doc_id") + 1000000))
-      DedupOps.winnowNearDups(doubled, "text", "doc_id", minSharedFrac = 0.8,
-          portable = false)
         .withColumn("shared_fingerprints", col("shared_fingerprints").cast("long"))
         .withColumn("overlap", round(col("overlap"), 6))
         .orderBy("key_a", "key_b")
@@ -1031,6 +1001,41 @@ object SparkEntry {
       val d = t(tuned(s), dir, "documents").filter(col("doc_id") < 200)
       DedupOps.ngramJaccardPairs(d, "text", "doc_id", "source", n = 3)
         .select(col("key_a"), col("key_b"), round(col("jaccard"), 6).as("jaccard_r"))
+        .orderBy("key_a", "key_b")
+    })
+  )
+
+  /** Bench-only twins of oracle-gated queries: identical pipelines in
+    * production hash mode (xxhash64 simhash / rolling-hash winnow), whose
+    * bespoke 64-bit hashes no SQL oracle can replicate. They are NOT part
+    * of [[queries]] — the correctness gate covers the portable twins, and
+    * DedupOpsSpec asserts fast/portable agree pair-for-pair on an
+    * exact-duplicate corpus — but [[Bench]] runs them so the production
+    * path always has a number next to its portable twin.
+    */
+  def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_fast" -> ((s, dir) => {
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents").filter(col("doc_id") < 2000)
+        .repartition(32)
+      val doubled = d.unionByName(
+        d.withColumn("doc_id", col("doc_id") + 1000000))
+      DedupOps.simhashNearDups(doubled, "text", "doc_id", maxDist = 3,
+          portable = false)
+        .withColumn("hamming", col("hamming").cast("int"))
+        .orderBy("key_a", "key_b")
+    }),
+
+    "q43_fast" -> ((s, dir) => {
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents").filter(col("doc_id") < 2000)
+        .repartition(32)
+      val doubled = d.unionByName(
+        d.withColumn("doc_id", col("doc_id") + 1000000))
+      DedupOps.winnowNearDups(doubled, "text", "doc_id", minSharedFrac = 0.8,
+          portable = false)
+        .withColumn("shared_fingerprints", col("shared_fingerprints").cast("long"))
+        .withColumn("overlap", round(col("overlap"), 6))
         .orderBy("key_a", "key_b")
     })
   )
@@ -1741,7 +1746,7 @@ object SparkEntry {
                  FROM c5 WHERE c > 1 GROUP BY doc_id)
          SELECT t.doc_id, t.g AS top_ngram,
            round(t.c * length(t.g) / t.chars, 4) AS top_ngram_char_frac,
-           round(coalesce(d.dchars, 0) / t.chars, 4) AS dup_ngram_char_frac
+           round(least(1.0, coalesce(d.dchars, 0) / t.chars), 4) AS dup_ngram_char_frac
          FROM top t LEFT JOIN dup d ON t.doc_id = d.doc_id
          WHERE t.rn = 1 ORDER BY t.doc_id""",
 

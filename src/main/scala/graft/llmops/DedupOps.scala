@@ -121,26 +121,42 @@ object DedupOps {
     *
     * Checkpoint durability: by default rounds use `localCheckpoint`
     * (executor-resident blocks — fastest, but an executor loss
-    * mid-iteration fails the job). Pass `checkpointDir` to use reliable
-    * `checkpoint()` into that directory instead: each round's labels land
-    * in fault-tolerant storage, so a 1000-executor run survives executor
-    * churn at the cost of one write+read per round. The directory is set
-    * on the SparkContext if not already configured.
+    * mid-iteration fails the job). Pass `checkpointDir` for reliable
+    * snapshots instead: each round's labels are written as parquet under a
+    * private `graft-cc-<uuid>` run directory — the same durability and
+    * lineage truncation as RDD `checkpoint()` (fault-tolerant storage, the
+    * next round plans from a fresh scan), but with file-level ownership,
+    * so each superseded round is deleted the moment its successor lands
+    * rather than accumulating for the life of the session. After
+    * convergence exactly one round's files remain: they back the returned
+    * lazy frame, and the run directory is the caller's to delete once the
+    * result has been consumed or persisted elsewhere.
     *
     * @param pairs (key_a, key_b) rows, any direction, duplicates allowed
-    * @param checkpointDir reliable checkpoint directory (HDFS-visible at
+    * @param checkpointDir reliable snapshot directory (HDFS-visible at
     *                      real scale); None = localCheckpoint
     * @return (key, cluster_id) for every key that appears in some pair
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
-    checkpointDir.foreach { dir =>
-      if (spark.sparkContext.getCheckpointDir.isEmpty)
-        spark.sparkContext.setCheckpointDir(dir)
+    val runDir = checkpointDir.map(d => new org.apache.hadoop.fs.Path(
+      d, s"graft-cc-${java.util.UUID.randomUUID()}"))
+    val hfs = runDir.map(_.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    var round = 0
+    var prevSnapshot: Option[org.apache.hadoop.fs.Path] = None
+    def truncate(df: DataFrame): DataFrame = runDir match {
+      case Some(dir) =>
+        // round N's write is the last reader of round N-1's files, so the
+        // superseded snapshot is safe to drop as soon as this write returns
+        val cur = new org.apache.hadoop.fs.Path(dir, f"round-$round%05d")
+        round += 1
+        df.write.mode("overwrite").parquet(cur.toString)
+        prevSnapshot.foreach(p => hfs.foreach(_.delete(p, true)))
+        prevSnapshot = Some(cur)
+        spark.read.parquet(cur.toString)
+      case None => df.localCheckpoint()
     }
-    def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col("key_a").alias("src"), col("key_b").alias("dst"))
       .unionByName(pairs.select(col("key_b").alias("src"), col("key_a").alias("dst")))
       .distinct()

@@ -93,10 +93,15 @@ object Pdf {
     * lands on an `endstream`, else scan forward for the keyword (indirect
     * /Length references and lying lengths fall back to the scan).
     */
-  private def streamEnd(doc: String, dataStart: Int, dict: String): Int = {
+  private[llmops] def streamEnd(doc: String, dataStart: Int, dict: String): Int = {
     val byLength =
       for {
-        m <- "/Length\\s+(\\d+)(?!\\s+0\\s+R)".r.findFirstMatchIn(dict)
+        // (?!\d) pins the match to the FULL integer: without it, an
+        // indirect "/Length 12 0 R" backtracks to the digit prefix "1"
+        // (the " 2 0 R" tail defeats the indirect-ref lookahead) and the
+        // bogus direct length can truncate the stream at a whitespace+
+        // "endstream" coincidence inside the data.
+        m <- "/Length\\s+(\\d+)(?!\\d)(?!\\s+0\\s+R)".r.findFirstMatchIn(dict)
         len <- scala.util.Try(m.group(1).toInt).toOption
         end = dataStart + len
         if end <= doc.length && doc.indexOf("endstream", end) >= 0 &&

@@ -165,6 +165,16 @@ object TextAnalysis {
     * corpus is needed. The top gram is picked by a per-key window with a
     * deterministic (count desc, gram asc) tie-break. Documents with fewer
     * than `topN` words have no grams and are absent from the output.
+    *
+    * `dup_ngram_char_frac` approximates the paper's coverage fraction by
+    * summing `count * length` over every occurrence of each duplicated
+    * gram; overlapping occurrences (e.g. "a a a a a a") count shared
+    * characters more than once, so the raw sum can exceed the document
+    * length where the true union-of-spans coverage cannot. The value is
+    * capped at 1.0 so thresholds calibrated against Gopher-paper numbers
+    * (which are ≤ 1 by construction) stay usable; between the cap and the
+    * over-count the metric is an upper bound on true coverage — an
+    * acceptable bias for a DROP-side quality filter.
     */
   def gopherRepetitionSignals(df: DataFrame, keyCol: String, textCol: String,
       topN: Int = 2, dupN: Int = 5): DataFrame = {
@@ -198,8 +208,8 @@ object TextAnalysis {
       .select(col(keyCol), col("top_ngram"),
         round(col("__tc") * length(col("top_ngram")) /
           col("__chars").cast("double"), 4).alias("top_ngram_char_frac"),
-        round(coalesce(col("__dchars"), lit(0L)) /
-          col("__chars").cast("double"), 4).alias("dup_ngram_char_frac"))
+        round(least(lit(1.0), coalesce(col("__dchars"), lit(0L)) /
+          col("__chars").cast("double")), 4).alias("dup_ngram_char_frac"))
   }
 
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the T5

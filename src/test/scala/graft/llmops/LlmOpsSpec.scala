@@ -165,7 +165,10 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got(0)._2 === "spam ham")
     assert(got(0)._3 === BigDecimal(4.0 * 8 / 35)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    assert(got(0)._4 > 0.9) // near-total duplicate-5-gram coverage
+    // every 5-gram repeats and the occurrences OVERLAP: the raw
+    // count*length sum is 88 chars against a 35-char document (2.51) —
+    // the cap keeps the reported coverage fraction at its ≤1 ceiling
+    assert(got(0)._4 === 1.0)
     // doc 2: top bigram count 1, no duplicate 5-grams at all
     assert(got(1)._2 === "five six") // all counts 1 -> lexicographic tiebreak
     assert(got(1)._4 === 0.0)
@@ -316,6 +319,44 @@ class LlmOpsSpec extends SparkTestBase {
     }
     assert(anyFile(java.nio.file.Paths.get(dir)),
       "checkpoint dir stayed empty — rounds still used localCheckpoint")
+    // superseded rounds are swept as they are replaced: after convergence
+    // only the final round's snapshot (backing the returned frame) remains.
+    // The 8-node chain needs several propagation rounds, so an unswept run
+    // would hold >1 round-* dir here.
+    val runDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("graft-cc-"))
+    assert(runDirs.length === 1)
+    val rounds = runDirs.head.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("round-"))
+    assert(rounds.length === 1,
+      s"expected exactly one surviving round snapshot, got " +
+        s"${rounds.map(_.getName).sorted.mkString(", ")}")
+  }
+
+  test("fast twins match portable twins pair-for-pair on exact duplicates") {
+    // the bench-only q34_fast/q43_fast run the same pipelines with
+    // non-portable production hashes; on a corpus of planted EXACT
+    // duplicates both hash modes must produce the identical pair set
+    // (hamming 0 / full fingerprint overlap regardless of hash function)
+    val docs = (1L to 40L).map { i =>
+      val base = s"document number ${i % 20} with stable words " +
+        s"alpha beta gamma delta epsilon zeta eta theta ${i % 20}"
+      (i, base)
+    }.toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    val simPortable = pairSet(DedupOps.simhashNearDups(
+      docs, "text", "doc_id", maxDist = 0, portable = true))
+    val simFast = pairSet(DedupOps.simhashNearDups(
+      docs, "text", "doc_id", maxDist = 0, portable = false))
+    assert(simPortable.nonEmpty)
+    assert(simFast === simPortable)
+    val winPortable = pairSet(DedupOps.winnowNearDups(
+      docs, "text", "doc_id", minSharedFrac = 1.0, portable = true))
+    val winFast = pairSet(DedupOps.winnowNearDups(
+      docs, "text", "doc_id", minSharedFrac = 1.0, portable = false))
+    assert(winPortable.nonEmpty)
+    assert(winFast === winPortable)
   }
 
   test("gopher quality features: repetition and diversity caught, clean text passes") {

@@ -73,6 +73,29 @@ class PdfSpec extends AnyFunSuite {
     assert(lines === Seq("only"))
   }
 
+  test("indirect /Length (N 0 R) never yields a digit-prefix direct length") {
+    // "/Length 25 0 R": the pre-fix regex backtracked past the R-lookahead
+    // to the prefix "2" and — when whitespace+endstream sat at that bogus
+    // offset — trusted a 2-byte direct length. The (?!\d) boundary rejects
+    // every proper digit prefix, so the cut must come from the endstream
+    // scan, which strips EOLs but keeps the space: "AB ", not "AB".
+    val pre = "%PDF-1.4\n4 0 obj\n<< /Length 25 0 R >>\nstream\n"
+    val data = "AB \nendstream REST"
+    val doc = pre + data + "\nendstream\nendobj\n%%EOF\n"
+    val dataStart = pre.length
+    assert(Pdf.streamEnd(doc, dataStart, "<< /Length 25 0 R >>")
+      === dataStart + 3) // scan cut after "AB " (pre-fix: 2, the bogus length)
+  }
+
+  test("indirect /Length PDF extracts full multi-line text via the scan") {
+    val doc = ("%PDF-1.4\n" +
+      "4 0 obj\n<< /Length 12 0 R >>\nstream\n" +
+      "BT 0 0 Td (full text) Tj 0 -14 Td (recovered) Tj ET" +
+      "\nendstream\nendobj\n" +
+      "12 0 obj\n51\nendobj\n%%EOF\n").getBytes("ISO-8859-1")
+    assert(Pdf.pdfText(doc) === Some("full text\nrecovered"))
+  }
+
   test("lying /Length falls back to endstream scan") {
     val doc = ("%PDF-1.4\n" +
       "4 0 obj\n<< /Length 9999 >>\nstream\n" +
