@@ -482,6 +482,33 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q78_ole2_extract" -> ((s, dir) => {
+      // S6 legacy-binary path: REAL .doc/.xls/.ppt OLE2 compound files
+      // (CFB containers built by LegacyOfficeWriter from corpus text in
+      // the driver — input construction, not the measured operator),
+      // extracted back distributed through the native DocExtractText
+      // expression. The oracle recomputes the expected text shapes.
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val W = graft.llmops.LegacyOfficeWriter
+      val rows = docs.flatMap { case (id, text) =>
+        Seq(
+          (id, "doc", W.doc(Seq(s"Doc $id", text)), "application/msword"),
+          (id, "ppt", W.ppt(Seq(Seq(s"Doc $id", text), Seq("End"))),
+            "application/vnd.ms-powerpoint"),
+          (id, "xls", W.xls(Seq("data" -> Seq(
+            Seq("id", id.toString), Seq("text", text)))),
+            "application/vnd.ms-excel"))
+      }.toSeq
+      import ss.implicits._
+      val src = rows.toDF("doc_id", "fmt", "content", "mime").repartition(32)
+      graft.llmops.DocumentText.extractDocumentText(src, "content", "mime")
+        .select(col("doc_id"), col("fmt"), col("extracted_text"))
+        .orderBy("doc_id", "fmt")
+    }),
+
     "q76_dedup_against" -> ((s, dir) => {
       // incremental-corpus dedup: new docs (id >= 100) anti-joined on
       // portable md5 fingerprints against a reference snapshot (id < 250)
@@ -1666,6 +1693,24 @@ object SparkEntry {
            'Slide 2: End' AS extracted_text FROM src
          UNION ALL
          SELECT doc_id, 'xlsx' AS fmt,
+           'Sheet: data' || chr(10) || 'Row 1: id | ' || doc_id || chr(10) ||
+           'Row 2: text | ' || text || chr(10) AS extracted_text FROM src
+         ORDER BY doc_id, fmt""",
+
+    // the engine round-trips text through real OLE2 compound files; the
+    // expected strings are the legacy extractors' output shapes (doc:
+    // '\r' paragraph marks -> '\n'; ppt: the pptx slide shape; xls: the
+    // xlsx Sheet/Row line shape)
+    "q78_ole2_extract" ->
+      """WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 300)
+         SELECT doc_id, 'doc' AS fmt,
+           'Doc ' || doc_id || chr(10) || text AS extracted_text FROM src
+         UNION ALL
+         SELECT doc_id, 'ppt' AS fmt,
+           'Slide 1: Doc ' || doc_id || ' ' || text || chr(10) || chr(10) ||
+           'Slide 2: End' AS extracted_text FROM src
+         UNION ALL
+         SELECT doc_id, 'xls' AS fmt,
            'Sheet: data' || chr(10) || 'Row 1: id | ' || doc_id || chr(10) ||
            'Row 2: text | ' || text || chr(10) AS extracted_text FROM src
          ORDER BY doc_id, fmt""",

@@ -13,9 +13,10 @@ import java.nio.charset.StandardCharsets.UTF_8
   * and charset-fallback aware), HTML (state-machine tag stripping with
   * script/style elision and entity decode), Markdown (syntax stripping),
   * the OOXML family — DOCX/XLSX/PPTX are zip+XML, parsed JDK-only by
-  * [[Ooxml]] — and PDF via [[Pdf]]'s content-stream extractor (raw +
-  * FlateDecode streams, Tj/TJ text operators). Legacy binary formats
-  * (.doc/.xls/.ppt OLE2) stay behind the honest [[unsupported]] stub.
+  * [[Ooxml]] — PDF via [[Pdf]]'s content-stream extractor (raw +
+  * FlateDecode streams, Tj/TJ text operators), and the legacy OLE2
+  * binary family — .doc/.xls/.ppt compound files, parsed from scratch by
+  * [[Cfb]] + [[LegacyOffice]].
   *
   * The DataFrame operator is a native codegen'd expression
   * ([[graft.expressions.DocExtractText]]) evaluated in the scan
@@ -43,6 +44,12 @@ object DocumentText {
         Ooxml.xlsxText(bytes)
       case m if m.contains("presentationml") || m.endsWith("/pptx") =>
         Ooxml.pptxText(bytes)
+      case m if m.contains("msword") || m.endsWith("/doc") =>
+        LegacyOffice.docText(bytes)
+      case m if m.contains("ms-excel") || m.endsWith("/xls") =>
+        LegacyOffice.xlsText(bytes)
+      case m if m.contains("ms-powerpoint") || m.endsWith("/ppt") =>
+        LegacyOffice.pptText(bytes)
       case m if m.contains("pdf") =>
         Pdf.pdfText(bytes)
       case m if m.contains("html") || m.contains("xml") =>
@@ -55,12 +62,10 @@ object DocumentText {
     }
   }
 
-  /** STUB for the remaining native-codec formats: the legacy OLE2 binary
-    * Office family (.doc/.xls/.ppt). Their compound-file format needs a
-    * real parser (POIFS) the container does not ship; the modern
-    * replacements (OOXML via [[Ooxml]], PDF via [[Pdf]]) are REAL and
-    * JDK-only. A Tika/POI integration plugs in here without touching
-    * callers.
+  /** Formats with no extractor (archives, raw media, unknown MIME). Every
+    * document family the reference's dispatch accepts — plain text, HTML,
+    * Markdown, OOXML, PDF, and the legacy OLE2 family — now has a real
+    * JDK-only codec above.
     */
   def unsupported(mime: String): Option[String] = None
 

@@ -26,11 +26,14 @@ class CodecRobustnessSpec extends AnyFunSuite {
     Array(0xFF, 0xD8, 0xFF, 0xC0).map(_.toByte),
     "GIF89a".getBytes("ISO-8859-1"),
     "BM".getBytes("ISO-8859-1"),
-    Array[Byte]('P', 'K', 3, 4)) // zip/OOXML
+    Array[Byte]('P', 'K', 3, 4), // zip/OOXML
+    Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)) // CFB/OLE2
 
   private def allCodecs(bytes: Array[Byte]): Unit = {
     Pdf.pdfText(bytes)
     Ooxml.docxText(bytes); Ooxml.xlsxText(bytes); Ooxml.pptxText(bytes)
+    LegacyOffice.docText(bytes); LegacyOffice.xlsText(bytes)
+    LegacyOffice.pptText(bytes)
     graft.expressions.ImageDims.compute(bytes)
     graft.expressions.AvMeta.compute(bytes)
     DocumentText.extractText(bytes, "application/pdf")
@@ -57,7 +60,10 @@ class CodecRobustnessSpec extends AnyFunSuite {
       OoxmlWriter.xlsx(Seq("s" -> Seq(Seq("1", "x")))),
       MediaWriter.wav(2, 44100, 16, 1000),
       MediaWriter.mp4(1000, 5000),
-      ImageWriter.png(20, 30))
+      ImageWriter.png(20, 30),
+      LegacyOfficeWriter.doc(Seq("legacy body")),
+      LegacyOfficeWriter.xls(Seq("s" -> Seq(Seq("a", 1)))),
+      LegacyOfficeWriter.ppt(Seq(Seq("slide text"))))
     for (doc <- genuine; cut <- 0 to math.min(doc.length, 120)) {
       allCodecs(java.util.Arrays.copyOfRange(doc, 0, cut))
     }
@@ -71,7 +77,8 @@ class CodecRobustnessSpec extends AnyFunSuite {
     val base = Seq(
       PdfWriter.pdf(Seq(Seq("gamma delta")), compress = false),
       OoxmlWriter.pptx(Seq(Seq("slide"))),
-      MediaWriter.wav(1, 8000, 8, 64))
+      MediaWriter.wav(1, 8000, 8, 64),
+      LegacyOfficeWriter.doc(Seq("epsilon zeta")))
     for (doc <- base; i <- doc.indices by 7) {
       val mutated = doc.clone()
       mutated(i) = (mutated(i) ^ 0x5A).toByte
