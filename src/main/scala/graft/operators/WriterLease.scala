@@ -45,7 +45,9 @@ import java.nio.charset.StandardCharsets.UTF_8
   * window — the
   * owner refreshes after the expensive staging write, so `staleMs` only
   * needs to cover one phase, not the whole merge. Object stores without
-  * atomic rename (S3A) need a real lock service instead.
+  * atomic rename (S3A) should use [[StoreLease]] over a [[LockStore]]
+  * with real conditional writes instead — same lease semantics, CAS-
+  * race-free, pluggable backend.
   */
 final class WriterLease private (fs: FileSystem, lock: Path, owner: String,
     /** Unique per-acquisition id — safe as a filesystem-name component.
