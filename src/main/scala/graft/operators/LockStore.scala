@@ -68,7 +68,7 @@ final class StoreLease private (store: LockStore, key: String, owner: String,
       * for private scratch paths (same role as [[WriterLease.token]]).
       */
     val token: String,
-    now: () => Long) {
+    now: () => Long) extends TableLease {
 
   /** Re-assert ownership and refresh the staleness clock. Throws
     * [[MergeUpsert.ConcurrentWriteException]] if the lease was lost.

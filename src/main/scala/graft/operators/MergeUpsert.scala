@@ -130,11 +130,20 @@ object MergeUpsert {
       idCols: Seq[String],
       partitionCols: Seq[String] = Nil,
       autoMerge: Boolean = true,
-      leaseStaleMs: Long = DefaultLeaseStaleMs
+      leaseStaleMs: Long = DefaultLeaseStaleMs,
+      /** When given, writer serialization runs through [[StoreLease]] on
+        * this backend (CAS-race-free on a true conditional store) instead
+        * of the filesystem rename protocol — the choice for object-store
+        * tables and for coordinating threaded writers in one JVM.
+        */
+      lockStore: Option[LockStore] = None
   ): Unit = {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lease = WriterLease.acquire(fs, path, leaseStaleMs)
+    val lease: TableLease = lockStore match {
+      case Some(store) => StoreLease.acquire(store, path + "__lock", leaseStaleMs)
+      case None => WriterLease.acquire(fs, path, leaseStaleMs)
+    }
     try {
       Maintenance.recover(spark, path) // self-heal an interrupted prior swap
       sweepOrphanStaging(fs, path)     // dead writers' staged leftovers
@@ -179,7 +188,7 @@ object MergeUpsert {
       idCols: Seq[String],
       partitionCols: Seq[String],
       autoMerge: Boolean,
-      lease: WriterLease
+      lease: TableLease
   ): Unit = {
     // 1. affected partitions: distinct tuples from the batch — bounded by
     //    the batch, not the table; collect() here is partition *metadata*

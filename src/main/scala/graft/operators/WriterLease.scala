@@ -55,7 +55,7 @@ final class WriterLease private (fs: FileSystem, lock: Path, owner: String,
       * concurrent leaseholders during a POSIX displacement window can
       * never touch each other's staged data.
       */
-    val token: String) {
+    val token: String) extends TableLease {
 
   /** Refresh the lock's mtime so a long merge isn't mistaken for a dead
     * writer — after verifying the lock still names this owner. A mismatch

@@ -274,4 +274,35 @@ class MergePartitionSpec extends SparkTestBase {
       noStagingLeftovers(dir)
     } finally held.release()
   }
+
+  test("upsert through a LockStore backend: serialized writers, correct merge") {
+    val dir = tmpDir() + "/t"
+    val store = new InMemoryLockStore
+    val init = Seq((1, "2024-01-01", "a"), (2, "2024-01-02", "b"))
+      .toDF("id", "dt", "v")
+    MergeUpsert.upsertParquet(spark, init, dir, Seq("id"), Seq("dt"),
+      lockStore = Some(store))
+    val batch = Seq((2, "2024-01-02", "B2"), (3, "2024-01-03", "c"))
+      .toDF("id", "dt", "v")
+    MergeUpsert.upsertParquet(spark, batch, dir, Seq("id"), Seq("dt"),
+      lockStore = Some(store))
+    val out = spark.read.parquet(dir).select("id", "v").as[(Int, String)]
+      .collect().toSet
+    assert(out === Set((1, "a"), (2, "B2"), (3, "c")))
+  }
+
+  test("upsert through a LockStore backend fails fast when the lease is held") {
+    val dir = tmpDir() + "/t"
+    val store = new InMemoryLockStore
+    val held = StoreLease.acquire(store, dir + "__lock", 60_000L)
+    try {
+      intercept[MergeUpsert.ConcurrentWriteException] {
+        MergeUpsert.upsertParquet(spark,
+          Seq((1, "x")).toDF("id", "v"), dir, Seq("id"),
+          lockStore = Some(store))
+      }
+      // the live lease is untouched by the failed writer
+      held.heartbeat()
+    } finally held.release()
+  }
 }
