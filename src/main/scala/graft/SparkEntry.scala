@@ -509,6 +509,24 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q79_neardup_against" -> ((s, dir) => {
+      // incremental NEAR-dup: a new batch (ids 100-599) LSH-screened and
+      // Jaccard-verified against a corpus snapshot (ids < 250). Ids
+      // 100-249 are verbatim corpus members (signature equality -> banding
+      // recall is total) and must drop; the rest survive at 0.9.
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents")
+      graft.llmops.DedupOps.minhashDedupAgainstCorpus(
+          d.filter(col("doc_id") >= 100 && col("doc_id") < 600)
+            .select(col("doc_id"), col("text")),
+          "text", "doc_id",
+          d.filter(col("doc_id") < 250)
+            .select(col("doc_id").alias("cid"), col("text")),
+          "cid", "text",
+          wordShingleN = 3, numHashes = 16, bands = 4, threshold = 0.9)
+        .orderBy("doc_id")
+    }),
+
     "q76_dedup_against" -> ((s, dir) => {
       // incremental-corpus dedup: new docs (id >= 100) anti-joined on
       // portable md5 fingerprints against a reference snapshot (id < 250)
@@ -1696,6 +1714,38 @@ object SparkEntry {
            'Sheet: data' || chr(10) || 'Row 1: id | ' || doc_id || chr(10) ||
            'Row 2: text | ' || text || chr(10) AS extracted_text FROM src
          ORDER BY doc_id, fmt""",
+
+    // survivors of LSH-screened, Jaccard-verified near-dup against the
+    // corpus snapshot; the oracle brute-forces true trigram Jaccard (the
+    // length-ratio prefilter is lossless at 0.9). Short docs (<3 tokens)
+    // have no shingles and always survive, matching the engine's empty-
+    // signature filter.
+    "q79_neardup_against" ->
+      """WITH newd AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id >= 100 AND doc_id < 600),
+         corp AS (SELECT doc_id AS cid, text FROM documents WHERE doc_id < 250),
+         nsh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+               FOR i IN range(1, len(toks) - 2 + 1)]) AS ng
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM newd)),
+         csh AS (
+           SELECT cid,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+               FOR i IN range(1, len(toks) - 2 + 1)]) AS ng
+           FROM (SELECT cid, string_split(text, ' ') AS toks FROM corp)
+           WHERE len(toks) >= 3),
+         dup AS (
+           SELECT DISTINCT n.doc_id
+           FROM nsh n JOIN csh c
+             ON len(n.ng) > 0
+            AND len(n.ng) * 10 >= len(c.ng) * 9
+            AND len(c.ng) * 10 >= len(n.ng) * 9
+            AND len(list_intersect(n.ng, c.ng)) * 1.0 /
+                greatest(len(list_distinct(n.ng || c.ng)), 1) >= 0.9)
+         SELECT doc_id, text FROM newd
+         WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+         ORDER BY doc_id""",
 
     // the engine round-trips text through real OLE2 compound files; the
     // expected strings are the legacy extractors' output shapes (doc:

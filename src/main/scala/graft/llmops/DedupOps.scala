@@ -42,6 +42,84 @@ object DedupOps {
       TextAnalysis.fingerprint(col(textCol)) === col("__fp"), "left_anti")
   }
 
+  /** Incremental NEAR-dup against an existing corpus: drop rows of
+    * `newDocs` whose true word-shingle Jaccard against ANY corpus document
+    * reaches `threshold`; candidates come from MinHash+LSH banding, so
+    * nothing is ever compared all-pairs.
+    *
+    * This is the continuous-ingestion shape of [[minhashNearDups]]: a
+    * growing corpus is deduplicated batch by batch, and the corpus side
+    * reduces to NARROW band rows (key, band, band_hash — at production
+    * scale a precomputed signature store maintained alongside the corpus,
+    * recomputed here because the API takes raw text). The new batch never
+    * shuffles corpus text: the candidate join carries band keys only, and
+    * corpus shingle arrays are materialized solely for candidate keys.
+    * Documents with fewer than `wordShingleN` tokens have no signature and
+    * always survive (nothing to collide on).
+    *
+    * Exactness: verification computes true Jaccard on every banded
+    * candidate, so precision is exact; recall is LSH-probabilistic for
+    * pairs barely over threshold but total for identical/near-identical
+    * text (equal signatures always share every band).
+    *
+    * @return surviving rows of `newDocs`, schema unchanged
+    */
+  def minhashDedupAgainstCorpus(
+      newDocs: DataFrame,
+      textCol: String,
+      keyCol: String,
+      corpus: DataFrame,
+      corpusKeyCol: String,
+      corpusTextCol: String,
+      wordShingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.6
+  ): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def bandRows(df: DataFrame, key: String, text: String,
+        keyAlias: String): DataFrame = {
+      val sigged = df
+        .select(col(key).alias(keyAlias),
+          minhashSigNative(col(text), wordShingleN, numHashes).alias("sig"))
+        .filter(size(col("sig")) > 0)
+      val bandStructs = (0 until bands).map { b =>
+        val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => element_at(col("sig"), i + 1).cast("string"))
+        struct(lit(b).alias("band"),
+          xxhash64(concat_ws("_", bandCols: _*)).alias("band_hash"))
+      }
+      sigged
+        .select(col(keyAlias), explode(array(bandStructs: _*)).alias("b"))
+        .select(col(keyAlias), col("b.band"), col("b.band_hash"))
+    }
+
+    // candidate pairs: narrow band keys on both sides; one shuffle each
+    val pairs = bandRows(newDocs, keyCol, textCol, "__nkey")
+      .join(bandRows(corpus, corpusKeyCol, corpusTextCol, "__ckey"),
+        Seq("band", "band_hash"))
+      .select(col("__nkey"), col("__ckey"))
+      .dropDuplicates("__nkey", "__ckey")
+
+    // exact verification: shingle arrays only for candidate keys
+    val newSh = newDocs
+      .select(col(keyCol).alias("__nkey"),
+        wordShingles(col(textCol), wordShingleN).alias("__nsh"))
+      .join(pairs.select("__nkey").distinct(), "__nkey")
+    val corpusSh = corpus
+      .select(col(corpusKeyCol).alias("__ckey"),
+        wordShingles(col(corpusTextCol), wordShingleN).alias("__csh"))
+      .join(pairs.select("__ckey").distinct(), "__ckey")
+    val dupKeys = pairs.join(newSh, "__nkey").join(corpusSh, "__ckey")
+      .filter(
+        size(array_intersect(col("__nsh"), col("__csh"))).cast("double") /
+          greatest(size(array_union(col("__nsh"), col("__csh"))), lit(1))
+          >= threshold)
+      .select(col("__nkey")).distinct()
+
+    newDocs.join(dupKeys, col(keyCol) === col("__nkey"), "left_anti")
+  }
+
   /** Benchmark decontamination: documents sharing any word n-gram with the
     * benchmark/eval set — the step that keeps test questions out of
     * training corpora (the 13-gram overlap check of GPT-3 appendix C /

@@ -144,6 +144,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q79 incremental near-dup: equi-joins on band keys, anti-join survivors") {
+    val plan = executedPlan("q79_neardup_against")
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate generation must be an equi-join on (band, band_hash):\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"survivors must come from an anti-join on confirmed dup keys:\n$plan")
+  }
+
   test("q76 incremental dedup: anti-join, reference digests broadcast") {
     val plan = executedPlan("q76_dedup_against")
     assert(plan.contains("LeftAnti"), s"expected an anti-join:\n$plan")

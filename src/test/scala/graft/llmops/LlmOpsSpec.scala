@@ -113,6 +113,28 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq(11L))
   }
 
+  test("minhashDedupAgainstCorpus: near-dups of the corpus drop, the rest survive") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "an entirely different corpus document about spark physical plans"))
+      .toDF("cid", "text")
+    val fresh = Seq(
+      // verbatim corpus copy -> identical signature, certain candidate, J=1
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      // one-word edit: trigram Jaccard well over 0.5 -> dropped
+      (11L, "the quick brown fox jumps over the lazy cat near the river bank"),
+      // shares vocabulary but few trigrams -> survives at 0.5
+      (12L, "the lazy dog sleeps while the quick fox watches the river"),
+      (13L, "completely unrelated fresh content goes here today"),
+      (14L, "too short")) // < 3 tokens... (2 tokens) no signature -> survives
+      .toDF("doc_id", "text")
+    val got = DedupOps.minhashDedupAgainstCorpus(
+        fresh, "text", "doc_id", corpus, "cid", "text",
+        wordShingleN = 3, numHashes = 32, bands = 32, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(12L, 13L, 14L))
+  }
+
   test("chunkTextOverlap: stride = size - overlap, tail kept, short doc = 1 chunk") {
     val df = Seq((1L, "abcdefghij"), (2L, "xy")).toDF("doc_id", "text")
     val got = Multimodal.chunkTextOverlap(df, "text", chunkSize = 6, overlap = 2)
