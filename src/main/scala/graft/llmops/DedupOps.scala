@@ -94,22 +94,30 @@ object DedupOps {
         .select(col(keyAlias), col("b.band"), col("b.band_hash"))
     }
 
-    // candidate pairs: narrow band keys on both sides; one shuffle each
+    // candidate pairs: narrow band keys on both sides; one shuffle each.
+    // Persisted — consumed three times below (pair join + two key
+    // projections); without it the signature/banding computation runs 3×.
     val pairs = bandRows(newDocs, keyCol, textCol, "__nkey")
       .join(bandRows(corpus, corpusKeyCol, corpusTextCol, "__ckey"),
         Seq("band", "band_hash"))
       .select(col("__nkey"), col("__ckey"))
       .dropDuplicates("__nkey", "__ckey")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // exact verification: shingle arrays only for candidate keys
+    // exact verification: join on candidate keys FIRST, project the
+    // shingle transform after — the HOF array must be built for candidate
+    // rows only, never as a projection over the full corpus scan
     val newSh = newDocs
-      .select(col(keyCol).alias("__nkey"),
-        wordShingles(col(textCol), wordShingleN).alias("__nsh"))
+      .select(col(keyCol).alias("__nkey"), col(textCol).alias("__ntxt"))
       .join(pairs.select("__nkey").distinct(), "__nkey")
+      .select(col("__nkey"),
+        wordShingles(col("__ntxt"), wordShingleN).alias("__nsh"))
     val corpusSh = corpus
       .select(col(corpusKeyCol).alias("__ckey"),
-        wordShingles(col(corpusTextCol), wordShingleN).alias("__csh"))
+        col(corpusTextCol).alias("__ctxt"))
       .join(pairs.select("__ckey").distinct(), "__ckey")
+      .select(col("__ckey"),
+        wordShingles(col("__ctxt"), wordShingleN).alias("__csh"))
     val dupKeys = pairs.join(newSh, "__nkey").join(corpusSh, "__ckey")
       .filter(
         size(array_intersect(col("__nsh"), col("__csh"))).cast("double") /

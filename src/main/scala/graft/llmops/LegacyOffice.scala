@@ -125,6 +125,12 @@ object LegacyOffice {
     * with each sheet substream's stream offset); sheet substreams carry
     * LabelSst (0x00FD), Number (0x0203), and RK (0x027E) cells. Rendered
     * in the [[Ooxml.xlsxText]] line shape.
+    *
+    * Known limit: an SST spilling into Continue records (0x003C — needed
+    * past ~8 KB of strings) is read only up to its first record; later
+    * strings resolve to "". Bounded corpus impact (cells render empty,
+    * nothing throws) and no fixture needs it; extend here if real-world
+    * sheets do.
     */
   def xlsText(bytes: Array[Byte]): Option[String] =
     try {
