@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.SparkTestBase
+
+import java.nio.file.Files
+
+/** Continuous near-dup-controlled corpus ingestion: within-batch dups and
+  * against-corpus dups drop, novel docs append, and the corpus table is
+  * the only state (restart-safe).
+  */
+class CorpusIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog near the river bank"
+  private val edited = "the quick brown fox jumps over the lazy cat near the river bank"
+  private val other = "an entirely different corpus document about spark physical plans"
+  private val novel = "completely unrelated fresh content goes here today with extra words"
+
+  test("ingestBatch: within-batch and against-corpus near-dups drop, rest append") {
+    val root = Files.createTempDirectory("graft-ingest").toString
+    val corpus = s"$root/corpus"
+
+    // batch 1 seeds the corpus; doc 11 is a near-copy of 10 -> dropped
+    val n1 = CorpusIngest.ingestBatch(spark,
+      Seq((10L, base), (11L, edited), (12L, other)).toDF("doc_id", "text"),
+      corpus, "text", "doc_id",
+      numHashes = 32, bands = 32, threshold = 0.5)
+    assert(n1 === 2)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(10L, 12L))
+
+    // batch 2: 20 is a near-copy of corpus doc 10 -> dropped; 21 is new
+    val n2 = CorpusIngest.ingestBatch(spark,
+      Seq((20L, edited), (21L, novel)).toDF("doc_id", "text"),
+      corpus, "text", "doc_id",
+      numHashes = 32, bands = 32, threshold = 0.5)
+    assert(n2 === 1)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(10L, 12L, 21L))
+
+    // batch 3: everything a near-dup -> nothing appended
+    val n3 = CorpusIngest.ingestBatch(spark,
+      Seq((30L, base), (31L, novel)).toDF("doc_id", "text"),
+      corpus, "text", "doc_id",
+      numHashes = 32, bands = 32, threshold = 0.5)
+    assert(n3 === 0)
+    assert(spark.read.parquet(corpus).count() === 3)
+  }
+
+  test("ingestStream: foreachBatch composition over MemoryStream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-ingest-s").toString
+    val corpus = s"$root/corpus"
+
+    val mem = MemoryStream[(Long, String)]
+    // ProcessingTime keeps the query alive across addData rounds
+    // (AvailableNow would stop after draining the first batch)
+    val q = CorpusIngest.ingestStream(spark,
+      mem.toDF().toDF("doc_id", "text"), corpus, "text", "doc_id",
+      s"$root/ckpt", numHashes = 32, bands = 32, threshold = 0.5,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    mem.addData((1L, base), (2L, other))
+    q.processAllAvailable()
+    mem.addData((3L, edited), (4L, novel)) // 3 near-dups corpus doc 1
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 4L))
+  }
+}
