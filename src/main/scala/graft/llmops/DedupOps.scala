@@ -42,6 +42,34 @@ object DedupOps {
       TextAnalysis.fingerprint(col(textCol)) === col("__fp"), "left_anti")
   }
 
+  /** LSH band rows for a document set: one narrow (keyAlias, band,
+    * band_hash) row per band per doc, computed in the scan projection by
+    * the native signature kernel. This IS the signature-store schema — a
+    * growing corpus persists this table alongside its text so incremental
+    * near-dup ([[minhashDedupAgainstCorpus]],
+    * [[graft.streaming.CorpusIngest]]) costs O(batch) per batch instead of
+    * re-signing the corpus. Docs with fewer than `wordShingleN` tokens
+    * have no signature and emit no rows.
+    */
+  def minhashBandRows(df: DataFrame, textCol: String, keyCol: String,
+      keyAlias: String, wordShingleN: Int, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigged = df
+      .select(col(keyCol).alias(keyAlias),
+        minhashSigNative(col(textCol), wordShingleN, numHashes).alias("sig"))
+      .filter(size(col("sig")) > 0)
+    val bandStructs = (0 until bands).map { b =>
+      val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => element_at(col("sig"), i + 1).cast("string"))
+      struct(lit(b).alias("band"),
+        xxhash64(concat_ws("_", bandCols: _*)).alias("band_hash"))
+    }
+    sigged
+      .select(col(keyAlias), explode(array(bandStructs: _*)).alias("b"))
+      .select(col(keyAlias), col("b.band"), col("b.band_hash"))
+  }
+
   /** Incremental NEAR-dup against an existing corpus: drop rows of
     * `newDocs` whose true word-shingle Jaccard against ANY corpus document
     * reaches `threshold`; candidates come from MinHash+LSH banding, so
@@ -75,31 +103,39 @@ object DedupOps {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.6
-  ): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    def bandRows(df: DataFrame, key: String, text: String,
-        keyAlias: String): DataFrame = {
-      val sigged = df
-        .select(col(key).alias(keyAlias),
-          minhashSigNative(col(text), wordShingleN, numHashes).alias("sig"))
-        .filter(size(col("sig")) > 0)
-      val bandStructs = (0 until bands).map { b =>
-        val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => element_at(col("sig"), i + 1).cast("string"))
-        struct(lit(b).alias("band"),
-          xxhash64(concat_ws("_", bandCols: _*)).alias("band_hash"))
-      }
-      sigged
-        .select(col(keyAlias), explode(array(bandStructs: _*)).alias("b"))
-        .select(col(keyAlias), col("b.band"), col("b.band_hash"))
-    }
+  ): DataFrame =
+    minhashDedupAgainstSignatures(newDocs, textCol, keyCol,
+      minhashBandRows(corpus, corpusTextCol, corpusKeyCol, "__ckey",
+        wordShingleN, numHashes, bands),
+      corpus.select(col(corpusKeyCol).alias("__ckey"),
+        col(corpusTextCol).alias("__ctxt")),
+      wordShingleN, numHashes, bands, threshold)
 
+  /** [[minhashDedupAgainstCorpus]] with the corpus side supplied as a
+    * PRECOMPUTED signature store — `corpusBands` in the
+    * [[minhashBandRows]] schema aliased to `__ckey`, and `corpusText` as
+    * (`__ckey`, `__ctxt`) for candidate verification. This is the
+    * steady-state ingestion path: per batch, corpus text is touched only
+    * for verification candidates and corpus signatures are never
+    * recomputed — O(batch) work against a 100 TB corpus.
+    */
+  def minhashDedupAgainstSignatures(
+      newDocs: DataFrame,
+      textCol: String,
+      keyCol: String,
+      corpusBands: DataFrame,
+      corpusText: DataFrame,
+      wordShingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double
+  ): DataFrame = {
     // candidate pairs: narrow band keys on both sides; one shuffle each.
     // Persisted — consumed three times below (pair join + two key
     // projections); without it the signature/banding computation runs 3×.
-    val pairs = bandRows(newDocs, keyCol, textCol, "__nkey")
-      .join(bandRows(corpus, corpusKeyCol, corpusTextCol, "__ckey"),
-        Seq("band", "band_hash"))
+    val pairs = minhashBandRows(newDocs, textCol, keyCol, "__nkey",
+        wordShingleN, numHashes, bands)
+      .join(corpusBands, Seq("band", "band_hash"))
       .select(col("__nkey"), col("__ckey"))
       .dropDuplicates("__nkey", "__ckey")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -112,9 +148,7 @@ object DedupOps {
       .join(pairs.select("__nkey").distinct(), "__nkey")
       .select(col("__nkey"),
         wordShingles(col("__ntxt"), wordShingleN).alias("__nsh"))
-    val corpusSh = corpus
-      .select(col(corpusKeyCol).alias("__ckey"),
-        col(corpusTextCol).alias("__ctxt"))
+    val corpusSh = corpusText
       .join(pairs.select("__ckey").distinct(), "__ckey")
       .select(col("__ckey"),
         wordShingles(col("__ctxt"), wordShingleN).alias("__csh"))

@@ -39,7 +39,16 @@ object CorpusIngest {
       wordShingleN: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.6
+      threshold: Double = 0.6,
+      /** Path of a persistent signature store in the
+        * [[DedupOps.minhashBandRows]] schema. When given, corpus
+        * signatures are READ, not recomputed — the screen costs O(batch)
+        * instead of O(corpus) per batch — and survivors' band rows are
+        * appended alongside the text, keeping the store in lockstep.
+        * Omitting it re-signs the corpus each batch (fine for small
+        * corpora; never at 100 TB).
+        */
+      signaturePath: Option[String] = None
   ): Long = {
     // within-batch: every doc named as the greater key of a verified
     // near-dup pair is dropped
@@ -52,14 +61,26 @@ object CorpusIngest {
 
     val fs = new org.apache.hadoop.fs.Path(corpusPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val corpusExists = fs.exists(new org.apache.hadoop.fs.Path(corpusPath))
     val survivors =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(corpusPath))) batchUnique
-      else DedupOps.minhashDedupAgainstCorpus(
-        batchUnique, textCol, keyCol,
-        spark.read.parquet(corpusPath).select(
-          col(keyCol).alias("__corpus_key"), col(textCol).alias("__corpus_text")),
-        "__corpus_key", "__corpus_text",
-        wordShingleN, numHashes, bands, threshold)
+      if (!corpusExists) batchUnique
+      else signaturePath match {
+        case Some(sigPath) =>
+          DedupOps.minhashDedupAgainstSignatures(
+            batchUnique, textCol, keyCol,
+            spark.read.parquet(sigPath)
+              .select(col(keyCol).alias("__ckey"), col("band"), col("band_hash")),
+            spark.read.parquet(corpusPath).select(
+              col(keyCol).alias("__ckey"), col(textCol).alias("__ctxt")),
+            wordShingleN, numHashes, bands, threshold)
+        case None =>
+          DedupOps.minhashDedupAgainstCorpus(
+            batchUnique, textCol, keyCol,
+            spark.read.parquet(corpusPath).select(
+              col(keyCol).alias("__corpus_key"), col(textCol).alias("__corpus_text")),
+            "__corpus_key", "__corpus_text",
+            wordShingleN, numHashes, bands, threshold)
+      }
 
     // materialize before the append: the survivor plan reads the corpus
     // dir this write appends to — pinning rows in the block cache keeps
@@ -68,8 +89,14 @@ object CorpusIngest {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = pinned.count()
-      if (n > 0)
+      if (n > 0) {
         pinned.write.mode(SaveMode.Append).parquet(corpusPath)
+        signaturePath.foreach { sigPath =>
+          DedupOps.minhashBandRows(pinned, textCol, keyCol, keyCol,
+              wordShingleN, numHashes, bands)
+            .write.mode(SaveMode.Append).parquet(sigPath)
+        }
+      }
       n
     } finally {
       pinned.unpersist()
@@ -92,14 +119,15 @@ object CorpusIngest {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.6,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      signaturePath: Option[String] = None
   ): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestBatch(spark, batch, corpusPath, textCol, keyCol,
-          wordShingleN, numHashes, bands, threshold)
+          wordShingleN, numHashes, bands, threshold, signaturePath)
         ()
       }
       .start()

@@ -47,6 +47,37 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(spark.read.parquet(corpus).count() === 3)
   }
 
+  test("signature-store path: same decisions as recompute, store in lockstep") {
+    val root = Files.createTempDirectory("graft-ingest-sig").toString
+    val corpus = s"$root/corpus"
+    val sig = s"$root/sig"
+    val sp = Some(sig)
+
+    val n1 = CorpusIngest.ingestBatch(spark,
+      Seq((10L, base), (11L, edited), (12L, other)).toDF("doc_id", "text"),
+      corpus, "text", "doc_id",
+      numHashes = 32, bands = 32, threshold = 0.5, signaturePath = sp)
+    assert(n1 === 2)
+    val n2 = CorpusIngest.ingestBatch(spark,
+      Seq((20L, edited), (21L, novel)).toDF("doc_id", "text"),
+      corpus, "text", "doc_id",
+      numHashes = 32, bands = 32, threshold = 0.5, signaturePath = sp)
+    assert(n2 === 1)
+    val n3 = CorpusIngest.ingestBatch(spark,
+      Seq((30L, base), (31L, novel)).toDF("doc_id", "text"),
+      corpus, "text", "doc_id",
+      numHashes = 32, bands = 32, threshold = 0.5, signaturePath = sp)
+    assert(n3 === 0)
+    // identical outcomes to the recompute path above
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(10L, 12L, 21L))
+    // store carries exactly the surviving docs' band rows (32 bands each)
+    val sigRows = spark.read.parquet(sig)
+    assert(sigRows.select("doc_id").distinct().as[Long]
+      .collect().sorted.toSeq === Seq(10L, 12L, 21L))
+    assert(sigRows.count() === 3 * 32)
+  }
+
   test("ingestStream: foreachBatch composition over MemoryStream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
