@@ -149,7 +149,13 @@ object LegacyOffice {
         val len = u16(wb, p + 2)
         if (p + 4 + len > wb.length) return None
         typ match {
-          case 0x0809 => depth += 1 // BOF (globals or substream)
+          case 0x0809 => // BOF (globals or substream)
+            // BIFF8 only: older BIFF5/BIFF7 books carry LABEL/SST-less
+            // records this parser would render as silently empty sheets —
+            // refuse them instead (vers field of the first BOF)
+            if (depth == 0 && (len < 2 || u16(wb, p + 4) != 0x0600))
+              return None
+            depth += 1
           case 0x000A => // EOF: end of globals terminates the header walk
             depth -= 1
             if (depth <= 0) done = true

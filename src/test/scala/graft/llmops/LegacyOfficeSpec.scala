@@ -88,6 +88,19 @@ class LegacyOfficeSpec extends AnyFunSuite {
     assert(LegacyOffice.decodeRk(((bits >>> 32) & 0xFFFFFFFCL).toInt) === 2.5)
   }
 
+  test("xls: pre-BIFF8 workbooks are refused, not rendered empty") {
+    val biff8 = LegacyOfficeWriter.xls(Seq("s" -> Seq(Seq("v"))))
+    // corrupt the BOF version field (first record data, offset +4 in the
+    // Workbook stream) from 0x0600 to BIFF5's 0x0500
+    val parts = Cfb.streams(biff8).get
+    val wb = parts("Workbook").clone()
+    assert(wb(4) == 0x00 && wb(5) == 0x06)
+    wb(5) = 0x05
+    val biff5 = CfbWriter.build(Seq("Workbook" -> wb))
+    assert(LegacyOffice.xlsText(biff5).isEmpty)
+    assert(LegacyOffice.xlsText(biff8).isDefined)
+  }
+
   // ---- .ppt ----------------------------------------------------------------
 
   test("ppt round trip: slide grouping and shape joining match the pptx shape") {
