@@ -46,7 +46,9 @@ object CorpusIngest {
         * instead of O(corpus) per batch — and survivors' band rows are
         * appended alongside the text, keeping the store in lockstep.
         * Omitting it re-signs the corpus each batch (fine for small
-        * corpora; never at 100 TB).
+        * corpora; never at 100 TB). Append-per-batch accumulates small
+        * files; compact periodically with
+        * [[graft.operators.Maintenance.optimize]], same as any table.
         */
       signaturePath: Option[String] = None
   ): Long = {
