@@ -291,6 +291,46 @@ class MergePartitionSpec extends SparkTestBase {
     assert(out === Set((1, "a"), (2, "B2"), (3, "c")))
   }
 
+  test("contending writers with retry all land: serialized multi-writer e2e") {
+    val dir = tmpDir() + "/t"
+    val store = new InMemoryLockStore
+    val writers = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val latch = new java.util.concurrent.CountDownLatch(writers)
+    (0 until writers).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val batch = Seq((w * 10 + 1, s"w$w-a"), (w * 10 + 2, s"w$w-b"))
+            .toDF("id", "v")
+          var done = false
+          var attempts = 0
+          while (!done && attempts < 60) {
+            attempts += 1
+            try {
+              MergeUpsert.upsertParquet(spark, batch, dir, Seq("id"),
+                lockStore = Some(store))
+              done = true
+            } catch {
+              case _: MergeUpsert.ConcurrentWriteException => Thread.sleep(25)
+              case t: Throwable => errors.add(t); done = true
+            }
+          }
+          if (!done) errors.add(new RuntimeException(s"writer $w starved"))
+          latch.countDown()
+        }
+      })
+    }
+    assert(latch.await(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(errors.isEmpty, errors.toString)
+    val rows = spark.read.parquet(dir).select("id", "v").as[(Int, String)]
+      .collect().toSet
+    val expected = (0 until writers).flatMap(w =>
+      Seq((w * 10 + 1, s"w$w-a"), (w * 10 + 2, s"w$w-b"))).toSet
+    assert(rows === expected)
+  }
+
   test("upsert through a LockStore backend fails fast when the lease is held") {
     val dir = tmpDir() + "/t"
     val store = new InMemoryLockStore
