@@ -50,7 +50,41 @@ object CorpusIngest {
         * files; compact periodically with
         * [[graft.operators.Maintenance.optimize]], same as any table.
         */
-      signaturePath: Option[String] = None
+      signaturePath: Option[String] = None,
+      /** Serializes the screen-and-append cycle when more than one ingest
+        * process feeds the same corpus — without it, concurrent batches
+        * both screen against the pre-append corpus and a near-dup pair
+        * split across them lands twice. A single streaming query (the
+        * normal deployment: foreachBatch runs batches sequentially) does
+        * not need it.
+        */
+      lockStore: Option[graft.operators.LockStore] = None
+  ): Long = {
+    lockStore match {
+      case Some(store) =>
+        val lease = graft.operators.StoreLease.acquire(
+          store, corpusPath + "__ingest_lock",
+          graft.operators.MergeUpsert.DefaultLeaseStaleMs)
+        try ingestBatchUnlocked(spark, batch, corpusPath, textCol, keyCol,
+          wordShingleN, numHashes, bands, threshold, signaturePath)
+        finally lease.release()
+      case None =>
+        ingestBatchUnlocked(spark, batch, corpusPath, textCol, keyCol,
+          wordShingleN, numHashes, bands, threshold, signaturePath)
+    }
+  }
+
+  private def ingestBatchUnlocked(
+      spark: SparkSession,
+      batch: DataFrame,
+      corpusPath: String,
+      textCol: String,
+      keyCol: String,
+      wordShingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      signaturePath: Option[String]
   ): Long = {
     // within-batch: every doc named as the greater key of a verified
     // near-dup pair is dropped

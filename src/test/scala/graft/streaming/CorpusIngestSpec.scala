@@ -78,6 +78,35 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(sigRows.count() === 3 * 32)
   }
 
+  test("locked ingest: serialized batches work, a held lease fails fast") {
+    val root = Files.createTempDirectory("graft-ingest-lock").toString
+    val corpus = s"$root/corpus"
+    val store = new graft.operators.InMemoryLockStore
+    val ls = Some(store: graft.operators.LockStore)
+
+    val n1 = CorpusIngest.ingestBatch(spark,
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"),
+      corpus, "text", "doc_id",
+      numHashes = 32, bands = 32, threshold = 0.5, lockStore = ls)
+    assert(n1 === 2)
+    val n2 = CorpusIngest.ingestBatch(spark,
+      Seq((3L, edited), (4L, novel)).toDF("doc_id", "text"),
+      corpus, "text", "doc_id",
+      numHashes = 32, bands = 32, threshold = 0.5, lockStore = ls)
+    assert(n2 === 1)
+
+    // a concurrent ingest holding the lease blocks this one loudly
+    val held = graft.operators.StoreLease.acquire(
+      store, corpus + "__ingest_lock", 60_000L)
+    try {
+      intercept[graft.operators.MergeUpsert.ConcurrentWriteException] {
+        CorpusIngest.ingestBatch(spark,
+          Seq((5L, base)).toDF("doc_id", "text"),
+          corpus, "text", "doc_id", lockStore = ls)
+      }
+    } finally held.release()
+  }
+
   test("ingestStream: foreachBatch composition over MemoryStream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
