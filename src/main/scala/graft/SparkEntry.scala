@@ -509,6 +509,22 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q80_lm_quality" -> ((s, dir) => {
+      // CCNet-style char-trigram LM quality: counts trained on ids < 250,
+      // docs 250-499 scored by avg conditional log-prob (k=1, V=128);
+      // LM tables broadcast, one shuffle for the per-doc aggregate
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents")
+      val lmSrc = d.filter(col("doc_id") < 250).select(col("text"))
+      graft.llmops.TextAnalysis.lmQualityScore(
+          d.filter(col("doc_id") >= 250 && col("doc_id") < 500)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text",
+          graft.llmops.TextAnalysis.charNgramCounts(lmSrc, "text", 3),
+          graft.llmops.TextAnalysis.charNgramCounts(lmSrc, "text", 2))
+        .orderBy("doc_id")
+    }),
+
     "q79_neardup_against" -> ((s, dir) => {
       // incremental NEAR-dup: a new batch (ids 100-599) LSH-screened and
       // Jaccard-verified against a corpus snapshot (ids < 250). Ids
@@ -1714,6 +1730,32 @@ object SparkEntry {
            'Sheet: data' || chr(10) || 'Row 1: id | ' || doc_id || chr(10) ||
            'Row 2: text | ' || text || chr(10) AS extracted_text FROM src
          ORDER BY doc_id, fmt""",
+
+    // char-trigram LM quality: the oracle recomputes the add-1-smoothed
+    // conditional log-probs from the same training slice; range(2000)
+    // stands in for a lateral position series (DuckDB 1.0 can't take
+    // column args there), bounded well above the corpus's max text length
+    "q80_lm_quality" ->
+      """WITH lm AS (SELECT text FROM documents WHERE doc_id < 250),
+         tri AS (SELECT substr(text, i + 1, 3) AS g, count(*) AS c
+                 FROM lm, range(2000) t(i) WHERE i + 3 <= length(text)
+                 GROUP BY 1),
+         bi AS (SELECT substr(text, i + 1, 2) AS g, count(*) AS c
+                FROM lm, range(2000) t(i) WHERE i + 2 <= length(text)
+                GROUP BY 1),
+         docs AS (SELECT doc_id, text FROM documents
+                  WHERE doc_id >= 250 AND doc_id < 500),
+         occ AS (SELECT doc_id, substr(text, i + 1, 3) AS g
+                 FROM docs, range(2000) t(i) WHERE i + 3 <= length(text)),
+         sc AS (SELECT o.doc_id,
+                  ln((coalesce(t.c, 0) + 1.0) /
+                     (coalesce(b.c, 0) + 1.0 * 128)) AS lp
+                FROM occ o
+                LEFT JOIN tri t ON o.g = t.g
+                LEFT JOIN bi b ON substr(o.g, 1, 2) = b.g)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           round(avg(lp), 4) AS lm_score
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
 
     // survivors of LSH-screened, Jaccard-verified near-dup against the
     // corpus snapshot; the oracle brute-forces true trigram Jaccard (the

@@ -452,4 +452,72 @@ object TextAnalysis {
     */
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  // ---- character-LM quality scoring ----------------------------------------
+
+  /** All positional character n-grams of `t` (one per start offset, NOT
+    * distinct — these carry the occurrence counts an LM needs); empty
+    * array below n chars. Pure codegen'd HOFs in the scan projection.
+    */
+  def charGrams(t: Column, n: Int): Column =
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+      .otherwise(array())
+
+  /** Character n-gram counts of a reference corpus — the training half of
+    * [[lmQualityScore]]. One explode + one count shuffle; run once per
+    * corpus snapshot and persist, like any model artifact.
+    */
+  def charNgramCounts(corpus: DataFrame, textCol: String, n: Int): DataFrame =
+    corpus.select(explode(charGrams(col(textCol), n)).alias("gram"))
+      .groupBy("gram").agg(count(lit(1)).alias("cnt"))
+
+  /** CCNet-style language-model quality score (Wenzek et al. 2020 use a
+    * 5-gram KenLM; this is the dependency-free character-trigram analogue):
+    * each document scores the average conditional log-probability of its
+    * char trigrams under add-k-smoothed counts from a reference corpus,
+    *
+    *   score = avg_i ln( (cnt3(s_i..s_i+2) + k) / (cnt2(s_i..s_i+1) + kV) )
+    *
+    * Low scores mark text unlike the reference (boilerplate, garbled
+    * encodings, other languages) for threshold filtering, exactly how
+    * CCNet buckets by perplexity.
+    *
+    * Plan shape: the LM tables are bounded by the character-trigram space,
+    * not the corpus (they stop growing once the alphabet is covered), so
+    * both join BROADCAST against the document grams; the only shuffle is
+    * the final per-document aggregate. Documents shorter than 3 chars have
+    * no grams and are absent from the output.
+    *
+    * @param lmTri output of [[charNgramCounts]] with n=3
+    * @param lmBi  output of [[charNgramCounts]] with n=2
+    * @param vocab smoothing vocabulary size V (effective alphabet)
+    * @param k     add-k smoothing constant, > 0
+    * @return (key, n_grams, lm_score), score rounded to 4 decimals
+    */
+  def lmQualityScore(
+      docs: DataFrame,
+      keyCol: String,
+      textCol: String,
+      lmTri: DataFrame,
+      lmBi: DataFrame,
+      vocab: Int = 128,
+      k: Double = 1.0
+  ): DataFrame = {
+    require(k > 0, "add-k smoothing needs k > 0")
+    val occ = docs.select(col(keyCol),
+        explode(charGrams(col(textCol), 3)).alias("__g"))
+    val tri = broadcast(lmTri.select(col("gram").alias("__g"),
+      col("cnt").alias("__c3")))
+    val bi = broadcast(lmBi.select(col("gram").alias("__bg"),
+      col("cnt").alias("__c2")))
+    occ.join(tri, Seq("__g"), "left")
+      .join(bi, substring(col("__g"), 1, 2) === col("__bg"), "left")
+      .select(col(keyCol),
+        log((coalesce(col("__c3"), lit(0L)) + lit(k)) /
+          (coalesce(col("__c2"), lit(0L)) + lit(k * vocab))).alias("__lp"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).alias("n_grams"),
+        round(avg(col("__lp")), 4).alias("lm_score"))
+  }
 }

@@ -144,6 +144,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q80 lm quality: LM tables broadcast, no cartesian") {
+    val plan = executedPlan("q80_lm_quality")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bounded LM count tables must broadcast against the doc grams:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q79 incremental near-dup: equi-joins on band keys, anti-join survivors") {
     val plan = executedPlan("q79_neardup_against")
     assert(!plan.contains("CartesianProduct"),

@@ -113,6 +113,23 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq(11L))
   }
 
+  test("lmQualityScore: hand-computed add-1 trigram conditionals") {
+    val corpus = Seq(Tuple1("abab")).toDF("text")
+    val tri = TextAnalysis.charNgramCounts(corpus, "text", 3) // aba:1 bab:1
+    val bi = TextAnalysis.charNgramCounts(corpus, "text", 2) // ab:2 ba:1
+    val docs = Seq((1L, "abab"), (2L, "xyz"), (3L, "zz")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmQualityScore(docs, "doc_id", "text", tri, bi,
+        vocab = 128, k = 1.0)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect1 = BigDecimal((math.log(2.0 / 130) + math.log(2.0 / 129)) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect2 = BigDecimal(math.log(1.0 / 128))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 3 has no trigram -> absent
+    assert(got.toSeq === Seq((1L, 2L, expect1), (2L, 1L, expect2)))
+  }
+
   test("minhashDedupAgainstCorpus: near-dups of the corpus drop, the rest survive") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
