@@ -509,6 +509,24 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q81_tar_shards" -> ((s, dir) => {
+      // WebDataset-style export: corpus → deterministic tar shards →
+      // loader-side read-back; proves lossless binary round-trip through
+      // the USTAR writer (identity oracle, like q74 for JSONL)
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q81").toString + "/shards"
+      graft.llmops.TarShards.write(
+        docs.select(col("doc_id").cast("string").alias("name"),
+          col("text").cast("binary").alias("content")),
+        "name", "content", tmp, nShards = 8)
+      graft.llmops.TarShards.read(ss, tmp)
+        .select(col("name").cast("long").alias("doc_id"),
+          col("content").cast("string").alias("text"))
+        .orderBy("doc_id")
+    }),
+
     "q80_lm_quality" -> ((s, dir) => {
       // CCNet-style char-trigram LM quality: counts trained on ids < 250,
       // docs 250-499 scored by avg conditional log-prob (k=1, V=128);
@@ -1808,6 +1826,9 @@ object SparkEntry {
          ORDER BY doc_id, fmt""",
 
     "q74_jsonl_roundtrip" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q81_tar_shards" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
 
     "q76_dedup_against" ->
