@@ -509,6 +509,17 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q82_mixture_sample" -> ((s, dir) => {
+      // training-mixture epochs: src0 ×2.5, src1 ×0.25, src2 dropped,
+      // everything else ×1; weights chosen binary-exact so the fractional
+      // gate thresholds match the oracle bit-for-bit
+      graft.llmops.Sampling.mixtureSample(
+          t(tuned(s), dir, "documents").select("doc_id", "source"),
+          "source", "doc_id",
+          Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0))
+        .orderBy("doc_id", "epoch")
+    }),
+
     "q81_tar_shards" -> ((s, dir) => {
       // WebDataset-style export: corpus → deterministic tar shards →
       // loader-side read-back; proves lossless binary round-trip through
@@ -1830,6 +1841,22 @@ object SparkEntry {
 
     "q81_tar_shards" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q82_mixture_sample" ->
+      """WITH w AS (SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+               WHEN 'src2' THEN 0.0 ELSE 1.0 END AS wt
+           FROM documents),
+         e AS (SELECT doc_id, source, wt,
+                 unnest(range(CAST(ceil(wt) AS BIGINT))) AS epoch
+               FROM w WHERE wt > 0)
+         SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch
+         FROM e
+         WHERE epoch < CAST(floor(wt) AS BIGINT)
+            OR (epoch = CAST(floor(wt) AS BIGINT)
+                AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                    % 1000000 < CAST((wt - floor(wt)) * 1000000 AS BIGINT))
+         ORDER BY doc_id, epoch""",
 
     "q76_dedup_against" ->
       s"""WITH ref AS (

@@ -27,6 +27,39 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(hashGate(col(keyCol), fraction))
 
+  /** Training-mixture sampling: replicate each source to its epoch weight
+    * — the "N epochs of source A, 0.5 of B" mixing every LLM data recipe
+    * specifies. A weight w yields floor(w) full copies of every row plus
+    * one more for the deterministic hash-gated fraction (w − floor(w)) of
+    * keys; output carries an `epoch` column (0-based copy index) so
+    * downstream shard shuffling can key on (row, epoch).
+    *
+    * Same portability contract as [[hashSample]]: the copy set is a pure
+    * function of (key, weight) — identical across engines, re-runs, and
+    * corpus growth. One generator projection, no shuffle, no rand().
+    * Weights ≤ 0 drop the source entirely.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0
+  ): DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (s, v)) => when(col(sourceCol) === s, lit(v)).otherwise(acc)
+    }
+    df.withColumn("__w", w)
+      .filter(col("__w") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0), ceil(col("__w")).cast("int") - 1)))
+      .filter(col("epoch") < floor(col("__w")).cast("int") ||
+        (col("epoch") === floor(col("__w")).cast("int") &&
+          pmod(Similarity.portable60(col(keyCol)), lit(Buckets)) <
+            ((col("__w") - floor(col("__w"))) * Buckets).cast("long")))
+      .drop("__w")
+  }
+
   /** Per-stratum deterministic fractions (corpus balancing): strata absent
     * from the map fall back to `defaultFraction`.
     */

@@ -113,6 +113,26 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq(11L))
   }
 
+  test("mixtureSample: epoch replication plus hash-gated fractional copy") {
+    val df = (1L to 40L).map(i =>
+      (i, if (i <= 20) "heavy" else "light")).toDF("doc_id", "source")
+    val got = Sampling.mixtureSample(df, "source", "doc_id",
+        Map("heavy" -> 2.5, "light" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    // light source dropped entirely
+    assert(got.forall(_._1 <= 20))
+    // every heavy key gets epochs 0 and 1
+    (1L to 20L).foreach { k =>
+      assert(got.contains((k, 0)) && got.contains((k, 1)), s"key $k")
+    }
+    // epoch 2 holds exactly the hashGate(0.5) subset of heavy keys
+    val extra = got.filter(_._2 == 2).map(_._1).toSet
+    val gated = df.filter($"source" === "heavy")
+      .filter(Sampling.hashGate($"doc_id", 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(extra === gated)
+  }
+
   test("lmQualityScore: hand-computed add-1 trigram conditionals") {
     val corpus = Seq(Tuple1("abab")).toDF("text")
     val tri = TextAnalysis.charNgramCounts(corpus, "text", 3) // aba:1 bab:1
