@@ -509,6 +509,19 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q83_corpus_line_dedup" -> ((s, dir) => {
+      // C4-style global line dedup: multi-line docs constructed as
+      // source / text / shared footer — the footer survives only in
+      // doc 0, each source header once per source, text lines per
+      // first-containing doc
+      val d = t(tuned(s), dir, "documents")
+        .select(col("doc_id"),
+          concat_ws("\n", col("source"), col("text"), lit("corpus-footer"))
+            .alias("doc"))
+      graft.llmops.TextAnalysis.dedupLinesAcrossCorpus(d, "doc_id", "doc")
+        .orderBy("doc_id")
+    }),
+
     "q82_mixture_sample" -> ((s, dir) => {
       // training-mixture epochs: src0 ×2.5, src1 ×0.25, src2 dropped,
       // everything else ×1; weights chosen binary-exact so the fractional
@@ -1841,6 +1854,25 @@ object SparkEntry {
 
     "q81_tar_shards" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q83_corpus_line_dedup" ->
+      """WITH d AS (SELECT doc_id,
+             source || chr(10) || text || chr(10) || 'corpus-footer' AS doc
+           FROM documents),
+         l AS (SELECT doc_id, i AS ln, lines[i + 1] AS line
+               FROM (SELECT doc_id, string_split(doc, chr(10)) AS lines FROM d),
+                    range(2000) t(i)
+               WHERE i < len(lines)),
+         k AS (SELECT doc_id, ln, line,
+                 row_number() OVER (PARTITION BY md5(line)
+                                    ORDER BY doc_id, ln) AS rk
+               FROM l),
+         r AS (SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY ln) AS text_dedup
+               FROM k WHERE rk = 1 GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup
+         FROM d LEFT JOIN r ON d.doc_id = r.doc_id
+         ORDER BY d.doc_id""",
 
     "q82_mixture_sample" ->
       """WITH w AS (SELECT doc_id, source,

@@ -286,6 +286,44 @@ object TextAnalysis {
   def dedupLines(text: Column, sep: String = "\n"): Column =
     concat_ws(sep, array_distinct(split(text, java.util.regex.Pattern.quote(sep))))
 
+  /** CROSS-document line dedup — C4's global pass (Raffel et al. 2020
+    * §2.2 dedup "occurring more than once in the data set"): each exact
+    * line survives once in the whole corpus, in the first document that
+    * contains it (order: key asc, then position). [[dedupLines]] is the
+    * within-document variant.
+    *
+    * Shape at scale: two hash shuffles — one keep-first window over the
+    * line fingerprint (narrow rows: key, position, fingerprint), one
+    * per-document reassembly — no global sort, no driver state. Documents
+    * whose every line was claimed elsewhere come back with empty text
+    * (kept, like C4, which drops by a later length filter rather than
+    * here).
+    *
+    * @return (keyCol, text_dedup)
+    */
+  def dedupLinesAcrossCorpus(df: DataFrame, keyCol: String,
+      textCol: String, sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(keyCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__ln", "__line")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("__line")))
+      .orderBy(col(keyCol), col("__ln"))
+    val kept = lines
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+    val rebuilt = kept
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("__ln"), col("__line"))))
+        .alias("__ls"))
+      .select(col(keyCol),
+        concat_ws(sep, transform(col("__ls"), x => x.getField("__line")))
+          .alias("text_dedup"))
+    df.select(col(keyCol)).join(rebuilt, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("text_dedup"), lit("")).alias("text_dedup"))
+  }
+
   /** URL curation — the crawl-side filter battery (host routing, domain
     * blocklists, tracker-param stripping). All regexp-based and
     * deliberately RE2-compatible so external validators apply the

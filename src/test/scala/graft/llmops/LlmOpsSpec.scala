@@ -113,6 +113,18 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq(11L))
   }
 
+  test("dedupLinesAcrossCorpus: first doc keeps the line, later docs lose it") {
+    val docs = Seq((1L, "alpha\nbeta"), (2L, "beta\ngamma"), (3L, "alpha\nbeta"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dedupLinesAcrossCorpus(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq(
+      (1L, "alpha\nbeta"), // first occurrence of both lines
+      (2L, "gamma"), // beta claimed by doc 1
+      (3L, ""))) // both lines claimed; doc kept with empty text
+  }
+
   test("mixtureSample: epoch replication plus hash-gated fractional copy") {
     val df = (1L to 40L).map(i =>
       (i, if (i <= 20) "heavy" else "light")).toDF("doc_id", "source")
