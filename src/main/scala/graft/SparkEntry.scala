@@ -509,6 +509,24 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q84_lm_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail bucketing over the q80 LM scores; quarter
+      // cuts are binary-exact so both engines compute identical thresholds
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents")
+      val lmSrc = d.filter(col("doc_id") < 250).select(col("text"))
+      val scored = graft.llmops.TextAnalysis.lmQualityScore(
+        d.filter(col("doc_id") >= 250 && col("doc_id") < 500)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text",
+        graft.llmops.TextAnalysis.charNgramCounts(lmSrc, "text", 3),
+        graft.llmops.TextAnalysis.charNgramCounts(lmSrc, "text", 2))
+      graft.llmops.TextAnalysis.lmPerplexityBuckets(
+          scored.select("doc_id", "lm_score"), "lm_score",
+          lo = 0.25, hi = 0.75)
+        .orderBy("doc_id")
+    }),
+
     "q83_corpus_line_dedup" -> ((s, dir) => {
       // C4-style global line dedup: multi-line docs constructed as
       // source / text / shared footer — the footer survives only in
@@ -1854,6 +1872,35 @@ object SparkEntry {
 
     "q81_tar_shards" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q84_lm_buckets" ->
+      """WITH lm AS (SELECT text FROM documents WHERE doc_id < 250),
+         tri AS (SELECT substr(text, i + 1, 3) AS g, count(*) AS c
+                 FROM lm, range(2000) t(i) WHERE i + 3 <= length(text)
+                 GROUP BY 1),
+         bi AS (SELECT substr(text, i + 1, 2) AS g, count(*) AS c
+                FROM lm, range(2000) t(i) WHERE i + 2 <= length(text)
+                GROUP BY 1),
+         docs AS (SELECT doc_id, text FROM documents
+                  WHERE doc_id >= 250 AND doc_id < 500),
+         occ AS (SELECT doc_id, substr(text, i + 1, 3) AS g
+                 FROM docs, range(2000) t(i) WHERE i + 3 <= length(text)),
+         sc AS (SELECT o.doc_id,
+                  ln((coalesce(t.c, 0) + 1.0) /
+                     (coalesce(b.c, 0) + 1.0 * 128)) AS lp
+                FROM occ o
+                LEFT JOIN tri t ON o.g = t.g
+                LEFT JOIN bi b ON substr(o.g, 1, 2) = b.g),
+         scored AS (SELECT doc_id, round(avg(lp), 4) AS lm_score
+                    FROM sc GROUP BY doc_id),
+         cuts AS (SELECT quantile_cont(lm_score, 0.25) AS plo,
+                         quantile_cont(lm_score, 0.75) AS phi
+                  FROM scored)
+         SELECT doc_id, lm_score,
+           CASE WHEN lm_score >= phi THEN 'head'
+                WHEN lm_score >= plo THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM scored, cuts ORDER BY doc_id""",
 
     "q83_corpus_line_dedup" ->
       """WITH d AS (SELECT doc_id,

@@ -558,4 +558,27 @@ object TextAnalysis {
       .agg(count(lit(1)).alias("n_grams"),
         round(avg(col("__lp")), 4).alias("lm_score"))
   }
+
+  /** CCNet's head/middle/tail partition over LM scores: corpus-level
+    * exact percentile cuts (two scalars, broadcast), then a per-row
+    * comparison — higher score = more reference-like = head. CCNet cuts
+    * at thirds; the fractions are parameters (binary-exact values like
+    * 0.25/0.75 make cross-engine verification bit-exact, which is why the
+    * gate query uses quarters).
+    *
+    * Plan: one global exact-percentile aggregate over the score column +
+    * a broadcast join — nothing else moves.
+    */
+  def lmPerplexityBuckets(scored: DataFrame, scoreCol: String,
+      lo: Double = 1.0 / 3, hi: Double = 2.0 / 3): DataFrame = {
+    val cuts = scored.agg(
+      expr(s"percentile($scoreCol, $lo)").alias("__plo"),
+      expr(s"percentile($scoreCol, $hi)").alias("__phi"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col(scoreCol) >= col("__phi"), "head")
+          .when(col(scoreCol) >= col("__plo"), "middle")
+          .otherwise("tail"))
+      .drop("__plo", "__phi")
+  }
 }
