@@ -509,6 +509,24 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q85_rtf_extract" -> ((s, dir) => {
+      // S6 RTF path: corpus text through the writer twin's real RTF markup
+      // (escapes, font-table destination) and back via the native
+      // DocExtractText expression
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val rows = docs.map { case (id, text) =>
+        (id, graft.llmops.Rtf.write(Seq(s"Doc $id", text)), "application/rtf")
+      }.toSeq
+      import ss.implicits._
+      val src = rows.toDF("doc_id", "content", "mime").repartition(32)
+      graft.llmops.DocumentText.extractDocumentText(src, "content", "mime")
+        .select(col("doc_id"), col("extracted_text"))
+        .orderBy("doc_id")
+    }),
+
     "q84_lm_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail bucketing over the q80 LM scores; quarter
       // cuts are binary-exact so both engines compute identical thresholds
@@ -1872,6 +1890,11 @@ object SparkEntry {
 
     "q81_tar_shards" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q85_rtf_extract" ->
+      """SELECT doc_id,
+         'Doc ' || doc_id || chr(10) || text AS extracted_text
+         FROM documents WHERE doc_id < 300 ORDER BY doc_id""",
 
     "q84_lm_buckets" ->
       """WITH lm AS (SELECT text FROM documents WHERE doc_id < 250),

@@ -50,6 +50,8 @@ object DocumentText {
         LegacyOffice.xlsText(bytes)
       case m if m.contains("ms-powerpoint") || m.endsWith("/ppt") =>
         LegacyOffice.pptText(bytes)
+      case m if m.contains("rtf") => // before text/: "text/rtf" is a markup
+        Rtf.rtfText(bytes)
       case m if m.contains("pdf") =>
         Pdf.pdfText(bytes)
       case m if m.contains("html") || m.contains("xml") =>

@@ -27,13 +27,14 @@ class CodecRobustnessSpec extends AnyFunSuite {
     "GIF89a".getBytes("ISO-8859-1"),
     "BM".getBytes("ISO-8859-1"),
     Array[Byte]('P', 'K', 3, 4), // zip/OOXML
-    Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)) // CFB/OLE2
+    Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte), // CFB/OLE2
+    "{\\rtf1\\ansi ".getBytes("ISO-8859-1"))
 
   private def allCodecs(bytes: Array[Byte]): Unit = {
     Pdf.pdfText(bytes)
     Ooxml.docxText(bytes); Ooxml.xlsxText(bytes); Ooxml.pptxText(bytes)
     LegacyOffice.docText(bytes); LegacyOffice.xlsText(bytes)
-    LegacyOffice.pptText(bytes)
+    LegacyOffice.pptText(bytes); Rtf.rtfText(bytes)
     graft.expressions.ImageDims.compute(bytes)
     graft.expressions.AvMeta.compute(bytes)
     DocumentText.extractText(bytes, "application/pdf")
@@ -63,7 +64,8 @@ class CodecRobustnessSpec extends AnyFunSuite {
       ImageWriter.png(20, 30),
       LegacyOfficeWriter.doc(Seq("legacy body")),
       LegacyOfficeWriter.xls(Seq("s" -> Seq(Seq("a", 1)))),
-      LegacyOfficeWriter.ppt(Seq(Seq("slide text"))))
+      LegacyOfficeWriter.ppt(Seq(Seq("slide text"))),
+      Rtf.write(Seq("rtf body text")))
     for (doc <- genuine; cut <- 0 to math.min(doc.length, 120)) {
       allCodecs(java.util.Arrays.copyOfRange(doc, 0, cut))
     }

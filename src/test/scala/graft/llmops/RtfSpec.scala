@@ -1,0 +1,48 @@
+package graft.llmops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RTF extraction: writer-twin round trips, hand-authored markup with
+  * destinations/escapes/unicode, and the no-throw posture.
+  */
+class RtfSpec extends AnyFunSuite {
+
+  test("round trip: paragraphs, escapes, tabs, inline breaks") {
+    val paras = Seq("Plain text", "braces {x} and back\\slash", "tab\there\nsplit")
+    assert(Rtf.rtfText(Rtf.write(paras)) ===
+      Some("Plain text\nbraces {x} and back\\slash\ntab\there\nsplit"))
+  }
+
+  test("round trip: CP1252 accents and unicode beyond latin-1") {
+    val paras = Seq("café naïve", "λ中—dash")
+    assert(Rtf.rtfText(Rtf.write(paras)) === Some("café naïve\nλ中—dash"))
+  }
+
+  test("hand-authored: destinations and formatting words are elided") {
+    val rtf = ("{\\rtf1\\ansi{\\fonttbl{\\f0 Arial;}}{\\colortbl;\\red0;}" +
+      "{\\info{\\author nobody}}{\\*\\generator Acme 1.0;}" +
+      "\\pard\\b Bold\\b0  and \\i italic\\i0\\par done}").getBytes("windows-1252")
+    assert(Rtf.rtfText(rtf) === Some("Bold and italic\ndone"))
+  }
+
+  test("hand-authored: \\uc0 and hex escapes") {
+    val rtf = "{\\rtf1\\ansi\\uc0 a\\u8212 b \\'e9\\par}".getBytes("windows-1252")
+    assert(Rtf.rtfText(rtf) === Some("a—b é"))
+  }
+
+  test("non-RTF and truncated inputs return None or partial, never throw") {
+    assert(Rtf.rtfText("plain text".getBytes) === None)
+    assert(Rtf.rtfText(Array.emptyByteArray) === None)
+    assert(Rtf.rtfText(null) === None)
+    val full = Rtf.write(Seq("some paragraph text"))
+    (0 until full.length by 3).foreach { cut =>
+      Rtf.rtfText(java.util.Arrays.copyOfRange(full, 0, cut)) // no throw
+    }
+  }
+
+  test("DocumentText dispatches rtf before the text/ arm") {
+    val bytes = Rtf.write(Seq("via mime"))
+    assert(DocumentText.extractText(bytes, "application/rtf") === Some("via mime"))
+    assert(DocumentText.extractText(bytes, "text/rtf") === Some("via mime"))
+  }
+}
