@@ -509,6 +509,18 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q86_quantize_int8" -> ((s, dir) => {
+      // symmetric int8 quantization of the embedding column: scale +
+      // integer codes, floor(x/s + 0.5) so both engines tie-break
+      // identically; codes carry the unrounded scale, display rounds it
+      val emb = t(tuned(s), dir, "embeddings")
+      val q = graft.llmops.Similarity.quantizeInt8(col("embedding"))
+      emb.select(col("vec_id"),
+          round(q.getField("scale"), 6).alias("scale"),
+          q.getField("codes").alias("codes"))
+        .orderBy("vec_id")
+    }),
+
     "q85_rtf_extract" -> ((s, dir) => {
       // S6 RTF path: corpus text through the writer twin's real RTF markup
       // (escapes, font-table destination) and back via the native
@@ -1890,6 +1902,20 @@ object SparkEntry {
 
     "q81_tar_shards" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q86_quantize_int8" ->
+      """WITH s AS (
+           SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+           FROM embeddings)
+         SELECT vec_id, round(sc, 6) AS scale,
+           CASE WHEN sc = 0
+             THEN list_transform(embedding, x -> 0)
+             ELSE list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS INTEGER))
+           END AS codes
+         FROM s ORDER BY vec_id""",
 
     "q85_rtf_extract" ->
       """SELECT doc_id,

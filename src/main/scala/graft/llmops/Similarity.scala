@@ -300,4 +300,33 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_key", "neighbor_key", "cosine", "rank")
   }
+
+  // ---- int8 quantization ---------------------------------------------------
+
+  /** Symmetric per-vector int8 quantization: scale = max|v| / 127,
+    * code_i = floor(v_i / scale + 0.5) — floor(x + 0.5) instead of a
+    * round() builtin because engines disagree on .5 ties (HALF_UP vs
+    * away-from-zero) and this form is bit-identical everywhere. A 4x
+    * footprint cut for embedding tables (the difference between a 100 TB
+    * and a 25 TB ANN corpus), with recall measured, not assumed — see
+    * QuantizationSpec.
+    *
+    * @return struct(scale: double, codes: array<int>); zero vectors get
+    *         scale 0 and all-zero codes
+    */
+  def quantizeInt8(v: Column): Column = {
+    val scale = aggregate(v, lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0
+    struct(
+      scale.alias("scale"),
+      when(scale === 0.0, transform(v, _ => lit(0)))
+        .otherwise(transform(v,
+          x => floor(x.cast("double") / scale + 0.5).cast("int")))
+        .alias("codes"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: code_i * scale, back to double. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"),
+      c => c.cast("double") * q.getField("scale"))
 }

@@ -113,6 +113,46 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq(11L))
   }
 
+  test("quantizeInt8: codes in range, reconstruction error bounded, recall holds") {
+    // deterministic synthetic embeddings, dim 16
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(16)(d =>
+        math.sin(i * 31 + d * 7).toFloat * (1 + (i % 5))))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(col("embedding"))
+    val out = df.select(col("vec_id"), q.alias("q"),
+        Similarity.dequantizeInt8(q).alias("deq"), col("embedding"))
+      .collect()
+    out.foreach { r =>
+      val scale = r.getStruct(1).getDouble(0)
+      val codes = r.getStruct(1).getSeq[Int](1)
+      val deq = r.getSeq[Double](2)
+      val orig = r.getSeq[Float](3)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"code range ${r.getLong(0)}")
+      orig.zip(deq).foreach { case (o, d) =>
+        assert(math.abs(o - d) <= scale / 2 + 1e-12,
+          s"reconstruction error over scale/2 for vec ${r.getLong(0)}")
+      }
+    }
+    // top-10 neighbors of vector 0 computed on dequantized codes overlap
+    // the exact top-10 on the originals (int8 keeps ranking fidelity)
+    def top10(vecCol: org.apache.spark.sql.Column, frame: org.apache.spark.sql.DataFrame) = {
+      val probe = frame.filter(col("vec_id") === 0L)
+        .select(col("vec_id").alias("qk"), vecCol.alias("qv"))
+      frame.filter(col("vec_id") =!= 0L).crossJoin(probe)
+        .withColumn("cos", Similarity.cosineHof(col("qv"), vecCol))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10).select("vec_id").as[Long].collect().toSet
+    }
+    val exact = top10(col("embedding"), df)
+    val deqDf = df.select(col("vec_id"),
+      Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding")))
+        .alias("embedding"))
+    val approx = top10(col("embedding"), deqDf)
+    assert((exact & approx).size >= 8, s"recall@10 too low: $exact vs $approx")
+  }
+
   test("dedupLinesAcrossCorpus: first doc keeps the line, later docs lose it") {
     val docs = Seq((1L, "alpha\nbeta"), (2L, "beta\ngamma"), (3L, "alpha\nbeta"))
       .toDF("doc_id", "text")
