@@ -513,11 +513,14 @@ object SparkEntry {
       // symmetric int8 quantization of the embedding column: scale +
       // integer codes, floor(x/s + 0.5) so both engines tie-break
       // identically; codes carry the unrounded scale, display rounds it
+      // codes are emitted as a CSV string (not array<int>): the gate
+      // harness sorts row tuples and cannot hash raw array cells
       val emb = t(tuned(s), dir, "embeddings")
       val q = graft.llmops.Similarity.quantizeInt8(col("embedding"))
       emb.select(col("vec_id"),
           round(q.getField("scale"), 6).alias("scale"),
-          q.getField("codes").alias("codes"))
+          array_join(transform(q.getField("codes"),
+            c => c.cast("string")), ",").alias("codes_csv"))
         .orderBy("vec_id")
     }),
 
@@ -1910,11 +1913,11 @@ object SparkEntry {
                x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
            FROM embeddings)
          SELECT vec_id, round(sc, 6) AS scale,
-           CASE WHEN sc = 0
+           array_to_string(CASE WHEN sc = 0
              THEN list_transform(embedding, x -> 0)
              ELSE list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS INTEGER))
-           END AS codes
+           END, ',') AS codes_csv
          FROM s ORDER BY vec_id""",
 
     "q85_rtf_extract" ->

@@ -33,7 +33,8 @@ object Rtf {
       var i = 0
       val n = s.length
       var skipDepth = 0 // inside a skip destination until depth back to 0
-      var ucSkip = 1 // \ucN: fallback chars after \uN
+      var ucSkip = 1 // \ucN: fallback chars after \uN — group-scoped
+      var ucStack: List[Int] = Nil // saved \uc per open group, popped on '}'
       var pendingSkip = 0 // chars to drop (the \uN fallback)
       var depth = 0
 
@@ -108,9 +109,15 @@ object Rtf {
 
       while (i < n) {
         s.charAt(i) match {
-          case '{' => depth += 1; i += 1
+          case '{' =>
+            depth += 1; ucStack = ucSkip :: ucStack; i += 1
           case '}' =>
             depth -= 1
+            // \uc is scoped to its group: restore the opener's value
+            ucStack match {
+              case h :: t => ucSkip = h; ucStack = t
+              case Nil => // unbalanced '}': keep current (best-effort)
+            }
             if (skipDepth > 0 && depth < skipDepth) skipDepth = 0
             i += 1
           case '\\' => i += 1; parseControl()

@@ -122,6 +122,16 @@ object Similarity {
   def portable60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** JVM twin of [[portable60]] for driver-side / test use — MUST stay
+    * bit-identical to the Column form (first 15 hex chars of md5, base 16).
+    */
+  def portable60Of(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"${b & 0xFF}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       corpusKey: String,

@@ -30,6 +30,17 @@ class RtfSpec extends AnyFunSuite {
     assert(Rtf.rtfText(rtf) === Some("a—b é"))
   }
 
+  test("\\ucN is group-scoped: a nested \\uc does not leak past its brace") {
+    // outer group runs \uc1 (default); the nested group sets \uc2 which
+    // must NOT apply to the \u after the group closes — per spec the
+    // opener's \uc is restored on '}'
+    val rtf = ("{\\rtf1\\ansi a{\\uc2\\u955 XY}\\u8212 ?z\\par}")
+      .getBytes("windows-1252")
+    // inside group: \u955 (λ) skips 2 fallback chars (XY); after the
+    // group: \u8212 (em dash) skips exactly 1 ('?'), so 'z' survives
+    assert(Rtf.rtfText(rtf) === Some("aλ—z"))
+  }
+
   test("non-RTF and truncated inputs return None or partial, never throw") {
     assert(Rtf.rtfText("plain text".getBytes) === None)
     assert(Rtf.rtfText(Array.emptyByteArray) === None)

@@ -39,8 +39,15 @@ class TarShardsSpec extends SparkTestBase {
       new String(h, 148, 6, "ISO-8859-1"), 8) === sum)
   }
 
-  test("shard layout is deterministic for a given corpus") {
+  test("shard layout is deterministic and every member lands in its hash shard") {
+    // 40 keys cover all 4 shard ids with overwhelming probability; assert
+    // coverage up front so a missing file can never pass silently
     val rows = (0 until 40).map(i => (s"k$i", s"payload-$i".getBytes("UTF-8")))
+    val expectShard = rows.map { case (k, _) =>
+      k -> (graft.llmops.Similarity.portable60Of(k) % 4).toInt
+    }.toMap
+    assert(expectShard.values.toSet === Set(0, 1, 2, 3),
+      "fixture must cover every shard id")
     val d1 = Files.createTempDirectory("graft-tar-d1").toString + "/s"
     val d2 = Files.createTempDirectory("graft-tar-d2").toString + "/s"
     TarShards.write(rows.toDF("name", "content"), "name", "content", d1, 4)
@@ -48,12 +55,30 @@ class TarShardsSpec extends SparkTestBase {
     (0 until 4).foreach { s =>
       val f1 = java.nio.file.Paths.get(d1, f"shard-$s%05d.tar")
       val f2 = java.nio.file.Paths.get(d2, f"shard-$s%05d.tar")
-      assert(java.nio.file.Files.exists(f1) === java.nio.file.Files.exists(f2))
-      if (java.nio.file.Files.exists(f1))
-        assert(java.util.Arrays.equals(
-          java.nio.file.Files.readAllBytes(f1),
-          java.nio.file.Files.readAllBytes(f2)), s"shard $s differs")
+      assert(java.nio.file.Files.exists(f1), s"shard $s missing in d1")
+      assert(java.nio.file.Files.exists(f2), s"shard $s missing in d2")
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(f1),
+        java.nio.file.Files.readAllBytes(f2)), s"shard $s differs")
     }
+    // each tar's members all hash to the shard id in its filename: read
+    // every shard file in isolation and check its member names
+    var total = 0
+    (0 until 4).foreach { s =>
+      val solo = Files.createTempDirectory(s"graft-tar-solo$s").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d1, f"shard-$s%05d.tar"),
+        java.nio.file.Paths.get(solo, f"shard-$s%05d.tar"))
+      val names = TarShards.read(spark, solo).select("name")
+        .collect().map(_.getString(0))
+      assert(names.nonEmpty, s"shard $s file is empty")
+      names.foreach { n =>
+        assert(expectShard(n) === s,
+          s"$n in shard file $s, expected ${expectShard(n)}")
+      }
+      total += names.length
+    }
+    assert(total === 40, "every member must be readable back")
   }
 
   test("truncated and garbage archives parse to partial/empty, never throw") {
