@@ -509,6 +509,19 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q87_llm_judge" -> ((s, dir) => {
+      // LLM-as-judge quality scoring over the documents table through the
+      // real batched-client operator (template substitution, batching,
+      // SCORE/RATIONALE reply parse) — the client is deterministic
+      // (score = prompt length % 101 / 10) so DuckDB can replay the math
+      val d = t(tuned(s), dir, "documents").select(col("doc_id"), col("text"))
+      graft.llmops.LlmScore.scoreColumn(
+          d, "text", new DeterministicJudge, "Rate 0-10:\n{text}",
+          batchSize = 32)
+        .select(col("doc_id"), col("llm_score"), col("llm_rationale"))
+        .orderBy("doc_id")
+    }),
+
     "q86_quantize_int8" -> ((s, dir) => {
       // symmetric int8 quantization of the embedding column: scale +
       // integer codes, floor(x/s + 0.5) so both engines tie-break
@@ -1906,6 +1919,12 @@ object SparkEntry {
     "q81_tar_shards" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
 
+    "q87_llm_judge" ->
+      """SELECT doc_id,
+           ((11 + length(text)) % 101) / 10.0 AS llm_score,
+           'len=' || (11 + length(text)) AS llm_rationale
+         FROM documents ORDER BY doc_id""",
+
     "q86_quantize_int8" ->
       """WITH s AS (
            SELECT vec_id, embedding,
@@ -2336,4 +2355,20 @@ object SparkEntry {
            ON l.block = r.block AND l.key < r.key
          ORDER BY key_a, key_b"""
   )
+}
+
+/** Deterministic judge for the q87 gate: score = (prompt length % 101)/10
+  * in the canonical SCORE/RATIONALE reply shape, so DuckDB replays the
+  * math from `length(text)` alone. Exercises the REAL operator path —
+  * batching, template substitution, reply parsing; only the endpoint is
+  * synthetic.
+  */
+private[graft] class DeterministicJudge extends graft.llmops.TextGenClient {
+  override def generateBatch(prompts: Seq[String]): Seq[graft.llmops.TextGenResult] =
+    prompts.map { p =>
+      graft.llmops.TextGenResult(
+        s"SCORE: ${(p.length % 101) / 10.0}\nRATIONALE: len=${p.length}",
+        inputTokens = p.length / 4, outputTokens = 12,
+        stopReason = "end_turn")
+    }
 }

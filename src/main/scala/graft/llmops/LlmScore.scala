@@ -1,0 +1,172 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.DataFrame
+
+/** One generation per prompt — the operator-side contract for the
+  * reference's text-generation calls
+  * (utils/extract_data_v2/aje_libs/common/helpers/bedrock_helper.py:30-127:
+  * `invoke_model`/`converse` against a remote endpoint, returning
+  * normalized `{text, input_tokens, output_tokens, stop_reason}`).
+  * Implementations wrap whatever endpoint the deployment uses; the
+  * engine only needs the batch call.
+  *
+  * Must be Serializable: one instance is shipped to executors and reused
+  * for every batch in a partition.
+  */
+trait TextGenClient extends Serializable {
+  /** One result per prompt, same order. May throw on transient endpoint
+    * failure — the operator retries with backoff.
+    */
+  def generateBatch(prompts: Seq[String]): Seq[TextGenResult]
+}
+
+/** Normalized generation result, mirroring the reference's converse
+  * response shape (bedrock_helper.py:115-121).
+  */
+case class TextGenResult(
+    text: String,
+    inputTokens: Long,
+    outputTokens: Long,
+    stopReason: String)
+
+/** LLM-as-judge scoring and generic text generation over a column —
+  * model-based quality filtering is a first-class training-data-curation
+  * stage (alongside the heuristic Gopher/C4/CCNet filters in
+  * [[TextAnalysis]]), and ad-hoc generation (summarize, classify,
+  * rewrite) shares the same batched-client plumbing.
+  */
+object LlmScore {
+
+  /** What to do with a batch that still fails after `maxRetries`:
+    * FailTask rethrows (the task fails and is rescheduled — the
+    * reference's posture); NullOutputs emits NULL for every row of the
+    * dead batch and keeps the partition going (curation pipelines
+    * usually prefer a hole over a dead job).
+    */
+  sealed trait FailurePolicy
+  case object FailTask extends FailurePolicy
+  case object NullOutputs extends FailurePolicy
+
+  private val GenType = StructType(Seq(
+    StructField("text", StringType, nullable = true),
+    StructField("input_tokens", LongType, nullable = true),
+    StructField("output_tokens", LongType, nullable = true),
+    StructField("stop_reason", StringType, nullable = true)))
+
+  /** Appends `outCol` struct&lt;text, input_tokens, output_tokens,
+    * stop_reason&gt; by calling `client.generateBatch` over batches of
+    * `batchSize` prompts per partition. NULL prompts never reach the
+    * client and generate NULL. See [[ClientBatch.appendBatched]] for the
+    * batching/retry/lazy-eval contract.
+    */
+  def generateColumn(
+      df: DataFrame,
+      promptCol: String,
+      client: TextGenClient,
+      outCol: String = "generation",
+      batchSize: Int = 16,
+      maxRetries: Int = 3,
+      backoffMs: Long = 100L,
+      onFailure: FailurePolicy = FailTask
+  ): DataFrame =
+    ClientBatch.appendBatched(
+      df, promptCol,
+      Seq(StructField(outCol, GenType, nullable = true)),
+      prompts => client.generateBatch(prompts).map { g =>
+        Seq(org.apache.spark.sql.Row(
+          g.text, g.inputTokens, g.outputTokens, g.stopReason))
+      },
+      batchSize, maxRetries, backoffMs,
+      deadBatchNulls = onFailure == NullOutputs)
+
+  /** Lenient parse of a judge reply into (score, rationale).
+    *
+    * The prompt contract asks the model for `SCORE: <number>` and
+    * `RATIONALE: <free text>` lines, but models drift — so: score is the
+    * number after the first case-insensitive `score` marker, falling
+    * back to the first number anywhere in the reply; rationale is the
+    * text after the `RATIONALE:` marker, falling back to the whole
+    * reply. An unparseable reply scores NULL with the raw reply kept as
+    * rationale — downstream filters can count and inspect the holes.
+    */
+  private[llmops] val ScoreAfterMarker =
+    "(?is).*?\\bscore\\b\\s*[:=]?\\s*(-?\\d+(?:\\.\\d+)?)".r
+  private[llmops] val FirstNumber = "(-?\\d+(?:\\.\\d+)?)".r
+  private[llmops] val RationaleMarker =
+    "(?is)\\brationale\\b\\s*[:=]?\\s*".r
+
+  def parseScore(reply: String): (Option[Double], String) = {
+    if (reply == null) return (None, null)
+    val score = ScoreAfterMarker.findPrefixMatchOf(reply)
+      .map(_.group(1))
+      .orElse(FirstNumber.findFirstIn(reply))
+      .flatMap(_.toDoubleOption)
+    val rationale = RationaleMarker.findFirstMatchIn(reply)
+      .map(m => reply.substring(m.end).trim)
+      .getOrElse(reply.trim)
+    (score, rationale)
+  }
+
+  /** LLM-as-judge over `textCol`: each text is substituted into
+    * `promptTemplate` at the `{text}` placeholder, the reply is parsed
+    * with [[parseScore]], and `scoreCol` (double, NULL when the reply
+    * carries no number) + `rationaleCol` (string) are appended. Dead
+    * batches under [[NullOutputs]] score NULL/NULL.
+    *
+    * Filtering shape: `scoreColumn(...).filter(col(scoreCol) >= cut)` —
+    * the judge runs once per document, the filter is a plain codegen'd
+    * predicate, and the output keeps the input partitioning (no
+    * shuffle).
+    */
+  def scoreColumn(
+      df: DataFrame,
+      textCol: String,
+      client: TextGenClient,
+      promptTemplate: String,
+      scoreCol: String = "llm_score",
+      rationaleCol: String = "llm_rationale",
+      batchSize: Int = 16,
+      maxRetries: Int = 3,
+      backoffMs: Long = 100L,
+      onFailure: FailurePolicy = FailTask
+  ): DataFrame = {
+    require(promptTemplate.contains("{text}"),
+      "promptTemplate must contain the {text} placeholder")
+    ClientBatch.appendBatched(
+      df, textCol,
+      Seq(StructField(scoreCol, DoubleType, nullable = true),
+        StructField(rationaleCol, StringType, nullable = true)),
+      texts => {
+        val prompts = texts.map(t => promptTemplate.replace("{text}", t))
+        client.generateBatch(prompts).map { g =>
+          val (score, rationale) = parseScore(g.text)
+          Seq(score.map(java.lang.Double.valueOf).orNull, rationale)
+        }
+      },
+      batchSize, maxRetries, backoffMs,
+      deadBatchNulls = onFailure == NullOutputs)
+  }
+
+  /** Judge-then-filter: keep rows scoring at least `minScore`; rows with
+    * NULL scores (unparseable reply or dead batch) are dropped — the
+    * conservative curation default.
+    */
+  def filterByJudge(
+      df: DataFrame,
+      textCol: String,
+      client: TextGenClient,
+      promptTemplate: String,
+      minScore: Double,
+      batchSize: Int = 16,
+      maxRetries: Int = 3,
+      backoffMs: Long = 100L,
+      onFailure: FailurePolicy = FailTask
+  ): DataFrame =
+    scoreColumn(df, textCol, client, promptTemplate,
+      batchSize = batchSize, maxRetries = maxRetries,
+      backoffMs = backoffMs, onFailure = onFailure)
+      .filter(col("llm_score") >= minScore)
+      .drop("llm_score", "llm_rationale")
+}

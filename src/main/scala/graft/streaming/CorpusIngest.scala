@@ -140,9 +140,32 @@ object CorpusIngest {
     }
   }
 
+  /** Compact the corpus table and (when present) its signature store —
+    * the periodic maintenance pass for append-per-batch small-file
+    * accumulation. Pure IO: rewrites the same rows into ~targetFileMB
+    * files via [[graft.operators.Maintenance.compact]], so screen
+    * results are identical before and after (spec-asserted). Run it
+    * between batches (the [[ingestStream]] wiring below) or under the
+    * same [[ingestBatch]] lock when multiple writers share the corpus.
+    */
+  def compactStores(
+      spark: SparkSession,
+      corpusPath: String,
+      signaturePath: Option[String] = None,
+      targetFileMB: Int = 128
+  ): Unit = {
+    graft.operators.Maintenance.compact(spark, corpusPath, targetFileMB)
+    signaturePath.foreach(p =>
+      graft.operators.Maintenance.compact(spark, p, targetFileMB))
+  }
+
   /** Structured-Streaming wrapper: [[ingestBatch]] per micro-batch via
     * foreachBatch, the same Delta-style pattern as
     * [[IncrementalRunner.runStream]].
+    *
+    * `compactEveryBatches = Some(n)` runs [[compactStores]] after every
+    * n-th micro-batch — foreachBatch batches are sequential, so the
+    * compaction swap never races the single writer's own appends.
     */
   def ingestStream(
       spark: SparkSession,
@@ -156,15 +179,24 @@ object CorpusIngest {
       bands: Int = 8,
       threshold: Double = 0.6,
       trigger: Trigger = Trigger.AvailableNow(),
-      signaturePath: Option[String] = None
-  ): StreamingQuery =
+      signaturePath: Option[String] = None,
+      compactEveryBatches: Option[Int] = None,
+      compactTargetFileMB: Int = 128
+  ): StreamingQuery = {
+    compactEveryBatches.foreach(n =>
+      require(n > 0, "compactEveryBatches must be positive"))
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(spark, batch, corpusPath, textCol, keyCol,
           wordShingleN, numHashes, bands, threshold, signaturePath)
+        compactEveryBatches.foreach { n =>
+          if ((batchId + 1) % n == 0)
+            compactStores(spark, corpusPath, signaturePath, compactTargetFileMB)
+        }
         ()
       }
       .start()
+  }
 }

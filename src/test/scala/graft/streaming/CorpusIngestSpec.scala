@@ -107,6 +107,97 @@ class CorpusIngestSpec extends SparkTestBase {
     } finally held.release()
   }
 
+  test("compactStores: fewer files, identical rows, identical screen results") {
+    val root = Files.createTempDirectory("graft-ingest-compact").toString
+    val corpus = s"$root/corpus"
+    val sig = s"$root/sig"
+    val sp = Some(sig)
+
+    // three appends → small-file accumulation in both stores
+    CorpusIngest.ingestBatch(spark,
+      Seq((10L, base), (12L, other)).toDF("doc_id", "text"),
+      corpus, "text", "doc_id",
+      numHashes = 32, bands = 32, threshold = 0.5, signaturePath = sp)
+    CorpusIngest.ingestBatch(spark,
+      Seq((21L, novel)).toDF("doc_id", "text"),
+      corpus, "text", "doc_id",
+      numHashes = 32, bands = 32, threshold = 0.5, signaturePath = sp)
+    CorpusIngest.ingestBatch(spark,
+      Seq((33L, "yet another brand new document with plenty of distinct words inside"))
+        .toDF("doc_id", "text"),
+      corpus, "text", "doc_id",
+      numHashes = 32, bands = 32, threshold = 0.5, signaturePath = sp)
+
+    def parquetFiles(dir: String): Int =
+      new java.io.File(dir).listFiles((_, n) => n.endsWith(".parquet")).length
+    def screen(): Seq[Long] = {
+      // a probe batch with one near-dup of the corpus and one novel doc —
+      // the screen decision must not change across compaction
+      val probe = Seq((90L, edited), (91L, "probe text that matches nothing in the corpus at all right"))
+        .toDF("doc_id", "text")
+      graft.llmops.DedupOps.minhashDedupAgainstSignatures(
+        probe, "text", "doc_id",
+        spark.read.parquet(sig)
+          .select($"doc_id".alias("__ckey"), $"band", $"band_hash"),
+        spark.read.parquet(corpus)
+          .select($"doc_id".alias("__ckey"), $"text".alias("__ctxt")),
+        3, 32, 32, 0.5).select("doc_id").as[Long].collect().sorted.toSeq
+    }
+
+    val filesBefore = (parquetFiles(corpus), parquetFiles(sig))
+    assert(filesBefore._1 >= 3 && filesBefore._2 >= 3,
+      "appends must have accumulated small files for the test to mean anything")
+    val corpusBefore = spark.read.parquet(corpus).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val sigBefore = spark.read.parquet(sig).count()
+    val screenBefore = screen()
+    assert(screenBefore === Seq(91L), "near-dup probe drops, novel survives")
+
+    CorpusIngest.compactStores(spark, corpus, sp)
+
+    assert(parquetFiles(corpus) < filesBefore._1, "corpus files shrink")
+    assert(parquetFiles(sig) < filesBefore._2, "signature files shrink")
+    assert(spark.read.parquet(corpus).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      === corpusBefore, "compaction preserves corpus rows")
+    assert(spark.read.parquet(sig).count() === sigBefore)
+    assert(screen() === screenBefore, "screen results identical after compaction")
+
+    // and ingestion keeps working on the compacted stores
+    val n = CorpusIngest.ingestBatch(spark,
+      Seq((40L, base)).toDF("doc_id", "text"), // near-dup of corpus doc 10
+      corpus, "text", "doc_id",
+      numHashes = 32, bands = 32, threshold = 0.5, signaturePath = sp)
+    assert(n === 0)
+  }
+
+  test("ingestStream compaction wiring: every-n-batches pass keeps results") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-ingest-sc").toString
+    val corpus = s"$root/corpus"
+    val sig = s"$root/sig"
+
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusIngest.ingestStream(spark,
+      mem.toDF().toDF("doc_id", "text"), corpus, "text", "doc_id",
+      s"$root/ckpt", numHashes = 32, bands = 32, threshold = 0.5,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      signaturePath = Some(sig), compactEveryBatches = Some(2))
+    mem.addData((1L, base), (2L, other))
+    q.processAllAvailable()
+    mem.addData((3L, edited), (4L, novel)) // batch 2 → compaction fires
+    q.processAllAvailable()
+    mem.addData((5L, base), (6L, "fresh words nobody wrote before in any batch"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 4L, 6L))
+    // signature store stayed in lockstep through the compaction
+    assert(spark.read.parquet(sig).select("doc_id").distinct().as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 4L, 6L))
+  }
+
   test("ingestStream: foreachBatch composition over MemoryStream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
