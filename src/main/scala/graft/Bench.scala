@@ -38,29 +38,53 @@ object Bench {
     }
     canary() // warm codegen for the canary plan itself
     val canaryPre = canary()
-    // min of two runs per query: scheduler/GC noise on a shared box easily
-    // doubles a sub-second measurement
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toIntOption.getOrElse(2)
+    // min over INTERLEAVED passes (all queries pass 1, then all pass 2, …):
+    // back-to-back runs of one query share any transient contention burst,
+    // so consecutive-min still reads a busy box as a per-query regression
+    // (rounds 4 and 5 both produced phantom 2-13x slowdowns that clean
+    // re-runs refuted). Interleaving separates a query's samples by a full
+    // battery (~1 min), longer than scheduler/GC/IO bursts.
+    val passes = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toIntOption.getOrElse(2))
     val selected = (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)
       .toSeq.sortBy(_._1).filter { case (name, _) =>
         only.forall(_.exists(name.startsWith))
       }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to math.max(1, runs)).map { _ =>
+    val samples = scala.collection.mutable.Map.empty[String, Double]
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    (1 to passes).foreach { _ =>
+      selected.foreach { case (name, fn) =>
         spark.catalog.clearCache() // operators may persist internally
         val t0 = System.nanoTime()
-        try { exec(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { exec(fn(spark, sfDir)); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // a throwing pass never contributes a time — the old path recorded
+        // the failure's wall time, hiding broken queries as fast ones
+        if (ok) samples.updateWith(name) {
+          case Some(prev) => Some(math.min(prev, dt))
+          case None => Some(dt)
+        }
+        ()
       }
-      name -> times.min
+    }
+    selected.foreach { case (name, _) =>
+      if (!samples.contains(name)) failed.add(name)
     }
     val canaryPost = canary()
+    val results = selected.collect {
+      case (name, _) if samples.contains(name) => name -> samples(name)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""canary_pre":$canaryPre,"canary_post":$canaryPost,"sf":"$sfDir"}"""
+        s""""canary_pre":$canaryPre,"canary_post":$canaryPost""" +
+        s"""$failedJson,"sf":"$sfDir"}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

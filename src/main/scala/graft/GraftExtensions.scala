@@ -117,6 +117,12 @@ object GraftFunctions {
         exprs.lift(1).map(litText(_, "graft_winnow", "k").toInt).getOrElse(7),
         exprs.lift(2).map(litText(_, "graft_winnow", "w").toInt).getOrElse(4))),
 
+    ("graft_cut_spans",
+      "graft_cut_spans(text, starts, spanLen) - remove the union of fixed-length char spans (exact-substring dedup kernel)",
+      exprs => graft.expressions.CutSpans(
+        exprs.head, exprs(1),
+        litText(exprs(2), "graft_cut_spans", "spanLen").toInt)),
+
     ("graft_word_ngrams",
       "graft_word_ngrams(text[, n]) - distinct word n-grams (native kernel)",
       exprs => graft.expressions.WordNGrams(

@@ -509,6 +509,27 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q88_substring_dedup" -> ((s, dir) => {
+      // exact-substring dedup (Lee et al. 2022): plant duplicated spans by
+      // appending the first 80 chars of donor doc (doc_id % 50) to every
+      // document — each donor slice then occurs ~n/50 times corpus-wide —
+      // and cut every non-first occurrence of any duplicated 40-char run.
+      // The fixture synthesis is a broadcast join + concat, SQL-mirrored
+      // in the oracle; the operator under test is exactSubstringDedup
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents").select(col("doc_id"), col("text"))
+      val donors = d.filter(col("doc_id") < 50)
+        .select(col("doc_id").alias("__oid"),
+          substring(col("text"), 1, 80).alias("__oslice"))
+      val src = d.join(broadcast(donors), col("__oid") === col("doc_id") % 50)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "), col("__oslice")).alias("text"))
+      graft.llmops.DedupOps.exactSubstringDedup(src, "text", "doc_id",
+          minLen = 40)
+        .select(col("doc_id"), col("dedup_text"))
+        .orderBy("doc_id")
+    }),
+
     "q87_llm_judge" -> ((s, dir) => {
       // LLM-as-judge quality scoring over the documents table through the
       // real batched-client operator (template substitution, batching,
@@ -1191,6 +1212,24 @@ object SparkEntry {
           portable = false)
         .withColumn("hamming", col("hamming").cast("int"))
         .orderBy("key_a", "key_b")
+    }),
+
+    "q88_fast" -> ((s, dir) => {
+      // exact-substring dedup, production hash path (O(n) rolling kernel
+      // instead of the oracle-portable per-position md5) — same fixture
+      // and dataflow as q88
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents").select(col("doc_id"), col("text"))
+      val donors = d.filter(col("doc_id") < 50)
+        .select(col("doc_id").alias("__oid"),
+          substring(col("text"), 1, 80).alias("__oslice"))
+      val src = d.join(broadcast(donors), col("__oid") === col("doc_id") % 50)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "), col("__oslice")).alias("text"))
+      graft.llmops.DedupOps.exactSubstringDedup(src, "text", "doc_id",
+          minLen = 40, portable = false)
+        .select(col("doc_id"), col("dedup_text"))
+        .orderBy("doc_id")
     }),
 
     "q43_fast" -> ((s, dir) => {
@@ -1918,6 +1957,37 @@ object SparkEntry {
 
     "q81_tar_shards" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q88_substring_dedup" ->
+      """WITH src AS (
+           SELECT d.doc_id, d.text || ' ' || substr(o.text, 1, 80) AS text
+           FROM documents d
+           JOIN documents o ON o.doc_id = d.doc_id % 50
+           WHERE o.doc_id < 50),
+         g AS (
+           SELECT s.doc_id, i AS pos,
+             md5(substr(s.text, CAST(i AS INTEGER) + 1, 40)) AS h
+           FROM src s, range(2000) t(i)
+           WHERE i + 40 <= length(s.text)),
+         dup AS (
+           SELECT h, min(doc_id * 4096 + pos) AS first_key
+           FROM g GROUP BY h HAVING count(*) > 1),
+         cuts AS (
+           SELECT g.doc_id, list_sort(list(g.pos)) AS starts
+           FROM g JOIN dup USING (h)
+           WHERE g.doc_id * 4096 + g.pos <> dup.first_key
+           GROUP BY g.doc_id)
+         SELECT s.doc_id,
+           CASE WHEN c.starts IS NULL THEN s.text ELSE
+             -- coalesce: DuckDB array_to_string([]) is NULL, not ''
+             coalesce(array_to_string(list_transform(
+               list_filter(range(0, length(s.text)),
+                 i -> len(list_filter(c.starts,
+                   st -> st <= i AND i < st + 40)) = 0),
+               i -> substr(s.text, CAST(i AS INTEGER) + 1, 1)), ''), '')
+           END AS dedup_text
+         FROM src s LEFT JOIN cuts c USING (doc_id)
+         ORDER BY s.doc_id""",
 
     "q87_llm_judge" ->
       """SELECT doc_id,

@@ -643,4 +643,95 @@ object DedupOps {
       .dropDuplicates("key_a", "key_b")
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — their suffix-array
+    * tool's semantics re-expressed as dataflow): every duplicated
+    * substring of length ≥ `minLen` keeps its globally-first occurrence
+    * (smallest `(keyCol, position)`) and is CUT from every other
+    * occurrence — including repeats within one document. Unlike
+    * document-level near-dup, this removes the boilerplate/quote/template
+    * text that survives document dedup because its carriers differ.
+    *
+    * Dataflow instead of a suffix array: fingerprint every position's
+    * `minLen`-gram (md5 — the oracle-portable tax, same trade as
+    * [[winnowNearDups]]'s portable mode), keep fingerprints seen more
+    * than once, pick each fingerprint's first occurrence with one
+    * `min(struct(key, pos))` partial aggregate, and cut all other
+    * occurrences with the native single-pass
+    * [[graft.expressions.CutSpans]] kernel (overlapping spans union
+    * before cutting — consecutive duplicated positions cut as one run,
+    * exactly the suffix-array tool's byte-range semantics).
+    *
+    * Scale shape: rows = corpus character count — large but narrow
+    * (key, pos, 16-byte hash), and every shuffle is an equi-key
+    * groupBy/join with map-side partial aggregation; nothing is O(n²).
+    * A 100 TB corpus fingerprints ~100 T positions, the same order of
+    * work the suffix-array construction pays, but here it is
+    * embarrassingly parallel and spill-safe. `minLen` 40-50 chars ≈ the
+    * paper's 50-token threshold at BPE granularity.
+    */
+  def exactSubstringDedup(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      minLen: Int = 40,
+      outCol: String = "dedup_text",
+      /** true: md5 over the L chars at every position — O(n·len) hash
+        * work, replayable by an external SQL oracle. false: the native
+        * O(n) rolling-hash kernel [[graft.expressions.PositionHashes]] —
+        * same dataflow and results (modulo ~n²/2⁶⁴ hash collisions),
+        * ~len× less hash work; the production mode.
+        */
+      portable: Boolean = true): DataFrame = {
+    require(minLen > 0, "minLen must be positive")
+    // every position's L-gram fingerprint; docs shorter than L contribute
+    // nothing (and cannot contain a duplicated L-span). Persisted: the
+    // dup-hash aggregate AND the join-back both consume it — without the
+    // persist the per-position hash pass runs twice (the hash is the
+    // dominant cost; the table is narrow, ~50 B/position)
+    val shaped = df.filter(length(col(textCol)) >= minLen)
+    val grams = (if (portable)
+      shaped.select(col(keyCol).alias("__k"),
+          explode(sequence(lit(0L),
+            (length(col(textCol)) - minLen).cast("long"))).alias("__pos"),
+          col(textCol).alias("__t"))
+        .select(col("__k"), col("__pos"),
+          md5(col("__t").substr(col("__pos").cast("int") + 1, lit(minLen)))
+            .alias("__h"))
+    else
+      shaped.select(col(keyCol).alias("__k"),
+          posexplode(org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.expressions.PositionHashes(
+              org.apache.spark.sql.graft.ColumnBridge.expressionEager(
+                col(textCol)), minLen))).as(Seq("__posi", "__h")))
+        .select(col("__k"), col("__posi").cast("long").alias("__pos"),
+          col("__h")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // duplicated fingerprints and their global first occurrence — one
+    // partial-agg groupBy on the hash (struct min is orderable)
+    val firsts = grams
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).alias("__c"),
+        min(struct(col("__k"), col("__pos"))).alias("__first"))
+      .filter(col("__c") > 1)
+      .select(col("__h"), col("__first"))
+    // every non-first occurrence of a duplicated gram is a cut start
+    val cutStarts = grams.join(firsts, "__h")
+      .filter(!(col("__k") === col("__first.__k") &&
+        col("__pos") === col("__first.__pos")))
+      .groupBy(col("__k"))
+      .agg(sort_array(collect_set(col("__pos"))).alias("__starts"))
+    val empty = lit(Array.empty[Long])
+    df.join(cutStarts, col(keyCol) === col("__k"), "left")
+      .withColumn(outCol,
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.CutSpans(
+            org.apache.spark.sql.graft.ColumnBridge.expressionEager(
+              col(textCol)),
+            org.apache.spark.sql.graft.ColumnBridge.expressionEager(
+              coalesce(col("__starts"), empty)),
+            minLen)))
+      .drop("__k", "__starts")
+  }
 }

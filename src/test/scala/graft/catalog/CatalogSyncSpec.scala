@@ -1,0 +1,83 @@
+package graft.catalog
+
+import graft.SparkTestBase
+
+import java.nio.file.Files
+
+/** Catalog registration with the LF-tag-metadata passthrough: properties
+  * round-trip through the metastore for tables and databases, re-tagging
+  * merges, and re-registration converges.
+  */
+class CatalogSyncSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val dir = Files.createTempDirectory("graft-catalog").toString + "/t"
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.parquet(dir)
+    dir
+  }
+
+  test("table properties round-trip through the metastore") {
+    val path = freshTable()
+    CatalogSync.registerTable(spark, "cat_db", "tagged", path,
+      Map("Level" -> "Stage", "tags.owner" -> "data-platform"))
+    val props = CatalogSync.tableProperties(spark, "cat_db", "tagged")
+    assert(props.get("Level") === Some("Stage"))
+    assert(props.get("tags.owner") === Some("data-platform"))
+    // the table is a working external table, not just metadata
+    assert(spark.sql("SELECT count(*) FROM cat_db.tagged").head().getLong(0) === 2)
+  }
+
+  test("setTableProperties merges: overwrites the key, keeps the rest") {
+    val path = freshTable()
+    CatalogSync.registerTable(spark, "cat_db", "retag", path,
+      Map("Level" -> "Stage", "tags.owner" -> "data-platform"))
+    CatalogSync.setTableProperties(spark, "cat_db", "retag",
+      Map("Level" -> "Analytics", "pii" -> "false"))
+    val props = CatalogSync.tableProperties(spark, "cat_db", "retag")
+    assert(props.get("Level") === Some("Analytics"), "overwritten")
+    assert(props.get("tags.owner") === Some("data-platform"), "untouched")
+    assert(props.get("pii") === Some("false"), "added")
+  }
+
+  test("re-registration replaces the table and its properties") {
+    val path = freshTable()
+    CatalogSync.registerTable(spark, "cat_db", "rereg", path,
+      Map("Level" -> "Stage"))
+    CatalogSync.registerTable(spark, "cat_db", "rereg", path,
+      Map("tags.owner" -> "etl"))
+    val props = CatalogSync.tableProperties(spark, "cat_db", "rereg")
+    assert(props.get("tags.owner") === Some("etl"))
+    assert(!props.contains("Level"), "drop-and-create does not carry old tags")
+  }
+
+  test("database properties: set on create, asserted on re-ensure") {
+    CatalogSync.ensureDatabase(spark, "cat_db_tagged", Map("Level" -> "Stage"))
+    assert(CatalogSync.databaseProperties(spark, "cat_db_tagged")
+      .get("Level") === Some("Stage"))
+    // pre-existing database still converges on the wanted properties
+    CatalogSync.ensureDatabase(spark, "cat_db_tagged",
+      Map("Level" -> "Analytics", "region" -> "eu"))
+    val props = CatalogSync.databaseProperties(spark, "cat_db_tagged")
+    assert(props.get("Level") === Some("Analytics"))
+    assert(props.get("region") === Some("eu"))
+  }
+
+  test("catalog-reserved keys are rejected up front with a clear message") {
+    val path = freshTable()
+    val ex = intercept[IllegalArgumentException] {
+      CatalogSync.registerTable(spark, "cat_db", "reserved", path,
+        Map("owner" -> "x"))
+    }
+    assert(ex.getMessage.contains("owner"))
+    assert(ex.getMessage.contains("namespace"))
+  }
+
+  test("quoted values survive the SQL passthrough") {
+    val path = freshTable()
+    CatalogSync.registerTable(spark, "cat_db", "quoted", path,
+      Map("note" -> "owner's team, 'quoted'"))
+    assert(CatalogSync.tableProperties(spark, "cat_db", "quoted")
+      .get("note") === Some("owner's team, 'quoted'"))
+  }
+}
