@@ -509,6 +509,21 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q89_pq_topk" -> ((s, dir) => {
+      // product-quantization ADC top-k (Jégou et al. 2011): hash-sampled
+      // codebook, 8 subspaces x 16 centroids over the 64-dim embeddings,
+      // queries keep full precision and neighbors are ranked through
+      // their codes. All float sums run in index order on both engines,
+      // so the DuckDB oracle replays the exact doubles
+      val ss = tuned(s)
+      val emb = t(ss, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      graft.llmops.Similarity.pqTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 3,
+          numSubspaces = 8, numCentroids = 16)
+        .orderBy("query_key", "rank")
+    }),
+
     "q88_substring_dedup" -> ((s, dir) => {
       // exact-substring dedup (Lee et al. 2022): plant duplicated spans by
       // appending the first 80 chars of donor doc (doc_id % 50) to every
@@ -1957,6 +1972,46 @@ object SparkEntry {
 
     "q81_tar_shards" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q89_pq_topk" ->
+      """WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         samp AS (
+           SELECT v AS cv,
+             row_number() OVER (ORDER BY
+               ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 1000000,
+               vec_id) - 1 AS j
+           FROM emb QUALIFY j <= 15),
+         dist AS (
+           SELECT e.vec_id, mi.m, s.j,
+             list_sum([(e.v[mi.m * 8 + i] - s.cv[mi.m * 8 + i]) *
+                       (e.v[mi.m * 8 + i] - s.cv[mi.m * 8 + i])
+                       FOR i IN range(1, 9)]) AS dd
+           FROM emb e, samp s, range(0, 8) mi(m)),
+         codes0 AS (
+           SELECT vec_id, m, j AS code FROM dist
+           QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dd, j) = 1),
+         codesarr AS (
+           SELECT vec_id AS neighbor_key, list(code ORDER BY m) AS codes
+           FROM codes0 GROUP BY vec_id),
+         qrows AS (
+           SELECT vec_id AS query_key, m, list(dd ORDER BY j) AS trow
+           FROM dist WHERE vec_id < 5 GROUP BY vec_id, m),
+         qarr AS (
+           SELECT query_key, list(trow ORDER BY m) AS tab
+           FROM qrows GROUP BY query_key),
+         scored AS (
+           SELECT q.query_key, c.neighbor_key,
+             list_sum([q.tab[mi][c.codes[mi] + 1]
+                       FOR mi IN range(1, 9)]) AS adist
+           FROM qarr q, codesarr c
+           WHERE q.query_key <> c.neighbor_key)
+         SELECT query_key, neighbor_key,
+           row_number() OVER (PARTITION BY query_key
+                              ORDER BY adist, neighbor_key) AS rank
+         FROM scored QUALIFY rank <= 3
+         ORDER BY query_key, rank""",
 
     "q88_substring_dedup" ->
       """WITH src AS (

@@ -149,6 +149,41 @@ object LlmScore {
       deadBatchNulls = onFailure == NullOutputs)
   }
 
+  /** [[scoreColumn]] over DISTINCT texts only — the corpus-level judge
+    * cache. Duplicate texts are the norm in curation inputs (boilerplate,
+    * templates, crawl re-fetches), and the remote call dominates cost by
+    * orders of magnitude, so each unique text is scored once and results
+    * join back by content fingerprint. Trades two narrow md5-keyed
+    * shuffles (dedup groupBy + join-back) for the saved client calls —
+    * the right trade whenever the client is a real endpoint.
+    */
+  def scoreColumnDistinct(
+      df: DataFrame,
+      textCol: String,
+      client: TextGenClient,
+      promptTemplate: String,
+      scoreCol: String = "llm_score",
+      rationaleCol: String = "llm_rationale",
+      batchSize: Int = 16,
+      maxRetries: Int = 3,
+      backoffMs: Long = 100L,
+      onFailure: FailurePolicy = FailTask
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.{first, md5}
+    def fp(c: org.apache.spark.sql.Column) = md5(c.cast("binary"))
+    val uniq = df.select(col(textCol))
+      .where(col(textCol).isNotNull)
+      .groupBy(fp(col(textCol)).alias("__fp"))
+      .agg(first(col(textCol)).alias("__utext"))
+    val scored = scoreColumn(uniq, "__utext", client, promptTemplate,
+        scoreCol, rationaleCol, batchSize, maxRetries, backoffMs, onFailure)
+      .select(col("__fp"), col(scoreCol), col(rationaleCol))
+    // left join: NULL texts (and dead batches) surface as NULL scores,
+    // identical to scoreColumn's contract
+    df.join(scored, fp(col(textCol)) === col("__fp"), "left")
+      .drop("__fp")
+  }
+
   /** Judge-then-filter: keep rows scoring at least `minScore`; rows with
     * NULL scores (unparseable reply or dead batch) are dropped — the
     * conservative curation default.

@@ -339,4 +339,141 @@ object Similarity {
   def dequantizeInt8(q: Column): Column =
     transform(q.getField("codes"),
       c => c.cast("double") * q.getField("scale"))
+
+  // ---- product quantization ------------------------------------------------
+
+  /** PQ codebook: split the vector into `numSubspaces` contiguous
+    * subspaces; subspace `m`'s centroid `j` is sampled row `j`'s m-th
+    * subvector. The sample is the same deterministic hash-order trick as
+    * [[ivfTopK]]'s centroids (portable60 + row_number), so an external
+    * SQL engine reproduces the exact codebook. A k-means refinement can
+    * replace the sample later without touching encode/query.
+    *
+    * @return (j, cent_vec) — one row per sampled vector, 0-based id;
+    *         subvector slicing happens at the consumer so the codebook
+    *         stays one narrow broadcastable table
+    */
+  private def pqSample(corpus: DataFrame, keyCol: String, vecCol: String,
+      numCentroids: Int): DataFrame = {
+    val sampled = corpus
+      .select(col(keyCol).alias("ck"), col(vecCol).alias("cent_vec"))
+      .withColumn("__r", pmod(portable60(col("ck")), lit(1000000L)))
+      .orderBy(col("__r"), col("ck"))
+      .limit(numCentroids)
+    // see ivfTopK: constant-valued but non-foldable partition key
+    val wc = Window.partitionBy(pmod(col("__r"), lit(1)))
+      .orderBy(col("__r"), col("ck"))
+    sampled.withColumn("j", row_number().over(wc) - 1)
+      .select(col("j"), col("cent_vec"))
+  }
+
+  /** Per-(row, subspace, centroid) squared L2 distance between the row's
+    * m-th subvector and sampled centroid j's. The sum runs IN INDEX ORDER
+    * (`aggregate` over `zip_with`) — float addition is not associative,
+    * and an exploded groupBy-sum would make distances depend on shuffle
+    * order; in-order summation is what lets an external engine replay the
+    * exact doubles, tie-breaks included.
+    */
+  private def pqSubDists(src: DataFrame, keyAs: String, vecCol: String,
+      cb: DataFrame, numSubspaces: Int): DataFrame = {
+    val sd = (size(col(vecCol)) / numSubspaces).cast("int")
+    src.select(col(keyAs), col(vecCol), sd.alias("__sd"))
+      .crossJoin(broadcast(cb))
+      .select(col(keyAs), col("j"),
+        explode(sequence(lit(0), lit(numSubspaces - 1))).alias("m"),
+        col(vecCol).alias("__v"), col("cent_vec"), col("__sd"))
+      .withColumn("dd", aggregate(
+        zip_with(
+          slice(col("__v"), col("m") * col("__sd") + 1, col("__sd")),
+          slice(col("cent_vec"), col("m") * col("__sd") + 1, col("__sd")),
+          (a, b) => (a.cast("double") - b.cast("double")) *
+            (a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, x) => acc + x))
+      .select(col(keyAs), col("m"), col("j"), col("dd"))
+  }
+
+  /** Product-quantization encode: each vector becomes `numSubspaces`
+    * byte-sized codes (nearest sampled sub-centroid per subspace, squared
+    * L2, ties to the smaller id). With 8 subspaces × 16 centroids a
+    * 64-dim float vector compresses 64x (256 B → 8 codes) — the
+    * difference between an ANN corpus that fits executor memory and one
+    * that does not; [[pqTopK]] queries the codes without reconstructing.
+    *
+    * @return (keyCol, codes: array<int>) — codes ordered by subspace
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      numSubspaces: Int = 8,
+      numCentroids: Int = 16
+  ): DataFrame =
+    pqEncodeWith(corpus, keyCol, vecCol,
+      pqSample(corpus, keyCol, vecCol, numCentroids), numSubspaces)
+
+  /** PQ approximate top-k via asymmetric distance computation (ADC):
+    * queries keep full precision, corpus rows are looked up through their
+    * codes — approx dist(q, v) = Σ_m qtab[m][code_m(v)] where qtab is the
+    * query's per-subspace distance table to the codebook (Jégou et al.
+    * 2011). The scan is one broadcast of the (tiny) query tables over the
+    * codes — per-neighbor cost is `numSubspaces` array lookups summed in
+    * order, no vector arithmetic; composition with [[ivfTopK]]'s
+    * centroid pruning (probe subset → ADC inside) is the standard
+    * IVF-PQ layout at 100 TB.
+    *
+    * @return (query_key, neighbor_key, rank) — rank 1..k by ascending
+    *         approximate distance, ties to the smaller neighbor key
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      corpusKey: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryKey: String,
+      queryVec: String,
+      k: Int,
+      numSubspaces: Int = 8,
+      numCentroids: Int = 16
+  ): DataFrame = {
+    val cb = pqSample(corpus, corpusKey, corpusVec, numCentroids)
+    // corpus side: codes as one array per row, ordered by subspace
+    val codes = pqEncodeWith(corpus, corpusKey, corpusVec, cb, numSubspaces)
+      .select(col(corpusKey).alias("neighbor_key"), col("codes"))
+    // query side: full distance table as array[m][j], both levels ordered
+    val qtab = pqSubDists(
+        queries.select(col(queryKey).alias("query_key"), col(queryVec)),
+        "query_key", queryVec, cb, numSubspaces)
+      .groupBy(col("query_key"), col("m"))
+      .agg(transform(sort_array(collect_list(struct(col("j"), col("dd")))),
+        s => s.getField("dd")).alias("row"))
+      .groupBy(col("query_key"))
+      .agg(transform(sort_array(collect_list(struct(col("m"), col("row")))),
+        s => s.getField("row")).alias("tab"))
+    // ADC: query tables broadcast over the codes; the inner sum walks
+    // subspaces in order (deterministic doubles, as above)
+    val scored = codes.crossJoin(broadcast(qtab))
+      .filter(col("query_key") =!= col("neighbor_key"))
+      .withColumn("adist", aggregate(
+        zip_with(col("tab"), col("codes"),
+          (row, c) => element_at(row, c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("query_key"))
+      .orderBy(col("adist"), col("neighbor_key"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_key", "neighbor_key", "rank")
+  }
+
+  /** [[pqEncode]] against an existing codebook (shared by encode + query
+    * so both sides quantize identically).
+    */
+  private def pqEncodeWith(corpus: DataFrame, keyCol: String, vecCol: String,
+      cb: DataFrame, numSubspaces: Int): DataFrame =
+    pqSubDists(corpus.select(col(keyCol), col(vecCol)), keyCol, vecCol,
+        cb, numSubspaces)
+      .groupBy(col(keyCol), col("m"))
+      .agg(min_by(col("j"), struct(col("dd"), col("j"))).alias("code"))
+      .groupBy(col(keyCol))
+      .agg(transform(sort_array(collect_list(struct(col("m"), col("code")))),
+        s => s.getField("code")).alias("codes"))
 }

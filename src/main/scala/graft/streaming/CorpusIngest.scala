@@ -152,11 +152,26 @@ object CorpusIngest {
       spark: SparkSession,
       corpusPath: String,
       signaturePath: Option[String] = None,
-      targetFileMB: Int = 128
+      targetFileMB: Int = 128,
+      /** When multiple writers share the corpus via [[ingestBatch]]'s
+        * `lockStore`, pass the SAME store here: compaction takes the same
+        * `__ingest_lock`, so its directory swap never races an append.
+        */
+      lockStore: Option[graft.operators.LockStore] = None
   ): Unit = {
-    graft.operators.Maintenance.compact(spark, corpusPath, targetFileMB)
-    signaturePath.foreach(p =>
-      graft.operators.Maintenance.compact(spark, p, targetFileMB))
+    def run(): Unit = {
+      graft.operators.Maintenance.compact(spark, corpusPath, targetFileMB)
+      signaturePath.foreach(p =>
+        graft.operators.Maintenance.compact(spark, p, targetFileMB))
+    }
+    lockStore match {
+      case Some(store) =>
+        val lease = graft.operators.StoreLease.acquire(
+          store, corpusPath + "__ingest_lock",
+          graft.operators.MergeUpsert.DefaultLeaseStaleMs)
+        try run() finally lease.release()
+      case None => run()
+    }
   }
 
   /** Structured-Streaming wrapper: [[ingestBatch]] per micro-batch via

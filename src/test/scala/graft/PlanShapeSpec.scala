@@ -180,4 +180,32 @@ class PlanShapeSpec extends SparkTestBase {
       s"percentile must partial-aggregate before the exchange:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q88 exact-substring dedup: cached gram table, equi-joins only, partial agg") {
+    val plan = executedPlan("q88_substring_dedup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"dup detection must stay equi-keyed on the gram hash:\n$plan")
+    // the persisted gram table feeds both the dup aggregate and the
+    // join-back — the per-position hash pass must not run twice
+    assert(plan.contains("InMemoryTableScan"),
+      s"grams must be persisted and reused across consumers:\n$plan")
+    assert(plan.contains("partial_"),
+      s"dup-hash counting must map-side combine:\n$plan")
+    assert(plan.contains("graft_cut_spans") || plan.contains("CutSpans"),
+      s"the cut must run in the native kernel:\n$plan")
+  }
+
+  test("q87 llm judge adds no shuffle: score columns ride the scan partitioning") {
+    val df = SparkEntry.queries("q87_llm_judge")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the batched-client operator appends columns via mapPartitions; the
+    // only exchange allowed is the final orderBy's range partitioning
+    // (AQE prints the plan twice, so count kinds, not occurrences)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"scoreColumn must not reshuffle rows:\n$plan")
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"expected only the final orderBy exchange:\n$plan")
+  }
 }

@@ -163,6 +163,27 @@ class LlmScoreSpec extends SparkTestBase {
     assert(!got(3).isNullAt(1))
   }
 
+  test("scoreColumnDistinct: one client call per unique text, same results") {
+    FakeJudge.reset()
+    // 9 rows, 3 unique texts (plus a NULL)
+    val df = ((1 to 9).map(i => (i.toLong, s"text-${i % 3}")) :+ (10L, null))
+      .toDF("id", "text").repartition(1)
+    val got = LlmScore.scoreColumnDistinct(df, "text", new FakeJudgeClient,
+        Template, batchSize = 10)
+      .select("id", "text", "llm_score").collect().sortBy(_.getLong(0))
+    // exactly the 3 unique texts reached the client
+    val calls = FakeJudge.batchSizes.toArray.toSeq.asInstanceOf[Seq[Int]]
+    assert(calls.sum === 3, s"expected 3 judged texts, got $calls")
+    // identical scores to the per-row operator, including the NULL row
+    got.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2))
+      else {
+        val promptLen = Template.length - "{text}".length + r.getString(1).length
+        assert(r.getDouble(2) === (promptLen % 101) / 10.0, r.getString(1))
+      }
+    }
+  }
+
   test("filterByJudge keeps rows at or above the cut and drops NULL scores") {
     FakeJudge.reset()
     // prompt len = 11 + text len; judge score = (len % 101) / 10

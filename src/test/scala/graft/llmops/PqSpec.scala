@@ -1,0 +1,96 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Product quantization: encode shape and determinism, exact
+  * reconstruction when the corpus IS the codebook, and ADC top-k recall
+  * against brute force on clustered data — measured, not assumed.
+  */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Deterministic clustered fixture: `perCluster` points around each of
+    * `clusters` well-separated anchors in `dim` dims. Cluster structure is
+    * what PQ must preserve: same-cluster points agree on most sub-codes.
+    */
+  private def clustered(clusters: Int, perCluster: Int, dim: Int) = {
+    val rows = for {
+      c <- 0 until clusters
+      p <- 0 until perCluster
+    } yield {
+      val id = (c * perCluster + p).toLong
+      // anchor: +/-10 pattern per cluster from its bits; jitter < 1
+      val vec = Array.tabulate(dim) { d =>
+        val anchor = if (((c >> (d % 4)) & 1) == 1) 10f else -10f
+        anchor + ((id * 31 + d * 7) % 13).toFloat / 13f
+      }
+      (id, vec.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("pqEncode: one code row per vector, numSubspaces codes in range") {
+    val df = clustered(4, 10, 16)
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding",
+      numSubspaces = 4, numCentroids = 8)
+    val got = codes.collect()
+    assert(got.length === 40)
+    got.foreach { r =>
+      val cs = r.getSeq[Int](r.fieldIndex("codes"))
+      assert(cs.length === 4)
+      assert(cs.forall(c => c >= 0 && c < 8))
+    }
+  }
+
+  test("codebook rows encode to themselves: sampled vectors get exact sub-codes") {
+    val df = clustered(4, 4, 16)
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding",
+        numSubspaces = 4, numCentroids = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // with numCentroids = corpus size the codebook IS the corpus: every
+    // vector's nearest sub-centroid is its own subvector (distance 0),
+    // so codes reconstruct the vector exactly — all 16 code arrays differ
+    assert(codes.values.toSeq.distinct.length === 16)
+  }
+
+  test("encode is deterministic across runs (hash-sampled codebook)") {
+    val df = clustered(3, 7, 8)
+    val a = Similarity.pqEncode(df, "vec_id", "embedding", 4, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = Similarity.pqEncode(df, "vec_id", "embedding", 4, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a === b)
+  }
+
+  test("pqTopK recall vs brute-force cosine on clustered corpus") {
+    val df = clustered(8, 8, 16) // 64 vectors, 8 tight clusters
+    val queries = df.filter($"vec_id" % 8 === 0) // one query per cluster
+    val k = 3
+    val pq = Similarity.pqTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k,
+        numSubspaces = 4, numCentroids = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k)
+      .select("query_key", "neighbor_key")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq intersect bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"PQ recall $recall vs brute force (pq=$pq bf=$bf)")
+    // every query got exactly k ranked neighbors
+    assert(pq.size === bf.size)
+  }
+
+  test("pqTopK never returns the query itself and ranks 1..k densely") {
+    val df = clustered(4, 8, 16)
+    val queries = df.filter($"vec_id" < 2)
+    val got = Similarity.pqTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", 4,
+        numSubspaces = 4, numCentroids = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    got.foreach { case (q, n, _) => assert(q !== n) }
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to 4))
+    }
+  }
+}

@@ -171,6 +171,25 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(n === 0)
   }
 
+  test("compactStores under the ingest lock: held lease blocks, released lease works") {
+    val root = Files.createTempDirectory("graft-ingest-lkc").toString
+    val corpus = s"$root/corpus"
+    val store = new graft.operators.InMemoryLockStore
+    CorpusIngest.ingestBatch(spark,
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"),
+      corpus, "text", "doc_id",
+      numHashes = 32, bands = 32, threshold = 0.5)
+    val held = graft.operators.StoreLease.acquire(
+      store, corpus + "__ingest_lock", 60_000L)
+    try {
+      intercept[graft.operators.MergeUpsert.ConcurrentWriteException] {
+        CorpusIngest.compactStores(spark, corpus, lockStore = Some(store))
+      }
+    } finally held.release()
+    CorpusIngest.compactStores(spark, corpus, lockStore = Some(store))
+    assert(spark.read.parquet(corpus).count() === 2)
+  }
+
   test("ingestStream compaction wiring: every-n-batches pass keeps results") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
