@@ -509,6 +509,17 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q90_weighted_sample" -> ((s, dir) => {
+      // quality-curriculum sampling: keep each document with probability
+      // equal to a per-row weight (here a deterministic function of the
+      // text so DuckDB replays it), decided by the portable hash gate
+      val d = t(tuned(s), dir, "documents")
+      val wd = d.withColumn("w", (length(col("text")) % 100) / lit(100.0))
+      graft.llmops.Sampling.weightedSample(wd, "doc_id", "w")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "q89_pq_topk" -> ((s, dir) => {
       // product-quantization ADC top-k (Jégou et al. 2011): hash-sampled
       // codebook, 8 subspaces x 16 centroids over the 64-dim embeddings,
@@ -1972,6 +1983,13 @@ object SparkEntry {
 
     "q81_tar_shards" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q90_weighted_sample" ->
+      """SELECT doc_id FROM documents
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000000
+           < CAST(floor(((length(text) % 100) / 100.0) * 1000000) AS BIGINT)
+         ORDER BY doc_id""",
 
     "q89_pq_topk" ->
       """WITH emb AS (

@@ -60,6 +60,22 @@ object Sampling {
       .drop("__w")
   }
 
+  /** Per-row weighted sampling: keep each row with probability
+    * `weightCol` (clamped to [0, 1]), decided by the same deterministic
+    * hash gate as [[hashSample]] — the quality-curriculum primitive
+    * ("keep documents proportionally to their quality score", CCNet's
+    * head-heavy sampling, judge-score-weighted retention). The weight is
+    * any per-row column: a [[TextAnalysis.lmQualityScore]]-derived
+    * probability, an [[LlmScore.scoreColumn]] score mapped to [0,1], a
+    * recency decay. Pure per-row filter: zero shuffles, engine-portable,
+    * stable under corpus growth.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String): DataFrame =
+    df.filter(
+      pmod(Similarity.portable60(col(keyCol)), lit(Buckets)) <
+        (least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0)) *
+          Buckets).cast("long"))
+
   /** Per-stratum deterministic fractions (corpus balancing): strata absent
     * from the map fall back to `defaultFraction`.
     */

@@ -130,6 +130,45 @@ class ExactSubstringDedupSpec extends SparkTestBase {
       .numElements() === 0)
   }
 
+  test("CutSpans fuzz: kernel matches a naive per-char reference on random inputs") {
+    val rng = new scala.util.Random(20260813L)
+    def naive(text: String, starts: Seq[Long], len: Int): String =
+      text.zipWithIndex.collect {
+        case (c, i) if !starts.exists(s => s <= i && i < s + len) => c
+      }.mkString
+    (1 to 300).foreach { _ =>
+      val n = rng.nextInt(120)
+      val text = (0 until n).map(_ => ('a' + rng.nextInt(4)).toChar).mkString
+      val len = 1 + rng.nextInt(10)
+      val starts = (0 until rng.nextInt(8))
+        .map(_ => rng.nextInt(math.max(1, n + 5)).toLong)
+        .distinct.sorted
+      assert(cut(text, starts, len) === naive(text, starts, len),
+        s"text=$text starts=$starts len=$len")
+    }
+  }
+
+  test("PositionHashes fuzz: every gram hash matches direct hashing") {
+    val rng = new scala.util.Random(42L)
+    def direct(s: String): Long = {
+      var h = 0L
+      s.foreach(c => h = h * 1000003L + c)
+      h
+    }
+    (1 to 200).foreach { _ =>
+      val n = rng.nextInt(200)
+      val text = (0 until n).map(_ => (' ' + rng.nextInt(95)).toChar).mkString
+      val len = 1 + rng.nextInt(50)
+      val got = graft.expressions.PositionHashes.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), len)
+      val expected = math.max(0, n - len + 1)
+      assert(got.numElements() === expected)
+      (0 until got.numElements()).foreach { i =>
+        assert(got.getLong(i) === direct(text.substring(i, i + len)))
+      }
+    }
+  }
+
   test("graft_cut_spans SQL registration") {
     graft.GraftFunctions.register(spark)
     val got = spark.sql(

@@ -537,6 +537,28 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.filter($"stratum" === "a").count() === 500)
   }
 
+  test("weightedSample: per-row keep probability, clamped, deterministic") {
+    val df = (1L to 2000L).map(i =>
+      (i, if (i <= 500) 0.0 else if (i <= 1000) 1.0
+          else if (i <= 1500) 0.25 else 7.5)) // >1 clamps to certain keep
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w")
+    assert(got.filter($"id" <= 500).count() === 0, "weight 0 drops all")
+    assert(got.filter($"id" > 500 && $"id" <= 1000).count() === 500,
+      "weight 1 keeps all")
+    assert(got.filter($"id" > 1500).count() === 500, "weight > 1 clamps to 1")
+    val quarter = got.filter($"id" > 1000 && $"id" <= 1500).count()
+    assert(quarter > 500 * 0.15 && quarter < 500 * 0.35,
+      s"weight 0.25 keeps ~a quarter, got $quarter")
+    // deterministic: same result on re-evaluation
+    assert(got.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Sampling.weightedSample(df, "id", "w").select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq)
+    // negative weights behave as 0, never throw
+    val neg = Seq((1L, -0.5)).toDF("id", "w")
+    assert(Sampling.weightedSample(neg, "id", "w").count() === 0)
+  }
+
   test("ngram counts: occurrence counts with total ordering") {
     val df = Seq("a b a b c", "a b").toDF("text")
     val got = TextAnalysis.ngramCounts(df, "text", 2, 10)
