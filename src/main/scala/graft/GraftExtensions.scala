@@ -123,6 +123,13 @@ object GraftFunctions {
         exprs.head, exprs(1),
         litText(exprs(2), "graft_cut_spans", "spanLen").toInt)),
 
+    ("graft_html_main",
+      "graft_html_main(html[, maxLinkDensity, minWords]) - readability-style main-content extraction (boilerplate removal)",
+      exprs => graft.expressions.HtmlMainContent(
+        exprs.head,
+        exprs.lift(1).map(litText(_, "graft_html_main", "maxLinkDensity").toDouble).getOrElse(0.5),
+        exprs.lift(2).map(litText(_, "graft_html_main", "minWords").toInt).getOrElse(3))),
+
     ("graft_word_ngrams",
       "graft_word_ngrams(text[, n]) - distinct word n-grams (native kernel)",
       exprs => graft.expressions.WordNGrams(

@@ -509,6 +509,26 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q91_html_main" -> ((s, dir) => {
+      // boilerplate removal: corpus text through the writer twin's full
+      // page (head/nav/link-farm/aside/footer around the article) and
+      // back via the native readability-style extractor; identity oracle
+      // like q85. minWords=1 keeps the two-word "Doc N" heading.
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val rows = docs.map { case (id, text) =>
+        (id, graft.llmops.Html.writePage(Seq(s"Doc $id", text)))
+      }.toSeq
+      import ss.implicits._
+      val src = rows.toDF("doc_id", "content").repartition(32)
+      src.select(col("doc_id"),
+          graft.llmops.Html.mainContentCol(col("content"), minWords = 1)
+            .alias("extracted_text"))
+        .orderBy("doc_id")
+    }),
+
     "q90_weighted_sample" -> ((s, dir) => {
       // quality-curriculum sampling: keep each document with probability
       // equal to a per-row weight (here a deterministic function of the
@@ -1983,6 +2003,11 @@ object SparkEntry {
 
     "q81_tar_shards" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q91_html_main" ->
+      """SELECT doc_id,
+         'Doc ' || doc_id || chr(10) || text AS extracted_text
+         FROM documents WHERE doc_id < 300 ORDER BY doc_id""",
 
     "q90_weighted_sample" ->
       """SELECT doc_id FROM documents

@@ -139,7 +139,7 @@ object DocumentText {
     normalize(out.toString)
   }
 
-  private def decodeEntity(ent: String): Option[String] = ent match {
+  private[llmops] def decodeEntity(ent: String): Option[String] = ent match {
     case "amp" => Some("&")
     case "lt" => Some("<")
     case "gt" => Some(">")
