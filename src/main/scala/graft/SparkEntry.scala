@@ -509,6 +509,36 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q92_sniff_extract" -> ((s, dir) => {
+      // unlabeled-blob ingestion: the same corpus text through five
+      // writer twins with NO mime column — format is sniffed from magic
+      // bytes (pdf/rtf/OLE2-doc/html/plain) and dispatched to the same
+      // codecs the labeled path uses
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val rows = docs.flatMap { case (id, text) =>
+        Seq(
+          (id, "pdf", graft.llmops.PdfWriter.pdf(
+            Seq(s"Doc $id" +: text.split("\n", -1).toSeq))),
+          (id, "rtf", graft.llmops.Rtf.write(Seq(s"Doc $id", text))),
+          (id, "doc", graft.llmops.LegacyOfficeWriter.doc(
+            Seq(s"Doc $id", text))),
+          (id, "html", (s"<!DOCTYPE html><html><body><p>Doc $id</p>" +
+            s"<p>${text.replace("&", "&amp;").replace("<", "&lt;")}</p>" +
+            "</body></html>").getBytes("UTF-8")),
+          (id, "txt", s"Doc $id $text".getBytes("UTF-8")))
+      }.toSeq
+      import ss.implicits._
+      val src = rows.toDF("doc_id", "fmt", "content").repartition(32)
+      src.select(col("doc_id"), col("fmt"),
+          graft.llmops.DocumentText
+            .extractTextCol(col("content"), lit("auto"))
+            .alias("extracted_text"))
+        .orderBy("doc_id", "fmt")
+    }),
+
     "q91_html_main" -> ((s, dir) => {
       // boilerplate removal: corpus text through the writer twin's full
       // page (head/nav/link-farm/aside/footer around the article) and
@@ -2003,6 +2033,24 @@ object SparkEntry {
 
     "q81_tar_shards" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q92_sniff_extract" ->
+      """WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 200)
+         SELECT doc_id, 'pdf' AS fmt,
+           'Doc ' || doc_id || chr(10) || text AS extracted_text FROM src
+         UNION ALL
+         SELECT doc_id, 'rtf' AS fmt,
+           'Doc ' || doc_id || chr(10) || text AS extracted_text FROM src
+         UNION ALL
+         SELECT doc_id, 'doc' AS fmt,
+           'Doc ' || doc_id || chr(10) || text AS extracted_text FROM src
+         UNION ALL
+         SELECT doc_id, 'html' AS fmt,
+           'Doc ' || doc_id || ' ' || text AS extracted_text FROM src
+         UNION ALL
+         SELECT doc_id, 'txt' AS fmt,
+           'Doc ' || doc_id || ' ' || text AS extracted_text FROM src
+         ORDER BY doc_id, fmt""",
 
     "q91_html_main" ->
       """SELECT doc_id,

@@ -38,6 +38,9 @@ object DocumentText {
     if (bytes == null) return None
     val mime = Option(mimeType).getOrElse("").toLowerCase
     mime match {
+      // sentinel for unlabeled blobs: sniff the format from the bytes
+      // (never recursive — sniffMime only returns concrete labels)
+      case "auto" | "" => extractTextAuto(bytes)
       case m if m.contains("wordprocessingml") || m.endsWith("/docx") =>
         Ooxml.docxText(bytes)
       case m if m.contains("spreadsheetml") || m.endsWith("/xlsx") =>
@@ -70,6 +73,78 @@ object DocumentText {
     * JDK-only codec above.
     */
   def unsupported(mime: String): Option[String] = None
+
+  /** Magic-bytes format sniffing for UNLABELED blobs — crawled or
+    * bulk-ingested documents rarely carry a trustworthy MIME type, so the
+    * dispatch above needs a content-derived label. Detection order goes
+    * strongest-magic-first:
+    *
+    *   - `%PDF`, `{\rtf`, OLE2/CFB (then the directory stream names
+    *     distinguish .doc/.xls/.ppt), `PK\03\04` (then the first OOXML
+    *     part segment distinguishes docx/xlsx/pptx; other zips report
+    *     `application/zip`, which extractText treats as unsupported);
+    *   - decodable text that opens with an HTML/XML declaration or tag →
+    *     html/xml; otherwise printable text → `text/plain`;
+    *   - anything else → None (binary with no codec).
+    *
+    * Poison posture as everywhere in the family: malformed containers
+    * sniff to None / a weaker label, never throw.
+    */
+  def sniffMime(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.length == 0) return None
+    def startsWithSig(sig: String): Boolean = {
+      val s = sig.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      bytes.length >= s.length && s.indices.forall(i => bytes(i) == s(i))
+    }
+    if (startsWithSig("%PDF")) Some("application/pdf")
+    else if (startsWithSig("{\\rtf")) Some("application/rtf")
+    else if (Cfb.isCfb(bytes)) Cfb.streams(bytes) match {
+      case Some(parts) if parts.contains("WordDocument") =>
+        Some("application/msword")
+      case Some(parts) if parts.contains("Workbook") || parts.contains("Book") =>
+        Some("application/vnd.ms-excel")
+      case Some(parts) if parts.contains("PowerPoint Document") =>
+        Some("application/vnd.ms-powerpoint")
+      case _ => None // CFB container with no recognized document stream
+    }
+    else if (startsWithSig("PK")) {
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        var entry = zin.getNextEntry
+        var found: Option[String] = None
+        while (entry != null && found.isEmpty) {
+          val name = entry.getName
+          if (name.startsWith("word/"))
+            found = Some("application/vnd.openxmlformats-officedocument.wordprocessingml.document")
+          else if (name.startsWith("xl/"))
+            found = Some("application/vnd.openxmlformats-officedocument.spreadsheetml.sheet")
+          else if (name.startsWith("ppt/"))
+            found = Some("application/vnd.openxmlformats-officedocument.presentationml.presentation")
+          entry = zin.getNextEntry
+        }
+        found.orElse(Some("application/zip"))
+      } catch {
+        case scala.util.control.NonFatal(_) => Some("application/zip")
+      } finally zin.close()
+    }
+    else {
+      val head = decodeBytes(
+        java.util.Arrays.copyOfRange(bytes, 0, math.min(bytes.length, 4096)))
+      val trimmed = head.dropWhile(_.isWhitespace)
+      val lower = trimmed.take(64).toLowerCase
+      val controls = head.count(c => c < ' ' && c != '\t' && c != '\n' && c != '\r')
+      if (controls * 10 > head.length) None // binary with no codec
+      else if (lower.startsWith("<!doctype") || lower.startsWith("<html") ||
+        lower.startsWith("<?xml")) Some("text/html")
+      else Some("text/plain")
+    }
+  }
+
+  /** Sniff-then-extract for unlabeled blobs: [[sniffMime]] + [[extractText]].
+    */
+  def extractTextAuto(bytes: Array[Byte]): Option[String] =
+    sniffMime(bytes).flatMap(m => extractText(bytes, m))
 
   /** BOM-aware decode: UTF-8 first; if the bytes are not valid UTF-8, fall
     * back to ISO-8859-1 (which never fails) — the same lenient posture as

@@ -48,6 +48,56 @@ class DocumentTextSpec extends SparkTestBase {
     assert(extractText(Array[Byte](1, 2, 3), null) === None)
   }
 
+  test("sniffMime labels every writer-twin format from bytes alone") {
+    val paras = Seq("Heading", "body text with several words")
+    assert(DocumentText.sniffMime(PdfWriter.pdf(Seq(paras)))
+      === Some("application/pdf"))
+    assert(DocumentText.sniffMime(Rtf.write(paras))
+      === Some("application/rtf"))
+    assert(DocumentText.sniffMime(LegacyOfficeWriter.doc(paras))
+      === Some("application/msword"))
+    assert(DocumentText.sniffMime(
+      LegacyOfficeWriter.xls(Seq("s" -> Seq(Seq("a", "b")))))
+      === Some("application/vnd.ms-excel"))
+    assert(DocumentText.sniffMime(LegacyOfficeWriter.ppt(Seq(paras)))
+      === Some("application/vnd.ms-powerpoint"))
+    assert(DocumentText.sniffMime(OoxmlWriter.docx(paras)).exists(
+      _.contains("wordprocessingml")))
+    assert(DocumentText.sniffMime(
+      OoxmlWriter.xlsx(Seq("s" -> Seq(Seq("a"))))).exists(
+      _.contains("spreadsheetml")))
+    assert(DocumentText.sniffMime(OoxmlWriter.pptx(Seq(paras))).exists(
+      _.contains("presentationml")))
+    assert(DocumentText.sniffMime(Html.writePage(paras))
+      === Some("text/html"))
+    assert(DocumentText.sniffMime("plain words here".getBytes("UTF-8"))
+      === Some("text/plain"))
+    // binaries with no codec and junk containers sniff honestly
+    assert(DocumentText.sniffMime(Array[Byte](0, 1, 2, 3, 4, 5)) === None)
+    assert(DocumentText.sniffMime(Array.emptyByteArray) === None)
+    assert(DocumentText.sniffMime(null) === None)
+    // a plain zip is labeled zip (unsupported downstream), not OOXML
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("data.bin"))
+    z.write(Array[Byte](1, 2, 3)); z.closeEntry(); z.close()
+    assert(DocumentText.sniffMime(bos.toByteArray) === Some("application/zip"))
+  }
+
+  test("extractTextAuto: sniff-then-extract round-trips without a mime label") {
+    val paras = Seq("Doc 7", "the body of the document")
+    assert(DocumentText.extractTextAuto(Rtf.write(paras))
+      === Some("Doc 7\nthe body of the document"))
+    assert(DocumentText.extractTextAuto(LegacyOfficeWriter.doc(paras))
+      === Some("Doc 7\nthe body of the document"))
+    assert(DocumentText.extractTextAuto("loose text".getBytes("UTF-8"))
+      === Some("loose text"))
+    assert(DocumentText.extractTextAuto(Array[Byte](0, 1, 2, 3)) === None)
+    // the "auto" sentinel reaches the same path through the mime dispatch
+    assert(DocumentText.extractText(Rtf.write(paras), "auto")
+      === Some("Doc 7\nthe body of the document"))
+  }
+
   test("extractDocumentText batches over a DataFrame, null for unsupported") {
     val df = Seq(
       (1L, "hello  world".getBytes("UTF-8"), "text/plain"),
