@@ -509,6 +509,20 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q93_ivfpq_topk" -> ((s, dir) => {
+      // the full IVF-PQ layout: coarse inverted-file pruning (nProbe of
+      // nCentroids cells) + ADC ranking through PQ codes inside the
+      // probed cells. Deterministic in-order float sums end to end, so
+      // the oracle replays coarse assignment, codes, and ADC exactly
+      val ss = tuned(s)
+      val emb = t(ss, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      graft.llmops.Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 3,
+          nCentroids = 16, nProbe = 4, numSubspaces = 8, pqCentroids = 16)
+        .orderBy("query_key", "rank")
+    }),
+
     "q92_sniff_extract" -> ((s, dir) => {
       // unlabeled-blob ingestion: the same corpus text through five
       // writer twins with NO mime column — format is sniffed from magic
@@ -2033,6 +2047,64 @@ object SparkEntry {
 
     "q81_tar_shards" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q93_ivfpq_topk" ->
+      """WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         samp AS (
+           SELECT v AS cv,
+             row_number() OVER (ORDER BY
+               ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 1000000,
+               vec_id) - 1 AS j
+           FROM emb QUALIFY j <= 15),
+         coarse AS (
+           SELECT e.vec_id, s.j AS cent_id,
+             -(list_sum([e.v[i] * s.cv[i] FOR i IN range(1, 65)])) /
+             sqrt(list_sum([s.cv[i] * s.cv[i] FOR i IN range(1, 65)])) AS score
+           FROM emb e, samp s),
+         corp AS (
+           SELECT vec_id AS neighbor_key, cent_id FROM coarse
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY score, cent_id) = 1),
+         qry AS (
+           SELECT vec_id AS query_key, cent_id FROM coarse WHERE vec_id < 5
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY score, cent_id) <= 4),
+         dist AS (
+           SELECT e.vec_id, mi.m, s.j,
+             list_sum([(e.v[mi.m * 8 + i] - s.cv[mi.m * 8 + i]) *
+                       (e.v[mi.m * 8 + i] - s.cv[mi.m * 8 + i])
+                       FOR i IN range(1, 9)]) AS dd
+           FROM emb e, samp s, range(0, 8) mi(m)),
+         codes0 AS (
+           SELECT vec_id, m, j AS code FROM dist
+           QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dd, j) = 1),
+         codesarr AS (
+           SELECT vec_id AS neighbor_key, list(code ORDER BY m) AS codes
+           FROM codes0 GROUP BY vec_id),
+         qrows AS (
+           SELECT vec_id AS query_key, m, list(dd ORDER BY j) AS trow
+           FROM dist WHERE vec_id < 5 GROUP BY vec_id, m),
+         qarr AS (
+           SELECT query_key, list(trow ORDER BY m) AS tab
+           FROM qrows GROUP BY query_key),
+         cand AS (
+           SELECT query_key, neighbor_key
+           FROM qry JOIN corp USING (cent_id)
+           WHERE query_key <> neighbor_key),
+         scored AS (
+           SELECT c.query_key, c.neighbor_key,
+             list_sum([q.tab[mi][ca.codes[mi] + 1]
+                       FOR mi IN range(1, 9)]) AS adist
+           FROM cand c
+           JOIN qarr q USING (query_key)
+           JOIN codesarr ca USING (neighbor_key))
+         SELECT query_key, neighbor_key,
+           row_number() OVER (PARTITION BY query_key
+                              ORDER BY adist, neighbor_key) AS rank
+         FROM scored QUALIFY rank <= 3
+         ORDER BY query_key, rank""",
 
     "q92_sniff_extract" ->
       """WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 200)

@@ -439,8 +439,25 @@ object Similarity {
     // corpus side: codes as one array per row, ordered by subspace
     val codes = pqEncodeWith(corpus, corpusKey, corpusVec, cb, numSubspaces)
       .select(col(corpusKey).alias("neighbor_key"), col("codes"))
-    // query side: full distance table as array[m][j], both levels ordered
-    val qtab = pqSubDists(
+    val qtab = pqQueryTables(queries, queryKey, queryVec, cb, numSubspaces)
+    // ADC: query tables broadcast over the codes; the inner sum walks
+    // subspaces in order (deterministic doubles, as above)
+    val scored = codes.crossJoin(broadcast(qtab))
+      .filter(col("query_key") =!= col("neighbor_key"))
+      .withColumn("adist", pqAdist(col("tab"), col("codes")))
+    val w = Window.partitionBy(col("query_key"))
+      .orderBy(col("adist"), col("neighbor_key"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_key", "neighbor_key", "rank")
+  }
+
+  /** Per-query PQ distance tables as array[m][j] (both levels ordered):
+    * `(query_key, tab)`.
+    */
+  private def pqQueryTables(queries: DataFrame, queryKey: String,
+      queryVec: String, cb: DataFrame, numSubspaces: Int): DataFrame =
+    pqSubDists(
         queries.select(col(queryKey).alias("query_key"), col(queryVec)),
         "query_key", queryVec, cb, numSubspaces)
       .groupBy(col("query_key"), col("m"))
@@ -449,14 +466,84 @@ object Similarity {
       .groupBy(col("query_key"))
       .agg(transform(sort_array(collect_list(struct(col("m"), col("row")))),
         s => s.getField("row")).alias("tab"))
-    // ADC: query tables broadcast over the codes; the inner sum walks
-    // subspaces in order (deterministic doubles, as above)
-    val scored = codes.crossJoin(broadcast(qtab))
+
+  /** In-order ADC sum: Σ_m tab[m][codes[m]] (deterministic doubles). */
+  private def pqAdist(tab: Column, codes: Column): Column =
+    aggregate(
+      zip_with(tab, codes, (row, c) => element_at(row, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** IVF-PQ approximate top-k — the standard 100 TB ANN layout: a coarse
+    * inverted file prunes the corpus to the `nProbe` centroid cells
+    * nearest each query, and PQ codes rank inside the probed cells via
+    * ADC. Per query the work is nProbe/nCentroids of the corpus at
+    * `numSubspaces` table lookups per row; the corpus itself is stored
+    * once as byte codes (64x smaller than float vectors).
+    *
+    * Determinism contract as [[pqTopK]]: every float sum (coarse dot
+    * products, centroid norms, sub-distances, ADC) runs in index order,
+    * so an external SQL engine replays the exact doubles, tie-breaks
+    * included. Coarse centroids and the PQ codebook share the same
+    * deterministic hash-sample ([[pqSample]]).
+    *
+    * @return (query_key, neighbor_key, rank) — rank 1..k by ascending
+    *         approximate distance within the probed cells
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      corpusKey: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryKey: String,
+      queryVec: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      numSubspaces: Int = 8,
+      pqCentroids: Int = 16
+  ): DataFrame = {
+    val coarseCents = pqSample(corpus, corpusKey, corpusVec, nCentroids)
+    // coarse score: -cos up to the query-constant factor, i.e. -dot/|c| —
+    // in-order sums (see pqSubDists for why)
+    def coarse(src: DataFrame, keyAs: String): DataFrame =
+      src.crossJoin(broadcast(coarseCents))
+        .withColumn("dot", aggregate(
+          zip_with(col("__v"), col("cent_vec"),
+            (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("cnorm", sqrt(aggregate(
+          zip_with(col("cent_vec"), col("cent_vec"),
+            (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x)))
+        .select(col(keyAs), col("j").alias("cent_id"),
+          (-col("dot") / col("cnorm")).alias("score"))
+    val corpusCell = coarse(
+        corpus.select(col(corpusKey).alias("neighbor_key"),
+          col(corpusVec).alias("__v")), "neighbor_key")
+      .groupBy(col("neighbor_key"))
+      .agg(min_by(col("cent_id"), struct(col("score"), col("cent_id")))
+        .alias("cent_id"))
+    val wProbe = Window.partitionBy(col("query_key"))
+      .orderBy(col("score"), col("cent_id"))
+    val probes = coarse(
+        queries.select(col(queryKey).alias("query_key"),
+          col(queryVec).alias("__v")), "query_key")
+      .withColumn("__r", row_number().over(wProbe))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_key"), col("cent_id"))
+
+    val cb = pqSample(corpus, corpusKey, corpusVec, pqCentroids)
+    val codes = pqEncodeWith(corpus, corpusKey, corpusVec, cb, numSubspaces)
+      .select(col(corpusKey).alias("neighbor_key"), col("codes"))
+    val qtab = pqQueryTables(queries, queryKey, queryVec, cb, numSubspaces)
+
+    // candidates: probed cells only (each corpus row lives in exactly one
+    // cell, so no pair duplicates); then ADC-rank within them
+    val scored = probes.join(corpusCell, "cent_id")
       .filter(col("query_key") =!= col("neighbor_key"))
-      .withColumn("adist", aggregate(
-        zip_with(col("tab"), col("codes"),
-          (row, c) => element_at(row, c + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .join(codes, "neighbor_key")
+      .join(broadcast(qtab), "query_key")
+      .withColumn("adist", pqAdist(col("tab"), col("codes")))
     val w = Window.partitionBy(col("query_key"))
       .orderBy(col("adist"), col("neighbor_key"))
     scored.withColumn("rank", row_number().over(w))

@@ -81,6 +81,29 @@ class PqSpec extends SparkTestBase {
     assert(pq.size === bf.size)
   }
 
+  test("ivfPqTopK: probed-cell candidates, ADC ranking, recall vs brute force") {
+    val df = clustered(8, 8, 16)
+    val queries = df.filter($"vec_id" % 8 === 1)
+    val k = 3
+    val got = Similarity.ivfPqTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k,
+        nCentroids = 8, nProbe = 4, numSubspaces = 4, pqCentroids = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // self never returned; ranks dense 1..k per query
+    got.foreach { case (q, n, _) => assert(q !== n) }
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to k))
+    }
+    // pruned search still finds most true neighbors on clustered data
+    val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k)
+      .select("query_key", "neighbor_key")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    val recall = (pairs intersect bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF-PQ recall $recall (got=$pairs bf=$bf)")
+  }
+
   test("pqTopK never returns the query itself and ranks 1..k densely") {
     val df = clustered(4, 8, 16)
     val queries = df.filter($"vec_id" < 2)
