@@ -120,7 +120,12 @@ object GraftFunctions {
     ("graft_cut_spans",
       "graft_cut_spans(text, starts, spanLen) - remove the union of fixed-length char spans (exact-substring dedup kernel)",
       exprs => graft.expressions.CutSpans(
-        exprs.head, exprs(1),
+        exprs.head,
+        // the kernel reads longs; a bare SQL array(2, 4) is array<int>
+        // and would be reinterpreted, not converted, without the cast
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)),
         litText(exprs(2), "graft_cut_spans", "spanLen").toInt)),
 
     ("graft_html_main",

@@ -2183,9 +2183,12 @@ object SparkEntry {
            JOIN documents o ON o.doc_id = d.doc_id % 50
            WHERE o.doc_id < 50),
          g AS (
+           -- range bound must exceed the longest fixture doc (text +
+           -- 81-char donor suffix; ~660 today) or tail grams silently
+           -- escape the oracle; 8000 leaves generous headroom
            SELECT s.doc_id, i AS pos,
              md5(substr(s.text, CAST(i AS INTEGER) + 1, 40)) AS h
-           FROM src s, range(2000) t(i)
+           FROM src s, range(8000) t(i)
            WHERE i + 40 <= length(s.text)),
          dup AS (
            SELECT h, min(doc_id * 4096 + pos) AS first_key

@@ -17,8 +17,14 @@ import org.apache.spark.sql.SparkSession
   */
 object CatalogSync {
 
-  /** SQL-string-literal escape for property keys/values. */
-  private def q(s: String): String = s.replace("'", "\\'")
+  /** SQL-string-literal escape for property keys/values — backslash FIRST
+    * (escaping quotes introduces backslashes; the reverse order would
+    * double-escape), then single quotes. Without the backslash escape a
+    * value like `C:\data` is silently unescaped by the parser and one
+    * ending in `\` swallows the closing quote.
+    */
+  private def q(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
 
   /** Keys Spark's parser rejects in TBLPROPERTIES/DBPROPERTIES because the
     * catalog manages them itself (UNSUPPORTED_FEATURE.SET_TABLE_PROPERTY).
@@ -85,16 +91,12 @@ object CatalogSync {
     spark.sql(s"SHOW TBLPROPERTIES `$db`.`$table`").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
 
-  /** Read back a database's properties. */
-  def databaseProperties(spark: SparkSession, db: String): Map[String, String] = {
-    val info = spark.sql(s"DESCRIBE DATABASE EXTENDED `$db`").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    // "Properties" row renders as ((k1,v1), (k2,v2))
-    info.get("Properties").filter(_.nonEmpty).map { s =>
-      "\\(([^(),]+),\\s*([^()]*)\\)".r.findAllMatchIn(s)
-        .map(m => m.group(1).trim -> m.group(2).trim).toMap
-    }.getOrElse(Map.empty)
-  }
+  /** Read back a database's properties — straight from the catalog
+    * metadata (parsing DESCRIBE DATABASE's rendered `((k,v), …)` string
+    * breaks on values containing parentheses or commas).
+    */
+  def databaseProperties(spark: SparkSession, db: String): Map[String, String] =
+    spark.sessionState.catalog.getDatabaseMetadata(db).properties
 
   def listTables(spark: SparkSession, db: String): Seq[String] =
     spark.catalog.listTables(db).collect()

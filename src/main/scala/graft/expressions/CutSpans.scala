@@ -14,8 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * running cut-end watermark, no per-span string rebuilds.
   *
   * `starts` MUST be sorted ascending (the operator sorts; the kernel's
-  * union merge relies on it). Positions are character indices, 0-based;
-  * spans overhanging the end are clipped.
+  * union merge relies on it). Positions are CODE POINT indices, 0-based —
+  * the same indexing Spark's `length`/`substr` (and DuckDB's) use, so
+  * positions derived from engine functions apply cleanly on text with
+  * supplementary characters; spans overhanging the end are clipped.
   */
 case class CutSpans(left: Expression, right: Expression, spanLen: Int)
     extends BinaryExpression {
@@ -40,23 +42,31 @@ case class CutSpans(left: Expression, right: Expression, spanLen: Int)
 
 object CutSpans {
 
-  /** Static kernel shared by interpreted eval and generated code. */
+  /** Static kernel shared by interpreted eval and generated code. Walks
+    * CODE POINTS (not UTF-16 units): positions computed with Spark/DuckDB
+    * `length`/`substr` are code-point indices, and a UTF-16 walk would
+    * shift every cut after a supplementary character and could split a
+    * surrogate pair.
+    */
   def compute(text: UTF8String, starts: ArrayData, spanLen: Int): UTF8String = {
     val n = starts.numElements()
     if (n == 0) return text
     val s = text.toString
     val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
+    var u = 0 // UTF-16 offset
+    var cp = 0 // code-point index
     var j = 0
-    var cutEnd = 0L // exclusive end of the union of spans opened so far
-    while (i < s.length) {
-      while (j < n && starts.getLong(j) <= i) {
+    var cutEnd = 0L // exclusive end (code points) of the span union so far
+    while (u < s.length) {
+      while (j < n && starts.getLong(j) <= cp) {
         val e = starts.getLong(j) + spanLen
         if (e > cutEnd) cutEnd = e
         j += 1
       }
-      if (i >= cutEnd) sb.append(s.charAt(i))
-      i += 1
+      val codePoint = s.codePointAt(u)
+      if (cp >= cutEnd) sb.appendCodePoint(codePoint)
+      u += Character.charCount(codePoint)
+      cp += 1
     }
     UTF8String.fromString(sb.toString)
   }

@@ -43,24 +43,31 @@ object PositionHashes {
 
   private val Base = 1000003L
 
-  /** Static kernel shared by interpreted eval and generated code. */
+  /** Static kernel shared by interpreted eval and generated code. Rolls
+    * over CODE POINTS so element `i` is the hash of the same i-th
+    * code-point gram the portable md5 mode (Spark `substr`, code-point
+    * indexed) fingerprints — the two modes must agree on supplementary
+    * characters, and [[CutSpans]] applies positions as code points.
+    */
   def compute(text: UTF8String, len: Int): ArrayData = {
     val s = text.toString
-    val n = s.length
+    // code-point array once; the roll is then O(n) in code points
+    val cps = s.codePoints().toArray
+    val n = cps.length
     if (n < len) return new GenericArrayData(Array.empty[Long])
     val out = new Array[Long](n - len + 1)
     var h = 0L
     var pow = 1L
     var i = 0
     while (i < len) {
-      h = h * Base + s.charAt(i)
+      h = h * Base + cps(i)
       if (i < len - 1) pow *= Base
       i += 1
     }
     out(0) = h
     i = len
     while (i < n) {
-      h = (h - s.charAt(i - len) * pow) * Base + s.charAt(i)
+      h = (h - cps(i - len) * pow) * Base + cps(i)
       out(i - len + 1) = h
       i += 1
     }

@@ -716,12 +716,18 @@ object DedupOps {
         min(struct(col("__k"), col("__pos"))).alias("__first"))
       .filter(col("__c") > 1)
       .select(col("__h"), col("__first"))
-    // every non-first occurrence of a duplicated gram is a cut start
+    // every non-first occurrence of a duplicated gram is a cut start.
+    // cutStarts is materialized eagerly (tiny: ≤ one row per document) so
+    // the big per-position gram cache can be released before returning —
+    // otherwise every call leaks corpus-character-count rows of storage
     val cutStarts = grams.join(firsts, "__h")
       .filter(!(col("__k") === col("__first.__k") &&
         col("__pos") === col("__first.__pos")))
       .groupBy(col("__k"))
       .agg(sort_array(collect_set(col("__pos"))).alias("__starts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cutStarts.count()
+    grams.unpersist()
     val empty = lit(Array.empty[Long])
     df.join(cutStarts, col(keyCol) === col("__k"), "left")
       .withColumn(outCol,

@@ -39,8 +39,10 @@ object DocumentText {
     val mime = Option(mimeType).getOrElse("").toLowerCase
     mime match {
       // sentinel for unlabeled blobs: sniff the format from the bytes
-      // (never recursive — sniffMime only returns concrete labels)
-      case "auto" | "" => extractTextAuto(bytes)
+      // (never recursive — sniffMime only returns concrete labels).
+      // Deliberately NOT matched by ""/null: existing pipelines rely on
+      // unlabeled rows extracting to NULL; sniffing is opt-in.
+      case "auto" => extractTextAuto(bytes)
       case m if m.contains("wordprocessingml") || m.endsWith("/docx") =>
         Ooxml.docxText(bytes)
       case m if m.contains("spreadsheetml") || m.endsWith("/xlsx") =>

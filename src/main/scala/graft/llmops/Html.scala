@@ -53,7 +53,12 @@ object Html {
       block.setLength(0)
       linkChars = 0
       blockChars = 0
-      aDepth = 0 // an <a> never legitimately spans a block boundary
+      // aDepth deliberately survives the flush: HTML5 allows block content
+      // inside <a> and card-style link farms (<a><div>story teaser</div>
+      // </a>) are exactly what the density rule exists to catch — resetting
+      // here would launder them into zero-density "content". The cost is
+      // that a page with an unclosed <a> counts the rest as link text and
+      // over-drops, which is the fail-safe direction for curation.
     }
 
     val n = html.length
@@ -107,7 +112,9 @@ object Html {
             skipTag = name
             skipDepth = 1
           } else if (name == "a") {
-            if (closing) aDepth = math.max(0, aDepth - 1) else aDepth += 1
+            // <a/> (XHTML anchor targets) opens nothing
+            if (closing) aDepth = math.max(0, aDepth - 1)
+            else if (!selfClosed) aDepth += 1
           } else if (BlockTags(name)) {
             flush()
           } else {

@@ -376,7 +376,16 @@ object Similarity {
     */
   private def pqSubDists(src: DataFrame, keyAs: String, vecCol: String,
       cb: DataFrame, numSubspaces: Int): DataFrame = {
-    val sd = (size(col(vecCol)) / numSubspaces).cast("int")
+    require(numSubspaces > 0, "numSubspaces must be positive")
+    // vectors must split evenly: a remainder would silently drop trailing
+    // dimensions from every distance (and numSubspaces > dim would rank
+    // by nothing at all) — fail loudly per row instead
+    val sd = when(pmod(size(col(vecCol)), lit(numSubspaces)) =!= 0,
+        raise_error(concat(
+          lit("PQ: vector length "), size(col(vecCol)).cast("string"),
+          lit(s" is not divisible by numSubspaces=$numSubspaces")))
+          .cast("int"))
+      .otherwise((size(col(vecCol)) / numSubspaces).cast("int"))
     src.select(col(keyAs), col(vecCol), sd.alias("__sd"))
       .crossJoin(broadcast(cb))
       .select(col(keyAs), col("j"),

@@ -73,11 +73,21 @@ class CatalogSyncSpec extends SparkTestBase {
     assert(ex.getMessage.contains("namespace"))
   }
 
-  test("quoted values survive the SQL passthrough") {
+  test("quoted, backslashed, and parenthesized values survive round trips") {
     val path = freshTable()
     CatalogSync.registerTable(spark, "cat_db", "quoted", path,
-      Map("note" -> "owner's team, 'quoted'"))
-    assert(CatalogSync.tableProperties(spark, "cat_db", "quoted")
-      .get("note") === Some("owner's team, 'quoted'"))
+      Map("note" -> "owner's team, 'quoted'",
+        "win_path" -> "C:\\data\\corpus\\",
+        "desc" -> "Stage (EU region), tier-1"))
+    val props = CatalogSync.tableProperties(spark, "cat_db", "quoted")
+    assert(props.get("note") === Some("owner's team, 'quoted'"))
+    assert(props.get("win_path") === Some("C:\\data\\corpus\\"))
+    assert(props.get("desc") === Some("Stage (EU region), tier-1"))
+    // database properties too (read via catalog metadata, not DESCRIBE
+    // string parsing, so parens/commas in values are safe)
+    CatalogSync.ensureDatabase(spark, "cat_db_parens",
+      Map("Level" -> "Stage (EU region)"))
+    assert(CatalogSync.databaseProperties(spark, "cat_db_parens")
+      .get("Level") === Some("Stage (EU region)"))
   }
 }

@@ -130,6 +130,33 @@ class ExactSubstringDedupSpec extends SparkTestBase {
       .numElements() === 0)
   }
 
+  test("CutSpans positions are code points: astral chars do not shift cuts") {
+    // "a😀bcd" = code points a(0) 😀(1) b(2) c(3) d(4); cutting [1,3)
+    // must remove 😀 and b — a UTF-16 walk would remove half the emoji
+    assert(cut("a😀bcd", Seq(1L), 2) === "acd")
+    assert(cut("😀😁xy", Seq(0L), 2) === "xy")
+    // and fast mode still equals portable mode when astral chars precede
+    // a duplicated run (both index by code points end to end)
+    val boiler = "DUPLICATED RUN OF TEXT LONG ENOUGH TO CROSS THE THRESHOLD"
+    val df = Seq(
+      (1L, s"😀 emoji prefix one $boiler"),
+      (2L, s"😁😂 different emoji prefix two $boiler"),
+      (3L, "plain third document keeps the corpus honest")
+    ).toDF("doc_id", "text")
+    val p = DedupOps.exactSubstringDedup(df, "text", "doc_id", minLen = 40)
+      .select("doc_id", "dedup_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val f = DedupOps.exactSubstringDedup(df, "text", "doc_id", minLen = 40,
+        portable = false)
+      .select("doc_id", "dedup_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(p === f)
+    assert(p(1L).contains(boiler), "first occurrence survives")
+    assert(!p(2L).contains(boiler.substring(0, 40)), "second occurrence cut")
+    assert(p(2L).startsWith("😁😂"),
+      "prefix before the cut is untouched, surrogates intact")
+  }
+
   test("CutSpans fuzz: kernel matches a naive per-char reference on random inputs") {
     val rng = new scala.util.Random(20260813L)
     def naive(text: String, starts: Seq[Long], len: Int): String =
@@ -175,5 +202,11 @@ class ExactSubstringDedupSpec extends SparkTestBase {
       "SELECT graft_cut_spans('abcdefghij', array(2L, 4L), 3) AS c")
       .head().getString(0)
     assert(got === "abhij")
+    // bare int-array literals convert (not reinterpret) to the long
+    // positions the kernel reads
+    val ints = spark.sql(
+      "SELECT graft_cut_spans('abcdefghij', array(2, 4), 3) AS c")
+      .head().getString(0)
+    assert(ints === "abhij")
   }
 }

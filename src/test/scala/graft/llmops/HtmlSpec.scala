@@ -45,6 +45,23 @@ class HtmlSpec extends SparkTestBase {
     assert(got.contains("mentions a link"))
   }
 
+  test("card link farms (<a> wrapping block content) still count as links") {
+    // HTML5-legal anchor around a div — the dominant modern link-farm
+    // markup; the density rule must survive the block boundary inside <a>
+    val cards = "<a href=\"/s1\"><div>Ten more stories you should definitely read right now</div></a>" +
+      "<a href=\"/s2\"><div>Another teaser card with plenty of words inside it</div></a>"
+    val prose = "<p>The actual article body sits here with real sentences to keep.</p>"
+    val got = Html.mainContent(s"<body>$cards$prose</body>")
+    assert(!got.contains("teaser") && !got.contains("Ten more stories"))
+    assert(got === "The actual article body sits here with real sentences to keep.")
+  }
+
+  test("self-closing <a/> anchors do not poison following prose") {
+    val html = "<p>See <a id=\"fn1\"/> this long informative paragraph of genuine article prose.</p>"
+    val got = Html.mainContent(html)
+    assert(got.contains("genuine article prose"))
+  }
+
   test("word-count rule: one-word crumbs drop at the default threshold") {
     val html = "<p>Ok</p><p>This paragraph has plenty of words to keep.</p>"
     assert(Html.mainContent(html) ===

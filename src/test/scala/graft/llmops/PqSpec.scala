@@ -104,6 +104,18 @@ class PqSpec extends SparkTestBase {
     assert(recall >= 0.5, s"IVF-PQ recall $recall (got=$pairs bf=$bf)")
   }
 
+  test("indivisible vector length fails loudly instead of dropping dimensions") {
+    val df = Seq((1L, Seq.fill(10)(1.0f)), (2L, Seq.fill(10)(2.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.pqEncode(df, "vec_id", "embedding",
+        numSubspaces = 3, numCentroids = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("not divisible")), ex.getMessage)
+  }
+
   test("pqTopK never returns the query itself and ranks 1..k densely") {
     val df = clustered(4, 8, 16)
     val queries = df.filter($"vec_id" < 2)
