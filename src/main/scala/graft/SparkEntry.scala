@@ -509,6 +509,13 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q94_corpus_profile" -> ((s, dir) => {
+      // the one-call corpus health summary a curation run prints around
+      // each pipeline stage: volume, shape, emptiness, exact-dup rate
+      graft.llmops.TextAnalysis.corpusProfile(
+        t(tuned(s), dir, "documents"), "text")
+    }),
+
     "q93_ivfpq_topk" -> ((s, dir) => {
       // the full IVF-PQ layout: coarse inverted-file pruning (nProbe of
       // nCentroids cells) + ADC ranking through PQ codes inside the
@@ -2047,6 +2054,21 @@ object SparkEntry {
 
     "q81_tar_shards" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q94_corpus_profile" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS docs,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         round(avg(length(text)), 4) AS avg_chars,
+         min(length(text)) AS min_chars,
+         max(length(text)) AS max_chars,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN text IS NULL OR trim(text) = ''
+                       THEN 1 ELSE 0 END) AS BIGINT) AS empty_docs,
+         CAST(sum(CASE WHEN len(string_split(text, ' ')) < 10
+                       THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+         CAST(count(DISTINCT md5($normText)) AS BIGINT) AS distinct_docs,
+         round(1.0 - count(DISTINCT md5($normText)) / count(*), 6) AS dup_rate
+         FROM documents""",
 
     "q93_ivfpq_topk" ->
       """WITH emb AS (

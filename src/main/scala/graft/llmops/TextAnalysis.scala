@@ -491,6 +491,33 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** One-call corpus health profile — the summary a curation run prints
+    * before and after each pipeline stage: volume (docs, chars, tokens),
+    * shape (avg/min/max length), emptiness, and the exact-duplicate rate
+    * (1 − distinct fingerprints / docs). One aggregation pass with
+    * map-side partials plus an exact distinct on the (narrow) fingerprint
+    * — the same cost envelope as the exact-dedup screen itself. Returns a
+    * single row; every column is engine-portable for oracle replay.
+    */
+  def corpusProfile(df: DataFrame, textCol: String,
+      shortDocTokens: Int = 10): DataFrame = {
+    val t = col(textCol)
+    df.agg(
+      count(lit(1)).alias("docs"),
+      sum(length(t)).alias("total_chars"),
+      round(avg(length(t)), 4).alias("avg_chars"),
+      min(length(t)).alias("min_chars"),
+      max(length(t)).alias("max_chars"),
+      sum(tokenCount(t)).alias("total_tokens"),
+      sum(when(t.isNull || trim(t) === "", 1).otherwise(0))
+        .alias("empty_docs"),
+      sum(when(tokenCount(t) < shortDocTokens, 1).otherwise(0))
+        .alias("short_docs"),
+      countDistinct(fingerprint(t)).alias("distinct_docs"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("distinct_docs") / col("docs"), 6))
+  }
+
   // ---- character-LM quality scoring ----------------------------------------
 
   /** All positional character n-grams of `t` (one per start offset, NOT

@@ -559,6 +559,23 @@ class LlmOpsSpec extends SparkTestBase {
     assert(Sampling.weightedSample(neg, "id", "w").count() === 0)
   }
 
+  test("corpusProfile: volume, emptiness, and dup-rate in one row") {
+    val df = Seq(
+      (1L, "one two three four five six seven eight nine ten eleven"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "short doc"),
+      (4L, " ")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.corpusProfile(df, "text").head()
+    assert(r.getAs[Long]("docs") === 4)
+    assert(r.getAs[Long]("empty_docs") === 1)
+    assert(r.getAs[Long]("short_docs") === 2) // "short doc" + the blank
+    assert(r.getAs[Long]("distinct_docs") === 3) // docs 1 and 2 collapse
+    assert(r.getAs[Double]("dup_rate") === 0.25)
+    assert(r.getAs[Long]("total_chars") ===
+      df.collect().map(_.getString(1).length).sum)
+  }
+
   test("ngram counts: occurrence counts with total ordering") {
     val df = Seq("a b a b c", "a b").toDF("text")
     val got = TextAnalysis.ngramCounts(df, "text", 2, 10)
