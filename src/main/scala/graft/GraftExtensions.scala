@@ -122,10 +122,16 @@ object GraftFunctions {
       exprs => graft.expressions.CutSpans(
         exprs.head,
         // the kernel reads longs; a bare SQL array(2, 4) is array<int>
-        // and would be reinterpreted, not converted, without the cast
-        org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.LongType)),
+        // and would be reinterpreted, not converted, without the cast.
+        // SortArray: the kernel's single-pass span union REQUIRES
+        // ascending starts (a scaladoc-only contract internal callers
+        // honor) — sorting here is cheap and idempotent, and protects
+        // SQL callers from silently wrong output on unsorted input
+        org.apache.spark.sql.catalyst.expressions.SortArray(
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)),
+          org.apache.spark.sql.catalyst.expressions.Literal(true)),
         litText(exprs(2), "graft_cut_spans", "spanLen").toInt)),
 
     ("graft_html_main",

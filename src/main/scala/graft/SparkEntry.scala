@@ -2080,9 +2080,14 @@ object SparkEntry {
                vec_id) - 1 AS j
            FROM emb QUALIFY j <= 15),
          coarse AS (
+           -- zero-norm guard mirrors Similarity.ivfPqTopK's coarse score
            SELECT e.vec_id, s.j AS cent_id,
-             -(list_sum([e.v[i] * s.cv[i] FOR i IN range(1, 65)])) /
-             sqrt(list_sum([s.cv[i] * s.cv[i] FOR i IN range(1, 65)])) AS score
+             CASE WHEN sqrt(list_sum([s.cv[i] * s.cv[i]
+                                      FOR i IN range(1, 65)])) = 0
+               THEN 0.0
+               ELSE -(list_sum([e.v[i] * s.cv[i] FOR i IN range(1, 65)])) /
+                 sqrt(list_sum([s.cv[i] * s.cv[i] FOR i IN range(1, 65)]))
+             END AS score
            FROM emb e, samp s),
          corp AS (
            SELECT vec_id AS neighbor_key, cent_id FROM coarse
@@ -2153,7 +2158,7 @@ object SparkEntry {
 
     "q90_weighted_sample" ->
       """SELECT doc_id FROM documents
-         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':weighted'), 1, 15))::BIGINT
                % 1000000
            < CAST(floor(((length(text) % 100) / 100.0) * 1000000) AS BIGINT)
          ORDER BY doc_id""",
@@ -2213,13 +2218,16 @@ object SparkEntry {
            FROM src s, range(8000) t(i)
            WHERE i + 40 <= length(s.text)),
          dup AS (
-           SELECT h, min(doc_id * 4096 + pos) AS first_key
-           FROM g GROUP BY h HAVING count(*) > 1),
+           -- keep-first by lexicographic (doc_id, pos), windowed: no
+           -- positional key encoding, so no aliasing at any doc length
+           SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY h) AS c
+           FROM g),
          cuts AS (
-           SELECT g.doc_id, list_sort(list(g.pos)) AS starts
-           FROM g JOIN dup USING (h)
-           WHERE g.doc_id * 4096 + g.pos <> dup.first_key
-           GROUP BY g.doc_id)
+           SELECT doc_id, list_sort(list(pos)) AS starts
+           FROM dup WHERE c > 1 AND rn > 1
+           GROUP BY doc_id)
          SELECT s.doc_id,
            CASE WHEN c.starts IS NULL THEN s.text ELSE
              -- coalesce: DuckDB array_to_string([]) is NULL, not ''

@@ -685,13 +685,47 @@ object DedupOps {
         */
       portable: Boolean = true): DataFrame = {
     require(minLen > 0, "minLen must be positive")
-    // every position's L-gram fingerprint; docs shorter than L contribute
-    // nothing (and cannot contain a duplicated L-span). Persisted: the
-    // dup-hash aggregate AND the join-back both consume it — without the
-    // persist the per-position hash pass runs twice (the hash is the
-    // dominant cost; the table is narrow, ~50 B/position)
+    val grams = substringGrams(df, textCol, keyCol, minLen, portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cutStarts is materialized eagerly — one row per document, though the
+    // __starts array grows with duplicated positions per doc (boilerplate-
+    // heavy corpora can approach corpus character count) — so the much
+    // bigger per-position gram cache can be released before returning.
+    // localCheckpoint, not persist: persist would pin the blocks in the
+    // CacheManager until an unpersist the caller never sees; checkpoint
+    // blocks are freed by the ContextCleaner once the returned DataFrame
+    // is garbage-collected, so repeated calls in one session don't
+    // accumulate storage
+    val cutStarts = substringCutStarts(grams).localCheckpoint(true)
+    grams.unpersist()
+    val empty = lit(Array.empty[Long])
+    df.join(cutStarts, col(keyCol) === col("__k"), "left")
+      .withColumn(outCol,
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.CutSpans(
+            org.apache.spark.sql.graft.ColumnBridge.expressionEager(
+              col(textCol)),
+            org.apache.spark.sql.graft.ColumnBridge.expressionEager(
+              coalesce(col("__starts"), empty)),
+            minLen)))
+      .drop("__k", "__starts")
+  }
+
+  /** Stage 1 of [[exactSubstringDedup]]: every position's L-gram
+    * fingerprint as (__k, __pos, __h); docs shorter than L contribute
+    * nothing (and cannot contain a duplicated L-span). The caller persists
+    * this — the dup-hash aggregate AND the join-back both consume it, and
+    * without the cache the per-position hash pass (the dominant cost; the
+    * table itself is narrow, ~50 B/position) would run twice.
+    */
+  private[graft] def substringGrams(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      minLen: Int,
+      portable: Boolean): DataFrame = {
     val shaped = df.filter(length(col(textCol)) >= minLen)
-    val grams = (if (portable)
+    if (portable)
       shaped.select(col(keyCol).alias("__k"),
           explode(sequence(lit(0L),
             (length(col(textCol)) - minLen).cast("long"))).alias("__pos"),
@@ -706,38 +740,26 @@ object DedupOps {
               org.apache.spark.sql.graft.ColumnBridge.expressionEager(
                 col(textCol)), minLen))).as(Seq("__posi", "__h")))
         .select(col("__k"), col("__posi").cast("long").alias("__pos"),
-          col("__h")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // duplicated fingerprints and their global first occurrence — one
-    // partial-agg groupBy on the hash (struct min is orderable)
+          col("__h"))
+  }
+
+  /** Stage 2 of [[exactSubstringDedup]]: per-doc sorted cut-start
+    * positions — every non-first occurrence of any duplicated gram.
+    * Duplicated fingerprints and their global first occurrence come from
+    * one partial-agg groupBy on the hash (struct min is orderable); both
+    * joins are equi-keyed, nothing O(n²).
+    */
+  private[graft] def substringCutStarts(grams: DataFrame): DataFrame = {
     val firsts = grams
       .groupBy(col("__h"))
       .agg(count(lit(1)).alias("__c"),
         min(struct(col("__k"), col("__pos"))).alias("__first"))
       .filter(col("__c") > 1)
       .select(col("__h"), col("__first"))
-    // every non-first occurrence of a duplicated gram is a cut start.
-    // cutStarts is materialized eagerly (tiny: ≤ one row per document) so
-    // the big per-position gram cache can be released before returning —
-    // otherwise every call leaks corpus-character-count rows of storage
-    val cutStarts = grams.join(firsts, "__h")
+    grams.join(firsts, "__h")
       .filter(!(col("__k") === col("__first.__k") &&
         col("__pos") === col("__first.__pos")))
       .groupBy(col("__k"))
       .agg(sort_array(collect_set(col("__pos"))).alias("__starts"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cutStarts.count()
-    grams.unpersist()
-    val empty = lit(Array.empty[Long])
-    df.join(cutStarts, col(keyCol) === col("__k"), "left")
-      .withColumn(outCol,
-        org.apache.spark.sql.graft.ColumnBridge.column(
-          graft.expressions.CutSpans(
-            org.apache.spark.sql.graft.ColumnBridge.expressionEager(
-              col(textCol)),
-            org.apache.spark.sql.graft.ColumnBridge.expressionEager(
-              coalesce(col("__starts"), empty)),
-            minLen)))
-      .drop("__k", "__starts")
   }
 }

@@ -69,10 +69,18 @@ object Sampling {
     * probability, an [[LlmScore.scoreColumn]] score mapped to [0,1], a
     * recency decay. Pure per-row filter: zero shuffles, engine-portable,
     * stable under corpus growth.
+    *
+    * The gate hash is salted (`key || ":weighted"`) so composing this with
+    * [[hashSample]] / [[mixtureSample]] on the SAME key column makes
+    * independent decisions: chained keep probability is f·w, not the fully
+    * correlated min(f, w) that an unsalted shared hash would give.
+    * External replay: `md5(key || ':weighted')`.
     */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String): DataFrame =
     df.filter(
-      pmod(Similarity.portable60(col(keyCol)), lit(Buckets)) <
+      pmod(Similarity.portable60(
+          concat(col(keyCol).cast("string"), lit(":weighted"))),
+        lit(Buckets)) <
         (least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0)) *
           Buckets).cast("long"))
 

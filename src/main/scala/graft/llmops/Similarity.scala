@@ -525,7 +525,11 @@ object Similarity {
             (a, b) => a.cast("double") * b.cast("double")),
           lit(0.0), (acc, x) => acc + x)))
         .select(col(keyAs), col("j").alias("cent_id"),
-          (-col("dot") / col("cnorm")).alias("score"))
+          // zero-norm guard: a degenerate all-zero sampled centroid would
+          // give ±Inf/NaN here, and Spark-vs-SQL NaN ordering divergence
+          // would break the exact-replay contract; score it flat instead
+          when(col("cnorm") === 0, lit(0.0))
+            .otherwise(-col("dot") / col("cnorm")).alias("score"))
     val corpusCell = coarse(
         corpus.select(col(corpusKey).alias("neighbor_key"),
           col(corpusVec).alias("__v")), "neighbor_key")

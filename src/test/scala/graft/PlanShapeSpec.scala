@@ -186,14 +186,37 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"dup detection must stay equi-keyed on the gram hash:\n$plan")
-    // the persisted gram table feeds both the dup aggregate and the
-    // join-back — the per-position hash pass must not run twice
-    assert(plan.contains("InMemoryTableScan"),
-      s"grams must be persisted and reused across consumers:\n$plan")
-    assert(plan.contains("partial_"),
-      s"dup-hash counting must map-side combine:\n$plan")
+    // cutStarts is materialized via localCheckpoint (freed by the
+    // ContextCleaner once unreferenced, unlike a CacheManager persist);
+    // the returned plan must read those blocks, not recompute the
+    // per-position gram pass (grams itself is persisted only inside the
+    // materialization job and released before return)
+    assert(plan.contains("ExistingRDD") ||
+      plan.contains("InMemoryTableScan"),
+      s"cutStarts must be read from materialized blocks:\n$plan")
     assert(plan.contains("graft_cut_spans") || plan.contains("CutSpans"),
       s"the cut must run in the native kernel:\n$plan")
+    // the checkpointed stage's own shape: cached gram table feeding both
+    // the dup aggregate and the join-back, with map-side combine — not
+    // visible from the truncated final plan, so assert it directly
+    import org.apache.spark.sql.functions.col
+    val src = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val grams = graft.llmops.DedupOps
+      .substringGrams(src, "text", "doc_id", 40, portable = true)
+      .persist()
+    try {
+      val cuts = graft.llmops.DedupOps.substringCutStarts(grams)
+      cuts.collect()
+      val cplan = cuts.queryExecution.executedPlan.toString
+      assert(cplan.contains("InMemoryTableScan"),
+        s"grams must be read from cache by both consumers:\n$cplan")
+      assert(cplan.contains("partial_"),
+        s"dup-hash counting must map-side combine:\n$cplan")
+      assert(!cplan.contains("CartesianProduct") &&
+        !cplan.contains("BroadcastNestedLoopJoin"),
+        s"cut-start derivation must stay equi-keyed:\n$cplan")
+    } finally grams.unpersist()
   }
 
   test("q87 llm judge adds no shuffle: score columns ride the scan partitioning") {

@@ -208,5 +208,11 @@ class ExactSubstringDedupSpec extends SparkTestBase {
       "SELECT graft_cut_spans('abcdefghij', array(2, 4), 3) AS c")
       .head().getString(0)
     assert(ints === "abhij")
+    // unsorted starts: the registration sorts before the kernel's
+    // single-pass union, so SQL callers can't silently get wrong output
+    val unsorted = spark.sql(
+      "SELECT graft_cut_spans('abcdefghij', array(4, 2), 3) AS c")
+      .head().getString(0)
+    assert(unsorted === "abhij")
   }
 }

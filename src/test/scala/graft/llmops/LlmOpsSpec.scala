@@ -559,6 +559,18 @@ class LlmOpsSpec extends SparkTestBase {
     assert(Sampling.weightedSample(neg, "id", "w").count() === 0)
   }
 
+  test("weightedSample decorrelates from hashSample on the same key") {
+    // unsalted gates share one hash: chaining a 0.5-rate sample with a
+    // 0.5-weight retention would keep min(.5,.5)=50% instead of 25%.
+    // the ':weighted' salt makes the decisions independent: ~25%
+    val df = (1L to 4000L).map(i => (i, 0.5)).toDF("id", "w")
+    val chained =
+      Sampling.weightedSample(Sampling.hashSample(df, "id", 0.5), "id", "w")
+        .count()
+    assert(chained > 4000 * 0.18 && chained < 4000 * 0.32,
+      s"expected ~25% of 4000 after independent 0.5 x 0.5 gates, got $chained")
+  }
+
   test("corpusProfile: volume, emptiness, and dup-rate in one row") {
     val df = Seq(
       (1L, "one two three four five six seven eight nine ten eleven"),
