@@ -166,6 +166,10 @@ object GraftFunctions {
       "graft_av_meta(content) - struct(format,channels,sample_rate,bits,duration_ms) from WAV/MP4 headers, NULL if unrecognized",
       exprs => graft.expressions.AvMeta(exprs.head)),
 
+    ("graft_png_pixels",
+      "graft_png_pixels(content) - full PNG pixel decode (inflate + unfilter): struct(width,height,channels,pix_sum,pix_wsum,mean_r,mean_g,mean_b), NULL if not a decodable RGB/RGBA PNG",
+      exprs => graft.expressions.PngPixels(exprs.head)),
+
     ("graft_scrub_pii",
       "graft_scrub_pii(text) - emails/IPs/phones to typed tokens (RE2-portable patterns)",
       exprs => e(TextAnalysis.scrubPii(c(exprs.head)))),

@@ -509,6 +509,92 @@ object SparkEntry {
         .orderBy("doc_id", "fmt")
     }),
 
+    "q97_png_pixels" -> ((s, dir) => {
+      // full PNG pixel decode: complete PNGs (real deflated IDAT, row y
+      // filtered with type y % 5 so all five PNG filters are exercised)
+      // built by ImageWriter with doc_id-derived size and a closed-form
+      // pixel pattern v = (3x + 7y + 11c + seed) % 256 — the oracle
+      // recomputes the exact sums/means from (w, h, seed) alone, so a
+      // wrong inflate or unfilter cannot match. Ids >= 400 get
+      // header-only / non-PNG bytes and must come back NULL
+      val ss = tuned(s)
+      val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id")).collect().map(_.getLong(0))
+      val W = graft.llmops.ImageWriter
+      val rows = ids.map { id =>
+        val (w, h) = ((3 + id % 6).toInt, (2 + id % 5).toInt)
+        val bytes =
+          if (id >= 450) s"not an image $id".getBytes("UTF-8")
+          else if (id >= 400) W.png(w, h) // header-only: dims but no IDAT
+          else W.pngWithPixels(w, h, (id % 251).toInt)
+        (id, bytes)
+      }.toSeq
+      import ss.implicits._
+      val src = rows.toDF("doc_id", "content").repartition(32)
+      graft.llmops.Multimodal.withPngPixels(src)
+        .select(col("doc_id"),
+          col("px.width").as("width"), col("px.height").as("height"),
+          col("px.channels").as("channels"),
+          col("px.pix_sum").as("pix_sum"), col("px.pix_wsum").as("pix_wsum"),
+          col("px.mean_r").as("mean_r"), col("px.mean_g").as("mean_g"),
+          col("px.mean_b").as("mean_b"))
+        .orderBy("doc_id")
+    }),
+
+    "q96_curation_signals" -> ((s, dir) => {
+      // the fused one-scan curation battery: Gopher word stats + Gopher
+      // repetition + C4 line rules + CCNet LM score (trained on built
+      // docs < 250) as pure per-row expressions over q64's synthetic
+      // multi-line docs — the corpus is scanned once and never shuffled
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents")
+      val chunked = regexp_replace(col("text"), "((?:\\S+ ){9}\\S+) ", "$1\n")
+      val dotted = concat(regexp_replace(chunked, "\n", ".\n"), lit("."))
+      val built = d.select(col("doc_id"),
+        concat(dotted,
+          when(col("doc_id") % 3 === 0, lit("\ntiny line.")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nenable javascript to view this page.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nconfig { enabled: true }")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")))
+          .as("text"))
+      val lmSrc = built.filter(col("doc_id") < 250).select(col("text"))
+      val T = graft.llmops.TextAnalysis
+      T.curationSignals(built, "doc_id", "text",
+          T.charNgramCounts(lmSrc, "text", 3),
+          T.charNgramCounts(lmSrc, "text", 2))
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("frac_unique_words"), col("top_word_frac"),
+          col("passes_quality"), col("top_ngram"),
+          col("top_ngram_char_frac"), col("dup_ngram_char_frac"),
+          col("c4_text"), col("n_kept_lines"), col("doc_keep"),
+          col("n_grams"), col("lm_score"))
+        .orderBy("doc_id")
+    }),
+
+    "q95_paragraph_dedup" -> ((s, dir) => {
+      // cross-doc dedup at RefinedWeb's paragraph granularity: plant a
+      // shared boilerplate paragraph by appending donor doc (doc_id % 40)'s
+      // 60-char prefix as a second blank-line-separated block to every
+      // document — each donor block then recurs ~n/40 times corpus-wide —
+      // and keep each paragraph only in its first (key, position) home.
+      // Fixture synthesis is a broadcast join + concat, SQL-mirrored in
+      // the oracle; the operator under test is dedupParagraphsAcrossCorpus
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents").select(col("doc_id"), col("text"))
+      val donors = d.filter(col("doc_id") < 40)
+        .select(col("doc_id").alias("__oid"),
+          substring(col("text"), 1, 60).alias("__op"))
+      val src = d.join(broadcast(donors), col("__oid") === col("doc_id") % 40)
+        .select(col("doc_id"),
+          concat(col("text"), lit("\n\n"), col("__op")).alias("text"))
+      graft.llmops.TextAnalysis
+        .dedupParagraphsAcrossCorpus(src, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q94_corpus_profile" -> ((s, dir) => {
       // the one-call corpus health summary a curation run prints around
       // each pipeline stage: volume, shape, emptiness, exact-dup rate
@@ -2054,6 +2140,179 @@ object SparkEntry {
 
     "q81_tar_shards" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q97_png_pixels" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(3 + doc_id % 6 AS INTEGER) AS w,
+             CAST(2 + doc_id % 5 AS INTEGER) AS h,
+             doc_id % 251 AS seed
+           FROM documents WHERE doc_id < 500),
+         cells AS (
+           SELECT i.doc_id, i.w, i.h,
+             (3 * x.x + 7 * y.y + 11 * c.c + i.seed) % 256 AS v,
+             ((y.y * i.w + x.x) * 3 + c.c) AS p,
+             c.c AS c
+           -- enumeration bounds must cover max(w)=8, max(h)=6
+           FROM ids i, range(8) x(x), range(6) y(y), range(3) c(c)
+           WHERE i.doc_id < 400 AND x.x < i.w AND y.y < i.h),
+         agg AS (
+           SELECT doc_id,
+             CAST(max(w) AS INTEGER) AS width,
+             CAST(max(h) AS INTEGER) AS height,
+             CAST(3 AS INTEGER) AS channels,
+             CAST(sum(v) AS BIGINT) AS pix_sum,
+             CAST(sum((p % 9973 + 1) * v) AS BIGINT) AS pix_wsum,
+             CAST(sum(CASE WHEN c = 0 THEN v END) AS DOUBLE)
+               / (max(w) * max(h)) AS mean_r,
+             CAST(sum(CASE WHEN c = 1 THEN v END) AS DOUBLE)
+               / (max(w) * max(h)) AS mean_g,
+             CAST(sum(CASE WHEN c = 2 THEN v END) AS DOUBLE)
+               / (max(w) * max(h)) AS mean_b
+           FROM cells GROUP BY doc_id)
+         SELECT i.doc_id, a.width, a.height, a.channels,
+           a.pix_sum, a.pix_wsum, a.mean_r, a.mean_g, a.mean_b
+         FROM ids i LEFT JOIN agg a USING (doc_id)
+         ORDER BY i.doc_id""",
+
+    "q96_curation_signals" ->
+      """WITH built AS (
+           SELECT doc_id,
+             regexp_replace(
+               regexp_replace(text, '((?:\S+ ){9}\S+) ', '\1' || chr(10), 'g'),
+               chr(10), '.' || chr(10), 'g') || '.' ||
+             CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'tiny line.' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0
+               THEN chr(10) || 'enable javascript to view this page.' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0
+               THEN chr(10) || 'config { enabled: true }' ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0
+               THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END AS t
+           FROM documents),
+         -- Gopher word statistics (q55 form, over built text)
+         words AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM built),
+         nz AS (SELECT doc_id, w FROM words WHERE length(w) > 0),
+         per AS (SELECT doc_id, w, count(*) AS c FROM nz GROUP BY 1, 2),
+         gq AS (
+           SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             round(CAST(sum(length(w) * c) AS DOUBLE) / sum(c), 4)
+               AS mean_word_len,
+             round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS frac_unique_words,
+             round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_word_frac
+           FROM per GROUP BY doc_id),
+         -- Gopher repetition signals (q72 form)
+         base AS (SELECT doc_id, length(t) AS chars,
+                    string_split(t, ' ') AS toks FROM built),
+         g2 AS (
+           SELECT doc_id, chars,
+             unnest([array_to_string(toks[i:i+1], ' ')
+               FOR i IN range(1, len(toks))]) AS g
+           FROM base WHERE len(toks) >= 2),
+         c2 AS (SELECT doc_id, chars, g, count(*) AS c
+                FROM g2 GROUP BY doc_id, chars, g),
+         top AS (
+           SELECT doc_id, chars, g, c,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+           FROM c2),
+         g5 AS (
+           SELECT doc_id,
+             unnest([array_to_string(toks[i:i+4], ' ')
+               FOR i IN range(1, len(toks) - 3)]) AS g
+           FROM base WHERE len(toks) >= 5),
+         c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+         dup AS (SELECT doc_id, sum(c * length(g)) AS dchars
+                 FROM c5 WHERE c > 1 GROUP BY doc_id),
+         rep AS (
+           SELECT t.doc_id, t.g AS top_ngram,
+             round(t.c * length(t.g) / t.chars, 4) AS top_ngram_char_frac,
+             round(least(1.0, coalesce(d.dchars, 0) / t.chars), 4)
+               AS dup_ngram_char_frac
+           FROM top t LEFT JOIN dup d ON t.doc_id = d.doc_id
+           WHERE t.rn = 1),
+         -- C4 line rules (q64 form)
+         c4 AS (
+           SELECT doc_id,
+             array_to_string(kept, chr(10)) AS c4_text,
+             CAST(len(kept) AS INTEGER) AS n_kept_lines,
+             NOT (contains(lower(t), 'lorem ipsum') OR contains(t, '{'))
+               AS doc_keep
+           FROM (SELECT doc_id, t,
+             list_filter(string_split(t, chr(10)), l ->
+               right(rtrim(l), 1) IN ('.', '!', '?', '"')
+               AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+               AND NOT contains(lower(l), 'javascript')) AS kept
+             FROM built)),
+         -- CCNet LM score (q80 form trained on built < 250, scored on
+         -- ALL built docs, summed in POSITION order to replay the fused
+         -- operator's per-row fold exactly)
+         lm AS (SELECT t FROM built WHERE doc_id < 250),
+         tri AS (SELECT substr(t, i + 1, 3) AS g, count(*) AS c
+                 FROM lm, range(2000) r(i) WHERE i + 3 <= length(t)
+                 GROUP BY 1),
+         bi AS (SELECT substr(t, i + 1, 2) AS g, count(*) AS c
+                FROM lm, range(2000) r(i) WHERE i + 2 <= length(t)
+                GROUP BY 1),
+         occ AS (SELECT doc_id, i, substr(t, i + 1, 3) AS g
+                 FROM built, range(2000) r(i) WHERE i + 3 <= length(t)),
+         lp AS (SELECT o.doc_id, o.i,
+                  ln((coalesce(tr.c, 0) + 1.0) /
+                     (coalesce(b.c, 0) + 128.0)) AS lp
+                FROM occ o
+                LEFT JOIN tri tr ON o.g = tr.g
+                LEFT JOIN bi b ON substr(o.g, 1, 2) = b.g),
+         lmx AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   round(list_sum(list(lp ORDER BY i)) / count(*), 4)
+                     AS lm_score
+                 FROM lp GROUP BY doc_id)
+         SELECT b.doc_id, gq.n_words, gq.mean_word_len,
+           gq.frac_unique_words, gq.top_word_frac,
+           (gq.n_words >= 40 AND gq.n_words <= 100000
+            AND gq.mean_word_len >= 3.0 AND gq.mean_word_len <= 10.0
+            AND gq.frac_unique_words >= 0.2 AND gq.top_word_frac <= 0.2)
+             AS passes_quality,
+           rep.top_ngram, rep.top_ngram_char_frac, rep.dup_ngram_char_frac,
+           c4.c4_text, c4.n_kept_lines, c4.doc_keep,
+           lmx.n_grams, lmx.lm_score
+         FROM built b
+         LEFT JOIN gq ON b.doc_id = gq.doc_id
+         LEFT JOIN rep ON b.doc_id = rep.doc_id
+         LEFT JOIN c4 ON b.doc_id = c4.doc_id
+         LEFT JOIN lmx ON b.doc_id = lmx.doc_id
+         ORDER BY b.doc_id""",
+
+    "q95_paragraph_dedup" ->
+      """WITH src AS (
+           SELECT d.doc_id,
+             d.text || chr(10) || chr(10) || substr(o.text, 1, 60) AS text
+           FROM documents d
+           JOIN documents o ON o.doc_id = d.doc_id % 40
+           WHERE o.doc_id < 40),
+         p AS (SELECT doc_id, i AS pn, ps[i + 1] AS para
+               FROM (SELECT doc_id,
+                       string_split(text, chr(10) || chr(10)) AS ps
+                     FROM src),
+                    range(2000) t(i)
+               WHERE i < len(ps)),
+         n AS (SELECT doc_id, pn, para,
+                 trim(regexp_replace(para, '[ \t\n\r\f]+', ' ', 'g')) AS nrm
+               FROM p),
+         k AS (SELECT doc_id, pn, para,
+                 -- whitespace-only paragraphs: per-occurrence partition
+                 -- (always rank 1, always kept), mirroring the operator
+                 row_number() OVER (
+                   PARTITION BY CASE WHEN nrm = ''
+                     THEN 'e:' || doc_id || ':' || pn
+                     ELSE md5(nrm) END
+                   ORDER BY doc_id, pn) AS rk
+               FROM n),
+         r AS (SELECT doc_id,
+                 string_agg(para, chr(10) || chr(10) ORDER BY pn)
+                   AS text_dedup
+               FROM k WHERE rk = 1 GROUP BY doc_id)
+         SELECT s.doc_id, coalesce(r.text_dedup, '') AS text_dedup
+         FROM src s LEFT JOIN r ON s.doc_id = r.doc_id
+         ORDER BY s.doc_id""",
 
     "q94_corpus_profile" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS docs,

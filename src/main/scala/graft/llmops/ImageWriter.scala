@@ -39,6 +39,85 @@ object ImageWriter {
     out.toByteArray
   }
 
+  /** COMPLETE PNG with real pixel data — the full-decode partner of
+    * [[graft.expressions.PngPixels]] the way the header-only [[png]]
+    * partners [[graft.expressions.ImageDims]]. 8-bit truecolor (RGB,
+    * `channels = 3`) or truecolor-alpha (RGBA, 4); scanlines are
+    * deflate-compressed into one IDAT with row `y` written under filter
+    * type `y % 5`, so a decoder must implement ALL five PNG filters
+    * (None/Sub/Up/Average/Paeth) to reconstruct the image.
+    *
+    * Pixel bytes are the closed form
+    * `v(x, y, c) = (3x + 7y + 11c + seed) mod 256` — chosen so an
+    * external SQL engine can compute the expected pixel statistics from
+    * (width, height, seed) alone, with no image library, and verify the
+    * decode exactly.
+    */
+  def pngWithPixels(width: Int, height: Int, seed: Int,
+      channels: Int = 3): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims: ${width}x$height")
+    require(channels == 3 || channels == 4, s"channels must be 3|4: $channels")
+    val bpp = channels
+    val stride = width * bpp
+    val raw = Array.tabulate(height, stride) { (y, i) =>
+      val x = i / bpp
+      val c = i % bpp
+      ((3 * x + 7 * y + 11 * c + seed) % 256).toByte
+    }
+    // filter each scanline (encode direction: filtered = raw - predictor)
+    val filtered = new ByteArrayOutputStream()
+    for (y <- 0 until height) {
+      val f = y % 5
+      filtered.write(f)
+      val row = raw(y)
+      val prior = if (y == 0) new Array[Byte](stride) else raw(y - 1)
+      var i = 0
+      while (i < stride) {
+        val cur = row(i) & 0xFF
+        val left = if (i >= bpp) row(i - bpp) & 0xFF else 0
+        val up = prior(i) & 0xFF
+        val upLeft = if (i >= bpp) prior(i - bpp) & 0xFF else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => // Paeth
+            val p = left + up - upLeft
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - upLeft)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
+        }
+        filtered.write((cur - pred) & 0xFF)
+        i += 1
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered.toByteArray)
+    deflater.finish()
+    val idat = new ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length))
+      val td = typ.getBytes("US-ASCII") ++ data
+      out.write(td)
+      val crc = new java.util.zip.CRC32(); crc.update(td)
+      out.write(be32(crc.getValue.toInt))
+    }
+    val colorType: Byte = if (channels == 4) 6 else 2
+    chunk("IHDR", be32(width) ++ be32(height) ++
+      Array[Byte](8, colorType, 0, 0, 0))
+    chunk("IDAT", idat.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** GIF89a header + logical screen descriptor + trailer. */
   def gif(width: Int, height: Int): Array[Byte] =
     "GIF89a".getBytes("US-ASCII") ++ le16(width) ++ le16(height) ++

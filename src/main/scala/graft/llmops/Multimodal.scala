@@ -60,6 +60,26 @@ object Multimodal {
   def withImageDims(df: DataFrame, contentCol: String = "content"): DataFrame =
     df.withColumn("img", imageDims(col(contentCol)))
 
+  /** REAL pixel decode for PNG — IDAT inflate (JDK zlib) + full
+    * five-filter unfilter by the native [[graft.expressions.PngPixels]]
+    * expression, returning per-image pixel statistics
+    * (struct&lt;width,height,channels,pix_sum,pix_wsum,mean_r,mean_g,mean_b&gt;,
+    * NULL for anything but a well-formed non-interlaced 8-bit RGB/RGBA
+    * PNG). Scan-projection local like [[imageDims]]; decoded pixels never
+    * leave the expression, only their statistics do — the shape a
+    * quality/brightness/entropy filter wants at scan time. Other codecs
+    * (JPEG entropy decode needs a DCT library) remain behind
+    * [[StubCodec]].
+    */
+  def pngPixels(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.PngPixels(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** Appends `px` from [[pngPixels]] — scan-projection local, no shuffle. */
+  def withPngPixels(df: DataFrame, contentCol: String = "content"): DataFrame =
+    df.withColumn("px", pngPixels(col(contentCol)))
+
   /** REAL audio/video container metadata from binary headers — WAV
     * channels/rate/bits/duration and MP4 movie duration parsed by the
     * native codegen'd [[graft.expressions.AvMeta]] expression (the

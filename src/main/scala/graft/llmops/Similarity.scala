@@ -132,6 +132,18 @@ object Similarity {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
+  /** Cell-count guidance for IVF layouts: cells ≈ √n balances per-probe
+    * scan cost (n/cells rows) against the coarse assignment cost (cells
+    * distance evaluations per row) — the standard rule (FAISS trains
+    * `sqrt(n)`-to-`4·sqrt(n)` cells). The demo-scale gate queries pin
+    * nCentroids=16 for oracle replay; REAL corpora should pass this.
+    * Clamped to [16, 65536] — below 16 probing stops pruning, above 64k
+    * the coarse table stops broadcasting comfortably.
+    */
+  def ivfCentroidsFor(corpusSize: Long): Int =
+    math.max(16L, math.min(65536L, math.round(math.sqrt(
+      math.max(0L, corpusSize).toDouble)))).toInt
+
   def ivfTopK(
       corpus: DataFrame,
       corpusKey: String,
@@ -140,6 +152,9 @@ object Similarity {
       queryKey: String,
       queryVec: String,
       k: Int,
+      /** Demo-scale default; at real corpus sizes pass
+        * [[ivfCentroidsFor]](n).
+        */
       nCentroids: Int = 16,
       nProbe: Int = 4
   ): DataFrame = {
@@ -202,7 +217,11 @@ object Similarity {
       .join(queries.select(col(queryKey).alias("query_key"),
         col(queryVec).alias("qv")), "query_key")
 
-    val cand = corpusAssigned.join(queryAssigned, Seq("cent_id"))
+    // probe side broadcasts (see ivfPqTopK): a hash join on the
+    // nCentroids-key cent_id domain would give each cell one task and
+    // make a hot cell the straggler; broadcasting the query→cell list
+    // leaves corpus rows spread across their existing partitions
+    val cand = corpusAssigned.join(broadcast(queryAssigned), Seq("cent_id"))
       .filter(col("query_key") =!= col("neighbor_key"))
       .dropDuplicates("query_key", "neighbor_key")
       .withColumn("cosine", cosine(col("qv"), col("cv")))
@@ -401,6 +420,132 @@ object Similarity {
       .select(col(keyAs), col("m"), col("j"), col("dd"))
   }
 
+  /** Lloyd-refined (k-means) PQ codebook — the quality upgrade over
+    * [[pqSample]]'s hash-sampled codebook (Jégou et al. 2011 train
+    * theirs the same way; sampling is the bootstrap, not the product).
+    * Runs `iters` fixed Lloyd rounds per subspace over a deterministic
+    * hash-ordered training sample of at most `trainLimit` vectors:
+    * assign every sub-vector to its nearest centroid (squared L2, index
+    * -ordered sums, ties to the smaller id), recompute centroids as
+    * cluster means, keep the old centroid for empty clusters.
+    * `iters = 0` returns exactly the [[pqSample]] codebook (cast to
+    * double) — the two modes share their initialization.
+    *
+    * Scale shape: the codebook is a driver-side literal (M·K·d doubles,
+    * a few KB), so ASSIGNMENT is a pure per-row expression over the
+    * sampled sub-vectors — no join, no shuffle; the only exchange per
+    * round is the (m, centroid, dim) partial-agg mean, bounded by
+    * M·K·d groups regardless of corpus size. `trainLimit` bounds the
+    * per-round scan the way every production PQ trainer subsamples.
+    *
+    * Determinism: the per-round means are float sums in shuffle order,
+    * so trained centroids can differ across runs in final ulps — which
+    * is why trained codebooks are SPEC-gated (recall/quantization-error
+    * margins in PqSpec), while the oracle-replayed gate queries keep
+    * [[pqSample]]. Pass the result to [[pqTopK]]/[[ivfPqTopK]] via
+    * their `codebook`/`pqCodebook` parameters.
+    *
+    * @return (j, cent_vec: array<double>) — same shape as [[pqSample]]
+    */
+  def pqTrain(
+      corpus: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      numSubspaces: Int = 8,
+      numCentroids: Int = 16,
+      iters: Int = 8,
+      trainLimit: Int = 65536
+  ): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    require(trainLimit >= numCentroids,
+      s"trainLimit=$trainLimit < numCentroids=$numCentroids")
+    val spark = corpus.sparkSession
+    val dcorpus = corpus.select(col(keyCol).alias("ck"),
+      col(vecCol).cast("array<double>").alias("cent_vec"))
+    // init = the hash-sampled codebook (shared bootstrap with pqSample)
+    val init = pqSample(dcorpus, "ck", "cent_vec", numCentroids)
+      .orderBy("j").collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(init.nonEmpty, "pqTrain: empty corpus")
+    val dim = init.head.length
+    require(dim % numSubspaces == 0,
+      s"PQ: vector length $dim is not divisible by numSubspaces=$numSubspaces")
+    val sd = dim / numSubspaces
+    val kk = init.length // may be < numCentroids on tiny corpora
+    // cents(m)(j)(d): per-subspace centroid table
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(numSubspaces) {
+      m => init.map(_.slice(m * sd, (m + 1) * sd))
+    }
+    if (iters > 0) {
+      val subs = dcorpus
+        .withColumn("__r", pmod(portable60(col("ck")), lit(1000000L)))
+        .orderBy(col("__r"), col("ck"))
+        .limit(trainLimit)
+        .select(explode(sequence(lit(0), lit(numSubspaces - 1))).alias("m"),
+          col("cent_vec").alias("__v"))
+        .select(col("m"),
+          slice(col("__v"), col("m") * sd + 1, lit(sd)).alias("sv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        for (_ <- 0 until iters) {
+          val centsLit = typedlit(cents.map(_.map(_.toSeq).toSeq).toSeq)
+          val assigned = subs
+            .withColumn("__dists", transform(
+              element_at(centsLit, col("m") + 1),
+              cv => aggregate(zip_with(col("sv"), cv,
+                  (a, b) => (a - b) * (a - b)),
+                lit(0.0), (acc, x) => acc + x)))
+            .withColumn("code", expr(
+              s"""aggregate(sequence(0, ${kk - 1}),
+                  named_struct('bj', -1, 'bd', CAST('Infinity' AS DOUBLE)),
+                  (s, j) -> IF(element_at(__dists, j + 1) < s.bd,
+                    named_struct('bj', j, 'bd', element_at(__dists, j + 1)),
+                    s),
+                  s -> s.bj)"""))
+          val sums = assigned
+            .select(col("m"), col("code"),
+              posexplode(col("sv")).as(Seq("d", "x")))
+            .groupBy(col("m"), col("code"), col("d"))
+            .agg(sum(col("x")).alias("sx"), count(lit(1)).alias("c"))
+            .collect()
+          val next = cents.map(_.map(_.clone())) // empty clusters keep old
+          sums.foreach { r =>
+            val (m, j, d) = (r.getInt(0), r.getInt(1), r.getInt(2))
+            next(m)(j)(d) = r.getDouble(3) / r.getLong(4)
+          }
+          cents = next
+        }
+      } finally subs.unpersist()
+    }
+    // reassemble full-dim centroid vectors: j's vector is the
+    // concatenation of its per-subspace centroids
+    import scala.jdk.CollectionConverters._
+    val rows = (0 until kk).map { j =>
+      org.apache.spark.sql.Row(j,
+        (0 until numSubspaces).flatMap(m => cents(m)(j)).toSeq)
+    }.asJava
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cent_vec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = false))))
+  }
+
+  /** Mean squared quantization error of a codebook over a corpus — the
+    * objective Lloyd minimizes; the direct way to compare codebook
+    * quality (lower = codes reconstruct vectors better = ADC ranks more
+    * faithfully). One scan, broadcast codebook, in-order sums.
+    */
+  def pqQuantizationError(corpus: DataFrame, keyCol: String, vecCol: String,
+      cb: DataFrame, numSubspaces: Int): Double =
+    pqSubDists(corpus.select(col(keyCol).alias("__qk"), col(vecCol)),
+        "__qk", vecCol, cb, numSubspaces)
+      .groupBy(col("__qk"), col("m"))
+      .agg(min(col("dd")).alias("dd"))
+      .agg(avg(col("dd")))
+      .head().getDouble(0)
+
   /** Product-quantization encode: each vector becomes `numSubspaces`
     * byte-sized codes (nearest sampled sub-centroid per subspace, squared
     * L2, ties to the smaller id). With 8 subspaces × 16 centroids a
@@ -442,9 +587,14 @@ object Similarity {
       queryVec: String,
       k: Int,
       numSubspaces: Int = 8,
-      numCentroids: Int = 16
+      numCentroids: Int = 16,
+      /** Override the hash-sampled codebook — pass [[pqTrain]]'s result
+        * for Lloyd-refined quality. (j, cent_vec) shape.
+        */
+      codebook: Option[DataFrame] = None
   ): DataFrame = {
-    val cb = pqSample(corpus, corpusKey, corpusVec, numCentroids)
+    val cb = codebook.getOrElse(
+      pqSample(corpus, corpusKey, corpusVec, numCentroids))
     // corpus side: codes as one array per row, ordered by subspace
     val codes = pqEncodeWith(corpus, corpusKey, corpusVec, cb, numSubspaces)
       .select(col(corpusKey).alias("neighbor_key"), col("codes"))
@@ -506,12 +656,23 @@ object Similarity {
       queryKey: String,
       queryVec: String,
       k: Int,
+      /** Demo-scale default; at real corpus sizes pass
+        * [[ivfCentroidsFor]](n) — cells ≈ √n balances probe cost
+        * against cell size.
+        */
       nCentroids: Int = 16,
       nProbe: Int = 4,
       numSubspaces: Int = 8,
-      pqCentroids: Int = 16
+      pqCentroids: Int = 16,
+      /** Override the hash-sampled coarse centroids (e.g. with
+        * [[pqTrain]](numSubspaces = 1) — k-means on the full vectors).
+        */
+      coarseCentroids: Option[DataFrame] = None,
+      /** Override the hash-sampled PQ codebook with [[pqTrain]]'s. */
+      pqCodebook: Option[DataFrame] = None
   ): DataFrame = {
-    val coarseCents = pqSample(corpus, corpusKey, corpusVec, nCentroids)
+    val coarseCents = coarseCentroids.getOrElse(
+      pqSample(corpus, corpusKey, corpusVec, nCentroids))
     // coarse score: -cos up to the query-constant factor, i.e. -dot/|c| —
     // in-order sums (see pqSubDists for why)
     def coarse(src: DataFrame, keyAs: String): DataFrame =
@@ -545,14 +706,20 @@ object Similarity {
       .filter(col("__r") <= nProbe)
       .select(col("query_key"), col("cent_id"))
 
-    val cb = pqSample(corpus, corpusKey, corpusVec, pqCentroids)
+    val cb = pqCodebook.getOrElse(
+      pqSample(corpus, corpusKey, corpusVec, pqCentroids))
     val codes = pqEncodeWith(corpus, corpusKey, corpusVec, cb, numSubspaces)
       .select(col(corpusKey).alias("neighbor_key"), col("codes"))
     val qtab = pqQueryTables(queries, queryKey, queryVec, cb, numSubspaces)
 
     // candidates: probed cells only (each corpus row lives in exactly one
-    // cell, so no pair duplicates); then ADC-rank within them
-    val scored = probes.join(corpusCell, "cent_id")
+    // cell, so no pair duplicates); then ADC-rank within them. The PROBE
+    // side broadcasts: cent_id's domain is only nCentroids keys, so a
+    // hash join on it would funnel each cell — hot cells included — into
+    // a single task; broadcasting the (small) query→cell list instead
+    // keeps corpus rows in their existing partitioning, so a skewed cell
+    // stays spread across however many partitions already hold it
+    val scored = corpusCell.join(broadcast(probes), "cent_id")
       .filter(col("query_key") =!= col("neighbor_key"))
       .join(codes, "neighbor_key")
       .join(broadcast(qtab), "query_key")

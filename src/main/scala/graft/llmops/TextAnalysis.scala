@@ -324,6 +324,60 @@ object TextAnalysis {
         coalesce(col("text_dedup"), lit("")).alias("text_dedup"))
   }
 
+  /** Cross-document PARAGRAPH dedup — RefinedWeb granularity (Penedo et
+    * al. 2023 run their exact-match dedup on blank-line-separated blocks,
+    * not single lines): each paragraph survives once corpus-wide, in the
+    * first document that contains it (order: key asc, then position).
+    * Matching is whitespace-insensitive — paragraphs are fingerprinted on
+    * their text with runs of whitespace collapsed to one space and ends
+    * trimmed, so a re-wrapped copy of a boilerplate block still dedups —
+    * but the SURVIVING paragraph keeps its original bytes.
+    * Whitespace-only paragraphs are formatting, not content: always kept,
+    * and excluded from the fingerprint window (a shared "" fingerprint
+    * would funnel every blank block corpus-wide into one window
+    * partition — a guaranteed hot key at scale).
+    *
+    * Same two-shuffle shape as [[dedupLinesAcrossCorpus]]: keep-first
+    * window over narrow (key, position, fingerprint) rows, then per-doc
+    * reassembly; no global sort, no driver state. Engine-portable: the
+    * whitespace class is spelled explicitly (`[ \t\n\r\f]`) because Java
+    * and RE2 disagree on `\s`, and the fingerprint is plain md5 — an
+    * external SQL engine replays keep-first exactly.
+    *
+    * @return (keyCol, text_dedup)
+    */
+  def dedupParagraphsAcrossCorpus(df: DataFrame, keyCol: String,
+      textCol: String, sep: String = "\n\n"): DataFrame = {
+    val paras = df.select(col(keyCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pn", "__para")))
+      .withColumn("__norm",
+        trim(regexp_replace(col("__para"), "[ \\t\\n\\r\\f]+", " ")))
+    // whitespace-only paragraphs get a per-occurrence partition key (md5
+    // hex never contains ':', so the 'e:' namespace cannot collide) —
+    // their window is always the single row, rank 1, kept
+    val fp = when(col("__norm") === "",
+        concat_ws(":", lit("e"), col(keyCol).cast("string"),
+          col("__pn").cast("string")))
+      .otherwise(md5(col("__norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(fp)
+      .orderBy(col(keyCol), col("__pn"))
+    val kept = paras
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+    val rebuilt = kept
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("__pn"), col("__para"))))
+        .alias("__ps"))
+      .select(col(keyCol),
+        concat_ws(sep, transform(col("__ps"), x => x.getField("__para")))
+          .alias("text_dedup"))
+    df.select(col(keyCol)).join(rebuilt, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("text_dedup"), lit("")).alias("text_dedup"))
+  }
+
   /** URL curation — the crawl-side filter battery (host routing, domain
     * blocklists, tracker-param stripping). All regexp-based and
     * deliberately RE2-compatible so external validators apply the
@@ -584,6 +638,136 @@ object TextAnalysis {
       .groupBy(col(keyCol))
       .agg(count(lit(1)).alias("n_grams"),
         round(avg(col("__lp")), 4).alias("lm_score"))
+  }
+
+  /** The full standard curation-signal battery — Gopher word statistics
+    * ([[gopherQualityFeatures]]), Gopher repetition signals
+    * ([[gopherRepetitionSignals]]), C4 line rules ([[c4CleanLines]]) and
+    * the CCNet char-trigram LM score ([[lmQualityScore]]) — computed in
+    * ONE pass over the corpus. Run separately, the four operators scan
+    * the corpus four times and shuffle it three (two word-count
+    * aggregations, a window, a per-doc score aggregate); here every
+    * signal is a per-row expression, so the corpus is scanned once and
+    * NEVER shuffled:
+    *
+    *  - word/gram statistics (top word count, top n-gram, duplicated
+    *    n-gram coverage) fold over the row's SORTED token/gram array —
+    *    a run-length scan replaces the (key, gram) count shuffle; the
+    *    per-row O(m log m) sort is CPU the executor has, the shuffle it
+    *    replaces is network the cluster feels,
+    *  - the LM tables are collected to the driver as a model artifact
+    *    (bounded by the char-trigram space — they stop growing once the
+    *    alphabet is covered — same argument that lets
+    *    [[lmQualityScore]] broadcast them) and shipped in the task
+    *    binary inside the native [[graft.expressions.CharTrigramLm]]
+    *    kernel: O(1) hash probes per gram, and the per-doc score is a
+    *    strict left-to-right fold, so an external SQL engine replays
+    *    the exact doubles. NOTE: building this plan therefore RUNS the
+    *    two LM-table jobs eagerly (train-then-apply),
+    *  - the C4 rules were already pure projection.
+    *
+    * Output columns and semantics match the standalone operators
+    * (documents with no words / no grams get NULL signal columns where
+    * the standalone aggregation would simply have no row). The one
+    * deliberate divergence: `top_ngram` ties break by (count desc, gram
+    * asc) exactly like the window version, because the fold only
+    * replaces its best candidate on a STRICTLY higher run length and
+    * the array is scanned in ascending gram order.
+    */
+  def curationSignals(
+      docs: DataFrame,
+      keyCol: String,
+      textCol: String,
+      lmTri: DataFrame,
+      lmBi: DataFrame,
+      vocab: Int = 128,
+      k: Double = 1.0,
+      topN: Int = 2,
+      dupN: Int = 5,
+      minWordsPerLine: Int = 3): DataFrame = {
+    require(k > 0, "add-k smoothing needs k > 0")
+    def grams(n: Int) = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.WordNGrams(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(col(textCol)),
+        n, distinct = false))
+    // collect the bounded LM tables once; cnt values are exact longs so
+    // the model is deterministic regardless of collect order
+    def table(df: DataFrame): Array[(String, Long)] =
+      df.select(col("gram"), col("cnt")).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+    val lmModel = graft.expressions.CharTrigramLm.model(
+      table(lmTri), table(lmBi), vocab, k)
+    val lmCol = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.CharTrigramLm(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(col(textCol)),
+        lmModel))
+
+    // run-length folds over sorted arrays; named_struct carries the fold
+    // state (prev element, current run, best/accumulator)
+    val maxRun =
+      """aggregate(__sw,
+         named_struct('p', '', 'r', 0L, 'b', 0L),
+         (s, x) -> named_struct('p', x,
+           'r', IF(x = s.p, s.r + 1L, 1L),
+           'b', GREATEST(s.b, IF(x = s.p, s.r + 1L, 1L))),
+         s -> s.b)"""
+    val topGram =
+      """aggregate(__g2s,
+         named_struct('p', '', 'r', 0L, 'bg', CAST(NULL AS STRING), 'bc', 0L),
+         (s, x) -> named_struct('p', x,
+           'r', IF(x = s.p, s.r + 1L, 1L),
+           'bg', IF(IF(x = s.p, s.r + 1L, 1L) > s.bc, x, s.bg),
+           'bc', GREATEST(s.bc, IF(x = s.p, s.r + 1L, 1L))),
+         s -> named_struct('bg', s.bg, 'bc', s.bc))"""
+    val dupChars =
+      """aggregate(__g5s,
+         named_struct('p', '', 'r', 0L, 'a', 0L),
+         (s, x) -> named_struct('p', x,
+           'r', IF(x = s.p, s.r + 1L, 1L),
+           'a', s.a + IF(x = s.p, 0L,
+             IF(s.r > 1L, s.r * length(s.p), 0L))),
+         s -> s.a + IF(s.r > 1L, s.r * length(s.p), 0L))"""
+    c4CleanLines(docs, textCol, minWordsPerLine)
+      .withColumn("__words",
+        filter(split(col(textCol), " "), w => length(w) > 0))
+      .withColumn("__sw", array_sort(col("__words")))
+      .withColumn("__g2s", array_sort(grams(topN)))
+      .withColumn("__g5s", array_sort(grams(dupN)))
+      .withColumn("__lm", lmCol)
+      .withColumn("__chars", length(col(textCol)))
+      .withColumn("n_words", size(col("__words")).cast("long"))
+      .withColumn("mean_word_len",
+        round(expr("aggregate(__words, 0L, (s, w) -> s + length(w))")
+          .cast("double") / col("n_words"), 4))
+      .withColumn("frac_unique_words",
+        round(size(array_distinct(col("__words"))).cast("double") /
+          col("n_words"), 4))
+      .withColumn("top_word_frac",
+        round(expr(maxRun).cast("double") / col("n_words"), 4))
+      .withColumn("passes_quality",
+        col("n_words") >= 40 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("frac_unique_words") >= 0.2 && col("top_word_frac") <= 0.2)
+      .withColumn("__top", expr(topGram))
+      .withColumn("top_ngram", col("__top.bg"))
+      .withColumn("top_ngram_char_frac",
+        when(col("__top.bc") > 0,
+          round(col("__top.bc") * length(col("top_ngram")) /
+            col("__chars").cast("double"), 4)))
+      // gated on the topN grams like the standalone operator's output row
+      // (present iff the doc has >= topN words, dup coverage coalesced to
+      // 0 when nothing repeats — the empty-array fold already yields 0)
+      .withColumn("dup_ngram_char_frac",
+        when(size(col("__g2s")) > 0,
+          round(least(lit(1.0),
+            expr(dupChars) / col("__chars").cast("double")), 4)))
+      // NULL text has a NULL __lm struct; coalesce to the 0-gram shape
+      // the SQL array fold produced (n_grams 0, lm_score null)
+      .withColumn("n_grams", coalesce(col("__lm.n_grams"), lit(0L)))
+      .withColumn("lm_score",
+        when(col("n_grams") > 0,
+          round(col("__lm.lm_sum") / col("n_grams"), 4)))
+      .drop("__words", "__sw", "__g2s", "__g5s", "__lm", "__chars", "__top")
   }
 
   /** CCNet's head/middle/tail partition over LM scores: corpus-level

@@ -110,6 +110,20 @@ final class WriterLease private (fs: FileSystem, lock: Path, owner: String,
 
 object WriterLease {
 
+  /** The lock protocol's correctness rests on single-file rename
+    * atomicity, and a [[org.apache.hadoop.fs.ChecksumFileSystem]] (e.g.
+    * `file://`'s LocalFileSystem) breaks that by construction: every
+    * rename is two steps (data file, then `.crc` sidecar), so a racer
+    * reading between them gets a ChecksumException, which would
+    * masquerade as "lock vanished" and drain the re-contention budget to
+    * a zero-winner race. Run the whole protocol on the raw filesystem —
+    * lock files are ephemeral metadata; checksumming buys nothing here.
+    */
+  private def lockFs(fs: FileSystem): FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
   /** First line of the lock file (the owner id): Some(owner) when the lock
     * exists and parses, None when it does not exist / vanished mid-read.
     * Reads to end-of-stream in a loop — a single InputStream.read may
@@ -136,7 +150,9 @@ object WriterLease {
     * older than `staleMs`; throws [[MergeUpsert.ConcurrentWriteException]]
     * when a live writer holds it.
     */
-  def acquire(fs: FileSystem, path: String, staleMs: Long): WriterLease = {
+  def acquire(rawOrChecksummed: FileSystem, path: String,
+      staleMs: Long): WriterLease = {
+    val fs = lockFs(rawOrChecksummed)
     val lock = new Path(path + "__lock")
     val token = java.util.UUID.randomUUID().toString
     val owner = s"${java.net.InetAddress.getLocalHost.getHostName}:" +
@@ -219,9 +235,21 @@ object WriterLease {
           // rename failed: another breaker won the break; loop and contend
           // for the now-absent (or freshly republished) lock
         case _ =>
-          throw concurrent(fs, path, lock, staleMs) // live holder
+          // live holder — but it may be OUR OWN earlier publish: a breaker
+          // that stat'd the old stale lock can rename our fresh lock away
+          // (we read back None → Vanished → loop), then see it live and
+          // restore it, leaving us contending against ourselves. Throwing
+          // here would end the race with ZERO winners and an orphaned lock
+          // naming a writer that gave up; reclaim instead.
+          if (readOwner(fs, lock).contains(owner))
+            return new WriterLease(fs, lock, owner, token)
+          throw concurrent(fs, path, lock, staleMs)
       }
     }
+    // re-contention budget exhausted — same self-check before giving up:
+    // the last restore may have landed our lock after our final stat
+    if (readOwner(fs, lock).contains(owner))
+      return new WriterLease(fs, lock, owner, token)
     throw concurrent(fs, path, lock, staleMs)
   }
 

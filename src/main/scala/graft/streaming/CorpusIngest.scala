@@ -58,7 +58,24 @@ object CorpusIngest {
         * normal deployment: foreachBatch runs batches sequentially) does
         * not need it.
         */
-      lockStore: Option[graft.operators.LockStore] = None
+      lockStore: Option[graft.operators.LockStore] = None,
+      /** Quality gate run on the batch's DEDUP SURVIVORS before they
+        * append: compose judge scoring ([[graft.llmops.LlmScore
+        * .scoreColumn]]), embeddings ([[graft.llmops.Embeddings]]), LM
+        * quality ([[graft.llmops.TextAnalysis.lmQualityScore]]) and a
+        * keep-filter here — a real curation pipeline filters DURING
+        * ingest, not after. Running after the near-dup screen means the
+        * expensive client stages only ever see documents that would
+        * actually land. Retry and dead-batch policy are whatever the
+        * batched-client operators inside the gate were built with; a
+        * crash-replayed micro-batch re-runs its gate, but the screen has
+        * already dropped the batch's appended rows as self-duplicates,
+        * so replay appends nothing twice (same idempotency as the
+        * ungated path). Columns the gate appends (scores, rationales,
+        * embeddings) land in the corpus table — use one consistent gate
+        * per corpus so the schema stays stable.
+        */
+      qualityGate: Option[DataFrame => DataFrame] = None
   ): Long = {
     lockStore match {
       case Some(store) =>
@@ -66,11 +83,13 @@ object CorpusIngest {
           store, corpusPath + "__ingest_lock",
           graft.operators.MergeUpsert.DefaultLeaseStaleMs)
         try ingestBatchUnlocked(spark, batch, corpusPath, textCol, keyCol,
-          wordShingleN, numHashes, bands, threshold, signaturePath)
+          wordShingleN, numHashes, bands, threshold, signaturePath,
+          qualityGate)
         finally lease.release()
       case None =>
         ingestBatchUnlocked(spark, batch, corpusPath, textCol, keyCol,
-          wordShingleN, numHashes, bands, threshold, signaturePath)
+          wordShingleN, numHashes, bands, threshold, signaturePath,
+          qualityGate)
     }
   }
 
@@ -84,7 +103,8 @@ object CorpusIngest {
       numHashes: Int,
       bands: Int,
       threshold: Double,
-      signaturePath: Option[String]
+      signaturePath: Option[String],
+      qualityGate: Option[DataFrame => DataFrame]
   ): Long = {
     // within-batch: every doc named as the greater key of a verified
     // near-dup pair is dropped
@@ -118,10 +138,13 @@ object CorpusIngest {
             wordShingleN, numHashes, bands, threshold)
       }
 
+    // the quality gate sees only dedup survivors (client calls are the
+    // cost center — never judge a doc the screen already rejected)
+    val gated = qualityGate.map(_(survivors)).getOrElse(survivors)
     // materialize before the append: the survivor plan reads the corpus
     // dir this write appends to — pinning rows in the block cache keeps
     // the write action from re-scanning a directory it is growing
-    val pinned = survivors
+    val pinned = gated
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = pinned.count()
@@ -196,7 +219,12 @@ object CorpusIngest {
       trigger: Trigger = Trigger.AvailableNow(),
       signaturePath: Option[String] = None,
       compactEveryBatches: Option[Int] = None,
-      compactTargetFileMB: Int = 128
+      compactTargetFileMB: Int = 128,
+      /** See [[ingestBatch]]'s `qualityGate`: the in-stream judge /
+        * embedding / LM-score screen, run per micro-batch on dedup
+        * survivors.
+        */
+      qualityGate: Option[DataFrame => DataFrame] = None
   ): StreamingQuery = {
     compactEveryBatches.foreach(n =>
       require(n > 0, "compactEveryBatches must be positive"))
@@ -205,7 +233,8 @@ object CorpusIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(spark, batch, corpusPath, textCol, keyCol,
-          wordShingleN, numHashes, bands, threshold, signaturePath)
+          wordShingleN, numHashes, bands, threshold, signaturePath,
+          qualityGate = qualityGate)
         compactEveryBatches.foreach { n =>
           if ((batchId + 1) % n == 0)
             compactStores(spark, corpusPath, signaturePath, compactTargetFileMB)

@@ -219,6 +219,27 @@ class PlanShapeSpec extends SparkTestBase {
     } finally grams.unpersist()
   }
 
+  test("q96 fused curation signals: one corpus scan, corpus never shuffled") {
+    val plan = executedPlan("q96_curation_signals")
+    val finalPart = plan.split("== Initial Plan ==").head
+    // run separately, the four signal operators scan the corpus 4+ times
+    // and shuffle it three; fused, the corpus parquet is read ONCE and
+    // corpus rows reach the output without any hash exchange. The LM
+    // tables train in their own eager jobs at plan-construction time and
+    // ride the task binary inside the CharTrigramLm kernel, so the query
+    // plan itself contains NO lm-side scans or joins at all
+    val scans = "FileScan parquet".r.findAllIn(finalPart).size
+    assert(scans === 1,
+      s"expected exactly 1 corpus scan, got $scans:\n$plan")
+    assert(finalPart.contains("graft_char_trigram_lm"),
+      s"lm score must be the native kernel in the scan projection:\n$plan")
+    assert(!finalPart.contains("Exchange hashpartitioning(doc_id"),
+      s"corpus rows must not be hash-shuffled:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"signals must be per-row expressions, not windows/joins:\n$plan")
+  }
+
   test("q87 llm judge adds no shuffle: score columns ride the scan partitioning") {
     val df = SparkEntry.queries("q87_llm_judge")(spark, sf0001)
     df.collect()

@@ -165,6 +165,66 @@ class LlmOpsSpec extends SparkTestBase {
       (3L, ""))) // both lines claimed; doc kept with empty text
   }
 
+  test("dedupParagraphsAcrossCorpus: keep-first blocks, ws-insensitive match") {
+    val docs = Seq(
+      (1L, "intro one\n\nshared  boilerplate\n\noutro"),
+      // same boilerplate re-wrapped (newline + double space): still dedups,
+      // and doc 1's ORIGINAL bytes survive
+      (2L, "other\n\nshared\nboilerplate"),
+      (3L, "intro one\n\nfresh")) // "intro one" claimed by doc 1
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dedupParagraphsAcrossCorpus(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq(
+      (1L, "intro one\n\nshared  boilerplate\n\noutro"),
+      (2L, "other"),
+      (3L, "fresh")))
+  }
+
+  test("dedupParagraphsAcrossCorpus: whitespace-only blocks always survive") {
+    val docs = Seq(
+      (1L, "a\n\n \n\nb"), // middle block is formatting, not content
+      (2L, "c\n\n \n\nd")) // ...and must not be claimed by doc 1's blank
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dedupParagraphsAcrossCorpus(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq(
+      (1L, "a\n\n \n\nb"),
+      (2L, "c\n\n \n\nd")))
+  }
+
+  test("curationSignals equals the four standalone signal operators") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today.\n" +
+        "the quick brown fox jumps over the lazy dog again today."),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa."),
+      (3L, "spam spam spam spam spam spam spam spam spam spam spam spam."),
+      (4L, "short { line\nenable javascript now\nlorem ipsum dolor sit."))
+      .toDF("doc_id", "text")
+    val lmSrc = docs.filter($"doc_id" <= 2).select($"text")
+    val tri = TextAnalysis.charNgramCounts(lmSrc, "text", 3)
+    val bi = TextAnalysis.charNgramCounts(lmSrc, "text", 2)
+    val fused = TextAnalysis.curationSignals(docs, "doc_id", "text", tri, bi)
+
+    val gq = TextAnalysis.gopherQualityFeatures(docs, "doc_id", "text")
+    val rep = TextAnalysis.gopherRepetitionSignals(docs, "doc_id", "text")
+    val c4 = TextAnalysis.c4CleanLines(docs, "text")
+      .select($"doc_id", $"c4_text", $"n_kept_lines", $"doc_keep")
+    val lm = TextAnalysis.lmQualityScore(docs, "doc_id", "text", tri, bi)
+    val joined = gq.join(rep, Seq("doc_id"), "left")
+      .join(c4, Seq("doc_id"), "left").join(lm, Seq("doc_id"), "left")
+
+    val cols = Seq("doc_id", "n_words", "mean_word_len",
+      "frac_unique_words", "top_word_frac", "passes_quality", "top_ngram",
+      "top_ngram_char_frac", "dup_ngram_char_frac", "c4_text",
+      "n_kept_lines", "doc_keep", "n_grams", "lm_score")
+    val f = fused.select(cols.map(col): _*).orderBy("doc_id").collect()
+    val j = joined.select(cols.map(col): _*).orderBy("doc_id").collect()
+    assert(f.toSeq === j.toSeq)
+  }
+
   test("mixtureSample: epoch replication plus hash-gated fractional copy") {
     val df = (1L to 40L).map(i =>
       (i, if (i <= 20) "heavy" else "light")).toDF("doc_id", "source")

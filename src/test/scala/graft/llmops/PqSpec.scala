@@ -104,6 +104,114 @@ class PqSpec extends SparkTestBase {
     assert(recall >= 0.5, s"IVF-PQ recall $recall (got=$pairs bf=$bf)")
   }
 
+  test("pqTrain: Lloyd refinement cuts quantization error, holds recall") {
+    val df = clustered(8, 8, 16)
+    // the hash sample picks 16 arbitrary corpus rows; Lloyd moves them
+    // toward the cluster means — the objective it provably decreases
+    val sampled = Similarity.pqTrain(df, "vec_id", "embedding",
+      numSubspaces = 4, numCentroids = 16, iters = 0)
+    val trained = Similarity.pqTrain(df, "vec_id", "embedding",
+      numSubspaces = 4, numCentroids = 16, iters = 8)
+    val eSampled = Similarity.pqQuantizationError(
+      df, "vec_id", "embedding", sampled, 4)
+    val eTrained = Similarity.pqQuantizationError(
+      df, "vec_id", "embedding", trained, 4)
+    assert(eTrained <= eSampled * 0.9,
+      s"trained codebook should cut quantization error >= 10%: " +
+        s"$eTrained vs $eSampled")
+
+    val queries = df.filter($"vec_id" % 8 === 0)
+    val k = 3
+    def recallOf(cb: org.apache.spark.sql.DataFrame): Double = {
+      val pq = Similarity.pqTopK(df, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k,
+          numSubspaces = 4, numCentroids = 16, codebook = Some(cb))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k)
+        .select("query_key", "neighbor_key")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (pq intersect bf).size.toDouble / bf.size
+    }
+    val rs = recallOf(sampled)
+    val rt = recallOf(trained)
+    assert(rt >= rs, s"trained recall $rt must not trail sampled $rs")
+    assert(rt >= 0.6, s"trained recall too low: $rt")
+  }
+
+  test("pqTrain with iters = 0 IS the hash-sampled codebook") {
+    val df = clustered(4, 8, 16)
+    val queries = df.filter($"vec_id" % 8 === 2)
+    val viaDefault = Similarity.pqTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", 3, 4, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaTrain0 = Similarity.pqTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", 3, 4, 16,
+        codebook = Some(Similarity.pqTrain(df, "vec_id", "embedding",
+          numSubspaces = 4, numCentroids = 16, iters = 0)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaDefault === viaTrain0)
+  }
+
+  test("ivfPqTopK accepts trained coarse + PQ codebooks") {
+    val df = clustered(8, 8, 16)
+    val queries = df.filter($"vec_id" % 8 === 3)
+    val k = 3
+    // coarse = k-means on the FULL vectors (numSubspaces = 1)
+    val coarse = Similarity.pqTrain(df, "vec_id", "embedding",
+      numSubspaces = 1, numCentroids = 8, iters = 8)
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding",
+      numSubspaces = 4, numCentroids = 16, iters = 8)
+    val got = Similarity.ivfPqTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k,
+        nCentroids = 8, nProbe = 4, numSubspaces = 4, pqCentroids = 16,
+        coarseCentroids = Some(coarse), pqCodebook = Some(cb))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to k))
+    }
+    val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k)
+      .select("query_key", "neighbor_key")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got.map(t => (t._1, t._2)).toSet intersect bf).size.toDouble /
+      bf.size
+    assert(recall >= 0.6, s"trained IVF-PQ recall too low: $recall")
+  }
+
+  test("a hot coarse cell never hash-partitions the corpus (probe broadcast)") {
+    // adversarial skew: every vector in ONE tight cluster — coarse
+    // assignment puts the whole corpus in a single cell. The candidate
+    // join must broadcast the probe list, not hash-exchange corpus rows
+    // on the 1-active-key cent_id domain (which would make one task scan
+    // everything)
+    val rows = (0L until 64L).map { id =>
+      (id, Array.tabulate(16)(d => 10f + ((id * 31 + d * 7) % 13).toFloat / 13f).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 2)
+    val res = Similarity.ivfPqTopK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 3,
+      nCentroids = 8, nProbe = 2, numSubspaces = 4, pqCentroids = 8)
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(cent_id"),
+      s"cent_id must never be a hash-exchange key:\n$plan")
+    // and the skewed search still returns dense ranks
+    val got = res.collect().map(r => (r.getLong(0), r.getInt(2)))
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === Seq(1, 2, 3))
+    }
+  }
+
+  test("ivfCentroidsFor follows sqrt(n) within clamps") {
+    assert(Similarity.ivfCentroidsFor(0) === 16)
+    assert(Similarity.ivfCentroidsFor(100) === 16) // sqrt=10, clamped up
+    assert(Similarity.ivfCentroidsFor(1000000) === 1000)
+    assert(Similarity.ivfCentroidsFor(100000000) === 10000)
+    assert(Similarity.ivfCentroidsFor(Long.MaxValue) === 65536) // clamped
+  }
+
   test("indivisible vector length fails loudly instead of dropping dimensions") {
     val df = Seq((1L, Seq.fill(10)(1.0f)), (2L, Seq.fill(10)(2.0f)))
       .toDF("vec_id", "embedding")

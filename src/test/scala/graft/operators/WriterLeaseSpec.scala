@@ -92,9 +92,27 @@ class WriterLeaseSpec extends SparkTestBase {
       })
     }
     threads.foreach(_.start())
-    threads.foreach(_.join(30000))
+    // generous join: a full-suite sbt run loads all 32 cores and a racer
+    // thread can stall far past what the file ops themselves need. A
+    // timed-out join would silently race the survivor count below against
+    // a still-live acquirer — assert quiescence instead of assuming it
+    threads.foreach(_.join(120000))
+    assert(threads.forall(!_.isAlive),
+      "racer threads still running after 120 s — survivor count would race")
+    def lockDump: String = {
+      val p = new Path(path + "__lock")
+      val content =
+        try {
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        } catch { case e: Throwable => s"<unreadable: $e>" }
+      s"lock=$content acquirers=${acquired.toArray(Array.empty[WriterLease])
+        .map(_.token).mkString(",")}"
+    }
     assert(!acquired.isEmpty,
-      "zero acquires succeeded (the both-lose race should be retried away)")
+      s"zero acquires succeeded (the both-lose race should be retried " +
+        s"away); $lockDump")
     // all acquire paths (including breakers) are done: the lock file is
     // stable and names exactly one owner; only that lease's heartbeat lives
     val survivors = acquired.toArray(Array.empty[WriterLease]).count { l =>
@@ -103,7 +121,7 @@ class WriterLeaseSpec extends SparkTestBase {
     }
     assert(survivors === 1,
       s"expected exactly one live leaseholder after arbitration, got $survivors " +
-        s"of ${acquired.size} acquirers")
+        s"of ${acquired.size} acquirers; $lockDump")
   }
 
   test("two racers after the same stale lock: exactly one survives heartbeat") {
@@ -113,8 +131,12 @@ class WriterLeaseSpec extends SparkTestBase {
   test("many racers after the same stale lock: one survivor, never zero") {
     // the both-lose race (a breaker renames a fresh lock away before its
     // liveness check puts it back) used to strand the lease with no winner;
-    // the bounded re-publish retry closes it — stress with 8 threads
-    raceForStaleLock(tmpTable("stampede"), racers = 8)
+    // the bounded re-publish retry plus the own-lock reclaim (a restored
+    // lock can name a racer that already looped past it) close it.
+    // Repeat: the losing interleavings need tight timing that any single
+    // pass usually misses
+    for (i <- 1 to 10)
+      raceForStaleLock(tmpTable(s"stampede$i"), racers = 8)
   }
 
   test("heartbeat throws ConcurrentWriteException when the lock was stolen") {

@@ -217,6 +217,89 @@ class CorpusIngestSpec extends SparkTestBase {
       .collect().sorted.toSeq === Seq(1L, 2L, 4L, 6L))
   }
 
+  test("quality gate in the stream: judge screen == batch path, restart-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import graft.llmops.{FakeJudge, FakeJudgeClient, LlmScore}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-ingest-q").toString
+
+    // judge score = ((11 + len(text)) % 101) / 10: base 7.4, other 7.5,
+    // novel 7.8, lowq 2.0 — cut at 5.0 drops only lowq
+    val lowq = "tiny spam"
+    val tpl = "Rate 0-10:\n{text}"
+    val cut = 5.0
+    assert(FakeJudge.score(tpl.replace("{text}", lowq)) < cut)
+    assert(FakeJudge.score(tpl.replace("{text}", base)) >= cut)
+    val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => LlmScore.scoreColumn(df, "text", new FakeJudgeClient, tpl,
+        batchSize = 8).filter(col("llm_score") >= cut)
+
+    def corpusState(path: String): Set[(Long, Double)] =
+      spark.read.parquet(path).select("doc_id", "llm_score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+
+    // ---- streaming path
+    FakeJudge.reset()
+    val corpusS = s"$root/corpus_stream"
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusIngest.ingestStream(spark,
+      mem.toDF().toDF("doc_id", "text"), corpusS, "text", "doc_id",
+      s"$root/ckpt1", numHashes = 32, bands = 32, threshold = 0.5,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      qualityGate = Some(gate))
+    mem.addData((1L, base), (2L, other), (5L, lowq))
+    q.processAllAvailable()
+    mem.addData((3L, edited), (4L, novel)) // 3 is a near-dup of corpus doc 1
+    q.processAllAvailable()
+    q.stop()
+    // kept: 1, 2 (batch 1, lowq gate-dropped), 4 (batch 2, 3 dup-dropped)
+    assert(corpusState(corpusS).map(_._1) === Set(1L, 2L, 4L))
+    // the judge ran on dedup SURVIVORS only: 3 texts in batch 1, 1 in
+    // batch 2 — the near-dup (doc 3) never cost a client call
+    val streamedCalls = FakeJudge.batchSizes.toArray(Array.empty[Integer])
+      .map(_.toInt).sum
+    assert(streamedCalls === 4,
+      s"judge must see only dedup survivors, saw $streamedCalls texts")
+
+    // ---- identical batches through the batch path → identical corpus
+    FakeJudge.reset()
+    val corpusB = s"$root/corpus_batch"
+    CorpusIngest.ingestBatch(spark,
+      Seq((1L, base), (2L, other), (5L, lowq)).toDF("doc_id", "text"),
+      corpusB, "text", "doc_id", numHashes = 32, bands = 32,
+      threshold = 0.5, qualityGate = Some(gate))
+    CorpusIngest.ingestBatch(spark,
+      Seq((3L, edited), (4L, novel)).toDF("doc_id", "text"),
+      corpusB, "text", "doc_id", numHashes = 32, bands = 32,
+      threshold = 0.5, qualityGate = Some(gate))
+    assert(corpusState(corpusB) === corpusState(corpusS),
+      "streaming and batch paths must produce identical scores and keeps")
+
+    // ---- replay safety: a fresh checkpoint re-feeding the SAME data into
+    // the same corpus (the crash-replay shape) appends nothing twice —
+    // every previously appended doc screens out as its own exact dup
+    // BEFORE the gate, so only the gate-rejected doc is re-judged
+    FakeJudge.reset()
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = CorpusIngest.ingestStream(spark,
+      mem2.toDF().toDF("doc_id", "text"), corpusS, "text", "doc_id",
+      s"$root/ckpt2", numHashes = 32, bands = 32, threshold = 0.5,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      qualityGate = Some(gate))
+    mem2.addData((1L, base), (2L, other), (5L, lowq))
+    q2.processAllAvailable()
+    mem2.addData((3L, edited), (4L, novel))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(corpusState(corpusS).map(_._1) === Set(1L, 2L, 4L),
+      "replay must not duplicate rows")
+    val replayCalls = FakeJudge.batchSizes.toArray(Array.empty[Integer])
+      .map(_.toInt).sum
+    assert(replayCalls === 1,
+      s"replay re-judges only the gate-rejected doc, saw $replayCalls")
+  }
+
   test("ingestStream: foreachBatch composition over MemoryStream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
