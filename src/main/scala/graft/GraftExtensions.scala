@@ -170,6 +170,10 @@ object GraftFunctions {
       "graft_png_pixels(content) - full PNG pixel decode (inflate + unfilter): struct(width,height,channels,pix_sum,pix_wsum,mean_r,mean_g,mean_b), NULL if not a decodable RGB/RGBA PNG",
       exprs => graft.expressions.PngPixels(exprs.head)),
 
+    ("graft_png_dhash",
+      "graft_png_dhash(content) - 64-bit perceptual difference hash (9x8 grayscale gradient grid), NULL if not a decodable RGB/RGBA PNG of at least 9x8",
+      exprs => graft.expressions.PngDHash(exprs.head)),
+
     ("graft_scrub_pii",
       "graft_scrub_pii(text) - emails/IPs/phones to typed tokens (RE2-portable patterns)",
       exprs => e(TextAnalysis.scrubPii(c(exprs.head)))),

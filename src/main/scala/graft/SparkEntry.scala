@@ -26,6 +26,26 @@ object SparkEntry {
   private def dsl(df: DataFrame, transformation: String, dataType: String = "string"): Column =
     TransformCompiler.compile(transformation, dataType, df.columns.toSet)
 
+  /** Shared PNG fixture set for q98/q99: decodable closed-form images
+    * below id 400 (doc_id-derived size ≥ the 9×8 dHash grid, RGB/RGBA
+    * alternating), then refusal tiers — sub-grid pixels, header-only,
+    * non-PNG bytes — that must hash NULL.
+    */
+  private def pngDHashFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val W = graft.llmops.ImageWriter
+    ids.map { id =>
+      val bytes =
+        if (id >= 450) s"not an image $id".getBytes("UTF-8")
+        else if (id >= 430) W.png(20, 20) // header-only: dims, no IDAT
+        else if (id >= 400) W.pngWithPixels(8, 8, (id % 251).toInt) // < grid
+        else W.pngWithPixels((9 + id % 24).toInt, (8 + id % 16).toInt,
+          (id % 251).toInt, channels = (3 + id % 2).toInt)
+      (id, bytes)
+    }
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -507,6 +527,44 @@ object SparkEntry {
       graft.llmops.DocumentText.extractDocumentText(src, "content", "mime")
         .select(col("doc_id"), col("fmt"), col("extracted_text"))
         .orderBy("doc_id", "fmt")
+    }),
+
+    "q98_image_dhash" -> ((s, dir) => {
+      // perceptual difference hash over synthetic PNGs: decodable ids
+      // hash the closed-form pixel pattern (the oracle recomputes the
+      // 9×8 grayscale cell grid and every gradient-comparison bit from
+      // (w, h, seed) alone — all-integer math, so bit-exact); sub-grid,
+      // header-only and non-PNG ids must come back NULL. The hash splits
+      // into unsigned 32-bit halves because a signed 64-bit value is the
+      // one thing the two engines could render differently
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = pngDHashFixtures(ss, dir).toDF("doc_id", "content")
+        .repartition(32)
+      graft.llmops.Multimodal.withPngDHash(src)
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("dh_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dh_lo"))
+        .orderBy("doc_id")
+    }),
+
+    "q99_image_neardup" -> ((s, dir) => {
+      // near-duplicate image pairs over the same fixtures: same-dimension
+      // images differ only by a brightness (seed) shift, which dHash is
+      // designed to ignore except at mod-256 wrap pixels, so each
+      // dimension class yields a deterministic set of close pairs. Spark
+      // runs the banded pigeonhole join (total recall at Hamming ≤ 3 by
+      // construction); the oracle brute-forces every pair — the two sets
+      // must agree EXACTLY, which is the recall proof as a gate query
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = pngDHashFixtures(ss, dir).toDF("doc_id", "content")
+        .repartition(32)
+      graft.llmops.Multimodal.imageNearDups(src, "doc_id", "content",
+          maxDist = 3)
+        .select(col("key_a"), col("key_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("key_a", "key_b")
     }),
 
     "q97_png_pixels" -> ((s, dir) => {
@@ -2140,6 +2198,85 @@ object SparkEntry {
 
     "q81_tar_shards" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q98_image_dhash" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(9 + doc_id % 24 AS INTEGER) AS w,
+             CAST(8 + doc_id % 16 AS INTEGER) AS h,
+             doc_id % 251 AS seed
+           FROM documents WHERE doc_id < 500),
+         px AS (
+           SELECT i.doc_id,
+             ((x.x + 1) * 9 - 1) // i.w AS ci,
+             ((y.y + 1) * 8 - 1) // i.h AS cj,
+             ((3 * x.x + 7 * y.y + i.seed) % 256
+              + (3 * x.x + 7 * y.y + 11 + i.seed) % 256
+              + (3 * x.x + 7 * y.y + 22 + i.seed) % 256) // 3 AS gray
+           -- enumeration bounds must cover max(w)=32, max(h)=23
+           FROM ids i, range(32) x(x), range(23) y(y)
+           WHERE i.doc_id < 400 AND x.x < i.w AND y.y < i.h),
+         cells AS (
+           SELECT doc_id, cj, ci, sum(gray) AS s, count(*) AS c
+           FROM px GROUP BY 1, 2, 3),
+         bits AS (
+           SELECT l.doc_id, l.cj * 8 + l.ci AS k
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cj = l.cj AND r.ci = l.ci + 1
+           WHERE r.s * l.c > l.s * r.c),
+         hashes AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS dh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS dh_lo
+           FROM (SELECT DISTINCT doc_id FROM px) d
+           LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id)
+         SELECT i.doc_id, h.dh_hi, h.dh_lo
+         FROM ids i LEFT JOIN hashes h USING (doc_id)
+         ORDER BY i.doc_id""",
+
+    "q99_image_neardup" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(9 + doc_id % 24 AS INTEGER) AS w,
+             CAST(8 + doc_id % 16 AS INTEGER) AS h,
+             doc_id % 251 AS seed
+           FROM documents WHERE doc_id < 500),
+         px AS (
+           SELECT i.doc_id,
+             ((x.x + 1) * 9 - 1) // i.w AS ci,
+             ((y.y + 1) * 8 - 1) // i.h AS cj,
+             ((3 * x.x + 7 * y.y + i.seed) % 256
+              + (3 * x.x + 7 * y.y + 11 + i.seed) % 256
+              + (3 * x.x + 7 * y.y + 22 + i.seed) % 256) // 3 AS gray
+           FROM ids i, range(32) x(x), range(23) y(y)
+           WHERE i.doc_id < 400 AND x.x < i.w AND y.y < i.h),
+         cells AS (
+           SELECT doc_id, cj, ci, sum(gray) AS s, count(*) AS c
+           FROM px GROUP BY 1, 2, 3),
+         bits AS (
+           SELECT l.doc_id, l.cj * 8 + l.ci AS k
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cj = l.cj AND r.ci = l.ci + 1
+           WHERE r.s * l.c > l.s * r.c),
+         hashes AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS dh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS dh_lo
+           FROM (SELECT DISTINCT doc_id FROM px) d
+           LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id)
+         -- brute force every pair: Spark's banded join must match EXACTLY
+         -- (pigeonhole recall is total at Hamming <= 3)
+         SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           CAST(bit_count(xor(a.dh_hi, b.dh_hi))
+              + bit_count(xor(a.dh_lo, b.dh_lo)) AS BIGINT) AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dh_hi, b.dh_hi))
+             + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
+         ORDER BY key_a, key_b""",
 
     "q97_png_pixels" ->
       """WITH ids AS (

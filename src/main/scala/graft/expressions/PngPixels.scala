@@ -73,6 +73,40 @@ object PngPixels {
 
   /** Static kernel shared by interpreted eval and generated code. */
   def compute(b: Array[Byte]): InternalRow = {
+    val d = decodeRaw(b)
+    if (d == null) return null
+    val bpp = d.channels
+    val stride = d.width * bpp
+    var pixSum = 0L
+    var wSum = 0L
+    val chanSum = new Array[Long](bpp)
+    var y = 0
+    while (y < d.height) {
+      val rowOff = y * (1 + stride) + 1
+      var i = 0
+      while (i < stride) {
+        val v = d.raw(rowOff + i) & 0xFF
+        val p = (y.toLong * d.width + i / bpp) * bpp + i % bpp
+        pixSum += v
+        wSum += (p % 9973 + 1) * v
+        chanSum(i % bpp) += v
+        i += 1
+      }
+      y += 1
+    }
+    val n = d.width.toLong * d.height
+    new GenericInternalRow(Array[Any](d.width, d.height, d.channels, pixSum,
+      wSum, chanSum(0).toDouble / n, chanSum(1).toDouble / n,
+      chanSum(2).toDouble / n))
+  }
+
+  /** Full decode to unfiltered scanline layout — the shared front half of
+    * [[compute]] and [[PngDHash]]: chunk walk, IDAT inflate, all-five
+    * -filter reversal. Same refusal envelope as documented on the
+    * expression (non-interlaced 8-bit RGB/RGBA only); null on anything
+    * malformed.
+    */
+  private[expressions] def decodeRaw(b: Array[Byte]): PngRaw = {
     if (b == null || b.length < 45) return null // sig + IHDR + empty IDAT + IEND
     if ((b(0) & 0xFF) != 0x89 || b(1) != 'P' || b(2) != 'N' || b(3) != 'G')
       return null
@@ -107,15 +141,15 @@ object PngPixels {
       } else if (typ == "IDAT") {
         idat.write(b, i + 8, len)
       } else if (typ == "IEND") {
-        return decode(idat.toByteArray, width, height, channels)
+        return inflateUnfilter(idat.toByteArray, width, height, channels)
       }
       i += 12 + len
     }
     null
   }
 
-  private def decode(z: Array[Byte], width: Int, height: Int,
-      channels: Int): InternalRow = {
+  private def inflateUnfilter(z: Array[Byte], width: Int, height: Int,
+      channels: Int): PngRaw = {
     if (z.isEmpty) return null
     val bpp = channels
     val stride = width * bpp
@@ -136,9 +170,6 @@ object PngPixels {
 
     // unfilter in place: scanline y occupies raw[y*(1+stride)+1 ..], its
     // first byte is the filter type
-    var pixSum = 0L
-    var wSum = 0L
-    val chanSum = new Array[Long](bpp)
     var y = 0
     while (y < height) {
       val rowOff = y * (1 + stride) + 1
@@ -163,19 +194,19 @@ object PngPixels {
             val pc = math.abs(p - upLeft)
             if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
         }
-        val v = (cur + pred) & 0xFF
-        raw(rowOff + i) = v.toByte
-        val p = (y.toLong * width + i / bpp) * bpp + i % bpp
-        pixSum += v
-        wSum += (p % 9973 + 1) * v
-        chanSum(i % bpp) += v
+        raw(rowOff + i) = ((cur + pred) & 0xFF).toByte
         i += 1
       }
       y += 1
     }
-    val n = width.toLong * height
-    new GenericInternalRow(Array[Any](width, height, channels, pixSum, wSum,
-      chanSum(0).toDouble / n, chanSum(1).toDouble / n,
-      chanSum(2).toDouble / n))
+    new PngRaw(width, height, channels, raw)
   }
 }
+
+/** Decoded PNG in scanline layout: `raw(y*(1+stride) + 1 + i)` is pixel
+  * byte `i` of row `y` (stride = width·channels; each row's leading byte
+  * is the spent filter tag, left in place so offsets match the wire
+  * layout).
+  */
+private[expressions] final class PngRaw(val width: Int, val height: Int,
+    val channels: Int, val raw: Array[Byte])

@@ -54,16 +54,30 @@ object ImageWriter {
     * decode exactly.
     */
   def pngWithPixels(width: Int, height: Int, seed: Int,
+      channels: Int = 3): Array[Byte] =
+    pngFromPixels(width, height,
+      Array.tabulate(height, width * channels) { (y, i) =>
+        val x = i / channels
+        val c = i % channels
+        ((3 * x + 7 * y + 11 * c + seed) % 256).toByte
+      }, channels)
+
+  /** COMPLETE PNG from caller-supplied pixel bytes —
+    * `pixels(y)(x*channels + c)` in scanline order — for fixtures whose
+    * content must be controlled exactly (e.g. crafting images a known
+    * Hamming distance apart in [[graft.expressions.PngDHash]] space,
+    * which the closed-form [[pngWithPixels]] pattern cannot do). Same
+    * encoding as [[pngWithPixels]]: row `y` filtered with type `y % 5`,
+    * one deflated IDAT.
+    */
+  def pngFromPixels(width: Int, height: Int, raw: Array[Array[Byte]],
       channels: Int = 3): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims: ${width}x$height")
     require(channels == 3 || channels == 4, s"channels must be 3|4: $channels")
     val bpp = channels
     val stride = width * bpp
-    val raw = Array.tabulate(height, stride) { (y, i) =>
-      val x = i / bpp
-      val c = i % bpp
-      ((3 * x + 7 * y + 11 * c + seed) % 256).toByte
-    }
+    require(raw.length == height && raw.forall(_.length == stride),
+      s"pixels must be $height rows × $stride bytes")
     // filter each scanline (encode direction: filtered = raw - predictor)
     val filtered = new ByteArrayOutputStream()
     for (y <- 0 until height) {

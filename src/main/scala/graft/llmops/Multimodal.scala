@@ -80,6 +80,67 @@ object Multimodal {
   def withPngPixels(df: DataFrame, contentCol: String = "content"): DataFrame =
     df.withColumn("px", pngPixels(col(contentCol)))
 
+  /** 64-bit perceptual difference hash of a PNG (9×8 grayscale gradient
+    * grid — [[graft.expressions.PngDHash]]), NULL for undecodable bytes
+    * or images smaller than the grid. Per-row scan projection like
+    * [[pngPixels]]; the 8-byte hash is what leaves the scan, which is
+    * the whole point at 100 TB — image near-dup becomes a join on
+    * longs, never on pixels.
+    */
+  def pngDHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.PngDHash(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** Appends `dhash` from [[pngDHash]] — scan-projection local. */
+  def withPngDHash(df: DataFrame, contentCol: String = "content"): DataFrame =
+    df.withColumn("dhash", pngDHash(col(contentCol)))
+
+  /** Near-duplicate image pairs by dHash Hamming distance — the image
+    * twin of [[DedupOps.simhashNearDups]], same pigeonhole blocking:
+    * each hash splits into 4 disjoint 16-bit chunks, candidates must
+    * agree on at least one chunk (any pair within Hamming ≤ 3 provably
+    * shares an untouched chunk — total recall at the default), then the
+    * exact distance is verified with `bit_count(xor)`. Undecodable /
+    * sub-grid images hash NULL and are dropped before the join, so a
+    * corpus of mixed blobs never funnels into a NULL-key hot bucket.
+    * Scale shape: the banded self-join touches only (key, 8-byte hash)
+    * rows — content bytes stay in the scan — and each bucket holds the
+    * corpus rows sharing a 16-bit chunk value, so the join is bucketed,
+    * never all-pairs.
+    *
+    * @return (key_a, key_b, hamming), key_a < key_b, one row per pair
+    */
+  def imageNearDups(
+      df: DataFrame,
+      keyCol: String,
+      contentCol: String,
+      maxDist: Int = 3
+  ): DataFrame = {
+    val chunkStructs = (0 until 4).map { i =>
+      struct(lit(i).alias("idx"),
+        shiftright(col("dh"), i * 16).bitwiseAND(lit(0xFFFFL)).alias("bits"))
+    }
+    val hashed = df
+      .select(col(keyCol).alias("key"), pngDHash(col(contentCol)).alias("dh"))
+      .filter(col("dh").isNotNull)
+      .withColumn("chunk", explode(array(chunkStructs: _*)))
+      // both sides of the candidate self-join read this — persist the
+      // (4 rows/image, 24 bytes each) chunk table instead of decoding
+      // every image twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = hashed.alias("l")
+    val r = hashed.alias("r")
+    l.join(r,
+        col("l.chunk.idx") === col("r.chunk.idx") &&
+          col("l.chunk.bits") === col("r.chunk.bits") &&
+          col("l.key") < col("r.key"))
+      .select(col("l.key").alias("key_a"), col("r.key").alias("key_b"),
+        bit_count(col("l.dh").bitwiseXOR(col("r.dh"))).alias("hamming"))
+      .dropDuplicates("key_a", "key_b")
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** REAL audio/video container metadata from binary headers — WAV
     * channels/rate/bits/duration and MP4 movie duration parsed by the
     * native codegen'd [[graft.expressions.AvMeta]] expression (the
