@@ -435,6 +435,27 @@ object SparkEntry {
       DedupOps.duplicateClusters(pairs).orderBy("key")
     }),
 
+    "q100_leakage_split" -> ((s, dir) => {
+      // leakage-safe train/val/test over q51's doubled-corpus near-dup
+      // graph: each doc and its planted clone MUST land in the same split
+      // (the assignment hashes the cluster representative, not the doc).
+      // Oracle = recursive-CTE components over the exact-Jaccard pair set
+      // + the identical salted hash bands. 0.75/0.125/0.125 keeps the
+      // integer thresholds exact (750000 / 875000)
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents").filter(col("doc_id") < 2000)
+        .repartition(32)
+      val doubled = d.unionByName(
+        d.withColumn("doc_id", col("doc_id") + 1000000))
+      val pairs = DedupOps.minhashNearDups(doubled, "text", "doc_id",
+          numHashes = 16, bands = 4, threshold = 0.9, wordShingleN = Some(3))
+        .select("key_a", "key_b")
+      graft.llmops.Sampling.leakageSafeSplit(doubled, "doc_id", pairs,
+          Seq(("train", 0.75), ("val", 0.125), ("test", 0.125)))
+        .select(col("doc_id"), col("cluster_rep"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     "q49_pii_scrub" -> ((s, dir) => {
       // PII scrubbing with deterministic planted email/IP/phone per doc;
       // patterns are RE2-compatible so the oracle applies the identical
@@ -2030,6 +2051,49 @@ object SparkEntry {
            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          SELECT src AS key, least(src, min(dst)) AS cluster_id
          FROM reach GROUP BY src ORDER BY key""",
+
+    "q100_leakage_split" ->
+      """WITH RECURSIVE
+         base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+         doubled AS (SELECT doc_id, text FROM base
+                     UNION ALL SELECT doc_id + 1000000, text FROM base),
+         sh AS (
+           SELECT doc_id AS key,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+               FOR i IN range(1, len(toks) - 2 + 1)]) AS ng
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM doubled)
+           WHERE len(toks) >= 3),
+         pairs AS (
+           SELECT l.key AS key_a, r.key AS key_b
+           FROM sh l JOIN sh r
+             ON l.key < r.key
+             AND len(l.ng) * 10 >= len(r.ng) * 9
+             AND len(r.ng) * 10 >= len(l.ng) * 9
+           WHERE len(list_intersect(l.ng, r.ng)) * 1.0 /
+             greatest(len(list_distinct(l.ng || r.ng)), 1) >= 0.9),
+         edges AS (SELECT key_a AS src, key_b AS dst FROM pairs
+                   UNION SELECT key_b, key_a FROM pairs),
+         reach AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         clusters AS (
+           SELECT src AS key, least(src, min(dst)) AS cluster_id
+           FROM reach GROUP BY src),
+         reps AS (
+           SELECT d.doc_id,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_rep
+           FROM doubled d LEFT JOIN clusters c ON d.doc_id = c.key),
+         gated AS (
+           SELECT doc_id, cluster_rep,
+             ('0x' || substr(md5(cluster_rep::VARCHAR || ':split'), 1, 15))
+               ::BIGINT % 1000000 AS h
+           FROM reps)
+         SELECT doc_id, cluster_rep,
+           CASE WHEN h < 750000 THEN 'train'
+                WHEN h < 875000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM gated ORDER BY doc_id""",
 
     "q49_pii_scrub" ->
       """SELECT doc_id,

@@ -84,6 +84,71 @@ object Sampling {
         (least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0)) *
           Buckets).cast("long"))
 
+  /** Leakage-safe train/val/test assignment: the split decision is made
+    * per near-duplicate CLUSTER, not per document, so a held-out document
+    * can never have a near-copy in train — the contamination mode that
+    * quietly inflates eval numbers when splits are drawn per-row (the
+    * reason C4/Pile-era dedup papers dedup ACROSS splits, not just within
+    * train). Every member of a connected near-dup component shares its
+    * cluster representative (the component's minimum key, via
+    * [[DedupOps.duplicateClusters]]); the representative — not the member
+    * key — feeds the deterministic hash gate, so the whole cluster lands
+    * in one band. Documents in no pair represent themselves.
+    *
+    * Bands are cumulative integer thresholds over the same 1e6 hash
+    * buckets as [[hashSample]], salted (`rep || ":split"`) so composing
+    * with a rate sampler on the same keys stays independent; the final
+    * band absorbs threshold rounding. Engine-portable and growth-stable
+    * like every gate here: a cluster's split never changes as unrelated
+    * corpus grows (it can change only if new edges MERGE two clusters —
+    * which is exactly when it must, because the merged cluster now leaks
+    * unless co-located).
+    *
+    * Scale shape: label propagation is O(diameter) narrow rounds
+    * ([[DedupOps.duplicateClusters]]'s checkpointed loop); everything
+    * after is one left join (cluster table is |paired docs|, typically a
+    * small fraction of the corpus) plus a per-row projection.
+    *
+    * @param pairs (key_a, key_b) near-dup edges from any near-dup
+    *              operator ([[DedupOps.minhashNearDups]],
+    *              [[DedupOps.simhashNearDups]],
+    *              [[Multimodal.imageNearDups]], ...)
+    * @param fractions ordered (name, weight) bands, weights sum to 1
+    * @return df plus (cluster_rep, split)
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      keyCol: String,
+      pairs: DataFrame,
+      fractions: Seq[(String, Double)] =
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    require(fractions.nonEmpty, "at least one split band required")
+    require(fractions.forall(_._2 > 0), s"band weights must be > 0: $fractions")
+    val total = fractions.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"band weights must sum to 1, got $total")
+    val clusters = DedupOps.duplicateClusters(pairs,
+      checkpointDir = checkpointDir)
+    val rep = coalesce(col("cluster_id"), col(keyCol))
+    val h = pmod(Similarity.portable60(
+      concat(rep.cast("string"), lit(":split"))), lit(Buckets))
+    // cumulative upper thresholds; the last band is the otherwise-arm so
+    // rounding can never leave a bucket unassigned
+    val cuts = fractions.map(_._2).scanLeft(0L) { (acc, w) =>
+      acc + math.round(w * Buckets)
+    }.tail.init
+    val split = fractions.init.zip(cuts).foldRight(
+      lit(fractions.last._1): Column) {
+      case (((name, _), cut), acc) => when(h < lit(cut), lit(name)).otherwise(acc)
+    }
+    df.join(clusters.withColumnRenamed("key", keyCol), Seq(keyCol), "left")
+      .withColumn("cluster_rep", rep)
+      .withColumn("split", split)
+      .drop("cluster_id")
+  }
+
   /** Per-stratum deterministic fractions (corpus balancing): strata absent
     * from the map fall back to `defaultFraction`.
     */

@@ -631,6 +631,44 @@ class LlmOpsSpec extends SparkTestBase {
       s"expected ~25% of 4000 after independent 0.5 x 0.5 gates, got $chained")
   }
 
+  test("leakageSafeSplit: clusters co-locate, bands stay, salts decorrelate") {
+    // two clusters — {1,2,3} (chain) and {10,11} — plus singletons
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("key_a", "key_b")
+    val got = Sampling.leakageSafeSplit(docs, "id", pairs,
+      Seq(("train", 0.5), ("val", 0.25), ("test", 0.25)))
+    assert(got.count() === 40)
+    // cluster members share rep AND split
+    val byId = got.select($"id", $"cluster_rep", $"split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(Seq(1L, 2L, 3L).map(byId(_)._1).distinct === Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct.size === 1,
+      "near-dup cluster must land in one split")
+    assert(Seq(10L, 11L).map(byId).distinct.size === 1)
+    assert(byId(20L)._1 === 20L, "singletons represent themselves")
+    // every band non-empty at this size, all three names used
+    assert(got.select("split").distinct().count() === 3)
+    // deterministic on re-evaluation
+    assert(Sampling.leakageSafeSplit(docs, "id", pairs,
+        Seq(("train", 0.5), ("val", 0.25), ("test", 0.25)))
+      .select($"id", $"split").as[(Long, String)].collect().toSet ===
+      got.select($"id", $"split").as[(Long, String)].collect().toSet)
+    // the ':split' salt decorrelates from hashSample on the same keys:
+    // half-rate sample of the train band keeps ~50% of it, not 0%/100%
+    val train = got.filter($"split" === "train")
+    val sampled = Sampling.hashSample(train, "id", 0.5).count().toDouble
+    assert(sampled > 0 && sampled < train.count(),
+      "sampling within a split must not be all-or-nothing")
+    // weights must sum to 1 and be positive
+    intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit(docs, "id", pairs, Seq(("train", 0.5)))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit(docs, "id", pairs,
+        Seq(("a", 1.5), ("b", -0.5)))
+    }
+  }
+
   test("corpusProfile: volume, emptiness, and dup-rate in one row") {
     val df = Seq(
       (1L, "one two three four five six seven eight nine ten eleven"),
