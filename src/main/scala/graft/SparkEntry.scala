@@ -588,6 +588,26 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q101_image_dedup_against" -> ((s, dir) => {
+      // incremental image ingestion screen: batch ids (≥ 200) survive iff
+      // no corpus image (id < 200) has a dHash within Hamming 3 — corpus
+      // side reduced to its 16-byte signature rows, content untouched.
+      // Undecodable batch tiers (≥ 400) must all survive: not an image ≠
+      // a duplicate. Oracle brute-forces batch × corpus hash distances
+      val ss = tuned(s)
+      import ss.implicits._
+      val all = pngDHashFixtures(ss, dir)
+      val corpus = all.filter(_._1 < 200).toDF("doc_id", "content")
+        .repartition(32)
+      val batch = all.filter(_._1 >= 200).toDF("doc_id", "content")
+        .repartition(32)
+      val sigs = graft.llmops.Multimodal.imageSignatures(
+        corpus, "doc_id", "content")
+      graft.llmops.Multimodal.imageDedupAgainstSignatures(
+          batch, "doc_id", "content", sigs, maxDist = 3)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     "q97_png_pixels" -> ((s, dir) => {
       // full PNG pixel decode: complete PNGs (real deflated IDAT, row y
       // filtered with type y % 5 so all five PNG filters are exercised)
@@ -2341,6 +2361,49 @@ object SparkEntry {
          WHERE bit_count(xor(a.dh_hi, b.dh_hi))
              + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
          ORDER BY key_a, key_b""",
+
+    "q101_image_dedup_against" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(9 + doc_id % 24 AS INTEGER) AS w,
+             CAST(8 + doc_id % 16 AS INTEGER) AS h,
+             doc_id % 251 AS seed
+           FROM documents WHERE doc_id < 500),
+         px AS (
+           SELECT i.doc_id,
+             ((x.x + 1) * 9 - 1) // i.w AS ci,
+             ((y.y + 1) * 8 - 1) // i.h AS cj,
+             ((3 * x.x + 7 * y.y + i.seed) % 256
+              + (3 * x.x + 7 * y.y + 11 + i.seed) % 256
+              + (3 * x.x + 7 * y.y + 22 + i.seed) % 256) // 3 AS gray
+           FROM ids i, range(32) x(x), range(23) y(y)
+           WHERE i.doc_id < 400 AND x.x < i.w AND y.y < i.h),
+         cells AS (
+           SELECT doc_id, cj, ci, sum(gray) AS s, count(*) AS c
+           FROM px GROUP BY 1, 2, 3),
+         bits AS (
+           SELECT l.doc_id, l.cj * 8 + l.ci AS k
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cj = l.cj AND r.ci = l.ci + 1
+           WHERE r.s * l.c > l.s * r.c),
+         hashes AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS dh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS dh_lo
+           FROM (SELECT DISTINCT doc_id FROM px) d
+           LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id),
+         dups AS (
+           SELECT DISTINCT b.doc_id
+           FROM hashes b JOIN hashes c
+             ON b.doc_id >= 200 AND c.doc_id < 200
+           WHERE bit_count(xor(b.dh_hi, c.dh_hi))
+               + bit_count(xor(b.dh_lo, c.dh_lo)) <= 3)
+         SELECT i.doc_id FROM ids i
+         WHERE i.doc_id >= 200
+           AND i.doc_id NOT IN (SELECT doc_id FROM dups)
+         ORDER BY i.doc_id""",
 
     "q97_png_pixels" ->
       """WITH ids AS (

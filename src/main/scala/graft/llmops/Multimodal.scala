@@ -141,6 +141,78 @@ object Multimodal {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** The image signature store: (key, dhash) for every decodable image —
+    * 16 bytes a row, the only thing incremental image dedup ever needs
+    * to retain. Persist this like any model artifact; content bytes are
+    * read once, at signature time.
+    */
+  def imageSignatures(df: DataFrame, keyCol: String,
+      contentCol: String): DataFrame =
+    df.select(col(keyCol).alias("key"), pngDHash(col(contentCol)).alias("dhash"))
+      .filter(col("dhash").isNotNull)
+
+  /** O(batch) incremental image near-dup — the image twin of
+    * [[DedupOps.minhashDedupAgainstSignatures]]: drop batch images within
+    * `maxDist` Hamming of ANY accumulated signature, keep the rest. The
+    * corpus side is only its (key, 8-byte hash) signature rows — corpus
+    * content is never touched, never rehashed — so per-batch work is
+    * O(batch) against a 100 TB image store. Same 4×16-bit pigeonhole
+    * blocking as [[imageNearDups]] (total recall at Hamming ≤ 3), and
+    * unlike the text path no verification join is needed: the hash IS
+    * the signature, `bit_count(xor)` IS exact verification.
+    *
+    * Undecodable batch rows (NULL hash) SURVIVE — not being an image is
+    * not being a duplicate; mirror of how un-shingleable short docs pass
+    * the text screen. Screen them separately if the pipeline wants
+    * images only.
+    *
+    * @param signatures (key, dhash) rows from [[imageSignatures]]
+    * @return batch rows that are NOT near-dups of the signature store
+    */
+  def imageDedupAgainstSignatures(
+      batch: DataFrame,
+      keyCol: String,
+      contentCol: String,
+      signatures: DataFrame,
+      maxDist: Int = 3
+  ): DataFrame = {
+    def chunks(dh: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      explode(array((0 until 4).map { i =>
+      struct(lit(i).alias("idx"),
+        shiftright(dh, i * 16).bitwiseAND(lit(0xFFFFL)).alias("bits"))
+    }: _*))
+    val batchSig = imageSignatures(batch, keyCol, contentCol)
+      .select(col("key").alias("__bkey"), col("dhash").alias("__bdh"))
+      .withColumn("chunk", chunks(col("__bdh")))
+      // both the candidate join and nothing else read this, but hashing
+      // decodes every batch image — persist so the anti-join's second
+      // evaluation cannot re-decode the batch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusSig = signatures
+      .select(col("key").alias("__ckey"), col("dhash").alias("__cdh"))
+      .withColumn("chunk", chunks(col("__cdh")))
+    val dupKeys = batchSig.join(corpusSig, Seq("chunk"))
+      .filter(bit_count(col("__bdh").bitwiseXOR(col("__cdh"))) <= maxDist)
+      .select(col("__bkey")).distinct()
+    batch.join(dupKeys, col(keyCol) === col("__bkey"), "left_anti")
+  }
+
+  /** [[imageDedupAgainstSignatures]] with the store computed from corpus
+    * content — first-run convenience; steady-state ingestion keeps the
+    * signature table and never rereads corpus bytes.
+    */
+  def imageDedupAgainstCorpus(
+      batch: DataFrame,
+      keyCol: String,
+      contentCol: String,
+      corpus: DataFrame,
+      corpusKeyCol: String,
+      corpusContentCol: String,
+      maxDist: Int = 3
+  ): DataFrame =
+    imageDedupAgainstSignatures(batch, keyCol, contentCol,
+      imageSignatures(corpus, corpusKeyCol, corpusContentCol), maxDist)
+
   /** REAL audio/video container metadata from binary headers — WAV
     * channels/rate/bits/duration and MP4 movie duration parsed by the
     * native codegen'd [[graft.expressions.AvMeta]] expression (the

@@ -126,6 +126,32 @@ class PngDHashSpec extends SparkTestBase {
       (2L, 3L, java.lang.Long.bitCount(h1 ^ h4))))
   }
 
+  test("imageDedupAgainstSignatures: batch screens against the store only") {
+    val base = grayPng(cellGray(baseCells), 36, 32)
+    val oneOff = grayPng(cellGray((i, j) =>
+      if (i == 4 && j == 2) 200 else baseCells(i, j)), 36, 32)
+    val reversed = grayPng(cellGray((i, _) => 80 - i * 10), 36, 32)
+    val corpus = Seq((1L, base)).toDF("doc_id", "content")
+    val batch = Seq(
+      (10L, oneOff),              // Hamming 1 from corpus → dropped
+      (11L, reversed),            // far from corpus → survives
+      (12L, "junk".getBytes("UTF-8")), // undecodable → survives
+      (13L, base)                 // exact dup → dropped
+    ).toDF("doc_id", "content").repartition(3)
+    val sigs = Multimodal.imageSignatures(corpus, "doc_id", "content")
+    val survivors = Multimodal.imageDedupAgainstSignatures(
+        batch, "doc_id", "content", sigs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(11L, 12L))
+    // batch does NOT screen against itself (within-batch is
+    // imageNearDups' job): two identical new images both survive
+    val twins = Seq((20L, reversed), (21L, reversed))
+      .toDF("doc_id", "content")
+    assert(Multimodal.imageDedupAgainstSignatures(
+        twins, "doc_id", "content", sigs)
+      .select("doc_id").as[Long].collect().toSet === Set(20L, 21L))
+  }
+
   test("SQL registration: graft_png_dhash") {
     graft.GraftFunctions.register(spark)
     val bytes = ImageWriter.pngWithPixels(12, 10, 33)
