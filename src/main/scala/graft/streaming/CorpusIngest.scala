@@ -163,6 +163,124 @@ object CorpusIngest {
     }
   }
 
+  /** Image micro-batch ingestion — the multimodal twin of [[ingestBatch]]:
+    * within-batch dHash near-dup screen (keep the lowest key of each
+    * candidate pair, same greedy pass), then the store screen via
+    * [[graft.llmops.Multimodal.imageDedupAgainstSignatures]], then append
+    * survivors to the corpus and their (key, dhash) rows to the
+    * signature store. Cheaper than the text path in exactly the way
+    * images should be: the store holds 16 bytes per image, there is no
+    * verification join (the hash IS the verification), and corpus
+    * content is never reread when `signaturePath` is set (None falls
+    * back to hashing corpus content each batch —
+    * [[graft.llmops.Multimodal.imageDedupAgainstCorpus]] — fine for
+    * small corpora, not the 100 TB path).
+    *
+    * Restart safety mirrors the text path: a crash-replayed batch's
+    * DECODABLE images are self-duplicates of their own appended rows
+    * (Hamming 0) and drop out, so replay appends nothing twice;
+    * undecodable rows carry no signature and would re-append on replay —
+    * the same caveat the text path has for unshingleable docs. Screen
+    * them out with the `qualityGate` if the corpus must be images-only.
+    *
+    * @return number of rows appended
+    */
+  def ingestImageBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      corpusPath: String,
+      contentCol: String,
+      keyCol: String,
+      maxDist: Int = 3,
+      signaturePath: Option[String] = None,
+      lockStore: Option[graft.operators.LockStore] = None,
+      qualityGate: Option[DataFrame => DataFrame] = None
+  ): Long = {
+    def run(): Long = {
+      val M = graft.llmops.Multimodal
+      val pairs = M.imageNearDups(batch, keyCol, contentCol, maxDist)
+      val laterDups = pairs.select(col("key_b").alias("__dup")).distinct()
+      val batchUnique = batch.join(laterDups,
+        col(keyCol) === col("__dup"), "left_anti")
+
+      val fs = new org.apache.hadoop.fs.Path(corpusPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val corpusExists = fs.exists(new org.apache.hadoop.fs.Path(corpusPath))
+      val survivors =
+        if (!corpusExists) batchUnique
+        else signaturePath match {
+          case Some(sigPath) =>
+            M.imageDedupAgainstSignatures(batchUnique, keyCol, contentCol,
+              spark.read.parquet(sigPath).select(col("key"), col("dhash")),
+              maxDist)
+          case None =>
+            M.imageDedupAgainstCorpus(batchUnique, keyCol, contentCol,
+              spark.read.parquet(corpusPath), keyCol, contentCol, maxDist)
+        }
+
+      val gated = qualityGate.map(_(survivors)).getOrElse(survivors)
+      val pinned = gated
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = pinned.count()
+        if (n > 0) {
+          pinned.write.mode(SaveMode.Append).parquet(corpusPath)
+          signaturePath.foreach { sigPath =>
+            M.imageSignatures(pinned, keyCol, contentCol)
+              .write.mode(SaveMode.Append).parquet(sigPath)
+          }
+        }
+        n
+      } finally {
+        pinned.unpersist()
+        ()
+      }
+    }
+    lockStore match {
+      case Some(store) =>
+        val lease = graft.operators.StoreLease.acquire(
+          store, corpusPath + "__ingest_lock",
+          graft.operators.MergeUpsert.DefaultLeaseStaleMs)
+        try run() finally lease.release()
+      case None => run()
+    }
+  }
+
+  /** Structured-Streaming wrapper for [[ingestImageBatch]] — foreachBatch
+    * per micro-batch, optional periodic [[compactStores]], exactly the
+    * [[ingestStream]] wiring with the image screen swapped in.
+    */
+  def ingestImageStream(
+      spark: SparkSession,
+      stream: DataFrame,
+      corpusPath: String,
+      contentCol: String,
+      keyCol: String,
+      checkpointDir: String,
+      maxDist: Int = 3,
+      trigger: Trigger = Trigger.AvailableNow(),
+      signaturePath: Option[String] = None,
+      compactEveryBatches: Option[Int] = None,
+      compactTargetFileMB: Int = 128,
+      qualityGate: Option[DataFrame => DataFrame] = None
+  ): StreamingQuery = {
+    compactEveryBatches.foreach(n =>
+      require(n > 0, "compactEveryBatches must be positive"))
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestImageBatch(spark, batch, corpusPath, contentCol, keyCol,
+          maxDist, signaturePath, qualityGate = qualityGate)
+        compactEveryBatches.foreach { n =>
+          if ((batchId + 1) % n == 0)
+            compactStores(spark, corpusPath, signaturePath, compactTargetFileMB)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Compact the corpus table and (when present) its signature store —
     * the periodic maintenance pass for append-per-batch small-file
     * accumulation. Pure IO: rewrites the same rows into ~targetFileMB

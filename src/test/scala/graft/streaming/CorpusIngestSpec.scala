@@ -321,4 +321,95 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(spark.read.parquet(corpus).select("doc_id").as[Long]
       .collect().sorted.toSeq === Seq(1L, 2L, 4L))
   }
+
+  // ---- image ingestion (dHash screen) ----
+
+  /** 36×32 constant-per-4×4-cell grayscale PNG: controllable dHash. */
+  private def cellPng(g: (Int, Int) => Int): Array[Byte] =
+    graft.llmops.ImageWriter.pngFromPixels(36, 32,
+      Array.tabulate(32, 36 * 3) { (y, i) =>
+        g(i / 3 / 4, y / 4).toByte
+      }, 3)
+
+  private val imgA: Array[Byte] = cellPng((i, _) => i * 10)
+  private val imgANear: Array[Byte] = cellPng((i, j) =>
+    if (i == 4 && j == 2) 200 else i * 10) // Hamming 1 from imgA
+  private val imgB: Array[Byte] = cellPng((i, _) => 80 - i * 10) // far
+  private val imgC: Array[Byte] = cellPng((i, j) =>
+    if ((i + j) % 2 == 0) 30 else 170) // checkerboard, far from both
+
+  test("ingestImageBatch: dHash screen within batch and against store") {
+    val root = Files.createTempDirectory("graft-ingest-img").toString
+    val corpus = s"$root/corpus"
+    val sigs = s"$root/sigs"
+
+    // batch 1: near-pair (10, 11) keeps the lower key; junk appends
+    // (not an image ≠ duplicate) but carries no signature
+    val n1 = CorpusIngest.ingestImageBatch(spark,
+      Seq((10L, imgA), (11L, imgANear), (12L, "junk".getBytes("UTF-8")))
+        .toDF("doc_id", "content"),
+      corpus, "content", "doc_id", signaturePath = Some(sigs))
+    assert(n1 === 2)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(10L, 12L))
+    assert(spark.read.parquet(sigs).count() === 1, "junk has no signature")
+
+    // batch 2: 20 near-dups the STORE (imgANear ~ imgA), 21 is new
+    val n2 = CorpusIngest.ingestImageBatch(spark,
+      Seq((20L, imgANear), (21L, imgB)).toDF("doc_id", "content"),
+      corpus, "content", "doc_id", signaturePath = Some(sigs))
+    assert(n2 === 1)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(10L, 12L, 21L))
+
+    // replay of batch 2 (crash recovery): decodable rows self-dedup
+    val n2b = CorpusIngest.ingestImageBatch(spark,
+      Seq((20L, imgANear), (21L, imgB)).toDF("doc_id", "content"),
+      corpus, "content", "doc_id", signaturePath = Some(sigs))
+    assert(n2b === 0, "replayed decodable batch appends nothing")
+
+    // content-fallback path (no signature store) decides identically
+    val corpus2 = s"$root/corpus2"
+    CorpusIngest.ingestImageBatch(spark,
+      Seq((10L, imgA), (11L, imgANear)).toDF("doc_id", "content"),
+      corpus2, "content", "doc_id")
+    val n = CorpusIngest.ingestImageBatch(spark,
+      Seq((20L, imgANear), (21L, imgB)).toDF("doc_id", "content"),
+      corpus2, "content", "doc_id")
+    assert(n === 1)
+  }
+
+  test("ingestImageStream: quality gate sees only dedup survivors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-ingest-imgs").toString
+    val corpus = s"$root/corpus"
+    val sigs = s"$root/sigs"
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    // gate records every key it sees, drops the checkerboard (40)
+    val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => {
+        df.select("doc_id").as[Long](implicitly).collect().foreach(seen.add)
+        df.filter(org.apache.spark.sql.functions.col("doc_id") =!= 40L)
+      }
+
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = CorpusIngest.ingestImageStream(spark,
+      mem.toDF().toDF("doc_id", "content"), corpus, "content", "doc_id",
+      s"$root/ckpt", signaturePath = Some(sigs),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      qualityGate = Some(gate))
+    mem.addData((30L, imgA), (31L, imgB))
+    q.processAllAvailable()
+    mem.addData((40L, imgC), (41L, imgANear)) // 41 near-dups store imgA
+    q.processAllAvailable()
+    q.stop()
+
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(30L, 31L))
+    // the gate never saw 41 (dedup-dropped before the gate) but saw 40
+    assert(!seen.contains(41L), "gate must run on dedup survivors only")
+    assert(seen.contains(40L))
+  }
 }
