@@ -174,6 +174,14 @@ object GraftFunctions {
       "graft_png_dhash(content) - 64-bit perceptual difference hash (9x8 grayscale gradient grid), NULL if not a decodable RGB/RGBA PNG of at least 9x8",
       exprs => graft.expressions.PngDHash(exprs.head)),
 
+    ("graft_wav_samples",
+      "graft_wav_samples(content) - 16-bit PCM WAV sample decode: struct(channels,sample_rate,n_frames,samp_sum,samp_wsum,peak_abs), NULL if not complete 16-bit PCM",
+      exprs => graft.expressions.WavSamples(exprs.head)),
+
+    ("graft_wav_envelope_hash",
+      "graft_wav_envelope_hash(content) - 64-bit energy-envelope audio fingerprint (65-cell loudness contour), NULL if not decodable or under 65 frames",
+      exprs => graft.expressions.WavEnvelopeHash(exprs.head)),
+
     ("graft_scrub_pii",
       "graft_scrub_pii(text) - emails/IPs/phones to typed tokens (RE2-portable patterns)",
       exprs => e(TextAnalysis.scrubPii(c(exprs.head)))),

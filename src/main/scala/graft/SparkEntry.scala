@@ -26,6 +26,47 @@ object SparkEntry {
   private def dsl(df: DataFrame, transformation: String, dataType: String = "string"): Column =
     TransformCompiler.compile(transformation, dataType, df.columns.toSet)
 
+  /** Shared WAV fixture set for q102/q103: closed-form 16-bit PCM clips
+    * below id 400 (all ≥ 65 frames, so every one fingerprints), then
+    * refusal/degenerate tiers — zeroed header-writer PCM (decodes to
+    * all-zero stats, too short to fingerprint), 8-bit depth (refused),
+    * non-WAV bytes (refused).
+    *
+    * The signal `amp · ((((seed+7)·n + 11c) mod 2048) - 1024)` WRAPS
+    * many times per clip (a plain ramp never wraps under 264 frames and
+    * collapses every envelope to the same falling contour — hash 0 for
+    * all 400 clips, 79 800 degenerate pairs), so loudness contours vary
+    * by seed. Ids 300–399 replay ids 0–99's parameters at 2× gain: the
+    * envelope comparisons are scale-invariant, so each (i, i+300) pair
+    * is a PLANTED Hamming-0 near-dup — gain invariance proven inside
+    * the gate query, not just the spec.
+    */
+  private def wavFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val W = graft.llmops.MediaWriter
+    ids.map { id =>
+      val bytes =
+        if (id >= 450) s"not audio $id".getBytes("UTF-8")
+        else if (id >= 430) W.wav(1, 8000, 8, 10) // 8-bit: refused
+        else if (id >= 400) W.wav(2, 8000, 16, 10) // zeroed PCM, 10 frames
+        else {
+          val pid = (id % 300).toInt
+          val ch = 1 + pid % 4
+          val nf = 65 + pid % 200
+          val seed = pid % 251
+          val amp = if (id >= 300) 2 else 1
+          W.wavFromSamples(ch, 8000 + (pid % 5) * 1000,
+            Array.tabulate(nf * ch) { i =>
+              val n = i / ch
+              val c = i % ch
+              (amp * ((((seed + 7) * n + 11 * c) % 2048) - 1024)).toShort
+            })
+        }
+      (id, bytes)
+    }
+  }
+
   /** Shared PNG fixture set for q98/q99: decodable closed-form images
     * below id 400 (doc_id-derived size ≥ the 9×8 dHash grid, RGB/RGBA
     * alternating), then refusal tiers — sub-grid pixels, header-only,
@@ -606,6 +647,43 @@ object SparkEntry {
       graft.llmops.Multimodal.imageDedupAgainstSignatures(
           batch, "doc_id", "content", sigs, maxDist = 3)
         .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    "q102_wav_samples" -> ((s, dir) => {
+      // full 16-bit PCM decode: every interleaved sample read, all-integer
+      // statistics the oracle recomputes from (channels, frames, seed)
+      // alone — a wrong chunk walk, byte order, or sign extension cannot
+      // match. Zeroed-PCM tier decodes to zero stats; 8-bit and non-WAV
+      // tiers must come back NULL
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = wavFixtures(ss, dir).toDF("doc_id", "content")
+        .repartition(32)
+      graft.llmops.Multimodal.withWavSamples(src)
+        .select(col("doc_id"),
+          col("au.channels").as("channels"),
+          col("au.sample_rate").as("sample_rate"),
+          col("au.n_frames").as("n_frames"),
+          col("au.samp_sum").as("samp_sum"),
+          col("au.samp_wsum").as("samp_wsum"),
+          col("au.peak_abs").as("peak_abs"))
+        .orderBy("doc_id")
+    }),
+
+    "q103_audio_neardup" -> ((s, dir) => {
+      // near-duplicate audio pairs by energy-envelope fingerprint over
+      // the same fixtures: Spark runs the banded pigeonhole join, the
+      // oracle recomputes every envelope bit closed-form and brute-forces
+      // every pair — exact agreement is the recall proof, as q99
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = wavFixtures(ss, dir).toDF("doc_id", "content")
+        .repartition(32)
+      graft.llmops.Multimodal.audioNearDups(src, "doc_id", "content",
+          maxDist = 3)
+        .select(col("key_a"), col("key_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("key_a", "key_b")
     }),
 
     "q97_png_pixels" -> ((s, dir) => {
@@ -2282,6 +2360,82 @@ object SparkEntry {
 
     "q81_tar_shards" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q102_wav_samples" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(1 + (doc_id % 300) % 4 AS INTEGER) AS ch,
+             CAST(8000 + ((doc_id % 300) % 5) * 1000 AS INTEGER) AS rate,
+             CAST(65 + (doc_id % 300) % 200 AS INTEGER) AS nf,
+             (doc_id % 300) % 251 AS seed,
+             CASE WHEN doc_id >= 300 THEN 2 ELSE 1 END AS amp
+           FROM documents WHERE doc_id < 500),
+         smp AS (
+           SELECT i.doc_id,
+             n.n * i.ch + c.c AS idx,
+             i.amp * ((((i.seed + 7) * n.n + 11 * c.c) % 2048) - 1024) AS v
+           -- enumeration bounds must cover max(nf)=264, max(ch)=4
+           FROM ids i, range(264) n(n), range(4) c(c)
+           WHERE i.doc_id < 400 AND n.n < i.nf AND c.c < i.ch),
+         agg AS (
+           SELECT doc_id,
+             CAST(sum(v) AS BIGINT) AS samp_sum,
+             CAST(sum((idx % 9973 + 1) * v) AS BIGINT) AS samp_wsum,
+             CAST(max(abs(v)) AS INTEGER) AS peak_abs
+           FROM smp GROUP BY doc_id)
+         SELECT i.doc_id,
+           CASE WHEN i.doc_id < 400 THEN i.ch
+                WHEN i.doc_id < 430 THEN 2 END AS channels,
+           CASE WHEN i.doc_id < 400 THEN i.rate
+                WHEN i.doc_id < 430 THEN 8000 END AS sample_rate,
+           CASE WHEN i.doc_id < 400 THEN CAST(i.nf AS BIGINT)
+                WHEN i.doc_id < 430 THEN CAST(10 AS BIGINT) END AS n_frames,
+           CASE WHEN i.doc_id < 400 THEN a.samp_sum
+                WHEN i.doc_id < 430 THEN CAST(0 AS BIGINT) END AS samp_sum,
+           CASE WHEN i.doc_id < 400 THEN a.samp_wsum
+                WHEN i.doc_id < 430 THEN CAST(0 AS BIGINT) END AS samp_wsum,
+           CASE WHEN i.doc_id < 400 THEN a.peak_abs
+                WHEN i.doc_id < 430 THEN 0 END AS peak_abs
+         FROM ids i LEFT JOIN agg a USING (doc_id)
+         ORDER BY i.doc_id""",
+
+    "q103_audio_neardup" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(1 + (doc_id % 300) % 4 AS INTEGER) AS ch,
+             CAST(65 + (doc_id % 300) % 200 AS INTEGER) AS nf,
+             (doc_id % 300) % 251 AS seed,
+             CASE WHEN doc_id >= 300 THEN 2 ELSE 1 END AS amp
+           FROM documents WHERE doc_id < 400),
+         mono AS (
+           SELECT i.doc_id, i.nf, n.n,
+             sum(i.amp * ((((i.seed + 7) * n.n + 11 * c.c) % 2048) - 1024)) AS m
+           FROM ids i, range(264) n(n), range(4) c(c)
+           WHERE n.n < i.nf AND c.c < i.ch
+           GROUP BY 1, 2, 3),
+         cells AS (
+           SELECT doc_id,
+             ((n + 1) * 65 - 1) // nf AS cell,
+             sum(abs(m)) AS e, count(*) AS cnt
+           FROM mono GROUP BY 1, 2),
+         bits AS (
+           SELECT l.doc_id, l.cell AS k
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cell = l.cell + 1
+           WHERE r.e * l.cnt > l.e * r.cnt),
+         hashes AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS lo
+           FROM ids d LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id)
+         SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           CAST(bit_count(xor(a.hi, b.hi))
+              + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         ORDER BY key_a, key_b""",
 
     "q98_image_dhash" ->
       """WITH ids AS (

@@ -1,0 +1,86 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** 64-bit time-domain energy-envelope fingerprint of a PCM WAV —
+  * `WavEnvelopeHash(content)`: decode via [[WavSamples.decodePcm16]],
+  * mono-mix each frame (plain channel sum — no division, no rounding
+  * choice to disagree on), partition the frames into 65 cells by the
+  * same exact floor-partition inverse [[PngDHash]] uses for its grid,
+  * take each cell's energy Σ|mono|, and emit one bit per adjacent cell
+  * pair: bit `k` is set iff cell `k+1` has higher MEAN energy than cell
+  * `k` (cross-multiplied — `eR·cntL > eL·cntR` — so the math never
+  * leaves integers; bounded: e ≤ 2^16·n, cnt ≤ n/65, product < 2^63 for
+  * any JVM-representable payload).
+  *
+  * This is the simplest member of the audio-fingerprint family
+  * (Shazam/Chromaprint-class systems hash spectral landmarks; the
+  * time-domain envelope is the no-FFT baseline): loudness CONTOUR
+  * survives uniform gain change exactly (every energy scales, no
+  * comparison flips) and re-encoding approximately, so near-duplicate
+  * audio detection becomes the same banded Hamming join the engine
+  * already runs for SimHash and image dHash
+  * ([[graft.llmops.DedupOps.hammingNearDups]]).
+  *
+  * NULL for anything [[WavSamples]] refuses, and for clips shorter than
+  * 65 frames (empty envelope cells would pin bits to a convention —
+  * refuse, as [[PngDHash]] does below its grid).
+  */
+case class WavEnvelopeHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_envelope_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WavEnvelopeHash.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |java.lang.Long eh$$ = graft.expressions.WavEnvelopeHash.compute($c);
+         |if (eh$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = eh$$.longValue(); }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): WavEnvelopeHash =
+    copy(child = newChild)
+}
+
+object WavEnvelopeHash {
+
+  val Cells = 65
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(b: Array[Byte]): java.lang.Long = {
+    val d = WavSamples.decodePcm16(b)
+    if (d == null) return null
+    val frames = d.nSamples / d.channels
+    if (frames < Cells) return null
+    val energy = new Array[Long](Cells)
+    val counts = new Array[Long](Cells)
+    var n = 0
+    while (n < frames) {
+      var mono = 0
+      var c = 0
+      while (c < d.channels) {
+        mono += d.sample(n * d.channels + c)
+        c += 1
+      }
+      // exact partition inverse: ⌈(n+1)·Cells/frames⌉ - 1 (see PngDHash)
+      val cell = (((n + 1).toLong * Cells - 1) / frames).toInt
+      energy(cell) += (if (mono < 0) -mono else mono)
+      counts(cell) += 1L
+      n += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < Cells - 1) {
+      if (energy(k + 1) * counts(k) > energy(k) * counts(k + 1))
+        hash |= 1L << k
+      k += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+}

@@ -620,28 +620,75 @@ object DedupOps {
       keyCol: String,
       maxDist: Int = 3,
       portable: Boolean = false
-  ): DataFrame = {
-    val chunkStructs = (0 until 4).map { i =>
+  ): DataFrame =
+    hammingNearDups(
+      df.select(col(keyCol).alias("key"),
+        simhash64Native(col(textCol), portable).alias("hash")),
+      maxDist)
+
+  /** The 16-bit chunk rows of a 64-bit fingerprint — the blocking key
+    * shared by every Hamming family here.
+    */
+  private def hashChunks(hash: Column): Column =
+    explode(array((0 until 4).map { i =>
       struct(lit(i).alias("idx"),
-        shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).alias("bits"))
-    }
-    val withSim = df
-      .select(col(keyCol).alias("key"),
-        simhash64Native(col(textCol), portable).alias("sim"))
-      .withColumn("chunk", explode(array(chunkStructs: _*)))
+        shiftright(hash, i * 16).bitwiseAND(lit(0xFFFFL)).alias("bits"))
+    }: _*))
+
+  /** Banded Hamming near-dup pairs over ANY 64-bit fingerprint — the one
+    * engine behind [[simhashNearDups]] (text),
+    * [[Multimodal.imageNearDups]] (dHash) and
+    * [[Multimodal.audioNearDups]] (envelope hash): each hash splits into
+    * 4 disjoint 16-bit chunks, candidate pairs must agree on at least
+    * one chunk (pigeonhole: a pair within Hamming ≤ 3 cannot have
+    * touched all 4 — total recall at the default), then the exact
+    * distance verifies with `bit_count(xor)`. The join touches only
+    * (key, 8-byte hash) rows and each bucket holds the rows sharing a
+    * 16-bit chunk value — bucketed, never all-pairs.
+    *
+    * @param signatures (key, hash) rows; computing the hash is the
+    *                   caller's (modality-specific) business
+    * @return (key_a, key_b, hamming), key_a < key_b, one row per pair
+    */
+  def hammingNearDups(signatures: DataFrame, maxDist: Int = 3): DataFrame = {
+    val chunked = signatures
+      .select(col("key"), col("hash"))
+      .withColumn("chunk", hashChunks(col("hash")))
       // both sides of the candidate self-join read this — persist the
-      // (tiny: 4 rows/doc) chunk table instead of recomputing simhashes
+      // (4 rows/key, 24 bytes each) chunk table instead of recomputing
+      // upstream fingerprints (which may decode images/audio) twice
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = withSim.alias("l")
-    val r = withSim.alias("r")
+    val l = chunked.alias("l")
+    val r = chunked.alias("r")
     l.join(r,
         col("l.chunk.idx") === col("r.chunk.idx") &&
           col("l.chunk.bits") === col("r.chunk.bits") &&
           col("l.key") < col("r.key"))
       .select(col("l.key").alias("key_a"), col("r.key").alias("key_b"),
-        bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).alias("hamming"))
+        bit_count(col("l.hash").bitwiseXOR(col("r.hash"))).alias("hamming"))
       .dropDuplicates("key_a", "key_b")
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** Keys of `batchSigs` within `maxDist` of ANY `corpusSigs` hash — the
+    * incremental-ingestion half of [[hammingNearDups]]; same blocking,
+    * batch side persisted so the consumer's anti-join cannot recompute
+    * upstream fingerprints.
+    *
+    * @return single-column (key) frame of batch near-dup keys
+    */
+  def hammingDupKeys(batchSigs: DataFrame, corpusSigs: DataFrame,
+      maxDist: Int = 3): DataFrame = {
+    val batch = batchSigs
+      .select(col("key").alias("__bkey"), col("hash").alias("__bhash"))
+      .withColumn("chunk", hashChunks(col("__bhash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = corpusSigs
+      .select(col("key").alias("__ckey"), col("hash").alias("__chash"))
+      .withColumn("chunk", hashChunks(col("__chash")))
+    batch.join(corpus, Seq("chunk"))
+      .filter(bit_count(col("__bhash").bitwiseXOR(col("__chash"))) <= maxDist)
+      .select(col("__bkey").alias("key")).distinct()
   }
 
   /** Exact-substring deduplication (Lee et al. 2022, "Deduplicating

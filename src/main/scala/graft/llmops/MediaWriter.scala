@@ -45,6 +45,53 @@ object MediaWriter {
     out.toByteArray
   }
 
+  /** COMPLETE 16-bit PCM WAV from caller-supplied samples —
+    * `samples(frame * channels + c)` interleaved, little-endian on the
+    * wire — the audio partner of [[ImageWriter.pngFromPixels]] for
+    * fixtures whose content must be controlled exactly.
+    */
+  def wavFromSamples(channels: Int, sampleRate: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0, s"bad wav: $channels ch @ $sampleRate")
+    require(samples.length % channels == 0,
+      s"${samples.length} samples not a multiple of $channels channels")
+    val blockAlign = channels * 2
+    val dataSize = samples.length * 2
+    val out = new ByteArrayOutputStream(44 + dataSize)
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(36L + dataSize))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII"))
+    out.write(le32(16))
+    out.write(le16(1)) // PCM
+    out.write(le16(channels))
+    out.write(le32(sampleRate))
+    out.write(le32(sampleRate.toLong * blockAlign))
+    out.write(le16(blockAlign))
+    out.write(le16(16))
+    out.write("data".getBytes("US-ASCII"))
+    out.write(le32(dataSize))
+    samples.foreach(s => out.write(le16(s & 0xFFFF)))
+    if ((dataSize & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** COMPLETE 16-bit PCM WAV with the closed-form signal
+    * `s(n, c) = ((5n + 11c + seed) mod 4096) - 2048` (frame `n`, channel
+    * `c`) — all-integer, so an external SQL engine recomputes every
+    * sample, sum, and fingerprint bit from (channels, nFrames, seed)
+    * alone, exactly as [[ImageWriter.pngWithPixels]]'s pixel pattern
+    * does for images.
+    */
+  def wavWithSamples(channels: Int, sampleRate: Int, nFrames: Int,
+      seed: Int): Array[Byte] =
+    wavFromSamples(channels, sampleRate,
+      Array.tabulate(nFrames * channels) { i =>
+        val n = i / channels
+        val c = i % channels
+        (((5 * n + 11 * c + seed) % 4096) - 2048).toShort
+      })
+
   /** ISO BMFF skeleton: `ftyp` + `moov`(`mvhd` v0 or v1) with the given
     * movie timescale and duration (in timescale units).
     */

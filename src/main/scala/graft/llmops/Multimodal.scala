@@ -116,30 +116,11 @@ object Multimodal {
       keyCol: String,
       contentCol: String,
       maxDist: Int = 3
-  ): DataFrame = {
-    val chunkStructs = (0 until 4).map { i =>
-      struct(lit(i).alias("idx"),
-        shiftright(col("dh"), i * 16).bitwiseAND(lit(0xFFFFL)).alias("bits"))
-    }
-    val hashed = df
-      .select(col(keyCol).alias("key"), pngDHash(col(contentCol)).alias("dh"))
-      .filter(col("dh").isNotNull)
-      .withColumn("chunk", explode(array(chunkStructs: _*)))
-      // both sides of the candidate self-join read this — persist the
-      // (4 rows/image, 24 bytes each) chunk table instead of decoding
-      // every image twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = hashed.alias("l")
-    val r = hashed.alias("r")
-    l.join(r,
-        col("l.chunk.idx") === col("r.chunk.idx") &&
-          col("l.chunk.bits") === col("r.chunk.bits") &&
-          col("l.key") < col("r.key"))
-      .select(col("l.key").alias("key_a"), col("r.key").alias("key_b"),
-        bit_count(col("l.dh").bitwiseXOR(col("r.dh"))).alias("hamming"))
-      .dropDuplicates("key_a", "key_b")
-      .filter(col("hamming") <= maxDist)
-  }
+  ): DataFrame =
+    DedupOps.hammingNearDups(
+      imageSignatures(df, keyCol, contentCol)
+        .select(col("key"), col("dhash").alias("hash")),
+      maxDist)
 
   /** The image signature store: (key, dhash) for every decodable image —
     * 16 bytes a row, the only thing incremental image dedup ever needs
@@ -176,25 +157,12 @@ object Multimodal {
       signatures: DataFrame,
       maxDist: Int = 3
   ): DataFrame = {
-    def chunks(dh: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      explode(array((0 until 4).map { i =>
-      struct(lit(i).alias("idx"),
-        shiftright(dh, i * 16).bitwiseAND(lit(0xFFFFL)).alias("bits"))
-    }: _*))
-    val batchSig = imageSignatures(batch, keyCol, contentCol)
-      .select(col("key").alias("__bkey"), col("dhash").alias("__bdh"))
-      .withColumn("chunk", chunks(col("__bdh")))
-      // both the candidate join and nothing else read this, but hashing
-      // decodes every batch image — persist so the anti-join's second
-      // evaluation cannot re-decode the batch
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val corpusSig = signatures
-      .select(col("key").alias("__ckey"), col("dhash").alias("__cdh"))
-      .withColumn("chunk", chunks(col("__cdh")))
-    val dupKeys = batchSig.join(corpusSig, Seq("chunk"))
-      .filter(bit_count(col("__bdh").bitwiseXOR(col("__cdh"))) <= maxDist)
-      .select(col("__bkey")).distinct()
-    batch.join(dupKeys, col(keyCol) === col("__bkey"), "left_anti")
+    val dupKeys = DedupOps.hammingDupKeys(
+      imageSignatures(batch, keyCol, contentCol)
+        .select(col("key"), col("dhash").alias("hash")),
+      signatures.select(col("key"), col("dhash").alias("hash")),
+      maxDist).withColumnRenamed("key", "__dupkey")
+    batch.join(dupKeys, col(keyCol) === col("__dupkey"), "left_anti")
   }
 
   /** [[imageDedupAgainstSignatures]] with the store computed from corpus
@@ -212,6 +180,76 @@ object Multimodal {
   ): DataFrame =
     imageDedupAgainstSignatures(batch, keyCol, contentCol,
       imageSignatures(corpus, corpusKeyCol, corpusContentCol), maxDist)
+
+  /** REAL audio sample decode for 16-bit PCM WAV — RIFF walk + every
+    * interleaved sample read by the native
+    * [[graft.expressions.WavSamples]] expression, returning all-integer
+    * per-clip statistics (struct&lt;channels,sample_rate,n_frames,
+    * samp_sum,samp_wsum,peak_abs&gt;, NULL for compressed/float/other-depth
+    * WAVs). The audio sibling of [[pngPixels]]: decoded samples never
+    * leave the expression, only their statistics do.
+    */
+  def wavSamples(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.WavSamples(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** Appends `au` from [[wavSamples]] — scan-projection local. */
+  def withWavSamples(df: DataFrame, contentCol: String = "content"): DataFrame =
+    df.withColumn("au", wavSamples(col(contentCol)))
+
+  /** 64-bit time-domain energy-envelope fingerprint
+    * ([[graft.expressions.WavEnvelopeHash]]) — gain-invariant loudness
+    * contour, the audio sibling of [[pngDHash]]. NULL for undecodable
+    * bytes or clips under 65 frames.
+    */
+  def wavEnvelopeHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.WavEnvelopeHash(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** The audio signature store: (key, ahash) for every decodable clip —
+    * 16 bytes a row, same contract as [[imageSignatures]].
+    */
+  def audioSignatures(df: DataFrame, keyCol: String,
+      contentCol: String): DataFrame =
+    df.select(col(keyCol).alias("key"),
+        wavEnvelopeHash(col(contentCol)).alias("ahash"))
+      .filter(col("ahash").isNotNull)
+
+  /** Near-duplicate audio pairs by envelope-hash Hamming distance —
+    * [[DedupOps.hammingNearDups]] over [[audioSignatures]], exactly as
+    * [[imageNearDups]] over image signatures. (key_a, key_b, hamming).
+    */
+  def audioNearDups(
+      df: DataFrame,
+      keyCol: String,
+      contentCol: String,
+      maxDist: Int = 3
+  ): DataFrame =
+    DedupOps.hammingNearDups(
+      audioSignatures(df, keyCol, contentCol)
+        .select(col("key"), col("ahash").alias("hash")),
+      maxDist)
+
+  /** O(batch) incremental audio near-dup against a (key, ahash)
+    * signature store — the audio twin of [[imageDedupAgainstSignatures]],
+    * same survival rule for undecodable rows.
+    */
+  def audioDedupAgainstSignatures(
+      batch: DataFrame,
+      keyCol: String,
+      contentCol: String,
+      signatures: DataFrame,
+      maxDist: Int = 3
+  ): DataFrame = {
+    val dupKeys = DedupOps.hammingDupKeys(
+      audioSignatures(batch, keyCol, contentCol)
+        .select(col("key"), col("ahash").alias("hash")),
+      signatures.select(col("key"), col("ahash").alias("hash")),
+      maxDist).withColumnRenamed("key", "__dupkey")
+    batch.join(dupKeys, col(keyCol) === col("__dupkey"), "left_anti")
+  }
 
   /** REAL audio/video container metadata from binary headers — WAV
     * channels/rate/bits/duration and MP4 movie duration parsed by the
