@@ -251,6 +251,21 @@ object Multimodal {
     batch.join(dupKeys, col(keyCol) === col("__dupkey"), "left_anti")
   }
 
+  /** [[audioDedupAgainstSignatures]] with the store computed from corpus
+    * content — first-run convenience, mirror of [[imageDedupAgainstCorpus]].
+    */
+  def audioDedupAgainstCorpus(
+      batch: DataFrame,
+      keyCol: String,
+      contentCol: String,
+      corpus: DataFrame,
+      corpusKeyCol: String,
+      corpusContentCol: String,
+      maxDist: Int = 3
+  ): DataFrame =
+    audioDedupAgainstSignatures(batch, keyCol, contentCol,
+      audioSignatures(corpus, corpusKeyCol, corpusContentCol), maxDist)
+
   /** REAL audio/video container metadata from binary headers — WAV
     * channels/rate/bits/duration and MP4 movie duration parsed by the
     * native codegen'd [[graft.expressions.AvMeta]] expression (the

@@ -185,20 +185,67 @@ object CorpusIngest {
     *
     * @return number of rows appended
     */
-  def ingestImageBatch(
+  /** A 64-bit-fingerprint modality for binary ingestion — how to screen
+    * a batch of (key, content) rows. One implementation per fingerprint
+    * family; the ingestion protocol itself is shared.
+    */
+  private trait BinaryScreen {
+    /** Signature-store column (after `key`), e.g. `dhash` / `ahash`. */
+    def sigCol: String
+    def signatures(df: DataFrame, keyCol: String, contentCol: String): DataFrame
+    def nearDups(df: DataFrame, keyCol: String, contentCol: String,
+        maxDist: Int): DataFrame
+    def dedupAgainstSignatures(batch: DataFrame, keyCol: String,
+        contentCol: String, sigs: DataFrame, maxDist: Int): DataFrame
+    def dedupAgainstCorpus(batch: DataFrame, keyCol: String,
+        contentCol: String, corpus: DataFrame, maxDist: Int): DataFrame
+  }
+
+  private object ImageScreen extends BinaryScreen {
+    private val M = graft.llmops.Multimodal
+    def sigCol = "dhash"
+    def signatures(df: DataFrame, k: String, c: String) = M.imageSignatures(df, k, c)
+    def nearDups(df: DataFrame, k: String, c: String, d: Int) =
+      M.imageNearDups(df, k, c, d)
+    def dedupAgainstSignatures(b: DataFrame, k: String, c: String,
+        s: DataFrame, d: Int) = M.imageDedupAgainstSignatures(b, k, c, s, d)
+    def dedupAgainstCorpus(b: DataFrame, k: String, c: String,
+        corpus: DataFrame, d: Int) =
+      M.imageDedupAgainstCorpus(b, k, c, corpus, k, c, d)
+  }
+
+  private object AudioScreen extends BinaryScreen {
+    private val M = graft.llmops.Multimodal
+    def sigCol = "ahash"
+    def signatures(df: DataFrame, k: String, c: String) = M.audioSignatures(df, k, c)
+    def nearDups(df: DataFrame, k: String, c: String, d: Int) =
+      M.audioNearDups(df, k, c, d)
+    def dedupAgainstSignatures(b: DataFrame, k: String, c: String,
+        s: DataFrame, d: Int) = M.audioDedupAgainstSignatures(b, k, c, s, d)
+    def dedupAgainstCorpus(b: DataFrame, k: String, c: String,
+        corpus: DataFrame, d: Int) =
+      M.audioDedupAgainstCorpus(b, k, c, corpus, k, c, d)
+  }
+
+  /** Shared binary-ingestion protocol: within-batch screen (keep the
+    * lowest key of each near-dup pair), against-store screen, quality
+    * gate on survivors, corpus + signature appends in lockstep, optional
+    * multi-writer lock — identical for every fingerprint modality.
+    */
+  private def ingestBinaryBatch(
       spark: SparkSession,
       batch: DataFrame,
       corpusPath: String,
       contentCol: String,
       keyCol: String,
-      maxDist: Int = 3,
-      signaturePath: Option[String] = None,
-      lockStore: Option[graft.operators.LockStore] = None,
-      qualityGate: Option[DataFrame => DataFrame] = None
+      maxDist: Int,
+      signaturePath: Option[String],
+      lockStore: Option[graft.operators.LockStore],
+      qualityGate: Option[DataFrame => DataFrame],
+      screen: BinaryScreen
   ): Long = {
     def run(): Long = {
-      val M = graft.llmops.Multimodal
-      val pairs = M.imageNearDups(batch, keyCol, contentCol, maxDist)
+      val pairs = screen.nearDups(batch, keyCol, contentCol, maxDist)
       val laterDups = pairs.select(col("key_b").alias("__dup")).distinct()
       val batchUnique = batch.join(laterDups,
         col(keyCol) === col("__dup"), "left_anti")
@@ -210,12 +257,13 @@ object CorpusIngest {
         if (!corpusExists) batchUnique
         else signaturePath match {
           case Some(sigPath) =>
-            M.imageDedupAgainstSignatures(batchUnique, keyCol, contentCol,
-              spark.read.parquet(sigPath).select(col("key"), col("dhash")),
+            screen.dedupAgainstSignatures(batchUnique, keyCol, contentCol,
+              spark.read.parquet(sigPath)
+                .select(col("key"), col(screen.sigCol)),
               maxDist)
           case None =>
-            M.imageDedupAgainstCorpus(batchUnique, keyCol, contentCol,
-              spark.read.parquet(corpusPath), keyCol, contentCol, maxDist)
+            screen.dedupAgainstCorpus(batchUnique, keyCol, contentCol,
+              spark.read.parquet(corpusPath), maxDist)
         }
 
       val gated = qualityGate.map(_(survivors)).getOrElse(survivors)
@@ -226,7 +274,7 @@ object CorpusIngest {
         if (n > 0) {
           pinned.write.mode(SaveMode.Append).parquet(corpusPath)
           signaturePath.foreach { sigPath =>
-            M.imageSignatures(pinned, keyCol, contentCol)
+            screen.signatures(pinned, keyCol, contentCol)
               .write.mode(SaveMode.Append).parquet(sigPath)
           }
         }
@@ -246,6 +294,38 @@ object CorpusIngest {
     }
   }
 
+  def ingestImageBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      corpusPath: String,
+      contentCol: String,
+      keyCol: String,
+      maxDist: Int = 3,
+      signaturePath: Option[String] = None,
+      lockStore: Option[graft.operators.LockStore] = None,
+      qualityGate: Option[DataFrame => DataFrame] = None
+  ): Long =
+    ingestBinaryBatch(spark, batch, corpusPath, contentCol, keyCol,
+      maxDist, signaturePath, lockStore, qualityGate, ImageScreen)
+
+  /** Audio micro-batch ingestion — [[ingestImageBatch]] with the
+    * envelope-hash screen: same protocol, same replay-idempotency for
+    * decodable clips, (key, ahash) signature store.
+    */
+  def ingestAudioBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      corpusPath: String,
+      contentCol: String,
+      keyCol: String,
+      maxDist: Int = 3,
+      signaturePath: Option[String] = None,
+      lockStore: Option[graft.operators.LockStore] = None,
+      qualityGate: Option[DataFrame => DataFrame] = None
+  ): Long =
+    ingestBinaryBatch(spark, batch, corpusPath, contentCol, keyCol,
+      maxDist, signaturePath, lockStore, qualityGate, AudioScreen)
+
   /** Structured-Streaming wrapper for [[ingestImageBatch]] — foreachBatch
     * per micro-batch, optional periodic [[compactStores]], exactly the
     * [[ingestStream]] wiring with the image screen swapped in.
@@ -263,6 +343,44 @@ object CorpusIngest {
       compactEveryBatches: Option[Int] = None,
       compactTargetFileMB: Int = 128,
       qualityGate: Option[DataFrame => DataFrame] = None
+  ): StreamingQuery =
+    binaryStream(spark, stream, corpusPath, contentCol, keyCol,
+      checkpointDir, maxDist, trigger, signaturePath, compactEveryBatches,
+      compactTargetFileMB, qualityGate, ImageScreen)
+
+  /** Structured-Streaming wrapper for [[ingestAudioBatch]]. */
+  def ingestAudioStream(
+      spark: SparkSession,
+      stream: DataFrame,
+      corpusPath: String,
+      contentCol: String,
+      keyCol: String,
+      checkpointDir: String,
+      maxDist: Int = 3,
+      trigger: Trigger = Trigger.AvailableNow(),
+      signaturePath: Option[String] = None,
+      compactEveryBatches: Option[Int] = None,
+      compactTargetFileMB: Int = 128,
+      qualityGate: Option[DataFrame => DataFrame] = None
+  ): StreamingQuery =
+    binaryStream(spark, stream, corpusPath, contentCol, keyCol,
+      checkpointDir, maxDist, trigger, signaturePath, compactEveryBatches,
+      compactTargetFileMB, qualityGate, AudioScreen)
+
+  private def binaryStream(
+      spark: SparkSession,
+      stream: DataFrame,
+      corpusPath: String,
+      contentCol: String,
+      keyCol: String,
+      checkpointDir: String,
+      maxDist: Int,
+      trigger: Trigger,
+      signaturePath: Option[String],
+      compactEveryBatches: Option[Int],
+      compactTargetFileMB: Int,
+      qualityGate: Option[DataFrame => DataFrame],
+      screen: BinaryScreen
   ): StreamingQuery = {
     compactEveryBatches.foreach(n =>
       require(n > 0, "compactEveryBatches must be positive"))
@@ -270,8 +388,8 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestImageBatch(spark, batch, corpusPath, contentCol, keyCol,
-          maxDist, signaturePath, qualityGate = qualityGate)
+        ingestBinaryBatch(spark, batch, corpusPath, contentCol, keyCol,
+          maxDist, signaturePath, None, qualityGate, screen)
         compactEveryBatches.foreach { n =>
           if ((batchId + 1) % n == 0)
             compactStores(spark, corpusPath, signaturePath, compactTargetFileMB)

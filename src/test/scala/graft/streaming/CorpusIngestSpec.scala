@@ -379,6 +379,31 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(n === 1)
   }
 
+  test("ingestAudioBatch: envelope-hash screen, gain-invariant dup drops") {
+    val root = Files.createTempDirectory("graft-ingest-au").toString
+    val corpus = s"$root/corpus"
+    val sigs = s"$root/sigs"
+    def clip(f: Int => Int): Array[Byte] =
+      graft.llmops.MediaWriter.wavFromSamples(1, 8000,
+        Array.tabulate(260)(n => f(n / 4).toShort))
+    val rising = clip(k => (k + 1) * 10)
+    val risingLoud = clip(k => (k + 1) * 30) // 3x gain: Hamming 0
+    val falling = clip(k => (66 - k) * 10)
+
+    val n1 = CorpusIngest.ingestAudioBatch(spark,
+      Seq((1L, rising), (2L, risingLoud)).toDF("doc_id", "content"),
+      corpus, "content", "doc_id", signaturePath = Some(sigs))
+    assert(n1 === 1, "gain-doubled clone drops within the batch")
+    val n2 = CorpusIngest.ingestAudioBatch(spark,
+      Seq((3L, risingLoud), (4L, falling),
+        (5L, "junk".getBytes("UTF-8"))).toDF("doc_id", "content"),
+      corpus, "content", "doc_id", signaturePath = Some(sigs))
+    assert(n2 === 2, "store drop for the clone; falling + junk append")
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 4L, 5L))
+    assert(spark.read.parquet(sigs).count() === 2, "junk has no signature")
+  }
+
   test("ingestImageStream: quality gate sees only dedup survivors") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
