@@ -476,6 +476,26 @@ object SparkEntry {
       DedupOps.duplicateClusters(pairs).orderBy("key")
     }),
 
+    "q104_encoding_quality" -> ((s, dir) => {
+      // encoding-damage screen over deterministically planted damage:
+      // doc_id cycles inject UTF-8-as-latin1 mojibake, C1 controls,
+      // replacement chars, and mis-decoded smart punctuation; the oracle
+      // replays the injection (chr() composition) and the RE2 counts.
+      // All damage literals are escape-composed — no raw control bytes
+      // in either source
+      val d = t(tuned(s), dir, "documents")
+      val injected = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" cafÃ©")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" x\u0085y\u0090z")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" \uFFFD\uFFFD")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit(" â€™quoted")).otherwise(lit("")))
+      graft.llmops.TextAnalysis.encodingQuality(
+          d.select(col("doc_id"), injected.as("text")), "doc_id", "text",
+          maxBadFrac = 0.005)
+        .orderBy("doc_id")
+    }),
+
     "q100_leakage_split" -> ((s, dir) => {
       // leakage-safe train/val/test over q51's doubled-corpus near-dup
       // graph: each doc and its planted clone MUST land in the same split
@@ -2149,6 +2169,39 @@ object SparkEntry {
            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          SELECT src AS key, least(src, min(dst)) AS cluster_id
          FROM reach GROUP BY src ORDER BY key""",
+
+    "q104_encoding_quality" ->
+      """WITH injected AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 3 = 0
+               THEN ' caf' || chr(195) || chr(169) ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0
+               THEN ' x' || chr(133) || 'y' || chr(144) || 'z' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0
+               THEN ' ' || chr(65533) || chr(65533) ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0
+               THEN ' ' || chr(226) || chr(8364) || chr(8482) || 'quoted'
+               ELSE '' END AS t
+           FROM documents),
+         counted AS (
+           SELECT doc_id,
+             CAST(length(t) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(t, '\x{FFFD}')) AS BIGINT)
+               AS n_replacement,
+             CAST(len(regexp_extract_all(t, '[\x{0080}-\x{009F}]')) AS BIGINT)
+               AS n_c1_controls,
+             CAST(len(regexp_extract_all(t,
+               '[\x{00C3}\x{00C2}][\x{0080}-\x{00BF}]|\x{00E2}\x{20AC}'))
+               AS BIGINT) AS n_mojibake
+           FROM injected)
+         SELECT doc_id, n_chars, n_replacement, n_c1_controls, n_mojibake,
+           CASE WHEN n_chars > 0 THEN round(
+             CAST(n_replacement + n_c1_controls + n_mojibake AS DOUBLE)
+               / n_chars, 4) ELSE 0.0 END AS bad_char_frac,
+           CASE WHEN n_chars > 0 THEN round(
+             CAST(n_replacement + n_c1_controls + n_mojibake AS DOUBLE)
+               / n_chars, 4) ELSE 0.0 END <= 0.005 AS enc_ok
+         FROM counted ORDER BY doc_id""",
 
     "q100_leakage_split" ->
       """WITH RECURSIVE

@@ -545,6 +545,45 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Encoding-damage signals — the ftfy-class screen every web-scale
+    * corpus needs before training (mis-decoded text tokenizes into
+    * garbage the model then reproduces):
+    *
+    *  - `n_replacement`: U+FFFD count — some decoder upstream already
+    *    gave up on those bytes,
+    *  - `n_c1_controls`: U+0080–U+009F — the classic
+    *    cp1252-bytes-read-as-latin1/unicode damage (NEL, OSC et al.
+    *    never appear in clean text),
+    *  - `n_mojibake`: UTF-8-bytes-read-as-latin1 markers — 'Ã'/'Â'
+    *    followed by a continuation-range char (U+0080–U+00BF: Ã©, Ã±,
+    *    Â·, non-breaking-space damage) and the 'â€' prefix of
+    *    mis-decoded smart punctuation (â€™ â€œ â€"),
+    *  - `bad_char_frac` = (sum of the above) / chars (4 decimals),
+    *    `enc_ok` = frac ≤ `maxBadFrac` (empty docs are ok).
+    *
+    * Pure per-row projection (pattern counts; RE2-compatible classes so
+    * external engines replay the exact counts) — zero shuffles, the
+    * screen composes with [[curationSignals]]' one-scan battery.
+    */
+  def encodingQuality(df: DataFrame, keyCol: String, textCol: String,
+      maxBadFrac: Double = 0.001): DataFrame = {
+    val t = col(textCol)
+    def cnt(pattern: String): Column =
+      size(regexp_extract_all(t, lit(pattern), lit(0))).cast("long")
+    df.select(col(keyCol), t.alias(textCol))
+      .withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_replacement", cnt("\uFFFD"))
+      .withColumn("n_c1_controls", cnt("[\u0080-\u009F]"))
+      .withColumn("n_mojibake", cnt("[\u00C3\u00C2][\u0080-\u00BF]|\u00E2\u20AC"))
+      .withColumn("bad_char_frac",
+        when(col("n_chars") > 0,
+          round((col("n_replacement") + col("n_c1_controls") +
+            col("n_mojibake")).cast("double") / col("n_chars"), 4))
+          .otherwise(lit(0.0)))
+      .withColumn("enc_ok", col("bad_char_frac") <= lit(maxBadFrac))
+      .drop(textCol)
+  }
+
   /** One-call corpus health profile — the summary a curation run prints
     * before and after each pipeline stage: volume (docs, chars, tokens),
     * shape (avg/min/max length), emptiness, and the exact-duplicate rate

@@ -669,6 +669,28 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("encodingQuality: replacement/C1/mojibake counts and the ok flag") {
+    val docs = Seq(
+      (1L, "perfectly clean ascii text that is long enough to pass"),
+      (2L, "café naïve résumé"), // real accents: clean
+      (3L, "damaged cafÃ© and â€™quotedâ€™"), // mojibake
+      (4L, "ctrl\u0085here and \u0090there"), // C1 controls
+      (5L, "gave up \uFFFD\uFFFD on these bytes"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.encodingQuality(docs, "doc_id", "text")
+      .select($"doc_id", $"n_replacement", $"n_c1_controls", $"n_mojibake",
+        $"enc_ok")
+      .as[(Long, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === (1L, 0L, 0L, 0L, true))
+    assert(got(2L) === (2L, 0L, 0L, 0L, true), "real accents are not damage")
+    assert(got(3L)._4 === 3L) // Ã© + two â€™ prefixes
+    assert(!got(3L)._5)
+    assert(got(4L)._3 === 2L && !got(4L)._5)
+    assert(got(5L)._2 === 2L && !got(5L)._5)
+    assert(got(6L)._5 === true, "empty doc is ok, not a division by zero")
+  }
+
   test("corpusProfile: volume, emptiness, and dup-rate in one row") {
     val df = Seq(
       (1L, "one two three four five six seven eight nine ten eleven"),
