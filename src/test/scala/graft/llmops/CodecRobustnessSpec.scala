@@ -37,6 +37,10 @@ class CodecRobustnessSpec extends AnyFunSuite {
     LegacyOffice.pptText(bytes); Rtf.rtfText(bytes)
     graft.expressions.ImageDims.compute(bytes)
     graft.expressions.AvMeta.compute(bytes)
+    graft.expressions.PngPixels.compute(bytes)
+    graft.expressions.PngDHash.compute(bytes)
+    graft.expressions.WavSamples.compute(bytes)
+    graft.expressions.WavEnvelopeHash.compute(bytes)
     DocumentText.extractText(bytes, "application/pdf")
     DocumentText.extractText(bytes, "text/html")
     ()
@@ -60,8 +64,11 @@ class CodecRobustnessSpec extends AnyFunSuite {
       OoxmlWriter.docx(Seq("body text")),
       OoxmlWriter.xlsx(Seq("s" -> Seq(Seq("1", "x")))),
       MediaWriter.wav(2, 44100, 16, 1000),
+      MediaWriter.wavWithSamples(2, 8000, 200, 17),
       MediaWriter.mp4(1000, 5000),
       ImageWriter.png(20, 30),
+      ImageWriter.pngWithPixels(24, 16, 99),
+      ImageWriter.pngWithPixels(12, 10, 7, channels = 4),
       LegacyOfficeWriter.doc(Seq("legacy body")),
       LegacyOfficeWriter.xls(Seq("s" -> Seq(Seq("a", 1)))),
       LegacyOfficeWriter.ppt(Seq(Seq("slide text"))),
@@ -80,6 +87,8 @@ class CodecRobustnessSpec extends AnyFunSuite {
       PdfWriter.pdf(Seq(Seq("gamma delta")), compress = false),
       OoxmlWriter.pptx(Seq(Seq("slide"))),
       MediaWriter.wav(1, 8000, 8, 64),
+      MediaWriter.wavWithSamples(1, 8000, 128, 3),
+      ImageWriter.pngWithPixels(16, 12, 42),
       LegacyOfficeWriter.doc(Seq("epsilon zeta")))
     for (doc <- base; i <- doc.indices by 7) {
       val mutated = doc.clone()
