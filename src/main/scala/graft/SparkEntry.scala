@@ -476,6 +476,27 @@ object SparkEntry {
       DedupOps.duplicateClusters(pairs).orderBy("key")
     }),
 
+    "q106_corpus_diff" -> ((s, dir) => {
+      // snapshot diff: new snapshot drops ids < 50, appends a marker to
+      // every id % 7 == 0 (changed), re-keys ids 50-79 up by 1000000
+      // (one removal + one addition each), and leaves the rest untouched
+      // (absent from the diff). Whitespace-variant copies must NOT read
+      // as changes: id % 13 == 0 docs get '  ' → ' ' style re-wrapping
+      // only, which the normalized fingerprint ignores
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents").select(col("doc_id"), col("text"))
+      val newSnap = d.filter(col("doc_id") >= 50)
+        .select(
+          when(col("doc_id") < 80, col("doc_id") + 1000000)
+            .otherwise(col("doc_id")).alias("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [edited]")))
+            .when(col("doc_id") % 13 === 0,
+              regexp_replace(col("text"), " ", "  "))
+            .otherwise(col("text")).alias("text"))
+      graft.llmops.TextAnalysis.corpusDiff(d, newSnap, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q104_encoding_quality" -> ((s, dir) => {
       // encoding-damage screen over deterministically planted damage:
       // doc_id cycles inject UTF-8-as-latin1 mojibake, C1 controls,
@@ -768,6 +789,28 @@ object SparkEntry {
           col("top_ngram_char_frac"), col("dup_ngram_char_frac"),
           col("c4_text"), col("n_kept_lines"), col("doc_keep"),
           col("n_grams"), col("lm_score"))
+        .orderBy("doc_id")
+    }),
+
+    "q105_paragraph_dedup_against" -> ((s, dir) => {
+      // incremental paragraph dedup: q95's donor-block fixture split into
+      // a corpus half (doc_id < 250) and a batch half — batch paragraphs
+      // the corpus already owns (donor blocks, any shared text) are cut
+      // via the narrow fingerprint store; keep-first applies within the
+      // batch for blocks the corpus does NOT own. Corpus text is touched
+      // once, to build the store the oracle rebuilds in SQL
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents").select(col("doc_id"), col("text"))
+      val donors = d.filter(col("doc_id") < 40)
+        .select(col("doc_id").alias("__oid"),
+          substring(col("text"), 1, 60).alias("__op"))
+      val src = d.join(broadcast(donors), col("__oid") === col("doc_id") % 40)
+        .select(col("doc_id"),
+          concat(col("text"), lit("\n\n"), col("__op")).alias("text"))
+      val corpus = src.filter(col("doc_id") < 250)
+      val batch = src.filter(col("doc_id") >= 250)
+      graft.llmops.TextAnalysis.dedupParagraphsAgainstCorpus(
+          batch, "doc_id", "text", corpus, "text")
         .orderBy("doc_id")
     }),
 
@@ -2170,6 +2213,26 @@ object SparkEntry {
          SELECT src AS key, least(src, min(dst)) AS cluster_id
          FROM reach GROUP BY src ORDER BY key""",
 
+    "q106_corpus_diff" ->
+      s"""WITH newsnap AS (
+           SELECT CASE WHEN doc_id < 80 THEN doc_id + 1000000
+                       ELSE doc_id END AS doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]'
+                  WHEN doc_id % 13 = 0
+                    THEN regexp_replace(text, ' ', '  ', 'g')
+                  ELSE text END AS text
+           FROM documents WHERE doc_id >= 50),
+         ofp AS (SELECT doc_id, md5($normText) AS fp FROM documents),
+         nfp AS (SELECT doc_id, md5($normText) AS fp FROM newsnap),
+         d AS (
+           SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.fp <> n.fp THEN 'changed' END AS change
+           FROM ofp o FULL OUTER JOIN nfp n ON o.doc_id = n.doc_id)
+         SELECT doc_id, change FROM d
+         WHERE change IS NOT NULL ORDER BY doc_id""",
+
     "q104_encoding_quality" ->
       """WITH injected AS (
            SELECT doc_id, text ||
@@ -2751,6 +2814,48 @@ object SparkEntry {
          LEFT JOIN c4 ON b.doc_id = c4.doc_id
          LEFT JOIN lmx ON b.doc_id = lmx.doc_id
          ORDER BY b.doc_id""",
+
+    "q105_paragraph_dedup_against" ->
+      """WITH src AS (
+           SELECT d.doc_id,
+             d.text || chr(10) || chr(10) || substr(o.text, 1, 60) AS text
+           FROM documents d
+           JOIN documents o ON o.doc_id = d.doc_id % 40
+           WHERE o.doc_id < 40),
+         cfp AS (
+           SELECT DISTINCT md5(trim(regexp_replace(para,
+               '[ \t\n\r\f]+', ' ', 'g'))) AS fp
+           FROM (SELECT unnest(string_split(text, chr(10) || chr(10)))
+                   AS para
+                 FROM src WHERE doc_id < 250)
+           WHERE trim(regexp_replace(para, '[ \t\n\r\f]+', ' ', 'g')) <> ''),
+         p AS (SELECT doc_id, i AS pn, ps[i + 1] AS para
+               FROM (SELECT doc_id,
+                       string_split(text, chr(10) || chr(10)) AS ps
+                     FROM src WHERE doc_id >= 250),
+                    range(2000) t(i)
+               WHERE i < len(ps)),
+         n AS (SELECT doc_id, pn, para,
+                 trim(regexp_replace(para, '[ \t\n\r\f]+', ' ', 'g')) AS nrm
+               FROM p),
+         k AS (SELECT doc_id, pn, para, nrm,
+                 row_number() OVER (
+                   PARTITION BY CASE WHEN nrm = ''
+                     THEN 'e:' || doc_id || ':' || pn
+                     ELSE md5(nrm) END
+                   ORDER BY doc_id, pn) AS rk
+               FROM n),
+         kept AS (
+           SELECT doc_id, pn, para FROM k
+           WHERE rk = 1 AND (nrm = '' OR md5(nrm) NOT IN (SELECT fp FROM cfp))),
+         r AS (SELECT doc_id,
+                 string_agg(para, chr(10) || chr(10) ORDER BY pn)
+                   AS text_dedup
+               FROM kept GROUP BY doc_id)
+         SELECT s.doc_id, coalesce(r.text_dedup, '') AS text_dedup
+         FROM src s LEFT JOIN r ON s.doc_id = r.doc_id
+         WHERE s.doc_id >= 250
+         ORDER BY s.doc_id""",
 
     "q95_paragraph_dedup" ->
       """WITH src AS (

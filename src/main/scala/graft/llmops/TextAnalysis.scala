@@ -378,6 +378,81 @@ object TextAnalysis {
         coalesce(col("text_dedup"), lit("")).alias("text_dedup"))
   }
 
+  /** Paragraph-fingerprint store of a corpus: distinct md5 of each
+    * whitespace-normalized non-empty blank-line block — the narrow
+    * (one 32-char column) table incremental paragraph dedup screens
+    * against. Persist alongside the corpus like the MinHash band store;
+    * append new batches' survivors to keep it current.
+    */
+  def paragraphFingerprints(df: DataFrame, textCol: String,
+      sep: String = "\n\n"): DataFrame =
+    df.select(explode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).alias("__para"))
+      .select(trim(regexp_replace(col("__para"), "[ \\t\\n\\r\\f]+", " "))
+        .alias("__norm"))
+      .filter(col("__norm") =!= "")
+      .select(md5(col("__norm")).alias("fp"))
+      .distinct()
+
+  /** Incremental cross-document paragraph dedup — the against-corpus
+    * twin of [[dedupParagraphsAcrossCorpus]], the same relationship
+    * [[DedupOps.minhashDedupAgainstSignatures]] has to
+    * [[DedupOps.minhashNearDups]]: a batch paragraph is cut when the
+    * CORPUS already contains it (fingerprint in the store) or an
+    * earlier batch position claimed it (keep-first within the batch);
+    * whitespace-only blocks always survive as formatting. O(batch) per
+    * batch: the corpus contributes only its narrow fingerprint store
+    * (broadcastable when small, an equi-join on `fp` when not), corpus
+    * text is never touched.
+    *
+    * @param fingerprints (fp) rows from [[paragraphFingerprints]]
+    * @return (keyCol, text_dedup)
+    */
+  def dedupParagraphsAgainstFingerprints(batch: DataFrame, keyCol: String,
+      textCol: String, fingerprints: DataFrame,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = batch.select(col(keyCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pn", "__para")))
+      .withColumn("__norm",
+        trim(regexp_replace(col("__para"), "[ \\t\\n\\r\\f]+", " ")))
+    val fp = when(col("__norm") === "",
+        concat_ws(":", lit("e"), col(keyCol).cast("string"),
+          col("__pn").cast("string")))
+      .otherwise(md5(col("__norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(fp)
+      .orderBy(col(keyCol), col("__pn"))
+    // keep-first within the batch, then cut anything the corpus owns —
+    // the 'e:' empty-block namespace cannot collide with md5 hex, so the
+    // anti-join never drops formatting rows
+    val kept = paras
+      .withColumn("__fp", fp)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .join(fingerprints.select(col("fp").alias("__fp")), Seq("__fp"),
+        "left_anti")
+    val rebuilt = kept
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("__pn"), col("__para"))))
+        .alias("__ps"))
+      .select(col(keyCol),
+        concat_ws(sep, transform(col("__ps"), x => x.getField("__para")))
+          .alias("text_dedup"))
+    batch.select(col(keyCol)).join(rebuilt, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("text_dedup"), lit("")).alias("text_dedup"))
+  }
+
+  /** [[dedupParagraphsAgainstFingerprints]] with the store computed from
+    * corpus text — first-run convenience.
+    */
+  def dedupParagraphsAgainstCorpus(batch: DataFrame, keyCol: String,
+      textCol: String, corpus: DataFrame, corpusTextCol: String,
+      sep: String = "\n\n"): DataFrame =
+    dedupParagraphsAgainstFingerprints(batch, keyCol, textCol,
+      paragraphFingerprints(corpus, corpusTextCol, sep), sep)
+
   /** URL curation — the crawl-side filter battery (host routing, domain
     * blocklists, tracker-param stripping). All regexp-based and
     * deliberately RE2-compatible so external validators apply the
@@ -582,6 +657,33 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
       .withColumn("enc_ok", col("bad_char_frac") <= lit(maxBadFrac))
       .drop(textCol)
+  }
+
+  /** Cross-snapshot corpus diff — the data-versioning primitive for
+    * ingestion operations: which documents were ADDED, REMOVED, or
+    * CHANGED between two corpus snapshots (a failed backfill, a
+    * re-crawl, a vendor drop). Documents compare by the portable
+    * normalized-text [[fingerprint]], so formatting-identical copies do
+    * not read as changes; unchanged documents are absent from the
+    * output. Scale shape: one narrow (key, 32-char fp) projection per
+    * side and a single full-outer equi-join on the key — no text moves,
+    * no window, ~the cost of the exact-dedup screen.
+    *
+    * @return (keyCol, change) with change ∈ 'added' | 'removed' | 'changed'
+    */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+      textCol: String): DataFrame = {
+    val o = oldSnap.select(col(keyCol),
+      fingerprint(col(textCol)).alias("__ofp"))
+    val n = newSnap.select(col(keyCol),
+      fingerprint(col(textCol)).alias("__nfp"))
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("change",
+        when(col("__ofp").isNull, lit("added"))
+          .when(col("__nfp").isNull, lit("removed"))
+          .when(col("__ofp") =!= col("__nfp"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(col(keyCol), col("change"))
   }
 
   /** One-call corpus health profile — the summary a curation run prints

@@ -669,6 +669,42 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("dedupParagraphsAgainstCorpus: store owns blocks, batch keeps first") {
+    val corpus = Seq((1L, "shared block\n\ncorpus only")).toDF("doc_id", "text")
+    val batch = Seq(
+      // "shared  block" rewrapped: still cut (whitespace-insensitive)
+      (10L, "shared  block\n\nfresh text"),
+      (11L, "fresh text\n\n\n\nmore"), // fresh claimed by 10; empty kept
+      (12L, "more")) // claimed by 11
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dedupParagraphsAgainstCorpus(
+        batch, "doc_id", "text", corpus, "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got === Seq(
+      (10L, "fresh text"),
+      (11L, "\n\nmore"), // first block cut, empty block survives
+      (12L, "")))
+    // fingerprint-store path decides identically
+    val viaStore = TextAnalysis.dedupParagraphsAgainstFingerprints(
+        batch, "doc_id", "text",
+        TextAnalysis.paragraphFingerprints(corpus, "text"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(viaStore === got)
+  }
+
+  test("corpusDiff: added/removed/changed by normalized fingerprint") {
+    val oldSnap = Seq(
+      (1L, "kept exactly"), (2L, "will change"), (3L, "will vanish"),
+      (4L, "Formatting  Only")).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "kept exactly"), (2L, "has changed"), (5L, "brand new"),
+      (4L, "formatting only")) // case/space variant: NOT a change
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
+  }
+
   test("encodingQuality: replacement/C1/mojibake counts and the ok flag") {
     val docs = Seq(
       (1L, "perfectly clean ascii text that is long enough to pass"),
