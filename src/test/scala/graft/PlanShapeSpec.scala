@@ -240,6 +240,41 @@ class PlanShapeSpec extends SparkTestBase {
       s"signals must be per-row expressions, not windows/joins:\n$plan")
   }
 
+  test("q99/q103 banded fingerprint joins: equi-join on chunks, no cartesian") {
+    for (name <- Seq("q99_image_neardup", "q103_audio_neardup")) {
+      val plan = executedPlan(name)
+      // the pigeonhole self-join must be an equi-join on the chunk key —
+      // a cartesian or BNLJ here means all-pairs at corpus scale
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay bucketed, never all-pairs:\n$plan")
+      // decode happens once: the persisted chunk table feeds both sides
+      assert(plan.contains("InMemoryTableScan"),
+        s"$name must join the cached chunk table, not re-decode:\n$plan")
+    }
+  }
+
+  test("q101/q105 incremental screens: anti-join survivors, no cartesian") {
+    for (name <- Seq("q101_image_dedup_against",
+        "q105_paragraph_dedup_against")) {
+      val plan = executedPlan(name)
+      assert(plan.contains("LeftAnti"),
+        s"$name survivors must be an anti-join:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must not cross batch × corpus:\n$plan")
+    }
+  }
+
+  test("q104/q106 are projection + narrow-join shaped: no window, no cartesian") {
+    val p104 = executedPlan("q104_encoding_quality")
+    assert(!p104.contains("Window") && !p104.contains("CartesianProduct") &&
+      !p104.contains("Exchange hashpartitioning"),
+      s"encoding screen must be a pure per-row projection:\n$p104")
+    val p106 = executedPlan("q106_corpus_diff")
+    assert(p106.contains("FullOuter") && !p106.contains("CartesianProduct"),
+      s"corpus diff must be one full-outer equi-join:\n$p106")
+  }
+
   test("q87 llm judge adds no shuffle: score columns ride the scan partitioning") {
     val df = SparkEntry.queries("q87_llm_judge")(spark, sf0001)
     df.collect()
