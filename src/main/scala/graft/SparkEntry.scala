@@ -690,6 +690,44 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    "q107_mp3_meta" -> ((s, dir) => {
+      // MP3 frame-header metadata: real CBR frame streams with
+      // doc_id-derived bitrate/rate/mode and optional ID3v2 tags (tag
+      // bytes must not count toward duration); head-truncated and
+      // non-media tiers must come back NULL. The oracle recomputes
+      // frame length and CBR duration from the spec formula alone
+      val ss = tuned(s)
+      import ss.implicits._
+      val W = graft.llmops.MediaWriter
+      val kbpsTable =
+        Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+      val rateTable = Array(44100, 48000, 32000)
+      val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      val rows = ids.map { id =>
+        val bytes =
+          if (id >= 450) s"not media $id".getBytes("UTF-8")
+          else if (id >= 400) // head frame cut before its implied length
+            W.mp3(1, 128, 44100, mono = true, (id % 251).toInt).dropRight(7)
+          else W.mp3(
+            frames = (2 + id % 30).toInt,
+            bitrateKbps = kbpsTable((1 + id % 14).toInt),
+            sampleRate = rateTable((id % 3).toInt),
+            mono = id % 2 == 0,
+            seed = (id % 251).toInt,
+            id3Body = if (id % 5 == 0) (40 + id % 60).toInt else 0)
+        (id, bytes)
+      }
+      val src = rows.toDF("doc_id", "content").repartition(32)
+      graft.llmops.Multimodal.withAvMeta(src)
+        .select(col("doc_id"),
+          col("av.format").as("format"),
+          col("av.channels").as("channels"),
+          col("av.sample_rate").as("sample_rate"),
+          col("av.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     "q102_wav_samples" -> ((s, dir) => {
       // full 16-bit PCM decode: every interleaved sample read, all-integer
       // statistics the oracle recomputes from (channels, frames, seed)
@@ -2476,6 +2514,26 @@ object SparkEntry {
 
     "q81_tar_shards" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+
+    "q107_mp3_meta" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             2 + doc_id % 30 AS frames,
+             list_value(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+               224, 256, 320)[CAST(1 + doc_id % 14 AS INTEGER)] AS kbps,
+             list_value(44100, 48000, 32000)
+               [CAST(1 + doc_id % 3 AS INTEGER)] AS rate,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ch
+           FROM documents WHERE doc_id < 500)
+         SELECT doc_id,
+           CASE WHEN doc_id < 400 THEN 'mp3' END AS format,
+           CASE WHEN doc_id < 400 THEN CAST(ch AS INTEGER) END AS channels,
+           CASE WHEN doc_id < 400 THEN CAST(rate AS INTEGER) END
+             AS sample_rate,
+           CASE WHEN doc_id < 400 THEN CAST(
+             frames * ((144000 * kbps) // rate) * 8 // kbps AS BIGINT) END
+             AS duration_ms
+         FROM ids ORDER BY doc_id""",
 
     "q102_wav_samples" ->
       """WITH ids AS (

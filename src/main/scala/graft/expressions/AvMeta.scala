@@ -22,7 +22,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     size → duration via block alignment;
   *   - MP4/MOV (ISO BMFF): top-level box walk to `moov`/`mvhd` (v0 and
   *     v1) → timescale + duration; channels/rate/bits are NULL (they live
-  *     per-track and gate nothing at curation time).
+  *     per-track and gate nothing at curation time);
+  *   - MP3 (MPEG-1 Layer III): optional ID3v2 tag skip, then the first
+  *     frame header → sample rate + mono/stereo, CBR duration from the
+  *     audio byte count. TWO consecutive valid frame headers are
+  *     required (the second at exactly the frame length the first
+  *     implies) — a stray 0xFF in arbitrary bytes matches the sync
+  *     pattern far too easily for a single-header sniff. `bits` is NULL
+  *     (MP3 has no sample depth); VBR files report the first frame's
+  *     rate, the documented CBR assumption.
   */
 case class AvMeta(child: Expression) extends UnaryExpression {
 
@@ -72,7 +80,56 @@ object AvMeta {
     if (b == null || b.length < 12) return null
     if (tag(b, 0, "RIFF") && tag(b, 8, "WAVE")) wav(b)
     else if (tag(b, 4, "ftyp")) mp4(b)
-    else null
+    else mp3(b)
+  }
+
+  // MPEG-1 Layer III tables (ISO 11172-3): bitrate kbps by index, sample
+  // rate by index
+  private val Mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** Frame length in bytes for MPEG-1 Layer III: ⌊144·bitrate/rate⌋ +
+    * padding. Returns -1 when the 4 bytes at `i` are not a valid V1L3
+    * frame header.
+    */
+  private def mp3FrameLen(b: Array[Byte], i: Int): Int = {
+    if (i + 4 > b.length) return -1
+    // sync (11 bits) + MPEG-1 (0b11) + Layer III (0b01)
+    if ((b(i) & 0xFF) != 0xFF || (b(i + 1) & 0xFE) != 0xFA) return -1
+    val brIdx = (b(i + 2) & 0xF0) >>> 4
+    val srIdx = (b(i + 2) & 0x0C) >>> 2
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return -1 // free/bad/reserved
+    val pad = (b(i + 2) & 0x02) >>> 1
+    144000 * Mp3Bitrates(brIdx) / Mp3Rates(srIdx) + pad
+  }
+
+  private def mp3(b: Array[Byte]): InternalRow = {
+    // skip one leading ID3v2 tag: 'ID3' + version(2) + flags + 4-byte
+    // syncsafe size (7 bits per byte)
+    var off = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+        ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+      val next = 10L + size
+      if (next >= b.length) return null
+      off = next.toInt
+    }
+    val len1 = mp3FrameLen(b, off)
+    if (len1 <= 0) return null
+    // anti-false-positive: the next frame must start exactly where this
+    // frame's length says, with its own valid header (or be end-of-file)
+    val second = off + len1
+    if (second < b.length && mp3FrameLen(b, second) <= 0) return null
+    if (second > b.length) return null // truncated single frame
+    val brIdx = (b(off + 2) & 0xF0) >>> 4
+    val srIdx = (b(off + 2) & 0x0C) >>> 2
+    val mode = (b(off + 3) & 0xC0) >>> 6
+    val channels = if (mode == 3) 1 else 2
+    val audioBytes = (b.length - off).toLong
+    val ms = audioBytes * 8L / Mp3Bitrates(brIdx)
+    row("mp3", channels, Mp3Rates(srIdx), null,
+      java.lang.Long.valueOf(ms))
   }
 
   private def row(fmt: String, ch: Any, rate: Any, bits: Any, ms: Any): InternalRow =

@@ -92,6 +92,46 @@ object MediaWriter {
         (((5 * n + 11 * c + seed) % 4096) - 2048).toShort
       })
 
+  /** CBR MPEG-1 Layer III frame stream: `frames` frames with REAL
+    * headers (sync, bitrate/sample-rate indices, channel mode) and
+    * seed-derived filler payloads — frame-header metadata is the parsed
+    * surface ([[graft.expressions.AvMeta]]), not audio. Optionally
+    * prefixed by an ID3v2.3 tag with `id3Body` body bytes (syncsafe
+    * size, like every real tagger writes). Frame length is the spec's
+    * `⌊144·bitrate/rate⌋` (padding bit 0), so external engines compute
+    * byte counts and CBR durations closed-form.
+    */
+  def mp3(frames: Int, bitrateKbps: Int, sampleRate: Int, mono: Boolean,
+      seed: Int, id3Body: Int = 0): Array[Byte] = {
+    val brIdx = Mp3Bitrates.indexOf(bitrateKbps)
+    val srIdx = Mp3Rates.indexOf(sampleRate)
+    require(brIdx > 0, s"unsupported CBR bitrate: $bitrateKbps")
+    require(srIdx >= 0, s"unsupported MPEG-1 rate: $sampleRate")
+    require(frames > 0, s"frames must be positive: $frames")
+    val frameLen = 144000 * bitrateKbps / sampleRate
+    val out = new ByteArrayOutputStream()
+    if (id3Body > 0) {
+      out.write("ID3".getBytes("US-ASCII"))
+      out.write(Array[Byte](3, 0, 0)) // v2.3, no flags
+      out.write(Array(
+        ((id3Body >> 21) & 0x7F).toByte, ((id3Body >> 14) & 0x7F).toByte,
+        ((id3Body >> 7) & 0x7F).toByte, (id3Body & 0x7F).toByte))
+      for (i <- 0 until id3Body) out.write((i * 7 + seed) % 128) // tag filler
+    }
+    for (f <- 0 until frames) {
+      out.write(0xFF)
+      out.write(0xFB) // MPEG-1, Layer III, no CRC
+      out.write((brIdx << 4) | (srIdx << 2)) // padding 0, private 0
+      out.write(if (mono) 0xC0 else 0x00) // mode in the top two bits
+      for (i <- 4 until frameLen) out.write((f * 131 + i * 31 + seed) % 251)
+    }
+    out.toByteArray
+  }
+
+  private val Mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
   /** ISO BMFF skeleton: `ftyp` + `moov`(`mvhd` v0 or v1) with the given
     * movie timescale and duration (in timescale units).
     */

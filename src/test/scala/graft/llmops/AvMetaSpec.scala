@@ -42,6 +42,34 @@ class AvMetaSpec extends SparkTestBase {
       Some(("mp4", None, None, None, Some(1234L * 1000 / 600))))
   }
 
+  test("mp3: rate/mode/CBR duration, ID3 skip, two-frame strictness") {
+    // 10 frames @ 128 kbps / 44100: frameLen = 144000*128/44100 = 417
+    val b = MediaWriter.mp3(10, 128, 44100, mono = false, seed = 5)
+    assert(b.length === 4170)
+    assert(meta(b) === Some(("mp3", Some(2), Some(44100), None,
+      Some(4170L * 8 / 128))))
+    // mono, other rate, ID3v2-prefixed: tag bytes excluded from duration
+    val tagged = MediaWriter.mp3(4, 64, 32000, mono = true, seed = 1,
+      id3Body = 100)
+    val audio = 4 * (144000 * 64 / 32000)
+    assert(meta(tagged) === Some(("mp3", Some(1), Some(32000), None,
+      Some(audio.toLong * 8 / 64))))
+    // a single complete frame is valid (end-of-file second frame)
+    assert(meta(MediaWriter.mp3(1, 128, 44100, mono = true, seed = 2))
+      .get._1 === "mp3")
+    // tail truncation still parses — duration follows the actual byte
+    // count (the CBR estimate convention for cut-off files)
+    assert(meta(b.dropRight(7)).get._5 === Some(4163L * 8 / 128))
+    // but a HEAD frame cut before its implied length refuses: the
+    // two-frame check cannot place the second header
+    assert(meta(MediaWriter.mp3(1, 128, 44100, mono = true, seed = 2)
+      .dropRight(7)) === None)
+    // a stray sync byte inside arbitrary bytes must not false-positive
+    // (the byte after 0xFF fails the version/layer check here)
+    val stray = Array.tabulate[Byte](600)(i => if (i == 77) 0xFF.toByte else 65)
+    assert(meta(stray) === None)
+  }
+
   test("unrecognized bytes and nulls yield NULL") {
     assert(meta("not a container".getBytes) === None)
     assert(meta(Array[Byte](1, 2, 3)) === None)
