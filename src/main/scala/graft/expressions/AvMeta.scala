@@ -115,18 +115,25 @@ object AvMeta {
       if (next >= b.length) return null
       off = next.toInt
     }
+    // strip one trailing ID3v1 tag (fixed 128 bytes starting 'TAG') so a
+    // single-frame file with the ubiquitous v1 trailer still validates
+    // against "next frame or exact EOF", and so multi-frame files don't
+    // count tag bytes as audio when computing the CBR duration
+    var end = b.length
+    if (end - off >= 128 && b(end - 128) == 'T' && b(end - 127) == 'A' &&
+        b(end - 126) == 'G') end -= 128
     val len1 = mp3FrameLen(b, off)
     if (len1 <= 0) return null
     // anti-false-positive: the next frame must start exactly where this
     // frame's length says, with its own valid header (or be end-of-file)
     val second = off + len1
-    if (second < b.length && mp3FrameLen(b, second) <= 0) return null
-    if (second > b.length) return null // truncated single frame
+    if (second < end && mp3FrameLen(b, second) <= 0) return null
+    if (second > end) return null // truncated single frame
     val brIdx = (b(off + 2) & 0xF0) >>> 4
     val srIdx = (b(off + 2) & 0x0C) >>> 2
     val mode = (b(off + 3) & 0xC0) >>> 6
     val channels = if (mode == 3) 1 else 2
-    val audioBytes = (b.length - off).toLong
+    val audioBytes = (end - off).toLong
     val ms = audioBytes * 8L / Mp3Bitrates(brIdx)
     row("mp3", channels, Mp3Rates(srIdx), null,
       java.lang.Long.valueOf(ms))

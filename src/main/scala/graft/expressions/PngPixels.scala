@@ -120,7 +120,9 @@ object PngPixels {
     val idat = new java.io.ByteArrayOutputStream()
     while (i + 8 <= b.length) {
       val len = be32(b, i)
-      if (len < 0 || i + 12 + len > b.length) return null
+      // bounds math in Long: a crafted len near Int.MaxValue would wrap
+      // `i + 12 + len` negative and slip past an Int comparison
+      if (len < 0 || i.toLong + 12L + len > b.length) return null
       val typ = new String(b, i + 4, 4, "US-ASCII")
       if (!seenIhdr) {
         if (typ != "IHDR" || len != 13) return null

@@ -12,8 +12,9 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * take each cell's energy Σ|mono|, and emit one bit per adjacent cell
   * pair: bit `k` is set iff cell `k+1` has higher MEAN energy than cell
   * `k` (cross-multiplied — `eR·cntL > eL·cntR` — so the math never
-  * leaves integers; bounded: e ≤ 2^16·n, cnt ≤ n/65, product < 2^63 for
-  * any JVM-representable payload).
+  * leaves integers; the products are compared as exact 128-bit values
+  * via `Math.multiplyHigh`, so no payload — max channel count, max
+  * amplitude, 2 GB clip — can overflow the comparison).
   *
   * This is the simplest member of the audio-fingerprint family
   * (Shazam/Chromaprint-class systems hash spectral landmarks; the
@@ -62,7 +63,9 @@ object WavEnvelopeHash {
     val counts = new Array[Long](Cells)
     var n = 0
     while (n < frames) {
-      var mono = 0
+      // Long: fmt allows 65535 channels, and ~32k channels at full
+      // amplitude overflows an Int sum (silently flipping envelope bits)
+      var mono = 0L
       var c = 0
       while (c < d.channels) {
         mono += d.sample(n * d.channels + c)
@@ -77,10 +80,21 @@ object WavEnvelopeHash {
     var hash = 0L
     var k = 0
     while (k < Cells - 1) {
-      if (energy(k + 1) * counts(k) > energy(k) * counts(k + 1))
+      if (gtU128(energy(k + 1), counts(k), energy(k), counts(k + 1)))
         hash |= 1L << k
       k += 1
     }
     java.lang.Long.valueOf(hash)
+  }
+
+  /** Exact `a·b > c·d` for non-negative longs via 128-bit products —
+    * energies grow with clip length × channel count and the naive Long
+    * product can overflow for long full-scale clips.
+    */
+  @inline private def gtU128(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(lo1, lo2) > 0
   }
 }

@@ -654,10 +654,14 @@ object DedupOps {
     val chunked = signatures
       .select(col("key"), col("hash"))
       .withColumn("chunk", hashChunks(col("hash")))
-      // both sides of the candidate self-join read this — persist the
+      // both sides of the candidate self-join read this — materialize the
       // (4 rows/key, 24 bytes each) chunk table instead of recomputing
-      // upstream fingerprints (which may decode images/audio) twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // upstream fingerprints (which may decode images/audio) twice.
+      // localCheckpoint, not persist: streaming ingest calls this per
+      // micro-batch, and persist would pin blocks in the CacheManager
+      // until an unpersist the caller never sees — checkpoint blocks are
+      // freed by the ContextCleaner once the returned frame is GC'd
+      .localCheckpoint(true)
     val l = chunked.alias("l")
     val r = chunked.alias("r")
     l.join(r,
@@ -682,7 +686,9 @@ object DedupOps {
     val batch = batchSigs
       .select(col("key").alias("__bkey"), col("hash").alias("__bhash"))
       .withColumn("chunk", hashChunks(col("__bhash")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint for the same per-micro-batch lifecycle reason as
+      // [[hammingNearDups]] — no CacheManager pin across ingest batches
+      .localCheckpoint(true)
     val corpus = corpusSigs
       .select(col("key").alias("__ckey"), col("hash").alias("__chash"))
       .withColumn("chunk", hashChunks(col("__chash")))

@@ -248,9 +248,15 @@ class PlanShapeSpec extends SparkTestBase {
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
         s"$name must stay bucketed, never all-pairs:\n$plan")
-      // decode happens once: the persisted chunk table feeds both sides
-      assert(plan.contains("InMemoryTableScan"),
-        s"$name must join the cached chunk table, not re-decode:\n$plan")
+      // decode happens once: the eagerly checkpointed chunk table feeds
+      // both sides (localCheckpoint materializes to ExistingRDD — chosen
+      // over persist so per-micro-batch callers don't pin CacheManager
+      // entries forever)
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$name must join the materialized chunk table, not re-decode:\n$plan")
+      assert(!plan.contains("graft_png_dhash") &&
+        !plan.contains("graft_wav_envelope_hash"),
+        s"$name fingerprint decode must happen before the checkpoint:\n$plan")
     }
   }
 

@@ -70,6 +70,28 @@ class AvMetaSpec extends SparkTestBase {
     assert(meta(stray) === None)
   }
 
+  test("mp3: trailing ID3v1 'TAG' block is stripped before validation and duration") {
+    val id3v1 = {
+      val t = new Array[Byte](128)
+      t(0) = 'T'; t(1) = 'A'; t(2) = 'G'
+      java.util.Arrays.fill(t, 3, 128, 'x'.toByte)
+      t
+    }
+    // single frame + v1 trailer: without the strip, the byte after frame 1
+    // is neither a header nor EOF → the old code refused the whole file
+    val one = MediaWriter.mp3(1, 128, 44100, mono = true, seed = 2)
+    assert(meta(one ++ id3v1) === meta(one))
+    // multi-frame: the 128 tag bytes must not inflate the CBR duration
+    val many = MediaWriter.mp3(10, 128, 44100, mono = false, seed = 5)
+    assert(meta(many ++ id3v1).get._5 === Some(4170L * 8 / 128))
+    // both v2 prefix and v1 trailer together
+    val both = MediaWriter.mp3(4, 64, 32000, mono = true, seed = 1, id3Body = 100)
+    val audio = 4 * (144000 * 64 / 32000)
+    assert(meta(both ++ id3v1).get._5 === Some(audio.toLong * 8 / 64))
+    // a file that is ONLY a v1 tag is not audio
+    assert(meta(id3v1) === None)
+  }
+
   test("unrecognized bytes and nulls yield NULL") {
     assert(meta("not a container".getBytes) === None)
     assert(meta(Array[Byte](1, 2, 3)) === None)

@@ -82,6 +82,24 @@ class CodecRobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG chunk length near Int.MaxValue must refuse, not wrap the bounds check") {
+    // sig + IHDR(13, valid 8-bit RGB) + a chunk whose length field wraps
+    // `i + 12 + len` negative if the bounds math runs in Int
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    out.write(be32(13)); out.write("IHDR".getBytes("US-ASCII"))
+    out.write(be32(4)); out.write(be32(4)) // 4x4
+    out.write(Array[Byte](8, 2, 0, 0, 0)) // depth 8, RGB, no interlace
+    out.write(be32(0)) // crc (unchecked)
+    for (len <- Seq(Int.MaxValue, Int.MaxValue - 11, 0x7FFFFFF0)) {
+      val evil = out.toByteArray ++ be32(len) ++ "IDAT".getBytes("US-ASCII")
+      assert(graft.expressions.PngPixels.compute(evil) === null)
+      assert(graft.expressions.PngDHash.compute(evil) === null)
+    }
+  }
+
   test("bit-flipped genuine documents never throw") {
     val base = Seq(
       PdfWriter.pdf(Seq(Seq("gamma delta")), compress = false),
