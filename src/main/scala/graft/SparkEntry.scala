@@ -690,6 +690,40 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    "q108_bpe_train" -> ((s, dir) => {
+      // byte-level BPE training (Sennrich 2016): 24 merges learned from
+      // the documents word-frequency table — distributed word count,
+      // bounded driver merge loop, hex-token tie-breaks. The oracle
+      // replays every round in SQL: pair counts over the prefix-'|' /
+      // '.'-terminated hex encoding, argmax with the same tie-break,
+      // merge applied as one single-pass replace
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents")
+      val merges = graft.llmops.Bpe.train(d, "text", numMerges = BpeGateMerges,
+        trainLimit = 1 << 20)
+      ss.createDataFrame(merges.map(m => (m.rank, m.left, m.right, m.freq)))
+        .toDF("rank", "left_tok", "right_tok", "freq")
+        .orderBy("rank")
+    }),
+
+    "q109_bpe_encode" -> ((s, dir) => {
+      // byte-level BPE encode through the native kernel: the q108 model
+      // applied in rank order per word, token stream emitted as exact
+      // count + md5 + prefix of the '|'-joined hex tokens. Token counts
+      // are what packSequences/mixture budgets run on in tokens mode
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents")
+      val merges = graft.llmops.Bpe.train(d, "text", numMerges = BpeGateMerges,
+        trainLimit = 1 << 20)
+      val toks = graft.llmops.Bpe.encode(col("text"), merges)
+      d.select(col("doc_id"), toks.alias("__toks"))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").alias("n_tokens"),
+          md5(array_join(col("__toks"), "|")).alias("tok_md5"),
+          substring(array_join(col("__toks"), "|"), 1, 160).alias("tok_prefix"))
+        .orderBy("doc_id")
+    }),
+
     "q107_mp3_meta" -> ((s, dir) => {
       // MP3 frame-header metadata: real CBR frame streams with
       // doc_id-derived bitrate/rate/mode and optional ID3v2 tags (tag
@@ -1715,7 +1749,88 @@ object SparkEntry {
     "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   private val enList = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'that')"
 
+  /** Chained-CTE replication of [[graft.llmops.Bpe]] training: round `r`
+    * counts adjacent-pair frequencies over the word-type tokenization
+    * after `r` merges, picks the argmax with the `(freq desc, left,
+    * right)` tie-break, and applies it as ONE single-pass `replace`.
+    *
+    * Token streams render as `|HEX.` per token — prefix separator AND
+    * terminator, because a single anchor is wrong in both directions: in
+    * pattern `|L|R`, R would also match a merged token whose hex merely
+    * starts with R (no end anchor), while wrapping both sides as
+    * `|L|R|` consumes the separator the NEXT occurrence of a
+    * consecutive run needs (`x x x x` would merge once, not twice).
+    * With `|L.|R.` → `|LR.` the pattern consumes no neighbouring
+    * anchor, so left-to-right non-overlapping `replace` IS greedy BPE
+    * merge application. `MATERIALIZED` keeps DuckDB from inlining each
+    * round into the next (the chain is exponential otherwise).
+    */
+  private def bpeOracleChain(m: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""words AS MATERIALIZED (
+           SELECT w AS word, count(*)::BIGINT AS wc
+           FROM (SELECT unnest(regexp_split_to_array(text, '[ \t\r\n]+')) AS w
+                 FROM documents)
+           WHERE w <> '' GROUP BY w
+           ORDER BY wc DESC, word LIMIT 1048576),
+         tok0 AS MATERIALIZED (
+           SELECT word, wc,
+             '|' || array_to_string([substring(hex(word), 2*i+1, 2)
+                                     FOR i IN range(length(hex(word))//2)],
+                                    '.|') || '.' AS s
+           FROM words)""")
+    for (r <- 0 until m) sb.append(s""",
+         best$r AS MATERIALIZED (
+           SELECT a, b, cnt FROM (
+             SELECT l[i+1] AS a, l[i+2] AS b, sum(wc)::BIGINT AS cnt
+             FROM (SELECT wc, l, unnest(range(len(l)-1)) AS i
+                   FROM (SELECT wc, string_split(replace(substring(s, 2), '.', ''), '|') AS l
+                         FROM tok$r))
+             GROUP BY a, b)
+           ORDER BY cnt DESC, a, b LIMIT 1),
+         tok${r + 1} AS MATERIALIZED (
+           SELECT word, wc,
+             replace(s,
+               coalesce('|'||(SELECT a FROM best$r)||'.|'||(SELECT b FROM best$r)||'.', s||'~'),
+               '|'||coalesce((SELECT a FROM best$r),'')||coalesce((SELECT b FROM best$r),'')||'.') AS s
+           FROM tok$r)""")
+    sb.toString
+  }
+
+  private val BpeGateMerges = 24
+
+  private def bpeTrainOracle: String = {
+    val ranks = (0 until BpeGateMerges).map(r =>
+      s"SELECT $r AS rank, a AS left_tok, b AS right_tok, cnt AS freq FROM best$r")
+      .mkString(" UNION ALL ")
+    s"WITH ${bpeOracleChain(BpeGateMerges)}\nSELECT * FROM ($ranks) ORDER BY rank"
+  }
+
+  private def bpeEncodeOracle: String = {
+    val m = BpeGateMerges
+    s"""WITH ${bpeOracleChain(m)},
+         dwords AS (
+           SELECT doc_id, unnest(l) AS word, unnest(range(len(l))) AS i
+           FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '[ \t\r\n]+'),
+                               x -> x <> '') AS l
+                 FROM documents)),
+         enc AS (
+           SELECT d.doc_id,
+             sum(len(string_split(replace(substring(t.s, 2), '.', ''), '|')))::BIGINT AS n_tokens,
+             string_agg(replace(substring(t.s, 2), '.', ''), '|' ORDER BY d.i) AS toks
+           FROM dwords d JOIN tok$m t ON t.word = d.word
+           GROUP BY d.doc_id)
+         SELECT doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+           md5(coalesce(toks, '')) AS tok_md5,
+           substring(coalesce(toks, ''), 1, 160) AS tok_prefix
+         FROM (SELECT doc_id FROM documents) LEFT JOIN enc USING (doc_id)
+         ORDER BY doc_id"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q108_bpe_train" -> bpeTrainOracle,
+    "q109_bpe_encode" -> bpeEncodeOracle,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty,

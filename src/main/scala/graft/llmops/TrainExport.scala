@@ -61,6 +61,24 @@ object TrainExport {
       .drop("__cum")
   }
 
+  /** Token-exact [[packSequences]]: the budget column is the real BPE
+    * token count from a trained merge table ([[Bpe.train]]) instead of a
+    * character/whitespace proxy — the unit an actual trainer packs by.
+    * The count is a native per-row kernel in the same scan that shards,
+    * so the tokens mode adds zero shuffles over the proxy mode.
+    */
+  def packSequencesByTokens(
+      df: DataFrame,
+      keyCol: String,
+      textCol: String,
+      merges: Seq[BpeMerge],
+      nShards: Int,
+      tokenBudget: Long
+  ): DataFrame =
+    packSequences(
+      df.withColumn("token_count", Bpe.tokenCount(col(textCol), merges)),
+      keyCol, "token_count", nShards, tokenBudget)
+
   /** Write the sharded corpus as one directory per shard (a trainer reads
     * shard directories independently; `pos` preserves the shuffle order
     * inside each file set).
