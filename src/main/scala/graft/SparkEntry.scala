@@ -690,6 +690,20 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    "q110_ivfpq_rerank" -> ((s, dir) => {
+      // two-stage retrieval: IVF-PQ ADC shortlist (kShortlist=8, byte
+      // codes only) re-ranked by exact cosine over the true vectors of
+      // just those candidates. The oracle replays the full q93 pipeline
+      // to the shortlist, then the same in-order cosine fold
+      val ss = tuned(s)
+      val emb = t(ss, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      graft.llmops.Similarity.ivfPqTopKRerank(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 3, kShortlist = 8,
+          nCentroids = 16, nProbe = 4, numSubspaces = 8, pqCentroids = 16)
+        .orderBy("query_key", "rank")
+    }),
+
     "q108_bpe_train" -> ((s, dir) => {
       // byte-level BPE training (Sennrich 2016): 24 merges learned from
       // the documents word-frequency table — distributed word count,
@@ -1829,6 +1843,81 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q110_ivfpq_rerank" ->
+      """WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         samp AS (
+           SELECT v AS cv,
+             row_number() OVER (ORDER BY
+               ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 1000000,
+               vec_id) - 1 AS j
+           FROM emb QUALIFY j <= 15),
+         coarse AS (
+           SELECT e.vec_id, s.j AS cent_id,
+             CASE WHEN sqrt(list_sum([s.cv[i] * s.cv[i]
+                                      FOR i IN range(1, 65)])) = 0
+               THEN 0.0
+               ELSE -(list_sum([e.v[i] * s.cv[i] FOR i IN range(1, 65)])) /
+                 sqrt(list_sum([s.cv[i] * s.cv[i] FOR i IN range(1, 65)]))
+             END AS score
+           FROM emb e, samp s),
+         corp AS (
+           SELECT vec_id AS neighbor_key, cent_id FROM coarse
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY score, cent_id) = 1),
+         qry AS (
+           SELECT vec_id AS query_key, cent_id FROM coarse WHERE vec_id < 5
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY score, cent_id) <= 4),
+         dist AS (
+           SELECT e.vec_id, mi.m, s.j,
+             list_sum([(e.v[mi.m * 8 + i] - s.cv[mi.m * 8 + i]) *
+                       (e.v[mi.m * 8 + i] - s.cv[mi.m * 8 + i])
+                       FOR i IN range(1, 9)]) AS dd
+           FROM emb e, samp s, range(0, 8) mi(m)),
+         codes0 AS (
+           SELECT vec_id, m, j AS code FROM dist
+           QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dd, j) = 1),
+         codesarr AS (
+           SELECT vec_id AS neighbor_key, list(code ORDER BY m) AS codes
+           FROM codes0 GROUP BY vec_id),
+         qrows AS (
+           SELECT vec_id AS query_key, m, list(dd ORDER BY j) AS trow
+           FROM dist WHERE vec_id < 5 GROUP BY vec_id, m),
+         qarr AS (
+           SELECT query_key, list(trow ORDER BY m) AS tab
+           FROM qrows GROUP BY query_key),
+         cand AS (
+           SELECT query_key, neighbor_key
+           FROM qry JOIN corp USING (cent_id)
+           WHERE query_key <> neighbor_key),
+         adcscored AS (
+           SELECT c.query_key, c.neighbor_key,
+             list_sum([q.tab[mi][ca.codes[mi] + 1]
+                       FOR mi IN range(1, 9)]) AS adist
+           FROM cand c
+           JOIN qarr q USING (query_key)
+           JOIN codesarr ca USING (neighbor_key)),
+         shortlist AS (
+           SELECT query_key, neighbor_key,
+             row_number() OVER (PARTITION BY query_key
+                                ORDER BY adist, neighbor_key) AS arank
+           FROM adcscored QUALIFY arank <= 8),
+         rer AS (
+           SELECT s.query_key, s.neighbor_key,
+             list_sum([eq.v[i] * en.v[i] FOR i IN range(1, 65)]) /
+               (sqrt(list_sum([eq.v[i] * eq.v[i] FOR i IN range(1, 65)])) *
+                sqrt(list_sum([en.v[i] * en.v[i] FOR i IN range(1, 65)]))) AS sim
+           FROM shortlist s
+           JOIN emb eq ON eq.vec_id = s.query_key
+           JOIN emb en ON en.vec_id = s.neighbor_key)
+         SELECT query_key, neighbor_key,
+           row_number() OVER (PARTITION BY query_key
+                              ORDER BY sim DESC, neighbor_key) AS rank
+         FROM rer QUALIFY rank <= 3
+         ORDER BY query_key, rank""",
+
     "q108_bpe_train" -> bpeTrainOracle,
     "q109_bpe_encode" -> bpeEncodeOracle,
     "q01_pricing_summary" ->

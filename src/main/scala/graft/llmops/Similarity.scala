@@ -731,6 +731,69 @@ object Similarity {
       .select("query_key", "neighbor_key", "rank")
   }
 
+  /** IVF-PQ with an exact-vector re-rank — the standard two-stage
+    * retrieval layout: [[ivfPqTopK]] produces a `kShortlist > k` ADC
+    * shortlist (cheap, over byte codes), then only those candidates are
+    * joined back to their TRUE vectors and re-scored with exact cosine.
+    * ADC error is bounded by quantization, so with a modest shortlist
+    * (4-8× k) the exact re-rank recovers brute-force ordering at a tiny
+    * fraction of its cost — the corpus is still scanned as codes; full
+    * vectors are touched for nQueries × kShortlist rows only.
+    *
+    * Scale shape: the shortlist (and the query set) broadcast, so the
+    * re-rank never shuffles the corpus — one broadcast-join pass picks
+    * the candidate vectors out of the existing corpus partitioning.
+    *
+    * Determinism contract as [[ivfPqTopK]], extended through the re-rank:
+    * exact cosine is the ascending-index double fold of
+    * [[graft.expressions.CosineSim]] (dot / (√Σa² · √Σb²)), so an external
+    * SQL engine replays the re-ranked order exactly, ties included.
+    *
+    * @return (query_key, neighbor_key, rank) — rank 1..k by DESCENDING
+    *         exact cosine within the shortlist, ties to the smaller key
+    */
+  def ivfPqTopKRerank(
+      corpus: DataFrame,
+      corpusKey: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryKey: String,
+      queryVec: String,
+      k: Int,
+      /** ADC shortlist size; 4-8× k is the usual recall/cost knee. */
+      kShortlist: Int = 32,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      numSubspaces: Int = 8,
+      pqCentroids: Int = 16,
+      coarseCentroids: Option[DataFrame] = None,
+      pqCodebook: Option[DataFrame] = None
+  ): DataFrame = {
+    require(kShortlist >= k,
+      s"kShortlist ($kShortlist) must be >= k ($k): the re-rank can only " +
+        "reorder the shortlist, not grow it")
+    val shortlist = ivfPqTopK(corpus, corpusKey, corpusVec,
+        queries, queryKey, queryVec, kShortlist,
+        nCentroids, nProbe, numSubspaces, pqCentroids,
+        coarseCentroids, pqCodebook)
+      .select(col("query_key"), col("neighbor_key"))
+    // candidates back to true vectors: shortlist and queries are tiny
+    // (nQueries × kShortlist), so THEY broadcast and corpus rows stay in
+    // their existing partitioning — no corpus shuffle for the re-rank
+    val scored = corpus
+      .select(col(corpusKey).alias("neighbor_key"), col(corpusVec).alias("__nv"))
+      .join(broadcast(shortlist), "neighbor_key")
+      .join(broadcast(queries.select(
+        col(queryKey).alias("query_key"), col(queryVec).alias("__qv"))),
+        "query_key")
+      .withColumn("sim", cosine(col("__qv"), col("__nv")))
+    val w = Window.partitionBy(col("query_key"))
+      .orderBy(col("sim").desc, col("neighbor_key"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_key", "neighbor_key", "rank")
+  }
+
   /** [[pqEncode]] against an existing codebook (shared by encode + query
     * so both sides quantize identically).
     */

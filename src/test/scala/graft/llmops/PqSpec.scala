@@ -179,6 +179,49 @@ class PqSpec extends SparkTestBase {
     assert(recall >= 0.6, s"trained IVF-PQ recall too low: $recall")
   }
 
+  test("ivfPqTopKRerank: exact re-rank lifts recall over ADC-only at same nProbe") {
+    val df = clustered(8, 8, 16)
+    val queries = df.filter($"vec_id" % 8 === 5)
+    val k = 3
+    val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k)
+      .select("query_key", "neighbor_key")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // coarse PQ (4 subspaces × 8 centroids) so ADC ordering inside a
+    // cluster degrades to code ties; all cells probed so coarse pruning
+    // is not the limiter — the delta isolates the re-rank stage
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+      val got = res.select("query_key", "neighbor_key")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got intersect bf).size.toDouble / bf.size
+    }
+    val adc = recallOf(Similarity.ivfPqTopK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k,
+      nCentroids = 8, nProbe = 8, numSubspaces = 4, pqCentroids = 8))
+    val rr = recallOf(Similarity.ivfPqTopKRerank(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, kShortlist = 16,
+      nCentroids = 8, nProbe = 8, numSubspaces = 4, pqCentroids = 8))
+    assert(rr >= adc, s"re-rank recall $rr must not trail ADC-only $adc")
+    assert(rr >= 0.9, s"re-rank recall too low with full probes: $rr")
+  }
+
+  test("ivfPqTopKRerank: dense ranks, no self, shortlist >= k enforced") {
+    val df = clustered(4, 8, 16)
+    val queries = df.filter($"vec_id" < 2)
+    val got = Similarity.ivfPqTopKRerank(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", 3, kShortlist = 8,
+        nCentroids = 8, nProbe = 4, numSubspaces = 4, pqCentroids = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    got.foreach { case (q, n, _) => assert(q !== n) }
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === Seq(1, 2, 3))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKRerank(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", 5, kShortlist = 3)
+    }
+  }
+
   test("a hot coarse cell never hash-partitions the corpus (probe broadcast)") {
     // adversarial skew: every vector in ONE tight cluster — coarse
     // assignment puts the whole corpus in a single cell. The candidate
