@@ -504,6 +504,25 @@ class LlmOpsSpec extends SparkTestBase {
         s"${rounds.map(_.getName).sorted.mkString(", ")}")
   }
 
+  test("label propagation exits early on convergence, not at maxIters") {
+    // a 6-clique converges in one propagation round (+1 to observe no
+    // change); the surviving snapshot's round-NNNNN name is the total
+    // round count, so a fixed-20-round loop would leave round-00020
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_ee").toString
+    val clique = (for { a <- 1L to 6L; b <- (a + 1) to 6L } yield (a, b))
+      .toDF("key_a", "key_b")
+    val got = DedupOps.duplicateClusters(clique, maxIters = 20,
+      checkpointDir = Some(dir)).collect()
+    assert(got.length === 6)
+    assert(got.forall(_.getLong(1) === 1L))
+    val last = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("graft-cc-"))
+      .head.listFiles().filter(_.getName.startsWith("round-"))
+      .map(_.getName).max
+    assert(last <= "round-00003",
+      s"clique should converge in ~2 rounds, final snapshot was $last")
+  }
+
   test("fast twins match portable twins pair-for-pair on exact duplicates") {
     // the bench-only q34_fast/q43_fast run the same pipelines with
     // non-portable production hashes; on a corpus of planted EXACT
