@@ -174,6 +174,14 @@ object GraftFunctions {
       "graft_png_dhash(content) - 64-bit perceptual difference hash (9x8 grayscale gradient grid), NULL if not a decodable RGB/RGBA PNG of at least 9x8",
       exprs => graft.expressions.PngDHash(exprs.head)),
 
+    ("graft_jpeg_pixels",
+      "graft_jpeg_pixels(content) - full baseline-JPEG pixel decode (Huffman + IDCT + YCbCr): struct(width,height,channels,pix_sum,pix_wsum,mean_r,mean_g,mean_b), NULL if not baseline sequential",
+      exprs => graft.expressions.JpegPixels(exprs.head)),
+
+    ("graft_jpeg_dhash",
+      "graft_jpeg_dhash(content) - 64-bit perceptual difference hash of a baseline JPEG (same grid/bit layout as graft_png_dhash), NULL if undecodable or under 9x8",
+      exprs => graft.expressions.JpegDHash(exprs.head)),
+
     ("graft_wav_samples",
       "graft_wav_samples(content) - 16-bit PCM WAV sample decode: struct(channels,sample_rate,n_frames,samp_sum,samp_wsum,peak_abs), NULL if not complete 16-bit PCM",
       exprs => graft.expressions.WavSamples(exprs.head)),

@@ -1,0 +1,586 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** Baseline JPEG (ITU-T T.81 sequential DCT, Huffman) decoder — the JPEG
+  * sibling of [[PngPixels.decodeRaw]], JDK-only: marker walk, DQT/DHT
+  * table parsing, interleaved-MCU Huffman entropy decode (byte
+  * unstuffing, restart markers), dequantization, separable double IDCT,
+  * nearest-neighbor chroma upsampling and libjpeg fixed-point
+  * YCbCr→RGB.
+  *
+  * Refusal envelope (NULL, never throw — same contract as the PNG/WAV
+  * decoders): accepts only baseline SOF0, 8-bit precision, 1 or 3
+  * components, sampling factors in {1, 2}, one interleaved scan covering
+  * every component, with all referenced Huffman/quant tables declared.
+  * Progressive (SOF2), arithmetic-coded, hierarchical, 12-bit, and CMYK
+  * streams are refused rather than half-decoded. All size math is done
+  * in Long and the decoded allocation is capped (64 MB of pixels), so a
+  * forged header cannot become an allocation bomb.
+  *
+  * The reference ingests documents only (aje_libs/documents/helpers/
+  * document_processor.py:10-83) — image decode is engine-addition scope
+  * for the multimodal curation path, closing the one arm
+  * [[graft.llmops.Multimodal]] still stubbed after PNG (round 7).
+  */
+private[expressions] object JpegDecode {
+
+  /** Decoded image: interleaved `pix` (RGB for 3-component, single
+    * byte per pixel for grayscale), stride = width·channels.
+    */
+  final class JpegRaw(val width: Int, val height: Int, val channels: Int,
+      val pix: Array[Byte])
+
+  /** Natural position of zigzag index k (T.81 Figure A.6). */
+  val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Orthonormal 1-D DCT basis, `K(u)(x) = c(u)/2 · cos((2x+1)uπ/16)`
+    * with c(0) = 1/√2 — one table serves both FDCT (writer twin) and
+    * IDCT because the basis is orthogonal.
+    */
+  val Basis: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    c / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Canonical Huffman decode table (T.81 F.2.2.3: MINCODE / MAXCODE /
+    * VALPTR per code length). Returns null from [[Huff.build]] when the
+    * (bits, vals) declaration is inconsistent or overflows the code
+    * space.
+    */
+  private final class Huff(val mincode: Array[Int], val maxcode: Array[Int],
+      val valptr: Array[Int], val vals: Array[Int], val bits: Array[Int])
+
+  private object Huff {
+    def build(bits: Array[Int], vals: Array[Int]): Huff = {
+      if (vals.length != bits.sum || vals.length == 0 || vals.length > 256)
+        return null
+      val mincode = new Array[Int](17)
+      val maxcode = new Array[Int](17)
+      val valptr = new Array[Int](17)
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valptr(l) = k
+        mincode(l) = code
+        code += bits(l - 1)
+        k += bits(l - 1)
+        maxcode(l) = if (bits(l - 1) > 0) code - 1 else -1
+        if (code > (1 << l)) return null // Kraft overflow: not a prefix code
+        code <<= 1
+        l += 1
+      }
+      new Huff(mincode, maxcode, valptr, vals, bits)
+    }
+  }
+
+  /** Entropy-segment bit reader: MSB-first, 0xFF00 unstuffing; any bare
+    * marker inside the scan flips `failed` (restart markers are consumed
+    * only at the byte-aligned positions [[readRestart]] expects).
+    */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var cnt = 0
+    var failed = false
+
+    def nextBit(): Int = {
+      if (failed) return 0
+      if (cnt == 0) {
+        if (pos >= b.length) { failed = true; return 0 }
+        var v = b(pos) & 0xFF
+        pos += 1
+        if (v == 0xFF) {
+          if (pos >= b.length) { failed = true; return 0 }
+          val m = b(pos) & 0xFF
+          if (m != 0x00) { failed = true; return 0 } // marker mid-entropy
+          pos += 1
+          v = 0xFF
+        }
+        cur = v
+        cnt = 8
+      }
+      cnt -= 1
+      (cur >> cnt) & 1
+    }
+
+    def receive(s: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < s) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+
+    /** Byte-align and consume the expected RSTn marker. */
+    def readRestart(n: Int): Unit = {
+      cnt = 0
+      if (pos + 2 > b.length || (b(pos) & 0xFF) != 0xFF ||
+          (b(pos + 1) & 0xFF) != (0xD0 + (n & 7))) { failed = true; return }
+      pos += 2
+    }
+
+    def huffDecode(t: Huff): Int = {
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        code = (code << 1) | nextBit()
+        if (failed) return -1
+        if (t.bits(l - 1) > 0 && code <= t.maxcode(l))
+          return t.vals(t.valptr(l) + code - t.mincode(l))
+        l += 1
+      }
+      failed = true
+      -1
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** libjpeg fixed-point chroma term: `(t + 32768) >> 16` — arithmetic
+    * shift, i.e. floor division by 2^16, exactly `floor((t+32768)/65536.0)`
+    * for an external SQL replay.
+    */
+  private def fx(t: Int): Int = (t + 32768) >> 16
+
+  // scan-level component state
+  private final class Comp {
+    var id = 0
+    var h = 0
+    var v = 0
+    var tq = 0
+    var dcTab = 0
+    var acTab = 0
+    var pred = 0
+    var planeW = 0
+    var planeH = 0
+    var plane: Array[Byte] = null
+  }
+
+  def decode(b: Array[Byte]): JpegRaw = {
+    if (b == null || b.length < 4) return null
+    if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return null
+    val qt = new Array[Array[Int]](4) // zigzag order, as declared in DQT
+    val dcT = new Array[Huff](4)
+    val acT = new Array[Huff](4)
+    var width = 0
+    var height = 0
+    var comps: Array[Comp] = null
+    var restartInt = 0
+    var i = 2
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return null
+      var mi = i + 1
+      while (mi < b.length && (b(mi) & 0xFF) == 0xFF) mi += 1 // fill bytes
+      if (mi >= b.length) return null
+      val m = b(mi) & 0xFF
+      if (m == 0xD9) return null // EOI before any scan completed
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { i = mi + 1 } // standalone
+      else {
+        if (mi + 3 > b.length) return null
+        val len = ((b(mi + 1) & 0xFF) << 8) | (b(mi + 2) & 0xFF)
+        if (len < 2 || mi.toLong + 1L + len > b.length) return null
+        var s = mi + 3
+        val segEnd = mi + 1 + len
+        m match {
+          case 0xDB => // DQT
+            while (s < segEnd) {
+              val pq = (b(s) & 0xFF) >> 4
+              val tq = b(s) & 0x0F
+              if (tq > 3 || pq > 1) return null
+              val n = if (pq == 0) 64 else 128
+              if (s + 1 + n > segEnd) return null
+              val tab = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                val v =
+                  if (pq == 0) b(s + 1 + k) & 0xFF
+                  else ((b(s + 1 + 2 * k) & 0xFF) << 8) | (b(s + 2 + 2 * k) & 0xFF)
+                if (v == 0) return null
+                tab(k) = v
+                k += 1
+              }
+              qt(tq) = tab
+              s += 1 + n
+            }
+          case 0xC4 => // DHT
+            while (s < segEnd) {
+              val tc = (b(s) & 0xFF) >> 4
+              val th = b(s) & 0x0F
+              if (tc > 1 || th > 3 || s + 17 > segEnd) return null
+              val bits = Array.tabulate(16)(j => b(s + 1 + j) & 0xFF)
+              val total = bits.sum
+              if (s + 17 + total > segEnd) return null
+              val vals = Array.tabulate(total)(j => b(s + 17 + j) & 0xFF)
+              val huff = Huff.build(bits, vals)
+              if (huff == null) return null
+              if (tc == 0) dcT(th) = huff else acT(th) = huff
+              s += 17 + total
+            }
+          case 0xC0 => // SOF0 baseline
+            if (comps != null) return null
+            if (segEnd - s < 6 || (b(s) & 0xFF) != 8) return null
+            height = ((b(s + 1) & 0xFF) << 8) | (b(s + 2) & 0xFF)
+            width = ((b(s + 3) & 0xFF) << 8) | (b(s + 4) & 0xFF)
+            val nc = b(s + 5) & 0xFF
+            if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return null
+            if (segEnd - s != 6 + 3 * nc) return null
+            if (width.toLong * height * nc > 64L * 1024 * 1024) return null
+            comps = Array.fill(nc)(new Comp)
+            var c = 0
+            while (c < nc) {
+              val o = s + 6 + 3 * c
+              comps(c).id = b(o) & 0xFF
+              comps(c).h = (b(o + 1) & 0xFF) >> 4
+              comps(c).v = b(o + 1) & 0x0F
+              comps(c).tq = b(o + 2) & 0x0F
+              if (comps(c).h < 1 || comps(c).h > 2 ||
+                  comps(c).v < 1 || comps(c).v > 2 || comps(c).tq > 3)
+                return null
+              c += 1
+            }
+          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+               0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+            return null // non-baseline frame types: refuse, don't half-decode
+          case 0xDD => // DRI
+            if (segEnd - s != 2) return null
+            restartInt = ((b(s) & 0xFF) << 8) | (b(s + 1) & 0xFF)
+          case 0xDA => // SOS — decode and return
+            if (comps == null) return null
+            val ns = b(s) & 0xFF
+            if (ns != comps.length || segEnd - s != 1 + 2 * ns + 3) return null
+            var j = 0
+            while (j < ns) {
+              val cs = b(s + 1 + 2 * j) & 0xFF
+              val c = comps.indexWhere(_.id == cs)
+              if (c < 0) return null
+              comps(c).dcTab = (b(s + 2 + 2 * j) & 0xFF) >> 4
+              comps(c).acTab = b(s + 2 + 2 * j) & 0x0F
+              j += 1
+            }
+            // baseline spectral selection / approximation must be 0..63, 0
+            if ((b(segEnd - 3) & 0xFF) != 0 || (b(segEnd - 2) & 0xFF) != 63 ||
+                (b(segEnd - 1) & 0xFF) != 0) return null
+            var c2 = 0
+            while (c2 < comps.length) {
+              val cc = comps(c2)
+              if (qt(cc.tq) == null || dcT(cc.dcTab) == null ||
+                  acT(cc.acTab) == null) return null
+              c2 += 1
+            }
+            return decodeScan(b, segEnd, width, height, comps, qt, dcT, acT,
+              restartInt)
+          case _ => () // APPn / COM / DNL: skip
+        }
+        i = segEnd
+      }
+    }
+    null
+  }
+
+  private def decodeScan(b: Array[Byte], start: Int, width: Int, height: Int,
+      comps: Array[Comp], qt: Array[Array[Int]], dcT: Array[Huff],
+      acT: Array[Huff], restartInt: Int): JpegRaw = {
+    // T.81 A.2.2: a single-component scan is non-interleaved — one block
+    // per MCU, declared sampling factors notwithstanding
+    if (comps.length == 1) { comps(0).h = 1; comps(0).v = 1 }
+    var hmax = 1
+    var vmax = 1
+    comps.foreach { c =>
+      if (c.h > hmax) hmax = c.h
+      if (c.v > vmax) vmax = c.v
+    }
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    comps.foreach { c =>
+      c.planeW = mcusX * c.h * 8
+      c.planeH = mcusY * c.v * 8
+      // bounded by (w+15)(h+15)·4 ≤ ~4× the 64 MB pixel cap
+      c.plane = new Array[Byte](c.planeW * c.planeH)
+      c.pred = 0
+    }
+    val r = new BitReader(b, start)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    var rst = 0
+    while (mcu < nMcus) {
+      if (restartInt > 0 && mcu > 0 && mcu % restartInt == 0) {
+        r.readRestart(rst)
+        rst = (rst + 1) & 7
+        comps.foreach(_.pred = 0)
+        if (r.failed) return null
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var c = 0
+      while (c < comps.length) {
+        val cc = comps(c)
+        val q = qt(cc.tq)
+        var v2 = 0
+        while (v2 < cc.v) {
+          var h2 = 0
+          while (h2 < cc.h) {
+            java.util.Arrays.fill(coef, 0)
+            // DC
+            val t = r.huffDecode(dcT(cc.dcTab))
+            if (r.failed || t > 11) return null
+            val diff = extend(r.receive(t), t)
+            if (r.failed) return null
+            cc.pred += diff
+            coef(0) = cc.pred * q(0)
+            // AC
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = r.huffDecode(acT(cc.acTab))
+              if (r.failed) return null
+              val run = rs >> 4
+              val size = rs & 0x0F
+              if (size == 0) {
+                if (run == 15) k += 16 // ZRL
+                else eob = true
+              } else {
+                k += run
+                if (k > 63) return null
+                coef(Zigzag(k)) = extend(r.receive(size), size) * q(k)
+                if (r.failed) return null
+                k += 1
+              }
+            }
+            idctBlock(coef, tmp, cc.plane, cc.planeW,
+              (mx * cc.h + h2) * 8, (my * cc.v + v2) * 8)
+            h2 += 1
+          }
+          v2 += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    // the stream must close with EOI (pad bits, then optional fill 0xFFs,
+    // then FFD9) — same completeness contract as PNG's required IEND, so
+    // a truncated tail refuses instead of passing off a partial decode
+    var p = r.pos
+    while (p < b.length && (b(p) & 0xFF) == 0xFF) p += 1
+    if (p >= b.length || (b(p) & 0xFF) != 0xD9 || p == r.pos) return null
+    compose(width, height, comps, hmax, vmax)
+  }
+
+  /** Separable double-precision IDCT of one dequantized block into the
+    * component plane at (x0, y0), with level shift and clamp.
+    */
+  private def idctBlock(coef: Array[Int], tmp: Array[Double],
+      plane: Array[Byte], planeW: Int, x0: Int, y0: Int): Unit = {
+    val K = Basis
+    // rows: tmp(v*8+x) = Σ_u K(u)(x) · F(v*8+u)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += K(u)(x) * coef(v * 8 + u); u += 1 }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    // cols: f(x,y) = Σ_v K(v)(y) · tmp(v*8+x)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var vv = 0
+        while (vv < 8) { s += K(vv)(y) * tmp(vv * 8 + x); vv += 1 }
+        plane((y0 + y) * planeW + x0 + x) =
+          clamp(math.round(s).toInt + 128).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Upsample (nearest: source index `x·h/hmax`, exact in SQL) and
+    * convert to interleaved output; 3 components = JFIF YCbCr→RGB in
+    * libjpeg fixed point, 1 component = grayscale passthrough.
+    */
+  private def compose(width: Int, height: Int, comps: Array[Comp],
+      hmax: Int, vmax: Int): JpegRaw = {
+    val nc = comps.length
+    val out = new Array[Byte](width * height * nc)
+    if (nc == 1) {
+      val c = comps(0)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(c.plane, y * c.planeW, out, y * width, width)
+        y += 1
+      }
+      return new JpegRaw(width, height, 1, out)
+    }
+    val cy = comps(0)
+    val cb = comps(1)
+    val cr = comps(2)
+    var y = 0
+    while (y < height) {
+      val yY = y * cy.v / vmax
+      val yB = y * cb.v / vmax
+      val yR = y * cr.v / vmax
+      var x = 0
+      while (x < width) {
+        val lum = cy.plane(yY * cy.planeW + x * cy.h / hmax) & 0xFF
+        val pb = (cb.plane(yB * cb.planeW + x * cb.h / hmax) & 0xFF) - 128
+        val pr = (cr.plane(yR * cr.planeW + x * cr.h / hmax) & 0xFF) - 128
+        val o = (y * width + x) * 3
+        out(o) = clamp(lum + fx(91881 * pr)).toByte
+        out(o + 1) = clamp(lum + fx(-22554 * pb - 46802 * pr)).toByte
+        out(o + 2) = clamp(lum + fx(116130 * pb)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    new JpegRaw(width, height, 3, out)
+  }
+}
+
+/** Full baseline-JPEG pixel decode — `JpegPixels(content)` entropy-decodes
+  * every block ([[JpegDecode]]) and returns the same per-image statistics
+  * struct as [[PngPixels]]:
+  *
+  * `struct<width int, height int, channels int, pix_sum long,
+  * pix_wsum long, mean_r double, mean_g double, mean_b double>`
+  *
+  * over the interleaved decoded pixel stream (RGB for 3-component
+  * images; for grayscale the stream is one byte per pixel and all three
+  * means equal the gray mean). `pix_wsum = Σ (p mod 9973 + 1)·v(p)` is
+  * order-sensitive, so a decoder that misplaces blocks, mis-upsamples,
+  * or permutes channels cannot match it. NULL for anything outside
+  * [[JpegDecode]]'s baseline envelope. Per-row scan projection — decoded
+  * pixels never leave the expression.
+  */
+case class JpegPixels(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = PngPixels.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_jpeg_pixels"
+
+  override protected def nullSafeEval(input: Any): Any =
+    JpegPixels.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.expressions.JpegPixels.compute($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): JpegPixels =
+    copy(child = newChild)
+}
+
+object JpegPixels {
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(b: Array[Byte]): InternalRow = {
+    val d = JpegDecode.decode(b)
+    if (d == null) return null
+    val n = d.width.toLong * d.height
+    var pixSum = 0L
+    var wSum = 0L
+    val chanSum = new Array[Long](d.channels)
+    var p = 0
+    val total = d.pix.length
+    while (p < total) {
+      val v = d.pix(p) & 0xFF
+      pixSum += v
+      wSum += (p % 9973 + 1) * v.toLong
+      chanSum(p % d.channels) += v
+      p += 1
+    }
+    val mr = chanSum(0).toDouble / n
+    val (mg, mb) =
+      if (d.channels == 3) (chanSum(1).toDouble / n, chanSum(2).toDouble / n)
+      else (mr, mr)
+    new GenericInternalRow(Array[Any](d.width, d.height, d.channels, pixSum,
+      wSum, mr, mg, mb))
+  }
+}
+
+/** 64-bit perceptual difference hash of a baseline JPEG — identical grid,
+  * grayscale reduction and bit layout to [[PngDHash]] (shared
+  * [[PngDHash.gradientHash]] kernel), so a PNG and a JPEG of the same
+  * image land near each other in one Hamming space and the banded
+  * near-dup join ([[graft.llmops.DedupOps.hammingNearDups]]) works
+  * across formats. Grayscale JPEGs hash their luma directly; color ones
+  * reduce decoded RGB with the same integer `(r+g+b)/3`. NULL for
+  * anything [[JpegDecode]] refuses or images smaller than the 9×8 grid.
+  */
+case class JpegDHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_jpeg_dhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    JpegDHash.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |java.lang.Long jdh$$ = graft.expressions.JpegDHash.compute($c);
+         |if (jdh$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = jdh$$.longValue(); }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): JpegDHash =
+    copy(child = newChild)
+}
+
+object JpegDHash {
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(b: Array[Byte]): java.lang.Long = {
+    val d = JpegDecode.decode(b)
+    if (d == null || d.width < PngDHash.GridW || d.height < PngDHash.GridH)
+      return null
+    val gw = PngDHash.GridW
+    val gh = PngDHash.GridH
+    val sums = new Array[Long](gw * gh)
+    val cnts = new Array[Long](gw * gh)
+    val nc = d.channels
+    var y = 0
+    while (y < d.height) {
+      val cy = PngDHash.cellIndex(y, d.height, gh)
+      var x = 0
+      while (x < d.width) {
+        val cx = PngDHash.cellIndex(x, d.width, gw)
+        val p = (y * d.width + x) * nc
+        val gray =
+          if (nc == 1) d.pix(p) & 0xFF
+          else ((d.pix(p) & 0xFF) + (d.pix(p + 1) & 0xFF) +
+            (d.pix(p + 2) & 0xFF)) / 3
+        val cell = cy * gw + cx
+        sums(cell) += gray
+        cnts(cell) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    java.lang.Long.valueOf(PngDHash.gradientHash(sums, cnts))
+  }
+}

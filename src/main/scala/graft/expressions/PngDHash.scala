@@ -84,6 +84,16 @@ object PngDHash {
       }
       y += 1
     }
+    java.lang.Long.valueOf(gradientHash(sums, cnts))
+  }
+
+  /** Bit layout shared by every dHash producer ([[PngDHash]],
+    * [[JpegDHash]]): bit `j·8+i` set iff cell (i+1, j) is brighter than
+    * cell (i, j), compared cross-multiplied so no float division enters
+    * the hash.
+    */
+  private[expressions] def gradientHash(sums: Array[Long],
+      cnts: Array[Long]): Long = {
     var hash = 0L
     var j = 0
     while (j < GridH) {
@@ -98,7 +108,7 @@ object PngDHash {
       }
       j += 1
     }
-    java.lang.Long.valueOf(hash)
+    hash
   }
 
   /** The cell index `i` with `⌊i·n/g⌋ <= v < ⌊(i+1)·n/g⌋`, in closed
@@ -110,6 +120,6 @@ object PngDHash {
     * `v < ⌊(i+1)·n/g⌋  ⟺  v+1 <= (i+1)·n/g`, which pin
     * `i = ⌈(v+1)·g/n⌉ - 1`.)
     */
-  private def cellIndex(v: Int, n: Int, g: Int): Int =
+  private[expressions] def cellIndex(v: Int, n: Int, g: Int): Int =
     (((v + 1).toLong * g - 1) / n).toInt
 }

@@ -96,6 +96,39 @@ object Multimodal {
   def withPngDHash(df: DataFrame, contentCol: String = "content"): DataFrame =
     df.withColumn("dhash", pngDHash(col(contentCol)))
 
+  /** REAL pixel decode for baseline JPEG — marker walk, Huffman entropy
+    * decode, dequantization, separable IDCT, chroma upsampling and
+    * YCbCr→RGB by the native [[graft.expressions.JpegPixels]] expression
+    * (JDK-only, no imaging library), returning the same statistics
+    * struct as [[pngPixels]]. NULL outside the baseline envelope
+    * (progressive/arithmetic/12-bit refused). Scan-projection local.
+    */
+  def jpegPixels(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.JpegPixels(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** Appends `px` from [[jpegPixels]] — scan-projection local, no shuffle. */
+  def withJpegPixels(df: DataFrame, contentCol: String = "content"): DataFrame =
+    df.withColumn("px", jpegPixels(col(contentCol)))
+
+  /** 64-bit perceptual difference hash of a baseline JPEG
+    * ([[graft.expressions.JpegDHash]]) — same grid and bit layout as
+    * [[pngDHash]], so PNG and JPEG hashes share one Hamming space.
+    */
+  def jpegDHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.JpegDHash(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** Format-agnostic image dHash: the PNG arm or the JPEG arm, whichever
+    * decodes (each refuses foreign magic bytes on the first read, so the
+    * miss arm costs a header sniff, not a decode). NULL when neither
+    * decodes — mixed-format corpora dedup in one Hamming space.
+    */
+  def imageDHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(pngDHash(content), jpegDHash(content))
+
   /** Near-duplicate image pairs by dHash Hamming distance — the image
     * twin of [[DedupOps.simhashNearDups]], same pigeonhole blocking:
     * each hash splits into 4 disjoint 16-bit chunks, candidates must
@@ -122,14 +155,15 @@ object Multimodal {
         .select(col("key"), col("dhash").alias("hash")),
       maxDist)
 
-  /** The image signature store: (key, dhash) for every decodable image —
-    * 16 bytes a row, the only thing incremental image dedup ever needs
-    * to retain. Persist this like any model artifact; content bytes are
-    * read once, at signature time.
+  /** The image signature store: (key, dhash) for every decodable image
+    * (PNG or baseline JPEG — [[imageDHash]]) — 16 bytes a row, the only
+    * thing incremental image dedup ever needs to retain. Persist this
+    * like any model artifact; content bytes are read once, at signature
+    * time.
     */
   def imageSignatures(df: DataFrame, keyCol: String,
       contentCol: String): DataFrame =
-    df.select(col(keyCol).alias("key"), pngDHash(col(contentCol)).alias("dhash"))
+    df.select(col(keyCol).alias("key"), imageDHash(col(contentCol)).alias("dhash"))
       .filter(col("dhash").isNotNull)
 
   /** O(batch) incremental image near-dup — the image twin of

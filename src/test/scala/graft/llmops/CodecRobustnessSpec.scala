@@ -39,6 +39,8 @@ class CodecRobustnessSpec extends AnyFunSuite {
     graft.expressions.AvMeta.compute(bytes)
     graft.expressions.PngPixels.compute(bytes)
     graft.expressions.PngDHash.compute(bytes)
+    graft.expressions.JpegPixels.compute(bytes)
+    graft.expressions.JpegDHash.compute(bytes)
     graft.expressions.WavSamples.compute(bytes)
     graft.expressions.WavEnvelopeHash.compute(bytes)
     DocumentText.extractText(bytes, "application/pdf")
@@ -69,6 +71,10 @@ class CodecRobustnessSpec extends AnyFunSuite {
       ImageWriter.png(20, 30),
       ImageWriter.pngWithPixels(24, 16, 99),
       ImageWriter.pngWithPixels(12, 10, 7, channels = 4),
+      JpegWriter.gray(24, 16, (x, y) => (x * 3 + y * 7 + 5) % 256),
+      JpegWriter.color(16, 16, (x, y) => (x + y * 2) % 256,
+        (x, y) => (x * 5 + 9) % 256, (x, y) => (y * 3 + 77) % 256, sub = 2,
+        restartInterval = 2),
       LegacyOfficeWriter.doc(Seq("legacy body")),
       LegacyOfficeWriter.xls(Seq("s" -> Seq(Seq("a", 1)))),
       LegacyOfficeWriter.ppt(Seq(Seq("slide text"))),

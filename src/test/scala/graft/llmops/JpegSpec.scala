@@ -1,0 +1,298 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import graft.expressions.{JpegDHash, JpegPixels}
+import org.apache.spark.sql.functions._
+
+/** Baseline JPEG codec: the hand-rolled decoder against the writer twin
+  * (two independent implementations — separate DCT bases, zigzag tables
+  * and canonical-code builders) and against the JDK's own libjpeg-backed
+  * ImageIO decoder as a third opinion.
+  */
+class JpegSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private case class Px(width: Int, height: Int, channels: Int,
+      pixSum: Long, wSum: Long, meanR: Double, meanG: Double, meanB: Double)
+
+  private def decode(bytes: Array[Byte]): Option[Px] =
+    Option(JpegPixels.compute(bytes)).map(r => Px(r.getInt(0), r.getInt(1),
+      r.getInt(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+      r.getDouble(6), r.getDouble(7)))
+
+  // --- closed-form expectations for block-constant content --------------
+
+  /** Block-constant gray pattern (one value per 8×8 block). */
+  private def grayPat(seed: Int)(x: Int, y: Int): Int =
+    (5 * (x / 8) + 13 * (y / 8) + seed) % 256
+
+  /** Block-constant YCbCr patterns; chroma functions are in CHROMA plane
+    * coordinates, one value per chroma 8×8 block.
+    */
+  private def yPat(seed: Int)(x: Int, y: Int): Int =
+    (5 * (x / 8) + 13 * (y / 8) + seed) % 256
+  private def cbPat(seed: Int)(cx: Int, cy: Int): Int =
+    (7 * (cx / 8) + 3 * (cy / 8) + 2 * seed) % 256
+  private def crPat(seed: Int)(cx: Int, cy: Int): Int =
+    (11 * (cx / 8) + 5 * (cy / 8) + 3 * seed) % 256
+
+  private def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+  private def fx(t: Int): Int = (t + 32768) >> 16
+
+  /** The decoder's documented RGB formula applied to closed-form YCbCr —
+    * for `sub = 2` the chroma sample for output (x, y) is chroma plane
+    * pixel (x/2, y/2).
+    */
+  private def expectedRgb(w: Int, h: Int, seed: Int, sub: Int): Px = {
+    var pixSum = 0L; var wSum = 0L
+    val chanSum = new Array[Long](3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val lum = yPat(seed)(x, y)
+      val cb = cbPat(seed)(x / sub, y / sub) - 128
+      val cr = crPat(seed)(x / sub, y / sub) - 128
+      val rgb = Array(
+        clamp(lum + fx(91881 * cr)),
+        clamp(lum + fx(-22554 * cb - 46802 * cr)),
+        clamp(lum + fx(116130 * cb)))
+      for (c <- 0 to 2) {
+        val p = (y.toLong * w + x) * 3 + c
+        pixSum += rgb(c); wSum += (p % 9973 + 1) * rgb(c); chanSum(c) += rgb(c)
+      }
+    }
+    val n = w.toLong * h
+    Px(w, h, 3, pixSum, wSum, chanSum(0).toDouble / n,
+      chanSum(1).toDouble / n, chanSum(2).toDouble / n)
+  }
+
+  private def expectedGray(w: Int, h: Int, seed: Int): Px = {
+    var pixSum = 0L; var wSum = 0L; var s = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = grayPat(seed)(x, y)
+      val p = y.toLong * w + x
+      pixSum += v; wSum += (p % 9973 + 1) * v; s += v
+    }
+    val n = w.toLong * h
+    Px(w, h, 1, pixSum, wSum, s.toDouble / n, s.toDouble / n, s.toDouble / n)
+  }
+
+  // --- exact roundtrips (flat-8 quantizer, DC-only spectra) -------------
+
+  test("block-constant gray roundtrips bit-exactly (flat-8 quantizer)") {
+    for ((w, h, seed) <- Seq((8, 8, 0), (16, 8, 40), (24, 24, 7),
+        (20, 13, 99), (7, 5, 250), (33, 17, 128))) {
+      assert(decode(JpegWriter.gray(w, h, grayPat(seed))) ===
+        Some(expectedGray(w, h, seed)), s"${w}x$h seed=$seed")
+    }
+  }
+
+  test("block-constant 4:4:4 color roundtrips bit-exactly") {
+    for ((w, h, seed) <- Seq((8, 8, 3), (16, 16, 77), (24, 10, 200),
+        (19, 14, 5))) {
+      val bytes = JpegWriter.color(w, h, yPat(seed), cbPat(seed), crPat(seed))
+      assert(decode(bytes) === Some(expectedRgb(w, h, seed, sub = 1)),
+        s"${w}x$h seed=$seed")
+    }
+  }
+
+  test("block-constant 4:2:0 color roundtrips bit-exactly") {
+    for ((w, h, seed) <- Seq((16, 16, 9), (32, 16, 50), (24, 21, 130),
+        (18, 11, 77))) {
+      val bytes = JpegWriter.color(w, h, yPat(seed), cbPat(seed), crPat(seed),
+        sub = 2)
+      assert(decode(bytes) === Some(expectedRgb(w, h, seed, sub = 2)),
+        s"${w}x$h seed=$seed")
+    }
+  }
+
+  test("restart markers: DRI/RSTn streams decode to the same exact pixels") {
+    for (ri <- Seq(1, 2, 5)) {
+      val bytes = JpegWriter.gray(40, 24, grayPat(60), restartInterval = ri)
+      assert(decode(bytes) === Some(expectedGray(40, 24, 60)), s"ri=$ri")
+      val color = JpegWriter.color(32, 32, yPat(8), cbPat(8), crPat(8),
+        sub = 2, restartInterval = ri)
+      assert(decode(color) === Some(expectedRgb(32, 32, 8, sub = 2)),
+        s"color ri=$ri")
+    }
+  }
+
+  test("Annex K multi-length Huffman tables decode identically to uniform") {
+    for ((w, h, seed) <- Seq((16, 16, 21), (24, 13, 180))) {
+      val uni = JpegWriter.gray(w, h, grayPat(seed))
+      val std = JpegWriter.gray(w, h, grayPat(seed), stdTables = true)
+      assert(decode(std) === decode(uni))
+      val stdC = JpegWriter.color(w, h, yPat(seed), cbPat(seed), crPat(seed),
+        stdTables = true)
+      assert(decode(stdC) === Some(expectedRgb(w, h, seed, sub = 1)))
+    }
+  }
+
+  // --- general (lossy) content against the JDK's independent decoder ----
+
+  private def imageIoPixels(bytes: Array[Byte]): Array[Array[Int]] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val gray = img.getRaster.getNumBands == 1
+    Array.tabulate(img.getHeight, img.getWidth * 3) { (y, i) =>
+      if (gray) img.getRaster.getSample(i / 3, y, 0)
+      else {
+        // raster bands, not getRGB: getRGB would push a grayscale image
+        // through the linear-gray → sRGB gamma curve
+        val argb = img.getRGB(i / 3, y)
+        (i % 3) match {
+          case 0 => (argb >> 16) & 0xFF
+          case 1 => (argb >> 8) & 0xFF
+          case _ => argb & 0xFF
+        }
+      }
+    }
+  }
+
+  private def ownPixels(bytes: Array[Byte]): Array[Array[Int]] = {
+    // route through a 1-px fixture? no — re-decode via the public kernels:
+    // JpegPixels only exposes statistics, so reach the raw planes through
+    // the dHash-free path: decode twice and reconstruct from stats is not
+    // possible; instead compare statistics AND dHash below. For pixel-level
+    // comparison use the package-private decoder.
+    val d = graft.expressions.JpegTestAccess.decode(bytes)
+    assert(d != null)
+    if (d._3 == 3)
+      Array.tabulate(d._2, d._1 * 3)((y, i) => d._4((y * d._1 * 3) + i) & 0xFF)
+    else
+      Array.tabulate(d._2, d._1 * 3)((y, i) => d._4(y * d._1 + i / 3) & 0xFF)
+  }
+
+  test("arbitrary content: decoded pixels within 3 of the JDK decoder (gray + 4:4:4)") {
+    // dense non-constant content exercises the full AC Huffman + IDCT path
+    def busyY(x: Int, y: Int): Int = (x * x * 3 + y * y * 7 + x * y + 31) % 256
+    def busyCb(x: Int, y: Int): Int = (x * 5 + y * 11 + 64) % 256
+    def busyCr(x: Int, y: Int): Int = (x * 13 + y * 3 + 190) % 256
+    for (stdT <- Seq(false, true); quant <- Seq(JpegWriter.QFlat8,
+        JpegWriter.StdLumQ)) {
+      val g = JpegWriter.gray(40, 32, busyY, quant = quant, stdTables = stdT)
+      val (gi, go) = (imageIoPixels(g), ownPixels(g))
+      for (y <- gi.indices; i <- gi(y).indices)
+        assert(math.abs(gi(y)(i) - go(y)(i)) <= 3,
+          s"gray std=$stdT y=$y i=$i: imageio=${gi(y)(i)} own=${go(y)(i)}")
+      val c = JpegWriter.color(32, 24, busyY, busyCb, busyCr,
+        lumQuant = quant, chromQuant = quant, stdTables = stdT)
+      val (ci, co) = (imageIoPixels(c), ownPixels(c))
+      for (y <- ci.indices; i <- ci(y).indices)
+        assert(math.abs(ci(y)(i) - co(y)(i)) <= 3,
+          s"color std=$stdT y=$y i=$i: imageio=${ci(y)(i)} own=${co(y)(i)}")
+    }
+  }
+
+  test("the JDK can decode every stream shape the writer emits") {
+    // container-level validity: ImageIO returns non-null with the right dims
+    val shapes = Seq(
+      JpegWriter.gray(17, 9, grayPat(1)),
+      JpegWriter.gray(16, 16, grayPat(2), restartInterval = 3),
+      JpegWriter.color(20, 12, yPat(3), cbPat(3), crPat(3)),
+      JpegWriter.color(20, 12, yPat(4), cbPat(4), crPat(4), sub = 2),
+      JpegWriter.color(16, 16, yPat(5), cbPat(5), crPat(5), sub = 2,
+        restartInterval = 2, stdTables = true))
+    for ((bytes, i) <- shapes.zipWithIndex) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"shape $i")
+    }
+  }
+
+  // --- dHash -------------------------------------------------------------
+
+  /** Independent spec-side dHash over a gray pixel function. */
+  private def expectedDHash(w: Int, h: Int, gray: (Int, Int) => Int): Long = {
+    val sums = Array.fill(9 * 8)(0L)
+    val cnts = Array.fill(9 * 8)(0L)
+    def cell(v: Int, n: Int, g: Int) = (((v + 1).toLong * g - 1) / n).toInt
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = cell(y, h, 8) * 9 + cell(x, w, 9)
+      sums(c) += gray(x, y); cnts(c) += 1
+    }
+    var hash = 0L
+    for (j <- 0 until 8; i <- 0 until 8) {
+      val l = j * 9 + i
+      if (sums(l + 1) * cnts(l) > sums(l) * cnts(l + 1))
+        hash |= 1L << (j * 8 + i)
+    }
+    hash
+  }
+
+  test("JPEG dHash matches the closed form and shifts are invariant") {
+    val seed = 33
+    val bytes = JpegWriter.gray(24, 16, grayPat(seed))
+    val got = JpegDHash.compute(bytes)
+    assert(got !== null)
+    assert(got.longValue === expectedDHash(24, 16, grayPat(seed)))
+    // +10 uniform brightness: every cell average shifts equally → same hash
+    val brighter = JpegWriter.gray(24, 16,
+      (x, y) => math.min(255, grayPat(seed)(x, y) + 10))
+    assert(JpegDHash.compute(brighter).longValue === got.longValue)
+  }
+
+  test("PNG and JPEG of the same image share one dHash space") {
+    // gray JPEG (luma = v) vs RGB PNG with r=g=b=v: gray reduction gives
+    // the identical value per pixel, so the hashes are equal bit-for-bit
+    val seed = 91
+    val w = 27; val h = 18
+    val jpeg = JpegWriter.gray(w, h, grayPat(seed))
+    val png = ImageWriter.pngFromPixels(w, h,
+      Array.tabulate(h, w * 3)((y, i) => grayPat(seed)(i / 3, y).toByte))
+    val jh = JpegDHash.compute(jpeg)
+    val ph = graft.expressions.PngDHash.compute(png)
+    assert(jh !== null)
+    assert(ph !== null)
+    assert(jh.longValue === ph.longValue)
+    // and the format-agnostic Multimodal.imageDHash sees both
+    val df = Seq((1L, jpeg), (2L, png), (3L, "noise".getBytes("UTF-8")))
+      .toDF("id", "content")
+    val hashes = df.select(col("id"),
+        Multimodal.imageDHash(col("content")).alias("h"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(hashes(1L) === Some(jh.longValue))
+    assert(hashes(2L) === Some(ph.longValue))
+    assert(hashes(3L) === None)
+  }
+
+  // --- refusal envelope --------------------------------------------------
+
+  test("refuses what it cannot decode honestly") {
+    assert(decode(null) === None)
+    assert(decode("not a jpeg".getBytes("UTF-8")) === None)
+    assert(decode(Array[Byte](0xFF.toByte, 0xD8.toByte)) === None)
+    // header-only SOF0 (ImageWriter.jpeg: dims but no tables/scan)
+    assert(decode(ImageWriter.jpeg(32, 32)) === None)
+    val good = JpegWriter.gray(16, 16, grayPat(17))
+    // progressive: patch SOF0 (FFC0) to SOF2 (FFC2)
+    val prog = good.clone()
+    val sofAt = prog.indices.find(i => (prog(i) & 0xFF) == 0xFF &&
+      i + 1 < prog.length && (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(sofAt + 1) = 0xC2.toByte
+    assert(decode(prog) === None)
+    // truncations anywhere must refuse, not throw
+    for (cut <- 0 until good.length by 3)
+      assert(decode(java.util.Arrays.copyOfRange(good, 0, cut)) === None,
+        s"cut=$cut")
+    // JpegDHash: sub-grid images refuse
+    assert(JpegDHash.compute(JpegWriter.gray(8, 8, grayPat(4))) === null)
+    assert(JpegDHash.compute(JpegWriter.gray(9, 8, grayPat(4))) !== null)
+  }
+
+  test("SQL registration and the Multimodal wrapper agree") {
+    graft.GraftFunctions.register(spark)
+    val bytes = JpegWriter.gray(16, 8, grayPat(44))
+    val df = Seq((1L, bytes), (2L, "junk".getBytes("UTF-8")))
+      .toDF("id", "content")
+    df.createOrReplaceTempView("jpeg_src")
+    val viaSql = spark.sql(
+      "SELECT id, graft_jpeg_pixels(content).pix_sum AS s FROM jpeg_src")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    val viaApi = Multimodal.withJpegPixels(df)
+      .select(col("id"), col("px.pix_sum"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(viaSql === viaApi)
+    assert(viaSql(1L) === expectedGray(16, 8, 44).pixSum && viaSql(2L) === -1L)
+  }
+}
