@@ -87,6 +87,77 @@ object SparkEntry {
     }
   }
 
+  /** Shared JPEG fixture set for q111: block-constant images (one value
+    * per 8×8 block, flat-8 quantizer → DC-only spectra that roundtrip
+    * bit-exactly, see [[graft.llmops.JpegWriter]]) through all three
+    * writer shapes — grayscale (< 150), 4:4:4 color (< 300), 4:2:0
+    * subsampled color (< 400) — then refusal tiers: header-only SOF
+    * (dims but no tables/scan), progressive-patched SOF2, non-JPEG
+    * bytes, all of which must decode NULL.
+    */
+  private def jpegPixelFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val W = graft.llmops.JpegWriter
+    ids.map { id =>
+      val w = (9 + id % 24).toInt
+      val h = (8 + id % 16).toInt
+      val seed = (id % 251).toInt
+      def yP(x: Int, y: Int) = (5 * (x / 8) + 13 * (y / 8) + seed) % 256
+      def cbP(cx: Int, cy: Int) = (7 * (cx / 8) + 3 * (cy / 8) + 2 * seed) % 256
+      def crP(cx: Int, cy: Int) = (11 * (cx / 8) + 5 * (cy / 8) + 3 * seed) % 256
+      val bytes =
+        if (id >= 450) s"not a jpeg $id".getBytes("UTF-8")
+        else if (id >= 430) {
+          // baseline stream patched to progressive (SOF0 → SOF2): the
+          // decoder must refuse, not half-decode
+          val b = W.gray(w, h, yP)
+          val at = b.indices.find(i => (b(i) & 0xFF) == 0xFF &&
+            (b(i + 1) & 0xFF) == 0xC0).get
+          b(at + 1) = 0xC2.toByte
+          b
+        }
+        else if (id >= 400) graft.llmops.ImageWriter.jpeg(w, h) // header-only
+        else if (id >= 300) W.color(w, h, yP, cbP, crP, sub = 2)
+        else if (id >= 150) W.color(w, h, yP, cbP, crP)
+        else W.gray(w, h, yP)
+      (id, bytes)
+    }
+  }
+
+  /** Shared mixed-format fixture set for q112: per base image `pid =
+    * id mod 100`, tier 0 is a grayscale JPEG, tier 1 the same image
+    * seed-shifted by 17 (a near-dup except at mod-256 wrap blocks),
+    * tier 2 a PNG with r=g=b of the IDENTICAL pixels (a planted
+    * Hamming-0 cross-format pair with tier 0), tier 3 seed-shifted by
+    * 91 (far). Then refusal tiers: header-only, sub-grid 8×8, non-image
+    * — all must hash NULL and vanish from the near-dup join.
+    */
+  private def mixedDHashFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    ids.map { id =>
+      val pid = (id % 100).toInt
+      val w = 9 + pid % 24
+      val h = 8 + pid % 16
+      val tier = (id / 100).toInt
+      val seed = pid + (tier match { case 1 => 17; case 3 => 91; case _ => 0 })
+      // seed-dependent gradient coefficients: a seed shift changes wrap
+      // positions AND slopes, so tier-1 clones land at small nonzero
+      // Hamming distances instead of collapsing the whole spectrum to 0
+      def g(x: Int, y: Int) =
+        ((5 + seed % 7) * (x / 8) + (13 + seed % 11) * (y / 8) + seed) % 256
+      val bytes =
+        if (id >= 450) s"not an image $id".getBytes("UTF-8")
+        else if (id >= 430) graft.llmops.JpegWriter.gray(8, 8, g) // sub-grid
+        else if (id >= 400) graft.llmops.ImageWriter.jpeg(w, h) // header-only
+        else if (tier == 2) graft.llmops.ImageWriter.pngFromPixels(w, h,
+          Array.tabulate(h, w * 3)((y, i) => g(i / 3, y).toByte))
+        else graft.llmops.JpegWriter.gray(w, h, g)
+      (id, bytes)
+    }
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -843,6 +914,46 @@ object SparkEntry {
           col("px.mean_r").as("mean_r"), col("px.mean_g").as("mean_g"),
           col("px.mean_b").as("mean_b"))
         .orderBy("doc_id")
+    }),
+
+    "q111_jpeg_pixels" -> ((s, dir) => {
+      // full baseline-JPEG decode through every writer shape (gray,
+      // 4:4:4, 4:2:0): Huffman entropy decode + dequant + IDCT + chroma
+      // upsample + fixed-point YCbCr→RGB, all bit-exact on the DC-only
+      // fixtures, so the oracle recomputes every decoded pixel from
+      // (w, h, seed) alone. Header-only, progressive-patched, and
+      // non-JPEG tiers must come back NULL
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = jpegPixelFixtures(ss, dir).toDF("doc_id", "content")
+        .repartition(32)
+      graft.llmops.Multimodal.withJpegPixels(src)
+        .select(col("doc_id"),
+          col("px.width").as("width"), col("px.height").as("height"),
+          col("px.channels").as("channels"),
+          col("px.pix_sum").as("pix_sum"), col("px.pix_wsum").as("pix_wsum"),
+          col("px.mean_r").as("mean_r"), col("px.mean_g").as("mean_g"),
+          col("px.mean_b").as("mean_b"))
+        .orderBy("doc_id")
+    }),
+
+    "q112_image_neardup_mixed" -> ((s, dir) => {
+      // cross-format image near-dup: PNG and baseline JPEG hash into ONE
+      // dHash Hamming space (Multimodal.imageDHash coalesces the two
+      // decoders), so the planted PNG twin of each JPEG lands at
+      // Hamming 0 across formats and the banded pigeonhole join finds it
+      // without ever comparing pixels. The oracle recomputes every hash
+      // closed-form and brute-forces all pairs — exact agreement proves
+      // recall, as q99 does for PNG alone
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = mixedDHashFixtures(ss, dir).toDF("doc_id", "content")
+        .repartition(32)
+      graft.llmops.Multimodal.imageNearDups(src, "doc_id", "content",
+          maxDist = 3)
+        .select(col("key_a"), col("key_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("key_a", "key_b")
     }),
 
     "q96_curation_signals" -> ((s, dir) => {
@@ -2936,6 +3047,108 @@ object SparkEntry {
          WHERE i.doc_id >= 200
            AND i.doc_id NOT IN (SELECT doc_id FROM dups)
          ORDER BY i.doc_id""",
+
+    "q111_jpeg_pixels" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(9 + doc_id % 24 AS INTEGER) AS w,
+             CAST(8 + doc_id % 16 AS INTEGER) AS h,
+             CAST(doc_id % 251 AS INTEGER) AS seed,
+             CASE WHEN doc_id < 150 THEN 1 ELSE 3 END AS chan,
+             -- chroma-block divisor: 8 at 4:4:4, 16 at 4:2:0
+             CASE WHEN doc_id < 300 THEN 8 ELSE 16 END AS cdiv
+           FROM documents WHERE doc_id < 500),
+         px AS (
+           SELECT i.doc_id, i.w, i.h, i.chan, c.c,
+             ((y.y * i.w + x.x) * i.chan + c.c) AS p,
+             (5 * (x.x // 8) + 13 * (y.y // 8) + i.seed) % 256 AS yv,
+             (7 * (x.x // i.cdiv) + 3 * (y.y // i.cdiv) + 2 * i.seed) % 256
+               - 128 AS cb,
+             (11 * (x.x // i.cdiv) + 5 * (y.y // i.cdiv) + 3 * i.seed) % 256
+               - 128 AS cr
+           -- enumeration bounds must cover max(w)=32, max(h)=23
+           FROM ids i, range(32) x(x), range(23) y(y), range(3) c(c)
+           WHERE i.doc_id < 400 AND x.x < i.w AND y.y < i.h AND c.c < i.chan),
+         vals AS (
+           -- the decoder's documented libjpeg fixed-point YCbCr→RGB:
+           -- term = floor((coef·chroma + 32768) / 65536), clamp to [0,255]
+           SELECT doc_id, w, h, chan, c, p,
+             CASE
+               WHEN chan = 1 THEN yv
+               WHEN c = 0 THEN LEAST(255, GREATEST(0,
+                 yv + CAST(floor((91881 * cr + 32768) / 65536.0) AS INTEGER)))
+               WHEN c = 1 THEN LEAST(255, GREATEST(0,
+                 yv + CAST(floor((-22554 * cb - 46802 * cr + 32768) / 65536.0)
+                   AS INTEGER)))
+               ELSE LEAST(255, GREATEST(0,
+                 yv + CAST(floor((116130 * cb + 32768) / 65536.0) AS INTEGER)))
+             END AS v
+           FROM px),
+         agg AS (
+           SELECT doc_id,
+             CAST(max(w) AS INTEGER) AS width,
+             CAST(max(h) AS INTEGER) AS height,
+             CAST(max(chan) AS INTEGER) AS channels,
+             CAST(sum(v) AS BIGINT) AS pix_sum,
+             CAST(sum((p % 9973 + 1) * v) AS BIGINT) AS pix_wsum,
+             CAST(sum(CASE WHEN c = 0 THEN v END) AS DOUBLE)
+               / (max(w) * max(h)) AS mean_r,
+             CASE WHEN max(chan) = 1
+               THEN CAST(sum(v) AS DOUBLE) / (max(w) * max(h))
+               ELSE CAST(sum(CASE WHEN c = 1 THEN v END) AS DOUBLE)
+                 / (max(w) * max(h)) END AS mean_g,
+             CASE WHEN max(chan) = 1
+               THEN CAST(sum(v) AS DOUBLE) / (max(w) * max(h))
+               ELSE CAST(sum(CASE WHEN c = 2 THEN v END) AS DOUBLE)
+                 / (max(w) * max(h)) END AS mean_b
+           FROM vals GROUP BY doc_id)
+         SELECT i.doc_id, a.width, a.height, a.channels,
+           a.pix_sum, a.pix_wsum, a.mean_r, a.mean_g, a.mean_b
+         FROM ids i LEFT JOIN agg a USING (doc_id)
+         ORDER BY i.doc_id""",
+
+    "q112_image_neardup_mixed" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(9 + (doc_id % 100) % 24 AS INTEGER) AS w,
+             CAST(8 + (doc_id % 100) % 16 AS INTEGER) AS h,
+             CAST(doc_id % 100 + CASE doc_id // 100
+               WHEN 1 THEN 17 WHEN 3 THEN 91 ELSE 0 END AS INTEGER) AS seed
+           FROM documents WHERE doc_id < 400),
+         px AS (
+           SELECT i.doc_id,
+             ((x.x + 1) * 9 - 1) // i.w AS ci,
+             ((y.y + 1) * 8 - 1) // i.h AS cj,
+             -- decoded gray is the block-constant pattern itself: the
+             -- JPEG tiers are DC-only bit-exact, the PNG tier writes
+             -- r=g=b so the (r+g+b)/3 reduction returns the same value
+             ((5 + i.seed % 7) * (x.x // 8) + (13 + i.seed % 11) * (y.y // 8)
+               + i.seed) % 256 AS gray
+           FROM ids i, range(32) x(x), range(23) y(y)
+           WHERE x.x < i.w AND y.y < i.h),
+         cells AS (
+           SELECT doc_id, cj, ci, sum(gray) AS s, count(*) AS c
+           FROM px GROUP BY 1, 2, 3),
+         bits AS (
+           SELECT l.doc_id, l.cj * 8 + l.ci AS k
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cj = l.cj AND r.ci = l.ci + 1
+           WHERE r.s * l.c > l.s * r.c),
+         hashes AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS dh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS dh_lo
+           FROM (SELECT DISTINCT doc_id FROM px) d
+           LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id)
+         SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           CAST(bit_count(xor(a.dh_hi, b.dh_hi))
+              + bit_count(xor(a.dh_lo, b.dh_lo)) AS BIGINT) AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dh_hi, b.dh_hi))
+             + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
+         ORDER BY key_a, key_b""",
 
     "q97_png_pixels" ->
       """WITH ids AS (

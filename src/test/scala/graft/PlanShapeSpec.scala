@@ -241,7 +241,8 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("q99/q103 banded fingerprint joins: equi-join on chunks, no cartesian") {
-    for (name <- Seq("q99_image_neardup", "q103_audio_neardup")) {
+    for (name <- Seq("q99_image_neardup", "q103_audio_neardup",
+        "q112_image_neardup_mixed")) {
       val plan = executedPlan(name)
       // the pigeonhole self-join must be an equi-join on the chunk key —
       // a cartesian or BNLJ here means all-pairs at corpus scale
@@ -255,6 +256,7 @@ class PlanShapeSpec extends SparkTestBase {
       assert(plan.contains("Scan ExistingRDD"),
         s"$name must join the materialized chunk table, not re-decode:\n$plan")
       assert(!plan.contains("graft_png_dhash") &&
+        !plan.contains("graft_jpeg_dhash") &&
         !plan.contains("graft_wav_envelope_hash"),
         s"$name fingerprint decode must happen before the checkpoint:\n$plan")
     }
