@@ -182,6 +182,10 @@ object GraftFunctions {
       "graft_jpeg_dhash(content) - 64-bit perceptual difference hash of a baseline JPEG (same grid/bit layout as graft_png_dhash), NULL if undecodable or under 9x8",
       exprs => graft.expressions.JpegDHash(exprs.head)),
 
+    ("graft_avi_frames",
+      "graft_avi_frames(content) - MJPEG AVI frame payloads as array<binary> in stream order, NULL if not a well-formed RIFF/AVI",
+      exprs => graft.expressions.AviFrames(exprs.head)),
+
     ("graft_wav_samples",
       "graft_wav_samples(content) - 16-bit PCM WAV sample decode: struct(channels,sample_rate,n_frames,samp_sum,samp_wsum,peak_abs), NULL if not complete 16-bit PCM",
       exprs => graft.expressions.WavSamples(exprs.head)),

@@ -158,6 +158,39 @@ object SparkEntry {
     }
   }
 
+  /** Shared MJPEG-AVI fixture set for q113/q114: per base video `pid =
+    * id mod 100`, `nf = 4 + pid mod 4` frames of 72×16 block-constant
+    * JPEG (9 block columns align exactly with the 9 dHash cells, so the
+    * oracle derives each frame hash from block values alone). Tier 0 is
+    * the base video; tier 1 shares its first `nf/2 + 1` frames (the rest
+    * drawn from a disjoint seed space); tier 2 is fully disjoint; tier 3
+    * replays tier 0 exactly (a full duplicate). Refusal tiers: non-RIFF
+    * bytes, RIFF/WAVE (right container magic, wrong form), free text.
+    */
+  private def aviFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    ids.map { id =>
+      val pid = (id % 100).toInt
+      val tier = (id / 100).toInt
+      val nf = 4 + pid % 4
+      def seedOf(f: Int): Int = tier match {
+        case 2 => 196 + (pid * 7 + f * 13) % 59
+        case 1 if f >= nf / 2 + 1 => 98 + (pid * 7 + f * 13) % 97
+        case _ => 1 + (pid * 7 + f * 13) % 97
+      }
+      def pat(s: Int)(x: Int, y: Int): Int =
+        (s * 37 * ((y / 8) * 9 + (x / 8) + 3)) % 256
+      val bytes =
+        if (id >= 450) s"not a video $id".getBytes("UTF-8")
+        else if (id >= 430) graft.llmops.MediaWriter.wav(1, 8000, 16, 10)
+        else if (id >= 400) graft.llmops.ImageWriter.jpeg(24, 16)
+        else graft.llmops.AviWriter.avi(72, 16, (0 until nf).map(f =>
+          graft.llmops.JpegWriter.gray(72, 16, pat(seedOf(f)))))
+      (id, bytes)
+    }
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -953,6 +986,44 @@ object SparkEntry {
           maxDist = 3)
         .select(col("key_a"), col("key_b"),
           col("hamming").cast("long").as("hamming"))
+        .orderBy("key_a", "key_b")
+    }),
+
+    "q113_video_frames" -> ((s, dir) => {
+      // MJPEG AVI → per-frame perceptual signatures: the RIFF walk
+      // explodes frame payloads in stream order, each baseline-JPEG
+      // frame entropy-decodes to its dHash, and only (key, idx, 8-byte
+      // hash) rows leave the scan. Non-AVI and RIFF/WAVE tiers yield no
+      // rows. The oracle re-derives every hash bit from the closed-form
+      // block values (block columns align with dHash cells)
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = aviFixtures(ss, dir).toDF("doc_id", "content")
+        .repartition(32)
+      graft.llmops.Multimodal.videoFrameSignatures(src, "doc_id", "content")
+        .select(col("key").as("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          shiftrightunsigned(col("fhash"), 32).as("fh_hi"),
+          col("fhash").bitwiseAND(lit(0xFFFFFFFFL)).as("fh_lo"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    "q114_video_neardup" -> ((s, dir) => {
+      // near-duplicate videos by shared frame content: the candidate
+      // join is an equi-join on the 8-byte frame hash (bucketed, never
+      // all-pairs), then pairs qualify when shared distinct hashes reach
+      // half the smaller video's count. Planted structure: tier 3 videos
+      // replay tier 0 exactly (frac 1.0), tier 1 shares just over half
+      // its frames, tier 2 shares none by construction
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = aviFixtures(ss, dir).toDF("doc_id", "content")
+        .repartition(32)
+      graft.llmops.Multimodal.videoNearDups(src, "doc_id", "content",
+          minSharedFrac = 0.5)
+        .select(col("key_a"), col("key_b"),
+          col("shared_frames").cast("long").as("shared_frames"),
+          col("frac"))
         .orderBy("key_a", "key_b")
     }),
 
@@ -3047,6 +3118,87 @@ object SparkEntry {
          WHERE i.doc_id >= 200
            AND i.doc_id NOT IN (SELECT doc_id FROM dups)
          ORDER BY i.doc_id""",
+
+    "q113_video_frames" ->
+      """WITH ids AS (
+           SELECT doc_id, CAST(doc_id % 100 AS INTEGER) AS pid,
+             CAST(doc_id // 100 AS INTEGER) AS tier,
+             CAST(4 + (doc_id % 100) % 4 AS INTEGER) AS nf
+           FROM documents WHERE doc_id < 400),
+         fr AS (
+           SELECT i.doc_id, f.f,
+             CASE
+               WHEN i.tier = 2 THEN 196 + (i.pid * 7 + f.f * 13) % 59
+               WHEN i.tier = 1 AND f.f >= i.nf // 2 + 1
+                 THEN 98 + (i.pid * 7 + f.f * 13) % 97
+               ELSE 1 + (i.pid * 7 + f.f * 13) % 97
+             END AS s
+           FROM ids i, range(7) f(f) WHERE f.f < i.nf),
+         -- dHash bit k (= j*8+i): cell (i, j) is exactly block
+         -- (bx = i, by = j//4) of the 72×16 frame, value
+         -- (s*37*(by*9+bx+3)) % 256 — bit set iff the right cell is
+         -- brighter than the left
+         bits AS (
+           SELECT fr.doc_id, fr.f, k.k
+           FROM fr, range(64) k(k)
+           WHERE (fr.s * 37 * ((k.k // 8 // 4) * 9 + (k.k % 8) + 4)) % 256
+               > (fr.s * 37 * ((k.k // 8 // 4) * 9 + (k.k % 8) + 3)) % 256),
+         hashes AS (
+           SELECT fr.doc_id, fr.f,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS fh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS fh_lo
+           FROM fr LEFT JOIN bits b ON b.doc_id = fr.doc_id AND b.f = fr.f
+           GROUP BY fr.doc_id, fr.f)
+         SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, fh_hi, fh_lo
+         FROM hashes ORDER BY doc_id, frame_idx""",
+
+    "q114_video_neardup" ->
+      """WITH ids AS (
+           SELECT doc_id, CAST(doc_id % 100 AS INTEGER) AS pid,
+             CAST(doc_id // 100 AS INTEGER) AS tier,
+             CAST(4 + (doc_id % 100) % 4 AS INTEGER) AS nf
+           FROM documents WHERE doc_id < 400),
+         fr AS (
+           SELECT i.doc_id, f.f,
+             CASE
+               WHEN i.tier = 2 THEN 196 + (i.pid * 7 + f.f * 13) % 59
+               WHEN i.tier = 1 AND f.f >= i.nf // 2 + 1
+                 THEN 98 + (i.pid * 7 + f.f * 13) % 97
+               ELSE 1 + (i.pid * 7 + f.f * 13) % 97
+             END AS s
+           FROM ids i, range(7) f(f) WHERE f.f < i.nf),
+         bits AS (
+           SELECT fr.doc_id, fr.f, k.k
+           FROM fr, range(64) k(k)
+           WHERE (fr.s * 37 * ((k.k // 8 // 4) * 9 + (k.k % 8) + 4)) % 256
+               > (fr.s * 37 * ((k.k // 8 // 4) * 9 + (k.k % 8) + 3)) % 256),
+         hashes AS (
+           SELECT fr.doc_id, fr.f,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS fh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS fh_lo
+           FROM fr LEFT JOIN bits b ON b.doc_id = fr.doc_id AND b.f = fr.f
+           GROUP BY fr.doc_id, fr.f),
+         hset AS (SELECT DISTINCT doc_id, fh_hi, fh_lo FROM hashes),
+         cnt AS (SELECT doc_id, count(*) AS n FROM hset GROUP BY 1),
+         sh AS (
+           SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+             count(*) AS shared_frames
+           FROM hset a JOIN hset b
+             ON a.fh_hi = b.fh_hi AND a.fh_lo = b.fh_lo
+               AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT s.key_a, s.key_b,
+           CAST(s.shared_frames AS BIGINT) AS shared_frames,
+           CAST(s.shared_frames AS DOUBLE) / least(ca.n, cb.n) AS frac
+         FROM sh s
+         JOIN cnt ca ON ca.doc_id = s.key_a
+         JOIN cnt cb ON cb.doc_id = s.key_b
+         WHERE CAST(s.shared_frames AS DOUBLE) / least(ca.n, cb.n) >= 0.5
+         ORDER BY key_a, key_b""",
 
     "q111_jpeg_pixels" ->
       """WITH ids AS (

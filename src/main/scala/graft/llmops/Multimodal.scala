@@ -300,6 +300,65 @@ object Multimodal {
     audioDedupAgainstSignatures(batch, keyCol, contentCol,
       audioSignatures(corpus, corpusKeyCol, corpusContentCol), maxDist)
 
+  /** REAL video frame extraction for MJPEG AVI — RIFF chunk-tree walk by
+    * the native [[graft.expressions.AviFrames]] expression, returning
+    * the `00dc`/`00db` payloads as `array<binary>` in stream order
+    * (each element a complete baseline JPEG that [[jpegPixels]] /
+    * [[jpegDHash]] decode). NULL for non-AVI bytes or a malformed tree.
+    */
+  def aviFrames(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.AviFrames(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** Per-frame perceptual signatures: one row per decodable frame —
+    * (key, frame_idx, fhash) with `fhash` the frame's [[imageDHash]].
+    * The scan explodes 8-byte hashes, not pixels: content bytes are
+    * touched once, in the scan projection, and what shuffles afterwards
+    * is (key, long, long) rows — the only shape frame-level dedup can
+    * afford at video-corpus scale. Undecodable frames drop out.
+    */
+  def videoFrameSignatures(df: DataFrame, keyCol: String,
+      contentCol: String): DataFrame =
+    df.select(col(keyCol).alias("key"),
+        posexplode(aviFrames(col(contentCol))).as(Seq("frame_idx", "__frame")))
+      .select(col("key"), col("frame_idx"),
+        imageDHash(col("__frame")).alias("fhash"))
+      .filter(col("fhash").isNotNull)
+
+  /** Near-duplicate videos by shared frame content: two videos pair when
+    * the fraction of distinct frame hashes they share reaches
+    * `minSharedFrac` of the smaller video's distinct-hash count. The
+    * candidate join is an equi-join on the 8-byte frame hash — bucketed
+    * by construction, never all-pairs, and re-encoded/re-muxed copies
+    * still land together because the hash is perceptual, not byte-exact.
+    *
+    * @return (key_a, key_b, shared_frames, frac), key_a < key_b
+    */
+  def videoNearDups(
+      df: DataFrame,
+      keyCol: String,
+      contentCol: String,
+      minSharedFrac: Double = 0.5
+  ): DataFrame = {
+    val sigs = videoFrameSignatures(df, keyCol, contentCol)
+      .select(col("key"), col("fhash")).distinct()
+      .localCheckpoint(true) // decode once; both join sides read the 16-byte rows
+    val counts = sigs.groupBy(col("key")).agg(count(lit(1)).alias("n"))
+    val shared = sigs.alias("a")
+      .join(sigs.alias("b"), col("a.fhash") === col("b.fhash") &&
+        col("a.key") < col("b.key"))
+      .groupBy(col("a.key").alias("key_a"), col("b.key").alias("key_b"))
+      .agg(count(lit(1)).alias("shared_frames"))
+    shared
+      .join(counts.select(col("key").alias("key_a"), col("n").alias("na")), "key_a")
+      .join(counts.select(col("key").alias("key_b"), col("n").alias("nb")), "key_b")
+      .withColumn("frac",
+        col("shared_frames").cast("double") / least(col("na"), col("nb")))
+      .filter(col("frac") >= minSharedFrac)
+      .select(col("key_a"), col("key_b"), col("shared_frames"), col("frac"))
+  }
+
   /** REAL audio/video container metadata from binary headers — WAV
     * channels/rate/bits/duration and MP4 movie duration parsed by the
     * native codegen'd [[graft.expressions.AvMeta]] expression (the

@@ -1,0 +1,111 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import graft.expressions.{AviFrames, JpegDHash}
+import org.apache.spark.sql.functions._
+
+/** MJPEG AVI container: frame extraction against the writer twin, the
+  * frame → JPEG pipeline composition, and video-level near-dup.
+  */
+class AviSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** 72×16 block-constant frames: the 9 block columns align exactly with
+    * the 9 dHash cells, so each seed's 18 pseudorandom block values give
+    * a 16-comparison signature — plenty of distinct hashes per seed.
+    */
+  private def grayPat(seed: Int)(x: Int, y: Int): Int =
+    (seed * 37 * ((y / 8) * 9 + (x / 8) + 3)) % 256
+
+  private def mjpeg(seeds: Seq[Int]): Array[Byte] =
+    AviWriter.avi(72, 16, seeds.map(s => JpegWriter.gray(72, 16, grayPat(s))))
+
+  private def frames(bytes: Array[Byte]): Option[Seq[Array[Byte]]] =
+    Option(AviFrames.compute(bytes))
+      .map(_.array.toSeq.map(_.asInstanceOf[Array[Byte]]))
+
+  test("frames come back byte-identical, in stream order") {
+    val payloads = Seq(3, 99, 7).map(s => JpegWriter.gray(72, 16, grayPat(s)))
+    val got = frames(AviWriter.avi(72, 16, payloads))
+    assert(got.isDefined)
+    assert(got.get.length === 3)
+    got.get.zip(payloads).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+    // odd-length payloads exercise the word-alignment pad
+    val odd = Seq(Array[Byte](1, 2, 3), Array[Byte](9), Array[Byte](4, 5))
+    val oddGot = frames(AviWriter.avi(4, 4, odd))
+    assert(oddGot.get.map(_.toSeq) === odd.map(_.toSeq))
+    // no-index variant parses the same
+    assert(frames(AviWriter.avi(4, 4, odd, withIndex = false))
+      .get.map(_.toSeq) === odd.map(_.toSeq))
+  }
+
+  test("every extracted frame decodes through the JPEG pipeline") {
+    val seeds = Seq(11, 42, 11, 200)
+    val got = frames(mjpeg(seeds)).get
+    val hashes = got.map(f => JpegDHash.compute(f))
+    assert(hashes.forall(_ != null))
+    // same seed → same frame bytes → same hash; different seeds differ
+    assert(hashes(0) === hashes(2))
+    assert(Seq(10, 20, 30, 99, 101, 102).map(s =>
+      JpegDHash.compute(JpegWriter.gray(72, 16, grayPat(s))).longValue)
+      .distinct.size === 6, "test seeds must give pairwise distinct hashes")
+  }
+
+  test("refuses what is not a well-formed AVI") {
+    assert(frames(null) === None)
+    assert(frames("RIFF but not really".getBytes("UTF-8")) === None)
+    assert(frames(MediaWriter.wav(1, 8000, 16, 10)) === None) // RIFF/WAVE
+    val good = mjpeg(Seq(1, 2, 3))
+    for (cut <- 0 until good.length by 7)
+      assert(frames(java.util.Arrays.copyOfRange(good, 0, cut)) === None,
+        s"cut=$cut")
+    // a movi-free AVI (header only) refuses: no frames is not a video
+    val hdrOnly = {
+      val full = AviWriter.avi(8, 8, Seq(Array[Byte](1)))
+      // truncate right after hdrl: find 'LIST....movi' and cut there, then
+      // patch the RIFF size so the span claim stays consistent
+      val at = (0 until full.length - 4)
+        .find(i => new String(full, i, 4, "US-ASCII") == "movi").get - 8
+      val cut = java.util.Arrays.copyOf(full, at)
+      val size = at - 8
+      cut(4) = (size & 0xFF).toByte
+      cut(5) = ((size >> 8) & 0xFF).toByte
+      cut(6) = ((size >> 16) & 0xFF).toByte
+      cut(7) = ((size >> 24) & 0xFF).toByte
+      cut
+    }
+    assert(frames(hdrOnly) === None)
+  }
+
+  test("videoNearDups pairs videos sharing enough frames, via hash join") {
+    // v1 and v2 share 2 of 3 distinct frames (frac 2/3); v3 shares 1 of 3
+    // with v1 (frac 1/3 — below 0.5); v4 is undecodable noise
+    val rows = Seq(
+      (1L, mjpeg(Seq(10, 20, 30))),
+      (2L, mjpeg(Seq(10, 20, 99))),
+      (3L, mjpeg(Seq(30, 101, 102))),
+      (4L, "not a video".getBytes("UTF-8")))
+    val df = rows.toDF("vid", "content")
+    val got = Multimodal.videoNearDups(df, "vid", "content",
+        minSharedFrac = 0.5)
+      .select("key_a", "key_b", "shared_frames").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got === Set((1L, 2L, 2L)))
+    val sigs = Multimodal.videoFrameSignatures(df, "vid", "content")
+    assert(sigs.count() === 9) // 3 videos × 3 decodable frames
+    assert(sigs.filter(col("key") === 4L).count() === 0)
+  }
+
+  test("SQL registration agrees with the API") {
+    graft.GraftFunctions.register(spark)
+    val df = Seq((1L, mjpeg(Seq(5, 6))), (2L, "junk".getBytes("UTF-8")))
+      .toDF("id", "content")
+    df.createOrReplaceTempView("avi_src")
+    val viaSql = spark.sql(
+      "SELECT id, size(graft_avi_frames(content)) AS n FROM avi_src")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(viaSql === Map(1L -> 2, 2L -> -1))
+  }
+}
