@@ -1027,6 +1027,31 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q115_semdedup" -> ((s, dir) => {
+      // SemDeDup over a corpus with planted semantic duplicates: each
+      // base vector gets a +1M copy — exact (id%3=0), imperceptibly
+      // jittered (id%3=1, cosine ≳ 0.999999 ≥ τ, must collapse), or
+      // strongly jittered (id%3=2, cosine ≈ 0.985 < τ = 0.999, must
+      // survive). Hash-sampled cells, within-cell in-order cosine, and
+      // min-label components all replay exactly in SQL; the trained
+      // (pqTrain Lloyd) centroid path is spec-gated in PqSpec
+      val ss = tuned(s)
+      val emb = t(ss, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val eps = when(col("vec_id") % 3 === 0, lit(0.0))
+        .when(col("vec_id") % 3 === 1, lit(0.001))
+        .otherwise(lit(0.12))
+      val jit = emb
+        .withColumn("embedding", transform(col("embedding"),
+          (x, i) => x * (lit(1.0) + eps * (i % 5 - lit(2)))))
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      graft.llmops.Similarity.semDedup(emb.unionByName(jit), "vec_id",
+          "embedding", tau = 0.999, nClusters = 16)
+        .select(col("key"), col("cent_id"), col("kept"))
+        .orderBy("key")
+    }),
+
     "q96_curation_signals" -> ((s, dir) => {
       // the fused one-scan curation battery: Gopher word stats + Gopher
       // repetition + C4 line rules + CCNet LM score (trained on built
@@ -3118,6 +3143,60 @@ object SparkEntry {
          WHERE i.doc_id >= 200
            AND i.doc_id NOT IN (SELECT doc_id FROM dups)
          ORDER BY i.doc_id""",
+
+    "q115_semdedup" ->
+      """WITH RECURSIVE base AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         jit AS (
+           SELECT b.vec_id + 1000000 AS vec_id,
+             [b.v[i] * (1 + CASE b.vec_id % 3
+                 WHEN 0 THEN CAST(0.0 AS DOUBLE)
+                 WHEN 1 THEN CAST(0.001 AS DOUBLE)
+                 ELSE CAST(0.12 AS DOUBLE) END * ((i - 1) % 5 - 2))
+              FOR i IN range(1, 65)] AS v
+           FROM base b),
+         emb AS (SELECT * FROM base UNION ALL SELECT * FROM jit),
+         samp AS (
+           SELECT v AS cv,
+             row_number() OVER (ORDER BY
+               ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 1000000,
+               vec_id) AS j
+           FROM emb QUALIFY j <= 16),
+         coarse AS (
+           SELECT e.vec_id, s.j AS cent_id,
+             CASE WHEN sqrt(list_sum([s.cv[i] * s.cv[i]
+                                      FOR i IN range(1, 65)])) = 0
+               THEN 0.0
+               ELSE -(list_sum([e.v[i] * s.cv[i] FOR i IN range(1, 65)])) /
+                 sqrt(list_sum([s.cv[i] * s.cv[i] FOR i IN range(1, 65)]))
+             END AS score
+           FROM emb e, samp s),
+         cell AS (
+           SELECT vec_id AS key, cent_id FROM coarse
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY score, cent_id) = 1),
+         pairs AS (
+           SELECT a.key AS key_a, b.key AS key_b
+           FROM cell a
+           JOIN cell b ON a.cent_id = b.cent_id AND a.key < b.key
+           JOIN emb ea ON ea.vec_id = a.key
+           JOIN emb eb ON eb.vec_id = b.key
+           WHERE list_sum([ea.v[i] * eb.v[i] FOR i IN range(1, 65)]) /
+               (sqrt(list_sum([ea.v[i] * ea.v[i] FOR i IN range(1, 65)])) *
+                sqrt(list_sum([eb.v[i] * eb.v[i] FOR i IN range(1, 65)])))
+             >= 0.999),
+         edges AS (
+           SELECT key_a AS s, key_b AS t FROM pairs
+           UNION ALL SELECT key_b, key_a FROM pairs),
+         reach(key, label) AS (
+           SELECT key, key FROM cell
+           UNION
+           SELECT e.t, r.label FROM reach r JOIN edges e ON e.s = r.key),
+         comp AS (SELECT key, min(label) AS cluster_id FROM reach GROUP BY key)
+         SELECT c.key, CAST(c.cent_id AS INTEGER) AS cent_id,
+           (cmp.cluster_id = c.key) AS kept
+         FROM cell c JOIN comp cmp USING (key)
+         ORDER BY c.key""",
 
     "q113_video_frames" ->
       """WITH ids AS (

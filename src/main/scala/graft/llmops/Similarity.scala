@@ -293,6 +293,88 @@ object Similarity {
       .select("key_a", "key_b", "cosine")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-duplicate
+    * removal scoped by k-means cells. Every embedding is assigned to its
+    * nearest centroid; pairwise cosine is computed only WITHIN a cell —
+    * the SemDeDup trick that turns O(n²) semantic dedup into
+    * O(Σ|cell|²) — pairs at or above `tau` form duplicate components
+    * (distributed min-label propagation,
+    * [[DedupOps.duplicateClusters]]), and the minimum key survives per
+    * component.
+    *
+    * `centroids`: (id, cent_vec) rows — pass
+    * [[pqTrain]]`(numSubspaces = 1)`'s Lloyd-trained codebook for the
+    * paper's construction (spec-gated: trained centroids are float
+    * iterations in shuffle order, so they are not oracle-replayable);
+    * the default deterministic hash-sample IS replayable, which is what
+    * the gate query uses. `nClusters` should follow [[ivfCentroidsFor]]
+    * at real corpus sizes.
+    *
+    * Scale shape: assignment is the exploded-dot broadcast join (no
+    * per-row HOF loop), the candidate join is an equi-join on `cent_id`
+    * — bucketed, never all-pairs — and only (key, cent_id) plus the
+    * pair list ever shuffle.
+    *
+    * @return (key, cent_id, kept) for every corpus row — `kept = false`
+    *         exactly for non-representative members of a duplicate
+    *         component
+    */
+  def semDedup(
+      corpus: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      tau: Double = 0.95,
+      nClusters: Int = 16,
+      centroids: Option[DataFrame] = None
+  ): DataFrame = {
+    val src = corpus.select(col(keyCol).alias("key"),
+      col(vecCol).cast("array<double>").alias("v"))
+    val cents = centroids match {
+      case Some(cb) => cb.select(
+        col(cb.columns(0)).cast("int").alias("cent_id"),
+        col(cb.columns(1)).cast("array<double>").alias("cent_vec"))
+      case None =>
+        // deterministic hash-sample, the ivfTopK idiom: md5-portable
+        // order + row_number ids so an external engine replays the set
+        val sampled = src
+          .withColumn("__r", pmod(portable60(col("key")), lit(1000000L)))
+          .orderBy(col("__r"), col("key"))
+          .limit(nClusters)
+        val wc = Window.partitionBy(pmod(col("__r"), lit(1)))
+          .orderBy(col("__r"), col("key"))
+        sampled.withColumn("cent_id", row_number().over(wc))
+          .select(col("cent_id"), col("v").alias("cent_vec"))
+    }
+    val centExp = broadcast(cents
+      .select(col("cent_id"), norm(col("cent_vec")).alias("cent_norm"),
+        posexplode(col("cent_vec")).as(Seq("d", "cx"))))
+    val assigned = src
+      .select(col("key"), posexplode(col("v")).as(Seq("d", "x")))
+      .join(centExp, "d")
+      .groupBy(col("key"), col("cent_id"), col("cent_norm"))
+      .agg(sum(col("x") * col("cx")).alias("dot"))
+      .withColumn("score", when(col("cent_norm") === 0, lit(0.0))
+        .otherwise(-col("dot") / col("cent_norm")))
+      .groupBy(col("key"))
+      .agg(min_by(col("cent_id"), struct(col("score"), col("cent_id")))
+        .alias("cent_id"))
+    val withV = src.join(assigned, "key")
+    val a = withV.select(col("cent_id"), col("key").alias("key_a"),
+      col("v").alias("va"))
+    val b = withV.select(col("cent_id"), col("key").alias("key_b"),
+      col("v").alias("vb"))
+    val pairs = a.join(b, Seq("cent_id"))
+      .filter(col("key_a") < col("key_b"))
+      .filter(cosine(col("va"), col("vb")) >= tau)
+      .select(col("key_a"), col("key_b"))
+    val comps = DedupOps.duplicateClusters(pairs)
+    assigned.join(comps, Seq("key"), "left")
+      .select(col("key"), col("cent_id"),
+        (col("cluster_id").isNull || col("cluster_id") === col("key"))
+          .alias("kept"))
+  }
+
   /** Approximate top-k: candidates restricted to equal LSH buckets (optionally
     * multi-probe over `numTables` independent plane sets), exact cosine +
     * rank inside the candidate set.

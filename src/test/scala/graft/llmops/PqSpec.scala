@@ -267,6 +267,71 @@ class PqSpec extends SparkTestBase {
     assert(messages(ex).exists(_.contains("not divisible")), ex.getMessage)
   }
 
+  /** [[clustered]] with 3× the jitter: same-cluster points sit near
+    * cosine 0.985 — clearly BELOW a 0.999 dedup threshold — while still
+    * clustering cleanly, so only planted copies collapse.
+    */
+  private def semCorpus(clusters: Int, perCluster: Int, dim: Int) = {
+    val rows = for {
+      c <- 0 until clusters
+      p <- 0 until perCluster
+    } yield {
+      val id = (c * perCluster + p).toLong
+      val vec = Array.tabulate(dim) { d =>
+        val anchor = if (((c >> (d % 4)) & 1) == 1) 10f else -10f
+        anchor + ((id * 31 + d * 7) % 13).toFloat * 3f / 13f
+      }
+      (id, vec.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("semDedup: exact and near copies collapse to one survivor, distinct points stay") {
+    val base = semCorpus(4, 8, 16)
+    // plant copies: +1000 exact, +2000 imperceptible jitter (cos ≳
+    // 0.9999), +3000 strong distortion (must survive at tau = 0.999)
+    val exact = base.withColumn("vec_id", $"vec_id" + 1000)
+    val near = base
+      .withColumn("embedding", transform($"embedding",
+        (x, i) => x * (lit(1.0f) + lit(0.0005f) * (i % 3 - lit(1)))))
+      .withColumn("vec_id", $"vec_id" + 2000)
+    val far = base
+      .withColumn("embedding", transform($"embedding",
+        (x, i) => x * (lit(1.0f) + lit(0.3f) * (i % 3 - lit(1)))))
+      .withColumn("vec_id", $"vec_id" + 3000)
+    val corpus = base.unionByName(exact).unionByName(near).unionByName(far)
+    val got = Similarity.semDedup(corpus, "vec_id", "embedding",
+        tau = 0.999, nClusters = 8)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(got.size === 128)
+    for (id <- 0L until 32L) {
+      // the base id is the minimum of its duplicate component → kept;
+      // its exact and near copies are dropped; the far copy survives
+      assert(got(id), s"base $id must survive")
+      assert(!got(id + 1000), s"exact copy of $id must drop")
+      assert(!got(id + 2000), s"near copy of $id must drop")
+      assert(got(id + 3000), s"distorted copy of $id must survive")
+    }
+  }
+
+  test("semDedup on pqTrain centroids: the trained-codebook path dedups identically") {
+    val base = semCorpus(4, 8, 16)
+    val exact = base.withColumn("vec_id", $"vec_id" + 1000)
+    val corpus = base.unionByName(exact)
+    // full-vector k-means (numSubspaces = 1) — the SemDeDup paper's
+    // clustering — then dedup scoped by those Lloyd cells
+    val cb = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      numSubspaces = 1, numCentroids = 4, iters = 4)
+    val got = Similarity.semDedup(corpus, "vec_id", "embedding",
+        tau = 0.999, centroids = Some(cb))
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(got.size === 64)
+    for (id <- 0L until 32L) {
+      assert(got(id), s"base $id must survive")
+      assert(!got(id + 1000), s"exact copy of $id must drop")
+    }
+  }
+
   test("pqTopK never returns the query itself and ranks 1..k densely") {
     val df = clustered(4, 8, 16)
     val queries = df.filter($"vec_id" < 2)
