@@ -1052,6 +1052,33 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    "q116_quality_classifier" -> ((s, dir) => {
+      // trainable hashed-n-gram quality classifier, Naive Bayes path:
+      // a spam suffix is planted on odd docs, the model trains on
+      // doc_id < 250 (one aggregation pass, integer counts), and every
+      // doc scores through the native kernel. The oracle RETRAINS the
+      // classifier from scratch in SQL (same counts, same add-one
+      // smoothing, same ln) and replays the in-order score fold
+      // bit-for-bit. The GD-trained LR twin is spec-gated
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents")
+      val built = d.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 1,
+            lit(" buy now click here free offer lorem ipsum"))
+            .otherwise(lit(""))).as("text"),
+        (col("doc_id") % 2).cast("int").as("label"))
+      val model = graft.llmops.TextAnalysis.trainQualityNb(
+        built.filter(col("doc_id") < 250), "text", "label",
+        numBuckets = 4096)
+      built.withColumn("q",
+          graft.llmops.TextAnalysis.qualityClassifierScore(col("text"), model))
+        .select(col("doc_id"), col("label"),
+          col("q.n_grams").as("n_grams"), col("q.score").as("score"),
+          (col("q.score") > 0).as("pred"))
+        .orderBy("doc_id")
+    }),
+
     "q96_curation_signals" -> ((s, dir) => {
       // the fused one-scan curation battery: Gopher word stats + Gopher
       // repetition + C4 line rules + CCNet LM score (trained on built
@@ -3197,6 +3224,57 @@ object SparkEntry {
            (cmp.cluster_id = c.key) AS kept
          FROM cell c JOIN comp cmp USING (key)
          ORDER BY c.key""",
+
+    "q116_quality_classifier" ->
+      """WITH built AS (
+           SELECT doc_id, CAST(doc_id % 2 AS INTEGER) AS label,
+             lower(trim(text || CASE WHEN doc_id % 2 = 1
+               THEN ' buy now click here free offer lorem ipsum'
+               ELSE '' END)) AS t
+           FROM documents),
+         toks AS (
+           SELECT doc_id, label,
+             list_filter(string_split(t, ' '), w -> len(w) > 0) AS ws
+           FROM built),
+         grams AS (
+           SELECT doc_id, label,
+             ws || [ws[i] || ' ' || ws[i + 1]
+                    FOR i IN range(1, len(ws))] AS gs
+           FROM toks),
+         bk AS (
+           SELECT doc_id, label, u.o AS o, u.b AS b
+           FROM (SELECT doc_id, label,
+               unnest([{'o': i, 'b': ('0x' || substr(md5(gs[i]), 1, 15))
+                          ::BIGINT % 4096}
+                       FOR i IN range(1, len(gs) + 1)]) AS u
+             FROM grams)),
+         cnt AS (
+           SELECT b, sum(label) AS pc, sum(1 - label) AS nc
+           FROM bk WHERE doc_id < 250 GROUP BY b),
+         tot AS (
+           SELECT coalesce(sum(label), 0) AS pt,
+                  coalesce(sum(1 - label), 0) AS nt
+           FROM bk WHERE doc_id < 250),
+         dc AS (
+           SELECT sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pd,
+                  sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nd
+           FROM built WHERE doc_id < 250),
+         w AS (
+           SELECT k.b,
+             ln((coalesce(c.pc, 0) + 1.0) / (t.pt + 4096)) -
+             ln((coalesce(c.nc, 0) + 1.0) / (t.nt + 4096)) AS w
+           FROM range(4096) k(b) LEFT JOIN cnt c ON c.b = k.b, tot t),
+         folded AS (
+           SELECT bk.doc_id, list(w.w ORDER BY bk.o) AS wl,
+             count(*) AS n_grams
+           FROM bk JOIN w ON w.b = bk.b GROUP BY bk.doc_id),
+         bs AS (SELECT ln((pd + 1.0) / (nd + 1.0)) AS bias FROM dc)
+         SELECT b2.doc_id, b2.label,
+           CAST(coalesce(f.n_grams, 0) AS BIGINT) AS n_grams,
+           bs.bias + coalesce(list_sum(f.wl), 0.0) AS score,
+           (bs.bias + coalesce(list_sum(f.wl), 0.0)) > 0 AS pred
+         FROM built b2 LEFT JOIN folded f USING (doc_id), bs
+         ORDER BY b2.doc_id""",
 
     "q113_video_frames" ->
       """WITH ids AS (

@@ -911,6 +911,115 @@ object TextAnalysis {
       .drop("__words", "__sw", "__g2s", "__g5s", "__lm", "__chars", "__top")
   }
 
+  // --- trainable hashed-n-gram quality classifier -----------------------
+
+  /** The classifier's feature list as a Column — non-empty words of the
+    * single-space split of `lower(trim(text))`, then adjacent bigrams —
+    * EXACTLY [[graft.expressions.HashedNgramScore.grams]], so training
+    * features can never drift from the scoring kernel.
+    */
+  private def qualityGrams(text: Column): Column = {
+    val words = filter(split(lower(trim(text)), " "), w => length(w) > 0)
+    val bigrams = zip_with(
+      slice(words, lit(1), greatest(size(words) - 1, lit(0))),
+      slice(words, lit(2), greatest(size(words) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    concat(words, bigrams)
+  }
+
+  private def bucketOf(g: Column, numBuckets: Int): Column =
+    Similarity.portable60(g) % numBuckets
+
+  /** Train a Naive Bayes quality classifier over hashed word n-grams
+    * (the closed-form trainable path — one aggregation pass, integer
+    * counts, so an external SQL engine replays training exactly).
+    * Weight `b` is the add-one-smoothed multinomial log-ratio
+    * `ln((pos_b+1)/(posTot+D)) − ln((neg_b+1)/(negTot+D))`; the bias is
+    * the document-count prior log-ratio. Labels: 1 = positive class
+    * (e.g. spam/low-quality), scored `> 0` predicts that class.
+    *
+    * Scale shape: explode → one partial-aggregated groupBy on the
+    * bucket id, at most `numBuckets` rows collected — the model is a
+    * bounded artifact like the LM tables, never corpus-sized.
+    */
+  def trainQualityNb(labeled: DataFrame, textCol: String, labelCol: String,
+      numBuckets: Int = 4096): graft.expressions.HashedNgramModel = {
+    val ex = labeled
+      .select(col(labelCol).cast("int").alias("y"),
+        explode(qualityGrams(col(textCol))).alias("g"))
+      .select(col("y"), bucketOf(col("g"), numBuckets).alias("b"))
+    val counts = ex.groupBy(col("b"))
+      .agg(sum(col("y")).alias("pc"), sum(lit(1) - col("y")).alias("nc"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
+    val pt = counts.map(_._2).sum
+    val nt = counts.map(_._3).sum
+    val docCounts = labeled.groupBy(col(labelCol).cast("int").alias("y"))
+      .agg(count(lit(1)).alias("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pd = docCounts.getOrElse(1, 0L)
+    val nd = docCounts.getOrElse(0, 0L)
+    val weights = Array.fill(numBuckets)(
+      math.log(1.0 / (pt + numBuckets)) - math.log(1.0 / (nt + numBuckets)))
+    counts.foreach { case (b, pc, nc) =>
+      weights(b) = math.log((pc + 1.0) / (pt + numBuckets)) -
+        math.log((nc + 1.0) / (nt + numBuckets))
+    }
+    new graft.expressions.HashedNgramModel(numBuckets,
+      math.log((pd + 1.0) / (nd + 1.0)), weights)
+  }
+
+  /** Train a logistic-regression quality classifier over the same hashed
+    * features by full-batch gradient descent: forward pass through the
+    * native scoring kernel (current weights shipped in the task binary),
+    * residuals exploded per gram occurrence, gradients one groupBy on
+    * the bucket id. Per-round gradient sums are float additions in
+    * shuffle order, so trained weights can differ in final ulps across
+    * runs — spec-gated (accuracy margins), exactly [[Similarity.pqTrain]]'s
+    * contract; the NB trainer is the oracle-replayable path.
+    */
+  def trainQualityLr(labeled: DataFrame, textCol: String, labelCol: String,
+      numBuckets: Int = 4096, iters: Int = 20,
+      step: Double = 0.5): graft.expressions.HashedNgramModel = {
+    require(iters >= 0 && step > 0, s"bad GD config: iters=$iters step=$step")
+    val base = labeled
+      .select(col(labelCol).cast("double").alias("y"),
+        col(textCol).alias("__t"))
+      .localCheckpoint() // read once per round; lineage stays flat
+    val n = base.count().toDouble
+    require(n > 0, "trainQualityLr: empty training set")
+    var bias = 0.0
+    var weights = new Array[Double](numBuckets)
+    for (_ <- 0 until iters) {
+      val model = new graft.expressions.HashedNgramModel(numBuckets, bias, weights)
+      val resid = base
+        .withColumn("__q", qualityClassifierScore(col("__t"), model))
+        .withColumn("__r",
+          lit(1.0) / (lit(1.0) + exp(-col("__q.score"))) - col("y"))
+      val grads = resid
+        .select(col("__r"), explode(qualityGrams(col("__t"))).alias("g"))
+        .select(col("__r"), bucketOf(col("g"), numBuckets).alias("b"))
+        .groupBy(col("b")).agg(sum(col("__r")).alias("gr"))
+        .collect().map(r => (r.getLong(0).toInt, r.getDouble(1)))
+      val biasGrad = resid.agg(sum(col("__r"))).collect()(0).getDouble(0)
+      val next = weights.clone()
+      grads.foreach { case (b, g) => next(b) -= step * g / n }
+      weights = next
+      bias -= step * biasGrad / n
+    }
+    new graft.expressions.HashedNgramModel(numBuckets, bias, weights)
+  }
+
+  /** `struct<n_grams, score>` under a trained [[trainQualityNb]] /
+    * [[trainQualityLr]] model — native kernel, per-row scan projection,
+    * no join (the q96 lesson: models ride the task binary, not map
+    * columns).
+    */
+  def qualityClassifierScore(text: Column,
+      model: graft.expressions.HashedNgramModel): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.HashedNgramScore(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(text), model))
+
   /** CCNet's head/middle/tail partition over LM scores: corpus-level
     * exact percentile cuts (two scalars, broadcast), then a per-row
     * comparison — higher score = more reference-like = head. CCNet cuts
