@@ -194,6 +194,10 @@ object GraftFunctions {
       "graft_wav_envelope_hash(content) - 64-bit energy-envelope audio fingerprint (65-cell loudness contour), NULL if not decodable or under 65 frames",
       exprs => graft.expressions.WavEnvelopeHash(exprs.head)),
 
+    ("graft_wav_spectral_hash",
+      "graft_wav_spectral_hash(content) - 64-bit spectral audio fingerprint (8x8 time x DFT-band gradient grid), NULL if undecodable, under 128 frames, or over 2 channels",
+      exprs => graft.expressions.WavSpectralHash(exprs.head)),
+
     ("graft_scrub_pii",
       "graft_scrub_pii(text) - emails/IPs/phones to typed tokens (RE2-portable patterns)",
       exprs => e(TextAnalysis.scrubPii(c(exprs.head)))),

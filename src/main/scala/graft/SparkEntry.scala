@@ -191,6 +191,42 @@ object SparkEntry {
     }
   }
 
+  /** Shared WAV fixture set for q117/q118 (spectral fingerprints):
+    * two-square-wave tones whose periods, length, channel count and
+    * per-channel offset all derive from `pid = id mod 300` — closed-form
+    * integer PCM the oracle regenerates sample-exactly. Ids 300–399
+    * replay ids 0–99 at 2× gain (planted Hamming-0 spectral pairs: the
+    * energy ratios are gain-invariant). Refusal tiers: too short
+    * (< 128 frames), 8-bit depth, non-WAV bytes.
+    */
+  private def spectralWavFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val W = graft.llmops.MediaWriter
+    def sq(n: Int, p: Int): Int = ((n / p) % 2) * 2 - 1
+    ids.map { id =>
+      val bytes =
+        if (id >= 450) s"not audio $id".getBytes("UTF-8")
+        else if (id >= 430) W.wav(1, 8000, 8, 200) // 8-bit: refused
+        else if (id >= 400) { // decodable but under 128 frames: refused
+          W.wavFromSamples(1, 8000, Array.tabulate(80)(n => (100 * sq(n, 4)).toShort))
+        } else {
+          val pid = (id % 300).toInt
+          val amp = if (id >= 300) 2 else 1
+          val nf = 128 + (pid % 200) * 2
+          val ch = 1 + pid % 2
+          val p1 = 4 + pid % 13
+          val p2 = 3 + pid % 7
+          W.wavFromSamples(ch, 8000, Array.tabulate(nf * ch) { i =>
+            val n = i / ch
+            val c = i % ch
+            (amp * (300 * sq(n, p1) + 150 * sq(n, p2) + 40 * c)).toShort
+          })
+        }
+      (id, bytes)
+    }
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -1077,6 +1113,40 @@ object SparkEntry {
           col("q.n_grams").as("n_grams"), col("q.score").as("score"),
           (col("q.score") > 0).as("pred"))
         .orderBy("doc_id")
+    }),
+
+    "q117_spectral_hash" -> ((s, dir) => {
+      // frequency-domain audio fingerprint: full PCM decode, mono mix,
+      // 8 time cells × 9 integer-DFT band energies, one gradient bit per
+      // adjacent band pair. All-integer (quantized cosine table), so
+      // the oracle recomputes every bit from (pid, amp) closed form.
+      // Short/8-bit/non-WAV tiers must come back NULL
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = spectralWavFixtures(ss, dir).toDF("doc_id", "content")
+        .repartition(32)
+      src.select(col("doc_id"),
+          graft.llmops.Multimodal.wavSpectralHash(col("content")).alias("sh"))
+        .select(col("doc_id"),
+          shiftrightunsigned(col("sh"), 32).as("sh_hi"),
+          col("sh").bitwiseAND(lit(0xFFFFFFFFL)).as("sh_lo"))
+        .orderBy("doc_id")
+    }),
+
+    "q118_spectral_neardup" -> ((s, dir) => {
+      // near-duplicate audio by SPECTRAL fingerprint over the same
+      // fixtures: the planted 2×-gain replicas land at Hamming 0 (gain
+      // invariance proven inside the gate), the banded pigeonhole join
+      // must agree exactly with the oracle's brute force
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = spectralWavFixtures(ss, dir).toDF("doc_id", "content")
+        .repartition(32)
+      graft.llmops.Multimodal.audioSpectralNearDups(src, "doc_id", "content",
+          maxDist = 3)
+        .select(col("key_a"), col("key_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("key_a", "key_b")
     }),
 
     "q96_curation_signals" -> ((s, dir) => {
@@ -3224,6 +3294,113 @@ object SparkEntry {
            (cmp.cluster_id = c.key) AS kept
          FROM cell c JOIN comp cmp USING (key)
          ORDER BY c.key""",
+
+    "q117_spectral_hash" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(doc_id % 300 AS INTEGER) AS pid,
+             CASE WHEN doc_id >= 300 THEN 2 ELSE 1 END AS amp
+           FROM documents WHERE doc_id < 500),
+         par AS (
+           SELECT doc_id, amp,
+             128 + (pid % 200) * 2 AS nf,
+             1 + pid % 2 AS ch,
+             4 + pid % 13 AS p1,
+             3 + pid % 7 AS p2
+           FROM ids WHERE doc_id < 400),
+         dims AS (
+           SELECT p.*, c.c AS cell,
+             (c.c * p.nf) // 8 AS st,
+             ((c.c + 1) * p.nf) // 8 - (c.c * p.nf) // 8 AS len
+           FROM par p, range(8) c(c)),
+         terms AS (
+           -- stride is 1 at these cell lengths but kept general; mono is
+           -- the closed-form channel sum; ck/sk the quantized cosine
+           -- table, floor(x+0.5) = the kernel's Math.round
+           SELECT d.doc_id, d.cell, k.k, i.i,
+             d.amp * (d.ch * (300 * ((((d.st + i.i) // d.p1) % 2) * 2 - 1)
+                            + 150 * ((((d.st + i.i) // d.p2) % 2) * 2 - 1))
+                      + 40 * (d.ch * (d.ch - 1) // 2)) AS mono,
+             CAST(floor(cos(2 * pi() * k.k * i.i / d.len) * 64 + 0.5)
+               AS BIGINT) AS ck,
+             CAST(floor(sin(2 * pi() * k.k * i.i / d.len) * 64 + 0.5)
+               AS BIGINT) AS sk
+           FROM dims d, range(1, 10) k(k), range(256) i(i)
+           WHERE i.i < d.len),
+         eng AS (
+           SELECT doc_id, cell, k,
+             sum(mono * ck) AS re, sum(mono * sk) AS im
+           FROM terms GROUP BY 1, 2, 3),
+         e2 AS (SELECT doc_id, cell, k, re * re + im * im AS e FROM eng),
+         bits AS (
+           SELECT l.doc_id, l.cell * 8 + l.k - 1 AS b
+           FROM e2 l JOIN e2 r ON r.doc_id = l.doc_id AND r.cell = l.cell
+             AND r.k = l.k + 1
+           WHERE r.e > l.e),
+         hashes AS (
+           SELECT p.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.b >= 32
+               THEN CAST(1 AS BIGINT) << (b.b - 32) END), 0) AS BIGINT) AS sh_hi,
+             CAST(coalesce(sum(CASE WHEN b.b < 32
+               THEN CAST(1 AS BIGINT) << b.b END), 0) AS BIGINT) AS sh_lo
+           FROM par p LEFT JOIN bits b USING (doc_id) GROUP BY p.doc_id)
+         SELECT i.doc_id, h.sh_hi, h.sh_lo
+         FROM ids i LEFT JOIN hashes h USING (doc_id)
+         ORDER BY i.doc_id""",
+
+    "q118_spectral_neardup" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(doc_id % 300 AS INTEGER) AS pid,
+             CASE WHEN doc_id >= 300 THEN 2 ELSE 1 END AS amp
+           FROM documents WHERE doc_id < 500),
+         par AS (
+           SELECT doc_id, amp,
+             128 + (pid % 200) * 2 AS nf,
+             1 + pid % 2 AS ch,
+             4 + pid % 13 AS p1,
+             3 + pid % 7 AS p2
+           FROM ids WHERE doc_id < 400),
+         dims AS (
+           SELECT p.*, c.c AS cell,
+             (c.c * p.nf) // 8 AS st,
+             ((c.c + 1) * p.nf) // 8 - (c.c * p.nf) // 8 AS len
+           FROM par p, range(8) c(c)),
+         terms AS (
+           SELECT d.doc_id, d.cell, k.k, i.i,
+             d.amp * (d.ch * (300 * ((((d.st + i.i) // d.p1) % 2) * 2 - 1)
+                            + 150 * ((((d.st + i.i) // d.p2) % 2) * 2 - 1))
+                      + 40 * (d.ch * (d.ch - 1) // 2)) AS mono,
+             CAST(floor(cos(2 * pi() * k.k * i.i / d.len) * 64 + 0.5)
+               AS BIGINT) AS ck,
+             CAST(floor(sin(2 * pi() * k.k * i.i / d.len) * 64 + 0.5)
+               AS BIGINT) AS sk
+           FROM dims d, range(1, 10) k(k), range(256) i(i)
+           WHERE i.i < d.len),
+         eng AS (
+           SELECT doc_id, cell, k,
+             sum(mono * ck) AS re, sum(mono * sk) AS im
+           FROM terms GROUP BY 1, 2, 3),
+         e2 AS (SELECT doc_id, cell, k, re * re + im * im AS e FROM eng),
+         bits AS (
+           SELECT l.doc_id, l.cell * 8 + l.k - 1 AS b
+           FROM e2 l JOIN e2 r ON r.doc_id = l.doc_id AND r.cell = l.cell
+             AND r.k = l.k + 1
+           WHERE r.e > l.e),
+         hashes AS (
+           SELECT p.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.b >= 32
+               THEN CAST(1 AS BIGINT) << (b.b - 32) END), 0) AS BIGINT) AS sh_hi,
+             CAST(coalesce(sum(CASE WHEN b.b < 32
+               THEN CAST(1 AS BIGINT) << b.b END), 0) AS BIGINT) AS sh_lo
+           FROM par p LEFT JOIN bits b USING (doc_id) GROUP BY p.doc_id)
+         SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           CAST(bit_count(xor(a.sh_hi, b.sh_hi))
+              + bit_count(xor(a.sh_lo, b.sh_lo)) AS BIGINT) AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh_hi, b.sh_hi))
+             + bit_count(xor(a.sh_lo, b.sh_lo)) <= 3
+         ORDER BY key_a, key_b""",
 
     "q116_quality_classifier" ->
       """WITH built AS (

@@ -242,6 +242,44 @@ object Multimodal {
       graft.expressions.WavEnvelopeHash(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
 
+  /** 64-bit spectral audio fingerprint
+    * ([[graft.expressions.WavSpectralHash]]) — an 8×8 time × frequency
+    * gradient grid over DFT band energies, the pitch-sensitive
+    * complement of [[wavEnvelopeHash]] (two clips with one loudness
+    * contour but different harmonics separate here). Gain-invariant,
+    * exact-integer, NULL for undecodable clips, under 128 frames, or
+    * more than 2 channels.
+    */
+  def wavSpectralHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.WavSpectralHash(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** The spectral signature store: (key, shash), contract of
+    * [[audioSignatures]].
+    */
+  def audioSpectralSignatures(df: DataFrame, keyCol: String,
+      contentCol: String): DataFrame =
+    df.select(col(keyCol).alias("key"),
+        wavSpectralHash(col(contentCol)).alias("shash"))
+      .filter(col("shash").isNotNull)
+
+  /** Near-duplicate audio pairs by SPECTRAL fingerprint —
+    * [[DedupOps.hammingNearDups]] over [[audioSpectralSignatures]];
+    * same banded pigeonhole join as [[audioNearDups]], different (and
+    * complementary) notion of "same audio".
+    */
+  def audioSpectralNearDups(
+      df: DataFrame,
+      keyCol: String,
+      contentCol: String,
+      maxDist: Int = 3
+  ): DataFrame =
+    DedupOps.hammingNearDups(
+      audioSpectralSignatures(df, keyCol, contentCol)
+        .select(col("key"), col("shash").alias("hash")),
+      maxDist)
+
   /** The audio signature store: (key, ahash) for every decodable clip —
     * 16 bytes a row, same contract as [[imageSignatures]].
     */

@@ -242,7 +242,7 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("q99/q103 banded fingerprint joins: equi-join on chunks, no cartesian") {
     for (name <- Seq("q99_image_neardup", "q103_audio_neardup",
-        "q112_image_neardup_mixed")) {
+        "q112_image_neardup_mixed", "q118_spectral_neardup")) {
       val plan = executedPlan(name)
       // the pigeonhole self-join must be an equi-join on the chunk key —
       // a cartesian or BNLJ here means all-pairs at corpus scale
@@ -257,7 +257,8 @@ class PlanShapeSpec extends SparkTestBase {
         s"$name must join the materialized chunk table, not re-decode:\n$plan")
       assert(!plan.contains("graft_png_dhash") &&
         !plan.contains("graft_jpeg_dhash") &&
-        !plan.contains("graft_wav_envelope_hash"),
+        !plan.contains("graft_wav_envelope_hash") &&
+        !plan.contains("graft_wav_spectral_hash"),
         s"$name fingerprint decode must happen before the checkpoint:\n$plan")
     }
   }

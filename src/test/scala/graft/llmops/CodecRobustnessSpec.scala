@@ -43,6 +43,8 @@ class CodecRobustnessSpec extends AnyFunSuite {
     graft.expressions.JpegDHash.compute(bytes)
     graft.expressions.WavSamples.compute(bytes)
     graft.expressions.WavEnvelopeHash.compute(bytes)
+    graft.expressions.WavSpectralHash.compute(bytes)
+    graft.expressions.AviFrames.compute(bytes)
     DocumentText.extractText(bytes, "application/pdf")
     DocumentText.extractText(bytes, "text/html")
     ()
