@@ -179,8 +179,15 @@ object SparkEntry {
         case 1 if f >= nf / 2 + 1 => 98 + (pid * 7 + f * 13) % 97
         case _ => 1 + (pid * 7 + f * 13) % 97
       }
-      def pat(s: Int)(x: Int, y: Int): Int =
-        (s * 37 * ((y / 8) * 9 + (x / 8) + 3)) % 256
+      // quadratic in the block index: adjacent-block differences vary
+      // with position, so distinct seeds give near-distinct comparison
+      // signatures (an affine formula has ONE step size per seed — its
+      // hashes collapse into wrap-position classes and unrelated videos
+      // collide into shared-frame "duplicates")
+      def pat(s: Int)(x: Int, y: Int): Int = {
+        val k = (y / 8) * 9 + (x / 8)
+        (s * s * (k + 1) + s * k * k + 13 * k + 7 * s) % 256
+      }
       val bytes =
         if (id >= 450) s"not a video $id".getBytes("UTF-8")
         else if (id >= 430) graft.llmops.MediaWriter.wav(1, 8000, 16, 10)
@@ -1147,6 +1154,28 @@ object SparkEntry {
         .select(col("key_a"), col("key_b"),
           col("hamming").cast("long").as("hamming"))
         .orderBy("key_a", "key_b")
+    }),
+
+    "q119_video_dedup_against" -> ((s, dir) => {
+      // incremental video ingestion screen: batch videos (≥ 200) survive
+      // iff their shared distinct frame hashes stay under half the
+      // smaller side against EVERY corpus video (< 200) — corpus reduced
+      // to its 16-byte/frame signature rows. Tier 3 replays tier 0
+      // exactly and must drop; tier 2 is disjoint and survives;
+      // undecodable tiers (≥ 400) survive: not a video ≠ a duplicate
+      val ss = tuned(s)
+      import ss.implicits._
+      val all = aviFixtures(ss, dir)
+      val corpus = all.filter(_._1 < 200).toDF("doc_id", "content")
+        .repartition(32)
+      val batch = all.filter(_._1 >= 200).toDF("doc_id", "content")
+        .repartition(32)
+      val sigs = graft.llmops.Multimodal.videoFrameSignatures(
+          corpus, "doc_id", "content")
+        .select(col("key"), col("fhash"))
+      graft.llmops.Multimodal.videoDedupAgainstSignatures(
+          batch, "doc_id", "content", sigs, minSharedFrac = 0.5)
+        .select(col("doc_id")).orderBy("doc_id")
     }),
 
     "q96_curation_signals" -> ((s, dir) => {
@@ -3295,6 +3324,63 @@ object SparkEntry {
          FROM cell c JOIN comp cmp USING (key)
          ORDER BY c.key""",
 
+    "q119_video_dedup_against" ->
+      """WITH ids AS (
+           SELECT doc_id, CAST(doc_id % 100 AS INTEGER) AS pid,
+             CAST(doc_id // 100 AS INTEGER) AS tier,
+             CAST(4 + (doc_id % 100) % 4 AS INTEGER) AS nf
+           FROM documents WHERE doc_id < 400),
+         fr AS (
+           SELECT i.doc_id, f.f,
+             CASE
+               WHEN i.tier = 2 THEN 196 + (i.pid * 7 + f.f * 13) % 59
+               WHEN i.tier = 1 AND f.f >= i.nf // 2 + 1
+                 THEN 98 + (i.pid * 7 + f.f * 13) % 97
+               ELSE 1 + (i.pid * 7 + f.f * 13) % 97
+             END AS s
+           FROM ids i, range(7) f(f) WHERE f.f < i.nf),
+         blocks AS (
+           SELECT fr.doc_id, fr.f, b.b,
+             (fr.s * fr.s * (b.b + 1) + fr.s * b.b * b.b
+              + 13 * b.b + 7 * fr.s) % 256 AS v
+           FROM fr, range(18) b(b)),
+         bits AS (
+           -- cell (i, j) is block (bx = i, by = j // 4): each adjacent
+           -- block pair contributes the same comparison to 4 cell rows
+           SELECT l.doc_id, l.f,
+             ((l.b // 9) * 4 + jj.j) * 8 + (l.b % 9) AS k
+           FROM blocks l JOIN blocks r
+             ON r.doc_id = l.doc_id AND r.f = l.f AND r.b = l.b + 1
+           CROSS JOIN range(4) jj(j)
+           WHERE l.b % 9 < 8 AND r.v > l.v),
+         hashes AS (
+           SELECT fr.doc_id, fr.f,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS fh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS fh_lo
+           FROM fr LEFT JOIN bits b ON b.doc_id = fr.doc_id AND b.f = fr.f
+           GROUP BY fr.doc_id, fr.f),
+         hset AS (SELECT DISTINCT doc_id, fh_hi, fh_lo FROM hashes),
+         bn AS (SELECT doc_id, count(*) AS n FROM hset
+                WHERE doc_id >= 200 GROUP BY 1),
+         sn AS (SELECT doc_id, count(*) AS n FROM hset
+                WHERE doc_id < 200 GROUP BY 1),
+         sh AS (
+           SELECT b.doc_id AS bk, c.doc_id AS ck, count(*) AS s
+           FROM hset b JOIN hset c
+             ON b.fh_hi = c.fh_hi AND b.fh_lo = c.fh_lo
+           WHERE b.doc_id >= 200 AND c.doc_id < 200
+           GROUP BY 1, 2),
+         dups AS (
+           SELECT DISTINCT sh.bk AS doc_id
+           FROM sh JOIN bn ON bn.doc_id = sh.bk JOIN sn ON sn.doc_id = sh.ck
+           WHERE CAST(sh.s AS DOUBLE) / least(bn.n, sn.n) >= 0.5)
+         SELECT doc_id FROM documents
+         WHERE doc_id >= 200 AND doc_id < 500
+           AND doc_id NOT IN (SELECT doc_id FROM dups)
+         ORDER BY doc_id""",
+
     "q117_spectral_hash" ->
       """WITH ids AS (
            SELECT doc_id,
@@ -3472,11 +3558,20 @@ object SparkEntry {
          -- (bx = i, by = j//4) of the 72×16 frame, value
          -- (s*37*(by*9+bx+3)) % 256 — bit set iff the right cell is
          -- brighter than the left
+         blocks AS (
+           SELECT fr.doc_id, fr.f, b.b,
+             (fr.s * fr.s * (b.b + 1) + fr.s * b.b * b.b
+              + 13 * b.b + 7 * fr.s) % 256 AS v
+           FROM fr, range(18) b(b)),
          bits AS (
-           SELECT fr.doc_id, fr.f, k.k
-           FROM fr, range(64) k(k)
-           WHERE (fr.s * 37 * ((k.k // 8 // 4) * 9 + (k.k % 8) + 4)) % 256
-               > (fr.s * 37 * ((k.k // 8 // 4) * 9 + (k.k % 8) + 3)) % 256),
+           -- cell (i, j) is block (bx = i, by = j // 4): each adjacent
+           -- block pair contributes the same comparison to 4 cell rows
+           SELECT l.doc_id, l.f,
+             ((l.b // 9) * 4 + jj.j) * 8 + (l.b % 9) AS k
+           FROM blocks l JOIN blocks r
+             ON r.doc_id = l.doc_id AND r.f = l.f AND r.b = l.b + 1
+           CROSS JOIN range(4) jj(j)
+           WHERE l.b % 9 < 8 AND r.v > l.v),
          hashes AS (
            SELECT fr.doc_id, fr.f,
              CAST(coalesce(sum(CASE WHEN b.k >= 32
@@ -3503,11 +3598,20 @@ object SparkEntry {
                ELSE 1 + (i.pid * 7 + f.f * 13) % 97
              END AS s
            FROM ids i, range(7) f(f) WHERE f.f < i.nf),
+         blocks AS (
+           SELECT fr.doc_id, fr.f, b.b,
+             (fr.s * fr.s * (b.b + 1) + fr.s * b.b * b.b
+              + 13 * b.b + 7 * fr.s) % 256 AS v
+           FROM fr, range(18) b(b)),
          bits AS (
-           SELECT fr.doc_id, fr.f, k.k
-           FROM fr, range(64) k(k)
-           WHERE (fr.s * 37 * ((k.k // 8 // 4) * 9 + (k.k % 8) + 4)) % 256
-               > (fr.s * 37 * ((k.k // 8 // 4) * 9 + (k.k % 8) + 3)) % 256),
+           -- cell (i, j) is block (bx = i, by = j // 4): each adjacent
+           -- block pair contributes the same comparison to 4 cell rows
+           SELECT l.doc_id, l.f,
+             ((l.b // 9) * 4 + jj.j) * 8 + (l.b % 9) AS k
+           FROM blocks l JOIN blocks r
+             ON r.doc_id = l.doc_id AND r.f = l.f AND r.b = l.b + 1
+           CROSS JOIN range(4) jj(j)
+           WHERE l.b % 9 < 8 AND r.v > l.v),
          hashes AS (
            SELECT fr.doc_id, fr.f,
              CAST(coalesce(sum(CASE WHEN b.k >= 32

@@ -397,6 +397,56 @@ object Multimodal {
       .select(col("key_a"), col("key_b"), col("shared_frames"), col("frac"))
   }
 
+  /** O(batch) incremental video near-dup against a (key, fhash) frame
+    * signature store ([[videoFrameSignatures]] rows) — the video twin of
+    * [[imageDedupAgainstSignatures]]: a batch video drops when its
+    * shared distinct frame hashes reach `minSharedFrac` of the smaller
+    * side (same rule as [[videoNearDups]]). Corpus video bytes are never
+    * reread — the store is 16 bytes per frame — and the candidate join
+    * stays an equi-join on the frame hash. Undecodable batch rows
+    * SURVIVE: not being a video is not being a duplicate.
+    */
+  def videoDedupAgainstSignatures(
+      batch: DataFrame,
+      keyCol: String,
+      contentCol: String,
+      signatures: DataFrame,
+      minSharedFrac: Double = 0.5
+  ): DataFrame = {
+    val bs = videoFrameSignatures(batch, keyCol, contentCol)
+      .select(col("key"), col("fhash")).distinct()
+      .localCheckpoint(true) // decode once; counts + join both read it
+    val ss = signatures.select(col("key").alias("__sk"), col("fhash"))
+      .distinct()
+    val bCnt = bs.groupBy(col("key")).agg(count(lit(1)).alias("bn"))
+    val sCnt = ss.groupBy(col("__sk")).agg(count(lit(1)).alias("sn"))
+    val dups = bs.join(ss, "fhash")
+      .groupBy(col("key"), col("__sk")).agg(count(lit(1)).alias("sh"))
+      .join(bCnt, "key")
+      .join(sCnt, "__sk")
+      .filter(col("sh").cast("double") / least(col("bn"), col("sn"))
+        >= minSharedFrac)
+      .select(col("key").alias("__dup")).distinct()
+    batch.join(dups, col(keyCol) === col("__dup"), "left_anti")
+  }
+
+  /** [[videoDedupAgainstSignatures]] with the store computed from corpus
+    * content — first-run convenience, mirror of [[imageDedupAgainstCorpus]].
+    */
+  def videoDedupAgainstCorpus(
+      batch: DataFrame,
+      keyCol: String,
+      contentCol: String,
+      corpus: DataFrame,
+      corpusKeyCol: String,
+      corpusContentCol: String,
+      minSharedFrac: Double = 0.5
+  ): DataFrame =
+    videoDedupAgainstSignatures(batch, keyCol, contentCol,
+      videoFrameSignatures(corpus, corpusKeyCol, corpusContentCol)
+        .select(col("key"), col("fhash")),
+      minSharedFrac)
+
   /** REAL audio/video container metadata from binary headers — WAV
     * channels/rate/bits/duration and MP4 movie duration parsed by the
     * native codegen'd [[graft.expressions.AvMeta]] expression (the

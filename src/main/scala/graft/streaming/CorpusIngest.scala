@@ -227,6 +227,29 @@ object CorpusIngest {
       M.audioDedupAgainstCorpus(b, k, c, corpus, k, c, d)
   }
 
+  /** The video screen: multi-row signatures (one (key, fhash) per
+    * decodable frame) and shared-frame-FRACTION semantics instead of a
+    * Hamming radius — the protocol's `maxDist` is unused and the
+    * threshold rides the screen instance. Everything else (keep-first
+    * within batch, store screen, lockstep appends) is the shared
+    * protocol untouched.
+    */
+  private final case class VideoScreen(minSharedFrac: Double)
+      extends BinaryScreen {
+    private val M = graft.llmops.Multimodal
+    def sigCol = "fhash"
+    def signatures(df: DataFrame, k: String, c: String) =
+      M.videoFrameSignatures(df, k, c).select(col("key"), col("fhash"))
+    def nearDups(df: DataFrame, k: String, c: String, d: Int) =
+      M.videoNearDups(df, k, c, minSharedFrac)
+    def dedupAgainstSignatures(b: DataFrame, k: String, c: String,
+        s: DataFrame, d: Int) =
+      M.videoDedupAgainstSignatures(b, k, c, s, minSharedFrac)
+    def dedupAgainstCorpus(b: DataFrame, k: String, c: String,
+        corpus: DataFrame, d: Int) =
+      M.videoDedupAgainstCorpus(b, k, c, corpus, k, c, minSharedFrac)
+  }
+
   /** Shared binary-ingestion protocol: within-batch screen (keep the
     * lowest key of each near-dup pair), against-store screen, quality
     * gate on survivors, corpus + signature appends in lockstep, optional
@@ -325,6 +348,47 @@ object CorpusIngest {
   ): Long =
     ingestBinaryBatch(spark, batch, corpusPath, contentCol, keyCol,
       maxDist, signaturePath, lockStore, qualityGate, AudioScreen)
+
+  /** Video micro-batch ingestion — the shared protocol with the
+    * frame-signature screen: a batch video drops when its shared
+    * distinct frame hashes reach `minSharedFrac` of the smaller side
+    * against the batch or the store. The signature store holds
+    * (key, fhash) per frame — 16 bytes/frame, corpus video bytes never
+    * reread. Replay-idempotent: a replayed video shares every frame
+    * with its stored copy (fraction 1.0) and drops.
+    */
+  def ingestVideoBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      corpusPath: String,
+      contentCol: String,
+      keyCol: String,
+      minSharedFrac: Double = 0.5,
+      signaturePath: Option[String] = None,
+      lockStore: Option[graft.operators.LockStore] = None,
+      qualityGate: Option[DataFrame => DataFrame] = None
+  ): Long =
+    ingestBinaryBatch(spark, batch, corpusPath, contentCol, keyCol,
+      0, signaturePath, lockStore, qualityGate, VideoScreen(minSharedFrac))
+
+  /** Structured-Streaming wrapper for [[ingestVideoBatch]]. */
+  def ingestVideoStream(
+      spark: SparkSession,
+      stream: DataFrame,
+      corpusPath: String,
+      contentCol: String,
+      keyCol: String,
+      checkpointDir: String,
+      minSharedFrac: Double = 0.5,
+      trigger: Trigger = Trigger.AvailableNow(),
+      signaturePath: Option[String] = None,
+      compactEveryBatches: Option[Int] = None,
+      compactTargetFileMB: Int = 128,
+      qualityGate: Option[DataFrame => DataFrame] = None
+  ): StreamingQuery =
+    binaryStream(spark, stream, corpusPath, contentCol, keyCol,
+      checkpointDir, 0, trigger, signaturePath, compactEveryBatches,
+      compactTargetFileMB, qualityGate, VideoScreen(minSharedFrac))
 
   /** Structured-Streaming wrapper for [[ingestImageBatch]] — foreachBatch
     * per micro-batch, optional periodic [[compactStores]], exactly the

@@ -14,8 +14,12 @@ class AviSpec extends SparkTestBase {
     * the 9 dHash cells, so each seed's 18 pseudorandom block values give
     * a 16-comparison signature — plenty of distinct hashes per seed.
     */
-  private def grayPat(seed: Int)(x: Int, y: Int): Int =
-    (seed * 37 * ((y / 8) * 9 + (x / 8) + 3)) % 256
+  private def grayPat(seed: Int)(x: Int, y: Int): Int = {
+    // quadratic in the block index — adjacent-block differences vary
+    // with position, so distinct seeds give distinct sign signatures
+    val k = (y / 8) * 9 + (x / 8)
+    (seed * seed * (k + 1) + seed * k * k + 13 * k + 7 * seed) % 256
+  }
 
   private def mjpeg(seeds: Seq[Int]): Array[Byte] =
     AviWriter.avi(72, 16, seeds.map(s => JpegWriter.gray(72, 16, grayPat(s))))
@@ -96,6 +100,52 @@ class AviSpec extends SparkTestBase {
     val sigs = Multimodal.videoFrameSignatures(df, "vid", "content")
     assert(sigs.count() === 9) // 3 videos × 3 decodable frames
     assert(sigs.filter(col("key") === 4L).count() === 0)
+  }
+
+  test("videoDedupAgainstSignatures: store screen drops replays, keeps fresh and undecodable") {
+    val corpus = Seq(
+      (1L, mjpeg(Seq(10, 20, 30))),
+      (2L, mjpeg(Seq(40, 50, 60, 70)))).toDF("vid", "content")
+    val sigs = Multimodal.videoFrameSignatures(corpus, "vid", "content")
+      .select(col("key"), col("fhash"))
+    val batch = Seq(
+      (10L, mjpeg(Seq(10, 20, 30))),      // exact replay of 1 → drop
+      (11L, mjpeg(Seq(40, 50, 99))),      // 2 of 3 shared with 2 → drop
+      (12L, mjpeg(Seq(200, 201, 202))),   // disjoint → survive
+      (13L, mjpeg(Seq(30, 210, 211, 212))), // 1 of 4 shared → survive
+      (14L, "not a video".getBytes("UTF-8"))) // undecodable → survive
+      .toDF("vid", "content")
+    val got = Multimodal.videoDedupAgainstSignatures(batch, "vid", "content",
+        sigs, minSharedFrac = 0.5)
+      .select("vid").as[Long].collect().toSet
+    assert(got === Set(12L, 13L, 14L))
+  }
+
+  test("ingestVideoBatch: shared protocol — keep-first in batch, store screen, replay-idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vid_ingest").toString
+    val corpusPath = s"$dir/corpus"
+    val sigPath = s"$dir/sigs"
+    val b1 = Seq(
+      (1L, mjpeg(Seq(10, 20, 30))),
+      (2L, mjpeg(Seq(10, 20, 30))), // within-batch dup of 1 → dropped
+      (3L, mjpeg(Seq(80, 81, 82)))).toDF("vid", "content")
+    val n1 = graft.streaming.CorpusIngest.ingestVideoBatch(spark, b1,
+      corpusPath, "content", "vid", signaturePath = Some(sigPath))
+    assert(n1 === 2)
+    // replay the same batch: everything shares 100% with the store
+    val n2 = graft.streaming.CorpusIngest.ingestVideoBatch(spark, b1,
+      corpusPath, "content", "vid", signaturePath = Some(sigPath))
+    assert(n2 === 0)
+    // a fresh video plus a store near-dup: only the fresh one lands
+    val b2 = Seq(
+      (4L, mjpeg(Seq(10, 20, 99))),  // 2/3 shared with stored video 1
+      (5L, mjpeg(Seq(300, 301, 302)))).toDF("vid", "content")
+    val n3 = graft.streaming.CorpusIngest.ingestVideoBatch(spark, b2,
+      corpusPath, "content", "vid", signaturePath = Some(sigPath))
+    assert(n3 === 1)
+    val stored = spark.read.parquet(corpusPath).select("vid").as[Long]
+      .collect().toSet
+    assert(stored === Set(1L, 3L, 5L))
   }
 
   test("SQL registration agrees with the API") {
