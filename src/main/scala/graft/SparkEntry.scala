@@ -1178,6 +1178,35 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    "q120_avi_meta" -> ((s, dir) => {
+      // AVI container metadata: LIST hdrl → avih walk, duration from
+      // totalFrames × µsPerFrame (chosen so the division is exact).
+      // Truncated-header AVIs report ('avi', NULL duration); non-AVI
+      // bytes a NULL struct
+      val ss = tuned(s)
+      import ss.implicits._
+      val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      val rows = ids.map { id =>
+        val bytes =
+          if (id >= 450) s"not a container $id".getBytes("UTF-8")
+          else if (id >= 400) { // magic intact, header cut mid-claim
+            val full = graft.llmops.AviWriter.avi(8, 8,
+              Seq(Array[Byte](1, 2, 3)))
+            java.util.Arrays.copyOf(full, 16)
+          }
+          else graft.llmops.AviWriter.avi(16, 16,
+            (0 until (1 + id % 7).toInt).map(f => Array[Byte](f.toByte)),
+            usPerFrame = 1000 * (1 + id % 30).toInt)
+        (id, bytes)
+      }
+      val src = rows.toDF("doc_id", "content").repartition(32)
+      graft.llmops.Multimodal.withAvMeta(src)
+        .select(col("doc_id"), col("av.format").as("format"),
+          col("av.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     "q96_curation_signals" -> ((s, dir) => {
       // the fused one-scan curation battery: Gopher word stats + Gopher
       // repetition + C4 line rules + CCNet LM score (trained on built
@@ -3323,6 +3352,15 @@ object SparkEntry {
            (cmp.cluster_id = c.key) AS kept
          FROM cell c JOIN comp cmp USING (key)
          ORDER BY c.key""",
+
+    "q120_avi_meta" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id < 450 THEN 'avi' END AS format,
+           CASE WHEN doc_id < 400
+             THEN CAST((1 + doc_id % 7) * (1 + doc_id % 30) AS BIGINT)
+           END AS duration_ms
+         FROM documents WHERE doc_id < 500
+         ORDER BY doc_id""",
 
     "q119_video_dedup_against" ->
       """WITH ids AS (

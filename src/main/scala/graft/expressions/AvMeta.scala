@@ -79,6 +79,7 @@ object AvMeta {
   def compute(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 12) return null
     if (tag(b, 0, "RIFF") && tag(b, 8, "WAVE")) wav(b)
+    else if (tag(b, 0, "RIFF") && tag(b, 8, "AVI ")) avi(b)
     else if (tag(b, 4, "ftyp")) mp4(b)
     else mp3(b)
   }
@@ -171,6 +172,42 @@ object AvMeta {
       if (dataSize < 0 || blockAlign <= 0) null
       else java.lang.Long.valueOf(dataSize / blockAlign * 1000L / rate)
     row("wav", channels, rate, bits, ms)
+  }
+
+  /** RIFF/AVI chunk walk to `LIST hdrl` → `avih` (the main AVI header,
+    * required first in hdrl): duration = totalFrames · µsPerFrame.
+    * Audio fields stay NULL — they belong to the stream headers, and a
+    * metadata scan shouldn't pretend container-level knowledge it
+    * doesn't have. Recognized-but-unparseable AVIs report
+    * `("avi", nulls)` like the mp4 branch.
+    */
+  private def avi(b: Array[Byte]): InternalRow = {
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      val body = i + 8
+      if (tag(b, i, "LIST") && body + 4 <= b.length && tag(b, body, "hdrl")) {
+        val a = body + 4
+        if (a + 8 <= b.length && tag(b, a, "avih")) {
+          val asz = le32(b, a + 4)
+          if (asz >= 20 && a + 8 + asz <= b.length) {
+            val us = le32(b, a + 8)
+            val frames = le32(b, a + 24)
+            // both fields are untrusted 32-bit values; refuse the product
+            // rather than overflow it
+            val ms: Any =
+              if (us <= 0 || frames < 0 || frames > Long.MaxValue / us) null
+              else java.lang.Long.valueOf(frames * us / 1000L)
+            return row("avi", null, null, null, ms)
+          }
+        }
+        return row("avi", null, null, null, null)
+      }
+      val next = body.toLong + size + (size & 1L)
+      if (next <= i || next > b.length) return row("avi", null, null, null, null)
+      i = next.toInt
+    }
+    row("avi", null, null, null, null)
   }
 
   /** ISO BMFF top-level box walk to moov/mvhd; v0 (32-bit) and v1

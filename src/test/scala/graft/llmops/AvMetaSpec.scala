@@ -92,6 +92,24 @@ class AvMetaSpec extends SparkTestBase {
     assert(meta(id3v1) === None)
   }
 
+  test("avi: duration from avih totalFrames x usPerFrame; truncation and overflow refuse") {
+    val avi = AviWriter.avi(32, 24, (0 until 5).map(f => Array[Byte](f.toByte)),
+      usPerFrame = 40000)
+    assert(meta(avi) === Some(("avi", None, None, None, Some(200L))))
+    // magic intact, header cut mid-claim: recognized, duration unknown
+    assert(meta(java.util.Arrays.copyOf(avi, 16)) ===
+      Some(("avi", None, None, None, None)))
+    // forged avih with us * frames past Long.MaxValue must refuse the
+    // product, not wrap it: patch both fields to 0xFFFFFFFF
+    val forged = avi.clone()
+    val at = (0 until forged.length - 4)
+      .find(i => new String(forged, i, 4, "US-ASCII") == "avih").get
+    for (o <- 0 until 4) { forged(at + 8 + o) = 0xFF.toByte; forged(at + 24 + o) = 0xFF.toByte }
+    assert(meta(forged) === Some(("avi", None, None, None, None)))
+    // a RIFF/WAVE is still wav, not avi
+    assert(meta(MediaWriter.wav(1, 8000, 16, 100)).get._1 === "wav")
+  }
+
   test("unrecognized bytes and nulls yield NULL") {
     assert(meta("not a container".getBytes) === None)
     assert(meta(Array[Byte](1, 2, 3)) === None)
