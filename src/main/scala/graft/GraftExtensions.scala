@@ -182,6 +182,10 @@ object GraftFunctions {
       "graft_jpeg_dhash(content) - 64-bit perceptual difference hash of a baseline JPEG (same grid/bit layout as graft_png_dhash), NULL if undecodable or under 9x8",
       exprs => graft.expressions.JpegDHash(exprs.head)),
 
+    ("graft_image_hist_stats",
+      "graft_image_hist_stats(content) - grayscale histogram stats of a PNG/baseline-JPEG: struct(width,height,channels,gray_entropy,gray_min,gray_max,frac_max_bin), NULL if undecodable",
+      exprs => graft.expressions.ImageHistStats(exprs.head)),
+
     ("graft_avi_frames",
       "graft_avi_frames(content) - MJPEG AVI frame payloads as array<binary> in stream order, NULL if not a well-formed RIFF/AVI",
       exprs => graft.expressions.AviFrames(exprs.head)),

@@ -1207,6 +1207,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q121_image_quality" -> ((s, dir) => {
+      // grayscale-histogram quality screen over MIXED formats: patterned
+      // PNGs (entropy high), block-constant gray JPEGs (low, threshold
+      // splits them), solid-fill PNGs (exactly 0 — the junk tier the
+      // screen exists for), header-only and non-image tiers (NULL, never
+      // kept). The oracle rebuilds every histogram closed-form and folds
+      // entropy in the same ascending-bin order
+      val ss = tuned(s)
+      import ss.implicits._
+      val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      val rows = ids.map { id =>
+        val w = (9 + id % 24).toInt
+        val h = (8 + id % 16).toInt
+        val seed = (id % 251).toInt
+        val bytes =
+          if (id >= 450) s"not an image $id".getBytes("UTF-8")
+          else if (id >= 425) graft.llmops.ImageWriter.jpeg(w, h)
+          else if (id >= 400) graft.llmops.ImageWriter.png(w, h)
+          else if (id >= 300) graft.llmops.ImageWriter.pngFromPixels(w, h,
+            Array.tabulate(h, w * 3)((_, _) => seed.toByte))
+          else if (id >= 150) graft.llmops.JpegWriter.gray(w, h,
+            (x, y) => (5 * (x / 8) + 13 * (y / 8) + seed) % 256)
+          else graft.llmops.ImageWriter.pngWithPixels(w, h, seed)
+        (id, bytes)
+      }
+      val src = rows.toDF("doc_id", "content").repartition(32)
+      graft.llmops.Multimodal.imageQualityScreen(src, "content",
+          minW = 9, minH = 8, minEntropy = 0.5, maxFracMaxBin = 0.9)
+        .select(col("doc_id"),
+          col("ih.width").as("width"), col("ih.height").as("height"),
+          col("ih.channels").as("channels"),
+          col("ih.gray_entropy").as("gray_entropy"),
+          col("ih.gray_min").as("gray_min"),
+          col("ih.gray_max").as("gray_max"),
+          col("ih.frac_max_bin").as("frac_max_bin"),
+          col("img_keep"))
+        .orderBy("doc_id")
+    }),
+
     "q96_curation_signals" -> ((s, dir) => {
       // the fused one-scan curation battery: Gopher word stats + Gopher
       // repetition + C4 line rules + CCNet LM score (trained on built
@@ -3352,6 +3392,55 @@ object SparkEntry {
            (cmp.cluster_id = c.key) AS kept
          FROM cell c JOIN comp cmp USING (key)
          ORDER BY c.key""",
+
+    "q121_image_quality" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(9 + doc_id % 24 AS INTEGER) AS w,
+             CAST(8 + doc_id % 16 AS INTEGER) AS h,
+             CAST(doc_id % 251 AS INTEGER) AS seed
+           FROM documents WHERE doc_id < 500),
+         px AS (
+           SELECT i.doc_id, i.w, i.h,
+             CASE
+               WHEN i.doc_id < 150 THEN
+                 ((3 * x.x + 7 * y.y + i.seed) % 256
+                  + (3 * x.x + 7 * y.y + 11 + i.seed) % 256
+                  + (3 * x.x + 7 * y.y + 22 + i.seed) % 256) // 3
+               WHEN i.doc_id < 300 THEN
+                 (5 * (x.x // 8) + 13 * (y.y // 8) + i.seed) % 256
+               ELSE i.seed
+             END AS gray
+           FROM ids i, range(32) x(x), range(23) y(y)
+           WHERE i.doc_id < 400 AND x.x < i.w AND y.y < i.h),
+         hist AS (
+           SELECT doc_id, w, h, gray, count(*) AS c
+           FROM px GROUP BY 1, 2, 3, 4),
+         ent AS (
+           SELECT doc_id,
+             CAST(max(w) AS INTEGER) AS width,
+             CAST(max(h) AS INTEGER) AS height,
+             -- ascending-bin fold, 0.0 - sum so a one-bin histogram is
+             -- +0.0, the kernel's exact bit pattern
+             0.0 - list_sum(list((CAST(c AS DOUBLE) / (w * h)) *
+               ln(CAST(c AS DOUBLE) / (w * h)) ORDER BY gray))
+               AS gray_entropy,
+             CAST(min(gray) AS INTEGER) AS gray_min,
+             CAST(max(gray) AS INTEGER) AS gray_max,
+             CAST(max(c) AS DOUBLE) / (max(w) * max(h)) AS frac_max_bin
+           FROM hist GROUP BY doc_id)
+         SELECT i.doc_id, e.width, e.height,
+           CASE WHEN i.doc_id < 400 THEN
+             CASE WHEN i.doc_id >= 150 AND i.doc_id < 300
+               THEN CAST(1 AS INTEGER) ELSE CAST(3 AS INTEGER) END
+           END AS channels,
+           e.gray_entropy, e.gray_min, e.gray_max, e.frac_max_bin,
+           CASE WHEN i.doc_id < 400 THEN
+             e.width >= 9 AND e.height >= 8 AND e.gray_entropy >= 0.5
+               AND e.frac_max_bin <= 0.9
+           ELSE FALSE END AS img_keep
+         FROM ids i LEFT JOIN ent e USING (doc_id)
+         ORDER BY i.doc_id""",
 
     "q120_avi_meta" ->
       """SELECT doc_id,

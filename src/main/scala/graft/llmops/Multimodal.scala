@@ -129,6 +129,33 @@ object Multimodal {
   def imageDHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     coalesce(pngDHash(content), jpegDHash(content))
 
+  /** Grayscale-histogram statistics over PNG or baseline JPEG
+    * ([[graft.expressions.ImageHistStats]]) — entropy / dynamic range /
+    * dominant-bin fraction, the scan-time inputs of [[imageQualityScreen]].
+    */
+  def imageHistStats(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.ImageHistStats(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** The image quality screen a curation pipeline runs before anything
+    * expensive: appends `ih` (histogram stats, NULL when undecodable)
+    * and `img_keep` — decodable, at least `minW`×`minH`, histogram
+    * entropy ≥ `minEntropy` (near-constant fills, placeholder logos and
+    * blown-up tracking pixels sit at ≈ 0), and no single gray bin
+    * holding more than `maxFracMaxBin` of the pixels. Pure per-row scan
+    * projection; tune thresholds per corpus.
+    */
+  def imageQualityScreen(df: DataFrame, contentCol: String = "content",
+      minW: Int = 32, minH: Int = 32, minEntropy: Double = 1.0,
+      maxFracMaxBin: Double = 0.9): DataFrame =
+    df.withColumn("ih", imageHistStats(col(contentCol)))
+      .withColumn("img_keep",
+        col("ih").isNotNull &&
+          col("ih.width") >= minW && col("ih.height") >= minH &&
+          col("ih.gray_entropy") >= minEntropy &&
+          col("ih.frac_max_bin") <= maxFracMaxBin)
+
   /** Near-duplicate image pairs by dHash Hamming distance — the image
     * twin of [[DedupOps.simhashNearDups]], same pigeonhole blocking:
     * each hash splits into 4 disjoint 16-bit chunks, candidates must

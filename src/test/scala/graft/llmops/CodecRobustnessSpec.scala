@@ -41,6 +41,7 @@ class CodecRobustnessSpec extends AnyFunSuite {
     graft.expressions.PngDHash.compute(bytes)
     graft.expressions.JpegPixels.compute(bytes)
     graft.expressions.JpegDHash.compute(bytes)
+    graft.expressions.ImageHistStats.compute(bytes)
     graft.expressions.WavSamples.compute(bytes)
     graft.expressions.WavEnvelopeHash.compute(bytes)
     graft.expressions.WavSpectralHash.compute(bytes)
