@@ -186,6 +186,10 @@ object GraftFunctions {
       "graft_image_hist_stats(content) - grayscale histogram stats of a PNG/baseline-JPEG: struct(width,height,channels,gray_entropy,gray_min,gray_max,frac_max_bin), NULL if undecodable",
       exprs => graft.expressions.ImageHistStats(exprs.head)),
 
+    ("graft_pdf_images",
+      "graft_pdf_images(content) - embedded /DCTDecode raster images of a PDF as array<binary> (each a complete baseline JPEG), NULL if not a PDF",
+      exprs => graft.expressions.PdfImages(exprs.head)),
+
     ("graft_avi_frames",
       "graft_avi_frames(content) - MJPEG AVI frame payloads as array<binary> in stream order, NULL if not a well-formed RIFF/AVI",
       exprs => graft.expressions.AviFrames(exprs.head)),

@@ -1247,6 +1247,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q122_pdf_images" -> ((s, dir) => {
+      // document ∘ image pipeline composition: DCTDecode XObjects are
+      // complete baseline JPEGs, so a PDF corpus feeds the same
+      // perceptual-hash machinery as AVI frames — extract, dHash, only
+      // (key, idx, 8 bytes) leave the scan. Text-only PDFs and PDFs
+      // whose image payloads are corrupt yield no rows; non-PDFs NULL
+      val ss = tuned(s)
+      import ss.implicits._
+      val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      def pat(sd: Int)(x: Int, y: Int): Int = {
+        val k = (y / 8) * 9 + (x / 8)
+        (sd * sd * (k + 1) + sd * k * k + 13 * k + 7 * sd) % 256
+      }
+      val rows = ids.map { id =>
+        val bytes =
+          if (id >= 450) s"not a pdf $id".getBytes("UTF-8")
+          else if (id >= 430) graft.llmops.PdfWriter.pdfWithImages(
+            Seq(s"doc $id"), Seq(s"corrupt jpeg $id".getBytes("UTF-8")),
+            Seq((8, 8)))
+          else if (id >= 400) graft.llmops.PdfWriter.pdf(
+            Seq(Seq(s"text only $id")))
+          else {
+            val ni = (1 + id % 3).toInt
+            val imgs = (0 until ni).map { j =>
+              val sd = (1 + (id * 11 + j * 29) % 193).toInt
+              graft.llmops.JpegWriter.gray(72, 16, pat(sd))
+            }
+            graft.llmops.PdfWriter.pdfWithImages(Seq(s"doc $id"), imgs,
+              imgs.map(_ => (72, 16)))
+          }
+        (id, bytes)
+      }
+      val src = rows.toDF("doc_id", "content").repartition(32)
+      graft.llmops.Multimodal.pdfImageSignatures(src, "doc_id", "content")
+        .select(col("key").as("doc_id"),
+          col("img_idx").cast("long").as("img_idx"),
+          shiftrightunsigned(col("ihash"), 32).as("ih_hi"),
+          col("ihash").bitwiseAND(lit(0xFFFFFFFFL)).as("ih_lo"))
+        .orderBy("doc_id", "img_idx")
+    }),
+
     "q96_curation_signals" -> ((s, dir) => {
       // the fused one-scan curation battery: Gopher word stats + Gopher
       // repetition + C4 line rules + CCNet LM score (trained on built
@@ -3392,6 +3434,36 @@ object SparkEntry {
            (cmp.cluster_id = c.key) AS kept
          FROM cell c JOIN comp cmp USING (key)
          ORDER BY c.key""",
+
+    "q122_pdf_images" ->
+      """WITH ids AS (
+           SELECT doc_id, CAST(1 + doc_id % 3 AS INTEGER) AS ni
+           FROM documents WHERE doc_id < 400),
+         im AS (
+           SELECT i.doc_id, j.j,
+             CAST(1 + (i.doc_id * 11 + j.j * 29) % 193 AS INTEGER) AS s
+           FROM ids i, range(3) j(j) WHERE j.j < i.ni),
+         blocks AS (
+           SELECT im.doc_id, im.j, b.b,
+             (im.s * im.s * (b.b + 1) + im.s * b.b * b.b
+              + 13 * b.b + 7 * im.s) % 256 AS v
+           FROM im, range(18) b(b)),
+         bits AS (
+           SELECT l.doc_id, l.j, ((l.b // 9) * 4 + cr.cj) * 8 + (l.b % 9) AS k
+           FROM blocks l JOIN blocks r
+             ON r.doc_id = l.doc_id AND r.j = l.j AND r.b = l.b + 1
+           CROSS JOIN range(4) cr(cj)
+           WHERE l.b % 9 < 8 AND r.v > l.v),
+         hashes AS (
+           SELECT im.doc_id, im.j,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS ih_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS ih_lo
+           FROM im LEFT JOIN bits b ON b.doc_id = im.doc_id AND b.j = im.j
+           GROUP BY im.doc_id, im.j)
+         SELECT doc_id, CAST(j AS BIGINT) AS img_idx, ih_hi, ih_lo
+         FROM hashes ORDER BY doc_id, img_idx""",
 
     "q121_image_quality" ->
       """WITH ids AS (

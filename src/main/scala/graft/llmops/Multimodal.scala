@@ -376,6 +376,31 @@ object Multimodal {
       graft.expressions.AviFrames(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
 
+  /** Embedded PDF raster images as `array<binary>` in document order —
+    * each element a complete baseline JPEG (`/DCTDecode` XObjects,
+    * [[graft.expressions.PdfImages]]), so documents feed the image
+    * pipeline exactly as AVI frames do. NULL for non-PDF bytes; a PDF
+    * with no pictures yields an empty array.
+    */
+  def pdfImages(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.PdfImages(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** Per-image perceptual signatures of a PDF corpus: one row per
+    * embedded DCT image — (key, img_idx, ihash) with the cross-format
+    * [[imageDHash]]. The document-corpus twin of
+    * [[videoFrameSignatures]]: what shuffles is key + index + 8 bytes,
+    * never raster content.
+    */
+  def pdfImageSignatures(df: DataFrame, keyCol: String,
+      contentCol: String): DataFrame =
+    df.select(col(keyCol).alias("key"),
+        posexplode(pdfImages(col(contentCol))).as(Seq("img_idx", "__img")))
+      .select(col("key"), col("img_idx"),
+        imageDHash(col("__img")).alias("ihash"))
+      .filter(col("ihash").isNotNull)
+
   /** Per-frame perceptual signatures: one row per decodable frame —
     * (key, frame_idx, fhash) with `fhash` the frame's [[imageDHash]].
     * The scan explodes 8-byte hashes, not pixels: content bytes are

@@ -58,7 +58,12 @@ object Pdf {
             val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
             val data =
               if (dict.contains("/FlateDecode")) inflate(raw) else Some(raw)
-            data.map(b => new String(b, ISO_8859_1)).foreach { content =>
+            // image streams are raster bytes, not content operators — a
+            // JPEG that happens to contain the letters "BT" must not
+            // garbage-parse into extracted text
+            val isImage = dict.contains("/Subtype") && dict.contains("/Image")
+            data.filter(_ => !isImage)
+              .map(b => new String(b, ISO_8859_1)).foreach { content =>
               if (content.contains("BT")) {
                 val lines = contentText(content)
                 if (lines.nonEmpty) out += lines.mkString("\n")
@@ -70,6 +75,47 @@ object Pdf {
       }
     }
     Some(out.mkString("\n"))
+  }
+
+  /** Extract embedded raster images: every `/Subtype /Image` stream
+    * whose filter is `/DCTDecode` — whose payload IS a complete baseline
+    * JPEG by construction, directly decodable by
+    * [[graft.expressions.JpegPixels]]/[[graft.expressions.JpegDHash]] —
+    * in document order. Flate/raw-sample images are skipped (their
+    * pixels are meaningless without the dict's geometry; the curation
+    * pipeline wants self-contained image bytes). None when the bytes
+    * are not a PDF; Some(empty) for a PDF with no DCT images.
+    */
+  def images(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (bytes == null || bytes.length < 5) return None
+    if (!(bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' &&
+        bytes(3) == 'F' && bytes(4) == '-')) return None
+    val doc = new String(bytes, ISO_8859_1)
+    val out = new scala.collection.mutable.ArrayBuffer[Array[Byte]]
+    var i = 0
+    while (i >= 0 && i < doc.length) {
+      i = doc.indexOf("stream", i)
+      if (i >= 0) {
+        val isEnd = i >= 3 && doc.regionMatches(i - 3, "end", 0, 3)
+        val after = i + 6
+        val eolOk = after < doc.length &&
+          (doc.charAt(after) == '\r' || doc.charAt(after) == '\n')
+        if (!isEnd && eolOk) {
+          val dict = dictBefore(doc, i)
+          var dataStart = after
+          if (doc.charAt(dataStart) == '\r') dataStart += 1
+          if (dataStart < doc.length && doc.charAt(dataStart) == '\n') dataStart += 1
+          val dataEnd = streamEnd(doc, dataStart, dict)
+          if (dataEnd > dataStart) {
+            if (dict.contains("/Subtype") && dict.contains("/Image") &&
+                dict.contains("/DCTDecode"))
+              out += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+            i = dataEnd
+          } else i = after
+        } else i = after
+      }
+    }
+    Some(out.toSeq)
   }
 
   /** The balanced `<< … >>` dictionary immediately preceding the `stream`

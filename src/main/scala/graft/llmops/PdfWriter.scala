@@ -66,6 +66,63 @@ object PdfWriter {
     out.toByteArray
   }
 
+  /** A one-page PDF embedding `images` as `/DCTDecode` XObjects (each
+    * element a complete baseline JPEG, e.g. from [[JpegWriter]]) drawn
+    * across the page, with optional text lines — the writer twin of
+    * [[Pdf.images]]. `dims` are the declared /Width × /Height per image
+    * (PDF metadata; the JPEG bytes carry their own dimensions).
+    */
+  def pdfWithImages(lines: Seq[String], images: Seq[Array[Byte]],
+      dims: Seq[(Int, Int)], colorSpaces: Seq[String] = Nil): Array[Byte] = {
+    require(images.length == dims.length, "one (w, h) per image")
+    val n = images.length
+    // ids: 1 catalog, 2 pages, 3 page, 4 contents, 5 font, 6.. images
+    val fontId = 5
+    val out = new ByteArrayOutputStream(4096)
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    val offsets = new Array[Int](fontId + n + 1)
+    w("%PDF-1.4\n%âãÏÓ\n")
+    offsets(1) = out.size()
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offsets(2) = out.size()
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    offsets(3) = out.size()
+    val xobjs = (0 until n).map(j => s"/Im$j ${fontId + 1 + j} 0 R").mkString(" ")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> " +
+      s"/XObject << $xobjs >> >> >>\nendobj\n")
+    offsets(4) = out.size()
+    val draws = (0 until n).map { j =>
+      val (iw, ih) = dims(j)
+      s"q $iw 0 0 $ih ${40 + 60 * j} 40 cm /Im$j Do Q"
+    }
+    val content = (contentStream(lines) + "\n" + draws.mkString("\n"))
+      .getBytes(ISO_8859_1)
+    w(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
+    out.write(content)
+    w("\nendstream\nendobj\n")
+    offsets(5) = out.size()
+    w("5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    images.zipWithIndex.foreach { case (img, j) =>
+      val id = fontId + 1 + j
+      offsets(id) = out.size()
+      val (iw, ih) = dims(j)
+      val cs = colorSpaces.lift(j).getOrElse("/DeviceGray")
+      w(s"$id 0 obj\n<< /Type /XObject /Subtype /Image /Width $iw " +
+        s"/Height $ih /ColorSpace $cs /BitsPerComponent 8 " +
+        s"/Filter /DCTDecode /Length ${img.length} >>\nstream\n")
+      out.write(img)
+      w("\nendstream\nendobj\n")
+    }
+    val total = fontId + n
+    val xrefAt = out.size()
+    w(s"xref\n0 ${total + 1}\n")
+    w("0000000000 65535 f \n")
+    (1 to total).foreach(id => w(f"${offsets(id)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${total + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
   private def contentStream(lines: Seq[String]): String = {
     val sb = new java.lang.StringBuilder
     sb.append("BT\n/F1 12 Tf\n72 720 Td\n")

@@ -32,6 +32,7 @@ class CodecRobustnessSpec extends AnyFunSuite {
 
   private def allCodecs(bytes: Array[Byte]): Unit = {
     Pdf.pdfText(bytes)
+    Pdf.images(bytes)
     Ooxml.docxText(bytes); Ooxml.xlsxText(bytes); Ooxml.pptxText(bytes)
     LegacyOffice.docText(bytes); LegacyOffice.xlsText(bytes)
     LegacyOffice.pptText(bytes); Rtf.rtfText(bytes)
@@ -66,6 +67,10 @@ class CodecRobustnessSpec extends AnyFunSuite {
   test("truncations of genuine documents never throw") {
     val genuine = Seq(
       PdfWriter.pdf(Seq(Seq("alpha", "beta")), compress = true),
+      PdfWriter.pdfWithImages(Seq("img doc"),
+        Seq(JpegWriter.gray(16, 8, (x, y) => (x + y) % 256)), Seq((16, 8))),
+      AviWriter.avi(16, 8,
+        Seq(JpegWriter.gray(16, 8, (x, y) => (x * 2 + y) % 256))),
       OoxmlWriter.docx(Seq("body text")),
       OoxmlWriter.xlsx(Seq("s" -> Seq(Seq("1", "x")))),
       MediaWriter.wav(2, 44100, 16, 1000),

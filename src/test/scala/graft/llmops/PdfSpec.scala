@@ -113,6 +113,28 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.pdfText(spliced) === Some("intact"))
   }
 
+  test("embedded DCT images come back byte-identical, in document order") {
+    val imgs = Seq(3, 99, 7).map(s => JpegWriter.gray(16, 16,
+      (x, y) => (x * 3 + y * 5 + s) % 256))
+    val pdf = PdfWriter.pdfWithImages(Seq("alpha", "beta"), imgs,
+      imgs.map(_ => (16, 16)))
+    val got = Pdf.images(pdf).get
+    assert(got.length === 3)
+    got.zip(imgs).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+    // every extracted payload decodes through the JPEG pipeline
+    got.foreach(b => assert(graft.expressions.JpegPixels.compute(b) != null))
+    // ...and the text beside them still extracts, uncontaminated
+    assert(Pdf.pdfText(pdf).get.contains("alpha"))
+    assert(Pdf.pdfText(pdf).get.contains("beta"))
+    // a text-only PDF has no images but IS a PDF
+    assert(Pdf.images(PdfWriter.pdf(Seq(Seq("just text")))) === Some(Seq()))
+    // non-PDF bytes refuse
+    assert(Pdf.images("not a pdf".getBytes("UTF-8")) === None)
+    assert(Pdf.images(null) === None)
+  }
+
   test("writer output is byte-deterministic") {
     val a = PdfWriter.pdf(Seq(Seq("same", "doc")), compress = true)
     val b = PdfWriter.pdf(Seq(Seq("same", "doc")), compress = true)
