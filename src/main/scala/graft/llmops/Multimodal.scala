@@ -307,6 +307,41 @@ object Multimodal {
         .select(col("key"), col("shash").alias("hash")),
       maxDist)
 
+  /** O(batch) incremental audio near-dup against a SPECTRAL (key, shash)
+    * signature store — [[audioDedupAgainstSignatures]] with the
+    * frequency-domain fingerprint: catches re-pitched/re-synthesized
+    * copies that keep a loudness contour the envelope store would pass.
+    */
+  def audioSpectralDedupAgainstSignatures(
+      batch: DataFrame,
+      keyCol: String,
+      contentCol: String,
+      signatures: DataFrame,
+      maxDist: Int = 3
+  ): DataFrame = {
+    val dupKeys = DedupOps.hammingDupKeys(
+      audioSpectralSignatures(batch, keyCol, contentCol)
+        .select(col("key"), col("shash").alias("hash")),
+      signatures.select(col("key"), col("shash").alias("hash")),
+      maxDist).withColumnRenamed("key", "__dupkey")
+    batch.join(dupKeys, col(keyCol) === col("__dupkey"), "left_anti")
+  }
+
+  /** [[audioSpectralDedupAgainstSignatures]] with the store computed from
+    * corpus content — first-run convenience.
+    */
+  def audioSpectralDedupAgainstCorpus(
+      batch: DataFrame,
+      keyCol: String,
+      contentCol: String,
+      corpus: DataFrame,
+      corpusKeyCol: String,
+      corpusContentCol: String,
+      maxDist: Int = 3
+  ): DataFrame =
+    audioSpectralDedupAgainstSignatures(batch, keyCol, contentCol,
+      audioSpectralSignatures(corpus, corpusKeyCol, corpusContentCol), maxDist)
+
   /** The audio signature store: (key, ahash) for every decodable clip —
     * 16 bytes a row, same contract as [[imageSignatures]].
     */

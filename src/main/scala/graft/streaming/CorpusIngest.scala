@@ -227,6 +227,26 @@ object CorpusIngest {
       M.audioDedupAgainstCorpus(b, k, c, corpus, k, c, d)
   }
 
+  /** The spectral audio screen — [[AudioScreen]] with the
+    * frequency-domain fingerprint ([[graft.llmops.Multimodal.wavSpectralHash]]):
+    * pick it when re-pitched/re-synthesized copies matter more than
+    * re-gained ones; (key, shash) signature store.
+    */
+  private object SpectralAudioScreen extends BinaryScreen {
+    private val M = graft.llmops.Multimodal
+    def sigCol = "shash"
+    def signatures(df: DataFrame, k: String, c: String) =
+      M.audioSpectralSignatures(df, k, c)
+    def nearDups(df: DataFrame, k: String, c: String, d: Int) =
+      M.audioSpectralNearDups(df, k, c, d)
+    def dedupAgainstSignatures(b: DataFrame, k: String, c: String,
+        s: DataFrame, d: Int) =
+      M.audioSpectralDedupAgainstSignatures(b, k, c, s, d)
+    def dedupAgainstCorpus(b: DataFrame, k: String, c: String,
+        corpus: DataFrame, d: Int) =
+      M.audioSpectralDedupAgainstCorpus(b, k, c, corpus, k, c, d)
+  }
+
   /** The video screen: multi-row signatures (one (key, fhash) per
     * decodable frame) and shared-frame-FRACTION semantics instead of a
     * Hamming radius — the protocol's `maxDist` is unused and the
@@ -344,10 +364,16 @@ object CorpusIngest {
       maxDist: Int = 3,
       signaturePath: Option[String] = None,
       lockStore: Option[graft.operators.LockStore] = None,
-      qualityGate: Option[DataFrame => DataFrame] = None
+      qualityGate: Option[DataFrame => DataFrame] = None,
+      /** `true` screens on the spectral fingerprint (pitch-sensitive,
+        * (key, shash) store) instead of the energy envelope — keep one
+        * choice per store, the two hash spaces don't mix.
+        */
+      spectral: Boolean = false
   ): Long =
     ingestBinaryBatch(spark, batch, corpusPath, contentCol, keyCol,
-      maxDist, signaturePath, lockStore, qualityGate, AudioScreen)
+      maxDist, signaturePath, lockStore, qualityGate,
+      if (spectral) SpectralAudioScreen else AudioScreen)
 
   /** Video micro-batch ingestion — the shared protocol with the
     * frame-signature screen: a batch video drops when its shared
@@ -425,11 +451,13 @@ object CorpusIngest {
       signaturePath: Option[String] = None,
       compactEveryBatches: Option[Int] = None,
       compactTargetFileMB: Int = 128,
-      qualityGate: Option[DataFrame => DataFrame] = None
+      qualityGate: Option[DataFrame => DataFrame] = None,
+      spectral: Boolean = false
   ): StreamingQuery =
     binaryStream(spark, stream, corpusPath, contentCol, keyCol,
       checkpointDir, maxDist, trigger, signaturePath, compactEveryBatches,
-      compactTargetFileMB, qualityGate, AudioScreen)
+      compactTargetFileMB, qualityGate,
+      if (spectral) SpectralAudioScreen else AudioScreen)
 
   private def binaryStream(
       spark: SparkSession,

@@ -1,13 +1,14 @@
 package graft.llmops
 
+import graft.SparkTestBase
 import graft.expressions.{WavEnvelopeHash, WavSpectralHash}
-import org.scalatest.funsuite.AnyFunSuite
 
 /** FFT kernel and the spectral audio fingerprint: numerical agreement
   * with the naive DFT, pitch sensitivity the envelope hash lacks, gain
-  * invariance, exact closed-form replay, refusal envelope.
+  * invariance, exact closed-form replay, refusal envelope, and the
+  * spectral arms of incremental dedup + ingestion.
   */
-class SpectralSpec extends AnyFunSuite {
+class SpectralSpec extends SparkTestBase {
 
   private def clip(nf: Int, ch: Int, amp: Int, p1: Int, p2: Int): Array[Byte] = {
     def sq(n: Int, p: Int): Int = ((n / p) % 2) * 2 - 1
@@ -98,6 +99,40 @@ class SpectralSpec extends AnyFunSuite {
       for (b <- 1 until 9 if e(b + 1) > e(b)) expect |= 1L << (cell * 8 + b - 1)
     }
     assert(WavSpectralHash.compute(clip(nf, ch, 1, p1, p2)) === expect)
+  }
+
+  test("spectral incremental screen: gain clones drop, different pitches survive") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, clip(300, 1, 1, 5, 3)),
+      (2L, clip(280, 2, 1, 9, 4))).toDF("cid", "content")
+    val sigs = Multimodal.audioSpectralSignatures(corpus, "cid", "content")
+    val batch = Seq(
+      (10L, clip(300, 1, 2, 5, 3)),   // 2x gain clone of 1 → drop
+      (11L, clip(300, 1, 1, 11, 6)),  // different pitches → survive
+      (12L, "noise".getBytes("UTF-8"))) // undecodable → survive
+      .toDF("cid", "content")
+    val got = Multimodal.audioSpectralDedupAgainstSignatures(batch, "cid",
+        "content", sigs, maxDist = 3)
+      .select("cid").as[Long].collect().toSet
+    assert(got === Set(11L, 12L))
+  }
+
+  test("ingestAudioBatch(spectral = true): replay-idempotent with a shash store") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_spec_ingest").toString
+    val b1 = Seq((1L, clip(300, 1, 1, 5, 3)), (2L, clip(280, 1, 1, 9, 4)))
+      .toDF("cid", "content")
+    val n1 = graft.streaming.CorpusIngest.ingestAudioBatch(spark, b1,
+      s"$dir/corpus", "content", "cid",
+      signaturePath = Some(s"$dir/sigs"), spectral = true)
+    assert(n1 === 2)
+    val n2 = graft.streaming.CorpusIngest.ingestAudioBatch(spark, b1,
+      s"$dir/corpus", "content", "cid",
+      signaturePath = Some(s"$dir/sigs"), spectral = true)
+    assert(n2 === 0)
+    assert(spark.read.parquet(s"$dir/sigs").columns.toSeq ===
+      Seq("key", "shash"))
   }
 
   test("refusal envelope: short, many-channel, 8-bit, garbage") {
