@@ -182,6 +182,14 @@ object GraftFunctions {
       "graft_jpeg_dhash(content) - 64-bit perceptual difference hash of a baseline JPEG (same grid/bit layout as graft_png_dhash), NULL if undecodable or under 9x8",
       exprs => graft.expressions.JpegDHash(exprs.head)),
 
+    ("graft_jpeg_exif_orientation",
+      "graft_jpeg_exif_orientation(content) - EXIF orientation 1-8 from the APP1 TIFF IFD, NULL when absent or malformed",
+      exprs => graft.expressions.JpegExifOrientation(exprs.head)),
+
+    ("graft_jpeg_dhash_oriented",
+      "graft_jpeg_dhash_oriented(content) - orientation-normalized 64-bit dHash (EXIF display transform applied to the grid), NULL if undecodable or display dims under 9x8",
+      exprs => graft.expressions.JpegDHashOriented(exprs.head)),
+
     ("graft_image_hist_stats",
       "graft_image_hist_stats(content) - grayscale histogram stats of a PNG/baseline-JPEG: struct(width,height,channels,gray_entropy,gray_min,gray_max,frac_max_bin), NULL if undecodable",
       exprs => graft.expressions.ImageHistStats(exprs.head)),

@@ -1289,6 +1289,43 @@ object SparkEntry {
         .orderBy("doc_id", "img_idx")
     }),
 
+    "q123_jpeg_oriented" -> ((s, dir) => {
+      // EXIF-aware perceptual hashing: every orientation 1-8 is planted
+      // (both TIFF byte orders), the display transform is applied to the
+      // grid, and the oracle recomputes each hash from the closed-form
+      // pattern mapped through the same coordinate transform. EXIF-less
+      // files hash at the default orientation with a NULL orientation
+      // column; landscape images whose DISPLAY height is under the grid
+      // (h=8 rotated) must refuse
+      val ss = tuned(s)
+      import ss.implicits._
+      val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      val rows = ids.map { id =>
+        val w = (9 + id % 24).toInt
+        val h = (8 + id % 16).toInt
+        val seed = (id % 251).toInt
+        def pat(x: Int, y: Int) = (5 * (x / 8) + 13 * (y / 8) + seed) % 256
+        val bytes =
+          if (id >= 450) s"not a jpeg $id".getBytes("UTF-8")
+          else if (id >= 430) graft.llmops.ImageWriter.jpeg(w, h) // header-only
+          else if (id >= 400) graft.llmops.JpegWriter.gray(w, h, pat) // no EXIF
+          else graft.llmops.JpegWriter.gray(w, h, pat,
+            orientation = (1 + id % 8).toInt,
+            exifBigEndian = id % 2 == 0)
+        (id, bytes)
+      }
+      val src = rows.toDF("doc_id", "content").repartition(32)
+      src.select(col("doc_id"),
+          graft.llmops.Multimodal.jpegExifOrientation(col("content"))
+            .alias("orientation"),
+          graft.llmops.Multimodal.jpegDHashOriented(col("content")).alias("oh"))
+        .select(col("doc_id"), col("orientation"),
+          shiftrightunsigned(col("oh"), 32).as("oh_hi"),
+          col("oh").bitwiseAND(lit(0xFFFFFFFFL)).as("oh_lo"))
+        .orderBy("doc_id")
+    }),
+
     "q96_curation_signals" -> ((s, dir) => {
       // the fused one-scan curation battery: Gopher word stats + Gopher
       // repetition + C4 line rules + CCNet LM score (trained on built
@@ -3434,6 +3471,59 @@ object SparkEntry {
            (cmp.cluster_id = c.key) AS kept
          FROM cell c JOIN comp cmp USING (key)
          ORDER BY c.key""",
+
+    "q123_jpeg_oriented" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(9 + doc_id % 24 AS INTEGER) AS w,
+             CAST(8 + doc_id % 16 AS INTEGER) AS h,
+             CAST(doc_id % 251 AS INTEGER) AS seed,
+             CASE WHEN doc_id < 400
+               THEN CAST(1 + doc_id % 8 AS INTEGER) END AS otag
+           FROM documents WHERE doc_id < 500),
+         eff AS (
+           -- effective transform: EXIF-less files display at identity
+           SELECT doc_id, w, h, seed, otag,
+             coalesce(otag, 1) AS o,
+             CASE WHEN coalesce(otag, 1) >= 5 THEN h ELSE w END AS tw,
+             CASE WHEN coalesce(otag, 1) >= 5 THEN w ELSE h END AS th
+           FROM ids WHERE doc_id < 430),
+         px AS (
+           SELECT e.doc_id, e.tw, e.th,
+             -- display position of sensor pixel (x, y)
+             CASE WHEN e.o IN (1, 4) THEN x.x
+                  WHEN e.o IN (2, 3) THEN e.w - 1 - x.x
+                  WHEN e.o IN (5, 8) THEN y.y
+                  ELSE e.h - 1 - y.y END AS tx,
+             CASE WHEN e.o IN (1, 2) THEN y.y
+                  WHEN e.o IN (3, 4) THEN e.h - 1 - y.y
+                  WHEN e.o IN (5, 6) THEN x.x
+                  ELSE e.w - 1 - x.x END AS ty,
+             (5 * (x.x // 8) + 13 * (y.y // 8) + e.seed) % 256 AS gray
+           FROM eff e, range(32) x(x), range(23) y(y)
+           WHERE x.x < e.w AND y.y < e.h AND e.tw >= 9 AND e.th >= 8),
+         cells AS (
+           SELECT doc_id,
+             ((tx + 1) * 9 - 1) // tw AS ci,
+             ((ty + 1) * 8 - 1) // th AS cj,
+             sum(gray) AS s, count(*) AS c
+           FROM px GROUP BY 1, 2, 3),
+         bits AS (
+           SELECT l.doc_id, l.cj * 8 + l.ci AS k
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cj = l.cj AND r.ci = l.ci + 1
+           WHERE r.s * l.c > l.s * r.c),
+         hashes AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS oh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS oh_lo
+           FROM (SELECT DISTINCT doc_id FROM px) d
+           LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id)
+         SELECT i.doc_id, i.otag AS orientation, h.oh_hi, h.oh_lo
+         FROM ids i LEFT JOIN hashes h USING (doc_id)
+         ORDER BY i.doc_id""",
 
     "q122_pdf_images" ->
       """WITH ids AS (

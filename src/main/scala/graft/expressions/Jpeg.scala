@@ -157,6 +157,66 @@ private[expressions] object JpegDecode {
     */
   private def fx(t: Int): Int = (t + 32768) >> 16
 
+  /** EXIF orientation (1-8) from the APP1 segment's TIFF IFD0, or -1
+    * when absent/invalid — both byte orders (II/MM), bounds-checked
+    * against the segment, never thrown. Scans only the header section
+    * (stops at SOS), so it is cheap enough to run beside a decode.
+    */
+  private[expressions] def exifOrientation(b: Array[Byte]): Int = {
+    if (b == null || b.length < 4) return -1
+    if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return -1
+    var i = 2
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return -1
+      var mi = i + 1
+      while (mi < b.length && (b(mi) & 0xFF) == 0xFF) mi += 1
+      if (mi >= b.length) return -1
+      val m = b(mi) & 0xFF
+      if (m == 0xD9 || m == 0xDA) return -1 // entropy data: no APP1 found
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { i = mi + 1 }
+      else {
+        if (mi + 3 > b.length) return -1
+        val len = ((b(mi + 1) & 0xFF) << 8) | (b(mi + 2) & 0xFF)
+        if (len < 2 || mi.toLong + 1L + len > b.length) return -1
+        val segEnd = mi + 1 + len
+        if (m == 0xE1 && len >= 16 &&
+            b(mi + 3) == 'E' && b(mi + 4) == 'x' && b(mi + 5) == 'i' &&
+            b(mi + 6) == 'f' && b(mi + 7) == 0 && b(mi + 8) == 0) {
+          val t = mi + 9 // TIFF header
+          if (t + 8 > segEnd) return -1
+          val big =
+            if (b(t) == 'M' && b(t + 1) == 'M') true
+            else if (b(t) == 'I' && b(t + 1) == 'I') false
+            else return -1
+          def r16(o: Int): Int =
+            if (big) ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+            else ((b(o + 1) & 0xFF) << 8) | (b(o) & 0xFF)
+          def r32(o: Int): Long =
+            if (big) (r16(o).toLong << 16) | r16(o + 2)
+            else (r16(o + 2).toLong << 16) | r16(o)
+          if (r16(t + 2) != 42) return -1
+          val ifd = r32(t + 4)
+          if (ifd < 8 || t + ifd + 2 > segEnd) return -1
+          val ifdAt = (t + ifd).toInt
+          val n = r16(ifdAt)
+          var e = 0
+          while (e < n) {
+            val at = ifdAt + 2 + e * 12
+            if (at + 12 > segEnd) return -1
+            if (r16(at) == 0x0112 && r16(at + 2) == 3 && r32(at + 4) == 1L) {
+              val v = r16(at + 8)
+              return if (v >= 1 && v <= 8) v else -1
+            }
+            e += 1
+          }
+          return -1
+        }
+        i = segEnd
+      }
+    }
+    -1
+  }
+
   // scan-level component state
   private final class Comp {
     var id = 0
@@ -549,6 +609,121 @@ case class JpegDHash(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): JpegDHash =
     copy(child = newChild)
+}
+
+/** EXIF orientation of a JPEG (tag 0x0112 in the APP1 TIFF IFD0): 1-8,
+  * NULL when the segment is absent or malformed. The per-row input of
+  * orientation-aware pipelines — and the reason [[JpegDHashOriented]]
+  * exists: cameras store sensor-rotated pixels and a display transform,
+  * so two bytewise-different files can be the same picture.
+  */
+case class JpegExifOrientation(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_jpeg_exif_orientation"
+
+  override protected def nullSafeEval(input: Any): Any =
+    JpegExifOrientation.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |java.lang.Integer jo$$ = graft.expressions.JpegExifOrientation.compute($c);
+         |if (jo$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = jo$$.intValue(); }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): JpegExifOrientation =
+    copy(child = newChild)
+}
+
+object JpegExifOrientation {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(b: Array[Byte]): java.lang.Integer = {
+    val o = JpegDecode.exifOrientation(b)
+    if (o < 1) null else java.lang.Integer.valueOf(o)
+  }
+}
+
+/** Orientation-NORMALIZED perceptual hash — [[JpegDHash]] computed in
+  * display space: the EXIF transform (rotate/flip, orientations 1-8;
+  * absent = 1) is applied to the GRID COORDINATES while pixels stay in
+  * sensor order, so a camera file and its physically-rotated re-save
+  * hash identically. Without this, every orientation-6 phone photo is
+  * Hamming-far from its rotated copy and image dedup silently misses
+  * them. NULL when undecodable or when the DISPLAY dimensions are under
+  * the 9×8 grid.
+  */
+case class JpegDHashOriented(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_jpeg_dhash_oriented"
+
+  override protected def nullSafeEval(input: Any): Any =
+    JpegDHashOriented.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |java.lang.Long jho$$ = graft.expressions.JpegDHashOriented.compute($c);
+         |if (jho$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = jho$$.longValue(); }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): JpegDHashOriented =
+    copy(child = newChild)
+}
+
+object JpegDHashOriented {
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(b: Array[Byte]): java.lang.Long = {
+    val d = JpegDecode.decode(b)
+    if (d == null) return null
+    val o0 = JpegDecode.exifOrientation(b)
+    val o = if (o0 < 1) 1 else o0
+    val w = d.width
+    val h = d.height
+    val tw = if (o >= 5) h else w
+    val th = if (o >= 5) w else h
+    if (tw < PngDHash.GridW || th < PngDHash.GridH) return null
+    val gw = PngDHash.GridW
+    val gh = PngDHash.GridH
+    val sums = new Array[Long](gw * gh)
+    val cnts = new Array[Long](gw * gh)
+    val nc = d.channels
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // display position of sensor pixel (x, y) under the EXIF map
+        val tx = o match {
+          case 1 | 4 => x
+          case 2 | 3 => w - 1 - x
+          case 5 | 8 => y
+          case _ => h - 1 - y // 6 | 7
+        }
+        val ty = o match {
+          case 1 | 2 => y
+          case 3 | 4 => h - 1 - y
+          case 5 | 6 => x
+          case _ => w - 1 - x // 7 | 8
+        }
+        val p = (y * w + x) * nc
+        val gray =
+          if (nc == 1) d.pix(p) & 0xFF
+          else ((d.pix(p) & 0xFF) + (d.pix(p + 1) & 0xFF) +
+            (d.pix(p + 2) & 0xFF)) / 3
+        val cell = PngDHash.cellIndex(ty, th, gh) * gw +
+          PngDHash.cellIndex(tx, tw, gw)
+        sums(cell) += gray
+        cnts(cell) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    java.lang.Long.valueOf(PngDHash.gradientHash(sums, cnts))
+  }
 }
 
 object JpegDHash {

@@ -181,9 +181,11 @@ object JpegWriter {
     */
   def gray(width: Int, height: Int, pix: (Int, Int) => Int,
       quant: Array[Int] = QFlat8, restartInterval: Int = 0,
-      stdTables: Boolean = false): Array[Byte] =
+      stdTables: Boolean = false, orientation: Int = 0,
+      exifBigEndian: Boolean = false): Array[Byte] =
     encode(width, height, Array(new Plane(width, height, 1, 1, pix)),
-      Array(quant), Array(0), restartInterval, stdTables)
+      Array(quant), Array(0), restartInterval, stdTables, orientation,
+      exifBigEndian)
 
   /** Color baseline JPEG from per-plane functions in YCbCr. `sub` = 1
     * writes 4:4:4 (chroma full resolution); `sub` = 2 writes 4:2:0 —
@@ -194,7 +196,8 @@ object JpegWriter {
   def color(width: Int, height: Int, yP: (Int, Int) => Int,
       cbP: (Int, Int) => Int, crP: (Int, Int) => Int, sub: Int = 1,
       lumQuant: Array[Int] = QFlat8, chromQuant: Array[Int] = QFlat8,
-      restartInterval: Int = 0, stdTables: Boolean = false): Array[Byte] = {
+      restartInterval: Int = 0, stdTables: Boolean = false,
+      orientation: Int = 0, exifBigEndian: Boolean = false): Array[Byte] = {
     require(sub == 1 || sub == 2, s"sub must be 1 or 2: $sub")
     val planes =
       if (sub == 1) Array(
@@ -206,7 +209,7 @@ object JpegWriter {
         new Plane((width + 1) / 2, (height + 1) / 2, 1, 1, cbP),
         new Plane((width + 1) / 2, (height + 1) / 2, 1, 1, crP))
     encode(width, height, planes, Array(lumQuant, chromQuant),
-      Array(0, 1, 1), restartInterval, stdTables)
+      Array(0, 1, 1), restartInterval, stdTables, orientation, exifBigEndian)
   }
 
   /** One component at its own resolution with its MCU sampling factors;
@@ -240,8 +243,11 @@ object JpegWriter {
 
   private def encode(width: Int, height: Int, planes: Array[Plane],
       quants: Array[Array[Int]], compQ: Array[Int], restartInterval: Int,
-      stdTables: Boolean): Array[Byte] = {
+      stdTables: Boolean, orientation: Int = 0,
+      exifBigEndian: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims: ${width}x$height")
+    require(orientation >= 0 && orientation <= 8,
+      s"EXIF orientation must be 0 (none) or 1..8: $orientation")
     quants.foreach(q => require(q.length == 64 && q.forall(v => v >= 1 && v <= 65535)))
     val nc = planes.length
     val dc = if (stdTables) StdDc else UniformDc
@@ -251,6 +257,26 @@ object JpegWriter {
     // APP0 / JFIF 1.1, no density, no thumbnail
     segment(out, 0xE0, "JFIF".getBytes("US-ASCII") ++
       Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    if (orientation > 0) {
+      // APP1 / Exif: TIFF header + one-entry IFD0 (tag 0x0112 SHORT)
+      val tiff = new ByteArrayOutputStream()
+      def w16(v: Int): Unit =
+        if (exifBigEndian) { tiff.write(v >> 8); tiff.write(v & 0xFF) }
+        else { tiff.write(v & 0xFF); tiff.write(v >> 8) }
+      def w32(v: Int): Unit =
+        if (exifBigEndian) { w16(v >>> 16); w16(v & 0xFFFF) }
+        else { w16(v & 0xFFFF); w16(v >>> 16) }
+      tiff.write(if (exifBigEndian) 'M' else 'I')
+      tiff.write(if (exifBigEndian) 'M' else 'I')
+      w16(42)
+      w32(8) // IFD0 right after the header
+      w16(1) // one entry
+      w16(0x0112); w16(3); w32(1) // Orientation, SHORT, count 1
+      w16(orientation); w16(0) // value packed into the 4-byte field
+      w32(0) // no next IFD
+      segment(out, 0xE1,
+        "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff.toByteArray)
+    }
     // DQT — tables in zigzag order on the wire
     quants.zipWithIndex.foreach { case (q, tq) =>
       val body = new Array[Byte](65)

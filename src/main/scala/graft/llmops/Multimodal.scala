@@ -121,6 +121,25 @@ object Multimodal {
       graft.expressions.JpegDHash(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
 
+  /** EXIF orientation (1-8) of a JPEG, NULL when absent
+    * ([[graft.expressions.JpegExifOrientation]]).
+    */
+  def jpegExifOrientation(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.JpegExifOrientation(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** Orientation-normalized JPEG dHash
+    * ([[graft.expressions.JpegDHashOriented]]): the hash of the picture
+    * as DISPLAYED, so a camera file and its physically-rotated re-save
+    * dedup together — the hash plain [[jpegDHash]] would put
+    * Hamming-far apart.
+    */
+  def jpegDHashOriented(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.JpegDHashOriented(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
   /** Format-agnostic image dHash: the PNG arm or the JPEG arm, whichever
     * decodes (each refuses foreign magic bytes on the first read, so the
     * miss arm costs a header sniff, not a decode). NULL when neither

@@ -43,6 +43,8 @@ class CodecRobustnessSpec extends AnyFunSuite {
     graft.expressions.JpegPixels.compute(bytes)
     graft.expressions.JpegDHash.compute(bytes)
     graft.expressions.ImageHistStats.compute(bytes)
+    graft.expressions.JpegExifOrientation.compute(bytes)
+    graft.expressions.JpegDHashOriented.compute(bytes)
     graft.expressions.WavSamples.compute(bytes)
     graft.expressions.WavEnvelopeHash.compute(bytes)
     graft.expressions.WavSpectralHash.compute(bytes)

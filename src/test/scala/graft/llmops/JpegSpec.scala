@@ -254,6 +254,49 @@ class JpegSpec extends SparkTestBase {
     assert(hashes(3L) === None)
   }
 
+  test("EXIF orientation: both byte orders parse, absence is NULL") {
+    import graft.expressions.JpegExifOrientation
+    for (o <- 1 to 8; bigE <- Seq(false, true)) {
+      val b = JpegWriter.gray(16, 16, grayPat(3), orientation = o,
+        exifBigEndian = bigE)
+      assert(JpegExifOrientation.compute(b) === o, s"o=$o bigE=$bigE")
+    }
+    assert(JpegExifOrientation.compute(JpegWriter.gray(16, 16, grayPat(3))) === null)
+    assert(JpegExifOrientation.compute("nope".getBytes("UTF-8")) === null)
+    assert(JpegExifOrientation.compute(null) === null)
+  }
+
+  test("oriented dHash: a tagged camera file equals its physically rotated re-save") {
+    import graft.expressions.{JpegDHash, JpegDHashOriented}
+    // h multiple of 8 keeps the rotated content block-aligned, so both
+    // encodes stay DC-exact and the equality is bit-level, not fuzzy
+    val w = 24; val h = 16; val seed = 57
+    def pat(x: Int, y: Int) = (5 * (x / 8) + 13 * (y / 8) + seed) % 256
+    // orientation 6 (rotate 90 CW to display): display(a, b) = sensor(b, h-1-a)
+    val tagged = JpegWriter.gray(w, h, pat, orientation = 6)
+    val rotated = JpegWriter.gray(h, w, (a, b) => pat(b, h - 1 - a))
+    val ot = JpegDHashOriented.compute(tagged)
+    val or = JpegDHashOriented.compute(rotated) // no EXIF → identity
+    assert(ot !== null)
+    assert(or !== null)
+    assert(ot.longValue === or.longValue,
+      "tagged sensor bytes and rotated display bytes must hash together")
+    // the UN-normalized hash sees them as different pictures
+    assert(JpegDHash.compute(tagged).longValue !==
+      JpegDHash.compute(rotated).longValue)
+    // without EXIF, oriented == plain
+    val plain = JpegWriter.gray(w, h, pat)
+    assert(JpegDHashOriented.compute(plain).longValue ===
+      JpegDHash.compute(plain).longValue)
+    // display dims under the grid refuse: 16×8 is hashable upright (h =
+    // GridH exactly) but its rotated display is 8 wide < GridW
+    val land = JpegWriter.gray(16, 8, pat)
+    assert(JpegDHash.compute(land) !== null)
+    val landTagged = JpegWriter.gray(16, 8, pat, orientation = 6)
+    assert(JpegDHashOriented.compute(landTagged) === null,
+      "8-wide display must refuse the 9x8 grid horizontally")
+  }
+
   // --- refusal envelope --------------------------------------------------
 
   test("refuses what it cannot decode honestly") {
