@@ -265,7 +265,7 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("q101/q105 incremental screens: anti-join survivors, no cartesian") {
     for (name <- Seq("q101_image_dedup_against",
-        "q105_paragraph_dedup_against")) {
+        "q105_paragraph_dedup_against", "q119_video_dedup_against")) {
       val plan = executedPlan(name)
       assert(plan.contains("LeftAnti"),
         s"$name survivors must be an anti-join:\n$plan")
