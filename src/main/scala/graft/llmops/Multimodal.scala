@@ -148,6 +148,16 @@ object Multimodal {
   def imageDHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     coalesce(pngDHash(content), jpegDHash(content))
 
+  /** [[imageDHash]] in DISPLAY space: the JPEG arm is the
+    * orientation-normalized [[jpegDHashOriented]], so a camera file and
+    * its rotated re-save dedup together (PNG carries no EXIF — its arm
+    * is unchanged). Choose per signature store; the two JPEG hash
+    * variants agree whenever orientation is 1/absent, and a store built
+    * with one must be screened with the same one.
+    */
+  def imageDHashDisplay(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(pngDHash(content), jpegDHashOriented(content))
+
   /** Grayscale-histogram statistics over PNG or baseline JPEG
     * ([[graft.expressions.ImageHistStats]]) — entropy / dynamic range /
     * dominant-bin fraction, the scan-time inputs of [[imageQualityScreen]].
@@ -194,10 +204,14 @@ object Multimodal {
       df: DataFrame,
       keyCol: String,
       contentCol: String,
-      maxDist: Int = 3
+      maxDist: Int = 3,
+      /** `true` hashes JPEGs in display space ([[imageDHashDisplay]]) so
+        * EXIF-rotated copies pair up; keep one choice per corpus.
+        */
+      oriented: Boolean = false
   ): DataFrame =
     DedupOps.hammingNearDups(
-      imageSignatures(df, keyCol, contentCol)
+      imageSignatures(df, keyCol, contentCol, oriented)
         .select(col("key"), col("dhash").alias("hash")),
       maxDist)
 
@@ -208,9 +222,12 @@ object Multimodal {
     * time.
     */
   def imageSignatures(df: DataFrame, keyCol: String,
-      contentCol: String): DataFrame =
-    df.select(col(keyCol).alias("key"), imageDHash(col(contentCol)).alias("dhash"))
+      contentCol: String, oriented: Boolean = false): DataFrame = {
+    val hash = if (oriented) imageDHashDisplay(col(contentCol))
+      else imageDHash(col(contentCol))
+    df.select(col(keyCol).alias("key"), hash.alias("dhash"))
       .filter(col("dhash").isNotNull)
+  }
 
   /** O(batch) incremental image near-dup — the image twin of
     * [[DedupOps.minhashDedupAgainstSignatures]]: drop batch images within
@@ -235,10 +252,12 @@ object Multimodal {
       keyCol: String,
       contentCol: String,
       signatures: DataFrame,
-      maxDist: Int = 3
+      maxDist: Int = 3,
+      /** Must match the store's hash choice — see [[imageNearDups]]. */
+      oriented: Boolean = false
   ): DataFrame = {
     val dupKeys = DedupOps.hammingDupKeys(
-      imageSignatures(batch, keyCol, contentCol)
+      imageSignatures(batch, keyCol, contentCol, oriented)
         .select(col("key"), col("dhash").alias("hash")),
       signatures.select(col("key"), col("dhash").alias("hash")),
       maxDist).withColumnRenamed("key", "__dupkey")

@@ -297,6 +297,23 @@ class JpegSpec extends SparkTestBase {
       "8-wide display must refuse the 9x8 grid horizontally")
   }
 
+  test("imageNearDups(oriented = true): rotated camera copies pair, plain mode misses them") {
+    val w = 24; val h = 16; val seed = 57
+    def pat(x: Int, y: Int) = (5 * (x / 8) + 13 * (y / 8) + seed) % 256
+    val df = Seq(
+      (1L, JpegWriter.gray(w, h, pat, orientation = 6)),
+      (2L, JpegWriter.gray(h, w, (a, b) => pat(b, h - 1 - a))), // rotated re-save
+      (3L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "content")
+    val orientedPairs = Multimodal.imageNearDups(df, "id", "content",
+        maxDist = 0, oriented = true)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(orientedPairs === Set((1L, 2L)))
+    val plainPairs = Multimodal.imageNearDups(df, "id", "content", maxDist = 3)
+      .count()
+    assert(plainPairs === 0L, "sensor-space hashes must NOT pair the rotated copy")
+  }
+
   // --- refusal envelope --------------------------------------------------
 
   test("refuses what it cannot decode honestly") {
