@@ -52,9 +52,19 @@ object Bench {
       }
     val samples = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // In-battery canaries: round 8 proved the pre/post pair cannot see
+    // mid-run contamination (GC/driver pressure inflated mid-battery heavy
+    // queries ~2× in BOTH interleaved passes — min-of-passes can't remove
+    // what hits every pass). A canary every ~20 queries timestamps the
+    // pollution window so a regression can be cross-checked against the
+    // nearest canary instead of cried wolf over.
+    val canarySeries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var sinceCanary = 0
     (1 to passes).foreach { _ =>
       selected.foreach { case (name, fn) =>
         spark.catalog.clearCache() // operators may persist internally
+        if (sinceCanary >= 20) { canarySeries += canary(); sinceCanary = 0 }
+        sinceCanary += 1
         val t0 = System.nanoTime()
         val ok = try { exec(fn(spark, sfDir)); true }
           catch { case _: Throwable => false }
@@ -75,15 +85,23 @@ object Bench {
     val results = selected.collect {
       case (name, _) if samples.contains(name) => name -> samples(name)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision: full-double rendering made the 126-query line long
+    // enough that log-tail scrapers truncated it mid-JSON (round 8 lost
+    // the per-query record); 3 decimals halves the line and loses nothing
+    // a benchmark at this scale can claim to resolve
+    def f(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
+    val canSeries = canarySeries.map(f).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""canary_pre":$canaryPre,"canary_post":$canaryPost""" +
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
+        s""""canary_pre":${f(canaryPre)},"canary_post":${f(canaryPost)},""" +
+        s""""canary_series":$canSeries""" +
         s"""$failedJson,"sf":"$sfDir"}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

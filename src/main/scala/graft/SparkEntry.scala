@@ -5,7 +5,8 @@ import graft.llmops.{DedupOps, Similarity, TextAnalysis}
 import graft.operators.{Dedup, MergeUpsert}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the LLM-pipeline extensions), each with DuckDB oracle SQL
@@ -25,6 +26,49 @@ object SparkEntry {
   /** Compile a DSL transformation against a DataFrame. */
   private def dsl(df: DataFrame, transformation: String, dataType: String = "string"): Column =
     TransformCompiler.compile(transformation, dataType, df.columns.toSet)
+
+  /** Build-once fixture materialization: each (sfDir, family) is constructed
+    * a single time per JVM, parked as temp parquet, and every later use — a
+    * second query in the family, a second bench pass — re-reads the parquet
+    * instead of re-encoding ~500 media blobs on the driver. The round-8
+    * bench showed those per-pass driver builds polluting mid-battery
+    * timings (~2× inflation of unrelated heavy queries via GC/driver
+    * pressure). Reading from parquet is also the honest benchmark shape:
+    * the engine side starts from a binary-column scan, like real ingestion.
+    */
+  private val fixturePaths = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def fixtureDF(ss: SparkSession, dir: String, family: String)(
+      build: => Seq[(Long, Array[Byte])]): DataFrame = {
+    val path = fixturePaths.computeIfAbsent(s"$dir::$family", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-fix-$family")
+        .toString + "/data"
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("content", BinaryType, nullable = true)))
+      val rows = build.map { case (id, b) => Row(id, b) }
+      ss.createDataFrame(new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+        .repartition(32)
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+    // repartition: 500 tiny rows coalesce to 1-2 scan partitions, but the
+    // downstream decode work is the expensive part — spread it over cores
+    ss.read.parquet(path).repartition(32)
+  }
+
+  private def wavFixturesDF(ss: SparkSession, dir: String): DataFrame =
+    fixtureDF(ss, dir, "wav")(wavFixtures(ss, dir))
+  private def pngDHashFixturesDF(ss: SparkSession, dir: String): DataFrame =
+    fixtureDF(ss, dir, "pngdhash")(pngDHashFixtures(ss, dir))
+  private def jpegPixelFixturesDF(ss: SparkSession, dir: String): DataFrame =
+    fixtureDF(ss, dir, "jpegpixels")(jpegPixelFixtures(ss, dir))
+  private def mixedDHashFixturesDF(ss: SparkSession, dir: String): DataFrame =
+    fixtureDF(ss, dir, "mixeddhash")(mixedDHashFixtures(ss, dir))
+  private def aviFixturesDF(ss: SparkSession, dir: String): DataFrame =
+    fixtureDF(ss, dir, "avi")(aviFixtures(ss, dir))
+  private def spectralWavFixturesDF(ss: SparkSession, dir: String): DataFrame =
+    fixtureDF(ss, dir, "spectralwav")(spectralWavFixtures(ss, dir))
 
   /** Shared WAV fixture set for q102/q103: closed-form 16-bit PCM clips
     * below id 400 (all ≥ 65 frames, so every one fingerprints), then
@@ -345,12 +389,16 @@ object SparkEntry {
     }),
 
     "q12_hourly_events" -> ((s, dir) => {
-      // tumbling-window aggregation (streaming-equivalent batch form).
-      // ts arrives as nanos-as-long (see GraftSession); integer-div to µs.
-      t(tuned(s), dir, "events")
-        .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
-        .groupBy(date_trunc("hour", col("ts_us")).as("hour_start"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      // tumbling-window aggregation via the WindowAgg operator (identical
+      // plan in batch and streaming form). ts layout is fixture-dependent
+      // (nanos-as-long vs timestamp[us]); WindowAgg.eventTime resolves the
+      // runtime type instead of assuming either.
+      val ev = t(tuned(s), dir, "events")
+      graft.streaming.WindowAgg.tumbling(ev, "ts", "1 hour",
+          keys = Seq("event_type"),
+          aggs = Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value")))
+        .select(col("window_start").as("hour_start"), col("event_type"),
+          col("n"), col("total_value"))
         .orderBy("hour_start", "event_type")
     }),
 
@@ -789,8 +837,7 @@ object SparkEntry {
       // one thing the two engines could render differently
       val ss = tuned(s)
       import ss.implicits._
-      val src = pngDHashFixtures(ss, dir).toDF("doc_id", "content")
-        .repartition(32)
+      val src = pngDHashFixturesDF(ss, dir)
       graft.llmops.Multimodal.withPngDHash(src)
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("dh_hi"),
@@ -808,8 +855,7 @@ object SparkEntry {
       // must agree EXACTLY, which is the recall proof as a gate query
       val ss = tuned(s)
       import ss.implicits._
-      val src = pngDHashFixtures(ss, dir).toDF("doc_id", "content")
-        .repartition(32)
+      val src = pngDHashFixturesDF(ss, dir)
       graft.llmops.Multimodal.imageNearDups(src, "doc_id", "content",
           maxDist = 3)
         .select(col("key_a"), col("key_b"),
@@ -825,11 +871,9 @@ object SparkEntry {
       // a duplicate. Oracle brute-forces batch × corpus hash distances
       val ss = tuned(s)
       import ss.implicits._
-      val all = pngDHashFixtures(ss, dir)
-      val corpus = all.filter(_._1 < 200).toDF("doc_id", "content")
-        .repartition(32)
-      val batch = all.filter(_._1 >= 200).toDF("doc_id", "content")
-        .repartition(32)
+      val all = pngDHashFixturesDF(ss, dir)
+      val corpus = all.filter(col("doc_id") < 200)
+      val batch = all.filter(col("doc_id") >= 200)
       val sigs = graft.llmops.Multimodal.imageSignatures(
         corpus, "doc_id", "content")
       graft.llmops.Multimodal.imageDedupAgainstSignatures(
@@ -897,9 +941,9 @@ object SparkEntry {
       val kbpsTable =
         Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
       val rateTable = Array(44100, 48000, 32000)
-      val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      lazy val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
         .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-      val rows = ids.map { id =>
+      lazy val rows = ids.map { id =>
         val bytes =
           if (id >= 450) s"not media $id".getBytes("UTF-8")
           else if (id >= 400) // head frame cut before its implied length
@@ -913,7 +957,7 @@ object SparkEntry {
             id3Body = if (id % 5 == 0) (40 + id % 60).toInt else 0)
         (id, bytes)
       }
-      val src = rows.toDF("doc_id", "content").repartition(32)
+      val src = fixtureDF(ss, dir, "q107_mp3_meta")(rows)
       graft.llmops.Multimodal.withAvMeta(src)
         .select(col("doc_id"),
           col("av.format").as("format"),
@@ -931,8 +975,7 @@ object SparkEntry {
       // tiers must come back NULL
       val ss = tuned(s)
       import ss.implicits._
-      val src = wavFixtures(ss, dir).toDF("doc_id", "content")
-        .repartition(32)
+      val src = wavFixturesDF(ss, dir)
       graft.llmops.Multimodal.withWavSamples(src)
         .select(col("doc_id"),
           col("au.channels").as("channels"),
@@ -951,8 +994,7 @@ object SparkEntry {
       // every pair — exact agreement is the recall proof, as q99
       val ss = tuned(s)
       import ss.implicits._
-      val src = wavFixtures(ss, dir).toDF("doc_id", "content")
-        .repartition(32)
+      val src = wavFixturesDF(ss, dir)
       graft.llmops.Multimodal.audioNearDups(src, "doc_id", "content",
           maxDist = 3)
         .select(col("key_a"), col("key_b"),
@@ -969,10 +1011,10 @@ object SparkEntry {
       // wrong inflate or unfilter cannot match. Ids >= 400 get
       // header-only / non-PNG bytes and must come back NULL
       val ss = tuned(s)
-      val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      lazy val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
         .select(col("doc_id")).collect().map(_.getLong(0))
       val W = graft.llmops.ImageWriter
-      val rows = ids.map { id =>
+      lazy val rows = ids.map { id =>
         val (w, h) = ((3 + id % 6).toInt, (2 + id % 5).toInt)
         val bytes =
           if (id >= 450) s"not an image $id".getBytes("UTF-8")
@@ -981,7 +1023,7 @@ object SparkEntry {
         (id, bytes)
       }.toSeq
       import ss.implicits._
-      val src = rows.toDF("doc_id", "content").repartition(32)
+      val src = fixtureDF(ss, dir, "q97_png_pixels")(rows)
       graft.llmops.Multimodal.withPngPixels(src)
         .select(col("doc_id"),
           col("px.width").as("width"), col("px.height").as("height"),
@@ -1001,8 +1043,7 @@ object SparkEntry {
       // non-JPEG tiers must come back NULL
       val ss = tuned(s)
       import ss.implicits._
-      val src = jpegPixelFixtures(ss, dir).toDF("doc_id", "content")
-        .repartition(32)
+      val src = jpegPixelFixturesDF(ss, dir)
       graft.llmops.Multimodal.withJpegPixels(src)
         .select(col("doc_id"),
           col("px.width").as("width"), col("px.height").as("height"),
@@ -1023,8 +1064,7 @@ object SparkEntry {
       // recall, as q99 does for PNG alone
       val ss = tuned(s)
       import ss.implicits._
-      val src = mixedDHashFixtures(ss, dir).toDF("doc_id", "content")
-        .repartition(32)
+      val src = mixedDHashFixturesDF(ss, dir)
       graft.llmops.Multimodal.imageNearDups(src, "doc_id", "content",
           maxDist = 3)
         .select(col("key_a"), col("key_b"),
@@ -1041,8 +1081,7 @@ object SparkEntry {
       // block values (block columns align with dHash cells)
       val ss = tuned(s)
       import ss.implicits._
-      val src = aviFixtures(ss, dir).toDF("doc_id", "content")
-        .repartition(32)
+      val src = aviFixturesDF(ss, dir)
       graft.llmops.Multimodal.videoFrameSignatures(src, "doc_id", "content")
         .select(col("key").as("doc_id"),
           col("frame_idx").cast("long").as("frame_idx"),
@@ -1060,8 +1099,7 @@ object SparkEntry {
       // its frames, tier 2 shares none by construction
       val ss = tuned(s)
       import ss.implicits._
-      val src = aviFixtures(ss, dir).toDF("doc_id", "content")
-        .repartition(32)
+      val src = aviFixturesDF(ss, dir)
       graft.llmops.Multimodal.videoNearDups(src, "doc_id", "content",
           minSharedFrac = 0.5)
         .select(col("key_a"), col("key_b"),
@@ -1130,8 +1168,7 @@ object SparkEntry {
       // Short/8-bit/non-WAV tiers must come back NULL
       val ss = tuned(s)
       import ss.implicits._
-      val src = spectralWavFixtures(ss, dir).toDF("doc_id", "content")
-        .repartition(32)
+      val src = spectralWavFixturesDF(ss, dir)
       src.select(col("doc_id"),
           graft.llmops.Multimodal.wavSpectralHash(col("content")).alias("sh"))
         .select(col("doc_id"),
@@ -1147,8 +1184,7 @@ object SparkEntry {
       // must agree exactly with the oracle's brute force
       val ss = tuned(s)
       import ss.implicits._
-      val src = spectralWavFixtures(ss, dir).toDF("doc_id", "content")
-        .repartition(32)
+      val src = spectralWavFixturesDF(ss, dir)
       graft.llmops.Multimodal.audioSpectralNearDups(src, "doc_id", "content",
           maxDist = 3)
         .select(col("key_a"), col("key_b"),
@@ -1165,11 +1201,9 @@ object SparkEntry {
       // undecodable tiers (≥ 400) survive: not a video ≠ a duplicate
       val ss = tuned(s)
       import ss.implicits._
-      val all = aviFixtures(ss, dir)
-      val corpus = all.filter(_._1 < 200).toDF("doc_id", "content")
-        .repartition(32)
-      val batch = all.filter(_._1 >= 200).toDF("doc_id", "content")
-        .repartition(32)
+      val all = aviFixturesDF(ss, dir)
+      val corpus = all.filter(col("doc_id") < 200)
+      val batch = all.filter(col("doc_id") >= 200)
       val sigs = graft.llmops.Multimodal.videoFrameSignatures(
           corpus, "doc_id", "content")
         .select(col("key"), col("fhash"))
@@ -1185,9 +1219,9 @@ object SparkEntry {
       // bytes a NULL struct
       val ss = tuned(s)
       import ss.implicits._
-      val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      lazy val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
         .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-      val rows = ids.map { id =>
+      lazy val rows = ids.map { id =>
         val bytes =
           if (id >= 450) s"not a container $id".getBytes("UTF-8")
           else if (id >= 400) { // magic intact, header cut mid-claim
@@ -1200,7 +1234,7 @@ object SparkEntry {
             usPerFrame = 1000 * (1 + id % 30).toInt)
         (id, bytes)
       }
-      val src = rows.toDF("doc_id", "content").repartition(32)
+      val src = fixtureDF(ss, dir, "q120_avi_meta")(rows)
       graft.llmops.Multimodal.withAvMeta(src)
         .select(col("doc_id"), col("av.format").as("format"),
           col("av.duration_ms").as("duration_ms"))
@@ -1216,9 +1250,9 @@ object SparkEntry {
       // entropy in the same ascending-bin order
       val ss = tuned(s)
       import ss.implicits._
-      val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      lazy val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
         .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-      val rows = ids.map { id =>
+      lazy val rows = ids.map { id =>
         val w = (9 + id % 24).toInt
         val h = (8 + id % 16).toInt
         val seed = (id % 251).toInt
@@ -1233,7 +1267,7 @@ object SparkEntry {
           else graft.llmops.ImageWriter.pngWithPixels(w, h, seed)
         (id, bytes)
       }
-      val src = rows.toDF("doc_id", "content").repartition(32)
+      val src = fixtureDF(ss, dir, "q121_image_quality")(rows)
       graft.llmops.Multimodal.imageQualityScreen(src, "content",
           minW = 9, minH = 8, minEntropy = 0.5, maxFracMaxBin = 0.9)
         .select(col("doc_id"),
@@ -1255,13 +1289,13 @@ object SparkEntry {
       // whose image payloads are corrupt yield no rows; non-PDFs NULL
       val ss = tuned(s)
       import ss.implicits._
-      val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      lazy val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
         .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
       def pat(sd: Int)(x: Int, y: Int): Int = {
         val k = (y / 8) * 9 + (x / 8)
         (sd * sd * (k + 1) + sd * k * k + 13 * k + 7 * sd) % 256
       }
-      val rows = ids.map { id =>
+      lazy val rows = ids.map { id =>
         val bytes =
           if (id >= 450) s"not a pdf $id".getBytes("UTF-8")
           else if (id >= 430) graft.llmops.PdfWriter.pdfWithImages(
@@ -1280,7 +1314,7 @@ object SparkEntry {
           }
         (id, bytes)
       }
-      val src = rows.toDF("doc_id", "content").repartition(32)
+      val src = fixtureDF(ss, dir, "q122_pdf_images")(rows)
       graft.llmops.Multimodal.pdfImageSignatures(src, "doc_id", "content")
         .select(col("key").as("doc_id"),
           col("img_idx").cast("long").as("img_idx"),
@@ -1299,9 +1333,9 @@ object SparkEntry {
       // (h=8 rotated) must refuse
       val ss = tuned(s)
       import ss.implicits._
-      val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      lazy val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
         .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-      val rows = ids.map { id =>
+      lazy val rows = ids.map { id =>
         val w = (9 + id % 24).toInt
         val h = (8 + id % 16).toInt
         val seed = (id % 251).toInt
@@ -1315,7 +1349,7 @@ object SparkEntry {
             exifBigEndian = id % 2 == 0)
         (id, bytes)
       }
-      val src = rows.toDF("doc_id", "content").repartition(32)
+      val src = fixtureDF(ss, dir, "q123_jpeg_oriented")(rows)
       src.select(col("doc_id"),
           graft.llmops.Multimodal.jpegExifOrientation(col("content"))
             .alias("orientation"),
@@ -1462,11 +1496,11 @@ object SparkEntry {
       val docs = t(ss, dir, "documents").filter(col("doc_id") < 300)
         .select(col("doc_id"), col("text")).collect()
         .map(r => (r.getLong(0), r.getString(1)))
-      val rows = docs.map { case (id, text) =>
+      lazy val rows = docs.map { case (id, text) =>
         (id, graft.llmops.Html.writePage(Seq(s"Doc $id", text)))
       }.toSeq
       import ss.implicits._
-      val src = rows.toDF("doc_id", "content").repartition(32)
+      val src = fixtureDF(ss, dir, "q91_html_main")(rows)
       src.select(col("doc_id"),
           graft.llmops.Html.mainContentCol(col("content"), minWords = 1)
             .alias("extracted_text"))
@@ -1768,10 +1802,10 @@ object SparkEntry {
       // distributed by the native AvMeta expression; garbage rows
       // exercise the NULL arm
       val ss = tuned(s)
-      val ids = t(ss, dir, "documents").filter(col("doc_id") < 420)
+      lazy val ids = t(ss, dir, "documents").filter(col("doc_id") < 420)
         .select(col("doc_id")).collect().map(_.getLong(0))
       val W = graft.llmops.MediaWriter
-      val rows = ids.map { id =>
+      lazy val rows = ids.map { id =>
         val bytes =
           if (id >= 400) s"not media $id".getBytes("UTF-8")
           else (id % 3) match {
@@ -1783,7 +1817,7 @@ object SparkEntry {
         (id, bytes)
       }.toSeq
       import ss.implicits._
-      val src = rows.toDF("doc_id", "content").repartition(32)
+      val src = fixtureDF(ss, dir, "q69_av_meta")(rows)
       graft.llmops.Multimodal.withAvMeta(src)
         .filter(col("av").isNotNull)
         .select(col("doc_id"), col("av.format").as("format"),
@@ -1868,10 +1902,10 @@ object SparkEntry {
       // construction in the driver, like q54) parsed back distributed by
       // the native ImageDims expression; garbage rows exercise the NULL arm
       val ss = tuned(s)
-      val ids = t(ss, dir, "documents").filter(col("doc_id") < 420)
+      lazy val ids = t(ss, dir, "documents").filter(col("doc_id") < 420)
         .select(col("doc_id")).collect().map(_.getLong(0))
       val W = graft.llmops.ImageWriter
-      val rows = ids.map { id =>
+      lazy val rows = ids.map { id =>
         val (w, h) = ((id % 64 + 16).toInt, (id % 48 + 16).toInt)
         val bytes =
           if (id >= 400) s"not an image $id".getBytes("UTF-8")
@@ -1884,7 +1918,7 @@ object SparkEntry {
         (id, bytes)
       }.toSeq
       import ss.implicits._
-      val src = rows.toDF("doc_id", "content").repartition(32)
+      val src = fixtureDF(ss, dir, "q57_image_dims")(rows)
       graft.llmops.Multimodal.withImageDims(src)
         .filter(col("img").isNotNull)
         .select(col("doc_id"), col("img.format").as("format"),
@@ -1975,10 +2009,11 @@ object SparkEntry {
     }),
 
     "q39_sessionize" -> ((s, dir) => {
-      // gap-based sessionization (30 min), batch form; ts arrives as nanos
-      val ev = t(tuned(s), dir, "events")
-        .select(col("user_id"), col("event_id"),
-          expr("ts div 1000000000").as("ts_sec"))
+      // gap-based sessionization (30 min), batch form; ts layout resolved
+      // at runtime (nanos-as-long vs timestamp[us] fixtures)
+      val evRaw = t(tuned(s), dir, "events")
+      val ev = evRaw.select(col("user_id"), col("event_id"),
+        graft.streaming.WindowAgg.eventEpochSeconds(evRaw, "ts").as("ts_sec"))
       graft.streaming.Sessionize.batch(ev, "user_id", "ts_sec", "event_id", 1800)
         .withColumn("session_id", col("session_id").cast("long"))
         .select("user_id", "session_id", "session_start", "session_end", "n_events")
