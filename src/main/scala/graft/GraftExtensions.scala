@@ -202,6 +202,14 @@ object GraftFunctions {
       "graft_avi_frames(content) - MJPEG AVI frame payloads as array<binary> in stream order, NULL if not a well-formed RIFF/AVI",
       exprs => graft.expressions.AviFrames(exprs.head)),
 
+    ("graft_mp4_frames",
+      "graft_mp4_frames(content) - motion-JPEG MP4/MOV sample payloads as array<binary> in sample order (stsd/stsz/stsc/stco walk), NULL if not a well-formed motion-JPEG ISO BMFF file",
+      exprs => graft.expressions.Mp4Frames(exprs.head)),
+
+    ("graft_video_frames",
+      "graft_video_frames(content) - container-agnostic motion-JPEG frame payloads (RIFF/AVI or ISO BMFF MP4/MOV) as array<binary>, NULL if neither container parses",
+      exprs => graft.expressions.VideoFrames(exprs.head)),
+
     ("graft_wav_samples",
       "graft_wav_samples(content) - 16-bit PCM WAV sample decode: struct(channels,sample_rate,n_frames,samp_sum,samp_wsum,peak_abs), NULL if not complete 16-bit PCM",
       exprs => graft.expressions.WavSamples(exprs.head)),

@@ -242,6 +242,88 @@ object SparkEntry {
     }
   }
 
+  /** Shared motion-JPEG MP4 fixture set for q124: the q113 frame
+    * pattern (72×16 block-constant JPEG, 9 block columns = 9 dHash
+    * cells, closed-form seeds) boxed as ISO BMFF, with the id's hundreds
+    * digit cycling the WRITER LAYOUT instead of the content — single
+    * chunk / multi-chunk+moovFirst / co64+QuickTime brand / chunk-per-
+    * sample+everything — so one oracle covers every sample-table shape.
+    * Refusal tiers: truncated BMFF, a well-formed AVI (wrong container
+    * for the MP4-only walk), free text.
+    */
+  private def mp4Fixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    ids.map { id =>
+      val pid = (id % 100).toInt
+      val tier = (id / 100).toInt
+      val nf = 4 + pid % 4
+      def pat(s: Int)(x: Int, y: Int): Int = {
+        val k = (y / 8) * 9 + (x / 8)
+        (s * s * (k + 1) + s * k * k + 13 * k + 7 * s) % 256
+      }
+      def frames = (0 until nf).map(f =>
+        graft.llmops.JpegWriter.gray(72, 16, pat(1 + (pid * 7 + f * 13) % 97)))
+      val bytes =
+        if (id >= 450) s"not a container $id".getBytes("UTF-8")
+        else if (id >= 430) graft.llmops.AviWriter.avi(72, 16,
+          Seq(graft.llmops.JpegWriter.gray(72, 16, pat(5))))
+        else if (id >= 400) {
+          val full = graft.llmops.Mp4Writer.mp4(72, 16, frames)
+          java.util.Arrays.copyOf(full, full.length / 2) // tables cut off
+        }
+        else tier match {
+          case 0 => graft.llmops.Mp4Writer.mp4(72, 16, frames)
+          case 1 => graft.llmops.Mp4Writer.mp4(72, 16, frames,
+            samplesPerChunk = 2, moovFirst = true)
+          case 2 => graft.llmops.Mp4Writer.mp4(72, 16, frames,
+            useCo64 = true, quicktime = true)
+          case _ => graft.llmops.Mp4Writer.mp4(72, 16, frames,
+            samplesPerChunk = 1, useCo64 = true, quicktime = true,
+            moovFirst = true)
+        }
+      (id, bytes)
+    }
+  }
+
+  /** Shared mixed-container video fixture set for q125: content tiers
+    * IDENTICAL to [[aviFixtures]] (tier 0 base / tier 1 half-shared /
+    * tier 2 disjoint / tier 3 exact replay of tier 0) but tiers 1 and 3
+    * are boxed as MP4 instead of AVI — the planted near-dups and full
+    * duplicates are CROSS-CONTAINER, so the q114 oracle (which never
+    * sees container bytes) proves the unified Hamming space end to end.
+    */
+  private def mixedVideoFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    ids.map { id =>
+      val pid = (id % 100).toInt
+      val tier = (id / 100).toInt
+      val nf = 4 + pid % 4
+      def seedOf(f: Int): Int = tier match {
+        case 2 => 196 + (pid * 7 + f * 13) % 59
+        case 1 if f >= nf / 2 + 1 => 98 + (pid * 7 + f * 13) % 97
+        case _ => 1 + (pid * 7 + f * 13) % 97
+      }
+      def pat(s: Int)(x: Int, y: Int): Int = {
+        val k = (y / 8) * 9 + (x / 8)
+        (s * s * (k + 1) + s * k * k + 13 * k + 7 * s) % 256
+      }
+      def frames = (0 until nf).map(f =>
+        graft.llmops.JpegWriter.gray(72, 16, pat(seedOf(f))))
+      val bytes =
+        if (id >= 450) s"not a video $id".getBytes("UTF-8")
+        else if (id >= 430) graft.llmops.MediaWriter.wav(1, 8000, 16, 10)
+        else if (id >= 400) graft.llmops.ImageWriter.jpeg(24, 16)
+        else if (tier == 1) graft.llmops.Mp4Writer.mp4(72, 16, frames,
+          samplesPerChunk = 2)
+        else if (tier == 3) graft.llmops.Mp4Writer.mp4(72, 16, frames,
+          moovFirst = true, quicktime = true)
+        else graft.llmops.AviWriter.avi(72, 16, frames)
+      (id, bytes)
+    }
+  }
+
   /** Shared WAV fixture set for q117/q118 (spectral fingerprints):
     * two-square-wave tones whose periods, length, channel count and
     * per-channel offset all derive from `pid = id mod 300` — closed-form
@@ -1358,6 +1440,45 @@ object SparkEntry {
           shiftrightunsigned(col("oh"), 32).as("oh_hi"),
           col("oh").bitwiseAND(lit(0xFFFFFFFFL)).as("oh_lo"))
         .orderBy("doc_id")
+    }),
+
+    "q124_mp4_frames" -> ((s, dir) => {
+      // ISO BMFF sample-table walk through every writer layout (single
+      // chunk, multi-chunk+moovFirst, co64+QuickTime, chunk-per-sample):
+      // stsd gates the codec, stsz/stsc/stco locate each sample, and the
+      // oracle re-derives every frame hash from the closed-form block
+      // values — the q113 proof, re-run on the MP4 container. Truncated
+      // BMFF, AVI bytes (wrong container for the MP4-only walk), and
+      // free text must yield no rows
+      val ss = tuned(s)
+      val src = fixtureDF(ss, dir, "q124_mp4")(mp4Fixtures(ss, dir))
+      src.select(col("doc_id"),
+          posexplode(graft.llmops.Multimodal.mp4Frames(col("content")))
+            .as(Seq("frame_idx", "__frame")))
+        .select(col("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          graft.llmops.Multimodal.imageDHash(col("__frame")).alias("__fh"))
+        .filter(col("__fh").isNotNull)
+        .select(col("doc_id"), col("frame_idx"),
+          shiftrightunsigned(col("__fh"), 32).as("fh_hi"),
+          col("__fh").bitwiseAND(lit(0xFFFFFFFFL)).as("fh_lo"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    "q125_video_neardup_mixed" -> ((s, dir) => {
+      // cross-container video near-dup: the q114 content tiers with
+      // tier 1 (half-shared) and tier 3 (exact replay) boxed as MP4 —
+      // every planted pair spans containers, so the equi-join on frame
+      // hashes only works if AVI and MP4 frames share one Hamming
+      // space. The oracle is q114's, container-blind by construction
+      val ss = tuned(s)
+      val src = fixtureDF(ss, dir, "q125_mixed_video")(mixedVideoFixtures(ss, dir))
+      graft.llmops.Multimodal.videoNearDups(src, "doc_id", "content",
+          minSharedFrac = 0.5)
+        .select(col("key_a"), col("key_b"),
+          col("shared_frames").cast("long").as("shared_frames"),
+          col("frac"))
+        .orderBy("key_a", "key_b")
     }),
 
     "q96_curation_signals" -> ((s, dir) => {
@@ -3930,6 +4051,92 @@ object SparkEntry {
          bits AS (
            -- cell (i, j) is block (bx = i, by = j // 4): each adjacent
            -- block pair contributes the same comparison to 4 cell rows
+           SELECT l.doc_id, l.f,
+             ((l.b // 9) * 4 + jj.j) * 8 + (l.b % 9) AS k
+           FROM blocks l JOIN blocks r
+             ON r.doc_id = l.doc_id AND r.f = l.f AND r.b = l.b + 1
+           CROSS JOIN range(4) jj(j)
+           WHERE l.b % 9 < 8 AND r.v > l.v),
+         hashes AS (
+           SELECT fr.doc_id, fr.f,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS fh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS fh_lo
+           FROM fr LEFT JOIN bits b ON b.doc_id = fr.doc_id AND b.f = fr.f
+           GROUP BY fr.doc_id, fr.f),
+         hset AS (SELECT DISTINCT doc_id, fh_hi, fh_lo FROM hashes),
+         cnt AS (SELECT doc_id, count(*) AS n FROM hset GROUP BY 1),
+         sh AS (
+           SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+             count(*) AS shared_frames
+           FROM hset a JOIN hset b
+             ON a.fh_hi = b.fh_hi AND a.fh_lo = b.fh_lo
+               AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT s.key_a, s.key_b,
+           CAST(s.shared_frames AS BIGINT) AS shared_frames,
+           CAST(s.shared_frames AS DOUBLE) / least(ca.n, cb.n) AS frac
+         FROM sh s
+         JOIN cnt ca ON ca.doc_id = s.key_a
+         JOIN cnt cb ON cb.doc_id = s.key_b
+         WHERE CAST(s.shared_frames AS DOUBLE) / least(ca.n, cb.n) >= 0.5
+         ORDER BY key_a, key_b""",
+
+    "q124_mp4_frames" ->
+      """WITH ids AS (
+           SELECT doc_id, CAST(doc_id % 100 AS INTEGER) AS pid,
+             CAST(4 + (doc_id % 100) % 4 AS INTEGER) AS nf
+           FROM documents WHERE doc_id < 400),
+         -- layout tiers vary only the container tables; frame content is
+         -- the tier-0 seed formula for every id
+         fr AS (
+           SELECT i.doc_id, f.f, 1 + (i.pid * 7 + f.f * 13) % 97 AS s
+           FROM ids i, range(7) f(f) WHERE f.f < i.nf),
+         blocks AS (
+           SELECT fr.doc_id, fr.f, b.b,
+             (fr.s * fr.s * (b.b + 1) + fr.s * b.b * b.b
+              + 13 * b.b + 7 * fr.s) % 256 AS v
+           FROM fr, range(18) b(b)),
+         bits AS (
+           SELECT l.doc_id, l.f,
+             ((l.b // 9) * 4 + jj.j) * 8 + (l.b % 9) AS k
+           FROM blocks l JOIN blocks r
+             ON r.doc_id = l.doc_id AND r.f = l.f AND r.b = l.b + 1
+           CROSS JOIN range(4) jj(j)
+           WHERE l.b % 9 < 8 AND r.v > l.v),
+         hashes AS (
+           SELECT fr.doc_id, fr.f,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS fh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS fh_lo
+           FROM fr LEFT JOIN bits b ON b.doc_id = fr.doc_id AND b.f = fr.f
+           GROUP BY fr.doc_id, fr.f)
+         SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, fh_hi, fh_lo
+         FROM hashes ORDER BY doc_id, frame_idx""",
+
+    "q125_video_neardup_mixed" ->
+      """WITH ids AS (
+           SELECT doc_id, CAST(doc_id % 100 AS INTEGER) AS pid,
+             CAST(doc_id // 100 AS INTEGER) AS tier,
+             CAST(4 + (doc_id % 100) % 4 AS INTEGER) AS nf
+           FROM documents WHERE doc_id < 400),
+         fr AS (
+           SELECT i.doc_id, f.f,
+             CASE
+               WHEN i.tier = 2 THEN 196 + (i.pid * 7 + f.f * 13) % 59
+               WHEN i.tier = 1 AND f.f >= i.nf // 2 + 1
+                 THEN 98 + (i.pid * 7 + f.f * 13) % 97
+               ELSE 1 + (i.pid * 7 + f.f * 13) % 97
+             END AS s
+           FROM ids i, range(7) f(f) WHERE f.f < i.nf),
+         blocks AS (
+           SELECT fr.doc_id, fr.f, b.b,
+             (fr.s * fr.s * (b.b + 1) + fr.s * b.b * b.b
+              + 13 * b.b + 7 * fr.s) % 256 AS v
+           FROM fr, range(18) b(b)),
+         bits AS (
            SELECT l.doc_id, l.f,
              ((l.b // 9) * 4 + jj.j) * 8 + (l.b % 9) AS k
            FROM blocks l JOIN blocks r

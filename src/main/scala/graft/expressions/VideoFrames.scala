@@ -1,0 +1,50 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType}
+
+/** Container-agnostic motion-JPEG frame extraction: sniffs the leading
+  * magic and dispatches — `RIFF…AVI ` → [[AviFrames]], ISO BMFF
+  * (`ftyp`, with `wide`/`free`/`skip` preambles) → [[Mp4Frames]].
+  * One expression, one `array<binary>` of complete JPEG stills, one
+  * Hamming space for the whole video-dedup family regardless of which
+  * container a crawl delivered — exactly how [[graft.llmops.Multimodal
+  * .imageDHash]] unifies PNG and JPEG for images. NULL when neither
+  * container parses.
+  */
+case class VideoFrames(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_video_frames"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VideoFrames.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.expressions.VideoFrames.compute($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): VideoFrames =
+    copy(child = newChild)
+}
+
+object VideoFrames {
+
+  /** Static kernel shared by interpreted eval and generated code. The
+    * magic check is cheap and disjoint (RIFF little-endian fourcc vs BE
+    * box headers), so exactly one parser ever runs per row.
+    */
+  def compute(b: Array[Byte]): GenericArrayData = {
+    if (b == null || b.length < 12) return null
+    if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+      AviFrames.compute(b)
+    else
+      Mp4Frames.compute(b)
+  }
+}

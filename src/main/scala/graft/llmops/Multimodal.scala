@@ -449,6 +449,29 @@ object Multimodal {
       graft.expressions.AviFrames(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
 
+  /** Motion-JPEG MP4/MOV frame extraction — ISO BMFF sample-table walk
+    * ([[graft.expressions.Mp4Frames]]): stsd codec gate, stsz sizes,
+    * stsc runs, stco/co64 offsets. Same `array<binary>`-of-JPEGs shape
+    * as [[aviFrames]]; NULL for non-BMFF bytes or a track family the
+    * JDK-only decoder cannot honestly serve (H.26x/AV1).
+    */
+  def mp4Frames(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.Mp4Frames(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** Container-agnostic frame extraction: RIFF magic → [[aviFrames]],
+    * ISO BMFF → [[mp4Frames]] ([[graft.expressions.VideoFrames]] sniffs
+    * once, runs one parser). The whole video-dedup family rides this,
+    * so an AVI rip and an MP4 remux of the same footage land in the
+    * same frame-hash Hamming space — the container twin of what
+    * [[imageDHash]] does for PNG/JPEG.
+    */
+  def videoFrames(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.VideoFrames(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
   /** Embedded PDF raster images as `array<binary>` in document order —
     * each element a complete baseline JPEG (`/DCTDecode` XObjects,
     * [[graft.expressions.PdfImages]]), so documents feed the image
@@ -484,7 +507,7 @@ object Multimodal {
   def videoFrameSignatures(df: DataFrame, keyCol: String,
       contentCol: String): DataFrame =
     df.select(col(keyCol).alias("key"),
-        posexplode(aviFrames(col(contentCol))).as(Seq("frame_idx", "__frame")))
+        posexplode(videoFrames(col(contentCol))).as(Seq("frame_idx", "__frame")))
       .select(col("key"), col("frame_idx"),
         imageDHash(col("__frame")).alias("fhash"))
       .filter(col("fhash").isNotNull)
@@ -502,11 +525,26 @@ object Multimodal {
       df: DataFrame,
       keyCol: String,
       contentCol: String,
-      minSharedFrac: Double = 0.5
+      minSharedFrac: Double = 0.5,
+      maxFrameDf: Int = 256
   ): DataFrame = {
-    val sigs = videoFrameSignatures(df, keyCol, contentCol)
+    val sigs0 = videoFrameSignatures(df, keyCol, contentCol)
       .select(col("key"), col("fhash")).distinct()
       .localCheckpoint(true) // decode once; both join sides read the 16-byte rows
+    // Stop-frame screen: a frame hash present in more than `maxFrameDf`
+    // distinct videos (solid black, title cards, studio logos) carries no
+    // pairing signal but detonates the equi-join — its fan-out is df² pairs
+    // for ONE hot key. Same move as the whitespace-paragraph handling in
+    // TextAnalysis.dedupParagraphsAcrossCorpus: ubiquity disqualifies a
+    // fingerprint from the comparison universe. The stop list is tiny by
+    // construction (few hashes can exceed the cap), so AQE broadcasts the
+    // anti-join; per-video counts are taken AFTER the screen so `frac`
+    // stays a ratio over the same universe the join saw.
+    val hot = sigs0.groupBy(col("fhash"))
+      .agg(count(lit(1)).alias("__df"))
+      .filter(col("__df") > maxFrameDf)
+      .select(col("fhash"))
+    val sigs = sigs0.join(hot, Seq("fhash"), "left_anti")
     val counts = sigs.groupBy(col("key")).agg(count(lit(1)).alias("n"))
     val shared = sigs.alias("a")
       .join(sigs.alias("b"), col("a.fhash") === col("b.fhash") &&
@@ -536,13 +574,26 @@ object Multimodal {
       keyCol: String,
       contentCol: String,
       signatures: DataFrame,
-      minSharedFrac: Double = 0.5
+      minSharedFrac: Double = 0.5,
+      maxFrameDf: Int = 256
   ): DataFrame = {
-    val bs = videoFrameSignatures(batch, keyCol, contentCol)
+    val bs0 = videoFrameSignatures(batch, keyCol, contentCol)
       .select(col("key"), col("fhash")).distinct()
       .localCheckpoint(true) // decode once; counts + join both read it
-    val ss = signatures.select(col("key").alias("__sk"), col("fhash"))
+    val ss0 = signatures.select(col("key").alias("__sk"), col("fhash"))
       .distinct()
+    // stop-frame screen over the union universe (see videoNearDups): a
+    // hash ubiquitous across corpus+batch videos is dropped from both
+    // sides before the equi-join, and the per-video counts follow suit.
+    // The store-side groupBy is no new asymptotic cost — sCnt below
+    // already reduces the full store each batch.
+    val hot = bs0.select(col("key"), col("fhash"))
+      .unionByName(ss0.select(col("__sk").alias("key"), col("fhash")))
+      .groupBy(col("fhash")).agg(count(lit(1)).alias("__df"))
+      .filter(col("__df") > maxFrameDf)
+      .select(col("fhash"))
+    val bs = bs0.join(hot, Seq("fhash"), "left_anti")
+    val ss = ss0.join(hot, Seq("fhash"), "left_anti")
     val bCnt = bs.groupBy(col("key")).agg(count(lit(1)).alias("bn"))
     val sCnt = ss.groupBy(col("__sk")).agg(count(lit(1)).alias("sn"))
     val dups = bs.join(ss, "fhash")

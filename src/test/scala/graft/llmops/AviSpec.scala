@@ -102,6 +102,60 @@ class AviSpec extends SparkTestBase {
     assert(sigs.filter(col("key") === 4L).count() === 0)
   }
 
+  test("stop-frame cap: ubiquitous frame is screened, results below the cap unchanged") {
+    // every video carries stop frame seed 7 (think: black frame / studio
+    // logo) plus its own distinctive frames — the videoNearDups fixture
+    // from above, one shared frame added everywhere
+    val rows = Seq(
+      (1L, mjpeg(Seq(7, 10, 20, 30))),
+      (2L, mjpeg(Seq(7, 10, 20, 99))),
+      (3L, mjpeg(Seq(7, 30, 101, 102))),
+      (4L, mjpeg(Seq(7, 103, 104, 105))),
+      (5L, mjpeg(Seq(7, 106, 107, 108))))
+    val df = rows.toDF("vid", "content")
+    // cap 4 < 5 videos: the ubiquitous frame leaves the universe, and the
+    // result equals the base fixture's (1,2) pair with the SAME counts —
+    // shared=2 of min 3 distinctive frames, not 3 of 4
+    val capped = Multimodal.videoNearDups(df, "vid", "content",
+        minSharedFrac = 0.5, maxFrameDf = 4)
+      .select("key_a", "key_b", "shared_frames").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(capped === Set((1L, 2L, 2L)))
+    // without the cap the stop frame welds ALL 10 pairs into candidates
+    // and lifts (1,3) over the threshold — the skew the screen removes
+    val uncapped = Multimodal.videoNearDups(df, "vid", "content",
+        minSharedFrac = 0.5, maxFrameDf = 1000)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((1L, 3L)))
+    // a frame at EXACTLY the cap survives: df counts videos, > is strict
+    val atCap = Multimodal.videoNearDups(df, "vid", "content",
+        minSharedFrac = 0.5, maxFrameDf = 5)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(atCap === uncapped)
+
+    // the incremental screen applies the same cap across batch ∪ store
+    val corpus = Seq(
+      (1L, mjpeg(Seq(7, 10, 20, 30))),
+      (2L, mjpeg(Seq(7, 40, 50, 60)))).toDF("vid", "content")
+    val sigs = Multimodal.videoFrameSignatures(corpus, "vid", "content")
+      .select(col("key"), col("fhash"))
+    val batch = Seq(
+      (10L, mjpeg(Seq(7, 10, 20, 31))),   // 2 of 3 distinctive shared → drop
+      (11L, mjpeg(Seq(7, 200, 201, 202))) // only the stop frame shared → survive
+    ).toDF("vid", "content")
+    val kept = Multimodal.videoDedupAgainstSignatures(batch, "vid", "content",
+        sigs, minSharedFrac = 0.5, maxFrameDf = 3)
+      .select("vid").as[Long].collect().toSet
+    assert(kept === Set(11L))
+    // uncapped, the stop frame alone is 1 of 4 = 0.25 < 0.5 for 11, but
+    // it inflates 10's share to 3 of 4 — same drop decision here; the
+    // cap's value is the bounded fan-out, proven by the count identity:
+    val bs = Multimodal.videoFrameSignatures(batch, "vid", "content")
+      .select(col("key"), col("fhash"))
+    val universe = bs.unionByName(sigs).groupBy("fhash").count()
+    assert(universe.filter(col("count") > 3).count() === 1) // just the stop frame
+  }
+
   test("videoDedupAgainstSignatures: store screen drops replays, keeps fresh and undecodable") {
     val corpus = Seq(
       (1L, mjpeg(Seq(10, 20, 30))),
