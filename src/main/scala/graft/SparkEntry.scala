@@ -324,6 +324,35 @@ object SparkEntry {
     }
   }
 
+  /** Shared progressive-JPEG fixture set for q126: per base image `pid =
+    * id mod 100` (the q112 seed-gradient pattern), tier 0 is a BASELINE
+    * gray JPEG, tier 1 the PROGRESSIVE (SOF2) encoding of the IDENTICAL
+    * pixels — the planted Hamming-0 cross-coding twin the DC-only fast
+    * path must hit — tiers 2/3 progressive at shifted seeds (near/far).
+    * Refusal tiers: progressive under the 9×8 grid, header-only SOF0,
+    * non-image bytes — all must hash NULL.
+    */
+  private def progressiveJpegFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    ids.map { id =>
+      val pid = (id % 100).toInt
+      val w = 9 + pid % 24
+      val h = 8 + pid % 16
+      val tier = (id / 100).toInt
+      val seed = pid + (tier match { case 2 => 17; case 3 => 91; case _ => 0 })
+      def g(x: Int, y: Int) =
+        ((5 + seed % 7) * (x / 8) + (13 + seed % 11) * (y / 8) + seed) % 256
+      val bytes =
+        if (id >= 450) s"not an image $id".getBytes("UTF-8")
+        else if (id >= 425) graft.llmops.ImageWriter.jpeg(w, h) // header-only
+        else if (id >= 400) graft.llmops.JpegWriter.grayProgressive(8, 8, g)
+        else if (tier == 0) graft.llmops.JpegWriter.gray(w, h, g)
+        else graft.llmops.JpegWriter.grayProgressive(w, h, g)
+      (id, bytes)
+    }
+  }
+
   /** Shared WAV fixture set for q117/q118 (spectral fingerprints):
     * two-square-wave tones whose periods, length, channel count and
     * per-channel offset all derive from `pid = id mod 300` — closed-form
@@ -1479,6 +1508,24 @@ object SparkEntry {
           col("shared_frames").cast("long").as("shared_frames"),
           col("frac"))
         .orderBy("key_a", "key_b")
+    }),
+
+    "q126_progressive_dhash" -> ((s, dir) => {
+      // progressive-JPEG DC-only dHash: SOF2 streams hash through the
+      // first DC scan's block means, in the same grid/bit layout as the
+      // full decode — tier 1 is the progressive re-encoding of tier 0's
+      // exact pixels and the oracle assigns both the same closed-form
+      // hash, so the gate proves Hamming-0 across codings. Sub-grid,
+      // header-only and non-image tiers vanish (NULL)
+      val ss = tuned(s)
+      val src = fixtureDF(ss, dir, "q126_progressive")(progressiveJpegFixtures(ss, dir))
+      src.select(col("doc_id"),
+          graft.llmops.Multimodal.imageDHash(col("content")).as("dh"))
+        .filter(col("dh").isNotNull)
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dh"), 32).as("dh_hi"),
+          col("dh").bitwiseAND(lit(0xFFFFFFFFL)).as("dh_lo"))
+        .orderBy("doc_id")
     }),
 
     "q96_curation_signals" -> ((s, dir) => {
@@ -4270,6 +4317,43 @@ object SparkEntry {
          WHERE bit_count(xor(a.dh_hi, b.dh_hi))
              + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
          ORDER BY key_a, key_b""",
+
+    "q126_progressive_dhash" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(9 + (doc_id % 100) % 24 AS INTEGER) AS w,
+             CAST(8 + (doc_id % 100) % 16 AS INTEGER) AS h,
+             CAST(doc_id % 100 + CASE doc_id // 100
+               WHEN 2 THEN 17 WHEN 3 THEN 91 ELSE 0 END AS INTEGER) AS seed
+           FROM documents WHERE doc_id < 400),
+         px AS (
+           SELECT i.doc_id,
+             ((x.x + 1) * 9 - 1) // i.w AS ci,
+             ((y.y + 1) * 8 - 1) // i.h AS cj,
+             -- the baseline tier decodes to the block-constant pattern
+             -- bit-exactly; the progressive tiers carry the SAME values
+             -- in their first DC scan (flat-8 quant, Al=0), so one gray
+             -- formula serves every coding
+             ((5 + i.seed % 7) * (x.x // 8) + (13 + i.seed % 11) * (y.y // 8)
+               + i.seed) % 256 AS gray
+           FROM ids i, range(32) x(x), range(23) y(y)
+           WHERE x.x < i.w AND y.y < i.h),
+         cells AS (
+           SELECT doc_id, cj, ci, sum(gray) AS s, count(*) AS c
+           FROM px GROUP BY 1, 2, 3),
+         bits AS (
+           SELECT l.doc_id, l.cj * 8 + l.ci AS k
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cj = l.cj AND r.ci = l.ci + 1
+           WHERE r.s * l.c > l.s * r.c)
+         SELECT d.doc_id,
+           CAST(coalesce(sum(CASE WHEN b.k >= 32
+             THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS dh_hi,
+           CAST(coalesce(sum(CASE WHEN b.k < 32
+             THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS dh_lo
+         FROM (SELECT DISTINCT doc_id FROM px) d
+         LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id
+         ORDER BY d.doc_id""",
 
     "q97_png_pixels" ->
       """WITH ids AS (

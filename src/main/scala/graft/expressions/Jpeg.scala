@@ -231,6 +231,275 @@ private[expressions] object JpegDecode {
     var plane: Array[Byte] = null
   }
 
+  /** DC-only luma reconstruction of a PROGRESSIVE (SOF2) JPEG: the
+    * block-mean gray values decoded from the FIRST DC scan. `vals` is a
+    * `bw×bh` raster of clamped gray means (one per 8×8 luma block);
+    * `h0/v0/hmax/vmax` map a full-resolution pixel to its luma block:
+    * `bx = (x·h0/hmax)/8`, `by = (y·v0/vmax)/8`.
+    *
+    * A 9×8 difference hash needs nothing finer — the grid cells average
+    * whole pixel regions anyway — so this is the honest progressive arm
+    * of [[JpegDHash]]: exact for the DC content (bit-exact vs baseline
+    * on block-constant images), approximate only in the successive-
+    * approximation low bits when the file uses `Al > 0`, and refused
+    * (`null`) rather than guessed for everything else the envelope
+    * excludes (arithmetic coding, 12-bit, 4 components).
+    */
+  private[expressions] final class DcLumaMap(val width: Int, val height: Int,
+      val bw: Int, val bh: Int, val h0: Int, val v0: Int,
+      val hmax: Int, val vmax: Int, val vals: Array[Int])
+
+  /** Decode the first DC scan of a progressive JPEG into a [[DcLumaMap]],
+    * or null for anything outside the envelope: must be SOF2, 8-bit,
+    * 1 or 3 components, sampling in {1,2}; scans before the luma DC scan
+    * are skipped by marker scan; the file must close with EOI. Handles
+    * interleaved and single-component DC scans, restart intervals, and
+    * the `Al` point-transform shift.
+    */
+  private[expressions] def decodeProgressiveDcLuma(b: Array[Byte]): DcLumaMap = {
+    if (b == null || b.length < 4) return null
+    if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return null
+    // completeness contract: the stream must close with EOI
+    if ((b(b.length - 2) & 0xFF) != 0xFF || (b(b.length - 1) & 0xFF) != 0xD9)
+      return null
+    val qt = new Array[Array[Int]](4)
+    val dcT = new Array[Huff](4)
+    var width = 0
+    var height = 0
+    var comps: Array[Comp] = null
+    var restartInt = 0
+    var i = 2
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return null
+      var mi = i + 1
+      while (mi < b.length && (b(mi) & 0xFF) == 0xFF) mi += 1
+      if (mi >= b.length) return null
+      val m = b(mi) & 0xFF
+      if (m == 0xD9) return null // EOI before the luma DC scan
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { i = mi + 1 }
+      else {
+        if (mi + 3 > b.length) return null
+        val len = ((b(mi + 1) & 0xFF) << 8) | (b(mi + 2) & 0xFF)
+        if (len < 2 || mi.toLong + 1L + len > b.length) return null
+        var s = mi + 3
+        val segEnd = mi + 1 + len
+        m match {
+          case 0xDB => // DQT — same wire format as the baseline path
+            while (s < segEnd) {
+              val pq = (b(s) & 0xFF) >> 4
+              val tq = b(s) & 0x0F
+              if (tq > 3 || pq > 1) return null
+              val n = if (pq == 0) 64 else 128
+              if (s + 1 + n > segEnd) return null
+              val tab = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                val v =
+                  if (pq == 0) b(s + 1 + k) & 0xFF
+                  else ((b(s + 1 + 2 * k) & 0xFF) << 8) | (b(s + 2 + 2 * k) & 0xFF)
+                if (v == 0) return null
+                tab(k) = v
+                k += 1
+              }
+              qt(tq) = tab
+              s += 1 + n
+            }
+          case 0xC4 => // DHT — only DC-class tables are kept
+            while (s < segEnd) {
+              val tc = (b(s) & 0xFF) >> 4
+              val th = b(s) & 0x0F
+              if (tc > 1 || th > 3 || s + 17 > segEnd) return null
+              val bits = Array.tabulate(16)(j => b(s + 1 + j) & 0xFF)
+              val total = bits.sum
+              if (s + 17 + total > segEnd) return null
+              val vals = Array.tabulate(total)(j => b(s + 17 + j) & 0xFF)
+              val huff = Huff.build(bits, vals)
+              if (huff == null) return null
+              if (tc == 0) dcT(th) = huff
+              s += 17 + total
+            }
+          case 0xC2 => // SOF2 progressive — the one frame type served here
+            if (comps != null) return null
+            if (segEnd - s < 6 || (b(s) & 0xFF) != 8) return null
+            height = ((b(s + 1) & 0xFF) << 8) | (b(s + 2) & 0xFF)
+            width = ((b(s + 3) & 0xFF) << 8) | (b(s + 4) & 0xFF)
+            val nc = b(s + 5) & 0xFF
+            if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return null
+            if (segEnd - s != 6 + 3 * nc) return null
+            if (width.toLong * height * nc > 64L * 1024 * 1024) return null
+            comps = Array.fill(nc)(new Comp)
+            var c = 0
+            while (c < nc) {
+              val o = s + 6 + 3 * c
+              comps(c).id = b(o) & 0xFF
+              comps(c).h = (b(o + 1) & 0xFF) >> 4
+              comps(c).v = b(o + 1) & 0x0F
+              comps(c).tq = b(o + 2) & 0x0F
+              if (comps(c).h < 1 || comps(c).h > 2 ||
+                  comps(c).v < 1 || comps(c).v > 2 || comps(c).tq > 3)
+                return null
+              c += 1
+            }
+          case 0xC0 | 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+               0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+            return null // wrong frame type for the progressive path
+          case 0xDD =>
+            if (segEnd - s != 2) return null
+            restartInt = ((b(s) & 0xFF) << 8) | (b(s + 1) & 0xFF)
+          case 0xDA => // SOS
+            if (comps == null) return null
+            val ns = b(s) & 0xFF
+            if (ns < 1 || ns > comps.length ||
+                segEnd - s != 1 + 2 * ns + 3) return null
+            val scanComps = new Array[Int](ns)
+            var j = 0
+            while (j < ns) {
+              val cs = b(s + 1 + 2 * j) & 0xFF
+              val c = comps.indexWhere(_.id == cs)
+              if (c < 0) return null
+              scanComps(j) = c
+              comps(c).dcTab = (b(s + 2 + 2 * j) & 0xFF) >> 4
+              j += 1
+            }
+            val ss = b(segEnd - 3) & 0xFF
+            val se = b(segEnd - 2) & 0xFF
+            val ah = (b(segEnd - 1) & 0xFF) >> 4
+            val al = b(segEnd - 1) & 0x0F
+            if (ss == 0 && ah == 0 && scanComps.contains(0)) {
+              if (se != 0) return null // a DC scan must stop at Se=0
+              return decodeDcScan(b, segEnd, width, height, comps,
+                scanComps, qt, dcT, restartInt, al)
+            }
+            // not the luma first-DC scan: skip its entropy data to the
+            // next marker (restart markers and stuffed 0xFF00 are part
+            // of the data)
+            var p = segEnd
+            var found = -1
+            while (found < 0 && p + 1 < b.length) {
+              if ((b(p) & 0xFF) == 0xFF) {
+                val nm = b(p + 1) & 0xFF
+                if (nm != 0x00 && !(nm >= 0xD0 && nm <= 0xD7) && nm != 0xFF)
+                  found = p
+                else p += 2
+              } else p += 1
+            }
+            if (found < 0) return null
+            i = found
+            // continue the outer walk from the marker we found
+          case _ => ()
+        }
+        if (m != 0xDA) i = segEnd
+      }
+    }
+    null
+  }
+
+  /** Decode one first-order DC scan (interleaved or single-component)
+    * and return the luma block-mean map.
+    */
+  private def decodeDcScan(b: Array[Byte], start: Int, width: Int,
+      height: Int, comps: Array[Comp], scanComps: Array[Int],
+      qt: Array[Array[Int]], dcT: Array[Huff], restartInt: Int,
+      al: Int): DcLumaMap = {
+    var hmax = 1
+    var vmax = 1
+    comps.foreach { c =>
+      if (c.h > hmax) hmax = c.h
+      if (c.v > vmax) vmax = c.v
+    }
+    val luma = comps(0)
+    val q = qt(luma.tq)
+    if (q == null) return null
+    var sc = 0
+    while (sc < scanComps.length) {
+      if (dcT(comps(scanComps(sc)).dcTab) == null) return null
+      comps(scanComps(sc)).pred = 0
+      sc += 1
+    }
+    val r = new BitReader(b, start)
+    var rst = 0
+
+    def gray(dequantDc: Int): Int =
+      // DC-only IDCT: flat block of coef/8, then level shift — identical
+      // to idctBlock on a DC-only spectrum
+      clamp(math.round(dequantDc / 8.0).toInt + 128)
+
+    if (scanComps.length > 1) {
+      // interleaved: h×v blocks per scan component per MCU
+      val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+      val bw = mcusX * luma.h
+      val bh = mcusY * luma.v
+      val vals = new Array[Int](bw * bh)
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        if (restartInt > 0 && mcu > 0 && mcu % restartInt == 0) {
+          r.readRestart(rst)
+          rst = (rst + 1) & 7
+          var k = 0
+          while (k < scanComps.length) {
+            comps(scanComps(k)).pred = 0; k += 1
+          }
+          if (r.failed) return null
+        }
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var sci = 0
+        while (sci < scanComps.length) {
+          val cc = comps(scanComps(sci))
+          var v2 = 0
+          while (v2 < cc.v) {
+            var h2 = 0
+            while (h2 < cc.h) {
+              val t = r.huffDecode(dcT(cc.dcTab))
+              if (r.failed || t > 11) return null
+              val diff = extend(r.receive(t), t)
+              if (r.failed) return null
+              cc.pred += diff
+              if (scanComps(sci) == 0)
+                vals((my * cc.v + v2) * bw + mx * cc.h + h2) =
+                  gray((cc.pred << al) * q(0))
+              h2 += 1
+            }
+            v2 += 1
+          }
+          sci += 1
+        }
+        mcu += 1
+      }
+      new DcLumaMap(width, height, bw, bh, luma.h, luma.v, hmax, vmax, vals)
+    } else {
+      // single-component scan: one block per MCU, raster over the
+      // component's own block grid (T.81 A.2.4 dimensions)
+      val cc = comps(scanComps(0))
+      if (scanComps(0) != 0) return null // only the luma map is wanted
+      val compW = (width * cc.h + hmax - 1) / hmax
+      val compH = (height * cc.v + vmax - 1) / vmax
+      val bw = (compW + 7) / 8
+      val bh = (compH + 7) / 8
+      val vals = new Array[Int](bw * bh)
+      var blk = 0
+      val nBlocks = bw * bh
+      while (blk < nBlocks) {
+        if (restartInt > 0 && blk > 0 && blk % restartInt == 0) {
+          r.readRestart(rst)
+          rst = (rst + 1) & 7
+          cc.pred = 0
+          if (r.failed) return null
+        }
+        val t = r.huffDecode(dcT(cc.dcTab))
+        if (r.failed || t > 11) return null
+        val diff = extend(r.receive(t), t)
+        if (r.failed) return null
+        cc.pred += diff
+        vals(blk) = gray((cc.pred << al) * q(0))
+        blk += 1
+      }
+      new DcLumaMap(width, height, bw, bh, cc.h, cc.v, hmax, vmax, vals)
+    }
+  }
+
   def decode(b: Array[Byte]): JpegRaw = {
     if (b == null || b.length < 4) return null
     if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return null
@@ -676,10 +945,59 @@ case class JpegDHashOriented(child: Expression) extends UnaryExpression {
 
 object JpegDHashOriented {
 
+  /** Progressive arm: the oriented hash from the DC-only luma map —
+    * identical display transform on the grid coordinates, gray from the
+    * block means.
+    */
+  private def dcMapHashOriented(dcm: JpegDecode.DcLumaMap,
+      o: Int): java.lang.Long = {
+    val w = dcm.width
+    val h = dcm.height
+    val tw = if (o >= 5) h else w
+    val th = if (o >= 5) w else h
+    if (tw < PngDHash.GridW || th < PngDHash.GridH) return null
+    val gw = PngDHash.GridW
+    val gh = PngDHash.GridH
+    val sums = new Array[Long](gw * gh)
+    val cnts = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      val by = (y * dcm.v0 / dcm.vmax) >> 3
+      var x = 0
+      while (x < w) {
+        val tx = o match {
+          case 1 | 4 => x
+          case 2 | 3 => w - 1 - x
+          case 5 | 8 => y
+          case _ => h - 1 - y // 6 | 7
+        }
+        val ty = o match {
+          case 1 | 2 => y
+          case 3 | 4 => h - 1 - y
+          case 5 | 6 => x
+          case _ => w - 1 - x // 7 | 8
+        }
+        val bx = (x * dcm.h0 / dcm.hmax) >> 3
+        val cell = PngDHash.cellIndex(ty, th, gh) * gw +
+          PngDHash.cellIndex(tx, tw, gw)
+        sums(cell) += dcm.vals(by * dcm.bw + bx)
+        cnts(cell) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    java.lang.Long.valueOf(PngDHash.gradientHash(sums, cnts))
+  }
+
   /** Static kernel shared by interpreted eval and generated code. */
   def compute(b: Array[Byte]): java.lang.Long = {
     val d = JpegDecode.decode(b)
-    if (d == null) return null
+    if (d == null) {
+      val dcm = JpegDecode.decodeProgressiveDcLuma(b)
+      if (dcm == null) return null
+      val po0 = JpegDecode.exifOrientation(b)
+      return dcMapHashOriented(dcm, if (po0 < 1) 1 else po0)
+    }
     val o0 = JpegDecode.exifOrientation(b)
     val o = if (o0 < 1) 1 else o0
     val w = d.width
@@ -728,10 +1046,47 @@ object JpegDHashOriented {
 
 object JpegDHash {
 
+  /** Grid hash from a progressive DC-only luma map: the same per-pixel
+    * cell accumulation as the baseline path, with every pixel's gray
+    * taken from its 8×8 block's DC mean. Bit-exact vs the full decode
+    * on block-constant content; within the DC approximation elsewhere —
+    * which is the point of a difference hash.
+    */
+  private[expressions] def dcMapHash(dcm: JpegDecode.DcLumaMap): java.lang.Long = {
+    if (dcm.width < PngDHash.GridW || dcm.height < PngDHash.GridH) return null
+    val gw = PngDHash.GridW
+    val gh = PngDHash.GridH
+    val sums = new Array[Long](gw * gh)
+    val cnts = new Array[Long](gw * gh)
+    var y = 0
+    while (y < dcm.height) {
+      val cy = PngDHash.cellIndex(y, dcm.height, gh)
+      val by = (y * dcm.v0 / dcm.vmax) >> 3
+      var x = 0
+      while (x < dcm.width) {
+        val cx = PngDHash.cellIndex(x, dcm.width, gw)
+        val bx = (x * dcm.h0 / dcm.hmax) >> 3
+        val cell = cy * gw + cx
+        sums(cell) += dcm.vals(by * dcm.bw + bx)
+        cnts(cell) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    java.lang.Long.valueOf(PngDHash.gradientHash(sums, cnts))
+  }
+
   /** Static kernel shared by interpreted eval and generated code. */
   def compute(b: Array[Byte]): java.lang.Long = {
     val d = JpegDecode.decode(b)
-    if (d == null || d.width < PngDHash.GridW || d.height < PngDHash.GridH)
+    if (d == null) {
+      // progressive arm: a 9×8 hash needs only the DC plane, which the
+      // first scan of an SOF2 stream carries in full
+      val dcm = JpegDecode.decodeProgressiveDcLuma(b)
+      if (dcm == null) return null
+      return dcMapHash(dcm)
+    }
+    if (d.width < PngDHash.GridW || d.height < PngDHash.GridH)
       return null
     val gw = PngDHash.GridW
     val gh = PngDHash.GridH

@@ -160,6 +160,38 @@ object Bpe {
     merges.result()
   }
 
+  /** Persist a trained merge table as a parquet artifact — the tokenizer
+    * twin of the dedup signature stores: train once, reuse across jobs
+    * and ingestion restarts without touching the corpus again. The
+    * artifact is merge-count sized (driver-bounded by construction); the
+    * RANK ORDER is the model, so [[loadModel]] re-sorts and refuses a
+    * table whose ranks are not dense from 0.
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[BpeMerge], path: String): Unit = {
+    spark.createDataFrame(merges)
+      .select(col("rank"), col("left"), col("right"), col("freq"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge table persisted by [[saveModel]], in rank order. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[BpeMerge] = {
+    val merges = spark.read.parquet(path)
+      .select(col("rank"), col("left"), col("right"), col("freq"))
+      .collect()
+      .map(r => BpeMerge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .sortBy(_.rank)
+      .toSeq
+    merges.zipWithIndex.foreach { case (m, i) =>
+      require(m.rank == i,
+        s"BPE model at $path is not a dense rank sequence (saw ${m.rank} at $i)")
+    }
+    merges
+  }
+
   /** Encode column: uppercase-hex token array per row (empty for
     * whitespace-only text, NULL for NULL).
     */

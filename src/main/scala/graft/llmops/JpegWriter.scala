@@ -109,6 +109,17 @@ object JpegWriter {
     (Seq(0x00) ++ (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s) ++
       Seq(0xF0)).sorted.toArray)
 
+  /** AC table for the PROGRESSIVE writer: the uniform 9-bit layout plus
+    * the EOBn symbols `(r << 4) | 0` for r = 1..14 that G.1.2.2 EOB-run
+    * coding needs (baseline never emits them, so [[UniformAc]] omits
+    * them and must stay unchanged — its code assignment is baked into
+    * every baseline golden).
+    */
+  private val ProgAc = new HuffSpec(
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0),
+    (Seq(0x00, 0xF0) ++ (1 to 14).map(_ << 4) ++
+      (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)).sorted.toArray)
+
   /** Annex K Table K.3 (luminance DC). */
   private val StdDc = new HuffSpec(
     Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
@@ -387,6 +398,151 @@ object JpegWriter {
       mcu += 1
     }
     bw.flushPad()
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** PROGRESSIVE grayscale JPEG (SOF2, spectral selection): a first DC
+    * scan (Ss=0, Se=0, Ah=0, Al=`dcAl`), DC refinement scans down to
+    * Al=0 when `dcAl` > 0 (one raw bit per block per level), and one AC
+    * scan (Ss=1, Se=63) with T.81 G.1.2.2 EOB-run coding. A full
+    * progressive decoder reconstructs the image exactly; the engine's
+    * DC-only fast path ([[graft.expressions.JpegDHash]]) reads just the
+    * first scan. With `dcAl` = 0 and the flat quantizer, a
+    * block-constant image carries its exact block means in that first
+    * scan — the planted Hamming-0 twin of the baseline encoding.
+    */
+  def grayProgressive(width: Int, height: Int, pix: (Int, Int) => Int,
+      quant: Array[Int] = QFlat8, dcAl: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims: ${width}x$height")
+    require(dcAl >= 0 && dcAl <= 13, s"dcAl out of range: $dcAl")
+    require(quant.length == 64 && quant.forall(v => v >= 1 && v <= 255))
+    val p = new Plane(width, height, 1, 1, pix)
+    val bwBlocks = (width + 7) / 8
+    val bhBlocks = (height + 7) / 8
+    // quantized spectra of every block, zigzag order
+    val spectra = new Array[Array[Int]](bwBlocks * bhBlocks)
+    val tmp = new Array[Double](64)
+    var bi = 0
+    var byi = 0
+    while (byi < bhBlocks) {
+      var bxi = 0
+      while (bxi < bwBlocks) {
+        val zz = new Array[Int](64)
+        fdctQuant(p, bxi * 8, byi * 8, quant, tmp, zz)
+        spectra(bi) = zz
+        bi += 1
+        bxi += 1
+      }
+      byi += 1
+    }
+
+    val out = new ByteArrayOutputStream()
+    out.write(0xFF); out.write(0xD8) // SOI
+    segment(out, 0xE0, "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val dqt = new Array[Byte](65)
+    dqt(0) = 0
+    var k = 0
+    while (k < 64) { dqt(1 + k) = quant(Zigzag(k)).toByte; k += 1 }
+    segment(out, 0xDB, dqt)
+    // SOF2 — progressive DCT, Huffman
+    val sof = new ByteArrayOutputStream()
+    sof.write(8); be16(sof, height); be16(sof, width); sof.write(1)
+    sof.write(1); sof.write(0x11); sof.write(0)
+    segment(out, 0xC2, sof.toByteArray)
+    // DHT: DC table 0 + AC table 0 (progressive layout with EOBn) up front
+    Seq((0, UniformDc), (1, ProgAc)).foreach { case (tc, t) =>
+      val body = new ByteArrayOutputStream()
+      body.write(tc << 4)
+      t.bits.foreach(body.write)
+      t.vals.foreach(body.write)
+      segment(out, 0xC4, body.toByteArray)
+    }
+
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      val s = new ByteArrayOutputStream()
+      s.write(1); s.write(1); s.write(0) // one component, tables 0/0
+      s.write(ss); s.write(se); s.write((ah << 4) | al)
+      segment(out, 0xDA, s.toByteArray)
+    }
+
+    // scan 1: first-order DC, point-transformed by dcAl
+    sos(0, 0, 0, dcAl)
+    val bw1 = new BitWriter(out)
+    var pred = 0
+    bi = 0
+    while (bi < spectra.length) {
+      val v = spectra(bi)(0) >> dcAl
+      val diff = v - pred
+      pred = v
+      val s = category(diff)
+      bw1.put(UniformDc.code(s), UniformDc.len(s))
+      if (s > 0)
+        bw1.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      bi += 1
+    }
+    bw1.flushPad()
+
+    // DC refinement scans: one raw bit per block per remaining level
+    var al = dcAl - 1
+    while (al >= 0) {
+      sos(0, 0, al + 1, al)
+      val bwr = new BitWriter(out)
+      bi = 0
+      while (bi < spectra.length) {
+        bwr.put((spectra(bi)(0) >> al) & 1, 1)
+        bi += 1
+      }
+      bwr.flushPad()
+      al -= 1
+    }
+
+    // AC scan: Ss=1..63, first order, EOB-run coding across blocks
+    sos(1, 63, 0, 0)
+    val bw2 = new BitWriter(out)
+    var eobrun = 0
+    def flushEobrun(): Unit = {
+      while (eobrun > 0) {
+        // one EOBn covers up to 32767 blocks: 2^r + r extra bits, r ≤ 14
+        val n = math.min(eobrun, 32767)
+        var r = 0
+        while ((2 << r) <= n) r += 1 // largest r with 2^r ≤ n
+        bw2.put(ProgAc.code(r << 4), ProgAc.len(r << 4))
+        if (r > 0) bw2.put(n - (1 << r), r)
+        eobrun -= n
+      }
+    }
+    bi = 0
+    while (bi < spectra.length) {
+      val zz = spectra(bi)
+      var last = 63
+      while (last >= 1 && zz(last) == 0) last -= 1
+      if (last < 1) eobrun += 1 // all-zero AC: extend the EOB run
+      else {
+        flushEobrun()
+        var k2 = 1
+        var run = 0
+        while (k2 <= last) {
+          if (zz(k2) == 0) run += 1
+          else {
+            while (run >= 16) {
+              bw2.put(ProgAc.code(0xF0), ProgAc.len(0xF0)); run -= 16
+            }
+            val sz = category(zz(k2))
+            val sym = (run << 4) | sz
+            bw2.put(ProgAc.code(sym), ProgAc.len(sym))
+            bw2.put(if (zz(k2) < 0) zz(k2) + (1 << sz) - 1 else zz(k2), sz)
+            run = 0
+          }
+          k2 += 1
+        }
+        if (last < 63) eobrun += 1 // trailing zeros close as an EOB
+      }
+      bi += 1
+    }
+    flushEobrun()
+    bw2.flushPad()
     out.write(0xFF); out.write(0xD9) // EOI
     out.toByteArray
   }

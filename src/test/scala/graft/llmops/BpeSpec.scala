@@ -108,6 +108,37 @@ class BpeSpec extends SparkTestBase {
     one.foreach(r => assert(r.getLong(1) === r.getLong(2)))
   }
 
+  test("model persistence: save/load round-trips and a loaded model packs identically") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bpe-model").toString
+    val d = spark.read.parquet(s"$sf0001/documents.parquet").limit(150)
+    val trained = Bpe.train(d, "text", numMerges = 12)
+    Bpe.saveModel(spark, trained, s"$root/model")
+    val loaded = Bpe.loadModel(spark, s"$root/model")
+    assert(loaded === trained)
+    // the loaded model drives encode and token-exact packing bit-for-bit
+    val viaTrained = d.select(col("doc_id"),
+      Bpe.encode(col("text"), trained).alias("t")).orderBy("doc_id").collect()
+    val viaLoaded = d.select(col("doc_id"),
+      Bpe.encode(col("text"), loaded).alias("t")).orderBy("doc_id").collect()
+    viaTrained.zip(viaLoaded).foreach { case (a, b) =>
+      assert(a.getSeq[String](1) === b.getSeq[String](1))
+    }
+    val packedA = TrainExport.packSequencesByTokens(
+        d, "doc_id", "text", trained, nShards = 2, tokenBudget = 400L)
+      .orderBy("shard", "pos").collect()
+    val packedB = TrainExport.packSequencesByTokens(
+        d, "doc_id", "text", loaded, nShards = 2, tokenBudget = 400L)
+      .orderBy("shard", "pos").collect()
+    assert(packedA.map(_.toString).toSeq === packedB.map(_.toString).toSeq)
+    // overwrite is idempotent; a rank-corrupted table refuses
+    Bpe.saveModel(spark, trained, s"$root/model")
+    assert(Bpe.loadModel(spark, s"$root/model") === trained)
+    Bpe.saveModel(spark, trained.drop(1), s"$root/corrupt")
+    assertThrows[IllegalArgumentException] {
+      Bpe.loadModel(spark, s"$root/corrupt")
+    }
+  }
+
   test("trainLimit bounds the collected type table deterministically") {
     val df = Seq((1L, "aa aa bb bb bb cc")).toDF("id", "text")
     // limit 1 keeps only "bb" (highest count); merges come from it alone
