@@ -1006,6 +1006,22 @@ object SparkEntry {
         .orderBy("query_key", "rank")
     }),
 
+    "q127_ivfadc_residual" -> ((s, dir) => {
+      // IVFADC with residual encoding (Jégou et al. 2011 §IV): corpus
+      // vectors PQ-coded on v − centroid(cell), query tables per probed
+      // cell on the query's residual against that cell. The oracle
+      // replays the whole pipeline — coarse assign, residuals, residual
+      // codebook hash-sample, encode, per-cell query tables, ADC rank —
+      // double-for-double in SQL
+      val ss = tuned(s)
+      val emb = t(ss, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      graft.llmops.Similarity.ivfAdcTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 3,
+          nCentroids = 16, nProbe = 4, numSubspaces = 8, pqCentroids = 16)
+        .orderBy("query_key", "rank")
+    }),
+
     "q108_bpe_train" -> ((s, dir) => {
       // byte-level BPE training (Sennrich 2016): 24 merges learned from
       // the documents word-frequency table — distributed word count,
@@ -2600,6 +2616,97 @@ object SparkEntry {
            row_number() OVER (PARTITION BY query_key
                               ORDER BY sim DESC, neighbor_key) AS rank
          FROM rer QUALIFY rank <= 3
+         ORDER BY query_key, rank""",
+
+    "q127_ivfadc_residual" ->
+      """WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         samp AS (
+           SELECT v AS cv,
+             row_number() OVER (ORDER BY
+               ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 1000000,
+               vec_id) - 1 AS j
+           FROM emb QUALIFY j <= 15),
+         coarse AS (
+           SELECT e.vec_id, s.j AS cent_id,
+             CASE WHEN sqrt(list_sum([s.cv[i] * s.cv[i]
+                                      FOR i IN range(1, 65)])) = 0
+               THEN 0.0
+               ELSE -(list_sum([e.v[i] * s.cv[i] FOR i IN range(1, 65)])) /
+                 sqrt(list_sum([s.cv[i] * s.cv[i] FOR i IN range(1, 65)]))
+             END AS score
+           FROM emb e, samp s),
+         corp AS (
+           SELECT vec_id AS neighbor_key, cent_id FROM coarse
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY score, cent_id) = 1),
+         qry AS (
+           SELECT vec_id AS query_key, cent_id FROM coarse WHERE vec_id < 5
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY score, cent_id) <= 4),
+         -- corpus residual against its OWN cell's centroid
+         resid AS (
+           SELECT e.vec_id,
+             [e.v[i] - s.cv[i] FOR i IN range(1, 65)] AS rv
+           FROM emb e
+           JOIN corp c ON c.neighbor_key = e.vec_id
+           JOIN samp s ON s.j = c.cent_id),
+         -- residual codebook: same deterministic hash-sample, over the
+         -- residual vectors
+         rsamp AS (
+           SELECT rv AS cv,
+             row_number() OVER (ORDER BY
+               ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 1000000,
+               vec_id) - 1 AS j
+           FROM resid QUALIFY j <= 15),
+         rdist AS (
+           SELECT r.vec_id, mi.m, s.j,
+             list_sum([(r.rv[mi.m * 8 + i] - s.cv[mi.m * 8 + i]) *
+                       (r.rv[mi.m * 8 + i] - s.cv[mi.m * 8 + i])
+                       FOR i IN range(1, 9)]) AS dd
+           FROM resid r, rsamp s, range(0, 8) mi(m)),
+         codes0 AS (
+           SELECT vec_id, m, j AS code FROM rdist
+           QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dd, j) = 1),
+         codesarr AS (
+           SELECT vec_id AS neighbor_key, list(code ORDER BY m) AS codes
+           FROM codes0 GROUP BY vec_id),
+         -- query residual per PROBED cell, then per-(query, cell) tables
+         qresid AS (
+           SELECT q.query_key, q.cent_id,
+             [e.v[i] - s.cv[i] FOR i IN range(1, 65)] AS rv
+           FROM qry q
+           JOIN emb e ON e.vec_id = q.query_key
+           JOIN samp s ON s.j = q.cent_id),
+         qdist AS (
+           SELECT q.query_key, q.cent_id, mi.m, s.j,
+             list_sum([(q.rv[mi.m * 8 + i] - s.cv[mi.m * 8 + i]) *
+                       (q.rv[mi.m * 8 + i] - s.cv[mi.m * 8 + i])
+                       FOR i IN range(1, 9)]) AS dd
+           FROM qresid q, rsamp s, range(0, 8) mi(m)),
+         qrows AS (
+           SELECT query_key, cent_id, m, list(dd ORDER BY j) AS trow
+           FROM qdist GROUP BY query_key, cent_id, m),
+         qarr AS (
+           SELECT query_key, cent_id, list(trow ORDER BY m) AS tab
+           FROM qrows GROUP BY query_key, cent_id),
+         cand AS (
+           SELECT query_key, neighbor_key, cent_id
+           FROM qry JOIN corp USING (cent_id)
+           WHERE query_key <> neighbor_key),
+         adcscored AS (
+           SELECT c.query_key, c.neighbor_key,
+             list_sum([q.tab[mi][ca.codes[mi] + 1]
+                       FOR mi IN range(1, 9)]) AS adist
+           FROM cand c
+           JOIN qarr q ON q.query_key = c.query_key
+             AND q.cent_id = c.cent_id
+           JOIN codesarr ca USING (neighbor_key))
+         SELECT query_key, neighbor_key,
+           row_number() OVER (PARTITION BY query_key
+                              ORDER BY adist, neighbor_key) AS rank
+         FROM adcscored QUALIFY rank <= 3
          ORDER BY query_key, rank""",
 
     "q108_bpe_train" -> bpeTrainOracle,

@@ -876,6 +876,112 @@ object Similarity {
       .select("query_key", "neighbor_key", "rank")
   }
 
+  /** IVFADC with RESIDUAL encoding — the canonical layout of Jégou et
+    * al. 2011 §IV: each corpus vector is PQ-coded on its residual
+    * `v − centroid(cell(v))` instead of on `v` itself. Residuals are
+    * centered near zero with far smaller spread than raw vectors, so the
+    * same code budget (numSubspaces × log2(pqCentroids) bits) quantizes
+    * them with less error — measurably higher recall at equal nProbe
+    * (asserted in PqSpec, not assumed). The query side mirrors it: for
+    * each probed cell the query's residual against THAT cell's centroid
+    * builds the ADC table, so tables are per (query, cell).
+    *
+    * Cost shape vs [[ivfPqTopK]]: identical corpus-side passes (one
+    * coarse assign, one encode, one probed-cell ADC scan); the query
+    * side computes nProbe tables per query instead of one — still
+    * nQueries × nProbe × M·K doubles, broadcast-sized. The residual
+    * codebook is hash-sampled from the residuals themselves
+    * ([[pqSample]]), so an external SQL engine replays every double of
+    * the pipeline exactly, tie-breaks included — same determinism
+    * contract as the whole PQ family.
+    *
+    * @return (query_key, neighbor_key, rank) — rank 1..k by ascending
+    *         approximate distance within the probed cells
+    */
+  def ivfAdcTopK(
+      corpus: DataFrame,
+      corpusKey: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryKey: String,
+      queryVec: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      numSubspaces: Int = 8,
+      pqCentroids: Int = 16,
+      coarseCentroids: Option[DataFrame] = None
+  ): DataFrame = {
+    val coarseCents = coarseCentroids.getOrElse(
+      pqSample(corpus, corpusKey, corpusVec, nCentroids))
+    // identical coarse scoring to ivfPqTopK (see there for the zero-norm
+    // guard rationale)
+    def coarse(src: DataFrame, keyAs: String): DataFrame =
+      src.crossJoin(broadcast(coarseCents))
+        .withColumn("dot", aggregate(
+          zip_with(col("__v"), col("cent_vec"),
+            (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("cnorm", sqrt(aggregate(
+          zip_with(col("cent_vec"), col("cent_vec"),
+            (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x)))
+        .select(col(keyAs), col("j").alias("cent_id"),
+          when(col("cnorm") === 0, lit(0.0))
+            .otherwise(-col("dot") / col("cnorm")).alias("score"))
+    val corpusCell = coarse(
+        corpus.select(col(corpusKey).alias("neighbor_key"),
+          col(corpusVec).alias("__v")), "neighbor_key")
+      .groupBy(col("neighbor_key"))
+      .agg(min_by(col("cent_id"), struct(col("score"), col("cent_id")))
+        .alias("cent_id"))
+    val wProbe = Window.partitionBy(col("query_key"))
+      .orderBy(col("score"), col("cent_id"))
+    val probes = coarse(
+        queries.select(col(queryKey).alias("query_key"),
+          col(queryVec).alias("__v")), "query_key")
+      .withColumn("__r", row_number().over(wProbe))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_key"), col("cent_id"))
+
+    val centById = coarseCents
+      .select(col("j").alias("cent_id"), col("cent_vec").alias("__cv"))
+    // corpus residuals (one cell per vector → one residual per vector)
+    val resid = corpus
+      .select(col(corpusKey).alias("neighbor_key"), col(corpusVec).alias("__v"))
+      .join(corpusCell, "neighbor_key")
+      .join(broadcast(centById), "cent_id")
+      .withColumn("__rv", zip_with(col("__v"), col("__cv"),
+        (a, b) => a.cast("double") - b.cast("double")))
+      .select(col("neighbor_key"), col("__rv"))
+    val cb = pqSample(resid, "neighbor_key", "__rv", pqCentroids)
+    val codes = pqEncodeWith(resid, "neighbor_key", "__rv", cb, numSubspaces)
+      .select(col("neighbor_key"), col("codes"))
+    // query residuals per PROBED cell; tables keyed (query, cell)
+    val qresid = queries
+      .select(col(queryKey).alias("query_key"), col(queryVec).alias("__qv"))
+      .join(probes, "query_key")
+      .join(broadcast(centById), "cent_id")
+      .withColumn("__rv", zip_with(col("__qv"), col("__cv"),
+        (a, b) => a.cast("double") - b.cast("double")))
+      .withColumn("__qc", struct(col("query_key"), col("cent_id")))
+      .select(col("__qc"), col("__rv"))
+    val qtab = pqQueryTables(qresid, "__qc", "__rv", cb, numSubspaces)
+      .select(col("query_key.query_key").alias("query_key"),
+        col("query_key.cent_id").alias("cent_id"), col("tab"))
+
+    val scored = corpusCell.join(broadcast(probes), "cent_id")
+      .filter(col("query_key") =!= col("neighbor_key"))
+      .join(codes, "neighbor_key")
+      .join(broadcast(qtab), Seq("query_key", "cent_id"))
+      .withColumn("adist", pqAdist(col("tab"), col("codes")))
+    val w = Window.partitionBy(col("query_key"))
+      .orderBy(col("adist"), col("neighbor_key"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_key", "neighbor_key", "rank")
+  }
+
   /** [[pqEncode]] against an existing codebook (shared by encode + query
     * so both sides quantize identically).
     */

@@ -104,6 +104,59 @@ class PqSpec extends SparkTestBase {
     assert(recall >= 0.5, s"IVF-PQ recall $recall (got=$pairs bf=$bf)")
   }
 
+  test("ivfAdcTopK: residual encoding lifts recall over raw-vector codes at equal nProbe") {
+    val df = clustered(8, 8, 16)
+    // clean coarse quantizer (one centroid per cluster — what pqTrain
+    // converges to in production): the residual benefit is conditional
+    // on the coarse cells being sane, so the comparison isolates the
+    // ENCODING change instead of coarse-sampling luck
+    val anchors = (0 until 8).map { c =>
+      (c, Array.tabulate(16)(d =>
+        if (((c >> (d % 4)) & 1) == 1) 10.0 else -10.0).toSeq)
+    }.toDF("j", "cent_vec")
+    val queries = df.filter($"vec_id" % 8 === 1)
+    val k = 3
+    val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k)
+      .select("query_key", "neighbor_key")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+      val pairs = res.select("query_key", "neighbor_key")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (pairs intersect bf).size.toDouble / bf.size
+    }
+    // starve the code budget (4 subspaces × 4 centroids): raw-vector
+    // codes must spend it on the ±10 anchor structure; residual codes
+    // only quantize the sub-1.0 jitter around each cell centroid
+    val raw = recallOf(Similarity.ivfPqTopK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k,
+      nCentroids = 8, nProbe = 4, numSubspaces = 4, pqCentroids = 4,
+      coarseCentroids = Some(anchors)))
+    val residual = recallOf(Similarity.ivfAdcTopK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k,
+      nCentroids = 8, nProbe = 4, numSubspaces = 4, pqCentroids = 4,
+      coarseCentroids = Some(anchors)))
+    assert(residual >= raw + 0.2,
+      s"residual recall $residual must measurably beat raw-code recall $raw")
+    assert(residual >= 0.8, s"residual recall too low: $residual")
+    // shape contract: self never returned, ranks dense 1..k
+    val got = Similarity.ivfAdcTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k,
+        nCentroids = 8, nProbe = 4, numSubspaces = 4, pqCentroids = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    got.foreach { case (q, n, _) => assert(q !== n) }
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to k))
+    }
+    // determinism: two runs agree bit-for-bit
+    val again = Similarity.ivfAdcTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k,
+        nCentroids = 8, nProbe = 4, numSubspaces = 4, pqCentroids = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.sortBy(t => (t._1, t._3)).toSeq ===
+      again.sortBy(t => (t._1, t._3)).toSeq)
+  }
+
   test("pqTrain: Lloyd refinement cuts quantization error, holds recall") {
     val df = clustered(8, 8, 16)
     // the hash sample picks 16 arbitrary corpus rows; Lloyd moves them
