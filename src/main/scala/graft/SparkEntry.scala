@@ -1526,6 +1526,36 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q129_decontaminate_filter" -> ((s, dir) => {
+      // the FILTER form of q56's decontamination at GPT-3's n = 13:
+      // what actually ships to training — every document sharing any
+      // word 13-gram with the eval stand-in (docs 0-4, which flag
+      // themselves) is anti-joined away; the oracle recomputes the
+      // kept set from scratch
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents")
+      graft.llmops.DedupOps.decontaminate(d, "doc_id", "text",
+          d.filter(col("doc_id") < 5), "text", n = 13)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "q128_sliding_events" -> ((s, dir) => {
+      // sliding event-time windows (1 h width advancing every 30 min):
+      // every event lands in exactly width/slide = 2 windows, epoch-
+      // aligned like Spark's window(); emitted as epoch seconds so the
+      // oracle compare is timezone-free
+      val ev = t(tuned(s), dir, "events")
+      graft.streaming.WindowAgg.sliding(ev, "ts", "1 hour", "30 minutes",
+          keys = Seq("event_type"),
+          aggs = Seq(count(lit(1)).as("n"),
+            round(sum(col("value")), 4).as("total_value")))
+        .select(unix_seconds(col("window_start")).as("ws_sec"),
+          unix_seconds(col("window_end")).as("we_sec"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("ws_sec", "event_type")
+    }),
+
     "q126_progressive_dhash" -> ((s, dir) => {
       // progressive-JPEG DC-only dHash: SOF2 streams hash through the
       // first DC scan's block means, in the same grid/bit layout as the
@@ -4424,6 +4454,38 @@ object SparkEntry {
          WHERE bit_count(xor(a.dh_hi, b.dh_hi))
              + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
          ORDER BY key_a, key_b""",
+
+    "q129_decontaminate_filter" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         bg AS (
+           SELECT DISTINCT array_to_string(list_slice(ws, i + 1, i + 13), ' ') AS gram
+           FROM docs, range(200) t(i)
+           WHERE doc_id < 5 AND i + 13 <= len(ws)),
+         bad AS (
+           SELECT DISTINCT doc_id
+           FROM docs, range(200) t(i)
+           WHERE i + 13 <= len(ws)
+             AND array_to_string(list_slice(ws, i + 1, i + 13), ' ')
+                 IN (SELECT gram FROM bg))
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
+
+    "q128_sliding_events" ->
+      """WITH e AS (
+           SELECT event_type, value,
+             CAST(floor(floor(epoch(ts)) / 1800) AS BIGINT) * 1800 AS fg
+           FROM events),
+         -- an event's two windows: starts at its 30-min grid point and
+         -- one slide earlier (width/slide = 2, epoch-aligned)
+         w AS (
+           SELECT fg - k.k * 1800 AS ws_sec, event_type, value
+           FROM e, range(2) k(k))
+         SELECT ws_sec, ws_sec + 3600 AS we_sec, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+         FROM w GROUP BY 1, 2, 3
+         ORDER BY ws_sec, event_type""",
 
     "q126_progressive_dhash" ->
       """WITH ids AS (

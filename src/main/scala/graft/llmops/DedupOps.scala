@@ -201,6 +201,24 @@ object DedupOps {
       .agg(count(lit(1)).alias("n_shared_grams"))
   }
 
+  /** The filter form of [[contaminatedDocs]]: corpus rows with no
+    * benchmark n-gram overlap — what actually ships to training. Same
+    * plan plus one anti-join on the contaminated key set; corpus
+    * content is never shuffled.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      keyCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 8
+  ): DataFrame = {
+    val bad = contaminatedDocs(docs, keyCol, textCol, bench, benchTextCol, n)
+      .select(col("key").alias("__badkey"))
+    docs.join(bad, docs(keyCol) === col("__badkey"), "left_anti")
+  }
+
   /** Streaming exact dedup: drops re-occurrences of the same normalized
     * text fingerprint within the event-time watermark window —
     * `dropDuplicatesWithinWatermark` keeps state bounded (a plain

@@ -711,6 +711,34 @@ class LlmOpsSpec extends SparkTestBase {
     assert(viaStore === got)
   }
 
+  test("decontaminate filter form: contaminated rows anti-joined away, content intact") {
+    val words = (1 to 40).map(i => s"w$i")
+    val clean = (1 to 40).map(i => s"c$i")
+    val corpus = Seq(
+      (1L, words.mkString(" ")), // carries the benchmark passage → drop
+      (2L, clean.mkString(" ")), // disjoint vocabulary → keep
+      // 12 consecutive benchmark words (one short of a 13-gram) → keep
+      (3L, (words.slice(5, 17) ++ Seq("zzz") ++ clean.take(10)).mkString(" ")),
+      (4L, "too short to matter"), // keep
+      (5L, null.asInstanceOf[String]) // keep: nothing to share
+    ).toDF("doc_id", "text")
+    // benchmark = words 6..26 of the passage (21 words → 9 thirteen-grams)
+    val bench = Seq(words.slice(5, 26).mkString(" ")).toDF("btext")
+    val kept = DedupOps.decontaminate(corpus, "doc_id", "text",
+        bench, "btext", n = 13)
+      .orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(kept.map(_._1) === Seq(2L, 3L, 4L, 5L))
+    // survivors keep their original bytes
+    assert(kept.head._2 === clean.mkString(" "))
+    // n is honored: at n = 12 doc 3's 12-word benchmark run now drops it
+    val at12 = DedupOps.decontaminate(corpus, "doc_id", "text",
+        bench, "btext", n = 12)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!at12.contains(3L) && !at12.contains(1L))
+    assert(at12.contains(2L))
+  }
+
   test("corpusDiff: added/removed/changed by normalized fingerprint") {
     val oldSnap = Seq(
       (1L, "kept exactly"), (2L, "will change"), (3L, "will vanish"),

@@ -123,6 +123,34 @@ class Mp4Spec extends SparkTestBase {
     assert(kept === Set(11L))
   }
 
+  test("ingestVideoBatch is container-agnostic: MP4 batch screens against an AVI-built store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mp4_ingest").toString
+    val corpusPath = s"$dir/corpus"
+    val sigPath = s"$dir/sigs"
+    // seed the store from AVI content
+    val b1 = Seq(
+      (1L, AviWriter.avi(72, 16, Seq(10, 20, 30).map(jf))),
+      (2L, AviWriter.avi(72, 16, Seq(80, 81, 82).map(jf)))).toDF("vid", "content")
+    assert(graft.streaming.CorpusIngest.ingestVideoBatch(spark, b1,
+      corpusPath, "content", "vid", signaturePath = Some(sigPath)) === 2)
+    // MP4 batch: a remux of stored AVI 1 drops, within-batch MP4 dup
+    // collapses keep-first, fresh MP4 lands
+    val b2 = Seq(
+      (10L, Mp4Writer.mp4(72, 16, Seq(10, 20, 30).map(jf))), // remux of 1 → drop
+      (11L, Mp4Writer.mp4(72, 16, Seq(200, 201, 202).map(jf))), // fresh → land
+      (12L, Mp4Writer.mp4(72, 16, Seq(200, 201, 202).map(jf)))) // batch dup of 11 → drop
+      .toDF("vid", "content")
+    assert(graft.streaming.CorpusIngest.ingestVideoBatch(spark, b2,
+      corpusPath, "content", "vid", signaturePath = Some(sigPath)) === 1)
+    // replay is idempotent across containers
+    assert(graft.streaming.CorpusIngest.ingestVideoBatch(spark, b2,
+      corpusPath, "content", "vid", signaturePath = Some(sigPath)) === 0)
+    import spark.implicits._
+    val stored = spark.read.parquet(corpusPath).select("vid").as[Long]
+      .collect().toSet
+    assert(stored === Set(1L, 2L, 11L))
+  }
+
   test("SQL registration agrees with the API") {
     graft.GraftFunctions.register(spark)
     val mp4 = Mp4Writer.mp4(72, 16, Seq(5, 6).map(jf))
