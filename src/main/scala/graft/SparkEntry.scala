@@ -1526,6 +1526,32 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q130_pii_redact" -> ((s, dir) => {
+      // PII redaction: plant doc_id-derived emails / IPv4s / phone runs
+      // (SQL-mirrored fixture synthesis, like q14/q38), then the staged
+      // email→IP→phone redaction; the oracle rebuilds the same text and
+      // replays every regexp in DuckDB's RE2 — the Java∩RE2 pattern
+      // discipline is what the gate proves
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents")
+      val planted = d.select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" contact bob"),
+            (col("doc_id") % 7).cast("string"), lit("@mail"),
+            (col("doc_id") % 3).cast("string"), lit(".example.com now")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, concat(lit(" host 10."),
+            (col("doc_id") % 250).cast("string"), lit("."),
+            (col("doc_id") % 100).cast("string"), lit(".1 up")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, concat(lit(" call +519"),
+            lpad((col("doc_id") * 37 % 100000000).cast("string"), 8, "0"),
+            lit(" today"))).otherwise(lit("")))
+          .alias("text"))
+      graft.llmops.TextAnalysis.redactPii(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q129_decontaminate_filter" -> ((s, dir) => {
       // the FILTER form of q56's decontamination at GPT-3's n = 13:
       // what actually ships to training — every document sharing any
@@ -4454,6 +4480,45 @@ object SparkEntry {
          WHERE bit_count(xor(a.dh_hi, b.dh_hi))
              + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
          ORDER BY key_a, key_b""",
+
+    "q130_pii_redact" ->
+      """WITH planted AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 3 = 0 THEN ' contact bob' ||
+               CAST(doc_id % 7 AS VARCHAR) || '@mail' ||
+               CAST(doc_id % 3 AS VARCHAR) || '.example.com now'
+               ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN ' host 10.' ||
+               CAST(doc_id % 250 AS VARCHAR) || '.' ||
+               CAST(doc_id % 100 AS VARCHAR) || '.1 up'
+               ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0 THEN ' call +519' ||
+               lpad(CAST(doc_id * 37 % 100000000 AS VARCHAR), 8, '0') ||
+               ' today' ELSE '' END AS t0
+           FROM documents),
+         staged AS (
+           SELECT doc_id, t0,
+             len(regexp_extract_all(t0,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             regexp_replace(t0,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+           FROM planted),
+         staged2 AS (
+           SELECT doc_id, n_emails,
+             len(regexp_extract_all(t1,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+             regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+               '<IP>', 'g') AS t2
+           FROM staged)
+         SELECT doc_id,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_ips AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t2,
+             '\+?\d(?:[-() ]?\d){8,14}')) AS BIGINT) AS n_phones,
+           regexp_replace(t2, '\+?\d(?:[-() ]?\d){8,14}', '<PHONE>', 'g')
+             AS text_redacted
+         FROM staged2 ORDER BY doc_id""",
 
     "q129_decontaminate_filter" ->
       """WITH docs AS (

@@ -659,6 +659,43 @@ object TextAnalysis {
       .drop(textCol)
   }
 
+  /** PII redaction screen (the CCNet/Dolma pre-release step): emails,
+    * IPv4 literals, and phone-shaped digit runs replaced with typed
+    * placeholder tokens, with per-class counts for the audit trail.
+    * Three staged passes — emails first, then IPs on the email-redacted
+    * text, then phones on the IP-redacted text — so a digit run inside
+    * an address is never double-counted and the counts always equal the
+    * replacements made.
+    *
+    * Pure per-row regexp projections, zero shuffles, composes with the
+    * one-scan curation battery. Every pattern stays in the Java∩RE2
+    * common syntax (character classes, bounded repetition, non-capturing
+    * groups, ASCII `\b`) so an external SQL engine replays the exact
+    * redactions.
+    *
+    * @return (keyCol, n_emails, n_ips, n_phones, text_redacted)
+    */
+  def redactPii(df: DataFrame, keyCol: String, textCol: String,
+      emailToken: String = "<EMAIL>", ipToken: String = "<IP>",
+      phoneToken: String = "<PHONE>"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+?\\d(?:[-() ]?\\d){8,14}"
+    def cnt(c: Column, pattern: String): Column =
+      size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+    val t0 = col(textCol)
+    df.select(col(keyCol), t0.alias("__t0"))
+      .withColumn("n_emails", cnt(col("__t0"), email))
+      .withColumn("__t1", regexp_replace(col("__t0"), email, emailToken))
+      .withColumn("n_ips", cnt(col("__t1"), ip))
+      .withColumn("__t2", regexp_replace(col("__t1"), ip, ipToken))
+      .withColumn("n_phones", cnt(col("__t2"), phone))
+      .withColumn("text_redacted",
+        regexp_replace(col("__t2"), phone, phoneToken))
+      .select(col(keyCol), col("n_emails"), col("n_ips"), col("n_phones"),
+        col("text_redacted"))
+  }
+
   /** Cross-snapshot corpus diff — the data-versioning primitive for
     * ingestion operations: which documents were ADDED, REMOVED, or
     * CHANGED between two corpus snapshots (a failed backfill, a

@@ -284,6 +284,42 @@ class PlanShapeSpec extends SparkTestBase {
       s"corpus diff must be one full-outer equi-join:\n$p106")
   }
 
+  test("q129 decontamination filter: bench grams broadcast, anti-join, no cartesian") {
+    val plan = executedPlan("q129_decontaminate_filter")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set must broadcast (eval sets are tiny vs the corpus):\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"the shipped set must be an anti-join on contaminated keys:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q128/q12 window aggregation: map-side partials, no extra exchange") {
+    for (name <- Seq("q12_hourly_events", "q128_sliding_events")) {
+      val plan = executedPlan(name)
+      assert(plan.contains("partial_"),
+        s"$name must partially aggregate before the shuffle:\n$plan")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(hashEx <= 2, // one for the agg (AQE may print it twice)
+        s"$name should shuffle once on (window, keys), saw $hashEx:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
+
+  test("q130 pii redaction is a pure per-row projection: no shuffle before orderBy") {
+    val plan = executedPlan("q130_pii_redact")
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Window") && !plan.contains("CartesianProduct"),
+      s"redaction must ride the scan partitioning:\n$plan")
+  }
+
+  test("q125 mixed-container video near-dup: equi-join on frame hash, no cartesian") {
+    val plan = executedPlan("q125_video_neardup_mixed")
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate generation must stay an equi-join:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"the stop-frame screen anti-join must be in the plan:\n$plan")
+  }
+
   test("q87 llm judge adds no shuffle: score columns ride the scan partitioning") {
     val df = SparkEntry.queries("q87_llm_judge")(spark, sf0001)
     df.collect()

@@ -739,6 +739,37 @@ class LlmOpsSpec extends SparkTestBase {
     assert(at12.contains(2L))
   }
 
+  test("redactPii: staged email/IP/phone redaction with audit counts") {
+    val docs = Seq(
+      (1L, "mail alice.b+work@sub.example.org or bob@x.io today"),
+      (2L, "server 192.168.1.100 and 10.0.0.1 are up"),
+      (3L, "call +51 999-123-456 or (01) 234-5678-901"),
+      (4L, "user123@h.co from 8.8.8.8 dialed +14155550123"),
+      (5L, "clean text with the number 42 and v1.2 nothing else"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 === 2L) // two emails
+    assert(byId(1L)._5 === "mail <EMAIL> or <EMAIL> today")
+    assert(byId(2L)._3 === 2L) // two IPs, no phones conjured from them
+    assert(byId(2L)._4 === 0L)
+    assert(byId(2L)._5 === "server <IP> and <IP> are up")
+    assert(byId(3L)._4 === 2L) // two phone-shaped runs
+    // "(01) " has TWO separators between 1 and 2 — the run restarts at 2
+    assert(byId(3L)._5 === "call <PHONE> or (01) <PHONE>")
+    // staged order: the email is consumed FIRST, so its digits are
+    // never counted as a phone; the IP never reads as a phone either
+    assert(byId(4L)._2 === 1L && byId(4L)._3 === 1L && byId(4L)._4 === 1L)
+    assert(byId(4L)._5 === "<EMAIL> from <IP> dialed <PHONE>")
+    // short digit runs and version strings survive untouched
+    assert(byId(5L)._5 === docs.filter($"doc_id" === 5L)
+      .select("text").as[String].head())
+    assert(byId(6L)._5 === "")
+  }
+
   test("corpusDiff: added/removed/changed by normalized fingerprint") {
     val oldSnap = Seq(
       (1L, "kept exactly"), (2L, "will change"), (3L, "will vanish"),
