@@ -1526,6 +1526,40 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q132_zorder_value" -> ((s, dir) => {
+      // the Morton interleave behind OPTIMIZE ZORDER BY: bucket
+      // (user_id, event_id mod 1000) into 8-bit ranges off the real
+      // column min/max, interleave the bits; the oracle replays the
+      // scaling and every bit term in SQL
+      val ss = tuned(s)
+      val ev = t(ss, dir, "events")
+      val M = graft.operators.Maintenance
+      val r = ev.agg(min(col("user_id")).cast("long"),
+        max(col("user_id")).cast("long")).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      ev.select(col("event_id"),
+          M.zvalue2(
+            M.zorderBucket(col("user_id"), lo, hi, bits = 8),
+            M.zorderBucket(pmod(col("event_id"), lit(1000)), 0L, 999L, bits = 8),
+            bits = 8).as("zvalue"))
+        .orderBy("event_id")
+    }),
+
+    "q131_token_chunks" -> ((s, dir) => {
+      // token-budget chunking over the q108-trained BPE model: 64-token
+      // chunks with 16 carried over; the oracle re-trains the model,
+      // re-encodes every document, and slices the same token stream
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents")
+      val merges = graft.llmops.Bpe.train(d, "text", numMerges = BpeGateMerges,
+        trainLimit = 1 << 20)
+      graft.llmops.Bpe.chunkByTokens(d, "doc_id", "text", merges,
+          chunkTokens = 64, overlapTokens = 16)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("n_tokens"), md5(col("chunk_toks")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "q130_pii_redact" -> ((s, dir) => {
       // PII redaction: plant doc_id-derived emails / IPv4s / phone runs
       // (SQL-mirrored fixture synthesis, like q14/q38), then the staged
@@ -2598,7 +2632,58 @@ object SparkEntry {
          ORDER BY doc_id"""
   }
 
+  private def bpeChunkOracle: String = {
+    val m = BpeGateMerges
+    val chunk = 64
+    val ov = 16
+    val stride = chunk - ov
+    s"""WITH ${bpeOracleChain(m)},
+         dwords AS (
+           SELECT doc_id, unnest(l) AS word, unnest(range(len(l))) AS i
+           FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '[ \t\r\n]+'),
+                               x -> x <> '') AS l
+                 FROM documents)),
+         enc AS (
+           SELECT d.doc_id,
+             string_agg(replace(substring(t.s, 2), '.', ''), '|' ORDER BY d.i) AS toks
+           FROM dwords d JOIN tok$m t ON t.word = d.word
+           GROUP BY d.doc_id),
+         arrs AS (
+           SELECT doc_id, string_split(toks, '|') AS arr
+           FROM enc WHERE toks IS NOT NULL AND toks <> ''),
+         chunks AS (
+           SELECT a.doc_id, c.c AS chunk_idx,
+             list_slice(a.arr, c.c * $stride + 1, c.c * $stride + $chunk) AS ch
+           FROM arrs a, range(64) c(c)
+           WHERE c.c <= greatest(0, (len(a.arr) - $ov - 1) // $stride))
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(ch) AS BIGINT) AS n_tokens,
+           md5(array_to_string(ch, '|')) AS chunk_md5
+         FROM chunks ORDER BY doc_id, chunk_idx"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q131_token_chunks" -> bpeChunkOracle,
+
+    "q132_zorder_value" ->
+      """WITH r AS (
+           SELECT CAST(min(user_id) AS BIGINT) AS lo,
+             CAST(max(user_id) AS BIGINT) AS hi
+           FROM events),
+         bucketed AS (
+           SELECT e.event_id,
+             ((CAST(e.user_id AS BIGINT) - r.lo) * 256)
+               // (r.hi - r.lo + 1) AS ba,
+             ((e.event_id % 1000) * 256) // 1000 AS bb
+           FROM events e, r)
+         SELECT event_id,
+           CAST(list_sum([
+             ((ba // (1 << i)) % 2) * (1 << (2 * i)) +
+             ((bb // (1 << i)) % 2) * (1 << (2 * i + 1))
+             FOR i IN range(0, 8)]) AS BIGINT) AS zvalue
+         FROM bucketed ORDER BY event_id""",
+
     "q110_ivfpq_rerank" ->
       """WITH emb AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -160,6 +160,41 @@ object Bpe {
     merges.result()
   }
 
+  /** Token-budget document chunking — the context-window step of a
+    * training/RAG export: encode with a BPE model, then split the token
+    * stream into chunks of `chunkTokens` with `overlapTokens` carried
+    * between neighbors (stride = chunk − overlap), so every token is in
+    * at least one chunk and boundary context is never lost. Chunk 0
+    * always exists for a non-empty document; the last chunk may be
+    * short. Pure expression work after the encode — the token arrays
+    * explode into (key, chunk) rows without a shuffle.
+    *
+    * @return (keyCol, chunk_idx, n_tokens, chunk_toks) with `chunk_toks`
+    *         the '|'-joined hex tokens of the chunk
+    */
+  def chunkByTokens(df: DataFrame, keyCol: String, textCol: String,
+      merges: Seq[BpeMerge], chunkTokens: Int,
+      overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    df.select(col(keyCol), encode(col(textCol), merges).alias("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      // truncating div matches floor for the non-negative case and the
+      // greatest() clamp absorbs the n <= overlap case on both engines
+      .withColumn("__last", expr(
+        s"greatest(0, (__n - $overlapTokens - 1) div $stride)"))
+      .select(col(keyCol), col("__toks"),
+        explode(sequence(lit(0), col("__last"))).alias("chunk_idx"))
+      .withColumn("__chunk",
+        slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)))
+      .select(col(keyCol), col("chunk_idx"),
+        size(col("__chunk")).cast("long").alias("n_tokens"),
+        concat_ws("|", col("__chunk")).alias("chunk_toks"))
+  }
+
   /** Persist a trained merge table as a parquet artifact — the tokenizer
     * twin of the dedup signature stores: train once, reuse across jobs
     * and ingestion restarts without touching the corpus again. The

@@ -46,6 +46,70 @@ object Maintenance {
     ()
   }
 
+  /** Morton (Z-order) interleave of two bucketed dimensions — the value
+    * behind Delta/Iceberg `OPTIMIZE ZORDER BY (a, b)`: sorting by the
+    * interleaved bits clusters rows so that PARQUET FILE min/max ranges
+    * stay narrow on BOTH columns at once, and a point/box predicate on
+    * either column prunes most files (a linear sort only prunes its own
+    * leading column). Inputs must already be bucket ids in
+    * `[0, 2^bits)`; see [[zorderBucket]]. Disjoint bit positions make
+    * the sum a bitwise-or, and everything is integer expression math an
+    * external SQL engine replays exactly.
+    */
+  def zvalue2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Scale a column into `[0, 2^bits)` bucket ids given its min/max —
+    * integer-exact (`(v − min) · 2^bits div (max − min + 1)`), so the
+    * same expression replays in SQL.
+    */
+  def zorderBucket(c: org.apache.spark.sql.Column, minV: Long, maxV: Long,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    val span = maxV - minV + 1
+    val scaled = (c.cast("long") - lit(minV)) * lit(1L << bits)
+    // exact integer division: (x − x mod s) is divisible by s, and the
+    // double division of exactly-divisible longs under 2^53 is exact —
+    // an external engine just writes `scaled // span`
+    ((scaled - pmod(scaled, lit(span))) / lit(span)).cast("long")
+  }
+
+  /** OPTIMIZE ZORDER BY equivalent: rewrite a parquet table clustered by
+    * the Morton interleave of two columns. One pass computes the column
+    * ranges (a bounded driver artifact), a second buckets + interleaves
+    * and range-repartitions on the z-value so each output file owns a
+    * compact z-range — i.e. a small rectangle of (a, b) space. File
+    * count derives from the same targetFileMB contract as [[compact]].
+    */
+  def zorderWrite(spark: SparkSession, df: DataFrame, path: String,
+      colA: String, colB: String, bits: Int = 16,
+      numFiles: Int = 0): Unit = {
+    val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    if (r.isNullAt(0)) { // empty input: an empty table, not a crash
+      df.limit(0).write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
+    val (minA, maxA, minB, maxB) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val files =
+      if (numFiles > 0) numFiles
+      else math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    val z = zvalue2(
+      zorderBucket(col(colA), minA, maxA, bits),
+      zorderBucket(col(colB), minB, maxB, bits), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** VACUUM-equivalent for the staging/backup dirs the merge path leaves on
     * interruption. Sweeps both the fixed legacy names and the per-writer
     * `__staging.<token>` / temp-file droppings (never the live `__lock`).

@@ -139,6 +139,53 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("chunkByTokens: stride/overlap invariants and exact reconstruction") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet").limit(60)
+    val merges = Bpe.train(d, "text", numMerges = 8)
+    val chunkT = 24
+    val ov = 8
+    val stride = chunkT - ov
+    val chunks = Bpe.chunkByTokens(d, "doc_id", "text", merges, chunkT, ov)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val full = d.select(col("doc_id"),
+        Bpe.encode(col("text"), merges).alias("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    chunks.foreach { case (id, cs) =>
+      val toks = full(id)
+      // dense chunk indices from 0
+      assert(cs.map(_._2).toSeq === cs.indices.map(_.toLong).toSeq, s"doc $id")
+      // every chunk is the exact slice of the full stream
+      cs.foreach { case (_, i, n, joined) =>
+        val expect = toks.slice(i.toInt * stride, i.toInt * stride + chunkT)
+        assert(joined === expect.mkString("|"), s"doc $id chunk $i")
+        assert(n === expect.length.toLong)
+      }
+      // all but the last chunk are full; the tail is covered exactly
+      cs.init.foreach { case (_, i, n, _) =>
+        assert(n === chunkT.toLong, s"doc $id chunk $i under-filled")
+      }
+      val (_, lastI, lastN, _) = cs.last
+      assert(lastI * stride + lastN === toks.length.toLong ||
+        (cs.length == 1 && lastN == math.min(chunkT, toks.length)),
+        s"doc $id tail not covered")
+      // stride reconstruction: dropping each chunk's first `ov` tokens
+      // (except chunk 0) rebuilds the stream exactly
+      val rebuilt = cs.zipWithIndex.flatMap { case ((_, _, _, joined), k) =>
+        val ts = joined.split("\\|").toSeq
+        if (k == 0) ts else ts.drop(ov)
+      }
+      // overlapping tail chunks can re-cover tokens; compare as prefix
+      assert(rebuilt.take(toks.length) === toks, s"doc $id reconstruction")
+    }
+    // short-doc edge: fewer tokens than the overlap still yields chunk 0
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val tc = Bpe.chunkByTokens(tiny, "doc_id", "text", merges, chunkT, ov)
+      .as[(Long, Long, Long, String)].collect()
+    assert(tc.length === 1 && tc.head._2 === 0L)
+  }
+
   test("trainLimit bounds the collected type table deterministically") {
     val df = Seq((1L, "aa aa bb bb bb cc")).toDF("id", "text")
     // limit 1 keeps only "bb" (highest count); merges come from it alone

@@ -12,6 +12,46 @@ import java.sql.DriverManager
 class MaintenanceSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("zvalue2 interleaves bits; zorderWrite beats a linear sort at box pruning") {
+    // bit-exact interleave goldens: (a=0b101, b=0b011) → z = 0b011011...
+    // z bits: a at even positions, b at odd → a=5,b=3: 1(a0)+2(b0)+0(a1)+8(b1)+16(a2)+0(b2)=27
+    val g = Seq((5L, 3L, 27L), (0L, 0L, 0L), (255L, 0L, 0x5555L),
+      (0L, 255L, 0xAAAAL), (255L, 255L, 0xFFFFL))
+    val gdf = g.map(t => (t._1, t._2)).toDF("a", "b")
+      .select(Maintenance.zvalue2(col("a"), col("b"), bits = 8).as("z"))
+      .as[Long].collect().toSeq
+    assert(gdf === g.map(_._3))
+
+    // a 64×64 grid of (a, b): z-order clusters files into compact
+    // rectangles, so a box predicate on the SECOND column prunes files
+    // a linear sort on the first column cannot
+    val rows = for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong)
+    val df = rows.toDF("a", "b")
+    val root = Files.createTempDirectory("graft-zorder").toString
+    Maintenance.zorderWrite(spark, df, s"$root/z", "a", "b",
+      bits = 6, numFiles = 16)
+    df.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.parquet(s"$root/lin")
+    def filesOverlapping(path: String, colName: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(colName)).as("mn"), max(col(colName)).as("mx"))
+        .filter(col("mn") <= hi && col("mx") >= lo)
+        .count()
+    val zFiles = filesOverlapping(s"$root/z", "b", 10, 13)
+    val linFiles = filesOverlapping(s"$root/lin", "b", 10, 13)
+    // the linear layout scatters every b-value into every file; z-order
+    // confines a 4-wide b-band to a minority of files
+    assert(linFiles === 16L, s"baseline should not prune b (got $linFiles)")
+    assert(zFiles <= 8L, s"z-order should prune most files on b (got $zFiles)")
+    // and the rewrite is lossless
+    assert(spark.read.parquet(s"$root/z").count() === rows.length.toLong)
+    // empty input degrades to an empty table, not a crash
+    Maintenance.zorderWrite(spark, df.filter(col("a") < 0), s"$root/empty",
+      "a", "b")
+    assert(spark.read.parquet(s"$root/empty").count() === 0L)
+  }
+
   test("K6 compact rewrites many small files into few") {
     val root = Files.createTempDirectory("graft-compact").toString
     val path = s"$root/t"
