@@ -982,6 +982,51 @@ object Similarity {
       .select("query_key", "neighbor_key", "rank")
   }
 
+  /** [[ivfAdcTopK]] with an exact-vector re-rank — the full production
+    * retrieval stack (IVFADC shortlist over residual byte codes, true
+    * cosine over just the shortlisted vectors). Same broadcast shapes as
+    * [[ivfPqTopKRerank]]: the shortlist and the queries broadcast, the
+    * corpus is never shuffled for the re-rank.
+    *
+    * @return (query_key, neighbor_key, rank) — rank 1..k by DESCENDING
+    *         exact cosine within the shortlist, ties to the smaller key
+    */
+  def ivfAdcTopKRerank(
+      corpus: DataFrame,
+      corpusKey: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryKey: String,
+      queryVec: String,
+      k: Int,
+      kShortlist: Int = 32,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      numSubspaces: Int = 8,
+      pqCentroids: Int = 16,
+      coarseCentroids: Option[DataFrame] = None
+  ): DataFrame = {
+    require(kShortlist >= k,
+      s"kShortlist ($kShortlist) must be >= k ($k): the re-rank can only " +
+        "reorder the shortlist, not grow it")
+    val shortlist = ivfAdcTopK(corpus, corpusKey, corpusVec,
+        queries, queryKey, queryVec, kShortlist,
+        nCentroids, nProbe, numSubspaces, pqCentroids, coarseCentroids)
+      .select(col("query_key"), col("neighbor_key"))
+    val scored = corpus
+      .select(col(corpusKey).alias("neighbor_key"), col(corpusVec).alias("__nv"))
+      .join(broadcast(shortlist), "neighbor_key")
+      .join(broadcast(queries.select(
+        col(queryKey).alias("query_key"), col(queryVec).alias("__qv"))),
+        "query_key")
+      .withColumn("sim", cosine(col("__qv"), col("__nv")))
+    val w = Window.partitionBy(col("query_key"))
+      .orderBy(col("sim").desc, col("neighbor_key"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_key", "neighbor_key", "rank")
+  }
+
   /** [[pqEncode]] against an existing codebook (shared by encode + query
     * so both sides quantize identically).
     */

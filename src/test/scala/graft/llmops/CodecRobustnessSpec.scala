@@ -49,6 +49,8 @@ class CodecRobustnessSpec extends AnyFunSuite {
     graft.expressions.WavEnvelopeHash.compute(bytes)
     graft.expressions.WavSpectralHash.compute(bytes)
     graft.expressions.AviFrames.compute(bytes)
+    graft.expressions.Mp4Frames.compute(bytes)
+    graft.expressions.VideoFrames.compute(bytes)
     DocumentText.extractText(bytes, "application/pdf")
     DocumentText.extractText(bytes, "text/html")
     ()
@@ -73,6 +75,14 @@ class CodecRobustnessSpec extends AnyFunSuite {
         Seq(JpegWriter.gray(16, 8, (x, y) => (x + y) % 256)), Seq((16, 8))),
       AviWriter.avi(16, 8,
         Seq(JpegWriter.gray(16, 8, (x, y) => (x * 2 + y) % 256))),
+      Mp4Writer.mp4(16, 8,
+        Seq(JpegWriter.gray(16, 8, (x, y) => (x * 2 + y) % 256)),
+        samplesPerChunk = 1),
+      Mp4Writer.mp4(16, 8,
+        Seq(JpegWriter.gray(16, 8, (x, y) => (x + y * 3) % 256)),
+        useCo64 = true, moovFirst = true, quicktime = true),
+      JpegWriter.grayProgressive(24, 16, (x, y) => (x * 3 + y * 7 + 5) % 256),
+      JpegWriter.grayProgressive(17, 9, (x, y) => (x + y) % 256, dcAl = 2),
       OoxmlWriter.docx(Seq("body text")),
       OoxmlWriter.xlsx(Seq("s" -> Seq(Seq("1", "x")))),
       MediaWriter.wav(2, 44100, 16, 1000),
@@ -123,6 +133,8 @@ class CodecRobustnessSpec extends AnyFunSuite {
       MediaWriter.wav(1, 8000, 8, 64),
       MediaWriter.wavWithSamples(1, 8000, 128, 3),
       ImageWriter.pngWithPixels(16, 12, 42),
+      Mp4Writer.mp4(8, 8, Seq(JpegWriter.gray(8, 8, (x, y) => (x ^ y) % 256))),
+      JpegWriter.grayProgressive(16, 8, (x, y) => (x * 5 + y) % 256),
       LegacyOfficeWriter.doc(Seq("epsilon zeta")))
     for (doc <- base; i <- doc.indices by 7) {
       val mutated = doc.clone()

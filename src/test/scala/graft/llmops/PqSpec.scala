@@ -157,6 +157,48 @@ class PqSpec extends SparkTestBase {
       again.sortBy(t => (t._1, t._3)).toSeq)
   }
 
+  test("ivfAdcTopKRerank: exact re-rank on the residual shortlist lifts recall further") {
+    val df = clustered(8, 8, 16)
+    val anchors = (0 until 8).map { c =>
+      (c, Array.tabulate(16)(d =>
+        if (((c >> (d % 4)) & 1) == 1) 10.0 else -10.0).toSeq)
+    }.toDF("j", "cent_vec")
+    val queries = df.filter($"vec_id" % 8 === 1)
+    val k = 3
+    val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k)
+      .select("query_key", "neighbor_key")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+      val pairs = res.select("query_key", "neighbor_key")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (pairs intersect bf).size.toDouble / bf.size
+    }
+    val adc = recallOf(Similarity.ivfAdcTopK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k,
+      nCentroids = 8, nProbe = 4, numSubspaces = 4, pqCentroids = 4,
+      coarseCentroids = Some(anchors)))
+    val rr = recallOf(Similarity.ivfAdcTopKRerank(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, kShortlist = 12,
+      nCentroids = 8, nProbe = 4, numSubspaces = 4, pqCentroids = 4,
+      coarseCentroids = Some(anchors)))
+    assert(rr >= adc, s"re-rank recall $rr must not trail ADC-only $adc")
+    assert(rr >= 0.9, s"re-ranked residual recall too low: $rr")
+    // dense ranks, never self
+    val got = Similarity.ivfAdcTopKRerank(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k, kShortlist = 12,
+        nCentroids = 8, nProbe = 4, numSubspaces = 4, pqCentroids = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    got.foreach { case (q, n, _) => assert(q !== n) }
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to k))
+    }
+    assertThrows[IllegalArgumentException] {
+      Similarity.ivfAdcTopKRerank(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, kShortlist = 3)
+    }
+  }
+
   test("pqTrain: Lloyd refinement cuts quantization error, holds recall") {
     val df = clustered(8, 8, 16)
     // the hash sample picks 16 arbitrary corpus rows; Lloyd moves them
