@@ -472,6 +472,24 @@ object Multimodal {
       graft.expressions.VideoFrames(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
 
+  /** Uniform frame sampling — the feature-extraction step of a video
+    * pipeline: at most `n` frames drawn at evenly spaced indices
+    * (`floor(i·count/n)`, i = 0..n−1) from either container's frame
+    * stream, so downstream per-frame work (hashing, embedding, quality
+    * screens) is O(n) per video regardless of length. Videos with ≤ n
+    * frames pass through whole; non-videos stay NULL.
+    */
+  def sampleFrames(content: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column = {
+    require(n >= 1, "sample size must be positive")
+    val fr = videoFrames(content)
+    when(fr.isNull, lit(null))
+      .when(size(fr) <= n, fr)
+      .otherwise(transform(sequence(lit(0), lit(n - 1)),
+        i => element_at(fr,
+          floor(i.cast("double") * size(fr) / n).cast("int") + 1)))
+  }
+
   /** Embedded PDF raster images as `array<binary>` in document order —
     * each element a complete baseline JPEG (`/DCTDecode` XObjects,
     * [[graft.expressions.PdfImages]]), so documents feed the image

@@ -151,6 +151,31 @@ class Mp4Spec extends SparkTestBase {
     assert(stored === Set(1L, 2L, 11L))
   }
 
+  test("sampleFrames: uniform indices, pass-through under n, NULL for non-video") {
+    val payloads = (0 until 10).map(jf)
+    val rows = Seq(
+      (1L, Mp4Writer.mp4(72, 16, payloads)), // 10 frames
+      (2L, AviWriter.avi(72, 16, payloads.take(3))), // 3 frames ≤ n
+      (3L, "not a video".getBytes("UTF-8")))
+    val df = rows.toDF("vid", "content")
+    val got = df.select(col("vid"),
+        Multimodal.sampleFrames(col("content"), 4).alias("fs"))
+      .orderBy("vid").collect()
+    // 10 frames sampled at floor(i*10/4) = 0, 2, 5, 7
+    val s1 = got(0).getSeq[Array[Byte]](1)
+    assert(s1.length === 4)
+    Seq(0, 2, 5, 7).zip(s1).foreach { case (idx, f) =>
+      assert(java.util.Arrays.equals(f, payloads(idx)), s"index $idx")
+    }
+    // short video passes through whole, in order
+    val s2 = got(1).getSeq[Array[Byte]](1)
+    assert(s2.length === 3)
+    s2.zip(payloads.take(3)).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+    assert(got(2).isNullAt(1))
+  }
+
   test("SQL registration agrees with the API") {
     graft.GraftFunctions.register(spark)
     val mp4 = Mp4Writer.mp4(72, 16, Seq(5, 6).map(jf))
