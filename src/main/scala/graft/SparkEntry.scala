@@ -5,7 +5,7 @@ import graft.llmops.{DedupOps, Similarity, TextAnalysis}
 import graft.operators.{Dedup, MergeUpsert}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -37,17 +37,13 @@ object SparkEntry {
     * the engine side starts from a binary-column scan, like real ingestion.
     */
   private val fixturePaths = new java.util.concurrent.ConcurrentHashMap[String, String]
-  private def fixtureDF(ss: SparkSession, dir: String, family: String)(
-      build: => Seq[(Long, Array[Byte])]): DataFrame = {
+  private def fixtureTable(ss: SparkSession, dir: String, family: String,
+      schema: StructType)(build: => Seq[Row]): DataFrame = {
     val path = fixturePaths.computeIfAbsent(s"$dir::$family", _ => {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft-fix-$family")
         .toString + "/data"
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType, nullable = false),
-        StructField("content", BinaryType, nullable = true)))
-      val rows = build.map { case (id, b) => Row(id, b) }
       ss.createDataFrame(new java.util.ArrayList[Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+          scala.jdk.CollectionConverters.SeqHasAsJava(build).asJava), schema)
         .repartition(32)
         .write.mode("overwrite").parquet(tmp)
       tmp
@@ -56,6 +52,12 @@ object SparkEntry {
     // downstream decode work is the expensive part — spread it over cores
     ss.read.parquet(path).repartition(32)
   }
+  private def fixtureDF(ss: SparkSession, dir: String, family: String)(
+      build: => Seq[(Long, Array[Byte])]): DataFrame =
+    fixtureTable(ss, dir, family, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true))))(
+      build.map { case (id, b) => Row(id, b) })
 
   private def wavFixturesDF(ss: SparkSession, dir: String): DataFrame =
     fixtureDF(ss, dir, "wav")(wavFixtures(ss, dir))
@@ -69,6 +71,29 @@ object SparkEntry {
     fixtureDF(ss, dir, "avi")(aviFixtures(ss, dir))
   private def spectralWavFixturesDF(ss: SparkSession, dir: String): DataFrame =
     fixtureDF(ss, dir, "spectralwav")(spectralWavFixtures(ss, dir))
+
+  /** Memoized document-blob fixtures (q54/q78 class): docs < 300 rendered
+    * into per-format binary files once per JVM — (doc_id, fmt, content,
+    * mime) parquet, reread thereafter. Routing these through the same
+    * build-once shape as the media families keeps repeated bench passes
+    * from re-encoding 900 archives on the driver mid-battery.
+    */
+  private def documentBlobFixturesDF(ss: SparkSession, dir: String,
+      family: String, maxDocId: Long = 300)(
+      render: (Long, String) => Seq[(String, Array[Byte], String)]): DataFrame =
+    fixtureTable(ss, dir, family, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("fmt", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true),
+      StructField("mime", StringType, nullable = false)))) {
+      t(ss, dir, "documents").filter(col("doc_id") < maxDocId)
+        .select(col("doc_id"), col("text")).collect()
+        .flatMap { r =>
+          render(r.getLong(0), r.getString(1)).map { case (fmt, bytes, mime) =>
+            Row(r.getLong(0), fmt, bytes, mime)
+          }
+        }.toSeq
+    }
 
   /** Shared WAV fixture set for q102/q103: closed-form 16-bit PCM clips
     * below id 400 (all ≥ 65 frames, so every one fingerprints), then
@@ -886,26 +911,22 @@ object SparkEntry {
 
     "q54_ooxml_extract" -> ((s, dir) => {
       // S6 binary-document path: REAL .docx/.pptx/.xlsx archives (zip+XML,
-      // built by OoxmlWriter from corpus text in the driver — 300 small
-      // blobs of input construction, not the measured operator), extracted
-      // back distributed through the native DocExtractText expression. The
+      // built by OoxmlWriter from corpus text — 300 small blobs of input
+      // construction, memoized to parquet once per JVM like the media
+      // fixture families, not the measured operator), extracted back
+      // distributed through the native DocExtractText expression. The
       // oracle recomputes the expected text shapes from the raw text column.
       val ss = tuned(s)
-      val docs = t(ss, dir, "documents").filter(col("doc_id") < 300)
-        .select(col("doc_id"), col("text")).collect()
-        .map(r => (r.getLong(0), r.getString(1)))
-      val W = graft.llmops.OoxmlWriter
-      val rows = docs.flatMap { case (id, text) =>
+      val src = documentBlobFixturesDF(ss, dir, "q54_ooxml") { (id, text) =>
+        val W = graft.llmops.OoxmlWriter
         Seq(
-          (id, "docx", W.docx(Seq(s"Doc $id", text)),
+          ("docx", W.docx(Seq(s"Doc $id", text)),
             "application/vnd.openxmlformats-officedocument.wordprocessingml.document"),
-          (id, "pptx", W.pptx(Seq(Seq(s"Doc $id", text), Seq("End"))),
+          ("pptx", W.pptx(Seq(Seq(s"Doc $id", text), Seq("End"))),
             "application/vnd.openxmlformats-officedocument.presentationml.presentation"),
-          (id, "xlsx", W.xlsx(Seq("data" -> Seq(Seq("id", id.toString), Seq("text", text)))),
+          ("xlsx", W.xlsx(Seq("data" -> Seq(Seq("id", id.toString), Seq("text", text)))),
             "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"))
-      }.toSeq
-      import ss.implicits._
-      val src = rows.toDF("doc_id", "fmt", "content", "mime").repartition(32)
+      }
       graft.llmops.DocumentText.extractDocumentText(src, "content", "mime")
         .select(col("doc_id"), col("fmt"), col("extracted_text"))
         .orderBy("doc_id", "fmt")
@@ -913,26 +934,22 @@ object SparkEntry {
 
     "q78_ole2_extract" -> ((s, dir) => {
       // S6 legacy-binary path: REAL .doc/.xls/.ppt OLE2 compound files
-      // (CFB containers built by LegacyOfficeWriter from corpus text in
-      // the driver — input construction, not the measured operator),
-      // extracted back distributed through the native DocExtractText
-      // expression. The oracle recomputes the expected text shapes.
+      // (CFB containers built by LegacyOfficeWriter from corpus text —
+      // input construction, memoized once per JVM, not the measured
+      // operator), extracted back distributed through the native
+      // DocExtractText expression. The oracle recomputes the expected
+      // text shapes.
       val ss = tuned(s)
-      val docs = t(ss, dir, "documents").filter(col("doc_id") < 300)
-        .select(col("doc_id"), col("text")).collect()
-        .map(r => (r.getLong(0), r.getString(1)))
-      val W = graft.llmops.LegacyOfficeWriter
-      val rows = docs.flatMap { case (id, text) =>
+      val src = documentBlobFixturesDF(ss, dir, "q78_ole2") { (id, text) =>
+        val W = graft.llmops.LegacyOfficeWriter
         Seq(
-          (id, "doc", W.doc(Seq(s"Doc $id", text)), "application/msword"),
-          (id, "ppt", W.ppt(Seq(Seq(s"Doc $id", text), Seq("End"))),
+          ("doc", W.doc(Seq(s"Doc $id", text)), "application/msword"),
+          ("ppt", W.ppt(Seq(Seq(s"Doc $id", text), Seq("End"))),
             "application/vnd.ms-powerpoint"),
-          (id, "xls", W.xls(Seq("data" -> Seq(
+          ("xls", W.xls(Seq("data" -> Seq(
             Seq("id", id.toString), Seq("text", text)))),
             "application/vnd.ms-excel"))
-      }.toSeq
-      import ss.implicits._
-      val src = rows.toDF("doc_id", "fmt", "content", "mime").repartition(32)
+      }
       graft.llmops.DocumentText.extractDocumentText(src, "content", "mime")
         .select(col("doc_id"), col("fmt"), col("extracted_text"))
         .orderBy("doc_id", "fmt")
@@ -1737,23 +1754,19 @@ object SparkEntry {
       // bytes (pdf/rtf/OLE2-doc/html/plain) and dispatched to the same
       // codecs the labeled path uses
       val ss = tuned(s)
-      val docs = t(ss, dir, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id"), col("text")).collect()
-        .map(r => (r.getLong(0), r.getString(1)))
-      val rows = docs.flatMap { case (id, text) =>
-        Seq(
-          (id, "pdf", graft.llmops.PdfWriter.pdf(
-            Seq(s"Doc $id" +: text.split("\n", -1).toSeq))),
-          (id, "rtf", graft.llmops.Rtf.write(Seq(s"Doc $id", text))),
-          (id, "doc", graft.llmops.LegacyOfficeWriter.doc(
-            Seq(s"Doc $id", text))),
-          (id, "html", (s"<!DOCTYPE html><html><body><p>Doc $id</p>" +
-            s"<p>${text.replace("&", "&amp;").replace("<", "&lt;")}</p>" +
-            "</body></html>").getBytes("UTF-8")),
-          (id, "txt", s"Doc $id $text".getBytes("UTF-8")))
-      }.toSeq
-      import ss.implicits._
-      val src = rows.toDF("doc_id", "fmt", "content").repartition(32)
+      val src = documentBlobFixturesDF(ss, dir, "q92_sniff", maxDocId = 200) {
+        (id, text) =>
+          Seq(
+            ("pdf", graft.llmops.PdfWriter.pdf(
+              Seq(s"Doc $id" +: text.split("\n", -1).toSeq)), "auto"),
+            ("rtf", graft.llmops.Rtf.write(Seq(s"Doc $id", text)), "auto"),
+            ("doc", graft.llmops.LegacyOfficeWriter.doc(
+              Seq(s"Doc $id", text)), "auto"),
+            ("html", (s"<!DOCTYPE html><html><body><p>Doc $id</p>" +
+              s"<p>${text.replace("&", "&amp;").replace("<", "&lt;")}</p>" +
+              "</body></html>").getBytes("UTF-8"), "auto"),
+            ("txt", s"Doc $id $text".getBytes("UTF-8"), "auto"))
+      }
       src.select(col("doc_id"), col("fmt"),
           graft.llmops.DocumentText
             .extractTextCol(col("content"), lit("auto"))
@@ -1861,14 +1874,10 @@ object SparkEntry {
       // (escapes, font-table destination) and back via the native
       // DocExtractText expression
       val ss = tuned(s)
-      val docs = t(ss, dir, "documents").filter(col("doc_id") < 300)
-        .select(col("doc_id"), col("text")).collect()
-        .map(r => (r.getLong(0), r.getString(1)))
-      val rows = docs.map { case (id, text) =>
-        (id, graft.llmops.Rtf.write(Seq(s"Doc $id", text)), "application/rtf")
-      }.toSeq
-      import ss.implicits._
-      val src = rows.toDF("doc_id", "content", "mime").repartition(32)
+      val src = documentBlobFixturesDF(ss, dir, "q85_rtf") { (id, text) =>
+        Seq(("rtf", graft.llmops.Rtf.write(Seq(s"Doc $id", text)),
+          "application/rtf"))
+      }
       graft.llmops.DocumentText.extractDocumentText(src, "content", "mime")
         .select(col("doc_id"), col("extracted_text"))
         .orderBy("doc_id")
@@ -2132,19 +2141,14 @@ object SparkEntry {
       // DocExtractText expression. The oracle recomputes the expected
       // line-joined page text from the raw text column.
       val ss = tuned(s)
-      val docs = t(ss, dir, "documents").filter(col("doc_id") < 300)
-        .select(col("doc_id"), col("text")).collect()
-        .map(r => (r.getLong(0), r.getString(1)))
-      val W = graft.llmops.PdfWriter
-      val rows = docs.flatMap { case (id, text) =>
+      val src = documentBlobFixturesDF(ss, dir, "q66_pdf") { (id, text) =>
+        val W = graft.llmops.PdfWriter
         val lines = text.split("\n", -1).toSeq
         Seq(
-          (id, "pdf", W.pdf(Seq(s"Doc $id" +: lines)), "application/pdf"),
-          (id, "pdfz", W.pdf(Seq(Seq(s"Doc $id"), lines), compress = true),
+          ("pdf", W.pdf(Seq(s"Doc $id" +: lines)), "application/pdf"),
+          ("pdfz", W.pdf(Seq(Seq(s"Doc $id"), lines), compress = true),
             "application/pdf"))
-      }.toSeq
-      import ss.implicits._
-      val src = rows.toDF("doc_id", "fmt", "content", "mime").repartition(32)
+      }
       graft.llmops.DocumentText.extractDocumentText(src, "content", "mime")
         .select(col("doc_id"), col("fmt"), col("extracted_text"))
         .orderBy("doc_id", "fmt")
@@ -2653,10 +2657,11 @@ object SparkEntry {
            SELECT doc_id, string_split(toks, '|') AS arr
            FROM enc WHERE toks IS NOT NULL AND toks <> ''),
          chunks AS (
-           SELECT a.doc_id, c.c AS chunk_idx,
-             list_slice(a.arr, c.c * $stride + 1, c.c * $stride + $chunk) AS ch
-           FROM arrs a, range(64) c(c)
-           WHERE c.c <= greatest(0, (len(a.arr) - $ov - 1) // $stride))
+           SELECT doc_id, c AS chunk_idx,
+             list_slice(arr, c * $stride + 1, c * $stride + $chunk) AS ch
+           FROM (SELECT doc_id, arr,
+                   unnest(range(greatest(0, (len(arr) - $ov - 1) // $stride) + 1)) AS c
+                 FROM arrs))
          SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
            CAST(len(ch) AS BIGINT) AS n_tokens,
            md5(array_to_string(ch, '|')) AS chunk_md5
@@ -3522,18 +3527,21 @@ object SparkEntry {
             AND frac_unique_words >= 0.2 AND top_word_frac <= 0.2) AS passes_quality
          FROM agg ORDER BY doc_id""",
 
-    // constant range() + filter instead of lateral generate_series (DuckDB
-    // 1.0 can't take column args there); docs cap at ~100 words
+    // lateral generate_series can't take column args in this DuckDB, but a
+    // per-row unnest(range(len(ws))) can — gram starts derive from the
+    // data, no fixture-length cap to silently outgrow
     "q56_decontaminate" ->
       """WITH docs AS (
            SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         pos AS (
+           SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM docs),
          bg AS (
            SELECT DISTINCT array_to_string(list_slice(ws, i + 1, i + 8), ' ') AS gram
-           FROM docs, range(200) t(i)
+           FROM pos
            WHERE doc_id < 5 AND i + 8 <= len(ws)),
          dg AS (
            SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i + 1, i + 8), ' ') AS gram
-           FROM docs, range(200) t(i)
+           FROM pos
            WHERE i + 8 <= len(ws))
          SELECT doc_id AS key, CAST(count(*) AS BIGINT) AS n_shared_grams
          FROM dg WHERE gram IN (SELECT gram FROM bg)
@@ -4608,13 +4616,15 @@ object SparkEntry {
     "q129_decontaminate_filter" ->
       """WITH docs AS (
            SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         pos AS (
+           SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM docs),
          bg AS (
            SELECT DISTINCT array_to_string(list_slice(ws, i + 1, i + 13), ' ') AS gram
-           FROM docs, range(200) t(i)
+           FROM pos
            WHERE doc_id < 5 AND i + 13 <= len(ws)),
          bad AS (
            SELECT DISTINCT doc_id
-           FROM docs, range(200) t(i)
+           FROM pos
            WHERE i + 13 <= len(ws)
              AND array_to_string(list_slice(ws, i + 1, i + 13), ' ')
                  IN (SELECT gram FROM bg))

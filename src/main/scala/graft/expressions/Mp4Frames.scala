@@ -247,7 +247,9 @@ object Mp4Frames {
       var k = 0L
       while (k < runSpc(run) && sample < nSamples) {
         val len = sizes(sample)
-        if (len < 1 || off + len > fileLen) return null
+        // off is attacker-controlled (co64 carries arbitrary be64): check
+        // sign and use subtraction so a huge off cannot wrap off+len
+        if (len < 1 || off < 0 || off > fileLen - len) return null
         total += len
         if (total > MaxBytes) return null
         out(sample) =

@@ -482,12 +482,19 @@ object Multimodal {
   def sampleFrames(content: org.apache.spark.sql.Column,
       n: Int): org.apache.spark.sql.Column = {
     require(n >= 1, "sample size must be positive")
-    val fr = videoFrames(content)
-    when(fr.isNull, lit(null))
-      .when(size(fr) <= n, fr)
-      .otherwise(transform(sequence(lit(0), lit(n - 1)),
-        i => element_at(fr,
-          floor(i.cast("double") * size(fr) / n).cast("int") + 1)))
+    // Bind the parsed frame array ONCE as a lambda variable: Spark's
+    // subexpression elimination does not reach into HOF lambdas, so naming
+    // videoFrames() in the guard, the size() and the slice would re-run
+    // the full container parse per sampled frame. transform over a
+    // 1-element array evaluates the parse exactly once per row.
+    element_at(
+      transform(array(videoFrames(content)), fr =>
+        when(fr.isNull, lit(null))
+          .when(size(fr) <= n, fr)
+          .otherwise(transform(sequence(lit(0), lit(n - 1)),
+            i => element_at(fr,
+              floor(i.cast("double") * size(fr) / n).cast("int") + 1)))),
+      1)
   }
 
   /** Embedded PDF raster images as `array<binary>` in document order —
@@ -521,14 +528,25 @@ object Multimodal {
     * touched once, in the scan projection, and what shuffles afterwards
     * is (key, long, long) rows — the only shape frame-level dedup can
     * afford at video-corpus scale. Undecodable frames drop out.
+    *
+    * `maxFramesPerVideo > 0` caps per-video work via [[sampleFrames]]
+    * uniform sampling (`floor(i·count/n)`), bounding signature rows AND
+    * per-frame hashing to O(n) per video — without it an hour-long video
+    * is a straggler task no frame-df cap addresses. `frame_idx` is then
+    * the sample index, not the container frame index. Default off (0):
+    * exact per-frame signatures.
     */
   def videoFrameSignatures(df: DataFrame, keyCol: String,
-      contentCol: String): DataFrame =
+      contentCol: String, maxFramesPerVideo: Int = 0): DataFrame = {
+    val frames =
+      if (maxFramesPerVideo > 0) sampleFrames(col(contentCol), maxFramesPerVideo)
+      else videoFrames(col(contentCol))
     df.select(col(keyCol).alias("key"),
-        posexplode(videoFrames(col(contentCol))).as(Seq("frame_idx", "__frame")))
+        posexplode(frames).as(Seq("frame_idx", "__frame")))
       .select(col("key"), col("frame_idx"),
         imageDHash(col("__frame")).alias("fhash"))
       .filter(col("fhash").isNotNull)
+  }
 
   /** Near-duplicate videos by shared frame content: two videos pair when
     * the fraction of distinct frame hashes they share reaches
@@ -544,9 +562,10 @@ object Multimodal {
       keyCol: String,
       contentCol: String,
       minSharedFrac: Double = 0.5,
-      maxFrameDf: Int = 256
+      maxFrameDf: Int = 256,
+      maxFramesPerVideo: Int = 0
   ): DataFrame = {
-    val sigs0 = videoFrameSignatures(df, keyCol, contentCol)
+    val sigs0 = videoFrameSignatures(df, keyCol, contentCol, maxFramesPerVideo)
       .select(col("key"), col("fhash")).distinct()
       .localCheckpoint(true) // decode once; both join sides read the 16-byte rows
     // Stop-frame screen: a frame hash present in more than `maxFrameDf`
@@ -593,9 +612,10 @@ object Multimodal {
       contentCol: String,
       signatures: DataFrame,
       minSharedFrac: Double = 0.5,
-      maxFrameDf: Int = 256
+      maxFrameDf: Int = 256,
+      maxFramesPerVideo: Int = 0
   ): DataFrame = {
-    val bs0 = videoFrameSignatures(batch, keyCol, contentCol)
+    val bs0 = videoFrameSignatures(batch, keyCol, contentCol, maxFramesPerVideo)
       .select(col("key"), col("fhash")).distinct()
       .localCheckpoint(true) // decode once; counts + join both read it
     val ss0 = signatures.select(col("key").alias("__sk"), col("fhash"))
@@ -634,12 +654,14 @@ object Multimodal {
       corpus: DataFrame,
       corpusKeyCol: String,
       corpusContentCol: String,
-      minSharedFrac: Double = 0.5
+      minSharedFrac: Double = 0.5,
+      maxFramesPerVideo: Int = 0
   ): DataFrame =
     videoDedupAgainstSignatures(batch, keyCol, contentCol,
-      videoFrameSignatures(corpus, corpusKeyCol, corpusContentCol)
+      videoFrameSignatures(corpus, corpusKeyCol, corpusContentCol,
+        maxFramesPerVideo)
         .select(col("key"), col("fhash")),
-      minSharedFrac)
+      minSharedFrac, maxFramesPerVideo = maxFramesPerVideo)
 
   /** REAL audio/video container metadata from binary headers — WAV
     * channels/rate/bits/duration and MP4 movie duration parsed by the

@@ -72,11 +72,22 @@ object Maintenance {
   def zorderBucket(c: org.apache.spark.sql.Column, minV: Long, maxV: Long,
       bits: Int = 16): org.apache.spark.sql.Column = {
     val span = maxV - minV + 1
+    // the scaled dividend is at most span·2^bits — past 2^63 it wraps in
+    // ANY 64-bit engine, so refuse loudly instead of bucketing garbage
+    require(span >= 1 && span <= (1L << (63 - bits)),
+      s"column span $span with $bits bucket bits overflows 64-bit math")
     val scaled = (c.cast("long") - lit(minV)) * lit(1L << bits)
-    // exact integer division: (x − x mod s) is divisible by s, and the
-    // double division of exactly-divisible longs under 2^53 is exact —
-    // an external engine just writes `scaled // span`
-    ((scaled - pmod(scaled, lit(span))) / lit(span)).cast("long")
+    // true 64-bit integer division (Catalyst IntegralDivide = SQL `div`):
+    // exact at any span, unlike a double division whose exactness ends at
+    // 2^53 dividends — an external engine writes `scaled // span`; the
+    // pmod subtraction keeps floor (not truncation) semantics should a
+    // value ever fall below the advertised min
+    val floored = scaled - pmod(scaled, lit(span))
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ColumnBridge.expression(floored),
+        ColumnBridge.expression(lit(span))))
   }
 
   /** OPTIMIZE ZORDER BY equivalent: rewrite a parquet table clustered by

@@ -254,17 +254,21 @@ object CorpusIngest {
     * within batch, store screen, lockstep appends) is the shared
     * protocol untouched.
     */
-  private final case class VideoScreen(minSharedFrac: Double)
+  private final case class VideoScreen(minSharedFrac: Double,
+      maxFramesPerVideo: Int = 0)
       extends BinaryScreen {
     private val M = graft.llmops.Multimodal
     def sigCol = "fhash"
     def signatures(df: DataFrame, k: String, c: String) =
-      M.videoFrameSignatures(df, k, c).select(col("key"), col("fhash"))
+      M.videoFrameSignatures(df, k, c, maxFramesPerVideo)
+        .select(col("key"), col("fhash"))
     def nearDups(df: DataFrame, k: String, c: String, d: Int) =
-      M.videoNearDups(df, k, c, minSharedFrac)
+      M.videoNearDups(df, k, c, minSharedFrac,
+        maxFramesPerVideo = maxFramesPerVideo)
     def dedupAgainstSignatures(b: DataFrame, k: String, c: String,
         s: DataFrame, d: Int) =
-      M.videoDedupAgainstSignatures(b, k, c, s, minSharedFrac)
+      M.videoDedupAgainstSignatures(b, k, c, s, minSharedFrac,
+        maxFramesPerVideo = maxFramesPerVideo)
     def dedupAgainstCorpus(b: DataFrame, k: String, c: String,
         corpus: DataFrame, d: Int) =
       M.videoDedupAgainstCorpus(b, k, c, corpus, k, c, minSharedFrac)
@@ -392,10 +396,17 @@ object CorpusIngest {
       minSharedFrac: Double = 0.5,
       signaturePath: Option[String] = None,
       lockStore: Option[graft.operators.LockStore] = None,
-      qualityGate: Option[DataFrame => DataFrame] = None
+      qualityGate: Option[DataFrame => DataFrame] = None,
+      /** > 0 bounds per-video decode/signature work to n uniformly
+        * sampled frames ([[graft.llmops.Multimodal.sampleFrames]]) —
+        * keep one choice per signature store, sampled and exact frame
+        * universes measure shared fractions differently.
+        */
+      maxFramesPerVideo: Int = 0
   ): Long =
     ingestBinaryBatch(spark, batch, corpusPath, contentCol, keyCol,
-      0, signaturePath, lockStore, qualityGate, VideoScreen(minSharedFrac))
+      0, signaturePath, lockStore, qualityGate,
+      VideoScreen(minSharedFrac, maxFramesPerVideo))
 
   /** Structured-Streaming wrapper for [[ingestVideoBatch]]. */
   def ingestVideoStream(
@@ -410,11 +421,13 @@ object CorpusIngest {
       signaturePath: Option[String] = None,
       compactEveryBatches: Option[Int] = None,
       compactTargetFileMB: Int = 128,
-      qualityGate: Option[DataFrame => DataFrame] = None
+      qualityGate: Option[DataFrame => DataFrame] = None,
+      maxFramesPerVideo: Int = 0
   ): StreamingQuery =
     binaryStream(spark, stream, corpusPath, contentCol, keyCol,
       checkpointDir, 0, trigger, signaturePath, compactEveryBatches,
-      compactTargetFileMB, qualityGate, VideoScreen(minSharedFrac))
+      compactTargetFileMB, qualityGate,
+      VideoScreen(minSharedFrac, maxFramesPerVideo))
 
   /** Structured-Streaming wrapper for [[ingestImageBatch]] — foreachBatch
     * per micro-batch, optional periodic [[compactStores]], exactly the

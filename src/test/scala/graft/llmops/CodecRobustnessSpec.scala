@@ -126,6 +126,27 @@ class CodecRobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("co64 offsets are attacker-controlled be64 — negative and huge values refuse") {
+    val good = Mp4Writer.mp4(8, 8,
+      Seq(JpegWriter.gray(8, 8, (x, y) => (x + y) % 256)), useCo64 = true)
+    // locate the co64 box and its first 64-bit offset (payload: version/
+    // flags 4 + entry_count 4, offsets follow)
+    val tag = "co64".getBytes("US-ASCII")
+    val at = good.indices.find(i => i + 4 <= good.length &&
+      good(i) == tag(0) && good(i + 1) == tag(1) &&
+      good(i + 2) == tag(2) && good(i + 3) == tag(3)).get
+    val offAt = at + 4 + 8
+    for (evil <- Seq(-1L, Long.MinValue, Long.MaxValue - 2,
+        good.length.toLong + 1, (1L << 32) + 4)) {
+      val mutated = good.clone()
+      var v = evil
+      for (k <- 7 to 0 by -1) { mutated(offAt + k) = (v & 0xFF).toByte; v >>>= 8 }
+      assert(graft.expressions.Mp4Frames.compute(mutated) === null)
+    }
+    // sanity: the unmutated file still decodes
+    assert(graft.expressions.Mp4Frames.compute(good) !== null)
+  }
+
   test("bit-flipped genuine documents never throw") {
     val base = Seq(
       PdfWriter.pdf(Seq(Seq("gamma delta")), compress = false),
@@ -134,6 +155,8 @@ class CodecRobustnessSpec extends AnyFunSuite {
       MediaWriter.wavWithSamples(1, 8000, 128, 3),
       ImageWriter.pngWithPixels(16, 12, 42),
       Mp4Writer.mp4(8, 8, Seq(JpegWriter.gray(8, 8, (x, y) => (x ^ y) % 256))),
+      Mp4Writer.mp4(8, 8, Seq(JpegWriter.gray(8, 8, (x, y) => (x * 3 + y) % 256)),
+        useCo64 = true),
       JpegWriter.grayProgressive(16, 8, (x, y) => (x * 5 + y) % 256),
       LegacyOfficeWriter.doc(Seq("epsilon zeta")))
     for (doc <- base; i <- doc.indices by 7) {

@@ -176,6 +176,39 @@ class Mp4Spec extends SparkTestBase {
     assert(got(2).isNullAt(1))
   }
 
+  test("maxFramesPerVideo bounds signature rows and keeps near-dup verdicts") {
+    // a "long" video (24 frames) and its remux — signature work must cap
+    // at n rows per video while the sampled sets still pair them up
+    val payloads = (0 until 24).map(jf)
+    val rows = Seq(
+      (1L, AviWriter.avi(72, 16, payloads)),
+      (2L, Mp4Writer.mp4(72, 16, payloads)), // remux of 1 → same sampled frames
+      (3L, Mp4Writer.mp4(72, 16, (100 until 124).map(jf)))) // disjoint
+    val df = rows.toDF("vid", "content")
+    val sigs = Multimodal.videoFrameSignatures(df, "vid", "content",
+      maxFramesPerVideo = 6)
+    val perVideo = sigs.groupBy("key").count().as[(Long, Long)].collect().toMap
+    assert(perVideo.values.forall(_ <= 6), s"unbounded: $perVideo")
+    assert(perVideo(1L) === 6)
+    val pairs = Multimodal.videoNearDups(df, "vid", "content",
+        minSharedFrac = 0.5, maxFramesPerVideo = 6)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+    // incremental screen under sampling: remux drops, fresh survives
+    val store = Multimodal.videoFrameSignatures(
+      Seq((1L, AviWriter.avi(72, 16, payloads))).toDF("vid", "content"),
+      "vid", "content", maxFramesPerVideo = 6)
+      .select(col("key"), col("fhash"))
+    val batch = Seq(
+      (10L, Mp4Writer.mp4(72, 16, payloads)),
+      (11L, Mp4Writer.mp4(72, 16, (200 until 224).map(jf))))
+      .toDF("vid", "content")
+    val kept = Multimodal.videoDedupAgainstSignatures(batch, "vid", "content",
+        store, minSharedFrac = 0.5, maxFramesPerVideo = 6)
+      .select("vid").as[Long].collect().toSet
+    assert(kept === Set(11L))
+  }
+
   test("SQL registration agrees with the API") {
     graft.GraftFunctions.register(spark)
     val mp4 = Mp4Writer.mp4(72, 16, Seq(5, 6).map(jf))

@@ -52,6 +52,28 @@ class MaintenanceSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$root/empty").count() === 0L)
   }
 
+  test("zorderBucket stays integer-exact past the 53-bit double envelope") {
+    // span ≈ 2^45 (dividend ≈ 2^61): double division would round;
+    // IntegralDivide must agree with BigInt floor division bit-for-bit
+    val minV = 0L
+    val maxV = (1L << 45) - 1
+    val bits = 16
+    val vs = Seq(0L, 1L, (1L << 44) + 12345L, maxV - 1, maxV,
+      (1L << 43) + 1, 9876543219876L)
+    val got = vs.toDF("v")
+      .select(Maintenance.zorderBucket(col("v"), minV, maxV, bits).as("bk"))
+      .as[Long].collect().toSeq
+    val want = vs.map { v =>
+      ((BigInt(v - minV) * (1L << bits)) / (BigInt(maxV) - minV + 1)).toLong
+    }
+    assert(got === want)
+    assert(want.forall(b => b >= 0 && b < (1L << bits)))
+    // a span whose dividend would wrap 64-bit math refuses loudly
+    intercept[IllegalArgumentException] {
+      Maintenance.zorderBucket(col("v"), 0L, Long.MaxValue - 1, bits)
+    }
+  }
+
   test("K6 compact rewrites many small files into few") {
     val root = Files.createTempDirectory("graft-compact").toString
     val path = s"$root/t"
