@@ -136,6 +136,66 @@ object SparkEntry {
     }
   }
 
+  /** WAV↔MP3 twin fixtures for q133. Ids < 120: the SAME closed-form PCM
+    * rendered through BOTH [[graft.llmops.MediaWriter.wavFromSamples]]
+    * and the real [[graft.llmops.Mp3Writer]] — the signal is the q103
+    * integer wrap-mod waveform with a per-envelope-cell amplitude ladder
+    * (2/8/32, never two adjacent cells equal), so all 64 envelope bits
+    * sit ≥4× away from ties and survive the codec exactly: the gate pins
+    * WAV↔MP3 envelope-hash Hamming at literal 0. Then refusal tiers:
+    * valid-but-sub-envelope clips (30 samples), MPEG-2-LSF-patched and
+    * Layer-II-patched headers (decoder refuses), and non-audio bytes.
+    */
+  private def mp3TwinFixturesDF(ss: SparkSession, dir: String): DataFrame =
+    fixtureTable(ss, dir, "mp3twin", StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("fmt", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))) {
+      val ids = t(ss, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      val W = graft.llmops.MediaWriter
+      val M = graft.llmops.Mp3Writer
+      def rampClip(): Array[Short] =
+        Array.tabulate(2000)(i => ((i % 200 - 100) * 50).toShort)
+      ids.flatMap { id =>
+        if (id < 120) {
+          val pid = id.toInt
+          val ch = if (pid % 5 == 4) 2 else 1
+          val seed = pid % 251
+          val nf = 74880 + 1152 * (pid % 6)
+          val samples = new Array[Short](nf * ch)
+          var n = 0
+          while (n < nf) {
+            val cell = (((n + 1).toLong * 65 - 1) / nf).toInt
+            val amp = 2 << (2 * ((cell * 7 + seed) % 3)) // 2, 8, 32
+            var c = 0
+            while (c < ch) {
+              samples(n * ch + c) =
+                (amp * ((((seed + 7) * n + 11 * c) % 2048) - 1024)).toShort
+              c += 1
+            }
+            n += 1
+          }
+          Seq(Row(id, "wav", W.wavFromSamples(ch, 44100, samples)),
+            Row(id, "mp3", M.mp3FromSamples(ch, 44100, samples)))
+        } else if (id < 140) {
+          // decodes fine (30 samples) but is below the 65-frame envelope
+          val tiny = Array.tabulate(30)(i => (1000 * (i % 3 - 1)).toShort)
+          Seq(Row(id, "mp3", M.mp3FromSamples(1, 44100, tiny)))
+        } else if (id < 160) {
+          val b = M.mp3FromSamples(1, 44100, rampClip())
+          b(1) = 0xF3.toByte // MPEG-2 LSF: refused
+          Seq(Row(id, "mp3", b))
+        } else if (id < 180) {
+          val b = M.mp3FromSamples(1, 44100, rampClip())
+          b(1) = 0xFD.toByte // Layer II: refused
+          Seq(Row(id, "mp3", b))
+        } else {
+          Seq(Row(id, "mp3", s"not audio $id".getBytes("UTF-8")))
+        }
+      }
+    }
+
   /** Shared PNG fixture set for q98/q99: decodable closed-form images
     * below id 400 (doc_id-derived size ≥ the 9×8 dHash grid, RGB/RGBA
     * alternating), then refusal tiers — sub-grid pixels, header-only,
@@ -1543,6 +1603,42 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q133_mp3_twins" -> ((s, dir) => {
+      // compressed-audio decode: the SAME closed-form PCM as WAV and as a
+      // real MP3 stream; the engine decodes both through the dispatching
+      // envelope hash and must land on IDENTICAL bits (hamming 0), with
+      // decode-proof frame counts and an AvMeta duration cross-check the
+      // oracle replays closed-form. Refusal tiers must come back NULL
+      val ss = tuned(s)
+      val M = graft.llmops.Multimodal
+      val src = mp3TwinFixturesDF(ss, dir)
+      val h = src
+        .withColumn("eh", M.audioEnvelopeHash(col("content")))
+        .withColumn("ms", M.mp3Samples(col("content")))
+        .withColumn("av", M.avMeta(col("content")))
+        // header-estimate vs decode-proof duration: AvMeta's CBR byte
+        // estimate counts the Info frame (+26 ms) against the decoded
+        // frame grid — agreement within 30 ms proves the byte walk and
+        // the full decode describe the same stream
+        .withColumn("durok",
+          abs(col("av.duration_ms") -
+            (col("ms.mp3_frames").cast("long") * 1152L * 1000L / 44100L)) <= 30)
+      h.groupBy(col("doc_id")).agg(
+          max(when(col("fmt") === "wav", col("eh"))).as("wh"),
+          max(when(col("fmt") === "mp3", col("eh"))).as("mh"),
+          max(when(col("fmt") === "mp3", col("ms.n_frames"))).as("n_dec"),
+          max(when(col("fmt") === "mp3", col("ms.mp3_frames"))).as("mp3_frames"),
+          max(when(col("fmt") === "mp3", col("durok"))).as("dur_ok"))
+        .select(col("doc_id"),
+          shiftrightunsigned(col("wh"), 32).as("hash_hi"),
+          col("wh").bitwiseAND(lit(0xFFFFFFFFL)).as("hash_lo"),
+          when(col("wh").isNotNull && col("mh").isNotNull,
+            bit_count(col("wh").bitwiseXOR(col("mh"))).cast("long"))
+            .as("hamming"),
+          col("n_dec"), col("mp3_frames"), col("dur_ok"))
+        .orderBy("doc_id")
+    }),
+
     "q132_zorder_value" -> ((s, dir) => {
       // the Morton interleave behind OPTIMIZE ZORDER BY: bucket
       // (user_id, event_id mod 1000) into 8-bit ranges off the real
@@ -2670,6 +2766,50 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q131_token_chunks" -> bpeChunkOracle,
+
+    "q133_mp3_twins" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(CASE WHEN doc_id % 5 = 4 THEN 2 ELSE 1 END AS INTEGER) AS ch,
+             doc_id % 251 AS seed,
+             74880 + 1152 * (doc_id % 6) AS nf
+           FROM documents WHERE doc_id < 200),
+         mono AS (
+           SELECT i.doc_id, i.nf, n.n,
+             sum(CASE ((((n.n + 1) * 65 - 1) // i.nf) * 7 + i.seed) % 3
+                   WHEN 0 THEN 2 WHEN 1 THEN 8 ELSE 32 END
+                 * ((((i.seed + 7) * n.n + 11 * c.c) % 2048) - 1024)) AS m
+           FROM ids i, range(80640) n(n), range(2) c(c)
+           WHERE i.doc_id < 120 AND n.n < i.nf AND c.c < i.ch
+           GROUP BY 1, 2, 3),
+         cells AS (
+           SELECT doc_id, ((n + 1) * 65 - 1) // nf AS cell,
+             sum(abs(m)) AS e, count(*) AS cnt
+           FROM mono GROUP BY 1, 2),
+         bits AS (
+           SELECT l.doc_id, l.cell AS k
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cell = l.cell + 1
+           WHERE r.e * l.cnt > l.e * r.cnt),
+         hashes AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS lo
+           FROM (SELECT DISTINCT doc_id FROM mono) d
+           LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id)
+         SELECT i.doc_id,
+           CASE WHEN i.doc_id < 120 THEN h.hi END AS hash_hi,
+           CASE WHEN i.doc_id < 120 THEN h.lo END AS hash_lo,
+           CASE WHEN i.doc_id < 120 THEN CAST(0 AS BIGINT) END AS hamming,
+           CASE WHEN i.doc_id < 120 THEN CAST(i.nf AS BIGINT)
+                WHEN i.doc_id < 140 THEN CAST(30 AS BIGINT) END AS n_dec,
+           CASE WHEN i.doc_id < 120 THEN CAST((i.nf + 2208) // 1152 AS INTEGER)
+                WHEN i.doc_id < 140 THEN 1 END AS mp3_frames,
+           CASE WHEN i.doc_id < 140 THEN TRUE END AS dur_ok
+         FROM ids i LEFT JOIN hashes h USING (doc_id)
+         ORDER BY i.doc_id""",
 
     "q132_zorder_value" ->
       """WITH r AS (

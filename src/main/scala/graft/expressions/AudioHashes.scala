@@ -1,0 +1,166 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+import graft.llmops.{Mp3, Mp3Pcm}
+
+/** Container-dispatching audio decode for the fingerprint family: RIFF
+  * bytes take [[WavSamples.decodePcm16]]'s exact-integer path, MP3 sync
+  * bytes take the full [[graft.llmops.Mp3]] decode with output rounded
+  * (and clamped) to the same 16-bit integer domain. Everything else —
+  * including the containers the MP3 decoder refuses (Layer I/II, LSF,
+  * escape-table frames, short-block streams) — is NULL.
+  */
+private[expressions] object AudioPcm {
+
+  /** Interleaved int samples + geometry, or null. */
+  final class Clip(val channels: Int, val sampleRate: Int,
+      val samples: Array[Int], val mp3Frames: Int)
+
+  def decode(b: Array[Byte]): Clip = {
+    if (b == null || b.length < 4) return null
+    if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
+      val d = WavSamples.decodePcm16(b)
+      if (d == null) return null
+      val out = new Array[Int](d.nSamples)
+      var i = 0
+      while (i < d.nSamples) { out(i) = d.sample(i); i += 1 }
+      new Clip(d.channels, d.sampleRate, out, -1)
+    } else {
+      val d: Mp3Pcm = Mp3.decode(b)
+      if (d == null) return null
+      val out = new Array[Int](d.samples.length)
+      var i = 0
+      while (i < d.samples.length) {
+        val v = Math.rint(d.samples(i))
+        out(i) =
+          if (v < -32768.0) -32768 else if (v > 32767.0) 32767 else v.toInt
+        i += 1
+      }
+      new Clip(d.channels, d.sampleRate, out, d.frames)
+    }
+  }
+}
+
+/** [[WavEnvelopeHash]]'s container-agnostic sibling —
+  * `AudioEnvelopeHash(content)` fingerprints WAV OR MP3 bytes with the
+  * identical 65-cell energy-contour math, so a PCM clip and its MP3
+  * encode land on the same 64 bits (the WAV↔MP3 twin gate pins this at
+  * Hamming 0). On WAV input the result is bit-identical to
+  * [[WavEnvelopeHash]] (same kernel), keeping the existing oracles'
+  * closed-form replay valid for this expression too.
+  */
+case class AudioEnvelopeHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_audio_envelope_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AudioEnvelopeHash.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |java.lang.Long aeh$$ = graft.expressions.AudioEnvelopeHash.compute($c);
+         |if (aeh$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = aeh$$.longValue(); }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): AudioEnvelopeHash =
+    copy(child = newChild)
+}
+
+object AudioEnvelopeHash {
+  def compute(b: Array[Byte]): java.lang.Long = {
+    if (b == null || b.length < 4) return null
+    if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+      return WavEnvelopeHash.compute(b) // exact-int streaming path
+    val d = AudioPcm.decode(b)
+    if (d == null) return null
+    val s = d.samples
+    WavEnvelopeHash.computeFrom(d.channels, s.length / d.channels, i => s(i))
+  }
+}
+
+/** [[WavSpectralHash]]'s container-agnostic sibling: the 8×8
+  * time-frequency gradient grid over WAV or MP3 bytes (same exact-integer
+  * DFT kernel; MP3 samples rounded to the int domain first).
+  */
+case class AudioSpectralHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_audio_spectral_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AudioSpectralHash.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |java.lang.Long ash$$ = graft.expressions.AudioSpectralHash.compute($c);
+         |if (ash$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = ash$$.longValue(); }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): AudioSpectralHash =
+    copy(child = newChild)
+}
+
+object AudioSpectralHash {
+  def compute(b: Array[Byte]): java.lang.Long = {
+    if (b == null || b.length < 4) return null
+    if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+      return WavSpectralHash.compute(b)
+    val d = AudioPcm.decode(b)
+    if (d == null) return null
+    val s = d.samples
+    WavSpectralHash.computeFrom(d.channels, s.length / d.channels, i => s(i))
+  }
+}
+
+/** Decode-proof metadata for MP3 streams — `Mp3Samples(content)` returns
+  * `struct<channels int, sample_rate int, n_frames bigint, mp3_frames
+  * int>` from a FULL decode (every granule huffman-decoded and
+  * synthesized), NULL for anything [[graft.llmops.Mp3]] refuses. The
+  * audio sibling of [[WavSamples]]: with the writer's gapless tag,
+  * `n_frames` is exactly the encoder input's frame count, so the gate
+  * oracle replays it closed-form — a header-only sniff cannot fake it.
+  */
+case class Mp3Samples(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = Mp3Samples.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_mp3_samples"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Mp3Samples.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.expressions.Mp3Samples.compute($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Mp3Samples =
+    copy(child = newChild)
+}
+
+object Mp3Samples {
+  val schema: StructType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("mp3_frames", IntegerType, nullable = false)))
+
+  def compute(b: Array[Byte]): InternalRow = {
+    val d = Mp3.decode(b)
+    if (d == null) return null
+    new GenericInternalRow(Array[Any](d.channels, d.sampleRate,
+      d.samples.length.toLong / d.channels, d.frames))
+  }
+}

@@ -57,7 +57,16 @@ object WavEnvelopeHash {
   def compute(b: Array[Byte]): java.lang.Long = {
     val d = WavSamples.decodePcm16(b)
     if (d == null) return null
-    val frames = d.nSamples / d.channels
+    computeFrom(d.channels, d.nSamples / d.channels, d.sample)
+  }
+
+  /** Container-independent core over an interleaved int-sample accessor —
+    * the WAV path feeds PCM bytes, [[AudioEnvelopeHash]]'s MP3 path feeds
+    * rounded decoder output; identical cell math either way, so a WAV and
+    * an MP3 of the same content land on the same bits.
+    */
+  private[expressions] def computeFrom(channels: Int, frames: Int,
+      sample: Int => Int): java.lang.Long = {
     if (frames < Cells) return null
     val energy = new Array[Long](Cells)
     val counts = new Array[Long](Cells)
@@ -67,8 +76,8 @@ object WavEnvelopeHash {
       // amplitude overflows an Int sum (silently flipping envelope bits)
       var mono = 0L
       var c = 0
-      while (c < d.channels) {
-        mono += d.sample(n * d.channels + c)
+      while (c < channels) {
+        mono += sample(n * channels + c)
         c += 1
       }
       // exact partition inverse: ⌈(n+1)·Cells/frames⌉ - 1 (see PngDHash)

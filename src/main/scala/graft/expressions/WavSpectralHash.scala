@@ -64,8 +64,17 @@ object WavSpectralHash {
   /** Static kernel shared by interpreted eval and generated code. */
   def compute(b: Array[Byte]): java.lang.Long = {
     val d = WavSamples.decodePcm16(b)
-    if (d == null || d.channels > 2) return null
-    val frames = d.nSamples / d.channels
+    if (d == null) return null
+    computeFrom(d.channels, d.nSamples / d.channels, d.sample)
+  }
+
+  /** Container-independent core over an interleaved int-sample accessor
+    * (see [[WavEnvelopeHash.computeFrom]]): WAV feeds PCM bytes,
+    * [[AudioSpectralHash]]'s MP3 path feeds rounded decoder output.
+    */
+  private[expressions] def computeFrom(channels: Int, frames: Int,
+      sample: Int => Int): java.lang.Long = {
+    if (channels > 2) return null
     if (frames < MinFrames) return null
     var hash = 0L
     var cell = 0
@@ -83,7 +92,7 @@ object WavSpectralHash {
         val n = start + i * stride
         var mono = 0
         var c = 0
-        while (c < d.channels) { mono += d.sample(n * d.channels + c); c += 1 }
+        while (c < channels) { mono += sample(n * channels + c); c += 1 }
         xs(i) = mono
         i += 1
       }

@@ -297,6 +297,16 @@ object Multimodal {
   def withWavSamples(df: DataFrame, contentCol: String = "content"): DataFrame =
     df.withColumn("au", wavSamples(col(contentCol)))
 
+  /** Decode-proof MP3 metadata ([[graft.expressions.Mp3Samples]]):
+    * struct&lt;channels,sample_rate,n_frames,mp3_frames&gt; from a full
+    * [[Mp3]] decode, NULL for refused streams — the compressed-audio
+    * sibling of [[wavSamples]].
+    */
+  def mp3Samples(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.Mp3Samples(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
   /** 64-bit time-domain energy-envelope fingerprint
     * ([[graft.expressions.WavEnvelopeHash]]) — gain-invariant loudness
     * contour, the audio sibling of [[pngDHash]]. NULL for undecodable
@@ -320,13 +330,34 @@ object Multimodal {
       graft.expressions.WavSpectralHash(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
 
+  /** Container-agnostic envelope fingerprint
+    * ([[graft.expressions.AudioEnvelopeHash]]): WAV takes the exact-int
+    * path (bit-identical to [[wavEnvelopeHash]]), MP3 runs the full
+    * [[Mp3]] decode first — so the signature stores and near-dup joins
+    * below accept compressed crawls without any caller change.
+    */
+  def audioEnvelopeHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.AudioEnvelopeHash(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** Container-agnostic spectral fingerprint
+    * ([[graft.expressions.AudioSpectralHash]]); WAV bit-identical to
+    * [[wavSpectralHash]], MP3 decoded then hashed with the same
+    * exact-integer DFT kernel.
+    */
+  def audioSpectralHashAny(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.AudioSpectralHash(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
   /** The spectral signature store: (key, shash), contract of
-    * [[audioSignatures]].
+    * [[audioSignatures]]. WAV or MP3 content.
     */
   def audioSpectralSignatures(df: DataFrame, keyCol: String,
       contentCol: String): DataFrame =
     df.select(col(keyCol).alias("key"),
-        wavSpectralHash(col(contentCol)).alias("shash"))
+        audioSpectralHashAny(col(contentCol)).alias("shash"))
       .filter(col("shash").isNotNull)
 
   /** Near-duplicate audio pairs by SPECTRAL fingerprint —
@@ -381,12 +412,14 @@ object Multimodal {
       audioSpectralSignatures(corpus, corpusKeyCol, corpusContentCol), maxDist)
 
   /** The audio signature store: (key, ahash) for every decodable clip —
-    * 16 bytes a row, same contract as [[imageSignatures]].
+    * 16 bytes a row, same contract as [[imageSignatures]]. WAV or MP3
+    * content ([[audioEnvelopeHash]] dispatch), so [[ingestAudioBatch]]
+    * accepts compressed audio by sniff.
     */
   def audioSignatures(df: DataFrame, keyCol: String,
       contentCol: String): DataFrame =
     df.select(col(keyCol).alias("key"),
-        wavEnvelopeHash(col(contentCol)).alias("ahash"))
+        audioEnvelopeHash(col(contentCol)).alias("ahash"))
       .filter(col("ahash").isNotNull)
 
   /** Near-duplicate audio pairs by envelope-hash Hamming distance —

@@ -404,6 +404,36 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(spark.read.parquet(sigs).count() === 2, "junk has no signature")
   }
 
+  test("ingestAudioBatch accepts MP3 by sniff: cross-container dup drops") {
+    val root = Files.createTempDirectory("graft-ingest-mp3").toString
+    val corpus = s"$root/corpus"
+    val sigs = s"$root/sigs"
+    // strong-contour PCM (adjacent envelope cells >= 4x apart) so the
+    // WAV original and its MP3 encode land on the same envelope bits
+    def pcm(seed: Int): Array[Short] = {
+      val nf = 74880
+      Array.tabulate(nf) { n =>
+        val cell = (((n + 1).toLong * 65 - 1) / nf).toInt
+        val amp = 2 << (2 * ((cell * 7 + seed) % 3))
+        (amp * ((((seed + 7) * n) % 2048) - 1024)).toShort
+      }
+    }
+    val wavA = graft.llmops.MediaWriter.wavFromSamples(1, 44100, pcm(9))
+    val mp3A = graft.llmops.Mp3Writer.mp3FromSamples(1, 44100, pcm(9))
+    val mp3B = graft.llmops.Mp3Writer.mp3FromSamples(1, 44100, pcm(55))
+
+    val n1 = CorpusIngest.ingestAudioBatch(spark,
+      Seq((1L, wavA)).toDF("doc_id", "content"),
+      corpus, "content", "doc_id", signaturePath = Some(sigs))
+    assert(n1 === 1)
+    val n2 = CorpusIngest.ingestAudioBatch(spark,
+      Seq((2L, mp3A), (3L, mp3B)).toDF("doc_id", "content"),
+      corpus, "content", "doc_id", signaturePath = Some(sigs))
+    assert(n2 === 1, "MP3 re-encode of the stored WAV drops; fresh MP3 appends")
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 3L))
+  }
+
   test("ingestImageStream: quality gate sees only dedup survivors") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
