@@ -136,6 +136,59 @@ object SparkEntry {
     }
   }
 
+  /** Progressive-JPEG fixtures for q134: block-constant images (exact
+    * DC-only spectra under the flat-8 quantizer, like q111) through five
+    * SOF2 scan scripts — plain, DC successive approximation, AC
+    * successive approximation, and two banded spectral-selection splits
+    * with refinement — then refusal tiers: EOI-stripped streams, a
+    * baseline scan layout patched to SOF2 (DC scan with Se=63 is
+    * malformed progressive), and non-JPEG bytes.
+    */
+  private def progressivePixelFixtures(ss: SparkSession,
+      dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val W = graft.llmops.JpegWriter
+    ids.map { id =>
+      val w = (9 + id % 24).toInt
+      val h = (8 + id % 16).toInt
+      val seed = (id % 251).toInt
+      def pat(x: Int, y: Int) = (5 * (x / 8) + 13 * (y / 8) + seed) % 256
+      def prog(cfg: Int): Array[Byte] = cfg match {
+        case 0 => W.grayProgressive(w, h, pat)
+        case 1 => W.grayProgressive(w, h, pat, dcAl = 2)
+        case 2 => W.grayProgressive(w, h, pat, acAl = 2)
+        case 3 => W.grayProgressive(w, h, pat, dcAl = 2, acAl = 3,
+          acBands = Seq((1, 5), (6, 20), (21, 63)))
+        case _ => W.grayProgressive(w, h, pat, dcAl = 1, acAl = 1,
+          acBands = Seq((1, 2), (3, 63)))
+      }
+      val bytes =
+        if (id >= 450) s"not a jpeg $id".getBytes("UTF-8")
+        else if (id >= 430) {
+          // baseline stream patched to SOF2: its single interleaved scan
+          // has Se=63 at Ss=0 — malformed progressive, must refuse
+          val b = W.gray(w, h, pat)
+          var i = 2
+          var patched = false
+          while (!patched && i + 4 <= b.length) {
+            if ((b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == 0xC0) {
+              b(i + 1) = 0xC2.toByte; patched = true
+            }
+            i += 1
+          }
+          b
+        } else if (id >= 400) {
+          val b = prog((id % 5).toInt)
+          java.util.Arrays.copyOf(b, b.length - 2) // EOI stripped: refuse
+        } else prog((id % 5).toInt)
+      (id, bytes)
+    }
+  }
+
+  private def progressivePixelFixturesDF(ss: SparkSession, dir: String): DataFrame =
+    fixtureDF(ss, dir, "progpixels")(progressivePixelFixtures(ss, dir))
+
   /** WAV↔MP3 twin fixtures for q133. Ids < 120: the SAME closed-form PCM
     * rendered through BOTH [[graft.llmops.MediaWriter.wavFromSamples]]
     * and the real [[graft.llmops.Mp3Writer]] — the signal is the q103
@@ -1603,6 +1656,25 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q134_progressive_pixels" -> ((s, dir) => {
+      // FULL progressive-JPEG pixel decode (spectral selection, DC and
+      // AC successive approximation, banded refinement scans): the
+      // block-constant fixtures reconstruct bit-exactly under every scan
+      // script, so the oracle recomputes every decoded pixel from
+      // (w, h, seed) alone — same contract as q111 for baseline.
+      // EOI-stripped, SOF2-patched-baseline, and non-JPEG tiers NULL
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = progressivePixelFixturesDF(ss, dir)
+      graft.llmops.Multimodal.withJpegPixels(src)
+        .select(col("doc_id"),
+          col("px.width").as("width"), col("px.height").as("height"),
+          col("px.channels").as("channels"),
+          col("px.pix_sum").as("pix_sum"), col("px.pix_wsum").as("pix_wsum"),
+          col("px.mean_r").as("mean_r"))
+        .orderBy("doc_id")
+    }),
+
     "q133_mp3_twins" -> ((s, dir) => {
       // compressed-audio decode: the SAME closed-form PCM as WAV and as a
       // real MP3 stream; the engine decodes both through the dispatching
@@ -2766,6 +2838,33 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q131_token_chunks" -> bpeChunkOracle,
+
+    "q134_progressive_pixels" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(9 + doc_id % 24 AS INTEGER) AS w,
+             CAST(8 + doc_id % 16 AS INTEGER) AS h,
+             CAST(doc_id % 251 AS INTEGER) AS seed
+           FROM documents WHERE doc_id < 500),
+         px AS (
+           SELECT i.doc_id, i.w, i.h,
+             (y.y * i.w + x.x) AS p,
+             (5 * (x.x // 8) + 13 * (y.y // 8) + i.seed) % 256 AS v
+           FROM ids i, range(32) x(x), range(23) y(y)
+           WHERE i.doc_id < 400 AND x.x < i.w AND y.y < i.h),
+         agg AS (
+           SELECT doc_id,
+             CAST(max(w) AS INTEGER) AS width,
+             CAST(max(h) AS INTEGER) AS height,
+             CAST(sum(v) AS BIGINT) AS pix_sum,
+             CAST(sum((p % 9973 + 1) * v) AS BIGINT) AS pix_wsum,
+             CAST(sum(v) AS DOUBLE) / (max(w) * max(h)) AS mean_r
+           FROM px GROUP BY doc_id)
+         SELECT i.doc_id, a.width, a.height,
+           CASE WHEN i.doc_id < 400 THEN 1 END AS channels,
+           a.pix_sum, a.pix_wsum, a.mean_r
+         FROM ids i LEFT JOIN agg a USING (doc_id)
+         ORDER BY i.doc_id""",
 
     "q133_mp3_twins" ->
       """WITH ids AS (

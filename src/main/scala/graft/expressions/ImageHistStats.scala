@@ -79,7 +79,7 @@ object ImageHistStats {
         y += 1
       }
     } else {
-      val jpg = JpegDecode.decode(b)
+      val jpg = JpegDecode.decodeAny(b) // baseline or full progressive
       if (jpg == null) return null
       width = jpg.width; height = jpg.height; channels = jpg.channels
       var i = 0

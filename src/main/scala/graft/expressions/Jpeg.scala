@@ -359,6 +359,7 @@ private[expressions] object JpegDecode {
               if (c < 0) return null
               scanComps(j) = c
               comps(c).dcTab = (b(s + 2 + 2 * j) & 0xFF) >> 4
+              if (comps(c).dcTab > 3) return null
               j += 1
             }
             val ss = b(segEnd - 3) & 0xFF
@@ -500,6 +501,443 @@ private[expressions] object JpegDecode {
     }
   }
 
+  /** Baseline or progressive, whichever the frame header declares —
+    * each path refuses the other's frame type fast, so the double call
+    * costs one header walk.
+    */
+  def decodeAny(b: Array[Byte]): JpegRaw = {
+    val d = decode(b)
+    if (d != null) d else decodeProgressive(b)
+  }
+
+  /** FULL progressive (SOF2) decode — T.81 annex G: spectral selection,
+    * successive approximation (DC and AC refinement scans, EOB-run
+    * coding with correction bits), interleaved and single-component DC
+    * scans, restart intervals. Coefficients accumulate across scans in
+    * zigzag order per MCU-padded block grid; reconstruction reuses the
+    * baseline dequantize + IDCT + upsample/color path, so a progressive
+    * and a baseline encoding of the same spectra decode bit-identically
+    * (the q134 gate and ProgressiveJpegSpec pin this, plus a JDK
+    * ImageIO cross-check on streams our writer did not produce).
+    *
+    * Refusals (NULL): anything but SOF2/8-bit/1-or-3 components/
+    * sampling ∈ {1,2}; malformed scan progressions (DC scan with
+    * Se ≠ 0, interleaved AC scan, Ah ≠ Al+1 on refinement, undefined
+    * tables); a component with no DC scan by EOI; streams that do not
+    * close with EOI; > 16M pixels (the coefficient store is 4 B/pixel —
+    * the allocation-bomb cap scaled for it).
+    */
+  private[expressions] def decodeProgressive(b: Array[Byte]): JpegRaw = {
+    if (b == null || b.length < 4) return null
+    if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return null
+    if ((b(b.length - 2) & 0xFF) != 0xFF || (b(b.length - 1) & 0xFF) != 0xD9)
+      return null
+    val qt = new Array[Array[Int]](4)
+    val dcT = new Array[Huff](4)
+    val acT = new Array[Huff](4)
+    var width = 0
+    var height = 0
+    var comps: Array[Comp] = null
+    var sawDc: Array[Boolean] = null
+    var coefs: Array[Array[Int]] = null // per comp, zigzag, block-major
+    var bwPad: Array[Int] = null
+    var bhPad: Array[Int] = null
+    var bwReal: Array[Int] = null
+    var bhReal: Array[Int] = null
+    var hmax = 1
+    var vmax = 1
+    var mcusX = 0
+    var mcusY = 0
+    var restartInt = 0
+    var i = 2
+    // i+2 (not +4): the closing EOI is the final two bytes and its case
+    // below is where reconstruction happens
+    while (i + 2 <= b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return null
+      var mi = i + 1
+      while (mi < b.length && (b(mi) & 0xFF) == 0xFF) mi += 1
+      if (mi >= b.length) return null
+      val m = b(mi) & 0xFF
+      if (m == 0xD9) {
+        // EOI: reconstruct — every component must have its DC plane
+        if (comps == null || sawDc.exists(!_)) return null
+        var c = 0
+        while (c < comps.length) {
+          val cc = comps(c)
+          val q = qt(cc.tq)
+          if (q == null) return null
+          cc.planeW = bwPad(c) * 8
+          cc.planeH = bhPad(c) * 8
+          cc.plane = new Array[Byte](cc.planeW * cc.planeH)
+          val coef = coefs(c)
+          val nat = new Array[Int](64)
+          val tmp = new Array[Double](64)
+          var blk = 0
+          val nBlocks = bwPad(c) * bhPad(c)
+          while (blk < nBlocks) {
+            val base = blk * 64
+            var k = 0
+            while (k < 64) { nat(Zigzag(k)) = coef(base + k) * q(k); k += 1 }
+            idctBlock(nat, tmp, cc.plane, cc.planeW,
+              (blk % bwPad(c)) * 8, (blk / bwPad(c)) * 8)
+            blk += 1
+          }
+          c += 1
+        }
+        return compose(width, height, comps, hmax, vmax)
+      }
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { i = mi + 1 }
+      else {
+        if (mi + 3 > b.length) return null
+        val len = ((b(mi + 1) & 0xFF) << 8) | (b(mi + 2) & 0xFF)
+        if (len < 2 || mi.toLong + 1L + len > b.length) return null
+        var s = mi + 3
+        val segEnd = mi + 1 + len
+        m match {
+          case 0xDB =>
+            while (s < segEnd) {
+              val pq = (b(s) & 0xFF) >> 4
+              val tq = b(s) & 0x0F
+              if (tq > 3 || pq > 1) return null
+              val n = if (pq == 0) 64 else 128
+              if (s + 1 + n > segEnd) return null
+              val tab = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                val v =
+                  if (pq == 0) b(s + 1 + k) & 0xFF
+                  else ((b(s + 1 + 2 * k) & 0xFF) << 8) | (b(s + 2 + 2 * k) & 0xFF)
+                if (v == 0) return null
+                tab(k) = v
+                k += 1
+              }
+              qt(tq) = tab
+              s += 1 + n
+            }
+          case 0xC4 =>
+            while (s < segEnd) {
+              val tc = (b(s) & 0xFF) >> 4
+              val th = b(s) & 0x0F
+              if (tc > 1 || th > 3 || s + 17 > segEnd) return null
+              val bits = Array.tabulate(16)(j => b(s + 1 + j) & 0xFF)
+              val total = bits.sum
+              if (s + 17 + total > segEnd) return null
+              val vals = Array.tabulate(total)(j => b(s + 17 + j) & 0xFF)
+              val huff = Huff.build(bits, vals)
+              if (huff == null) return null
+              if (tc == 0) dcT(th) = huff else acT(th) = huff
+              s += 17 + total
+            }
+          case 0xC2 =>
+            if (comps != null) return null
+            if (segEnd - s < 6 || (b(s) & 0xFF) != 8) return null
+            height = ((b(s + 1) & 0xFF) << 8) | (b(s + 2) & 0xFF)
+            width = ((b(s + 3) & 0xFF) << 8) | (b(s + 4) & 0xFF)
+            val nc = b(s + 5) & 0xFF
+            if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return null
+            if (segEnd - s != 6 + 3 * nc) return null
+            // coefficient store is 4 B/pixel/component: tighter cap than
+            // the baseline's byte planes
+            if (width.toLong * height * nc > 16L * 1024 * 1024) return null
+            comps = Array.fill(nc)(new Comp)
+            var c = 0
+            while (c < nc) {
+              val o = s + 6 + 3 * c
+              comps(c).id = b(o) & 0xFF
+              comps(c).h = (b(o + 1) & 0xFF) >> 4
+              comps(c).v = b(o + 1) & 0x0F
+              comps(c).tq = b(o + 2) & 0x0F
+              if (comps(c).h < 1 || comps(c).h > 2 ||
+                  comps(c).v < 1 || comps(c).v > 2 || comps(c).tq > 3)
+                return null
+              c += 1
+            }
+            if (nc == 1) { comps(0).h = 1; comps(0).v = 1 }
+            comps.foreach { cc =>
+              if (cc.h > hmax) hmax = cc.h
+              if (cc.v > vmax) vmax = cc.v
+            }
+            mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+            sawDc = new Array[Boolean](nc)
+            coefs = new Array[Array[Int]](nc)
+            bwPad = new Array[Int](nc)
+            bhPad = new Array[Int](nc)
+            bwReal = new Array[Int](nc)
+            bhReal = new Array[Int](nc)
+            c = 0
+            while (c < nc) {
+              val cc = comps(c)
+              bwPad(c) = mcusX * cc.h
+              bhPad(c) = mcusY * cc.v
+              val compW = (width * cc.h + hmax - 1) / hmax
+              val compH = (height * cc.v + vmax - 1) / vmax
+              bwReal(c) = (compW + 7) / 8
+              bhReal(c) = (compH + 7) / 8
+              coefs(c) = new Array[Int](bwPad(c) * bhPad(c) * 64)
+              c += 1
+            }
+          case 0xC0 | 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+               0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+            return null
+          case 0xDD =>
+            if (segEnd - s != 2) return null
+            restartInt = ((b(s) & 0xFF) << 8) | (b(s + 1) & 0xFF)
+          case 0xDA =>
+            if (comps == null) return null
+            val ns = b(s) & 0xFF
+            if (ns < 1 || ns > comps.length ||
+                segEnd - s != 1 + 2 * ns + 3) return null
+            val scanComps = new Array[Int](ns)
+            var j = 0
+            while (j < ns) {
+              val cs = b(s + 1 + 2 * j) & 0xFF
+              val c = comps.indexWhere(_.id == cs)
+              if (c < 0) return null
+              scanComps(j) = c
+              comps(c).dcTab = (b(s + 2 + 2 * j) & 0xFF) >> 4
+              comps(c).acTab = b(s + 2 + 2 * j) & 0x0F
+              if (comps(c).dcTab > 3 || comps(c).acTab > 3) return null
+              j += 1
+            }
+            val ss = b(segEnd - 3) & 0xFF
+            val se = b(segEnd - 2) & 0xFF
+            val ah = (b(segEnd - 1) & 0xFF) >> 4
+            val al = b(segEnd - 1) & 0x0F
+            if (al > 13 || (ah != 0 && ah != al + 1)) return null
+            val endPos =
+              if (ss == 0) {
+                if (se != 0) return null
+                if (ah == 0) scanComps.foreach(c => sawDc(c) = true)
+                decodeProgDcScan(b, segEnd, comps, scanComps, dcT,
+                  restartInt, ah, al, coefs, bwPad, bwReal, bhReal,
+                  mcusX, mcusY)
+              } else {
+                if (ns != 1 || se < ss || se > 63) return null
+                val c = scanComps(0)
+                if (!sawDc(c) && ah == 0) {
+                  // AC before the component's DC scan: out-of-order
+                  // progression, refuse
+                  return null
+                }
+                decodeProgAcScan(b, segEnd, acT(comps(c).acTab),
+                  restartInt, ss, se, ah, al, coefs(c), bwPad(c),
+                  bwReal(c), bhReal(c))
+              }
+            if (endPos < 0) return null
+            i = endPos
+          case _ => ()
+        }
+        if (m != 0xDA) i = segEnd
+      }
+    }
+    null
+  }
+
+  /** Progressive DC scan (first or refinement, interleaved or not) into
+    * the zigzag coefficient stores; returns the byte position after the
+    * scan's entropy data, or -1 on refusal.
+    */
+  private def decodeProgDcScan(b: Array[Byte], start: Int,
+      comps: Array[Comp], scanComps: Array[Int], dcT: Array[Huff],
+      restartInt: Int, ah: Int, al: Int, coefs: Array[Array[Int]],
+      bwPad: Array[Int], bwReal: Array[Int], bhReal: Array[Int],
+      mcusX: Int, mcusY: Int): Int = {
+    var sc = 0
+    while (sc < scanComps.length) {
+      val cc = comps(scanComps(sc))
+      if (ah == 0 && dcT(cc.dcTab) == null) return -1
+      cc.pred = 0
+      sc += 1
+    }
+    val r = new BitReader(b, start)
+    var rst = 0
+    if (scanComps.length > 1) {
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        if (restartInt > 0 && mcu > 0 && mcu % restartInt == 0) {
+          r.readRestart(rst)
+          rst = (rst + 1) & 7
+          var k = 0
+          while (k < scanComps.length) { comps(scanComps(k)).pred = 0; k += 1 }
+          if (r.failed) return -1
+        }
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var sci = 0
+        while (sci < scanComps.length) {
+          val ci = scanComps(sci)
+          val cc = comps(ci)
+          var v2 = 0
+          while (v2 < cc.v) {
+            var h2 = 0
+            while (h2 < cc.h) {
+              val idx = ((my * cc.v + v2) * bwPad(ci) + mx * cc.h + h2) * 64
+              if (ah == 0) {
+                val t = r.huffDecode(dcT(cc.dcTab))
+                if (r.failed || t > 11) return -1
+                cc.pred += extend(r.receive(t), t)
+                if (r.failed) return -1
+                coefs(ci)(idx) = cc.pred << al
+              } else {
+                coefs(ci)(idx) |= r.nextBit() << al
+                if (r.failed) return -1
+              }
+              h2 += 1
+            }
+            v2 += 1
+          }
+          sci += 1
+        }
+        mcu += 1
+      }
+    } else {
+      val ci = scanComps(0)
+      val cc = comps(ci)
+      val bw = bwReal(ci)
+      val bh = bhReal(ci)
+      var blk = 0
+      val nBlocks = bw * bh
+      while (blk < nBlocks) {
+        if (restartInt > 0 && blk > 0 && blk % restartInt == 0) {
+          r.readRestart(rst)
+          rst = (rst + 1) & 7
+          cc.pred = 0
+          if (r.failed) return -1
+        }
+        val idx = ((blk / bw) * bwPad(ci) + blk % bw) * 64
+        if (ah == 0) {
+          val t = r.huffDecode(dcT(cc.dcTab))
+          if (r.failed || t > 11) return -1
+          cc.pred += extend(r.receive(t), t)
+          if (r.failed) return -1
+          coefs(ci)(idx) = cc.pred << al
+        } else {
+          coefs(ci)(idx) |= r.nextBit() << al
+          if (r.failed) return -1
+        }
+        blk += 1
+      }
+    }
+    r.pos
+  }
+
+  /** Progressive AC scan (first or refinement) over one component's real
+    * block grid — T.81 G.1.2.2/G.1.2.3 EOB runs, ZRL, correction bits.
+    * Returns position after the entropy data, or -1.
+    */
+  private def decodeProgAcScan(b: Array[Byte], start: Int, ac: Huff,
+      restartInt: Int, ss: Int, se: Int, ah: Int, al: Int,
+      coef: Array[Int], bwPad: Int, bw: Int, bh: Int): Int = {
+    if (ac == null) return -1
+    val r = new BitReader(b, start)
+    var rst = 0
+    var eobrun = 0
+    val p1 = 1 << al
+    val m1 = -1 << al
+    var blk = 0
+    val nBlocks = bw * bh
+    while (blk < nBlocks) {
+      if (restartInt > 0 && blk > 0 && blk % restartInt == 0) {
+        r.readRestart(rst)
+        rst = (rst + 1) & 7
+        eobrun = 0
+        if (r.failed) return -1
+      }
+      val base = ((blk / bw) * bwPad + blk % bw) * 64
+      if (ah == 0) {
+        // first-order AC scan
+        if (eobrun > 0) eobrun -= 1
+        else {
+          var k = ss
+          var done = false
+          while (k <= se && !done) {
+            val rs = r.huffDecode(ac)
+            if (r.failed) return -1
+            val run = rs >> 4
+            val size = rs & 0x0F
+            if (size == 0) {
+              if (run == 15) k += 16 // ZRL
+              else {
+                eobrun = (1 << run) - 1
+                if (run > 0) { eobrun += r.receive(run); if (r.failed) return -1 }
+                done = true
+              }
+            } else {
+              k += run
+              if (k > se) return -1
+              coef(base + k) = extend(r.receive(size), size) << al
+              if (r.failed) return -1
+              k += 1
+            }
+          }
+        }
+      } else {
+        // refinement scan: correction bits on already-nonzero history
+        var k = ss
+        if (eobrun == 0) {
+          var break = false
+          while (k <= se && !break) {
+            val rs = r.huffDecode(ac)
+            if (r.failed) return -1
+            var run = rs >> 4
+            var newVal = 0
+            val size = rs & 0x0F
+            if (size == 0) {
+              if (run != 15) {
+                eobrun = 1 << run
+                if (run > 0) { eobrun += r.receive(run); if (r.failed) return -1 }
+                break = true
+              }
+              // run == 15 (ZRL): advance past 16 zero-history coefficients
+            } else {
+              if (size != 1) return -1
+              newVal = if (r.nextBit() == 1) p1 else m1
+              if (r.failed) return -1
+            }
+            if (!break) {
+              var placed = false
+              while (k <= se && !placed) {
+                val cur = coef(base + k)
+                if (cur != 0) {
+                  if (r.nextBit() == 1 && (cur & p1) == 0)
+                    coef(base + k) = cur + (if (cur >= 0) p1 else m1)
+                  if (r.failed) return -1
+                  k += 1
+                } else {
+                  if (run == 0) {
+                    // landing slot: newly-significant coefficient (size=1)
+                    // or the 16th zero of a ZRL — either way advance past
+                    if (newVal != 0) coef(base + k) = newVal
+                    k += 1
+                    placed = true
+                  } else { run -= 1; k += 1 }
+                }
+              }
+              if (!placed && newVal != 0) return -1 // no slot for the new coef
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // EOB-run tail: correction bits only
+          while (k <= se) {
+            val cur = coef(base + k)
+            if (cur != 0) {
+              if (r.nextBit() == 1 && (cur & p1) == 0)
+                coef(base + k) = cur + (if (cur >= 0) p1 else m1)
+              if (r.failed) return -1
+            }
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+      blk += 1
+    }
+    r.pos
+  }
+
   def decode(b: Array[Byte]): JpegRaw = {
     if (b == null || b.length < 4) return null
     if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return null
@@ -599,6 +1037,7 @@ private[expressions] object JpegDecode {
               if (c < 0) return null
               comps(c).dcTab = (b(s + 2 + 2 * j) & 0xFF) >> 4
               comps(c).acTab = b(s + 2 + 2 * j) & 0x0F
+              if (comps(c).dcTab > 3 || comps(c).acTab > 3) return null
               j += 1
             }
             // baseline spectral selection / approximation must be 0..63, 0
@@ -825,9 +1264,13 @@ case class JpegPixels(child: Expression) extends UnaryExpression {
 
 object JpegPixels {
 
-  /** Static kernel shared by interpreted eval and generated code. */
+  /** Static kernel shared by interpreted eval and generated code.
+    * Baseline AND full-progressive streams decode
+    * ([[JpegDecode.decodeAny]]); the refusal envelope is the union of
+    * both paths' documented contracts.
+    */
   def compute(b: Array[Byte]): InternalRow = {
-    val d = JpegDecode.decode(b)
+    val d = JpegDecode.decodeAny(b)
     if (d == null) return null
     val n = d.width.toLong * d.height
     var pixSum = 0L

@@ -413,10 +413,18 @@ object JpegWriter {
     * scan — the planted Hamming-0 twin of the baseline encoding.
     */
   def grayProgressive(width: Int, height: Int, pix: (Int, Int) => Int,
-      quant: Array[Int] = QFlat8, dcAl: Int = 0): Array[Byte] = {
+      quant: Array[Int] = QFlat8, dcAl: Int = 0,
+      acBands: Seq[(Int, Int)] = Seq((1, 63)), acAl: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims: ${width}x$height")
     require(dcAl >= 0 && dcAl <= 13, s"dcAl out of range: $dcAl")
+    require(acAl >= 0 && acAl <= 13, s"acAl out of range: $acAl")
     require(quant.length == 64 && quant.forall(v => v >= 1 && v <= 255))
+    // bands must partition 1..63 (contiguous, disjoint, in order)
+    require(acBands.nonEmpty && acBands.head._1 == 1 &&
+      acBands.last._2 == 63 &&
+      acBands.zip(acBands.tail).forall { case ((_, e), (s2, _)) => s2 == e + 1 } &&
+      acBands.forall { case (s2, e) => s2 <= e },
+      s"acBands must partition 1..63: $acBands")
     val p = new Plane(width, height, 1, 1, pix)
     val bwBlocks = (width + 7) / 8
     val bhBlocks = (height + 7) / 8
@@ -498,51 +506,126 @@ object JpegWriter {
       al -= 1
     }
 
-    // AC scan: Ss=1..63, first order, EOB-run coding across blocks
-    sos(1, 63, 0, 0)
-    val bw2 = new BitWriter(out)
-    var eobrun = 0
-    def flushEobrun(): Unit = {
-      while (eobrun > 0) {
-        // one EOBn covers up to 32767 blocks: 2^r + r extra bits, r ≤ 14
-        val n = math.min(eobrun, 32767)
-        var r = 0
-        while ((2 << r) <= n) r += 1 // largest r with 2^r ≤ n
-        bw2.put(ProgAc.code(r << 4), ProgAc.len(r << 4))
-        if (r > 0) bw2.put(n - (1 << r), r)
-        eobrun -= n
-      }
-    }
-    bi = 0
-    while (bi < spectra.length) {
-      val zz = spectra(bi)
-      var last = 63
-      while (last >= 1 && zz(last) == 0) last -= 1
-      if (last < 1) eobrun += 1 // all-zero AC: extend the EOB run
-      else {
-        flushEobrun()
-        var k2 = 1
-        var run = 0
-        while (k2 <= last) {
-          if (zz(k2) == 0) run += 1
-          else {
-            while (run >= 16) {
-              bw2.put(ProgAc.code(0xF0), ProgAc.len(0xF0)); run -= 16
-            }
-            val sz = category(zz(k2))
-            val sym = (run << 4) | sz
-            bw2.put(ProgAc.code(sym), ProgAc.len(sym))
-            bw2.put(if (zz(k2) < 0) zz(k2) + (1 << sz) - 1 else zz(k2), sz)
-            run = 0
-          }
-          k2 += 1
+    // AC first-order scans: one per spectral band at Al = acAl, values
+    // through the MAGNITUDE point transform (T.81 G.1.2.2 — sign·(|v|>>Al),
+    // unlike DC's arithmetic shift), cross-block EOB runs
+    for ((bs, be) <- acBands) {
+      sos(bs, be, 0, acAl)
+      val bw2 = new BitWriter(out)
+      var eobrun = 0
+      def flushEobrun(): Unit = {
+        while (eobrun > 0) {
+          // one EOBn covers up to 32767 blocks: 2^r + r extra bits, r ≤ 14
+          val n = math.min(eobrun, 32767)
+          var r = 0
+          while ((2 << r) <= n) r += 1 // largest r with 2^r ≤ n
+          bw2.put(ProgAc.code(r << 4), ProgAc.len(r << 4))
+          if (r > 0) bw2.put(n - (1 << r), r)
+          eobrun -= n
         }
-        if (last < 63) eobrun += 1 // trailing zeros close as an EOB
       }
-      bi += 1
+      bi = 0
+      while (bi < spectra.length) {
+        val zz = spectra(bi)
+        def pt(k: Int): Int = {
+          val a = math.abs(zz(k)) >> acAl
+          if (zz(k) < 0) -a else a
+        }
+        var last = be
+        while (last >= bs && pt(last) == 0) last -= 1
+        if (last < bs) eobrun += 1 // band all-zero: extend the EOB run
+        else {
+          flushEobrun()
+          var k2 = bs
+          var run = 0
+          while (k2 <= last) {
+            val v = pt(k2)
+            if (v == 0) run += 1
+            else {
+              while (run >= 16) {
+                bw2.put(ProgAc.code(0xF0), ProgAc.len(0xF0)); run -= 16
+              }
+              val sz = category(v)
+              val sym = (run << 4) | sz
+              bw2.put(ProgAc.code(sym), ProgAc.len(sym))
+              bw2.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+              run = 0
+            }
+            k2 += 1
+          }
+          if (last < be) eobrun += 1 // trailing zeros close as an EOB
+        }
+        bi += 1
+      }
+      flushEobrun()
+      bw2.flushPad()
     }
-    flushEobrun()
-    bw2.flushPad()
+
+    // AC refinement scans (successive approximation): per precision
+    // level, per band — position-simulated mirror of the decoder's
+    // G.1.2.3 walk (per-block EOB with tail correction bits; newly
+    // significant coefficients as (run-of-zero-history, 1) symbols with
+    // interleaved correction bits for skipped nonzero-history slots)
+    var aal = acAl - 1
+    while (aal >= 0) {
+      for ((bs, be) <- acBands) {
+        sos(bs, be, aal + 1, aal)
+        val bwr = new BitWriter(out)
+        val lvl = aal
+        bi = 0
+        while (bi < spectra.length) {
+          val zz = spectra(bi)
+          def hist(k: Int): Int = math.abs(zz(k)) >> (lvl + 1)
+          def bit(k: Int): Int = (math.abs(zz(k)) >> lvl) & 1
+          var k = bs
+          var done = false
+          while (!done) {
+            var j = k
+            var r = 0
+            var found = false
+            while (j <= be && !found) {
+              if (hist(j) != 0) j += 1
+              else if (bit(j) == 1) found = true
+              else { r += 1; j += 1 }
+            }
+            if (!found) {
+              // EOB (run 1): decoder consumes tail correction bits k..be
+              bwr.put(ProgAc.code(0x00), ProgAc.len(0x00))
+              var kk = k
+              while (kk <= be) {
+                if (hist(kk) != 0) bwr.put(bit(kk), 1)
+                kk += 1
+              }
+              done = true
+            } else if (r > 15) {
+              bwr.put(ProgAc.code(0xF0), ProgAc.len(0xF0)) // ZRL
+              var rr = 15
+              var kk = k
+              var stop = false
+              while (!stop) {
+                if (hist(kk) != 0) { bwr.put(bit(kk), 1); kk += 1 }
+                else if (rr == 0) { stop = true; kk += 1 } // landing slot
+                else { rr -= 1; kk += 1 }
+              }
+              k = kk
+            } else {
+              bwr.put(ProgAc.code((r << 4) | 1), ProgAc.len((r << 4) | 1))
+              bwr.put(if (zz(j) < 0) 0 else 1, 1) // 1 = positive (decoder contract)
+              var kk = k
+              while (kk < j) {
+                if (hist(kk) != 0) bwr.put(bit(kk), 1)
+                kk += 1
+              }
+              k = j + 1
+              if (k > be) done = true // walked exactly past the band end
+            }
+          }
+          bi += 1
+        }
+        bwr.flushPad()
+      }
+      aal -= 1
+    }
     out.write(0xFF); out.write(0xD9) // EOI
     out.toByteArray
   }

@@ -10,4 +10,10 @@ object JpegTestAccess {
     val d = JpegDecode.decode(b)
     if (d == null) null else (d.width, d.height, d.channels, d.pix)
   }
+
+  /** Same shape through the FULL progressive decoder. */
+  def decodeProgressive(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    val d = JpegDecode.decodeProgressive(b)
+    if (d == null) null else (d.width, d.height, d.channels, d.pix)
+  }
 }
