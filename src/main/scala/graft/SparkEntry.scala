@@ -1656,6 +1656,25 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q135_zorder_nd" -> ((s, dir) => {
+      // n-D Morton interleave (OPTIMIZE ZORDER BY c1..c3): three bucketed
+      // dimensions at 8 bits each, bit i of column j at position i*3+j;
+      // the oracle replays the scaling and every bit term in SQL
+      val ss = tuned(s)
+      val ev = t(ss, dir, "events")
+      val M = graft.operators.Maintenance
+      val r = ev.agg(min(col("user_id")).cast("long"),
+        max(col("user_id")).cast("long")).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      ev.select(col("event_id"),
+          M.zvalueN(Seq(
+            M.zorderBucket(col("user_id"), lo, hi, bits = 8),
+            M.zorderBucket(pmod(col("event_id"), lit(1000)), 0L, 999L, bits = 8),
+            M.zorderBucket(length(col("event_type")), 0L, 63L, bits = 8)),
+            bits = 8).as("zvalue"))
+        .orderBy("event_id")
+    }),
+
     "q134_progressive_pixels" -> ((s, dir) => {
       // FULL progressive-JPEG pixel decode (spectral selection, DC and
       // AC successive approximation, banded refinement scans): the
@@ -2838,6 +2857,26 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q131_token_chunks" -> bpeChunkOracle,
+
+    "q135_zorder_nd" ->
+      """WITH r AS (
+           SELECT CAST(min(user_id) AS BIGINT) AS lo,
+             CAST(max(user_id) AS BIGINT) AS hi
+           FROM events),
+         bucketed AS (
+           SELECT e.event_id,
+             ((CAST(e.user_id AS BIGINT) - r.lo) * 256)
+               // (r.hi - r.lo + 1) AS ba,
+             ((e.event_id % 1000) * 256) // 1000 AS bb,
+             (length(e.event_type) * 256) // 64 AS bc
+           FROM events e, r)
+         SELECT event_id,
+           CAST(list_sum([
+             ((ba // (1 << i)) % 2) * (1 << (3 * i)) +
+             ((bb // (1 << i)) % 2) * (1 << (3 * i + 1)) +
+             ((bc // (1 << i)) % 2) * (1 << (3 * i + 2))
+             FOR i IN range(0, 8)]) AS BIGINT) AS zvalue
+         FROM bucketed ORDER BY event_id""",
 
     "q134_progressive_pixels" ->
       """WITH ids AS (

@@ -57,12 +57,30 @@ object Maintenance {
     * external SQL engine replays exactly.
     */
   def zvalue2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column =
+    zvalueN(Seq(a, b), bits)
+
+  /** n-dimensional Morton interleave — `OPTIMIZE ZORDER BY (c1 … cn)`
+    * takes any column count, so the bucket interleave must too: bit `i`
+    * of column `j` lands at position `i·n + j` (column order = low-bit
+    * order; n = 2 reproduces [[zvalue2]] exactly, which delegates here).
+    * The total `n·bits` must stay in a signed 64-bit value; callers
+    * splitting a fixed bit budget across more columns lower `bits`, the
+    * same trade Delta's multi-column ZORDER makes. Disjoint positions,
+    * integer expression math, externally replayable — same contract as
+    * the 2-D form.
+    */
+  def zvalueN(cols: Seq[org.apache.spark.sql.Column],
       bits: Int = 16): org.apache.spark.sql.Column = {
-    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+    val n = cols.length
+    require(n >= 1, "zvalueN needs at least one column")
+    require(bits >= 1 && n.toLong * bits <= 63,
+      s"$n columns x $bits bits exceeds a signed 64-bit z-value")
+    (for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+      i * n + j)).reduce(_ + _)
   }
 
   /** Scale a column into `[0, 2^bits)` bucket ids given its min/max —
@@ -99,21 +117,32 @@ object Maintenance {
     */
   def zorderWrite(spark: SparkSession, df: DataFrame, path: String,
       colA: String, colB: String, bits: Int = 16,
-      numFiles: Int = 0): Unit = {
-    val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
-      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+      numFiles: Int = 0): Unit =
+    zorderWriteN(spark, df, path, Seq(colA, colB), bits, numFiles)
+
+  /** [[zorderWrite]] for any column count: one range pass (a bounded
+    * driver artifact — n mins and n maxes), then bucket + n-way
+    * interleave + range-repartition on the z-value, so each output file
+    * owns a compact n-dimensional box. Callers keep `n·bits ≤ 63` per
+    * [[zvalueN]]; 16 bits suit two columns, 8 suit three to seven.
+    */
+  def zorderWriteN(spark: SparkSession, df: DataFrame, path: String,
+      zcols: Seq[String], bits: Int = 16, numFiles: Int = 0): Unit = {
+    require(zcols.nonEmpty, "zorderWriteN needs at least one column")
+    val aggs = zcols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
     if (r.isNullAt(0)) { // empty input: an empty table, not a crash
       df.limit(0).write.mode(SaveMode.Overwrite).parquet(path)
       return
     }
-    val (minA, maxA, minB, maxB) =
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val files =
       if (numFiles > 0) numFiles
       else math.max(1, df.sparkSession.sparkContext.defaultParallelism)
-    val z = zvalue2(
-      zorderBucket(col(colA), minA, maxA, bits),
-      zorderBucket(col(colB), minB, maxB, bits), bits)
+    val z = zvalueN(
+      zcols.zipWithIndex.map { case (c, j) =>
+        zorderBucket(col(c), r.getLong(2 * j), r.getLong(2 * j + 1), bits)
+      }, bits)
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))

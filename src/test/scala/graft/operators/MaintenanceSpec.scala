@@ -52,6 +52,54 @@ class MaintenanceSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$root/empty").count() === 0L)
   }
 
+  test("zvalueN: n-way interleave goldens; 3-D write prunes on every axis") {
+    // golden: n=3, bits=2 — a=0b11, b=0b01, c=0b10:
+    // pos 0..5 = a0,b0,c0,a1,b1,c1 = 1,1,0,1,0,1 → 0b101011 = 43
+    val g3 = Seq((3L, 1L, 2L)).toDF("a", "b", "c")
+      .select(Maintenance.zvalueN(
+        Seq(col("a"), col("b"), col("c")), bits = 2).as("z"))
+      .as[Long].head()
+    assert(g3 === 43L)
+    // n=2 delegation reproduces zvalue2 bit-for-bit
+    val pairs = Seq((5L, 3L), (255L, 0L), (123L, 201L))
+    val viaN = pairs.toDF("a", "b")
+      .select(Maintenance.zvalueN(Seq(col("a"), col("b")), bits = 8).as("z"))
+      .as[Long].collect().toSeq
+    val via2 = pairs.toDF("a", "b")
+      .select(Maintenance.zvalue2(col("a"), col("b"), bits = 8).as("z"))
+      .as[Long].collect().toSeq
+    assert(viaN === via2)
+    // 64-bit budget refusal
+    intercept[IllegalArgumentException] {
+      Maintenance.zvalueN(Seq(col("a"), col("b"), col("c")), bits = 22)
+    }
+
+    // a 16×16×16 cube: a 3-D clustered layout confines a narrow band on
+    // EACH axis — including the last — to a minority of files, which a
+    // linear sort on the first column cannot do
+    val rows = for (a <- 0 until 16; b <- 0 until 16; c <- 0 until 16)
+      yield (a.toLong, b.toLong, c.toLong)
+    val df = rows.toDF("a", "b", "c")
+    val root = Files.createTempDirectory("graft-zorder3").toString
+    Maintenance.zorderWriteN(spark, df, s"$root/z", Seq("a", "b", "c"),
+      bits = 4, numFiles = 16)
+    df.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.parquet(s"$root/lin")
+    def filesOverlapping(path: String, colName: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(colName)).as("mn"), max(col(colName)).as("mx"))
+        .filter(col("mn") <= hi && col("mx") >= lo)
+        .count()
+    for (axis <- Seq("b", "c")) {
+      val zF = filesOverlapping(s"$root/z", axis, 4, 7)
+      val linF = filesOverlapping(s"$root/lin", axis, 4, 7)
+      assert(linF === 16L, s"baseline should not prune $axis (got $linF)")
+      assert(zF <= 10L, s"3-D z-order should prune on $axis (got $zF)")
+    }
+    assert(spark.read.parquet(s"$root/z").count() === rows.length.toLong)
+  }
+
   test("zorderBucket stays integer-exact past the 53-bit double envelope") {
     // span ≈ 2^45 (dividend ≈ 2^61): double division would round;
     // IntegralDivide must agree with BigInt floor division bit-for-bit
