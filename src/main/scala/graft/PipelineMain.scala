@@ -76,9 +76,16 @@ object PipelineMain {
     require(endpoints.nonEmpty,
       s"no endpoints in $endpointsCsv" +
         environment.map(e => s" for environment $e").getOrElse(""))
+    // credential resolution through the SecretResolver SPI: the
+    // documented GRAFT_DB_PASSWORD_<ENDPOINT> env contract first (bare
+    // "GRAFT_" prefix), then the default chain (GRAFT_SECRET_* env refs,
+    // mounted GRAFT_SECRETS_DIR files) — JSON credentials documents
+    // supported by passwordOf either way
+    val secrets = new graft.config.SecretResolver.ChainResolver(Seq(
+      new graft.config.SecretResolver.EnvResolver(prefix = "GRAFT_"),
+      graft.config.SecretResolver.default()))
     def password(ep: graft.config.EndpointConfig): String =
-      sys.env.getOrElse(s"GRAFT_DB_PASSWORD_${ep.endpointName.toUpperCase}",
-        sys.env.getOrElse("GRAFT_DB_PASSWORD", ""))
+      graft.config.SecretResolver.endpointPassword(secrets, ep.endpointName)
 
     val tables = ConfigLoader.tablesFrom(ConfigLoader.loadFile(tablesCsv))
     val colRows = ConfigLoader.loadFile(columnsCsv)
