@@ -1656,6 +1656,54 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q137_minhash_sig" -> ((s, dir) => {
+      // the NATIVE MinHash signature kernel gated value-for-value (q33
+      // gates the pipeline's OUTPUT pairs; this pins every signature
+      // Long): 8 seeded hashes over word 3-gram shingles. The oracle
+      // recomputes each shingle's XXH64 (stripes/tail/avalanche in
+      // HUGEINT), folds each integer seed with Spark's hashInt, and
+      // takes the signed min per (doc, seed) — bit-for-bit.
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      d.select(col("doc_id"),
+          posexplode(DedupOps.minhashSigNative(col("text"), 3, 8)))
+        .select(col("doc_id"), col("pos").as("i"), col("col").as("sig"))
+        .orderBy("doc_id", "i")
+    }),
+
+    "q136_langid_nb" -> ((s, dir) => {
+      // multiclass language-ID screen (fastText-lid shape): a
+      // language-characteristic function-word suffix is planted on each
+      // doc by doc_id % 4, a k-class multinomial NB trains on
+      // doc_id < 250 (one aggregation pass keyed on (label, bucket),
+      // integer counts), and every doc argmax-scores through the native
+      // kernel. The oracle RETRAINS all four classes from scratch in SQL
+      // (same counts, same add-one smoothing, same ln) and replays each
+      // in-order score fold bit-for-bit; ties break to the first class
+      // in sorted-label order. The softmax-GD twin is spec-gated
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents")
+      val built = d.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" the and of to in is"))
+            .when(col("doc_id") % 4 === 1, lit(" le la et les des une"))
+            .when(col("doc_id") % 4 === 2, lit(" der die und das nicht mit"))
+            .otherwise(lit(" el la y de que en"))).as("text"),
+        when(col("doc_id") % 4 === 0, lit("en"))
+          .when(col("doc_id") % 4 === 1, lit("fr"))
+          .when(col("doc_id") % 4 === 2, lit("de"))
+          .otherwise(lit("es")).as("lang"))
+      val model = graft.llmops.TextAnalysis.trainLangIdNb(
+        built.filter(col("doc_id") < 250), "text", "lang",
+        numBuckets = 2048)
+      built.withColumn("p",
+          graft.llmops.TextAnalysis.langIdPredict(col("text"), model))
+        .select(col("doc_id"), col("lang"),
+          col("p.n_grams").as("n_grams"),
+          col("p.lang").as("lang_pred"), col("p.score").as("score"))
+        .orderBy("doc_id")
+    }),
+
     "q135_zorder_nd" -> ((s, dir) => {
       // n-D Morton interleave (OPTIMIZE ZORDER BY c1..c3): three bucketed
       // dimensions at 8 bits each, bit i of column j at position i*3+j;
@@ -2680,34 +2728,15 @@ object SparkEntry {
       DedupOps.ngramJaccardPairs(d, "text", "doc_id", "source", n = 3)
         .select(col("key_a"), col("key_b"), round(col("jaccard"), 6).as("jaccard_r"))
         .orderBy("key_a", "key_b")
-    })
-  )
-
-  /** Bench-only twins of oracle-gated queries: identical pipelines in
-    * production hash mode (xxhash64 simhash / rolling-hash winnow), whose
-    * bespoke 64-bit hashes no SQL oracle can replicate. They are NOT part
-    * of [[queries]] — the correctness gate covers the portable twins, and
-    * DedupOpsSpec asserts fast/portable agree pair-for-pair on an
-    * exact-duplicate corpus — but [[Bench]] runs them so the production
-    * path always has a number next to its portable twin.
-    */
-  def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q34_fast" -> ((s, dir) => {
-      val ss = tuned(s)
-      val d = t(ss, dir, "documents").filter(col("doc_id") < 2000)
-        .repartition(32)
-      val doubled = d.unionByName(
-        d.withColumn("doc_id", col("doc_id") + 1000000))
-      DedupOps.simhashNearDups(doubled, "text", "doc_id", maxDist = 3,
-          portable = false)
-        .withColumn("hamming", col("hamming").cast("int"))
-        .orderBy("key_a", "key_b")
     }),
 
     "q88_fast" -> ((s, dir) => {
       // exact-substring dedup, production hash path (O(n) rolling kernel
-      // instead of the oracle-portable per-position md5) — same fixture
-      // and dataflow as q88
+      // instead of the oracle-portable per-position md5) — same fixture,
+      // dataflow AND oracle as q88: the dedup verdict is content-based
+      // (which 40-grams repeat), so the fingerprint hash cannot change the
+      // output short of a 64-bit collision; FastGateParitySpec asserts the
+      // two modes bit-equal on the gate fixture
       val ss = tuned(s)
       val d = t(ss, dir, "documents").select(col("doc_id"), col("text"))
       val donors = d.filter(col("doc_id") < 50)
@@ -2723,6 +2752,13 @@ object SparkEntry {
     }),
 
     "q43_fast" -> ((s, dir) => {
+      // winnow near-dup, production hash path: polynomial rolling hash
+      // base 257 mod 2^64 + splitmix64 finalizer per 7-gram position
+      // instead of portable md5 prefixes. Unlike q88_fast this is NOT
+      // bit-equal to the portable twin (different hash space ⇒ different
+      // window minima ⇒ different fingerprint sets), so its oracle
+      // replays the production hash exactly: HUGEINT mod-2^64 arithmetic
+      // with 32-bit-split wrapping multiplies for splitmix64's constants.
       val ss = tuned(s)
       val d = t(ss, dir, "documents").filter(col("doc_id") < 2000)
         .repartition(32)
@@ -2733,8 +2769,35 @@ object SparkEntry {
         .withColumn("shared_fingerprints", col("shared_fingerprints").cast("long"))
         .withColumn("overlap", round(col("overlap"), 6))
         .orderBy("key_a", "key_b")
+    }),
+
+    "q34_fast" -> ((s, dir) => {
+      // simhash near-dup, production hash path: xxhash64 token hashes
+      // (full 64-bit, vs the portable 60-bit md5 prefix). The oracle
+      // replays Spark's exact XXH64 — stripes, tail, avalanche — in
+      // DuckDB HUGEINT arithmetic ([[graft.oracle.XxHash64Sql]]), then
+      // rebuilds every signature bit and the hamming pairs. Recall is
+      // hash-independent (pigeonhole banding), so the gate is exact.
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents").filter(col("doc_id") < 2000)
+        .repartition(32)
+      val doubled = d.unionByName(
+        d.withColumn("doc_id", col("doc_id") + 1000000))
+      DedupOps.simhashNearDups(doubled, "text", "doc_id", maxDist = 3,
+          portable = false)
+        .withColumn("hamming", col("hamming").cast("int"))
+        .orderBy("key_a", "key_b")
     })
   )
+
+  /** All former bench-only twins graduated to [[queries]] in round 10:
+    * q88_fast rides the portable oracle verbatim (content-determined
+    * output), q43_fast's oracle replays splitmix64, q34_fast's replays
+    * Spark's XXH64 ([[graft.oracle.XxHash64Sql]]). Kept so [[Bench]]'s
+    * selection logic and older tooling keep compiling.
+    */
+  def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] =
+    Map.empty
 
   // ======================================================================
   // DuckDB oracle SQL — column names must match the Spark results exactly
@@ -2857,6 +2920,98 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q131_token_chunks" -> bpeChunkOracle,
+
+    // q137: every signature Long recomputed — shingles are the byte spans
+    // between token boundaries (== tokens joined by ' ' INCLUDING empty
+    // tokens, so string_split replays tokenize exactly), hashed with the
+    // XxHash64Sql kernel + the hashInt seed fold, signed min per seed.
+    "q137_minhash_sig" ->
+      s"""WITH RECURSIVE docs AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 500),
+         tk AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
+         sh AS (
+           SELECT doc_id,
+             unnest([array_to_string(ws[j:j+2], ' ')
+                     FOR j IN range(1, len(ws) - 1)]) AS t
+           FROM tk WHERE len(ws) >= 3),
+         xk_in AS (SELECT t FROM sh),
+${graft.oracle.XxHash64Sql.kernel("42")},
+${graft.oracle.XxHash64Sql.seededKernel(8)},
+         sig AS (
+           SELECT sh.doc_id, hs.i,
+             min(${graft.oracle.XxHash64Sql.signed("hs.h")}) AS sig
+           FROM sh JOIN xk_hs hs USING (t)
+           GROUP BY sh.doc_id, hs.i)
+         SELECT doc_id, CAST(i AS INTEGER) AS i, sig FROM sig
+         ORDER BY doc_id, i""",
+
+    // q136: the oracle RETRAINS the 4-class NB from scratch — counts per
+    // (class, bucket), add-one smoothing, ln — then replays each class's
+    // in-order score fold bit-for-bit and argmaxes with the engine's
+    // tie-break (score DESC, class label ASC).
+    "q136_langid_nb" ->
+      """WITH built AS (
+           SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+               WHEN 2 THEN 'de' ELSE 'es' END AS lang,
+             lower(trim(text || CASE doc_id % 4
+               WHEN 0 THEN ' the and of to in is'
+               WHEN 1 THEN ' le la et les des une'
+               WHEN 2 THEN ' der die und das nicht mit'
+               ELSE ' el la y de que en' END)) AS t
+           FROM documents),
+         toks AS (
+           SELECT doc_id, lang,
+             list_filter(string_split(t, ' '), w -> len(w) > 0) AS ws
+           FROM built),
+         grams AS (
+           SELECT doc_id, lang,
+             ws || [ws[i] || ' ' || ws[i + 1]
+                    FOR i IN range(1, len(ws))] AS gs
+           FROM toks),
+         bk AS (
+           SELECT doc_id, lang, u.o AS o, u.b AS b
+           FROM (SELECT doc_id, lang,
+               unnest([{'o': i, 'b': ('0x' || substr(md5(gs[i]), 1, 15))
+                          ::BIGINT % 2048}
+                       FOR i IN range(1, len(gs) + 1)]) AS u
+             FROM grams)),
+         classes AS (SELECT DISTINCT lang AS y FROM built WHERE doc_id < 250),
+         cnt AS (
+           SELECT lang AS y, b, count(*) AS c
+           FROM bk WHERE doc_id < 250 GROUP BY 1, 2),
+         tot AS (
+           SELECT lang AS y, count(*) AS t
+           FROM bk WHERE doc_id < 250 GROUP BY 1),
+         dc AS (
+           SELECT lang AS y, count(*) AS dcnt
+           FROM built WHERE doc_id < 250 GROUP BY 1),
+         nd AS (SELECT count(*) AS n FROM built WHERE doc_id < 250),
+         w AS (
+           SELECT cl.y, k.b,
+             ln((coalesce(c.c, 0) + 1.0) / (t.t + 2048)) AS w
+           FROM range(2048) k(b) CROSS JOIN classes cl
+           JOIN tot t ON t.y = cl.y
+           LEFT JOIN cnt c ON c.y = cl.y AND c.b = k.b),
+         bs AS (
+           SELECT dc.y, ln((dc.dcnt + 1.0) / (nd.n + 4.0)) AS bias
+           FROM dc, nd),
+         folded AS (
+           SELECT bk.doc_id, w.y, list(w.w ORDER BY bk.o) AS wl,
+             count(*) AS n_grams
+           FROM bk JOIN w ON w.b = bk.b GROUP BY bk.doc_id, w.y),
+         scored AS (
+           SELECT b2.doc_id, b2.lang, cl.y,
+             CAST(coalesce(f.n_grams, 0) AS BIGINT) AS n_grams,
+             bs.bias + coalesce(list_sum(f.wl), 0.0) AS score
+           FROM built b2 CROSS JOIN classes cl
+           JOIN bs ON bs.y = cl.y
+           LEFT JOIN folded f ON f.doc_id = b2.doc_id AND f.y = cl.y)
+         SELECT doc_id, lang, n_grams, y AS lang_pred, score
+         FROM scored
+         QUALIFY row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, y ASC) = 1
+         ORDER BY doc_id""",
 
     "q135_zorder_nd" ->
       """WITH r AS (
@@ -3484,6 +3639,37 @@ object SparkEntry {
            greatest(len(list_distinct(l.ng || r.ng)), 1) >= 0.9
          ORDER BY key_a, key_b""",
 
+    // q34_fast: identical pipeline to q34_simhash_neardup but the token
+    // hash is Spark's xxhash64 (seed 42) instead of the md5 prefix — the
+    // XxHash64Sql kernel computes it for every DISTINCT token (stripes,
+    // tail, avalanche, all in HUGEINT mod-2^64), then the signature is
+    // rebuilt over the full 64 bits and pairs taken at hamming ≤ 3.
+    "q34_fast" ->
+      s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+         doubled AS (SELECT doc_id, text FROM base
+                     UNION ALL SELECT doc_id + 1000000, text FROM base),
+         occ AS (SELECT doc_id AS key, unnest(string_split(text, ' ')) AS t
+                 FROM doubled),
+         xk_in AS (SELECT t FROM occ),
+${graft.oracle.XxHash64Sql.kernel("42")},
+         th AS (SELECT occ.key, xk_h.h FROM occ JOIN xk_h USING (t)),
+         bits AS (
+           SELECT key, b, sum(((h >> b) % 2)::BIGINT) AS ones, count(*) AS n
+           FROM th, range(0, 64) r(b)
+           GROUP BY key, b),
+         sim0 AS (
+           SELECT key,
+             sum(CASE WHEN 2 * ones > n THEN (1::HUGEINT << b)
+                 ELSE 0::HUGEINT END) AS simu
+           FROM bits GROUP BY key),
+         sim AS (SELECT key, ${graft.oracle.XxHash64Sql.signed("simu")} AS sim
+                 FROM sim0)
+         SELECT l.key AS key_a, r.key AS key_b,
+           CAST(bit_count(xor(l.sim, r.sim)) AS INTEGER) AS hamming
+         FROM sim l JOIN sim r ON l.key < r.key
+         WHERE bit_count(xor(l.sim, r.sim)) <= 3
+         ORDER BY key_a, key_b""",
+
     "q34_simhash_neardup" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
          doubled AS (SELECT doc_id, text FROM base
@@ -3541,6 +3727,79 @@ object SparkEntry {
            FROM scored)
          SELECT query_key, neighbor_key, rank FROM ranked WHERE rank <= 3
          ORDER BY query_key, rank""",
+
+    // q43_fast: same winnow pipeline as q43_winnow_neardup but replaying
+    // the PRODUCTION hash — polynomial base-257 over the 7-gram's code
+    // points (Java wrapping mod 2^64) then the splitmix64 finalizer.
+    // Wrapping 64-bit multiplies are done in HUGEINT with the 32-bit
+    // split (lo*C + ((hi*C) mod 2^32)<<32) mod 2^64; the result is
+    // reinterpreted as signed BIGINT so min()/ordering match Java's
+    // signed Long comparisons.
+    "q43_fast" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+         doubled AS (SELECT doc_id AS key, text FROM base
+                     UNION ALL SELECT doc_id + 1000000, text FROM base),
+         norm AS (SELECT key,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s FROM doubled),
+         pos0 AS (
+           SELECT key, len(s) - 6 AS n,
+             unnest([{'j': i,
+               'p': (ord(substr(s, i, 1))::HUGEINT * 288136807515649
+                   + ord(substr(s, i + 1, 1)) * 1121154893057
+                   + ord(substr(s, i + 2, 1)) * 4362470401
+                   + ord(substr(s, i + 3, 1)) * 16974593
+                   + ord(substr(s, i + 4, 1)) * 66049
+                   + ord(substr(s, i + 5, 1)) * 257
+                   + ord(substr(s, i + 6, 1)))
+                  % 18446744073709551616::HUGEINT}
+               FOR i IN range(1, len(s) - 5)]) AS u
+           FROM norm WHERE len(s) >= 7),
+         posm AS (
+           SELECT key, n, u.j AS j,
+             (u.p + 11400714819323198485::HUGEINT)
+               % 18446744073709551616::HUGEINT AS z0,
+             xor(z0, z0 >> 30) AS y0,
+             ((y0 % 4294967296) * 13787848793156543929::HUGEINT
+              + (((y0 // 4294967296) * 13787848793156543929::HUGEINT)
+                 % 4294967296) * 4294967296)
+               % 18446744073709551616::HUGEINT AS z1,
+             xor(z1, z1 >> 27) AS y1,
+             ((y1 % 4294967296) * 10723151780598845931::HUGEINT
+              + (((y1 // 4294967296) * 10723151780598845931::HUGEINT)
+                 % 4294967296) * 4294967296)
+               % 18446744073709551616::HUGEINT AS z2,
+             xor(z2, z2 >> 31) AS hu,
+             CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+                  THEN hu - 18446744073709551616::HUGEINT ELSE hu END
+               AS BIGINT) AS h
+           FROM pos0),
+         pos AS (SELECT key, n, j, h FROM posm),
+         small AS (SELECT key, min(h) AS fp FROM pos WHERE n <= 4 GROUP BY key),
+         w0 AS (
+           SELECT key, j - off AS t, j, h FROM pos, range(0, 4) o(off)
+           WHERE n > 4 AND j - off >= 1 AND j - off <= n - 3),
+         wm AS (SELECT key, t, min(h) AS mh FROM w0 GROUP BY key, t),
+         picked AS (
+           SELECT w0.key, w0.t, max(w0.j) AS pj
+           FROM w0 JOIN wm ON w0.key = wm.key AND w0.t = wm.t AND w0.h = wm.mh
+           GROUP BY w0.key, w0.t),
+         fps AS (
+           SELECT DISTINCT p.key, pos.h AS fp
+           FROM picked p JOIN pos ON pos.key = p.key AND pos.j = p.pj
+           UNION SELECT key, fp FROM small),
+         freq AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+         rare AS (SELECT fps.key, fps.fp FROM fps JOIN freq USING (fp)
+                  WHERE df <= 100),
+         cnt AS (SELECT key, count(*) AS nfp FROM rare GROUP BY key),
+         shared AS (
+           SELECT l.key AS key_a, r.key AS key_b, count(*) AS sf
+           FROM rare l JOIN rare r ON l.fp = r.fp AND l.key < r.key
+           GROUP BY 1, 2)
+         SELECT key_a, key_b, CAST(sf AS BIGINT) AS shared_fingerprints,
+           round(sf * 1.0 / least(ca.nfp, cb.nfp), 6) AS overlap
+         FROM shared JOIN cnt ca ON ca.key = key_a JOIN cnt cb ON cb.key = key_b
+         WHERE sf * 1.0 / least(ca.nfp, cb.nfp) >= 0.8
+         ORDER BY key_a, key_b""",
 
     "q43_winnow_neardup" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
@@ -5324,6 +5583,40 @@ object SparkEntry {
                               ORDER BY adist, neighbor_key) AS rank
          FROM scored QUALIFY rank <= 3
          ORDER BY query_key, rank""",
+
+    // q88_fast: the production rolling-hash path is content-determined
+    // (FastGateParitySpec proves bit-equality with the portable mode), so
+    // the fast gate replays the SAME oracle as q88_substring_dedup.
+    "q88_fast" ->
+      """WITH src AS (
+           SELECT d.doc_id, d.text || ' ' || substr(o.text, 1, 80) AS text
+           FROM documents d
+           JOIN documents o ON o.doc_id = d.doc_id % 50
+           WHERE o.doc_id < 50),
+         g AS (
+           SELECT s.doc_id, i AS pos,
+             md5(substr(s.text, CAST(i AS INTEGER) + 1, 40)) AS h
+           FROM src s, range(8000) t(i)
+           WHERE i + 40 <= length(s.text)),
+         dup AS (
+           SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY h) AS c
+           FROM g),
+         cuts AS (
+           SELECT doc_id, list_sort(list(pos)) AS starts
+           FROM dup WHERE c > 1 AND rn > 1
+           GROUP BY doc_id)
+         SELECT s.doc_id,
+           CASE WHEN c.starts IS NULL THEN s.text ELSE
+             coalesce(array_to_string(list_transform(
+               list_filter(range(0, length(s.text)),
+                 i -> len(list_filter(c.starts,
+                   st -> st <= i AND i < st + 40)) = 0),
+               i -> substr(s.text, CAST(i AS INTEGER) + 1, 1)), ''), '')
+           END AS dedup_text
+         FROM src s LEFT JOIN cuts c USING (doc_id)
+         ORDER BY s.doc_id""",
 
     "q88_substring_dedup" ->
       """WITH src AS (
