@@ -1057,6 +1057,130 @@ object TextAnalysis {
       graft.expressions.HashedNgramScore(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(text), model))
 
+  // --- multiclass hashed-n-gram classifier (fastText-lid shape) ---------
+
+  /** Train a k-class multinomial Naive Bayes classifier over the SAME
+    * hashed word uni+bigram features as [[trainQualityNb]] — the
+    * closed-form multiclass path (one aggregation pass keyed on
+    * (label, bucket), integer counts), so an external SQL engine
+    * replays training exactly. Class order = sorted distinct labels.
+    * Per class c: `w_c[b] = ln((cnt_c[b]+1)/(tot_c+D))` (add-one
+    * multinomial log-likelihood), `bias_c = ln((docs_c+1)/(docs+k))`
+    * (smoothed prior). Argmax of `bias_c + Σ w_c[h(g)]` predicts.
+    *
+    * Scale shape: explode → one partial-aggregated groupBy on
+    * (label, bucket), at most k·D rows collected — the model is a
+    * bounded artifact shipped in the task binary, never corpus-sized.
+    */
+  def trainLangIdNb(labeled: DataFrame, textCol: String, labelCol: String,
+      numBuckets: Int = 4096): graft.expressions.HashedNgramMulticlassModel = {
+    val counts = labeled
+      .select(col(labelCol).cast("string").alias("y"),
+        explode(qualityGrams(col(textCol))).alias("g"))
+      .select(col("y"), bucketOf(col("g"), numBuckets).alias("b"))
+      .groupBy(col("y"), col("b")).agg(count(lit(1)).alias("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toInt, r.getLong(2)))
+    val docCounts = labeled
+      .groupBy(col(labelCol).cast("string").alias("y"))
+      .agg(count(lit(1)).alias("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val labels = docCounts.keys.toArray.sorted
+    require(labels.nonEmpty, "trainLangIdNb: empty training set")
+    val idx = labels.zipWithIndex.toMap
+    val totals = new Array[Long](labels.length)
+    counts.foreach { case (y, _, c) => totals(idx(y)) += c }
+    val weights = Array.tabulate(labels.length)(c =>
+      Array.fill(numBuckets)(math.log(1.0 / (totals(c) + numBuckets))))
+    counts.foreach { case (y, b, c) =>
+      weights(idx(y))(b) = math.log((c + 1.0) / (totals(idx(y)) + numBuckets))
+    }
+    val nDocs = docCounts.values.sum
+    val biases = labels.map(l =>
+      math.log((docCounts(l) + 1.0) / (nDocs + labels.length.toDouble)))
+    new graft.expressions.HashedNgramMulticlassModel(
+      numBuckets, labels, biases, weights)
+  }
+
+  /** Train a k-class softmax (multinomial logistic regression)
+    * classifier by full-batch gradient descent over the same hashed
+    * features: forward pass through the native multi-score kernel,
+    * per-class residuals `softmax_c − 1[y=c]` exploded per gram
+    * occurrence, gradients one groupBy on (class, bucket). Float
+    * iteration sums ride shuffle order, so final weights can differ in
+    * ulps across runs — spec-gated (accuracy margins), exactly
+    * [[trainQualityLr]]'s contract; the NB trainer is the
+    * oracle-replayable path.
+    */
+  def trainLangIdLr(labeled: DataFrame, textCol: String, labelCol: String,
+      numBuckets: Int = 4096, iters: Int = 20,
+      step: Double = 0.5): graft.expressions.HashedNgramMulticlassModel = {
+    require(iters >= 0 && step > 0, s"bad GD config: iters=$iters step=$step")
+    val base = labeled
+      .select(col(labelCol).cast("string").alias("y"),
+        col(textCol).alias("__t"))
+      .localCheckpoint() // read once per round; lineage stays flat
+    val n = base.count().toDouble
+    require(n > 0, "trainLangIdLr: empty training set")
+    val labels = base.select("y").distinct()
+      .collect().map(_.getString(0)).sorted
+    val k = labels.length
+    var biases = new Array[Double](k)
+    var weights = Array.fill(k)(new Array[Double](numBuckets))
+    for (_ <- 0 until iters) {
+      val model = new graft.expressions.HashedNgramMulticlassModel(
+        numBuckets, labels, biases, weights)
+      // per-row, per-class residual p_c − 1[y=c] via a numerically
+      // stable softmax over the kernel's score array
+      val resid = base
+        .withColumn("__s", langIdScores(col("__t"), model).getField("scores"))
+        .withColumn("__m", array_max(col("__s")))
+        .withColumn("__z",
+          aggregate(col("__s"), lit(0.0), (a, x) => a + exp(x - col("__m"))))
+        .withColumn("__r", transform(col("__s"), (x, i) =>
+          exp(x - col("__m")) / col("__z") -
+            when(element_at(typedlit(labels.toSeq), i + 1) === col("y"), 1.0)
+              .otherwise(0.0)))
+      val biasGrads = resid
+        .select(explode(transform(col("__r"), (r, i) =>
+          struct(i.alias("c"), r.alias("r")))).alias("e"))
+        .groupBy(col("e.c")).agg(sum(col("e.r")).alias("gr"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+      val grads = resid
+        .select(col("__r"), explode(qualityGrams(col("__t"))).alias("g"))
+        .select(col("__r"), bucketOf(col("g"), numBuckets).alias("b"))
+        .select(col("b"), explode(transform(col("__r"), (r, i) =>
+          struct(i.alias("c"), r.alias("r")))).alias("e"))
+        .groupBy(col("e.c"), col("b")).agg(sum(col("e.r")).alias("gr"))
+        .collect().map(r => (r.getInt(0), r.getLong(1).toInt, r.getDouble(2)))
+      val nextW = weights.map(_.clone())
+      grads.foreach { case (c, b, g) => nextW(c)(b) -= step * g / n }
+      val nextB = biases.clone()
+      biasGrads.foreach { case (c, g) => nextB(c) -= step * g / n }
+      weights = nextW
+      biases = nextB
+    }
+    new graft.expressions.HashedNgramMulticlassModel(
+      numBuckets, labels, biases, weights)
+  }
+
+  /** `struct<n_grams, scores array<double>>` — per-class scores under a
+    * trained multiclass model (class order = model label order).
+    */
+  def langIdScores(text: Column,
+      model: graft.expressions.HashedNgramMulticlassModel): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.HashedNgramMultiScores(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(text), model))
+
+  /** `struct<n_grams, lang, score>` — argmax prediction under a trained
+    * multiclass model (first class in model order wins exact ties).
+    */
+  def langIdPredict(text: Column,
+      model: graft.expressions.HashedNgramMulticlassModel): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.HashedNgramArgmax(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(text), model))
+
   /** CCNet's head/middle/tail partition over LM scores: corpus-level
     * exact percentile cuts (two scalars, broadcast), then a per-row
     * comparison — higher score = more reference-like = head. CCNet cuts
