@@ -1656,6 +1656,30 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q138_warc_extract" -> ((s, dir) => {
+      // crawl ingestion end-to-end: corpus text → writer-twin HTML page →
+      // a REAL WARC archive (warcinfo + HTTP response; even ids raw
+      // records, odd ids per-record gzip members — both real-world
+      // layouts) → native record parse, HTTP envelope peel, readability
+      // extraction. Identity oracle like q91; url/status/mime closed-form
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      lazy val rows = docs.map { case (id, text) =>
+        val page = graft.llmops.Html.writePage(Seq(s"Doc $id", text))
+        (id, graft.llmops.WarcWriter.write(
+          Seq((s"https://example.com/doc/$id", null, 200, "text/html", page)),
+          gzipMembers = id % 2 == 1))
+      }.toSeq
+      import ss.implicits._
+      val src = fixtureDF(ss, dir, "q138_warc_extract")(rows)
+      graft.llmops.Warc.warcPages(src, "doc_id", "content", minWords = 1)
+        .select(col("doc_id"), col("target_uri"), col("http_status"),
+          col("mime"), col("page_text").as("extracted_text"))
+        .orderBy("doc_id")
+    }),
+
     "q137_minhash_sig" -> ((s, dir) => {
       // the NATIVE MinHash signature kernel gated value-for-value (q33
       // gates the pipeline's OUTPUT pairs; this pins every signature
@@ -2920,6 +2944,17 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q131_token_chunks" -> bpeChunkOracle,
+
+    // q138: the whole crawl-extract chain collapses to the closed form —
+    // url/status/mime are fixture constants, extraction is the q91
+    // identity (writer page of "Doc N" + text → that exact text back).
+    "q138_warc_extract" ->
+      """SELECT doc_id,
+         'https://example.com/doc/' || doc_id AS target_uri,
+         CAST(200 AS INTEGER) AS http_status,
+         'text/html' AS mime,
+         'Doc ' || doc_id || chr(10) || text AS extracted_text
+         FROM documents WHERE doc_id < 300 ORDER BY doc_id""",
 
     // q137: every signature Long recomputed — shingles are the byte spans
     // between token boundaries (== tokens joined by ' ' INCLUDING empty

@@ -1,0 +1,124 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WARC web-archive surface: the crawl-ingestion arm of the document
+  * family — raw (or gzipped) WARC bytes → per-response rows → main
+  * content, all inside the scan projection.
+  *
+  * Reference semantics anchor: heterogeneous document ingestion
+  * (cdk-datalake-ingest-upeu aje_libs/documents/helpers/
+  * document_processor.py handles uploads one-at-a-time); WARC is the
+  * corpus-scale web-crawl analogue of the same extract step.
+  */
+object Warc {
+
+  /** Native parse: `array<struct<warc_type, target_uri, warc_date,
+    * http_status, mime, payload>>`, NULL for non-WARC/malformed bytes
+    * ([[graft.expressions.WarcRecords]]).
+    */
+  def warcRecords(content: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.WarcRecords(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** One row per HTTP-response record: (key, rec, target_uri, warc_date,
+    * http_status, mime, payload). Non-response records (warcinfo,
+    * request, metadata) are filtered out AFTER the parse, so a malformed
+    * archive still refuses as zero rows for its key rather than a
+    * partial view. `rec` is the record's position in the archive.
+    */
+  def warcResponses(df: DataFrame, keyCol: String, contentCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(warcRecords(col(contentCol))))
+      .select(col(keyCol), col("pos").as("rec"),
+        col("col.warc_type").as("warc_type"),
+        col("col.target_uri").as("target_uri"),
+        col("col.warc_date").as("warc_date"),
+        col("col.http_status").as("http_status"),
+        col("col.mime").as("mime"),
+        col("col.payload").as("payload"))
+      .filter(lower(col("warc_type")) === "response")
+
+  /** Crawl → text: HTML response bodies through the readability-style
+    * main-content extractor; non-HTML responses pass their body as
+    * latin-1 text (byte-transparent). Pure per-row projections.
+    */
+  def warcPages(df: DataFrame, keyCol: String, contentCol: String,
+      minWords: Int = 1): DataFrame = {
+    val resp = warcResponses(df, keyCol, contentCol)
+    resp.withColumn("page_text",
+      when(col("mime") === "text/html",
+        Html.mainContentCol(col("payload"), minWords = minWords))
+        .otherwise(decode(col("payload"), "ISO-8859-1")))
+  }
+}
+
+/** Writer twin for [[Warc]] fixtures and tests: standards-shaped WARC/1.0
+  * bytes from closed-form inputs — no clocks, no randomness, every byte
+  * derivable by an external oracle. Supports the two real-world layouts:
+  * raw concatenated records and per-record gzip members (the Common
+  * Crawl convention).
+  */
+object WarcWriter {
+
+  private val CRLF = "\r\n"
+
+  def record(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder("WARC/1.0").append(CRLF)
+    headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append(CRLF) }
+    sb.append("Content-Length: ").append(payload.length).append(CRLF)
+    sb.append(CRLF)
+    val head = sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val out = new java.io.ByteArrayOutputStream(head.length + payload.length + 4)
+    out.write(head)
+    out.write(payload)
+    out.write(CRLF.getBytes); out.write(CRLF.getBytes)
+    out.toByteArray
+  }
+
+  def warcinfo(date: String): Array[Byte] =
+    record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Date" -> date,
+      "Content-Type" -> "application/warc-fields"),
+      ("software: graft" + CRLF).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+
+  def responseRecord(uri: String, date: String, status: Int, mime: String,
+      body: Array[Byte]): Array[Byte] = {
+    val statusText = if (status == 200) "OK" else "Status"
+    val http = new java.io.ByteArrayOutputStream()
+    http.write((s"HTTP/1.1 $status $statusText" + CRLF +
+      s"Content-Type: $mime; charset=UTF-8" + CRLF +
+      s"Content-Length: ${body.length}" + CRLF + CRLF)
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    http.write(body)
+    record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> uri,
+      "WARC-Date" -> date,
+      "Content-Type" -> "application/http; msgtype=response"),
+      http.toByteArray)
+  }
+
+  /** A complete archive: warcinfo + one response per entry. With
+    * `gzipMembers` each record becomes its own gzip member (deflate
+    * level 6, no OS/mtime variance — `GZIPOutputStream` writes mtime 0).
+    */
+  def write(entries: Seq[(String, String, Int, String, Array[Byte])],
+      date: String = "2026-01-01T00:00:00Z",
+      gzipMembers: Boolean = false): Array[Byte] = {
+    val records = warcinfo(date) +:
+      entries.map { case (uri, d, status, mime, body) =>
+        responseRecord(uri, if (d == null) date else d, status, mime, body)
+      }
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      if (gzipMembers) {
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        gz.write(r); gz.finish()
+      } else out.write(r)
+    }
+    out.toByteArray
+  }
+}

@@ -28,7 +28,9 @@ class CodecRobustnessSpec extends AnyFunSuite {
     "BM".getBytes("ISO-8859-1"),
     Array[Byte]('P', 'K', 3, 4), // zip/OOXML
     Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte), // CFB/OLE2
-    "{\\rtf1\\ansi ".getBytes("ISO-8859-1"))
+    "{\\rtf1\\ansi ".getBytes("ISO-8859-1"),
+    "WARC/1.0\r\n".getBytes("ISO-8859-1"),
+    Array(0x1F, 0x8B, 0x08, 0x00).map(_.toByte)) // gzip member
 
   private def allCodecs(bytes: Array[Byte]): Unit = {
     Pdf.pdfText(bytes)
@@ -51,6 +53,7 @@ class CodecRobustnessSpec extends AnyFunSuite {
     graft.expressions.AviFrames.compute(bytes)
     graft.expressions.Mp4Frames.compute(bytes)
     graft.expressions.VideoFrames.compute(bytes)
+    graft.expressions.WarcRecords.compute(bytes)
     DocumentText.extractText(bytes, "application/pdf")
     DocumentText.extractText(bytes, "text/html")
     ()
@@ -83,6 +86,10 @@ class CodecRobustnessSpec extends AnyFunSuite {
         useCo64 = true, moovFirst = true, quicktime = true),
       JpegWriter.grayProgressive(24, 16, (x, y) => (x * 3 + y * 7 + 5) % 256),
       JpegWriter.grayProgressive(17, 9, (x, y) => (x + y) % 256, dcAl = 2),
+      WarcWriter.write(Seq(("https://e/x", null, 200, "text/html",
+        "<html><p>warc fuzz page</p></html>".getBytes("ISO-8859-1")))),
+      WarcWriter.write(Seq(("https://e/y", null, 200, "text/plain",
+        "plain".getBytes("ISO-8859-1"))), gzipMembers = true),
       OoxmlWriter.docx(Seq("body text")),
       OoxmlWriter.xlsx(Seq("s" -> Seq(Seq("1", "x")))),
       MediaWriter.wav(2, 44100, 16, 1000),
@@ -158,7 +165,11 @@ class CodecRobustnessSpec extends AnyFunSuite {
       Mp4Writer.mp4(8, 8, Seq(JpegWriter.gray(8, 8, (x, y) => (x * 3 + y) % 256)),
         useCo64 = true),
       JpegWriter.grayProgressive(16, 8, (x, y) => (x * 5 + y) % 256),
-      LegacyOfficeWriter.doc(Seq("epsilon zeta")))
+      LegacyOfficeWriter.doc(Seq("epsilon zeta")),
+      WarcWriter.write(Seq(("https://e/z", null, 200, "text/html",
+        "<html><p>flip target</p></html>".getBytes("ISO-8859-1")))),
+      WarcWriter.write(Seq(("https://e/w", null, 200, "text/plain",
+        "flip gz".getBytes("ISO-8859-1"))), gzipMembers = true))
     for (doc <- base; i <- doc.indices by 7) {
       val mutated = doc.clone()
       mutated(i) = (mutated(i) ^ 0x5A).toByte

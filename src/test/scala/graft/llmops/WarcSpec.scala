@@ -1,0 +1,96 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** WARC web-archive codec pair: writer-twin round trips over both
+  * real-world layouts (raw records, per-record gzip members), HTTP
+  * envelope peeling, non-response filtering, wholesale refusal tiers,
+  * and mutation fuzz over genuine streams.
+  */
+class WarcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def entries(n: Int) = (0 until n).map { i =>
+    (s"https://example.org/p/$i", "2026-02-0" + (1 + i % 9) + "T00:00:00Z",
+      if (i % 7 == 3) 404 else 200,
+      if (i % 3 == 2) "text/plain" else "text/html",
+      (s"<html><body><p>page $i body with several words here</p></body></html>")
+        .getBytes("UTF-8"))
+  }
+
+  test("round trip: raw and gzip-member layouts parse identically") {
+    for (gz <- Seq(false, true)) {
+      val es = entries(6)
+      val bytes = WarcWriter.write(es, gzipMembers = gz)
+      val df = Seq((1L, bytes)).toDF("doc_id", "content")
+      val rows = Warc.warcResponses(df, "doc_id", "content")
+        .orderBy("rec").collect()
+      assert(rows.length == es.length, s"gz=$gz")
+      rows.zip(es).foreach { case (r, (uri, date, status, mime, body)) =>
+        assert(r.getAs[String]("target_uri") == uri)
+        assert(r.getAs[String]("warc_date") == date)
+        assert(r.getAs[Int]("http_status") == status)
+        assert(r.getAs[String]("mime") == mime)
+        assert(r.getAs[Array[Byte]]("payload").toSeq == body.toSeq)
+      }
+      // warcinfo is parsed but filtered: rec indices start at 1
+      assert(rows.head.getAs[Int]("rec") == 1)
+    }
+  }
+
+  test("warcPages extracts HTML main content and passes text/plain through") {
+    val es = Seq(
+      ("https://a/x", null, 200, "text/html",
+        Html.writePage(Seq("Title Words", "body paragraph with many plain words")),
+      ),
+      ("https://a/y", null, 200, "text/plain", "just plain text".getBytes("UTF-8")))
+    val bytes = WarcWriter.write(es.map(e => (e._1, e._2, e._3, e._4, e._5)))
+    val df = Seq((9L, bytes)).toDF("doc_id", "content")
+    val out = Warc.warcPages(df, "doc_id", "content").orderBy("rec")
+      .select("mime", "page_text").collect()
+    assert(out(0).getString(0) == "text/html")
+    assert(out(0).getString(1).contains("body paragraph with many plain words"))
+    assert(out(1).getString(1) == "just plain text")
+  }
+
+  test("refusal is wholesale: garbage, bad magic, truncation, corrupt gzip") {
+    val good = WarcWriter.write(entries(3))
+    val goodGz = WarcWriter.write(entries(3), gzipMembers = true)
+    val cases = Seq(
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9),
+      "HTTP/1.1 200 OK\r\n\r\nnope".getBytes("UTF-8"),
+      good.take(good.length - 40), // payload truncated mid-record
+      { val c = goodGz.clone(); c(goodGz.length / 2) = (c(goodGz.length / 2) ^ 0xFF).toByte; c })
+    val df = cases.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("doc_id", "content")
+    val out = df.select(Warc.warcRecords(col("content")).alias("r")).collect()
+    val nulls = out.count(_.isNullAt(0))
+    // bit-flip in a gzip payload may or may not break the CRC mid-member;
+    // the structural tiers (garbage, bad magic, truncation) must all refuse
+    assert(nulls >= 3, s"expected >= 3 wholesale refusals, got $nulls")
+  }
+
+  test("truncation sweep never crashes and never yields partial archives") {
+    val good = WarcWriter.write(entries(4))
+    val full = Seq((0L, good)).toDF("doc_id", "content")
+      .select(Warc.warcRecords(col("content")).alias("r"))
+      .collect()(0).getSeq[Any](0).length
+    (1 until good.length by 97).foreach { cut =>
+      val rows = Seq((0L, good.take(cut))).toDF("doc_id", "content")
+        .select(Warc.warcRecords(col("content")).alias("r")).collect()
+      val r = rows(0)
+      assert(r.isNullAt(0) || r.getSeq[Any](0).length <= full)
+    }
+  }
+
+  test("multi-record single gzip member also parses (non-Common-Crawl layout)") {
+    val raw = WarcWriter.write(entries(3))
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(raw); gz.finish()
+    val df = Seq((0L, out.toByteArray)).toDF("doc_id", "content")
+    val rows = Warc.warcResponses(df, "doc_id", "content").collect()
+    assert(rows.length == 3)
+  }
+}
