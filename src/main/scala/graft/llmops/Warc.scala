@@ -52,6 +52,53 @@ object Warc {
         Html.mainContentCol(col("payload"), minWords = minWords))
         .otherwise(decode(col("payload"), "ISO-8859-1")))
   }
+
+  /** The crawl arm of corpus ingestion: archives → pages → one page per
+    * URL (a crawl revisits; keep the LATEST by WARC-Date, record order
+    * breaking exact ties) → the standard text near-dup screen-and-append
+    * ([[graft.streaming.CorpusIngest.ingestBatch]]: within-batch screen,
+    * corpus screen against the persistent signature store, survivors +
+    * band rows appended). Keys in the corpus are the target URIs.
+    *
+    * Plan shape at scale: parse/extract are scan projections, the
+    * URL keep-latest is one shuffle on the URL, and the screen costs
+    * O(batch) against a signature store — the corpus is never rescanned.
+    *
+    * @return rows appended
+    */
+  def ingestCrawlBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      keyCol: String,
+      contentCol: String,
+      corpusPath: String,
+      minTextChars: Int = 1,
+      wordShingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.6,
+      signaturePath: Option[String] = None,
+      lockStore: Option[graft.operators.LockStore] = None,
+      qualityGate: Option[DataFrame => DataFrame] = None): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val pages = warcPages(batch, keyCol, contentCol)
+      .filter(col("target_uri").isNotNull &&
+        col("page_text").isNotNull &&
+        length(trim(col("page_text"))) >= minTextChars)
+    val keepLatest = Window.partitionBy(col("target_uri"))
+      .orderBy(col("warc_date").desc_nulls_last, col("rec").desc)
+    val perUrl = pages
+      .withColumn("__rn", row_number().over(keepLatest))
+      .filter(col("__rn") === 1)
+      .select(col("target_uri").as("url"),
+        col("warc_date"), col("http_status"), col("mime"),
+        col("page_text").as("text"))
+    graft.streaming.CorpusIngest.ingestBatch(spark, perUrl, corpusPath,
+      textCol = "text", keyCol = "url",
+      wordShingleN = wordShingleN, numHashes = numHashes, bands = bands,
+      threshold = threshold, signaturePath = signaturePath,
+      lockStore = lockStore, qualityGate = qualityGate)
+  }
 }
 
 /** Writer twin for [[Warc]] fixtures and tests: standards-shaped WARC/1.0

@@ -150,6 +150,36 @@ object Maintenance {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Point-lookup-optimized rewrite: parquet BLOOM FILTERS on the given
+    * key columns (split-block bloom, parquet-format §BloomFilter), the
+    * pruning layer min/max stats cannot provide for high-cardinality
+    * keys. At 100 TB a key MERGE or id probe still decodes every row
+    * group of the files partition pruning leaves; a bloom filter lets
+    * the vectorized reader drop row groups that provably lack the key —
+    * for a needle-in-haystack lookup that is most of them. `ndv` sizes
+    * the filter (expected distinct keys PER ROW GROUP — overstating only
+    * costs bytes, understating costs false positives).
+    *
+    * Sorting by the first key column before writing keeps each file's
+    * key range narrow, so min/max and bloom pruning compose.
+    */
+  def bloomWrite(df: DataFrame, path: String, bloomCols: Seq[String],
+      ndv: Long = 1000000, numFiles: Int = 0): Unit = {
+    require(bloomCols.nonEmpty, "bloomWrite needs at least one key column")
+    val files =
+      if (numFiles > 0) numFiles
+      else math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    var w = df
+      .repartitionByRange(files, col(bloomCols.head))
+      .sortWithinPartitions(col(bloomCols.head))
+      .write.mode(SaveMode.Overwrite)
+    bloomCols.foreach { c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    w.parquet(path)
+  }
+
   /** VACUUM-equivalent for the staging/backup dirs the merge path leaves on
     * interruption. Sweeps both the fixed legacy names and the per-writer
     * `__staging.<token>` / temp-file droppings (never the live `__lock`).

@@ -93,4 +93,47 @@ class WarcSpec extends SparkTestBase {
     val rows = Warc.warcResponses(df, "doc_id", "content").collect()
     assert(rows.length == 3)
   }
+
+
+  test("ingestCrawlBatch: keep-latest per URL, then screen-and-append") {
+    val root = java.nio.file.Files.createTempDirectory("graft-crawl").toString
+    def page(words: String) = Html.writePage(Seq("Title Here", words))
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val textB = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val textC = "red orange yellow green blue indigo violet cyan magenta " +
+      "maroon olive navy teal silver gray black white pink brown gold"
+
+    // archive 1: u1 visited twice (old then new content), u2 once
+    val arc1 = WarcWriter.write(Seq(
+      ("https://e/u1", "2026-01-01T00:00:00Z", 200, "text/html", page(textA)),
+      ("https://e/u1", "2026-03-01T00:00:00Z", 200, "text/html", page(textB)),
+      ("https://e/u2", "2026-01-02T00:00:00Z", 200, "text/html", page(textC))))
+    val b1 = Seq((1L, arc1)).toDF("doc_id", "content")
+    val n1 = Warc.ingestCrawlBatch(spark, b1, "doc_id", "content",
+      s"$root/corpus", signaturePath = Some(s"$root/sigs"))
+    assert(n1 == 2)
+    val c1 = spark.read.parquet(s"$root/corpus").collect()
+    val u1 = c1.find(_.getAs[String]("url") == "https://e/u1").get
+    assert(u1.getAs[String]("warc_date") == "2026-03-01T00:00:00Z",
+      "revisit must keep the latest capture")
+    assert(u1.getAs[String]("text").contains("one two three"))
+
+    // archive 2: exact dup of u2's content under a new URL + fresh page
+    val arc2 = WarcWriter.write(Seq(
+      ("https://e/u4", "2026-04-01T00:00:00Z", 200, "text/html", page(textC)),
+      ("https://e/u5", "2026-04-01T00:00:00Z", 200, "text/html",
+        page("solar lunar stellar nebular quasar pulsar magnetar blazar " +
+          "kilonova supernova hypernova micronova galaxy cluster void " +
+          "filament horizon singularity accretion jet"))),
+      gzipMembers = true)
+    val b2 = Seq((2L, arc2)).toDF("doc_id", "content")
+    val n2 = Warc.ingestCrawlBatch(spark, b2, "doc_id", "content",
+      s"$root/corpus", signaturePath = Some(s"$root/sigs"))
+    assert(n2 == 1, "the re-hosted duplicate must drop against the store")
+    val urls = spark.read.parquet(s"$root/corpus")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(urls == Set("https://e/u1", "https://e/u2", "https://e/u5"))
+  }
 }

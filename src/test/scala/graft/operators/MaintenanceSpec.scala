@@ -247,4 +247,56 @@ class MaintenanceSpec extends SparkTestBase {
     assert(e1.map(_.getSeq[Float](0)).toSeq === e2.map(_.getSeq[Float](0)).toSeq)
     assert(e1.head.getSeq[Float](0).size === 8)
   }
+
+
+  test("bloomWrite plants parquet bloom filters that answer key probes") {
+    val root = Files.createTempDirectory("graft-bloom").toString
+    val df = spark.range(0, 20000)
+      .select(col("id").as("k"), (col("id") % 97).as("v"))
+    Maintenance.bloomWrite(df, s"$root/t", Seq("k"), ndv = 20000, numFiles = 2)
+
+    // data survives the rewrite
+    assert(spark.read.parquet(s"$root/t").count() == 20000)
+
+    // footer-level proof: the k column chunk carries a bloom filter, v
+    // does not; behavioral proof: the filter answers present-key probes
+    // positively and rejects most absent keys
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(s"$root/t").listFiles
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(files.nonEmpty)
+    var present = 0; var presentHit = 0
+    var absent = 0; var absentHit = 0
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        r.getFooter.getBlocks.asScala.foreach { block =>
+          val kCol = block.getColumns.asScala
+            .find(_.getPath.toDotString == "k").get
+          val vCol = block.getColumns.asScala
+            .find(_.getPath.toDotString == "v").get
+          assert(kCol.getBloomFilterOffset >= 0, "k must carry a bloom filter")
+          assert(vCol.getBloomFilterOffset < 0, "v must not")
+          val bf = r.getBloomFilterDataReader(block).readBloomFilter(kCol)
+          assert(bf != null)
+          val lo = kCol.getStatistics.genericGetMin.asInstanceOf[Long]
+          val hi = kCol.getStatistics.genericGetMax.asInstanceOf[Long]
+          (lo to hi by math.max(1L, (hi - lo) / 50)).foreach { key =>
+            present += 1
+            if (bf.findHash(bf.hash(key))) presentHit += 1
+          }
+          (1 to 200).foreach { i =>
+            absent += 1
+            if (bf.findHash(bf.hash(1000000L + i * 7919L))) absentHit += 1
+          }
+        }
+      } finally r.close()
+    }
+    assert(presentHit == present, "bloom filters admit every present key")
+    assert(absentHit * 10 < absent * 5,
+      s"absent-key false positives out of control: $absentHit/$absent")
+  }
 }
