@@ -462,6 +462,78 @@ object SparkEntry {
     }
   }
 
+  /** Shared three-format still-image fixture set for q139: per base
+    * image `pid = id mod 100`, tier 0 is a grayscale JPEG, tier 1 a GIF
+    * of the IDENTICAL pixels (interlaced on odd pids — stream layout
+    * must not move the hash), tier 2 a PNG of the identical pixels —
+    * a planted Hamming-0 JPEG↔GIF↔PNG triple per pid — and tier 3 a
+    * GIF seed-shifted by 17 (near). Refusal tiers: header-only GIF
+    * stub, sub-grid 8×8 GIF, non-image bytes — all must hash NULL and
+    * vanish from the near-dup join.
+    */
+  private def gifDHashFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    ids.map { id =>
+      val pid = (id % 100).toInt
+      val w = 9 + pid % 24
+      val h = 8 + pid % 16
+      val tier = (id / 100).toInt
+      val seed = pid + (if (tier == 3) 17 else 0)
+      def g(x: Int, y: Int) =
+        ((5 + seed % 7) * (x / 8) + (13 + seed % 11) * (y / 8) + seed) % 256
+      val bytes =
+        if (id >= 450) s"not an image $id".getBytes("UTF-8")
+        else if (id >= 430) graft.llmops.GifWriter.gray(8, 8, g) // sub-grid
+        else if (id >= 400) graft.llmops.ImageWriter.gif(w, h) // header-only
+        else if (tier == 0) graft.llmops.JpegWriter.gray(w, h, g)
+        else if (tier == 2) graft.llmops.ImageWriter.pngFromPixels(w, h,
+          Array.tabulate(h, w * 3)((y, i) => g(i / 3, y).toByte))
+        else graft.llmops.GifWriter.gray(w, h, g,
+          interlaced = tier == 1 && pid % 2 == 1)
+      (id, bytes)
+    }
+  }
+
+  /** Shared three-container video fixture set for q140: the q114
+    * content tiers with tier 1 (half-shared) boxed as MP4 and tiers 2/3
+    * (disjoint / exact replay) as ANIMATED GIF — full-canvas frames, so
+    * each composite is its own pattern and the container-blind q114
+    * oracle binds. The qualifying pairs now span all three container
+    * pairings: (0,1) AVI↔MP4, (0,3) AVI↔GIF, (1,3) MP4↔GIF.
+    */
+  private def gifVideoFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    ids.map { id =>
+      val pid = (id % 100).toInt
+      val tier = (id / 100).toInt
+      val nf = 4 + pid % 4
+      def seedOf(f: Int): Int = tier match {
+        case 2 => 196 + (pid * 7 + f * 13) % 59
+        case 1 if f >= nf / 2 + 1 => 98 + (pid * 7 + f * 13) % 97
+        case _ => 1 + (pid * 7 + f * 13) % 97
+      }
+      def pat(s: Int)(x: Int, y: Int): Int = {
+        val k = (y / 8) * 9 + (x / 8)
+        (s * s * (k + 1) + s * k * k + 13 * k + 7 * s) % 256
+      }
+      val bytes =
+        if (id >= 450) s"not a video $id".getBytes("UTF-8")
+        else if (id >= 430) graft.llmops.MediaWriter.wav(1, 8000, 16, 10)
+        else if (id >= 400) graft.llmops.ImageWriter.jpeg(24, 16)
+        else if (tier == 2 || tier == 3) graft.llmops.GifWriter.animatedGray(
+          72, 16, (0 until nf).map(f => pat(seedOf(f)) _))
+        else if (tier == 1) graft.llmops.Mp4Writer.mp4(72, 16,
+          (0 until nf).map(f => graft.llmops.JpegWriter.gray(72, 16,
+            pat(seedOf(f)))), samplesPerChunk = 2)
+        else graft.llmops.AviWriter.avi(72, 16,
+          (0 until nf).map(f => graft.llmops.JpegWriter.gray(72, 16,
+            pat(seedOf(f)))))
+      (id, bytes)
+    }
+  }
+
   /** Shared progressive-JPEG fixture set for q126: per base image `pid =
     * id mod 100` (the q112 seed-gradient pattern), tier 0 is a BASELINE
     * gray JPEG, tier 1 the PROGRESSIVE (SOF2) encoding of the IDENTICAL
@@ -1648,6 +1720,41 @@ object SparkEntry {
       // space. The oracle is q114's, container-blind by construction
       val ss = tuned(s)
       val src = fixtureDF(ss, dir, "q125_mixed_video")(mixedVideoFixtures(ss, dir))
+      graft.llmops.Multimodal.videoNearDups(src, "doc_id", "content",
+          minSharedFrac = 0.5)
+        .select(col("key_a"), col("key_b"),
+          col("shared_frames").cast("long").as("shared_frames"),
+          col("frac"))
+        .orderBy("key_a", "key_b")
+    }),
+
+    "q139_image_neardup_gif" -> ((s, dir) => {
+      // GIF joins the cross-format image Hamming space: JPEG, GIF
+      // (sequential AND interlaced) and PNG of one image hash
+      // identically (Multimodal.imageDHash now coalesces three
+      // decoders), so every planted triple collapses at Hamming 0 and
+      // the GIF near-tier lands within the band radius. The oracle
+      // recomputes every hash closed-form and brute-forces all pairs —
+      // the q112 contract extended to the third format
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = fixtureDF(ss, dir, "q139_gif_image")(gifDHashFixtures(ss, dir))
+      graft.llmops.Multimodal.imageNearDups(src, "doc_id", "content",
+          maxDist = 3)
+        .select(col("key_a"), col("key_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("key_a", "key_b")
+    }),
+
+    "q140_video_neardup_gif" -> ((s, dir) => {
+      // animated GIF as a video container: composited GIF frames are
+      // re-encoded as PNG stills inside the native kernel and hash into
+      // the SAME frame Hamming space as MJPEG AVI/MP4 frames, so the
+      // qualifying near-dup pairs span all three container pairings
+      // (AVI↔MP4, AVI↔GIF, MP4↔GIF). The oracle is q114's,
+      // container-blind by construction
+      val ss = tuned(s)
+      val src = fixtureDF(ss, dir, "q140_gif_video")(gifVideoFixtures(ss, dir))
       graft.llmops.Multimodal.videoNearDups(src, "doc_id", "content",
           minSharedFrac = 0.5)
         .select(col("key_a"), col("key_b"),
@@ -2944,6 +3051,107 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q131_token_chunks" -> bpeChunkOracle,
+
+    // q139: the q112 closed-form hash contract extended to GIF — every
+    // tier's decoded gray IS the block pattern (JPEG tiers DC-exact,
+    // PNG r=g=b, GIF palette index = gray level; interlacing only
+    // reorders the stream, not the pixels), so one formula hashes all
+    // three formats and brute-forces the pairs.
+    "q139_image_neardup_gif" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(9 + (doc_id % 100) % 24 AS INTEGER) AS w,
+             CAST(8 + (doc_id % 100) % 16 AS INTEGER) AS h,
+             CAST(doc_id % 100 + CASE doc_id // 100
+               WHEN 3 THEN 17 ELSE 0 END AS INTEGER) AS seed
+           FROM documents WHERE doc_id < 400),
+         px AS (
+           SELECT i.doc_id,
+             ((x.x + 1) * 9 - 1) // i.w AS ci,
+             ((y.y + 1) * 8 - 1) // i.h AS cj,
+             ((5 + i.seed % 7) * (x.x // 8) + (13 + i.seed % 11) * (y.y // 8)
+               + i.seed) % 256 AS gray
+           FROM ids i, range(32) x(x), range(23) y(y)
+           WHERE x.x < i.w AND y.y < i.h),
+         cells AS (
+           SELECT doc_id, cj, ci, sum(gray) AS s, count(*) AS c
+           FROM px GROUP BY 1, 2, 3),
+         bits AS (
+           SELECT l.doc_id, l.cj * 8 + l.ci AS k
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cj = l.cj AND r.ci = l.ci + 1
+           WHERE r.s * l.c > l.s * r.c),
+         hashes AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS dh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS dh_lo
+           FROM (SELECT DISTINCT doc_id FROM px) d
+           LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id)
+         SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           CAST(bit_count(xor(a.dh_hi, b.dh_hi))
+              + bit_count(xor(a.dh_lo, b.dh_lo)) AS BIGINT) AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dh_hi, b.dh_hi))
+             + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
+         ORDER BY key_a, key_b""",
+
+    // q140: q114's container-blind frame-hash oracle, rebound to the
+    // three-container fixture family (the SQL never sees container
+    // bytes — only the planted per-frame block patterns).
+    "q140_video_neardup_gif" ->
+      """WITH ids AS (
+           SELECT doc_id, CAST(doc_id % 100 AS INTEGER) AS pid,
+             CAST(doc_id // 100 AS INTEGER) AS tier,
+             CAST(4 + (doc_id % 100) % 4 AS INTEGER) AS nf
+           FROM documents WHERE doc_id < 400),
+         fr AS (
+           SELECT i.doc_id, f.f,
+             CASE
+               WHEN i.tier = 2 THEN 196 + (i.pid * 7 + f.f * 13) % 59
+               WHEN i.tier = 1 AND f.f >= i.nf // 2 + 1
+                 THEN 98 + (i.pid * 7 + f.f * 13) % 97
+               ELSE 1 + (i.pid * 7 + f.f * 13) % 97
+             END AS s
+           FROM ids i, range(7) f(f) WHERE f.f < i.nf),
+         blocks AS (
+           SELECT fr.doc_id, fr.f, b.b,
+             (fr.s * fr.s * (b.b + 1) + fr.s * b.b * b.b
+              + 13 * b.b + 7 * fr.s) % 256 AS v
+           FROM fr, range(18) b(b)),
+         bits AS (
+           SELECT l.doc_id, l.f,
+             ((l.b // 9) * 4 + jj.j) * 8 + (l.b % 9) AS k
+           FROM blocks l JOIN blocks r
+             ON r.doc_id = l.doc_id AND r.f = l.f AND r.b = l.b + 1
+           CROSS JOIN range(4) jj(j)
+           WHERE l.b % 9 < 8 AND r.v > l.v),
+         hashes AS (
+           SELECT fr.doc_id, fr.f,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS fh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS fh_lo
+           FROM fr LEFT JOIN bits b ON b.doc_id = fr.doc_id AND b.f = fr.f
+           GROUP BY fr.doc_id, fr.f),
+         hset AS (SELECT DISTINCT doc_id, fh_hi, fh_lo FROM hashes),
+         cnt AS (SELECT doc_id, count(*) AS n FROM hset GROUP BY 1),
+         sh AS (
+           SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+             count(*) AS shared_frames
+           FROM hset a JOIN hset b
+             ON a.fh_hi = b.fh_hi AND a.fh_lo = b.fh_lo
+               AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT s.key_a, s.key_b,
+           CAST(s.shared_frames AS BIGINT) AS shared_frames,
+           CAST(s.shared_frames AS DOUBLE) / least(ca.n, cb.n) AS frac
+         FROM sh s
+         JOIN cnt ca ON ca.doc_id = s.key_a
+         JOIN cnt cb ON cb.doc_id = s.key_b
+         WHERE CAST(s.shared_frames AS DOUBLE) / least(ca.n, cb.n) >= 0.5
+         ORDER BY key_a, key_b""",
 
     // q138: the whole crawl-extract chain collapses to the closed form —
     // url/status/mime are fixture constants, extraction is the q91

@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 
-/** Grayscale-histogram statistics of a decodable image (PNG or baseline
-  * JPEG — the same two-decoder envelope as the cross-format dHash):
+/** Grayscale-histogram statistics of a decodable image (PNG, JPEG —
+  * baseline or progressive — or GIF first frame: the same decoder
+  * envelope as the cross-format dHash):
   *
   * `struct<width int, height int, channels int, gray_entropy double,
   * gray_min int, gray_max int, frac_max_bin double>`
@@ -80,18 +81,32 @@ object ImageHistStats {
       }
     } else {
       val jpg = JpegDecode.decodeAny(b) // baseline or full progressive
-      if (jpg == null) return null
-      width = jpg.width; height = jpg.height; channels = jpg.channels
-      var i = 0
-      val n = width * height
-      while (i < n) {
-        val p = i * channels
-        val gray =
-          if (channels == 1) jpg.pix(p) & 0xFF
-          else ((jpg.pix(p) & 0xFF) + (jpg.pix(p + 1) & 0xFF) +
-            (jpg.pix(p + 2) & 0xFF)) / 3
-        hist(gray) += 1
-        i += 1
+      if (jpg != null) {
+        width = jpg.width; height = jpg.height; channels = jpg.channels
+        var i = 0
+        val n = width * height
+        while (i < n) {
+          val p = i * channels
+          val gray =
+            if (channels == 1) jpg.pix(p) & 0xFF
+            else ((jpg.pix(p) & 0xFF) + (jpg.pix(p + 1) & 0xFF) +
+              (jpg.pix(p + 2) & 0xFF)) / 3
+          hist(gray) += 1
+          i += 1
+        }
+      } else {
+        val gif = GifDecode.decodeFrames(b) // stats of the first frame
+        if (gif == null) return null
+        width = gif.width; height = gif.height; channels = 3
+        val rgb = gif.frames(0)
+        var i = 0
+        val n = width * height
+        while (i < n) {
+          val p = i * 3
+          hist(((rgb(p) & 0xFF) + (rgb(p + 1) & 0xFF) +
+            (rgb(p + 2) & 0xFF)) / 3) += 1
+          i += 1
+        }
       }
     }
     val n = width.toLong * height

@@ -5,10 +5,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType}
 
-/** Container-agnostic motion-JPEG frame extraction: sniffs the leading
-  * magic and dispatches — `RIFF…AVI ` → [[AviFrames]], ISO BMFF
+/** Container-agnostic video frame extraction: sniffs the leading
+  * magic and dispatches — `RIFF…AVI ` → [[AviFrames]], `GIF8xa` →
+  * [[GifFrames]] (animated GIF, composited frames as PNGs), ISO BMFF
   * (`ftyp`, with `wide`/`free`/`skip` preambles) → [[Mp4Frames]].
-  * One expression, one `array<binary>` of complete JPEG stills, one
+  * One expression, one `array<binary>` of complete stills, one
   * Hamming space for the whole video-dedup family regardless of which
   * container a crawl delivered — exactly how [[graft.llmops.Multimodal
   * .imageDHash]] unifies PNG and JPEG for images. NULL when neither
@@ -44,6 +45,8 @@ object VideoFrames {
     if (b == null || b.length < 12) return null
     if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
       AviFrames.compute(b)
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      GifFrames.compute(b) // animated GIF: composited frames as PNGs
     else
       Mp4Frames.compute(b)
   }

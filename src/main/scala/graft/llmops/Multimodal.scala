@@ -140,13 +140,23 @@ object Multimodal {
       graft.expressions.JpegDHashOriented(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
 
-  /** Format-agnostic image dHash: the PNG arm or the JPEG arm, whichever
-    * decodes (each refuses foreign magic bytes on the first read, so the
-    * miss arm costs a header sniff, not a decode). NULL when neither
+  /** 64-bit perceptual dHash of a GIF's first composited frame
+    * ([[graft.expressions.GifDHash]]) — same grid and bit layout as
+    * [[pngDHash]]/[[jpegDHash]], NULL for undecodable bytes or screens
+    * under the grid.
+    */
+  def gifDHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.GifDHash(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** Format-agnostic image dHash: the PNG, JPEG or GIF arm, whichever
+    * decodes (each refuses foreign magic bytes on the first read, so a
+    * miss arm costs a header sniff, not a decode). NULL when none
     * decodes — mixed-format corpora dedup in one Hamming space.
     */
   def imageDHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    coalesce(pngDHash(content), jpegDHash(content))
+    coalesce(pngDHash(content), jpegDHash(content), gifDHash(content))
 
   /** [[imageDHash]] in DISPLAY space: the JPEG arm is the
     * orientation-normalized [[jpegDHashOriented]], so a camera file and
@@ -156,7 +166,7 @@ object Multimodal {
     * with one must be screened with the same one.
     */
   def imageDHashDisplay(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    coalesce(pngDHash(content), jpegDHashOriented(content))
+    coalesce(pngDHash(content), jpegDHashOriented(content), gifDHash(content))
 
   /** Grayscale-histogram statistics over PNG or baseline JPEG
     * ([[graft.expressions.ImageHistStats]]) — entropy / dynamic range /

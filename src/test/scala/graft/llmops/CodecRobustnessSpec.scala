@@ -53,6 +53,8 @@ class CodecRobustnessSpec extends AnyFunSuite {
     graft.expressions.AviFrames.compute(bytes)
     graft.expressions.Mp4Frames.compute(bytes)
     graft.expressions.VideoFrames.compute(bytes)
+    graft.expressions.GifDHash.compute(bytes)
+    graft.expressions.GifFrames.compute(bytes)
     graft.expressions.WarcRecords.compute(bytes)
     DocumentText.extractText(bytes, "application/pdf")
     DocumentText.extractText(bytes, "text/html")
@@ -105,6 +107,10 @@ class CodecRobustnessSpec extends AnyFunSuite {
       LegacyOfficeWriter.doc(Seq("legacy body")),
       LegacyOfficeWriter.xls(Seq("s" -> Seq(Seq("a", 1)))),
       LegacyOfficeWriter.ppt(Seq(Seq("slide text"))),
+      GifWriter.gray(24, 16, (x, y) => (x * 3 + y * 7 + 5) % 256),
+      GifWriter.gray(20, 15, (x, y) => (x + y) % 256, interlaced = true),
+      GifWriter.animatedGray(16, 12,
+        Seq((x, y) => (x * 2 + y) % 256, (x, y) => (x + y * 5) % 256)),
       Rtf.write(Seq("rtf body text")))
     for (doc <- genuine; cut <- 0 to math.min(doc.length, 120)) {
       allCodecs(java.util.Arrays.copyOfRange(doc, 0, cut))
@@ -169,7 +175,10 @@ class CodecRobustnessSpec extends AnyFunSuite {
       WarcWriter.write(Seq(("https://e/z", null, 200, "text/html",
         "<html><p>flip target</p></html>".getBytes("ISO-8859-1")))),
       WarcWriter.write(Seq(("https://e/w", null, 200, "text/plain",
-        "flip gz".getBytes("ISO-8859-1"))), gzipMembers = true))
+        "flip gz".getBytes("ISO-8859-1"))), gzipMembers = true),
+      GifWriter.gray(16, 12, (x, y) => (x * 5 + y * 3) % 256),
+      GifWriter.animatedGray(12, 10,
+        Seq((x, y) => (x ^ y) % 256, (x, y) => (x * 7 + y) % 256)))
     for (doc <- base; i <- doc.indices by 7) {
       val mutated = doc.clone()
       mutated(i) = (mutated(i) ^ 0x5A).toByte
