@@ -1728,6 +1728,41 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q141_wet_extract" -> ((s, dir) => {
+      // WET conversion records (the Common Crawl TEXT distribution) in
+      // the same parse as full WARC: even ids become WET archives
+      // (conversion records, pre-extracted UTF-8 text), odd ids full
+      // WARC response archives (HTML through the readability
+      // extractor), every third id gzip-membered. crawlTexts is ONE
+      // scan whose projection splits on record type — both arms land
+      // in one schema with IDENTICAL extracted text, which is exactly
+      // what the oracle asserts (http_status NULL on the WET side)
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      lazy val rows = docs.map { case (id, text) =>
+        val url = s"https://example.com/doc/$id"
+        val bytes =
+          if (id % 2 == 0)
+            graft.llmops.WarcWriter.writeWet(
+              Seq((url, null, s"Doc $id\n$text")), gzipMembers = id % 3 == 1)
+          else
+            graft.llmops.WarcWriter.write(
+              Seq((url, null, 200, "text/html",
+                graft.llmops.Html.writePage(Seq(s"Doc $id", text)))),
+              gzipMembers = id % 3 == 1)
+        (id, bytes)
+      }.toSeq
+      import ss.implicits._
+      val src = fixtureDF(ss, dir, "q141_wet_extract")(rows)
+      graft.llmops.Warc.crawlTexts(src, "doc_id", "content", minWords = 1)
+        .select(col("doc_id"), col("target_uri"), col("warc_type"),
+          col("http_status"), col("mime"),
+          col("page_text").as("extracted_text"))
+        .orderBy("doc_id")
+    }),
+
     "q139_image_neardup_gif" -> ((s, dir) => {
       // GIF joins the cross-format image Hamming space: JPEG, GIF
       // (sequential AND interlaced) and PNG of one image hash
@@ -3051,6 +3086,21 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q131_token_chunks" -> bpeChunkOracle,
+
+    // q141: both crawl-source arms collapse to the same closed form —
+    // the WET text IS "Doc N\n"+text by construction, and the response
+    // arm extracts the identical string (the q138/q91 identity).
+    "q141_wet_extract" ->
+      """SELECT doc_id,
+         'https://example.com/doc/' || doc_id AS target_uri,
+         CASE WHEN doc_id % 2 = 0 THEN 'conversion' ELSE 'response' END
+           AS warc_type,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN NULL ELSE 200 END AS INTEGER)
+           AS http_status,
+         CASE WHEN doc_id % 2 = 0 THEN 'text/plain' ELSE 'text/html' END
+           AS mime,
+         'Doc ' || doc_id || chr(10) || text AS extracted_text
+         FROM documents WHERE doc_id < 300 ORDER BY doc_id""",
 
     // q139: the q112 closed-form hash contract extended to GIF — every
     // tier's decoded gray IS the block pattern (JPEG tiers DC-exact,

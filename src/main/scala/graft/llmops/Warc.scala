@@ -53,7 +53,51 @@ object Warc {
         .otherwise(decode(col("payload"), "ISO-8859-1")))
   }
 
-  /** The crawl arm of corpus ingestion: archives → pages → one page per
+  /** WET conversion records (the Common Crawl TEXT distribution — most
+    * 100 TB-scale corpus builds start from WET, not the full WARC): one
+    * row per `conversion` record, payload decoded as UTF-8 per the WET
+    * convention. Same post-parse filter discipline as [[warcResponses]].
+    */
+  def wetTexts(df: DataFrame, keyCol: String, contentCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(warcRecords(col(contentCol))))
+      .select(col(keyCol), col("pos").as("rec"),
+        col("col.warc_type").as("warc_type"),
+        col("col.target_uri").as("target_uri"),
+        col("col.warc_date").as("warc_date"),
+        col("col.mime").as("mime"),
+        decode(col("col.payload"), "UTF-8").as("wet_text"))
+      .filter(lower(col("warc_type")) === "conversion")
+
+  /** Container-agnostic crawl text: ONE parse pass whose projection
+    * splits on record type — `response` bodies go through the HTML
+    * main-content extractor (non-HTML bodies byte-transparent latin-1),
+    * `conversion` records surface their pre-extracted UTF-8 text as-is.
+    * A crawl's WARC and its WET distribution land in one schema
+    * (`http_status` is NULL on the WET side — conversion records carry
+    * no HTTP envelope), so every downstream stage (dedup, quality,
+    * ingestion) is source-format-blind.
+    */
+  def crawlTexts(df: DataFrame, keyCol: String, contentCol: String,
+      minWords: Int = 1): DataFrame =
+    df.select(col(keyCol), posexplode(warcRecords(col(contentCol))))
+      .select(col(keyCol), col("pos").as("rec"),
+        col("col.warc_type").as("warc_type"),
+        col("col.target_uri").as("target_uri"),
+        col("col.warc_date").as("warc_date"),
+        col("col.http_status").as("http_status"),
+        col("col.mime").as("mime"),
+        col("col.payload").as("payload"))
+      .filter(lower(col("warc_type")).isin("response", "conversion"))
+      .withColumn("page_text",
+        when(lower(col("warc_type")) === "conversion",
+          decode(col("payload"), "UTF-8"))
+          .when(col("mime") === "text/html",
+            Html.mainContentCol(col("payload"), minWords = minWords))
+          .otherwise(decode(col("payload"), "ISO-8859-1")))
+      .drop("payload")
+
+  /** The crawl arm of corpus ingestion: archives (full WARC or WET —
+    * [[crawlTexts]] is source-format-blind) → pages → one page per
     * URL (a crawl revisits; keep the LATEST by WARC-Date, record order
     * breaking exact ties) → the standard text near-dup screen-and-append
     * ([[graft.streaming.CorpusIngest.ingestBatch]]: within-batch screen,
@@ -81,7 +125,7 @@ object Warc {
       lockStore: Option[graft.operators.LockStore] = None,
       qualityGate: Option[DataFrame => DataFrame] = None): Long = {
     import org.apache.spark.sql.expressions.Window
-    val pages = warcPages(batch, keyCol, contentCol)
+    val pages = crawlTexts(batch, keyCol, contentCol)
       .filter(col("target_uri").isNotNull &&
         col("page_text").isNotNull &&
         length(trim(col("page_text"))) >= minTextChars)
@@ -146,6 +190,36 @@ object WarcWriter {
       "WARC-Date" -> date,
       "Content-Type" -> "application/http; msgtype=response"),
       http.toByteArray)
+  }
+
+  /** WET conversion record: pre-extracted page text, UTF-8, no HTTP
+    * envelope — the Common Crawl text-distribution shape.
+    */
+  def conversionRecord(uri: String, date: String, text: String): Array[Byte] =
+    record(Seq(
+      "WARC-Type" -> "conversion",
+      "WARC-Target-URI" -> uri,
+      "WARC-Date" -> date,
+      "Content-Type" -> "text/plain"),
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** A complete WET archive: warcinfo + one conversion record per
+    * (uri, date, text) entry; `gzipMembers` as in [[write]].
+    */
+  def writeWet(entries: Seq[(String, String, String)],
+      date: String = "2026-01-01T00:00:00Z",
+      gzipMembers: Boolean = false): Array[Byte] = {
+    val records = warcinfo(date) +: entries.map { case (uri, d, text) =>
+      conversionRecord(uri, if (d == null) date else d, text)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      if (gzipMembers) {
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        gz.write(r); gz.finish()
+      } else out.write(r)
+    }
+    out.toByteArray
   }
 
   /** A complete archive: warcinfo + one response per entry. With

@@ -136,4 +136,64 @@ class WarcSpec extends SparkTestBase {
       .select("url").collect().map(_.getString(0)).toSet
     assert(urls == Set("https://e/u1", "https://e/u2", "https://e/u5"))
   }
+
+  test("WET archives: conversion records surface pre-extracted UTF-8 text") {
+    for (gz <- Seq(false, true)) {
+      val es = Seq(
+        ("https://example.org/w/0", "2026-02-01T00:00:00Z", "first page text"),
+        ("https://example.org/w/1", "2026-02-02T00:00:00Z",
+          "snowman \u2603 and accents \u00e9\u00e8"))
+      val bytes = WarcWriter.writeWet(es, gzipMembers = gz)
+      val df = Seq((1L, bytes)).toDF("doc_id", "content")
+      val rows = Warc.wetTexts(df, "doc_id", "content").orderBy("rec").collect()
+      assert(rows.length === 2, s"gz=$gz")
+      rows.zip(es).foreach { case (r, (uri, date, text)) =>
+        assert(r.getAs[String]("target_uri") === uri)
+        assert(r.getAs[String]("warc_date") === date)
+        assert(r.getAs[String]("mime") === "text/plain")
+        assert(r.getAs[String]("wet_text") === text, s"gz=$gz")
+      }
+    }
+  }
+
+  test("crawlTexts is source-format-blind: WARC and WET in one schema") {
+    val text = "shared body words enough for extraction"
+    val warc = WarcWriter.write(Seq(("https://e/a", null, 200, "text/html",
+      Html.writePage(Seq("T", text)))))
+    val wet = WarcWriter.writeWet(Seq(("https://e/b", null, s"T\n$text")))
+    val df = Seq((1L, warc), (2L, wet)).toDF("doc_id", "content")
+    val rows = Warc.crawlTexts(df, "doc_id", "content").orderBy("doc_id")
+      .collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("warc_type") === "response")
+    assert(rows(0).getAs[Int]("http_status") === 200)
+    assert(rows(1).getAs[String]("warc_type") === "conversion")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("http_status")))
+    // the point: identical extracted text through either source format
+    assert(rows(0).getAs[String]("page_text") ===
+      rows(1).getAs[String]("page_text"))
+  }
+
+  test("ingestCrawlBatch accepts a WET batch end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("wetingest").toString
+    val corpus = s"$dir/corpus"
+    val b1 = Seq((1L, WarcWriter.writeWet(Seq(
+      ("https://e/p1", "2026-02-01T00:00:00Z", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("https://e/p1", "2026-02-03T00:00:00Z", "alpha beta gamma delta epsilon zeta eta LATEST")))))
+      .toDF("doc_id", "content")
+    val n1 = Warc.ingestCrawlBatch(spark, b1, "doc_id", "content", corpus)
+    assert(n1 === 1) // keep-latest collapsed the revisit
+    val kept = spark.read.parquet(corpus).collect()
+    assert(kept.length === 1)
+    assert(kept(0).getAs[String]("text").endsWith("LATEST"))
+    // second batch: an exact re-host dropped by the store, fresh text appended
+    val b2 = Seq((2L, WarcWriter.writeWet(Seq(
+      ("https://e/p2", "2026-02-04T00:00:00Z", "alpha beta gamma delta epsilon zeta eta LATEST"),
+      ("https://e/p3", "2026-02-04T00:00:00Z", "completely different words forming a fresh page here")),
+      gzipMembers = true)))
+      .toDF("doc_id", "content")
+    val n2 = Warc.ingestCrawlBatch(spark, b2, "doc_id", "content", corpus)
+    assert(n2 === 1)
+    assert(spark.read.parquet(corpus).count() === 2)
+  }
 }
