@@ -190,6 +190,18 @@ object GraftFunctions {
       "graft_jpeg_dhash_oriented(content) - orientation-normalized 64-bit dHash (EXIF display transform applied to the grid), NULL if undecodable or display dims under 9x8",
       exprs => graft.expressions.JpegDHashOriented(exprs.head)),
 
+    ("graft_url_normalize",
+      "graft_url_normalize(url) - canonical URL: lowercase scheme/host, default ports + fragments + tracking params stripped, query params sorted; NULL if not a URL",
+      exprs => graft.expressions.UrlNormalize(exprs.head)),
+
+    ("graft_url_host",
+      "graft_url_host(url) - lowercased host (userinfo/port stripped), NULL if not a URL",
+      exprs => graft.expressions.UrlHost(exprs.head)),
+
+    ("graft_url_domain",
+      "graft_url_domain(url) - registrable-domain approximation (eTLD+1 heuristic), NULL if not a URL",
+      exprs => graft.expressions.UrlDomain(exprs.head)),
+
     ("graft_gif_dhash",
       "graft_gif_dhash(content) - 64-bit perceptual dHash of a GIF's first composited frame (same grid/bit layout as graft_png_dhash), NULL if undecodable or under 9x8",
       exprs => graft.expressions.GifDHash(exprs.head)),

@@ -1728,6 +1728,58 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q142_url_normalize" -> ((s, dir) => {
+      // URL canonicalization as a scan projection: six planted naming
+      // variants per doc (case, default ports, tracking params, query
+      // order, fragments, userinfo, ccTLD second-level domains,
+      // not-a-URL text) collapse to closed-form canonical keys the
+      // oracle builds directly. host/domain ride the same parse
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents")
+      val ks = (col("doc_id") % 50).cast("string")
+      val ds = col("doc_id").cast("string")
+      val m = col("doc_id") % 6
+      val url = when(m === 0, concat(lit("HTTPS://WWW.Site"), ks,
+          lit(".Example.COM:443/a/"), ds, lit("?b=2&a=1")))
+        .when(m === 1, concat(lit("HTTP://WWW.Site"), ks,
+          lit(".Example.COM:80?utm_source=x&z=9#frag")))
+        .when(m === 2, concat(lit("http://www.site"), ks,
+          lit(".example.com:8080/p")))
+        .when(m === 3, concat(lit("https://user@WWW.Site"), ks,
+          lit(".Example.COM/P/Q?gclid=1")))
+        .when(m === 4, concat(lit("https://shop.site"), ks, lit(".co.uk/x")))
+        .otherwise(concat(lit("not a url "), ds))
+      val U = graft.llmops.UrlCuration
+      d.select(col("doc_id"),
+          U.urlNormalize(url).as("url_norm"),
+          U.urlHost(url).as("host"),
+          U.urlDomain(url).as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    "q143_url_blocklist" -> ((s, dir) => {
+      // domain-blocklist screen (the C4/UT1 pre-dedup pass): the
+      // blocklist is a bounded driver artifact inside the native
+      // kernel — O(labels) hash probes per row, zero joins. Planted
+      // tiers: blocked subdomains, clean sites, a string-suffix trap
+      // (notbadN.com must NOT match badN.com — label alignment), and
+      // not-a-URL rows that must screen NULL and survive the filter
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents")
+      val ks = (col("doc_id") % 50).cast("string")
+      val m = col("doc_id") % 4
+      val url = when(m === 0, concat(lit("https://a.b.bad"), ks, lit(".com/x")))
+        .when(m === 1, concat(lit("https://www.good"), ks, lit(".org/y")))
+        .when(m === 2, concat(lit("https://notbad"), ks, lit(".com/z")))
+        .otherwise(concat(lit("nonsense "), col("doc_id").cast("string")))
+      val blocked = (0 until 50).filter(_ % 3 == 0)
+        .map(n => s"bad$n.com").toSet
+      graft.llmops.UrlCuration.blocklistScreen(
+          d.select(col("doc_id"), url.as("url")), "url", blocked)
+        .select(col("doc_id"), col("url_blocked"))
+        .orderBy("doc_id")
+    }),
+
     "q141_wet_extract" -> ((s, dir) => {
       // WET conversion records (the Common Crawl TEXT distribution) in
       // the same parse as full WARC: even ids become WET archives
@@ -3086,6 +3138,37 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q131_token_chunks" -> bpeChunkOracle,
+
+    // q142: every canonical output is a direct closed form of doc_id —
+    // the oracle builds the expected strings, no URL logic in SQL.
+    "q142_url_normalize" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 50 AS k, doc_id % 6 AS m FROM documents)
+         SELECT doc_id,
+           CASE m
+             WHEN 0 THEN 'https://www.site' || k || '.example.com/a/'
+               || doc_id || '?a=1&b=2'
+             WHEN 1 THEN 'http://www.site' || k || '.example.com/?z=9'
+             WHEN 2 THEN 'http://www.site' || k || '.example.com:8080/p'
+             WHEN 3 THEN 'https://user@www.site' || k || '.example.com/P/Q'
+             WHEN 4 THEN 'https://shop.site' || k || '.co.uk/x'
+           END AS url_norm,
+           CASE WHEN m = 5 THEN NULL
+             WHEN m = 4 THEN 'shop.site' || k || '.co.uk'
+             ELSE 'www.site' || k || '.example.com' END AS host,
+           CASE WHEN m = 5 THEN NULL
+             WHEN m = 4 THEN 'site' || k || '.co.uk'
+             ELSE 'example.com' END AS domain
+         FROM d ORDER BY doc_id""",
+
+    // q143: blocked iff the registrable tail badK.com is on the list
+    // (k % 3 = 0) AND the host actually ends at that label boundary.
+    "q143_url_blocklist" ->
+      """SELECT doc_id,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN NULL
+             WHEN doc_id % 4 = 0 AND (doc_id % 50) % 3 = 0 THEN TRUE
+             ELSE FALSE END AS BOOLEAN) AS url_blocked
+         FROM documents ORDER BY doc_id""",
 
     // q141: both crawl-source arms collapse to the same closed form —
     // the WET text IS "Doc N\n"+text by construction, and the response

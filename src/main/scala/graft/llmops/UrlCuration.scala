@@ -1,0 +1,77 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL-level curation: canonicalization + domain blocklist screening —
+  * the step every web-corpus pipeline runs BEFORE text-level dedup
+  * (C4's blocklist pass, CCNet/RefinedWeb URL dedup). Everything here
+  * is a per-row scan projection: the blocklist is a bounded driver
+  * artifact riding the task binary inside a native kernel (the same
+  * shape as the hashed-n-gram classifier models), so screening a
+  * 100 TB crawl costs one scan — zero joins, zero shuffles.
+  */
+object UrlCuration {
+
+  /** Canonical URL ([[graft.expressions.UrlNormalize]]): lowercased
+    * scheme/host, default ports and fragments stripped, tracking
+    * parameters removed, query params sorted. NULL for not-a-URL text.
+    */
+  def urlNormalize(url: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.UrlNormalize(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(url)))
+
+  /** Lowercased host ([[graft.expressions.UrlHost]]). */
+  def urlHost(url: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.UrlHost(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(url)))
+
+  /** Registrable-domain approximation ([[graft.expressions.UrlDomain]]). */
+  def urlDomain(url: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.UrlDomain(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(url)))
+
+  /** `true` when the URL's host — or ANY parent domain of it — appears
+    * in `blocked` (UT1-convention suffix matching: blocking
+    * `example.com` blocks `a.b.example.com`; blocking `ads.example.com`
+    * leaves `example.com` alone), `false` when clean, NULL when the URL
+    * refuses to parse. The set is checked with O(labels) hash probes
+    * per row — no explode, no join.
+    *
+    * `blocked` entries must be lowercase hosts/domains; the set is a
+    * bounded driver artifact (UT1 adult ≈ 4M entries ≈ tens of MB —
+    * fine in the task binary; anything far beyond that belongs in a
+    * bloom-filtered store, not a closure).
+    */
+  def urlBlocked(url: Column, blocked: Set[String]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.UrlBlocked(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(url), blocked))
+
+  /** Appends `url_blocked` from [[urlBlocked]] — the screen form. */
+  def blocklistScreen(df: DataFrame, urlCol: String,
+      blocked: Set[String]): DataFrame =
+    df.withColumn("url_blocked", urlBlocked(col(urlCol), blocked))
+
+  /** The filter form: drops rows whose URL suffix-matches the
+    * blocklist. Rows whose URL refuses to parse are KEPT — a blocklist
+    * must not silently eat malformed-URL rows that later stages may
+    * still want; screen those separately.
+    */
+  def blocklistFilter(df: DataFrame, urlCol: String,
+      blocked: Set[String]): DataFrame =
+    df.filter(!coalesce(urlBlocked(col(urlCol), blocked), lit(false)))
+
+  /** [[blocklistFilter]] from a one-column (`domain`) DataFrame — the
+    * list is collected to the driver first (documented bounded artifact,
+    * the codebook/classifier convention).
+    */
+  def blocklistFilter(df: DataFrame, urlCol: String,
+      blockedDomains: DataFrame): DataFrame =
+    blocklistFilter(df, urlCol,
+      blockedDomains.select(lower(col("domain"))).distinct()
+        .collect().map(_.getString(0)).toSet)
+}

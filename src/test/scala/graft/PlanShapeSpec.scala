@@ -332,4 +332,24 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("Exchange rangepartitioning"),
       s"expected only the final orderBy exchange:\n$plan")
   }
+
+  test("url canonicalization + blocklist screen are scan-projection-local") {
+    import org.apache.spark.sql.functions._
+    import graft.llmops.UrlCuration
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("url", concat(lit("https://h"), col("doc_id"), lit(".example.com/p?b=2&a=1")))
+    // canonical key + host + domain + the blocklist verdict are all
+    // per-row native kernels; the blocklist itself rides the task binary
+    // (no join), so the whole URL-curation pass adds ZERO exchanges
+    val screened = UrlCuration.blocklistScreen(
+      docs.select(col("doc_id"),
+        UrlCuration.urlNormalize(col("url")).as("curl"),
+        UrlCuration.urlDomain(col("url")).as("domain"),
+        col("url")),
+      "url", Set("blockedsite.com"))
+    val plan = screened.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("HashAggregate") &&
+      !plan.contains("Join"),
+      s"url curation must be one scan projection:\n$plan")
+  }
 }

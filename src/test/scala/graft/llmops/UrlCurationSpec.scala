@@ -1,0 +1,111 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import graft.expressions.{UrlBlocked, UrlDomain, UrlHost, UrlNormalize}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class UrlCurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def norm(u: String): String = {
+    val r = UrlNormalize.compute(UTF8String.fromString(u))
+    if (r == null) null else r.toString
+  }
+  private def host(u: String): String = {
+    val r = UrlHost.compute(UTF8String.fromString(u))
+    if (r == null) null else r.toString
+  }
+  private def domain(u: String): String = {
+    val r = UrlDomain.compute(UTF8String.fromString(u))
+    if (r == null) null else r.toString
+  }
+
+  test("normalize: case, default ports, fragments, empty path") {
+    assert(norm("HTTPS://WWW.Example.COM:443/Path/X#frag") ===
+      "https://www.example.com/Path/X")
+    assert(norm("http://Example.com:80") === "http://example.com/")
+    assert(norm("http://example.com:443/x") === "http://example.com:443/x")
+    assert(norm("https://example.com:8443/x") === "https://example.com:8443/x")
+    assert(norm("ftp://Files.Example.com/pub") === "ftp://files.example.com/pub")
+    // path case is NOT touched (paths are case-sensitive by spec)
+    assert(norm("https://e.com/CaseSensitive") === "https://e.com/CaseSensitive")
+  }
+
+  test("normalize: tracking params dropped, survivors sorted, userinfo kept") {
+    assert(norm("https://e.com/p?utm_source=x&b=2&a=1&gclid=abc") ===
+      "https://e.com/p?a=1&b=2")
+    assert(norm("https://e.com/p?UTM_Campaign=y&FBCLID=z&msclkid=q") ===
+      "https://e.com/p")
+    assert(norm("https://e.com/p?z=1&y&x=3") === "https://e.com/p?x=3&y&z=1")
+    assert(norm("https://e.com/p?b=2&b=1") === "https://e.com/p?b=1&b=2")
+    assert(norm("https://User:Pw@Host.COM/x") === "https://User:Pw@host.com/x")
+    // same page, four namings, ONE canonical key
+    val variants = Seq(
+      "https://E.com/p?b=2&a=1",
+      "HTTPS://e.COM:443/p?a=1&b=2#top",
+      "https://e.com/p?utm_medium=m&b=2&a=1",
+      "https://e.com/p?a=1&utm_source=s&b=2")
+    assert(variants.map(norm).distinct.size === 1)
+  }
+
+  test("normalize/host/domain refuse not-a-URL text") {
+    for (bad <- Seq("no scheme here", "://host/x", "http//e.com",
+        "ht tp://e.com", "https://", "https:///path"))
+      assert(norm(bad) === null, bad)
+    assert(host("plain words") === null)
+    assert(domain("plain words") === null)
+  }
+
+  test("host and registrable domain") {
+    assert(host("https://User@WWW.Shop.Example.COM:8443/x") ===
+      "www.shop.example.com")
+    assert(domain("https://a.b.example.com/x") === "example.com")
+    assert(domain("https://shop.example.co.uk/x") === "example.co.uk")
+    assert(domain("https://example.com/") === "example.com")
+    assert(domain("http://localhost:8080/") === "localhost")
+    assert(domain("http://10.1.2.3/x") === "10.1.2.3")
+    assert(domain("https://deep.a.b.c.site.org/") === "site.org")
+  }
+
+  test("blocklist: label-aligned suffix semantics, NULL on parse refusal") {
+    val set = new java.util.HashSet[String]()
+    Seq("example.com", "ads.tracker.net").foreach(set.add)
+    assert(UrlBlocked.anySuffix("example.com", set))
+    assert(UrlBlocked.anySuffix("a.b.example.com", set))
+    assert(!UrlBlocked.anySuffix("notexample.com", set)) // string suffix, wrong label
+    assert(!UrlBlocked.anySuffix("example.com.evil.org", set))
+    assert(UrlBlocked.anySuffix("x.ads.tracker.net", set))
+    assert(!UrlBlocked.anySuffix("tracker.net", set)) // parent of an entry: clean
+  }
+
+  test("screen and filter forms over a frame; malformed URLs are kept") {
+    val df = Seq(
+      (1L, "https://a.bad.com/x"),
+      (2L, "https://good.org/y"),
+      (3L, "not a url"),
+      (4L, "https://BAD.com:443/z?utm_source=s")).toDF("doc_id", "url")
+    val blocked = Set("bad.com")
+    val screened = UrlCuration.blocklistScreen(df, "url", blocked)
+      .orderBy("doc_id").collect()
+    assert(screened.map(r => Option(r.getAs[Any]("url_blocked"))) ===
+      Array(Some(true), Some(false), None, Some(true)))
+    val kept = UrlCuration.blocklistFilter(df, "url", blocked)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 3L)) // malformed row 3 survives the filter
+    // DataFrame-blocklist overload agrees
+    val bldf = Seq("BAD.com").toDF("domain")
+    assert(UrlCuration.blocklistFilter(df, "url", bldf)
+      .select("doc_id").as[Long].collect().sorted === Array(2L, 3L))
+  }
+
+  test("canonicalization collapses crawl revisits to one URL key") {
+    val df = Seq(
+      (1L, "https://E.com/page?b=2&a=1"),
+      (2L, "HTTPS://e.COM:443/page?a=1&b=2#sec"),
+      (3L, "https://e.com/page?utm_source=tw&a=1&b=2"),
+      (4L, "https://e.com/other")).toDF("doc_id", "url")
+    val canon = df.withColumn("curl", UrlCuration.urlNormalize(col("url")))
+    assert(canon.select("curl").distinct().count() === 2)
+  }
+}
