@@ -534,6 +534,47 @@ object SparkEntry {
     }
   }
 
+  /** Shared full-spec PNG fixture set for q144: per base image `pid =
+    * id mod 100` a 4-bit-exact pattern (values are multiples of 17) is
+    * encoded FOUR ways — tier 0 sequential 8-bit RGB, tier 1 palette at
+    * depth 4, tier 2 grayscale at depth 4 (interlaced on odd pids),
+    * tier 3 Adam7 8-bit RGB on even pids / 16-bit gray (`v·257`
+    * samples) on odd — all IDENTICAL pixels after normalization, a
+    * planted Hamming-0 quadruple per pid. Refusal tiers: header-only,
+    * sub-grid, non-image.
+    */
+  private def pngFullFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val W = graft.llmops.ImageWriter
+    ids.map { id =>
+      val pid = (id % 100).toInt
+      val w = 9 + pid % 24
+      val h = 8 + pid % 16
+      val tier = (id / 100).toInt
+      def g16(x: Int, y: Int) =
+        ((5 + pid % 7) * (x / 8) + (13 + pid % 11) * (y / 8) + pid) % 16
+      val pal4 = Array.tabulate(48)(i => ((i / 3) * 17).toByte)
+      val bytes =
+        if (id >= 450) s"not an image $id".getBytes("UTF-8")
+        else if (id >= 430) W.pngGray(8, 8, g16, depth = 4) // sub-grid
+        else if (id >= 400) W.png(w, h) // header-only
+        else tier match {
+          case 0 => W.pngFromPixels(w, h,
+            Array.tabulate(h, w * 3)((y, i) => (g16(i / 3, y) * 17).toByte))
+          case 1 => W.pngIndexed(w, h, pal4, g16, depth = 4)
+          case 2 => W.pngGray(w, h, g16, depth = 4,
+            interlaced = pid % 2 == 1)
+          case _ =>
+            if (pid % 2 == 0) W.pngRgb(w, h,
+              (x, y) => (g16(x, y) * 17, g16(x, y) * 17, g16(x, y) * 17),
+              interlaced = true)
+            else W.pngGray(w, h, (x, y) => g16(x, y) * 17 * 257, depth = 16)
+        }
+      (id, bytes)
+    }
+  }
+
   /** Shared progressive-JPEG fixture set for q126: per base image `pid =
     * id mod 100` (the q112 seed-gradient pattern), tier 0 is a BASELINE
     * gray JPEG, tier 1 the PROGRESSIVE (SOF2) encoding of the IDENTICAL
@@ -1725,6 +1766,22 @@ object SparkEntry {
         .select(col("key_a"), col("key_b"),
           col("shared_frames").cast("long").as("shared_frames"),
           col("frac"))
+        .orderBy("key_a", "key_b")
+    }),
+
+    "q144_png_fullspec" -> ((s, dir) => {
+      // full-spec PNG: palette (depth 4), sub-byte grayscale, Adam7
+      // interlace and 16-bit samples all NORMALIZE to the one scanline
+      // layout the dHash family consumes, so the four encodings of each
+      // pid collapse at Hamming 0 and the refusal tiers vanish. The
+      // oracle recomputes every hash from the 4-bit closed-form pattern
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = fixtureDF(ss, dir, "q144_png_full")(pngFullFixtures(ss, dir))
+      graft.llmops.Multimodal.imageNearDups(src, "doc_id", "content",
+          maxDist = 3)
+        .select(col("key_a"), col("key_b"),
+          col("hamming").cast("long").as("hamming"))
         .orderBy("key_a", "key_b")
     }),
 
@@ -3138,6 +3195,48 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q131_token_chunks" -> bpeChunkOracle,
+
+    // q144: the q139 hash contract over the full-spec PNG fixture —
+    // all four encodings of a pid decode to gray = pattern·17, so one
+    // formula hashes every tier and brute-forces the pairs.
+    "q144_png_fullspec" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(9 + (doc_id % 100) % 24 AS INTEGER) AS w,
+             CAST(8 + (doc_id % 100) % 16 AS INTEGER) AS h,
+             CAST(doc_id % 100 AS INTEGER) AS seed
+           FROM documents WHERE doc_id < 400),
+         px AS (
+           SELECT i.doc_id,
+             ((x.x + 1) * 9 - 1) // i.w AS ci,
+             ((y.y + 1) * 8 - 1) // i.h AS cj,
+             (((5 + i.seed % 7) * (x.x // 8) + (13 + i.seed % 11) * (y.y // 8)
+               + i.seed) % 16) * 17 AS gray
+           FROM ids i, range(32) x(x), range(23) y(y)
+           WHERE x.x < i.w AND y.y < i.h),
+         cells AS (
+           SELECT doc_id, cj, ci, sum(gray) AS s, count(*) AS c
+           FROM px GROUP BY 1, 2, 3),
+         bits AS (
+           SELECT l.doc_id, l.cj * 8 + l.ci AS k
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cj = l.cj AND r.ci = l.ci + 1
+           WHERE r.s * l.c > l.s * r.c),
+         hashes AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS dh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS dh_lo
+           FROM (SELECT DISTINCT doc_id FROM px) d
+           LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id)
+         SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           CAST(bit_count(xor(a.dh_hi, b.dh_hi))
+              + bit_count(xor(a.dh_lo, b.dh_lo)) AS BIGINT) AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dh_hi, b.dh_hi))
+             + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
+         ORDER BY key_a, key_b""",
 
     // q142: every canonical output is a direct closed form of doc_id —
     // the oracle builds the expected strings, no URL logic in SQL.

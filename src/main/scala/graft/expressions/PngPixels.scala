@@ -22,12 +22,14 @@ import org.apache.spark.sql.types._
   *  - `mean_r/g/b`: per-channel means over the first three channels
   *    (alpha, when present, participates in the sums but not the means).
   *
-  * Returns NULL for anything but a well-formed, non-interlaced 8-bit
-  * truecolor (RGB) or truecolor-alpha (RGBA) PNG whose IDAT inflates to
-  * exactly `height · (1 + width·channels)` bytes — palette, grayscale,
-  * 16-bit, and Adam7 variants are out of scope for the synthetic-fixture
-  * gate and refused rather than half-decoded. Decode is per-row local
-  * (scan projection, no shuffle); cost is the inflate itself.
+  * Accepts every spec-legal still format — truecolor/RGBA at 8/16 bit,
+  * grayscale at 1/2/4/8/16, palette at 1/2/4/8 (PLTE required, tRNS
+  * honored), gray+alpha, sequential or Adam7 interlaced — normalized by
+  * [[decodeRaw]] to 8-bit RGB/RGBA before the statistics fold
+  * (`channels` reports the NORMALIZED channel count). NULL for
+  * malformed streams, illegal depth/type combos, or inflate-size
+  * mismatches. Decode is per-row local (scan projection, no shuffle);
+  * cost is the inflate itself.
   *
   * Closes the one stubbed arm of [[graft.llmops.Multimodal]]: header
   * metadata was already real ([[ImageDims]]); pixel decode now is too.
@@ -101,10 +103,30 @@ object PngPixels {
   }
 
   /** Full decode to unfiltered scanline layout — the shared front half of
-    * [[compute]] and [[PngDHash]]: chunk walk, IDAT inflate, all-five
-    * -filter reversal. Same refusal envelope as documented on the
-    * expression (non-interlaced 8-bit RGB/RGBA only); null on anything
-    * malformed.
+    * [[compute]], [[PngDHash]] and [[ImageHistStats]]: chunk walk, IDAT
+    * inflate, all-five-filter reversal, and NORMALIZATION of every
+    * spec-legal pixel format to 8-bit RGB/RGBA scanlines so one
+    * downstream layout serves all of them:
+    *
+    *  - color types 0 (grayscale, depths 1/2/4/8/16), 2 (truecolor,
+    *    8/16), 3 (palette, 1/2/4/8 — PLTE required), 4 (gray+alpha,
+    *    8/16), 6 (RGBA, 8/16),
+    *  - sub-byte gray samples scale to 8-bit by the spec's
+    *    max-value ratio (×255/×85/×17 — exact integers), palette
+    *    indices look up PLTE; a tRNS chunk on a palette image yields an
+    *    RGBA canvas (others opaque; tRNS color-key transparency on
+    *    types 0/2 is ignored — documented),
+    *  - 16-bit samples take their MOST SIGNIFICANT byte (the standard
+    *    8-bit reduction; exact for the `v·257` fixtures an oracle
+    *    plants),
+    *  - Adam7 interlace: seven sub-images, each unfiltered
+    *    independently, merged onto the canvas.
+    *
+    * The 8-bit truecolor sequential fast path is byte-identical to the
+    * original decoder. NULL on anything malformed: bad combos, missing
+    * PLTE, out-of-palette indices, inflate size mismatches, or canvases
+    * over the 64 MB cap — a forged IHDR must not become an allocation
+    * bomb.
     */
   private[expressions] def decodeRaw(b: Array[Byte]): PngRaw = {
     if (b == null || b.length < 45) return null // sig + IHDR + empty IDAT + IEND
@@ -115,8 +137,12 @@ object PngPixels {
     var i = 8
     var width = 0
     var height = 0
-    var channels = 0
+    var depth = 0
+    var colorType = 0
+    var interlace = 0
     var seenIhdr = false
+    var plte: Array[Byte] = null
+    var trns: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     while (i + 8 <= b.length) {
       val len = be32(b, i)
@@ -128,26 +154,203 @@ object PngPixels {
         if (typ != "IHDR" || len != 13) return null
         width = be32(b, i + 8)
         height = be32(b, i + 12)
-        val bitDepth = b(i + 16) & 0xFF
-        val colorType = b(i + 17) & 0xFF
-        val interlace = b(i + 20) & 0xFF
-        if (bitDepth != 8 || interlace != 0 ||
-            (colorType != 2 && colorType != 6)) return null
+        depth = b(i + 16) & 0xFF
+        colorType = b(i + 17) & 0xFF
+        interlace = b(i + 20) & 0xFF
         if (width <= 0 || height <= 0) return null
-        // bound the inflated buffer we are willing to allocate (64 MB of
-        // raw pixels) — a forged IHDR must not become an allocation bomb
-        channels = if (colorType == 6) 4 else 3
-        val rawLen = height.toLong * (1L + width.toLong * channels)
-        if (rawLen > 64L * 1024 * 1024) return null
+        if (interlace != 0 && interlace != 1) return null
+        val comboOk = colorType match {
+          case 0 => depth == 1 || depth == 2 || depth == 4 || depth == 8 ||
+            depth == 16
+          case 2 | 4 | 6 => depth == 8 || depth == 16
+          case 3 => depth == 1 || depth == 2 || depth == 4 || depth == 8
+          case _ => false
+        }
+        if (!comboOk) return null
         seenIhdr = true
+      } else if (typ == "PLTE") {
+        if (len % 3 != 0 || len > 768) return null
+        plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+      } else if (typ == "tRNS") {
+        trns = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
       } else if (typ == "IDAT") {
         idat.write(b, i + 8, len)
       } else if (typ == "IEND") {
-        return inflateUnfilter(idat.toByteArray, width, height, channels)
+        if (depth == 8 && (colorType == 2 || colorType == 6) &&
+            interlace == 0) {
+          val channels = if (colorType == 6) 4 else 3
+          val rawLen = height.toLong * (1L + width.toLong * channels)
+          if (rawLen > 64L * 1024 * 1024) return null
+          return inflateUnfilter(idat.toByteArray, width, height, channels)
+        }
+        return decodeExtended(idat.toByteArray, width, height, depth,
+          colorType, interlace, plte, trns)
       }
       i += 12 + len
     }
     null
+  }
+
+  /** Adam7 pass geometry: (xStart, yStart, xStep, yStep) per pass. */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** The slow-path decode: every legal format except sequential 8-bit
+    * truecolor, normalized to 8-bit RGB/RGBA scanlines (filter tags
+    * zeroed). See [[decodeRaw]] for the contract.
+    */
+  private def decodeExtended(z: Array[Byte], width: Int, height: Int,
+      depth: Int, colorType: Int, interlace: Int, plte: Array[Byte],
+      trns: Array[Byte]): PngRaw = {
+    if (colorType == 3 && plte == null) return null
+    val channelsIn = colorType match {
+      case 0 | 3 => 1
+      case 2 => 3
+      case 4 => 2
+      case _ => 4
+    }
+    val bitsPP = channelsIn * depth
+    // pass list: (xStart, yStart, xStep, yStep, pw, ph)
+    val passes: Array[(Int, Int, Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 0, 1, 1, width, height))
+      else Adam7.map { case (xs, ys, xd, yd) =>
+        (xs, ys, xd, yd,
+          if (width > xs) (width - xs + xd - 1) / xd else 0,
+          if (height > ys) (height - ys + yd - 1) / yd else 0)
+      }
+    var total = 0L
+    passes.foreach { case (_, _, _, _, pw, ph) =>
+      if (pw > 0 && ph > 0)
+        total += ph.toLong * (1L + (pw.toLong * bitsPP + 7) / 8)
+    }
+    if (total <= 0 || total > 64L * 1024 * 1024) return null
+
+    val outC =
+      if (colorType == 4 || colorType == 6 ||
+        (colorType == 3 && trns != null)) 4 else 3
+    val outStride = width * outC
+    val outLen = height.toLong * (1L + outStride)
+    if (outLen > 64L * 1024 * 1024) return null
+
+    // inflate the whole (possibly multi-pass) stream to its exact size
+    if (z.isEmpty) return null
+    val raw = new Array[Byte](total.toInt)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(z)
+    var off = 0
+    try {
+      while (off < raw.length && !inflater.finished()) {
+        val n =
+          try inflater.inflate(raw, off, raw.length - off)
+          catch { case _: java.util.zip.DataFormatException => return null }
+        if (n == 0 && inflater.needsInput()) return null
+        off += n
+      }
+    } finally inflater.end()
+    if (off != raw.length) return null
+
+    val out = new Array[Byte](outLen.toInt)
+    val scale = depth match { // sub-byte gray/alpha expansion factors
+      case 1 => 255
+      case 2 => 85
+      case 4 => 17
+      case _ => 1
+    }
+    val trnsLen = if (trns == null) 0 else trns.length
+    var passOff = 0
+    var p = 0
+    while (p < passes.length) {
+      val (xs, ys, xd, yd, pw, ph) = passes(p)
+      if (pw > 0 && ph > 0) {
+        val rowBytes = ((pw.toLong * bitsPP + 7) / 8).toInt
+        val bpp = math.max(1, bitsPP / 8)
+        // unfilter this pass in place (prior row = previous row of the
+        // SAME pass, per spec)
+        var y = 0
+        while (y < ph) {
+          val rowOff = passOff + y * (1 + rowBytes) + 1
+          val priorOff = rowOff - (1 + rowBytes)
+          val f = raw(rowOff - 1) & 0xFF
+          if (f > 4) return null
+          var i = 0
+          while (i < rowBytes) {
+            val cur = raw(rowOff + i) & 0xFF
+            val left = if (i >= bpp) raw(rowOff + i - bpp) & 0xFF else 0
+            val up = if (y > 0) raw(priorOff + i) & 0xFF else 0
+            val upLeft =
+              if (y > 0 && i >= bpp) raw(priorOff + i - bpp) & 0xFF else 0
+            val pred = f match {
+              case 0 => 0
+              case 1 => left
+              case 2 => up
+              case 3 => (left + up) / 2
+              case _ =>
+                val pr = left + up - upLeft
+                val pa = math.abs(pr - left)
+                val pb = math.abs(pr - up)
+                val pc = math.abs(pr - upLeft)
+                if (pa <= pb && pa <= pc) left
+                else if (pb <= pc) up else upLeft
+            }
+            raw(rowOff + i) = ((cur + pred) & 0xFF).toByte
+            i += 1
+          }
+          // extract this row's pixels onto the canvas
+          val destY = ys + y * yd
+          var x = 0
+          while (x < pw) {
+            val destX = xs + x * xd
+            var r = 0; var g = 0; var bl = 0; var a = 255
+            if (depth < 8) { // single sub-byte sample (types 0 and 3)
+              val bitOff = x * depth
+              val byteV = raw(rowOff + (bitOff >> 3)) & 0xFF
+              val shift = 8 - depth - (bitOff & 7)
+              val v = (byteV >> shift) & ((1 << depth) - 1)
+              if (colorType == 3) {
+                if (v * 3 + 2 >= plte.length) return null
+                r = plte(v * 3) & 0xFF
+                g = plte(v * 3 + 1) & 0xFF
+                bl = plte(v * 3 + 2) & 0xFF
+                if (trns != null) a = if (v < trnsLen) trns(v) & 0xFF else 255
+              } else { r = v * scale; g = r; bl = r }
+            } else {
+              val stepB = depth / 8 // 1 or 2; MSB-first, take high byte
+              val base = rowOff + x * channelsIn * stepB
+              def samp(c: Int): Int = raw(base + c * stepB) & 0xFF
+              colorType match {
+                case 0 =>
+                  r = samp(0); g = r; bl = r
+                case 2 =>
+                  r = samp(0); g = samp(1); bl = samp(2)
+                case 3 =>
+                  val v = samp(0)
+                  if (v * 3 + 2 >= plte.length) return null
+                  r = plte(v * 3) & 0xFF
+                  g = plte(v * 3 + 1) & 0xFF
+                  bl = plte(v * 3 + 2) & 0xFF
+                  if (trns != null)
+                    a = if (v < trnsLen) trns(v) & 0xFF else 255
+                case 4 =>
+                  r = samp(0); g = r; bl = r; a = samp(1)
+                case _ =>
+                  r = samp(0); g = samp(1); bl = samp(2); a = samp(3)
+              }
+            }
+            val dp = destY * (1 + outStride) + 1 + destX * outC
+            out(dp) = r.toByte
+            out(dp + 1) = g.toByte
+            out(dp + 2) = bl.toByte
+            if (outC == 4) out(dp + 3) = a.toByte
+            x += 1
+          }
+          y += 1
+        }
+        passOff += ph * (1 + rowBytes)
+      }
+      p += 1
+    }
+    new PngRaw(width, height, outC, out)
   }
 
   private def inflateUnfilter(z: Array[Byte], width: Int, height: Int,

@@ -132,6 +132,131 @@ object ImageWriter {
     out.toByteArray
   }
 
+  /** Adam7 pass geometry (xStart, yStart, xStep, yStep). */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Generic PNG encode across the full spec surface: any legal
+    * depth/colorType combo, sequential or Adam7, filter 0 rows, one
+    * zlib IDAT. `sample(x, y)` returns the per-channel UNSCALED samples
+    * at the target depth (e.g. 0..15 for depth 4, 0..65535 for 16).
+    * The writer twin of the extended decoder — independent bit packing
+    * and its own interlace schedule, so round trips check two
+    * implementations against the spec.
+    */
+  def pngEncode(width: Int, height: Int, depth: Int, colorType: Int,
+      sample: (Int, Int) => Array[Int], interlaced: Boolean = false,
+      palette: Array[Byte] = null, trns: Array[Byte] = null): Array[Byte] = {
+    val channels = colorType match {
+      case 0 | 3 => 1
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+      case _ => throw new IllegalArgumentException(s"colorType $colorType")
+    }
+    val bitsPP = channels * depth
+    val passes =
+      if (!interlaced) Array((0, 0, 1, 1, width, height))
+      else Adam7.map { case (xs, ys, xd, yd) =>
+        (xs, ys, xd, yd,
+          if (width > xs) (width - xs + xd - 1) / xd else 0,
+          if (height > ys) (height - ys + yd - 1) / yd else 0)
+      }
+    val rawOut = new ByteArrayOutputStream()
+    for ((xs, ys, xd, yd, pw, ph) <- passes if pw > 0 && ph > 0) {
+      val rowBytes = (pw * bitsPP + 7) / 8
+      val row = new Array[Byte](rowBytes)
+      var y = 0
+      while (y < ph) {
+        java.util.Arrays.fill(row, 0.toByte)
+        var bitPos = 0
+        var x = 0
+        while (x < pw) {
+          val s = sample(xs + x * xd, ys + y * yd)
+          var c = 0
+          while (c < channels) {
+            val v = s(c)
+            if (depth == 16) {
+              row(bitPos >> 3) = ((v >> 8) & 0xFF).toByte
+              row((bitPos >> 3) + 1) = (v & 0xFF).toByte
+              bitPos += 16
+            } else if (depth == 8) {
+              row(bitPos >> 3) = (v & 0xFF).toByte
+              bitPos += 8
+            } else { // big-endian packing within the byte
+              val shift = 8 - depth - (bitPos & 7)
+              row(bitPos >> 3) =
+                (row(bitPos >> 3) | ((v & ((1 << depth) - 1)) << shift)).toByte
+              bitPos += depth
+            }
+            c += 1
+          }
+          x += 1
+        }
+        rawOut.write(0) // filter: None
+        rawOut.write(row)
+        y += 1
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(rawOut.toByteArray)
+    deflater.finish()
+    val idat = new ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length))
+      val td = typ.getBytes("US-ASCII") ++ data
+      out.write(td)
+      val crc = new java.util.zip.CRC32(); crc.update(td)
+      out.write(be32(crc.getValue.toInt))
+    }
+    chunk("IHDR", be32(width) ++ be32(height) ++
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0,
+        if (interlaced) 1 else 0))
+    if (palette != null) chunk("PLTE", palette)
+    if (trns != null) chunk("tRNS", trns)
+    chunk("IDAT", idat.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Grayscale PNG at any legal depth (1/2/4/8/16); `f` returns the
+    * UNSCALED sample (0..2^depth−1).
+    */
+  def pngGray(width: Int, height: Int, f: (Int, Int) => Int,
+      depth: Int = 8, interlaced: Boolean = false): Array[Byte] =
+    pngEncode(width, height, depth, 0,
+      (x, y) => Array(f(x, y)), interlaced)
+
+  /** Palette PNG (color type 3) at depth 1/2/4/8; `idx` returns the
+    * palette index, `palette` is packed RGB triples, optional `trns`
+    * gives per-entry alpha.
+    */
+  def pngIndexed(width: Int, height: Int, palette: Array[Byte],
+      idx: (Int, Int) => Int, depth: Int = 8,
+      trns: Array[Byte] = null, interlaced: Boolean = false): Array[Byte] =
+    pngEncode(width, height, depth, 3,
+      (x, y) => Array(idx(x, y)), interlaced, palette, trns)
+
+  /** Gray+alpha PNG (color type 4, depth 8). */
+  def pngGrayAlpha(width: Int, height: Int, f: (Int, Int) => Int,
+      a: (Int, Int) => Int): Array[Byte] =
+    pngEncode(width, height, 8, 4, (x, y) => Array(f(x, y), a(x, y)))
+
+  /** Truecolor PNG via the generic encoder — the interlaced/16-bit
+    * twin of [[pngFromPixels]]; `f` returns (r, g, b) at the depth.
+    */
+  def pngRgb(width: Int, height: Int, f: (Int, Int) => (Int, Int, Int),
+      depth: Int = 8, interlaced: Boolean = false): Array[Byte] =
+    pngEncode(width, height, depth, 2,
+      (x, y) => { val (r, g, b) = f(x, y); Array(r, g, b) }, interlaced)
+
   /** GIF89a header + logical screen descriptor + trailer. */
   def gif(width: Int, height: Int): Array[Byte] =
     "GIF89a".getBytes("US-ASCII") ++ le16(width) ++ le16(height) ++

@@ -100,6 +100,15 @@ class CodecRobustnessSpec extends AnyFunSuite {
       ImageWriter.png(20, 30),
       ImageWriter.pngWithPixels(24, 16, 99),
       ImageWriter.pngWithPixels(12, 10, 7, channels = 4),
+      ImageWriter.pngGray(16, 12, (x, y) => (x + y) % 16, depth = 4),
+      ImageWriter.pngGray(12, 9, (x, y) => (x ^ y) % 2, depth = 1,
+        interlaced = true),
+      ImageWriter.pngIndexed(14, 11, Array.tabulate(48)(i => (i * 5).toByte),
+        (x, y) => (x * 3 + y) % 16, depth = 4,
+        trns = Array.fill(16)(200.toByte)),
+      ImageWriter.pngGray(10, 10, (x, y) => (x * y * 257) % 65536, depth = 16),
+      ImageWriter.pngRgb(15, 12, (x, y) => (x % 256, y % 256, (x + y) % 256),
+        interlaced = true),
       JpegWriter.gray(24, 16, (x, y) => (x * 3 + y * 7 + 5) % 256),
       JpegWriter.color(16, 16, (x, y) => (x + y * 2) % 256,
         (x, y) => (x * 5 + 9) % 256, (x, y) => (y * 3 + 77) % 256, sub = 2,
@@ -178,7 +187,10 @@ class CodecRobustnessSpec extends AnyFunSuite {
         "flip gz".getBytes("ISO-8859-1"))), gzipMembers = true),
       GifWriter.gray(16, 12, (x, y) => (x * 5 + y * 3) % 256),
       GifWriter.animatedGray(12, 10,
-        Seq((x, y) => (x ^ y) % 256, (x, y) => (x * 7 + y) % 256)))
+        Seq((x, y) => (x ^ y) % 256, (x, y) => (x * 7 + y) % 256)),
+      ImageWriter.pngIndexed(12, 9, Array.tabulate(12)(i => (i * 9).toByte),
+        (x, y) => (x + y) % 4, depth = 2, interlaced = true),
+      ImageWriter.pngGray(11, 8, (x, y) => (x * 31 + y) % 65536, depth = 16))
     for (doc <- base; i <- doc.indices by 7) {
       val mutated = doc.clone()
       mutated(i) = (mutated(i) ^ 0x5A).toByte
