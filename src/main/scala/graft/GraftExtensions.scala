@@ -198,6 +198,14 @@ object GraftFunctions {
       "graft_url_host(url) - lowercased host (userinfo/port stripped), NULL if not a URL",
       exprs => graft.expressions.UrlHost(exprs.head)),
 
+    ("graft_url_resolve",
+      "graft_url_resolve(base, ref) - RFC 3986 reference resolution (absolute/scheme-relative/root-relative/relative-with-dot-segments)",
+      exprs => graft.expressions.UrlResolve(exprs.head, exprs(1))),
+
+    ("graft_html_meta",
+      "graft_html_meta(content) - HTML head metadata: struct(title,canonical,description,lang,noindex,nofollow), NULL if no markup",
+      exprs => graft.expressions.HtmlMeta(exprs.head)),
+
     ("graft_url_domain",
       "graft_url_domain(url) - registrable-domain approximation (eTLD+1 heuristic), NULL if not a URL",
       exprs => graft.expressions.UrlDomain(exprs.head)),
@@ -252,18 +260,9 @@ object GraftFunctions {
         exprs.head,
         exprs.lift(1).map(litText(_, "graft_unicode_norm", "form")).getOrElse("NFC"))),
 
-    ("graft_url_host",
-      "graft_url_host(url) - lower-cased host, port stripped",
-      exprs => e(TextAnalysis.urlHost(c(exprs.head)))),
-
-    ("graft_url_domain",
-      "graft_url_domain(url) - registrable-domain approximation (last two labels)",
-      exprs => e(TextAnalysis.urlDomain(c(exprs.head)))),
-
-    ("graft_url_normalize",
-      "graft_url_normalize(url) - canonical URL: lower scheme/host, default ports + utm params + fragment stripped",
-      exprs => e(TextAnalysis.normalizeUrl(c(exprs.head)))),
-
+    // graft_url_host/_domain/_normalize are the NATIVE UrlOps kernels
+    // (registered above); the regexp-composed TextAnalysis forms remain
+    // the SQL-replayable twins behind the q70 gate.
     ("graft_dedup_lines",
       "graft_dedup_lines(text) - drop repeated lines, first occurrence kept",
       exprs => e(TextAnalysis.dedupLines(c(exprs.head))))

@@ -1769,6 +1769,48 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q145_html_meta" -> ((s, dir) => {
+      // HTML head metadata + canonical-aware URL keying: pages carry
+      // planted title/canonical/description/robots/lang variants
+      // (canonical root-relative on id%3=0, dot-relative on id%3=2,
+      // absent otherwise; tracking params on odd capture URLs), and the
+      // url_key column proves the full chain — parse → resolve the
+      // relative canonical against the capture URL → normalize — in one
+      // scan projection. Every output is a closed form of doc_id
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      lazy val rows = docs.map { case (id, text) =>
+        val page = graft.llmops.Html.writePage(Seq(s"Doc $id", text),
+          title = s"T$id",
+          canonical = if (id % 3 == 0) s"/canon/$id"
+            else if (id % 3 == 2) s"../c$id" else null,
+          description = if (id % 4 == 0) s"D$id" else null,
+          robots = if (id % 5 == 0) "noindex"
+            else if (id % 5 == 1) "nofollow, noarchive" else null,
+          lang = if (id % 2 == 0) "en" else null)
+        (id, page)
+      }.toSeq
+      import ss.implicits._
+      val src = fixtureDF(ss, dir, "q145_html_meta")(rows)
+      val target = concat(lit("https://site"),
+        (col("doc_id") % 20).cast("string"), lit(".example.com/dir/p"),
+        col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 1, lit("?utm_source=x")).otherwise(lit("")))
+      val U = graft.llmops.UrlCuration
+      src.withColumn("m", graft.llmops.Html.metaCol(col("content")))
+        .select(col("doc_id"),
+          col("m.title").as("title"),
+          col("m.canonical").as("canonical"),
+          U.canonicalUrlKey(target, col("m.canonical")).as("url_key"),
+          col("m.lang").as("lang"),
+          col("m.description").as("description"),
+          col("m.noindex").as("noindex"),
+          col("m.nofollow").as("nofollow"))
+        .orderBy("doc_id")
+    }),
+
     "q144_png_fullspec" -> ((s, dir) => {
       // full-spec PNG: palette (depth 4), sub-byte grayscale, Adam7
       // interlace and 16-bit samples all NORMALIZE to the one scanline
@@ -3195,6 +3237,25 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q131_token_chunks" -> bpeChunkOracle,
+
+    // q145: metadata and the resolved canonical key are pure closed
+    // forms of doc_id; k = doc_id % 20 names the capture host.
+    "q145_html_meta" ->
+      """SELECT doc_id,
+         'T' || doc_id AS title,
+         CASE WHEN doc_id % 3 = 0 THEN '/canon/' || doc_id
+              WHEN doc_id % 3 = 2 THEN '../c' || doc_id END AS canonical,
+         CASE WHEN doc_id % 3 = 0 THEN 'https://site' || (doc_id % 20)
+                || '.example.com/canon/' || doc_id
+              WHEN doc_id % 3 = 2 THEN 'https://site' || (doc_id % 20)
+                || '.example.com/c' || doc_id
+              ELSE 'https://site' || (doc_id % 20)
+                || '.example.com/dir/p' || doc_id END AS url_key,
+         CASE WHEN doc_id % 2 = 0 THEN 'en' END AS lang,
+         CASE WHEN doc_id % 4 = 0 THEN 'D' || doc_id END AS description,
+         doc_id % 5 = 0 AS noindex,
+         doc_id % 5 = 1 AS nofollow
+         FROM documents WHERE doc_id < 300 ORDER BY doc_id""",
 
     // q144: the q139 hash contract over the full-spec PNG fixture —
     // all four encodings of a pid decode to gray = pattern·17, so one

@@ -197,6 +197,107 @@ case class UrlDomain(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** RFC 3986 §5 reference resolution — `graft_url_resolve(base, ref)`:
+  * absolute refs pass through; `//host/…` adopts the base scheme;
+  * `/path` roots at the base authority; relative paths merge against
+  * the base path with full dot-segment removal; `?query`/`#frag` refs
+  * replace those components. NULL when the base refuses to parse and
+  * the ref is not itself absolute. The canonical-link companion: a
+  * `<link rel=canonical href=…>` is routinely relative, and keying a
+  * crawl on it requires resolving against the capture URL first.
+  */
+case class UrlResolve(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_url_resolve"
+
+  override protected def nullSafeEval(base: Any, ref: Any): Any =
+    UrlResolve.compute(base.asInstanceOf[UTF8String],
+      ref.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, r) =>
+      s"""
+         |${ev.value} = graft.expressions.UrlResolve.compute($b, $r);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): UrlResolve = copy(left = newLeft, right = newRight)
+}
+
+object UrlResolve {
+
+  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  private[expressions] def removeDotSegments(path: String): String = {
+    val out = new StringBuilder
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../") || in == "/..") {
+        in = if (in == "/..") "/" else "/" + in.substring(4)
+        val cut = out.lastIndexOf("/")
+        out.setLength(math.max(cut, 0))
+      } else if (in == "." || in == "..") in = ""
+      else {
+        val from = if (in.startsWith("/")) 1 else 0
+        val next = in.indexOf('/', from)
+        val seg = if (next < 0) in else in.substring(0, next)
+        out.append(seg)
+        in = if (next < 0) "" else in.substring(next)
+      }
+    }
+    out.toString
+  }
+
+  private def hasScheme(s: String): Boolean = {
+    val sep = s.indexOf("://")
+    sep > 0 && s.substring(0, sep).forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-')
+  }
+
+  def compute(baseU: UTF8String, refU: UTF8String): UTF8String = {
+    val ref = refU.toString
+    if (hasScheme(ref)) return refU
+    val p = UrlNormalize.parse(baseU.toString)
+    if (p == null) return null
+    val authority = {
+      val sb = new StringBuilder(p.scheme).append("://")
+      if (p.userinfo != null) sb.append(p.userinfo).append('@')
+      sb.append(p.host)
+      if (p.port >= 0) sb.append(':').append(p.port)
+      sb.toString
+    }
+    val basePath = if (p.path.isEmpty) "/" else p.path
+    val resolved =
+      if (ref.startsWith("//")) p.scheme + ":" + ref
+      else if (ref.startsWith("/"))
+        authority + removeDotSegments(ref)
+      else if (ref.isEmpty)
+        authority + basePath + (if (p.query != null) "?" + p.query else "")
+      else if (ref.startsWith("?"))
+        authority + basePath + ref
+      else if (ref.startsWith("#"))
+        authority + basePath +
+          (if (p.query != null) "?" + p.query else "") // fragment dropped
+      else {
+        val cut = basePath.lastIndexOf('/')
+        val merged = basePath.substring(0, cut + 1) + ref
+        authority + removeDotSegments(merged)
+      }
+    // a relative ref may carry its own fragment; resolution keeps the
+    // URL proper and UrlNormalize would drop the fragment anyway — keep
+    // it here for faithfulness EXCEPT the bare-# case above
+    UTF8String.fromString(resolved)
+  }
+}
+
 /** Suffix-chain membership of a URL's host in a blocklist set (UT1
   * convention: an entry blocks itself and every subdomain). The set is
   * a bounded driver artifact carried in the expression — the

@@ -216,7 +216,7 @@ object DocumentText {
     normalize(out.toString)
   }
 
-  private[llmops] def decodeEntity(ent: String): Option[String] = ent match {
+  private[graft] def decodeEntity(ent: String): Option[String] = ent match {
     case "amp" => Some("&")
     case "lt" => Some("<")
     case "gt" => Some(">")

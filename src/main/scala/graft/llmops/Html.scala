@@ -166,18 +166,38 @@ object Html {
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(content),
         maxLinkDensity, minWords))
 
+  /** Head metadata ([[graft.expressions.HtmlMeta]]): struct(title,
+    * canonical, description, lang, noindex, nofollow) —
+    * scan-projection-local like [[mainContentCol]].
+    */
+  def metaCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.HtmlMeta(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
   /** Fixture twin: a realistic page around `mainParas` — head with title
     * and style, a nav link bar, the article paragraphs, a related-links
     * aside, a link-farm div (boilerplate that only the density rule can
     * catch) and a footer. [[mainContent]] of the output is exactly
     * `mainParas.mkString("\n")` (after whitespace normalization).
     */
-  def writePage(mainParas: Seq[String], title: String = "Page"): Array[Byte] = {
+  def writePage(mainParas: Seq[String], title: String = "Page",
+      canonical: String = null, description: String = null,
+      robots: String = null, lang: String = null): Array[Byte] = {
     def esc(s: String): String =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     val sb = new StringBuilder
-    sb ++= "<!DOCTYPE html><html><head><title>" ++= esc(title)
-    sb ++= "</title><style>body { margin: 0; }</style>"
+    sb ++= "<!DOCTYPE html><html"
+    if (lang != null) sb ++= s""" lang="$lang""""
+    sb ++= "><head><title>" ++= esc(title)
+    sb ++= "</title>"
+    if (canonical != null)
+      sb ++= s"""<link rel="canonical" href="$canonical">"""
+    if (description != null)
+      sb ++= s"""<meta name="description" content="${esc(description)}">"""
+    if (robots != null)
+      sb ++= s"""<meta name="robots" content="$robots">"""
+    sb ++= "<style>body { margin: 0; }</style>"
     sb ++= "<script>var tracked = true;</script></head><body>"
     sb ++= "<header><h1>Example Site</h1></header>"
     sb ++= "<nav><ul><li><a href=\"/\">Home</a></li>"

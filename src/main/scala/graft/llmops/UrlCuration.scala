@@ -34,6 +34,27 @@ object UrlCuration {
       graft.expressions.UrlDomain(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(url)))
 
+  /** RFC 3986 reference resolution ([[graft.expressions.UrlResolve]]):
+    * `urlResolve(base, ref)` — absolute refs pass through, relative
+    * refs (incl. `//`, `/`, `?`, dot segments) resolve against base.
+    */
+  def urlResolve(base: Column, ref: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.UrlResolve(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(base),
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(ref)))
+
+  /** Canonical-aware URL key for crawl dedup: the page's
+    * `<link rel=canonical>` (resolved against the capture URL — it is
+    * routinely relative) when present, else the capture URL itself,
+    * both through [[urlNormalize]]. The strongest "many URLs, one
+    * page" signal a crawl offers, as one scan-local expression.
+    */
+  def canonicalUrlKey(targetUri: Column, canonicalHref: Column): Column =
+    coalesce(
+      urlNormalize(urlResolve(targetUri, canonicalHref)),
+      urlNormalize(targetUri))
+
   /** `true` when the URL's host — or ANY parent domain of it — appears
     * in `blocked` (UT1-convention suffix matching: blocking
     * `example.com` blocks `a.b.example.com`; blocking `ads.example.com`
