@@ -206,6 +206,11 @@ object GraftFunctions {
       "graft_html_meta(content) - HTML head metadata: struct(title,canonical,description,lang,noindex,nofollow), NULL if no markup",
       exprs => graft.expressions.HtmlMeta(exprs.head)),
 
+    ("graft_robots_allowed",
+      "graft_robots_allowed(robots_txt, url[, agent]) - RFC 9309 verdict: may agent fetch url under this robots.txt (wildcards, $ anchor, longest-match, allow tie-win)",
+      exprs => graft.expressions.RobotsAllowed(exprs.head, exprs(1),
+        exprs.lift(2).map(litText(_, "graft_robots_allowed", "agent")).getOrElse("*"))),
+
     ("graft_url_domain",
       "graft_url_domain(url) - registrable-domain approximation (eTLD+1 heuristic), NULL if not a URL",
       exprs => graft.expressions.UrlDomain(exprs.head)),

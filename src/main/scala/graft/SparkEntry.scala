@@ -1769,6 +1769,36 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q146_robots_screen" -> ((s, dir) => {
+      // RFC 9309 politeness screen: a per-host robots table (hosts 0-4
+      // carry a Disallow with a longer Allow carve-out; hosts 5-9 are
+      // ABSENT and default open) broadcast-joins against planted page
+      // URLs. Verdicts: blocked path on a governed host → false, the
+      // Allow carve-out and free paths → true, not-a-URL rows → NULL.
+      // All closed forms of doc_id
+      val ss = tuned(s)
+      import ss.implicits._
+      val d = t(ss, dir, "documents")
+      val h = (col("doc_id") % 10).cast("string")
+      val m = col("doc_id") % 3
+      val url = when(col("doc_id") % 7 === 0,
+          concat(lit("nonsense "), col("doc_id").cast("string")))
+        .when(m === 0, concat(lit("https://site"), h,
+          lit(".example.com/blocked"), h, lit("/page"),
+          col("doc_id").cast("string")))
+        .when(m === 1, concat(lit("https://site"), h,
+          lit(".example.com/blocked"), h, lit("/ok.html")))
+        .otherwise(concat(lit("https://site"), h,
+          lit(".example.com/free/"), col("doc_id").cast("string")))
+      val robots = (0 until 5).map(n => (s"site$n.example.com",
+        s"User-agent: *\nDisallow: /blocked$n/\nAllow: /blocked$n/ok.html"))
+        .toDF("host", "robots_txt")
+      graft.llmops.UrlCuration.robotsScreen(
+          d.select(col("doc_id"), url.as("url")), "url", robots)
+        .select(col("doc_id"), col("robots_allowed"))
+        .orderBy("doc_id")
+    }),
+
     "q145_html_meta" -> ((s, dir) => {
       // HTML head metadata + canonical-aware URL keying: pages carry
       // planted title/canonical/description/robots/lang variants
@@ -3237,6 +3267,16 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q131_token_chunks" -> bpeChunkOracle,
+
+    // q146: the verdict is a closed form — blocked iff the URL parses,
+    // lands on a governed host (doc_id%10 < 5) and takes the blocked
+    // path (doc_id%3 = 0); the %3 = 1 tier hits the longer Allow.
+    "q146_robots_screen" ->
+      """SELECT doc_id,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN NULL
+             WHEN doc_id % 3 = 0 AND doc_id % 10 < 5 THEN FALSE
+             ELSE TRUE END AS BOOLEAN) AS robots_allowed
+         FROM documents ORDER BY doc_id""",
 
     // q145: metadata and the resolved canonical key are pure closed
     // forms of doc_id; k = doc_id % 20 names the capture host.

@@ -86,6 +86,35 @@ object UrlCuration {
       blocked: Set[String]): DataFrame =
     df.filter(!coalesce(urlBlocked(col(urlCol), blocked), lit(false)))
 
+  /** robots.txt verdict ([[graft.expressions.RobotsAllowed]], RFC
+    * 9309): may `agent` fetch `url` under `robotsTxt`? NULL robots →
+    * allowed (fetch-failed default, via the coalesce here); NULL when
+    * the URL refuses to parse.
+    */
+  def robotsAllowed(robotsTxt: Column, url: Column,
+      agent: String = "*"): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.RobotsAllowed(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(
+          coalesce(robotsTxt, lit(""))),
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(url), agent))
+
+  /** The crawl-politeness screen: join each page's host against the
+    * per-host robots table (`host`, `robots_txt` — one small row per
+    * site, broadcast) and append `robots_allowed`. Hosts absent from
+    * the table default to allowed; URLs that refuse to parse screen
+    * NULL. One broadcast hash join + one scan projection — the corpus
+    * never shuffles.
+    */
+  def robotsScreen(df: DataFrame, urlCol: String,
+      robots: DataFrame, agent: String = "*"): DataFrame =
+    df.withColumn("__host", urlHost(col(urlCol)))
+      .join(broadcast(robots.select(lower(col("host")).as("__host"),
+        col("robots_txt").as("__robots"))), Seq("__host"), "left_outer")
+      .withColumn("robots_allowed",
+        robotsAllowed(col("__robots"), col(urlCol), agent))
+      .drop("__host", "__robots")
+
   /** [[blocklistFilter]] from a one-column (`domain`) DataFrame — the
     * list is collected to the driver first (documented bounded artifact,
     * the codebook/classifier convention).
