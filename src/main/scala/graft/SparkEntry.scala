@@ -575,6 +575,52 @@ object SparkEntry {
     }
   }
 
+  /** Shared WebP-lossless fixture set for q147: the q144 4-bit-exact
+    * pattern encoded FOUR ways inside one format — tier 0 plain
+    * (color-cached on odd pids), tier 1 subtract-green transform,
+    * tier 2 color-indexed with 4-bit packing, tier 3 predictor
+    * transform at mode `pid mod 14` — identical pixels after inverse
+    * transforms, a planted Hamming-0 quadruple per pid that gates every
+    * transform path and all 14 predictor modes through the hash
+    * compare. Refusals: lossy VP8 stub, sub-grid, non-image.
+    */
+  private def webpFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val W = graft.llmops.WebpWriter
+    ids.map { id =>
+      val pid = (id % 100).toInt
+      val w = 9 + pid % 24
+      val h = 8 + pid % 16
+      val tier = (id / 100).toInt
+      def g16(x: Int, y: Int) =
+        ((5 + pid % 7) * (x / 8) + (13 + pid % 11) * (y / 8) + pid) % 16
+      def argb = Array.tabulate(w * h) { k =>
+        val v = g16(k % w, k / w) * 17
+        0xFF000000 | (v << 16) | (v << 8) | v
+      }
+      val bytes =
+        if (id >= 450) s"not an image $id".getBytes("UTF-8")
+        else if (id >= 430) W.gray(8, 8, (x, y) => g16(x, y) * 17) // sub-grid
+        else if (id >= 400) // lossy VP8 stub: dims-only, pixels refuse
+          "RIFF".getBytes ++ Array.fill[Byte](4)(0) ++
+            "WEBPVP8 ".getBytes ++ Array[Byte](12, 0, 0, 0) ++
+            Array.fill[Byte](3)(0) ++ Array(0x9D, 0x01, 0x2A).map(_.toByte) ++
+            Array[Byte]((w & 0xFF).toByte, (w >> 8).toByte,
+              (h & 0xFF).toByte, (h >> 8).toByte, 0)
+        else tier match {
+          case 0 => W.lossless(w, h, argb,
+            cacheBits = if (pid % 2 == 1) 6 else 0)
+          case 1 => W.losslessSubGreen(w, h, argb)
+          case 2 => W.losslessIndexed(w, h,
+            Array.tabulate(16)(i => 0xFF000000 | (i * 17 << 16) |
+              (i * 17 << 8) | (i * 17)), (x, y) => g16(x, y))
+          case _ => W.losslessPredictor(w, h, argb, mode = pid % 14)
+        }
+      (id, bytes)
+    }
+  }
+
   /** Shared progressive-JPEG fixture set for q126: per base image `pid =
     * id mod 100` (the q112 seed-gradient pattern), tier 0 is a BASELINE
     * gray JPEG, tier 1 the PROGRESSIVE (SOF2) encoding of the IDENTICAL
@@ -1766,6 +1812,23 @@ object SparkEntry {
         .select(col("key_a"), col("key_b"),
           col("shared_frames").cast("long").as("shared_frames"),
           col("frac"))
+        .orderBy("key_a", "key_b")
+    }),
+
+    "q147_webp_neardup" -> ((s, dir) => {
+      // WebP lossless joins the unified image Hamming space: plain,
+      // color-cached, subtract-green, 4-bit color-indexed and
+      // predictor-transform (every mode across the pids) encodings of
+      // one image all land at Hamming 0, and the refusal tiers (lossy
+      // VP8, sub-grid, non-image) hash NULL. Oracle = the q144 closed
+      // form; the VP8L machinery never appears in SQL
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = fixtureDF(ss, dir, "q147_webp")(webpFixtures(ss, dir))
+      graft.llmops.Multimodal.imageNearDups(src, "doc_id", "content",
+          maxDist = 3)
+        .select(col("key_a"), col("key_b"),
+          col("hamming").cast("long").as("hamming"))
         .orderBy("key_a", "key_b")
     }),
 
@@ -3267,6 +3330,47 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q131_token_chunks" -> bpeChunkOracle,
+
+    // q147: the q144 closed form verbatim — all WebP tiers decode to
+    // gray = pattern%16*17, so one formula hashes every encoding.
+    "q147_webp_neardup" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(9 + (doc_id % 100) % 24 AS INTEGER) AS w,
+             CAST(8 + (doc_id % 100) % 16 AS INTEGER) AS h,
+             CAST(doc_id % 100 AS INTEGER) AS seed
+           FROM documents WHERE doc_id < 400),
+         px AS (
+           SELECT i.doc_id,
+             ((x.x + 1) * 9 - 1) // i.w AS ci,
+             ((y.y + 1) * 8 - 1) // i.h AS cj,
+             (((5 + i.seed % 7) * (x.x // 8) + (13 + i.seed % 11) * (y.y // 8)
+               + i.seed) % 16) * 17 AS gray
+           FROM ids i, range(32) x(x), range(23) y(y)
+           WHERE x.x < i.w AND y.y < i.h),
+         cells AS (
+           SELECT doc_id, cj, ci, sum(gray) AS s, count(*) AS c
+           FROM px GROUP BY 1, 2, 3),
+         bits AS (
+           SELECT l.doc_id, l.cj * 8 + l.ci AS k
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cj = l.cj AND r.ci = l.ci + 1
+           WHERE r.s * l.c > l.s * r.c),
+         hashes AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS dh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS dh_lo
+           FROM (SELECT DISTINCT doc_id FROM px) d
+           LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id)
+         SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           CAST(bit_count(xor(a.dh_hi, b.dh_hi))
+              + bit_count(xor(a.dh_lo, b.dh_lo)) AS BIGINT) AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dh_hi, b.dh_hi))
+             + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
+         ORDER BY key_a, key_b""",
 
     // q146: the verdict is a closed form — blocked iff the URL parses,
     // lands on a governed host (doc_id%10 < 5) and takes the blocked

@@ -76,6 +76,28 @@ object ImageDims {
     // — negative means top-down row order, magnitude is the pixel height)
     if (b(0) == 'B' && b(1) == 'M' && b.length >= 26)
       return row("bmp", le32(b, 18), math.abs(le32(b, 22)))
+    // WebP: RIFF....WEBP, then the first chunk names the flavor.
+    //  VP8X (extended): canvas dims as 24-bit LE minus-one at 24/27.
+    //  VP8L (lossless): byte 0x2F, then 14-bit w-1 / 14-bit h-1 packed LE.
+    //  "VP8 " (lossy): key-frame start code 9D 01 2A, then 14-bit LE dims.
+    if (b.length >= 30 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P') {
+      val tag = new String(b, 12, 4, "US-ASCII")
+      if (tag == "VP8X" && b.length >= 30)
+        return row("webp",
+          1 + (le16(b, 24) | ((b(26) & 0xFF) << 16)),
+          1 + (le16(b, 27) | ((b(29) & 0xFF) << 16)))
+      if (tag == "VP8L" && b.length >= 25 && (b(20) & 0xFF) == 0x2F) {
+        val bits = le32(b, 21)
+        return row("webp", 1 + (bits & 0x3FFF), 1 + ((bits >> 14) & 0x3FFF))
+      }
+      if (tag == "VP8 " && b.length >= 30 &&
+          (b(23) & 0xFF) == 0x9D && (b(24) & 0xFF) == 0x01 &&
+          (b(25) & 0xFF) == 0x2A)
+        return row("webp", le16(b, 26) & 0x3FFF, le16(b, 28) & 0x3FFF)
+      return null
+    }
     // JPEG: SOI then marker segments; dimensions live in the SOF frame
     // header (C0-CF minus the non-frame C4/C8/CC)
     if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {

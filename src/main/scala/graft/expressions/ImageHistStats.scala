@@ -96,16 +96,28 @@ object ImageHistStats {
         }
       } else {
         val gif = GifDecode.decodeFrames(b) // stats of the first frame
-        if (gif == null) return null
-        width = gif.width; height = gif.height; channels = 3
-        val rgb = gif.frames(0)
-        var i = 0
-        val n = width * height
-        while (i < n) {
-          val p = i * 3
-          hist(((rgb(p) & 0xFF) + (rgb(p + 1) & 0xFF) +
-            (rgb(p + 2) & 0xFF)) / 3) += 1
-          i += 1
+        if (gif != null) {
+          width = gif.width; height = gif.height; channels = 3
+          val rgb = gif.frames(0)
+          var i = 0
+          val n = width * height
+          while (i < n) {
+            val p = i * 3
+            hist(((rgb(p) & 0xFF) + (rgb(p + 1) & 0xFF) +
+              (rgb(p + 2) & 0xFF)) / 3) += 1
+            i += 1
+          }
+        } else {
+          val webp = WebpDecode.decodeArgb(b)
+          if (webp == null) return null
+          width = webp.width; height = webp.height; channels = 4
+          var i = 0
+          val n = width * height
+          while (i < n) {
+            val p = webp.pix(i)
+            hist((((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3) += 1
+            i += 1
+          }
         }
       }
     }

@@ -150,13 +150,24 @@ object Multimodal {
       graft.expressions.GifDHash(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
 
-  /** Format-agnostic image dHash: the PNG, JPEG or GIF arm, whichever
-    * decodes (each refuses foreign magic bytes on the first read, so a
-    * miss arm costs a header sniff, not a decode). NULL when none
-    * decodes — mixed-format corpora dedup in one Hamming space.
+  /** 64-bit perceptual dHash of a lossless WebP
+    * ([[graft.expressions.WebpDHash]]) — same grid and bit layout as
+    * the other three format arms.
+    */
+  def webpDHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.WebpDHash(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** Format-agnostic image dHash: the PNG, JPEG, GIF or lossless-WebP
+    * arm, whichever decodes (each refuses foreign magic bytes on the
+    * first read, so a miss arm costs a header sniff, not a decode).
+    * NULL when none decodes — mixed-format corpora dedup in one
+    * Hamming space.
     */
   def imageDHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    coalesce(pngDHash(content), jpegDHash(content), gifDHash(content))
+    coalesce(pngDHash(content), jpegDHash(content), gifDHash(content),
+      webpDHash(content))
 
   /** [[imageDHash]] in DISPLAY space: the JPEG arm is the
     * orientation-normalized [[jpegDHashOriented]], so a camera file and
@@ -166,7 +177,8 @@ object Multimodal {
     * with one must be screened with the same one.
     */
   def imageDHashDisplay(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    coalesce(pngDHash(content), jpegDHashOriented(content), gifDHash(content))
+    coalesce(pngDHash(content), jpegDHashOriented(content), gifDHash(content),
+      webpDHash(content))
 
   /** Grayscale-histogram statistics over PNG or baseline JPEG
     * ([[graft.expressions.ImageHistStats]]) — entropy / dynamic range /

@@ -30,7 +30,8 @@ class CodecRobustnessSpec extends AnyFunSuite {
     Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte), // CFB/OLE2
     "{\\rtf1\\ansi ".getBytes("ISO-8859-1"),
     "WARC/1.0\r\n".getBytes("ISO-8859-1"),
-    Array(0x1F, 0x8B, 0x08, 0x00).map(_.toByte)) // gzip member
+    Array(0x1F, 0x8B, 0x08, 0x00).map(_.toByte), // gzip member
+    "RIFF1234WEBPVP8L".getBytes("ISO-8859-1"))
 
   private def allCodecs(bytes: Array[Byte]): Unit = {
     Pdf.pdfText(bytes)
@@ -55,6 +56,8 @@ class CodecRobustnessSpec extends AnyFunSuite {
     graft.expressions.VideoFrames.compute(bytes)
     graft.expressions.GifDHash.compute(bytes)
     graft.expressions.GifFrames.compute(bytes)
+    graft.expressions.WebpDHash.compute(bytes)
+    graft.expressions.WebpDecode.decodeArgb(bytes)
     graft.expressions.WarcRecords.compute(bytes)
     DocumentText.extractText(bytes, "application/pdf")
     DocumentText.extractText(bytes, "text/html")
@@ -190,7 +193,11 @@ class CodecRobustnessSpec extends AnyFunSuite {
         Seq((x, y) => (x ^ y) % 256, (x, y) => (x * 7 + y) % 256)),
       ImageWriter.pngIndexed(12, 9, Array.tabulate(12)(i => (i * 9).toByte),
         (x, y) => (x + y) % 4, depth = 2, interlaced = true),
-      ImageWriter.pngGray(11, 8, (x, y) => (x * 31 + y) % 65536, depth = 16))
+      ImageWriter.pngGray(11, 8, (x, y) => (x * 31 + y) % 65536, depth = 16),
+      WebpWriter.gray(14, 10, (x, y) => (x * 5 + y * 3) % 256, cacheBits = 4),
+      WebpWriter.losslessIndexed(12, 9,
+        Array.tabulate(7)(i => 0xFF000000 | (i * 36 << 8)),
+        (x, y) => (x + y) % 7))
     for (doc <- base; i <- doc.indices by 7) {
       val mutated = doc.clone()
       mutated(i) = (mutated(i) ^ 0x5A).toByte
