@@ -1815,6 +1815,46 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q148_crawl_curate" -> ((s, dir) => {
+      // the whole crawl front end as one dataflow: mixed WET/WARC
+      // archives (even ids conversion text, odd ids HTML pages with
+      // planted canonical/noindex/lang variants) through parse →
+      // extract → canonical URL keying → robots (governed hosts
+      // disallow /d0/) → noindex → domain blocklist (site7/site8) →
+      // keep-latest. Kept set, keys and metadata are closed forms
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      lazy val rows = docs.map { case (id, text) =>
+        val k = id % 10
+        val url = s"https://site$k.example.com/d${id % 4}/p$id?utm_source=x"
+        val body = s"Doc $id\n$text"
+        val bytes =
+          if (id % 2 == 0)
+            graft.llmops.WarcWriter.writeWet(Seq((url, null, body)),
+              gzipMembers = id % 3 == 1)
+          else
+            graft.llmops.WarcWriter.write(Seq((url, null, 200, "text/html",
+              graft.llmops.Html.writePage(Seq(s"Doc $id", text),
+                title = s"T$id",
+                canonical = if (id % 3 == 0) s"/canon/$id" else null,
+                robots = if (id % 5 == 0) "noindex" else null,
+                lang = "en"))), gzipMembers = id % 3 == 1)
+        (id, bytes)
+      }.toSeq
+      import ss.implicits._
+      val src = fixtureDF(ss, dir, "q148_crawl_curate")(rows)
+      val robots = (0 until 5).map(n => (s"site$n.example.com",
+        "User-agent: *\nDisallow: /d0/")).toDF("host", "robots_txt")
+      graft.llmops.Warc.curateCrawl(src, "doc_id", "content",
+          robots = Some(robots),
+          blockedDomains = Set("site7.example.com", "site8.example.com"))
+        .select(col("doc_id"), col("url_key"), col("title"), col("lang"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
+
     "q147_webp_neardup" -> ((s, dir) => {
       // WebP lossless joins the unified image Hamming space: plain,
       // color-cached, subtract-green, 4-bit color-indexed and
@@ -3330,6 +3370,26 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q131_token_chunks" -> bpeChunkOracle,
+
+    // q148: kept iff robots allows (host ungoverned OR path not /d0/),
+    // domain unblocked (k ∉ {7,8}) and not noindexed (HTML arm only —
+    // WET rows carry no meta); key = resolved canonical on odd%3=0
+    // rows, else the normalized capture URL (utm stripped).
+    "q148_crawl_curate" ->
+      """SELECT doc_id,
+         'https://site' || (doc_id % 10) || '.example.com' ||
+           CASE WHEN doc_id % 2 = 1 AND doc_id % 3 = 0
+             THEN '/canon/' || doc_id
+             ELSE '/d' || (doc_id % 4) || '/p' || doc_id END AS url_key,
+         CASE WHEN doc_id % 2 = 1 THEN 'T' || doc_id END AS title,
+         CASE WHEN doc_id % 2 = 1 THEN 'en' END AS lang,
+         'Doc ' || doc_id || chr(10) || text AS text
+         FROM documents
+         WHERE doc_id < 300
+           AND NOT (doc_id % 10 < 5 AND doc_id % 4 = 0)
+           AND doc_id % 10 NOT IN (7, 8)
+           AND NOT (doc_id % 2 = 1 AND doc_id % 5 = 0)
+         ORDER BY doc_id""",
 
     // q147: the q144 closed form verbatim — all WebP tiers decode to
     // gray = pattern%16*17, so one formula hashes every encoding.

@@ -96,6 +96,88 @@ object Warc {
           .otherwise(decode(col("payload"), "ISO-8859-1")))
       .drop("payload")
 
+  /** The full crawl-curation front end, composed from this round's
+    * parts as ONE dataflow: parse (WARC or WET) → text extraction →
+    * HTML head metadata → canonical-aware URL keying (the page's
+    * `rel=canonical` resolved against the capture URL, normalized) →
+    * politeness and policy screens (RFC 9309 robots verdict from a
+    * broadcast per-host table, `<meta robots>` noindex, UT1-style
+    * domain blocklist) → keep-latest per canonical key. What's left is
+    * exactly the rows a training corpus may use, with their metadata.
+    *
+    * Scale shape: everything except the robots broadcast join and the
+    * final keep-latest window (one shuffle, on the canonical key) is a
+    * scan projection; the blocklist rides the task binary.
+    *
+    * Screen semantics: rows whose URL refuses to parse drop (no key to
+    * dedup on); absent robots hosts and NULL robots default open;
+    * `honorNoindex`/`canonicalKeys` opt out of the HTML-metadata
+    * stages (WET conversion records carry no HTML and never noindex).
+    */
+  def curateCrawl(
+      archives: DataFrame,
+      keyCol: String,
+      contentCol: String,
+      robots: Option[DataFrame] = None,
+      blockedDomains: Set[String] = Set.empty,
+      agent: String = "*",
+      honorNoindex: Boolean = true,
+      canonicalKeys: Boolean = true,
+      minTextChars: Int = 1,
+      minWords: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val U = UrlCuration
+    val recs = archives
+      .select(col(keyCol), posexplode(warcRecords(col(contentCol))))
+      .select(col(keyCol), col("pos").as("rec"),
+        col("col.warc_type").as("warc_type"),
+        col("col.target_uri").as("target_uri"),
+        col("col.warc_date").as("warc_date"),
+        col("col.http_status").as("http_status"),
+        col("col.mime").as("mime"),
+        col("col.payload").as("payload"))
+      .filter(lower(col("warc_type")).isin("response", "conversion"))
+    val isHtml = lower(col("warc_type")) === "response" &&
+      col("mime") === "text/html"
+    val withMeta = recs
+      .withColumn("m", when(isHtml, Html.metaCol(col("payload"))))
+      .withColumn("page_text",
+        when(lower(col("warc_type")) === "conversion",
+          decode(col("payload"), "UTF-8"))
+          .when(col("mime") === "text/html",
+            Html.mainContentCol(col("payload"), minWords = minWords))
+          .otherwise(decode(col("payload"), "ISO-8859-1")))
+      .drop("payload")
+      .withColumn("url_key",
+        if (canonicalKeys)
+          U.canonicalUrlKey(col("target_uri"), col("m.canonical"))
+        else U.urlNormalize(col("target_uri")))
+    val screened0 = robots match {
+      case Some(r) => U.robotsScreen(withMeta, "target_uri", r, agent)
+      case None => withMeta.withColumn("robots_allowed", lit(true))
+    }
+    val screened = screened0.withColumn("url_blocked",
+      if (blockedDomains.isEmpty) lit(false)
+      else coalesce(U.urlBlocked(col("target_uri"), blockedDomains),
+        lit(false)))
+    val kept = screened.filter(
+      col("url_key").isNotNull &&
+        !(col("robots_allowed") === false) &&
+        !col("url_blocked") &&
+        (if (honorNoindex) !coalesce(col("m.noindex"), lit(false))
+        else lit(true)) &&
+        col("page_text").isNotNull &&
+        length(trim(col("page_text"))) >= minTextChars)
+    val keepLatest = Window.partitionBy(col("url_key"))
+      .orderBy(col("warc_date").desc_nulls_last, col("rec").desc)
+    kept.withColumn("__rn", row_number().over(keepLatest))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("url_key"), col("target_uri"),
+        col("warc_date"), col("http_status"), col("mime"),
+        col("m.title").as("title"), col("m.description").as("description"),
+        col("m.lang").as("lang"), col("page_text").as("text"))
+  }
+
   /** The crawl arm of corpus ingestion: archives (full WARC or WET —
     * [[crawlTexts]] is source-format-blind) → pages → one page per
     * URL (a crawl revisits; keep the LATEST by WARC-Date, record order

@@ -196,4 +196,28 @@ class WarcSpec extends SparkTestBase {
     assert(n2 === 1)
     assert(spark.read.parquet(corpus).count() === 2)
   }
+
+  test("curateCrawl collapses alias captures onto one canonical key") {
+    val page1 = Html.writePage(Seq("T", "older capture body words"),
+      canonical = "/story")
+    val page2 = Html.writePage(Seq("T", "newer capture body words"),
+      canonical = "/story")
+    val noindexed = Html.writePage(Seq("T", "hidden body words"),
+      robots = "noindex")
+    val b = Seq(
+      (1L, WarcWriter.write(Seq(
+        ("https://e.com/story?utm_source=tw", "2026-02-01T00:00:00Z", 200,
+          "text/html", page1),
+        ("https://e.com/story?ref=rss", "2026-02-05T00:00:00Z", 200,
+          "text/html", page2)))),
+      (2L, WarcWriter.write(Seq(("https://e.com/secret",
+        "2026-02-02T00:00:00Z", 200, "text/html", noindexed))))
+    ).toDF("doc_id", "content")
+    val out = Warc.curateCrawl(b, "doc_id", "content").collect()
+    // two alias captures -> ONE row, the latest capture's text;
+    // the noindexed page is gone entirely
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("url_key") === "https://e.com/story")
+    assert(out(0).getAs[String]("text").contains("newer capture"))
+  }
 }
