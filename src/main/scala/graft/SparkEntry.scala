@@ -621,6 +621,43 @@ object SparkEntry {
     }
   }
 
+  /** Shared BMP fixture set for q149: per pid the standard gradient
+    * pattern encoded as tier 0 bottom-up 24bpp BMP, tier 1 8bpp
+    * indexed BMP (256-gray palette), tier 2 TOP-DOWN 24bpp BMP (row
+    * order must not move the hash), tier 3 PNG of the identical pixels
+    * — a Hamming-0 quadruple per pid closing the fifth format into the
+    * one image space. Refusals: header-only BMP stub, sub-grid,
+    * non-image.
+    */
+  private def bmpFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val W = graft.llmops.ImageWriter
+    ids.map { id =>
+      val pid = (id % 100).toInt
+      val w = 9 + pid % 24
+      val h = 8 + pid % 16
+      val tier = (id / 100).toInt
+      def g(x: Int, y: Int) =
+        ((5 + pid % 7) * (x / 8) + (13 + pid % 11) * (y / 8) + pid) % 256
+      val grayPal = Array.tabulate(768)(i => (i / 3).toByte)
+      val bytes =
+        if (id >= 450) s"not an image $id".getBytes("UTF-8")
+        else if (id >= 430)
+          W.bmpFromPixels(8, 8, (x, y) => (g(x, y), g(x, y), g(x, y)))
+        else if (id >= 400) W.bmp(w, h) // header-only stub
+        else tier match {
+          case 0 => W.bmpFromPixels(w, h, (x, y) => (g(x, y), g(x, y), g(x, y)))
+          case 1 => W.bmpIndexed(w, h, grayPal, g)
+          case 2 => W.bmpFromPixels(w, h,
+            (x, y) => (g(x, y), g(x, y), g(x, y)), topDown = true)
+          case _ => W.pngFromPixels(w, h,
+            Array.tabulate(h, w * 3)((y, i) => g(i / 3, y).toByte))
+        }
+      (id, bytes)
+    }
+  }
+
   /** Shared progressive-JPEG fixture set for q126: per base image `pid =
     * id mod 100` (the q112 seed-gradient pattern), tier 0 is a BASELINE
     * gray JPEG, tier 1 the PROGRESSIVE (SOF2) encoding of the IDENTICAL
@@ -1812,6 +1849,22 @@ object SparkEntry {
         .select(col("key_a"), col("key_b"),
           col("shared_frames").cast("long").as("shared_frames"),
           col("frac"))
+        .orderBy("key_a", "key_b")
+    }),
+
+    "q149_image_neardup_bmp" -> ((s, dir) => {
+      // BMP closes the five-format image Hamming space: bottom-up,
+      // indexed-palette and top-down BMPs of one image hash identically
+      // to the PNG of the same pixels, refusal tiers vanish. Oracle:
+      // the closed-form hash contract with no seed shift (all tiers
+      // identical pixels)
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = fixtureDF(ss, dir, "q149_bmp")(bmpFixtures(ss, dir))
+      graft.llmops.Multimodal.imageNearDups(src, "doc_id", "content",
+          maxDist = 3)
+        .select(col("key_a"), col("key_b"),
+          col("hamming").cast("long").as("hamming"))
         .orderBy("key_a", "key_b")
     }),
 
@@ -3370,6 +3423,47 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q131_token_chunks" -> bpeChunkOracle,
+
+    // q149: the q139 closed form with NO seed shift — all four tiers
+    // decode to gray = pattern, so one formula hashes them all.
+    "q149_image_neardup_bmp" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(9 + (doc_id % 100) % 24 AS INTEGER) AS w,
+             CAST(8 + (doc_id % 100) % 16 AS INTEGER) AS h,
+             CAST(doc_id % 100 AS INTEGER) AS seed
+           FROM documents WHERE doc_id < 400),
+         px AS (
+           SELECT i.doc_id,
+             ((x.x + 1) * 9 - 1) // i.w AS ci,
+             ((y.y + 1) * 8 - 1) // i.h AS cj,
+             ((5 + i.seed % 7) * (x.x // 8) + (13 + i.seed % 11) * (y.y // 8)
+               + i.seed) % 256 AS gray
+           FROM ids i, range(32) x(x), range(23) y(y)
+           WHERE x.x < i.w AND y.y < i.h),
+         cells AS (
+           SELECT doc_id, cj, ci, sum(gray) AS s, count(*) AS c
+           FROM px GROUP BY 1, 2, 3),
+         bits AS (
+           SELECT l.doc_id, l.cj * 8 + l.ci AS k
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cj = l.cj AND r.ci = l.ci + 1
+           WHERE r.s * l.c > l.s * r.c),
+         hashes AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS dh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS dh_lo
+           FROM (SELECT DISTINCT doc_id FROM px) d
+           LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id)
+         SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           CAST(bit_count(xor(a.dh_hi, b.dh_hi))
+              + bit_count(xor(a.dh_lo, b.dh_lo)) AS BIGINT) AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dh_hi, b.dh_hi))
+             + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
+         ORDER BY key_a, key_b""",
 
     // q148: kept iff robots allows (host ungoverned OR path not /d0/),
     // domain unblocked (k ∉ {7,8}) and not noindexed (HTML arm only —

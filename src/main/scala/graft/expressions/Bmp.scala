@@ -1,0 +1,126 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** BMP (Windows DIB) pixel decode — the last [[ImageDims]]-only still
+  * format gains real pixels. Scope: the uncompressed layouts that make
+  * up essentially all BMPs in the wild — BITMAPINFOHEADER and the
+  * V4/V5 extensions, bottom-up AND top-down row order, bit depths
+  * 1/4/8 (palette, MSB-first packing) and 24/32 (BGR/BGRx), 4-byte row
+  * padding, partial palettes (`biClrUsed`). RLE4/RLE8, 16-bit and
+  * BI_BITFIELDS streams are refused honestly (wholesale NULL), as are
+  * truncated pixel arrays, out-of-palette indices and forged
+  * dimensions past the 64 MB cap.
+  */
+object BmpDecode {
+
+  /** Packed RGB, rows top-down — the display orientation. */
+  final class Rgb(val width: Int, val height: Int, val rgb: Array[Byte])
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+
+  def decode(b: Array[Byte]): Rgb = {
+    if (b == null || b.length < 54) return null
+    if (b(0) != 'B' || b(1) != 'M') return null
+    val dataOff = le32(b, 10)
+    val dibSize = le32(b, 14)
+    if (dibSize != 40 && dibSize != 52 && dibSize != 56 &&
+      dibSize != 108 && dibSize != 124) return null
+    val width = le32(b, 18)
+    val rawH = le32(b, 22)
+    val topDown = rawH < 0
+    val height = math.abs(rawH)
+    if (width <= 0 || height <= 0) return null
+    if (width.toLong * height * 3 > 64L * 1024 * 1024) return null
+    if (le16(b, 26) != 1) return null // planes
+    val bpp = le16(b, 28)
+    if (bpp != 1 && bpp != 4 && bpp != 8 && bpp != 24 && bpp != 32)
+      return null
+    if (le32(b, 30) != 0) return null // BI_RGB only
+    var palette: Array[Byte] = null
+    var palN = 0
+    if (bpp <= 8) {
+      val used = le32(b, 46)
+      palN = if (used == 0) 1 << bpp else used
+      if (palN < 1 || palN > (1 << bpp)) return null
+      val palOff = 14 + dibSize
+      if (palOff + 4L * palN > b.length) return null
+      palette = java.util.Arrays.copyOfRange(b, palOff, palOff + 4 * palN)
+    }
+    val rowSize = ((bpp.toLong * width + 31) / 32).toInt * 4
+    if (dataOff < 0 || dataOff.toLong + rowSize.toLong * height > b.length)
+      return null
+    val out = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = dataOff + (if (topDown) y else height - 1 - y) * rowSize
+      var x = 0
+      while (x < width) {
+        var r = 0; var g = 0; var bl = 0
+        bpp match {
+          case 24 =>
+            val p = srcRow + x * 3
+            bl = b(p) & 0xFF; g = b(p + 1) & 0xFF; r = b(p + 2) & 0xFF
+          case 32 =>
+            val p = srcRow + x * 4
+            bl = b(p) & 0xFF; g = b(p + 1) & 0xFF; r = b(p + 2) & 0xFF
+          case _ =>
+            val bitOff = x * bpp
+            val byteV = b(srcRow + (bitOff >> 3)) & 0xFF
+            val shift = 8 - bpp - (bitOff & 7)
+            val idx = (byteV >> shift) & ((1 << bpp) - 1)
+            if (idx >= palN) return null
+            bl = palette(idx * 4) & 0xFF
+            g = palette(idx * 4 + 1) & 0xFF
+            r = palette(idx * 4 + 2) & 0xFF
+        }
+        val dp = (y * width + x) * 3
+        out(dp) = r.toByte; out(dp + 1) = g.toByte; out(dp + 2) = bl.toByte
+        x += 1
+      }
+      y += 1
+    }
+    new Rgb(width, height, out)
+  }
+}
+
+/** 64-bit perceptual dHash of a BMP — same grid, gray reduction and bit
+  * layout as the PNG/JPEG/GIF/WebP arms: the fifth member of the ONE
+  * cross-format image Hamming space. NULL for refusals and sub-grid.
+  */
+case class BmpDHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bmp_dhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BmpDHash.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |java.lang.Long bdh$$ = graft.expressions.BmpDHash.compute($c);
+         |if (bdh$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = bdh$$.longValue(); }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): BmpDHash =
+    copy(child = newChild)
+}
+
+object BmpDHash {
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(b: Array[Byte]): java.lang.Long = {
+    val d = BmpDecode.decode(b)
+    if (d == null || d.width < PngDHash.GridW || d.height < PngDHash.GridH)
+      return null
+    java.lang.Long.valueOf(GifDHash.hashCanvas(d.rgb, d.width, d.height))
+  }
+}

@@ -109,14 +109,27 @@ object ImageHistStats {
           }
         } else {
           val webp = WebpDecode.decodeArgb(b)
-          if (webp == null) return null
-          width = webp.width; height = webp.height; channels = 4
-          var i = 0
-          val n = width * height
-          while (i < n) {
-            val p = webp.pix(i)
-            hist((((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3) += 1
-            i += 1
+          if (webp != null) {
+            width = webp.width; height = webp.height; channels = 4
+            var i = 0
+            val n = width * height
+            while (i < n) {
+              val p = webp.pix(i)
+              hist((((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3) += 1
+              i += 1
+            }
+          } else {
+            val bmp = BmpDecode.decode(b)
+            if (bmp == null) return null
+            width = bmp.width; height = bmp.height; channels = 3
+            var i = 0
+            val n = width * height
+            while (i < n) {
+              val p = i * 3
+              hist(((bmp.rgb(p) & 0xFF) + (bmp.rgb(p + 1) & 0xFF) +
+                (bmp.rgb(p + 2) & 0xFF)) / 3) += 1
+              i += 1
+            }
           }
         }
       }

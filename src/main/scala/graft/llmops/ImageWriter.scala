@@ -262,6 +262,70 @@ object ImageWriter {
     "GIF89a".getBytes("US-ASCII") ++ le16(width) ++ le16(height) ++
       Array[Byte](0, 0, 0, 0x3B)
 
+  /** Complete uncompressed BMP: `bpp` 24 (BGR rows) or 1/4/8 with a
+    * BGRA palette; bottom-up by default, top-down with `topDown`;
+    * 4-byte row padding. `px(x, y)` is (r, g, b) at 24bpp, a palette
+    * index otherwise. The pixel-bearing twin of the header-only [[bmp]].
+    */
+  def bmpFromPixels(width: Int, height: Int,
+      px: (Int, Int) => (Int, Int, Int), topDown: Boolean = false): Array[Byte] =
+    bmpRaw(width, height, 24, null, topDown, (x, y) => {
+      val (r, g, b) = px(x, y); Array(b, g, r)
+    })
+
+  /** Indexed BMP at 1/4/8 bpp; `palette` is packed RGB triples. */
+  def bmpIndexed(width: Int, height: Int, palette: Array[Byte],
+      idx: (Int, Int) => Int, bpp: Int = 8,
+      topDown: Boolean = false): Array[Byte] = {
+    require(bpp == 1 || bpp == 4 || bpp == 8, s"bpp $bpp")
+    bmpRaw(width, height, bpp, palette, topDown, null, idx)
+  }
+
+  private def bmpRaw(width: Int, height: Int, bpp: Int,
+      palette: Array[Byte], topDown: Boolean,
+      bgr: (Int, Int) => Array[Int],
+      idx: (Int, Int) => Int = null): Array[Byte] = {
+    val palN = if (palette == null) 0 else palette.length / 3
+    val rowSize = ((bpp * width + 31) / 32) * 4
+    val dataOff = 54 + 4 * palN
+    val out = new ByteArrayOutputStream()
+    out.write('B'); out.write('M')
+    out.write(le32(dataOff + rowSize * height))
+    out.write(le32(0)); out.write(le32(dataOff))
+    out.write(le32(40)) // BITMAPINFOHEADER
+    out.write(le32(width))
+    out.write(le32(if (topDown) -height else height))
+    out.write(le16(1)); out.write(le16(bpp))
+    out.write(le32(0)) // BI_RGB
+    out.write(le32(0)); out.write(le32(0)); out.write(le32(0))
+    out.write(le32(palN)); out.write(le32(0))
+    for (i <- 0 until palN) { // BGRA quads
+      out.write(palette(i * 3 + 2)); out.write(palette(i * 3 + 1))
+      out.write(palette(i * 3)); out.write(0)
+    }
+    val row = new Array[Byte](rowSize)
+    val ys = if (topDown) 0 until height else (height - 1) to 0 by -1
+    for (y <- ys) {
+      java.util.Arrays.fill(row, 0.toByte)
+      var bitPos = 0
+      for (x <- 0 until width) {
+        if (bpp == 24) {
+          val v = bgr(x, y)
+          row(x * 3) = v(0).toByte
+          row(x * 3 + 1) = v(1).toByte
+          row(x * 3 + 2) = v(2).toByte
+        } else {
+          val v = idx(x, y)
+          val shift = 8 - bpp - (bitPos & 7)
+          row(bitPos >> 3) = (row(bitPos >> 3) | ((v & ((1 << bpp) - 1)) << shift)).toByte
+          bitPos += bpp
+        }
+      }
+      out.write(row)
+    }
+    out.toByteArray
+  }
+
   /** BMP file header + BITMAPINFOHEADER (24bpp, no pixel data). */
   def bmp(width: Int, height: Int): Array[Byte] =
     "BM".getBytes("US-ASCII") ++ le32(54) ++ le32(0) ++ le32(54) ++

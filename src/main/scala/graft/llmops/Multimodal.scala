@@ -159,15 +159,23 @@ object Multimodal {
       graft.expressions.WebpDHash(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
 
-  /** Format-agnostic image dHash: the PNG, JPEG, GIF or lossless-WebP
-    * arm, whichever decodes (each refuses foreign magic bytes on the
-    * first read, so a miss arm costs a header sniff, not a decode).
+  /** 64-bit perceptual dHash of a BMP ([[graft.expressions.BmpDHash]])
+    * — fifth arm of the shared grid/bit layout.
+    */
+  def bmpDHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.BmpDHash(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** Format-agnostic image dHash: the PNG, JPEG, GIF, lossless-WebP or
+    * BMP arm, whichever decodes (each refuses foreign magic bytes on
+    * the first read, so a miss arm costs a header sniff, not a decode).
     * NULL when none decodes — mixed-format corpora dedup in one
     * Hamming space.
     */
   def imageDHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     coalesce(pngDHash(content), jpegDHash(content), gifDHash(content),
-      webpDHash(content))
+      webpDHash(content), bmpDHash(content))
 
   /** [[imageDHash]] in DISPLAY space: the JPEG arm is the
     * orientation-normalized [[jpegDHashOriented]], so a camera file and
@@ -178,7 +186,7 @@ object Multimodal {
     */
   def imageDHashDisplay(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     coalesce(pngDHash(content), jpegDHashOriented(content), gifDHash(content),
-      webpDHash(content))
+      webpDHash(content), bmpDHash(content))
 
   /** Grayscale-histogram statistics over PNG or baseline JPEG
     * ([[graft.expressions.ImageHistStats]]) — entropy / dynamic range /

@@ -58,6 +58,7 @@ class CodecRobustnessSpec extends AnyFunSuite {
     graft.expressions.GifFrames.compute(bytes)
     graft.expressions.WebpDHash.compute(bytes)
     graft.expressions.WebpDecode.decodeArgb(bytes)
+    graft.expressions.BmpDHash.compute(bytes)
     graft.expressions.WarcRecords.compute(bytes)
     DocumentText.extractText(bytes, "application/pdf")
     DocumentText.extractText(bytes, "text/html")
@@ -197,7 +198,10 @@ class CodecRobustnessSpec extends AnyFunSuite {
       WebpWriter.gray(14, 10, (x, y) => (x * 5 + y * 3) % 256, cacheBits = 4),
       WebpWriter.losslessIndexed(12, 9,
         Array.tabulate(7)(i => 0xFF000000 | (i * 36 << 8)),
-        (x, y) => (x + y) % 7))
+        (x, y) => (x + y) % 7),
+      ImageWriter.bmpFromPixels(13, 9, (x, y) => (x % 256, y % 256, (x * y) % 256)),
+      ImageWriter.bmpIndexed(11, 7, Array.tabulate(48)(i => (i * 5).toByte),
+        (x, y) => (x + y) % 16, bpp = 4, topDown = true))
     for (doc <- base; i <- doc.indices by 7) {
       val mutated = doc.clone()
       mutated(i) = (mutated(i) ^ 0x5A).toByte
