@@ -1852,6 +1852,47 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q150_media_meta" -> ((s, dir) => {
+      // header-metadata coverage for the remaining crawl formats:
+      // FLAC STREAMINFO (packed 20-bit rate / channels / bits / 36-bit
+      // total samples → duration), Ogg Vorbis and Opus identification
+      // headers, TIFF IFD dims in BOTH byte orders. Every field is a
+      // closed form of doc_id; non-media rows exercise the NULL arm
+      val ss = tuned(s)
+      lazy val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id")).collect().map(_.getLong(0))
+      val W = graft.llmops.MediaWriter
+      lazy val rows = ids.map { id =>
+        val rate = (8000 + (id % 100) * 441).toInt
+        val ch = (1 + id % 7).toInt
+        val bytes =
+          if (id >= 450) s"not media $id".getBytes("UTF-8")
+          else (id % 5) match {
+            case 0 => W.flac(ch, rate, if (id % 2 == 0) 16 else 24,
+              id * 1000 + 1)
+            case 1 => W.ogg(ch, rate)
+            case 2 => W.ogg(ch, 48000, opus = true)
+            case 3 => W.tiff((100 + id % 900).toInt, (50 + id % 500).toInt)
+            case _ => W.tiff((100 + id % 900).toInt, (50 + id % 500).toInt,
+              littleEndian = false)
+          }
+        (id, bytes)
+      }.toSeq
+      import ss.implicits._
+      val src = fixtureDF(ss, dir, "q150_media_meta")(rows)
+      val M = graft.llmops.Multimodal
+      src.withColumn("av", M.avMeta(col("content")))
+        .withColumn("im", M.imageDims(col("content")))
+        .filter(col("av").isNotNull || col("im").isNotNull)
+        .select(col("doc_id"),
+          coalesce(col("av.format"), col("im.format")).as("format"),
+          coalesce(col("av.channels"), col("im.width")).as("ch_or_w"),
+          coalesce(col("av.sample_rate"), col("im.height")).as("rate_or_h"),
+          col("av.bits").as("bits"),
+          col("av.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     "q149_image_neardup_bmp" -> ((s, dir) => {
       // BMP closes the five-format image Hamming space: bottom-up,
       // indexed-palette and top-down BMPs of one image hash identically
@@ -3423,6 +3464,26 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q131_token_chunks" -> bpeChunkOracle,
+
+    // q150: every metadata field is arithmetic on doc_id; FLAC duration
+    // replays the integer floor total·1000/rate.
+    "q150_media_meta" ->
+      """SELECT doc_id,
+         CASE doc_id % 5 WHEN 0 THEN 'flac' WHEN 1 THEN 'vorbis'
+           WHEN 2 THEN 'opus' ELSE 'tiff' END AS format,
+         CAST(CASE WHEN doc_id % 5 IN (0, 1, 2) THEN 1 + doc_id % 7
+           ELSE 100 + doc_id % 900 END AS INTEGER) AS ch_or_w,
+         CAST(CASE doc_id % 5 WHEN 0 THEN 8000 + (doc_id % 100) * 441
+           WHEN 1 THEN 8000 + (doc_id % 100) * 441
+           WHEN 2 THEN 48000
+           ELSE 50 + doc_id % 500 END AS INTEGER) AS rate_or_h,
+         CAST(CASE WHEN doc_id % 5 = 0 THEN
+           CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END END AS INTEGER)
+           AS bits,
+         CAST(CASE WHEN doc_id % 5 = 0 THEN
+           (doc_id * 1000 + 1) * 1000 // (8000 + (doc_id % 100) * 441)
+           END AS BIGINT) AS duration_ms
+         FROM documents WHERE doc_id < 450 ORDER BY doc_id""",
 
     // q149: the q139 closed form with NO seed shift — all four tiers
     // decode to gray = pattern, so one formula hashes them all.

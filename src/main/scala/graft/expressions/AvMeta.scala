@@ -81,7 +81,56 @@ object AvMeta {
     if (tag(b, 0, "RIFF") && tag(b, 8, "WAVE")) wav(b)
     else if (tag(b, 0, "RIFF") && tag(b, 8, "AVI ")) avi(b)
     else if (tag(b, 4, "ftyp")) mp4(b)
+    else if (tag(b, 0, "fLaC")) flac(b)
+    else if (tag(b, 0, "OggS")) ogg(b)
     else mp3(b)
+  }
+
+  /** FLAC STREAMINFO (the mandatory first metadata block): sample rate
+    * (20 bits), channels, bit depth and total samples → duration. The
+    * header-metadata arm of the lossless-audio family; payload decode
+    * is out of scope (rice/LPC is a codec tier, not a header walk).
+    */
+  private def flac(b: Array[Byte]): InternalRow = {
+    if (b.length < 42) return null
+    if ((b(4) & 0x7F) != 0) return null // first block must be STREAMINFO
+    val len = ((b(5) & 0xFF) << 16) | ((b(6) & 0xFF) << 8) | (b(7) & 0xFF)
+    if (len < 34) return null
+    val sr = ((b(18) & 0xFF) << 12) | ((b(19) & 0xFF) << 4) |
+      ((b(20) & 0xFF) >>> 4)
+    if (sr <= 0) return row("flac", null, null, null, null)
+    val channels = ((b(20) >> 1) & 7) + 1
+    val bits = (((b(20) & 1) << 4) | ((b(21) & 0xFF) >>> 4)) + 1
+    val total = ((b(21) & 0x0FL) << 32) | ((b(22) & 0xFFL) << 24) |
+      ((b(23) & 0xFFL) << 16) | ((b(24) & 0xFFL) << 8) | (b(25) & 0xFFL)
+    val ms = if (total == 0) null else java.lang.Long.valueOf(total * 1000 / sr)
+    row("flac", channels, sr, bits, ms)
+  }
+
+  /** Ogg first page: the identification header names the codec —
+    * `vorbis` (channels u8, rate LE32) or `OpusHead` (channels
+    * u8, input rate LE32). Duration needs the LAST page's granule — a
+    * tail scan a streaming reader may not have; reported NULL.
+    */
+  private def ogg(b: Array[Byte]): InternalRow = {
+    if (b.length < 28 || (b(4) & 0xFF) != 0) return null
+    val nsegs = b(26) & 0xFF
+    val body = 27 + nsegs
+    if (body + 19 > b.length) return null
+    if ((b(body) & 0xFF) == 1 && tag(b, body + 1, "vorbis")) {
+      val channels = b(body + 11) & 0xFF
+      val rate = (b(body + 12) & 0xFF) | ((b(body + 13) & 0xFF) << 8) |
+        ((b(body + 14) & 0xFF) << 16) | ((b(body + 15) & 0xFF) << 24)
+      if (rate <= 0 || channels == 0) return row("vorbis", null, null, null, null)
+      row("vorbis", channels, rate, null, null)
+    } else if (tag(b, body, "Opus") && body + 19 <= b.length &&
+        tag(b, body + 4, "Head")) {
+      val channels = b(body + 9) & 0xFF
+      val rate = (b(body + 12) & 0xFF) | ((b(body + 13) & 0xFF) << 8) |
+        ((b(body + 14) & 0xFF) << 16) | ((b(body + 15) & 0xFF) << 24)
+      if (rate <= 0 || channels == 0) return row("opus", null, null, null, null)
+      row("opus", channels, rate, null, null)
+    } else null
   }
 
   // MPEG-1 Layer III tables (ISO 11172-3): bitrate kbps by index, sample

@@ -98,6 +98,35 @@ object ImageDims {
         return row("webp", le16(b, 26) & 0x3FFF, le16(b, 28) & 0x3FFF)
       return null
     }
+    // TIFF: II*\0 (little-endian) or MM\0* (big-endian); walk IFD0 for
+    // tags 256 (ImageWidth) / 257 (ImageLength), SHORT or LONG values
+    if (b.length >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+          (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))) {
+      val le = b(0) == 'I'
+      def u16(i: Int): Int = if (le) le16(b, i) else be16(b, i)
+      def u32(i: Int): Int = if (le) le32(b, i) else be32(b, i)
+      val ifd = u32(4)
+      if (ifd < 8 || ifd + 2 > b.length) return null
+      val n = u16(ifd)
+      var w = -1
+      var h = -1
+      var e = 0
+      while (e < n && ifd + 2 + (e + 1) * 12 <= b.length) {
+        val off = ifd + 2 + e * 12
+        val t = u16(off)
+        if (t == 256 || t == 257) {
+          val typ = u16(off + 2)
+          val v =
+            if (typ == 3) u16(off + 8) // SHORT: first value, left-packed
+            else if (typ == 4) u32(off + 8)
+            else -1
+          if (t == 256) w = v else h = v
+        }
+        e += 1
+      }
+      return if (w > 0 && h > 0) row("tiff", w, h) else null
+    }
     // JPEG: SOI then marker segments; dimensions live in the SOF frame
     // header (C0-CF minus the non-frame C4/C8/CC)
     if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {

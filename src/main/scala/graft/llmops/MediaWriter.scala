@@ -162,4 +162,70 @@ object MediaWriter {
 
   private def box(tpe: String, body: Array[Byte]): Array[Byte] =
     be32(8L + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+
+  /** FLAC stream head: fLaC magic + STREAMINFO block (the mandatory
+    * first metadata block) with the packed rate/channels/bits/total
+    * fields; no frames — the header-metadata fixture.
+    */
+  def flac(channels: Int, sampleRate: Int, bits: Int,
+      totalSamples: Long): Array[Byte] = {
+    val info = new Array[Byte](34)
+    // min/max blocksize 4096
+    info(0) = 0x10; info(1) = 0x00; info(2) = 0x10; info(3) = 0x00
+    // min/max framesize 0 (unknown): bytes 4..9 stay 0
+    info(10) = ((sampleRate >> 12) & 0xFF).toByte
+    info(11) = ((sampleRate >> 4) & 0xFF).toByte
+    info(12) = (((sampleRate & 0xF) << 4) | (((channels - 1) & 7) << 1) |
+      (((bits - 1) >> 4) & 1)).toByte
+    info(13) = ((((bits - 1) & 0xF) << 4) | ((totalSamples >> 32) & 0xF)).toByte
+    info(14) = ((totalSamples >> 24) & 0xFF).toByte
+    info(15) = ((totalSamples >> 16) & 0xFF).toByte
+    info(16) = ((totalSamples >> 8) & 0xFF).toByte
+    info(17) = (totalSamples & 0xFF).toByte
+    "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ info // last-block flag set
+  }
+
+  /** Ogg first page holding a Vorbis (or Opus) identification header. */
+  def ogg(channels: Int, sampleRate: Int, opus: Boolean = false): Array[Byte] = {
+    val body =
+      if (opus) "OpusHead".getBytes("US-ASCII") ++
+        Array[Byte](1, channels.toByte, 0, 0) ++ le32(sampleRate).take(4) ++
+        Array[Byte](0, 0, 0)
+      else Array[Byte](1) ++ "vorbis".getBytes("US-ASCII") ++
+        le32(0) ++ Array[Byte](channels.toByte) ++ le32(sampleRate).take(4) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ Array[Byte](0xB8.toByte, 1)
+    val head = new java.io.ByteArrayOutputStream()
+    head.write("OggS".getBytes("US-ASCII"))
+    head.write(0) // version
+    head.write(2) // beginning-of-stream
+    head.write(new Array[Byte](8)) // granule
+    head.write(le32(1).take(4)) // serial
+    head.write(le32(0).take(4)) // page seq
+    head.write(le32(0).take(4)) // crc (unchecked by the metadata walk)
+    head.write(1) // one segment
+    head.write(body.length)
+    head.write(body)
+    head.toByteArray
+  }
+
+  /** Minimal TIFF: header + IFD0 with ImageWidth/ImageLength, either
+    * byte order; LONG values.
+    */
+  def tiff(width: Int, height: Int, littleEndian: Boolean = true): Array[Byte] = {
+    def w16(v: Int): Array[Byte] =
+      if (littleEndian) Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      else Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def w32(v: Int): Array[Byte] =
+      if (littleEndian) le32(v).take(4) else be32(v).slice(0, 4)
+    val magic =
+      if (littleEndian) Array[Byte]('I', 'I', 42, 0)
+      else Array[Byte]('M', 'M', 0, 42)
+    def entry(tag: Int, typ: Int, value: Int): Array[Byte] = {
+      val v = if (typ == 3) w16(value) ++ Array[Byte](0, 0) else w32(value)
+      w16(tag) ++ w16(typ) ++ w32(1) ++ v
+    }
+    magic ++ w32(8) ++ w16(2) ++
+      entry(256, 4, width) ++ entry(257, 3, height) ++ w32(0)
+  }
 }

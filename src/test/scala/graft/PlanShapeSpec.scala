@@ -352,4 +352,23 @@ class PlanShapeSpec extends SparkTestBase {
       !plan.contains("Join"),
       s"url curation must be one scan projection:\n$plan")
   }
+
+  test("curateCrawl: one broadcast join, one keep-latest shuffle, no cartesian") {
+    import org.apache.spark.sql.functions._
+    val arch = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    import spark.implicits._
+    val robots = Seq(("a.com", "User-agent: *\nDisallow: /x/"))
+      .toDF("host", "robots_txt")
+    val plan = graft.llmops.Warc.curateCrawl(arch, "doc_id", "content",
+      robots = Some(robots), blockedDomains = Set("bad.com"))
+      .queryExecution.executedPlan.toString
+    // the robots table joins broadcast; the ONLY shuffle is the
+    // keep-latest window on the canonical key
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Cartesian"),
+      plan.take(2000))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 1, s"expected at most one shuffle:\n${plan.take(3000)}")
+  }
 }

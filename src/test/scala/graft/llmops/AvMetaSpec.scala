@@ -142,4 +142,34 @@ class AvMetaSpec extends SparkTestBase {
     assert((r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)) ===
       (("wav", 1, 22050, 16, 1000L)))
   }
+
+  test("FLAC STREAMINFO: packed rate/channels/bits/total -> duration") {
+    val r = graft.expressions.AvMeta.compute(
+      MediaWriter.flac(2, 44100, 16, 441000L))
+    assert(r != null && r.getUTF8String(0).toString === "flac")
+    assert(r.getInt(1) === 2 && r.getInt(2) === 44100 && r.getInt(3) === 16)
+    assert(r.getLong(4) === 10000L)
+    // 24-bit mono at an odd rate; zero total samples -> NULL duration
+    val r2 = graft.expressions.AvMeta.compute(MediaWriter.flac(1, 96000, 24, 0))
+    assert(r2.getInt(3) === 24 && r2.isNullAt(4))
+    // a non-STREAMINFO first block refuses
+    val bad = MediaWriter.flac(2, 44100, 16, 1000L).clone()
+    bad(4) = 4 // VORBIS_COMMENT
+    assert(graft.expressions.AvMeta.compute(bad) === null)
+  }
+
+  test("Ogg identification headers: Vorbis and Opus") {
+    val v = graft.expressions.AvMeta.compute(MediaWriter.ogg(2, 22050))
+    assert(v != null && v.getUTF8String(0).toString === "vorbis")
+    assert(v.getInt(1) === 2 && v.getInt(2) === 22050)
+    assert(v.isNullAt(3) && v.isNullAt(4))
+    val o = graft.expressions.AvMeta.compute(
+      MediaWriter.ogg(1, 48000, opus = true))
+    assert(o != null && o.getUTF8String(0).toString === "opus")
+    assert(o.getInt(1) === 1 && o.getInt(2) === 48000)
+    // an OggS page with neither header refuses
+    val junk = MediaWriter.ogg(2, 22050).clone()
+    junk(28) = 'x' // corrupt the \u0001vorbis tag
+    assert(graft.expressions.AvMeta.compute(junk) === null)
+  }
 }

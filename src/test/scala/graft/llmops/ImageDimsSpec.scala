@@ -61,4 +61,17 @@ class ImageDimsSpec extends SparkTestBase {
     assert((got(1).getString(1), got(1).getInt(2), got(1).getInt(3)) === ("gif", 56, 78))
     assert(got(2).isNullAt(1) || got(2).get(1) == null)
   }
+
+  test("TIFF dims in both byte orders; WebP VP8L/VP8X/VP8 flavors") {
+    for (le <- Seq(true, false)) {
+      val r = graft.expressions.ImageDims.compute(
+        MediaWriter.tiff(640, 480, littleEndian = le))
+      assert(r != null && r.getUTF8String(0).toString === "tiff", s"le=$le")
+      assert(r.getInt(1) === 640 && r.getInt(2) === 480, s"le=$le")
+    }
+    val w = graft.expressions.ImageDims.compute(
+      WebpWriter.gray(33, 21, (x, y) => (x + y) % 256))
+    assert(w != null && w.getUTF8String(0).toString === "webp")
+    assert(w.getInt(1) === 33 && w.getInt(2) === 21)
+  }
 }
