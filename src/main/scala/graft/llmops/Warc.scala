@@ -96,6 +96,42 @@ object Warc {
           .otherwise(decode(col("payload"), "ISO-8859-1")))
       .drop("payload")
 
+  /** Streaming arm of [[ingestCrawlBatch]]: a stream of (key, archive
+    * bytes) — WARC or WET — micro-batched through the same keep-latest
+    * → near-dup screen → append path via `foreachBatch`, with the same
+    * replay-idempotency the batch form has (the signature store screens
+    * re-delivered pages). The crawl twin of
+    * [[graft.streaming.CorpusIngest.ingestAudioStream]].
+    */
+  def ingestCrawlStream(
+      spark: org.apache.spark.sql.SparkSession,
+      stream: DataFrame,
+      keyCol: String,
+      contentCol: String,
+      corpusPath: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      minTextChars: Int = 1,
+      wordShingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.6,
+      signaturePath: Option[String] = None,
+      qualityGate: Option[DataFrame => DataFrame] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestCrawlBatch(spark, batch, keyCol, contentCol, corpusPath,
+          minTextChars = minTextChars, wordShingleN = wordShingleN,
+          numHashes = numHashes, bands = bands, threshold = threshold,
+          signaturePath = signaturePath, qualityGate = qualityGate)
+        ()
+      }
+      .start()
+
   /** The full crawl-curation front end, composed from this round's
     * parts as ONE dataflow: parse (WARC or WET) → text extraction →
     * HTML head metadata → canonical-aware URL keying (the page's

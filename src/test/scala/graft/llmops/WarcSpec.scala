@@ -220,4 +220,31 @@ class WarcSpec extends SparkTestBase {
     assert(out(0).getAs[String]("url_key") === "https://e.com/story")
     assert(out(0).getAs[String]("text").contains("newer capture"))
   }
+
+  test("ingestCrawlStream: micro-batched archives land via the same path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("crawlstream").toString
+    val corpus = s"$dir/corpus"
+    val ms = MemoryStream[(Long, Array[Byte])]
+    ms.addData((1L, WarcWriter.writeWet(Seq(
+      ("https://e/s1", "2026-02-01T00:00:00Z",
+        "streaming page one with several distinct words")))))
+    ms.addData((2L, WarcWriter.writeWet(Seq(
+      ("https://e/s1", "2026-02-02T00:00:00Z",
+        "streaming page one with several distinct words"), // re-delivery
+      ("https://e/s2", "2026-02-02T00:00:00Z",
+        "a different page entirely about other matters")))))
+    val q = Warc.ingestCrawlStream(spark,
+      ms.toDF.toDF("doc_id", "content"), "doc_id", "content", corpus,
+      s"$dir/chk", signaturePath = Some(s"$dir/sigs"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(corpus).select("url").collect()
+      .map(_.getString(0)).sorted
+    // the re-hosted duplicate dropped against the store; both URLs end
+    // up present exactly once
+    assert(kept.toSeq === Seq("https://e/s1", "https://e/s2"))
+  }
 }
