@@ -199,6 +199,49 @@ object SparkEntry {
     * valid-but-sub-envelope clips (30 samples), MPEG-2-LSF-patched and
     * Layer-II-patched headers (decoder refuses), and non-audio bytes.
     */
+  /** Shared WAV↔FLAC twin fixture set for q151: ids < 120 carry FOUR
+    * encodings of one closed-form clip — WAV, FLAC fixed-predictor,
+    * FLAC verbatim (small blocks → multi-frame + UTF-8 numbers), FLAC
+    * LPC — which must fingerprint IDENTICALLY (lossless ⇒ bit-equal,
+    * not merely near). Refusal tiers: sub-envelope clips, frameless
+    * 24-bit header stubs, non-audio bytes.
+    */
+  private def flacTwinFixturesDF(ss: SparkSession, dir: String): DataFrame =
+    fixtureTable(ss, dir, "flactwin", StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("fmt", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))) {
+      val ids = t(ss, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      val W = graft.llmops.MediaWriter
+      val F = graft.llmops.FlacWriter
+      ids.flatMap { id =>
+        if (id < 120) {
+          val pid = id.toInt
+          val ch = 1 + pid % 2
+          val seed = pid % 251
+          val nf = 6500 + 65 * (pid % 4)
+          val samples = Array.tabulate(nf * ch) { i =>
+            val n = i / ch
+            val c = i % ch
+            ((5 * n + 11 * c + seed) % 4096) - 2048
+          }
+          Seq(Row(id, "wav",
+              W.wavFromSamples(ch, 8000, samples.map(_.toShort))),
+            Row(id, "flac_fixed", F.flac(ch, 8000, samples)),
+            Row(id, "flac_verbatim", F.flac(ch, 8000, samples,
+              mode = "verbatim", blockSize = 1024)),
+            Row(id, "flac_lpc", F.flac(ch, 8000, samples, mode = "lpc",
+              lpcCoefs = Array(2, -1))))
+        } else if (id < 140) // decodes, but under the 65-cell envelope
+          Seq(Row(id, "flac_fixed",
+            F.flac(1, 8000, Array.tabulate(30)(i => 100 * (i % 5 - 2)))))
+        else if (id < 160) // frameless 24-bit header stub
+          Seq(Row(id, "flac_fixed", W.flac(1, 8000, 24, 0)))
+        else Seq(Row(id, "junk", s"not audio $id".getBytes("UTF-8")))
+      }
+    }
+
   private def mp3TwinFixturesDF(ss: SparkSession, dir: String): DataFrame =
     fixtureTable(ss, dir, "mp3twin", StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -1852,6 +1895,34 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q151_flac_twins" -> ((s, dir) => {
+      // lossless compressed audio: WAV and THREE FLAC encodings (fixed
+      // predictors + Rice, verbatim multi-frame, LPC) of one clip all
+      // decode to the identical sample array, so the dispatching
+      // envelope hash is BIT-EQUAL across the four — total hamming 0 —
+      // and the oracle replays the hash closed-form from the signal.
+      // Refusal tiers come back NULL
+      val ss = tuned(s)
+      val M = graft.llmops.Multimodal
+      val src = flacTwinFixturesDF(ss, dir)
+      src.withColumn("eh", M.audioEnvelopeHash(col("content")))
+        .groupBy(col("doc_id")).agg(
+          max(when(col("fmt") === "wav", col("eh"))).as("wh"),
+          max(when(col("fmt") === "flac_fixed", col("eh"))).as("hf"),
+          max(when(col("fmt") === "flac_verbatim", col("eh"))).as("hv"),
+          max(when(col("fmt") === "flac_lpc", col("eh"))).as("hl"))
+        .select(col("doc_id"),
+          shiftrightunsigned(col("wh"), 32).as("hash_hi"),
+          col("wh").bitwiseAND(lit(0xFFFFFFFFL)).as("hash_lo"),
+          when(col("wh").isNotNull && col("hf").isNotNull &&
+            col("hv").isNotNull && col("hl").isNotNull,
+            (bit_count(col("wh").bitwiseXOR(col("hf"))) +
+              bit_count(col("wh").bitwiseXOR(col("hv"))) +
+              bit_count(col("wh").bitwiseXOR(col("hl")))).cast("long"))
+            .as("hamming_total"))
+        .orderBy("doc_id")
+    }),
+
     "q150_media_meta" -> ((s, dir) => {
       // header-metadata coverage for the remaining crawl formats:
       // FLAC STREAMINFO (packed 20-bit rate / channels / bits / 36-bit
@@ -3464,6 +3535,47 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q131_token_chunks" -> bpeChunkOracle,
+
+    // q151: the envelope hash replayed closed-form from the signal
+    // (mono mix → 65 energy cells → cross-multiplied gradient bits);
+    // all four encodings are lossless-identical so hamming_total is 0.
+    "q151_flac_twins" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+             doc_id % 251 AS seed,
+             6500 + 65 * (doc_id % 4) AS nf
+           FROM documents WHERE doc_id < 200),
+         mono AS (
+           SELECT i.doc_id, i.nf, n.n,
+             sum((((5 * n.n + 11 * c.c + i.seed) % 4096) - 2048)) AS m
+           FROM ids i, range(6695) n(n), range(2) c(c)
+           WHERE i.doc_id < 120 AND n.n < i.nf AND c.c < i.ch
+           GROUP BY 1, 2, 3),
+         cells AS (
+           SELECT doc_id, ((n + 1) * 65 - 1) // nf AS cell,
+             sum(abs(m)) AS e, count(*) AS cnt
+           FROM mono GROUP BY 1, 2),
+         bits AS (
+           SELECT l.doc_id, l.cell AS k
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cell = l.cell + 1
+           WHERE r.e * l.cnt > l.e * r.cnt),
+         hashes AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS lo
+           FROM (SELECT DISTINCT doc_id FROM mono) d
+           LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id)
+         SELECT i.doc_id,
+           CASE WHEN i.doc_id < 120 THEN h.hi END AS hash_hi,
+           CASE WHEN i.doc_id < 120 THEN h.lo END AS hash_lo,
+           CASE WHEN i.doc_id < 120 THEN CAST(0 AS BIGINT) END
+             AS hamming_total
+         FROM ids i LEFT JOIN hashes h USING (doc_id)
+         ORDER BY i.doc_id""",
 
     // q150: every metadata field is arithmetic on doc_id; FLAC duration
     // replays the integer floor total·1000/rate.

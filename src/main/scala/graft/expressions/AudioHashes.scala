@@ -30,6 +30,14 @@ private[expressions] object AudioPcm {
       var i = 0
       while (i < d.nSamples) { out(i) = d.sample(i); i += 1 }
       new Clip(d.channels, d.sampleRate, out, -1)
+    } else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') {
+      // FLAC is lossless: a 16-bit clip decodes to the IDENTICAL sample
+      // array as its WAV source, so fingerprints are bit-equal, not
+      // merely near. Other bit depths refuse — the fingerprint domain
+      // is 16-bit, matching the WAV arm's discipline.
+      val d = graft.llmops.Flac.decode(b)
+      if (d == null || d.bits != 16) return null
+      new Clip(d.channels, d.sampleRate, d.samples, -1)
     } else {
       val d: Mp3Pcm = Mp3.decode(b)
       if (d == null) return null
