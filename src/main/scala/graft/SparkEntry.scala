@@ -1895,6 +1895,27 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q152_odf_extract" -> ((s, dir) => {
+      // S6 OpenDocument path: REAL .odt/.ods archives (mimetype +
+      // content.xml, built by the writer twins from corpus text)
+      // extracted back distributed through the native DocExtractText
+      // dispatch — closing the last common office-format family. The
+      // oracle recomputes both text shapes from the raw text column
+      val ss = tuned(s)
+      val src = documentBlobFixturesDF(ss, dir, "q152_odf") { (id, text) =>
+        val W = graft.llmops.OoxmlWriter
+        Seq(
+          ("odt", W.odt(Seq(s"Doc $id", text)),
+            "application/vnd.oasis.opendocument.text"),
+          ("ods", W.ods(Seq("data" ->
+            Seq(Seq("id", id.toString), Seq("text", text)))),
+            "application/vnd.oasis.opendocument.spreadsheet"))
+      }
+      graft.llmops.DocumentText.extractDocumentText(src, "content", "mime")
+        .select(col("doc_id"), col("fmt"), col("extracted_text"))
+        .orderBy("doc_id", "fmt")
+    }),
+
     "q151_flac_twins" -> ((s, dir) => {
       // lossless compressed audio: WAV and THREE FLAC encodings (fixed
       // predictors + Rice, verbatim multi-frame, LPC) of one clip all
@@ -3535,6 +3556,18 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q131_token_chunks" -> bpeChunkOracle,
+
+    // q152: both ODF shapes from the raw text column — odt is the
+    // paragraph identity, ods the sheet/tab-row rendering.
+    "q152_odf_extract" ->
+      """WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 300)
+         SELECT doc_id, 'odt' AS fmt,
+           'Doc ' || doc_id || chr(10) || text AS extracted_text FROM src
+         UNION ALL
+         SELECT doc_id, 'ods' AS fmt,
+           'Sheet: data' || chr(10) || 'id' || chr(9) || doc_id || chr(10)
+             || 'text' || chr(9) || text AS extracted_text FROM src
+         ORDER BY doc_id, fmt""",
 
     // q151: the envelope hash replayed closed-form from the signal
     // (mono mix → 65 energy cells → cross-multiplied gradient bits);

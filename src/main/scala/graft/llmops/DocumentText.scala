@@ -49,6 +49,10 @@ object DocumentText {
         Ooxml.xlsxText(bytes)
       case m if m.contains("presentationml") || m.endsWith("/pptx") =>
         Ooxml.pptxText(bytes)
+      case m if m.contains("opendocument.text") || m.endsWith("/odt") =>
+        Ooxml.odtText(bytes)
+      case m if m.contains("opendocument.spreadsheet") || m.endsWith("/ods") =>
+        Ooxml.odsText(bytes)
       case m if m.contains("msword") || m.endsWith("/doc") =>
         LegacyOffice.docText(bytes)
       case m if m.contains("ms-excel") || m.endsWith("/xls") =>
@@ -117,7 +121,16 @@ object DocumentText {
         var found: Option[String] = None
         while (entry != null && found.isEmpty) {
           val name = entry.getName
-          if (name.startsWith("word/"))
+          if (name == "mimetype") {
+            // ODF convention: the first entry names the flavor verbatim
+            val buf = new java.io.ByteArrayOutputStream(64)
+            val chunk = new Array[Byte](64)
+            var n = zin.read(chunk)
+            while (n > 0 && buf.size < 256) { buf.write(chunk, 0, n); n = zin.read(chunk) }
+            val m = buf.toString("US-ASCII").trim
+            if (m.startsWith("application/vnd.oasis.opendocument"))
+              found = Some(m)
+          } else if (name.startsWith("word/"))
             found = Some("application/vnd.openxmlformats-officedocument.wordprocessingml.document")
           else if (name.startsWith("xl/"))
             found = Some("application/vnd.openxmlformats-officedocument.spreadsheetml.sheet")

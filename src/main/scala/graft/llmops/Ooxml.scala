@@ -118,6 +118,124 @@ object Ooxml {
       }
     } catch { case NonFatal(_) => None }
 
+  // ---- OpenDocument (ODF) --------------------------------------------------
+
+  /** ODT text extraction (OASIS OpenDocument Text): `content.xml`'s
+    * `<text:p>`/`<text:h>` paragraphs in document order, `<text:s>`
+    * (with its repeat count), `<text:tab>` and `<text:line-break>`
+    * expanded; table and annotation/note subtrees skipped, mirroring
+    * the docx discipline. Requires an `office:text` body — an ODS fed
+    * here extracts None, not garbage.
+    */
+  def odtText(bytes: Array[Byte]): Option[String] =
+    try {
+      zipParts(bytes).get("content.xml").flatMap { doc =>
+        val paras = mutable.ArrayBuffer.empty[String]
+        val sb = new java.lang.StringBuilder
+        var inP = false
+        var skip = 0 // table / annotation / note nesting
+        var sawTextBody = false
+        val r = reader(doc)
+        try {
+          while (r.hasNext) {
+            r.next() match {
+              case XMLStreamConstants.START_ELEMENT =>
+                r.getLocalName match {
+                  case "text" => sawTextBody = true // office:text body
+                  case "table" | "annotation" | "note" => skip += 1
+                  case "p" | "h" if skip == 0 => sb.setLength(0); inP = true
+                  case "s" if inP && skip == 0 =>
+                    val c = Option(r.getAttributeValue(null, "c"))
+                      .flatMap(_.toIntOption).getOrElse(1)
+                    var i = 0
+                    while (i < math.min(c, 4096)) { sb.append(' '); i += 1 }
+                  case "tab" if inP && skip == 0 => sb.append('\t')
+                  case "line-break" if inP && skip == 0 => sb.append('\n')
+                  case _ =>
+                }
+              case XMLStreamConstants.CHARACTERS
+                  if inP && skip == 0 =>
+                sb.append(r.getText)
+              case XMLStreamConstants.END_ELEMENT =>
+                r.getLocalName match {
+                  case "table" | "annotation" | "note" =>
+                    skip = math.max(0, skip - 1)
+                  case "p" | "h" if inP && skip == 0 =>
+                    inP = false
+                    if (sb.toString.trim.nonEmpty) paras += sb.toString
+                  case _ =>
+                }
+              case _ =>
+            }
+          }
+        } finally r.close()
+        if (sawTextBody) Some(paras.mkString("\n")) else None
+      }
+    } catch { case NonFatal(_) => None }
+
+  /** ODS text extraction (OpenDocument Spreadsheet): per
+    * `<table:table>` a `"Sheet: name"` line then one line per row —
+    * cell texts tab-joined with trailing empties trimmed,
+    * `number-columns-repeated` honored (capped) — the xlsx rendering
+    * convention, so mixed-format corpora read uniformly. Requires an
+    * `office:spreadsheet` body.
+    */
+  def odsText(bytes: Array[Byte]): Option[String] =
+    try {
+      zipParts(bytes).get("content.xml").flatMap { doc =>
+        val lines = mutable.ArrayBuffer.empty[String]
+        val rowCells = mutable.ArrayBuffer.empty[String]
+        val cellSb = new java.lang.StringBuilder
+        var inCell = false
+        var cellRepeat = 1
+        var sawSheetBody = false
+        val r = reader(doc)
+        try {
+          while (r.hasNext) {
+            r.next() match {
+              case XMLStreamConstants.START_ELEMENT =>
+                r.getLocalName match {
+                  case "spreadsheet" => sawSheetBody = true
+                  case "table" =>
+                    val name = Option(r.getAttributeValue(null, "name"))
+                      .getOrElse(s"Sheet${lines.size + 1}")
+                    lines += s"Sheet: $name"
+                  case "table-row" => rowCells.clear()
+                  case "table-cell" =>
+                    inCell = true
+                    cellSb.setLength(0)
+                    cellRepeat = Option(r.getAttributeValue(null,
+                      "number-columns-repeated"))
+                      .flatMap(_.toIntOption).getOrElse(1)
+                  case "p" if inCell && cellSb.length > 0 =>
+                    cellSb.append('\n') // multi-paragraph cells
+                  case _ =>
+                }
+              case XMLStreamConstants.CHARACTERS if inCell =>
+                cellSb.append(r.getText)
+              case XMLStreamConstants.END_ELEMENT =>
+                r.getLocalName match {
+                  case "table-cell" =>
+                    inCell = false
+                    val v = cellSb.toString
+                    var i = 0
+                    while (i < math.min(cellRepeat, 256)) {
+                      rowCells += v; i += 1
+                    }
+                  case "table-row" =>
+                    val trimmed = rowCells.reverse.dropWhile(_.isEmpty).reverse
+                    if (trimmed.nonEmpty) lines += trimmed.mkString("\t")
+                    rowCells.clear()
+                  case _ =>
+                }
+              case _ =>
+            }
+          }
+        } finally r.close()
+        if (sawSheetBody) Some(lines.mkString("\n")) else None
+      }
+    } catch { case NonFatal(_) => None }
+
   // ---- PPTX ----------------------------------------------------------------
 
   private val SlideName = raw"ppt/slides/slide(\d+)\.xml".r

@@ -181,4 +181,44 @@ object OoxmlWriter {
       "xl/sharedStrings.xml" -> sst) ++
       sheetXml.zipWithIndex.map { case (xml, i) => s"xl/worksheets/sheet${i + 1}.xml" -> xml })
   }
+
+  /** ODT writer twin: mimetype + minimal content.xml with text:p
+    * paragraphs (namespaced as real ODF writers emit).
+    */
+  def odt(paragraphs: Seq[String]): Array[Byte] = {
+    val body = paragraphs.map(p => s"<text:p>${xmlEscape(p)}</text:p>")
+      .mkString
+    zip(Seq(
+      "mimetype" -> "application/vnd.oasis.opendocument.text",
+      "content.xml" ->
+        ("""<?xml version="1.0" encoding="UTF-8"?>""" +
+          """<office:document-content """ +
+          """xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" """ +
+          """xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">""" +
+          s"<office:body><office:text>$body</office:text></office:body>" +
+          "</office:document-content>")))
+  }
+
+  /** ODS writer twin: sheets of rows of string cells. */
+  def ods(sheets: Seq[(String, Seq[Seq[String]])]): Array[Byte] = {
+    val tables = sheets.map { case (name, rows) =>
+      val rowsXml = rows.map { cells =>
+        val cellsXml = cells.map(c =>
+          s"<table:table-cell><text:p>${xmlEscape(c)}</text:p></table:table-cell>")
+          .mkString
+        s"<table:table-row>$cellsXml</table:table-row>"
+      }.mkString
+      s"""<table:table table:name="${xmlEscape(name)}">$rowsXml</table:table>"""
+    }.mkString
+    zip(Seq(
+      "mimetype" -> "application/vnd.oasis.opendocument.spreadsheet",
+      "content.xml" ->
+        ("""<?xml version="1.0" encoding="UTF-8"?>""" +
+          """<office:document-content """ +
+          """xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" """ +
+          """xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" """ +
+          """xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">""" +
+          s"<office:body><office:spreadsheet>$tables</office:spreadsheet>" +
+          "</office:body></office:document-content>")))
+  }
 }

@@ -155,4 +155,66 @@ class OoxmlSpec extends SparkTestBase {
     assert(got.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq === Seq(
       (1L, Some("alpha\nbeta")), (2L, Some("plain words")), (3L, None)))
   }
+
+  test("ODT round trip: paragraphs, spaces, tabs, skipped subtrees") {
+    val paras = Seq("first paragraph", "second & <escaped>", "third one")
+    assert(Ooxml.odtText(OoxmlWriter.odt(paras)) === Some(paras.mkString("\n")))
+    // hand-built content with text:s / text:tab / table / annotation
+    val content =
+      """<?xml version="1.0"?><office:document-content """ +
+      """xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" """ +
+      """xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" """ +
+      """xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0">""" +
+      "<office:body><office:text>" +
+      """<text:p>a<text:s text:c="3"/>b<text:tab/>c</text:p>""" +
+      "<table:table><table:table-row><table:table-cell>" +
+      "<text:p>table text must not leak</text:p>" +
+      "</table:table-cell></table:table-row></table:table>" +
+      "<office:annotation><text:p>note must not leak</text:p></office:annotation>" +
+      "<text:p>tail</text:p>" +
+      "</office:text></office:body></office:document-content>"
+    val bytes = OoxmlWriterTestAccess.zipRaw(Seq(
+      "mimetype" -> "application/vnd.oasis.opendocument.text",
+      "content.xml" -> content))
+    assert(Ooxml.odtText(bytes) === Some("a   b\tc\ntail"))
+    // an ODS through the odt arm extracts None, not garbage
+    assert(Ooxml.odtText(OoxmlWriter.ods(Seq("S" -> Seq(Seq("x"))))) === None)
+  }
+
+  test("ODS round trip and xlsx-convention rendering") {
+    val bytes = OoxmlWriter.ods(Seq(
+      "Alpha" -> Seq(Seq("a1", "b1"), Seq("a2", "b2")),
+      "Beta" -> Seq(Seq("only"))))
+    assert(Ooxml.odsText(bytes) ===
+      Some("Sheet: Alpha\na1\tb1\na2\tb2\nSheet: Beta\nonly"))
+    assert(Ooxml.odsText(OoxmlWriter.odt(Seq("p"))) === None)
+  }
+
+  test("ODF flows through mime dispatch and content sniffing") {
+    val odt = OoxmlWriter.odt(Seq("dispatch body"))
+    val ods = OoxmlWriter.ods(Seq("S" -> Seq(Seq("cell"))))
+    assert(DocumentText.extractText(odt,
+      "application/vnd.oasis.opendocument.text") === Some("dispatch body"))
+    assert(DocumentText.extractText(ods, "application/ods").isDefined)
+    assert(DocumentText.sniffMime(odt) ===
+      Some("application/vnd.oasis.opendocument.text"))
+    assert(DocumentText.sniffMime(ods) ===
+      Some("application/vnd.oasis.opendocument.spreadsheet"))
+    assert(DocumentText.extractText(odt, "auto") === Some("dispatch body"))
+  }
+}
+
+/** Exposes the private zip builder for hand-crafted ODF cases. */
+object OoxmlWriterTestAccess {
+  def zipRaw(entries: Seq[(String, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (name, content) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
 }
