@@ -206,6 +206,10 @@ object GraftFunctions {
       "graft_html_meta(content) - HTML head metadata: struct(title,canonical,description,lang,noindex,nofollow), NULL if no markup",
       exprs => graft.expressions.HtmlMeta(exprs.head)),
 
+    ("graft_sitemap_urls",
+      "graft_sitemap_urls(content) - sitemaps.org parse: array<struct<kind,loc,lastmod>> from XML urlset/sitemapindex, text lists, gzipped variants; NULL otherwise",
+      exprs => graft.expressions.SitemapUrls(exprs.head)),
+
     ("graft_robots_allowed",
       "graft_robots_allowed(robots_txt, url[, agent]) - RFC 9309 verdict: may agent fetch url under this robots.txt (wildcards, $ anchor, longest-match, allow tie-win)",
       exprs => graft.expressions.RobotsAllowed(exprs.head, exprs(1),

@@ -1895,6 +1895,52 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q153_sitemap_urls" -> ((s, dir) => {
+      // sitemap discovery parse: per doc a planted urlset (raw on
+      // id%4=0, GZIPPED on id%4=1 — sniffed, not named), a sitemap
+      // index (id%4=2), or a plain-text URL list (id%4=3); HTML-root
+      // and junk tiers refuse to zero rows. Every loc/lastmod is a
+      // closed form of doc_id
+      val ss = tuned(s)
+      import ss.implicits._
+      lazy val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      def gzip(b: Array[Byte]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(b); g.finish(); bos.toByteArray
+      }
+      lazy val rows = ids.map { id =>
+        val k = id % 10
+        def urlset = (s"""<?xml version="1.0"?><urlset>""" +
+          s"<url><loc>https://site$k.example.com/p${id}a</loc>" +
+          s"<lastmod>2026-01-0${1 + id % 9}</lastmod></url>" +
+          s"<url><loc>https://site$k.example.com/p${id}b</loc></url>" +
+          "</urlset>").getBytes("UTF-8")
+        val bytes =
+          if (id >= 450) s"not a sitemap $id".getBytes("UTF-8")
+          else if (id >= 400) "<html><body>no</body></html>".getBytes("UTF-8")
+          else (id % 4) match {
+            case 0 => urlset
+            case 1 => gzip(urlset)
+            case 2 => (s"<sitemapindex><sitemap>" +
+              s"<loc>https://site$k.example.com/s$id.xml</loc>" +
+              s"<lastmod>2026-02-0${1 + id % 9}</lastmod></sitemap>" +
+              "</sitemapindex>").getBytes("UTF-8")
+            case _ => (s"https://site$k.example.com/t${id}a\n" +
+              s"https://site$k.example.com/t${id}b\n").getBytes("UTF-8")
+          }
+        (id, bytes)
+      }.toSeq
+      val src = fixtureDF(ss, dir, "q153_sitemap")(rows)
+      src.select(col("doc_id"),
+          posexplode(graft.llmops.UrlCuration.sitemapUrls(col("content"))))
+        .select(col("doc_id"), col("pos").as("rec"),
+          col("col.kind").as("kind"), col("col.loc").as("loc"),
+          col("col.lastmod").as("lastmod"))
+        .orderBy("doc_id", "rec")
+    }),
+
     "q152_odf_extract" -> ((s, dir) => {
       // S6 OpenDocument path: REAL .odt/.ods archives (mimetype +
       // content.xml, built by the writer twins from corpus text)
@@ -3556,6 +3602,36 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q131_token_chunks" -> bpeChunkOracle,
+
+    // q153: every row is arithmetic on doc_id; refusal tiers (>= 400)
+    // contribute nothing.
+    "q153_sitemap_urls" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 10 AS k, doc_id % 4 AS m
+           FROM documents WHERE doc_id < 400)
+         SELECT doc_id, rec, kind, loc, lastmod FROM (
+           SELECT doc_id, CAST(0 AS INTEGER) AS rec, 'url' AS kind,
+             'https://site' || k || '.example.com/p' || doc_id || 'a' AS loc,
+             '2026-01-0' || (1 + doc_id % 9) AS lastmod
+           FROM d WHERE m IN (0, 1)
+           UNION ALL
+           SELECT doc_id, 1, 'url',
+             'https://site' || k || '.example.com/p' || doc_id || 'b', NULL
+           FROM d WHERE m IN (0, 1)
+           UNION ALL
+           SELECT doc_id, 0, 'sitemap',
+             'https://site' || k || '.example.com/s' || doc_id || '.xml',
+             '2026-02-0' || (1 + doc_id % 9)
+           FROM d WHERE m = 2
+           UNION ALL
+           SELECT doc_id, 0, 'url',
+             'https://site' || k || '.example.com/t' || doc_id || 'a', NULL
+           FROM d WHERE m = 3
+           UNION ALL
+           SELECT doc_id, 1, 'url',
+             'https://site' || k || '.example.com/t' || doc_id || 'b', NULL
+           FROM d WHERE m = 3)
+         ORDER BY doc_id, rec""",
 
     // q152: both ODF shapes from the raw text column — odt is the
     // paragraph identity, ods the sheet/tab-row rendering.

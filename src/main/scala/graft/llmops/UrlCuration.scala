@@ -115,6 +115,16 @@ object UrlCuration {
         robotsAllowed(col("__robots"), col(urlCol), agent))
       .drop("__host", "__robots")
 
+  /** Sitemap parse ([[graft.expressions.SitemapUrls]], sitemaps.org):
+    * `array<struct<kind, loc, lastmod>>` from XML urlsets, sitemap
+    * indexes, plain-text lists, any of them gzipped; NULL for
+    * none-of-these. The discovery companion of [[robotsScreen]].
+    */
+  def sitemapUrls(content: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.SitemapUrls(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
   /** [[blocklistFilter]] from a one-column (`domain`) DataFrame — the
     * list is collected to the driver first (documented bounded artifact,
     * the codebook/classifier convention).

@@ -108,4 +108,45 @@ class UrlCurationSpec extends SparkTestBase {
     val canon = df.withColumn("curl", UrlCuration.urlNormalize(col("url")))
     assert(canon.select("curl").distinct().count() === 2)
   }
+
+  test("sitemap parsing: urlset, index, text list, gzip, refusals") {
+    import graft.expressions.SitemapUrls
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.finish(); bos.toByteArray
+    }
+    val urlset = ("""<?xml version="1.0" encoding="UTF-8"?>""" +
+      """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">""" +
+      "<url><loc>https://e.com/a</loc><lastmod>2026-01-02</lastmod></url>" +
+      "<url><loc> https://e.com/b </loc></url>" +
+      "<url><lastmod>2026-01-03</lastmod></url>" + // no loc: skipped
+      "</urlset>").getBytes("UTF-8")
+    val got = SitemapUrls.compute(urlset)
+    assert(got != null && got.numElements() === 2)
+    val r0 = got.getStruct(0, 3)
+    assert(r0.getUTF8String(0).toString === "url")
+    assert(r0.getUTF8String(1).toString === "https://e.com/a")
+    assert(r0.getUTF8String(2).toString === "2026-01-02")
+    assert(got.getStruct(1, 3).isNullAt(2)) // absent lastmod
+    // gzipped variant parses identically
+    val gzGot = SitemapUrls.compute(gz(urlset))
+    assert(gzGot != null && gzGot.numElements() === 2)
+    // sitemap index
+    val index = ("<sitemapindex><sitemap><loc>https://e.com/s1.xml</loc>" +
+      "</sitemap><sitemap><loc>https://e.com/s2.xml.gz</loc>" +
+      "<lastmod>2026-02-01</lastmod></sitemap></sitemapindex>").getBytes
+    val idx = SitemapUrls.compute(index)
+    assert(idx.numElements() === 2)
+    assert(idx.getStruct(0, 3).getUTF8String(0).toString === "sitemap")
+    // text list
+    val txt = "https://e.com/x\nhttps://e.com/y\n\n".getBytes
+    assert(SitemapUrls.compute(txt).numElements() === 2)
+    // refusals: foreign XML root, junk text line, non-sitemap bytes
+    assert(SitemapUrls.compute("<html><body/></html>".getBytes) === null)
+    assert(SitemapUrls.compute("https://e.com/x\nnot a url".getBytes) === null)
+    assert(SitemapUrls.compute("just words".getBytes) === null)
+    assert(SitemapUrls.compute("<urlset><url><loc>x".getBytes) === null)
+    assert(SitemapUrls.compute(null) === null)
+  }
 }
