@@ -235,6 +235,10 @@ object GraftFunctions {
       "graft_bmp_dhash(content) - 64-bit perceptual dHash of an uncompressed BMP (same grid/bit layout as graft_png_dhash), NULL if undecodable or under 9x8",
       exprs => graft.expressions.BmpDHash(exprs.head)),
 
+    ("graft_tiff_dhash",
+      "graft_tiff_dhash(content) - 64-bit perceptual dHash of a baseline TIFF (uncompressed/PackBits; same grid/bit layout as graft_png_dhash), NULL if undecodable or under 9x8",
+      exprs => graft.expressions.TiffDHash(exprs.head)),
+
     ("graft_image_hist_stats",
       "graft_image_hist_stats(content) - grayscale histogram stats of a PNG/baseline-JPEG: struct(width,height,channels,gray_entropy,gray_min,gray_max,frac_max_bin), NULL if undecodable",
       exprs => graft.expressions.ImageHistStats(exprs.head)),

@@ -701,6 +701,39 @@ object SparkEntry {
     }
   }
 
+  /** Shared baseline-TIFF fixture set for q154: per pid the standard
+    * gradient as tier 0 LE multi-strip gray, tier 1 BE PackBits gray,
+    * tier 2 palette-color (256-gray ColorMap), tier 3 WhiteIsZero
+    * (inverted storage, same display) — a Hamming-0 quadruple per pid.
+    * Refusals: dims-only stub, sub-grid, non-image.
+    */
+  private def tiffFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val W = graft.llmops.ImageWriter
+    ids.map { id =>
+      val pid = (id % 100).toInt
+      val w = 9 + pid % 24
+      val h = 8 + pid % 16
+      val tier = (id / 100).toInt
+      def g(x: Int, y: Int) =
+        ((5 + pid % 7) * (x / 8) + (13 + pid % 11) * (y / 8) + pid) % 256
+      val grayPal = Array.tabulate(256)(i => (i << 16) | (i << 8) | i)
+      val bytes =
+        if (id >= 450) s"not an image $id".getBytes("UTF-8")
+        else if (id >= 430) W.tiffImage(8, 8, g) // sub-grid
+        else if (id >= 400) graft.llmops.MediaWriter.tiff(w, h) // dims-only
+        else tier match {
+          case 0 => W.tiffImage(w, h, g, rowsPerStrip = 5)
+          case 1 => W.tiffImage(w, h, g, littleEndian = false,
+            packBits = true)
+          case 2 => W.tiffImage(w, h, g, palette = grayPal)
+          case _ => W.tiffImage(w, h, g, photometric = 0)
+        }
+      (id, bytes)
+    }
+  }
+
   /** Shared progressive-JPEG fixture set for q126: per base image `pid =
     * id mod 100` (the q112 seed-gradient pattern), tier 0 is a BASELINE
     * gray JPEG, tier 1 the PROGRESSIVE (SOF2) encoding of the IDENTICAL
@@ -1892,6 +1925,23 @@ object SparkEntry {
         .select(col("key_a"), col("key_b"),
           col("shared_frames").cast("long").as("shared_frames"),
           col("frac"))
+        .orderBy("key_a", "key_b")
+    }),
+
+    "q154_image_neardup_tiff" -> ((s, dir) => {
+      // baseline TIFF closes the SIX-format image Hamming space: a
+      // little-endian multi-strip file, a big-endian PackBits file, a
+      // palette-color file and a WhiteIsZero file (inverted STORAGE,
+      // identical display pixels) all hash identically, and refusal
+      // tiers (dims-only stub, sub-grid, non-image) vanish. Oracle:
+      // the q149 closed form verbatim
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = fixtureDF(ss, dir, "q154_tiff")(tiffFixtures(ss, dir))
+      graft.llmops.Multimodal.imageNearDups(src, "doc_id", "content",
+          maxDist = 3)
+        .select(col("key_a"), col("key_b"),
+          col("hamming").cast("long").as("hamming"))
         .orderBy("key_a", "key_b")
     }),
 
@@ -3602,6 +3652,48 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q131_token_chunks" -> bpeChunkOracle,
+
+    // q154: the q149 closed form verbatim — every TIFF tier decodes to
+    // gray = pattern, whatever the byte order, strip layout, palette or
+    // photometric storage.
+    "q154_image_neardup_tiff" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(9 + (doc_id % 100) % 24 AS INTEGER) AS w,
+             CAST(8 + (doc_id % 100) % 16 AS INTEGER) AS h,
+             CAST(doc_id % 100 AS INTEGER) AS seed
+           FROM documents WHERE doc_id < 400),
+         px AS (
+           SELECT i.doc_id,
+             ((x.x + 1) * 9 - 1) // i.w AS ci,
+             ((y.y + 1) * 8 - 1) // i.h AS cj,
+             ((5 + i.seed % 7) * (x.x // 8) + (13 + i.seed % 11) * (y.y // 8)
+               + i.seed) % 256 AS gray
+           FROM ids i, range(32) x(x), range(23) y(y)
+           WHERE x.x < i.w AND y.y < i.h),
+         cells AS (
+           SELECT doc_id, cj, ci, sum(gray) AS s, count(*) AS c
+           FROM px GROUP BY 1, 2, 3),
+         bits AS (
+           SELECT l.doc_id, l.cj * 8 + l.ci AS k
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cj = l.cj AND r.ci = l.ci + 1
+           WHERE r.s * l.c > l.s * r.c),
+         hashes AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS dh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS dh_lo
+           FROM (SELECT DISTINCT doc_id FROM px) d
+           LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id)
+         SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           CAST(bit_count(xor(a.dh_hi, b.dh_hi))
+              + bit_count(xor(a.dh_lo, b.dh_lo)) AS BIGINT) AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dh_hi, b.dh_hi))
+             + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
+         ORDER BY key_a, key_b""",
 
     // q153: every row is arithmetic on doc_id; refusal tiers (>= 400)
     // contribute nothing.

@@ -119,15 +119,23 @@ object ImageHistStats {
               i += 1
             }
           } else {
-            val bmp = BmpDecode.decode(b)
-            if (bmp == null) return null
-            width = bmp.width; height = bmp.height; channels = 3
+            val rgb3 = {
+              val bmp = BmpDecode.decode(b)
+              if (bmp != null) (bmp.width, bmp.height, bmp.rgb)
+              else {
+                val tif = TiffDecode.decode(b)
+                if (tif == null) return null
+                (tif.width, tif.height, tif.rgb)
+              }
+            }
+            width = rgb3._1; height = rgb3._2; channels = 3
+            val rgb = rgb3._3
             var i = 0
             val n = width * height
             while (i < n) {
               val p = i * 3
-              hist(((bmp.rgb(p) & 0xFF) + (bmp.rgb(p + 1) & 0xFF) +
-                (bmp.rgb(p + 2) & 0xFF)) / 3) += 1
+              hist(((rgb(p) & 0xFF) + (rgb(p + 1) & 0xFF) +
+                (rgb(p + 2) & 0xFF)) / 3) += 1
               i += 1
             }
           }

@@ -257,6 +257,160 @@ object ImageWriter {
     pngEncode(width, height, depth, 2,
       (x, y) => { val (r, g, b) = f(x, y); Array(r, g, b) }, interlaced)
 
+  /** Baseline TIFF writer twin of [[graft.expressions.TiffDecode]]:
+    * grayscale (1/4/8 bits, either photometric), 8-bit RGB, or
+    * palette-color; both byte orders; multi-strip layouts; optional
+    * PackBits strip compression (its own run finder). `px(x, y)` is the
+    * gray level / palette index / packed 0xRRGGBB per mode.
+    */
+  def tiffImage(width: Int, height: Int, px: (Int, Int) => Int,
+      bits: Int = 8, rgb: Boolean = false, palette: Array[Int] = null,
+      photometric: Int = -1, littleEndian: Boolean = true,
+      rowsPerStrip: Int = 0, packBits: Boolean = false): Array[Byte] = {
+    require(!rgb || bits == 8)
+    val spp = if (rgb) 3 else 1
+    val photo =
+      if (photometric >= 0) photometric
+      else if (rgb) 2 else if (palette != null) 3 else 1
+    val levels = 1 << bits
+    val rps = if (rowsPerStrip <= 0) height else rowsPerStrip
+    val rowBytes = (width * bits * spp + 7) / 8
+    // build raw strips
+    val strips = (0 until height by rps).map { y0 =>
+      val rows = math.min(rps, height - y0)
+      val raw = new Array[Byte](rows * rowBytes)
+      for (ry <- 0 until rows; x <- 0 until width) {
+        val v = px(x, y0 + ry)
+        if (rgb) {
+          val p = ry * rowBytes + x * 3
+          raw(p) = ((v >> 16) & 0xFF).toByte
+          raw(p + 1) = ((v >> 8) & 0xFF).toByte
+          raw(p + 2) = (v & 0xFF).toByte
+        } else {
+          val stored =
+            if (photo == 0) levels - 1 - (v & (levels - 1)) else v & (levels - 1)
+          val bitOff = x * bits
+          val shift = 8 - bits - (bitOff & 7)
+          raw(ry * rowBytes + (bitOff >> 3)) =
+            (raw(ry * rowBytes + (bitOff >> 3)) | (stored << shift)).toByte
+        }
+      }
+      if (packBits) packBitsEncode(raw) else raw
+    }
+    def w16(v: Int): Array[Byte] =
+      if (littleEndian) Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      else Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def w32(v: Int): Array[Byte] =
+      if (littleEndian) Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      else Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+    // tags: 256,257,258,259,262,273,277,278,279 (+320 palette)
+    val nTags = 9 + (if (palette != null) 1 else 0)
+    val ifdOff = 8
+    val ifdSize = 2 + nTags * 12 + 4
+    var extraOff = ifdOff + ifdSize // offset-stored arrays land here
+    val extra = new ByteArrayOutputStream()
+    def arrayValue(vals: Seq[Int], typ: Int): Array[Byte] = {
+      // returns the 4-byte value field; spills to `extra` when too big
+      val sz = if (typ == 3) 2 else 4
+      if (vals.length * sz <= 4) {
+        val f = new ByteArrayOutputStream()
+        vals.foreach(v => f.write(if (typ == 3) w16(v) else w32(v)))
+        while (f.size() < 4) f.write(0)
+        f.toByteArray
+      } else {
+        val at = extraOff
+        vals.foreach(v => extra.write(if (typ == 3) w16(v) else w32(v)))
+        extraOff += vals.length * sz
+        w32(at)
+      }
+    }
+    // strip offsets need the data start, which depends on extra size —
+    // compute in two passes: first reserve palette/bits arrays, then
+    // strips after all extras
+    val bitsField = arrayValue(Seq.fill(spp)(bits), 3)
+    val palField =
+      if (palette == null) null
+      else arrayValue(
+        (0 until levels).map(i => ((palette(i) >> 16) & 0xFF) * 257) ++
+          (0 until levels).map(i => ((palette(i) >> 8) & 0xFF) * 257) ++
+          (0 until levels).map(i => (palette(i) & 0xFF) * 257), 3)
+    val offFieldSpill = strips.length * 4 > 4
+    val cntFieldSpill = offFieldSpill
+    val offAt = extraOff
+    if (offFieldSpill) extraOff += strips.length * 4
+    val cntAt = extraOff
+    if (cntFieldSpill) extraOff += strips.length * 4
+    val dataStart = extraOff
+    val stripOffsets = strips.scanLeft(dataStart)(_ + _.length).init
+    if (offFieldSpill)
+      stripOffsets.foreach(o => extra.write(w32(o)))
+    if (cntFieldSpill)
+      strips.foreach(s => extra.write(w32(s.length)))
+
+    val out = new ByteArrayOutputStream()
+    out.write(if (littleEndian) Array[Byte]('I', 'I', 42, 0)
+    else Array[Byte]('M', 'M', 0, 42))
+    out.write(w32(ifdOff))
+    out.write(w16(nTags))
+    def tag(id: Int, typ: Int, count: Int, field: Array[Byte]): Unit = {
+      out.write(w16(id)); out.write(w16(typ)); out.write(w32(count))
+      out.write(field)
+    }
+    def shortField(v: Int): Array[Byte] = w16(v) ++ Array[Byte](0, 0)
+    tag(256, 4, 1, w32(width))
+    tag(257, 4, 1, w32(height))
+    tag(258, 3, spp, bitsField)
+    tag(259, 3, 1, shortField(if (packBits) 32773 else 1))
+    tag(262, 3, 1, shortField(photo))
+    tag(273, 4, strips.length,
+      if (offFieldSpill) w32(offAt) else w32(stripOffsets.head))
+    tag(277, 3, 1, shortField(spp))
+    tag(278, 4, 1, w32(rps))
+    tag(279, 4, strips.length,
+      if (cntFieldSpill) w32(cntAt) else w32(strips.head.length))
+    if (palField != null) tag(320, 3, 3 * levels, palField)
+    out.write(w32(0)) // next IFD
+    out.write(extra.toByteArray)
+    strips.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** PackBits encode (TIFF 6.0 §9): repeat runs ≥ 3 become two-byte
+    * runs, everything else literal groups of ≤ 128.
+    */
+  def packBitsEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var i = 0
+    while (i < raw.length) {
+      var run = 1
+      while (i + run < raw.length && raw(i + run) == raw(i) && run < 128)
+        run += 1
+      if (run >= 3) {
+        out.write(1 - run) // -(run-1)
+        out.write(raw(i))
+        i += run
+      } else {
+        var lit = i
+        var litLen = 0
+        while (lit + litLen < raw.length && litLen < 128 && {
+          // stop a literal group when a ≥3 repeat starts
+          var r = 1
+          while (lit + litLen + r < raw.length &&
+            raw(lit + litLen + r) == raw(lit + litLen) && r < 3) r += 1
+          r < 3
+        }) litLen += 1
+        if (litLen == 0) litLen = 1
+        out.write(litLen - 1)
+        out.write(raw, lit, litLen)
+        i += litLen
+      }
+    }
+    out.toByteArray
+  }
+
   /** GIF89a header + logical screen descriptor + trailer. */
   def gif(width: Int, height: Int): Array[Byte] =
     "GIF89a".getBytes("US-ASCII") ++ le16(width) ++ le16(height) ++

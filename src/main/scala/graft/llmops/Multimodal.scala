@@ -167,15 +167,24 @@ object Multimodal {
       graft.expressions.BmpDHash(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
 
-  /** Format-agnostic image dHash: the PNG, JPEG, GIF, lossless-WebP or
-    * BMP arm, whichever decodes (each refuses foreign magic bytes on
-    * the first read, so a miss arm costs a header sniff, not a decode).
-    * NULL when none decodes — mixed-format corpora dedup in one
-    * Hamming space.
+  /** 64-bit perceptual dHash of a baseline TIFF
+    * ([[graft.expressions.TiffDHash]]) — sixth arm of the shared
+    * grid/bit layout.
+    */
+  def tiffDHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.TiffDHash(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** Format-agnostic image dHash: the PNG, JPEG, GIF, lossless-WebP,
+    * BMP or TIFF arm, whichever decodes (each refuses foreign magic
+    * bytes on the first read, so a miss arm costs a header sniff, not a
+    * decode). NULL when none decodes — mixed-format corpora dedup in
+    * one Hamming space.
     */
   def imageDHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     coalesce(pngDHash(content), jpegDHash(content), gifDHash(content),
-      webpDHash(content), bmpDHash(content))
+      webpDHash(content), bmpDHash(content), tiffDHash(content))
 
   /** [[imageDHash]] in DISPLAY space: the JPEG arm is the
     * orientation-normalized [[jpegDHashOriented]], so a camera file and
@@ -186,7 +195,7 @@ object Multimodal {
     */
   def imageDHashDisplay(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     coalesce(pngDHash(content), jpegDHashOriented(content), gifDHash(content),
-      webpDHash(content), bmpDHash(content))
+      webpDHash(content), bmpDHash(content), tiffDHash(content))
 
   /** Grayscale-histogram statistics over PNG or baseline JPEG
     * ([[graft.expressions.ImageHistStats]]) — entropy / dynamic range /

@@ -59,6 +59,8 @@ class CodecRobustnessSpec extends AnyFunSuite {
     graft.expressions.WebpDHash.compute(bytes)
     graft.expressions.WebpDecode.decodeArgb(bytes)
     graft.expressions.BmpDHash.compute(bytes)
+    graft.expressions.TiffDHash.compute(bytes)
+    graft.expressions.SitemapUrls.compute(bytes)
     graft.expressions.WarcRecords.compute(bytes)
     DocumentText.extractText(bytes, "application/pdf")
     DocumentText.extractText(bytes, "text/html")
@@ -201,7 +203,11 @@ class CodecRobustnessSpec extends AnyFunSuite {
         (x, y) => (x + y) % 7),
       ImageWriter.bmpFromPixels(13, 9, (x, y) => (x % 256, y % 256, (x * y) % 256)),
       ImageWriter.bmpIndexed(11, 7, Array.tabulate(48)(i => (i * 5).toByte),
-        (x, y) => (x + y) % 16, bpp = 4, topDown = true))
+        (x, y) => (x + y) % 16, bpp = 4, topDown = true),
+      ImageWriter.tiffImage(14, 9, (x, y) => (x * 7 + y) % 256,
+        packBits = true, rowsPerStrip = 3),
+      ImageWriter.tiffImage(12, 8, (x, y) => (x + y) % 16, bits = 4,
+        littleEndian = false))
     for (doc <- base; i <- doc.indices by 7) {
       val mutated = doc.clone()
       mutated(i) = (mutated(i) ^ 0x5A).toByte
