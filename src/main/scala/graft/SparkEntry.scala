@@ -2116,13 +2116,26 @@ object SparkEntry {
           if (id % 2 == 0)
             graft.llmops.WarcWriter.writeWet(Seq((url, null, body)),
               gzipMembers = id % 3 == 1)
-          else
-            graft.llmops.WarcWriter.write(Seq((url, null, 200, "text/html",
+          else {
+            val html = (url, null: String, 200, "text/html",
               graft.llmops.Html.writePage(Seq(s"Doc $id", text),
                 title = s"T$id",
                 canonical = if (id % 3 == 0) s"/canon/$id" else null,
                 robots = if (id % 5 == 0) "noindex" else null,
-                lang = "en"))), gzipMembers = id % 3 == 1)
+                lang = "en"))
+            // planted binary tier: an image/jpeg response on a clean
+            // URL whose bytes would pass every length screen if
+            // latin-1-decoded — the mime gate must drop it, so the
+            // oracle (which never mentions these rows) only matches
+            // when binary payloads never become "pages"
+            val entries =
+              if (id % 7 == 1)
+                Seq(html, (s"https://site$k.example.com/img/$id.jpg",
+                  null: String, 200, "image/jpeg",
+                  Array.tabulate(64)(i => ((id * 31 + i * 7) % 256).toByte)))
+              else Seq(html)
+            graft.llmops.WarcWriter.write(entries, gzipMembers = id % 3 == 1)
+          }
         (id, bytes)
       }.toSeq
       import ss.implicits._

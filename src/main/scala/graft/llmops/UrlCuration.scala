@@ -67,10 +67,24 @@ object UrlCuration {
     * fine in the task binary; anything far beyond that belongs in a
     * bloom-filtered store, not a closure).
     */
-  def urlBlocked(url: Column, blocked: Set[String]): Column =
+  def urlBlocked(url: Column, blocked: Set[String]): Column = {
+    require(blocked.size <= MaxBlocklistEntries,
+      s"blocklist has ${blocked.size} entries, over the " +
+        s"$MaxBlocklistEntries task-binary budget (~hundreds of MB of " +
+        "hosts); screen with a join against a domain table instead " +
+        "(blocklistFilter(df, urlCol, blockedDomains: DataFrame) or a " +
+        "left_anti join on urlDomain)")
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.expressions.UrlBlocked(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(url), blocked))
+  }
+
+  /** Ceiling on [[urlBlocked]]'s embedded set: UT1-class lists are
+    * 4–5 M domains (~100 MB captured into every task binary) — inside
+    * this bound by design margin; anything larger must join instead of
+    * riding the closure.
+    */
+  val MaxBlocklistEntries: Int = 8000000
 
   /** Appends `url_blocked` from [[urlBlocked]] — the screen form. */
   def blocklistScreen(df: DataFrame, urlCol: String,
@@ -99,21 +113,42 @@ object UrlCuration {
           coalesce(robotsTxt, lit(""))),
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(url), agent))
 
+  /** Host-count ceiling for broadcasting the robots table: above this
+    * the per-host rules (~1 KB robots.txt each) stop fitting executor
+    * memory and [[robotsScreen]] falls back to a shuffled equi-join.
+    * A real-crawl host universe is ~10⁸ — always the shuffle path;
+    * fixtures and per-site ingestion stay on the broadcast path.
+    */
+  val MaxBroadcastRobotsHosts: Long = 1000000L
+
   /** The crawl-politeness screen: join each page's host against the
-    * per-host robots table (`host`, `robots_txt` — one small row per
-    * site, broadcast) and append `robots_allowed`. Hosts absent from
-    * the table default to allowed; URLs that refuse to parse screen
-    * NULL. One broadcast hash join + one scan projection — the corpus
-    * never shuffles.
+    * per-host robots table (`host`, `robots_txt`) and append
+    * `robots_allowed`. Hosts absent from the table default to allowed;
+    * URLs that refuse to parse screen NULL.
+    *
+    * Join shape is SIZE-GATED: when the robots table has at most
+    * `maxBroadcastHosts` rows (one cheap early-stopping count — the
+    * table is a side input, not the corpus) it is broadcast and the
+    * corpus never shuffles; beyond that — a web-scale host universe is
+    * ~10⁸ hosts × ~1 KB robots.txt, far past any broadcast budget —
+    * the screen becomes a shuffled equi-join on the page host, which
+    * scales with executors instead of exploding one JVM.
     */
   def robotsScreen(df: DataFrame, urlCol: String,
-      robots: DataFrame, agent: String = "*"): DataFrame =
+      robots: DataFrame, agent: String = "*",
+      maxBroadcastHosts: Long = MaxBroadcastRobotsHosts): DataFrame = {
+    val rhs = robots.select(lower(col("host")).as("__host"),
+      col("robots_txt").as("__robots"))
+    // early-stopping cardinality probe: scans at most threshold+1 rows
+    val small = robots.limit(
+      math.min(maxBroadcastHosts, Int.MaxValue - 1L).toInt + 1)
+      .count() <= maxBroadcastHosts
     df.withColumn("__host", urlHost(col(urlCol)))
-      .join(broadcast(robots.select(lower(col("host")).as("__host"),
-        col("robots_txt").as("__robots"))), Seq("__host"), "left_outer")
+      .join(if (small) broadcast(rhs) else rhs, Seq("__host"), "left_outer")
       .withColumn("robots_allowed",
         robotsAllowed(col("__robots"), col(urlCol), agent))
       .drop("__host", "__robots")
+  }
 
   /** Sitemap parse ([[graft.expressions.SitemapUrls]], sitemaps.org):
     * `array<struct<kind, loc, lastmod>>` from XML urlsets, sitemap
@@ -127,11 +162,18 @@ object UrlCuration {
 
   /** [[blocklistFilter]] from a one-column (`domain`) DataFrame — the
     * list is collected to the driver first (documented bounded artifact,
-    * the codebook/classifier convention).
+    * the codebook/classifier convention). An early-stopping count
+    * refuses lists over [[MaxBlocklistEntries]] BEFORE the collect —
+    * an unbounded list must never OOM the driver; join it instead.
     */
   def blocklistFilter(df: DataFrame, urlCol: String,
-      blockedDomains: DataFrame): DataFrame =
+      blockedDomains: DataFrame): DataFrame = {
+    val distinctDomains = blockedDomains.select(lower(col("domain"))).distinct()
+    require(distinctDomains.limit(MaxBlocklistEntries + 1).count()
+      <= MaxBlocklistEntries,
+      s"blocklist table exceeds $MaxBlocklistEntries distinct domains; " +
+        "use a left_anti join on urlDomain instead of the collected set")
     blocklistFilter(df, urlCol,
-      blockedDomains.select(lower(col("domain"))).distinct()
-        .collect().map(_.getString(0)).toSet)
+      distinctDomains.collect().map(_.getString(0)).toSet)
+  }
 }

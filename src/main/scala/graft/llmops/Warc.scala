@@ -40,17 +40,33 @@ object Warc {
         col("col.payload").as("payload"))
       .filter(lower(col("warc_type")) === "response")
 
+  /** `true` for mimes whose payload may become page text: HTML/XHTML
+    * (routed through the main-content extractor) and `text`-prefixed mimes (decoded
+    * byte-transparent). Everything else — images, PDFs, audio, NULL
+    * Content-Type — must NOT be latin-1-decoded into mojibake "pages"
+    * that pass length screens and pollute a corpus; those rows keep
+    * their metadata with NULL text (route binaries to the media
+    * ingestion arms instead — [[curateCrawlMedia]]).
+    */
+  private[llmops] def isHtmlMime(mime: Column): Column =
+    lower(mime).isin("text/html", "application/xhtml+xml")
+
+  private[llmops] def isTextMime(mime: Column): Column =
+    isHtmlMime(mime) || lower(mime).startsWith("text/")
+
   /** Crawl → text: HTML response bodies through the readability-style
-    * main-content extractor; non-HTML responses pass their body as
-    * latin-1 text (byte-transparent). Pure per-row projections.
+    * main-content extractor; other `text`-prefixed responses pass their body
+    * as latin-1 text (byte-transparent); binary mimes (and absent
+    * Content-Type) yield NULL `page_text` — never mojibake. Pure
+    * per-row projections.
     */
   def warcPages(df: DataFrame, keyCol: String, contentCol: String,
       minWords: Int = 1): DataFrame = {
     val resp = warcResponses(df, keyCol, contentCol)
     resp.withColumn("page_text",
-      when(col("mime") === "text/html",
+      when(isHtmlMime(col("mime")),
         Html.mainContentCol(col("payload"), minWords = minWords))
-        .otherwise(decode(col("payload"), "ISO-8859-1")))
+        .when(isTextMime(col("mime")), decode(col("payload"), "ISO-8859-1")))
   }
 
   /** WET conversion records (the Common Crawl TEXT distribution — most
@@ -70,8 +86,9 @@ object Warc {
 
   /** Container-agnostic crawl text: ONE parse pass whose projection
     * splits on record type — `response` bodies go through the HTML
-    * main-content extractor (non-HTML bodies byte-transparent latin-1),
-    * `conversion` records surface their pre-extracted UTF-8 text as-is.
+    * main-content extractor (other text-mime bodies byte-transparent
+    * latin-1, binary mimes NULL — see [[isTextMime]]), `conversion`
+    * records surface their pre-extracted UTF-8 text as-is.
     * A crawl's WARC and its WET distribution land in one schema
     * (`http_status` is NULL on the WET side — conversion records carry
     * no HTTP envelope), so every downstream stage (dedup, quality,
@@ -91,9 +108,9 @@ object Warc {
       .withColumn("page_text",
         when(lower(col("warc_type")) === "conversion",
           decode(col("payload"), "UTF-8"))
-          .when(col("mime") === "text/html",
+          .when(isHtmlMime(col("mime")),
             Html.mainContentCol(col("payload"), minWords = minWords))
-          .otherwise(decode(col("payload"), "ISO-8859-1")))
+          .when(isTextMime(col("mime")), decode(col("payload"), "ISO-8859-1")))
       .drop("payload")
 
   /** Streaming arm of [[ingestCrawlBatch]]: a stream of (key, archive
@@ -174,15 +191,15 @@ object Warc {
         col("col.payload").as("payload"))
       .filter(lower(col("warc_type")).isin("response", "conversion"))
     val isHtml = lower(col("warc_type")) === "response" &&
-      col("mime") === "text/html"
+      isHtmlMime(col("mime"))
     val withMeta = recs
       .withColumn("m", when(isHtml, Html.metaCol(col("payload"))))
       .withColumn("page_text",
         when(lower(col("warc_type")) === "conversion",
           decode(col("payload"), "UTF-8"))
-          .when(col("mime") === "text/html",
+          .when(isHtmlMime(col("mime")),
             Html.mainContentCol(col("payload"), minWords = minWords))
-          .otherwise(decode(col("payload"), "ISO-8859-1")))
+          .when(isTextMime(col("mime")), decode(col("payload"), "ISO-8859-1")))
       .drop("payload")
       .withColumn("url_key",
         if (canonicalKeys)

@@ -104,4 +104,33 @@ class RobotsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("robotsScreen size gate: over-threshold tables take the shuffled join") {
+    val pages = Seq(
+      (1L, "https://a.com/private/x"),
+      (2L, "https://a.com/open"),
+      (3L, "https://b.com/anything"),
+      (4L, "https://unknown.org/y"),
+      (5L, "not a url")).toDF("doc_id", "url")
+    val robots = Seq(
+      ("a.com", basic),
+      ("b.com", "User-agent: *\nDisallow: /")).toDF("host", "robots_txt")
+    val expect = Array(Some(false), Some(true), Some(false), Some(true), None)
+    // force the fallback with a 1-host threshold; verdicts must be
+    // identical to the broadcast path
+    val out = UrlCuration.robotsScreen(pages, "url", robots,
+      maxBroadcastHosts = 1).orderBy("doc_id").collect()
+    assert(out.map(r => Option(r.getAs[Any]("robots_allowed"))) === expect)
+    // plan shape: with the broadcast hint withheld and auto-broadcast
+    // off, the screen is a shuffled equi-join — the 10^8-host path
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = UrlCuration.robotsScreen(pages, "url", robots,
+        maxBroadcastHosts = 1).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), plan)
+    }
+  }
 }

@@ -99,6 +99,24 @@ class UrlCurationSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().sorted === Array(2L, 3L))
   }
 
+  test("blocklist size guard: over-budget sets refuse before riding the closure") {
+    val df = Seq((1L, "https://a.com/x")).toDF("doc_id", "url")
+    // a set over MaxBlocklistEntries can't be built cheaply; probe the
+    // guard logic at the documented bound via a mocked-size check on
+    // the column form with a tiny set (sanity: in-bound sets pass)
+    assert(UrlCuration.blocklistFilter(df, "url", Set("b.com")).count() === 1)
+    assert(UrlCuration.MaxBlocklistEntries >= 5000000,
+      "bound must admit UT1-class lists (4-5M domains)")
+    // the DataFrame overload's early-stopping count fires BEFORE any
+    // collect: a list wider than the bound must throw, not OOM
+    val wide = spark.range(0, UrlCuration.MaxBlocklistEntries + 10L)
+      .selectExpr("concat('d', id, '.com') AS domain")
+    val e = intercept[IllegalArgumentException] {
+      UrlCuration.blocklistFilter(df, "url", wide)
+    }
+    assert(e.getMessage.contains("left_anti"))
+  }
+
   test("canonicalization collapses crawl revisits to one URL key") {
     val df = Seq(
       (1L, "https://E.com/page?b=2&a=1"),

@@ -221,6 +221,34 @@ class WarcSpec extends SparkTestBase {
     assert(out(0).getAs[String]("text").contains("newer capture"))
   }
 
+  test("binary mimes never become page text: mojibake gate") {
+    // an image/jpeg response whose bytes would decode latin-1 to a long
+    // "text" — the classic mojibake-page hole; the mime gate must NULL
+    // it in every text arm and curateCrawl must drop the row entirely
+    val jpegish = Array.tabulate(512)(i => ((i * 37 + 11) % 256).toByte)
+    val b = Seq((1L, WarcWriter.write(Seq(
+      ("https://e.com/page", "2026-02-01T00:00:00Z", 200, "text/html",
+        Html.writePage(Seq("T", "real page body with words"))),
+      ("https://e.com/img.jpg", "2026-02-01T00:00:00Z", 200, "image/jpeg",
+        jpegish),
+      ("https://e.com/doc.pdf", "2026-02-01T00:00:00Z", 200,
+        "application/pdf", jpegish),
+      ("https://e.com/notes.txt", "2026-02-01T00:00:00Z", 200, "text/plain",
+        "plain notes survive".getBytes("UTF-8"))))))
+      .toDF("doc_id", "content")
+    val pages = Warc.warcPages(b, "doc_id", "content").orderBy("rec")
+      .select("mime", "page_text").collect()
+    assert(pages.map(r => Option(r.getString(1)).isDefined).toSeq ===
+      Seq(true, false, false, true))
+    val crawl = Warc.crawlTexts(b, "doc_id", "content").orderBy("rec")
+      .select("mime", "page_text").collect()
+    assert(crawl.map(r => Option(r.getString(1)).isDefined).toSeq ===
+      Seq(true, false, false, true))
+    val curated = Warc.curateCrawl(b, "doc_id", "content").collect()
+    assert(curated.map(_.getAs[String]("url_key")).sorted.toSeq ===
+      Seq("https://e.com/notes.txt", "https://e.com/page"))
+  }
+
   test("ingestCrawlStream: micro-batched archives land via the same path") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
