@@ -2097,6 +2097,52 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q155_crawl_media" -> ((s, dir) => {
+      // crawl→media composition: mixed WARC archives (an HTML page +
+      // a PNG response per id, audio/wav on id%4==0, undecodable
+      // image-mime payloads on id>=350) through crawlMedia routing —
+      // text never leaks into the media arms, image rows hash with the
+      // q144 closed form, refusal tiers vanish, audio rows surface
+      // with NULL hashes
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      lazy val rows = docs.map { id =>
+        val pid = (id % 100).toInt
+        val w = 9 + pid % 24
+        val h = 8 + pid % 16
+        def g16(x: Int, y: Int) =
+          ((5 + pid % 7) * (x / 8) + (13 + pid % 11) * (y / 8) + pid) % 16
+        val k = id % 10
+        val img =
+          if (id >= 350) s"not an image $id".getBytes("UTF-8")
+          else graft.llmops.ImageWriter.pngGray(w, h, g16, depth = 4)
+        val entries = Seq(
+          (s"https://m$k.example.com/page/$id", null: String, 200,
+            "text/html", graft.llmops.Html.writePage(
+              Seq(s"T$id", s"page body words for document $id"))),
+          (s"https://m$k.example.com/img/$id.png", null: String, 200,
+            "image/png", img)) ++
+          (if (id % 4 == 0 && id < 350)
+            Seq((s"https://m$k.example.com/aud/$id.wav", null: String, 200,
+              "audio/wav", graft.llmops.MediaWriter.wav(1, 8000, 16, 40)))
+          else Seq.empty)
+        (id, graft.llmops.WarcWriter.write(entries, gzipMembers = id % 3 == 1))
+      }
+      import ss.implicits._
+      val src = fixtureDF(ss, dir, "q155_crawl_media")(rows)
+      val M = graft.llmops.Multimodal
+      graft.llmops.Warc.crawlMedia(src, "doc_id", "content")
+        .withColumn("dh", M.imageDHash(col("payload")))
+        .filter(col("kind") =!= "image" || col("dh").isNotNull)
+        .select(col("doc_id"), col("url"), col("kind"),
+          when(col("kind") === "image", shiftrightunsigned(col("dh"), 32))
+            .cast("long").as("dh_hi"),
+          when(col("kind") === "image",
+            col("dh").bitwiseAND(lit(0xFFFFFFFFL))).cast("long").as("dh_lo"))
+        .orderBy("doc_id", "url")
+    }),
+
     "q148_crawl_curate" -> ((s, dir) => {
       // the whole crawl front end as one dataflow: mixed WET/WARC
       // archives (even ids conversion text, odd ids HTML pages with
@@ -3851,6 +3897,55 @@ object SparkEntry {
          WHERE bit_count(xor(a.dh_hi, b.dh_hi))
              + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
          ORDER BY key_a, key_b""",
+
+    // q155: media routing — image rows carry the q144 closed-form
+    // dhash split into 32-bit halves, audio rows NULL hashes, HTML
+    // pages and undecodable image payloads (id>=350) never appear.
+    "q155_crawl_media" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(9 + (doc_id % 100) % 24 AS INTEGER) AS w,
+             CAST(8 + (doc_id % 100) % 16 AS INTEGER) AS h,
+             CAST(doc_id % 100 AS INTEGER) AS seed
+           FROM documents WHERE doc_id < 350),
+         px AS (
+           SELECT i.doc_id,
+             ((x.x + 1) * 9 - 1) // i.w AS ci,
+             ((y.y + 1) * 8 - 1) // i.h AS cj,
+             (((5 + i.seed % 7) * (x.x // 8) + (13 + i.seed % 11) * (y.y // 8)
+               + i.seed) % 16) * 17 AS gray
+           FROM ids i, range(32) x(x), range(23) y(y)
+           WHERE x.x < i.w AND y.y < i.h),
+         cells AS (
+           SELECT doc_id, cj, ci, sum(gray) AS s, count(*) AS c
+           FROM px GROUP BY 1, 2, 3),
+         bits AS (
+           SELECT l.doc_id, l.cj * 8 + l.ci AS k
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cj = l.cj AND r.ci = l.ci + 1
+           WHERE r.s * l.c > l.s * r.c),
+         hashes AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS dh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS dh_lo
+           FROM (SELECT DISTINCT doc_id FROM px) d
+           LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id)
+         SELECT * FROM (
+           SELECT doc_id,
+             'https://m' || (doc_id % 10) || '.example.com/img/' || doc_id
+               || '.png' AS url,
+             'image' AS kind, dh_hi, dh_lo
+           FROM hashes
+           UNION ALL
+           SELECT doc_id,
+             'https://m' || (doc_id % 10) || '.example.com/aud/' || doc_id
+               || '.wav' AS url,
+             'audio' AS kind, CAST(NULL AS BIGINT) AS dh_hi,
+             CAST(NULL AS BIGINT) AS dh_lo
+           FROM documents WHERE doc_id < 350 AND doc_id % 4 = 0)
+         ORDER BY doc_id, url""",
 
     // q148: kept iff robots allows (host ungoverned OR path not /d0/),
     // domain unblocked (k ∉ {7,8}) and not noindexed (HTML arm only —

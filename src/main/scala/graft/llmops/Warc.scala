@@ -231,6 +231,90 @@ object Warc {
         col("m.lang").as("lang"), col("page_text").as("text"))
   }
 
+  /** Media routing of crawl responses — the binary complement of
+    * [[crawlTexts]]: `response` records whose mime is `image/…`,
+    * `audio/…` or `video/…`, keep-latest per normalized URL (a crawl
+    * revisits media like it revisits pages), with `kind` = the mime's
+    * top level. One parse pass + one keep-latest shuffle on the URL;
+    * payload bytes stay opaque here — the per-format decoders in the
+    * ingestion arms own refusal.
+    */
+  def crawlMedia(df: DataFrame, keyCol: String, contentCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kind = split(lower(col("mime")), "/").getItem(0)
+    val media = warcResponses(df, keyCol, contentCol)
+      .filter(kind.isin("image", "audio", "video"))
+      .withColumn("kind", kind)
+      .withColumn("url",
+        coalesce(UrlCuration.urlNormalize(col("target_uri")),
+          col("target_uri")))
+      .filter(col("url").isNotNull)
+    val keepLatest = Window.partitionBy(col("url"))
+      .orderBy(col("warc_date").desc_nulls_last, col("rec").desc)
+    media.withColumn("__rn", row_number().over(keepLatest))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("url"), col("warc_date"),
+        col("http_status"), col("mime"), col("kind"), col("payload"))
+  }
+
+  /** Crawl → media corpora: the [[crawlMedia]] routing fed into the
+    * standard binary-ingestion protocol per modality
+    * ([[graft.streaming.CorpusIngest.ingestImageBatch]]/
+    * `ingestAudioBatch`/`ingestVideoBatch`) — within-batch near-dup
+    * screen, against-store screen, corpus + signature appends, the
+    * same replay idempotency the text arm has. Keys in each corpus are
+    * the normalized URLs. Pass `None` for a modality to drop it.
+    *
+    * The routed frame is persisted once so the three modality filters
+    * don't re-parse the archives three times.
+    *
+    * @return appended row count per kind ("image"/"audio"/"video")
+    */
+  def curateCrawlMedia(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      keyCol: String,
+      contentCol: String,
+      imageCorpusPath: Option[String] = None,
+      audioCorpusPath: Option[String] = None,
+      videoCorpusPath: Option[String] = None,
+      maxDist: Int = 3,
+      minSharedFrac: Double = 0.5,
+      maxFramesPerVideo: Int = 0,
+      imageSignaturePath: Option[String] = None,
+      audioSignaturePath: Option[String] = None,
+      videoSignaturePath: Option[String] = None,
+      lockStore: Option[graft.operators.LockStore] = None): Map[String, Long] = {
+    val I = graft.streaming.CorpusIngest
+    val media = crawlMedia(batch, keyCol, contentCol)
+      .select(col("url"), col("warc_date"), col("http_status"),
+        col("mime"), col("kind"), col("payload"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def arm(kind: String, run: DataFrame => Long): (String, Long) = {
+        val rows = media.filter(col("kind") === kind).drop("kind")
+        kind -> run(rows)
+      }
+      Map(
+        arm("image", rows => imageCorpusPath.map(p =>
+          I.ingestImageBatch(spark, rows, p, "payload", "url",
+            maxDist = maxDist, signaturePath = imageSignaturePath,
+            lockStore = lockStore)).getOrElse(0L)),
+        arm("audio", rows => audioCorpusPath.map(p =>
+          I.ingestAudioBatch(spark, rows, p, "payload", "url",
+            maxDist = maxDist, signaturePath = audioSignaturePath,
+            lockStore = lockStore)).getOrElse(0L)),
+        arm("video", rows => videoCorpusPath.map(p =>
+          I.ingestVideoBatch(spark, rows, p, "payload", "url",
+            minSharedFrac = minSharedFrac,
+            signaturePath = videoSignaturePath, lockStore = lockStore,
+            maxFramesPerVideo = maxFramesPerVideo)).getOrElse(0L)))
+    } finally {
+      media.unpersist()
+      ()
+    }
+  }
+
   /** The crawl arm of corpus ingestion: archives (full WARC or WET —
     * [[crawlTexts]] is source-format-blind) → pages → one page per
     * URL (a crawl revisits; keep the LATEST by WARC-Date, record order

@@ -249,6 +249,53 @@ class WarcSpec extends SparkTestBase {
       Seq("https://e.com/notes.txt", "https://e.com/page"))
   }
 
+  test("curateCrawlMedia routes crawl binaries into the modality corpora") {
+    val dir = java.nio.file.Files.createTempDirectory("crawlmedia").toString
+    def png(seed: Int) = ImageWriter.pngGray(16, 16,
+      (x, y) => (x * 7 + y * 13 + seed) % 256)
+    val b = Seq(
+      (1L, WarcWriter.write(Seq(
+        ("https://e.com/page", "2026-02-01T00:00:00Z", 200, "text/html",
+          Html.writePage(Seq("T", "text page body"))),
+        ("https://e.com/a.png", "2026-02-01T00:00:00Z", 200, "image/png",
+          png(0)),
+        // revisit of the same image URL: keep-latest collapses it
+        ("https://e.com/a.png", "2026-02-03T00:00:00Z", 200, "image/png",
+          png(0)),
+        // near-dup of a.png under a different URL: within-batch screen
+        ("https://e.com/a-copy.png", "2026-02-01T00:00:00Z", 200,
+          "image/png", png(0)),
+        ("https://e.com/b.png", "2026-02-01T00:00:00Z", 200, "image/png",
+          png(128)),
+        ("https://e.com/c.wav", "2026-02-01T00:00:00Z", 200, "audio/wav",
+          MediaWriter.wav(1, 8000, 16, 4000))))))
+      .toDF("doc_id", "content")
+    val counts = Warc.curateCrawlMedia(spark, b, "doc_id", "content",
+      imageCorpusPath = Some(s"$dir/img"),
+      audioCorpusPath = Some(s"$dir/aud"),
+      imageSignaturePath = Some(s"$dir/imgsig"),
+      audioSignaturePath = Some(s"$dir/audsig"))
+    // a.png/a-copy.png are pixel-identical: the within-batch screen
+    // keeps the lexicographically lowest URL (a-copy.png)
+    assert(counts("image") === 2)
+    assert(counts("audio") === 1)
+    assert(counts("video") === 0) // no corpus path passed
+    val imgs = spark.read.parquet(s"$dir/img").select("url").collect()
+      .map(_.getString(0)).sorted
+    assert(imgs.toSeq ===
+      Seq("https://e.com/a-copy.png", "https://e.com/b.png"))
+    // the HTML page leaked into no corpus; signatures match the image arm
+    val sigs = spark.read.parquet(s"$dir/imgsig").count()
+    assert(sigs === 2)
+    // replay idempotency: the same batch appends nothing
+    val again = Warc.curateCrawlMedia(spark, b, "doc_id", "content",
+      imageCorpusPath = Some(s"$dir/img"),
+      audioCorpusPath = Some(s"$dir/aud"),
+      imageSignaturePath = Some(s"$dir/imgsig"),
+      audioSignaturePath = Some(s"$dir/audsig"))
+    assert(again("image") === 0 && again("audio") === 0)
+  }
+
   test("ingestCrawlStream: micro-batched archives land via the same path") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
