@@ -701,11 +701,14 @@ object SparkEntry {
     }
   }
 
-  /** Shared baseline-TIFF fixture set for q154: per pid the standard
-    * gradient as tier 0 LE multi-strip gray, tier 1 BE PackBits gray,
-    * tier 2 palette-color (256-gray ColorMap), tier 3 WhiteIsZero
-    * (inverted storage, same display) — a Hamming-0 quadruple per pid.
-    * Refusals: dims-only stub, sub-grid, non-image.
+  /** Shared TIFF fixture set for q154: per pid the standard gradient,
+    * four encodings per pid — even pids the baseline arms (tier 0 LE
+    * multi-strip gray, tier 1 BE PackBits, tier 2 palette-color,
+    * tier 3 WhiteIsZero), odd pids the compressed/tiled arms (tier 0
+    * LZW+Predictor2, tier 1 BE LZW strips, tier 2 Deflate, tier 3
+    * tiled 16x16 LZW) — all decoding to identical pixels, so the
+    * closed-form oracle never changes while every new codec path must
+    * land at Hamming 0. Refusals: dims-only stub, sub-grid, non-image.
     */
   private def tiffFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
     val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
@@ -723,12 +726,19 @@ object SparkEntry {
         if (id >= 450) s"not an image $id".getBytes("UTF-8")
         else if (id >= 430) W.tiffImage(8, 8, g) // sub-grid
         else if (id >= 400) graft.llmops.MediaWriter.tiff(w, h) // dims-only
-        else tier match {
-          case 0 => W.tiffImage(w, h, g, rowsPerStrip = 5)
-          case 1 => W.tiffImage(w, h, g, littleEndian = false,
+        else (tier, pid % 2) match {
+          case (0, 0) => W.tiffImage(w, h, g, rowsPerStrip = 5)
+          case (0, _) => W.tiffImage(w, h, g, lzw = true, predictor = true)
+          case (1, 0) => W.tiffImage(w, h, g, littleEndian = false,
             packBits = true)
-          case 2 => W.tiffImage(w, h, g, palette = grayPal)
-          case _ => W.tiffImage(w, h, g, photometric = 0)
+          case (1, _) => W.tiffImage(w, h, g, littleEndian = false,
+            lzw = true, rowsPerStrip = 6)
+          case (2, 0) => W.tiffImage(w, h, g, palette = grayPal)
+          case (2, _) => W.tiffImage(w, h, g, deflate = true,
+            predictor = pid % 4 == 1)
+          case (_, 0) => W.tiffImage(w, h, g, photometric = 0)
+          case _ => W.tiffImage(w, h, g, lzw = true,
+            tileWidth = 16, tileLength = 16)
         }
       (id, bytes)
     }

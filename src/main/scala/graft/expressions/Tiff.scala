@@ -4,19 +4,22 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, LongType}
 
-/** Baseline TIFF pixel decode — the sixth and last [[ImageDims]] image
-  * format gains pixels (scanned-document corpora are overwhelmingly
-  * baseline TIFF). Scope, per TIFF 6.0 baseline: both byte orders,
-  * IFD0 with inline OR offset-stored value arrays; grayscale at
-  * 1/4/8 bits (both `WhiteIsZero` and `BlackIsZero` photometrics),
-  * 8-bit RGB (+ RGBA with the alpha sample ignored), palette-color at
-  * 4/8 bits (16-bit ColorMap planes reduced by their high byte);
-  * multi-strip layouts (`RowsPerStrip`/`StripOffsets`/
-  * `StripByteCounts`) with uncompressed (1) or PackBits (32773)
-  * strips; chunky planar config only. LZW/JPEG-in-TIFF, tiles,
-  * planar=2 and 16-bit samples are refused honestly (wholesale NULL),
-  * as are truncated strips, short ColorMaps and forged dims past the
-  * 64 MB cap.
+/** TIFF pixel decode — the sixth [[ImageDims]] image format
+  * (scanned-document corpora are overwhelmingly TIFF). Scope, per
+  * TIFF 6.0: both byte orders, IFD0 with inline OR offset-stored
+  * value arrays; grayscale at 1/4/8 bits (both `WhiteIsZero` and
+  * `BlackIsZero` photometrics), 8-bit RGB (+ RGBA with the alpha
+  * sample ignored), palette-color at 4/8 bits (16-bit ColorMap
+  * planes reduced by their high byte); strip layouts
+  * (`RowsPerStrip`/`StripOffsets`/`StripByteCounts`) AND tiled
+  * layouts (`TileWidth`/`TileLength`/`TileOffsets`/`TileByteCounts`,
+  * TIFF 6.0 §15); segment compression none (1), LZW (5, §13 with the
+  * early-change convention), Deflate (8 and legacy 32946, zlib
+  * streams) or PackBits (32773); horizontal-differencing Predictor 2
+  * (§14, 8-bit samples) under any compression; chunky planar config
+  * only. JPEG-in-TIFF, planar=2 and 16-bit samples are refused
+  * honestly (wholesale NULL), as are truncated segments, short
+  * ColorMaps and forged dims past the 64 MB cap.
   */
 object TiffDecode {
 
@@ -86,7 +89,8 @@ object TiffDecode {
     if (width <= 0 || height <= 0) return null
     if (width.toLong * height * 3 > 64L * 1024 * 1024) return null
     val compression = scalar(259, 1)
-    if (compression != 1 && compression != 32773) return null
+    if (compression != 1 && compression != 32773 && compression != 5 &&
+      compression != 8 && compression != 32946) return null
     val spp = scalar(277, 1)
     val bitsArr = values(258)
     val bits = if (bitsArr == null) 1 else bitsArr(0)
@@ -107,52 +111,57 @@ object TiffDecode {
       if (cm == null || cm.length < 3 * levels) return null
       palette = cm
     }
-    val offsets = values(273)
-    val counts = values(279)
-    if (offsets == null || counts == null ||
-      offsets.length != counts.length || offsets.isEmpty) return null
-    val rowsPerStrip = {
-      val v = scalar(278, height)
-      if (v <= 0) height else math.min(v, height)
-    }
-    if ((height + rowsPerStrip - 1) / rowsPerStrip != offsets.length)
-      return null
+    val predictor = scalar(317, 1)
+    if (predictor != 1 && predictor != 2) return null
+    if (predictor == 2 && bits != 8) return null // §14: per-sample diffs
     val bitsPP = bits * spp
-    val rowBytes = (width * bitsPP + 7) / 8
-    val out = new Array[Byte](width * height * 3)
     val levels = 1 << bits
     val scale = if (bits == 8) 1 else 255 / (levels - 1)
-    var strip = 0
-    var y0 = 0
-    while (strip < offsets.length) {
-      val rows = math.min(rowsPerStrip, height - y0)
-      val need = rows * rowBytes
-      val data: Array[Byte] =
-        if (compression == 1) {
-          val o = offsets(strip)
-          if (o < 0 || counts(strip) < need ||
-            o.toLong + need > b.length) return null
-          java.util.Arrays.copyOfRange(b, o, o + need)
-        } else {
-          val o = offsets(strip)
-          val len = counts(strip)
-          if (o < 0 || len < 0 || o.toLong + len > b.length) return null
-          val d = packBits(b, o, len, need)
-          if (d == null) return null
-          d
+    val out = new Array[Byte](width * height * 3)
+
+    // decompress one segment (strip or tile) to exactly `need` bytes
+    def segment(off: Int, len: Int, need: Int): Array[Byte] = {
+      if (off < 0 || len < 0 || off.toLong + len > b.length) return null
+      compression match {
+        case 1 =>
+          if (len < need || off.toLong + need > b.length) null
+          else java.util.Arrays.copyOfRange(b, off, off + need)
+        case 32773 => packBits(b, off, len, need)
+        case 5 => lzw(b, off, len, need)
+        case _ => inflate(b, off, len, need)
+      }
+    }
+
+    // §14 Predictor 2: undo horizontal differencing in place, per
+    // segment row, with one accumulator per sample channel
+    def unpredict(data: Array[Byte], segRowBytes: Int, cols: Int): Unit = {
+      var p = 0
+      while (p < data.length) {
+        var i = spp
+        val rowEnd = math.min(p + cols * spp, p + segRowBytes)
+        while (p + i < rowEnd) {
+          data(p + i) = (data(p + i) + data(p + i - spp)).toByte
+          i += 1
         }
+        p += segRowBytes
+      }
+    }
+
+    // paint `cols`×`rows` pixels of a decoded segment into the canvas
+    def paint(data: Array[Byte], segRowBytes: Int, x0: Int, y0: Int,
+        cols: Int, rows: Int): Unit = {
       var ry = 0
       while (ry < rows) {
         val y = y0 + ry
-        var x = 0
-        while (x < width) {
+        var cx = 0
+        while (cx < cols) {
           var r = 0; var g = 0; var bl = 0
           if (spp >= 3) {
-            val p = ry * rowBytes + x * spp
+            val p = ry * segRowBytes + cx * spp
             r = data(p) & 0xFF; g = data(p + 1) & 0xFF; bl = data(p + 2) & 0xFF
           } else {
-            val bitOff = x * bits
-            val byteV = data(ry * rowBytes + (bitOff >> 3)) & 0xFF
+            val bitOff = cx * bits
+            val byteV = data(ry * segRowBytes + (bitOff >> 3)) & 0xFF
             val shift = 8 - bits - (bitOff & 7)
             var v = (byteV >> shift) & (levels - 1)
             if (photometric == 0) v = levels - 1 - v // WhiteIsZero
@@ -162,16 +171,163 @@ object TiffDecode {
               bl = (palette(2 * levels + v) >> 8) & 0xFF
             } else { r = v * scale; g = r; bl = r }
           }
-          val dp = (y * width + x) * 3
+          val dp = (y * width + x0 + cx) * 3
           out(dp) = r.toByte; out(dp + 1) = g.toByte; out(dp + 2) = bl.toByte
-          x += 1
+          cx += 1
         }
         ry += 1
       }
-      y0 += rows
-      strip += 1
+    }
+
+    val tiled = entries.contains(322) || entries.contains(323) ||
+      entries.contains(324) || entries.contains(325)
+    if (tiled) {
+      // §15 tiled layout: a full grid of fixed-size tiles, each padded
+      // to tileW×tileL; strip tags must be absent (mixed layouts refuse)
+      if (entries.contains(273) || entries.contains(279)) return null
+      val tileW = scalar(322, -1)
+      val tileL = scalar(323, -1)
+      if (tileW <= 0 || tileL <= 0) return null
+      if (tileW.toLong * tileL > 64L * 1024 * 1024) return null
+      val offsets = values(324)
+      val counts = values(325)
+      if (offsets == null || counts == null ||
+        offsets.length != counts.length) return null
+      val across = (width + tileW - 1) / tileW
+      val down = (height + tileL - 1) / tileL
+      if (offsets.length != across * down) return null
+      val tileRowBytes = (tileW * bitsPP + 7) / 8
+      val need = tileRowBytes * tileL
+      var t = 0
+      while (t < offsets.length) {
+        val data = segment(offsets(t), counts(t), need)
+        if (data == null) return null
+        if (predictor == 2) unpredict(data, tileRowBytes, tileW)
+        val x0 = (t % across) * tileW
+        val y0 = (t / across) * tileL
+        paint(data, tileRowBytes, x0, y0,
+          math.min(tileW, width - x0), math.min(tileL, height - y0))
+        t += 1
+      }
+    } else {
+      val offsets = values(273)
+      val counts = values(279)
+      if (offsets == null || counts == null ||
+        offsets.length != counts.length || offsets.isEmpty) return null
+      val rowsPerStrip = {
+        val v = scalar(278, height)
+        if (v <= 0) height else math.min(v, height)
+      }
+      if ((height + rowsPerStrip - 1) / rowsPerStrip != offsets.length)
+        return null
+      val rowBytes = (width * bitsPP + 7) / 8
+      var strip = 0
+      var y0 = 0
+      while (strip < offsets.length) {
+        val rows = math.min(rowsPerStrip, height - y0)
+        val need = rows * rowBytes
+        val data = segment(offsets(strip), counts(strip), need)
+        if (data == null) return null
+        if (predictor == 2) unpredict(data, rowBytes, width)
+        paint(data, rowBytes, 0, y0, width, rows)
+        y0 += rows
+        strip += 1
+      }
     }
     new Rgb(width, height, out)
+  }
+
+  /** TIFF LZW (6.0 §13): MSB-first codes, 9→12 bit widths with the
+    * early-change convention (width bumps when the NEXT free code
+    * reaches `2^w - 1`), Clear (256) resets mid-stream, EOI (257)
+    * ends. Decodes exactly `need` bytes or refuses.
+    */
+  private[graft] def lzw(b: Array[Byte], from: Int, len: Int,
+      need: Int): Array[Byte] = {
+    val out = new Array[Byte](need)
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val strlen = new Array[Int](4096)
+    val firstB = new Array[Byte](4096)
+    var next = 258
+    var codeSize = 9
+    var prev = -1
+    var o = 0
+    var bitPos = from.toLong * 8
+    val endBits = (from.toLong + len) * 8
+    def read(): Int = {
+      if (bitPos + codeSize > endBits) return -1
+      var v = 0
+      var n = codeSize
+      while (n > 0) {
+        val bi = (bitPos >> 3).toInt
+        val bo = (bitPos & 7).toInt
+        val take = math.min(8 - bo, n)
+        v = (v << take) |
+          (((b(bi) & 0xFF) >> (8 - bo - take)) & ((1 << take) - 1))
+        bitPos += take
+        n -= take
+      }
+      v
+    }
+    def lenOf(c: Int): Int = if (c < 256) 1 else strlen(c)
+    def firstOf(c: Int): Byte = if (c < 256) c.toByte else firstB(c)
+    def emit(c: Int): Boolean = {
+      val l = lenOf(c)
+      if (o + l > need) return false
+      var k = c
+      var i = o + l - 1
+      while (k >= 256) { out(i) = suffix(k); i -= 1; k = prefix(k) }
+      out(i) = k.toByte
+      o += l
+      true
+    }
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code < 0) return null
+      if (code == 257) done = true // EOI
+      else if (code == 256) { next = 258; codeSize = 9; prev = -1 }
+      else if (prev < 0) {
+        if (code > 255) return null // first code after clear is literal
+        if (!emit(code)) return null
+        prev = code
+      } else {
+        if (code > next) return null // forward reference past KwKwK
+        if (next < 4096) {
+          // the entry string(prev)+first(code-or-prev) — added BEFORE
+          // emitting so the KwKwK case (code == next) resolves
+          prefix(next) = prev
+          suffix(next) = if (code == next) firstOf(prev) else firstOf(code)
+          strlen(next) = lenOf(prev) + 1
+          firstB(next) = firstOf(prev)
+          next += 1
+          if (next == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+        }
+        if (!emit(code)) return null
+        prev = code
+      }
+    }
+    if (o != need) null else out
+  }
+
+  /** TIFF Deflate (8 / legacy 32946): one zlib stream per segment. */
+  private def inflate(b: Array[Byte], from: Int, len: Int,
+      need: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(b, from, len)
+      val out = new Array[Byte](need)
+      var o = 0
+      while (o < need && !inf.finished()) {
+        val n = inf.inflate(out, o, need - o)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return null
+        o += n
+      }
+      if (o != need) null else out
+    } catch {
+      case _: java.util.zip.DataFormatException => null
+    } finally inf.end()
   }
 
   /** PackBits (TIFF 6.0 §9): decompress exactly `need` bytes from

@@ -257,46 +257,98 @@ object ImageWriter {
     pngEncode(width, height, depth, 2,
       (x, y) => { val (r, g, b) = f(x, y); Array(r, g, b) }, interlaced)
 
-  /** Baseline TIFF writer twin of [[graft.expressions.TiffDecode]]:
-    * grayscale (1/4/8 bits, either photometric), 8-bit RGB, or
-    * palette-color; both byte orders; multi-strip layouts; optional
-    * PackBits strip compression (its own run finder). `px(x, y)` is the
-    * gray level / palette index / packed 0xRRGGBB per mode.
+  /** TIFF writer twin of [[graft.expressions.TiffDecode]]: grayscale
+    * (1/4/8 bits, either photometric), 8-bit RGB, or palette-color;
+    * both byte orders; strip OR tiled layouts (`tileWidth`/`tileLength`
+    * — §15 requires multiples of 16); segment compression none,
+    * PackBits, TIFF LZW (early-change convention) or Deflate (zlib);
+    * optional Predictor 2 horizontal differencing (8-bit modes).
+    * `px(x, y)` is the gray level / palette index / packed 0xRRGGBB
+    * per mode.
     */
   def tiffImage(width: Int, height: Int, px: (Int, Int) => Int,
       bits: Int = 8, rgb: Boolean = false, palette: Array[Int] = null,
       photometric: Int = -1, littleEndian: Boolean = true,
-      rowsPerStrip: Int = 0, packBits: Boolean = false): Array[Byte] = {
+      rowsPerStrip: Int = 0, packBits: Boolean = false,
+      lzw: Boolean = false, deflate: Boolean = false,
+      predictor: Boolean = false,
+      tileWidth: Int = 0, tileLength: Int = 0): Array[Byte] = {
     require(!rgb || bits == 8)
+    require(Seq(packBits, lzw, deflate).count(identity) <= 1,
+      "pick at most one compression")
+    require(!predictor || bits == 8, "Predictor 2 needs 8-bit samples")
+    val tiled = tileWidth > 0 || tileLength > 0
+    require(!tiled || (tileWidth % 16 == 0 && tileLength % 16 == 0),
+      "tile dims must be multiples of 16 (TIFF 6.0 section 15)")
+    val compId =
+      if (packBits) 32773 else if (lzw) 5 else if (deflate) 8 else 1
     val spp = if (rgb) 3 else 1
     val photo =
       if (photometric >= 0) photometric
       else if (rgb) 2 else if (palette != null) 3 else 1
     val levels = 1 << bits
     val rps = if (rowsPerStrip <= 0) height else rowsPerStrip
-    val rowBytes = (width * bits * spp + 7) / 8
-    // build raw strips
-    val strips = (0 until height by rps).map { y0 =>
-      val rows = math.min(rps, height - y0)
-      val raw = new Array[Byte](rows * rowBytes)
-      for (ry <- 0 until rows; x <- 0 until width) {
-        val v = px(x, y0 + ry)
-        if (rgb) {
-          val p = ry * rowBytes + x * 3
-          raw(p) = ((v >> 16) & 0xFF).toByte
-          raw(p + 1) = ((v >> 8) & 0xFF).toByte
-          raw(p + 2) = (v & 0xFF).toByte
-        } else {
-          val stored =
-            if (photo == 0) levels - 1 - (v & (levels - 1)) else v & (levels - 1)
-          val bitOff = x * bits
-          val shift = 8 - bits - (bitOff & 7)
-          raw(ry * rowBytes + (bitOff >> 3)) =
-            (raw(ry * rowBytes + (bitOff >> 3)) | (stored << shift)).toByte
+
+    // fill one segment's raw bytes from the pixel function; coordinates
+    // beyond the image (tile padding) stay zero
+    def rawSegment(x0: Int, y0: Int, cols: Int, rows: Int,
+        segRowBytes: Int): Array[Byte] = {
+      val raw = new Array[Byte](rows * segRowBytes)
+      for (ry <- 0 until rows; cx <- 0 until cols) {
+        val x = x0 + cx
+        val y = y0 + ry
+        if (x < width && y < height) {
+          val v = px(x, y)
+          if (rgb) {
+            val p = ry * segRowBytes + cx * 3
+            raw(p) = ((v >> 16) & 0xFF).toByte
+            raw(p + 1) = ((v >> 8) & 0xFF).toByte
+            raw(p + 2) = (v & 0xFF).toByte
+          } else {
+            val stored =
+              if (photo == 0) levels - 1 - (v & (levels - 1))
+              else v & (levels - 1)
+            val bitOff = cx * bits
+            val shift = 8 - bits - (bitOff & 7)
+            raw(ry * segRowBytes + (bitOff >> 3)) =
+              (raw(ry * segRowBytes + (bitOff >> 3)) | (stored << shift)).toByte
+          }
         }
       }
-      if (packBits) packBitsEncode(raw) else raw
+      if (predictor) { // §14: row-wise sample differencing, back to front
+        var p = 0
+        while (p < raw.length) {
+          var i = segRowBytes - 1
+          while (i >= spp) {
+            raw(p + i) = (raw(p + i) - raw(p + i - spp)).toByte
+            i -= 1
+          }
+          p += segRowBytes
+        }
+      }
+      raw
     }
+    def compress(raw: Array[Byte]): Array[Byte] = compId match {
+      case 32773 => packBitsEncode(raw)
+      case 5 => lzwEncode(raw)
+      case 8 => deflateEncode(raw)
+      case _ => raw
+    }
+    val (strips, _) =
+      if (tiled) {
+        val across = (width + tileWidth - 1) / tileWidth
+        val down = (height + tileLength - 1) / tileLength
+        val segRowBytes = (tileWidth * bits * spp + 7) / 8
+        ((for (ty <- 0 until down; tx <- 0 until across) yield
+          compress(rawSegment(tx * tileWidth, ty * tileLength,
+            tileWidth, tileLength, segRowBytes))), across)
+      } else {
+        val rowBytes = (width * bits * spp + 7) / 8
+        ((0 until height by rps).map { y0 =>
+          compress(rawSegment(0, y0, width,
+            math.min(rps, height - y0), rowBytes))
+        }, 0)
+      }
     def w16(v: Int): Array[Byte] =
       if (littleEndian) Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
       else Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
@@ -306,8 +358,10 @@ object ImageWriter {
       else Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
         ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
 
-    // tags: 256,257,258,259,262,273,277,278,279 (+320 palette)
-    val nTags = 9 + (if (palette != null) 1 else 0)
+    // tags, ascending: 256,257,258,259,262,[273],277,[278,279],
+    // [317],[320],[322,323,324,325]
+    val nTags = (if (tiled) 10 else 9) +
+      (if (predictor) 1 else 0) + (if (palette != null) 1 else 0)
     val ifdOff = 8
     val ifdSize = 2 + nTags * 12 + 4
     var extraOff = ifdOff + ifdSize // offset-stored arrays land here
@@ -363,19 +417,102 @@ object ImageWriter {
     tag(256, 4, 1, w32(width))
     tag(257, 4, 1, w32(height))
     tag(258, 3, spp, bitsField)
-    tag(259, 3, 1, shortField(if (packBits) 32773 else 1))
+    tag(259, 3, 1, shortField(compId))
     tag(262, 3, 1, shortField(photo))
-    tag(273, 4, strips.length,
-      if (offFieldSpill) w32(offAt) else w32(stripOffsets.head))
+    if (!tiled)
+      tag(273, 4, strips.length,
+        if (offFieldSpill) w32(offAt) else w32(stripOffsets.head))
     tag(277, 3, 1, shortField(spp))
-    tag(278, 4, 1, w32(rps))
-    tag(279, 4, strips.length,
-      if (cntFieldSpill) w32(cntAt) else w32(strips.head.length))
+    if (!tiled) {
+      tag(278, 4, 1, w32(rps))
+      tag(279, 4, strips.length,
+        if (cntFieldSpill) w32(cntAt) else w32(strips.head.length))
+    }
+    if (predictor) tag(317, 3, 1, shortField(2))
     if (palField != null) tag(320, 3, 3 * levels, palField)
+    if (tiled) {
+      tag(322, 4, 1, w32(tileWidth))
+      tag(323, 4, 1, w32(tileLength))
+      tag(324, 4, strips.length,
+        if (offFieldSpill) w32(offAt) else w32(stripOffsets.head))
+      tag(325, 4, strips.length,
+        if (cntFieldSpill) w32(cntAt) else w32(strips.head.length))
+    }
     out.write(w32(0)) // next IFD
     out.write(extra.toByteArray)
     strips.foreach(out.write)
     out.toByteArray
+  }
+
+  /** TIFF LZW encode (6.0 §13): MSB-first variable-width codes 9→12
+    * bits with the early-change convention mirrored by
+    * [[graft.expressions.TiffDecode]]; emits Clear at stream start and
+    * again before the table fills (at next code 4094), EOI at end.
+    */
+  def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(raw.length / 2 + 16)
+    var cur = 0L
+    var curBits = 0
+    var codeSize = 9
+    var next = 258
+    val dict = new java.util.HashMap[Integer, Integer](8192)
+    def put(code: Int): Unit = {
+      cur = (cur << codeSize) | code
+      curBits += codeSize
+      while (curBits >= 8) {
+        out.write(((cur >>> (curBits - 8)) & 0xFF).toInt)
+        curBits -= 8
+      }
+    }
+    put(256) // Clear
+    var prev = -1
+    var i = 0
+    while (i < raw.length) {
+      val k = raw(i) & 0xFF
+      if (prev < 0) prev = k
+      else {
+        val key = Integer.valueOf((prev << 8) | k)
+        val e = dict.get(key)
+        if (e != null) prev = e.intValue()
+        else {
+          put(prev)
+          dict.put(key, Integer.valueOf(next))
+          next += 1
+          // width pairing with the early-change decoder: the decoder
+          // (which lags this table by one entry) bumps at 2^w - 1, so
+          // the emitter bumps when the next assignment would be 2^w
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+          if (next == 4094) { // leave room: Clear + reset, spec note
+            put(256)
+            dict.clear()
+            next = 258
+            codeSize = 9
+          }
+          prev = k
+        }
+      }
+      i += 1
+    }
+    if (prev >= 0) put(prev)
+    put(257) // EOI
+    if (curBits > 0) out.write(((cur << (8 - curBits)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** TIFF Deflate (8): one zlib stream per segment. */
+  def deflateEncode(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(raw)
+      d.finish()
+      val out = new ByteArrayOutputStream(raw.length / 2 + 16)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) {
+        val n = d.deflate(buf)
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally d.end()
   }
 
   /** PackBits encode (TIFF 6.0 §9): repeat runs ≥ 3 become two-byte

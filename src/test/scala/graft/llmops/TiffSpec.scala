@@ -64,6 +64,134 @@ class TiffSpec extends SparkTestBase {
     }
   }
 
+  test("LZW, Deflate, predictor and tiled layouts round trip") {
+    val w = 37; val h = 29
+    val g = gray(3) _
+    for (le <- Seq(true, false);
+        (tag, enc) <- Seq(
+          "lzw" -> ((pred: Boolean) => ImageWriter.tiffImage(w, h, g,
+            littleEndian = le, lzw = true, predictor = pred)),
+          "deflate" -> ((pred: Boolean) => ImageWriter.tiffImage(w, h, g,
+            littleEndian = le, deflate = true, predictor = pred)),
+          "lzwstrips" -> ((pred: Boolean) => ImageWriter.tiffImage(w, h, g,
+            littleEndian = le, lzw = true, predictor = pred,
+            rowsPerStrip = 7)),
+          "tiled" -> ((pred: Boolean) => ImageWriter.tiffImage(w, h, g,
+            littleEndian = le, tileWidth = 16, tileLength = 16,
+            predictor = pred)),
+          "tiledlzw" -> ((pred: Boolean) => ImageWriter.tiffImage(w, h, g,
+            littleEndian = le, lzw = true, tileWidth = 16, tileLength = 16,
+            predictor = pred)),
+          "tileddeflate" -> ((pred: Boolean) => ImageWriter.tiffImage(w, h,
+            g, littleEndian = le, deflate = true, tileWidth = 32,
+            tileLength = 16, predictor = pred)));
+        pred <- Seq(false, true)) {
+      val d = TiffDecode.decode(enc(pred))
+      assert(d != null, s"$tag le=$le pred=$pred")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(d, x, y)._1 === g(x, y), s"$tag le=$le pred=$pred ($x,$y)")
+    }
+    // RGB through LZW + predictor (3-sample differencing) and tiles
+    def rgbf(x: Int, y: Int) =
+      ((x * 7 + y) % 256 << 16) | ((y * 5 + x) % 256 << 8) | ((x ^ y) % 256)
+    for (bytes <- Seq(
+        ImageWriter.tiffImage(w, h, rgbf, rgb = true, lzw = true,
+          predictor = true),
+        ImageWriter.tiffImage(w, h, rgbf, rgb = true, deflate = true,
+          tileWidth = 16, tileLength = 16, predictor = true))) {
+      val d = TiffDecode.decode(bytes)
+      assert(d != null)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = rgbf(x, y)
+        assert(px(d, x, y) ===
+          (((v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF)), s"rgb ($x,$y)")
+      }
+    }
+    // an LZW stream long enough to cross the 9->10->11-bit widths and
+    // a mid-stream Clear: incompressible pseudo-random bytes
+    val wide = 200; val tall = 60
+    def noisy(x: Int, y: Int) = (x * 131 + y * 197 + ((x * y) >> 3)) % 256
+    val big = TiffDecode.decode(
+      ImageWriter.tiffImage(wide, tall, noisy, lzw = true))
+    assert(big != null)
+    for (y <- 0 until tall; x <- 0 until wide by 7)
+      assert(px(big, x, y)._1 === noisy(x, y), s"noisy ($x,$y)")
+  }
+
+  test("ImageIO reads the writer's LZW/Deflate/tiled streams") {
+    val w = 41; val h = 23
+    val g = gray(9) _
+    for ((tag, bytes) <- Seq(
+        "lzw" -> ImageWriter.tiffImage(w, h, g, lzw = true),
+        "lzwpred" -> ImageWriter.tiffImage(w, h, g, lzw = true,
+          predictor = true),
+        "deflate" -> ImageWriter.tiffImage(w, h, g, deflate = true),
+        "tiledlzw" -> ImageWriter.tiffImage(w, h, g, lzw = true,
+          tileWidth = 16, tileLength = 16),
+        "lzwbe" -> ImageWriter.tiffImage(w, h, g, lzw = true,
+          littleEndian = false))) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO refused $tag")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) === g(x, y), s"$tag ($x,$y)")
+    }
+    // a stream long enough to cross the 9->10->11-bit code widths:
+    // pins the early-change pairing against a foreign decoder
+    def noisy(x: Int, y: Int) = (x * 131 + y * 197 + ((x * y) >> 3)) % 256
+    val big = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      ImageWriter.tiffImage(200, 60, noisy, lzw = true)))
+    assert(big != null, "ImageIO refused the wide-code LZW stream")
+    for (y <- 0 until 60; x <- 0 until 200 by 7)
+      assert(big.getRaster.getSample(x, y, 0) === noisy(x, y), s"($x,$y)")
+  }
+
+  test("decoder reads ImageIO's LZW and Deflate encodes") {
+    val w = 33; val h = 21
+    def mk(compression: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, gray(5)(x, y))
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val p = wr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType(compression)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); wr.dispose()
+      bos.toByteArray
+    }
+    for (comp <- Seq("LZW", "Deflate", "ZLib", "PackBits")) {
+      val d = TiffDecode.decode(mk(comp))
+      assert(d != null, s"refused ImageIO $comp stream")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(d, x, y)._1 === gray(5)(x, y), s"$comp ($x,$y)")
+    }
+    // foreign LZW across the 9->10->11-bit widths (the reverse of the
+    // writer-side wide-code pin)
+    def noisy(x: Int, y: Int) = (x * 137 + y * 211 + ((x * y) >> 2)) % 256
+    val big = new java.awt.image.BufferedImage(220, 60,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 60; x <- 0 until 220)
+      big.getRaster.setSample(x, y, 0, noisy(x, y))
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionType("LZW")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(big, null, null), p)
+    ios.close(); wr.dispose()
+    val d = TiffDecode.decode(bos.toByteArray)
+    assert(d != null, "refused ImageIO wide-code LZW stream")
+    for (y <- 0 until 60; x <- 0 until 220 by 7)
+      assert(px(d, x, y)._1 === noisy(x, y), s"wide ($x,$y)")
+  }
+
   test("JDK ImageIO agrees on the writer's streams") {
     val w = 19; val h = 13
     val g = gray(8) _
@@ -92,11 +220,10 @@ class TiffSpec extends SparkTestBase {
     val bos = new java.io.ByteArrayOutputStream()
     assert(javax.imageio.ImageIO.write(img, "tiff", bos))
     val mine = TiffDecode.decode(bos.toByteArray)
-    if (mine != null) { // ImageIO may emit LZW; accept-or-refuse honestly
-      assert(mine.width === w && mine.height === h)
-      for (y <- 0 until h; x <- 0 until w)
-        assert(px(mine, x, y)._1 === gray(12)(x, y), s"($x,$y)")
-    }
+    assert(mine != null, "default ImageIO stream must decode (LZW covered)")
+    assert(mine.width === w && mine.height === h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(px(mine, x, y)._1 === gray(12)(x, y), s"($x,$y)")
   }
 
   test("tiff joins the cross-format hash space; histogram arm works") {
@@ -115,7 +242,7 @@ class TiffSpec extends SparkTestBase {
     assert(stats.getDouble(3) === 0.0 && stats.getInt(4) === 77)
   }
 
-  test("refusals: dims-only stub, LZW, truncation, strip overruns") {
+  test("refusals: dims-only stub, truncation, strip overruns") {
     // the dims-only MediaWriter stub has no strip tags: refuse
     assert(TiffDecode.decode(MediaWriter.tiff(100, 50)) === null)
     val good = ImageWriter.tiffImage(20, 10, gray(1))
@@ -125,5 +252,52 @@ class TiffSpec extends SparkTestBase {
     assert(TiffDecode.decode("II*".getBytes("ISO-8859-1") ++ Array[Byte](0) ++ "garbage".getBytes) === null)
     assert(TiffDecode.decode("not a tiff".getBytes) === null)
     assert(TiffDecode.decode(null) === null)
+  }
+
+  test("compressed refusals: truncated LZW/Deflate/tiled streams never crash") {
+    for (good <- Seq(
+        ImageWriter.tiffImage(30, 20, gray(2), lzw = true),
+        ImageWriter.tiffImage(30, 20, gray(2), deflate = true),
+        ImageWriter.tiffImage(30, 20, gray(2), lzw = true,
+          tileWidth = 16, tileLength = 16))) {
+      assert(TiffDecode.decode(good) != null)
+      for (cut <- Seq(9, 40, good.length / 2, good.length - 3))
+        assert(TiffDecode.decode(good.take(cut)) === null, s"cut=$cut")
+      // corrupt the compressed body mid-stream: refuse or decode, never
+      // throw; flipped dictionary codes must not yield forward refs
+      val c = good.clone()
+      c(good.length - 10) = (c(good.length - 10) ^ 0x55).toByte
+      TiffDecode.decode(c) // must not throw
+    }
+    // JPEG-in-TIFF still refuses
+    val j = ImageWriter.tiffImage(20, 10, gray(1))
+    // forge compression tag 259 (type SHORT at fixed IFD slot) to 7
+    var i = 0
+    var found = -1
+    while (found < 0 && i + 12 <= j.length) {
+      if ((j(i) & 0xFF) == 3 && (j(i + 1) & 0xFF) == 1) found = i
+      i += 1
+    }
+    assert(found > 0)
+    j(found + 8) = 7
+    assert(TiffDecode.decode(j) === null)
+  }
+
+  test("lzw kernel: direct round trips incl. width growth and clear codes") {
+    for ((tag, raw) <- Seq(
+        "runs" -> Array.tabulate[Byte](1073)(i => ((i / 37) % 7).toByte),
+        "tiny" -> Array[Byte](1, 2, 3),
+        "single" -> Array[Byte](42),
+        "empty" -> Array.empty[Byte],
+        "noise" -> Array.tabulate[Byte](12000)(i =>
+          ((i * 131 + (i * i) % 251) % 256).toByte),
+        // long enough to force a mid-stream Clear (table refill)
+        "huge" -> Array.tabulate[Byte](300000)(i =>
+          ((i * 89 + (i * i) % 509) % 256).toByte))) {
+      val enc = ImageWriter.lzwEncode(raw)
+      val dec = graft.expressions.TiffDecode.lzw(enc, 0, enc.length, raw.length)
+      assert(dec != null, s"$tag: decode refused")
+      assert(java.util.Arrays.equals(dec, raw), s"$tag: mismatch")
+    }
   }
 }
