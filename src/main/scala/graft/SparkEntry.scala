@@ -242,6 +242,63 @@ object SparkEntry {
       }
     }
 
+  /** Shared WAV↔Ogg-Vorbis twin fixture set for q156: ids < 120 carry
+    * the q133 amplitude-ladder waveform (per-envelope-cell amplitudes
+    * 2/8/32, never two adjacent cells equal — the separation that lets
+    * a LOSSY codec keep all 64 envelope bits exactly) as WAV and as a
+    * real Ogg Vorbis stream from [[graft.llmops.VorbisWriter]].
+    * Refusal tiers: sub-envelope clips, Ogg Opus, CRC-corrupted pages,
+    * non-audio bytes.
+    */
+  private def oggTwinFixturesDF(ss: SparkSession, dir: String): DataFrame =
+    fixtureTable(ss, dir, "oggtwin", StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("fmt", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))) {
+      val ids = t(ss, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      val W = graft.llmops.MediaWriter
+      val V = graft.llmops.VorbisWriter
+      ids.flatMap { id =>
+        if (id < 120) {
+          val pid = id.toInt
+          val ch = 1 + pid % 2
+          val seed = pid % 251
+          val nf = 6500 + 130 * (pid % 4)
+          val samples = new Array[Int](nf * ch)
+          var n = 0
+          while (n < nf) {
+            val cell = (((n + 1).toLong * 65 - 1) / nf).toInt
+            val amp = 2 << (2 * ((cell * 7 + seed) % 3)) // 2, 8, 32
+            var c = 0
+            while (c < ch) {
+              // %2040-1020 keeps 32x inside the 16-bit domain (32768
+              // would wrap the WAV arm's Short)
+              samples(n * ch + c) =
+                amp * ((((seed + 7) * n + 11 * c) % 2040) - 1020)
+              c += 1
+            }
+            n += 1
+          }
+          Seq(Row(id, "wav",
+              W.wavFromSamples(ch, 8000, samples.map(_.toShort))),
+            Row(id, "ogg", V.ogg(ch, 8000, samples)))
+        } else if (id < 140) { // decodes, but under the 65-cell envelope
+          Seq(Row(id, "ogg",
+            V.ogg(1, 8000, Array.tabulate(30)(i => 700 * (i % 5 - 2)))))
+        } else if (id < 160) { // Ogg, but Opus: not Vorbis
+          Seq(Row(id, "ogg", W.ogg(2, 48000, opus = true)))
+        } else if (id < 180) { // CRC-corrupt page: wholesale refusal
+          val b = V.ogg(1, 8000,
+            Array.tabulate(2000)(i => 600 * (i % 7 - 3)))
+          b(b.length - 15) = (b(b.length - 15) ^ 0x5A).toByte
+          Seq(Row(id, "ogg", b))
+        } else {
+          Seq(Row(id, "ogg", s"not audio $id".getBytes("UTF-8")))
+        }
+      }
+    }
+
   private def mp3TwinFixturesDF(ss: SparkSession, dir: String): DataFrame =
     fixtureTable(ss, dir, "mp3twin", StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -2107,6 +2164,37 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q156_ogg_twins" -> ((s, dir) => {
+      // the third compressed-audio family: the SAME closed-form PCM as
+      // WAV and as a real Ogg Vorbis stream (full spec machinery:
+      // codebooks, floor1, two-pass residue cascade, MDCT lapping,
+      // granule trim); the dispatching envelope hash must land on
+      // IDENTICAL bits (hamming 0) and AvMeta's ident-header fields
+      // must agree with the decode geometry. Refusal tiers (sub-
+      // envelope, Opus, CRC-corrupt, non-audio) come back NULL
+      val ss = tuned(s)
+      val M = graft.llmops.Multimodal
+      val src = oggTwinFixturesDF(ss, dir)
+      src.withColumn("eh", M.audioEnvelopeHash(col("content")))
+        .withColumn("av", M.avMeta(col("content")))
+        .groupBy(col("doc_id")).agg(
+          max(when(col("fmt") === "wav", col("eh"))).as("wh"),
+          max(when(col("fmt") === "ogg", col("eh"))).as("oh"),
+          max(when(col("fmt") === "ogg", col("av.format"))).as("ofmt"),
+          max(when(col("fmt") === "ogg", col("av.channels"))).as("och"))
+        .select(col("doc_id"),
+          shiftrightunsigned(col("wh"), 32).as("hash_hi"),
+          col("wh").bitwiseAND(lit(0xFFFFFFFFL)).as("hash_lo"),
+          when(col("wh").isNotNull && col("oh").isNotNull,
+            bit_count(col("wh").bitwiseXOR(col("oh"))).cast("long"))
+            .as("hamming"),
+          when(col("oh").isNotNull,
+            col("ofmt") === "vorbis" &&
+              col("och") === (col("doc_id") % 2 + 1).cast("int"))
+            .as("meta_ok"))
+        .orderBy("doc_id")
+    }),
+
     "q155_crawl_media" -> ((s, dir) => {
       // crawl→media composition: mixed WARC archives (an HTML page +
       // a PNG response per id, audio/wav on id%4==0, undecodable
@@ -3907,6 +3995,50 @@ object SparkEntry {
          WHERE bit_count(xor(a.dh_hi, b.dh_hi))
              + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
          ORDER BY key_a, key_b""",
+
+    // q156: the envelope hash replayed closed-form from the ladder
+    // signal (mono mix → 65 energy cells → gradient bits); the Ogg arm
+    // is lossy but the 4x per-cell amplitude ladder keeps every bit,
+    // so hamming is literal 0 and the ident metadata agrees.
+    "q156_ogg_twins" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+             doc_id % 251 AS seed,
+             6500 + 130 * (doc_id % 4) AS nf
+           FROM documents WHERE doc_id < 200),
+         mono AS (
+           SELECT i.doc_id, i.nf, n.n,
+             sum((CASE ((((n.n + 1) * 65 - 1) // i.nf) * 7 + i.seed) % 3
+                   WHEN 0 THEN 2 WHEN 1 THEN 8 ELSE 32 END) *
+               (((i.seed + 7) * n.n + 11 * c.c) % 2040 - 1020)) AS m
+           FROM ids i, range(6890) n(n), range(2) c(c)
+           WHERE i.doc_id < 120 AND n.n < i.nf AND c.c < i.ch
+           GROUP BY 1, 2, 3),
+         cells AS (
+           SELECT doc_id, ((n + 1) * 65 - 1) // nf AS cell,
+             sum(abs(m)) AS e, count(*) AS cnt
+           FROM mono GROUP BY 1, 2),
+         bits AS (
+           SELECT l.doc_id, l.cell AS k
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cell = l.cell + 1
+           WHERE r.e * l.cnt > l.e * r.cnt),
+         hashes AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS lo
+           FROM (SELECT DISTINCT doc_id FROM mono) d
+           LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id)
+         SELECT i.doc_id,
+           CASE WHEN i.doc_id < 120 THEN h.hi END AS hash_hi,
+           CASE WHEN i.doc_id < 120 THEN h.lo END AS hash_lo,
+           CASE WHEN i.doc_id < 120 THEN CAST(0 AS BIGINT) END AS hamming,
+           CASE WHEN i.doc_id < 120 THEN TRUE END AS meta_ok
+         FROM ids i LEFT JOIN hashes h USING (doc_id)
+         ORDER BY i.doc_id""",
 
     // q155: media routing — image rows carry the q144 closed-form
     // dhash split into 32-bit halves, audio rows NULL hashes, HTML

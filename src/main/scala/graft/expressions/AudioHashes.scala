@@ -11,9 +11,11 @@ import graft.llmops.{Mp3, Mp3Pcm}
 /** Container-dispatching audio decode for the fingerprint family: RIFF
   * bytes take [[WavSamples.decodePcm16]]'s exact-integer path, MP3 sync
   * bytes take the full [[graft.llmops.Mp3]] decode with output rounded
-  * (and clamped) to the same 16-bit integer domain. Everything else —
-  * including the containers the MP3 decoder refuses (Layer I/II, LSF,
-  * escape-table frames, short-block streams) — is NULL.
+  * (and clamped) to the same 16-bit integer domain, FLAC decodes
+  * lossless (bit-equal to its WAV source), and OggS bytes take the
+  * full [[graft.llmops.Vorbis]] decode (rounded like MP3). Everything
+  * else — including the containers each decoder refuses (Layer I/II,
+  * LSF, Ogg Opus, floor-0 Vorbis, 24-bit FLAC) — is NULL.
   */
 private[expressions] object AudioPcm {
 
@@ -29,6 +31,20 @@ private[expressions] object AudioPcm {
       val out = new Array[Int](d.nSamples)
       var i = 0
       while (i < d.nSamples) { out(i) = d.sample(i); i += 1 }
+      new Clip(d.channels, d.sampleRate, out, -1)
+    } else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S') {
+      // Ogg Vorbis: lossy like MP3, so samples round-and-clamp into
+      // the shared 16-bit integer fingerprint domain
+      val d = graft.llmops.Vorbis.decode(b)
+      if (d == null) return null
+      val out = new Array[Int](d.samples.length)
+      var i = 0
+      while (i < d.samples.length) {
+        val v = Math.rint(d.samples(i))
+        out(i) =
+          if (v < -32768.0) -32768 else if (v > 32767.0) 32767 else v.toInt
+        i += 1
+      }
       new Clip(d.channels, d.sampleRate, out, -1)
     } else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') {
       // FLAC is lossless: a 16-bit clip decodes to the IDENTICAL sample

@@ -434,6 +434,37 @@ class CorpusIngestSpec extends SparkTestBase {
       .collect().sorted.toSeq === Seq(1L, 3L))
   }
 
+  test("ingestAudioBatch accepts Ogg Vorbis: cross-container dup drops") {
+    val root = Files.createTempDirectory("graft-ingest-ogg").toString
+    val corpus = s"$root/corpus"
+    val sigs = s"$root/sigs"
+    // the q156 ladder contour: adjacent envelope cells >= 4x apart, so
+    // the lossy Vorbis re-encode keeps every envelope bit
+    def pcm(seed: Int): Array[Int] = {
+      val nf = 6500
+      Array.tabulate(nf) { n =>
+        val cell = (((n + 1).toLong * 65 - 1) / nf).toInt
+        val amp = 2 << (2 * ((cell * 7 + seed) % 3))
+        amp * ((((seed + 7) * n) % 2040) - 1020)
+      }
+    }
+    val wavA = graft.llmops.MediaWriter.wavFromSamples(1, 8000,
+      pcm(9).map(_.toShort))
+    val oggA = graft.llmops.VorbisWriter.ogg(1, 8000, pcm(9))
+    val oggB = graft.llmops.VorbisWriter.ogg(1, 8000, pcm(55))
+
+    val n1 = CorpusIngest.ingestAudioBatch(spark,
+      Seq((1L, wavA)).toDF("doc_id", "content"),
+      corpus, "content", "doc_id", signaturePath = Some(sigs))
+    assert(n1 === 1)
+    val n2 = CorpusIngest.ingestAudioBatch(spark,
+      Seq((2L, oggA), (3L, oggB)).toDF("doc_id", "content"),
+      corpus, "content", "doc_id", signaturePath = Some(sigs))
+    assert(n2 === 1, "Ogg re-encode of the stored WAV drops; fresh Ogg appends")
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 3L))
+  }
+
   test("ingestImageStream: quality gate sees only dedup survivors") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
