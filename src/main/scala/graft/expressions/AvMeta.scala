@@ -108,9 +108,13 @@ object AvMeta {
   }
 
   /** Ogg first page: the identification header names the codec —
-    * `vorbis` (channels u8, rate LE32) or `OpusHead` (channels
-    * u8, input rate LE32). Duration needs the LAST page's granule — a
-    * tail scan a streaming reader may not have; reported NULL.
+    * `vorbis` (channels u8, rate LE32) or `OpusHead` (channels
+    * u8, input rate LE32). Duration: a page-header tail walk (lacing
+    * hops, no CRC, no payload decode) reads the final granule position
+    * of the first stream's serial — sample count at the stream's clock
+    * (Vorbis: audio rate; Opus: 48 kHz by spec, pre-skip ignored at
+    * header grade). Zero/absent granule (ident-only stubs, live
+    * captures) reports NULL.
     */
   private def ogg(b: Array[Byte]): InternalRow = {
     if (b.length < 28 || (b(4) & 0xFF) != 0) return null
@@ -122,15 +126,55 @@ object AvMeta {
       val rate = (b(body + 12) & 0xFF) | ((b(body + 13) & 0xFF) << 8) |
         ((b(body + 14) & 0xFF) << 16) | ((b(body + 15) & 0xFF) << 24)
       if (rate <= 0 || channels == 0) return row("vorbis", null, null, null, null)
-      row("vorbis", channels, rate, null, null)
+      val g = lastGranule(b)
+      val ms = if (g <= 0) null else java.lang.Long.valueOf(g * 1000 / rate)
+      row("vorbis", channels, rate, null, ms)
     } else if (tag(b, body, "Opus") && body + 19 <= b.length &&
         tag(b, body + 4, "Head")) {
       val channels = b(body + 9) & 0xFF
       val rate = (b(body + 12) & 0xFF) | ((b(body + 13) & 0xFF) << 8) |
         ((b(body + 14) & 0xFF) << 16) | ((b(body + 15) & 0xFF) << 24)
       if (rate <= 0 || channels == 0) return row("opus", null, null, null, null)
-      row("opus", channels, rate, null, null)
+      val g = lastGranule(b)
+      val ms = if (g <= 0) null else java.lang.Long.valueOf(g * 1000 / 48000)
+      row("opus", channels, rate, null, ms)
     } else null
+  }
+
+  /** Final granule position of the FIRST stream's serial: page-header
+    * hops only (27-byte header + lacing sum), stopping at the first
+    * malformed page — a truncated tail degrades to the last intact
+    * granule, never to garbage.
+    */
+  private def lastGranule(b: Array[Byte]): Long = {
+    var pos = 0
+    var granule = -1L
+    var serial = 0L
+    var first = true
+    var pages = 0
+    while (pos + 27 <= b.length && pages < (1 << 20)) {
+      if (!(b(pos) == 'O' && b(pos + 1) == 'g' && b(pos + 2) == 'g' &&
+        b(pos + 3) == 'S') || b(pos + 4) != 0) return granule
+      var ser = 0L
+      var i = 0
+      while (i < 4) { ser |= (b(pos + 14 + i) & 0xFFL) << (8 * i); i += 1 }
+      if (first) { serial = ser; first = false }
+      val nsegs = b(pos + 26) & 0xFF
+      if (pos + 27 + nsegs > b.length) return granule
+      var bodyLen = 0
+      i = 0
+      while (i < nsegs) { bodyLen += b(pos + 27 + i) & 0xFF; i += 1 }
+      if (pos.toLong + 27 + nsegs + bodyLen > b.length) return granule
+      if (ser == serial) {
+        var g = 0L
+        i = 0
+        while (i < 8) { g |= (b(pos + 6 + i) & 0xFFL) << (8 * i); i += 1 }
+        if (g >= 0) granule = math.max(granule, g)
+      }
+      pos += 27 + nsegs + bodyLen
+      pages += 1
+    }
+    granule
   }
 
   // MPEG-1 Layer III tables (ISO 11172-3): bitrate kbps by index, sample

@@ -177,5 +177,10 @@ class VorbisSpec extends AnyFunSuite {
     assert(meta.getString(0) === "vorbis")
     assert(meta.getInt(1) === 2)
     assert(meta.getInt(2) === 22050)
+    // duration from the granule tail walk: 500 frames at 22050 Hz
+    assert(meta.getLong(4) === 500L * 1000 / 22050)
+    // the ident-only stub has granule 0 on its single page: NULL
+    assert(graft.expressions.AvMeta.compute(
+      MediaWriter.ogg(2, 44100)).isNullAt(4))
   }
 }
