@@ -3685,8 +3685,55 @@ object SparkEntry {
     * Spark's XXH64 ([[graft.oracle.XxHash64Sql]]). Kept so [[Bench]]'s
     * selection logic and older tooling keep compiling.
     */
+  /** Bench-only scale probes (no oracle — the oracle-gated forms cap
+    * doc_id for DuckDB tractability, which makes them useless for
+    * scaling measurements): the dedup/curation flagships over the FULL
+    * documents table, run by `Bench` against synthetic larger corpora
+    * to record time-vs-scale slopes (BENCH_SCALE.json).
+    */
   def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] =
-    Map.empty
+    Map(
+      "s01_minhash_full" -> ((s, dir) => {
+        val ss = tuned(s)
+        graft.llmops.DedupOps.minhashNearDups(
+          t(ss, dir, "documents").repartition(32), "text", "doc_id",
+          numHashes = 16, bands = 4, threshold = 0.9, wordShingleN = Some(3))
+      }),
+      "s02_clusters_full" -> ((s, dir) => {
+        val ss = tuned(s)
+        val pairs = graft.llmops.DedupOps.minhashNearDups(
+          t(ss, dir, "documents").repartition(32), "text", "doc_id",
+          numHashes = 16, bands = 4, threshold = 0.9, wordShingleN = Some(3))
+          .select("key_a", "key_b")
+        graft.llmops.DedupOps.duplicateClusters(pairs)
+      }),
+      "s03_winnow_full" -> ((s, dir) => {
+        val ss = tuned(s)
+        graft.llmops.DedupOps.winnowNearDups(
+          t(ss, dir, "documents").repartition(32), "text", "doc_id",
+          minSharedFrac = 0.8)
+      }),
+      "s04_crawl_curate_full" -> ((s, dir) => {
+        val ss = tuned(s)
+        import ss.implicits._
+        // fixture synthesis is DISTRIBUTED (each doc becomes a one-page
+        // WARC inside the map task, no driver collect), so the probe
+        // scales with the corpus like a real crawl ingest would
+        val archives = t(ss, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            val k = id % 10
+            val url = s"https://s$k.example.com/d${id % 4}/p$id"
+            (id, graft.llmops.WarcWriter.write(Seq((url, null: String, 200,
+              "text/html",
+              graft.llmops.Html.writePage(Seq(s"Doc $id", text))))))
+          }.toDF("doc_id", "content")
+        val robots = (0 until 5).map(n => (s"s$n.example.com",
+          "User-agent: *\nDisallow: /d0/")).toDF("host", "robots_txt")
+        graft.llmops.Warc.curateCrawl(archives, "doc_id", "content",
+          robots = Some(robots))
+      })
+    )
 
   // ======================================================================
   // DuckDB oracle SQL — column names must match the Spark results exactly

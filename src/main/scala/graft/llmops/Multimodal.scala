@@ -594,8 +594,21 @@ object Multimodal {
         imageDHash(col("__img")).alias("ihash"))
       .filter(col("ihash").isNotNull)
 
+  /** Hash for stills [[videoFrames]] itself produced: MJPEG containers
+    * emit complete JPEGs (the dominant case, so the JPEG arm leads),
+    * the GIF compositor emits PNGs — never the other four formats — so
+    * the frame path dispatches TWO arms instead of [[imageDHash]]'s
+    * six. This is the engine's highest-volume hash site (evaluated once
+    * per FRAME); four arms that can never match are pure generated-code
+    * bulk here. The bit layout is identical across arms — existing
+    * signature stores stay compatible.
+    */
+  private def frameDHash(frame: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(jpegDHash(frame), pngDHash(frame))
+
   /** Per-frame perceptual signatures: one row per decodable frame —
-    * (key, frame_idx, fhash) with `fhash` the frame's [[imageDHash]].
+    * (key, frame_idx, fhash) with `fhash` in [[imageDHash]]'s shared
+    * grid/bit layout (the [[frameDHash]] two-arm dispatch).
     * The scan explodes 8-byte hashes, not pixels: content bytes are
     * touched once, in the scan projection, and what shuffles afterwards
     * is (key, long, long) rows — the only shape frame-level dedup can
@@ -616,7 +629,7 @@ object Multimodal {
     df.select(col(keyCol).alias("key"),
         posexplode(frames).as(Seq("frame_idx", "__frame")))
       .select(col("key"), col("frame_idx"),
-        imageDHash(col("__frame")).alias("fhash"))
+        frameDHash(col("__frame")).alias("fhash"))
       .filter(col("fhash").isNotNull)
   }
 
