@@ -282,7 +282,10 @@ object SparkEntry {
           }
           Seq(Row(id, "wav",
               W.wavFromSamples(ch, 8000, samples.map(_.toShort))),
-            Row(id, "ogg", V.ogg(ch, 8000, samples)))
+            // stereo pids on %4==3 take the coupled profile (residue
+            // type 2 + square-polar coupling) — same closed-form bits
+            Row(id, "ogg", V.ogg(ch, 8000, samples,
+              coupled = ch == 2 && pid % 4 == 3)))
         } else if (id < 140) { // decodes, but under the 65-cell envelope
           Seq(Row(id, "ogg",
             V.ogg(1, 8000, Array.tabulate(30)(i => 700 * (i % 5 - 2)))))

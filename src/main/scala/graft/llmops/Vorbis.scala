@@ -813,11 +813,17 @@ object Vorbis {
   // --------------------------------------------------------------- MDCT
 
   /** Inverse MDCT per the spec's definition:
-    * y(i) = sum_k X(k) cos(2pi/n (i + 0.5 + n/4)(k + 0.5)). Direct
-    * O(n^2) — the fixture envelope is small blocks; document streams
-    * with n=8192 pay ~0.1s/s, acceptable for the gate scale.
+    * y(i) = sum_k X(k) cos(2pi/n (i + 0.5 + n/4)(k + 0.5)).
+    * Small blocks take the direct kernel; real-world long blocks
+    * (2048/8192 — what web encoders actually emit) take the
+    * O(n log n) [[imdctFft]] path, property-tested equal to the
+    * direct form. The crossover keeps per-frame cost flat across the
+    * whole legal blocksize range instead of 1000x worse at 8192.
     */
-  private def imdct(x: Array[Double], n: Int): Array[Double] = {
+  private[llmops] def imdct(x: Array[Double], n: Int): Array[Double] =
+    if (n >= 512) imdctFft(x, n) else imdctDirect(x, n)
+
+  private[llmops] def imdctDirect(x: Array[Double], n: Int): Array[Double] = {
     val n2 = n / 2
     val out = new Array[Double](n)
     val base = math.Pi * 2.0 / n
@@ -833,6 +839,42 @@ object Vorbis {
       out(i) = acc
       i += 1
     }
+    out
+  }
+
+  /** iMDCT via one n-point complex FFT. With m = n/2 the output is a
+    * shifted DCT-IV: y(i) = f(i + 0.5 + m/2) for
+    * f(t) = sum_k X(k) cos(pi/m t (k+0.5)), and f obeys
+    * f(2m - t) = -f(t), f(t + 2m) = -f(t), so the n outputs unfold
+    * from the m DCT-IV values c(j) = f(j + 0.5). The DCT-IV itself is
+    * one zero-padded 2m-point DFT with pre/post twiddles:
+    * c(j) = Re(e^{-i pi (2j+1)/(4m)} * DFT_{2m}(x(k) e^{-i pi k/(2m)})(j)).
+    */
+  private[llmops] def imdctFft(x: Array[Double], n: Int): Array[Double] = {
+    val m = n / 2
+    val re = new Array[Double](n)
+    val im = new Array[Double](n)
+    var k = 0
+    while (k < m) {
+      val ang = -math.Pi * k / (2.0 * m)
+      re(k) = x(k) * math.cos(ang)
+      im(k) = x(k) * math.sin(ang)
+      k += 1
+    }
+    Fft.fft(re, im)
+    val c = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      val ang = -math.Pi * (2 * j + 1) / (4.0 * m)
+      c(j) = re(j) * math.cos(ang) - im(j) * math.sin(ang)
+      j += 1
+    }
+    val out = new Array[Double](n)
+    val m2 = m / 2
+    var i = 0
+    while (i < m2) { out(i) = c(m2 + i); i += 1 }
+    while (i < m + m2) { out(i) = -c(m + m2 - 1 - i); i += 1 }
+    while (i < n) { out(i) = -c(i - m - m2); i += 1 }
     out
   }
 

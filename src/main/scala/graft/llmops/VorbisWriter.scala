@@ -35,6 +35,12 @@ object VorbisWriter {
   private val QDelta = 1.0 / 32.0
   private val FMin = -1.0 / 64.0
   private val FDelta = 1.0 / 8192.0
+  // coupled profile: the angle channel spans twice the coefficient
+  // range (|a| <= |M| + |A|), so its cascade is twice as wide
+  private val WMin = -8.0
+  private val WDelta = 1.0 / 16.0
+  private val GMin = -1.0 / 32.0
+  private val GDelta = 1.0 / 4096.0
 
   // ------------------------------------------------- LSb-first writer
 
@@ -115,7 +121,18 @@ object VorbisWriter {
     bw.bytes
   }
 
-  private def setupPacket(): Array[Byte] = {
+  /** `coupled` swaps the residue to type 2 over the channel-interleaved
+    * vector with one square-polar coupling step (magnitude ch 0, angle
+    * ch 1) and widens the cascade books — the setup shape real stereo
+    * encoders emit, exercising the decoder's residue-2 + coupling
+    * machinery end-to-end.
+    */
+  private def setupPacket(channels: Int, coupled: Boolean): Array[Byte] = {
+    val qMin = if (coupled) WMin else QMin
+    val qDelta = if (coupled) WDelta else QDelta
+    val fMin = if (coupled) GMin else FMin
+    val fDelta = if (coupled) GDelta else FDelta
+    val resEnd = if (coupled) channels * N2 else N2
     val bw = new BitWriter
     commonHeader(5, bw)
     bw.write(2, 8) // codebook_count - 1 = 2 -> three books
@@ -137,8 +154,8 @@ object VorbisWriter {
     var e = 0
     while (e < 256) { bw.write(7, 5); e += 1 } // all length 8
     bw.write(1, 4) // lookup type 1 (implicit lattice)
-    bw.write32(float32Pack(QMin))
-    bw.write32(float32Pack(QDelta))
+    bw.write32(float32Pack(qMin))
+    bw.write32(float32Pack(qDelta))
     bw.write(7, 4) // value_bits - 1 = 7
     bw.write(0, 1) // sequence_p
     e = 0
@@ -152,8 +169,8 @@ object VorbisWriter {
     e = 0
     while (e < 256) { bw.write(7, 5); e += 1 }
     bw.write(1, 4)
-    bw.write32(float32Pack(FMin))
-    bw.write32(float32Pack(FDelta))
+    bw.write32(float32Pack(fMin))
+    bw.write32(float32Pack(fDelta))
     bw.write(7, 4)
     bw.write(0, 1)
     e = 0
@@ -167,11 +184,11 @@ object VorbisWriter {
     bw.write(0, 5) // partitions = 0
     bw.write(0, 2) // multiplier - 1 = 0 -> 1
     bw.write(8, 4) // rangebits: X list = [0, 256]
-    // ---- residues: one, type 1
+    // ---- residues: one (type 1 uncoupled, type 2 coupled)
     bw.write(0, 6)
-    bw.write(1, 16) // residue type 1
+    bw.write(if (coupled) 2 else 1, 16) // residue type
     bw.write(0, 24) // begin
-    bw.write(N2, 24) // end
+    bw.write(resEnd, 24) // end (type 2: over the interleaved vector)
     bw.write(7, 24) // partition_size - 1 -> 8
     bw.write(1, 6) // classifications - 1 -> 2
     bw.write(0, 8) // classbook = book 0
@@ -179,11 +196,16 @@ object VorbisWriter {
     bw.write(0, 3); bw.write(0, 1) // class 1 cascade: no passes
     bw.write(1, 8) // class 0 pass 0 -> book 1 (coarse)
     bw.write(2, 8) // class 0 pass 1 -> book 2 (fine)
-    // ---- mappings: one, type 0, 1 submap, no coupling
+    // ---- mappings: one, type 0, 1 submap
     bw.write(0, 6)
     bw.write(0, 16) // mapping type
     bw.write(0, 1) // no submap count field -> 1 submap
-    bw.write(0, 1) // no coupling steps
+    if (coupled) {
+      bw.write(1, 1) // coupling present
+      bw.write(0, 8) // steps - 1 = 0 -> one step
+      bw.write(0, 1) // magnitude = channel 0 (ilog(ch-1) bits)
+      bw.write(1, 1) // angle = channel 1
+    } else bw.write(0, 1) // no coupling steps
     bw.write(0, 2) // reserved
     bw.write(0, 8) // time configuration placeholder
     bw.write(0, 8) // floor 0
@@ -227,7 +249,18 @@ object VorbisWriter {
     out
   }
 
-  private def audioPacket(frame: Array[Array[Double]]): Array[Byte] = {
+  /** Square-polar FORWARD coupling — the exact inverse of the
+    * decoder's unmixing: the larger-magnitude member becomes the
+    * magnitude value, the signed difference the angle value.
+    */
+  private def couple(mv: Double, av: Double): (Double, Double) = {
+    val m = if (math.abs(mv) >= math.abs(av)) mv else av
+    val a = if (m > 0) mv - av else av - mv
+    (m, a)
+  }
+
+  private def audioPacket(frame: Array[Array[Double]],
+      coupled: Boolean): Array[Byte] = {
     val ch = frame.length
     val bw = new BitWriter
     bw.write(0, 1) // audio packet
@@ -239,48 +272,85 @@ object VorbisWriter {
       bw.write(255, 8) // Y1
       j += 1
     }
-    // residue type 1, partition size 8, 16 partitions, classbook dim 1.
     // Pass structure is the decoder's OUTER loop: pass 0 sweeps every
     // partition (classwords + coarse codes), then pass 1 sweeps again
     // (fine codes, no classwords).
     val spectra = frame.map(mdct)
-    val q = spectra.map(_.map { v =>
-      val qi = math.round((v - QMin) / QDelta).toInt
-      if (qi < 0) 0 else if (qi > 255) 255 else qi
-    })
-    val fine = Array.tabulate(ch, N2) { (j, k) =>
-      val r = spectra(j)(k) - (QMin + q(j)(k) * QDelta)
-      val fi = math.round((r - FMin) / FDelta).toInt
-      if (fi < 0) 0 else if (fi > 255) 255 else fi
-    }
-    var part = 0
-    while (part < N2 / 8) { // pass 0
-      j = 0
-      while (j < ch) { bw.write(0, 1); j += 1 } // class 0 (codeword 0)
-      j = 0
-      while (j < ch) {
-        var i = 0
-        while (i < 8) {
-          // uniform 8-bit canonical codes: codeword == entry number
-          bw.writeCode(q(j)(part * 8 + i).toLong, 8)
-          i += 1
-        }
-        j += 1
+    if (!coupled) {
+      // residue type 1, per-channel vectors, 16 partitions each
+      val q = spectra.map(_.map { v =>
+        val qi = math.round((v - QMin) / QDelta).toInt
+        if (qi < 0) 0 else if (qi > 255) 255 else qi
+      })
+      val fine = Array.tabulate(ch, N2) { (j, k) =>
+        val r = spectra(j)(k) - (QMin + q(j)(k) * QDelta)
+        val fi = math.round((r - FMin) / FDelta).toInt
+        if (fi < 0) 0 else if (fi > 255) 255 else fi
       }
-      part += 1
-    }
-    part = 0
-    while (part < N2 / 8) { // pass 1
-      j = 0
-      while (j < ch) {
-        var i = 0
-        while (i < 8) {
-          bw.writeCode(fine(j)(part * 8 + i).toLong, 8)
-          i += 1
+      var part = 0
+      while (part < N2 / 8) { // pass 0
+        j = 0
+        while (j < ch) { bw.write(0, 1); j += 1 } // class 0 (codeword 0)
+        j = 0
+        while (j < ch) {
+          var i = 0
+          while (i < 8) {
+            // uniform 8-bit canonical codes: codeword == entry number
+            bw.writeCode(q(j)(part * 8 + i).toLong, 8)
+            i += 1
+          }
+          j += 1
         }
-        j += 1
+        part += 1
       }
-      part += 1
+      part = 0
+      while (part < N2 / 8) { // pass 1
+        j = 0
+        while (j < ch) {
+          var i = 0
+          while (i < 8) {
+            bw.writeCode(fine(j)(part * 8 + i).toLong, 8)
+            i += 1
+          }
+          j += 1
+        }
+        part += 1
+      }
+    } else {
+      // residue type 2: forward-couple ch0/ch1 per coefficient, then
+      // ONE interleaved vector of ch*N2 values; one classword per
+      // partition (nVec = 1 in the decoder's loop)
+      val vec = new Array[Double](ch * N2)
+      var k = 0
+      while (k < N2) {
+        val (m, a) = couple(spectra(0)(k), spectra(1)(k))
+        vec(k * ch) = m
+        vec(k * ch + 1) = a
+        k += 1
+      }
+      val q = vec.map { v =>
+        val qi = math.round((v - WMin) / WDelta).toInt
+        if (qi < 0) 0 else if (qi > 255) 255 else qi
+      }
+      val fine = Array.tabulate(ch * N2) { i =>
+        val r = vec(i) - (WMin + q(i) * WDelta)
+        val fi = math.round((r - GMin) / GDelta).toInt
+        if (fi < 0) 0 else if (fi > 255) 255 else fi
+      }
+      val parts = ch * N2 / 8
+      var part = 0
+      while (part < parts) { // pass 0
+        bw.write(0, 1) // one classword for the single interleaved vector
+        var i = 0
+        while (i < 8) { bw.writeCode(q(part * 8 + i).toLong, 8); i += 1 }
+        part += 1
+      }
+      part = 0
+      while (part < parts) { // pass 1
+        var i = 0
+        while (i < 8) { bw.writeCode(fine(part * 8 + i).toLong, 8); i += 1 }
+        part += 1
+      }
     }
     bw.bytes
   }
@@ -334,8 +404,9 @@ object VorbisWriter {
     * granule trimming the lapping padding.
     */
   def ogg(channels: Int, sampleRate: Int, samples: Array[Int],
-      serial: Int = 0x67726166): Array[Byte] = {
+      serial: Int = 0x67726166, coupled: Boolean = false): Array[Byte] = {
     require(channels >= 1 && channels <= 8)
+    require(!coupled || channels == 2, "coupling profile is stereo")
     require(samples.length % channels == 0)
     val total = samples.length / channels
     val padded = ((total + N2 - 1) / N2) * N2
@@ -345,7 +416,8 @@ object VorbisWriter {
       else samples(t * channels + ch) / 32768.0
     val out = new java.io.ByteArrayOutputStream()
     out.write(page(serial, 0, 0, 2, Seq(identPacket(channels, sampleRate))))
-    out.write(page(serial, 1, 0, 0, Seq(commentPacket(), setupPacket())))
+    out.write(page(serial, 1, 0, 0,
+      Seq(commentPacket(), setupPacket(channels, coupled))))
     var seq = 2
     var f = 0
     val pending = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
@@ -355,7 +427,7 @@ object VorbisWriter {
       val frame = Array.tabulate(channels, N) { (j, i) =>
         sample(j, f * N2 - N2 + i)
       }
-      val p = audioPacket(frame)
+      val p = audioPacket(frame, coupled)
       val laces = p.length / 255 + 1
       if (pendingLaces + laces > 255) {
         out.write(page(serial, seq, granule, 0, pending.toSeq))

@@ -86,6 +86,53 @@ class VorbisSpec extends AnyFunSuite {
     }
   }
 
+  test("coupled profile: residue type 2 + square-polar coupling round trips") {
+    val x = tone(8000, 2)
+    val plain = Vorbis.decode(VorbisWriter.ogg(2, 8000, x))
+    val coupled = Vorbis.decode(VorbisWriter.ogg(2, 8000, x, coupled = true))
+    assert(coupled != null && coupled.channels === 2)
+    assert(coupled.samples.length === x.length)
+    var sumSq = 0.0
+    var maxErr = 0.0
+    var i = 0
+    while (i < x.length) {
+      val e = coupled.samples(i) - x(i)
+      sumSq += e * e
+      maxErr = math.max(maxErr, math.abs(e))
+      i += 1
+    }
+    val rmse = math.sqrt(sumSq / x.length)
+    // wide cascade: ~2x the uncoupled noise, still far inside the
+    // fingerprint margins
+    assert(rmse < 40.0, s"rmse=$rmse")
+    assert(maxErr < 120.0, s"maxErr=$maxErr")
+    // both profiles land on the same envelope bits as the WAV source
+    import graft.expressions.AudioEnvelopeHash
+    val wavHash = AudioEnvelopeHash.compute(
+      MediaWriter.wavFromSamples(2, 8000, x.map(_.toShort)))
+    val coupledHash = AudioEnvelopeHash.compute(
+      VorbisWriter.ogg(2, 8000, x, coupled = true))
+    assert(wavHash != null && coupledHash != null)
+    assert(java.lang.Long.bitCount(wavHash ^ coupledHash) === 0)
+    assert(plain != null && plain.samples.length === coupled.samples.length)
+  }
+
+  test("FFT iMDCT equals the direct kernel across blocksizes") {
+    val rnd = new scala.util.Random(41)
+    for (n <- Seq(64, 256, 512, 2048, 8192)) {
+      val x = Array.fill(n / 2)(rnd.nextDouble() * 8 - 4)
+      val direct = Vorbis.imdctDirect(x, n)
+      val fast = Vorbis.imdctFft(x, n)
+      var maxErr = 0.0
+      var i = 0
+      while (i < n) {
+        maxErr = math.max(maxErr, math.abs(direct(i) - fast(i)))
+        i += 1
+      }
+      assert(maxErr < 1e-8, s"n=$n maxErr=$maxErr")
+    }
+  }
+
   test("canonical codes: marker algorithm matches brute-force first fit") {
     // brute force: assign each entry the smallest codeword of its
     // length that is neither a prefix of nor prefixed by an assigned one
