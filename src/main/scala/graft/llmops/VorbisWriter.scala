@@ -97,15 +97,16 @@ object VorbisWriter {
     "vorbis".foreach(c => bw.write(c.toInt, 8))
   }
 
-  private def identPacket(channels: Int, rate: Int): Array[Byte] = {
+  private def identPacket(channels: Int, rate: Int,
+      bs0exp: Int = 8, bs1exp: Int = 8): Array[Byte] = {
     val bw = new BitWriter
     commonHeader(1, bw)
     bw.write32(0) // version
     bw.write(channels, 8)
     bw.write32(rate.toLong & 0xFFFFFFFFL)
     bw.write32(0); bw.write32(0); bw.write32(0) // bitrates
-    bw.write(8, 4) // blocksize0 = 2^8
-    bw.write(8, 4) // blocksize1 = 2^8
+    bw.write(bs0exp, 4)
+    bw.write(bs1exp, 4)
     bw.write(1, 1) // framing
     bw.bytes
   }
@@ -353,6 +354,237 @@ object VorbisWriter {
       }
     }
     bw.bytes
+  }
+
+  // ---------------------------------------------- mixed-blocksize arm
+
+  private val NL = 2048 // long blocksize of the mixed profile
+  private val NL2 = NL / 2
+
+  /** Vorbis window for block size n with transition slopes: slope
+    * lengths follow the neighbors exactly as the decoder builds them
+    * (short blocks always full slopes; a long block shrinks the slope
+    * facing a short neighbor to bs0/2).
+    */
+  private def windowFor(n: Int, leftN: Int, rightN: Int): Array[Double] = {
+    val leftStart = n / 4 - leftN / 2
+    val rightStart = n - n / 4 - rightN / 2
+    Array.tabulate(n) { i =>
+      if (i < leftStart) 0.0
+      else if (i < leftStart + leftN) {
+        val sl = math.sin(math.Pi / 2.0 * (i - leftStart + 0.5) / leftN)
+        math.sin(math.Pi / 2.0 * sl * sl)
+      } else if (i < rightStart) 1.0
+      else if (i < rightStart + rightN) {
+        val j = rightN - 1 - (i - rightStart)
+        val sl = math.sin(math.Pi / 2.0 * (j + 0.5) / rightN)
+        math.sin(math.Pi / 2.0 * sl * sl)
+      } else 0.0
+    }
+  }
+
+  private def mdctG(x: Array[Double], n: Int,
+      w: Array[Double]): Array[Double] = {
+    val n2 = n / 2
+    val out = new Array[Double](n2)
+    val base = math.Pi * 2.0 / n
+    var k = 0
+    while (k < n2) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += w(i) * x(i) * math.cos(base * (i + 0.5 + n2 / 2.0) * (k + 0.5))
+        i += 1
+      }
+      out(k) = acc * 4.0 / n
+      k += 1
+    }
+    out
+  }
+
+  /** Audio packet of the mixed profile: 1-bit mode number (0 short /
+    * 1 long), prev/next window flags on long blocks, flat floors, then
+    * residue type 1 clamped to min(residue_end, n/2) exactly as the
+    * decoder clamps.
+    */
+  private def audioPacketMixed(frame: Array[Array[Double]], n: Int,
+      prevLong: Boolean, nextLong: Boolean,
+      w: Array[Double]): Array[Byte] = {
+    val ch = frame.length
+    val n2 = n / 2
+    val bw = new BitWriter
+    bw.write(0, 1) // audio packet
+    bw.write(if (n == NL) 1 else 0, 1) // mode number (2 modes -> 1 bit)
+    if (n == NL) {
+      bw.write(if (prevLong) 1 else 0, 1)
+      bw.write(if (nextLong) 1 else 0, 1)
+    }
+    var j = 0
+    while (j < ch) { // flat unity floor per channel
+      bw.write(1, 1)
+      bw.write(255, 8)
+      bw.write(255, 8)
+      j += 1
+    }
+    val spectra = frame.map(mdctG(_, n, w))
+    val actualEnd = math.min(NL2, n2) // decoder clamps residue_end to n/2
+    val q = spectra.map(_.map { v =>
+      val qi = math.round((v - QMin) / QDelta).toInt
+      if (qi < 0) 0 else if (qi > 255) 255 else qi
+    })
+    val fine = Array.tabulate(ch, n2) { (jj, k) =>
+      val r = spectra(jj)(k) - (QMin + q(jj)(k) * QDelta)
+      val fi = math.round((r - FMin) / FDelta).toInt
+      if (fi < 0) 0 else if (fi > 255) 255 else fi
+    }
+    var part = 0
+    while (part < actualEnd / 8) { // pass 0
+      j = 0
+      while (j < ch) { bw.write(0, 1); j += 1 }
+      j = 0
+      while (j < ch) {
+        var i = 0
+        while (i < 8) { bw.writeCode(q(j)(part * 8 + i).toLong, 8); i += 1 }
+        j += 1
+      }
+      part += 1
+    }
+    part = 0
+    while (part < actualEnd / 8) { // pass 1
+      j = 0
+      while (j < ch) {
+        var i = 0
+        while (i < 8) { bw.writeCode(fine(j)(part * 8 + i).toLong, 8); i += 1 }
+        j += 1
+      }
+      part += 1
+    }
+    bw.bytes
+  }
+
+  /** Setup for the mixed profile: the uncoupled books, residue end at
+    * the LONG spectrum size (the decoder clamps per block), and TWO
+    * modes — short (blockflag 0) and long (blockflag 1).
+    */
+  private def setupPacketMixed(): Array[Byte] = {
+    val bw = new BitWriter
+    commonHeader(5, bw)
+    bw.write(2, 8)
+    // book 0: classbook
+    bw.write(0x564342, 24); bw.write(1, 16); bw.write(2, 24)
+    bw.write(0, 1); bw.write(0, 1); bw.write(0, 5); bw.write(0, 5)
+    bw.write(0, 4)
+    // book 1: coarse
+    bw.write(0x564342, 24); bw.write(1, 16); bw.write(256, 24)
+    bw.write(0, 1); bw.write(0, 1)
+    var e = 0
+    while (e < 256) { bw.write(7, 5); e += 1 }
+    bw.write(1, 4)
+    bw.write32(float32Pack(QMin)); bw.write32(float32Pack(QDelta))
+    bw.write(7, 4); bw.write(0, 1)
+    e = 0
+    while (e < 256) { bw.write(e, 8); e += 1 }
+    // book 2: fine
+    bw.write(0x564342, 24); bw.write(1, 16); bw.write(256, 24)
+    bw.write(0, 1); bw.write(0, 1)
+    e = 0
+    while (e < 256) { bw.write(7, 5); e += 1 }
+    bw.write(1, 4)
+    bw.write32(float32Pack(FMin)); bw.write32(float32Pack(FDelta))
+    bw.write(7, 4); bw.write(0, 1)
+    e = 0
+    while (e < 256) { bw.write(e, 8); e += 1 }
+    // time transforms
+    bw.write(0, 6); bw.write(0, 16)
+    // floor 1, flat-capable
+    bw.write(0, 6); bw.write(1, 16)
+    bw.write(0, 5); bw.write(0, 2); bw.write(8, 4)
+    // residue type 1, end = long n/2 (decoder clamps for short blocks)
+    bw.write(0, 6)
+    bw.write(1, 16)
+    bw.write(0, 24)
+    bw.write(NL2, 24)
+    bw.write(7, 24)
+    bw.write(1, 6)
+    bw.write(0, 8)
+    bw.write(3, 3); bw.write(0, 1)
+    bw.write(0, 3); bw.write(0, 1)
+    bw.write(1, 8)
+    bw.write(2, 8)
+    // one mapping
+    bw.write(0, 6)
+    bw.write(0, 16); bw.write(0, 1); bw.write(0, 1); bw.write(0, 2)
+    bw.write(0, 8); bw.write(0, 8); bw.write(0, 8)
+    // TWO modes: 0 = short, 1 = long
+    bw.write(1, 6) // mode_count - 1
+    bw.write(0, 1); bw.write(0, 16); bw.write(0, 16); bw.write(0, 8)
+    bw.write(1, 1); bw.write(0, 16); bw.write(0, 16); bw.write(0, 8)
+    bw.write(1, 1) // framing
+    bw.bytes
+  }
+
+  /** Mixed-blocksize encode (256/2048): the block-size sequence cycles
+    * short,long,long,short so every window transition (S->L, L->L,
+    * L->S, S->S) appears, with the spec's lapping timeline: frame k's
+    * window starts at out_k + n_(k-1)/4 - n_k/4 absolute samples and
+    * each adjacent pair emits (n_(k-1)+n_k)/4. What real encoders emit
+    * (unequal blocksizes with window flags) — this is the in-repo
+    * validation of the decoder's transition windows and unequal
+    * lapping.
+    */
+  def oggMixed(channels: Int, sampleRate: Int, samples: Array[Int],
+      serial: Int = 0x6d697865): Array[Byte] = {
+    require(channels >= 1 && channels <= 8)
+    require(samples.length % channels == 0)
+    val total = samples.length / channels
+    def sizeOf(k: Int): Int =
+      if (Seq(1, 2).contains(k % 4)) NL else N // S,L,L,S cycle
+    def sample(ch: Int, t: Int): Double =
+      if (t < 0 || t >= total) 0.0
+      else samples(t * channels + ch) / 32768.0
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(page(serial, 0, 0, 2,
+      Seq(identPacket(channels, sampleRate, 8, 11))))
+    out.write(page(serial, 1, 0, 0,
+      Seq(commentPacket(), setupPacketMixed())))
+    var seq = 2
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pendingLaces = 0
+    var outAbs = 0L // samples emitted by all completed pairs
+    var start = -(sizeOf(0).toLong / 2) // frame 0's window start
+    var k = 0
+    var granule = 0L
+    var done = false
+    while (!done) {
+      val n = sizeOf(k)
+      val w = windowFor(n,
+        if (n == NL) math.min(sizeOf(k - 1), n) / 2 else n / 2,
+        if (n == NL) math.min(sizeOf(k + 1), n) / 2 else n / 2)
+      val base = start
+      val frame = Array.tabulate(channels, n) { (j, i) =>
+        sample(j, (base + i).toInt)
+      }
+      val p = audioPacketMixed(frame, n,
+        prevLong = sizeOf(k - 1) == NL, nextLong = sizeOf(k + 1) == NL, w)
+      val laces = p.length / 255 + 1
+      if (pendingLaces + laces > 255) {
+        out.write(page(serial, seq, granule, 0, pending.toSeq))
+        seq += 1
+        pending.clear()
+        pendingLaces = 0
+      }
+      pending += p
+      pendingLaces += laces
+      if (k > 0) outAbs += (sizeOf(k - 1) + n) / 4
+      granule = math.min(outAbs, total.toLong)
+      // next frame's window start per the pair-emission timeline
+      start = outAbs + sizeOf(k).toLong / 4 - sizeOf(k + 1).toLong / 4
+      done = outAbs >= total
+      k += 1
+    }
+    if (pending.nonEmpty)
+      out.write(page(serial, seq, total.toLong, 4, pending.toSeq))
+    out.toByteArray
   }
 
   // -------------------------------------------------------------- Ogg

@@ -117,6 +117,43 @@ class VorbisSpec extends AnyFunSuite {
     assert(plain != null && plain.samples.length === coupled.samples.length)
   }
 
+  test("mixed 256/2048 blocksizes: transition windows and unequal lapping") {
+    for (ch <- Seq(1, 2); total <- Seq(5000, 12001)) {
+      val x = tone(total, ch)
+      val ogg = VorbisWriter.oggMixed(ch, 16000, x)
+      val d = Vorbis.decode(ogg)
+      assert(d != null, s"ch=$ch total=$total")
+      assert(d.channels === ch)
+      assert(d.samples.length === x.length, s"ch=$ch total=$total")
+      var sumSq = 0.0
+      var maxErr = 0.0
+      var i = 0
+      while (i < x.length) {
+        val e = d.samples(i) - x(i)
+        sumSq += e * e
+        maxErr = math.max(maxErr, math.abs(e))
+        i += 1
+      }
+      val rmse = math.sqrt(sumSq / x.length)
+      // every window transition (S->L, L->L, L->S, S->S) sits in this
+      // stream; a lapping or window-flag bug shows up as edge glitches
+      // orders of magnitude above quantizer noise. Long blocks carry
+      // sqrt(1024/128) ~ 2.8x the short-block noise (error accumulates
+      // across n/2 coefficients), hence the wider peak bound.
+      assert(rmse < 30.0, s"ch=$ch total=$total rmse=$rmse")
+      assert(maxErr < 400.0, s"ch=$ch total=$total maxErr=$maxErr")
+    }
+    // fingerprint transparency holds for the mixed profile too
+    import graft.expressions.AudioEnvelopeHash
+    val x = tone(12000, 1)
+    val wavHash = AudioEnvelopeHash.compute(
+      MediaWriter.wavFromSamples(1, 8000, x.map(_.toShort)))
+    val mixedHash = AudioEnvelopeHash.compute(
+      VorbisWriter.oggMixed(1, 8000, x))
+    assert(wavHash != null && mixedHash != null)
+    assert(java.lang.Long.bitCount(wavHash ^ mixedHash) === 0)
+  }
+
   test("FFT iMDCT equals the direct kernel across blocksizes") {
     val rnd = new scala.util.Random(41)
     for (n <- Seq(64, 256, 512, 2048, 8192)) {
