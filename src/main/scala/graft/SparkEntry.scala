@@ -2184,16 +2184,21 @@ object SparkEntry {
           max(when(col("fmt") === "wav", col("eh"))).as("wh"),
           max(when(col("fmt") === "ogg", col("eh"))).as("oh"),
           max(when(col("fmt") === "ogg", col("av.format"))).as("ofmt"),
-          max(when(col("fmt") === "ogg", col("av.channels"))).as("och"))
+          max(when(col("fmt") === "ogg", col("av.channels"))).as("och"),
+          max(when(col("fmt") === "ogg", col("av.duration_ms"))).as("oms"))
         .select(col("doc_id"),
           shiftrightunsigned(col("wh"), 32).as("hash_hi"),
           col("wh").bitwiseAND(lit(0xFFFFFFFFL)).as("hash_lo"),
           when(col("wh").isNotNull && col("oh").isNotNull,
             bit_count(col("wh").bitwiseXOR(col("oh"))).cast("long"))
             .as("hamming"),
+          // ident header fields AND the granule-walk duration must
+          // agree with the closed-form geometry
           when(col("oh").isNotNull,
             col("ofmt") === "vorbis" &&
-              col("och") === (col("doc_id") % 2 + 1).cast("int"))
+              col("och") === (col("doc_id") % 2 + 1).cast("int") &&
+              col("oms") === floor((lit(6500L) + lit(130L)
+                * (col("doc_id") % 4)) * 1000L / 8000L).cast("long"))
             .as("meta_ok"))
         .orderBy("doc_id")
     }),
