@@ -797,8 +797,11 @@ object SparkEntry {
           case (2, _) => W.tiffImage(w, h, g, deflate = true,
             predictor = pid % 4 == 1)
           case (_, 0) => W.tiffImage(w, h, g, photometric = 0)
-          case _ => W.tiffImage(w, h, g, lzw = true,
-            tileWidth = 16, tileLength = 16)
+          case _ =>
+            if (pid % 4 == 1) W.tiffImage(w, h, g, lzw = true,
+              tileWidth = 16, tileLength = 16)
+            else W.tiffImage(w, h, g, bits = 16, littleEndian = false,
+              deflate = true) // 16-bit BE + Deflate, same pixels
         }
       (id, bytes)
     }

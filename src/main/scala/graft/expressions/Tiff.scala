@@ -7,9 +7,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
 /** TIFF pixel decode — the sixth [[ImageDims]] image format
   * (scanned-document corpora are overwhelmingly TIFF). Scope, per
   * TIFF 6.0: both byte orders, IFD0 with inline OR offset-stored
-  * value arrays; grayscale at 1/4/8 bits (both `WhiteIsZero` and
-  * `BlackIsZero` photometrics), 8-bit RGB (+ RGBA with the alpha
-  * sample ignored), palette-color at 4/8 bits (16-bit ColorMap
+  * value arrays; grayscale at 1/4/8/16 bits (both `WhiteIsZero` and
+  * `BlackIsZero` photometrics; 16-bit samples reduced by their high
+  * byte), 8- and 16-bit RGB (+ RGBA with the alpha sample ignored),
+  * palette-color at 4/8 bits (16-bit ColorMap
   * planes reduced by their high byte); strip layouts
   * (`RowsPerStrip`/`StripOffsets`/`StripByteCounts`) AND tiled
   * layouts (`TileWidth`/`TileLength`/`TileOffsets`/`TileByteCounts`,
@@ -17,7 +18,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * early-change convention), Deflate (8 and legacy 32946, zlib
   * streams) or PackBits (32773); horizontal-differencing Predictor 2
   * (§14, 8-bit samples) under any compression; chunky planar config
-  * only. JPEG-in-TIFF, planar=2 and 16-bit samples are refused
+  * only. JPEG-in-TIFF, planar=2 and 16-bit palette indices are refused
   * honestly (wholesale NULL), as are truncated segments, short
   * ColorMaps and forged dims past the 64 MB cap.
   */
@@ -98,9 +99,10 @@ object TiffDecode {
     val photometric = scalar(262, 1)
     if (scalar(284, 1) != 1) return null // chunky only
     val ok = (spp, photometric) match {
-      case (1, 0) | (1, 1) => bits == 1 || bits == 4 || bits == 8
+      case (1, 0) | (1, 1) =>
+        bits == 1 || bits == 4 || bits == 8 || bits == 16
       case (1, 3) => bits == 4 || bits == 8
-      case (3, 2) | (4, 2) => bits == 8
+      case (3, 2) | (4, 2) => bits == 8 || bits == 16
       case _ => false
     }
     if (!ok) return null
@@ -150,6 +152,9 @@ object TiffDecode {
     // paint `cols`×`rows` pixels of a decoded segment into the canvas
     def paint(data: Array[Byte], segRowBytes: Int, x0: Int, y0: Int,
         cols: Int, rows: Int): Unit = {
+      // 16-bit samples reduce by their high byte (the ColorMap
+      // convention in reverse); position depends on the byte order
+      val hiOff = if (le) 1 else 0
       var ry = 0
       while (ry < rows) {
         val y = y0 + ry
@@ -157,8 +162,20 @@ object TiffDecode {
         while (cx < cols) {
           var r = 0; var g = 0; var bl = 0
           if (spp >= 3) {
-            val p = ry * segRowBytes + cx * spp
-            r = data(p) & 0xFF; g = data(p + 1) & 0xFF; bl = data(p + 2) & 0xFF
+            if (bits == 16) {
+              val p = ry * segRowBytes + cx * spp * 2
+              r = data(p + hiOff) & 0xFF
+              g = data(p + 2 + hiOff) & 0xFF
+              bl = data(p + 4 + hiOff) & 0xFF
+            } else {
+              val p = ry * segRowBytes + cx * spp
+              r = data(p) & 0xFF; g = data(p + 1) & 0xFF
+              bl = data(p + 2) & 0xFF
+            }
+          } else if (bits == 16) {
+            var v = data(ry * segRowBytes + cx * 2 + hiOff) & 0xFF
+            if (photometric == 0) v = 255 - v // WhiteIsZero
+            r = v; g = v; bl = v
           } else {
             val bitOff = cx * bits
             val byteV = data(ry * segRowBytes + (bitOff >> 3)) & 0xFF

@@ -273,7 +273,8 @@ object ImageWriter {
       lzw: Boolean = false, deflate: Boolean = false,
       predictor: Boolean = false,
       tileWidth: Int = 0, tileLength: Int = 0): Array[Byte] = {
-    require(!rgb || bits == 8)
+    require(!rgb || bits == 8 || bits == 16)
+    require(palette == null || bits <= 8, "palette indices are 4/8-bit")
     require(Seq(packBits, lzw, deflate).count(identity) <= 1,
       "pick at most one compression")
     require(!predictor || bits == 8, "Predictor 2 needs 8-bit samples")
@@ -299,11 +300,29 @@ object ImageWriter {
         val y = y0 + ry
         if (x < width && y < height) {
           val v = px(x, y)
-          if (rgb) {
+          def put16(p: Int, s16: Int): Unit =
+            if (littleEndian) {
+              raw(p) = (s16 & 0xFF).toByte
+              raw(p + 1) = ((s16 >> 8) & 0xFF).toByte
+            } else {
+              raw(p) = ((s16 >> 8) & 0xFF).toByte
+              raw(p + 1) = (s16 & 0xFF).toByte
+            }
+          if (rgb && bits == 16) {
+            // 8-bit channel values widened v*257 (the PNG 16-bit move)
+            val p = ry * segRowBytes + cx * 6
+            put16(p, ((v >> 16) & 0xFF) * 257)
+            put16(p + 2, ((v >> 8) & 0xFF) * 257)
+            put16(p + 4, (v & 0xFF) * 257)
+          } else if (rgb) {
             val p = ry * segRowBytes + cx * 3
             raw(p) = ((v >> 16) & 0xFF).toByte
             raw(p + 1) = ((v >> 8) & 0xFF).toByte
             raw(p + 2) = (v & 0xFF).toByte
+          } else if (bits == 16) {
+            val wide = (v & 0xFF) * 257
+            put16(ry * segRowBytes + cx * 2,
+              if (photo == 0) 65535 - wide else wide)
           } else {
             val stored =
               if (photo == 0) levels - 1 - (v & (levels - 1))

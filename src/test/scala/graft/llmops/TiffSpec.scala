@@ -192,6 +192,56 @@ class TiffSpec extends SparkTestBase {
       assert(px(d, x, y)._1 === noisy(x, y), s"wide ($x,$y)")
   }
 
+  test("16-bit gray and RGB round trip; high-byte reduction; ImageIO agrees") {
+    val w = 29; val h = 15
+    val g = gray(7) _
+    for (le <- Seq(true, false); pm <- Seq(1, 0)) {
+      val d = TiffDecode.decode(ImageWriter.tiffImage(w, h, g, bits = 16,
+        littleEndian = le, photometric = pm))
+      assert(d != null, s"le=$le pm=$pm")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(d, x, y)._1 === g(x, y), s"16g ($x,$y) le=$le pm=$pm")
+    }
+    // 16-bit through LZW and tiles
+    for (bytes <- Seq(
+        ImageWriter.tiffImage(w, h, g, bits = 16, lzw = true),
+        ImageWriter.tiffImage(w, h, g, bits = 16, deflate = true,
+          tileWidth = 16, tileLength = 16))) {
+      val d = TiffDecode.decode(bytes)
+      assert(d != null)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(d, x, y)._1 === g(x, y))
+    }
+    // 16-bit RGB
+    def rgbf(x: Int, y: Int) =
+      ((x * 7 + y) % 256 << 16) | ((y * 5 + x) % 256 << 8) | ((x ^ y) % 256)
+    val dr = TiffDecode.decode(ImageWriter.tiffImage(w, h, rgbf, rgb = true,
+      bits = 16, littleEndian = false))
+    assert(dr != null)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = rgbf(x, y)
+      assert(px(dr, x, y) ===
+        (((v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF)), s"rgb16 ($x,$y)")
+    }
+    // ImageIO reads the writer's 16-bit stream as v*257 wide samples
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      ImageWriter.tiffImage(w, h, g, bits = 16)))
+    assert(img != null)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) === g(x, y) * 257, s"($x,$y)")
+    // and our decoder reduces a foreign 16-bit gray stream by high byte
+    val big = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      big.getRaster.setSample(x, y, 0, g(x, y) * 256 + 37)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(big, "tiff", bos))
+    val mine = TiffDecode.decode(bos.toByteArray)
+    if (mine != null) // accept-or-refuse per the compression ImageIO picked
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(mine, x, y)._1 === g(x, y), s"foreign16 ($x,$y)")
+  }
+
   test("JDK ImageIO agrees on the writer's streams") {
     val w = 19; val h = 13
     val g = gray(8) _
