@@ -227,6 +227,10 @@ object GraftFunctions {
       "graft_gif_frames(content) - animated-GIF composited frames as array<binary> (each a complete 8-bit RGB PNG) in stream order, NULL if not a well-formed GIF",
       exprs => graft.expressions.GifFrames(exprs.head)),
 
+    ("graft_tiff_pages",
+      "graft_tiff_pages(content) - multi-page TIFF pages as array<binary> (each a complete 8-bit RGB PNG) in IFD-chain order, NULL if any page refuses",
+      exprs => graft.expressions.TiffPages(exprs.head)),
+
     ("graft_webp_dhash",
       "graft_webp_dhash(content) - 64-bit perceptual dHash of a lossless WebP (same grid/bit layout as graft_png_dhash), NULL if undecodable or under 9x8",
       exprs => graft.expressions.WebpDHash(exprs.head)),

@@ -2170,6 +2170,41 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q157_tiff_pages" -> ((s, dir) => {
+      // multi-page TIFF (the scanned-document shape): 1-3 pages per id,
+      // per-page closed-form gradients, LZW on odd ids, BE on id%5==0;
+      // pages surface as PNG stills in the shared image Hamming space
+      // via tiffPageSignatures. Junk ids >= 300 yield no rows (wholesale
+      // refusal). Oracle replays every page hash from the pattern
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").filter(col("doc_id") < 320)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      lazy val rows = docs.map { id =>
+        if (id >= 300) (id, s"not a tiff $id".getBytes("UTF-8"))
+        else {
+          val pid = (id % 100).toInt
+          val w = 9 + pid % 24
+          val h = 8 + pid % 16
+          val nPages = 1 + (id % 3).toInt
+          val pages = (0 until nPages).map { p =>
+            val seed = pid + 31 * p
+            (w, h, (x: Int, y: Int) =>
+              ((5 + seed % 7) * (x / 8) + (13 + seed % 11) * (y / 8)
+                + seed) % 256)
+          }
+          (id, graft.llmops.ImageWriter.tiffMultipage(pages,
+            littleEndian = id % 5 != 0, lzw = id % 2 == 1))
+        }
+      }
+      import ss.implicits._
+      val src = fixtureDF(ss, dir, "q157_tiff_pages")(rows)
+      graft.llmops.Multimodal.tiffPageSignatures(src, "doc_id", "content")
+        .select(col("key").as("doc_id"), col("page_idx"),
+          shiftrightunsigned(col("phash"), 32).cast("long").as("dh_hi"),
+          col("phash").bitwiseAND(lit(0xFFFFFFFFL)).cast("long").as("dh_lo"))
+        .orderBy("doc_id", "page_idx")
+    }),
+
     "q156_ogg_twins" -> ((s, dir) => {
       // the third compressed-audio family: the SAME closed-form PCM as
       // WAV and as a real Ogg Vorbis stream (full spec machinery:
@@ -4053,6 +4088,45 @@ object SparkEntry {
          WHERE bit_count(xor(a.dh_hi, b.dh_hi))
              + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
          ORDER BY key_a, key_b""",
+
+    // q157: per-page dhash replayed closed-form from the gradient;
+    // junk ids contribute no rows (wholesale refusal).
+    "q157_tiff_pages" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(9 + (doc_id % 100) % 24 AS INTEGER) AS w,
+             CAST(8 + (doc_id % 100) % 16 AS INTEGER) AS h,
+             p.p AS page,
+             CAST((doc_id % 100) + 31 * p.p AS INTEGER) AS seed
+           FROM documents, range(3) p(p)
+           WHERE doc_id < 300 AND p.p < 1 + doc_id % 3),
+         px AS (
+           SELECT i.doc_id, i.page,
+             ((x.x + 1) * 9 - 1) // i.w AS ci,
+             ((y.y + 1) * 8 - 1) // i.h AS cj,
+             ((5 + i.seed % 7) * (x.x // 8) + (13 + i.seed % 11) * (y.y // 8)
+               + i.seed) % 256 AS gray
+           FROM ids i, range(32) x(x), range(23) y(y)
+           WHERE x.x < i.w AND y.y < i.h),
+         cells AS (
+           SELECT doc_id, page, cj, ci, sum(gray) AS s, count(*) AS c
+           FROM px GROUP BY 1, 2, 3, 4),
+         bits AS (
+           SELECT l.doc_id, l.page, l.cj * 8 + l.ci AS k
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.page = l.page
+             AND r.cj = l.cj AND r.ci = l.ci + 1
+           WHERE r.s * l.c > l.s * r.c),
+         hashes AS (
+           SELECT d.doc_id, d.page,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS dh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS dh_lo
+           FROM (SELECT DISTINCT doc_id, page FROM px) d
+           LEFT JOIN bits b USING (doc_id, page) GROUP BY 1, 2)
+         SELECT doc_id, CAST(page AS INTEGER) AS page_idx, dh_hi, dh_lo
+         FROM hashes ORDER BY doc_id, page_idx""",
 
     // q156: the envelope hash replayed closed-form from the ladder
     // signal (mono mix → 65 energy cells → gradient bits); the Ogg arm

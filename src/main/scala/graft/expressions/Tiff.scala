@@ -28,23 +28,78 @@ object TiffDecode {
 
   private final case class Entry(typ: Int, count: Int, raw: Int)
 
+  /** `true` for little-endian, `false` for big-endian, null magic
+    * mismatch is signalled by the Integer result being null.
+    */
+  private def byteOrder(b: Array[Byte]): java.lang.Boolean =
+    if (b == null || b.length < 8) null
+    else if (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0)
+      java.lang.Boolean.TRUE
+    else if (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)
+      java.lang.Boolean.FALSE
+    else null
+
   def decode(b: Array[Byte]): Rgb = {
-    if (b == null || b.length < 8) return null
-    val le =
-      if (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) true
-      else if (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42) false
-      else return null
+    val leB = byteOrder(b)
+    if (leB == null) return null
+    val le = leB.booleanValue()
+    val ifd0 =
+      if (le) (b(4) & 0xFF) | ((b(5) & 0xFF) << 8) |
+        ((b(6) & 0xFF) << 16) | ((b(7) & 0xFF) << 24)
+      else ((b(4) & 0xFF) << 24) | ((b(5) & 0xFF) << 16) |
+        ((b(6) & 0xFF) << 8) | (b(7) & 0xFF)
+    decodeIfd(b, le, ifd0)
+  }
+
+  /** Every page of a multi-page TIFF (the IFD chain — how scanned
+    * documents actually ship): ALL pages must decode and the combined
+    * canvas must fit the 64 MB cap, else wholesale null (a partially
+    * readable scan never surfaces as a shorter document). Cycle-safe
+    * via the page cap.
+    */
+  def decodePages(b: Array[Byte], maxPages: Int = 256): Array[Rgb] = {
+    val leB = byteOrder(b)
+    if (leB == null) return null
+    val le = leB.booleanValue()
     def u16(i: Int): Int =
-      if (i + 2 > b.length) -1
+      if (i < 0 || i + 2 > b.length) -1
       else if (le) (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
       else ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
     def u32(i: Int): Int =
-      if (i + 4 > b.length) -1
+      if (i < 0 || i + 4 > b.length) -1
       else if (le) (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
         ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
       else ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
         ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
-    val ifd = u32(4)
+    val pages = scala.collection.mutable.ArrayBuffer.empty[Rgb]
+    var off = u32(4)
+    var total = 0L
+    while (off != 0) {
+      if (pages.length >= maxPages) return null
+      val r = decodeIfd(b, le, off)
+      if (r == null) return null
+      total += r.rgb.length
+      if (total > 64L * 1024 * 1024) return null
+      pages += r
+      val n = u16(off)
+      if (n <= 0) return null
+      off = u32(off + 2 + n * 12)
+      if (off < 0) return null
+    }
+    if (pages.isEmpty) null else pages.toArray
+  }
+
+  private def decodeIfd(b: Array[Byte], le: Boolean, ifd: Int): Rgb = {
+    def u16(i: Int): Int =
+      if (i < 0 || i + 2 > b.length) -1
+      else if (le) (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+      else ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+    def u32(i: Int): Int =
+      if (i < 0 || i + 4 > b.length) -1
+      else if (le) (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+        ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+      else ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+        ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
     if (ifd < 8 || ifd + 2 > b.length) return null
     val n = u16(ifd)
     if (n <= 0) return null
@@ -376,6 +431,52 @@ object TiffDecode {
       } // -128: noop
     }
     out
+  }
+}
+
+/** Multi-page TIFF pages as `array<binary>` of complete 8-bit RGB PNG
+  * stills ([[GifDecode.pngEncode]] re-encode) — the scanned-document
+  * sibling of [[GifFrames]]: every downstream still consumer
+  * ([[PngDHash]], histogram screens, page-level dedup) rides the IFD
+  * chain with zero new machinery. NULL wholesale when any page
+  * refuses (per [[TiffDecode.decodePages]]).
+  */
+case class TiffPages(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_tiff_pages"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TiffPages.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.expressions.TiffPages.compute($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): TiffPages =
+    copy(child = newChild)
+}
+
+object TiffPages {
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(b: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val pages = TiffDecode.decodePages(b)
+    if (pages == null) return null
+    val out = new Array[Any](pages.length)
+    var i = 0
+    while (i < pages.length) {
+      out(i) = GifDecode.pngEncode(pages(i).width, pages(i).height,
+        pages(i).rgb)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 

@@ -273,6 +273,50 @@ object ImageWriter {
       lzw: Boolean = false, deflate: Boolean = false,
       predictor: Boolean = false,
       tileWidth: Int = 0, tileLength: Int = 0): Array[Byte] = {
+    val blob = tiffIfdBlob(width, height, px, bits, rgb, palette,
+      photometric, littleEndian, rowsPerStrip, packBits, lzw, deflate,
+      predictor, tileWidth, tileLength, base = 8, nextIfd = 0)
+    (if (littleEndian) Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0)
+    else Array[Byte]('M', 'M', 0, 42, 0, 0, 0, 8)) ++ blob
+  }
+
+  /** Multi-page TIFF (IFD chain) — the shape scanned documents ship
+    * in: one page per (width, height, px) triple, shared encoding
+    * knobs, each IFD's next pointer chaining to the following page.
+    */
+  def tiffMultipage(pages: Seq[(Int, Int, (Int, Int) => Int)],
+      bits: Int = 8, littleEndian: Boolean = true,
+      lzw: Boolean = false, deflate: Boolean = false,
+      packBits: Boolean = false, rowsPerStrip: Int = 0,
+      tileWidth: Int = 0, tileLength: Int = 0): Array[Byte] = {
+    require(pages.nonEmpty)
+    // blob sizes are base/next independent: measure with dummies first
+    val sizes = pages.map { case (w, h, px) =>
+      tiffIfdBlob(w, h, px, bits, false, null, -1, littleEndian,
+        rowsPerStrip, packBits, lzw, deflate, false, tileWidth,
+        tileLength, base = 8, nextIfd = 0).length
+    }
+    val bases = sizes.scanLeft(8)(_ + _)
+    val out = new ByteArrayOutputStream()
+    out.write(if (littleEndian) Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0)
+    else Array[Byte]('M', 'M', 0, 42, 0, 0, 0, 8))
+    pages.zipWithIndex.foreach { case ((w, h, px), i) =>
+      out.write(tiffIfdBlob(w, h, px, bits, false, null, -1, littleEndian,
+        rowsPerStrip, packBits, lzw, deflate, false, tileWidth,
+        tileLength, base = bases(i),
+        nextIfd = if (i == pages.length - 1) 0 else bases(i + 1)))
+    }
+    out.toByteArray
+  }
+
+  private def tiffIfdBlob(width: Int, height: Int, px: (Int, Int) => Int,
+      bits: Int, rgb: Boolean, palette: Array[Int],
+      photometric: Int, littleEndian: Boolean,
+      rowsPerStrip: Int, packBits: Boolean,
+      lzw: Boolean, deflate: Boolean,
+      predictor: Boolean,
+      tileWidth: Int, tileLength: Int,
+      base: Int, nextIfd: Int): Array[Byte] = {
     require(!rgb || bits == 8 || bits == 16)
     require(palette == null || bits <= 8, "palette indices are 4/8-bit")
     require(Seq(packBits, lzw, deflate).count(identity) <= 1,
@@ -381,7 +425,7 @@ object ImageWriter {
     // [317],[320],[322,323,324,325]
     val nTags = (if (tiled) 10 else 9) +
       (if (predictor) 1 else 0) + (if (palette != null) 1 else 0)
-    val ifdOff = 8
+    val ifdOff = base
     val ifdSize = 2 + nTags * 12 + 4
     var extraOff = ifdOff + ifdSize // offset-stored arrays land here
     val extra = new ByteArrayOutputStream()
@@ -424,9 +468,6 @@ object ImageWriter {
       strips.foreach(s => extra.write(w32(s.length)))
 
     val out = new ByteArrayOutputStream()
-    out.write(if (littleEndian) Array[Byte]('I', 'I', 42, 0)
-    else Array[Byte]('M', 'M', 0, 42))
-    out.write(w32(ifdOff))
     out.write(w16(nTags))
     def tag(id: Int, typ: Int, count: Int, field: Array[Byte]): Unit = {
       out.write(w16(id)); out.write(w16(typ)); out.write(w32(count))
@@ -457,7 +498,7 @@ object ImageWriter {
       tag(325, 4, strips.length,
         if (cntFieldSpill) w32(cntAt) else w32(strips.head.length))
     }
-    out.write(w32(0)) // next IFD
+    out.write(w32(nextIfd)) // next IFD in the chain (0 = last)
     out.write(extra.toByteArray)
     strips.foreach(out.write)
     out.toByteArray

@@ -591,8 +591,36 @@ object Multimodal {
     df.select(col(keyCol).alias("key"),
         posexplode(pdfImages(col(contentCol))).as(Seq("img_idx", "__img")))
       .select(col("key"), col("img_idx"),
-        imageDHash(col("__img")).alias("ihash"))
+        // PdfImages emits /DCTDecode XObjects only — complete baseline
+        // JPEGs — so this hot path takes the single arm, not the
+        // six-arm general dispatch (same bit layout, stores compatible)
+        jpegDHash(col("__img")).alias("ihash"))
       .filter(col("ihash").isNotNull)
+
+  /** Multi-page TIFF pages as PNG stills
+    * ([[graft.expressions.TiffPages]]) — the scanned-document sibling
+    * of [[videoFrames]]'s GIF arm: `array<binary>` of complete RGB
+    * PNGs, one per IFD-chain page; NULL wholesale when any page
+    * refuses.
+    */
+  def tiffPages(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.TiffPages(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** Per-page perceptual signatures of a scanned-document corpus: one
+    * row per TIFF page — (key, page_idx, phash) in the shared image
+    * Hamming space, the document twin of [[videoFrameSignatures]].
+    * Content bytes decode once in the scan projection; what shuffles
+    * is (key, int, long) rows.
+    */
+  def tiffPageSignatures(df: DataFrame, keyCol: String,
+      contentCol: String): DataFrame =
+    df.select(col(keyCol).alias("key"),
+        posexplode(tiffPages(col(contentCol))).as(Seq("page_idx", "__page")))
+      .select(col("key"), col("page_idx"),
+        pngDHash(col("__page")).alias("phash"))
+      .filter(col("phash").isNotNull)
 
   /** Hash for stills [[videoFrames]] itself produced: MJPEG containers
     * emit complete JPEGs (the dominant case, so the JPEG arm leads),

@@ -1,7 +1,7 @@
 package graft.llmops
 
 import graft.SparkTestBase
-import graft.expressions.{ImageHistStats, PngDHash, TiffDHash, TiffDecode}
+import graft.expressions.{ImageHistStats, PngDHash, TiffDHash, TiffDecode, TiffPages}
 
 class TiffSpec extends SparkTestBase {
 
@@ -240,6 +240,42 @@ class TiffSpec extends SparkTestBase {
     if (mine != null) // accept-or-refuse per the compression ImageIO picked
       for (y <- 0 until h; x <- 0 until w)
         assert(px(mine, x, y)._1 === g(x, y), s"foreign16 ($x,$y)")
+  }
+
+  test("multi-page IFD chains: decodePages, PNG stills, hash-space membership") {
+    val specs = (0 until 5).map { k =>
+      (20 + k, 12 + k, gray(k + 2) _)
+    }
+    for (le <- Seq(true, false); lzw <- Seq(false, true)) {
+      val bytes = ImageWriter.tiffMultipage(specs, littleEndian = le,
+        lzw = lzw)
+      val pages = TiffDecode.decodePages(bytes)
+      assert(pages != null && pages.length === 5, s"le=$le lzw=$lzw")
+      for ((p, k) <- pages.zipWithIndex) {
+        assert(p.width === 20 + k && p.height === 12 + k)
+        for (y <- 0 until p.height; x <- 0 until p.width)
+          assert(px(p, x, y)._1 === gray(k + 2)(x, y),
+            s"page $k ($x,$y) le=$le lzw=$lzw")
+      }
+      // single-page decode still reads page 1 only
+      val first = TiffDecode.decode(bytes)
+      assert(first != null && first.width === 20)
+    }
+    // TiffPages: PNG stills land in the shared hash space
+    val bytes = ImageWriter.tiffMultipage(
+      Seq((27, 16, gray(6) _), (27, 16, gray(9) _)))
+    val arr = TiffPages.compute(bytes)
+    assert(arr != null && arr.numElements() === 2)
+    val p0 = arr.getBinary(0)
+    assert(PngDHash.compute(p0) === TiffDHash.compute(
+      ImageWriter.tiffImage(27, 16, gray(6))))
+    // ImageIO agrees page 1 of the chain is readable
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth === 27)
+    // truncation: a severed chain refuses wholesale
+    for (cut <- Seq(40, bytes.length / 2, bytes.length - 6))
+      assert(TiffDecode.decodePages(bytes.take(cut)) === null, s"cut=$cut")
   }
 
   test("JDK ImageIO agrees on the writer's streams") {
