@@ -5,15 +5,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType}
 
-/** Container-agnostic video frame extraction: sniffs the leading
+/** Container-agnostic still-sequence extraction: sniffs the leading
   * magic and dispatches — `RIFF…AVI ` → [[AviFrames]], `GIF8xa` →
-  * [[GifFrames]] (animated GIF, composited frames as PNGs), ISO BMFF
-  * (`ftyp`, with `wide`/`free`/`skip` preambles) → [[Mp4Frames]].
-  * One expression, one `array<binary>` of complete stills, one
-  * Hamming space for the whole video-dedup family regardless of which
-  * container a crawl delivered — exactly how [[graft.llmops.Multimodal
-  * .imageDHash]] unifies PNG and JPEG for images. NULL when neither
-  * container parses.
+  * [[GifFrames]] (animated GIF, composited frames as PNGs), `II`/`MM`
+  * → [[TiffPages]] (multi-page TIFF — a scanned document IS a still
+  * sequence, so page-level dedup rides the whole frame-hash family),
+  * ISO BMFF (`ftyp`, with `wide`/`free`/`skip` preambles) →
+  * [[Mp4Frames]]. One expression, one `array<binary>` of complete
+  * stills, one Hamming space for the whole sequence-dedup family
+  * regardless of which container a crawl delivered — exactly how
+  * [[graft.llmops.Multimodal.imageDHash]] unifies PNG and JPEG for
+  * images. NULL when no container parses.
   */
 case class VideoFrames(child: Expression) extends UnaryExpression {
 
@@ -47,6 +49,8 @@ object VideoFrames {
       AviFrames.compute(b)
     else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
       GifFrames.compute(b) // animated GIF: composited frames as PNGs
+    else if ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M'))
+      TiffPages.compute(b) // multi-page TIFF: scanned pages as PNGs
     else
       Mp4Frames.compute(b)
   }

@@ -278,6 +278,29 @@ class TiffSpec extends SparkTestBase {
       assert(TiffDecode.decodePages(bytes.take(cut)) === null, s"cut=$cut")
   }
 
+  test("multi-page TIFFs ride the still-sequence family (VideoFrames arm)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val M = Multimodal
+    // a scanned doc (2 pages) + an animated GIF compositing the SAME
+    // two patterns: container-blind frame hashes must pair them
+    val tiff = ImageWriter.tiffMultipage(
+      Seq((24, 16, gray(3) _), (24, 16, gray(11) _)), lzw = true)
+    val gif = GifWriter.animatedGray(24, 16, Seq(gray(3) _, gray(11) _))
+    val df = Seq((1L, tiff), (2L, gif)).toDF("doc_id", "content")
+    val sigs = M.videoFrameSignatures(df, "doc_id", "content")
+      .orderBy("key", "frame_idx").collect()
+    assert(sigs.length === 4)
+    val byKey = sigs.groupBy(_.getAs[Long]("key"))
+    assert(byKey(1L).map(_.getAs[Long]("fhash")).toSeq ===
+      byKey(2L).map(_.getAs[Long]("fhash")).toSeq,
+      "TIFF pages and GIF frames of the same patterns hash identically")
+    // videoNearDups pairs the scanned doc with its GIF re-encode
+    val pairs = M.videoNearDups(df, "doc_id", "content").collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getAs[Double]("frac") === 1.0)
+  }
+
   test("JDK ImageIO agrees on the writer's streams") {
     val w = 19; val h = 13
     val g = gray(8) _
