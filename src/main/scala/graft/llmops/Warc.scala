@@ -315,6 +315,49 @@ object Warc {
     }
   }
 
+  /** Streaming arm of [[curateCrawlMedia]]: a stream of (key, archive
+    * bytes) micro-batched through the same per-modality screen-and-
+    * append path via `foreachBatch`, replay-idempotent per modality
+    * (each signature store screens re-delivered media). The media twin
+    * of [[ingestCrawlStream]].
+    */
+  def curateCrawlMediaStream(
+      spark: org.apache.spark.sql.SparkSession,
+      stream: DataFrame,
+      keyCol: String,
+      contentCol: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      imageCorpusPath: Option[String] = None,
+      audioCorpusPath: Option[String] = None,
+      videoCorpusPath: Option[String] = None,
+      maxDist: Int = 3,
+      minSharedFrac: Double = 0.5,
+      maxFramesPerVideo: Int = 0,
+      imageSignaturePath: Option[String] = None,
+      audioSignaturePath: Option[String] = None,
+      videoSignaturePath: Option[String] = None,
+      lockStore: Option[graft.operators.LockStore] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        curateCrawlMedia(spark, batch, keyCol, contentCol,
+          imageCorpusPath = imageCorpusPath,
+          audioCorpusPath = audioCorpusPath,
+          videoCorpusPath = videoCorpusPath,
+          maxDist = maxDist, minSharedFrac = minSharedFrac,
+          maxFramesPerVideo = maxFramesPerVideo,
+          imageSignaturePath = imageSignaturePath,
+          audioSignaturePath = audioSignaturePath,
+          videoSignaturePath = videoSignaturePath,
+          lockStore = lockStore)
+        ()
+      }
+      .start()
+
   /** The crawl arm of corpus ingestion: archives (full WARC or WET —
     * [[crawlTexts]] is source-format-blind) → pages → one page per
     * URL (a crawl revisits; keep the LATEST by WARC-Date, record order

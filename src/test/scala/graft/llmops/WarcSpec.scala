@@ -296,6 +296,32 @@ class WarcSpec extends SparkTestBase {
     assert(again("image") === 0 && again("audio") === 0)
   }
 
+  test("curateCrawlMediaStream: media archives land via the batch path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("crawlmediastream").toString
+    def png(seed: Int) = ImageWriter.pngGray(16, 16,
+      (x, y) => (x * 7 + y * 13 + seed) % 256)
+    val ms = MemoryStream[(Long, Array[Byte])]
+    ms.addData((1L, WarcWriter.write(Seq(
+      ("https://e.com/a.png", "2026-02-01T00:00:00Z", 200, "image/png",
+        png(0))))))
+    ms.addData((2L, WarcWriter.write(Seq(
+      ("https://e.com/a.png", "2026-02-02T00:00:00Z", 200, "image/png",
+        png(0)), // re-delivery: signature store screens it
+      ("https://e.com/b.png", "2026-02-02T00:00:00Z", 200, "image/png",
+        png(128))))))
+    val q = Warc.curateCrawlMediaStream(spark,
+      ms.toDF.toDF("doc_id", "content"), "doc_id", "content",
+      s"$dir/chk", imageCorpusPath = Some(s"$dir/img"),
+      imageSignaturePath = Some(s"$dir/imgsig"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(s"$dir/img").select("url").collect()
+      .map(_.getString(0)).sorted
+    assert(kept.toSeq === Seq("https://e.com/a.png", "https://e.com/b.png"))
+  }
+
   test("ingestCrawlStream: micro-batched archives land via the same path") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col

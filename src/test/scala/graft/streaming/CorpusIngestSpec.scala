@@ -465,6 +465,35 @@ class CorpusIngestSpec extends SparkTestBase {
       .collect().sorted.toSeq === Seq(1L, 3L))
   }
 
+  test("ingestVideoBatch accepts multi-page TIFF scans: page-level dup drops") {
+    val root = Files.createTempDirectory("graft-ingest-scan").toString
+    val corpus = s"$root/corpus"
+    val sigs = s"$root/sigs"
+    def g(seed: Int)(x: Int, y: Int): Int =
+      ((5 + seed % 7) * (x / 8) + (13 + seed % 11) * (y / 8) + seed) % 256
+    val scanA = graft.llmops.ImageWriter.tiffMultipage(
+      Seq((24, 16, g(1) _), (24, 16, g(8) _)))
+    // the same two pages re-encoded LZW + big-endian: a re-scan
+    val scanARescan = graft.llmops.ImageWriter.tiffMultipage(
+      Seq((24, 16, g(1) _), (24, 16, g(8) _)), lzw = true,
+      littleEndian = false)
+    // inverted gradients: the monotone g() patterns all share one dHash
+    // (every right cell brighter), so distinct content must flip slope
+    val scanB = graft.llmops.ImageWriter.tiffMultipage(
+      Seq((24, 16, (x: Int, y: Int) => 255 - g(40)(x, y)),
+        (24, 16, (x: Int, y: Int) => 255 - g(55)(x, y))))
+    val n1 = CorpusIngest.ingestVideoBatch(spark,
+      Seq((1L, scanA)).toDF("doc_id", "content"),
+      corpus, "content", "doc_id", signaturePath = Some(sigs))
+    assert(n1 === 1)
+    val n2 = CorpusIngest.ingestVideoBatch(spark,
+      Seq((2L, scanARescan), (3L, scanB)).toDF("doc_id", "content"),
+      corpus, "content", "doc_id", signaturePath = Some(sigs))
+    assert(n2 === 1, "re-encoded scan drops against the store; fresh appends")
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 3L))
+  }
+
   test("ingestImageStream: quality gate sees only dedup survivors") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
