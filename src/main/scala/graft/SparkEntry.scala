@@ -751,7 +751,10 @@ object SparkEntry {
         else if (id >= 400) W.bmp(w, h) // header-only stub
         else tier match {
           case 0 => W.bmpFromPixels(w, h, (x, y) => (g(x, y), g(x, y), g(x, y)))
-          case 1 => W.bmpIndexed(w, h, grayPal, g)
+          case 1 =>
+            // odd pids take the RLE8 path — same pixels, same oracle
+            if (pid % 2 == 1) W.bmpRle(w, h, grayPal, g)
+            else W.bmpIndexed(w, h, grayPal, g)
           case 2 => W.bmpFromPixels(w, h,
             (x, y) => (g(x, y), g(x, y), g(x, y)), topDown = true)
           case _ => W.pngFromPixels(w, h,

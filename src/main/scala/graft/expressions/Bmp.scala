@@ -9,9 +9,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * up essentially all BMPs in the wild — BITMAPINFOHEADER and the
   * V4/V5 extensions, bottom-up AND top-down row order, bit depths
   * 1/4/8 (palette, MSB-first packing) and 24/32 (BGR/BGRx), 4-byte row
-  * padding, partial palettes (`biClrUsed`). RLE4/RLE8, 16-bit and
-  * BI_BITFIELDS streams are refused honestly (wholesale NULL), as are
-  * truncated pixel arrays, out-of-palette indices and forged
+  * padding, partial palettes (`biClrUsed`), and the RLE4/RLE8
+  * compressed layouts (encoded runs, absolute mode with word padding,
+  * end-of-line/bitmap markers, deltas leaving skipped pixels at
+  * palette 0 — always bottom-up per spec). 16-bit and BI_BITFIELDS
+  * streams are refused honestly (wholesale NULL), as are truncated
+  * pixel arrays/RLE streams, out-of-palette indices and forged
   * dimensions past the 64 MB cap.
   */
 object BmpDecode {
@@ -42,7 +45,11 @@ object BmpDecode {
     val bpp = le16(b, 28)
     if (bpp != 1 && bpp != 4 && bpp != 8 && bpp != 24 && bpp != 32)
       return null
-    if (le32(b, 30) != 0) return null // BI_RGB only
+    val compression = le32(b, 30)
+    val rle = compression == 1 || compression == 2
+    if (compression != 0 && !rle) return null // BI_RGB / BI_RLE only
+    if (rle && ((compression == 1 && bpp != 8) ||
+      (compression == 2 && bpp != 4) || topDown)) return null
     var palette: Array[Byte] = null
     var palN = 0
     if (bpp <= 8) {
@@ -52,6 +59,27 @@ object BmpDecode {
       val palOff = 14 + dibSize
       if (palOff + 4L * palN > b.length) return null
       palette = java.util.Arrays.copyOfRange(b, palOff, palOff + 4 * palN)
+    }
+    if (rle) {
+      val idx = decodeRle(b, dataOff, bpp, width, height)
+      if (idx == null) return null
+      val out = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        val srcRow = (height - 1 - y) * width // RLE rows are bottom-up
+        var x = 0
+        while (x < width) {
+          val v = idx(srcRow + x) & 0xFF
+          if (v >= palN) return null
+          val dp = (y * width + x) * 3
+          out(dp) = palette(v * 4 + 2)
+          out(dp + 1) = palette(v * 4 + 1)
+          out(dp + 2) = palette(v * 4)
+          x += 1
+        }
+        y += 1
+      }
+      return new Rgb(width, height, out)
     }
     val rowSize = ((bpp.toLong * width + 31) / 32).toInt * 4
     if (dataOff < 0 || dataOff.toLong + rowSize.toLong * height > b.length)
@@ -87,6 +115,67 @@ object BmpDecode {
       y += 1
     }
     new Rgb(width, height, out)
+  }
+
+  /** RLE4/RLE8 stream walk into a bottom-up palette-index canvas
+    * (row 0 = bottom). Skipped pixels — deltas, early end-of-line,
+    * early end-of-bitmap — stay at palette index 0, the historical
+    * Windows convention. Null on any structural violation: truncated
+    * stream, run past the row end, cursor past the canvas, missing
+    * end-of-bitmap.
+    */
+  private def decodeRle(b: Array[Byte], from: Int, bpp: Int,
+      width: Int, height: Int): Array[Byte] = {
+    if (from < 0 || from >= b.length) return null
+    val idx = new Array[Byte](width * height)
+    var x = 0
+    var row = 0 // bottom row first
+    var i = from
+    while (i + 2 <= b.length) {
+      val n = b(i) & 0xFF
+      val v = b(i + 1) & 0xFF
+      i += 2
+      if (n > 0) { // encoded run: n pixels of v (RLE4: alternating nibbles)
+        if (row >= height || x + n > width) return null
+        var k = 0
+        while (k < n) {
+          val value =
+            if (bpp == 8) v else if ((k & 1) == 0) v >> 4 else v & 0xF
+          idx(row * width + x) = value.toByte
+          x += 1
+          k += 1
+        }
+      } else v match {
+        case 0 => // end of line
+          x = 0
+          row += 1
+          if (row > height) return null
+        case 1 => // end of bitmap
+          return idx
+        case 2 => // delta: skipped pixels stay 0
+          if (i + 2 > b.length) return null
+          x += b(i) & 0xFF
+          row += b(i + 1) & 0xFF
+          i += 2
+          if (x > width || row > height) return null
+        case cnt => // absolute mode: cnt literal pixels, word-padded
+          val bytes = if (bpp == 8) cnt else (cnt + 1) / 2
+          val padded = (bytes + 1) & ~1
+          if (i + padded > b.length) return null
+          if (row >= height || x + cnt > width) return null
+          var k = 0
+          while (k < cnt) {
+            val by = b(i + (if (bpp == 8) k else k / 2)) & 0xFF
+            val value =
+              if (bpp == 8) by else if ((k & 1) == 0) by >> 4 else by & 0xF
+            idx(row * width + x) = value.toByte
+            x += 1
+            k += 1
+          }
+          i += padded
+      }
+    }
+    null // stream ended without the end-of-bitmap marker
   }
 }
 

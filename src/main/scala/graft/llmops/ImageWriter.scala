@@ -678,6 +678,94 @@ object ImageWriter {
   }
 
   /** BMP file header + BITMAPINFOHEADER (24bpp, no pixel data). */
+  /** RLE-compressed indexed BMP (BI_RLE8 / BI_RLE4) — writer twin of
+    * the decoder's RLE walk. Rows encode as maximal runs (encoded
+    * mode) except runs shorter than `absBelow` pixels, which emit
+    * absolute mode (word-padded) so both stream forms are exercised;
+    * every row ends with end-of-line, the image with end-of-bitmap.
+    */
+  def bmpRle(width: Int, height: Int, palette: Array[Byte],
+      idx: (Int, Int) => Int, bpp: Int = 8,
+      absBelow: Int = 3): Array[Byte] = {
+    require(bpp == 4 || bpp == 8, s"RLE bpp must be 4 or 8: $bpp")
+    val palN = palette.length / 3
+    val data = new ByteArrayOutputStream()
+    // rows bottom-up per spec
+    for (y <- (height - 1) to 0 by -1) {
+      var x = 0
+      while (x < width) {
+        val v = idx(x, y)
+        var run = 1
+        while (x + run < width && idx(x + run, y) == v && run < 255)
+          run += 1
+        if (run >= absBelow || run >= width - x) {
+          // encoded mode (RLE4: both nibbles the same value)
+          data.write(run)
+          data.write(if (bpp == 8) v & 0xFF else ((v & 0xF) << 4) | (v & 0xF))
+          x += run
+        } else {
+          // absolute mode: gather until a long run starts (3..255 px)
+          var cnt = run
+          while (x + cnt < width && cnt < 255 && {
+            val nv = idx(x + cnt, y)
+            var r = 1
+            while (x + cnt + r < width && idx(x + cnt + r, y) == nv &&
+              r < absBelow) r += 1
+            r < absBelow
+          }) cnt += 1
+          if (cnt < 3) { // absolute mode needs >= 3: pad with encoded runs
+            var k = 0
+            while (k < cnt) {
+              data.write(1)
+              data.write(if (bpp == 8) idx(x + k, y) & 0xFF
+              else ((idx(x + k, y) & 0xF) << 4) | (idx(x + k, y) & 0xF))
+              k += 1
+            }
+          } else {
+            data.write(0)
+            data.write(cnt)
+            if (bpp == 8) {
+              var k = 0
+              while (k < cnt) { data.write(idx(x + k, y) & 0xFF); k += 1 }
+              if ((cnt & 1) == 1) data.write(0) // word pad
+            } else {
+              var k = 0
+              while (k < cnt) {
+                val hi = idx(x + k, y) & 0xF
+                val lo = if (k + 1 < cnt) idx(x + k + 1, y) & 0xF else 0
+                data.write((hi << 4) | lo)
+                k += 2
+              }
+              if ((((cnt + 1) / 2) & 1) == 1) data.write(0) // word pad
+            }
+          }
+          x += cnt
+        }
+      }
+      data.write(0); data.write(0) // end of line
+    }
+    data.write(0); data.write(1) // end of bitmap
+    val body = data.toByteArray
+    val dataOff = 54 + 4 * palN
+    val out = new ByteArrayOutputStream()
+    out.write('B'); out.write('M')
+    out.write(le32(dataOff + body.length))
+    out.write(le32(0)); out.write(le32(dataOff))
+    out.write(le32(40))
+    out.write(le32(width))
+    out.write(le32(height)) // RLE is always bottom-up
+    out.write(le16(1)); out.write(le16(bpp))
+    out.write(le32(if (bpp == 8) 1 else 2)) // BI_RLE8 / BI_RLE4
+    out.write(le32(body.length)); out.write(le32(0)); out.write(le32(0))
+    out.write(le32(palN)); out.write(le32(0))
+    for (i <- 0 until palN) {
+      out.write(palette(i * 3 + 2)); out.write(palette(i * 3 + 1))
+      out.write(palette(i * 3)); out.write(0)
+    }
+    out.write(body)
+    out.toByteArray
+  }
+
   def bmp(width: Int, height: Int): Array[Byte] =
     "BM".getBytes("US-ASCII") ++ le32(54) ++ le32(0) ++ le32(54) ++
       le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++ le16(24) ++

@@ -89,6 +89,84 @@ class BmpSpec extends SparkTestBase {
     assert(stats.getDouble(3) === 0.0 && stats.getInt(4) === 77)
   }
 
+  test("RLE8/RLE4 round trips: runs, absolute mode, deltas, ImageIO agrees") {
+    // a COLOR palette: an all-gray one makes ImageIO gamma-convert to
+    // TYPE_BYTE_GRAY and the cross-check would compare post-transform
+    val pal256 = Array.tabulate(256 * 3) { i =>
+      val e = i / 3
+      (i % 3 match {
+        case 0 => e
+        case 1 => (e * 3) % 256
+        case _ => 255 - e
+      }).toByte
+    }
+    val w = 31; val h = 13
+    // blocky content (long runs) AND noisy content (absolute mode)
+    val blocky = (x: Int, y: Int) => ((x / 7) * 40 + (y / 4) * 90) % 256
+    val noisy = (x: Int, y: Int) => (x * 37 + y * 101) % 256
+    for ((tag, f) <- Seq("blocky" -> blocky, "noisy" -> noisy)) {
+      val bytes = ImageWriter.bmpRle(w, h, pal256, f)
+      val d = BmpDecode.decode(bytes)
+      assert(d != null, tag)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        val e = f(x, y)
+        assert((d.rgb(p) & 0xFF, d.rgb(p + 1) & 0xFF, d.rgb(p + 2) & 0xFF)
+          === ((e, (e * 3) % 256, 255 - e)), s"$tag ($x,$y)")
+      }
+      // ImageIO cross-check: the JDK BMP reader handles RLE8
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO refused $tag")
+      for (y <- 0 until h; x <- 0 until w) {
+        val e = f(x, y)
+        val rgb = img.getRGB(x, y)
+        assert((((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF))
+          === ((e, (e * 3) % 256, 255 - e)), s"io $tag ($x,$y)")
+      }
+    }
+    // RLE4 with a 16-entry palette
+    val pal16 = grayPalette(16)
+    val f4 = (x: Int, y: Int) => ((x / 5) + (y / 3)) % 16
+    val b4 = ImageWriter.bmpRle(19, 11, pal16, f4, bpp = 4)
+    val d4 = BmpDecode.decode(b4)
+    assert(d4 != null)
+    for (y <- 0 until 11; x <- 0 until 19) {
+      val p = (y * 19 + x) * 3
+      assert((d4.rgb(p) & 0xFF) === (f4(x, y) * (255 / 15)), s"rle4 ($x,$y)")
+    }
+    // hand-built delta stream: run of 5x value 3, delta (+2,+1), run,
+    // EOL, EOB — skipped pixels read palette 0
+    val body = Array[Byte](5, 3, 0, 2, 2, 1, 4, 7, 0, 0, 0, 1)
+    val head = ImageWriter.bmpRle(12, 3, pal16, (_, _) => 0, bpp = 8)
+    // splice: reuse a real header (12x3, RLE8, 16-color palette)
+    val hdr = java.util.Arrays.copyOfRange(head, 0, 54 + 4 * 16)
+    val sized = hdr.clone()
+    val n = body.length
+    sized(34) = (n & 0xFF).toByte // biSizeImage
+    val crafted = sized ++ body
+    val dd = BmpDecode.decode(crafted)
+    assert(dd != null)
+    // bottom row: x 0-4 = idx3, x 5-6 skipped (0), then delta lands at
+    // (7, row 1): bottom-up row 1 = display row 1; run of 4 idx7 there
+    val bottom = 2 // display row of RLE row 0 (h=3)
+    for (x <- 0 until 5)
+      assert((dd.rgb((bottom * 12 + x) * 3) & 0xFF) === 3 * (255 / 15))
+    for (x <- 5 until 12)
+      assert((dd.rgb((bottom * 12 + x) * 3) & 0xFF) === 0, s"skip $x")
+    for (x <- 7 until 11)
+      assert((dd.rgb((1 * 12 + x) * 3) & 0xFF) === 7 * (255 / 15), s"d $x")
+    // RLE streams missing EOB refuse; truncation refuses
+    val good = ImageWriter.bmpRle(w, h, pal256, blocky)
+    for (cut <- Seq(60, good.length / 2, good.length - 1))
+      assert(BmpDecode.decode(good.take(cut)) === null, s"cut=$cut")
+    // RLE hash-space membership: same pixels as uncompressed indexed
+    import graft.expressions.BmpDHash
+    val a = BmpDHash.compute(ImageWriter.bmpRle(w, h, pal256, blocky))
+    val b = BmpDHash.compute(ImageWriter.bmpIndexed(w, h, pal256, blocky))
+    assert(a != null && a === b)
+  }
+
   test("refusals: header-only, RLE, 16bpp, truncation, bad palette index") {
     assert(BmpDecode.decode(ImageWriter.bmp(20, 20)) === null) // no pixels
     val good = ImageWriter.bmpFromPixels(12, 9, (x, y) => (x, y, x + y))
