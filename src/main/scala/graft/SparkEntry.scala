@@ -794,8 +794,13 @@ object SparkEntry {
           case (0, _) => W.tiffImage(w, h, g, lzw = true, predictor = true)
           case (1, 0) => W.tiffImage(w, h, g, littleEndian = false,
             packBits = true)
-          case (1, _) => W.tiffImage(w, h, g, littleEndian = false,
-            lzw = true, rowsPerStrip = 6)
+          case (1, _) =>
+            if (pid % 4 == 1) W.tiffImage(w, h, g, littleEndian = false,
+              lzw = true, rowsPerStrip = 6)
+            else // planar config 2 over gray-as-RGB: same pixels
+              W.tiffImage(w, h,
+                (x, y) => { val v = g(x, y); (v << 16) | (v << 8) | v },
+                rgb = true, planar = true, rowsPerStrip = 5, lzw = true)
           case (2, 0) => W.tiffImage(w, h, g, palette = grayPal)
           case (2, _) => W.tiffImage(w, h, g, deflate = true,
             predictor = pid % 4 == 1)

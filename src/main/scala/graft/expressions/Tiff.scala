@@ -17,8 +17,9 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * TIFF 6.0 §15); segment compression none (1), LZW (5, §13 with the
   * early-change convention), Deflate (8 and legacy 32946, zlib
   * streams) or PackBits (32773); horizontal-differencing Predictor 2
-  * (§14, 8-bit samples) under any compression; chunky planar config
-  * only. JPEG-in-TIFF, planar=2 and 16-bit palette indices are refused
+  * (§14, 8-bit samples) under any compression; chunky AND planar
+  * (config 2, per-channel strip planes) sample layouts.
+  * JPEG-in-TIFF, tiled-planar and 16-bit palette indices are refused
   * honestly (wholesale NULL), as are truncated segments, short
   * ColorMaps and forged dims past the 64 MB cap.
   */
@@ -152,7 +153,11 @@ object TiffDecode {
     val bits = if (bitsArr == null) 1 else bitsArr(0)
     if (bitsArr != null && bitsArr.exists(_ != bits)) return null
     val photometric = scalar(262, 1)
-    if (scalar(284, 1) != 1) return null // chunky only
+    val planar = scalar(284, 1)
+    if (planar != 1 && planar != 2) return null
+    // planar 2: separate per-channel planes; meaningful for RGB(A) only
+    // (a 1-sample image is identical either way), strips only (tiled
+    // planar is vanishingly rare in the wild)
     val ok = (spp, photometric) match {
       case (1, 0) | (1, 1) =>
         bits == 1 || bits == 4 || bits == 8 || bits == 16
@@ -257,6 +262,7 @@ object TiffDecode {
       // §15 tiled layout: a full grid of fixed-size tiles, each padded
       // to tileW×tileL; strip tags must be absent (mixed layouts refuse)
       if (entries.contains(273) || entries.contains(279)) return null
+      if (planar == 2 && spp >= 3) return null // tiled planar: refuse
       val tileW = scalar(322, -1)
       val tileL = scalar(323, -1)
       if (tileW <= 0 || tileL <= 0) return null
@@ -280,6 +286,64 @@ object TiffDecode {
         paint(data, tileRowBytes, x0, y0,
           math.min(tileW, width - x0), math.min(tileL, height - y0))
         t += 1
+      }
+    } else if (planar == 2 && spp >= 3) {
+      // §1 planar configuration 2: all strips of channel 0, then
+      // channel 1, ... Each plane row carries ONE sample per pixel, so
+      // the predictor stride is 1 and 16-bit reduction reads per-plane
+      if (bits != 8 && bits != 16) return null
+      val offsets = values(273)
+      val counts = values(279)
+      if (offsets == null || counts == null ||
+        offsets.length != counts.length || offsets.isEmpty) return null
+      val rowsPerStrip = {
+        val v = scalar(278, height)
+        if (v <= 0) height else math.min(v, height)
+      }
+      val stripsPerPlane = (height + rowsPerStrip - 1) / rowsPerStrip
+      if (stripsPerPlane * spp != offsets.length) return null
+      val planeRowBytes = (width * bits + 7) / 8
+      val hiOff = if (le) 1 else 0
+      var c = 0
+      while (c < spp) {
+        var strip = 0
+        var y0 = 0
+        while (strip < stripsPerPlane) {
+          val rows = math.min(rowsPerStrip, height - y0)
+          val need = rows * planeRowBytes
+          val idx = c * stripsPerPlane + strip
+          val data = segment(offsets(idx), counts(idx), need)
+          if (data == null) return null
+          if (predictor == 2) { // stride 1 within a plane
+            var pr = 0
+            while (pr < data.length) {
+              var i = 1
+              while (i < planeRowBytes && pr + i < data.length) {
+                data(pr + i) = (data(pr + i) + data(pr + i - 1)).toByte
+                i += 1
+              }
+              pr += planeRowBytes
+            }
+          }
+          if (c < 3) { // alpha plane ignored, like chunky RGBA
+            var ry = 0
+            while (ry < rows) {
+              var x = 0
+              while (x < width) {
+                val v =
+                  if (bits == 16)
+                    data(ry * planeRowBytes + x * 2 + hiOff) & 0xFF
+                  else data(ry * planeRowBytes + x) & 0xFF
+                out(((y0 + ry) * width + x) * 3 + c) = v.toByte
+                x += 1
+              }
+              ry += 1
+            }
+          }
+          y0 += rows
+          strip += 1
+        }
+        c += 1
       }
     } else {
       val offsets = values(273)

@@ -272,10 +272,12 @@ object ImageWriter {
       rowsPerStrip: Int = 0, packBits: Boolean = false,
       lzw: Boolean = false, deflate: Boolean = false,
       predictor: Boolean = false,
-      tileWidth: Int = 0, tileLength: Int = 0): Array[Byte] = {
+      tileWidth: Int = 0, tileLength: Int = 0,
+      planar: Boolean = false): Array[Byte] = {
     val blob = tiffIfdBlob(width, height, px, bits, rgb, palette,
       photometric, littleEndian, rowsPerStrip, packBits, lzw, deflate,
-      predictor, tileWidth, tileLength, base = 8, nextIfd = 0)
+      predictor, tileWidth, tileLength, base = 8, nextIfd = 0,
+      planar = planar)
     (if (littleEndian) Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0)
     else Array[Byte]('M', 'M', 0, 42, 0, 0, 0, 8)) ++ blob
   }
@@ -316,9 +318,11 @@ object ImageWriter {
       lzw: Boolean, deflate: Boolean,
       predictor: Boolean,
       tileWidth: Int, tileLength: Int,
-      base: Int, nextIfd: Int): Array[Byte] = {
+      base: Int, nextIfd: Int, planar: Boolean = false): Array[Byte] = {
     require(!rgb || bits == 8 || bits == 16)
     require(palette == null || bits <= 8, "palette indices are 4/8-bit")
+    require(!planar || (rgb && tileWidth == 0),
+      "planar config 2 is RGB strips only")
     require(Seq(packBits, lzw, deflate).count(identity) <= 1,
       "pick at most one compression")
     require(!predictor || bits == 8, "Predictor 2 needs 8-bit samples")
@@ -397,8 +401,50 @@ object ImageWriter {
       case 8 => deflateEncode(raw)
       case _ => raw
     }
+    // planar config 2: one full set of strips per channel, rows carry
+    // a single sample each (predictor stride 1)
+    def planeSegment(c: Int, y0: Int, rows: Int,
+        segRowBytes: Int): Array[Byte] = {
+      val raw = new Array[Byte](rows * segRowBytes)
+      for (ry <- 0 until rows; x <- 0 until width) {
+        val v = px(x, y0 + ry)
+        val chan = c match {
+          case 0 => (v >> 16) & 0xFF
+          case 1 => (v >> 8) & 0xFF
+          case _ => v & 0xFF
+        }
+        if (bits == 16) {
+          val wide = chan * 257
+          val p = ry * segRowBytes + x * 2
+          if (littleEndian) {
+            raw(p) = (wide & 0xFF).toByte
+            raw(p + 1) = ((wide >> 8) & 0xFF).toByte
+          } else {
+            raw(p) = ((wide >> 8) & 0xFF).toByte
+            raw(p + 1) = (wide & 0xFF).toByte
+          }
+        } else raw(ry * segRowBytes + x) = chan.toByte
+      }
+      if (predictor) {
+        var pr = 0
+        while (pr < raw.length) {
+          var i = segRowBytes - 1
+          while (i >= 1) {
+            raw(pr + i) = (raw(pr + i) - raw(pr + i - 1)).toByte
+            i -= 1
+          }
+          pr += segRowBytes
+        }
+      }
+      raw
+    }
     val (strips, _) =
-      if (tiled) {
+      if (planar) {
+        val segRowBytes = (width * bits + 7) / 8
+        ((for (c <- 0 until 3; y0 <- 0 until height by rps) yield
+          compress(planeSegment(c, y0, math.min(rps, height - y0),
+            segRowBytes))), 0)
+      } else if (tiled) {
         val across = (width + tileWidth - 1) / tileWidth
         val down = (height + tileLength - 1) / tileLength
         val segRowBytes = (tileWidth * bits * spp + 7) / 8
@@ -423,7 +469,7 @@ object ImageWriter {
 
     // tags, ascending: 256,257,258,259,262,[273],277,[278,279],
     // [317],[320],[322,323,324,325]
-    val nTags = (if (tiled) 10 else 9) +
+    val nTags = (if (tiled) 10 else 9) + (if (planar) 1 else 0) +
       (if (predictor) 1 else 0) + (if (palette != null) 1 else 0)
     val ifdOff = base
     val ifdSize = 2 + nTags * 12 + 4
@@ -488,6 +534,7 @@ object ImageWriter {
       tag(279, 4, strips.length,
         if (cntFieldSpill) w32(cntAt) else w32(strips.head.length))
     }
+    if (planar) tag(284, 3, 1, shortField(2))
     if (predictor) tag(317, 3, 1, shortField(2))
     if (palField != null) tag(320, 3, 3 * levels, palField)
     if (tiled) {

@@ -301,6 +301,39 @@ class TiffSpec extends SparkTestBase {
     assert(pairs(0).getAs[Double]("frac") === 1.0)
   }
 
+  test("planar configuration 2: per-channel strip planes round trip") {
+    val w = 26; val h = 14
+    def rgbf(x: Int, y: Int) =
+      ((x * 7 + y) % 256 << 16) | ((y * 5 + x) % 256 << 8) | ((x ^ y) % 256)
+    for (le <- Seq(true, false); lzw <- Seq(false, true);
+        pred <- Seq(false, true); rps <- Seq(0, 5); b16 <- Seq(false, true)
+        if !(pred && b16)) {
+      val bytes = ImageWriter.tiffImage(w, h, rgbf, rgb = true,
+        bits = if (b16) 16 else 8, littleEndian = le, lzw = lzw,
+        predictor = pred, rowsPerStrip = rps, planar = true)
+      val d = TiffDecode.decode(bytes)
+      assert(d != null, s"le=$le lzw=$lzw pred=$pred rps=$rps b16=$b16")
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = rgbf(x, y)
+        assert(px(d, x, y) ===
+          (((v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF)),
+          s"($x,$y) le=$le lzw=$lzw pred=$pred rps=$rps b16=$b16")
+      }
+    }
+    // ImageIO agrees on a planar stream
+    val bytes = ImageWriter.tiffImage(w, h, rgbf, rgb = true, planar = true,
+      rowsPerStrip = 4)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO refused the planar stream")
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRGB(x, y) & 0xFFFFFF) === rgbf(x, y), s"io ($x,$y)")
+    // planar hash-space membership: same pixels, chunky == planar
+    val a = TiffDHash.compute(ImageWriter.tiffImage(w, h, rgbf, rgb = true))
+    val b = TiffDHash.compute(bytes)
+    assert(a != null && a === b)
+  }
+
   test("JDK ImageIO agrees on the writer's streams") {
     val w = 19; val h = 13
     val g = gray(8) _
