@@ -1,0 +1,589 @@
+package graft.llmops
+
+/** xz / LZMA2 decoder — the `.xz` member of the compressed-corpus family
+  * (several public text corpora ship as `.jsonl.xz` / `.txt.xz`).
+  * Reference hook: arbitrary-binary document ingestion,
+  * `aje_libs/documents/helpers/document_processor.py:10-83`.
+  *
+  * Implemented: the full xz container (stream header/footer with flag
+  * cross-check, block headers with CRC32 verification, compressed /
+  * uncompressed size declarations, block padding, per-block check values
+  * in all four defined types — none, CRC32, CRC64-ECMA, SHA-256 — all
+  * VERIFIED; index records cross-checked against the walked blocks,
+  * index CRC32 verified; stream padding and concatenated streams); the
+  * LZMA2 chunk layer (uncompressed chunks, state/props/dict resets,
+  * per-chunk range-coder init); and the complete LZMA decoder (range
+  * coder, lc/lp/pb literal contexts, matched literals, bit-tree and
+  * reverse-bit-tree distance coding, aligned distance bits, the four
+  * repeat distances, short rep, length coders). Refusals (`null`): any
+  * magic/CRC/flag/size violation, reserved filters, distances beyond
+  * the decoded window, truncation, output beyond the 64 MB cap.
+  */
+object XzLzma {
+
+  private final val MaxOut = 64 << 20
+
+  // ---------------- CRC64 (ECMA-182, reflected) ----------------
+
+  private val crc64Table: Array[Long] = {
+    val poly = 0xC96C5795D7870F42L // reflected ECMA polynomial
+    val t = new Array[Long](256)
+    var i = 0
+    while (i < 256) {
+      var c = i.toLong
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 1L) != 0) (c >>> 1) ^ poly else c >>> 1
+        k += 1
+      }
+      t(i) = c
+      i += 1
+    }
+    t
+  }
+
+  def crc64(b: Array[Byte], off: Int, len: Int): Long = {
+    var crc = ~0L
+    var i = off
+    while (i < off + len) {
+      crc = crc64Table(((crc ^ b(i)) & 0xff).toInt) ^ (crc >>> 8)
+      i += 1
+    }
+    ~crc
+  }
+
+  private def crc32(b: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(b, off, len)
+    c.getValue.toInt
+  }
+
+  // ---------------- LZMA core ----------------
+
+  private final class RangeDec(val b: Array[Byte], var pos: Int, val end: Int) {
+    var range = 0xFFFFFFFFL
+    var code = 0L
+    var bad = false
+    def init(): Unit = {
+      if (pos + 5 > end || b(pos) != 0) { bad = true; return }
+      pos += 1
+      code = 0L
+      var k = 0
+      while (k < 4) { code = (code << 8) | (b(pos) & 0xffL); pos += 1; k += 1 }
+    }
+    private def normalize(): Unit = {
+      if (range < (1L << 24)) {
+        range <<= 8
+        val nb = if (pos < end) b(pos) & 0xffL else { bad = true; 0L }
+        code = ((code << 8) | nb) & 0xFFFFFFFFL
+        pos += 1
+      }
+    }
+    def decodeBit(probs: Array[Short], idx: Int): Int = {
+      val p = probs(idx) & 0xffff
+      val bound = (range >>> 11) * p
+      if (code < bound) {
+        range = bound
+        probs(idx) = (p + ((2048 - p) >>> 5)).toShort
+        normalize()
+        0
+      } else {
+        range -= bound
+        code -= bound
+        probs(idx) = (p - (p >>> 5)).toShort
+        normalize()
+        1
+      }
+    }
+    def decodeDirect(n: Int): Int = {
+      var res = 0
+      var i = 0
+      while (i < n) {
+        range >>>= 1
+        res <<= 1
+        if (code >= range) { code -= range; res |= 1 }
+        normalize()
+        i += 1
+      }
+      res
+    }
+    def bitTree(probs: Array[Short], off: Int, n: Int): Int = {
+      var m = 1
+      var i = 0
+      while (i < n) { m = (m << 1) | decodeBit(probs, off + m); i += 1 }
+      m - (1 << n)
+    }
+    def reverseBitTree(probs: Array[Short], off: Int, n: Int): Int = {
+      var m = 1
+      var sym = 0
+      var i = 0
+      while (i < n) {
+        val bit = decodeBit(probs, off + m)
+        m = (m << 1) | bit
+        sym |= bit << i
+        i += 1
+      }
+      sym
+    }
+    /** Finished exactly (code drained) — checked at chunk end. */
+    def atChunkEnd(chunkEnd: Int): Boolean = pos == chunkEnd && code == 0L
+  }
+
+  private def newProbs(n: Int): Array[Short] = {
+    val a = new Array[Short](n)
+    java.util.Arrays.fill(a, 1024.toShort)
+    a
+  }
+
+  /** LZMA probability model + state (reset by LZMA2 control bits). */
+  private final class LzmaState(var lc: Int, var lp: Int, var pb: Int) {
+    var state = 0
+    var rep0 = 0; var rep1 = 0; var rep2 = 0; var rep3 = 0
+    var isMatch: Array[Short] = _
+    var isRep: Array[Short] = _
+    var isRepG0: Array[Short] = _
+    var isRepG1: Array[Short] = _
+    var isRepG2: Array[Short] = _
+    var isRep0Long: Array[Short] = _
+    var posSlot: Array[Short] = _ // 4 × 64
+    var specPos: Array[Short] = _
+    var align: Array[Short] = _
+    var lenChoice: Array[Short] = _
+    var lenLow: Array[Short] = _ // 16 × 8
+    var lenMid: Array[Short] = _
+    var lenHigh: Array[Short] = _
+    var repChoice: Array[Short] = _
+    var repLow: Array[Short] = _
+    var repMid: Array[Short] = _
+    var repHigh: Array[Short] = _
+    var literal: Array[Short] = _
+    reset()
+    def reset(): Unit = {
+      state = 0
+      rep0 = 0; rep1 = 0; rep2 = 0; rep3 = 0
+      isMatch = newProbs(12 * 16)
+      isRep = newProbs(12)
+      isRepG0 = newProbs(12)
+      isRepG1 = newProbs(12)
+      isRepG2 = newProbs(12)
+      isRep0Long = newProbs(12 * 16)
+      posSlot = newProbs(4 * 64)
+      specPos = newProbs(115)
+      align = newProbs(16)
+      lenChoice = newProbs(2)
+      lenLow = newProbs(16 * 8)
+      lenMid = newProbs(16 * 8)
+      lenHigh = newProbs(256)
+      repChoice = newProbs(2)
+      repLow = newProbs(16 * 8)
+      repMid = newProbs(16 * 8)
+      repHigh = newProbs(256)
+      literal = newProbs(0x300 << (lc + lp))
+    }
+    def setProps(p: Int): Boolean = {
+      if (p >= 225) return false
+      val lcv = p % 9
+      val rem = p / 9
+      val lpv = rem % 5
+      val pbv = rem / 5
+      if (pbv > 4) return false
+      lc = lcv; lp = lpv; pb = pbv
+      true
+    }
+  }
+
+  /** Growable decode window shared across a whole LZMA2 stream. */
+  private final class Win {
+    var buf = new Array[Byte](1 << 17)
+    var n = 0
+    var dictStart = 0 // a dict reset forbids matches reaching before this
+    def ensure(k: Int): Boolean = {
+      if (k < 0 || n.toLong + k > MaxOut) return false
+      if (n + k > buf.length) {
+        var cap = buf.length
+        while (cap < n + k) cap = math.min(MaxOut, cap * 2)
+        buf = java.util.Arrays.copyOf(buf, cap)
+      }
+      true
+    }
+  }
+
+  private def lenDecode(rc: RangeDec, choice: Array[Short], low: Array[Short],
+      mid: Array[Short], high: Array[Short], posState: Int): Int = {
+    if (rc.decodeBit(choice, 0) == 0)
+      2 + rc.bitTree(low, posState * 8, 3)
+    else if (rc.decodeBit(choice, 1) == 0)
+      10 + rc.bitTree(mid, posState * 8, 3)
+    else
+      18 + rc.bitTree(high, 0, 8)
+  }
+
+  /** Decode one LZMA chunk of `unpacked` bytes into the window. */
+  private def lzmaChunk(rc: RangeDec, st: LzmaState, win: Win,
+      unpacked: Int): Boolean = {
+    val posMask = (1 << st.pb) - 1
+    val litPosMask = (1 << st.lp) - 1
+    val target = win.n + unpacked
+    if (!win.ensure(unpacked)) return false
+    while (win.n < target) {
+      if (rc.bad) return false
+      val posState = win.n & posMask
+      if (rc.decodeBit(st.isMatch, (st.state << 4) + posState) == 0) {
+        // literal
+        val prev = if (win.n > 0) win.buf(win.n - 1) & 0xff else 0
+        val ctx = ((win.n & litPosMask) << st.lc) + (prev >>> (8 - st.lc))
+        val base = 0x300 * ctx
+        var sym = 1
+        if (st.state < 7) {
+          while (sym < 0x100) sym = (sym << 1) | rc.decodeBit(st.literal, base + sym)
+        } else {
+          val mPos = win.n - st.rep0 - 1
+          if (mPos < win.dictStart) return false
+          var matchByte = win.buf(mPos) & 0xff
+          var break = false
+          while (!break && sym < 0x100) {
+            val matchBit = (matchByte >>> 7) & 1
+            matchByte = (matchByte << 1) & 0xff
+            val bit = rc.decodeBit(st.literal, base + ((1 + matchBit) << 8) + sym)
+            sym = (sym << 1) | bit
+            if (matchBit != bit) break = true
+          }
+          while (sym < 0x100) sym = (sym << 1) | rc.decodeBit(st.literal, base + sym)
+        }
+        win.buf(win.n) = (sym & 0xff).toByte
+        win.n += 1
+        st.state = if (st.state < 4) 0 else if (st.state < 10) st.state - 3
+          else st.state - 6
+      } else if (rc.decodeBit(st.isRep, st.state) == 0) {
+        // new match
+        st.rep3 = st.rep2; st.rep2 = st.rep1; st.rep1 = st.rep0
+        val len = lenDecode(rc, st.lenChoice, st.lenLow, st.lenMid,
+          st.lenHigh, posState)
+        val lps = math.min(len - 2, 3)
+        val slot = rc.bitTree(st.posSlot, lps * 64, 6)
+        var dist = slot
+        if (slot >= 4) {
+          val footer = (slot >>> 1) - 1
+          dist = (2 | (slot & 1)) << footer
+          if (slot < 14)
+            dist += rc.reverseBitTree(st.specPos, dist - slot - 1, footer)
+          else {
+            dist += rc.decodeDirect(footer - 4) << 4
+            dist += rc.reverseBitTree(st.align, 0, 4)
+          }
+        }
+        if (dist == 0xFFFFFFFF) return false // end marker unused in LZMA2
+        st.rep0 = dist
+        st.state = if (st.state < 7) 7 else 10
+        if (!copyMatch(win, dist, len, target)) return false
+      } else {
+        // rep match
+        var len = 0
+        if (rc.decodeBit(st.isRepG0, st.state) == 0) {
+          if (rc.decodeBit(st.isRep0Long, (st.state << 4) + posState) == 0) {
+            // short rep: single byte at rep0
+            st.state = if (st.state < 7) 9 else 11
+            if (!copyMatch(win, st.rep0, 1, target)) return false
+            len = -1
+          }
+        } else {
+          var dist = 0
+          if (rc.decodeBit(st.isRepG1, st.state) == 0) dist = st.rep1
+          else {
+            if (rc.decodeBit(st.isRepG2, st.state) == 0) dist = st.rep2
+            else { dist = st.rep3; st.rep3 = st.rep2 }
+            st.rep2 = st.rep1
+          }
+          st.rep1 = st.rep0
+          st.rep0 = dist
+        }
+        if (len == 0) {
+          len = lenDecode(rc, st.repChoice, st.repLow, st.repMid,
+            st.repHigh, posState)
+          st.state = if (st.state < 7) 8 else 11
+          if (!copyMatch(win, st.rep0, len, target)) return false
+        }
+      }
+    }
+    win.n == target && !rc.bad
+  }
+
+  private def copyMatch(win: Win, dist: Int, len: Int, target: Int): Boolean = {
+    val from = win.n - dist - 1
+    if (from < win.dictStart || win.n + len > target) return false
+    var k = 0
+    while (k < len) {
+      win.buf(win.n + k) = win.buf(from + k)
+      k += 1
+    }
+    win.n += len
+    true
+  }
+
+  /** Decode an LZMA2-filtered payload `[start,end)`; null on failure. */
+  private[llmops] def lzma2Decode(b: Array[Byte], start: Int,
+      end: Int): Array[Byte] = {
+    val win = new Win
+    var st: LzmaState = null
+    var i = start
+    var propsKnown = false
+    var needDictReset = true
+    while (i < end) {
+      val control = b(i) & 0xff
+      i += 1
+      if (control == 0) {
+        return java.util.Arrays.copyOf(win.buf, win.n)
+      } else if (control <= 2) {
+        if (i + 2 > end) return null
+        val size = (((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)) + 1
+        i += 2
+        if (i + size > end || !win.ensure(size)) return null
+        if (control == 1) { win.dictStart = win.n; needDictReset = false }
+        else if (needDictReset) return null
+        System.arraycopy(b, i, win.buf, win.n, size)
+        win.n += size
+        i += size
+        // an uncompressed chunk resets the LZMA state
+        if (st != null) st.reset()
+      } else if (control >= 0x80) {
+        if (i + 4 > end) return null
+        val unpacked = ((control & 0x1f) << 16) +
+          (((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)) + 1
+        val packed = (((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)) + 1
+        i += 4
+        val resetBits = (control >>> 5) & 3
+        if (resetBits >= 2) {
+          if (i >= end) return null
+          val props = b(i) & 0xff
+          i += 1
+          if (st == null) st = new LzmaState(0, 0, 0)
+          if (!st.setProps(props)) return null
+          st.reset()
+          propsKnown = true
+        } else if (resetBits == 1) {
+          if (st == null || !propsKnown) return null
+          st.reset()
+        } else if (st == null || !propsKnown) return null
+        if (resetBits == 3) { win.dictStart = win.n; needDictReset = false }
+        else if (needDictReset) return null
+        if (i + packed > end) return null
+        val rc = new RangeDec(b, i, i + packed)
+        rc.init()
+        if (rc.bad) return null
+        if (!lzmaChunk(rc, st, win, unpacked)) return null
+        if (rc.pos != i + packed) return null // exact chunk consumption
+        i += packed
+      } else return null
+    }
+    null // missing end-of-stream control byte
+  }
+
+  // ---------------- xz container ----------------
+
+  private def rd32le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** Read a VLI; returns (value, nextPos) or null. */
+  private def vli(b: Array[Byte], start: Int, end: Int): (Long, Int) = {
+    var v = 0L
+    var i = start
+    var shift = 0
+    while (i < end && shift < 63) {
+      val x = b(i) & 0xff
+      v |= (x & 0x7fL) << shift
+      i += 1
+      if ((x & 0x80) == 0) {
+        if (x == 0 && shift > 0) return null // non-minimal encoding
+        return (v, i)
+      }
+      shift += 7
+    }
+    null
+  }
+
+  private val HeaderMagic = Array[Byte](0xFD.toByte, '7', 'z', 'X', 'Z', 0)
+
+  /** Decompress a complete xz stream (concatenated streams + padding);
+    * null on any failure.
+    */
+  def decode(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null || bytes.length < 32) return null
+    val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 3, 1 << 20))
+    var i = 0
+    var sawStream = false
+    while (i < bytes.length) {
+      if (bytes.length - i >= 4 && rd32le(bytes, i) == 0) {
+        // stream padding: zeros in 4-byte units
+        if (!allZero(bytes, i)) return null
+        return if (sawStream) out.toByteArray else null
+      }
+      i = decodeStream(bytes, i, out)
+      if (i < 0) return null
+      sawStream = true
+    }
+    if (!sawStream) null else out.toByteArray
+  }
+
+  private def allZero(b: Array[Byte], from: Int): Boolean = {
+    var i = from
+    while (i < b.length) { if (b(i) != 0) return false; i += 1 }
+    true
+  }
+
+  private def decodeStream(b: Array[Byte], start: Int,
+      out: java.io.ByteArrayOutputStream): Int = {
+    var i = start
+    if (i + 12 > b.length) return -1
+    var k = 0
+    while (k < 6) { if (b(i + k) != HeaderMagic(k)) return -1; k += 1 }
+    val flagHi = b(i + 6) & 0xff
+    val checkType = b(i + 7) & 0xff
+    if (flagHi != 0) return -1
+    if (checkType != 0 && checkType != 1 && checkType != 4 && checkType != 10)
+      return -1
+    if (rd32le(b, i + 8) != crc32(b, i + 6, 2)) return -1
+    i += 12
+    val checkLen = checkType match {
+      case 0 => 0
+      case 1 => 4
+      case 4 => 8
+      case _ => 32
+    }
+    // blocks until the index indicator (0x00 at a block-header-size slot)
+    val records = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+    var done = false
+    while (!done) {
+      if (i >= b.length) return -1
+      val hdrSizeByte = b(i) & 0xff
+      if (hdrSizeByte == 0) done = true // index begins
+      else {
+        val blockStart = i
+        val hdrSize = (hdrSizeByte + 1) * 4
+        if (i + hdrSize > b.length) return -1
+        if (rd32le(b, i + hdrSize - 4) != crc32(b, i, hdrSize - 4)) return -1
+        val flags = b(i + 1) & 0xff
+        if ((flags & 0x3c) != 0) return -1 // reserved
+        val nFilters = (flags & 3) + 1
+        if (nFilters != 1) return -1 // LZMA2 alone is the supported chain
+        var p = i + 2
+        var declaredComp = -1L
+        var declaredUnc = -1L
+        if ((flags & 0x40) != 0) {
+          val r = vli(b, p, i + hdrSize); if (r == null) return -1
+          declaredComp = r._1; p = r._2
+        }
+        if ((flags & 0x80) != 0) {
+          val r = vli(b, p, i + hdrSize); if (r == null) return -1
+          declaredUnc = r._1; p = r._2
+        }
+        val fid = vli(b, p, i + hdrSize); if (fid == null) return -1
+        if (fid._1 != 0x21) return -1 // LZMA2
+        p = fid._2
+        val plen = vli(b, p, i + hdrSize); if (plen == null) return -1
+        if (plen._1 != 1) return -1
+        p = plen._2
+        val dictProp = b(p) & 0xff
+        if (dictProp > 40) return -1
+        p += 1
+        while (p < i + hdrSize - 4) { if (b(p) != 0) return -1; p += 1 }
+        i += hdrSize
+        // LZMA2 payload: find its end via declared size or by decoding
+        val payloadStart = i
+        val compLimit =
+          if (declaredComp >= 0) {
+            if (payloadStart + declaredComp > b.length) return -1
+            payloadStart + declaredComp.toInt
+          } else b.length
+        val dec = lzma2Decode(b, payloadStart, compLimit)
+        if (dec == null) return -1
+        if (declaredUnc >= 0 && dec.length != declaredUnc) return -1
+        // actual compressed size: scan forward — lzma2Decode stops at the
+        // 0x00 control; recompute by re-walking chunk sizes
+        val compSize = lzma2Size(b, payloadStart, compLimit)
+        if (compSize < 0) return -1
+        if (declaredComp >= 0 && compSize != declaredComp) return -1
+        i = payloadStart + compSize.toInt
+        if (out.size().toLong + dec.length > MaxOut) return -1
+        out.write(dec, 0, dec.length)
+        // block padding to 4-byte multiple
+        while (((i - blockStart) & 3) != 0) {
+          if (i >= b.length || b(i) != 0) return -1
+          i += 1
+        }
+        // check value
+        if (i + checkLen > b.length) return -1
+        checkType match {
+          case 1 =>
+            if (rd32le(b, i) != crc32(dec, 0, dec.length)) return -1
+          case 4 =>
+            var v = 0L
+            var k2 = 0
+            while (k2 < 8) { v |= (b(i + k2) & 0xffL) << (8 * k2); k2 += 1 }
+            if (v != crc64(dec, 0, dec.length)) return -1
+          case 10 =>
+            val md = java.security.MessageDigest.getInstance("SHA-256")
+            val d = md.digest(java.util.Arrays.copyOf(dec, dec.length))
+            var k2 = 0
+            while (k2 < 32) { if (d(k2) != b(i + k2)) return -1; k2 += 1 }
+          case _ => ()
+        }
+        i += checkLen
+        val unpaddedSize = (hdrSize + compSize + checkLen).toLong
+        records += ((unpaddedSize, dec.length.toLong))
+      }
+    }
+    // ---- index ----
+    val indexStart = i
+    i += 1 // indicator 0x00
+    val cnt = vli(b, i, b.length); if (cnt == null) return -1
+    if (cnt._1 != records.length) return -1
+    i = cnt._2
+    var r = 0
+    while (r < records.length) {
+      val u = vli(b, i, b.length); if (u == null) return -1
+      i = u._2
+      val s = vli(b, i, b.length); if (s == null) return -1
+      i = s._2
+      if (u._1 != records(r)._1 || s._1 != records(r)._2) return -1
+      r += 1
+    }
+    while (((i - indexStart) & 3) != 0) {
+      if (i >= b.length || b(i) != 0) return -1
+      i += 1
+    }
+    if (i + 4 > b.length) return -1
+    if (rd32le(b, i) != crc32(b, indexStart, i - indexStart)) return -1
+    i += 4
+    val indexSize = i - indexStart
+    // ---- footer ----
+    if (i + 12 > b.length) return -1
+    if (rd32le(b, i) != crc32(b, i + 4, 6)) return -1
+    val backward = (rd32le(b, i + 4).toLong & 0xFFFFFFFFL)
+    if ((backward + 1) * 4 != indexSize) return -1
+    if ((b(i + 8) & 0xff) != 0 || (b(i + 9) & 0xff) != checkType) return -1
+    if (b(i + 10) != 'Y' || b(i + 11) != 'Z') return -1
+    i + 12
+  }
+
+  /** Size of an LZMA2 chunk sequence including the terminator. */
+  private def lzma2Size(b: Array[Byte], start: Int, end: Int): Long = {
+    var i = start
+    while (i < end) {
+      val control = b(i) & 0xff
+      i += 1
+      if (control == 0) return (i - start).toLong
+      else if (control <= 2) {
+        if (i + 2 > end) return -1
+        val size = (((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)) + 1
+        i += 2 + size
+      } else if (control >= 0x80) {
+        if (i + 4 > end) return -1
+        val packed = (((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)) + 1
+        val resetBits = (control >>> 5) & 3
+        i += 4 + (if (resetBits >= 2) 1 else 0) + packed
+      } else return -1
+    }
+    -1
+  }
+}

@@ -1,0 +1,100 @@
+package graft.llmops
+
+/** xz writer — the twin of [[XzLzma]]. Emits a fully valid xz container
+  * whose block payload uses LZMA2 uncompressed chunks (the format's
+  * stored mode, same honest scope as the zstd twin): stream header,
+  * single block with CRC32-checked header, 64 KB chunking with the
+  * first-chunk dict reset, block padding, CRC32 content check, index and
+  * footer — every structure the decoder verifies. Any conformant xz
+  * reader decodes the output; the entropy-coded LZMA paths are exercised
+  * by the reference-tool fixtures.
+  */
+object XzWriter {
+
+  private def crc32(b: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(b, off, len)
+    c.getValue.toInt
+  }
+
+  private def wr32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+  }
+
+  private def vli(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while (v >= 0x80) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  def encode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 128)
+    // stream header: magic + flags(0, CRC32) + CRC32(flags)
+    out.write(Array[Byte](0xFD.toByte, '7', 'z', 'X', 'Z', 0), 0, 6)
+    val flags = Array[Byte](0, 1)
+    out.write(flags, 0, 2)
+    wr32(out, crc32(flags, 0, 2))
+    var unpaddedTotal = 0L
+    var blockCount = 0
+    if (data.length > 0) {
+      // --- block header ---
+      val hdr = new java.io.ByteArrayOutputStream(16)
+      hdr.write(0) // size placeholder
+      hdr.write(0) // flags: 1 filter, no size fields
+      vli(hdr, 0x21) // LZMA2
+      vli(hdr, 1) // props length
+      hdr.write(16) // dict size prop: (2|0)<<19 = 1 MiB
+      var hb = hdr.toByteArray
+      val padded = ((hb.length + 4 + 3) / 4) * 4 // + CRC, round to 4
+      val hdrSize = padded
+      hb = java.util.Arrays.copyOf(hb, hdrSize - 4)
+      hb(0) = ((hdrSize / 4) - 1).toByte
+      out.write(hb, 0, hb.length)
+      wr32(out, crc32(hb, 0, hb.length))
+      // --- LZMA2 uncompressed chunks ---
+      val payload = new java.io.ByteArrayOutputStream(data.length + 64)
+      var off = 0
+      var first = true
+      while (off < data.length) {
+        val n = math.min(1 << 16, data.length - off)
+        payload.write(if (first) 1 else 2)
+        payload.write((n - 1) >>> 8)
+        payload.write((n - 1) & 0xff)
+        payload.write(data, off, n)
+        off += n
+        first = false
+      }
+      payload.write(0) // terminator
+      val pb = payload.toByteArray
+      out.write(pb, 0, pb.length)
+      var pad = (4 - ((hdrSize + pb.length) & 3)) & 3
+      while (pad > 0) { out.write(0); pad -= 1 }
+      wr32(out, crc32(data, 0, data.length)) // check value
+      unpaddedTotal = hdrSize + pb.length + 4L
+      blockCount = 1
+    }
+    // --- index ---
+    val idx = new java.io.ByteArrayOutputStream(32)
+    idx.write(0)
+    vli(idx, blockCount)
+    if (blockCount == 1) {
+      vli(idx, unpaddedTotal)
+      vli(idx, data.length)
+    }
+    while ((idx.size() & 3) != 0) idx.write(0)
+    val ib = idx.toByteArray
+    out.write(ib, 0, ib.length)
+    wr32(out, crc32(ib, 0, ib.length))
+    val indexSize = ib.length + 4
+    // --- footer ---
+    val tail = new java.io.ByteArrayOutputStream(8)
+    wr32(tail, indexSize / 4 - 1)
+    tail.write(flags, 0, 2)
+    val tb = tail.toByteArray
+    wr32(out, crc32(tb, 0, tb.length))
+    out.write(tb, 0, tb.length)
+    out.write('Y'); out.write('Z')
+    out.toByteArray
+  }
+}
