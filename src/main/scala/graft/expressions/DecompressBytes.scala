@@ -1,0 +1,39 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** `DecompressBytes(content: binary)` — sniff-and-decompress as a native
+  * codegen'd expression: gzip, bzip2, xz, zstd, lz4 by magic number;
+  * NULL for anything else (including malformed streams — every codec
+  * kernel refuses with null, never throws). Like the other byte kernels
+  * it runs inside the scan projection, so `decompress → parse → screen`
+  * stays one whole-stage-codegen span with column pruning intact.
+  */
+case class DecompressBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_decompress"
+
+  override protected def nullSafeEval(content: Any): Any =
+    DecompressBytes.compute(content.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expressions.DecompressBytes.compute($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DecompressBytes = copy(child = newChild)
+}
+
+object DecompressBytes {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(content: Array[Byte]): Array[Byte] =
+    graft.llmops.Compression.decodeAuto(content)
+}

@@ -1,0 +1,117 @@
+package graft.llmops
+
+/** One front door for the compressed-corpus codecs: magic-number
+  * sniffing and decode dispatch over gzip/zlib-deflate (JDK), bzip2, xz,
+  * zstd and lz4 (native kernels), plus the symmetric encode dispatch
+  * used by the shard writers. The corpus arms call [[decodeAuto]] so a
+  * crawl payload or shard file decompresses the same way regardless of
+  * which codec the producer picked. Reference hook: arbitrary-binary
+  * ingestion, `aje_libs/documents/helpers/document_processor.py:10-83`.
+  */
+object Compression {
+
+  private final val MaxOut = 64 << 20
+
+  /** Codec names accepted by [[encode]] / returned by [[sniffCodec]]. */
+  val Codecs: Seq[String] = Seq("gzip", "bzip2", "xz", "zstd", "lz4")
+
+  /** Sniff the codec from magic bytes; None when not a known container. */
+  def sniffCodec(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.length < 6) return None
+    def u(i: Int) = bytes(i) & 0xff
+    if (u(0) == 0x1f && u(1) == 0x8b) Some("gzip")
+    else if (u(0) == 'B' && u(1) == 'Z' && u(2) == 'h' &&
+      bytes(3) >= '1' && bytes(3) <= '9') Some("bzip2")
+    else if (u(0) == 0xFD && u(1) == '7' && u(2) == 'z' && u(3) == 'X' &&
+      u(4) == 'Z' && u(5) == 0) Some("xz")
+    else if (u(0) == 0x28 && u(1) == 0xB5 && u(2) == 0x2F && u(3) == 0xFD)
+      Some("zstd")
+    else if (u(0) == 0x04 && u(1) == 0x22 && u(2) == 0x4D && u(3) == 0x18)
+      Some("lz4")
+    else None
+  }
+
+  /** Mime label for a sniffed codec (the document-pipeline vocabulary). */
+  def codecMime(codec: String): String = codec match {
+    case "gzip" => "application/gzip"
+    case "bzip2" => "application/x-bzip2"
+    case "xz" => "application/x-xz"
+    case "zstd" => "application/zstd"
+    case "lz4" => "application/x-lz4"
+    case other => other
+  }
+
+  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream(math.min(
+        bytes.length * 4, 1 << 20))
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n > 0) {
+        out.write(buf, 0, n)
+        if (out.size() > MaxOut) return null
+        n = in.read(buf)
+      }
+      in.close()
+      out.toByteArray
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(bytes)
+    gz.close()
+    out.toByteArray
+  }
+
+  /** Decode with an explicit codec; null on failure. */
+  def decode(bytes: Array[Byte], codec: String): Array[Byte] = codec match {
+    case "gzip" => gunzip(bytes)
+    case "bzip2" => Bzip2.decode(bytes)
+    case "xz" => XzLzma.decode(bytes)
+    case "zstd" => Zstd.decode(bytes)
+    case "lz4" => Lz4.decode(bytes)
+    case _ => null
+  }
+
+  /** Sniff-then-decode; null when the codec is unknown or decode fails. */
+  def decodeAuto(bytes: Array[Byte]): Array[Byte] =
+    sniffCodec(bytes) match {
+      case Some(c) => decode(bytes, c)
+      case None => null
+    }
+
+  /** Encode with the named codec (the writer twins). */
+  def encode(bytes: Array[Byte], codec: String): Array[Byte] = codec match {
+    case "gzip" => gzip(bytes)
+    case "bzip2" => Bzip2Writer.encode(bytes)
+    case "xz" => XzWriter.encode(bytes)
+    case "zstd" => ZstdWriter.encode(bytes)
+    case "lz4" => Lz4Writer.encode(bytes)
+    case other => throw new IllegalArgumentException(s"unknown codec $other")
+  }
+
+  /** File extension per codec (shard naming). */
+  def extension(codec: String): String = codec match {
+    case "gzip" => ".gz"
+    case "bzip2" => ".bz2"
+    case "xz" => ".xz"
+    case "zstd" => ".zst"
+    case "lz4" => ".lz4"
+    case other => throw new IllegalArgumentException(s"unknown codec $other")
+  }
+
+  /** Codec from a file name's extension; None for plain files. */
+  def codecForName(name: String): Option[String] = {
+    val n = name.toLowerCase
+    if (n.endsWith(".gz") || n.endsWith(".gzip")) Some("gzip")
+    else if (n.endsWith(".bz2")) Some("bzip2")
+    else if (n.endsWith(".xz")) Some("xz")
+    else if (n.endsWith(".zst") || n.endsWith(".zstd")) Some("zstd")
+    else if (n.endsWith(".lz4")) Some("lz4")
+    else None
+  }
+}

@@ -69,6 +69,19 @@ object DocumentText {
         Some(markdownToText(decodeBytes(bytes)))
       case m if m.startsWith("text/") || m.contains("json") || m.contains("csv") =>
         Some(normalize(decodeBytes(bytes)))
+      case m if Compression.Codecs.map(Compression.codecMime).contains(m) =>
+        // compressed container: decompress, then extract the payload by
+        // ITS sniffed format — one level only (a payload that sniffs to
+        // another compressed container refuses rather than recursing)
+        val codec = Compression.Codecs.find(c => Compression.codecMime(c) == m).get
+        Option(Compression.decode(bytes, codec)).flatMap { inner =>
+          sniffMime(inner) match {
+            case Some(im) if Compression.Codecs.map(Compression.codecMime).contains(im) =>
+              None
+            case Some(im) => extractText(inner, im)
+            case None => None
+          }
+        }
       case _ => unsupported(mime)
     }
   }
@@ -143,6 +156,8 @@ object DocumentText {
         case scala.util.control.NonFatal(_) => Some("application/zip")
       } finally zin.close()
     }
+    else if (Compression.sniffCodec(bytes).isDefined)
+      Compression.sniffCodec(bytes).map(Compression.codecMime)
     else {
       val head = decodeBytes(
         java.util.Arrays.copyOfRange(bytes, 0, math.min(bytes.length, 4096)))

@@ -2,7 +2,7 @@ package graft.llmops
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Training-data export: the last mile between a curated corpus and a
   * trainer's input pipeline — a deterministic global shuffle into shards,
@@ -99,5 +99,75 @@ object TrainExport {
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard")
     (if (gzip) w.option("compression", "gzip") else w).json(path)
+  }
+
+  /** JSONL shards through the native corpus codecs — one
+    * `shard-NNNNN.jsonl.<ext>` file per shard, compressed with
+    * [[Compression]] (`bzip2`/`xz`/`zstd`/`lz4`/`gzip`), lines in shuffle
+    * order. Parallelism is per shard (the scale lever: size shards so a
+    * file stays well under the 64 MB decode cap — the default trainer
+    * shard of 16–64 MB compressed is exactly that envelope). The same
+    * one-file-per-shard-id rolling as [[TarShards.write]]: a task may
+    * carry several shard ids, each still becomes exactly one file.
+    */
+  def writeShardsJsonlCodec(df: DataFrame, keyCol: String, nShards: Int,
+      path: String, codec: String): Unit = {
+    require(Compression.Codecs.contains(codec), s"unknown codec $codec")
+    val ext = Compression.extension(codec)
+    val sharded = shuffleShards(df, keyCol, nShards)
+      .withColumn("__json",
+        to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
+      .select(col("shard"), col("pos"), col("__json"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+    val pathB = path
+    val codecB = codec
+    sharded.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      var buf: java.io.ByteArrayOutputStream = null
+      var curShard = -1
+      def flush(): Unit = if (buf != null) {
+        val p = new org.apache.hadoop.fs.Path(
+          f"$pathB/shard-$curShard%05d.jsonl$ext")
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(p, true)
+        try out.write(Compression.encode(buf.toByteArray, codecB))
+        finally out.close()
+        buf = null
+      }
+      rows.foreach { r =>
+        val shard = r.getAs[Int]("shard")
+        if (shard != curShard) { flush(); curShard = shard
+          buf = new java.io.ByteArrayOutputStream(1 << 16) }
+        buf.write(r.getAs[String]("__json")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        buf.write('\n')
+      }
+      flush()
+    }
+  }
+
+  /** Read JSONL shards back as `(file, pos, line)` rows — any codec the
+    * sniffing front door knows (plus plain files), one task per file.
+    * The loader-side contract and round-trip verifier of
+    * [[writeShardsJsonlCodec]]; parse `line` with `from_json` downstream.
+    */
+  def readJsonlShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/*")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val plain =
+          if (Compression.sniffCodec(bytes).isDefined)
+            Compression.decodeAuto(bytes)
+          else bytes
+        if (plain == null) Iterator.empty
+        else {
+          val text = new String(plain, java.nio.charset.StandardCharsets.UTF_8)
+          text.split("\n", -1).iterator.filter(_.nonEmpty).zipWithIndex
+            .map { case (line, idx) => (path, idx.toLong, line) }
+        }
+      }
+      .toDF("file", "pos", "line")
   }
 }

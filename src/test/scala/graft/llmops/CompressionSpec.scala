@@ -1,0 +1,94 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The compression front door: sniff + decode dispatch across all five
+  * codecs, the document-pipeline integration (sniffMime labels,
+  * decompress-then-extract, single-level recursion guard), the
+  * DecompressBytes expression, and codec JSONL shard round-trips.
+  */
+class CompressionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val text = ("compressed corpora are the norm: wikipedia dumps " +
+    "ship bz2, the pile shipped xz, dolma ships zstd. ") * 40
+
+  test("sniffCodec recognizes all five magics and rejects others") {
+    for (c <- Compression.Codecs) {
+      val enc = Compression.encode(text.getBytes, c)
+      assert(Compression.sniffCodec(enc) === Some(c), c)
+      assert(java.util.Arrays.equals(Compression.decodeAuto(enc), text.getBytes), c)
+    }
+    assert(Compression.sniffCodec("plain old text here".getBytes).isEmpty)
+    assert(Compression.sniffCodec(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Compression.decodeAuto("plain old text here".getBytes) == null)
+  }
+
+  test("sniffMime labels compressed containers; extractText unwraps them") {
+    for (c <- Compression.Codecs) {
+      val enc = Compression.encode(text.getBytes, c)
+      val mime = Compression.codecMime(c)
+      assert(DocumentText.sniffMime(enc) === Some(mime), c)
+      val out = DocumentText.extractText(enc, mime)
+      assert(out.exists(_.contains("wikipedia dumps")), s"$c extract")
+      // and the auto path sniffs + unwraps in one step
+      val auto = DocumentText.extractText(enc, "auto")
+      assert(auto.exists(_.contains("wikipedia dumps")), s"$c auto")
+    }
+  }
+
+  test("extractText unwraps one level only (no recursive decompress)") {
+    val inner = Compression.encode(text.getBytes, "bzip2")
+    val outer = Compression.encode(inner, "zstd")
+    assert(DocumentText.extractText(outer, "application/zstd").isEmpty)
+  }
+
+  test("compressed HTML payload extracts through the html arm") {
+    val html = "<html><head><title>T</title></head><body><p>Crawl body text" +
+      " survives the gzip wrap.</p></body></html>"
+    val enc = Compression.encode(html.getBytes, "gzip")
+    val out = DocumentText.extractText(enc, "auto")
+    assert(out.exists(_.contains("survives the gzip wrap")))
+  }
+
+  test("DecompressBytes expression decompresses in the scan projection") {
+    val rows = Compression.Codecs.map { c =>
+      (c, Compression.encode(s"payload via $c".getBytes, c))
+    } :+ (("junk", "not compressed".getBytes))
+    val df = rows.toDF("codec", "content")
+    val B = org.apache.spark.sql.graft.ColumnBridge
+    val out = df.select(col("codec"),
+        B.column(graft.expressions.DecompressBytes(
+          B.expressionEager(col("content")))).as("plain"))
+      .withColumn("text", col("plain").cast("string"))
+      .collect()
+      .map(r => r.getString(0) -> Option(r.getAs[String]("text"))).toMap
+    for (c <- Compression.Codecs)
+      assert(out(c) === Some(s"payload via $c"), c)
+    assert(out("junk").isEmpty)
+  }
+
+  test("codec JSONL shards roundtrip through write + read") {
+    val docs = (0L until 200L).map(i => (i, s"document body $i")).toDF("doc_id", "text")
+    for (c <- Seq("bzip2", "zstd", "xz")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"shards_$c").toString
+      TrainExport.writeShardsJsonlCodec(docs, "doc_id", 4, dir, c)
+      val files = new java.io.File(dir).listFiles().map(_.getName)
+        .filterNot(_.startsWith(".")).sorted // hadoop .crc sidecars
+      assert(files.length === 4, s"$c files: ${files.mkString(",")}")
+      assert(files.forall(_.endsWith(".jsonl" + Compression.extension(c))))
+      val back = TrainExport.readJsonlShards(spark, dir)
+      assert(back.count() === 200L, c)
+      val parsed = back.select(from_json(col("line"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType)))).as("j"))
+        .select("j.doc_id", "j.text")
+      val ids = parsed.select("doc_id").as[Long].collect().sorted
+      assert(ids === (0L until 200L).toArray, c)
+    }
+  }
+}
