@@ -1,0 +1,100 @@
+package graft.llmops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llmops.WikiDump.WikiPage
+
+/** MediaWiki dump parsing + wikitext cleaning: golden cleaning cases,
+  * dump roundtrips (plain and bz2-wrapped), redirects, page-level vs
+  * revision-level ids, refusal tiers.
+  */
+class WikiDumpSpec extends AnyFunSuite {
+
+  private def clean(s: String): String = WikiDump.wikitextToPlain(s)
+
+  test("wikitext golden: links, templates, quotes, headings, lists") {
+    assert(clean("'''Bold''' and ''italic'' text") == "Bold and italic text")
+    assert(clean("See [[Target Page]] now") == "See Target Page now")
+    assert(clean("See [[Target|the label]] now") == "See the label now")
+    assert(clean("[[File:Pic.png|thumb|A [[linked]] caption]]rest") == "rest")
+    assert(clean("[[Category:Things]]Body") == "Body")
+    assert(clean("A {{Infobox|a=1|b={{nested|x}}}} B") == "A B")
+    assert(clean("== Heading ==\nBody line") == "Heading\nBody line")
+    assert(clean("* item one\n# item two\n: indent") ==
+      "item one\nitem two\nindent")
+    assert(clean("Pre {| class=\"wikitable\"\n|-\n| cell\n|} Post") ==
+      "Pre  Post".replaceAll(" +", " "))
+    assert(clean("X<ref name=\"a\">cite</ref> Y<ref group=g/> Z") == "X Y Z")
+    assert(clean("External [https://x.example label text] here") ==
+      "External label text here")
+    assert(clean("Bare [https://x.example] here") == "Bare here")
+    assert(clean("A &amp; B &lt;tag&gt; &#65;&#x42;") == "A & B <tag> AB")
+    assert(clean("__TOC__\nReal content") == "Real content")
+    assert(clean("<!-- hidden -->shown<!-- also\nhidden -->") == "shown")
+    assert(clean("a<math>\\frac{1}{2}</math>b <nowiki>[[x]]</nowiki>c") ==
+      "ab c")
+  }
+
+  test("redirect detection from attribute and from #REDIRECT body") {
+    assert(WikiDump.redirectTarget("#REDIRECT [[Main Page]]") == "Main Page")
+    assert(WikiDump.redirectTarget("#redirect [[A|b]] {{R from move}}") == "A")
+    assert(WikiDump.redirectTarget("Just text [[link]]") == null)
+  }
+
+  test("dump roundtrip: plain XML and bz2-wrapped") {
+    val ps = Seq(
+      WikiPage("Alpha", 0, 1L, null, "'''Alpha''' is a [[letter]]."),
+      WikiPage("Beta & Co <x>", 4, 2L, null, "Body with &amp; entity"),
+      WikiPage("Old Name", 0, 3L, "New Name", "#REDIRECT [[New Name]]"))
+    for (codec <- Seq(None, Some("bzip2"), Some("zstd"))) {
+      val dump = WikiDump.writeDump(ps, codec)
+      val bytes = codec match {
+        case Some(_) => Compression.decodeAuto(dump)
+        case None => dump
+      }
+      val back = WikiDump.pages(bytes)
+      assert(back != null && back.length == 3, s"codec=$codec")
+      assert(back(0).title == "Alpha" && back(0).pageId == 1L)
+      assert(back(1).title == "Beta & Co <x>" && back(1).ns == 4)
+      assert(back(2).redirect == "New Name")
+      assert(back(0).text.contains("[[letter]]"))
+    }
+  }
+
+  test("page-level id wins over revision/contributor ids") {
+    val xml = """<mediawiki><page><title>T</title><ns>0</ns><id>77</id>
+      <revision><id>999</id><contributor><id>555</id></contributor>
+      <text>body</text></revision></page></mediawiki>"""
+    val ps = WikiDump.pages(xml.getBytes)
+    assert(ps != null && ps.length == 1 && ps(0).pageId == 77L)
+    assert(ps(0).text == "body")
+  }
+
+  test("WikiPages expression computes plain text and redirects") {
+    val ps = Seq(
+      WikiPage("A", 0, 1L, null, "== H ==\n'''A''' body [[x|label]]"),
+      WikiPage("R", 0, 2L, null, "#REDIRECT [[A]]"))
+    val dump = WikiDump.writeDump(ps, Some("bzip2"))
+    val arr = graft.expressions.WikiPages.compute(dump)
+    assert(arr != null && arr.numElements() == 2)
+    val r0 = arr.getStruct(0, 6)
+    assert(r0.getString(0) == "A" && r0.getLong(2) == 1L)
+    assert(r0.getString(5) == "H\nA body label")
+    val r1 = arr.getStruct(1, 6)
+    assert(r1.getString(3) == "A") // redirect resolved from body
+    assert(r1.getString(5) == "")
+  }
+
+  test("refusals: malformed XML, truncated bz2, junk, caps") {
+    assert(WikiDump.pages("<mediawiki><page>".getBytes) == null)
+    assert(WikiDump.pages(null) == null)
+    val good = WikiDump.writeDump(Seq(WikiPage("T", 0, 1L, null, "x")), Some("bzip2"))
+    assert(graft.expressions.WikiPages.compute(
+      java.util.Arrays.copyOf(good, good.length - 2)) == null)
+    // pages lacking title/id are skipped, not fatal
+    val partial = """<mediawiki><page><ns>0</ns><id>5</id></page>
+      <page><title>Ok</title><ns>0</ns><id>6</id><revision><text>t</text>
+      </revision></page></mediawiki>"""
+    val ps = WikiDump.pages(partial.getBytes)
+    assert(ps != null && ps.length == 1 && ps(0).title == "Ok")
+  }
+}
