@@ -231,6 +231,14 @@ object GraftFunctions {
       "graft_tiff_pages(content) - multi-page TIFF pages as array<binary> (each a complete 8-bit RGB PNG) in IFD-chain order, NULL if any page refuses",
       exprs => graft.expressions.TiffPages(exprs.head)),
 
+    ("graft_decompress",
+      "graft_decompress(content) - sniff gzip/bzip2/xz/zstd/lz4 by magic and decompress; NULL for unknown or malformed streams",
+      exprs => graft.expressions.DecompressBytes(exprs.head)),
+
+    ("graft_wiki_pages",
+      "graft_wiki_pages(content) - MediaWiki dump XML (plain or compressed) as array<struct<title,ns,page_id,redirect,text,plain>>",
+      exprs => graft.expressions.WikiPages(exprs.head)),
+
     ("graft_webp_dhash",
       "graft_webp_dhash(content) - 64-bit perceptual dHash of a lossless WebP (same grid/bit layout as graft_png_dhash), NULL if undecodable or under 9x8",
       exprs => graft.expressions.WebpDHash(exprs.head)),

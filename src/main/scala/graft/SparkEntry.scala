@@ -59,6 +59,62 @@ object SparkEntry {
       StructField("content", BinaryType, nullable = true))))(
       build.map { case (id, b) => Row(id, b) })
 
+  /** (doc_id, codec, content) fixture for q158: one closed-form body per
+    * doc, wrapped by every codec writer twin + a junk tier whose bytes
+    * match no codec magic.
+    */
+  private def codecFixturesDF(ss: SparkSession, dir: String): DataFrame =
+    fixtureTable(ss, dir, "q158_codec", StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true))))({
+      val ids = t(ss, dir, "documents").filter(col("doc_id") < 250)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      for {
+        id <- ids
+        codec <- graft.llmops.Compression.Codecs :+ "junk"
+      } yield {
+        val body = s"doc $id: " + (s"seg$id " * (1 + (id % 7)).toInt)
+        val bytes =
+          if (codec == "junk")
+            Array.tabulate[Byte](64)(i => (((id + i * 31) % 251) & 0xff).toByte)
+          else graft.llmops.Compression.encode(
+            body.getBytes(java.nio.charset.StandardCharsets.UTF_8), codec)
+        Row(id, codec, bytes)
+      }
+    })
+
+  /** (doc_id = batch id, content = bzip2 dump) fixture for q159: 40-page
+    * dumps over docs < 240, plus one non-XML junk dump (batch 6).
+    */
+  private def wikiDumpFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 240)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val batches = ids.grouped(40).zipWithIndex.map { case (batch, bi) =>
+      val pages = batch.map { id =>
+        val ns = if (id % 5 == 0) 14 else 0
+        if (id % 16 == 0)
+          graft.llmops.WikiDump.WikiPage(s"Page $id", ns, id, null,
+            s"#REDIRECT [[Page ${id + 1}]]")
+        else if (id % 16 == 8)
+          graft.llmops.WikiDump.WikiPage(s"Page $id", ns, id, s"Page ${id + 2}",
+            s"#REDIRECT [[Page ${id + 2}]] {{R from move}}")
+        else
+          graft.llmops.WikiDump.WikiPage(s"Page $id", ns, id, null,
+            s"== Sec$id ==\n'''Page''' $id has [[Link$id|label$id]] and " +
+              s"{{tmpl|$id}} more.<ref>c$id</ref>\n* item $id")
+      }
+      (bi.toLong, graft.llmops.WikiDump.writeDump(pages, Some("bzip2")))
+    }.toSeq
+    batches :+ ((6L, "this is not a mediawiki dump".getBytes))
+  }
+
+  /** One shard write per (sfDir, codec) per JVM — q160's bench passes
+    * re-read the same files (the read side IS the operator under test).
+    */
+  private val codecShardDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
   private def wavFixturesDF(ss: SparkSession, dir: String): DataFrame =
     fixtureDF(ss, dir, "wav")(wavFixtures(ss, dir))
   private def pngDHashFixturesDF(ss: SparkSession, dir: String): DataFrame =
@@ -2178,6 +2234,70 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q158_codec_roundtrip" -> ((s, dir) => {
+      // compressed-corpus codecs as one scan projection: per doc the SAME
+      // closed-form body wrapped by all five codec writer twins (bzip2 /
+      // gzip / lz4 / xz / zstd) plus a junk tier; graft_decompress sniffs
+      // the magic, every codec tier must reproduce the body exactly
+      // (length + head), junk rows vanish. Oracle rebuilds the body from
+      // doc_id math and brute-forces the codec cross product
+      val ss = tuned(s)
+      val src = codecFixturesDF(ss, dir)
+      src.withColumn("plain",
+          graft.llmops.Compression.decompressCol(col("content")).cast("string"))
+        .filter(col("plain").isNotNull)
+        .select(col("doc_id"), col("codec"),
+          length(col("plain")).cast("long").as("n_chars"),
+          substring(col("plain"), 1, 16).as("head"))
+        .orderBy("doc_id", "codec")
+    }),
+
+    "q159_wiki_dump" -> ((s, dir) => {
+      // MediaWiki dump ingestion end to end: 40-page dumps written by the
+      // twin, bzip2-compressed like the published dumps, parsed +
+      // wikitext-cleaned in one expression. Tiers: body-only redirects
+      // (id%16==0), attribute redirects (id%16==8), ns 14 on id%5==0,
+      // and a non-XML junk dump that refuses wholesale (no rows). The
+      // oracle replays titles / ns / redirect targets / cleaned plain
+      // text as pure doc_id string math
+      val ss = tuned(s)
+      val src = fixtureDF(ss, dir, "q159_wiki")(wikiDumpFixtures(ss, dir))
+      src.select(explode(graft.llmops.WikiDump.pagesCol(col("content"))).as("p"))
+        .select(col("p.page_id").as("page_id"), col("p.title").as("title"),
+          col("p.ns").as("ns"), col("p.redirect").as("redirect"),
+          col("p.plain").as("plain"))
+        .orderBy("page_id")
+    }),
+
+    "q160_codec_shards" -> ((s, dir) => {
+      // corpus → compressed JSONL shards (one shard-NNNNN.jsonl.<ext>
+      // file per shard via the native encoders) → loader-side read-back:
+      // identity on (doc_id, text) across bzip2/zstd/xz. File-level
+      // parallelism is the scale unit; the 64 MB decode cap is the
+      // documented shard-size envelope
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      Seq("bzip2", "xz", "zstd").map { c =>
+        val tmp = codecShardDirs.computeIfAbsent(s"$dir::$c", _ => {
+          val d = java.nio.file.Files.createTempDirectory(s"graft-q160-$c")
+            .toString + "/sh"
+          graft.llmops.TrainExport.writeShardsJsonlCodec(docs, "doc_id", 6, d, c)
+          d
+        })
+        graft.llmops.TrainExport.readJsonlShards(ss, tmp)
+          .select(from_json(col("line"), schema).as("j"))
+          .select(lit(c).as("codec"), col("j.doc_id").as("doc_id"),
+            col("j.text").as("text"))
+      }.reduce(_ unionByName _)
+        .orderBy("codec", "doc_id")
+    }),
+
     "q157_tiff_pages" -> ((s, dir) => {
       // multi-page TIFF (the scanned-document shape): 1-3 pages per id,
       // per-page closed-form gradients, LZW on odd ids, BE on id%5==0;
@@ -4096,6 +4216,43 @@ object SparkEntry {
          WHERE bit_count(xor(a.dh_hi, b.dh_hi))
              + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
          ORDER BY key_a, key_b""",
+
+    // q158: the five codec tiers must all reproduce the closed-form body
+    // (junk tier absent); pure doc_id string math
+    "q158_codec_roundtrip" ->
+      """WITH bodies AS (
+           SELECT doc_id,
+             'doc ' || doc_id || ': ' ||
+               repeat('seg' || doc_id || ' ', CAST(1 + doc_id % 7 AS INTEGER)) AS body
+           FROM documents WHERE doc_id < 250),
+         codecs AS (SELECT unnest(['bzip2','gzip','lz4','xz','zstd']) AS codec)
+         SELECT b.doc_id, c.codec,
+           CAST(length(b.body) AS BIGINT) AS n_chars,
+           substr(b.body, 1, 16) AS head
+         FROM bodies b, codecs c
+         ORDER BY doc_id, codec""",
+
+    // q159: dump parse + wikitext cleaning replayed as doc_id string math
+    // (redirect tiers empty-plain; junk dump contributes nothing)
+    "q159_wiki_dump" ->
+      """SELECT doc_id AS page_id,
+           'Page ' || doc_id AS title,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 14 ELSE 0 END AS INTEGER) AS ns,
+           CASE WHEN doc_id % 16 = 0 THEN 'Page ' || (doc_id + 1)
+                WHEN doc_id % 16 = 8 THEN 'Page ' || (doc_id + 2) END AS redirect,
+           CASE WHEN doc_id % 16 IN (0, 8) THEN ''
+                ELSE 'Sec' || doc_id || chr(10) ||
+                  'Page ' || doc_id || ' has label' || doc_id || ' and more.' ||
+                  chr(10) || 'item ' || doc_id END AS plain
+         FROM documents WHERE doc_id < 240 ORDER BY page_id""",
+
+    // q160: shard write + read-back is the identity on (doc_id, text)
+    // per codec — the strongest oracle (hash covers the full text)
+    "q160_codec_shards" ->
+      """SELECT c.codec, d.doc_id, d.text
+         FROM (SELECT unnest(['bzip2','xz','zstd']) AS codec) c, documents d
+         WHERE d.doc_id < 400
+         ORDER BY codec, doc_id""",
 
     // q157: per-page dhash replayed closed-form from the gradient;
     // junk ids contribute no rows (wholesale refusal).

@@ -15,6 +15,12 @@ object Compression {
   /** Codec names accepted by [[encode]] / returned by [[sniffCodec]]. */
   val Codecs: Seq[String] = Seq("gzip", "bzip2", "xz", "zstd", "lz4")
 
+  /** [[graft.expressions.DecompressBytes]] as a Column. */
+  def decompressCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.DecompressBytes(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
   /** Sniff the codec from magic bytes; None when not a known container. */
   def sniffCodec(bytes: Array[Byte]): Option[String] = {
     if (bytes == null || bytes.length < 6) return None

@@ -25,6 +25,12 @@ object WikiDump {
   final case class WikiPage(title: String, ns: Int, pageId: Long,
       redirect: String, text: String)
 
+  /** [[graft.expressions.WikiPages]] as a Column (the DataFrame surface). */
+  def pagesCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.WikiPages(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
   private final val MaxPages = 4096
   private final val MaxBytes = 64 << 20
 
