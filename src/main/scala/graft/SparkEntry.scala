@@ -115,6 +115,27 @@ object SparkEntry {
   private val codecShardDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
+  /** (doc_id, content) fixture for q161: ADTS AAC / M4A / audio-less mp4
+    * tiers plus junk rows (ids ≥ 360).
+    */
+  private def aacMetaFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 400)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val W = graft.llmops.MediaWriter
+    ids.map { id =>
+      val bytes =
+        if (id >= 360) s"not audio $id".getBytes("UTF-8")
+        else (id % 3) match {
+          case 0 => W.adts((10 + id % 50).toInt, (id % 13).toInt,
+            (1 + id % 7).toInt, (40 + id % 30).toInt)
+          case 1 => W.m4a((1 + id % 6).toInt, (8000 + (id % 80) * 441).toInt,
+            600 + id % 9, id * 37 + 5)
+          case _ => W.mp4(1000L, id * 13, version = (id % 2).toInt)
+        }
+      (id, bytes)
+    }
+  }
+
   private def wavFixturesDF(ss: SparkSession, dir: String): DataFrame =
     fixtureDF(ss, dir, "wav")(wavFixtures(ss, dir))
   private def pngDHashFixturesDF(ss: SparkSession, dir: String): DataFrame =
@@ -2234,6 +2255,26 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q161_aac_meta" -> ((s, dir) => {
+      // compressed-audio metadata closes the AAC gap at the honest tier:
+      // ADTS streams (VBR-safe frame walk → duration) and M4A containers
+      // (trak→mdia→mdhd/hdlr/stsd→mp4a walk → channels/rate/bits/track
+      // duration), with the audio-less mp4 fallback and junk rows
+      // filtered. Every field is doc_id arithmetic
+      val ss = tuned(s)
+      val src = fixtureDF(ss, dir, "q161_aac")(aacMetaFixtures(ss, dir))
+      val M = graft.llmops.Multimodal
+      src.withColumn("av", M.avMeta(col("content")))
+        .filter(col("av").isNotNull)
+        .select(col("doc_id"),
+          col("av.format").as("format"),
+          col("av.channels").as("channels"),
+          col("av.sample_rate").as("rate"),
+          col("av.bits").as("bits"),
+          col("av.duration_ms").as("ms"))
+        .orderBy("doc_id")
+    }),
+
     "q158_codec_roundtrip" -> ((s, dir) => {
       // compressed-corpus codecs as one scan projection: per doc the SAME
       // closed-form body wrapped by all five codec writer twins (bzip2 /
@@ -4216,6 +4257,33 @@ object SparkEntry {
          WHERE bit_count(xor(a.dh_hi, b.dh_hi))
              + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
          ORDER BY key_a, key_b""",
+
+    // q161: ADTS frame walk + M4A box walk replayed as doc_id arithmetic
+    // (aac rate from the sampling-frequency table, channel config 7 → 8;
+    // m4a duration on the media timescale; plain mp4 rows keep only the
+    // movie duration; junk rows vanish)
+    "q161_aac_meta" ->
+      """WITH rates(i, r) AS (
+           SELECT * FROM (VALUES (0,96000),(1,88200),(2,64000),(3,48000),
+             (4,44100),(5,32000),(6,24000),(7,22050),(8,16000),(9,12000),
+             (10,11025),(11,8000),(12,7350)) v(i, r))
+         SELECT d.doc_id,
+           CASE d.doc_id % 3 WHEN 0 THEN 'aac' WHEN 1 THEN 'm4a'
+             ELSE 'mp4' END AS format,
+           CAST(CASE d.doc_id % 3
+             WHEN 0 THEN CASE WHEN 1 + d.doc_id % 7 = 7 THEN 8
+               ELSE 1 + d.doc_id % 7 END
+             WHEN 1 THEN 1 + d.doc_id % 6 END AS INTEGER) AS channels,
+           CAST(CASE d.doc_id % 3
+             WHEN 0 THEN (SELECT r FROM rates WHERE i = d.doc_id % 13)
+             WHEN 1 THEN 8000 + (d.doc_id % 80) * 441 END AS INTEGER) AS rate,
+           CAST(CASE WHEN d.doc_id % 3 = 1 THEN 16 END AS INTEGER) AS bits,
+           CAST(CASE d.doc_id % 3
+             WHEN 0 THEN ((10 + d.doc_id % 50) * 1024 * 1000)
+               // (SELECT r FROM rates WHERE i = d.doc_id % 13)
+             WHEN 1 THEN ((d.doc_id * 37 + 5) * 1000) // (600 + d.doc_id % 9)
+             ELSE d.doc_id * 13 END AS BIGINT) AS ms
+         FROM documents d WHERE d.doc_id < 360 ORDER BY d.doc_id""",
 
     // q158: the five codec tiers must all reproduce the closed-form body
     // (junk tier absent); pure doc_id string math

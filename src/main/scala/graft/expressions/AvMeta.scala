@@ -83,7 +83,52 @@ object AvMeta {
     else if (tag(b, 4, "ftyp")) mp4(b)
     else if (tag(b, 0, "fLaC")) flac(b)
     else if (tag(b, 0, "OggS")) ogg(b)
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xF6) == 0xF0) adts(b)
     else mp3(b)
+  }
+
+  private val AacRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** ADTS-framed AAC (the raw `.aac` shape and the payload of streaming
+    * audio): sync + layer 00 distinguishes it from MPEG audio. Sample
+    * rate / channel configuration from the fixed header; duration by
+    * WALKING every frame (ADTS is commonly VBR — 1024 samples per frame
+    * regardless of frame bytes). A malformed continuation frame reports
+    * NULL duration (streaming-truncation posture, like the mp3 arm);
+    * a malformed FIRST frame refuses.
+    */
+  private def adts(b: Array[Byte]): InternalRow = {
+    def frameLen(i: Int): Int = {
+      if (i + 7 > b.length) return -1
+      if ((b(i) & 0xFF) != 0xFF || (b(i + 1) & 0xF6) != 0xF0) return -1
+      ((b(i + 3) & 0x03) << 11) | ((b(i + 4) & 0xFF) << 3) |
+        ((b(i + 5) & 0xE0) >>> 5)
+    }
+    val sfi = (b(2) & 0x3C) >>> 2
+    if (sfi >= AacRates.length) return null
+    val rate = AacRates(sfi)
+    val chanCfg = ((b(2) & 0x01) << 2) | ((b(3) & 0xC0) >>> 6)
+    if (chanCfg == 0) return null // channel config in a PCE: out of scope
+    val channels = if (chanCfg == 7) 8 else chanCfg
+    val len1 = frameLen(0)
+    if (len1 < 7 || len1 > b.length) return null
+    // anti-false-positive like mp3: second frame must start exactly at
+    // len1 with a valid header (or the file is a single exact frame)
+    if (len1 < b.length && frameLen(len1) <= 0) return null
+    var frames = 0L
+    var i = 0
+    var clean = true
+    while (i < b.length && clean) {
+      val fl = frameLen(i)
+      if (fl < 7 || i + fl > b.length) clean = false
+      else { frames += 1; i += fl }
+    }
+    val ms: Any =
+      if (clean && i == b.length) java.lang.Long.valueOf(
+        frames * 1024L * 1000L / rate)
+      else null
+    row("aac", channels, rate, null, ms)
   }
 
   /** FLAC STREAMINFO (the mandatory first metadata block): sample rate
@@ -306,37 +351,104 @@ object AvMeta {
   /** ISO BMFF top-level box walk to moov/mvhd; v0 (32-bit) and v1
     * (64-bit) movie headers.
     */
-  private def mp4(b: Array[Byte]): InternalRow = {
-    var i = 0
-    while (i + 8 <= b.length) {
+  /** First child box with the given type inside `[start,end)`; returns
+    * (bodyStart, bodyEnd) or null. Malformed sizes end the walk.
+    */
+  private def child(b: Array[Byte], start: Int, end: Int,
+      tpe: String): (Int, Int) = {
+    var i = start
+    while (i + 8 <= end) {
       val size = be32(b, i)
-      if (size < 8 || i + size > b.length) return row("mp4", null, null, null, null)
-      if (tag(b, i + 4, "moov")) {
-        val end = math.min(b.length.toLong, i + size).toInt
-        var j = i + 8
-        while (j + 8 <= end) {
-          val s2 = be32(b, j)
-          if (s2 < 8 || j + s2 > end) return row("mp4", null, null, null, null)
-          if (tag(b, j + 4, "mvhd") && j + 12 <= end) {
-            val version = b(j + 8) & 0xFF
-            val ms: Any =
-              if (version == 1 && j + 8 + 4 + 16 + 8 + 8 <= end) {
-                val timescale = be32(b, j + 8 + 4 + 16)
-                val duration = be64(b, j + 8 + 4 + 16 + 4)
-                if (timescale > 0) java.lang.Long.valueOf(duration * 1000L / timescale) else null
-              } else if (version == 0 && j + 8 + 4 + 8 + 4 + 4 <= end) {
-                val timescale = be32(b, j + 8 + 4 + 8)
-                val duration = be32(b, j + 8 + 4 + 8 + 4)
-                if (timescale > 0) java.lang.Long.valueOf(duration * 1000L / timescale) else null
-              } else null
-            return row("mp4", null, null, null, ms)
+      if (size < 8 || i + size > end) return null
+      if (tag(b, i + 4, tpe)) return (i + 8, (i + size).toInt)
+      i += size.toInt
+    }
+    null
+  }
+
+  /** ISO BMFF: movie-level duration from `mvhd`; when a `trak` carries a
+    * `soun` handler with an `mp4a` sample entry the row upgrades to
+    * format "m4a" with channels / sample rate / sample size from the
+    * sample entry and the duration from that track's `mdhd` (media
+    * timescale — the honest per-track clock). Payload decode (AAC
+    * entropy coding) is a codec tier, not a header walk; this arm is
+    * the documented metadata boundary.
+    */
+  private def mp4(b: Array[Byte]): InternalRow = {
+    val moov = child(b, 0, b.length, "moov")
+    if (moov == null) return row("mp4", null, null, null, null)
+    val (ms, me) = moov
+    var movieMs: Any = null
+    val mvhd = child(b, ms, me, "mvhd")
+    if (mvhd != null && mvhd._1 + 4 <= mvhd._2) {
+      val j = mvhd._1 - 8
+      val end = mvhd._2
+      val version = b(j + 8) & 0xFF
+      movieMs =
+        if (version == 1 && j + 8 + 4 + 16 + 8 + 8 <= end) {
+          val timescale = be32(b, j + 8 + 4 + 16)
+          val duration = be64(b, j + 8 + 4 + 16 + 4)
+          if (timescale > 0) java.lang.Long.valueOf(duration * 1000L / timescale) else null
+        } else if (version == 0 && j + 8 + 4 + 8 + 4 + 4 <= end) {
+          val timescale = be32(b, j + 8 + 4 + 8)
+          val duration = be32(b, j + 8 + 4 + 8 + 4)
+          if (timescale > 0) java.lang.Long.valueOf(duration * 1000L / timescale) else null
+        } else null
+    }
+    // audio track: trak → mdia → (mdhd, hdlr=soun, minf → stbl → stsd → mp4a)
+    var i = ms
+    while (i + 8 <= me) {
+      val size = be32(b, i)
+      if (size < 8 || i + size > me) return row("mp4", null, null, null, movieMs)
+      if (tag(b, i + 4, "trak")) {
+        val te = (i + size).toInt
+        val mdia = child(b, i + 8, te, "mdia")
+        if (mdia != null) {
+          val hdlr = child(b, mdia._1, mdia._2, "hdlr")
+          val isSoun = hdlr != null && hdlr._1 + 12 <= hdlr._2 &&
+            tag(b, hdlr._1 + 8, "soun")
+          if (isSoun) {
+            var trackMs: Any = null
+            val mdhd = child(b, mdia._1, mdia._2, "mdhd")
+            if (mdhd != null && mdhd._1 + 4 <= mdhd._2) {
+              val j = mdhd._1
+              val version = b(j) & 0xFF
+              if (version == 1 && j + 4 + 16 + 4 + 8 <= mdhd._2) {
+                val timescale = be32(b, j + 4 + 16)
+                val duration = be64(b, j + 4 + 16 + 4)
+                if (timescale > 0)
+                  trackMs = java.lang.Long.valueOf(duration * 1000L / timescale)
+              } else if (version == 0 && j + 4 + 8 + 4 + 4 <= mdhd._2) {
+                val timescale = be32(b, j + 4 + 8)
+                val duration = be32(b, j + 4 + 8 + 4)
+                if (timescale > 0)
+                  trackMs = java.lang.Long.valueOf(duration * 1000L / timescale)
+              }
+            }
+            val minf = child(b, mdia._1, mdia._2, "minf")
+            val stbl = if (minf == null) null else child(b, minf._1, minf._2, "stbl")
+            val stsd = if (stbl == null) null else child(b, stbl._1, stbl._2, "stsd")
+            if (stsd != null && stsd._1 + 8 <= stsd._2) {
+              val entry = child(b, stsd._1 + 8, stsd._2, "mp4a")
+              if (entry != null && entry._1 + 28 <= entry._2) {
+                val e = entry._1
+                // sample entry: 6 reserved + 2 data_ref + 8 reserved,
+                // then channelcount(2) samplesize(2) predef(4) rate(16.16)
+                val channels = ((b(e + 16) & 0xFF) << 8) | (b(e + 17) & 0xFF)
+                val sampleSize = ((b(e + 18) & 0xFF) << 8) | (b(e + 19) & 0xFF)
+                val rate = be32(b, e + 24) >>> 16
+                return row("m4a",
+                  if (channels > 0) channels else null,
+                  if (rate > 0) rate.toInt else null,
+                  if (sampleSize > 0) sampleSize else null,
+                  if (trackMs != null) trackMs else movieMs)
+              }
+            }
           }
-          j += s2.toInt
         }
-        return row("mp4", null, null, null, null)
       }
       i += size.toInt
     }
-    row("mp4", null, null, null, null)
+    row("mp4", null, null, null, movieMs)
   }
 }

@@ -150,6 +150,62 @@ object MediaWriter {
     ftyp ++ moov
   }
 
+  /** ADTS-framed AAC metadata shape: `frames` frames with valid fixed
+    * headers (MPEG-4, layer 00, the given sampling-frequency index and
+    * channel configuration) over deterministic filler payloads — the
+    * header-walk twin for the `aac` metadata arm (payload entropy coding
+    * is out of the metadata arm's scope, exactly like [[ogg]]).
+    */
+  def adts(frames: Int, sfIndex: Int, channelCfg: Int,
+      payloadBytes: Int = 64): Array[Byte] = {
+    require(sfIndex >= 0 && sfIndex <= 12 && channelCfg >= 1 && channelCfg <= 7)
+    val out = new java.io.ByteArrayOutputStream(frames * (7 + payloadBytes))
+    var f = 0
+    while (f < frames) {
+      val len = 7 + payloadBytes
+      out.write(0xFF)
+      out.write(0xF1) // MPEG-4, layer 00, no CRC
+      out.write((1 << 6) | (sfIndex << 2) | ((channelCfg >> 2) & 1)) // AAC-LC
+      out.write(((channelCfg & 3) << 6) | ((len >> 11) & 3))
+      out.write((len >> 3) & 0xFF)
+      out.write(((len & 7) << 5) | 0x1F)
+      out.write(0xFC) // buffer fullness + 1 raw block
+      var p = 0
+      while (p < payloadBytes) { out.write((f * 31 + p) & 0xFF); p += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** M4A skeleton: `ftyp` + `moov`(`mvhd`, `trak`(`mdia`(`mdhd` with the
+    * media timescale/duration, `hdlr` soun, `minf`(`stbl`(`stsd`(`mp4a`
+    * sample entry: channels, 16-bit samples, 16.16 sample rate)))))).
+    * The header-walk twin for the `m4a` metadata arm.
+    */
+  def m4a(channels: Int, sampleRate: Int, timescale: Long,
+      duration: Long): Array[Byte] = {
+    val ftyp = box("ftyp",
+      "M4A ".getBytes("US-ASCII") ++ be32(0) ++
+        "M4A isomiso2".getBytes("US-ASCII"))
+    val mvhdBody = Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(duration) ++ mvhdTail
+    val mdhdBody = Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(duration) ++ be32(0x55C40000L) // und language
+    val hdlrBody = be32(0) ++ be32(0) ++ "soun".getBytes("US-ASCII") ++
+      new Array[Byte](12) ++ "aud ".getBytes("ISO-8859-1")
+    val mp4aBody =
+      new Array[Byte](6) ++ Array[Byte](0, 1) ++ // reserved + data_ref_idx
+        new Array[Byte](8) ++ // reserved
+        Array[Byte]((channels >> 8).toByte, channels.toByte, 0, 16) ++
+        be32(0) ++ be32(sampleRate.toLong << 16)
+    val stsdBody = be32(0) ++ be32(1) ++ box("mp4a", mp4aBody)
+    val stbl = box("stbl", box("stsd", stsdBody))
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", box("mdhd", mdhdBody) ++ box("hdlr", hdlrBody) ++ minf)
+    val moov = box("moov", box("mvhd", mvhdBody) ++ box("trak", mdia))
+    ftyp ++ moov ++ box("mdat", Array.tabulate[Byte](32)(i => (i * 7).toByte))
+  }
+
   // rate, volume, reserved, matrix, predefined, next-track-id
   private def mvhdTail: Array[Byte] =
     be32(0x00010000L) ++ Array[Byte](0, 0, 0, 0, 0, 0) ++ // rate, volume, reserved16

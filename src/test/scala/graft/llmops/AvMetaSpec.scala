@@ -172,4 +172,37 @@ class AvMetaSpec extends SparkTestBase {
     junk(28) = 'x' // corrupt the \u0001vorbis tag
     assert(graft.expressions.AvMeta.compute(junk) === null)
   }
+
+  test("ADTS AAC: frame walk, channel config 7, truncation → NULL ms") {
+    val a = graft.expressions.AvMeta.compute(MediaWriter.adts(25, 4, 2))
+    assert(a != null && a.getUTF8String(0).toString === "aac")
+    assert(a.getInt(1) === 2 && a.getInt(2) === 44100)
+    assert(a.getLong(4) === 25L * 1024 * 1000 / 44100)
+    val eight = graft.expressions.AvMeta.compute(MediaWriter.adts(3, 11, 7))
+    assert(eight.getInt(1) === 8 && eight.getInt(2) === 8000)
+    // truncated final frame: format survives, duration goes NULL
+    val full = MediaWriter.adts(25, 4, 2)
+    val cut = java.util.Arrays.copyOf(full, full.length - 10)
+    val t = graft.expressions.AvMeta.compute(cut)
+    assert(t != null && t.getUTF8String(0).toString === "aac" && t.isNullAt(4))
+    // an mp3 header (layer 01) must NOT land in the aac arm
+    val mp3 = graft.expressions.AvMeta.compute(
+      MediaWriter.mp3(4, 128, 44100, mono = true, seed = 1, id3Body = 0))
+    assert(mp3 != null && mp3.getUTF8String(0).toString === "mp3")
+    // bad second frame refuses (anti false positive)
+    val bad = full.clone()
+    bad(7 + 64) = 0 // second frame sync byte
+    assert(graft.expressions.AvMeta.compute(bad) === null)
+  }
+
+  test("M4A: audio track metadata; audio-less mp4 keeps the movie arm") {
+    val m = graft.expressions.AvMeta.compute(
+      MediaWriter.m4a(2, 44100, 600L, 1234L))
+    assert(m != null && m.getUTF8String(0).toString === "m4a")
+    assert(m.getInt(1) === 2 && m.getInt(2) === 44100 && m.getInt(3) === 16)
+    assert(m.getLong(4) === 1234L * 1000 / 600)
+    val plain = graft.expressions.AvMeta.compute(MediaWriter.mp4(1000L, 777L))
+    assert(plain != null && plain.getUTF8String(0).toString === "mp4")
+    assert(plain.isNullAt(1) && plain.getLong(4) === 777L)
+  }
 }
