@@ -81,6 +81,11 @@ object WarcRecords {
       if ((bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B) {
         val out = inflateMembers(bytes)
         if (out == null) return null else out
+      } else if (graft.llmops.Compression.sniffCodec(bytes).isDefined) {
+        // .warc.zst / .warc.bz2 / .warc.xz archives: one whole-file
+        // container (the multi-member gzip convention stays above)
+        val out = graft.llmops.Compression.decodeAuto(bytes)
+        if (out == null || out.length > MaxBytes) return null else out
       } else bytes
     if (!startsWith(raw, 0, "WARC/")) return null
 
@@ -165,6 +170,7 @@ object WarcRecords {
     if (parts.length < 2) return null
     val status = try parts(1).toInt catch { case _: NumberFormatException => return null }
     var mime: String = null
+    var encoding: String = null
     var done = false
     while (!done) {
       line = readLine(p, pos)
@@ -174,14 +180,58 @@ object WarcRecords {
       if (s.isEmpty) done = true
       else {
         val c = s.indexOf(':')
-        if (c > 0 && s.substring(0, c).trim.equalsIgnoreCase("content-type")) {
+        if (c > 0) {
+          val name = s.substring(0, c).trim.toLowerCase
           val v = s.substring(c + 1).trim
-          val semi = v.indexOf(';')
-          mime = (if (semi >= 0) v.substring(0, semi) else v).trim
+          if (name == "content-type") {
+            val semi = v.indexOf(';')
+            mime = (if (semi >= 0) v.substring(0, semi) else v).trim
+          } else if (name == "content-encoding") encoding = v.toLowerCase
         }
       }
     }
-    (Int.box(status), mime, java.util.Arrays.copyOfRange(p, pos, p.length))
+    val rawBody = java.util.Arrays.copyOfRange(p, pos, p.length)
+    (Int.box(status), mime, contentDecode(rawBody, encoding))
+  }
+
+  /** Peel `Content-Encoding: gzip|x-gzip|deflate` from an HTTP entity
+    * body (real crawls store the wire bytes). `deflate` tries zlib then
+    * the bare stream (both occur in the wild). Unknown encodings (`br`
+    * without a JDK codec) and failed decodes keep the wire bytes — a
+    * single mangled body must not refuse the whole archive; downstream
+    * sniffing screens it out.
+    */
+  private def contentDecode(body: Array[Byte], encoding: String): Array[Byte] = {
+    if (encoding == null || encoding.isEmpty || encoding == "identity" ||
+      body.length == 0) return body
+    try {
+      encoding match {
+        case "gzip" | "x-gzip" =>
+          val out = inflateMembers(body)
+          if (out == null) body else out
+        case "deflate" =>
+          def run(nowrap: Boolean): Array[Byte] = {
+            val inf = new java.util.zip.Inflater(nowrap)
+            inf.setInput(body)
+            val out = new java.io.ByteArrayOutputStream(body.length * 3)
+            val buf = new Array[Byte](8192)
+            var n = inf.inflate(buf)
+            while (n > 0 && out.size() <= MaxBytes) {
+              out.write(buf, 0, n)
+              n = inf.inflate(buf)
+            }
+            val ok = inf.finished() && out.size() <= MaxBytes
+            inf.end()
+            if (ok) out.toByteArray else null
+          }
+          val zlib = try run(nowrap = false) catch {
+            case scala.util.control.NonFatal(_) => null
+          }
+          val out = if (zlib != null) zlib else run(nowrap = true)
+          if (out == null) body else out
+        case _ => body
+      }
+    } catch { case scala.util.control.NonFatal(_) => body }
   }
 
   /** (ascii line without terminator, position after it) — accepts CRLF or

@@ -348,4 +348,57 @@ class WarcSpec extends SparkTestBase {
     // up present exactly once
     assert(kept.toSeq === Seq("https://e/s1", "https://e/s2"))
   }
+
+  test("whole-archive zstd/bzip2/xz containers parse like the raw bytes") {
+    val raw = WarcWriter.write(Seq(
+      ("https://z.example/a", null, 200, "text/html", "<p>zstd warc</p>".getBytes)))
+    val base = graft.expressions.WarcRecords.compute(raw)
+    assert(base != null)
+    for (codec <- Seq("zstd", "bzip2", "xz", "lz4")) {
+      val wrapped = Compression.encode(raw, codec)
+      val got = graft.expressions.WarcRecords.compute(wrapped)
+      assert(got != null && got.numElements() == base.numElements(), codec)
+      val p = got.getStruct(1, 6)
+      assert(new String(p.getBinary(5)) == "<p>zstd warc</p>", codec)
+    }
+    // corrupt container refuses wholesale
+    val bad = Compression.encode(raw, "zstd")
+    bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x11).toByte
+    assert(graft.expressions.WarcRecords.compute(bad) == null)
+  }
+
+  test("HTTP Content-Encoding gzip/deflate bodies are peeled to entity bytes") {
+    def record(encoding: String, body: Array[Byte]): Array[Byte] = {
+      val http = new java.io.ByteArrayOutputStream()
+      val hdr = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        (if (encoding != null) s"Content-Encoding: $encoding\r\n" else "") + "\r\n"
+      http.write(hdr.getBytes("ISO-8859-1")); http.write(body)
+      val payload = http.toByteArray
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: https://enc.example/x\r\n" +
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        payload ++ "\r\n\r\n".getBytes
+    }
+    val plain = "<html><body>wire bytes peeled</body></html>".getBytes
+    val gz = Compression.encode(plain, "gzip")
+    val outGz = graft.expressions.WarcRecords.compute(record("gzip", gz))
+    assert(outGz != null)
+    assert(new String(outGz.getStruct(0, 6).getBinary(5)) == new String(plain))
+    // zlib-wrapped deflate
+    val d = new java.util.zip.Deflater()
+    d.setInput(plain); d.finish()
+    val zBuf = new Array[Byte](4096)
+    val zn = d.deflate(zBuf)
+    val outZ = graft.expressions.WarcRecords.compute(
+      record("deflate", java.util.Arrays.copyOf(zBuf, zn)))
+    assert(new String(outZ.getStruct(0, 6).getBinary(5)) == new String(plain))
+    // unknown encoding / mangled stream keep the wire bytes (no refusal)
+    val outBr = graft.expressions.WarcRecords.compute(record("br", plain))
+    assert(new String(outBr.getStruct(0, 6).getBinary(5)) == new String(plain))
+    val mangled = gz.clone(); mangled(8) = (mangled(8) ^ 0x55).toByte
+    val outBad = graft.expressions.WarcRecords.compute(record("gzip", mangled))
+    assert(outBad != null && outBad.getStruct(0, 6).getBinary(5).nonEmpty)
+  }
 }
