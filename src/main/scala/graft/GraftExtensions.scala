@@ -239,6 +239,10 @@ object GraftFunctions {
       "graft_wiki_pages(content) - MediaWiki dump XML (plain or compressed) as array<struct<title,ns,page_id,redirect,text,plain>>",
       exprs => graft.expressions.WikiPages(exprs.head)),
 
+    ("graft_eml_messages",
+      "graft_eml_messages(content) - RFC 5322 message or mbox mailbox (plain or compressed) as array<struct<subject,from,date,text>>",
+      exprs => graft.expressions.EmlMessages(exprs.head)),
+
     ("graft_webp_dhash",
       "graft_webp_dhash(content) - 64-bit perceptual dHash of a lossless WebP (same grid/bit layout as graft_png_dhash), NULL if undecodable or under 9x8",
       exprs => graft.expressions.WebpDHash(exprs.head)),

@@ -115,6 +115,45 @@ object SparkEntry {
   private val codecShardDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
+  /** (doc_id, content) fixture for q162: eml tiers (7bit / quoted-
+    * printable / base64, RFC 2047 subjects) + an mbox tier + junk.
+    */
+  private def emlFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 320)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    def eml(headers: String, body: String): Array[Byte] =
+      (headers + "\r\n\r\n" + body).getBytes("ISO-8859-1")
+    ids.map { id =>
+      val bytes =
+        if (id >= 300) s"no mail here $id".getBytes("UTF-8")
+        else (id % 4) match {
+          case 0 => eml(s"From: a$id@example.org\r\nSubject: S$id\r\n" +
+            "Date: Tue, 3 Mar 2026 10:00:00 +0000", s"plain body $id")
+          case 1 => eml(s"From: a$id@example.org\r\n" +
+            s"Subject: =?iso-8859-1?Q?S=2D$id?=\r\nDate: d\r\n" +
+            "Content-Type: text/plain; charset=utf-8\r\n" +
+            "Content-Transfer-Encoding: quoted-printable",
+            s"qp body $id =41")
+          case 2 =>
+            val b64 = java.util.Base64.getEncoder.encodeToString(
+              s"b64 body $id".getBytes("UTF-8"))
+            val subj = java.util.Base64.getEncoder.encodeToString(
+              s"S$id".getBytes("UTF-8"))
+            eml(s"From: a$id@example.org\r\nSubject: =?utf-8?B?$subj?=\r\n" +
+              "Date: d\r\nContent-Type: text/plain; charset=utf-8\r\n" +
+              "Content-Transfer-Encoding: base64", b64)
+          case _ =>
+            (s"From a$id@example.org Tue Mar  3 10:00:00 2026\n" +
+              s"From: a$id@example.org\r\nSubject: M${id}a\r\nDate: d" +
+              s"\r\n\r\nma $id\n" +
+              s"From b$id@example.org Tue Mar  3 11:00:00 2026\n" +
+              s"From: b$id@example.org\r\nSubject: M${id}b\r\nDate: d" +
+              s"\r\n\r\nmb $id\n").getBytes("ISO-8859-1")
+        }
+      (id, bytes)
+    }
+  }
+
   /** (doc_id, content) fixture for q161: ADTS AAC / M4A / audio-less mp4
     * tiers plus junk rows (ids ≥ 360).
     */
@@ -2255,6 +2294,23 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q162_eml_extract" -> ((s, dir) => {
+      // email ingestion: RFC 5322 messages across the transfer-encoding
+      // tiers (7bit, quoted-printable with a planted =41 escape, base64)
+      // with RFC 2047 subjects (Q and B), plus an mbox tier splitting
+      // into per-message rows; junk rows refuse. Subjects and bodies are
+      // pure doc_id string math for the oracle
+      val ss = tuned(s)
+      val src = fixtureDF(ss, dir, "q162_eml")(emlFixtures(ss, dir))
+      val E = org.apache.spark.sql.graft.ColumnBridge
+      src.select(col("doc_id"), posexplode(E.column(
+          graft.expressions.EmlMessages(E.expressionEager(col("content"))))))
+        .select(col("doc_id"), col("pos").cast("long").as("msg"),
+          col("col.subject").as("subject"),
+          trim(col("col.text"), " \r\n\t").as("body"))
+        .orderBy("doc_id", "msg")
+    }),
+
     "q161_aac_meta" -> ((s, dir) => {
       // compressed-audio metadata closes the AAC gap at the honest tier:
       // ADTS streams (VBR-safe frame walk → duration) and M4A containers
@@ -4258,6 +4314,28 @@ object SparkEntry {
              + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
          ORDER BY key_a, key_b""",
 
+    // q162: transfer decodes, RFC 2047 subjects and mbox splitting as
+    // doc_id string math; junk rows refuse
+    "q162_eml_extract" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+         rows AS (
+           SELECT doc_id, CAST(0 AS BIGINT) AS msg,
+             CASE doc_id % 4
+               WHEN 0 THEN 'S' || doc_id
+               WHEN 1 THEN 'S-' || doc_id
+               WHEN 2 THEN 'S' || doc_id
+               ELSE 'M' || doc_id || 'a' END AS subject,
+             CASE doc_id % 4
+               WHEN 0 THEN 'plain body ' || doc_id
+               WHEN 1 THEN 'qp body ' || doc_id || ' A'
+               WHEN 2 THEN 'b64 body ' || doc_id
+               ELSE 'ma ' || doc_id END AS body
+           FROM ids
+           UNION ALL
+           SELECT doc_id, 1, 'M' || doc_id || 'b', 'mb ' || doc_id
+           FROM ids WHERE doc_id % 4 = 3)
+         SELECT doc_id, msg, subject, body FROM rows ORDER BY doc_id, msg""",
+
     // q161: ADTS frame walk + M4A box walk replayed as doc_id arithmetic
     // (aac rate from the sampling-frequency table, channel config 7 → 8;
     // m4a duration on the media timescale; plain mp4 rows keep only the
@@ -4293,7 +4371,7 @@ object SparkEntry {
              'doc ' || doc_id || ': ' ||
                repeat('seg' || doc_id || ' ', CAST(1 + doc_id % 7 AS INTEGER)) AS body
            FROM documents WHERE doc_id < 250),
-         codecs AS (SELECT unnest(['bzip2','gzip','lz4','xz','zstd']) AS codec)
+         codecs AS (SELECT unnest(['bzip2','gzip','lz4','snappy','xz','zstd']) AS codec)
          SELECT b.doc_id, c.codec,
            CAST(length(b.body) AS BIGINT) AS n_chars,
            substr(b.body, 1, 16) AS head

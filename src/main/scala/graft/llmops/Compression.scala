@@ -2,7 +2,7 @@ package graft.llmops
 
 /** One front door for the compressed-corpus codecs: magic-number
   * sniffing and decode dispatch over gzip/zlib-deflate (JDK), bzip2, xz,
-  * zstd and lz4 (native kernels), plus the symmetric encode dispatch
+  * zstd, lz4 and framed snappy (native kernels), plus the symmetric encode dispatch
   * used by the shard writers. The corpus arms call [[decodeAuto]] so a
   * crawl payload or shard file decompresses the same way regardless of
   * which codec the producer picked. Reference hook: arbitrary-binary
@@ -12,8 +12,11 @@ object Compression {
 
   private final val MaxOut = 64 << 20
 
-  /** Codec names accepted by [[encode]] / returned by [[sniffCodec]]. */
-  val Codecs: Seq[String] = Seq("gzip", "bzip2", "xz", "zstd", "lz4")
+  /** Codec names accepted by [[encode]] / returned by [[sniffCodec]].
+    * `snappy` is the FRAMED format (the raw block format has no magic
+    * to sniff; [[Snappy.decodeRaw]] serves it explicitly).
+    */
+  val Codecs: Seq[String] = Seq("gzip", "bzip2", "xz", "zstd", "lz4", "snappy")
 
   /** [[graft.expressions.DecompressBytes]] as a Column. */
   def decompressCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -34,6 +37,7 @@ object Compression {
       Some("zstd")
     else if (u(0) == 0x04 && u(1) == 0x22 && u(2) == 0x4D && u(3) == 0x18)
       Some("lz4")
+    else if (Snappy.isFramed(bytes)) Some("snappy")
     else None
   }
 
@@ -44,6 +48,7 @@ object Compression {
     case "xz" => "application/x-xz"
     case "zstd" => "application/zstd"
     case "lz4" => "application/x-lz4"
+    case "snappy" => "application/x-snappy-framed"
     case other => other
   }
 
@@ -80,6 +85,7 @@ object Compression {
     case "xz" => XzLzma.decode(bytes)
     case "zstd" => Zstd.decode(bytes)
     case "lz4" => Lz4.decode(bytes)
+    case "snappy" => Snappy.decodeFramed(bytes)
     case _ => null
   }
 
@@ -97,6 +103,7 @@ object Compression {
     case "xz" => XzWriter.encode(bytes)
     case "zstd" => ZstdWriter.encode(bytes)
     case "lz4" => Lz4Writer.encode(bytes)
+    case "snappy" => SnappyWriter.encode(bytes)
     case other => throw new IllegalArgumentException(s"unknown codec $other")
   }
 
@@ -107,6 +114,7 @@ object Compression {
     case "xz" => ".xz"
     case "zstd" => ".zst"
     case "lz4" => ".lz4"
+    case "snappy" => ".sz"
     case other => throw new IllegalArgumentException(s"unknown codec $other")
   }
 
@@ -118,6 +126,7 @@ object Compression {
     else if (n.endsWith(".xz")) Some("xz")
     else if (n.endsWith(".zst") || n.endsWith(".zstd")) Some("zstd")
     else if (n.endsWith(".lz4")) Some("lz4")
+    else if (n.endsWith(".sz") || n.endsWith(".snappy")) Some("snappy")
     else None
   }
 }

@@ -69,6 +69,12 @@ object DocumentText {
         Some(markdownToText(decodeBytes(bytes)))
       case m if m.startsWith("text/") || m.contains("json") || m.contains("csv") =>
         Some(normalize(decodeBytes(bytes)))
+      case m if m == "message/rfc822" || m.endsWith("/eml") =>
+        Eml.emlText(bytes)
+      case m if m == "application/mbox" =>
+        Eml.mboxMessages(bytes)
+          .map(ms => ms.flatMap(Eml.emlText).mkString("\n\n"))
+          .filter(_.nonEmpty)
       case m if Compression.Codecs.map(Compression.codecMime).contains(m) =>
         // compressed container: decompress, then extract the payload by
         // ITS sniffed format — one level only (a payload that sniffs to
@@ -158,6 +164,10 @@ object DocumentText {
     }
     else if (Compression.sniffCodec(bytes).isDefined)
       Compression.sniffCodec(bytes).map(Compression.codecMime)
+    else if (startsWithSig("From ") &&
+      Eml.mboxMessages(bytes).exists(ms => ms.nonEmpty && Eml.sniff(ms.head)))
+      Some("application/mbox")
+    else if (Eml.sniff(bytes)) Some("message/rfc822")
     else {
       val head = decodeBytes(
         java.util.Arrays.copyOfRange(bytes, 0, math.min(bytes.length, 4096)))

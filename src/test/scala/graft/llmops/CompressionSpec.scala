@@ -3,8 +3,8 @@ package graft.llmops
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
-/** The compression front door: sniff + decode dispatch across all five
-  * codecs, the document-pipeline integration (sniffMime labels,
+/** The compression front door: sniff + decode dispatch across the codec
+  * family, the document-pipeline integration (sniffMime labels,
   * decompress-then-extract, single-level recursion guard), the
   * DecompressBytes expression, and codec JSONL shard round-trips.
   */
@@ -14,7 +14,7 @@ class CompressionSpec extends SparkTestBase {
   private val text = ("compressed corpora are the norm: wikipedia dumps " +
     "ship bz2, the pile shipped xz, dolma ships zstd. ") * 40
 
-  test("sniffCodec recognizes all five magics and rejects others") {
+  test("sniffCodec recognizes every codec magic and rejects others") {
     for (c <- Compression.Codecs) {
       val enc = Compression.encode(text.getBytes, c)
       assert(Compression.sniffCodec(enc) === Some(c), c)
