@@ -239,6 +239,10 @@ object GraftFunctions {
       "graft_wiki_pages(content) - MediaWiki dump XML (plain or compressed) as array<struct<title,ns,page_id,redirect,text,plain>>",
       exprs => graft.expressions.WikiPages(exprs.head)),
 
+    ("graft_zip_entries",
+      "graft_zip_entries(content) - zip archive of documents as array<struct<name,mime,text>> (per-entry sniff + extract)",
+      exprs => graft.expressions.ZipEntries(exprs.head)),
+
     ("graft_eml_messages",
       "graft_eml_messages(content) - RFC 5322 message or mbox mailbox (plain or compressed) as array<struct<subject,from,date,text>>",
       exprs => graft.expressions.EmlMessages(exprs.head)),

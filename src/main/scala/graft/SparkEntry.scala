@@ -115,6 +115,40 @@ object SparkEntry {
   private val codecShardDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
+  /** (doc_id, content) fixture for q163: 3-entry document zips (txt,
+    * nested eml, binary-no-codec) + corrupt/non-zip junk (ids ≥ 250).
+    */
+  private def zipDocFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 270)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    ids.map { id =>
+      val bytes =
+        if (id >= 260) s"not a zip $id".getBytes("UTF-8")
+        else if (id >= 250) {
+          val junk = new Array[Byte](40)
+          junk(0) = 'P'; junk(1) = 'K'; junk(2) = 3; junk(3) = 4
+          junk(26) = 50 // name length beyond EOF → wholesale refusal
+          junk
+        } else {
+          val bos = new java.io.ByteArrayOutputStream(1024)
+          val z = new java.util.zip.ZipOutputStream(bos)
+          def put(name: String, data: Array[Byte]): Unit = {
+            z.putNextEntry(new java.util.zip.ZipEntry(name))
+            z.write(data)
+            z.closeEntry()
+          }
+          put(s"a$id.txt", s"text entry $id".getBytes("UTF-8"))
+          put(s"b$id.eml", (s"From: a$id@example.org\r\nSubject: Z$id\r\n" +
+            s"Date: d\r\n\r\nzip mail $id").getBytes("ISO-8859-1"))
+          put(s"c$id.bin",
+            Array.tabulate[Byte](48)(i => ((id + i * 17) % 31).toByte))
+          z.close()
+          bos.toByteArray
+        }
+      (id, bytes)
+    }
+  }
+
   /** (doc_id, content) fixture for q162: eml tiers (7bit / quoted-
     * printable / base64, RFC 2047 subjects) + an mbox tier + junk.
     */
@@ -2294,6 +2328,22 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q163_zip_docs" -> ((s, dir) => {
+      // bulk-upload archives: a zip of mixed documents exploded to
+      // per-entry rows, each entry sniffed and extracted by its own
+      // format (plain text, a nested eml, and a no-codec binary whose
+      // mime/text stay NULL); corrupt and non-zip rows refuse
+      // wholesale. All values are doc_id string math
+      val ss = tuned(s)
+      val src = fixtureDF(ss, dir, "q163_zip")(zipDocFixtures(ss, dir))
+      val E = org.apache.spark.sql.graft.ColumnBridge
+      src.select(col("doc_id"), explode(E.column(
+          graft.expressions.ZipEntries(E.expressionEager(col("content"))))).as("e"))
+        .select(col("doc_id"), col("e.name").as("name"),
+          col("e.mime").as("mime"), col("e.text").as("body"))
+        .orderBy("doc_id", "name")
+    }),
+
     "q162_eml_extract" -> ((s, dir) => {
       // email ingestion: RFC 5322 messages across the transfer-encoding
       // tiers (7bit, quoted-printable with a planted =41 escape, base64)
@@ -4313,6 +4363,20 @@ object SparkEntry {
          WHERE bit_count(xor(a.dh_hi, b.dh_hi))
              + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
          ORDER BY key_a, key_b""",
+
+    // q163: per-entry sniff+extract as doc_id string math; binary
+    // entries keep NULL mime/text, corrupt zips contribute nothing
+    "q163_zip_docs" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 250)
+         SELECT doc_id, name, mime, body FROM (
+           SELECT doc_id, 'a' || doc_id || '.txt' AS name,
+             'text/plain' AS mime, 'text entry ' || doc_id AS body FROM ids
+           UNION ALL
+           SELECT doc_id, 'b' || doc_id || '.eml', 'message/rfc822',
+             'Z' || doc_id || chr(10) || 'zip mail ' || doc_id FROM ids
+           UNION ALL
+           SELECT doc_id, 'c' || doc_id || '.bin', NULL, NULL FROM ids)
+         ORDER BY doc_id, name""",
 
     // q162: transfer decodes, RFC 2047 subjects and mbox splitting as
     // doc_id string math; junk rows refuse
