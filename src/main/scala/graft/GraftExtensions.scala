@@ -239,6 +239,10 @@ object GraftFunctions {
       "graft_wiki_pages(content) - MediaWiki dump XML (plain or compressed) as array<struct<title,ns,page_id,redirect,text,plain>>",
       exprs => graft.expressions.WikiPages(exprs.head)),
 
+    ("graft_feed_entries",
+      "graft_feed_entries(content) - RSS 2.0 / Atom feed (plain or compressed) as array<struct<title,link,published,summary>>",
+      exprs => graft.expressions.FeedEntries(exprs.head)),
+
     ("graft_zip_entries",
       "graft_zip_entries(content) - zip archive of documents as array<struct<name,mime,text>> (per-entry sniff + extract)",
       exprs => graft.expressions.ZipEntries(exprs.head)),

@@ -115,6 +115,27 @@ object SparkEntry {
   private val codecShardDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
+  /** (doc_id = batch, content) fixture for q164: 20-entry RSS (even) /
+    * Atom (odd, gzip-wrapped) feeds over docs < 240 + junk batches.
+    */
+  private def feedFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 240)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val F = graft.llmops.Feeds
+    val batches = ids.grouped(20).zipWithIndex.map { case (batch, bi) =>
+      val es = batch.map { id =>
+        F.FeedEntry(s"T$id", s"https://f.example/a/$id", s"D${id % 28}",
+          s"sum $id words")
+      }
+      val xml = F.writeFeed(es, atom = bi % 2 == 1)
+      (bi.toLong,
+        if (bi % 2 == 1) graft.llmops.Compression.encode(xml, "gzip") else xml)
+    }.toSeq
+    batches ++ Seq(
+      (12L, "this is not xml at all".getBytes),
+      (13L, "<html><body>not a feed</body></html>".getBytes))
+  }
+
   /** (doc_id, content) fixture for q163: 3-entry document zips (txt,
     * nested eml, binary-no-codec) + corrupt/non-zip junk (ids ≥ 250).
     */
@@ -2328,6 +2349,21 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q164_feed_entries" -> ((s, dir) => {
+      // RSS 2.0 + Atom article indexes: 20-entry feeds written by the
+      // twin (RSS on even batches, Atom with rel=alternate links on odd;
+      // odd batches additionally gzip-wrapped), parsed to per-article
+      // rows. Non-feed XML and junk refuse. Everything is doc_id math
+      val ss = tuned(s)
+      val src = fixtureDF(ss, dir, "q164_feeds")(feedFixtures(ss, dir))
+      val E = org.apache.spark.sql.graft.ColumnBridge
+      src.select(explode(E.column(graft.expressions.FeedEntries(
+          E.expressionEager(col("content"))))).as("e"))
+        .select(col("e.title").as("title"), col("e.link").as("link"),
+          col("e.published").as("published"), col("e.summary").as("summary"))
+        .orderBy("title")
+    }),
+
     "q163_zip_docs" -> ((s, dir) => {
       // bulk-upload archives: a zip of mixed documents exploded to
       // per-entry rows, each entry sniffed and extracted by its own
@@ -4363,6 +4399,15 @@ object SparkEntry {
          WHERE bit_count(xor(a.dh_hi, b.dh_hi))
              + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
          ORDER BY key_a, key_b""",
+
+    // q164: feed parse replayed as doc_id string math (RSS and Atom
+    // tiers identical by design; junk batches contribute nothing)
+    "q164_feed_entries" ->
+      """SELECT 'T' || doc_id AS title,
+           'https://f.example/a/' || doc_id AS link,
+           'D' || (doc_id % 28) AS published,
+           'sum ' || doc_id || ' words' AS summary
+         FROM documents WHERE doc_id < 240 ORDER BY title""",
 
     // q163: per-entry sniff+extract as doc_id string math; binary
     // entries keep NULL mime/text, corrupt zips contribute nothing
