@@ -4089,6 +4089,26 @@ object SparkEntry {
           "User-agent: *\nDisallow: /d0/")).toDF("host", "robots_txt")
         graft.llmops.Warc.curateCrawl(archives, "doc_id", "content",
           robots = Some(robots))
+      }),
+      "s05_codec_ingest" -> ((s, dir) => {
+        val ss = tuned(s)
+        import ss.implicits._
+        // codec-family throughput at corpus scale: synthesis is
+        // DISTRIBUTED (each doc compresses its own text in the map task —
+        // bzip2's BWT on evens, full LZMA on odds — no driver collect),
+        // then the ingest side sniffs + decompresses + measures in the
+        // scan projection. Probes both twin-encode and decode throughput
+        val blobs = t(ss, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            val codec = if (id % 2 == 0) "bzip2" else "xz"
+            (id, graft.llmops.Compression.encode(
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8), codec))
+          }.toDF("doc_id", "content")
+        blobs.withColumn("plain",
+            graft.llmops.Compression.decompressCol(col("content")).cast("string"))
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("plain"))).cast("long").as("chars"))
       })
     )
 

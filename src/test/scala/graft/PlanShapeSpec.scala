@@ -371,4 +371,22 @@ class PlanShapeSpec extends SparkTestBase {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(shuffles <= 1, s"expected at most one shuffle:\n${plan.take(3000)}")
   }
+
+  test("decompress + parse pipelines stay in the scan projection: no shuffle") {
+    import org.apache.spark.sql.functions._
+    val src = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    // decompress → string → screen: a pure per-row kernel chain must add
+    // no exchange and stay inside one WholeStageCodegen span with the scan
+    val df = src.withColumn("plain",
+        graft.llmops.Compression.decompressCol(col("content")).cast("string"))
+      .filter(col("plain").isNotNull)
+      .select(col("doc_id"), length(col("plain")).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    // "*(1)" prefixes = one whole-stage-codegen span over filter+project
+    assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"),
+      plan.take(2000))
+    assert(plan.contains("graft_decompress"), plan.take(2000))
+  }
 }
