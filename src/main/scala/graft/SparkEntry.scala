@@ -2419,8 +2419,8 @@ object SparkEntry {
 
     "q158_codec_roundtrip" -> ((s, dir) => {
       // compressed-corpus codecs as one scan projection: per doc the SAME
-      // closed-form body wrapped by all five codec writer twins (bzip2 /
-      // gzip / lz4 / xz / zstd) plus a junk tier; graft_decompress sniffs
+      // closed-form body wrapped by every codec writer twin (bzip2 /
+      // gzip / lz4 / snappy / xz / zstd) plus a junk tier; graft_decompress sniffs
       // the magic, every codec tier must reproduce the body exactly
       // (length + head), junk rows vanish. Oracle rebuilds the body from
       // doc_id math and brute-forces the codec cross product
