@@ -239,6 +239,10 @@ object GraftFunctions {
       "graft_wiki_pages(content) - MediaWiki dump XML (plain or compressed) as array<struct<title,ns,page_id,redirect,text,plain>>",
       exprs => graft.expressions.WikiPages(exprs.head)),
 
+    ("graft_cdx_records",
+      "graft_cdx_records(content) - CDXJ crawl-index shard (plain or compressed) as array<struct<surt,ts,url,mime,status,digest,filename,offset,length>>",
+      exprs => graft.expressions.CdxRecords(exprs.head)),
+
     ("graft_feed_entries",
       "graft_feed_entries(content) - RSS 2.0 / Atom feed (plain or compressed) as array<struct<title,link,published,summary>>",
       exprs => graft.expressions.FeedEntries(exprs.head)),

@@ -115,6 +115,28 @@ object SparkEntry {
   private val codecShardDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
+  /** (doc_id = shard, content) fixture for q165: 50-capture CDXJ shards
+    * over docs < 300 (zstd-wrapped on odd shards) + a junk shard.
+    */
+  private def cdxFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val C = graft.llmops.Cdx
+    val shards = ids.grouped(50).zipWithIndex.map { case (batch, si) =>
+      val rs = batch.map { id =>
+        C.CdxRecord(s"com,s${id % 20})/p/$id", s"2026010${1 + id % 9}000000",
+          s"https://s${id % 20}.com/p/$id",
+          if (id % 3 == 0) "text/html" else "application/pdf",
+          Int.box((if (id % 5 == 0) 404 else 200)),
+          s"sha1:D$id", s"crawl-${id % 4}.warc.gz",
+          java.lang.Long.valueOf(id * 100), java.lang.Long.valueOf(50 + id % 1000))
+      }
+      (si.toLong, C.writeIndex(rs,
+        if (si % 2 == 1) Some("zstd") else None))
+    }.toSeq
+    shards :+ ((9L, "not an index\nstill not\n".getBytes))
+  }
+
   /** (doc_id = batch, content) fixture for q164: 20-entry RSS (even) /
     * Atom (odd, gzip-wrapped) feeds over docs < 240 + junk batches.
     */
@@ -2349,6 +2371,24 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q165_cdx_index" -> ((s, dir) => {
+      // CDXJ crawl indexes — the partition-pruned-fetch planning surface
+      // of the WARC family: 50-capture shards written by the twin (zstd-
+      // wrapped on odd shards like real cdx-*.gz distributions), parsed
+      // to per-capture rows; a junk shard refuses. All fields doc_id math
+      val ss = tuned(s)
+      val src = fixtureDF(ss, dir, "q165_cdx")(cdxFixtures(ss, dir))
+      val E = org.apache.spark.sql.graft.ColumnBridge
+      src.select(explode(E.column(graft.expressions.CdxRecords(
+          E.expressionEager(col("content"))))).as("r"))
+        .select(col("r.surt").as("surt"), col("r.ts").as("ts"),
+          col("r.url").as("url"), col("r.mime").as("mime"),
+          col("r.status").as("status"), col("r.digest").as("digest"),
+          col("r.filename").as("filename"), col("r.offset").as("offset"),
+          col("r.length").as("length"))
+        .orderBy("offset")
+    }),
+
     "q164_feed_entries" -> ((s, dir) => {
       // RSS 2.0 + Atom article indexes: 20-entry feeds written by the
       // twin (RSS on even batches, Atom with rel=alternate links on odd;
@@ -4419,6 +4459,21 @@ object SparkEntry {
          WHERE bit_count(xor(a.dh_hi, b.dh_hi))
              + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
          ORDER BY key_a, key_b""",
+
+    // q165: index lines replayed as doc_id math; zstd shards identical
+    // to plain ones by design, the junk shard contributes nothing
+    "q165_cdx_index" ->
+      """SELECT 'com,s' || (doc_id % 20) || ')/p/' || doc_id AS surt,
+           '2026010' || (1 + doc_id % 9) || '000000' AS ts,
+           'https://s' || (doc_id % 20) || '.com/p/' || doc_id AS url,
+           CASE WHEN doc_id % 3 = 0 THEN 'text/html'
+                ELSE 'application/pdf' END AS mime,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status,
+           'sha1:D' || doc_id AS digest,
+           'crawl-' || (doc_id % 4) || '.warc.gz' AS filename,
+           CAST(doc_id * 100 AS BIGINT) AS "offset",
+           CAST(50 + doc_id % 1000 AS BIGINT) AS length
+         FROM documents WHERE doc_id < 300 ORDER BY "offset"""",
 
     // q164: feed parse replayed as doc_id string math (RSS and Atom
     // tiers identical by design; junk batches contribute nothing)
