@@ -405,6 +405,45 @@ object Warc {
       threshold = threshold, signaturePath = signaturePath,
       lockStore = lockStore, qualityGate = qualityGate)
   }
+
+  /** [[graft.expressions.CdxRecords]] as a Column. */
+  def cdxRecords(content: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.CdxRecords(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** Plan partition-pruned WARC fetches from CDXJ index shards — the
+    * index IS the 100-TB navigation layer: instead of scanning archives,
+    * filter the captures (status / mime / host predicates push into the
+    * index scan), keep the LATEST capture per URL, and emit one row per
+    * (archive file, byte offset, length) — grouped so a fetch task reads
+    * each archive once, offsets sorted for sequential I/O. A pure
+    * dataflow: explode + filter + keep-latest window; the only shuffle
+    * is the per-URL dedup.
+    */
+  def planFetches(index: DataFrame, contentCol: String,
+      statusAllow: Seq[Int] = Seq(200),
+      mimePrefixes: Seq[String] = Seq("text/")): DataFrame = {
+    val recs = index
+      .select(explode(cdxRecords(col(contentCol))).as("r"))
+      .select(col("r.surt").as("surt"), col("r.ts").as("ts"),
+        col("r.url").as("url"), col("r.mime").as("mime"),
+        col("r.status").as("status"), col("r.filename").as("filename"),
+        col("r.offset").as("offset"), col("r.length").as("length"))
+      .filter(col("filename").isNotNull && col("offset").isNotNull &&
+        col("length").isNotNull)
+      .filter(col("status").isin(statusAllow.map(Int.box): _*))
+      .filter(mimePrefixes.map(p => col("mime").startsWith(p))
+        .reduce(_ || _))
+    val keepLatest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url")).orderBy(col("ts").desc)
+    recs.withColumn("__rn", row_number().over(keepLatest))
+      .filter(col("__rn") === 1)
+      .select(col("filename"), col("offset"), col("length"), col("url"),
+        col("ts"), col("mime"))
+      .repartition(col("filename"))
+      .sortWithinPartitions(col("filename"), col("offset"))
+  }
 }
 
 /** Writer twin for [[Warc]] fixtures and tests: standards-shaped WARC/1.0

@@ -401,4 +401,27 @@ class WarcSpec extends SparkTestBase {
     val outBad = graft.expressions.WarcRecords.compute(record("gzip", mangled))
     assert(outBad != null && outBad.getStruct(0, 6).getBinary(5).nonEmpty)
   }
+
+  test("planFetches: index-driven fetch lists, keep-latest, pruned, sorted") {
+    val C = Cdx
+    def rec(url: String, ts: String, status: Int, mime: String,
+        file: String, off: Long) =
+      C.CdxRecord("surt)/" + url, ts, url, mime, status, "sha1:x", file,
+        off, 100L)
+    val shard = C.writeIndex(Seq(
+      rec("https://e/a", "20260101000000", 200, "text/html", "w1.warc.gz", 500L),
+      rec("https://e/a", "20260301000000", 200, "text/html", "w1.warc.gz", 100L),
+      rec("https://e/b", "20260101000000", 404, "text/html", "w1.warc.gz", 900L),
+      rec("https://e/c", "20260101000000", 200, "image/png", "w2.warc.gz", 10L),
+      rec("https://e/d", "20260101000000", 200, "text/plain", "w2.warc.gz", 7L)),
+      Some("zstd"))
+    val df = Seq((0L, shard)).toDF("doc_id", "content")
+    val plan = Warc.planFetches(df, "content").collect()
+    // a: latest capture only; b: 404 pruned; c: image pruned; d kept
+    assert(plan.length == 2)
+    val byUrl = plan.map(r => r.getAs[String]("url") -> r).toMap
+    assert(byUrl("https://e/a").getAs[Long]("offset") == 100L)
+    assert(byUrl("https://e/a").getAs[String]("ts") == "20260301000000")
+    assert(byUrl("https://e/d").getAs[String]("filename") == "w2.warc.gz")
+  }
 }
