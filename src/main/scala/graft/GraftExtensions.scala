@@ -239,6 +239,10 @@ object GraftFunctions {
       "graft_wiki_pages(content) - MediaWiki dump XML (plain or compressed) as array<struct<title,ns,page_id,redirect,text,plain>>",
       exprs => graft.expressions.WikiPages(exprs.head)),
 
+    ("graft_cdc_chunks",
+      "graft_cdc_chunks(content) - content-defined chunking (FastCDC, 2K/8K/64K) as array<struct<offset,size,hash>>",
+      exprs => graft.expressions.CdcChunks(exprs.head)),
+
     ("graft_cdx_records",
       "graft_cdx_records(content) - CDXJ crawl-index shard (plain or compressed) as array<struct<surt,ts,url,mime,status,digest,filename,offset,length>>",
       exprs => graft.expressions.CdxRecords(exprs.head)),

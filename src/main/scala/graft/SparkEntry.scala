@@ -2371,6 +2371,28 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q166_cdc_coverage" -> ((s, dir) => {
+      // content-defined chunking invariants over real corpus bytes: the
+      // chunk set covers each blob contiguously from offset 0 and sums
+      // to its exact byte length (the lossless contract a chunk store
+      // relies on). The CDC boundary-stability property itself is
+      // spec-tested (it has no closed form); here the oracle pins byte
+      // lengths via octet_length
+      val ss = tuned(s)
+      val d = t(ss, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      d.select(col("doc_id"),
+          explode(graft.llmops.Cdc.chunksCol(col("content"))).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c.size")).cast("long").as("n_bytes"),
+          min(col("c.offset")).cast("long").as("first_off"),
+          max(col("c.offset") + col("c.size")).cast("long").as("end_off"))
+        .select(col("doc_id"), col("n_bytes"),
+          (col("first_off") === 0 && col("end_off") === col("n_bytes"))
+            .as("covered"))
+        .orderBy("doc_id")
+    }),
+
     "q165_cdx_index" -> ((s, dir) => {
       // CDXJ crawl indexes — the partition-pruned-fetch planning surface
       // of the WARC family: 50-capture shards written by the twin (zstd-
@@ -4459,6 +4481,14 @@ object SparkEntry {
          WHERE bit_count(xor(a.dh_hi, b.dh_hi))
              + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
          ORDER BY key_a, key_b""",
+
+    // q166: lossless-coverage contract — chunk sizes sum to the blob's
+    // exact UTF-8 byte length, coverage starts at 0 and is contiguous
+    "q166_cdc_coverage" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           TRUE AS covered
+         FROM documents WHERE doc_id < 500 ORDER BY doc_id""",
 
     // q165: index lines replayed as doc_id math; zstd shards identical
     // to plain ones by design, the junk shard contributes nothing
