@@ -106,4 +106,49 @@ object Cdc {
       .withColumn("dedup_ratio",
         col("total_bytes").cast("double") / col("unique_bytes"))
   }
+
+  /** Incremental binary near-dup screen against a persistent chunk
+    * store: a blob whose chunk hashes overlap the store by at least
+    * `maxSharedFrac` (byte-weighted) is a re-delivery/re-crawl of stored
+    * content and DROPS; survivors' hashes append to the store. Returns
+    * the surviving rows. The crawl-media signature-store pattern at the
+    * binary-bytes tier: equi-join on chunk hash (one shuffle), never
+    * all-pairs; the store is a plain parquet of (hash, size) so 100-TB
+    * stores stay joinable, not broadcastable.
+    */
+  def chunkStoreScreen(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      contentCol: String, storePath: String,
+      maxSharedFrac: Double = 0.8): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val chunks = df
+      .select(col(keyCol).as("__k"),
+        explode(chunksCol(col(contentCol))).as("c"))
+      .select(col("__k"), col("c.hash").as("hash"), col("c.size").as("size"))
+    val store: Option[org.apache.spark.sql.DataFrame] =
+      try {
+        val d = spark.read.parquet(storePath)
+        if (d.columns.contains("hash")) Some(d.select("hash").distinct())
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val shared = store match {
+      case Some(st) =>
+        chunks.join(st.withColumn("__hit", lit(1)), Seq("hash"), "left")
+          .groupBy("__k")
+          .agg((sum(when(col("__hit").isNotNull, col("size")).otherwise(0))
+            .cast("double") / sum(col("size"))).as("__frac"))
+      case None =>
+        chunks.groupBy("__k").agg(lit(0.0).as("__frac"))
+    }
+    val keep = df.join(
+      shared.filter(col("__frac") < maxSharedFrac).select(col("__k")),
+      df(keyCol) === col("__k"), "inner").drop("__k")
+    val keepChunks = keep
+      .select(explode(chunksCol(col(contentCol))).as("c"))
+      .select(col("c.hash").as("hash"), col("c.size").as("size"))
+      .distinct()
+    if (!keepChunks.isEmpty)
+      keepChunks.write.mode("append").parquet(storePath)
+    keep
+  }
 }

@@ -68,6 +68,26 @@ class CdcSpec extends SparkTestBase {
     assert(stats.getAs[Double]("dedup_ratio") > 1.45)
   }
 
+  test("chunkStoreScreen: re-crawled near-identical blobs drop incrementally") {
+    val store = java.nio.file.Files.createTempDirectory("cdc-store").toString + "/s"
+    val base = data(300000, 7)
+    val first = Seq((1L, base)).toDF("doc_id", "content")
+    val kept1 = Cdc.chunkStoreScreen(first, "doc_id", "content", store)
+    assert(kept1.count() == 1, "empty store keeps everything")
+    // near-identical re-delivery: small edit in the middle
+    val edited = base.clone()
+    System.arraycopy("tiny edit".getBytes, 0, edited, 150000, 9)
+    val fresh = data(300000, 8)
+    val second = Seq((2L, edited), (3L, fresh)).toDF("doc_id", "content")
+    val kept2 = Cdc.chunkStoreScreen(second, "doc_id", "content", store)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept2.toSeq == Seq(3L),
+      "the re-crawl drops against the store, the fresh blob survives")
+    // replay idempotency: the fresh blob re-delivered now drops too
+    val third = Seq((4L, fresh.clone())).toDF("doc_id", "content")
+    assert(Cdc.chunkStoreScreen(third, "doc_id", "content", store).count() == 0)
+  }
+
   test("null/invalid parameters refuse loudly") {
     intercept[IllegalArgumentException](Cdc.chunks(data(10, 6), 0, 8, 16))
     intercept[IllegalArgumentException](Cdc.chunks(data(10, 6), 4, 12, 16))
