@@ -925,6 +925,40 @@ object SparkEntry {
     * one image space. Refusals: header-only BMP stub, sub-grid,
     * non-image.
     */
+  /** (doc_id, content) fixture for q167: PNM tiers of the q149 pattern
+    * (P5 / ASCII P2 / 16-bit P5 / P6 / PNG cross-check), truncated and
+    * sub-grid and junk refusal tiers.
+    */
+  private def pnmFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val W = graft.llmops.ImageWriter
+    ids.map { id =>
+      val pid = (id % 100).toInt
+      val w = 9 + pid % 24
+      val h = 8 + pid % 16
+      val tier = (id / 100).toInt
+      def g(x: Int, y: Int) =
+        ((5 + pid % 7) * (x / 8) + (13 + pid % 11) * (y / 8) + pid) % 256
+      val bytes =
+        if (id >= 450) s"not an image $id".getBytes("UTF-8")
+        else if (id >= 430) W.pnm(8, 8, g) // sub-grid → NULL hash
+        else if (id >= 400) { // truncated raster → refusal
+          val full = W.pnm(w, h, g)
+          java.util.Arrays.copyOf(full, full.length - h * w / 2 - 1)
+        } else tier match {
+          case 0 => W.pnm(w, h, g, kind = 5)
+          case 1 => W.pnm(w, h, g, kind = 2, comment = s"ascii tier $id")
+          case 2 => W.pnm(w, h, g, kind = 5, maxval = 65535)
+          case _ =>
+            if (pid % 2 == 0) W.pnm(w, h, g, kind = 6)
+            else W.pngFromPixels(w, h,
+              Array.tabulate(h, w * 3)((y, i) => g(i / 3, y).toByte))
+        }
+      (id, bytes)
+    }
+  }
+
   private def bmpFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
     val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
@@ -2364,6 +2398,23 @@ object SparkEntry {
       val ss = tuned(s)
       import ss.implicits._
       val src = fixtureDF(ss, dir, "q149_bmp")(bmpFixtures(ss, dir))
+      graft.llmops.Multimodal.imageNearDups(src, "doc_id", "content",
+          maxDist = 3)
+        .select(col("key_a"), col("key_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("key_a", "key_b")
+    }),
+
+    "q167_image_neardup_pnm" -> ((s, dir) => {
+      // Netpbm joins the (now seven-format) image Hamming space: P5
+      // binary, P2 ASCII-with-comment, 16-bit P5 (v*257 widening, high-
+      // byte reduction) and P6 pixmap encodings of one image hash
+      // identically to the PNG of the same pixels; truncated-raster,
+      // sub-grid and junk tiers vanish. Same closed-form oracle family
+      // as the BMP/TIFF gates
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = fixtureDF(ss, dir, "q167_pnm")(pnmFixtures(ss, dir))
       graft.llmops.Multimodal.imageNearDups(src, "doc_id", "content",
           maxDist = 3)
         .select(col("key_a"), col("key_b"),
@@ -4444,6 +4495,47 @@ object SparkEntry {
     // q149: the q139 closed form with NO seed shift — all four tiers
     // decode to gray = pattern, so one formula hashes them all.
     "q149_image_neardup_bmp" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(9 + (doc_id % 100) % 24 AS INTEGER) AS w,
+             CAST(8 + (doc_id % 100) % 16 AS INTEGER) AS h,
+             CAST(doc_id % 100 AS INTEGER) AS seed
+           FROM documents WHERE doc_id < 400),
+         px AS (
+           SELECT i.doc_id,
+             ((x.x + 1) * 9 - 1) // i.w AS ci,
+             ((y.y + 1) * 8 - 1) // i.h AS cj,
+             ((5 + i.seed % 7) * (x.x // 8) + (13 + i.seed % 11) * (y.y // 8)
+               + i.seed) % 256 AS gray
+           FROM ids i, range(32) x(x), range(23) y(y)
+           WHERE x.x < i.w AND y.y < i.h),
+         cells AS (
+           SELECT doc_id, cj, ci, sum(gray) AS s, count(*) AS c
+           FROM px GROUP BY 1, 2, 3),
+         bits AS (
+           SELECT l.doc_id, l.cj * 8 + l.ci AS k
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cj = l.cj AND r.ci = l.ci + 1
+           WHERE r.s * l.c > l.s * r.c),
+         hashes AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS dh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS dh_lo
+           FROM (SELECT DISTINCT doc_id FROM px) d
+           LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id)
+         SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           CAST(bit_count(xor(a.dh_hi, b.dh_hi))
+              + bit_count(xor(a.dh_lo, b.dh_lo)) AS BIGINT) AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dh_hi, b.dh_hi))
+             + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
+         ORDER BY key_a, key_b""",
+
+    // q167: the q149 closed-form hash contract over the PNM tiers (all
+    // tiers identical pixels; refusal tiers vanish)
+    "q167_image_neardup_pnm" ->
       """WITH ids AS (
            SELECT doc_id,
              CAST(9 + (doc_id % 100) % 24 AS INTEGER) AS w,

@@ -76,6 +76,11 @@ object ImageDims {
     // — negative means top-down row order, magnitude is the pixel height)
     if (b(0) == 'B' && b(1) == 'M' && b.length >= 26)
       return row("bmp", le32(b, 18), math.abs(le32(b, 22)))
+    // Netpbm P1-P6: ASCII header after the magic
+    if (b(0) == 'P' && b(1) >= '1' && b(1) <= '6') {
+      val d = PnmDecode.dims(b)
+      if (d != null) return row("pnm", d._2, d._3)
+    }
     // WebP: RIFF....WEBP, then the first chunk names the flavor.
     //  VP8X (extended): canvas dims as 24-bit LE minus-one at 24/27.
     //  VP8L (lossless): byte 0x2F, then 14-bit w-1 / 14-bit h-1 packed LE.

@@ -665,6 +665,68 @@ object ImageWriter {
     * 4-byte row padding. `px(x, y)` is (r, g, b) at 24bpp, a palette
     * index otherwise. The pixel-bearing twin of the header-only [[bmp]].
     */
+  /** Netpbm writers — the PNM twin family. `kind`: 2 = ASCII graymap,
+    * 5 = binary graymap (16-bit when `maxval` > 255: values widen
+    * v*257 so the high-byte reduction reads back exactly v), 6 = binary
+    * pixmap (gray written to all three channels).
+    */
+  def pnm(width: Int, height: Int, gray: (Int, Int) => Int, kind: Int = 5,
+      maxval: Int = 255, comment: String = null): Array[Byte] = {
+    require(kind == 2 || kind == 5 || kind == 6, s"pnm kind $kind")
+    val out = new ByteArrayOutputStream()
+    def s(str: String): Unit =
+      out.write(str.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    s(s"P$kind\n")
+    if (comment != null) s(s"# $comment\n")
+    s(s"$width $height\n$maxval\n")
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = gray(x, y) & 0xFF
+        val v = if (maxval > 255) g * 257 else g
+        kind match {
+          case 2 => s((if (x > 0) " " else "") + v)
+          case 5 =>
+            if (maxval > 255) { out.write(v >>> 8); out.write(v & 0xFF) }
+            else out.write(v)
+          case _ =>
+            var k = 0
+            while (k < 3) {
+              if (maxval > 255) { out.write(v >>> 8); out.write(v & 0xFF) }
+              else out.write(v)
+              k += 1
+            }
+        }
+        x += 1
+      }
+      if (kind == 2) s("\n")
+      y += 1
+    }
+    out.toByteArray
+  }
+
+  /** P4 binary bitmap: `black(x,y)` true → bit 1 (black), row-padded. */
+  def pnmBitmap(width: Int, height: Int,
+      black: (Int, Int) => Boolean): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(s"P4\n$width $height\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val rowBytes = (width + 7) / 8
+    var y = 0
+    while (y < height) {
+      val row = new Array[Byte](rowBytes)
+      var x = 0
+      while (x < width) {
+        if (black(x, y)) row(x / 8) = (row(x / 8) | (0x80 >>> (x % 8))).toByte
+        x += 1
+      }
+      out.write(row)
+      y += 1
+    }
+    out.toByteArray
+  }
+
   def bmpFromPixels(width: Int, height: Int,
       px: (Int, Int) => (Int, Int, Int), topDown: Boolean = false): Array[Byte] =
     bmpRaw(width, height, 24, null, topDown, (x, y) => {

@@ -176,15 +176,25 @@ object Multimodal {
       graft.expressions.TiffDHash(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
 
+  /** 64-bit perceptual dHash of a Netpbm image
+    * ([[graft.expressions.PnmDHash]]) — seventh arm of the shared
+    * grid/bit layout.
+    */
+  def pnmDHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.PnmDHash(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
   /** Format-agnostic image dHash: the PNG, JPEG, GIF, lossless-WebP,
-    * BMP or TIFF arm, whichever decodes (each refuses foreign magic
-    * bytes on the first read, so a miss arm costs a header sniff, not a
-    * decode). NULL when none decodes — mixed-format corpora dedup in
-    * one Hamming space.
+    * BMP, TIFF or PNM arm, whichever decodes (each refuses foreign
+    * magic bytes on the first read, so a miss arm costs a header sniff,
+    * not a decode). NULL when none decodes — mixed-format corpora dedup
+    * in one Hamming space.
     */
   def imageDHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     coalesce(pngDHash(content), jpegDHash(content), gifDHash(content),
-      webpDHash(content), bmpDHash(content), tiffDHash(content))
+      webpDHash(content), bmpDHash(content), tiffDHash(content),
+      pnmDHash(content))
 
   /** [[imageDHash]] in DISPLAY space: the JPEG arm is the
     * orientation-normalized [[jpegDHashOriented]], so a camera file and
@@ -195,7 +205,8 @@ object Multimodal {
     */
   def imageDHashDisplay(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     coalesce(pngDHash(content), jpegDHashOriented(content), gifDHash(content),
-      webpDHash(content), bmpDHash(content), tiffDHash(content))
+      webpDHash(content), bmpDHash(content), tiffDHash(content),
+      pnmDHash(content))
 
   /** Grayscale-histogram statistics over PNG or baseline JPEG
     * ([[graft.expressions.ImageHistStats]]) — entropy / dynamic range /
