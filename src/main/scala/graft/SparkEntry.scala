@@ -925,6 +925,38 @@ object SparkEntry {
     * one image space. Refusals: header-only BMP stub, sub-grid,
     * non-image.
     */
+  /** (doc_id, content) fixture for q168: ICO tiers of the q149 pattern
+    * (single DIB / multi-entry with decoy / PNG entry / PNG cross),
+    * truncated-directory and junk refusal tiers.
+    */
+  private def icoFixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val W = graft.llmops.ImageWriter
+    ids.map { id =>
+      val pid = (id % 100).toInt
+      val w = 9 + pid % 24
+      val h = 8 + pid % 16
+      val tier = (id / 100).toInt
+      def g(x: Int, y: Int) =
+        ((5 + pid % 7) * (x / 8) + (13 + pid % 11) * (y / 8) + pid) % 256
+      def decoy(x: Int, y: Int) = (x * 31 + y * 17) % 256
+      val bytes =
+        if (id >= 450) s"not an icon $id".getBytes("UTF-8")
+        else if (id >= 400) { // truncated directory → refusal
+          val full = W.ico(Seq((w, h, g _, false)))
+          java.util.Arrays.copyOf(full, 6 + 8)
+        } else tier match {
+          case 0 => W.ico(Seq((w, h, g _, false)))
+          case 1 => W.ico(Seq((8, 8, decoy _, false), (w, h, g _, false)))
+          case 2 => W.ico(Seq((w, h, g _, true))) // PNG entry
+          case _ => W.pngFromPixels(w, h,
+            Array.tabulate(h, w * 3)((y, i) => g(i / 3, y).toByte))
+        }
+      (id, bytes)
+    }
+  }
+
   /** (doc_id, content) fixture for q167: PNM tiers of the q149 pattern
     * (P5 / ASCII P2 / 16-bit P5 / P6 / PNG cross-check), truncated and
     * sub-grid and junk refusal tiers.
@@ -2398,6 +2430,22 @@ object SparkEntry {
       val ss = tuned(s)
       import ss.implicits._
       val src = fixtureDF(ss, dir, "q149_bmp")(bmpFixtures(ss, dir))
+      graft.llmops.Multimodal.imageNearDups(src, "doc_id", "content",
+          maxDist = 3)
+        .select(col("key_a"), col("key_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("key_a", "key_b")
+    }),
+
+    "q168_image_neardup_ico" -> ((s, dir) => {
+      // ICO favicons join the (now eight-format) image Hamming space:
+      // a single-DIB icon, a multi-entry icon whose LARGEST image must
+      // win over an 8x8 decoy, and a PNG-entry icon all hash identically
+      // to the PNG of the same pixels; truncated directories and junk
+      // vanish. Same closed-form oracle family as q149/q167
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = fixtureDF(ss, dir, "q168_ico")(icoFixtures(ss, dir))
       graft.llmops.Multimodal.imageNearDups(src, "doc_id", "content",
           maxDist = 3)
         .select(col("key_a"), col("key_b"),
@@ -4495,6 +4543,46 @@ object SparkEntry {
     // q149: the q139 closed form with NO seed shift — all four tiers
     // decode to gray = pattern, so one formula hashes them all.
     "q149_image_neardup_bmp" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(9 + (doc_id % 100) % 24 AS INTEGER) AS w,
+             CAST(8 + (doc_id % 100) % 16 AS INTEGER) AS h,
+             CAST(doc_id % 100 AS INTEGER) AS seed
+           FROM documents WHERE doc_id < 400),
+         px AS (
+           SELECT i.doc_id,
+             ((x.x + 1) * 9 - 1) // i.w AS ci,
+             ((y.y + 1) * 8 - 1) // i.h AS cj,
+             ((5 + i.seed % 7) * (x.x // 8) + (13 + i.seed % 11) * (y.y // 8)
+               + i.seed) % 256 AS gray
+           FROM ids i, range(32) x(x), range(23) y(y)
+           WHERE x.x < i.w AND y.y < i.h),
+         cells AS (
+           SELECT doc_id, cj, ci, sum(gray) AS s, count(*) AS c
+           FROM px GROUP BY 1, 2, 3),
+         bits AS (
+           SELECT l.doc_id, l.cj * 8 + l.ci AS k
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cj = l.cj AND r.ci = l.ci + 1
+           WHERE r.s * l.c > l.s * r.c),
+         hashes AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS dh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS dh_lo
+           FROM (SELECT DISTINCT doc_id FROM px) d
+           LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id)
+         SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           CAST(bit_count(xor(a.dh_hi, b.dh_hi))
+              + bit_count(xor(a.dh_lo, b.dh_lo)) AS BIGINT) AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dh_hi, b.dh_hi))
+             + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
+         ORDER BY key_a, key_b""",
+
+    // q168: the q149 closed-form hash contract over the ICO tiers
+    "q168_image_neardup_ico" ->
       """WITH ids AS (
            SELECT doc_id,
              CAST(9 + (doc_id % 100) % 24 AS INTEGER) AS w,

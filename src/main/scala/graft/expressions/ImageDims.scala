@@ -81,6 +81,11 @@ object ImageDims {
       val d = PnmDecode.dims(b)
       if (d != null) return row("pnm", d._2, d._3)
     }
+    // ICO/CUR: 0x0000 + type 1/2 directory; largest entry's dims
+    if (b(0) == 0 && b(1) == 0 && (b(2) == 1 || b(2) == 2) && b(3) == 0) {
+      val d = IcoDecode.dims(b)
+      if (d != null) return row("ico", d._1, d._2)
+    }
     // WebP: RIFF....WEBP, then the first chunk names the flavor.
     //  VP8X (extended): canvas dims as 24-bit LE minus-one at 24/27.
     //  VP8L (lossless): byte 0x2F, then 14-bit w-1 / 14-bit h-1 packed LE.

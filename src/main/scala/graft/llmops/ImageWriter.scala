@@ -665,6 +665,61 @@ object ImageWriter {
     * 4-byte row padding. `px(x, y)` is (r, g, b) at 24bpp, a palette
     * index otherwise. The pixel-bearing twin of the header-only [[bmp]].
     */
+  /** ICO writer twin: a favicon directory whose entries are headerless
+    * 24-bpp DIBs (doubled height, bottom-up XOR rows, zeroed AND mask)
+    * or, when `png` is set for an entry, an embedded PNG — both
+    * real-world layouts. `images`: (width, height, gray(x,y), asPng).
+    */
+  def ico(images: Seq[(Int, Int, (Int, Int) => Int, Boolean)]): Array[Byte] = {
+    require(images.nonEmpty && images.size <= 1024)
+    val bodies = images.map { case (w, h, g, asPng) =>
+      if (asPng)
+        pngFromPixels(w, h,
+          Array.tabulate(h, w * 3)((y, i) => g(i / 3, y).toByte))
+      else {
+        val out = new ByteArrayOutputStream()
+        out.write(le32(40)) // BITMAPINFOHEADER
+        out.write(le32(w))
+        out.write(le32(2 * h)) // doubled: XOR + AND planes
+        out.write(le16(1)); out.write(le16(24))
+        out.write(le32(0)) // BI_RGB
+        out.write(le32(0)); out.write(le32(0)); out.write(le32(0))
+        out.write(le32(0)); out.write(le32(0))
+        val xorRow = ((24 * w + 31) / 32) * 4
+        var y = h - 1
+        while (y >= 0) { // bottom-up
+          val row = new Array[Byte](xorRow)
+          var x = 0
+          while (x < w) {
+            val v = g(x, y) & 0xFF
+            row(x * 3) = v.toByte; row(x * 3 + 1) = v.toByte
+            row(x * 3 + 2) = v.toByte
+            x += 1
+          }
+          out.write(row)
+          y -= 1
+        }
+        val andRow = ((w + 31) / 32) * 4
+        out.write(new Array[Byte](andRow * h)) // fully opaque mask
+        out.toByteArray
+      }
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(le16(0)); out.write(le16(1)); out.write(le16(images.size))
+    var off = 6 + 16 * images.size
+    images.zip(bodies).foreach { case ((w, h, _, _), body) =>
+      out.write(if (w >= 256) 0 else w)
+      out.write(if (h >= 256) 0 else h)
+      out.write(0); out.write(0) // colors, reserved
+      out.write(le16(1)); out.write(le16(24))
+      out.write(le32(body.length))
+      out.write(le32(off))
+      off += body.length
+    }
+    bodies.foreach(b => out.write(b, 0, b.length))
+    out.toByteArray
+  }
+
   /** Netpbm writers — the PNM twin family. `kind`: 2 = ASCII graymap,
     * 5 = binary graymap (16-bit when `maxval` > 255: values widen
     * v*257 so the high-byte reduction reads back exactly v), 6 = binary

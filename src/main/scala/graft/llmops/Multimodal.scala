@@ -185,8 +185,17 @@ object Multimodal {
       graft.expressions.PnmDHash(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
 
+  /** 64-bit perceptual dHash of an ICO favicon's largest image
+    * ([[graft.expressions.IcoDHash]]) — eighth arm of the shared
+    * grid/bit layout.
+    */
+  def icoDHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.IcoDHash(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
   /** Format-agnostic image dHash: the PNG, JPEG, GIF, lossless-WebP,
-    * BMP, TIFF or PNM arm, whichever decodes (each refuses foreign
+    * BMP, TIFF, PNM or ICO arm, whichever decodes (each refuses foreign
     * magic bytes on the first read, so a miss arm costs a header sniff,
     * not a decode). NULL when none decodes — mixed-format corpora dedup
     * in one Hamming space.
@@ -194,7 +203,7 @@ object Multimodal {
   def imageDHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     coalesce(pngDHash(content), jpegDHash(content), gifDHash(content),
       webpDHash(content), bmpDHash(content), tiffDHash(content),
-      pnmDHash(content))
+      pnmDHash(content), icoDHash(content))
 
   /** [[imageDHash]] in DISPLAY space: the JPEG arm is the
     * orientation-normalized [[jpegDHashOriented]], so a camera file and
@@ -206,7 +215,7 @@ object Multimodal {
   def imageDHashDisplay(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     coalesce(pngDHash(content), jpegDHashOriented(content), gifDHash(content),
       webpDHash(content), bmpDHash(content), tiffDHash(content),
-      pnmDHash(content))
+      pnmDHash(content), icoDHash(content))
 
   /** Grayscale-histogram statistics over PNG or baseline JPEG
     * ([[graft.expressions.ImageHistStats]]) — entropy / dynamic range /
