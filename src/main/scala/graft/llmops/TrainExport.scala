@@ -151,6 +151,42 @@ object TrainExport {
     * The loader-side contract and round-trip verifier of
     * [[writeShardsJsonlCodec]]; parse `line` with `from_json` downstream.
     */
+  /** Streaming twin of [[readJsonlShards]]: a file-source stream over a
+    * landing directory — new shard files (any codec) become `(file, pos,
+    * line)` micro-batches as producers drop them. Same per-file decode
+    * as the batch reader, so a pipeline switches batch↔continuous
+    * without changing the parse. Pair with `Trigger.AvailableNow` for
+    * catch-up runs or a processing-time trigger for live landing.
+    */
+  def readJsonlShardsStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile").schema(schema).load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val plain =
+          if (Compression.sniffCodec(bytes).isDefined)
+            Compression.decodeAuto(bytes)
+          else bytes
+        if (plain == null) Iterator.empty
+        else {
+          val text = new String(plain, java.nio.charset.StandardCharsets.UTF_8)
+          text.split("\n", -1).iterator.filter(_.nonEmpty).zipWithIndex
+            .map { case (line, idx) => (path, idx.toLong, line) }
+        }
+      }
+      .toDF("file", "pos", "line")
+  }
+
   def readJsonlShards(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(s"$dir/*")

@@ -69,6 +69,39 @@ class CompressionSpec extends SparkTestBase {
     assert(out("junk").isEmpty)
   }
 
+  test("streaming shard ingest: files landing after the first batch arrive") {
+    val docsA = (0L until 60L).map(i => (i, s"early $i")).toDF("doc_id", "text")
+    val docsB = (100L until 140L).map(i => (i, s"late $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shards_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("shards_ckpt").toString
+    TrainExport.writeShardsJsonlCodec(docsA, "doc_id", 2, dir, "zstd")
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    def runOnce(): Long = {
+      val q = TrainExport.readJsonlShardsStream(spark, dir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(batch.count()); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      seen.get()
+    }
+    assert(runOnce() === 60L)
+    // a producer lands more shards (different codec, same directory)
+    TrainExport.writeShardsJsonlCodec(docsB, "doc_id", 2,
+      java.nio.file.Files.createTempDirectory("tmpb").toString, "bzip2")
+    // move them in under new names (overwrite-mode writers reuse names)
+    val extra = new java.io.File(dir)
+    TrainExport.writeShardsJsonlCodec(docsB, "doc_id", 2, dir + "_b", "bzip2")
+    new java.io.File(dir + "_b").listFiles()
+      .filterNot(_.getName.startsWith("."))
+      .foreach(f => java.nio.file.Files.move(f.toPath,
+        new java.io.File(extra, "late-" + f.getName).toPath))
+    assert(runOnce() === 100L, "the second pass picks up only the new files")
+  }
+
   test("codec JSONL shards roundtrip through write + read") {
     val docs = (0L until 200L).map(i => (i, s"document body $i")).toDF("doc_id", "text")
     for (c <- Seq("bzip2", "zstd", "xz")) {
