@@ -115,9 +115,18 @@ object TarShards {
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/*.tar")
+    // *.tar plus any codec-wrapped variant (*.tar.gz / .zst / .bz2 / …):
+    // WebDataset-style loaders meet both; the sniffing front door makes
+    // the decompress codec-blind, one file per task either way
+    spark.read.format("binaryFile").load(s"$dir/*.tar*")
       .select(col("content"))
       .as[Array[Byte]]
+      .map { raw =>
+        if (Compression.sniffCodec(raw).isDefined) {
+          val d = Compression.decodeAuto(raw)
+          if (d == null) Array.emptyByteArray else d
+        } else raw
+      }
       .flatMap { bytes =>
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
         var p = 0

@@ -104,4 +104,27 @@ class TarShardsSpec extends SparkTestBase {
     val n = TarShards.read(spark, dir).count() // garbage: parses nothing real
     assert(n >= 0) // no throw is the contract
   }
+
+  test("compressed tar shards (.tar.zst / .tar.bz2) read like plain tars") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (s"d$i", s"tar body $i".getBytes))
+      .toDF("name", "content")
+    val dir = java.nio.file.Files.createTempDirectory("tarz").toString
+    TarShards.write(docs, "name", "content", dir, nShards = 2)
+    // wrap each written tar with a codec and a matching extension
+    for ((f, codec) <- new java.io.File(dir).listFiles()
+        .filterNot(_.getName.startsWith(".")).sortBy(_.getName)
+        .zip(Seq("zstd", "bzip2"))) {
+      val raw = java.nio.file.Files.readAllBytes(f.toPath)
+      java.nio.file.Files.write(new java.io.File(dir,
+        f.getName + Compression.extension(codec)).toPath,
+        Compression.encode(raw, codec))
+      f.delete()
+    }
+    val back = TarShards.read(spark, dir)
+    assert(back.count() == 40L)
+    val one = back.filter(org.apache.spark.sql.functions.col("name") === "d7")
+      .select("content").as[Array[Byte]].collect()(0)
+    assert(new String(one) == "tar body 7")
+  }
 }
