@@ -31,6 +31,37 @@ object WikiDump {
       graft.expressions.WikiPages(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
 
+  /** Dump batches → article rows: parse + clean in the scan, keep
+    * main-namespace non-redirect pages with real prose. `(title, ns,
+    * page_id, plain)`, one row per article.
+    */
+  def articles(df: org.apache.spark.sql.DataFrame,
+      contentCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(explode(pagesCol(col(contentCol))).as("p"))
+      .select(col("p.title").as("title"), col("p.ns").as("ns"),
+        col("p.page_id").as("page_id"), col("p.redirect").as("redirect"),
+        col("p.plain").as("plain"))
+      .filter(col("ns") === 0 && col("redirect").isNull &&
+        length(col("plain")) > 0)
+      .drop("redirect")
+  }
+
+  /** `pages-articles.xml.bz2` batches → the deduped corpus in one call:
+    * [[articles]] feeds the standard ingestion protocol (keep per title,
+    * MinHash near-dup screen, signature store, replay idempotency) —
+    * the encyclopedic twin of `Warc.ingestCrawlBatch`. Returns rows
+    * appended.
+    */
+  def ingestDumps(spark: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame, contentCol: String,
+      corpusPath: String, signaturePath: Option[String] = None,
+      lockStore: Option[graft.operators.LockStore] = None): Long =
+    graft.streaming.CorpusIngest.ingestBatch(spark,
+      articles(batch, contentCol), corpusPath,
+      textCol = "plain", keyCol = "title",
+      signaturePath = signaturePath, lockStore = lockStore)
+
   private final val MaxPages = 4096
   private final val MaxBytes = 64 << 20
 

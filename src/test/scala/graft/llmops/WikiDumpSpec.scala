@@ -84,6 +84,33 @@ class WikiDumpSpec extends AnyFunSuite {
     assert(r1.getString(5) == "")
   }
 
+  test("ingestDumps: dump batches land as a deduped article corpus") {
+    val spark = graft.GraftSession.local(cores = 4, appName = "graft-test")
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("wiki-corpus").toString
+    def prose(tag: String) = (1 to 30).map(i => s"$tag word$i").mkString(" ")
+    val d1 = WikiDump.writeDump(Seq(
+      WikiPage("Alpha", 0, 1L, null, prose("alpha")),
+      WikiPage("Redirect Me", 0, 2L, null, "#REDIRECT [[Alpha]]"),
+      WikiPage("Talk:Noise", 1, 3L, null, prose("talk")),
+      WikiPage("Beta", 0, 4L, null, prose("beta"))), Some("bzip2"))
+    val n1 = WikiDump.ingestDumps(spark,
+      Seq((0L, d1)).toDF("doc_id", "content"), "content",
+      s"$root/corpus", signaturePath = Some(s"$root/sigs"))
+    assert(n1 == 2, "redirects and non-main namespaces stay out")
+    // a re-exported dump re-delivers Alpha verbatim + one new article
+    val d2 = WikiDump.writeDump(Seq(
+      WikiPage("Alpha", 0, 1L, null, prose("alpha")),
+      WikiPage("Gamma", 0, 9L, null, prose("gamma"))), Some("zstd"))
+    val n2 = WikiDump.ingestDumps(spark,
+      Seq((1L, d2)).toDF("doc_id", "content"), "content",
+      s"$root/corpus", signaturePath = Some(s"$root/sigs"))
+    assert(n2 == 1, "the re-delivered article drops against the store")
+    val titles = spark.read.parquet(s"$root/corpus")
+      .select("title").as[String].collect().toSet
+    assert(titles == Set("Alpha", "Beta", "Gamma"))
+  }
+
   test("refusals: malformed XML, truncated bz2, junk, caps") {
     assert(WikiDump.pages("<mediawiki><page>".getBytes) == null)
     assert(WikiDump.pages(null) == null)
