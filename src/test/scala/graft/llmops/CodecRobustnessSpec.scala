@@ -31,7 +31,18 @@ class CodecRobustnessSpec extends AnyFunSuite {
     "{\\rtf1\\ansi ".getBytes("ISO-8859-1"),
     "WARC/1.0\r\n".getBytes("ISO-8859-1"),
     Array(0x1F, 0x8B, 0x08, 0x00).map(_.toByte), // gzip member
-    "RIFF1234WEBPVP8L".getBytes("ISO-8859-1"))
+    "RIFF1234WEBPVP8L".getBytes("ISO-8859-1"),
+    "BZh91AY&SY".getBytes("ISO-8859-1"), // bzip2 block magic
+    Array(0xFD, '7', 'z', 'X', 'Z', 0x00).map(_.toByte), // xz
+    Array(0x28, 0xB5, 0x2F, 0xFD).map(_.toByte), // zstd
+    Array(0x04, 0x22, 0x4D, 0x18).map(_.toByte), // lz4 frame
+    Array[Byte](0xFF.toByte, 6, 0, 0, 's', 'N', 'a', 'P', 'p', 'Y'), // snappy
+    "P6\n64 48\n255\n".getBytes("ISO-8859-1"), // pnm
+    Array[Byte](0, 0, 1, 0, 2, 0), // ico directory
+    "From: a@b\r\nSubject: s\r\nDate: d\r\n\r\n".getBytes("ISO-8859-1"),
+    "<mediawiki><page><title>t</title>".getBytes("ISO-8859-1"),
+    "<rss version=\"2.0\"><channel><item>".getBytes("ISO-8859-1"),
+    "com,x)/ 20260101000000 {\"url\": ".getBytes("ISO-8859-1"))
 
   private def allCodecs(bytes: Array[Byte]): Unit = {
     Pdf.pdfText(bytes)
@@ -62,8 +73,31 @@ class CodecRobustnessSpec extends AnyFunSuite {
     graft.expressions.TiffDHash.compute(bytes)
     graft.expressions.SitemapUrls.compute(bytes)
     graft.expressions.WarcRecords.compute(bytes)
+    // round-11b additions: the compressed-corpus family + new parsers
+    Compression.decodeAuto(bytes)
+    Bzip2.decode(bytes)
+    XzLzma.decode(bytes)
+    Zstd.decode(bytes)
+    Lz4.decode(bytes)
+    Snappy.decodeFramed(bytes)
+    Snappy.decodeRaw(bytes, 0, bytes.length)
+    graft.expressions.DecompressBytes.compute(bytes)
+    graft.expressions.WikiPages.compute(bytes)
+    graft.expressions.EmlMessages.compute(bytes)
+    graft.expressions.ZipEntries.compute(bytes)
+    graft.expressions.FeedEntries.compute(bytes)
+    graft.expressions.CdxRecords.compute(bytes)
+    graft.expressions.CdcChunks.compute(bytes)
+    graft.expressions.PnmDHash.compute(bytes)
+    graft.expressions.IcoDHash.compute(bytes)
+    Eml.parse(bytes)
+    Eml.mboxMessages(bytes)
+    WikiDump.pages(bytes)
+    Feeds.entries(bytes)
+    Cdx.records(bytes)
     DocumentText.extractText(bytes, "application/pdf")
     DocumentText.extractText(bytes, "text/html")
+    DocumentText.extractText(bytes, "auto")
     ()
   }
 
