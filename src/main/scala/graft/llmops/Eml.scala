@@ -246,7 +246,8 @@ object Eml {
     var partStart = -1
     while (i < end) {
       val atBol = i == start || b(i - 1) == '\n'
-      if (atBol && startsWith(b, i, delim)) {
+      if (atBol && startsWith(b, i, delim) &&
+          isDelimTail(b, i + delim.length, end)) {
         val lineStart = i
         if (partStart >= 0) {
           var pe = lineStart
@@ -262,5 +263,17 @@ object Eml {
       } else i += 1
     }
     out.toSeq
+  }
+
+  /** RFC 2046 delimiter line rule: after `--boundary` the line must end
+    * (optionally via `--`, whitespace, CR or LF) — so a nested part whose
+    * boundary merely EXTENDS the outer one (outer `----=_Part_1`, inner
+    * `----=_Part_12`, a common generator pattern) is not mis-read as the
+    * outer delimiter.
+    */
+  private def isDelimTail(b: Array[Byte], j: Int, end: Int): Boolean = {
+    if (j >= end) return true
+    val c = b(j)
+    c == '\r' || c == '\n' || c == ' ' || c == '\t' || startsWith(b, j, "--")
   }
 }

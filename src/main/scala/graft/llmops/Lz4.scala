@@ -11,8 +11,11 @@ package graft.llmops
   * blocks, optional per-block xxh32 checksums, EndMark, optional content
   * xxh32 — both checksums verified, not skipped; and the block format
   * (token nibbles, 255-extension lengths, 16-bit offsets, overlapping
-  * match copy). Skippable frames (0x184D2A50–5F) are stepped over like
-  * the spec asks. Refusals (`null`): bad magic/version/reserved bits,
+  * match copy). Both block-INDEPENDENT (FLG bit 0x20 set) and
+  * block-LINKED frames (bit clear — the LZ4F library default and
+  * `lz4 -BD`, where matches reach into prior blocks' output) decode.
+  * Skippable frames (0x184D2A50–5F) are stepped over like the spec
+  * asks. Refusals (`null`): bad magic/version/reserved bits,
   * offset 0 or beyond the window, malformed sequences, truncation,
   * checksum mismatches, output beyond the 64 MB cap.
   */
@@ -20,22 +23,31 @@ object Lz4 {
 
   private final val MaxOut = 64 << 20
 
-  /** Decode one lz4 BLOCK (raw sequences) of known decompressed bound;
-    * returns the output array or null.
+  /** Growable frame-output buffer shared by all blocks of one frame so
+    * block-LINKED frames (FLG bit 0x20 clear — the LZ4F library default
+    * and `lz4 -BD`) can resolve matches against prior blocks' output.
     */
-  private[llmops] def decodeBlock(b: Array[Byte], off: Int, len: Int,
-      maxOut: Int): Array[Byte] = {
-    var buf = new Array[Byte](math.min(maxOut, math.max(64, len * 4)))
-    var nOut = 0
-    def ensure(n: Int): Boolean = {
-      if (n < 0 || nOut + n > maxOut) return false
-      if (nOut + n > buf.length) {
-        var cap = buf.length
-        while (cap < nOut + n) cap = math.min(maxOut, cap * 2)
-        buf = java.util.Arrays.copyOf(buf, cap)
+  private final class FrameBuf(initial: Int) {
+    var a: Array[Byte] = new Array[Byte](initial)
+    var len: Int = 0
+    def ensure(extra: Int, maxOut: Int): Boolean = {
+      if (extra < 0 || extra > maxOut - len) return false
+      if (len + extra > a.length) {
+        var cap = math.max(a.length, 64)
+        while (cap < len + extra) cap = math.min(maxOut, cap * 2)
+        a = java.util.Arrays.copyOf(a, cap)
       }
       true
     }
+  }
+
+  /** Decode one lz4 BLOCK's sequences, appending to `fb`. Matches may
+    * reach back to `windowStart`: 0 for block-linked frames (history =
+    * all prior frame output), the block's own start offset for
+    * block-independent frames. False on any malformed sequence.
+    */
+  private def decodeBlockInto(b: Array[Byte], off: Int, len: Int,
+      fb: FrameBuf, windowStart: Int, maxOut: Int): Boolean = {
     var i = off
     val end = off + len
     while (i < end) {
@@ -45,41 +57,41 @@ object Lz4 {
       if (litLen == 15) {
         var x = 255
         while (x == 255) {
-          if (i >= end) return null
+          if (i >= end) return false
           x = b(i) & 0xff
           i += 1
           litLen += x
-          if (litLen > maxOut) return null
+          if (litLen > maxOut) return false
         }
       }
-      if (i + litLen > end || !ensure(litLen)) return null
-      System.arraycopy(b, i, buf, nOut, litLen)
-      nOut += litLen
+      if (litLen > end - i || !fb.ensure(litLen, maxOut)) return false
+      System.arraycopy(b, i, fb.a, fb.len, litLen)
+      fb.len += litLen
       i += litLen
       if (i < end) {
-        if (i + 2 > end) return null
+        if (end - i < 2) return false
         val offset = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
         i += 2
-        if (offset == 0 || offset > nOut) return null
+        if (offset == 0 || offset > fb.len - windowStart) return false
         var mLen = (token & 0xf) + 4
         if ((token & 0xf) == 15) {
           var x = 255
           while (x == 255) {
-            if (i >= end) return null
+            if (i >= end) return false
             x = b(i) & 0xff
             i += 1
             mLen += x
-            if (mLen > maxOut) return null
+            if (mLen > maxOut) return false
           }
         }
-        if (!ensure(mLen)) return null
-        var s = nOut - offset
+        if (!fb.ensure(mLen, maxOut)) return false
+        val s = fb.len - offset
         var k = 0
-        while (k < mLen) { buf(nOut + k) = buf(s + k); k += 1 }
-        nOut += mLen
+        while (k < mLen) { fb.a(fb.len + k) = fb.a(s + k); k += 1 }
+        fb.len += mLen
       }
     }
-    java.util.Arrays.copyOf(buf, nOut)
+    true
   }
 
   private def rd32(b: Array[Byte], i: Int): Int =
@@ -128,6 +140,7 @@ object Lz4 {
     val bd = b(i + 1) & 0xff
     if ((flg >>> 6) != 1) return -1 // version must be 01
     if ((flg & 0x02) != 0) return -1 // reserved bit
+    val blockIndep = (flg & 0x20) != 0
     val blockChecksum = (flg & 0x10) != 0
     val contentSizeFlag = (flg & 0x08) != 0
     val contentChecksum = (flg & 0x04) != 0
@@ -152,7 +165,8 @@ object Lz4 {
     val expect = (XxHash.xxh32(b, i, headerLen, 0) >>> 8) & 0xff
     if (hc != expect) return -1
     i += headerLen + 1
-    val before = out.size()
+    val budget = MaxOut - out.size() // frames concatenate into `out`
+    val fb = new FrameBuf(math.min(budget, 64 << 10))
     var done = false
     while (!done) {
       if (i + 4 > b.length) return -1
@@ -164,12 +178,12 @@ object Lz4 {
         val sz = word & 0x7fffffff
         if (sz < 0 || sz > (4 << 20) || i + sz > b.length) return -1
         if (stored) {
-          if (out.size() + sz > MaxOut) return -1
-          out.write(b, i, sz)
+          if (!fb.ensure(sz, budget)) return -1
+          System.arraycopy(b, i, fb.a, fb.len, sz)
+          fb.len += sz
         } else {
-          val dec = decodeBlock(b, i, sz, MaxOut - out.size())
-          if (dec == null) return -1
-          out.write(dec, 0, dec.length)
+          val windowStart = if (blockIndep) fb.len else 0
+          if (!decodeBlockInto(b, i, sz, fb, windowStart, budget)) return -1
         }
         i += sz
         if (blockChecksum) {
@@ -179,14 +193,13 @@ object Lz4 {
         }
       }
     }
-    val content = out.toByteArray // bounded by MaxOut
-    val produced = content.length - before
-    if (contentSize >= 0 && produced != contentSize) return -1
+    if (contentSize >= 0 && fb.len != contentSize) return -1
     if (contentChecksum) {
       if (i + 4 > b.length) return -1
-      if (rd32(b, i) != XxHash.xxh32(content, before, produced, 0)) return -1
+      if (rd32(b, i) != XxHash.xxh32(fb.a, 0, fb.len, 0)) return -1
       i += 4
     }
+    out.write(fb.a, 0, fb.len)
     i
   }
 }

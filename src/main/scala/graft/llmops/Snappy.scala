@@ -27,8 +27,17 @@ object Snappy {
     ((crc >>> 15) | (crc << 17)) + 0xa282ead8
   }
 
-  /** Decode a RAW snappy block `[off, end)`; null on any corruption. */
-  def decodeRaw(b: Array[Byte], off: Int, end: Int): Array[Byte] = {
+  /** Decode a RAW snappy block `[off, end)`; null on any corruption.
+    * All length guards are subtraction-form (`len > end - i`) so a
+    * crafted 4-byte literal length near Int.MaxValue cannot wrap the
+    * addition negative and slip past the bounds check; a NonFatal
+    * backstop keeps the never-throw contract even if one is missed.
+    */
+  def decodeRaw(b: Array[Byte], off: Int, end: Int): Array[Byte] =
+    try decodeRaw0(b, off, end)
+    catch { case scala.util.control.NonFatal(_) => null }
+
+  private def decodeRaw0(b: Array[Byte], off: Int, end: Int): Array[Byte] = {
     if (b == null || off >= end) return null
     // varint uncompressed length
     var i = off
@@ -55,15 +64,16 @@ object Snappy {
           var len = (tag >>> 2) + 1
           if (len > 60) {
             val extra = len - 60
-            if (i + extra > end) return null
-            len = 0
+            if (extra > end - i) return null
+            var v = 0L
             var k = 0
-            while (k < extra) { len |= (b(i + k) & 0xff) << (8 * k); k += 1 }
-            len += 1
+            while (k < extra) { v |= (b(i + k) & 0xffL) << (8 * k); k += 1 }
+            v += 1
             i += extra
-            if (len <= 0) return null
+            if (v <= 0 || v > MaxOut) return null
+            len = v.toInt
           }
-          if (i + len > end || o + len > n) return null
+          if (len > end - i || len > n - o) return null
           System.arraycopy(b, i, out, o, len)
           i += len
           o += len
@@ -89,7 +99,7 @@ object Snappy {
             offset = v.toInt
             i += 4
           }
-          if (offset <= 0 || offset > o || o + len > n) return null
+          if (offset <= 0 || offset > o || len > n - o) return null
           var k = 0
           val from = o - offset
           while (k < len) { out(o + k) = out(from + k); k += 1 }

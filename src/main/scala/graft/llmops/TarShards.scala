@@ -73,6 +73,10 @@ object TarShards {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("__name"))
     val dirB = dir // avoid serializing `this`
+    // Carry the session's Hadoop settings (credentials, endpoints,
+    // defaultFS) into the tasks instead of a fresh Configuration().
+    val confB = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
     sharded.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       // repartition(n, col) hash-partitions on murmur3(shard) % n, so a
       // partition can carry SEVERAL distinct shard ids (and some carry
@@ -94,7 +98,7 @@ object TarShards {
             curShard = shard
             val path = new org.apache.hadoop.fs.Path(
               f"$dirB/shard-$shard%05d.tar")
-            val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val fs = path.getFileSystem(confB.value)
             out = fs.create(path, true)
           }
           val name = r.getAs[String]("__name")

@@ -122,13 +122,17 @@ object TrainExport {
       .sortWithinPartitions(col("shard"), col("pos"))
     val pathB = path
     val codecB = codec
+    // The session's Hadoop settings (credentials, endpoints, defaultFS)
+    // must travel to the tasks — a fresh Configuration() would drop them.
+    val confB = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
     sharded.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       var buf: java.io.ByteArrayOutputStream = null
       var curShard = -1
       def flush(): Unit = if (buf != null) {
         val p = new org.apache.hadoop.fs.Path(
           f"$pathB/shard-$curShard%05d.jsonl$ext")
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(confB.value)
         val out = fs.create(p, true)
         try out.write(Compression.encode(buf.toByteArray, codecB))
         finally out.close()

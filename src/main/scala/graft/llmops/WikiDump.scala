@@ -278,41 +278,40 @@ object WikiDump {
     Set("file", "image", "category", "media")
 
   /** `[[target|label]]` → label / target; file-class links dropped.
-    * Innermost-first so image captions containing links resolve.
+    * Single linear pass with a bracket stack — each `]]` resolves the
+    * innermost open link into its parent frame, so image captions
+    * containing links resolve, list-type articles with tens of
+    * thousands of links stay O(n), and there is no iteration cap.
+    * Unmatched `[[` frames are restored literally at the end.
     */
-  private def resolveWikiLinks(s0: String): String = {
-    var s = s0
-    var changed = true
-    var guard = 0
-    while (changed && guard < 1000) {
-      guard += 1
-      changed = false
-      // innermost: a "[[" whose next bracket token is "]]"
-      var i = s.indexOf("[[")
-      var found = -1
-      while (i >= 0 && found < 0) {
-        val c = s.indexOf("]]", i + 2)
-        val n = s.indexOf("[[", i + 2)
-        if (c < 0) i = -1
-        else if (n >= 0 && n < c) i = n
-        else found = i
-      }
-      if (found >= 0) {
-        val c = s.indexOf("]]", found + 2)
-        val inner = s.substring(found + 2, c)
+  private def resolveWikiLinks(s: String): String = {
+    if (s.indexOf("[[") < 0) return s
+    val root = new java.lang.StringBuilder(s.length)
+    val stack = new scala.collection.mutable.ArrayBuffer[java.lang.StringBuilder]
+    def top: java.lang.StringBuilder =
+      if (stack.isEmpty) root else stack(stack.length - 1)
+    var i = 0
+    while (i < s.length) {
+      if (s.startsWith("[[", i)) {
+        stack += new java.lang.StringBuilder
+        i += 2
+      } else if (s.startsWith("]]", i) && stack.nonEmpty) {
+        val inner = stack.remove(stack.length - 1).toString
         val colon = inner.indexOf(':')
-        val prefix = if (colon > 0) inner.substring(0, colon).trim.toLowerCase else ""
-        val replacement =
-          if (DropLinkPrefixes.contains(prefix)) ""
-          else {
-            val bar = inner.lastIndexOf('|')
-            if (bar >= 0) inner.substring(bar + 1) else inner
-          }
-        s = s.substring(0, found) + replacement + s.substring(c + 2)
-        changed = true
+        val prefix =
+          if (colon > 0) inner.substring(0, colon).trim.toLowerCase else ""
+        if (!DropLinkPrefixes.contains(prefix)) {
+          val bar = inner.lastIndexOf('|')
+          top.append(if (bar >= 0) inner.substring(bar + 1) else inner)
+        }
+        i += 2
+      } else {
+        top.append(s.charAt(i))
+        i += 1
       }
     }
-    s
+    for (f <- stack) { root.append("[["); root.append(f) }
+    root.toString
   }
 
   private def resolveExternalLinks(s0: String): String = {

@@ -111,4 +111,24 @@ private[llmops] object Lz4Fixtures {
     "Rm92ZXJOAFR0b2tlbh8AAnQAAUQAAhgABn8AQWRhdGGOAFNtb2RlbAYAA7MAYHF1aWNrIAAA" +
     "AACUdd9G"
 
+
+  /** `lz4 -9 -B4 -BD` — block-LINKED frame (FLG bit 0x20 clear, the
+    * LZ4F library default): 150 000 bytes of periodic text in three
+    * 64 KB blocks whose matches reach into prior blocks' output.
+    */
+  val cliLinkedBD: String =
+    """BCJNGERAXpsBAADwEHRoZSBxdWljayBicm93biBmb3gganVtcHMgb3ZlciAfAPIcbGF6eSBkb2cg
+d2hpbGUgY29ycHVzIHNoYXJkcyBzdHJlYW0gdGhyb3VnaDAA8CFpbmtlZCBmcmFtZSBkZWNvZGVy
+IGFuZCBoaXN0b3J5IHdpbmRvd3Mgc3BhbiBibG99AL9vdW5kYXJpZXMuIJMA////////////////
+////////////////////////////////////////////////////////////////////////////
+////////////////////////////////////////////////////////////////////////////
+////////////////////////////////////////////////////////////////////////////
+////////////////////////////////////////////////////////////////////////////
+/////////////////////1VQd2luZG8KAQAAD5MA////////////////////////////////////
+////////////////////////////////////////////////////////////////////////////
+////////////////////////////////////////////////////////////////////////////
+////////////////////////////////////////////////////////////////////////////
+////////////////////////////////////////////////////////////////////////////
+/+hQZnJhbWVUAAAAD5MA////////////////////////////////////////////////////////
+//////////////////////////////////////////8iUHMgc2hhAAAAAOMwBFA="""
 }

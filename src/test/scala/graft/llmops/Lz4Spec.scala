@@ -66,6 +66,16 @@ class Lz4Spec extends AnyFunSuite {
       "cb526a8b26033daa0b8301ce71f70f88")
   }
 
+  test("decodes reference-tool block-LINKED frame (-B4 -BD, 3 blocks)") {
+    val dec = Lz4.decode(b64(Lz4Fixtures.cliLinkedBD))
+    assert(dec != null && dec.length == 150000)
+    val txt = new String(dec, java.nio.charset.StandardCharsets.US_ASCII)
+    assert(txt.startsWith("the quick brown fox jumps over the lazy dog"))
+    // periodic content: block 2/3 openings must have resolved against
+    // prior-block history (the old empty-history decode returned null)
+    assert(txt.substring(70000, 70147) == txt.substring(70147, 70294))
+  }
+
   test("refuses content-checksum damage, truncation, junk, offset-0") {
     val enc = Lz4Writer.encode("damage target damage target damage".getBytes)
     val bad = enc.clone()

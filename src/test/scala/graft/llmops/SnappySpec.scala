@@ -83,4 +83,23 @@ class SnappySpec extends AnyFunSuite {
     // offset zero copy
     assert(Snappy.decodeRaw(Array[Byte](4, 0x02, 0, 0), 0, 4) == null)
   }
+
+  test("crafted 4-byte literal length near Int.MaxValue refuses, never throws") {
+    // varint len=10; 1-byte literal 'A' (so o>=1); then a 4-byte-length
+    // literal tag declaring 0x7FFFFFFE+1 bytes — with additive guards
+    // both `i+len` and `o+len` wrap negative and arraycopy throws AIOOBE
+    val crafted = Array[Byte](10, 0x00, 'A',
+      0xFC.toByte, 0xFE.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F)
+    assert(Snappy.decodeRaw(crafted, 0, crafted.length) == null)
+    // same body behind the framing format front door
+    val crc = Snappy.maskedCrc(Array[Byte]('A'), 0, 1) // any value; decode fails first
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array[Byte](0xFF.toByte, 6, 0, 0, 's', 'N', 'a', 'P', 'p', 'Y'))
+    val chunkLen = 4 + crafted.length
+    bos.write(Array[Byte](0x00, chunkLen.toByte, 0, 0))
+    bos.write(Array[Byte](crc.toByte, (crc >> 8).toByte, (crc >> 16).toByte,
+      (crc >> 24).toByte))
+    bos.write(crafted)
+    assert(Snappy.decodeFramed(bos.toByteArray) == null)
+  }
 }

@@ -34,6 +34,22 @@ class WikiDumpSpec extends AnyFunSuite {
       "ab c")
   }
 
+  test("list articles with tens of thousands of links resolve fully in linear time") {
+    // the old innermost-first rescan capped at 1000 iterations and was
+    // O(n^2); the bracket-stack pass must clear every link
+    val n = 30000
+    val src = (1 to n).map(i => s"* [[Page $i|label $i]]").mkString("\n")
+    val t0 = System.nanoTime()
+    val out = clean(src)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(!out.contains("[[") && !out.contains("]]"))
+    assert(out.linesIterator.size == n)
+    assert(out.startsWith("label 1\n") && out.endsWith(s"label $n"))
+    assert(ms < 5000, s"resolveWikiLinks took ${ms}ms — not linear")
+    // unmatched opener stays literal
+    assert(clean("dangling [[open here") == "dangling [[open here")
+  }
+
   test("redirect detection from attribute and from #REDIRECT body") {
     assert(WikiDump.redirectTarget("#REDIRECT [[Main Page]]") == "Main Page")
     assert(WikiDump.redirectTarget("#redirect [[A|b]] {{R from move}}") == "A")
