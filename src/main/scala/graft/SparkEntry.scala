@@ -2437,6 +2437,58 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q169_http_chunked" -> ((s, dir) => {
+      // HTTP Transfer-Encoding: chunked in the WARC entity peel. Four
+      // tiers per doc (id%4): plain body; chunked with trailer fields;
+      // chunked-around-gzip (wire order: de-chunk THEN peel the content
+      // coding); malformed chunk stream (non-hex size line) whose wire
+      // bytes must survive verbatim — the degrade tier. All four are
+      // closed forms over the documents text
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      lazy val rows = docs.map { case (id, text) =>
+        val url = s"https://chunk.example.com/p$id"
+        val date = "2026-01-01T00:00:00Z"
+        val body = (s"Doc $id\n$text")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val rec = (id % 4) match {
+          case 0 =>
+            graft.llmops.WarcWriter.responseRecordWire(url, date, 200,
+              "text/plain", Nil, body)
+          case 1 =>
+            graft.llmops.WarcWriter.responseRecordWire(url, date, 200,
+              "text/plain", Seq("Transfer-Encoding" -> "chunked"),
+              graft.llmops.WarcWriter.chunked(body, 1 + (id % 13).toInt,
+                trailer = Seq("X-Digest" -> s"d$id")))
+          case 2 =>
+            graft.llmops.WarcWriter.responseRecordWire(url, date, 200,
+              "text/plain",
+              Seq("Content-Encoding" -> "gzip",
+                "Transfer-Encoding" -> "chunked"),
+              graft.llmops.WarcWriter.chunked(
+                graft.llmops.Compression.encode(body, "gzip"),
+                5 + (id % 17).toInt))
+          case _ =>
+            val wire = ("zz\r\n").getBytes(
+              java.nio.charset.StandardCharsets.ISO_8859_1) ++ body ++
+              ("\r\n0\r\n\r\n").getBytes(
+                java.nio.charset.StandardCharsets.ISO_8859_1)
+            graft.llmops.WarcWriter.responseRecordWire(url, date, 200,
+              "text/plain", Seq("Transfer-Encoding" -> "chunked"), wire)
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(graft.llmops.WarcWriter.warcinfo(date))
+        out.write(rec)
+        (id, out.toByteArray)
+      }.toSeq
+      val src = fixtureDF(ss, dir, "q169_http_chunked")(rows)
+      graft.llmops.Warc.warcPages(src, "doc_id", "content")
+        .select(col("doc_id"), col("page_text").as("text"))
+        .orderBy("doc_id")
+    }),
+
     "q168_image_neardup_ico" -> ((s, dir) => {
       // ICO favicons join the (now eight-format) image Hamming space:
       // a single-DIB icon, a multi-entry icon whose LARGEST image must
@@ -4580,6 +4632,19 @@ object SparkEntry {
          WHERE bit_count(xor(a.dh_hi, b.dh_hi))
              + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
          ORDER BY key_a, key_b""",
+
+    // q169: chunked tiers reassemble to the plain body; the malformed
+    // tier keeps its wire bytes verbatim (degrade, never refuse)
+    "q169_http_chunked" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 4 = 3
+           THEN 'zz' || chr(13) || chr(10) ||
+                'Doc ' || doc_id || chr(10) || text ||
+                chr(13) || chr(10) || '0' || chr(13) || chr(10) ||
+                chr(13) || chr(10)
+           ELSE 'Doc ' || doc_id || chr(10) || text END AS text
+         FROM documents WHERE doc_id < 300
+         ORDER BY doc_id""",
 
     // q168: the q149 closed-form hash contract over the ICO tiers
     "q168_image_neardup_ico" ->

@@ -381,3 +381,48 @@ object UrlDomain {
     UTF8String.fromString(ofHost(h.toString))
   }
 }
+
+/** All label-boundary suffixes of a URL's host (`a.b.c` → `[a.b.c`,
+  * `b.c`, `c]`), lowercased — the join key for the SHUFFLED form of the
+  * blocklist screen: exploding these and semi-joining against a domain
+  * list reproduces [[UrlBlocked.anySuffix]] without collecting the list.
+  * NULL when the URL refuses to parse (same contract as the host kernel).
+  */
+case class HostSuffixes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_host_suffixes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HostSuffixes.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.expressions.HostSuffixes.compute($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): HostSuffixes =
+    copy(child = newChild)
+}
+
+object HostSuffixes {
+
+  def compute(in: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val h = UrlHost.compute(in)
+    if (h == null) return null
+    val host = h.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
+    var from = 0
+    while (from >= 0 && from < host.length) {
+      out += UTF8String.fromString(
+        if (from == 0) host else host.substring(from))
+      val dot = host.indexOf('.', from)
+      from = if (dot < 0) -1 else dot + 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}

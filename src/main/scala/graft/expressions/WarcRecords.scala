@@ -171,6 +171,7 @@ object WarcRecords {
     val status = try parts(1).toInt catch { case _: NumberFormatException => return null }
     var mime: String = null
     var encoding: String = null
+    var transfer: String = null
     var done = false
     while (!done) {
       line = readLine(p, pos)
@@ -187,11 +188,69 @@ object WarcRecords {
             val semi = v.indexOf(';')
             mime = (if (semi >= 0) v.substring(0, semi) else v).trim
           } else if (name == "content-encoding") encoding = v.toLowerCase
+          else if (name == "transfer-encoding") transfer = v.toLowerCase
         }
       }
     }
     val rawBody = java.util.Arrays.copyOfRange(p, pos, p.length)
-    (Int.box(status), mime, contentDecode(rawBody, encoding))
+    // Wire order is content-code THEN chunk: de-chunk first, then peel
+    // Content-Encoding. A malformed chunk stream keeps the wire bytes
+    // (one mangled body must not refuse the archive) and the peel then
+    // degrades the same way.
+    val isChunked = transfer != null &&
+      transfer.split(',').exists(_.trim == "chunked")
+    val entity =
+      if (!isChunked) rawBody
+      else {
+        val d = dechunk(rawBody)
+        if (d == null) rawBody else d
+      }
+    (Int.box(status), mime, contentDecode(entity, encoding))
+  }
+
+  /** RFC 9112 section 7.1 chunked transfer decoding: hex-size lines
+    * (chunk extensions after `;` ignored), chunk data, CRLF, a zero-size
+    * last chunk, then optional trailer headers up to an empty line (a
+    * missing final CRLF is tolerated — truncated captures are common).
+    * Refusals (null → caller keeps the wire bytes): non-hex size line,
+    * size or total over the 64 MB cap, data running past the record,
+    * a non-empty line where the post-chunk CRLF belongs.
+    */
+  private def dechunk(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(body.length, 1 << 16))
+    var pos = 0
+    while (true) {
+      val sl = readLine(body, pos)
+      if (sl == null) return null
+      pos = sl._2
+      val s0 = sl._1
+      val semi = s0.indexOf(';')
+      val hex = (if (semi >= 0) s0.substring(0, semi) else s0).trim
+      if (hex.isEmpty) return null
+      val size =
+        try java.lang.Long.parseLong(hex, 16)
+        catch { case _: NumberFormatException => return null }
+      if (size < 0 || size > MaxBytes || out.size() + size > MaxBytes)
+        return null
+      if (size == 0) {
+        // trailer section: headers until an empty line (or truncation)
+        var trailerDone = false
+        while (!trailerDone) {
+          val tl = readLine(body, pos)
+          if (tl == null) trailerDone = true
+          else { pos = tl._2; if (tl._1.isEmpty) trailerDone = true }
+        }
+        return out.toByteArray
+      }
+      val n = size.toInt
+      if (pos + n > body.length) return null
+      out.write(body, pos, n)
+      pos += n
+      val crlf = readLine(body, pos)
+      if (crlf == null || crlf._1.nonEmpty) return null
+      pos = crlf._2
+    }
+    null // unreachable
   }
 
   /** Peel `Content-Encoding: gzip|x-gzip|deflate` from an HTTP entity

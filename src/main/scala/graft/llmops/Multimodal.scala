@@ -31,9 +31,23 @@ object Multimodal {
   /** S6-equivalent ingestion: a directory of files → asset rows.
     * `binaryFile` gives (path, modificationTime, length, content) with
     * partition-parallel reads; asset ids are stable hashes of the path.
+    *
+    * `binaryFile` is NOT splittable — one file is at most one task — so
+    * a directory of a few large shards (or ONE giant tar) scans as a
+    * few partitions and every downstream per-row battery (codec decode,
+    * media parse, curation signals) runs on a handful of cores no
+    * matter the cluster size. `minPartitions` (default: the session's
+    * parallelism) repartitions after the scan whenever the scan came
+    * back coarser — a round-robin shuffle of the asset rows, paid once,
+    * so decode work fans out to every executor. Pass 0 to keep the
+    * scan's own partitioning.
     */
-  def readBinaryAssets(spark: SparkSession, dir: String, modality: String): DataFrame =
-    spark.read.format("binaryFile").load(dir)
+  def readBinaryAssets(spark: SparkSession, dir: String, modality: String,
+      minPartitions: Int = -1): DataFrame = {
+    val target =
+      if (minPartitions >= 0) minPartitions
+      else spark.sparkContext.defaultParallelism
+    val scanned = spark.read.format("binaryFile").load(dir)
       .select(
         xxhash64(col("path")).alias("asset_id"),
         lit(modality).alias("modality"),
@@ -41,6 +55,10 @@ object Multimodal {
         lit(null).cast(StringType).alias("mime_type"),
         col("path").alias("source_path"),
         map(lit("length"), col("length").cast(StringType)).alias("meta"))
+    if (target > 0 && scanned.rdd.getNumPartitions < target)
+      scanned.repartition(target)
+    else scanned
+  }
 
   /** REAL image metadata from binary headers — PNG/JPEG/GIF/BMP dimensions
     * parsed by the native codegen'd [[graft.expressions.ImageDims]]

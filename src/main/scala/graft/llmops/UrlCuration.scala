@@ -160,20 +160,58 @@ object UrlCuration {
       graft.expressions.SitemapUrls(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
 
-  /** [[blocklistFilter]] from a one-column (`domain`) DataFrame — the
-    * list is collected to the driver first (documented bounded artifact,
-    * the codebook/classifier convention). An early-stopping count
-    * refuses lists over [[MaxBlocklistEntries]] BEFORE the collect —
-    * an unbounded list must never OOM the driver; join it instead.
+  /** All label-boundary suffixes of the URL's host
+    * ([[graft.expressions.HostSuffixes]]): `a.b.c` → `[a.b.c, b.c, c]`;
+    * NULL for not-a-URL text. The join key of the shuffled blocklist.
+    */
+  def hostSuffixes(url: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.HostSuffixes(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(url)))
+
+  /** Entry ceiling for COLLECTING the blocklist into the task binary:
+    * past ~1M domains (~tens of MB serialized per task) the collected
+    * set stops being the cheap path and the screen flips to the
+    * shuffled suffix join. UT1-class lists stay collected; a web-scale
+    * union of lists takes the join.
+    */
+  val MaxCollectBlocklistEntries: Long = 1000000L
+
+  /** [[blocklistFilter]] from a one-column (`domain`) DataFrame. The
+    * join shape is SIZE-GATED like [[robotsScreen]]: at most
+    * `maxCollectEntries` distinct domains (one early-stopping count —
+    * the list is a side input, not the corpus) the list is collected
+    * into the per-row kernel and screening costs one scan; beyond that
+    * the screen reproduces [[urlBlocked]]'s suffix semantics
+    * distributively — explode each URL's host suffixes
+    * ([[hostSuffixes]]), semi-join against the list to find blocked
+    * row ids, anti-join those back — so an unbounded list can never
+    * OOM the driver or the task binary.
     */
   def blocklistFilter(df: DataFrame, urlCol: String,
-      blockedDomains: DataFrame): DataFrame = {
-    val distinctDomains = blockedDomains.select(lower(col("domain"))).distinct()
-    require(distinctDomains.limit(MaxBlocklistEntries + 1).count()
-      <= MaxBlocklistEntries,
-      s"blocklist table exceeds $MaxBlocklistEntries distinct domains; " +
-        "use a left_anti join on urlDomain instead of the collected set")
-    blocklistFilter(df, urlCol,
-      distinctDomains.collect().map(_.getString(0)).toSet)
+      blockedDomains: DataFrame,
+      maxCollectEntries: Long = MaxCollectBlocklistEntries): DataFrame = {
+    val cap = math.min(maxCollectEntries, MaxBlocklistEntries.toLong)
+    val distinctDomains =
+      blockedDomains.select(lower(col("domain")).as("domain")).distinct()
+    val small =
+      distinctDomains.limit(math.min(cap, Int.MaxValue - 1L).toInt + 1)
+        .count() <= cap
+    if (small)
+      blocklistFilter(df, urlCol,
+        distinctDomains.collect().map(_.getString(0)).toSet)
+    else {
+      // Shuffled form: suffix-expand (bounded by host label count, a
+      // handful of narrow rows per URL), semi-join the list, anti-join
+      // the hit ids back. The corpus shuffles once on the synthetic row
+      // id; the suffix rows are (id, suffix) only — never corpus bytes.
+      val keyed = df.withColumn("__rid", monotonically_increasing_id())
+      val hits = keyed
+        .select(col("__rid"),
+          explode(hostSuffixes(col(urlCol))).as("__suffix"))
+        .join(distinctDomains, col("__suffix") === col("domain"), "left_semi")
+        .select(col("__rid")).distinct()
+      keyed.join(hits, Seq("__rid"), "left_anti").drop("__rid")
+    }
   }
 }

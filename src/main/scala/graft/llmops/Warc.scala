@@ -493,6 +493,55 @@ object WarcWriter {
       http.toByteArray)
   }
 
+  /** Response record whose entity headers and WIRE body the caller
+    * controls — the fixture surface for `Transfer-Encoding: chunked` /
+    * `Content-Encoding` tiers: pass the already-coded wire bytes plus
+    * the headers that describe the coding.
+    */
+  def responseRecordWire(uri: String, date: String, status: Int,
+      mime: String, extraHeaders: Seq[(String, String)],
+      wireBody: Array[Byte]): Array[Byte] = {
+    val statusText = if (status == 200) "OK" else "Status"
+    val http = new java.io.ByteArrayOutputStream()
+    val hs = new StringBuilder(s"HTTP/1.1 $status $statusText").append(CRLF)
+    hs.append(s"Content-Type: $mime; charset=UTF-8").append(CRLF)
+    extraHeaders.foreach { case (k, v) =>
+      hs.append(k).append(": ").append(v).append(CRLF) }
+    hs.append(s"Content-Length: ${wireBody.length}").append(CRLF).append(CRLF)
+    http.write(hs.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    http.write(wireBody)
+    record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> uri,
+      "WARC-Date" -> date,
+      "Content-Type" -> "application/http; msgtype=response"),
+      http.toByteArray)
+  }
+
+  /** RFC 9112 chunked transfer coding of `body`: fixed-size chunks with
+    * hex size lines, a zero chunk, optional trailer fields — the writer
+    * twin of the reader's de-chunker.
+    */
+  def chunked(body: Array[Byte], chunkSize: Int = 7,
+      trailer: Seq[(String, String)] = Nil): Array[Byte] = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val out = new java.io.ByteArrayOutputStream(body.length + 64)
+    def ascii(t: String): Unit =
+      out.write(t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    var pos = 0
+    while (pos < body.length) {
+      val n = math.min(chunkSize, body.length - pos)
+      ascii(Integer.toHexString(n) + CRLF)
+      out.write(body, pos, n)
+      ascii(CRLF)
+      pos += n
+    }
+    ascii("0" + CRLF)
+    trailer.foreach { case (k, v) => ascii(s"$k: $v" + CRLF) }
+    ascii(CRLF)
+    out.toByteArray
+  }
+
   /** WET conversion record: pre-extracted page text, UTF-8, no HTTP
     * envelope — the Common Crawl text-distribution shape.
     */

@@ -99,22 +99,38 @@ class UrlCurationSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().sorted === Array(2L, 3L))
   }
 
-  test("blocklist size guard: over-budget sets refuse before riding the closure") {
-    val df = Seq((1L, "https://a.com/x")).toDF("doc_id", "url")
-    // a set over MaxBlocklistEntries can't be built cheaply; probe the
-    // guard logic at the documented bound via a mocked-size check on
-    // the column form with a tiny set (sanity: in-bound sets pass)
-    assert(UrlCuration.blocklistFilter(df, "url", Set("b.com")).count() === 1)
+  test("blocklist size gate: big lists flip to the shuffled suffix join") {
+    val df = Seq(
+      (1L, "https://a.bad.com/x"),   // subdomain of a listed domain
+      (2L, "https://good.org/y"),
+      (3L, "not a url"),             // unparseable: kept on both paths
+      (4L, "https://BAD.com:443/z"), // case/port variants canonicalize
+      (5L, "https://alsobad.net/q"),
+      (6L, "https://notbad.com.evil.io/r")).toDF("doc_id", "url")
+    val list = Seq("BAD.com", "alsobad.net", "evil.io").toDF("domain")
+    val collected = UrlCuration.blocklistFilter(df, "url", list)
+      .select("doc_id").as[Long].collect().sorted
+    // maxCollectEntries = 0 forces the join path on the same inputs
+    val joined = UrlCuration.blocklistFilter(df, "url", list,
+      maxCollectEntries = 0L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(collected === Array(2L, 3L))
+    assert(joined === collected)
+    // the join path survives widths the collected set must refuse
     assert(UrlCuration.MaxBlocklistEntries >= 5000000,
-      "bound must admit UT1-class lists (4-5M domains)")
-    // the DataFrame overload's early-stopping count fires BEFORE any
-    // collect: a list wider than the bound must throw, not OOM
-    val wide = spark.range(0, UrlCuration.MaxBlocklistEntries + 10L)
-      .selectExpr("concat('d', id, '.com') AS domain")
-    val e = intercept[IllegalArgumentException] {
-      UrlCuration.blocklistFilter(df, "url", wide)
-    }
-    assert(e.getMessage.contains("left_anti"))
+      "collect bound must admit UT1-class lists (4-5M domains)")
+    assert(UrlCuration.MaxCollectBlocklistEntries <=
+      UrlCuration.MaxBlocklistEntries.toLong)
+  }
+
+  test("host suffixes explode on label boundaries; null for not-a-URL") {
+    val rows = Seq(("https://a.b.C.org/x", 1), ("nope", 2))
+      .toDF("url", "id")
+      .select(col("id"), UrlCuration.hostSuffixes(col("url")).as("sfx"))
+      .orderBy("id").collect()
+    assert(rows(0).getAs[Seq[String]]("sfx") ===
+      Seq("a.b.c.org", "b.c.org", "c.org", "org"))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("sfx")))
   }
 
   test("canonicalization collapses crawl revisits to one URL key") {

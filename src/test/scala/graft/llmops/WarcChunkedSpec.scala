@@ -1,0 +1,81 @@
+package graft.llmops
+
+import graft.SparkTestBase
+
+/** HTTP `Transfer-Encoding: chunked` de-chunking in the WARC entity
+  * peel — wire order (chunk outermost, content coding inside), trailer
+  * fields, and the malformed-chunk degrade tier that keeps wire bytes.
+  */
+class WarcChunkedSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val page = ("<html><body><p>chunked body with several " +
+    "plain words repeated for good measure</p></body></html>")
+    .getBytes("UTF-8")
+
+  private def gzip(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(b); gz.finish()
+    out.toByteArray
+  }
+
+  private def payloadOf(warc: Array[Byte]): Array[Byte] = {
+    val df = Seq((1L, warc)).toDF("doc_id", "content")
+    val rows = Warc.warcResponses(df, "doc_id", "content").collect()
+    assert(rows.length == 1)
+    rows(0).getAs[Array[Byte]]("payload")
+  }
+
+  private def archive(rec: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(WarcWriter.warcinfo("2026-01-01T00:00:00Z"))
+    out.write(rec)
+    out.toByteArray
+  }
+
+  test("chunked body de-chunks to the plain twin") {
+    val plain = payloadOf(WarcWriter.write(Seq(
+      ("https://e/c", null, 200, "text/html", page))))
+    for (sz <- Seq(1, 7, 4096)) {
+      val rec = WarcWriter.responseRecordWire("https://e/c",
+        "2026-01-01T00:00:00Z", 200, "text/html",
+        Seq("Transfer-Encoding" -> "chunked"), WarcWriter.chunked(page, sz))
+      assert(payloadOf(archive(rec)).toSeq == plain.toSeq, s"chunk size $sz")
+    }
+  }
+
+  test("wire order: de-chunk first, then peel Content-Encoding; trailers ok") {
+    val wire = WarcWriter.chunked(gzip(page), 11,
+      trailer = Seq("X-Checksum" -> "abc"))
+    val rec = WarcWriter.responseRecordWire("https://e/cg",
+      "2026-01-01T00:00:00Z", 200, "text/html",
+      Seq("Content-Encoding" -> "gzip", "Transfer-Encoding" -> "chunked"),
+      wire)
+    assert(payloadOf(archive(rec)).toSeq == page.toSeq)
+    // chunk extensions on the size line are ignored
+    val withExt = new String(WarcWriter.chunked(page, 8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replaceFirst("^8\r\n", "8;ext=1\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val rec2 = WarcWriter.responseRecordWire("https://e/ce",
+      "2026-01-01T00:00:00Z", 200, "text/html",
+      Seq("Transfer-Encoding" -> "chunked"), withExt)
+    assert(payloadOf(archive(rec2)).toSeq == page.toSeq)
+  }
+
+  test("malformed chunks keep the wire bytes; archive never refuses") {
+    val good = WarcWriter.chunked(page, 9)
+    val bads = Seq[Array[Byte]](
+      "zz\r\nnothex\r\n0\r\n\r\n".getBytes("ISO-8859-1"), // non-hex size
+      java.util.Arrays.copyOf(good, good.length / 2),      // truncated
+      { val b = good.clone(); b(1) = 'Q'; b },             // CRLF misplaced
+      "7fffffff\r\nx\r\n0\r\n\r\n".getBytes("ISO-8859-1")) // size over cap
+    for ((bad, i) <- bads.zipWithIndex) {
+      val rec = WarcWriter.responseRecordWire("https://e/m" + i,
+        "2026-01-01T00:00:00Z", 200, "text/html",
+        Seq("Transfer-Encoding" -> "chunked"), bad)
+      assert(payloadOf(archive(rec)).toSeq == bad.toSeq, s"tier $i")
+    }
+  }
+}

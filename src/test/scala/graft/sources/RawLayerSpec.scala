@@ -79,4 +79,23 @@ class RawLayerSpec extends SparkTestBase {
       .select("asset_id", "feature").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     rows.foreach(r => assert(again(r.getLong(0)) === r.getSeq[Float](2)))
   }
+
+  test("coarse single-file scans repartition up to minPartitions") {
+    // binaryFile is not splittable: ONE file scans as one task, so the
+    // per-row decode batteries downstream would run single-core on a
+    // 1000-executor cluster. The guard fans the rows back out.
+    val root = Files.createTempDirectory("graft-coarse").toString
+    Files.write(Paths.get(s"$root/one.bin"), Array.fill[Byte](4096)(7))
+    val coarse = Multimodal.readBinaryAssets(spark, root, "image",
+      minPartitions = 0) // opt out: the scan's own partitioning
+    assert(coarse.rdd.getNumPartitions === 1)
+    val fanned = Multimodal.readBinaryAssets(spark, root, "image",
+      minPartitions = 8)
+    assert(fanned.rdd.getNumPartitions === 8)
+    assert(fanned.count() === 1)
+    // default: the session's parallelism
+    val auto = Multimodal.readBinaryAssets(spark, root, "image")
+    assert(auto.rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+  }
 }
