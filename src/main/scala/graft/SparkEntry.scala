@@ -2437,6 +2437,39 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q170_brotli" -> ((s, dir) => {
+      // brotli joins the codec family via the EXPLICITLY named path (no
+      // magic to sniff — q158's sniffing cross product stays six-codec):
+      // per doc the closed-form body wrapped by the store-mode writer
+      // twin (id%2=0) plus a junk tier (id%2=1) that must decode NULL
+      // and vanish. The reference-compressed streams (q2-q11, all
+      // windows, dictionary + transforms) are spec-gated in BrotliSpec
+      val ss = tuned(s)
+      val src = fixtureTable(ss, dir, "q170_brotli", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("content", BinaryType, nullable = true))))({
+        val ids = t(ss, dir, "documents").filter(col("doc_id") < 250)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+        ids.map { id =>
+          val body = s"doc $id: " + (s"br$id " * (1 + (id % 5)).toInt)
+          val bytes =
+            if (id % 2 == 0) graft.llmops.Brotli.encode(
+              body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            else Array.tabulate[Byte](48)(i =>
+              (((id * 17 + i * 29) % 249) & 0xff).toByte)
+          Row(id, bytes)
+        }
+      })
+      src.withColumn("plain",
+          graft.llmops.Compression.decodeCol(col("content"), "br")
+            .cast("string"))
+        .filter(col("plain").isNotNull)
+        .select(col("doc_id"),
+          length(col("plain")).cast("long").as("n_chars"),
+          substring(col("plain"), 1, 16).as("head"))
+        .orderBy("doc_id")
+    }),
+
     "q169_http_chunked" -> ((s, dir) => {
       // HTTP Transfer-Encoding: chunked in the WARC entity peel. Four
       // tiers per doc (id%4): plain body; chunked with trailer fields;
@@ -4632,6 +4665,19 @@ object SparkEntry {
          WHERE bit_count(xor(a.dh_hi, b.dh_hi))
              + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
          ORDER BY key_a, key_b""",
+
+    // q170: store-mode brotli rows reproduce the closed-form body;
+    // junk rows decode NULL and vanish
+    "q170_brotli" ->
+      """SELECT doc_id,
+           CAST(length('doc ' || doc_id || ': ' ||
+             repeat('br' || doc_id || ' ',
+               CAST(1 + doc_id % 5 AS INTEGER))) AS BIGINT) AS n_chars,
+           substr('doc ' || doc_id || ': ' ||
+             repeat('br' || doc_id || ' ',
+               CAST(1 + doc_id % 5 AS INTEGER)), 1, 16) AS head
+         FROM documents WHERE doc_id < 250 AND doc_id % 2 = 0
+         ORDER BY doc_id""",
 
     // q169: chunked tiers reassemble to the plain body; the malformed
     // tier keeps its wire bytes verbatim (degrade, never refuse)

@@ -37,3 +37,33 @@ object DecompressBytes {
   def compute(content: Array[Byte]): Array[Byte] =
     graft.llmops.Compression.decodeAuto(content)
 }
+
+/** Explicit-codec decompression: `graft_decode(content, 'br')` — the
+  * front door for codecs that carry NO sniffable magic (brotli is the
+  * only one today; HTTP names it out of band via `Content-Encoding: br`
+  * and shard files via the `.br` suffix). NULL on decode failure, same
+  * degrade contract as [[DecompressBytes]].
+  */
+case class DecodeBytes(child: Expression, codec: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_decode"
+
+  override protected def nullSafeEval(content: Any): Any =
+    graft.llmops.Compression.decode(content.asInstanceOf[Array[Byte]], codec)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val codecRef = ctx.addReferenceObj("codec", codec, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.llmops.Compression.decode($c, $codecRef);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DecodeBytes = copy(child = newChild)
+}

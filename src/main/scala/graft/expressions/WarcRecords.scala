@@ -253,12 +253,12 @@ object WarcRecords {
     null // unreachable
   }
 
-  /** Peel `Content-Encoding: gzip|x-gzip|deflate` from an HTTP entity
-    * body (real crawls store the wire bytes). `deflate` tries zlib then
-    * the bare stream (both occur in the wild). Unknown encodings (`br`
-    * without a JDK codec) and failed decodes keep the wire bytes — a
-    * single mangled body must not refuse the whole archive; downstream
-    * sniffing screens it out.
+  /** Peel `Content-Encoding: gzip|x-gzip|deflate|br` from an HTTP
+    * entity body (real crawls store the wire bytes). `deflate` tries
+    * zlib then the bare stream (both occur in the wild); `br` is the
+    * native [[graft.llmops.Brotli]] kernel. Unknown encodings and
+    * failed decodes keep the wire bytes — a single mangled body must
+    * not refuse the whole archive; downstream sniffing screens it out.
     */
   private def contentDecode(body: Array[Byte], encoding: String): Array[Byte] = {
     if (encoding == null || encoding.isEmpty || encoding == "identity" ||
@@ -287,6 +287,9 @@ object WarcRecords {
             case scala.util.control.NonFatal(_) => null
           }
           val out = if (zlib != null) zlib else run(nowrap = true)
+          if (out == null) body else out
+        case "br" =>
+          val out = graft.llmops.Brotli.decode(body)
           if (out == null) body else out
         case _ => body
       }

@@ -2,8 +2,11 @@ package graft.llmops
 
 /** One front door for the compressed-corpus codecs: magic-number
   * sniffing and decode dispatch over gzip/zlib-deflate (JDK), bzip2, xz,
-  * zstd, lz4 and framed snappy (native kernels), plus the symmetric encode dispatch
-  * used by the shard writers. The corpus arms call [[decodeAuto]] so a
+  * zstd, lz4 and framed snappy (native kernels) — plus brotli, which
+  * carries NO magic bytes and therefore never sniffs: it joins only the
+  * explicitly-named paths (decode/encode by codec name, `.br` file
+  * suffix, HTTP `Content-Encoding: br`). Symmetric encode dispatch
+  * serves the shard writers. The corpus arms call [[decodeAuto]] so a
   * crawl payload or shard file decompresses the same way regardless of
   * which codec the producer picked. Reference hook: arbitrary-binary
   * ingestion, `aje_libs/documents/helpers/document_processor.py:10-83`.
@@ -18,11 +21,28 @@ object Compression {
     */
   val Codecs: Seq[String] = Seq("gzip", "bzip2", "xz", "zstd", "lz4", "snappy")
 
+  /** Every codec [[decode]]/[[encode]] accept BY NAME — [[Codecs]] plus
+    * brotli, which cannot be sniffed (no magic) and so never appears in
+    * [[sniffCodec]]/[[decodeAuto]] results.
+    */
+  val NamedCodecs: Seq[String] = Codecs :+ "br"
+
   /** [[graft.expressions.DecompressBytes]] as a Column. */
   def decompressCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.expressions.DecompressBytes(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
+  /** [[graft.expressions.DecodeBytes]] as a Column: decompress with an
+    * EXPLICITLY named codec — the only scan-projection route to brotli,
+    * which has no magic for [[decompressCol]] to sniff.
+    */
+  def decodeCol(content: org.apache.spark.sql.Column,
+      codec: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.DecodeBytes(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content),
+        codec))
 
   /** Sniff the codec from magic bytes; None when not a known container. */
   def sniffCodec(bytes: Array[Byte]): Option[String] = {
@@ -49,6 +69,7 @@ object Compression {
     case "zstd" => "application/zstd"
     case "lz4" => "application/x-lz4"
     case "snappy" => "application/x-snappy-framed"
+    case "br" => "application/x-brotli"
     case other => other
   }
 
@@ -86,6 +107,7 @@ object Compression {
     case "zstd" => Zstd.decode(bytes)
     case "lz4" => Lz4.decode(bytes)
     case "snappy" => Snappy.decodeFramed(bytes)
+    case "br" => Brotli.decode(bytes)
     case _ => null
   }
 
@@ -104,6 +126,7 @@ object Compression {
     case "zstd" => ZstdWriter.encode(bytes)
     case "lz4" => Lz4Writer.encode(bytes)
     case "snappy" => SnappyWriter.encode(bytes)
+    case "br" => Brotli.encode(bytes)
     case other => throw new IllegalArgumentException(s"unknown codec $other")
   }
 
@@ -115,6 +138,7 @@ object Compression {
     case "zstd" => ".zst"
     case "lz4" => ".lz4"
     case "snappy" => ".sz"
+    case "br" => ".br"
     case other => throw new IllegalArgumentException(s"unknown codec $other")
   }
 
@@ -127,6 +151,7 @@ object Compression {
     else if (n.endsWith(".zst") || n.endsWith(".zstd")) Some("zstd")
     else if (n.endsWith(".lz4")) Some("lz4")
     else if (n.endsWith(".sz") || n.endsWith(".snappy")) Some("snappy")
+    else if (n.endsWith(".br")) Some("br")
     else None
   }
 }

@@ -123,13 +123,18 @@ object TarShards {
     // WebDataset-style loaders meet both; the sniffing front door makes
     // the decompress codec-blind, one file per task either way
     spark.read.format("binaryFile").load(s"$dir/*.tar*")
-      .select(col("content"))
-      .as[Array[Byte]]
-      .map { raw =>
-        if (Compression.sniffCodec(raw).isDefined) {
-          val d = Compression.decodeAuto(raw)
-          if (d == null) Array.emptyByteArray else d
-        } else raw
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, raw) =>
+        // sniff first; fall back to the file suffix for brotli, the one
+        // codec with no magic bytes (.tar itself names no codec)
+        Compression.sniffCodec(raw)
+          .orElse(Compression.codecForName(path)) match {
+          case Some(c) =>
+            val d = Compression.decode(raw, c)
+            if (d == null) Array.emptyByteArray else d
+          case None => raw
+        }
       }
       .flatMap { bytes =>
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]

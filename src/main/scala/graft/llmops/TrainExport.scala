@@ -177,10 +177,13 @@ object TrainExport {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val plain =
-          if (Compression.sniffCodec(bytes).isDefined)
-            Compression.decodeAuto(bytes)
-          else bytes
+        val plain = Compression.sniffCodec(bytes)
+          .orElse(Compression.codecForName(path)) match {
+          // suffix fallback: brotli carries no magic to sniff, so .br
+          // shards decode by NAME; all other codecs sniff as before
+          case Some(c) => Compression.decode(bytes, c)
+          case None => bytes
+        }
         if (plain == null) Iterator.empty
         else {
           val text = new String(plain, java.nio.charset.StandardCharsets.UTF_8)
@@ -197,10 +200,13 @@ object TrainExport {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val plain =
-          if (Compression.sniffCodec(bytes).isDefined)
-            Compression.decodeAuto(bytes)
-          else bytes
+        val plain = Compression.sniffCodec(bytes)
+          .orElse(Compression.codecForName(path)) match {
+          // suffix fallback: brotli carries no magic to sniff, so .br
+          // shards decode by NAME; all other codecs sniff as before
+          case Some(c) => Compression.decode(bytes, c)
+          case None => bytes
+        }
         if (plain == null) Iterator.empty
         else {
           val text = new String(plain, java.nio.charset.StandardCharsets.UTF_8)

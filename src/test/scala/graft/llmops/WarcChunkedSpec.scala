@@ -64,6 +64,27 @@ class WarcChunkedSpec extends SparkTestBase {
     assert(payloadOf(archive(rec2)).toSeq == page.toSeq)
   }
 
+  test("Content-Encoding: br peels through the brotli kernel, also chunked") {
+    val enc = Brotli.encode(page) // store-mode twin; any valid stream works
+    val rec = WarcWriter.responseRecordWire("https://e/br",
+      "2026-01-01T00:00:00Z", 200, "text/html",
+      Seq("Content-Encoding" -> "br"), enc)
+    assert(payloadOf(archive(rec)).toSeq == page.toSeq)
+    val rec2 = WarcWriter.responseRecordWire("https://e/brc",
+      "2026-01-01T00:00:00Z", 200, "text/html",
+      Seq("Content-Encoding" -> "br", "Transfer-Encoding" -> "chunked"),
+      WarcWriter.chunked(enc, 13))
+    assert(payloadOf(archive(rec2)).toSeq == page.toSeq)
+    // a mangled br body keeps the wire bytes (degrade, never refuse):
+    // truncation is unconditionally invalid (a payload bit-flip in a
+    // store-mode stream would just decode to modified content)
+    val bad = java.util.Arrays.copyOf(enc, enc.length - 2)
+    val rec3 = WarcWriter.responseRecordWire("https://e/brb",
+      "2026-01-01T00:00:00Z", 200, "text/html",
+      Seq("Content-Encoding" -> "br"), bad)
+    assert(payloadOf(archive(rec3)).toSeq == bad.toSeq)
+  }
+
   test("malformed chunks keep the wire bytes; archive never refuses") {
     val good = WarcWriter.chunked(page, 9)
     val bads = Seq[Array[Byte]](
