@@ -65,6 +65,174 @@ object WikiDump {
   private final val MaxPages = 4096
   private final val MaxBytes = 64 << 20
 
+  /** The canonical single-file artifact — `pages-articles-multistream
+    * .xml.bz2`, tens of GB of CONCATENATED bzip2 streams (~100 pages
+    * each) — cannot ride the 64 MB per-row fragment cap whole. This
+    * file-source path splits it WITHOUT ever materializing the file in
+    * one place:
+    *
+    *  1. [[dumpStreamOffsets]] — parallel byte-range scan (default
+    *     32 MB ranges, one task each; a 20 GB dump is ~640 tasks) for
+    *     the 10-byte bzip2 stream magic (`BZh` + level + block magic
+    *     0x314159265359, byte-aligned because every multistream member
+    *     is a complete bzip2 FILE). Ranges overlap by 16 bytes so a
+    *     magic straddling a boundary is still seen exactly once.
+    *  2. [[readDumpFragments]] — pair consecutive offsets into slices
+    *     (tiny (offset, length) rows — the corpus bytes never shuffle),
+    *     then per slice: seek + read exactly those bytes, [[Bzip2]]
+    *     decode, trim to the `<page>…</page>` span (drops the unclosed
+    *     `<mediawiki>`/`<siteinfo>` head of the first stream and the
+    *     bare trailer of the last), split at `</page>` boundaries into
+    *     fragments at most `maxFragmentBytes`, and wrap each in a
+    *     `<pages>` root for the [[pages]] kernel.
+    *  3. [[ingestDumpFile]] — feed the fragments to [[ingestDumps]].
+    *
+    * A false magic inside compressed payload is possible in principle
+    * (P ≈ file bytes × 2⁻⁸⁰): the affected slice pair decodes null and
+    * is dropped, never mis-parsed. Streams whose decoded form exceeds
+    * the 64 MB codec cap refuse the same way.
+    */
+  def dumpStreamOffsets(spark: org.apache.spark.sql.SparkSession,
+      path: String, rangeBytes: Int = 32 << 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    require(rangeBytes >= 1024, "rangeBytes must be at least 1 KiB")
+    val confB = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fileLen = fileLength(spark, path)
+    val ranges = (0L until fileLen by rangeBytes.toLong)
+      .map(s => (s, math.min(s + rangeBytes, fileLen))).toSeq
+    ranges.toDF("start", "end")
+      .repartition(math.min(ranges.size, 4096))
+      .as[(Long, Long)]
+      .flatMap { case (start, end) =>
+        // +16 overlap: a magic beginning in [start, end) is matched
+        // even when its tail crosses the range end
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(confB.value)
+        val in = fs.open(p)
+        val buf = new Array[Byte]((end - start + 16).toInt)
+        val got =
+          try { in.seek(start); readUpTo(in, buf) } finally in.close()
+        (0 until math.min(got, (end - start).toInt))
+          .filter(i => got - i >= 10 && isBz2StreamMagic(buf, i))
+          .map(i => start + i)
+      }
+      .toDF("offset")
+      .orderBy(col("offset"))
+  }
+
+  /** (content) rows — one ≤`maxFragmentBytes` `<pages>`-wrapped fragment
+    * per chunk of whole pages — from a multistream dump file. See
+    * [[dumpStreamOffsets]] for the dataflow.
+    */
+  def readDumpFragments(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxFragmentBytes: Int = MaxBytes,
+      rangeBytes: Int = 32 << 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    require(maxFragmentBytes > 32, "maxFragmentBytes too small")
+    val confB = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fileLen = fileLength(spark, path)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("offset"))
+    // (offset, next) pairs: a single narrow-row shuffle over ~1 long per
+    // ~1 MB of dump; the decompressed corpus itself never shuffles
+    val slices = dumpStreamOffsets(spark, path, rangeBytes)
+      .withColumn("next",
+        coalesce(lead(col("offset"), 1).over(w), lit(fileLen)))
+      .repartition(col("offset"))
+    slices.as[(Long, Long)].flatMap { case (off, next) =>
+      val len = (next - off).toInt
+      if (len <= 0 || len > MaxBytes) Iterator.empty
+      else {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(confB.value)
+        val in = fs.open(p)
+        val buf = new Array[Byte](len)
+        try { in.seek(off); in.readFully(buf, 0, len) } finally in.close()
+        val xml = Bzip2.decode(buf)
+        if (xml == null) Iterator.empty
+        else splitPageFragments(xml, maxFragmentBytes).iterator
+      }
+    }.toDF("content")
+  }
+
+  /** A multistream dump FILE → the deduped corpus in one call: the
+    * splitter feeds [[ingestDumps]]. Returns rows appended.
+    */
+  def ingestDumpFile(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpusPath: String,
+      signaturePath: Option[String] = None,
+      lockStore: Option[graft.operators.LockStore] = None,
+      maxFragmentBytes: Int = MaxBytes,
+      rangeBytes: Int = 32 << 20): Long =
+    ingestDumps(spark, readDumpFragments(spark, path, maxFragmentBytes,
+      rangeBytes), "content", corpusPath, signaturePath, lockStore)
+
+  private def fileLength(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getLen
+  }
+
+  private def readUpTo(in: org.apache.hadoop.fs.FSDataInputStream,
+      buf: Array[Byte]): Int = {
+    var got = 0
+    var n = 0
+    while (got < buf.length && n >= 0) {
+      n = in.read(buf, got, buf.length - got)
+      if (n > 0) got += n
+    }
+    got
+  }
+
+  /** `BZh` + level digit + compressed block magic 0x314159265359. */
+  private[llmops] def isBz2StreamMagic(b: Array[Byte], i: Int): Boolean =
+    b(i) == 'B' && b(i + 1) == 'Z' && b(i + 2) == 'h' &&
+      b(i + 3) >= '1' && b(i + 3) <= '9' &&
+      (b(i + 4) & 0xff) == 0x31 && (b(i + 5) & 0xff) == 0x41 &&
+      (b(i + 6) & 0xff) == 0x59 && (b(i + 7) & 0xff) == 0x26 &&
+      (b(i + 8) & 0xff) == 0x53 && (b(i + 9) & 0xff) == 0x59
+
+  /** Trim `xml` to its `<page>…</page>` span and split at page
+    * boundaries into `<pages>`-wrapped fragments of at most `cap`
+    * bytes. A fragment always holds WHOLE pages; a single page larger
+    * than the cap is dropped (it could never parse downstream — the
+    * refusal is explicit here instead of wholesale there).
+    */
+  private[llmops] def splitPageFragments(xml: Array[Byte],
+      cap: Int): Seq[Array[Byte]] = {
+    val s = new String(xml, java.nio.charset.StandardCharsets.UTF_8)
+    val open = "<page"
+    val close = "</page>"
+    val head = "<pages>"
+    val tail = "</pages>"
+    val budget = math.max(1, cap - head.length - tail.length)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val chunk = new java.lang.StringBuilder
+    def flush(): Unit = if (chunk.length > 0) {
+      out += (head + chunk + tail)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      chunk.setLength(0)
+    }
+    var i = s.indexOf(open)
+    while (i >= 0) {
+      val e = s.indexOf(close, i)
+      if (e < 0) i = -1 // truncated trailing page: drop
+      else {
+        val pageLen = e + close.length - i
+        if (chunk.length > 0 && chunk.length + pageLen > budget) flush()
+        if (pageLen <= budget) chunk.append(s, i, e + close.length)
+        // else: single over-cap page dropped
+        i = s.indexOf(open, e + close.length)
+      }
+    }
+    flush()
+    out.toSeq
+  }
+
   /** Parse a dump (the full file or any well-formed `<mediawiki>`/`<pages>`
     * fragment); null on malformed XML, cap overflows refuse wholesale.
     */
@@ -345,25 +513,50 @@ object WikiDump {
   def writeDump(ps: Seq[WikiPage], codec: Option[String] = None): Array[Byte] = {
     val sb = new java.lang.StringBuilder(1024)
     sb.append("<mediawiki xmlns=\"http://www.mediawiki.org/xml/export-0.11/\">\n")
-    for (p <- ps) {
-      sb.append("  <page>\n")
-      sb.append("    <title>").append(xmlEscape(p.title)).append("</title>\n")
-      sb.append("    <ns>").append(p.ns).append("</ns>\n")
-      sb.append("    <id>").append(p.pageId).append("</id>\n")
-      if (p.redirect != null)
-        sb.append("    <redirect title=\"").append(xmlEscape(p.redirect))
-          .append("\" />\n")
-      sb.append("    <revision>\n      <id>").append(p.pageId * 10)
-        .append("</id>\n      <text bytes=\"").append(p.text.length)
-        .append("\">").append(xmlEscape(p.text)).append("</text>\n")
-      sb.append("    </revision>\n  </page>\n")
-    }
+    ps.foreach(appendPageXml(sb, _))
     sb.append("</mediawiki>\n")
     val xml = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     codec match {
       case Some(c) => Compression.encode(xml, c)
       case None => xml
     }
+  }
+
+  private def appendPageXml(sb: java.lang.StringBuilder, p: WikiPage): Unit = {
+    sb.append("  <page>\n")
+    sb.append("    <title>").append(xmlEscape(p.title)).append("</title>\n")
+    sb.append("    <ns>").append(p.ns).append("</ns>\n")
+    sb.append("    <id>").append(p.pageId).append("</id>\n")
+    if (p.redirect != null)
+      sb.append("    <redirect title=\"").append(xmlEscape(p.redirect))
+        .append("\" />\n")
+    sb.append("    <revision>\n      <id>").append(p.pageId * 10)
+      .append("</id>\n      <text bytes=\"").append(p.text.length)
+      .append("\">").append(xmlEscape(p.text)).append("</text>\n")
+    sb.append("    </revision>\n  </page>\n")
+  }
+
+  /** Writer twin of the published MULTISTREAM layout: one bzip2 stream
+    * per page batch, concatenated — the first stream opens the (never
+    * locally closed) `<mediawiki>` root with a `<siteinfo>` header, the
+    * last stream is the bare `</mediawiki>` trailer. This is exactly
+    * the shape [[dumpStreamOffsets]]/[[readDumpFragments]] split.
+    */
+  def writeMultistreamDump(batches: Seq[Seq[WikiPage]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def stream(text: String): Unit = out.write(Compression.encode(
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8), "bzip2"))
+    batches.zipWithIndex.foreach { case (ps, i) =>
+      val sb = new java.lang.StringBuilder(1024)
+      if (i == 0)
+        sb.append("<mediawiki xmlns=\"http://www.mediawiki.org/xml/" +
+          "export-0.11/\">\n  <siteinfo>\n    <sitename>graft" +
+          "</sitename>\n  </siteinfo>\n")
+      ps.foreach(appendPageXml(sb, _))
+      stream(sb.toString)
+    }
+    stream("</mediawiki>\n")
+    out.toByteArray
   }
 
   private def xmlEscape(s: String): String =
