@@ -4355,6 +4355,55 @@ object SparkEntry {
             graft.llmops.Compression.decompressCol(col("content")).cast("string"))
           .agg(count(lit(1)).as("n"),
             sum(length(col("plain"))).cast("long").as("chars"))
+      }),
+      "s06_wiki_ingest" -> ((s, dir) => {
+        val ss = tuned(s)
+        import ss.implicits._
+        // wiki-dump ingest throughput at corpus scale: each doc becomes
+        // a one-page bzip2 dump INSIDE the map task (markup constructs
+        // wrapped around the corpus text — headings, links, templates,
+        // refs — so the cleaner does real work), then the parse +
+        // wikitext-clean kernel runs in the scan projection
+        val dumps = t(ss, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            val wikitext = s"== Sec$id ==\n'''Doc''' $id has " +
+              s"[[Link$id|label$id]] and {{tmpl|$id}} inline.<ref>c$id" +
+              s"</ref>\n$text\n* item $id"
+            (id, graft.llmops.WikiDump.writeDump(Seq(
+              graft.llmops.WikiDump.WikiPage(s"Page $id", 0, id, null,
+                wikitext)), Some("bzip2")))
+          }.toDF("doc_id", "content")
+        dumps.select(explode(
+            graft.llmops.WikiDump.pagesCol(col("content"))).as("p"))
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("p.plain"))).cast("long").as("chars"))
+      }),
+      "s07_cdx_planfetches" -> ((s, dir) => {
+        val ss = tuned(s)
+        import ss.implicits._
+        // fetch planning over a synthetic index that scales with the
+        // corpus: 20 captures per doc (sf1 → 10⁶ captures), several
+        // captures per URL so the keep-latest window does real work;
+        // shard synthesis is distributed (one CDXJ shard per doc row)
+        val shards = t(ss, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            // static object access only — a captured `val C = Cdx`
+            // alias would drag the non-serializable object into the task
+            val rs = (0 until 20).map { k =>
+              val u = id * 7 + k / 2 // two captures per URL
+              graft.llmops.Cdx.CdxRecord(s"com,h${u % 1000})/p/$u",
+                s"2026010${1 + (id + k) % 9}000000",
+                s"https://h${u % 1000}.com/p/$u",
+                if ((u + k) % 4 == 0) "application/pdf" else "text/html",
+                Int.box(if ((u + k) % 7 == 0) 404 else 200),
+                s"sha1:D$u", s"crawl-${u % 64}.warc.gz",
+                java.lang.Long.valueOf(u * 100), java.lang.Long.valueOf(77))
+            }
+            (id, graft.llmops.Cdx.writeIndex(rs, None))
+          }.toDF("doc_id", "content")
+        graft.llmops.Warc.planFetches(shards, "content")
       })
     )
 
