@@ -2666,7 +2666,7 @@ object SparkEntry {
     "q158_codec_roundtrip" -> ((s, dir) => {
       // compressed-corpus codecs as one scan projection: per doc the SAME
       // closed-form body wrapped by every codec writer twin (bzip2 /
-      // gzip / lz4 / snappy / xz / zstd) plus a junk tier; graft_decompress sniffs
+      // compress / gzip / lz4 / snappy / xz / zstd) plus a junk tier; graft_decompress sniffs
       // the magic, every codec tier must reproduce the body exactly
       // (length + head), junk rows vanish. Oracle rebuilds the body from
       // doc_id math and brute-forces the codec cross product
@@ -4925,7 +4925,7 @@ object SparkEntry {
              'doc ' || doc_id || ': ' ||
                repeat('seg' || doc_id || ' ', CAST(1 + doc_id % 7 AS INTEGER)) AS body
            FROM documents WHERE doc_id < 250),
-         codecs AS (SELECT unnest(['bzip2','gzip','lz4','snappy','xz','zstd']) AS codec)
+         codecs AS (SELECT unnest(['bzip2','compress','gzip','lz4','snappy','xz','zstd']) AS codec)
          SELECT b.doc_id, c.codec,
            CAST(length(b.body) AS BIGINT) AS n_chars,
            substr(b.body, 1, 16) AS head

@@ -253,7 +253,7 @@ object WarcRecords {
     null // unreachable
   }
 
-  /** Peel `Content-Encoding: gzip|x-gzip|deflate|br` from an HTTP
+  /** Peel `Content-Encoding: gzip|x-gzip|deflate|br|compress` from an HTTP
     * entity body (real crawls store the wire bytes). `deflate` tries
     * zlib then the bare stream (both occur in the wild); `br` is the
     * native [[graft.llmops.Brotli]] kernel. Unknown encodings and
@@ -290,6 +290,9 @@ object WarcRecords {
           if (out == null) body else out
         case "br" =>
           val out = graft.llmops.Brotli.decode(body)
+          if (out == null) body else out
+        case "compress" | "x-compress" =>
+          val out = graft.llmops.Lzw.decode(body)
           if (out == null) body else out
         case _ => body
       }

@@ -2,7 +2,7 @@ package graft.llmops
 
 /** One front door for the compressed-corpus codecs: magic-number
   * sniffing and decode dispatch over gzip/zlib-deflate (JDK), bzip2, xz,
-  * zstd, lz4 and framed snappy (native kernels) — plus brotli, which
+  * zstd, lz4, framed snappy and LZW .Z (native kernels) — plus brotli, which
   * carries NO magic bytes and therefore never sniffs: it joins only the
   * explicitly-named paths (decode/encode by codec name, `.br` file
   * suffix, HTTP `Content-Encoding: br`). Symmetric encode dispatch
@@ -19,7 +19,8 @@ object Compression {
     * `snappy` is the FRAMED format (the raw block format has no magic
     * to sniff; [[Snappy.decodeRaw]] serves it explicitly).
     */
-  val Codecs: Seq[String] = Seq("gzip", "bzip2", "xz", "zstd", "lz4", "snappy")
+  val Codecs: Seq[String] =
+    Seq("gzip", "bzip2", "xz", "zstd", "lz4", "snappy", "compress")
 
   /** Every codec [[decode]]/[[encode]] accept BY NAME — [[Codecs]] plus
     * brotli, which cannot be sniffed (no magic) and so never appears in
@@ -58,6 +59,7 @@ object Compression {
     else if (u(0) == 0x04 && u(1) == 0x22 && u(2) == 0x4D && u(3) == 0x18)
       Some("lz4")
     else if (Snappy.isFramed(bytes)) Some("snappy")
+    else if (Lzw.isCompressed(bytes)) Some("compress")
     else None
   }
 
@@ -69,6 +71,7 @@ object Compression {
     case "zstd" => "application/zstd"
     case "lz4" => "application/x-lz4"
     case "snappy" => "application/x-snappy-framed"
+    case "compress" => "application/x-compress"
     case "br" => "application/x-brotli"
     case other => other
   }
@@ -107,6 +110,7 @@ object Compression {
     case "zstd" => Zstd.decode(bytes)
     case "lz4" => Lz4.decode(bytes)
     case "snappy" => Snappy.decodeFramed(bytes)
+    case "compress" => Lzw.decode(bytes)
     case "br" => Brotli.decode(bytes)
     case _ => null
   }
@@ -126,6 +130,7 @@ object Compression {
     case "zstd" => ZstdWriter.encode(bytes)
     case "lz4" => Lz4Writer.encode(bytes)
     case "snappy" => SnappyWriter.encode(bytes)
+    case "compress" => Lzw.encode(bytes)
     case "br" => Brotli.encode(bytes)
     case other => throw new IllegalArgumentException(s"unknown codec $other")
   }
@@ -138,6 +143,7 @@ object Compression {
     case "zstd" => ".zst"
     case "lz4" => ".lz4"
     case "snappy" => ".sz"
+    case "compress" => ".Z"
     case "br" => ".br"
     case other => throw new IllegalArgumentException(s"unknown codec $other")
   }
@@ -151,6 +157,8 @@ object Compression {
     else if (n.endsWith(".zst") || n.endsWith(".zstd")) Some("zstd")
     else if (n.endsWith(".lz4")) Some("lz4")
     else if (n.endsWith(".sz") || n.endsWith(".snappy")) Some("snappy")
+    else if (n.endsWith(".z") && !n.endsWith(".gz") && !n.endsWith(".xz"))
+      Some("compress") // .Z lowercased; gzip/xz suffixes already matched
     else if (n.endsWith(".br")) Some("br")
     else None
   }
