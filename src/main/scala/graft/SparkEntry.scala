@@ -2437,6 +2437,56 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q171_blocklist_join" -> ((s, dir) => {
+      // the SHUFFLED blocklist path (HostSuffixes explode -> semi-join
+      // the domain list -> anti-join hit ids; maxCollectEntries = 0
+      // forces it) over synthetic URLs. List carries a registrable tail
+      // (example3.com), a deep host entry (d5.example2.com) and a
+      // never-matching domain; label-aligned suffix semantics replayed
+      // as doc_id modular arithmetic in SQL. Unparseable URLs survive
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = t(ss, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, lit("not a url"))
+            .otherwise(concat(lit("https://w"), col("doc_id"), lit(".d"),
+              col("doc_id") % 50, lit(".example"), col("doc_id") % 7,
+              lit(".com/p"), col("doc_id"))).as("url"))
+      val list = Seq("example3.com", "d5.example2.com", "junk.example9.net")
+        .toDF("domain")
+      graft.llmops.UrlCuration.blocklistFilter(src, "url", list,
+          maxCollectEntries = 0L)
+        .select(col("doc_id"), col("url"))
+        .orderBy("doc_id")
+    }),
+
+    "q172_multistream_dump" -> ((s, dir) => {
+      // the multistream FILE path end to end: 30-page bzip2 streams
+      // concatenated into ONE temp .xml.bz2 (the published dump shape),
+      // split by the parallel magic scan (8 KB ranges force many
+      // tasks), re-fragmented under a 16 KB cap at page boundaries,
+      // parsed + wikitext-cleaned. Page text is q159's shape, so the
+      // oracle replays that closed form over plain doc_id math
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q172_file", _ => {
+        val ids = t(ss, dir, "documents").filter(col("doc_id") < 240)
+          .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+        val batches = ids.grouped(30).map(_.map(id =>
+          graft.llmops.WikiDump.WikiPage(s"Page $id", 0, id, null,
+            s"== Sec$id ==\n'''Page''' $id has [[Link$id|label$id]] and " +
+              s"{{tmpl|$id}} more.<ref>c$id</ref>\n* item $id"))).toSeq
+        val f = java.nio.file.Files.createTempFile("graft-q172", ".xml.bz2")
+        java.nio.file.Files.write(f,
+          graft.llmops.WikiDump.writeMultistreamDump(batches))
+        f.toString
+      })
+      graft.llmops.WikiDump.articles(
+          graft.llmops.WikiDump.readDumpFragments(ss, path,
+            maxFragmentBytes = 16 << 10, rangeBytes = 8192), "content")
+        .select(col("page_id"), col("title"), col("plain"))
+        .orderBy("page_id")
+    }),
+
     "q170_brotli" -> ((s, dir) => {
       // brotli joins the codec family via the EXPLICITLY named path (no
       // magic to sniff — q158's sniffing cross product stays six-codec):
@@ -4714,6 +4764,29 @@ object SparkEntry {
          WHERE bit_count(xor(a.dh_hi, b.dh_hi))
              + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
          ORDER BY key_a, key_b""",
+
+    // q171: suffix-blocked iff parseable AND (tail example3.com or the
+    // deep d5.example2.com host); not-a-url rows are kept
+    "q171_blocklist_join" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN 'not a url'
+                ELSE 'https://w' || doc_id || '.d' || (doc_id % 50) ||
+                     '.example' || (doc_id % 7) || '.com/p' || doc_id
+           END AS url
+         FROM documents
+         WHERE doc_id < 2000
+           AND NOT (doc_id % 13 <> 0 AND
+             (doc_id % 7 = 3 OR (doc_id % 50 = 5 AND doc_id % 7 = 2)))
+         ORDER BY doc_id""",
+
+    // q172: the q159 cleaning closed form, every page main-namespace
+    "q172_multistream_dump" ->
+      """SELECT doc_id AS page_id,
+           'Page ' || doc_id AS title,
+           'Sec' || doc_id || chr(10) ||
+             'Page ' || doc_id || ' has label' || doc_id || ' and more.' ||
+             chr(10) || 'item ' || doc_id AS plain
+         FROM documents WHERE doc_id < 240 ORDER BY page_id""",
 
     // q170: store-mode brotli rows reproduce the closed-form body;
     // junk rows decode NULL and vanish
