@@ -6,7 +6,10 @@ package graft.llmops
   * Reference hook: arbitrary-binary document ingestion,
   * `aje_libs/documents/helpers/document_processor.py:10-83`.
   *
-  * Implemented — the full frame with no external dictionary: frame
+  * Implemented — the full frame format INCLUDING external dictionaries
+  * (RFC 8878 section 5: trained dictionaries with default entropy
+  * tables + initial repeat offsets + content history, raw-content
+  * dictionaries, per-frame Dictionary_ID validation): frame
   * header (window descriptor, single-segment sizes, content checksum =
   * low 32 bits of XXH64, VERIFIED); raw/RLE/compressed blocks; literals
   * in all four forms (raw, RLE, Huffman with 1 or 4 streams, treeless
@@ -376,7 +379,25 @@ object Zstd {
   /** Decompress a complete zstd stream (concatenated + skippable frames);
     * null on any failure.
     */
-  def decode(bytes: Array[Byte]): Array[Byte] = {
+  def decode(bytes: Array[Byte]): Array[Byte] = decode(bytes, null: Dict)
+
+  /** Decode with an external dictionary (RFC 8878 section 5): `dict` is
+    * either a TRAINED dictionary (magic 0xEC30A437: dictID, default
+    * entropy tables, initial repeat offsets, content) or any other
+    * bytes, which serve as a RAW CONTENT dictionary (pure match-history
+    * prefix, id 0). Each frame re-initializes from the dictionary, its
+    * declared Dictionary_ID must match a trained dict's, and frames
+    * that declare NO id still decode (the reference tools omit the id
+    * under --no-dictID). Null on a malformed dictionary, an id
+    * mismatch, or any frame corruption.
+    */
+  def decode(bytes: Array[Byte], dict: Array[Byte]): Array[Byte] = {
+    val d = if (dict == null) null else parseDict(dict)
+    if (dict != null && d == null) return null
+    decode(bytes, d)
+  }
+
+  private def decode(bytes: Array[Byte], dict: Dict): Array[Byte] = {
     if (bytes == null || bytes.length < 4) return null
     val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 3, 1 << 20))
     var i = 0
@@ -392,13 +413,56 @@ object Zstd {
         i += 8 + sz
       } else if (magic == 0xFD2FB528) {
         sawFrame = true
-        i = decodeFrame(bytes, i + 4, out)
+        i = decodeFrame(bytes, i + 4, out, dict)
         if (i < 0) return null
       } else if (magic == 0 && sawFrame && allZero(bytes, i)) {
         return out.toByteArray // trailing pad
       } else return null
     }
     if (!sawFrame) null else out.toByteArray
+  }
+
+  /** Parsed external dictionary (RFC 8878 section 5). */
+  private final class Dict(val id: Long, val huff: HuffTable,
+      val ofTab: FseTable, val mlTab: FseTable, val llTab: FseTable,
+      val reps: Array[Int], val content: Array[Byte])
+
+  private def parseDict(d: Array[Byte]): Dict = {
+    if (d == null || d.length == 0 || d.length > MaxOut) return null
+    if (d.length < 8 || rd32(d, 0) != 0xEC30A437)
+      // raw content dictionary: pure history prefix, default everything
+      return new Dict(0L, null, null, null, null, Array(1, 4, 8), d)
+    val id = rd32(d, 4).toLong & 0xFFFFFFFFL
+    var i = 8
+    val h = huffReadTable(d, i, d.length)
+    if (h == null) return null
+    i += h._2
+    // reference load order (ZSTD_loadDEntropy): Huffman, OF, ML, LL
+    def fse(maxSym: Int, maxLog: Int): FseTable = {
+      val fbr = new FwdBr(d, i, d.length)
+      val r = fseReadTable(fbr, maxSym, maxLog)
+      if (r == null || fbr.overrun) return null
+      i = fbr.bytePosAfter
+      fseBuild(r._1, r._2)
+    }
+    val of = fse(31, 8)
+    if (of == null) return null
+    val ml = fse(52, 9)
+    if (ml == null) return null
+    val ll = fse(35, 9)
+    if (ll == null) return null
+    if (i + 12 > d.length) return null
+    val contentSize = d.length - (i + 12)
+    val reps = new Array[Int](3)
+    var k = 0
+    while (k < 3) {
+      reps(k) = rd32(d, i)
+      if (reps(k) <= 0 || reps(k) > contentSize) return null
+      i += 4
+      k += 1
+    }
+    new Dict(id, h._1, of, ml, ll, reps,
+      java.util.Arrays.copyOfRange(d, i, d.length))
   }
 
   private def allZero(b: Array[Byte], from: Int): Boolean = {
@@ -430,7 +494,7 @@ object Zstd {
   }
 
   private def decodeFrame(b: Array[Byte], start: Int,
-      out: java.io.ByteArrayOutputStream): Int = {
+      out: java.io.ByteArrayOutputStream, dict: Dict): Int = {
     var i = start
     if (i >= b.length) return -1
     val fhd = b(i) & 0xff
@@ -450,7 +514,16 @@ object Zstd {
       val windowAdd = (windowBase / 8) * (wd & 7)
       if (windowBase + windowAdd > MaxOut) return -1
     }
-    if (didCode != 0) return -1 // external dictionaries unsupported
+    if (didCode != 0) {
+      if (dict == null) return -1 // a dictionary frame needs its dict
+      val didLen = didCode match { case 1 => 1; case 2 => 2; case _ => 4 }
+      if (i + didLen > b.length) return -1
+      var did = 0L
+      var k = 0
+      while (k < didLen) { did |= (b(i + k) & 0xffL) << (8 * k); k += 1 }
+      i += didLen
+      if (did != 0 && did != dict.id) return -1 // wrong dictionary
+    }
     var contentSize = -1L
     val fcsLen = fcsCode match {
       case 0 => if (singleSegment) 1 else 0
@@ -468,6 +541,21 @@ object Zstd {
       i += fcsLen
     }
     val ctx = new FrameCtx
+    var base = 0
+    if (dict != null) {
+      // the dictionary content is virtual history: matches reach into
+      // it through the ordinary offset check, and the trained entropy
+      // tables serve the first block's "repeat" modes
+      base = dict.content.length
+      if (!ctx.ensure(base)) return -1
+      System.arraycopy(dict.content, 0, ctx.win, 0, base)
+      ctx.nWin = base
+      ctx.rep1 = dict.reps(0); ctx.rep2 = dict.reps(1)
+      ctx.rep3 = dict.reps(2)
+      ctx.huff = dict.huff
+      ctx.llTab = dict.llTab; ctx.mlTab = dict.mlTab
+      ctx.ofTab = dict.ofTab
+    }
     var last = false
     while (!last) {
       if (i + 3 > b.length) return -1
@@ -494,12 +582,13 @@ object Zstd {
         case _ => return -1
       }
     }
-    if (contentSize >= 0 && ctx.nWin != contentSize) return -1
-    out.write(ctx.win, 0, ctx.nWin)
+    if (contentSize >= 0 && ctx.nWin - base != contentSize) return -1
+    out.write(ctx.win, base, ctx.nWin - base)
     if (out.size() > MaxOut) return -1
     if (checksumFlag) {
       if (i + 4 > b.length) return -1
-      val expect = (XxHash.xxh64(ctx.win, 0, ctx.nWin, 0L) & 0xFFFFFFFFL).toInt
+      val expect =
+        (XxHash.xxh64(ctx.win, base, ctx.nWin - base, 0L) & 0xFFFFFFFFL).toInt
       if (rd32(b, i) != expect) return -1
       i += 4
     }
