@@ -67,3 +67,35 @@ case class DecodeBytes(child: Expression, codec: String)
   override protected def withNewChildInternal(
       newChild: Expression): DecodeBytes = copy(child = newChild)
 }
+
+/** Dictionary-zstd decompression in the scan projection:
+  * `graft_zstd_dict(content)` with the dictionary riding the expression
+  * (broadcast once inside the task binary, the classifier-model
+  * convention) — the read path for dictionary-compressed shard corpora,
+  * where a shared small dictionary is how 100-TB shard farms keep tiny
+  * per-record framing cheap. NULL on decode failure or a wrong
+  * dictionary, same degrade contract as the other decode kernels.
+  */
+case class ZstdDictDecode(child: Expression, dict: Array[Byte])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_zstd_dict"
+
+  override protected def nullSafeEval(content: Any): Any =
+    graft.llmops.Zstd.decode(content.asInstanceOf[Array[Byte]], dict)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dictRef = ctx.addReferenceObj("dict", dict, "byte[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.llmops.Zstd.decode($c, $dictRef);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ZstdDictDecode = copy(child = newChild)
+}

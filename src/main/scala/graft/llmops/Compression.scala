@@ -45,6 +45,17 @@ object Compression {
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(content),
         codec))
 
+  /** [[graft.expressions.ZstdDictDecode]] as a Column: decode
+    * dictionary-compressed zstd frames in the scan projection, the
+    * dictionary riding the expression once per task binary.
+    */
+  def zstdDictCol(content: org.apache.spark.sql.Column,
+      dict: Array[Byte]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.ZstdDictDecode(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content),
+        dict))
+
   /** Sniff the codec from magic bytes; None when not a known container. */
   def sniffCodec(bytes: Array[Byte]): Option[String] = {
     if (bytes == null || bytes.length < 6) return None

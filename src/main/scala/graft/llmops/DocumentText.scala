@@ -75,11 +75,14 @@ object DocumentText {
         Eml.mboxMessages(bytes)
           .map(ms => ms.flatMap(Eml.emlText).mkString("\n\n"))
           .filter(_.nonEmpty)
-      case m if Compression.Codecs.map(Compression.codecMime).contains(m) =>
+      case m if Compression.NamedCodecs.map(Compression.codecMime).contains(m) =>
         // compressed container: decompress, then extract the payload by
         // ITS sniffed format — one level only (a payload that sniffs to
-        // another compressed container refuses rather than recursing)
-        val codec = Compression.Codecs.find(c => Compression.codecMime(c) == m).get
+        // another compressed container refuses rather than recursing).
+        // NamedCodecs admits brotli here: its mime can only arrive from
+        // an EXPLICIT caller (HTTP headers), never from sniffing
+        val codec =
+          Compression.NamedCodecs.find(c => Compression.codecMime(c) == m).get
         Option(Compression.decode(bytes, codec)).flatMap { inner =>
           sniffMime(inner) match {
             case Some(im) if Compression.Codecs.map(Compression.codecMime).contains(im) =>

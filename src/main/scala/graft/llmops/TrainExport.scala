@@ -162,7 +162,8 @@ object TrainExport {
     * without changing the parse. Pair with `Trigger.AvailableNow` for
     * catch-up runs or a processing-time trigger for live landing.
     */
-  def readJsonlShardsStream(spark: SparkSession, dir: String): DataFrame = {
+  def readJsonlShardsStream(spark: SparkSession, dir: String,
+      zstdDict: Option[Array[Byte]] = None): DataFrame = {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("path",
@@ -180,7 +181,13 @@ object TrainExport {
         val plain = Compression.sniffCodec(bytes)
           .orElse(Compression.codecForName(path)) match {
           // suffix fallback: brotli carries no magic to sniff, so .br
-          // shards decode by NAME; all other codecs sniff as before
+          // shards decode by NAME; all other codecs sniff as before.
+          // Dictionary-compressed zstd shards sniff fine but refuse the
+          // plain decode — retry against the shared dictionary
+          case Some("zstd") =>
+            val d = Compression.decode(bytes, "zstd")
+            if (d != null) d
+            else zstdDict.map(Zstd.decode(bytes, _)).orNull
           case Some(c) => Compression.decode(bytes, c)
           case None => bytes
         }
@@ -194,7 +201,13 @@ object TrainExport {
       .toDF("file", "pos", "line")
   }
 
-  def readJsonlShards(spark: SparkSession, dir: String): DataFrame = {
+  /** `zstdDict`: shard farms often compress every shard against one
+    * shared trained dictionary (tiny per-record framing, one dictionary
+    * broadcast) — when a zstd shard refuses the plain decode, it is
+    * retried against this dictionary before being dropped.
+    */
+  def readJsonlShards(spark: SparkSession, dir: String,
+      zstdDict: Option[Array[Byte]] = None): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(s"$dir/*")
       .select(col("path"), col("content"))
@@ -203,7 +216,13 @@ object TrainExport {
         val plain = Compression.sniffCodec(bytes)
           .orElse(Compression.codecForName(path)) match {
           // suffix fallback: brotli carries no magic to sniff, so .br
-          // shards decode by NAME; all other codecs sniff as before
+          // shards decode by NAME; all other codecs sniff as before.
+          // Dictionary-compressed zstd shards sniff fine but refuse the
+          // plain decode — retry against the shared dictionary
+          case Some("zstd") =>
+            val d = Compression.decode(bytes, "zstd")
+            if (d != null) d
+            else zstdDict.map(Zstd.decode(bytes, _)).orNull
           case Some(c) => Compression.decode(bytes, c)
           case None => bytes
         }
