@@ -2437,6 +2437,40 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q173_warc_split" -> ((s, dir) => {
+      // splittable .warc.gz: ONE per-record-gzip archive file over the
+      // docs (the Common Crawl storage shape), recovered by the
+      // parallel member walk at 64 KB ranges — members straddle range
+      // boundaries by construction — then parsed by the ordinary
+      // response path. The oracle replays the bodies as doc_id math,
+      // so any lost/duplicated/torn member breaks the hash
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q173_file", _ => {
+        val docs = t(ss, dir, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val entries = docs.map { case (id, text) =>
+          (s"https://split.example.com/p$id", null: String, 200,
+            "text/plain",
+            (s"Doc $id\n$text")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }.toSeq
+        val f = java.nio.file.Files.createTempFile("graft-q173", ".warc.gz")
+        java.nio.file.Files.write(f,
+          graft.llmops.WarcWriter.write(entries, gzipMembers = true))
+        f.toString
+      })
+      val members = graft.llmops.Warc
+        .splitArchiveMembers(ss, path, 1 << 16)
+        .withColumnRenamed("offset", "member_off")
+      graft.llmops.Warc.warcPages(members, "member_off", "content")
+        .select(
+          regexp_extract(col("target_uri"), "p(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("page_text").as("text"))
+        .orderBy("doc_id")
+    }),
+
     "q171_blocklist_join" -> ((s, dir) => {
       // the SHUFFLED blocklist path (HostSuffixes explode -> semi-join
       // the domain list -> anti-join hit ids; maxCollectEntries = 0
@@ -4764,6 +4798,11 @@ object SparkEntry {
          WHERE bit_count(xor(a.dh_hi, b.dh_hi))
              + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
          ORDER BY key_a, key_b""",
+
+    // q173: the parallel member walk loses nothing, duplicates nothing
+    "q173_warc_split" ->
+      """SELECT doc_id, 'Doc ' || doc_id || chr(10) || text AS text
+         FROM documents WHERE doc_id < 300 ORDER BY doc_id""",
 
     // q171: suffix-blocked iff parseable AND (tail example3.com or the
     // deep d5.example2.com host); not-a-url rows are kept
