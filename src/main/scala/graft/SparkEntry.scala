@@ -2437,6 +2437,39 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q174_warc_zst_split" -> ((s, dir) => {
+      // splittable .warc.zst (IIPC layout): one zstd frame per record
+      // behind a leading skippable dictionary frame, recovered by the
+      // parallel frame walk at 64 KB ranges. Same closed form as q173,
+      // so the two container conventions are held to one contract
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q174_file", _ => {
+        val docs = t(ss, dir, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val entries = docs.map { case (id, text) =>
+          (s"https://zsplit.example.com/p$id", null: String, 200,
+            "text/plain",
+            (s"Doc $id\n$text")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }.toSeq
+        val f = java.nio.file.Files.createTempFile("graft-q174", ".warc.zst")
+        java.nio.file.Files.write(f,
+          graft.llmops.WarcWriter.writeZstMembers(entries,
+            dict = Some("graft zstd dictionary stub".getBytes)))
+        f.toString
+      })
+      val members = graft.llmops.Warc
+        .splitZstdArchiveMembers(ss, path, 1 << 16)
+        .withColumnRenamed("offset", "member_off")
+      graft.llmops.Warc.warcPages(members, "member_off", "content")
+        .select(
+          regexp_extract(col("target_uri"), "p(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("page_text").as("text"))
+        .orderBy("doc_id")
+    }),
+
     "q173_warc_split" -> ((s, dir) => {
       // splittable .warc.gz: ONE per-record-gzip archive file over the
       // docs (the Common Crawl storage shape), recovered by the
@@ -4798,6 +4831,11 @@ object SparkEntry {
          WHERE bit_count(xor(a.dh_hi, b.dh_hi))
              + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
          ORDER BY key_a, key_b""",
+
+    // q174: the zstd container convention under the q173 contract
+    "q174_warc_zst_split" ->
+      """SELECT doc_id, 'Doc ' || doc_id || chr(10) || text AS text
+         FROM documents WHERE doc_id < 300 ORDER BY doc_id""",
 
     // q173: the parallel member walk loses nothing, duplicates nothing
     "q173_warc_split" ->

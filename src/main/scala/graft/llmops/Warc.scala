@@ -463,6 +463,65 @@ object Warc {
       .toDF("offset", "content")
   }
 
+  /** Splittable `.warc.zst` (the IIPC convention: one zstd frame per
+    * record, optionally a LEADING SKIPPABLE DICTIONARY FRAME, magic
+    * 0x184D2A5D, whose payload — raw or itself zstd-compressed — is the
+    * dictionary every record frame was compressed against). Same
+    * exactly-once range discipline as [[splitArchiveMembers]]; the
+    * 4-byte frame magic plus a full structural decode validates task
+    * starts. `dict` overrides the archive's own dictionary frame.
+    */
+  def splitZstdArchiveMembers(spark: org.apache.spark.sql.SparkSession,
+      path: String, rangeBytes: Int = 32 << 20,
+      dict: Option[Array[Byte]] = None): DataFrame = {
+    import spark.implicits._
+    require(rangeBytes >= (1 << 16), "rangeBytes must be at least 64 KiB")
+    val confB = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val p0 = new org.apache.hadoop.fs.Path(path)
+    val fs0 = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fileLen = fs0.getFileStatus(p0).getLen
+    // dictionary: explicit param, else the archive's leading skippable
+    // dictionary frame (payload possibly zstd-wrapped), else none
+    val dictBytes: Array[Byte] = dict.getOrElse {
+      val in = fs0.open(p0)
+      try {
+        val head = new Array[Byte](8)
+        if (fileLen >= 8) in.readFully(0L, head, 0, 8)
+        val magic = (head(0) & 0xff) | ((head(1) & 0xff) << 8) |
+          ((head(2) & 0xff) << 16) | ((head(3) & 0xff) << 24)
+        val sz = (head(4) & 0xff) | ((head(5) & 0xff) << 8) |
+          ((head(6) & 0xff) << 16) | ((head(7) & 0xff) << 24)
+        if (fileLen >= 8 && magic == 0x184D2A5D && sz > 0 &&
+          sz <= (64 << 20) && 8L + sz <= fileLen) {
+          val raw = new Array[Byte](sz)
+          in.readFully(8L, raw, 0, sz)
+          val unwrapped = Zstd.decode(raw)
+          if (unwrapped != null) unwrapped else raw
+        } else null
+      } finally in.close()
+    }
+    val parsedDict =
+      if (dictBytes == null) null else Zstd.parseDict(dictBytes)
+    if (dictBytes != null && parsedDict == null)
+      throw new IllegalArgumentException("malformed zstd dictionary")
+    val dictB = spark.sparkContext.broadcast(dictBytes)
+    val ranges = (0L until fileLen by rangeBytes.toLong)
+      .map(st => (st, math.min(st + rangeBytes, fileLen)))
+    ranges.toDF("start", "end")
+      .repartition(math.min(ranges.size, 4096))
+      .as[(Long, Long)]
+      .flatMap { case (start, end) =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(confB.value)
+        val in = fs.open(p)
+        val d = if (dictB.value == null) null else Zstd.parseDict(dictB.value)
+        try WarcSplit.walkZstRange(in, start, end, fileLen, d)
+        finally in.close()
+      }
+      .toDF("offset", "content")
+  }
+
   /** Plan partition-pruned WARC fetches from CDXJ index shards — the
     * index IS the 100-TB navigation layer: instead of scanning archives,
     * filter the captures (status / mime / host predicates push into the
@@ -590,6 +649,33 @@ object WarcWriter {
     ascii("0" + CRLF)
     trailer.foreach { case (k, v) => ascii(s"$k: $v" + CRLF) }
     ascii(CRLF)
+    out.toByteArray
+  }
+
+  /** IIPC-style `.warc.zst`: optional leading skippable DICTIONARY
+    * frame (magic 0x184D2A5D; `compressDict` zstd-wraps the payload as
+    * the reference tools do), then ONE zstd frame per record — the
+    * layout [[Warc.splitZstdArchiveMembers]] recovers in parallel.
+    * Frames come from the store-mode twin, so they decode with or
+    * without the dictionary.
+    */
+  def writeZstMembers(entries: Seq[(String, String, Int, String, Array[Byte])],
+      date: String = "2026-01-01T00:00:00Z",
+      dict: Option[Array[Byte]] = None,
+      compressDict: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    dict.foreach { d =>
+      val payload = if (compressDict) Compression.encode(d, "zstd") else d
+      out.write(Array[Byte](0x5D, 0x2A, 0x4D, 0x18))
+      var v = payload.length
+      for (_ <- 0 until 4) { out.write(v & 0xff); v >>= 8 }
+      out.write(payload)
+    }
+    val records = warcinfo(date) +:
+      entries.map { case (uri, d, status, mime, body) =>
+        responseRecord(uri, if (d == null) date else d, status, mime, body)
+      }
+    records.foreach(r => out.write(Compression.encode(r, "zstd")))
     out.toByteArray
   }
 

@@ -79,6 +79,100 @@ private[llmops] object WarcSplit {
     -1L
   }
 
+  /** Range walk over per-record ZSTD archives (the IIPC `.warc.zst`
+    * convention: one frame per record, optionally a leading skippable
+    * dictionary frame). Same discipline as the gzip walk: a task's
+    * first member is the first data-frame magic in its range that
+    * decodes STRUCTURALLY end-to-end (4-byte magic + full block-chain
+    * decode — with the checksum verified when present), then frames
+    * chain sequentially; skippable frames pass through silently.
+    */
+  def walkZstRange(in: org.apache.hadoop.fs.FSDataInputStream, start: Long,
+      end: Long, fileLen: Long,
+      dict: Zstd.Dict): Iterator[(Long, Array[Byte])] = {
+    val win = new Window(in, start, fileLen)
+    val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    // candidates are data-frame OR skippable magics (an archive can open
+    // with its dictionary frame, and a dictionary payload may itself be
+    // a zstd frame — chaining through the skippable is what keeps that
+    // inner magic from being mistaken for a member). A candidate proves
+    // itself only when its chain reaches a DATA member that STARTS in
+    // this range; one that first reaches a data member beyond the range
+    // belongs to the next task.
+    var pos = -1L
+    var cand = findZstCandidate(win, start, end)
+    while (pos < 0 && cand >= 0) {
+      var p = cand
+      var candEnd = cand + 1 // resume point if this candidate fails:
+                             // past its own frame when that decoded (a
+                             // skippable's PAYLOAD must not be rescanned
+                             // — a wrapped dictionary is a valid frame)
+      var dataOff = -1L
+      var data: Array[Byte] = null
+      var failed = false
+      while (dataOff < 0 && !failed) {
+        zstFrameAt(win, p, dict) match {
+          case null => failed = true
+          case (bytes, next) =>
+            if (p == cand) candEnd = next
+            if (bytes.nonEmpty) { dataOff = p; data = bytes }
+            p = next
+            if (dataOff < 0 && (p >= win.fileLen || p >= end)) failed = true
+        }
+      }
+      if (dataOff >= 0 && dataOff < end) {
+        members += ((dataOff, data))
+        pos = p
+      } else if (dataOff >= end) {
+        cand = -1 // the next task owns that member; nothing earlier left
+      } else cand = findZstCandidate(win, candEnd, end)
+    }
+    var walking = pos >= 0
+    while (walking && pos < end && pos < fileLen) {
+      zstFrameAt(win, pos, dict) match {
+        case null => walking = false
+        case (bytes, next) =>
+          if (bytes.nonEmpty) members += ((pos, bytes))
+          pos = next
+      }
+    }
+    members.iterator
+  }
+
+  private def findZstCandidate(win: Window, from: Long, end: Long): Long = {
+    var i = math.max(from, win.base)
+    val lim = math.min(end, win.fileLen - 3)
+    while (i < lim) {
+      val b0 = win.get(i)
+      if ((b0 == 0x28 || (b0 >= 0x50 && b0 <= 0x5F)) &&
+        win.get(i + 1) == (if (b0 == 0x28) 0xB5 else 0x2A) &&
+        win.get(i + 2) == (if (b0 == 0x28) 0x2F else 0x4D) &&
+        win.get(i + 3) == (if (b0 == 0x28) 0xFD else 0x18)) return i
+      i += 1
+    }
+    -1L
+  }
+
+  /** [[Zstd.frameAt]] against the window: the frame length is unknown
+    * until decoded, so truncation retries with a doubled span until the
+    * file end backs the refusal.
+    */
+  private def zstFrameAt(win: Window, off: Long,
+      dict: Zstd.Dict): (Array[Byte], Long) = {
+    var span = 1L << 16
+    while (true) {
+      val upto = math.min(off + span, win.fileLen)
+      win.ensure(upto)
+      val arr = java.util.Arrays.copyOfRange(win.buf, win.rel(off),
+        win.rel(upto))
+      val r = Zstd.frameAt(arr, 0, dict)
+      if (r != null) return (r._1, off + r._2)
+      if (upto >= win.fileLen) return null
+      span *= 2
+    }
+    null // unreachable
+  }
+
   /** Decode ONE gzip member at `off`: (decoded bytes, next offset), or
     * null on any malformation — header structure, deflate error,
     * truncation, CRC-32 or ISIZE mismatch, 64 MB cap.

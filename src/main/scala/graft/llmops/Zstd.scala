@@ -81,7 +81,7 @@ object Zstd {
 
   // ---------------- FSE ----------------
 
-  private final class FseTable(val tableLog: Int) {
+  private[llmops] final class FseTable(val tableLog: Int) {
     val size: Int = 1 << tableLog
     val symbol = new Array[Int](size)
     val nbBits = new Array[Int](size)
@@ -217,7 +217,7 @@ object Zstd {
 
   // ---------------- Huffman ----------------
 
-  private final class HuffTable(val maxBits: Int) {
+  private[llmops] final class HuffTable(val maxBits: Int) {
     val size: Int = 1 << maxBits
     val symbol = new Array[Byte](size)
     val length = new Array[Byte](size)
@@ -422,12 +422,35 @@ object Zstd {
     if (!sawFrame) null else out.toByteArray
   }
 
+  /** Decode exactly ONE frame whose magic starts at `off`: (content,
+    * offset after the frame), or null on malformation/truncation — the
+    * member primitive of the splittable `.warc.zst` walker. Skippable
+    * frames yield (empty, next).
+    */
+  private[llmops] def frameAt(b: Array[Byte], off: Int,
+      dict: Dict): (Array[Byte], Int) = {
+    try {
+      if (off + 4 > b.length) return null
+      val magic = rd32(b, off)
+      if ((magic & 0xFFFFFFF0) == 0x184D2A50) {
+        if (off + 8 > b.length) return null
+        val sz = rd32(b, off + 4)
+        if (sz < 0 || off + 8 + sz.toLong > b.length) return null
+        return (Array.emptyByteArray, off + 8 + sz)
+      }
+      if (magic != 0xFD2FB528) return null
+      val out = new java.io.ByteArrayOutputStream(1 << 16)
+      val next = decodeFrame(b, off + 4, out, dict)
+      if (next < 0) null else (out.toByteArray, next)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
   /** Parsed external dictionary (RFC 8878 section 5). */
-  private final class Dict(val id: Long, val huff: HuffTable,
+  private[llmops] final class Dict(val id: Long, val huff: HuffTable,
       val ofTab: FseTable, val mlTab: FseTable, val llTab: FseTable,
       val reps: Array[Int], val content: Array[Byte])
 
-  private def parseDict(d: Array[Byte]): Dict = {
+  private[llmops] def parseDict(d: Array[Byte]): Dict = {
     if (d == null || d.length == 0 || d.length > MaxOut) return null
     if (d.length < 8 || rd32(d, 0) != 0xEC30A437)
       // raw content dictionary: pure history prefix, default everything
