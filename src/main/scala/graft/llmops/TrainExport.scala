@@ -206,6 +206,26 @@ object TrainExport {
     * broadcast) — when a zstd shard refuses the plain decode, it is
     * retried against this dictionary before being dropped.
     */
+  /** Line rows from ONE giant multistream `.jsonl.bz2` (the pbzip2
+    * shape: independent member streams, splittable by [[Bz2Streams]]) —
+    * the per-FILE readers cap at 64 MB decoded and one task per file,
+    * so a 10 GB pbzip2 shard needs this per-STREAM path: every member
+    * decodes in its own task. `(file = path@offset, pos = line index
+    * within the member, line)`.
+    */
+  def readJsonlMultistream(spark: SparkSession, path: String,
+      rangeBytes: Int = 32 << 20): DataFrame = {
+    import spark.implicits._
+    Bz2Streams.readStreams(spark, path, rangeBytes)
+      .as[(Long, Array[Byte])]
+      .flatMap { case (off, plain) =>
+        val text = new String(plain, java.nio.charset.StandardCharsets.UTF_8)
+        text.split("\n", -1).iterator.filter(_.nonEmpty).zipWithIndex
+          .map { case (line, idx) => (s"$path@$off", idx.toLong, line) }
+      }
+      .toDF("file", "pos", "line")
+  }
+
   def readJsonlShards(spark: SparkSession, dir: String,
       zstdDict: Option[Array[Byte]] = None): DataFrame = {
     import spark.implicits._

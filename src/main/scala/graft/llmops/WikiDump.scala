@@ -71,7 +71,9 @@ object WikiDump {
     * file-source path splits it WITHOUT ever materializing the file in
     * one place:
     *
-    *  1. [[dumpStreamOffsets]] — parallel byte-range scan (default
+    *  1. [[dumpStreamOffsets]] (= [[Bz2Streams.offsets]], the shared
+    *     splitter every concatenated-bz2 layout uses — pbzip2 files
+    *     included) — parallel byte-range scan (default
     *     32 MB ranges, one task each; a 20 GB dump is ~640 tasks) for
     *     the 10-byte bzip2 stream magic (`BZh` + level + block magic
     *     0x314159265359, byte-aligned because every multistream member
@@ -93,34 +95,8 @@ object WikiDump {
     * the 64 MB codec cap refuse the same way.
     */
   def dumpStreamOffsets(spark: org.apache.spark.sql.SparkSession,
-      path: String, rangeBytes: Int = 32 << 20): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.col
-    import spark.implicits._
-    require(rangeBytes >= 1024, "rangeBytes must be at least 1 KiB")
-    val confB = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val fileLen = fileLength(spark, path)
-    val ranges = (0L until fileLen by rangeBytes.toLong)
-      .map(s => (s, math.min(s + rangeBytes, fileLen))).toSeq
-    ranges.toDF("start", "end")
-      .repartition(math.min(ranges.size, 4096))
-      .as[(Long, Long)]
-      .flatMap { case (start, end) =>
-        // +16 overlap: a magic beginning in [start, end) is matched
-        // even when its tail crosses the range end
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(confB.value)
-        val in = fs.open(p)
-        val buf = new Array[Byte]((end - start + 16).toInt)
-        val got =
-          try { in.seek(start); readUpTo(in, buf) } finally in.close()
-        (0 until math.min(got, (end - start).toInt))
-          .filter(i => got - i >= 10 && isBz2StreamMagic(buf, i))
-          .map(i => start + i)
-      }
-      .toDF("offset")
-      .orderBy(col("offset"))
-  }
+      path: String, rangeBytes: Int = 32 << 20): org.apache.spark.sql.DataFrame =
+    Bz2Streams.offsets(spark, path, rangeBytes)
 
   /** (content) rows — one ≤`maxFragmentBytes` `<pages>`-wrapped fragment
     * per chunk of whole pages — from a multistream dump file. See
@@ -129,33 +105,12 @@ object WikiDump {
   def readDumpFragments(spark: org.apache.spark.sql.SparkSession,
       path: String, maxFragmentBytes: Int = MaxBytes,
       rangeBytes: Int = 32 << 20): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
     import spark.implicits._
     require(maxFragmentBytes > 32, "maxFragmentBytes too small")
-    val confB = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val fileLen = fileLength(spark, path)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("offset"))
-    // (offset, next) pairs: a single narrow-row shuffle over ~1 long per
-    // ~1 MB of dump; the decompressed corpus itself never shuffles
-    val slices = dumpStreamOffsets(spark, path, rangeBytes)
-      .withColumn("next",
-        coalesce(lead(col("offset"), 1).over(w), lit(fileLen)))
-      .repartition(col("offset"))
-    slices.as[(Long, Long)].flatMap { case (off, next) =>
-      val len = (next - off).toInt
-      if (len <= 0 || len > MaxBytes) Iterator.empty
-      else {
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(confB.value)
-        val in = fs.open(p)
-        val buf = new Array[Byte](len)
-        try { in.seek(off); in.readFully(buf, 0, len) } finally in.close()
-        val xml = Bzip2.decode(buf)
-        if (xml == null) Iterator.empty
-        else splitPageFragments(xml, maxFragmentBytes).iterator
-      }
-    }.toDF("content")
+    Bz2Streams.readStreams(spark, path, rangeBytes)
+      .select("content").as[Array[Byte]]
+      .flatMap(xml => splitPageFragments(xml, maxFragmentBytes).iterator)
+      .toDF("content")
   }
 
   /** A multistream dump FILE → the deduped corpus in one call: the
@@ -170,31 +125,9 @@ object WikiDump {
     ingestDumps(spark, readDumpFragments(spark, path, maxFragmentBytes,
       rangeBytes), "content", corpusPath, signaturePath, lockStore)
 
-  private def fileLength(spark: org.apache.spark.sql.SparkSession,
-      path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(p).getLen
-  }
-
-  private def readUpTo(in: org.apache.hadoop.fs.FSDataInputStream,
-      buf: Array[Byte]): Int = {
-    var got = 0
-    var n = 0
-    while (got < buf.length && n >= 0) {
-      n = in.read(buf, got, buf.length - got)
-      if (n > 0) got += n
-    }
-    got
-  }
-
-  /** `BZh` + level digit + compressed block magic 0x314159265359. */
+  /** `BZh` + level + block magic ([[Bz2Streams.isStreamMagic]]). */
   private[llmops] def isBz2StreamMagic(b: Array[Byte], i: Int): Boolean =
-    b(i) == 'B' && b(i + 1) == 'Z' && b(i + 2) == 'h' &&
-      b(i + 3) >= '1' && b(i + 3) <= '9' &&
-      (b(i + 4) & 0xff) == 0x31 && (b(i + 5) & 0xff) == 0x41 &&
-      (b(i + 6) & 0xff) == 0x59 && (b(i + 7) & 0xff) == 0x26 &&
-      (b(i + 8) & 0xff) == 0x53 && (b(i + 9) & 0xff) == 0x59
+    Bz2Streams.isStreamMagic(b, i)
 
   /** Trim `xml` to its `<page>…</page>` span and split at page
     * boundaries into `<pages>`-wrapped fragments of at most `cap`
