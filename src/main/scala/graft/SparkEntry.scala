@@ -4496,6 +4496,42 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"),
             sum(length(col("p.plain"))).cast("long").as("chars"))
       }),
+      "s08_warc_split_full" -> ((s, dir) => {
+        // splittable-archive throughput: ONE per-record-gzip .warc.gz
+        // over the whole corpus, recovered by the parallel member walk
+        // at 1 MB ranges and parsed end to end. The file is built once
+        // per JVM (fixturePaths cache) so the interleaved-pass MIN
+        // measures the READ side, not the synthesis
+        val ss = tuned(s)
+        val path = fixturePaths.computeIfAbsent(s"$dir::s08_file", _ => {
+          val docs = t(ss, dir, "documents")
+            .select(col("doc_id"), col("text")).collect()
+            .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+          val f = java.nio.file.Files.createTempFile("graft-s08", ".warc.gz")
+          val out = new java.io.BufferedOutputStream(
+            java.nio.file.Files.newOutputStream(f), 1 << 20)
+          out.write(graft.llmops.WarcWriter.warcinfo("2026-01-01T00:00:00Z"))
+          docs.foreach { case (id, text) =>
+            val rec = graft.llmops.WarcWriter.responseRecord(
+              s"https://s08.example.com/p$id", "2026-01-01T00:00:00Z", 200,
+              "text/plain",
+              (s"Doc $id\n$text")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val gz = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(gz)
+            g.write(rec); g.finish()
+            out.write(gz.toByteArray)
+          }
+          out.close()
+          f.toString
+        })
+        val members = graft.llmops.Warc
+          .splitArchiveMembers(ss, path, 1 << 20)
+          .withColumnRenamed("offset", "member_off")
+        graft.llmops.Warc.warcPages(members, "member_off", "content")
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("page_text"))).cast("long").as("chars"))
+      }),
       "s07_cdx_planfetches" -> ((s, dir) => {
         val ss = tuned(s)
         import ss.implicits._

@@ -32,6 +32,10 @@ private[llmops] object WarcSplit {
     }
 
     def get(abs: Long): Int = {
+      // reads past EOF must THROW (callers catch → null), never hand
+      // back stale buffer capacity — an FNAME scan on a truncated
+      // member would otherwise walk garbage
+      if (abs >= fileLen) throw new ArrayIndexOutOfBoundsException
       ensure(abs + 1)
       buf((abs - base).toInt) & 0xff
     }

@@ -372,6 +372,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(shuffles <= 1, s"expected at most one shuffle:\n${plan.take(3000)}")
   }
 
+  test("named-codec decode (brotli) is scan-projection local: no shuffle") {
+    import org.apache.spark.sql.functions._
+    val src = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    val df = src.withColumn("plain",
+        graft.llmops.Compression.decodeCol(col("content"), "br")
+          .cast("string"))
+      .select(col("doc_id"), length(col("plain")).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(plan.contains("graft_decode"), plan.take(2000))
+  }
+
   test("decompress + parse pipelines stay in the scan projection: no shuffle") {
     import org.apache.spark.sql.functions._
     val src = spark.read.parquet(s"$sf0001/documents.parquet")
