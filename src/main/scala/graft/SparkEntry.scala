@@ -2437,6 +2437,38 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q175_jsonl_multistream" -> ((s, dir) => {
+      // pbzip2-scale JSONL: ONE giant multistream .jsonl.bz2 (40-line
+      // member streams — the pbzip2 block layout) read back as line
+      // rows by the shared Bz2Streams splitter at 8 KB ranges; lines
+      // re-parsed to (doc_id, text) against the plain closed form
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q175_file", _ => {
+        val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val out = new java.io.ByteArrayOutputStream()
+        docs.grouped(40).foreach { g =>
+          val lines = g.map { case (id, text) =>
+            val esc = text.replace("\\", "\\\\").replace("\"", "\\\"")
+            s"""{"doc_id":$id,"text":"$esc"}"""
+          }
+          out.write(graft.llmops.Compression.encode(
+            lines.mkString("", "\n", "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8), "bzip2"))
+        }
+        val f = java.nio.file.Files.createTempFile("graft-q175", ".jsonl.bz2")
+        java.nio.file.Files.write(f, out.toByteArray)
+        f.toString
+      })
+      val lines = graft.llmops.TrainExport.readJsonlMultistream(ss, path,
+        rangeBytes = 8192)
+      lines.select(
+          get_json_object(col("line"), "$.doc_id").cast("long").as("doc_id"),
+          get_json_object(col("line"), "$.text").as("text"))
+        .orderBy("doc_id")
+    }),
+
     "q174_warc_zst_split" -> ((s, dir) => {
       // splittable .warc.zst (IIPC layout): one zstd frame per record
       // behind a leading skippable dictionary frame, recovered by the
@@ -4867,6 +4899,11 @@ object SparkEntry {
          WHERE bit_count(xor(a.dh_hi, b.dh_hi))
              + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
          ORDER BY key_a, key_b""",
+
+    // q175: the pbzip2 JSONL shape round-trips losslessly per line
+    "q175_jsonl_multistream" ->
+      """SELECT doc_id, text
+         FROM documents WHERE doc_id < 400 ORDER BY doc_id""",
 
     // q174: the zstd container convention under the q173 contract
     "q174_warc_zst_split" ->

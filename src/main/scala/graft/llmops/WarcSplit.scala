@@ -163,18 +163,22 @@ private[llmops] object WarcSplit {
     */
   private def zstFrameAt(win: Window, off: Long,
       dict: Zstd.Dict): (Array[Byte], Long) = {
+    // span cap: a legitimate member is ≤ 64 MB decoded, so its frame
+    // cannot exceed ~64 MB + headers compressed — without the cap a
+    // corrupt multi-GB file would retry the copy all the way to EOF
+    val maxSpan = (MaxMember.toLong + (1 << 20))
     var span = 1L << 16
-    while (true) {
-      val upto = math.min(off + span, win.fileLen)
+    while (span <= maxSpan * 2) {
+      val upto = math.min(off + math.min(span, maxSpan), win.fileLen)
       win.ensure(upto)
       val arr = java.util.Arrays.copyOfRange(win.buf, win.rel(off),
         win.rel(upto))
       val r = Zstd.frameAt(arr, 0, dict)
       if (r != null) return (r._1, off + r._2)
-      if (upto >= win.fileLen) return null
+      if (upto >= win.fileLen || span >= maxSpan) return null
       span *= 2
     }
-    null // unreachable
+    null
   }
 
   /** Decode ONE gzip member at `off`: (decoded bytes, next offset), or
