@@ -10,7 +10,10 @@ package graft.llmops
   * every member is a complete bzip2 file), consecutive offsets pair
   * into slices (narrow rows — compressed corpus bytes never shuffle),
   * and each slice seeks + reads exactly its bytes and decodes with the
-  * CRC-verifying [[Bzip2]] kernel. A false magic inside compressed
+  * CRC-verifying [[Bzip2]] kernel. Reference hook: compressed-corpus
+  * ingestion, `aje_libs/documents/helpers/document_processor.py:10-83`
+  * — the reference handles one upload at a time; a 100 TB corpus's
+  * "upload" is a multi-GB archive that must split across executors. A false magic inside compressed
   * payload (P ≈ bytes × 2⁻⁸⁰) makes its slice pair decode null and
   * drop — degrade, never mis-parse.
   */

@@ -1,0 +1,34 @@
+package graft.llmops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dev-only: large mutation sweep over the whole reference corpus —
+  * never-throw under tens of thousands of corruptions. Assume-guarded.
+  */
+class BrotliBigFuzzDev extends AnyFunSuite {
+  test("50k mutations over the corpus never throw") {
+    val dir = new java.io.File("/tmp/brotli_fuzz")
+    assume(dir.isDirectory)
+    val seeds = dir.listFiles().filter(_.getName.endsWith(".br"))
+      .map(f => java.nio.file.Files.readAllBytes(f.toPath))
+      .filter(_.length > 4)
+    val r = new java.util.Random(2026)
+    var n = 0
+    while (n < 50000) {
+      val seed = seeds(r.nextInt(seeds.length))
+      val m = seed.clone()
+      val flips = 1 + r.nextInt(4)
+      for (_ <- 0 until flips)
+        m(r.nextInt(m.length)) = (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+      val out = Brotli.decode(m)
+      if (out != null) assert(out.length <= (64 << 20))
+      // truncations too
+      if (n % 5 == 0) {
+        val cut = java.util.Arrays.copyOf(seed, 1 + r.nextInt(seed.length))
+        val o2 = Brotli.decode(cut)
+        if (o2 != null) assert(o2.length <= (64 << 20))
+      }
+      n += 1
+    }
+  }
+}
