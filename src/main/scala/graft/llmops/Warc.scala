@@ -431,7 +431,9 @@ object Warc {
     *     the range end; a member straddling the boundary belongs to the
     *     task where it STARTED, so every member lands exactly once.
     *
-    * Returns one row per member: (offset, content = the decoded record
+    * Accepts a single file, a glob, or a directory (a crawl bucket of
+    * thousands of archives fans out into one range list). Returns one
+    * row per member: (path, offset, content = the decoded record
     * bytes), ready for [[warcRecords]]/[[warcResponses]]/[[crawlTexts]]
     * — the whole crawl family becomes archive-splittable with no other
     * change. Members over 64 MB decoded, corrupt mid-range members stop
@@ -440,27 +442,50 @@ object Warc {
     * member boundaries to find: they fall back to one member per file.
     */
   def splitArchiveMembers(spark: org.apache.spark.sql.SparkSession,
-      path: String, rangeBytes: Int = 32 << 20): DataFrame = {
+      pathOrGlob: String, rangeBytes: Int = 32 << 20): DataFrame = {
     import spark.implicits._
     require(rangeBytes >= (1 << 16), "rangeBytes must be at least 64 KiB")
     val confB = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val p0 = new org.apache.hadoop.fs.Path(path)
-    val fileLen = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(p0).getLen
-    val ranges = (0L until fileLen by rangeBytes.toLong)
-      .map(st => (st, math.min(st + rangeBytes, fileLen)))
-    ranges.toDF("start", "end")
-      .repartition(math.min(ranges.size, 4096))
-      .as[(Long, Long)]
-      .flatMap { case (start, end) =>
-        val p = new org.apache.hadoop.fs.Path(path)
+    val ranges = archiveRanges(spark, pathOrGlob, rangeBytes)
+    ranges.toDF("path", "len", "start", "end")
+      .repartition(math.min(math.max(1, ranges.size), 4096))
+      .as[(String, Long, Long, Long)]
+      .flatMap { case (file, fileLen, start, end) =>
+        val p = new org.apache.hadoop.fs.Path(file)
         val fs = p.getFileSystem(confB.value)
         val in = fs.open(p)
         try WarcSplit.walkRange(in, start, end, fileLen)
+          .map { case (off, bytes) => (file, off, bytes) }.toSeq
         finally in.close()
       }
-      .toDF("offset", "content")
+      .toDF("path", "offset", "content")
+  }
+
+  /** (path, fileLen, start, end) range rows for every file the glob
+    * names — a crawl bucket of thousands of archives fans out into one
+    * range list (file boundaries are natural range boundaries).
+    */
+  private def archiveRanges(spark: org.apache.spark.sql.SparkSession,
+      pathOrGlob: String,
+      rangeBytes: Int): Seq[(String, Long, Long, Long)] = {
+    val p0 = new org.apache.hadoop.fs.Path(pathOrGlob)
+    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = {
+      val globbed = fs.globStatus(p0)
+      if (globbed == null || globbed.isEmpty)
+        throw new java.io.FileNotFoundException(pathOrGlob)
+      globbed.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+        else Array(st)
+      }
+    }
+    for {
+      st <- statuses.toSeq
+      len = st.getLen
+      start <- 0L until math.max(1L, len) by rangeBytes.toLong
+    } yield (st.getPath.toString, len, start,
+      math.min(start + rangeBytes, len))
   }
 
   /** Splittable `.warc.zst` (the IIPC convention: one zstd frame per
@@ -472,54 +497,59 @@ object Warc {
     * starts. `dict` overrides the archive's own dictionary frame.
     */
   def splitZstdArchiveMembers(spark: org.apache.spark.sql.SparkSession,
-      path: String, rangeBytes: Int = 32 << 20,
+      pathOrGlob: String, rangeBytes: Int = 32 << 20,
       dict: Option[Array[Byte]] = None): DataFrame = {
     import spark.implicits._
     require(rangeBytes >= (1 << 16), "rangeBytes must be at least 64 KiB")
     val confB = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val p0 = new org.apache.hadoop.fs.Path(path)
-    val fs0 = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fileLen = fs0.getFileStatus(p0).getLen
-    // dictionary: explicit param, else the archive's leading skippable
-    // dictionary frame (payload possibly zstd-wrapped), else none
-    val dictBytes: Array[Byte] = dict.getOrElse {
-      val in = fs0.open(p0)
-      try {
-        val head = new Array[Byte](8)
-        if (fileLen >= 8) in.readFully(0L, head, 0, 8)
-        val magic = (head(0) & 0xff) | ((head(1) & 0xff) << 8) |
-          ((head(2) & 0xff) << 16) | ((head(3) & 0xff) << 24)
-        val sz = (head(4) & 0xff) | ((head(5) & 0xff) << 8) |
-          ((head(6) & 0xff) << 16) | ((head(7) & 0xff) << 24)
-        if (fileLen >= 8 && magic == 0x184D2A5D && sz > 0 &&
-          sz <= (64 << 20) && 8L + sz <= fileLen) {
-          val raw = new Array[Byte](sz)
-          in.readFully(8L, raw, 0, sz)
-          val unwrapped = Zstd.decode(raw)
-          if (unwrapped != null) unwrapped else raw
-        } else null
-      } finally in.close()
-    }
-    val parsedDict =
-      if (dictBytes == null) null else Zstd.parseDict(dictBytes)
-    if (dictBytes != null && parsedDict == null)
-      throw new IllegalArgumentException("malformed zstd dictionary")
-    val dictB = spark.sparkContext.broadcast(dictBytes)
-    val ranges = (0L until fileLen by rangeBytes.toLong)
-      .map(st => (st, math.min(st + rangeBytes, fileLen)))
-    ranges.toDF("start", "end")
-      .repartition(math.min(ranges.size, 4096))
-      .as[(Long, Long)]
-      .flatMap { case (start, end) =>
-        val p = new org.apache.hadoop.fs.Path(path)
+    val ranges = archiveRanges(spark, pathOrGlob, rangeBytes)
+    val fs0 = new org.apache.hadoop.fs.Path(pathOrGlob)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // per-ARCHIVE dictionary: explicit param, else each file's leading
+    // skippable dictionary frame (payload possibly zstd-wrapped)
+    val dictByPath: Map[String, Array[Byte]] =
+      ranges.map(_._1).distinct.map { file =>
+        val bytes = dict.getOrElse {
+          val p = new org.apache.hadoop.fs.Path(file)
+          val fileLen = ranges.find(_._1 == file).get._2
+          val in = fs0.open(p)
+          try {
+            val head = new Array[Byte](8)
+            if (fileLen >= 8) in.readFully(0L, head, 0, 8)
+            val magic = (head(0) & 0xff) | ((head(1) & 0xff) << 8) |
+              ((head(2) & 0xff) << 16) | ((head(3) & 0xff) << 24)
+            val sz = (head(4) & 0xff) | ((head(5) & 0xff) << 8) |
+              ((head(6) & 0xff) << 16) | ((head(7) & 0xff) << 24)
+            if (fileLen >= 8 && magic == 0x184D2A5D && sz > 0 &&
+              sz <= (64 << 20) && 8L + sz <= fileLen) {
+              val raw = new Array[Byte](sz)
+              in.readFully(8L, raw, 0, sz)
+              val unwrapped = Zstd.decode(raw)
+              if (unwrapped != null) unwrapped else raw
+            } else null
+          } finally in.close()
+        }
+        if (bytes != null && Zstd.parseDict(bytes) == null)
+          throw new IllegalArgumentException(
+            s"malformed zstd dictionary for $file")
+        file -> bytes
+      }.toMap
+    val dictB = spark.sparkContext.broadcast(dictByPath)
+    ranges.toDF("path", "len", "start", "end")
+      .repartition(math.min(math.max(1, ranges.size), 4096))
+      .as[(String, Long, Long, Long)]
+      .flatMap { case (file, fileLen, start, end) =>
+        val p = new org.apache.hadoop.fs.Path(file)
         val fs = p.getFileSystem(confB.value)
         val in = fs.open(p)
-        val d = if (dictB.value == null) null else Zstd.parseDict(dictB.value)
+        val d = dictB.value.get(file).flatMap(Option(_))
+          .map(Zstd.parseDict).orNull
         try WarcSplit.walkZstRange(in, start, end, fileLen, d)
+          .map { case (off, bytes) => (file, off, bytes) }.toSeq
         finally in.close()
       }
-      .toDF("offset", "content")
+      .toDF("path", "offset", "content")
   }
 
   /** Plan partition-pruned WARC fetches from CDXJ index shards — the

@@ -24,7 +24,7 @@ class WarcSplitSpec extends SparkTestBase {
 
   private def memberRows(path: String, rangeBytes: Int) =
     Warc.splitArchiveMembers(spark, path, rangeBytes).collect()
-      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("content")))
+      .map(r => (r.getAs[Long]("offset"), r.getAs[Array[Byte]]("content")))
       .sortBy(_._1)
 
   test("members recovered exactly once at any range size; union = whole file") {
@@ -101,6 +101,25 @@ class WarcSplitSpec extends SparkTestBase {
     rows.zip(bodies).foreach { case ((_, got), want) =>
       assert(java.util.Arrays.equals(got, want))
     }
+  }
+
+  test("a directory of archives fans out into one member list") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcglob")
+    for (k <- 0 until 3) {
+      val es = (0 until 5).map(i =>
+        (s"https://g$k.example.org/p/$i", "2026-03-01T00:00:00Z", 200,
+          "text/plain", s"file $k rec $i".getBytes("UTF-8")))
+      java.nio.file.Files.write(dir.resolve(f"crawl-$k%02d.warc.gz"),
+        WarcWriter.write(es, gzipMembers = true))
+    }
+    val rows = Warc.splitArchiveMembers(spark, dir.toString, 1 << 16)
+      .collect()
+    assert(rows.length === 18) // 3 files x (warcinfo + 5)
+    val byPath = rows.groupBy(_.getAs[String]("path")).view.mapValues(_.length)
+    assert(byPath.size === 3 && byPath.values.forall(_ == 6))
+    // glob form names the same set
+    assert(Warc.splitArchiveMembers(spark,
+      dir.toString + "/crawl-*.warc.gz", 1 << 16).count() === 18)
   }
 
   test("truncation drops the cut member, earlier members survive") {

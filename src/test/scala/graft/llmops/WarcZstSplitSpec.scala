@@ -53,7 +53,7 @@ class WarcZstSplitSpec extends SparkTestBase {
   private def memberRows(path: String, range: Int = 1 << 16,
       dict: Option[Array[Byte]] = None) =
     Warc.splitZstdArchiveMembers(spark, path, range, dict).collect()
-      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("content")))
+      .map(r => (r.getAs[Long]("offset"), r.getAs[Array[Byte]]("content")))
       .sortBy(_._1)
 
   test("store-mode twin archives recover exactly once at any range size") {
