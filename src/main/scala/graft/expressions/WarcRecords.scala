@@ -193,18 +193,26 @@ object WarcRecords {
       }
     }
     val rawBody = java.util.Arrays.copyOfRange(p, pos, p.length)
-    // Wire order is content-code THEN chunk: de-chunk first, then peel
-    // Content-Encoding. A malformed chunk stream keeps the wire bytes
-    // (one mangled body must not refuse the archive) and the peel then
-    // degrades the same way.
-    val isChunked = transfer != null &&
-      transfer.split(',').exists(_.trim == "chunked")
-    val entity =
-      if (!isChunked) rawBody
-      else {
-        val d = dechunk(rawBody)
-        if (d == null) rawBody else d
+    // Wire order: Transfer-Encoding codings apply last-listed-first on
+    // the wire, with "chunked" required to be last (RFC 9112) — so
+    // de-chunk, then peel the REMAINING transfer codings right-to-left
+    // (a legal if rare "gzip, chunked"), then Content-Encoding. Every
+    // step degrades to its input bytes (one mangled body must not
+    // refuse the archive).
+    val codings =
+      if (transfer == null) Array.empty[String]
+      else transfer.split(',').map(_.trim).filter(_.nonEmpty)
+    var entity = rawBody
+    var k = codings.length - 1
+    while (k >= 0) {
+      entity = codings(k) match {
+        case "chunked" =>
+          val d = dechunk(entity)
+          if (d == null) entity else d
+        case other => contentDecode(entity, other)
       }
+      k -= 1
+    }
     (Int.box(status), mime, contentDecode(entity, encoding))
   }
 

@@ -219,6 +219,43 @@ object DedupOps {
     docs.join(bad, docs(keyCol) === col("__badkey"), "left_anti")
   }
 
+  /** Bloom-filter form of [[decontaminate]] — the SCALE path when the
+    * benchmark union is too big to broadcast as an exact set: a GPT-3
+    * style eval suite union runs to 10⁸⁺ distinct n-grams (gigabytes as
+    * exact strings), but a Bloom filter at `fpp` holds them in a few
+    * hundred MB riding the task binary. Error is ONE-SIDED in the safe
+    * direction for decontamination: every exactly-contaminated document
+    * is removed (no false keeps — the property that matters for eval
+    * integrity), while a false positive only over-removes ~fpp of the
+    * clean corpus. Spark's BloomFilter is deterministic (fixed seeds),
+    * so reruns drop the same rows. One scan of the benchmark to build,
+    * one scan of the corpus to screen — corpus content never shuffles.
+    */
+  def decontaminateBloom(
+      docs: DataFrame,
+      keyCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 8,
+      expectedGrams: Long = 10000000L,
+      fpp: Double = 0.001
+  ): DataFrame = {
+    def grams(c: Column): Column =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.WordNGrams(
+          org.apache.spark.sql.graft.ColumnBridge.expressionEager(c),
+          n, distinct = true))
+    val bloom = bench
+      .select(explode(grams(col(benchTextCol))).alias("gram"))
+      .stat.bloomFilter("gram", expectedGrams, fpp)
+    val bloomB = docs.sparkSession.sparkContext.broadcast(bloom)
+    val hit = udf { gs: scala.collection.Seq[String] =>
+      gs != null && gs.exists(bloomB.value.mightContainString)
+    }
+    docs.filter(!hit(grams(col(textCol))))
+  }
+
   /** Streaming exact dedup: drops re-occurrences of the same normalized
     * text fingerprint within the event-time watermark window —
     * `dropDuplicatesWithinWatermark` keeps state bounded (a plain

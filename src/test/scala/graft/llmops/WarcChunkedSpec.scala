@@ -85,6 +85,17 @@ class WarcChunkedSpec extends SparkTestBase {
     assert(payloadOf(archive(rec3)).toSeq == bad.toSeq)
   }
 
+  test("layered transfer codings: 'gzip, chunked' peels right-to-left") {
+    // legal though rare: gzip applied first, chunked last on the wire —
+    // the reader de-chunks, then gunzips the transfer layer, with no
+    // Content-Encoding header involved
+    val wire = WarcWriter.chunked(gzip(page), 17)
+    val rec = WarcWriter.responseRecordWire("https://e/tc",
+      "2026-01-01T00:00:00Z", 200, "text/html",
+      Seq("Transfer-Encoding" -> "gzip, chunked"), wire)
+    assert(payloadOf(archive(rec)).toSeq == page.toSeq)
+  }
+
   test("malformed chunks keep the wire bytes; archive never refuses") {
     val good = WarcWriter.chunked(page, 9)
     val bads = Seq[Array[Byte]](
