@@ -2437,6 +2437,33 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q176_tfrecord_shards" -> ((s, dir) => {
+      // trainer-facing TFRecord export: corpus → hash-sharded
+      // shard-NNNNN.tfrecord.gz files (length+masked-CRC32C framing,
+      // tf.train.Example protobuf payloads from the from-scratch wire
+      // codec) → loader-side read-back. Identity on (doc_id, text,
+      // n_chars) — the hash covers the full text AND the int64 feature
+      // path, so framing, CRCs, varints and the packed lists all prove
+      // out against the oracle
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))
+      val tmp = fixturePaths.computeIfAbsent(s"$dir::q176_dir", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-q176")
+          .toString + "/sh"
+        graft.llmops.TfRecord.writeShards(docs, "doc_id", 6, d, gzip = true)
+        d
+      })
+      graft.llmops.TfRecord.readExamples(ss, tmp)
+        .select(
+          element_at(col("int64_feats"), "doc_id").getItem(0).as("doc_id"),
+          decode(element_at(col("bytes_feats"), "text").getItem(0), "UTF-8")
+            .as("text"),
+          element_at(col("int64_feats"), "n_chars").getItem(0).as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "q175_jsonl_multistream" -> ((s, dir) => {
       // pbzip2-scale JSONL: ONE giant multistream .jsonl.bz2 (40-line
       // member streams — the pbzip2 block layout) read back as line
@@ -5168,6 +5195,13 @@ object SparkEntry {
                   'Page ' || doc_id || ' has label' || doc_id || ' and more.' ||
                   chr(10) || 'item ' || doc_id END AS plain
          FROM documents WHERE doc_id < 240 ORDER BY page_id""",
+
+    // q176: TFRecord shard write + read-back is the identity on
+    // (doc_id, text, n_chars) — framing CRCs, protobuf varints and
+    // packed lists all sit under the full-text hash
+    "q176_tfrecord_shards" ->
+      """SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents WHERE doc_id < 400 ORDER BY doc_id""",
 
     // q160: shard write + read-back is the identity on (doc_id, text)
     // per codec — the strongest oracle (hash covers the full text)
