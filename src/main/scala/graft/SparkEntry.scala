@@ -2437,6 +2437,33 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q177_megatron_indexed" -> ((s, dir) => {
+      // Megatron indexed-dataset export: closed-form uint16 token
+      // streams (doc_id*131 + 7i² — below the mod ceiling, so the
+      // oracle replays count and sum exactly) → .bin/.idx shard pairs →
+      // reader recovers every sequence; doc_id comes back out of the
+      // first token, so sizes, pointers and the dtype decode all sit
+      // under the hash
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          transform(sequence(lit(0L), pmod(col("doc_id"), lit(7L)) + 1L),
+            i => col("doc_id") * 131L + i * i * 7L).as("toks"))
+      val tmp = fixturePaths.computeIfAbsent(s"$dir::q177_dir", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-q177")
+          .toString + "/ds"
+        graft.llmops.Megatron.writeIndexed(docs, "doc_id", "toks", 6, d,
+          "uint16")
+        d
+      })
+      graft.llmops.Megatron.readIndexed(ss, tmp)
+        .select(
+          floor(element_at(col("tokens"), 1) / 131).cast("long").as("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          aggregate(col("tokens"), lit(0L), (a, x) => a + x).as("tok_sum"))
+        .orderBy("doc_id")
+    }),
+
     "q176_tfrecord_shards" -> ((s, dir) => {
       // trainer-facing TFRecord export: corpus → hash-sharded
       // shard-NNNNN.tfrecord.gz files (length+masked-CRC32C framing,
@@ -5195,6 +5222,17 @@ object SparkEntry {
                   'Page ' || doc_id || ' has label' || doc_id || ' and more.' ||
                   chr(10) || 'item ' || doc_id END AS plain
          FROM documents WHERE doc_id < 240 ORDER BY page_id""",
+
+    // q177: indexed-dataset roundtrip — n = (doc_id%7)+2 tokens of
+    // doc_id*131 + 7i², so count and sum have closed forms
+    // (sum i², i<n = (n-1)n(2n-1)/6) and doc_id returns via token 0
+    "q177_megatron_indexed" ->
+      """SELECT doc_id,
+           CAST((doc_id % 7) + 2 AS BIGINT) AS n_tokens,
+           CAST(((doc_id % 7) + 2) * (doc_id * 131)
+                + 7 * ((doc_id % 7) + 1) * ((doc_id % 7) + 2)
+                    * (2 * ((doc_id % 7) + 2) - 1) / 6 AS BIGINT) AS tok_sum
+         FROM documents WHERE doc_id < 400 ORDER BY doc_id""",
 
     // q176: TFRecord shard write + read-back is the identity on
     // (doc_id, text, n_chars) — framing CRCs, protobuf varints and
