@@ -2437,6 +2437,37 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q178_zim_archive" -> ((s, dir) => {
+      // offline-wiki ZIM ingestion: ONE archive over the docs (zstd
+      // clusters, sorted pointer lists, md5 trailer) read back through
+      // the cluster-parallel walk — content identity for text/plain
+      // pages plus one-hop redirect resolution. The oracle replays
+      // urls, titles and full text from the documents table
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q178_file", _ => {
+        val docs = t(ss, dir, "documents").filter(col("doc_id") < 320)
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val content = docs.filter(_._1 < 300).map { case (id, text) =>
+          ("A", f"page$id%05d", s"Doc $id", "text/plain",
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }.toSeq
+        val redirects = docs.filter(_._1 >= 300).map { case (id, _) =>
+          ("A", s"r$id", s"Redirect $id", ("A", f"page${id - 300}%05d"))
+        }.toSeq
+        val f = java.nio.file.Files.createTempFile("graft-q178", ".zim")
+        java.nio.file.Files.write(f,
+          graft.llmops.ZimWriter.write(content, redirects, "zstd",
+            blobsPerCluster = 16))
+        f.toString
+      })
+      graft.llmops.Zim.readEntries(ss, path)
+        .select(col("url"), col("title"), col("mime"), col("redirect_url"),
+          when(col("content").isNotNull, decode(col("content"), "UTF-8"))
+            .as("text"))
+        .orderBy("url")
+    }),
+
     "q177_megatron_indexed" -> ((s, dir) => {
       // Megatron indexed-dataset export: closed-form uint16 token
       // streams (doc_id*131 + 7i² — below the mod ceiling, so the
@@ -5222,6 +5253,20 @@ object SparkEntry {
                   'Page ' || doc_id || ' has label' || doc_id || ' and more.' ||
                   chr(10) || 'item ' || doc_id END AS plain
          FROM documents WHERE doc_id < 240 ORDER BY page_id""",
+
+    // q178: ZIM roundtrip — pages replay verbatim (hash covers full
+    // text), redirects resolve to their target entry's ns/url
+    "q178_zim_archive" ->
+      """SELECT 'page' || lpad(CAST(doc_id AS VARCHAR), 5, '0') AS url,
+           'Doc ' || doc_id AS title, 'text/plain' AS mime,
+           CAST(NULL AS VARCHAR) AS redirect_url, text
+         FROM documents WHERE doc_id < 300
+         UNION ALL
+         SELECT 'r' || doc_id, 'Redirect ' || doc_id, 'redirect',
+           'A/page' || lpad(CAST(doc_id - 300 AS VARCHAR), 5, '0'),
+           CAST(NULL AS VARCHAR)
+         FROM documents WHERE doc_id >= 300 AND doc_id < 320
+         ORDER BY url""",
 
     // q177: indexed-dataset roundtrip — n = (doc_id%7)+2 tokens of
     // doc_id*131 + 7i², so count and sum have closed forms
