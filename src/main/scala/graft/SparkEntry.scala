@@ -2437,6 +2437,46 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q179_sequencefile" -> ((s, dir) => {
+      // Hadoop-era SequenceFile ingestion: the fixture is written by
+      // HADOOP'S OWN writer (block compression, DefaultCodec, small
+      // sync interval so regions straddle ranges), then recovered by
+      // the from-scratch splittable reader at 8 KB ranges — sync scan,
+      // region pairing, vint/block parsing and zlib all under the
+      // full-text hash
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q179_file", _ => {
+        val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val f = java.nio.file.Files.createTempDirectory("graft-q179")
+          .toString + "/docs.seq"
+        val conf = new org.apache.hadoop.conf.Configuration(
+          ss.sparkContext.hadoopConfiguration)
+        conf.setInt("io.seqfile.compress.blocksize", 4096)
+        val w = org.apache.hadoop.io.SequenceFile.createWriter(conf,
+          org.apache.hadoop.io.SequenceFile.Writer.file(
+            new org.apache.hadoop.fs.Path(f)),
+          org.apache.hadoop.io.SequenceFile.Writer.keyClass(
+            classOf[org.apache.hadoop.io.Text]),
+          org.apache.hadoop.io.SequenceFile.Writer.valueClass(
+            classOf[org.apache.hadoop.io.Text]),
+          org.apache.hadoop.io.SequenceFile.Writer.syncInterval(1024),
+          org.apache.hadoop.io.SequenceFile.Writer.compression(
+            org.apache.hadoop.io.SequenceFile.CompressionType.BLOCK,
+            new org.apache.hadoop.io.compress.DefaultCodec()))
+        try docs.foreach { case (id, text) =>
+          w.append(new org.apache.hadoop.io.Text(id.toString),
+            new org.apache.hadoop.io.Text(text))
+        } finally w.close()
+        f
+      })
+      graft.llmops.SeqFile.readText(ss, path, rangeBytes = 8192)
+        .select(col("key").cast("long").as("doc_id"),
+          col("value").as("text"))
+        .orderBy("doc_id")
+    }),
+
     "q178_zim_archive" -> ((s, dir) => {
       // offline-wiki ZIM ingestion: ONE archive over the docs (zstd
       // clusters, sorted pointer lists, md5 trailer) read back through
@@ -5253,6 +5293,12 @@ object SparkEntry {
                   'Page ' || doc_id || ' has label' || doc_id || ' and more.' ||
                   chr(10) || 'item ' || doc_id END AS plain
          FROM documents WHERE doc_id < 240 ORDER BY page_id""",
+
+    // q179: SequenceFile written by Hadoop's own writer reads back as
+    // the identity on (doc_id, text)
+    "q179_sequencefile" ->
+      """SELECT doc_id, text FROM documents WHERE doc_id < 400
+         ORDER BY doc_id""",
 
     // q178: ZIM roundtrip — pages replay verbatim (hash covers full
     // text), redirects resolve to their target entry's ns/url
