@@ -2437,6 +2437,43 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q180_sft_spans" -> ((s, dir) => {
+      // SFT data prep: documents become conversations (3 turns; even
+      // ids get a 2-turn tail), rendered through the ChatML template
+      // with per-turn token-span loss masks. The oracle replays the
+      // whitespace-token prefix sums and rendered lengths in window
+      // SQL — spans are pure per-row projections, zero shuffles
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+      val base = array(
+        struct(lit("system").as("role"),
+          lit("You are a helpful assistant.").as("content")),
+        struct(lit("user").as("role"),
+          concat(lit("Please summarize document "),
+            col("doc_id").cast("string"), lit(".")).as("content")),
+        struct(lit("assistant").as("role"), col("text").as("content")))
+      val extra = array(
+        struct(lit("user").as("role"), lit("Thanks!").as("content")),
+        struct(lit("assistant").as("role"),
+          lit("You are welcome.").as("content")))
+      val withTurns = docs.withColumn("turns",
+        when(pmod(col("doc_id"), lit(2)) === 0, concat(base, extra))
+          .otherwise(base))
+      withTurns
+        .select(col("doc_id"),
+          length(graft.llmops.ChatSft.render(col("turns")))
+            .cast("long").as("rendered_len"),
+          explode(graft.llmops.ChatSft.spans(col("turns"))).as("s"))
+        .select(col("doc_id"),
+          col("s.turn_idx").cast("long").as("turn_idx"),
+          col("s.role").as("role"),
+          col("s.tok_start").as("tok_start"),
+          col("s.tok_end").as("tok_end"),
+          col("s.trainable").cast("int").as("trainable"),
+          col("rendered_len"))
+        .orderBy("doc_id", "turn_idx")
+    }),
+
     "q179_sequencefile" -> ((s, dir) => {
       // Hadoop-era SequenceFile ingestion: the fixture is written by
       // HADOOP'S OWN writer (block compression, DefaultCodec, small
@@ -5293,6 +5330,46 @@ object SparkEntry {
                   'Page ' || doc_id || ' has label' || doc_id || ' and more.' ||
                   chr(10) || 'item ' || doc_id END AS plain
          FROM documents WHERE doc_id < 240 ORDER BY page_id""",
+
+    // q180: SFT spans — per-turn whitespace-token prefix sums +
+    // rendered template length, replayed in window SQL (seg tokens =
+    // content tokens + 2 markers; seg chars = 25 + role + content)
+    "q180_sft_spans" ->
+      """WITH turns AS (
+           SELECT doc_id, 0 AS turn_idx, 'system' AS role,
+                  'You are a helpful assistant.' AS content
+           FROM documents WHERE doc_id < 400
+           UNION ALL
+           SELECT doc_id, 1, 'user',
+                  'Please summarize document ' || doc_id || '.'
+           FROM documents WHERE doc_id < 400
+           UNION ALL
+           SELECT doc_id, 2, 'assistant', text
+           FROM documents WHERE doc_id < 400
+           UNION ALL
+           SELECT doc_id, 3, 'user', 'Thanks!'
+           FROM documents WHERE doc_id < 400 AND doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id, 4, 'assistant', 'You are welcome.'
+           FROM documents WHERE doc_id < 400 AND doc_id % 2 = 0),
+         seg AS (
+           SELECT doc_id, turn_idx, role,
+             len(list_filter(regexp_split_to_array(content, '[ \t\r\n]+'),
+                 x -> x <> '')) + 2 AS seg_tokens,
+             25 + length(role) + length(content) AS seg_chars,
+             CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS trainable
+           FROM turns)
+         SELECT doc_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+           CAST(coalesce(sum(seg_tokens) OVER (PARTITION BY doc_id
+             ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS BIGINT) AS tok_start,
+           CAST(sum(seg_tokens) OVER (PARTITION BY doc_id
+             ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS BIGINT) AS tok_end,
+           CAST(trainable AS INTEGER) AS trainable,
+           CAST(sum(seg_chars) OVER (PARTITION BY doc_id) AS BIGINT)
+             AS rendered_len
+         FROM seg ORDER BY doc_id, turn_idx""",
 
     // q179: SequenceFile written by Hadoop's own writer reads back as
     // the identity on (doc_id, text)
