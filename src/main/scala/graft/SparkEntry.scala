@@ -2437,6 +2437,25 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q181_preference_pairs" -> ((s, dir) => {
+      // DPO pair construction: three closed-form scored responses per
+      // doc reduce to (chosen, rejected) via the deterministic
+      // struct-max/min aggregate (one shuffle, map-side combine). The
+      // oracle replays the argmax/argmin with rank windows
+      val ss = tuned(s)
+      val scored = t(ss, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(2L))).as("j"))
+        .select(
+          concat(lit("Summarize doc "), col("doc_id").cast("string"))
+            .as("prompt"),
+          concat(lit("Response "), col("j").cast("string"),
+            lit(" for doc "), col("doc_id").cast("string")).as("response"),
+          pmod(col("doc_id") * 31 + col("j") * 17, lit(97L))
+            .cast("double").as("score"))
+      graft.llmops.Preference.pairFromScores(scored, "prompt", "response",
+        "score").orderBy("prompt")
+    }),
+
     "q180_sft_spans" -> ((s, dir) => {
       // SFT data prep: documents become conversations (3 turns; even
       // ids get a 2-turn tail), rendered through the ChatML template
@@ -5330,6 +5349,31 @@ object SparkEntry {
                   'Page ' || doc_id || ' has label' || doc_id || ' and more.' ||
                   chr(10) || 'item ' || doc_id END AS plain
          FROM documents WHERE doc_id < 240 ORDER BY page_id""",
+
+    // q181: preference pairs — chosen/rejected = rank-1 rows under
+    // (score, response) orderings both ways; scores are distinct by
+    // construction so no degenerate drops
+    "q181_preference_pairs" ->
+      """WITH resp AS (
+           SELECT 'Summarize doc ' || doc_id AS prompt,
+                  'Response ' || j || ' for doc ' || doc_id AS response,
+                  CAST((doc_id * 31 + j * 17) % 97 AS DOUBLE) AS score
+           FROM documents, (SELECT unnest([0, 1, 2]) AS j)
+           WHERE doc_id < 400),
+         ranked AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY prompt
+               ORDER BY score DESC, response DESC) AS rb,
+             row_number() OVER (PARTITION BY prompt
+               ORDER BY score ASC, response ASC) AS rw,
+             count(*) OVER (PARTITION BY prompt) AS n
+           FROM resp)
+         SELECT b.prompt, b.response AS chosen, b.score AS chosen_score,
+                w.response AS rejected, w.score AS rejected_score,
+                CAST(b.n AS BIGINT) AS n_responses
+         FROM ranked b JOIN ranked w
+           ON b.prompt = w.prompt AND b.rb = 1 AND w.rw = 1
+         ORDER BY b.prompt""",
 
     // q180: SFT spans — per-turn whitespace-token prefix sums +
     // rendered template length, replayed in window SQL (seg tokens =
