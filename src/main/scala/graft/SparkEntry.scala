@@ -4770,6 +4770,66 @@ object SparkEntry {
             (id, graft.llmops.Cdx.writeIndex(rs, None))
           }.toDF("doc_id", "content")
         graft.llmops.Warc.planFetches(shards, "content")
+      }),
+      "s09_seqfile_full" -> ((s, dir) => {
+        // splittable SequenceFile throughput: ONE block-compressed
+        // (DefaultCodec) file over the whole corpus written by HADOOP'S
+        // writer, recovered by the sync-scan + region walk at 1 MB
+        // ranges. Built once per JVM so the interleaved-pass MIN
+        // measures the read side
+        val ss = tuned(s)
+        val path = fixturePaths.computeIfAbsent(s"$dir::s09_file", _ => {
+          val docs = t(ss, dir, "documents")
+            .select(col("doc_id"), col("text")).collect()
+            .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+          val f = java.nio.file.Files.createTempDirectory("graft-s09")
+            .toString + "/docs.seq"
+          val conf = new org.apache.hadoop.conf.Configuration(
+            ss.sparkContext.hadoopConfiguration)
+          conf.setInt("io.seqfile.compress.blocksize", 1 << 16)
+          val w = org.apache.hadoop.io.SequenceFile.createWriter(conf,
+            org.apache.hadoop.io.SequenceFile.Writer.file(
+              new org.apache.hadoop.fs.Path(f)),
+            org.apache.hadoop.io.SequenceFile.Writer.keyClass(
+              classOf[org.apache.hadoop.io.Text]),
+            org.apache.hadoop.io.SequenceFile.Writer.valueClass(
+              classOf[org.apache.hadoop.io.Text]),
+            org.apache.hadoop.io.SequenceFile.Writer.compression(
+              org.apache.hadoop.io.SequenceFile.CompressionType.BLOCK,
+              new org.apache.hadoop.io.compress.DefaultCodec()))
+          try docs.foreach { case (id, text) =>
+            w.append(new org.apache.hadoop.io.Text(id.toString),
+              new org.apache.hadoop.io.Text(text))
+          } finally w.close()
+          f
+        })
+        graft.llmops.SeqFile.readText(ss, path, rangeBytes = 1 << 20)
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("value"))).cast("long").as("chars"))
+      }),
+      "s10_zim_full" -> ((s, dir) => {
+        // ZIM cluster-parallel throughput: one zstd-cluster archive
+        // over the whole corpus (64 blobs per cluster), read back via
+        // the ranged per-cluster walk + text extraction
+        val ss = tuned(s)
+        val path = fixturePaths.computeIfAbsent(s"$dir::s10_file", _ => {
+          val docs = t(ss, dir, "documents")
+            .select(col("doc_id"), col("text")).collect()
+            .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+          val content = docs.map { case (id, text) =>
+            ("A", f"page$id%07d", s"Doc $id", "text/plain",
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }.toSeq
+          val f = java.nio.file.Files.createTempFile("graft-s10", ".zim")
+          java.nio.file.Files.write(f,
+            graft.llmops.ZimWriter.write(content, Seq.empty, "zstd",
+              blobsPerCluster = 64))
+          f.toString
+        })
+        graft.llmops.Zim.articleText(
+            graft.llmops.Zim.readEntries(ss, path))
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("page_text"))).cast("long").as("chars"))
       })
     )
 
