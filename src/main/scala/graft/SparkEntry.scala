@@ -2437,6 +2437,21 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q182_temperature_weights" -> ((s, dir) => {
+      // temperature mixing at alpha = 0.5: per-source epoch weights
+      // maxed at 1 for the biggest source, sqrt-rebalanced for the
+      // tail. Rounded to 9 dp so the pow ULP between engines can't
+      // flip the hash; replication itself is q82's gate
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").select("source", "doc_id")
+      val w = graft.llmops.Sampling.temperatureWeights(docs, "source", 0.5)
+      val wCol = w.foldLeft(lit(Double.NaN)) { case (acc, (k, v)) =>
+        when(col("source") === k, lit(v)).otherwise(acc) }
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("weight", round(wCol, 9))
+        .orderBy("source")
+    }),
+
     "q181_preference_pairs" -> ((s, dir) => {
       // DPO pair construction: three closed-form scored responses per
       // doc reduce to (chosen, rejected) via the deterministic
@@ -5409,6 +5424,16 @@ object SparkEntry {
                   'Page ' || doc_id || ' has label' || doc_id || ' and more.' ||
                   chr(10) || 'item ' || doc_id END AS plain
          FROM documents WHERE doc_id < 240 ORDER BY page_id""",
+
+    // q182: temperature weights — (n/n_max)^(alpha-1) at alpha=0.5,
+    // 9 dp rounding absorbs cross-engine pow ULPs
+    "q182_temperature_weights" ->
+      """WITH c AS (SELECT source, count(*) AS n
+                    FROM documents GROUP BY source),
+            m AS (SELECT max(n) AS mx FROM c)
+         SELECT c.source, CAST(c.n AS BIGINT) AS n_docs,
+                round(power(CAST(c.n AS DOUBLE) / mx, -0.5), 9) AS weight
+         FROM c, m ORDER BY c.source""",
 
     // q181: preference pairs — chosen/rejected = rank-1 rows under
     // (score, response) orderings both ways; scores are distinct by

@@ -60,6 +60,41 @@ object Sampling {
       .drop("__w")
   }
 
+  /** Temperature-sampling weights (the multilingual/multi-source recipe:
+    * sampling probability ∝ n_s^alpha, alpha ∈ (0, 1] — alpha 1 keeps
+    * natural proportions, smaller alpha re-balances toward uniform so
+    * long-tail sources aren't drowned): per-source epoch weights
+    * `maxWeight · (n_s / n_max)^(alpha − 1)` for [[mixtureSample]] —
+    * the largest source gets exactly `maxWeight`, smaller sources get
+    * proportionally MORE epochs. One count aggregate; the source
+    * dimension is a bounded driver artifact (require-gated), the corpus
+    * itself never leaves the executors.
+    */
+  def temperatureWeights(df: DataFrame, sourceCol: String, alpha: Double,
+      maxWeight: Double = 1.0): Map[String, Double] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(maxWeight > 0, "maxWeight must be positive")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.size <= 10000,
+      s"${counts.size} sources exceed the 10k driver budget")
+    if (counts.isEmpty) Map.empty
+    else {
+      val nMax = counts.values.max.toDouble
+      counts.map { case (s, n) =>
+        s -> maxWeight * math.pow(n / nMax, alpha - 1.0)
+      }
+    }
+  }
+
+  /** [[mixtureSample]] at temperature `alpha`: weights derived from the
+    * observed source sizes via [[temperatureWeights]].
+    */
+  def temperatureMixture(df: DataFrame, sourceCol: String, keyCol: String,
+      alpha: Double, maxWeight: Double = 1.0): DataFrame =
+    mixtureSample(df, sourceCol, keyCol,
+      temperatureWeights(df, sourceCol, alpha, maxWeight))
+
   /** Per-row weighted sampling: keep each row with probability
     * `weightCol` (clamped to [0, 1]), decided by the same deterministic
     * hash gate as [[hashSample]] — the quality-curriculum primitive

@@ -245,6 +245,35 @@ class LlmOpsSpec extends SparkTestBase {
     assert(extra === gated)
   }
 
+  test("temperatureWeights: p ∝ n^alpha, largest source pinned to max") {
+    val df = ((1L to 80L).map(i => (i, "big")) ++
+      (81L to 100L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val w1 = Sampling.temperatureWeights(df, "source", alpha = 1.0)
+    assert(w1 == Map("big" -> 1.0, "small" -> 1.0)) // natural proportions
+    val w = Sampling.temperatureWeights(df, "source", alpha = 0.5)
+    assert(w("big") == 1.0)
+    assert(math.abs(w("small") - math.sqrt(80.0 / 20.0)) < 1e-12) // 2.0
+    // effective sampling mass ratio is (n_b/n_s)^alpha = sqrt(4) = 2
+    assert(math.abs(80 * w("big") / (20 * w("small")) - 2.0) < 1e-12)
+    val scaled = Sampling.temperatureWeights(df, "source", 0.5,
+      maxWeight = 3.0)
+    assert(scaled("big") == 3.0 && math.abs(scaled("small") - 6.0) < 1e-12)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureWeights(df, "source", 0.0)
+    }
+  }
+
+  test("temperatureMixture replicates the long tail, not the head") {
+    val df = ((1L to 80L).map(i => (i, "big")) ++
+      (81L to 100L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val out = Sampling.temperatureMixture(df, "source", "doc_id", 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("big") == 80L) // weight exactly 1 → one epoch
+    // small: weight 2.0 → every key twice (fraction 0 → no gated copy)
+    assert(out("small") == 40L)
+  }
+
   test("lmQualityScore: hand-computed add-1 trigram conditionals") {
     val corpus = Seq(Tuple1("abab")).toDF("text")
     val tri = TextAnalysis.charNgramCounts(corpus, "text", 3) // aba:1 bab:1
