@@ -2437,6 +2437,28 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q183_sharegpt_ingest" -> ((s, dir) => {
+      // ShareGPT chat-log ingestion: docs → ShareGPT JSON lines
+      // (to_json) → fromShareGpt parse (role normalization) → ChatML
+      // render + token count. Rendered identity carries the full doc
+      // text through the JSON escape/unescape roundtrip
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+      val json = docs.select(col("doc_id"),
+        to_json(struct(array(
+          struct(lit("human").as("from"),
+            concat(lit("Question about doc "),
+              col("doc_id").cast("string")).as("value")),
+          struct(lit("gpt").as("from"), col("text").as("value"))
+        ).as("conversations"))).as("line"))
+      json
+        .withColumn("turns", graft.llmops.ChatSft.fromShareGpt(col("line")))
+        .select(col("doc_id"),
+          graft.llmops.ChatSft.tokenCount(col("turns")).as("n_tokens"),
+          graft.llmops.ChatSft.render(col("turns")).as("rendered"))
+        .orderBy("doc_id")
+    }),
+
     "q182_temperature_weights" -> ((s, dir) => {
       // temperature mixing at alpha = 0.5: per-source epoch weights
       // maxed at 1 for the biggest source, sqrt-rebalanced for the
@@ -5424,6 +5446,19 @@ object SparkEntry {
                   'Page ' || doc_id || ' has label' || doc_id || ' and more.' ||
                   chr(10) || 'item ' || doc_id END AS plain
          FROM documents WHERE doc_id < 240 ORDER BY page_id""",
+
+    // q183: ShareGPT ingest — rendered ChatML replayed by string
+    // concat; n_tokens = (4+2) user + (tokens(text)+2) assistant
+    "q183_sharegpt_ingest" ->
+      """SELECT doc_id,
+           CAST(6 + len(list_filter(
+             regexp_split_to_array(text, '[ \t\r\n]+'), x -> x <> '')) + 2
+             AS BIGINT) AS n_tokens,
+           '<|im_start|>user' || chr(10) || 'Question about doc ' || doc_id
+             || chr(10) || '<|im_end|>' || chr(10)
+             || '<|im_start|>assistant' || chr(10) || text || chr(10)
+             || '<|im_end|>' || chr(10) AS rendered
+         FROM documents WHERE doc_id < 400 ORDER BY doc_id""",
 
     // q182: temperature weights — (n/n_max)^(alpha-1) at alpha=0.5,
     // 9 dp rounding absorbs cross-engine pow ULPs

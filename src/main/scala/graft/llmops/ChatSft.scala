@@ -84,6 +84,29 @@ object ChatSft {
           tok >= s.getField("tok_start") && tok < s.getField("tok_end"))))
   }
 
+  /** ShareGPT-shape chat-log ingestion: the community SFT corpora
+    * convention (`{"conversations": [{"from": "human", "value": …},
+    * {"from": "gpt", …}]}` per line) parsed into the turns schema.
+    * Role normalization: human/user → `user`, gpt/assistant/bot/chatgpt
+    * → `assistant`, system → `system`, anything else passes through
+    * lowercased (dropping unknown roles silently would corrupt span
+    * masks). Malformed JSON → NULL turns (filter upstream).
+    */
+  def fromShareGpt(json: Column): Column = {
+    val schema = "struct<conversations: array<struct<from: string, value: string>>>"
+    val parsed = from_json(json, org.apache.spark.sql.types.DataType
+      .fromDDL(schema).asInstanceOf[org.apache.spark.sql.types.StructType])
+    transform(parsed.getField("conversations"), t => {
+      val f = lower(t.getField("from"))
+      struct(
+        when(f.isin("human", "user"), "user")
+          .when(f.isin("gpt", "assistant", "bot", "chatgpt"), "assistant")
+          .when(f === "system", "system")
+          .otherwise(f).as("role"),
+        t.getField("value").as("content"))
+    })
+  }
+
   /** One-call SFT export frame: `text` (rendered), `spans`,
     * `token_count`, plus the deterministic shard/pos/bin layout of
     * [[TrainExport.packSequences]] — ready for any of the shard sinks

@@ -95,6 +95,29 @@ class ChatSftSpec extends SparkTestBase {
     }
   }
 
+  test("fromShareGpt normalizes roles and survives malformed lines") {
+    val ss = spark
+    import ss.implicits._
+    val lines = Seq(
+      """{"conversations":[{"from":"human","value":"hi there"},
+         {"from":"gpt","value":"hello"},{"from":"SYSTEM","value":"s"},
+         {"from":"observer","value":"o"}]}""".replaceAll("\n\\s*", ""),
+      """not json at all""")
+    val df = lines.toDF("line")
+      .withColumn("turns", ChatSft.fromShareGpt(col("line")))
+    val parsed = df.filter(col("turns").isNotNull)
+      .select(explode(col("turns")).as("t"))
+      .select("t.role", "t.content").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(parsed == Seq(("user", "hi there"), ("assistant", "hello"),
+      ("system", "s"), ("observer", "o")))
+    assert(df.filter(col("turns").isNull).count() == 1)
+    // parsed turns feed the span machinery directly
+    val n = df.filter(col("turns").isNotNull)
+      .select(ChatSft.tokenCount(col("turns"))).head.getLong(0)
+    assert(n == (2 + 2) + (1 + 2) + (1 + 2) + (1 + 2))
+  }
+
   test("spans align with the rendered text's own whitespace tokens") {
     // token i of split(render) falls inside exactly the span that owns it
     val row: Row = convDf.filter(col("conv_id") === 2)
