@@ -2437,6 +2437,27 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q184_subtitles" -> ((s, dir) => {
+      // SRT caption ingestion: two cues per doc (first carries the
+      // newline-collapsed full text, second a closed form) written by
+      // the twin and exploded back; timings, indices and the full-text
+      // hash all replay in SQL. Synthesis is DISTRIBUTED (per-row map)
+      val ss = tuned(s)
+      import ss.implicits._
+      val subs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "[\r\n]+", " ").as("flat"))
+        .as[(Long, String)]
+        .map { case (id, flat) =>
+          (id, graft.llmops.Subtitles.formatSrt(Seq(
+            graft.llmops.Subtitles.Cue(1, id * 1000, id * 1000 + 400, flat),
+            graft.llmops.Subtitles.Cue(2, id * 1000 + 500, id * 1000 + 900,
+              s"Doc $id second cue"))))
+        }.toDF("doc_id", "sub")
+      graft.llmops.Subtitles.cues(subs, "doc_id", "sub")
+        .orderBy("doc_id", "seq")
+    }),
+
     "q183_sharegpt_ingest" -> ((s, dir) => {
       // ShareGPT chat-log ingestion: docs → ShareGPT JSON lines
       // (to_json) → fromShareGpt parse (role normalization) → ChatML
@@ -5446,6 +5467,19 @@ object SparkEntry {
                   'Page ' || doc_id || ' has label' || doc_id || ' and more.' ||
                   chr(10) || 'item ' || doc_id END AS plain
          FROM documents WHERE doc_id < 240 ORDER BY page_id""",
+
+    // q184: SRT cues — closed-form timings, full text in cue 1
+    "q184_subtitles" ->
+      """SELECT doc_id, CAST(s.seq AS INTEGER) AS seq,
+           CAST(doc_id * 1000 + CASE WHEN s.seq = 1 THEN 0 ELSE 500 END
+             AS BIGINT) AS start_ms,
+           CAST(doc_id * 1000 + CASE WHEN s.seq = 1 THEN 400 ELSE 900 END
+             AS BIGINT) AS end_ms,
+           CASE WHEN s.seq = 1
+             THEN regexp_replace(text, '[\r\n]+', ' ', 'g')
+             ELSE 'Doc ' || doc_id || ' second cue' END AS text
+         FROM documents, (SELECT unnest([1, 2]) AS seq) s
+         WHERE doc_id < 400 ORDER BY doc_id, seq""",
 
     // q183: ShareGPT ingest — rendered ChatML replayed by string
     // concat; n_tokens = (4+2) user + (tokens(text)+2) assistant
