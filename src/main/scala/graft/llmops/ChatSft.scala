@@ -122,4 +122,27 @@ object ChatSft {
     TrainExport.packSequences(prepared, keyCol, "token_count", nShards,
       tokenBudget)
   }
+
+  /** SFT conversations straight to TFRecord shards: one Example per
+    * conversation with `text` (bytes), `token_count` (int64), the span
+    * structure flattened into parallel lists (`span_starts`/`span_ends`
+    * /`span_trainable` int64s + `span_roles` bytes — Example has no
+    * nested structs; parallel lists are the TF convention), sharded by
+    * the deterministic hash layout.
+    */
+  def writeSftTfRecord(df: DataFrame, keyCol: String, turnsCol: String,
+      nShards: Int, path: String, gzip: Boolean = false,
+      trainableRole: String = "assistant"): Unit = {
+    val sp = spans(col(turnsCol), trainableRole)
+    val frame = df.select(
+      col(keyCol),
+      render(col(turnsCol)).as("text"),
+      tokenCount(col(turnsCol)).as("token_count"),
+      transform(sp, s => s.getField("tok_start")).as("span_starts"),
+      transform(sp, s => s.getField("tok_end")).as("span_ends"),
+      transform(sp, s => s.getField("trainable").cast("long"))
+        .as("span_trainable"),
+      transform(sp, s => s.getField("role")).as("span_roles"))
+    TfRecord.writeShards(frame, keyCol, nShards, path, gzip)
+  }
 }

@@ -118,6 +118,31 @@ class ChatSftSpec extends SparkTestBase {
     assert(n == (2 + 2) + (1 + 2) + (1 + 2) + (1 + 2))
   }
 
+  test("writeSftTfRecord round-trips text and span features") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sfttf")
+      .toString + "/sh"
+    ChatSft.writeSftTfRecord(convDf, "conv_id", "turns", nShards = 2,
+      path = dir)
+    val back = TfRecord.readExamples(spark, dir)
+      .select(
+        element_at(col("int64_feats"), "conv_id").getItem(0).as("id"),
+        decode(element_at(col("bytes_feats"), "text").getItem(0), "UTF-8")
+          .as("text"),
+        element_at(col("int64_feats"), "span_starts").as("starts"),
+        element_at(col("int64_feats"), "span_ends").as("ends"),
+        element_at(col("int64_feats"), "span_trainable").as("train"))
+      .as[(Long, String, Seq[Long], Seq[Long], Seq[Long])]
+      .collect().sortBy(_._1)
+    assert(back.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val c1 = back(0)
+    assert(c1._2.startsWith("<|im_start|>system\nBe terse."))
+    assert(c1._3 == Seq(0L, 4L, 9L) && c1._4 == Seq(4L, 9L, 12L))
+    assert(c1._5 == Seq(0L, 0L, 1L))
+    assert(back(2)._3 == Seq(0L) && back(2)._4 == Seq(2L))
+  }
+
   test("spans align with the rendered text's own whitespace tokens") {
     // token i of split(render) falls inside exactly the span that owns it
     val row: Row = convDf.filter(col("conv_id") === 2)
