@@ -2437,6 +2437,66 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q185_code_corpus" -> ((s, dir) => {
+      // Code-corpus curation: docs become synthetic source files (ext
+      // cycle py/js/c/rs/txt; license cycle SPDX-MIT / Apache phrase /
+      // none), then language id, license screen, quality signals and
+      // the comment-stripping state machine run over them. The oracle
+      // rebuilds the same files in SQL and replays lang/license by the
+      // same CASE logic, and the stripped length by constructing the
+      // comment-free twin directly — every stage is a per-row
+      // projection (the stripper a per-row JVM map), zero shuffles
+      val ss = tuned(s)
+      val m5 = pmod(col("doc_id"), lit(5))
+      val m3 = pmod(col("doc_id"), lit(3))
+      val idS = col("doc_id").cast("string")
+      val san = substring(
+        regexp_replace(coalesce(col("text"), lit("")), "[^A-Za-z ]", ""),
+        1, 64)
+      val ext = when(m5 === 0, "py").when(m5 === 1, "js")
+        .when(m5 === 2, "c").when(m5 === 3, "rs").otherwise("txt")
+      val nl = lit("\n")
+      val licHash = when(m3 === 0, lit("# SPDX-License-Identifier: MIT"))
+        .when(m3 === 1,
+          lit("# Licensed under the Apache License, Version 2.0"))
+        .otherwise(lit("x0 = 0"))
+      val licC = when(m3 === 0, lit("// SPDX-License-Identifier: MIT"))
+        .when(m3 === 1,
+          lit("// Licensed under the Apache License, Version 2.0"))
+        .otherwise(lit("int x0;"))
+      val licRaw = when(m3 === 0, lit("SPDX-License-Identifier: MIT"))
+        .when(m3 === 1,
+          lit("Licensed under the Apache License, Version 2.0"))
+        .otherwise(lit("plain"))
+      val content =
+        when(m5 === 0, concat(licHash, nl,
+          lit("x = "), idS, lit("  # set x"), nl,
+          lit("s = '"), san, lit("'"), nl, lit("y = 2")))
+        .when(m5 === 4, concat(licRaw, nl, san))
+        .otherwise(concat(licC, nl,
+          lit("int x = "), idS, lit("; // set"), nl,
+          lit("char* sv = \""), san, lit("\"; /* mid */ int y;"), nl,
+          lit("int z = 9;")))
+      val files = t(ss, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          concat(lit("repo/src/f"), idS, lit("."), ext).as("path"),
+          content.as("content"))
+      val screened = graft.llmops.CodeCorpus.qualitySignals(
+        files
+          .withColumn("lang", graft.llmops.CodeCorpus.language(
+            col("path"), col("content")))
+          .withColumn("license",
+            graft.llmops.CodeCorpus.license(col("content")))
+          .withColumn("permissive", graft.llmops.CodeCorpus.permissive(
+            col("license")).cast("int")),
+        "content")
+      graft.llmops.CodeCorpus.stripComments(screened, "content", "lang")
+        .select(col("doc_id"), col("lang"), col("license"),
+          col("permissive"), col("n_lines"), col("max_line_len"),
+          length(col("code_nocomments")).cast("long").as("stripped_len"))
+        .orderBy("doc_id")
+    }),
+
     "q184_subtitles" -> ((s, dir) => {
       // SRT caption ingestion: two cues per doc (first carries the
       // newline-collapsed full text, second a closed form) written by
@@ -5467,6 +5527,96 @@ object SparkEntry {
                   'Page ' || doc_id || ' has label' || doc_id || ' and more.' ||
                   chr(10) || 'item ' || doc_id END AS plain
          FROM documents WHERE doc_id < 240 ORDER BY page_id""",
+
+    // q185: code corpus — the oracle rebuilds the synthetic source
+    // files, replays license detection with the engine's own CASE
+    // order, and constructs the comment-free twin directly (comment
+    // spans are planted at known positions, so the stripped text has
+    // a closed form)
+    "q185_code_corpus" ->
+      """WITH base AS (
+           SELECT doc_id, doc_id % 5 AS m5, doc_id % 3 AS m3,
+             substr(regexp_replace(coalesce(text, ''), '[^A-Za-z ]', '',
+               'g'), 1, 64) AS s
+           FROM documents WHERE doc_id < 400),
+         built AS (
+           SELECT doc_id, m5,
+             CASE WHEN m5 = 0 THEN
+               CASE m3 WHEN 0 THEN '# SPDX-License-Identifier: MIT'
+                 WHEN 1 THEN
+                   '# Licensed under the Apache License, Version 2.0'
+                 ELSE 'x0 = 0' END
+               || chr(10) || 'x = ' || doc_id || '  # set x'
+               || chr(10) || 's = ''' || s || ''''
+               || chr(10) || 'y = 2'
+             WHEN m5 = 4 THEN
+               CASE m3 WHEN 0 THEN 'SPDX-License-Identifier: MIT'
+                 WHEN 1 THEN
+                   'Licensed under the Apache License, Version 2.0'
+                 ELSE 'plain' END || chr(10) || s
+             ELSE
+               CASE m3 WHEN 0 THEN '// SPDX-License-Identifier: MIT'
+                 WHEN 1 THEN
+                   '// Licensed under the Apache License, Version 2.0'
+                 ELSE 'int x0;' END
+               || chr(10) || 'int x = ' || doc_id || '; // set'
+               || chr(10) || 'char* sv = "' || s
+               || '"; /* mid */ int y;'
+               || chr(10) || 'int z = 9;'
+             END AS content,
+             CASE WHEN m5 = 0 THEN
+               CASE WHEN m3 IN (0, 1) THEN '' ELSE 'x0 = 0' END
+               || chr(10) || 'x = ' || doc_id || '  '
+               || chr(10) || 's = ''' || s || ''''
+               || chr(10) || 'y = 2'
+             WHEN m5 = 4 THEN
+               CASE m3 WHEN 0 THEN 'SPDX-License-Identifier: MIT'
+                 WHEN 1 THEN
+                   'Licensed under the Apache License, Version 2.0'
+                 ELSE 'plain' END || chr(10) || s
+             ELSE
+               CASE WHEN m3 IN (0, 1) THEN '' ELSE 'int x0;' END
+               || chr(10) || 'int x = ' || doc_id || '; '
+               || chr(10) || 'char* sv = "' || s || '";  int y;'
+               || chr(10) || 'int z = 9;'
+             END AS stripped
+           FROM base),
+         lic AS (
+           SELECT doc_id, m5, content, stripped,
+             CASE WHEN regexp_extract(content,
+                 'SPDX-License-Identifier:\s*([A-Za-z0-9+.\-]+)', 1) <> ''
+               THEN regexp_extract(content,
+                 'SPDX-License-Identifier:\s*([A-Za-z0-9+.\-]+)', 1)
+               WHEN contains(substr(content, 1, 1024),
+                 'Permission is hereby granted, free of charge')
+                 THEN 'MIT'
+               WHEN contains(substr(content, 1, 1024),
+                 'Licensed under the Apache License, Version 2.0')
+                 THEN 'Apache-2.0'
+               WHEN contains(substr(content, 1, 1024),
+                 'Redistribution and use in source and binary forms')
+                 THEN 'BSD-3-Clause'
+               WHEN contains(substr(content, 1, 1024),
+                 'GNU General Public License') THEN 'GPL'
+               WHEN contains(substr(content, 1, 1024),
+                 'GNU Lesser General Public License') THEN 'LGPL'
+               WHEN contains(substr(content, 1, 1024),
+                 'Mozilla Public License') THEN 'MPL-2.0'
+               ELSE NULL END AS license
+           FROM built)
+         SELECT doc_id,
+           CASE m5 WHEN 0 THEN 'python' WHEN 1 THEN 'javascript'
+             WHEN 2 THEN 'c' WHEN 3 THEN 'rust' ELSE NULL END AS lang,
+           license,
+           CAST(license IN ('MIT', 'Apache-2.0', 'BSD-2-Clause',
+             'BSD-3-Clause', 'Unlicense', 'CC0-1.0', 'ISC', 'MPL-2.0')
+             AS INTEGER) AS permissive,
+           CAST(length(content) - length(replace(content, chr(10), ''))
+             + 1 AS BIGINT) AS n_lines,
+           CAST(list_max(list_transform(string_split(content, chr(10)),
+             x -> length(x))) AS BIGINT) AS max_line_len,
+           CAST(length(stripped) AS BIGINT) AS stripped_len
+         FROM lic ORDER BY doc_id""",
 
     // q184: SRT cues — closed-form timings, full text in cue 1
     "q184_subtitles" ->
