@@ -2437,6 +2437,122 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q193_code_dedup" -> ((s, dir) => {
+      // Comment-insensitive code dedup: 80 five-member groups share a
+      // code body and differ only in comments; stripping then grouping
+      // on the canonical text collapses each group. Composition of the
+      // CodeCorpus stripper with a single hash-groupBy — the code-
+      // corpus twin of exact text dedup
+      val ss = tuned(s)
+      import ss.implicits._
+      val files = t(ss, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(80)).as("g"))
+        .as[(Long, Long)]
+        .map { case (id, g) =>
+          (id, s"# variant $id\ndef f$g():\n    return $g")
+        }.toDF("doc_id", "content")
+        .withColumn("lang", lit("python"))
+      graft.llmops.CodeCorpus.stripComments(files, "content", "lang")
+        .groupBy(col("code_nocomments").as("canon"))
+        .agg(min(col("doc_id")).as("cluster_min"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster_min"), col("n_members"), col("canon"))
+        .orderBy("cluster_min")
+    }),
+
+    "q192_git_diffs" -> ((s, dir) => {
+      // Git history ingestion: per doc a two-commit log (writer twin,
+      // built DISTRIBUTED), exploded to the CommitPack per-file unit.
+      // Closed-form rows: sha/message/paths and the +/- line bodies
+      val ss = tuned(s)
+      import ss.implicits._
+      val logs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          substring(regexp_replace(coalesce(col("text"), lit("")),
+            "[^A-Za-z ]", ""), 1, 64).as("san"))
+        .as[(Long, String)]
+        .map { case (id, san) =>
+          import graft.llmops.GitDiffs.{Commit, FileDiff}
+          val pad = f"$id%08d"
+          (id, graft.llmops.GitDiffs.formatLog(Seq(
+            Commit(s"abcd$pad", "Dev <dev@example.test>",
+              s"Update doc $id",
+              Seq(FileDiff(s"src/m$id.py", s"src/m$id.py",
+                Seq(s"print($id)", san), Seq("pass")))),
+            Commit(s"beef$pad", "Dev <dev@example.test>", "Cleanup docs",
+              Seq(FileDiff("README.md", "README.md", Seq(san), Nil))))))
+        }.toDF("doc_id", "log")
+      graft.llmops.GitDiffs.fileDiffs(logs, "doc_id", "log")
+        .orderBy("doc_id", "sha")
+    }),
+
+    "q191_docstrings" -> ((s, dir) => {
+      // CodeSearchNet-style mining: two functions per doc (one with a
+      // docstring carrying the sanitized text, one bare), extracted by
+      // the line-oriented header/docstring scan. Closed-form rows
+      val ss = tuned(s)
+      import ss.implicits._
+      val srcs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          substring(regexp_replace(coalesce(col("text"), lit("")),
+            "[^A-Za-z ]", ""), 1, 48).as("san"))
+        .as[(Long, String)]
+        .map { case (id, san) =>
+          (id, s"def alpha$id(a, b):\n    '''Doc $id: $san'''\n" +
+            s"    return a\n\ndef beta$id(x):\n    return x\n")
+        }.toDF("doc_id", "content")
+      graft.llmops.Docstrings.functions(srcs, "doc_id", "content")
+        .orderBy("doc_id", "line")
+    }),
+
+    "q190_fim" -> ((s, dir) => {
+      // Fill-in-the-middle: deterministic md5-prefix cuts (the repo's
+      // portable-hash convention) and the PSM render, replayed in SQL
+      // with the same arithmetic — byte-identical training data
+      val ss = tuned(s)
+      val san = substring(
+        regexp_replace(coalesce(col("text"), lit("")), "[^A-Za-z ]", ""),
+        1, 64)
+      val files = t(ss, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          concat(lit("def f"), col("doc_id").cast("string"),
+            lit("(): pass # "), san).as("content"))
+      graft.llmops.Fim.transform(files, "doc_id", "content")
+        .select(col("doc_id"), col("cut1"), col("cut2"), col("fim"))
+        .orderBy("doc_id")
+    }),
+
+    "q189_stackexchange" -> ((s, dir) => {
+      // Stack Exchange dump ingestion: per doc a Posts.xml with a
+      // question, its accepted answer and a decoy answer (writer twin,
+      // built DISTRIBUTED); the attribute parse + html strip + the one
+      // accepted-answer equi-join reduce to closed-form Q&A rows
+      val ss = tuned(s)
+      import ss.implicits._
+      val dumps = t(ss, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          substring(regexp_replace(coalesce(col("text"), lit("")),
+            "[^A-Za-z ]", ""), 1, 64).as("san"))
+        .as[(Long, String)]
+        .map { case (id, san) =>
+          import graft.llmops.StackExchange.Post
+          (id, graft.llmops.StackExchange.formatPosts(Seq(
+            Post(id * 10 + 1, 1, None, Some(id * 10 + 2),
+              Some(id % 100), s"Question $id", s"<p>$san</p>",
+              Seq("python", "spark")),
+            Post(id * 10 + 2, 2, Some(id * 10 + 1), None, Some(id % 50),
+              null, s"<p>Answer <b>$id</b> text</p>", Nil),
+            Post(id * 10 + 3, 2, Some(id * 10 + 1), None, Some(1L),
+              null, "<p>Decoy</p>", Nil))))
+        }.toDF("doc_id", "xml")
+      val posts = graft.llmops.StackExchange.posts(dumps, "doc_id", "xml")
+      graft.llmops.StackExchange.qaPairs(posts, "doc_id")
+        .select(col("doc_id"), col("question_id"), col("title"),
+          col("question_text"), col("answer_text"), col("answer_score"),
+          array_join(col("tags"), ",").as("tags"))
+        .orderBy("doc_id")
+    }),
+
     "q188_repo_context" -> ((s, dir) => {
       // Repo-level context packing: 400 docs → 50 repos × 8 files
       // (README-first ordering, 300-char prefix budget). The engine
@@ -5028,6 +5144,42 @@ object SparkEntry {
             graft.llmops.Zim.readEntries(ss, path))
           .agg(count(lit(1)).as("n"),
             sum(length(col("page_text"))).cast("long").as("chars"))
+      }),
+
+      "s11_code_full" -> ((s, dir) => {
+        // code-corpus battery at scale: the one-projection screens
+        // (language/license/quality/secrets), the per-row comment
+        // stripper, the FIM render, and repo packing — everything over
+        // the FULL document text (not the gate's 64-char cap). Two
+        // shuffles total: the per-repo groupBy and the final agg
+        val ss = tuned(s)
+        val docs = t(ss, dir, "documents")
+        val m2 = pmod(col("doc_id"), lit(2))
+        val files = docs.select(col("doc_id"),
+          when(m2 === 0, concat(lit("src/f"), col("doc_id"), lit(".py")))
+            .otherwise(concat(lit("src/f"), col("doc_id"), lit(".js")))
+            .as("path"),
+          concat(when(m2 === 0, lit("# header\n"))
+            .otherwise(lit("// header\n")), coalesce(col("text"),
+            lit(""))).as("content"))
+        val screened = graft.llmops.Secrets.screen(
+          graft.llmops.CodeCorpus.qualitySignals(
+            files.withColumn("lang", graft.llmops.CodeCorpus.language(
+                col("path"), col("content")))
+              .withColumn("license",
+                graft.llmops.CodeCorpus.license(col("content"))),
+            "content"), "content")
+        val stripped = graft.llmops.CodeCorpus.stripComments(
+          screened, "content", "lang")
+        val fimmed = graft.llmops.Fim.transform(
+          stripped, "doc_id", "code_nocomments")
+        val packed = graft.llmops.RepoContext.pack(
+          fimmed.withColumn("repo",
+            pmod(col("doc_id"), lit(4096)).cast("string")),
+          "repo", "path", "fim", maxChars = 1L << 20)
+        packed.agg(count(lit(1)).as("n_repos"),
+          sum(col("n_files")).cast("long").as("files"),
+          sum(col("total_chars")).cast("long").as("chars"))
       })
     )
 
@@ -5607,6 +5759,100 @@ object SparkEntry {
                   'Page ' || doc_id || ' has label' || doc_id || ' and more.' ||
                   chr(10) || 'item ' || doc_id END AS plain
          FROM documents WHERE doc_id < 240 ORDER BY page_id""",
+
+    // q193: code dedup — groups keyed by doc_id % 80 collapse to their
+    // comment-free canonical text
+    "q193_code_dedup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS cluster_min,
+           CAST(count(*) AS BIGINT) AS n_members,
+           chr(10) || 'def f' || (doc_id % 80) || '():' || chr(10) ||
+             '    return ' || (doc_id % 80) AS canon
+         FROM documents WHERE doc_id < 400
+         GROUP BY doc_id % 80 ORDER BY cluster_min""",
+
+    // q192: git diffs — two commits per doc; the per-file CommitPack
+    // unit replays as closed-form rows
+    "q192_git_diffs" ->
+      """WITH base AS (
+           SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 8, '0') AS pad,
+             substr(regexp_replace(coalesce(text, ''), '[^A-Za-z ]', '',
+               'g'), 1, 64) AS san
+           FROM documents WHERE doc_id < 400)
+         SELECT doc_id, 'abcd' || pad AS sha,
+           'Update doc ' || doc_id AS message,
+           'src/m' || doc_id || '.py' AS old_path,
+           'src/m' || doc_id || '.py' AS new_path,
+           'print(' || doc_id || ')' || chr(10) || san AS added,
+           'pass' AS removed
+         FROM base
+         UNION ALL
+         SELECT doc_id, 'beef' || pad, 'Cleanup docs', 'README.md',
+           'README.md', san, ''
+         FROM base
+         ORDER BY doc_id, sha""",
+
+    // q191: docstrings — two closed-form functions per doc; the
+    // docstring trims like the extractor does
+    "q191_docstrings" ->
+      """WITH base AS (
+           SELECT doc_id, substr(regexp_replace(coalesce(text, ''),
+             '[^A-Za-z ]', '', 'g'), 1, 48) AS san
+           FROM documents WHERE doc_id < 400)
+         SELECT doc_id, 'alpha' || doc_id AS func_name,
+           'def alpha' || doc_id || '(a, b):' AS signature,
+           trim('Doc ' || doc_id || ': ' || san) AS docstring,
+           CAST(1 AS INTEGER) AS line
+         FROM base
+         UNION ALL
+         SELECT doc_id, 'beta' || doc_id,
+           'def beta' || doc_id || '(x):', NULL, CAST(5 AS INTEGER)
+         FROM base
+         ORDER BY doc_id, line""",
+
+    // q190: fim — md5-prefix cuts and the PSM render replayed with the
+    // portable-hash idiom (('0x'||substr(md5(x),1,15))::BIGINT ≡
+    // conv(substr(md5(x),1,15),16,10))
+    "q190_fim" ->
+      """WITH files AS (
+           SELECT doc_id,
+             'def f' || doc_id || '(): pass # ' ||
+               substr(regexp_replace(coalesce(text, ''), '[^A-Za-z ]',
+                 '', 'g'), 1, 64) AS content
+           FROM documents WHERE doc_id < 400),
+         cuts AS (
+           SELECT doc_id, content,
+             ('0x' || substr(md5(doc_id || ':1'), 1, 15))::BIGINT %
+               (length(content) + 1) AS h1,
+             ('0x' || substr(md5(doc_id || ':2'), 1, 15))::BIGINT %
+               (length(content) + 1) AS h2
+           FROM files),
+         norm AS (
+           SELECT doc_id, content, least(h1, h2) AS cut1,
+             greatest(h1, h2) AS cut2
+           FROM cuts)
+         SELECT doc_id, CAST(cut1 AS BIGINT) AS cut1,
+           CAST(cut2 AS BIGINT) AS cut2,
+           '<fim_prefix>' || substr(content, 1, CAST(cut1 AS INTEGER)) ||
+           '<fim_suffix>' || substr(content, CAST(cut2 + 1 AS INTEGER),
+             length(content) - CAST(cut2 AS INTEGER)) ||
+           '<fim_middle>' || substr(content, CAST(cut1 + 1 AS INTEGER),
+             CAST(cut2 - cut1 AS INTEGER)) AS fim
+         FROM norm ORDER BY doc_id""",
+
+    // q189: stackexchange — the Q&A closed forms: html strip reduces to
+    // whitespace-normalized sanitized text; only the accepted answer
+    // survives the pairing join
+    "q189_stackexchange" ->
+      """SELECT doc_id,
+           CAST(doc_id * 10 + 1 AS BIGINT) AS question_id,
+           'Question ' || doc_id AS title,
+           trim(regexp_replace(substr(regexp_replace(coalesce(text, ''),
+             '[^A-Za-z ]', '', 'g'), 1, 64), '\s+', ' ', 'g'))
+             AS question_text,
+           'Answer ' || doc_id || ' text' AS answer_text,
+           CAST(doc_id % 50 AS BIGINT) AS answer_score,
+           'python,spark' AS tags
+         FROM documents WHERE doc_id < 400 ORDER BY doc_id""",
 
     // q188: repo context — window cumulative-length prefix filter +
     // ordered string_agg replay the engine's in-aggregate budget fold

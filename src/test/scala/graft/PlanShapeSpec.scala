@@ -402,4 +402,51 @@ class PlanShapeSpec extends SparkTestBase {
       plan.take(2000))
     assert(plan.contains("graft_decompress"), plan.take(2000))
   }
+
+  test("code-corpus screens are pure scan projections: no shuffle") {
+    import org.apache.spark.sql.functions._
+    val src = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("f"), col("doc_id")).as("path"), col("text"))
+    // language + license + quality + secret screen chained: one codegen
+    // span on top of the scan, zero exchanges
+    val df = graft.llmops.Secrets.screen(
+      graft.llmops.CodeCorpus.qualitySignals(
+        src.withColumn("lang", graft.llmops.CodeCorpus.language(
+            col("path"), col("text")))
+          .withColumn("license",
+            graft.llmops.CodeCorpus.license(col("text"))),
+        "text"),
+      "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(plan.contains("*(1) Project"), plan.take(2000))
+  }
+
+  test("repo packing is exactly one hash exchange (the per-repo groupBy)") {
+    import org.apache.spark.sql.functions._
+    val src = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(concat(lit("r"), pmod(col("doc_id"), lit(10))).as("repo"),
+        concat(lit("src/f"), col("doc_id"), lit(".py")).as("path"),
+        col("text").as("content"))
+    val df = graft.llmops.RepoContext.pack(src, "repo", "path", "content",
+      maxChars = 10000L)
+    df.collect()
+    // the AQE plan string repeats the tree under "== Initial Plan ==";
+    // count only the final section
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n" +
+      plan.take(2000))
+  }
+
+  test("fim transform adds no exchange over the scan") {
+    import org.apache.spark.sql.functions._
+    val src = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val df = graft.llmops.Fim.transform(src, "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
 }
