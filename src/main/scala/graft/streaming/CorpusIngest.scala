@@ -279,6 +279,87 @@ object CorpusIngest {
     * gate on survivors, corpus + signature appends in lockstep, optional
     * multi-writer lock — identical for every fingerprint modality.
     */
+  /** Code micro-batch ingestion — the shared protocol with the
+    * comment-insensitive exact screen: a file drops when its CANONICAL
+    * fingerprint (md5 of the comment-stripped, whitespace-collapsed,
+    * lowercased text — [[graft.llmops.CodeCorpus.stripComments]] over
+    * the extension/shebang language) already appears earlier in the
+    * batch or in the corpus. The signature store holds (key, cfp) — 32
+    * bytes/file, corpus file bytes never reread. Replay-idempotent:
+    * a replayed file fingerprints identically and drops.
+    * `requirePermissive` additionally gates on the license screen
+    * BEFORE anything is admitted (the usual pretraining policy).
+    */
+  def ingestCodeBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      corpusPath: String,
+      keyCol: String,
+      pathCol: String,
+      contentCol: String,
+      signaturePath: Option[String] = None,
+      lockStore: Option[graft.operators.LockStore] = None,
+      requirePermissive: Boolean = false
+  ): Long = {
+    import graft.llmops.{CodeCorpus, TextAnalysis}
+    def canonical(df: DataFrame): DataFrame =
+      CodeCorpus.stripComments(
+        df.withColumn("__lang",
+          CodeCorpus.language(col(pathCol), col(contentCol))),
+        contentCol, "__lang")
+      .withColumn("cfp", TextAnalysis.fingerprint(col("code_nocomments")))
+      .drop("__lang", "code_nocomments")
+    def run(): Long = {
+      val gated =
+        if (requirePermissive)
+          batch.filter(CodeCorpus.permissive(
+            CodeCorpus.license(col(contentCol))))
+        else batch
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cfp")).orderBy(col(keyCol))
+      val batchUnique = canonical(gated)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val fs = new org.apache.hadoop.fs.Path(corpusPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val corpusExists = fs.exists(new org.apache.hadoop.fs.Path(corpusPath))
+      val survivors =
+        if (!corpusExists) batchUnique
+        else {
+          val refFps = (signaturePath match {
+            case Some(sigPath) => spark.read.parquet(sigPath)
+            case None => canonical(spark.read.parquet(corpusPath))
+          }).select(col("cfp").alias("__ref_fp")).distinct()
+          batchUnique.join(refFps, col("cfp") === col("__ref_fp"),
+            "left_anti")
+        }
+      val pinned = survivors
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = pinned.count()
+        if (n > 0) {
+          pinned.drop("cfp").write.mode(SaveMode.Append).parquet(corpusPath)
+          signaturePath.foreach { sigPath =>
+            pinned.select(col(keyCol).alias("key"), col("cfp"))
+              .write.mode(SaveMode.Append).parquet(sigPath)
+          }
+        }
+        n
+      } finally {
+        pinned.unpersist()
+        ()
+      }
+    }
+    lockStore match {
+      case Some(store) =>
+        val lease = graft.operators.StoreLease.acquire(
+          store, corpusPath + "__ingest_lock",
+          graft.operators.MergeUpsert.DefaultLeaseStaleMs)
+        try run() finally lease.release()
+      case None => run()
+    }
+  }
+
   private def ingestBinaryBatch(
       spark: SparkSession,
       batch: DataFrame,

@@ -527,4 +527,61 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(!seen.contains(41L), "gate must run on dedup survivors only")
     assert(seen.contains(40L))
   }
+
+  test("ingestCodeBatch: comment variants drop within batch and against corpus") {
+    val root = Files.createTempDirectory("graft-code-ingest").toString
+    val corpus = s"$root/corpus"
+    val b1 = Seq(
+      (1L, "a.py", "# first comment\nx = 1\ny = 2\n"),
+      (2L, "b.py", "# different comment\nx = 1\ny = 2\n"), // canon dup of 1
+      (3L, "c.py", "x = 99\n"))
+      .toDF("id", "path", "content")
+    val n1 = CorpusIngest.ingestCodeBatch(spark, b1, corpus,
+      "id", "path", "content")
+    assert(n1 == 2L) // 2 drops within batch
+    val b2 = Seq(
+      (10L, "d.py", "### yet another\nx = 1\ny = 2\n"), // dup of corpus
+      (11L, "e.js", "// js comment\nlet q = 5;\n"))
+      .toDF("id", "path", "content")
+    val n2 = CorpusIngest.ingestCodeBatch(spark, b2, corpus,
+      "id", "path", "content")
+    assert(n2 == 1L)
+    val ids = spark.read.parquet(corpus).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 11L))
+  }
+
+  test("ingestCodeBatch: signature store decisions match recompute, store in lockstep") {
+    val root = Files.createTempDirectory("graft-code-sig").toString
+    val corpus = s"$root/corpus"
+    val sig = s"$root/sig"
+    val b1 = Seq((1L, "a.py", "x = 1  # c\n"), (2L, "b.c", "int k;\n"))
+      .toDF("id", "path", "content")
+    assert(CorpusIngest.ingestCodeBatch(spark, b1, corpus, "id", "path",
+      "content", signaturePath = Some(sig)) == 2L)
+    // store holds one (key, cfp) per admitted file
+    assert(spark.read.parquet(sig).count() == 2L)
+    val b2 = Seq(
+      (3L, "a2.py", "x = 1  # other comment\n"), // canon dup via store
+      (4L, "fresh.py", "z = 42\n"))
+      .toDF("id", "path", "content")
+    assert(CorpusIngest.ingestCodeBatch(spark, b2, corpus, "id", "path",
+      "content", signaturePath = Some(sig)) == 1L)
+    assert(spark.read.parquet(sig).count() == 3L)
+    assert(spark.read.parquet(corpus).count() == 3L)
+  }
+
+  test("ingestCodeBatch: permissive gate refuses unlicensed and GPL files") {
+    val root = Files.createTempDirectory("graft-code-lic").toString
+    val corpus = s"$root/corpus"
+    val b = Seq(
+      (1L, "mit.py", "# SPDX-License-Identifier: MIT\nx = 1\n"),
+      (2L, "gpl.py", "# SPDX-License-Identifier: GPL-3.0\ny = 2\n"),
+      (3L, "none.py", "z = 3\n"))
+      .toDF("id", "path", "content")
+    assert(CorpusIngest.ingestCodeBatch(spark, b, corpus, "id", "path",
+      "content", requirePermissive = true) == 1L)
+    assert(spark.read.parquet(corpus).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+  }
 }
