@@ -2437,6 +2437,41 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q194_license_prop" -> ((s, dir) => {
+      // License propagation: 50 repos x 8 files; two LICENSE files per
+      // repo carry the repo's license text (MIT / Apache / unrecognized
+      // by repo % 3), some source files carry their own SPDX header.
+      // Files keep their own license, inherit the repo's otherwise —
+      // two repo-keyed shuffles (the license-file aggregation + the
+      // join back), replayed in SQL as a grouped CTE + left join
+      val ss = tuned(s)
+      val m8 = pmod(col("doc_id"), lit(8))
+      val rm3 = pmod(pmod(col("doc_id"), lit(50)), lit(3))
+      val idS = col("doc_id").cast("string")
+      val licText = when(rm3 === 0,
+          lit("Permission is hereby granted, free of charge, to anyone"))
+        .when(rm3 === 1,
+          lit("Licensed under the Apache License, Version 2.0"))
+        .otherwise(lit("All rights reserved custom terms"))
+      val srcText = when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("# SPDX-License-Identifier: BSD-2-Clause\nx = 1"))
+        .otherwise(lit("x = 1"))
+      val files = t(ss, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          concat(lit("repo"), pmod(col("doc_id"), lit(50)).cast("string"))
+            .as("repo"),
+          when(m8 === 0, lit("LICENSE"))
+            .otherwise(concat(lit("src/f"), idS, lit(".py"))).as("path"),
+          when(m8 === 0, licText).otherwise(srcText).as("content"))
+        .withColumn("license",
+          graft.llmops.CodeCorpus.license(col("content")))
+      graft.llmops.CodeCorpus.propagateLicense(files, "repo", "path",
+          "license")
+        .select(col("doc_id"), col("repo"), col("license"),
+          col("repo_license"), col("effective_license"))
+        .orderBy("doc_id")
+    }),
+
     "q193_code_dedup" -> ((s, dir) => {
       // Comment-insensitive code dedup: 80 five-member groups share a
       // code body and differ only in comments; stripping then grouping
@@ -2805,6 +2840,42 @@ object SparkEntry {
           col("s.trainable").cast("int").as("trainable"),
           col("rendered_len"))
         .orderBy("doc_id", "turn_idx")
+    }),
+
+    "q195_avro" -> ((s, dir) => {
+      // Avro object-container ingestion: the fixture is written by
+      // AVRO'S OWN writer (deflate codec, small sync interval so blocks
+      // straddle ranges), then recovered by the from-scratch splittable
+      // reader at 8 KB ranges — schema parse, sync scan, zigzag varints
+      // and the nullable-union coding all under the full-text hash
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q195_file", _ => {
+        val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val f = java.nio.file.Files.createTempDirectory("graft-q195")
+          .toString + "/docs.avro"
+        val sj = """{"type":"record","name":"Doc","fields":[
+          {"name":"doc_id","type":"long"},
+          {"name":"text","type":["null","string"]}]}"""
+        val schema = new org.apache.avro.Schema.Parser().parse(sj)
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](schema))
+        w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        w.setSyncInterval(1024)
+        w.create(schema, new java.io.File(f))
+        try docs.foreach { case (id, text) =>
+          val rec = new org.apache.avro.generic.GenericData.Record(schema)
+          rec.put("doc_id", id)
+          rec.put("text", text)
+          w.append(rec)
+        } finally w.close()
+        f
+      })
+      graft.llmops.Avro.readAvro(ss, path, rangeBytes = 8192)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
     }),
 
     "q179_sequencefile" -> ((s, dir) => {
@@ -5759,6 +5830,34 @@ object SparkEntry {
                   'Page ' || doc_id || ' has label' || doc_id || ' and more.' ||
                   chr(10) || 'item ' || doc_id END AS plain
          FROM documents WHERE doc_id < 240 ORDER BY page_id""",
+
+    // q195: avro container — identity on (doc_id, text) through avro's
+    // own writer and the splittable from-scratch reader
+    "q195_avro" ->
+      """SELECT doc_id, text FROM documents WHERE doc_id < 400
+         ORDER BY doc_id""",
+
+    // q194: license propagation — repo license from the LICENSE files
+    // (min is trivial: both carry the same text), files coalesce their
+    // own header license over it
+    "q194_license_prop" ->
+      """WITH files AS (
+           SELECT doc_id, 'repo' || (doc_id % 50) AS repo,
+             CASE WHEN doc_id % 8 = 0 THEN
+               CASE (doc_id % 50) % 3 WHEN 0 THEN 'MIT'
+                 WHEN 1 THEN 'Apache-2.0' ELSE NULL END
+             WHEN doc_id % 5 = 0 THEN 'BSD-2-Clause'
+             ELSE NULL END AS license,
+             CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 0 END AS is_lic_file
+           FROM documents WHERE doc_id < 400),
+         repolic AS (
+           SELECT repo, min(license) AS repo_license
+           FROM files WHERE is_lic_file = 1 AND license IS NOT NULL
+           GROUP BY repo)
+         SELECT f.doc_id, f.repo, f.license, r.repo_license,
+           coalesce(f.license, r.repo_license) AS effective_license
+         FROM files f LEFT JOIN repolic r ON f.repo = r.repo
+         ORDER BY f.doc_id""",
 
     // q193: code dedup — groups keyed by doc_id % 80 collapse to their
     // comment-free canonical text

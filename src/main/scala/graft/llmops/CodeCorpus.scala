@@ -86,6 +86,36 @@ object CodeCorpus {
       .otherwise(lit(null).cast("string"))
   }
 
+  /** Repo-level license names recognized as a license FILE (last path
+    * segment, lowercased).
+    */
+  private[llmops] val LicenseFileNames: Seq[String] = Seq(
+    "license", "license.md", "license.txt", "licence", "copying",
+    "copying.md", "unlicense")
+
+  /** License propagation — the repo-policy step after per-file
+    * detection: a repo's license is the (deterministic min of the)
+    * license detected in its LICENSE/COPYING files; files keep their own
+    * header license when present and inherit the repo's otherwise.
+    * Appends `repo_license` and `effective_license`.
+    *
+    * Scale shape: the license-file subset aggregates to ONE narrow row
+    * per repo, then a repo-keyed equi-join back — both shuffles on the
+    * repo key; no broadcast assumption (repos can number in the
+    * hundreds of millions at 100 TB).
+    */
+  def propagateLicense(df: DataFrame, repoCol: String, pathCol: String,
+      licenseCol: String): DataFrame = {
+    val name = lower(element_at(split(col(pathCol), "/"), -1))
+    val repoLic = df
+      .filter(name.isin(LicenseFileNames: _*) && col(licenseCol).isNotNull)
+      .groupBy(col(repoCol))
+      .agg(min(col(licenseCol)).as("repo_license"))
+    df.join(repoLic, Seq(repoCol), "left")
+      .withColumn("effective_license",
+        coalesce(col(licenseCol), col("repo_license")))
+  }
+
   /** Permissive-license gate for the usual pretraining policy. */
   def permissive(licenseCol: Column): Column =
     licenseCol.isin("MIT", "Apache-2.0", "BSD-2-Clause", "BSD-3-Clause",
