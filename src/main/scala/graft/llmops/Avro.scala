@@ -1,0 +1,467 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Apache Avro object-container ingestion, from scratch (the Avro 1.x
+  * spec is public): JSON schema → typed Spark rows, zigzag-varint datum
+  * decoding, and a SPLITTABLE reader in the [[SeqFile]] shape — blocks
+  * end with the header's random 16-byte sync marker, so a parallel range
+  * scan recovers block boundaries and each block decodes in its own
+  * task. Reference hook: raw-layer ingestion,
+  * `aje_libs/common/helpers/utils/dynamodb_helper.py` table-driven loads
+  * (the reference reads whatever landed; Avro is the Hadoop-era landing
+  * format SequenceFile's schema-ful successor).
+  *
+  * Codecs: null, deflate (raw), snappy (raw block + CRC32 of the
+  * UNCOMPRESSED bytes, big-endian), bzip2, xz, zstandard — all via the
+  * repo's own decoders. Schema support: records, all primitives, enums,
+  * fixed, arrays, maps, named-type references, and nullable unions
+  * (`[null, X]` in either order). General multi-branch unions refuse at
+  * schema parse (documented boundary — they have no stable columnar
+  * shape). Logical types pass through as their underlying primitive.
+  *
+  * Corruption blast radius: one block (a region that fails structural
+  * validation is dropped; every other block still decodes). A sync
+  * false positive (P = 2⁻¹²⁸ per position) splits a region and drops
+  * that one block the same way.
+  */
+object Avro {
+
+  private val MaxRegion = 1L << 30
+
+  // ---------------------------------------------------------------- schema
+
+  sealed trait Sch
+  case object SNull extends Sch
+  case object SBool extends Sch
+  case object SInt extends Sch
+  case object SLong extends Sch
+  case object SFloat extends Sch
+  case object SDouble extends Sch
+  case object SString extends Sch
+  case object SBytes extends Sch
+  final case class SFixed(name: String, size: Int) extends Sch
+  final case class SEnum(name: String, symbols: Vector[String]) extends Sch
+  final case class SArray(items: Sch) extends Sch
+  final case class SMap(values: Sch) extends Sch
+  /** Nullable union: `[null, inner]` or `[inner, null]`;
+    * `nullFirst` records the branch order for index coding.
+    */
+  final case class SOpt(inner: Sch, nullFirst: Boolean) extends Sch
+  final case class SRecord(name: String,
+      fields: Vector[(String, Sch)]) extends Sch
+
+  /** Parse an Avro schema JSON document. Throws IllegalArgumentException
+    * on malformed or unsupported schemas (callers at the file level turn
+    * that into a whole-file refusal).
+    */
+  def parseSchema(json: String): Sch = {
+    val v = Json.parse(json)
+    require(v != null, "unparseable schema json")
+    parseSch(v, scala.collection.mutable.Map.empty, "")
+  }
+
+  private def fullName(name: String, ns: String): String =
+    if (name.contains(".") || ns.isEmpty) name else s"$ns.$name"
+
+  private def parseSch(v: Any,
+      reg: scala.collection.mutable.Map[String, Sch], ns: String): Sch =
+    v match {
+      case s: String => s match {
+        case "null" => SNull
+        case "boolean" => SBool
+        case "int" => SInt
+        case "long" => SLong
+        case "float" => SFloat
+        case "double" => SDouble
+        case "string" => SString
+        case "bytes" => SBytes
+        case ref =>
+          reg.getOrElse(fullName(ref, ns), reg.getOrElse(ref,
+            throw new IllegalArgumentException(s"unknown type ref $ref")))
+      }
+      case arr: Vector[_] =>
+        val branches = arr.map(parseSch(_, reg, ns))
+        branches match {
+          case Vector(SNull, x) => SOpt(x, nullFirst = true)
+          case Vector(x, SNull) => SOpt(x, nullFirst = false)
+          // single-branch union: the index varint (always 0) still
+          // precedes the value, so keep the SOpt decode shape
+          case Vector(one) => SOpt(one, nullFirst = false)
+          case _ => throw new IllegalArgumentException(
+            "unsupported general union (only [null, X] is columnar)")
+        }
+      case m: Map[_, _] =>
+        val o = m.asInstanceOf[Map[String, Any]]
+        val ns2 = o.get("namespace").map(_.toString).getOrElse(ns)
+        o.getOrElse("type", null) match {
+          case "record" | "error" =>
+            val name = fullName(o("name").toString, ns2)
+            val fields = o("fields").asInstanceOf[Vector[Any]].map { f =>
+              val fo = f.asInstanceOf[Map[String, Any]]
+              fo("name").toString -> parseSch(fo("type"), reg, ns2)
+            }
+            val r = SRecord(name, fields)
+            reg(name) = r
+            reg(o("name").toString) = r
+            r
+          case "enum" =>
+            val name = fullName(o("name").toString, ns2)
+            val e = SEnum(name, o("symbols").asInstanceOf[Vector[Any]]
+              .map(_.toString))
+            reg(name) = e; reg(o("name").toString) = e
+            e
+          case "fixed" =>
+            val name = fullName(o("name").toString, ns2)
+            val f = SFixed(name, o("size") match {
+              case l: java.lang.Long => l.toInt
+              case d: java.lang.Double => d.toInt
+              case x => x.toString.toInt
+            })
+            reg(name) = f; reg(o("name").toString) = f
+            f
+          case "array" => SArray(parseSch(o("items"), reg, ns2))
+          case "map" => SMap(parseSch(o("values"), reg, ns2))
+          case t => parseSch(t, reg, ns2) // {"type":"string",...} wrappers
+        }
+      case _ => throw new IllegalArgumentException("bad schema node")
+    }
+
+  /** The Spark type an Avro schema lands as. */
+  def sparkType(s: Sch): DataType = s match {
+    case SNull => NullType
+    case SBool => BooleanType
+    case SInt => IntegerType
+    case SLong => LongType
+    case SFloat => FloatType
+    case SDouble => DoubleType
+    case SString | SEnum(_, _) => StringType
+    case SBytes | SFixed(_, _) => BinaryType
+    case SArray(i) => ArrayType(sparkType(i))
+    case SMap(v) => MapType(StringType, sparkType(v))
+    case SOpt(i, _) => sparkType(i)
+    case SRecord(_, fs) => StructType(fs.map { case (n, t) =>
+      StructField(n, sparkType(t))
+    })
+  }
+
+  /** Root struct: a record maps field-per-column; any other root schema
+    * lands as one `value` column.
+    */
+  def rootStruct(s: Sch): StructType = s match {
+    case r: SRecord => sparkType(r).asInstanceOf[StructType]
+    case other => StructType(Seq(StructField("value", sparkType(other))))
+  }
+
+  // ----------------------------------------------------------------- datum
+
+  private[llmops] final class In(val b: Array[Byte], var i: Int,
+      val end: Int) {
+    def u8(): Int = {
+      if (i >= end) throw new IllegalArgumentException("eof")
+      val v = b(i) & 0xff; i += 1; v
+    }
+    def vlong(): Long = {
+      var x = 0L; var sh = 0; var c = 0
+      do {
+        c = u8(); x |= (c & 0x7fL) << sh; sh += 7
+        if (sh > 70) throw new IllegalArgumentException("varint overflow")
+      } while ((c & 0x80) != 0)
+      (x >>> 1) ^ -(x & 1L)
+    }
+    def bytes(n: Int): Array[Byte] = {
+      if (n < 0 || n > end - i) throw new IllegalArgumentException("eof")
+      val out = java.util.Arrays.copyOfRange(b, i, i + n); i += n; out
+    }
+  }
+
+  private[llmops] def readDatum(in: In, s: Sch): Any = s match {
+    case SNull => null
+    case SBool => in.u8() != 0
+    case SInt => in.vlong().toInt
+    case SLong => in.vlong()
+    case SFloat =>
+      java.lang.Float.intBitsToFloat(
+        in.u8() | in.u8() << 8 | in.u8() << 16 | in.u8() << 24)
+    case SDouble =>
+      var v = 0L
+      var k = 0
+      while (k < 8) { v |= (in.u8().toLong << (8 * k)); k += 1 }
+      java.lang.Double.longBitsToDouble(v)
+    case SString => new String(in.bytes(in.vlong().toInt),
+      java.nio.charset.StandardCharsets.UTF_8)
+    case SBytes => in.bytes(in.vlong().toInt)
+    case SFixed(_, n) => in.bytes(n)
+    case SEnum(_, syms) =>
+      val k = in.vlong().toInt
+      if (k < 0 || k >= syms.length)
+        throw new IllegalArgumentException("enum index")
+      syms(k)
+    case SArray(items) =>
+      val out = Vector.newBuilder[Any]
+      var n = in.vlong()
+      while (n != 0) {
+        if (n < 0) { n = -n; in.vlong() } // block byte size, unused
+        var k = 0L
+        while (k < n) { out += readDatum(in, items); k += 1 }
+        n = in.vlong()
+      }
+      out.result()
+    case SMap(values) =>
+      val out = Map.newBuilder[String, Any]
+      var n = in.vlong()
+      while (n != 0) {
+        if (n < 0) { n = -n; in.vlong() }
+        var k = 0L
+        while (k < n) {
+          val key = new String(in.bytes(in.vlong().toInt),
+            java.nio.charset.StandardCharsets.UTF_8)
+          out += key -> readDatum(in, values)
+          k += 1
+        }
+        n = in.vlong()
+      }
+      out.result()
+    case SOpt(inner, nullFirst) =>
+      val idx = in.vlong().toInt
+      val isNull = if (nullFirst) idx == 0 else idx == 1
+      if (idx < 0 || idx > 1)
+        throw new IllegalArgumentException("union index")
+      if (isNull) null else readDatum(in, inner)
+    case SRecord(_, fields) =>
+      Row.fromSeq(fields.map { case (_, t) => readDatum(in, t) })
+  }
+
+  private def rootRow(in: In, s: Sch): Row = s match {
+    case r: SRecord => readDatum(in, r).asInstanceOf[Row]
+    case other => Row(readDatum(in, other))
+  }
+
+  // ------------------------------------------------------------- container
+
+  final case class Header(schemaJson: String, codec: String,
+      sync: Array[Byte], headerEnd: Long)
+
+  /** Driver-side header parse: magic, metadata map, sync. Only the
+    * header bytes are read (the schema lives there; block data never
+    * touches the driver).
+    */
+  def readHeader(conf: org.apache.hadoop.conf.Configuration,
+      path: String): Header = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](64 << 10)
+      // the metadata map (schema json) is unbounded: read incrementally
+      // until the header parses, capped at 64 MB
+      var parsed: Header = null
+      while (parsed == null) {
+        val n = in.read(chunk)
+        require(n > 0 || buf.size() > 0, s"empty avro file $path")
+        if (n > 0) buf.write(chunk, 0, n)
+        require(buf.size() <= (64 << 20), "avro header exceeds 64 MB")
+        try parsed = parseHeader(buf.toByteArray)
+        catch {
+          case _: IllegalArgumentException if n > 0 => // need more bytes
+          case e: IllegalArgumentException if n <= 0 => throw e
+        }
+      }
+      parsed
+    } finally in.close()
+  }
+
+  private[llmops] def parseHeader(b: Array[Byte]): Header = {
+    val in = new In(b, 0, b.length)
+    require(b.length >= 4 && b(0) == 'O' && b(1) == 'b' && b(2) == 'j' &&
+      b(3) == 1, "not an avro object container")
+    in.i = 4
+    var schema: String = null
+    var codec = "null"
+    var n = in.vlong()
+    while (n != 0) {
+      if (n < 0) { n = -n; in.vlong() }
+      var k = 0L
+      while (k < n) {
+        val key = new String(in.bytes(in.vlong().toInt),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val value = in.bytes(in.vlong().toInt)
+        key match {
+          case "avro.schema" => schema = new String(value,
+            java.nio.charset.StandardCharsets.UTF_8)
+          case "avro.codec" => codec = new String(value,
+            java.nio.charset.StandardCharsets.UTF_8)
+          case _ =>
+        }
+        k += 1
+      }
+      n = in.vlong()
+    }
+    val sync = in.bytes(16)
+    require(schema != null, "avro header missing avro.schema")
+    Header(schema, codec, sync, in.i.toLong)
+  }
+
+  /** One block's decompressed bytes per the header codec. Throws on an
+    * unknown codec; null from a kernel (malformed payload) throws too —
+    * the caller drops that block.
+    */
+  private[llmops] def decodeBlock(codec: String,
+      data: Array[Byte]): Array[Byte] = {
+    val out = codec match {
+      case "null" | "" => data
+      case "deflate" =>
+        val inf = new java.util.zip.Inflater(true)
+        inf.setInput(data)
+        val o = new java.io.ByteArrayOutputStream(data.length * 4)
+        val buf = new Array[Byte](64 << 10)
+        try {
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n == 0 && inf.needsInput()) throw
+              new IllegalArgumentException("truncated deflate block")
+            o.write(buf, 0, n)
+          }
+          o.toByteArray
+        } finally inf.end()
+      case "snappy" =>
+        // raw snappy block + 4-byte big-endian CRC32 of the PLAIN bytes
+        require(data.length >= 4, "snappy block too short")
+        val plain = Snappy.decodeRaw(data, 0, data.length - 4)
+        require(plain != null, "malformed snappy block")
+        val crc = new java.util.zip.CRC32()
+        crc.update(plain)
+        val want = ((data(data.length - 4) & 0xffL) << 24) |
+          ((data(data.length - 3) & 0xffL) << 16) |
+          ((data(data.length - 2) & 0xffL) << 8) |
+          (data(data.length - 1) & 0xffL)
+        require(crc.getValue == want, "snappy block crc mismatch")
+        plain
+      case "bzip2" =>
+        val plain = Bzip2.decode(data)
+        require(plain != null, "malformed bzip2 block")
+        plain
+      case "xz" =>
+        val plain = XzLzma.decode(data)
+        require(plain != null, "malformed xz block")
+        plain
+      case "zstandard" =>
+        val plain = Zstd.decode(data)
+        require(plain != null, "malformed zstandard block")
+        plain
+      case other =>
+        throw new IllegalArgumentException(s"unknown avro codec $other")
+    }
+    out
+  }
+
+  /** Decode one region (`[count][size][data]` + trailing sync) to rows.
+    * Structural mismatch → empty (that block is the blast radius).
+    */
+  private[llmops] def parseRegion(h: Header, sch: Sch,
+      region: Array[Byte]): Seq[Row] =
+    try {
+      val in = new In(region, 0, region.length)
+      val count = in.vlong()
+      val size = in.vlong()
+      if (count < 0 || size < 0 ||
+          size != region.length - in.i - 16) return Seq.empty
+      var k = 0
+      var ok = true
+      while (ok && k < 16) {
+        ok = region(region.length - 16 + k) == h.sync(k); k += 1
+      }
+      if (!ok) return Seq.empty
+      val plain = decodeBlock(h.codec, java.util.Arrays.copyOfRange(
+        region, in.i, in.i + size.toInt))
+      val din = new In(plain, 0, plain.length)
+      val out = Vector.newBuilder[Row]
+      var r = 0L
+      while (r < count) { out += rootRow(din, sch); r += 1 }
+      out.result()
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  private def syncOffsets(spark: SparkSession, path: String,
+      sync: Array[Byte], fileLen: Long, rangeBytes: Int): DataFrame = {
+    import spark.implicits._
+    val confB = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val syncB = sync
+    val ranges = (0L until fileLen by rangeBytes.toLong)
+      .map(s => (s, math.min(s + rangeBytes, fileLen)))
+    ranges.toDF("start", "end")
+      .repartition(math.min(ranges.size, 4096))
+      .as[(Long, Long)]
+      .flatMap { case (start, end) =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(confB.value)
+        val in = fs.open(p)
+        val buf = new Array[Byte]((end - start + 16).toInt)
+        val got = try {
+          in.seek(start)
+          var g = 0; var n = 0
+          while (g < buf.length && n >= 0) {
+            n = in.read(buf, g, buf.length - g); if (n > 0) g += n
+          }
+          g
+        } finally in.close()
+        val lim = math.min(got, (end - start).toInt)
+        (0 until lim).iterator.filter { i =>
+          got - i >= 16 && {
+            var k = 0; var ok = true
+            while (ok && k < 16) { ok = buf(i + k) == syncB(k); k += 1 }
+            ok
+          }
+        }.map(start + _)
+      }
+      .toDF("offset")
+  }
+
+  /** Read an Avro object-container file as a typed DataFrame — the
+    * splittable path: a parallel range scan finds the sync markers,
+    * consecutive sync ends delimit one block each, and every block
+    * decodes in its own task (one ranged read; file bytes never
+    * shuffle). Row schema comes from the container's own schema.
+    */
+  def readAvro(spark: SparkSession, path: String,
+      rangeBytes: Int = 32 << 20): DataFrame = {
+    import spark.implicits._
+    require(rangeBytes >= 1024, "rangeBytes must be at least 1 KiB")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val h = readHeader(conf, path)
+    val sch = parseSchema(h.schemaJson)
+    val struct = rootStruct(sch)
+    val fileLen = Bz2Streams.fileLength(spark, path)
+    val confB = new org.apache.spark.util.SerializableConfiguration(conf)
+    val hB = h
+    val schB = sch
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("start"))
+    // regions = [syncEndᵢ, syncEndᵢ₊₁): [count][size][data] + sync.
+    // the header's own sync is the first boundary
+    val rows = syncOffsets(spark, path, h.sync, fileLen, rangeBytes)
+      .select((col("offset") + 16).as("start"))
+      .withColumn("end", coalesce(lead(col("start"), 1).over(w),
+        lit(fileLen)))
+      .filter(col("start") >= h.headerEnd)
+      .select("start", "end")
+      .repartition(col("start"))
+      .as[(Long, Long)]
+      .flatMap { case (start, end) =>
+        val len = end - start
+        if (len <= 0 || len > MaxRegion) Iterator.empty
+        else {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(confB.value)
+          val in = fs.open(p)
+          val buf = new Array[Byte](len.toInt)
+          try { in.seek(start); in.readFully(buf, 0, len.toInt) }
+          finally in.close()
+          parseRegion(hB, schB, buf).iterator
+        }
+      }(org.apache.spark.sql.Encoders.row(struct))
+    rows
+  }
+}

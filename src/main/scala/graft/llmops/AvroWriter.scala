@@ -1,0 +1,143 @@
+package graft.llmops
+
+import graft.llmops.Avro._
+
+/** Writer twin for [[Avro]]: canonical object-container bytes from rows
+  * of Spark-external values, for fixtures and both-direction interop
+  * tests (Avro's own `DataFileReader` reads these back verbatim —
+  * asserted in the spec). Deterministic: the sync marker derives from
+  * the schema text, not an RNG.
+  */
+object AvroWriter {
+
+  private def writeVlong(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    var x = (v << 1) ^ (v >> 63) // zigzag
+    while ((x & ~0x7fL) != 0) {
+      o.write(((x & 0x7f) | 0x80).toInt); x >>>= 7
+    }
+    o.write(x.toInt)
+  }
+
+  private def writeBytes(o: java.io.ByteArrayOutputStream,
+      b: Array[Byte]): Unit = {
+    writeVlong(o, b.length.toLong); o.write(b, 0, b.length)
+  }
+
+  private def writeStr(o: java.io.ByteArrayOutputStream, s: String): Unit =
+    writeBytes(o, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private[llmops] def writeDatum(o: java.io.ByteArrayOutputStream,
+      s: Sch, v: Any): Unit = s match {
+    case SNull => require(v == null, "non-null for null schema")
+    case SBool => o.write(if (v.asInstanceOf[Boolean]) 1 else 0)
+    case SInt => writeVlong(o, v.asInstanceOf[Int].toLong)
+    case SLong => writeVlong(o, v.asInstanceOf[Long])
+    case SFloat =>
+      val bits = java.lang.Float.floatToIntBits(v.asInstanceOf[Float])
+      o.write(bits & 0xff); o.write((bits >> 8) & 0xff)
+      o.write((bits >> 16) & 0xff); o.write((bits >> 24) & 0xff)
+    case SDouble =>
+      val bits = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+      var k = 0
+      while (k < 8) { o.write(((bits >> (8 * k)) & 0xff).toInt); k += 1 }
+    case SString => writeStr(o, v.asInstanceOf[String])
+    case SBytes => writeBytes(o, v.asInstanceOf[Array[Byte]])
+    case SFixed(_, n) =>
+      val b = v.asInstanceOf[Array[Byte]]
+      require(b.length == n, s"fixed($n) got ${b.length}")
+      o.write(b, 0, n)
+    case SEnum(_, syms) =>
+      val k = syms.indexOf(v.asInstanceOf[String])
+      require(k >= 0, s"unknown enum symbol $v")
+      writeVlong(o, k.toLong)
+    case SArray(items) =>
+      val seq = v.asInstanceOf[Seq[Any]]
+      if (seq.nonEmpty) {
+        writeVlong(o, seq.size.toLong)
+        seq.foreach(writeDatum(o, items, _))
+      }
+      writeVlong(o, 0L)
+    case SMap(values) =>
+      val m = v.asInstanceOf[Map[String, Any]]
+      if (m.nonEmpty) {
+        writeVlong(o, m.size.toLong)
+        m.foreach { case (k, mv) => writeStr(o, k); writeDatum(o, values, mv) }
+      }
+      writeVlong(o, 0L)
+    case SOpt(inner, nullFirst) =>
+      if (v == null) { writeVlong(o, if (nullFirst) 0L else 1L) }
+      else {
+        writeVlong(o, if (nullFirst) 1L else 0L)
+        writeDatum(o, inner, v)
+      }
+    case SRecord(_, fields) =>
+      val r = v.asInstanceOf[org.apache.spark.sql.Row]
+      var k = 0
+      while (k < fields.length) {
+        writeDatum(o, fields(k)._2, r.get(k)); k += 1
+      }
+  }
+
+  private def encodeBlock(codec: String, plain: Array[Byte]): Array[Byte] =
+    codec match {
+      case "null" => plain
+      case "deflate" =>
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        d.setInput(plain); d.finish()
+        val o = new java.io.ByteArrayOutputStream(plain.length / 2 + 64)
+        val buf = new Array[Byte](64 << 10)
+        while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+        d.end()
+        o.toByteArray
+      case "snappy" =>
+        val comp = SnappyWriter.encodeRaw(plain)
+        val crc = new java.util.zip.CRC32()
+        crc.update(plain)
+        val o = new java.io.ByteArrayOutputStream(comp.length + 4)
+        o.write(comp, 0, comp.length)
+        val c = crc.getValue
+        o.write(((c >> 24) & 0xff).toInt); o.write(((c >> 16) & 0xff).toInt)
+        o.write(((c >> 8) & 0xff).toInt); o.write((c & 0xff).toInt)
+        o.toByteArray
+      case other =>
+        throw new IllegalArgumentException(s"writer codec $other")
+    }
+
+  /** Container bytes: header (schema + codec + deterministic sync), then
+    * one block per `recordsPerBlock` rows. Root record schemas take one
+    * row per record; other roots take single-value rows.
+    */
+  def write(schemaJson: String, rows: Seq[org.apache.spark.sql.Row],
+      codec: String = "null", recordsPerBlock: Int = 100): Array[Byte] = {
+    val sch = Avro.parseSchema(schemaJson)
+    val o = new java.io.ByteArrayOutputStream()
+    o.write('O'); o.write('b'); o.write('j'); o.write(1)
+    writeVlong(o, 2L)
+    writeStr(o, "avro.schema")
+    writeStr(o, schemaJson)
+    writeStr(o, "avro.codec")
+    writeStr(o, codec)
+    writeVlong(o, 0L)
+    val sync = java.util.Arrays.copyOf(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(("graft-avro:" + schemaJson + ":" + codec)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)), 16)
+    o.write(sync, 0, 16)
+    rows.grouped(recordsPerBlock).foreach { group =>
+      val plain = new java.io.ByteArrayOutputStream()
+      group.foreach { r =>
+        sch match {
+          case rec: SRecord => writeDatum(plain, rec, r)
+          case other => writeDatum(plain, other, r.get(0))
+        }
+      }
+      val block = encodeBlock(codec, plain.toByteArray)
+      writeVlong(o, group.size.toLong)
+      writeVlong(o, block.length.toLong)
+      o.write(block, 0, block.length)
+      o.write(sync, 0, 16)
+    }
+    o.toByteArray
+  }
+}

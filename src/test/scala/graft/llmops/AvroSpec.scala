@@ -1,0 +1,193 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import java.nio.file.Files
+
+class AvroSpec extends SparkTestBase {
+
+  private val schemaJson =
+    """{"type":"record","name":"Doc","namespace":"graft.test","fields":[
+       {"name":"doc_id","type":"long"},
+       {"name":"text","type":"string"},
+       {"name":"score","type":["null","double"]},
+       {"name":"tags","type":{"type":"array","items":"string"}}]}"""
+
+  private def avroJavaWrite(path: String, n: Int, codec: String,
+      syncInterval: Int = 256): Unit = {
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    codec match {
+      case "null" =>
+      case "deflate" =>
+        w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+      case "snappy" =>
+        w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
+      case "zstandard" =>
+        w.setCodec(org.apache.avro.file.CodecFactory.zstandardCodec(3))
+      case "bzip2" =>
+        w.setCodec(org.apache.avro.file.CodecFactory.bzip2Codec())
+      case "xz" =>
+        w.setCodec(org.apache.avro.file.CodecFactory.xzCodec(6))
+    }
+    w.setSyncInterval(syncInterval)
+    w.create(schema, new java.io.File(path))
+    (0 until n).foreach { i =>
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("doc_id", i.toLong)
+      rec.put("text", s"document $i body " + ("x" * (i % 37)))
+      rec.put("score", if (i % 3 == 0) null else java.lang.Double.valueOf(i / 10.0))
+      val tags = new java.util.ArrayList[CharSequence]()
+      (0 until i % 3).foreach(t => tags.add(s"t$t"))
+      rec.put("tags", tags)
+      w.append(rec)
+    }
+    w.close()
+  }
+
+  private def checkAll(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) null else r.getDouble(2),
+      r.getSeq[String](3))).sortBy(_._1)
+    assert(rows.length == n)
+    rows.zipWithIndex.foreach { case ((id, text, score, tags), i) =>
+      assert(id == i.toLong)
+      assert(text == s"document $i body " + ("x" * (i % 37)))
+      if (i % 3 == 0) assert(score == null)
+      else assert(score == i / 10.0)
+      assert(tags == (0 until i % 3).map(t => s"t$t"))
+    }
+  }
+
+  test("interop: avro's own writer reads back through the splittable reader") {
+    for (codec <- Seq("null", "deflate", "snappy", "zstandard", "bzip2", "xz")) {
+      val path = Files.createTempDirectory("graft-avro").toString + "/d.avro"
+      avroJavaWrite(path, 120, codec)
+      checkAll(Avro.readAvro(spark, path), 120)
+    }
+  }
+
+  test("splittable: tiny ranges recover exactly the same rows") {
+    val path = Files.createTempDirectory("graft-avro").toString + "/d.avro"
+    avroJavaWrite(path, 300, "deflate", syncInterval = 128) // many blocks
+    checkAll(Avro.readAvro(spark, path, rangeBytes = 1024), 300)
+  }
+
+  test("interop: our writer's bytes read back through avro's own reader") {
+    for (codec <- Seq("null", "deflate", "snappy")) {
+      val path = Files.createTempDirectory("graft-avro").toString + "/w.avro"
+      val rows = (0 until 75).map(i => Row(i.toLong, s"row $i",
+        if (i % 2 == 0) null else java.lang.Double.valueOf(i * 0.5),
+        (0 until i % 4).map(t => s"g$t")))
+      Files.write(java.nio.file.Paths.get(path),
+        AvroWriter.write(schemaJson, rows, codec, recordsPerBlock = 10))
+      val r = new org.apache.avro.file.DataFileReader(
+        new java.io.File(path),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      var i = 0
+      while (r.hasNext) {
+        val rec = r.next()
+        assert(rec.get("doc_id") == i.toLong)
+        assert(rec.get("text").toString == s"row $i")
+        if (i % 2 == 0) assert(rec.get("score") == null)
+        else assert(rec.get("score") == i * 0.5)
+        i += 1
+      }
+      r.close()
+      assert(i == 75)
+      // and through our own reader too
+      val mine = Avro.readAvro(spark, path).collect()
+        .map(x => (x.getLong(0), x.getString(1),
+          if (x.isNullAt(2)) null else x.getDouble(2),
+          x.getSeq[String](3))).sortBy(_._1)
+      assert(mine.length == 75)
+      mine.zipWithIndex.foreach { case ((id, text, score, tags), k) =>
+        assert(id == k.toLong && text == s"row $k")
+        if (k % 2 == 0) assert(score == null) else assert(score == k * 0.5)
+        assert(tags == (0 until k % 4).map(t => s"g$t"))
+      }
+    }
+  }
+
+  test("schema breadth: enum, fixed, map, nested record, int/float/bool") {
+    val sj =
+      """{"type":"record","name":"Full","fields":[
+         {"name":"e","type":{"type":"enum","name":"Color",
+          "symbols":["RED","GREEN","BLUE"]}},
+         {"name":"fx","type":{"type":"fixed","name":"F4","size":4}},
+         {"name":"m","type":{"type":"map","values":"int"}},
+         {"name":"nested","type":{"type":"record","name":"Inner",
+          "fields":[{"name":"a","type":"int"},{"name":"b","type":"float"}]}},
+         {"name":"ok","type":"boolean"}]}"""
+    val path = Files.createTempDirectory("graft-avro").toString + "/f.avro"
+    val rows = Seq(
+      Row("GREEN", Array[Byte](1, 2, 3, 4), Map("k" -> 7),
+        Row(5, 1.5f), true),
+      Row("RED", Array[Byte](9, 9, 9, 9), Map.empty[String, Int],
+        Row(-1, -2.25f), false))
+    Files.write(java.nio.file.Paths.get(path),
+      AvroWriter.write(sj, rows, "null"))
+    val out = Avro.readAvro(spark, path).collect().sortBy(_.getString(0))
+    assert(out.length == 2)
+    val g = out.find(_.getString(0) == "GREEN").get
+    assert(g.getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 2, 3, 4))
+    assert(g.getMap[String, Int](2) == Map("k" -> 7))
+    assert(g.getStruct(3).getInt(0) == 5 && g.getStruct(3).getFloat(1) == 1.5f)
+    assert(g.getBoolean(4))
+  }
+
+  test("corruption blast radius: one flipped block drops, others survive") {
+    val path = Files.createTempDirectory("graft-avro").toString + "/c.avro"
+    // deflate: structural corruption is detectable (a flipped "null"-
+    // codec block still parses, just with garbled strings)
+    avroJavaWrite(path, 200, "deflate", syncInterval = 128)
+    val b = Files.readAllBytes(java.nio.file.Paths.get(path))
+    // find a mid-file position inside a block body and trash 8 bytes
+    val mid = b.length / 2
+    (0 until 8).foreach(k => b(mid + k) = (b(mid + k) ^ 0x5a).toByte)
+    val cpath = path + ".corrupt"
+    Files.write(java.nio.file.Paths.get(cpath), b)
+    val n = Avro.readAvro(spark, cpath).count()
+    assert(n < 200, "the corrupted block must drop")
+    assert(n > 100, s"only the corrupted block may drop, got $n")
+  }
+
+  test("refusals: general unions, bad magic, unknown codec") {
+    intercept[IllegalArgumentException] {
+      Avro.parseSchema("""["int","string"]""")
+    }
+    intercept[IllegalArgumentException] {
+      Avro.parseHeader("NotAvroAtAll".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      Avro.decodeBlock("lzo", Array[Byte](1, 2, 3))
+    }
+  }
+
+  test("nullable-union order both ways; single-branch union") {
+    val sj =
+      """{"type":"record","name":"U","fields":[
+         {"name":"a","type":["double","null"]},
+         {"name":"b","type":["null","string"]},
+         {"name":"c","type":["long"]}]}"""
+    val path = Files.createTempDirectory("graft-avro").toString + "/u.avro"
+    val rows = Seq(Row(1.5, null, 7L), Row(null, "hi", 8L))
+    Files.write(java.nio.file.Paths.get(path),
+      AvroWriter.write(sj, rows, "null"))
+    val out = Avro.readAvro(spark, path).collect().sortBy(_.getLong(2))
+    assert(out(0).getDouble(0) == 1.5 && out(0).isNullAt(1))
+    assert(out(1).isNullAt(0) && out(1).getString(1) == "hi")
+    // avro's own reader agrees on the union coding
+    val r = new org.apache.avro.file.DataFileReader(
+      new java.io.File(path),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val rec = r.next()
+    assert(rec.get("a") == 1.5 && rec.get("b") == null &&
+      rec.get("c") == 7L)
+    r.close()
+  }
+}
