@@ -2842,6 +2842,66 @@ object SparkEntry {
         .orderBy("doc_id", "turn_idx")
     }),
 
+    "q196_arrow" -> ((s, dir) => {
+      // Arrow IPC ingestion: the fixture is written by ARROW'S OWN
+      // Java writer (zstd-compressed bodies, small batches so the
+      // footer lists many blocks), then recovered by the from-scratch
+      // footer-driven reader — flatbuffers walk, validity bitmaps,
+      // offset buffers and the per-buffer decompression all under the
+      // full-text hash
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q196_file", _ => {
+        val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val f = java.nio.file.Files.createTempDirectory("graft-q196")
+          .toString + "/docs.arrow"
+        val alloc = new org.apache.arrow.memory.RootAllocator()
+        try {
+          val schema = new org.apache.arrow.vector.types.pojo.Schema(
+            java.util.Arrays.asList(
+              new org.apache.arrow.vector.types.pojo.Field("doc_id",
+                org.apache.arrow.vector.types.pojo.FieldType.notNullable(
+                  new org.apache.arrow.vector.types.pojo.ArrowType.Int(
+                    64, true)), null),
+              new org.apache.arrow.vector.types.pojo.Field("text",
+                org.apache.arrow.vector.types.pojo.FieldType.nullable(
+                  org.apache.arrow.vector.types.pojo.ArrowType.Utf8
+                    .INSTANCE), null)))
+          val root = org.apache.arrow.vector.VectorSchemaRoot.create(
+            schema, alloc)
+          val ch = java.nio.channels.Channels.newChannel(
+            new java.io.FileOutputStream(f))
+          val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+            null, ch, null,
+            org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+            org.apache.arrow.compression.CommonsCompressionFactory
+              .INSTANCE,
+            org.apache.arrow.vector.compression.CompressionUtil
+              .CodecType.ZSTD)
+          w.start()
+          docs.grouped(64).foreach { group =>
+            root.allocateNew()
+            val ids = root.getVector("doc_id")
+              .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+            val texts = root.getVector("text")
+              .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+            group.zipWithIndex.foreach { case ((id, text), k) =>
+              ids.setSafe(k, id)
+              texts.setSafe(k, text.getBytes("UTF-8"))
+            }
+            root.setRowCount(group.length)
+            w.writeBatch()
+          }
+          w.end(); w.close(); ch.close(); root.close()
+        } finally alloc.close()
+        f
+      })
+      graft.llmops.Arrow.readArrow(ss, path)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     "q195_avro" -> ((s, dir) => {
       // Avro object-container ingestion: the fixture is written by
       // AVRO'S OWN writer (deflate codec, small sync interval so blocks
@@ -5251,6 +5311,98 @@ object SparkEntry {
         packed.agg(count(lit(1)).as("n_repos"),
           sum(col("n_files")).cast("long").as("files"),
           sum(col("total_chars")).cast("long").as("chars"))
+      }),
+
+      "s12_avro_full" -> ((s, dir) => {
+        // Avro container throughput: the whole corpus in one deflate
+        // container (small sync interval → many blocks), recovered by
+        // the splittable sync-scan reader
+        val ss = tuned(s)
+        val path = fixturePaths.computeIfAbsent(s"$dir::s12_file", _ => {
+          val docs = t(ss, dir, "documents")
+            .select(col("doc_id"), col("text")).collect()
+            .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+          val f = java.nio.file.Files.createTempFile("graft-s12", ".avro")
+            .toString
+          val sj = """{"type":"record","name":"Doc","fields":[
+            {"name":"doc_id","type":"long"},
+            {"name":"text","type":"string"}]}"""
+          val schema = new org.apache.avro.Schema.Parser().parse(sj)
+          val w = new org.apache.avro.file.DataFileWriter(
+            new org.apache.avro.generic.GenericDatumWriter[
+              org.apache.avro.generic.GenericRecord](schema))
+          w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+          w.setSyncInterval(64 << 10)
+          w.create(schema, new java.io.File(f))
+          try docs.foreach { case (id, text) =>
+            val rec = new org.apache.avro.generic.GenericData.Record(
+              schema)
+            rec.put("doc_id", id)
+            rec.put("text", text)
+            w.append(rec)
+          } finally w.close()
+          f
+        })
+        graft.llmops.Avro.readAvro(ss, path, rangeBytes = 1 << 20)
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("text"))).cast("long").as("chars"))
+      }),
+
+      "s13_arrow_full" -> ((s, dir) => {
+        // Arrow IPC throughput: the whole corpus in one zstd-bodied
+        // file (1024-row batches), recovered by the footer-driven
+        // batch-parallel reader
+        val ss = tuned(s)
+        val path = fixturePaths.computeIfAbsent(s"$dir::s13_file", _ => {
+          val docs = t(ss, dir, "documents")
+            .select(col("doc_id"), col("text")).collect()
+            .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+          val f = java.nio.file.Files.createTempFile("graft-s13",
+            ".arrow").toString
+          val alloc = new org.apache.arrow.memory.RootAllocator()
+          try {
+            val schema = new org.apache.arrow.vector.types.pojo.Schema(
+              java.util.Arrays.asList(
+                new org.apache.arrow.vector.types.pojo.Field("doc_id",
+                  org.apache.arrow.vector.types.pojo.FieldType
+                    .notNullable(new org.apache.arrow.vector.types.pojo
+                      .ArrowType.Int(64, true)), null),
+                new org.apache.arrow.vector.types.pojo.Field("text",
+                  org.apache.arrow.vector.types.pojo.FieldType.nullable(
+                    org.apache.arrow.vector.types.pojo.ArrowType.Utf8
+                      .INSTANCE), null)))
+            val root = org.apache.arrow.vector.VectorSchemaRoot.create(
+              schema, alloc)
+            val ch = java.nio.channels.Channels.newChannel(
+              new java.io.FileOutputStream(f))
+            val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+              null, ch, null,
+              org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+              org.apache.arrow.compression.CommonsCompressionFactory
+                .INSTANCE,
+              org.apache.arrow.vector.compression.CompressionUtil
+                .CodecType.ZSTD)
+            w.start()
+            docs.grouped(1024).foreach { group =>
+              root.allocateNew()
+              val ids = root.getVector("doc_id")
+                .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+              val texts = root.getVector("text")
+                .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+              group.zipWithIndex.foreach { case ((id, text), k) =>
+                ids.setSafe(k, id)
+                texts.setSafe(k, text.getBytes("UTF-8"))
+              }
+              root.setRowCount(group.length)
+              w.writeBatch()
+            }
+            w.end(); w.close(); ch.close(); root.close()
+          } finally alloc.close()
+          f
+        })
+        graft.llmops.Arrow.readArrow(ss, path)
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("text"))).cast("long").as("chars"))
       })
     )
 
@@ -5830,6 +5982,12 @@ object SparkEntry {
                   'Page ' || doc_id || ' has label' || doc_id || ' and more.' ||
                   chr(10) || 'item ' || doc_id END AS plain
          FROM documents WHERE doc_id < 240 ORDER BY page_id""",
+
+    // q196: arrow ipc — identity on (doc_id, text) through arrow's own
+    // writer (zstd bodies) and the footer-driven from-scratch reader
+    "q196_arrow" ->
+      """SELECT doc_id, text FROM documents WHERE doc_id < 400
+         ORDER BY doc_id""",
 
     // q195: avro container — identity on (doc_id, text) through avro's
     // own writer and the splittable from-scratch reader

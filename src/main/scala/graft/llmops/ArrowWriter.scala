@@ -1,0 +1,464 @@
+package graft.llmops
+
+import graft.llmops.Arrow._
+import org.apache.spark.sql.Row
+
+/** Writer twin for [[Arrow]]: canonical Arrow IPC file bytes from rows of
+  * Spark-external values, including a minimal flatbuffers BUILDER (the
+  * classic end-growing algorithm — vtables, forward uoffsets, aligned
+  * scalars). Fixtures and both-direction interop (Arrow's own Java
+  * reader consumes these files — asserted in the spec).
+  */
+object ArrowWriter {
+
+  // -------------------------------------------------- flatbuffers builder
+
+  private[llmops] final class FbBuilder(cap: Int = 1 << 20) {
+    private var buf = new Array[Byte](cap)
+    private var head = cap // grows downward; data lives in [head, cap)
+    private var minalign = 1
+    private val vtable = new Array[Int](64) // field id -> offset()
+    private var vtableSize = 0
+    private var objStart = 0
+
+    def offset(): Int = buf.length - head
+    private def grow(): Unit = {
+      val n = new Array[Byte](buf.length * 2)
+      System.arraycopy(buf, head, n, buf.length + head, offset())
+      head += buf.length
+      buf = n
+    }
+    private def pad(n: Int): Unit = {
+      var k = 0
+      while (k < n) { head -= 1; buf(head) = 0; k += 1 }
+    }
+    def prep(align: Int, size: Int): Unit = {
+      if (align > minalign) minalign = align
+      while (head - size < align) grow()
+      val alignSize = ((~(offset() + size)) + 1) & (align - 1)
+      pad(alignSize)
+      if (head - size < 0) grow()
+    }
+    def putI8(v: Int): Unit = { head -= 1; buf(head) = v.toByte }
+    def putI16(v: Int): Unit = {
+      head -= 2
+      buf(head) = (v & 0xff).toByte
+      buf(head + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putI32(v: Int): Unit = {
+      head -= 4
+      var k = 0
+      while (k < 4) { buf(head + k) = ((v >> (8 * k)) & 0xff).toByte; k += 1 }
+    }
+    def putI64(v: Long): Unit = {
+      head -= 8
+      var k = 0
+      while (k < 8) { buf(head + k) = ((v >> (8 * k)) & 0xff).toByte; k += 1 }
+    }
+    def addI8(v: Int): Unit = { prep(1, 1); putI8(v) }
+    def addI16(v: Int): Unit = { prep(2, 2); putI16(v) }
+    def addI32(v: Int): Unit = { prep(4, 4); putI32(v) }
+    def addI64(v: Long): Unit = { prep(8, 8); putI64(v) }
+    def addOffset(off: Int): Unit = {
+      prep(4, 4)
+      putI32(offset() + 4 - off)
+    }
+    def createString(s: String): Int = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      addI8(0) // null terminator
+      startVector(1, b.length, 1)
+      head -= b.length
+      System.arraycopy(b, 0, buf, head, b.length)
+      endVector(b.length)
+    }
+    def startVector(elemSize: Int, count: Int, align: Int): Unit = {
+      prep(4, elemSize * count)
+      prep(math.max(align, 4), elemSize * count)
+    }
+    def endVector(count: Int): Int = { putI32(count); offset() }
+    def startTable(): Unit = {
+      java.util.Arrays.fill(vtable, 0)
+      vtableSize = 0
+      objStart = offset()
+    }
+    private def trackField(id: Int): Unit = {
+      vtable(id) = offset()
+      if (id + 1 > vtableSize) vtableSize = id + 1
+    }
+    def slotI16(id: Int, v: Int, dflt: Int): Unit =
+      if (v != dflt) { addI16(v); trackField(id) }
+    def slotI32(id: Int, v: Int, dflt: Int): Unit =
+      if (v != dflt) { addI32(v); trackField(id) }
+    def slotI64(id: Int, v: Long, dflt: Long): Unit =
+      if (v != dflt) { addI64(v); trackField(id) }
+    def slotBool(id: Int, v: Boolean, dflt: Boolean): Unit =
+      if (v != dflt) { addI8(if (v) 1 else 0); trackField(id) }
+    def slotU8(id: Int, v: Int, dflt: Int): Unit =
+      if (v != dflt) { addI8(v); trackField(id) }
+    def slotOffset(id: Int, off: Int): Unit =
+      if (off != 0) { addOffset(off); trackField(id) }
+    /** struct fields are written inline immediately before endTable —
+      * call after writing the struct bytes.
+      */
+    def slotStruct(id: Int): Unit = trackField(id)
+    def endTable(): Int = {
+      // soffset placeholder
+      addI32(0)
+      val tablePos = offset()
+      // vtable: vsize, tsize, then per-field offsets FROM table pos
+      var id = vtableSize - 1
+      val slots = new Array[Int](vtableSize)
+      while (id >= 0) {
+        slots(id) = if (vtable(id) == 0) 0 else tablePos - vtable(id)
+        id -= 1
+      }
+      var k = vtableSize - 1
+      while (k >= 0) { addI16(slots(k)); k -= 1 }
+      addI16(tablePos - objStart) // table size
+      addI16((vtableSize + 2) * 2) // vtable size in bytes
+      val vtPos = offset()
+      // patch the soffset at tablePos: table_pos - vtable_pos, stored at
+      // buffer index (buf.length - tablePos)
+      val p = buf.length - tablePos
+      val so = vtPos - tablePos
+      var k2 = 0
+      while (k2 < 4) {
+        buf(p + k2) = ((so >> (8 * k2)) & 0xff).toByte; k2 += 1
+      }
+      tablePos
+    }
+    def finish(root: Int): Array[Byte] = {
+      prep(minalign, 4)
+      addOffset(root)
+      java.util.Arrays.copyOfRange(buf, head, buf.length)
+    }
+  }
+
+  // --------------------------------------------------------- schema tables
+
+  private def buildField(b: FbBuilder, f: AField): Int = {
+    val childOffs = f.tpe match {
+      case AList(c, _) => Vector(buildField(b, c))
+      case AStruct(cs) => cs.map(buildField(b, _))
+      case _ => Vector.empty
+    }
+    val childVec = if (childOffs.isEmpty) 0 else {
+      b.startVector(4, childOffs.length, 4)
+      childOffs.reverse.foreach(b.addOffset)
+      b.endVector(childOffs.length)
+    }
+    val nameOff = b.createString(f.name)
+    // type table
+    val (typeType, typeOff) = f.tpe match {
+      case AInt(bits) =>
+        b.startTable()
+        b.slotI32(0, bits, 0)
+        b.slotBool(1, v = true, dflt = false)
+        (2, b.endTable())
+      case AFloat =>
+        b.startTable(); b.slotI16(0, 1, 0); (3, b.endTable())
+      case ADouble =>
+        b.startTable(); b.slotI16(0, 2, 0); (3, b.endTable())
+      case ABinary(false) => b.startTable(); (4, b.endTable())
+      case AString(false) => b.startTable(); (5, b.endTable())
+      case ABool => b.startTable(); (6, b.endTable())
+      case ABinary(true) => b.startTable(); (19, b.endTable())
+      case AString(true) => b.startTable(); (20, b.endTable())
+      case AList(_, false) => b.startTable(); (12, b.endTable())
+      case AList(_, true) => b.startTable(); (21, b.endTable())
+      case AStruct(_) => b.startTable(); (13, b.endTable())
+      case APassthrough(_) => throw new IllegalArgumentException(
+        "writer does not emit passthrough temporal types")
+    }
+    b.startTable()
+    b.slotOffset(0, nameOff)
+    b.slotBool(1, f.nullable, dflt = false)
+    b.slotU8(2, typeType, 0)
+    b.slotOffset(3, typeOff)
+    b.slotOffset(5, childVec)
+    b.endTable()
+  }
+
+  private def buildSchema(b: FbBuilder, fields: Vector[AField]): Int = {
+    val fieldOffs = fields.map(buildField(b, _))
+    b.startVector(4, fieldOffs.length, 4)
+    fieldOffs.reverse.foreach(b.addOffset)
+    val vec = b.endVector(fieldOffs.length)
+    b.startTable()
+    b.slotOffset(1, vec)
+    b.endTable()
+  }
+
+  private def schemaMessage(fields: Vector[AField]): Array[Byte] = {
+    val b = new FbBuilder()
+    val schema = buildSchema(b, fields)
+    b.startTable()
+    b.slotI16(0, 4, 0) // MetadataVersion V5
+    b.slotU8(1, 1, 0) // header type Schema
+    b.slotOffset(2, schema)
+    b.slotI64(3, 0L, 0L)
+    val msg = b.endTable()
+    encapsulate(b.finish(msg))
+  }
+
+  // ---------------------------------------------------------- batch bodies
+
+  private final class Body {
+    val out = new java.io.ByteArrayOutputStream()
+    val buffers = Vector.newBuilder[(Long, Long)]
+    def add(b: Array[Byte]): Unit = {
+      val off = out.size().toLong
+      out.write(b, 0, b.length)
+      val padTo = (8 - (out.size() & 7)) & 7
+      var k = 0
+      while (k < padTo) { out.write(0); k += 1 }
+      buffers += ((off, b.length.toLong))
+    }
+  }
+
+  private def validityOf(vs: Seq[Any]): (Array[Byte], Long) = {
+    val nulls = vs.count(_ == null)
+    if (nulls == 0) (Array.emptyByteArray, 0L)
+    else {
+      val bm = new Array[Byte]((vs.length + 7) / 8)
+      var i = 0
+      vs.foreach { v =>
+        if (v != null) bm(i >> 3) = (bm(i >> 3) | (1 << (i & 7))).toByte
+        i += 1
+      }
+      (bm, nulls.toLong)
+    }
+  }
+
+  private def writeColumn(f: AField, vs: Seq[Any], body: Body,
+      nodes: scala.collection.mutable.ArrayBuffer[(Long, Long)]): Unit = {
+    val (bm, nulls) = validityOf(vs)
+    nodes += ((vs.length.toLong, nulls))
+    body.add(bm)
+    f.tpe match {
+      case ABool =>
+        val data = new Array[Byte]((vs.length + 7) / 8)
+        var i = 0
+        vs.foreach { v =>
+          if (v != null && v.asInstanceOf[Boolean])
+            data(i >> 3) = (data(i >> 3) | (1 << (i & 7))).toByte
+          i += 1
+        }
+        body.add(data)
+      case AInt(bits) =>
+        val w = bits / 8
+        val data = new Array[Byte](vs.length * w)
+        var i = 0
+        vs.foreach { v =>
+          if (v != null) {
+            val x = v match {
+              case b: Byte => b.toLong
+              case s: Short => s.toLong
+              case n: Int => n.toLong
+              case l: Long => l
+            }
+            var k = 0
+            while (k < w) {
+              data(i * w + k) = ((x >> (8 * k)) & 0xff).toByte; k += 1
+            }
+          }
+          i += 1
+        }
+        body.add(data)
+      case AFloat =>
+        val data = new Array[Byte](vs.length * 4)
+        var i = 0
+        vs.foreach { v =>
+          if (v != null) {
+            val bits = java.lang.Float.floatToIntBits(v.asInstanceOf[Float])
+            var k = 0
+            while (k < 4) {
+              data(i * 4 + k) = ((bits >> (8 * k)) & 0xff).toByte; k += 1
+            }
+          }
+          i += 1
+        }
+        body.add(data)
+      case ADouble =>
+        val data = new Array[Byte](vs.length * 8)
+        var i = 0
+        vs.foreach { v =>
+          if (v != null) {
+            val bits = java.lang.Double.doubleToLongBits(
+              v.asInstanceOf[Double])
+            var k = 0
+            while (k < 8) {
+              data(i * 8 + k) = ((bits >> (8 * k)) & 0xff).toByte; k += 1
+            }
+          }
+          i += 1
+        }
+        body.add(data)
+      case AString(large) =>
+        val bytes = vs.map {
+          case null => Array.emptyByteArray
+          case s: String =>
+            s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        writeVarWidth(bytes, large, body)
+      case ABinary(large) =>
+        val bytes = vs.map {
+          case null => Array.emptyByteArray
+          case b: Array[Byte] => b
+        }
+        writeVarWidth(bytes, large, body)
+      case AList(child, large) =>
+        val w = if (large) 8 else 4
+        val offs = new Array[Byte]((vs.length + 1) * w)
+        var acc = 0L
+        var i = 0
+        def put(pos: Int, x: Long): Unit = {
+          var k = 0
+          while (k < w) {
+            offs(pos * w + k) = ((x >> (8 * k)) & 0xff).toByte; k += 1
+          }
+        }
+        put(0, 0L)
+        vs.foreach { v =>
+          if (v != null) acc += v.asInstanceOf[Seq[Any]].length
+          i += 1
+          put(i, acc)
+        }
+        body.add(offs)
+        val kids = vs.flatMap {
+          case null => Seq.empty[Any]
+          case s: Seq[_] => s
+        }
+        writeColumn(child, kids, body, nodes)
+      case AStruct(children) =>
+        children.zipWithIndex.foreach { case (c, k) =>
+          val kid = vs.map {
+            case null => null
+            case r: Row => r.get(k)
+          }
+          writeColumn(c, kid, body, nodes)
+        }
+      case APassthrough(_) => throw new IllegalArgumentException(
+        "writer does not emit passthrough temporal types")
+    }
+  }
+
+  private def writeVarWidth(bytes: Seq[Array[Byte]], large: Boolean,
+      body: Body): Unit = {
+    val w = if (large) 8 else 4
+    val offs = new Array[Byte]((bytes.length + 1) * w)
+    var acc = 0L
+    var i = 0
+    def put(pos: Int, x: Long): Unit = {
+      var k = 0
+      while (k < w) {
+        offs(pos * w + k) = ((x >> (8 * k)) & 0xff).toByte; k += 1
+      }
+    }
+    put(0, 0L)
+    val data = new java.io.ByteArrayOutputStream()
+    bytes.foreach { b =>
+      data.write(b, 0, b.length)
+      acc += b.length
+      i += 1
+      put(i, acc)
+    }
+    body.add(offs)
+    body.add(data.toByteArray)
+  }
+
+  private def batchMessage(fields: Vector[AField], rows: Seq[Row])
+      : (Array[Byte], Array[Byte]) = {
+    val body = new Body
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    fields.zipWithIndex.foreach { case (f, k) =>
+      writeColumn(f, rows.map(_.get(k)), body, nodes)
+    }
+    val bufs = body.buffers.result()
+    val b = new FbBuilder()
+    // buffers vector (structs inline, reversed build order)
+    b.startVector(16, bufs.length, 8)
+    bufs.reverse.foreach { case (off, len) =>
+      b.putI64(len); b.putI64(off)
+    }
+    val bufVec = b.endVector(bufs.length)
+    b.startVector(16, nodes.length, 8)
+    nodes.reverse.foreach { case (len, nulls) =>
+      b.putI64(nulls); b.putI64(len)
+    }
+    val nodeVec = b.endVector(nodes.length)
+    b.startTable()
+    b.slotI64(0, rows.length.toLong, 0L)
+    b.slotOffset(1, nodeVec)
+    b.slotOffset(2, bufVec)
+    val rb = b.endTable()
+    val bodyBytes = body.out.toByteArray
+    b.startTable()
+    b.slotI16(0, 4, 0) // V5
+    b.slotU8(1, 3, 0) // RecordBatch
+    b.slotOffset(2, rb)
+    b.slotI64(3, bodyBytes.length.toLong, 0L)
+    val msg = b.endTable()
+    (encapsulate(b.finish(msg)), bodyBytes)
+  }
+
+  /** continuation marker + length + flatbuffer, padded to 8. */
+  private def encapsulate(fb: Array[Byte]): Array[Byte] = {
+    val padded = (fb.length + 7) & ~7
+    val out = new Array[Byte](8 + padded)
+    out(0) = -1; out(1) = -1; out(2) = -1; out(3) = -1
+    var k = 0
+    while (k < 4) { out(4 + k) = ((padded >> (8 * k)) & 0xff).toByte; k += 1 }
+    System.arraycopy(fb, 0, out, 8, fb.length)
+    out
+  }
+
+  private def buildFooter(fields: Vector[AField],
+      blocks: Seq[(Long, Int, Long)]): Array[Byte] = {
+    val b = new FbBuilder()
+    val schema = buildSchema(b, fields)
+    b.startVector(24, blocks.length, 8)
+    blocks.reverse.foreach { case (off, metaLen, bodyLen) =>
+      b.putI64(bodyLen); b.putI32(0); b.putI32(metaLen); b.putI64(off)
+    }
+    val rbVec = b.endVector(blocks.length)
+    b.startVector(24, 0, 8)
+    val dictVec = b.endVector(0)
+    b.startTable()
+    b.slotI16(0, 4, 0) // V5
+    b.slotOffset(1, schema)
+    b.slotOffset(2, dictVec)
+    b.slotOffset(3, rbVec)
+    b.endTable() match { case f => b.finish(f) }
+  }
+
+  /** Arrow IPC file bytes: magic, schema message, one record batch per
+    * `rowsPerBatch` rows, footer, trailing magic.
+    */
+  def write(fields: Vector[AField], rows: Seq[Row],
+      rowsPerBatch: Int = 1000): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    o.write("ARROW1".getBytes("US-ASCII")); o.write(0); o.write(0)
+    val sm = schemaMessage(fields)
+    o.write(sm, 0, sm.length)
+    val blocks = Vector.newBuilder[(Long, Int, Long)]
+    rows.grouped(math.max(rowsPerBatch, 1)).foreach { group =>
+      val (meta, body) = batchMessage(fields, group)
+      blocks += ((o.size().toLong, meta.length, body.length.toLong))
+      o.write(meta, 0, meta.length)
+      o.write(body, 0, body.length)
+      val padTo = (8 - (o.size() & 7)) & 7
+      var k = 0
+      while (k < padTo) { o.write(0); k += 1 }
+    }
+    // end-of-stream marker
+    o.write(Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0), 0, 8)
+    val footer = buildFooter(fields, blocks.result())
+    o.write(footer, 0, footer.length)
+    var k = 0
+    val fl = footer.length
+    while (k < 4) { o.write((fl >> (8 * k)) & 0xff); k += 1 }
+    o.write("ARROW1".getBytes("US-ASCII"))
+    o.toByteArray
+  }
+}

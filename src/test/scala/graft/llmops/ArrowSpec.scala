@@ -1,0 +1,211 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import java.nio.file.Files
+
+class ArrowSpec extends SparkTestBase {
+
+  import Arrow._
+
+  private def javaWrite(path: String, n: Int, batchRows: Int,
+      codec: String = "none"): Unit = {
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val fields = java.util.Arrays.asList(
+        new org.apache.arrow.vector.types.pojo.Field("doc_id",
+          org.apache.arrow.vector.types.pojo.FieldType.notNullable(
+            new org.apache.arrow.vector.types.pojo.ArrowType.Int(64, true)),
+          null),
+        new org.apache.arrow.vector.types.pojo.Field("text",
+          org.apache.arrow.vector.types.pojo.FieldType.nullable(
+            org.apache.arrow.vector.types.pojo.ArrowType.Utf8.INSTANCE),
+          null),
+        new org.apache.arrow.vector.types.pojo.Field("score",
+          org.apache.arrow.vector.types.pojo.FieldType.nullable(
+            new org.apache.arrow.vector.types.pojo.ArrowType.FloatingPoint(
+              org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE)),
+          null))
+      val schema = new org.apache.arrow.vector.types.pojo.Schema(fields)
+      val root = org.apache.arrow.vector.VectorSchemaRoot.create(schema,
+        alloc)
+      val ch = java.nio.channels.Channels.newChannel(
+        new java.io.FileOutputStream(path))
+      val w =
+        if (codec == "none")
+          new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
+        else {
+          val codecType = codec match {
+            case "lz4" => org.apache.arrow.vector.compression
+              .CompressionUtil.CodecType.LZ4_FRAME
+            case "zstd" => org.apache.arrow.vector.compression
+              .CompressionUtil.CodecType.ZSTD
+          }
+          new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch,
+            null, org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+            org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE,
+            codecType)
+        }
+      w.start()
+      var written = 0
+      while (written < n) {
+        val m = math.min(batchRows, n - written)
+        root.allocateNew()
+        val ids = root.getVector("doc_id")
+          .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+        val texts = root.getVector("text")
+          .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+        val scores = root.getVector("score")
+          .asInstanceOf[org.apache.arrow.vector.Float8Vector]
+        (0 until m).foreach { k =>
+          val i = written + k
+          ids.setSafe(k, i.toLong)
+          if (i % 5 == 4) texts.setNull(k)
+          else texts.setSafe(k,
+            s"text $i ${"y" * (i % 23)}".getBytes("UTF-8"))
+          if (i % 3 == 0) scores.setNull(k)
+          else scores.setSafe(k, i / 4.0)
+        }
+        root.setRowCount(m)
+        w.writeBatch()
+        written += m
+      }
+      w.end(); w.close(); ch.close()
+      root.close()
+    } finally alloc.close()
+  }
+
+  private def checkJavaFile(path: String, n: Int): Unit = {
+    val df = Arrow.readArrow(spark, path)
+    assert(df.schema.fieldNames.toSeq == Seq("doc_id", "text", "score"))
+    val rows = df.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getString(1),
+      if (r.isNullAt(2)) null else r.getDouble(2))).sortBy(_._1)
+    assert(rows.length == n)
+    rows.zipWithIndex.foreach { case ((id, text, score), i) =>
+      assert(id == i.toLong)
+      if (i % 5 == 4) assert(text == null)
+      else assert(text == s"text $i ${"y" * (i % 23)}")
+      if (i % 3 == 0) assert(score == null) else assert(score == i / 4.0)
+    }
+  }
+
+  test("interop: arrow-java files read back, multiple batches, nulls") {
+    val path = Files.createTempDirectory("graft-arrow").toString + "/a.arrow"
+    javaWrite(path, 250, batchRows = 64)
+    checkJavaFile(path, 250)
+  }
+
+  test("interop: lz4 and zstd compressed bodies decode") {
+    for (codec <- Seq("lz4", "zstd")) {
+      val path = Files.createTempDirectory("graft-arrow").toString +
+        s"/$codec.arrow"
+      javaWrite(path, 150, batchRows = 50, codec = codec)
+      checkJavaFile(path, 150)
+    }
+  }
+
+  test("interop: our writer's bytes read by arrow's own reader") {
+    val fields = Vector(
+      AField("doc_id", nullable = false, AInt(64)),
+      AField("text", nullable = true, AString(large = false)),
+      AField("flag", nullable = true, ABool))
+    val rows = (0 until 90).map(i => Row(i.toLong,
+      if (i % 4 == 3) null else s"mine $i",
+      if (i % 7 == 0) null else java.lang.Boolean.valueOf(i % 2 == 0)))
+    val bytes = ArrowWriter.write(fields, rows, rowsPerBatch = 32)
+    val path = Files.createTempDirectory("graft-arrow").toString + "/w.arrow"
+    Files.write(java.nio.file.Paths.get(path), bytes)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val r = new org.apache.arrow.vector.ipc.ArrowFileReader(
+        new java.io.FileInputStream(path).getChannel, alloc)
+      var i = 0
+      while (r.loadNextBatch()) {
+        val root = r.getVectorSchemaRoot
+        val ids = root.getVector("doc_id")
+          .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+        val texts = root.getVector("text")
+          .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+        val flags = root.getVector("flag")
+          .asInstanceOf[org.apache.arrow.vector.BitVector]
+        (0 until root.getRowCount).foreach { k =>
+          assert(ids.get(k) == i.toLong)
+          if (i % 4 == 3) assert(texts.isNull(k))
+          else assert(new String(texts.get(k), "UTF-8") == s"mine $i")
+          if (i % 7 == 0) assert(flags.isNull(k))
+          else assert((flags.get(k) == 1) == (i % 2 == 0))
+          i += 1
+        }
+      }
+      r.close()
+      assert(i == 90)
+    } finally alloc.close()
+    // and through our own reader
+    val mine = Arrow.readArrow(spark, path).collect()
+      .map(r => r.getLong(0)).sorted
+    assert(mine.toSeq == (0L until 90L))
+  }
+
+  test("roundtrip breadth: ints, floats, binary, lists, structs") {
+    val fields = Vector(
+      AField("i8", nullable = true, AInt(8)),
+      AField("i16", nullable = true, AInt(16)),
+      AField("i32", nullable = true, AInt(32)),
+      AField("f32", nullable = true, AFloat),
+      AField("bin", nullable = true, ABinary(large = false)),
+      AField("ls", nullable = true,
+        AList(AField("item", nullable = true, AInt(64)), large = false)),
+      AField("st", nullable = true, AStruct(Vector(
+        AField("a", nullable = true, AInt(32)),
+        AField("b", nullable = true, AString(large = false))))))
+    val rows = Seq(
+      Row(1.toByte, 300.toShort, 70000, 1.5f, Array[Byte](1, 2),
+        Seq(1L, 2L, 3L), Row(7, "x")),
+      Row(null, null, null, null, null, Seq.empty[Long], Row(null, "y")),
+      Row(2.toByte, (-5).toShort, -1, -0.25f, Array[Byte](),
+        null, null))
+    val bytes = ArrowWriter.write(fields, rows, rowsPerBatch = 2)
+    val path = Files.createTempDirectory("graft-arrow").toString + "/b.arrow"
+    Files.write(java.nio.file.Paths.get(path), bytes)
+    val out = Arrow.readArrow(spark, path).collect()
+      .sortBy(r => if (r.isNullAt(0)) Byte.MaxValue else r.getByte(0))
+    assert(out.length == 3)
+    val r0 = out.find(r => !r.isNullAt(0) && r.getByte(0) == 1).get
+    assert(r0.getShort(1) == 300 && r0.getInt(2) == 70000 &&
+      r0.getFloat(3) == 1.5f)
+    assert(r0.getAs[Array[Byte]](4).toSeq == Seq[Byte](1, 2))
+    assert(r0.getSeq[Long](5) == Seq(1L, 2L, 3L))
+    assert(r0.getStruct(6).getInt(0) == 7 &&
+      r0.getStruct(6).getString(1) == "x")
+    val rn = out.find(r => r.isNullAt(0)).get
+    assert(rn.getSeq[Long](5) == Seq.empty)
+    assert(rn.getStruct(6).isNullAt(0) &&
+      rn.getStruct(6).getString(1) == "y")
+    val r2 = out.find(r => !r.isNullAt(0) && r.getByte(0) == 2).get
+    assert(r2.isNullAt(5) && r2.isNullAt(6))
+  }
+
+  test("corruption blast radius: one batch drops, footer keeps the rest") {
+    val path = Files.createTempDirectory("graft-arrow").toString + "/c.arrow"
+    javaWrite(path, 200, batchRows = 40, codec = "zstd")
+    val b = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val mid = b.length / 2
+    (0 until 16).foreach(k => b(mid + k) = (b(mid + k) ^ 0x77).toByte)
+    val cpath = path + ".corrupt"
+    Files.write(java.nio.file.Paths.get(cpath), b)
+    val n = Arrow.readArrow(spark, cpath).count()
+    assert(n < 200 && n >= 120, s"one-batch blast radius, got $n")
+  }
+
+  test("refusals: bad magic, dictionary-encoded, unsigned ints") {
+    intercept[IllegalArgumentException] {
+      Arrow.readFooter(spark.sparkContext.hadoopConfiguration,
+        { val p = Files.createTempDirectory("graft-arrow").toString +
+            "/junk.arrow"
+          Files.write(java.nio.file.Paths.get(p),
+            ("X" * 64).getBytes("US-ASCII"))
+          p })
+    }
+  }
+}
