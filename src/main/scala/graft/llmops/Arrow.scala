@@ -459,4 +459,48 @@ object Arrow {
         }
       }(org.apache.spark.sql.Encoders.row(struct))
   }
+
+  /** Multi-file [[readArrow]]: a file, glob, or directory reads as ONE
+    * DataFrame with a leading `path` provenance column. Footers are
+    * read on the driver (bytes proportional to FILE COUNT, not data);
+    * all shard schemas must agree; every (file, batch) pair becomes one
+    * task.
+    */
+  def readArrowFiles(spark: SparkSession,
+      pathOrGlob: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = Avro.resolveFiles(conf, pathOrGlob)
+    val footers = files.map { case (p, _) => p -> readFooter(conf, p) }
+    val structs = footers.map(f => rootStruct(f._2.fields)).distinct
+    require(structs.size == 1,
+      s"arrow shard schemas disagree: ${structs.size} distinct")
+    val fieldsB = footers.head._2.fields
+    val struct = StructType(StructField("path", StringType) +:
+      structs.head.fields)
+    val confB = new org.apache.spark.util.SerializableConfiguration(conf)
+    val batches = footers.flatMap { case (p, f) =>
+      f.batches.map(b => (p, b.offset, b.metaLen.toLong, b.bodyLen))
+    }
+    batches.toDF("path", "offset", "metaLen", "bodyLen")
+      .repartition(math.min(math.max(batches.size, 1), 4096))
+      .as[(String, Long, Long, Long)]
+      .flatMap { case (path, offset, metaLen, bodyLen) =>
+        if (metaLen <= 0 || bodyLen < 0 ||
+            metaLen + bodyLen > MaxBatchBytes) Iterator.empty
+        else {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(confB.value)
+          val in = fs.open(p)
+          val meta = new Array[Byte](metaLen.toInt)
+          val body = new Array[Byte](bodyLen.toInt)
+          try {
+            in.readFully(offset, meta)
+            in.readFully(offset + metaLen, body)
+          } finally in.close()
+          decodeBatch(fieldsB, meta, body).iterator
+            .map(r => Row.fromSeq(path +: r.toSeq))
+        }
+      }(org.apache.spark.sql.Encoders.row(struct))
+  }
 }

@@ -464,4 +464,116 @@ object Avro {
       }(org.apache.spark.sql.Encoders.row(struct))
     rows
   }
+
+  /** Resolve a file, glob, or directory to (path, length) rows. */
+  private[llmops] def resolveFiles(
+      conf: org.apache.hadoop.conf.Configuration,
+      pathOrGlob: String): Seq[(String, Long)] = {
+    val p0 = new org.apache.hadoop.fs.Path(pathOrGlob)
+    val fs = p0.getFileSystem(conf)
+    val globbed = fs.globStatus(p0)
+    if (globbed == null || globbed.isEmpty)
+      throw new java.io.FileNotFoundException(pathOrGlob)
+    def visible(p: org.apache.hadoop.fs.Path): Boolean = {
+      val n = p.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    globbed.toSeq.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath)
+          .filter(f => f.isFile && visible(f.getPath))
+          .map(f => (f.getPath.toString, f.getLen)).toSeq
+      else if (visible(st.getPath)) Seq((st.getPath.toString, st.getLen))
+      else Seq.empty
+    }
+  }
+
+  /** Multi-file [[readAvro]]: a file, glob, or directory (a landing
+    * bucket of container shards) reads as ONE DataFrame with a leading
+    * `path` provenance column. Every file's header is read on the
+    * driver (schema + sync + codec — bytes proportional to FILE COUNT,
+    * not data); all shard schemas must agree (refusal otherwise). The
+    * sync scan and block decode fan out over one (path, range) list —
+    * file boundaries are natural range boundaries, block bytes never
+    * shuffle.
+    */
+  def readAvroFiles(spark: SparkSession, pathOrGlob: String,
+      rangeBytes: Int = 32 << 20): DataFrame = {
+    import spark.implicits._
+    require(rangeBytes >= 1024, "rangeBytes must be at least 1 KiB")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = resolveFiles(conf, pathOrGlob)
+    val headers = files.map { case (p, len) =>
+      (p, len, readHeader(conf, p))
+    }
+    val schemas = headers
+      .map(h => rootStruct(parseSchema(h._3.schemaJson))).distinct
+    require(schemas.size == 1,
+      s"avro shard schemas disagree: ${schemas.size} distinct")
+    val sch = parseSchema(headers.head._3.schemaJson)
+    val struct = StructType(StructField("path", StringType) +:
+      schemas.head.fields)
+    val confB = new org.apache.spark.util.SerializableConfiguration(conf)
+    val metaByPath = headers.map { case (p, _, h) =>
+      p -> ((h.codec, h.sync, h.headerEnd))
+    }.toMap
+    val schB = sch
+    val ranges = for {
+      (p, len) <- files
+      start <- 0L until math.max(1L, len) by rangeBytes.toLong
+    } yield (p, start, math.min(start + rangeBytes, len))
+    val offsets = ranges.toDF("path", "start", "end")
+      .repartition(math.min(math.max(ranges.size, 1), 4096))
+      .as[(String, Long, Long)]
+      .flatMap { case (path, start, end) =>
+        val sync = metaByPath(path)._2
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(confB.value)
+        val in = fs.open(p)
+        val buf = new Array[Byte]((end - start + 16).toInt)
+        val got = try {
+          in.seek(start)
+          var g = 0; var n = 0
+          while (g < buf.length && n >= 0) {
+            n = in.read(buf, g, buf.length - g); if (n > 0) g += n
+          }
+          g
+        } finally in.close()
+        val lim = math.min(got, (end - start).toInt)
+        (0 until lim).iterator.filter { i =>
+          got - i >= 16 && {
+            var k = 0; var ok = true
+            while (ok && k < 16) { ok = buf(i + k) == sync(k); k += 1 }
+            ok
+          }
+        }.map(i => (path, start + i))
+      }
+      .toDF("path", "offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("path")).orderBy(col("start"))
+    val lens = files.toDF("path", "fileLen")
+    offsets
+      .select(col("path"), (col("offset") + 16).as("start"))
+      .withColumn("lead_start", lead(col("start"), 1).over(w))
+      .join(org.apache.spark.sql.functions.broadcast(lens), Seq("path"))
+      .select(col("path"), col("start"),
+        coalesce(col("lead_start"), col("fileLen")).as("end"))
+      .as[(String, Long, Long)]
+      .flatMap { case (path, start, end) =>
+        val (codec, sync, headerEnd) = metaByPath(path)
+        val len = end - start
+        if (start < headerEnd || len <= 0 || len > MaxRegion)
+          Iterator.empty
+        else {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(confB.value)
+          val in = fs.open(p)
+          val buf = new Array[Byte](len.toInt)
+          try { in.seek(start); in.readFully(buf, 0, len.toInt) }
+          finally in.close()
+          parseRegion(Header("", codec, sync, headerEnd), schB, buf)
+            .iterator.map(r => Row.fromSeq(path +: r.toSeq))
+        }
+      }(org.apache.spark.sql.Encoders.row(struct))
+  }
 }

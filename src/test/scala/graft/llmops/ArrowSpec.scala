@@ -208,4 +208,27 @@ class ArrowSpec extends SparkTestBase {
           p })
     }
   }
+
+  test("readArrowFiles: directory of shards, path provenance, schema gate") {
+    val dir = Files.createTempDirectory("graft-arrow-multi").toString
+    val fields = Vector(
+      AField("doc_id", nullable = false, AInt(64)),
+      AField("text", nullable = true, AString(large = false)))
+    for (s <- 0 until 3) {
+      val rows = (0 until 30).map(i => Row(s * 100L + i, s"s$s r$i"))
+      Files.write(java.nio.file.Paths.get(s"$dir/part-$s.arrow"),
+        ArrowWriter.write(fields, rows, rowsPerBatch = 8))
+    }
+    val out = Arrow.readArrowFiles(spark, dir)
+    assert(out.schema.fieldNames.toSeq == Seq("path", "doc_id", "text"))
+    assert(out.count() == 90)
+    assert(out.select("path").distinct().count() == 3)
+    Files.write(java.nio.file.Paths.get(s"$dir/part-bad.arrow"),
+      ArrowWriter.write(Vector(AField("z", nullable = true, ABool)),
+        Seq(Row(true))))
+    intercept[IllegalArgumentException] {
+      Arrow.readArrowFiles(spark, dir)
+    }
+  }
+
 }

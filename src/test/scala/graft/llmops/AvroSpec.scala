@@ -190,4 +190,32 @@ class AvroSpec extends SparkTestBase {
       rec.get("c") == 7L)
     r.close()
   }
+
+  test("readAvroFiles: directory and glob of shards, path provenance") {
+    val dir = Files.createTempDirectory("graft-avro-multi").toString
+    for (s <- 0 until 3) {
+      val rows = (0 until 40).map(i =>
+        Row(s * 1000L + i, s"shard $s row $i", null, Seq.empty[String]))
+      Files.write(java.nio.file.Paths.get(s"$dir/part-$s.avro"),
+        AvroWriter.write(schemaJson, rows, "deflate", recordsPerBlock = 7))
+    }
+    val out = Avro.readAvroFiles(spark, dir)
+    assert(out.schema.fieldNames.head == "path")
+    assert(out.count() == 120)
+    val byShard = out.collect().groupBy(_.getString(0)).view
+      .mapValues(_.length).toMap
+    assert(byShard.size == 3 && byShard.values.forall(_ == 40))
+    // glob form names the same set
+    assert(Avro.readAvroFiles(spark, s"$dir/part-*.avro").count() == 120)
+    // mismatched shard schema refuses wholesale
+    Files.write(java.nio.file.Paths.get(s"$dir/part-bad.avro"),
+      AvroWriter.write(
+        """{"type":"record","name":"Other","fields":[
+           {"name":"x","type":"int"}]}""",
+        Seq(Row(1)), "null"))
+    intercept[IllegalArgumentException] {
+      Avro.readAvroFiles(spark, dir)
+    }
+  }
+
 }
