@@ -2842,6 +2842,28 @@ object SparkEntry {
         .orderBy("doc_id", "turn_idx")
     }),
 
+    "q197_orc" -> ((s, dir) => {
+      // ORC ingestion: the fixture is written by SPARK'S OWN orc sink
+      // (orc-core, zlib chunked streams), then recovered stripe-
+      // parallel by the from-scratch reader — postscript/footer
+      // protobufs, RLEv2, present bitmaps and the chunked
+      // decompression all under the full-text hash
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q197_file", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-q197")
+          .toString + "/docs_orc"
+        t(ss, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("text"))
+          .coalesce(1).write.mode("overwrite")
+          .option("compression", "zlib").orc(d)
+        new java.io.File(d).listFiles()
+          .filter(_.getName.endsWith(".orc")).head.getAbsolutePath
+      })
+      graft.llmops.Orc.readOrc(ss, path)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     "q196_arrow" -> ((s, dir) => {
       // Arrow IPC ingestion: the fixture is written by ARROW'S OWN
       // Java writer (zstd-compressed bodies, small batches so the
@@ -5403,6 +5425,24 @@ object SparkEntry {
         graft.llmops.Arrow.readArrow(ss, path)
           .agg(count(lit(1)).as("n"),
             sum(length(col("text"))).cast("long").as("chars"))
+      }),
+
+      "s14_orc_full" -> ((s, dir) => {
+        // ORC throughput: the whole corpus written DISTRIBUTED by
+        // spark's own sink (8 parts, zlib), recovered stripe-parallel
+        // with path provenance by the from-scratch reader
+        val ss = tuned(s)
+        val path = fixturePaths.computeIfAbsent(s"$dir::s14_dir", _ => {
+          val d = java.nio.file.Files.createTempDirectory("graft-s14")
+            .toString + "/orc"
+          t(ss, dir, "documents").select(col("doc_id"), col("text"))
+            .repartition(8).write.mode("overwrite")
+            .option("compression", "zlib").orc(d)
+          d
+        })
+        graft.llmops.Orc.readOrcFiles(ss, path)
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("text"))).cast("long").as("chars"))
       })
     )
 
@@ -5982,6 +6022,12 @@ object SparkEntry {
                   'Page ' || doc_id || ' has label' || doc_id || ' and more.' ||
                   chr(10) || 'item ' || doc_id END AS plain
          FROM documents WHERE doc_id < 240 ORDER BY page_id""",
+
+    // q197: orc — identity on (doc_id, text) through spark's own orc
+    // sink and the stripe-parallel from-scratch reader
+    "q197_orc" ->
+      """SELECT doc_id, text FROM documents WHERE doc_id < 400
+         ORDER BY doc_id""",
 
     // q196: arrow ipc — identity on (doc_id, text) through arrow's own
     // writer (zstd bodies) and the footer-driven from-scratch reader

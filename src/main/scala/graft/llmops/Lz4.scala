@@ -94,6 +94,17 @@ object Lz4 {
     true
   }
 
+  /** One raw lz4 BLOCK (no frame envelope) → bytes, null on malformed —
+    * the bare-block form ORC and Hadoop containers embed.
+    */
+  def decodeRawBlock(b: Array[Byte], off: Int, len: Int,
+      maxOut: Int): Array[Byte] = {
+    if (b == null || off < 0 || len < 0 || off + len > b.length) return null
+    val fb = new FrameBuf(math.min(math.max(len * 3, 64), maxOut))
+    if (!decodeBlockInto(b, off, len, fb, 0, maxOut)) null
+    else java.util.Arrays.copyOf(fb.a, fb.len)
+  }
+
   private def rd32(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
       ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)

@@ -1,0 +1,712 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Apache ORC file ingestion, from scratch (the ORC v1 specification —
+  * postscript/footer protobufs, stripe layout, RLEv1/v2 integer coding —
+  * is public): STRIPE-PARALLEL reads — the footer lists every stripe's
+  * (offset, lengths, rows), so each stripe decodes in its own task from
+  * one ranged read. Reference hook: raw-layer ingestion,
+  * `aje_libs/common/helpers/utils/dynamodb_helper.py` table-driven
+  * loads (ORC is the other Hadoop-era columnar landing format next to
+  * Avro/SequenceFile).
+  *
+  * A READER, deliberately: the canonical writers (Spark's native ORC
+  * sink, orc-core) are on the test classpath and serve as the interop
+  * twin — the value at 100 TB is ingesting the files that exist.
+  *
+  * Type support: BOOLEAN, BYTE, SHORT, INT, LONG, FLOAT, DOUBLE,
+  * STRING/VARCHAR/CHAR (DIRECT_V2 + DICTIONARY_V2), BINARY, DATE (as
+  * its int32 day count — documented passthrough) under a STRUCT root,
+  * with nullability via PRESENT streams. LIST/MAP/UNION/DECIMAL/
+  * TIMESTAMP refuse at schema parse — documented boundary. Compression
+  * NONE/ZLIB/SNAPPY/LZ4/ZSTD via the repo's own decoders (LZO refused).
+  *
+  * Corruption blast radius: one stripe (structural failure drops that
+  * stripe's rows; the footer keeps every other stripe reachable).
+  */
+object Orc {
+
+  private val MaxStripeBytes = 1L << 30
+
+  // --------------------------------------------------------- protobuf read
+
+  private[llmops] final class Pb(val b: Array[Byte], var i: Int,
+      val end: Int) {
+    def hasMore: Boolean = i < end
+    def varint(): Long = {
+      var x = 0L; var sh = 0; var c = 0
+      do {
+        if (i >= end) throw new IllegalArgumentException("pb eof")
+        c = b(i) & 0xff; i += 1
+        x |= (c & 0x7fL) << sh; sh += 7
+        if (sh > 70) throw new IllegalArgumentException("pb varint")
+      } while ((c & 0x80) != 0)
+      x
+    }
+    /** (fieldNumber, wireType) */
+    def tag(): (Int, Int) = {
+      val t = varint()
+      ((t >>> 3).toInt, (t & 7).toInt)
+    }
+    def lenField(): (Int, Int) = {
+      val n = varint().toInt
+      if (n < 0 || n > end - i) throw new IllegalArgumentException("pb len")
+      val off = i; i += n; (off, n)
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 1 => i += 8
+      case 2 => val _ = lenField()
+      case 5 => i += 4
+      case w => throw new IllegalArgumentException(s"pb wire $w")
+    }
+  }
+
+  // ------------------------------------------------------------- metadata
+
+  final case class Stripe(offset: Long, indexLength: Long,
+      dataLength: Long, footerLength: Long, rows: Long)
+  final case class TypeNode(kind: Int, subtypes: Vector[Int],
+      fieldNames: Vector[String])
+  final case class Tail(compression: Int, blockSize: Int,
+      stripes: Vector[Stripe], types: Vector[TypeNode], rows: Long)
+
+  private def parsePostScript(b: Array[Byte], off: Int, len: Int)
+      : (Long, Int, Long, Long) = {
+    val p = new Pb(b, off, off + len)
+    var footerLen = 0L; var comp = 0; var block = 256L << 10
+    var metaLen = 0L
+    while (p.hasMore) {
+      p.tag() match {
+        case (1, 0) => footerLen = p.varint()
+        case (2, 0) => comp = p.varint().toInt
+        case (3, 0) => block = p.varint()
+        case (5, 0) => metaLen = p.varint()
+        case (_, w) => p.skip(w)
+      }
+    }
+    (footerLen, comp, block, metaLen)
+  }
+
+  private def parseStripe(b: Array[Byte], off: Int, len: Int): Stripe = {
+    val p = new Pb(b, off, off + len)
+    var o = 0L; var il = 0L; var dl = 0L; var fl = 0L; var r = 0L
+    while (p.hasMore) {
+      p.tag() match {
+        case (1, 0) => o = p.varint()
+        case (2, 0) => il = p.varint()
+        case (3, 0) => dl = p.varint()
+        case (4, 0) => fl = p.varint()
+        case (5, 0) => r = p.varint()
+        case (_, w) => p.skip(w)
+      }
+    }
+    Stripe(o, il, dl, fl, r)
+  }
+
+  private def parseType(b: Array[Byte], off: Int, len: Int): TypeNode = {
+    val p = new Pb(b, off, off + len)
+    var kind = 0
+    val subs = Vector.newBuilder[Int]
+    val names = Vector.newBuilder[String]
+    while (p.hasMore) {
+      p.tag() match {
+        case (1, 0) => kind = p.varint().toInt
+        case (2, 0) => subs += p.varint().toInt
+        case (2, 2) => // packed repeated
+          val (o, n) = p.lenField()
+          val pp = new Pb(b, o, o + n)
+          while (pp.hasMore) subs += pp.varint().toInt
+        case (3, 2) =>
+          val (o, n) = p.lenField()
+          names += new String(b, o, n,
+            java.nio.charset.StandardCharsets.UTF_8)
+        case (_, w) => p.skip(w)
+      }
+    }
+    TypeNode(kind, subs.result(), names.result())
+  }
+
+  private def parseFooter(b: Array[Byte], off: Int, len: Int)
+      : (Vector[Stripe], Vector[TypeNode], Long) = {
+    val p = new Pb(b, off, off + len)
+    val stripes = Vector.newBuilder[Stripe]
+    val types = Vector.newBuilder[TypeNode]
+    var rows = 0L
+    while (p.hasMore) {
+      p.tag() match {
+        case (3, 2) => val (o, n) = p.lenField(); stripes += parseStripe(b, o, n)
+        case (4, 2) => val (o, n) = p.lenField(); types += parseType(b, o, n)
+        case (6, 0) => rows = p.varint()
+        case (_, w) => p.skip(w)
+      }
+    }
+    (stripes.result(), types.result(), rows)
+  }
+
+  final case class StreamInfo(kind: Int, column: Int, length: Long)
+  final case class ColEnc(kind: Int, dictSize: Int)
+
+  private[llmops] def parseStripeFooter(b: Array[Byte])
+      : (Vector[StreamInfo], Vector[ColEnc]) = {
+    val p = new Pb(b, 0, b.length)
+    val streams = Vector.newBuilder[StreamInfo]
+    val encs = Vector.newBuilder[ColEnc]
+    while (p.hasMore) {
+      p.tag() match {
+        case (1, 2) =>
+          val (o, n) = p.lenField()
+          val pp = new Pb(b, o, o + n)
+          var k = 0; var c = 0; var l = 0L
+          while (pp.hasMore) {
+            pp.tag() match {
+              case (1, 0) => k = pp.varint().toInt
+              case (2, 0) => c = pp.varint().toInt
+              case (3, 0) => l = pp.varint()
+              case (_, w) => pp.skip(w)
+            }
+          }
+          streams += StreamInfo(k, c, l)
+        case (2, 2) =>
+          val (o, n) = p.lenField()
+          val pp = new Pb(b, o, o + n)
+          var k = 0; var d = 0
+          while (pp.hasMore) {
+            pp.tag() match {
+              case (1, 0) => k = pp.varint().toInt
+              case (2, 0) => d = pp.varint().toInt
+              case (_, w) => pp.skip(w)
+            }
+          }
+          encs += ColEnc(k, d)
+        case (_, w) => p.skip(w)
+      }
+    }
+    (streams.result(), encs.result())
+  }
+
+  // -------------------------------------------------------- decompression
+
+  /** ORC compressed streams are chunked: 3-byte LE header
+    * `(len << 1) | isOriginal`, then len bytes (stored or compressed).
+    */
+  private[llmops] def decompressStream(comp: Int, b: Array[Byte],
+      off: Int, len: Int): Array[Byte] = {
+    if (comp == 0) return java.util.Arrays.copyOfRange(b, off, off + len)
+    val out = new java.io.ByteArrayOutputStream(len * 3)
+    var i = off
+    val end = off + len
+    while (i < end) {
+      require(end - i >= 3, "truncated orc chunk header")
+      val h = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16)
+      i += 3
+      val original = (h & 1) != 0
+      val clen = h >>> 1
+      require(clen >= 0 && clen <= end - i, "orc chunk overruns stream")
+      if (original) out.write(b, i, clen)
+      else {
+        val plain = comp match {
+          case 1 => // ZLIB = raw deflate
+            val inf = new java.util.zip.Inflater(true)
+            inf.setInput(b, i, clen)
+            val o = new java.io.ByteArrayOutputStream(clen * 4)
+            val buf = new Array[Byte](64 << 10)
+            try {
+              while (!inf.finished()) {
+                val n = inf.inflate(buf)
+                if (n == 0 && inf.needsInput())
+                  throw new IllegalArgumentException("orc zlib truncated")
+                o.write(buf, 0, n)
+              }
+            } finally inf.end()
+            o.toByteArray
+          case 2 =>
+            val p = Snappy.decodeRaw(b, i, i + clen)
+            require(p != null, "orc snappy chunk")
+            p
+          case 4 =>
+            val p = Lz4.decodeRawBlock(b, i, clen, 1 << 28)
+            require(p != null, "orc lz4 chunk")
+            p
+          case 5 =>
+            val p = Zstd.decode(java.util.Arrays.copyOfRange(b, i,
+              i + clen))
+            require(p != null, "orc zstd chunk")
+            p
+          case c => throw new IllegalArgumentException(s"orc codec $c")
+        }
+        out.write(plain, 0, plain.length)
+      }
+      i += clen
+    }
+    out.toByteArray
+  }
+
+  // ----------------------------------------------------------- RLE coders
+
+  /** Hadoop/ORC byte RLE: header 0..127 → (3+h) copies of next byte;
+    * -1..-128 → -h literal bytes.
+    */
+  private[llmops] def byteRle(b: Array[Byte], want: Int): Array[Byte] = {
+    val out = new Array[Byte](want)
+    var o = 0
+    var i = 0
+    while (o < want) {
+      require(i < b.length, "byte-rle eof")
+      val h = b(i); i += 1
+      if (h >= 0) {
+        val run = h + 3
+        require(i < b.length && o + run <= want, "byte-rle run")
+        java.util.Arrays.fill(out, o, o + run, b(i))
+        i += 1; o += run
+      } else {
+        val lit = -h
+        require(i + lit <= b.length && o + lit <= want, "byte-rle lit")
+        System.arraycopy(b, i, out, o, lit)
+        i += lit; o += lit
+      }
+    }
+    out
+  }
+
+  /** Boolean stream: bit-packed MSB-first over a byte-RLE stream. */
+  private[llmops] def boolRle(b: Array[Byte], want: Int): Array[Boolean] = {
+    val bytes = byteRle(b, (want + 7) / 8)
+    val out = new Array[Boolean](want)
+    var i = 0
+    while (i < want) {
+      out(i) = (bytes(i >> 3) & (0x80 >>> (i & 7))) != 0
+      i += 1
+    }
+    out
+  }
+
+  private val WidthTable: Array[Int] = {
+    val t = new Array[Int](32)
+    var i = 0
+    while (i < 24) { t(i) = i + 1; i += 1 }
+    t(24) = 26; t(25) = 28; t(26) = 30; t(27) = 32
+    t(28) = 40; t(29) = 48; t(30) = 56; t(31) = 64
+    t
+  }
+
+  private final class BitIn(b: Array[Byte], var i: Int) {
+    private var cur = 0
+    private var left = 0
+    def read(bits: Int): Long = {
+      var v = 0L
+      var need = bits
+      while (need > 0) {
+        if (left == 0) {
+          require(i < b.length, "bit eof")
+          cur = b(i) & 0xff; i += 1; left = 8
+        }
+        val take = math.min(left, need)
+        v = (v << take) | ((cur >>> (left - take)) & ((1 << take) - 1))
+        left -= take
+        need -= take
+      }
+      v
+    }
+    def align(): Unit = { left = 0 }
+  }
+
+  private def zigzag(v: Long): Long = (v >>> 1) ^ -(v & 1L)
+
+  /** The writer's width quantization: 1..24 exact, then 26/28/30/32/
+    * 40/48/56/64.
+    */
+  private def closestFixedBits(n: Int): Int =
+    if (n <= 1) 1
+    else if (n <= 24) n
+    else if (n <= 26) 26
+    else if (n <= 28) 28
+    else if (n <= 30) 30
+    else if (n <= 32) 32
+    else if (n <= 40) 40
+    else if (n <= 48) 48
+    else if (n <= 56) 56
+    else 64
+
+  /** ORC RLEv2 integer run decoder (all four sub-encodings). */
+  private[llmops] def rleV2(b: Array[Byte], want: Int,
+      signed: Boolean): Array[Long] = {
+    val out = new Array[Long](want)
+    var o = 0
+    var i = 0
+    def varint(): Long = {
+      var x = 0L; var sh = 0; var c = 0
+      do {
+        require(i < b.length, "rle varint eof")
+        c = b(i) & 0xff; i += 1
+        x |= (c & 0x7fL) << sh; sh += 7
+      } while ((c & 0x80) != 0)
+      x
+    }
+    while (o < want) {
+      require(i < b.length, "rle eof")
+      val h = b(i) & 0xff; i += 1
+      (h >>> 6) match {
+        case 0 => // SHORT_REPEAT
+          val w = ((h >>> 3) & 7) + 1
+          val run = (h & 7) + 3
+          var v = 0L
+          var k = 0
+          while (k < w) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+          i += w
+          val value = if (signed) zigzag(v) else v
+          require(o + run <= want, "short-repeat overrun")
+          k = 0
+          while (k < run) { out(o + k) = value; k += 1 }
+          o += run
+        case 1 => // DIRECT
+          val w = WidthTable((h >>> 1) & 0x1f)
+          val n = (((h & 1) << 8) | (b(i) & 0xff)) + 1
+          i += 1
+          val bin = new BitIn(b, i)
+          require(o + n <= want, "direct overrun")
+          var k = 0
+          while (k < n) {
+            val v = bin.read(w)
+            out(o + k) = if (signed) zigzag(v) else v
+            k += 1
+          }
+          i = bin.i
+          o += n
+        case 2 => // PATCHED_BASE
+          val w = WidthTable((h >>> 1) & 0x1f)
+          val n = (((h & 1) << 8) | (b(i) & 0xff)) + 1
+          val b3 = b(i + 1) & 0xff
+          val bw = ((b3 >>> 5) & 7) + 1
+          val pw = WidthTable(b3 & 0x1f)
+          val b4 = b(i + 2) & 0xff
+          val pgw = ((b4 >>> 5) & 7) + 1
+          val pll = b4 & 0x1f
+          i += 3
+          var base = 0L
+          var k = 0
+          while (k < bw) { base = (base << 8) | (b(i + k) & 0xffL); k += 1 }
+          i += bw
+          val signBit = 1L << (bw * 8 - 1)
+          if ((base & signBit) != 0) base = -(base & (signBit - 1))
+          val bin = new BitIn(b, i)
+          require(o + n <= want, "patched overrun")
+          k = 0
+          while (k < n) { out(o + k) = bin.read(w); k += 1 }
+          bin.align()
+          // patch entries pack at closestFixedBits(pgw + pw), not the
+          // raw sum (the writer re-encodes the combined width)
+          val cw = closestFixedBits(pgw + pw)
+          var gap = 0
+          var p = 0
+          while (p < pll) {
+            val entry = bin.read(cw)
+            gap += (entry >>> pw).toInt
+            val patch = entry & ((1L << pw) - 1)
+            if (patch != 0) out(o + gap) |= patch << w
+            p += 1
+          }
+          i = bin.i
+          k = 0
+          while (k < n) { out(o + k) += base; k += 1 }
+          o += n
+        case _ => // DELTA
+          val code = (h >>> 1) & 0x1f
+          val w = if (code == 0) 0 else WidthTable(code)
+          val n = (((h & 1) << 8) | (b(i) & 0xff)) + 1
+          i += 1
+          val raw = varint()
+          val first = if (signed) zigzag(raw) else raw
+          require(o + n <= want, "delta overrun")
+          out(o) = first
+          if (n > 1) {
+            val deltaBase = zigzag(varint()) // always signed varint
+            out(o + 1) = first + deltaBase
+            if (w == 0) {
+              var k = 2
+              while (k < n) {
+                out(o + k) = out(o + k - 1) + deltaBase; k += 1
+              }
+            } else {
+              val bin = new BitIn(b, i)
+              val sign = if (deltaBase < 0) -1L else 1L
+              var k = 2
+              while (k < n) {
+                out(o + k) = out(o + k - 1) + sign * bin.read(w)
+                k += 1
+              }
+              i = bin.i
+            }
+          }
+          o += n
+      }
+    }
+    out
+  }
+
+  // ------------------------------------------------------------ column read
+
+  private val K_BOOLEAN = 0
+  private val K_BYTE = 1
+  private val K_SHORT = 2
+  private val K_INT = 3
+  private val K_LONG = 4
+  private val K_FLOAT = 5
+  private val K_DOUBLE = 6
+  private val K_STRING = 7
+  private val K_BINARY = 8
+  private val K_STRUCT = 12
+  private val K_DATE = 15
+  private val K_VARCHAR = 16
+  private val K_CHAR = 17
+
+  def sparkType(kind: Int): DataType = kind match {
+    case K_BOOLEAN => BooleanType
+    case K_BYTE => ByteType
+    case K_SHORT => ShortType
+    case K_INT => IntegerType
+    case K_LONG => LongType
+    case K_FLOAT => FloatType
+    case K_DOUBLE => DoubleType
+    case K_STRING | K_VARCHAR | K_CHAR => StringType
+    case K_BINARY => BinaryType
+    case K_DATE => IntegerType // day count passthrough
+    case k => throw new IllegalArgumentException(
+      s"orc type kind $k unsupported")
+  }
+
+  def rootStruct(types: Vector[TypeNode]): StructType = {
+    require(types.nonEmpty && types(0).kind == K_STRUCT,
+      "orc root must be a struct")
+    val root = types(0)
+    StructType(root.subtypes.zipWithIndex.map { case (sub, k) =>
+      StructField(root.fieldNames(k), sparkType(types(sub).kind))
+    })
+  }
+
+  // ---------------------------------------------------------- file reading
+
+  final case class OrcMeta(compression: Int, blockSize: Int,
+      stripes: Vector[Stripe], types: Vector[TypeNode], rows: Long)
+
+  /** Driver-side tail read: postscript + footer only. */
+  def readTail(conf: org.apache.hadoop.conf.Configuration,
+      path: String): OrcMeta = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    require(len > 4, s"too short for orc: $path")
+    val tailLen = math.min(len, 256L << 10).toInt
+    val tail = new Array[Byte](tailLen)
+    val in = fs.open(p)
+    try in.readFully(len - tailLen, tail) finally in.close()
+    val psLen = tail(tailLen - 1) & 0xff
+    require(psLen > 0 && psLen < tailLen - 1, "bad orc postscript length")
+    val (footerLen, comp, block, _) =
+      parsePostScript(tail, tailLen - 1 - psLen, psLen)
+    require(footerLen > 0 && footerLen <= tailLen - 1 - psLen,
+      "orc footer exceeds tail read")
+    val footerComp = decompressStream(comp, tail,
+      (tailLen - 1 - psLen - footerLen).toInt, footerLen.toInt)
+    val (stripes, types, rows) = parseFooter(footerComp, 0,
+      footerComp.length)
+    require(types.nonEmpty, "orc footer has no types")
+    types.foreach { t =>
+      if (t.kind != K_STRUCT) sparkType(t.kind) // throws on unsupported
+    }
+    OrcMeta(comp, block.toInt, stripes, types, rows)
+  }
+
+  /** Decode one stripe's bytes to rows (root-struct columns only). */
+  private[llmops] def decodeStripe(meta: OrcMeta,
+      stripe: Stripe, bytes: Array[Byte]): Seq[Row] = {
+    try {
+      val footOff = (stripe.indexLength + stripe.dataLength).toInt
+      val sf = decompressStream(meta.compression, bytes, footOff,
+        stripe.footerLength.toInt)
+      val (streams, encs) = parseStripeFooter(sf)
+      // stream byte positions accumulate in list order
+      var pos = 0L
+      val located = streams.map { s =>
+        val r = (s, pos); pos += s.length; r
+      }
+      val rows = stripe.rows.toInt
+      def streamBytes(column: Int, kind: Int): Array[Byte] =
+        located.find { case (s, _) => s.column == column && s.kind == kind }
+          .map { case (s, off) =>
+            decompressStream(meta.compression, bytes, off.toInt,
+              s.length.toInt)
+          }.orNull
+      val root = meta.types(0)
+      val cols: Vector[Array[Any]] = root.subtypes.map { colId =>
+        val t = meta.types(colId)
+        val present = streamBytes(colId, 0) match {
+          case null => null
+          case pb => boolRle(pb, rows)
+        }
+        val nPresent = if (present == null) rows else present.count(x => x)
+        val enc = encs(colId)
+        val out = new Array[Any](rows)
+        def scatter(vals: Int => Any): Unit = {
+          var vi = 0
+          var ri = 0
+          while (ri < rows) {
+            if (present == null || present(ri)) {
+              out(ri) = vals(vi); vi += 1
+            }
+            ri += 1
+          }
+        }
+        t.kind match {
+          case K_BOOLEAN =>
+            val data = boolRle(streamBytes(colId, 1), nPresent)
+            scatter(i => data(i))
+          case K_BYTE =>
+            val data = byteRle(streamBytes(colId, 1), nPresent)
+            scatter(i => data(i))
+          case K_SHORT | K_INT | K_LONG | K_DATE =>
+            val data = rleV2(streamBytes(colId, 1), nPresent,
+              signed = true)
+            t.kind match {
+              case K_SHORT => scatter(i => data(i).toShort)
+              case K_INT | K_DATE => scatter(i => data(i).toInt)
+              case _ => scatter(i => data(i))
+            }
+          case K_FLOAT =>
+            val data = streamBytes(colId, 1)
+            scatter { i =>
+              val p = i * 4
+              java.lang.Float.intBitsToFloat((data(p) & 0xff) |
+                ((data(p + 1) & 0xff) << 8) | ((data(p + 2) & 0xff) << 16) |
+                ((data(p + 3) & 0xff) << 24))
+            }
+          case K_DOUBLE =>
+            val data = streamBytes(colId, 1)
+            scatter { i =>
+              var v = 0L
+              var k = 0
+              while (k < 8) { v |= (data(i * 8 + k) & 0xffL) << (8 * k); k += 1 }
+              java.lang.Double.longBitsToDouble(v)
+            }
+          case K_STRING | K_VARCHAR | K_CHAR | K_BINARY =>
+            val isDict = enc.kind == 1 || enc.kind == 3
+            if (!isDict) {
+              val lens = rleV2(streamBytes(colId, 2), nPresent,
+                signed = false)
+              val data = streamBytes(colId, 1)
+              val offs = new Array[Int](nPresent + 1)
+              var k = 0
+              while (k < nPresent) {
+                offs(k + 1) = offs(k) + lens(k).toInt; k += 1
+              }
+              if (t.kind == K_BINARY)
+                scatter(i => java.util.Arrays.copyOfRange(data, offs(i),
+                  offs(i + 1)))
+              else
+                scatter(i => new String(data, offs(i),
+                  offs(i + 1) - offs(i),
+                  java.nio.charset.StandardCharsets.UTF_8))
+            } else {
+              val dictLens = rleV2(streamBytes(colId, 2), enc.dictSize,
+                signed = false)
+              val dictData = streamBytes(colId, 3) match {
+                case null => Array.emptyByteArray
+                case d => d
+              }
+              val dict = new Array[String](enc.dictSize)
+              var off = 0
+              var k = 0
+              while (k < enc.dictSize) {
+                dict(k) = new String(dictData, off, dictLens(k).toInt,
+                  java.nio.charset.StandardCharsets.UTF_8)
+                off += dictLens(k).toInt
+                k += 1
+              }
+              val ids = rleV2(streamBytes(colId, 1), nPresent,
+                signed = false)
+              if (t.kind == K_BINARY)
+                scatter(i => dict(ids(i).toInt).getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))
+              else scatter(i => dict(ids(i).toInt))
+            }
+          case k => throw new IllegalArgumentException(s"kind $k")
+        }
+        out
+      }
+      (0 until rows).map(r => Row.fromSeq(cols.map(_(r))))
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+  }
+
+  /** Read an ORC file as a typed DataFrame — one task per stripe, one
+    * ranged read each, file bytes never shuffle.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = readTail(conf, path)
+    val struct = rootStruct(meta.types)
+    val confB = new org.apache.spark.util.SerializableConfiguration(conf)
+    val metaB = meta
+    val stripes = meta.stripes.map(s => (s.offset, s.indexLength,
+      s.dataLength, s.footerLength, s.rows))
+    stripes.toDF("offset", "indexLen", "dataLen", "footerLen", "rows")
+      .repartition(math.min(math.max(stripes.size, 1), 4096))
+      .as[(Long, Long, Long, Long, Long)]
+      .flatMap { case (offset, il, dl, fl, rows) =>
+        val total = il + dl + fl
+        if (total <= 0 || total > MaxStripeBytes) Iterator.empty
+        else {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(confB.value)
+          val in = fs.open(p)
+          val buf = new Array[Byte](total.toInt)
+          try { in.readFully(offset, buf) } finally in.close()
+          decodeStripe(metaB, Stripe(offset, il, dl, fl, rows), buf)
+            .iterator
+        }
+      }(org.apache.spark.sql.Encoders.row(struct))
+  }
+
+  /** Multi-file [[readOrc]]: file, glob, or directory → ONE DataFrame
+    * with a leading `path` provenance column; schemas must agree; every
+    * (file, stripe) pair is one task.
+    */
+  def readOrcFiles(spark: SparkSession, pathOrGlob: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = Avro.resolveFiles(conf, pathOrGlob)
+    val metas = files.map { case (p, _) => p -> readTail(conf, p) }
+    val structs = metas.map(m => rootStruct(m._2.types)).distinct
+    require(structs.size == 1,
+      s"orc shard schemas disagree: ${structs.size} distinct")
+    val struct = StructType(StructField("path", StringType) +:
+      structs.head.fields)
+    val confB = new org.apache.spark.util.SerializableConfiguration(conf)
+    val metaByPath = metas.toMap
+    val stripes = metas.flatMap { case (p, m) =>
+      m.stripes.map(s => (p, s.offset, s.indexLength, s.dataLength,
+        s.footerLength, s.rows))
+    }
+    stripes.toDF("path", "offset", "indexLen", "dataLen", "footerLen",
+        "rows")
+      .repartition(math.min(math.max(stripes.size, 1), 4096))
+      .as[(String, Long, Long, Long, Long, Long)]
+      .flatMap { case (path, offset, il, dl, fl, rows) =>
+        val total = il + dl + fl
+        if (total <= 0 || total > MaxStripeBytes) Iterator.empty
+        else {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(confB.value)
+          val in = fs.open(p)
+          val buf = new Array[Byte](total.toInt)
+          try { in.readFully(offset, buf) } finally in.close()
+          decodeStripe(metaByPath(path),
+            Stripe(offset, il, dl, fl, rows), buf)
+            .iterator.map(r => Row.fromSeq(path +: r.toSeq))
+        }
+      }(org.apache.spark.sql.Encoders.row(struct))
+  }
+}

@@ -1,0 +1,151 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class OrcSpec extends SparkTestBase {
+
+  /** Fixture writer: SPARK'S OWN orc sink (orc-core under the hood) —
+    * the interop twin for the from-scratch reader.
+    */
+  private def sparkWrite(dir: String, n: Int, codec: String,
+      repeatStrings: Boolean = false,
+      stripeSize: Int = 0): Unit = {
+    val ss = spark
+    import ss.implicits._
+    val df = (0 until n).map { i =>
+      val text =
+        if (i % 7 == 6) null
+        else if (repeatStrings) s"tag${i % 5}"
+        else s"unique text $i " + ("z" * (i % 19))
+      (i.toLong, text,
+        if (i % 3 == 0) null else java.lang.Double.valueOf(i / 8.0),
+        i % 2 == 0, i - 1000)
+    }.toDF("doc_id", "text", "score", "flag", "delta")
+    var w = df.coalesce(1).write.mode("overwrite")
+      .option("compression", codec)
+    if (stripeSize > 0) w = w.option("orc.stripe.size", stripeSize.toString)
+    w.orc(dir)
+  }
+
+  private def firstOrc(dir: String): String =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".orc")).head.getAbsolutePath
+
+  private def check(dir: String, n: Int): Unit = {
+    val mine = Orc.readOrc(spark, firstOrc(dir)).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        r.getBoolean(3), r.getInt(4))).sortBy(_._1)
+    val theirs = spark.read.orc(dir).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        r.getBoolean(3), r.getInt(4))).sortBy(_._1)
+    assert(mine.length == n && theirs.length == n)
+    assert(mine.toSeq == theirs.toSeq)
+  }
+
+  test("interop: spark-written orc reads back identically (zlib)") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/t"
+    sparkWrite(dir, 500, "zlib")
+    check(dir, 500)
+  }
+
+  test("codecs: none, snappy, zstd, lz4") {
+    for (codec <- Seq("none", "snappy", "zstd", "lz4")) {
+      val dir = Files.createTempDirectory("graft-orc").toString + s"/$codec"
+      sparkWrite(dir, 300, codec)
+      check(dir, 300)
+    }
+  }
+
+  test("dictionary-encoded strings (repetitive values)") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/dict"
+    sparkWrite(dir, 400, "zlib", repeatStrings = true)
+    check(dir, 400)
+  }
+
+  test("schema surface and null scattering") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/s"
+    sparkWrite(dir, 50, "zlib")
+    val df = Orc.readOrc(spark, firstOrc(dir))
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("doc_id", "text", "score", "flag", "delta"))
+    val r6 = df.filter(col("doc_id") === 6L).collect()(0)
+    assert(r6.isNullAt(1) && r6.getBoolean(3) && r6.getInt(4) == -994)
+    val r0 = df.filter(col("doc_id") === 0L).collect()(0)
+    assert(r0.isNullAt(2))
+  }
+
+  test("readOrcFiles: spark multi-part dir with path provenance") {
+    val ss = spark
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-orc").toString + "/multi"
+    (0 until 200).map(i => (i.toLong, s"row $i"))
+      .toDF("doc_id", "text")
+      .repartition(3).write.mode("overwrite").orc(dir)
+    val out = Orc.readOrcFiles(spark, dir)
+    assert(out.schema.fieldNames.toSeq == Seq("path", "doc_id", "text"))
+    assert(out.count() == 200)
+    assert(out.select("path").distinct().count() == 3)
+    assert(out.agg(sum(col("doc_id"))).collect()(0).getLong(0) ==
+      (0 until 200).map(_.toLong).sum)
+  }
+
+  test("refusals: unsupported types, non-orc bytes") {
+    val ss = spark
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-orc").toString + "/list"
+    Seq((1L, Seq("a", "b"))).toDF("id", "xs")
+      .write.mode("overwrite").orc(dir)
+    intercept[IllegalArgumentException] {
+      Orc.readTail(spark.sparkContext.hadoopConfiguration, firstOrc(dir))
+    }
+    val junk = Files.createTempDirectory("graft-orc").toString + "/j.orc"
+    Files.write(java.nio.file.Paths.get(junk),
+      ("J" * 128).getBytes("US-ASCII"))
+    intercept[Exception] {
+      Orc.readTail(spark.sparkContext.hadoopConfiguration, junk)
+    }
+  }
+
+  test("outlier-heavy ints (PATCHED_BASE territory) and full scalar breadth") {
+    val ss = spark
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-orc").toString + "/outlier"
+    val df = (0 until 2000).map { i =>
+      val v = if (i % 90 == 7) 1L << 50 else (i % 512).toLong
+      (i.toLong, v, i.toByte, (i * 3).toShort, i.toFloat / 2,
+        java.sql.Date.valueOf("2020-01-01"))
+    }.toDF("id", "outliers", "b", "s", "f", "d")
+    df.coalesce(1).write.mode("overwrite").orc(dir)
+    val mine = Orc.readOrc(spark, firstOrc(dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getByte(2), r.getShort(3),
+        r.getFloat(4), r.getInt(5))).sortBy(_._1)
+    assert(mine.length == 2000)
+    mine.foreach { case (id, v, b, s, f, d) =>
+      val i = id.toInt
+      assert(v == (if (i % 90 == 7) 1L << 50 else (i % 512).toLong))
+      assert(b == i.toByte && s == (i * 3).toShort && f == i.toFloat / 2)
+      assert(d == 18262) // 2020-01-01 as epoch days
+    }
+  }
+
+  test("rle building blocks: byte rle, bool rle, rleV2 submodes") {
+    // short repeat: 10 copies of 7 → header 0x02? width1 count 10-3=7
+    val sr = Array[Byte](0x07, 7)
+    assert(Orc.rleV2(sr, 10, signed = false).toSeq ==
+      Seq.fill(10)(7L))
+    // delta, fixed: 1,2,3,4,5 (signed) — header 0xC0|len, n=5
+    // base=1 (zigzag 2), delta=+1 (zigzag 2)
+    val d = Array[Byte](0xc0.toByte, 4, 2, 2)
+    assert(Orc.rleV2(d, 5, signed = true).toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // byte rle: run of 5 zeros then literals 1,2
+    val br = Array[Byte](2, 0, -2, 1, 2)
+    assert(Orc.byteRle(br, 7).toSeq == Seq[Byte](0, 0, 0, 0, 0, 1, 2))
+  }
+}
