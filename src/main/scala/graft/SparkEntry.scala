@@ -2842,6 +2842,46 @@ object SparkEntry {
         .orderBy("doc_id", "turn_idx")
     }),
 
+    "q199_arrow_shards" -> ((s, dir) => {
+      // Distributed Arrow shard export → pruned multi-file read-back:
+      // every row lands in exactly one shard (portable-hash assignment,
+      // one file per task), and the columns= read proves pruning
+      // preserves values
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q199_dir", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-q199")
+          .toString + "/shards"
+        graft.llmops.ArrowWriter.writeShards(
+          t(ss, dir, "documents").filter(col("doc_id") < 400)
+            .select(col("doc_id"), col("text")),
+          "doc_id", d, nShards = 4, rowsPerBatch = 64)
+        d
+      })
+      graft.llmops.Arrow.readArrowFiles(ss, path,
+          columns = Seq("text", "doc_id"))
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    "q198_avro_shards" -> ((s, dir) => {
+      // Distributed Avro shard export → multi-file read-back identity
+      // (deflate blocks streamed to the filesystem, sync-scan recovery)
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q198_dir", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-q198")
+          .toString + "/shards"
+        graft.llmops.AvroWriter.writeShards(
+          t(ss, dir, "documents").filter(col("doc_id") < 400)
+            .select(col("doc_id"), col("text")),
+          "doc_id", d, nShards = 4, codec = "deflate",
+          recordsPerBlock = 64)
+        d
+      })
+      graft.llmops.Avro.readAvroFiles(ss, path)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     "q197_orc" -> ((s, dir) => {
       // ORC ingestion: the fixture is written by SPARK'S OWN orc sink
       // (orc-core, zlib chunked streams), then recovered stripe-
@@ -6022,6 +6062,18 @@ object SparkEntry {
                   'Page ' || doc_id || ' has label' || doc_id || ' and more.' ||
                   chr(10) || 'item ' || doc_id END AS plain
          FROM documents WHERE doc_id < 240 ORDER BY page_id""",
+
+    // q199: arrow shards — identity through distributed export and the
+    // pruned multi-file read
+    "q199_arrow_shards" ->
+      """SELECT doc_id, text FROM documents WHERE doc_id < 400
+         ORDER BY doc_id""",
+
+    // q198: avro shards — identity through distributed export and the
+    // sync-scan multi-file read
+    "q198_avro_shards" ->
+      """SELECT doc_id, text FROM documents WHERE doc_id < 400
+         ORDER BY doc_id""",
 
     // q197: orc — identity on (doc_id, text) through spark's own orc
     // sink and the stripe-parallel from-scratch reader

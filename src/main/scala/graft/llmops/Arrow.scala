@@ -398,11 +398,42 @@ object Arrow {
     out
   }
 
+  /** Pre-order node count of a field (one per field incl. nested). */
+  private def nodeCount(f: AField): Int = f.tpe match {
+    case AList(c, _) => 1 + nodeCount(c)
+    case AStruct(cs) => 1 + cs.map(nodeCount).sum
+    case _ => 1
+  }
+
+  /** Buffer count of a field (validity + per-kind buffers + children). */
+  private def bufCount(f: AField): Int = f.tpe match {
+    case AString(_) | ABinary(_) => 3
+    case AList(c, _) => 2 + bufCount(c)
+    case AStruct(cs) => 1 + cs.map(bufCount).sum
+    case _ => 2
+  }
+
+  /** Field positions for the requested column names (Nil = all, file
+    * order). Unknown names refuse.
+    */
+  private def wantedPositions(fields: Vector[AField],
+      columns: Seq[String]): Vector[Int] =
+    if (columns.isEmpty) fields.indices.toVector
+    else columns.toVector.map { c =>
+      val k = fields.indexWhere(_.name == c)
+      require(k >= 0, s"arrow column $c not in ${fields.map(_.name)}")
+      k
+    }
+
   /** Decode one record batch (its encapsulated message bytes + body) to
-    * rows. Structural failure → empty (the batch is the blast radius).
+    * rows, materializing only `wanted` field positions — skipped fields
+    * advance the node/buffer cursor without touching their buffers, so
+    * pruned columns never decompress (column pruning reaches the batch
+    * read). Structural failure → empty (the batch is the blast radius).
     */
   private[llmops] def decodeBatch(fields: Vector[AField],
-      meta: Array[Byte], body: Array[Byte]): Seq[Row] =
+      meta: Array[Byte], body: Array[Byte],
+      wanted: Vector[Int]): Seq[Row] =
     try {
       val fb = new Fb(meta)
       // encapsulated message: continuation 0xFFFFFFFF, int32 len, fb
@@ -422,7 +453,13 @@ object Arrow {
       val codec = if (compT < 0) -1 else fb.fieldU8(compT, 0, 0)
       val bd = new BatchData(fb, body, nodesVec, buffersVec, codec)
       val cur = new Cursor(0, 0)
-      val cols = fields.map(f => readColumn(bd, f, cur, rows))
+      val want = wanted.toSet
+      val byPos = new java.util.HashMap[Int, Array[Any]]
+      fields.zipWithIndex.foreach { case (f, k) =>
+        if (want(k)) byPos.put(k, readColumn(bd, f, cur, rows))
+        else { cur.node += nodeCount(f); cur.buf += bufCount(f) }
+      }
+      val cols = wanted.map(byPos.get)
       (0 until rows).map(i => Row.fromSeq(cols.map(_(i))))
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
@@ -430,11 +467,14 @@ object Arrow {
     * splittable path: one task per record batch, one ranged read each,
     * file bytes never shuffle.
     */
-  def readArrow(spark: SparkSession, path: String): DataFrame = {
+  def readArrow(spark: SparkSession, path: String,
+      columns: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val footer = readFooter(conf, path)
-    val struct = rootStruct(footer.fields)
+    val wanted = wantedPositions(footer.fields, columns)
+    val full = rootStruct(footer.fields)
+    val struct = StructType(wanted.map(full.fields))
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
     val fieldsB = footer.fields
     val batches = footer.batches.map(b => (b.offset, b.metaLen.toLong,
@@ -455,7 +495,7 @@ object Arrow {
             in.readFully(offset, meta)
             in.readFully(offset + metaLen, body)
           } finally in.close()
-          decodeBatch(fieldsB, meta, body).iterator
+          decodeBatch(fieldsB, meta, body, wanted).iterator
         }
       }(org.apache.spark.sql.Encoders.row(struct))
   }
@@ -467,7 +507,7 @@ object Arrow {
     * task.
     */
   def readArrowFiles(spark: SparkSession,
-      pathOrGlob: String): DataFrame = {
+      pathOrGlob: String, columns: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val files = Avro.resolveFiles(conf, pathOrGlob)
@@ -476,8 +516,9 @@ object Arrow {
     require(structs.size == 1,
       s"arrow shard schemas disagree: ${structs.size} distinct")
     val fieldsB = footers.head._2.fields
+    val wanted = wantedPositions(fieldsB, columns)
     val struct = StructType(StructField("path", StringType) +:
-      structs.head.fields)
+      wanted.map(structs.head.fields))
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
     val batches = footers.flatMap { case (p, f) =>
       f.batches.map(b => (p, b.offset, b.metaLen.toLong, b.bodyLen))
@@ -498,7 +539,7 @@ object Arrow {
             in.readFully(offset, meta)
             in.readFully(offset + metaLen, body)
           } finally in.close()
-          decodeBatch(fieldsB, meta, body).iterator
+          decodeBatch(fieldsB, meta, body, wanted).iterator
             .map(r => Row.fromSeq(path +: r.toSeq))
         }
       }(org.apache.spark.sql.Encoders.row(struct))

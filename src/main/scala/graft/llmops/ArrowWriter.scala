@@ -432,33 +432,126 @@ object ArrowWriter {
     b.endTable() match { case f => b.finish(f) }
   }
 
+  /** Incremental file writer: magic + schema message up front, one
+    * record batch per [[append]], footer on [[finish]]. Batches stream
+    * to `out` — the file never materializes in memory.
+    */
+  private[llmops] final class Streamer(fields: Vector[AField],
+      out: java.io.OutputStream) {
+    private var pos = 0L
+    private val blocks = Vector.newBuilder[(Long, Int, Long)]
+    private def emit(b: Array[Byte]): Unit = {
+      out.write(b, 0, b.length); pos += b.length
+    }
+    emit("ARROW1".getBytes("US-ASCII")); emit(Array[Byte](0, 0))
+    emit(schemaMessage(fields))
+    private def pad8(): Unit = {
+      val padTo = ((8 - (pos & 7)) & 7).toInt
+      if (padTo > 0) emit(new Array[Byte](padTo))
+    }
+    def append(rows: Seq[Row]): Unit = if (rows.nonEmpty) {
+      val (meta, body) = batchMessage(fields, rows)
+      blocks += ((pos, meta.length, body.length.toLong))
+      emit(meta); emit(body); pad8()
+    }
+    def finish(): Unit = {
+      emit(Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0)) // end-of-stream
+      val footer = buildFooter(fields, blocks.result())
+      emit(footer)
+      val fl = footer.length
+      val tail = new Array[Byte](4)
+      var k = 0
+      while (k < 4) { tail(k) = ((fl >> (8 * k)) & 0xff).toByte; k += 1 }
+      emit(tail)
+      emit("ARROW1".getBytes("US-ASCII"))
+    }
+  }
+
   /** Arrow IPC file bytes: magic, schema message, one record batch per
     * `rowsPerBatch` rows, footer, trailing magic.
     */
   def write(fields: Vector[AField], rows: Seq[Row],
       rowsPerBatch: Int = 1000): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream()
-    o.write("ARROW1".getBytes("US-ASCII")); o.write(0); o.write(0)
-    val sm = schemaMessage(fields)
-    o.write(sm, 0, sm.length)
-    val blocks = Vector.newBuilder[(Long, Int, Long)]
-    rows.grouped(math.max(rowsPerBatch, 1)).foreach { group =>
-      val (meta, body) = batchMessage(fields, group)
-      blocks += ((o.size().toLong, meta.length, body.length.toLong))
-      o.write(meta, 0, meta.length)
-      o.write(body, 0, body.length)
-      val padTo = (8 - (o.size() & 7)) & 7
-      var k = 0
-      while (k < padTo) { o.write(0); k += 1 }
-    }
-    // end-of-stream marker
-    o.write(Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0), 0, 8)
-    val footer = buildFooter(fields, blocks.result())
-    o.write(footer, 0, footer.length)
-    var k = 0
-    val fl = footer.length
-    while (k < 4) { o.write((fl >> (8 * k)) & 0xff); k += 1 }
-    o.write("ARROW1".getBytes("US-ASCII"))
+    val s = new Streamer(fields, o)
+    rows.grouped(math.max(rowsPerBatch, 1)).foreach(s.append)
+    s.finish()
     o.toByteArray
+  }
+
+  /** Arrow fields for a Spark StructType (the writer's supported
+    * subset).
+    */
+  def fieldsFor(schema: org.apache.spark.sql.types.StructType)
+      : Vector[AField] = {
+    import org.apache.spark.sql.types._
+    def tpe(dt: DataType): AType = dt match {
+      case BooleanType => ABool
+      case ByteType => AInt(8)
+      case ShortType => AInt(16)
+      case IntegerType => AInt(32)
+      case LongType => AInt(64)
+      case FloatType => AFloat
+      case DoubleType => ADouble
+      case StringType => AString(large = false)
+      case BinaryType => ABinary(large = false)
+      case ArrayType(e, containsNull) =>
+        AList(AField("item", containsNull, tpe(e)), large = false)
+      case st: StructType => AStruct(fieldsFor(st))
+      case other => throw new IllegalArgumentException(
+        s"unsupported spark type for arrow export: $other")
+    }
+    schema.fields.toVector.map(f => AField(f.name, f.nullable,
+      tpe(f.dataType)))
+  }
+
+  /** Distributed shard export: one `shard-NNNNN.arrow` per shard under
+    * `dir`, written by exactly one task each (the TarShards protocol),
+    * batches streamed to the filesystem.
+    */
+  def writeShards(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      dir: String, nShards: Int, rowsPerBatch: Int = 1000): Unit = {
+    import org.apache.spark.sql.functions._
+    val fields = fieldsFor(df.schema)
+    val sharded = df
+      .withColumn("__shard",
+        pmod(Similarity.portable60(col(keyCol).cast("string")),
+          lit(nShards.toLong)).cast("int"))
+      .repartition(nShards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col(keyCol))
+    val dirB = dir
+    val rpb = rowsPerBatch
+    val nFields = df.schema.fields.length
+    val confB = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    sharded.foreachPartition { rows: Iterator[Row] =>
+      var out: java.io.OutputStream = null
+      var streamer: Streamer = null
+      var curShard = -1
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      def flushBatch(): Unit = if (buf.nonEmpty) {
+        streamer.append(buf.toSeq); buf.clear()
+      }
+      def closeCurrent(): Unit = if (out != null) {
+        flushBatch(); streamer.finish(); out.close()
+        out = null; streamer = null
+      }
+      try {
+        rows.foreach { r =>
+          val shard = r.getInt(nFields)
+          if (shard != curShard) {
+            closeCurrent()
+            curShard = shard
+            val path = new org.apache.hadoop.fs.Path(
+              f"$dirB/shard-$shard%05d.arrow")
+            val fs = path.getFileSystem(confB.value)
+            out = fs.create(path, true)
+            streamer = new Streamer(fields, out)
+          }
+          buf += Row.fromSeq(r.toSeq.dropRight(1))
+          if (buf.size >= rpb) flushBatch()
+        }
+      } finally closeCurrent()
+    }
   }
 }

@@ -104,13 +104,11 @@ object AvroWriter {
         throw new IllegalArgumentException(s"writer codec $other")
     }
 
-  /** Container bytes: header (schema + codec + deterministic sync), then
-    * one block per `recordsPerBlock` rows. Root record schemas take one
-    * row per record; other roots take single-value rows.
+  /** Header bytes (schema + codec + deterministic sync); returns the
+    * sync for the block stream that follows.
     */
-  def write(schemaJson: String, rows: Seq[org.apache.spark.sql.Row],
-      codec: String = "null", recordsPerBlock: Int = 100): Array[Byte] = {
-    val sch = Avro.parseSchema(schemaJson)
+  private[llmops] def headerBytes(schemaJson: String,
+      codec: String): (Array[Byte], Array[Byte]) = {
     val o = new java.io.ByteArrayOutputStream()
     o.write('O'); o.write('b'); o.write('j'); o.write(1)
     writeVlong(o, 2L)
@@ -124,20 +122,127 @@ object AvroWriter {
         .digest(("graft-avro:" + schemaJson + ":" + codec)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)), 16)
     o.write(sync, 0, 16)
-    rows.grouped(recordsPerBlock).foreach { group =>
-      val plain = new java.io.ByteArrayOutputStream()
-      group.foreach { r =>
-        sch match {
-          case rec: SRecord => writeDatum(plain, rec, r)
-          case other => writeDatum(plain, other, r.get(0))
-        }
+    (o.toByteArray, sync)
+  }
+
+  private[llmops] def blockBytes(sch: Sch,
+      group: Seq[org.apache.spark.sql.Row], codec: String,
+      sync: Array[Byte]): Array[Byte] = {
+    val plain = new java.io.ByteArrayOutputStream()
+    group.foreach { r =>
+      sch match {
+        case rec: SRecord => writeDatum(plain, rec, r)
+        case other => writeDatum(plain, other, r.get(0))
       }
-      val block = encodeBlock(codec, plain.toByteArray)
-      writeVlong(o, group.size.toLong)
-      writeVlong(o, block.length.toLong)
-      o.write(block, 0, block.length)
-      o.write(sync, 0, 16)
+    }
+    val block = encodeBlock(codec, plain.toByteArray)
+    val o = new java.io.ByteArrayOutputStream(block.length + 32)
+    writeVlong(o, group.size.toLong)
+    writeVlong(o, block.length.toLong)
+    o.write(block, 0, block.length)
+    o.write(sync, 0, 16)
+    o.toByteArray
+  }
+
+  /** Container bytes: header (schema + codec + deterministic sync), then
+    * one block per `recordsPerBlock` rows. Root record schemas take one
+    * row per record; other roots take single-value rows.
+    */
+  def write(schemaJson: String, rows: Seq[org.apache.spark.sql.Row],
+      codec: String = "null", recordsPerBlock: Int = 100): Array[Byte] = {
+    val sch = Avro.parseSchema(schemaJson)
+    val o = new java.io.ByteArrayOutputStream()
+    val (header, sync) = headerBytes(schemaJson, codec)
+    o.write(header, 0, header.length)
+    rows.grouped(recordsPerBlock).foreach { group =>
+      val b = blockBytes(sch, group, codec, sync)
+      o.write(b, 0, b.length)
     }
     o.toByteArray
+  }
+
+  /** Avro record-schema JSON for a Spark StructType (the writer's
+    * supported scalar subset; nullable fields become `[null, X]`).
+    */
+  def schemaFor(schema: org.apache.spark.sql.types.StructType,
+      name: String = "Row"): String = {
+    import org.apache.spark.sql.types._
+    def prim(dt: DataType): String = dt match {
+      case BooleanType => "\"boolean\""
+      case IntegerType => "\"int\""
+      case LongType => "\"long\""
+      case FloatType => "\"float\""
+      case DoubleType => "\"double\""
+      case StringType => "\"string\""
+      case BinaryType => "\"bytes\""
+      case ArrayType(e, _) => s"""{"type":"array","items":${prim(e)}}"""
+      case other => throw new IllegalArgumentException(
+        s"unsupported spark type for avro export: $other")
+    }
+    val fields = schema.fields.map { f =>
+      val t = if (f.nullable) s"""["null",${prim(f.dataType)}]"""
+        else prim(f.dataType)
+      s"""{"name":"${f.name}","type":$t}"""
+    }.mkString(",")
+    s"""{"type":"record","name":"$name","fields":[$fields]}"""
+  }
+
+  /** Distributed shard export: one `shard-NNNNN.avro` per shard under
+    * `dir`, written by exactly one task each (the TarShards protocol:
+    * portable-hash shard assignment, repartition on the shard id, roll
+    * files as the sorted shard id changes). Blocks stream to the
+    * filesystem — a shard never materializes in memory.
+    */
+  def writeShards(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      dir: String, nShards: Int, codec: String = "deflate",
+      recordsPerBlock: Int = 1000): Unit = {
+    import org.apache.spark.sql.functions._
+    val schemaJson = schemaFor(df.schema)
+    val sch = Avro.parseSchema(schemaJson)
+    val sharded = df
+      .withColumn("__shard",
+        pmod(Similarity.portable60(col(keyCol).cast("string")),
+          lit(nShards.toLong)).cast("int"))
+      .repartition(nShards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col(keyCol))
+    val dirB = dir
+    val codecB = codec
+    val rpb = recordsPerBlock
+    val nFields = df.schema.fields.length
+    val confB = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    sharded.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      var out: java.io.OutputStream = null
+      var sync: Array[Byte] = null
+      var curShard = -1
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      def flushBlock(): Unit = if (buf.nonEmpty) {
+        val b = blockBytes(sch, buf.toSeq, codecB, sync)
+        out.write(b, 0, b.length)
+        buf.clear()
+      }
+      def closeCurrent(): Unit = if (out != null) {
+        flushBlock(); out.close(); out = null
+      }
+      try {
+        rows.foreach { r =>
+          val shard = r.getInt(nFields) // __shard appended last
+          if (shard != curShard) {
+            closeCurrent()
+            curShard = shard
+            val path = new org.apache.hadoop.fs.Path(
+              f"$dirB/shard-$shard%05d.avro")
+            val fs = path.getFileSystem(confB.value)
+            out = fs.create(path, true)
+            val (header, s) = headerBytes(schemaJson, codecB)
+            sync = s
+            out.write(header, 0, header.length)
+          }
+          buf += org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1))
+          if (buf.size >= rpb) flushBlock()
+        }
+      } finally closeCurrent()
+    }
   }
 }

@@ -520,9 +520,29 @@ object Orc {
     OrcMeta(comp, block.toInt, stripes, types, rows)
   }
 
-  /** Decode one stripe's bytes to rows (root-struct columns only). */
+  /** Root-subtype positions for the requested column names (Nil = all,
+    * file order). Unknown names refuse — silent pruning would read as
+    * missing data.
+    */
+  private def wantedPositions(types: Vector[TypeNode],
+      columns: Seq[String]): Vector[Int] = {
+    val root = types(0)
+    if (columns.isEmpty) root.subtypes.indices.toVector
+    else columns.toVector.map { c =>
+      val k = root.fieldNames.indexOf(c)
+      require(k >= 0, s"orc column $c not in ${root.fieldNames}")
+      k
+    }
+  }
+
+  /** Decode one stripe's bytes to rows (root-struct columns only).
+    * `wanted` = root-subtype positions to materialize — columns outside
+    * it never decompress their streams (column pruning reaches the
+    * stripe read).
+    */
   private[llmops] def decodeStripe(meta: OrcMeta,
-      stripe: Stripe, bytes: Array[Byte]): Seq[Row] = {
+      stripe: Stripe, bytes: Array[Byte],
+      wanted: Vector[Int]): Seq[Row] = {
     try {
       val footOff = (stripe.indexLength + stripe.dataLength).toInt
       val sf = decompressStream(meta.compression, bytes, footOff,
@@ -541,7 +561,7 @@ object Orc {
               s.length.toInt)
           }.orNull
       val root = meta.types(0)
-      val cols: Vector[Array[Any]] = root.subtypes.map { colId =>
+      val cols: Vector[Array[Any]] = wanted.map(root.subtypes).map { colId =>
         val t = meta.types(colId)
         val present = streamBytes(colId, 0) match {
           case null => null
@@ -643,11 +663,14 @@ object Orc {
   /** Read an ORC file as a typed DataFrame — one task per stripe, one
     * ranged read each, file bytes never shuffle.
     */
-  def readOrc(spark: SparkSession, path: String): DataFrame = {
+  def readOrc(spark: SparkSession, path: String,
+      columns: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val meta = readTail(conf, path)
-    val struct = rootStruct(meta.types)
+    val wanted = wantedPositions(meta.types, columns)
+    val full = rootStruct(meta.types)
+    val struct = StructType(wanted.map(full.fields))
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
     val metaB = meta
     val stripes = meta.stripes.map(s => (s.offset, s.indexLength,
@@ -664,8 +687,8 @@ object Orc {
           val in = fs.open(p)
           val buf = new Array[Byte](total.toInt)
           try { in.readFully(offset, buf) } finally in.close()
-          decodeStripe(metaB, Stripe(offset, il, dl, fl, rows), buf)
-            .iterator
+          decodeStripe(metaB, Stripe(offset, il, dl, fl, rows), buf,
+            wanted).iterator
         }
       }(org.apache.spark.sql.Encoders.row(struct))
   }
@@ -674,7 +697,8 @@ object Orc {
     * with a leading `path` provenance column; schemas must agree; every
     * (file, stripe) pair is one task.
     */
-  def readOrcFiles(spark: SparkSession, pathOrGlob: String): DataFrame = {
+  def readOrcFiles(spark: SparkSession, pathOrGlob: String,
+      columns: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val files = Avro.resolveFiles(conf, pathOrGlob)
@@ -682,8 +706,9 @@ object Orc {
     val structs = metas.map(m => rootStruct(m._2.types)).distinct
     require(structs.size == 1,
       s"orc shard schemas disagree: ${structs.size} distinct")
+    val wanted = wantedPositions(metas.head._2.types, columns)
     val struct = StructType(StructField("path", StringType) +:
-      structs.head.fields)
+      wanted.map(structs.head.fields))
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
     val metaByPath = metas.toMap
     val stripes = metas.flatMap { case (p, m) =>
@@ -704,7 +729,7 @@ object Orc {
           val buf = new Array[Byte](total.toInt)
           try { in.readFully(offset, buf) } finally in.close()
           decodeStripe(metaByPath(path),
-            Stripe(offset, il, dl, fl, rows), buf)
+            Stripe(offset, il, dl, fl, rows), buf, wanted)
             .iterator.map(r => Row.fromSeq(path +: r.toSeq))
         }
       }(org.apache.spark.sql.Encoders.row(struct))

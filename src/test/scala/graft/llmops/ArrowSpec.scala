@@ -231,4 +231,56 @@ class ArrowSpec extends SparkTestBase {
     }
   }
 
+
+  test("column pruning: skipped fields never decode; unknown refuses") {
+    val path = Files.createTempDirectory("graft-arrow").toString + "/p.arrow"
+    javaWrite(path, 120, batchRows = 40, codec = "zstd")
+    val pruned = Arrow.readArrow(spark, path, columns = Seq("score", "doc_id"))
+    assert(pruned.schema.fieldNames.toSeq == Seq("score", "doc_id"))
+    val got = pruned.collect().map(r =>
+      (if (r.isNullAt(0)) null else r.getDouble(0), r.getLong(1)))
+      .sortBy(_._2)
+    assert(got.length == 120)
+    got.foreach { case (s, id) =>
+      if (id % 3 == 0) assert(s == null) else assert(s == id / 4.0)
+    }
+    intercept[IllegalArgumentException] {
+      Arrow.readArrow(spark, path, columns = Seq("ghost")).collect()
+    }
+  }
+
+
+  test("writeShards: distributed export, read back by both readers") {
+    val ss = spark
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-arrow-sh").toString
+    val df = (0 until 200).map(i => (i.toLong,
+      if (i % 6 == 5) null else s"exp $i", i * 0.25))
+      .toDF("doc_id", "text", "score")
+    ArrowWriter.writeShards(df, "doc_id", dir, nShards = 3,
+      rowsPerBatch = 32)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".arrow"))
+    assert(files.length == 3)
+    val back = Arrow.readArrowFiles(spark, dir)
+    assert(back.count() == 200)
+    assert(back.select("doc_id").distinct().count() == 200)
+    val r10 = back.filter(org.apache.spark.sql.functions.col("doc_id")
+      === 10L).collect()(0)
+    assert(r10.getString(2) == "exp 10" && r10.getDouble(3) == 2.5)
+    val r11 = back.filter(org.apache.spark.sql.functions.col("doc_id")
+      === 11L).collect()(0)
+    assert(r11.isNullAt(2)) // 11 % 6 == 5 → planted null survives
+    // arrow's own reader consumes a shard
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val r = new org.apache.arrow.vector.ipc.ArrowFileReader(
+        new java.io.FileInputStream(files.head).getChannel, alloc)
+      var n = 0
+      while (r.loadNextBatch()) n += r.getVectorSchemaRoot.getRowCount
+      r.close()
+      assert(n > 0)
+    } finally alloc.close()
+  }
+
 }

@@ -218,4 +218,34 @@ class AvroSpec extends SparkTestBase {
     }
   }
 
+
+  test("writeShards: distributed export, read back by both readers") {
+    val ss = spark
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-avro-sh").toString
+    val df = (0 until 300).map(i => (i.toLong,
+      if (i % 9 == 8) null else s"exported $i", i % 2 == 0))
+      .toDF("doc_id", "text", "flag")
+    AvroWriter.writeShards(df, "doc_id", dir, nShards = 4,
+      codec = "deflate", recordsPerBlock = 16)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length == 4)
+    val back = Avro.readAvroFiles(spark, dir)
+    assert(back.count() == 300)
+    val r7 = back.filter(org.apache.spark.sql.functions.col("doc_id")
+      === 7L).collect()(0)
+    assert(r7.getString(2) == "exported 7" && !r7.getBoolean(3))
+    // avro's own reader consumes a shard
+    val r = new org.apache.avro.file.DataFileReader(files.head,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    var n = 0
+    while (r.hasNext) { r.next(); n += 1 }
+    r.close()
+    assert(n > 0)
+    // all shards together hold every row exactly once
+    assert(back.select("doc_id").distinct().count() == 300)
+  }
+
 }

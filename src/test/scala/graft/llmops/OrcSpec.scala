@@ -148,4 +148,24 @@ class OrcSpec extends SparkTestBase {
     val br = Array[Byte](2, 0, -2, 1, 2)
     assert(Orc.byteRle(br, 7).toSeq == Seq[Byte](0, 0, 0, 0, 0, 1, 2))
   }
+
+  test("column pruning: subset equals full read's projection; unknown refuses") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/prune"
+    sparkWrite(dir, 300, "zlib")
+    val path = firstOrc(dir)
+    val pruned = Orc.readOrc(spark, path, columns = Seq("delta", "doc_id"))
+    assert(pruned.schema.fieldNames.toSeq == Seq("delta", "doc_id"))
+    val got = pruned.collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._2)
+    assert(got.length == 300)
+    got.foreach { case (d, id) => assert(d == id.toInt - 1000) }
+    intercept[IllegalArgumentException] {
+      Orc.readOrc(spark, path, columns = Seq("nope")).collect()
+    }
+    // multi-file variant prunes too
+    val multi = Orc.readOrcFiles(spark, dir, columns = Seq("doc_id"))
+    assert(multi.schema.fieldNames.toSeq == Seq("path", "doc_id"))
+    assert(multi.count() == 300)
+  }
+
 }
