@@ -2842,6 +2842,29 @@ object SparkEntry {
         .orderBy("doc_id", "turn_idx")
     }),
 
+    "q200_npy" -> ((s, dir) => {
+      // NumPy ingestion: per doc an npz holding one int64 npy (closed
+      // form [id, 2id, 3id]) built DISTRIBUTED by the writer twin, then
+      // the arrays() explode recovers member name, shape and exact
+      // values (int64 → double widening is exact at these magnitudes)
+      val ss = tuned(s)
+      import ss.implicits._
+      val files = t(ss, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, graft.llmops.Npy.writeNpz(Seq(
+            s"m$id.npy" -> graft.llmops.Npy.writeNpyLongs(
+              Array(id, id * 2, id * 3)))))
+        }.toDF("doc_id", "content")
+      graft.llmops.Npy.arrays(files, "doc_id", "content")
+        .select(col("doc_id"), col("member"),
+          size(col("vec")).cast("long").as("n"),
+          element_at(col("vec"), 1).cast("long").as("v1"),
+          element_at(col("vec"), 2).cast("long").as("v2"),
+          element_at(col("vec"), 3).cast("long").as("v3"))
+        .orderBy("doc_id")
+    }),
+
     "q199_arrow_shards" -> ((s, dir) => {
       // Distributed Arrow shard export → pruned multi-file read-back:
       // every row lands in exactly one shard (portable-hash assignment,
@@ -6062,6 +6085,15 @@ object SparkEntry {
                   'Page ' || doc_id || ' has label' || doc_id || ' and more.' ||
                   chr(10) || 'item ' || doc_id END AS plain
          FROM documents WHERE doc_id < 240 ORDER BY page_id""",
+
+    // q200: npy — closed-form int64 arrays through the npz writer twin
+    // and the explode
+    "q200_npy" ->
+      """SELECT doc_id, 'm' || doc_id || '.npy' AS member,
+           CAST(3 AS BIGINT) AS n, doc_id AS v1,
+           CAST(doc_id * 2 AS BIGINT) AS v2,
+           CAST(doc_id * 3 AS BIGINT) AS v3
+         FROM documents WHERE doc_id < 400 ORDER BY doc_id""",
 
     // q199: arrow shards — identity through distributed export and the
     // pruned multi-file read
