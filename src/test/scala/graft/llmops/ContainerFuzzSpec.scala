@@ -1,0 +1,108 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import java.nio.file.Files
+
+/** Mutation fuzz for the round-12c container parsers — the task-side
+  * kernels (region/batch/stripe decode) carry a never-throw contract
+  * (structural failure = empty, the block is the blast radius); the
+  * driver-side metadata parsers may only refuse with
+  * IllegalArgumentException, never mangle memory or hang.
+  */
+class ContainerFuzzSpec extends SparkTestBase {
+
+  private def mutate(b: Array[Byte], r: java.util.Random): Array[Byte] = {
+    val m = b.clone()
+    val flips = 1 + r.nextInt(4)
+    (0 until flips).foreach { _ =>
+      m(r.nextInt(m.length)) =
+        (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+    }
+    m
+  }
+
+  test("avro: parseRegion never throws; parseHeader only refuses") {
+    val schemaJson =
+      """{"type":"record","name":"F","fields":[
+         {"name":"id","type":"long"},{"name":"t","type":"string"}]}"""
+    val sch = Avro.parseSchema(schemaJson)
+    val rows = (0 until 50).map(i => Row(i.toLong, s"fuzz row $i"))
+    val file = AvroWriter.write(schemaJson, rows, "deflate",
+      recordsPerBlock = 10)
+    val h = Avro.parseHeader(file)
+    val region = java.util.Arrays.copyOfRange(file, h.headerEnd.toInt,
+      file.length)
+    val r = new java.util.Random(42)
+    (0 until 600).foreach { _ =>
+      Avro.parseRegion(h, sch, mutate(region, r)) // must not throw
+      try Avro.parseHeader(mutate(file, r))
+      catch { case _: IllegalArgumentException => }
+    }
+  }
+
+  test("arrow: decodeBatch never throws on mutated meta or body") {
+    val fields = Vector(
+      Arrow.AField("id", nullable = false, Arrow.AInt(64)),
+      Arrow.AField("t", nullable = true, Arrow.AString(large = false)),
+      Arrow.AField("xs", nullable = true,
+        Arrow.AList(Arrow.AField("item", nullable = true,
+          Arrow.AInt(32)), large = false)))
+    val rows = (0 until 40).map(i => Row(i.toLong,
+      if (i % 5 == 0) null else s"v$i", (0 until i % 4).toSeq))
+    val bytes = ArrowWriter.write(fields, rows, rowsPerBatch = 40)
+    val footer = {
+      val dir = Files.createTempDirectory("graft-fuzz").toString + "/f.arrow"
+      Files.write(java.nio.file.Paths.get(dir), bytes)
+      Arrow.readFooter(spark.sparkContext.hadoopConfiguration, dir)
+    }
+    val b = footer.batches.head
+    val meta = java.util.Arrays.copyOfRange(bytes, b.offset.toInt,
+      b.offset.toInt + b.metaLen)
+    val body = java.util.Arrays.copyOfRange(bytes,
+      b.offset.toInt + b.metaLen, (b.offset + b.metaLen + b.bodyLen).toInt)
+    val wanted = fields.indices.toVector
+    val r = new java.util.Random(43)
+    (0 until 600).foreach { _ =>
+      Arrow.decodeBatch(footer.fields, mutate(meta, r), body, wanted)
+      Arrow.decodeBatch(footer.fields, meta, mutate(body, r), wanted)
+    }
+  }
+
+  test("orc: decodeStripe never throws on mutated stripe bytes") {
+    val ss = spark
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-fuzz").toString + "/o"
+    (0 until 200).map(i => (i.toLong, s"orc fuzz $i", i % 3 == 0))
+      .toDF("id", "t", "f").coalesce(1)
+      .write.mode("overwrite").option("compression", "zlib").orc(dir)
+    val path = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".orc")).head.getAbsolutePath
+    val meta = Orc.readTail(spark.sparkContext.hadoopConfiguration, path)
+    val st = meta.stripes.head
+    val all = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val stripeBytes = java.util.Arrays.copyOfRange(all, st.offset.toInt,
+      (st.offset + st.indexLength + st.dataLength + st.footerLength).toInt)
+    val wanted = meta.types(0).subtypes.indices.toVector
+    val r = new java.util.Random(44)
+    (0 until 600).foreach { _ =>
+      Orc.decodeStripe(meta, st, mutate(stripeBytes, r), wanted)
+    }
+  }
+
+  test("npy: npzMembers never throws; rows only refuses") {
+    val npz = Npy.writeNpz(Seq(
+      "a.npy" -> Npy.writeNpyLongs(Array.tabulate(64)(_.toLong)),
+      "b.npy" -> Npy.writeNpyFloats(Seq(Array(1f, 2f, 3f)))))
+    val npy = Npy.writeNpyLongs(Array.tabulate(128)(i => i * 7L))
+    val r = new java.util.Random(45)
+    (0 until 600).foreach { _ =>
+      Npy.npzMembers(mutate(npz, r)).foreach { case (_, mb) =>
+        try Npy.rows(mb)
+        catch { case _: IllegalArgumentException => }
+      }
+      try Npy.rows(mutate(npy, r))
+      catch { case _: IllegalArgumentException => }
+    }
+  }
+}
