@@ -2842,6 +2842,28 @@ object SparkEntry {
         .orderBy("doc_id", "turn_idx")
     }),
 
+    "q201_safetensors" -> ((s, dir) => {
+      // Safetensors ingestion: per doc one container with an I64
+      // tensor "w<id>" = [id, id*5, id*9] (writer twin, DISTRIBUTED);
+      // the header parse + flatten recover name, size and exact values
+      val ss = tuned(s)
+      import ss.implicits._
+      val files = t(ss, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, graft.llmops.Safetensors.write(Seq(
+            graft.llmops.Safetensors.writeI64(s"w$id",
+              Array(id, id * 5, id * 9)))))
+        }.toDF("doc_id", "content")
+      graft.llmops.Safetensors.tensors(files, "doc_id", "content")
+        .select(col("doc_id"), col("tensor"),
+          size(col("vec")).cast("long").as("n"),
+          element_at(col("vec"), 1).cast("long").as("v1"),
+          element_at(col("vec"), 2).cast("long").as("v2"),
+          element_at(col("vec"), 3).cast("long").as("v3"))
+        .orderBy("doc_id")
+    }),
+
     "q200_npy" -> ((s, dir) => {
       // NumPy ingestion: per doc an npz holding one int64 npy (closed
       // form [id, 2id, 3id]) built DISTRIBUTED by the writer twin, then
@@ -6085,6 +6107,15 @@ object SparkEntry {
                   'Page ' || doc_id || ' has label' || doc_id || ' and more.' ||
                   chr(10) || 'item ' || doc_id END AS plain
          FROM documents WHERE doc_id < 240 ORDER BY page_id""",
+
+    // q201: safetensors — closed-form int64 tensors through the writer
+    // twin and the flatten
+    "q201_safetensors" ->
+      """SELECT doc_id, 'w' || doc_id AS tensor,
+           CAST(3 AS BIGINT) AS n, doc_id AS v1,
+           CAST(doc_id * 5 AS BIGINT) AS v2,
+           CAST(doc_id * 9 AS BIGINT) AS v3
+         FROM documents WHERE doc_id < 400 ORDER BY doc_id""",
 
     // q200: npy — closed-form int64 arrays through the npz writer twin
     // and the explode
