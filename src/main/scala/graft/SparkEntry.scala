@@ -2927,6 +2927,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q202_orc_typed" -> ((s, dir) => {
+      // ORC typed-column ingestion: decimal(18,2), timestamp (micros,
+      // pre-2015 values included so the negative-seconds path runs),
+      // date and a timestamp passthrough — written by SPARK'S OWN orc
+      // sink, recovered by the from-scratch reader (unbounded-varint
+      // decimals + scale stream, 2015-epoch seconds + trailing-zero
+      // nanos, PRESENT nulls on every column), typed values hashed
+      // against the DuckDB oracle computing the same expressions
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q202_file", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-q202")
+          .toString + "/typed_orc"
+        t(ss, dir, "orders").filter(col("o_orderkey") < 2000)
+          .select(
+            col("o_orderkey"),
+            when(col("o_orderkey") % 7 === 0, lit(null))
+              .otherwise(concat(
+                (col("o_orderkey") % 100000).cast("string"), lit("."),
+                lpad((col("o_orderkey") % 100).cast("string"), 2, "0"))
+                .cast("decimal(18,2)")).as("price_dec"),
+            when(col("o_orderkey") % 11 === 3, lit(null))
+              .otherwise(timestamp_micros(
+                col("o_orderkey") * lit(1000003L) +
+                  lit(631152000000000L))).as("ev_ts"),
+            when(col("o_orderkey") % 5 === 0, lit(null))
+              .otherwise(to_date(col("o_orderdate"))).as("od_date"),
+            // parquet lands o_orderdate as timestamp_ntz, which Spark's
+            // orc sink stores as an annotated LONG (its private NTZ
+            // convention, not an ORC timestamp) — cast to the session-tz
+            // instant so the fixture holds a true ORC TIMESTAMP column
+            col("o_orderdate").cast("timestamp").as("od_ts"))
+          .coalesce(1).write.mode("overwrite")
+          .option("compression", "zlib").orc(d)
+        new java.io.File(d).listFiles()
+          .filter(_.getName.endsWith(".orc")).head.getAbsolutePath
+      })
+      graft.llmops.Orc.readOrc(ss, path)
+        .orderBy("o_orderkey")
+    }),
+
     "q197_orc" -> ((s, dir) => {
       // ORC ingestion: the fixture is written by SPARK'S OWN orc sink
       // (orc-core, zlib chunked streams), then recovered stripe-
@@ -6137,6 +6177,22 @@ object SparkEntry {
     "q198_avro_shards" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q202: orc typed columns — decimal/timestamp/date identity through
+    // spark's own orc sink and the from-scratch typed decoders
+    "q202_orc_typed" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE CAST((o_orderkey % 100000) || '.' ||
+                  lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+                  AS DECIMAL(18,2)) END AS price_dec,
+           CASE WHEN o_orderkey % 11 = 3 THEN NULL
+                ELSE make_timestamp(o_orderkey * 1000003 + 631152000000000)
+                END AS ev_ts,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE CAST(o_orderdate AS DATE) END AS od_date,
+           o_orderdate AS od_ts
+         FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""",
 
     // q197: orc — identity on (doc_id, text) through spark's own orc
     // sink and the stripe-parallel from-scratch reader

@@ -189,37 +189,55 @@ object Megatron {
     val confB = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val loB = lo; val hiB = hi; val widthB = width; val dtypeB = dtype
+    // the TarShards protocol: `.bin` token bytes STREAM to the
+    // filesystem as rows arrive (only the per-sequence size list — 4
+    // bytes a sequence, the idx twin's own content — stays in memory);
+    // the `.idx` twin is written when its shard closes
     sharded.foreachPartition { rows: Iterator[Row] =>
-      var bin: java.io.ByteArrayOutputStream = null
+      var bin: java.io.OutputStream = null
       var sizes: scala.collection.mutable.ArrayBuffer[Int] = null
       var curShard = -1
-      def flush(): Unit = if (bin != null) {
-        val fsPath = new org.apache.hadoop.fs.Path(
-          f"$pathB/shard-$curShard%05d.bin")
-        val fs = fsPath.getFileSystem(confB.value)
-        val out = fs.create(fsPath, true)
-        try out.write(bin.toByteArray) finally out.close()
+      def closeCurrent(): Unit = if (bin != null) {
+        bin.close()
+        val fs = new org.apache.hadoop.fs.Path(pathB)
+          .getFileSystem(confB.value)
         val idxOut = fs.create(new org.apache.hadoop.fs.Path(
           f"$pathB/shard-$curShard%05d.idx"), true)
         try idxOut.write(idxBytes(sizes.toSeq, dtypeB)) finally idxOut.close()
         bin = null; sizes = null
       }
-      rows.foreach { r =>
-        val shard = r.getAs[Int]("shard")
-        if (shard != curShard) { flush(); curShard = shard
-          bin = new java.io.ByteArrayOutputStream(1 << 16)
-          sizes = scala.collection.mutable.ArrayBuffer.empty[Int] }
-        val toks = r.getAs[scala.collection.Seq[Any]]("__toks")
-        val vals = if (toks == null) Seq.empty[Long]
-          else toks.map(_.asInstanceOf[Number].longValue())
-        vals.foreach { v =>
-          require(v >= loB && v <= hiB,
-            s"token $v out of $dtypeB range [$loB, $hiB]")
-          writeToken(bin, v, widthB)
+      try {
+        rows.foreach { r =>
+          val shard = r.getAs[Int]("shard")
+          if (shard != curShard) {
+            closeCurrent()
+            curShard = shard
+            val fsPath = new org.apache.hadoop.fs.Path(
+              f"$pathB/shard-$curShard%05d.bin")
+            bin = new java.io.BufferedOutputStream(
+              fsPath.getFileSystem(confB.value).create(fsPath, true),
+              64 << 10)
+            sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+          }
+          val toks = r.getAs[scala.collection.Seq[Any]]("__toks")
+          val vals = if (toks == null) Seq.empty[Long]
+            else toks.map(_.asInstanceOf[Number].longValue())
+          vals.foreach { v =>
+            require(v >= loB && v <= hiB,
+              s"token $v out of $dtypeB range [$loB, $hiB]")
+            writeToken(bin, v, widthB)
+          }
+          sizes += vals.length
         }
-        sizes += vals.length
+        closeCurrent()
+      } catch {
+        // close the stream but never write the idx twin: an orphan .bin
+        // is invisible to readIndexed (it lists *.idx), a half-pair
+        // would parse as a truncated corpus
+        case e: Throwable =>
+          if (bin != null) { try bin.close() catch { case _: Throwable => () } }
+          throw e
       }
-      flush()
     }
   }
 

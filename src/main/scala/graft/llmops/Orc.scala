@@ -17,11 +17,14 @@ import org.apache.spark.sql.types._
   * twin — the value at 100 TB is ingesting the files that exist.
   *
   * Type support: BOOLEAN, BYTE, SHORT, INT, LONG, FLOAT, DOUBLE,
-  * STRING/VARCHAR/CHAR (DIRECT_V2 + DICTIONARY_V2), BINARY, DATE (as
-  * its int32 day count — documented passthrough) under a STRUCT root,
-  * with nullability via PRESENT streams. LIST/MAP/UNION/DECIMAL/
-  * TIMESTAMP refuse at schema parse — documented boundary. Compression
-  * NONE/ZLIB/SNAPPY/LZ4/ZSTD via the repo's own decoders (LZO refused).
+  * STRING/VARCHAR/CHAR (DIRECT_V2 + DICTIONARY_V2), BINARY, DATE,
+  * DECIMAL(p,s) (unbounded zigzag varint + scale stream), TIMESTAMP /
+  * TIMESTAMP_INSTANT (2015-epoch seconds in the stripe's writer
+  * timezone + trailing-zero nanos), LIST, MAP and nested STRUCT under
+  * a STRUCT root, with nullability via PRESENT streams at every level.
+  * UNION refuses at schema parse — documented boundary (no stable
+  * columnar shape). Compression NONE/ZLIB/SNAPPY/LZ4/ZSTD via the
+  * repo's own decoders (LZO refused).
   *
   * Corruption blast radius: one stripe (structural failure drops that
   * stripe's rows; the footer keeps every other stripe reachable).
@@ -69,7 +72,7 @@ object Orc {
   final case class Stripe(offset: Long, indexLength: Long,
       dataLength: Long, footerLength: Long, rows: Long)
   final case class TypeNode(kind: Int, subtypes: Vector[Int],
-      fieldNames: Vector[String])
+      fieldNames: Vector[String], precision: Int = 0, scale: Int = 0)
   final case class Tail(compression: Int, blockSize: Int,
       stripes: Vector[Stripe], types: Vector[TypeNode], rows: Long)
 
@@ -109,6 +112,8 @@ object Orc {
   private def parseType(b: Array[Byte], off: Int, len: Int): TypeNode = {
     val p = new Pb(b, off, off + len)
     var kind = 0
+    var precision = 0
+    var scale = 0
     val subs = Vector.newBuilder[Int]
     val names = Vector.newBuilder[String]
     while (p.hasMore) {
@@ -123,10 +128,12 @@ object Orc {
           val (o, n) = p.lenField()
           names += new String(b, o, n,
             java.nio.charset.StandardCharsets.UTF_8)
+        case (5, 0) => precision = p.varint().toInt
+        case (6, 0) => scale = p.varint().toInt
         case (_, w) => p.skip(w)
       }
     }
-    TypeNode(kind, subs.result(), names.result())
+    TypeNode(kind, subs.result(), names.result(), precision, scale)
   }
 
   private def parseFooter(b: Array[Byte], off: Int, len: Int)
@@ -150,10 +157,11 @@ object Orc {
   final case class ColEnc(kind: Int, dictSize: Int)
 
   private[llmops] def parseStripeFooter(b: Array[Byte])
-      : (Vector[StreamInfo], Vector[ColEnc]) = {
+      : (Vector[StreamInfo], Vector[ColEnc], String) = {
     val p = new Pb(b, 0, b.length)
     val streams = Vector.newBuilder[StreamInfo]
     val encs = Vector.newBuilder[ColEnc]
+    var writerTz = ""
     while (p.hasMore) {
       p.tag() match {
         case (1, 2) =>
@@ -181,10 +189,14 @@ object Orc {
             }
           }
           encs += ColEnc(k, d)
+        case (3, 2) =>
+          val (o, n) = p.lenField()
+          writerTz = new String(b, o, n,
+            java.nio.charset.StandardCharsets.UTF_8)
         case (_, w) => p.skip(w)
       }
     }
-    (streams.result(), encs.result())
+    (streams.result(), encs.result(), writerTz)
   }
 
   // -------------------------------------------------------- decompression
@@ -447,6 +459,60 @@ object Orc {
     out
   }
 
+  /** Decimal DATA stream: one unbounded little-endian base-128 zigzag
+    * varint per value (the unscaled integer; ORC caps decimals at 38
+    * digits ≈ 127 bits, past any fixed-width fast path). Values whose
+    * encoding stays under 63 bits decode on a plain long.
+    */
+  private[llmops] def varBigInts(b: Array[Byte], want: Int)
+      : Array[java.math.BigInteger] = {
+    val out = new Array[java.math.BigInteger](want)
+    var i = 0
+    var k = 0
+    while (k < want) {
+      var fast = 0L
+      var acc: java.math.BigInteger = null
+      var sh = 0
+      var c = 0
+      do {
+        require(i < b.length, "decimal varint eof")
+        c = b(i) & 0xff; i += 1
+        if (sh < 56) fast |= (c & 0x7fL) << sh
+        else {
+          if (acc == null) acc = java.math.BigInteger.valueOf(fast)
+          if ((c & 0x7f) != 0)
+            acc = acc.or(java.math.BigInteger.valueOf((c & 0x7fL))
+              .shiftLeft(sh))
+        }
+        sh += 7
+        require(sh <= 140, "decimal varint overruns 128 bits")
+      } while ((c & 0x80) != 0)
+      out(k) =
+        if (acc == null) java.math.BigInteger.valueOf((fast >>> 1) ^ -(fast & 1L))
+        else {
+          val mag = acc.shiftRight(1)
+          if (acc.testBit(0)) mag.add(java.math.BigInteger.ONE).negate()
+          else mag
+        }
+      k += 1
+    }
+    out
+  }
+
+  /** Timestamp SECONDARY stream value → nanoseconds: the three low bits
+    * count removed trailing zeros minus one (0 = none removed).
+    */
+  private[llmops] def parseNanos(v: Long): Int = {
+    val zeros = (v & 7L).toInt
+    var r = v >>> 3
+    if (zeros != 0) {
+      var i = 0
+      while (i <= zeros) { r *= 10; i += 1 }
+    }
+    require(r >= 0 && r < 1000000000L, s"timestamp nanos out of range: $r")
+    r.toInt
+  }
+
   // ------------------------------------------------------------ column read
 
   private val K_BOOLEAN = 0
@@ -458,33 +524,53 @@ object Orc {
   private val K_DOUBLE = 6
   private val K_STRING = 7
   private val K_BINARY = 8
+  private val K_TIMESTAMP = 9
+  private val K_LIST = 10
+  private val K_MAP = 11
   private val K_STRUCT = 12
+  private val K_DECIMAL = 14
   private val K_DATE = 15
   private val K_VARCHAR = 16
   private val K_CHAR = 17
+  private val K_TIMESTAMP_INSTANT = 18
 
-  def sparkType(kind: Int): DataType = kind match {
-    case K_BOOLEAN => BooleanType
-    case K_BYTE => ByteType
-    case K_SHORT => ShortType
-    case K_INT => IntegerType
-    case K_LONG => LongType
-    case K_FLOAT => FloatType
-    case K_DOUBLE => DoubleType
-    case K_STRING | K_VARCHAR | K_CHAR => StringType
-    case K_BINARY => BinaryType
-    case K_DATE => IntegerType // day count passthrough
-    case k => throw new IllegalArgumentException(
-      s"orc type kind $k unsupported")
+  /** The Spark type node `id` lands as (recursive — lists, maps and
+    * nested structs resolve through their subtypes). UNION refuses:
+    * it has no stable columnar shape.
+    */
+  def sparkTypeOf(types: Vector[TypeNode], id: Int): DataType = {
+    val t = types(id)
+    t.kind match {
+      case K_BOOLEAN => BooleanType
+      case K_BYTE => ByteType
+      case K_SHORT => ShortType
+      case K_INT => IntegerType
+      case K_LONG => LongType
+      case K_FLOAT => FloatType
+      case K_DOUBLE => DoubleType
+      case K_STRING | K_VARCHAR | K_CHAR => StringType
+      case K_BINARY => BinaryType
+      case K_TIMESTAMP | K_TIMESTAMP_INSTANT => TimestampType
+      case K_DECIMAL =>
+        val p = if (t.precision > 0) t.precision else 38
+        DecimalType(p, t.scale)
+      case K_DATE => DateType
+      case K_LIST => ArrayType(sparkTypeOf(types, t.subtypes(0)))
+      case K_MAP => MapType(sparkTypeOf(types, t.subtypes(0)),
+        sparkTypeOf(types, t.subtypes(1)))
+      case K_STRUCT => StructType(t.subtypes.zipWithIndex.map {
+        case (sub, k) => StructField(t.fieldNames(k),
+          sparkTypeOf(types, sub))
+      })
+      case k => throw new IllegalArgumentException(
+        s"orc type kind $k unsupported")
+    }
   }
 
   def rootStruct(types: Vector[TypeNode]): StructType = {
     require(types.nonEmpty && types(0).kind == K_STRUCT,
       "orc root must be a struct")
-    val root = types(0)
-    StructType(root.subtypes.zipWithIndex.map { case (sub, k) =>
-      StructField(root.fieldNames(k), sparkType(types(sub).kind))
-    })
+    sparkTypeOf(types, 0).asInstanceOf[StructType]
   }
 
   // ---------------------------------------------------------- file reading
@@ -514,9 +600,7 @@ object Orc {
     val (stripes, types, rows) = parseFooter(footerComp, 0,
       footerComp.length)
     require(types.nonEmpty, "orc footer has no types")
-    types.foreach { t =>
-      if (t.kind != K_STRUCT) sparkType(t.kind) // throws on unsupported
-    }
+    rootStruct(types) // throws on unsupported type kinds, recursively
     OrcMeta(comp, block.toInt, stripes, types, rows)
   }
 
@@ -547,7 +631,7 @@ object Orc {
       val footOff = (stripe.indexLength + stripe.dataLength).toInt
       val sf = decompressStream(meta.compression, bytes, footOff,
         stripe.footerLength.toInt)
-      val (streams, encs) = parseStripeFooter(sf)
+      val (streams, encs, writerTz) = parseStripeFooter(sf)
       // stream byte positions accumulate in list order
       var pos = 0L
       val located = streams.map { s =>
@@ -560,25 +644,52 @@ object Orc {
             decompressStream(meta.compression, bytes, off.toInt,
               s.length.toInt)
           }.orNull
-      val root = meta.types(0)
-      val cols: Vector[Array[Any]] = wanted.map(root.subtypes).map { colId =>
+      // TIMESTAMP values count seconds from 2015-01-01 00:00:00 in the
+      // WRITER's timezone (recorded in the stripe footer);
+      // TIMESTAMP_INSTANT is always UTC-based
+      lazy val writerBase: Long = {
+        val zone =
+          try java.time.ZoneId.of(if (writerTz.isEmpty) "UTC" else writerTz)
+          catch { case _: java.time.DateTimeException =>
+            java.time.ZoneOffset.UTC }
+        java.time.ZonedDateTime.of(2015, 1, 1, 0, 0, 0, 0, zone)
+          .toEpochSecond
+      }
+      val utcBase = 1420070400L // 2015-01-01T00:00:00Z
+
+      /** Decode column `colId` over `count` value slots at this nesting
+        * level (root children: stripe rows; struct children: the
+        * parent's non-null count; list/map children: the sum of
+        * lengths). Nulls scatter through the column's PRESENT stream.
+        */
+      def readColumn(colId: Int, count: Int): Array[Any] = {
         val t = meta.types(colId)
         val present = streamBytes(colId, 0) match {
           case null => null
-          case pb => boolRle(pb, rows)
+          case pb => boolRle(pb, count)
         }
-        val nPresent = if (present == null) rows else present.count(x => x)
+        val nPresent = if (present == null) count else present.count(x => x)
         val enc = encs(colId)
-        val out = new Array[Any](rows)
+        val out = new Array[Any](count)
         def scatter(vals: Int => Any): Unit = {
           var vi = 0
           var ri = 0
-          while (ri < rows) {
+          while (ri < count) {
             if (present == null || present(ri)) {
               out(ri) = vals(vi); vi += 1
             }
             ri += 1
           }
+        }
+        /** LENGTH stream prefix offsets for list/map nesting. */
+        def lengthOffsets(): Array[Int] = {
+          val lens = rleV2(streamBytes(colId, 2), nPresent, signed = false)
+          val offs = new Array[Int](nPresent + 1)
+          var k = 0
+          while (k < nPresent) {
+            offs(k + 1) = offs(k) + lens(k).toInt; k += 1
+          }
+          offs
         }
         t.kind match {
           case K_BOOLEAN =>
@@ -592,7 +703,9 @@ object Orc {
               signed = true)
             t.kind match {
               case K_SHORT => scatter(i => data(i).toShort)
-              case K_INT | K_DATE => scatter(i => data(i).toInt)
+              case K_INT => scatter(i => data(i).toInt)
+              case K_DATE => scatter(i => java.sql.Date.valueOf(
+                java.time.LocalDate.ofEpochDay(data(i))))
               case _ => scatter(i => data(i))
             }
           case K_FLOAT =>
@@ -611,6 +724,63 @@ object Orc {
               while (k < 8) { v |= (data(i * 8 + k) & 0xffL) << (8 * k); k += 1 }
               java.lang.Double.longBitsToDouble(v)
             }
+          case K_DECIMAL =>
+            // DATA: unbounded zigzag varints (unscaled); SECONDARY: the
+            // per-value scale as signed RLE. Values rescale to the
+            // declared type scale (modern writers emit it directly).
+            val unscaled = varBigInts(streamBytes(colId, 1), nPresent)
+            val scales = rleV2(streamBytes(colId, 5), nPresent,
+              signed = true)
+            val declared = t.scale
+            scatter { i =>
+              val bd = new java.math.BigDecimal(unscaled(i),
+                scales(i).toInt)
+              if (scales(i).toInt == declared) bd
+              else bd.setScale(declared, java.math.RoundingMode.HALF_UP)
+            }
+          case K_TIMESTAMP | K_TIMESTAMP_INSTANT =>
+            // DATA: signed seconds from the 2015 base; SECONDARY: nanos
+            // with the trailing-zero scheme. The writer truncates the
+            // seconds division toward zero, so negative-epoch values
+            // with nanos shift down one second on decode (orc-core's
+            // reader rule).
+            val secs = rleV2(streamBytes(colId, 1), nPresent,
+              signed = true)
+            val nanosRaw = rleV2(streamBytes(colId, 5), nPresent,
+              signed = false)
+            val base =
+              if (t.kind == K_TIMESTAMP_INSTANT) utcBase else writerBase
+            scatter { i =>
+              var s = secs(i) + base
+              val n = parseNanos(nanosRaw(i))
+              if (s < 0 && n != 0) s -= 1
+              java.sql.Timestamp.from(
+                java.time.Instant.ofEpochSecond(s, n.toLong))
+            }
+          case K_LIST =>
+            val offs = lengthOffsets()
+            val kids = readColumn(t.subtypes(0), offs(nPresent))
+            scatter { i =>
+              val s = offs(i); val e = offs(i + 1)
+              val b = Vector.newBuilder[Any]
+              var j = s
+              while (j < e) { b += kids(j); j += 1 }
+              b.result()
+            }
+          case K_MAP =>
+            val offs = lengthOffsets()
+            val keys = readColumn(t.subtypes(0), offs(nPresent))
+            val vals = readColumn(t.subtypes(1), offs(nPresent))
+            scatter { i =>
+              val s = offs(i); val e = offs(i + 1)
+              val b = Map.newBuilder[Any, Any]
+              var j = s
+              while (j < e) { b += keys(j) -> vals(j); j += 1 }
+              b.result()
+            }
+          case K_STRUCT =>
+            val cols = t.subtypes.map(readColumn(_, nPresent))
+            scatter(i => Row.fromSeq(cols.map(_(i))))
           case K_STRING | K_VARCHAR | K_CHAR | K_BINARY =>
             val isDict = enc.kind == 1 || enc.kind == 3
             if (!isDict) {
@@ -656,6 +826,9 @@ object Orc {
         }
         out
       }
+      val root = meta.types(0)
+      val cols: Vector[Array[Any]] =
+        wanted.map(root.subtypes).map(readColumn(_, rows))
       (0 until rows).map(r => Row.fromSeq(cols.map(_(r))))
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
   }

@@ -178,7 +178,12 @@ object Sampling {
       lit(fractions.last._1): Column) {
       case (((name, _), cut), acc) => when(h < lit(cut), lit(name)).otherwise(acc)
     }
-    df.join(clusters.withColumnRenamed("key", keyCol), Seq(keyCol), "left")
+    // pin the cluster table's partitioning on its key: the table is
+    // small (|paired docs|) so the extra shuffle is negligible, and the
+    // join's upstream plan stops depending on label-propagation's
+    // incidental partition layout (deterministic bench profile)
+    df.join(clusters.repartition(col("key"))
+        .withColumnRenamed("key", keyCol), Seq(keyCol), "left")
       .withColumn("cluster_rep", rep)
       .withColumn("split", split)
       .drop("cluster_id")

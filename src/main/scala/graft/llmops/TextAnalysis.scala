@@ -792,6 +792,25 @@ object TextAnalysis {
     * @param k     add-k smoothing constant, > 0
     * @return (key, n_grams, lm_score), score rounded to 4 decimals
     */
+  /** Entry ceiling for collecting/broadcasting an LM gram table into
+    * the scoring kernel: the default byte-bucket vocab (128) bounds a
+    * trigram table at 128³ ≈ 2.1 M rows — inside this cap by design
+    * margin; an unbounded multilingual gram table must be pre-pruned
+    * (e.g. top-N grams) before scoring, not collected until the driver
+    * OOMs.
+    */
+  val MaxLmTableEntries: Long = 4000000L
+
+  /** Early-stopping cardinality gate (the [[UrlCuration]] join-shape
+    * pattern): scans at most cap+1 rows, refuses with guidance past it.
+    */
+  private def requireBoundedLmTable(df: DataFrame, which: String): Unit =
+    require(df.limit(MaxLmTableEntries.toInt + 1).count()
+        <= MaxLmTableEntries,
+      s"$which LM gram table exceeds $MaxLmTableEntries entries — it no " +
+        "longer fits the scoring kernel; prune it first (cap the vocab, " +
+        "or keep top-N grams by count) and retry")
+
   def lmQualityScore(
       docs: DataFrame,
       keyCol: String,
@@ -802,6 +821,8 @@ object TextAnalysis {
       k: Double = 1.0
   ): DataFrame = {
     require(k > 0, "add-k smoothing needs k > 0")
+    requireBoundedLmTable(lmTri, "trigram")
+    requireBoundedLmTable(lmBi, "bigram")
     val occ = docs.select(col(keyCol),
         explode(charGrams(col(textCol), 3)).alias("__g"))
     val tri = broadcast(lmTri.select(col("gram").alias("__g"),
@@ -870,9 +891,11 @@ object TextAnalysis {
         n, distinct = false))
     // collect the bounded LM tables once; cnt values are exact longs so
     // the model is deterministic regardless of collect order
-    def table(df: DataFrame): Array[(String, Long)] =
+    def table(df: DataFrame): Array[(String, Long)] = {
+      requireBoundedLmTable(df, "curation-signal")
       df.select(col("gram"), col("cnt")).collect()
         .map(r => r.getString(0) -> r.getLong(1))
+    }
     val lmModel = graft.expressions.CharTrigramLm.model(
       table(lmTri), table(lmBi), vocab, k)
     val lmCol = org.apache.spark.sql.graft.ColumnBridge.column(

@@ -362,31 +362,36 @@ object TfRecord {
     val gzipB = gzip
     val confB = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    // the TarShards protocol: roll to a new file as the sorted shard id
+    // changes, records STREAM to the filesystem (gzip through a
+    // streaming encoder) — a shard never materializes in task memory
     sharded.foreachPartition { rows: Iterator[Row] =>
-      var buf: java.io.ByteArrayOutputStream = null
+      var out: java.io.OutputStream = null
       var curShard = -1
-      def flush(): Unit = if (buf != null) {
-        val ext = if (gzipB) ".tfrecord.gz" else ".tfrecord"
-        val p = new org.apache.hadoop.fs.Path(
-          f"$pathB/shard-$curShard%05d$ext")
-        val fs = p.getFileSystem(confB.value)
-        val out = fs.create(p, true)
-        try out.write(
-          if (gzipB) Compression.encode(buf.toByteArray, "gzip")
-          else buf.toByteArray)
-        finally out.close()
-        buf = null
+      def closeCurrent(): Unit = if (out != null) {
+        out.close(); out = null
       }
-      rows.foreach { r =>
-        val shard = r.getAs[Int]("shard")
-        if (shard != curShard) { flush(); curShard = shard
-          buf = new java.io.ByteArrayOutputStream(1 << 16) }
-        val feats = names.indices.iterator
-          .map(i => names(i) -> rowFeature(types(i), r.get(r.fieldIndex(names(i)))))
-          .toSeq
-        writeRecord(buf, encodeExample(feats))
-      }
-      flush()
+      try {
+        rows.foreach { r =>
+          val shard = r.getAs[Int]("shard")
+          if (shard != curShard) {
+            closeCurrent()
+            curShard = shard
+            val ext = if (gzipB) ".tfrecord.gz" else ".tfrecord"
+            val p = new org.apache.hadoop.fs.Path(
+              f"$pathB/shard-$curShard%05d$ext")
+            val fs = p.getFileSystem(confB.value)
+            val raw = fs.create(p, true)
+            out =
+              if (gzipB) new java.util.zip.GZIPOutputStream(raw, 64 << 10)
+              else raw
+          }
+          val feats = names.indices.iterator
+            .map(i => names(i) -> rowFeature(types(i), r.get(r.fieldIndex(names(i)))))
+            .toSeq
+          writeRecord(out, encodeExample(feats))
+        }
+      } finally closeCurrent()
     }
   }
 

@@ -278,8 +278,12 @@ object WikiDump {
     var s = src
     // 1. comments (unterminated → drop to end)
     s = dropSpans(s, "<!--", "-->")
-    // 2. drop-with-content blocks + self-closing refs
-    for (tag <- DropBlocks) s = dropTagBlocks(s, tag)
+    // 2. drop-with-content blocks + self-closing refs; a pathological
+    // page (100k+ occurrences of one tag) refuses wholesale
+    for (tag <- DropBlocks) {
+      s = dropTagBlocks(s, tag)
+      if (s == null) return null
+    }
     // 3. nested templates
     s = dropNested(s, "{{", "}}")
     // 4. tables (nested)
@@ -326,7 +330,11 @@ object WikiDump {
     sb.toString
   }
 
-  /** Drop `<tag ...>...</tag>` and `<tag ... />` (case-insensitive). */
+  /** Drop `<tag ...>...</tag>` and `<tag ... />` (case-insensitive).
+    * Returns null past 100 000 tag occurrences — wholesale refusal of a
+    * pathological page (the repo's parser contract), never a silent
+    * truncation.
+    */
   private def dropTagBlocks(s: String, tag: String): String = {
     val lower = s.toLowerCase
     val openTok = "<" + tag
@@ -334,8 +342,9 @@ object WikiDump {
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     var guard = 0
-    while (i < s.length && guard < 100000) {
+    while (i < s.length) {
       guard += 1
+      if (guard > 100000) return null
       val o = lower.indexOf(openTok, i)
       val valid = o >= 0 && {
         val after = o + openTok.length
