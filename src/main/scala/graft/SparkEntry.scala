@@ -2927,6 +2927,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q203_orc_shards" -> ((s, dir) => {
+      // Distributed ORC shard export → multi-file read-back identity:
+      // the from-scratch DIRECT_V2/zlib writer twin streams stripes
+      // per task (TarShards protocol), the stripe-parallel reader
+      // recovers them — typed columns (decimal, timestamp, string with
+      // nulls) under the full hash
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q203_dir", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-q203")
+          .toString + "/orc_shards"
+        graft.llmops.OrcWriter.writeShards(
+          t(ss, dir, "orders").filter(col("o_orderkey") < 4000)
+            .select(
+              col("o_orderkey"),
+              when(col("o_orderkey") % 7 === 0, lit(null))
+                .otherwise(concat(
+                  (col("o_orderkey") % 100000).cast("string"), lit("."),
+                  lpad((col("o_orderkey") % 100).cast("string"), 2, "0"))
+                  .cast("decimal(18,2)")).as("price_dec"),
+              col("o_orderdate").cast("timestamp").as("od_ts"),
+              when(col("o_orderkey") % 5 === 2, lit(null))
+                .otherwise(col("o_orderpriority")).as("prio")),
+          "o_orderkey", d, nShards = 4, rowsPerStripe = 256)
+        d
+      })
+      graft.llmops.Orc.readOrcFiles(ss, path)
+        .drop("path")
+        .orderBy("o_orderkey")
+    }),
+
     "q202_orc_typed" -> ((s, dir) => {
       // ORC typed-column ingestion: decimal(18,2), timestamp (micros,
       // pre-2015 values included so the negative-seconds path runs),
@@ -6177,6 +6207,19 @@ object SparkEntry {
     "q198_avro_shards" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q203: orc shard export — typed identity through the from-scratch
+    // writer twin (distributed, streamed stripes) and reader
+    "q203_orc_shards" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE CAST((o_orderkey % 100000) || '.' ||
+                  lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+                  AS DECIMAL(18,2)) END AS price_dec,
+           o_orderdate AS od_ts,
+           CASE WHEN o_orderkey % 5 = 2 THEN NULL
+                ELSE o_orderpriority END AS prio
+         FROM orders WHERE o_orderkey < 4000 ORDER BY o_orderkey""",
 
     // q202: orc typed columns — decimal/timestamp/date identity through
     // spark's own orc sink and the from-scratch typed decoders

@@ -331,7 +331,7 @@ object Orc {
   /** The writer's width quantization: 1..24 exact, then 26/28/30/32/
     * 40/48/56/64.
     */
-  private def closestFixedBits(n: Int): Int =
+  private[llmops] def closestFixedBits(n: Int): Int =
     if (n <= 1) 1
     else if (n <= 24) n
     else if (n <= 26) 26
@@ -740,10 +740,11 @@ object Orc {
             }
           case K_TIMESTAMP | K_TIMESTAMP_INSTANT =>
             // DATA: signed seconds from the 2015 base; SECONDARY: nanos
-            // with the trailing-zero scheme. The writer truncates the
-            // seconds division toward zero, so negative-epoch values
-            // with nanos shift down one second on decode (orc-core's
-            // reader rule).
+            // with the trailing-zero scheme. The writer truncates a
+            // MILLISECOND value toward zero, so negative-epoch values
+            // shift down one second on decode only when the nanos carry
+            // a full millisecond (orc-core's reader rule: sub-ms nanos
+            // never moved the seconds on write)
             val secs = rleV2(streamBytes(colId, 1), nPresent,
               signed = true)
             val nanosRaw = rleV2(streamBytes(colId, 5), nPresent,
@@ -753,7 +754,7 @@ object Orc {
             scatter { i =>
               var s = secs(i) + base
               val n = parseNanos(nanosRaw(i))
-              if (s < 0 && n != 0) s -= 1
+              if (s < 0 && n > 999999) s -= 1
               java.sql.Timestamp.from(
                 java.time.Instant.ofEpochSecond(s, n.toLong))
             }

@@ -123,9 +123,14 @@ class OrcSpec extends SparkTestBase {
         else new java.math.BigDecimal(s"${i * 7919 - 100000}.${i % 100}")
           .setScale(2)
       // micros spanning pre-1970, pre-2015 and post-2015, with varying
-      // trailing-zero counts in the nanos (exercises parseNanos tiers)
+      // trailing-zero counts AND both negative-epoch truncation tiers
+      // (sub-millisecond-only vs ≥1 ms fractional parts)
       val micros = (i.toLong - 200) * 86400L * 1000000L * 37 +
-        i.toLong * 1001 + (if (i % 5 == 0) 0 else i % 1000)
+        ((i % 3) match {
+          case 0 => (i % 1000).toLong
+          case 1 => 500000L + i.toLong * 7 % 1000L
+          case _ => 0L
+        })
       val ts =
         if (i % 13 == 6) null
         else java.sql.Timestamp.from(
