@@ -2927,6 +2927,92 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q204_arrow_dict" -> ((s, dir) => {
+      // Arrow dictionary-encoded ingestion: the fixture is written by
+      // ARROW'S OWN writer with TWO dictionary-encoded string columns
+      // (pyarrow/pandas' default for categoricals), small batches so
+      // indices span many record batches; the from-scratch reader
+      // materializes the footer's dictionary batches on the driver and
+      // resolves indices per batch task
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q204_file", _ => {
+        val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("source"), col("lang")).collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) null else r.getString(1),
+            if (r.isNullAt(2)) null else r.getString(2))).sortBy(_._1)
+        val srcVals = docs.map(_._2).filter(_ != null).distinct.sorted
+        val langVals = docs.map(_._3).filter(_ != null).distinct.sorted
+        val f = java.nio.file.Files.createTempDirectory("graft-q204")
+          .toString + "/docs_dict.arrow"
+        val alloc = new org.apache.arrow.memory.RootAllocator()
+        try {
+          def dictOf(id: Long, vals: Array[String]) = {
+            val enc = new org.apache.arrow.vector.types.pojo
+              .DictionaryEncoding(id, false,
+                new org.apache.arrow.vector.types.pojo.ArrowType.Int(
+                  32, true))
+            val v = new org.apache.arrow.vector.VarCharVector(
+              s"dict$id", alloc)
+            v.allocateNew()
+            vals.zipWithIndex.foreach { case (x, i) =>
+              v.setSafe(i, x.getBytes("UTF-8")) }
+            v.setValueCount(vals.length)
+            (enc, new org.apache.arrow.vector.dictionary.Dictionary(v, enc))
+          }
+          val (srcEnc, srcDict) = dictOf(1L, srcVals)
+          val (langEnc, langDict) = dictOf(2L, langVals)
+          val provider = new org.apache.arrow.vector.dictionary
+            .DictionaryProvider.MapDictionaryProvider(srcDict, langDict)
+          val idsField = new org.apache.arrow.vector.types.pojo.Field(
+            "doc_id",
+            org.apache.arrow.vector.types.pojo.FieldType.notNullable(
+              new org.apache.arrow.vector.types.pojo.ArrowType.Int(
+                64, true)), null)
+          def idxField(name: String,
+              e: org.apache.arrow.vector.types.pojo.DictionaryEncoding) =
+            new org.apache.arrow.vector.types.pojo.Field(name,
+              new org.apache.arrow.vector.types.pojo.FieldType(true,
+                new org.apache.arrow.vector.types.pojo.ArrowType.Int(
+                  32, true), e), null)
+          val srcField = idxField("source", srcEnc)
+          val langField = idxField("lang", langEnc)
+          val ids = idsField.createVector(alloc)
+            .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+          val srcs = srcField.createVector(alloc)
+            .asInstanceOf[org.apache.arrow.vector.IntVector]
+          val langs = langField.createVector(alloc)
+            .asInstanceOf[org.apache.arrow.vector.IntVector]
+          val root = new org.apache.arrow.vector.VectorSchemaRoot(
+            java.util.Arrays.asList(idsField, srcField, langField),
+            java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](
+              ids, srcs, langs), 0)
+          val ch = java.nio.channels.Channels.newChannel(
+            new java.io.FileOutputStream(f))
+          val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+            provider, ch)
+          w.start()
+          docs.grouped(64).foreach { group =>
+            root.allocateNew()
+            group.zipWithIndex.foreach { case ((id, src, lang), k) =>
+              ids.setSafe(k, id)
+              if (src == null) srcs.setNull(k)
+              else srcs.setSafe(k, srcVals.indexOf(src))
+              if (lang == null) langs.setNull(k)
+              else langs.setSafe(k, langVals.indexOf(lang))
+            }
+            root.setRowCount(group.length)
+            w.writeBatch()
+          }
+          w.end(); w.close(); ch.close(); root.close()
+          srcDict.getVector.close(); langDict.getVector.close()
+        } finally alloc.close()
+        f
+      })
+      graft.llmops.Arrow.readArrow(ss, path)
+        .orderBy("doc_id")
+    }),
+
     "q203_orc_shards" -> ((s, dir) => {
       // Distributed ORC shard export → multi-file read-back identity:
       // the from-scratch DIRECT_V2/zlib writer twin streams stripes
@@ -6207,6 +6293,12 @@ object SparkEntry {
     "q198_avro_shards" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q204: arrow dictionary-encoded categoricals — identity through
+    // arrow-java's writer (two dictionaries) and the from-scratch reader
+    "q204_arrow_dict" ->
+      """SELECT doc_id, source, lang FROM documents
+         WHERE doc_id < 400 ORDER BY doc_id""",
 
     // q203: orc shard export — typed identity through the from-scratch
     // writer twin (distributed, streamed stripes) and reader

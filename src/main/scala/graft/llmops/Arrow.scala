@@ -20,10 +20,12 @@ import org.apache.spark.sql.types._
   * Type support: Bool; signed Int 8/16/32/64; FloatingPoint single /
   * double; Utf8/Binary (+ Large variants); Date32/64, Timestamp and
   * Duration as their underlying int32/int64 (documented passthrough);
-  * List/LargeList; Struct. Dictionary-encoded columns, unions, views
-  * and run-end encoding refuse wholesale at schema parse — documented
-  * boundary. Body compression: LZ4-frame and zstd via the repo's own
-  * decoders.
+  * List/LargeList; Struct; dictionary-encoded columns over any scalar
+  * value type (dictionary batches materialize once on the driver,
+  * size-capped — delta batches append; replacement refuses, as the
+  * file format requires). Unions, views and run-end encoding refuse
+  * wholesale at schema parse — documented boundary. Body compression:
+  * LZ4-frame and zstd via the repo's own decoders.
   *
   * Corruption blast radius: one record batch (a batch that fails
   * structural validation is dropped; the footer keeps every other batch
@@ -109,7 +111,12 @@ object Arrow {
   final case class AList(child: AField, large: Boolean) extends AType
   final case class AStruct(children: Vector[AField]) extends AType
 
-  final case class AField(name: String, nullable: Boolean, tpe: AType)
+  /** `dict` marks a dictionary-encoded field: (dictionary id, index
+    * bit width). `tpe` is then the VALUE type (what the column means);
+    * record batches carry only the index vector.
+    */
+  final case class AField(name: String, nullable: Boolean, tpe: AType,
+      dict: Option[(Long, Int)] = None)
 
   def sparkType(t: AType): DataType = t match {
     case ABool => BooleanType
@@ -138,8 +145,18 @@ object Arrow {
       val p = fb.fieldOff(t, 0); if (p < 0) "" else fb.string(p)
     }
     val nullable = fb.fieldBool(t, 1, dflt = false)
-    require(fb.fieldOff(t, 4) < 0,
-      s"dictionary-encoded field $name unsupported")
+    // DictionaryEncoding table: id (i64), indexType (Int table —
+    // bitWidth + is_signed; absent = signed int32 per the format doc)
+    val dict = fb.fieldOff(t, 4) match {
+      case d if d < 0 => None
+      case d =>
+        val id = fb.fieldI64(d, 0, 0L)
+        val it = fb.fieldOff(d, 1)
+        val bits = if (it < 0) 32 else fb.fieldI32(it, 0, 32)
+        require(bits == 8 || bits == 16 || bits == 32 || bits == 64,
+          s"dictionary index width $bits unsupported (field $name)")
+        Some((id, bits))
+    }
     val tt = fb.fieldU8(t, 2, 0)
     val tp = fb.fieldOff(t, 3)
     def children: Vector[AField] = {
@@ -175,7 +192,11 @@ object Arrow {
       case other => throw new IllegalArgumentException(
         s"arrow type id $other unsupported (field $name)")
     }
-    AField(name, nullable, tpe)
+    dict.foreach { _ =>
+      require(!tpe.isInstanceOf[AList] && !tpe.isInstanceOf[AStruct],
+        s"dictionary-encoded nested value type unsupported (field $name)")
+    }
+    AField(name, nullable, tpe, dict)
   }
 
   private[llmops] def parseSchemaTable(fb: Fb, t: Int): Vector[AField] = {
@@ -188,7 +209,15 @@ object Arrow {
   // ------------------------------------------------------------- the footer
 
   final case class Batch(offset: Long, metaLen: Int, bodyLen: Long)
-  final case class Footer(fields: Vector[AField], batches: Vector[Batch])
+  final case class Footer(fields: Vector[AField], batches: Vector[Batch],
+      dictionaries: Vector[Batch] = Vector.empty)
+
+  private def parseBlocks(fb: Fb, bv: Int): Vector[Batch] =
+    if (bv < 0) Vector.empty
+    else (0 until fb.vecLen(bv)).map { k =>
+      val p = fb.vecElem(bv, k, 24) // Block struct: i64, i32, pad, i64
+      Batch(fb.i64(p), fb.i32(p + 8), fb.i64(p + 16))
+    }.toVector
 
   private[llmops] def parseFooter(tail: Array[Byte]): Footer = {
     val fb = new Fb(tail)
@@ -196,17 +225,9 @@ object Arrow {
     val schemaT = fb.fieldOff(t, 1)
     require(schemaT >= 0, "footer missing schema")
     val fields = parseSchemaTable(fb, schemaT)
-    val dv = fb.fieldOff(t, 2)
-    require(dv < 0 || fb.vecLen(dv) == 0,
-      "dictionary batches unsupported")
-    val bv = fb.fieldOff(t, 3)
-    val batches =
-      if (bv < 0) Vector.empty
-      else (0 until fb.vecLen(bv)).map { k =>
-        val p = fb.vecElem(bv, k, 24) // Block struct: i64, i32, pad, i64
-        Batch(fb.i64(p), fb.i32(p + 8), fb.i64(p + 16))
-      }.toVector
-    Footer(fields, batches)
+    val dictionaries = parseBlocks(fb, fb.fieldOff(t, 2))
+    val batches = parseBlocks(fb, fb.fieldOff(t, 3))
+    Footer(fields, batches, dictionaries)
   }
 
   /** Driver-side footer read: the trailing magic, footer length and
@@ -292,13 +313,40 @@ object Arrow {
     * laid them out (pre-order).
     */
   private def readColumn(bd: BatchData, f: AField, cur: Cursor,
-      rows: Int): Array[Any] = {
+      rows: Int, dicts: Map[Long, Array[Any]]): Array[Any] = {
     val (nLen, nullCount) = bd.node(cur.node)
     require(nLen >= rows, "node shorter than parent")
     cur.node += 1
     val validity = bd.buffer(cur.buf); cur.buf += 1
     def valid(i: Int): Boolean = nullCount == 0L || bitSet(validity, i)
     val out = new Array[Any](rows)
+    f.dict match {
+      case Some((id, bits)) =>
+        // the record batch carries only the index vector; values come
+        // from the file's dictionary batches
+        val values = dicts.getOrElse(id,
+          throw new IllegalArgumentException(
+            s"dictionary $id referenced by field ${f.name} not in file"))
+        val data = bd.buffer(cur.buf); cur.buf += 1
+        val dfb = new Fb(data)
+        var i = 0
+        while (i < rows) {
+          if (valid(i)) {
+            val k = bits match {
+              case 8 => data(i).toInt
+              case 16 => dfb.i16(i * 2)
+              case 32 => dfb.i32(i * 4)
+              case _ => dfb.i64(i * 8).toInt
+            }
+            require(k >= 0 && k < values.length,
+              s"dictionary index $k out of ${values.length}")
+            out(i) = values(k)
+          }
+          i += 1
+        }
+        return out
+      case None =>
+    }
     f.tpe match {
       case ABool =>
         val data = bd.buffer(cur.buf); cur.buf += 1
@@ -380,7 +428,7 @@ object Arrow {
         val childLen = off(rows).toInt
         val (declaredChild, _) = bd.node(cur.node)
         require(declaredChild >= childLen, "list child node too short")
-        val kids = readColumn(bd, child, cur, childLen)
+        val kids = readColumn(bd, child, cur, childLen, dicts)
         var i = 0
         while (i < rows) {
           if (valid(i))
@@ -388,7 +436,7 @@ object Arrow {
           i += 1
         }
       case AStruct(children) =>
-        val cols = children.map(c => readColumn(bd, c, cur, rows))
+        val cols = children.map(c => readColumn(bd, c, cur, rows, dicts))
         var i = 0
         while (i < rows) {
           if (valid(i)) out(i) = Row.fromSeq(cols.map(_(i)))
@@ -398,20 +446,29 @@ object Arrow {
     out
   }
 
-  /** Pre-order node count of a field (one per field incl. nested). */
-  private def nodeCount(f: AField): Int = f.tpe match {
-    case AList(c, _) => 1 + nodeCount(c)
-    case AStruct(cs) => 1 + cs.map(nodeCount).sum
-    case _ => 1
-  }
+  /** Pre-order node count of a field (one per field incl. nested).
+    * Dictionary-encoded fields contribute exactly one node — the batch
+    * holds their index vector, never the value type's layout.
+    */
+  private def nodeCount(f: AField): Int =
+    if (f.dict.isDefined) 1
+    else f.tpe match {
+      case AList(c, _) => 1 + nodeCount(c)
+      case AStruct(cs) => 1 + cs.map(nodeCount).sum
+      case _ => 1
+    }
 
-  /** Buffer count of a field (validity + per-kind buffers + children). */
-  private def bufCount(f: AField): Int = f.tpe match {
-    case AString(_) | ABinary(_) => 3
-    case AList(c, _) => 2 + bufCount(c)
-    case AStruct(cs) => 1 + cs.map(bufCount).sum
-    case _ => 2
-  }
+  /** Buffer count of a field (validity + per-kind buffers + children);
+    * dictionary-encoded fields carry validity + indices.
+    */
+  private def bufCount(f: AField): Int =
+    if (f.dict.isDefined) 2
+    else f.tpe match {
+      case AString(_) | ABinary(_) => 3
+      case AList(c, _) => 2 + bufCount(c)
+      case AStruct(cs) => 1 + cs.map(bufCount).sum
+      case _ => 2
+    }
 
   /** Field positions for the requested column names (Nil = all, file
     * order). Unknown names refuse.
@@ -431,37 +488,127 @@ object Arrow {
     * pruned columns never decompress (column pruning reaches the batch
     * read). Structural failure → empty (the batch is the blast radius).
     */
+  /** Message root + header type from encapsulated message bytes:
+    * continuation 0xFFFFFFFF, int32 len, flatbuffer (pre-1.0 framing
+    * without continuation accepted).
+    */
+  private def messageRoot(fb: Fb, meta: Array[Byte]): (Int, Int) = {
+    val start =
+      if (meta.length >= 8 && fb.i32(0) == -1) 8
+      else 4
+    val t = fb.root(start)
+    (t, fb.fieldU8(t, 1, 0))
+  }
+
+  /** Decode a RecordBatch TABLE (already located) into per-field
+    * columns for `wanted` positions. Shared by record and dictionary
+    * batch paths.
+    */
+  private def decodeRbColumns(fb: Fb, rb: Int, body: Array[Byte],
+      fields: Vector[AField], wanted: Vector[Int],
+      dicts: Map[Long, Array[Any]]): (Int, Vector[Array[Any]]) = {
+    val rows = fb.fieldI64(rb, 0, 0L).toInt
+    val nodesVec = fb.fieldOff(rb, 1)
+    val buffersVec = fb.fieldOff(rb, 2)
+    require(rows >= 0 && nodesVec >= 0 && buffersVec >= 0,
+      "record batch missing vectors")
+    val compT = fb.fieldOff(rb, 3)
+    val codec = if (compT < 0) -1 else fb.fieldU8(compT, 0, 0)
+    val bd = new BatchData(fb, body, nodesVec, buffersVec, codec)
+    val cur = new Cursor(0, 0)
+    val want = wanted.toSet
+    val byPos = new java.util.HashMap[Int, Array[Any]]
+    fields.zipWithIndex.foreach { case (f, k) =>
+      if (want(k)) byPos.put(k, readColumn(bd, f, cur, rows, dicts))
+      else { cur.node += nodeCount(f); cur.buf += bufCount(f) }
+    }
+    (rows, wanted.map(byPos.get))
+  }
+
   private[llmops] def decodeBatch(fields: Vector[AField],
-      meta: Array[Byte], body: Array[Byte],
-      wanted: Vector[Int]): Seq[Row] =
+      meta: Array[Byte], body: Array[Byte], wanted: Vector[Int],
+      dicts: Map[Long, Array[Any]] = Map.empty): Seq[Row] =
     try {
       val fb = new Fb(meta)
-      // encapsulated message: continuation 0xFFFFFFFF, int32 len, fb
-      val start =
-        if (meta.length >= 8 && fb.i32(0) == -1) 8
-        else 4 // pre-1.0 framing without continuation
-      val t = fb.root(start)
-      require(fb.fieldU8(t, 1, 0) == 3, "not a RecordBatch message")
+      val (t, htype) = messageRoot(fb, meta)
+      require(htype == 3, "not a RecordBatch message")
       val rb = fb.fieldOff(t, 2)
       require(rb >= 0, "empty message header")
-      val rows = fb.fieldI64(rb, 0, 0L).toInt
-      val nodesVec = fb.fieldOff(rb, 1)
-      val buffersVec = fb.fieldOff(rb, 2)
-      require(rows >= 0 && nodesVec >= 0 && buffersVec >= 0,
-        "record batch missing vectors")
-      val compT = fb.fieldOff(rb, 3)
-      val codec = if (compT < 0) -1 else fb.fieldU8(compT, 0, 0)
-      val bd = new BatchData(fb, body, nodesVec, buffersVec, codec)
-      val cur = new Cursor(0, 0)
-      val want = wanted.toSet
-      val byPos = new java.util.HashMap[Int, Array[Any]]
-      fields.zipWithIndex.foreach { case (f, k) =>
-        if (want(k)) byPos.put(k, readColumn(bd, f, cur, rows))
-        else { cur.node += nodeCount(f); cur.buf += bufCount(f) }
-      }
-      val cols = wanted.map(byPos.get)
+      val (rows, cols) = decodeRbColumns(fb, rb, body, fields, wanted,
+        dicts)
       (0 until rows).map(i => Row.fromSeq(cols.map(_(i))))
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** Byte ceiling on a file's dictionary batches: dictionaries
+    * materialize on the driver and ride every task closure — by nature
+    * they are small-cardinality side tables; a corpus-sized one must
+    * be stored as plain columns instead.
+    */
+  val MaxDictionaryBytes: Long = 256L << 20
+
+  /** Driver-side dictionary materialization: decode every dictionary
+    * batch listed in the footer into id → values. Delta batches append
+    * to their id; a second non-delta batch for an id refuses (the FILE
+    * format forbids replacement — honoring it beats guessing order).
+    */
+  private[llmops] def readDictionaries(
+      conf: org.apache.hadoop.conf.Configuration, path: String,
+      footer: Footer): Map[Long, Array[Any]] = {
+    if (footer.dictionaries.isEmpty) return Map.empty
+    val totalBytes = footer.dictionaries
+      .map(b => b.metaLen.toLong + b.bodyLen).sum
+    require(totalBytes <= MaxDictionaryBytes,
+      s"dictionary batches total $totalBytes bytes (cap " +
+        s"$MaxDictionaryBytes) — store corpus-scale values as plain " +
+        "columns, dictionaries are for small-cardinality categoricals")
+    // value field per dictionary id (first field using the id)
+    val byId = scala.collection.mutable.LinkedHashMap.empty[Long, AField]
+    def walk(f: AField): Unit = {
+      f.dict.foreach { case (id, _) =>
+        if (!byId.contains(id))
+          byId(id) = AField(f.name, nullable = true, f.tpe, None)
+      }
+      f.tpe match {
+        case AList(c, _) => walk(c)
+        case AStruct(cs) => cs.foreach(walk)
+        case _ =>
+      }
+    }
+    footer.fields.foreach(walk)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val out = scala.collection.mutable.HashMap.empty[Long, Array[Any]]
+    try {
+      footer.dictionaries.foreach { b =>
+        val meta = new Array[Byte](b.metaLen)
+        val body = new Array[Byte](b.bodyLen.toInt)
+        in.readFully(b.offset, meta)
+        in.readFully(b.offset + b.metaLen, body)
+        val fb = new Fb(meta)
+        val (t, htype) = messageRoot(fb, meta)
+        require(htype == 2, "footer dictionary block is not a " +
+          "DictionaryBatch message")
+        val db = fb.fieldOff(t, 2)
+        require(db >= 0, "empty dictionary message header")
+        val id = fb.fieldI64(db, 0, 0L)
+        val rb = fb.fieldOff(db, 1)
+        val isDelta = fb.fieldBool(db, 2, dflt = false)
+        require(rb >= 0, "dictionary batch missing data")
+        val vf = byId.getOrElse(id, throw new IllegalArgumentException(
+          s"dictionary batch id $id matches no schema field"))
+        val (_, cols) = decodeRbColumns(fb, rb, body, Vector(vf),
+          Vector(0), Map.empty)
+        val values = cols(0)
+        if (!out.contains(id)) out(id) = values
+        else if (isDelta) out(id) = out(id) ++ values
+        else throw new IllegalArgumentException(
+          s"dictionary $id replaced mid-file — the arrow FILE format " +
+            "forbids replacement; re-export the file")
+      }
+    } finally in.close()
+    out.toMap
+  }
 
   /** Read an Arrow IPC file as a typed DataFrame — the footer-driven
     * splittable path: one task per record batch, one ranged read each,
@@ -477,6 +624,9 @@ object Arrow {
     val struct = StructType(wanted.map(full.fields))
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
     val fieldsB = footer.fields
+    // dictionaries materialize once on the driver (size-capped) and
+    // ride the task closure — indices resolve inside each batch task
+    val dictsB = readDictionaries(conf, path, footer)
     val batches = footer.batches.map(b => (b.offset, b.metaLen.toLong,
       b.bodyLen))
     batches.toDF("offset", "metaLen", "bodyLen")
@@ -495,7 +645,7 @@ object Arrow {
             in.readFully(offset, meta)
             in.readFully(offset + metaLen, body)
           } finally in.close()
-          decodeBatch(fieldsB, meta, body, wanted).iterator
+          decodeBatch(fieldsB, meta, body, wanted, dictsB).iterator
         }
       }(org.apache.spark.sql.Encoders.row(struct))
   }
@@ -520,6 +670,10 @@ object Arrow {
     val struct = StructType(StructField("path", StringType) +:
       wanted.map(structs.head.fields))
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
+    // per-file dictionaries (ids are file-scoped), driver-bounded
+    val dictsByPath = footers.map { case (p, f) =>
+      p -> readDictionaries(conf, p, f)
+    }.toMap
     val batches = footers.flatMap { case (p, f) =>
       f.batches.map(b => (p, b.offset, b.metaLen.toLong, b.bodyLen))
     }
@@ -539,8 +693,8 @@ object Arrow {
             in.readFully(offset, meta)
             in.readFully(offset + metaLen, body)
           } finally in.close()
-          decodeBatch(fieldsB, meta, body, wanted).iterator
-            .map(r => Row.fromSeq(path +: r.toSeq))
+          decodeBatch(fieldsB, meta, body, wanted, dictsByPath(path))
+            .iterator.map(r => Row.fromSeq(path +: r.toSeq))
         }
       }(org.apache.spark.sql.Encoders.row(struct))
   }

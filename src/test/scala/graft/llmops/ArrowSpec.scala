@@ -198,7 +198,94 @@ class ArrowSpec extends SparkTestBase {
     assert(n < 200 && n >= 120, s"one-batch blast radius, got $n")
   }
 
-  test("refusals: bad magic, dictionary-encoded, unsigned ints") {
+  private def javaWriteDict(path: String, n: Int, batchRows: Int,
+      withDelta: Boolean = false): Vector[String] = {
+    val dictVals = Vector("alpha", "beta", "gamma", "delta", "epsilon")
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val enc = new org.apache.arrow.vector.types.pojo.DictionaryEncoding(
+        7L, false, new org.apache.arrow.vector.types.pojo.ArrowType.Int(
+          32, true))
+      val dictVec = new org.apache.arrow.vector.VarCharVector(
+        "dict7", alloc)
+      dictVec.allocateNew()
+      dictVals.zipWithIndex.foreach { case (v, i) =>
+        dictVec.setSafe(i, v.getBytes("UTF-8")) }
+      dictVec.setValueCount(dictVals.length)
+      val dict = new org.apache.arrow.vector.dictionary.Dictionary(
+        dictVec, enc)
+      val provider = new org.apache.arrow.vector.dictionary
+        .DictionaryProvider.MapDictionaryProvider(dict)
+      val idsField = new org.apache.arrow.vector.types.pojo.Field(
+        "doc_id", org.apache.arrow.vector.types.pojo.FieldType.notNullable(
+          new org.apache.arrow.vector.types.pojo.ArrowType.Int(64, true)),
+        null)
+      val tagField = new org.apache.arrow.vector.types.pojo.Field("tag",
+        new org.apache.arrow.vector.types.pojo.FieldType(true,
+          new org.apache.arrow.vector.types.pojo.ArrowType.Int(32, true),
+          enc), null)
+      val ids = idsField.createVector(alloc)
+        .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+      val tags = tagField.createVector(alloc)
+        .asInstanceOf[org.apache.arrow.vector.IntVector]
+      val root = new org.apache.arrow.vector.VectorSchemaRoot(
+        java.util.Arrays.asList(idsField, tagField),
+        java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](
+          ids, tags), 0)
+      val ch = java.nio.channels.Channels.newChannel(
+        new java.io.FileOutputStream(path))
+      val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+        provider, ch)
+      w.start()
+      var written = 0
+      while (written < n) {
+        val m = math.min(batchRows, n - written)
+        root.allocateNew()
+        (0 until m).foreach { k =>
+          val i = written + k
+          ids.setSafe(k, i.toLong)
+          if (i % 11 == 3) tags.setNull(k)
+          else tags.setSafe(k, i % dictVals.length)
+        }
+        root.setRowCount(m)
+        w.writeBatch()
+        written += m
+      }
+      w.end(); w.close(); ch.close(); root.close(); dictVec.close()
+    } finally alloc.close()
+    dictVals
+  }
+
+  test("interop: dictionary-encoded strings from arrow-java") {
+    val path = Files.createTempDirectory("graft-arrow").toString +
+      "/dict.arrow"
+    val dictVals = javaWriteDict(path, 300, batchRows = 64)
+    val df = Arrow.readArrow(spark, path)
+    assert(df.schema.fieldNames.toSeq == Seq("doc_id", "tag"))
+    assert(df.schema("tag").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val rows = df.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getString(1))).sortBy(_._1)
+    assert(rows.length == 300)
+    rows.foreach { case (id, tag) =>
+      if (id % 11 == 3) assert(tag == null)
+      else assert(tag == dictVals((id % dictVals.length).toInt))
+    }
+    // pruning composes: the dict column skips cleanly, and reads alone
+    assert(Arrow.readArrow(spark, path, columns = Seq("doc_id"))
+      .count() == 300)
+    val tagsOnly = Arrow.readArrow(spark, path, columns = Seq("tag"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(tagsOnly.count(_ == null) == rows.count(_._2 == null))
+    // and the multi-file reader resolves per-file dictionaries
+    val dir = Files.createTempDirectory("graft-arrow").toString + "/dd"
+    new java.io.File(dir).mkdirs()
+    javaWriteDict(dir + "/s0.arrow", 40, batchRows = 16)
+    javaWriteDict(dir + "/s1.arrow", 40, batchRows = 16)
+    assert(Arrow.readArrowFiles(spark, dir).count() == 80)
+  }
+
+  test("refusals: bad magic, unsigned ints") {
     intercept[IllegalArgumentException] {
       Arrow.readFooter(spark.sparkContext.hadoopConfiguration,
         { val p = Files.createTempDirectory("graft-arrow").toString +
