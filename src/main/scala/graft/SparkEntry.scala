@@ -2927,6 +2927,49 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q205_avro_logical" -> ((s, dir) => {
+      // Avro logical types: the fixture is written by AVRO'S OWN writer
+      // with decimal(18,2) (nullable bytes), date and timestamp-micros
+      // logical annotations; the from-scratch reader bridges them to
+      // typed Spark columns hash-matched against the DuckDB oracle
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q205_file", _ => {
+        val rows = t(ss, dir, "orders").filter(col("o_orderkey") < 2000)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+          .collect().map(r => (r.getLong(0), r.getDate(1))).sortBy(_._1)
+        val f = java.nio.file.Files.createTempDirectory("graft-q205")
+          .toString + "/orders_logical.avro"
+        val sj = """{"type":"record","name":"O","fields":[
+          {"name":"o_orderkey","type":"long"},
+          {"name":"price_dec","type":["null",{"type":"bytes","logicalType":"decimal","precision":18,"scale":2}]},
+          {"name":"od_date","type":{"type":"int","logicalType":"date"}},
+          {"name":"ev_ts","type":{"type":"long","logicalType":"timestamp-micros"}}]}"""
+        val schema = new org.apache.avro.Schema.Parser().parse(sj)
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](schema))
+        w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        w.setSyncInterval(1024)
+        w.create(schema, new java.io.File(f))
+        try rows.foreach { case (k, d) =>
+          val rec = new org.apache.avro.generic.GenericData.Record(schema)
+          rec.put("o_orderkey", k)
+          rec.put("price_dec",
+            if (k % 7 == 0) null
+            else java.nio.ByteBuffer.wrap(
+              new java.math.BigDecimal(
+                f"${k % 100000}%d.${k % 100}%02d")
+                .setScale(2).unscaledValue().toByteArray))
+          rec.put("od_date", d.toLocalDate.toEpochDay.toInt)
+          rec.put("ev_ts", k * 1000003L + 631152000000000L)
+          w.append(rec)
+        } finally w.close()
+        f
+      })
+      graft.llmops.Avro.readAvro(ss, path, rangeBytes = 8192)
+        .orderBy("o_orderkey")
+    }),
+
     "q204_arrow_dict" -> ((s, dir) => {
       // Arrow dictionary-encoded ingestion: the fixture is written by
       // ARROW'S OWN writer with TWO dictionary-encoded string columns
@@ -6293,6 +6336,19 @@ object SparkEntry {
     "q198_avro_shards" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q205: avro logical types — decimal/date/timestamp-micros identity
+    // through avro's own writer and the from-scratch typed bridge
+    "q205_avro_logical" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE CAST((o_orderkey % 100000) || '.' ||
+                  lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+                  AS DECIMAL(18,2)) END AS price_dec,
+           CAST(o_orderdate AS DATE) AS od_date,
+           make_timestamp(o_orderkey * 1000003 + 631152000000000)
+             AS ev_ts
+         FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""",
 
     // q204: arrow dictionary-encoded categoricals — identity through
     // arrow-java's writer (two dictionaries) and the from-scratch reader

@@ -20,7 +20,11 @@ import org.apache.spark.sql.types._
   * fixed, arrays, maps, named-type references, and nullable unions
   * (`[null, X]` in either order). General multi-branch unions refuse at
   * schema parse (documented boundary — they have no stable columnar
-  * shape). Logical types pass through as their underlying primitive.
+  * shape). Logical types bridge to typed Spark columns: decimal
+  * (bytes/fixed, big-endian two's-complement unscaled) → DecimalType,
+  * date → DateType, timestamp-millis/micros → TimestampType; other
+  * annotations pass through as their underlying primitive, as the
+  * spec requires.
   *
   * Corruption blast radius: one block (a region that fails structural
   * validation is dropped; every other block still decodes). A sync
@@ -44,6 +48,13 @@ object Avro {
   case object SBytes extends Sch
   final case class SFixed(name: String, size: Int) extends Sch
   final case class SEnum(name: String, symbols: Vector[String]) extends Sch
+  /** `logicalType: decimal` over bytes (`fixedSize` None) or fixed. */
+  final case class SDecimal(precision: Int, scale: Int,
+      fixedSize: Option[Int]) extends Sch
+  /** `logicalType: date` over int (epoch days). */
+  case object SDate extends Sch
+  /** `logicalType: timestamp-millis/micros` over long. */
+  final case class STimestamp(micros: Boolean) extends Sch
   final case class SArray(items: Sch) extends Sch
   final case class SMap(values: Sch) extends Sch
   /** Nullable union: `[null, inner]` or `[inner, null]`;
@@ -96,6 +107,13 @@ object Avro {
       case m: Map[_, _] =>
         val o = m.asInstanceOf[Map[String, Any]]
         val ns2 = o.get("namespace").map(_.toString).getOrElse(ns)
+        val logical = o.get("logicalType").map(_.toString)
+        def intAttr(key: String, dflt: Int): Int = o.get(key) match {
+          case Some(l: java.lang.Long) => l.toInt
+          case Some(d: java.lang.Double) => d.toInt
+          case Some(x) => x.toString.toDouble.toInt
+          case None => dflt
+        }
         o.getOrElse("type", null) match {
           case "record" | "error" =>
             val name = fullName(o("name").toString, ns2)
@@ -115,16 +133,37 @@ object Avro {
             e
           case "fixed" =>
             val name = fullName(o("name").toString, ns2)
-            val f = SFixed(name, o("size") match {
+            val size = o("size") match {
               case l: java.lang.Long => l.toInt
               case d: java.lang.Double => d.toInt
               case x => x.toString.toInt
-            })
+            }
+            val f: Sch =
+              if (logical.contains("decimal"))
+                SDecimal(intAttr("precision", 38), intAttr("scale", 0),
+                  Some(size))
+              else SFixed(name, size)
             reg(name) = f; reg(o("name").toString) = f
             f
           case "array" => SArray(parseSch(o("items"), reg, ns2))
           case "map" => SMap(parseSch(o("values"), reg, ns2))
-          case t => parseSch(t, reg, ns2) // {"type":"string",...} wrappers
+          case t =>
+            // {"type":"string",...} wrappers — where logicalType
+            // annotations live. Recognized ones bridge to typed
+            // columns; unknown ones pass through as their underlying
+            // primitive, exactly as the Avro spec requires
+            val under = parseSch(t, reg, ns2)
+            (logical, under) match {
+              case (Some("decimal"), SBytes) =>
+                SDecimal(intAttr("precision", 38), intAttr("scale", 0),
+                  None)
+              case (Some("date"), SInt) => SDate
+              case (Some("timestamp-millis"), SLong) =>
+                STimestamp(micros = false)
+              case (Some("timestamp-micros"), SLong) =>
+                STimestamp(micros = true)
+              case _ => under
+            }
         }
       case _ => throw new IllegalArgumentException("bad schema node")
     }
@@ -139,6 +178,9 @@ object Avro {
     case SDouble => DoubleType
     case SString | SEnum(_, _) => StringType
     case SBytes | SFixed(_, _) => BinaryType
+    case SDecimal(p, sc, _) => DecimalType(math.min(p, 38), sc)
+    case SDate => DateType
+    case STimestamp(_) => TimestampType
     case SArray(i) => ArrayType(sparkType(i))
     case SMap(v) => MapType(StringType, sparkType(v))
     case SOpt(i, _) => sparkType(i)
@@ -194,6 +236,26 @@ object Avro {
       java.nio.charset.StandardCharsets.UTF_8)
     case SBytes => in.bytes(in.vlong().toInt)
     case SFixed(_, n) => in.bytes(n)
+    case SDecimal(_, scale, fixedSize) =>
+      // unscaled value as big-endian two's complement (the Avro
+      // decimal convention), in a length-prefixed bytes or a fixed
+      val b = fixedSize match {
+        case Some(n) => in.bytes(n)
+        case None => in.bytes(in.vlong().toInt)
+      }
+      val unscaled =
+        if (b.length == 0) java.math.BigInteger.ZERO
+        else new java.math.BigInteger(b)
+      new java.math.BigDecimal(unscaled, scale)
+    case SDate =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(in.vlong()))
+    case STimestamp(micros) =>
+      val v = in.vlong()
+      val inst =
+        if (micros) java.time.Instant.ofEpochSecond(
+          Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000L) * 1000L)
+        else java.time.Instant.ofEpochMilli(v)
+      java.sql.Timestamp.from(inst)
     case SEnum(_, syms) =>
       val k = in.vlong().toInt
       if (k < 0 || k >= syms.length)

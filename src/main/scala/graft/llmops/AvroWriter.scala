@@ -70,6 +70,29 @@ object AvroWriter {
         writeVlong(o, if (nullFirst) 1L else 0L)
         writeDatum(o, inner, v)
       }
+    case SDecimal(_, scale, fixedSize) =>
+      val bd = v.asInstanceOf[java.math.BigDecimal]
+        .setScale(scale, java.math.RoundingMode.UNNECESSARY)
+      val raw = bd.unscaledValue().toByteArray // big-endian 2's compl.
+      fixedSize match {
+        case None => writeBytes(o, raw)
+        case Some(n) =>
+          require(raw.length <= n, s"decimal overflows fixed($n)")
+          // sign-extend on the left to the fixed width
+          val pad: Byte = if (bd.signum() < 0) -1 else 0
+          var k = raw.length
+          while (k < n) { o.write(pad); k += 1 }
+          o.write(raw, 0, raw.length)
+      }
+    case SDate =>
+      writeVlong(o,
+        v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay)
+    case STimestamp(micros) =>
+      val inst = v.asInstanceOf[java.sql.Timestamp].toInstant
+      val value =
+        if (micros) inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+        else inst.toEpochMilli
+      writeVlong(o, value)
     case SRecord(_, fields) =>
       val r = v.asInstanceOf[org.apache.spark.sql.Row]
       var k = 0
@@ -175,6 +198,11 @@ object AvroWriter {
       case DoubleType => "\"double\""
       case StringType => "\"string\""
       case BinaryType => "\"bytes\""
+      case d: DecimalType =>
+        s"""{"type":"bytes","logicalType":"decimal","precision":${d.precision},"scale":${d.scale}}"""
+      case DateType => """{"type":"int","logicalType":"date"}"""
+      case TimestampType =>
+        """{"type":"long","logicalType":"timestamp-micros"}"""
       case ArrayType(e, _) => s"""{"type":"array","items":${prim(e)}}"""
       case other => throw new IllegalArgumentException(
         s"unsupported spark type for avro export: $other")

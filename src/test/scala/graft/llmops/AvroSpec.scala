@@ -155,6 +155,131 @@ class AvroSpec extends SparkTestBase {
     assert(n > 100, s"only the corrupted block may drop, got $n")
   }
 
+  test("logical types: avro-java decimal/date/timestamp land typed") {
+    val lschema = """{"type":"record","name":"L","fields":[
+      {"name":"id","type":"long"},
+      {"name":"price","type":["null",{"type":"bytes","logicalType":"decimal","precision":18,"scale":2}]},
+      {"name":"pfix","type":{"type":"fixed","name":"d16","size":8,"logicalType":"decimal","precision":18,"scale":3}},
+      {"name":"day","type":{"type":"int","logicalType":"date"}},
+      {"name":"tsm","type":{"type":"long","logicalType":"timestamp-millis"}},
+      {"name":"tsu","type":["null",{"type":"long","logicalType":"timestamp-micros"}]}]}"""
+    val schema = new org.apache.avro.Schema.Parser().parse(lschema)
+    val path = java.nio.file.Files.createTempDirectory("graft-avro")
+      .toString + "/logical.avro"
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+    w.setSyncInterval(512)
+    w.create(schema, new java.io.File(path))
+    def dec(s: String, scale: Int): java.math.BigDecimal =
+      new java.math.BigDecimal(s).setScale(scale)
+    (0 until 300).foreach { i =>
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("id", i.toLong)
+      rec.put("price",
+        if (i % 7 == 2) null
+        else java.nio.ByteBuffer.wrap(
+          dec(s"${i * 31 - 4000}.${10 + i % 80}", 2)
+            .unscaledValue().toByteArray))
+      // fixed(8) decimal: sign-extended big-endian two's complement
+      val fx = dec(s"${i - 150}.${100 + i % 900}", 3).unscaledValue()
+      val fb = fx.toByteArray
+      val padded = new Array[Byte](8)
+      java.util.Arrays.fill(padded, if (fx.signum() < 0) (-1).toByte else 0.toByte)
+      System.arraycopy(fb, 0, padded, 8 - fb.length, fb.length)
+      rec.put("pfix", new org.apache.avro.generic.GenericData.Fixed(
+        schema.getField("pfix").schema(), padded))
+      rec.put("day", i - 100)
+      rec.put("tsm", (i.toLong - 150) * 86400000L * 13 + i * 7L)
+      rec.put("tsu",
+        if (i % 5 == 1) null
+        else java.lang.Long.valueOf(
+          (i.toLong - 150) * 86400000000L * 13 + i * 997L))
+      w.append(rec)
+    }
+    w.close()
+    val df = Avro.readAvro(spark, path, rangeBytes = 4096)
+    import org.apache.spark.sql.types._
+    assert(df.schema("price").dataType == DecimalType(18, 2))
+    assert(df.schema("pfix").dataType == DecimalType(18, 3))
+    assert(df.schema("day").dataType == DateType)
+    assert(df.schema("tsm").dataType == TimestampType)
+    assert(df.schema("tsu").dataType == TimestampType)
+    val rows = df.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getDecimal(1),
+      r.getDecimal(2), r.getDate(3), r.getTimestamp(4),
+      if (r.isNullAt(5)) null else r.getTimestamp(5))).sortBy(_._1)
+    assert(rows.length == 300)
+    rows.foreach { case (idL, price, pfix, day, tsm, tsu) =>
+      val i = idL.toInt
+      if (i % 7 == 2) assert(price == null)
+      else assert(price == dec(s"${i * 31 - 4000}.${10 + i % 80}", 2))
+      assert(pfix == dec(s"${i - 150}.${100 + i % 900}", 3))
+      assert(day == java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(i.toLong - 100)))
+      assert(tsm.toInstant == java.time.Instant.ofEpochMilli(
+        (i.toLong - 150) * 86400000L * 13 + i * 7L))
+      if (i % 5 == 1) assert(tsu == null)
+      else {
+        val micros = (i.toLong - 150) * 86400000000L * 13 + i * 997L
+        assert(tsu.toInstant == java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L))
+      }
+    }
+  }
+
+  test("logical types: our writer's typed columns read by avro-java") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (0 until 120).map { i =>
+      (i.toLong, s"${i * 13 - 500}.${10 + i % 80}",
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.toLong - 60)),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          (i.toLong - 60) * 9973L, (i % 1000).toLong * 1000L)))
+    }.toDF("id", "decStr", "day", "ts")
+      .select(col("id"), col("decStr").cast("decimal(18,2)").as("price"),
+        col("day"), col("ts"))
+    val schemaJson2 = AvroWriter.schemaFor(df.schema)
+    assert(schemaJson2.contains("\"logicalType\":\"decimal\"") &&
+      schemaJson2.contains("\"logicalType\":\"date\"") &&
+      schemaJson2.contains("\"logicalType\":\"timestamp-micros\""))
+    val bytes = AvroWriter.write(schemaJson2,
+      df.collect().toSeq.sortBy(_.getLong(0)), codec = "deflate")
+    val path = java.nio.file.Files.createTempDirectory("graft-avro")
+      .toString + "/twin_logical.avro"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    // avro-java reads the twin's bytes and sees the logical annotations
+    val rdr = new org.apache.avro.file.DataFileReader(
+      new java.io.File(path),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val sch = rdr.getSchema
+    assert(sch.getField("price").schema().getTypes.get(1)
+      .getLogicalType.getName == "decimal")
+    var count = 0
+    while (rdr.hasNext) {
+      val rec = rdr.next()
+      val i = rec.get("id").asInstanceOf[Long].toInt
+      val bb = rec.get("price").asInstanceOf[java.nio.ByteBuffer]
+      val raw = new Array[Byte](bb.remaining()); bb.get(raw)
+      assert(new java.math.BigDecimal(new java.math.BigInteger(raw), 2) ==
+        new java.math.BigDecimal(s"${i * 13 - 500}.${10 + i % 80}")
+          .setScale(2))
+      assert(rec.get("day").asInstanceOf[Int] == i - 60)
+      count += 1
+    }
+    rdr.close()
+    assert(count == 120)
+    // and our own reader round-trips it typed
+    val back = Avro.readAvro(spark, path, rangeBytes = 4096)
+    assert(back.schema("price").dataType ==
+      org.apache.spark.sql.types.DecimalType(18, 2))
+    assert(back.count() == 120)
+  }
+
   test("refusals: general unions, bad magic, unknown codec") {
     intercept[IllegalArgumentException] {
       Avro.parseSchema("""["int","string"]""")
