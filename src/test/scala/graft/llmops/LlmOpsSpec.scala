@@ -291,6 +291,26 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 2L, expect1), (2L, 1L, expect2)))
   }
 
+  test("unbounded LM gram tables refuse with guidance, never OOM") {
+    // 4M+1 synthetic gram rows: the early-stopping count gate fires
+    // before any collect/broadcast materialization
+    val docs = Seq((1L, "abab")).toDF("doc_id", "text")
+    val huge = spark.range(TextAnalysis.MaxLmTableEntries + 1)
+      .selectExpr("concat('g', id) AS gram", "1 AS cnt")
+      .select(col("gram"), col("cnt").cast("long").as("cnt"))
+    val tiny = TextAnalysis.charNgramCounts(docs.select(col("text")),
+      "text", 2)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.lmQualityScore(docs, "doc_id", "text", huge, tiny)
+    }
+    assert(e.getMessage.contains("prune it first"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.curationSignals(docs, "doc_id", "text",
+        lmTri = huge, lmBi = tiny)
+    }
+    assert(e2.getMessage.contains("prune it first"))
+  }
+
   test("minhashDedupAgainstCorpus: near-dups of the corpus drop, the rest survive") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),

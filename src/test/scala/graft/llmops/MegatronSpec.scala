@@ -86,6 +86,29 @@ class MegatronSpec extends SparkTestBase {
     }
   }
 
+  test("streamed idx+bin export is byte-deterministic across runs") {
+    val ss = spark
+    import ss.implicits._
+    val df = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 80)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), col("doc_id") % 7),
+          i => (col("doc_id") * 13 + i) % 60000).as("toks"))
+    val dirs = (0 until 2).map { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-mmdet")
+        .toString + "/ds"
+      Megatron.writeIndexed(df, "doc_id", "toks", 3, d, "uint16")
+      d
+    }
+    for (s <- 0 until 3; ext <- Seq(".bin", ".idx")) {
+      val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        dirs(0), f"shard-$s%05d$ext"))
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        dirs(1), f"shard-$s%05d$ext"))
+      assert(java.util.Arrays.equals(a, b), s"shard $s$ext differs")
+    }
+  }
+
   test("out-of-range tokens fail the write, never wrap silently") {
     val ss = spark
     import ss.implicits._

@@ -122,6 +122,30 @@ class TfRecordSpec extends SparkTestBase {
     }
   }
 
+  test("streamed shard export is byte-deterministic across runs") {
+    val ss = spark
+    import ss.implicits._
+    val df = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id"), col("text"))
+    for (gz <- Seq(false, true)) {
+      val ext = if (gz) ".tfrecord.gz" else ".tfrecord"
+      val dirs = (0 until 2).map { _ =>
+        val d = java.nio.file.Files.createTempDirectory("graft-tfdet")
+          .toString + "/sh"
+        TfRecord.writeShards(df, "doc_id", 3, d, gzip = gz)
+        d
+      }
+      (0 until 3).foreach { s =>
+        val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+          dirs(0), f"shard-$s%05d$ext"))
+        val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+          dirs(1), f"shard-$s%05d$ext"))
+        assert(java.util.Arrays.equals(a, b), s"shard $s$ext differs")
+      }
+    }
+  }
+
   test("shard assignment matches the portable hash (trainer determinism)") {
     val ss = spark
     import ss.implicits._

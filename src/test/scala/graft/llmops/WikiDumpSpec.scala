@@ -140,4 +140,14 @@ class WikiDumpSpec extends AnyFunSuite {
     val ps = WikiDump.pages(partial.getBytes)
     assert(ps != null && ps.length == 1 && ps(0).title == "Ok")
   }
+
+  test("pathological tag-bomb pages refuse wholesale, never truncate") {
+    // 100k+ <ref> occurrences: the tag-strip pass refuses (null), the
+    // parser contract — a truncated body would silently pass curation
+    val bomb = new StringBuilder()
+    (0 until 120001).foreach(i => bomb.append(s"w$i <ref>c</ref> "))
+    assert(WikiDump.wikitextToPlain(bomb.toString) == null)
+    // one tag below any pathology stays a full parse
+    assert(WikiDump.wikitextToPlain("a <ref>cite</ref> b") == "a b")
+  }
 }
