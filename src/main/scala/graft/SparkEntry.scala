@@ -5619,6 +5619,75 @@ object SparkEntry {
           sum(col("total_chars")).cast("long").as("chars"))
       }),
 
+      "s15_tfrecord_export" -> ((s, dir) => {
+        // training-export throughput: the whole corpus through the
+        // STREAMED TFRecord shard writer (hash-shard shuffle + per-task
+        // rollover), then the file-parallel Example read-back
+        val ss = tuned(s)
+        val d = java.nio.file.Files.createTempDirectory("graft-s15")
+          .toString + "/sh"
+        graft.llmops.TfRecord.writeShards(
+          t(ss, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", 32, d)
+        graft.llmops.TfRecord.readExamples(ss, d)
+          .agg(count(lit(1)).as("n"))
+      }),
+
+      "s16_megatron_export" -> ((s, dir) => {
+        // tokenize → indexed-dataset export (streamed .bin) → read-back;
+        // token volume scales with corpus chars
+        val ss = tuned(s)
+        val d = java.nio.file.Files.createTempDirectory("graft-s16")
+          .toString + "/ds"
+        val toks = t(ss, dir, "documents")
+          .select(col("doc_id"),
+            expr("transform(split(text, ' '), w -> abs(hash(w)) % 60000)")
+              .as("toks"))
+        graft.llmops.Megatron.writeIndexed(toks, "doc_id", "toks", 32, d,
+          "uint16")
+        graft.llmops.Megatron.readIndexed(ss, d)
+          .agg(count(lit(1)).as("n"),
+            sum(size(col("tokens"))).cast("long").as("toks"))
+      }),
+
+      "s17_npy_ingest" -> ((s, dir) => {
+        // npz ingestion throughput: one container per doc, value count
+        // scaled to the doc's length (DISTRIBUTED synthesis in the map
+        // task), recovered by the arrays() explode
+        val ss = tuned(s)
+        import ss.implicits._
+        val files = t(ss, dir, "documents")
+          .select(col("doc_id"), length(col("text")).as("len"))
+          .as[(Long, Int)]
+          .map { case (id, len) =>
+            val n = math.max(4, len / 8)
+            (id, graft.llmops.Npy.writeNpz(Seq(
+              s"m$id.npy" -> graft.llmops.Npy.writeNpyLongs(
+                Array.tabulate(n)(k => id * 31 + k)))))
+          }.toDF("doc_id", "content")
+        graft.llmops.Npy.arrays(files, "doc_id", "content")
+          .agg(count(lit(1)).as("n"),
+            sum(size(col("vec"))).cast("long").as("vals"))
+      }),
+
+      "s18_safetensors_ingest" -> ((s, dir) => {
+        // safetensors ingestion throughput, same scaling shape as s17
+        val ss = tuned(s)
+        import ss.implicits._
+        val files = t(ss, dir, "documents")
+          .select(col("doc_id"), length(col("text")).as("len"))
+          .as[(Long, Int)]
+          .map { case (id, len) =>
+            val n = math.max(4, len / 8)
+            (id, graft.llmops.Safetensors.write(Seq(
+              graft.llmops.Safetensors.writeI64(s"w$id",
+                Array.tabulate(n)(k => id * 17 + k)))))
+          }.toDF("doc_id", "content")
+        graft.llmops.Safetensors.tensors(files, "doc_id", "content")
+          .agg(count(lit(1)).as("n"),
+            sum(size(col("vec"))).cast("long").as("vals"))
+      }),
+
       "s12_avro_full" -> ((s, dir) => {
         // Avro container throughput: the whole corpus in one deflate
         // container (small sync interval → many blocks), recovered by
