@@ -2927,6 +2927,74 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q206_arrow_temporal" -> ((s, dir) => {
+      // Arrow temporal columns: arrow-java writes Date32, a UTC
+      // microsecond Timestamp and a zone-less (NTZ) Timestamp; the
+      // from-scratch reader lands them as DateType / TimestampType /
+      // TimestampNTZType, hash-matched against the DuckDB oracle
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q206_file", _ => {
+        val rows = t(ss, dir, "orders").filter(col("o_orderkey") < 2000)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+          .collect().map(r => (r.getLong(0), r.getDate(1), r.getLong(2)))
+          .sortBy(_._1)
+        val f = java.nio.file.Files.createTempDirectory("graft-q206")
+          .toString + "/orders_temporal.arrow"
+        val alloc = new org.apache.arrow.memory.RootAllocator()
+        try {
+          import org.apache.arrow.vector.types.pojo._
+          val kField = new Field("o_orderkey", FieldType.notNullable(
+            new ArrowType.Int(64, true)), null)
+          val dField = new Field("od_date", FieldType.nullable(
+            new ArrowType.Date(
+              org.apache.arrow.vector.types.DateUnit.DAY)), null)
+          val tField = new Field("ev_ts", FieldType.nullable(
+            new ArrowType.Timestamp(
+              org.apache.arrow.vector.types.TimeUnit.MICROSECOND,
+              "UTC")), null)
+          val nField = new Field("od_ntz", FieldType.nullable(
+            new ArrowType.Timestamp(
+              org.apache.arrow.vector.types.TimeUnit.MICROSECOND,
+              null)), null)
+          val ks = kField.createVector(alloc)
+            .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+          val ds = dField.createVector(alloc)
+            .asInstanceOf[org.apache.arrow.vector.DateDayVector]
+          val tsv = tField.createVector(alloc)
+            .asInstanceOf[org.apache.arrow.vector.TimeStampMicroTZVector]
+          val ns = nField.createVector(alloc)
+            .asInstanceOf[org.apache.arrow.vector.TimeStampMicroVector]
+          val root = new org.apache.arrow.vector.VectorSchemaRoot(
+            java.util.Arrays.asList(kField, dField, tField, nField),
+            java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](
+              ks, ds, tsv, ns), 0)
+          val ch = java.nio.channels.Channels.newChannel(
+            new java.io.FileOutputStream(f))
+          val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+            null, ch)
+          w.start()
+          rows.grouped(128).foreach { group =>
+            root.allocateNew()
+            group.zipWithIndex.foreach { case ((k, d, us), i) =>
+              ks.setSafe(i, k)
+              if (k % 5 == 0) ds.setNull(i)
+              else ds.setSafe(i, d.toLocalDate.toEpochDay.toInt)
+              if (k % 7 == 3) tsv.setNull(i)
+              else tsv.setSafe(i, us + k * 1000003L)
+              ns.setSafe(i, us)
+            }
+            root.setRowCount(group.length)
+            w.writeBatch()
+          }
+          w.end(); w.close(); ch.close(); root.close()
+        } finally alloc.close()
+        f
+      })
+      graft.llmops.Arrow.readArrow(ss, path)
+        .orderBy("o_orderkey")
+    }),
+
     "q205_avro_logical" -> ((s, dir) => {
       // Avro logical types: the fixture is written by AVRO'S OWN writer
       // with decimal(18,2) (nullable bytes), date and timestamp-micros
@@ -6405,6 +6473,18 @@ object SparkEntry {
     "q198_avro_shards" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q206: arrow temporal columns — Date32/Timestamp-UTC/Timestamp-NTZ
+    // identity through arrow-java's writer and the typed reader
+    "q206_arrow_temporal" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE CAST(o_orderdate AS DATE) END AS od_date,
+           CASE WHEN o_orderkey % 7 = 3 THEN NULL
+                ELSE o_orderdate +
+                  to_microseconds(o_orderkey * 1000003) END AS ev_ts,
+           o_orderdate AS od_ntz
+         FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""",
 
     // q205: avro logical types — decimal/date/timestamp-micros identity
     // through avro's own writer and the from-scratch typed bridge

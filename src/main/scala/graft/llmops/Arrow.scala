@@ -18,8 +18,9 @@ import org.apache.spark.sql.types._
   * validity bitmaps, offset+data buffers, nested lists and structs.
   *
   * Type support: Bool; signed Int 8/16/32/64; FloatingPoint single /
-  * double; Utf8/Binary (+ Large variants); Date32/64, Timestamp and
-  * Duration as their underlying int32/int64 (documented passthrough);
+  * double; Utf8/Binary (+ Large variants); Date32/64 → DateType;
+  * Timestamp (all four units) → TimestampType when zone-annotated,
+  * TimestampNTZType when wall-clock; Duration as int64 passthrough;
   * List/LargeList; Struct; dictionary-encoded columns over any scalar
   * value type (dictionary batches materialize once on the driver,
   * size-capped — delta batches append; replacement refuses, as the
@@ -106,8 +107,16 @@ object Arrow {
   case object ADouble extends AType
   final case class AString(large: Boolean) extends AType
   final case class ABinary(large: Boolean) extends AType
-  /** int32/int64 passthrough for Date/Timestamp/Duration. */
+  /** int32/int64 passthrough (Duration — no Spark-native target). */
   final case class APassthrough(bits: Int) extends AType
+  /** Date32 (epoch days). */
+  case object ADate32 extends AType
+  /** Date64 (epoch millis at day granularity). */
+  case object ADate64 extends AType
+  /** Timestamp: `unit` is the TimeUnit ordinal (0=s 1=ms 2=us 3=ns);
+    * `tz` marks an instant (zone-annotated) vs a wall-clock (NTZ).
+    */
+  final case class ATimestamp(unit: Int, tz: Boolean) extends AType
   final case class AList(child: AField, large: Boolean) extends AType
   final case class AStruct(children: Vector[AField]) extends AType
 
@@ -129,6 +138,9 @@ object Arrow {
     case ADouble => DoubleType
     case AString(_) => StringType
     case ABinary(_) => BinaryType
+    case ADate32 | ADate64 => DateType
+    case ATimestamp(_, true) => TimestampType
+    case ATimestamp(_, false) => TimestampNTZType
     case APassthrough(32) => IntegerType
     case APassthrough(_) => LongType
     case AList(c, _) => ArrayType(sparkType(c.tpe))
@@ -180,10 +192,13 @@ object Arrow {
       case 4 => ABinary(large = false)
       case 5 => AString(large = false)
       case 6 => ABool
-      case 8 => // Date: DAY=int32, MILLISECOND=int64
-        if (fb.fieldI16(tp, 0, 0) == 0) APassthrough(32)
-        else APassthrough(64)
-      case 10 | 18 => APassthrough(64) // Timestamp, Duration
+      case 8 => // Date: DAY=int32, MILLISECOND=int64 (fbs default MILLISECOND)
+        if (fb.fieldI16(tp, 0, 1) == 0) ADate32 else ADate64
+      case 10 => // Timestamp (fbs default unit SECOND, tz optional)
+        val unit = fb.fieldI16(tp, 0, 0)
+        val tzOff = fb.fieldOff(tp, 1)
+        ATimestamp(unit, tzOff >= 0 && fb.string(tzOff).nonEmpty)
+      case 18 => APassthrough(64) // Duration
       case 12 => AList(children.head, large = false)
       case 13 => AStruct(children)
       case 19 => ABinary(large = true)
@@ -375,6 +390,49 @@ object Arrow {
         while (i < rows) {
           if (valid(i))
             out(i) = if (bits == 32) dfb.i32(i * 4) else dfb.i64(i * 8)
+          i += 1
+        }
+      case ADate32 =>
+        val data = bd.buffer(cur.buf); cur.buf += 1
+        val dfb = new Fb(data)
+        var i = 0
+        while (i < rows) {
+          if (valid(i)) out(i) = java.sql.Date.valueOf(
+            java.time.LocalDate.ofEpochDay(dfb.i32(i * 4).toLong))
+          i += 1
+        }
+      case ADate64 =>
+        val data = bd.buffer(cur.buf); cur.buf += 1
+        val dfb = new Fb(data)
+        var i = 0
+        while (i < rows) {
+          if (valid(i)) out(i) = java.sql.Date.valueOf(
+            java.time.LocalDate.ofEpochDay(
+              Math.floorDiv(dfb.i64(i * 8), 86400000L)))
+          i += 1
+        }
+      case ATimestamp(unit, hasTz) =>
+        val data = bd.buffer(cur.buf); cur.buf += 1
+        val dfb = new Fb(data)
+        def inst(v: Long): java.time.Instant = unit match {
+          case 0 => java.time.Instant.ofEpochSecond(v)
+          case 1 => java.time.Instant.ofEpochMilli(v)
+          case 2 => java.time.Instant.ofEpochSecond(
+            Math.floorDiv(v, 1000000L),
+            Math.floorMod(v, 1000000L) * 1000L)
+          case _ => java.time.Instant.ofEpochSecond(
+            Math.floorDiv(v, 1000000000L),
+            Math.floorMod(v, 1000000000L))
+        }
+        var i = 0
+        while (i < rows) {
+          if (valid(i)) {
+            val t = inst(dfb.i64(i * 8))
+            out(i) =
+              if (hasTz) java.sql.Timestamp.from(t)
+              else java.time.LocalDateTime.ofInstant(t,
+                java.time.ZoneOffset.UTC)
+          }
           i += 1
         }
       case AFloat =>

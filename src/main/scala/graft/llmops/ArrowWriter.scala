@@ -148,6 +148,11 @@ object ArrowWriter {
       b.endVector(childOffs.length)
     }
     val nameOff = b.createString(f.name)
+    // strings referenced by type tables must exist before startTable
+    val tzOff = f.tpe match {
+      case ATimestamp(_, true) => b.createString("UTC")
+      case _ => 0
+    }
     // type table
     val (typeType, typeOff) = f.tpe match {
       case AInt(bits) =>
@@ -167,6 +172,16 @@ object ArrowWriter {
       case AList(_, false) => b.startTable(); (12, b.endTable())
       case AList(_, true) => b.startTable(); (21, b.endTable())
       case AStruct(_) => b.startTable(); (13, b.endTable())
+      case ADate32 =>
+        // Date.unit fbs default is MILLISECOND — DAY must be explicit
+        b.startTable(); b.slotI16(0, 0, 1); (8, b.endTable())
+      case ADate64 =>
+        b.startTable(); b.slotI16(0, 1, 1); (8, b.endTable())
+      case ATimestamp(unit, tz) =>
+        b.startTable()
+        b.slotI16(0, unit, 0)
+        if (tz) b.slotOffset(1, tzOff)
+        (10, b.endTable())
       case APassthrough(_) => throw new IllegalArgumentException(
         "writer does not emit passthrough temporal types")
     }
@@ -289,6 +304,55 @@ object ArrowWriter {
             var k = 0
             while (k < 8) {
               data(i * 8 + k) = ((bits >> (8 * k)) & 0xff).toByte; k += 1
+            }
+          }
+          i += 1
+        }
+        body.add(data)
+      case ADate32 =>
+        val data = new Array[Byte](vs.length * 4)
+        var i = 0
+        vs.foreach { v =>
+          if (v != null) {
+            val d = v.asInstanceOf[java.sql.Date].toLocalDate
+              .toEpochDay.toInt
+            var k = 0
+            while (k < 4) {
+              data(i * 4 + k) = ((d >> (8 * k)) & 0xff).toByte; k += 1
+            }
+          }
+          i += 1
+        }
+        body.add(data)
+      case ADate64 =>
+        val data = new Array[Byte](vs.length * 8)
+        var i = 0
+        vs.foreach { v =>
+          if (v != null) {
+            val m = v.asInstanceOf[java.sql.Date].toLocalDate
+              .toEpochDay * 86400000L
+            var k = 0
+            while (k < 8) {
+              data(i * 8 + k) = ((m >> (8 * k)) & 0xff).toByte; k += 1
+            }
+          }
+          i += 1
+        }
+        body.add(data)
+      case ATimestamp(unit, tz) =>
+        require(unit == 2, "writer emits MICROSECOND timestamps only")
+        val data = new Array[Byte](vs.length * 8)
+        var i = 0
+        vs.foreach { v =>
+          if (v != null) {
+            val inst =
+              if (tz) v.asInstanceOf[java.sql.Timestamp].toInstant
+              else v.asInstanceOf[java.time.LocalDateTime]
+                .toInstant(java.time.ZoneOffset.UTC)
+            val us = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+            var k = 0
+            while (k < 8) {
+              data(i * 8 + k) = ((us >> (8 * k)) & 0xff).toByte; k += 1
             }
           }
           i += 1
@@ -495,6 +559,9 @@ object ArrowWriter {
       case DoubleType => ADouble
       case StringType => AString(large = false)
       case BinaryType => ABinary(large = false)
+      case DateType => ADate32
+      case TimestampType => ATimestamp(2, tz = true)
+      case TimestampNTZType => ATimestamp(2, tz = false)
       case ArrayType(e, containsNull) =>
         AList(AField("item", containsNull, tpe(e)), large = false)
       case st: StructType => AStruct(fieldsFor(st))

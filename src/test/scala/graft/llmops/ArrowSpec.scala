@@ -285,6 +285,138 @@ class ArrowSpec extends SparkTestBase {
     assert(Arrow.readArrowFiles(spark, dir).count() == 80)
   }
 
+  test("temporal columns land typed; twin round-trips both directions") {
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val path = Files.createTempDirectory("graft-arrow").toString +
+      "/temporal.arrow"
+    try {
+      import org.apache.arrow.vector.types.pojo._
+      val dayField = new Field("day", FieldType.nullable(
+        new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)),
+        null)
+      val tsField = new Field("ts", FieldType.nullable(
+        new ArrowType.Timestamp(
+          org.apache.arrow.vector.types.TimeUnit.MICROSECOND, "UTC")),
+        null)
+      val ntzField = new Field("ntz", FieldType.nullable(
+        new ArrowType.Timestamp(
+          org.apache.arrow.vector.types.TimeUnit.MICROSECOND, null)),
+        null)
+      val day = dayField.createVector(alloc)
+        .asInstanceOf[org.apache.arrow.vector.DateDayVector]
+      val ts = tsField.createVector(alloc)
+        .asInstanceOf[org.apache.arrow.vector.TimeStampMicroTZVector]
+      val ntz = ntzField.createVector(alloc)
+        .asInstanceOf[org.apache.arrow.vector.TimeStampMicroVector]
+      val root = new org.apache.arrow.vector.VectorSchemaRoot(
+        java.util.Arrays.asList(dayField, tsField, ntzField),
+        java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](
+          day, ts, ntz), 0)
+      val ch = java.nio.channels.Channels.newChannel(
+        new java.io.FileOutputStream(path))
+      val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null,
+        ch)
+      w.start()
+      root.allocateNew()
+      (0 until 100).foreach { i =>
+        if (i % 7 == 1) day.setNull(i) else day.setSafe(i, i - 50)
+        if (i % 7 == 2) ts.setNull(i)
+        else ts.setSafe(i, (i.toLong - 50) * 86400000000L * 3 + i * 7L)
+        if (i % 7 == 3) ntz.setNull(i)
+        else ntz.setSafe(i, (i.toLong - 50) * 86400000000L + i * 11L)
+      }
+      root.setRowCount(100)
+      w.writeBatch()
+      w.end(); w.close(); ch.close(); root.close()
+    } finally alloc.close()
+    val df = Arrow.readArrow(spark, path)
+    import org.apache.spark.sql.types._
+    assert(df.schema("day").dataType == DateType)
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(df.schema("ntz").dataType == TimestampNTZType)
+    val rows = df.collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      // recover i from whichever column is non-null
+      val i =
+        if (!r.isNullAt(0))
+          r.getDate(0).toLocalDate.toEpochDay.toInt + 50
+        else (Math.floorDiv(
+          r.getTimestamp(1).toInstant.getEpochSecond, 86400L * 3).toInt + 50)
+      if (i % 7 == 1) assert(r.isNullAt(0))
+      else assert(r.getDate(0).toLocalDate.toEpochDay == i - 50L)
+      if (i % 7 == 2) assert(r.isNullAt(1))
+      else {
+        val us = (i.toLong - 50) * 86400000000L * 3 + i * 7L
+        assert(r.getTimestamp(1).toInstant == java.time.Instant
+          .ofEpochSecond(Math.floorDiv(us, 1000000L),
+            Math.floorMod(us, 1000000L) * 1000L))
+      }
+      if (i % 7 == 3) assert(r.isNullAt(2))
+      else {
+        val us = (i.toLong - 50) * 86400000000L + i * 11L
+        assert(r.getAs[java.time.LocalDateTime](2) ==
+          java.time.LocalDateTime.ofInstant(java.time.Instant
+            .ofEpochSecond(Math.floorDiv(us, 1000000L),
+              Math.floorMod(us, 1000000L) * 1000L),
+            java.time.ZoneOffset.UTC))
+      }
+    }
+    // twin direction: our writer's temporal bytes read by arrow-java
+    // and by our own reader
+    val fields = ArrowWriter.fieldsFor(
+      StructType(Seq(
+        StructField("day", DateType),
+        StructField("ts", TimestampType),
+        StructField("ntz", TimestampNTZType))))
+    val mkRows = (0 until 60).map { i =>
+      Row(
+        if (i % 5 == 1) null
+        else java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i - 30L)),
+        if (i % 5 == 2) null
+        else java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          (i.toLong - 30) * 997L, (i % 1000).toLong * 1000L)),
+        if (i % 5 == 3) null
+        else java.time.LocalDateTime.ofEpochSecond(
+          (i.toLong - 30) * 991L, (i % 1000) * 1000, java.time.ZoneOffset.UTC))
+    }
+    val twin = Files.createTempDirectory("graft-arrow").toString +
+      "/temporal_twin.arrow"
+    val out = new java.io.FileOutputStream(twin)
+    val streamer = new ArrowWriter.Streamer(fields, out)
+    streamer.append(mkRows)
+    streamer.finish(); out.close()
+    // arrow-java consumes it
+    val alloc2 = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val rdr = new org.apache.arrow.vector.ipc.ArrowFileReader(
+        new java.io.FileInputStream(twin).getChannel, alloc2)
+      val sch = rdr.getVectorSchemaRoot.getSchema
+      assert(sch.findField("day").getType ==
+        new org.apache.arrow.vector.types.pojo.ArrowType.Date(
+          org.apache.arrow.vector.types.DateUnit.DAY))
+      assert(sch.findField("ts").getType ==
+        new org.apache.arrow.vector.types.pojo.ArrowType.Timestamp(
+          org.apache.arrow.vector.types.TimeUnit.MICROSECOND, "UTC"))
+      assert(rdr.loadNextBatch())
+      val vroot = rdr.getVectorSchemaRoot
+      assert(vroot.getRowCount == 60)
+      val dv = vroot.getVector("day")
+        .asInstanceOf[org.apache.arrow.vector.DateDayVector]
+      assert(dv.get(0) == -30 && dv.isNull(1))
+      rdr.close()
+    } finally alloc2.close()
+    // and our reader round-trips it typed
+    val back = Arrow.readArrow(spark, twin).collect()
+    assert(back.length == 60)
+    assert(back.count(_.isNullAt(0)) == mkRows.count(_.isNullAt(0)))
+    val b5 = back.map(r => (if (r.isNullAt(1)) null
+      else r.getTimestamp(1))).filter(_ != null).map(_.toInstant).toSet
+    val w5 = mkRows.map(r => r.get(1)).filter(_ != null)
+      .map(_.asInstanceOf[java.sql.Timestamp].toInstant).toSet
+    assert(b5 == w5)
+  }
+
   test("refusals: bad magic, unsigned ints") {
     intercept[IllegalArgumentException] {
       Arrow.readFooter(spark.sparkContext.hadoopConfiguration,
