@@ -2927,6 +2927,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q207_arrow_typed_shards" -> ((s, dir) => {
+      // Distributed Arrow shard export with TYPED columns — the twin
+      // writer serializes Decimal128 / Date32 / Timestamp-UTC /
+      // Timestamp-NTZ in its own flatbuffers schema, one shard per
+      // task; readArrowFiles recovers them typed under the full hash
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q207_dir", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-q207")
+          .toString + "/typed_shards"
+        graft.llmops.ArrowWriter.writeShards(
+          t(ss, dir, "orders").filter(col("o_orderkey") < 4000)
+            .select(
+              col("o_orderkey"),
+              when(col("o_orderkey") % 7 === 0, lit(null))
+                .otherwise(concat(
+                  (col("o_orderkey") % 100000).cast("string"), lit("."),
+                  lpad((col("o_orderkey") % 100).cast("string"), 2, "0"))
+                  .cast("decimal(18,2)")).as("price_dec"),
+              when(col("o_orderkey") % 5 === 0, lit(null))
+                .otherwise(to_date(col("o_orderdate"))).as("od_date"),
+              col("o_orderdate").cast("timestamp").as("od_ts"),
+              col("o_orderdate").cast("timestamp_ntz").as("od_ntz")),
+          "o_orderkey", d, nShards = 4, rowsPerBatch = 128)
+        d
+      })
+      graft.llmops.Arrow.readArrowFiles(ss, path)
+        .drop("path")
+        .orderBy("o_orderkey")
+    }),
+
     "q206_arrow_temporal" -> ((s, dir) => {
       // Arrow temporal columns: arrow-java writes Date32, a UTC
       // microsecond Timestamp and a zone-less (NTZ) Timestamp; the
@@ -6473,6 +6503,20 @@ object SparkEntry {
     "q198_avro_shards" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q207: typed arrow shard export — Decimal128/Date32/Timestamp both
+    // flavors through the twin writer and reader, distributed
+    "q207_arrow_typed_shards" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE CAST((o_orderkey % 100000) || '.' ||
+                  lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+                  AS DECIMAL(18,2)) END AS price_dec,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE CAST(o_orderdate AS DATE) END AS od_date,
+           o_orderdate AS od_ts,
+           o_orderdate AS od_ntz
+         FROM orders WHERE o_orderkey < 4000 ORDER BY o_orderkey""",
 
     // q206: arrow temporal columns — Date32/Timestamp-UTC/Timestamp-NTZ
     // identity through arrow-java's writer and the typed reader

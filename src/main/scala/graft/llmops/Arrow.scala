@@ -117,6 +117,9 @@ object Arrow {
     * `tz` marks an instant (zone-annotated) vs a wall-clock (NTZ).
     */
   final case class ATimestamp(unit: Int, tz: Boolean) extends AType
+  /** Decimal128/256 (little-endian two's-complement unscaled). */
+  final case class ADecimal(precision: Int, scale: Int,
+      bits: Int) extends AType
   final case class AList(child: AField, large: Boolean) extends AType
   final case class AStruct(children: Vector[AField]) extends AType
 
@@ -141,6 +144,7 @@ object Arrow {
     case ADate32 | ADate64 => DateType
     case ATimestamp(_, true) => TimestampType
     case ATimestamp(_, false) => TimestampNTZType
+    case ADecimal(p, s, _) => DecimalType(p, s)
     case APassthrough(32) => IntegerType
     case APassthrough(_) => LongType
     case AList(c, _) => ArrayType(sparkType(c.tpe))
@@ -178,6 +182,15 @@ object Arrow {
         parseField(fb, fb.vecTable(cv, k))).toVector
     }
     val tpe: AType = tt match {
+      case 7 => // Decimal: precision, scale, bitWidth (default 128)
+        val p = fb.fieldI32(tp, 0, 0)
+        val sc = fb.fieldI32(tp, 1, 0)
+        val bits = fb.fieldI32(tp, 2, 128)
+        require(bits == 128 || bits == 256,
+          s"decimal bit width $bits unsupported (field $name)")
+        require(p >= 1 && p <= 38,
+          s"decimal precision $p outside Spark's 38-digit cap (field $name)")
+        ADecimal(p, sc, bits)
       case 2 => // Int
         val bits = fb.fieldI32(tp, 0, 0)
         require(fb.fieldBool(tp, 1, dflt = false),
@@ -390,6 +403,21 @@ object Arrow {
         while (i < rows) {
           if (valid(i))
             out(i) = if (bits == 32) dfb.i32(i * 4) else dfb.i64(i * 8)
+          i += 1
+        }
+      case ADecimal(_, scale, bits) =>
+        val w = bits / 8
+        val data = bd.buffer(cur.buf); cur.buf += 1
+        var i = 0
+        while (i < rows) {
+          if (valid(i)) {
+            // little-endian two's complement → big-endian for BigInteger
+            val be = new Array[Byte](w)
+            var k = 0
+            while (k < w) { be(k) = data(i * w + (w - 1 - k)); k += 1 }
+            out(i) = new java.math.BigDecimal(
+              new java.math.BigInteger(be), scale)
+          }
           i += 1
         }
       case ADate32 =>

@@ -172,6 +172,13 @@ object ArrowWriter {
       case AList(_, false) => b.startTable(); (12, b.endTable())
       case AList(_, true) => b.startTable(); (21, b.endTable())
       case AStruct(_) => b.startTable(); (13, b.endTable())
+      case ADecimal(p, sc, bits) =>
+        require(bits == 128, "writer emits Decimal128 only")
+        b.startTable()
+        b.slotI32(0, p, 0)
+        b.slotI32(1, sc, 0)
+        b.slotI32(2, 128, 128)
+        (7, b.endTable())
       case ADate32 =>
         // Date.unit fbs default is MILLISECOND — DAY must be explicit
         b.startTable(); b.slotI16(0, 0, 1); (8, b.endTable())
@@ -304,6 +311,27 @@ object ArrowWriter {
             var k = 0
             while (k < 8) {
               data(i * 8 + k) = ((bits >> (8 * k)) & 0xff).toByte; k += 1
+            }
+          }
+          i += 1
+        }
+        body.add(data)
+      case ADecimal(_, sc, _) =>
+        val data = new Array[Byte](vs.length * 16)
+        var i = 0
+        vs.foreach { v =>
+          if (v != null) {
+            val be = v.asInstanceOf[java.math.BigDecimal]
+              .setScale(sc, java.math.RoundingMode.UNNECESSARY)
+              .unscaledValue().toByteArray
+            val pad: Byte =
+              if (be.length > 0 && be(0) < 0) -1 else 0
+            var k = 0
+            while (k < 16) {
+              // little-endian with sign extension past the BE bytes
+              data(i * 16 + k) =
+                if (k < be.length) be(be.length - 1 - k) else pad
+              k += 1
             }
           }
           i += 1
@@ -562,6 +590,7 @@ object ArrowWriter {
       case DateType => ADate32
       case TimestampType => ATimestamp(2, tz = true)
       case TimestampNTZType => ATimestamp(2, tz = false)
+      case d: DecimalType => ADecimal(d.precision, d.scale, 128)
       case ArrayType(e, containsNull) =>
         AList(AField("item", containsNull, tpe(e)), large = false)
       case st: StructType => AStruct(fieldsFor(st))

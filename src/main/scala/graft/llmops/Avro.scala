@@ -55,6 +55,10 @@ object Avro {
   case object SDate extends Sch
   /** `logicalType: timestamp-millis/micros` over long. */
   final case class STimestamp(micros: Boolean) extends Sch
+  /** `logicalType: local-timestamp-millis/micros` over long (zone-less
+    * wall clock → TimestampNTZ).
+    */
+  final case class SLocalTimestamp(micros: Boolean) extends Sch
   final case class SArray(items: Sch) extends Sch
   final case class SMap(values: Sch) extends Sch
   /** Nullable union: `[null, inner]` or `[inner, null]`;
@@ -162,6 +166,10 @@ object Avro {
                 STimestamp(micros = false)
               case (Some("timestamp-micros"), SLong) =>
                 STimestamp(micros = true)
+              case (Some("local-timestamp-millis"), SLong) =>
+                SLocalTimestamp(micros = false)
+              case (Some("local-timestamp-micros"), SLong) =>
+                SLocalTimestamp(micros = true)
               case _ => under
             }
         }
@@ -181,6 +189,7 @@ object Avro {
     case SDecimal(p, sc, _) => DecimalType(math.min(p, 38), sc)
     case SDate => DateType
     case STimestamp(_) => TimestampType
+    case SLocalTimestamp(_) => TimestampNTZType
     case SArray(i) => ArrayType(sparkType(i))
     case SMap(v) => MapType(StringType, sparkType(v))
     case SOpt(i, _) => sparkType(i)
@@ -256,6 +265,13 @@ object Avro {
           Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000L) * 1000L)
         else java.time.Instant.ofEpochMilli(v)
       java.sql.Timestamp.from(inst)
+    case SLocalTimestamp(micros) =>
+      val v = in.vlong()
+      val inst =
+        if (micros) java.time.Instant.ofEpochSecond(
+          Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000L) * 1000L)
+        else java.time.Instant.ofEpochMilli(v)
+      java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
     case SEnum(_, syms) =>
       val k = in.vlong().toInt
       if (k < 0 || k >= syms.length)

@@ -93,6 +93,13 @@ object AvroWriter {
         if (micros) inst.getEpochSecond * 1000000L + inst.getNano / 1000L
         else inst.toEpochMilli
       writeVlong(o, value)
+    case SLocalTimestamp(micros) =>
+      val inst = v.asInstanceOf[java.time.LocalDateTime]
+        .toInstant(java.time.ZoneOffset.UTC)
+      val value =
+        if (micros) inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+        else inst.toEpochMilli
+      writeVlong(o, value)
     case SRecord(_, fields) =>
       val r = v.asInstanceOf[org.apache.spark.sql.Row]
       var k = 0
@@ -203,6 +210,8 @@ object AvroWriter {
       case DateType => """{"type":"int","logicalType":"date"}"""
       case TimestampType =>
         """{"type":"long","logicalType":"timestamp-micros"}"""
+      case TimestampNTZType =>
+        """{"type":"long","logicalType":"local-timestamp-micros"}"""
       case ArrayType(e, _) => s"""{"type":"array","items":${prim(e)}}"""
       case other => throw new IllegalArgumentException(
         s"unsupported spark type for avro export: $other")

@@ -72,7 +72,8 @@ object Orc {
   final case class Stripe(offset: Long, indexLength: Long,
       dataLength: Long, footerLength: Long, rows: Long)
   final case class TypeNode(kind: Int, subtypes: Vector[Int],
-      fieldNames: Vector[String], precision: Int = 0, scale: Int = 0)
+      fieldNames: Vector[String], precision: Int = 0, scale: Int = 0,
+      attributes: Map[String, String] = Map.empty)
   final case class Tail(compression: Int, blockSize: Int,
       stripes: Vector[Stripe], types: Vector[TypeNode], rows: Long)
 
@@ -116,6 +117,7 @@ object Orc {
     var scale = 0
     val subs = Vector.newBuilder[Int]
     val names = Vector.newBuilder[String]
+    val attrs = Map.newBuilder[String, String]
     while (p.hasMore) {
       p.tag() match {
         case (1, 0) => kind = p.varint().toInt
@@ -130,10 +132,30 @@ object Orc {
             java.nio.charset.StandardCharsets.UTF_8)
         case (5, 0) => precision = p.varint().toInt
         case (6, 0) => scale = p.varint().toInt
+        case (7, 2) => // StringPair attributes (ORC-522)
+          val (o, n) = p.lenField()
+          val pp = new Pb(b, o, o + n)
+          var key: String = null
+          var value: String = null
+          while (pp.hasMore) {
+            pp.tag() match {
+              case (1, 2) =>
+                val (ko, kn) = pp.lenField()
+                key = new String(b, ko, kn,
+                  java.nio.charset.StandardCharsets.UTF_8)
+              case (2, 2) =>
+                val (vo, vn) = pp.lenField()
+                value = new String(b, vo, vn,
+                  java.nio.charset.StandardCharsets.UTF_8)
+              case (_, w) => pp.skip(w)
+            }
+          }
+          if (key != null && value != null) attrs += (key -> value)
         case (_, w) => p.skip(w)
       }
     }
-    TypeNode(kind, subs.result(), names.result(), precision, scale)
+    TypeNode(kind, subs.result(), names.result(), precision, scale,
+      attrs.result())
   }
 
   private def parseFooter(b: Array[Byte], off: Int, len: Int)
@@ -545,7 +567,12 @@ object Orc {
       case K_BYTE => ByteType
       case K_SHORT => ShortType
       case K_INT => IntegerType
-      case K_LONG => LongType
+      case K_LONG =>
+        // Spark's NTZ convention: ORC lacked a zone-less timestamp, so
+        // Spark lands TimestampNTZType as a LONG of epoch micros with
+        // a type attribute — honor it so Spark-written lakes read back
+        // with the schema spark.read.orc reports
+        if (isSparkNtz(t)) TimestampNTZType else LongType
       case K_FLOAT => FloatType
       case K_DOUBLE => DoubleType
       case K_STRING | K_VARCHAR | K_CHAR => StringType
@@ -566,6 +593,10 @@ object Orc {
         s"orc type kind $k unsupported")
     }
   }
+
+  private def isSparkNtz(t: TypeNode): Boolean =
+    t.kind == K_LONG &&
+      t.attributes.get("spark.sql.catalyst.type").contains("timestamp_ntz")
 
   def rootStruct(types: Vector[TypeNode]): StructType = {
     require(types.nonEmpty && types(0).kind == K_STRUCT,
@@ -706,6 +737,14 @@ object Orc {
               case K_INT => scatter(i => data(i).toInt)
               case K_DATE => scatter(i => java.sql.Date.valueOf(
                 java.time.LocalDate.ofEpochDay(data(i))))
+              case _ if isSparkNtz(t) => scatter { i =>
+                val us = data(i)
+                java.time.LocalDateTime.ofInstant(
+                  java.time.Instant.ofEpochSecond(
+                    Math.floorDiv(us, 1000000L),
+                    Math.floorMod(us, 1000000L) * 1000L),
+                  java.time.ZoneOffset.UTC)
+              }
               case _ => scatter(i => data(i))
             }
           case K_FLOAT =>

@@ -417,6 +417,81 @@ class ArrowSpec extends SparkTestBase {
     assert(b5 == w5)
   }
 
+  test("decimal128 columns: arrow-java interop both directions") {
+    val path = Files.createTempDirectory("graft-arrow").toString +
+      "/dec.arrow"
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      import org.apache.arrow.vector.types.pojo._
+      val f = new Field("price", FieldType.nullable(
+        new ArrowType.Decimal(18, 2, 128)), null)
+      val v = f.createVector(alloc)
+        .asInstanceOf[org.apache.arrow.vector.DecimalVector]
+      val root = new org.apache.arrow.vector.VectorSchemaRoot(
+        java.util.Arrays.asList(f),
+        java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](v), 0)
+      val ch = java.nio.channels.Channels.newChannel(
+        new java.io.FileOutputStream(path))
+      val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null,
+        ch)
+      w.start()
+      root.allocateNew()
+      (0 until 90).foreach { i =>
+        if (i % 8 == 5) v.setNull(i)
+        else v.setSafe(i, new java.math.BigDecimal(
+          s"${i * 317 - 9000}.${10 + i % 90}").setScale(2))
+      }
+      root.setRowCount(90)
+      w.writeBatch()
+      w.end(); w.close(); ch.close(); root.close()
+    } finally alloc.close()
+    val df = Arrow.readArrow(spark, path)
+    assert(df.schema("price").dataType ==
+      org.apache.spark.sql.types.DecimalType(18, 2))
+    val got = df.collect().map(r =>
+      if (r.isNullAt(0)) null else r.getDecimal(0))
+    assert(got.length == 90 &&
+      got.count(_ == null) == (0 until 90).count(_ % 8 == 5))
+    val want = (0 until 90).map(i =>
+      if (i % 8 == 5) null
+      else new java.math.BigDecimal(s"${i * 317 - 9000}.${10 + i % 90}")
+        .setScale(2))
+    assert(got.filter(_ != null).toSet == want.filter(_ != null).toSet)
+    // twin direction: our Decimal128 bytes read by arrow-java
+    val fields = ArrowWriter.fieldsFor(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("price",
+          org.apache.spark.sql.types.DecimalType(18, 2)))))
+    val rows = (0 until 40).map(i => Row(
+      if (i % 6 == 3) null
+      else new java.math.BigDecimal(s"${i * 991 - 2000}.${10 + i % 80}")
+        .setScale(2)))
+    val twin = Files.createTempDirectory("graft-arrow").toString +
+      "/dec_twin.arrow"
+    val out = new java.io.FileOutputStream(twin)
+    val streamer = new ArrowWriter.Streamer(fields, out)
+    streamer.append(rows)
+    streamer.finish(); out.close()
+    val alloc2 = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val rdr = new org.apache.arrow.vector.ipc.ArrowFileReader(
+        new java.io.FileInputStream(twin).getChannel, alloc2)
+      assert(rdr.loadNextBatch())
+      val vr = rdr.getVectorSchemaRoot
+      val dv = vr.getVector("price")
+        .asInstanceOf[org.apache.arrow.vector.DecimalVector]
+      (0 until 40).foreach { i =>
+        if (i % 6 == 3) assert(dv.isNull(i))
+        else assert(dv.getObject(i) == new java.math.BigDecimal(
+          s"${i * 991 - 2000}.${10 + i % 80}").setScale(2))
+      }
+      rdr.close()
+    } finally alloc2.close()
+    // and our own reader round-trips it
+    assert(Arrow.readArrow(spark, twin).collect()
+      .count(!_.isNullAt(0)) == rows.count(_.get(0) != null))
+  }
+
   test("refusals: bad magic, unsigned ints") {
     intercept[IllegalArgumentException] {
       Arrow.readFooter(spark.sparkContext.hadoopConfiguration,

@@ -280,6 +280,53 @@ class AvroSpec extends SparkTestBase {
     assert(back.count() == 120)
   }
 
+  test("logical types: local-timestamp lands TimestampNTZ both directions") {
+    val lschema = """{"type":"record","name":"N","fields":[
+      {"name":"id","type":"long"},
+      {"name":"wall","type":{"type":"long","logicalType":"local-timestamp-micros"}}]}"""
+    val schema = new org.apache.avro.Schema.Parser().parse(lschema)
+    val path = java.nio.file.Files.createTempDirectory("graft-avro")
+      .toString + "/ntz.avro"
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, new java.io.File(path))
+    (0 until 100).foreach { i =>
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("id", i.toLong)
+      rec.put("wall", (i.toLong - 50) * 9973000001L)
+      w.append(rec)
+    }
+    w.close()
+    val df = Avro.readAvro(spark, path, rangeBytes = 4096)
+    assert(df.schema("wall").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val got = df.collect().map(r => (r.getLong(0),
+      r.getAs[java.time.LocalDateTime](1))).sortBy(_._1)
+    got.foreach { case (idL, wall) =>
+      val us = (idL - 50) * 9973000001L
+      assert(wall == java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L), java.time.ZoneOffset.UTC))
+    }
+    // twin: NTZ column round-trips through our writer
+    val sj = AvroWriter.schemaFor(org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("wall",
+        org.apache.spark.sql.types.TimestampNTZType))))
+    assert(sj.contains("local-timestamp-micros"))
+    val rows = (0 until 40).map(i => org.apache.spark.sql.Row(
+      java.time.LocalDateTime.ofEpochSecond(i * 7919L, i * 1000,
+        java.time.ZoneOffset.UTC)))
+    val bytes = AvroWriter.write(sj, rows)
+    val p2 = java.nio.file.Files.createTempDirectory("graft-avro")
+      .toString + "/ntz2.avro"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p2), bytes)
+    val back = Avro.readAvro(spark, p2, rangeBytes = 4096).collect()
+      .map(_.getAs[java.time.LocalDateTime](0)).sortBy(_.toString)
+    assert(back.toSeq == rows.map(_.getAs[java.time.LocalDateTime](0))
+      .sortBy(_.toString))
+  }
+
   test("refusals: general unions, bad magic, unknown codec") {
     intercept[IllegalArgumentException] {
       Avro.parseSchema("""["int","string"]""")

@@ -154,6 +154,35 @@ class OrcSpec extends SparkTestBase {
     assert(mine.toSeq == theirs.toSeq)
   }
 
+  test("spark's timestamp_ntz attribute convention reads back NTZ-typed") {
+    val ss = spark
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-orc").toString + "/ntz"
+    val df = (0 until 300).map { i =>
+      val us = (i.toLong - 100) * 86400000000L * 7 + i * 13L
+      (i.toLong,
+        if (i % 9 == 4) null
+        else java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+            Math.floorMod(us, 1000000L) * 1000L),
+          java.time.ZoneOffset.UTC))
+    }.toDF("id", "wall")
+    df.coalesce(1).write.mode("overwrite").orc(dir)
+    assert(spark.read.orc(dir).schema("wall").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val mine = Orc.readOrc(spark, firstOrc(dir))
+    assert(mine.schema("wall").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val got = mine.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getAs[java.time.LocalDateTime](1)))
+      .sortBy(_._1)
+    val theirs = spark.read.orc(dir).collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getAs[java.time.LocalDateTime](1)))
+      .sortBy(_._1)
+    assert(got.length == 300)
+    assert(got.toSeq == theirs.toSeq)
+  }
+
   test("high-precision decimal (>18 digits) round-trips") {
     val ss = spark
     import ss.implicits._
