@@ -2927,6 +2927,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q208_half_tensors" -> ((s, dir) => {
+      // Half-precision checkpoint ingestion: per doc one safetensors
+      // container with an F16 and a BF16 tensor of k/16 values (exactly
+      // representable in BOTH half formats), built DISTRIBUTED by the
+      // writer twin; the bit-math decoders recover exact doubles the
+      // oracle recomputes arithmetically
+      val ss = tuned(s)
+      import ss.implicits._
+      val files = t(ss, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          def halfBits(v: Double): Int =
+            if (v == 0.0) 0
+            else {
+              val e = math.getExponent(v)
+              val m = math.round((v / math.pow(2.0, e.toDouble) - 1.0)
+                * 1024).toInt
+              ((e + 15) << 10) | m
+            }
+          val vals = Array.tabulate(4)(k => ((id + k) % 32).toDouble / 16.0)
+          def le(bits: Seq[Int]): Array[Byte] = bits.flatMap(b =>
+            Seq((b & 0xff).toByte, ((b >> 8) & 0xff).toByte)).toArray
+          val f16 = le(vals.toSeq.map(halfBits))
+          val bf16 = le(vals.toSeq.map(v =>
+            java.lang.Float.floatToIntBits(v.toFloat) >>> 16))
+          (id, graft.llmops.Safetensors.write(Seq(
+            (s"h$id", "F16", Seq(4), f16),
+            (s"b$id", "BF16", Seq(4), bf16))))
+        }.toDF("doc_id", "content")
+      graft.llmops.Safetensors.tensors(files, "doc_id", "content")
+        .select(col("doc_id"), col("tensor"),
+          element_at(col("vec"), 1).as("v1"),
+          element_at(col("vec"), 2).as("v2"),
+          element_at(col("vec"), 3).as("v3"),
+          element_at(col("vec"), 4).as("v4"))
+        .orderBy("doc_id", "tensor")
+    }),
+
     "q207_arrow_typed_shards" -> ((s, dir) => {
       // Distributed Arrow shard export with TYPED columns — the twin
       // writer serializes Decimal128 / Date32 / Timestamp-UTC /
@@ -6503,6 +6541,21 @@ object SparkEntry {
     "q198_avro_shards" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q208: half-precision tensors — F16 and BF16 bit-math decode of
+    // exactly-representable values, recomputed arithmetically
+    "q208_half_tensors" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+         t AS (SELECT doc_id, 'b' || CAST(doc_id AS VARCHAR) AS tensor
+                 FROM d
+               UNION ALL
+               SELECT doc_id, 'h' || CAST(doc_id AS VARCHAR) FROM d)
+         SELECT doc_id, tensor,
+           ((doc_id + 0) % 32) / 16.0 AS v1,
+           ((doc_id + 1) % 32) / 16.0 AS v2,
+           ((doc_id + 2) % 32) / 16.0 AS v3,
+           ((doc_id + 3) % 32) / 16.0 AS v4
+         FROM t ORDER BY doc_id, tensor""",
 
     // q207: typed arrow shard export — Decimal128/Date32/Timestamp both
     // flavors through the twin writer and reader, distributed

@@ -55,6 +55,7 @@ object Npy {
   }
 
   private def elemSize(descr: String): Int = descr match {
+    case "<f2" => 2
     case "<f4" => 4
     case "<f8" => 8
     case "<i4" => 4
@@ -62,6 +63,26 @@ object Npy {
     case "|i1" | "<i1" => 1
     case d => throw new IllegalArgumentException(s"npy dtype $d")
   }
+
+  /** IEEE 754 binary16 → double, exact (every half value is double-
+    * representable): subnormals scale by 2⁻²⁴, infinities and NaN map
+    * to their double forms.
+    */
+  private[llmops] def halfToDouble(bits: Int): Double = {
+    val sign = if ((bits & 0x8000) != 0) -1.0 else 1.0
+    val exp = (bits >> 10) & 0x1f
+    val mant = bits & 0x3ff
+    val mag =
+      if (exp == 0) mant * 5.9604644775390625e-8 // 2^-24
+      else if (exp == 0x1f) {
+        if (mant == 0) Double.PositiveInfinity else Double.NaN
+      } else (1.0 + mant / 1024.0) * math.pow(2.0, (exp - 15).toDouble)
+    sign * mag
+  }
+
+  /** bfloat16 → double: the top 16 bits of an IEEE binary32. */
+  private[llmops] def bf16ToDouble(bits: Int): Double =
+    java.lang.Float.intBitsToFloat(bits << 16).toDouble
 
   /** Decode an npy to rows of doubles (floats/ints widen): 1-D arrays
     * yield one row; (n, d) matrices yield n rows of d. Refuses fortran
@@ -80,6 +101,8 @@ object Npy {
     }
     require(h.dataOff + n.toLong * d * w <= b.length, "npy data overrun")
     def at(p: Int): Double = h.descr match {
+      case "<f2" =>
+        halfToDouble((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
       case "<f4" =>
         java.lang.Float.intBitsToFloat((b(p) & 0xff) |
           ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16) |

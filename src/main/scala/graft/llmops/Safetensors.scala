@@ -10,8 +10,10 @@ import org.apache.spark.sql.{DataFrame, Row}
   * `aje_libs/bd/helpers/utils/s3_vector_helper.py`.
   *
   * Header parses with the in-repo [[Json]] parser; payload dtypes
-  * F32/F64/I64/I32/I16/I8/U8/BOOL little-endian (F16/BF16 refuse —
-  * documented boundary), rank ≤ 2 flattens like [[Npy]]. Writer twin
+  * F32/F64/I64/I32/I16/I8/U8/BOOL and the half-precision pair
+  * F16/BF16 (the dtypes real checkpoints actually ship — exact
+  * bit-math decode, every half value is double-representable),
+  * little-endian, rank ≤ 2 flattens like [[Npy]]. Writer twin
   * emits canonical files (offsets packed in insertion order, sizes
   * validated). Per-row flatMap distribution, same as the npy family.
   */
@@ -23,7 +25,7 @@ object Safetensors {
   private def widthOf(dtype: String): Int = dtype match {
     case "F64" | "I64" | "U64" => 8
     case "F32" | "I32" | "U32" => 4
-    case "I16" | "U16" => 2
+    case "F16" | "BF16" | "I16" | "U16" => 2
     case "I8" | "U8" | "BOOL" => 1
     case d => throw new IllegalArgumentException(s"safetensors dtype $d")
   }
@@ -94,6 +96,10 @@ object Safetensors {
           ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)).toDouble
       case "I16" =>
         (((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)).toShort).toDouble
+      case "F16" =>
+        Npy.halfToDouble((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
+      case "BF16" =>
+        Npy.bf16ToDouble((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
       case "I8" => b(p).toDouble
       case "U8" | "BOOL" => (b(p) & 0xff).toDouble
       case d => throw new IllegalArgumentException(s"dtype $d")

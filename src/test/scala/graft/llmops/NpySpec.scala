@@ -31,6 +31,32 @@ class NpySpec extends SparkTestBase {
     assert(d.length == 1 && d(0).toSeq == Seq(1.5, -2.25, 3e10))
   }
 
+  test("interop: numpy float16 arrays decode exactly") {
+    val dir = Files.createTempDirectory("graft-npy").toString
+    val script =
+      s"""import numpy as np
+         |h = (np.arange(40, dtype=np.float16) / 16.0).reshape(5, 8)
+         |edge = np.array([np.inf, -np.inf, 2.0**-24, 6.1035156e-05,
+         |                 -0.0999755859375], dtype=np.float16)
+         |np.save('$dir/h.npy', h)
+         |np.save('$dir/edge.npy', edge)
+         |""".stripMargin
+    val p = new ProcessBuilder("python3", "-c", script)
+      .redirectErrorStream(true).start()
+    assert(p.waitFor() == 0)
+    val h = Npy.rows(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/h.npy")))
+    assert(h.length == 5)
+    (0 until 5).foreach(r => (0 until 8).foreach(c =>
+      assert(h(r)(c) == (r * 8 + c) / 16.0)))
+    val e = Npy.rows(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/edge.npy"))).head
+    assert(e(0).isPosInfinity && e(1).isNegInfinity)
+    assert(e(2) == math.pow(2, -24)) // the smallest f16 subnormal
+    assert(e(3) == 6.103515625e-05) // the smallest f16 normal
+    assert(e(4) == -0.0999755859375)
+  }
+
   test("interop: our writer's files load in numpy verbatim") {
     val dir = Files.createTempDirectory("graft-npy").toString
     Files.write(java.nio.file.Paths.get(s"$dir/l.npy"),

@@ -63,9 +63,33 @@ class SafetensorsSpec extends SparkTestBase {
     assert(!out.exists(_._2 == "__metadata__"))
   }
 
-  test("refusals: F16, size mismatch, header overrun") {
+  test("half precision: F16 and BF16 decode exact bit tiers") {
+    def le(bits: Seq[Int]): Array[Byte] =
+      bits.flatMap(b => Seq((b & 0xff).toByte, ((b >> 8) & 0xff).toByte))
+        .toArray
+    // F16: 1.0, -2.0, 2^-24 subnormal, 0.099975586 (0x2E66), +inf, NaN
+    val f16 = le(Seq(0x3C00, 0xC000, 0x0001, 0x2E66, 0x7C00, 0x7E00))
+    // BF16: 1.0, -3.0, 0.5, 2^-126 min normal, -inf
+    val bf16 = le(Seq(0x3F80, 0xC040, 0x3F00, 0x0080, 0xFF80))
+    val bytes = Safetensors.write(Seq(
+      ("h", "F16", Seq(6), f16), ("b", "BF16", Seq(5), bf16)))
+    val (ts, off) = Safetensors.parseHeader(bytes)
+    val h = Safetensors.tensorRows(bytes, off,
+      ts.find(_.name == "h").get).head
+    assert(h(0) == 1.0 && h(1) == -2.0)
+    assert(h(2) == math.pow(2, -24))
+    assert(math.abs(h(3) - 0.0999755859375) < 1e-12)
+    assert(h(4).isPosInfinity && h(5).isNaN)
+    val b2 = Safetensors.tensorRows(bytes, off,
+      ts.find(_.name == "b").get).head
+    assert(b2.toSeq.take(4) == Seq(1.0, -3.0, 0.5,
+      java.lang.Float.intBitsToFloat(0x00800000).toDouble))
+    assert(b2(4).isNegInfinity)
+  }
+
+  test("refusals: unknown dtype, size mismatch, header overrun") {
     intercept[IllegalArgumentException] {
-      Safetensors.write(Seq(("h", "F16", Seq(2), Array[Byte](0, 0, 0, 0))))
+      Safetensors.write(Seq(("h", "F128", Seq(2), Array[Byte](0, 0, 0, 0))))
     }
     val bad = ("""{"x":{"dtype":"I64","shape":[4],""" +
       """"data_offsets":[0,8]}}""").getBytes("UTF-8")
