@@ -2927,6 +2927,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q209_orc_stripe_prune" -> ((s, dir) => {
+      // ORC stripe pruning: a key-sorted spark-sink file with many
+      // small stripes; the range read consults the Metadata statistics
+      // and never schedules tasks for non-intersecting stripes, then a
+      // residual filter gives exact semantics under the oracle hash
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q209_file", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-q209")
+          .toString + "/sorted_orc"
+        t(ss, dir, "orders")
+          .select(col("o_orderkey"),
+            repeat(col("o_orderpriority"), 20).as("pad"))
+          .coalesce(1).sortWithinPartitions("o_orderkey")
+          .write.mode("overwrite")
+          .option("orc.stripe.size", "65536")
+          .option("orc.compress", "NONE").orc(d)
+        new java.io.File(d).listFiles()
+          .filter(_.getName.endsWith(".orc")).head.getAbsolutePath
+      })
+      graft.llmops.Orc.readOrc(ss, path,
+          pruneBy = Some(("o_orderkey", 5000L, 9999L)))
+        .filter(col("o_orderkey").between(5000, 9999))
+        .orderBy("o_orderkey")
+    }),
+
     "q208_half_tensors" -> ((s, dir) => {
       // Half-precision checkpoint ingestion: per doc one safetensors
       // container with an F16 and a BF16 tensor of k/16 values (exactly
@@ -6541,6 +6566,13 @@ object SparkEntry {
     "q198_avro_shards" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q209: orc stripe pruning — range read through stripe statistics
+    // plus residual filter equals the plain filtered scan
+    "q209_orc_stripe_prune" ->
+      """SELECT o_orderkey, repeat(o_orderpriority, 20) AS pad
+         FROM orders WHERE o_orderkey BETWEEN 5000 AND 9999
+         ORDER BY o_orderkey""",
 
     // q208: half-precision tensors — F16 and BF16 bit-math decode of
     // exactly-representable values, recomputed arithmetically

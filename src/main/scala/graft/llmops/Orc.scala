@@ -604,6 +604,127 @@ object Orc {
     sparkTypeOf(types, 0).asInstanceOf[StructType]
   }
 
+  // ------------------------------------------------------ stripe statistics
+
+  /** Per-stripe, per-column (intMin, intMax) / (strMin, strMax) from the
+    * file's Metadata section; None when that column carries no stats of
+    * that kind.
+    */
+  final case class StripeStats(
+      ints: Vector[Option[(Long, Long)]],
+      strs: Vector[Option[(String, String)]])
+
+  private def parseColStats(b: Array[Byte], off: Int, len: Int)
+      : (Option[(Long, Long)], Option[(String, String)]) = {
+    val p = new Pb(b, off, off + len)
+    var ints: Option[(Long, Long)] = None
+    var strs: Option[(String, String)] = None
+    while (p.hasMore) {
+      p.tag() match {
+        case (2, 2) => // IntegerStatistics: sint64 min=1, max=2
+          val (o, n) = p.lenField()
+          val pp = new Pb(b, o, o + n)
+          var mn: Option[Long] = None
+          var mx: Option[Long] = None
+          while (pp.hasMore) {
+            pp.tag() match {
+              case (1, 0) => mn = Some(zigzag(pp.varint()))
+              case (2, 0) => mx = Some(zigzag(pp.varint()))
+              case (_, w) => pp.skip(w)
+            }
+          }
+          for (a <- mn; z <- mx) ints = Some((a, z))
+        case (4, 2) => // StringStatistics: min=1, max=2
+          val (o, n) = p.lenField()
+          val pp = new Pb(b, o, o + n)
+          var mn: Option[String] = None
+          var mx: Option[String] = None
+          while (pp.hasMore) {
+            pp.tag() match {
+              case (1, 2) =>
+                val (so, sn) = pp.lenField()
+                mn = Some(new String(b, so, sn,
+                  java.nio.charset.StandardCharsets.UTF_8))
+              case (2, 2) =>
+                val (so, sn) = pp.lenField()
+                mx = Some(new String(b, so, sn,
+                  java.nio.charset.StandardCharsets.UTF_8))
+              case (_, w) => pp.skip(w)
+            }
+          }
+          for (a <- mn; z <- mx) strs = Some((a, z))
+        case (_, w) => p.skip(w)
+      }
+    }
+    (ints, strs)
+  }
+
+  /** Driver-side Metadata-section read: per-stripe column statistics,
+    * or None when the writer emitted none (pruning then keeps every
+    * stripe — stats are an optimization, never a correctness input).
+    */
+  def readStripeStats(conf: org.apache.hadoop.conf.Configuration,
+      path: String): Option[Vector[StripeStats]] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val tailLen = math.min(len, 1L << 20).toInt
+    val tail = new Array[Byte](tailLen)
+    val in = fs.open(p)
+    try in.readFully(len - tailLen, tail) finally in.close()
+    val psLen = tail(tailLen - 1) & 0xff
+    val (footerLen, comp, _, metaLen) =
+      parsePostScript(tail, tailLen - 1 - psLen, psLen)
+    if (metaLen <= 0) return None
+    val metaOff = tailLen - 1 - psLen - footerLen - metaLen
+    if (metaOff < 0) return None // metadata exceeds the tail read
+    val meta = decompressStream(comp, tail, metaOff.toInt, metaLen.toInt)
+    val out = Vector.newBuilder[StripeStats]
+    val mp = new Pb(meta, 0, meta.length)
+    while (mp.hasMore) {
+      mp.tag() match {
+        case (1, 2) => // StripeStatistics
+          val (o, n) = mp.lenField()
+          val sp = new Pb(meta, o, o + n)
+          val ints = Vector.newBuilder[Option[(Long, Long)]]
+          val strs = Vector.newBuilder[Option[(String, String)]]
+          while (sp.hasMore) {
+            sp.tag() match {
+              case (1, 2) =>
+                val (co, cn) = sp.lenField()
+                val (i, s2) = parseColStats(meta, co, cn)
+                ints += i
+                strs += s2
+              case (_, w) => sp.skip(w)
+            }
+          }
+          out += StripeStats(ints.result(), strs.result())
+        case (_, w) => mp.skip(w)
+      }
+    }
+    val r = out.result()
+    if (r.isEmpty) None else Some(r)
+  }
+
+  /** Stripe positions surviving a `lo <= col <= hi` long-range predicate
+    * under the file's stripe statistics (all positions when stats are
+    * absent or the column carries none — pruning is only ever a
+    * shortcut). `colId` is the TYPE id (root.subtypes(k)); statistics
+    * index by type id directly.
+    */
+  private[llmops] def pruneByIntRange(stripes: Int,
+      stats: Option[Vector[StripeStats]], colId: Int, lo: Long,
+      hi: Long): Vector[Int] = stats match {
+    case Some(ss) if ss.length == stripes =>
+      (0 until stripes).toVector.filter { k =>
+        ss(k).ints.lift(colId).flatten match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    case _ => (0 until stripes).toVector
+  }
+
   // ---------------------------------------------------------- file reading
 
   final case class OrcMeta(compression: Int, blockSize: Int,
@@ -875,9 +996,18 @@ object Orc {
 
   /** Read an ORC file as a typed DataFrame — one task per stripe, one
     * ranged read each, file bytes never shuffle.
+    *
+    * `pruneBy = Some((col, lo, hi))` applies STRIPE PRUNING through the
+    * file's Metadata statistics: stripes whose [min,max] for `col`
+    * cannot intersect [lo,hi] never schedule a task or read a byte —
+    * the partition-pruning analog for a point/range lookup at scale.
+    * Pruning is a shortcut, not a filter: rows outside the range from
+    * surviving stripes still return, so compose with `.filter` for
+    * exact semantics (the plan the caller wanted anyway).
     */
   def readOrc(spark: SparkSession, path: String,
-      columns: Seq[String] = Nil): DataFrame = {
+      columns: Seq[String] = Nil,
+      pruneBy: Option[(String, Long, Long)] = None): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val meta = readTail(conf, path)
@@ -886,7 +1016,17 @@ object Orc {
     val struct = StructType(wanted.map(full.fields))
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
     val metaB = meta
-    val stripes = meta.stripes.map(s => (s.offset, s.indexLength,
+    val kept = pruneBy match {
+      case None => meta.stripes
+      case Some((colName, lo, hi)) =>
+        val root = meta.types(0)
+        val k = root.fieldNames.indexOf(colName)
+        require(k >= 0, s"orc prune column $colName not in ${root.fieldNames}")
+        val stats = readStripeStats(conf, path)
+        pruneByIntRange(meta.stripes.length, stats, root.subtypes(k),
+          lo, hi).map(meta.stripes)
+    }
+    val stripes = kept.map(s => (s.offset, s.indexLength,
       s.dataLength, s.footerLength, s.rows))
     stripes.toDF("offset", "indexLen", "dataLen", "footerLen", "rows")
       .repartition(math.min(math.max(stripes.size, 1), 4096))

@@ -268,6 +268,51 @@ class OrcSpec extends SparkTestBase {
     assert(Orc.byteRle(br, 7).toSeq == Seq[Byte](0, 0, 0, 0, 0, 1, 2))
   }
 
+  test("stripe pruning: stats skip non-intersecting stripes, results exact") {
+    val ss = spark
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-orc").toString + "/stats"
+    // sorted key + tiny stripes → many stripes with disjoint key ranges
+    // (values are incompressible-ish digits so stripes actually roll)
+    (0 until 20000).map(i => (i.toLong,
+        s"row $i " + (i * 2654435761L).toString * 8))
+      .toDF("k", "v").coalesce(1)
+      .sortWithinPartitions("k")
+      .write.mode("overwrite")
+      .option("orc.stripe.size", "65536")
+      .option("orc.compress", "NONE").orc(dir)
+    val path = firstOrc(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = Orc.readTail(conf, path)
+    assume(meta.stripes.length >= 3, "fixture produced too few stripes")
+    val stats = Orc.readStripeStats(conf, path)
+    assert(stats.isDefined && stats.get.length == meta.stripes.length)
+    // the key column (type id 1) carries int stats in every stripe
+    assert(stats.get.forall(_.ints(1).isDefined))
+    val keptAll = Orc.pruneByIntRange(meta.stripes.length, stats, 1,
+      Long.MinValue, Long.MaxValue)
+    assert(keptAll.length == meta.stripes.length)
+    val keptMid = Orc.pruneByIntRange(meta.stripes.length, stats, 1,
+      9000L, 9999L)
+    assert(keptMid.nonEmpty && keptMid.length < meta.stripes.length)
+    // pruned + residual filter equals the unpruned read's filter
+    val pruned = Orc.readOrc(spark, path,
+        pruneBy = Some(("k", 9000L, 9999L)))
+      .filter(col("k").between(9000, 9999))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val full = Orc.readOrc(spark, path)
+      .filter(col("k").between(9000, 9999))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(pruned.length == 1000 && pruned.toSeq == full.toSeq)
+    // an empty range prunes every stripe
+    assert(Orc.pruneByIntRange(meta.stripes.length, stats, 1,
+      -500L, -1L).isEmpty)
+    // unknown prune column refuses
+    intercept[IllegalArgumentException] {
+      Orc.readOrc(spark, path, pruneBy = Some(("nope", 0L, 1L)))
+    }
+  }
+
   test("column pruning: subset equals full read's projection; unknown refuses") {
     val dir = Files.createTempDirectory("graft-orc").toString + "/prune"
     sparkWrite(dir, 300, "zlib")
