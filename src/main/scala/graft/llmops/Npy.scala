@@ -91,13 +91,17 @@ object Npy {
   private[llmops] def rows(b: Array[Byte]): Seq[Array[Double]] = {
     val h = parseHeader(b)
     require(!h.fortran, "fortran-order npy unsupported")
-    require(h.shape.length <= 2, s"npy rank ${h.shape.length}")
+    require(h.shape.length <= 8, s"npy rank ${h.shape.length}")
     val w = elemSize(h.descr)
     val (n, d) = h.shape match {
       case Vector() => (1, 1)
       case Vector(x) => (1, x)
-      case Vector(x, y) => (x, y)
-      case _ => throw new IllegalStateException
+      case sh =>
+        // last axis is the vector; leading axes multiply into rows
+        // (row-major storage makes this a pure reindex)
+        val rows = sh.init.map(_.toLong).product
+        require(rows <= Int.MaxValue, "npy too many rows")
+        (rows.toInt, sh.last)
     }
     require(h.dataOff + n.toLong * d * w <= b.length, "npy data overrun")
     def at(p: Int): Double = h.descr match {

@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, Row}
   * F32/F64/I64/I32/I16/I8/U8/BOOL and the half-precision pair
   * F16/BF16 (the dtypes real checkpoints actually ship — exact
   * bit-math decode, every half value is double-representable),
-  * little-endian, rank ≤ 2 flattens like [[Npy]]. Writer twin
+  * little-endian, rank ≤ 8 flattens to (leading-axes rows × last-axis
+  * vectors) like [[Npy]]. Writer twin
   * emits canonical files (offsets packed in insertion order, sizes
   * validated). Per-row flatMap distribution, same as the npy family.
   */
@@ -68,16 +69,22 @@ object Safetensors {
     (tensors, dataOff)
   }
 
-  /** Flatten one tensor (rank ≤ 2) to rows of doubles. */
+  /** Flatten one tensor to rows of doubles: the last axis is the
+    * vector, leading axes multiply into rows (rank 0 → one scalar row;
+    * rank 1 → one row; a (a,b,c,d) conv kernel → a·b·c rows of d) —
+    * the layout row-major storage already has.
+    */
   private[llmops] def tensorRows(b: Array[Byte], dataOff: Long,
       t: TensorInfo): Seq[Array[Double]] = {
-    require(t.shape.length <= 2, s"${t.name} rank ${t.shape.length}")
+    require(t.shape.length <= 8, s"${t.name} rank ${t.shape.length}")
     val w = widthOf(t.dtype)
     val (n, d) = t.shape match {
       case Vector() => (1, 1)
       case Vector(x) => (1, x)
-      case Vector(x, y) => (x, y)
-      case _ => throw new IllegalStateException
+      case sh =>
+        val rows = sh.init.map(_.toLong).product
+        require(rows <= Int.MaxValue, s"${t.name} too many rows")
+        (rows.toInt, sh.last)
     }
     val base = (dataOff + t.begin).toInt
     def at(p: Int): Double = t.dtype match {
@@ -102,6 +109,19 @@ object Safetensors {
         Npy.bf16ToDouble((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
       case "I8" => b(p).toDouble
       case "U8" | "BOOL" => (b(p) & 0xff).toDouble
+      case "U16" =>
+        ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)).toDouble
+      case "U32" =>
+        (((b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+          ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24))).toDouble
+      case "U64" =>
+        // unsigned 64 → double loses precision past 2^53, exactly as
+        // numpy's float64 cast does
+        var v = 0L
+        var k = 0
+        while (k < 8) { v |= (b(p + k) & 0xffL) << (8 * k); k += 1 }
+        if (v >= 0) v.toDouble
+        else (v >>> 1).toDouble * 2.0 + (v & 1L).toDouble
       case d => throw new IllegalArgumentException(s"dtype $d")
     }
     (0 until n).map { r =>

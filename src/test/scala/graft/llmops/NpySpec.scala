@@ -31,6 +31,28 @@ class NpySpec extends SparkTestBase {
     assert(d.length == 1 && d(0).toSeq == Seq(1.5, -2.25, 3e10))
   }
 
+  test("rank-3/4 arrays flatten to leading-axes rows of the last axis") {
+    val dir = Files.createTempDirectory("graft-npy").toString
+    val script =
+      s"""import numpy as np
+         |t3 = np.arange(24, dtype=np.int64).reshape(2, 3, 4)
+         |t4 = (np.arange(16, dtype=np.float32) / 4.0).reshape(2, 2, 2, 2)
+         |np.save('$dir/t3.npy', t3)
+         |np.save('$dir/t4.npy', t4)
+         |""".stripMargin
+    val p = new ProcessBuilder("python3", "-c", script)
+      .redirectErrorStream(true).start()
+    assert(p.waitFor() == 0)
+    val t3 = Npy.rows(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/t3.npy")))
+    assert(t3.length == 6 && t3.forall(_.length == 4))
+    assert(t3(5).toSeq == Seq(20.0, 21.0, 22.0, 23.0))
+    val t4 = Npy.rows(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/t4.npy")))
+    assert(t4.length == 8 && t4.forall(_.length == 2))
+    assert(t4(7).toSeq == Seq(3.5, 3.75))
+  }
+
   test("interop: numpy float16 arrays decode exactly") {
     val dir = Files.createTempDirectory("graft-npy").toString
     val script =
