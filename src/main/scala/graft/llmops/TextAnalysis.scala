@@ -801,15 +801,28 @@ object TextAnalysis {
     */
   val MaxLmTableEntries: Long = 4000000L
 
-  /** Early-stopping cardinality gate (the [[UrlCuration]] join-shape
-    * pattern): scans at most cap+1 rows, refuses with guidance past it.
+  /** Size-gated LM-table materialization: fetch at most cap+1 rows
+    * (the gate rides the one evaluation the broadcast needed anyway —
+    * a separate counting probe would re-run the gram aggregation),
+    * refuse with guidance past the cap, and hand back a LOCAL relation
+    * whose broadcast is free.
     */
-  private def requireBoundedLmTable(df: DataFrame, which: String): Unit =
-    require(df.limit(MaxLmTableEntries.toInt + 1).count()
-        <= MaxLmTableEntries,
-      s"$which LM gram table exceeds $MaxLmTableEntries entries — it no " +
+  private def boundedLmLocal(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, gramAlias: String, cntAlias: String): DataFrame = {
+    val cap = MaxLmTableEntries.toInt
+    val rows = df.select(col("gram"), col("cnt")).limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"LM gram table exceeds $MaxLmTableEntries entries — it no " +
         "longer fits the scoring kernel; prune it first (cap the vocab, " +
         "or keep top-N grams by count) and retry")
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(gramAlias,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(cntAlias,
+          org.apache.spark.sql.types.LongType))))
+  }
 
   def lmQualityScore(
       docs: DataFrame,
@@ -821,14 +834,12 @@ object TextAnalysis {
       k: Double = 1.0
   ): DataFrame = {
     require(k > 0, "add-k smoothing needs k > 0")
-    requireBoundedLmTable(lmTri, "trigram")
-    requireBoundedLmTable(lmBi, "bigram")
     val occ = docs.select(col(keyCol),
         explode(charGrams(col(textCol), 3)).alias("__g"))
-    val tri = broadcast(lmTri.select(col("gram").alias("__g"),
-      col("cnt").alias("__c3")))
-    val bi = broadcast(lmBi.select(col("gram").alias("__bg"),
-      col("cnt").alias("__c2")))
+    val tri = broadcast(boundedLmLocal(docs.sparkSession, lmTri,
+      "__g", "__c3"))
+    val bi = broadcast(boundedLmLocal(docs.sparkSession, lmBi,
+      "__bg", "__c2"))
     occ.join(tri, Seq("__g"), "left")
       .join(bi, substring(col("__g"), 1, 2) === col("__bg"), "left")
       .select(col(keyCol),
@@ -890,11 +901,18 @@ object TextAnalysis {
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(col(textCol)),
         n, distinct = false))
     // collect the bounded LM tables once; cnt values are exact longs so
-    // the model is deterministic regardless of collect order
+    // the model is deterministic regardless of collect order. The size
+    // gate rides the collect itself: limit(cap+1) bounds the fetch, the
+    // length check refuses — no extra counting job
     def table(df: DataFrame): Array[(String, Long)] = {
-      requireBoundedLmTable(df, "curation-signal")
-      df.select(col("gram"), col("cnt")).collect()
-        .map(r => r.getString(0) -> r.getLong(1))
+      val cap = MaxLmTableEntries.toInt
+      val rows = df.select(col("gram"), col("cnt")).limit(cap + 1)
+        .collect()
+      require(rows.length <= cap,
+        s"LM gram table exceeds $MaxLmTableEntries entries — it no " +
+          "longer fits the scoring kernel; prune it first (cap the " +
+          "vocab, or keep top-N grams by count) and retry")
+      rows.map(r => r.getString(0) -> r.getLong(1))
     }
     val lmModel = graft.expressions.CharTrigramLm.model(
       table(lmTri), table(lmBi), vocab, k)
