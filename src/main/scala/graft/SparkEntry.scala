@@ -2927,6 +2927,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q210_orc_twin_prune" -> ((s, dir) => {
+      // Full write→prune loop on OUR OWN container: writeShards sorts
+      // within each shard and emits stripe statistics, so the
+      // multi-file range read skips non-intersecting stripes across
+      // every shard before any task schedules; residual filter gives
+      // exact semantics under the oracle hash
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q210_dir", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-q210")
+          .toString + "/twin_sorted"
+        graft.llmops.OrcWriter.writeShards(
+          t(ss, dir, "orders")
+            .select(col("o_orderkey"),
+              repeat(col("o_orderpriority"), 10).as("pad")),
+          "o_orderkey", d, nShards = 2, rowsPerStripe = 256)
+        d
+      })
+      graft.llmops.Orc.readOrcFiles(ss, path,
+          pruneBy = Some(("o_orderkey", 5000L, 9999L)))
+        .drop("path")
+        .filter(col("o_orderkey").between(5000, 9999))
+        .orderBy("o_orderkey")
+    }),
+
     "q209_orc_stripe_prune" -> ((s, dir) => {
       // ORC stripe pruning: a key-sorted spark-sink file with many
       // small stripes; the range read consults the Metadata statistics
@@ -6566,6 +6590,13 @@ object SparkEntry {
     "q198_avro_shards" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q210: write→prune loop on the twin's own shards — statistics
+    // emitted by our writer drive our multi-file pruned reader
+    "q210_orc_twin_prune" ->
+      """SELECT o_orderkey, repeat(o_orderpriority, 10) AS pad
+         FROM orders WHERE o_orderkey BETWEEN 5000 AND 9999
+         ORDER BY o_orderkey""",
 
     // q209: orc stripe pruning — range read through stripe statistics
     // plus residual filter equals the plain filtered scan

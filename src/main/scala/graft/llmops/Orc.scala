@@ -1051,7 +1051,8 @@ object Orc {
     * (file, stripe) pair is one task.
     */
   def readOrcFiles(spark: SparkSession, pathOrGlob: String,
-      columns: Seq[String] = Nil): DataFrame = {
+      columns: Seq[String] = Nil,
+      pruneBy: Option[(String, Long, Long)] = None): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val files = Avro.resolveFiles(conf, pathOrGlob)
@@ -1065,7 +1066,17 @@ object Orc {
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
     val metaByPath = metas.toMap
     val stripes = metas.flatMap { case (p, m) =>
-      m.stripes.map(s => (p, s.offset, s.indexLength, s.dataLength,
+      val kept = pruneBy match {
+        case None => m.stripes
+        case Some((colName, lo, hi)) =>
+          val root = m.types(0)
+          val k = root.fieldNames.indexOf(colName)
+          require(k >= 0,
+            s"orc prune column $colName not in ${root.fieldNames}")
+          pruneByIntRange(m.stripes.length, readStripeStats(conf, p),
+            root.subtypes(k), lo, hi).map(m.stripes)
+      }
+      kept.map(s => (p, s.offset, s.indexLength, s.dataLength,
         s.footerLength, s.rows))
     }
     stripes.toDF("path", "offset", "indexLen", "dataLen", "footerLen",

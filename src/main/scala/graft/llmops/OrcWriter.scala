@@ -51,6 +51,9 @@ object OrcWriter {
     def intField(num: Int, v: Long): Unit = {
       varint((num.toLong << 3) | 0); varint(v)
     }
+    /** proto sint64: zigzag varint. */
+    def sintField(num: Int, v: Long): Unit =
+      intField(num, (v << 1) ^ (v >> 63))
     def bytesField(num: Int, b: Array[Byte]): Unit = {
       varint((num.toLong << 3) | 2); varint(b.length.toLong); out.write(b)
     }
@@ -246,6 +249,26 @@ object OrcWriter {
   private final case class StreamOut(kind: Int, column: Int,
       bytes: Array[Byte])
 
+  /** Per-column stripe statistics (what [[Orc.readStripeStats]] reads
+    * back): integer min/max for the RLE-int kinds, string min/max for
+    * strings; None for kinds without a stats arm or all-null columns.
+    */
+  private final case class ColStats(values: Long,
+      ints: Option[(Long, Long)], strs: Option[(String, String)])
+
+  private def statsOf(dt: DataType, values: Array[Any]): ColStats = {
+    val nn = values.filter(_ != null)
+    dt match {
+      case ShortType | IntegerType | LongType if nn.nonEmpty =>
+        val ls = nn.map(_.asInstanceOf[Number].longValue())
+        ColStats(nn.length.toLong, Some((ls.min, ls.max)), None)
+      case StringType if nn.nonEmpty =>
+        val ss = nn.map(_.asInstanceOf[String])
+        ColStats(nn.length.toLong, None, Some((ss.min, ss.max)))
+      case _ => ColStats(nn.length.toLong, None, None)
+    }
+  }
+
   /** Encode one column's buffered values into its streams. */
   private def columnStreams(colId: Int, dt: DataType,
       values: Array[Any]): Vector[StreamOut] = {
@@ -359,6 +382,8 @@ object OrcWriter {
     private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
     private val stripes =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    private val stripeStats =
+      scala.collection.mutable.ArrayBuffer.empty[Vector[ColStats]]
     private var offset = 3L
     private var rowCount = 0L
     out.write("ORC".getBytes(UTF_8))
@@ -373,6 +398,8 @@ object OrcWriter {
     private def flushStripe(): Unit = {
       if (buf.isEmpty) return
       val n = buf.length
+      val colStats = Vector.newBuilder[ColStats]
+      colStats += ColStats(n.toLong, None, None) // the struct root
       val streams = (0 until nCols).flatMap { c =>
         val vals = new Array[Any](n)
         var i = 0
@@ -380,8 +407,10 @@ object OrcWriter {
           vals(i) = if (buf(i).isNullAt(c)) null else buf(i).get(c)
           i += 1
         }
+        colStats += statsOf(schema.fields(c).dataType, vals)
         columnStreams(c + 1, schema.fields(c).dataType, vals)
       }
+      stripeStats += colStats.result()
       val compressed = streams.map(s =>
         (s, deflateChunks(s.bytes, blockSize)))
       val dataLen = compressed.map(_._2.length.toLong).sum
@@ -414,6 +443,32 @@ object OrcWriter {
 
     def finish(): Unit = {
       flushStripe()
+      // Metadata section: per-stripe column statistics, so range reads
+      // over THIS writer's files stripe-prune exactly like orc-core's
+      val md = new PbOut
+      stripeStats.foreach { cols =>
+        val ss = new PbOut
+        cols.foreach { cs =>
+          val one = new PbOut
+          one.intField(1, cs.values)
+          cs.ints.foreach { case (mn, mx) =>
+            val is = new PbOut
+            is.sintField(1, mn)
+            is.sintField(2, mx)
+            one.bytesField(2, is.toByteArray)
+          }
+          cs.strs.foreach { case (mn, mx) =>
+            val st = new PbOut
+            st.strField(1, mn)
+            st.strField(2, mx)
+            one.bytesField(4, st.toByteArray)
+          }
+          ss.bytesField(1, one.toByteArray)
+        }
+        md.bytesField(1, ss.toByteArray)
+      }
+      val mdComp = deflateChunks(md.toByteArray, blockSize)
+      out.write(mdComp)
       val footer = new PbOut
       footer.intField(1, 3L) // headerLength
       footer.intField(2, offset) // contentLength
@@ -452,7 +507,7 @@ object OrcWriter {
       ps.intField(2, 1L) // ZLIB
       ps.intField(3, blockSize.toLong)
       ps.intField(4, 0L); ps.intField(4, 12L) // version 0.12
-      ps.intField(5, 0L) // metadataLength
+      ps.intField(5, mdComp.length.toLong) // metadataLength
       ps.intField(6, 6L) // writerVersion
       ps.strField(8000, "ORC")
       val psB = ps.toByteArray

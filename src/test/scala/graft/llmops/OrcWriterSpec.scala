@@ -128,6 +128,40 @@ class OrcWriterSpec extends SparkTestBase {
     }
   }
 
+  test("twin emits stripe statistics; pruned reads skip its stripes") {
+    val ss = spark
+    import ss.implicits._
+    // sorted single shard, small stripes → disjoint key ranges
+    val df = (0 until 3000).map(i => (i.toLong, s"val $i ${"p" * 20}"))
+      .toDF("k", "v")
+    val dir = Files.createTempDirectory("graft-orcw").toString + "/st"
+    OrcWriter.writeShards(df, "k", dir, nShards = 1, rowsPerStripe = 250)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".orc")).head.getAbsolutePath
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = Orc.readTail(conf, f)
+    assert(meta.stripes.length == 12)
+    val stats = Orc.readStripeStats(conf, f)
+    assert(stats.isDefined && stats.get.length == 12)
+    // int stats on k (type id 1), string stats on v (type id 2)
+    assert(stats.get.forall(s => s.ints(1).isDefined && s.strs(2).isDefined))
+    // writeShards sorts within the shard, so stripe key ranges tile
+    val ranges = stats.get.map(_.ints(1).get)
+    assert(ranges.map(_._1).sorted == ranges.map(_._1))
+    val kept = Orc.pruneByIntRange(12, stats, 1, 1000L, 1249L)
+    assert(kept.nonEmpty && kept.length <= 2)
+    val pruned = Orc.readOrcFiles(spark, dir,
+        pruneBy = Some(("k", 1000L, 1249L)))
+      .filter(col("k").between(1000, 1249))
+      .collect().map(_.getLong(1)).sorted
+    assert(pruned.toSeq == (1000L to 1249L))
+    // an all-pruned range returns empty cleanly
+    assert(Orc.readOrcFiles(spark, dir,
+      pruneBy = Some(("k", 100000L, 200000L))).count() == 0)
+    // spark.read.orc still accepts the file with its Metadata section
+    assert(spark.read.orc(f).count() == 3000)
+  }
+
   test("refusals: nested types and the (-1s,0) epoch instant") {
     val ss = spark
     import ss.implicits._
