@@ -20,7 +20,8 @@ import org.apache.spark.sql.types._
   * Type support: Bool; signed Int 8/16/32/64; FloatingPoint single /
   * double; Utf8/Binary (+ Large variants); Date32/64 → DateType;
   * Timestamp (all four units) → TimestampType when zone-annotated,
-  * TimestampNTZType when wall-clock; Duration as int64 passthrough;
+  * TimestampNTZType when wall-clock; Time32/64 and Duration as their
+  * int passthroughs (Spark has no time-of-day type);
   * List/LargeList; Struct; dictionary-encoded columns over any scalar
   * value type (dictionary batches materialize once on the driver,
   * size-capped — delta batches append; replacement refuses, as the
@@ -207,6 +208,9 @@ object Arrow {
       case 6 => ABool
       case 8 => // Date: DAY=int32, MILLISECOND=int64 (fbs default MILLISECOND)
         if (fb.fieldI16(tp, 0, 1) == 0) ADate32 else ADate64
+      case 9 => // Time32/64: passthrough ints (Spark has no time type)
+        if (fb.fieldI32(tp, 1, 32) == 32) APassthrough(32)
+        else APassthrough(64)
       case 10 => // Timestamp (fbs default unit SECOND, tz optional)
         val unit = fb.fieldI16(tp, 0, 0)
         val tzOff = fb.fieldOff(tp, 1)

@@ -1,6 +1,7 @@
 package graft.llmops
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.Row
 import java.nio.file.Files
 
@@ -87,6 +88,60 @@ class ContainerFuzzSpec extends SparkTestBase {
     val r = new java.util.Random(44)
     (0 until 600).foreach { _ =>
       Orc.decodeStripe(meta, st, mutate(stripeBytes, r), wanted)
+    }
+  }
+
+  test("orc typed columns: decimal/timestamp/list/map stripes never throw") {
+    val ss = spark
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-fuzz").toString + "/ot"
+    (0 until 200).map { i =>
+      (i.toLong,
+        new java.math.BigDecimal(s"${i * 37 - 1000}.${10 + i % 80}"),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          (i.toLong - 100) * 9973L, (i % 1000) * 1000L)),
+        (0 until i % 4).map(j => s"x$j"),
+        Map(s"k${i % 3}" -> i.toLong))
+    }.toDF("id", "dec", "ts", "xs", "m")
+      .select(col("id"), col("dec").cast("decimal(18,2)").as("dec"),
+        col("ts"), col("xs"), col("m"))
+      .coalesce(1)
+      .write.mode("overwrite").option("compression", "zlib").orc(dir)
+    val path = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".orc")).head.getAbsolutePath
+    val meta = Orc.readTail(spark.sparkContext.hadoopConfiguration, path)
+    val st = meta.stripes.head
+    val all = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val stripeBytes = java.util.Arrays.copyOfRange(all, st.offset.toInt,
+      (st.offset + st.indexLength + st.dataLength + st.footerLength).toInt)
+    val wanted = meta.types(0).subtypes.indices.toVector
+    val r = new java.util.Random(46)
+    (0 until 600).foreach { _ =>
+      Orc.decodeStripe(meta, st, mutate(stripeBytes, r), wanted)
+    }
+  }
+
+  test("safetensors: half-precision containers only refuse under mutation") {
+    def le(bits: Seq[Int]): Array[Byte] =
+      bits.flatMap(b => Seq((b & 0xff).toByte, ((b >> 8) & 0xff).toByte))
+        .toArray
+    val bytes = Safetensors.write(Seq(
+      ("h", "F16", Seq(8), le((0 until 8).map(k => 0x3C00 + k * 37))),
+      ("b", "BF16", Seq(8), le((0 until 8).map(k => 0x3F80 + k * 53))),
+      ("i", "I64", Seq(4), Array.tabulate[Byte](32)(k => k.toByte))))
+    val r = new java.util.Random(47)
+    (0 until 600).foreach { _ =>
+      val mb = mutate(bytes, r)
+      try {
+        val (ts, off) = Safetensors.parseHeader(mb)
+        ts.foreach(t => Safetensors.tensorRows(mb, off, t))
+      } catch {
+        case _: IllegalArgumentException =>
+        case _: ArrayIndexOutOfBoundsException =>
+        // Json parse of a mutated header may surface either refusal
+        case _: ClassCastException =>
+        case _: scala.MatchError =>
+      }
     }
   }
 
