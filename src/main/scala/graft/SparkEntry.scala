@@ -2927,6 +2927,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q211_sp_encode" -> ((s, dir) => {
+      // SentencePiece unigram encoding: a word-unigram model (one
+      // ▁word piece per distinct corpus word at uniform score, char
+      // fallback far below, ids = sorted-word ranks shifted past unk)
+      // round-trips through the ModelProto writer+parser, then the
+      // exact-Viterbi kernel tokenizes the corpus — whole words
+      // dominate, so token counts and id sums replay in SQL
+      val ss = tuned(s)
+      val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+      val m = graft.llmops.SentencePiece.modelFromBytes(
+        graft.llmops.SentencePiece.writeModel(
+          graft.llmops.SentencePiece.wordUnigramModel(docs, "text")))
+      docs.select(col("doc_id"),
+          graft.llmops.SentencePiece.encode(col("text"), m).as("__ids"))
+        .select(col("doc_id"),
+          coalesce(size(col("__ids")), lit(0)).cast("long")
+            .as("n_tokens"),
+          coalesce(aggregate(col("__ids"), lit(0L),
+            (acc, x) => acc + x.cast("long")), lit(0L)).as("id_sum"))
+        .orderBy("doc_id")
+    }),
+
     "q210_orc_twin_prune" -> ((s, dir) => {
       // Full write→prune loop on OUR OWN container: writeShards sorts
       // within each shard and emits stripe statistics, so the
@@ -6590,6 +6612,28 @@ object SparkEntry {
     "q198_avro_shards" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q211: sentencepiece unigram encode — the word-unigram model makes
+    // viterbi output SQL-replayable: ids are sorted-word ranks (+1 for
+    // the unk slot at id 0), one token per word
+    "q211_sp_encode" ->
+      """WITH d AS (SELECT doc_id, trim(text) AS t FROM documents
+                    WHERE doc_id < 400),
+         w AS (SELECT doc_id,
+                 unnest(regexp_split_to_array(t, '\s+')) AS word
+               FROM d WHERE t IS NOT NULL AND t <> ''),
+         w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+         v AS (SELECT word,
+                 row_number() OVER (ORDER BY word) AS id
+               FROM (SELECT DISTINCT word FROM w2)),
+         s AS (SELECT w2.doc_id, count(*) AS n_tokens,
+                 CAST(sum(v.id) AS BIGINT) AS id_sum
+               FROM w2 JOIN v USING (word) GROUP BY w2.doc_id)
+         SELECT d.doc_id,
+           coalesce(s.n_tokens, 0) AS n_tokens,
+           coalesce(s.id_sum, 0) AS id_sum
+         FROM d LEFT JOIN s ON d.doc_id = s.doc_id
+         ORDER BY d.doc_id""",
 
     // q210: write→prune loop on the twin's own shards — statistics
     // emitted by our writer drive our multi-file pruned reader
