@@ -5826,6 +5826,22 @@ object SparkEntry {
           sum(col("total_chars")).cast("long").as("chars"))
       }),
 
+      "s19_sp_tokenize" -> ((s, dir) => {
+        // sentencepiece throughput: a FIXED-vocabulary model (built
+        // from a pinned doc_id sample — real tokenizers have a fixed
+        // 32k-256k vocab) tokenizing the whole corpus by exact
+        // Viterbi — the terminal transform of a text pipeline, and the
+        // realistic scale shape (model constant, corpus grows)
+        val ss = tuned(s)
+        val docs = t(ss, dir, "documents")
+        val m = graft.llmops.SentencePiece.model(
+          graft.llmops.SentencePiece.wordUnigramModel(
+            docs.filter(col("doc_id") < 2000), "text"))
+        docs.select(
+            graft.llmops.SentencePiece.encode(col("text"), m).as("__ids"))
+          .agg(sum(size(col("__ids"))).cast("long").as("tokens"))
+      }),
+
       "s15_tfrecord_export" -> ((s, dir) => {
         // training-export throughput: the whole corpus through the
         // STREAMED TFRecord shard writer (hash-shard shuffle + per-task

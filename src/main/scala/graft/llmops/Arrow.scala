@@ -122,6 +122,10 @@ object Arrow {
   final case class ADecimal(precision: Int, scale: Int,
       bits: Int) extends AType
   final case class AList(child: AField, large: Boolean) extends AType
+  /** FixedSizeList: `n` values per slot, no offsets buffer — the layout
+    * embedding columns ship in.
+    */
+  final case class AFixedList(child: AField, n: Int) extends AType
   final case class AStruct(children: Vector[AField]) extends AType
 
   /** `dict` marks a dictionary-encoded field: (dictionary id, index
@@ -149,6 +153,7 @@ object Arrow {
     case APassthrough(32) => IntegerType
     case APassthrough(_) => LongType
     case AList(c, _) => ArrayType(sparkType(c.tpe))
+    case AFixedList(c, _) => ArrayType(sparkType(c.tpe))
     case AStruct(cs) => StructType(cs.map(c =>
       StructField(c.name, sparkType(c.tpe), c.nullable)))
   }
@@ -218,6 +223,10 @@ object Arrow {
       case 18 => APassthrough(64) // Duration
       case 12 => AList(children.head, large = false)
       case 13 => AStruct(children)
+      case 16 => // FixedSizeList: listSize (i32)
+        val sz = fb.fieldI32(tp, 0, 0)
+        require(sz > 0, s"fixed-size list of $sz (field $name)")
+        AFixedList(children.head, sz)
       case 19 => ABinary(large = true)
       case 20 => AString(large = true)
       case 21 => AList(children.head, large = true)
@@ -225,7 +234,8 @@ object Arrow {
         s"arrow type id $other unsupported (field $name)")
     }
     dict.foreach { _ =>
-      require(!tpe.isInstanceOf[AList] && !tpe.isInstanceOf[AStruct],
+      require(!tpe.isInstanceOf[AList] && !tpe.isInstanceOf[AStruct] &&
+        !tpe.isInstanceOf[AFixedList],
         s"dictionary-encoded nested value type unsupported (field $name)")
     }
     AField(name, nullable, tpe, dict)
@@ -525,6 +535,20 @@ object Arrow {
             out(i) = kids.slice(off(i).toInt, off(i + 1).toInt).toSeq
           i += 1
         }
+      case AFixedList(child, sz) =>
+        // no offsets buffer: child slot i·sz .. (i+1)·sz
+        val kids = readColumn(bd, child, cur, rows * sz, dicts)
+        var i = 0
+        while (i < rows) {
+          if (valid(i)) {
+            val b = Vector.newBuilder[Any]
+            var j = i * sz
+            val e = j + sz
+            while (j < e) { b += kids(j); j += 1 }
+            out(i) = b.result()
+          }
+          i += 1
+        }
       case AStruct(children) =>
         val cols = children.map(c => readColumn(bd, c, cur, rows, dicts))
         var i = 0
@@ -544,6 +568,7 @@ object Arrow {
     if (f.dict.isDefined) 1
     else f.tpe match {
       case AList(c, _) => 1 + nodeCount(c)
+      case AFixedList(c, _) => 1 + nodeCount(c)
       case AStruct(cs) => 1 + cs.map(nodeCount).sum
       case _ => 1
     }
@@ -556,6 +581,7 @@ object Arrow {
     else f.tpe match {
       case AString(_) | ABinary(_) => 3
       case AList(c, _) => 2 + bufCount(c)
+      case AFixedList(c, _) => 1 + bufCount(c) // validity only, no offsets
       case AStruct(cs) => 1 + cs.map(bufCount).sum
       case _ => 2
     }

@@ -189,8 +189,9 @@ object ArrowWriter {
         b.slotI16(0, unit, 0)
         if (tz) b.slotOffset(1, tzOff)
         (10, b.endTable())
-      case APassthrough(_) => throw new IllegalArgumentException(
-        "writer does not emit passthrough temporal types")
+      case APassthrough(_) | AFixedList(_, _) =>
+        throw new IllegalArgumentException(
+          "writer does not emit passthrough or fixed-size-list types")
     }
     b.startTable()
     b.slotOffset(0, nameOff)
@@ -430,8 +431,9 @@ object ArrowWriter {
           }
           writeColumn(c, kid, body, nodes)
         }
-      case APassthrough(_) => throw new IllegalArgumentException(
-        "writer does not emit passthrough temporal types")
+      case APassthrough(_) | AFixedList(_, _) =>
+        throw new IllegalArgumentException(
+          "writer does not emit passthrough or fixed-size-list types")
     }
   }
 

@@ -492,6 +492,56 @@ class ArrowSpec extends SparkTestBase {
       .count(!_.isNullAt(0)) == rows.count(_.get(0) != null))
   }
 
+  test("fixed-size-list embeddings from arrow-java land as arrays") {
+    val path = Files.createTempDirectory("graft-arrow").toString +
+      "/fsl.arrow"
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      import org.apache.arrow.vector.types.pojo._
+      val child = new Field("item", FieldType.nullable(
+        new ArrowType.FloatingPoint(
+          org.apache.arrow.vector.types.FloatingPointPrecision.SINGLE)),
+        null)
+      val f = new Field("emb", FieldType.nullable(
+        new ArrowType.FixedSizeList(4)),
+        java.util.Arrays.asList(child))
+      val v = f.createVector(alloc)
+        .asInstanceOf[org.apache.arrow.vector.complex.FixedSizeListVector]
+      val root = new org.apache.arrow.vector.VectorSchemaRoot(
+        java.util.Arrays.asList(f),
+        java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](v), 0)
+      val ch = java.nio.channels.Channels.newChannel(
+        new java.io.FileOutputStream(path))
+      val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null,
+        ch)
+      w.start()
+      root.allocateNew()
+      val data = v.getDataVector
+        .asInstanceOf[org.apache.arrow.vector.Float4Vector]
+      (0 until 120).foreach { i =>
+        if (i % 9 == 4) v.setNull(i)
+        else {
+          v.setNotNull(i)
+          (0 until 4).foreach(j => data.setSafe(i * 4 + j, i + j / 8.0f))
+        }
+      }
+      root.setRowCount(120)
+      w.writeBatch()
+      w.end(); w.close(); ch.close(); root.close()
+    } finally alloc.close()
+    val df = Arrow.readArrow(spark, path)
+    assert(df.schema("emb").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    val rows = df.collect()
+    assert(rows.length == 120)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      if (i % 9 == 4) assert(r.isNullAt(0))
+      else assert(r.getSeq[Float](0) ==
+        (0 until 4).map(j => i + j / 8.0f))
+    }
+  }
+
   test("refusals: bad magic, unsigned ints") {
     intercept[IllegalArgumentException] {
       Arrow.readFooter(spark.sparkContext.hadoopConfiguration,
