@@ -13,13 +13,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * surface length; both derive once per executor.
   */
 final class SpModel(val pieces: Array[(String, Float)],
-    val unkId: Int) extends Serializable {
+    val unkId: Int,
+    val matchable: Array[Boolean] = null) extends Serializable {
   @transient lazy val index: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](pieces.length * 2)
     var i = 0
     while (i < pieces.length) {
-      // first surface wins on duplicates (id order is model order)
-      if (!m.containsKey(pieces(i)._1)) m.put(pieces(i)._1, i)
+      // first surface wins on duplicates (id order is model order);
+      // control/unknown pieces (<s>, </s>, <pad>, <unk>) never match
+      // literal text — their surfaces are markers, not content
+      if ((matchable == null || matchable(i)) &&
+          !m.containsKey(pieces(i)._1)) m.put(pieces(i)._1, i)
       i += 1
     }
     m

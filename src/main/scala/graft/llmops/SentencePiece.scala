@@ -28,6 +28,9 @@ object SentencePiece {
 
   val TypeNormal = 1
   val TypeUnknown = 2
+  val TypeControl = 3
+  val TypeUserDefined = 4
+  val TypeByte = 6
 
   // ----------------------------------------------------------- proto read
 
@@ -123,7 +126,11 @@ object SentencePiece {
   def model(pieces: Seq[Piece]): graft.expressions.SpModel =
     new graft.expressions.SpModel(
       pieces.map(p => (p.piece, p.score)).toArray,
-      pieces.indexWhere(_.ptype == TypeUnknown))
+      pieces.indexWhere(_.ptype == TypeUnknown),
+      // only NORMAL / USER_DEFINED pieces match literal text; control
+      // markers and unk keep their ids but never enter the lattice
+      pieces.map(p => p.ptype == TypeNormal ||
+        p.ptype == TypeUserDefined).toArray)
 
   /** Model from serialized `.model` bytes. */
   def modelFromBytes(b: Array[Byte]): graft.expressions.SpModel =

@@ -100,6 +100,21 @@ class SentencePieceSpec extends SparkTestBase {
     }
   }
 
+  test("control-piece surfaces never match literal text") {
+    val pieces = Vector(
+      Piece("<unk>", 0f, TypeUnknown),
+      Piece("<s>", 0f, TypeControl),
+      Piece("▁a", -1f, TypeNormal),
+      Piece("<", -2f, TypeNormal), Piece("s", -2f, TypeNormal),
+      Piece(">", -2f, TypeNormal))
+    val m = model(pieces)
+    // the literal text "<s>" tokenizes through content pieces, never
+    // to the control id 1
+    val ids = graft.expressions.SpEncode.encodeIds("a <s>", m)
+    assert(!ids.contains(1))
+    assert(ids.count(_ == m.unkId) == 1) // the ▁ before '<' has no piece
+  }
+
   test("model proto round trip and unk detection") {
     val pieces = Vector(
       Piece("<unk>", 0f, TypeUnknown),
