@@ -23,8 +23,8 @@ import org.apache.spark.sql.types._
   * timezone + trailing-zero nanos), LIST, MAP and nested STRUCT under
   * a STRUCT root, with nullability via PRESENT streams at every level.
   * UNION refuses at schema parse — documented boundary (no stable
-  * columnar shape). Compression NONE/ZLIB/SNAPPY/LZ4/ZSTD via the
-  * repo's own decoders (LZO refused).
+  * columnar shape). Compression NONE/ZLIB/SNAPPY/LZO/LZ4/ZSTD — all
+  * via the repo's own decoders ([[Lzo]] closed the last codec gap).
   *
   * Corruption blast radius: one stripe (structural failure drops that
   * stripe's rows; the footer keeps every other stripe reachable).
@@ -260,6 +260,10 @@ object Orc {
           case 2 =>
             val p = Snappy.decodeRaw(b, i, i + clen)
             require(p != null, "orc snappy chunk")
+            p
+          case 3 =>
+            val p = Lzo.decodeRaw(b, i, i + clen, 1 << 28)
+            require(p != null, "orc lzo chunk")
             p
           case 4 =>
             val p = Lz4.decodeRawBlock(b, i, clen, 1 << 28)

@@ -54,12 +54,57 @@ class OrcSpec extends SparkTestBase {
     check(dir, 500)
   }
 
-  test("codecs: none, snappy, zstd, lz4") {
-    for (codec <- Seq("none", "snappy", "zstd", "lz4")) {
+  test("codecs: none, snappy, zstd, lz4, lzo") {
+    for (codec <- Seq("none", "snappy", "zstd", "lz4", "lzo")) {
       val dir = Files.createTempDirectory("graft-orc").toString + s"/$codec"
       sparkWrite(dir, 300, codec)
       check(dir, 300)
     }
+  }
+
+  test("lzo1x kernel: never throws on mutated streams, refuses to null") {
+    // a genuine aircompressor lzo chunk out of a spark-written file:
+    // take the first compressed chunk of the first stripe
+    val dir = Files.createTempDirectory("graft-orc").toString + "/lzf"
+    sparkWrite(dir, 400, "lzo")
+    val all = Files.readAllBytes(java.nio.file.Paths.get(firstOrc(dir)))
+    // walk the stripe's STREAM layout (footer-listed lengths) and take
+    // the first compressed chunk at a true chunk boundary
+    val meta = Orc.readTail(spark.sparkContext.hadoopConfiguration,
+      firstOrc(dir))
+    val st = meta.stripes.head
+    val sfBytes = Orc.decompressStream(meta.compression, all,
+      (st.offset + st.indexLength + st.dataLength).toInt,
+      st.footerLength.toInt)
+    val (streams, _, _) = Orc.parseStripeFooter(sfBytes)
+    var chunk: Array[Byte] = null
+    var pos = st.offset
+    streams.foreach { s =>
+      var p = pos.toInt
+      val streamEnd = (pos + s.length).toInt
+      while (chunk == null && p + 3 <= streamEnd) {
+        val h = (all(p) & 0xff) | ((all(p + 1) & 0xff) << 8) |
+          ((all(p + 2) & 0xff) << 16)
+        val clen = h >>> 1
+        if ((h & 1) == 0 && clen > 32 && p + 3 + clen <= streamEnd)
+          chunk = java.util.Arrays.copyOfRange(all, p + 3, p + 3 + clen)
+        else p += 3 + clen // next chunk boundary of this stream
+      }
+      pos += s.length
+    }
+    assert(chunk != null, "no compressed lzo chunk found")
+    assert(Lzo.decodeRaw(chunk, 0, chunk.length, 1 << 24) != null)
+    val r = new java.util.Random(48)
+    (0 until 800).foreach { _ =>
+      val m = chunk.clone()
+      (0 until 1 + r.nextInt(4)).foreach { _ =>
+        m(r.nextInt(m.length)) =
+          (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+      }
+      Lzo.decodeRaw(m, 0, m.length, 1 << 24) // null or bytes, no throw
+    }
+    assert(Lzo.decodeRaw(null, 0, 0, 10) == null)
+    assert(Lzo.decodeRaw(Array[Byte](1, 2), 5, 1, 10) == null)
   }
 
   test("dictionary-encoded strings (repetitive values)") {
