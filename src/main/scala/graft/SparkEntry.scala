@@ -2927,6 +2927,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q212_orc_lzo" -> ((s, dir) => {
+      // ORC LZO ingestion: the fixture is written by SPARK'S OWN sink
+      // with aircompressor's LZO codec, recovered by the from-scratch
+      // LZO1X decoder under the stripe-parallel reader — the last ORC
+      // codec boundary, closed under the full-text hash
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q212_file", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-q212")
+          .toString + "/docs_lzo"
+        t(ss, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("text"))
+          .coalesce(1).write.mode("overwrite")
+          .option("compression", "lzo").orc(d)
+        new java.io.File(d).listFiles()
+          .filter(_.getName.endsWith(".orc")).head.getAbsolutePath
+      })
+      graft.llmops.Orc.readOrc(ss, path)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     "q211_sp_encode" -> ((s, dir) => {
       // SentencePiece unigram encoding: a word-unigram model (one
       // ▁word piece per distinct corpus word at uniform score, char
@@ -6626,6 +6647,12 @@ object SparkEntry {
     // q198: avro shards — identity through distributed export and the
     // sync-scan multi-file read
     "q198_avro_shards" ->
+      """SELECT doc_id, text FROM documents WHERE doc_id < 400
+         ORDER BY doc_id""",
+
+    // q212: orc lzo — identity through spark's aircompressor sink and
+    // the from-scratch LZO1X decoder
+    "q212_orc_lzo" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
 
