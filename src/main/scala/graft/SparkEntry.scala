@@ -3472,6 +3472,58 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q213_avro_union" -> ((s, dir) => {
+      // general multi-branch Avro unions land as tagged sparse
+      // structs: the fixture is written by AVRO'S OWN writer with a
+      // 4-branch union column ["null","long","string",record P] —
+      // branch picked by doc_id % 4, the string branch carrying the
+      // full document text; the from-scratch reader tags each value
+      // and the oracle replays every member column with CASE arms
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q213_file", _ => {
+        val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val f = java.nio.file.Files.createTempDirectory("graft-q213")
+          .toString + "/union.avro"
+        val sj = """{"type":"record","name":"M","fields":[
+          {"name":"doc_id","type":"long"},
+          {"name":"v","type":["null","long","string",
+            {"type":"record","name":"P","fields":[
+              {"name":"a","type":"int"},
+              {"name":"b","type":"string"}]}]}]}"""
+        val schema = new org.apache.avro.Schema.Parser().parse(sj)
+        val ps = schema.getField("v").schema().getTypes.get(3)
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](schema))
+        w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        w.setSyncInterval(1024)
+        w.create(schema, new java.io.File(f))
+        try docs.foreach { case (id, text) =>
+          val rec = new org.apache.avro.generic.GenericData.Record(schema)
+          rec.put("doc_id", id)
+          rec.put("v", (id % 4).toInt match {
+            case 0 => null
+            case 1 => java.lang.Long.valueOf(id * 7919L)
+            case 2 => text
+            case _ =>
+              val p = new org.apache.avro.generic.GenericData.Record(ps)
+              p.put("a", (id % 997).toInt)
+              p.put("b", s"p$id")
+              p
+          })
+          w.append(rec)
+        } finally w.close()
+        f
+      })
+      graft.llmops.Avro.readAvro(ss, path, rangeBytes = 8192)
+        .select(col("doc_id"), col("v.tag").as("tag"),
+          col("v.m_long").as("v_long"), col("v.m_string").as("v_string"),
+          col("v.m_P.a").as("p_a"), col("v.m_P.b").as("p_b"))
+        .orderBy("doc_id")
+    }),
+
     "q179_sequencefile" -> ((s, dir) => {
       // Hadoop-era SequenceFile ingestion: the fixture is written by
       // HADOOP'S OWN writer (block compression, DefaultCodec, small
@@ -6798,6 +6850,18 @@ object SparkEntry {
     "q195_avro" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q213: multi-branch avro union as a tagged sparse struct — every
+    // member column replayed with CASE arms over the branch picker
+    "q213_avro_union" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN NULL
+                ELSE CAST(doc_id % 4 AS INT) END AS tag,
+           CASE WHEN doc_id % 4 = 1 THEN doc_id * 7919 END AS v_long,
+           CASE WHEN doc_id % 4 = 2 THEN text END AS v_string,
+           CASE WHEN doc_id % 4 = 3 THEN CAST(doc_id % 997 AS INT) END AS p_a,
+           CASE WHEN doc_id % 4 = 3 THEN 'p' || doc_id END AS p_b
+         FROM documents WHERE doc_id < 400 ORDER BY doc_id""",
 
     // q194: license propagation — repo license from the LICENSE files
     // (min is trivial: both carry the same text), files coalesce their

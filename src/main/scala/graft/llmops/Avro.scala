@@ -18,9 +18,12 @@ import org.apache.spark.sql.types._
   * UNCOMPRESSED bytes, big-endian), bzip2, xz, zstandard — all via the
   * repo's own decoders. Schema support: records, all primitives, enums,
   * fixed, arrays, maps, named-type references, and nullable unions
-  * (`[null, X]` in either order). General multi-branch unions refuse at
-  * schema parse (documented boundary — they have no stable columnar
-  * shape). Logical types bridge to typed Spark columns: decimal
+  * (`[null, X]` in either order). General multi-branch unions land as
+  * TAGGED SPARSE STRUCTS — `struct(tag INT, m_<branch> ...)` with the
+  * Avro union index in `tag`, one member field per non-null branch,
+  * and a `null` branch making the whole struct NULL (the same shape
+  * ORC UNION and Arrow union columns land as — one contract across
+  * the container family). Logical types bridge to typed Spark columns: decimal
   * (bytes/fixed, big-endian two's-complement unscaled) → DecimalType,
   * date → DateType, timestamp-millis/micros → TimestampType; other
   * annotations pass through as their underlying primitive, as the
@@ -65,6 +68,16 @@ object Avro {
     * `nullFirst` records the branch order for index coding.
     */
   final case class SOpt(inner: Sch, nullFirst: Boolean) extends Sch
+  /** General multi-branch union — lands as a TAGGED SPARSE STRUCT:
+    * `struct(tag INT, m_<branch> ...)` with one member field per
+    * non-null branch (named from the branch type, deduplicated), the
+    * Avro union index in `tag`, and exactly one member non-null per
+    * value. A `null` branch makes the whole struct value NULL (the
+    * same contract as the nullable-union column, lifted one level).
+    * `names` is parallel to `branches` ("" for the null branch).
+    */
+  final case class SUnion(branches: Vector[Sch],
+      names: Vector[String]) extends Sch
   final case class SRecord(name: String,
       fields: Vector[(String, Sch)]) extends Sch
 
@@ -105,8 +118,24 @@ object Avro {
           // single-branch union: the index varint (always 0) still
           // precedes the value, so keep the SOpt decode shape
           case Vector(one) => SOpt(one, nullFirst = false)
-          case _ => throw new IllegalArgumentException(
-            "unsupported general union (only [null, X] is columnar)")
+          case bs =>
+            // general multi-branch union → tagged sparse struct. Avro
+            // forbids immediately-nested unions, so every branch here
+            // is a non-union type; names collide only across two named
+            // types sharing a simple name (dedup with an index suffix)
+            val base = bs.map {
+              case SNull => ""
+              case b => branchName(b)
+            }
+            val seen = scala.collection.mutable.Map.empty[String, Int]
+            val names = base.map { n =>
+              if (n.isEmpty) ""
+              else {
+                val k = seen.getOrElse(n, 0); seen(n) = k + 1
+                if (k == 0) n else s"${n}_$k"
+              }
+            }
+            SUnion(bs, names)
         }
       case m: Map[_, _] =>
         val o = m.asInstanceOf[Map[String, Any]]
@@ -176,6 +205,39 @@ object Avro {
       case _ => throw new IllegalArgumentException("bad schema node")
     }
 
+  /** Member-field base name for a union branch (the Avro type name:
+    * primitives by keyword, named types by simple name, sanitized to
+    * identifier characters).
+    */
+  private def branchName(s: Sch): String = {
+    def simple(full: String): String = {
+      val t = full.substring(full.lastIndexOf('.') + 1)
+      val b = t.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+      if (b.isEmpty) "t" else b
+    }
+    s match {
+      case SNull => "null"
+      case SBool => "boolean"
+      case SInt => "int"
+      case SLong => "long"
+      case SFloat => "float"
+      case SDouble => "double"
+      case SString => "string"
+      case SBytes => "bytes"
+      case SFixed(n, _) => simple(n)
+      case SEnum(n, _) => simple(n)
+      case SRecord(n, _) => simple(n)
+      case SDecimal(_, _, _) => "decimal"
+      case SDate => "date"
+      case STimestamp(_) => "timestamp"
+      case SLocalTimestamp(_) => "local_timestamp"
+      case SArray(_) => "array"
+      case SMap(_) => "map"
+      case SOpt(_, _) | SUnion(_, _) => "union" // unreachable: Avro
+        // forbids immediately-nested unions and parse rejects them
+    }
+  }
+
   /** The Spark type an Avro schema lands as. */
   def sparkType(s: Sch): DataType = s match {
     case SNull => NullType
@@ -193,6 +255,12 @@ object Avro {
     case SArray(i) => ArrayType(sparkType(i))
     case SMap(v) => MapType(StringType, sparkType(v))
     case SOpt(i, _) => sparkType(i)
+    case SUnion(bs, names) =>
+      val members = bs.indices.collect {
+        case i if bs(i) != SNull =>
+          StructField("m_" + names(i), sparkType(bs(i)))
+      }
+      StructType(StructField("tag", IntegerType) +: members)
     case SRecord(_, fs) => StructType(fs.map { case (n, t) =>
       StructField(n, sparkType(t))
     })
@@ -308,6 +376,26 @@ object Avro {
       if (idx < 0 || idx > 1)
         throw new IllegalArgumentException("union index")
       if (isNull) null else readDatum(in, inner)
+    case SUnion(bs, _) =>
+      val idx = in.vlong().toInt
+      if (idx < 0 || idx >= bs.length)
+        throw new IllegalArgumentException("union index")
+      if (bs(idx) == SNull) null
+      else {
+        // tag + one member slot per non-null branch, only ours filled
+        val cells = Array.fill[Any](1 + bs.count(_ != SNull))(null)
+        cells(0) = idx
+        var m = 1
+        var k = 0
+        var mine = -1
+        while (k < bs.length) {
+          if (bs(k) != SNull) { if (k == idx) mine = m; m += 1 }
+          k += 1
+        }
+        cells(mine) = readDatum(in, bs(idx))
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          cells))
+      }
     case SRecord(_, fields) =>
       Row.fromSeq(fields.map { case (_, t) => readDatum(in, t) })
   }

@@ -70,6 +70,26 @@ object AvroWriter {
         writeVlong(o, if (nullFirst) 1L else 0L)
         writeDatum(o, inner, v)
       }
+    case SUnion(bs, _) =>
+      // value is the reader's tagged sparse struct: Row(tag, m_...);
+      // NULL writes the union's null branch (must exist)
+      if (v == null) {
+        val nb = bs.indexOf(SNull)
+        require(nb >= 0, "null for a union without a null branch")
+        writeVlong(o, nb.toLong)
+      } else {
+        val r = v.asInstanceOf[org.apache.spark.sql.Row]
+        val tag = r.getInt(0)
+        require(tag >= 0 && tag < bs.length && bs(tag) != SNull,
+          s"bad union tag $tag")
+        writeVlong(o, tag.toLong)
+        // member slot for this tag: 1 + count of non-null branches
+        // before it
+        var m = 1
+        var k = 0
+        while (k < tag) { if (bs(k) != SNull) m += 1; k += 1 }
+        writeDatum(o, bs(tag), r.get(m))
+      }
     case SDecimal(_, scale, fixedSize) =>
       val bd = v.asInstanceOf[java.math.BigDecimal]
         .setScale(scale, java.math.RoundingMode.UNNECESSARY)

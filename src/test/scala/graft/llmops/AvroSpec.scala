@@ -327,16 +327,118 @@ class AvroSpec extends SparkTestBase {
       .sortBy(_.toString))
   }
 
-  test("refusals: general unions, bad magic, unknown codec") {
-    intercept[IllegalArgumentException] {
-      Avro.parseSchema("""["int","string"]""")
-    }
+  test("refusals: bad magic, unknown codec") {
     intercept[IllegalArgumentException] {
       Avro.parseHeader("NotAvroAtAll".getBytes)
     }
     intercept[IllegalArgumentException] {
       Avro.decodeBlock("lzo", Array[Byte](1, 2, 3))
     }
+  }
+
+  test("multi-branch union: tagged sparse struct, avro-java both ways") {
+    val sj =
+      """{"type":"record","name":"M","fields":[
+         {"name":"id","type":"long"},
+         {"name":"v","type":["null","long","string",
+           {"type":"record","name":"P","fields":[
+             {"name":"a","type":"int"},{"name":"b","type":"string"}]}]}]}"""
+    // shape: struct(tag, m_long, m_string, m_P)
+    val sch = Avro.parseSchema(sj)
+    val st = Avro.rootStruct(sch)
+    val vt = st("v").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(vt.fieldNames.toSeq ==
+      Seq("tag", "m_long", "m_string", "m_P"))
+
+    // avro-java writes all four branches; our reader lands them tagged
+    val path = Files.createTempDirectory("graft-avro-u").toString +
+      "/m.avro"
+    val as = new org.apache.avro.Schema.Parser().parse(sj)
+    val ps = as.getField("v").schema().getTypes.get(3)
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](as))
+    w.create(as, new java.io.File(path))
+    for (i <- 0 until 40) {
+      val rec = new org.apache.avro.generic.GenericData.Record(as)
+      rec.put("id", i.toLong)
+      rec.put("v", (i % 4) match {
+        case 0 => null
+        case 1 => java.lang.Long.valueOf(i * 7L)
+        case 2 => s"s$i"
+        case _ =>
+          val p = new org.apache.avro.generic.GenericData.Record(ps)
+          p.put("a", i); p.put("b", s"b$i"); p
+      })
+      w.append(rec)
+    }
+    w.close()
+    val got = Avro.readAvro(spark, path).collect().sortBy(_.getLong(0))
+    assert(got.length == 40)
+    got.foreach { r =>
+      val i = r.getLong(0).toInt
+      if (i % 4 == 0) assert(r.isNullAt(1))
+      else {
+        val u = r.getStruct(1)
+        assert(u.getInt(0) == i % 4)
+        i % 4 match {
+          case 1 =>
+            assert(u.getLong(1) == i * 7L && u.isNullAt(2) && u.isNullAt(3))
+          case 2 =>
+            assert(u.isNullAt(1) && u.getString(2) == s"s$i" && u.isNullAt(3))
+          case _ =>
+            assert(u.isNullAt(1) && u.isNullAt(2))
+            assert(u.getStruct(3).getInt(0) == i &&
+              u.getStruct(3).getString(1) == s"b$i")
+        }
+      }
+    }
+
+    // twin writer: tagged rows → avro-java reads the same branches back
+    val rows = (0 until 24).map { i =>
+      Row(i.toLong, (i % 4) match {
+        case 0 => null
+        case 1 => Row(1, i * 11L, null, null)
+        case 2 => Row(2, null, s"t$i", null)
+        case _ => Row(3, null, null, Row(i, s"c$i"))
+      })
+    }
+    val p2 = Files.createTempDirectory("graft-avro-u").toString +
+      "/twin.avro"
+    Files.write(java.nio.file.Paths.get(p2),
+      AvroWriter.write(sj, rows, "deflate"))
+    val rd = new org.apache.avro.file.DataFileReader(
+      new java.io.File(p2),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    var n = 0
+    while (rd.hasNext) {
+      val rec = rd.next()
+      val i = rec.get("id").asInstanceOf[Long].toInt
+      (i % 4) match {
+        case 0 => assert(rec.get("v") == null)
+        case 1 => assert(rec.get("v") == i * 11L)
+        case 2 => assert(rec.get("v").toString == s"t$i")
+        case _ =>
+          val p = rec.get("v")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          assert(p.get("a") == i && p.get("b").toString == s"c$i")
+      }
+      n += 1
+    }
+    rd.close()
+    assert(n == 24)
+
+    // simple-name collision across namespaces dedups with a suffix;
+    // null branch anywhere makes the struct nullable the same way
+    val sj2 = """["null",
+      {"type":"record","name":"x.T","fields":[{"name":"a","type":"int"}]},
+      {"type":"record","name":"y.T","fields":[{"name":"a","type":"long"}]}]"""
+    val st2 = Avro.rootStruct(Avro.parseSchema(sj2))
+    val vt2 = st2("value").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(vt2.fieldNames.toSeq == Seq("tag", "m_T", "m_T_1"))
   }
 
   test("nullable-union order both ways; single-branch union") {
