@@ -3524,6 +3524,64 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q214_orc_union" -> ((s, dir) => {
+      // ORC UNION columns as tagged sparse structs: Spark's sink cannot
+      // write unions, so the fixture comes from ORC-CORE'S OWN writer
+      // (the packed-children layout's reference implementation); branch
+      // by doc_id % 3 with the string branch carrying the full text.
+      // The from-scratch reader decodes tag byte-RLE + packed children;
+      // the oracle replays both member columns with CASE arms
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q214_file", _ => {
+        val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val f = java.nio.file.Files.createTempDirectory("graft-q214")
+          .toString + "/union.orc"
+        val schema = org.apache.orc.TypeDescription.fromString(
+          "struct<doc_id:bigint,v:uniontype<bigint,string>>")
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val w = org.apache.orc.OrcFile.createWriter(
+          new org.apache.hadoop.fs.Path(f),
+          org.apache.orc.OrcFile.writerOptions(conf).setSchema(schema)
+            .stripeSize(64 * 1024)
+            .compress(org.apache.orc.CompressionKind.ZLIB))
+        val batch = schema.createRowBatch(64)
+        val ids = batch.cols(0).asInstanceOf[
+          org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
+        val uv = batch.cols(1).asInstanceOf[
+          org.apache.hadoop.hive.ql.exec.vector.UnionColumnVector]
+        val uvL = uv.fields(0).asInstanceOf[
+          org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
+        val uvS = uv.fields(1).asInstanceOf[
+          org.apache.hadoop.hive.ql.exec.vector.BytesColumnVector]
+        uv.noNulls = false
+        try docs.foreach { case (id, text) =>
+          val r = batch.size
+          ids.vector(r) = id
+          (id % 3).toInt match {
+            case 0 => uv.isNull(r) = true
+            case 1 => uv.tags(r) = 0; uvL.vector(r) = id * 8191L
+            case _ => uv.tags(r) = 1
+              uvS.setVal(r, text.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+          }
+          batch.size += 1
+          if (batch.size == batch.getMaxSize) {
+            w.addRowBatch(batch); batch.reset(); uv.noNulls = false
+          }
+        } finally {
+          if (batch.size > 0) w.addRowBatch(batch)
+          w.close()
+        }
+        f
+      })
+      graft.llmops.Orc.readOrc(ss, path)
+        .select(col("doc_id"), col("v.tag").as("tag"),
+          col("v.m_0").as("v_long"), col("v.m_1").as("v_string"))
+        .orderBy("doc_id")
+    }),
+
     "q179_sequencefile" -> ((s, dir) => {
       // Hadoop-era SequenceFile ingestion: the fixture is written by
       // HADOOP'S OWN writer (block compression, DefaultCodec, small
@@ -6850,6 +6908,16 @@ object SparkEntry {
     "q195_avro" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q214: ORC UNION as a tagged sparse struct — the oracle replays
+    // both member columns with CASE arms over the branch picker
+    "q214_orc_union" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN NULL
+                ELSE CAST(doc_id % 3 - 1 AS INT) END AS tag,
+           CASE WHEN doc_id % 3 = 1 THEN doc_id * 8191 END AS v_long,
+           CASE WHEN doc_id % 3 = 2 THEN text END AS v_string
+         FROM documents WHERE doc_id < 400 ORDER BY doc_id""",
 
     // q213: multi-branch avro union as a tagged sparse struct — every
     // member column replayed with CASE arms over the branch picker

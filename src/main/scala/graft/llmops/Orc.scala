@@ -22,8 +22,11 @@ import org.apache.spark.sql.types._
   * TIMESTAMP_INSTANT (2015-epoch seconds in the stripe's writer
   * timezone + trailing-zero nanos), LIST, MAP and nested STRUCT under
   * a STRUCT root, with nullability via PRESENT streams at every level.
-  * UNION refuses at schema parse — documented boundary (no stable
-  * columnar shape). Compression NONE/ZLIB/SNAPPY/LZO/LZ4/ZSTD — all
+  * UNION lands as a tagged sparse struct — `struct(tag INT, m_0, m_1,
+  * ...)` with the tag byte in `tag` and each anonymous child in its
+  * positional member (the same shape Avro multi-branch unions land
+  * as — one contract across the container family).
+  * Compression NONE/ZLIB/SNAPPY/LZO/LZ4/ZSTD — all
   * via the repo's own decoders ([[Lzo]] closed the last codec gap).
   *
   * Corruption blast radius: one stripe (structural failure drops that
@@ -554,6 +557,7 @@ object Orc {
   private val K_LIST = 10
   private val K_MAP = 11
   private val K_STRUCT = 12
+  private val K_UNION = 13
   private val K_DECIMAL = 14
   private val K_DATE = 15
   private val K_VARCHAR = 16
@@ -561,8 +565,8 @@ object Orc {
   private val K_TIMESTAMP_INSTANT = 18
 
   /** The Spark type node `id` lands as (recursive — lists, maps and
-    * nested structs resolve through their subtypes). UNION refuses:
-    * it has no stable columnar shape.
+    * nested structs resolve through their subtypes; UNION as the
+    * tagged sparse struct `struct(tag, m_0, ...)`).
     */
   def sparkTypeOf(types: Vector[TypeNode], id: Int): DataType = {
     val t = types(id)
@@ -593,6 +597,14 @@ object Orc {
         case (sub, k) => StructField(t.fieldNames(k),
           sparkTypeOf(types, sub))
       })
+      case K_UNION =>
+        // tagged sparse struct — the same shape Avro multi-branch
+        // unions land as (ORC union children are anonymous, so members
+        // are positional: m_0, m_1, ...)
+        StructType(StructField("tag", IntegerType) +:
+          t.subtypes.zipWithIndex.map { case (sub, k) =>
+            StructField(s"m_$k", sparkTypeOf(types, sub))
+          })
       case k => throw new IllegalArgumentException(
         s"orc type kind $k unsupported")
     }
@@ -946,6 +958,33 @@ object Orc {
           case K_STRUCT =>
             val cols = t.subtypes.map(readColumn(_, nPresent))
             scatter(i => Row.fromSeq(cols.map(_(i))))
+          case K_UNION =>
+            // DATA: one tag byte per non-null value; child column j
+            // holds only the values whose tag == j, packed in order.
+            // Lands as the tagged sparse struct sparkTypeOf declares.
+            val tags = byteRle(streamBytes(colId, 1), nPresent)
+            val nk = t.subtypes.length
+            val counts = new Array[Int](nk)
+            var k = 0
+            while (k < nPresent) {
+              val tg = tags(k) & 0xff
+              require(tg < nk, s"union tag $tg out of range")
+              counts(tg) += 1; k += 1
+            }
+            val kids = Array.tabulate(nk)(j =>
+              readColumn(t.subtypes(j), counts(j)))
+            val cursor = new Array[Int](nk)
+            // scatter feeds dense indices in order, so per-branch
+            // cursors walk each packed child exactly once
+            scatter { i =>
+              val tg = tags(i) & 0xff
+              val cells = new Array[Any](1 + nk)
+              cells(0) = tg
+              cells(1 + tg) = kids(tg)(cursor(tg))
+              cursor(tg) += 1
+              Row.fromSeq(scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(cells))
+            }
           case K_STRING | K_VARCHAR | K_CHAR | K_BINARY =>
             val isDict = enc.kind == 1 || enc.kind == 3
             if (!isDict) {

@@ -377,4 +377,87 @@ class OrcSpec extends SparkTestBase {
     assert(multi.count() == 300)
   }
 
+  test("union columns land as tagged sparse structs (orc-core twin)") {
+    // Spark's sink cannot write unions, so the fixture comes from
+    // orc-core's own Writer — the on-classpath reference implementation
+    // for the packed-children union layout (tag byte RLE + per-branch
+    // packed child columns)
+    import org.apache.orc.{OrcFile, TypeDescription}
+    import org.apache.hadoop.hive.ql.exec.vector._
+    val dir = Files.createTempDirectory("graft-orc-union").toString
+    val path = s"$dir/u.orc"
+    val schema = TypeDescription.fromString(
+      "struct<doc_id:bigint,v:uniontype<bigint,string>," +
+        "w:uniontype<int,struct<a:int,b:string>>>")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val w = OrcFile.createWriter(new org.apache.hadoop.fs.Path(path),
+      OrcFile.writerOptions(conf).setSchema(schema)
+        .stripeSize(64 * 1024).compress(
+          org.apache.orc.CompressionKind.ZLIB))
+    val batch = schema.createRowBatch(64)
+    val ids = batch.cols(0).asInstanceOf[LongColumnVector]
+    val uv = batch.cols(1).asInstanceOf[UnionColumnVector]
+    val uvL = uv.fields(0).asInstanceOf[LongColumnVector]
+    val uvS = uv.fields(1).asInstanceOf[BytesColumnVector]
+    val wv = batch.cols(2).asInstanceOf[UnionColumnVector]
+    val wvI = wv.fields(0).asInstanceOf[LongColumnVector]
+    val wvP = wv.fields(1).asInstanceOf[StructColumnVector]
+    val wvPa = wvP.fields(0).asInstanceOf[LongColumnVector]
+    val wvPb = wvP.fields(1).asInstanceOf[BytesColumnVector]
+    uv.noNulls = false
+    for (i <- 0 until 300) {
+      val r = batch.size
+      ids.vector(r) = i.toLong
+      i % 3 match {
+        case 0 => uv.isNull(r) = true
+        case 1 => uv.tags(r) = 0; uvL.vector(r) = i * 101L
+        case _ =>
+          uv.tags(r) = 1
+          uvS.setVal(r, s"str$i".getBytes("UTF-8"))
+      }
+      if (i % 2 == 0) { wv.tags(r) = 0; wvI.vector(r) = i - 7 }
+      else {
+        wv.tags(r) = 1
+        wvPa.vector(r) = i * 3L
+        wvPb.setVal(r, s"pb$i".getBytes("UTF-8"))
+      }
+      batch.size += 1
+      if (batch.size == batch.getMaxSize) { w.addRowBatch(batch); batch.reset(); uv.noNulls = false }
+    }
+    if (batch.size > 0) w.addRowBatch(batch)
+    w.close()
+
+    val df = Orc.readOrc(spark, path)
+    val vt = df.schema("v").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(vt.fieldNames.toSeq == Seq("tag", "m_0", "m_1"))
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows.length == 300)
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt
+      i % 3 match {
+        case 0 => assert(r.isNullAt(1))
+        case 1 =>
+          val u = r.getStruct(1)
+          assert(u.getInt(0) == 0 && u.getLong(1) == i * 101L &&
+            u.isNullAt(2))
+        case _ =>
+          val u = r.getStruct(1)
+          assert(u.getInt(0) == 1 && u.isNullAt(1) &&
+            u.getString(2) == s"str$i")
+      }
+      val uw = r.getStruct(2)
+      if (i % 2 == 0)
+        assert(uw.getInt(0) == 0 && uw.getInt(1) == i - 7 && uw.isNullAt(2))
+      else {
+        assert(uw.getInt(0) == 1 && uw.isNullAt(1))
+        val p = uw.getStruct(2)
+        assert(p.getInt(0) == i * 3 && p.getString(1) == s"pb$i")
+      }
+    }
+    // column pruning through a union column stays exact
+    val pruned = Orc.readOrc(spark, path, columns = Seq("v")).collect()
+    assert(pruned.length == 300)
+  }
+
 }
