@@ -3582,6 +3582,76 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q215_arrow_union" -> ((s, dir) => {
+      // Arrow DENSE union columns as tagged sparse structs: the fixture
+      // is written by ARROW'S OWN writer (type-id byte + offsets into
+      // packed children — the harder union mode); branch by doc_id % 2
+      // with the string branch carrying the full text. registerNewTypeId
+      // assigns ids 0/1 deterministically, so the oracle replays the
+      // tag directly
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q215_file", _ => {
+        val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val f = java.nio.file.Files.createTempDirectory("graft-q215")
+          .toString + "/union.arrow"
+        val alloc = new org.apache.arrow.memory.RootAllocator()
+        try {
+          val ids = new org.apache.arrow.vector.BigIntVector("doc_id",
+            alloc)
+          val duv = org.apache.arrow.vector.complex.DenseUnionVector
+            .empty("v", alloc)
+          val tidL = duv.registerNewTypeId(
+            org.apache.arrow.vector.types.pojo.Field.nullable("lng",
+              new org.apache.arrow.vector.types.pojo.ArrowType.Int(
+                64, true)))
+          val tidS = duv.registerNewTypeId(
+            org.apache.arrow.vector.types.pojo.Field.nullable("txt",
+              org.apache.arrow.vector.types.pojo.ArrowType.Utf8.INSTANCE))
+          val lv = duv.addVector(tidL,
+            new org.apache.arrow.vector.BigIntVector("lng", alloc))
+            .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+          val sv = duv.addVector(tidS,
+            new org.apache.arrow.vector.VarCharVector("txt", alloc))
+            .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+          ids.allocateNew(docs.length)
+          duv.allocateNew()
+          var nl = 0
+          var ns = 0
+          docs.zipWithIndex.foreach { case ((id, text), i) =>
+            ids.setSafe(i, id)
+            if (id % 2 == 0) {
+              duv.setTypeId(i, tidL); duv.setOffset(i, nl)
+              lv.setSafe(nl, id * 31L); nl += 1
+            } else {
+              duv.setTypeId(i, tidS); duv.setOffset(i, ns)
+              sv.setSafe(ns, text.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)); ns += 1
+            }
+          }
+          ids.setValueCount(docs.length)
+          lv.setValueCount(nl)
+          sv.setValueCount(ns)
+          duv.setValueCount(docs.length)
+          val root = new org.apache.arrow.vector.VectorSchemaRoot(
+            java.util.Arrays.asList(ids.getField, duv.getField),
+            java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](
+              ids, duv), docs.length)
+          val ch = new java.io.FileOutputStream(f).getChannel
+          val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+            null, ch)
+          w.start(); w.writeBatch(); w.end(); w.close(); ch.close()
+          ids.close(); duv.close()
+        } finally alloc.close()
+        f
+      })
+      graft.llmops.Arrow.readArrow(ss, path)
+        .select(col("doc_id"), col("v.tag").as("tag"),
+          col("v.m_lng").as("v_long"), col("v.m_txt").as("v_string"))
+        .orderBy("doc_id")
+    }),
+
     "q179_sequencefile" -> ((s, dir) => {
       // Hadoop-era SequenceFile ingestion: the fixture is written by
       // HADOOP'S OWN writer (block compression, DefaultCodec, small
@@ -6908,6 +6978,16 @@ object SparkEntry {
     "q195_avro" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q215: Arrow dense union as a tagged sparse struct — slots are
+    // never NULL at the top (Arrow has no union validity), so tag is
+    // always set
+    "q215_arrow_union" ->
+      """SELECT doc_id,
+           CAST(doc_id % 2 AS INT) AS tag,
+           CASE WHEN doc_id % 2 = 0 THEN doc_id * 31 END AS v_long,
+           CASE WHEN doc_id % 2 = 1 THEN text END AS v_string
+         FROM documents WHERE doc_id < 400 ORDER BY doc_id""",
 
     // q214: ORC UNION as a tagged sparse struct — the oracle replays
     // both member columns with CASE arms over the branch picker

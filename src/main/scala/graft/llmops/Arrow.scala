@@ -25,7 +25,12 @@ import org.apache.spark.sql.types._
   * List/LargeList; Struct; dictionary-encoded columns over any scalar
   * value type (dictionary batches materialize once on the driver,
   * size-capped — delta batches append; replacement refuses, as the
-  * file format requires). Unions, views and run-end encoding refuse
+  * file format requires). Sparse AND dense unions land as tagged
+  * sparse structs — `struct(tag INT, m_<child> ...)` with the type-id
+  * byte in `tag` (the same shape Avro multi-branch unions and ORC
+  * UNION columns land as); note Arrow union slots are never NULL at
+  * the top (nulls live in the selected child — the format has no
+  * union validity buffer). Views and run-end encoding refuse
   * wholesale at schema parse — documented boundary. Body compression:
   * LZ4-frame and zstd via the repo's own decoders.
   *
@@ -127,6 +132,15 @@ object Arrow {
     */
   final case class AFixedList(child: AField, n: Int) extends AType
   final case class AStruct(children: Vector[AField]) extends AType
+  /** Sparse or dense union — lands as a tagged sparse struct
+    * `struct(tag INT, m_<child> ...)` with the type-id byte in `tag`
+    * (ids from the schema's typeIds vector, child index when absent).
+    * Arrow unions carry NO top-level validity: a null lives in the
+    * selected child, so the struct itself is never NULL (unlike the
+    * Avro/ORC tagged structs, where the container has a null branch).
+    */
+  final case class AUnion(children: Vector[AField], typeIds: Vector[Int],
+      dense: Boolean) extends AType
 
   /** `dict` marks a dictionary-encoded field: (dictionary id, index
     * bit width). `tpe` is then the VALUE type (what the column means);
@@ -156,6 +170,15 @@ object Arrow {
     case AFixedList(c, _) => ArrayType(sparkType(c.tpe))
     case AStruct(cs) => StructType(cs.map(c =>
       StructField(c.name, sparkType(c.tpe), c.nullable)))
+    case AUnion(cs, _, _) =>
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      val members = cs.map { c =>
+        val base = if (c.name.isEmpty) "c" else c.name
+        val k = seen.getOrElse(base, 0); seen(base) = k + 1
+        StructField("m_" + (if (k == 0) base else s"${base}_$k"),
+          sparkType(c.tpe))
+      }
+      StructType(StructField("tag", IntegerType) +: members)
   }
 
   def rootStruct(fields: Vector[AField]): StructType =
@@ -227,6 +250,18 @@ object Arrow {
         val sz = fb.fieldI32(tp, 0, 0)
         require(sz > 0, s"fixed-size list of $sz (field $name)")
         AFixedList(children.head, sz)
+      case 14 => // Union: mode (0=Sparse 1=Dense), typeIds (i32 vector;
+        // absent = child indices per the format doc)
+        val mode = fb.fieldI16(tp, 0, 0)
+        val cs = children
+        val tiv = fb.fieldOff(tp, 1)
+        val ids =
+          if (tiv < 0) cs.indices.toVector
+          else (0 until fb.vecLen(tiv)).map(k =>
+            fb.i32(fb.vecElem(tiv, k, 4))).toVector
+        require(ids.length == cs.length,
+          s"union typeIds/children mismatch (field $name)")
+        AUnion(cs, ids, dense = mode == 1)
       case 19 => ABinary(large = true)
       case 20 => AString(large = true)
       case 21 => AList(children.head, large = true)
@@ -235,7 +270,7 @@ object Arrow {
     }
     dict.foreach { _ =>
       require(!tpe.isInstanceOf[AList] && !tpe.isInstanceOf[AStruct] &&
-        !tpe.isInstanceOf[AFixedList],
+        !tpe.isInstanceOf[AFixedList] && !tpe.isInstanceOf[AUnion],
         s"dictionary-encoded nested value type unsupported (field $name)")
     }
     AField(name, nullable, tpe, dict)
@@ -359,6 +394,46 @@ object Arrow {
     val (nLen, nullCount) = bd.node(cur.node)
     require(nLen >= rows, "node shorter than parent")
     cur.node += 1
+    f.tpe match {
+      case AUnion(children, typeIds, dense) =>
+        // unions carry NO validity buffer — types (int8) then, for
+        // dense mode, per-slot offsets (int32) into packed children
+        val types = bd.buffer(cur.buf); cur.buf += 1
+        val ofb =
+          if (dense) { val o = bd.buffer(cur.buf); cur.buf += 1; new Fb(o) }
+          else null
+        val kids = children.map { c =>
+          // dense children have their own lengths (declared in their
+          // FieldNode); sparse children span the union's full length
+          val childLen =
+            if (dense) bd.node(cur.node)._1.toInt else rows
+          readColumn(bd, c, cur, childLen, dicts)
+        }
+        val slot = typeIds.zipWithIndex.toMap
+        val uout = new Array[Any](rows)
+        val nk = children.length
+        var i = 0
+        while (i < rows) {
+          val tid = types(i).toInt
+          val j = slot.getOrElse(tid, throw new IllegalArgumentException(
+            s"union type id $tid not in $typeIds"))
+          val v =
+            if (dense) {
+              val o = ofb.i32(i * 4)
+              require(o >= 0 && o < kids(j).length,
+                s"union offset $o out of child $j")
+              kids(j)(o)
+            } else kids(j)(i)
+          val cells = new Array[Any](1 + nk)
+          cells(0) = tid
+          cells(1 + j) = v
+          uout(i) = Row.fromSeq(scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(cells))
+          i += 1
+        }
+        return uout
+      case _ =>
+    }
     val validity = bd.buffer(cur.buf); cur.buf += 1
     def valid(i: Int): Boolean = nullCount == 0L || bitSet(validity, i)
     val out = new Array[Any](rows)
@@ -570,6 +645,7 @@ object Arrow {
       case AList(c, _) => 1 + nodeCount(c)
       case AFixedList(c, _) => 1 + nodeCount(c)
       case AStruct(cs) => 1 + cs.map(nodeCount).sum
+      case AUnion(cs, _, _) => 1 + cs.map(nodeCount).sum
       case _ => 1
     }
 
@@ -583,6 +659,8 @@ object Arrow {
       case AList(c, _) => 2 + bufCount(c)
       case AFixedList(c, _) => 1 + bufCount(c) // validity only, no offsets
       case AStruct(cs) => 1 + cs.map(bufCount).sum
+      case AUnion(cs, _, dense) => // NO validity: types [+ offsets]
+        (if (dense) 2 else 1) + cs.map(bufCount).sum
       case _ => 2
     }
 

@@ -627,4 +627,117 @@ class ArrowSpec extends SparkTestBase {
     } finally alloc.close()
   }
 
+  test("sparse union columns land as tagged sparse structs") {
+    // arrow-java's own sparse UnionVector: per-row type-id byte,
+    // full-length children
+    import org.apache.arrow.vector.types.Types.MinorType
+    val path = Files.createTempDirectory("graft-arrow-u").toString +
+      "/sparse.arrow"
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val uv = new org.apache.arrow.vector.complex.UnionVector("v",
+        alloc, org.apache.arrow.vector.types.pojo.FieldType.nullable(
+          new org.apache.arrow.vector.types.pojo.ArrowType.Union(
+            org.apache.arrow.vector.types.UnionMode.Sparse, null)), null)
+      val big = uv.getBigIntVector()
+      val str = uv.getVarCharVector()
+      val n = 150
+      for (i <- 0 until n) {
+        if (i % 2 == 0) {
+          big.setSafe(i, i * 17L)
+          uv.setType(i, MinorType.BIGINT)
+        } else {
+          str.setSafe(i, s"u$i".getBytes("UTF-8"))
+          uv.setType(i, MinorType.VARCHAR)
+        }
+      }
+      uv.setValueCount(n)
+      val root = new org.apache.arrow.vector.VectorSchemaRoot(
+        java.util.Arrays.asList(uv.getField),
+        java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](uv),
+        n)
+      val ch = new java.io.FileOutputStream(path).getChannel
+      val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+        null, ch)
+      w.start(); w.writeBatch(); w.end(); w.close(); ch.close()
+      uv.close()
+    } finally alloc.close()
+
+    val df = Arrow.readArrow(spark, path)
+    val vt = df.schema("v").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(vt.fieldNames.head == "tag" && vt.fieldNames.length == 3)
+    // member order follows the union's child order; tag ids come from
+    // the schema's typeIds, so read them back rather than assuming
+    val rows = df.collect()
+    assert(rows.length == 150)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val u = r.getStruct(0)
+      if (i % 2 == 0) {
+        assert(u.getLong(1) == i * 17L && u.isNullAt(2))
+      } else {
+        assert(u.isNullAt(1) && u.getString(2) == s"u$i")
+      }
+    }
+    // two distinct tag values, aligned with the branch picker
+    val tags = rows.map(_.getStruct(0).getInt(0)).distinct.sorted
+    assert(tags.length == 2)
+  }
+
+  test("dense union columns: offsets into packed children") {
+    val path = Files.createTempDirectory("graft-arrow-u").toString +
+      "/dense.arrow"
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val duv = org.apache.arrow.vector.complex.DenseUnionVector
+        .empty("d", alloc)
+      val tidL = duv.registerNewTypeId(
+        org.apache.arrow.vector.types.pojo.Field.nullable("lng",
+          new org.apache.arrow.vector.types.pojo.ArrowType.Int(64, true)))
+      val tidS = duv.registerNewTypeId(
+        org.apache.arrow.vector.types.pojo.Field.nullable("txt",
+          org.apache.arrow.vector.types.pojo.ArrowType.Utf8.INSTANCE))
+      val lv = duv.addVector(tidL,
+        new org.apache.arrow.vector.BigIntVector("lng", alloc))
+        .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+      val sv = duv.addVector(tidS,
+        new org.apache.arrow.vector.VarCharVector("txt", alloc))
+        .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+      duv.allocateNew()
+      val n = 151
+      var nl = 0
+      var ns = 0
+      for (i <- 0 until n) {
+        if (i % 3 == 0) {
+          duv.setTypeId(i, tidL); duv.setOffset(i, nl)
+          lv.setSafe(nl, i * 23L); nl += 1
+        } else {
+          duv.setTypeId(i, tidS); duv.setOffset(i, ns)
+          sv.setSafe(ns, s"d$i".getBytes("UTF-8")); ns += 1
+        }
+      }
+      lv.setValueCount(nl)
+      sv.setValueCount(ns)
+      duv.setValueCount(n)
+      val root = new org.apache.arrow.vector.VectorSchemaRoot(
+        java.util.Arrays.asList(duv.getField),
+        java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](duv),
+        n)
+      val ch = new java.io.FileOutputStream(path).getChannel
+      val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+        null, ch)
+      w.start(); w.writeBatch(); w.end(); w.close(); ch.close()
+      duv.close()
+    } finally alloc.close()
+
+    val df = Arrow.readArrow(spark, path)
+    val rows = df.collect()
+    assert(rows.length == 151)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val u = r.getStruct(0)
+      if (i % 3 == 0) assert(u.getLong(1) == i * 23L && u.isNullAt(2))
+      else assert(u.isNullAt(1) && u.getString(2) == s"d$i")
+    }
+  }
+
 }
