@@ -3652,6 +3652,123 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q216_arrow_view" -> ((s, dir) => {
+      // Utf8View columns (polars'/pyarrow 16+'s native string layout):
+      // the fixture is written by ARROW'S OWN ViewVarCharVector — one
+      // column carrying the full text (mostly >12 bytes → variadic
+      // data buffers), one short tag column (≤12 bytes → inline
+      // views); full-text identity under the hash
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q216_file", _ => {
+        val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val f = java.nio.file.Files.createTempDirectory("graft-q216")
+          .toString + "/views.arrow"
+        val alloc = new org.apache.arrow.memory.RootAllocator()
+        try {
+          val ids = new org.apache.arrow.vector.BigIntVector("doc_id",
+            alloc)
+          val txt = new org.apache.arrow.vector.ViewVarCharVector(
+            "text", alloc)
+          val tag = new org.apache.arrow.vector.ViewVarCharVector(
+            "tag", alloc)
+          ids.allocateNew(docs.length); txt.allocateNew()
+          tag.allocateNew()
+          docs.zipWithIndex.foreach { case ((id, text), i) =>
+            ids.setSafe(i, id)
+            txt.setSafe(i, text.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            tag.setSafe(i, s"k${id % 7}".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+          }
+          ids.setValueCount(docs.length)
+          txt.setValueCount(docs.length)
+          tag.setValueCount(docs.length)
+          val root = new org.apache.arrow.vector.VectorSchemaRoot(
+            java.util.Arrays.asList(ids.getField, txt.getField,
+              tag.getField),
+            java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](
+              ids, txt, tag), docs.length)
+          val ch = new java.io.FileOutputStream(f).getChannel
+          val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+            null, ch)
+          w.start(); w.writeBatch(); w.end(); w.close(); ch.close()
+          ids.close(); txt.close(); tag.close()
+        } finally alloc.close()
+        f
+      })
+      graft.llmops.Arrow.readArrow(ss, path)
+        .select(col("doc_id"), col("text"), col("tag"))
+        .orderBy("doc_id")
+    }),
+
+    "q217_arrow_ree" -> ((s, dir) => {
+      // run-end encoded columns expand transparently: the fixture is
+      // written by ARROW'S OWN RunEndEncodedVector in 50-row runs over
+      // the doc_id-sorted table; the oracle replays the block label
+      // with ROW_NUMBER arithmetic
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q217_file", _ => {
+        val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id")).collect()
+          .map(_.getLong(0)).sorted
+        val f = java.nio.file.Files.createTempDirectory("graft-q217")
+          .toString + "/ree.arrow"
+        val alloc = new org.apache.arrow.memory.RootAllocator()
+        try {
+          val n = docs.length
+          val ids = new org.apache.arrow.vector.BigIntVector("doc_id",
+            alloc)
+          ids.allocateNew(n)
+          docs.zipWithIndex.foreach { case (id, i) => ids.setSafe(i, id) }
+          ids.setValueCount(n)
+          val reeField = new org.apache.arrow.vector.types.pojo.Field(
+            "blk", org.apache.arrow.vector.types.pojo.FieldType
+              .notNullable(org.apache.arrow.vector.types.pojo.ArrowType
+                .RunEndEncoded.INSTANCE),
+            java.util.Arrays.asList(
+              org.apache.arrow.vector.types.pojo.Field.notNullable(
+                "run_ends", new org.apache.arrow.vector.types.pojo
+                  .ArrowType.Int(32, true)),
+              org.apache.arrow.vector.types.pojo.Field.nullable(
+                "values", org.apache.arrow.vector.types.pojo.ArrowType
+                  .Utf8.INSTANCE)))
+          val ree = new org.apache.arrow.vector.complex
+            .RunEndEncodedVector(reeField, alloc, null)
+          ree.initializeChildrenFromFields(reeField.getChildren)
+          val ends = ree.getRunEndsVector
+            .asInstanceOf[org.apache.arrow.vector.IntVector]
+          val vals = ree.getValuesVector
+            .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+          val nRuns = (n + 49) / 50
+          ends.allocateNew(nRuns); vals.allocateNew()
+          var k = 0
+          while (k < nRuns) {
+            ends.setSafe(k, math.min((k + 1) * 50, n))
+            vals.setSafe(k, s"blk$k".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            k += 1
+          }
+          ends.setValueCount(nRuns); vals.setValueCount(nRuns)
+          ree.setValueCount(n)
+          val root = new org.apache.arrow.vector.VectorSchemaRoot(
+            java.util.Arrays.asList(ids.getField, ree.getField),
+            java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](
+              ids, ree), n)
+          val ch = new java.io.FileOutputStream(f).getChannel
+          val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+            null, ch)
+          w.start(); w.writeBatch(); w.end(); w.close(); ch.close()
+          ids.close(); ree.close()
+        } finally alloc.close()
+        f
+      })
+      graft.llmops.Arrow.readArrow(ss, path)
+        .select(col("doc_id"), col("blk"))
+        .orderBy("doc_id")
+    }),
+
     "q179_sequencefile" -> ((s, dir) => {
       // Hadoop-era SequenceFile ingestion: the fixture is written by
       // HADOOP'S OWN writer (block compression, DefaultCodec, small
@@ -6978,6 +7095,18 @@ object SparkEntry {
     "q195_avro" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q216: Utf8View columns — full text through variadic data
+    // buffers, short tags through inline views
+    "q216_arrow_view" ->
+      """SELECT doc_id, text, 'k' || CAST(doc_id % 7 AS VARCHAR) AS tag
+         FROM documents WHERE doc_id < 400 ORDER BY doc_id""",
+
+    // q217: run-end encoded blocks of 50 over the doc_id-sorted table
+    "q217_arrow_ree" ->
+      """SELECT doc_id, 'blk' || CAST((ROW_NUMBER() OVER (ORDER BY doc_id)
+             - 1) // 50 AS VARCHAR) AS blk
+         FROM documents WHERE doc_id < 400 ORDER BY doc_id""",
 
     // q215: Arrow dense union as a tagged sparse struct — slots are
     // never NULL at the top (Arrow has no union validity), so tag is

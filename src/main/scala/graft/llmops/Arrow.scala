@@ -30,8 +30,13 @@ import org.apache.spark.sql.types._
   * byte in `tag` (the same shape Avro multi-branch unions and ORC
   * UNION columns land as); note Arrow union slots are never NULL at
   * the top (nulls live in the selected child — the format has no
-  * union validity buffer). Views and run-end encoding refuse
-  * wholesale at schema parse — documented boundary. Body compression:
+  * union validity buffer). Run-end encoded columns decode
+  * TRANSPARENTLY to their value type (runs expand during the batch
+  * task's columnar walk). Utf8View/BinaryView (polars' and
+  * pyarrow 16+'s native string layout) decode inline-or-variadic view
+  * structs, honoring the RecordBatch's variadicBufferCounts even for
+  * pruned columns. ListView/LargeListView refuse wholesale at schema
+  * parse — documented boundary. Body compression:
   * LZ4-frame and zstd via the repo's own decoders.
   *
   * Corruption blast radius: one record batch (a batch that fails
@@ -141,6 +146,19 @@ object Arrow {
     */
   final case class AUnion(children: Vector[AField], typeIds: Vector[Int],
       dense: Boolean) extends AType
+  /** Run-end encoded column — decodes TRANSPARENTLY to its value type
+    * (the logical column the runs compress). Children: run_ends
+    * (int16/32/64, never null, strictly increasing logical end
+    * positions) and values; the REE node itself owns NO buffers.
+    */
+  final case class ARunEnd(runEnds: AField, values: AField) extends AType
+  /** Utf8View / BinaryView (polars' and pyarrow 16+'s native string
+    * layout): validity + a 16-byte view struct per slot (length; ≤12
+    * bytes inline, else 4-byte prefix + variadic-buffer index +
+    * offset) + N variadic data buffers, N per batch from the
+    * RecordBatch message's variadicBufferCounts.
+    */
+  final case class AView(binary: Boolean) extends AType
 
   /** `dict` marks a dictionary-encoded field: (dictionary id, index
     * bit width). `tpe` is then the VALUE type (what the column means);
@@ -179,6 +197,8 @@ object Arrow {
           sparkType(c.tpe))
       }
       StructType(StructField("tag", IntegerType) +: members)
+    case ARunEnd(_, values) => sparkType(values.tpe)
+    case AView(binary) => if (binary) BinaryType else StringType
   }
 
   def rootStruct(fields: Vector[AField]): StructType =
@@ -265,15 +285,34 @@ object Arrow {
       case 19 => ABinary(large = true)
       case 20 => AString(large = true)
       case 21 => AList(children.head, large = true)
+      case 22 => // RunEndEncoded: children [run_ends, values]
+        val cs = children
+        require(cs.length == 2,
+          s"run-end encoding needs 2 children (field $name)")
+        cs.head.tpe match {
+          case AInt(16) | AInt(32) | AInt(64) =>
+          case other => throw new IllegalArgumentException(
+            s"run_ends type $other unsupported (field $name)")
+        }
+        ARunEnd(cs.head, cs(1))
+      case 23 => AView(binary = true)
+      case 24 => AView(binary = false)
       case other => throw new IllegalArgumentException(
         s"arrow type id $other unsupported (field $name)")
     }
     dict.foreach { _ =>
       require(!tpe.isInstanceOf[AList] && !tpe.isInstanceOf[AStruct] &&
-        !tpe.isInstanceOf[AFixedList] && !tpe.isInstanceOf[AUnion],
+        !tpe.isInstanceOf[AFixedList] && !tpe.isInstanceOf[AUnion] &&
+        !tpe.isInstanceOf[ARunEnd],
         s"dictionary-encoded nested value type unsupported (field $name)")
     }
-    AField(name, nullable, tpe, dict)
+    // a run-end column is null wherever its VALUES child is null (the
+    // REE node has no validity of its own), so nullability lifts
+    val effNullable = tpe match {
+      case ARunEnd(_, v) => nullable || v.nullable
+      case _ => nullable
+    }
+    AField(name, effNullable, tpe, dict)
   }
 
   private[llmops] def parseSchemaTable(fb: Fb, t: Int): Vector[AField] = {
@@ -338,10 +377,20 @@ object Arrow {
 
   // -------------------------------------------------------- batch decoding
 
-  private final class Cursor(var node: Int, var buf: Int)
+  private final class Cursor(var node: Int, var buf: Int,
+      var vari: Int = 0)
 
   private final class BatchData(val fb: Fb, val body: Array[Byte],
-      val nodesVec: Int, val buffersVec: Int, val codec: Int) {
+      val nodesVec: Int, val buffersVec: Int, val codec: Int,
+      val variadic: Vector[Long] = Vector.empty) {
+    /** variadic-buffer count k (one entry per view column, pre-order). */
+    def variadicCount(k: Int): Int = {
+      require(k < variadic.length,
+        "view column missing variadicBufferCounts entry")
+      val n = variadic(k)
+      require(n >= 0 && n <= Int.MaxValue, s"variadic count $n")
+      n.toInt
+    }
     def node(k: Int): (Long, Long) = {
       val p = fb.vecElem(nodesVec, k, 16)
       (fb.i64(p), fb.i64(p + 8))
@@ -432,6 +481,30 @@ object Arrow {
           i += 1
         }
         return uout
+      case ARunEnd(runEnds, values) =>
+        // the REE node owns no buffers; children carry their own
+        // lengths (the run count) in their FieldNodes
+        val nRuns = bd.node(cur.node)._1.toInt
+        val ends = readColumn(bd, runEnds, cur, nRuns, dicts)
+        val nVals = bd.node(cur.node)._1.toInt
+        require(nVals >= nRuns, "run-end values shorter than run_ends")
+        val vals = readColumn(bd, values, cur, nRuns, dicts)
+        def endAt(r: Int): Long = ends(r) match {
+          case s: Short => s.toLong
+          case i: Int => i.toLong
+          case l: Long => l
+          case _ => throw new IllegalArgumentException("null run end")
+        }
+        val rout = new Array[Any](rows)
+        var r = 0
+        var i = 0
+        while (i < rows) {
+          while (r < nRuns && endAt(r) <= i) r += 1
+          require(r < nRuns, s"run ends exhausted at logical slot $i")
+          rout(i) = vals(r)
+          i += 1
+        }
+        return rout
       case _ =>
     }
     val validity = bd.buffer(cur.buf); cur.buf += 1
@@ -631,6 +704,40 @@ object Arrow {
           if (valid(i)) out(i) = Row.fromSeq(cols.map(_(i)))
           i += 1
         }
+      case AView(binary) =>
+        // 16-byte view structs; long values live in variadic data
+        // buffers, counted per batch by variadicBufferCounts
+        val views = bd.buffer(cur.buf); cur.buf += 1
+        val nVar = bd.variadicCount(cur.vari); cur.vari += 1
+        val dataBufs = Array.tabulate(nVar)(k => bd.buffer(cur.buf + k))
+        cur.buf += nVar
+        val vfb = new Fb(views)
+        var i = 0
+        while (i < rows) {
+          if (valid(i)) {
+            val p = i * 16
+            val len = vfb.i32(p)
+            require(len >= 0, s"view length $len")
+            val bytes =
+              if (len <= 12)
+                java.util.Arrays.copyOfRange(views, p + 4, p + 4 + len)
+              else {
+                val bufIdx = vfb.i32(p + 8)
+                val off = vfb.i32(p + 12)
+                require(bufIdx >= 0 && bufIdx < nVar,
+                  s"view buffer index $bufIdx of $nVar")
+                val data = dataBufs(bufIdx)
+                require(off >= 0 && off.toLong + len <= data.length,
+                  "view slice out of buffer")
+                java.util.Arrays.copyOfRange(data, off, off + len)
+              }
+            out(i) =
+              if (binary) bytes
+              else new String(bytes,
+                java.nio.charset.StandardCharsets.UTF_8)
+          }
+          i += 1
+        }
     }
     out
   }
@@ -646,6 +753,7 @@ object Arrow {
       case AFixedList(c, _) => 1 + nodeCount(c)
       case AStruct(cs) => 1 + cs.map(nodeCount).sum
       case AUnion(cs, _, _) => 1 + cs.map(nodeCount).sum
+      case ARunEnd(re, v) => 1 + nodeCount(re) + nodeCount(v)
       case _ => 1
     }
 
@@ -661,7 +769,25 @@ object Arrow {
       case AStruct(cs) => 1 + cs.map(bufCount).sum
       case AUnion(cs, _, dense) => // NO validity: types [+ offsets]
         (if (dense) 2 else 1) + cs.map(bufCount).sum
+      case ARunEnd(re, v) => bufCount(re) + bufCount(v) // none of its own
+      case AView(_) => 2 // validity + views; variadic counted per batch
       case _ => 2
+    }
+
+  /** View-typed columns inside a field, pre-order — each consumes one
+    * variadicBufferCounts entry (and that many extra buffers) per
+    * batch, so skipping a field must pop the same entries.
+    */
+  private def viewCols(f: AField): Int =
+    if (f.dict.isDefined) 0
+    else f.tpe match {
+      case AView(_) => 1
+      case AList(c, _) => viewCols(c)
+      case AFixedList(c, _) => viewCols(c)
+      case AStruct(cs) => cs.map(viewCols).sum
+      case AUnion(cs, _, _) => cs.map(viewCols).sum
+      case ARunEnd(re, v) => viewCols(re) + viewCols(v)
+      case _ => 0
     }
 
   /** Field positions for the requested column names (Nil = all, file
@@ -708,13 +834,30 @@ object Arrow {
       "record batch missing vectors")
     val compT = fb.fieldOff(rb, 3)
     val codec = if (compT < 0) -1 else fb.fieldU8(compT, 0, 0)
-    val bd = new BatchData(fb, body, nodesVec, buffersVec, codec)
+    // variadicBufferCounts (id 4): one int64 per view column, pre-order
+    val variadic = fb.fieldOff(rb, 4) match {
+      case v if v < 0 => Vector.empty[Long]
+      case v => (0 until fb.vecLen(v)).map(k =>
+        fb.i64(fb.vecElem(v, k, 8))).toVector
+    }
+    val bd = new BatchData(fb, body, nodesVec, buffersVec, codec,
+      variadic)
     val cur = new Cursor(0, 0)
     val want = wanted.toSet
     val byPos = new java.util.HashMap[Int, Array[Any]]
     fields.zipWithIndex.foreach { case (f, k) =>
       if (want(k)) byPos.put(k, readColumn(bd, f, cur, rows, dicts))
-      else { cur.node += nodeCount(f); cur.buf += bufCount(f) }
+      else {
+        cur.node += nodeCount(f)
+        cur.buf += bufCount(f)
+        // skipped view columns still consume their per-batch variadic
+        // entries (and buffer slots) so later cursors stay aligned
+        var vk = 0
+        val nv = viewCols(f)
+        while (vk < nv) {
+          cur.buf += bd.variadicCount(cur.vari); cur.vari += 1; vk += 1
+        }
+      }
     }
     (rows, wanted.map(byPos.get))
   }

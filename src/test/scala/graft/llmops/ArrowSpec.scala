@@ -684,6 +684,123 @@ class ArrowSpec extends SparkTestBase {
     assert(tags.length == 2)
   }
 
+  test("run-end encoded columns expand transparently to the value type") {
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
+    val path = Files.createTempDirectory("graft-arrow-ree").toString +
+      "/ree.arrow"
+    val n = 200
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val ids = new org.apache.arrow.vector.BigIntVector("id", alloc)
+      ids.allocateNew(n)
+      for (i <- 0 until n) ids.setSafe(i, i.toLong)
+      ids.setValueCount(n)
+      val reeField = new Field("s",
+        FieldType.notNullable(ArrowType.RunEndEncoded.INSTANCE),
+        java.util.Arrays.asList(
+          Field.notNullable("run_ends", new ArrowType.Int(32, true)),
+          Field.nullable("values", ArrowType.Utf8.INSTANCE)))
+      val ree = new org.apache.arrow.vector.complex.RunEndEncodedVector(
+        reeField, alloc, null)
+      ree.initializeChildrenFromFields(reeField.getChildren)
+      val ends = ree.getRunEndsVector
+        .asInstanceOf[org.apache.arrow.vector.IntVector]
+      val vals = ree.getValuesVector
+        .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+      ends.allocateNew(4); vals.allocateNew()
+      val runs = Seq((30, "alpha"), (31, null), (80, "beta"), (200, "gamma"))
+      runs.zipWithIndex.foreach { case ((end, v), k) =>
+        ends.setSafe(k, end)
+        if (v == null) vals.setNull(k)
+        else vals.setSafe(k, v.getBytes("UTF-8"))
+      }
+      ends.setValueCount(runs.length)
+      vals.setValueCount(runs.length)
+      ree.setValueCount(n)
+      val root = new org.apache.arrow.vector.VectorSchemaRoot(
+        java.util.Arrays.asList(ids.getField, ree.getField),
+        java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](
+          ids, ree), n)
+      val ch = new java.io.FileOutputStream(path).getChannel
+      val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+        null, ch)
+      w.start(); w.writeBatch(); w.end(); w.close(); ch.close()
+      ids.close(); ree.close()
+    } finally alloc.close()
+
+    val df = Arrow.readArrow(spark, path)
+    assert(df.schema("s").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt
+      val expect =
+        if (i < 30) "alpha" else if (i < 31) null
+        else if (i < 80) "beta" else "gamma"
+      if (expect == null) assert(r.isNullAt(1))
+      else assert(r.getString(1) == expect)
+    }
+  }
+
+  test("utf8view/binaryview columns: inline and variadic views") {
+    val path = Files.createTempDirectory("graft-arrow-view").toString +
+      "/views.arrow"
+    val n = 180
+    def strFor(i: Int): String =
+      if (i % 5 == 4) null
+      else if (i % 2 == 0) s"s$i" // ≤ 12 bytes: inline view
+      else s"long view payload number $i " + ("x" * (i % 23)) // variadic
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val ids = new org.apache.arrow.vector.BigIntVector("id", alloc)
+      val sv = new org.apache.arrow.vector.ViewVarCharVector("s", alloc)
+      val bv = new org.apache.arrow.vector.ViewVarBinaryVector("b", alloc)
+      ids.allocateNew(n); sv.allocateNew(); bv.allocateNew()
+      for (i <- 0 until n) {
+        ids.setSafe(i, i.toLong)
+        val s = strFor(i)
+        if (s == null) sv.setNull(i)
+        else sv.setSafe(i, s.getBytes("UTF-8"))
+        bv.setSafe(i, Array.fill[Byte](i % 19 + 1)((i % 127).toByte))
+      }
+      ids.setValueCount(n); sv.setValueCount(n); bv.setValueCount(n)
+      val root = new org.apache.arrow.vector.VectorSchemaRoot(
+        java.util.Arrays.asList(ids.getField, sv.getField, bv.getField),
+        java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](
+          ids, sv, bv), n)
+      val ch = new java.io.FileOutputStream(path).getChannel
+      val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+        null, ch)
+      w.start(); w.writeBatch(); w.end(); w.close(); ch.close()
+      ids.close(); sv.close(); bv.close()
+    } finally alloc.close()
+
+    val df = Arrow.readArrow(spark, path)
+    assert(df.schema("s").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(df.schema("b").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt
+      val expect = strFor(i)
+      if (expect == null) assert(r.isNullAt(1))
+      else assert(r.getString(1) == expect)
+      assert(r.getAs[Array[Byte]](2).toSeq ==
+        Array.fill[Byte](i % 19 + 1)((i % 127).toByte).toSeq)
+    }
+    // pruning past a view column stays aligned: variadic entries for
+    // the skipped 's' must still be consumed before 'b' decodes
+    val pruned = Arrow.readArrow(spark, path, columns = Seq("id", "b"))
+      .collect().sortBy(_.getLong(0))
+    pruned.foreach { r =>
+      val i = r.getLong(0).toInt
+      assert(r.getAs[Array[Byte]](1).length == i % 19 + 1)
+    }
+  }
+
   test("dense union columns: offsets into packed children") {
     val path = Files.createTempDirectory("graft-arrow-u").toString +
       "/dense.arrow"
