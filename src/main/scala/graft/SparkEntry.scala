@@ -3769,6 +3769,51 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q218_jpeg_cmyk" -> ((s, dir) => {
+      // Adobe CMYK/YCCK 4-component JPEG decode: whole-image-constant
+      // stored planes under the flat-8 quantizer are DC-only and
+      // bit-exact, so every decoded RGB statistic is closed-form
+      // (R = c'·k'/255 per Adobe's inverted-ink convention). Even ids
+      // take the direct CMYK transform, odd ids the YCCK transform
+      // with a gray CMY plane (exact forward/inverse YCbCr); ids ≡ 9
+      // mod 10 get their Adobe transform byte patched to 1 — a
+      // 4-component stream with YCbCr provenance must refuse to NULL
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = t(ss, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val k = ((id * 29 + 97) % 256).toInt
+          val bytes =
+            if (id % 2 == 0) {
+              val c = ((id * 37 + 11) % 256).toInt
+              val m = ((id * 59 + 23) % 256).toInt
+              val y = ((id * 83 + 5) % 256).toInt
+              graft.llmops.JpegWriter.cmyk(16, 8, (_, _) => c,
+                (_, _) => m, (_, _) => y, (_, _) => k, transform = 0)
+            } else {
+              val g = ((id * 41 + 13) % 256).toInt
+              graft.llmops.JpegWriter.cmyk(16, 8, (_, _) => g,
+                (_, _) => g, (_, _) => g, (_, _) => k, transform = 2)
+            }
+          if (id % 10 == 9) {
+            val at = bytes.indices.find(i =>
+              (bytes(i) & 0xFF) == 0xFF &&
+                (bytes(i + 1) & 0xFF) == 0xEE).get
+            bytes(at + 15) = 1 // Adobe transform byte → YCbCr: refuse
+          }
+          (id, bytes)
+        }.toDF("doc_id", "content")
+      graft.llmops.Multimodal.withJpegPixels(src)
+        .select(col("doc_id"),
+          col("px.width").as("width"), col("px.height").as("height"),
+          col("px.channels").as("channels"),
+          col("px.pix_sum").as("pix_sum"), col("px.pix_wsum").as("pix_wsum"),
+          col("px.mean_r").as("mean_r"), col("px.mean_g").as("mean_g"),
+          col("px.mean_b").as("mean_b"))
+        .orderBy("doc_id")
+    }),
+
     "q179_sequencefile" -> ((s, dir) => {
       // Hadoop-era SequenceFile ingestion: the fixture is written by
       // HADOOP'S OWN writer (block compression, DefaultCodec, small
@@ -7095,6 +7140,38 @@ object SparkEntry {
     "q195_avro" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q218: Adobe CMYK/YCCK JPEG — constant 16×8 planes, so the
+    // 384-slot weighted stream sum collapses to three fixed weights
+    // (Σ of p+1 over each channel's residue class mod 3)
+    "q218_jpeg_cmyk" ->
+      """WITH p AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+               THEN ((doc_id*37+11) % 256) * ((doc_id*29+97) % 256) // 255
+               ELSE ((doc_id*41+13) % 256) * ((doc_id*29+97) % 256) // 255
+             END AS r,
+             CASE WHEN doc_id % 2 = 0
+               THEN ((doc_id*59+23) % 256) * ((doc_id*29+97) % 256) // 255
+               ELSE ((doc_id*41+13) % 256) * ((doc_id*29+97) % 256) // 255
+             END AS g,
+             CASE WHEN doc_id % 2 = 0
+               THEN ((doc_id*83+5) % 256) * ((doc_id*29+97) % 256) // 255
+               ELSE ((doc_id*41+13) % 256) * ((doc_id*29+97) % 256) // 255
+             END AS b,
+             doc_id % 10 = 9 AS dead
+           FROM documents WHERE doc_id < 400)
+         SELECT doc_id,
+           CASE WHEN dead THEN NULL ELSE 16 END AS width,
+           CASE WHEN dead THEN NULL ELSE 8 END AS height,
+           CASE WHEN dead THEN NULL ELSE 3 END AS channels,
+           CASE WHEN dead THEN NULL ELSE 128*(r+g+b) END AS pix_sum,
+           CASE WHEN dead THEN NULL
+                ELSE 24512*r + 24640*g + 24768*b END AS pix_wsum,
+           CASE WHEN dead THEN NULL ELSE CAST(r AS DOUBLE) END AS mean_r,
+           CASE WHEN dead THEN NULL ELSE CAST(g AS DOUBLE) END AS mean_g,
+           CASE WHEN dead THEN NULL ELSE CAST(b AS DOUBLE) END AS mean_b
+         FROM p ORDER BY doc_id""",
 
     // q216: Utf8View columns — full text through variadic data
     // buffers, short tags through inline views

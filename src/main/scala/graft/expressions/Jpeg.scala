@@ -14,11 +14,15 @@ import org.apache.spark.sql.types._
   * YCbCr→RGB.
   *
   * Refusal envelope (NULL, never throw — same contract as the PNG/WAV
-  * decoders): accepts only baseline SOF0, 8-bit precision, 1 or 3
+  * decoders): accepts only baseline SOF0, 8-bit precision, 1, 3 or 4
   * components, sampling factors in {1, 2}, one interleaved scan covering
   * every component, with all referenced Huffman/quant tables declared.
-  * Progressive (SOF2), arithmetic-coded, hierarchical, 12-bit, and CMYK
-  * streams are refused rather than half-decoded. All size math is done
+  * 4-component streams need Adobe APP14 provenance (transform 0 = CMYK
+  * direct, 2 = YCCK) and composite to RGB under the inverted-ink
+  * convention (R = c'·k'/255); Progressive (SOF2) gets the same CMYK
+  * treatment through the shared compose. Arithmetic-coded,
+  * hierarchical, and 12-bit streams are refused rather than
+  * half-decoded. All size math is done
   * in Long and the decoded allocation is capped (64 MB of pixels), so a
   * forged header cannot become an allocation bomb.
   *
@@ -520,7 +524,8 @@ private[expressions] object JpegDecode {
     * (the q134 gate and ProgressiveJpegSpec pin this, plus a JDK
     * ImageIO cross-check on streams our writer did not produce).
     *
-    * Refusals (NULL): anything but SOF2/8-bit/1-or-3 components/
+    * Refusals (NULL): anything but SOF2/8-bit/1,3,4 components
+    * (4 needs Adobe APP14 CMYK/YCCK provenance, as in baseline)/
     * sampling ∈ {1,2}; malformed scan progressions (DC scan with
     * Se ≠ 0, interleaved AC scan, Ah ≠ Al+1 on refinement, undefined
     * tables); a component with no DC scan by EOI; streams that do not
@@ -549,6 +554,7 @@ private[expressions] object JpegDecode {
     var mcusX = 0
     var mcusY = 0
     var restartInt = 0
+    var adobe = -1 // APP14 Adobe transform (0=CMYK 1=YCbCr 2=YCCK)
     var i = 2
     // i+2 (not +4): the closing EOI is the final two bytes and its case
     // below is where reconstruction happens
@@ -584,7 +590,9 @@ private[expressions] object JpegDecode {
           }
           c += 1
         }
-        return compose(width, height, comps, hmax, vmax)
+        if (comps.length == 4 && adobe != 0 && adobe != 2)
+          return null // 4-component needs Adobe CMYK/YCCK provenance
+        return compose(width, height, comps, hmax, vmax, adobe)
       }
       if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { i = mi + 1 }
       else {
@@ -634,7 +642,7 @@ private[expressions] object JpegDecode {
             height = ((b(s + 1) & 0xFF) << 8) | (b(s + 2) & 0xFF)
             width = ((b(s + 3) & 0xFF) << 8) | (b(s + 4) & 0xFF)
             val nc = b(s + 5) & 0xFF
-            if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return null
+            if (width <= 0 || height <= 0 || (nc != 1 && nc != 3 && nc != 4)) return null
             if (segEnd - s != 6 + 3 * nc) return null
             // coefficient store is 4 B/pixel/component: tighter cap than
             // the baseline's byte planes
@@ -726,6 +734,10 @@ private[expressions] object JpegDecode {
               }
             if (endPos < 0) return null
             i = endPos
+          case 0xEE => // APP14: Adobe color-transform tag
+            if (segEnd - s >= 12 && b(s) == 'A' && b(s + 1) == 'd' &&
+                b(s + 2) == 'o' && b(s + 3) == 'b' && b(s + 4) == 'e')
+              adobe = b(s + 11) & 0xFF
           case _ => ()
         }
         if (m != 0xDA) i = segEnd
@@ -948,6 +960,7 @@ private[expressions] object JpegDecode {
     var height = 0
     var comps: Array[Comp] = null
     var restartInt = 0
+    var adobe = -1 // APP14 Adobe transform (0=CMYK 1=YCbCr 2=YCCK)
     var i = 2
     while (i + 4 <= b.length) {
       if ((b(i) & 0xFF) != 0xFF) return null
@@ -1004,7 +1017,7 @@ private[expressions] object JpegDecode {
             height = ((b(s + 1) & 0xFF) << 8) | (b(s + 2) & 0xFF)
             width = ((b(s + 3) & 0xFF) << 8) | (b(s + 4) & 0xFF)
             val nc = b(s + 5) & 0xFF
-            if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return null
+            if (width <= 0 || height <= 0 || (nc != 1 && nc != 3 && nc != 4)) return null
             if (segEnd - s != 6 + 3 * nc) return null
             if (width.toLong * height * nc > 64L * 1024 * 1024) return null
             comps = Array.fill(nc)(new Comp)
@@ -1050,8 +1063,14 @@ private[expressions] object JpegDecode {
                   acT(cc.acTab) == null) return null
               c2 += 1
             }
+            if (comps.length == 4 && adobe != 0 && adobe != 2)
+              return null // 4-component needs Adobe CMYK/YCCK provenance
             return decodeScan(b, segEnd, width, height, comps, qt, dcT, acT,
-              restartInt)
+              restartInt, adobe)
+          case 0xEE => // APP14: Adobe color-transform tag
+            if (segEnd - s >= 12 && b(s) == 'A' && b(s + 1) == 'd' &&
+                b(s + 2) == 'o' && b(s + 3) == 'b' && b(s + 4) == 'e')
+              adobe = b(s + 11) & 0xFF
           case _ => () // APPn / COM / DNL: skip
         }
         i = segEnd
@@ -1062,7 +1081,7 @@ private[expressions] object JpegDecode {
 
   private def decodeScan(b: Array[Byte], start: Int, width: Int, height: Int,
       comps: Array[Comp], qt: Array[Array[Int]], dcT: Array[Huff],
-      acT: Array[Huff], restartInt: Int): JpegRaw = {
+      acT: Array[Huff], restartInt: Int, adobe: Int = -1): JpegRaw = {
     // T.81 A.2.2: a single-component scan is non-interleaved — one block
     // per MCU, declared sampling factors notwithstanding
     if (comps.length == 1) { comps(0).h = 1; comps(0).v = 1 }
@@ -1147,7 +1166,7 @@ private[expressions] object JpegDecode {
     var p = r.pos
     while (p < b.length && (b(p) & 0xFF) == 0xFF) p += 1
     if (p >= b.length || (b(p) & 0xFF) != 0xD9 || p == r.pos) return null
-    compose(width, height, comps, hmax, vmax)
+    compose(width, height, comps, hmax, vmax, adobe)
   }
 
   /** Separable double-precision IDCT of one dequantized block into the
@@ -1190,8 +1209,45 @@ private[expressions] object JpegDecode {
     * libjpeg fixed point, 1 component = grayscale passthrough.
     */
   private def compose(width: Int, height: Int, comps: Array[Comp],
-      hmax: Int, vmax: Int): JpegRaw = {
+      hmax: Int, vmax: Int, adobe: Int = -1): JpegRaw = {
     val nc = comps.length
+    if (nc == 4) {
+      // Adobe CMYK (transform 0) / YCCK (transform 2). Adobe stores
+      // INVERTED ink (255 = no ink), so with stored values c',m',y',k'
+      // the naive composite is R = c'·k'/255 (YCCK runs the YCbCr
+      // inverse first to recover c'm'y'). Output is composited RGB —
+      // the same 3-channel contract every other color source lands as.
+      val rgb = new Array[Byte](width * height * 3)
+      val c0 = comps(0); val c1 = comps(1)
+      val c2 = comps(2); val c3 = comps(3)
+      var y = 0
+      while (y < height) {
+        val y0 = y * c0.v / vmax; val y1 = y * c1.v / vmax
+        val y2 = y * c2.v / vmax; val y3 = y * c3.v / vmax
+        var x = 0
+        while (x < width) {
+          val s0 = c0.plane(y0 * c0.planeW + x * c0.h / hmax) & 0xFF
+          val s1 = c1.plane(y1 * c1.planeW + x * c1.h / hmax) & 0xFF
+          val s2 = c2.plane(y2 * c2.planeW + x * c2.h / hmax) & 0xFF
+          val k = c3.plane(y3 * c3.planeW + x * c3.h / hmax) & 0xFF
+          var ic = s0; var im = s1; var iy = s2
+          if (adobe == 2) { // YCCK: YCbCr inverse recovers c'm'y'
+            val pb = s1 - 128
+            val pr = s2 - 128
+            ic = clamp(s0 + fx(91881 * pr))
+            im = clamp(s0 + fx(-22554 * pb - 46802 * pr))
+            iy = clamp(s0 + fx(116130 * pb))
+          }
+          val o = (y * width + x) * 3
+          rgb(o) = ((ic * k) / 255).toByte
+          rgb(o + 1) = ((im * k) / 255).toByte
+          rgb(o + 2) = ((iy * k) / 255).toByte
+          x += 1
+        }
+        y += 1
+      }
+      return new JpegRaw(width, height, 3, rgb)
+    }
     val out = new Array[Byte](width * height * nc)
     if (nc == 1) {
       val c = comps(0)

@@ -223,6 +223,51 @@ object JpegWriter {
       Array(0, 1, 1), restartInterval, stdTables, orientation, exifBigEndian)
   }
 
+  /** 4-component Adobe CMYK (`transform` 0) or YCCK (2) baseline JPEG.
+    * Plane functions supply the STORED channel values (Adobe's
+    * inverted-ink convention: 255 = no ink): for transform 0 they are
+    * c', m', y', k' directly; for transform 2 the first three are
+    * written through the forward YCbCr (so a decoder's inverse
+    * recovers c'm'y' before compositing). All four components 1×1.
+    */
+  def cmyk(width: Int, height: Int, cP: (Int, Int) => Int,
+      mP: (Int, Int) => Int, yP: (Int, Int) => Int, kP: (Int, Int) => Int,
+      transform: Int = 0, quant: Array[Int] = QFlat8,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(transform == 0 || transform == 2,
+      s"Adobe transform must be 0 (CMYK) or 2 (YCCK): $transform")
+    val planes =
+      if (transform == 0) Array(
+        new Plane(width, height, 1, 1, cP),
+        new Plane(width, height, 1, 1, mP),
+        new Plane(width, height, 1, 1, yP),
+        new Plane(width, height, 1, 1, kP))
+      else {
+        def lum(x: Int, y: Int): Int = {
+          val r = cP(x, y); val g = mP(x, y); val b = yP(x, y)
+          ((19595 * r + 38470 * g + 7471 * b + 32768) >> 16)
+        }
+        def cb(x: Int, y: Int): Int = {
+          val r = cP(x, y); val g = mP(x, y); val b = yP(x, y)
+          val v = 128 + ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16)
+          if (v < 0) 0 else if (v > 255) 255 else v
+        }
+        def cr(x: Int, y: Int): Int = {
+          val r = cP(x, y); val g = mP(x, y); val b = yP(x, y)
+          val v = 128 + ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16)
+          if (v < 0) 0 else if (v > 255) 255 else v
+        }
+        Array(
+          new Plane(width, height, 1, 1, lum),
+          new Plane(width, height, 1, 1, cb),
+          new Plane(width, height, 1, 1, cr),
+          new Plane(width, height, 1, 1, kP))
+      }
+    encode(width, height, planes, Array(quant, quant),
+      Array(0, 1, 1, 1), restartInterval, stdTables = false,
+      adobeTransform = transform)
+  }
+
   /** One component at its own resolution with its MCU sampling factors;
     * reads outside the declared area replicate the nearest edge sample
     * (the standard block-padding choice — irrelevant to decoded output,
@@ -255,7 +300,8 @@ object JpegWriter {
   private def encode(width: Int, height: Int, planes: Array[Plane],
       quants: Array[Array[Int]], compQ: Array[Int], restartInterval: Int,
       stdTables: Boolean, orientation: Int = 0,
-      exifBigEndian: Boolean = false): Array[Byte] = {
+      exifBigEndian: Boolean = false,
+      adobeTransform: Int = -1): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims: ${width}x$height")
     require(orientation >= 0 && orientation <= 8,
       s"EXIF orientation must be 0 (none) or 1..8: $orientation")
@@ -287,6 +333,11 @@ object JpegWriter {
       w32(0) // no next IFD
       segment(out, 0xE1,
         "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff.toByteArray)
+    }
+    if (adobeTransform >= 0) {
+      // APP14 / Adobe: version 101, zero flags, the color transform
+      segment(out, 0xEE, "Adobe".getBytes("US-ASCII") ++
+        Array[Byte](0, 101, 0, 0, 0, 0, adobeTransform.toByte))
     }
     // DQT — tables in zigzag order on the wire
     quants.zipWithIndex.foreach { case (q, tq) =>

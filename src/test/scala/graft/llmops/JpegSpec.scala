@@ -355,4 +355,73 @@ class JpegSpec extends SparkTestBase {
     assert(viaSql === viaApi)
     assert(viaSql(1L) === expectedGray(16, 8, 44).pixSum && viaSql(2L) === -1L)
   }
+
+  test("Adobe CMYK and YCCK 4-component decode, ImageIO raster agreement") {
+    // whole-image-constant stored planes + flat-8 quant → DC-only and
+    // bit-exact, so the composite is closed-form: R = c'·k'/255
+    val (c0, m0, y0, k0) = (200, 120, 64, 220)
+    val cmykBytes = JpegWriter.cmyk(16, 8,
+      (_, _) => c0, (_, _) => m0, (_, _) => y0, (_, _) => k0,
+      transform = 0)
+    val d = graft.expressions.JpegTestAccess.decode(cmykBytes)
+    assert(d != null && d._1 == 16 && d._2 == 8 && d._3 == 3)
+    val (er, eg, eb) = (c0 * k0 / 255, m0 * k0 / 255, y0 * k0 / 255)
+    d._4.grouped(3).foreach { px =>
+      assert((px(0) & 0xFF) == er && (px(1) & 0xFF) == eg &&
+        (px(2) & 0xFF) == eb)
+    }
+
+    // the JDK's libjpeg reads the same wire stream: raster (no color
+    // conversion) must return the stored constants on all 4 bands
+    val rdrs = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+    assert(rdrs.hasNext)
+    val rdr = rdrs.next()
+    rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(cmykBytes)))
+    val raster = rdr.readRaster(0, null)
+    assert(raster.getNumBands == 4)
+    for (x <- 0 until 16; y <- 0 until 8) {
+      assert(raster.getSample(x, y, 0) == c0)
+      assert(raster.getSample(x, y, 1) == m0)
+      assert(raster.getSample(x, y, 2) == y0)
+      assert(raster.getSample(x, y, 3) == k0)
+    }
+    rdr.dispose()
+
+    // YCCK (transform 2) with a gray c'=m'=y' plane: the forward YCbCr
+    // is exact (Cb=Cr=128), so the decode composite is closed-form too
+    val (g0, k1) = (150, 180)
+    val ycck = JpegWriter.cmyk(16, 8,
+      (_, _) => g0, (_, _) => g0, (_, _) => g0, (_, _) => k1,
+      transform = 2)
+    val d2 = graft.expressions.JpegTestAccess.decode(ycck)
+    assert(d2 != null && d2._3 == 3)
+    val ev = g0 * k1 / 255
+    d2._4.foreach(b => assert((b & 0xFF) == ev))
+
+    // refusals: APP14 missing (patched to a COM marker) and an Adobe
+    // transform byte of 1 (YCbCr is not a 4-component transform)
+    val noApp14 = cmykBytes.clone()
+    val app14At = noApp14.indices.find(i =>
+      (noApp14(i) & 0xFF) == 0xFF && i + 1 < noApp14.length &&
+        (noApp14(i + 1) & 0xFF) == 0xEE).get
+    noApp14(app14At + 1) = 0xFE.toByte // COM: tag gone, length intact
+    assert(graft.expressions.JpegTestAccess.decode(noApp14) == null)
+    val badTransform = cmykBytes.clone()
+    badTransform(app14At + 15) = 1 // transform byte inside the segment
+    assert(graft.expressions.JpegTestAccess.decode(badTransform) == null)
+
+    // block-varying planes: decoder and the JDK raster still agree
+    // sample-exact (DC-only content, 3 blocks × 1 block)
+    def cP(x: Int, y: Int): Int = 40 + (x / 8) * 60
+    val varied = JpegWriter.cmyk(24, 8, cP,
+      (_, _) => 99, (_, _) => 33, (_, _) => 255, transform = 0)
+    val dv = graft.expressions.JpegTestAccess.decode(varied)
+    assert(dv != null)
+    for (x <- 0 until 24; y <- 0 until 8) {
+      val o = (y * 24 + x) * 3
+      assert((dv._4(o) & 0xFF) == cP(x, y) * 255 / 255)
+      assert((dv._4(o + 1) & 0xFF) == 99)
+    }
+  }
 }
