@@ -35,8 +35,10 @@ import org.apache.spark.sql.types._
   * task's columnar walk). Utf8View/BinaryView (polars' and
   * pyarrow 16+'s native string layout) decode inline-or-variadic view
   * structs, honoring the RecordBatch's variadicBufferCounts even for
-  * pruned columns. ListView/LargeListView refuse wholesale at schema
-  * parse — documented boundary. Body compression:
+  * pruned columns. ListView/LargeListView decode to the same ArrayType
+  * as List (offsets + sizes honored, out-of-order and overlapping
+  * ranges included). Interval types refuse wholesale at schema parse
+  * — documented boundary. Body compression:
   * LZ4-frame and zstd via the repo's own decoders.
   *
   * Corruption blast radius: one record batch (a batch that fails
@@ -159,6 +161,10 @@ object Arrow {
     * RecordBatch message's variadicBufferCounts.
     */
   final case class AView(binary: Boolean) extends AType
+  /** ListView / LargeListView: validity + offsets + sizes buffers over
+    * a child that entries may index out of order or overlapping.
+    */
+  final case class AListView(child: AField, large: Boolean) extends AType
 
   /** `dict` marks a dictionary-encoded field: (dictionary id, index
     * bit width). `tpe` is then the VALUE type (what the column means);
@@ -199,6 +205,7 @@ object Arrow {
       StructType(StructField("tag", IntegerType) +: members)
     case ARunEnd(_, values) => sparkType(values.tpe)
     case AView(binary) => if (binary) BinaryType else StringType
+    case AListView(c, _) => ArrayType(sparkType(c.tpe))
   }
 
   def rootStruct(fields: Vector[AField]): StructType =
@@ -297,13 +304,15 @@ object Arrow {
         ARunEnd(cs.head, cs(1))
       case 23 => AView(binary = true)
       case 24 => AView(binary = false)
+      case 25 => AListView(children.head, large = false)
+      case 26 => AListView(children.head, large = true)
       case other => throw new IllegalArgumentException(
         s"arrow type id $other unsupported (field $name)")
     }
     dict.foreach { _ =>
       require(!tpe.isInstanceOf[AList] && !tpe.isInstanceOf[AStruct] &&
         !tpe.isInstanceOf[AFixedList] && !tpe.isInstanceOf[AUnion] &&
-        !tpe.isInstanceOf[ARunEnd],
+        !tpe.isInstanceOf[ARunEnd] && !tpe.isInstanceOf[AListView],
         s"dictionary-encoded nested value type unsupported (field $name)")
     }
     // a run-end column is null wherever its VALUES child is null (the
@@ -738,6 +747,31 @@ object Arrow {
           }
           i += 1
         }
+      case AListView(child, large) =>
+        // offsets and sizes are independent (entries may share or
+        // reorder child ranges); the child's length comes from its own
+        // FieldNode, not from any offset arithmetic
+        val offs = bd.buffer(cur.buf); cur.buf += 1
+        val sizes = bd.buffer(cur.buf); cur.buf += 1
+        val ofb = new Fb(offs)
+        val sfb = new Fb(sizes)
+        val childLen = bd.node(cur.node)._1.toInt
+        val kids = readColumn(bd, child, cur, childLen, dicts)
+        var i = 0
+        while (i < rows) {
+          if (valid(i)) {
+            val o = if (large) ofb.i64(i * 8) else ofb.i32(i * 4).toLong
+            val n = if (large) sfb.i64(i * 8) else sfb.i32(i * 4).toLong
+            require(o >= 0 && n >= 0 && o + n <= childLen,
+              s"list-view range [$o,+$n) out of child $childLen")
+            val bld = Vector.newBuilder[Any]
+            var j = o.toInt
+            val e = (o + n).toInt
+            while (j < e) { bld += kids(j); j += 1 }
+            out(i) = bld.result()
+          }
+          i += 1
+        }
     }
     out
   }
@@ -754,6 +788,7 @@ object Arrow {
       case AStruct(cs) => 1 + cs.map(nodeCount).sum
       case AUnion(cs, _, _) => 1 + cs.map(nodeCount).sum
       case ARunEnd(re, v) => 1 + nodeCount(re) + nodeCount(v)
+      case AListView(c, _) => 1 + nodeCount(c)
       case _ => 1
     }
 
@@ -771,6 +806,7 @@ object Arrow {
         (if (dense) 2 else 1) + cs.map(bufCount).sum
       case ARunEnd(re, v) => bufCount(re) + bufCount(v) // none of its own
       case AView(_) => 2 // validity + views; variadic counted per batch
+      case AListView(c, _) => 3 + bufCount(c) // validity+offsets+sizes
       case _ => 2
     }
 
@@ -782,6 +818,7 @@ object Arrow {
     if (f.dict.isDefined) 0
     else f.tpe match {
       case AView(_) => 1
+      case AListView(c, _) => viewCols(c)
       case AList(c, _) => viewCols(c)
       case AFixedList(c, _) => viewCols(c)
       case AStruct(cs) => cs.map(viewCols).sum

@@ -140,6 +140,8 @@ object ArrowWriter {
     val childOffs = f.tpe match {
       case AList(c, _) => Vector(buildField(b, c))
       case AStruct(cs) => cs.map(buildField(b, _))
+      case AUnion(cs, _, _) => cs.map(buildField(b, _))
+      case ARunEnd(re, v) => Vector(buildField(b, re), buildField(b, v))
       case _ => Vector.empty
     }
     val childVec = if (childOffs.isEmpty) 0 else {
@@ -151,6 +153,13 @@ object ArrowWriter {
     // strings referenced by type tables must exist before startTable
     val tzOff = f.tpe match {
       case ATimestamp(_, true) => b.createString("UTC")
+      case _ => 0
+    }
+    val unionIdsOff = f.tpe match {
+      case AUnion(_, ids, _) =>
+        b.startVector(4, ids.length, 4)
+        ids.reverse.foreach(b.putI32)
+        b.endVector(ids.length)
       case _ => 0
     }
     // type table
@@ -189,9 +198,18 @@ object ArrowWriter {
         b.slotI16(0, unit, 0)
         if (tz) b.slotOffset(1, tzOff)
         (10, b.endTable())
-      case APassthrough(_) | AFixedList(_, _) =>
+      case AUnion(_, _, dense) =>
+        b.startTable()
+        b.slotI16(0, if (dense) 1 else 0, 0)
+        if (unionIdsOff != 0) b.slotOffset(1, unionIdsOff)
+        (14, b.endTable())
+      case ARunEnd(_, _) => b.startTable(); (22, b.endTable())
+      case AView(true) => b.startTable(); (23, b.endTable())
+      case AView(false) => b.startTable(); (24, b.endTable())
+      case APassthrough(_) | AFixedList(_, _) | AListView(_, _) =>
         throw new IllegalArgumentException(
-          "writer does not emit passthrough or fixed-size-list types")
+          "writer does not emit passthrough, fixed-size-list or " +
+            "list-view types")
     }
     b.startTable()
     b.slotOffset(0, nameOff)
@@ -254,7 +272,52 @@ object ArrowWriter {
   }
 
   private def writeColumn(f: AField, vs: Seq[Any], body: Body,
-      nodes: scala.collection.mutable.ArrayBuffer[(Long, Long)]): Unit = {
+      nodes: scala.collection.mutable.ArrayBuffer[(Long, Long)],
+      vari: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
+    f.tpe match {
+      case AUnion(children, typeIds, dense) =>
+        // sparse union: types buffer + full-length children, NO
+        // validity (values are the reader's tagged sparse structs)
+        require(!dense, "writer emits sparse unions only")
+        nodes += ((vs.length.toLong, 0L))
+        val types = new Array[Byte](vs.length)
+        var i = 0
+        vs.foreach { v =>
+          require(v != null, "arrow union slots cannot be null at the " +
+            "top — encode a null in the tagged child instead")
+          types(i) = v.asInstanceOf[Row].getInt(0).toByte
+          i += 1
+        }
+        body.add(types)
+        children.zipWithIndex.foreach { case (c, j) =>
+          val tid = typeIds(j)
+          val kid = vs.map { v =>
+            val r = v.asInstanceOf[Row]
+            if (r.getInt(0) == tid) r.get(1 + j) else null
+          }
+          writeColumn(c, kid, body, nodes, vari)
+        }
+        return
+      case ARunEnd(re, values) =>
+        // re-run-length the LOGICAL values (scalar equality)
+        nodes += ((vs.length.toLong, 0L))
+        val ends = Vector.newBuilder[Any]
+        val rvs = Vector.newBuilder[Any]
+        var nRuns = 0
+        var k = 0
+        while (k < vs.length) {
+          var e = k + 1
+          while (e < vs.length && vs(e) == vs(k)) e += 1
+          ends += e
+          rvs += vs(k)
+          nRuns += 1
+          k = e
+        }
+        writeColumn(re, ends.result(), body, nodes, vari)
+        writeColumn(values, rvs.result(), body, nodes, vari)
+        return
+      case _ =>
+    }
     val (bm, nulls) = validityOf(vs)
     nodes += ((vs.length.toLong, nulls))
     body.add(bm)
@@ -422,18 +485,57 @@ object ArrowWriter {
           case null => Seq.empty[Any]
           case s: Seq[_] => s
         }
-        writeColumn(child, kids, body, nodes)
+        writeColumn(child, kids, body, nodes, vari)
       case AStruct(children) =>
         children.zipWithIndex.foreach { case (c, k) =>
           val kid = vs.map {
             case null => null
             case r: Row => r.get(k)
           }
-          writeColumn(c, kid, body, nodes)
+          writeColumn(c, kid, body, nodes, vari)
         }
-      case APassthrough(_) | AFixedList(_, _) =>
+      case AView(binary) =>
+        // views + ONE variadic data buffer (index 0 for every
+        // out-of-line value — spec-legal for any batch size)
+        vari += 1L
+        val views = new Array[Byte](vs.length * 16)
+        val data = new java.io.ByteArrayOutputStream()
+        var i = 0
+        vs.foreach { v =>
+          if (v != null) {
+            val bytes =
+              if (binary) v.asInstanceOf[Array[Byte]]
+              else v.asInstanceOf[String]
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val p = i * 16
+            var k = 0
+            while (k < 4) {
+              views(p + k) = ((bytes.length >> (8 * k)) & 0xff).toByte
+              k += 1
+            }
+            if (bytes.length <= 12) {
+              System.arraycopy(bytes, 0, views, p + 4, bytes.length)
+            } else {
+              System.arraycopy(bytes, 0, views, p + 4, 4) // prefix
+              val off = data.size()
+              // buffer index stays 0; offset at p+12
+              k = 0
+              while (k < 4) {
+                views(p + 12 + k) = ((off >> (8 * k)) & 0xff).toByte
+                k += 1
+              }
+              data.write(bytes, 0, bytes.length)
+            }
+          }
+          i += 1
+        }
+        body.add(views)
+        body.add(data.toByteArray)
+      case APassthrough(_) | AFixedList(_, _) | AListView(_, _) |
+           AUnion(_, _, _) | ARunEnd(_, _) =>
         throw new IllegalArgumentException(
-          "writer does not emit passthrough or fixed-size-list types")
+          "writer does not emit passthrough, fixed-size-list or " +
+            "list-view types")
     }
   }
 
@@ -465,8 +567,9 @@ object ArrowWriter {
       : (Array[Byte], Array[Byte]) = {
     val body = new Body
     val nodes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val vari = scala.collection.mutable.ArrayBuffer.empty[Long]
     fields.zipWithIndex.foreach { case (f, k) =>
-      writeColumn(f, rows.map(_.get(k)), body, nodes)
+      writeColumn(f, rows.map(_.get(k)), body, nodes, vari)
     }
     val bufs = body.buffers.result()
     val b = new FbBuilder()
@@ -481,10 +584,16 @@ object ArrowWriter {
       b.putI64(nulls); b.putI64(len)
     }
     val nodeVec = b.endVector(nodes.length)
+    val variVec = if (vari.isEmpty) 0 else {
+      b.startVector(8, vari.length, 8)
+      vari.reverse.foreach(b.putI64)
+      b.endVector(vari.length)
+    }
     b.startTable()
     b.slotI64(0, rows.length.toLong, 0L)
     b.slotOffset(1, nodeVec)
     b.slotOffset(2, bufVec)
+    if (variVec != 0) b.slotOffset(4, variVec)
     val rb = b.endTable()
     val bodyBytes = body.out.toByteArray
     b.startTable()

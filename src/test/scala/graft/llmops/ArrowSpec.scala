@@ -801,6 +801,141 @@ class ArrowSpec extends SparkTestBase {
     }
   }
 
+  test("writer twins: sparse union, run-end, utf8view — arrow-java reads back") {
+    import Arrow._
+    val fields = Vector(
+      AField("id", nullable = false, AInt(64)),
+      // non-contiguous type ids prove the tag is the ID, not the index
+      AField("u", nullable = false, AUnion(Vector(
+        AField("lng", nullable = true, AInt(64)),
+        AField("txt", nullable = true, AString(large = false))),
+        Vector(4, 9), dense = false)),
+      AField("r", nullable = true, ARunEnd(
+        AField("run_ends", nullable = false, AInt(32)),
+        AField("values", nullable = true, AString(large = false)))),
+      AField("v", nullable = true, AView(binary = false)))
+    val n = 120
+    def viewStr(i: Int): String =
+      if (i % 7 == 6) null
+      else if (i % 2 == 0) s"in$i"
+      else s"a long out-of-line view value $i " + ("y" * (i % 11))
+    val rows = (0 until n).map { i =>
+      val u =
+        if (i % 3 == 0) Row(4, i * 13L, null)
+        else Row(9, null, s"u$i")
+      Row(i.toLong, u, s"run${i / 40}", viewStr(i))
+    }
+    val bytes = ArrowWriter.write(fields, rows)
+    val dir = Files.createTempDirectory("graft-arrow-twin").toString
+    val path = s"$dir/twin.arrow"
+    Files.write(java.nio.file.Paths.get(path), bytes)
+
+    // own reader round-trips
+    val back = Arrow.readArrow(spark, path).collect().sortBy(_.getLong(0))
+    assert(back.length == n)
+    back.foreach { r =>
+      val i = r.getLong(0).toInt
+      val u = r.getStruct(1)
+      if (i % 3 == 0)
+        assert(u.getInt(0) == 4 && u.getLong(1) == i * 13L && u.isNullAt(2))
+      else
+        assert(u.getInt(0) == 9 && u.isNullAt(1) &&
+          u.getString(2) == s"u$i")
+      assert(r.getString(2) == s"run${i / 40}")
+      val vs = viewStr(i)
+      if (vs == null) assert(r.isNullAt(3)) else assert(r.getString(3) == vs)
+    }
+
+    // arrow-java agrees on every wire value
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val rdr = new org.apache.arrow.vector.ipc.ArrowFileReader(
+        new java.io.FileInputStream(path).getChannel, alloc)
+      var seen = 0
+      while (rdr.loadNextBatch()) {
+        val root = rdr.getVectorSchemaRoot
+        val ids = root.getVector("id")
+          .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+        val uv = root.getVector("u")
+          .asInstanceOf[org.apache.arrow.vector.complex.UnionVector]
+        val rv = root.getVector("r")
+          .asInstanceOf[org.apache.arrow.vector.complex.RunEndEncodedVector]
+        val vv = root.getVector("v")
+          .asInstanceOf[org.apache.arrow.vector.ViewVarCharVector]
+        for (k <- 0 until root.getRowCount) {
+          val i = ids.get(k).toInt
+          val uo = uv.getObject(k)
+          if (i % 3 == 0) assert(uo == i * 13L)
+          else assert(uo.toString == s"u$i")
+          assert(rv.getObject(k).toString == s"run${i / 40}")
+          val vs = viewStr(i)
+          if (vs == null) assert(vv.isNull(k))
+          else assert(new String(vv.get(k), "UTF-8") == vs)
+          seen += 1
+        }
+      }
+      rdr.close()
+      assert(seen == n)
+    } finally alloc.close()
+  }
+
+  test("list-view columns: out-of-order and overlapping ranges decode") {
+    import org.apache.arrow.vector.types.pojo.{ArrowType, FieldType}
+    val path = Files.createTempDirectory("graft-arrow-lv").toString +
+      "/lv.arrow"
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val ids = new org.apache.arrow.vector.BigIntVector("id", alloc)
+      val lv = org.apache.arrow.vector.complex.ListViewVector
+        .empty("l", alloc)
+      val child = lv.addOrGetVector[org.apache.arrow.vector.FieldVector](
+        FieldType.nullable(new ArrowType.Int(64, true)))
+        .getVector.asInstanceOf[org.apache.arrow.vector.BigIntVector]
+      val n = 6
+      ids.allocateNew(n); lv.allocateNew()
+      child.allocateNew(10)
+      for (j <- 0 until 10) child.setSafe(j, j * 5L)
+      child.setValueCount(10)
+      // slots: overlapping (1 reuses 0's tail), null, out-of-order
+      // (3 indexes past 5's range), empty
+      val slots = Seq(
+        Some((0, 3)), Some((2, 2)), None,
+        Some((7, 3)), Some((0, 0)), Some((5, 2)))
+      slots.zipWithIndex.foreach {
+        case (Some((off, sz)), i) =>
+          ids.setSafe(i, i.toLong)
+          lv.setValidity(i, 1); lv.setOffset(i, off); lv.setSize(i, sz)
+        case (None, i) =>
+          ids.setSafe(i, i.toLong)
+          lv.setValidity(i, 0); lv.setOffset(i, 0); lv.setSize(i, 0)
+      }
+      ids.setValueCount(n); lv.setValueCount(n)
+      val root = new org.apache.arrow.vector.VectorSchemaRoot(
+        java.util.Arrays.asList(ids.getField, lv.getField),
+        java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](
+          ids, lv), n)
+      val ch = new java.io.FileOutputStream(path).getChannel
+      val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+        null, ch)
+      w.start(); w.writeBatch(); w.end(); w.close(); ch.close()
+      ids.close(); lv.close()
+    } finally alloc.close()
+
+    val df = Arrow.readArrow(spark, path)
+    assert(df.schema("l").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))
+    val rows = df.collect().sortBy(_.getLong(0))
+    val got = rows.map(r =>
+      if (r.isNullAt(1)) null else r.getSeq[Long](1).toList)
+    assert(got(0) == List(0L, 5L, 10L))
+    assert(got(1) == List(10L, 15L)) // overlaps slot 0's range
+    assert(got(2) == null)
+    assert(got(3) == List(35L, 40L, 45L)) // out of order
+    assert(got(4) == List())
+    assert(got(5) == List(25L, 30L))
+  }
+
   test("dense union columns: offsets into packed children") {
     val path = Files.createTempDirectory("graft-arrow-u").toString +
       "/dense.arrow"
