@@ -3769,6 +3769,65 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q219_arrow_map" -> ((s, dir) => {
+      // Arrow Map columns → MapType: the fixture is written by ARROW'S
+      // OWN MapVector writer (List-of-entries layout over
+      // struct<key,value>), two entries per row plus a null-map tier;
+      // the gate projects both keys out so the oracle replays them as
+      // scalars
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q219_file", _ => {
+        val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+        val f = java.nio.file.Files.createTempDirectory("graft-q219")
+          .toString + "/map.arrow"
+        val alloc = new org.apache.arrow.memory.RootAllocator()
+        try {
+          val n = docs.length
+          val ids = new org.apache.arrow.vector.BigIntVector("doc_id",
+            alloc)
+          val mv = org.apache.arrow.vector.complex.MapVector.empty(
+            "m", alloc, false)
+          ids.allocateNew(n)
+          val w = mv.getWriter
+          docs.zipWithIndex.foreach { case (id, i) =>
+            ids.setSafe(i, id)
+            w.setPosition(i)
+            if (id % 9 != 8) {
+              w.startMap()
+              w.startEntry()
+              w.key().varChar().writeVarChar("a")
+              w.value().bigInt().writeBigInt(id * 3L)
+              w.endEntry()
+              w.startEntry()
+              w.key().varChar().writeVarChar("b")
+              w.value().bigInt().writeBigInt(id % 11L)
+              w.endEntry()
+              w.endMap()
+            }
+          }
+          w.setValueCount(n)
+          ids.setValueCount(n)
+          val root = new org.apache.arrow.vector.VectorSchemaRoot(
+            java.util.Arrays.asList(ids.getField, mv.getField),
+            java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](
+              ids, mv), n)
+          val ch = new java.io.FileOutputStream(f).getChannel
+          val fw = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+            null, ch)
+          fw.start(); fw.writeBatch(); fw.end(); fw.close(); ch.close()
+          ids.close(); mv.close()
+        } finally alloc.close()
+        f
+      })
+      graft.llmops.Arrow.readArrow(ss, path)
+        .select(col("doc_id"),
+          col("m").getItem("a").as("m_a"),
+          col("m").getItem("b").as("m_b"),
+          size(col("m")).cast("long").as("m_size"))
+        .orderBy("doc_id")
+    }),
+
     "q218_jpeg_cmyk" -> ((s, dir) => {
       // Adobe CMYK/YCCK 4-component JPEG decode: whole-image-constant
       // stored planes under the flat-8 quantizer are DC-only and
@@ -7140,6 +7199,15 @@ object SparkEntry {
     "q195_avro" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q219: Arrow Map columns — both entries projected out as scalars,
+    // null-map tier yields NULLs
+    "q219_arrow_map" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 9 = 8 THEN NULL ELSE doc_id * 3 END AS m_a,
+           CASE WHEN doc_id % 9 = 8 THEN NULL ELSE doc_id % 11 END AS m_b,
+           CASE WHEN doc_id % 9 = 8 THEN -1 ELSE 2 END AS m_size
+         FROM documents WHERE doc_id < 400 ORDER BY doc_id""",
 
     // q218: Adobe CMYK/YCCK JPEG — constant 16×8 planes, so the
     // 384-slot weighted stream sum collapses to three fixed weights

@@ -37,8 +37,10 @@ import org.apache.spark.sql.types._
   * structs, honoring the RecordBatch's variadicBufferCounts even for
   * pruned columns. ListView/LargeListView decode to the same ArrayType
   * as List (offsets + sizes honored, out-of-order and overlapping
-  * ranges included). Interval types refuse wholesale at schema parse
-  * — documented boundary. Body compression:
+  * ranges included). Map → MapType (List-of-entries layout);
+  * FixedSizeBinary → BinaryType; the Null type decodes to all-NULL
+  * slots (no buffers). Interval types refuse wholesale at schema
+  * parse — the one remaining boundary (no Spark-native target). Body compression:
   * LZ4-frame and zstd via the repo's own decoders.
   *
   * Corruption blast radius: one record batch (a batch that fails
@@ -165,6 +167,12 @@ object Arrow {
     * a child that entries may index out of order or overlapping.
     */
   final case class AListView(child: AField, large: Boolean) extends AType
+  /** Map: a List of struct<key, value> entries with map semantics. */
+  final case class AMap(entries: AField) extends AType
+  /** FixedSizeBinary: `n` bytes per slot, no offsets buffer. */
+  final case class AFixedBinary(n: Int) extends AType
+  /** Null type: no buffers at all, every slot NULL. */
+  case object ANull extends AType
 
   /** `dict` marks a dictionary-encoded field: (dictionary id, index
     * bit width). `tpe` is then the VALUE type (what the column means);
@@ -206,6 +214,11 @@ object Arrow {
     case ARunEnd(_, values) => sparkType(values.tpe)
     case AView(binary) => if (binary) BinaryType else StringType
     case AListView(c, _) => ArrayType(sparkType(c.tpe))
+    case AMap(entries) =>
+      val st = sparkType(entries.tpe).asInstanceOf[StructType]
+      MapType(st(0).dataType, st(1).dataType)
+    case AFixedBinary(_) => BinaryType
+    case ANull => NullType
   }
 
   def rootStruct(fields: Vector[AField]): StructType =
@@ -306,6 +319,26 @@ object Arrow {
       case 24 => AView(binary = false)
       case 25 => AListView(children.head, large = false)
       case 26 => AListView(children.head, large = true)
+      case 1 => ANull
+      case 15 => // FixedSizeBinary: byteWidth (i32)
+        val w = fb.fieldI32(tp, 0, 0)
+        require(w > 0, s"fixed-size binary of $w (field $name)")
+        AFixedBinary(w)
+      case 17 => // Map: one struct<key,value> entries child
+        val cs = children
+        require(cs.length == 1, s"map needs 1 entries child (field $name)")
+        cs.head.tpe match {
+          case AStruct(kv) if kv.length == 2 =>
+          case other => throw new IllegalArgumentException(
+            s"map entries must be struct<key,value>, got $other " +
+              s"(field $name)")
+        }
+        AMap(cs.head)
+      case 11 => // Interval: YEAR_MONTH=i32, DAY_TIME=2xi32,
+        // MONTH_DAY_NANO=16B — no Spark-native target, refuse (the
+        // remaining documented boundary)
+        throw new IllegalArgumentException(
+          s"arrow interval type unsupported (field $name)")
       case other => throw new IllegalArgumentException(
         s"arrow type id $other unsupported (field $name)")
     }
@@ -514,6 +547,8 @@ object Arrow {
           i += 1
         }
         return rout
+      case ANull =>
+        return new Array[Any](rows) // no buffers; every slot NULL
       case _ =>
     }
     val validity = bd.buffer(cur.buf); cur.buf += 1
@@ -772,6 +807,40 @@ object Arrow {
           }
           i += 1
         }
+      case AMap(entries) =>
+        // the List layout over a struct<key,value> entries child
+        val offs = bd.buffer(cur.buf); cur.buf += 1
+        val ofb = new Fb(offs)
+        val entryLen = ofb.i32(rows * 4)
+        val (declaredChild, _) = bd.node(cur.node)
+        require(declaredChild >= entryLen, "map entries node too short")
+        val kids = readColumn(bd, entries, cur, entryLen, dicts)
+        var i = 0
+        while (i < rows) {
+          if (valid(i)) {
+            val sOff = ofb.i32(i * 4)
+            val e = ofb.i32((i + 1) * 4)
+            val bld = Map.newBuilder[Any, Any]
+            var j = sOff
+            while (j < e) {
+              val kv = kids(j).asInstanceOf[Row]
+              bld += kv.get(0) -> kv.get(1)
+              j += 1
+            }
+            out(i) = bld.result()
+          }
+          i += 1
+        }
+      case AFixedBinary(w) =>
+        val data = bd.buffer(cur.buf); cur.buf += 1
+        var i = 0
+        while (i < rows) {
+          if (valid(i))
+            out(i) = java.util.Arrays.copyOfRange(data, i * w, (i + 1) * w)
+          i += 1
+        }
+      case ANull | AUnion(_, _, _) | ARunEnd(_, _) =>
+        () // handled in the pre-validity match; here for exhaustiveness
     }
     out
   }
@@ -789,6 +858,7 @@ object Arrow {
       case AUnion(cs, _, _) => 1 + cs.map(nodeCount).sum
       case ARunEnd(re, v) => 1 + nodeCount(re) + nodeCount(v)
       case AListView(c, _) => 1 + nodeCount(c)
+      case AMap(entries) => 1 + nodeCount(entries)
       case _ => 1
     }
 
@@ -807,6 +877,8 @@ object Arrow {
       case ARunEnd(re, v) => bufCount(re) + bufCount(v) // none of its own
       case AView(_) => 2 // validity + views; variadic counted per batch
       case AListView(c, _) => 3 + bufCount(c) // validity+offsets+sizes
+      case AMap(entries) => 2 + bufCount(entries) // list layout
+      case ANull => 0 // the null layout has NO buffers at all
       case _ => 2
     }
 
@@ -818,6 +890,7 @@ object Arrow {
     if (f.dict.isDefined) 0
     else f.tpe match {
       case AView(_) => 1
+      case AMap(entries) => viewCols(entries)
       case AListView(c, _) => viewCols(c)
       case AList(c, _) => viewCols(c)
       case AFixedList(c, _) => viewCols(c)

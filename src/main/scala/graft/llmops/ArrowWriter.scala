@@ -142,6 +142,7 @@ object ArrowWriter {
       case AStruct(cs) => cs.map(buildField(b, _))
       case AUnion(cs, _, _) => cs.map(buildField(b, _))
       case ARunEnd(re, v) => Vector(buildField(b, re), buildField(b, v))
+      case AMap(entries) => Vector(buildField(b, entries))
       case _ => Vector.empty
     }
     val childVec = if (childOffs.isEmpty) 0 else {
@@ -206,6 +207,10 @@ object ArrowWriter {
       case ARunEnd(_, _) => b.startTable(); (22, b.endTable())
       case AView(true) => b.startTable(); (23, b.endTable())
       case AView(false) => b.startTable(); (24, b.endTable())
+      case AMap(_) => b.startTable(); (17, b.endTable())
+      case AFixedBinary(w) =>
+        b.startTable(); b.slotI32(0, w, 0); (15, b.endTable())
+      case ANull => b.startTable(); (1, b.endTable())
       case APassthrough(_) | AFixedList(_, _) | AListView(_, _) =>
         throw new IllegalArgumentException(
           "writer does not emit passthrough, fixed-size-list or " +
@@ -297,6 +302,10 @@ object ArrowWriter {
           }
           writeColumn(c, kid, body, nodes, vari)
         }
+        return
+      case ANull =>
+        vs.foreach(v => require(v == null, "non-null in a Null column"))
+        nodes += ((vs.length.toLong, vs.length.toLong))
         return
       case ARunEnd(re, values) =>
         // re-run-length the LOGICAL values (scalar equality)
@@ -531,8 +540,43 @@ object ArrowWriter {
         }
         body.add(views)
         body.add(data.toByteArray)
+      case AMap(entries) =>
+        // List layout over struct<key,value> entries
+        val offs = new Array[Byte]((vs.length + 1) * 4)
+        var acc = 0
+        var i = 0
+        def put(pos: Int, x: Int): Unit = {
+          var k = 0
+          while (k < 4) {
+            offs(pos * 4 + k) = ((x >> (8 * k)) & 0xff).toByte; k += 1
+          }
+        }
+        put(0, 0)
+        vs.foreach { v =>
+          if (v != null) acc += v.asInstanceOf[Map[_, _]].size
+          i += 1
+          put(i, acc)
+        }
+        body.add(offs)
+        val kids = vs.flatMap {
+          case null => Seq.empty[Any]
+          case m: Map[_, _] => m.toSeq.map { case (k, v) => Row(k, v) }
+        }
+        writeColumn(entries, kids, body, nodes, vari)
+      case AFixedBinary(w) =>
+        val data = new Array[Byte](vs.length * w)
+        var i = 0
+        vs.foreach { v =>
+          if (v != null) {
+            val bb = v.asInstanceOf[Array[Byte]]
+            require(bb.length == w, s"fixed($w) got ${bb.length}")
+            System.arraycopy(bb, 0, data, i * w, w)
+          }
+          i += 1
+        }
+        body.add(data)
       case APassthrough(_) | AFixedList(_, _) | AListView(_, _) |
-           AUnion(_, _, _) | ARunEnd(_, _) =>
+           AUnion(_, _, _) | ARunEnd(_, _) | ANull =>
         throw new IllegalArgumentException(
           "writer does not emit passthrough, fixed-size-list or " +
             "list-view types")

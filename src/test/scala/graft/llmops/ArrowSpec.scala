@@ -879,6 +879,118 @@ class ArrowSpec extends SparkTestBase {
     } finally alloc.close()
   }
 
+  test("map, fixed-size-binary and null columns both directions") {
+    val path = Files.createTempDirectory("graft-arrow-map").toString +
+      "/map.arrow"
+    val n = 90
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val ids = new org.apache.arrow.vector.BigIntVector("id", alloc)
+      val mv = org.apache.arrow.vector.complex.MapVector.empty(
+        "m", alloc, false)
+      val fb = new org.apache.arrow.vector.FixedSizeBinaryVector(
+        "f", alloc, 6)
+      val nv = new org.apache.arrow.vector.NullVector("z", n)
+      ids.allocateNew(n); fb.allocateNew(n)
+      val w = mv.getWriter
+      for (i <- 0 until n) {
+        ids.setSafe(i, i.toLong)
+        w.setPosition(i)
+        if (i % 9 == 8) { /* null map slot: skip writing */ }
+        else {
+          w.startMap()
+          for (k <- 0 to i % 3) {
+            w.startEntry()
+            w.key().bigInt().writeBigInt(k * 10L + i % 5)
+            w.value().varChar().writeVarChar(s"v$i-$k")
+            w.endEntry()
+          }
+          w.endMap()
+        }
+        fb.setSafe(i, Array.tabulate[Byte](6)(j => (i + j).toByte))
+      }
+      w.setValueCount(n)
+      ids.setValueCount(n); fb.setValueCount(n)
+      val root = new org.apache.arrow.vector.VectorSchemaRoot(
+        java.util.Arrays.asList(ids.getField, mv.getField, fb.getField,
+          nv.getField),
+        java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](
+          ids, mv, fb, nv), n)
+      val ch = new java.io.FileOutputStream(path).getChannel
+      val fw = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+        null, ch)
+      fw.start(); fw.writeBatch(); fw.end(); fw.close(); ch.close()
+      ids.close(); mv.close(); fb.close(); nv.close()
+    } finally alloc.close()
+
+    val df = Arrow.readArrow(spark, path)
+    assert(df.schema("m").dataType.isInstanceOf[
+      org.apache.spark.sql.types.MapType])
+    assert(df.schema("z").dataType ==
+      org.apache.spark.sql.types.NullType)
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt
+      if (i % 9 == 8) assert(r.isNullAt(1))
+      else {
+        val m = r.getMap[Long, String](1)
+        assert(m.size == i % 3 + 1)
+        for (k <- 0 to i % 3)
+          assert(m(k * 10L + i % 5) == s"v$i-$k")
+      }
+      assert(r.getAs[Array[Byte]](2).toSeq ==
+        Array.tabulate[Byte](6)(j => (i + j).toByte).toSeq)
+      assert(r.isNullAt(3))
+    }
+
+    // twin: our writer emits the same shapes; arrow-java reads back
+    import Arrow._
+    val fields = Vector(
+      AField("id", nullable = false, AInt(64)),
+      AField("m", nullable = true, AMap(
+        AField("entries", nullable = false, AStruct(Vector(
+          AField("key", nullable = false, AInt(64)),
+          AField("value", nullable = true,
+            AString(large = false))))))),
+      AField("f", nullable = true, AFixedBinary(4)),
+      AField("z", nullable = true, ANull))
+    val twinRows = (0 until 40).map { i =>
+      Row(i.toLong,
+        if (i % 5 == 4) null else Map(i.toLong -> s"tv$i"),
+        Array.tabulate[Byte](4)(j => (i * 2 + j).toByte),
+        null)
+    }
+    val bytes = ArrowWriter.write(fields, twinRows)
+    val p2 = Files.createTempDirectory("graft-arrow-map").toString +
+      "/twin.arrow"
+    Files.write(java.nio.file.Paths.get(p2), bytes)
+    val back = Arrow.readArrow(spark, p2).collect().sortBy(_.getLong(0))
+    back.foreach { r =>
+      val i = r.getLong(0).toInt
+      if (i % 5 == 4) assert(r.isNullAt(1))
+      else assert(r.getMap[Long, String](1)(i.toLong) == s"tv$i")
+      assert(r.getAs[Array[Byte]](2)(0) == (i * 2).toByte)
+    }
+    val alloc2 = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val rdr = new org.apache.arrow.vector.ipc.ArrowFileReader(
+        new java.io.FileInputStream(p2).getChannel, alloc2)
+      assert(rdr.loadNextBatch())
+      val root = rdr.getVectorSchemaRoot
+      val mvec = root.getVector("m")
+        .asInstanceOf[org.apache.arrow.vector.complex.MapVector]
+      val fvec = root.getVector("f")
+        .asInstanceOf[org.apache.arrow.vector.FixedSizeBinaryVector]
+      for (i <- 0 until root.getRowCount) {
+        if (i % 5 == 4) assert(mvec.isNull(i))
+        else assert(mvec.getObject(i).toString.contains(s"tv$i"))
+        assert(fvec.get(i)(0) == (i * 2).toByte)
+      }
+      rdr.close()
+    } finally alloc2.close()
+  }
+
   test("list-view columns: out-of-order and overlapping ranges decode") {
     import org.apache.arrow.vector.types.pojo.{ArrowType, FieldType}
     val path = Files.createTempDirectory("graft-arrow-lv").toString +
