@@ -6264,6 +6264,62 @@ object SparkEntry {
           .agg(sum(size(col("__ids"))).cast("long").as("tokens"))
       }),
 
+      "s20_arrow_modern" -> ((s, dir) => {
+        // modern-arrow-layout throughput: every partition writes one
+        // shard carrying a Utf8View text column (variadic data
+        // buffers), a sparse-union column and a map column through the
+        // twin writer, then the footer-driven reader decodes all three
+        // layouts under an aggregate that touches each (no pruning).
+        // Synthesis AND ingest scale with the corpus — the same
+        // framing as s05's codec probe
+        val ss = tuned(s)
+        val d = java.nio.file.Files.createTempDirectory("graft-s20")
+          .toString + "/sh"
+        val confB = new org.apache.spark.util.SerializableConfiguration(
+          ss.sparkContext.hadoopConfiguration)
+        t(ss, dir, "documents").select(col("doc_id"), col("text"))
+          .repartition(32)
+          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            import graft.llmops.Arrow._
+            val fields = Vector(
+              AField("doc_id", nullable = false, AInt(64)),
+              AField("text", nullable = true, AView(binary = false)),
+              AField("u", nullable = false, AUnion(Vector(
+                AField("lng", nullable = true, AInt(64)),
+                AField("txt", nullable = true, AString(large = false))),
+                Vector(0, 1), dense = false)),
+              AField("m", nullable = true, AMap(
+                AField("entries", nullable = false, AStruct(Vector(
+                  AField("key", nullable = false,
+                    AString(large = false)),
+                  AField("value", nullable = true, AInt(64))))))))
+            val out = rows.map { r =>
+              val id = r.getLong(0)
+              val text = r.getString(1)
+              val u =
+                if (id % 2 == 0)
+                  org.apache.spark.sql.Row(0, id * 3L, null)
+                else org.apache.spark.sql.Row(1, null, s"u$id")
+              org.apache.spark.sql.Row(id, text, u,
+                Map("n" -> (if (text == null) 0L else text.length.toLong)))
+            }.toSeq
+            if (out.nonEmpty) {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val path = new org.apache.hadoop.fs.Path(
+                f"$d/part-$pid%05d.arrow")
+              val fs = path.getFileSystem(confB.value)
+              val os = fs.create(path, true)
+              try os.write(graft.llmops.ArrowWriter.write(fields, out))
+              finally os.close()
+            }
+          }
+        graft.llmops.Arrow.readArrowFiles(ss, d)
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("text"))).cast("long").as("chars"),
+            sum(col("u.m_lng")).as("usum"),
+            sum(element_at(col("m"), "n")).as("msum"))
+      }),
+
       "s15_tfrecord_export" -> ((s, dir) => {
         // training-export throughput: the whole corpus through the
         // STREAMED TFRecord shard writer (hash-shard shuffle + per-task

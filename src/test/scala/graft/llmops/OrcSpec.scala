@@ -140,16 +140,21 @@ class OrcSpec extends SparkTestBase {
       (0 until 200).map(_.toLong).sum)
   }
 
-  test("refusals: UNION kind, non-orc bytes") {
-    // union (kind 13) has no writer on the classpath — assert the
-    // schema-level refusal directly on a synthetic type tree
-    intercept[IllegalArgumentException] {
-      Orc.rootStruct(Vector(
-        Orc.TypeNode(12, Vector(1), Vector("u")),
-        Orc.TypeNode(13, Vector(2, 3), Vector.empty),
-        Orc.TypeNode(3, Vector.empty, Vector.empty),
-        Orc.TypeNode(7, Vector.empty, Vector.empty)))
-    }
+  test("UNION schema shape, non-orc bytes refuse") {
+    // union (kind 13) lands as the tagged sparse struct on a synthetic
+    // type tree (the decode itself is covered by the orc-core fixture)
+    val st = Orc.rootStruct(Vector(
+      Orc.TypeNode(12, Vector(1), Vector("u")),
+      Orc.TypeNode(13, Vector(2, 3), Vector.empty),
+      Orc.TypeNode(3, Vector.empty, Vector.empty),
+      Orc.TypeNode(7, Vector.empty, Vector.empty)))
+    val ut = st("u").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(ut.fieldNames.toSeq == Seq("tag", "m_0", "m_1"))
+    assert(ut("m_0").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(ut("m_1").dataType ==
+      org.apache.spark.sql.types.StringType)
     val junk = Files.createTempDirectory("graft-orc").toString + "/j.orc"
     Files.write(java.nio.file.Paths.get(junk),
       ("J" * 128).getBytes("US-ASCII"))
