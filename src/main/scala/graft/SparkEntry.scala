@@ -3769,6 +3769,102 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q220_schema_evolution" -> ((s, dir) => {
+      // schema evolution across container shards, all three families
+      // in one gate: each format gets a v1 shard (doc_id, text) and a
+      // v2 shard that ADDED a lang column; mergeSchemas = true unions
+      // fields by name and fills NULL where the old shard lacks the
+      // field. The oracle replays the same rows for each format tier
+      val ss = tuned(s)
+      import ss.implicits._
+      val base = fixturePaths.computeIfAbsent(s"$dir::q220_dir", _ => {
+        val docs = t(ss, dir, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val (v1, v2) = docs.partition(_._1 < 150)
+        val d = java.nio.file.Files.createTempDirectory("graft-q220")
+          .toString
+        def lang(id: Long) = s"L${id % 4}"
+        // avro
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$d/avro"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$d/avro/a.avro"),
+          graft.llmops.AvroWriter.write(
+            """{"type":"record","name":"D","fields":[
+               {"name":"doc_id","type":"long"},
+               {"name":"text","type":"string"}]}""",
+            v1.toIndexedSeq.map { case (id, tx) => Row(id, tx) }))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$d/avro/b.avro"),
+          graft.llmops.AvroWriter.write(
+            """{"type":"record","name":"D","fields":[
+               {"name":"doc_id","type":"long"},
+               {"name":"text","type":"string"},
+               {"name":"lang","type":["null","string"]}]}""",
+            v2.toIndexedSeq.map { case (id, tx) => Row(id, tx, lang(id)) }))
+        // orc (twin streamer both shards)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$d/orc"))
+        def orcShard(path: String,
+            schema: org.apache.spark.sql.types.StructType,
+            rows: Seq[Row]): Unit = {
+          val out = new java.io.FileOutputStream(path)
+          val w = new graft.llmops.OrcWriter.Streamer(schema, out)
+          w.append(rows); w.finish(); out.close()
+        }
+        orcShard(s"$d/orc/a.orc",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))),
+          v1.toIndexedSeq.map { case (id, tx) => Row(id, tx) })
+        orcShard(s"$d/orc/b.orc",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("lang",
+              org.apache.spark.sql.types.StringType))),
+          v2.toIndexedSeq.map { case (id, tx) => Row(id, tx, lang(id)) })
+        // arrow (v2's lang rides a Utf8View column)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$d/arrow"))
+        val af1 = Vector(
+          graft.llmops.Arrow.AField("doc_id", nullable = false,
+            graft.llmops.Arrow.AInt(64)),
+          graft.llmops.Arrow.AField("text", nullable = true,
+            graft.llmops.Arrow.AString(large = false)))
+        val af2 = af1 :+ graft.llmops.Arrow.AField("lang",
+          nullable = true, graft.llmops.Arrow.AView(binary = false))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$d/arrow/a.arrow"),
+          graft.llmops.ArrowWriter.write(af1,
+            v1.toIndexedSeq.map { case (id, tx) => Row(id, tx) }))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$d/arrow/b.arrow"),
+          graft.llmops.ArrowWriter.write(af2,
+            v2.toIndexedSeq.map { case (id, tx) => Row(id, tx, lang(id)) }))
+        d
+      })
+      val avro = graft.llmops.Avro
+        .readAvroFiles(ss, s"$base/avro", mergeSchemas = true)
+        .select(lit("avro").as("fmt"), col("doc_id"), col("text"),
+          col("lang"))
+      val orc = graft.llmops.Orc
+        .readOrcFiles(ss, s"$base/orc/*.orc", mergeSchemas = true)
+        .select(lit("orc").as("fmt"), col("doc_id"), col("text"),
+          col("lang"))
+      val arrow = graft.llmops.Arrow
+        .readArrowFiles(ss, s"$base/arrow", mergeSchemas = true)
+        .select(lit("arrow").as("fmt"), col("doc_id").as("doc_id"),
+          col("text"), col("lang"))
+      avro.unionByName(orc).unionByName(arrow)
+        .orderBy("fmt", "doc_id")
+    }),
+
     "q219_arrow_map" -> ((s, dir) => {
       // Arrow Map columns → MapType: the fixture is written by ARROW'S
       // OWN MapVector writer (List-of-entries layout over
@@ -7255,6 +7351,17 @@ object SparkEntry {
     "q195_avro" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q220: schema evolution — v1 shards lack lang (NULL fill), v2
+    // shards carry 'L'||doc_id%4; same rows in all three formats
+    "q220_schema_evolution" ->
+      """SELECT f.fmt, d.doc_id, d.text,
+           CASE WHEN d.doc_id >= 150
+                THEN 'L' || CAST(d.doc_id % 4 AS VARCHAR) END AS lang
+         FROM documents d
+         CROSS JOIN (VALUES ('avro'), ('orc'), ('arrow')) f(fmt)
+         WHERE d.doc_id < 300
+         ORDER BY f.fmt, d.doc_id""",
 
     // q219: Arrow Map columns — both entries projected out as scalars,
     // null-map tier yields NULLs

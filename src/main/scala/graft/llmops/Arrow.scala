@@ -1104,18 +1104,60 @@ object Arrow {
     * task.
     */
   def readArrowFiles(spark: SparkSession,
-      pathOrGlob: String, columns: Seq[String] = Nil): DataFrame = {
+      pathOrGlob: String, columns: Seq[String] = Nil,
+      mergeSchemas: Boolean = false): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val files = Avro.resolveFiles(conf, pathOrGlob)
     val footers = files.map { case (p, _) => p -> readFooter(conf, p) }
     val structs = footers.map(f => rootStruct(f._2.fields)).distinct
-    require(structs.size == 1,
-      s"arrow shard schemas disagree: ${structs.size} distinct")
-    val fieldsB = footers.head._2.fields
-    val wanted = wantedPositions(fieldsB, columns)
-    val struct = StructType(StructField("path", StringType) +:
-      wanted.map(structs.head.fields))
+    require(mergeSchemas || structs.size == 1,
+      s"arrow shard schemas disagree: ${structs.size} distinct — pass " +
+        "mergeSchemas = true to union fields by name (schema evolution)")
+    // schema evolution: union fields by name in first-appearance order;
+    // absent fields fill NULL per shard; same name must land same type
+    val structByPath = footers.map { case (p, f) =>
+      p -> rootStruct(f.fields)
+    }.toMap
+    val mergedAll = {
+      val order = scala.collection.mutable.LinkedHashMap
+        .empty[String, StructField]
+      footers.foreach { case (p, _) =>
+        structByPath(p).fields.foreach { f =>
+          order.get(f.name) match {
+            case None => order(f.name) = f
+            case Some(prev) => require(prev.dataType == f.dataType,
+              s"field ${f.name} lands ${prev.dataType} in one shard " +
+                s"and ${f.dataType} in another — evolution merges " +
+                "names, never types")
+          }
+        }
+      }
+      order.values.toVector
+    }
+    val selected: Vector[StructField] =
+      if (columns.isEmpty) mergedAll
+      else columns.toVector.map { c =>
+        mergedAll.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"arrow column $c not in ${mergedAll.map(_.name)}"))
+      }
+    val struct = StructType(StructField("path", StringType) +: selected)
+    val fieldsByPath = footers.map { case (p, f) => p -> f.fields }.toMap
+    val wantedByPath: Map[String, Vector[Int]] = footers.map {
+      case (p, f) =>
+        p -> selected.flatMap(sf =>
+          Some(f.fields.indexWhere(_.name == sf.name)).filter(_ >= 0))
+    }.toMap
+    val slotsByPath: Map[String, Array[Int]] = footers.map {
+      case (p, f) =>
+        var next = 0
+        p -> selected.map { sf =>
+          if (f.fields.exists(_.name == sf.name)) {
+            val k = next; next += 1; k
+          } else -1
+        }.toArray
+    }.toMap
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
     // per-file dictionaries (ids are file-scoped), driver-bounded
     val dictsByPath = footers.map { case (p, f) =>
@@ -1140,8 +1182,20 @@ object Arrow {
             in.readFully(offset, meta)
             in.readFully(offset + metaLen, body)
           } finally in.close()
-          decodeBatch(fieldsB, meta, body, wanted, dictsByPath(path))
-            .iterator.map(r => Row.fromSeq(path +: r.toSeq))
+          val slots = slotsByPath(path)
+          decodeBatch(fieldsByPath(path), meta, body,
+              wantedByPath(path), dictsByPath(path))
+            .iterator.map { r =>
+              val cells = new Array[Any](1 + slots.length)
+              cells(0) = path
+              var i = 0
+              while (i < slots.length) {
+                cells(1 + i) = if (slots(i) < 0) null else r.get(slots(i))
+                i += 1
+              }
+              Row.fromSeq(scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(cells))
+            }
         }
       }(org.apache.spark.sql.Encoders.row(struct))
   }

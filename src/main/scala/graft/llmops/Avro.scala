@@ -664,7 +664,7 @@ object Avro {
     * shuffle.
     */
   def readAvroFiles(spark: SparkSession, pathOrGlob: String,
-      rangeBytes: Int = 32 << 20): DataFrame = {
+      rangeBytes: Int = 32 << 20, mergeSchemas: Boolean = false): DataFrame = {
     import spark.implicits._
     require(rangeBytes >= 1024, "rangeBytes must be at least 1 KiB")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -674,14 +674,46 @@ object Avro {
     }
     val schemas = headers
       .map(h => rootStruct(parseSchema(h._3.schemaJson))).distinct
-    require(schemas.size == 1,
-      s"avro shard schemas disagree: ${schemas.size} distinct")
+    require(mergeSchemas || schemas.size == 1,
+      s"avro shard schemas disagree: ${schemas.size} distinct — pass " +
+        "mergeSchemas = true to union fields by name (schema evolution)")
+    // schema evolution: union fields by name in first-appearance order;
+    // a field absent from a shard fills NULL there. Same-named fields
+    // must land the same Spark type — silent coercion would corrupt
+    val structByPath = headers.map { case (p, _, h) =>
+      p -> rootStruct(parseSchema(h.schemaJson))
+    }.toMap
+    val mergedFields = {
+      val order = scala.collection.mutable.LinkedHashMap
+        .empty[String, StructField]
+      headers.foreach { case (p, _, _) =>
+        structByPath(p).fields.foreach { f =>
+          order.get(f.name) match {
+            case None => order(f.name) = f
+            case Some(prev) =>
+              require(prev.dataType == f.dataType,
+                s"field ${f.name} lands ${prev.dataType} in one shard " +
+                  s"and ${f.dataType} in another — evolution merges " +
+                  "names, never types")
+          }
+        }
+      }
+      order.values.toVector
+    }
+    // merged slot i ← this file's field index, or -1 (NULL fill)
+    val slotsByPath: Map[String, Array[Int]] = structByPath.map {
+      case (p, st) =>
+        p -> mergedFields.map(f => st.fieldNames.indexOf(f.name)).toArray
+    }
     val sch = parseSchema(headers.head._3.schemaJson)
     val struct = StructType(StructField("path", StringType) +:
-      schemas.head.fields)
+      mergedFields)
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
     val metaByPath = headers.map { case (p, _, h) =>
       p -> ((h.codec, h.sync, h.headerEnd))
+    }.toMap
+    val schByPath = headers.map { case (p, _, h) =>
+      p -> parseSchema(h.schemaJson)
     }.toMap
     val schB = sch
     val ranges = for {
@@ -737,8 +769,20 @@ object Avro {
           val buf = new Array[Byte](len.toInt)
           try { in.seek(start); in.readFully(buf, 0, len.toInt) }
           finally in.close()
-          parseRegion(Header("", codec, sync, headerEnd), schB, buf)
-            .iterator.map(r => Row.fromSeq(path +: r.toSeq))
+          val slots = slotsByPath(path)
+          parseRegion(Header("", codec, sync, headerEnd),
+              schByPath(path), buf)
+            .iterator.map { r =>
+              val cells = new Array[Any](1 + slots.length)
+              cells(0) = path
+              var i = 0
+              while (i < slots.length) {
+                cells(1 + i) = if (slots(i) < 0) null else r.get(slots(i))
+                i += 1
+              }
+              Row.fromSeq(scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(cells))
+            }
         }
       }(org.apache.spark.sql.Encoders.row(struct))
   }

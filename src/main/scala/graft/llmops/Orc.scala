@@ -1095,17 +1095,59 @@ object Orc {
     */
   def readOrcFiles(spark: SparkSession, pathOrGlob: String,
       columns: Seq[String] = Nil,
-      pruneBy: Option[(String, Long, Long)] = None): DataFrame = {
+      pruneBy: Option[(String, Long, Long)] = None,
+      mergeSchemas: Boolean = false): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val files = Avro.resolveFiles(conf, pathOrGlob)
     val metas = files.map { case (p, _) => p -> readTail(conf, p) }
     val structs = metas.map(m => rootStruct(m._2.types)).distinct
-    require(structs.size == 1,
-      s"orc shard schemas disagree: ${structs.size} distinct")
-    val wanted = wantedPositions(metas.head._2.types, columns)
-    val struct = StructType(StructField("path", StringType) +:
-      wanted.map(structs.head.fields))
+    require(mergeSchemas || structs.size == 1,
+      s"orc shard schemas disagree: ${structs.size} distinct — pass " +
+        "mergeSchemas = true to union fields by name (schema evolution)")
+    // schema evolution: union fields by name in first-appearance order;
+    // absent fields fill NULL per shard; same name must land same type
+    val structByPath = metas.map { case (p, m) =>
+      p -> rootStruct(m.types)
+    }.toMap
+    val mergedAll = {
+      val order = scala.collection.mutable.LinkedHashMap
+        .empty[String, StructField]
+      metas.foreach { case (p, _) =>
+        structByPath(p).fields.foreach { f =>
+          order.get(f.name) match {
+            case None => order(f.name) = f
+            case Some(prev) => require(prev.dataType == f.dataType,
+              s"field ${f.name} lands ${prev.dataType} in one shard " +
+                s"and ${f.dataType} in another — evolution merges " +
+                "names, never types")
+          }
+        }
+      }
+      order.values.toVector
+    }
+    val selected: Vector[StructField] =
+      if (columns.isEmpty) mergedAll
+      else columns.toVector.map { c =>
+        mergedAll.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"orc column $c not in ${mergedAll.map(_.name)}"))
+      }
+    val struct = StructType(StructField("path", StringType) +: selected)
+    // per path: positions of the selected fields that exist there, and
+    // the scatter from merged slot → index in the decoded row (-1=NULL)
+    val wantedByPath: Map[String, Vector[Int]] = structByPath.map {
+      case (p, st) => p -> selected.flatMap(f =>
+        Some(st.fieldNames.indexOf(f.name)).filter(_ >= 0))
+    }
+    val slotsByPath: Map[String, Array[Int]] = structByPath.map {
+      case (p, st) =>
+        var next = 0
+        p -> selected.map { f =>
+          if (st.fieldNames.contains(f.name)) { val k = next; next += 1; k }
+          else -1
+        }.toArray
+    }
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
     val metaByPath = metas.toMap
     val stripes = metas.flatMap { case (p, m) =>
@@ -1114,9 +1156,10 @@ object Orc {
         case Some((colName, lo, hi)) =>
           val root = m.types(0)
           val k = root.fieldNames.indexOf(colName)
-          require(k >= 0,
+          require(k >= 0 || mergeSchemas,
             s"orc prune column $colName not in ${root.fieldNames}")
-          pruneByIntRange(m.stripes.length, readStripeStats(conf, p),
+          if (k < 0) m.stripes // absent column: stats prove nothing
+          else pruneByIntRange(m.stripes.length, readStripeStats(conf, p),
             root.subtypes(k), lo, hi).map(m.stripes)
       }
       kept.map(s => (p, s.offset, s.indexLength, s.dataLength,
@@ -1135,9 +1178,20 @@ object Orc {
           val in = fs.open(p)
           val buf = new Array[Byte](total.toInt)
           try { in.readFully(offset, buf) } finally in.close()
+          val slots = slotsByPath(path)
           decodeStripe(metaByPath(path),
-            Stripe(offset, il, dl, fl, rows), buf, wanted)
-            .iterator.map(r => Row.fromSeq(path +: r.toSeq))
+            Stripe(offset, il, dl, fl, rows), buf, wantedByPath(path))
+            .iterator.map { r =>
+              val cells = new Array[Any](1 + slots.length)
+              cells(0) = path
+              var i = 0
+              while (i < slots.length) {
+                cells(1 + i) = if (slots(i) < 0) null else r.get(slots(i))
+                i += 1
+              }
+              Row.fromSeq(scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(cells))
+            }
         }
       }(org.apache.spark.sql.Encoders.row(struct))
   }
