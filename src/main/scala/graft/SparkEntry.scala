@@ -3769,6 +3769,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q221_jpeg_12bit" -> ((s, dir) => {
+      // 12-bit SOF1 (extended sequential) decode: constant 16×8
+      // 12-bit planes are DC-only exact and normalize to v >> 4 on
+      // the engine's 8-bit contract, so every statistic is
+      // closed-form; ids ≡ 7 mod 9 get their SOF1 marker patched to
+      // SOF0 — a 12-bit frame with baseline provenance must refuse
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = t(ss, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val v = ((id * 2731 + 77) % 4096).toInt
+          val bytes = graft.llmops.JpegWriter.gray12(16, 8, (_, _) => v)
+          if (id % 9 == 7) {
+            val at = bytes.indices.find(i =>
+              (bytes(i) & 0xFF) == 0xFF &&
+                (bytes(i + 1) & 0xFF) == 0xC1).get
+            bytes(at + 1) = 0xC0.toByte
+          }
+          (id, bytes)
+        }.toDF("doc_id", "content")
+      graft.llmops.Multimodal.withJpegPixels(src)
+        .select(col("doc_id"),
+          col("px.width").as("width"), col("px.height").as("height"),
+          col("px.channels").as("channels"),
+          col("px.pix_sum").as("pix_sum"), col("px.pix_wsum").as("pix_wsum"),
+          col("px.mean_r").as("mean_r"))
+        .orderBy("doc_id")
+    }),
+
     "q220_schema_evolution" -> ((s, dir) => {
       // schema evolution across container shards, all three families
       // in one gate: each format gets a v1 shard (doc_id, text) and a
@@ -7351,6 +7381,23 @@ object SparkEntry {
     "q195_avro" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q221: 12-bit SOF1 gray — v>>4 constants over 128 pixels, weight
+    // sum 8256 = 128·129/2; SOF0-patched tier NULL
+    "q221_jpeg_12bit" ->
+      """WITH p AS (
+           SELECT doc_id,
+             ((doc_id * 2731 + 77) % 4096) // 16 AS v8,
+             doc_id % 9 = 7 AS dead
+           FROM documents WHERE doc_id < 400)
+         SELECT doc_id,
+           CASE WHEN dead THEN NULL ELSE 16 END AS width,
+           CASE WHEN dead THEN NULL ELSE 8 END AS height,
+           CASE WHEN dead THEN NULL ELSE 1 END AS channels,
+           CASE WHEN dead THEN NULL ELSE 128 * v8 END AS pix_sum,
+           CASE WHEN dead THEN NULL ELSE 8256 * v8 END AS pix_wsum,
+           CASE WHEN dead THEN NULL ELSE CAST(v8 AS DOUBLE) END AS mean_r
+         FROM p ORDER BY doc_id""",
 
     // q220: schema evolution — v1 shards lack lang (NULL fill), v2
     // shards carry 'L'||doc_id%4; same rows in all three formats

@@ -14,15 +14,17 @@ import org.apache.spark.sql.types._
   * YCbCr→RGB.
   *
   * Refusal envelope (NULL, never throw — same contract as the PNG/WAV
-  * decoders): accepts only baseline SOF0, 8-bit precision, 1, 3 or 4
-  * components, sampling factors in {1, 2}, one interleaved scan covering
-  * every component, with all referenced Huffman/quant tables declared.
+  * decoders): accepts baseline SOF0 (8-bit) and extended-sequential
+  * SOF1 (8- or 12-bit; 12-bit samples level-shift at 2048 and
+  * normalize to the engine's 8-bit pixel contract as v >> 4), 1, 3
+  * or 4 components, sampling factors in {1, 2}, one interleaved scan
+  * covering every component, with all referenced Huffman/quant
+  * tables declared.
   * 4-component streams need Adobe APP14 provenance (transform 0 = CMYK
   * direct, 2 = YCCK) and composite to RGB under the inverted-ink
   * convention (R = c'·k'/255); Progressive (SOF2) gets the same CMYK
-  * treatment through the shared compose. Arithmetic-coded,
-  * hierarchical, and 12-bit streams are refused rather than
-  * half-decoded. All size math is done
+  * treatment through the shared compose. Arithmetic-coded and
+  * hierarchical streams are refused rather than half-decoded. All size math is done
   * in Long and the decoded allocation is capped (64 MB of pixels), so a
   * forged header cannot become an allocation bomb.
   *
@@ -961,6 +963,7 @@ private[expressions] object JpegDecode {
     var comps: Array[Comp] = null
     var restartInt = 0
     var adobe = -1 // APP14 Adobe transform (0=CMYK 1=YCbCr 2=YCCK)
+    var prec12 = false // SOF1 12-bit samples (output normalizes >> 4)
     var i = 2
     while (i + 4 <= b.length) {
       if ((b(i) & 0xFF) != 0xFF) return null
@@ -1011,9 +1014,12 @@ private[expressions] object JpegDecode {
               if (tc == 0) dcT(th) = huff else acT(th) = huff
               s += 17 + total
             }
-          case 0xC0 => // SOF0 baseline
+          case 0xC0 | 0xC1 => // SOF0 baseline / SOF1 extended sequential
             if (comps != null) return null
-            if (segEnd - s < 6 || (b(s) & 0xFF) != 8) return null
+            val prec = if (segEnd - s < 6) -1 else b(s) & 0xFF
+            // SOF0 is 8-bit by definition; SOF1 admits 12-bit samples
+            if (prec != 8 && !(m == 0xC1 && prec == 12)) return null
+            prec12 = prec == 12
             height = ((b(s + 1) & 0xFF) << 8) | (b(s + 2) & 0xFF)
             width = ((b(s + 3) & 0xFF) << 8) | (b(s + 4) & 0xFF)
             val nc = b(s + 5) & 0xFF
@@ -1033,9 +1039,9 @@ private[expressions] object JpegDecode {
                 return null
               c += 1
             }
-          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+          case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
                0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
-            return null // non-baseline frame types: refuse, don't half-decode
+            return null // non-sequential frame types: refuse, don't half-decode
           case 0xDD => // DRI
             if (segEnd - s != 2) return null
             restartInt = ((b(s) & 0xFF) << 8) | (b(s + 1) & 0xFF)
@@ -1066,7 +1072,7 @@ private[expressions] object JpegDecode {
             if (comps.length == 4 && adobe != 0 && adobe != 2)
               return null // 4-component needs Adobe CMYK/YCCK provenance
             return decodeScan(b, segEnd, width, height, comps, qt, dcT, acT,
-              restartInt, adobe)
+              restartInt, adobe, prec12)
           case 0xEE => // APP14: Adobe color-transform tag
             if (segEnd - s >= 12 && b(s) == 'A' && b(s + 1) == 'd' &&
                 b(s + 2) == 'o' && b(s + 3) == 'b' && b(s + 4) == 'e')
@@ -1081,7 +1087,8 @@ private[expressions] object JpegDecode {
 
   private def decodeScan(b: Array[Byte], start: Int, width: Int, height: Int,
       comps: Array[Comp], qt: Array[Array[Int]], dcT: Array[Huff],
-      acT: Array[Huff], restartInt: Int, adobe: Int = -1): JpegRaw = {
+      acT: Array[Huff], restartInt: Int, adobe: Int = -1,
+      prec12: Boolean = false): JpegRaw = {
     // T.81 A.2.2: a single-component scan is non-interleaved — one block
     // per MCU, declared sampling factors notwithstanding
     if (comps.length == 1) { comps(0).h = 1; comps(0).v = 1 }
@@ -1126,7 +1133,7 @@ private[expressions] object JpegDecode {
             java.util.Arrays.fill(coef, 0)
             // DC
             val t = r.huffDecode(dcT(cc.dcTab))
-            if (r.failed || t > 11) return null
+            if (r.failed || t > (if (prec12) 15 else 11)) return null
             val diff = extend(r.receive(t), t)
             if (r.failed) return null
             cc.pred += diff
@@ -1151,7 +1158,7 @@ private[expressions] object JpegDecode {
               }
             }
             idctBlock(coef, tmp, cc.plane, cc.planeW,
-              (mx * cc.h + h2) * 8, (my * cc.v + v2) * 8)
+              (mx * cc.h + h2) * 8, (my * cc.v + v2) * 8, prec12)
             h2 += 1
           }
           v2 += 1
@@ -1173,7 +1180,8 @@ private[expressions] object JpegDecode {
     * component plane at (x0, y0), with level shift and clamp.
     */
   private def idctBlock(coef: Array[Int], tmp: Array[Double],
-      plane: Array[Byte], planeW: Int, x0: Int, y0: Int): Unit = {
+      plane: Array[Byte], planeW: Int, x0: Int, y0: Int,
+      prec12: Boolean = false): Unit = {
     val K = Basis
     // rows: tmp(v*8+x) = Σ_u K(u)(x) · F(v*8+u)
     var v = 0
@@ -1197,7 +1205,13 @@ private[expressions] object JpegDecode {
         var vv = 0
         while (vv < 8) { s += K(vv)(y) * tmp(vv * 8 + x); vv += 1 }
         plane((y0 + y) * planeW + x0 + x) =
-          clamp(math.round(s).toInt + 128).toByte
+          (if (prec12) {
+            // 12-bit: level shift 2048, clamp to the 12-bit range,
+            // then normalize to the engine's 8-bit pixel contract
+            val v = math.round(s).toInt + 2048
+            val c = if (v < 0) 0 else if (v > 4095) 4095 else v
+            (c >> 4).toByte
+          } else clamp(math.round(s).toInt + 128).toByte)
         x += 1
       }
       y += 1

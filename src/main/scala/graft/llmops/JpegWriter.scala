@@ -108,6 +108,17 @@ object JpegWriter {
     Array(0, 0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0),
     (Seq(0x00) ++ (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s) ++
       Seq(0xF0)).sorted.toArray)
+  /** 12-bit (SOF1) tables: DC categories reach 15 and AC sizes 14, so
+    * the uniform layout widens — 16 DC symbols at 5 bits, 226 AC
+    * symbols (EOB + r/s for s ≤ 14 + ZRL) at 9 bits.
+    */
+  private val Ext12Dc = new HuffSpec(
+    Array(0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+    Array.tabulate(16)(identity))
+  private val Ext12Ac = new HuffSpec(
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0),
+    (Seq(0x00) ++ (for (r <- 0 to 15; s <- 1 to 14) yield (r << 4) | s) ++
+      Seq(0xF0)).sorted.toArray)
 
   /** AC table for the PROGRESSIVE writer: the uniform 9-bit layout plus
     * the EOBn symbols `(r << 4) | 0` for r = 1..14 that G.1.2.2 EOB-run
@@ -198,6 +209,20 @@ object JpegWriter {
       Array(quant), Array(0), restartInterval, stdTables, orientation,
       exifBigEndian)
 
+  /** 12-bit grayscale (SOF1 extended sequential — the DICOM-era
+    * medical/scanner precision): samples 0..4095, level shift 2048,
+    * widened Huffman tables (DC categories to 15, AC sizes to 14).
+    * The engine's decoder normalizes the decode to 8-bit output
+    * (v >> 4), matching every other pixel source's contract.
+    */
+  def gray12(width: Int, height: Int, pix: (Int, Int) => Int,
+      quant: Array[Int] = QFlat8,
+      restartInterval: Int = 0): Array[Byte] =
+    encode(width, height,
+      Array(new Plane(width, height, 1, 1, pix, maxVal = 4095)),
+      Array(quant), Array(0), restartInterval, stdTables = false,
+      precision = 12)
+
   /** Color baseline JPEG from per-plane functions in YCbCr. `sub` = 1
     * writes 4:4:4 (chroma full resolution); `sub` = 2 writes 4:2:0 —
     * chroma functions are then sampled at chroma resolution
@@ -274,12 +299,12 @@ object JpegWriter {
     * which is cropped, but it keeps edge blocks smooth).
     */
   private final class Plane(val w: Int, val h: Int, val sh: Int, val sv: Int,
-      pix: (Int, Int) => Int) {
+      pix: (Int, Int) => Int, maxVal: Int = 255) {
     def at(x: Int, y: Int): Int = {
       val cx = if (x < 0) 0 else if (x >= w) w - 1 else x
       val cy = if (y < 0) 0 else if (y >= h) h - 1 else y
       val v = pix(cx, cy)
-      require(v >= 0 && v <= 255, s"sample out of range: $v")
+      require(v >= 0 && v <= maxVal, s"sample out of range: $v")
       v
     }
   }
@@ -301,14 +326,17 @@ object JpegWriter {
       quants: Array[Array[Int]], compQ: Array[Int], restartInterval: Int,
       stdTables: Boolean, orientation: Int = 0,
       exifBigEndian: Boolean = false,
-      adobeTransform: Int = -1): Array[Byte] = {
+      adobeTransform: Int = -1, precision: Int = 8): Array[Byte] = {
+    require(precision == 8 || precision == 12, s"precision $precision")
     require(width > 0 && height > 0, s"bad dims: ${width}x$height")
     require(orientation >= 0 && orientation <= 8,
       s"EXIF orientation must be 0 (none) or 1..8: $orientation")
     quants.foreach(q => require(q.length == 64 && q.forall(v => v >= 1 && v <= 65535)))
     val nc = planes.length
-    val dc = if (stdTables) StdDc else UniformDc
-    val ac = if (stdTables) StdAc else UniformAc
+    val dc =
+      if (precision == 12) Ext12Dc else if (stdTables) StdDc else UniformDc
+    val ac =
+      if (precision == 12) Ext12Ac else if (stdTables) StdAc else UniformAc
     val out = new ByteArrayOutputStream()
     out.write(0xFF); out.write(0xD8) // SOI
     // APP0 / JFIF 1.1, no density, no thumbnail
@@ -348,15 +376,15 @@ object JpegWriter {
       require(q.forall(_ <= 255), "16-bit quant values not emitted by this writer")
       segment(out, 0xDB, body)
     }
-    // SOF0
+    // SOF0 (8-bit) / SOF1 (12-bit extended sequential)
     val sof = new ByteArrayOutputStream()
-    sof.write(8); be16(sof, height); be16(sof, width); sof.write(nc)
+    sof.write(precision); be16(sof, height); be16(sof, width); sof.write(nc)
     planes.zipWithIndex.foreach { case (p, c) =>
       sof.write(c + 1)
       sof.write((p.sh << 4) | p.sv)
       sof.write(compQ(c))
     }
-    segment(out, 0xC0, sof.toByteArray)
+    segment(out, if (precision == 12) 0xC1 else 0xC0, sof.toByteArray)
     // DHT — luma tables as id 0; for color, the same content again as id 1
     // (chroma), so decoders must resolve multi-table declarations
     val nTabs = if (nc == 1) 1 else 2
@@ -416,7 +444,8 @@ object JpegWriter {
           while (h2 < p.sh) {
             val x0 = (mx * p.sh + h2) * 8
             val y0 = (my * p.sv + v2) * 8
-            fdctQuant(p, x0, y0, q, block, zz)
+            fdctQuant(p, x0, y0, q, block, zz,
+              if (precision == 12) 2048 else 128)
             // DC difference
             val diff = zz(0) - preds(c)
             preds(c) = zz(0)
@@ -685,7 +714,7 @@ object JpegWriter {
     * quantization (round-half-up) into zigzag order.
     */
   private def fdctQuant(p: Plane, x0: Int, y0: Int, quant: Array[Int],
-      tmp: Array[Double], zz: Array[Int]): Unit = {
+      tmp: Array[Double], zz: Array[Int], levelShift: Int = 128): Unit = {
     val K = Basis
     // t(u, y) = Σ_x K(u)(x) · s(x, y)
     var u = 0
@@ -694,7 +723,9 @@ object JpegWriter {
       while (y < 8) {
         var s = 0.0
         var x = 0
-        while (x < 8) { s += K(u)(x) * (p.at(x0 + x, y0 + y) - 128); x += 1 }
+        while (x < 8) {
+          s += K(u)(x) * (p.at(x0 + x, y0 + y) - levelShift); x += 1
+        }
         tmp(u * 8 + y) = s
         y += 1
       }

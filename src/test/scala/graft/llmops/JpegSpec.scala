@@ -424,4 +424,42 @@ class JpegSpec extends SparkTestBase {
       assert((dv._4(o + 1) & 0xFF) == 99)
     }
   }
+
+  test("12-bit SOF1: block-constant exact through the >>4 contract") {
+    // block-constant 12-bit samples with the flat-8 quantizer are
+    // DC-only and exact; decode normalizes to 8-bit (v >> 4). Large
+    // per-block jumps force DC categories past the 8-bit table's 11
+    def v12(x: Int, y: Int): Int = ((x / 8) * 1363 + (y / 8) * 677) % 4096
+    val bytes = JpegWriter.gray12(48, 24, v12)
+    val d = graft.expressions.JpegTestAccess.decode(bytes)
+    assert(d != null && d._1 == 48 && d._2 == 24 && d._3 == 1)
+    for (x <- 0 until 48; y <- 0 until 24)
+      assert((d._4(y * 48 + x) & 0xFF) == (v12(x, y) >> 4),
+        s"($x,$y): ${d._4(y * 48 + x) & 0xFF} vs ${v12(x, y) >> 4}")
+
+    // extreme values and restart intervals survive
+    def hi(x: Int, y: Int): Int = if ((x / 8) % 2 == 0) 4095 else 0
+    val d2 = graft.expressions.JpegTestAccess.decode(
+      JpegWriter.gray12(32, 8, hi, restartInterval = 2))
+    assert(d2 != null)
+    for (x <- 0 until 32)
+      assert((d2._4(x) & 0xFF) == (hi(x, 0) >> 4))
+
+    // a 12-bit frame behind SOF0 refuses (baseline is 8-bit by
+    // definition); the same stream as SOF1 decodes
+    val patched = bytes.clone()
+    val sofAt = patched.indices.find(i =>
+      (patched(i) & 0xFF) == 0xFF && (patched(i + 1) & 0xFF) == 0xC1).get
+    patched(sofAt + 1) = 0xC0.toByte
+    assert(graft.expressions.JpegTestAccess.decode(patched) == null)
+
+    // SOF1 with 8-bit precision is plain extended-sequential: decodes
+    val gray8 = JpegWriter.gray(16, 8, (x, _) => 10 + (x / 8) * 100)
+    val s8 = gray8.clone()
+    val at8 = s8.indices.find(i =>
+      (s8(i) & 0xFF) == 0xFF && (s8(i + 1) & 0xFF) == 0xC0).get
+    s8(at8 + 1) = 0xC1.toByte
+    val d8 = graft.expressions.JpegTestAccess.decode(s8)
+    assert(d8 != null && (d8._4(0) & 0xFF) == 10)
+  }
 }
