@@ -3769,6 +3769,53 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q222_arrow_stream" -> ((s, dir) => {
+      // Arrow IPC STREAM format (.arrows — Flight dumps, pipes): the
+      // fixture is written by ARROW'S OWN ArrowStreamWriter in small
+      // batches; no footer exists, so the reader walks messages in
+      // stream order (one task per file) — full-text identity
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q222_file", _ => {
+        val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val f = java.nio.file.Files.createTempDirectory("graft-q222")
+          .toString + "/docs.arrows"
+        val alloc = new org.apache.arrow.memory.RootAllocator()
+        try {
+          val ids = new org.apache.arrow.vector.BigIntVector("doc_id",
+            alloc)
+          val txt = new org.apache.arrow.vector.VarCharVector("text",
+            alloc)
+          val root = new org.apache.arrow.vector.VectorSchemaRoot(
+            java.util.Arrays.asList(ids.getField, txt.getField),
+            java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](
+              ids, txt), 0)
+          val ch = new java.io.FileOutputStream(f).getChannel
+          val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+            root, null, ch)
+          w.start()
+          docs.grouped(64).foreach { g =>
+            ids.allocateNew(g.length); txt.allocateNew()
+            g.zipWithIndex.foreach { case ((id, text), i) =>
+              ids.setSafe(i, id)
+              txt.setSafe(i, text.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+            }
+            ids.setValueCount(g.length); txt.setValueCount(g.length)
+            root.setRowCount(g.length)
+            w.writeBatch()
+          }
+          w.end(); w.close(); ch.close()
+          ids.close(); txt.close()
+        } finally alloc.close()
+        f
+      })
+      graft.llmops.Arrow.readArrowStream(ss, path)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     "q221_jpeg_12bit" -> ((s, dir) => {
       // 12-bit SOF1 (extended sequential) decode: constant 16×8
       // 12-bit planes are DC-only exact and normalize to v >> 4 on
@@ -7379,6 +7426,12 @@ object SparkEntry {
     // q195: avro container — identity on (doc_id, text) through avro's
     // own writer and the splittable from-scratch reader
     "q195_avro" ->
+      """SELECT doc_id, text FROM documents WHERE doc_id < 400
+         ORDER BY doc_id""",
+
+    // q222: Arrow stream format — full-text identity through the
+    // footer-less message walk
+    "q222_arrow_stream" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
 

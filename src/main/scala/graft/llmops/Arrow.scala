@@ -922,7 +922,7 @@ object Arrow {
     * continuation 0xFFFFFFFF, int32 len, flatbuffer (pre-1.0 framing
     * without continuation accepted).
     */
-  private def messageRoot(fb: Fb, meta: Array[Byte]): (Int, Int) = {
+  private[llmops] def messageRoot(fb: Fb, meta: Array[Byte]): (Int, Int) = {
     val start =
       if (meta.length >= 8 && fb.i32(0) == -1) 8
       else 4
@@ -934,7 +934,7 @@ object Arrow {
     * columns for `wanted` positions. Shared by record and dictionary
     * batch paths.
     */
-  private def decodeRbColumns(fb: Fb, rb: Int, body: Array[Byte],
+  private[llmops] def decodeRbColumns(fb: Fb, rb: Int, body: Array[Byte],
       fields: Vector[AField], wanted: Vector[Int],
       dicts: Map[Long, Array[Any]]): (Int, Vector[Array[Any]]) = {
     val rows = fb.fieldI64(rb, 0, 0L).toInt
@@ -1095,6 +1095,220 @@ object Arrow {
           decodeBatch(fieldsB, meta, body, wanted, dictsB).iterator
         }
       }(org.apache.spark.sql.Encoders.row(struct))
+  }
+
+  /** Arrow IPC STREAM format (.arrows — Flight dumps, pipes): schema
+    * message, then dictionary/record-batch messages in stream order,
+    * optionally closed by the end-of-stream marker. No footer, so a
+    * stream file is NOT splittable — parallelism is per FILE (each
+    * task walks its own file's messages; dictionaries apply in stream
+    * order, where REPLACEMENT is legal, unlike the file format).
+    * Reads a file, glob, or directory as one DataFrame with a leading
+    * `path` provenance column; `mergeSchemas` unions evolved shard
+    * schemas by name exactly like [[readArrowFiles]]. Files are
+    * materialized per task (capped at 1 GB) — the format trades
+    * splittability for pipe-ability, and ingest mirrors that.
+    */
+  def readArrowStream(spark: SparkSession, pathOrGlob: String,
+      columns: Seq[String] = Nil,
+      mergeSchemas: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = Avro.resolveFiles(conf, pathOrGlob)
+    // driver: schema message only (grow-read until it parses)
+    def schemaOf(path: String): Vector[AField] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val in = fs.open(p)
+      try {
+        var cap = 64 << 10
+        var fields: Vector[AField] = null
+        while (fields == null) {
+          val buf = new Array[Byte](cap)
+          var got = 0
+          var n = 0
+          while (got < cap && n >= 0) {
+            n = in.read(buf, got, cap - got); if (n > 0) got += n
+          }
+          val head = if (got == cap) buf else buf.take(got)
+          try {
+            val fb = new Fb(head)
+            val (t, htype) = messageRoot(fb, head)
+            require(htype == 1, s"stream does not open with a Schema " +
+              s"message (header type $htype): $path")
+            val sch = fb.fieldOff(t, 2)
+            require(sch >= 0, "empty schema message")
+            fields = parseSchemaTable(fb, sch)
+          } catch {
+            case e: Exception if got == cap && cap < (8 << 20) =>
+              cap *= 4; in.seek(0L)
+            case e: Exception => throw e
+          }
+        }
+        fields
+      } finally in.close()
+    }
+    val fieldsByPath = files.map { case (p, _) => p -> schemaOf(p) }.toMap
+    val structs = files.map { case (p, _) =>
+      rootStruct(fieldsByPath(p))
+    }.distinct
+    require(mergeSchemas || structs.size == 1,
+      s"arrow stream shard schemas disagree: ${structs.size} distinct " +
+        "— pass mergeSchemas = true to union fields by name")
+    val mergedAll = {
+      val order = scala.collection.mutable.LinkedHashMap
+        .empty[String, StructField]
+      files.foreach { case (p, _) =>
+        rootStruct(fieldsByPath(p)).fields.foreach { f =>
+          order.get(f.name) match {
+            case None => order(f.name) = f
+            case Some(prev) => require(prev.dataType == f.dataType,
+              s"field ${f.name} lands ${prev.dataType} in one shard " +
+                s"and ${f.dataType} in another — evolution merges " +
+                "names, never types")
+          }
+        }
+      }
+      order.values.toVector
+    }
+    val selected: Vector[StructField] =
+      if (columns.isEmpty) mergedAll
+      else columns.toVector.map { c =>
+        mergedAll.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"arrow column $c not in ${mergedAll.map(_.name)}"))
+      }
+    val struct = StructType(StructField("path", StringType) +: selected)
+    val wantedByPath: Map[String, Vector[Int]] = files.map {
+      case (p, _) =>
+        val fs0 = fieldsByPath(p)
+        p -> selected.flatMap(sf =>
+          Some(fs0.indexWhere(_.name == sf.name)).filter(_ >= 0))
+    }.toMap
+    val slotsByPath: Map[String, Array[Int]] = files.map {
+      case (p, _) =>
+        val fs0 = fieldsByPath(p)
+        var next = 0
+        p -> selected.map { sf =>
+          if (fs0.exists(_.name == sf.name)) { val k = next; next += 1; k }
+          else -1
+        }.toArray
+    }.toMap
+    val confB = new org.apache.spark.util.SerializableConfiguration(conf)
+    files.toDF("path", "len")
+      .repartition(math.min(math.max(files.size, 1), 4096))
+      .as[(String, Long)]
+      .flatMap { case (path, len) =>
+        Arrow.decodeStreamFile(confB, path, len, fieldsByPath(path),
+          wantedByPath(path), slotsByPath(path))
+      }(org.apache.spark.sql.Encoders.row(struct))
+  }
+
+
+
+  /** One stream file's full message walk (schema echoes ignored,
+    * dictionaries in stream order where replacement is legal, record
+    * batches decoded against `wanted`). Rows decoded before a corrupt
+    * message survive; the rest of the file drops — streams have no
+    * footer to skip ahead with.
+    */
+  private[llmops] def decodeStreamFile(
+      confB: org.apache.spark.util.SerializableConfiguration,
+      path: String, len: Long, fields: Vector[AField],
+      wanted: Vector[Int], slots: Array[Int]): Iterator[Row] = {
+    if (len <= 0 || len > MaxBatchBytes) return Iterator.empty
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(confB.value)
+    val in = fs.open(p)
+    val bytes = new Array[Byte](len.toInt)
+    try { in.readFully(0L, bytes) } finally in.close()
+    val fb = new Fb(bytes)
+    // dictionary value field per id (first field using the id)
+    val byId = scala.collection.mutable.LinkedHashMap.empty[Long, AField]
+    def walk(f: AField): Unit = {
+      f.dict.foreach { case (id, _) =>
+        if (!byId.contains(id))
+          byId(id) = AField(f.name, nullable = true, f.tpe, None)
+      }
+      f.tpe match {
+        case AList(c, _) => walk(c)
+        case AStruct(cs) => cs.foreach(walk)
+        case _ =>
+      }
+    }
+    fields.foreach(walk)
+    val dicts = scala.collection.mutable.HashMap.empty[Long, Array[Any]]
+    var dictBytes = 0L
+    val out = Vector.newBuilder[Row]
+    var pos = 0L
+    var done = false
+    def align8(v: Long): Long = (v + 7L) & ~7L
+    // no footer → no way to skip past damage: a corrupt message ends
+    // THIS file's decode (rows before it survive)
+    try while (!done && pos + 4 <= len) {
+      val w0 = fb.i32(pos.toInt)
+      val (metaLen, metaStart) =
+        if (w0 == -1) {
+          if (pos + 8 > len) (0, len) // truncated: stop
+          else (fb.i32(pos.toInt + 4), pos + 8)
+        } else (w0, pos + 4)
+      if (metaLen <= 0 || metaStart + metaLen > len) done = true
+      else {
+        val t = fb.root(metaStart.toInt)
+        val htype = fb.fieldU8(t, 1, 0)
+        val bodyLen = fb.fieldI64(t, 3, 0L)
+        val bodyStart = metaStart + metaLen
+        require(bodyLen >= 0 && bodyStart + bodyLen <= len,
+          "stream message body out of file")
+        val body = java.util.Arrays.copyOfRange(bytes,
+          bodyStart.toInt, (bodyStart + bodyLen).toInt)
+        htype match {
+          case 1 => // repeated schema message: ignore
+          case 2 =>
+            val db = fb.fieldOff(t, 2)
+            require(db >= 0, "empty dictionary message")
+            val id = fb.fieldI64(db, 0, 0L)
+            val rb = fb.fieldOff(db, 1)
+            val isDelta = fb.fieldBool(db, 2, dflt = false)
+            require(rb >= 0, "dictionary batch missing data")
+            dictBytes += metaLen.toLong + bodyLen
+            require(dictBytes <= MaxDictionaryBytes,
+              s"stream dictionary batches exceed $MaxDictionaryBytes bytes")
+            val vf = byId.getOrElse(id,
+              throw new IllegalArgumentException(
+                s"dictionary batch id $id matches no field"))
+            val (_, cols) = decodeRbColumns(fb, rb, body,
+              Vector(vf), Vector(0), Map.empty)
+            // stream order: replacement IS legal here
+            if (isDelta && dicts.contains(id))
+              dicts(id) = dicts(id) ++ cols(0)
+            else dicts(id) = cols(0)
+          case 3 =>
+            val rb = fb.fieldOff(t, 2)
+            require(rb >= 0, "empty record batch message")
+            val (n, cols) = decodeRbColumns(fb, rb, body, fields,
+              wanted, dicts.toMap)
+            var i = 0
+            while (i < n) {
+              val cells = new Array[Any](1 + slots.length)
+              cells(0) = path
+              var k = 0
+              while (k < slots.length) {
+                cells(1 + k) =
+                  if (slots(k) < 0) null else cols(slots(k))(i)
+                k += 1
+              }
+              out += Row.fromSeq(scala.collection.immutable
+                .ArraySeq.unsafeWrapArray(cells))
+              i += 1
+            }
+          case other => throw new IllegalArgumentException(
+            s"stream message header type $other")
+        }
+        pos = align8(bodyStart + bodyLen)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    out.result().iterator
   }
 
   /** Multi-file [[readArrow]]: a file, glob, or directory reads as ONE

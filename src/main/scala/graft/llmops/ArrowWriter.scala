@@ -714,6 +714,26 @@ object ArrowWriter {
     }
   }
 
+  /** Arrow IPC STREAM bytes (.arrows): schema message, one record
+    * batch per `rowsPerBatch` rows, end-of-stream marker — no magic,
+    * no footer (the pipe-able little sibling of [[write]]).
+    */
+  def writeStream(fields: Vector[AField], rows: Seq[Row],
+      rowsPerBatch: Int = 1000): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = 0L
+    def emit(b: Array[Byte]): Unit = { out.write(b, 0, b.length); pos += b.length }
+    emit(schemaMessage(fields))
+    rows.grouped(math.max(1, rowsPerBatch)).foreach { g =>
+      val (meta, body) = batchMessage(fields, g)
+      emit(meta); emit(body)
+      val padTo = ((8 - (pos & 7)) & 7).toInt
+      if (padTo > 0) emit(new Array[Byte](padTo))
+    }
+    emit(Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0))
+    out.toByteArray
+  }
+
   /** Arrow IPC file bytes: magic, schema message, one record batch per
     * `rowsPerBatch` rows, footer, trailing magic.
     */

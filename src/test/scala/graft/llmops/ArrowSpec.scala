@@ -991,6 +991,115 @@ class ArrowSpec extends SparkTestBase {
     } finally alloc2.close()
   }
 
+  test("stream format (.arrows): both directions, multi-batch, corruption tail") {
+    import Arrow._
+    val dir = Files.createTempDirectory("graft-arrows").toString
+    // arrow-java ArrowStreamWriter → our reader
+    val n = 130
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val ids = new org.apache.arrow.vector.BigIntVector("id", alloc)
+      val txt = new org.apache.arrow.vector.VarCharVector("text", alloc)
+      val root = new org.apache.arrow.vector.VectorSchemaRoot(
+        java.util.Arrays.asList(ids.getField, txt.getField),
+        java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](
+          ids, txt), 0)
+      val ch = new java.io.FileOutputStream(s"$dir/a.arrows").getChannel
+      val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root,
+        null, ch)
+      w.start()
+      for (b <- 0 until 5) {
+        val rows = math.min(30, n - b * 30)
+        ids.allocateNew(rows); txt.allocateNew()
+        for (i <- 0 until rows) {
+          val id = b * 30 + i
+          ids.setSafe(i, id.toLong)
+          if (id % 11 == 10) txt.setNull(i)
+          else txt.setSafe(i, s"stream row $id".getBytes("UTF-8"))
+        }
+        ids.setValueCount(rows); txt.setValueCount(rows)
+        root.setRowCount(rows)
+        w.writeBatch()
+      }
+      w.end(); w.close(); ch.close()
+      ids.close(); txt.close()
+    } finally alloc.close()
+
+    val df = Arrow.readArrowStream(spark, s"$dir/a.arrows")
+    assert(df.schema.fieldNames.toSeq == Seq("path", "id", "text"))
+    val rows = df.collect().sortBy(_.getLong(1))
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val i = r.getLong(1).toInt
+      if (i % 11 == 10) assert(r.isNullAt(2))
+      else assert(r.getString(2) == s"stream row $i")
+    }
+
+    // our stream twin → arrow-java reads back; our reader round-trips
+    val fields = Vector(
+      AField("id", nullable = false, AInt(64)),
+      AField("v", nullable = true, AView(binary = false)))
+    val twinRows = (0 until 40).map(i =>
+      Row(i.toLong, if (i % 7 == 6) null else s"view payload $i"))
+    val bytes = ArrowWriter.writeStream(fields, twinRows,
+      rowsPerBatch = 12)
+    Files.write(java.nio.file.Paths.get(s"$dir/twin.arrows"), bytes)
+    val back = Arrow.readArrowStream(spark, s"$dir/twin.arrows")
+      .collect().sortBy(_.getLong(1))
+    assert(back.length == 40)
+    back.foreach { r =>
+      val i = r.getLong(1).toInt
+      if (i % 7 == 6) assert(r.isNullAt(2))
+      else assert(r.getString(2) == s"view payload $i")
+    }
+    val alloc2 = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val rdr = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(bytes), alloc2)
+      var seen = 0
+      while (rdr.loadNextBatch()) {
+        val vr = rdr.getVectorSchemaRoot
+        val vv = vr.getVector("v")
+          .asInstanceOf[org.apache.arrow.vector.ViewVarCharVector]
+        for (k <- 0 until vr.getRowCount) {
+          val i = vr.getVector("id")
+            .asInstanceOf[org.apache.arrow.vector.BigIntVector].get(k)
+            .toInt
+          if (i % 7 == 6) assert(vv.isNull(k))
+          else assert(new String(vv.get(k), "UTF-8") == s"view payload $i")
+          seen += 1
+        }
+      }
+      rdr.close()
+      assert(seen == 40)
+    } finally alloc2.close()
+
+    // corruption: damage the THIRD batch's message — rows decoded
+    // before it survive, the rest of the file drops (no footer to
+    // skip ahead with)
+    val full = Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/twin.arrows"))
+    // find the third continuation marker after the schema message
+    var seenMarks = 0
+    var at = -1
+    var i = 0
+    while (at < 0 && i + 8 <= full.length) {
+      if (full(i) == -1 && full(i + 1) == -1 && full(i + 2) == -1 &&
+          full(i + 3) == -1) {
+        seenMarks += 1
+        if (seenMarks == 4) at = i // schema + 2 batches, then damage
+        else i += 8
+      } else i += 8
+    }
+    assert(at > 0)
+    val damaged = full.clone()
+    damaged(at + 4) = 127 // absurd metaLen
+    Files.write(java.nio.file.Paths.get(s"$dir/dmg.arrows"), damaged)
+    val partial = Arrow.readArrowStream(spark, s"$dir/dmg.arrows")
+      .collect()
+    assert(partial.length == 24) // exactly the first two 12-row batches
+  }
+
   test("list-view columns: out-of-order and overlapping ranges decode") {
     import org.apache.arrow.vector.types.pojo.{ArrowType, FieldType}
     val path = Files.createTempDirectory("graft-arrow-lv").toString +
