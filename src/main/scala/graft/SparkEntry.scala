@@ -3769,6 +3769,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q223_zstd_seekable" -> ((s, dir) => {
+      // seekable zstd: one frame per document through the twin writer
+      // (checksummed seek table in the trailing skippable frame), then
+      // the FRAME-PARALLEL reader — one task per frame, one ranged
+      // read each; full-text identity with ROW_NUMBER as the frame
+      // index oracle. `zstd -d` on this fixture reproduces the
+      // concatenation (ZstdSeekableSpec pins that interop)
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q223_file", _ => {
+        val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val f = java.nio.file.Files.createTempDirectory("graft-q223")
+          .toString + "/docs.zst"
+        java.nio.file.Files.write(java.nio.file.Paths.get(f),
+          graft.llmops.ZstdSeekable.write(docs.toIndexedSeq.map(_._2
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        f
+      })
+      graft.llmops.ZstdSeekable.readSeekable(ss, path)
+        .select(col("frame_idx"), col("content").cast("string").as("text"))
+        .orderBy("frame_idx")
+    }),
+
     "q222_arrow_stream" -> ((s, dir) => {
       // Arrow IPC STREAM format (.arrows — Flight dumps, pipes): the
       // fixture is written by ARROW'S OWN ArrowStreamWriter in small
@@ -7428,6 +7452,13 @@ object SparkEntry {
     "q195_avro" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q223: seekable zstd — frame order is doc_id order, so
+    // ROW_NUMBER replays the frame index
+    "q223_zstd_seekable" ->
+      """SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS frame_idx,
+           text
+         FROM documents WHERE doc_id < 400 ORDER BY frame_idx""",
 
     // q222: Arrow stream format — full-text identity through the
     // footer-less message walk

@@ -1,0 +1,88 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import java.nio.file.Files
+
+class ZstdSeekableSpec extends SparkTestBase {
+
+  private def chunksFor(n: Int): Seq[Array[Byte]] =
+    (0 until n).map { i =>
+      (s"chunk $i body " + ("abcdefgh" * (i % 7 + 1)) +
+        ("z" * (if (i % 3 == 0) 40 else 0))).getBytes("UTF-8")
+    }
+
+  test("frame-parallel read is the identity on chunks, both descriptors") {
+    for (withCk <- Seq(true, false)) {
+      val chunks = chunksFor(23)
+      val bytes = ZstdSeekable.write(chunks, withChecksum = withCk)
+      val dir = Files.createTempDirectory("graft-zsk").toString
+      val path = s"$dir/c.zst"
+      Files.write(java.nio.file.Paths.get(path), bytes)
+      val rows = ZstdSeekable.readSeekable(spark, path).collect()
+        .sortBy(_.getLong(0))
+      assert(rows.length == 23)
+      rows.foreach { r =>
+        val i = r.getLong(0).toInt
+        assert(r.getAs[Array[Byte]](1).toSeq == chunks(i).toSeq)
+      }
+    }
+  }
+
+  test("any conformant zstd decoder decompresses the whole file") {
+    val chunks = chunksFor(9)
+    val dir = Files.createTempDirectory("graft-zsk").toString
+    val path = s"$dir/c.zst"
+    Files.write(java.nio.file.Paths.get(path),
+      ZstdSeekable.write(chunks))
+    // the reference CLI skips the seek-table skippable frame and
+    // concatenates the frames — byte identity with the chunk stream
+    val rc = new ProcessBuilder("zstd", "-d", "-f", path,
+      "-o", s"$dir/out.bin").inheritIO().start().waitFor()
+    assert(rc == 0)
+    val got = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/out.bin"))
+    assert(got.toSeq == chunks.flatten.toSeq)
+    // our own whole-file decoder agrees (multi-frame concat decode)
+    val whole = Compression.decode(
+      Files.readAllBytes(java.nio.file.Paths.get(path)), "zstd")
+    assert(whole != null && whole.toSeq == chunks.flatten.toSeq)
+  }
+
+  test("refusals: plain zstd has no footer; damaged entries refuse") {
+    val dir = Files.createTempDirectory("graft-zsk").toString
+    val plain = s"$dir/plain.zst"
+    Files.write(java.nio.file.Paths.get(plain),
+      ZstdWriter.encode("not seekable".getBytes("UTF-8")))
+    val e = intercept[IllegalArgumentException] {
+      ZstdSeekable.readSeekTable(
+        spark.sparkContext.hadoopConfiguration, plain)
+    }
+    assert(e.getMessage.contains("Zstd.decode"))
+
+    val chunks = chunksFor(5)
+    val good = ZstdSeekable.write(chunks)
+    // oversized entry: coverage check catches table/body disagreement
+    val bad = good.clone()
+    // first entry's compressed_size lives right after the skippable
+    // header at (bodyLen); find it via the table position from the end
+    val tableLen = 5 * 12 + 9
+    val entryAt = bad.length - 9 - tableLen + 8 - 8
+    bad(entryAt + 8) = (bad(entryAt + 8) + 1).toByte
+    val badPath = s"$dir/bad.zst"
+    Files.write(java.nio.file.Paths.get(badPath), bad)
+    intercept[IllegalArgumentException] {
+      ZstdSeekable.readSeekTable(
+        spark.sparkContext.hadoopConfiguration, badPath)
+    }
+    // flipped checksum: the frame task refuses loudly
+    val ckBad = good.clone()
+    val ckAt = ckBad.length - 9 - tableLen + 8 + 8
+    ckBad(ckAt) = (ckBad(ckAt) ^ 0x5a).toByte
+    val ckPath = s"$dir/ck.zst"
+    Files.write(java.nio.file.Paths.get(ckPath), ckBad)
+    val ex = intercept[org.apache.spark.SparkException] {
+      ZstdSeekable.readSeekable(spark, ckPath).collect()
+    }
+    assert(ex.getMessage.contains("checksum") ||
+      ex.getCause != null)
+  }
+}
