@@ -6461,6 +6461,22 @@ object SparkEntry {
           .agg(sum(size(col("__ids"))).cast("long").as("tokens"))
       }),
 
+      "s21_zstd_seekable" -> ((s, dir) => {
+        // splittable-zstd throughput: the whole corpus through the
+        // distributed seekable shard export (one frame per doc), then
+        // the frame-parallel read — synthesis and ingest both scale
+        val ss = tuned(s)
+        val d = java.nio.file.Files.createTempDirectory("graft-s21")
+          .toString + "/sh"
+        graft.llmops.ZstdSeekable.writeShards(
+          t(ss, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", d, 32)
+        graft.llmops.ZstdSeekable.readSeekableFiles(ss, d)
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("content").cast("string"))).cast("long")
+              .as("chars"))
+      }),
+
       "s20_arrow_modern" -> ((s, dir) => {
         // modern-arrow-layout throughput: every partition writes one
         // shard carrying a Utf8View text column (variadic data

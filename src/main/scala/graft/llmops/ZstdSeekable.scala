@@ -117,6 +117,141 @@ object ZstdSeekable {
     } finally in.close()
   }
 
+  /** Multi-file [[readSeekable]]: a file, glob, or directory reads as
+    * one DataFrame with a leading `path` provenance column; every
+    * (file, frame) pair becomes one task. Seek tables are read on the
+    * driver (bytes proportional to FRAME COUNT, not data).
+    */
+  def readSeekableFiles(spark: SparkSession, pathOrGlob: String,
+      groupBytes: Int = 4 << 20): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = Avro.resolveFiles(conf, pathOrGlob)
+    val confB = new org.apache.spark.util.SerializableConfiguration(conf)
+    // frames are the RANDOM-ACCESS unit, not the task unit: group
+    // consecutive frames into ~groupBytes ranged reads (one task each)
+    val groups = files.flatMap { case (p, _) =>
+      groupEntries(readSeekTable(conf, p), groupBytes).map {
+        case (firstIdx, es) => (p, firstIdx, es)
+      }
+    }
+    val struct = StructType(Seq(StructField("path", StringType),
+      StructField("frame_idx", LongType),
+      StructField("content", BinaryType)))
+    groups.toDF("path", "firstIdx", "entries")
+      .repartition(math.min(math.max(groups.size, 1), 4096))
+      .as[(String, Long, Seq[(Long, Int, Int, Long, Boolean)])]
+      .flatMap { case (path, firstIdx, entries) =>
+        decodeGroup(confB, path, firstIdx, entries)
+      }(org.apache.spark.sql.Encoders.row(struct))
+  }
+
+  /** (firstFrameIdx, per-frame (offset, compSize, decompSize, checksum,
+    * hasChecksum)) groups of consecutive non-empty frames, each group
+    * spanning at most ~groupBytes compressed.
+    */
+  private[llmops] def groupEntries(entries: Vector[Entry],
+      groupBytes: Int): Vector[(Long, Seq[(Long, Int, Int, Long, Boolean)])] = {
+    val out = Vector.newBuilder[(Long, Seq[(Long, Int, Int, Long, Boolean)])]
+    var cur = Vector.newBuilder[(Long, Int, Int, Long, Boolean)]
+    var curFirst = -1L
+    var curBytes = 0L
+    def flush(): Unit = {
+      val g = cur.result()
+      if (g.nonEmpty) out += ((curFirst, g))
+      cur = Vector.newBuilder
+      curFirst = -1L
+      curBytes = 0L
+    }
+    entries.zipWithIndex.foreach { case (e, i) =>
+      if (e.decompressedSize > 0) {
+        if (curBytes > 0 && curBytes + e.compressedSize > groupBytes)
+          flush()
+        if (curFirst < 0) curFirst = i.toLong
+        cur += ((e.offset, e.compressedSize, e.decompressedSize,
+          e.checksum.map(_.toLong).getOrElse(-1L), e.checksum.isDefined))
+        curBytes += e.compressedSize
+      } else flush() // empty/skippable frame: cut, so indices inside a
+        // group stay consecutive and firstIdx + k labels exactly
+    }
+    flush()
+    out.result()
+  }
+
+  /** One group's ranged read + per-frame decode (named helper: lambdas
+    * touching object-private members capture the module and break task
+    * serialization).
+    */
+  private[llmops] def decodeGroup(
+      confB: org.apache.spark.util.SerializableConfiguration,
+      path: String, firstIdx: Long,
+      entries: Seq[(Long, Int, Int, Long, Boolean)]): Iterator[Row] = {
+    if (entries.isEmpty) return Iterator.empty
+    val start = entries.head._1
+    val end = entries.last._1 + entries.last._2
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(confB.value)
+    val in = fs.open(p)
+    val buf = new Array[Byte]((end - start).toInt)
+    try { in.readFully(start, buf) } finally in.close()
+    // frame indices inside a group are consecutive by construction
+    // (empty frames never enter a group and always cut one)
+    entries.iterator.zipWithIndex.map { case ((off, cs, ds, ck, hasCk), k) =>
+      val frame = java.util.Arrays.copyOfRange(buf, (off - start).toInt,
+        (off - start).toInt + cs)
+      val plain = Zstd.decode(frame)
+      require(plain != null && plain.length == ds,
+        s"frame ${firstIdx + k} decode mismatch in $path")
+      if (hasCk)
+        require((XxHash.xxh64(plain, 0, plain.length, 0L) &
+          0xFFFFFFFFL).toInt == ck.toInt,
+          s"frame ${firstIdx + k} checksum in $path")
+      Row(path, firstIdx + k, plain)
+    }
+  }
+
+  /** Distributed seekable export — the [[TarShards]] shard protocol:
+    * rows hash-shard on `keyCol`, each task streams ITS shard's rows
+    * as one frame each (the random-access unit) and closes with the
+    * seek table. Byte-deterministic given the same rows.
+    */
+  def writeShards(df: DataFrame, keyCol: String, contentCol: String,
+      dir: String, nShards: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val sharded = df
+      .withColumn("__shard",
+        pmod(Similarity.portable60(col(keyCol).cast("string")),
+          lit(nShards.toLong)).cast("int"))
+      .select(col("__shard"), col(keyCol).cast("string").as("__key"),
+        col(contentCol).cast("binary").as("__content"))
+      .repartition(nShards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__key"))
+    val confB = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val dirB = dir
+    sharded.foreachPartition { rows: Iterator[Row] =>
+      // several shard ids can hash into one partition — roll files on
+      // the (sorted) shard boundary, exactly like the tar/arrow shard
+      // writers
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var shard = -1
+      def flush(): Unit = if (chunks.nonEmpty) {
+        val path = new org.apache.hadoop.fs.Path(
+          f"$dirB/shard-$shard%05d.zst")
+        val fs = path.getFileSystem(confB.value)
+        val out = fs.create(path, true)
+        try out.write(write(chunks.toSeq)) finally out.close()
+        chunks.clear()
+      }
+      rows.foreach { r =>
+        val s = r.getInt(0)
+        if (s != shard) { flush(); shard = s }
+        chunks += r.getAs[Array[Byte]](2)
+      }
+      flush()
+    }
+  }
+
   /** Frame-parallel read: `(frame_idx LONG, content BINARY)` — one task
     * per frame, one ranged read each. Frames with decompressed size 0
     * (skippable padding) yield no row. Checksums (when present) verify
@@ -124,35 +259,21 @@ object ZstdSeekable {
     * (a seekable index pointing at damaged bytes is corruption, not a
     * skippable tier).
     */
-  def readSeekable(spark: SparkSession, path: String): DataFrame = {
+  def readSeekable(spark: SparkSession, path: String,
+      groupBytes: Int = 4 << 20): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val entries = readSeekTable(conf, path)
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
-    val rows = entries.zipWithIndex.collect {
-      case (e, i) if e.decompressedSize > 0 =>
-        (i.toLong, e.offset, e.compressedSize, e.decompressedSize,
-          e.checksum.map(_.toLong).getOrElse(-1L), e.checksum.isDefined)
-    }
+    val groups = groupEntries(entries, groupBytes)
     val struct = StructType(Seq(StructField("frame_idx", LongType),
       StructField("content", BinaryType)))
-    rows.toDF("idx", "off", "cs", "ds", "ck", "hasCk")
-      .repartition(math.min(math.max(rows.size, 1), 4096))
-      .as[(Long, Long, Int, Int, Long, Boolean)]
-      .map { case (idx, off, cs, ds, ck, hasCk) =>
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(confB.value)
-        val in = fs.open(p)
-        val buf = new Array[Byte](cs)
-        try { in.readFully(off, buf) } finally in.close()
-        val plain = Zstd.decode(buf)
-        require(plain != null && plain.length == ds,
-          s"frame $idx decode mismatch (${if (plain == null) "refused"
-            else plain.length.toString} vs $ds)")
-        if (hasCk)
-          require((XxHash.xxh64(plain, 0, plain.length, 0L) &
-            0xFFFFFFFFL).toInt == ck.toInt, s"frame $idx checksum")
-        Row(idx, plain)
+    groups.toDF("firstIdx", "entries")
+      .repartition(math.min(math.max(groups.size, 1), 4096))
+      .as[(Long, Seq[(Long, Int, Int, Long, Boolean)])]
+      .flatMap { case (firstIdx, es) =>
+        decodeGroup(confB, path, firstIdx, es)
+          .map(r => Row(r.get(1), r.get(2)))
       }(org.apache.spark.sql.Encoders.row(struct))
   }
 }

@@ -47,6 +47,38 @@ class ZstdSeekableSpec extends SparkTestBase {
     assert(whole != null && whole.toSeq == chunks.flatten.toSeq)
   }
 
+  test("shard protocol: distributed export, grouped multi-file read-back") {
+    val ss = spark
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-zsk-sh").toString
+    val df = (0 until 300).map(i => (i.toLong, s"doc $i " + ("w" * (i % 13))))
+      .toDF("doc_id", "text")
+    ZstdSeekable.writeShards(df, "doc_id", "text", dir, 4)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".zst")).sortBy(_.getName)
+    assert(shards.length == 4)
+    val back = ZstdSeekable.readSeekableFiles(spark, dir)
+      .select(org.apache.spark.sql.functions.col("content")
+        .cast("string").as("text"))
+      .collect().map(_.getString(0)).sorted
+    val want = (0 until 300).map(i => s"doc $i " + ("w" * (i % 13)))
+      .sorted
+    assert(back.toSeq == want)
+    // tiny group size degrades to per-frame tasks, same rows
+    val fine = ZstdSeekable.readSeekableFiles(spark, dir, groupBytes = 1)
+      .count()
+    assert(fine == 300)
+    // byte determinism across runs
+    val dir2 = Files.createTempDirectory("graft-zsk-sh2").toString
+    ZstdSeekable.writeShards(df, "doc_id", "text", dir2, 4)
+    val shards2 = new java.io.File(dir2).listFiles()
+      .filter(_.getName.endsWith(".zst")).sortBy(_.getName)
+    shards.zip(shards2).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(a.toPath), Files.readAllBytes(b.toPath)))
+    }
+  }
+
   test("refusals: plain zstd has no footer; damaged entries refuse") {
     val dir = Files.createTempDirectory("graft-zsk").toString
     val plain = s"$dir/plain.zst"
