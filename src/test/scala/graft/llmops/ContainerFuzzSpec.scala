@@ -160,4 +160,65 @@ class ContainerFuzzSpec extends SparkTestBase {
       catch { case _: IllegalArgumentException => }
     }
   }
+
+  test("arrow stream: the per-file walk never throws on mutation") {
+    import Arrow._
+    val fields = Vector(
+      AField("id", nullable = false, AInt(64)),
+      AField("t", nullable = true, AString(large = false)))
+    val rows = (0 until 60).map(i => Row(i.toLong, s"stream fuzz $i"))
+    val good = ArrowWriter.writeStream(fields, rows, rowsPerBatch = 16)
+    val dir = Files.createTempDirectory("graft-fuzz-arrows").toString
+    val confB = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val r = new java.util.Random(46)
+    (0 until 300).foreach { k =>
+      val path = s"$dir/m$k.arrows"
+      Files.write(java.nio.file.Paths.get(path), mutate(good, r))
+      // rows decoded before the damage survive; never throws, never
+      // hangs — corrupt tails just end the file
+      val got = Arrow.decodeStreamFile(confB, path, good.length.toLong,
+        fields, Vector(0, 1), Array(0, 1)).toVector
+      assert(got.length <= 60)
+    }
+  }
+
+  test("seekable zstd: seek-table parse only refuses; frames verify") {
+    val chunks = (0 until 20).map(i =>
+      s"seekable fuzz chunk $i".getBytes("UTF-8"))
+    val good = ZstdSeekable.write(chunks)
+    val dir = Files.createTempDirectory("graft-fuzz-zsk").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val r = new java.util.Random(47)
+    (0 until 300).foreach { k =>
+      val path = s"$dir/m$k.zst"
+      Files.write(java.nio.file.Paths.get(path), mutate(good, r))
+      // driver parse refuses structurally-bad tables; a table that
+      // still parses has entries whose checksums catch frame damage
+      // at decode time — wrong data never comes back silently
+      try {
+        val entries = ZstdSeekable.readSeekTable(conf, path)
+        val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+        entries.zipWithIndex.foreach { case (e, i) =>
+          if (e.decompressedSize > 0 &&
+              e.offset + e.compressedSize <= bytes.length) {
+            val frame = java.util.Arrays.copyOfRange(bytes,
+              e.offset.toInt, e.offset.toInt + e.compressedSize)
+            val plain = Zstd.decode(frame)
+            if (plain != null && plain.length == e.decompressedSize &&
+                e.checksum.forall(_ ==
+                  (XxHash.xxh64(plain, 0, plain.length, 0L) &
+                    0xFFFFFFFFL).toInt)) {
+              // frame verified: if it's an undamaged original index,
+              // content must be the original chunk
+              if (i < chunks.length &&
+                  plain.length == chunks(i).length &&
+                  e.checksum.isDefined)
+                assert(plain.toSeq == chunks(i).toSeq)
+            }
+          }
+        }
+      } catch { case _: IllegalArgumentException => }
+    }
+  }
 }
