@@ -3769,6 +3769,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q224_bgzf" -> ((s, dir) => {
+      // BGZF blocked gzip: one member per document through the twin
+      // writer, then the range-parallel reader (magic + BC subfield +
+      // verifying inflate to find a range's first member, BSIZE chain
+      // after) at 8 KB ranges so members straddle boundaries —
+      // full-text identity, offsets replayed by ROW_NUMBER. zcat on
+      // this fixture reproduces the concatenation (BgzfSpec pins it)
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q224_file", _ => {
+        val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val f = java.nio.file.Files.createTempDirectory("graft-q224")
+          .toString + "/docs.bgz"
+        java.nio.file.Files.write(java.nio.file.Paths.get(f),
+          graft.llmops.Bgzf.write(docs.toIndexedSeq.map(_._2
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        f
+      })
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("offset"))
+      graft.llmops.Bgzf.readBgzf(ss, path, rangeBytes = 8192)
+        .withColumn("seq", row_number().over(w).cast("long") - 1)
+        .select(col("seq"), col("content").cast("string").as("text"))
+        .orderBy("seq")
+    }),
+
     "q223_zstd_seekable" -> ((s, dir) => {
       // seekable zstd: one frame per document through the twin writer
       // (checksummed seek table in the trailing skippable frame), then
@@ -7468,6 +7495,12 @@ object SparkEntry {
     "q195_avro" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q224: BGZF — member order is doc_id order, so ROW_NUMBER over
+    // the offsets replays the sequence
+    "q224_bgzf" ->
+      """SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS seq, text
+         FROM documents WHERE doc_id < 400 ORDER BY seq""",
 
     // q223: seekable zstd — frame order is doc_id order, so
     // ROW_NUMBER replays the frame index

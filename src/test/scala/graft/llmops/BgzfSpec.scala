@@ -1,0 +1,78 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import java.nio.file.Files
+
+class BgzfSpec extends SparkTestBase {
+
+  private def chunksFor(n: Int): Seq[Array[Byte]] =
+    (0 until n).map(i =>
+      (s"bgzf member $i " + ("payload " * (i % 9 + 1))).getBytes("UTF-8"))
+
+  test("member-parallel read is the identity; tiny ranges chain exactly") {
+    val chunks = chunksFor(40)
+    val dir = Files.createTempDirectory("graft-bgzf").toString
+    val path = s"$dir/c.bgz"
+    Files.write(java.nio.file.Paths.get(path), Bgzf.write(chunks))
+    for (rangeBytes <- Seq(32 << 20, 1024)) {
+      val rows = Bgzf.readBgzf(spark, path, rangeBytes).collect()
+        .sortBy(_.getLong(0))
+      assert(rows.length == 40, s"rangeBytes=$rangeBytes")
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Array[Byte]](1).toSeq == chunks(i).toSeq)
+      }
+    }
+  }
+
+  test("any gzip decoder decompresses the whole file") {
+    val chunks = chunksFor(12)
+    val dir = Files.createTempDirectory("graft-bgzf").toString
+    val path = s"$dir/c.bgz"
+    Files.write(java.nio.file.Paths.get(path), Bgzf.write(chunks))
+    val rc = new ProcessBuilder("sh", "-c",
+      s"zcat '$path' > '$dir/out.bin'").inheritIO().start().waitFor()
+    assert(rc == 0)
+    val got = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/out.bin"))
+    assert(got.toSeq == chunks.flatten.toSeq)
+    // the repo's own gzip path agrees
+    val whole = Compression.decode(
+      Files.readAllBytes(java.nio.file.Paths.get(path)), "gzip")
+    assert(whole != null && whole.toSeq == chunks.flatten.toSeq)
+  }
+
+  test("refusals and damage containment") {
+    val dir = Files.createTempDirectory("graft-bgzf").toString
+    // plain gzip (no BC subfield) refuses with guidance
+    val plain = s"$dir/plain.gz"
+    Files.write(java.nio.file.Paths.get(plain),
+      Compression.encode("not blocked".getBytes("UTF-8"), "gzip"))
+    val e = intercept[IllegalArgumentException] {
+      Bgzf.readBgzf(spark, plain)
+    }
+    assert(e.getMessage.contains("Compression.decode"))
+    // oversized chunk refuses at write
+    intercept[IllegalArgumentException] {
+      Bgzf.write(Seq(new Array[Byte](Bgzf.MaxChunk + 1)))
+    }
+    // flip a byte inside one member's deflate data: that member's CRC
+    // fails and the chain stops there FOR ITS RANGE; earlier members
+    // survive (single-range read → prefix survives)
+    val chunks = chunksFor(20)
+    val good = Bgzf.write(chunks)
+    val bad = good.clone()
+    // find the 10th member's start by walking the chain
+    var off = 0
+    for (_ <- 0 until 10) {
+      val m = Bgzf.memberAt(good, off)
+      off += m._2
+    }
+    bad(off + 20) = (bad(off + 20) ^ 0x40).toByte
+    val badPath = s"$dir/bad.bgz"
+    Files.write(java.nio.file.Paths.get(badPath), bad)
+    val rows = Bgzf.readBgzf(spark, badPath).collect().sortBy(_.getLong(0))
+    assert(rows.length >= 10 && rows.length < 20)
+    rows.take(10).zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Array[Byte]](1).toSeq == chunks(i).toSeq)
+    }
+  }
+}
