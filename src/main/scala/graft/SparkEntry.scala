@@ -6488,6 +6488,22 @@ object SparkEntry {
           .agg(sum(size(col("__ids"))).cast("long").as("tokens"))
       }),
 
+      "s22_bgzf" -> ((s, dir) => {
+        // splittable-gzip throughput: the whole corpus through the
+        // distributed BGZF shard export (one member per doc), then the
+        // range-parallel member read — the in-band sibling of s21
+        val ss = tuned(s)
+        val d = java.nio.file.Files.createTempDirectory("graft-s22")
+          .toString + "/sh"
+        graft.llmops.Bgzf.writeShards(
+          t(ss, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", d, 32)
+        graft.llmops.Bgzf.readBgzfFiles(ss, d)
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("content").cast("string"))).cast("long")
+              .as("chars"))
+      }),
+
       "s21_zstd_seekable" -> ((s, dir) => {
         // splittable-zstd throughput: the whole corpus through the
         // distributed seekable shard export (one frame per doc), then

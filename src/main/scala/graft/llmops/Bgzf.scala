@@ -125,6 +125,88 @@ object Bgzf {
     (plain, total)
   }
 
+  /** Multi-file [[readBgzf]]: a file, glob, or directory reads as one
+    * DataFrame with a leading `path` provenance column — ONE plan with
+    * one (file, range) row per task, never a union of per-file plans
+    * (a thousand-shard directory must not become a thousand-node
+    * logical plan).
+    */
+  def readBgzfFiles(spark: SparkSession, pathOrGlob: String,
+      rangeBytes: Int = 32 << 20): DataFrame = {
+    import spark.implicits._
+    require(rangeBytes >= 1024, "rangeBytes must be at least 1 KiB")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = Avro.resolveFiles(conf, pathOrGlob)
+    require(files.nonEmpty, s"no files match $pathOrGlob")
+    // driver gate per file: must open with a verified member
+    files.foreach { case (p0, len) =>
+      val fp = new org.apache.hadoop.fs.Path(p0)
+      val fs = fp.getFileSystem(conf)
+      val head = new Array[Byte](math.min(len, 70000L).toInt)
+      val in0 = fs.open(fp)
+      try in0.readFully(0L, head) finally in0.close()
+      require(memberAt(head, 0) != null,
+        s"$p0 does not open with a BGZF member — plain gzip decodes " +
+          "via Compression.decode (whole-file, not splittable)")
+    }
+    val confB = new org.apache.spark.util.SerializableConfiguration(conf)
+    val ranges = files.flatMap { case (p0, len) =>
+      (0L until math.max(1L, len) by rangeBytes.toLong)
+        .map(start => (p0, len, start, math.min(start + rangeBytes, len)))
+    }
+    val struct = StructType(Seq(StructField("path", StringType),
+      StructField("offset", LongType),
+      StructField("content", BinaryType)))
+    ranges.toDF("path", "len", "start", "end")
+      .repartition(math.min(math.max(ranges.size, 1), 4096))
+      .as[(String, Long, Long, Long)]
+      .flatMap { case (p0, len, start, end) =>
+        Bgzf.scanRange(confB, p0, len, start, end)
+          .map(r => Row(p0, r.get(0), r.get(1)))
+      }(org.apache.spark.sql.Encoders.row(struct))
+  }
+
+  /** Distributed BGZF export — the [[TarShards]] shard protocol: rows
+    * hash-shard on `keyCol`, each task streams ITS shard's rows as one
+    * member each, rolling files on the sorted shard boundary.
+    * Byte-deterministic given the same rows.
+    */
+  def writeShards(df: DataFrame, keyCol: String, contentCol: String,
+      dir: String, nShards: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val sharded = df
+      .withColumn("__shard",
+        pmod(Similarity.portable60(col(keyCol).cast("string")),
+          lit(nShards.toLong)).cast("int"))
+      .select(col("__shard"), col(keyCol).cast("string").as("__key"),
+        col(contentCol).cast("binary").as("__content"))
+      .repartition(nShards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__key"))
+    val confB = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val dirB = dir
+    sharded.foreachPartition { rows: Iterator[Row] =>
+      // several shard ids can hash into one partition — roll files on
+      // the (sorted) shard boundary
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var shard = -1
+      def flush(): Unit = if (chunks.nonEmpty) {
+        val path = new org.apache.hadoop.fs.Path(
+          f"$dirB/shard-$shard%05d.bgz")
+        val fs = path.getFileSystem(confB.value)
+        val out = fs.create(path, true)
+        try out.write(write(chunks.toSeq)) finally out.close()
+        chunks.clear()
+      }
+      rows.foreach { r =>
+        val s = r.getInt(0)
+        if (s != shard) { flush(); shard = s }
+        chunks += r.getAs[Array[Byte]](2)
+      }
+      flush()
+    }
+  }
+
   /** Parallel BGZF read: `(offset LONG, content BINARY)` — each task
     * range-scans for its first CRC-verified member (magic + BC
     * subfield + inflate), then chains by BSIZE; a member belongs to

@@ -40,6 +40,32 @@ class BgzfSpec extends SparkTestBase {
     assert(whole != null && whole.toSeq == chunks.flatten.toSeq)
   }
 
+  test("shard protocol: distributed export, one-plan multi-file read") {
+    val ss = spark
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-bgzf-sh").toString
+    val df = (0 until 300).map(i => (i.toLong, s"bdoc $i " + ("q" * (i % 11))))
+      .toDF("doc_id", "text")
+    Bgzf.writeShards(df, "doc_id", "text", dir, 4)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".bgz")).sortBy(_.getName)
+    assert(shards.length == 4)
+    val back = Bgzf.readBgzfFiles(spark, dir)
+      .select(org.apache.spark.sql.functions.col("content")
+        .cast("string"))
+      .collect().map(_.getString(0)).sorted
+    assert(back.toSeq ==
+      (0 until 300).map(i => s"bdoc $i " + ("q" * (i % 11))).sorted)
+    // byte determinism
+    val dir2 = Files.createTempDirectory("graft-bgzf-sh2").toString
+    Bgzf.writeShards(df, "doc_id", "text", dir2, 4)
+    new java.io.File(dir2).listFiles().filter(_.getName.endsWith(".bgz"))
+      .sortBy(_.getName).zip(shards).foreach { case (b, a) =>
+        assert(java.util.Arrays.equals(
+          Files.readAllBytes(a.toPath), Files.readAllBytes(b.toPath)))
+      }
+  }
+
   test("refusals and damage containment") {
     val dir = Files.createTempDirectory("graft-bgzf").toString
     // plain gzip (no BC subfield) refuses with guidance
