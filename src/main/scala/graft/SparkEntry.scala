@@ -3769,6 +3769,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q225_xz_blocks" -> ((s, dir) => {
+      // block-parallel xz: one block per document through the twin's
+      // multi-block writer, then the index-driven reader (stream
+      // footer → index → block offsets, ~4 MB groups, CRC32 checks
+      // verified per block) — full-text identity with the block index
+      // replayed by ROW_NUMBER. xz -dc accepts the twin's container
+      // (XzBlocksSpec pins that, plus real CLI multi-block fixtures)
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q225_file", _ => {
+        val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val f = java.nio.file.Files.createTempDirectory("graft-q225")
+          .toString + "/docs.xz"
+        java.nio.file.Files.write(java.nio.file.Paths.get(f),
+          graft.llmops.XzWriter.encodeBlocks(docs.toIndexedSeq.map(_._2
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        f
+      })
+      graft.llmops.XzLzma.readXzBlocks(ss, path)
+        .select(col("block_idx"),
+          col("content").cast("string").as("text"))
+        .orderBy("block_idx")
+    }),
+
     "q224_bgzf" -> ((s, dir) => {
       // BGZF blocked gzip: one member per document through the twin
       // writer, then the range-parallel reader (magic + BC subfield +
@@ -7511,6 +7536,12 @@ object SparkEntry {
     "q195_avro" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 400
          ORDER BY doc_id""",
+
+    // q225: block-parallel xz — block order is doc_id order
+    "q225_xz_blocks" ->
+      """SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS block_idx,
+           text
+         FROM documents WHERE doc_id < 400 ORDER BY block_idx""",
 
     // q224: BGZF — member order is doc_id order, so ROW_NUMBER over
     // the offsets replays the sequence

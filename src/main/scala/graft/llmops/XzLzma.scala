@@ -1,5 +1,7 @@
 package graft.llmops
 
+import org.apache.spark.sql.SparkSession
+
 /** xz / LZMA2 decoder — the `.xz` member of the compressed-corpus family
   * (several public text corpora ship as `.jsonl.xz` / `.txt.xz`).
   * Reference hook: arbitrary-binary document ingestion,
@@ -564,6 +566,237 @@ object XzLzma {
     if ((b(i + 8) & 0xff) != 0 || (b(i + 9) & 0xff) != checkType) return -1
     if (b(i + 10) != 'Y' || b(i + 11) != 'Z') return -1
     i + 12
+  }
+
+  /** One padded block (header..check) decoded standalone — the unit of
+    * [[readXzBlocks]]'s parallelism. Same validation set as the
+    * sequential walk: header CRC, LZMA2-only chain, declared sizes,
+    * padding, check value. Null on any violation.
+    */
+  private[llmops] def decodeBlockAt(b: Array[Byte],
+      checkType: Int): Array[Byte] = {
+    try {
+      val checkLen = checkType match {
+        case 0 => 0
+        case 1 => 4
+        case 4 => 8
+        case _ => 32
+      }
+      val hdrSizeByte = b(0) & 0xff
+      if (hdrSizeByte == 0) return null
+      val hdrSize = (hdrSizeByte + 1) * 4
+      if (hdrSize > b.length) return null
+      if (rd32le(b, hdrSize - 4) != {
+        val c = new java.util.zip.CRC32
+        c.update(b, 0, hdrSize - 4); c.getValue.toInt
+      }) return null
+      val flags = b(1) & 0xff
+      if ((flags & 0x3c) != 0) return null
+      if ((flags & 3) + 1 != 1) return null
+      var p = 2
+      var declaredComp = -1L
+      var declaredUnc = -1L
+      if ((flags & 0x40) != 0) {
+        val r = vli(b, p, hdrSize); if (r == null) return null
+        declaredComp = r._1; p = r._2
+      }
+      if ((flags & 0x80) != 0) {
+        val r = vli(b, p, hdrSize); if (r == null) return null
+        declaredUnc = r._1; p = r._2
+      }
+      val fid = vli(b, p, hdrSize); if (fid == null) return null
+      if (fid._1 != 0x21) return null
+      p = fid._2
+      val plen = vli(b, p, hdrSize); if (plen == null) return null
+      if (plen._1 != 1) return null
+      p = plen._2
+      if ((b(p) & 0xff) > 40) return null
+      p += 1
+      while (p < hdrSize - 4) { if (b(p) != 0) return null; p += 1 }
+      val payloadStart = hdrSize
+      val compLimit =
+        if (declaredComp >= 0) {
+          if (payloadStart + declaredComp > b.length) return null
+          payloadStart + declaredComp.toInt
+        } else b.length
+      val dec = lzma2Decode(b, payloadStart, compLimit)
+      if (dec == null) return null
+      if (declaredUnc >= 0 && dec.length != declaredUnc) return null
+      val compSize = lzma2Size(b, payloadStart, compLimit)
+      if (compSize < 0) return null
+      if (declaredComp >= 0 && compSize != declaredComp) return null
+      var i = payloadStart + compSize.toInt
+      while ((i & 3) != 0) {
+        if (i >= b.length || b(i) != 0) return null
+        i += 1
+      }
+      if (i + checkLen > b.length) return null
+      checkType match {
+        case 1 =>
+          val c = new java.util.zip.CRC32
+          c.update(dec, 0, dec.length)
+          if (rd32le(b, i) != c.getValue.toInt) return null
+        case 4 =>
+          var v = 0L
+          var k2 = 0
+          while (k2 < 8) { v |= (b(i + k2) & 0xffL) << (8 * k2); k2 += 1 }
+          if (v != crc64(dec, 0, dec.length)) return null
+        case 10 =>
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          val d = md.digest(java.util.Arrays.copyOf(dec, dec.length))
+          var k2 = 0
+          while (k2 < 32) { if (d(k2) != b(i + k2)) return null; k2 += 1 }
+        case _ => ()
+      }
+      dec
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** Driver-side block map of a SINGLE-stream xz file via the stream
+    * footer and index: (offset, paddedSize, uncompressedSize) per
+    * block, plus the stream's check type. Multi-stream files refuse
+    * (decode them whole via [[decode]]); trailing 4-byte-zero stream
+    * padding is accepted.
+    */
+  private[llmops] def blockMap(conf: org.apache.hadoop.conf.Configuration,
+      path: String): (Vector[(Long, Long, Long)], Int) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(p).getLen
+    require(fileLen >= 32, s"too short for xz: $path")
+    val in = fs.open(p)
+    try {
+      val head = new Array[Byte](12)
+      in.readFully(0L, head)
+      var k = 0
+      while (k < 6) {
+        require(head(k) == HeaderMagic(k), s"not xz: $path"); k += 1
+      }
+      val checkType = head(7) & 0xff
+      // walk back over stream padding (4-byte zero words)
+      var end = fileLen
+      val tailProbe = new Array[Byte](math.min(fileLen, 4096L).toInt)
+      in.readFully(fileLen - tailProbe.length, tailProbe)
+      var tp = tailProbe.length
+      while (tp >= 4 && tailProbe(tp - 1) == 0 && tailProbe(tp - 2) == 0 &&
+          tailProbe(tp - 3) == 0 && tailProbe(tp - 4) == 0) {
+        tp -= 4; end -= 4
+      }
+      require(end >= 32, s"no xz footer in $path")
+      val foot = new Array[Byte](12)
+      in.readFully(end - 12, foot)
+      require(foot(10) == 'Y' && foot(11) == 'Z', s"bad xz footer: $path")
+      require(rd32le(foot, 0) == {
+        val c = new java.util.zip.CRC32
+        c.update(foot, 4, 6); c.getValue.toInt
+      }, "footer CRC")
+      require((foot(9) & 0xff) == checkType,
+        "footer/header check type disagree")
+      val backward = rd32le(foot, 4).toLong & 0xFFFFFFFFL
+      val indexSize = (backward + 1) * 4
+      val indexStart = end - 12 - indexSize
+      require(indexStart >= 12, "index exceeds file")
+      val idx = new Array[Byte](indexSize.toInt)
+      in.readFully(indexStart, idx)
+      require(idx(0) == 0, "index indicator")
+      require(rd32le(idx, idx.length - 4) == {
+        val c = new java.util.zip.CRC32
+        c.update(idx, 0, idx.length - 4); c.getValue.toInt
+      }, "index CRC")
+      var i = 1
+      val cnt = vli(idx, i, idx.length)
+      require(cnt != null, "index count")
+      i = cnt._2
+      var off = 12L
+      val out = Vector.newBuilder[(Long, Long, Long)]
+      var r = 0L
+      while (r < cnt._1) {
+        val u = vli(idx, i, idx.length); require(u != null, "unpadded")
+        i = u._2
+        val s = vli(idx, i, idx.length); require(s != null, "uncomp")
+        i = s._2
+        val padded = (u._1 + 3L) & ~3L
+        out += ((off, padded, s._1))
+        off += padded
+        r += 1
+      }
+      require(off == indexStart,
+        s"blocks cover $off bytes, index starts at $indexStart — " +
+          "multi-stream xz decodes whole via XzLzma.decode")
+      (out.result(), checkType)
+    } finally in.close()
+  }
+
+  /** Block-parallel xz read: `(block_idx LONG, content BINARY)` — one
+    * ranged read per ~groupBytes of consecutive blocks (`xz -T`/
+    * `--block-size` output and [[XzWriter.encodeBlocks]] both carry
+    * the index this uses). A block failing its check refuses loudly.
+    */
+  def readXzBlocks(spark: SparkSession, path: String,
+      groupBytes: Int = 4 << 20): org.apache.spark.sql.DataFrame = {
+    val sqlc = spark
+    import sqlc.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (blocks, checkType) = blockMap(conf, path)
+    val confB = new org.apache.spark.util.SerializableConfiguration(conf)
+    // group consecutive blocks into ~groupBytes ranged reads
+    val groups = {
+      val out = Vector.newBuilder[(Long, Vector[(Long, Long, Long)])]
+      var cur = Vector.newBuilder[(Long, Long, Long)]
+      var first = -1L
+      var bytes = 0L
+      var k = 0
+      while (k < blocks.length) {
+        val b = blocks(k)
+        if (bytes > 0 && bytes + b._2 > groupBytes) {
+          out += ((first, cur.result())); cur = Vector.newBuilder
+          first = -1L; bytes = 0L
+        }
+        if (first < 0) first = k.toLong
+        cur += b; bytes += b._2
+        k += 1
+      }
+      val g = cur.result()
+      if (g.nonEmpty) out += ((first, g))
+      out.result()
+    }
+    val struct = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("block_idx",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    groups.toDF("firstIdx", "blocks")
+      .repartition(math.min(math.max(groups.size, 1), 4096))
+      .as[(Long, Seq[(Long, Long, Long)])]
+      .flatMap { case (firstIdx, bs) =>
+        XzLzma.decodeBlockGroup(confB, path, checkType, firstIdx, bs)
+      }(org.apache.spark.sql.Encoders.row(struct))
+  }
+
+  /** One group's ranged read + per-block decode (named helper — a
+    * lambda touching object-private members captures the module and
+    * breaks task serialization).
+    */
+  private[llmops] def decodeBlockGroup(
+      confB: org.apache.spark.util.SerializableConfiguration,
+      path: String, checkType: Int, firstIdx: Long,
+      bs: Seq[(Long, Long, Long)]): Iterator[org.apache.spark.sql.Row] = {
+    if (bs.isEmpty) return Iterator.empty
+    val start = bs.head._1
+    val end = bs.last._1 + bs.last._2
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(confB.value)
+    val in = fs.open(p)
+    val buf = new Array[Byte]((end - start).toInt)
+    try { in.readFully(start, buf) } finally in.close()
+    bs.iterator.zipWithIndex.map { case ((off, padded, unc), k) =>
+      val block = java.util.Arrays.copyOfRange(buf, (off - start).toInt,
+        (off - start + padded).toInt)
+      val plain = decodeBlockAt(block, checkType)
+      require(plain != null && plain.length == unc,
+        s"xz block ${firstIdx + k} failed its check in $path")
+      org.apache.spark.sql.Row(firstIdx + k, plain)
+    }
   }
 
   /** Size of an LZMA2 chunk sequence including the terminator. */

@@ -28,6 +28,69 @@ object XzWriter {
     out.write(v.toInt)
   }
 
+  /** Multi-block xz: one block per chunk, so a block-index-aware
+    * reader ([[XzLzma.readXzBlocks]]) decodes chunks in parallel while
+    * any conformant xz reader still decodes the concatenation.
+    */
+  def encodeBlocks(chunks: Seq[Array[Byte]]): Array[Byte] = {
+    require(chunks.nonEmpty && chunks.forall(_.nonEmpty),
+      "encodeBlocks needs non-empty chunks")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0xFD.toByte, '7', 'z', 'X', 'Z', 0), 0, 6)
+    val flags = Array[Byte](0, 1)
+    out.write(flags, 0, 2)
+    wr32(out, crc32(flags, 0, 2))
+    val records = chunks.map { data =>
+      val hdr = new java.io.ByteArrayOutputStream(16)
+      hdr.write(0); hdr.write(0)
+      vli(hdr, 0x21); vli(hdr, 1); hdr.write(16)
+      var hb = hdr.toByteArray
+      val hdrSize = ((hb.length + 4 + 3) / 4) * 4
+      hb = java.util.Arrays.copyOf(hb, hdrSize - 4)
+      hb(0) = ((hdrSize / 4) - 1).toByte
+      out.write(hb, 0, hb.length)
+      wr32(out, crc32(hb, 0, hb.length))
+      val payload = new java.io.ByteArrayOutputStream(data.length + 64)
+      var off = 0
+      var first = true
+      while (off < data.length) {
+        val n = math.min(1 << 16, data.length - off)
+        payload.write(if (first) 1 else 2)
+        payload.write((n - 1) >>> 8)
+        payload.write((n - 1) & 0xff)
+        payload.write(data, off, n)
+        off += n
+        first = false
+      }
+      payload.write(0)
+      val pb = payload.toByteArray
+      out.write(pb, 0, pb.length)
+      var pad = (4 - ((hdrSize + pb.length) & 3)) & 3
+      while (pad > 0) { out.write(0); pad -= 1 }
+      wr32(out, crc32(data, 0, data.length))
+      (hdrSize + pb.length + 4L, data.length.toLong)
+    }
+    val idx = new java.io.ByteArrayOutputStream(32)
+    idx.write(0)
+    vli(idx, records.length)
+    records.foreach { case (unpadded, unc) =>
+      vli(idx, unpadded); vli(idx, unc)
+    }
+    while ((idx.size() & 3) != 0) idx.write(0)
+    val ib = idx.toByteArray
+    out.write(ib, 0, ib.length)
+    wr32(out, crc32(ib, 0, ib.length))
+    val indexSize = ib.length + 4
+    val tail = new java.io.ByteArrayOutputStream(8)
+    wr32(tail, indexSize / 4 - 1)
+    tail.write(flags, 0, 2)
+    val tb = tail.toByteArray
+    wr32(out, crc32(tb, 0, tb.length))
+    out.write(tb, 0, tb.length)
+    out.write('Y'); out.write('Z')
+    out.toByteArray
+  }
+
   def encode(data: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(data.length + 128)
     // stream header: magic + flags(0, CRC32) + CRC32(flags)

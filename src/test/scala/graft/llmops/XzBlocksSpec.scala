@@ -1,0 +1,81 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import java.nio.file.Files
+
+/** Block-parallel xz: the index-driven splittable read over multi-block
+  * files — `xz -T`/`--block-size` output and the twin's encodeBlocks
+  * both carry the index the reader uses.
+  */
+class XzBlocksSpec extends SparkTestBase {
+
+  test("twin multi-block roundtrip; xz CLI decodes the twin") {
+    val chunks = (0 until 30).map(i =>
+      (s"xz block $i " + ("lorem " * (i % 8 + 1))).getBytes("UTF-8"))
+    val dir = Files.createTempDirectory("graft-xzb").toString
+    val path = s"$dir/c.xz"
+    Files.write(java.nio.file.Paths.get(path),
+      XzWriter.encodeBlocks(chunks))
+    for (groupBytes <- Seq(4 << 20, 64)) {
+      val rows = XzLzma.readXzBlocks(spark, path, groupBytes).collect()
+        .sortBy(_.getLong(0))
+      assert(rows.length == 30, s"groupBytes=$groupBytes")
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Array[Byte]](1).toSeq == chunks(i).toSeq)
+      }
+    }
+    // the reference CLI accepts the twin's multi-block container
+    val rc = new ProcessBuilder("sh", "-c",
+      s"xz -dc '$path' > '$dir/out.bin'").inheritIO().start().waitFor()
+    assert(rc == 0)
+    assert(Files.readAllBytes(java.nio.file.Paths.get(s"$dir/out.bin"))
+      .toSeq == chunks.flatten.toSeq)
+    // the repo's own sequential decoder agrees
+    val whole = XzLzma.decode(
+      Files.readAllBytes(java.nio.file.Paths.get(path)))
+    assert(whole != null && whole.toSeq == chunks.flatten.toSeq)
+  }
+
+  test("CLI multi-block files (real LZMA entropy) read block-parallel") {
+    val dir = Files.createTempDirectory("graft-xzb").toString
+    val data = (0 until 4000).map(i =>
+      s"line $i of the corpus body with some repetition repetition\n")
+      .mkString.getBytes("UTF-8")
+    Files.write(java.nio.file.Paths.get(s"$dir/raw.bin"), data)
+    val rc = new ProcessBuilder("sh", "-c",
+      s"xz --block-size=16384 -6 -k -f '$dir/raw.bin'")
+      .inheritIO().start().waitFor()
+    assert(rc == 0)
+    val rows = XzLzma.readXzBlocks(spark, s"$dir/raw.bin.xz")
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length > 1, "CLI fixture must be multi-block")
+    val joined = rows.flatMap(_.getAs[Array[Byte]](1))
+    assert(joined.toSeq == data.toSeq)
+  }
+
+  test("refusals: multi-stream concat, damaged block") {
+    val dir = Files.createTempDirectory("graft-xzb").toString
+    val a = XzWriter.encode("stream one".getBytes("UTF-8"))
+    val b = XzWriter.encode("stream two".getBytes("UTF-8"))
+    val cat = s"$dir/cat.xz"
+    Files.write(java.nio.file.Paths.get(cat), a ++ b)
+    val e = intercept[IllegalArgumentException] {
+      XzLzma.blockMap(spark.sparkContext.hadoopConfiguration, cat)
+    }
+    assert(e.getMessage.contains("multi-stream"))
+    // sequential decode still handles the concatenation
+    assert(new String(XzLzma.decode(a ++ b), "UTF-8") ==
+      "stream onestream two")
+
+    // flip a payload byte: the block's check fails loudly
+    val chunks = (0 until 6).map(i => s"blk $i data".getBytes("UTF-8"))
+    val good = XzWriter.encodeBlocks(chunks)
+    val bad = good.clone()
+    bad(40) = (bad(40) ^ 0x11).toByte
+    val badPath = s"$dir/bad.xz"
+    Files.write(java.nio.file.Paths.get(badPath), bad)
+    intercept[org.apache.spark.SparkException] {
+      XzLzma.readXzBlocks(spark, badPath).collect()
+    }
+  }
+}
