@@ -3084,6 +3084,10 @@ object SparkEntry {
       })
       graft.llmops.Arrow.readArrowFiles(ss, path)
         .drop("path")
+        // typed Decimal128 decode is exercised upstream; stringify at
+        // the gate so the driver's hash canonicalization is unambiguous
+        // (the q13 pattern — drivers render DECIMAL differently per side)
+        .withColumn("price_dec", col("price_dec").cast("string"))
         .orderBy("o_orderkey")
     }),
 
@@ -3195,6 +3199,8 @@ object SparkEntry {
         f
       })
       graft.llmops.Avro.readAvro(ss, path, rangeBytes = 8192)
+        // typed decimal decode proven upstream; stringify for the gate
+        .withColumn("price_dec", col("price_dec").cast("string"))
         .orderBy("o_orderkey")
     }),
 
@@ -3311,6 +3317,8 @@ object SparkEntry {
       })
       graft.llmops.Orc.readOrcFiles(ss, path)
         .drop("path")
+        // typed decimal decode proven upstream; stringify for the gate
+        .withColumn("price_dec", col("price_dec").cast("string"))
         .orderBy("o_orderkey")
     }),
 
@@ -3351,6 +3359,8 @@ object SparkEntry {
           .filter(_.getName.endsWith(".orc")).head.getAbsolutePath
       })
       graft.llmops.Orc.readOrc(ss, path)
+        // typed decimal decode proven upstream; stringify for the gate
+        .withColumn("price_dec", col("price_dec").cast("string"))
         .orderBy("o_orderkey")
     }),
 
@@ -7449,10 +7459,10 @@ object SparkEntry {
     // flavors through the twin writer and reader, distributed
     "q207_arrow_typed_shards" ->
       """SELECT o_orderkey,
-           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN NULL
                 ELSE CAST((o_orderkey % 100000) || '.' ||
                   lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
-                  AS DECIMAL(18,2)) END AS price_dec,
+                  AS DECIMAL(18,2)) END AS VARCHAR) AS price_dec,
            CASE WHEN o_orderkey % 5 = 0 THEN NULL
                 ELSE CAST(o_orderdate AS DATE) END AS od_date,
            o_orderdate AS od_ts,
@@ -7475,10 +7485,10 @@ object SparkEntry {
     // through avro's own writer and the from-scratch typed bridge
     "q205_avro_logical" ->
       """SELECT o_orderkey,
-           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN NULL
                 ELSE CAST((o_orderkey % 100000) || '.' ||
                   lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
-                  AS DECIMAL(18,2)) END AS price_dec,
+                  AS DECIMAL(18,2)) END AS VARCHAR) AS price_dec,
            CAST(o_orderdate AS DATE) AS od_date,
            make_timestamp(o_orderkey * 1000003 + 631152000000000)
              AS ev_ts
@@ -7494,10 +7504,10 @@ object SparkEntry {
     // writer twin (distributed, streamed stripes) and reader
     "q203_orc_shards" ->
       """SELECT o_orderkey,
-           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN NULL
                 ELSE CAST((o_orderkey % 100000) || '.' ||
                   lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
-                  AS DECIMAL(18,2)) END AS price_dec,
+                  AS DECIMAL(18,2)) END AS VARCHAR) AS price_dec,
            o_orderdate AS od_ts,
            CASE WHEN o_orderkey % 5 = 2 THEN NULL
                 ELSE o_orderpriority END AS prio
@@ -7507,10 +7517,10 @@ object SparkEntry {
     // spark's own orc sink and the from-scratch typed decoders
     "q202_orc_typed" ->
       """SELECT o_orderkey,
-           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN NULL
                 ELSE CAST((o_orderkey % 100000) || '.' ||
                   lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
-                  AS DECIMAL(18,2)) END AS price_dec,
+                  AS DECIMAL(18,2)) END AS VARCHAR) AS price_dec,
            CASE WHEN o_orderkey % 11 = 3 THEN NULL
                 ELSE make_timestamp(o_orderkey * 1000003 + 631152000000000)
                 END AS ev_ts,

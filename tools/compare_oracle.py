@@ -4,28 +4,83 @@ run Verify's parquet dumps against the DuckDB oracle SQL on the same
 testdata tables; compare schema-agnostically (columns sorted by name, rows
 sorted) and report per-query match.
 
-Usage: compare_oracle.py <sfDir> <verifyOutDir>
+Usage: compare_oracle.py <sfDir> <verifyOutDir> [--strict]
+
+--strict replicates the driver's canonicalization asymmetry: the Spark
+dump is read with pyarrow/pandas (decimal128 stays decimal.Decimal,
+date32 stays date), while the oracle goes through DuckDB's fetchdf
+(DECIMAL coerces to float64, DATE to datetime64) — and every cell is
+rendered TYPE-TAGGED. A gate whose dump carries a physical DECIMAL/DATE
+column that the oracle renders differently fails here before the driver
+round-trip (this is exactly how q202/q203/q205/q207 failed in r13).
+Default (lenient) mode reads both sides through DuckDB, which hides
+those divergences but is robust for quick value checks.
 """
-import json, sys, math
+import json, sys, math, os, glob
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def norm_cell(v):
+def norm_cell(v, strict):
+    if strict:
+        # Type-tagged rendering mirroring the driver's canonicalization:
+        # temporal and integer flavors (pyarrow date vs pandas Timestamp,
+        # numpy.int64 vs int) unify — the driver provably treats those
+        # consistently (q12/q206 pass) — but Decimal and float stay
+        # DISTINCT classes, which is the divergence that failed
+        # q202/q203/q205/q207 in r13.
+        import datetime, decimal
+        import numpy as np
+        import pandas as pd
+        if v is None or v is pd.NaT:
+            return "NULL"
+        if isinstance(v, float) and math.isnan(v):
+            return "NULL"
+        if isinstance(v, (np.floating,)) and np.isnan(v):
+            return "NULL"
+        if isinstance(v, decimal.Decimal):
+            return f"dec:{v}"
+        if isinstance(v, (bool, np.bool_)):
+            return f"bool:{bool(v)}"
+        if isinstance(v, (int, np.integer)):
+            return f"int:{int(v)}"
+        if isinstance(v, (float, np.floating)):
+            return f"float:{float(v)!r}"
+        if isinstance(v, pd.Timestamp):
+            return f"ts:{v.isoformat()}"
+        if isinstance(v, datetime.datetime):
+            return f"ts:{pd.Timestamp(v).isoformat()}"
+        if isinstance(v, datetime.date):
+            # DATE unifies with midnight TIMESTAMP: DuckDB's fetchdf
+            # coerces DATE to datetime64 while pyarrow keeps date32 as
+            # datetime.date, and the driver provably treats those as
+            # equal (q206 passed r13 with a date column)
+            return f"ts:{pd.Timestamp(v).isoformat()}"
+        if isinstance(v, (bytes, bytearray)):
+            return f"bytes:{bytes(v)!r}"
+        if isinstance(v, str):
+            return f"str:{v!r}"
+        if isinstance(v, (list, tuple, np.ndarray, dict)):
+            if isinstance(v, dict):
+                return "map:{" + ",".join(
+                    f"{norm_cell(k, True)}={norm_cell(x, True)}"
+                    for k, x in sorted(v.items(), key=lambda p: repr(p[0]))) + "}"
+            return "arr:[" + ",".join(norm_cell(x, True) for x in v) + "]"
+        return f"{type(v).__name__}:{v!r}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return f"{v!r}"
     return repr(v)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, strict=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
-    import os
+    warnings = {}
     skipped = 0
     for name, sql in sorted(oracle.items()):
         if not os.path.isdir(f"{out_dir}/{name}"):
@@ -33,8 +88,24 @@ def main(sf_dir, out_dir):
             skipped += 1
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+            if strict:
+                import pandas as pd
+                parts = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+                got = pd.concat([pd.read_parquet(p, engine="pyarrow")
+                                 for p in parts], ignore_index=True) if parts \
+                    else pd.DataFrame()
+                # flag physical types whose canonicalization is known to
+                # diverge between pyarrow and duckdb-pandas renderings
+                import pyarrow.parquet as pq
+                sch = pq.read_schema(parts[0]) if parts else None
+                risky = [] if sch is None else [
+                    f.name for f in sch
+                    if str(f.type).startswith("decimal")]
+                if risky:
+                    warnings[name] = f"physical {risky} in dump — driver hash risk"
+            else:
+                got = con.execute(
+                    f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
         except Exception as e:
             results[name] = f"NO_RESULT ({e})"
             continue
@@ -51,8 +122,8 @@ def main(sf_dir, out_dir):
         if len(g) != len(e):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(g)} oracle={len(e)}"
             continue
-        gs = g.apply(lambda r: tuple(norm_cell(x) for x in r), axis=1).sort_values().tolist() if len(g) else []
-        es = e.apply(lambda r: tuple(norm_cell(x) for x in r), axis=1).sort_values().tolist() if len(e) else []
+        gs = g.apply(lambda r: tuple(norm_cell(x, strict) for x in r), axis=1).sort_values().tolist() if len(g) else []
+        es = e.apply(lambda r: tuple(norm_cell(x, strict) for x in r), axis=1).sort_values().tolist() if len(e) else []
         if gs == es:
             results[name] = "OK"
         else:
@@ -61,9 +132,12 @@ def main(sf_dir, out_dir):
     ok = sum(1 for v in results.values() if v == "OK")
     for k, v in sorted(results.items()):
         flag = "PASS" if v == "OK" else "FAIL"
-        print(f"{flag} {k}: {v if v != 'OK' else ''}")
+        warn = f"  [WARN {warnings[k]}]" if k in warnings else ""
+        print(f"{flag} {k}: {v if v != 'OK' else ''}{warn}")
     tail = f" ({skipped} not dumped, skipped)" if skipped else ""
-    print(f"\n{ok}/{len(results)} oracle-checked queries match{tail}")
+    mode = "strict" if strict else "lenient"
+    print(f"\n{ok}/{len(results)} oracle-checked queries match [{mode}]{tail}")
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    main(argv[0], argv[1], strict="--strict" in sys.argv)
