@@ -1148,7 +1148,8 @@ object Arrow {
         fields
       } finally in.close()
     }
-    val fieldsByPath = files.map { case (p, _) => p -> schemaOf(p) }.toMap
+    val fieldsByPath =
+      DriverPar.parMap(files) { case (p, _) => p -> schemaOf(p) }.toMap
     val structs = files.map { case (p, _) =>
       rootStruct(fieldsByPath(p))
     }.distinct
@@ -1313,9 +1314,10 @@ object Arrow {
 
   /** Multi-file [[readArrow]]: a file, glob, or directory reads as ONE
     * DataFrame with a leading `path` provenance column. Footers are
-    * read on the driver (bytes proportional to FILE COUNT, not data);
-    * all shard schemas must agree; every (file, batch) pair becomes one
-    * task.
+    * read on the driver (bytes proportional to FILE COUNT, not data)
+    * through [[DriverPar.parMap]]'s bounded pool — planning latency is
+    * O(files / poolWidth) round-trips, not O(files); all shard schemas
+    * must agree; every (file, batch) pair becomes one task.
     */
   def readArrowFiles(spark: SparkSession,
       pathOrGlob: String, columns: Seq[String] = Nil,
@@ -1323,7 +1325,8 @@ object Arrow {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val files = Avro.resolveFiles(conf, pathOrGlob)
-    val footers = files.map { case (p, _) => p -> readFooter(conf, p) }
+    val footers =
+      DriverPar.parMap(files) { case (p, _) => p -> readFooter(conf, p) }
     val structs = footers.map(f => rootStruct(f._2.fields)).distinct
     require(mergeSchemas || structs.size == 1,
       s"arrow shard schemas disagree: ${structs.size} distinct — pass " +

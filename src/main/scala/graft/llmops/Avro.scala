@@ -658,7 +658,9 @@ object Avro {
     * bucket of container shards) reads as ONE DataFrame with a leading
     * `path` provenance column. Every file's header is read on the
     * driver (schema + sync + codec — bytes proportional to FILE COUNT,
-    * not data); all shard schemas must agree (refusal otherwise). The
+    * not data) through [[DriverPar.parMap]]'s bounded pool, so
+    * planning latency is O(files / poolWidth) round-trips, not
+    * O(files); all shard schemas must agree (refusal otherwise). The
     * sync scan and block decode fan out over one (path, range) list —
     * file boundaries are natural range boundaries, block bytes never
     * shuffle.
@@ -669,7 +671,7 @@ object Avro {
     require(rangeBytes >= 1024, "rangeBytes must be at least 1 KiB")
     val conf = spark.sparkContext.hadoopConfiguration
     val files = resolveFiles(conf, pathOrGlob)
-    val headers = files.map { case (p, len) =>
+    val headers = DriverPar.parMap(files) { case (p, len) =>
       (p, len, readHeader(conf, p))
     }
     val schemas = headers

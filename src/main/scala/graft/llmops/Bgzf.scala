@@ -139,7 +139,8 @@ object Bgzf {
     val files = Avro.resolveFiles(conf, pathOrGlob)
     require(files.nonEmpty, s"no files match $pathOrGlob")
     // driver gate per file: must open with a verified member
-    files.foreach { case (p0, len) =>
+    // (bounded-parallel — one 70 KB head read per file)
+    DriverPar.parMap(files) { case (p0, len) =>
       val fp = new org.apache.hadoop.fs.Path(p0)
       val fs = fp.getFileSystem(conf)
       val head = new Array[Byte](math.min(len, 70000L).toInt)

@@ -1100,7 +1100,8 @@ object Orc {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val files = Avro.resolveFiles(conf, pathOrGlob)
-    val metas = files.map { case (p, _) => p -> readTail(conf, p) }
+    val metas =
+      DriverPar.parMap(files) { case (p, _) => p -> readTail(conf, p) }
     val structs = metas.map(m => rootStruct(m._2.types)).distinct
     require(mergeSchemas || structs.size == 1,
       s"orc shard schemas disagree: ${structs.size} distinct — pass " +

@@ -120,7 +120,9 @@ object ZstdSeekable {
   /** Multi-file [[readSeekable]]: a file, glob, or directory reads as
     * one DataFrame with a leading `path` provenance column; every
     * (file, frame) pair becomes one task. Seek tables are read on the
-    * driver (bytes proportional to FRAME COUNT, not data).
+    * driver (bytes proportional to FRAME COUNT, not data) through
+    * [[DriverPar.parMap]]'s bounded pool — one round-trip per file,
+    * O(files / poolWidth) planning latency.
     */
   def readSeekableFiles(spark: SparkSession, pathOrGlob: String,
       groupBytes: Int = 4 << 20): DataFrame = {
@@ -130,11 +132,11 @@ object ZstdSeekable {
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
     // frames are the RANDOM-ACCESS unit, not the task unit: group
     // consecutive frames into ~groupBytes ranged reads (one task each)
-    val groups = files.flatMap { case (p, _) =>
+    val groups = DriverPar.parMap(files) { case (p, _) =>
       groupEntries(readSeekTable(conf, p), groupBytes).map {
         case (firstIdx, es) => (p, firstIdx, es)
       }
-    }
+    }.flatten
     val struct = StructType(Seq(StructField("path", StringType),
       StructField("frame_idx", LongType),
       StructField("content", BinaryType)))

@@ -492,6 +492,25 @@ class AvroSpec extends SparkTestBase {
     }
   }
 
+  test("readAvroFiles: 96-shard landing dir plans through the bounded pool") {
+    // many-file fixture for the parallel planning pass: header reads
+    // fan out over DriverPar, and the answer must be byte-identical to
+    // what the serial loop produced (every shard present exactly once,
+    // per-shard rows intact, first-bad-file refusal still first)
+    val dir = Files.createTempDirectory("graft-avro-many").toString
+    for (s <- 0 until 96) {
+      val rows = (0 until 2).map(i =>
+        Row(s * 100L + i, s"shard $s row $i", null, Seq.empty[String]))
+      Files.write(java.nio.file.Paths.get(f"$dir/part-$s%03d.avro"),
+        AvroWriter.write(schemaJson, rows, "null"))
+    }
+    val out = Avro.readAvroFiles(spark, dir)
+    assert(out.count() == 192)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq ==
+      (0 until 96).flatMap(s => Seq(s * 100L, s * 100L + 1)).sorted)
+    assert(out.select("path").distinct().count() == 96)
+  }
 
   test("writeShards: distributed export, read back by both readers") {
     val ss = spark
