@@ -52,6 +52,34 @@ object DateWindows {
     }
   }
 
+  /** (lowerLimit, upperLimit) for a `days_off` trailing window: NUM_DAYS
+    * days back up to now, formatted per `dataType` like [[dateLimits]].
+    * Day granularity means no month snapping — `aje_date` /
+    * `aje_processperiod` take the exact start/end days' FoxPro numbers
+    * (the reference stores NUM_DAYS without consuming it,
+    * extract_data_spark.py:193 / light_transform.py:543 — this window is
+    * the evidently-intended semantics, documented as an engine decision).
+    */
+  def trailingDays(
+      numDays: Int,
+      dataType: String,
+      now: ZonedDateTime = ZonedDateTime.now(Lima)
+  ): (String, String) = {
+    val endDate = now.withZoneSameInstant(Lima)
+    val startDate = endDate.minusDays(math.max(0, numDays).toLong)
+    dataType match {
+      case "aje_period" =>
+        val fmt = DateTimeFormatter.ofPattern("yyyyMM")
+        (startDate.format(fmt), endDate.format(fmt))
+      case "aje_date" | "aje_processperiod" =>
+        (dayNumber(startDate.toLocalDate).toString,
+          dayNumber(endDate.toLocalDate).toString)
+      case _ =>
+        val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd")
+        (startDate.format(fmt), endDate.format(fmt))
+    }
+  }
+
   /** FoxPro day number of a date: days since 1900-01-01 plus MagicOffset. */
   def dayNumber(d: LocalDate): Long =
     java.time.temporal.ChronoUnit.DAYS.between(Epoch1900, d) + MagicOffset

@@ -80,10 +80,19 @@ object LoadPlanner {
       mode: LoadMode = LoadMode.Normal,
       forceFullLoad: Boolean = false,
       now: ZonedDateTime = ZonedDateTime.now(DateWindows.Lima),
-      bdType: String = "mssql"
+      bdType: String = "mssql",
+      endpointName: String = ""
   ): ExtractPlan = {
     val qb = new QueryBuilder(table)
-    val loadType = if (forceFullLoad) "full" else table.effectiveLoadType
+    // blank LOAD_TYPE inference needs the endpoint: a Salesforce
+    // transactional table becomes days_off/NUM_DAYS=10. FORCE_FULL then
+    // demotes ONLY an (effective) incremental load
+    // (extract_data_spark.py:202-205) — days_off and between-date
+    // survive it. (The v2 factory overrides unconditionally,
+    // strategy_factory.py:65; that path is modeled by LoadMode.Reset.)
+    val inferred = table.withInferredLoadType(endpointName)
+    val lt0 = inferred.effectiveLoadType
+    val loadType = if (forceFullLoad && lt0 == "incremental") "full" else lt0
     val partitionable =
       table.sourceTableType.equalsIgnoreCase("t") && table.partitionColumn.trim.nonEmpty
 
@@ -111,6 +120,23 @@ object LoadPlanner {
           case None =>
             fullPlan(qb, table, minMax, partitionable)
         }
+
+      case "days_off" =>
+        // Salesforce trailing-window load: re-extract the last NUM_DAYS
+        // days every run (idempotent against the stage overwrite — a
+        // days_off table never merges, light_transform.py:1554 matches
+        // only incremental/between-date). Never partitioned: the
+        // reference's partitioned_full arm requires LOAD_TYPE='full'
+        // (extract_data.py:1127), so days_off plans one cursor.
+        val days = inferred.numDays.trim.replace("'", "")
+          .toIntOption.getOrElse(10)
+        if (inferred.filterColumn.trim.nonEmpty) {
+          val (lo, hi) = DateWindows.trailingDays(
+            days, inferred.filterDataType, now)
+          DateRangeQueries(Seq(
+            qb.dateRangeQuery(lo, hi, inferred.filterColumn,
+              Option(inferred.filterDataType).filter(_.nonEmpty))))
+        } else SingleQuery(qb.standardQuery())
 
       case "between-date" | "time_range" =>
         val (lo, hi) = DateWindows.dateLimits(

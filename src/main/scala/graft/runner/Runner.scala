@@ -196,7 +196,8 @@ object Runner {
                 s <- store; k <- wmKey; v <- s.get(k)
               } yield v
               val plan = LoadPlanner.plan(spec.table, watermark = watermark,
-                mode = spec.mode, bdType = ep.bdType)
+                mode = spec.mode, bdType = ep.bdType,
+                endpointName = ep.endpointName)
               LoadPlanner.execute(spark, plan, ep, password)
           }
           // persisted: the raw write AND the watermark candidate below read

@@ -45,6 +45,23 @@ class ConfigLoaderSpec extends AnyFunSuite {
       loadType = "between-date").effectiveLoadType === "between-date")
   }
 
+  test("blank LOAD_TYPE inference: Salesforce 't' → days_off with NUM_DAYS=10") {
+    val t = TableConfig(stageTableName = "s", sourceTable = "t",
+      sourceTableType = "t")
+    assert(t.effectiveLoadType("SALESFORCE_ING") === "days_off")
+    val inferred = t.withInferredLoadType("SALESFORCE_ING")
+    assert(inferred.loadType === "days_off" && inferred.numDays === "10")
+    // any other endpoint keeps the plain transactional default
+    assert(t.effectiveLoadType("SOME_DB") === "incremental")
+    assert(t.withInferredLoadType("SOME_DB").numDays === "")
+    // an explicit LOAD_TYPE passes through untouched, NUM_DAYS intact
+    val explicit = t.copy(loadType = "days_off", numDays = "30")
+    assert(explicit.withInferredLoadType("SALESFORCE_ING") === explicit)
+    // non-transactional Salesforce tables still infer full
+    assert(TableConfig(stageTableName = "s", sourceTable = "t",
+      sourceTableType = "m").effectiveLoadType("SALESFORCE_ING") === "full")
+  }
+
   test("multi-value PROCESS_ID splits") {
     assert(TableConfig(stageTableName = "s", sourceTable = "t",
       processId = "10, 20").processIds === Seq("10", "20"))

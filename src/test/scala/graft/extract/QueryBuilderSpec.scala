@@ -137,6 +137,40 @@ class QueryBuilderSpec extends AnyFunSuite {
       "CONVERT(smalldatetime, '2025-09-17', 120) AND CONVERT(smalldatetime, '2025-10-17', 120)"))
   }
 
+  test("L7 days_off plan: NUM_DAYS trailing window under Salesforce (frozen clock)") {
+    val now = ZonedDateTime.of(2025, 10, 17, 12, 0, 0, 0, ZoneId.of("America/Lima"))
+    // blank LOAD_TYPE + 't' + SALESFORCE_ING infers days_off/NUM_DAYS=10
+    val table = base.copy(loadType = "", sourceTableType = "t",
+      filterColumn = "fecha", filterDataType = "")
+    val q = LoadPlanner.plan(table, now = now,
+      endpointName = "SALESFORCE_ING").queries.head
+    assert(q.contains(
+      "fecha IS NOT NULL AND fecha BETWEEN '2025-10-07' AND '2025-10-17'"))
+    // explicit days_off honors its own NUM_DAYS and dialect formatting
+    val explicit = base.copy(loadType = "days_off", numDays = "30",
+      filterColumn = "fecha", filterDataType = "aje_period")
+    val q2 = LoadPlanner.plan(explicit, now = now).queries.head
+    assert(q2.contains("fecha IS NOT NULL AND fecha BETWEEN '202509' AND '202510'"))
+    // no filter column → one plain standard cursor, never partitioned
+    // (the reference's partitioned_full arm requires LOAD_TYPE='full')
+    val bare = base.copy(loadType = "days_off", sourceTableType = "t",
+      partitionColumn = "pc", filterExp = "")
+    val p = LoadPlanner.plan(bare, minMax = Some((0L, 100L)))
+    assert(p.isInstanceOf[LoadPlanner.SingleQuery])
+    assert(!p.queries.head.contains("WHERE"))
+  }
+
+  test("FORCE_FULL demotes only incremental; days_off survives it") {
+    val now = ZonedDateTime.of(2025, 10, 17, 12, 0, 0, 0, ZoneId.of("America/Lima"))
+    val sf = base.copy(loadType = "", sourceTableType = "t", filterColumn = "fecha")
+    val q = LoadPlanner.plan(sf, now = now, forceFullLoad = true,
+      endpointName = "SALESFORCE_ING").queries.head
+    assert(q.contains("BETWEEN '2025-10-07' AND '2025-10-17'"))
+    // same table under a plain endpoint: incremental → full under FORCE_FULL
+    val full = LoadPlanner.plan(sf, now = now, forceFullLoad = true)
+    assert(!full.queries.head.contains("BETWEEN"))
+  }
+
   test("LoadMode.Reset ignores the stored watermark") {
     val table = base.copy(loadType = "incremental", partitionColumn = "pc")
     val plan = LoadPlanner.plan(table, watermark = Some("99"),
