@@ -308,8 +308,11 @@ object Similarity {
     * paper's construction (spec-gated: trained centroids are float
     * iterations in shuffle order, so they are not oracle-replayable);
     * the default deterministic hash-sample IS replayable, which is what
-    * the gate query uses. `nClusters` should follow [[ivfCentroidsFor]]
-    * at real corpus sizes.
+    * the gate query uses. `nClusters` defaults to 0 = auto: one count
+    * of the corpus, then [[ivfCentroidsFor]]'s √n rule — at 10⁹ rows
+    * that is ~31623 cells, keeping Σ|cell|² ≈ n^1.5 instead of the
+    * quadratic blow-up a small literal would give. Gate queries pin an
+    * explicit count for oracle replay.
     *
     * Scale shape: assignment is the exploded-dot broadcast join (no
     * per-row HOF loop), the candidate join is an equi-join on `cent_id`
@@ -325,11 +328,16 @@ object Similarity {
       keyCol: String,
       vecCol: String,
       tau: Double = 0.95,
-      nClusters: Int = 16,
+      nClusters: Int = 0,
       centroids: Option[DataFrame] = None
   ): DataFrame = {
     val src = corpus.select(col(keyCol).alias("key"),
       col(vecCol).cast("array<double>").alias("v"))
+    // 0 = auto: √n cells (one planning count; skipped when the caller
+    // supplies trained centroids, whose own row count wins)
+    val cells =
+      if (nClusters > 0 || centroids.isDefined) nClusters
+      else ivfCentroidsFor(src.count())
     val cents = centroids match {
       case Some(cb) => cb.select(
         col(cb.columns(0)).cast("int").alias("cent_id"),
@@ -340,7 +348,7 @@ object Similarity {
         val sampled = src
           .withColumn("__r", pmod(portable60(col("key")), lit(1000000L)))
           .orderBy(col("__r"), col("key"))
-          .limit(nClusters)
+          .limit(cells)
         val wc = Window.partitionBy(pmod(col("__r"), lit(1)))
           .orderBy(col("__r"), col("key"))
         sampled.withColumn("cent_id", row_number().over(wc))

@@ -409,6 +409,21 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("semDedup default cell count follows the sqrt-n rule, not a literal") {
+    // 2048 rows: 16 cells would put ~128 rows per cell and Σ|cell|²
+    // ≈ 16·128² = 262k candidate pairs; √n ≈ 45 cells caps it at
+    // ~45·46² ≈ 95k — the gap that grows quadratically with the corpus.
+    // The auto default must actually spread assignments past 16 cells.
+    val corpus = semCorpus(clusters = 16, perCluster = 128, dim = 8)
+    val out = Similarity.semDedup(corpus, "vec_id", "embedding", tau = 0.9999)
+    assert(out.count() === 2048)
+    val cellsUsed = out.select("cent_id").distinct().count()
+    val expected = Similarity.ivfCentroidsFor(2048) // 45
+    assert(expected > 16)
+    assert(cellsUsed > 16, s"default stuck at a literal: $cellsUsed cells")
+    assert(cellsUsed <= expected)
+  }
+
   test("semDedup on pqTrain centroids: the trained-codebook path dedups identically") {
     val base = semCorpus(4, 8, 16)
     val exact = base.withColumn("vec_id", $"vec_id" + 1000)
