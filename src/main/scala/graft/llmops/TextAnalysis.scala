@@ -801,20 +801,62 @@ object TextAnalysis {
     */
   val MaxLmTableEntries: Long = 4000000L
 
-  /** Size-gated LM-table materialization: fetch at most cap+1 rows
-    * (the gate rides the one evaluation the broadcast needed anyway —
-    * a separate counting probe would re-run the gram aggregation),
-    * refuse with guidance past the cap, and hand back a LOCAL relation
-    * whose broadcast is free.
+  /** Size-gated LM-table materialization in ONE job. The cardinality
+    * gate rides the same evaluation that builds the table: each task
+    * counts the rows it emits and fails fast past the cap (a single
+    * over-cap partition aborts executor-side, before its rows travel),
+    * and the driver re-checks the global total before using the model.
+    * This replaces a `limit(cap+1).collect()` fetch, which bounds the
+    * driver the same way but plans CollectLimit — its incremental
+    * partition waves re-launch the reduce stage log(P) times, a
+    * measurable scheduling cost on every scoring call.
+    */
+  private[llmops] def collectLmTable(
+      df: DataFrame): Array[(String, Long)] = {
+    val gateMsg =
+      s"LM gram table exceeds $MaxLmTableEntries entries — it no " +
+        "longer fits the scoring kernel; prune it first (cap the " +
+        "vocab, or keep top-N grams by count) and retry"
+    val cap = MaxLmTableEntries
+    val perPart = df.select(col("gram"), col("cnt"))
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        while (it.hasNext) {
+          buf += it.next()
+          if (buf.length > cap) throw new IllegalArgumentException(gateMsg)
+        }
+        Iterator.single(buf.toArray)
+      }(org.apache.spark.sql.Encoders.kryo[Array[(String, Long)]])
+    val parts =
+      try perPart.collect()
+      catch {
+        // executor-side gate: surface the refusal, not the task wrapper
+        // (the refusal text may sit on the exception itself or anywhere
+        // down the task-failure cause chain)
+        case e: Throwable if {
+          var c: Throwable = e; var hit = false
+          while (c != null && !hit) {
+            hit = c.getMessage != null && c.getMessage.contains(gateMsg)
+            c = c.getCause
+          }
+          hit
+        } => throw new IllegalArgumentException(gateMsg)
+      }
+    val all = parts.flatten
+    require(all.length <= cap, gateMsg)
+    all
+  }
+
+  /** [[collectLmTable]] handed back as a LOCAL relation whose
+    * broadcast is free.
     */
   private def boundedLmLocal(spark: org.apache.spark.sql.SparkSession,
       df: DataFrame, gramAlias: String, cntAlias: String): DataFrame = {
-    val cap = MaxLmTableEntries.toInt
-    val rows = df.select(col("gram"), col("cnt")).limit(cap + 1).collect()
-    require(rows.length <= cap,
-      s"LM gram table exceeds $MaxLmTableEntries entries — it no " +
-        "longer fits the scoring kernel; prune it first (cap the vocab, " +
-        "or keep top-N grams by count) and retry")
+    val rows: Array[org.apache.spark.sql.Row] =
+      collectLmTable(df).map { case (g, c) => org.apache.spark.sql.Row(g, c) }
     spark.createDataFrame(
       java.util.Arrays.asList(rows: _*),
       org.apache.spark.sql.types.StructType(Seq(
@@ -836,10 +878,13 @@ object TextAnalysis {
     require(k > 0, "add-k smoothing needs k > 0")
     val occ = docs.select(col(keyCol),
         explode(charGrams(col(textCol), 3)).alias("__g"))
-    val tri = broadcast(boundedLmLocal(docs.sparkSession, lmTri,
-      "__g", "__c3"))
-    val bi = broadcast(boundedLmLocal(docs.sparkSession, lmBi,
-      "__bg", "__c2"))
+    // the two table jobs are independent — run them concurrently
+    // (Spark schedules jobs from separate threads side by side)
+    val Vector(triLocal, biLocal) = DriverPar.parMap(Seq(
+      () => boundedLmLocal(docs.sparkSession, lmTri, "__g", "__c3"),
+      () => boundedLmLocal(docs.sparkSession, lmBi, "__bg", "__c2")))(_())
+    val tri = broadcast(triLocal)
+    val bi = broadcast(biLocal)
     occ.join(tri, Seq("__g"), "left")
       .join(bi, substring(col("__g"), 1, 2) === col("__bg"), "left")
       .select(col(keyCol),
@@ -902,20 +947,13 @@ object TextAnalysis {
         n, distinct = false))
     // collect the bounded LM tables once; cnt values are exact longs so
     // the model is deterministic regardless of collect order. The size
-    // gate rides the collect itself: limit(cap+1) bounds the fetch, the
-    // length check refuses — no extra counting job
-    def table(df: DataFrame): Array[(String, Long)] = {
-      val cap = MaxLmTableEntries.toInt
-      val rows = df.select(col("gram"), col("cnt")).limit(cap + 1)
-        .collect()
-      require(rows.length <= cap,
-        s"LM gram table exceeds $MaxLmTableEntries entries — it no " +
-          "longer fits the scoring kernel; prune it first (cap the " +
-          "vocab, or keep top-N grams by count) and retry")
-      rows.map(r => r.getString(0) -> r.getLong(1))
-    }
+    // gate rides the same single-job evaluation that builds each table
+    // (collectLmTable) — no CollectLimit wave scheduling, executor-side
+    // fail-fast past the cap
+    val Vector(triTable, biTable) =
+      DriverPar.parMap(Seq(lmTri, lmBi))(collectLmTable)
     val lmModel = graft.expressions.CharTrigramLm.model(
-      table(lmTri), table(lmBi), vocab, k)
+      triTable, biTable, vocab, k)
     val lmCol = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.expressions.CharTrigramLm(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(col(textCol)),
