@@ -3779,6 +3779,76 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q226_arrow_interval" -> ((s, dir) => {
+      // Arrow Interval columns land TYPED and drive Catalyst interval
+      // arithmetic straight off the scan: the fixture (arrow-java's own
+      // IntervalYear/IntervalDay/IntervalMonthDayNano vectors) carries
+      // doc_id-derived intervals, the query shifts date/timestamp
+      // anchors by them, and the oracle replays the shifts with
+      // DuckDB's interval constructors — YEAR_MONTH → year-month
+      // interval, DAY_TIME → day-time interval, MONTH_DAY_NANO →
+      // CalendarInterval (months, then days, then micros — the same
+      // component order both engines apply)
+      val ss = tuned(s)
+      val path = fixturePaths.computeIfAbsent(s"$dir::q226_file", _ => {
+        val docs = t(ss, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+        val f = java.nio.file.Files.createTempDirectory("graft-q226")
+          .toString + "/intervals.arrow"
+        val alloc = new org.apache.arrow.memory.RootAllocator()
+        try {
+          import org.apache.arrow.vector.types.pojo._
+          import org.apache.arrow.vector.types.IntervalUnit
+          val n = docs.length
+          val ids = new org.apache.arrow.vector.BigIntVector("doc_id",
+            alloc)
+          ids.allocateNew(n)
+          val ymF = new Field("ym", FieldType.nullable(
+            new ArrowType.Interval(IntervalUnit.YEAR_MONTH)), null)
+          val dtF = new Field("dt", FieldType.nullable(
+            new ArrowType.Interval(IntervalUnit.DAY_TIME)), null)
+          val mdnF = new Field("mdn", FieldType.nullable(
+            new ArrowType.Interval(IntervalUnit.MONTH_DAY_NANO)), null)
+          val ym = ymF.createVector(alloc)
+            .asInstanceOf[org.apache.arrow.vector.IntervalYearVector]
+          val dt = dtF.createVector(alloc)
+            .asInstanceOf[org.apache.arrow.vector.IntervalDayVector]
+          val mdn = mdnF.createVector(alloc).asInstanceOf[
+            org.apache.arrow.vector.IntervalMonthDayNanoVector]
+          ym.allocateNew(n); dt.allocateNew(n); mdn.allocateNew(n)
+          docs.zipWithIndex.foreach { case (id, i) =>
+            ids.setSafe(i, id)
+            if (id % 11 == 1) ym.setNull(i)
+            else ym.setSafe(i, ((id % 49) - 24).toInt)
+            if (id % 11 == 2) dt.setNull(i)
+            else dt.setSafe(i, ((id % 21) - 10).toInt,
+              ((id * 977) % 86400000L).toInt)
+            if (id % 11 == 3) mdn.setNull(i)
+            else mdn.setSafe(i, (id % 13).toInt, ((id % 31) - 15).toInt,
+              ((id * 31) % 86400L) * 1000000000L)
+          }
+          ids.setValueCount(n); ym.setValueCount(n)
+          dt.setValueCount(n); mdn.setValueCount(n)
+          val root = new org.apache.arrow.vector.VectorSchemaRoot(
+            java.util.Arrays.asList(ids.getField, ymF, dtF, mdnF),
+            java.util.Arrays.asList[
+              org.apache.arrow.vector.FieldVector](ids, ym, dt, mdn), n)
+          val ch = new java.io.FileOutputStream(f).getChannel
+          val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root,
+            null, ch)
+          w.start(); w.writeBatch(); w.end(); w.close(); ch.close()
+          ids.close(); ym.close(); dt.close(); mdn.close()
+        } finally alloc.close()
+        f
+      })
+      graft.llmops.Arrow.readArrow(ss, path)
+        .select(col("doc_id"),
+          expr("date '2000-01-15' + ym").as("ym_date"),
+          expr("timestamp_ntz '2000-01-01 00:00:00' + dt").as("dt_ts"),
+          expr("timestamp_ntz '2000-01-01 00:00:00' + mdn").as("mdn_ts"))
+        .orderBy("doc_id")
+    }),
+
     "q225_xz_blocks" -> ((s, dir) => {
       // block-parallel xz: one block per document through the twin's
       // multi-block writer, then the index-driven reader (stream
@@ -7651,6 +7721,29 @@ object SparkEntry {
     "q217_arrow_ree" ->
       """SELECT doc_id, 'blk' || CAST((ROW_NUMBER() OVER (ORDER BY doc_id)
              - 1) // 50 AS VARCHAR) AS blk
+         FROM documents WHERE doc_id < 400 ORDER BY doc_id""",
+
+    // q226: Arrow Interval columns — the fixture's intervals are pure
+    // doc_id arithmetic, so DuckDB rebuilds them with its interval
+    // constructors and applies the same anchor shifts (months, then
+    // days, then micros — both engines' component order)
+    "q226_arrow_interval" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 11 = 1 THEN NULL
+                ELSE CAST(DATE '2000-01-15'
+                  + to_months(CAST((doc_id % 49) - 24 AS INTEGER))
+                  AS DATE) END AS ym_date,
+           CASE WHEN doc_id % 11 = 2 THEN NULL
+                ELSE TIMESTAMP '2000-01-01 00:00:00'
+                  + to_days(CAST((doc_id % 21) - 10 AS INTEGER))
+                  + to_microseconds((doc_id * 977) % 86400000 * 1000)
+                END AS dt_ts,
+           CASE WHEN doc_id % 11 = 3 THEN NULL
+                ELSE TIMESTAMP '2000-01-01 00:00:00'
+                  + to_months(CAST(doc_id % 13 AS INTEGER))
+                  + to_days(CAST((doc_id % 31) - 15 AS INTEGER))
+                  + to_microseconds((doc_id * 31) % 86400 * 1000000)
+                END AS mdn_ts
          FROM documents WHERE doc_id < 400 ORDER BY doc_id""",
 
     // q215: Arrow dense union as a tagged sparse struct — slots are

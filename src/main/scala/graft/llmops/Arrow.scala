@@ -39,8 +39,11 @@ import org.apache.spark.sql.types._
   * as List (offsets + sizes honored, out-of-order and overlapping
   * ranges included). Map → MapType (List-of-entries layout);
   * FixedSizeBinary → BinaryType; the Null type decodes to all-NULL
-  * slots (no buffers). Interval types refuse wholesale at schema
-  * parse — the one remaining boundary (no Spark-native target). Body compression:
+  * slots (no buffers). Interval columns land typed: YEAR_MONTH →
+  * year-month interval, DAY_TIME → day-time interval (exact — millis
+  * are micro-representable), MONTH_DAY_NANO → CalendarIntervalType
+  * (three-part; a sub-microsecond nano remainder refuses to NULL
+  * rather than silently truncate). Body compression:
   * LZ4-frame and zstd via the repo's own decoders.
   *
   * Corruption blast radius: one record batch (a batch that fails
@@ -132,6 +135,14 @@ object Arrow {
     * `tz` marks an instant (zone-annotated) vs a wall-clock (NTZ).
     */
   final case class ATimestamp(unit: Int, tz: Boolean) extends AType
+  /** Interval: unit 0 = YEAR_MONTH (i32 months → Spark year-month
+    * interval), 1 = DAY_TIME (i32 days + i32 millis → Spark day-time
+    * interval, exact in microseconds), 2 = MONTH_DAY_NANO (i32 + i32 +
+    * i64 nanos → CalendarIntervalType; a sub-microsecond nano
+    * remainder refuses to NULL rather than silently truncate —
+    * CalendarInterval holds microseconds).
+    */
+  final case class AInterval(unit: Int) extends AType
   /** Decimal128/256 (little-endian two's-complement unscaled). */
   final case class ADecimal(precision: Int, scale: Int,
       bits: Int) extends AType
@@ -195,6 +206,9 @@ object Arrow {
     case ADate32 | ADate64 => DateType
     case ATimestamp(_, true) => TimestampType
     case ATimestamp(_, false) => TimestampNTZType
+    case AInterval(0) => YearMonthIntervalType()
+    case AInterval(1) => DayTimeIntervalType()
+    case AInterval(_) => CalendarIntervalType
     case ADecimal(p, s, _) => DecimalType(p, s)
     case APassthrough(32) => IntegerType
     case APassthrough(_) => LongType
@@ -334,11 +348,11 @@ object Arrow {
               s"(field $name)")
         }
         AMap(cs.head)
-      case 11 => // Interval: YEAR_MONTH=i32, DAY_TIME=2xi32,
-        // MONTH_DAY_NANO=16B — no Spark-native target, refuse (the
-        // remaining documented boundary)
-        throw new IllegalArgumentException(
-          s"arrow interval type unsupported (field $name)")
+      case 11 => // Interval: unit (i16, fbs default YEAR_MONTH=0)
+        val unit = fb.fieldI16(tp, 0, 0)
+        require(unit >= 0 && unit <= 2,
+          s"arrow interval unit $unit unknown (field $name)")
+        AInterval(unit)
       case other => throw new IllegalArgumentException(
         s"arrow type id $other unsupported (field $name)")
     }
@@ -666,6 +680,40 @@ object Arrow {
               if (hasTz) java.sql.Timestamp.from(t)
               else java.time.LocalDateTime.ofInstant(t,
                 java.time.ZoneOffset.UTC)
+          }
+          i += 1
+        }
+      case AInterval(0) => // YEAR_MONTH: i32 months
+        val data = bd.buffer(cur.buf); cur.buf += 1
+        val dfb = new Fb(data)
+        var i = 0
+        while (i < rows) {
+          if (valid(i)) out(i) = java.time.Period.ofMonths(dfb.i32(i * 4))
+          i += 1
+        }
+      case AInterval(1) => // DAY_TIME: i32 days + i32 millis
+        val data = bd.buffer(cur.buf); cur.buf += 1
+        val dfb = new Fb(data)
+        var i = 0
+        while (i < rows) {
+          if (valid(i))
+            out(i) = java.time.Duration
+              .ofDays(dfb.i32(i * 8).toLong)
+              .plusMillis(dfb.i32(i * 8 + 4).toLong)
+          i += 1
+        }
+      case AInterval(_) => // MONTH_DAY_NANO: i32 + i32 + i64 nanos
+        val data = bd.buffer(cur.buf); cur.buf += 1
+        val dfb = new Fb(data)
+        var i = 0
+        while (i < rows) {
+          if (valid(i)) {
+            val ns = dfb.i64(i * 16 + 8)
+            // CalendarInterval is microsecond-granular: a sub-micro
+            // remainder refuses to NULL rather than silently truncate
+            if (ns % 1000L == 0)
+              out(i) = new org.apache.spark.unsafe.types.CalendarInterval(
+                dfb.i32(i * 16), dfb.i32(i * 16 + 4), ns / 1000L)
           }
           i += 1
         }

@@ -199,6 +199,8 @@ object ArrowWriter {
         b.slotI16(0, unit, 0)
         if (tz) b.slotOffset(1, tzOff)
         (10, b.endTable())
+      case AInterval(u) =>
+        b.startTable(); b.slotI16(0, u, 0); (11, b.endTable())
       case AUnion(_, _, dense) =>
         b.startTable()
         b.slotI16(0, if (dense) 1 else 0, 0)
@@ -454,6 +456,73 @@ object ArrowWriter {
             var k = 0
             while (k < 8) {
               data(i * 8 + k) = ((us >> (8 * k)) & 0xff).toByte; k += 1
+            }
+          }
+          i += 1
+        }
+        body.add(data)
+      case AInterval(0) => // i32 months (java.time.Period externally)
+        val data = new Array[Byte](vs.length * 4)
+        var i = 0
+        vs.foreach { v =>
+          if (v != null) {
+            val p = v.asInstanceOf[java.time.Period]
+            require(p.getDays == 0,
+              "year-month interval with a day part cannot round-trip")
+            val m = p.toTotalMonths
+            require(m >= Int.MinValue && m <= Int.MaxValue,
+              s"interval of $m months overflows arrow's i32")
+            var k = 0
+            while (k < 4) {
+              data(i * 4 + k) = ((m >> (8 * k)) & 0xff).toByte; k += 1
+            }
+          }
+          i += 1
+        }
+        body.add(data)
+      case AInterval(1) => // i32 days + i32 millis (java.time.Duration)
+        val data = new Array[Byte](vs.length * 8)
+        var i = 0
+        vs.foreach { v =>
+          if (v != null) {
+            val d = v.asInstanceOf[java.time.Duration]
+            require(d.getNano % 1000000 == 0,
+              "arrow DAY_TIME holds milliseconds — sub-milli duration " +
+                "cannot round-trip; use MONTH_DAY_NANO")
+            val total = d.toMillis
+            val days = Math.floorDiv(total, 86400000L)
+            val ms = Math.floorMod(total, 86400000L).toInt
+            require(days >= Int.MinValue && days <= Int.MaxValue,
+              s"interval of $days days overflows arrow's i32")
+            val dd = days.toInt
+            var k = 0
+            while (k < 4) {
+              data(i * 8 + k) = ((dd >> (8 * k)) & 0xff).toByte
+              data(i * 8 + 4 + k) = ((ms >> (8 * k)) & 0xff).toByte
+              k += 1
+            }
+          }
+          i += 1
+        }
+        body.add(data)
+      case AInterval(_) => // i32 months + i32 days + i64 nanos
+        val data = new Array[Byte](vs.length * 16)
+        var i = 0
+        vs.foreach { v =>
+          if (v != null) {
+            val ci = v.asInstanceOf[
+              org.apache.spark.unsafe.types.CalendarInterval]
+            val ns = ci.microseconds * 1000L
+            var k = 0
+            while (k < 4) {
+              data(i * 16 + k) = ((ci.months >> (8 * k)) & 0xff).toByte
+              data(i * 16 + 4 + k) = ((ci.days >> (8 * k)) & 0xff).toByte
+              k += 1
+            }
+            k = 0
+            while (k < 8) {
+              data(i * 16 + 8 + k) = ((ns >> (8 * k)) & 0xff).toByte
+              k += 1
             }
           }
           i += 1
@@ -765,6 +834,9 @@ object ArrowWriter {
       case DateType => ADate32
       case TimestampType => ATimestamp(2, tz = true)
       case TimestampNTZType => ATimestamp(2, tz = false)
+      case _: YearMonthIntervalType => AInterval(0)
+      case _: DayTimeIntervalType => AInterval(1)
+      case CalendarIntervalType => AInterval(2)
       case d: DecimalType => ADecimal(d.precision, d.scale, 128)
       case ArrayType(e, containsNull) =>
         AList(AField("item", containsNull, tpe(e)), large = false)

@@ -417,6 +417,144 @@ class ArrowSpec extends SparkTestBase {
     assert(b5 == w5)
   }
 
+  test("interval columns land typed; twin round-trips both directions") {
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val path = Files.createTempDirectory("graft-arrow").toString +
+      "/interval.arrow"
+    try {
+      import org.apache.arrow.vector.types.pojo._
+      import org.apache.arrow.vector.types.IntervalUnit
+      val ymField = new Field("ym", FieldType.nullable(
+        new ArrowType.Interval(IntervalUnit.YEAR_MONTH)), null)
+      val dtField = new Field("dt", FieldType.nullable(
+        new ArrowType.Interval(IntervalUnit.DAY_TIME)), null)
+      val mdnField = new Field("mdn", FieldType.nullable(
+        new ArrowType.Interval(IntervalUnit.MONTH_DAY_NANO)), null)
+      val ym = ymField.createVector(alloc)
+        .asInstanceOf[org.apache.arrow.vector.IntervalYearVector]
+      val dt = dtField.createVector(alloc)
+        .asInstanceOf[org.apache.arrow.vector.IntervalDayVector]
+      val mdn = mdnField.createVector(alloc)
+        .asInstanceOf[org.apache.arrow.vector.IntervalMonthDayNanoVector]
+      val root = new org.apache.arrow.vector.VectorSchemaRoot(
+        java.util.Arrays.asList(ymField, dtField, mdnField),
+        java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](
+          ym, dt, mdn), 0)
+      val ch = java.nio.channels.Channels.newChannel(
+        new java.io.FileOutputStream(path))
+      val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null,
+        ch)
+      w.start()
+      root.allocateNew()
+      (0 until 90).foreach { i =>
+        if (i % 7 == 1) ym.setNull(i) else ym.setSafe(i, i - 45)
+        if (i % 7 == 2) dt.setNull(i)
+        else dt.setSafe(i, i - 45, i * 977 - 40000)
+        if (i % 7 == 3) mdn.setNull(i)
+        // nanos: whole micros on most rows; row 11 carries a sub-micro
+        // remainder and must land NULL (refuse-to-NULL, not truncate)
+        else mdn.setSafe(i, i % 13, i - 45,
+          if (i == 11) 1500L else (i.toLong - 45) * 1000000L)
+      }
+      root.setRowCount(90)
+      w.writeBatch()
+      w.end(); w.close(); ch.close(); root.close()
+    } finally alloc.close()
+    val df = Arrow.readArrow(spark, path)
+    import org.apache.spark.sql.types._
+    assert(df.schema("ym").dataType == YearMonthIntervalType())
+    assert(df.schema("dt").dataType == DayTimeIntervalType())
+    assert(df.schema("mdn").dataType == CalendarIntervalType)
+    val rows = df.collect()
+    assert(rows.length == 90)
+    rows.zipWithIndex.foreach { case (r, idx) =>
+      val i = idx // single batch preserves slot order
+      if (i % 7 == 1) assert(r.isNullAt(0))
+      else assert(r.getAs[java.time.Period](0).toTotalMonths == i - 45L)
+      if (i % 7 == 2) assert(r.isNullAt(1))
+      else assert(r.getAs[java.time.Duration](1) ==
+        java.time.Duration.ofDays(i - 45L).plusMillis(i * 977L - 40000L))
+      if (i % 7 == 3 || i == 11) assert(r.isNullAt(2))
+      else {
+        val ci = r.getAs[
+          org.apache.spark.unsafe.types.CalendarInterval](2)
+        assert(ci.months == i % 13 && ci.days == i - 45 &&
+          ci.microseconds == (i.toLong - 45) * 1000L)
+      }
+    }
+    // intervals are usable in Catalyst arithmetic straight off the scan
+    val shifted = df.select(
+      org.apache.spark.sql.functions.expr(
+        "date '2000-01-15' + ym").as("d")).na.drop().collect()
+    assert(shifted.map(_.getDate(0).toLocalDate).contains(
+      java.time.LocalDate.parse("2000-02-15"))) // i=46 → +1 month
+    // twin direction: our writer's interval bytes read by arrow-java
+    // and by our own reader
+    val fields = ArrowWriter.fieldsFor(
+      StructType(Seq(
+        StructField("ym", YearMonthIntervalType()),
+        StructField("dt", DayTimeIntervalType()),
+        StructField("mdn", CalendarIntervalType))))
+    val mkRows = (0 until 40).map { i =>
+      Row(
+        if (i % 5 == 1) null else java.time.Period.ofMonths(i - 20),
+        if (i % 5 == 2) null
+        else java.time.Duration.ofDays(i - 20L).plusMillis(i * 31L),
+        if (i % 5 == 3) null
+        else new org.apache.spark.unsafe.types.CalendarInterval(
+          i % 7, i - 20, i * 500000L - 3000000L))
+    }
+    val twin = Files.createTempDirectory("graft-arrow").toString +
+      "/interval_twin.arrow"
+    val out = new java.io.FileOutputStream(twin)
+    val streamer = new ArrowWriter.Streamer(fields, out)
+    streamer.append(mkRows)
+    streamer.finish(); out.close()
+    val alloc2 = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val rdr = new org.apache.arrow.vector.ipc.ArrowFileReader(
+        new java.io.FileInputStream(twin).getChannel, alloc2)
+      val sch = rdr.getVectorSchemaRoot.getSchema
+      assert(sch.findField("ym").getType ==
+        new org.apache.arrow.vector.types.pojo.ArrowType.Interval(
+          org.apache.arrow.vector.types.IntervalUnit.YEAR_MONTH))
+      assert(sch.findField("mdn").getType ==
+        new org.apache.arrow.vector.types.pojo.ArrowType.Interval(
+          org.apache.arrow.vector.types.IntervalUnit.MONTH_DAY_NANO))
+      assert(rdr.loadNextBatch())
+      val vroot = rdr.getVectorSchemaRoot
+      assert(vroot.getRowCount == 40)
+      val yv = vroot.getVector("ym")
+        .asInstanceOf[org.apache.arrow.vector.IntervalYearVector]
+      assert(yv.get(0) == -20 && yv.isNull(1))
+      val mv = vroot.getVector("mdn")
+        .asInstanceOf[org.apache.arrow.vector.IntervalMonthDayNanoVector]
+      val h = new org.apache.arrow.vector.holders
+        .NullableIntervalMonthDayNanoHolder()
+      mv.get(0, h)
+      assert(h.months == 0 && h.days == -20 &&
+        h.nanoseconds == -3000000000L)
+      rdr.close()
+    } finally alloc2.close()
+    val back = Arrow.readArrow(spark, twin).collect()
+    assert(back.length == 40)
+    (0 until 40).foreach { i =>
+      val r = back(i)
+      if (i % 5 == 1) assert(r.isNullAt(0))
+      else assert(r.getAs[java.time.Period](0).toTotalMonths == i - 20L)
+      if (i % 5 == 2) assert(r.isNullAt(1))
+      else assert(r.getAs[java.time.Duration](1) ==
+        java.time.Duration.ofDays(i - 20L).plusMillis(i * 31L))
+      if (i % 5 == 3) assert(r.isNullAt(2))
+      else {
+        val ci = r.getAs[
+          org.apache.spark.unsafe.types.CalendarInterval](2)
+        assert(ci.months == i % 7 && ci.days == i - 20 &&
+          ci.microseconds == i * 500000L - 3000000L)
+      }
+    }
+  }
+
   test("decimal128 columns: arrow-java interop both directions") {
     val path = Files.createTempDirectory("graft-arrow").toString +
       "/dec.arrow"
