@@ -33,12 +33,12 @@ def norm_cell(v, strict):
         import datetime, decimal
         import numpy as np
         import pandas as pd
-        if v is None or v is pd.NaT:
+        if v is None or v is pd.NaT or v is pd.NA:
             return "NULL"
-        if isinstance(v, float) and math.isnan(v):
-            return "NULL"
-        if isinstance(v, (np.floating,)) and np.isnan(v):
-            return "NULL"
+        # NaN is NOT NULL: tagging it distinctly keeps a genuine
+        # NaN-vs-NULL divergence between dump and oracle visible
+        if isinstance(v, (float, np.floating)) and math.isnan(v):
+            return "float:nan"
         if isinstance(v, decimal.Decimal):
             return f"dec:{v}"
         if isinstance(v, (bool, np.bool_)):
@@ -48,6 +48,10 @@ def norm_cell(v, strict):
         if isinstance(v, (float, np.floating)):
             return f"float:{float(v)!r}"
         if isinstance(v, pd.Timestamp):
+            # unify tz-aware (pyarrow UTC-instant) with naive (DuckDB
+            # fetchdf) renderings: both become naive UTC wall-clock
+            if v.tzinfo is not None:
+                v = v.tz_convert("UTC").tz_localize(None)
             return f"ts:{v.isoformat()}"
         if isinstance(v, datetime.datetime):
             return f"ts:{pd.Timestamp(v).isoformat()}"
@@ -140,4 +144,6 @@ def main(sf_dir, out_dir, strict=False):
 
 if __name__ == "__main__":
     argv = [a for a in sys.argv[1:] if a != "--strict"]
+    if len(argv) != 2:
+        sys.exit(__doc__.strip())
     main(argv[0], argv[1], strict="--strict" in sys.argv)
