@@ -6609,6 +6609,42 @@ object SparkEntry {
               .as("chars"))
       }),
 
+      "s23_xz_shards" -> ((s, dir) => {
+        // block-parallel xz throughput: the corpus through the
+        // distributed xz shard export (one BLOCK per doc, rolling on
+        // the shard-id boundary), then the index-driven multi-file
+        // read — the third splittable-compression sibling of s21/s22
+        val ss = tuned(s)
+        val d = java.nio.file.Files.createTempDirectory("graft-s23")
+          .toString + "/sh"
+        graft.llmops.XzWriter.writeShards(
+          t(ss, dir, "documents").filter(length(col("text")) > 0)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", d, 32)
+        graft.llmops.XzLzma.readXzFiles(ss, d)
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("content").cast("string"))).cast("long")
+              .as("chars"))
+      }),
+
+      "s24_bgzf_1000" -> ((s, dir) => {
+        // thousand-shard landing dir: the s22 corpus split across 1000
+        // BGZF files — this probes the PLANNING path (1000 per-file
+        // head gates through the bounded driver pool, then ONE
+        // (file,range) plan), which must stay flat as shard counts
+        // grow; the decode volume matches s22
+        val ss = tuned(s)
+        val d = java.nio.file.Files.createTempDirectory("graft-s24")
+          .toString + "/sh"
+        graft.llmops.Bgzf.writeShards(
+          t(ss, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", d, 1000)
+        graft.llmops.Bgzf.readBgzfFiles(ss, d)
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("content").cast("string"))).cast("long")
+              .as("chars"))
+      }),
+
       "s21_zstd_seekable" -> ((s, dir) => {
         // splittable-zstd throughput: the whole corpus through the
         // distributed seekable shard export (one frame per doc), then

@@ -739,27 +739,7 @@ object XzLzma {
     val conf = spark.sparkContext.hadoopConfiguration
     val (blocks, checkType) = blockMap(conf, path)
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
-    // group consecutive blocks into ~groupBytes ranged reads
-    val groups = {
-      val out = Vector.newBuilder[(Long, Vector[(Long, Long, Long)])]
-      var cur = Vector.newBuilder[(Long, Long, Long)]
-      var first = -1L
-      var bytes = 0L
-      var k = 0
-      while (k < blocks.length) {
-        val b = blocks(k)
-        if (bytes > 0 && bytes + b._2 > groupBytes) {
-          out += ((first, cur.result())); cur = Vector.newBuilder
-          first = -1L; bytes = 0L
-        }
-        if (first < 0) first = k.toLong
-        cur += b; bytes += b._2
-        k += 1
-      }
-      val g = cur.result()
-      if (g.nonEmpty) out += ((first, g))
-      out.result()
-    }
+    val groups = groupBlocks(blocks, groupBytes)
     val struct = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("block_idx",
         org.apache.spark.sql.types.LongType),
@@ -770,6 +750,73 @@ object XzLzma {
       .as[(Long, Seq[(Long, Long, Long)])]
       .flatMap { case (firstIdx, bs) =>
         XzLzma.decodeBlockGroup(confB, path, checkType, firstIdx, bs)
+      }(org.apache.spark.sql.Encoders.row(struct))
+  }
+
+  /** Group consecutive blocks into ~groupBytes ranged-read units:
+    * `(firstBlockIdx, blocks)` where each block is (offset,
+    * paddedSize, uncompressedSize). Blocks are the random-access unit,
+    * groups are the task unit — one tiny task per block is pure
+    * scheduling overhead.
+    */
+  private[llmops] def groupBlocks(blocks: Vector[(Long, Long, Long)],
+      groupBytes: Int): Vector[(Long, Vector[(Long, Long, Long)])] = {
+    val out = Vector.newBuilder[(Long, Vector[(Long, Long, Long)])]
+    var cur = Vector.newBuilder[(Long, Long, Long)]
+    var first = -1L
+    var bytes = 0L
+    var k = 0
+    while (k < blocks.length) {
+      val b = blocks(k)
+      if (bytes > 0 && bytes + b._2 > groupBytes) {
+        out += ((first, cur.result())); cur = Vector.newBuilder
+        first = -1L; bytes = 0L
+      }
+      if (first < 0) first = k.toLong
+      cur += b; bytes += b._2
+      k += 1
+    }
+    val g = cur.result()
+    if (g.nonEmpty) out += ((first, g))
+    out.result()
+  }
+
+  /** Multi-file [[readXzBlocks]]: a file, glob, or directory of
+    * block-indexed .xz shards reads as ONE DataFrame with a leading
+    * `path` provenance column — one plan with one (path, blockGroup)
+    * row per task, never a union of per-file plans (a thousand-shard
+    * directory must not become a thousand-node logical plan). Block
+    * maps (stream footer → index) are read on the driver through
+    * [[DriverPar.parMap]]'s bounded pool — one round-trip per file,
+    * O(files / poolWidth) planning latency.
+    */
+  def readXzFiles(spark: SparkSession, pathOrGlob: String,
+      groupBytes: Int = 4 << 20): org.apache.spark.sql.DataFrame = {
+    val sqlc = spark
+    import sqlc.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = Avro.resolveFiles(conf, pathOrGlob)
+    require(files.nonEmpty, s"no files match $pathOrGlob")
+    val confB = new org.apache.spark.util.SerializableConfiguration(conf)
+    val groups = DriverPar.parMap(files) { case (p, _) =>
+      val (blocks, checkType) = blockMap(conf, p)
+      groupBlocks(blocks, groupBytes).map { case (first, bs) =>
+        (p, checkType, first, bs)
+      }
+    }.flatten
+    val struct = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("block_idx",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    groups.toDF("path", "ct", "firstIdx", "blocks")
+      .repartition(math.min(math.max(groups.size, 1), 4096))
+      .as[(String, Int, Long, Seq[(Long, Long, Long)])]
+      .flatMap { case (p, ct, firstIdx, bs) =>
+        XzLzma.decodeBlockGroup(confB, p, ct, firstIdx, bs)
+          .map(r => org.apache.spark.sql.Row(p, r.get(0), r.get(1)))
       }(org.apache.spark.sql.Encoders.row(struct))
   }
 

@@ -160,4 +160,49 @@ object XzWriter {
     out.write('Y'); out.write('Z')
     out.toByteArray
   }
+
+  /** Distributed block-indexed xz export under the shared shard
+    * protocol (the BGZF/seekable-zstd contract): rows hash to
+    * `nShards` files by key, each partition streams its shards in
+    * sorted order, and files ROLL on the shard-id boundary — several
+    * shard ids can hash into one partition, and one-file-per-partition
+    * would silently drop colliders. One document per xz BLOCK, so
+    * [[XzLzma.readXzFiles]] decodes the shard directory
+    * block-parallel while `xz -dc` still accepts every file whole.
+    */
+  def writeShards(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      contentCol: String, dir: String, nShards: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val sharded = df
+      .withColumn("__shard",
+        pmod(Similarity.portable60(col(keyCol).cast("string")),
+          lit(nShards.toLong)).cast("int"))
+      .select(col("__shard"), col(keyCol).cast("string").as("__key"),
+        col(contentCol).cast("binary").as("__content"))
+      .repartition(nShards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__key"))
+    val confB = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val dirB = dir
+    sharded.foreachPartition {
+      rows: Iterator[org.apache.spark.sql.Row] =>
+        val chunks =
+          scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        var shard = -1
+        def flush(): Unit = if (chunks.nonEmpty) {
+          val path = new org.apache.hadoop.fs.Path(
+            f"$dirB/shard-$shard%05d.xz")
+          val fs = path.getFileSystem(confB.value)
+          val out = fs.create(path, true)
+          try out.write(encodeBlocks(chunks.toSeq)) finally out.close()
+          chunks.clear()
+        }
+        rows.foreach { r =>
+          val s = r.getInt(0)
+          if (s != shard) { flush(); shard = s }
+          chunks += r.getAs[Array[Byte]](2)
+        }
+        flush()
+    }
+  }
 }

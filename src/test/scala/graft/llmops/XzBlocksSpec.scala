@@ -53,6 +53,41 @@ class XzBlocksSpec extends SparkTestBase {
     assert(joined.toSeq == data.toSeq)
   }
 
+  test("shard protocol: distributed export, one-plan multi-file read") {
+    val ss = spark
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-xz-sh").toString
+    val df = (0 until 300).map(i => (i.toLong, s"xdoc $i " + ("q" * (i % 11))))
+      .toDF("doc_id", "text")
+    XzWriter.writeShards(df, "doc_id", "text", dir, 4)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".xz")).sortBy(_.getName)
+    assert(shards.length == 4)
+    // xz CLI accepts a shard whole (one stream, many blocks)
+    val p = new ProcessBuilder("xz", "-dc", shards.head.getPath)
+      .redirectErrorStream(false).start()
+    val dec = p.getInputStream.readAllBytes()
+    assert(p.waitFor() == 0 && dec.nonEmpty)
+    val back = XzLzma.readXzFiles(spark, dir)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("path", "block_idx", "content"))
+    val texts = back
+      .select(org.apache.spark.sql.functions.col("content")
+        .cast("string"))
+      .collect().map(_.getString(0)).sorted
+    assert(texts.toSeq ==
+      (0 until 300).map(i => s"xdoc $i " + ("q" * (i % 11))).sorted)
+    assert(back.select("path").distinct().count() == 4)
+    // byte determinism across identical exports
+    val dir2 = Files.createTempDirectory("graft-xz-sh2").toString
+    XzWriter.writeShards(df, "doc_id", "text", dir2, 4)
+    new java.io.File(dir2).listFiles().filter(_.getName.endsWith(".xz"))
+      .sortBy(_.getName).zip(shards).foreach { case (b, a) =>
+        assert(java.util.Arrays.equals(
+          Files.readAllBytes(a.toPath), Files.readAllBytes(b.toPath)))
+      }
+  }
+
   test("refusals: multi-stream concat, damaged block") {
     val dir = Files.createTempDirectory("graft-xzb").toString
     val a = XzWriter.encode("stream one".getBytes("UTF-8"))
