@@ -60,8 +60,12 @@ object StageJob {
               if (orderCols.nonEmpty) deduped.sortWithinPartitions(orderCols.map(col): _*)
               else deduped
 
+            // merge for incremental AND between-date, exactly the
+            // reference's stage condition (light_transform.py:1554);
+            // everything else — full, days_off — overwrites
             val isIncremental =
-              table.effectiveLoadType == "incremental" && idCols.nonEmpty
+              Set("incremental", "between-date")
+                .contains(table.effectiveLoadType) && idCols.nonEmpty
             // persisted: the write and the row count both read this — the
             // count comes from the cache instead of a second full scan of
             // the written table (the redundant-count anti-pattern SURVEY §4

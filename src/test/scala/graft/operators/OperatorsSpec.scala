@@ -138,6 +138,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(out2(1).getString(1) === "Bob")
   }
 
+  test("stage write mode follows the reference's condition: between-date merges, days_off overwrites") {
+    // light_transform.py:1554 merges for incremental AND between-date;
+    // every other load type (full, days_off) overwrites the stage table
+    val cols = Seq(
+      ColumnMetadata("Id", 1, "int", "fn_transform_Integer(Id)", isId = true),
+      ColumnMetadata("Nombre", 2, "string", "fn_transform_ClearString(Nombre)"))
+    def runTwice(loadType: String): Seq[(Int, String)] = {
+      val root = tmpDir()
+      val table = TableConfig(stageTableName = "t", sourceTable = "T",
+        loadType = loadType)
+      Seq(("1", "a"), ("2", "b")).toDF("Id", "Nombre")
+        .write.mode("overwrite").parquet(s"$root/raw")
+      assert(StageJob.run(spark, table, cols, s"$root/raw",
+        s"$root/stage").status === StageJob.Success)
+      Seq(("2", "B2"), ("3", "c")).toDF("Id", "Nombre")
+        .write.mode("overwrite").parquet(s"$root/raw")
+      assert(StageJob.run(spark, table, cols, s"$root/raw",
+        s"$root/stage").status === StageJob.Success)
+      spark.read.parquet(s"$root/stage").orderBy("Id").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq
+    }
+    // between-date: batch 2 merges into batch 1 (update 2, insert 3)
+    assert(runTwice("between-date") === Seq((1, "a"), (2, "B2"), (3, "c")))
+    // days_off: batch 2 REPLACES the table wholesale
+    assert(runTwice("days_off") === Seq((2, "B2"), (3, "c")))
+  }
+
   test("K8 empty raw input still materializes a typed empty table") {
     val root = tmpDir()
     val cols = Seq(
