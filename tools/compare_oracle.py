@@ -35,10 +35,14 @@ def norm_cell(v, strict):
         import pandas as pd
         if v is None or v is pd.NaT or v is pd.NA:
             return "NULL"
-        # NaN is NOT NULL: tagging it distinctly keeps a genuine
-        # NaN-vs-NULL divergence between dump and oracle visible
+        # NaN unifies with NULL — not by choice but to mirror the
+        # driver: DuckDB's fetchdf coerces NULL in double columns to
+        # NaN (nullable-float64 artifact), and gates whose oracle side
+        # carries such NULLs (q38/q143/q146/q156) pass the driver's
+        # hash, so the driver provably conflates them. Tagging NaN
+        # distinctly here produced 5 false FAILs against green gates.
         if isinstance(v, (float, np.floating)) and math.isnan(v):
-            return "float:nan"
+            return "NULL"
         if isinstance(v, decimal.Decimal):
             return f"dec:{v}"
         if isinstance(v, (bool, np.bool_)):
