@@ -31,7 +31,13 @@ object Runner {
       error: Option[String] = None,
       warnings: Seq[String] = Nil,
       /** Extraction attempts actually used (≥ 2 ⇒ transient failures retried). */
-      attempts: Int = 1
+      attempts: Int = 1,
+      /** PROCESS_TYPE of the reference's monitoring rows
+        * (extract_data_spark.py:323,345): 'D' (delta) for an effective
+        * incremental load, 'F' (full) for everything else — full,
+        * between-date, days_off.
+        */
+      processType: String = "F"
   )
 
   final case class RunReport(runs: Seq[TableRun]) {
@@ -163,9 +169,10 @@ object Runner {
     val at = System.currentTimeMillis()
     report.runs
       .map(r => (at, r.table, r.status, r.rowsWritten, r.durationMs,
-        r.error.orNull, r.warnings.mkString("; "), r.attempts))
+        r.error.orNull, r.warnings.mkString("; "), r.attempts,
+        r.processType))
       .toDF("run_at_ms", "table", "status", "rows_written", "duration_ms",
-        "error", "warnings", "attempts")
+        "error", "warnings", "attempts", "process_type")
       .coalesce(1)
       .write.mode("append").parquet(path)
   }
@@ -180,6 +187,7 @@ object Runner {
   ): TableRun = {
     val t0 = System.currentTimeMillis()
     val name = spec.table.stageTableName
+    val pt = if (spec.table.effectiveLoadType == "incremental") "D" else "F"
     var attempts = 1
     try {
       if (runExtract) {
@@ -251,7 +259,8 @@ object Runner {
       result.status match {
         case StageJob.FailedTransform(errors) =>
           TableRun(name, "FAILED", 0, System.currentTimeMillis() - t0,
-            error = Some(errors.mkString("; ")), attempts = attempts)
+            error = Some(errors.mkString("; ")), attempts = attempts,
+            processType = pt)
         case other =>
           for {
             s <- store
@@ -260,19 +269,21 @@ object Runner {
           other match {
             case StageJob.CompletedWithWarnings(w) =>
               TableRun(name, "WARNING", result.rowsWritten,
-                System.currentTimeMillis() - t0, warnings = w, attempts = attempts)
+                System.currentTimeMillis() - t0, warnings = w,
+                attempts = attempts, processType = pt)
             case StageJob.EmptyInput =>
               TableRun(name, "EMPTY", 0, System.currentTimeMillis() - t0,
-                attempts = attempts)
+                attempts = attempts, processType = pt)
             case _ =>
               TableRun(name, "SUCCESS", result.rowsWritten,
-                System.currentTimeMillis() - t0, attempts = attempts)
+                System.currentTimeMillis() - t0, attempts = attempts,
+                processType = pt)
           }
       }
     } catch {
       case NonFatal(e) =>
         TableRun(name, "FAILED", 0, System.currentTimeMillis() - t0,
-          error = Some(e.toString), attempts = attempts)
+          error = Some(e.toString), attempts = attempts, processType = pt)
     }
   }
 }

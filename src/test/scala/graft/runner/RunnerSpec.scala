@@ -75,6 +75,8 @@ class RunnerSpec extends SparkTestBase {
     val report1 = Runner.run(spark, Seq(spec), maxConcurrency = 2,
       watermarkStore = Some(store))
     assert(report1.runs.head.status === "SUCCESS")
+    // PROCESS_TYPE of the monitoring row: 'D' for incremental loads
+    assert(report1.runs.head.processType === "D")
     val s1 = spark.read.parquet(s"$root/stage/actividad").orderBy("id").collect()
     assert(s1.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
     assert(s1.head.getString(1) === "Ana v2")     // keep-latest by ts_ver
