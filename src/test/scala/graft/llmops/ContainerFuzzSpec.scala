@@ -70,6 +70,44 @@ class ContainerFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("arrow intervals: decodeBatch never throws on mutated meta or body") {
+    val fields = Vector(
+      Arrow.AField("id", nullable = false, Arrow.AInt(64)),
+      Arrow.AField("ym", nullable = true, Arrow.AInterval(0)),
+      Arrow.AField("dt", nullable = true, Arrow.AInterval(1)),
+      Arrow.AField("mdn", nullable = true, Arrow.AInterval(2)))
+    val rows = (0 until 40).map { i =>
+      Row(i.toLong,
+        if (i % 5 == 0) null else java.time.Period.ofMonths(i - 20),
+        if (i % 5 == 1) null
+        else java.time.Duration.ofDays(i - 20L).plusMillis(i * 13L),
+        if (i % 5 == 2) null
+        else new org.apache.spark.unsafe.types.CalendarInterval(
+          i % 7, i - 20, i * 250000L))
+    }
+    val bytes = ArrowWriter.write(fields, rows, rowsPerBatch = 40)
+    val footer = {
+      val f = Files.createTempDirectory("graft-fuzz").toString + "/i.arrow"
+      Files.write(java.nio.file.Paths.get(f), bytes)
+      Arrow.readFooter(spark.sparkContext.hadoopConfiguration, f)
+    }
+    val b = footer.batches.head
+    val meta = java.util.Arrays.copyOfRange(bytes, b.offset.toInt,
+      b.offset.toInt + b.metaLen)
+    val body = java.util.Arrays.copyOfRange(bytes,
+      b.offset.toInt + b.metaLen, (b.offset + b.metaLen + b.bodyLen).toInt)
+    val wanted = fields.indices.toVector
+    val r = new java.util.Random(47)
+    (0 until 600).foreach { _ =>
+      Arrow.decodeBatch(footer.fields, mutate(meta, r), body, wanted)
+      Arrow.decodeBatch(footer.fields, meta, mutate(body, r), wanted)
+    }
+    // the unmutated batch still decodes exactly after the fuzz storm
+    val clean = Arrow.decodeBatch(footer.fields, meta, body, wanted)
+    assert(clean.length == 40)
+    assert(clean(1).getAs[java.time.Period](1).toTotalMonths == -19L)
+  }
+
   test("orc: decodeStripe never throws on mutated stripe bytes") {
     val ss = spark
     import ss.implicits._
