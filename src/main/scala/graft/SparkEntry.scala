@@ -1023,6 +1023,47 @@ object SparkEntry {
     }
   }
 
+  /** q227 fixture family: the q149 gradient through the 16-bit and
+    * bitfield layouts. Tier 0 = 16-bit BI_RGB 555, tier 1 = 16-bit
+    * BI_BITFIELDS 565, tier 2 = 32-bit BI_BITFIELDS in the
+    * nonstandard RGBx order (exact pixels — mask routing is the
+    * point), tier 3 = a 24-bit twin whose gray is pre-quantized
+    * through the 555 lattice, so (tier0, tier3) pairs of one pid hash
+    * identically. 400+: refusal tiers — overlapping bitfield masks,
+    * truncated 16-bit pixel arrays, not-an-image bytes.
+    */
+  private def bmp16Fixtures(ss: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val ids = t(ss, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val W = graft.llmops.ImageWriter
+    def deq(v: Int, max: Int): Int =
+      ((v * max + 127) / 255 * 255 + max / 2) / max
+    ids.map { id =>
+      val pid = (id % 100).toInt
+      val w = 9 + pid % 24
+      val h = 8 + pid % 16
+      def g(x: Int, y: Int) =
+        ((5 + pid % 7) * (x / 8) + (13 + pid % 11) * (y / 8) + pid) % 256
+      def px(x: Int, y: Int) = (g(x, y), g(x, y), g(x, y))
+      val bytes =
+        if (id >= 450) s"not an image $id".getBytes("UTF-8")
+        else if (id >= 430) W.bmp16(w, h, px).dropRight(3) // truncated
+        else if (id >= 400) { // overlapping green/red masks: refused
+          val b = W.bmp32Bitfields(w, h, px)
+          b(58) = 0xFF.toByte; b(59) = 0; b
+        }
+        else (id / 100).toInt match {
+          case 0 => W.bmp16(w, h, px)
+          case 1 => W.bmp16(w, h, px, rgb565 = true)
+          case 2 => W.bmp32Bitfields(w, h, px)
+          case _ =>
+            def q(x: Int, y: Int) = deq(g(x, y), 31)
+            W.bmpFromPixels(w, h, (x, y) => (q(x, y), q(x, y), q(x, y)))
+        }
+      (id, bytes)
+    }
+  }
+
   /** Shared TIFF fixture set for q154: per pid the standard gradient,
     * four encodings per pid — even pids the baseline arms (tier 0 LE
     * multi-strip gray, tier 1 BE PackBits, tier 2 palette-color,
@@ -2430,6 +2471,22 @@ object SparkEntry {
       val ss = tuned(s)
       import ss.implicits._
       val src = fixtureDF(ss, dir, "q149_bmp")(bmpFixtures(ss, dir))
+      graft.llmops.Multimodal.imageNearDups(src, "doc_id", "content",
+          maxDist = 3)
+        .select(col("key_a"), col("key_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("key_a", "key_b")
+    }),
+
+    "q227_bmp16" -> ((s, dir) => {
+      // 16-bit and bitfield BMPs join the image Hamming space: 555,
+      // 565 and mask-routed 32-bit streams of one gradient hash
+      // against a pre-quantized 24-bit twin; malformed masks and
+      // truncated pixel arrays refuse to NULL and vanish. Oracle: the
+      // q149 closed form with per-tier quantization lattices.
+      val ss = tuned(s)
+      import ss.implicits._
+      val src = fixtureDF(ss, dir, "q227_bmp16")(bmp16Fixtures(ss, dir))
       graft.llmops.Multimodal.imageNearDups(src, "doc_id", "content",
           maxDist = 3)
         .select(col("key_a"), col("key_b"),
@@ -7180,6 +7237,57 @@ object SparkEntry {
              ((5 + i.seed % 7) * (x.x // 8) + (13 + i.seed % 11) * (y.y // 8)
                + i.seed) % 256 AS gray
            FROM ids i, range(32) x(x), range(23) y(y)
+           WHERE x.x < i.w AND y.y < i.h),
+         cells AS (
+           SELECT doc_id, cj, ci, sum(gray) AS s, count(*) AS c
+           FROM px GROUP BY 1, 2, 3),
+         bits AS (
+           SELECT l.doc_id, l.cj * 8 + l.ci AS k
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cj = l.cj AND r.ci = l.ci + 1
+           WHERE r.s * l.c > l.s * r.c),
+         hashes AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN b.k >= 32
+               THEN CAST(1 AS BIGINT) << (b.k - 32) END), 0) AS BIGINT) AS dh_hi,
+             CAST(coalesce(sum(CASE WHEN b.k < 32
+               THEN CAST(1 AS BIGINT) << b.k END), 0) AS BIGINT) AS dh_lo
+           FROM (SELECT DISTINCT doc_id FROM px) d
+           LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id)
+         SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           CAST(bit_count(xor(a.dh_hi, b.dh_hi))
+              + bit_count(xor(a.dh_lo, b.dh_lo)) AS BIGINT) AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dh_hi, b.dh_hi))
+             + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
+         ORDER BY key_a, key_b""",
+
+    // q227: the q149 closed form with per-tier quantization — 555
+    // and the 24-bit pre-quantized twin land on the 5-bit lattice
+    // ((g*31+127)//255 widened back), 565's gray mixes a 6-bit green
+    // through the decoder's (r+g+b)/3 reduction, 32-bit bitfields
+    // decode exact.
+    "q227_bmp16" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(9 + (doc_id % 100) % 24 AS INTEGER) AS w,
+             CAST(8 + (doc_id % 100) % 16 AS INTEGER) AS h,
+             CAST(doc_id % 100 AS INTEGER) AS seed,
+             CAST(doc_id // 100 AS INTEGER) AS tier
+           FROM documents WHERE doc_id < 400),
+         px AS (
+           SELECT i.doc_id,
+             ((x.x + 1) * 9 - 1) // i.w AS ci,
+             ((y.y + 1) * 8 - 1) // i.h AS cj,
+             CASE i.tier
+               WHEN 2 THEN g.g
+               WHEN 1 THEN (2 * ((g.g * 31 + 127) // 255 * 255 + 15) // 31
+                              + ((g.g * 63 + 127) // 255 * 255 + 31) // 63) // 3
+               ELSE ((g.g * 31 + 127) // 255 * 255 + 15) // 31
+             END AS gray
+           FROM ids i, range(32) x(x), range(23) y(y),
+             LATERAL (SELECT ((5 + i.seed % 7) * (x.x // 8)
+               + (13 + i.seed % 11) * (y.y // 8) + i.seed) % 256 AS g) g
            WHERE x.x < i.w AND y.y < i.h),
          cells AS (
            SELECT doc_id, cj, ci, sum(gray) AS s, count(*) AS c

