@@ -80,7 +80,10 @@ object IcoDecode {
         if (bpp > 8) 0
         else if (clrUsed > 0) clrUsed
         else 1 << bpp
-      val dataOff = 14 + dibSize + 4 * palN
+      // BI_BITFIELDS DIBs carry three mask DWORDs between header and
+      // pixels — the synthesized data offset must step over them
+      val maskBytes = if (dibSize == 40 && u32(img, 16) == 3) 12 else 0
+      val dataOff = 14 + dibSize + 4 * palN + maskBytes
       val out = new java.io.ByteArrayOutputStream(14 + img.length)
       out.write('B'); out.write('M')
       def le32(v: Int): Unit = {

@@ -187,7 +187,17 @@ object Runner {
   ): TableRun = {
     val t0 = System.currentTimeMillis()
     val name = spec.table.stageTableName
-    val pt = if (spec.table.effectiveLoadType == "incremental") "D" else "F"
+    // the reference reads the POST-inference LOAD_TYPE (it mutates
+    // table_data before logging, extract_data_spark.py:189-197,323):
+    // a blank-LOAD_TYPE Salesforce transactional table is days_off →
+    // 'F', not the endpoint-neutral incremental → 'D'
+    val endpointName = spec.source match {
+      case Left((ep, _)) => ep.endpointName
+      case Right(_) => ""
+    }
+    val pt =
+      if (spec.table.effectiveLoadType(endpointName) == "incremental") "D"
+      else "F"
     var attempts = 1
     try {
       if (runExtract) {
@@ -253,7 +263,12 @@ object Runner {
         } finally cached.unpersist()
       }
 
-      val result = StageJob.run(spark, spec.table, spec.columns, spec.rawPath, spec.stagePath)
+      // the stage step sees the POST-inference config too: a blank
+      // Salesforce transactional table is days_off → stage OVERWRITE
+      // (light_transform.py:1554 merges only incremental/between-date;
+      // blank LOAD_TYPE never merges there either)
+      val result = StageJob.run(spark, spec.table.withInferredLoadType(endpointName),
+        spec.columns, spec.rawPath, spec.stagePath)
 
       // two-phase watermark confirm only after a successful stage write
       result.status match {

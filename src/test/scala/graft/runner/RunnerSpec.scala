@@ -99,6 +99,34 @@ class RunnerSpec extends SparkTestBase {
     assert(raw2.schema.fields.forall(_.dataType.typeName === "string"))
   }
 
+  test("salesforce blank LOAD_TYPE reports PROCESS_TYPE 'F' (days_off)") {
+    // the reference logs the POST-inference LOAD_TYPE: a blank-type
+    // transactional table under SALESFORCE_ING becomes days_off → 'F',
+    // NOT the endpoint-neutral incremental → 'D'
+    // (extract_data_spark.py:189-197,323)
+    seedDerby()
+    val root = Files.createTempDirectory("graft-runner-sf").toString
+    val sfEp = ep.copy(endpointName = "SALESFORCE_ING")
+    val spec = Runner.TableSpec(table.copy(loadType = ""), columns,
+      s"$root/raw/sf", s"$root/stage/sf", Left((sfEp, "")))
+    val report = Runner.run(spark, Seq(spec))
+    assert(report.runs.head.status === "SUCCESS")
+    assert(report.runs.head.processType === "F")
+    // and the stage step OVERWRITES (days_off never merges,
+    // light_transform.py:1554): a row deleted at the source is gone
+    // after the next run, where a merge would have kept it
+    val conn = DriverManager.getConnection("jdbc:derby:memory:graftdb")
+    val st = conn.createStatement()
+    st.execute("DELETE FROM APP.ACTIVIDAD WHERE id = 3")
+    st.close(); conn.close()
+    val report2 = Runner.run(spark, Seq(spec))
+    assert(report2.runs.head.status === "SUCCESS")
+    val ids = spark.read.parquet(s"$root/stage/sf")
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(!ids.contains(3))
+    assert(ids === Set(1, 2))
+  }
+
   test("failure isolation: one broken table does not sink the run") {
     seedDerby()
     val root = Files.createTempDirectory("graft-runner-f").toString
