@@ -38,39 +38,54 @@ object Bgzf {
     */
   def write(chunks: Seq[Array[Byte]]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    chunks.foreach { c =>
-      require(c.length <= MaxChunk,
-        s"bgzf member payload ${c.length} exceeds $MaxChunk — BGZF " +
-          "members cap at 64 KiB; split larger units upstream")
-      val d = new java.util.zip.Deflater(
-        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
-      d.setInput(c); d.finish()
-      val comp = new Array[Byte](c.length + (c.length >> 9) + 64)
-      var n = 0
-      while (!d.finished()) n += d.deflate(comp, n, comp.length - n)
-      d.end()
-      val crc = new java.util.zip.CRC32()
-      crc.update(c, 0, c.length)
-      val total = 18 + n + 8
-      require(total <= 65536, s"bgzf member $total exceeds 64 KiB")
-      val bsize = total - 1
-      out.write(0x1f); out.write(0x8b); out.write(0x08); out.write(0x04)
-      out.write(Array[Byte](0, 0, 0, 0)) // mtime
-      out.write(0); out.write(0xff) // XFL, OS
-      out.write(6); out.write(0) // XLEN = 6
-      out.write('B'); out.write('C'); out.write(2); out.write(0)
-      out.write(bsize & 0xff); out.write((bsize >>> 8) & 0xff)
-      out.write(comp, 0, n)
-      val cv = crc.getValue
-      out.write((cv & 0xff).toInt); out.write(((cv >>> 8) & 0xff).toInt)
-      out.write(((cv >>> 16) & 0xff).toInt)
-      out.write(((cv >>> 24) & 0xff).toInt)
-      out.write(c.length & 0xff); out.write((c.length >>> 8) & 0xff)
-      out.write((c.length >>> 16) & 0xff)
-      out.write((c.length >>> 24) & 0xff)
-    }
+    chunks.foreach(writeMember(out, _))
     out.write(Eof, 0, Eof.length)
     out.toByteArray
+  }
+
+  /** The 28-byte empty-member EOF marker, streamed (named helper — a
+    * task lambda touching the object-private [[Eof]] array directly
+    * would capture the module in the closure).
+    */
+  private[llmops] def writeEof(out: java.io.OutputStream): Unit =
+    out.write(Eof, 0, Eof.length)
+
+  /** One chunk as one BGZF member, streamed to `out` — the unit
+    * [[write]] loops and the shard writer appends row by row (memory
+    * = one member, never one shard). Close a member sequence with
+    * [[Eof]].
+    */
+  private[llmops] def writeMember(out: java.io.OutputStream,
+      c: Array[Byte]): Unit = {
+    require(c.length <= MaxChunk,
+      s"bgzf member payload ${c.length} exceeds $MaxChunk — BGZF " +
+        "members cap at 64 KiB; split larger units upstream")
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(c); d.finish()
+    val comp = new Array[Byte](c.length + (c.length >> 9) + 64)
+    var n = 0
+    while (!d.finished()) n += d.deflate(comp, n, comp.length - n)
+    d.end()
+    val crc = new java.util.zip.CRC32()
+    crc.update(c, 0, c.length)
+    val total = 18 + n + 8
+    require(total <= 65536, s"bgzf member $total exceeds 64 KiB")
+    val bsize = total - 1
+    out.write(0x1f); out.write(0x8b); out.write(0x08); out.write(0x04)
+    out.write(Array[Byte](0, 0, 0, 0)) // mtime
+    out.write(0); out.write(0xff) // XFL, OS
+    out.write(6); out.write(0) // XLEN = 6
+    out.write('B'); out.write('C'); out.write(2); out.write(0)
+    out.write(bsize & 0xff); out.write((bsize >>> 8) & 0xff)
+    out.write(comp, 0, n)
+    val cv = crc.getValue
+    out.write((cv & 0xff).toInt); out.write(((cv >>> 8) & 0xff).toInt)
+    out.write(((cv >>> 16) & 0xff).toInt)
+    out.write(((cv >>> 24) & 0xff).toInt)
+    out.write(c.length & 0xFF); out.write((c.length >>> 8) & 0xff)
+    out.write((c.length >>> 16) & 0xff)
+    out.write((c.length >>> 24) & 0xff)
   }
 
   /** Member at `off` in `b`: (payload, memberLength), or null when the
@@ -188,23 +203,28 @@ object Bgzf {
     val dirB = dir
     sharded.foreachPartition { rows: Iterator[Row] =>
       // several shard ids can hash into one partition — roll files on
-      // the (sorted) shard boundary
-      val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      // the (sorted) shard boundary. Members stream row by row: task
+      // memory is ONE member, never one shard (a shard is corpus-sized
+      // divided by nShards — buffering it whole would OOM at scale)
+      var out: java.io.OutputStream = null
       var shard = -1
-      def flush(): Unit = if (chunks.nonEmpty) {
-        val path = new org.apache.hadoop.fs.Path(
-          f"$dirB/shard-$shard%05d.bgz")
-        val fs = path.getFileSystem(confB.value)
-        val out = fs.create(path, true)
-        try out.write(write(chunks.toSeq)) finally out.close()
-        chunks.clear()
+      def closeCurrent(): Unit = if (out != null) {
+        writeEof(out); out.close(); out = null
       }
-      rows.foreach { r =>
-        val s = r.getInt(0)
-        if (s != shard) { flush(); shard = s }
-        chunks += r.getAs[Array[Byte]](2)
-      }
-      flush()
+      try {
+        rows.foreach { r =>
+          val s = r.getInt(0)
+          if (s != shard) {
+            closeCurrent(); shard = s
+            val path = new org.apache.hadoop.fs.Path(
+              f"$dirB/shard-$shard%05d.bgz")
+            val fs = path.getFileSystem(confB.value)
+            out = new java.io.BufferedOutputStream(
+              fs.create(path, true), 64 << 10)
+          }
+          writeMember(out, r.getAs[Array[Byte]](2))
+        }
+      } finally closeCurrent()
     }
   }
 

@@ -17,12 +17,12 @@ object XzWriter {
     c.getValue.toInt
   }
 
-  private def wr32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+  private def wr32(out: java.io.OutputStream, v: Int): Unit = {
     out.write(v & 0xff); out.write((v >>> 8) & 0xff)
     out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
   }
 
-  private def vli(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+  private def vli(out: java.io.OutputStream, v0: Long): Unit = {
     var v = v0
     while (v >= 0x80) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
     out.write(v.toInt)
@@ -33,14 +33,31 @@ object XzWriter {
     * any conformant xz reader still decodes the concatenation.
     */
   def encodeBlocks(chunks: Seq[Array[Byte]]): Array[Byte] = {
-    require(chunks.nonEmpty && chunks.forall(_.nonEmpty),
-      "encodeBlocks needs non-empty chunks")
+    require(chunks.nonEmpty, "encodeBlocks needs non-empty chunks")
     val out = new java.io.ByteArrayOutputStream()
+    val st = new BlockStream(out)
+    chunks.foreach(st.append)
+    st.finish()
+    out.toByteArray
+  }
+
+  /** Streaming multi-block xz encoder: the constructor writes the
+    * stream header, [[append]] one chunk as one block, [[finish]] the
+    * index + footer. Byte-identical to [[encodeBlocks]] over the same
+    * chunk sequence; live memory is one block plus two VLIs of index
+    * record per block — the shape that lets the shard writer stream
+    * corpus-sized shards without holding one in memory.
+    */
+  final class BlockStream(out: java.io.OutputStream) {
+    private val records =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    private val flags = Array[Byte](0, 1)
     out.write(Array[Byte](0xFD.toByte, '7', 'z', 'X', 'Z', 0), 0, 6)
-    val flags = Array[Byte](0, 1)
     out.write(flags, 0, 2)
     wr32(out, crc32(flags, 0, 2))
-    val records = chunks.map { data =>
+
+    def append(data: Array[Byte]): Unit = {
+      require(data.nonEmpty, "xz blocks need non-empty chunks")
       val hdr = new java.io.ByteArrayOutputStream(16)
       hdr.write(0); hdr.write(0)
       vli(hdr, 0x21); vli(hdr, 1); hdr.write(16)
@@ -50,45 +67,48 @@ object XzWriter {
       hb(0) = ((hdrSize / 4) - 1).toByte
       out.write(hb, 0, hb.length)
       wr32(out, crc32(hb, 0, hb.length))
-      val payload = new java.io.ByteArrayOutputStream(data.length + 64)
+      var payloadLen = 0L
       var off = 0
       var first = true
       while (off < data.length) {
         val n = math.min(1 << 16, data.length - off)
-        payload.write(if (first) 1 else 2)
-        payload.write((n - 1) >>> 8)
-        payload.write((n - 1) & 0xff)
-        payload.write(data, off, n)
+        out.write(if (first) 1 else 2)
+        out.write((n - 1) >>> 8)
+        out.write((n - 1) & 0xff)
+        out.write(data, off, n)
+        payloadLen += 3 + n
         off += n
         first = false
       }
-      payload.write(0)
-      val pb = payload.toByteArray
-      out.write(pb, 0, pb.length)
-      var pad = (4 - ((hdrSize + pb.length) & 3)) & 3
+      out.write(0)
+      payloadLen += 1
+      var pad = (4 - ((hdrSize + payloadLen) & 3)).toInt & 3
       while (pad > 0) { out.write(0); pad -= 1 }
       wr32(out, crc32(data, 0, data.length))
-      (hdrSize + pb.length + 4L, data.length.toLong)
+      records += ((hdrSize + payloadLen + 4L, data.length.toLong))
     }
-    val idx = new java.io.ByteArrayOutputStream(32)
-    idx.write(0)
-    vli(idx, records.length)
-    records.foreach { case (unpadded, unc) =>
-      vli(idx, unpadded); vli(idx, unc)
+
+    def finish(): Unit = {
+      require(records.nonEmpty, "encodeBlocks needs non-empty chunks")
+      val idx = new java.io.ByteArrayOutputStream(32)
+      idx.write(0)
+      vli(idx, records.length)
+      records.foreach { case (unpadded, unc) =>
+        vli(idx, unpadded); vli(idx, unc)
+      }
+      while ((idx.size() & 3) != 0) idx.write(0)
+      val ib = idx.toByteArray
+      out.write(ib, 0, ib.length)
+      wr32(out, crc32(ib, 0, ib.length))
+      val indexSize = ib.length + 4
+      val tail = new java.io.ByteArrayOutputStream(8)
+      wr32(tail, indexSize / 4 - 1)
+      tail.write(flags, 0, 2)
+      val tb = tail.toByteArray
+      wr32(out, crc32(tb, 0, tb.length))
+      out.write(tb, 0, tb.length)
+      out.write('Y'); out.write('Z')
     }
-    while ((idx.size() & 3) != 0) idx.write(0)
-    val ib = idx.toByteArray
-    out.write(ib, 0, ib.length)
-    wr32(out, crc32(ib, 0, ib.length))
-    val indexSize = ib.length + 4
-    val tail = new java.io.ByteArrayOutputStream(8)
-    wr32(tail, indexSize / 4 - 1)
-    tail.write(flags, 0, 2)
-    val tb = tail.toByteArray
-    wr32(out, crc32(tb, 0, tb.length))
-    out.write(tb, 0, tb.length)
-    out.write('Y'); out.write('Z')
-    out.toByteArray
   }
 
   def encode(data: Array[Byte]): Array[Byte] = {
@@ -186,23 +206,30 @@ object XzWriter {
     val dirB = dir
     sharded.foreachPartition {
       rows: Iterator[org.apache.spark.sql.Row] =>
-        val chunks =
-          scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        // blocks stream row by row through BlockStream: task memory is
+        // one block + the (bounded) index records, never a whole
+        // corpus-sized shard
+        var out: java.io.OutputStream = null
+        var st: BlockStream = null
         var shard = -1
-        def flush(): Unit = if (chunks.nonEmpty) {
-          val path = new org.apache.hadoop.fs.Path(
-            f"$dirB/shard-$shard%05d.xz")
-          val fs = path.getFileSystem(confB.value)
-          val out = fs.create(path, true)
-          try out.write(encodeBlocks(chunks.toSeq)) finally out.close()
-          chunks.clear()
+        def closeCurrent(): Unit = if (out != null) {
+          st.finish(); out.close(); out = null; st = null
         }
-        rows.foreach { r =>
-          val s = r.getInt(0)
-          if (s != shard) { flush(); shard = s }
-          chunks += r.getAs[Array[Byte]](2)
-        }
-        flush()
+        try {
+          rows.foreach { r =>
+            val s = r.getInt(0)
+            if (s != shard) {
+              closeCurrent(); shard = s
+              val path = new org.apache.hadoop.fs.Path(
+                f"$dirB/shard-$shard%05d.xz")
+              val fs = path.getFileSystem(confB.value)
+              out = new java.io.BufferedOutputStream(
+                fs.create(path, true), 64 << 10)
+              st = new BlockStream(out)
+            }
+            st.append(r.getAs[Array[Byte]](2))
+          }
+        } finally closeCurrent()
     }
   }
 }

@@ -29,7 +29,7 @@ object ZstdSeekable {
   private val SkippableMagic = 0x184D2A5E
   private val SeekableMagic = 0x8F92EAB1
 
-  private def wr32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+  private def wr32(out: java.io.OutputStream, v: Int): Unit = {
     out.write(v & 0xff); out.write((v >>> 8) & 0xff)
     out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
   }
@@ -42,23 +42,44 @@ object ZstdSeekable {
       withChecksum: Boolean = true): Array[Byte] = {
     require(chunks.nonEmpty, "seekable file needs at least one frame")
     val out = new java.io.ByteArrayOutputStream()
-    val entries = chunks.map { c =>
+    val st = new SeekableStream(out, withChecksum)
+    chunks.foreach(st.append)
+    st.finish()
+    out.toByteArray
+  }
+
+  /** Streaming seekable-zstd encoder: [[append]] writes one chunk as
+    * one frame, [[finish]] closes with the seek-table skippable frame.
+    * Byte-identical to [[write]] over the same chunk sequence; live
+    * memory is one chunk plus 8–12 bytes of table entry per frame —
+    * the shape that lets the shard writer stream corpus-sized shards
+    * without holding one in memory.
+    */
+  final class SeekableStream(out: java.io.OutputStream,
+      withChecksum: Boolean = true) {
+    private val entries =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+
+    def append(c: Array[Byte]): Unit = {
       val frame = ZstdWriter.encode(c)
       out.write(frame, 0, frame.length)
-      (frame.length, c.length,
-        (XxHash.xxh64(c, 0, c.length, 0L) & 0xFFFFFFFFL).toInt)
+      entries += ((frame.length, c.length,
+        (XxHash.xxh64(c, 0, c.length, 0L) & 0xFFFFFFFFL).toInt))
     }
-    val entryW = if (withChecksum) 12 else 8
-    wr32(out, SkippableMagic)
-    wr32(out, entries.length * entryW + 9)
-    entries.foreach { case (cs, ds, ck) =>
-      wr32(out, cs); wr32(out, ds)
-      if (withChecksum) wr32(out, ck)
+
+    def finish(): Unit = {
+      require(entries.nonEmpty, "seekable file needs at least one frame")
+      val entryW = if (withChecksum) 12 else 8
+      wr32(out, SkippableMagic)
+      wr32(out, entries.length * entryW + 9)
+      entries.foreach { case (cs, ds, ck) =>
+        wr32(out, cs); wr32(out, ds)
+        if (withChecksum) wr32(out, ck)
+      }
+      wr32(out, entries.length)
+      out.write(if (withChecksum) 0x80 else 0x00)
+      wr32(out, SeekableMagic)
     }
-    wr32(out, entries.length)
-    out.write(if (withChecksum) 0x80 else 0x00)
-    wr32(out, SeekableMagic)
-    out.toByteArray
   }
 
   final case class Entry(offset: Long, compressedSize: Int,
@@ -234,23 +255,30 @@ object ZstdSeekable {
     sharded.foreachPartition { rows: Iterator[Row] =>
       // several shard ids can hash into one partition — roll files on
       // the (sorted) shard boundary, exactly like the tar/arrow shard
-      // writers
-      val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      // writers. Frames stream row by row through SeekableStream: task
+      // memory is one frame + the (bounded) seek-table entries, never
+      // a whole corpus-sized shard
+      var out: java.io.OutputStream = null
+      var st: SeekableStream = null
       var shard = -1
-      def flush(): Unit = if (chunks.nonEmpty) {
-        val path = new org.apache.hadoop.fs.Path(
-          f"$dirB/shard-$shard%05d.zst")
-        val fs = path.getFileSystem(confB.value)
-        val out = fs.create(path, true)
-        try out.write(write(chunks.toSeq)) finally out.close()
-        chunks.clear()
+      def closeCurrent(): Unit = if (out != null) {
+        st.finish(); out.close(); out = null; st = null
       }
-      rows.foreach { r =>
-        val s = r.getInt(0)
-        if (s != shard) { flush(); shard = s }
-        chunks += r.getAs[Array[Byte]](2)
-      }
-      flush()
+      try {
+        rows.foreach { r =>
+          val s = r.getInt(0)
+          if (s != shard) {
+            closeCurrent(); shard = s
+            val path = new org.apache.hadoop.fs.Path(
+              f"$dirB/shard-$shard%05d.zst")
+            val fs = path.getFileSystem(confB.value)
+            out = new java.io.BufferedOutputStream(
+              fs.create(path, true), 64 << 10)
+            st = new SeekableStream(out)
+          }
+          st.append(r.getAs[Array[Byte]](2))
+        }
+      } finally closeCurrent()
     }
   }
 
