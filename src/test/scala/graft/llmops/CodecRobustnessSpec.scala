@@ -160,7 +160,12 @@ class CodecRobustnessSpec extends AnyFunSuite {
       GifWriter.gray(20, 15, (x, y) => (x + y) % 256, interlaced = true),
       GifWriter.animatedGray(16, 12,
         Seq((x, y) => (x * 2 + y) % 256, (x, y) => (x + y * 5) % 256)),
-      Rtf.write(Seq("rtf body text")))
+      Rtf.write(Seq("rtf body text")),
+      ImageWriter.bmp16(18, 10, (x, y) => (x * 9 % 256, y * 7 % 256, (x + y) % 256)),
+      ImageWriter.bmp16(16, 9, (x, y) => (x % 256, y % 256, (x ^ y) % 256),
+        rgb565 = true),
+      ImageWriter.bmp32Bitfields(14, 8,
+        (x, y) => (x * 5 % 256, y * 3 % 256, (x * y) % 256)))
     for (doc <- genuine; cut <- 0 to math.min(doc.length, 120)) {
       allCodecs(java.util.Arrays.copyOfRange(doc, 0, cut))
     }
@@ -238,6 +243,11 @@ class CodecRobustnessSpec extends AnyFunSuite {
       ImageWriter.bmpFromPixels(13, 9, (x, y) => (x % 256, y % 256, (x * y) % 256)),
       ImageWriter.bmpIndexed(11, 7, Array.tabulate(48)(i => (i * 5).toByte),
         (x, y) => (x + y) % 16, bpp = 4, topDown = true),
+      ImageWriter.bmp16(13, 9, (x, y) => (x * 9 % 256, y * 7 % 256, (x + y) % 256)),
+      ImageWriter.bmp16(12, 8, (x, y) => (x % 256, y % 256, (x ^ y) % 256),
+        rgb565 = true),
+      ImageWriter.bmp32Bitfields(11, 7,
+        (x, y) => (x * 5 % 256, y * 3 % 256, (x * y) % 256)),
       ImageWriter.tiffImage(14, 9, (x, y) => (x * 7 + y) % 256,
         packBits = true, rowsPerStrip = 3),
       ImageWriter.tiffImage(12, 8, (x, y) => (x + y) % 16, bits = 4,
