@@ -7281,7 +7281,7 @@ object SparkEntry {
              ((y.y + 1) * 8 - 1) // i.h AS cj,
              CASE i.tier
                WHEN 2 THEN g.g
-               WHEN 1 THEN (2 * ((g.g * 31 + 127) // 255 * 255 + 15) // 31
+               WHEN 1 THEN (2 * (((g.g * 31 + 127) // 255 * 255 + 15) // 31)
                               + ((g.g * 63 + 127) // 255 * 255 + 31) // 63) // 3
                ELSE ((g.g * 31 + 127) // 255 * 255 + 15) // 31
              END AS gray

@@ -88,7 +88,12 @@ object ConfigLoader {
         joinExpr = r.getOrElse("JOIN_EXPR", ""),
         processId = r.getOrElse("PROCESS_ID", ""),
         partitionFormat = r.get("PARTITION_FORMAT").map(_.trim).filter(_.nonEmpty),
-        status = r.getOrElse("STATUS", "A")
+        status = r.getOrElse("STATUS", "A"),
+        // the reference CSV carries NUM_DAYS and the stage loader reads
+        // it (light_transform.py:1593) — without this mapping an
+        // explicit days_off table would silently fall back to the
+        // 10-day inference default
+        numDays = r.getOrElse("NUM_DAYS", "")
       )
     }
 

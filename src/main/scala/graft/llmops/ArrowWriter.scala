@@ -512,7 +512,17 @@ object ArrowWriter {
           if (v != null) {
             val ci = v.asInstanceOf[
               org.apache.spark.unsafe.types.CalendarInterval]
-            val ns = ci.microseconds * 1000L
+            // refuse, never wrap: |micros| past Long.MaxValue/1000
+            // cannot land in i64 nanos (the sibling arms refuse their
+            // i32 overflows the same way)
+            val ns =
+              try Math.multiplyExact(ci.microseconds, 1000L)
+              catch {
+                case _: ArithmeticException =>
+                  throw new IllegalArgumentException(
+                    s"interval of ${ci.microseconds} microseconds " +
+                      "overflows arrow's i64 nanoseconds")
+              }
             var k = 0
             while (k < 4) {
               data(i * 16 + k) = ((ci.months >> (8 * k)) & 0xff).toByte

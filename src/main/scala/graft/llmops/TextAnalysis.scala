@@ -801,15 +801,17 @@ object TextAnalysis {
     */
   val MaxLmTableEntries: Long = 4000000L
 
-  /** Size-gated LM-table materialization in ONE job. The cardinality
-    * gate rides the same evaluation that builds the table: each task
-    * counts the rows it emits and fails fast past the cap (a single
-    * over-cap partition aborts executor-side, before its rows travel),
-    * and the driver re-checks the global total before using the model.
-    * This replaces a `limit(cap+1).collect()` fetch, which bounds the
-    * driver the same way but plans CollectLimit — its incremental
-    * partition waves re-launch the reduce stage log(P) times, a
-    * measurable scheduling cost on every scoring call.
+  /** Size-gated LM-table materialization with ONE evaluation of the
+    * gram aggregation. The table caches as it is counted (job 1 — the
+    * expensive aggregation runs exactly once), the exact count gates
+    * BEFORE any row travels to the driver (an over-cap table refuses
+    * with guidance having fetched nothing — a per-partition gate can't
+    * do that: partitions can all sit under the cap while the total is
+    * 30× over it, and collecting them to find out IS the OOM), and
+    * only a proven ≤ cap table collects, off the cache. This replaces
+    * a `limit(cap+1).collect()` fetch, which bounds the driver the
+    * same way but re-plans the aggregation per call and schedules
+    * CollectLimit's incremental partition waves.
     */
   private[llmops] def collectLmTable(
       df: DataFrame): Array[(String, Long)] = {
@@ -817,37 +819,17 @@ object TextAnalysis {
       s"LM gram table exceeds $MaxLmTableEntries entries — it no " +
         "longer fits the scoring kernel; prune it first (cap the " +
         "vocab, or keep top-N grams by count) and retry"
-    val cap = MaxLmTableEntries
-    val perPart = df.select(col("gram"), col("cnt"))
+    // ONE RDD instance, two actions: the count job registers every
+    // shuffle map stage with the output tracker, so the collect job
+    // recomputes only the final reduce pass — no cache to fill or
+    // evict, and the expensive scan/exchange runs once
+    val rdd = df.select(col("gram"), col("cnt"))
       .as(org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.scalaLong))
-      .mapPartitions { it =>
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-        while (it.hasNext) {
-          buf += it.next()
-          if (buf.length > cap) throw new IllegalArgumentException(gateMsg)
-        }
-        Iterator.single(buf.toArray)
-      }(org.apache.spark.sql.Encoders.kryo[Array[(String, Long)]])
-    val parts =
-      try perPart.collect()
-      catch {
-        // executor-side gate: surface the refusal, not the task wrapper
-        // (the refusal text may sit on the exception itself or anywhere
-        // down the task-failure cause chain)
-        case e: Throwable if {
-          var c: Throwable = e; var hit = false
-          while (c != null && !hit) {
-            hit = c.getMessage != null && c.getMessage.contains(gateMsg)
-            c = c.getCause
-          }
-          hit
-        } => throw new IllegalArgumentException(gateMsg)
-      }
-    val all = parts.flatten
-    require(all.length <= cap, gateMsg)
-    all
+      .rdd
+    require(rdd.count() <= MaxLmTableEntries, gateMsg)
+    rdd.collect()
   }
 
   /** [[collectLmTable]] handed back as a LOCAL relation whose

@@ -57,7 +57,10 @@ object XzWriter {
     wr32(out, crc32(flags, 0, 2))
 
     def append(data: Array[Byte]): Unit = {
-      require(data.nonEmpty, "xz blocks need non-empty chunks")
+      // empty chunks are legal blocks (terminator-only LZMA2 stream,
+      // uncompressed size 0) — the BGZF/seekable-zstd shard siblings
+      // accept empty payloads, so the xz protocol must too or swapping
+      // container formats on one corpus fails on its first empty doc
       val hdr = new java.io.ByteArrayOutputStream(16)
       hdr.write(0); hdr.write(0)
       vli(hdr, 0x21); vli(hdr, 1); hdr.write(16)
@@ -212,24 +215,36 @@ object XzWriter {
         var out: java.io.OutputStream = null
         var st: BlockStream = null
         var shard = -1
+        var curPath: org.apache.hadoop.fs.Path = null
         def closeCurrent(): Unit = if (out != null) {
           st.finish(); out.close(); out = null; st = null
+        }
+        // a failed shard must not survive as a structurally VALID file
+        // missing rows: drop the index/footer and delete the partial
+        // file, then rethrow the ORIGINAL failure (secondary close or
+        // delete errors never mask it)
+        def abortCurrent(): Unit = if (out != null) {
+          try out.close() catch { case _: Exception => () }
+          out = null; st = null
+          try curPath.getFileSystem(confB.value).delete(curPath, false)
+          catch { case _: Exception => () }
         }
         try {
           rows.foreach { r =>
             val s = r.getInt(0)
             if (s != shard) {
               closeCurrent(); shard = s
-              val path = new org.apache.hadoop.fs.Path(
+              curPath = new org.apache.hadoop.fs.Path(
                 f"$dirB/shard-$shard%05d.xz")
-              val fs = path.getFileSystem(confB.value)
+              val fs = curPath.getFileSystem(confB.value)
               out = new java.io.BufferedOutputStream(
-                fs.create(path, true), 64 << 10)
+                fs.create(curPath, true), 64 << 10)
               st = new BlockStream(out)
             }
             st.append(r.getAs[Array[Byte]](2))
           }
-        } finally closeCurrent()
+          closeCurrent()
+        } catch { case e: Throwable => abortCurrent(); throw e }
     }
   }
 }

@@ -261,24 +261,35 @@ object ZstdSeekable {
       var out: java.io.OutputStream = null
       var st: SeekableStream = null
       var shard = -1
+      var curPath: org.apache.hadoop.fs.Path = null
       def closeCurrent(): Unit = if (out != null) {
         st.finish(); out.close(); out = null; st = null
+      }
+      // a failed shard must not survive as a structurally VALID file
+      // missing rows: drop the seek table and delete the partial file,
+      // then rethrow the ORIGINAL failure unmasked
+      def abortCurrent(): Unit = if (out != null) {
+        try out.close() catch { case _: Exception => () }
+        out = null; st = null
+        try curPath.getFileSystem(confB.value).delete(curPath, false)
+        catch { case _: Exception => () }
       }
       try {
         rows.foreach { r =>
           val s = r.getInt(0)
           if (s != shard) {
             closeCurrent(); shard = s
-            val path = new org.apache.hadoop.fs.Path(
+            curPath = new org.apache.hadoop.fs.Path(
               f"$dirB/shard-$shard%05d.zst")
-            val fs = path.getFileSystem(confB.value)
+            val fs = curPath.getFileSystem(confB.value)
             out = new java.io.BufferedOutputStream(
-              fs.create(path, true), 64 << 10)
+              fs.create(curPath, true), 64 << 10)
             st = new SeekableStream(out)
           }
           st.append(r.getAs[Array[Byte]](2))
         }
-      } finally closeCurrent()
+        closeCurrent()
+      } catch { case e: Throwable => abortCurrent(); throw e }
     }
   }
 

@@ -60,11 +60,17 @@ object StageJob {
               if (orderCols.nonEmpty) deduped.sortWithinPartitions(orderCols.map(col): _*)
               else deduped
 
-            // merge for incremental AND between-date, exactly the
-            // reference's stage condition (light_transform.py:1554);
-            // everything else — full, days_off — overwrites
+            // merge for incremental AND between-date, the reference's
+            // stage condition (light_transform.py:1554) — plus
+            // time_range, the v2 extractor's between-date alias
+            // (strategy_factory.py:88): this engine window-extracts it
+            // identically, so stage-overwriting it would silently drop
+            // every row outside the current window (the reference's
+            // literal two-string match never sees 'time_range' because
+            // v2 is the standalone path). Everything else — full,
+            // days_off — overwrites
             val isIncremental =
-              Set("incremental", "between-date")
+              Set("incremental", "between-date", "time_range")
                 .contains(table.effectiveLoadType) && idCols.nonEmpty
             // persisted: the write and the row count both read this — the
             // count comes from the cache instead of a second full scan of

@@ -36,6 +36,20 @@ class ConfigLoaderSpec extends AnyFunSuite {
       isPartition = false, isId = true, isOrderBy = false, isFilterDate = false))
   }
 
+  test("tablesFrom maps NUM_DAYS (an explicit days_off window survives)") {
+    // without this mapping an explicit days_off table silently falls
+    // back to the 10-day inference default — rows 10..N days old would
+    // never extract
+    val rows = ConfigLoader.parseCsv(
+      "STAGE_TABLE_NAME;SOURCE_TABLE;SOURCE_TABLE_TYPE;LOAD_TYPE;NUM_DAYS\n" +
+        "s1;T1;t;days_off;30\n" +
+        "s2;T2;t;;")
+    val tables = ConfigLoader.tablesFrom(rows)
+    assert(tables.head.loadType === "days_off")
+    assert(tables.head.numDays === "30")
+    assert(tables(1).numDays === "")
+  }
+
   test("blank LOAD_TYPE inference: 't' → incremental, else full") {
     assert(TableConfig(stageTableName = "s", sourceTable = "t",
       sourceTableType = "t").effectiveLoadType === "incremental")

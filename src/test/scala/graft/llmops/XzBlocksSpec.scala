@@ -88,6 +88,48 @@ class XzBlocksSpec extends SparkTestBase {
       }
   }
 
+  test("empty documents shard losslessly; xz CLI accepts empty blocks") {
+    val ss = spark
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-xz-empty").toString
+    // doc 2 and 5 are empty — the BGZF/zstd siblings accept empty
+    // payloads, so the xz protocol must not fail the export
+    val df = (0 until 8).map(i =>
+      (i.toLong, if (i == 2 || i == 5) "" else s"doc $i"))
+      .toDF("doc_id", "text")
+    XzWriter.writeShards(df, "doc_id", "text", dir, 2)
+    val back = XzLzma.readXzFiles(spark, dir)
+      .select(org.apache.spark.sql.functions.col("content").cast("string"))
+      .collect().map(_.getString(0)).sorted
+    assert(back.count(_.isEmpty) == 2)
+    assert(back.filter(_.nonEmpty).toSeq ==
+      (0 until 8).filterNot(i => i == 2 || i == 5).map(i => s"doc $i").sorted)
+    // the CLI decodes a shard carrying an empty block
+    for (f <- new java.io.File(dir).listFiles()
+        if f.getName.endsWith(".xz")) {
+      val p = new ProcessBuilder("xz", "-dc", f.getPath).start()
+      p.getInputStream.readAllBytes()
+      assert(p.waitFor() == 0, f.getName)
+    }
+  }
+
+  test("a failed export deletes its partial shard, never a valid file") {
+    val ss = spark
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-xz-abort").toString
+    // null content NPEs mid-shard executor-side; the task's partial
+    // file must not survive as a structurally valid xz missing rows
+    val df = (0 until 40).map(i =>
+      (i.toLong, if (i == 25) null else s"doc $i"))
+      .toDF("doc_id", "text")
+    intercept[Exception] {
+      XzWriter.writeShards(df, "doc_id", "text", dir, 1)
+    }
+    val leftover = new java.io.File(dir).listFiles()
+    assert(leftover == null || !leftover.exists(_.getName.endsWith(".xz")),
+      s"partial shard survived: ${leftover.map(_.getName).mkString(",")}")
+  }
+
   test("refusals: multi-stream concat, damaged block") {
     val dir = Files.createTempDirectory("graft-xzb").toString
     val a = XzWriter.encode("stream one".getBytes("UTF-8"))

@@ -161,6 +161,10 @@ class OperatorsSpec extends SparkTestBase {
     }
     // between-date: batch 2 merges into batch 1 (update 2, insert 3)
     assert(runTwice("between-date") === Seq((1, "a"), (2, "B2"), (3, "c")))
+    // time_range is the v2 extractor's between-date alias: this engine
+    // window-extracts it identically, so it MUST merge — overwriting
+    // would silently drop every row outside the current window
+    assert(runTwice("time_range") === Seq((1, "a"), (2, "B2"), (3, "c")))
     // days_off: batch 2 REPLACES the table wholesale
     assert(runTwice("days_off") === Seq((2, "B2"), (3, "c")))
   }
