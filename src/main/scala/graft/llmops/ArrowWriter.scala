@@ -885,9 +885,18 @@ object ArrowWriter {
       def flushBatch(): Unit = if (buf.nonEmpty) {
         streamer.append(buf.toSeq); buf.clear()
       }
+      var curPath: org.apache.hadoop.fs.Path = null
       def closeCurrent(): Unit = if (out != null) {
         flushBatch(); streamer.finish(); out.close()
         out = null; streamer = null
+      }
+      // a failed shard must not survive as a valid-looking container
+      // missing rows: delete the partial file, rethrow the original
+      def abortCurrent(): Unit = if (out != null) {
+        try out.close() catch { case _: Exception => () }
+        out = null; streamer = null
+        try curPath.getFileSystem(confB.value).delete(curPath, false)
+        catch { case _: Exception => () }
       }
       try {
         rows.foreach { r =>
@@ -895,16 +904,17 @@ object ArrowWriter {
           if (shard != curShard) {
             closeCurrent()
             curShard = shard
-            val path = new org.apache.hadoop.fs.Path(
+            curPath = new org.apache.hadoop.fs.Path(
               f"$dirB/shard-$shard%05d.arrow")
-            val fs = path.getFileSystem(confB.value)
-            out = fs.create(path, true)
+            val fs = curPath.getFileSystem(confB.value)
+            out = fs.create(curPath, true)
             streamer = new Streamer(fields, out)
           }
           buf += Row.fromSeq(r.toSeq.dropRight(1))
           if (buf.size >= rpb) flushBatch()
         }
-      } finally closeCurrent()
+        closeCurrent()
+      } catch { case e: Throwable => abortCurrent(); throw e }
     }
   }
 }

@@ -279,8 +279,17 @@ object AvroWriter {
         out.write(b, 0, b.length)
         buf.clear()
       }
+      var curPath: org.apache.hadoop.fs.Path = null
       def closeCurrent(): Unit = if (out != null) {
         flushBlock(); out.close(); out = null
+      }
+      // a failed shard must not survive as a valid-looking container
+      // missing rows: delete the partial file, rethrow the original
+      def abortCurrent(): Unit = if (out != null) {
+        try out.close() catch { case _: Exception => () }
+        out = null
+        try curPath.getFileSystem(confB.value).delete(curPath, false)
+        catch { case _: Exception => () }
       }
       try {
         rows.foreach { r =>
@@ -288,10 +297,10 @@ object AvroWriter {
           if (shard != curShard) {
             closeCurrent()
             curShard = shard
-            val path = new org.apache.hadoop.fs.Path(
+            curPath = new org.apache.hadoop.fs.Path(
               f"$dirB/shard-$shard%05d.avro")
-            val fs = path.getFileSystem(confB.value)
-            out = fs.create(path, true)
+            val fs = curPath.getFileSystem(confB.value)
+            out = fs.create(curPath, true)
             val (header, s) = headerBytes(schemaJson, codecB)
             sync = s
             out.write(header, 0, header.length)
@@ -299,7 +308,8 @@ object AvroWriter {
           buf += org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1))
           if (buf.size >= rpb) flushBlock()
         }
-      } finally closeCurrent()
+        closeCurrent()
+      } catch { case e: Throwable => abortCurrent(); throw e }
     }
   }
 }

@@ -233,9 +233,18 @@ object Megatron {
       } catch {
         // close the stream but never write the idx twin: an orphan .bin
         // is invisible to readIndexed (it lists *.idx), a half-pair
-        // would parse as a truncated corpus
+        // would parse as a truncated corpus. Delete the orphan too —
+        // same discipline as the container shard writers
         case e: Throwable =>
-          if (bin != null) { try bin.close() catch { case _: Throwable => () } }
+          if (bin != null) {
+            try bin.close() catch { case _: Throwable => () }
+            try new org.apache.hadoop.fs.Path(
+              f"$pathB/shard-$curShard%05d.bin")
+              .getFileSystem(confB.value)
+              .delete(new org.apache.hadoop.fs.Path(
+                f"$pathB/shard-$curShard%05d.bin"), false)
+            catch { case _: Throwable => () }
+          }
           throw e
       }
     }

@@ -543,9 +543,18 @@ object OrcWriter {
       var out: java.io.OutputStream = null
       var streamer: Streamer = null
       var curShard = -1
+      var curPath: org.apache.hadoop.fs.Path = null
       def closeCurrent(): Unit = if (out != null) {
         streamer.finish(); out.close()
         out = null; streamer = null
+      }
+      // a failed shard must not survive as a valid-looking container
+      // missing rows: delete the partial file, rethrow the original
+      def abortCurrent(): Unit = if (out != null) {
+        try out.close() catch { case _: Exception => () }
+        out = null; streamer = null
+        try curPath.getFileSystem(confB.value).delete(curPath, false)
+        catch { case _: Exception => () }
       }
       try {
         rows.foreach { r =>
@@ -553,15 +562,16 @@ object OrcWriter {
           if (shard != curShard) {
             closeCurrent()
             curShard = shard
-            val path = new org.apache.hadoop.fs.Path(
+            curPath = new org.apache.hadoop.fs.Path(
               f"$dirB/shard-$shard%05d.orc")
-            val fs = path.getFileSystem(confB.value)
-            out = fs.create(path, true)
+            val fs = curPath.getFileSystem(confB.value)
+            out = fs.create(curPath, true)
             streamer = new Streamer(schema, out, rowsPerStripe = rps)
           }
           streamer.append(Seq(Row.fromSeq(r.toSeq.dropRight(1))))
         }
-      } finally closeCurrent()
+        closeCurrent()
+      } catch { case e: Throwable => abortCurrent(); throw e }
     }
   }
 }

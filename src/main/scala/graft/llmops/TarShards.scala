@@ -85,10 +85,21 @@ object TarShards {
       // exactly one file, written by exactly one task.
       var out: java.io.OutputStream = null
       var curShard = -1
+      var curPath: org.apache.hadoop.fs.Path = null
       def closeCurrent(): Unit = if (out != null) {
         out.write(new Array[Byte](2 * BlockSize)) // archive end
         out.close()
         out = null
+      }
+      // a failed shard must not survive on disk at all (tar readers are
+      // lenient about a missing end marker, so a partial tar would read
+      // as a valid archive missing members): delete it, rethrow the
+      // original error
+      def abortCurrent(): Unit = if (out != null) {
+        try out.close() catch { case _: Exception => () }
+        out = null
+        try curPath.getFileSystem(confB.value).delete(curPath, false)
+        catch { case _: Exception => () }
       }
       try {
         rows.foreach { r =>
@@ -96,10 +107,10 @@ object TarShards {
           if (shard != curShard) {
             closeCurrent()
             curShard = shard
-            val path = new org.apache.hadoop.fs.Path(
+            curPath = new org.apache.hadoop.fs.Path(
               f"$dirB/shard-$shard%05d.tar")
-            val fs = path.getFileSystem(confB.value)
-            out = fs.create(path, true)
+            val fs = curPath.getFileSystem(confB.value)
+            out = fs.create(curPath, true)
           }
           val name = r.getAs[String]("__name")
           val content = r.getAs[Array[Byte]]("__content")
@@ -108,7 +119,7 @@ object TarShards {
           out.write(new Array[Byte](padding(content.length.toLong)))
         }
         closeCurrent()
-      } finally if (out != null) out.close()
+      } catch { case e: Throwable => abortCurrent(); throw e }
     }
   }
 

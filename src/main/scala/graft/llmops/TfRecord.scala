@@ -368,8 +368,18 @@ object TfRecord {
     sharded.foreachPartition { rows: Iterator[Row] =>
       var out: java.io.OutputStream = null
       var curShard = -1
+      var curPath: org.apache.hadoop.fs.Path = null
       def closeCurrent(): Unit = if (out != null) {
         out.close(); out = null
+      }
+      // a failed shard must not survive as a valid-looking file missing
+      // rows (GZIPOutputStream.close writes a clean trailer even over a
+      // truncated record set): delete it, rethrow the original error
+      def abortCurrent(): Unit = if (out != null) {
+        try out.close() catch { case _: Exception => () }
+        out = null
+        try curPath.getFileSystem(confB.value).delete(curPath, false)
+        catch { case _: Exception => () }
       }
       try {
         rows.foreach { r =>
@@ -378,10 +388,10 @@ object TfRecord {
             closeCurrent()
             curShard = shard
             val ext = if (gzipB) ".tfrecord.gz" else ".tfrecord"
-            val p = new org.apache.hadoop.fs.Path(
+            curPath = new org.apache.hadoop.fs.Path(
               f"$pathB/shard-$curShard%05d$ext")
-            val fs = p.getFileSystem(confB.value)
-            val raw = fs.create(p, true)
+            val fs = curPath.getFileSystem(confB.value)
+            val raw = fs.create(curPath, true)
             out =
               if (gzipB) new java.util.zip.GZIPOutputStream(raw, 64 << 10)
               else raw
@@ -391,7 +401,8 @@ object TfRecord {
             .toSeq
           writeRecord(out, encodeExample(feats))
         }
-      } finally closeCurrent()
+        closeCurrent()
+      } catch { case e: Throwable => abortCurrent(); throw e }
     }
   }
 

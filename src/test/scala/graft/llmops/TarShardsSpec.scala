@@ -105,6 +105,22 @@ class TarShardsSpec extends SparkTestBase {
     assert(n >= 0) // no throw is the contract
   }
 
+  test("a failed export deletes its partial tar (no valid-looking archive missing members)") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tar-abort").toString
+    // member 25 carries an over-long name: headerFor refuses mid-shard
+    val docs = (0 until 40).map(i =>
+      (if (i == 25) "n" * 101 else s"d$i", s"body $i".getBytes("UTF-8")))
+      .toDF("name", "content")
+    intercept[Exception] {
+      TarShards.write(docs, "name", "content", dir, nShards = 1)
+    }
+    val leftover = new java.io.File(dir).listFiles()
+    assert(leftover == null || !leftover.exists(_.getName.endsWith(".tar")),
+      s"partial tar survived: ${leftover.map(_.getName).mkString(",")}")
+  }
+
   test("compressed tar shards (.tar.zst / .tar.bz2) read like plain tars") {
     import spark.implicits._
     val docs = (0L until 40L).map(i => (s"d$i", s"tar body $i".getBytes))
