@@ -286,10 +286,7 @@ object AvroWriter {
       // a failed shard must not survive as a valid-looking container
       // missing rows: delete the partial file, rethrow the original
       def abortCurrent(): Unit = if (out != null) {
-        try out.close() catch { case _: Exception => () }
-        out = null
-        try curPath.getFileSystem(confB.value).delete(curPath, false)
-        catch { case _: Exception => () }
+        ShardFiles.abort(out, curPath, confB.value); out = null
       }
       try {
         rows.foreach { r =>

@@ -216,10 +216,7 @@ object Bgzf {
       // missing rows: drop the EOF marker and delete the partial file,
       // then rethrow the ORIGINAL failure unmasked
       def abortCurrent(): Unit = if (out != null) {
-        try out.close() catch { case _: Exception => () }
-        out = null
-        try curPath.getFileSystem(confB.value).delete(curPath, false)
-        catch { case _: Exception => () }
+        ShardFiles.abort(out, curPath, confB.value); out = null
       }
       try {
         rows.foreach { r =>
@@ -232,7 +229,17 @@ object Bgzf {
             out = new java.io.BufferedOutputStream(
               fs.create(curPath, true), 64 << 10)
           }
-          writeMember(out, r.getAs[Array[Byte]](2))
+          val c = r.getAs[Array[Byte]](2)
+          // an empty BGZF member is indistinguishable from the EOF
+          // marker, so the reader drops it — refuse loudly instead of
+          // losing the row silently (xz and tar shards round-trip
+          // empty documents; route such corpora there, or filter)
+          require(c != null && c.nonEmpty,
+            s"empty document (key ${r.getString(1)}) cannot round-trip " +
+              "through a BGZF member — the reader treats empty members " +
+              "as EOF padding; filter empty rows or use the xz/tar " +
+              "shard protocol")
+          writeMember(out, c)
         }
         closeCurrent()
       } catch { case e: Throwable => abortCurrent(); throw e }

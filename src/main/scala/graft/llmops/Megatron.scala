@@ -197,14 +197,16 @@ object Megatron {
       var bin: java.io.OutputStream = null
       var sizes: scala.collection.mutable.ArrayBuffer[Int] = null
       var curShard = -1
+      var curBinPath: org.apache.hadoop.fs.Path = null
+      var curIdxPath: org.apache.hadoop.fs.Path = null
       def closeCurrent(): Unit = if (bin != null) {
         bin.close()
-        val fs = new org.apache.hadoop.fs.Path(pathB)
-          .getFileSystem(confB.value)
-        val idxOut = fs.create(new org.apache.hadoop.fs.Path(
-          f"$pathB/shard-$curShard%05d.idx"), true)
+        curIdxPath = new org.apache.hadoop.fs.Path(
+          f"$pathB/shard-$curShard%05d.idx")
+        val idxOut = curIdxPath.getFileSystem(confB.value)
+          .create(curIdxPath, true)
         try idxOut.write(idxBytes(sizes.toSeq, dtypeB)) finally idxOut.close()
-        bin = null; sizes = null
+        bin = null; sizes = null; curIdxPath = null
       }
       try {
         rows.foreach { r =>
@@ -212,10 +214,10 @@ object Megatron {
           if (shard != curShard) {
             closeCurrent()
             curShard = shard
-            val fsPath = new org.apache.hadoop.fs.Path(
+            curBinPath = new org.apache.hadoop.fs.Path(
               f"$pathB/shard-$curShard%05d.bin")
             bin = new java.io.BufferedOutputStream(
-              fsPath.getFileSystem(confB.value).create(fsPath, true),
+              curBinPath.getFileSystem(confB.value).create(curBinPath, true),
               64 << 10)
             sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
           }
@@ -231,20 +233,15 @@ object Megatron {
         }
         closeCurrent()
       } catch {
-        // close the stream but never write the idx twin: an orphan .bin
-        // is invisible to readIndexed (it lists *.idx), a half-pair
-        // would parse as a truncated corpus. Delete the orphan too —
-        // same discipline as the container shard writers
+        // delete BOTH halves of the failing pair: the .bin (an orphan
+        // is invisible to readIndexed, which lists *.idx — but dead
+        // disk), and any PARTIAL .idx a failure inside closeCurrent's
+        // idx write left behind (a ghost half-pair would parse as a
+        // truncated corpus). Rethrow the original, nothing masks it
         case e: Throwable =>
-          if (bin != null) {
-            try bin.close() catch { case _: Throwable => () }
-            try new org.apache.hadoop.fs.Path(
-              f"$pathB/shard-$curShard%05d.bin")
-              .getFileSystem(confB.value)
-              .delete(new org.apache.hadoop.fs.Path(
-                f"$pathB/shard-$curShard%05d.bin"), false)
-            catch { case _: Throwable => () }
-          }
+          if (bin != null) ShardFiles.abort(bin, curBinPath, confB.value)
+          if (curIdxPath != null)
+            ShardFiles.abort(null, curIdxPath, confB.value)
           throw e
       }
     }

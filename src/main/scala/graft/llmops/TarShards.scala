@@ -96,10 +96,7 @@ object TarShards {
       // as a valid archive missing members): delete it, rethrow the
       // original error
       def abortCurrent(): Unit = if (out != null) {
-        try out.close() catch { case _: Exception => () }
-        out = null
-        try curPath.getFileSystem(confB.value).delete(curPath, false)
-        catch { case _: Exception => () }
+        ShardFiles.abort(out, curPath, confB.value); out = null
       }
       try {
         rows.foreach { r =>

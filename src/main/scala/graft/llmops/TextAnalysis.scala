@@ -802,16 +802,17 @@ object TextAnalysis {
   val MaxLmTableEntries: Long = 4000000L
 
   /** Size-gated LM-table materialization with ONE evaluation of the
-    * gram aggregation. The table caches as it is counted (job 1 — the
-    * expensive aggregation runs exactly once), the exact count gates
-    * BEFORE any row travels to the driver (an over-cap table refuses
-    * with guidance having fetched nothing — a per-partition gate can't
-    * do that: partitions can all sit under the cap while the total is
-    * 30× over it, and collecting them to find out IS the OOM), and
-    * only a proven ≤ cap table collects, off the cache. This replaces
-    * a `limit(cap+1).collect()` fetch, which bounds the driver the
-    * same way but re-plans the aggregation per call and schedules
-    * CollectLimit's incremental partition waves.
+    * expensive stages. Two actions run on one RDD instance: the count
+    * job registers every shuffle map stage with the output tracker, so
+    * the collect job re-runs only the final post-shuffle reduce pass
+    * (no persist — nothing to fill or evict). The exact count gates
+    * BEFORE any row travels to the driver: an over-cap table refuses
+    * with guidance having fetched nothing. A per-partition gate cannot
+    * give that bound — partitions can all sit under the cap while the
+    * total is 30× over it, and collecting them to find out IS the
+    * OOM. This replaces a `limit(cap+1).collect()` fetch, which bounds
+    * the driver the same way but re-plans the aggregation per call and
+    * schedules CollectLimit's incremental partition waves.
     */
   private[llmops] def collectLmTable(
       df: DataFrame): Array[(String, Long)] = {

@@ -376,10 +376,7 @@ object TfRecord {
       // rows (GZIPOutputStream.close writes a clean trailer even over a
       // truncated record set): delete it, rethrow the original error
       def abortCurrent(): Unit = if (out != null) {
-        try out.close() catch { case _: Exception => () }
-        out = null
-        try curPath.getFileSystem(confB.value).delete(curPath, false)
-        catch { case _: Exception => () }
+        ShardFiles.abort(out, curPath, confB.value); out = null
       }
       try {
         rows.foreach { r =>

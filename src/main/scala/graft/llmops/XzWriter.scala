@@ -58,9 +58,11 @@ object XzWriter {
 
     def append(data: Array[Byte]): Unit = {
       // empty chunks are legal blocks (terminator-only LZMA2 stream,
-      // uncompressed size 0) — the BGZF/seekable-zstd shard siblings
-      // accept empty payloads, so the xz protocol must too or swapping
-      // container formats on one corpus fails on its first empty doc
+      // uncompressed size 0), so xz shards round-trip empty documents —
+      // the one container of the trilogy that can: BGZF reads empty
+      // members as EOF padding and seekable zstd reads zero-size frames
+      // as skippable padding, so their shard writers refuse empties
+      // loudly rather than lose rows silently
       val hdr = new java.io.ByteArrayOutputStream(16)
       hdr.write(0); hdr.write(0)
       vli(hdr, 0x21); vli(hdr, 1); hdr.write(16)
@@ -224,10 +226,8 @@ object XzWriter {
         // file, then rethrow the ORIGINAL failure (secondary close or
         // delete errors never mask it)
         def abortCurrent(): Unit = if (out != null) {
-          try out.close() catch { case _: Exception => () }
+          ShardFiles.abort(out, curPath, confB.value)
           out = null; st = null
-          try curPath.getFileSystem(confB.value).delete(curPath, false)
-          catch { case _: Exception => () }
         }
         try {
           rows.foreach { r =>

@@ -269,10 +269,8 @@ object ZstdSeekable {
       // missing rows: drop the seek table and delete the partial file,
       // then rethrow the ORIGINAL failure unmasked
       def abortCurrent(): Unit = if (out != null) {
-        try out.close() catch { case _: Exception => () }
+        ShardFiles.abort(out, curPath, confB.value)
         out = null; st = null
-        try curPath.getFileSystem(confB.value).delete(curPath, false)
-        catch { case _: Exception => () }
       }
       try {
         rows.foreach { r =>
@@ -286,7 +284,16 @@ object ZstdSeekable {
               fs.create(curPath, true), 64 << 10)
             st = new SeekableStream(out)
           }
-          st.append(r.getAs[Array[Byte]](2))
+          val c = r.getAs[Array[Byte]](2)
+          // a zero-decompressed-size frame reads as skippable padding,
+          // so an empty row would vanish on read — refuse loudly (xz
+          // and tar shards round-trip empty documents)
+          require(c != null && c.nonEmpty,
+            s"empty document (key ${r.getString(1)}) cannot round-trip " +
+              "through a seekable-zstd frame — zero-size frames read " +
+              "as padding; filter empty rows or use the xz/tar shard " +
+              "protocol")
+          st.append(c)
         }
         closeCurrent()
       } catch { case e: Throwable => abortCurrent(); throw e }

@@ -40,6 +40,24 @@ class BgzfSpec extends SparkTestBase {
     assert(whole != null && whole.toSeq == chunks.flatten.toSeq)
   }
 
+  test("empty documents refuse loudly (a BGZF member cannot carry them)") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bgzf-empty").toString
+    val df = (0 until 6).map(i => (i.toLong, if (i == 3) "" else s"doc $i"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Bgzf.writeShards(df, "doc_id", "text", dir, 1)
+    }
+    // the guided refusal (not a bare NPE), and no partial shard survives
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("xz/tar")), chain.mkString(" | "))
+    val leftover = new java.io.File(dir).listFiles()
+    assert(leftover == null || !leftover.exists(_.getName.endsWith(".bgz")))
+  }
+
   test("shard protocol: distributed export, one-plan multi-file read") {
     val ss = spark
     import ss.implicits._

@@ -53,6 +53,23 @@ class ZstdSeekableSpec extends SparkTestBase {
     assert(whole != null && whole.toSeq == chunks.flatten.toSeq)
   }
 
+  test("empty documents refuse loudly (a zero-size frame reads as padding)") {
+    val ss = spark
+    import ss.implicits._
+    val dir = Files.createTempDirectory("zsk-empty").toString
+    val df = (0 until 6).map(i => (i.toLong, if (i == 3) "" else s"doc $i"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      ZstdSeekable.writeShards(df, "doc_id", "text", dir, 1)
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("xz/tar")), chain.mkString(" | "))
+    val leftover = new java.io.File(dir).listFiles()
+    assert(leftover == null || !leftover.exists(_.getName.endsWith(".zst")))
+  }
+
   test("shard protocol: distributed export, grouped multi-file read-back") {
     val ss = spark
     import ss.implicits._
