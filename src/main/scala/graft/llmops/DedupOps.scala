@@ -54,6 +54,15 @@ object DedupOps {
   def minhashBandRows(df: DataFrame, textCol: String, keyCol: String,
       keyAlias: String, wordShingleN: Int, numHashes: Int,
       bands: Int): DataFrame = {
+    // bands must tile the signature exactly: bands > numHashes makes every
+    // band_hash the hash of an EMPTY slice — one constant key, so the
+    // candidate join degenerates into the O(n²) cross product the banding
+    // exists to prevent; a non-dividing count silently ignores trailing
+    // hashes (changed recall with no warning)
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) with " +
+        "rowsPerBand >= 1 — the LSH banding is only meaningful when the " +
+        "bands tile the signature exactly")
     val rowsPerBand = numHashes / bands
     val sigged = df
       .select(col(keyCol).alias(keyAlias),
@@ -131,14 +140,16 @@ object DedupOps {
       threshold: Double
   ): DataFrame = {
     // candidate pairs: narrow band keys on both sides; one shuffle each.
-    // Persisted — consumed three times below (pair join + two key
-    // projections); without it the signature/banding computation runs 3×.
+    // Consumed three times below (pair join + two key projections);
+    // localCheckpoint, not persist — CorpusIngest calls this per streaming
+    // micro-batch and persist would pin CacheManager blocks until an
+    // unpersist the caller never sees; checkpoint blocks free with the RDD
     val pairs = minhashBandRows(newDocs, textCol, keyCol, "__nkey",
         wordShingleN, numHashes, bands)
       .join(corpusBands, Seq("band", "band_hash"))
       .select(col("__nkey"), col("__ckey"))
       .dropDuplicates("__nkey", "__ckey")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // exact verification: join on candidate keys FIRST, project the
     // shingle transform after — the HOF array must be built for candidate
@@ -459,6 +470,10 @@ object DedupOps {
       threshold: Double = 0.6,
       wordShingleN: Option[Int] = None
   ): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) with " +
+        "rowsPerBand >= 1 — an empty band slice hashes to ONE constant " +
+        "key and the candidate self-join goes O(n²)")
     val rowsPerBand = numHashes / bands
     // Word n-grams (wordShingleN) give ~5× fewer shingles than char k-grams
     // on prose and have a native single-pass signature kernel — prefer them
@@ -495,12 +510,15 @@ object DedupOps {
       struct(lit(b).alias("band"),
         xxhash64(concat_ws("_", bandCols: _*)).alias("band_hash"))
     }
-    // persisted: both sides of the candidate self-join scan this — without
-    // it the signature computation and source scan run twice
+    // materialized once: both sides of the candidate self-join scan this —
+    // without it the signature computation and source scan run twice.
+    // localCheckpoint, not persist: CorpusIngest calls this per streaming
+    // micro-batch and persist would pin CacheManager blocks until an
+    // unpersist the caller never sees; checkpoint blocks free with the RDD
     val bandRows = sigged
       .select(col("key"), explode(array(bandStructs: _*)).alias("b"))
       .select(col("key"), col("b.band"), col("b.band_hash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     val pairs = bandRows.alias("l")
       .join(bandRows.alias("r"),
@@ -524,7 +542,7 @@ object DedupOps {
     val candSh = df.select(col(keyCol).alias("key"), col(textCol).alias("__txt"))
       .join(pairKeys, "key")
       .select(col("key"), shingleOf(col("__txt")).alias("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     val shA = candSh.select(col("key").alias("key_a"), col("sh").alias("sh_a"))
     val shB = candSh.select(col("key").alias("key_b"), col("sh").alias("sh_b"))

@@ -193,7 +193,12 @@ object Similarity {
         .join(centExp, "d")
         .groupBy(col(keyAs), col("cent_id"), col("cent_norm"))
         .agg(sum(col("x").cast("double") * col("cx").cast("double")).alias("dot"))
-      val scored = dots.withColumn("score", -col("dot") / col("cent_norm"))
+      // zero-norm guard (parity with ivfPqTopK/semDedup): an all-zero
+      // sampled centroid gives 0/0 = NaN, and Spark-vs-SQL NaN ordering
+      // divergence would break the exact-replay contract; score it flat
+      val scored = dots.withColumn("score",
+        when(col("cent_norm") === 0, lit(0.0))
+          .otherwise(-col("dot") / col("cent_norm")))
       if (keep == 1)
         scored.groupBy(col(keyAs))
           .agg(min_by(col("cent_id"), struct(col("score"), col("cent_id")))
@@ -276,10 +281,14 @@ object Similarity {
       numPlanes: Int = 12,
       numTables: Int = 4
   ): DataFrame = {
+    // localCheckpoint, not persist: callers can never unpersist the frame
+    // backing the returned result, so on repeated/micro-batch use persist
+    // would pin CacheManager blocks forever; checkpoint blocks free with
+    // the RDD
     val b = lshBucketRows(
         corpus.select(col(keyCol).alias("key"), col(vecCol).alias("v")),
         "key", "v", "v", numPlanes, numTables)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val l = b.select(col("key").alias("key_a"), col("v").alias("va"),
       col("table").alias("l_t"), col("bucket").alias("l_b"))
     val r = b.select(col("key").alias("key_b"), col("v").alias("vb"),
@@ -377,10 +386,20 @@ object Similarity {
       .filter(cosine(col("va"), col("vb")) >= tau)
       .select(col("key_a"), col("key_b"))
     val comps = DedupOps.duplicateClusters(pairs)
-    assigned.join(comps, Seq("key"), "left")
+    val flagged = assigned.join(comps, Seq("key"), "left")
       .select(col("key"), col("cent_id"),
         (col("cluster_id").isNull || col("cluster_id") === col("key"))
           .alias("kept"))
+    // rows whose embedding is NULL or empty never assign a cell
+    // (posexplode emits nothing) — but the contract returns EVERY corpus
+    // row, and an unembeddable document cannot be proven a duplicate, so
+    // it survives with no cell rather than silently vanishing from the
+    // output (a kept-join caller would otherwise delete it)
+    val unembeddable = src
+      .filter(col("v").isNull || size(col("v")) === 0)
+      .select(col("key"), lit(null).cast("int").alias("cent_id"),
+        lit(true).alias("kept"))
+    flagged.unionByName(unembeddable)
   }
 
   /** Approximate top-k: candidates restricted to equal LSH buckets (optionally
@@ -937,12 +956,18 @@ object Similarity {
         .select(col(keyAs), col("j").alias("cent_id"),
           when(col("cnorm") === 0, lit(0.0))
             .otherwise(-col("dot") / col("cnorm")).alias("score"))
+    // materialized once (localCheckpoint, the house pattern): corpusCell
+    // feeds BOTH the residual build and the final scoring join, and the
+    // corpus-wide coarse assignment (posexplode + broadcast join + two
+    // aggregations) is the most expensive stage here — recomputing it per
+    // consumer would roughly double the job at corpus scale
     val corpusCell = coarse(
         corpus.select(col(corpusKey).alias("neighbor_key"),
           col(corpusVec).alias("__v")), "neighbor_key")
       .groupBy(col("neighbor_key"))
       .agg(min_by(col("cent_id"), struct(col("score"), col("cent_id")))
         .alias("cent_id"))
+      .localCheckpoint(true)
     val wProbe = Window.partitionBy(col("query_key"))
       .orderBy(col("score"), col("cent_id"))
     val probes = coarse(
@@ -954,7 +979,8 @@ object Similarity {
 
     val centById = coarseCents
       .select(col("j").alias("cent_id"), col("cent_vec").alias("__cv"))
-    // corpus residuals (one cell per vector → one residual per vector)
+    // corpus residuals (one cell per vector → one residual per vector) —
+    // consumed by the codebook sampling AND the encode pass; one scan
     val resid = corpus
       .select(col(corpusKey).alias("neighbor_key"), col(corpusVec).alias("__v"))
       .join(corpusCell, "neighbor_key")
@@ -962,6 +988,7 @@ object Similarity {
       .withColumn("__rv", zip_with(col("__v"), col("__cv"),
         (a, b) => a.cast("double") - b.cast("double")))
       .select(col("neighbor_key"), col("__rv"))
+      .localCheckpoint(true)
     val cb = pqSample(resid, "neighbor_key", "__rv", pqCentroids)
     val codes = pqEncodeWith(resid, "neighbor_key", "__rv", cb, numSubspaces)
       .select(col("neighbor_key"), col("codes"))

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{ByteType, DataType, DateType,
+  IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Key-based upsert with Delta-MERGE semantics over plain Parquet
@@ -21,6 +22,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * the keys. One shuffle on the id columns, no driver-side collection —
   * at 100 TB this is the same hash-partitioned join Delta MERGE performs
   * internally; AQE handles skewed keys.
+  *
+  * Two deliberate divergences from SQL MERGE's join semantics, both
+  * self-healing rather than row-preserving: (a) NULL key values GROUP
+  * together (window partitioning, not join equality — SQL's NULL≠NULL
+  * would insert every NULL-keyed batch row alongside every NULL-keyed old
+  * row, compounding forever); (b) old rows sharing one key — possible only
+  * after the documented partition-move constraint is violated — collapse
+  * to one deterministic survivor instead of all matching. The reference's
+  * id columns are primary keys, so neither case arises on clean data.
   *
   * Scale: for partitioned tables, [[upsertParquet]] merges and rewrites
   * ONLY the partitions present in the batch (the plain-parquet analogue of
@@ -79,7 +89,16 @@ object MergeUpsert {
       }
     val flagged = oldAligned.withColumn("__prec", lit(0))
       .unionByName(newAligned.withColumn("__prec", lit(1)))
-    val w = Window.partitionBy(idCols.map(col): _*).orderBy(col("__prec").desc)
+    // total order: precedence first, then a stable hash of the whole row —
+    // a batch that slips two DISTINCT rows with one key past the upstream
+    // dedup would otherwise tie at __prec=1 and survive nondeterministically
+    // (run-to-run different payloads; Delta raises "multiple source rows
+    // matched" there — we resolve deterministically instead of failing the
+    // batch). Two IDENTICAL rows hash equal: same output either way.
+    val payloadHash =
+      xxhash64(flagged.columns.filterNot(_ == "__prec").map(col): _*)
+    val w = Window.partitionBy(idCols.map(col): _*)
+      .orderBy(col("__prec").desc, payloadHash.asc)
     flagged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -138,6 +157,27 @@ object MergeUpsert {
         */
       lockStore: Option[LockStore] = None
   ): Unit = {
+    // partition-dir names are rendered DRIVER-side (renderValue) on the
+    // pruned-merge path and must agree byte-for-byte with Spark's own
+    // partitionBy naming, or the existence probe misses the live dir and
+    // the commit REPLACES the partition with batch-only rows — silent data
+    // loss. Timestamps are the concrete trap (java.sql.Timestamp.toString
+    // carries ".0", Spark's dir name does not). Refuse anything outside
+    // the proven set on the FIRST write, before such a table can exist
+    partitionCols.foreach { p =>
+      val dt = batch.schema(batch.schema.fieldIndex(p)).dataType
+      val ok = dt match {
+        case StringType | DateType | ByteType | ShortType |
+             IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok, s"partition column $p has type ${dt.simpleString} — " +
+        "driver-side dir rendering is only proven to match Spark's for " +
+        "string/date/integral partition columns; cast the column (e.g. " +
+        "timestamp → date or string) before partitioning, or a renaming " +
+        "mismatch would silently replace live partitions with batch-only " +
+        "rows")
+    }
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lease: TableLease = lockStore match {
@@ -258,12 +298,24 @@ object MergeUpsert {
     if (!fs.rename(tmp, new Path(path + "__commit"))) {
       fs.delete(tmp, false)
       // rename refused (HDFS semantics, marker already present): a prior
-      // writer's commit was never cleaned up — recover it, then retry once
+      // writer's commit was never cleaned up — recover it, then retry the
+      // SAME write-tmp-then-rename path. Creating directly at the final
+      // name here would reopen the torn-marker window the tmp+rename
+      // protocol exists to close (a crash mid-create leaves a 0-line
+      // marker that readMarker resolves to the legacy staging dir — the
+      // wrong one — and recovery would then sweep the real staged batch)
       Maintenance.recoverFs(fs, path)
-      val out2 = fs.create(new Path(path + "__commit"), true)
+      val tmp2 = new Path(s"${path}__commit.tmp.${java.util.UUID.randomUUID()}")
+      val out2 = fs.create(tmp2, true)
       out2.write(s"${staging.getName}\n$mode\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out2.close()
+      if (!fs.rename(tmp2, new Path(path + "__commit"))) {
+        fs.delete(tmp2, false)
+        throw new IllegalStateException(
+          s"commit marker for $path still present after recovery — " +
+            "refusing to overwrite another writer's live commit")
+      }
     }
   }
 

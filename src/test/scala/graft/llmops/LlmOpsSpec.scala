@@ -15,6 +15,24 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq(1L, 3L)) // 2 is a case/space variant of 1
   }
 
+  test("LSH banding refuses bands that do not tile the signature") {
+    // bands > numHashes hashes an EMPTY slice per band — one constant key,
+    // O(n²) candidate join; a non-dividing count silently drops hashes
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      DedupOps.minhashNearDups(docs, "text", "doc_id",
+        numHashes = 32, bands = 64)
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.minhashNearDups(docs, "text", "doc_id",
+        numHashes = 32, bands = 10)
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.minhashBandRows(docs, "text", "doc_id", "k",
+        wordShingleN = 3, numHashes = 16, bands = 0)
+    }
+  }
+
   test("minhash near-dups find planted duplicates, skip unrelated") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

@@ -409,6 +409,26 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("semDedup returns null/empty-embedding rows kept, never drops them") {
+    val base = semCorpus(4, 8, 16)
+    val nulled = base.filter($"vec_id" < 2)
+      .withColumn("vec_id", $"vec_id" + 5000)
+      .withColumn("embedding",
+        lit(null).cast("array<float>"))
+    val empty = base.filter($"vec_id" === 3)
+      .withColumn("vec_id", $"vec_id" + 6000)
+      .withColumn("embedding",
+        array().cast("array<float>"))
+    val corpus = base.unionByName(nulled).unionByName(empty)
+    val got = Similarity.semDedup(corpus, "vec_id", "embedding",
+        tau = 0.999, nClusters = 8)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    // an unembeddable document cannot be proven a duplicate → kept,
+    // and it MUST appear in the output (the contract covers every row)
+    assert(got.size === base.count() + 3)
+    assert(got(5000L) && got(5001L) && got(6003L))
+  }
+
   test("semDedup default cell count follows the sqrt-n rule, not a literal") {
     // 2048 rows: 16 cells would put ~128 rows per cell and Σ|cell|²
     // ≈ 16·128² = 262k candidate pairs; √n ≈ 45 cells caps it at

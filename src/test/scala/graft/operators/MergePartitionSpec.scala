@@ -60,6 +60,20 @@ class MergePartitionSpec extends SparkTestBase {
     assert(!fs.exists(new Path(dir + "__commit")))
   }
 
+  test("timestamp partition columns refuse loudly (driver dir rendering)") {
+    // java.sql.Timestamp.toString carries ".0" where Spark's partitionBy
+    // dir name does not — the existence probe would miss the live dir and
+    // the commit would REPLACE the partition with batch-only rows. The
+    // guard must fire before anything is staged or swapped.
+    val dir = tmpDir() + "/ts"
+    val init = Seq((1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"))
+      .toDF("id", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      MergeUpsert.upsertParquet(spark, init, dir, Seq("id"), Seq("ts"))
+    }
+    assert(e.getMessage.contains("timestamp"))
+  }
+
   test("pruned upsert creates brand-new partitions") {
     val dir = tmpDir() + "/t"
     MergeUpsert.upsertParquet(spark,
