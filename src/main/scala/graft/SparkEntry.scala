@@ -11640,7 +11640,7 @@ ${graft.oracle.XxHash64Sql.kernel("42")},
          FROM e
          WHERE epoch < CAST(floor(wt) AS BIGINT)
             OR (epoch = CAST(floor(wt) AS BIGINT)
-                AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                AND ('0x' || substr(md5(doc_id::VARCHAR || ':mixture'), 1, 15))::BIGINT
                     % 1000000 < CAST((wt - floor(wt)) * 1000000 AS BIGINT))
          ORDER BY doc_id, epoch""",
 

@@ -38,6 +38,13 @@ object Sampling {
     * function of (key, weight) — identical across engines, re-runs, and
     * corpus growth. One generator projection, no shuffle, no rand().
     * Weights ≤ 0 drop the source entirely.
+    *
+    * The fractional gate is salted (`key || ":mixture"`, same rationale
+    * as [[weightedSample]]): composing with [[hashSample]] on the SAME
+    * key makes independent decisions — unsalted, hashSample(0.5) piped
+    * into weight 1.5 would pass every survivor (effective weight 2.0,
+    * fully correlated gates). External replay:
+    * `md5(key || ':mixture')`.
     */
   def mixtureSample(
       df: DataFrame,
@@ -55,7 +62,9 @@ object Sampling {
         explode(sequence(lit(0), ceil(col("__w")).cast("int") - 1)))
       .filter(col("epoch") < floor(col("__w")).cast("int") ||
         (col("epoch") === floor(col("__w")).cast("int") &&
-          pmod(Similarity.portable60(col(keyCol)), lit(Buckets)) <
+          pmod(Similarity.portable60(
+              concat(col(keyCol).cast("string"), lit(":mixture"))),
+            lit(Buckets)) <
             ((col("__w") - floor(col("__w"))) * Buckets).cast("long")))
       .drop("__w")
   }
@@ -133,11 +142,14 @@ object Sampling {
     * Bands are cumulative integer thresholds over the same 1e6 hash
     * buckets as [[hashSample]], salted (`rep || ":split"`) so composing
     * with a rate sampler on the same keys stays independent; the final
-    * band absorbs threshold rounding. Engine-portable and growth-stable
-    * like every gate here: a cluster's split never changes as unrelated
-    * corpus grows (it can change only if new edges MERGE two clusters —
-    * which is exactly when it must, because the merged cluster now leaks
-    * unless co-located).
+    * band absorbs threshold rounding. Engine-portable, and stable as
+    * UNRELATED corpus grows: a cluster's split changes only when its own
+    * membership does — new edges merging two clusters (exactly when it
+    * must move: the merged cluster leaks unless co-located), but ALSO a
+    * new member with a smaller key, which changes the min-key
+    * representative and can re-band the existing members. Longitudinal
+    * eval sets that must never migrate should pin their own split column
+    * at creation time rather than re-derive it per run.
     *
     * Scale shape: label propagation is O(diameter) narrow rounds
     * ([[DedupOps.duplicateClusters]]'s checkpointed loop); everything

@@ -114,6 +114,14 @@ object TrainExport {
       path: String, codec: String): Unit = {
     require(Compression.Codecs.contains(codec), s"unknown codec $codec")
     val ext = Compression.extension(codec)
+    // overwrite semantics like the DataFrameWriter-backed siblings: each
+    // task only creates its own shard-NNNNN file, so a prior export with
+    // MORE shards (or another codec's extension) would otherwise leave
+    // stale files that readJsonlShards('dir/*') happily mixes back in
+    val root = new org.apache.hadoop.fs.Path(path)
+    val rootFs = root.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (rootFs.exists(root)) rootFs.delete(root, true)
     val sharded = shuffleShards(df, keyCol, nShards)
       .withColumn("__json",
         to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
@@ -178,25 +186,7 @@ object TrainExport {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val plain = Compression.sniffCodec(bytes)
-          .orElse(Compression.codecForName(path)) match {
-          // suffix fallback: brotli carries no magic to sniff, so .br
-          // shards decode by NAME; all other codecs sniff as before.
-          // Dictionary-compressed zstd shards sniff fine but refuse the
-          // plain decode — retry against the shared dictionary
-          case Some("zstd") =>
-            val d = Compression.decode(bytes, "zstd")
-            if (d != null) d
-            else zstdDict.map(Zstd.decode(bytes, _)).orNull
-          case Some(c) => Compression.decode(bytes, c)
-          case None => bytes
-        }
-        if (plain == null) Iterator.empty
-        else {
-          val text = new String(plain, java.nio.charset.StandardCharsets.UTF_8)
-          text.split("\n", -1).iterator.filter(_.nonEmpty).zipWithIndex
-            .map { case (line, idx) => (path, idx.toLong, line) }
-        }
+        decodeJsonlLines(path, bytes, zstdDict)
       }
       .toDF("file", "pos", "line")
   }
@@ -226,6 +216,39 @@ object TrainExport {
       .toDF("file", "pos", "line")
   }
 
+  /** One shard's bytes → (file, pos, line) rows, shared by the batch and
+    * streaming shard readers so their decode contracts can never drift.
+    * Sniff first; suffix fallback for brotli (no magic to sniff);
+    * dictionary-compressed zstd retries against the shared dictionary.
+    * CONTRACT: a shard that decodes to null — corrupt bytes, a decoded
+    * size past the 64 MB per-file envelope, or a dict-zstd shard without
+    * its dictionary — is DROPPED WHOLESALE (a WARN with the path goes to
+    * the executor log). Audit `input_file_name`/file counts after a read
+    * if shard completeness matters more than scan resilience.
+    */
+  private def decodeJsonlLines(path: String, bytes: Array[Byte],
+      zstdDict: Option[Array[Byte]]): Iterator[(String, Long, String)] = {
+    val plain = Compression.sniffCodec(bytes)
+      .orElse(Compression.codecForName(path)) match {
+      case Some("zstd") =>
+        val d = Compression.decode(bytes, "zstd")
+        if (d != null) d
+        else zstdDict.map(Zstd.decode(bytes, _)).orNull
+      case Some(c) => Compression.decode(bytes, c)
+      case None => bytes
+    }
+    if (plain == null) {
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"dropping undecodable jsonl shard: $path " +
+          s"(${bytes.length} compressed bytes)")
+      Iterator.empty
+    } else {
+      val text = new String(plain, java.nio.charset.StandardCharsets.UTF_8)
+      text.split("\n", -1).iterator.filter(_.nonEmpty).zipWithIndex
+        .map { case (line, idx) => (path, idx.toLong, line) }
+    }
+  }
+
   def readJsonlShards(spark: SparkSession, dir: String,
       zstdDict: Option[Array[Byte]] = None): DataFrame = {
     import spark.implicits._
@@ -233,25 +256,7 @@ object TrainExport {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val plain = Compression.sniffCodec(bytes)
-          .orElse(Compression.codecForName(path)) match {
-          // suffix fallback: brotli carries no magic to sniff, so .br
-          // shards decode by NAME; all other codecs sniff as before.
-          // Dictionary-compressed zstd shards sniff fine but refuse the
-          // plain decode — retry against the shared dictionary
-          case Some("zstd") =>
-            val d = Compression.decode(bytes, "zstd")
-            if (d != null) d
-            else zstdDict.map(Zstd.decode(bytes, _)).orNull
-          case Some(c) => Compression.decode(bytes, c)
-          case None => bytes
-        }
-        if (plain == null) Iterator.empty
-        else {
-          val text = new String(plain, java.nio.charset.StandardCharsets.UTF_8)
-          text.split("\n", -1).iterator.filter(_.nonEmpty).zipWithIndex
-            .map { case (line, idx) => (path, idx.toLong, line) }
-        }
+        decodeJsonlLines(path, bytes, zstdDict)
       }
       .toDF("file", "pos", "line")
   }

@@ -37,8 +37,15 @@ final class WatermarkStore(spark: SparkSession, path: String, ttlDays: Int = 90)
   private val bak = new Path(path + "__bak")
   private def fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Composite watermark key. Components are URL-encoded BEFORE joining
+    * so a '#' inside a name cannot make two distinct (project, table,
+    * column) triples collide on one key — a collision would let one
+    * table's confirm() advance the other's incremental cutoff and
+    * silently skip rows on its next extract. Clean names (no '#', '%',
+    * spaces) encode to themselves, so existing stores keep working.
+    */
   def key(project: String, table: String, column: String): String =
-    s"$project#$table#$column"
+    s"${enc(project)}#${enc(table)}#${enc(column)}"
 
   /** Last CONFIRMED, unexpired watermark value for a key. */
   def get(wmKey: String): Option[String] = this.synchronized {
@@ -84,8 +91,11 @@ final class WatermarkStore(spark: SparkSession, path: String, ttlDays: Int = 90)
     try {
       Iterator.continually(in.readLine()).takeWhile(_ != null).flatMap { line =>
         line.split("\t", -1) match {
+          // a malformed timestamp skips the line like any other corrupt
+          // row (the `case _` arm) instead of throwing and bricking
+          // every store operation until a human repairs the file
           case Array(k, v, s, at) =>
-            Some(Entry(dec(k), dec(v), dec(s), at.toLong))
+            at.toLongOption.map(ts => Entry(dec(k), dec(v), dec(s), ts))
           case _ => None
         }
       }.toVector

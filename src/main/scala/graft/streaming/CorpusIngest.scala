@@ -22,6 +22,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object CorpusIngest {
 
+  /** Run `f` under the per-corpus ingest lease when a [[LockStore]] is
+    * given (multi-writer serialization — appends and store compaction
+    * share ONE lock name per corpus), plainly otherwise. All four
+    * ingest/compaction entry points route through here so a lease-naming
+    * or staleness change cannot silently desynchronize one of them.
+    */
+  private def withIngestLock[A](
+      lockStore: Option[graft.operators.LockStore],
+      corpusPath: String)(f: => A): A = lockStore match {
+    case Some(store) =>
+      val lease = graft.operators.StoreLease.acquire(
+        store, corpusPath + "__ingest_lock",
+        graft.operators.MergeUpsert.DefaultLeaseStaleMs)
+      try f finally lease.release()
+    case None => f
+  }
+
   /** One micro-batch: drop within-batch near-dups (keep the lowest key of
     * each candidate pair — for chains this keeps the first element, the
     * standard greedy pass; cluster-exact keep-one is
@@ -77,17 +94,8 @@ object CorpusIngest {
         */
       qualityGate: Option[DataFrame => DataFrame] = None
   ): Long = {
-    lockStore match {
-      case Some(store) =>
-        val lease = graft.operators.StoreLease.acquire(
-          store, corpusPath + "__ingest_lock",
-          graft.operators.MergeUpsert.DefaultLeaseStaleMs)
-        try ingestBatchUnlocked(spark, batch, corpusPath, textCol, keyCol,
-          wordShingleN, numHashes, bands, threshold, signaturePath,
-          qualityGate)
-        finally lease.release()
-      case None =>
-        ingestBatchUnlocked(spark, batch, corpusPath, textCol, keyCol,
+    withIngestLock(lockStore, corpusPath) {
+      ingestBatchUnlocked(spark, batch, corpusPath, textCol, keyCol,
           wordShingleN, numHashes, bands, threshold, signaturePath,
           qualityGate)
     }
@@ -149,12 +157,21 @@ object CorpusIngest {
     try {
       val n = pinned.count()
       if (n > 0) {
-        pinned.write.mode(SaveMode.Append).parquet(corpusPath)
+        // SIGNATURES FIRST, corpus second — the crash-window analysis:
+        // the two appends cannot be atomic, and a replayed batch is
+        // screened through band candidates VERIFIED against corpus text.
+        // Crash between sig and corpus append → replay finds its own
+        // band rows but no text to verify against → rows survive → the
+        // corpus append completes (benign duplicate sig rows, no data
+        // loss). The other order is the bad one: crash between corpus
+        // and sig append → replay finds NO band candidates → the whole
+        // batch re-appends → permanent duplicate corpus rows.
         signaturePath.foreach { sigPath =>
           DedupOps.minhashBandRows(pinned, textCol, keyCol, keyCol,
               wordShingleN, numHashes, bands)
             .write.mode(SaveMode.Append).parquet(sigPath)
         }
+        pinned.write.mode(SaveMode.Append).parquet(corpusPath)
       }
       n
     } finally {
@@ -289,6 +306,16 @@ object CorpusIngest {
     * a replayed file fingerprints identically and drops.
     * `requirePermissive` additionally gates on the license screen
     * BEFORE anything is admitted (the usual pretraining policy).
+    *
+    * Crash window (store-screened modalities, i.e. `signaturePath`
+    * set): the corpus and store appends cannot be atomic, and this
+    * screen consults ONLY the store — a driver crash between the corpus
+    * append and the store append leaves a replayed batch unscreened, so
+    * the replay appends those rows to the corpus a second time. (With
+    * `signaturePath` unset the screen reads the corpus itself and
+    * replay is fully idempotent; the text/minhash path is self-healing
+    * by append order.) If a crashed micro-batch is suspected, run an
+    * exact-fingerprint compaction over the corpus before training.
     */
   def ingestCodeBatch(
       spark: SparkSession,
@@ -310,11 +337,18 @@ object CorpusIngest {
       .withColumn("cfp", TextAnalysis.fingerprint(col("code_nocomments")))
       .drop("__lang", "code_nocomments")
     def run(): Long = {
-      val gated =
+      val gated0 =
         if (requirePermissive)
           batch.filter(CodeCorpus.permissive(
             CodeCorpus.license(col(contentCol))))
         else batch
+      // null-content rows are excluded wholesale: md5(null) = null, and
+      // the dedup window would otherwise group EVERY null-content file
+      // into one partition and silently keep exactly one of them — an
+      // arbitrary survivor of unrelated files. A file with no content
+      // has nothing to train on; dropping all of them is the honest,
+      // deterministic posture
+      val gated = gated0.filter(col(contentCol).isNotNull)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("cfp")).orderBy(col(keyCol))
       val batchUnique = canonical(gated)
@@ -350,14 +384,7 @@ object CorpusIngest {
         ()
       }
     }
-    lockStore match {
-      case Some(store) =>
-        val lease = graft.operators.StoreLease.acquire(
-          store, corpusPath + "__ingest_lock",
-          graft.operators.MergeUpsert.DefaultLeaseStaleMs)
-        try run() finally lease.release()
-      case None => run()
-    }
+    withIngestLock(lockStore, corpusPath)(run())
   }
 
   private def ingestBinaryBatch(
@@ -412,14 +439,7 @@ object CorpusIngest {
         ()
       }
     }
-    lockStore match {
-      case Some(store) =>
-        val lease = graft.operators.StoreLease.acquire(
-          store, corpusPath + "__ingest_lock",
-          graft.operators.MergeUpsert.DefaultLeaseStaleMs)
-        try run() finally lease.release()
-      case None => run()
-    }
+    withIngestLock(lockStore, corpusPath)(run())
   }
 
   def ingestImageBatch(
@@ -609,14 +629,7 @@ object CorpusIngest {
       signaturePath.foreach(p =>
         graft.operators.Maintenance.compact(spark, p, targetFileMB))
     }
-    lockStore match {
-      case Some(store) =>
-        val lease = graft.operators.StoreLease.acquire(
-          store, corpusPath + "__ingest_lock",
-          graft.operators.MergeUpsert.DefaultLeaseStaleMs)
-        try run() finally lease.release()
-      case None => run()
-    }
+    withIngestLock(lockStore, corpusPath)(run())
   }
 
   /** Structured-Streaming wrapper: [[ingestBatch]] per micro-batch via

@@ -255,12 +255,17 @@ class LlmOpsSpec extends SparkTestBase {
     (1L to 20L).foreach { k =>
       assert(got.contains((k, 0)) && got.contains((k, 1)), s"key $k")
     }
-    // epoch 2 holds exactly the hashGate(0.5) subset of heavy keys
+    // epoch 2 holds exactly the SALTED-gate(0.5) subset of heavy keys —
+    // salted so composing with hashSample on the same key stays
+    // independent (an unsalted gate would pass every hashSample survivor)
     val extra = got.filter(_._2 == 2).map(_._1).toSet
     val gated = df.filter($"source" === "heavy")
-      .filter(Sampling.hashGate($"doc_id", 0.5))
+      .filter(pmod(Similarity.portable60(
+          concat($"doc_id".cast("string"), lit(":mixture"))),
+        lit(1000000L)) < 500000L)
       .select("doc_id").as[Long].collect().toSet
     assert(extra === gated)
+    assert(extra.nonEmpty && extra.size < 20) // the gate actually splits
   }
 
   test("temperatureWeights: p ∝ n^alpha, largest source pinned to max") {
