@@ -11205,7 +11205,7 @@ ${graft.oracle.XxHash64Sql.kernel("42")},
                  FROM c5 WHERE c > 1 GROUP BY doc_id),
          rep AS (
            SELECT t.doc_id, t.g AS top_ngram,
-             round(t.c * length(t.g) / t.chars, 4) AS top_ngram_char_frac,
+             round(least(1.0, t.c * length(t.g) / t.chars), 4) AS top_ngram_char_frac,
              round(least(1.0, coalesce(d.dchars, 0) / t.chars), 4)
                AS dup_ngram_char_frac
            FROM top t LEFT JOIN dup d ON t.doc_id = d.doc_id
@@ -11716,7 +11716,7 @@ ${graft.oracle.XxHash64Sql.kernel("42")},
          dup AS (SELECT doc_id, sum(c * length(g)) AS dchars
                  FROM c5 WHERE c > 1 GROUP BY doc_id)
          SELECT t.doc_id, t.g AS top_ngram,
-           round(t.c * length(t.g) / t.chars, 4) AS top_ngram_char_frac,
+           round(least(1.0, t.c * length(t.g) / t.chars), 4) AS top_ngram_char_frac,
            round(least(1.0, coalesce(d.dchars, 0) / t.chars), 4) AS dup_ngram_char_frac
          FROM top t LEFT JOIN dup d ON t.doc_id = d.doc_id
          WHERE t.rn = 1 ORDER BY t.doc_id""",

@@ -241,5 +241,8 @@ object Bpe {
     * and [[Sampling]] budget by in tokens mode.
     */
   def tokenCount(text: Column, merges: Seq[BpeMerge]): Column =
-    size(encode(text, merges)).cast("long")
+    // NULL text counts NULL — ANSI-off legacy size(NULL) = -1 would
+    // silently shrink every pack/budget sum it enters
+    when(text.isNull, lit(null).cast("long"))
+      .otherwise(size(encode(text, merges)).cast("long"))
 }

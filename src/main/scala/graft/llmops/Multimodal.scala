@@ -918,5 +918,9 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, everyN: Int, frameCountCol: String): DataFrame =
     df.withColumn("frame_index",
-        explode(sequence(lit(0), greatest(col(frameCountCol) - 1, lit(0)), lit(everyN))))
+        // a zero-frame (or NULL-count) video emits NO rows — the
+        // greatest(…, 0) clamp alone would fabricate a phantom
+        // frame_index 0 that no decoder can serve
+        explode(when(col(frameCountCol) > 0,
+          sequence(lit(0), col(frameCountCol) - 1, lit(everyN)))))
 }

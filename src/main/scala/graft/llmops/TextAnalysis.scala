@@ -16,7 +16,12 @@ object TextAnalysis {
   /** Whitespace tokenization — single-space convention of the corpus. */
   def tokens(text: Column): Column = split(text, " ")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** NULL text counts NULL, never the legacy size(NULL) = -1 this
+    * engine's ANSI-off config would otherwise give — a -1 silently
+    * shrinks every token-budget sum it enters.
+    */
+  def tokenCount(text: Column): Column =
+    when(text.isNull, lit(null).cast("int")).otherwise(size(tokens(text)))
 
   /** BPE-ish regex tokenizer: letter runs, digit runs, single other glyphs.
     * The pattern is deliberately RE2-compatible so external validators
@@ -206,8 +211,11 @@ object TextAnalysis {
 
     top.join(dup, Seq(keyCol), "left")
       .select(col(keyCol), col("top_ngram"),
-        round(col("__tc") * length(col("top_ngram")) /
-          col("__chars").cast("double"), 4).alias("top_ngram_char_frac"),
+        // capped at 1.0 like dup coverage: overlapping occurrences of
+        // the top gram can cover more chars than the text holds, and
+        // Gopher-calibrated thresholds assume fractions <= 1
+        round(least(lit(1.0), col("__tc") * length(col("top_ngram")) /
+          col("__chars").cast("double")), 4).alias("top_ngram_char_frac"),
         round(least(lit(1.0), coalesce(col("__dchars"), lit(0L)) /
           col("__chars").cast("double")), 4).alias("dup_ngram_char_frac"))
   }
@@ -309,9 +317,17 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("__line")))
       .orderBy(col(keyCol), col("__ln"))
-    val kept = lines
+    // empty lines bypass the window entirely (the paragraph twin's rule):
+    // every blank line in the corpus shares md5("") — one window
+    // partition holding ALL of them (a straggler hot key at scale), and
+    // keep-first would strip blank-line formatting from every document
+    // but the globally first one. A blank line carries no duplicated
+    // content; it survives everywhere.
+    val kept = lines.filter(col("__line") =!= "")
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
+      .unionByName(lines.filter(col("__line") === "")
+        .withColumn("__rk", lit(1)))
     val rebuilt = kept
       .groupBy(col(keyCol))
       .agg(array_sort(collect_list(struct(col("__ln"), col("__line"))))
@@ -462,7 +478,11 @@ object TextAnalysis {
   val UrlSchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
   val UrlHostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
   val UrlPathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)"
-  val UrlQueryRe = "\\?([^#]*)"
+  // the '?' must occur BEFORE any '#': an unanchored \? would match a
+  // question mark inside the fragment and fabricate a query string from
+  // fragment content ("...page#sec?tab=1" → "?tab=1"), splitting dedup
+  // keys for one page. The lazy prefix stops at the first '?' or '#'.
+  val UrlQueryRe = "^[^#]*?\\?([^#]*)"
 
   def urlScheme(url: Column): Column = lower(regexp_extract(url, UrlSchemeRe, 1))
 
@@ -611,14 +631,18 @@ object TextAnalysis {
     * fingerprints computed by different tools agree — the property that
     * matters for cross-system dedup.
     */
+  // The whitespace class is spelled out ([ \t\n\r\f]) instead of \s:
+  // Java's \s additionally matches \x0B where RE2 (DuckDB, Go, Rust
+  // validators) does not — the explicit class is the intersection both
+  // engines agree on, keeping the portability promise below exact.
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+    md5(regexp_replace(lower(trim(text)), "[ \\t\\n\\r\\f]+", " "))
 
   /** 64-bit rolling fingerprint (xxhash64 of normalized text) for
     * numeric-key joins at scale — cheaper shuffle key than a 32-char hex.
     */
   def fingerprint64(text: Column): Column =
-    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+    xxhash64(regexp_replace(lower(trim(text)), "[ \\t\\n\\r\\f]+", " "))
 
   /** Encoding-damage signals — the ftfy-class screen every web-scale
     * corpus needs before training (mis-decoded text tokenizes into
@@ -678,6 +702,12 @@ object TextAnalysis {
   def redactPii(df: DataFrame, keyCol: String, textCol: String,
       emailToken: String = "<EMAIL>", ipToken: String = "<IP>",
       phoneToken: String = "<PHONE>"): DataFrame = {
+    // NOTE: the email/IP patterns intentionally mirror
+    // EmailPattern/Ipv4Pattern above (scrubPii); the PHONE patterns
+    // deliberately DIFFER — scrubPii redacts international (+-prefixed)
+    // numbers only, this pass also catches national formats with an
+    // optional '+'. Both shapes are pinned by their own oracle gates; a
+    // pattern fix here must consider both contracts, not unify them.
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
     val phone = "\\+?\\d(?:[-() ]?\\d){8,14}"
@@ -710,15 +740,20 @@ object TextAnalysis {
     */
   def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
       textCol: String): DataFrame = {
+    // presence is tracked with literal flags, NOT fingerprint nullness:
+    // a row whose TEXT is NULL has a NULL fingerprint, and conflating
+    // that with row absence misclassifies it (a removed NULL-text doc
+    // would read 'added'). NULL-text rows compare via the null-safe <=>
+    // below: NULL → NULL is unchanged, NULL → text is 'changed'.
     val o = oldSnap.select(col(keyCol),
-      fingerprint(col(textCol)).alias("__ofp"))
+      fingerprint(col(textCol)).alias("__ofp"), lit(true).alias("__oin"))
     val n = newSnap.select(col(keyCol),
-      fingerprint(col(textCol)).alias("__nfp"))
+      fingerprint(col(textCol)).alias("__nfp"), lit(true).alias("__nin"))
     o.join(n, Seq(keyCol), "full_outer")
       .withColumn("change",
-        when(col("__ofp").isNull, lit("added"))
-          .when(col("__nfp").isNull, lit("removed"))
-          .when(col("__ofp") =!= col("__nfp"), lit("changed")))
+        when(col("__oin").isNull, lit("added"))
+          .when(col("__nin").isNull, lit("removed"))
+          .when(!(col("__ofp") <=> col("__nfp")), lit("changed")))
       .filter(col("change").isNotNull)
       .select(col(keyCol), col("change"))
   }
@@ -992,8 +1027,8 @@ object TextAnalysis {
       .withColumn("top_ngram", col("__top.bg"))
       .withColumn("top_ngram_char_frac",
         when(col("__top.bc") > 0,
-          round(col("__top.bc") * length(col("top_ngram")) /
-            col("__chars").cast("double"), 4)))
+          round(least(lit(1.0), col("__top.bc") * length(col("top_ngram")) /
+            col("__chars").cast("double")), 4)))
       // gated on the topN grams like the standalone operator's output row
       // (present iff the doc has >= topN words, dup coverage coalesced to
       // 0 when nothing repeats — the empty-array fold already yields 0)

@@ -137,8 +137,15 @@ object UrlCuration {
   def robotsScreen(df: DataFrame, urlCol: String,
       robots: DataFrame, agent: String = "*",
       maxBroadcastHosts: Long = MaxBroadcastRobotsHosts): DataFrame = {
+    // one row per host: a robots table merged from several crawl
+    // snapshots can carry a host twice, and a row-preserving left join
+    // would silently DUPLICATE every corpus row for that host; keep the
+    // longest robots_txt per host (a deterministic winner)
     val rhs = robots.select(lower(col("host")).as("__host"),
       col("robots_txt").as("__robots"))
+      .groupBy(col("__host"))
+      .agg(max_by(col("__robots"),
+        struct(length(col("__robots")), col("__robots"))).as("__robots"))
     // early-stopping cardinality probe: scans at most threshold+1 rows
     val small = robots.limit(
       math.min(maxBroadcastHosts, Int.MaxValue - 1L).toInt + 1)
@@ -205,7 +212,14 @@ object UrlCuration {
       // handful of narrow rows per URL), semi-join the list, anti-join
       // the hit ids back. The corpus shuffles once on the synthetic row
       // id; the suffix rows are (id, suffix) only — never corpus bytes.
+      // localCheckpoint is LOAD-BEARING: monotonically_increasing_id is
+      // only stable within one evaluation — `hits` and the anti-join's
+      // left side would otherwise evaluate the plan twice, and a
+      // shuffle upstream (or a task retry) can renumber rows between
+      // the two runs, silently dropping clean URLs and keeping blocked
+      // ones. Materializing pins one id assignment for both consumers.
       val keyed = df.withColumn("__rid", monotonically_increasing_id())
+        .localCheckpoint(true)
       val hits = keyed
         .select(col("__rid"),
           explode(hostSuffixes(col(urlCol))).as("__suffix"))

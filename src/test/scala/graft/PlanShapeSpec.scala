@@ -363,13 +363,23 @@ class PlanShapeSpec extends SparkTestBase {
     val plan = graft.llmops.Warc.curateCrawl(arch, "doc_id", "content",
       robots = Some(robots), blockedDomains = Set("bad.com"))
       .queryExecution.executedPlan.toString
-    // the robots table joins broadcast; the ONLY shuffle is the
-    // keep-latest window on the canonical key
+    // the robots table joins broadcast; the CORPUS shuffles exactly once
+    // (the keep-latest window on the canonical key). A second exchange is
+    // permitted only on the SIDE robots table: its per-host dedup
+    // aggregation (a duplicated host must never duplicate corpus rows)
+    // partitions bounded side-input rows, not the corpus
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("Cartesian"),
       plan.take(2000))
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(shuffles <= 1, s"expected at most one shuffle:\n${plan.take(3000)}")
+    assert(shuffles <= 2, s"expected at most two shuffles:\n${plan.take(3000)}")
+    val corpusShuffles =
+      "Exchange hashpartitioning\\(url_key".r.findAllIn(plan).size
+    assert(corpusShuffles <= 1,
+      s"corpus must shuffle once (keep-latest only):\n${plan.take(3000)}")
+    assert("Exchange hashpartitioning\\(__host".r.findAllIn(plan).size
+      == shuffles - corpusShuffles,
+      s"extra exchanges must be the side-table host dedup:\n${plan.take(3000)}")
   }
 
   test("named-codec decode (brotli) is scan-projection local: no shuffle") {
