@@ -94,10 +94,21 @@ object TransformCompiler {
   }
 
   private def compileCall(fc: FuncCall, dataType: String, dfColumns: Set[String]): Column = {
-    val params: List[P] = fc.params.map {
-      case NestedCall(inner) =>
+    val params: List[P] = fc.params.zipWithIndex.map {
+      case (NestedCall(inner), _) =>
         Right(compileCall(inner, inferReturnType(inner.name), dfColumns))
-      case RawParam(text) =>
+      // Date_to_String wraps a RAW df-column date param in to_date()
+      // exactly like the reference (light_transform.py:1091-1093 — str
+      // params that name a column get to_date(col(...)); only NESTED
+      // expressions pass through as-is). The general resolution below
+      // erases the raw-vs-nested distinction, so the wrap must happen
+      // here, where provenance is still known — without it a timestamp
+      // column formats with its time part where the reference truncates.
+      case (RawParam(text), 0)
+          if fc.name == "fn_transform_Date_to_String" &&
+            dfColumns.contains(text.toLowerCase) =>
+        Right(to_date(col(text)))
+      case (RawParam(text), _) =>
         if (dfColumns.contains(text.toLowerCase)) Right(col(text)) else Left(text)
     }
     apply(fc.name, params, dataType, dfColumns)
@@ -255,9 +266,10 @@ object TransformCompiler {
   private def dateToString(params: List[P], dfColumns: Set[String]): Column = {
     if (params.length < 2) throw CompileError("fn_transform_Date_to_String", "requires 2 params")
     val dateCol = params.head match {
-      case Left(s) if dfColumns.contains(s) => to_date(col(s))
-      case Left(s)                          => to_date(lit(s))
-      case Right(c)                         => c // nested expr used as-is
+      // Right: either a nested expression (used as-is, reference parity)
+      // or a raw df column already to_date-wrapped in compileCall
+      case Left(s)  => to_date(lit(s)) // literal date text
+      case Right(c) => c
     }
     val fmt = rawText(params(1)).getOrElse("yyyyMM")
     date_format(dateCol, fmt)

@@ -45,16 +45,28 @@ object LoadPlanner {
       upperBound: Long,
       numPartitions: Int
   ) extends ExtractPlan {
-    /** The equivalent strided queries (for engines/tests that want SQL text;
-      * keeps the reference's last-bucket `+1` closure semantics,
-      * extract_data_spark.py:584-587).
+    /** The strided queries (for engines/tests that want SQL text; keeps
+      * the reference's last-bucket `+1` closure semantics,
+      * extract_data_spark.py:584-587). NOT row-identical to [[execute]]
+      * at the extremes: Spark's JDBC first/last partition predicates are
+      * open-ended catch-alls (first also collects NULLs), so rows below
+      * `lowerBound` — possible because the min/max aggregate's `<> 0`
+      * guard excludes zeros — or NULL partition values appear in
+      * execute()'s result but not in these slices. Production runs
+      * execute(); treat this text arm as the plan's shape, not its
+      * exact row set.
       */
     def queries: Seq[String] = {
       val span = math.max(1L, (upperBound - lowerBound) / numPartitions)
       (0 until numPartitions).map { i =>
         val lo = lowerBound + i * span
         val hi = if (i == numPartitions - 1) upperBound + 1 else lo + span
-        s"$baseQuery WHERE $partitionColumn >= $lo AND $partitionColumn < $hi"
+        val range = s"$partitionColumn >= $lo AND $partitionColumn < $hi"
+        // the base query may already carry a WHERE (FILTER_EXP): a second
+        // WHERE keyword is invalid SQL on every RDBMS — AND the range in
+        // (filter conditions render parenthesized, so precedence is safe)
+        if (baseQuery.contains(" WHERE ")) s"$baseQuery AND $range"
+        else s"$baseQuery WHERE $range"
       }
     }
   }
@@ -81,7 +93,11 @@ object LoadPlanner {
       forceFullLoad: Boolean = false,
       now: ZonedDateTime = ZonedDateTime.now(DateWindows.Lima),
       bdType: String = "mssql",
-      endpointName: String = ""
+      endpointName: String = "",
+      /** Lazy A1 min/max fetch, consulted only when a partitioned full
+        * read is planned and `minMax` was not supplied — see [[fullPlan]].
+        */
+      bounds: Option[() => Option[(Long, Long)]] = None
   ): ExtractPlan = {
     val qb = new QueryBuilder(table)
     // blank LOAD_TYPE inference needs the endpoint: a Salesforce
@@ -98,27 +114,40 @@ object LoadPlanner {
 
     loadType match {
       case "incremental" =>
-        val effectiveWatermark = mode match {
-          case LoadMode.Reset | LoadMode.Initial => None
-          case _                                 => watermark
-        }
-        effectiveWatermark match {
-          case Some(value) =>
-            // v2-style true watermark increment (incremental.py:257-344)
-            val colType =
-              if (table.filterDataType.trim.nonEmpty) table.filterDataType else "datetime"
-            SingleQuery(qb.standardQuery(Some(
-              qb.watermarkPredicate(table.partitionColumn, value, colType, bdType))))
-          case None if table.filterColumn.trim.nonEmpty =>
-            // Glue-style rolling month window (query_generator.py:196-211)
-            val (lo, hi) = DateWindows.dateLimits(
-              table.delayIncrementalIni, table.delayIncrementalEnd,
-              table.filterDataType, now)
-            DateRangeQueries(Seq(
-              qb.dateRangeQuery(lo, hi, table.filterColumn,
-                Option(table.filterDataType).filter(_.nonEmpty))))
-          case None =>
-            fullPlan(qb, table, minMax, partitionable)
+        mode match {
+          case LoadMode.Reset | LoadMode.Initial =>
+            // INITIAL and RESET are FULL loads that then save a fresh
+            // watermark (incremental.py:25-38 "Carga COMPLETA sin
+            // filtros", load_mode.py) — the runner records
+            // max(partitionColumn) of whatever was extracted, so a
+            // windowed plan here would permanently lose every row older
+            // than the delay window on the very first load
+            fullPlan(qb, table, minMax, partitionable, bounds)
+          case _ => watermark match {
+            case Some(value) =>
+              // v2-style true watermark increment (incremental.py:257-344)
+              val colType =
+                if (table.filterDataType.trim.nonEmpty) table.filterDataType
+                // no declared type: detect from the stored value like the
+                // reference (_detect_watermark_data_type,
+                // incremental.py:368-380) — digits-only compares raw; a
+                // blind datetime CAST over a numeric sequence column
+                // would fail every incremental run at the source
+                else if (value.trim.matches("\\d+")) "bigint"
+                else "datetime"
+              SingleQuery(qb.standardQuery(Some(
+                qb.watermarkPredicate(table.partitionColumn, value, colType, bdType))))
+            case None if table.filterColumn.trim.nonEmpty =>
+              // Glue-style rolling month window (query_generator.py:196-211)
+              val (lo, hi) = DateWindows.dateLimits(
+                table.delayIncrementalIni, table.delayIncrementalEnd,
+                table.filterDataType, now)
+              DateRangeQueries(Seq(
+                qb.dateRangeQuery(lo, hi, table.filterColumn,
+                  Option(table.filterDataType).filter(_.nonEmpty))))
+            case None =>
+              fullPlan(qb, table, minMax, partitionable, bounds)
+          }
         }
 
       case "days_off" =>
@@ -144,10 +173,11 @@ object LoadPlanner {
           table.filterDataType, now)
         DateRangeQueries(Seq(
           qb.dateRangeQuery(lo, hi,
-            if (table.filterColumn.nonEmpty) table.filterColumn else table.partitionColumn,
+            if (table.filterColumn.trim.nonEmpty) table.filterColumn
+            else table.partitionColumn,
             Option(table.filterDataType).filter(_.nonEmpty))))
 
-      case _ => fullPlan(qb, table, minMax, partitionable)
+      case _ => fullPlan(qb, table, minMax, partitionable, bounds)
     }
   }
 
@@ -155,15 +185,27 @@ object LoadPlanner {
       qb: QueryBuilder,
       table: TableConfig,
       minMax: Option[(Long, Long)],
-      partitionable: Boolean
-  ): ExtractPlan =
-    (partitionable, minMax) match {
+      partitionable: Boolean,
+      bounds: Option[() => Option[(Long, Long)]] = None
+  ): ExtractPlan = {
+    // lazily fetch the A1 min/max aggregate exactly when a partitioned
+    // full read is actually on the table — the production runner passes
+    // the thunk so big full loads get their parallel cursors without
+    // paying the scalar probe on incremental/window plans
+    val mm = minMax.orElse(
+      if (partitionable) bounds.flatMap(_.apply()) else None)
+    (partitionable, mm) match {
       case (true, Some((lo, hi))) if hi > lo =>
-        val n = math.min(DefaultNumPartitions, math.max(1, (hi - lo).toInt))
+        // clamp in Long FIRST: (hi - lo).toInt overflows for ranges past
+        // 2^31 and would silently collapse the widest tables — exactly
+        // the ones needing parallelism — to one cursor
+        val n = math.min(DefaultNumPartitions.toLong,
+          math.max(1L, hi - lo)).toInt
         PartitionedRead(qb.standardQuery(), table.partitionColumn, lo, hi, n)
       case _ =>
         SingleQuery(qb.standardQuery())
     }
+  }
 
   /** S3/A1: run the min/max planning aggregate against the source and
     * return the partition bounds (executed source-side as one scalar query,
@@ -210,7 +252,9 @@ object LoadPlanner {
       case SingleQuery(q) => base.option("query", q).load()
       case p: PartitionedRead =>
         base
-          .option("dbtable", s"(${p.baseQuery}) AS graft_sub")
+          // no AS keyword: Oracle rejects it in table aliases (ORA-00933);
+          // the bare alias is valid on every supported dialect
+          .option("dbtable", s"(${p.baseQuery}) graft_sub")
           .option("partitionColumn", p.partitionColumn)
           .option("lowerBound", p.lowerBound.toString)
           .option("upperBound", p.upperBound.toString)

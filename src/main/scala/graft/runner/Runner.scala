@@ -213,9 +213,16 @@ object Runner {
               val watermark = for {
                 s <- store; k <- wmKey; v <- s.get(k)
               } yield v
+              // bounds thunk: a partitioned FULL read fetches its A1
+              // min/max aggregate on demand — without it every full load
+              // of a partitionable table ran on ONE serial JDBC cursor
+              // (the reference runs 10 strided cursors,
+              // extract_data_spark.py:653-779)
               val plan = LoadPlanner.plan(spec.table, watermark = watermark,
                 mode = spec.mode, bdType = ep.bdType,
-                endpointName = ep.endpointName)
+                endpointName = ep.endpointName,
+                bounds = Some(() =>
+                  LoadPlanner.fetchMinMax(spark, spec.table, ep, password)))
               LoadPlanner.execute(spark, plan, ep, password)
           }
           // persisted: the raw write AND the watermark candidate below read

@@ -178,6 +178,56 @@ class QueryBuilderSpec extends AnyFunSuite {
     assert(!plan.queries.head.contains("99"))
   }
 
+  test("Initial/Reset plan a FULL load even with a filter column") {
+    // incremental.py:25-38: INITIAL and RESET are 'Carga COMPLETA sin
+    // filtros' + watermark save — a windowed plan would permanently lose
+    // every row older than the delay window on the very first load
+    val table = base.copy(loadType = "incremental",
+      partitionColumn = "pc", filterColumn = "fecha")
+    for (m <- Seq(LoadPlanner.LoadMode.Initial, LoadPlanner.LoadMode.Reset)) {
+      val q = LoadPlanner.plan(table, watermark = Some("99"), mode = m)
+        .queries.head
+      // no date window, no watermark — the static FILTER_EXP survives
+      // (the reference drops WATERMARK filters, not the table's own)
+      assert(!q.contains("BETWEEN") && !q.contains("99"),
+        s"$m must plan a full load without watermark/window filters: $q")
+    }
+  }
+
+  test("blank FILTER_DATA_TYPE detects the watermark type from the value") {
+    // _detect_watermark_data_type (incremental.py:368-380): digits-only
+    // compares raw — a blind datetime CAST over a numeric sequence
+    // column fails every incremental run at the source
+    val table = base.copy(loadType = "incremental",
+      partitionColumn = "seq_id", filterDataType = "")
+    val qNum = LoadPlanner.plan(table, watermark = Some("12345")).queries.head
+    assert(qNum.contains("seq_id > 12345") && !qNum.contains("CAST"), qNum)
+    val qDt = LoadPlanner.plan(table.copy(partitionColumn = "ts"),
+      watermark = Some("2025-01-01 00:00:00")).queries.head
+    assert(qDt.contains("CAST"), qDt)
+  }
+
+  test("PartitionedRead.queries composes FILTER_EXP with one WHERE") {
+    val table = base.copy(loadType = "full", sourceTableType = "t",
+      partitionColumn = "pc", filterExp = "estado = 1")
+    val plan = LoadPlanner.plan(table, minMax = Some((0L, 100L)))
+    plan.queries.foreach { q =>
+      assert("WHERE".r.findAllIn(q).size == 1, q)
+      assert(q.contains("(estado = 1) AND pc >="), q)
+    }
+  }
+
+  test("partition count survives ranges wider than Int.MaxValue") {
+    val table = base.copy(loadType = "full", sourceTableType = "t",
+      partitionColumn = "pc")
+    val plan = LoadPlanner.plan(table, minMax = Some((0L, 3000000000L)))
+    plan match {
+      case p: LoadPlanner.PartitionedRead =>
+        assert(p.numPartitions === LoadPlanner.DefaultNumPartitions)
+      case other => fail(s"expected PartitionedRead, got $other")
+    }
+  }
+
   test("aje_date window: FoxPro day numbers, month-snapped") {
     val now = ZonedDateTime.of(2025, 10, 17, 12, 0, 0, 0, ZoneId.of("America/Lima"))
     val (lo, hi) = DateWindows.dateLimits("-2", "0", "aje_date", now)
