@@ -32,7 +32,14 @@ object IncrementalRunner {
   ): Long = {
     val since = store.get(wmKey)
     val fresh = since match {
-      case Some(v) => batch.filter(col(wmColumn) > lit(v))
+      // >= not >: rows SHARING the boundary timestamp that arrive in a
+      // later batch would be silently dropped forever by a strict
+      // comparison (second-granularity timestamps routinely collide).
+      // Re-processing the boundary rows is free — keepLatest + the
+      // MERGE are idempotent. (The JDBC extract predicate stays the
+      // reference's strict `>`; there the trailing delay-window
+      // re-extract covers the boundary instead.)
+      case Some(v) => batch.filter(col(wmColumn) >= lit(v))
       case None    => batch
     }
     // persisted: watermark max, merge, and row count all read this — one
@@ -44,7 +51,11 @@ object IncrementalRunner {
       if (maxRow.isNullAt(0)) return 0L
 
       store.saveProvisional(wmKey, maxRow.getString(0))
+      // materialized once: the merge and the returned count would
+      // otherwise each run the keep-latest shuffle (localCheckpoint —
+      // this is the per-micro-batch path, a persist would pin blocks)
       val deduped = Dedup.keepLatest(cached, idCols, orderCols)
+        .localCheckpoint(true)
       MergeUpsert.upsertParquet(spark, deduped, stagePath, idCols)
       store.confirm(wmKey)
       deduped.count()
@@ -81,7 +92,10 @@ object IncrementalRunner {
   /** Tumbling-window event aggregation with lateness handling — the
     * streaming-native analytics the reference lacks but a 100 TB event
     * pipeline needs. Usable identically on a batch DataFrame (window() is
-    * just an expression).
+    * just an expression). NOTE: expects a true timestamp `tsCol` and the
+    * fixed (event_type, value) schema; for schema-adaptive timestamps
+    * (nanos-as-long fixtures) and arbitrary dims/aggs use
+    * [[WindowAgg.tumbling]], which normalizes the event-time layout.
     */
   def windowedCounts(events: DataFrame, tsCol: String, windowLen: String,
       watermarkDelay: Option[String] = None): DataFrame = {

@@ -82,10 +82,38 @@ object Sessionize {
             val sorted = rows.toSeq.sortBy(e => (e.ts_sec, e.event_id))
             val out = Seq.newBuilder[SessionOut]
             var cur = state.getOption
-            sorted.foreach { e =>
+            // single-open-session state: late events WITHIN the open
+            // session's gap window merge into it (lowering start — the
+            // naive `ts - end <= gap` alone would absorb arbitrarily old
+            // events without moving start); events OLDER than the window
+            // entirely sessionize among themselves and close within this
+            // batch (they cannot extend across batches — the open slot
+            // is taken; fully-unordered replays should use batch())
+            val (ultraLate, live) = cur match {
+              case Some(s) => sorted.partition(_.ts_sec < s.start - gapSec)
+              case None    => (Seq.empty[SessionEventTs], sorted)
+            }
+            var lateCur: Option[SessionState] = None
+            ultraLate.foreach { e =>
+              lateCur match {
+                case Some(l) if e.ts_sec - l.end <= gapSec =>
+                  lateCur = Some(l.copy(
+                    end = math.max(l.end, e.ts_sec), n = l.n + 1))
+                case Some(l) =>
+                  out += SessionOut(userId, l.start, l.end, l.n)
+                  lateCur = Some(SessionState(e.ts_sec, e.ts_sec, 1))
+                case None =>
+                  lateCur = Some(SessionState(e.ts_sec, e.ts_sec, 1))
+              }
+            }
+            lateCur.foreach(l => out += SessionOut(userId, l.start, l.end, l.n))
+            live.foreach { e =>
               cur match {
-                case Some(s) if e.ts_sec - s.end <= gapSec =>
-                  cur = Some(s.copy(end = math.max(s.end, e.ts_sec), n = s.n + 1))
+                case Some(s) if e.ts_sec >= s.start - gapSec &&
+                    e.ts_sec - s.end <= gapSec =>
+                  cur = Some(s.copy(
+                    start = math.min(s.start, e.ts_sec),
+                    end = math.max(s.end, e.ts_sec), n = s.n + 1))
                 case Some(s) =>
                   out += SessionOut(userId, s.start, s.end, s.n)
                   cur = Some(SessionState(e.ts_sec, e.ts_sec, 1))
@@ -107,7 +135,12 @@ object Sessionize {
         })
   }
 
-  /** Force-close all open sessions (end of a bounded replay). */
+  /** End-of-replay reconciliation: recompute ALL sessions batch-side
+    * (closed ones included). The result REPLACES a streaming query's
+    * emitted output — unioning the two double-counts every closed
+    * session. For draining only the open remainder, diff against the
+    * streamed output on (user_id, session_start).
+    */
   def flushOpenSessions(
       spark: SparkSession,
       events: Dataset[SessionEvent],

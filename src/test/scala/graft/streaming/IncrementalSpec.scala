@@ -34,10 +34,22 @@ class IncrementalSpec extends SparkTestBase {
     assert(s2.map(r => (r.getInt(0), r.getString(2))).toSeq ===
       Seq((1, "a2"), (2, "b2"), (3, "c")))
 
-    // replay of b2: everything ≤ watermark → no-op
+    // replay of b2: only the BOUNDARY row (ts = watermark) re-merges —
+    // the >= filter keeps it so a boundary row landing in a later batch
+    // is never lost — and the merge is idempotent: stage unchanged
     val n3 = IncrementalRunner.runBatch(spark, b2, s"$root/stage",
       Seq("id"), Seq("ts"), "ts", store, key)
-    assert(n3 === 0)
+    assert(n3 === 1)
+    assert(store.get(key) === Some("50"))
+    val s3 = spark.read.parquet(s"$root/stage").orderBy("id").collect()
+    assert(s3.map(r => (r.getInt(0), r.getString(2))).toSeq ===
+      Seq((1, "a2"), (2, "b2"), (3, "c")))
+    // a boundary-sharing row arriving late is captured, not dropped
+    val b3 = Seq((9, 50, "late-boundary")).toDF("id", "ts", "v")
+    val n4 = IncrementalRunner.runBatch(spark, b3, s"$root/stage",
+      Seq("id"), Seq("ts"), "ts", store, key)
+    assert(n4 === 1)
+    assert(spark.read.parquet(s"$root/stage").count() === 4)
   }
 
   test("streaming wrapper: foreachBatch merge over a file stream") {
