@@ -60,9 +60,25 @@ object Bench {
     // nearest canary instead of cried wolf over.
     val canarySeries = scala.collection.mutable.ArrayBuffer.empty[Double]
     var sinceCanary = 0
+    // Per-query state drop: operators localCheckpoint/persist internally;
+    // checkpoint blocks free only when the RDD is GC'd and the async
+    // ContextCleaner drains. Left in place they accumulate block-manager
+    // state across the 254-query battery and inflated late heavy queries
+    // up to ~3× in r15 (q89 7.1 s battery vs 2.2 s clean). Triggered GC is
+    // gated on leftover storage actually existing, so queries that kept
+    // nothing pay nothing.
+    def dropQueryState(): Unit = {
+      spark.catalog.clearCache() // persisted frames unpin immediately
+      if (spark.sparkContext.getRDDStorageInfo.nonEmpty) {
+        System.gc() // release checkpoint RDD refs to the ContextCleaner
+        val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
+        while (spark.sparkContext.getRDDStorageInfo.nonEmpty &&
+            System.nanoTime() < deadline) Thread.sleep(50)
+      }
+    }
     (1 to passes).foreach { _ =>
       selected.foreach { case (name, fn) =>
-        spark.catalog.clearCache() // operators may persist internally
+        dropQueryState()
         if (sinceCanary >= 20) { canarySeries += canary(); sinceCanary = 0 }
         sinceCanary += 1
         val t0 = System.nanoTime()

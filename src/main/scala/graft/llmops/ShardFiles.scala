@@ -12,12 +12,16 @@ private[llmops] object ShardFiles {
   def abort(out: java.io.OutputStream,
       path: org.apache.hadoop.fs.Path,
       conf: org.apache.hadoop.conf.Configuration): Unit = {
+    // Throwable, not Exception: the caller is already unwinding with the
+    // ORIGINAL failure; anything close()/delete() throws here — including
+    // non-Exception Errors (codec LinkageError, assertion failures) — must
+    // not replace it, and must not skip the partial-file delete.
     if (out != null) {
-      try out.close() catch { case _: Exception => () }
+      try out.close() catch { case _: Throwable => () }
     }
     if (path != null) {
       try path.getFileSystem(conf).delete(path, false)
-      catch { case _: Exception => () }
+      catch { case _: Throwable => () }
     }
   }
 }

@@ -865,7 +865,12 @@ object TextAnalysis {
         org.apache.spark.sql.Encoders.scalaLong))
       .rdd
     require(rdd.count() <= MaxLmTableEntries, gateMsg)
-    rdd.collect()
+    val rows = rdd.collect()
+    // the two actions recompute from source; if the input dir mutated
+    // between them the count gate no longer bounds what collect fetched —
+    // re-validate the materialized array (cheap: it's already local)
+    require(rows.length <= MaxLmTableEntries, gateMsg)
+    rows
   }
 
   /** [[collectLmTable]] handed back as a LOCAL relation whose

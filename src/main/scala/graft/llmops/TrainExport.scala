@@ -117,45 +117,68 @@ object TrainExport {
     // overwrite semantics like the DataFrameWriter-backed siblings: each
     // task only creates its own shard-NNNNN file, so a prior export with
     // MORE shards (or another codec's extension) would otherwise leave
-    // stale files that readJsonlShards('dir/*') happily mixes back in
+    // stale files that readJsonlShards('dir/*') happily mixes back in.
+    // Staged: write into a sibling temp dir and swap only after the job
+    // succeeds — deleting the target up front would turn a mid-export
+    // failure into "neither the old export nor a new one".
     val root = new org.apache.hadoop.fs.Path(path)
     val rootFs = root.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    if (rootFs.exists(root)) rootFs.delete(root, true)
+    val staging = new org.apache.hadoop.fs.Path(
+      path + ".__staging-" + java.util.UUID.randomUUID().toString.take(8))
     val sharded = shuffleShards(df, keyCol, nShards)
       .withColumn("__json",
         to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
       .select(col("shard"), col("pos"), col("__json"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
-    val pathB = path
+    val pathB = staging.toString
     val codecB = codec
     // The session's Hadoop settings (credentials, endpoints, defaultFS)
     // must travel to the tasks — a fresh Configuration() would drop them.
     val confB = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    sharded.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-      var buf: java.io.ByteArrayOutputStream = null
-      var curShard = -1
-      def flush(): Unit = if (buf != null) {
-        val p = new org.apache.hadoop.fs.Path(
-          f"$pathB/shard-$curShard%05d.jsonl$ext")
-        val fs = p.getFileSystem(confB.value)
-        val out = fs.create(p, true)
-        try out.write(Compression.encode(buf.toByteArray, codecB))
-        finally out.close()
-        buf = null
+    try {
+      sharded.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        var buf: java.io.ByteArrayOutputStream = null
+        var curShard = -1
+        def flush(): Unit = if (buf != null) {
+          val p = new org.apache.hadoop.fs.Path(
+            f"$pathB/shard-$curShard%05d.jsonl$ext")
+          val fs = p.getFileSystem(confB.value)
+          val out = fs.create(p, true)
+          try out.write(Compression.encode(buf.toByteArray, codecB))
+          finally out.close()
+          buf = null
+        }
+        rows.foreach { r =>
+          val shard = r.getAs[Int]("shard")
+          if (shard != curShard) { flush(); curShard = shard
+            buf = new java.io.ByteArrayOutputStream(1 << 16) }
+          buf.write(r.getAs[String]("__json")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          buf.write('\n')
+        }
+        flush()
       }
-      rows.foreach { r =>
-        val shard = r.getAs[Int]("shard")
-        if (shard != curShard) { flush(); curShard = shard
-          buf = new java.io.ByteArrayOutputStream(1 << 16) }
-        buf.write(r.getAs[String]("__json")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        buf.write('\n')
-      }
-      flush()
+    } catch {
+      // write-phase failure: the partial staging dir is worthless — sweep
+      // it; the old export at `root` is untouched
+      case e: Throwable =>
+        try rootFs.delete(staging, true) catch { case _: Throwable => () }
+        throw e
     }
+    // commit: the old export disappears only once the new one is fully on
+    // disk. The delete→rename window is the unavoidable residue of a
+    // filesystem without atomic directory replace; a failure inside it
+    // leaves the COMPLETE staging dir on disk to recover from (never
+    // deleted here — it may be the only surviving copy), and the error
+    // names it.
+    if (rootFs.exists(root)) rootFs.delete(root, true)
+    if (!rootFs.rename(staging, root))
+      throw new java.io.IOException(
+        s"writeShardsJsonlCodec: rename $staging -> $root failed; " +
+          s"the complete export remains at $staging")
   }
 
   /** Read JSONL shards back as `(file, pos, line)` rows — any codec the

@@ -89,9 +89,47 @@ object Sessionize {
             // entirely sessionize among themselves and close within this
             // batch (they cannot extend across batches — the open slot
             // is taken; fully-unordered replays should use batch())
-            val (ultraLate, live) = cur match {
+            val (ultraLate0, live) = cur match {
               case Some(s) => sorted.partition(_.ts_sec < s.start - gapSec)
               case None    => (Seq.empty[SessionEventTs], sorted)
+            }
+            live.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_sec >= s.start - gapSec &&
+                    e.ts_sec - s.end <= gapSec =>
+                  cur = Some(s.copy(
+                    start = math.min(s.start, e.ts_sec),
+                    end = math.max(s.end, e.ts_sec), n = s.n + 1))
+                case Some(s) =>
+                  out += SessionOut(userId, s.start, s.end, s.n)
+                  cur = Some(SessionState(e.ts_sec, e.ts_sec, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts_sec, e.ts_sec, 1))
+              }
+            }
+            // The partition above tested against the BATCH-START state,
+            // but live merges can lower the open session's start by up to
+            // gapSec per absorbed event — an "ultra-late" event inside the
+            // final window belongs to the open session, not a synthetic
+            // singleton. Re-test against the post-merge state; each
+            // absorption lowers start further, so iterate to the fixpoint
+            // (terminates: the bucket strictly shrinks each pass).
+            var ultraLate = ultraLate0
+            var absorbed = true
+            while (absorbed) {
+              absorbed = false
+              cur.foreach { s =>
+                val (abs, rest) =
+                  ultraLate.partition(_.ts_sec >= s.start - gapSec)
+                if (abs.nonEmpty) {
+                  absorbed = true
+                  // abs events all predate s.end, so end is unchanged
+                  cur = Some(s.copy(
+                    start = math.min(s.start, abs.head.ts_sec),
+                    n = s.n + abs.size))
+                  ultraLate = rest
+                }
+              }
             }
             var lateCur: Option[SessionState] = None
             ultraLate.foreach { e =>
@@ -107,20 +145,6 @@ object Sessionize {
               }
             }
             lateCur.foreach(l => out += SessionOut(userId, l.start, l.end, l.n))
-            live.foreach { e =>
-              cur match {
-                case Some(s) if e.ts_sec >= s.start - gapSec &&
-                    e.ts_sec - s.end <= gapSec =>
-                  cur = Some(s.copy(
-                    start = math.min(s.start, e.ts_sec),
-                    end = math.max(s.end, e.ts_sec), n = s.n + 1))
-                case Some(s) =>
-                  out += SessionOut(userId, s.start, s.end, s.n)
-                  cur = Some(SessionState(e.ts_sec, e.ts_sec, 1))
-                case None =>
-                  cur = Some(SessionState(e.ts_sec, e.ts_sec, 1))
-              }
-            }
             cur.foreach { s =>
               state.update(s)
               // fire once the event-time watermark passes the gap horizon;

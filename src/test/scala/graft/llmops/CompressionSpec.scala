@@ -102,6 +102,30 @@ class CompressionSpec extends SparkTestBase {
     assert(runOnce() === 100L, "the second pass picks up only the new files")
   }
 
+  test("codec JSONL shards: failed export leaves the previous export intact") {
+    val dir = java.nio.file.Files.createTempDirectory("shards_staged").toString
+    val good = (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    TrainExport.writeShardsJsonlCodec(good, "doc_id", 2, dir, "zstd")
+    assert(TrainExport.readJsonlShards(spark, dir).count() === 50L)
+    // an export whose job fails mid-write (poisoned row) must not destroy
+    // the existing export — the write is staged and only swapped on success
+    val boom = org.apache.spark.sql.functions.udf { (i: Long) =>
+      if (i == 13L) throw new RuntimeException("poison") else s"doc $i"
+    }
+    val bad = (0L until 50L).toDF("doc_id")
+      .withColumn("text", boom(col("doc_id")))
+    intercept[Exception] {
+      TrainExport.writeShardsJsonlCodec(bad, "doc_id", 2, dir, "zstd")
+    }
+    assert(TrainExport.readJsonlShards(spark, dir).count() === 50L,
+      "old export must survive a failed overwrite")
+    // no staging residue alongside the target
+    val parent = new java.io.File(dir).getParentFile
+    val base = new java.io.File(dir).getName
+    assert(!parent.listFiles().exists(_.getName.startsWith(base + ".__staging")),
+      "failed export must sweep its staging dir")
+  }
+
   test("codec JSONL shards roundtrip through write + read") {
     val docs = (0L until 200L).map(i => (i, s"document body $i")).toDF("doc_id", "text")
     for (c <- Seq("bzip2", "zstd", "xz")) {

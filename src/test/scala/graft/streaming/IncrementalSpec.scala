@@ -159,6 +159,42 @@ class IncrementalSpec extends SparkTestBase {
     assert(emitted.toSeq.contains(SessionOut(1L, 1000L, 1500L, 2L)))
   }
 
+  test("sessionize streaming: ultra-late event re-tested against post-merge start") {
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.{SessionEvent, SessionOut}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    // generous watermark delay so deliberately-late events reach the state fn
+    val out = Sessionize.streaming(spark, mem.toDS(), gapSec = 1800,
+      watermarkDelaySec = 50000)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_late_merge").start()
+
+    // batch 1: open session (10000, 10000)
+    mem.addData(SessionEvent(1L, 10000L, 1L))
+    q.processAllAvailable()
+    // batch 2: ts=8500 merges live (start drops to 8500, cutoff 8200→6700);
+    // ts=7000 sits between the batch-start cutoff (8200) and the post-merge
+    // cutoff (6700) — it belongs to the open session, not a singleton
+    mem.addData(SessionEvent(1L, 8500L, 2L), SessionEvent(1L, 7000L, 3L))
+    q.processAllAvailable()
+    // advance the watermark far enough to flush user 1 by timeout
+    mem.addData(SessionEvent(2L, 200000L, 4L))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(2L, 200001L, 5L))
+    q.processAllAvailable()
+    val emitted = spark.sql("SELECT * FROM sess_late_merge")
+      .as[SessionOut].collect().toSeq
+    q.stop()
+    assert(emitted.contains(SessionOut(1L, 7000L, 10000L, 3L)),
+      s"expected one merged session, got $emitted")
+    assert(!emitted.contains(SessionOut(1L, 7000L, 7000L, 1L)),
+      "ultra-late event must not split into a singleton session")
+  }
+
   test("windowedCounts batch form groups by tumbling window") {
     val df = Seq(
       ("2024-01-01 00:10:00", "click", 1.0),
