@@ -2,16 +2,15 @@ package graft.llmops
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Dev-only: large mutation sweep over the whole reference corpus —
-  * never-throw under tens of thousands of corruptions. Assume-guarded.
+/** Large mutation sweep over the whole corpus — never-throw under tens
+  * of thousands of corruptions. Runs against the embedded
+  * [[BrotliFixtures]] seeds when the full offline corpus
+  * (/tmp/brotli_fuzz) is not mounted.
   */
 class BrotliBigFuzzDev extends AnyFunSuite {
   test("50k mutations over the corpus never throw") {
-    val dir = new java.io.File("/tmp/brotli_fuzz")
-    assume(dir.isDirectory)
-    val seeds = dir.listFiles().filter(_.getName.endsWith(".br"))
-      .map(f => java.nio.file.Files.readAllBytes(f.toPath))
-      .filter(_.length > 4)
+    val seeds = BrotliFixtures.corpus().map(_._2).filter(_.length > 4)
+    assert(seeds.nonEmpty)
     val r = new java.util.Random(2026)
     var n = 0
     while (n < 50000) {

@@ -15,35 +15,10 @@ class BrotliSpec extends AnyFunSuite {
   private def b64(s: String): Array[Byte] =
     java.util.Base64.getMimeDecoder.decode(s)
 
-  // dictionary-heavy English text, q11 w22 (67 bytes for 1392)
-  private val FxText: String =
-    """G28F4I2ULt6kmioM7U6ClM0RTQ7Yr5VAIIm+OAXOsRa1admRHwUXiDgfg26/SnSsIGoQOEjD
-      |MZFR0dzt2/3boLfFCA==""".stripMargin
-  private val FxTextRaw: String =
-    ("The documents of the public internet, with their code and data and " +
-      "time and life, show only that the city was open. ") * 12
-
-  // UTF-8 multibyte (ferment transforms walk 2- and 3-byte chars), q9 w16
-  private val FxUtf8: String =
-    """IkoAgCM16ovZnU6O9EChf+3N6wB2wkCVIy3zkunxgNIn15OFnP+sfVQTTVAF4JADh28BZhwA
-      |x4lg4CErWfmnsQyzKzQnTT5anJfJojk13G9yy1fykJQYUWLv4t3gS1tAHJUu1ToXYgA=""".stripMargin
-  private val FxUtf8Raw: String =
-    "naïve café über straße Привет мир こんにちは世界 — the first transform test. " * 6
-
-  // incompressible bytes (literal-only path), q5 w10
-  private val FxRandom: String =
-    """IawEBIK3Du5/GlA5vvB+wjR/Bm7Qj13HUSRH40BDAAJrblRVlKBlaF1kxJgLuNRUSochqZoB
-      |rSGetZz2oV728Vodgwu3zgnWu8AE5xdcZDx97LC1gOw3vJcS3S5qrrlLro0vn6KcWihMnvdS
-      |GCnPEHmwgOnXShwQ/KtqQkPTNlbevkwe15ZI6Fbo+aL1jJXwzks5wVv/rVwt+4u4ILYRnLqP
-      |+IeWrlsF8oCmjO2TtrKMsNGzWOa6q0hVZbn0kCjVV9eaig5kUeFccFwV8XNUG0Q4olz3YxLU
-      |7rPCJGh5vwCzz47ROr8SmjCXrZa0QtbRve9IUMP0ZUQuswDDN6ZIpsDb3XP8lfXCxFGFmv6A
-      |1AqjnfuSSfQMPuN9lhRFyAb1jHzyEn36iU+SlvzzPAhAmQM=""".stripMargin
-
-  // long repeat (ring-buffer distances), q2 w24
-  private val FxRepeat: String =
-    """H18JAICqqqrq/3Sl85UuzHcGHoCDsSASk8QAd9psRxEA0JmDAw==""".stripMargin
-
-  private val FxEmpty: String = "Ow=="
+  // fixtures shared with the fuzz batteries — see BrotliFixtures for the
+  // quality/window provenance of each stream
+  import BrotliFixtures.{FxText, FxTextRaw, FxUtf8, FxUtf8Raw, FxRandom,
+    FxRepeat, FxEmpty}
 
   test("reference-compressed fixtures decode exactly") {
     assert(new String(Brotli.decode(b64(FxText)), "UTF-8") === FxTextRaw)

@@ -82,6 +82,21 @@ def norm_cell(v, strict):
         return f"{v!r}"
     return repr(v)
 
+def _nan_null_counts(df):
+    """(float-NaN cells, true-NULL cells) — distinguishes what norm_cell
+    deliberately conflates, so strict mode can WARN when a match depended
+    on the conflation. Dumps at sf0.01 are small; the python loop is fine."""
+    import numpy as np
+    import pandas as pd
+    nan = null = 0
+    for c in df.columns:
+        for v in df[c]:
+            if v is None or v is pd.NaT or v is pd.NA:
+                null += 1
+            elif isinstance(v, (float, np.floating)) and math.isnan(v):
+                nan += 1
+    return nan, null
+
 def main(sf_dir, out_dir, strict=False):
     con = duckdb.connect()
     for t in TABLES:
@@ -134,6 +149,17 @@ def main(sf_dir, out_dir, strict=False):
         es = e.apply(lambda r: tuple(norm_cell(x, strict) for x in r), axis=1).sort_values().tolist() if len(e) else []
         if gs == es:
             results[name] = "OK"
+            if strict:
+                # NaN↔NULL conflation is deliberate (driver parity — see
+                # norm_cell) but should never be INVISIBLE: when the two
+                # sides carry different NaN/NULL populations yet still
+                # match, the pass depended on the conflation — surface it.
+                gk, ek = _nan_null_counts(g), _nan_null_counts(e)
+                if gk != ek:
+                    warnings[name] = (
+                        f"match relies on NaN/NULL conflation "
+                        f"(spark nan,null={gk} oracle nan,null={ek})"
+                        + (f"; {warnings[name]}" if name in warnings else ""))
         else:
             diffs = [(a, b) for a, b in zip(gs, es) if a != b][:3]
             results[name] = f"VALUE_MISMATCH first_diffs={diffs}"
