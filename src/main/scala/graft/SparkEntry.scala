@@ -1482,6 +1482,32 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q228_delta_roundtrip" -> ((s, dir) => {
+      // Delta `_delta_log` end-to-end: two partitioned MERGE commits plus
+      // an OPTIMIZE rewrite, then the table is read back THROUGH the log
+      // ([[graft.sources.DeltaLog.read]] serves exactly the committed file
+      // list — never a directory listing), proving the log tracks every
+      // write path byte-for-byte. Oracle replays the merge in SQL; the
+      // negated batch price proves new-wins on collision.
+      val ss = tuned(s)
+      val ord = t(ss, dir, "orders")
+      val init = ord.filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val batch = ord.filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 5000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (-col("o_totalprice")).as("o_totalprice"))
+      val tableDir =
+        java.nio.file.Files.createTempDirectory("graft-q228").toString + "/t"
+      MergeUpsert.upsertParquet(ss, init, tableDir,
+        Seq("o_orderkey"), Seq("o_orderstatus"))
+      MergeUpsert.upsertParquet(ss, batch, tableDir,
+        Seq("o_orderkey"), Seq("o_orderstatus"))
+      graft.operators.Maintenance.compact(ss, tableDir)
+      graft.sources.DeltaLog.read(ss, tableDir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     "q25_watermark_filter" -> ((s, dir) => {
       // P6 numeric watermark predicate
       t(tuned(s), dir, "events")
@@ -11803,6 +11829,19 @@ ${graft.oracle.XxHash64Sql.kernel("42")},
          SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
            CAST(NULL AS VARCHAR) AS prio
          FROM oldd o
+         WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+         ORDER BY o_orderkey""",
+
+    "q228_delta_roundtrip" ->
+      """WITH oldd AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey < 3000),
+         batch AS (
+           SELECT o_orderkey, o_orderstatus, -o_totalprice AS o_totalprice
+           FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 5000)
+         SELECT * FROM batch
+         UNION ALL
+         SELECT o.* FROM oldd o
          WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM batch)
          ORDER BY o_orderkey""",
 

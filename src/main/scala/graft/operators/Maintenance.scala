@@ -42,7 +42,13 @@ object Maintenance {
     if (fs.exists(bak)) fs.delete(bak, true)
     fs.rename(p, bak)
     fs.rename(new Path(tmp), p)
+    MergeUpsert.restoreDeltaLog(fs, path) // the swap carried the log into __old
     fs.delete(bak, true)
+    // OPTIMIZE on a delta table: same rows, new files — remove+add with
+    // dataChange=false. Plain parquet tables don't sprout a log here.
+    if (graft.sources.DeltaLog.exists(fs, path))
+      graft.sources.DeltaLog.reconcile(spark, path, df.schema,
+        partitionCols, dataChange = false, operation = "OPTIMIZE")
     ()
   }
 
@@ -129,11 +135,23 @@ object Maintenance {
   def zorderWriteN(spark: SparkSession, df: DataFrame, path: String,
       zcols: Seq[String], bits: Int = 16, numFiles: Int = 0): Unit = {
     require(zcols.nonEmpty, "zorderWriteN needs at least one column")
+    // Overwrite destroys `_delta_log` with the rest of the dir — capture
+    // the state first so reconcile can restart the log (checkpoint at the
+    // prior version) with continuity. ZORDER is a rewrite of the same
+    // rows when pointed at the table's own content (the OPTIMIZE ZORDER
+    // contract) — logged with dataChange=false.
+    val priorLog = graft.sources.DeltaLog.replay(spark, path)
+    def relog(): Unit = priorLog.foreach { st =>
+      graft.sources.DeltaLog.reconcile(spark, path, df.schema, Nil,
+        dataChange = false, operation = "OPTIMIZE", prior = Some(st))
+      ()
+    }
     val aggs = zcols.flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     if (r.isNullAt(0)) { // empty input: an empty table, not a crash
       df.limit(0).write.mode(SaveMode.Overwrite).parquet(path)
+      relog()
       return
     }
     val files =
@@ -148,6 +166,7 @@ object Maintenance {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
+    relog()
   }
 
   /** Point-lookup-optimized rewrite: parquet BLOOM FILTERS on the given
@@ -166,6 +185,8 @@ object Maintenance {
   def bloomWrite(df: DataFrame, path: String, bloomCols: Seq[String],
       ndv: Long = 1000000, numFiles: Int = 0): Unit = {
     require(bloomCols.nonEmpty, "bloomWrite needs at least one key column")
+    // same log-continuity dance as zorderWriteN: capture before Overwrite
+    val priorLog = graft.sources.DeltaLog.replay(df.sparkSession, path)
     val files =
       if (numFiles > 0) numFiles
       else math.max(1, df.sparkSession.sparkContext.defaultParallelism)
@@ -178,6 +199,11 @@ object Maintenance {
         .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
     }
     w.parquet(path)
+    priorLog.foreach { st =>
+      graft.sources.DeltaLog.reconcile(df.sparkSession, path, df.schema, Nil,
+        dataChange = false, operation = "OPTIMIZE", prior = Some(st))
+      ()
+    }
   }
 
   /** VACUUM-equivalent for the staging/backup dirs the merge path leaves on
@@ -243,6 +269,7 @@ object Maintenance {
             fs.rename(p, bak)
           }
           fs.rename(staging, p)
+          MergeUpsert.restoreDeltaLog(fs, path)
         } else if (!fs.exists(p) && fs.exists(bak)) {
           fs.rename(bak, p) // defensive: never reachable by protocol order
         }

@@ -95,8 +95,21 @@ object MergeUpsert {
     // (run-to-run different payloads; Delta raises "multiple source rows
     // matched" there — we resolve deterministically instead of failing the
     // batch). Two IDENTICAL rows hash equal: same output either way.
+    // xxhash64 rejects MapType anywhere in a column's type (Spark raises
+    // unless legacy.allowHashOnMapType) — serialize such columns via
+    // to_json first; any deterministic per-row function works for the
+    // tie-break, and the idCols already pin the partition.
+    def containsMap(dt: DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => containsMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
     val payloadHash =
-      xxhash64(flagged.columns.filterNot(_ == "__prec").map(col): _*)
+      xxhash64(flagged.schema.filterNot(_.name == "__prec").map { f =>
+        if (containsMap(f.dataType)) to_json(col(f.name)) else col(f.name)
+      }.toIndexedSeq: _*)
     val w = Window.partitionBy(idCols.map(col): _*)
       .orderBy(col("__prec").desc, payloadHash.asc)
     flagged
@@ -190,6 +203,8 @@ object MergeUpsert {
       val deduped = batch.dropDuplicates()
       if (!fs.exists(hPath)) {
         write(deduped, path, partitionCols)
+        graft.sources.DeltaLog.reconcile(spark, path, deduped.schema,
+          partitionCols, operation = "WRITE")
       } else if (partitionCols.isEmpty) {
         val existing = spark.read.option("mergeSchema", "true").parquet(path)
         val merged = merge(existing, deduped, idCols, autoMerge)
@@ -199,6 +214,8 @@ object MergeUpsert {
         writeMarker(fs, path, staging, ModeWhole)
         wholeSwap(fs, path, staging)
         finishCommit(fs, path, staging)
+        graft.sources.DeltaLog.reconcile(spark, path, merged.schema, Nil,
+          operation = "MERGE")
       } else {
         prunedUpsert(spark, fs, path, deduped, idCols, partitionCols, autoMerge,
           lease)
@@ -217,7 +234,21 @@ object MergeUpsert {
     if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(hPath)) fs.rename(hPath, bak)
     fs.rename(staging, hPath)
+    restoreDeltaLog(fs, path)
     ()
+  }
+
+  /** A whole-table swap carries `_delta_log` into the `__old` backup with
+    * everything else; move it back so the log's history survives the
+    * rewrite (the post-swap reconcile then appends the diff commit). A
+    * crash between swap and restore loses the log dir — reconcile
+    * rebuilds it from scratch at version 0, a degraded-but-consistent
+    * restart, never a torn log.
+    */
+  private[operators] def restoreDeltaLog(fs: FileSystem, path: String): Unit = {
+    val lg = new Path(path + "__old", graft.sources.DeltaLog.LogDirName)
+    val dst = new Path(path, graft.sources.DeltaLog.LogDirName)
+    if (fs.exists(lg) && !fs.exists(dst)) { fs.rename(lg, dst); () }
   }
 
   private def prunedUpsert(
@@ -272,6 +303,12 @@ object MergeUpsert {
     // 5. idempotent per-partition swap + cleanup
     commitSwap(fs, path, staging)
     finishCommit(fs, path, staging)
+
+    // 6. delta log: scoped to the touched partition dirs — log upkeep is
+    //    O(affected partitions), never an O(table) listing
+    graft.sources.DeltaLog.reconcile(spark, path, merged.schema,
+      partitionCols, operation = "MERGE",
+      scopedDirs = Some(dirs.toIndexedSeq))
   }
 
   private[operators] def stagingPath(path: String, token: String): Path =

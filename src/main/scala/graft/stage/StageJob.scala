@@ -41,8 +41,11 @@ object StageJob {
         // K8: still materialize a typed empty table (light_transform.py:1444-1462)
         val schema = StructType(columns.sortBy(_.columnId).map(c =>
           StructField(c.name, TransformCompiler.sparkType(c.dataType), nullable = true)))
+        val prior = graft.sources.DeltaLog.replay(spark, stagePath)
         RawLayer.emptyTyped(spark, schema)
           .write.mode(SaveMode.Overwrite).parquet(stagePath)
+        graft.sources.DeltaLog.reconcile(spark, stagePath, schema, Nil,
+          operation = "WRITE", prior = prior, replaceSchema = true)
         StageResult(EmptyInput, 0L)
 
       case Some(raw) =>
@@ -83,9 +86,19 @@ object StageJob {
                 if (isIncremental)
                   MergeUpsert.upsertParquet(spark, cached, stagePath, idCols, partitionCols)
                 else {
+                  // Spark Overwrite destroys the table dir, `_delta_log`
+                  // included — capture the log state first so reconcile
+                  // restarts it with version continuity (the reference's
+                  // stage overwrite keeps its Delta history the same way,
+                  // light_transform.py:1356-1380)
+                  val prior = graft.sources.DeltaLog.replay(spark, stagePath)
                   val w = cached.write.mode(SaveMode.Overwrite)
                   (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
                     .parquet(stagePath)
+                  graft.sources.DeltaLog.reconcile(spark, stagePath,
+                    cached.schema, partitionCols, operation = "WRITE",
+                    prior = prior, replaceSchema = true)
+                  ()
                 }
                 // rows written by THIS run (for merges: the batch, not the
                 // accumulated table — the run report's monitoring semantics)

@@ -30,6 +30,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1, "a"), (2, "B"), (3, "C")))
   }
 
+  test("K5 merge: tables with map columns upsert (hash tie-break map-safe)") {
+    // xxhash64 rejects MapType; the deterministic-survivor hash must route
+    // map columns through to_json or planning fails on any map-typed table
+    val old = Seq((1, Map("k" -> "a")), (2, Map("k" -> "b"))).toDF("id", "m")
+    val batch = Seq((2, Map("k" -> "B")), (3, Map("k" -> "C"))).toDF("id", "m")
+    val got = MergeUpsert.merge(old, batch, Seq("id"))
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getMap[String, String](1)("k")))
+    assert(got.toSeq === Seq((1, "a"), (2, "B"), (3, "C")))
+    // nested: map inside a struct must also be routed through to_json
+    val oldN = Seq((1, ("x", Map("k" -> 1)))).toDF("id", "s")
+    val batchN = Seq((1, ("y", Map("k" -> 2))), (2, ("z", Map("k" -> 3))))
+      .toDF("id", "s")
+    val gotN = MergeUpsert.merge(oldN, batchN, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getStruct(1).getString(0)))
+    assert(gotN.toSeq === Seq((1, "y"), (2, "z")))
+  }
+
   test("merge idempotency: re-applying the same batch is a no-op") {
     val dir = tmpDir() + "/t"
     val b1 = Seq((1, "a"), (2, "b")).toDF("id", "v")

@@ -1,0 +1,274 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.operators.{Maintenance, MergeUpsert}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import java.nio.file.Files
+
+/** The from-scratch Delta `_delta_log`: frozen log-layout goldens (the
+  * sandbox has no Delta jars, so protocol conformance is asserted
+  * against the public spec's shapes), replay/read parity with the data
+  * actually on disk, version continuity across every write path, and
+  * the refusal contracts.
+  */
+class DeltaLogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-delta").toString + "/t"
+
+  private def fs = new Path("/tmp").getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def logFiles(path: String): Seq[String] =
+    new java.io.File(path, DeltaLog.LogDirName).listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+
+  test("upsert creates a v0 log; the layout matches the Delta spec") {
+    val dir = tmp()
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "a"), (2, "b")).toDF("id", "v"), dir, Seq("id"))
+    assert(logFiles(dir) === Seq("00000000000000000000.json"))
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, DeltaLog.LogDirName,
+        "00000000000000000000.json")), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+    val actions = lines.map(graft.llmops.Json.parseObject)
+    assert(actions.forall(_ != null), "every action line parses as JSON")
+    val byKind = actions.groupBy(_.keys.head)
+    // exactly one protocol and one metaData on the first commit
+    assert(byKind("protocol").length === 1)
+    assert(byKind("metaData").length === 1)
+    assert(byKind.contains("add"))
+    assert(!byKind.contains("remove"), "first commit removes nothing")
+    val proto = byKind("protocol").head("protocol").asInstanceOf[Map[String, Any]]
+    assert(proto("minReaderVersion") === 1L)
+    assert(proto("minWriterVersion") === 2L)
+    val md = byKind("metaData").head("metaData").asInstanceOf[Map[String, Any]]
+    assert(md("format").asInstanceOf[Map[String, Any]]("provider") === "parquet")
+    // schemaString is a parseable Spark StructType covering the columns
+    val sch = DataType.fromJson(md("schemaString").toString).asInstanceOf[StructType]
+    assert(sch.fieldNames.toSet === Set("id", "v"))
+    val add = byKind("add").head("add").asInstanceOf[Map[String, Any]]
+    assert(add.keySet === Set("path", "partitionValues", "size",
+      "modificationTime", "dataChange"))
+    assert(add("dataChange") === true)
+    // the logged file exists with the logged size
+    val f = new java.io.File(dir, add("path").toString)
+    assert(f.isFile && f.length() === add("size"))
+  }
+
+  test("merge appends remove+add commits; read() matches the parquet table") {
+    val dir = tmp()
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "a"), (2, "b")).toDF("id", "v"), dir, Seq("id"))
+    MergeUpsert.upsertParquet(spark,
+      Seq((2, "B"), (3, "C")).toDF("id", "v"), dir, Seq("id"))
+    assert(logFiles(dir) === Seq(
+      "00000000000000000000.json", "00000000000000000001.json"))
+    val v1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, DeltaLog.LogDirName,
+        "00000000000000000001.json")), "UTF-8")
+    assert(v1.contains("\"remove\""), "the whole-swap replaced the old file")
+    assert(v1.contains("\"add\""))
+    val got = DeltaLog.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq === Seq((1, "a"), (2, "B"), (3, "C")))
+    // parity with the plain parquet view of the same table
+    val plain = spark.read.parquet(dir).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq === plain.toSeq)
+  }
+
+  test("partitioned upsert logs partitionValues and only touched dirs") {
+    val dir = tmp()
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "a", "p1"), (2, "b", "p2")).toDF("id", "v", "part"),
+      dir, Seq("id"), partitionCols = Seq("part"))
+    val st0 = DeltaLog.replay(spark, dir).get
+    assert(st0.partitionColumns === Seq("part"))
+    assert(st0.files.values.map(_.partitionValues("part")).toSet ===
+      Set("p1", "p2"))
+    assert(st0.files.keys.forall(_.startsWith("part=")))
+    // second batch touches only p2: p1's add entries must be untouched
+    val p1Files = st0.files.keys.filter(_.startsWith("part=p1")).toSet
+    MergeUpsert.upsertParquet(spark,
+      Seq((2, "B", "p2"), (4, "d", "p2")).toDF("id", "v", "part"),
+      dir, Seq("id"), partitionCols = Seq("part"))
+    val st1 = DeltaLog.replay(spark, dir).get
+    assert(st1.version === 1L)
+    assert(st1.files.keys.filter(_.startsWith("part=p1")).toSet === p1Files,
+      "untouched partition's log entries survive verbatim")
+    val got = DeltaLog.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq === Seq(
+      (1, "a", "p1"), (2, "B", "p2"), (4, "d", "p2")))
+  }
+
+  test("read() serves exactly the logged files — stray files are invisible") {
+    val dir = tmp()
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "a")).toDF("id", "v"), dir, Seq("id"))
+    // an in-flight/stray parquet dropped next to the data
+    Seq((99, "zz")).toDF("id", "v").coalesce(1)
+      .write.parquet(dir + "_stray")
+    val stray = new java.io.File(dir + "_stray").listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(stray.toPath,
+      java.nio.file.Paths.get(dir, "stray-not-committed.parquet"))
+    assert(spark.read.parquet(dir).count() === 2L, "plain read sees both")
+    assert(DeltaLog.read(spark, dir).count() === 1L, "delta read sees the log")
+  }
+
+  test("checkpoint every 10 commits + _last_checkpoint; replay unaffected") {
+    val dir = tmp()
+    (0 until 12).foreach { i =>
+      MergeUpsert.upsertParquet(spark,
+        Seq((i, s"v$i")).toDF("id", "v"), dir, Seq("id"))
+    }
+    val names = logFiles(dir)
+    assert(names.contains("00000000000000000010.checkpoint.parquet"))
+    assert(names.contains("_last_checkpoint"))
+    val lc = graft.llmops.Json.parseObject(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        dir, DeltaLog.LogDirName, "_last_checkpoint")), "UTF-8"))
+    assert(lc("version") === 10L)
+    val st = DeltaLog.replay(spark, dir).get
+    assert(st.version === 11L)
+    val got = DeltaLog.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq === (0 until 12).map(i => (i, s"v$i")))
+    // checkpoint alone (json tail removed up to it) still replays: the
+    // spec's log-cleanup posture — history before a checkpoint may go
+    (0 to 10).foreach { v =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        dir, DeltaLog.LogDirName, f"$v%020d.json"))
+    }
+    val st2 = DeltaLog.replay(spark, dir).get
+    assert(st2.version === 11L)
+    assert(DeltaLog.read(spark, dir).count() === 12L)
+  }
+
+  test("OPTIMIZE (compact) logs remove+add with dataChange=false") {
+    val dir = tmp()
+    (0 until 3).foreach { i =>
+      MergeUpsert.upsertParquet(spark,
+        Seq((i, s"v$i")).toDF("id", "v"), dir, Seq("id"))
+    }
+    val before = DeltaLog.replay(spark, dir).get
+    Maintenance.compact(spark, dir, targetFileMB = 128)
+    val after = DeltaLog.replay(spark, dir).get
+    assert(after.version === before.version + 1)
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, DeltaLog.LogDirName,
+        f"${after.version}%020d.json")), "UTF-8")
+    assert(body.contains("\"operation\":\"OPTIMIZE\""))
+    assert(body.contains("\"dataChange\":false"))
+    assert(!body.contains("\"dataChange\":true"))
+    val got = DeltaLog.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq === Seq((0, "v0"), (1, "v1"), (2, "v2")))
+  }
+
+  test("zorder rewrite keeps log continuity through Overwrite") {
+    val dir = tmp()
+    MergeUpsert.upsertParquet(spark,
+      (0 until 100).map(i => (i, i % 7)).toDF("a", "b"), dir, Seq("a"))
+    val v0 = DeltaLog.replay(spark, dir).get.version
+    // same logical rows, materialized (Spark refuses overwriting a path
+    // that the written plan is also reading from)
+    Maintenance.zorderWrite(spark,
+      (0 until 100).map(i => (i, i % 7)).toDF("a", "b"), dir, "a", "b")
+    val st = DeltaLog.replay(spark, dir).get
+    assert(st.version === v0 + 1, "version numbering survives the Overwrite")
+    assert(DeltaLog.read(spark, dir).count() === 100L)
+    // the destroyed log restarted from a checkpoint carrying the history
+    assert(logFiles(dir).exists(_.endsWith(".checkpoint.parquet")))
+  }
+
+  test("replay refuses gaps and future reader versions; heals when rebuilt") {
+    val dir = tmp()
+    (0 until 3).foreach { i =>
+      MergeUpsert.upsertParquet(spark,
+        Seq((i, s"v$i")).toDF("id", "v"), dir, Seq("id"))
+    }
+    // gap: remove the middle commit
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      dir, DeltaLog.LogDirName, "00000000000000000001.json"))
+    val e = intercept[IllegalArgumentException] { DeltaLog.replay(spark, dir) }
+    assert(e.getMessage.contains("gap"))
+    // a lost log is rebuilt from scratch by the next writer's reconcile
+    fs.delete(new Path(dir, DeltaLog.LogDirName), true)
+    MergeUpsert.upsertParquet(spark,
+      Seq((9, "v9")).toDF("id", "v"), dir, Seq("id"))
+    val st = DeltaLog.replay(spark, dir).get
+    assert(st.version === 0L, "fresh history after log loss")
+    assert(DeltaLog.read(spark, dir).count() === 4L)
+    // future reader version refuses
+    val dir2 = tmp()
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "a")).toDF("id", "v"), dir2, Seq("id"))
+    val p0 = java.nio.file.Paths.get(
+      dir2, DeltaLog.LogDirName, "00000000000000000000.json")
+    val swapped = new String(java.nio.file.Files.readAllBytes(p0), "UTF-8")
+      .replace("\"minReaderVersion\":1", "\"minReaderVersion\":7")
+    java.nio.file.Files.write(p0, swapped.getBytes("UTF-8"))
+    // the out-of-band edit invalidates LocalFileSystem's checksum sidecar
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      dir2, DeltaLog.LogDirName, ".00000000000000000000.json.crc"))
+    val e2 = intercept[IllegalArgumentException] { DeltaLog.replay(spark, dir2) }
+    assert(e2.getMessage.contains("reader version 7"))
+  }
+
+  test("schema evolution surfaces in metaData; narrow batch does not regress it") {
+    val dir = tmp()
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "a")).toDF("id", "v"), dir, Seq("id"))
+    MergeUpsert.upsertParquet(spark,
+      Seq((2, "b", 5.0)).toDF("id", "v", "extra"), dir, Seq("id"))
+    val widened = DeltaLog.replay(spark, dir).get
+    val sch = DataType.fromJson(widened.schemaString).asInstanceOf[StructType]
+    assert(sch.fieldNames.toSet === Set("id", "v", "extra"))
+    // a later narrow batch must not drop `extra` from the logged schema
+    MergeUpsert.upsertParquet(spark,
+      Seq((3, "c")).toDF("id", "v"), dir, Seq("id"))
+    val after = DeltaLog.replay(spark, dir).get
+    val sch2 = DataType.fromJson(after.schemaString).asInstanceOf[StructType]
+    assert(sch2.fieldNames.toSet === Set("id", "v", "extra"))
+    val got = DeltaLog.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        Option(r.get(2)).map(_.toString).orNull))
+    assert(got.toSeq === Seq(
+      (1, "a", null), (2, "b", "5.0"), (3, "c", null)))
+  }
+
+  test("path percent-codec round-trips special characters") {
+    for (s <- Seq("part-0001.parquet", "a=1/part x.parquet",
+        "k=spa ce/π≈3.parquet", "p=%25already/f.parquet",
+        "p=__HIVE_DEFAULT_PARTITION__/f.parquet")) {
+      assert(DeltaLog.decodePath(DeltaLog.encodePath(s)) === s, s)
+    }
+    assert(DeltaLog.encodePath("a b") === "a%20b")
+    assert(DeltaLog.encodePath("part=x/f.parquet") === "part=x/f.parquet",
+      "unreserved chars and = stay literal")
+  }
+
+  test("empty-table log (K8 empty materialization shape) reads as empty typed") {
+    val dir = tmp()
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.parquet(dir)
+    DeltaLog.reconcile(spark, dir, schema, Nil)
+    val got = DeltaLog.read(spark, dir)
+    assert(got.schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(got.count() === 0L)
+  }
+}
