@@ -111,14 +111,18 @@ object DedupOps {
       wordShingleN: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.6
+      threshold: Double = 0.6,
+      /** Durable-snapshot dir for reused intermediates ([[Mat.snapshot]]);
+        * None = localCheckpoint, the micro-batch default.
+        */
+      checkpointDir: Option[String] = None
   ): DataFrame =
     minhashDedupAgainstSignatures(newDocs, textCol, keyCol,
       minhashBandRows(corpus, corpusTextCol, corpusKeyCol, "__ckey",
         wordShingleN, numHashes, bands),
       corpus.select(col(corpusKeyCol).alias("__ckey"),
         col(corpusTextCol).alias("__ctxt")),
-      wordShingleN, numHashes, bands, threshold)
+      wordShingleN, numHashes, bands, threshold, checkpointDir)
 
   /** [[minhashDedupAgainstCorpus]] with the corpus side supplied as a
     * PRECOMPUTED signature store — `corpusBands` in the
@@ -137,19 +141,22 @@ object DedupOps {
       wordShingleN: Int,
       numHashes: Int,
       bands: Int,
-      threshold: Double
+      threshold: Double,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
     // candidate pairs: narrow band keys on both sides; one shuffle each.
     // Consumed three times below (pair join + two key projections);
-    // localCheckpoint, not persist — CorpusIngest calls this per streaming
-    // micro-batch and persist would pin CacheManager blocks until an
-    // unpersist the caller never sees; checkpoint blocks free with the RDD
-    val pairs = minhashBandRows(newDocs, textCol, keyCol, "__nkey",
-        wordShingleN, numHashes, bands)
-      .join(corpusBands, Seq("band", "band_hash"))
-      .select(col("__nkey"), col("__ckey"))
-      .dropDuplicates("__nkey", "__ckey")
-      .localCheckpoint(true)
+    // default localCheckpoint, not persist — CorpusIngest calls this per
+    // streaming micro-batch and persist would pin CacheManager blocks
+    // until an unpersist the caller never sees; checkpointDir upgrades to
+    // a durable snapshot for long batch backfills
+    val pairs = Mat.snapshot(
+      minhashBandRows(newDocs, textCol, keyCol, "__nkey",
+          wordShingleN, numHashes, bands)
+        .join(corpusBands, Seq("band", "band_hash"))
+        .select(col("__nkey"), col("__ckey"))
+        .dropDuplicates("__nkey", "__ckey"),
+      checkpointDir, "pairs")
 
     // exact verification: join on candidate keys FIRST, project the
     // shingle transform after — the HOF array must be built for candidate
@@ -468,7 +475,14 @@ object DedupOps {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.6,
-      wordShingleN: Option[Int] = None
+      wordShingleN: Option[Int] = None,
+      /** Reliable-snapshot dir for the reused intermediates (see
+        * [[Mat.snapshot]]); None = localCheckpoint (fastest, but an
+        * executor loss mid-job is unrecoverable — fine for short or
+        * micro-batch runs, pass a dir for long batch jobs on
+        * preemptible executors).
+        */
+      checkpointDir: Option[String] = None
   ): DataFrame = {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) with " +
@@ -512,13 +526,14 @@ object DedupOps {
     }
     // materialized once: both sides of the candidate self-join scan this —
     // without it the signature computation and source scan run twice.
-    // localCheckpoint, not persist: CorpusIngest calls this per streaming
-    // micro-batch and persist would pin CacheManager blocks until an
-    // unpersist the caller never sees; checkpoint blocks free with the RDD
-    val bandRows = sigged
+    // Default localCheckpoint (not persist: CorpusIngest calls this per
+    // streaming micro-batch and persist would pin CacheManager blocks
+    // until an unpersist the caller never sees); checkpointDir upgrades
+    // to a durable snapshot for preemption-prone batch runs
+    val bandRows = Mat.snapshot(sigged
       .select(col("key"), explode(array(bandStructs: _*)).alias("b"))
-      .select(col("key"), col("b.band"), col("b.band_hash"))
-      .localCheckpoint(true)
+      .select(col("key"), col("b.band"), col("b.band_hash")),
+      checkpointDir, "bands")
 
     val pairs = bandRows.alias("l")
       .join(bandRows.alias("r"),
@@ -539,10 +554,11 @@ object DedupOps {
     val pairKeys = pairs
       .select(explode(array(col("key_a"), col("key_b"))).alias("key"))
       .distinct()
-    val candSh = df.select(col(keyCol).alias("key"), col(textCol).alias("__txt"))
-      .join(pairKeys, "key")
-      .select(col("key"), shingleOf(col("__txt")).alias("sh"))
-      .localCheckpoint(true)
+    val candSh = Mat.snapshot(
+      df.select(col(keyCol).alias("key"), col(textCol).alias("__txt"))
+        .join(pairKeys, "key")
+        .select(col("key"), shingleOf(col("__txt")).alias("sh")),
+      checkpointDir, "candsh")
 
     val shA = candSh.select(col("key").alias("key_a"), col("sh").alias("sh_a"))
     val shB = candSh.select(col("key").alias("key_b"), col("sh").alias("sh_b"))

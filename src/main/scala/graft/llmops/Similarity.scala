@@ -937,7 +937,13 @@ object Similarity {
       nProbe: Int = 4,
       numSubspaces: Int = 8,
       pqCentroids: Int = 16,
-      coarseCentroids: Option[DataFrame] = None
+      coarseCentroids: Option[DataFrame] = None,
+      /** Durable-snapshot dir for the reused corpus-side intermediates
+        * ([[Mat.snapshot]]); None = localCheckpoint — fastest, but blocks
+        * die with their executor, so long batch index builds on
+        * preemptible executors should pass a dir.
+        */
+      checkpointDir: Option[String] = None
   ): DataFrame = {
     val coarseCents = coarseCentroids.getOrElse(
       pqSample(corpus, corpusKey, corpusVec, nCentroids))
@@ -961,13 +967,13 @@ object Similarity {
     // corpus-wide coarse assignment (posexplode + broadcast join + two
     // aggregations) is the most expensive stage here — recomputing it per
     // consumer would roughly double the job at corpus scale
-    val corpusCell = coarse(
+    val corpusCell = Mat.snapshot(coarse(
         corpus.select(col(corpusKey).alias("neighbor_key"),
           col(corpusVec).alias("__v")), "neighbor_key")
       .groupBy(col("neighbor_key"))
       .agg(min_by(col("cent_id"), struct(col("score"), col("cent_id")))
-        .alias("cent_id"))
-      .localCheckpoint(true)
+        .alias("cent_id")),
+      checkpointDir, "ivfadc-cell")
     val wProbe = Window.partitionBy(col("query_key"))
       .orderBy(col("score"), col("cent_id"))
     val probes = coarse(
@@ -981,14 +987,14 @@ object Similarity {
       .select(col("j").alias("cent_id"), col("cent_vec").alias("__cv"))
     // corpus residuals (one cell per vector → one residual per vector) —
     // consumed by the codebook sampling AND the encode pass; one scan
-    val resid = corpus
+    val resid = Mat.snapshot(corpus
       .select(col(corpusKey).alias("neighbor_key"), col(corpusVec).alias("__v"))
       .join(corpusCell, "neighbor_key")
       .join(broadcast(centById), "cent_id")
       .withColumn("__rv", zip_with(col("__v"), col("__cv"),
         (a, b) => a.cast("double") - b.cast("double")))
-      .select(col("neighbor_key"), col("__rv"))
-      .localCheckpoint(true)
+      .select(col("neighbor_key"), col("__rv")),
+      checkpointDir, "ivfadc-resid")
     val cb = pqSample(resid, "neighbor_key", "__rv", pqCentroids)
     val codes = pqEncodeWith(resid, "neighbor_key", "__rv", cb, numSubspaces)
       .select(col("neighbor_key"), col("codes"))
@@ -1039,14 +1045,16 @@ object Similarity {
       nProbe: Int = 4,
       numSubspaces: Int = 8,
       pqCentroids: Int = 16,
-      coarseCentroids: Option[DataFrame] = None
+      coarseCentroids: Option[DataFrame] = None,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
     require(kShortlist >= k,
       s"kShortlist ($kShortlist) must be >= k ($k): the re-rank can only " +
         "reorder the shortlist, not grow it")
     val shortlist = ivfAdcTopK(corpus, corpusKey, corpusVec,
         queries, queryKey, queryVec, kShortlist,
-        nCentroids, nProbe, numSubspaces, pqCentroids, coarseCentroids)
+        nCentroids, nProbe, numSubspaces, pqCentroids, coarseCentroids,
+        checkpointDir)
       .select(col("query_key"), col("neighbor_key"))
     val scored = corpus
       .select(col(corpusKey).alias("neighbor_key"), col(corpusVec).alias("__nv"))

@@ -45,6 +45,41 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("checkpointDir knob: durable snapshots, identical results") {
+    // batch fault-tolerance knob (Mat.snapshot): with a checkpoint dir the
+    // reused intermediates live as parquet snapshots (recoverable after
+    // executor loss), and results are bit-identical to the
+    // localCheckpoint default
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely unrelated text about spark catalyst optimizer internals")
+    ).toDF("doc_id", "text")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val durable = DedupOps.minhashNearDups(df, "text", "doc_id",
+        threshold = 0.5, checkpointDir = Some(ckpt))
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    val default = DedupOps.minhashNearDups(df, "text", "doc_id",
+        threshold = 0.5)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(durable === default)
+    val snaps = new java.io.File(ckpt).listFiles().map(_.getName)
+    assert(snaps.exists(_.startsWith("graft-snap-bands-")),
+      "band rows snapshotted to reliable storage")
+    assert(snaps.exists(_.startsWith("graft-snap-candsh-")),
+      "candidate shingles snapshotted to reliable storage")
+    // against-corpus batch screen honors the same knob
+    val corpus = Seq((10L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("cid", "ctext")
+    val survivors = DedupOps.minhashDedupAgainstCorpus(
+        df, "text", "doc_id", corpus, "cid", "ctext",
+        checkpointDir = Some(ckpt))
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(3L), "near-dups of the corpus doc screened out")
+    assert(new java.io.File(ckpt).listFiles().map(_.getName)
+      .exists(_.startsWith("graft-snap-pairs-")))
+  }
+
   test("simhash near-dups: identical text at distance 0") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -155,6 +155,19 @@ class PqSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(got.sortBy(t => (t._1, t._3)).toSeq ===
       again.sortBy(t => (t._1, t._3)).toSeq)
+    // checkpointDir knob: durable parquet snapshots of the corpus-side
+    // intermediates (batch fault tolerance) with bit-identical results
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-ckpt").toString
+    val durable = Similarity.ivfAdcTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k,
+        nCentroids = 8, nProbe = 4, numSubspaces = 4, pqCentroids = 16,
+        checkpointDir = Some(ckpt))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(durable.sortBy(t => (t._1, t._3)).toSeq ===
+      got.sortBy(t => (t._1, t._3)).toSeq)
+    val snaps = new java.io.File(ckpt).listFiles().map(_.getName)
+    assert(snaps.exists(_.startsWith("graft-snap-ivfadc-cell-")))
+    assert(snaps.exists(_.startsWith("graft-snap-ivfadc-resid-")))
   }
 
   test("ivfAdcTopKRerank: exact re-rank on the residual shortlist lifts recall further") {
