@@ -12,9 +12,16 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // Scale probes model a bigger cluster's shuffle width on the same
+    // local cores: partitions pinned to core count make per-partition
+    // state grow linearly with corpus size (a real cluster grows
+    // partitions with executors), so sfN probes may override it.
+    val shuffleParts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .flatMap(_.toIntOption)
+      .getOrElse(cpus.toIntOption.getOrElse(32))
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
-      shufflePartitions = cpus.toIntOption.getOrElse(32)
+      shufflePartitions = shuffleParts
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // materialize every output row of the physical plan (a bare count()

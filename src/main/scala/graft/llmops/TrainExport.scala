@@ -124,6 +124,15 @@ object TrainExport {
     val root = new org.apache.hadoop.fs.Path(path)
     val rootFs = root.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    // sweep staging orphans from runs the JVM-kill path (OOM, preemption)
+    // never let clean up — UUID-named, so they would otherwise accumulate
+    // full-corpus-sized garbage forever; concurrent exports to one target
+    // are already unsupported (the commit swap itself races)
+    val orphans =
+      try rootFs.globStatus(
+        new org.apache.hadoop.fs.Path(path + ".__staging-*"))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (orphans != null) orphans.foreach(s => rootFs.delete(s.getPath, true))
     val staging = new org.apache.hadoop.fs.Path(
       path + ".__staging-" + java.util.UUID.randomUUID().toString.take(8))
     val sharded = shuffleShards(df, keyCol, nShards)

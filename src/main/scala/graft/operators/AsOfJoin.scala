@@ -82,7 +82,11 @@ object AsOfJoin {
             .map(c => col(c).alias(s"__l_$c")) :+
           lit(null).alias("__r"): _*)
 
-    val taggedRight = right
+    // ASOF semantics: a right row with a NULL ordering value can never be
+    // "at or before/after" anything — but NULLs sort FIRST under asc, so
+    // an unfiltered null-ord row would land inside every backward frame
+    // and its (non-null) carried struct would win the match
+    val taggedRight = right.filter(col(ordCol).isNotNull)
       .withColumn("__side", lit(0))
       .select(
         (keys.map(col) :+ col(ordCol).alias("__ord") :+ col("__side")) ++

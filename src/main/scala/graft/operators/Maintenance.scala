@@ -22,14 +22,31 @@ object Maintenance {
     val bytes = fs.getContentSummary(p).getLength
     val files = math.max(1, (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
     val df = spark.read.parquet(path)
-    // Hive-partitioned layouts must survive compaction: detect `k=v`
-    // first-level dirs and rewrite with the same partitionBy; repartition on
-    // the partition columns first so each partition dir lands in few tasks
-    // (a flat repartition(n) + partitionBy would write up to n files per
-    // partition — small files again, the thing compaction exists to fix)
-    val partitionCols = fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .map(_.getPath.getName.split("=", 2)(0)).distinct
+    // Hive-partitioned layouts must survive compaction: detect the FULL
+    // `k=v` directory chain (all levels — a first-level-only detection
+    // flattened a=/b= tables, destroying the b level and corrupting the
+    // layout for later pruned merges) and rewrite with the same
+    // partitionBy; repartition on the partition columns first so each
+    // partition dir lands in few tasks (a flat repartition(n) +
+    // partitionBy would write up to n files per partition — small files
+    // again, the thing compaction exists to fix)
+    val partitionCols = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var cur = p
+      var descending = true
+      while (descending) {
+        val kv = fs.listStatus(cur).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        kv.headOption match {
+          case Some(c) =>
+            out += org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(c.getPath.getName.split("=", 2)(0))
+            cur = c.getPath
+          case None => descending = false
+        }
+      }
+      out.toSeq
+    }
     val tmp = path + "__compact"
     val writer =
       (if (partitionCols.nonEmpty)
@@ -269,13 +286,17 @@ object Maintenance {
             fs.rename(p, bak)
           }
           fs.rename(staging, p)
-          MergeUpsert.restoreDeltaLog(fs, path)
         } else if (!fs.exists(p) && fs.exists(bak)) {
           fs.rename(bak, p) // defensive: never reachable by protocol order
         }
       } else {
         MergeUpsert.commitSwap(fs, path, staging)
       }
+      // unconditional (idempotent): a crash BETWEEN the original swap and
+      // its own restoreDeltaLog leaves the only copy of _delta_log inside
+      // __old — it must come back before finishCommit deletes that dir,
+      // regardless of which branch above ran (or none)
+      MergeUpsert.restoreDeltaLog(fs, path)
       MergeUpsert.finishCommit(fs, path, staging)
       true
     } else if (!fs.exists(p) && fs.exists(legacyStaging)) {

@@ -31,6 +31,15 @@ object Skew {
       saltFactor: Int = 16,
       joinType: String = "inner"
   ): DataFrame = {
+    // the construction replicates `small` saltFactor× — correct only for
+    // join types that preserve NOTHING unmatched from the small side; a
+    // right/full join would emit each unmatched small row once per replica
+    val ok = Set("inner", "cross", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "semi", "leftanti", "left_anti", "anti")
+    require(ok.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin does not support joinType '$joinType': the replicated " +
+        "small side would duplicate its unmatched rows saltFactor times; " +
+        "use a plain join (with AQE skew handling) for right/full outer")
     val salted = big.withColumn("__salt",
       saltCol(saltFactor, saltFrom.map(col)))
     val replicated = small.withColumn("__salt",

@@ -107,12 +107,19 @@ final class WatermarkStore(spark: SparkSession, path: String, ttlDays: Int = 90)
     try entries.foreach(e =>
       out.write(s"${enc(e.key)}\t${enc(e.value)}\t${enc(e.status)}\t${e.updatedAt}\n"))
     finally out.close()
+    // Hadoop FileSystem signals most failures by RETURNING FALSE, not
+    // throwing — an unchecked swap would report a confirmed watermark
+    // that never hit disk, and every later run would silently re-extract
+    def must(ok: Boolean, step: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"watermark store swap failed at $step ($live) — " +
+          "watermark NOT saved; the prior store contents still stand")
     if (fs.exists(live)) {
-      if (fs.exists(bak)) fs.delete(bak, false)
-      fs.rename(live, bak)
+      if (fs.exists(bak)) must(fs.delete(bak, false), "delete-backup")
+      must(fs.rename(live, bak), "backup-live")
     }
-    fs.rename(tmp, live)
-    fs.delete(bak, false)
+    must(fs.rename(tmp, live), "publish")
+    fs.delete(bak, false) // best-effort: a stale backup is inert
     ()
   }
 

@@ -313,10 +313,26 @@ object DeltaLog {
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(UTF_8)) finally out.close()
     val target = new Path(dir, f"$version%020d.json")
-    // put-if-absent: rename refuses when the target exists (both
-    // RawLocalFileSystem and HDFS semantics); loser deletes its temp
-    val won = !fs.exists(target) && fs.rename(tmp, target)
-    if (!won) fs.delete(tmp, false)
+    // put-if-absent. On HDFS-like stores rename refuses an existing
+    // destination atomically. On the LOCAL filesystem it does NOT —
+    // RawLocalFileSystem.rename is POSIX rename(2), which silently
+    // replaces the destination, so an exists() pre-check is a TOCTOU
+    // race between two unleased writers (e.g. compact racing an upsert).
+    // There, hard-link the temp into place instead: link(2) fails with
+    // EEXIST atomically, the real if-absent primitive.
+    val won =
+      if (fs.getUri.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !fs.exists(target) && fs.rename(tmp, target)
+    // the local-FS branch leaves tmp (now a second link) behind either way
+    if (!won || fs.getUri.getScheme == "file") fs.delete(tmp, false)
     won
   }
 
@@ -462,7 +478,11 @@ object DeltaLog {
 
   /** Data files under `root` (or `root/sub`), keyed by table-relative
     * path; `_`- and `.`-prefixed names are not data (log dir, Spark
-    * `_SUCCESS`, hidden/temp files) at any depth.
+    * `_SUCCESS`, hidden/temp files) at any depth — EXCEPT directory
+    * segments containing `=`, which are partition dirs even when the
+    * column name starts with an underscore (the same exemption Spark's
+    * own partition discovery applies; without it a `_date=...` layout
+    * would be silently invisible to the log).
     */
   private def listDataFiles(fs: FileSystem, root: String,
       sub: Option[String]): Map[String, AddEntry] = {
@@ -475,7 +495,11 @@ object DeltaLog {
       val s = it.next()
       val rel = rootQ.toUri.relativize(s.getPath.toUri).getPath
       val segs = rel.split("/")
-      if (!segs.exists(seg => seg.startsWith("_") || seg.startsWith("."))) {
+      val dirHidden = segs.dropRight(1).exists(seg =>
+        (seg.startsWith("_") || seg.startsWith(".")) && !seg.contains("="))
+      val fileHidden =
+        segs.last.startsWith("_") || segs.last.startsWith(".")
+      if (!dirHidden && !fileHidden) {
         out += rel -> AddEntry(rel, partitionValuesOf(segs.dropRight(1).toIndexedSeq),
           s.getLen, s.getModificationTime)
       }

@@ -101,6 +101,32 @@ object CorpusIngest {
     }
   }
 
+  /** Signature-store adoption: when `signaturePath` is enabled on a
+    * corpus that predates it (or the store was lost), backfill the store
+    * ONCE from corpus content — a missing store must neither crash every
+    * batch (PATH_NOT_FOUND) nor be created empty, which would silently
+    * skip screening against the whole pre-existing corpus. The backfill
+    * writes to a temp dir and publishes by rename, so a crashed backfill
+    * never leaves a half-store that later batches would trust.
+    */
+  private def ensureStore(spark: SparkSession, sigPath: String,
+      backfill: => DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(sigPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"signature store $sigPath absent for an existing corpus — " +
+          "backfilling once from corpus content")
+      val tmp = new org.apache.hadoop.fs.Path(
+        sigPath + ".__backfill-" + java.util.UUID.randomUUID().toString.take(8))
+      backfill.write.parquet(tmp.toString)
+      if (!fs.rename(tmp, p)) {
+        fs.delete(tmp, true) // lost a race with a concurrent backfill
+        ()
+      }
+    }
+  }
+
   private def ingestBatchUnlocked(
       spark: SparkSession,
       batch: DataFrame,
@@ -130,6 +156,9 @@ object CorpusIngest {
       if (!corpusExists) batchUnique
       else signaturePath match {
         case Some(sigPath) =>
+          ensureStore(spark, sigPath,
+            DedupOps.minhashBandRows(spark.read.parquet(corpusPath),
+              textCol, keyCol, keyCol, wordShingleN, numHashes, bands))
           DedupOps.minhashDedupAgainstSignatures(
             batchUnique, textCol, keyCol,
             spark.read.parquet(sigPath)
@@ -193,12 +222,15 @@ object CorpusIngest {
     * [[graft.llmops.Multimodal.imageDedupAgainstCorpus]] — fine for
     * small corpora, not the 100 TB path).
     *
-    * Restart safety mirrors the text path: a crash-replayed batch's
-    * DECODABLE images are self-duplicates of their own appended rows
-    * (Hamming 0) and drop out, so replay appends nothing twice;
-    * undecodable rows carry no signature and would re-append on replay —
-    * the same caveat the text path has for unshingleable docs. Screen
-    * them out with the `qualityGate` if the corpus must be images-only.
+    * Restart safety mirrors the text path: signatures append BEFORE the
+    * corpus, and the store is semi-joined to the corpus's actual keys at
+    * screen time — a crash between the appends leaves orphan store rows
+    * that cannot suppress the replayed batch (which correctly
+    * re-appends), while a fully-landed batch's replay matches its stored
+    * copies (Hamming 0) and drops out. Undecodable rows carry no
+    * signature and would re-append on replay — the same caveat the text
+    * path has for unshingleable docs. Screen them out with the
+    * `qualityGate` if the corpus must be images-only.
     *
     * @return number of rows appended
     */
@@ -307,15 +339,16 @@ object CorpusIngest {
     * `requirePermissive` additionally gates on the license screen
     * BEFORE anything is admitted (the usual pretraining policy).
     *
-    * Crash window (store-screened modalities, i.e. `signaturePath`
-    * set): the corpus and store appends cannot be atomic, and this
-    * screen consults ONLY the store — a driver crash between the corpus
-    * append and the store append leaves a replayed batch unscreened, so
-    * the replay appends those rows to the corpus a second time. (With
-    * `signaturePath` unset the screen reads the corpus itself and
-    * replay is fully idempotent; the text/minhash path is self-healing
-    * by append order.) If a crashed micro-batch is suspected, run an
-    * exact-fingerprint compaction over the corpus before training.
+    * Crash consistency (store-screened mode, `signaturePath` set): the
+    * corpus and store appends cannot be atomic, so the store appends
+    * FIRST and the screen semi-joins store rows to the corpus's actual
+    * keys (one key-pruned columnar scan per batch). A crash between the
+    * appends leaves orphan store rows that the semi-join ignores — the
+    * replayed batch correctly re-appends (it never reached the corpus);
+    * a crash after both appends replays into an exact-fingerprint match
+    * and drops. Either way, replay neither loses rows nor duplicates
+    * them. (With `signaturePath` unset the screen reads the corpus
+    * itself and replay is idempotent outright.)
     */
   def ingestCodeBatch(
       spark: SparkSession,
@@ -361,7 +394,19 @@ object CorpusIngest {
         if (!corpusExists) batchUnique
         else {
           val refFps = (signaturePath match {
-            case Some(sigPath) => spark.read.parquet(sigPath)
+            case Some(sigPath) =>
+              ensureStore(spark, sigPath,
+                canonical(spark.read.parquet(corpusPath))
+                  .select(col(keyCol).alias("key"), col("cfp")))
+              // semi-join the store to the corpus's ACTUAL keys (one
+              // key-pruned columnar scan): a crash between the store
+              // append and the corpus append leaves orphan store rows
+              // that must not suppress the replayed batch — that would
+              // turn the crash into permanent data loss
+              spark.read.parquet(sigPath)
+                .join(spark.read.parquet(corpusPath)
+                  .select(col(keyCol).alias("key")).distinct(),
+                  Seq("key"), "left_semi")
             case None => canonical(spark.read.parquet(corpusPath))
           }).select(col("cfp").alias("__ref_fp")).distinct()
           batchUnique.join(refFps, col("cfp") === col("__ref_fp"),
@@ -372,11 +417,17 @@ object CorpusIngest {
       try {
         val n = pinned.count()
         if (n > 0) {
-          pinned.drop("cfp").write.mode(SaveMode.Append).parquet(corpusPath)
+          // SIGNATURES FIRST: a crash between the appends leaves orphan
+          // store rows, which the corpus-key semi-join above neutralizes
+          // on replay (the batch re-appends — correct, it never reached
+          // the corpus). The old corpus-first order made a replayed
+          // batch invisible to its own fingerprints: wholesale duplicate
+          // corpus rows.
           signaturePath.foreach { sigPath =>
             pinned.select(col(keyCol).alias("key"), col("cfp"))
               .write.mode(SaveMode.Append).parquet(sigPath)
           }
+          pinned.drop("cfp").write.mode(SaveMode.Append).parquet(corpusPath)
         }
         n
       } finally {
@@ -412,9 +463,18 @@ object CorpusIngest {
         if (!corpusExists) batchUnique
         else signaturePath match {
           case Some(sigPath) =>
+            ensureStore(spark, sigPath,
+              screen.signatures(
+                spark.read.parquet(corpusPath), keyCol, contentCol))
+            // store semi-joined to the corpus's real keys: orphan store
+            // rows from a crash between the two appends must not
+            // suppress the replayed batch (see ingestCodeBatch)
             screen.dedupAgainstSignatures(batchUnique, keyCol, contentCol,
               spark.read.parquet(sigPath)
-                .select(col("key"), col(screen.sigCol)),
+                .select(col("key"), col(screen.sigCol))
+                .join(spark.read.parquet(corpusPath)
+                  .select(col(keyCol).alias("key")).distinct(),
+                  Seq("key"), "left_semi"),
               maxDist)
           case None =>
             screen.dedupAgainstCorpus(batchUnique, keyCol, contentCol,
@@ -427,11 +487,15 @@ object CorpusIngest {
       try {
         val n = pinned.count()
         if (n > 0) {
-          pinned.write.mode(SaveMode.Append).parquet(corpusPath)
+          // SIGNATURES FIRST — same crash analysis as ingestCodeBatch:
+          // orphan store rows are neutralized by the corpus-key
+          // semi-join; corpus-first re-appended a replayed batch
+          // wholesale (permanent duplicates)
           signaturePath.foreach { sigPath =>
             screen.signatures(pinned, keyCol, contentCol)
               .write.mode(SaveMode.Append).parquet(sigPath)
           }
+          pinned.write.mode(SaveMode.Append).parquet(corpusPath)
         }
         n
       } finally {

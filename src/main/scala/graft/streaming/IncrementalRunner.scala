@@ -39,7 +39,15 @@ object IncrementalRunner {
       // MERGE are idempotent. (The JDBC extract predicate stays the
       // reference's strict `>`; there the trailing delay-window
       // re-extract covers the boundary instead.)
-      case Some(v) => batch.filter(col(wmColumn) >= lit(v))
+      // The stored value is a STRING; cast it to the column's own type
+      // before comparing — with ANSI off, col >= lit(string) coerces
+      // BOTH sides to Double, which rounds BIGINTs above 2^53 and can
+      // silently drop boundary rows. NULL-watermark rows follow SQL
+      // semantics (ingested by the initial full load, excluded by every
+      // incremental predicate) — the reference's `col > last` contract.
+      case Some(v) =>
+        batch.filter(col(wmColumn) >=
+          lit(v).cast(batch.schema(batch.schema.fieldIndex(wmColumn)).dataType))
       case None    => batch
     }
     // persisted: watermark max, merge, and row count all read this — one

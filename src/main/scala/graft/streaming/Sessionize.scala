@@ -24,6 +24,16 @@ object Sessionize {
   final case class SessionOut(
       user_id: Long, session_start: Long, session_end: Long, n_events: Long)
   final case class SessionState(start: Long, end: Long, n: Long)
+  /** Per-user state: ALL sessions the watermark has not finalized, kept
+    * gap-separated and start-ordered. Holding every unfinalized session
+    * (not just the newest) is what makes the Append output correct under
+    * the configured lateness: an in-delay late event can still merge
+    * into — or bridge — any held session; a session is emitted exactly
+    * once, when the watermark passes `end + gap` and no legal event can
+    * extend it. State size is bounded by the lateness window, not the
+    * stream (sessions older than watermark − delay finalize and leave).
+    */
+  final case class SessionBuf(sessions: List[SessionState])
 
   /** Batch form: a new session starts when the gap to the previous event of
     * the same user exceeds `gapSec`. session_id = running count of session
@@ -47,12 +57,14 @@ object Sessionize {
         count(lit(1)).alias("n_events"))
   }
 
-  /** Streaming form: per-user state carries the open session; an event past
-    * the gap closes it (emitting the finished session) and opens a new one.
-    * Event-time timeout flushes an idle session once the watermark passes
-    * `session_end + gapSec` — without it, each user's final session would
-    * sit in state forever (and state would never expire) on an unbounded
-    * stream.
+  /** Streaming form: per-user state holds every session the watermark
+    * has not finalized ([[SessionBuf]]); each batch folds state sessions
+    * and new events together in start order (one pass merges, extends,
+    * and bridges — a late event within the lateness allowance lands in
+    * the session it temporally belongs to, even one a newer event
+    * arrived after). A session emits exactly once, when the event-time
+    * watermark passes `session_end + gapSec` — either in the batch that
+    * advanced the watermark or via event-time timeout for idle users.
     *
     * @param watermarkDelaySec allowed event lateness; the source must carry
     *        event time, derived here from `ts_sec`
@@ -71,91 +83,48 @@ object Sessionize {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        (userId: Long, rows: Iterator[SessionEventTs], state: GroupState[SessionState]) => {
-          if (state.hasTimedOut) {
-            // watermark passed end+gap with no further events: the session
-            // is final — emit and expire the state
-            val s = state.get
-            state.remove()
-            Iterator(SessionOut(userId, s.start, s.end, s.n))
-          } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts_sec, e.event_id))
-            val out = Seq.newBuilder[SessionOut]
-            var cur = state.getOption
-            // single-open-session state: late events WITHIN the open
-            // session's gap window merge into it (lowering start — the
-            // naive `ts - end <= gap` alone would absorb arbitrarily old
-            // events without moving start); events OLDER than the window
-            // entirely sessionize among themselves and close within this
-            // batch (they cannot extend across batches — the open slot
-            // is taken; fully-unordered replays should use batch())
-            val (ultraLate0, live) = cur match {
-              case Some(s) => sorted.partition(_.ts_sec < s.start - gapSec)
-              case None    => (Seq.empty[SessionEventTs], sorted)
+        (userId: Long, rows: Iterator[SessionEventTs], state: GroupState[SessionBuf]) => {
+          val held = state.getOption.map(_.sessions).getOrElse(Nil)
+          // One sorted fold does all the session algebra: every new event
+          // becomes a unit session, and adjacent entries within gapSec
+          // merge — that simultaneously extends held sessions (either
+          // direction), bridges two held sessions through a late event,
+          // and sessionizes brand-new events among themselves. Held
+          // sessions are gap-separated by invariant, so without events
+          // the fold is the identity.
+          val merged =
+            if (state.hasTimedOut) held
+            else {
+              val evs = rows.toSeq.sortBy(e => (e.ts_sec, e.event_id))
+                .map(e => SessionState(e.ts_sec, e.ts_sec, 1))
+              (held ++ evs).sortBy(s => (s.start, s.end))
+                .foldLeft(List.empty[SessionState]) { (acc, s) =>
+                  acc match {
+                    case h :: t if s.start - h.end <= gapSec =>
+                      SessionState(h.start, math.max(h.end, s.end),
+                        h.n + s.n) :: t
+                    case _ => s :: acc
+                  }
+                }.reverse
             }
-            live.foreach { e =>
-              cur match {
-                case Some(s) if e.ts_sec >= s.start - gapSec &&
-                    e.ts_sec - s.end <= gapSec =>
-                  cur = Some(s.copy(
-                    start = math.min(s.start, e.ts_sec),
-                    end = math.max(s.end, e.ts_sec), n = s.n + 1))
-                case Some(s) =>
-                  out += SessionOut(userId, s.start, s.end, s.n)
-                  cur = Some(SessionState(e.ts_sec, e.ts_sec, 1))
-                case None =>
-                  cur = Some(SessionState(e.ts_sec, e.ts_sec, 1))
-              }
-            }
-            // The partition above tested against the BATCH-START state,
-            // but live merges can lower the open session's start by up to
-            // gapSec per absorbed event — an "ultra-late" event inside the
-            // final window belongs to the open session, not a synthetic
-            // singleton. Re-test against the post-merge state; each
-            // absorption lowers start further, so iterate to the fixpoint
-            // (terminates: the bucket strictly shrinks each pass).
-            var ultraLate = ultraLate0
-            var absorbed = true
-            while (absorbed) {
-              absorbed = false
-              cur.foreach { s =>
-                val (abs, rest) =
-                  ultraLate.partition(_.ts_sec >= s.start - gapSec)
-                if (abs.nonEmpty) {
-                  absorbed = true
-                  // abs events all predate s.end, so end is unchanged
-                  cur = Some(s.copy(
-                    start = math.min(s.start, abs.head.ts_sec),
-                    n = s.n + abs.size))
-                  ultraLate = rest
-                }
-              }
-            }
-            var lateCur: Option[SessionState] = None
-            ultraLate.foreach { e =>
-              lateCur match {
-                case Some(l) if e.ts_sec - l.end <= gapSec =>
-                  lateCur = Some(l.copy(
-                    end = math.max(l.end, e.ts_sec), n = l.n + 1))
-                case Some(l) =>
-                  out += SessionOut(userId, l.start, l.end, l.n)
-                  lateCur = Some(SessionState(e.ts_sec, e.ts_sec, 1))
-                case None =>
-                  lateCur = Some(SessionState(e.ts_sec, e.ts_sec, 1))
-              }
-            }
-            lateCur.foreach(l => out += SessionOut(userId, l.start, l.end, l.n))
-            cur.foreach { s =>
-              state.update(s)
-              // fire once the event-time watermark passes the gap horizon;
-              // must be strictly beyond the current watermark or Spark
-              // rejects the timestamp (late-arriving replays)
-              val horizon = (s.end + gapSec) * 1000L
-              state.setTimeoutTimestamp(
-                math.max(horizon, state.getCurrentWatermarkMs() + 1))
-            }
-            out.result().iterator
+          // A session is FINAL once the watermark passes end + gap: any
+          // future event close enough to extend it would be below the
+          // watermark and dropped by Spark's late-row filter. Emitting on
+          // watermark passage (never on "a newer event arrived") is what
+          // honors watermarkDelaySec — the old single-open-session shape
+          // emitted eagerly and split sessions on in-delay late events.
+          val wm = state.getCurrentWatermarkMs()
+          val (done, kept) = merged.partition(s => (s.end + gapSec) * 1000L < wm)
+          if (kept.isEmpty) state.remove()
+          else {
+            state.update(SessionBuf(kept))
+            // fire when the watermark passes the EARLIEST pending expiry;
+            // must be strictly beyond the current watermark or Spark
+            // rejects the timestamp (late-arriving replays)
+            val horizon = kept.map(s => (s.end + gapSec) * 1000L).min
+            state.setTimeoutTimestamp(math.max(horizon, wm + 1))
           }
+          done.iterator.map(s => SessionOut(userId, s.start, s.end, s.n))
         })
   }
 

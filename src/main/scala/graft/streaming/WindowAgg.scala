@@ -86,6 +86,14 @@ object WindowAgg {
     * appending finalized windows to a parquet path. Append output mode means
     * a window row is emitted exactly once — when the watermark passes its
     * end — so the sink is an idempotent event-time rollup.
+    *
+    * One-shot caveat (`Trigger.AvailableNow`, the default): windows the
+    * FINAL watermark has not passed — at least the last window, plus the
+    * lateness allowance — stay in state and are NOT in the sink when the
+    * query terminates; they emit on the next run once newer data
+    * advances the watermark. For a complete one-shot backfill, use the
+    * batch plan ([[tumbling]]/[[sliding]] on a static frame) — it is
+    * plan-identical and has no watermark holdback.
     */
   def run(agg: DataFrame, outPath: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =

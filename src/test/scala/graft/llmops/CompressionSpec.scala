@@ -124,6 +124,15 @@ class CompressionSpec extends SparkTestBase {
     val base = new java.io.File(dir).getName
     assert(!parent.listFiles().exists(_.getName.startsWith(base + ".__staging")),
       "failed export must sweep its staging dir")
+    // an orphan from a JVM-killed run (catch block never ran) is swept by
+    // the next export rather than accumulating forever
+    val orphan = new java.io.File(parent, base + ".__staging-deadbeef")
+    orphan.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(orphan, "shard-00000.jsonl.zst"))
+      .close()
+    TrainExport.writeShardsJsonlCodec(good, "doc_id", 2, dir, "zstd")
+    assert(!orphan.exists(), "next export must sweep prior-run orphans")
+    assert(TrainExport.readJsonlShards(spark, dir).count() === 50L)
   }
 
   test("codec JSONL shards roundtrip through write + read") {

@@ -154,6 +154,26 @@ class MaintenanceSpec extends SparkTestBase {
     assert(back.filter(col("pt") === "p0").count() === 333)
   }
 
+  test("K6 compact preserves MULTI-LEVEL partition layout") {
+    // first-level-only detection used to rewrite a=/b= tables with
+    // partitionBy("a") alone, destroying the b level
+    val root = Files.createTempDirectory("graft-compact-n").toString
+    val path = s"$root/t"
+    (1 to 600).map(i => (i, s"a${i % 2}", s"b${i % 3}"))
+      .toDF("x", "pa", "pb").repartition(20)
+      .write.partitionBy("pa", "pb").parquet(path)
+    Maintenance.compact(spark, path)
+    (0 to 1).foreach { a =>
+      (0 to 2).foreach { b =>
+        val d = new java.io.File(s"$path/pa=a$a/pb=b$b")
+        assert(d.isDirectory, s"nested dir pa=a$a/pb=b$b must survive")
+      }
+    }
+    val back = spark.read.parquet(path)
+    assert(back.count() === 600)
+    assert(back.filter(col("pa") === "a0" && col("pb") === "b0").count() === 100)
+  }
+
   test("A4 fileStats covers nested partition-dir files") {
     val root = Files.createTempDirectory("graft-stats-p").toString
     val path = s"$root/t"

@@ -245,6 +245,46 @@ class DeltaLogSpec extends SparkTestBase {
       (1, "a", null), (2, "b", "5.0"), (3, "c", null)))
   }
 
+  test("underscore-named partition columns stay visible to the log") {
+    // Spark's partition discovery exempts `_x=y` dirs from the
+    // hidden-file rule; the log's listing must apply the same exemption
+    // or a `_date=...` layout silently logs zero files
+    val dir = tmp()
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "a", "d1"), (2, "b", "d2")).toDF("id", "v", "_d"),
+      dir, Seq("id"), partitionCols = Seq("_d"))
+    val st = DeltaLog.replay(spark, dir).get
+    assert(st.files.nonEmpty, "files under _d=... dirs must be logged")
+    assert(st.files.values.map(_.partitionValues("_d")).toSet === Set("d1", "d2"))
+    assert(DeltaLog.read(spark, dir).count() === 2L)
+  }
+
+  test("recovery restores _delta_log from __old even when the swap already landed") {
+    val dir = tmp()
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "a"), (2, "b")).toDF("id", "v"), dir, Seq("id"))
+    MergeUpsert.upsertParquet(spark,
+      Seq((3, "c")).toDF("id", "v"), dir, Seq("id"))
+    val before = DeltaLog.replay(spark, dir).get
+    // simulate a crash BETWEEN wholeSwap's rename(staging→table) and its
+    // restoreDeltaLog: the log sits in __old, the marker is live, and the
+    // staging dir is gone (already renamed into place)
+    val f = fs
+    f.mkdirs(new Path(dir + "__old"))
+    f.rename(new Path(dir, DeltaLog.LogDirName),
+      new Path(dir + "__old", DeltaLog.LogDirName))
+    val marker = f.create(new Path(dir + "__commit"), true)
+    marker.write("t__staging.deadtoken\nwhole\n".getBytes("UTF-8"))
+    marker.close()
+    assert(Maintenance.recover(spark, dir), "recovery must act on the marker")
+    val after = DeltaLog.replay(spark, dir)
+    assert(after.isDefined, "log history must survive the recovery")
+    assert(after.get.version === before.version,
+      "recovered log carries the full pre-crash history")
+    assert(!f.exists(new Path(dir + "__old")))
+    assert(!f.exists(new Path(dir + "__commit")))
+  }
+
   test("path percent-codec round-trips special characters") {
     for (s <- Seq("part-0001.parquet", "a=1/part x.parquet",
         "k=spa ce/π≈3.parquet", "p=%25already/f.parquet",

@@ -195,6 +195,83 @@ class IncrementalSpec extends SparkTestBase {
       "ultra-late event must not split into a singleton session")
   }
 
+  test("sessionize streaming: absorption completes before a later event closes the session") {
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.{SessionEvent, SessionOut}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val out = Sessionize.streaming(spark, mem.toDS(), gapSec = 1000,
+      watermarkDelaySec = 100000)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_absorb_first").start()
+    // batch 1: open session (10000, 11000)
+    mem.addData(SessionEvent(1L, 10000L, 1L), SessionEvent(1L, 11000L, 2L))
+    q.processAllAvailable()
+    // batch 2 mixes: a live merge (9100), an event that closes the session
+    // (20000), and an ultra-late event (8500) that belongs to the session
+    // only via the 9100 merge. The close must not race the absorption: the
+    // session emits as (8500, 11000, 4), never (9100, 11000, 3) plus a
+    // spurious (8500, 8500, 1) singleton.
+    mem.addData(SessionEvent(1L, 9100L, 3L), SessionEvent(1L, 20000L, 4L),
+      SessionEvent(1L, 8500L, 5L))
+    q.processAllAvailable()
+    // advance the watermark past end+gap so the held session finalizes
+    mem.addData(SessionEvent(2L, 200000L, 6L))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(2L, 200001L, 7L))
+    q.processAllAvailable()
+    val emitted = spark.sql("SELECT * FROM sess_absorb_first")
+      .as[SessionOut].collect().toSeq
+    q.stop()
+    assert(emitted.contains(SessionOut(1L, 8500L, 11000L, 4L)),
+      s"expected the fully-absorbed session, got $emitted")
+    assert(!emitted.exists(s => s.session_start == 8500L && s.n_events == 1L),
+      "ultra-late event must not become a singleton")
+    assert(!emitted.exists(s => s.session_start == 9100L),
+      "session must not close before absorbing the ultra-late event")
+  }
+
+  test("sessionize streaming: in-delay late event merges into a session a newer event arrived after") {
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.{SessionEvent, SessionOut}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    // the lateness CONTRACT: any event within watermarkDelaySec must land
+    // in the session it temporally belongs to — even when a much newer
+    // event already arrived (the old shape emitted [50,50] eagerly on the
+    // t=200 arrival, then mis-emitted the legal t=58 as a singleton)
+    val out = Sessionize.streaming(spark, mem.toDS(), gapSec = 10,
+      watermarkDelaySec = 150)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_holdback").start()
+    mem.addData(SessionEvent(1L, 50L, 1L))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(1L, 200L, 2L))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(1L, 58L, 3L)) // legal: watermark is 50
+    q.processAllAvailable()
+    mem.addData(SessionEvent(2L, 500L, 4L)) // advance watermark to 350
+    q.processAllAvailable()
+    mem.addData(SessionEvent(2L, 501L, 5L)) // evaluate timeouts against it
+    q.processAllAvailable()
+    val emitted = spark.sql("SELECT * FROM sess_holdback")
+      .as[SessionOut].collect().toSeq
+    q.stop()
+    assert(emitted.contains(SessionOut(1L, 50L, 58L, 2L)),
+      s"t=58 must merge into the held [50,50] session, got $emitted")
+    assert(emitted.contains(SessionOut(1L, 200L, 200L, 1L)))
+    assert(!emitted.exists(s => s.user_id == 1L && s.session_start == 50L &&
+      s.session_end == 50L), "the [50,50] session must not emit eagerly")
+    assert(!emitted.exists(s => s.session_start == 58L),
+      "the late event must not split into a singleton")
+  }
+
   test("windowedCounts batch form groups by tumbling window") {
     val df = Seq(
       ("2024-01-01 00:10:00", "click", 1.0),

@@ -52,8 +52,12 @@ def main(src: str, out: str, factor: int) -> None:
                          for t, d in zip(docs["text"], docs["doc_id"])]
             r["n_chars"] = r["text"].str.len()
         reps.append(r)
+    # bounded row groups: a single-row-group file cannot split across scan
+    # tasks, which makes shuffle-free per-row batteries look super-linear
+    # (one core does everything) — real corpora are many files/row groups
     pd.concat(reps, ignore_index=True).to_parquet(
-        os.path.join(out, "documents.parquet"), index=False)
+        os.path.join(out, "documents.parquet"), index=False,
+        row_group_size=20000)
 
     emb = pd.read_parquet(os.path.join(src, "embeddings.parquet"))
     ereps = []
@@ -77,7 +81,9 @@ def main(src: str, out: str, factor: int) -> None:
                 "documents.parquet", "embeddings.parquet"):
             dst = os.path.join(out, f)
             if not os.path.exists(dst):
-                os.symlink(os.path.join(src, f), dst)
+                # absolute target: a relative srcDir would otherwise make
+                # the link resolve relative to outDir and dangle
+                os.symlink(os.path.abspath(os.path.join(src, f)), dst)
     n = len(docs) * factor
     print(f"wrote {out}: {n} docs ({factor}x), embeddings {len(emb) * factor}")
 
