@@ -82,11 +82,14 @@ case class CosineSim(left: Expression, right: Expression)
       leftFloat, rightFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName: a fixed local would redeclare when the expression
+    // appears twice in one generated method over non-nullable children
+    val res0 = ctx.freshName("cosRes")
     val res = nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |java.lang.Double cosRes = graft.expressions.CosineSim.compute(
+         |java.lang.Double $res0 = graft.expressions.CosineSim.compute(
          |  $a, $b, $leftFloat, $rightFloat);
-         |if (cosRes == null) { ${ev.isNull} = true; } else { ${ev.value} = cosRes; }
+         |if ($res0 == null) { ${ev.isNull} = true; } else { ${ev.value} = $res0; }
        """.stripMargin
     })
     res
@@ -128,12 +131,17 @@ object LshBuckets {
     * linearity that made a plain LCG collide ~20× more than random signs).
     */
   def planeSign(p: Int, d: Int): Double = {
+    // floorMod, not %: Similarity.planeSign uses Spark pmod, and the
+    // first multiply overflows Long once the global plane index passes
+    // ~3475 — '%' would go negative there and silently break the
+    // bit-identical/SQL-replayable contract for large plane configs
+    // (identical results below the overflow point, every gate config)
     val x = p.toLong * 1000003L + d
-    val h1 = (x * 2654435761L + 1013904223L) % 2147483647L
+    val h1 = java.lang.Math.floorMod(x * 2654435761L + 1013904223L, 2147483647L)
     val h1x = h1 ^ (h1 >> 13)
-    val h2 = (h1x * 1103515245L + 12345L) % 2147483647L
+    val h2 = java.lang.Math.floorMod(h1x * 1103515245L + 12345L, 2147483647L)
     val h2x = h2 ^ (h2 >> 7)
-    val h3 = (h2x * 48271L) % 2147483647L
+    val h3 = java.lang.Math.floorMod(h2x * 48271L, 2147483647L)
     if (((h3 >> 15) & 1L) == 0L) 1.0 else -1.0
   }
 
@@ -141,6 +149,14 @@ object LshBuckets {
       isFloat: Boolean): ArrayData = {
     val n = vec.numElements()
     val out = new Array[Long](numTables)
+    // a null element nulls the whole projection in the Column form
+    // (zip_with product → aggregate → null; `when(null > 0)` → bit 0),
+    // so every bucket is 0 there — match it exactly rather than unboxing
+    // null to 0.0 and emitting real bucket ids the Column form never sees
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) { hasNull = vec.isNullAt(i); i += 1 }
+    if (hasNull) return new GenericArrayData(out)
     var tb = 0
     while (tb < numTables) {
       var bucket = 0L

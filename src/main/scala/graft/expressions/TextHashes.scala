@@ -154,8 +154,10 @@ object TextHashKernels {
 case class TokenInSetCount(child: Expression, words: Seq[String])
     extends UnaryExpression {
 
-  require(words.forall(w => !w.contains(",") && !w.contains(" ")),
-    "words must be comma- and space-free")
+  require(words.forall(w =>
+      !w.contains(",") && !w.contains(" ") && w.forall(_ >= ' ')),
+    "words must be comma-, space-, and control-character-free " +
+      "(a raw newline would tear the generated code's string literal)")
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "graft_token_in_set_count"
@@ -221,6 +223,9 @@ object TokenInSetCount {
 case class WordNGrams(child: Expression, n: Int, distinct: Boolean)
     extends UnaryExpression {
 
+  require(n >= 1, s"n-gram length must be positive, got $n " +
+    "(n <= 0 would index out of bounds per row at execution)")
+
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
   override def prettyName: String = "graft_word_ngrams"
@@ -270,6 +275,9 @@ object WordNGrams {
   */
 case class CharNGrams(child: Expression, k: Int)
     extends UnaryExpression {
+
+  require(k >= 1, s"n-gram length must be positive, got $k " +
+    "(k <= 0 silently returned [\"\"] — never a useful shingle set)")
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
@@ -380,6 +388,10 @@ object SimHash64 {
   */
 case class MinHashSig(child: Expression, n: Int, numHashes: Int)
     extends UnaryExpression {
+
+  require(n >= 1, s"shingle length must be positive, got $n")
+  require(numHashes >= 1, s"numHashes must be positive, got $numHashes " +
+    "(0 returns an empty array, indistinguishable from the <n-tokens sentinel)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"

@@ -19,16 +19,20 @@ import org.apache.spark.unsafe.types.UTF8String
 case class UnicodeNorm(child: Expression, form: String)
     extends UnaryExpression {
 
-  private lazy val normForm = UnicodeNorm.formOf(form)
+  // eager: an invalid form must refuse at construction (plan time), not
+  // from inside executor tasks on the first row; the resolved Form also
+  // spares every row the uppercase+match re-resolution
+  private val normForm = UnicodeNorm.formOf(form)
 
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_unicode_norm"
 
   override protected def nullSafeEval(input: Any): Any =
-    UnicodeNorm.compute(input.asInstanceOf[UTF8String], form)
+    UnicodeNorm.compute(input.asInstanceOf[UTF8String], normForm)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val formRef = ctx.addReferenceObj("form", form, "java.lang.String")
+    val formRef = ctx.addReferenceObj("normForm", normForm,
+      "java.text.Normalizer.Form")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.expressions.UnicodeNorm.compute($c, $formRef);")
   }
@@ -49,8 +53,7 @@ object UnicodeNorm {
   }
 
   /** Static kernel shared by interpreted eval and generated code. */
-  def compute(text: UTF8String, form: String): UTF8String = {
-    val f = formOf(form)
+  def compute(text: UTF8String, f: java.text.Normalizer.Form): UTF8String = {
     val s = text.toString
     if (java.text.Normalizer.isNormalized(s, f)) text
     else UTF8String.fromString(java.text.Normalizer.normalize(s, f))

@@ -87,12 +87,29 @@ object UrlNormalize {
     val userinfo = if (at >= 0) auth.substring(0, at) else null
     var hostPort = if (at >= 0) auth.substring(at + 1) else auth
     var port = -1
-    val colon = hostPort.lastIndexOf(':')
-    if (colon >= 0 && colon == hostPort.indexOf(':')) { // not IPv6 literal
-      val p = hostPort.substring(colon + 1)
-      if (p.nonEmpty && p.forall(c => c >= '0' && c <= '9') && p.length <= 5) {
-        port = p.toInt
-        hostPort = hostPort.substring(0, colon)
+    if (hostPort.startsWith("[")) {
+      // IPv6 literal: the port follows the closing bracket — the
+      // single-colon heuristic below never fires on ':'-riddled v6
+      // hosts, which left ':443' glued inside the host and split
+      // canonical keys for bracketed URLs
+      val close = hostPort.indexOf(']')
+      if (close < 0) return null
+      if (close + 1 < hostPort.length) {
+        if (hostPort.charAt(close + 1) != ':') return null
+        val p = hostPort.substring(close + 2)
+        if (p.nonEmpty && p.forall(c => c >= '0' && c <= '9') && p.length <= 5) {
+          port = p.toInt
+          hostPort = hostPort.substring(0, close + 1)
+        } else return null
+      }
+    } else {
+      val colon = hostPort.lastIndexOf(':')
+      if (colon >= 0 && colon == hostPort.indexOf(':')) {
+        val p = hostPort.substring(colon + 1)
+        if (p.nonEmpty && p.forall(c => c >= '0' && c <= '9') && p.length <= 5) {
+          port = p.toInt
+          hostPort = hostPort.substring(0, colon)
+        }
       }
     }
     if (hostPort.isEmpty) return null
@@ -127,11 +144,31 @@ object UrlNormalize {
     sb.append(if (p.path.isEmpty) "/" else p.path)
     if (p.query != null) {
       val kept = p.query.split("&", -1).filter(_.nonEmpty).filterNot(isTracking)
-      java.util.Arrays.sort(kept.asInstanceOf[Array[AnyRef]]) // bytewise on k=v
+      // UTF-8 BYTEWISE order, not String.compareTo (UTF-16 code units):
+      // supplementary characters sort before [U+E000,U+FFFF] in UTF-16
+      // but after in UTF-8 — a bytewise-collating SQL engine (DuckDB
+      // binary) would canonicalize the same URL differently
+      java.util.Arrays.sort(kept, Utf8ByteOrder)
       if (kept.nonEmpty) sb.append('?').append(kept.mkString("&"))
     }
     UTF8String.fromString(sb.toString)
   }
+
+  private val Utf8ByteOrder: java.util.Comparator[String] =
+    new java.util.Comparator[String] {
+      def compare(a: String, b: String): Int = {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        val n = math.min(x.length, y.length)
+        while (i < n) {
+          val d = (x(i) & 0xff) - (y(i) & 0xff)
+          if (d != 0) return d
+          i += 1
+        }
+        x.length - y.length
+      }
+    }
 }
 
 /** Lowercased host of a URL (userinfo and port stripped), NULL on the
@@ -255,11 +292,37 @@ object UrlResolve {
     out.toString
   }
 
+  /** RFC 3986: ANY `scheme:` ref is absolute — not just hierarchical
+    * `scheme://` ones. Crawled hrefs are full of `mailto:`/`tel:`/
+    * `javascript:` links; merging them into the base path fabricated
+    * parseable-but-bogus page keys.
+    */
   private def hasScheme(s: String): Boolean = {
-    val sep = s.indexOf("://")
-    sep > 0 && s.substring(0, sep).forall(c =>
-      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-        (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-')
+    val colon = s.indexOf(':')
+    if (colon <= 0) return false
+    val c0 = s.charAt(0)
+    if (!((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z'))) return false
+    var i = 1
+    while (i < colon) {
+      val c = s.charAt(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
+
+  /** remove_dot_segments applies to the PATH only (RFC 3986 §5.2.2);
+    * split any query/fragment tail off first — `/../` inside a query
+    * would otherwise pop real path segments and destroy the query.
+    */
+  private def cleanPathKeepTail(s: String): String = {
+    val q = s.indexOf('?')
+    val h = s.indexOf('#')
+    val cut = if (q < 0) h else if (h < 0) q else math.min(q, h)
+    if (cut < 0) removeDotSegments(s)
+    else removeDotSegments(s.substring(0, cut)) + s.substring(cut)
   }
 
   def compute(baseU: UTF8String, refU: UTF8String): UTF8String = {
@@ -278,7 +341,7 @@ object UrlResolve {
     val resolved =
       if (ref.startsWith("//")) p.scheme + ":" + ref
       else if (ref.startsWith("/"))
-        authority + removeDotSegments(ref)
+        authority + cleanPathKeepTail(ref)
       else if (ref.isEmpty)
         authority + basePath + (if (p.query != null) "?" + p.query else "")
       else if (ref.startsWith("?"))
@@ -289,7 +352,7 @@ object UrlResolve {
       else {
         val cut = basePath.lastIndexOf('/')
         val merged = basePath.substring(0, cut + 1) + ref
-        authority + removeDotSegments(merged)
+        authority + cleanPathKeepTail(merged)
       }
     // a relative ref may carry its own fragment; resolution keeps the
     // URL proper and UrlNormalize would drop the fragment anyway — keep
@@ -329,13 +392,16 @@ case class UrlBlocked(child: Expression, blocked: Set[String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val setRef = ctx.addReferenceObj("blockedSet", set,
       classOf[java.util.HashSet[String]].getName)
+    // freshName: a fixed local would redeclare when the expression
+    // appears twice in one generated method over non-nullable children
+    val uh = ctx.freshName("uh")
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |org.apache.spark.unsafe.types.UTF8String uh$$ =
+         |org.apache.spark.unsafe.types.UTF8String $uh =
          |  graft.expressions.UrlHost.compute($c);
-         |if (uh$$ == null) { ${ev.isNull} = true; }
+         |if ($uh == null) { ${ev.isNull} = true; }
          |else { ${ev.value} =
-         |  graft.expressions.UrlBlocked.anySuffix(uh$$.toString(), $setRef); }
+         |  graft.expressions.UrlBlocked.anySuffix($uh.toString(), $setRef); }
        """.stripMargin)
   }
 

@@ -121,6 +121,73 @@ class TextHashesSpec extends SparkTestBase {
     assert(joined.count() > 0)
   }
 
+  test("LshBuckets: null vector elements match the Column form (all-zero buckets)") {
+    import graft.llmops.Similarity
+    // Column form: a null element nulls the projection -> every bit 0;
+    // the kernel must not unbox null to 0.0 and emit real bucket ids
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, Seq[java.lang.Double](1.0, null, 3.0)),
+        org.apache.spark.sql.Row(2L, Seq[java.lang.Double](1.0, 2.0, 3.0))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = true)))))
+    val nativeB = df.select(col("vec_id"),
+      Similarity.lshBucketsNative(col("embedding"), 12, 2).alias("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val columnB = df.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 12).alias("b0"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nativeB(1L).forall(_ == 0L), "null element => all-zero buckets")
+    assert(columnB(1L) === 0L, "Column form agrees")
+    assert(nativeB(2L).head === columnB(2L), "clean vectors still agree")
+    assert(nativeB(2L).head !== 0L)
+  }
+
+  test("planeSign matches pmod semantics past the Long-overflow plane index") {
+    import graft.llmops.Similarity
+    // global plane index >= ~3475 overflows x*2654435761 into negative
+    // Longs, where Scala % and Spark pmod diverge — the kernel must stay
+    // bit-identical to the SQL-replayable Column form everywhere
+    val dims = Seq(0, 1, 7, 63)
+    val planes = Seq(0, 100, 3474, 3475, 4000, 4095, 100000)
+    val rows = for (p <- planes; d <- dims) yield (p, d)
+    val got = rows.map { case (p, d) =>
+      graft.expressions.LshBuckets.planeSign(p, d) }
+    val sqlGot = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        rows.map { case (p, d) => org.apache.spark.sql.Row(p, d) }).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("d",
+          org.apache.spark.sql.types.IntegerType))))
+    // evaluate each (p, d) pair through the Column form on its own row
+    val fromSql = rows.map { case (p, d) =>
+      sqlGot.filter(col("p") === p && col("d") === d)
+        .select(Similarity.planeSign(p, col("d"))).head().getDouble(0)
+    }
+    assert(got === fromSql, s"kernel/Column divergence: $got vs $fromSql")
+  }
+
+  test("n-gram kernels refuse non-positive lengths at construction") {
+    import graft.expressions.{CharNGrams, MinHashSig, WordNGrams}
+    val c = org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c"),
+      org.apache.spark.sql.types.StringType)
+    intercept[IllegalArgumentException] { WordNGrams(c, 0, distinct = false) }
+    intercept[IllegalArgumentException] { CharNGrams(c, 0) }
+    intercept[IllegalArgumentException] { MinHashSig(c, 0, 16) }
+    intercept[IllegalArgumentException] { MinHashSig(c, 3, 0) }
+    intercept[IllegalArgumentException] {
+      graft.expressions.TokenInSetCount(c, Seq("a\nb")) }
+    intercept[IllegalArgumentException] {
+      graft.expressions.UnicodeNorm(c, "NFX") }
+  }
+
   test("native CosineSim equals the HOF cosine composition") {
     import graft.llmops.Similarity
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")

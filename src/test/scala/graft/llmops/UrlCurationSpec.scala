@@ -21,6 +21,48 @@ class UrlCurationSpec extends SparkTestBase {
     if (r == null) null else r.toString
   }
 
+  test("resolve: RFC 3986 edges — query dot-segments, non-hier schemes") {
+    def res(base: String, ref: String): String = {
+      val r = graft.expressions.UrlResolve.compute(
+        UTF8String.fromString(base), UTF8String.fromString(ref))
+      if (r == null) null else r.toString
+    }
+    // remove_dot_segments applies to the PATH only: '/../' inside a
+    // query must survive (redirect/return-URL params carry them)
+    assert(res("http://h/p/", "x?y=a/../b") === "http://h/p/x?y=a/../b")
+    assert(res("http://h/p/q", "/r/s?u=./v") === "http://h/r/s?u=./v")
+    assert(res("http://h/a/b/c", "../d?x=1#f") === "http://h/a/d?x=1#f")
+    // any scheme: ref is ABSOLUTE — mailto:/tel:/javascript: hrefs must
+    // pass through, never merge into the base path
+    assert(res("http://ex.com/dir/page", "mailto:a@b.com") === "mailto:a@b.com")
+    assert(res("http://ex.com/dir/page", "javascript:void(0)") === "javascript:void(0)")
+    assert(res("http://ex.com/dir/page", "tel:+15551234") === "tel:+15551234")
+    // but a ':' later in a genuinely relative path is still relative
+    assert(res("http://ex.com/dir/", "0:30/clip") === "http://ex.com/dir/0:30/clip")
+    assert(res("http://ex.com/a/", "sub/page") === "http://ex.com/a/sub/page")
+  }
+
+  test("normalize/host: IPv6 literal hosts get port stripping") {
+    assert(norm("https://[2001:db8::1]:443/x") === "https://[2001:db8::1]/x")
+    assert(norm("http://[2001:db8::1]:80/x") === "http://[2001:db8::1]/x")
+    assert(norm("https://[2001:db8::1]:8443/x") === "https://[2001:db8::1]:8443/x")
+    assert(norm("https://[2001:db8::1]/x") === "https://[2001:db8::1]/x")
+    assert(host("https://[2001:db8::1]:443/x") === "[2001:db8::1]")
+    // malformed bracket forms refuse rather than mis-parse
+    assert(norm("https://[2001:db8::1/x") === null)
+    assert(norm("https://[2001:db8::1]8080/x") === null)
+  }
+
+  test("normalize: surviving query params sort in UTF-8 byte order") {
+    // U+10000 (surrogate pair, UTF-16 units 0xD800...) sorts BEFORE
+    // U+FFFD in UTF-16 but AFTER in UTF-8 bytes (0xF0 > 0xEF) — the
+    // canonical key must match a bytewise-collating SQL engine
+    val supp = new String(Character.toChars(0x10000))
+    val got = norm(s"http://h/p?k=�&k=$supp")
+    assert(got === s"http://h/p?k=�&k=$supp",
+      "UTF-8 bytewise order puts the supplementary char last")
+  }
+
   test("normalize: case, default ports, fragments, empty path") {
     assert(norm("HTTPS://WWW.Example.COM:443/Path/X#frag") ===
       "https://www.example.com/Path/X")
