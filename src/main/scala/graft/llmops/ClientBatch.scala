@@ -96,6 +96,12 @@ private[llmops] object ClientBatch {
                 s"client returned ${out.length} results for ${inputs.length} inputs")
               return Some(out)
             } catch {
+              // a result-count mismatch is a deterministic CONTRACT
+              // violation (e.g. an endpoint that drops empty inputs) —
+              // retrying burns paid calls on the same answer, and
+              // deadBatchNulls would silently convert the bug into
+              // corpus-wide NULLs; surface it immediately
+              case e: IllegalArgumentException => throw e
               case NonFatal(e) =>
                 attempt += 1
                 if (attempt >= maxRetries) {

@@ -880,6 +880,11 @@ object Multimodal {
   /** Document chunking (document_processor.py:76-83): split extracted text
     * into fixed-size character chunks and explode — `posexplode` keeps the
     * chunk index. Pure built-ins.
+    *
+    * NULL-text and EMPTY-text documents emit NO chunk rows (there is
+    * nothing to embed; an image-only PDF that extracted to "" vanishes
+    * here by design) — audit row counts against the input table if
+    * document completeness matters downstream.
     */
   def chunkText(df: DataFrame, textCol: String, chunkSize: Int): DataFrame = {
     val n = ceil(length(col(textCol)).cast("double") / chunkSize).cast("int")
@@ -894,8 +899,10 @@ object Multimodal {
   /** Sliding-window chunking with overlap — the RAG/embedding convention
     * (each chunk shares `overlap` chars with its predecessor so no
     * semantic unit is cut at every boundary). Chunk i starts at
-    * i·(size−overlap); the final chunk may be short; documents shorter
-    * than `size` yield one chunk. Pure HOF projection like [[chunkText]].
+    * i·(size−overlap); the final chunk may be short; NON-EMPTY documents
+    * shorter than `size` yield one chunk, while NULL/empty documents
+    * emit no rows (same posture as [[chunkText]] — see its doc). Pure
+    * HOF projection like [[chunkText]].
     */
   def chunkTextOverlap(df: DataFrame, textCol: String, chunkSize: Int,
       overlap: Int): DataFrame = {

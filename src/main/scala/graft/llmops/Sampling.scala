@@ -53,8 +53,13 @@ object Sampling {
       weights: Map[String, Double],
       defaultWeight: Double = 1.0
   ): DataFrame = {
+    // null-safe match (<=>): temperatureWeights legitimately produces a
+    // NULL source key (unlabeled rows) — plain === never matches it, so
+    // those rows silently fell through to defaultWeight while still
+    // having deflated every other source's computed weight
     val w = weights.foldLeft(lit(defaultWeight)) {
-      case (acc, (s, v)) => when(col(sourceCol) === s, lit(v)).otherwise(acc)
+      case (acc, (s, v)) =>
+        when(col(sourceCol) <=> lit(s), lit(v)).otherwise(acc)
     }
     df.withColumn("__w", w)
       .filter(col("__w") > 0)
@@ -80,9 +85,18 @@ object Sampling {
     * itself never leaves the executors.
     */
   def temperatureWeights(df: DataFrame, sourceCol: String, alpha: Double,
-      maxWeight: Double = 1.0): Map[String, Double] = {
+      maxWeight: Double = 1.0,
+      /** Hard ceiling on any source's epoch weight: (n_s/n_max)^(α−1)
+        * grows as n_max/n_s for tiny sources (a 100-row source in a 1e9
+        * corpus at α=0.1 would ask for ~3.4M epochs and
+        * [[mixtureSample]]'s per-row `sequence` would materialize every
+        * copy). 100 epochs is already far beyond any published recipe;
+        * raise it consciously if a corpus truly needs more.
+        */
+      maxEpochs: Double = 100.0): Map[String, Double] = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     require(maxWeight > 0, "maxWeight must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.size <= 10000,
@@ -91,7 +105,7 @@ object Sampling {
     else {
       val nMax = counts.values.max.toDouble
       counts.map { case (s, n) =>
-        s -> maxWeight * math.pow(n / nMax, alpha - 1.0)
+        s -> math.min(maxEpochs, maxWeight * math.pow(n / nMax, alpha - 1.0))
       }
     }
   }
@@ -178,6 +192,9 @@ object Sampling {
       s"band weights must sum to 1, got $total")
     val clusters = DedupOps.duplicateClusters(pairs,
       checkpointDir = checkpointDir)
+    // NULL-key unpaired rows have no identity to hash: they all land in
+    // the LAST band (the otherwise-arm, "test" by convention) — filter
+    // them out beforehand if that skews the eval set
     val rep = coalesce(col("cluster_id"), col(keyCol))
     val h = pmod(Similarity.portable60(
       concat(rep.cast("string"), lit(":split"))), lit(Buckets))
@@ -215,8 +232,13 @@ object Sampling {
       case (acc, (stratum, f)) =>
         when(col(strataCol) === stratum, lit(f)).otherwise(acc)
     }
+    // salted gate (`key || ":strata"`) — the same independence doctrine
+    // as weightedSample/mixtureSample: unsalted, composing with
+    // hashSample on the same key was fully correlated (keep probability
+    // min(f1,f2), not f1·f2). External replay: md5(key || ':strata').
     df.filter(
-      pmod(Similarity.portable60(col(keyCol)), lit(Buckets)) <
+      pmod(Similarity.portable60(
+        concat(col(keyCol).cast("string"), lit(":strata"))), lit(Buckets)) <
         (frac * Buckets).cast("long"))
   }
 }

@@ -56,12 +56,22 @@ object Similarity {
       queries: DataFrame,
       queryKey: String,
       queryVec: String,
-      k: Int
+      k: Int,
+      /** false = a stored vector queried by its own id returns itself at
+        * rank 1 (the vector-store/Pinecone query contract); true (the
+        * near-dup default) drops self-matches.
+        */
+      excludeSelf: Boolean = true
   ): DataFrame = {
     val q = broadcast(queries.select(
       col(queryKey).alias("query_key"), col(queryVec).alias("qv")))
     val c = corpus.select(col(corpusKey).alias("neighbor_key"), col(corpusVec).alias("cv"))
-    val scored = c.join(q, col("query_key") =!= col("neighbor_key"))
+    // null-safe inequality: `=!=` is NULL for a NULL query id, which
+    // silently dropped every corpus row for that query
+    val joined =
+      if (excludeSelf) c.join(q, !(col("query_key") <=> col("neighbor_key")))
+      else c.crossJoin(q)
+    val scored = joined
       .withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_key"))
       .orderBy(col("cosine").desc, col("neighbor_key"))
@@ -415,7 +425,11 @@ object Similarity {
       queryVec: String,
       k: Int,
       numPlanes: Int = 12,
-      numTables: Int = 4
+      numTables: Int = 4,
+      /** See [[bruteForceTopK]]: false keeps self-matches (store query
+        * contract), true (default) drops them (near-dup contract).
+        */
+      excludeSelf: Boolean = true
   ): DataFrame = {
     val c = lshBucketRows(
       corpus.select(col(corpusKey).alias("neighbor_key"), col(corpusVec).alias("cv")),
@@ -427,9 +441,12 @@ object Similarity {
       col("table").alias("c_t"), col("bucket").alias("c_b"))
     val qA = q.select(col("query_key"), col("qv"),
       col("table").alias("q_t"), col("bucket").alias("q_b"))
+    // null-safe: `=!=` silently emptied NULL-id queries
+    val selfGuard =
+      if (excludeSelf) !(col("query_key") <=> col("neighbor_key"))
+      else lit(true)
     val cand = cA.join(qA,
-        col("c_t") === col("q_t") && col("c_b") === col("q_b") &&
-          col("query_key") =!= col("neighbor_key"))
+        col("c_t") === col("q_t") && col("c_b") === col("q_b") && selfGuard)
       .dropDuplicates("query_key", "neighbor_key")
       .withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_key"))
@@ -757,6 +774,28 @@ object Similarity {
     * @return (query_key, neighbor_key, rank) — rank 1..k by ascending
     *         approximate distance within the probed cells
     */
+  /** Coarse IVF scoring shared by the PQ/ADC families: per (row,
+    * centroid), -dot/|c| — -cos up to the row-constant factor; in-order
+    * sums (see pqSubDists for why). Zero-norm guard: a degenerate
+    * all-zero sampled centroid would give ±Inf/NaN, and Spark-vs-SQL
+    * NaN ordering divergence would break the exact-replay contract —
+    * score it flat instead. `src` must carry the vector as `__v`.
+    */
+  private def coarseScores(src: DataFrame, keyAs: String,
+      coarseCents: DataFrame): DataFrame =
+    src.crossJoin(broadcast(coarseCents))
+      .withColumn("dot", aggregate(
+        zip_with(col("__v"), col("cent_vec"),
+          (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("cnorm", sqrt(aggregate(
+        zip_with(col("cent_vec"), col("cent_vec"),
+          (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, x) => acc + x)))
+      .select(col(keyAs), col("j").alias("cent_id"),
+        when(col("cnorm") === 0, lit(0.0))
+          .otherwise(-col("dot") / col("cnorm")).alias("score"))
+
   def ivfPqTopK(
       corpus: DataFrame,
       corpusKey: String,
@@ -782,24 +821,8 @@ object Similarity {
   ): DataFrame = {
     val coarseCents = coarseCentroids.getOrElse(
       pqSample(corpus, corpusKey, corpusVec, nCentroids))
-    // coarse score: -cos up to the query-constant factor, i.e. -dot/|c| —
-    // in-order sums (see pqSubDists for why)
     def coarse(src: DataFrame, keyAs: String): DataFrame =
-      src.crossJoin(broadcast(coarseCents))
-        .withColumn("dot", aggregate(
-          zip_with(col("__v"), col("cent_vec"),
-            (a, b) => a.cast("double") * b.cast("double")),
-          lit(0.0), (acc, x) => acc + x))
-        .withColumn("cnorm", sqrt(aggregate(
-          zip_with(col("cent_vec"), col("cent_vec"),
-            (a, b) => a.cast("double") * b.cast("double")),
-          lit(0.0), (acc, x) => acc + x)))
-        .select(col(keyAs), col("j").alias("cent_id"),
-          // zero-norm guard: a degenerate all-zero sampled centroid would
-          // give ±Inf/NaN here, and Spark-vs-SQL NaN ordering divergence
-          // would break the exact-replay contract; score it flat instead
-          when(col("cnorm") === 0, lit(0.0))
-            .otherwise(-col("dot") / col("cnorm")).alias("score"))
+      coarseScores(src, keyAs, coarseCents)
     val corpusCell = coarse(
         corpus.select(col(corpusKey).alias("neighbor_key"),
           col(corpusVec).alias("__v")), "neighbor_key")
@@ -950,18 +973,7 @@ object Similarity {
     // identical coarse scoring to ivfPqTopK (see there for the zero-norm
     // guard rationale)
     def coarse(src: DataFrame, keyAs: String): DataFrame =
-      src.crossJoin(broadcast(coarseCents))
-        .withColumn("dot", aggregate(
-          zip_with(col("__v"), col("cent_vec"),
-            (a, b) => a.cast("double") * b.cast("double")),
-          lit(0.0), (acc, x) => acc + x))
-        .withColumn("cnorm", sqrt(aggregate(
-          zip_with(col("cent_vec"), col("cent_vec"),
-            (a, b) => a.cast("double") * b.cast("double")),
-          lit(0.0), (acc, x) => acc + x)))
-        .select(col(keyAs), col("j").alias("cent_id"),
-          when(col("cnorm") === 0, lit(0.0))
-            .otherwise(-col("dot") / col("cnorm")).alias("score"))
+      coarseScores(src, keyAs, coarseCents)
     // materialized once (localCheckpoint, the house pattern): corpusCell
     // feeds BOTH the residual build and the final scoring join, and the
     // corpus-wide coarse assignment (posexplode + broadcast join + two

@@ -26,7 +26,11 @@ object TrainExport {
     */
   def shuffleShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    val h = Similarity.portable60(col(keyCol))
+    // NULL keys hash to NULL → NULL shard, which unboxed to 0 in a
+    // DIFFERENT shuffle partition than real shard 0 and let two tasks
+    // clobber one shard file; route them all to shard 0 explicitly
+    // (deterministic, same partition as the rest of shard 0)
+    val h = coalesce(Similarity.portable60(col(keyCol)), lit(0L))
     val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
     df.withColumn("__h", h)
       .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
@@ -170,6 +174,12 @@ object TrainExport {
         }
         flush()
       }
+      // an EMPTY export writes no shard files, so no task ever created
+      // the staging dir — materialize it or the swap below would delete
+      // the old export and then fail the rename with nothing to recover
+      // (overwrite semantics: empty input => empty export, like the
+      // DataFrameWriter-backed siblings)
+      if (!rootFs.exists(staging)) rootFs.mkdirs(staging)
     } catch {
       // write-phase failure: the partial staging dir is worthless — sweep
       // it; the old export at `root` is untouched
@@ -238,14 +248,42 @@ object TrainExport {
   def readJsonlMultistream(spark: SparkSession, path: String,
       rangeBytes: Int = 32 << 20): DataFrame = {
     import spark.implicits._
-    Bz2Streams.readStreams(spark, path, rangeBytes)
+    // pbzip2 cuts members at fixed BYTE offsets, not line boundaries —
+    // a line can straddle two members (truncated JSON tail in member k,
+    // orphan head in member k+1). Stitch at member boundaries: each
+    // member's FIRST split element is the continuation of the previous
+    // member's LAST, joined through a lag window over the (narrow)
+    // per-member boundary rows. A line spanning MORE than two whole
+    // members (longer than a ~900 KB pbzip2 block) still mis-splits —
+    // that shape needs a bigger block size at compression time.
+    // localCheckpoint: boundary and body passes both read the decoded
+    // members; without it each branch would re-decode the whole archive.
+    val parts = Bz2Streams.readStreams(spark, path, rangeBytes)
       .as[(Long, Array[Byte])]
-      .flatMap { case (off, plain) =>
+      .map { case (off, plain) =>
         val text = new String(plain, java.nio.charset.StandardCharsets.UTF_8)
-        text.split("\n", -1).iterator.filter(_.nonEmpty).zipWithIndex
-          .map { case (line, idx) => (s"$path@$off", idx.toLong, line) }
+        val p = text.split("\n", -1)
+        val mids = if (p.length > 1) p.slice(1, p.length - 1) else Array.empty[String]
+        val tail = if (p.length > 1) p.last else ""
+        (off, p.head, mids, tail)
       }
-      .toDF("file", "pos", "line")
+      .toDF("off", "head", "mids", "tail")
+      .localCheckpoint(true)
+    // single-partition window over ONE narrow row per member (head/tail
+    // strings only, never the body) — #members rows, not #lines
+    val w = Window.orderBy(col("off"))
+    val stitched = parts
+      .select(col("off"), col("head"), col("tail"))
+      .withColumn("line",
+        concat(coalesce(lag(col("tail"), 1).over(w), lit("")), col("head")))
+      .select(col("off"), lit(0L).alias("pos"), col("line"))
+    val body = parts
+      .select(col("off"), posexplode(col("mids")).as(Seq("i", "line")))
+      .select(col("off"), (col("i") + 1).cast("long").alias("pos"), col("line"))
+    stitched.unionByName(body)
+      .filter(length(col("line")) > 0)
+      .select(concat(lit(s"$path@"), col("off")).alias("file"),
+        col("pos"), col("line"))
   }
 
   /** One shard's bytes → (file, pos, line) rows, shared by the batch and

@@ -29,6 +29,11 @@ final class VectorStore(spark: SparkSession, path: String) {
 
   /** Top-k cosine query against the store; `filter` mirrors pinecone's
     * metadata filter and is pushed into the scan before any math.
+    *
+    * `includeSelf = true` is the literal Pinecone contract (querying a
+    * stored vector by its own id returns it at rank 1, cosine 1.0); the
+    * default keeps the engine's historical near-dup posture (self-ids
+    * excluded), which downstream dedup compositions rely on.
     */
   def query(
       queries: DataFrame,
@@ -36,13 +41,16 @@ final class VectorStore(spark: SparkSession, path: String) {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       filter: Option[org.apache.spark.sql.Column] = None,
-      approximate: Boolean = false
+      approximate: Boolean = false,
+      includeSelf: Boolean = false
   ): DataFrame = {
     val corpus = filter.map(table().filter).getOrElse(table())
     if (approximate)
-      Similarity.lshTopK(corpus, idCol, vecCol, queries, idCol, vecCol, k)
+      Similarity.lshTopK(corpus, idCol, vecCol, queries, idCol, vecCol, k,
+        excludeSelf = !includeSelf)
     else
-      Similarity.bruteForceTopK(corpus, idCol, vecCol, queries, idCol, vecCol, k)
+      Similarity.bruteForceTopK(corpus, idCol, vecCol, queries, idCol, vecCol,
+        k, excludeSelf = !includeSelf)
   }
 }
 

@@ -48,6 +48,20 @@ class Bz2StreamsSpec extends SparkTestBase {
     assert(byFile.length === 6 && byFile.forall(_ === 40L))
   }
 
+  test("readJsonlMultistream stitches lines split across member boundaries") {
+    // real pbzip2 cuts at byte offsets, not line boundaries: member 1
+    // ends mid-line and member 2 starts with the line's tail — the
+    // stitched read must yield whole lines, never two corrupt halves
+    val m1 = Compression.encode(
+      "{\"a\":1}\n{\"b\":".getBytes("UTF-8"), "bzip2")
+    val m2 = Compression.encode(
+      "2}\n{\"c\":3}\n".getBytes("UTF-8"), "bzip2")
+    val path = writeTemp(m1 ++ m2)
+    val got = TrainExport.readJsonlMultistream(spark, path, rangeBytes = 1024)
+      .select("line").as[String].collect().sorted.toSeq
+    assert(got === Seq("{\"a\":1}", "{\"b\":2}", "{\"c\":3}").sorted)
+  }
+
   test("planted false magic degrades its slice pair, the rest survive") {
     val parts = (0 until 4).map(i =>
       (s"stream $i " + ("data " * 50)).getBytes("UTF-8"))

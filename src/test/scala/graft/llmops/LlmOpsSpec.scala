@@ -319,6 +319,30 @@ class LlmOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Sampling.temperatureWeights(df, "source", 0.0)
     }
+    // maxEpochs caps the tiny-source blow-up: a 2-row source in a 10k
+    // corpus at alpha 0.1 asks for (2/10000)^-0.9 ≈ 2128 epochs — the
+    // cap keeps mixtureSample's per-row sequence explode bounded
+    val skewed = ((1L to 10000L).map(i => (i, "huge")) ++
+      Seq((10001L, "tiny"), (10002L, "tiny"))).toDF("doc_id", "source")
+    val capped = Sampling.temperatureWeights(skewed, "source", alpha = 0.1)
+    assert(capped("tiny") === 100.0, s"cap must bind: ${capped("tiny")}")
+    val raised = Sampling.temperatureWeights(skewed, "source", alpha = 0.1,
+      maxEpochs = 5000.0)
+    assert(raised("tiny") > 2000.0 && raised("tiny") < 2300.0)
+    // NULL source: counted as its own group AND matched by mixtureSample
+    // (null-safe <=>), so unlabeled rows get their temperature weight
+    // instead of silently falling through to defaultWeight
+    val withNull = ((1L to 80L).map(i => (i, "big")) ++
+      (81L to 100L).map(i => (i, null.asInstanceOf[String])))
+      .toDF("doc_id", "source")
+    val wN = Sampling.temperatureWeights(withNull, "source", 0.5)
+    assert(math.abs(wN(null) - 2.0) < 1e-12)
+    val mixed = Sampling.mixtureSample(withNull, "source", "doc_id", wN)
+      .groupBy("source").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("∅") -> r.getLong(1)).toMap
+    assert(mixed("big") === 80L)
+    assert(mixed("∅") >= 30L && mixed("∅") <= 50L,
+      s"null source must get ~2 epochs of 20 rows, got ${mixed("∅")}")
   }
 
   test("temperatureMixture replicates the long tail, not the head") {

@@ -258,6 +258,13 @@ class MaintenanceSpec extends SparkTestBase {
     // metadata filter restricts the corpus
     val filtered = store.query(q, k = 2, filter = Some(col("tag") === "b2")).collect()
     assert(filtered.map(_.getLong(1)).toSeq === Seq(2L))
+    // includeSelf: the literal Pinecone contract — a stored id queried
+    // by itself returns at rank 1, cosine 1.0
+    val self = store.query(q, k = 2, includeSelf = true).orderBy("rank").collect()
+    assert(self.head.getLong(1) === 1L && self.head.getDouble(2) > 0.999)
+    val selfLsh = store.query(q, k = 2, approximate = true,
+      includeSelf = true).orderBy("rank").collect()
+    assert(selfLsh.head.getLong(1) === 1L)
   }
 
   test("embedStub is deterministic and batch-shaped") {
