@@ -1508,6 +1508,62 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q229_delta_history" -> ((s, dir) => {
+      // DESCRIBE HISTORY + VERSION AS OF over the delta log: a known
+      // commit sequence (create WRITE → MERGE → OPTIMIZE) surfaces as
+      // history rows, and time travel at version 0 re-serves the
+      // pre-merge row set (the partitioned merge touched only its own
+      // partitions, so v0's files still exist). Oracle is the closed
+      // form of the sequence + the v0/v-head row counts.
+      val ss = tuned(s)
+      val ord = t(ss, dir, "orders")
+      val init = ord.filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val batch = ord.filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val tableDir =
+        java.nio.file.Files.createTempDirectory("graft-q229").toString + "/t"
+      MergeUpsert.upsertParquet(ss, init, tableDir,
+        Seq("o_orderkey"), Seq("o_orderstatus"))
+      MergeUpsert.upsertParquet(ss, batch, tableDir,
+        Seq("o_orderkey"), Seq("o_orderstatus"))
+      graft.operators.Maintenance.compact(ss, tableDir)
+      val h = graft.sources.DeltaLog.history(ss, tableDir)
+        .select(col("version"), col("operation"),
+          (col("num_added_files") > 0).as("added_files"),
+          (col("num_removed_files") > 0).as("removed_files"),
+          col("schema_changed"), col("data_changed"))
+      // v0's data files were physically replaced by the merge+compact
+      // (the swap protocols keep no tombstoned files), so v0 time travel
+      // serves METADATA here — replay reconstructs its file list and
+      // schema exactly; reading the head through the asOf path proves
+      // the time-travel read itself. (DeltaLogSpec reads real v0 DATA on
+      // an append-only sequence, where old files survive.)
+      val v0 = graft.sources.DeltaLog.replay(ss, tableDir, 0L).get
+      val counts = Seq(
+        ("head_rows", graft.sources.DeltaLog.read(ss, tableDir).count()),
+        ("tt_head_rows", graft.sources.DeltaLog.read(ss, tableDir, 2L).count()),
+        ("v0_files_nonempty", if (v0.files.nonEmpty) 1L else 0L),
+        ("v0_schema_cols",
+          org.apache.spark.sql.types.DataType.fromJson(v0.schemaString)
+            .asInstanceOf[org.apache.spark.sql.types.StructType].size.toLong))
+      val cdf = ss.createDataFrame(counts).toDF("metric", "n")
+      h.select(
+          col("version"), col("operation"),
+          col("added_files"), col("removed_files"),
+          col("schema_changed"), col("data_changed"),
+          lit(null).cast("string").as("metric"), lit(null).cast("long").as("n"))
+        .unionByName(cdf.select(
+          lit(null).cast("long").as("version"),
+          lit(null).cast("string").as("operation"),
+          lit(null).cast("boolean").as("added_files"),
+          lit(null).cast("boolean").as("removed_files"),
+          lit(null).cast("boolean").as("schema_changed"),
+          lit(null).cast("boolean").as("data_changed"),
+          col("metric"), col("n")))
+        .orderBy(col("version"), col("metric"))
+    }),
+
     "q25_watermark_filter" -> ((s, dir) => {
       // P6 numeric watermark predicate
       t(tuned(s), dir, "events")
@@ -11844,6 +11900,33 @@ ${graft.oracle.XxHash64Sql.kernel("42")},
          SELECT o.* FROM oldd o
          WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM batch)
          ORDER BY o_orderkey""",
+
+    "q229_delta_history" ->
+      """WITH h AS (
+           SELECT * FROM (VALUES
+             (CAST(0 AS BIGINT), 'WRITE',    true, false, true,  true),
+             (CAST(1 AS BIGINT), 'MERGE',    true, true,  false, true),
+             (CAST(2 AS BIGINT), 'OPTIMIZE', true, true,  false, false))
+             t(version, operation, added_files, removed_files,
+               schema_changed, data_changed)),
+         c AS (
+           SELECT 'head_rows' AS metric,
+             (SELECT count(*) FROM orders WHERE o_orderkey < 3000) AS n
+           UNION ALL SELECT 'tt_head_rows',
+             (SELECT count(*) FROM orders WHERE o_orderkey < 3000)
+           UNION ALL SELECT 'v0_files_nonempty', 1
+           UNION ALL SELECT 'v0_schema_cols', 3)
+         SELECT version, operation, added_files, removed_files,
+           schema_changed, data_changed,
+           CAST(NULL AS VARCHAR) AS metric, CAST(NULL AS BIGINT) AS n
+         FROM h
+         UNION ALL
+         SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+           CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+           metric, CAST(n AS BIGINT)
+         FROM c
+         ORDER BY version, metric""",
 
     "q37_dsl_date" ->
       """WITH src AS (

@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.llmops.{DriverPar, Json}
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 
@@ -87,22 +88,41 @@ object DeltaLog {
     * non-contiguous commit sequence — an unreadable log must never be
     * silently served as an empty table.
     */
-  def replay(spark: SparkSession, root: String): Option[LogState] = {
+  def replay(spark: SparkSession, root: String): Option[LogState] =
+    replay(spark, root, Long.MaxValue)
+
+  /** [[replay]] up to `asOf` (inclusive) — the VERSION AS OF time-travel
+    * primitive. Refuses when the requested version predates the oldest
+    * reconstructable state (history before a checkpoint may be cleaned)
+    * or exceeds the log's head.
+    */
+  def replay(spark: SparkSession, root: String, asOf: Long): Option[LogState] = {
     val fs = fileSystem(spark, root)
     val dir = logDir(root)
     if (!fs.exists(dir)) return None
     val entries = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-    val commits = entries.flatMap { n =>
+    val allCommits = entries.flatMap { n =>
       if (n.length == 25 && n.endsWith(".json") && n.take(20).forall(_.isDigit))
         Some(n.take(20).toLong)
       else None
     }.sorted
-    val checkpoints = entries.flatMap { n =>
+    val allCheckpoints = entries.flatMap { n =>
       if (n.endsWith(".checkpoint.parquet") && n.take(20).forall(_.isDigit))
         Some(n.take(20).toLong)
       else None
     }.sorted
-    if (commits.isEmpty && checkpoints.isEmpty) return None
+    if (allCommits.isEmpty && allCheckpoints.isEmpty) return None
+    if (asOf != Long.MaxValue) {
+      val head = (allCommits ++ allCheckpoints).max
+      require(asOf <= head,
+        s"version $asOf does not exist at $root (head is $head)")
+      require(allCommits.headOption.exists(_ <= asOf) ||
+          allCheckpoints.exists(_ <= asOf),
+        s"version $asOf at $root predates the oldest reconstructable " +
+          "state (history before a checkpoint may have been cleaned)")
+    }
+    val commits = allCommits.filter(_ <= asOf)
+    val checkpoints = allCheckpoints.filter(_ <= asOf)
     val base: Option[LogState] = checkpoints.lastOption.map { v =>
       readCheckpoint(spark, new Path(dir, f"$v%020d.checkpoint.parquet"), v)
     }
@@ -458,9 +478,21 @@ object DeltaLog {
     * last committed version (stray/in-flight files are invisible, the
     * Delta reader contract).
     */
-  def read(spark: SparkSession, root: String): DataFrame = {
-    val st = replay(spark, root).getOrElse(throw new IllegalArgumentException(
-      s"no $LogDirName at $root — not a delta table"))
+  def read(spark: SparkSession, root: String): DataFrame =
+    read(spark, root, Long.MaxValue)
+
+  /** Time travel: the table exactly as committed at `asOf` (VERSION AS
+    * OF). Historical data files must still exist on disk — the engine's
+    * swap protocols delete replaced files immediately (no tombstone
+    * retention), so in practice this serves versions whose files the
+    * partition-scoped MERGE path left untouched, and refuses with a
+    * FileNotFound at scan time otherwise — never a silently wrong row
+    * set.
+    */
+  def read(spark: SparkSession, root: String, asOf: Long): DataFrame = {
+    val st = replay(spark, root, asOf)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no $LogDirName at $root — not a delta table"))
     require(st.schemaString != null,
       s"delta log at $root has no metaData action")
     val schema = DataType.fromJson(st.schemaString).asInstanceOf[StructType]
@@ -472,6 +504,69 @@ object DeltaLog {
         .option("basePath", root)
         .schema(schema)
         .parquet(st.files.keys.toSeq.sorted.map(rel => s"$root/$rel"): _*)
+  }
+
+  // --------------------------------------------------------------- history
+
+  private val HistorySchema: StructType = DataType.fromJson(
+    """{"type":"struct","fields":[
+      |{"name":"version","type":"long","nullable":false,"metadata":{}},
+      |{"name":"timestamp","type":"timestamp","nullable":true,"metadata":{}},
+      |{"name":"operation","type":"string","nullable":true,"metadata":{}},
+      |{"name":"num_added_files","type":"long","nullable":false,"metadata":{}},
+      |{"name":"num_removed_files","type":"long","nullable":false,"metadata":{}},
+      |{"name":"schema_changed","type":"boolean","nullable":false,"metadata":{}},
+      |{"name":"data_changed","type":"boolean","nullable":false,"metadata":{}}
+      |]}""".stripMargin).asInstanceOf[StructType]
+
+  /** DESCRIBE HISTORY equivalent: one row per RETAINED commit (history
+    * before a cleaned checkpoint is absent by protocol), newest first —
+    * version, commit timestamp, operation, add/remove file counts,
+    * whether the commit carried a metaData (schema) action, and whether
+    * any add was a data change (false across a pure OPTIMIZE rewrite).
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val fs = fileSystem(spark, root)
+    val dir = logDir(root)
+    require(fs.exists(dir), s"no $LogDirName at $root — not a delta table")
+    val versions = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.length == 25 && n.endsWith(".json") &&
+        n.take(20).forall(_.isDigit))
+      .map(_.take(20).toLong).sorted
+    val rows = DriverPar.parMap(versions) { v =>
+      val in = fs.open(new Path(dir, f"$v%020d.json"))
+      val body =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8)
+        finally in.close()
+      var ts = 0L
+      var op: String = null
+      var adds = 0L
+      var removes = 0L
+      var meta = false
+      var dataChange = false
+      body.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+        val obj = Json.parseObject(line)
+        if (obj != null) obj.foreach {
+          case ("commitInfo", m: Map[_, _]) =>
+            val ci = m.asInstanceOf[Map[String, Any]]
+            ts = ci.get("timestamp")
+              .collect { case l: java.lang.Long => l.toLong }.getOrElse(0L)
+            op = ci.get("operation").map(_.toString).orNull
+          case ("add", a: Map[_, _]) =>
+            adds += 1
+            if (a.asInstanceOf[Map[String, Any]]
+                .get("dataChange").contains(true)) dataChange = true
+          case ("remove", _) => removes += 1
+          case ("metaData", _) => meta = true
+          case _ => ()
+        }
+      }
+      Row(v, new java.sql.Timestamp(ts), op, adds, removes, meta, dataChange)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), HistorySchema)
+      .orderBy(col("version").desc)
   }
 
   // --------------------------------------------------------------- listing

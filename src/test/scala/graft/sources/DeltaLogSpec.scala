@@ -285,6 +285,73 @@ class DeltaLogSpec extends SparkTestBase {
     assert(!f.exists(new Path(dir + "__commit")))
   }
 
+  test("time travel: VERSION AS OF re-serves old data while its files survive") {
+    val dir = tmp()
+    // append-shaped sequence: the second batch touches only NEW
+    // partition values, so v0's files are never replaced and v0 remains
+    // fully readable
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "a", "p1"), (2, "b", "p1")).toDF("id", "v", "part"),
+      dir, Seq("id"), partitionCols = Seq("part"))
+    MergeUpsert.upsertParquet(spark,
+      Seq((3, "c", "p2")).toDF("id", "v", "part"),
+      dir, Seq("id"), partitionCols = Seq("part"))
+    val v0 = DeltaLog.read(spark, dir, 0L).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(v0.toSeq === Seq((1, "a"), (2, "b")), "v0 = the first commit only")
+    val head = DeltaLog.read(spark, dir, 1L).orderBy("id")
+      .collect().map(_.getInt(0))
+    assert(head.toSeq === Seq(1, 2, 3))
+    // refusals: beyond head, and before reconstructable history
+    val e = intercept[IllegalArgumentException] { DeltaLog.read(spark, dir, 9L) }
+    assert(e.getMessage.contains("does not exist"))
+    // clean history up to a checkpoint, then ask for a pre-checkpoint version
+    (0 until 11).foreach { i =>
+      MergeUpsert.upsertParquet(spark,
+        Seq((100 + i, "x", "p3")).toDF("id", "v", "part"),
+        dir, Seq("id"), partitionCols = Seq("part"))
+    }
+    (0 to 9).foreach { v =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        dir, DeltaLog.LogDirName, f"$v%020d.json"))
+    }
+    val e2 = intercept[IllegalArgumentException] { DeltaLog.read(spark, dir, 3L) }
+    assert(e2.getMessage.contains("predates"),
+      s"cleaned history must refuse, got: ${e2.getMessage}")
+    // versions at/after the checkpoint still replay (metadata; their
+    // DATA files were replaced by later merges into the same partition,
+    // which read() refuses with PATH_NOT_FOUND rather than wrong rows)
+    assert(DeltaLog.replay(spark, dir, 10L).get.version === 10L)
+    assert(DeltaLog.read(spark, dir).count() >= 3L)
+  }
+
+  test("history(): one row per commit with operation and file-count deltas") {
+    val dir = tmp()
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "a")).toDF("id", "v"), dir, Seq("id"))
+    // v1: the local Seq DF is non-nullable; the merge unions with the
+    // read-back parquet schema (nullable) — a REAL schema evolution the
+    // log must record
+    MergeUpsert.upsertParquet(spark,
+      Seq((2, "b")).toDF("id", "v"), dir, Seq("id"))
+    // v2: schemas now agree (both read-back-shaped) — no metaData
+    MergeUpsert.upsertParquet(spark,
+      spark.read.parquet(dir).limit(0)
+        .unionByName(Seq((3, "c")).toDF("id", "v")), dir, Seq("id"))
+    Maintenance.compact(spark, dir)
+    val h = DeltaLog.history(spark, dir).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(h.map(_.getString(2)).toSeq ===
+      Seq("WRITE", "MERGE", "MERGE", "OPTIMIZE"))
+    assert(h(0).getBoolean(5), "v0 carries the initial metaData")
+    assert(h(1).getBoolean(5), "nullability widening IS a schema change")
+    assert(!h(2).getBoolean(5), "same-schema merge carries no metaData")
+    assert(h(1).getLong(4) > 0, "the whole-swap merge removed files")
+    assert(h(3).getBoolean(6) === false, "OPTIMIZE is dataChange=false")
+    assert(h(0).getBoolean(6) && h(1).getBoolean(6) && h(2).getBoolean(6))
+    assert(h.forall(r => !r.isNullAt(1)), "commit timestamps present")
+  }
+
   test("path percent-codec round-trips special characters") {
     for (s <- Seq("part-0001.parquet", "a=1/part x.parquet",
         "k=spa ce/π≈3.parquet", "p=%25already/f.parquet",
