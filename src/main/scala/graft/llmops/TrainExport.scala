@@ -272,15 +272,23 @@ object TrainExport {
     // single-partition window over ONE narrow row per member (head/tail
     // strings only, never the body) — #members rows, not #lines
     val w = Window.orderBy(col("off"))
-    val stitched = parts
-      .select(col("off"), col("head"), col("tail"))
+    val boundary = parts
+      .select(col("off"), col("head"), col("tail"),
+        size(col("mids")).cast("long").alias("n"))
       .withColumn("line",
         concat(coalesce(lag(col("tail"), 1).over(w), lit("")), col("head")))
+      .withColumn("last", lead(col("off"), 1).over(w).isNull)
+    val stitched = boundary
       .select(col("off"), lit(0L).alias("pos"), col("line"))
+    // the LAST member's tail has no successor to stitch it into — when the
+    // archive doesn't end with a newline, that tail IS the final line
+    val finalTail = boundary
+      .filter(col("last") && length(col("tail")) > 0)
+      .select(col("off"), (col("n") + 1).alias("pos"), col("tail").alias("line"))
     val body = parts
       .select(col("off"), posexplode(col("mids")).as(Seq("i", "line")))
       .select(col("off"), (col("i") + 1).cast("long").alias("pos"), col("line"))
-    stitched.unionByName(body)
+    stitched.unionByName(body).unionByName(finalTail)
       .filter(length(col("line")) > 0)
       .select(concat(lit(s"$path@"), col("off")).alias("file"),
         col("pos"), col("line"))

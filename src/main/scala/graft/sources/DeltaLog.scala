@@ -340,6 +340,15 @@ object DeltaLog {
     // race between two unleased writers (e.g. compact racing an upsert).
     // There, hard-link the temp into place instead: link(2) fails with
     // EEXIST atomically, the real if-absent primitive.
+    // OBJECT STORES (s3a et al.) get NO atomicity from this branch either:
+    // S3A rename is copy+delete and does not refuse an existing
+    // destination, so the exists() pre-check is the same TOCTOU — two
+    // displaced writers could both "win" a version and one commit would be
+    // silently lost. There the table LEASE is the real serialization (the
+    // same posture delta-io takes: S3 single-writer unless an external
+    // LogStore coordinates); deployments needing multi-writer S3 commits
+    // must route through a conditional-put primitive (S3 If-None-Match)
+    // or a coordination service — not this rename.
     val won =
       if (fs.getUri.getScheme == "file") {
         try {
@@ -644,7 +653,15 @@ object DeltaLog {
         out.write(Integer.parseInt(enc.substring(i + 1, i + 3), 16))
         i += 3
       } else {
-        out.write(c.toInt); i += 1
+        // self-written logs percent-encode all non-ASCII, but a foreign
+        // writer may leave chars above U+007F literal — emit their UTF-8
+        // bytes (surrogate pairs as one code point), not the low 8 bits
+        // of the UTF-16 code unit
+        if (c < 0x80) { out.write(c.toInt); i += 1 }
+        else if (Character.isHighSurrogate(c) && i + 1 < enc.length &&
+            Character.isLowSurrogate(enc.charAt(i + 1))) {
+          out.write(enc.substring(i, i + 2).getBytes(UTF_8)); i += 2
+        } else { out.write(c.toString.getBytes(UTF_8)); i += 1 }
       }
     }
     new String(out.toByteArray, UTF_8)

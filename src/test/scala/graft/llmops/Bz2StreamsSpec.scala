@@ -62,6 +62,25 @@ class Bz2StreamsSpec extends SparkTestBase {
     assert(got === Seq("{\"a\":1}", "{\"b\":2}", "{\"c\":3}").sorted)
   }
 
+  test("readJsonlMultistream keeps the final line when no trailing newline") {
+    // externally produced pbzip2 JSONL often lacks the trailing \n — the
+    // last member's tail has no successor member to stitch it into and
+    // must be emitted as the final line, not silently dropped
+    val m1 = Compression.encode(
+      "{\"a\":1}\n{\"b\":".getBytes("UTF-8"), "bzip2")
+    val m2 = Compression.encode(
+      "2}\n{\"c\":3}".getBytes("UTF-8"), "bzip2") // NB: no trailing \n
+    val path = writeTemp(m1 ++ m2)
+    val got = TrainExport.readJsonlMultistream(spark, path, rangeBytes = 1024)
+      .select("line").as[String].collect().sorted.toSeq
+    assert(got === Seq("{\"a\":1}", "{\"b\":2}", "{\"c\":3}").sorted)
+    // single member, no newline anywhere: the whole text is one line
+    val solo = writeTemp(Compression.encode("{\"only\":1}".getBytes("UTF-8"), "bzip2"))
+    val got2 = TrainExport.readJsonlMultistream(spark, solo, rangeBytes = 1024)
+      .select("line").as[String].collect().toSeq
+    assert(got2 === Seq("{\"only\":1}"))
+  }
+
   test("planted false magic degrades its slice pair, the rest survive") {
     val parts = (0 until 4).map(i =>
       (s"stream $i " + ("data " * 50)).getBytes("UTF-8"))
