@@ -1564,6 +1564,53 @@ object SparkEntry {
         .orderBy(col("version"), col("metric"))
     }),
 
+    "q230_vacuum_retention" -> ((s, dir) => {
+      // Tombstone retention end-to-end (the reference's `VACUUM ... 168
+      // HOURS` contract, light_transform.py:1394-1409): a retained MERGE
+      // whole-table swap replaces EVERY v0 data file, yet VERSION AS OF 0
+      // still serves the original rows (the retained files); an
+      // in-window vacuum (168h) deletes nothing; an expired-window
+      // vacuum (0h) removes exactly the tombstoned files while the head
+      // keeps reading intact. Oracle = closed form of both row sets plus
+      // the two vacuum-behavior booleans.
+      val ss = tuned(s)
+      val ord = t(ss, dir, "orders")
+      val init = ord.filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val batch = ord.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (-col("o_totalprice")).as("o_totalprice"))
+      val tableDir =
+        java.nio.file.Files.createTempDirectory("graft-q230").toString + "/t"
+      MergeUpsert.upsertParquet(ss, init, tableDir, Seq("o_orderkey"))
+      MergeUpsert.upsertParquet(ss, batch, tableDir, Seq("o_orderkey"),
+        retain = true)
+      val inWindowDeletes =
+        graft.operators.Maintenance.vacuum(ss, tableDir, retentionHours = 168.0)
+      // materialize the time-travel read BEFORE the expiring vacuum takes
+      // its files (localCheckpoint pins the rows in the block manager)
+      val v0 = graft.sources.DeltaLog.read(ss, tableDir, 0L)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .localCheckpoint(true)
+      val expiredDeletes =
+        graft.operators.Maintenance.vacuum(ss, tableDir, retentionHours = 0.0)
+      val head = graft.sources.DeltaLog.read(ss, tableDir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      def tag(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.select(lit(name).as("src"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      import ss.implicits._
+      val metrics = Seq(
+        ("m_in_window_deletes_zero", if (inWindowDeletes == 0L) 1L else 0L),
+        ("m_expired_deleted_files", if (expiredDeletes > 0L) 1L else 0L))
+        .toDF("src", "o_orderkey")
+        .select(col("src"), col("o_orderkey"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"))
+      tag(v0, "v0").unionByName(tag(head, "head")).unionByName(metrics)
+        .orderBy("src", "o_orderkey")
+    }),
+
     "q25_watermark_filter" -> ((s, dir) => {
       // P6 numeric watermark predicate
       t(tuned(s), dir, "events")
@@ -11927,6 +11974,30 @@ ${graft.oracle.XxHash64Sql.kernel("42")},
            metric, CAST(n AS BIGINT)
          FROM c
          ORDER BY version, metric""",
+
+    "q230_vacuum_retention" ->
+      """WITH init AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey < 2000),
+         batch AS (
+           SELECT o_orderkey, o_orderstatus, -o_totalprice AS o_totalprice
+           FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000),
+         head AS (
+           SELECT * FROM batch
+           UNION ALL
+           SELECT i.* FROM init i
+           WHERE i.o_orderkey NOT IN (SELECT o_orderkey FROM batch))
+         SELECT 'v0' AS src, o_orderkey, o_orderstatus, o_totalprice
+         FROM init
+         UNION ALL
+         SELECT 'head', o_orderkey, o_orderstatus, o_totalprice FROM head
+         UNION ALL
+         SELECT 'm_in_window_deletes_zero', CAST(1 AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+         UNION ALL
+         SELECT 'm_expired_deleted_files', CAST(1 AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+         ORDER BY src, o_orderkey""",
 
     "q37_dsl_date" ->
       """WITH src AS (

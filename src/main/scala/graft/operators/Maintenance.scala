@@ -15,13 +15,30 @@ object Maintenance {
     * vectorized-reader throughput — thousands of KB-sized incremental
     * merge outputs would otherwise dominate task-scheduling overhead.
     */
-  def compact(spark: SparkSession, path: String, targetFileMB: Int = 128): Unit = {
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 128,
+      /** Keep the replaced files as on-disk tombstones (see
+        * [[MergeUpsert.upsertParquet]] `retain`) — `VERSION AS OF` serves
+        * the pre-OPTIMIZE layout until [[vacuum]]'s retention passes.
+        * Only meaningful on delta-logged tables read through the log.
+        */
+      retain: Boolean = false): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
     val bytes = fs.getContentSummary(p).getLength
+    // a retained table's dir holds tombstoned files — compaction input is
+    // the listing minus log tombstones or replaced rows would resurrect
+    val hasTombstones = graft.sources.DeltaLog.replay(spark, path)
+      .exists(_.tombstones.nonEmpty)
+    val df =
+      if (!hasTombstones) spark.read.parquet(path)
+      else graft.sources.DeltaLog.listedMinusTombstones(spark, path) match {
+        case Some(live) if live.nonEmpty =>
+          spark.read.option("basePath", path)
+            .parquet(live.map(rel => s"$path/$rel"): _*)
+        case _ => spark.read.parquet(path)
+      }
     val files = math.max(1, (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
-    val df = spark.read.parquet(path)
     // Hive-partitioned layouts must survive compaction: detect the FULL
     // `k=v` directory chain (all levels — a first-level-only detection
     // flattened a=/b= tables, destroying the b level and corrupting the
@@ -60,12 +77,15 @@ object Maintenance {
     fs.rename(p, bak)
     fs.rename(new Path(tmp), p)
     MergeUpsert.restoreDeltaLog(fs, path) // the swap carried the log into __old
-    fs.delete(bak, true)
     // OPTIMIZE on a delta table: same rows, new files — remove+add with
-    // dataChange=false. Plain parquet tables don't sprout a log here.
-    if (graft.sources.DeltaLog.exists(fs, path))
+    // dataChange=false, committed BEFORE retention returns the replaced
+    // files to the tree. Plain parquet tables don't sprout a log here.
+    if (graft.sources.DeltaLog.exists(fs, path)) {
       graft.sources.DeltaLog.reconcile(spark, path, df.schema,
         partitionCols, dataChange = false, operation = "OPTIMIZE")
+      if (retain) MergeUpsert.retainReplaced(fs, path)
+    }
+    fs.delete(bak, true)
     ()
   }
 
@@ -220,6 +240,44 @@ object Maintenance {
       graft.sources.DeltaLog.reconcile(df.sparkSession, path, df.schema, Nil,
         dataChange = false, operation = "OPTIMIZE", prior = Some(st))
       ()
+    }
+  }
+
+  /** Real Delta VACUUM (the reference's `VACUUM delta_table RETAIN 168
+    * HOURS`, light_transform.py:1394-1409): delete the data files the log
+    * tombstoned more than `retentionHours` ago, then sweep staging
+    * residue. Live files and younger tombstones are never touched —
+    * `VERSION AS OF` keeps serving every version whose files are still
+    * inside the window. Writes a commitInfo-only `VACUUM` commit when
+    * files were deleted (the history marker modern Delta emits); the
+    * expired tombstone entries leave the state at the next checkpoint
+    * (age past retention + file gone).
+    *
+    * Like Delta, a short retention is dangerous with concurrent
+    * time-travel readers — the reference runs 168 h; tests pass 0.
+    * Returns the number of files deleted.
+    */
+  def vacuum(spark: SparkSession, path: String,
+      retentionHours: Double): Long = {
+    require(retentionHours >= 0, s"negative retention: $retentionHours")
+    vacuum(spark, path) // staging/backup residue (the pre-log sweep)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.DeltaLog.replay(spark, path) match {
+      case None => 0L
+      case Some(st) =>
+        val cutoff = System.currentTimeMillis() -
+          (retentionHours * 3600 * 1000).toLong
+        var n = 0L
+        st.tombstones.toSeq.sortBy(_._1).foreach { case (rel, ts) =>
+          if (ts <= cutoff) {
+            val f = new Path(s"$path/$rel")
+            if (fs.exists(f) && fs.delete(f, false)) n += 1
+          }
+        }
+        if (n > 0)
+          graft.sources.DeltaLog.commitInfo(spark, path, "VACUUM")
+        n
     }
   }
 

@@ -168,7 +168,22 @@ object MergeUpsert {
         * of the filesystem rename protocol — the choice for object-store
         * tables and for coordinating threaded writers in one JVM.
         */
-      lockStore: Option[LockStore] = None
+      lockStore: Option[LockStore] = None,
+      /** Tombstone retention (the Delta `VACUUM ... 168 HOURS` storage
+        * contract, light_transform.py:1394-1409): replaced data files are
+        * kept on disk at their original paths — log-removed, so invisible
+        * to [[graft.sources.DeltaLog.read]] — until
+        * [[Maintenance.vacuum]]'s retention window passes, which is what
+        * makes `VERSION AS OF` serve historical DATA. Opt-in because a
+        * retained table must be read THROUGH the log (or a symlink
+        * manifest): a raw `spark.read.parquet(dir)` directory listing
+        * would see the tombstoned files and duplicate rows. Use one
+        * consistent setting per table — a non-retaining write deletes ALL
+        * backed-up files, including earlier tombstones in the partitions
+        * it touches. Crash recovery of an interrupted commit falls back
+        * to eager deletion (degraded retention, never a torn table).
+        */
+      retain: Boolean = false
   ): Unit = {
     // partition-dir names are rendered DRIVER-side (renderValue) on the
     // pruned-merge path and must agree byte-for-byte with Spark's own
@@ -206,19 +221,37 @@ object MergeUpsert {
         graft.sources.DeltaLog.reconcile(spark, path, deduped.schema,
           partitionCols, operation = "WRITE")
       } else if (partitionCols.isEmpty) {
-        val existing = spark.read.option("mergeSchema", "true").parquet(path)
+        // a retained table's directory contains tombstoned files — the
+        // merge input is the listing MINUS log tombstones, never a raw
+        // directory read (which would resurrect replaced rows)
+        val existing =
+          graft.sources.DeltaLog.listedMinusTombstones(spark, path) match {
+            case Some(files) if files.isEmpty =>
+              graft.sources.DeltaLog.read(spark, path).limit(0)
+            case Some(files) =>
+              spark.read.option("basePath", path).option("mergeSchema", "true")
+                .parquet(files.map(rel => s"$path/$rel"): _*)
+            case None =>
+              spark.read.option("mergeSchema", "true").parquet(path)
+          }
         val merged = merge(existing, deduped, idCols, autoMerge)
         val staging = stagingPath(path, lease.token)
         write(merged, staging.toString, partitionCols)
         lease.heartbeat() // staging (the long phase) done; still alive
         writeMarker(fs, path, staging, ModeWhole)
         wholeSwap(fs, path, staging)
-        finishCommit(fs, path, staging)
+        // reconcile BEFORE the retained files return to the tree: their
+        // remove actions must be committed while the listing shows only
+        // the new files, so a crash at any point leaves either a log
+        // that already tombstones them or a tree that doesn't contain
+        // them — never an unlogged duplicate
         graft.sources.DeltaLog.reconcile(spark, path, merged.schema, Nil,
           operation = "MERGE")
+        if (retain) retainReplaced(fs, path)
+        finishCommit(fs, path, staging)
       } else {
         prunedUpsert(spark, fs, path, deduped, idCols, partitionCols, autoMerge,
-          lease)
+          lease, retain)
       }
       ()
     } finally lease.release()
@@ -251,6 +284,40 @@ object MergeUpsert {
     if (fs.exists(lg) && !fs.exists(dst)) { fs.rename(lg, dst); () }
   }
 
+  /** Tombstone retention: move every data file under the `__old` backup
+    * back into the live tree at its original relative path. Their remove
+    * actions are already committed (callers reconcile first), so readers
+    * of the CURRENT version never see them — but `VERSION AS OF` can,
+    * until [[Maintenance.vacuum]]'s retention passes. A destination
+    * collision (same file name re-staged — impossible with Spark's
+    * UUID part names) keeps the new file and drops the old copy.
+    * Idempotent and crash-safe: each file is one rename; an interrupted
+    * pass leaves the remainder in `__old` for recovery's eager delete
+    * (degraded retention, never duplicates).
+    */
+  private[operators] def retainReplaced(fs: FileSystem, path: String): Unit = {
+    val old = new Path(path + "__old")
+    if (!fs.exists(old)) return
+    val oldQ = fs.makeQualified(old)
+    val it = fs.listFiles(old, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = oldQ.toUri.relativize(fs.makeQualified(s.getPath).toUri).getPath
+      val segs = rel.split("/")
+      val hidden = segs.exists(seg =>
+        (seg.startsWith("_") || seg.startsWith(".")) && !seg.contains("="))
+      if (!hidden) {
+        val dst = new Path(s"$path/$rel")
+        if (fs.exists(dst)) fs.delete(s.getPath, false)
+        else {
+          fs.mkdirs(dst.getParent)
+          fs.rename(s.getPath, dst)
+        }
+        ()
+      }
+    }
+  }
+
   private def prunedUpsert(
       spark: SparkSession,
       fs: FileSystem,
@@ -259,7 +326,8 @@ object MergeUpsert {
       idCols: Seq[String],
       partitionCols: Seq[String],
       autoMerge: Boolean,
-      lease: TableLease
+      lease: TableLease,
+      retain: Boolean
   ): Unit = {
     // 1. affected partitions: distinct tuples from the batch — bounded by
     //    the batch, not the table; collect() here is partition *metadata*
@@ -271,17 +339,29 @@ object MergeUpsert {
         s"${escape(partitionCols(i))}=${renderValue(row.get(i))}"
       }.mkString("/")
     }
-    val liveDirs = dirs.map(d => new Path(s"$path/$d")).filter(fs.exists)
+    val liveRel = dirs.toIndexedSeq.filter(d => fs.exists(new Path(s"$path/$d")))
+    val liveDirs = liveRel.map(d => new Path(s"$path/$d"))
 
     // 2. merge against only the affected slice (pruned read; mergeSchema so
-    //    an evolved table's full columns are visible)
+    //    an evolved table's full columns are visible). On a delta-logged
+    //    table the slice is listing-minus-tombstones: a retained
+    //    partition dir holds replaced files a raw dir read would
+    //    resurrect as stale rows
+    val sliceFiles: Option[Seq[String]] =
+      if (liveDirs.isEmpty) None
+      else graft.sources.DeltaLog.listedMinusTombstones(spark, path,
+        Some(liveRel))
     val merged =
-      if (liveDirs.isEmpty) batch
+      if (liveDirs.isEmpty || sliceFiles.exists(_.isEmpty)) batch
       else {
+        val slicePaths = sliceFiles match {
+          case Some(files) => files.map(rel => s"$path/$rel")
+          case None => liveDirs.map(_.toString).toIndexedSeq
+        }
         val existing = spark.read
           .option("basePath", path)
           .option("mergeSchema", "true")
-          .parquet(liveDirs.map(_.toString).toIndexedSeq: _*)
+          .parquet(slicePaths: _*)
         // dir-name inference may re-type partition values (e.g. date
         // strings); the batch's schema is authoritative for the rewrite
         val typed = batchTypes.foldLeft(existing) { case (df, (p, dt)) =>
@@ -300,15 +380,22 @@ object MergeUpsert {
     //    replays the swap; without the marker, recovery ignores the staging
     writeMarker(fs, path, staging, ModeParts)
 
-    // 5. idempotent per-partition swap + cleanup
+    // 5. idempotent per-partition swap
     commitSwap(fs, path, staging)
-    finishCommit(fs, path, staging)
 
     // 6. delta log: scoped to the touched partition dirs — log upkeep is
-    //    O(affected partitions), never an O(table) listing
+    //    O(affected partitions), never an O(table) listing. Runs BEFORE
+    //    retention returns the replaced files to the tree, so their
+    //    remove actions are committed while the listing shows only the
+    //    new files — a crash at any point leaves either a log that
+    //    already tombstones them or a tree that doesn't contain them
     graft.sources.DeltaLog.reconcile(spark, path, merged.schema,
       partitionCols, operation = "MERGE",
       scopedDirs = Some(dirs.toIndexedSeq))
+
+    // 7. tombstone retention + cleanup
+    if (retain) retainReplaced(fs, path)
+    finishCommit(fs, path, staging)
   }
 
   private[operators] def stagingPath(path: String, token: String): Path =

@@ -73,7 +73,23 @@ object DeltaLog {
       tableId: String,
       schemaString: String,
       partitionColumns: Seq[String],
-      files: Map[String, AddEntry])
+      files: Map[String, AddEntry],
+      /** Log-removed files (rel path → deletionTimestamp) whose remove
+        * action is still within the tombstone retention window — the
+        * protocol's checkpoint tombstones. When the writer retained the
+        * physical file (see [[graft.operators.MergeUpsert.upsertParquet]]
+        * `retain`), these are what VERSION AS OF serves and what VACUUM
+        * deletes once retention passes.
+        */
+      tombstones: Map[String, Long] = Map.empty)
+
+  /** Tombstone retention window, hours — mirrors Delta's
+    * `delta.deletedFileRetentionDuration` (default 168h = 7 days).
+    * Governs when checkpoints may drop remove tombstones and is the
+    * default for [[graft.operators.Maintenance.vacuum]].
+    */
+  val TombstoneRetentionConf = "spark.graft.delta.tombstoneRetentionHours"
+  val DefaultTombstoneRetentionHours = 168.0
 
   def logDir(root: String): Path = new Path(root, LogDirName)
 
@@ -182,20 +198,25 @@ object DeltaLog {
         case ("add", a: Map[_, _]) =>
           val ad = a.asInstanceOf[Map[String, Any]]
           val rel = decodePath(ad("path").toString)
-          st = st.copy(files = st.files.updated(rel, AddEntry(
-            rel,
-            ad.get("partitionValues") match {
-              case Some(pv: Map[_, _]) => pv.asInstanceOf[Map[String, Any]]
-                .map { case (k, v) => k -> (if (v == null) null else v.toString) }
-              case _ => Map.empty
-            },
-            ad.get("size").collect { case l: java.lang.Long => l.toLong }.getOrElse(0L),
-            ad.get("modificationTime")
-              .collect { case l: java.lang.Long => l.toLong }.getOrElse(0L))))
+          st = st.copy(
+            files = st.files.updated(rel, AddEntry(
+              rel,
+              ad.get("partitionValues") match {
+                case Some(pv: Map[_, _]) => pv.asInstanceOf[Map[String, Any]]
+                  .map { case (k, v) => k -> (if (v == null) null else v.toString) }
+                case _ => Map.empty
+              },
+              ad.get("size").collect { case l: java.lang.Long => l.toLong }.getOrElse(0L),
+              ad.get("modificationTime")
+                .collect { case l: java.lang.Long => l.toLong }.getOrElse(0L))),
+            tombstones = st.tombstones - rel)
         case ("remove", r: Map[_, _]) =>
-          val rel = decodePath(
-            r.asInstanceOf[Map[String, Any]]("path").toString)
-          st = st.copy(files = st.files - rel)
+          val rm = r.asInstanceOf[Map[String, Any]]
+          val rel = decodePath(rm("path").toString)
+          val ts = rm.get("deletionTimestamp")
+            .collect { case l: java.lang.Long => l.toLong }.getOrElse(0L)
+          st = st.copy(files = st.files - rel,
+            tombstones = st.tombstones.updated(rel, ts))
         case _ => () // commitInfo, txn, unknown-but-forward-compatible
       }
     }
@@ -251,7 +272,7 @@ object DeltaLog {
           null, partitionCols, Map.empty))
       val current: Map[String, AddEntry] = {
         val scoped = scopedDirs.filter(_ => state.version >= 0)
-        scoped match {
+        val listedState = scoped match {
           case Some(dirs) =>
             val untouched = state.files.filterNot { case (rel, _) =>
               dirs.exists(d => rel.startsWith(d + "/")) }
@@ -260,6 +281,11 @@ object DeltaLog {
             untouched ++ listed
           case None => listDataFiles(fs, root, None)
         }
+        // log-removed files physically RETAINED on disk (the tombstone
+        // retention contract) are not current — without this exclusion a
+        // later full listing would re-adopt a replaced file and duplicate
+        // its rows
+        listedState -- state.tombstones.keys
       }
       val schemaJson =
         if (replaceSchema || state.schemaString == null) schema.json
@@ -313,9 +339,39 @@ object DeltaLog {
           val st = state.copy(version = version,
             schemaString = schemaJson, partitionColumns = partitionCols,
             files = (state.files -- removed) ++
-              added.map(e => e.relPath -> e))
+              added.map(e => e.relPath -> e),
+            tombstones = (state.tombstones ++ removed.map(_ -> now)) --
+              added.map(_.relPath))
           writeCheckpoint(spark, fs, root, st)
         }
+        return version
+      }
+      require(attempt < MaxCommitAttempts,
+        s"delta commit for $root lost the version race $MaxCommitAttempts " +
+          "times — refusing to spin (is the table lease being bypassed?)")
+    }
+    -1L // unreachable
+  }
+
+  /** Append a commitInfo-only commit (no state change) — the shape modern
+    * Delta writes for VACUUM history markers. Returns the version.
+    */
+  def commitInfo(spark: SparkSession, root: String, operation: String): Long = {
+    val fs = fileSystem(spark, root)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val state = replay(spark, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"no $LogDirName at $root — not a delta table"))
+      val version = state.version + 1
+      val body =
+        s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},""" +
+          s""""operation":${jstr(operation)},"operationParameters":{},""" +
+          s""""engineInfo":"graft-spark"}}""" + "\n"
+      if (tryCommit(fs, root, version, body)) {
+        if (version > 0 && version % CheckpointInterval == 0)
+          writeCheckpoint(spark, fs, root, state.copy(version = version))
         return version
       }
       require(attempt < MaxCommitAttempts,
@@ -425,7 +481,21 @@ object DeltaLog {
     val addRows = st.files.values.toSeq.sortBy(_.relPath).map(e =>
       Row(null, null, Row(encodePath(e.relPath), e.partitionValues,
         e.size, e.modificationTime, true), null))
-    val rows = protoRow +: metaRow +: addRows
+    // tombstones ride in checkpoints (the protocol's remove entries) for
+    // the retention window; past it an entry is dropped ONLY once its
+    // physical file is gone (vacuumed) — a still-present expired file must
+    // stay excluded from reconcile's listing or it would be re-adopted
+    val retentionMs = (spark.conf
+      .get(TombstoneRetentionConf, DefaultTombstoneRetentionHours.toString)
+      .toDouble * 3600 * 1000).toLong
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val removeRows = st.tombstones.toSeq
+      .filter { case (rel, ts) =>
+        ts > cutoff || fs.exists(new Path(root, rel)) }
+      .sortBy(_._1)
+      .map { case (rel, ts) =>
+        Row(null, null, null, Row(encodePath(rel), ts, true)) }
+    val rows = protoRow +: metaRow +: (addRows ++ removeRows)
     val df = spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(rows).asJava), CheckpointSchema)
@@ -476,6 +546,14 @@ object DeltaLog {
           a.getLong(a.fieldIndex("size")),
           a.getLong(a.fieldIndex("modificationTime")))))
       }
+      val rmIdx = r.fieldIndex("remove")
+      if (!r.isNullAt(rmIdx)) {
+        val rm = r.getStruct(rmIdx)
+        val rel = decodePath(rm.getString(rm.fieldIndex("path")))
+        val tsIdx = rm.fieldIndex("deletionTimestamp")
+        val ts = if (rm.isNullAt(tsIdx)) 0L else rm.getLong(tsIdx)
+        st = st.copy(tombstones = st.tombstones.updated(rel, ts))
+      }
     }
     st
   }
@@ -491,12 +569,15 @@ object DeltaLog {
     read(spark, root, Long.MaxValue)
 
   /** Time travel: the table exactly as committed at `asOf` (VERSION AS
-    * OF). Historical data files must still exist on disk — the engine's
-    * swap protocols delete replaced files immediately (no tombstone
-    * retention), so in practice this serves versions whose files the
-    * partition-scoped MERGE path left untouched, and refuses with a
-    * FileNotFound at scan time otherwise — never a silently wrong row
-    * set.
+    * OF). Historical data files must still exist on disk. Writers that
+    * pass `retain = true` ([[graft.operators.MergeUpsert.upsertParquet]],
+    * [[graft.operators.Maintenance.compact]]) keep replaced files as
+    * on-disk tombstones until [[graft.operators.Maintenance.vacuum]]'s
+    * retention window passes — the reference's `VACUUM ... 168 HOURS`
+    * contract — so this serves real DATA for any version inside the
+    * window. Non-retaining writers delete replaced files immediately; a
+    * version whose files are gone refuses with a FileNotFound at scan
+    * time — never a silently wrong row set.
     */
   def read(spark: SparkSession, root: String, asOf: Long): DataFrame = {
     val st = replay(spark, root, asOf)
@@ -514,6 +595,26 @@ object DeltaLog {
         .schema(schema)
         .parquet(st.files.keys.toSeq.sorted.map(rel => s"$root/$rel"): _*)
   }
+
+  /** Relative paths of the data files on disk under `root` (scoped to
+    * `subs` dirs when given) EXCLUDING log tombstones — the view a writer
+    * reads on a possibly-retained table. Listing-driven (not the log's
+    * add set) so it self-heals a crash-stale log: a file only ever
+    * coexists with live data AFTER its remove action committed, so
+    * listing-minus-tombstones is exact in every crash window. None when
+    * the table has no `_delta_log` (plain directory reads are then exact).
+    */
+  def listedMinusTombstones(spark: SparkSession, root: String,
+      subs: Option[Seq[String]] = None): Option[Seq[String]] =
+    replay(spark, root).map { st =>
+      val fs = fileSystem(spark, root)
+      val listed = subs match {
+        case Some(ds) =>
+          ds.flatMap(d => listDataFiles(fs, root, Some(d)).keys)
+        case None => listDataFiles(fs, root, None).keys.toSeq
+      }
+      listed.filterNot(st.tombstones.contains).sorted
+    }
 
   // --------------------------------------------------------------- history
 
