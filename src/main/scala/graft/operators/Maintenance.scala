@@ -83,6 +83,7 @@ object Maintenance {
     if (graft.sources.DeltaLog.exists(fs, path)) {
       graft.sources.DeltaLog.reconcile(spark, path, df.schema,
         partitionCols, dataChange = false, operation = "OPTIMIZE")
+      refreshSymlinkManifest(spark, path)
       if (retain) MergeUpsert.retainReplaced(fs, path)
     }
     fs.delete(bak, true)
@@ -178,9 +179,14 @@ object Maintenance {
     // rows when pointed at the table's own content (the OPTIMIZE ZORDER
     // contract) — logged with dataChange=false.
     val priorLog = graft.sources.DeltaLog.replay(spark, path)
+    val hadManifest = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new Path(path, SymlinkManifestDir))
     def relog(): Unit = priorLog.foreach { st =>
       graft.sources.DeltaLog.reconcile(spark, path, df.schema, Nil,
         dataChange = false, operation = "OPTIMIZE", prior = Some(st))
+      // the Overwrite destroyed the manifest with the table dir
+      if (hadManifest) generateSymlinkManifest(spark, path)
       ()
     }
     val aggs = zcols.flatMap(c =>
@@ -224,6 +230,9 @@ object Maintenance {
     require(bloomCols.nonEmpty, "bloomWrite needs at least one key column")
     // same log-continuity dance as zorderWriteN: capture before Overwrite
     val priorLog = graft.sources.DeltaLog.replay(df.sparkSession, path)
+    val hadManifest = new Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .exists(new Path(path, SymlinkManifestDir))
     val files =
       if (numFiles > 0) numFiles
       else math.max(1, df.sparkSession.sparkContext.defaultParallelism)
@@ -239,8 +248,70 @@ object Maintenance {
     priorLog.foreach { st =>
       graft.sources.DeltaLog.reconcile(df.sparkSession, path, df.schema, Nil,
         dataChange = false, operation = "OPTIMIZE", prior = Some(st))
+      if (hadManifest) generateSymlinkManifest(df.sparkSession, path)
       ()
     }
+  }
+
+  val SymlinkManifestDir = "_symlink_format_manifest"
+
+  /** Generate `_symlink_format_manifest` from the Delta log's committed
+    * file list — the K6 step's third action (light_transform.py:1394-1409,
+    * `GENERATE symlink_format_manifest`): engines that cannot replay a
+    * delta log (Athena/Presto/Trino external tables) read the manifest's
+    * file list instead of listing the directory. That also makes
+    * tombstone retention safe for them — the manifest lists LIVE files
+    * only, never tombstones.
+    *
+    * Layout (delta-io's): `<table>/_symlink_format_manifest/<partition
+    * dirs>/manifest`, one fully-qualified data-file URI per line;
+    * unpartitioned tables write a single top-level `manifest`. The tree
+    * is staged and swapped whole, so dropped partitions leave no stale
+    * manifest and readers never see a half-written one. Underscore
+    * prefix keeps it invisible to Spark scans and the log's listing.
+    *
+    * O(files) driver work — same bound as the log replay it derives from.
+    */
+  def generateSymlinkManifest(spark: SparkSession, path: String): Unit = {
+    val st = graft.sources.DeltaLog.replay(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no _delta_log at $path — symlink manifests derive from the log"))
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootQ = fs.makeQualified(new Path(path))
+    val mroot = new Path(rootQ, SymlinkManifestDir)
+    val tmp = new Path(rootQ,
+      s".$SymlinkManifestDir.tmp-${java.util.UUID.randomUUID()}")
+    val byDir = st.files.keys.toSeq.groupBy { rel =>
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    fs.mkdirs(tmp)
+    byDir.foreach { case (dirRel, files) =>
+      val d = if (dirRel.isEmpty) tmp else new Path(tmp, dirRel)
+      fs.mkdirs(d)
+      val out = fs.create(new Path(d, "manifest"), true)
+      try out.write(files.sorted
+        .map(rel => new Path(rootQ, rel).toUri.toString)
+        .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    if (fs.exists(mroot)) fs.delete(mroot, true)
+    fs.rename(tmp, mroot)
+    ()
+  }
+
+  /** Refresh the symlink manifest IF the table maintains one (presence-
+    * based auto-update, the engine's analogue of Delta's
+    * `delta.compatibility.symlinkFormatManifest.enabled`). Called by the
+    * write paths after their log commit.
+    */
+  private[operators] def refreshSymlinkManifest(spark: SparkSession,
+      path: String): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(path, SymlinkManifestDir)))
+      generateSymlinkManifest(spark, path)
   }
 
   /** Real Delta VACUUM (the reference's `VACUUM delta_table RETAIN 168
@@ -319,10 +390,17 @@ object Maintenance {
     *
     * Returns true when a repair action happened.
     */
-  def recover(spark: SparkSession, path: String): Boolean =
-    recoverFs(
-      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
-      path)
+  def recover(spark: SparkSession, path: String): Boolean = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val repaired = recoverFs(fs, path)
+    // a replayed swap may have restored a now-stale symlink manifest —
+    // re-derive it from the (also restored) log so external readers
+    // never follow dead file URIs
+    if (repaired && graft.sources.DeltaLog.exists(fs, path))
+      refreshSymlinkManifest(spark, path)
+    repaired
+  }
 
   /** [[recover]] against an explicit FileSystem (no SparkSession needed —
     * the protocol is pure metadata operations).

@@ -247,6 +247,7 @@ object MergeUpsert {
         // them — never an unlogged duplicate
         graft.sources.DeltaLog.reconcile(spark, path, merged.schema, Nil,
           operation = "MERGE")
+        Maintenance.refreshSymlinkManifest(spark, path)
         if (retain) retainReplaced(fs, path)
         finishCommit(fs, path, staging)
       } else {
@@ -271,17 +272,22 @@ object MergeUpsert {
     ()
   }
 
-  /** A whole-table swap carries `_delta_log` into the `__old` backup with
-    * everything else; move it back so the log's history survives the
-    * rewrite (the post-swap reconcile then appends the diff commit). A
-    * crash between swap and restore loses the log dir — reconcile
-    * rebuilds it from scratch at version 0, a degraded-but-consistent
-    * restart, never a torn log.
+  /** A whole-table swap carries `_delta_log` (and the symlink manifest,
+    * when the table maintains one) into the `__old` backup with
+    * everything else; move them back so the log's history survives the
+    * rewrite (the post-swap reconcile then appends the diff commit, and
+    * the write path refreshes the restored manifest). A crash between
+    * swap and restore loses the log dir — reconcile rebuilds it from
+    * scratch at version 0, a degraded-but-consistent restart, never a
+    * torn log.
     */
   private[operators] def restoreDeltaLog(fs: FileSystem, path: String): Unit = {
-    val lg = new Path(path + "__old", graft.sources.DeltaLog.LogDirName)
-    val dst = new Path(path, graft.sources.DeltaLog.LogDirName)
-    if (fs.exists(lg) && !fs.exists(dst)) { fs.rename(lg, dst); () }
+    Seq(graft.sources.DeltaLog.LogDirName,
+        Maintenance.SymlinkManifestDir).foreach { name =>
+      val src = new Path(path + "__old", name)
+      val dst = new Path(path, name)
+      if (fs.exists(src) && !fs.exists(dst)) { fs.rename(src, dst); () }
+    }
   }
 
   /** Tombstone retention: move every data file under the `__old` backup
@@ -392,6 +398,7 @@ object MergeUpsert {
     graft.sources.DeltaLog.reconcile(spark, path, merged.schema,
       partitionCols, operation = "MERGE",
       scopedDirs = Some(dirs.toIndexedSeq))
+    Maintenance.refreshSymlinkManifest(spark, path)
 
     // 7. tombstone retention + cleanup
     if (retain) retainReplaced(fs, path)

@@ -91,6 +91,16 @@ object DeltaLog {
   val TombstoneRetentionConf = "spark.graft.delta.tombstoneRetentionHours"
   val DefaultTombstoneRetentionHours = 168.0
 
+  /** Max actions per checkpoint file before the writer switches to the
+    * protocol's multi-part form (`%020d.checkpoint.%010d.%010d.parquet`
+    * + `"parts"` in `_last_checkpoint`). A 100-TB table with millions of
+    * add entries must not funnel its whole state through one
+    * `coalesce(1)` write; parts keep each file bounded. Configurable for
+    * tests and tuning.
+    */
+  val CheckpointPartSizeConf = "spark.graft.delta.checkpointPartSize"
+  val DefaultCheckpointPartSize = 100000
+
   def logDir(root: String): Path = new Path(root, LogDirName)
 
   def exists(fs: FileSystem, root: String): Boolean =
@@ -122,11 +132,25 @@ object DeltaLog {
         Some(n.take(20).toLong)
       else None
     }.sorted
-    val allCheckpoints = entries.flatMap { n =>
+    // checkpoints: classic single-file, or the protocol's multi-part
+    // form — a version counts only when COMPLETE (all declared parts
+    // present); a torn multi-part write must never be replayed
+    val singleCps: Map[Long, Seq[String]] = entries.flatMap { n =>
       if (n.endsWith(".checkpoint.parquet") && n.take(20).forall(_.isDigit))
-        Some(n.take(20).toLong)
+        Some(n.take(20).toLong -> n)
       else None
-    }.sorted
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val MultiPartName =
+      """^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$""".r
+    val multiCps: Map[Long, Seq[String]] = entries.flatMap {
+      case n @ MultiPartName(v, i, k) => Some((v.toLong, i.toInt, k.toInt, n))
+      case _ => None
+    }.groupBy(t => (t._1, t._3)).collect {
+      case ((v, k), parts) if parts.map(_._2).toSet == (1 to k).toSet =>
+        v -> parts.sortBy(_._2).map(_._4)
+    }
+    val cpFiles: Map[Long, Seq[String]] = multiCps ++ singleCps // single wins
+    val allCheckpoints = cpFiles.keys.toSeq.sorted
     if (allCommits.isEmpty && allCheckpoints.isEmpty) return None
     if (asOf != Long.MaxValue) {
       val head = (allCommits ++ allCheckpoints).max
@@ -140,7 +164,7 @@ object DeltaLog {
     val commits = allCommits.filter(_ <= asOf)
     val checkpoints = allCheckpoints.filter(_ <= asOf)
     val base: Option[LogState] = checkpoints.lastOption.map { v =>
-      readCheckpoint(spark, new Path(dir, f"$v%020d.checkpoint.parquet"), v)
+      readCheckpoint(spark, cpFiles(v).map(new Path(dir, _)), v)
     }
     val tail = commits.filter(v => base.forall(v > _.version))
     base match {
@@ -496,36 +520,62 @@ object DeltaLog {
       .map { case (rel, ts) =>
         Row(null, null, null, Row(encodePath(rel), ts, true)) }
     val rows = protoRow +: metaRow +: (addRows ++ removeRows)
-    val df = spark.createDataFrame(
-      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-        .SeqHasAsJava(rows).asJava), CheckpointSchema)
-    val tmp = new Path(dir, s".tmp-checkpoint-${java.util.UUID.randomUUID()}")
-    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val part = fs.listStatus(tmp).map(_.getPath)
-      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(
-        s"checkpoint write produced no parquet part under $tmp"))
-    val target = new Path(dir, f"${st.version}%020d.checkpoint.parquet")
-    if (fs.exists(target)) fs.delete(target, false)
-    fs.rename(part, target)
-    fs.delete(tmp, true)
+    def writeOne(rs: Seq[Row], name: String): Unit = {
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rs).asJava), CheckpointSchema)
+      val tmp = new Path(dir, s".tmp-checkpoint-${java.util.UUID.randomUUID()}")
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"checkpoint write produced no parquet part under $tmp"))
+      val target = new Path(dir, name)
+      if (fs.exists(target)) fs.delete(target, false)
+      fs.rename(part, target)
+      fs.delete(tmp, true)
+      ()
+    }
+    // past the part-size threshold, the protocol's multi-part form keeps
+    // each checkpoint file bounded (readers require ALL parts, so a torn
+    // write is never replayed). `_last_checkpoint` is written LAST —
+    // the commit point of the whole checkpoint.
+    val partSize = math.max(3, spark.conf
+      .get(CheckpointPartSizeConf, DefaultCheckpointPartSize.toString).toInt)
+    val groups = rows.grouped(partSize).toSeq
+    val n = groups.size
+    if (n == 1)
+      writeOne(rows, f"${st.version}%020d.checkpoint.parquet")
+    else groups.zipWithIndex.foreach { case (rs, i) =>
+      writeOne(rs,
+        f"${st.version}%020d.checkpoint.${i + 1}%010d.$n%010d.parquet")
+    }
+    val parts = if (n > 1) s""","parts":$n""" else ""
     val lc = fs.create(new Path(dir, "_last_checkpoint"), true)
     try lc.write(
-      s"""{"version":${st.version},"size":${rows.size}}""".getBytes(UTF_8))
+      s"""{"version":${st.version},"size":${rows.size}$parts"""
+        .concat("}").getBytes(UTF_8))
     finally lc.close()
     ()
   }
 
-  private def readCheckpoint(spark: SparkSession, file: Path,
+  /** Reads one checkpoint — classic single-file or all parts of a
+    * multi-part set. Driver-memory bound: the full file map materializes
+    * on the driver (the same bound delta-standalone accepts); multi-part
+    * keeps the FILES bounded, not the replayed map — a table whose state
+    * outgrows driver memory needs a manifest-style reader, out of scope
+    * for the reference's table sizes.
+    */
+  private def readCheckpoint(spark: SparkSession, files: Seq[Path],
       version: Long): LogState = {
-    val rows = spark.read.parquet(file.toString).collect()
+    val rows = spark.read.parquet(files.map(_.toString): _*).collect()
     var st = LogState(version, null, null, Nil, Map.empty)
     rows.foreach { r =>
       val protoIdx = r.fieldIndex("protocol")
       if (!r.isNullAt(protoIdx)) {
         val reader = r.getStruct(protoIdx).getInt(0)
         require(reader <= 1,
-          s"checkpoint $file requires reader version $reader")
+          s"checkpoint ${files.head} requires reader version $reader")
       }
       val metaIdx = r.fieldIndex("metaData")
       if (!r.isNullAt(metaIdx)) {
@@ -634,6 +684,14 @@ object DeltaLog {
     * version, commit timestamp, operation, add/remove file counts,
     * whether the commit carried a metaData (schema) action, and whether
     * any add was a data change (false across a pure OPTIMIZE rewrite).
+    *
+    * Log retention: this engine never cleans commit JSONs itself, so
+    * history is complete by default. An operator (or a future
+    * `logRetention` knob mirroring Delta's `delta.logRetentionDuration`)
+    * that deletes pre-checkpoint commits SHORTENS what this returns —
+    * replay/read are unaffected (the checkpoint carries state), but
+    * DESCRIBE HISTORY covers only the retained tail. Pinned in
+    * DeltaLogSpec ("history() covers only RETAINED commit JSONs").
     */
   def history(spark: SparkSession, root: String): DataFrame = {
     val fs = fileSystem(spark, root)

@@ -326,4 +326,79 @@ class MaintenanceSpec extends SparkTestBase {
     assert(absentHit * 10 < absent * 5,
       s"absent-key false positives out of control: $absentHit/$absent")
   }
+
+  test("symlink manifest lists exactly the logged files; writes refresh it") {
+    val dir = Files.createTempDirectory("graft-manifest").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifestOf(sub: String): Seq[String] = {
+      val p = java.nio.file.Paths.get(
+        dir, Maintenance.SymlinkManifestDir, sub, "manifest")
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSeq
+    }
+    def loggedByDir(): Map[String, Seq[String]] = {
+      val st = graft.sources.DeltaLog.replay(spark, dir).get
+      val rootQ = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+      st.files.keys.toSeq.groupBy(rel =>
+        rel.substring(0, math.max(0, rel.lastIndexOf('/'))))
+        .map { case (d, fsq) => d -> fsq.sorted.map(rel =>
+          new org.apache.hadoop.fs.Path(rootQ, rel).toUri.toString) }
+    }
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "a", "p1"), (2, "b", "p2")).toDF("id", "v", "part"),
+      dir, Seq("id"), partitionCols = Seq("part"))
+    Maintenance.generateSymlinkManifest(spark, dir)
+    // golden: per-partition manifest = exactly the logged data files
+    var want = loggedByDir()
+    assert(want.keySet === Set("part=p1", "part=p2"))
+    want.foreach { case (d, uris) => assert(manifestOf(d) === uris, d) }
+    // a MERGE into p2 refreshes p2's manifest (presence-based auto-update)
+    val p2Before = manifestOf("part=p2")
+    MergeUpsert.upsertParquet(spark,
+      Seq((2, "B", "p2")).toDF("id", "v", "part"),
+      dir, Seq("id"), partitionCols = Seq("part"))
+    want = loggedByDir()
+    assert(manifestOf("part=p2") !== p2Before)
+    want.foreach { case (d, uris) => assert(manifestOf(d) === uris, d) }
+    // OPTIMIZE rewrites every file; the manifest must follow
+    Maintenance.compact(spark, dir)
+    want = loggedByDir()
+    want.foreach { case (d, uris) => assert(manifestOf(d) === uris, d) }
+    // retention: tombstoned files stay on disk but NEVER enter the
+    // manifest — external readers see only live files
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "A", "p1")).toDF("id", "v", "part"),
+      dir, Seq("id"), partitionCols = Seq("part"), retain = true)
+    val st = graft.sources.DeltaLog.replay(spark, dir).get
+    assert(st.tombstones.nonEmpty)
+    val all = (manifestOf("part=p1") ++ manifestOf("part=p2")).toSet
+    assert(st.tombstones.keys.forall(rel => !all.exists(_.endsWith(rel))))
+    want = loggedByDir()
+    want.foreach { case (d, uris) => assert(manifestOf(d) === uris, d) }
+    // the manifest itself never pollutes the log or a Spark scan
+    assert(st.files.keys.forall(!_.contains(Maintenance.SymlinkManifestDir)))
+    // unpartitioned tables: single top-level manifest
+    val dir2 = Files.createTempDirectory("graft-manifest2").toString + "/t"
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "a")).toDF("id", "v"), dir2, Seq("id"))
+    Maintenance.generateSymlinkManifest(spark, dir2)
+    val top = java.nio.file.Paths.get(
+      dir2, Maintenance.SymlinkManifestDir, "manifest")
+    assert(java.nio.file.Files.exists(top))
+    val st2 = graft.sources.DeltaLog.replay(spark, dir2).get
+    val uris = new String(java.nio.file.Files.readAllBytes(top), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq
+    assert(uris.length === st2.files.size)
+    // whole-table swap (unpartitioned MERGE) carries + refreshes it
+    MergeUpsert.upsertParquet(spark,
+      Seq((2, "b")).toDF("id", "v"), dir2, Seq("id"))
+    val uris2 = new String(java.nio.file.Files.readAllBytes(top), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq
+    val st3 = graft.sources.DeltaLog.replay(spark, dir2).get
+    assert(uris2.sorted === st3.files.keys.toSeq.sorted.map(rel =>
+      new org.apache.hadoop.fs.Path(
+        fs.makeQualified(new org.apache.hadoop.fs.Path(dir2)), rel)
+        .toUri.toString))
+  }
 }

@@ -352,6 +352,73 @@ class DeltaLogSpec extends SparkTestBase {
     assert(h.forall(r => !r.isNullAt(1)), "commit timestamps present")
   }
 
+  test("multi-part checkpoints: write past the part threshold, replay exact") {
+    val dir = tmp()
+    // force tiny parts (floor is 3 rows/part) so a 12-partition table's
+    // checkpoint must split into the protocol's multi-part form
+    spark.conf.set(DeltaLog.CheckpointPartSizeConf, "3")
+    try {
+      (0 until 11).foreach { i =>
+        MergeUpsert.upsertParquet(spark,
+          Seq((i, s"v$i", s"p$i")).toDF("id", "v", "part"),
+          dir, Seq("id"), partitionCols = Seq("part"))
+      }
+      val names = logFiles(dir)
+      val parts = names.filter(_.matches(
+        """00000000000000000010\.checkpoint\.\d{10}\.\d{10}\.parquet"""))
+      assert(parts.nonEmpty, s"expected multi-part checkpoint, got: $names")
+      assert(!names.contains("00000000000000000010.checkpoint.parquet"))
+      val declared = parts.head.split("\\.")(3).toInt
+      assert(parts.length === declared, "all declared parts written")
+      val lc = graft.llmops.Json.parseObject(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+          dir, DeltaLog.LogDirName, "_last_checkpoint")), "UTF-8"))
+      assert(lc("parts") === declared.toLong)
+      // replay from the multi-part checkpoint alone (pre-checkpoint
+      // history cleaned) reconstructs the exact state
+      (0 to 9).foreach { v =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+          dir, DeltaLog.LogDirName, f"$v%020d.json"))
+      }
+      val st = DeltaLog.replay(spark, dir).get
+      assert(st.version === 10L)
+      assert(st.files.size === 11)
+      val got = DeltaLog.read(spark, dir).orderBy("id")
+        .collect().map(r => (r.getInt(0), r.getString(1)))
+      assert(got.toSeq === (0 until 11).map(i => (i, s"v$i")))
+      // a TORN multi-part set (one part missing) must never be replayed:
+      // with the pre-checkpoint commits cleaned there is no valid base
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        dir, DeltaLog.LogDirName, parts.head))
+      val e = intercept[IllegalArgumentException] { DeltaLog.replay(spark, dir) }
+      assert(e.getMessage.contains("incomplete history"),
+        s"torn checkpoint must refuse, got: ${e.getMessage}")
+    } finally spark.conf.unset(DeltaLog.CheckpointPartSizeConf)
+  }
+
+  test("history() covers only RETAINED commit JSONs (log-retention posture)") {
+    // DESCRIBE HISTORY reads the commit files; once pre-checkpoint JSONs
+    // are cleaned (the protocol allows it), history shortens to the
+    // retained tail — pinned here as the documented contract (a
+    // logRetention knob would govern WHEN cleaning happens; the engine
+    // never cleans automatically)
+    val dir = tmp()
+    (0 until 12).foreach { i =>
+      MergeUpsert.upsertParquet(spark,
+        Seq((i, s"v$i")).toDF("id", "v"), dir, Seq("id"))
+    }
+    assert(DeltaLog.history(spark, dir).count() === 12L)
+    (0 to 9).foreach { v =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        dir, DeltaLog.LogDirName, f"$v%020d.json"))
+    }
+    val h = DeltaLog.history(spark, dir).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(10L, 11L),
+      "history = the retained commits only")
+    // replay/read are unaffected (checkpoint carries the state)
+    assert(DeltaLog.read(spark, dir).count() === 12L)
+  }
+
   test("path percent-codec round-trips special characters") {
     for (s <- Seq("part-0001.parquet", "a=1/part x.parquet",
         "k=spa ce/π≈3.parquet", "p=%25already/f.parquet",
