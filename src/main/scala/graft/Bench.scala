@@ -57,14 +57,20 @@ object Bench {
       .toSeq.sortBy(_._1).filter { case (name, _) =>
         only.forall(_.exists(name.startsWith))
       }
-    val samples = scala.collection.mutable.Map.empty[String, Double]
+    // per-query samples tagged with the canary SEGMENT they ran in, so a
+    // contaminated window can be re-run instead of shipped (see below)
+    val samples =
+      scala.collection.mutable.Map.empty[String,
+        scala.collection.mutable.ArrayBuffer[(Double, Int)]]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // In-battery canaries: round 8 proved the pre/post pair cannot see
     // mid-run contamination (GC/driver pressure inflated mid-battery heavy
     // queries ~2× in BOTH interleaved passes — min-of-passes can't remove
     // what hits every pass). A canary every ~20 queries timestamps the
-    // pollution window so a regression can be cross-checked against the
-    // nearest canary instead of cried wolf over.
+    // pollution window; round 17 makes the harness SELF-DEFENDING — a
+    // query whose every sample sits between elevated canaries is re-run
+    // after the battery in a verified-clean window, or flagged "suspect"
+    // in the JSON when no clean window arrives.
     val canarySeries = scala.collection.mutable.ArrayBuffer.empty[Double]
     var sinceCanary = 0
     // Per-query state drop: operators localCheckpoint/persist internally;
@@ -88,16 +94,15 @@ object Bench {
         dropQueryState()
         if (sinceCanary >= 20) { canarySeries += canary(); sinceCanary = 0 }
         sinceCanary += 1
+        val seg = canarySeries.length // segment = samples since last canary
         val t0 = System.nanoTime()
         val ok = try { exec(fn(spark, sfDir)); true }
           catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         // a throwing pass never contributes a time — the old path recorded
         // the failure's wall time, hiding broken queries as fast ones
-        if (ok) samples.updateWith(name) {
-          case Some(prev) => Some(math.min(prev, dt))
-          case None => Some(dt)
-        }
+        if (ok) samples.getOrElseUpdate(name,
+          scala.collection.mutable.ArrayBuffer.empty) += ((dt, seg))
         ()
       }
     }
@@ -105,8 +110,63 @@ object Bench {
       if (!samples.contains(name)) failed.add(name)
     }
     val canaryPost = canary()
+    // Self-defense: segment k is bounded by canary k-1 (canary_pre for
+    // k=0) and canary k (canary_post past the series). A segment is clean
+    // when BOTH boundaries sit within 1.3× of the best canary observed —
+    // the run's own clean-machine reference. A query keeps the min of its
+    // clean-segment samples; one with none is re-run post-battery inside
+    // a canary-verified window (two attempts), and stays flagged
+    // "suspect" if the machine never goes quiet.
+    val allCanaries = (canaryPre +: canarySeries.toSeq :+ canaryPost).sorted
+    // median, not min: the canary has warmup/jitter variance of its own,
+    // and contamination hits a minority of segments — min would read
+    // normal jitter as contamination and re-run half the battery. An
+    // absolute 0.15 s slack keeps millisecond jitter on a fast canary
+    // from flagging either.
+    val baseline = allCanaries(allCanaries.length / 2)
+    val canaryLimit = math.max(1.3 * baseline, baseline + 0.15)
+    def segClean(k: Int): Boolean = {
+      val lo = if (k == 0) canaryPre else canarySeries(k - 1)
+      val hi = if (k < canarySeries.length) canarySeries(k) else canaryPost
+      math.max(lo, hi) <= canaryLimit
+    }
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    val suspect = scala.collection.mutable.LinkedHashSet.empty[String]
+    val reran = scala.collection.mutable.LinkedHashSet.empty[String]
+    selected.foreach { case (name, _) =>
+      samples.get(name).foreach { ss =>
+        val clean = ss.collect { case (t, k) if segClean(k) => t }
+        if (clean.nonEmpty) best(name) = clean.min
+        else { best(name) = ss.map(_._1).min; suspect.add(name) }
+        ()
+      }
+    }
+    suspect.toSeq.foreach { name =>
+      val fn = (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)(name)
+      var verified = false
+      var attempts = 0
+      while (!verified && attempts < 2) {
+        attempts += 1
+        dropQueryState()
+        val cPre = canary()
+        val t0 = System.nanoTime()
+        val ok = try { exec(fn(spark, sfDir)); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val cPost = canary()
+        if (ok) {
+          best(name) = math.min(best(name), dt)
+          if (math.max(cPre, cPost) <= canaryLimit) {
+            verified = true
+            suspect.remove(name)
+            reran.add(name)
+          }
+        } else verified = true // broken is not contamination; leave as-is
+        ()
+      }
+    }
     val results = selected.collect {
-      case (name, _) if samples.contains(name) => name -> samples(name)
+      case (name, _) if best.contains(name) => name -> best(name)
     }
     // ms precision: full-double rendering made the 126-query line long
     // enough that log-tail scrapers truncated it mid-JSON (round 8 lost
@@ -120,11 +180,15 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
+    def nameList(key: String, names: Iterable[String]): String =
+      if (names.isEmpty) ""
+      else s""","$key":[${names.map("\"" + _ + "\"").mkString(",")}]"""
     val canSeries = canarySeries.map(f).mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
         s""""canary_pre":${f(canaryPre)},"canary_post":${f(canaryPost)},""" +
         s""""canary_series":$canSeries""" +
+        nameList("reran", reran) + nameList("suspect", suspect) +
         s"""$failedJson,"sf":"$sfDir"}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
