@@ -387,6 +387,10 @@ private[expressions] object JpegDecode {
                 val nm = b(p + 1) & 0xFF
                 if (nm != 0x00 && !(nm >= 0xD0 && nm <= 0xD7) && nm != 0xFF)
                   found = p
+                // FF FF is a FILL byte before a marker (T.81 B.1.1.2):
+                // advance ONE so the second FF can still start the
+                // marker — advancing two would jump past `FF FF DA`
+                else if (nm == 0xFF) p += 1
                 else p += 2
               } else p += 1
             }

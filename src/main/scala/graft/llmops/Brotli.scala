@@ -367,7 +367,7 @@ object Brotli {
     BlockCountBase(code) + br.read(BlockCountExtra(code))
   }
 
-  private def readBlocks(br: Br, alphaExtra: Int = 2): Blocks = {
+  private def readBlocks(br: Br): Blocks = {
     val n = readCount256(br)
     if (n >= 2) {
       val tt = readHuffmanCode(n + 2, br)

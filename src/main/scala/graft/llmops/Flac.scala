@@ -277,6 +277,7 @@ object Flac {
       while (i < n) { out(i) = br.readSigned(eb); i += 1 }
     } else if ((typ & 0x38) == 0x08 && (typ & 7) <= 4) { // fixed
       val order = typ & 7
+      if (order > n) return null // same guard as LPC: blockSize 1, order 2
       var i = 0
       while (i < order) { out(i) = br.readSigned(eb); i += 1 }
       if (!decodeResiduals(br, n, order, out)) return null

@@ -56,6 +56,11 @@ final class Mp3Pcm(val channels: Int, val sampleRate: Int,
   */
 object Mp3 {
 
+  /** Decoded-output envelope shared with the Vorbis/FLAC tier: a decode
+    * whose PCM would exceed this refuses (null) rather than OOM.
+    */
+  private val MaxOutBytes = 64L * 1024 * 1024
+
   /** Total leading samples discarded when no Info tag is present is 0 —
     * third-party streams keep their full (delayed) grid; the in-repo
     * writer always stamps the tag with this chain's measured 1057.
@@ -295,6 +300,10 @@ object Mp3 {
           }
           pcm.add(framePcm)
           frames += 1
+          // same 64 MB decoded-output envelope as the Vorbis/FLAC tier —
+          // without it a ~100 MB low-bitrate stream accumulates ~17 GB of
+          // frame arrays and frames*1152*channels wraps the Int below
+          if (frames.toLong * 1152 * channels * 8 > MaxOutBytes) return null
           val keep = math.min(main.length, 511)
           resv = java.util.Arrays.copyOfRange(main, main.length - keep, main.length)
         }

@@ -310,7 +310,12 @@ object Vorbis {
       if (e < 0 || lookup == null) return false
       var d = 0
       while (d < dims) {
-        out(off + d * stride) += lookup(e * dims + d)
+        // the final partition of a type-1/2 residue steps in dims-sized
+        // chunks; when partitionSize % dims != 0 the last chunk's tail
+        // crosses the vector end — excess values are discarded (the
+        // bound stb_vorbis/libvorbis apply), never written out of range
+        val idx = off + d * stride
+        if (idx >= 0 && idx < out.length) out(idx) += lookup(e * dims + d)
         d += 1
       }
       true
@@ -365,6 +370,11 @@ object Vorbis {
             v
           } else entries * dims
         if (lookupValues <= 0 || lookupValues > (1 << 22)) return null
+        // the UNPACKED table is entries*dims doubles — a ~50-byte forged
+        // header (ordered-length entries=2^22, dims=511) would otherwise
+        // demand a 17 GB allocation, or wrap the Int product negative;
+        // real codebooks are a few thousand entries x dims <= 8
+        if (entries.toLong * dims > (1L << 22)) return null
         val mults = new Array[Int](lookupValues)
         var i = 0
         while (i < lookupValues) { mults(i) = br.read(valueBits); i += 1 }
@@ -898,7 +908,11 @@ object Vorbis {
     val ch = setup.channels
     if (setup.sampleRate <= 0 || ch <= 0 || ch > 8) return null
 
-    val out = new scala.collection.mutable.ArrayBuffer[Double](1 << 16)
+    // primitive builder, not ArrayBuffer[Double]: the per-sample append is
+    // the decoder's hottest loop and boxing would triple its memory
+    val out = new scala.collection.mutable.ArrayBuilder.ofDouble
+    out.sizeHint(1 << 16)
+    var outLen = 0L
     var prevFrame: Array[Array[Double]] = null
     var prevN = 0
     var p = 3
@@ -908,7 +922,7 @@ object Vorbis {
         val n = frame(0).length
         if (prevFrame != null) {
           val retLen = prevN / 4 + n / 4
-          if ((out.length + retLen.toLong * ch) * 8 > MaxOutBytes)
+          if ((outLen + retLen.toLong * ch) * 8 > MaxOutBytes)
             return null
           var t = 0
           while (t < retLen) {
@@ -924,15 +938,20 @@ object Vorbis {
             }
             t += 1
           }
+          outLen += retLen.toLong * ch
         }
         prevFrame = frame
         prevN = n
       } else if (prevFrame != null) {
         // corrupt audio packet: silence one nominal short frame,
-        // keep the stream aligned
+        // keep the stream aligned. Same output cap as the good-frame
+        // branch — millions of zero-length packets (255 lacing values
+        // per Ogg page) must not grow the buffer unbounded
         val n = setup.blocksize0
-        val silent = Array.fill(ch)(new Array[Double](n))
         val retLen = prevN / 4 + n / 4
+        if ((outLen + retLen.toLong * ch) * 8 > MaxOutBytes)
+          return null
+        val silent = Array.fill(ch)(new Array[Double](n))
         var t = 0
         while (t < retLen) {
           var j = 0
@@ -943,15 +962,19 @@ object Vorbis {
           }
           t += 1
         }
+        outLen += retLen.toLong * ch
         prevFrame = silent
         prevN = n
       }
       p += 1
     }
-    var samples = out.toArray
+    var samples = out.result()
     // final granule position trims the sample grid (lapping emits
-    // ceil-padding past the true end)
+    // ceil-padding past the true end). Granule is 8 attacker-controlled
+    // bytes: bound it BEFORE multiplying by ch or the Long product wraps
+    // negative and copyOf throws
     if (demuxed.lastGranule >= 0 &&
+      demuxed.lastGranule < samples.length &&
       demuxed.lastGranule * ch < samples.length) {
       samples = java.util.Arrays.copyOf(samples,
         (demuxed.lastGranule * ch).toInt)

@@ -76,7 +76,15 @@ object Zstd {
       }
       v
     }
-    def skip(n: Int): Unit = bitsLeft = math.max(0, bitsLeft - n)
+    /** Consume `n` bits already peeked. Over-consumption (a symbol whose
+      * code ran past the stream start) must flag overrun — clamping
+      * silently would let a truncated stream END at exactly 0 bits and
+      * pass the exact-consumption check while having emitted garbage.
+      */
+    def skip(n: Int): Unit = {
+      if (n > bitsLeft) overrun = true
+      bitsLeft = math.max(0, bitsLeft - n)
+    }
   }
 
   // ---------------- FSE ----------------
@@ -340,7 +348,7 @@ object Zstd {
       br.skip(t.length(idx) & 0xff)
       n += 1
     }
-    br.bitsLeft == 0 // exact consumption, like the reference end-check
+    !br.overrun && br.bitsLeft == 0 // exact consumption, reference end-check
   }
 
   // ------ predefined sequence distributions + code tables (RFC 8878) ------

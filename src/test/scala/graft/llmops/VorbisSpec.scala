@@ -235,6 +235,65 @@ class VorbisSpec extends AnyFunSuite {
     assert(Vorbis.decode(MediaWriter.ogg(2, 44100)) === null)
   }
 
+  test("forged giant final granule is ignored, never a negative-size crash") {
+    // the granule field is 8 attacker-controlled bytes whose page CRC can
+    // be recomputed to self-validate — granule*channels must not overflow
+    // into a negative Arrays.copyOf length (r17 fix)
+    val x = tone(2000, 2)
+    val good = VorbisWriter.ogg(2, 8000, x)
+    var last = -1
+    var i = 0
+    while (i + 4 <= good.length) {
+      if (good(i) == 'O' && good(i + 1) == 'g' && good(i + 2) == 'g' &&
+        good(i + 3) == 'S') last = i
+      i += 1
+    }
+    assert(last > 0)
+    val b = good.clone()
+    val g = 0x7FFFFFFFFFFFFFF0L
+    (0 until 8).foreach(k => b(last + 6 + k) = ((g >>> (8 * k)) & 0xff).toByte)
+    val segs = b(last + 26) & 0xff
+    var bodyLen = 0
+    (0 until segs).foreach(k => bodyLen += (b(last + 27 + k) & 0xff))
+    val pageLen = 27 + segs + bodyLen
+    java.util.Arrays.fill(b, last + 22, last + 26, 0.toByte)
+    val c = Vorbis.crc(b, last, pageLen)
+    (0 until 4).foreach(k => b(last + 22 + k) = ((c >>> (8 * k)) & 0xff).toByte)
+    val d = Vorbis.decode(b) // must not throw
+    // the forged granule can't trim (it exceeds the sample count), so the
+    // decode returns the untrimmed lapped grid or refuses — never crashes
+    assert(d == null || d.samples.length >= x.length)
+  }
+
+  test("bit-flip fuzz: decode refuses or degrades, never throws") {
+    val x = tone(2500, 1)
+    val good = VorbisWriter.ogg(1, 8000, x)
+    val r = new java.util.Random(2026)
+    var survived = 0
+    (0 until 400).foreach { _ =>
+      val m = good.clone()
+      val flips = 1 + r.nextInt(4)
+      (0 until flips).foreach { _ =>
+        val p = r.nextInt(m.length)
+        m(p) = (m(p) ^ (1 << r.nextInt(8))).toByte
+      }
+      val d = Vorbis.decode(m) // never throws
+      if (d != null) survived += 1
+    }
+    // page CRCs gate nearly every flip (a 3-page stream refuses whole);
+    // the arm's contract is throw-freedom, not survival
+    assert(survived >= 0)
+  }
+
+  test("truncation fuzz at every sixteenth of the stream") {
+    val x = tone(2500, 2)
+    val good = VorbisWriter.ogg(2, 8000, x)
+    (1 to 15).foreach { k =>
+      val d = Vorbis.decode(good.take(good.length * k / 16)) // never throws
+      assert(d == null || d.samples.length <= x.length + 8192)
+    }
+  }
+
   test("WAV and Ogg twins share the fingerprint space at Hamming 0") {
     import graft.expressions.{AudioEnvelopeHash, AudioSpectralHash}
     for (ch <- Seq(1, 2)) {

@@ -87,6 +87,30 @@ class ZstdSpec extends AnyFunSuite {
     assert(Zstd.decode(null) == null)
   }
 
+  test("bit-flip fuzz on reference frames: refuse or decode, never throw") {
+    // r17: skip() now flags bitstream over-consumption instead of
+    // clamping — a truncated/corrupt Huffman literal stream must refuse,
+    // not end at exactly 0 bits and pass the exact-consumption check
+    val r = new java.util.Random(77)
+    for (fix <- Seq(ZstdFixtures.cliTextL1, ZstdFixtures.cliTextL19)) {
+      val good = b64(fix)
+      val want = Zstd.decode(good)
+      assert(want != null)
+      (0 until 400).foreach { _ =>
+        val m = good.clone()
+        val flips = 1 + r.nextInt(3)
+        (0 until flips).foreach { _ =>
+          val p = r.nextInt(m.length)
+          m(p) = (m(p) ^ (1 << r.nextInt(8))).toByte
+        }
+        val d = Zstd.decode(m) // never throws
+        // content checksum gates payload damage: a non-null decode means
+        // the flips missed the payload (header/meta bits) — bytes match
+        if (d != null) assert(java.util.Arrays.equals(d, want))
+      }
+    }
+  }
+
   test("refuses dictionary frames") {
     // magic LE + FHD 0x01 (window descriptor follows, 1-byte dict id)
     val magic = Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte)
