@@ -33,6 +33,16 @@ import org.apache.spark.sql.SparkSession
   * endpoint, hence the per-endpoint variable). Exit code 0 = every
   * active (table, endpoint) landed, 1 = at least one FAILED (the run
   * report persists either way, under `<stageRoot>/__run_report`).
+  *
+  * Run-level levers (the reference's Glue job arguments):
+  *   - `GRAFT_LOAD_MODE` = INITIAL | NORMAL | RESET | REPROCESS
+  *     (load_mode.py:4-27). Without it the first-ever run of an
+  *     incremental table with FILTER_COLUMN would window-extract and
+  *     then watermark past the unextracted history — INITIAL is how a
+  *     fresh deployment loads everything once.
+  *   - `GRAFT_DATE_PROCESS` = the run date for dated raw paths
+  *     (light_transform.py:1633-1704; same multi-format acceptance,
+  *     invalid values warn and fall back to the current date).
   */
 object PipelineMain {
 
@@ -48,7 +58,9 @@ object PipelineMain {
       shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toIntOption.getOrElse(32)
     ).getOrCreate()
     val report = run(spark, args(0), args(1), args(2), args(3), args(4), args(5),
-      args.lift(6), environment = sys.env.get("GRAFT_PIPELINE_ENV"))
+      args.lift(6), environment = sys.env.get("GRAFT_PIPELINE_ENV"),
+      mode = parseLoadMode(sys.env.get("GRAFT_LOAD_MODE")),
+      runDate = sys.env.get("GRAFT_DATE_PROCESS").flatMap(parseDateProcess))
     report.runs.foreach { r =>
       println(s"${r.table}\t${r.status}\trows=${r.rowsWritten}\t" +
         s"${r.durationMs}ms\tattempts=${r.attempts}${r.error.map("\t" + _).getOrElse("")}")
@@ -66,7 +78,11 @@ object PipelineMain {
       rawRoot: String,
       stageRoot: String,
       watermarkDir: Option[String] = None,
-      environment: Option[String] = None
+      environment: Option[String] = None,
+      mode: graft.extract.LoadPlanner.LoadMode =
+        graft.extract.LoadPlanner.LoadMode.Normal,
+      /** Run date for the dated raw paths (DATE_PROCESS); None = now. */
+      runDate: Option[java.time.ZonedDateTime] = None
   ): Runner.RunReport = {
     val allEndpoints = ConfigLoader.endpointsFrom(ConfigLoader.loadFile(endpointsCsv))
     val endpoints = environment match {
@@ -107,11 +123,61 @@ object PipelineMain {
         if (multi) t.copy(stageTableName =
           s"${t.stageTableName}_${ep.endpointName.toLowerCase}")
         else t
-      Runner.datedSpec(named, cols, rawRoot, stageRoot, Left((ep, password(ep))))
+      runDate match {
+        case Some(now) => Runner.datedSpec(named, cols, rawRoot, stageRoot,
+          Left((ep, password(ep))), mode = mode, now = now)
+        case None => Runner.datedSpec(named, cols, rawRoot, stageRoot,
+          Left((ep, password(ep))), mode = mode)
+      }
     }
     val store = watermarkDir.map(d => new WatermarkStore(spark, d))
     Runner.run(spark, specs,
       watermarkStore = store,
       reportPath = Some(s"$stageRoot/__run_report"))
+  }
+
+  private[graft] def parseLoadMode(
+      v: Option[String]): graft.extract.LoadPlanner.LoadMode = {
+    import graft.extract.LoadPlanner.LoadMode
+    v.map(_.trim.toUpperCase) match {
+      case None | Some("") | Some("NORMAL") => LoadMode.Normal
+      case Some("INITIAL")                  => LoadMode.Initial
+      case Some("RESET")                    => LoadMode.Reset
+      case Some("REPROCESS")                => LoadMode.Reprocess
+      case Some(other) => throw new IllegalArgumentException(
+        s"GRAFT_LOAD_MODE '$other' is not INITIAL|NORMAL|RESET|REPROCESS")
+    }
+  }
+
+  /** DATE_PROCESS acceptance, mirroring the reference's format ladder
+    * (light_transform.py:1640-1652) — an unparseable value WARNS and
+    * falls back to the current date (`⚠️ DATE_PROCESS inválido`), it
+    * never fails the run.
+    */
+  private[graft] def parseDateProcess(
+      s: String): Option[java.time.ZonedDateTime] = {
+    val v = s.trim
+    val lima = graft.partition.PartitionPathFormatter.Lima
+    val patterns = Seq(
+      "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm", "yyyy-MM-dd'T'HH:mm:ss",
+      "yyyy-MM-dd'T'HH:mm:ss'Z'", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+      "yyyyMMddHHmmss")
+    val asDateTime = patterns.view.flatMap { p =>
+      try Some(java.time.LocalDateTime.parse(v,
+        java.time.format.DateTimeFormatter.ofPattern(p)).atZone(lima))
+      catch { case _: java.time.format.DateTimeParseException => None }
+    }.headOption
+    val parsed = asDateTime.orElse {
+      Seq("yyyy-MM-dd", "yyyyMMdd").view.flatMap { p =>
+        try Some(java.time.LocalDate.parse(v,
+          java.time.format.DateTimeFormatter.ofPattern(p))
+          .atStartOfDay(lima))
+        catch { case _: java.time.format.DateTimeParseException => None }
+      }.headOption
+    }
+    if (parsed.isEmpty)
+      System.err.println(s"warning: GRAFT_DATE_PROCESS '$v' unparseable " +
+        "(expected yyyy-MM-dd[ HH:mm[:ss]] / ISO / compact); using current date")
+    parsed
   }
 }

@@ -16,7 +16,10 @@ object ConfigLoader {
   def parseCsv(content: String): Seq[Map[String, String]] = {
     val lines = content.split("\r?\n").filter(_.trim.nonEmpty)
     if (lines.isEmpty) return Nil
-    val header = splitLine(lines.head)
+    // header cells get the same sanitization as values: a quoted header
+    // row (spreadsheet exports) would otherwise miss every column lookup
+    // and silently run on all-default config
+    val header = splitLine(lines.head).map(h => sanitize(h).trim)
     lines.tail.toIndexedSeq.map { line =>
       val values = splitLine(line)
       header.zipAll(values, "", "").map { case (k, v) => k -> sanitize(v) }.toMap

@@ -47,7 +47,15 @@ object Dialects {
     case "TIMESTAMP(6)"  => s"TO_TIMESTAMP('$dateStr', 'YYYY-MM-DD HH24:MI:SS.FF')"
     case "SQL_DATETIME"  => s"CONVERT(DATETIME, '$dateStr', 102)"
     case "BIGINT" =>
-      val dt = LocalDateTime.parse(dateStr, DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      // between-date windows carry full timestamps, but DateWindows'
+      // default month-window limits are date-only (`yyyy-MM-dd`) — a
+      // BIGINT-typed filter over such a window must parse both, not
+      // throw DateTimeParseException on every planning run
+      val dt =
+        if (dateStr.trim.length <= 10)
+          java.time.LocalDate.parse(dateStr.trim).atStartOfDay()
+        else LocalDateTime.parse(dateStr,
+          DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
       dt.toEpochSecond(ZoneOffset.UTC).toString
     case _ => s"'$dateStr'"
   }

@@ -97,8 +97,18 @@ object LoadPlanner {
       /** Lazy A1 min/max fetch, consulted only when a partitioned full
         * read is planned and `minMax` was not supplied — see [[fullPlan]].
         */
-      bounds: Option[() => Option[(Long, Long)]] = None
+      bounds: Option[() => Option[(Long, Long)]] = None,
+      /** Parallel-cursor count for a partitioned full read. The Glue ETL
+        * path runs 10 (extract_data_spark.py:713, the default here); the
+        * layer's query generator fans out to [[MaxPartitions]]=30
+        * (query_generator.py:132) — callers with source headroom pass up
+        * to that ceiling.
+        */
+      numPartitions: Int = DefaultNumPartitions
   ): ExtractPlan = {
+    require(numPartitions >= 1 && numPartitions <= MaxPartitions,
+      s"numPartitions $numPartitions outside [1, $MaxPartitions] " +
+        "(query_generator.py:132 caps source cursors at 30)")
     val qb = new QueryBuilder(table)
     // blank LOAD_TYPE inference needs the endpoint: a Salesforce
     // transactional table becomes days_off/NUM_DAYS=10. FORCE_FULL then
@@ -122,18 +132,26 @@ object LoadPlanner {
             // max(partitionColumn) of whatever was extracted, so a
             // windowed plan here would permanently lose every row older
             // than the delay window on the very first load
-            fullPlan(qb, table, minMax, partitionable, bounds)
+            fullPlan(qb, table, minMax, partitionable, bounds, numPartitions)
           case _ => watermark match {
             case Some(value) =>
-              // v2-style true watermark increment (incremental.py:257-344)
+              // v2-style true watermark increment (incremental.py:257-344).
+              // FILTER_DATA_TYPE describes FILTER_COLUMN — it types this
+              // predicate only when the watermark column IS the filter
+              // column; otherwise (numeric seq_id + datetime filter col)
+              // trusting it would CAST the wrong type at the source
+              val declared = table.filterDataType.trim
+              val sameColumn = table.filterColumn.trim
+                .equalsIgnoreCase(table.partitionColumn.trim)
               val colType =
-                if (table.filterDataType.trim.nonEmpty) table.filterDataType
-                // no declared type: detect from the stored value like the
-                // reference (_detect_watermark_data_type,
-                // incremental.py:368-380) — digits-only compares raw; a
+                if (declared.nonEmpty && sameColumn) declared
+                // no (applicable) declared type: detect from the stored
+                // value like the reference (_detect_watermark_data_type,
+                // incremental.py:368-380) — integer-looking compares raw
+                // (negatives included: `-5` cannot be a datetime); a
                 // blind datetime CAST over a numeric sequence column
                 // would fail every incremental run at the source
-                else if (value.trim.matches("\\d+")) "bigint"
+                else if (value.trim.matches("-?\\d+")) "bigint"
                 else "datetime"
               SingleQuery(qb.standardQuery(Some(
                 qb.watermarkPredicate(table.partitionColumn, value, colType, bdType))))
@@ -146,7 +164,7 @@ object LoadPlanner {
                 qb.dateRangeQuery(lo, hi, table.filterColumn,
                   Option(table.filterDataType).filter(_.nonEmpty))))
             case None =>
-              fullPlan(qb, table, minMax, partitionable, bounds)
+              fullPlan(qb, table, minMax, partitionable, bounds, numPartitions)
           }
         }
 
@@ -177,7 +195,7 @@ object LoadPlanner {
             else table.partitionColumn,
             Option(table.filterDataType).filter(_.nonEmpty))))
 
-      case _ => fullPlan(qb, table, minMax, partitionable, bounds)
+      case _ => fullPlan(qb, table, minMax, partitionable, bounds, numPartitions)
     }
   }
 
@@ -186,7 +204,8 @@ object LoadPlanner {
       table: TableConfig,
       minMax: Option[(Long, Long)],
       partitionable: Boolean,
-      bounds: Option[() => Option[(Long, Long)]] = None
+      bounds: Option[() => Option[(Long, Long)]] = None,
+      numPartitions: Int = DefaultNumPartitions
   ): ExtractPlan = {
     // lazily fetch the A1 min/max aggregate exactly when a partitioned
     // full read is actually on the table — the production runner passes
@@ -199,7 +218,7 @@ object LoadPlanner {
         // clamp in Long FIRST: (hi - lo).toInt overflows for ranges past
         // 2^31 and would silently collapse the widest tables — exactly
         // the ones needing parallelism — to one cursor
-        val n = math.min(DefaultNumPartitions.toLong,
+        val n = math.min(numPartitions.toLong,
           math.max(1L, hi - lo)).toInt
         PartitionedRead(qb.standardQuery(), table.partitionColumn, lo, hi, n)
       case _ =>
@@ -218,11 +237,28 @@ object LoadPlanner {
       password: String
   ): Option[(Long, Long)] = {
     if (table.partitionColumn.trim.isEmpty) return None
-    val qb = new QueryBuilder(table)
-    val row = execute(spark,
-      SingleQuery(qb.minMaxQuery(table.partitionColumn)), ep, password).collect().head
-    if (row.isNullAt(0) || row.isNullAt(1)) None
-    else Some((toLong(row.get(0)), toLong(row.get(1))))
+    // the reference catches ANY min/max failure and degrades to the
+    // standard single-cursor load with a warning
+    // (extract_data_spark.py:735-736 "No se pudo determinar min/max.
+    // Usando estrategia estándar.") — a datetime PARTITION_COLUMN makes
+    // the `<> 0` aggregate fail (or return unparseable timestamps) on
+    // every dialect, and a hard throw here would FAIL the table's full
+    // load forever instead of running it serially
+    try {
+      val qb = new QueryBuilder(table)
+      val row = execute(spark,
+        SingleQuery(qb.minMaxQuery(table.partitionColumn)), ep, password)
+        .collect().head
+      if (row.isNullAt(0) || row.isNullAt(1)) None
+      else Some((toLong(row.get(0)), toLong(row.get(1))))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"min/max planning aggregate failed for " +
+            s"${table.sourceSchema}.${table.sourceTable} " +
+            s"(${e.getMessage}); degrading to a single-cursor load")
+        None
+    }
   }
 
   private def toLong(v: Any): Long = v match {

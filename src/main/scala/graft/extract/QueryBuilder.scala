@@ -94,6 +94,13 @@ final class QueryBuilder(table: TableConfig) {
 
   /** P1/P2/P3: the config SELECT list, with `ID_COLUMN as id` prepended and
     * expression-aware splitting (columns may be SQL like `ltrim(x)+rtrim(y) alias`).
+    *
+    * Parity note: ID_COLUMN with the default COLUMNS='*' renders
+    * `SELECT pk as id, *` — exactly the reference's construction
+    * (extract_data_spark.py:657-659), which SQL Server accepts but
+    * Oracle/MySQL reject (`*` must stand alone/first there). The
+    * reference's configs always pair ID_COLUMN with an explicit column
+    * list; do the same on those dialects.
     */
   def processedColumns: String = {
     val base = Option(table.columns).map(_.trim).filter(_.nonEmpty).getOrElse("*")

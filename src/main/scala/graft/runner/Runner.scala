@@ -265,7 +265,18 @@ object Runner {
             k = s.key(spec.table.processId, name, pc)
           } {
             val m = cached.agg(max(pc).cast("string")).collect().head
-            if (!m.isNullAt(0)) { s.saveProvisional(k, m.getString(0)) }
+            if (!m.isNullAt(0)) {
+              // decimal-typed partition columns render integral values as
+              // "123.0000000000"; the stored watermark must survive the
+              // digits-only type detection (LoadPlanner / the reference's
+              // incremental.py:368-380 both read a '.' as datetime), so
+              // strip an all-zero fraction before saving
+              val raw = m.getString(0)
+              val v =
+                if (raw.matches("-?\\d+\\.0+")) raw.take(raw.indexOf('.'))
+                else raw
+              s.saveProvisional(k, v)
+            }
           }
         } finally cached.unpersist()
       }

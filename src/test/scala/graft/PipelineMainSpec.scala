@@ -99,4 +99,32 @@ class PipelineMainSpec extends SparkTestBase {
     assert(a.map(_.getString(1)).toSeq === Seq("graftpm_a"))
     assert(b.map(_.getString(1)).toSeq === Seq("graftpm_b"))
   }
+
+  test("GRAFT_LOAD_MODE parsing: the reference's job-arg lever") {
+    import graft.extract.LoadPlanner.LoadMode
+    assert(PipelineMain.parseLoadMode(None) === LoadMode.Normal)
+    assert(PipelineMain.parseLoadMode(Some("normal")) === LoadMode.Normal)
+    assert(PipelineMain.parseLoadMode(Some("INITIAL")) === LoadMode.Initial)
+    assert(PipelineMain.parseLoadMode(Some(" reset ")) === LoadMode.Reset)
+    assert(PipelineMain.parseLoadMode(Some("REPROCESS")) === LoadMode.Reprocess)
+    intercept[IllegalArgumentException] {
+      PipelineMain.parseLoadMode(Some("YOLO"))
+    }
+  }
+
+  test("GRAFT_DATE_PROCESS parsing: the reference's multi-format ladder") {
+    val lima = graft.partition.PartitionPathFormatter.Lima
+    def d(s: String) = PipelineMain.parseDateProcess(s)
+    assert(d("2025-10-17").get.toLocalDate.toString === "2025-10-17")
+    assert(d("20251017").get.toLocalDate.toString === "2025-10-17")
+    assert(d("2025-10-17 14:30:00").get.getHour === 14)
+    assert(d("2025-10-17 14:30").get.getMinute === 30)
+    assert(d("2025-10-17T14:30:00").get.getHour === 14)
+    assert(d("2025-10-17T14:30:00Z").get.getHour === 14)
+    assert(d("20251017143000").get.getHour === 14)
+    assert(d("2025-10-17").get.getZone === lima)
+    // invalid: warn + None (run proceeds on the current date, the
+    // reference's "DATE_PROCESS inválido, usando fecha actual")
+    assert(d("not-a-date").isEmpty)
+  }
 }

@@ -27,6 +27,16 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(rows.head("B") === "c")
   }
 
+  test("quoted HEADER cells resolve: spreadsheet exports must not silently default") {
+    val rows = ConfigLoader.parseCsv(
+      "\"STAGE_TABLE_NAME\";\"SOURCE_TABLE\";\"STATUS\"\n" +
+        "stage_x;SRC_X;A")
+    assert(rows.head("STAGE_TABLE_NAME") === "stage_x")
+    val tables = ConfigLoader.tablesFrom(rows)
+    assert(tables.head.stageTableName === "stage_x")
+    assert(tables.head.sourceTable === "SRC_X")
+  }
+
   test("columnsFrom maps flags and ids") {
     val rows = ConfigLoader.parseCsv(
       "COLUMN_NAME;COLUMN_ID;IS_FILTER_DATE;IS_ID;IS_ORDER_BY;IS_PARTITION;NEW_DATA_TYPE;TABLE_NAME;TRANSFORMATION\n" +

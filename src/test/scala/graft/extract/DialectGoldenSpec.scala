@@ -70,13 +70,14 @@ class DialectGoldenSpec extends AnyFunSuite {
       "TO_DATE('2025-09-17', 'YYYY-MM-DD HH24:MI:SS')"))
     assert(q("TIMESTAMP(6)").contains(
       "TO_TIMESTAMP('2025-09-17', 'YYYY-MM-DD HH24:MI:SS.FF')"))
-    // epoch-seconds BIGINT columns format at full datetime precision
-    // (between-date windows emit date-only strings, which this arm
-    // rejects — pin the direct contract instead)
+    // epoch-seconds BIGINT columns: full datetime precision, and the
+    // date-only strings between-date windows emit convert at midnight —
+    // a BIGINT-filtered between-date table must plan, not crash (r17)
     assert(Dialects.formatDateForDb("2025-09-17 00:00:00", "BIGINT") ===
       "1758067200")
-    intercept[RuntimeException](
-      Dialects.formatDateForDb("2025-09-17", "BIGINT"))
+    assert(Dialects.formatDateForDb("2025-09-17", "BIGINT") === "1758067200")
+    assert(q("BIGINT").contains(
+      "fecha BETWEEN 1758067200 AND 1760659200"), q("BIGINT"))
   }
 
   test("strided partition queries are dialect-independent and closed") {

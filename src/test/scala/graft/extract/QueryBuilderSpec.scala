@@ -228,6 +228,56 @@ class QueryBuilderSpec extends AnyFunSuite {
     }
   }
 
+  test("watermark type: FILTER_DATA_TYPE applies only to its own column") {
+    // FILTER_DATA_TYPE describes FILTER_COLUMN; a numeric watermark on a
+    // DIFFERENT partition column must not inherit the datetime cast
+    val table = base.copy(loadType = "incremental",
+      partitionColumn = "seq_id", filterColumn = "fecha",
+      filterDataType = "SQL_DATETIME")
+    val q = LoadPlanner.plan(table, watermark = Some("12345")).queries.head
+    assert(q.contains("seq_id > 12345") && !q.contains("CONVERT"), q)
+    // same column: the declared type DOES drive the predicate
+    val same = base.copy(loadType = "incremental",
+      partitionColumn = "fecha", filterColumn = "fecha",
+      filterDataType = "SQL_DATETIME")
+    val q2 = LoadPlanner.plan(same,
+      watermark = Some("2025-01-01 00:00:00")).queries.head
+    assert(q2.contains("CAST(fecha AS DATETIME2(6))"), q2)
+    // negative integers are numeric, not datetime
+    val q3 = LoadPlanner.plan(base.copy(loadType = "incremental",
+      partitionColumn = "seq_id"), watermark = Some("-5")).queries.head
+    assert(q3.contains("seq_id > -5") && !q3.contains("CAST"), q3)
+  }
+
+  test("BIGINT filter type accepts date-only window limits") {
+    // DateWindows' default month-window limits are `yyyy-MM-dd`; the
+    // BIGINT arm converts them at midnight instead of throwing
+    assert(Dialects.formatDateForDb("2026-06-16", "BIGINT") ===
+      java.time.LocalDate.of(2026, 6, 16).atStartOfDay()
+        .toEpochSecond(java.time.ZoneOffset.UTC).toString)
+    // and full timestamps keep working
+    assert(Dialects.formatDateForDb("2026-06-16 01:02:03", "BIGINT") ===
+      java.time.LocalDateTime.of(2026, 6, 16, 1, 2, 3)
+        .toEpochSecond(java.time.ZoneOffset.UTC).toString)
+    // end-to-end: a between-date plan over BIGINT no longer crashes
+    val table = base.copy(loadType = "between-date",
+      filterColumn = "epoch_col", filterDataType = "BIGINT")
+    val q = LoadPlanner.plan(table).queries.head
+    assert(q.contains("epoch_col"), q)
+  }
+
+  test("numPartitions lever: up to the query_generator 30-cursor ceiling") {
+    val table = base.copy(loadType = "full", sourceTableType = "t",
+      partitionColumn = "pc")
+    val p = LoadPlanner.plan(table, minMax = Some((0L, 1000000L)),
+      numPartitions = LoadPlanner.MaxPartitions)
+      .asInstanceOf[LoadPlanner.PartitionedRead]
+    assert(p.numPartitions === 30)
+    intercept[IllegalArgumentException] {
+      LoadPlanner.plan(table, minMax = Some((0L, 10L)), numPartitions = 31)
+    }
+  }
+
   test("aje_date window: FoxPro day numbers, month-snapped") {
     val now = ZonedDateTime.of(2025, 10, 17, 12, 0, 0, 0, ZoneId.of("America/Lima"))
     val (lo, hi) = DateWindows.dateLimits("-2", "0", "aje_date", now)
