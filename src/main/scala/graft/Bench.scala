@@ -141,8 +141,9 @@ object Bench {
         ()
       }
     }
+    val byName = selected.toMap
     suspect.toSeq.foreach { name =>
-      val fn = (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)(name)
+      val fn = byName(name)
       var verified = false
       var attempts = 0
       while (!verified && attempts < 2) {

@@ -123,12 +123,10 @@ object PipelineMain {
         if (multi) t.copy(stageTableName =
           s"${t.stageTableName}_${ep.endpointName.toLowerCase}")
         else t
-      runDate match {
-        case Some(now) => Runner.datedSpec(named, cols, rawRoot, stageRoot,
-          Left((ep, password(ep))), mode = mode, now = now)
-        case None => Runner.datedSpec(named, cols, rawRoot, stageRoot,
-          Left((ep, password(ep))), mode = mode)
-      }
+      Runner.datedSpec(named, cols, rawRoot, stageRoot,
+        Left((ep, password(ep))), mode = mode,
+        now = runDate.getOrElse(java.time.ZonedDateTime.now(
+          graft.partition.PartitionPathFormatter.Lima)))
     }
     val store = watermarkDir.map(d => new WatermarkStore(spark, d))
     Runner.run(spark, specs,
@@ -158,15 +156,22 @@ object PipelineMain {
       s: String): Option[java.time.ZonedDateTime] = {
     val v = s.trim
     val lima = graft.partition.PartitionPathFormatter.Lima
+    // the Z suffix means UTC — convert the instant to Lima wall-clock
+    // (stamping 02:00Z as 02:00 Lima would shift the run date 5 hours
+    // and land the extract on the wrong day's partition)
+    val asUtc =
+      if (v.endsWith("Z"))
+        try Some(java.time.Instant.parse(v).atZone(lima))
+        catch { case _: java.time.format.DateTimeParseException => None }
+      else None
     val patterns = Seq(
       "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm", "yyyy-MM-dd'T'HH:mm:ss",
-      "yyyy-MM-dd'T'HH:mm:ss'Z'", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
-      "yyyyMMddHHmmss")
-    val asDateTime = patterns.view.flatMap { p =>
+      "yyyy-MM-dd'T'HH:mm:ss.SSSSSS", "yyyyMMddHHmmss")
+    val asDateTime = asUtc.orElse(patterns.view.flatMap { p =>
       try Some(java.time.LocalDateTime.parse(v,
         java.time.format.DateTimeFormatter.ofPattern(p)).atZone(lima))
       catch { case _: java.time.format.DateTimeParseException => None }
-    }.headOption
+    }.headOption)
     val parsed = asDateTime.orElse {
       Seq("yyyy-MM-dd", "yyyyMMdd").view.flatMap { p =>
         try Some(java.time.LocalDate.parse(v,

@@ -18,11 +18,14 @@ object ConfigLoader {
     if (lines.isEmpty) return Nil
     // header cells get the same sanitization as values: a quoted header
     // row (spreadsheet exports) would otherwise miss every column lookup
-    // and silently run on all-default config
-    val header = splitLine(lines.head).map(h => sanitize(h).trim)
+    // and silently run on all-default config. Trim BEFORE the quote
+    // strip — a `; `-padded cell like ` "SOURCE_TABLE"` must still shed
+    // its quotes — then after, for unquoted padding
+    val header = splitLine(lines.head).map(h => sanitize(h.trim).trim)
     lines.tail.toIndexedSeq.map { line =>
       val values = splitLine(line)
-      header.zipAll(values, "", "").map { case (k, v) => k -> sanitize(v) }.toMap
+      header.zipAll(values, "", "")
+        .map { case (k, v) => k -> sanitize(v.trim) }.toMap
     }
   }
 

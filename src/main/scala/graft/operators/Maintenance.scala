@@ -25,18 +25,28 @@ object Maintenance {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
-    val bytes = fs.getContentSummary(p).getLength
     // a retained table's dir holds tombstoned files — compaction input is
-    // the listing minus log tombstones or replaced rows would resurrect
-    val hasTombstones = graft.sources.DeltaLog.replay(spark, path)
-      .exists(_.tombstones.nonEmpty)
+    // the listing minus log tombstones (NEVER a raw directory read once
+    // tombstones exist, or replaced rows would resurrect into the
+    // compacted output), and the output file count sizes from the LIVE
+    // bytes, not a directory total inflated by tombstones. One replay
+    // serves both (safe under the table lease).
+    val logState = graft.sources.DeltaLog.replay(spark, path)
+    val hasTombstones = logState.exists(_.tombstones.nonEmpty)
+    val bytes =
+      if (hasTombstones) logState.get.files.values.map(_.size).sum
+      else fs.getContentSummary(p).getLength
     val df =
       if (!hasTombstones) spark.read.parquet(path)
-      else graft.sources.DeltaLog.listedMinusTombstones(spark, path) match {
+      else graft.sources.DeltaLog.listedMinusTombstones(spark, path,
+          state = logState) match {
         case Some(live) if live.nonEmpty =>
           spark.read.option("basePath", path)
             .parquet(live.map(rel => s"$path/$rel"): _*)
-        case _ => spark.read.parquet(path)
+        case _ =>
+          // all listed files tombstoned: the log is authoritative —
+          // serve its (possibly empty) committed view
+          graft.sources.DeltaLog.read(spark, path)
       }
     val files = math.max(1, (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
     // Hive-partitioned layouts must survive compaction: detect the FULL

@@ -266,14 +266,20 @@ object Runner {
           } {
             val m = cached.agg(max(pc).cast("string")).collect().head
             if (!m.isNullAt(0)) {
-              // decimal-typed partition columns render integral values as
-              // "123.0000000000"; the stored watermark must survive the
+              // decimal-typed partition columns render values as
+              // "12345.5000000000"; the stored watermark must survive the
               // digits-only type detection (LoadPlanner / the reference's
               // incremental.py:368-380 both read a '.' as datetime), so
-              // strip an all-zero fraction before saving
+              // FLOOR any fractional numeric before saving. Floor (not
+              // truncate: -5.5 must store -6, not -5) only widens the
+              // next `col > watermark` window by the fraction — rows in
+              // that sliver re-extract and the MERGE dedups them, never
+              // a skip
               val raw = m.getString(0)
               val v =
-                if (raw.matches("-?\\d+\\.0+")) raw.take(raw.indexOf('.'))
+                if (raw.matches("-?\\d+\\.\\d+"))
+                  new java.math.BigDecimal(raw)
+                    .setScale(0, java.math.RoundingMode.FLOOR).toPlainString
                 else raw
               s.saveProvisional(k, v)
             }

@@ -513,9 +513,18 @@ object DeltaLog {
       .get(TombstoneRetentionConf, DefaultTombstoneRetentionHours.toString)
       .toDouble * 3600 * 1000).toLong
     val cutoff = System.currentTimeMillis() - retentionMs
+    // existence checks run only for EXPIRED entries (none in the common
+    // case); past a handful, one recursive listing answers them all
+    // instead of a per-file RPC storm on an object store
+    val expired = st.tombstones.filter { case (_, ts) => ts <= cutoff }
+    val present: String => Boolean =
+      if (expired.size <= 16) rel => fs.exists(new Path(root, rel))
+      else {
+        val listed = listDataFiles(fs, root, None).keySet
+        listed.contains _
+      }
     val removeRows = st.tombstones.toSeq
-      .filter { case (rel, ts) =>
-        ts > cutoff || fs.exists(new Path(root, rel)) }
+      .filter { case (rel, ts) => ts > cutoff || present(rel) }
       .sortBy(_._1)
       .map { case (rel, ts) =>
         Row(null, null, null, Row(encodePath(rel), ts, true)) }
@@ -655,8 +664,13 @@ object DeltaLog {
     * the table has no `_delta_log` (plain directory reads are then exact).
     */
   def listedMinusTombstones(spark: SparkSession, root: String,
-      subs: Option[Seq[String]] = None): Option[Seq[String]] =
-    replay(spark, root).map { st =>
+      subs: Option[Seq[String]] = None,
+      /** Pre-replayed state, to spare a second log replay when the
+        * caller already holds one (safe under the table lease — no
+        * other writer can advance the log mid-operation).
+        */
+      state: Option[LogState] = None): Option[Seq[String]] =
+    state.orElse(replay(spark, root)).map { st =>
       val fs = fileSystem(spark, root)
       val listed = subs match {
         case Some(ds) =>

@@ -120,7 +120,9 @@ class PipelineMainSpec extends SparkTestBase {
     assert(d("2025-10-17 14:30:00").get.getHour === 14)
     assert(d("2025-10-17 14:30").get.getMinute === 30)
     assert(d("2025-10-17T14:30:00").get.getHour === 14)
-    assert(d("2025-10-17T14:30:00Z").get.getHour === 14)
+    // Z = UTC: 14:30Z is 09:30 Lima wall-clock (UTC-5, no DST)
+    assert(d("2025-10-17T14:30:00Z").get.getHour === 9)
+    assert(d("2025-10-17T14:30:00Z").get.toLocalDate.toString === "2025-10-17")
     assert(d("20251017143000").get.getHour === 14)
     assert(d("2025-10-17").get.getZone === lima)
     // invalid: warn + None (run proceeds on the current date, the
