@@ -60,7 +60,11 @@ final case class TableConfig(
     * non-transactional tables become full.
     */
   def effectiveLoadType(endpointName: String): String =
-    if (loadType.trim.nonEmpty) loadType.trim
+    // lowercased like the reference (`load_type.strip().lower()`,
+    // extract_data_spark.py:695) — a spreadsheet-cased "Incremental"
+    // must not fall through the stage merge routing and OVERWRITE the
+    // accumulated table
+    if (loadType.trim.nonEmpty) loadType.trim.toLowerCase
     else if (sourceTableType.trim.equalsIgnoreCase("t")) {
       if (endpointName == "SALESFORCE_ING") "days_off" else "incremental"
     } else "full"

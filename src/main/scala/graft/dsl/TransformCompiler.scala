@@ -20,6 +20,15 @@ import org.apache.spark.sql.types._
   *     (light_transform.py:33-34, 904-928).
   *   - `fn_transform_Case` rules are folded so *later* rules win on overlap
   *     (each rule wraps the previous expression; light_transform.py:1236-1244).
+  *   - NESTED `fn_transform_Numeric` rounds to Decimal(18,2): the inferred
+  *     return type "double" doesn't match the numeric(p,s) pattern, so
+  *     `parseDecimalType` falls back — exactly the reference's
+  *     `_parse_decimal_type(data_type='double')` chain
+  *     (light_transform.py:810 + :967-971).
+  *   - Composite-key `Case_with_default` alternatives SHORTER than the key
+  *     column list match on the prefix (the reference's
+  *     `if i < len(value_separated)` guard, light_transform.py:1291-1296);
+  *     extra values beyond the key count are ignored.
   *
   * Requires `spark.sql.ansi.enabled=false` (cast-to-null) and
   * `spark.sql.legacy.timeParserPolicy=LEGACY` — see [[graft.GraftSession]].

@@ -21,7 +21,18 @@ object RawLayer {
   def readRaw(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+    if (!fs.exists(p)) return None
+    // a dir that exists but holds no readable parquet (an extract that
+    // died mid-write leaving only _temporary, or swept data files) is
+    // EMPTY input, not a permanent failure — schema inference throws
+    // AnalysisException there, and the K8 typed-empty path must apply
+    try Some(spark.read.parquet(path))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage != null &&
+            e.getMessage.toLowerCase.contains("unable to infer schema") =>
+        None
+    }
   }
 
   /** K2 stringified Parquet write: cast all columns to string first. */

@@ -42,10 +42,21 @@ object StageJob {
         val schema = StructType(columns.sortBy(_.columnId).map(c =>
           StructField(c.name, TransformCompiler.sparkType(c.dataType), nullable = true)))
         val prior = graft.sources.DeltaLog.replay(spark, stagePath)
-        RawLayer.emptyTyped(spark, schema)
-          .write.mode(SaveMode.Overwrite).parquet(stagePath)
-        graft.sources.DeltaLog.reconcile(spark, stagePath, schema, Nil,
-          operation = "WRITE", prior = prior, replaceSchema = true)
+        // partitioned tables bootstrap WITH partitionBy: an empty
+        // partitioned write lands no data files (zero rows → zero
+        // partition dirs), so the schema lives in the delta log (the
+        // reference's empty Delta table is exactly metadata-only) — a
+        // root-level schema file would poison partition discovery once
+        // the first real batch adds `col=value/` dirs. Unpartitioned
+        // tables keep the schema-only root part file (plain readers
+        // stay functional there).
+        val ew = RawLayer.emptyTyped(spark, schema)
+          .write.mode(SaveMode.Overwrite)
+        (if (partitionCols.nonEmpty) ew.partitionBy(partitionCols: _*) else ew)
+          .parquet(stagePath)
+        graft.sources.DeltaLog.reconcile(spark, stagePath, schema,
+          partitionCols, operation = "WRITE", prior = prior,
+          replaceSchema = true)
         StageResult(EmptyInput, 0L)
 
       case Some(raw) =>
@@ -55,13 +66,6 @@ object StageJob {
             StageResult(FailedTransform(errors), 0L)
           case other =>
             val deduped = Dedup.keepLatest(tr.df, idCols, orderCols)
-            // W2: the reference global-sorts before write
-            // (light_transform.py:1799-1801). A global sort is one extra
-            // range-partitioning exchange; at 100 TB sortWithinPartitions
-            // gives the same file-local ordering without it.
-            val ordered =
-              if (orderCols.nonEmpty) deduped.sortWithinPartitions(orderCols.map(col): _*)
-              else deduped
 
             // merge for incremental AND between-date, the reference's
             // stage condition (light_transform.py:1554) — plus
@@ -79,30 +83,47 @@ object StageJob {
             // count comes from the cache instead of a second full scan of
             // the written table (the redundant-count anti-pattern SURVEY §4
             // flags in the reference)
-            val cached = ordered.persist(
+            val cached = deduped.persist(
               org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             val rows =
               try {
-                if (isIncremental)
+                if (isIncremental) {
+                  // no W2 sort here: upsertParquet's dedup + merge window
+                  // shuffle immediately, so a pre-sort would be pure cost
                   MergeUpsert.upsertParquet(spark, cached, stagePath, idCols, partitionCols)
-                else {
+                  // rows written by THIS run = the DEDUPED batch (what the
+                  // merge actually lands). With order columns, keepLatest
+                  // already left one row per id, so the plain count is
+                  // exact and free; without them keepLatest was a no-op
+                  // and upsert's dropDuplicates may shrink the batch —
+                  // count the same way it wrote
+                  if (orderCols.nonEmpty) cached.count()
+                  else cached.dropDuplicates().count()
+                } else {
+                  // W2: the reference global-sorts before write
+                  // (light_transform.py:1799-1801). A global sort is one
+                  // extra range-partitioning exchange; at 100 TB
+                  // sortWithinPartitions gives the same file-local
+                  // ordering without it. Overwrite path only — the merge
+                  // path's shuffles would destroy the order anyway.
+                  val ordered =
+                    if (orderCols.nonEmpty)
+                      cached.sortWithinPartitions(orderCols.map(col): _*)
+                    else cached
                   // Spark Overwrite destroys the table dir, `_delta_log`
                   // included — capture the log state first so reconcile
                   // restarts it with version continuity (the reference's
                   // stage overwrite keeps its Delta history the same way,
                   // light_transform.py:1356-1380)
                   val prior = graft.sources.DeltaLog.replay(spark, stagePath)
-                  val w = cached.write.mode(SaveMode.Overwrite)
+                  val w = ordered.write.mode(SaveMode.Overwrite)
                   (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
                     .parquet(stagePath)
                   graft.sources.DeltaLog.reconcile(spark, stagePath,
                     cached.schema, partitionCols, operation = "WRITE",
                     prior = prior, replaceSchema = true)
-                  ()
+                  cached.count()
                 }
-                // rows written by THIS run (for merges: the batch, not the
-                // accumulated table — the run report's monitoring semantics)
-                cached.count()
               } finally cached.unpersist()
             other match {
               case TransformationEngine.Warning(errs) =>

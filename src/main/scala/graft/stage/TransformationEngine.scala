@@ -29,15 +29,24 @@ object TransformationEngine {
     var errorCount = 0
 
     val sorted = columns.sortBy(_.columnId)
+    def nullFallback(meta: ColumnMetadata): Column =
+      lit(null).cast(TransformCompiler.sparkType(meta.dataType)).alias(meta.name)
     val exprs: Seq[Column] = sorted.map { meta =>
       try {
-        TransformCompiler.compile(meta.transformation, meta.dataType, dfCols)
-          .alias(meta.name)
+        val c = TransformCompiler.compile(
+          meta.transformation, meta.dataType, dfCols).alias(meta.name)
+        // analyzer dry-run: Dataset construction analyzes eagerly, so a
+        // compile-clean expression can still fail ANALYSIS (e.g. a raw
+        // column literally named "a.b" resolving as struct access) — that
+        // failure must hit THIS column's triage, not escape from the
+        // fused select below and fail the whole table
+        df.select(c)
+        c
       } catch {
         case e: Exception =>
           errors += s"Error en columna ${meta.name}: ${e.getMessage}"
           errorCount += 1
-          lit(null).cast(TransformCompiler.sparkType(meta.dataType)).alias(meta.name)
+          nullFallback(meta)
       }
     }
 

@@ -201,6 +201,106 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.schema("Id").dataType.typeName === "integer")
   }
 
+  test("K8 PARTITIONED empty bootstrap never poisons later partition layout") {
+    // an empty partitioned table must not leave a root-level schema file:
+    // the first real batch adds col=value/ dirs and a mixed layout breaks
+    // partition discovery for every directory reader thereafter. Schema
+    // lives in the delta log (the reference's empty Delta table is
+    // metadata-only).
+    val root = tmpDir()
+    val cols = Seq(
+      ColumnMetadata("Id", 1, "int", "fn_transform_Integer(Id)", isId = true),
+      ColumnMetadata("Pt", 2, "string", "fn_transform_ClearString(Pt)",
+        isPartition = true))
+    val table = TableConfig(stageTableName = "t", sourceTable = "T",
+      loadType = "incremental")
+    val res = StageJob.run(spark, table, cols, s"$root/nonexistent", s"$root/stage")
+    assert(res.status === StageJob.EmptyInput)
+    // typed empty view through the log
+    val empty = graft.sources.DeltaLog.read(spark, s"$root/stage")
+    assert(empty.count() === 0)
+    assert(empty.schema.map(_.name) === Seq("Id", "Pt"))
+    val st0 = graft.sources.DeltaLog.replay(spark, s"$root/stage").get
+    assert(st0.partitionColumns === Seq("Pt"))
+    assert(st0.files.isEmpty, "metadata-only bootstrap: no root data file")
+    // first real batch: partition dirs appear, directory reads still work
+    Seq(("1", "a"), ("2", "b")).toDF("Id", "Pt")
+      .write.mode("overwrite").parquet(s"$root/raw")
+    assert(StageJob.run(spark, table, cols, s"$root/raw",
+      s"$root/stage").status === StageJob.Success)
+    val out = spark.read.parquet(s"$root/stage").orderBy("Id").collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(1, 2))
+    assert(graft.sources.DeltaLog.read(spark, s"$root/stage").count() === 2L)
+  }
+
+  test("miscased LOAD_TYPE still merges (effectiveLoadType lowercases)") {
+    // reference parity (extract_data_spark.py:695 .strip().lower()): a
+    // spreadsheet-cased 'Incremental' must not route to OVERWRITE and
+    // destroy the accumulated table
+    val root = tmpDir()
+    val cols = Seq(
+      ColumnMetadata("Id", 1, "int", "fn_transform_Integer(Id)", isId = true),
+      ColumnMetadata("Nombre", 2, "string", "fn_transform_ClearString(Nombre)"))
+    val table = TableConfig(stageTableName = "t", sourceTable = "T",
+      loadType = " Incremental ")
+    assert(table.effectiveLoadType === "incremental")
+    Seq(("1", "a"), ("2", "b")).toDF("Id", "Nombre")
+      .write.mode("overwrite").parquet(s"$root/raw")
+    assert(StageJob.run(spark, table, cols, s"$root/raw",
+      s"$root/stage").status === StageJob.Success)
+    Seq(("3", "c")).toDF("Id", "Nombre")
+      .write.mode("overwrite").parquet(s"$root/raw")
+    assert(StageJob.run(spark, table, cols, s"$root/raw",
+      s"$root/stage").status === StageJob.Success)
+    assert(spark.read.parquet(s"$root/stage").count() === 3L,
+      "merge, not overwrite: rows 1 and 2 survive")
+  }
+
+  test("transformation engine: analysis-time failure stays contained per column") {
+    // a raw column literally named "a.b" compiles (name is in dfColumns)
+    // but ANALYZES as struct access on a missing column — that must
+    // convert to a typed NULL + tally, never fail the whole table
+    val df = Seq(("1", "x")).toDF("a.b", "ok")
+    val cols = Seq(
+      ColumnMetadata("v", 1, "int", "fn_transform_Integer(a.b)"),
+      ColumnMetadata("w", 2, "string", "fn_transform_ClearString(ok)"),
+      ColumnMetadata("u", 3, "string", "fn_transform_ClearString(ok)"))
+    val res = TransformationEngine.applyTransformations(df, cols)
+    assert(res.errors.size === 1)
+    val row = res.df.collect().head
+    assert(row.isNullAt(0))
+    assert(row.getString(1) === "x")
+  }
+
+  test("raw dir that exists but holds no parquet takes the K8 empty path") {
+    val root = tmpDir()
+    // dir with only a non-data file: extract died mid-write
+    val raw = new java.io.File(s"$root/raw"); raw.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/raw/_temporary"), Array[Byte]())
+    val cols = Seq(
+      ColumnMetadata("Id", 1, "int", "fn_transform_Integer(Id)", isId = true))
+    val table = TableConfig(stageTableName = "t", sourceTable = "T")
+    val res = StageJob.run(spark, table, cols, s"$root/raw", s"$root/stage")
+    assert(res.status === StageJob.EmptyInput)
+    assert(spark.read.parquet(s"$root/stage").count() === 0L)
+  }
+
+  test("stage rowsWritten reports the deduped batch on the merge path") {
+    val root = tmpDir()
+    val cols = Seq(
+      ColumnMetadata("Id", 1, "int", "fn_transform_Integer(Id)", isId = true),
+      ColumnMetadata("Nombre", 2, "string", "fn_transform_ClearString(Nombre)"))
+    val table = TableConfig(stageTableName = "t", sourceTable = "T",
+      loadType = "incremental")
+    // 3 raw rows, one full-row duplicate pair → 2 rows actually land
+    Seq(("1", "a"), ("1", "a"), ("2", "b")).toDF("Id", "Nombre")
+      .write.mode("overwrite").parquet(s"$root/raw")
+    val res = StageJob.run(spark, table, cols, s"$root/raw", s"$root/stage")
+    assert(res.status === StageJob.Success)
+    assert(res.rowsWritten === 2L)
+  }
+
   test("partition path formatter tokens + reverse parse") {
     import graft.partition.PartitionPathFormatter
     val ts = java.time.ZonedDateTime.of(2025, 10, 17, 14, 30, 45, 0,
