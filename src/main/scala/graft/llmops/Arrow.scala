@@ -254,6 +254,10 @@ object Arrow {
         val bits = if (it < 0) 32 else fb.fieldI32(it, 0, 32)
         require(bits == 8 || bits == 16 || bits == 32 || bits == 64,
           s"dictionary index width $bits unsupported (field $name)")
+        // same stance as the plain-Int path: unsigned indices would
+        // sign-extend (uint8 200 → -56) and silently drop the batch
+        require(it < 0 || fb.fieldBool(it, 1, dflt = false),
+          s"unsigned dictionary index int$bits unsupported (field $name)")
         Some((id, bits))
     }
     val tt = fb.fieldU8(t, 2, 0)
@@ -580,14 +584,17 @@ object Arrow {
         var i = 0
         while (i < rows) {
           if (valid(i)) {
-            val k = bits match {
-              case 8 => data(i).toInt
-              case 16 => dfb.i16(i * 2)
-              case 32 => dfb.i32(i * 4)
-              case _ => dfb.i64(i * 8).toInt
+            val k64: Long = bits match {
+              case 8 => data(i).toLong
+              case 16 => dfb.i16(i * 2).toLong
+              case 32 => dfb.i32(i * 4).toLong
+              case _ => dfb.i64(i * 8) // bounds-check BEFORE narrowing:
+              // a 2^32 index would .toInt-truncate to 0 and silently
+              // read the wrong entry
             }
-            require(k >= 0 && k < values.length,
-              s"dictionary index $k out of ${values.length}")
+            require(k64 >= 0 && k64 < values.length,
+              s"dictionary index $k64 out of ${values.length}")
+            val k = k64.toInt
             out(i) = values(k)
           }
           i += 1
@@ -1041,22 +1048,13 @@ object Arrow {
     */
   val MaxDictionaryBytes: Long = 256L << 20
 
-  /** Driver-side dictionary materialization: decode every dictionary
-    * batch listed in the footer into id → values. Delta batches append
-    * to their id; a second non-delta batch for an id refuses (the FILE
-    * format forbids replacement — honoring it beats guessing order).
+  /** Dictionary-id → value-field discovery over the FULL type tree —
+    * dictionaries may hang off children of maps, unions, fixed-size
+    * lists, list views and run-end values, not just lists/structs
+    * (the value field is the FIRST field using the id).
     */
-  private[llmops] def readDictionaries(
-      conf: org.apache.hadoop.conf.Configuration, path: String,
-      footer: Footer): Map[Long, Array[Any]] = {
-    if (footer.dictionaries.isEmpty) return Map.empty
-    val totalBytes = footer.dictionaries
-      .map(b => b.metaLen.toLong + b.bodyLen).sum
-    require(totalBytes <= MaxDictionaryBytes,
-      s"dictionary batches total $totalBytes bytes (cap " +
-        s"$MaxDictionaryBytes) — store corpus-scale values as plain " +
-        "columns, dictionaries are for small-cardinality categoricals")
-    // value field per dictionary id (first field using the id)
+  private[llmops] def dictFieldsById(fields: Vector[AField])
+      : scala.collection.mutable.LinkedHashMap[Long, AField] = {
     val byId = scala.collection.mutable.LinkedHashMap.empty[Long, AField]
     def walk(f: AField): Unit = {
       f.dict.foreach { case (id, _) =>
@@ -1065,21 +1063,45 @@ object Arrow {
       }
       f.tpe match {
         case AList(c, _) => walk(c)
+        case AFixedList(c, _) => walk(c)
+        case AListView(c, _) => walk(c)
         case AStruct(cs) => cs.foreach(walk)
+        case AUnion(cs, _, _) => cs.foreach(walk)
+        case ARunEnd(re, v) => walk(re); walk(v)
+        case AMap(entries) => walk(entries)
         case _ =>
       }
     }
-    footer.fields.foreach(walk)
+    fields.foreach(walk)
+    byId
+  }
+
+  /** Driver-side dictionary materialization: decode every dictionary
+    * batch listed in the footer into id → values. Delta batches append
+    * to their id; a second non-delta batch for an id refuses (the FILE
+    * format forbids replacement — honoring it beats guessing order).
+    */
+  private[llmops] def readDictionaries(
+      conf: org.apache.hadoop.conf.Configuration, path: String,
+      footer: Footer,
+      /** Column-pruned field set: dictionary batches whose id only
+        * serves pruned columns are SKIPPED — their bodies are never
+        * read, honoring the "pruned columns never decompress" contract.
+        * None = all fields.
+        */
+      wantedFields: Option[Vector[AField]] = None): Map[Long, Array[Any]] = {
+    if (footer.dictionaries.isEmpty) return Map.empty
+    val fullById = dictFieldsById(footer.fields)
+    val byId = wantedFields.map(dictFieldsById).getOrElse(fullById)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     val out = scala.collection.mutable.HashMap.empty[Long, Array[Any]]
+    var decodedBytes = 0L
     try {
       footer.dictionaries.foreach { b =>
         val meta = new Array[Byte](b.metaLen)
-        val body = new Array[Byte](b.bodyLen.toInt)
         in.readFully(b.offset, meta)
-        in.readFully(b.offset + b.metaLen, body)
         val fb = new Fb(meta)
         val (t, htype) = messageRoot(fb, meta)
         require(htype == 2, "footer dictionary block is not a " +
@@ -1090,16 +1112,29 @@ object Arrow {
         val rb = fb.fieldOff(db, 1)
         val isDelta = fb.fieldBool(db, 2, dflt = false)
         require(rb >= 0, "dictionary batch missing data")
-        val vf = byId.getOrElse(id, throw new IllegalArgumentException(
-          s"dictionary batch id $id matches no schema field"))
-        val (_, cols) = decodeRbColumns(fb, rb, body, Vector(vf),
-          Vector(0), Map.empty)
-        val values = cols(0)
-        if (!out.contains(id)) out(id) = values
-        else if (isDelta) out(id) = out(id) ++ values
-        else throw new IllegalArgumentException(
-          s"dictionary $id replaced mid-file — the arrow FILE format " +
-            "forbids replacement; re-export the file")
+        require(fullById.contains(id),
+          s"dictionary batch id $id matches no schema field")
+        if (byId.contains(id)) {
+          // the cap applies to what actually decodes — pruned ids cost
+          // one meta read, never a body
+          decodedBytes += b.metaLen.toLong + b.bodyLen
+          require(decodedBytes <= MaxDictionaryBytes,
+            s"dictionary batches total $decodedBytes bytes (cap " +
+              s"$MaxDictionaryBytes) — store corpus-scale values as " +
+              "plain columns, dictionaries are for small-cardinality " +
+              "categoricals")
+          val body = new Array[Byte](b.bodyLen.toInt)
+          in.readFully(b.offset + b.metaLen, body)
+          val vf = byId(id)
+          val (_, cols) = decodeRbColumns(fb, rb, body, Vector(vf),
+            Vector(0), Map.empty)
+          val values = cols(0)
+          if (!out.contains(id)) out(id) = values
+          else if (isDelta) out(id) = out(id) ++ values
+          else throw new IllegalArgumentException(
+            s"dictionary $id replaced mid-file — the arrow FILE format " +
+              "forbids replacement; re-export the file")
+        }
       }
     } finally in.close()
     out.toMap
@@ -1120,16 +1155,25 @@ object Arrow {
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
     val fieldsB = footer.fields
     // dictionaries materialize once on the driver (size-capped) and
-    // ride the task closure — indices resolve inside each batch task
-    val dictsB = readDictionaries(conf, path, footer)
+    // BROADCAST — riding the task closure would re-serialize them per
+    // task and trip spark.rpc.message.maxSize (default 128 MiB) below
+    // the 256 MB dictionary cap
+    val dictsBc = spark.sparkContext.broadcast(
+      readDictionaries(conf, path, footer,
+        wantedFields = Some(wanted.map(footer.fields))))
     val batches = footer.batches.map(b => (b.offset, b.metaLen.toLong,
       b.bodyLen))
     batches.toDF("offset", "metaLen", "bodyLen")
       .repartition(math.min(math.max(batches.size, 1), 4096))
       .as[(Long, Long, Long)]
       .flatMap { case (offset, metaLen, bodyLen) =>
-        if (metaLen <= 0 || bodyLen < 0 ||
-            metaLen + bodyLen > MaxBatchBytes) Iterator.empty
+        // a healthy batch past the envelope must refuse LOUDLY — an
+        // Iterator.empty would silently vanish its rows from a valid file
+        require(metaLen + bodyLen <= MaxBatchBytes,
+          s"arrow batch at offset $offset is ${metaLen + bodyLen} bytes " +
+            s"— past the $MaxBatchBytes single-task envelope; re-export " +
+            "with smaller record batches")
+        if (metaLen <= 0 || bodyLen < 0) Iterator.empty
         else {
           val p = new org.apache.hadoop.fs.Path(path)
           val fs = p.getFileSystem(confB.value)
@@ -1140,7 +1184,7 @@ object Arrow {
             in.readFully(offset, meta)
             in.readFully(offset + metaLen, body)
           } finally in.close()
-          decodeBatch(fieldsB, meta, body, wanted, dictsB).iterator
+          decodeBatch(fieldsB, meta, body, wanted, dictsBc.value).iterator
         }
       }(org.apache.spark.sql.Encoders.row(struct))
   }
@@ -1272,20 +1316,7 @@ object Arrow {
     val bytes = new Array[Byte](len.toInt)
     try { in.readFully(0L, bytes) } finally in.close()
     val fb = new Fb(bytes)
-    // dictionary value field per id (first field using the id)
-    val byId = scala.collection.mutable.LinkedHashMap.empty[Long, AField]
-    def walk(f: AField): Unit = {
-      f.dict.foreach { case (id, _) =>
-        if (!byId.contains(id))
-          byId(id) = AField(f.name, nullable = true, f.tpe, None)
-      }
-      f.tpe match {
-        case AList(c, _) => walk(c)
-        case AStruct(cs) => cs.foreach(walk)
-        case _ =>
-      }
-    }
-    fields.foreach(walk)
+    val byId = dictFieldsById(fields)
     val dicts = scala.collection.mutable.HashMap.empty[Long, Array[Any]]
     var dictBytes = 0L
     val out = Vector.newBuilder[Row]
@@ -1424,10 +1455,13 @@ object Arrow {
         }.toArray
     }.toMap
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
-    // per-file dictionaries (ids are file-scoped), driver-bounded
-    val dictsByPath = footers.map { case (p, f) =>
-      p -> readDictionaries(conf, p, f)
-    }.toMap
+    // per-file dictionaries (ids are file-scoped), driver-bounded,
+    // broadcast once (not re-serialized per task)
+    val dictsByPathBc = spark.sparkContext.broadcast(
+      footers.map { case (p, f) =>
+        p -> readDictionaries(conf, p, f,
+          wantedFields = Some(wantedByPath(p).map(f.fields)))
+      }.toMap)
     val batches = footers.flatMap { case (p, f) =>
       f.batches.map(b => (p, b.offset, b.metaLen.toLong, b.bodyLen))
     }
@@ -1435,8 +1469,10 @@ object Arrow {
       .repartition(math.min(math.max(batches.size, 1), 4096))
       .as[(String, Long, Long, Long)]
       .flatMap { case (path, offset, metaLen, bodyLen) =>
-        if (metaLen <= 0 || bodyLen < 0 ||
-            metaLen + bodyLen > MaxBatchBytes) Iterator.empty
+        require(metaLen + bodyLen <= MaxBatchBytes, // loud, same as readArrow
+          s"arrow batch at $path offset $offset is ${metaLen + bodyLen} " +
+            s"bytes — past the $MaxBatchBytes single-task envelope")
+        if (metaLen <= 0 || bodyLen < 0) Iterator.empty
         else {
           val p = new org.apache.hadoop.fs.Path(path)
           val fs = p.getFileSystem(confB.value)
@@ -1449,7 +1485,7 @@ object Arrow {
           } finally in.close()
           val slots = slotsByPath(path)
           decodeBatch(fieldsByPath(path), meta, body,
-              wantedByPath(path), dictsByPath(path))
+              wantedByPath(path), dictsByPathBc.value(path))
             .iterator.map { r =>
               val cells = new Array[Any](1 + slots.length)
               cells(0) = path

@@ -324,6 +324,16 @@ object ArrowWriter {
           nRuns += 1
           k = e
         }
+        // the computed run ends must FIT the declared run_ends width —
+        // a 16-bit re column with >32767 rows would wrap negative in the
+        // generic int pack below and corrupt the file structurally
+        re.tpe match {
+          case AInt(bits) if bits < 64 =>
+            require(vs.length.toLong < (1L << (bits - 1)),
+              s"run-end width int$bits cannot index ${vs.length} rows — " +
+                "declare a wider run_ends type")
+          case _ => ()
+        }
         writeColumn(re, ends.result(), body, nodes, vari)
         writeColumn(values, rvs.result(), body, nodes, vari)
         return
@@ -850,6 +860,12 @@ object ArrowWriter {
       case d: DecimalType => ADecimal(d.precision, d.scale, 128)
       case ArrayType(e, containsNull) =>
         AList(AField("item", containsNull, tpe(e)), large = false)
+      case MapType(k, v, valueContainsNull) =>
+        // AMap write/build support existed; this wires the Spark type so
+        // an Arrow-read map column can be re-exported
+        AMap(AField("entries", nullable = false, AStruct(Vector(
+          AField("key", nullable = false, tpe(k)),
+          AField("value", valueContainsNull, tpe(v))))))
       case st: StructType => AStruct(fieldsFor(st))
       case other => throw new IllegalArgumentException(
         s"unsupported spark type for arrow export: $other")
@@ -868,8 +884,9 @@ object ArrowWriter {
     val fields = fieldsFor(df.schema)
     val sharded = df
       .withColumn("__shard",
-        pmod(Similarity.portable60(col(keyCol).cast("string")),
-          lit(nShards.toLong)).cast("int"))
+        // null keys hash to null → coalesce to shard 0, never an NPE
+        coalesce(pmod(Similarity.portable60(col(keyCol).cast("string")),
+          lit(nShards.toLong)).cast("int"), lit(0)))
       .repartition(nShards, col("__shard"))
       .sortWithinPartitions(col("__shard"), col(keyCol))
     val dirB = dir

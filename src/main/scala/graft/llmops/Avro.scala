@@ -430,8 +430,17 @@ object Avro {
         require(n > 0 || buf.size() > 0, s"empty avro file $path")
         if (n > 0) buf.write(chunk, 0, n)
         require(buf.size() <= (64 << 20), "avro header exceeds 64 MB")
+        // a failed MAGIC check is definitive once 4 bytes are in — keep
+        // accumulating only for genuinely incomplete headers, or a large
+        // NON-avro stray file would be read whole before the wrong
+        // ("header exceeds 64 MB") diagnostic fired
         try parsed = parseHeader(buf.toByteArray)
         catch {
+          case e: IllegalArgumentException
+              if buf.size() >= 4 &&
+                e.getMessage == "not an avro object container" =>
+            throw new IllegalArgumentException(
+              s"$path is not an avro object container")
           case _: IllegalArgumentException if n > 0 => // need more bytes
           case e: IllegalArgumentException if n <= 0 => throw e
         }
@@ -604,20 +613,33 @@ object Avro {
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
     val hB = h
     val schB = sch
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("start"))
     // regions = [syncEndᵢ, syncEndᵢ₊₁): [count][size][data] + sync.
-    // the header's own sync is the first boundary
-    val rows = syncOffsets(spark, path, h.sync, fileLen, rangeBytes)
+    // the header's own sync is the first boundary. The successor pairing
+    // runs DISTRIBUTED: a rank-less lead() window would funnel every
+    // sync offset of the file through one task (16M offsets for a 1 TB
+    // file of 64 KB blocks) — instead, range-sort + zipWithIndex, then
+    // self-join each offset with index+1's start.
+    val sortedStarts = syncOffsets(spark, path, h.sync, fileLen, rangeBytes)
       .select((col("offset") + 16).as("start"))
-      .withColumn("end", coalesce(lead(col("start"), 1).over(w),
-        lit(fileLen)))
+      .orderBy("start")
+      .as[Long].rdd.zipWithIndex().map(_.swap)
+    val starts = sortedStarts.toDF("idx", "start")
+    val nexts = sortedStarts
+      .map { case (i, st) => (i - 1, st) }.toDF("idx", "end")
+    val rows = starts.join(nexts, Seq("idx"), "left")
+      .select(col("start"),
+        coalesce(col("end"), lit(fileLen)).as("end"))
       .filter(col("start") >= h.headerEnd)
-      .select("start", "end")
       .repartition(col("start"))
       .as[(Long, Long)]
       .flatMap { case (start, end) =>
         val len = end - start
-        if (len <= 0 || len > MaxRegion) Iterator.empty
+        // a healthy region past the envelope must refuse loudly, not
+        // silently vanish its rows (block size is writer-configurable)
+        require(len <= MaxRegion,
+          s"avro block at offset $start is $len bytes — past the " +
+            s"$MaxRegion single-task envelope; rewrite with smaller blocks")
+        if (len <= 0) Iterator.empty
         else {
           val p = new org.apache.hadoop.fs.Path(path)
           val fs = p.getFileSystem(confB.value)
@@ -674,17 +696,18 @@ object Avro {
     val headers = DriverPar.parMap(files) { case (p, len) =>
       (p, len, readHeader(conf, p))
     }
-    val schemas = headers
-      .map(h => rootStruct(parseSchema(h._3.schemaJson))).distinct
+    // one schema parse per shard; everything below derives from it
+    val schByPath = headers.map { case (p, _, h) =>
+      p -> parseSchema(h.schemaJson)
+    }.toMap
+    val structByPath = schByPath.map { case (p, sc) => p -> rootStruct(sc) }
+    val schemas = headers.map(h => structByPath(h._1)).distinct
     require(mergeSchemas || schemas.size == 1,
       s"avro shard schemas disagree: ${schemas.size} distinct — pass " +
         "mergeSchemas = true to union fields by name (schema evolution)")
     // schema evolution: union fields by name in first-appearance order;
     // a field absent from a shard fills NULL there. Same-named fields
     // must land the same Spark type — silent coercion would corrupt
-    val structByPath = headers.map { case (p, _, h) =>
-      p -> rootStruct(parseSchema(h.schemaJson))
-    }.toMap
     val mergedFields = {
       val order = scala.collection.mutable.LinkedHashMap
         .empty[String, StructField]
@@ -707,17 +730,12 @@ object Avro {
       case (p, st) =>
         p -> mergedFields.map(f => st.fieldNames.indexOf(f.name)).toArray
     }
-    val sch = parseSchema(headers.head._3.schemaJson)
     val struct = StructType(StructField("path", StringType) +:
       mergedFields)
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
     val metaByPath = headers.map { case (p, _, h) =>
       p -> ((h.codec, h.sync, h.headerEnd))
     }.toMap
-    val schByPath = headers.map { case (p, _, h) =>
-      p -> parseSchema(h.schemaJson)
-    }.toMap
-    val schB = sch
     val ranges = for {
       (p, len) <- files
       start <- 0L until math.max(1L, len) by rangeBytes.toLong
@@ -762,7 +780,10 @@ object Avro {
       .flatMap { case (path, start, end) =>
         val (codec, sync, headerEnd) = metaByPath(path)
         val len = end - start
-        if (start < headerEnd || len <= 0 || len > MaxRegion)
+        require(len <= MaxRegion, // loud, same contract as readAvro
+          s"avro block at $path offset $start is $len bytes — past the " +
+            s"$MaxRegion single-task envelope")
+        if (start < headerEnd || len <= 0)
           Iterator.empty
         else {
           val p = new org.apache.hadoop.fs.Path(path)

@@ -51,14 +51,16 @@ object AvroWriter {
       require(k >= 0, s"unknown enum symbol $v")
       writeVlong(o, k.toLong)
     case SArray(items) =>
-      val seq = v.asInstanceOf[Seq[Any]]
+      // collection.Seq, not immutable.Seq: Spark rows carry
+      // mutable.ArraySeq for array columns (CCE otherwise)
+      val seq = v.asInstanceOf[scala.collection.Seq[Any]]
       if (seq.nonEmpty) {
         writeVlong(o, seq.size.toLong)
         seq.foreach(writeDatum(o, items, _))
       }
       writeVlong(o, 0L)
     case SMap(values) =>
-      val m = v.asInstanceOf[Map[String, Any]]
+      val m = v.asInstanceOf[scala.collection.Map[String, Any]]
       if (m.nonEmpty) {
         writeVlong(o, m.size.toLong)
         m.foreach { case (k, mv) => writeStr(o, k); writeDatum(o, values, mv) }
@@ -232,14 +234,29 @@ object AvroWriter {
         """{"type":"long","logicalType":"timestamp-micros"}"""
       case TimestampNTZType =>
         """{"type":"long","logicalType":"local-timestamp-micros"}"""
-      case ArrayType(e, _) => s"""{"type":"array","items":${prim(e)}}"""
+      case ArrayType(e, containsNull) =>
+        // element nullability must survive: a null element under
+        // non-null "items" would NPE mid-write and abort the shard
+        val items =
+          if (containsNull) s"""["null",${prim(e)}]""" else prim(e)
+        s"""{"type":"array","items":$items}"""
       case other => throw new IllegalArgumentException(
         s"unsupported spark type for avro export: $other")
     }
+    // Avro names are [A-Za-z_][A-Za-z0-9_]* — anything else would splice
+    // broken JSON (or a subtly wrong name) into the schema document;
+    // refuse with the offending field named instead
+    def checkName(n: String, what: String): String = {
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"$what '$n' is not a legal avro name " +
+          "([A-Za-z_][A-Za-z0-9_]*); rename the column before export")
+      n
+    }
+    checkName(name, "record name")
     val fields = schema.fields.map { f =>
       val t = if (f.nullable) s"""["null",${prim(f.dataType)}]"""
         else prim(f.dataType)
-      s"""{"name":"${f.name}","type":$t}"""
+      s"""{"name":"${checkName(f.name, "field")}","type":$t}"""
     }.mkString(",")
     s"""{"type":"record","name":"$name","fields":[$fields]}"""
   }
@@ -258,8 +275,9 @@ object AvroWriter {
     val sch = Avro.parseSchema(schemaJson)
     val sharded = df
       .withColumn("__shard",
-        pmod(Similarity.portable60(col(keyCol).cast("string")),
-          lit(nShards.toLong)).cast("int"))
+        // null keys hash to null → coalesce to shard 0, never an NPE
+        coalesce(pmod(Similarity.portable60(col(keyCol).cast("string")),
+          lit(nShards.toLong)).cast("int"), lit(0)))
       .repartition(nShards, col("__shard"))
       .sortWithinPartitions(col("__shard"), col(keyCol))
     val dirB = dir

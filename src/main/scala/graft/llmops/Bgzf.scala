@@ -125,9 +125,15 @@ object Bgzf {
       val inf = new java.util.zip.Inflater(true)
       inf.setInput(b, dataStart, dataLen)
       var got = 0
-      while (got < isize && !inf.finished())
-        got += inf.inflate(plain, got, isize - got)
-      val ok = got == isize && inf.finished()
+      var stalled = false
+      while (got < isize && !inf.finished() && !stalled) {
+        val n = inf.inflate(plain, got, isize - got)
+        got += n
+        // truncated payload (corrupt BSIZE): inflate returns 0 wanting
+        // more input forever — refuse the member, never spin
+        if (n == 0 && inf.needsInput()) stalled = true
+      }
+      val ok = !stalled && got == isize && inf.finished()
       inf.end()
       if (!ok) return null
     } catch { case _: Exception => return null }
@@ -192,8 +198,9 @@ object Bgzf {
     import org.apache.spark.sql.functions._
     val sharded = df
       .withColumn("__shard",
-        pmod(Similarity.portable60(col(keyCol).cast("string")),
-          lit(nShards.toLong)).cast("int"))
+        // null keys hash to null → coalesce to shard 0, never an NPE
+        coalesce(pmod(Similarity.portable60(col(keyCol).cast("string")),
+          lit(nShards.toLong)).cast("int"), lit(0)))
       .select(col("__shard"), col(keyCol).cast("string").as("__key"),
         col(contentCol).cast("binary").as("__content"))
       .repartition(nShards, col("__shard"))

@@ -31,8 +31,12 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * `sizes × width` sum — the mmap invariant) and doc_idx monotonicity;
   * any violation refuses the shard wholesale (`null`-free: the shard
   * simply yields no rows, like the other untrusted-container readers).
-  * The writer range-checks every token against the dtype BEFORE
-  * touching the filesystem.
+  * The writer range-checks every token against the dtype as it
+  * streams (a refused token aborts and deletes the CURRENT shard
+  * pair; shards already closed by other tasks survive — re-run the
+  * export after fixing the input), and refuses a shard whose .bin
+  * would exceed the reader's [[MaxBin]] envelope instead of writing
+  * a file the reader would reject.
   */
 object Megatron {
 
@@ -196,6 +200,7 @@ object Megatron {
     sharded.foreachPartition { rows: Iterator[Row] =>
       var bin: java.io.OutputStream = null
       var sizes: scala.collection.mutable.ArrayBuffer[Int] = null
+      var binBytes = 0L
       var curShard = -1
       var curBinPath: org.apache.hadoop.fs.Path = null
       var curIdxPath: org.apache.hadoop.fs.Path = null
@@ -220,15 +225,25 @@ object Megatron {
               curBinPath.getFileSystem(confB.value).create(curBinPath, true),
               64 << 10)
             sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+            binBytes = 0L
           }
           val toks = r.getAs[scala.collection.Seq[Any]]("__toks")
           val vals = if (toks == null) Seq.empty[Long]
-            else toks.map(_.asInstanceOf[Number].longValue())
+            else toks.map { t =>
+              require(t != null,
+                "null element inside a tokens array — filter or " +
+                  "coalesce token arrays before export")
+              t.asInstanceOf[Number].longValue()
+            }
           vals.foreach { v =>
             require(v >= loB && v <= hiB,
               s"token $v out of $dtypeB range [$loB, $hiB]")
             writeToken(bin, v, widthB)
           }
+          binBytes += vals.length.toLong * widthB
+          require(binBytes <= MaxBin,
+            s"shard $curShard .bin exceeds the $MaxBin-byte reader " +
+              "envelope — raise nShards so shards stay readable")
           sizes += vals.length
         }
         closeCurrent()
@@ -267,18 +282,26 @@ object Megatron {
         val binPath = new org.apache.hadoop.fs.Path(
           idxPath.stripSuffix(".idx") + ".bin")
         val fs = binPath.getFileSystem(confB.value)
+        val binLen =
+          try Some(fs.getFileStatus(binPath).getLen)
+          catch { case scala.util.control.NonFatal(_) => None }
+        // an oversized but HEALTHY .bin must refuse loudly — a null here
+        // silently returned zero rows for the whole shard. A MISSING or
+        // unreadable twin stays the documented one-shard blast radius.
+        binLen.foreach { n =>
+          require(n <= MaxBin,
+            s"$binPath is $n bytes — past the $MaxBin single-task " +
+              "envelope; re-export with more shards")
+        }
         val bin =
-          try {
-            val st = fs.getFileStatus(binPath)
-            if (st.getLen > MaxBin) null
-            else {
-              val in = fs.open(binPath)
-              try {
-                val b = new Array[Byte](st.getLen.toInt)
-                in.readFully(0, b); b
-              } finally in.close()
-            }
-          } catch { case scala.util.control.NonFatal(_) => null }
+          try binLen.map { n =>
+            val in = fs.open(binPath)
+            try {
+              val b = new Array[Byte](n.toInt)
+              in.readFully(0, b); b
+            } finally in.close()
+          }.orNull
+          catch { case scala.util.control.NonFatal(_) => null }
         val seqs = parsePair(idx, bin)
         if (seqs == null) Iterator.empty
         else seqs.iterator.zipWithIndex.map { case (toks, i) =>
@@ -311,7 +334,19 @@ object Megatron {
     */
   def encodeIds(df: DataFrame, keyCol: String, tokensCol: String,
       vocab: DataFrame, outCol: String = "token_ids"): DataFrame = {
-    val oov = vocab.agg(max(col("id"))).head.getInt(0) + 1
+    val maxId = vocab.agg(max(col("id"))).head
+    require(!maxId.isNullAt(0), "encodeIds: empty vocab")
+    val oov = maxId.getInt(0) + 1
+    // the key must uniquely identify rows: duplicate keys would
+    // interleave their token positions into ONE merged id array and
+    // attach it to every duplicate — silent corruption. Refuse loudly
+    // (two metadata-scale aggregates, cheap next to the encode itself).
+    val total = df.count()
+    val distinctKeys = df.select(keyCol).distinct().count()
+    require(distinctKeys == total,
+      s"encodeIds: $keyCol is not unique (${total - distinctKeys} " +
+        "duplicate rows) — duplicate keys would merge their token " +
+        "streams; dedupe or add a unique key first")
     val ids = df
       .select(col(keyCol), posexplode(col(tokensCol)).as(Seq("__p", "token")))
       .join(broadcast(vocab), Seq("token"), "left")

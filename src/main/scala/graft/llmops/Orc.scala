@@ -232,7 +232,11 @@ object Orc {
   private[llmops] def decompressStream(comp: Int, b: Array[Byte],
       off: Int, len: Int): Array[Byte] = {
     if (comp == 0) return java.util.Arrays.copyOfRange(b, off, off + len)
-    val out = new java.io.ByteArrayOutputStream(len * 3)
+    // pre-size hints only — clamp so a >512 MB stream can't wrap the Int
+    // multiply negative and crash the ByteArrayOutputStream ctor
+    def hint(n: Int, mult: Int): Int =
+      math.min(1 << 26, math.max(64, n.toLong * mult).min(Int.MaxValue)).toInt
+    val out = new java.io.ByteArrayOutputStream(hint(len, 3))
     var i = off
     val end = off + len
     while (i < end) {
@@ -249,7 +253,7 @@ object Orc {
           case 1 => // ZLIB = raw deflate
             val inf = new java.util.zip.Inflater(true)
             inf.setInput(b, i, clen)
-            val o = new java.io.ByteArrayOutputStream(clen * 4)
+            val o = new java.io.ByteArrayOutputStream(hint(clen, 4))
             val buf = new Array[Byte](64 << 10)
             try {
               while (!inf.finished()) {
@@ -371,6 +375,53 @@ object Orc {
     else if (n <= 48) 48
     else if (n <= 56) 56
     else 64
+
+  /** ORC RLEv1 integer run decoder — the Hive 0.11/0.12 DIRECT /
+    * DICTIONARY column encodings (kinds 0/1). A run is
+    * [control h >= 0: length h+3, one SIGNED delta byte, base varint]
+    * producing base, base+delta, …; a literal group is
+    * [control h < 0: -h varints]. Varints zigzag per stream signedness,
+    * like v2. Decoding these with the v2 decoder parses garbage as
+    * valid runs — silent corruption, hence the per-encoding dispatch in
+    * decodeStripe.
+    */
+  private[llmops] def rleV1(b: Array[Byte], want: Int,
+      signed: Boolean): Array[Long] = {
+    val out = new Array[Long](want)
+    var o = 0
+    var i = 0
+    def varint(): Long = {
+      var x = 0L; var sh = 0; var c = 0
+      do {
+        require(i < b.length, "rle1 varint eof")
+        c = b(i) & 0xff; i += 1
+        x |= (c & 0x7fL) << sh; sh += 7
+      } while ((c & 0x80) != 0)
+      x
+    }
+    def value(): Long = { val v = varint(); if (signed) zigzag(v) else v }
+    while (o < want) {
+      require(i < b.length, "rle1 eof")
+      val h = b(i).toInt; i += 1 // SIGNED control byte
+      if (h >= 0) {
+        val run = h + 3
+        require(i < b.length, "rle1 delta eof")
+        val delta = b(i).toInt; i += 1 // signed byte
+        var v = value()
+        require(o + run <= want, "rle1 run overrun")
+        var k = 0
+        while (k < run) { out(o + k) = v; v += delta; k += 1 }
+        o += run
+      } else {
+        val n = -h
+        require(o + n <= want, "rle1 literal overrun")
+        var k = 0
+        while (k < n) { out(o + k) = value(); k += 1 }
+        o += n
+      }
+    }
+    out
+  }
 
   /** ORC RLEv2 integer run decoder (all four sub-encodings). */
   private[llmops] def rleV2(b: Array[Byte], want: Int,
@@ -754,17 +805,29 @@ object Orc {
     val len = fs.getFileStatus(p).getLen
     require(len > 4, s"too short for orc: $path")
     val tailLen = math.min(len, 256L << 10).toInt
-    val tail = new Array[Byte](tailLen)
+    var tail = new Array[Byte](tailLen)
     val in = fs.open(p)
     try in.readFully(len - tailLen, tail) finally in.close()
-    val psLen = tail(tailLen - 1) & 0xff
-    require(psLen > 0 && psLen < tailLen - 1, "bad orc postscript length")
+    var effLen = tailLen
+    val psLen = tail(effLen - 1) & 0xff
+    require(psLen > 0 && psLen < effLen - 1, "bad orc postscript length")
     val (footerLen, comp, block, _) =
-      parsePostScript(tail, tailLen - 1 - psLen, psLen)
-    require(footerLen > 0 && footerLen <= tailLen - 1 - psLen,
+      parsePostScript(tail, effLen - 1 - psLen, psLen)
+    // a many-stripe file's footer can dwarf the first guess (160k stripes
+    // ≈ several MB) — re-read with the now-known size instead of refusing
+    // a valid file
+    if (footerLen > effLen - 1 - psLen) {
+      val need = footerLen + psLen + 1
+      require(need <= len, "orc footer exceeds the file itself")
+      effLen = math.min(len, need + 1024).toInt
+      tail = new Array[Byte](effLen)
+      val in2 = fs.open(p)
+      try in2.readFully(len - effLen, tail) finally in2.close()
+    }
+    require(footerLen > 0 && footerLen <= effLen - 1 - psLen,
       "orc footer exceeds tail read")
     val footerComp = decompressStream(comp, tail,
-      (tailLen - 1 - psLen - footerLen).toInt, footerLen.toInt)
+      (effLen - 1 - psLen - footerLen).toInt, footerLen.toInt)
     val (stripes, types, rows) = parseFooter(footerComp, 0,
       footerComp.length)
     require(types.nonEmpty, "orc footer has no types")
@@ -832,6 +895,14 @@ object Orc {
         */
       def readColumn(colId: Int, count: Int): Array[Any] = {
         val t = meta.types(colId)
+        // integer-RLE version follows the COLUMN's encoding: kinds 0/1
+        // (Hive 0.11/0.12 DIRECT/DICTIONARY) are RLEv1 — decoding them as
+        // v2 would return garbage that often parses, silent corruption
+        def intRle(b: Array[Byte], want: Int, signed: Boolean): Array[Long] = {
+          val enc0 = encs(colId)
+          if (enc0.kind == 0 || enc0.kind == 1) rleV1(b, want, signed)
+          else rleV2(b, want, signed)
+        }
         val present = streamBytes(colId, 0) match {
           case null => null
           case pb => boolRle(pb, count)
@@ -851,7 +922,7 @@ object Orc {
         }
         /** LENGTH stream prefix offsets for list/map nesting. */
         def lengthOffsets(): Array[Int] = {
-          val lens = rleV2(streamBytes(colId, 2), nPresent, signed = false)
+          val lens = intRle(streamBytes(colId, 2), nPresent, signed = false)
           val offs = new Array[Int](nPresent + 1)
           var k = 0
           while (k < nPresent) {
@@ -867,7 +938,7 @@ object Orc {
             val data = byteRle(streamBytes(colId, 1), nPresent)
             scatter(i => data(i))
           case K_SHORT | K_INT | K_LONG | K_DATE =>
-            val data = rleV2(streamBytes(colId, 1), nPresent,
+            val data = intRle(streamBytes(colId, 1), nPresent,
               signed = true)
             t.kind match {
               case K_SHORT => scatter(i => data(i).toShort)
@@ -905,7 +976,7 @@ object Orc {
             // per-value scale as signed RLE. Values rescale to the
             // declared type scale (modern writers emit it directly).
             val unscaled = varBigInts(streamBytes(colId, 1), nPresent)
-            val scales = rleV2(streamBytes(colId, 5), nPresent,
+            val scales = intRle(streamBytes(colId, 5), nPresent,
               signed = true)
             val declared = t.scale
             scatter { i =>
@@ -921,9 +992,9 @@ object Orc {
             // shift down one second on decode only when the nanos carry
             // a full millisecond (orc-core's reader rule: sub-ms nanos
             // never moved the seconds on write)
-            val secs = rleV2(streamBytes(colId, 1), nPresent,
+            val secs = intRle(streamBytes(colId, 1), nPresent,
               signed = true)
-            val nanosRaw = rleV2(streamBytes(colId, 5), nPresent,
+            val nanosRaw = intRle(streamBytes(colId, 5), nPresent,
               signed = false)
             val base =
               if (t.kind == K_TIMESTAMP_INSTANT) utcBase else writerBase
@@ -988,7 +1059,7 @@ object Orc {
           case K_STRING | K_VARCHAR | K_CHAR | K_BINARY =>
             val isDict = enc.kind == 1 || enc.kind == 3
             if (!isDict) {
-              val lens = rleV2(streamBytes(colId, 2), nPresent,
+              val lens = intRle(streamBytes(colId, 2), nPresent,
                 signed = false)
               val data = streamBytes(colId, 1)
               val offs = new Array[Int](nPresent + 1)
@@ -1004,7 +1075,7 @@ object Orc {
                   offs(i + 1) - offs(i),
                   java.nio.charset.StandardCharsets.UTF_8))
             } else {
-              val dictLens = rleV2(streamBytes(colId, 2), enc.dictSize,
+              val dictLens = intRle(streamBytes(colId, 2), enc.dictSize,
                 signed = false)
               val dictData = streamBytes(colId, 3) match {
                 case null => Array.emptyByteArray
@@ -1019,7 +1090,7 @@ object Orc {
                 off += dictLens(k).toInt
                 k += 1
               }
-              val ids = rleV2(streamBytes(colId, 1), nPresent,
+              val ids = intRle(streamBytes(colId, 1), nPresent,
                 signed = false)
               if (t.kind == K_BINARY)
                 scatter(i => dict(ids(i).toInt).getBytes(
@@ -1076,7 +1147,14 @@ object Orc {
       .as[(Long, Long, Long, Long, Long)]
       .flatMap { case (offset, il, dl, fl, rows) =>
         val total = il + dl + fl
-        if (total <= 0 || total > MaxStripeBytes) Iterator.empty
+        // a healthy stripe past the envelope must refuse LOUDLY — an
+        // Iterator.empty here would silently vanish its rows from a
+        // well-formed file (orc.stripe.size is writer-configurable)
+        require(total <= MaxStripeBytes,
+          s"orc stripe at offset $offset is $total bytes — past the " +
+            s"$MaxStripeBytes single-task envelope; split the file or " +
+            "rewrite with a smaller orc.stripe.size")
+        if (total <= 0) Iterator.empty
         else {
           val p = new org.apache.hadoop.fs.Path(path)
           val fs = p.getFileSystem(confB.value)
@@ -1172,7 +1250,10 @@ object Orc {
       .as[(String, Long, Long, Long, Long, Long)]
       .flatMap { case (path, offset, il, dl, fl, rows) =>
         val total = il + dl + fl
-        if (total <= 0 || total > MaxStripeBytes) Iterator.empty
+        require(total <= MaxStripeBytes, // loud, same contract as readOrc
+          s"orc stripe at $path offset $offset is $total bytes — past " +
+            s"the $MaxStripeBytes single-task envelope")
+        if (total <= 0) Iterator.empty
         else {
           val p = new org.apache.hadoop.fs.Path(path)
           val fs = p.getFileSystem(confB.value)

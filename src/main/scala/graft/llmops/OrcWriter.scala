@@ -377,6 +377,12 @@ object OrcWriter {
       rowsPerStripe: Int = 4096, blockSize: Int = 64 << 10) {
     require(rowsPerStripe > 0 && blockSize >= 1024,
       "rowsPerStripe must be positive, blockSize at least 1 KiB")
+    // the ORC chunk header is 3 bytes: (len << 1 | original) must fit 24
+    // bits, so a stream longer than 2^23-1 bytes is unrepresentable — a
+    // bigger blockSize would silently truncate lengths and corrupt the file
+    require(blockSize <= (1 << 23) - 1,
+      s"blockSize $blockSize exceeds the ORC 3-byte chunk-length ceiling " +
+        s"(${(1 << 23) - 1})")
     schema.fields.foreach(f => kindOf(f.dataType)) // refuse up front
     private val nCols = schema.fields.length
     private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
@@ -530,8 +536,9 @@ object OrcWriter {
     schema.fields.foreach(f => kindOf(f.dataType)) // refuse on driver
     val sharded = df
       .withColumn("__shard",
-        pmod(Similarity.portable60(col(keyCol).cast("string")),
-          lit(nShards.toLong)).cast("int"))
+        // null keys hash to null → coalesce to shard 0, never an NPE
+        coalesce(pmod(Similarity.portable60(col(keyCol).cast("string")),
+          lit(nShards.toLong)).cast("int"), lit(0)))
       .repartition(nShards, col("__shard"))
       .sortWithinPartitions(col("__shard"), col(keyCol))
     val dirB = dir

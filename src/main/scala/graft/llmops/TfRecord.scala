@@ -319,8 +319,14 @@ object TfRecord {
       if (v == null) Vector.empty
       else Vector(v.asInstanceOf[Number].floatValue()))
     case ArrayType(et, _) =>
-      val xs = if (v == null) Vector.empty
+      val xs0 = if (v == null) Vector.empty
         else v.asInstanceOf[scala.collection.Seq[Any]].toVector
+      // tf.train features cannot represent a null ELEMENT — refuse with
+      // the policy named instead of a bare NPE deep in the task
+      xs0.foreach(x => require(x != null,
+        "null element inside an array column — TFRecord features have " +
+          "no null slot; filter or coalesce array elements before export"))
+      val xs = xs0
       et match {
         case LongType | IntegerType | ShortType =>
           Int64Feature(xs.map(_.asInstanceOf[Number].longValue()))
@@ -415,7 +421,16 @@ object TfRecord {
     */
   def readExamples(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/*")
+    // honor the documented "directory (or glob / single file)" contract:
+    // only a plain directory gets the /* suffix — a glob or file path
+    // appended with /* would match nothing and refuse a valid input
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val isPlainDir = !dir.exists("*?[{".contains(_)) &&
+      (try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).isDirectory
+      catch { case scala.util.control.NonFatal(_) => false })
+    val pattern = if (isPlainDir) s"$dir/*" else dir
+    spark.read.format("binaryFile").load(pattern)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>

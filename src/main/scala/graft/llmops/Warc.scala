@@ -23,13 +23,13 @@ object Warc {
       graft.expressions.WarcRecords(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
 
-  /** One row per HTTP-response record: (key, rec, target_uri, warc_date,
-    * http_status, mime, payload). Non-response records (warcinfo,
-    * request, metadata) are filtered out AFTER the parse, so a malformed
-    * archive still refuses as zero rows for its key rather than a
-    * partial view. `rec` is the record's position in the archive.
+  /** One parse pass exploded to per-record rows — the shared projection
+    * every reader derives from (keeping the WarcRecords struct schema in
+    * ONE place). `(key, rec, warc_type, target_uri, warc_date,
+    * http_status, mime, payload)`, unfiltered.
     */
-  def warcResponses(df: DataFrame, keyCol: String, contentCol: String): DataFrame =
+  private def explodedRecords(df: DataFrame, keyCol: String,
+      contentCol: String): DataFrame =
     df.select(col(keyCol), posexplode(warcRecords(col(contentCol))))
       .select(col(keyCol), col("pos").as("rec"),
         col("col.warc_type").as("warc_type"),
@@ -38,6 +38,26 @@ object Warc {
         col("col.http_status").as("http_status"),
         col("col.mime").as("mime"),
         col("col.payload").as("payload"))
+
+  /** The shared record-type → page_text projection (conversion = WET
+    * UTF-8 passthrough; HTML through the main-content extractor; other
+    * text mimes byte-transparent latin-1; binary NULL).
+    */
+  private def pageTextCol(minWords: Int): Column =
+    when(lower(col("warc_type")) === "conversion",
+      decode(col("payload"), "UTF-8"))
+      .when(isHtmlMime(col("mime")),
+        Html.mainContentCol(col("payload"), minWords = minWords))
+      .when(isTextMime(col("mime")), decode(col("payload"), "ISO-8859-1"))
+
+  /** One row per HTTP-response record: (key, rec, target_uri, warc_date,
+    * http_status, mime, payload). Non-response records (warcinfo,
+    * request, metadata) are filtered out AFTER the parse, so a malformed
+    * archive still refuses as zero rows for its key rather than a
+    * partial view. `rec` is the record's position in the archive.
+    */
+  def warcResponses(df: DataFrame, keyCol: String, contentCol: String): DataFrame =
+    explodedRecords(df, keyCol, contentCol)
       .filter(lower(col("warc_type")) === "response")
 
   /** `true` for mimes whose payload may become page text: HTML/XHTML
@@ -75,13 +95,9 @@ object Warc {
     * convention. Same post-parse filter discipline as [[warcResponses]].
     */
   def wetTexts(df: DataFrame, keyCol: String, contentCol: String): DataFrame =
-    df.select(col(keyCol), posexplode(warcRecords(col(contentCol))))
-      .select(col(keyCol), col("pos").as("rec"),
-        col("col.warc_type").as("warc_type"),
-        col("col.target_uri").as("target_uri"),
-        col("col.warc_date").as("warc_date"),
-        col("col.mime").as("mime"),
-        decode(col("col.payload"), "UTF-8").as("wet_text"))
+    explodedRecords(df, keyCol, contentCol)
+      .withColumn("wet_text", decode(col("payload"), "UTF-8"))
+      .drop("http_status", "payload")
       .filter(lower(col("warc_type")) === "conversion")
 
   /** Container-agnostic crawl text: ONE parse pass whose projection
@@ -96,21 +112,9 @@ object Warc {
     */
   def crawlTexts(df: DataFrame, keyCol: String, contentCol: String,
       minWords: Int = 1): DataFrame =
-    df.select(col(keyCol), posexplode(warcRecords(col(contentCol))))
-      .select(col(keyCol), col("pos").as("rec"),
-        col("col.warc_type").as("warc_type"),
-        col("col.target_uri").as("target_uri"),
-        col("col.warc_date").as("warc_date"),
-        col("col.http_status").as("http_status"),
-        col("col.mime").as("mime"),
-        col("col.payload").as("payload"))
+    explodedRecords(df, keyCol, contentCol)
       .filter(lower(col("warc_type")).isin("response", "conversion"))
-      .withColumn("page_text",
-        when(lower(col("warc_type")) === "conversion",
-          decode(col("payload"), "UTF-8"))
-          .when(isHtmlMime(col("mime")),
-            Html.mainContentCol(col("payload"), minWords = minWords))
-          .when(isTextMime(col("mime")), decode(col("payload"), "ISO-8859-1")))
+      .withColumn("page_text", pageTextCol(minWords))
       .drop("payload")
 
   /** Streaming arm of [[ingestCrawlBatch]]: a stream of (key, archive
@@ -180,26 +184,13 @@ object Warc {
       minWords: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val U = UrlCuration
-    val recs = archives
-      .select(col(keyCol), posexplode(warcRecords(col(contentCol))))
-      .select(col(keyCol), col("pos").as("rec"),
-        col("col.warc_type").as("warc_type"),
-        col("col.target_uri").as("target_uri"),
-        col("col.warc_date").as("warc_date"),
-        col("col.http_status").as("http_status"),
-        col("col.mime").as("mime"),
-        col("col.payload").as("payload"))
+    val recs = explodedRecords(archives, keyCol, contentCol)
       .filter(lower(col("warc_type")).isin("response", "conversion"))
     val isHtml = lower(col("warc_type")) === "response" &&
       isHtmlMime(col("mime"))
     val withMeta = recs
       .withColumn("m", when(isHtml, Html.metaCol(col("payload"))))
-      .withColumn("page_text",
-        when(lower(col("warc_type")) === "conversion",
-          decode(col("payload"), "UTF-8"))
-          .when(isHtmlMime(col("mime")),
-            Html.mainContentCol(col("payload"), minWords = minWords))
-          .when(isTextMime(col("mime")), decode(col("payload"), "ISO-8859-1")))
+      .withColumn("page_text", pageTextCol(minWords))
       .drop("payload")
       .withColumn("url_key",
         if (canonicalKeys)
@@ -508,11 +499,17 @@ object Warc {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // per-ARCHIVE dictionary: explicit param, else each file's leading
     // skippable dictionary frame (payload possibly zstd-wrapped)
+    // lengths come from the already-listed ranges (no per-file re-find:
+    // that was O(files × ranges)); head probes run through the bounded
+    // driver pool — a crawl bucket of thousands of archives must not
+    // serialize thousands of open/read round-trips on the driver
+    val lenByPath: Map[String, Long] =
+      ranges.map(r => r._1 -> r._2).toMap
     val dictByPath: Map[String, Array[Byte]] =
-      ranges.map(_._1).distinct.map { file =>
+      DriverPar.parMap(ranges.map(_._1).distinct) { file =>
         val bytes = dict.getOrElse {
           val p = new org.apache.hadoop.fs.Path(file)
-          val fileLen = ranges.find(_._1 == file).get._2
+          val fileLen = lenByPath(file)
           val in = fs0.open(p)
           try {
             val head = new Array[Byte](8)

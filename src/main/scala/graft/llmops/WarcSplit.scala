@@ -129,7 +129,18 @@ private[llmops] object WarcSplit {
         pos = p
       } else if (dataOff >= end) {
         cand = -1 // the next task owns that member; nothing earlier left
-      } else cand = findZstCandidate(win, candEnd, end)
+      } else {
+        // A FAILED chain from a MID-FILE skippable magic is almost
+        // surely a false 4-byte match in boundary garbage — its random
+        // 4-byte "size" would skip a span that may hold the range's
+        // true first member (silent record loss). Only the
+        // archive-HEAD skippable (the dictionary wrapper at offset 0)
+        // earns the skip-past-payload resume that protects a wrapped
+        // dictionary's inner frame from rescanning; elsewhere resume
+        // from the next byte.
+        val resume = if (cand == 0L) candEnd else cand + 1
+        cand = findZstCandidate(win, resume, end)
+      }
     }
     var walking = pos >= 0
     while (walking && pos < end && pos < fileLen) {

@@ -1351,4 +1351,75 @@ class ArrowSpec extends SparkTestBase {
     }
   }
 
+  test("dictionary discovery walks the FULL type tree (r17)") {
+    import Arrow._
+    // dictionaries may hang off children of maps, unions, fixed lists,
+    // list views and run-end values — a list/struct-only walk left their
+    // ids unregistered and the whole read refused
+    val dictStr = AField("v", nullable = true, AString(large = false),
+      dict = Some((7L, 32)))
+    val fields = Vector(
+      AField("m", nullable = true, AMap(AField("entries", nullable = false,
+        AStruct(Vector(AField("key", nullable = false, AString(large = false)),
+          dictStr))))),
+      AField("u", nullable = true, AUnion(Vector(
+        AField("a", nullable = true, AInt(64)),
+        dictStr.copy(dict = Some((8L, 32)))), Vector(0, 1), dense = false)),
+      AField("fl", nullable = true, AFixedList(
+        dictStr.copy(dict = Some((9L, 32))), 4)),
+      AField("re", nullable = true, ARunEnd(
+        AField("run_ends", nullable = false, AInt(32)),
+        dictStr.copy(dict = Some((10L, 32))))),
+      AField("lv", nullable = true, AListView(
+        dictStr.copy(dict = Some((11L, 32))), large = false)))
+    val byId = Arrow.dictFieldsById(fields)
+    assert(byId.keySet === Set(7L, 8L, 9L, 10L, 11L))
+  }
+
+  test("map columns re-export: fieldsFor wires MapType (r17)") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-arrow-map").toString
+    val df = Seq(
+      (1L, Map("a" -> 1, "b" -> 2)),
+      (2L, Map.empty[String, Int]),
+      (3L, Map("z" -> 9))).toDF("doc_id", "m")
+    ArrowWriter.writeShards(df, "doc_id", dir, nShards = 1)
+    val back = Arrow.readArrowFiles(spark, dir).orderBy("doc_id").collect()
+    assert(back.length === 3)
+    assert(back(0).getMap[String, Int](2).toMap === Map("a" -> 1, "b" -> 2))
+    assert(back(1).getMap[String, Int](2).toMap === Map.empty)
+  }
+
+  test("writeShards routes NULL keys to shard 0 (r17)") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-arrow-nulkey").toString
+    val df = Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "nullkey"))
+      .toDF("doc_id", "text")
+    ArrowWriter.writeShards(df, "doc_id", dir, nShards = 2)
+    val back = Arrow.readArrowFiles(spark, dir)
+    assert(back.count() === 2)
+  }
+
+  test("REE writer refuses run-end widths the row count cannot fit (r17)") {
+    import Arrow._
+    val fields = Vector(AField("r", nullable = true, ARunEnd(
+      AField("run_ends", nullable = false, AInt(16)),
+      AField("values", nullable = true, AString(large = false)))))
+    val rows = (0 until 40000).map(i => Row(s"v${i / 1000}"))
+    val e = intercept[IllegalArgumentException] {
+      ArrowWriter.write(fields, rows, rowsPerBatch = 40000)
+    }
+    assert(e.getMessage.contains("run-end width"))
+    // a fitting width works
+    val ok = ArrowWriter.write(fields.map(f => f.copy(tpe = ARunEnd(
+      AField("run_ends", nullable = false, AInt(32)),
+      AField("values", nullable = true, AString(large = false))))),
+      rows, rowsPerBatch = 40000)
+    assert(ok.nonEmpty)
+  }
 }

@@ -512,6 +512,66 @@ class AvroSpec extends SparkTestBase {
     assert(out.select("path").distinct().count() == 96)
   }
 
+  test("array columns with null elements export and read back (r17)") {
+    // ArrayType.containsNull must surface as ["null", item] in the
+    // generated schema — a null element under non-null items NPE'd
+    // mid-write and aborted the shard
+    val ss = spark
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-avro-nularr").toString
+    val df = Seq(
+      (1L, Seq("a", null, "c")),
+      (2L, Seq[String]()),
+      (3L, Seq[String](null, null))).toDF("doc_id", "tags")
+    AvroWriter.writeShards(df, "doc_id", dir, nShards = 1)
+    val back = Avro.readAvroFiles(spark, dir).orderBy("doc_id").collect()
+    assert(back.length === 3)
+    assert(back(0).getSeq[String](2) === Seq("a", null, "c"))
+    assert(back(1).getSeq[String](2) === Seq())
+    assert(back(2).getSeq[String](2) === Seq(null, null))
+  }
+
+  test("writeShards routes NULL keys to shard 0 instead of an executor NPE") {
+    val ss = spark
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-avro-nulkey").toString
+    val df = Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "nullkey"),
+      (java.lang.Long.valueOf(3L), "c")).toDF("doc_id", "text")
+    AvroWriter.writeShards(df, "doc_id", dir, nShards = 2)
+    val back = Avro.readAvroFiles(spark, dir)
+    assert(back.count() === 3)
+    assert(back.filter(org.apache.spark.sql.functions.col("text")
+      === "nullkey").count() === 1)
+  }
+
+  test("illegal avro field names refuse with the offending field named") {
+    val st = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a\"b",
+        org.apache.spark.sql.types.StringType)))
+    val e = intercept[IllegalArgumentException] { AvroWriter.schemaFor(st) }
+    assert(e.getMessage.contains("a\"b"))
+    val e2 = intercept[IllegalArgumentException] {
+      AvroWriter.schemaFor(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ok",
+          org.apache.spark.sql.types.StringType))), name = "bad name")
+    }
+    assert(e2.getMessage.contains("bad name"))
+  }
+
+  test("a large non-avro file fails FAST with the real diagnostic") {
+    val dir = Files.createTempDirectory("graft-avro-stray").toString
+    val junk = new Array[Byte](1 << 20)
+    new java.util.Random(5).nextBytes(junk)
+    junk(0) = 'P'; junk(1) = 'A'; junk(2) = 'R'; junk(3) = '1'
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/stray.bin"), junk)
+    val e = intercept[IllegalArgumentException] {
+      Avro.readHeader(spark.sparkContext.hadoopConfiguration,
+        s"$dir/stray.bin")
+    }
+    assert(e.getMessage.contains("not an avro object container"))
+  }
+
   test("writeShards: distributed export, read back by both readers") {
     val ss = spark
     import ss.implicits._

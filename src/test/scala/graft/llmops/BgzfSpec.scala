@@ -84,6 +84,33 @@ class BgzfSpec extends SparkTestBase {
       }
   }
 
+  test("truncated deflate payload refuses, never spins (r17)") {
+    // corrupt BSIZE to cut the deflate stream at a valid prefix:
+    // inflate() then returns 0 wanting more input forever — memberAt
+    // must refuse the member, not hang the task
+    val good = Bgzf.write(Seq(("payload " * 200).getBytes("UTF-8")))
+    val bad = good.clone()
+    // BSIZE lives in the BC extra subfield at offset 16..17 (little
+    // endian, total-1); shrink it by 30 bytes
+    val bsize = ((bad(16) & 0xff) | ((bad(17) & 0xff) << 8)) - 30
+    bad(16) = (bsize & 0xff).toByte
+    bad(17) = ((bsize >> 8) & 0xff).toByte
+    val t0 = System.nanoTime()
+    assert(Bgzf.memberAt(bad, 0) == null)
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "must not spin")
+  }
+
+  test("writeShards routes NULL keys to shard 0 (r17)") {
+    val ss = spark
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-bgzf-nulkey").toString
+    val df = Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "nullkey"))
+      .toDF("doc_id", "text")
+    Bgzf.writeShards(df, "doc_id", "text", dir, 2)
+    assert(Bgzf.readBgzfFiles(spark, dir).count() === 2L)
+  }
+
   test("refusals and damage containment") {
     val dir = Files.createTempDirectory("graft-bgzf").toString
     // plain gzip (no BC subfield) refuses with guidance

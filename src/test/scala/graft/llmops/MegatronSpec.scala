@@ -164,6 +164,27 @@ class MegatronSpec extends SparkTestBase {
     expected.values.foreach(t => assert(back.contains(t)))
   }
 
+  test("null token elements and duplicate encode keys refuse loudly (r17)") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mega-null").toString
+    val df = Seq((1L, Seq[java.lang.Long](5L, null, 9L)))
+      .toDF("doc_id", "tokens")
+    val e = intercept[org.apache.spark.SparkException] {
+      Megatron.writeIndexed(df, "doc_id", "tokens", 1, dir, "uint16")
+    }
+    assert(e.getMessage != null)
+    // encodeIds: duplicate keys would merge token streams — refuse
+    val vocab = Seq(("a", 0), ("b", 1)).toDF("token", "id")
+    val dup = Seq((1L, Seq("a", "b")), (1L, Seq("b")))
+      .toDF("doc_id", "tokens")
+    val e2 = intercept[IllegalArgumentException] {
+      Megatron.encodeIds(dup, "doc_id", "tokens", vocab)
+    }
+    assert(e2.getMessage.contains("not unique"))
+  }
+
   test("encodeIds: empty arrays and OOV tokens") {
     val ss = spark
     import ss.implicits._

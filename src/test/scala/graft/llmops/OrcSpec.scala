@@ -318,6 +318,76 @@ class OrcSpec extends SparkTestBase {
     assert(Orc.byteRle(br, 7).toSeq == Seq[Byte](0, 0, 0, 0, 0, 1, 2))
   }
 
+  test("rleV1 decoder: runs, deltas, signed literals (hand goldens)") {
+    // run: control 7 → 10 values, delta +3, base 100 (unsigned varint)
+    val run = Array[Byte](7, 3, 0x64)
+    assert(Orc.rleV1(run, 10, signed = false).toSeq ===
+      (0 until 10).map(k => 100L + 3 * k))
+    // negative delta: control 0 → 3 values, delta -2, base 10
+    val nd = Array[Byte](0, -2, 10)
+    assert(Orc.rleV1(nd, 3, signed = false).toSeq === Seq(10L, 8L, 6L))
+    // literals, signed zigzag: -1 (zz 1), 0 (zz 0), 300 (zz 600)
+    val lit = Array[Byte](-3, 1, 0, 0xD8.toByte, 0x04)
+    assert(Orc.rleV1(lit, 3, signed = true).toSeq === Seq(-1L, 0L, 300L))
+    // overrun refuses
+    intercept[IllegalArgumentException] {
+      Orc.rleV1(Array[Byte](7, 1, 1), 5, signed = false)
+    }
+  }
+
+  test("RLEv1 interop: Hive-0.11-version file (orc-core twin) reads exactly") {
+    // orc-core with Version.V_0_11 writes RLEv1 DIRECT/DICTIONARY column
+    // encodings (kinds 0/1) — decoding them with the v2 decoder returns
+    // garbage that often parses, so this pins the per-encoding dispatch
+    import org.apache.orc.{OrcFile, TypeDescription}
+    import org.apache.hadoop.hive.ql.exec.vector._
+    val dir = Files.createTempDirectory("graft-orc-v11").toString
+    val path = s"$dir/v11.orc"
+    val schema = TypeDescription.fromString(
+      "struct<id:bigint,name:string,score:int>")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val w = OrcFile.createWriter(new org.apache.hadoop.fs.Path(path),
+      OrcFile.writerOptions(conf).setSchema(schema)
+        .version(OrcFile.Version.V_0_11)
+        .compress(org.apache.orc.CompressionKind.ZLIB))
+    val batch = schema.createRowBatch(1024)
+    val ids = batch.cols(0).asInstanceOf[LongColumnVector]
+    val names = batch.cols(1).asInstanceOf[BytesColumnVector]
+    val scores = batch.cols(2).asInstanceOf[LongColumnVector]
+    for (i <- 0 until 1000) {
+      val r = batch.size
+      ids.vector(r) = i * 7L - 100
+      names.setVal(r, s"name${i % 5}".getBytes("UTF-8")) // → dictionary
+      scores.vector(r) = i % 13
+      batch.size += 1
+      if (batch.size == batch.getMaxSize) { w.addRowBatch(batch); batch.reset() }
+    }
+    if (batch.size > 0) w.addRowBatch(batch)
+    w.close()
+    // guard against a vacuous pass: the stripe must really carry v1
+    // encodings (kind 0 DIRECT / 1 DICTIONARY)
+    val meta = Orc.readTail(conf, path)
+    val st = meta.stripes.head
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    val buf = new Array[Byte]((st.indexLength + st.dataLength +
+      st.footerLength).toInt)
+    try in.readFully(st.offset, buf) finally in.close()
+    val sf = Orc.decompressStream(meta.compression, buf,
+      (st.indexLength + st.dataLength).toInt, st.footerLength.toInt)
+    val (_, encs, _) = Orc.parseStripeFooter(sf)
+    assert(encs.exists(e => e.kind == 0 || e.kind == 1),
+      s"fixture must carry RLEv1 encodings, got ${encs.map(_.kind)}")
+    val rows = Orc.readOrc(spark, path).collect().sortBy(_.getLong(0))
+    assert(rows.length === 1000)
+    (0 until 1000).foreach { i =>
+      val r = rows(i)
+      assert(r.getLong(0) === i * 7L - 100)
+      assert(r.getString(1) === s"name${i % 5}", s"row $i")
+      assert(r.getInt(2) === i % 13, s"row $i")
+    }
+  }
+
   test("stripe pruning: stats skip non-intersecting stripes, results exact") {
     val ss = spark
     import ss.implicits._

@@ -212,4 +212,20 @@ class OrcWriterSpec extends SparkTestBase {
       s"${if (i % 2 == 0) "-" else ""}123456789012345678901234567$i"))
     assert(Orc.varBigInts(OrcWriter.varBigIntEncode(bigs), 50).toSeq == bigs)
   }
+
+  test("blockSize past the 3-byte chunk-length ceiling refuses up front") {
+    // (len << 1 | original) must fit 24 bits — a bigger block would
+    // silently truncate chunk headers and corrupt the file
+    val st = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType)))
+    val out = new java.io.ByteArrayOutputStream()
+    val e = intercept[IllegalArgumentException] {
+      new OrcWriter.Streamer(st, out, blockSize = 16 << 20)
+    }
+    assert(e.getMessage.contains("chunk-length ceiling"))
+    // the ceiling itself is accepted
+    new OrcWriter.Streamer(st, out, blockSize = (1 << 23) - 1)
+    ()
+  }
 }

@@ -122,6 +122,22 @@ class TfRecordSpec extends SparkTestBase {
     }
   }
 
+  test("readExamples accepts globs and single files, not only dirs (r17)") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tfr-glob").toString
+    val df = (0 until 20).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    TfRecord.writeShards(df, "doc_id", nShards = 2, path = dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).sorted
+    assert(TfRecord.readExamples(spark, dir).count() === 20L) // dir
+    assert(TfRecord.readExamples(spark,
+      s"$dir/shard-*.tfrecord").count() === 20L) // glob
+    assert(TfRecord.readExamples(spark,
+      files.head.getAbsolutePath).count() > 0L) // single file
+  }
+
   test("streamed shard export is byte-deterministic across runs") {
     val ss = spark
     import ss.implicits._
