@@ -236,13 +236,15 @@ object Bzip2 {
         var cur = br.read(5)
         var s = 0
         while (s < alphaSize) {
-          var guard = 0
           var done = false
           while (!done) {
             if (cur < 1 || cur > 23) return -1
             if (br.read(1) == 0) done = true
-            else { cur += (if (br.read(1) == 0) 1 else -1); guard += 1 }
-            if (guard > 64 || br.overrun) return -1
+            else cur += (if (br.read(1) == 0) 1 else -1)
+            // no step cap: bzlib accepts arbitrarily long zig-zags while
+            // lengths stay in 1..23; each step consumes >= 2 bits so the
+            // overrun check bounds the loop
+            if (br.overrun) return -1
           }
           lens(s) = cur
           s += 1

@@ -275,6 +275,10 @@ object XzLzma {
           }
         }
         if (dist == 0xFFFFFFFF) return false // end marker unused in LZMA2
+        // posSlot 62/63 distances (≥ 2^31) wrap the Int negative and
+        // would turn into bogus window indices past copyMatch's guards —
+        // no real dictionary reaches them; refuse the chunk
+        if (dist < 0) return false
         st.rep0 = dist
         st.state = if (st.state < 7) 7 else 10
         if (!copyMatch(win, dist, len, target)) return false
@@ -416,21 +420,21 @@ object XzLzma {
     var sawStream = false
     while (i < bytes.length) {
       if (bytes.length - i >= 4 && rd32le(bytes, i) == 0) {
-        // stream padding: zeros in 4-byte units
-        if (!allZero(bytes, i)) return null
-        return if (sawStream) out.toByteArray else null
+        // stream padding: 4-byte zero words — which the spec (xz §2.2)
+        // allows BETWEEN concatenated streams, not only at the tail.
+        // Consume aligned zero words and keep walking; a following
+        // stream decodes, trailing non-padding refuses below.
+        if (!sawStream) return null
+        while (bytes.length - i >= 4 && rd32le(bytes, i) == 0) i += 4
+        if (i == bytes.length) return out.toByteArray
+        // 1-3 leftover bytes (or non-zero data) fall through to
+        // decodeStream, which refuses anything that isn't a stream
       }
       i = decodeStream(bytes, i, out)
       if (i < 0) return null
       sawStream = true
     }
     if (!sawStream) null else out.toByteArray
-  }
-
-  private def allZero(b: Array[Byte], from: Int): Boolean = {
-    var i = from
-    while (i < b.length) { if (b(i) != 0) return false; i += 1 }
-    true
   }
 
   private def decodeStream(b: Array[Byte], start: Int,
@@ -468,23 +472,27 @@ object XzLzma {
         if ((flags & 0x3c) != 0) return -1 // reserved
         val nFilters = (flags & 3) + 1
         if (nFilters != 1) return -1 // LZMA2 alone is the supported chain
+        // header CONTENT ends before its own 4 CRC bytes — fields parsed
+        // against i+hdrSize could read (or run past) the CRC
+        val hdrEnd = i + hdrSize - 4
         var p = i + 2
         var declaredComp = -1L
         var declaredUnc = -1L
         if ((flags & 0x40) != 0) {
-          val r = vli(b, p, i + hdrSize); if (r == null) return -1
+          val r = vli(b, p, hdrEnd); if (r == null) return -1
           declaredComp = r._1; p = r._2
         }
         if ((flags & 0x80) != 0) {
-          val r = vli(b, p, i + hdrSize); if (r == null) return -1
+          val r = vli(b, p, hdrEnd); if (r == null) return -1
           declaredUnc = r._1; p = r._2
         }
-        val fid = vli(b, p, i + hdrSize); if (fid == null) return -1
+        val fid = vli(b, p, hdrEnd); if (fid == null) return -1
         if (fid._1 != 0x21) return -1 // LZMA2
         p = fid._2
-        val plen = vli(b, p, i + hdrSize); if (plen == null) return -1
+        val plen = vli(b, p, hdrEnd); if (plen == null) return -1
         if (plen._1 != 1) return -1
         p = plen._2
+        if (p >= hdrEnd) return -1
         val dictProp = b(p) & 0xff
         if (dictProp > 40) return -1
         p += 1
@@ -586,30 +594,29 @@ object XzLzma {
       if (hdrSizeByte == 0) return null
       val hdrSize = (hdrSizeByte + 1) * 4
       if (hdrSize > b.length) return null
-      if (rd32le(b, hdrSize - 4) != {
-        val c = new java.util.zip.CRC32
-        c.update(b, 0, hdrSize - 4); c.getValue.toInt
-      }) return null
+      if (rd32le(b, hdrSize - 4) != crc32(b, 0, hdrSize - 4)) return null
       val flags = b(1) & 0xff
       if ((flags & 0x3c) != 0) return null
       if ((flags & 3) + 1 != 1) return null
+      val hdrEnd = hdrSize - 4 // content ends before the header CRC
       var p = 2
       var declaredComp = -1L
       var declaredUnc = -1L
       if ((flags & 0x40) != 0) {
-        val r = vli(b, p, hdrSize); if (r == null) return null
+        val r = vli(b, p, hdrEnd); if (r == null) return null
         declaredComp = r._1; p = r._2
       }
       if ((flags & 0x80) != 0) {
-        val r = vli(b, p, hdrSize); if (r == null) return null
+        val r = vli(b, p, hdrEnd); if (r == null) return null
         declaredUnc = r._1; p = r._2
       }
-      val fid = vli(b, p, hdrSize); if (fid == null) return null
+      val fid = vli(b, p, hdrEnd); if (fid == null) return null
       if (fid._1 != 0x21) return null
       p = fid._2
-      val plen = vli(b, p, hdrSize); if (plen == null) return null
+      val plen = vli(b, p, hdrEnd); if (plen == null) return null
       if (plen._1 != 1) return null
       p = plen._2
+      if (p >= hdrEnd) return null
       if ((b(p) & 0xff) > 40) return null
       p += 1
       while (p < hdrSize - 4) { if (b(p) != 0) return null; p += 1 }
@@ -633,9 +640,7 @@ object XzLzma {
       if (i + checkLen > b.length) return null
       checkType match {
         case 1 =>
-          val c = new java.util.zip.CRC32
-          c.update(dec, 0, dec.length)
-          if (rd32le(b, i) != c.getValue.toInt) return null
+          if (rd32le(b, i) != crc32(dec, 0, dec.length)) return null
         case 4 =>
           var v = 0L
           var k2 = 0
@@ -673,6 +678,11 @@ object XzLzma {
         require(head(k) == HeaderMagic(k), s"not xz: $path"); k += 1
       }
       val checkType = head(7) & 0xff
+      require((head(6) & 0xff) == 0 &&
+        (checkType == 0 || checkType == 1 || checkType == 4 ||
+          checkType == 10),
+        s"unsupported xz check type $checkType in $path (reserved IDs " +
+          "refuse like the sequential decoder — never skip verification)")
       // walk back over stream padding (4-byte zero words)
       var end = fileLen
       val tailProbe = new Array[Byte](math.min(fileLen, 4096L).toInt)

@@ -69,6 +69,23 @@ class XzSpec extends AnyFunSuite {
     }
   }
 
+  test("stream padding BETWEEN concatenated streams decodes (xz §2.2, r17)") {
+    // `cat a.xz b.xz` where a.xz carries trailing 4-byte-zero padding:
+    // the padding is inter-stream, not terminal — refusing it rejected
+    // files `xz -dc` accepts
+    val a = XzWriter.encode("first stream ".getBytes("UTF-8"))
+    val b = XzWriter.encode("second stream".getBytes("UTF-8"))
+    val padded = a ++ new Array[Byte](8) ++ b
+    val dec = XzLzma.decode(padded)
+    assert(dec != null)
+    assert(new String(dec, "UTF-8") === "first stream second stream")
+    // terminal padding still fine; leading padding still refuses
+    assert(XzLzma.decode(a ++ new Array[Byte](4)) != null)
+    assert(XzLzma.decode(new Array[Byte](4) ++ a) == null)
+    // non-multiple-of-4 padding between streams refuses
+    assert(XzLzma.decode(a ++ new Array[Byte](6) ++ b) == null)
+  }
+
   test("refuses damage: payload, check value, header CRC, truncation, junk") {
     val cli = b64(XzFixtures.cliTextL1)
     val pay = cli.clone()
