@@ -11348,7 +11348,7 @@ ${graft.oracle.XxHash64Sql.kernel("42")},
                AS doc_keep
            FROM (SELECT doc_id, t,
              list_filter(string_split(t, chr(10)), l ->
-               right(rtrim(l), 1) IN ('.', '!', '?', '"')
+               right(rtrim(l, ' ' || chr(9) || chr(13) || chr(12)), 1) IN ('.', '!', '?', '"')
                AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
                AND NOT contains(lower(l), 'javascript')) AS kept
              FROM built)),
@@ -12093,7 +12093,7 @@ ${graft.oracle.XxHash64Sql.kernel("42")},
          cleaned AS (
            SELECT doc_id, t,
              list_filter(string_split(t, chr(10)), l ->
-               right(rtrim(l), 1) IN ('.', '!', '?', '"')
+               right(rtrim(l, ' ' || chr(9) || chr(13) || chr(12)), 1) IN ('.', '!', '?', '"')
                AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
                AND NOT contains(lower(l), 'javascript')) AS kept
            FROM built)

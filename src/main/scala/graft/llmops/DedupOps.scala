@@ -18,9 +18,15 @@ object DedupOps {
     * `keyCol` per fingerprint (deterministic winner).
     */
   def exactDedup(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    // NULL text gives a NULL fingerprint, and window partitioning groups
+    // every NULL TOGETHER — distinct failed-extraction rows would
+    // collapse to one arbitrary survivor. NULL-text rows are duplicates
+    // of nothing (the same posture dedupAgainstCorpus gets from NULL
+    // never equaling NULL): exempt them from the keep-first window.
     val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
       .orderBy(col(keyCol))
-    df.withColumn("__rn", row_number().over(w))
+    df.withColumn("__rn",
+        when(col(textCol).isNull, lit(1)).otherwise(row_number().over(w)))
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
@@ -290,7 +296,10 @@ object DedupOps {
   ): DataFrame =
     stream
       .withWatermark(eventTimeCol, watermarkDelay)
-      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      // NULL text must not collapse into one dedup group: salt the NULL
+      // fingerprint with the event time so each such row stays distinct
+      .withColumn("__fp", coalesce(TextAnalysis.fingerprint(col(textCol)),
+        concat(lit("__null__:"), col(eventTimeCol).cast("string"))))
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
@@ -375,6 +384,11 @@ object DedupOps {
       labels = next.drop("__changed")
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"duplicateClusters hit maxIters=$maxIters before convergence — " +
+          "labels may still split one true cluster (chains longer than " +
+          "maxIters hops); raise maxIters for deeply-chained duplicates")
     edges.unpersist()
     labels.withColumnRenamed("label", "cluster_id")
   }

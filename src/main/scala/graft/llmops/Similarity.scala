@@ -31,17 +31,27 @@ object Similarity {
     * (ascending-index double folds) but stays inside whole-stage codegen;
     * the interpreted HOF form costs 10-50× more per candidate pair.
     */
-  def cosine(a: Column, b: Column): Column =
-    org.apache.spark.sql.graft.ColumnBridge.column(
+  def cosine(a: Column, b: Column): Column = {
+    val c = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.expressions.CosineSim(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(a),
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(b)))
+    // a zero-norm vector yields 0/0 = NaN, and Spark orders NaN ABOVE
+    // every number: unguarded, a zero embedding ranks as everyone's #1
+    // neighbor and passes every >= tau near-dup screen (collapsing its
+    // whole semdedup cell). Surface NULL instead — filters drop it,
+    // rankings put it last.
+    when(!isnan(c), c)
+  }
 
   /** Interpreted higher-order-function form of [[cosine]], kept as the
-    * spec-level reference the native expression is verified against.
+    * spec-level reference the native expression is verified against
+    * (same NaN-to-NULL guard so the two stay interchangeable).
     */
-  def cosineHof(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  def cosineHof(a: Column, b: Column): Column = {
+    val c = dot(a, b) / (norm(a) * norm(b))
+    when(!isnan(c), c)
+  }
 
   /** Exact top-k cosine neighbors of each query vector against the corpus.
     *
@@ -237,7 +247,7 @@ object Similarity {
     // make a hot cell the straggler; broadcasting the query→cell list
     // leaves corpus rows spread across their existing partitions
     val cand = corpusAssigned.join(broadcast(queryAssigned), Seq("cent_id"))
-      .filter(col("query_key") =!= col("neighbor_key"))
+      .filter(!(col("query_key") <=> col("neighbor_key")))
       .dropDuplicates("query_key", "neighbor_key")
       .withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_key"))
@@ -637,6 +647,13 @@ object Similarity {
           val next = cents.map(_.map(_.clone())) // empty clusters keep old
           sums.foreach { r =>
             val (m, j, d) = (r.getInt(0), r.getInt(1), r.getInt(2))
+            // code -1 = a training vector whose subvector distances were
+            // all NULL (short/NaN embedding slipped past the first-row
+            // dim check) — name the cause instead of an AIOOBE here
+            require(j >= 0,
+              "pqTrain: a sampled vector produced no best centroid — " +
+                "mixed-dimension or NaN embeddings in the training " +
+                "sample; clean the embedding column first")
             next(m)(j)(d) = r.getDouble(3) / r.getLong(4)
           }
           cents = next
@@ -728,7 +745,7 @@ object Similarity {
     // ADC: query tables broadcast over the codes; the inner sum walks
     // subspaces in order (deterministic doubles, as above)
     val scored = codes.crossJoin(broadcast(qtab))
-      .filter(col("query_key") =!= col("neighbor_key"))
+      .filter(!(col("query_key") <=> col("neighbor_key")))
       .withColumn("adist", pqAdist(col("tab"), col("codes")))
     val w = Window.partitionBy(col("query_key"))
       .orderBy(col("adist"), col("neighbor_key"))
@@ -852,7 +869,7 @@ object Similarity {
     // keeps corpus rows in their existing partitioning, so a skewed cell
     // stays spread across however many partitions already hold it
     val scored = corpusCell.join(broadcast(probes), "cent_id")
-      .filter(col("query_key") =!= col("neighbor_key"))
+      .filter(!(col("query_key") <=> col("neighbor_key")))
       .join(codes, "neighbor_key")
       .join(broadcast(qtab), "query_key")
       .withColumn("adist", pqAdist(col("tab"), col("codes")))
@@ -1024,7 +1041,7 @@ object Similarity {
         col("query_key.cent_id").alias("cent_id"), col("tab"))
 
     val scored = corpusCell.join(broadcast(probes), "cent_id")
-      .filter(col("query_key") =!= col("neighbor_key"))
+      .filter(!(col("query_key") <=> col("neighbor_key")))
       .join(codes, "neighbor_key")
       .join(broadcast(qtab), Seq("query_key", "cent_id"))
       .withColumn("adist", pqAdist(col("tab"), col("codes")))

@@ -29,7 +29,10 @@ object TextAnalysis {
     */
   val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
   def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+    // same NULL guard as tokenCount: legacy size(NULL) = -1 would
+    // silently shrink every token-budget sum a NULL doc enters
+    when(text.isNull, lit(null).cast("int"))
+      .otherwise(size(regexp_extract_all(text, lit(BpeishPattern), lit(0))))
 
   /** Stopword lists for the n-gram/stopword language-ID heuristic. */
   val Stopwords: Map[String, Seq[String]] = Map(
@@ -235,7 +238,9 @@ object TextAnalysis {
   def c4CleanLines(df: DataFrame, textCol: String, minWordsPerLine: Int = 3): DataFrame = {
     val lines = split(col(textCol), "\n")
     val kept = filter(lines, l => {
-      val t = rtrim(l)
+      // trailing \r (CRLF corpora) and \t must not hide the terminal
+      // punctuation — rtrim strips only ASCII spaces
+      val t = regexp_replace(l, "[ \\t\\r\\f]+$", "")
       substring(t, -1, 1).isin(".", "!", "?", "\"") &&
         size(filter(split(l, " "), w => length(w) > 0)) >= minWordsPerLine &&
         !lower(l).contains("javascript")
@@ -635,6 +640,13 @@ object TextAnalysis {
   // Java's \s additionally matches \x0B where RE2 (DuckDB, Go, Rust
   // validators) does not — the explicit class is the intersection both
   // engines agree on, keeping the portability promise below exact.
+  // Known edge (kept for cross-site hash stability — the identical chain
+  // is pinned in DedupOps, the TextHashes native expression and every
+  // DuckDB oracle): trim runs BEFORE the collapse, so text whose leading/
+  // trailing whitespace is NON-space (\n, \t) keeps one edge space and
+  // hashes apart from its space-trimmed twin. The paragraph-dedup path
+  // normalizes collapse-then-trim; re-ordering HERE would change every
+  // stored fingerprint, so the order is frozen.
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "[ \\t\\n\\r\\f]+", " "))
 
@@ -667,8 +679,11 @@ object TextAnalysis {
   def encodingQuality(df: DataFrame, keyCol: String, textCol: String,
       maxBadFrac: Double = 0.001): DataFrame = {
     val t = col(textCol)
+    // legacy size(NULL) = -1 under ANSI-off: a NULL doc would report -1
+    // counts and decrement corpus-level audit sums
     def cnt(pattern: String): Column =
-      size(regexp_extract_all(t, lit(pattern), lit(0))).cast("long")
+      when(t.isNull, lit(null).cast("long"))
+        .otherwise(size(regexp_extract_all(t, lit(pattern), lit(0))).cast("long"))
     df.select(col(keyCol), t.alias(textCol))
       .withColumn("n_chars", length(t).cast("long"))
       .withColumn("n_replacement", cnt("\uFFFD"))
@@ -712,7 +727,10 @@ object TextAnalysis {
     val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
     val phone = "\\+?\\d(?:[-() ]?\\d){8,14}"
     def cnt(c: Column, pattern: String): Column =
-      size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+      // NULL text: NULL counts (not the legacy -1), keeping the
+      // counts-equal-replacements audit invariant
+      when(c.isNull, lit(null).cast("long"))
+        .otherwise(size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long"))
     val t0 = col(textCol)
     df.select(col(keyCol), t0.alias("__t0"))
       .withColumn("n_emails", cnt(col("__t0"), email))
@@ -780,9 +798,16 @@ object TextAnalysis {
         .alias("empty_docs"),
       sum(when(tokenCount(t) < shortDocTokens, 1).otherwise(0))
         .alias("short_docs"),
-      countDistinct(fingerprint(t)).alias("distinct_docs"))
+      countDistinct(fingerprint(t)).alias("distinct_docs"),
+      count(t).alias("__nonnull_docs"))
+      // countDistinct skips NULL fingerprints while docs counts every
+      // row — dup_rate ratios distinct against NON-NULL docs (count(t)),
+      // or a corpus of failed extractions would read as pure duplicates
       .withColumn("dup_rate",
-        round(lit(1.0) - col("distinct_docs") / col("docs"), 6))
+        when(col("__nonnull_docs") > 0,
+          round(lit(1.0) - col("distinct_docs") / col("__nonnull_docs"), 6))
+          .otherwise(lit(0.0)))
+      .drop("__nonnull_docs")
   }
 
   // ---- character-LM quality scoring ----------------------------------------
