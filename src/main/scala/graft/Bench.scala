@@ -80,10 +80,17 @@ object Bench {
     // up to ~3× in r15 (q89 7.1 s battery vs 2.2 s clean). Triggered GC is
     // gated on leftover storage actually existing, so queries that kept
     // nothing pay nothing.
+    var sinceGc = 0
     def dropQueryState(): Unit = {
       spark.catalog.clearCache() // persisted frames unpin immediately
-      if (spark.sparkContext.getRDDStorageInfo.nonEmpty) {
-        System.gc() // release checkpoint RDD refs to the ContextCleaner
+      sinceGc += 1
+      // broadcast blocks (per-read dictionary/metadata ships) never show
+      // in getRDDStorageInfo, so the storage-gated GC alone lets them
+      // accumulate across a 500-execution battery and inflate the tail —
+      // a periodic GC drains the ContextCleaner for those too
+      if (spark.sparkContext.getRDDStorageInfo.nonEmpty || sinceGc >= 25) {
+        sinceGc = 0
+        System.gc() // release checkpoint/broadcast refs to the cleaner
         val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
         while (spark.sparkContext.getRDDStorageInfo.nonEmpty &&
             System.nanoTime() < deadline) Thread.sleep(50)

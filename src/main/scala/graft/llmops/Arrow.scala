@@ -1048,6 +1048,21 @@ object Arrow {
     */
   val MaxDictionaryBytes: Long = 256L << 20
 
+  /** Ship a driver value to tasks: small values ride the closure (no
+    * lingering broadcast blocks), big ones broadcast (per-task closure
+    * re-serialization would trip spark.rpc.message.maxSize). Returns a
+    * serializable accessor valid on executors either way.
+    */
+  private def maybeBroadcast[T <: AnyRef : scala.reflect.ClassTag](
+      spark: SparkSession, v: T): () => T = {
+    val est = org.apache.spark.util.SizeEstimator.estimate(v)
+    if (est <= (8L << 20)) { () => v }
+    else {
+      val bc = spark.sparkContext.broadcast(v)
+      () => bc.value
+    }
+  }
+
   /** Dictionary-id → value-field discovery over the FULL type tree —
     * dictionaries may hang off children of maps, unions, fixed-size
     * lists, list views and run-end values, not just lists/structs
@@ -1154,13 +1169,15 @@ object Arrow {
     val struct = StructType(wanted.map(full.fields))
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
     val fieldsB = footer.fields
-    // dictionaries materialize once on the driver (size-capped) and
-    // BROADCAST — riding the task closure would re-serialize them per
-    // task and trip spark.rpc.message.maxSize (default 128 MiB) below
-    // the 256 MB dictionary cap
-    val dictsBc = spark.sparkContext.broadcast(
-      readDictionaries(conf, path, footer,
-        wantedFields = Some(wanted.map(footer.fields))))
+    // dictionaries materialize once on the driver (size-capped). BIG
+    // dictionaries BROADCAST — riding the task closure would re-serialize
+    // them per task and trip spark.rpc.message.maxSize (default 128 MiB)
+    // below the 256 MB cap; SMALL ones ride the closure (a broadcast per
+    // read call lingers in the block manager until GC — pressure that
+    // accumulates across a long session)
+    val dicts0 = readDictionaries(conf, path, footer,
+      wantedFields = Some(wanted.map(footer.fields)))
+    val dictsBc = maybeBroadcast(spark, dicts0)
     val batches = footer.batches.map(b => (b.offset, b.metaLen.toLong,
       b.bodyLen))
     batches.toDF("offset", "metaLen", "bodyLen")
@@ -1184,7 +1201,7 @@ object Arrow {
             in.readFully(offset, meta)
             in.readFully(offset + metaLen, body)
           } finally in.close()
-          decodeBatch(fieldsB, meta, body, wanted, dictsBc.value).iterator
+          decodeBatch(fieldsB, meta, body, wanted, dictsBc()).iterator
         }
       }(org.apache.spark.sql.Encoders.row(struct))
   }
@@ -1455,9 +1472,9 @@ object Arrow {
         }.toArray
     }.toMap
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
-    // per-file dictionaries (ids are file-scoped), driver-bounded,
-    // broadcast once (not re-serialized per task)
-    val dictsByPathBc = spark.sparkContext.broadcast(
+    // per-file dictionaries (ids are file-scoped), driver-bounded;
+    // broadcast only past the size threshold (see readArrow)
+    val dictsByPathBc = maybeBroadcast(spark,
       footers.map { case (p, f) =>
         p -> readDictionaries(conf, p, f,
           wantedFields = Some(wantedByPath(p).map(f.fields)))
@@ -1485,7 +1502,7 @@ object Arrow {
           } finally in.close()
           val slots = slotsByPath(path)
           decodeBatch(fieldsByPath(path), meta, body,
-              wantedByPath(path), dictsByPathBc.value(path))
+              wantedByPath(path), dictsByPathBc()(path))
             .iterator.map { r =>
               val cells = new Array[Any](1 + slots.length)
               cells(0) = path
