@@ -1611,6 +1611,51 @@ object SparkEntry {
         .orderBy("src", "o_orderkey")
     }),
 
+    "q231_log_retention" -> ((s, dir) => {
+      // Delta log-retention end-to-end (the reference pins
+      // `delta.logRetentionDuration = interval 30 days`,
+      // light_transform.py:1373-1374): SET TBLPROPERTIES commits a real
+      // metaData configuration; checkpoint-time cleanup then deletes the
+      // pre-checkpoint commit JSONs past retention (0h here), bounding
+      // the `_delta_log` listing — while the HEAD keeps reading intact
+      // from the checkpoint and pre-boundary versions refuse rather than
+      // misread. Oracle = closed form of the merged head plus three
+      // behavior booleans.
+      val ss = tuned(s)
+      val ord = t(ss, dir, "orders")
+      val init = ord.filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val batch = ord.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (-col("o_totalprice")).as("o_totalprice"))
+      val tableDir =
+        java.nio.file.Files.createTempDirectory("graft-q231").toString + "/t"
+      MergeUpsert.upsertParquet(ss, init, tableDir, Seq("o_orderkey"))  // v0
+      MergeUpsert.upsertParquet(ss, batch, tableDir, Seq("o_orderkey")) // v1
+      graft.sources.DeltaLog.setTableProperties(ss, tableDir, Map(
+        graft.sources.DeltaLog.LogRetentionProp -> "interval 0 hours")) // v2
+      val cpV = graft.sources.DeltaLog.checkpoint(ss, tableDir)
+      val retained = graft.sources.DeltaLog.history(ss, tableDir).count()
+      val oldRefuses =
+        try { graft.sources.DeltaLog.replay(ss, tableDir, 0L); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      val head = graft.sources.DeltaLog.read(ss, tableDir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      import ss.implicits._
+      val metrics = Seq(
+        ("m_retained_history_one", if (retained == 1L) 1L else 0L),
+        ("m_checkpoint_at_head", if (cpV == 2L) 1L else 0L),
+        ("m_old_version_refuses", oldRefuses))
+        .toDF("src", "o_orderkey")
+        .select(col("src"), col("o_orderkey"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"))
+      head.select(lit("head").as("src"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .unionByName(metrics)
+        .orderBy("src", "o_orderkey")
+    }),
+
     "q25_watermark_filter" -> ((s, dir) => {
       // P6 numeric watermark predicate
       t(tuned(s), dir, "events")
@@ -11996,6 +12041,31 @@ ${graft.oracle.XxHash64Sql.kernel("42")},
            CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
          UNION ALL
          SELECT 'm_expired_deleted_files', CAST(1 AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+         ORDER BY src, o_orderkey""",
+
+    "q231_log_retention" ->
+      """WITH init AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey < 2000),
+         batch AS (
+           SELECT o_orderkey, o_orderstatus, -o_totalprice AS o_totalprice
+           FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000),
+         head AS (
+           SELECT * FROM batch
+           UNION ALL
+           SELECT i.* FROM init i
+           WHERE i.o_orderkey NOT IN (SELECT o_orderkey FROM batch))
+         SELECT 'head' AS src, o_orderkey, o_orderstatus, o_totalprice
+         FROM head
+         UNION ALL
+         SELECT 'm_retained_history_one', CAST(1 AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+         UNION ALL
+         SELECT 'm_checkpoint_at_head', CAST(1 AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+         UNION ALL
+         SELECT 'm_old_version_refuses', CAST(1 AS BIGINT),
            CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
          ORDER BY src, o_orderkey""",
 

@@ -33,6 +33,10 @@ object Maintenance {
     // serves both (safe under the table lease).
     val logState = graft.sources.DeltaLog.replay(spark, path)
     val hasTombstones = logState.exists(_.tombstones.nonEmpty)
+    // probe retention mode while the files are still in the live tree —
+    // after the swap they sit in __old and the existence fallback would
+    // miss them
+    val effRetain = retain || MergeUpsert.retentionActive(fs, path, logState)
     val bytes =
       if (hasTombstones) logState.get.files.values.map(_.size).sum
       else fs.getContentSummary(p).getLength
@@ -94,7 +98,16 @@ object Maintenance {
       graft.sources.DeltaLog.reconcile(spark, path, df.schema,
         partitionCols, dataChange = false, operation = "OPTIMIZE")
       refreshSymlinkManifest(spark, path)
-      if (retain) MergeUpsert.retainReplaced(fs, path)
+      // effective retention derives from table STATE, not just the call
+      // arg: a retention-mode table (property pinned, or tombstoned files
+      // still on disk) stays retained, so one routine OPTIMIZE with
+      // default args cannot silently delete every travelable version's
+      // files — only VACUUM's retention pass does that (ADVICE r17).
+      // Probed BEFORE the swap moved the tree into __old (effRetain).
+      if (effRetain) {
+        MergeUpsert.retainReplaced(fs, path)
+        MergeUpsert.pinRetain(spark, path)
+      }
     }
     fs.delete(bak, true)
     ()
@@ -189,9 +202,8 @@ object Maintenance {
     // rows when pointed at the table's own content (the OPTIMIZE ZORDER
     // contract) — logged with dataChange=false.
     val priorLog = graft.sources.DeltaLog.replay(spark, path)
-    val hadManifest = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new Path(path, SymlinkManifestDir))
+    val hadManifest = manifestPresent(new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), path)
     def relog(): Unit = priorLog.foreach { st =>
       graft.sources.DeltaLog.reconcile(spark, path, df.schema, Nil,
         dataChange = false, operation = "OPTIMIZE", prior = Some(st))
@@ -240,9 +252,8 @@ object Maintenance {
     require(bloomCols.nonEmpty, "bloomWrite needs at least one key column")
     // same log-continuity dance as zorderWriteN: capture before Overwrite
     val priorLog = graft.sources.DeltaLog.replay(df.sparkSession, path)
-    val hadManifest = new Path(path)
-      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-      .exists(new Path(path, SymlinkManifestDir))
+    val hadManifest = manifestPresent(new Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration), path)
     val files =
       if (numFiles > 0) numFiles
       else math.max(1, df.sparkSession.sparkContext.defaultParallelism)
@@ -264,6 +275,22 @@ object Maintenance {
   }
 
   val SymlinkManifestDir = "_symlink_format_manifest"
+
+  /** Where [[generateSymlinkManifest]] parks the PREVIOUS manifest tree
+    * during its swap. A fixed (dot-hidden) name so crash recovery and the
+    * presence checks can see a half-finished swap: a table with only the
+    * aside left is still "a table that maintains a manifest".
+    */
+  val SymlinkManifestAside = "._symlink_format_manifest.old"
+
+  /** Does the table maintain a symlink manifest? True when the manifest
+    * root OR the swap-aside copy exists — a crash between the two swap
+    * renames must not silently end manifest maintenance.
+    */
+  private[operators] def manifestPresent(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Boolean =
+    fs.exists(new Path(path, SymlinkManifestDir)) ||
+      fs.exists(new Path(path, SymlinkManifestAside))
 
   /** Generate `_symlink_format_manifest` from the Delta log's committed
     * file list — the K6 step's third action (light_transform.py:1394-1409,
@@ -306,8 +333,18 @@ object Maintenance {
         .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
-    if (fs.exists(mroot)) fs.delete(mroot, true)
+    // Swap via aside-rename, never delete-then-rename (ADVICE r17): the
+    // no-manifest window shrinks to the instant between two renames, and
+    // — the real fix — a crash inside it no longer ends manifest
+    // maintenance: the aside copy marks the table as manifest-maintaining
+    // ([[manifestPresent]]), so the next write-path refresh or
+    // [[recover]] regenerates from the log instead of leaving the table
+    // manifest-less until a human notices.
+    val aside = new Path(rootQ, SymlinkManifestAside)
+    if (fs.exists(aside)) fs.delete(aside, true) // prior crash's leftover
+    if (fs.exists(mroot)) { fs.rename(mroot, aside); () }
     fs.rename(tmp, mroot)
+    fs.delete(aside, true)
     ()
   }
 
@@ -320,7 +357,7 @@ object Maintenance {
       path: String): Unit = {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(path, SymlinkManifestDir)))
+    if (manifestPresent(fs, path))
       generateSymlinkManifest(spark, path)
   }
 
@@ -336,38 +373,85 @@ object Maintenance {
     *
     * Like Delta, a short retention is dangerous with concurrent
     * time-travel readers — the reference runs 168 h; tests pass 0.
-    * Returns the number of files deleted.
+    * Runs under the table writer lease (throws ConcurrentWriteException
+    * while a live writer holds it) and finishes any interrupted prior
+    * commit before sweeping, so it can never delete a live writer's
+    * staging or `__old` mid-swap. Returns the number of files deleted.
     */
   def vacuum(spark: SparkSession, path: String,
       retentionHours: Double): Long = {
     require(retentionHours >= 0, s"negative retention: $retentionHours")
-    vacuum(spark, path) // staging/backup residue (the pre-log sweep)
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.sources.DeltaLog.replay(spark, path) match {
-      case None => 0L
-      case Some(st) =>
-        val cutoff = System.currentTimeMillis() -
-          (retentionHours * 3600 * 1000).toLong
-        var n = 0L
-        st.tombstones.toSeq.sortBy(_._1).foreach { case (rel, ts) =>
-          if (ts <= cutoff) {
-            val f = new Path(s"$path/$rel")
-            if (fs.exists(f) && fs.delete(f, false)) n += 1
+    if (!fs.exists(new Path(path))) return 0L
+    // The sweep and the tombstone deletion are destructive to a LIVE
+    // writer's staging/backup mid-protocol — a concurrent retained MERGE
+    // in another JVM parks its replaced files in `__old` and its batch in
+    // `__staging.<token>`. Serialize through the same table lease the
+    // writers hold (ADVICE r17); a live writer makes this throw
+    // ConcurrentWriteException instead of silently eating its commit.
+    val lease = WriterLease.acquire(fs, path,
+      MergeUpsert.DefaultLeaseStaleMs)
+    try {
+      // an interrupted prior commit is FINISHED, not swept: its marker +
+      // staged data are a complete commit by protocol
+      recover(spark, path)
+      sweepResidue(fs, path)
+      graft.sources.DeltaLog.replay(spark, path) match {
+        case None => 0L
+        case Some(st) =>
+          val cutoff = System.currentTimeMillis() -
+            (retentionHours * 3600 * 1000).toLong
+          var n = 0L
+          st.tombstones.toSeq.sortBy(_._1).foreach { case (rel, ts) =>
+            if (ts <= cutoff) {
+              val f = new Path(s"$path/$rel")
+              if (fs.exists(f) && fs.delete(f, false)) n += 1
+            }
           }
-        }
-        if (n > 0)
-          graft.sources.DeltaLog.commitInfo(spark, path, "VACUUM")
-        n
+          if (n > 0)
+            graft.sources.DeltaLog.commitInfo(spark, path, "VACUUM")
+          n
+      }
+    } finally lease.release()
+  }
+
+  /** Bare `VACUUM` (no RETAIN clause): retention resolves like real
+    * Delta's — the table's `delta.deletedFileRetentionDuration` property
+    * when set, else the session conf, else 168 h. Non-delta paths sweep
+    * residue only and return 0.
+    */
+  def vacuumTable(spark: SparkSession, path: String): Long = {
+    val hours = graft.sources.DeltaLog.replay(spark, path) match {
+      case Some(st) => graft.sources.DeltaLog
+        .tombstoneRetentionMs(spark, st.configuration) / 3600000.0
+      case None => vacuum(spark, path); return 0L
     }
+    vacuum(spark, path, hours)
   }
 
   /** VACUUM-equivalent for the staging/backup dirs the merge path leaves on
     * interruption. Sweeps both the fixed legacy names and the per-writer
     * `__staging.<token>` / temp-file droppings (never the live `__lock`).
+    * Skipped entirely while a LIVE lease exists — those dirs are then a
+    * running writer's in-flight commit, not residue; stale locks (dead
+    * writers) do leave residue and are swept through.
     */
   def vacuum(spark: SparkSession, path: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (liveLock(fs, path, MergeUpsert.DefaultLeaseStaleMs)) return
+    sweepResidue(fs, path)
+  }
+
+  /** Is a live (non-stale) writer lease present at `path + "__lock"`? */
+  private def liveLock(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      staleMs: Long): Boolean =
+    try System.currentTimeMillis() - fs.getFileStatus(
+      new Path(path + "__lock")).getModificationTime <= staleMs
+    catch { case _: java.io.FileNotFoundException => false }
+
+  private def sweepResidue(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
     Seq("__staging", "__old", "__compact", "__tmp", "__bak", "__commit").foreach { suffix =>
       val p = new Path(path + suffix)
       if (fs.exists(p)) { fs.delete(p, true); () }
@@ -406,8 +490,11 @@ object Maintenance {
     val repaired = recoverFs(fs, path)
     // a replayed swap may have restored a now-stale symlink manifest —
     // re-derive it from the (also restored) log so external readers
-    // never follow dead file URIs
-    if (repaired && graft.sources.DeltaLog.exists(fs, path))
+    // never follow dead file URIs. A leftover swap-aside (crash inside
+    // generateSymlinkManifest's rename pair) also forces a regenerate,
+    // which sweeps the aside.
+    val manifestTorn = fs.exists(new Path(path, SymlinkManifestAside))
+    if ((repaired || manifestTorn) && graft.sources.DeltaLog.exists(fs, path))
       refreshSymlinkManifest(spark, path)
     repaired
   }

@@ -49,6 +49,39 @@ object MergeUpsert {
     */
   val DefaultLeaseStaleMs: Long = 30L * 60 * 1000
 
+  /** Table property marking the table as retention-mode: every write
+    * keeps its replaced files as tombstones regardless of the call-site
+    * `retain` arg. Pinned automatically by the first retained write, so
+    * one routine default-arg write can never silently collapse the
+    * retention window (ADVICE r17); unset it explicitly (null via
+    * [[graft.sources.DeltaLog.setTableProperties]]) to leave retention
+    * mode.
+    */
+  val RetainProp = "graft.retainDeletedFiles"
+
+  /** Is retention live on this table? True when the [[RetainProp]]
+    * property says so (O(1), the steady state — pinned by the first
+    * retained write) or when any log-tombstoned file is still physically
+    * present (the pre-property fallback; existence probes are bounded by
+    * the tombstone set and short-circuit on the first retained file).
+    * Log tombstone ENTRIES alone are NOT the signal — every merge writes
+    * remove actions, retained or not; only on-disk survivors mean the
+    * table holds travelable history an eager delete would destroy.
+    */
+  private[operators] def retentionActive(fs: FileSystem, path: String,
+      st: Option[graft.sources.DeltaLog.LogState]): Boolean =
+    st.exists { s =>
+      s.configuration.get(RetainProp).contains("true") ||
+        s.tombstones.keys.exists(rel => fs.exists(new Path(s"$path/$rel")))
+    }
+
+  /** Persist retention mode on the table (idempotent commit). */
+  private[operators] def pinRetain(spark: SparkSession, path: String): Unit = {
+    graft.sources.DeltaLog.setTableProperties(spark, path,
+      Map(RetainProp -> "true"))
+    ()
+  }
+
   /** Merge `newDf` into `oldDf` by `idCols`.
     *
     * `autoMerge = true` mirrors the reference's Delta
@@ -220,39 +253,49 @@ object MergeUpsert {
         write(deduped, path, partitionCols)
         graft.sources.DeltaLog.reconcile(spark, path, deduped.schema,
           partitionCols, operation = "WRITE")
-      } else if (partitionCols.isEmpty) {
-        // a retained table's directory contains tombstoned files — the
-        // merge input is the listing MINUS log tombstones, never a raw
-        // directory read (which would resurrect replaced rows)
-        val existing =
-          graft.sources.DeltaLog.listedMinusTombstones(spark, path) match {
-            case Some(files) if files.isEmpty =>
-              graft.sources.DeltaLog.read(spark, path).limit(0)
-            case Some(files) =>
-              spark.read.option("basePath", path).option("mergeSchema", "true")
-                .parquet(files.map(rel => s"$path/$rel"): _*)
-            case None =>
-              spark.read.option("mergeSchema", "true").parquet(path)
-          }
-        val merged = merge(existing, deduped, idCols, autoMerge)
-        val staging = stagingPath(path, lease.token)
-        write(merged, staging.toString, partitionCols)
-        lease.heartbeat() // staging (the long phase) done; still alive
-        writeMarker(fs, path, staging, ModeWhole)
-        wholeSwap(fs, path, staging)
-        // reconcile BEFORE the retained files return to the tree: their
-        // remove actions must be committed while the listing shows only
-        // the new files, so a crash at any point leaves either a log
-        // that already tombstones them or a tree that doesn't contain
-        // them — never an unlogged duplicate
-        graft.sources.DeltaLog.reconcile(spark, path, merged.schema, Nil,
-          operation = "MERGE")
-        Maintenance.refreshSymlinkManifest(spark, path)
-        if (retain) retainReplaced(fs, path)
-        finishCommit(fs, path, staging)
       } else {
-        prunedUpsert(spark, fs, path, deduped, idCols, partitionCols, autoMerge,
-          lease, retain)
+        // effective retention derives from table STATE, not just the call
+        // arg (ADVICE r17): a retention-mode table ([[retentionActive]])
+        // stays retained even when a caller forgets retain=true, so one
+        // routine default-arg write cannot silently collapse the 168h
+        // window; only VACUUM's retention pass deletes travelable files
+        val priorState = graft.sources.DeltaLog.replay(spark, path)
+        val effRetain = retain || retentionActive(fs, path, priorState)
+        if (partitionCols.isEmpty) {
+          // a retained table's directory contains tombstoned files — the
+          // merge input is the listing MINUS log tombstones, never a raw
+          // directory read (which would resurrect replaced rows)
+          val existing =
+            graft.sources.DeltaLog.listedMinusTombstones(spark, path,
+                state = priorState) match {
+              case Some(files) if files.isEmpty =>
+                graft.sources.DeltaLog.read(spark, path).limit(0)
+              case Some(files) =>
+                spark.read.option("basePath", path).option("mergeSchema", "true")
+                  .parquet(files.map(rel => s"$path/$rel"): _*)
+              case None =>
+                spark.read.option("mergeSchema", "true").parquet(path)
+            }
+          val merged = merge(existing, deduped, idCols, autoMerge)
+          val staging = stagingPath(path, lease.token)
+          write(merged, staging.toString, partitionCols)
+          lease.heartbeat() // staging (the long phase) done; still alive
+          writeMarker(fs, path, staging, ModeWhole)
+          wholeSwap(fs, path, staging)
+          // reconcile BEFORE the retained files return to the tree: their
+          // remove actions must be committed while the listing shows only
+          // the new files, so a crash at any point leaves either a log
+          // that already tombstones them or a tree that doesn't contain
+          // them — never an unlogged duplicate
+          graft.sources.DeltaLog.reconcile(spark, path, merged.schema, Nil,
+            operation = "MERGE")
+          Maintenance.refreshSymlinkManifest(spark, path)
+          if (effRetain) { retainReplaced(fs, path); pinRetain(spark, path) }
+          finishCommit(fs, path, staging)
+        } else {
+          prunedUpsert(spark, fs, path, deduped, idCols, partitionCols,
+            autoMerge, lease, effRetain, priorState)
+        }
       }
       ()
     } finally lease.release()
@@ -333,7 +376,11 @@ object MergeUpsert {
       partitionCols: Seq[String],
       autoMerge: Boolean,
       lease: TableLease,
-      retain: Boolean
+      retain: Boolean,
+      /** Pre-replayed log state from the caller (safe under the lease) —
+        * spares the scoped listing below a second full replay.
+        */
+      priorState: Option[graft.sources.DeltaLog.LogState]
   ): Unit = {
     // 1. affected partitions: distinct tuples from the batch — bounded by
     //    the batch, not the table; collect() here is partition *metadata*
@@ -356,7 +403,7 @@ object MergeUpsert {
     val sliceFiles: Option[Seq[String]] =
       if (liveDirs.isEmpty) None
       else graft.sources.DeltaLog.listedMinusTombstones(spark, path,
-        Some(liveRel))
+        Some(liveRel), state = priorState)
     val merged =
       if (liveDirs.isEmpty || sliceFiles.exists(_.isEmpty)) batch
       else {
@@ -401,7 +448,7 @@ object MergeUpsert {
     Maintenance.refreshSymlinkManifest(spark, path)
 
     // 7. tombstone retention + cleanup
-    if (retain) retainReplaced(fs, path)
+    if (retain) { retainReplaced(fs, path); pinRetain(spark, path) }
     finishCommit(fs, path, staging)
   }
 

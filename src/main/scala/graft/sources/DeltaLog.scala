@@ -81,15 +81,86 @@ object DeltaLog {
         * `retain`), these are what VERSION AS OF serves and what VACUUM
         * deletes once retention passes.
         */
-      tombstones: Map[String, Long] = Map.empty)
+      tombstones: Map[String, Long] = Map.empty,
+      /** Per-table properties — the protocol's `metaData.configuration`
+        * map. The reference sets `delta.deletedFileRetentionDuration` /
+        * `delta.logRetentionDuration` here at write time
+        * (light_transform.py:1373-1374); [[tombstoneRetentionMs]] /
+        * [[logRetentionMs]] resolve table property first, then the
+        * session conf, then the protocol default — so tables with
+        * different retention coexist in one job.
+        */
+      configuration: Map[String, String] = Map.empty)
 
-  /** Tombstone retention window, hours — mirrors Delta's
-    * `delta.deletedFileRetentionDuration` (default 168h = 7 days).
-    * Governs when checkpoints may drop remove tombstones and is the
-    * default for [[graft.operators.Maintenance.vacuum]].
+  /** Tombstone retention window, hours — the session-level default under
+    * the TABLE property `delta.deletedFileRetentionDuration` (default
+    * 168h = 7 days). Governs when checkpoints may drop remove tombstones
+    * and is the default for [[graft.operators.Maintenance.vacuumTable]].
     */
   val TombstoneRetentionConf = "spark.graft.delta.tombstoneRetentionHours"
   val DefaultTombstoneRetentionHours = 168.0
+
+  /** Commit-JSON retention, hours — the session-level default under the
+    * TABLE property `delta.logRetentionDuration` (the reference pins
+    * `interval 30 days`, light_transform.py:1373-1374). At checkpoint
+    * time, commit JSONs and checkpoints older than this AND already
+    * covered by a newer checkpoint are deleted — bounding the
+    * `_delta_log` listing a table merged every few minutes would
+    * otherwise grow without bound. Replay is checkpoint-based and
+    * unaffected; DESCRIBE HISTORY covers only the retained tail.
+    */
+  val LogRetentionConf = "spark.graft.delta.logRetentionHours"
+  val DefaultLogRetentionHours = 720.0 // interval 30 days
+
+  /** The table-property names (the real Delta contract). */
+  val TombstoneRetentionProp = "delta.deletedFileRetentionDuration"
+  val LogRetentionProp = "delta.logRetentionDuration"
+
+  /** Parse Delta's duration-property syntax — `interval N unit`, e.g.
+    * `interval 168 hours`, `interval 30 days` (unit singular or plural:
+    * week/day/hour/minute/second/millisecond) — into milliseconds.
+    * Refuses loudly on anything else: a silently misread retention would
+    * delete data early.
+    */
+  private[graft] def parseIntervalMs(s: String): Long = {
+    val m = java.util.regex.Pattern
+      .compile("(?i)^\\s*interval\\s+(\\d+)\\s+(\\w+?)s?\\s*$")
+      .matcher(s)
+    require(m.matches(), s"unparseable retention interval: '$s' " +
+      "(expected e.g. 'interval 168 hours')")
+    val n = m.group(1).toLong
+    val unitMs = m.group(2).toLowerCase match {
+      case "week" => 7L * 24 * 3600 * 1000
+      case "day" => 24L * 3600 * 1000
+      case "hour" => 3600L * 1000
+      case "minute" => 60L * 1000
+      case "second" => 1000L
+      case "millisecond" => 1L
+      case u => throw new IllegalArgumentException(
+        s"unknown retention interval unit '$u' in '$s'")
+    }
+    require(n <= Long.MaxValue / unitMs,
+      s"retention interval overflows millis: '$s'")
+    n * unitMs
+  }
+
+  /** Effective tombstone retention: table property → session conf →
+    * protocol default (168 h).
+    */
+  def tombstoneRetentionMs(spark: SparkSession,
+      config: Map[String, String]): Long =
+    config.get(TombstoneRetentionProp).map(parseIntervalMs).getOrElse(
+      (spark.conf.get(TombstoneRetentionConf,
+        DefaultTombstoneRetentionHours.toString).toDouble * 3600 * 1000).toLong)
+
+  /** Effective commit-JSON retention: table property → session conf →
+    * 30 days.
+    */
+  def logRetentionMs(spark: SparkSession,
+      config: Map[String, String]): Long =
+    config.get(LogRetentionProp).map(parseIntervalMs).getOrElse(
+      (spark.conf.get(LogRetentionConf,
+        DefaultLogRetentionHours.toString).toDouble * 3600 * 1000).toLong)
 
   /** Max actions per checkpoint file before the writer switches to the
     * protocol's multi-part form (`%020d.checkpoint.%010d.%010d.parquet`
@@ -218,6 +289,11 @@ object DeltaLog {
             partitionColumns = md.get("partitionColumns") match {
               case Some(v: Vector[_]) => v.map(_.toString)
               case _ => Nil
+            },
+            configuration = md.get("configuration") match {
+              case Some(c: Map[_, _]) => c.asInstanceOf[Map[String, Any]]
+                .collect { case (k, v) if v != null => k -> v.toString }
+              case _ => Map.empty
             })
         case ("add", a: Map[_, _]) =>
           val ad = a.asInstanceOf[Map[String, Any]]
@@ -345,8 +421,8 @@ object DeltaLog {
         sb.append("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
           .append('\n')
       if (version == 0L || schemaChanged)
-        sb.append(metaDataJson(state.tableId, schemaJson, partitionCols, now))
-          .append('\n')
+        sb.append(metaDataJson(state.tableId, schemaJson, partitionCols,
+          state.configuration, now)).append('\n')
       removed.foreach { rel =>
         sb.append(s"""{"remove":{"path":${jstr(encodePath(rel))},""" +
           s""""deletionTimestamp":$now,"dataChange":$dataChange}}""")
@@ -358,7 +434,7 @@ object DeltaLog {
           s""""size":${e.size},"modificationTime":${e.modificationTime},""" +
           s""""dataChange":$dataChange}}""").append('\n')
       }
-      if (tryCommit(fs, root, version, sb.toString)) {
+      if (tryCommit(spark, fs, root, version, sb.toString)) {
         if (version > 0 && version % CheckpointInterval == 0) {
           val st = state.copy(version = version,
             schemaString = schemaJson, partitionColumns = partitionCols,
@@ -393,7 +469,7 @@ object DeltaLog {
         s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},""" +
           s""""operation":${jstr(operation)},"operationParameters":{},""" +
           s""""engineInfo":"graft-spark"}}""" + "\n"
-      if (tryCommit(fs, root, version, body)) {
+      if (tryCommit(spark, fs, root, version, body)) {
         if (version > 0 && version % CheckpointInterval == 0)
           writeCheckpoint(spark, fs, root, state.copy(version = version))
         return version
@@ -405,10 +481,40 @@ object DeltaLog {
     -1L // unreachable
   }
 
-  private def tryCommit(fs: FileSystem, root: String, version: Long,
-      body: String): Boolean = {
+  /** Pluggable conditional-put backend for the commit itself — the delta-io
+    * `LogStore` seam. When set (FQCN of a zero-arg
+    * [[graft.operators.LockStore]]), the version file is published via
+    * `createIfAbsent(<qualified commit path>, body)`: on a store with real
+    * conditional writes (S3 If-None-Match, GCS ifGenerationMatch) that
+    * makes the put-if-absent loop displacement-proof even with the table
+    * lease bypassed — the posture delta-io takes for multi-writer S3. The
+    * implementation must make the committed bytes durable AT the key (the
+    * conditional-put target IS the commit file readers replay). Unset
+    * (default), commits use the filesystem protocol below.
+    */
+  val CommitStoreClassConf = "spark.graft.delta.commitStoreClass"
+
+  private val commitStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.LockStore]
+
+  private def commitStore(spark: SparkSession)
+      : Option[graft.operators.LockStore] =
+    spark.conf.get(CommitStoreClassConf, "") match {
+      case "" => None
+      case cn => Some(commitStores.computeIfAbsent(cn, c =>
+        Class.forName(c).getDeclaredConstructor().newInstance()
+          .asInstanceOf[graft.operators.LockStore]))
+    }
+
+  private def tryCommit(spark: SparkSession, fs: FileSystem, root: String,
+      version: Long, body: String): Boolean = {
     val dir = logDir(root)
     fs.mkdirs(dir)
+    commitStore(spark).foreach { store =>
+      return store.createIfAbsent(
+        fs.makeQualified(new Path(dir, f"$version%020d.json")).toString,
+        body.getBytes(UTF_8))
+    }
     val tmp = new Path(dir, s".tmp-commit-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(UTF_8)) finally out.close()
@@ -446,14 +552,15 @@ object DeltaLog {
   }
 
   private def metaDataJson(tableId: String, schemaJson: String,
-      partitionCols: Seq[String], now: Long): String = {
+      partitionCols: Seq[String], config: Map[String, String],
+      now: Long): String = {
     val id = if (tableId == null)
       java.util.UUID.randomUUID().toString else tableId
     s"""{"metaData":{"id":${jstr(id)},""" +
       s""""format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":${jstr(schemaJson)},""" +
       s""""partitionColumns":[${partitionCols.map(jstr).mkString(",")}],""" +
-      s""""configuration":{},"createdTime":$now}}"""
+      s""""configuration":${jmap(config)},"createdTime":$now}}"""
   }
 
   // ------------------------------------------------------------ checkpoint
@@ -500,7 +607,7 @@ object DeltaLog {
       if (st.tableId == null) java.util.UUID.randomUUID().toString
       else st.tableId,
       Row("parquet", Map.empty[String, String]),
-      st.schemaString, st.partitionColumns, Map.empty[String, String],
+      st.schemaString, st.partitionColumns, st.configuration,
       System.currentTimeMillis()), null, null)
     val addRows = st.files.values.toSeq.sortBy(_.relPath).map(e =>
       Row(null, null, Row(encodePath(e.relPath), e.partitionValues,
@@ -508,10 +615,9 @@ object DeltaLog {
     // tombstones ride in checkpoints (the protocol's remove entries) for
     // the retention window; past it an entry is dropped ONLY once its
     // physical file is gone (vacuumed) — a still-present expired file must
-    // stay excluded from reconcile's listing or it would be re-adopted
-    val retentionMs = (spark.conf
-      .get(TombstoneRetentionConf, DefaultTombstoneRetentionHours.toString)
-      .toDouble * 3600 * 1000).toLong
+    // stay excluded from reconcile's listing or it would be re-adopted.
+    // Retention resolves per-table (property → session conf → 168 h).
+    val retentionMs = tombstoneRetentionMs(spark, st.configuration)
     val cutoff = System.currentTimeMillis() - retentionMs
     // existence checks run only for EXPIRED entries (none in the common
     // case); past a handful, one recursive listing answers them all
@@ -565,7 +671,129 @@ object DeltaLog {
       s"""{"version":${st.version},"size":${rows.size}$parts"""
         .concat("}").getBytes(UTF_8))
     finally lc.close()
+    // checkpoint time is also log-cleanup time (real Delta's hook): with
+    // the new checkpoint durable, commit JSONs the retention window has
+    // expired can go
+    cleanExpiredLogs(spark, fs, root, st.configuration)
     ()
+  }
+
+  /** Force a checkpoint at the table's current version (Delta's explicit
+    * `checkpoint()`), then run log-retention cleanup. Normally
+    * checkpoints land automatically every [[CheckpointInterval]] commits;
+    * the explicit form exists for maintenance jobs that want the
+    * `_delta_log` listing bounded NOW. Returns the checkpointed version.
+    */
+  def checkpoint(spark: SparkSession, root: String): Long = {
+    val st = replay(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no $LogDirName at $root — not a delta table"))
+    writeCheckpoint(spark, fileSystem(spark, root), root, st)
+    st.version
+  }
+
+  /** Delete commit JSONs and checkpoints that are BOTH (a) older than the
+    * table's log retention (`delta.logRetentionDuration` property →
+    * session conf → 30 days) and (b) superseded by a newer checkpoint —
+    * i.e. everything before the newest checkpoint whose own files have
+    * all expired. Deleting up to a checkpoint BOUNDARY (never an
+    * arbitrary expired prefix) keeps every retained version replayable:
+    * any `asOf` at or past the boundary replays from a checkpoint ≥ its
+    * preceding one; anything older refuses with the documented
+    * "predates the oldest reconstructable state". Without this, a table
+    * merged every few minutes grows an unbounded `_delta_log` listing —
+    * the exact O(files) driver walk history() and replay's listing pay.
+    * Returns the number of log files deleted.
+    */
+  def cleanExpiredLogs(spark: SparkSession, fs: FileSystem, root: String,
+      config: Map[String, String]): Long = {
+    val dir = logDir(root)
+    if (!fs.exists(dir)) return 0L
+    val cutoff = System.currentTimeMillis() - logRetentionMs(spark, config)
+    val entries = fs.listStatus(dir).toSeq
+    def versionOf(n: String): Option[Long] =
+      if (n.length >= 20 && n.take(20).forall(_.isDigit))
+        Some(n.take(20).toLong)
+      else None
+    val SingleName = """^(\d{20})\.checkpoint\.parquet$""".r
+    val MultiName = """^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$""".r
+    val isCheckpointFile: String => Boolean = n =>
+      SingleName.pattern.matcher(n).matches() ||
+        MultiName.pattern.matcher(n).matches()
+    // boundary: newest COMPLETE checkpoint, all of whose files are
+    // expired. Completeness matters — a torn multi-part set must never
+    // anchor deletion (replay couldn't use it as base); and every part
+    // must be past the cutoff, not just one, so a half-fresh set can't
+    // delete still-retained history.
+    val singles = entries.flatMap(s => s.getPath.getName match {
+      case SingleName(v) => Some(v.toLong -> s.getModificationTime)
+      case _ => None
+    })
+    val multis = entries.flatMap(s => s.getPath.getName match {
+      case MultiName(v, i, k) =>
+        Some((v.toLong, k.toInt, i.toInt, s.getModificationTime))
+      case _ => None
+    }).groupBy(t => (t._1, t._2)).collect {
+      case ((v, k), parts) if parts.map(_._3).toSet == (1 to k).toSet =>
+        v -> parts.map(_._4).max
+    }
+    val boundary = (singles ++ multis)
+      .collect { case (v, newest) if newest <= cutoff => v }
+      .maxOption
+    boundary match {
+      case None => 0L
+      case Some(b) =>
+        var n = 0L
+        entries.foreach { s =>
+          val name = s.getPath.getName
+          val deletable =
+            (name.endsWith(".json") || isCheckpointFile(name)) &&
+              versionOf(name).exists(_ < b)
+          if (deletable && fs.delete(s.getPath, false)) n += 1
+        }
+        n
+    }
+  }
+
+  /** SET TBLPROPERTIES: commit a metaData action carrying the current
+    * state with `props` merged into the configuration map (a null value
+    * unsets its key). The reference sets
+    * `delta.deletedFileRetentionDuration` / `delta.logRetentionDuration`
+    * this way at write time (light_transform.py:1373-1374). Returns the
+    * committed version (current version when nothing changed).
+    */
+  def setTableProperties(spark: SparkSession, root: String,
+      props: Map[String, String]): Long = {
+    val fs = fileSystem(spark, root)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val state = replay(spark, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"no $LogDirName at $root — not a delta table"))
+      require(state.schemaString != null,
+        s"delta log at $root has no metaData action")
+      val merged = (state.configuration ++ props).filter(_._2 != null)
+      if (merged == state.configuration) return state.version
+      val version = state.version + 1
+      val now = System.currentTimeMillis()
+      val body =
+        s"""{"commitInfo":{"timestamp":$now,""" +
+          s""""operation":"SET TBLPROPERTIES","operationParameters":{},""" +
+          s""""engineInfo":"graft-spark"}}""" + "\n" +
+          metaDataJson(state.tableId, state.schemaString,
+            state.partitionColumns, merged, now) + "\n"
+      if (tryCommit(spark, fs, root, version, body)) {
+        if (version > 0 && version % CheckpointInterval == 0)
+          writeCheckpoint(spark, fs, root,
+            state.copy(version = version, configuration = merged))
+        return version
+      }
+      require(attempt < MaxCommitAttempts,
+        s"delta commit for $root lost the version race $MaxCommitAttempts " +
+          "times — refusing to spin (is the table lease being bypassed?)")
+    }
+    -1L // unreachable
   }
 
   /** Reads one checkpoint — classic single-file or all parts of a
@@ -592,7 +820,10 @@ object DeltaLog {
         st = st.copy(
           tableId = m.getString(m.fieldIndex("id")),
           schemaString = m.getString(m.fieldIndex("schemaString")),
-          partitionColumns = m.getSeq[String](m.fieldIndex("partitionColumns")))
+          partitionColumns = m.getSeq[String](m.fieldIndex("partitionColumns")),
+          configuration =
+            Option(m.getMap[String, String](m.fieldIndex("configuration")))
+              .map(_.toMap).getOrElse(Map.empty))
       }
       val addIdx = r.fieldIndex("add")
       if (!r.isNullAt(addIdx)) {
@@ -699,13 +930,13 @@ object DeltaLog {
     * whether the commit carried a metaData (schema) action, and whether
     * any add was a data change (false across a pure OPTIMIZE rewrite).
     *
-    * Log retention: this engine never cleans commit JSONs itself, so
-    * history is complete by default. An operator (or a future
-    * `logRetention` knob mirroring Delta's `delta.logRetentionDuration`)
-    * that deletes pre-checkpoint commits SHORTENS what this returns —
-    * replay/read are unaffected (the checkpoint carries state), but
-    * DESCRIBE HISTORY covers only the retained tail. Pinned in
-    * DeltaLogSpec ("history() covers only RETAINED commit JSONs").
+    * Log retention: [[cleanExpiredLogs]] (run at every checkpoint)
+    * deletes pre-checkpoint commits past the table's
+    * `delta.logRetentionDuration` (default 30 days), which SHORTENS what
+    * this returns — replay/read are unaffected (the checkpoint carries
+    * state), but DESCRIBE HISTORY covers only the retained tail. Same
+    * contract as real Delta. Pinned in DeltaLogSpec ("history() covers
+    * only RETAINED commit JSONs").
     */
   def history(spark: SparkSession, root: String): DataFrame = {
     val fs = fileSystem(spark, root)

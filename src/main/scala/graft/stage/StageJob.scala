@@ -25,6 +25,19 @@ object StageJob {
 
   final case class StageResult(status: Status, rowsWritten: Long)
 
+  /** The retention properties the reference bakes into every stage Delta
+    * write (light_transform.py:1373-1374: `delta.deletedFileRetentionDuration
+    * = interval 7 days`, `delta.logRetentionDuration = interval 30 days`)
+    * — committed as real table properties after each write. Idempotent:
+    * an unchanged configuration commits nothing.
+    */
+  private def pinRetentionProps(spark: SparkSession, stagePath: String): Unit = {
+    graft.sources.DeltaLog.setTableProperties(spark, stagePath, Map(
+      graft.sources.DeltaLog.TombstoneRetentionProp -> "interval 7 days",
+      graft.sources.DeltaLog.LogRetentionProp -> "interval 30 days"))
+    ()
+  }
+
   def run(
       spark: SparkSession,
       table: TableConfig,
@@ -57,6 +70,7 @@ object StageJob {
         graft.sources.DeltaLog.reconcile(spark, stagePath, schema,
           partitionCols, operation = "WRITE", prior = prior,
           replaceSchema = true)
+        pinRetentionProps(spark, stagePath)
         StageResult(EmptyInput, 0L)
 
       case Some(raw) =>
@@ -91,6 +105,7 @@ object StageJob {
                   // no W2 sort here: upsertParquet's dedup + merge window
                   // shuffle immediately, so a pre-sort would be pure cost
                   MergeUpsert.upsertParquet(spark, cached, stagePath, idCols, partitionCols)
+                  pinRetentionProps(spark, stagePath)
                   // rows written by THIS run = the DEDUPED batch (what the
                   // merge actually lands). With order columns, keepLatest
                   // already left one row per id, so the plain count is
@@ -122,6 +137,7 @@ object StageJob {
                   graft.sources.DeltaLog.reconcile(spark, stagePath,
                     cached.schema, partitionCols, operation = "WRITE",
                     prior = prior, replaceSchema = true)
+                  pinRetentionProps(spark, stagePath)
                   cached.count()
                 }
               } finally cached.unpersist()

@@ -401,4 +401,39 @@ class MaintenanceSpec extends SparkTestBase {
         fs.makeQualified(new org.apache.hadoop.fs.Path(dir2)), rel)
         .toUri.toString))
   }
+
+  test("manifest swap: a crash between the two renames is recoverable") {
+    val dir = Files.createTempDirectory("graft-manifest-crash").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "a")).toDF("id", "v"), dir, Seq("id"))
+    Maintenance.generateSymlinkManifest(spark, dir)
+    val mroot = new org.apache.hadoop.fs.Path(dir,
+      Maintenance.SymlinkManifestDir)
+    val aside = new org.apache.hadoop.fs.Path(dir,
+      Maintenance.SymlinkManifestAside)
+    // simulate the crash window: old manifest parked aside, new never
+    // renamed in — the table has NO mroot, only the aside
+    assert(fs.rename(mroot, aside))
+    assert(!fs.exists(mroot) && fs.exists(aside))
+    // the aside still marks the table as manifest-maintaining, so a
+    // recover() regenerates from the log and sweeps the aside — without
+    // it, manifest maintenance would silently end here
+    Maintenance.recover(spark, dir)
+    assert(fs.exists(mroot), "recover regenerates the manifest")
+    assert(!fs.exists(aside), "the aside leftover is swept")
+    val top = java.nio.file.Paths.get(dir,
+      Maintenance.SymlinkManifestDir, "manifest")
+    val uris = new String(java.nio.file.Files.readAllBytes(top), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq
+    val st = graft.sources.DeltaLog.replay(spark, dir).get
+    assert(uris.length === st.files.size)
+    // same crash window, healed by the presence-based WRITE-path refresh
+    assert(fs.rename(mroot, aside))
+    MergeUpsert.upsertParquet(spark,
+      Seq((2, "b")).toDF("id", "v"), dir, Seq("id"))
+    assert(fs.exists(mroot) && !fs.exists(aside),
+      "a write-path refresh also heals the torn swap")
+  }
 }

@@ -187,18 +187,69 @@ class VacuumSpec extends SparkTestBase {
     } finally spark.conf.unset(DeltaLog.TombstoneRetentionConf)
   }
 
-  test("non-retaining write on a retained table still never duplicates") {
+  test("a default-arg write on a retained table INHERITS retention") {
     val dir = tmp()
     MergeUpsert.upsertParquet(spark,
       Seq((1, "a")).toDF("id", "v"), dir, Seq("id"))
     MergeUpsert.upsertParquet(spark,
       Seq((2, "b")).toDF("id", "v"), dir, Seq("id"), retain = true)
-    // retain = false: the swap deletes __old eagerly, including the
-    // earlier tombstones it carried — degraded retention, consistent table
+    // retain defaults to false here, but the table already carries
+    // tombstones: effective retention derives from STATE (ADVICE r17) —
+    // a routine write must not silently collapse the 168h window
     MergeUpsert.upsertParquet(spark,
       Seq((3, "c")).toDF("id", "v"), dir, Seq("id"))
     assert(DeltaLog.read(spark, dir).count() === 3L)
+    val st = DeltaLog.replay(spark, dir).get
+    assert(st.tombstones.nonEmpty, "inherited retention keeps tombstones")
+    // every version is still data-travelable
+    assert(DeltaLog.read(spark, dir, 0L).count() === 1L)
+    assert(DeltaLog.read(spark, dir, 1L).count() === 2L)
+    // same inheritance on OPTIMIZE with default args
+    Maintenance.compact(spark, dir)
+    assert(DeltaLog.read(spark, dir).count() === 3L)
+    assert(DeltaLog.read(spark, dir, 1L).count() === 2L,
+      "pre-compact versions survive a default-arg OPTIMIZE")
+    // only VACUUM's retention pass actually deletes the files
+    assert(Maintenance.vacuum(spark, dir, retentionHours = 0.0) > 0L)
     assert(spark.read.parquet(dir).count() === 3L,
-      "eager delete leaves no tombstoned files behind")
+      "post-vacuum the directory is clean of tombstoned files")
+  }
+
+  test("graft.retainDeletedFiles property turns retention on from v0") {
+    val dir = tmp()
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "a")).toDF("id", "v"), dir, Seq("id"))
+    DeltaLog.setTableProperties(spark, dir,
+      Map("graft.retainDeletedFiles" -> "true"))
+    // no retain arg — the property alone keeps the replaced files
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "A")).toDF("id", "v"), dir, Seq("id"))
+    assert(DeltaLog.replay(spark, dir).get.tombstones.nonEmpty)
+    assert(DeltaLog.read(spark, dir, 0L).collect()
+      .map(_.getString(1)).toSeq === Seq("a"))
+  }
+
+  test("retention vacuum refuses while a live writer holds the lease") {
+    val dir = tmp()
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "a")).toDF("id", "v"), dir, Seq("id"))
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val lease = WriterLease.acquire(fs, dir,
+      MergeUpsert.DefaultLeaseStaleMs)
+    try {
+      intercept[MergeUpsert.ConcurrentWriteException] {
+        Maintenance.vacuum(spark, dir, retentionHours = 0.0)
+      }
+      // the sweep-only vacuum silently skips instead of eating the live
+      // writer's staging/backup dirs
+      Seq(9).toDF("x").write.parquet(dir + "__staging.sometoken")
+      Maintenance.vacuum(spark, dir)
+      assert(new java.io.File(dir + "__staging.sometoken").exists(),
+        "live lease: in-flight staging is not residue")
+    } finally lease.release()
+    // lease released: the sweep proceeds
+    Maintenance.vacuum(spark, dir)
+    assert(!new java.io.File(dir + "__staging.sometoken").exists())
   }
 }

@@ -399,9 +399,10 @@ class DeltaLogSpec extends SparkTestBase {
   test("history() covers only RETAINED commit JSONs (log-retention posture)") {
     // DESCRIBE HISTORY reads the commit files; once pre-checkpoint JSONs
     // are cleaned (the protocol allows it), history shortens to the
-    // retained tail — pinned here as the documented contract (a
-    // logRetention knob would govern WHEN cleaning happens; the engine
-    // never cleans automatically)
+    // retained tail — pinned here as the documented contract.
+    // cleanExpiredLogs (run at every checkpoint) governs WHEN cleaning
+    // happens — delta.logRetentionDuration, 30 days default, so nothing
+    // auto-deletes in this test; the manual delete below simulates expiry
     val dir = tmp()
     (0 until 12).foreach { i =>
       MergeUpsert.upsertParquet(spark,
@@ -428,6 +429,136 @@ class DeltaLogSpec extends SparkTestBase {
     assert(DeltaLog.encodePath("a b") === "a%20b")
     assert(DeltaLog.encodePath("part=x/f.parquet") === "part=x/f.parquet",
       "unreserved chars and = stay literal")
+  }
+
+  test("interval parsing: Delta's duration-property syntax, refusals") {
+    assert(DeltaLog.parseIntervalMs("interval 168 hours") ===
+      168L * 3600 * 1000)
+    assert(DeltaLog.parseIntervalMs("interval 30 days") ===
+      30L * 24 * 3600 * 1000)
+    assert(DeltaLog.parseIntervalMs("INTERVAL 1 week") ===
+      7L * 24 * 3600 * 1000)
+    assert(DeltaLog.parseIntervalMs("interval 90 seconds") === 90000L)
+    assert(DeltaLog.parseIntervalMs("interval 5 minute") === 300000L)
+    assert(DeltaLog.parseIntervalMs("interval 250 milliseconds") === 250L)
+    assert(DeltaLog.parseIntervalMs("interval 0 hours") === 0L)
+    for (bad <- Seq("168 hours", "interval hours", "interval 7 fortnights",
+        "interval -1 days", "", "interval 99999999999999 weeks"))
+      intercept[IllegalArgumentException] { DeltaLog.parseIntervalMs(bad) }
+  }
+
+  test("table properties: SET TBLPROPERTIES commits metaData; " +
+      "retention resolves property > conf > default") {
+    val dir = tmp()
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "a")).toDF("id", "v"), dir, Seq("id"))
+    assert(DeltaLog.replay(spark, dir).get.configuration === Map.empty)
+    val v = DeltaLog.setTableProperties(spark, dir, Map(
+      DeltaLog.TombstoneRetentionProp -> "interval 7 days",
+      DeltaLog.LogRetentionProp -> "interval 30 days"))
+    assert(v === 1L)
+    val st = DeltaLog.replay(spark, dir).get
+    assert(st.configuration === Map(
+      DeltaLog.TombstoneRetentionProp -> "interval 7 days",
+      DeltaLog.LogRetentionProp -> "interval 30 days"))
+    // idempotent: unchanged props commit nothing
+    assert(DeltaLog.setTableProperties(spark, dir, Map(
+      DeltaLog.LogRetentionProp -> "interval 30 days")) === 1L)
+    // null unsets
+    assert(DeltaLog.setTableProperties(spark, dir, Map(
+      DeltaLog.LogRetentionProp -> null)) === 2L)
+    assert(DeltaLog.replay(spark, dir).get.configuration ===
+      Map(DeltaLog.TombstoneRetentionProp -> "interval 7 days"))
+    // configuration survives further writes (metaData rides unchanged)
+    MergeUpsert.upsertParquet(spark,
+      Seq((2, "b")).toDF("id", "v"), dir, Seq("id"))
+    assert(DeltaLog.replay(spark, dir).get.configuration ===
+      Map(DeltaLog.TombstoneRetentionProp -> "interval 7 days"))
+    // resolution precedence: table property wins over the session conf
+    spark.conf.set(DeltaLog.TombstoneRetentionConf, "1")
+    try {
+      assert(DeltaLog.tombstoneRetentionMs(spark,
+        Map(DeltaLog.TombstoneRetentionProp -> "interval 7 days")) ===
+        7L * 24 * 3600 * 1000)
+      assert(DeltaLog.tombstoneRetentionMs(spark, Map.empty) === 3600000L)
+    } finally spark.conf.unset(DeltaLog.TombstoneRetentionConf)
+    assert(DeltaLog.tombstoneRetentionMs(spark, Map.empty) ===
+      (DeltaLog.DefaultTombstoneRetentionHours * 3600 * 1000).toLong)
+    // and configuration survives a checkpoint round-trip
+    (0 until 10).foreach { i =>
+      MergeUpsert.upsertParquet(spark,
+        Seq((10 + i, "x")).toDF("id", "v"), dir, Seq("id"))
+    }
+    val names = new java.io.File(dir, DeltaLog.LogDirName).listFiles()
+      .map(_.getName).filter(_.endsWith(".checkpoint.parquet"))
+    assert(names.nonEmpty, "a checkpoint landed")
+    val cpV = names.map(_.take(20).toLong).max
+    assert(DeltaLog.replay(spark, dir, cpV).get.configuration ===
+      Map(DeltaLog.TombstoneRetentionProp -> "interval 7 days"))
+  }
+
+  test("log retention: checkpoint-time cleanup bounds _delta_log; " +
+      "replay and head reads survive") {
+    val dir = tmp()
+    (0 until 12).foreach { i =>
+      MergeUpsert.upsertParquet(spark,
+        Seq((i, s"v$i")).toDF("id", "v"), dir, Seq("id"))
+    }
+    // default 30-day retention: the automatic v10 checkpoint cleaned nothing
+    assert(logFiles(dir).count(_.endsWith(".json")) === 12)
+    DeltaLog.setTableProperties(spark, dir,
+      Map(DeltaLog.LogRetentionProp -> "interval 0 hours")) // v12
+    val cpV = DeltaLog.checkpoint(spark, dir)
+    assert(cpV === 12L)
+    // boundary = the fresh v12 checkpoint (everything expired at 0h):
+    // all pre-boundary JSONs and checkpoints are gone
+    val jsons = logFiles(dir).filter(_.endsWith(".json"))
+    assert(jsons === Seq(f"$cpV%020d.json"))
+    assert(!logFiles(dir).contains("00000000000000000010.checkpoint.parquet"),
+      "the superseded v10 checkpoint is cleaned too")
+    // the table is intact: replay from the boundary checkpoint
+    assert(DeltaLog.read(spark, dir).count() === 12L)
+    assert(DeltaLog.history(spark, dir).count() === 1L,
+      "history covers only the retained tail")
+    // pre-boundary versions refuse (history cleaned), never misread
+    val e = intercept[IllegalArgumentException] { DeltaLog.replay(spark, dir, 5L) }
+    assert(e.getMessage.contains("predates"))
+    // and the table keeps working past the cleanup
+    MergeUpsert.upsertParquet(spark,
+      Seq((99, "z")).toDF("id", "v"), dir, Seq("id"))
+    assert(DeltaLog.read(spark, dir).count() === 13L)
+  }
+
+  test("commit store: conditional put carries commits; racing writers " +
+      "serialize to distinct versions") {
+    spark.conf.set(DeltaLog.CommitStoreClassConf,
+      "graft.sources.TestCommitStore")
+    try {
+      val dir = tmp()
+      val before = TestCommitStore.puts.get()
+      MergeUpsert.upsertParquet(spark,
+        Seq((1, "a")).toDF("id", "v"), dir, Seq("id"))
+      MergeUpsert.upsertParquet(spark,
+        Seq((2, "b")).toDF("id", "v"), dir, Seq("id"))
+      assert(DeltaLog.read(spark, dir).count() === 2L)
+      assert(TestCommitStore.puts.get() - before >= 2,
+        "commits routed through the conditional-put store")
+      // race: concurrent metadata commits must each win a DISTINCT
+      // version via the put-if-absent loop (no lost commits, no spins)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val futs = (0 until 4).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            override def call(): Long =
+              DeltaLog.commitInfo(spark, dir, s"RACE_$i")
+          })
+        }
+        val versions = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+        assert(versions.toSet.size === 4, s"distinct versions: $versions")
+        assert(versions.toSet === (2L to 5L).toSet)
+      } finally pool.shutdown()
+      assert(DeltaLog.replay(spark, dir).get.version === 5L)
+    } finally spark.conf.unset(DeltaLog.CommitStoreClassConf)
   }
 
   test("empty-table log (K8 empty materialization shape) reads as empty typed") {
