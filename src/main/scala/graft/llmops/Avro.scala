@@ -436,9 +436,12 @@ object Avro {
         // ("header exceeds 64 MB") diagnostic fired
         try parsed = parseHeader(buf.toByteArray)
         catch {
-          case e: IllegalArgumentException
-              if buf.size() >= 4 &&
-                e.getMessage == "not an avro object container" =>
+          // a failed MAGIC check is definitive once 4 bytes are in — the
+          // dedicated type (not message equality, which silently decoupled
+          // once: Predef.require prefixes "requirement failed: ") stops
+          // a large NON-avro stray file from being accumulated whole
+          // before the wrong ("header exceeds 64 MB") diagnostic fired
+          case _: NotAvroException =>
             throw new IllegalArgumentException(
               s"$path is not an avro object container")
           case _: IllegalArgumentException if n > 0 => // need more bytes
@@ -449,10 +452,20 @@ object Avro {
     } finally in.close()
   }
 
+  /** Thrown by [[parseHeader]] when the 4-byte magic is present and WRONG
+    * — a definitive "not avro", as opposed to "header incomplete, keep
+    * reading" (plain IllegalArgumentException). [[readHeader]] fast-fails
+    * on the TYPE; matching a message literal is what let the fast-fail
+    * silently die before (require() prefixes "requirement failed: ").
+    */
+  private final class NotAvroException
+    extends IllegalArgumentException("not an avro object container")
+
   private[llmops] def parseHeader(b: Array[Byte]): Header = {
     val in = new In(b, 0, b.length)
-    require(b.length >= 4 && b(0) == 'O' && b(1) == 'b' && b(2) == 'j' &&
-      b(3) == 1, "not an avro object container")
+    require(b.length >= 4, "avro header incomplete")
+    if (!(b(0) == 'O' && b(1) == 'b' && b(2) == 'j' && b(3) == 1))
+      throw new NotAvroException
     in.i = 4
     var schema: String = null
     var codec = "null"

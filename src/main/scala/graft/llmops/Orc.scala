@@ -797,6 +797,13 @@ object Orc {
   final case class OrcMeta(compression: Int, blockSize: Int,
       stripes: Vector[Stripe], types: Vector[TypeNode], rows: Long)
 
+  /** Ceiling on the driver-side tail re-read (postscript + footer). A real
+    * footer is KBs–MBs even at 160k stripes; 256 MB is far past any sane
+    * file and comfortably below Int.MaxValue, so the Long→Int narrowing
+    * below can never wrap.
+    */
+  private val MaxTailBytes = 256L << 20
+
   /** Driver-side tail read: postscript + footer only. */
   def readTail(conf: org.apache.hadoop.conf.Configuration,
       path: String): OrcMeta = {
@@ -819,6 +826,13 @@ object Orc {
     if (footerLen > effLen - 1 - psLen) {
       val need = footerLen + psLen + 1
       require(need <= len, "orc footer exceeds the file itself")
+      // footerLen is attacker-controlled: on a >2 GB file "need + 1024"
+      // can pass the length check yet overflow .toInt (negative array
+      // size) or demand a multi-GB driver buffer — clamp in Long math to
+      // a named ceiling and refuse loudly past it
+      require(need + 1024 <= MaxTailBytes,
+        s"orc footer of $footerLen bytes exceeds the " +
+          s"$MaxTailBytes-byte tail cap: $path")
       effLen = math.min(len, need + 1024).toInt
       tail = new Array[Byte](effLen)
       val in2 = fs.open(p)

@@ -570,6 +570,10 @@ class AvroSpec extends SparkTestBase {
         s"$dir/stray.bin")
     }
     assert(e.getMessage.contains("not an avro object container"))
+    // only the FAST arm (typed NotAvroException on the first chunk) wraps
+    // the path in; the slow end-of-file rethrow never did — so this pins
+    // that the fast-fail actually fired instead of whole-file accumulation
+    assert(e.getMessage.contains("stray.bin"))
   }
 
   test("writeShards: distributed export, read back by both readers") {

@@ -163,6 +163,34 @@ class OrcSpec extends SparkTestBase {
     }
   }
 
+  test("readTail refuses a multi-GB declared footer instead of wrapping") {
+    // a >2 GB SPARSE file whose postscript declares a ~3 GB footer: the
+    // "footer exceeds the file itself" check passes, and without the tail
+    // cap the Long→Int narrowing of (need + 1024) wraps negative
+    // (NegativeArraySizeException) or demands a ~3 GB driver buffer
+    def varint(v0: Long): Array[Byte] = {
+      var v = v0
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      while ((v & ~0x7fL) != 0) { out += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
+      out += v.toByte
+      out.toArray
+    }
+    val footerLen = 3000000000L
+    val ps = Array[Byte](0x08) ++ varint(footerLen) // field 1 varint
+    val path = Files.createTempDirectory("graft-orc").toString + "/big.orc"
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    try {
+      raf.setLength(footerLen + 256) // sparse on linux: ~0 disk
+      raf.seek(raf.length() - ps.length - 1)
+      raf.write(ps)
+      raf.write(ps.length) // trailing psLen byte
+    } finally raf.close()
+    val e = intercept[IllegalArgumentException] {
+      Orc.readTail(spark.sparkContext.hadoopConfiguration, path)
+    }
+    assert(e.getMessage.contains("tail cap"))
+  }
+
   test("decimal + timestamp columns vs spark.read.orc (incl. pre-2015/pre-1970)") {
     val ss = spark
     import ss.implicits._
