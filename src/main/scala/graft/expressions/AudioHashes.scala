@@ -88,11 +88,16 @@ case class AudioEnvelopeHash(child: Expression) extends UnaryExpression {
     AudioEnvelopeHash.compute(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName, never a literal: two of these in one whole-stage
+      // span would redefine the local and kick the WHOLE stage to
+      // interpreted (janino "Redefinition of local variable")
+      val v = ctx.freshName("aeh")
       s"""
-         |java.lang.Long aeh$$ = graft.expressions.AudioEnvelopeHash.compute($c);
-         |if (aeh$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = aeh$$.longValue(); }
-       """.stripMargin)
+         |java.lang.Long $v = graft.expressions.AudioEnvelopeHash.compute($c);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.longValue(); }
+       """.stripMargin
+      })
 
   override protected def withNewChildInternal(newChild: Expression): AudioEnvelopeHash =
     copy(child = newChild)
@@ -124,11 +129,16 @@ case class AudioSpectralHash(child: Expression) extends UnaryExpression {
     AudioSpectralHash.compute(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName, never a literal: two of these in one whole-stage
+      // span would redefine the local and kick the WHOLE stage to
+      // interpreted (janino "Redefinition of local variable")
+      val v = ctx.freshName("ash")
       s"""
-         |java.lang.Long ash$$ = graft.expressions.AudioSpectralHash.compute($c);
-         |if (ash$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = ash$$.longValue(); }
-       """.stripMargin)
+         |java.lang.Long $v = graft.expressions.AudioSpectralHash.compute($c);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.longValue(); }
+       """.stripMargin
+      })
 
   override protected def withNewChildInternal(newChild: Expression): AudioSpectralHash =
     copy(child = newChild)

@@ -248,11 +248,16 @@ case class BmpDHash(child: Expression) extends UnaryExpression {
     BmpDHash.compute(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName, never a literal: two of these in one whole-stage
+      // span would redefine the local and kick the WHOLE stage to
+      // interpreted (janino "Redefinition of local variable")
+      val v = ctx.freshName("bdh")
       s"""
-         |java.lang.Long bdh$$ = graft.expressions.BmpDHash.compute($c);
-         |if (bdh$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = bdh$$.longValue(); }
-       """.stripMargin)
+         |java.lang.Long $v = graft.expressions.BmpDHash.compute($c);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.longValue(); }
+       """.stripMargin
+      })
 
   override protected def withNewChildInternal(newChild: Expression): BmpDHash =
     copy(child = newChild)

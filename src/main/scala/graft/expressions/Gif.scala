@@ -370,11 +370,16 @@ case class GifDHash(child: Expression) extends UnaryExpression {
     GifDHash.compute(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName, never a literal: two of these in one whole-stage
+      // span would redefine the local and kick the WHOLE stage to
+      // interpreted (janino "Redefinition of local variable")
+      val v = ctx.freshName("gdh")
       s"""
-         |java.lang.Long gdh$$ = graft.expressions.GifDHash.compute($c);
-         |if (gdh$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = gdh$$.longValue(); }
-       """.stripMargin)
+         |java.lang.Long $v = graft.expressions.GifDHash.compute($c);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.longValue(); }
+       """.stripMargin
+      })
 
   override protected def withNewChildInternal(newChild: Expression): GifDHash =
     copy(child = newChild)

@@ -136,11 +136,16 @@ case class IcoDHash(child: Expression) extends UnaryExpression {
     IcoDHash.compute(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName, never a literal: two of these in one whole-stage
+      // span would redefine the local and kick the WHOLE stage to
+      // interpreted (janino "Redefinition of local variable")
+      val v = ctx.freshName("idh")
       s"""
-         |java.lang.Long idh$$ = graft.expressions.IcoDHash.compute($c);
-         |if (idh$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = idh$$.longValue(); }
-       """.stripMargin)
+         |java.lang.Long $v = graft.expressions.IcoDHash.compute($c);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.longValue(); }
+       """.stripMargin
+      })
 
   override protected def withNewChildInternal(newChild: Expression): IcoDHash =
     copy(child = newChild)

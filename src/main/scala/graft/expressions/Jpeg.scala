@@ -1387,11 +1387,16 @@ case class JpegDHash(child: Expression) extends UnaryExpression {
     JpegDHash.compute(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName, never a literal: two of these in one whole-stage
+      // span would redefine the local and kick the WHOLE stage to
+      // interpreted (janino "Redefinition of local variable")
+      val v = ctx.freshName("jdh")
       s"""
-         |java.lang.Long jdh$$ = graft.expressions.JpegDHash.compute($c);
-         |if (jdh$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = jdh$$.longValue(); }
-       """.stripMargin)
+         |java.lang.Long $v = graft.expressions.JpegDHash.compute($c);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.longValue(); }
+       """.stripMargin
+      })
 
   override protected def withNewChildInternal(newChild: Expression): JpegDHash =
     copy(child = newChild)
@@ -1413,11 +1418,16 @@ case class JpegExifOrientation(child: Expression) extends UnaryExpression {
     JpegExifOrientation.compute(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName, never a literal: two of these in one whole-stage
+      // span would redefine the local and kick the WHOLE stage to
+      // interpreted (janino "Redefinition of local variable")
+      val v = ctx.freshName("jo")
       s"""
-         |java.lang.Integer jo$$ = graft.expressions.JpegExifOrientation.compute($c);
-         |if (jo$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = jo$$.intValue(); }
-       """.stripMargin)
+         |java.lang.Integer $v = graft.expressions.JpegExifOrientation.compute($c);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.intValue(); }
+       """.stripMargin
+      })
 
   override protected def withNewChildInternal(newChild: Expression): JpegExifOrientation =
     copy(child = newChild)
@@ -1450,11 +1460,16 @@ case class JpegDHashOriented(child: Expression) extends UnaryExpression {
     JpegDHashOriented.compute(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName, never a literal: two of these in one whole-stage
+      // span would redefine the local and kick the WHOLE stage to
+      // interpreted (janino "Redefinition of local variable")
+      val v = ctx.freshName("jho")
       s"""
-         |java.lang.Long jho$$ = graft.expressions.JpegDHashOriented.compute($c);
-         |if (jho$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = jho$$.longValue(); }
-       """.stripMargin)
+         |java.lang.Long $v = graft.expressions.JpegDHashOriented.compute($c);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.longValue(); }
+       """.stripMargin
+      })
 
   override protected def withNewChildInternal(newChild: Expression): JpegDHashOriented =
     copy(child = newChild)

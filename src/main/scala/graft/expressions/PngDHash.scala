@@ -41,11 +41,16 @@ case class PngDHash(child: Expression) extends UnaryExpression {
     PngDHash.compute(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName, never a literal: two of these in one whole-stage
+      // span would redefine the local and kick the WHOLE stage to
+      // interpreted (janino "Redefinition of local variable")
+      val v = ctx.freshName("dh")
       s"""
-         |java.lang.Long dh$$ = graft.expressions.PngDHash.compute($c);
-         |if (dh$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = dh$$.longValue(); }
-       """.stripMargin)
+         |java.lang.Long $v = graft.expressions.PngDHash.compute($c);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.longValue(); }
+       """.stripMargin
+      })
 
   override protected def withNewChildInternal(newChild: Expression): PngDHash =
     copy(child = newChild)

@@ -45,13 +45,18 @@ case class RobotsAllowed(left: Expression, right: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val agentRef = ctx.addReferenceObj("robotsAgent", agent,
       classOf[String].getName)
-    nullSafeCodeGen(ctx, ev, (r, u) =>
+    nullSafeCodeGen(ctx, ev, (r, u) => {
+      // freshName, never a literal: two of these in one whole-stage span
+      // would redefine the local and kick the WHOLE stage to interpreted
+      // (janino "Redefinition of local variable")
+      val v = ctx.freshName("ra")
       s"""
-         |java.lang.Boolean ra$$ = graft.expressions.RobotsAllowed.compute(
+         |java.lang.Boolean $v = graft.expressions.RobotsAllowed.compute(
          |  $r, $u, $agentRef);
-         |if (ra$$ == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ra$$.booleanValue(); }
-       """.stripMargin)
+         |if ($v == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $v.booleanValue(); }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,

@@ -39,11 +39,16 @@ case class WavEnvelopeHash(child: Expression) extends UnaryExpression {
     WavEnvelopeHash.compute(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName, never a literal: two of these in one whole-stage
+      // span would redefine the local and kick the WHOLE stage to
+      // interpreted (janino "Redefinition of local variable")
+      val v = ctx.freshName("eh")
       s"""
-         |java.lang.Long eh$$ = graft.expressions.WavEnvelopeHash.compute($c);
-         |if (eh$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = eh$$.longValue(); }
-       """.stripMargin)
+         |java.lang.Long $v = graft.expressions.WavEnvelopeHash.compute($c);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.longValue(); }
+       """.stripMargin
+      })
 
   override protected def withNewChildInternal(newChild: Expression): WavEnvelopeHash =
     copy(child = newChild)

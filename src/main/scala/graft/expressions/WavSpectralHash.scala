@@ -43,11 +43,16 @@ case class WavSpectralHash(child: Expression) extends UnaryExpression {
     WavSpectralHash.compute(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName, never a literal: two of these in one whole-stage
+      // span would redefine the local and kick the WHOLE stage to
+      // interpreted (janino "Redefinition of local variable")
+      val v = ctx.freshName("sh")
       s"""
-         |java.lang.Long sh$$ = graft.expressions.WavSpectralHash.compute($c);
-         |if (sh$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = sh$$.longValue(); }
-       """.stripMargin)
+         |java.lang.Long $v = graft.expressions.WavSpectralHash.compute($c);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.longValue(); }
+       """.stripMargin
+      })
 
   override protected def withNewChildInternal(newChild: Expression): WavSpectralHash =
     copy(child = newChild)

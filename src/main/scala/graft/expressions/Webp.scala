@@ -583,11 +583,16 @@ case class WebpDHash(child: Expression) extends UnaryExpression {
     WebpDHash.compute(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName, never a literal: two of these in one whole-stage
+      // span would redefine the local and kick the WHOLE stage to
+      // interpreted (janino "Redefinition of local variable")
+      val v = ctx.freshName("wdh")
       s"""
-         |java.lang.Long wdh$$ = graft.expressions.WebpDHash.compute($c);
-         |if (wdh$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = wdh$$.longValue(); }
-       """.stripMargin)
+         |java.lang.Long $v = graft.expressions.WebpDHash.compute($c);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.longValue(); }
+       """.stripMargin
+      })
 
   override protected def withNewChildInternal(newChild: Expression): WebpDHash =
     copy(child = newChild)
