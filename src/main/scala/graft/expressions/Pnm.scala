@@ -73,7 +73,10 @@ object PnmDecode {
     }
     def scale(v: Int): Int =
       if (maxval == 255) v
-      else if (maxval > 255) v >>> 8 // high byte, the 16-bit reduction
+      else if (maxval == 65535) v >>> 8 // high byte, the 16-bit reduction
+      // a NON-full-range two-byte maxval (10/12-bit scans: 1023, 4095)
+      // must scale arithmetically — the high-byte shift maps 1023 to 3,
+      // crushing the whole image to near-black
       else v * 255 / maxval
     kind match {
       case 1 => // ASCII bitmap: 0 = white, 1 = black
@@ -178,11 +181,16 @@ case class PnmDHash(child: Expression) extends UnaryExpression {
     PnmDHash.compute(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName, never a literal: two of these in one whole-stage
+      // span would redefine the local and kick the WHOLE stage to
+      // interpreted (janino "Redefinition of local variable")
+      val v = ctx.freshName("ndh")
       s"""
-         |java.lang.Long ndh$$ = graft.expressions.PnmDHash.compute($c);
-         |if (ndh$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = ndh$$.longValue(); }
-       """.stripMargin)
+         |java.lang.Long $v = graft.expressions.PnmDHash.compute($c);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.longValue(); }
+       """.stripMargin
+      })
 
   override protected def withNewChildInternal(newChild: Expression): PnmDHash =
     copy(child = newChild)

@@ -184,6 +184,11 @@ object TiffDecode {
     // decompress one segment (strip or tile) to exactly `need` bytes
     def segment(off: Int, len: Int, need: Int): Array[Byte] = {
       if (off < 0 || len < 0 || off.toLong + len > b.length) return null
+      // the canvas cap bounds PIXELS; a 64-bpp tile forged far wider than
+      // the image would still demand a multi-hundred-MB segment buffer
+      // here (compressed input, so not bounded by the blob size) — cap
+      // the decode target itself, same allocation-bomb posture
+      if (need < 0 || need > (128 << 20)) return null
       compression match {
         case 1 =>
           if (len < need || off.toLong + need > b.length) null
@@ -558,11 +563,16 @@ case class TiffDHash(child: Expression) extends UnaryExpression {
     TiffDHash.compute(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName, never a literal: two of these in one whole-stage
+      // span would redefine the local and kick the WHOLE stage to
+      // interpreted (janino "Redefinition of local variable")
+      val v = ctx.freshName("tdh")
       s"""
-         |java.lang.Long tdh$$ = graft.expressions.TiffDHash.compute($c);
-         |if (tdh$$ == null) { ${ev.isNull} = true; } else { ${ev.value} = tdh$$.longValue(); }
-       """.stripMargin)
+         |java.lang.Long $v = graft.expressions.TiffDHash.compute($c);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.longValue(); }
+       """.stripMargin
+      })
 
   override protected def withNewChildInternal(newChild: Expression): TiffDHash =
     copy(child = newChild)

@@ -84,7 +84,13 @@ object Cfb {
       val maxSectors = math.max(0, (bytes.length - 512) / sectorSize) + 1
       val entriesPerSector = sectorSize / 4
 
-      def sectorOffset(sector: Int): Int = 512 + sector * sectorSize
+      // [MS-CFB] 2.1: sector #n starts at (n + 1) << sectorShift — the
+      // header occupies all of "sector -1", so in a v4 file (4096-byte
+      // sectors) sector 0 begins at 4096, NOT 512; the remaining 3584
+      // header-sector bytes are zero fill. The old "512 + n*sectorSize"
+      // form silently mis-read every v4 file (garbage directory → None),
+      // a writer-twin blind spot: [[CfbWriter]] only emits v3.
+      def sectorOffset(sector: Int): Int = (sector + 1) * sectorSize
       def validSector(sector: Int): Boolean =
         sector >= 0 && sectorOffset(sector) + sectorSize <= bytes.length
 

@@ -189,11 +189,22 @@ object DocumentText {
   def extractTextAuto(bytes: Array[Byte]): Option[String] =
     sniffMime(bytes).flatMap(m => extractText(bytes, m))
 
-  /** BOM-aware decode: UTF-8 first; if the bytes are not valid UTF-8, fall
-    * back to ISO-8859-1 (which never fails) — the same lenient posture as
-    * the reference's latin-1 config parsing.
+  /** BOM-aware decode: a UTF-16 BOM (FF FE / FE FF) selects UTF-16 —
+    * without it a UTF-16 text file "decoded" as latin-1 interleaves a NUL
+    * between every character; a UTF-8 BOM is stripped; otherwise UTF-8
+    * first and, if the bytes are not valid UTF-8, ISO-8859-1 (which never
+    * fails) — the same lenient posture as the reference's latin-1 config
+    * parsing.
     */
   def decodeBytes(bytes: Array[Byte]): String = {
+    if (bytes.length >= 2) {
+      val b0 = bytes(0) & 0xFF; val b1 = bytes(1) & 0xFF
+      // new String with the BOM-carrying UTF-16 charset consumes the BOM
+      if (b0 == 0xFF && b1 == 0xFE)
+        return new String(bytes, java.nio.charset.StandardCharsets.UTF_16)
+      if (b0 == 0xFE && b1 == 0xFF)
+        return new String(bytes, java.nio.charset.StandardCharsets.UTF_16)
+    }
     val body =
       if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
         bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte)

@@ -235,6 +235,20 @@ object LegacyOffice {
                 rows.getOrElseUpdate(rw, mutable.Map.empty)(col) =
                   renderNum(decodeRk(i32(wb, q + 10)))
                 if (col > maxCol) maxCol = col
+              case 0x00BD if len >= 12 => // MulRk: rw, colFirst, n×(ixfe+RK), colLast
+                // Excel writes consecutive numeric cells as ONE MulRk —
+                // skipping it silently blanked those cells (the writer
+                // twin emits plain RK records, so round-trips never saw it)
+                val rw = u16(wb, q + 4); val colFirst = u16(wb, q + 6)
+                val cells = (len - 6) / 6
+                var ci = 0
+                while (ci < cells) {
+                  val col = colFirst + ci
+                  rows.getOrElseUpdate(rw, mutable.Map.empty)(col) =
+                    renderNum(decodeRk(i32(wb, q + 8 + ci * 6 + 2)))
+                  if (col > maxCol) maxCol = col
+                  ci += 1
+                }
               case _ =>
             }
             if (inSheet) q += 4 + len

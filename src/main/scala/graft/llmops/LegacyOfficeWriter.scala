@@ -88,9 +88,12 @@ object LegacyOfficeWriter {
   /** BIFF8 workbook. Cells: String -> LabelSst (through a real shared
     * string table), Double -> Number (IEEE754), Int -> RK (30-bit
     * integer form) — the three cell records [[LegacyOffice.xlsText]]
-    * decodes.
+    * decodes. With `mulRk = true`, runs of two or more consecutive Int
+    * cells pack into one MulRk record (0x00BD) — how Excel itself stores
+    * them, so the reader's MulRk arm gets a real-layout fixture.
     */
-  def xls(sheets: Seq[(String, Seq[Seq[Any]])]): Array[Byte] = {
+  def xls(sheets: Seq[(String, Seq[Seq[Any]])],
+      mulRk: Boolean = false): Array[Byte] = {
     def record(typ: Int, data: Array[Byte]): Array[Byte] = {
       val out = new Array[Byte](4 + data.length)
       putU16(out, 0, typ)
@@ -147,22 +150,47 @@ object LegacyOfficeWriter {
       val out = new java.io.ByteArrayOutputStream()
       out.write(bof(0x0010))
       rows.zipWithIndex.foreach { case (cells, rw) =>
-        cells.zipWithIndex.foreach { case (cell, col) =>
-          cell match {
+        var col = 0
+        val indexed = cells.toIndexedSeq
+        while (col < indexed.length) {
+          indexed(col) match {
             case s: String =>
               val d = cellHead(rw, col, 4)
               putI32(d, 6, sstIndex(s))
               out.write(record(0x00FD, d))
+              col += 1
             case v: Double =>
               val d = cellHead(rw, col, 8)
               val bits = java.lang.Double.doubleToLongBits(v)
               var k = 0
               while (k < 8) { d(6 + k) = ((bits >> (8 * k)) & 0xFF).toByte; k += 1 }
               out.write(record(0x0203, d))
+              col += 1
+            case _: Int if mulRk && col + 1 < indexed.length &&
+                indexed(col + 1).isInstanceOf[Int] =>
+              // MulRk: rw, colFirst, n×(ixfe + RK), colLast
+              var end = col
+              while (end + 1 < indexed.length && indexed(end + 1).isInstanceOf[Int])
+                end += 1
+              val nCells = end - col + 1
+              val d = new Array[Byte](4 + 6 * nCells + 2)
+              putU16(d, 0, rw)
+              putU16(d, 2, col)
+              var ci = 0
+              while (ci < nCells) {
+                // ixfe = 0 at 4 + ci*6; RK value follows
+                putI32(d, 4 + ci * 6 + 2,
+                  (indexed(col + ci).asInstanceOf[Int] << 2) | 0x02)
+                ci += 1
+              }
+              putU16(d, 4 + 6 * nCells, end)
+              out.write(record(0x00BD, d))
+              col = end + 1
             case v: Int =>
               val d = cellHead(rw, col, 4)
               putI32(d, 6, (v << 2) | 0x02) // RK: 30-bit int form
               out.write(record(0x027E, d))
+              col += 1
             case other =>
               throw new IllegalArgumentException(s"unsupported cell: $other")
           }

@@ -79,10 +79,24 @@ object Ooxml {
 
   // ---- DOCX ----------------------------------------------------------------
 
+  /** Subtrees of word/document.xml that must not contribute run text:
+    * `pPr`/`rPr` carry formatting properties — a `<w:tabs><w:tab …/>`
+    * TAB-STOP DEFINITION inside pPr is not a tab character, yet shares
+    * the local name of the run-level `<w:tab/>` (real Word files almost
+    * always carry tab stops; rendering them was a phantom-'\t' bug);
+    * `drawing`/`pict`/`object` embed DrawingML whose `<a:t>` text-box
+    * runs python-docx's `doc.paragraphs` does NOT surface; an
+    * `AlternateContent` pair would emit its text twice (choice +
+    * fallback) — keeping neither matches the body-paragraph contract.
+    */
+  private val DocxSkipSubtrees =
+    Set("pPr", "rPr", "drawing", "pict", "object", "AlternateContent")
+
   /** Text of word/document.xml: body-level paragraphs (`<w:p>` outside any
     * `<w:tbl>`) with non-blank text, joined by "\n". Runs concatenate their
     * `<w:t>` text; `<w:tab/>` renders as '\t', `<w:br/>`/`<w:cr/>` as '\n'
-    * (python-docx's run-text rules).
+    * (python-docx's run-text rules). Formatting-property and embedded-
+    * drawing subtrees are skipped ([[DocxSkipSubtrees]]).
     */
   def docxText(bytes: Array[Byte]): Option[String] =
     try {
@@ -90,6 +104,7 @@ object Ooxml {
         val paras = mutable.ArrayBuffer.empty[String]
         val sb = new java.lang.StringBuilder
         var tblDepth = 0
+        var skip = 0
         val r = reader(doc)
         try {
           while (r.hasNext) {
@@ -97,6 +112,8 @@ object Ooxml {
               case XMLStreamConstants.START_ELEMENT =>
                 r.getLocalName match {
                   case "tbl" => tblDepth += 1
+                  case n if DocxSkipSubtrees(n) => skip += 1
+                  case _ if skip > 0 =>
                   case "p" if tblDepth == 0 => sb.setLength(0)
                   case "t" if tblDepth == 0 => sb.append(r.getElementText)
                   case "tab" if tblDepth == 0 => sb.append('\t')
@@ -106,6 +123,8 @@ object Ooxml {
               case XMLStreamConstants.END_ELEMENT =>
                 r.getLocalName match {
                   case "tbl" => tblDepth -= 1
+                  case n if DocxSkipSubtrees(n) => skip = math.max(0, skip - 1)
+                  case _ if skip > 0 =>
                   case "p" if tblDepth == 0 && sb.toString.trim.nonEmpty =>
                     paras += sb.toString
                   case _ =>

@@ -176,6 +176,9 @@ object Pdf {
         if (n == 0 && inf.needsInput()) return None // truncated
         out.write(buf, 0, n)
       }
+      // a preset-dictionary stream (FDICT) can't be inflated without the
+      // dictionary — refuse rather than hand back a partial prefix
+      if (inf.needsDictionary()) return None
       Some(out.toByteArray)
     } catch {
       case _: java.util.zip.DataFormatException => None

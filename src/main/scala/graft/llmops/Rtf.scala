@@ -88,6 +88,13 @@ object Rtf {
             if (neg) param = -param
           }
           if (i < n && s.charAt(i) == ' ') i += 1 // delimiter space consumed
+          if (word == "bin" && hasParam && param > 0) {
+            // \binN is followed by N RAW bytes (windows-1252 decode is
+            // 1:1 byte↔char, so N chars here): they are picture data, not
+            // markup — a '}' byte inside them must not close the group or
+            // end a \pict skip early and leak raster bytes as text
+            i = math.min(n.toLong, i.toLong + param).toInt
+          } else
           if (skipDepth == 0) word match {
             case "par" | "line" | "sect" | "page" => out.append('\n')
             case "tab" => out.append('\t')

@@ -18,6 +18,18 @@ class DocumentTextSpec extends SparkTestBase {
     assert(extractText(latin, "text/plain") === Some("céd"))
   }
 
+  test("UTF-16 BOMs select UTF-16, both endiannesses") {
+    // a latin-1 "decode" would interleave NULs between every character
+    val le = "hløla le".getBytes("UTF-16LE")
+    val be = "hløla be".getBytes("UTF-16BE")
+    val leBom = Array(0xFF.toByte, 0xFE.toByte) ++ le
+    val beBom = Array(0xFE.toByte, 0xFF.toByte) ++ be
+    assert(extractText(leBom, "text/plain") === Some("hløla le"))
+    assert(extractText(beBom, "text/plain") === Some("hløla be"))
+    // BOM-less bytes keep the old fallback behavior (no sniffing)
+    assert(decodeBytes("plain".getBytes("UTF-8")) === "plain")
+  }
+
   test("html: tags stripped, script/style elided, comments dropped, entities decoded") {
     val html =
       """<html><head><title>T</title><style>p { color: red }</style></head>

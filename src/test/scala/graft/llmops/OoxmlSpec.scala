@@ -43,6 +43,35 @@ class OoxmlSpec extends SparkTestBase {
     assert(Ooxml.docxText(bytes) === Some("before\nafter"))
   }
 
+  test("docx: tab-STOP definitions in pPr render no phantom tabs") {
+    // real Word files almost always carry <w:pPr><w:tabs><w:tab .../>
+    // </w:tabs></w:pPr> — tab-stop DEFINITIONS sharing the local name of
+    // the run-level tab CHARACTER <w:tab/>; only the latter is text
+    val doc =
+      """<?xml version="1.0"?><w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>""" +
+        "<w:p><w:pPr><w:tabs><w:tab w:val=\"left\" w:pos=\"708\"/>" +
+        "<w:tab w:val=\"right\" w:pos=\"9000\"/></w:tabs></w:pPr>" +
+        "<w:r><w:t>a</w:t></w:r><w:r><w:tab/><w:t>b</w:t></w:r></w:p>" +
+        "</w:body></w:document>"
+    val bytes = rawZip("word/document.xml" -> doc)
+    assert(Ooxml.docxText(bytes) === Some("a\tb"))
+  }
+
+  test("docx: DrawingML text boxes are excluded like python-docx doc.paragraphs") {
+    // a text box travels as <w:drawing>…<w:txbxContent><w:p>…</w:p>
+    // </w:txbxContent>…</w:drawing> INSIDE a body run; its paragraphs are
+    // not body paragraphs
+    val doc =
+      """<?xml version="1.0"?><w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main" xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"><w:body>""" +
+        "<w:p><w:r><w:t>before </w:t></w:r>" +
+        "<w:r><w:drawing><w:txbxContent><w:p><w:r><w:t>boxed</w:t></w:r></w:p>" +
+        "</w:txbxContent></w:drawing></w:r>" +
+        "<w:r><w:t>after</w:t></w:r></w:p>" +
+        "</w:body></w:document>"
+    val bytes = rawZip("word/document.xml" -> doc)
+    assert(Ooxml.docxText(bytes) === Some("before after"))
+  }
+
   test("docx: garbage bytes and zip without document.xml yield None") {
     assert(Ooxml.docxText("not a zip at all".getBytes) === None)
     assert(Ooxml.docxText(rawZip("other.xml" -> "<a/>")) === None)

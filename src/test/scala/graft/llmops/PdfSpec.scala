@@ -113,6 +113,20 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.pdfText(spliced) === Some("intact"))
   }
 
+  test("preset-dictionary (FDICT) Flate stream refuses; later streams extract") {
+    // zlib header 0x78 0x20: CM=8, FDICT bit set, (0x78*256+0x20)%31==0.
+    // Inflater stalls on needsDictionary — the stream must be skipped
+    // whole, not handed back as a partial prefix.
+    val good = PdfWriter.pdf(Seq(Seq("intact")), compress = false)
+    val fdict = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0x42, 0x42)
+    val bad = ("%PDF-1.4\n" +
+      s"4 0 obj\n<< /Length ${fdict.length} /Filter /FlateDecode >>\nstream\n")
+      .getBytes("ISO-8859-1") ++ fdict ++
+      "\nendstream\nendobj\n".getBytes("ISO-8859-1")
+    val spliced = bad ++ good.drop("%PDF-1.4\n".length)
+    assert(Pdf.pdfText(spliced) === Some("intact"))
+  }
+
   test("embedded DCT images come back byte-identical, in document order") {
     val imgs = Seq(3, 99, 7).map(s => JpegWriter.gray(16, 16,
       (x, y) => (x * 3 + y * 5 + s) % 256))

@@ -49,6 +49,16 @@ class PnmSpec extends AnyFunSuite {
     // maxval 15 scales to full range
     val lo = PnmDecode.decode("P2\n2 1\n15\n0 15\n".getBytes)
     assert((lo.rgb(0) & 0xFF) == 0 && (lo.rgb(3) & 0xFF) == 255)
+    // a NON-full-range two-byte maxval (10-bit scan) scales arithmetically
+    // — the high-byte shift would crush 1023 to 3
+    val tenBit = PnmDecode.decode("P2\n3 1\n1023\n0 512 1023\n".getBytes)
+    assert((tenBit.rgb(0) & 0xFF) == 0)
+    assert((tenBit.rgb(3) & 0xFF) == 512 * 255 / 1023)
+    assert((tenBit.rgb(6) & 0xFF) == 255)
+    // full-range 16-bit keeps the documented high-byte reduction (exact
+    // on the writer's v·257 widening)
+    val full16 = PnmDecode.decode("P2\n2 1\n65535\n0 65535\n".getBytes)
+    assert((full16.rgb(0) & 0xFF) == 0 && (full16.rgb(3) & 0xFF) == 255)
   }
 
   test("refusals: truncation, bad magic, zero dims, overflow values, junk") {

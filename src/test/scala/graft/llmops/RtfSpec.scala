@@ -41,6 +41,22 @@ class RtfSpec extends AnyFunSuite {
     assert(Rtf.rtfText(rtf) === Some("aλ—z"))
   }
 
+  test("\\binN raw bytes are skipped whole: a '}' inside them stays opaque") {
+    // \binN is followed by N RAW bytes; a '}' (0x7D) in them must not
+    // close the \pict group early and leak raster bytes as text
+    // bin data "}xx}" stays opaque; " raster" is still inside \pict and
+    // drops; the next real '}' closes the pict group; "b" is body text.
+    // Without the guard the first '}' ends the pict skip and "xx raster"
+    // leaks into the text.
+    val rtf = "{\\rtf1 a{\\pict\\bin4 }xx} raster}b}".getBytes("windows-1252")
+    assert(Rtf.rtfText(rtf) === Some("ab"))
+    // same bytes WITHOUT the \bin guard would have ended the pict group
+    // at the embedded '}' — prove the control word itself is honored by
+    // a bin run that contains the group's entire remaining markup
+    val truncated = "{\\rtf1 x{\\pict\\bin9999 }}}}".getBytes("windows-1252")
+    assert(Rtf.rtfText(truncated) === Some("x"), "overlong bin consumes to EOF")
+  }
+
   test("non-RTF and truncated inputs return None or partial, never throw") {
     assert(Rtf.rtfText("plain text".getBytes) === None)
     assert(Rtf.rtfText(Array.emptyByteArray) === None)

@@ -396,6 +396,37 @@ class TiffSpec extends SparkTestBase {
     assert(TiffDecode.decode(null) === null)
   }
 
+  test("tile-bomb refusal: a 64-bpp tile far wider than the image refuses") {
+    // tileW=2^19 × tileL=64 passes the 64M-PIXEL cap, but at 16-bit RGBA
+    // (64 bpp) the decoded segment buffer would be 268 MB — the decode
+    // target itself must be capped (compressed input, so the blob size
+    // bounds nothing)
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >> 16) & 0xFFFF) }
+    out.write('I'); out.write('I'); w16(42); w32(8) // LE header, IFD at 8
+    w16(10) // entry count
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      w16(tag); w16(typ); w32(count); w32(value)
+    }
+    val bitsOff = 8 + 2 + 10 * 12 + 4 // after IFD + next-IFD pointer
+    val dataOff = bitsOff + 8
+    entry(256, 3, 1, 16) // width
+    entry(257, 3, 1, 16) // height
+    entry(258, 3, 4, bitsOff) // bits/sample [16,16,16,16]
+    entry(259, 3, 1, 8) // deflate
+    entry(262, 3, 1, 2) // RGB
+    entry(277, 3, 1, 4) // 4 samples (RGBA)
+    entry(322, 4, 1, 1 << 19) // TileWidth
+    entry(323, 4, 1, 64) // TileLength
+    entry(324, 4, 1, dataOff) // TileOffsets
+    entry(325, 4, 1, 4) // TileByteCounts
+    w32(0) // next IFD
+    w16(16); w16(16); w16(16); w16(16) // the bits array
+    w32(0x12345678) // 4 bytes of junk "deflate" data
+    assert(TiffDecode.decode(out.toByteArray) === null)
+  }
+
   test("compressed refusals: truncated LZW/Deflate/tiled streams never crash") {
     for (good <- Seq(
         ImageWriter.tiffImage(30, 20, gray(2), lzw = true),
