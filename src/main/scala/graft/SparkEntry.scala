@@ -6876,6 +6876,54 @@ object SparkEntry {
               .as("chars"))
       }),
 
+      "s25_delta_maintenance" -> ((s, dir) => {
+        // delta METADATA-layer scale probe (every other s-probe scales
+        // DATA): N retained partition-pruned merges, then the full
+        // maintenance battery — OPTIMIZE compact, symlink-manifest
+        // refresh, explicit checkpoint (runs log-retention cleanup) and
+        // a retention VACUUM — on one partitioned table. The interesting
+        // cost is the per-commit log replay/reconcile/manifest driver
+        // work, which must stay ~flat as the commit count grows
+        // (checkpoint-bounded replay); data volume is pinned small so
+        // the log layer dominates. N via SPARK_GRAFT_S25_COMMITS.
+        val ss = tuned(s)
+        val n = sys.env.getOrElse("SPARK_GRAFT_S25_COMMITS", "20").toInt
+        val root = java.nio.file.Files.createTempDirectory("graft-s25")
+          .toString + "/t"
+        val base = t(ss, dir, "orders")
+          .filter(col("o_orderkey") < 2000)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"),
+            (col("o_orderkey") % 8).cast("int").as("p"))
+          .cache()
+        base.count()
+        MergeUpsert.upsertParquet(ss, base, root, Seq("o_orderkey"),
+          Seq("p"), retain = true)
+        var i = 0
+        while (i < n) {
+          // each batch touches 2 of the 8 partitions (pruned merge) and
+          // flips prices so every merge really rewrites rows
+          val batch = base.filter(col("p").isin(i % 8, (i + 1) % 8))
+            .withColumn("o_totalprice", -col("o_totalprice"))
+          MergeUpsert.upsertParquet(ss, batch, root, Seq("o_orderkey"),
+            Seq("p"))
+          i += 1
+        }
+        graft.operators.Maintenance.compact(ss, root)
+        graft.operators.Maintenance.generateSymlinkManifest(ss, root)
+        val cpV = graft.sources.DeltaLog.checkpoint(ss, root)
+        val swept = graft.operators.Maintenance.vacuum(ss, root, retentionHours = 0.0)
+        val hist = graft.sources.DeltaLog.history(ss, root).count()
+        val live = graft.sources.DeltaLog.read(ss, root)
+        base.unpersist()
+        live.agg(count(lit(1)).as("rows"),
+            sum(col("o_totalprice")).as("sum_price"))
+          .withColumn("n_commits", lit(n.toLong))
+          .withColumn("checkpoint_v", lit(cpV))
+          .withColumn("tombstones_swept", lit(swept))
+          .withColumn("history_rows", lit(hist))
+      }),
+
       "s21_zstd_seekable" -> ((s, dir) => {
         // splittable-zstd throughput: the whole corpus through the
         // distributed seekable shard export (one frame per doc), then
