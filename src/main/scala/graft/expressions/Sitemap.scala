@@ -115,6 +115,12 @@ object SitemapUrls {
         var loc: String = null
         var lastmod: String = null
         var inEntry = false
+        // element depth RELATIVE to the open entry: loc/lastmod count
+        // only at depth 1 — extension subtrees (Google image sitemaps:
+        // <image:image><image:loc>…) reuse the LOCAL name "loc", and a
+        // namespace-blind match let a nested image loc overwrite the
+        // page URL
+        var edepth = 0
         var field: String = null
         val sb = new java.lang.StringBuilder
         while (r.hasNext) {
@@ -127,30 +133,39 @@ object SitemapUrls {
                   case "sitemapindex" => "sitemap"
                   case _ => return null // foreign XML root
                 }
-              } else name match {
-                case "url" | "sitemap" =>
-                  inEntry = true; loc = null; lastmod = null
-                case "loc" | "lastmod" if inEntry =>
+              } else if (!inEntry) {
+                if (name == "url" || name == "sitemap") {
+                  inEntry = true; edepth = 0; loc = null; lastmod = null
+                }
+              } else {
+                edepth += 1
+                if (edepth == 1 && (name == "loc" || name == "lastmod")) {
                   field = name; sb.setLength(0)
-                case _ => ()
+                }
               }
             case javax.xml.stream.XMLStreamConstants.CHARACTERS
                 if field != null =>
               sb.append(r.getText)
             case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
-              r.getLocalName match {
-                case "loc" if field == "loc" =>
-                  loc = sb.toString.trim; field = null
-                case "lastmod" if field == "lastmod" =>
-                  lastmod = sb.toString.trim; field = null
-                case "url" | "sitemap" if inEntry =>
+              val name = r.getLocalName
+              if (inEntry) {
+                if (edepth == 0 && (name == "url" || name == "sitemap")) {
                   inEntry = false
                   if (loc != null && loc.nonEmpty) {
                     if (n >= MaxEntries) return null
                     out += row(rootKind, loc, lastmod)
                     n += 1
                   }
-                case _ => ()
+                } else if (edepth >= 1) {
+                  if (edepth == 1) name match {
+                    case "loc" if field == "loc" =>
+                      loc = sb.toString.trim; field = null
+                    case "lastmod" if field == "lastmod" =>
+                      lastmod = sb.toString.trim; field = null
+                    case _ => ()
+                  }
+                  edepth -= 1
+                }
               }
             case _ => ()
           }

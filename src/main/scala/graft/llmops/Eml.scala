@@ -10,8 +10,8 @@ package graft.llmops
   * Subject (B and Q encodings, charset honored); Content-Transfer-
   * Encoding 7bit/8bit/binary/quoted-printable/base64; charsets via the
   * JDK (unknown charsets fall back to latin-1, never throw); MIME
-  * multipart walk to any nesting (alternative prefers the LAST text
-  * part it understands, i.e. the richest; mixed concatenates), HTML
+  * multipart walk to any nesting (alternative prefers text/plain, else
+  * the last understood alternative; mixed concatenates), HTML
   * parts routed through the html→text pipeline; mboxrd/mboxo `From `
   * splitting with `>From` unstuffing. Poison posture: a malformed
   * message degrades to its raw undecoded text, never a throw; only a
@@ -126,9 +126,12 @@ object Eml {
       else {
         val c = line.indexOf(':')
         if (c > 0) {
-          lastName = line.substring(0, c).trim.toLowerCase
+          val name = line.substring(0, c).trim.toLowerCase
           val v = line.substring(c + 1).trim
-          if (!out.contains(lastName)) out(lastName) = v
+          if (!out.contains(name)) { out(name) = v; lastName = name }
+          // duplicate header: first value wins, and its continuation
+          // lines must NOT unfold into the kept first value
+          else lastName = null
         } else lastName = null
       }
     }
@@ -262,6 +265,11 @@ object Eml {
         if (closing) i = end
       } else i += 1
     }
+    // a truncated message may end without the closing `--boundary--`:
+    // the in-flight final part is still real corpus text — emitting it
+    // beats silently dropping the body (the same final-item-loss class
+    // as the multistream-JSONL fix)
+    if (partStart >= 0 && partStart < end) out += ((partStart, end))
     out.toSeq
   }
 

@@ -74,8 +74,11 @@ object Feeds {
               }
             } else {
               depth += 1
-              field = null
-              if (depth == 1) name match {
+              // nested elements inside an open field (Atom
+              // type="xhtml" content/summary wraps real markup) are
+              // transparent: keep accumulating their character data
+              // instead of dropping the whole field
+              if (depth == 1) { field = null; name match {
                 case "title" | "pubDate" | "published" | "updated" |
                      "description" | "summary" | "content" =>
                   field = name; sb.setLength(0)
@@ -88,7 +91,7 @@ object Feeds {
                     } else if (link.isEmpty && altLink.isEmpty) link = href
                   } else { field = "link"; sb.setLength(0) }
                 case _ => ()
-              }
+              } }
             }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
             if (field != null) {
@@ -105,7 +108,9 @@ object Feeds {
                   summary.trim)
                 if (out.length > MaxEntries) return null
               } else if (depth >= 1) {
-                if (field != null) {
+                // save only at the FIELD element's own close (depth 1) —
+                // a nested xhtml close must not flush a partial value
+                if (depth == 1 && field != null) {
                   val v = sb.toString
                   field match {
                     case "title" => if (title.isEmpty) title = v

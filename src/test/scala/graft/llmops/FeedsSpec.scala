@@ -34,6 +34,23 @@ class FeedsSpec extends AnyFunSuite {
     assert(got(0).published == "2026-01-01") // updated fallback
   }
 
+  test("Atom type=xhtml content: nested markup is transparent, not dropped") {
+    // blogger-era feeds wrap real XHTML elements inside <content> — the
+    // nested <div>/<b> must not clear the field or flush a partial value
+    val xml = """<feed xmlns="http://www.w3.org/2005/Atom"><entry>
+      <title>T</title>
+      <link rel="alternate" href="https://site.example/a"/>
+      <published>2026-02-02</published>
+      <content type="xhtml"><div xmlns="http://www.w3.org/1999/xhtml">
+        Real <b>xhtml</b> body text.</div></content>
+      </entry></feed>"""
+    val got = Feeds.entries(xml.getBytes)
+    assert(got != null && got.length == 1)
+    assert(got(0).summary.contains("Real") &&
+      got(0).summary.contains("xhtml") &&
+      got(0).summary.contains("body text"), got(0).summary)
+  }
+
   test("summaries strip embedded HTML") {
     val xml = """<rss version="2.0"><channel><item><title>T</title>
       <link>https://e/x</link>

@@ -218,6 +218,16 @@ class UrlCurationSpec extends SparkTestBase {
     // text list
     val txt = "https://e.com/x\nhttps://e.com/y\n\n".getBytes
     assert(SitemapUrls.compute(txt).numElements() === 2)
+    // image-sitemap extension: the nested <image:loc> shares the LOCAL
+    // name "loc" and must not overwrite the page URL
+    val withImage = ("<urlset xmlns:image=\"http://www.google.com/schemas/sitemap-image/1.1\">" +
+      "<url><loc>https://e.com/page</loc>" +
+      "<image:image><image:loc>https://e.com/img.png</image:loc>" +
+      "<image:caption>pic</image:caption></image:image></url>" +
+      "</urlset>").getBytes
+    val wi = SitemapUrls.compute(withImage)
+    assert(wi != null && wi.numElements() === 1)
+    assert(wi.getStruct(0, 3).getUTF8String(1).toString === "https://e.com/page")
     // refusals: foreign XML root, junk text line, non-sitemap bytes
     assert(SitemapUrls.compute("<html><body/></html>".getBytes) === null)
     assert(SitemapUrls.compute("https://e.com/x\nnot a url".getBytes) === null)
