@@ -1656,6 +1656,39 @@ object SparkEntry {
         .orderBy("src", "o_orderkey")
     }),
 
+    "q232_delta_changes" -> ((s, dir) => {
+      // Change data feed (table_changes semantics) computed from the
+      // log's FILE-level delta: a partition-pruned merge touches
+      // partitions 1 and 2 of 4, so changes(v0, v1) reads exactly those
+      // partitions' added+removed files — never a full-snapshot diff.
+      // Updates surface as delete+insert pairs; rows the merge rewrote
+      // unchanged cancel under exceptAll. Oracle = closed form of the
+      // touched-partition batch/replaced sets.
+      val ss = tuned(s)
+      val ord = t(ss, dir, "orders")
+      val init = ord.filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          (col("o_orderkey") % 4).cast("int").as("p"))
+      val batch = ord
+        .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 3000 &&
+          (col("o_orderkey") % 4).isin(1, 2))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (-col("o_totalprice")).as("o_totalprice"),
+          (col("o_orderkey") % 4).cast("int").as("p"))
+      val tableDir =
+        java.nio.file.Files.createTempDirectory("graft-q232").toString + "/t"
+      MergeUpsert.upsertParquet(ss, init, tableDir, Seq("o_orderkey"),
+        Seq("p"), retain = true) // WRITE + retention-property pin
+      val v0 = graft.sources.DeltaLog.replay(ss, tableDir).get.version
+      MergeUpsert.upsertParquet(ss, batch, tableDir, Seq("o_orderkey"),
+        Seq("p"))
+      val v1 = graft.sources.DeltaLog.replay(ss, tableDir).get.version
+      graft.sources.DeltaLog.changes(ss, tableDir, v0, v1)
+        .select(col("_change_type"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("p").cast("int").as("p"))
+        .orderBy("_change_type", "o_orderkey")
+    }),
+
     "q25_watermark_filter" -> ((s, dir) => {
       // P6 numeric watermark predicate
       t(tuned(s), dir, "events")
@@ -6885,9 +6918,11 @@ object SparkEntry {
         // cost is the per-commit log replay/reconcile/manifest driver
         // work, which must stay ~flat as the commit count grows
         // (checkpoint-bounded replay); data volume is pinned small so
-        // the log layer dominates. N via SPARK_GRAFT_S25_COMMITS.
+        // the log layer dominates. N via SPARK_GRAFT_S25_COMMITS —
+        // battery default 10 keeps the probe's fixed cost low; the
+        // 10/20/40/80 scaling series lives in BENCH_SCALE.json.
         val ss = tuned(s)
-        val n = sys.env.getOrElse("SPARK_GRAFT_S25_COMMITS", "20").toInt
+        val n = sys.env.getOrElse("SPARK_GRAFT_S25_COMMITS", "10").toInt
         val root = java.nio.file.Files.createTempDirectory("graft-s25")
           .toString + "/t"
         val base = t(ss, dir, "orders")
@@ -12091,6 +12126,27 @@ ${graft.oracle.XxHash64Sql.kernel("42")},
          SELECT 'm_expired_deleted_files', CAST(1 AS BIGINT),
            CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
          ORDER BY src, o_orderkey""",
+
+    "q232_delta_changes" ->
+      """WITH batch AS (
+           SELECT o_orderkey, o_orderstatus, -o_totalprice AS o_totalprice,
+                  CAST(o_orderkey % 4 AS INTEGER) AS p
+           FROM orders
+           WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+             AND (o_orderkey % 4) IN (1, 2)),
+         repl AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  CAST(o_orderkey % 4 AS INTEGER) AS p
+           FROM orders
+           WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+             AND (o_orderkey % 4) IN (1, 2))
+         SELECT 'insert' AS _change_type, o_orderkey, o_orderstatus,
+                o_totalprice, p
+         FROM batch
+         UNION ALL
+         SELECT 'delete', o_orderkey, o_orderstatus, o_totalprice, p
+         FROM repl
+         ORDER BY _change_type, o_orderkey""",
 
     "q231_log_retention" ->
       """WITH init AS (

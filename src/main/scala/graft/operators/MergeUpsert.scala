@@ -253,6 +253,11 @@ object MergeUpsert {
         write(deduped, path, partitionCols)
         graft.sources.DeltaLog.reconcile(spark, path, deduped.schema,
           partitionCols, operation = "WRITE")
+        // retain=true at table CREATION pins retention mode even though
+        // nothing was replaced yet — otherwise the next default-arg
+        // write sees neither property nor on-disk tombstones and
+        // silently deletes the files this caller asked to keep
+        if (retain) pinRetain(spark, path)
       } else {
         // effective retention derives from table STATE, not just the call
         // arg (ADVICE r17): a retention-mode table ([[retentionActive]])

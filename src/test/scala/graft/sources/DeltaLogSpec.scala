@@ -529,6 +529,46 @@ class DeltaLogSpec extends SparkTestBase {
     assert(DeltaLog.read(spark, dir).count() === 13L)
   }
 
+  test("changes(): insert/delete rows from the file-level delta; " +
+      "unchanged rewrites cancel; bad ranges refuse") {
+    val dir = tmp()
+    val init = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+      .withColumn("p", col("id") % 2)
+    MergeUpsert.upsertParquet(spark, init, dir, Seq("id"), Seq("p"),
+      retain = true) // WRITE + the retention-property pin
+    val v0 = DeltaLog.replay(spark, dir).get.version
+    // touches partition 1 only: updates id=1, inserts id=5
+    val batch = Seq((1, "A"), (5, "e")).toDF("id", "v")
+      .withColumn("p", col("id") % 2)
+    MergeUpsert.upsertParquet(spark, batch, dir, Seq("id"), Seq("p"))
+    val v1 = DeltaLog.replay(spark, dir).get.version
+    val ch = DeltaLog.changes(spark, dir, v0, v1)
+      .select("_change_type", "id", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toSet
+    // id=3 lives in the touched partition but is unchanged -> cancels;
+    // id=2 lives in the untouched partition -> its files never read
+    assert(ch === Set(("insert", 1, "A"), ("insert", 5, "e"),
+      ("delete", 1, "a")))
+    // a dataChange=false OPTIMIZE rewrite produces an EMPTY change set
+    val vBefore = DeltaLog.replay(spark, dir).get.version
+    Maintenance.compact(spark, dir)
+    val vAfter = DeltaLog.replay(spark, dir).get.version
+    assert(vAfter > vBefore)
+    assert(DeltaLog.changes(spark, dir, vBefore, vAfter).count() === 0L)
+    // full-range CDF (v0 -> head) equals head rows as inserts plus
+    // nothing deleted... minus nothing: v0's own files are the base
+    val full = DeltaLog.changes(spark, dir, 0L)
+    assert(full.filter(col("_change_type") === "insert").count() === 2L)
+    // refusals
+    intercept[IllegalArgumentException] {
+      DeltaLog.changes(spark, dir, 3L, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLog.changes(spark, dir, -1L)
+    }
+  }
+
   test("commit store: conditional put carries commits; racing writers " +
       "serialize to distinct versions") {
     spark.conf.set(DeltaLog.CommitStoreClassConf,
