@@ -192,11 +192,14 @@ object CodeCorpus {
             } else if (c == '\\' && i + 1 < n) {
               out.append(c).append(src.charAt(i + 1)); i += 1
             } else out.append(c)
-          } else if (quote != 0) { // inside '…' / "…"
+          } else if (quote != 0) { // inside '…' / "…" / `…`
             out.append(c)
             if (c == '\\' && i + 1 < n) {
               out.append(src.charAt(i + 1)); i += 1
-            } else if (c == quote || c == '\n') quote = 0
+            // backtick strings (JS templates, Go raw) are legitimately
+            // multi-line — only the unterminated-quote recovery of the
+            // single-line families exits at a newline
+            } else if (c == quote || (c == '\n' && quote != '`')) quote = 0
           } else if (fam == "hash" && c == '#') {
             mode = 1
           } else if (fam == "c" && c == '/' && i + 1 < n &&
@@ -205,7 +208,12 @@ object CodeCorpus {
           } else if (fam == "c" && c == '/' && i + 1 < n &&
               src.charAt(i + 1) == '*') {
             mode = 2; i += 1
-          } else if (c == '"' || c == '\'') {
+          } else if (c == '"' || c == '\'' || (fam == "c" && c == '`')) {
+            // backtick opens a string in the C family: JS/TS template
+            // literals and Go raw strings are everywhere, and a URL's
+            // "//" inside one used to start a line comment and strip
+            // real code (backticks never appear in valid C/Java code,
+            // so the extra delimiter cannot mis-lex those)
             if (fam == "hash" && i + 2 < n && src.charAt(i + 1) == c &&
                 src.charAt(i + 2) == c) {
               triple = true; quote = c
