@@ -1689,6 +1689,47 @@ object SparkEntry {
         .orderBy("_change_type", "o_orderkey")
     }),
 
+    "q233_delta_restore" -> ((s, dir) => {
+      // RESTORE VERSION AS OF: a retained table merges a batch, then
+      // restores to the pre-merge version — the head reads exactly the
+      // initial state again, while history is PRESERVED (the restore
+      // appends; the merged version stays time-travelable). Oracle =
+      // the initial state plus behavior booleans.
+      val ss = tuned(s)
+      val ord = t(ss, dir, "orders")
+      val init = ord.filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val batch = ord.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (-col("o_totalprice")).as("o_totalprice"))
+      val tableDir =
+        java.nio.file.Files.createTempDirectory("graft-q233").toString + "/t"
+      MergeUpsert.upsertParquet(ss, init, tableDir, Seq("o_orderkey"),
+        retain = true)
+      val v0 = graft.sources.DeltaLog.replay(ss, tableDir).get.version
+      MergeUpsert.upsertParquet(ss, batch, tableDir, Seq("o_orderkey"))
+      val vMerged = graft.sources.DeltaLog.replay(ss, tableDir).get.version
+      val mergedCount = graft.sources.DeltaLog.read(ss, tableDir).count()
+      val vRestored = graft.operators.Maintenance.restore(ss, tableDir, v0)
+      // the merged version must STILL be travelable after the restore
+      val mergedStill =
+        graft.sources.DeltaLog.read(ss, tableDir, vMerged).count()
+      val head = graft.sources.DeltaLog.read(ss, tableDir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      import ss.implicits._
+      val metrics = Seq(
+        ("m_restore_appended", if (vRestored > vMerged) 1L else 0L),
+        ("m_merged_travelable", if (mergedStill == mergedCount) 1L else 0L))
+        .toDF("src", "o_orderkey")
+        .select(col("src"), col("o_orderkey"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"))
+      head.select(lit("head").as("src"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .unionByName(metrics)
+        .orderBy("src", "o_orderkey")
+    }),
+
     "q25_watermark_filter" -> ((s, dir) => {
       // P6 numeric watermark predicate
       t(tuned(s), dir, "events")
@@ -12124,6 +12165,17 @@ ${graft.oracle.XxHash64Sql.kernel("42")},
            CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
          UNION ALL
          SELECT 'm_expired_deleted_files', CAST(1 AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+         ORDER BY src, o_orderkey""",
+
+    "q233_delta_restore" ->
+      """SELECT 'head' AS src, o_orderkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey < 2000
+         UNION ALL
+         SELECT 'm_restore_appended', CAST(1 AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+         UNION ALL
+         SELECT 'm_merged_travelable', CAST(1 AS BIGINT),
            CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
          ORDER BY src, o_orderkey""",
 

@@ -416,6 +416,27 @@ object Maintenance {
     } finally lease.release()
   }
 
+  /** RESTORE TABLE ... VERSION AS OF under the table writer lease —
+    * the multi-writer-safe form of [[graft.sources.DeltaLog.restore]]:
+    * appends a commit whose file set equals `version`'s (history
+    * preserved; the restore itself is time-travelable and restorable).
+    * Throws ConcurrentWriteException while a live writer holds the
+    * lease; finishes any interrupted prior commit first. Returns the
+    * committed version.
+    */
+  def restore(spark: SparkSession, path: String, version: Long): Long = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = WriterLease.acquire(fs, path,
+      MergeUpsert.DefaultLeaseStaleMs)
+    try {
+      recover(spark, path)
+      val v = graft.sources.DeltaLog.restore(spark, path, version)
+      refreshSymlinkManifest(spark, path)
+      v
+    } finally lease.release()
+  }
+
   /** Bare `VACUUM` (no RETAIN clause): retention resolves like real
     * Delta's — the table's `delta.deletedFileRetentionDuration` property
     * when set, else the session conf, else 168 h. Non-delta paths sweep

@@ -886,6 +886,90 @@ object DeltaLog {
         .parquet(st.files.keys.toSeq.sorted.map(rel => s"$root/$rel"): _*)
   }
 
+  /** RESTORE TABLE ... VERSION AS OF — commit a NEW version whose file
+    * set (and schema, and partition columns) equal `targetVersion`'s:
+    * adds for files only the target has (clearing their tombstones —
+    * the re-adoption path), removes for files only the head has
+    * (tombstoning them, so the restore itself is restorable). History
+    * is preserved — restore never rewrites the log, it appends, exactly
+    * like Delta's RESTORE.
+    *
+    * Requires every target file to still exist on disk (retention mode
+    * holds replaced files for the window; a vacuumed target refuses
+    * loudly BEFORE committing anything). Caller must hold the table
+    * writer lease for multi-writer tables —
+    * [[graft.operators.Maintenance.restore]] is the leased wrapper.
+    * Returns the committed version (the current version when the head
+    * already equals the target).
+    */
+  def restore(spark: SparkSession, root: String,
+      targetVersion: Long): Long = {
+    val fs = fileSystem(spark, root)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val target = replay(spark, root, targetVersion).getOrElse(
+        throw new IllegalArgumentException(
+          s"no $LogDirName at $root — not a delta table"))
+      require(target.version == targetVersion,
+        s"version $targetVersion does not exist at $root " +
+          s"(resolved ${target.version})")
+      val head = replay(spark, root).get
+      val added = (target.files -- head.files.keys).values.toSeq
+        .sortBy(_.relPath)
+      val removed = head.files.keys
+        .filterNot(target.files.contains).toSeq.sorted
+      val schemaChanged = head.schemaString != target.schemaString ||
+        head.partitionColumns != target.partitionColumns
+      if (added.isEmpty && removed.isEmpty && !schemaChanged)
+        return head.version
+      // refuse BEFORE committing: a vacuumed target must not half-apply
+      val missing = added.filterNot(e =>
+        fs.exists(new Path(s"$root/${e.relPath}")))
+      require(missing.isEmpty,
+        s"cannot restore $root to version $targetVersion: " +
+          s"${missing.size} of its files were vacuumed (first: " +
+          s"${missing.head.relPath}); only versions inside the " +
+          "tombstone retention window are restorable")
+      val version = head.version + 1
+      val now = System.currentTimeMillis()
+      val sb = new StringBuilder
+      sb.append(s"""{"commitInfo":{"timestamp":$now,""" +
+        s""""operation":"RESTORE","operationParameters":""" +
+        s"""{"version":"$targetVersion"},"engineInfo":"graft-spark"}}""")
+        .append('\n')
+      if (schemaChanged)
+        sb.append(metaDataJson(head.tableId, target.schemaString,
+          target.partitionColumns, head.configuration, now)).append('\n')
+      removed.foreach { rel =>
+        sb.append(s"""{"remove":{"path":${jstr(encodePath(rel))},""" +
+          s""""deletionTimestamp":$now,"dataChange":true}}""").append('\n')
+      }
+      added.foreach { e =>
+        sb.append(s"""{"add":{"path":${jstr(encodePath(e.relPath))},""" +
+          s""""partitionValues":${jmap(e.partitionValues)},""" +
+          s""""size":${e.size},"modificationTime":${e.modificationTime},""" +
+          s""""dataChange":true}}""").append('\n')
+      }
+      if (tryCommit(spark, fs, root, version, sb.toString)) {
+        if (version > 0 && version % CheckpointInterval == 0) {
+          val st = head.copy(version = version,
+            schemaString = target.schemaString,
+            partitionColumns = target.partitionColumns,
+            files = target.files,
+            tombstones = (head.tombstones ++ removed.map(_ -> now)) --
+              target.files.keys)
+          writeCheckpoint(spark, fs, root, st)
+        }
+        return version
+      }
+      require(attempt < MaxCommitAttempts,
+        s"delta commit for $root lost the version race $MaxCommitAttempts " +
+          "times — refusing to spin (is the table lease being bypassed?)")
+    }
+    -1L // unreachable
+  }
+
   /** Change data feed between two committed versions —
     * `table_changes(t, from, to)`: every row the range inserted tagged
     * `_change_type = 'insert'`, every row it removed tagged `'delete'`

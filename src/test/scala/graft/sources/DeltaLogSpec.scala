@@ -569,6 +569,52 @@ class DeltaLogSpec extends SparkTestBase {
     }
   }
 
+  test("restore: head returns to the target's file set; history and " +
+      "later versions survive; vacuumed targets refuse") {
+    val dir = tmp()
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "a"), (2, "b")).toDF("id", "v"), dir, Seq("id"),
+      retain = true)
+    val v0 = DeltaLog.replay(spark, dir).get.version
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "A"), (3, "c")).toDF("id", "v"), dir, Seq("id"))
+    val vMerged = DeltaLog.replay(spark, dir).get.version
+    assert(DeltaLog.read(spark, dir).count() === 3L)
+    val vRestored = Maintenance.restore(spark, dir, v0)
+    assert(vRestored > vMerged, "restore APPENDS")
+    // head == the v0 state
+    assert(DeltaLog.read(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet ===
+      Set((1, "a"), (2, "b")))
+    // the merged version is still travelable (history preserved)
+    assert(DeltaLog.read(spark, dir, vMerged).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet ===
+      Set((1, "A"), (2, "b"), (3, "c")))
+    // restore is itself restorable: go back to the merged state
+    val v2 = Maintenance.restore(spark, dir, vMerged)
+    assert(v2 > vRestored)
+    assert(DeltaLog.read(spark, dir).count() === 3L)
+    // idempotent: restoring to the current state commits nothing
+    assert(Maintenance.restore(spark, dir, v2) === v2)
+    // a merge after a restore still works (tombstone bookkeeping sound)
+    MergeUpsert.upsertParquet(spark,
+      Seq((4, "d")).toDF("id", "v"), dir, Seq("id"))
+    assert(DeltaLog.read(spark, dir).count() === 4L)
+    // CDF across the restore: v(merged-head) -> v(restored) shows the
+    // merge's rows leaving and the originals returning
+    val ch = DeltaLog.changes(spark, dir, vMerged, vRestored)
+      .select("_change_type", "id", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(ch === Set(("delete", 1, "A"), ("delete", 3, "c"),
+      ("insert", 1, "a")))
+    // vacuum everything, then a restore into the vacuumed window refuses
+    Maintenance.vacuum(spark, dir, retentionHours = 0.0)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.restore(spark, dir, vMerged)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("commit store: conditional put carries commits; racing writers " +
       "serialize to distinct versions") {
     spark.conf.set(DeltaLog.CommitStoreClassConf,
