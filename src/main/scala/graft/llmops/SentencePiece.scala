@@ -146,10 +146,13 @@ object SentencePiece {
 
   /** Exact token count per row — the budget column for
     * [[TrainExport.packSequences]]-style packing in sentencepiece
-    * vocabularies.
+    * vocabularies. NULL text counts NULL — ANSI-off legacy
+    * `size(NULL) = -1` would silently SHRINK every pack/budget sum it
+    * enters (the same guard [[Bpe.tokenCount]] carries).
     */
   def tokenCount(text: Column, m: graft.expressions.SpModel): Column =
-    size(encode(text, m)).cast("long")
+    when(text.isNull, lit(null).cast("long"))
+      .otherwise(size(encode(text, m)).cast("long"))
 
   /** Corpus-derived word-unigram model: one piece per distinct
     * whitespace-delimited word (▁-prefixed, uniform score), single-char
