@@ -1730,6 +1730,26 @@ object SparkEntry {
         .orderBy("src", "o_orderkey")
     }),
 
+    "q234_delta_read_partitions" -> ((s, dir) => {
+      // Partition-scoped state reconstruction: the checkpointless young
+      // table still proves the API; at scale the checkpoint is read as a
+      // distributed filtered scan so only the matching partition's add
+      // entries ever reach the driver (DeltaLogSpec pins the
+      // checkpointed form). Oracle = the partition's closed-form rows.
+      val ss = tuned(s)
+      val init = t(ss, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          (col("o_orderkey") % 4).cast("int").as("p"))
+      val tableDir =
+        java.nio.file.Files.createTempDirectory("graft-q234").toString + "/t"
+      MergeUpsert.upsertParquet(ss, init, tableDir, Seq("o_orderkey"),
+        Seq("p"))
+      graft.sources.DeltaLog.readPartitions(ss, tableDir, Map("p" -> "2"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("p").cast("int").as("p"))
+        .orderBy("o_orderkey")
+    }),
+
     "q25_watermark_filter" -> ((s, dir) => {
       // P6 numeric watermark predicate
       t(tuned(s), dir, "events")
@@ -12167,6 +12187,13 @@ ${graft.oracle.XxHash64Sql.kernel("42")},
          SELECT 'm_expired_deleted_files', CAST(1 AS BIGINT),
            CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
          ORDER BY src, o_orderkey""",
+
+    "q234_delta_read_partitions" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+                CAST(o_orderkey % 4 AS INTEGER) AS p
+         FROM orders
+         WHERE o_orderkey < 2000 AND (o_orderkey % 4) = 2
+         ORDER BY o_orderkey""",
 
     "q233_delta_restore" ->
       """SELECT 'head' AS src, o_orderkey, o_orderstatus, o_totalprice

@@ -193,7 +193,62 @@ object DeltaLog {
     * reconstructable state (history before a checkpoint may be cleaned)
     * or exceeds the log's head.
     */
-  def replay(spark: SparkSession, root: String, asOf: Long): Option[LogState] = {
+  def replay(spark: SparkSession, root: String, asOf: Long): Option[LogState] =
+    replayImpl(spark, root, asOf, Map.empty)
+
+  /** Partition-SCOPED state reconstruction — the driver-memory-bounded
+    * form of [[replay]] for huge tables: the checkpoint is read as a
+    * DISTRIBUTED parquet scan with the partition predicate applied
+    * before anything collects, so the driver materializes only the
+    * matching partitions' add entries (plus the narrow tombstone set
+    * and the ≤ [[CheckpointInterval]] post-checkpoint commits) instead
+    * of the full multi-million-file map. The returned state's `files`
+    * cover exactly the partitions matching `partitionFilter`
+    * (key → required value, conjunctive); everything else about the
+    * state (schema, configuration, tombstones, version) is complete.
+    *
+    * A scoped state is a READ artifact: never hand it to reconcile or
+    * any writer path — its file map is deliberately partial.
+    */
+  def replayScoped(spark: SparkSession, root: String,
+      partitionFilter: Map[String, String],
+      asOf: Long = Long.MaxValue): Option[LogState] = {
+    require(partitionFilter.nonEmpty,
+      "replayScoped needs at least one partition predicate — use replay " +
+        "for full state")
+    replayImpl(spark, root, asOf, partitionFilter).map { st =>
+      st.copy(files = st.files.filter { case (_, e) =>
+        partitionFilter.forall { case (k, v) =>
+          e.partitionValues.get(k).contains(v) } })
+    }
+  }
+
+  /** Partition-pruned, time-travelable read: the table restricted to
+    * the partitions matching `partitionFilter`, with driver memory
+    * bounded by the PRUNED file set ([[replayScoped]]) — at 100 TB a
+    * single-partition read no longer pays a full-table state
+    * materialization on the driver.
+    */
+  def readPartitions(spark: SparkSession, root: String,
+      partitionFilter: Map[String, String],
+      asOf: Long = Long.MaxValue): DataFrame = {
+    val st = replayScoped(spark, root, partitionFilter, asOf)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no $LogDirName at $root — not a delta table"))
+    require(st.schemaString != null,
+      s"delta log at $root has no metaData action")
+    val schema = DataType.fromJson(st.schemaString).asInstanceOf[StructType]
+    if (st.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read
+        .option("basePath", root)
+        .schema(schema)
+        .parquet(st.files.keys.toSeq.sorted.map(rel => s"$root/$rel"): _*)
+  }
+
+  private def replayImpl(spark: SparkSession, root: String, asOf: Long,
+      scope: Map[String, String]): Option[LogState] = {
     val fs = fileSystem(spark, root)
     val dir = logDir(root)
     if (!fs.exists(dir)) return None
@@ -235,7 +290,7 @@ object DeltaLog {
     val commits = allCommits.filter(_ <= asOf)
     val checkpoints = allCheckpoints.filter(_ <= asOf)
     val base: Option[LogState] = checkpoints.lastOption.map { v =>
-      readCheckpoint(spark, cpFiles(v).map(new Path(dir, _)), v)
+      readCheckpoint(spark, cpFiles(v).map(new Path(dir, _)), v, scope)
     }
     val tail = commits.filter(v => base.forall(v > _.version))
     base match {
@@ -804,8 +859,21 @@ object DeltaLog {
     * for the reference's table sizes.
     */
   private def readCheckpoint(spark: SparkSession, files: Seq[Path],
-      version: Long): LogState = {
-    val rows = spark.read.parquet(files.map(_.toString): _*).collect()
+      version: Long, scope: Map[String, String] = Map.empty): LogState = {
+    val df0 = spark.read.parquet(files.map(_.toString): _*)
+    // partition scope: prune ADD rows executor-side, before anything
+    // collects — metaData/protocol/remove rows (narrow) always pass, so
+    // schema, configuration and the tombstone set stay complete
+    val df =
+      if (scope.isEmpty) df0
+      else {
+        import org.apache.spark.sql.functions.{col, element_at, lit}
+        val addMatches = scope.map { case (k, v) =>
+          element_at(col("add.partitionValues"), lit(k)) === lit(v)
+        }.reduce(_ && _)
+        df0.filter(col("add").isNull || addMatches)
+      }
+    val rows = df.collect()
     var st = LogState(version, null, null, Nil, Map.empty)
     rows.foreach { r =>
       val protoIdx = r.fieldIndex("protocol")

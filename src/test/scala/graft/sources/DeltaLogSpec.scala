@@ -569,6 +569,44 @@ class DeltaLogSpec extends SparkTestBase {
     }
   }
 
+  test("replayScoped/readPartitions: partition-pruned state from a " +
+      "checkpointed log matches the full read's slice") {
+    val dir = tmp()
+    // enough commits to land an automatic checkpoint, partitioned by p;
+    // retention from v0 (pinned property) so time travel serves data
+    var vAfter5 = -1L
+    (0 until 12).foreach { i =>
+      MergeUpsert.upsertParquet(spark,
+        Seq((i, s"v$i")).toDF("id", "v").withColumn("p", col("id") % 3),
+        dir, Seq("id"), Seq("p"), retain = i == 0)
+      if (i == 5) vAfter5 = DeltaLog.replay(spark, dir).get.version
+    }
+    assert(new java.io.File(dir, DeltaLog.LogDirName).listFiles()
+      .exists(_.getName.endsWith(".checkpoint.parquet")), "checkpoint landed")
+    val full = DeltaLog.replay(spark, dir).get
+    val scoped = DeltaLog.replayScoped(spark, dir, Map("p" -> "1")).get
+    assert(scoped.version === full.version)
+    assert(scoped.schemaString === full.schemaString)
+    assert(scoped.configuration === full.configuration)
+    // scoped file map = exactly the full map's p=1 slice
+    assert(scoped.files.keySet ===
+      full.files.filter(_._2.partitionValues.get("p").contains("1")).keySet)
+    assert(scoped.files.nonEmpty && scoped.files.size < full.files.size)
+    // the pruned read returns exactly the partition's rows
+    val rows = DeltaLog.readPartitions(spark, dir, Map("p" -> "1"))
+      .select("id", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows === (0 until 12).filter(_ % 3 == 1)
+      .map(i => (i, s"v$i")).toSet)
+    // an absent partition value reads empty, never throws
+    assert(DeltaLog.readPartitions(spark, dir, Map("p" -> "9"))
+      .count() === 0L)
+    // time travel composes with the scope (retained files serve data)
+    val atV5 = DeltaLog.readPartitions(spark, dir, Map("p" -> "1"), vAfter5)
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(atV5 === (0 to 5).filter(_ % 3 == 1).toSet)
+  }
+
   test("restore: head returns to the target's file set; history and " +
       "later versions survive; vacuumed targets refuse") {
     val dir = tmp()
