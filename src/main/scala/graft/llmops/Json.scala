@@ -31,10 +31,24 @@ object Json {
     case _ => null
   }
 
+  /** Nesting ceiling: the recursive descent would otherwise turn a
+    * crafted "[[[[…" (an untrusted Avro schema header, a forged delta
+    * commit) into a StackOverflowError — which is FATAL, escapes the
+    * NonFatal catch in [[parse]], and kills the task instead of
+    * degrading to null. 512 is far past any real metadata document.
+    */
+  private val MaxDepth = 512
+
   private final class P(s: String) {
     var i = 0
+    private var depth = 0
     private def fail(): Nothing = throw new IllegalArgumentException(
       s"json parse error at $i")
+    private[Json] def enter(): Unit = {
+      depth += 1
+      if (depth > MaxDepth) fail()
+    }
+    private[Json] def exit(): Unit = depth -= 1
     def ws(): Unit =
       while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\t' ||
         s.charAt(i) == '\n' || s.charAt(i) == '\r')) i += 1
@@ -59,9 +73,12 @@ object Json {
       }
     }
     private def obj(): Map[String, Any] = {
+      enter()
       expect('{'); ws()
       val b = scala.collection.immutable.ListMap.newBuilder[String, Any]
-      if (i < s.length && s.charAt(i) == '}') { i += 1; return b.result() }
+      if (i < s.length && s.charAt(i) == '}') {
+        i += 1; exit(); return b.result()
+      }
       var more = true
       while (more) {
         ws()
@@ -72,12 +89,16 @@ object Json {
         if (i < s.length && s.charAt(i) == ',') i += 1
         else { expect('}'); more = false }
       }
+      exit()
       b.result()
     }
     private def arr(): Vector[Any] = {
+      enter()
       expect('['); ws()
       val b = Vector.newBuilder[Any]
-      if (i < s.length && s.charAt(i) == ']') { i += 1; return b.result() }
+      if (i < s.length && s.charAt(i) == ']') {
+        i += 1; exit(); return b.result()
+      }
       var more = true
       while (more) {
         ws()
@@ -86,6 +107,7 @@ object Json {
         if (i < s.length && s.charAt(i) == ',') i += 1
         else { expect(']'); more = false }
       }
+      exit()
       b.result()
     }
     private def str(): String = {
@@ -107,8 +129,17 @@ object Json {
             case 't' => b.append('\t')
             case 'u' =>
               if (i + 4 >= s.length) fail()
-              b.append(Integer.parseInt(s.substring(i + 1, i + 5), 16)
-                .toChar)
+              // exactly four hex DIGITS: Integer.parseInt(_, 16) also
+              // accepts a sign character, which no JSON escape carries
+              var v = 0
+              var k = 1
+              while (k <= 4) {
+                val d = Character.digit(s.charAt(i + k), 16)
+                if (d < 0) fail()
+                v = (v << 4) | d
+                k += 1
+              }
+              b.append(v.toChar)
               i += 4
             case _ => fail()
           }

@@ -34,4 +34,23 @@ class JsonSpec extends SparkTestBase {
     assert(Json.parse(" 1.5e3 ") == 1500.0)
     assert(Json.parse("-2E-2") == -0.02)
   }
+
+  test("pathological nesting degrades to null, never a StackOverflowError") {
+    // untrusted metadata (Avro schema headers) reaches this parser — a
+    // 100k-deep "[[[[…" must hit the depth cap (fail -> null), not blow
+    // the JVM stack (FATAL, escapes the NonFatal catch, kills the task)
+    val deep = "[" * 100000 + "]" * 100000
+    assert(Json.parse(deep) == null)
+    val deepObj = "{\"a\":" * 100000 + "1" + "}" * 100000
+    assert(Json.parse(deepObj) == null)
+    // legitimate nesting well inside the cap still parses
+    val ok = "[" * 100 + "1" + "]" * 100
+    assert(Json.parse(ok) != null)
+  }
+
+  test("\\u escape requires exactly four hex digits") {
+    assert(Json.parse("\"\\u0041\"") == "A")
+    assert(Json.parse("\"\\u+041\"") == null) // parseInt would take '+'
+    assert(Json.parse("\"\\u00G1\"") == null)
+  }
 }
