@@ -72,6 +72,43 @@ object CatalogSync {
     ()
   }
 
+  /** Register a DELTA-logged stage table, surfacing the log's
+    * `metaData.configuration` (per-table retention et al. — the
+    * properties the reference bakes in at write time,
+    * light_transform.py:1373-1374) as catalog TBLPROPERTIES alongside
+    * `extraProperties`, so governance tooling reads the real retention
+    * contract off any metastore.
+    *
+    * Refuses a table currently holding RETAINED on-disk tombstones: the
+    * registration points plain-parquet readers at the directory, and a
+    * retained table's directory contains replaced files — SQL readers
+    * would double-count rows. VACUUM first (or query through
+    * [[graft.sources.DeltaLog.read]] / the symlink manifest, which
+    * serve the committed file list).
+    */
+  def registerDeltaTable(spark: SparkSession, db: String, table: String,
+      path: String, extraProperties: Map[String, String] = Map.empty): Unit = {
+    val st = graft.sources.DeltaLog.replay(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no _delta_log at $path — use registerTable for plain parquet"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retained = st.tombstones.keys
+      .exists(rel => fs.exists(new org.apache.hadoop.fs.Path(s"$path/$rel")))
+    require(!retained,
+      s"$path holds retained tombstoned files — a plain-parquet catalog " +
+        "registration would double-count rows; VACUUM first or serve " +
+        "readers through the delta log / symlink manifest")
+    registerTable(spark, db, table, path, st.configuration ++ extraProperties)
+  }
+
+  /** A delta table's `metaData.configuration` — the properties
+    * [[registerDeltaTable]] surfaces; empty map for tables without any.
+    */
+  def deltaTableProperties(spark: SparkSession, path: String): Map[String, String] =
+    graft.sources.DeltaLog.replay(spark, path)
+      .map(_.configuration).getOrElse(Map.empty)
+
   /** Merge properties into an already-registered table (the re-tag pass —
     * existing keys are overwritten, others untouched).
     */

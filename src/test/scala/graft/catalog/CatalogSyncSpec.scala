@@ -17,6 +17,39 @@ class CatalogSyncSpec extends SparkTestBase {
     dir
   }
 
+  test("registerDeltaTable surfaces the log's configuration as " +
+      "TBLPROPERTIES; retained tombstones refuse") {
+    val dir = Files.createTempDirectory("graft-catalog-delta").toString + "/t"
+    graft.operators.MergeUpsert.upsertParquet(spark,
+      Seq((1, "a")).toDF("id", "v"), dir, Seq("id"))
+    graft.sources.DeltaLog.setTableProperties(spark, dir, Map(
+      graft.sources.DeltaLog.TombstoneRetentionProp -> "interval 7 days",
+      graft.sources.DeltaLog.LogRetentionProp -> "interval 30 days"))
+    CatalogSync.registerDeltaTable(spark, "graft_cat_delta", "t_props", dir,
+      Map("tags.level" -> "Stage"))
+    val props = CatalogSync.tableProperties(spark, "graft_cat_delta", "t_props")
+    assert(props.get(graft.sources.DeltaLog.TombstoneRetentionProp)
+      .contains("interval 7 days"))
+    assert(props.get(graft.sources.DeltaLog.LogRetentionProp)
+      .contains("interval 30 days"))
+    assert(props.get("tags.level").contains("Stage"))
+    assert(CatalogSync.deltaTableProperties(spark, dir)
+      .contains(graft.sources.DeltaLog.TombstoneRetentionProp))
+    // a RETAINED table (on-disk tombstones) refuses: plain-parquet
+    // registration would double-count rows
+    graft.operators.MergeUpsert.upsertParquet(spark,
+      Seq((1, "A")).toDF("id", "v"), dir, Seq("id"), retain = true)
+    val e = intercept[IllegalArgumentException] {
+      CatalogSync.registerDeltaTable(spark, "graft_cat_delta", "t2", dir)
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    // after VACUUM the registration proceeds
+    graft.operators.Maintenance.vacuum(spark, dir, retentionHours = 0.0)
+    CatalogSync.registerDeltaTable(spark, "graft_cat_delta", "t2", dir)
+    assert(spark.sql("SELECT count(*) FROM graft_cat_delta.t2")
+      .head().getLong(0) === 1L)
+  }
+
   test("table properties round-trip through the metastore") {
     val path = freshTable()
     CatalogSync.registerTable(spark, "cat_db", "tagged", path,

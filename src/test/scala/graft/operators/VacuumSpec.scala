@@ -229,6 +229,32 @@ class VacuumSpec extends SparkTestBase {
       .map(_.getString(1)).toSeq === Seq("a"))
   }
 
+  test("two tables with different per-table retention vacuum differently " +
+      "under ONE session (property beats conf)") {
+    val dirA = tmp(); val dirB = tmp()
+    for (d <- Seq(dirA, dirB)) {
+      MergeUpsert.upsertParquet(spark,
+        Seq((1, "a")).toDF("id", "v"), d, Seq("id"), retain = true)
+      MergeUpsert.upsertParquet(spark,
+        Seq((1, "A")).toDF("id", "v"), d, Seq("id"))
+      assert(DeltaLog.replay(spark, d).get.tombstones.nonEmpty)
+    }
+    // A expires immediately; B holds for 1000h — same session, same call
+    DeltaLog.setTableProperties(spark, dirA,
+      Map(DeltaLog.TombstoneRetentionProp -> "interval 0 hours"))
+    DeltaLog.setTableProperties(spark, dirB,
+      Map(DeltaLog.TombstoneRetentionProp -> "interval 1000 hours"))
+    assert(Maintenance.vacuumTable(spark, dirA) > 0L,
+      "A's expired tombstones delete")
+    assert(Maintenance.vacuumTable(spark, dirB) === 0L,
+      "B's tombstones stay inside its own window")
+    // both tables still read their heads correctly
+    assert(DeltaLog.read(spark, dirA).collect().map(_.getString(1)).toSeq
+      === Seq("A"))
+    assert(DeltaLog.read(spark, dirB, 0L).collect().map(_.getString(1))
+      .toSeq === Seq("a"), "B's history is still data-travelable")
+  }
+
   test("retention vacuum refuses while a live writer holds the lease") {
     val dir = tmp()
     MergeUpsert.upsertParquet(spark,
