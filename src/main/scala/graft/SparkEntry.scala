@@ -1750,6 +1750,29 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q235_delete_where" -> ((s, dir) => {
+      // Row-level DELETE (take-down/right-to-be-forgotten): build a
+      // partitioned table, DELETE WHERE a predicate crossing partition
+      // and data columns, read the head back. Only partitions containing
+      // matches rewrite; the oracle is the closed-form complement.
+      val ss = tuned(s)
+      val init = t(ss, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          (col("o_orderkey") % 4).cast("int").as("p"))
+      val tableDir =
+        java.nio.file.Files.createTempDirectory("graft-q235").toString + "/t"
+      MergeUpsert.upsertParquet(ss, init, tableDir, Seq("o_orderkey"),
+        Seq("p"))
+      val deleted = MergeUpsert.deleteWhere(ss, tableDir,
+        col("p") === 1 || (col("p") === 2 && col("o_orderstatus") === "F"),
+        partitionCols = Seq("p"))
+      graft.sources.DeltaLog.read(ss, tableDir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("p").cast("int").as("p"))
+        .withColumn("n_deleted", lit(deleted))
+        .orderBy("o_orderkey")
+    }),
+
     "q25_watermark_filter" -> ((s, dir) => {
       // P6 numeric watermark predicate
       t(tuned(s), dir, "events")
@@ -12187,6 +12210,20 @@ ${graft.oracle.XxHash64Sql.kernel("42")},
          SELECT 'm_expired_deleted_files', CAST(1 AS BIGINT),
            CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
          ORDER BY src, o_orderkey""",
+
+    "q235_delete_where" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  CAST(o_orderkey % 4 AS INTEGER) AS p
+           FROM orders WHERE o_orderkey < 2000),
+         deleted AS (
+           SELECT count(*) AS n FROM base
+           WHERE p = 1 OR (p = 2 AND o_orderstatus = 'F'))
+         SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice, b.p,
+                d.n AS n_deleted
+         FROM base b CROSS JOIN deleted d
+         WHERE NOT (b.p = 1 OR (b.p = 2 AND b.o_orderstatus = 'F'))
+         ORDER BY b.o_orderkey""",
 
     "q234_delta_read_partitions" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, DataType, DateType,
   IntegerType, LongType, ShortType, StringType}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Key-based upsert with Delta-MERGE semantics over plain Parquet
   * (this build has no Delta jars; the semantics mirror
@@ -370,6 +370,123 @@ object MergeUpsert {
         ()
       }
     }
+  }
+
+  /** Row-level DELETE — `DELETE FROM table WHERE predicate`, the
+    * take-down/right-to-be-forgotten primitive a training-data store
+    * needs. SQL semantics: rows where the predicate is TRUE delete;
+    * NULL-predicate rows are kept. Same crash-safe staging/swap/
+    * reconcile protocol as the merge paths, under the same writer
+    * lease; on a partitioned table only the partitions CONTAINING
+    * matches rewrite (a partition whose every row matches swaps to
+    * empty — its rows must go, not linger). Retention semantics carry
+    * over: on a retention-mode table the replaced files become on-disk
+    * tombstones, so the pre-delete version stays travelable and
+    * [[graft.sources.DeltaLog.changes]] shows the deleted rows.
+    * Reads anchor on the LOG's schema (not directory-name inference),
+    * so partition values round-trip the rewrite byte-identically.
+    *
+    * @return number of rows deleted
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      path: String,
+      predicate: Column,
+      partitionCols: Seq[String] = Nil,
+      leaseStaleMs: Long = DefaultLeaseStaleMs,
+      lockStore: Option[LockStore] = None,
+      retain: Boolean = false
+  ): Long = {
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return 0L
+    val lease: TableLease = lockStore match {
+      case Some(store) => StoreLease.acquire(store, path + "__lock", leaseStaleMs)
+      case None => WriterLease.acquire(fs, path, leaseStaleMs)
+    }
+    try {
+      Maintenance.recover(spark, path)
+      sweepOrphanStaging(fs, path)
+      val priorState = graft.sources.DeltaLog.replay(spark, path)
+      val effRetain = retain || retentionActive(fs, path, priorState)
+      val logSchema = priorState.flatMap(st => Option(st.schemaString))
+        .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      def readRels(rels: Seq[String]): DataFrame = {
+        val paths = rels.map(rel => s"$path/$rel")
+        val r = spark.read.option("basePath", path)
+        logSchema match {
+          case Some(sc) => r.schema(sc).parquet(paths: _*)
+          case None => r.option("mergeSchema", "true").parquet(paths: _*)
+        }
+      }
+      val allFiles = graft.sources.DeltaLog
+        .listedMinusTombstones(spark, path, state = priorState)
+      val table = allFiles match {
+        case Some(files) if files.isEmpty => return 0L
+        case Some(files) => readRels(files)
+        case None => spark.read.option("mergeSchema", "true").parquet(path)
+      }
+      val matchedPred = predicate <=> lit(true)
+      if (partitionCols.isEmpty) {
+        val kept = table.filter(!matchedPred)
+        val deleted = table.filter(matchedPred).count()
+        if (deleted == 0) return 0L
+        val staging = stagingPath(path, lease.token)
+        write(kept, staging.toString, Nil)
+        lease.heartbeat()
+        writeMarker(fs, path, staging, ModeWhole)
+        wholeSwap(fs, path, staging)
+        graft.sources.DeltaLog.reconcile(spark, path, kept.schema, Nil,
+          operation = "DELETE")
+        Maintenance.refreshSymlinkManifest(spark, path)
+        if (effRetain) { retainReplaced(fs, path); pinRetain(spark, path) }
+        finishCommit(fs, path, staging)
+        deleted
+      } else {
+        // partitions CONTAINING matches — bounded by the match set, the
+        // usual partition-metadata collect
+        val tuples = table.filter(matchedPred)
+          .select(partitionCols.map(col): _*).distinct().collect()
+        if (tuples.isEmpty) return 0L
+        val dirs = tuples.map { row =>
+          partitionCols.indices.map { i =>
+            s"${escape(partitionCols(i))}=${renderValue(row.get(i))}"
+          }.mkString("/")
+        }.toIndexedSeq
+        val liveRel = dirs.filter(d => fs.exists(new Path(s"$path/$d")))
+        if (liveRel.isEmpty) return 0L
+        val sliceFiles = graft.sources.DeltaLog
+          .listedMinusTombstones(spark, path, Some(liveRel),
+            state = priorState)
+        val slice = sliceFiles match {
+          case Some(files) if files.isEmpty => return 0L
+          case Some(files) => readRels(files)
+          case None => readRels(liveRel)
+        }
+        val deleted = slice.filter(matchedPred).count()
+        if (deleted == 0) return 0L
+        val kept = slice.filter(!matchedPred)
+        val staging = stagingPath(path, lease.token)
+        write(kept, staging.toString, partitionCols)
+        // a partition whose every row matched writes NO staged dir — the
+        // swap must still REPLACE it (with empty), or its rows linger
+        liveRel.foreach { d =>
+          val sd = new Path(s"$staging/$d")
+          if (!fs.exists(sd)) { fs.mkdirs(sd); () }
+        }
+        lease.heartbeat()
+        writeMarker(fs, path, staging, ModeParts)
+        commitSwap(fs, path, staging)
+        graft.sources.DeltaLog.reconcile(spark, path, kept.schema,
+          partitionCols, operation = "DELETE",
+          scopedDirs = Some(dirs))
+        Maintenance.refreshSymlinkManifest(spark, path)
+        if (effRetain) { retainReplaced(fs, path); pinRetain(spark, path) }
+        finishCommit(fs, path, staging)
+        deleted
+      }
+    } finally lease.release()
   }
 
   private def prunedUpsert(
