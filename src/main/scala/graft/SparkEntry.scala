@@ -1773,6 +1773,31 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q236_update_where" -> ((s, dir) => {
+      // Row-level UPDATE: partition-pruned rewrite applying SET
+      // expressions exactly where the predicate is TRUE, values cast to
+      // the existing column types, partitions without matches untouched.
+      // Oracle = the same conditional projection in SQL.
+      val ss = tuned(s)
+      val init = t(ss, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          (col("o_orderkey") % 4).cast("int").as("p"))
+      val tableDir =
+        java.nio.file.Files.createTempDirectory("graft-q236").toString + "/t"
+      MergeUpsert.upsertParquet(ss, init, tableDir, Seq("o_orderkey"),
+        Seq("p"))
+      val updated = MergeUpsert.updateWhere(ss, tableDir,
+        col("p") === 1 && col("o_orderstatus") === "F",
+        Map("o_totalprice" -> (col("o_totalprice") * 2),
+          "o_orderstatus" -> lit("X")),
+        partitionCols = Seq("p"))
+      graft.sources.DeltaLog.read(ss, tableDir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("p").cast("int").as("p"))
+        .withColumn("n_updated", lit(updated))
+        .orderBy("o_orderkey")
+    }),
+
     "q25_watermark_filter" -> ((s, dir) => {
       // P6 numeric watermark predicate
       t(tuned(s), dir, "events")
@@ -12210,6 +12235,24 @@ ${graft.oracle.XxHash64Sql.kernel("42")},
          SELECT 'm_expired_deleted_files', CAST(1 AS BIGINT),
            CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
          ORDER BY src, o_orderkey""",
+
+    "q236_update_where" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  CAST(o_orderkey % 4 AS INTEGER) AS p
+           FROM orders WHERE o_orderkey < 2000),
+         upd AS (
+           SELECT count(*) AS n FROM base
+           WHERE p = 1 AND o_orderstatus = 'F')
+         SELECT b.o_orderkey,
+                CASE WHEN b.p = 1 AND b.o_orderstatus = 'F'
+                     THEN 'X' ELSE b.o_orderstatus END AS o_orderstatus,
+                CASE WHEN b.p = 1 AND b.o_orderstatus = 'F'
+                     THEN b.o_totalprice * 2 ELSE b.o_totalprice
+                END AS o_totalprice,
+                b.p, u.n AS n_updated
+         FROM base b CROSS JOIN upd u
+         ORDER BY b.o_orderkey""",
 
     "q235_delete_where" ->
       """WITH base AS (

@@ -489,6 +489,135 @@ object MergeUpsert {
     } finally lease.release()
   }
 
+  /** Row-level UPDATE — `UPDATE table SET col = expr, … WHERE predicate`.
+    * SQL semantics: assignments apply exactly where the predicate is
+    * TRUE (NULL/false rows pass through untouched); every assignment
+    * expression reads the PRE-update row, so `SET a = b, b = a` swaps.
+    * Assignment values cast to the column's existing type — an UPDATE
+    * never evolves the schema. Partition columns cannot be assigned:
+    * a row changing partitions needs a MERGE into the destination
+    * (the per-partition dir swap would clobber the destination's
+    * existing rows) — use [[deleteWhere]] + [[upsertParquet]] for
+    * moves, like early Delta required. Same partition-pruned rewrite,
+    * staging protocol, lease, retention and CDF behavior as
+    * [[deleteWhere]].
+    *
+    * @return number of rows updated
+    */
+  def updateWhere(
+      spark: SparkSession,
+      path: String,
+      predicate: Column,
+      set: Map[String, Column],
+      partitionCols: Seq[String] = Nil,
+      leaseStaleMs: Long = DefaultLeaseStaleMs,
+      lockStore: Option[LockStore] = None,
+      retain: Boolean = false
+  ): Long = {
+    require(set.nonEmpty, "updateWhere needs at least one assignment")
+    val partLower = partitionCols.map(_.toLowerCase).toSet
+    val partHit = set.keys.filter(k => partLower.contains(k.toLowerCase))
+    require(partHit.isEmpty,
+      s"cannot assign partition column(s) ${partHit.mkString(", ")} — a " +
+        "row changing partitions needs deleteWhere + upsertParquet")
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return 0L
+    val lease: TableLease = lockStore match {
+      case Some(store) => StoreLease.acquire(store, path + "__lock", leaseStaleMs)
+      case None => WriterLease.acquire(fs, path, leaseStaleMs)
+    }
+    try {
+      Maintenance.recover(spark, path)
+      sweepOrphanStaging(fs, path)
+      val priorState = graft.sources.DeltaLog.replay(spark, path)
+      val effRetain = retain || retentionActive(fs, path, priorState)
+      val logSchema = priorState.flatMap(st => Option(st.schemaString))
+        .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      def readRels(rels: Seq[String]): DataFrame = {
+        val paths = rels.map(rel => s"$path/$rel")
+        val r = spark.read.option("basePath", path)
+        logSchema match {
+          case Some(sc) => r.schema(sc).parquet(paths: _*)
+          case None => r.option("mergeSchema", "true").parquet(paths: _*)
+        }
+      }
+      val allFiles = graft.sources.DeltaLog
+        .listedMinusTombstones(spark, path, state = priorState)
+      val table = allFiles match {
+        case Some(files) if files.isEmpty => return 0L
+        case Some(files) => readRels(files)
+        case None => spark.read.option("mergeSchema", "true").parquet(path)
+      }
+      val byLower = set.map { case (k, v) => k.toLowerCase -> v }
+      val unknown = set.keys
+        .filterNot(k => table.columns.exists(_.equalsIgnoreCase(k)))
+      require(unknown.isEmpty,
+        s"updateWhere: unknown column(s) ${unknown.mkString(", ")}")
+      val matchedPred = predicate <=> lit(true)
+      def applySet(df: DataFrame): DataFrame =
+        df.select(df.schema.fields.toIndexedSeq.map { f =>
+          byLower.get(f.name.toLowerCase) match {
+            case Some(expr) =>
+              when(matchedPred, expr.cast(f.dataType))
+                .otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+      if (partitionCols.isEmpty) {
+        val updated = table.filter(matchedPred).count()
+        if (updated == 0) return 0L
+        val rewritten = applySet(table)
+        val staging = stagingPath(path, lease.token)
+        write(rewritten, staging.toString, Nil)
+        lease.heartbeat()
+        writeMarker(fs, path, staging, ModeWhole)
+        wholeSwap(fs, path, staging)
+        graft.sources.DeltaLog.reconcile(spark, path, rewritten.schema, Nil,
+          operation = "UPDATE")
+        Maintenance.refreshSymlinkManifest(spark, path)
+        if (effRetain) { retainReplaced(fs, path); pinRetain(spark, path) }
+        finishCommit(fs, path, staging)
+        updated
+      } else {
+        val tuples = table.filter(matchedPred)
+          .select(partitionCols.map(col): _*).distinct().collect()
+        if (tuples.isEmpty) return 0L
+        val dirs = tuples.map { row =>
+          partitionCols.indices.map { i =>
+            s"${escape(partitionCols(i))}=${renderValue(row.get(i))}"
+          }.mkString("/")
+        }.toIndexedSeq
+        val liveRel = dirs.filter(d => fs.exists(new Path(s"$path/$d")))
+        if (liveRel.isEmpty) return 0L
+        val sliceFiles = graft.sources.DeltaLog
+          .listedMinusTombstones(spark, path, Some(liveRel),
+            state = priorState)
+        val slice = sliceFiles match {
+          case Some(files) if files.isEmpty => return 0L
+          case Some(files) => readRels(files)
+          case None => readRels(liveRel)
+        }
+        val updated = slice.filter(matchedPred).count()
+        if (updated == 0) return 0L
+        val rewritten = applySet(slice)
+        val staging = stagingPath(path, lease.token)
+        write(rewritten, staging.toString, partitionCols)
+        lease.heartbeat()
+        writeMarker(fs, path, staging, ModeParts)
+        commitSwap(fs, path, staging)
+        graft.sources.DeltaLog.reconcile(spark, path, rewritten.schema,
+          partitionCols, operation = "UPDATE",
+          scopedDirs = Some(dirs))
+        Maintenance.refreshSymlinkManifest(spark, path)
+        if (effRetain) { retainReplaced(fs, path); pinRetain(spark, path) }
+        finishCommit(fs, path, staging)
+        updated
+      }
+    } finally lease.release()
+  }
+
   private def prunedUpsert(
       spark: SparkSession,
       fs: FileSystem,

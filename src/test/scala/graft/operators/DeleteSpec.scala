@@ -76,6 +76,51 @@ class DeleteSpec extends SparkTestBase {
     assert(ch === Set(("delete", 2, "b"), ("delete", 3, "c")))
   }
 
+  test("updateWhere: assignments apply where TRUE, read the pre-update " +
+      "row, cast to the column type; partition columns refuse") {
+    val dir = tmp()
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+        .toDF("id", "v", "x"),
+      dir, Seq("id"))
+    // swap semantics: every assignment reads the PRE-update row
+    val n = MergeUpsert.updateWhere(spark, dir, col("id") >= 2,
+      Map("v" -> concat(col("v"), lit("!")), "x" -> (col("x") * 2)))
+    assert(n === 2L)
+    val rows = DeltaLog.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows === Seq((1, "a", 10.0), (2, "b!", 40.0), (3, "c!", 60.0)))
+    // value casts to the EXISTING column type (no schema evolution)
+    MergeUpsert.updateWhere(spark, dir, col("id") === 1,
+      Map("x" -> lit("55"))) // string literal -> double column
+    assert(DeltaLog.read(spark, dir).filter(col("id") === 1)
+      .head().getDouble(2) === 55.0)
+    // unknown and partition columns refuse loudly
+    intercept[IllegalArgumentException] {
+      MergeUpsert.updateWhere(spark, dir, lit(true), Map("nope" -> lit(1)))
+    }
+    val pdir = tmp()
+    MergeUpsert.upsertParquet(spark,
+      (1 to 6).map(i => (i, s"v$i", i % 2)).toDF("id", "v", "p"),
+      pdir, Seq("id"), Seq("p"))
+    intercept[IllegalArgumentException] {
+      MergeUpsert.updateWhere(spark, pdir, lit(true),
+        Map("p" -> lit(9)), partitionCols = Seq("p"))
+    }
+    // partitioned update rewrites only matching partitions
+    val beforeP0 = DeltaLog.replay(spark, pdir).get.files.keys
+      .filter(_.startsWith("p=0")).toSet
+    val m = MergeUpsert.updateWhere(spark, pdir,
+      col("p") === 1 && col("id") <= 3,
+      Map("v" -> lit("upd")), partitionCols = Seq("p"))
+    assert(m === 2L) // ids 1, 3
+    assert(DeltaLog.read(spark, pdir).filter(col("v") === "upd")
+      .select("id").collect().map(_.getInt(0)).toSet === Set(1, 3))
+    assert(DeltaLog.replay(spark, pdir).get.files.keys
+      .filter(_.startsWith("p=0")).toSet === beforeP0,
+      "untouched partition's files never rewrote")
+  }
+
   test("delete on a missing table is 0; delete everything leaves an " +
       "empty, readable table") {
     assert(MergeUpsert.deleteWhere(spark, tmp(), lit(true)) === 0L)
