@@ -378,6 +378,31 @@ object Maintenance {
     * commit before sweeping, so it can never delete a live writer's
     * staging or `__old` mid-swap. Returns the number of files deleted.
     */
+  /** `VACUUM ... DRY RUN`: the relative paths the retention pass WOULD
+    * delete, without touching anything — no lease, no sweep, no commit
+    * (a dry run must be safe to point at a live table). The real
+    * vacuum's deletion set can only shrink between the dry run and the
+    * run itself (tombstones never un-expire; a concurrent write adds
+    * only FRESH tombstones).
+    */
+  def vacuumDryRun(spark: SparkSession, path: String,
+      retentionHours: Double): Seq[String] = {
+    require(retentionHours >= 0, s"negative retention: $retentionHours")
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) return Nil
+    graft.sources.DeltaLog.replay(spark, path) match {
+      case None => Nil
+      case Some(st) =>
+        val cutoff = System.currentTimeMillis() -
+          (retentionHours * 3600 * 1000).toLong
+        st.tombstones.toSeq.sortBy(_._1).collect {
+          case (rel, ts) if ts <= cutoff &&
+            fs.exists(new Path(s"$path/$rel")) => rel
+        }
+    }
+  }
+
   def vacuum(spark: SparkSession, path: String,
       retentionHours: Double): Long = {
     require(retentionHours >= 0, s"negative retention: $retentionHours")

@@ -1096,6 +1096,35 @@ object DeltaLog {
     inserted.unionByName(deleted, allowMissingColumns = true)
   }
 
+  /** [[changes]] with per-commit attribution — real Delta's
+    * `table_changes` row shape: each row carries `_commit_version`, the
+    * version whose commit produced it (a row updated twice in the range
+    * appears once per commit, where the collapsed [[changes]] would
+    * cancel the intermediate hop). Work is the sum of the PER-COMMIT
+    * file deltas — each step reads only the files that commit added or
+    * removed, so a range of partition-pruned merges costs the touched
+    * partitions per commit, never snapshots.
+    */
+  def changesPerVersion(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val head = replay(spark, root)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no $LogDirName at $root — not a delta table")).version
+    val to = math.min(toVersion, head)
+    require(to >= fromVersion,
+      s"toVersion $to precedes fromVersion $fromVersion")
+    val steps = (fromVersion until to).map { v =>
+      changes(spark, root, v, v + 1)
+        .withColumn("_commit_version", lit(v + 1))
+    }
+    if (steps.isEmpty)
+      changes(spark, root, fromVersion, to)
+        .withColumn("_commit_version", lit(to))
+        .limit(0)
+    else steps.reduce(_ unionByName _)
+  }
+
   /** Relative paths of the data files on disk under `root` (scoped to
     * `subs` dirs when given) EXCLUDING log tombstones — the view a writer
     * reads on a possibly-retained table. Listing-driven (not the log's

@@ -607,6 +607,45 @@ class DeltaLogSpec extends SparkTestBase {
     assert(atV5 === (0 to 5).filter(_ % 3 == 1).toSet)
   }
 
+  test("changesPerVersion attributes each row to its commit; " +
+      "vacuumDryRun lists without deleting") {
+    val dir = tmp()
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "a")).toDF("id", "v"), dir, Seq("id"), retain = true)
+    val v0 = DeltaLog.replay(spark, dir).get.version
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "b")).toDF("id", "v"), dir, Seq("id"))
+    val v1 = DeltaLog.replay(spark, dir).get.version
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "c")).toDF("id", "v"), dir, Seq("id"))
+    val v2 = DeltaLog.replay(spark, dir).get.version
+    // the collapsed range cancels the intermediate hop...
+    val collapsed = DeltaLog.changes(spark, dir, v0, v2)
+      .select("_change_type", "v").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(collapsed === Set(("insert", "c"), ("delete", "a")))
+    // ...per-version attribution keeps it, tagged with its commit
+    val per = DeltaLog.changesPerVersion(spark, dir, v0, v2)
+      .select("_commit_version", "_change_type", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(per === Set(
+      (v1, "insert", "b"), (v1, "delete", "a"),
+      (v2, "insert", "c"), (v2, "delete", "b")))
+    // empty range: zero rows, schema intact
+    assert(DeltaLog.changesPerVersion(spark, dir, v2, v2).count() === 0L)
+    // dry run lists the expired tombstones and deletes NOTHING
+    val wouldDelete = Maintenance.vacuumDryRun(spark, dir,
+      retentionHours = 0.0)
+    assert(wouldDelete.nonEmpty)
+    wouldDelete.foreach(rel => assert(
+      new java.io.File(dir, rel).exists(), s"dry run must not delete $rel"))
+    assert(DeltaLog.read(spark, dir, v0).count() === 1L,
+      "history still travelable after the dry run")
+    // the real vacuum deletes exactly the dry run's set
+    assert(Maintenance.vacuum(spark, dir, retentionHours = 0.0) ===
+      wouldDelete.length.toLong)
+  }
+
   test("restore: head returns to the target's file set; history and " +
       "later versions survive; vacuumed targets refuse") {
     val dir = tmp()
