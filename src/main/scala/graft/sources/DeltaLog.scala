@@ -1096,6 +1096,23 @@ object DeltaLog {
     inserted.unionByName(deleted, allowMissingColumns = true)
   }
 
+  /** `DESCRIBE DETAIL` — one row of table-level metadata off a single
+    * replay: version, file count, total live bytes, partition columns,
+    * configuration, tombstone count (the retention footprint VACUUM
+    * would reclaim). The operator's first look at an unfamiliar table.
+    */
+  def detail(spark: SparkSession, root: String): DataFrame = {
+    val st = replay(spark, root)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no $LogDirName at $root — not a delta table"))
+    import spark.implicits._
+    Seq((root, st.version, st.files.size.toLong,
+        st.files.values.map(_.size).sum,
+        st.partitionColumns, st.configuration, st.tombstones.size.toLong))
+      .toDF("location", "version", "num_files", "size_in_bytes",
+        "partition_columns", "configuration", "num_tombstones")
+  }
+
   /** [[changes]] with per-commit attribution — real Delta's
     * `table_changes` row shape: each row carries `_commit_version`, the
     * version whose commit produced it (a row updated twice in the range

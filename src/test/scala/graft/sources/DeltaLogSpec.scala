@@ -607,6 +607,29 @@ class DeltaLogSpec extends SparkTestBase {
     assert(atV5 === (0 to 5).filter(_ % 3 == 1).toSet)
   }
 
+  test("detail(): one-row DESCRIBE DETAIL off a single replay") {
+    val dir = tmp()
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "a", 0), (2, "b", 1)).toDF("id", "v", "p")
+        .withColumn("p", col("p")), dir, Seq("id"), Seq("p"),
+      retain = true)
+    MergeUpsert.upsertParquet(spark,
+      Seq((1, "A", 0)).toDF("id", "v", "p"), dir, Seq("id"), Seq("p"))
+    val d = DeltaLog.detail(spark, dir).head()
+    assert(d.getAs[String]("location") === dir)
+    assert(d.getAs[Long]("version") ===
+      DeltaLog.replay(spark, dir).get.version)
+    assert(d.getAs[Long]("num_files") >= 2L)
+    assert(d.getAs[Long]("size_in_bytes") > 0L)
+    assert(d.getAs[Seq[String]]("partition_columns") === Seq("p"))
+    assert(d.getAs[Map[String, String]]("configuration")
+      .get(MergeUpsert.RetainProp).contains("true"))
+    assert(d.getAs[Long]("num_tombstones") >= 1L)
+    intercept[IllegalArgumentException] {
+      DeltaLog.detail(spark, tmp())
+    }
+  }
+
   test("changesPerVersion attributes each row to its commit; " +
       "vacuumDryRun lists without deleting") {
     val dir = tmp()
