@@ -841,19 +841,19 @@ object DedupOps {
         */
       portable: Boolean = true): DataFrame = {
     require(minLen > 0, "minLen must be positive")
+    // r18: no gram cache — the window-based cutStarts consumes the gram
+    // table exactly once (the old groupBy-then-join shape scanned it
+    // twice, which is what the persist existed for)
     val grams = substringGrams(df, textCol, keyCol, minLen, portable)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cutStarts is materialized eagerly — one row per document, though the
     // __starts array grows with duplicated positions per doc (boilerplate-
-    // heavy corpora can approach corpus character count) — so the much
-    // bigger per-position gram cache can be released before returning.
+    // heavy corpora can approach corpus character count).
     // localCheckpoint, not persist: persist would pin the blocks in the
     // CacheManager until an unpersist the caller never sees; checkpoint
     // blocks are freed by the ContextCleaner once the returned DataFrame
     // is garbage-collected, so repeated calls in one session don't
     // accumulate storage
     val cutStarts = substringCutStarts(grams).localCheckpoint(true)
-    grams.unpersist()
     val empty = lit(Array.empty[Long])
     df.join(cutStarts, col(keyCol) === col("__k"), "left")
       .withColumn(outCol,
@@ -869,10 +869,12 @@ object DedupOps {
 
   /** Stage 1 of [[exactSubstringDedup]]: every position's L-gram
     * fingerprint as (__k, __pos, __h); docs shorter than L contribute
-    * nothing (and cannot contain a duplicated L-span). The caller persists
-    * this — the dup-hash aggregate AND the join-back both consume it, and
-    * without the cache the per-position hash pass (the dominant cost; the
-    * table itself is narrow, ~50 B/position) would run twice.
+    * nothing (and cannot contain a duplicated L-span). Consumed exactly
+    * once, by [[substringCutStarts]]'s window. Both modes run a native
+    * one-kernel-call-per-document pass; the portable mode's __h is the
+    * raw 16-byte md5 digest — the same collision set as the oracle's
+    * `md5()` hex (unhex is a bijection), at half the hex form's width
+    * through the downstream exchange and sort (guide §2.3).
     */
   private[graft] def substringGrams(
       df: DataFrame,
@@ -883,12 +885,12 @@ object DedupOps {
     val shaped = df.filter(length(col(textCol)) >= minLen)
     if (portable)
       shaped.select(col(keyCol).alias("__k"),
-          explode(sequence(lit(0L),
-            (length(col(textCol)) - minLen).cast("long"))).alias("__pos"),
-          col(textCol).alias("__t"))
-        .select(col("__k"), col("__pos"),
-          md5(col("__t").substr(col("__pos").cast("int") + 1, lit(minLen)))
-            .alias("__h"))
+          posexplode(org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.expressions.Md5PositionHashes(
+              org.apache.spark.sql.graft.ColumnBridge.expressionEager(
+                col(textCol)), minLen))).as(Seq("__posi", "__h")))
+        .select(col("__k"), col("__posi").cast("long").alias("__pos"),
+          col("__h"))
     else
       shaped.select(col(keyCol).alias("__k"),
           posexplode(org.apache.spark.sql.graft.ColumnBridge.column(
@@ -901,20 +903,20 @@ object DedupOps {
 
   /** Stage 2 of [[exactSubstringDedup]]: per-doc sorted cut-start
     * positions — every non-first occurrence of any duplicated gram.
-    * Duplicated fingerprints and their global first occurrence come from
-    * one partial-agg groupBy on the hash (struct min is orderable); both
-    * joins are equi-keyed, nothing O(n²).
+    * One window over the hash does it: with occurrences of a fingerprint
+    * ordered by (key, pos), `row_number > 1` IS "not the global first
+    * occurrence of a duplicated gram" (a unique gram's only row is
+    * row_number 1 and drops out by the same filter). r18: this replaces
+    * the groupBy-count-min + join-back shape — the gram table crossed an
+    * exchange twice there (once into the aggregate, once into the join)
+    * plus a persist to avoid recomputing the hash pass; the window form
+    * shuffles it once and caches nothing (guide §2.4).
     */
   private[graft] def substringCutStarts(grams: DataFrame): DataFrame = {
-    val firsts = grams
-      .groupBy(col("__h"))
-      .agg(count(lit(1)).alias("__c"),
-        min(struct(col("__k"), col("__pos"))).alias("__first"))
-      .filter(col("__c") > 1)
-      .select(col("__h"), col("__first"))
-    grams.join(firsts, "__h")
-      .filter(!(col("__k") === col("__first.__k") &&
-        col("__pos") === col("__first.__pos")))
+    val w = Window.partitionBy(col("__h")).orderBy(col("__k"), col("__pos"))
+    grams
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
       .groupBy(col("__k"))
       .agg(sort_array(collect_set(col("__pos"))).alias("__starts"))
   }

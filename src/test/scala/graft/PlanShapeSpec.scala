@@ -181,7 +181,7 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("q88 exact-substring dedup: cached gram table, equi-joins only, partial agg") {
+  test("q88 exact-substring dedup: one-shuffle window cutStarts, native kernels") {
     val plan = executedPlan("q88_substring_dedup")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
@@ -189,34 +189,37 @@ class PlanShapeSpec extends SparkTestBase {
     // cutStarts is materialized via localCheckpoint (freed by the
     // ContextCleaner once unreferenced, unlike a CacheManager persist);
     // the returned plan must read those blocks, not recompute the
-    // per-position gram pass (grams itself is persisted only inside the
-    // materialization job and released before return)
+    // per-position gram pass
     assert(plan.contains("ExistingRDD") ||
       plan.contains("InMemoryTableScan"),
       s"cutStarts must be read from materialized blocks:\n$plan")
     assert(plan.contains("graft_cut_spans") || plan.contains("CutSpans"),
       s"the cut must run in the native kernel:\n$plan")
-    // the checkpointed stage's own shape: cached gram table feeding both
-    // the dup aggregate and the join-back, with map-side combine — not
-    // visible from the truncated final plan, so assert it directly
+    // r18 shape of the checkpointed stage: the gram table crosses exactly
+    // ONE exchange (the __h window — row_number > 1 IS "non-first
+    // occurrence of a duplicated gram") before the per-doc aggregate;
+    // the old groupBy+join shape shuffled it twice and needed a persist
     import org.apache.spark.sql.functions.col
     val src = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"))
     val grams = graft.llmops.DedupOps
       .substringGrams(src, "text", "doc_id", 40, portable = true)
-      .persist()
-    try {
-      val cuts = graft.llmops.DedupOps.substringCutStarts(grams)
-      cuts.collect()
-      val cplan = cuts.queryExecution.executedPlan.toString
-      assert(cplan.contains("InMemoryTableScan"),
-        s"grams must be read from cache by both consumers:\n$cplan")
-      assert(cplan.contains("partial_"),
-        s"dup-hash counting must map-side combine:\n$cplan")
-      assert(!cplan.contains("CartesianProduct") &&
-        !cplan.contains("BroadcastNestedLoopJoin"),
-        s"cut-start derivation must stay equi-keyed:\n$cplan")
-    } finally grams.unpersist()
+    val cuts = graft.llmops.DedupOps.substringCutStarts(grams)
+    cuts.collect()
+    val cplan = cuts.queryExecution.executedPlan.toString
+    assert(cplan.contains("graft_md5_position_hashes"),
+      s"portable grams must run the native one-pass md5 kernel:\n$cplan")
+    // AQE's toString prints Final + Initial sections; count only the final
+    val cfinal = cplan.split("== Initial Plan ==").head
+    val gramExchanges = "Exchange hashpartitioning\\(__h".r
+      .findAllIn(cfinal).size
+    assert(gramExchanges === 1,
+      s"gram table must cross exactly one __h exchange, got $gramExchanges:\n$cplan")
+    assert(!cplan.contains("SortMergeJoin") && !cplan.contains("BroadcastHashJoin"),
+      s"window form needs no join back to the gram table:\n$cplan")
+    assert(!cplan.contains("CartesianProduct") &&
+      !cplan.contains("BroadcastNestedLoopJoin"),
+      s"cut-start derivation must stay equi-keyed:\n$cplan")
   }
 
   test("q96 fused curation signals: one corpus scan, corpus never shuffled") {

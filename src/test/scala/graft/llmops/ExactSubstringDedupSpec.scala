@@ -196,6 +196,49 @@ class ExactSubstringDedupSpec extends SparkTestBase {
     }
   }
 
+  test("Md5PositionHashes kernel: bit-identical to unhex(md5(substr))) per position") {
+    // the portable gram mode's contract: element i = md5 of the UTF-8
+    // bytes of code points [i, i+L) — exactly what the oracle's
+    // md5(substr(text, i+1, L)) hashes. Mixed ASCII / multibyte /
+    // astral text exercises the code-point byte-offset walk
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "café païsajes España übergrößen ñandú çedille",
+      "a😀b😁c plain tail with enough length to gram over",
+      "短い日本語のテキストと ascii の混在 with latin tail here",
+      "")
+    for (text <- texts; len <- Seq(1, 3, 7)) {
+      val got = graft.expressions.Md5PositionHashes.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), len)
+      val cps = text.codePoints().toArray
+      val n = cps.length
+      val expected = math.max(0, n - len + 1)
+      assert(got.numElements() === expected, s"text=$text len=$len")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until got.numElements()).foreach { i =>
+        val gram = new String(cps, i, len)
+        md.reset()
+        val want = md.digest(gram.getBytes("UTF-8"))
+        assert(java.util.Arrays.equals(got.getBinary(i), want),
+          s"text=$text len=$len pos=$i")
+      }
+    }
+    // and through SQL: the kernel column equals the md5() builtin digest
+    val df = texts.filter(_.nonEmpty).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val kernel = DedupOps.substringGrams(df, "text", "doc_id", 5,
+        portable = true)
+      .select(col("__k"), col("__pos"), hex(col("__h")).alias("hx"))
+    val builtin = df.filter(length(col("text")) >= 5)
+      .select(col("doc_id").alias("__k"),
+        explode(sequence(lit(0L), (length(col("text")) - 5).cast("long")))
+          .alias("__pos"), col("text"))
+      .select(col("__k"), col("__pos"),
+        upper(md5(col("text").substr(col("__pos").cast("int") + 1, lit(5))))
+          .alias("hx"))
+    assert(kernel.collect().toSet === builtin.collect().toSet)
+  }
+
   test("graft_cut_spans SQL registration") {
     graft.GraftFunctions.register(spark)
     val got = spark.sql(
