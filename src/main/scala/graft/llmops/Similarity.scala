@@ -152,6 +152,73 @@ object Similarity {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
+  // ---- embedded centroid tables (native kernel fast path) -----------------
+
+  /** Centroid tables up to this many rows are collected to the driver and
+    * embedded in the native PQ/coarse kernels ([[graft.expressions
+    * .PqKernels]]) as plan constants — encode and coarse assignment then
+    * run as per-row-local projections with ZERO joins and exchanges,
+    * instead of crossJoin × explode × interpreted-HOF × two aggregation
+    * exchanges. 4096 × 64 doubles ≈ 2 MB of task binary, comfortably
+    * under broadcast-sized; bigger or irregular codebooks keep the
+    * dataflow path (same results, spec-pinned equivalence).
+    */
+  private val MaxEmbeddedCentroids = 4096
+
+  /** Collect a centroid table as (idOffset, vectors-ordered-by-id);
+    * None when the native kernels cannot embed it faithfully: more than
+    * [[MaxEmbeddedCentroids]] rows, null ids/vectors/elements,
+    * non-consecutive ids (codes index ADC tables positionally), or
+    * ragged dimensions.
+    */
+  private[graft] def collectCentroidTable(cb: DataFrame, idCol: String,
+      vecCol: String): Option[(Int, IndexedSeq[IndexedSeq[Double]])] = {
+    val rows = cb
+      .select(col(idCol).cast("int").alias("__id"),
+        col(vecCol).cast("array<double>").alias("__v"))
+      .orderBy(col("__id"))
+      .limit(MaxEmbeddedCentroids + 1)
+      .collect()
+    if (rows.isEmpty || rows.length > MaxEmbeddedCentroids) return None
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    val ids = rows.map(_.getInt(0))
+    val off = ids.head
+    if (!ids.zipWithIndex.forall { case (id, i) => id == off + i }) return None
+    val vecs = rows.map(_.getAs[scala.collection.Seq[Any]](1))
+    if (vecs.exists(v => v == null || v.exists(_ == null))) return None
+    val dims = vecs.map(_.length).distinct
+    if (dims.length > 1) return None
+    Some((off, vecs.map(_.map(_.asInstanceOf[Double]).toIndexedSeq).toIndexedSeq))
+  }
+
+  private def pqCodesNative(vec: Column,
+      tab: IndexedSeq[IndexedSeq[Double]], numSubspaces: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.PqCodesExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(vec),
+        tab, numSubspaces))
+
+  private def pqSubDistTableNative(vec: Column,
+      tab: IndexedSeq[IndexedSeq[Double]], numSubspaces: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.PqSubDistTableExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(vec),
+        tab, numSubspaces))
+
+  private def coarseScoresNative(vec: Column,
+      tab: IndexedSeq[IndexedSeq[Double]], zipLengths: Boolean): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.CoarseScoresExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(vec),
+        tab, zipLengths))
+
+  private def coarseAssignNative(vec: Column,
+      tab: IndexedSeq[IndexedSeq[Double]], zipLengths: Boolean): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.CoarseAssignExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(vec),
+        tab, zipLengths))
+
   /** Cell-count guidance for IVF layouts: cells ≈ √n balances per-probe
     * scan cost (n/cells rows) against the coarse assignment cost (cells
     * distance evaluations per row) — the standard rule (FAISS trains
@@ -200,25 +267,45 @@ object Similarity {
       .select(col("cent_id"), col("cent_norm"),
         posexplode(col("cent_vec")).as(Seq("d", "cx"))))
 
-    // Nearest-centroid assignment, vectorized: posexplode the vector once,
-    // broadcast-join the exploded centroids on the dimension index, and
-    // compute all nCentroids dot products in one partial-aggregating
-    // groupBy — whole-stage codegen throughout, vs. evaluating an
-    // interpreted HOF cosine once per row × centroid. argmax of
-    // cos(v, c) = argmax of dot(v, c)/|c| (|v| is constant per row), so the
-    // row vector's norm is never needed for assignment.
+    // Nearest-centroid assignment. With an embeddable centroid table the
+    // whole argmin/argtop runs as ONE per-row kernel in the scan
+    // projection (no explode, no join, no aggregation exchange); the
+    // posexplode + broadcast-join + partial-agg dataflow remains for
+    // big/irregular centroid sets. argmax of cos(v, c) = argmax of
+    // dot(v, c)/|c| (|v| is constant per row), so the row vector's norm
+    // is never needed for assignment. Join-idiom null semantics (null
+    // elements skip like SQL SUM) are preserved by zipLengths = false.
+    val centTab = collectCentroidTable(
+      cents.select(col("cent_id"), col("cent_vec")), "cent_id", "cent_vec")
     def assign(src: DataFrame, keyAs: String, vecCol: String, keep: Int): DataFrame = {
-      val dots = src
-        .select(col(keyAs), posexplode(col(vecCol)).as(Seq("d", "x")))
-        .join(centExp, "d")
-        .groupBy(col(keyAs), col("cent_id"), col("cent_norm"))
-        .agg(sum(col("x").cast("double") * col("cx").cast("double")).alias("dot"))
-      // zero-norm guard (parity with ivfPqTopK/semDedup): an all-zero
-      // sampled centroid gives 0/0 = NaN, and Spark-vs-SQL NaN ordering
-      // divergence would break the exact-replay contract; score it flat
-      val scored = dots.withColumn("score",
-        when(col("cent_norm") === 0, lit(0.0))
-          .otherwise(-col("dot") / col("cent_norm")))
+      val scored = centTab match {
+        case Some((off, tab)) =>
+          if (keep == 1)
+            return src.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+              .select(col(keyAs),
+                (coarseAssignNative(col(vecCol), tab, zipLengths = false) +
+                  lit(off)).alias("cent_id"))
+          else
+            src.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+              .select(col(keyAs),
+                posexplode(coarseScoresNative(col(vecCol), tab,
+                  zipLengths = false)).as(Seq("__j", "score")))
+              .select(col(keyAs), (col("__j") + lit(off)).alias("cent_id"),
+                col("score"))
+        case None =>
+          val dots = src
+            .select(col(keyAs), posexplode(col(vecCol)).as(Seq("d", "x")))
+            .join(centExp, "d")
+            .groupBy(col(keyAs), col("cent_id"), col("cent_norm"))
+            .agg(sum(col("x").cast("double") * col("cx").cast("double"))
+              .alias("dot"))
+          // zero-norm guard (parity with ivfPqTopK/semDedup): an all-zero
+          // sampled centroid gives 0/0 = NaN, and Spark-vs-SQL NaN ordering
+          // divergence would break the exact-replay contract; score it flat
+          dots.withColumn("score",
+            when(col("cent_norm") === 0, lit(0.0))
+              .otherwise(-col("dot") / col("cent_norm")))
+      }
       if (keep == 1)
         scored.groupBy(col(keyAs))
           .agg(min_by(col("cent_id"), struct(col("score"), col("cent_id")))
@@ -383,20 +470,37 @@ object Similarity {
         sampled.withColumn("cent_id", row_number().over(wc))
           .select(col("cent_id"), col("v").alias("cent_vec"))
     }
-    val centExp = broadcast(cents
-      .select(col("cent_id"), norm(col("cent_vec")).alias("cent_norm"),
-        posexplode(col("cent_vec")).as(Seq("d", "cx"))))
-    val assigned = src
-      .select(col("key"), posexplode(col("v")).as(Seq("d", "x")))
-      .join(centExp, "d")
-      .groupBy(col("key"), col("cent_id"), col("cent_norm"))
-      .agg(sum(col("x") * col("cx")).alias("dot"))
-      .withColumn("score", when(col("cent_norm") === 0, lit(0.0))
-        .otherwise(-col("dot") / col("cent_norm")))
-      .groupBy(col("key"))
-      .agg(min_by(col("cent_id"), struct(col("score"), col("cent_id")))
-        .alias("cent_id"))
-    val withV = src.join(assigned, "key")
+    // embeddable centroid table → assignment is ONE per-row argmin kernel
+    // in the scan projection (no posexplode, no broadcast join, no two
+    // aggregation exchanges, and no join back for the vector); the
+    // dataflow form remains for big/irregular centroid sets. Join-idiom
+    // null semantics (null elements skip like SQL SUM) via
+    // zipLengths = false.
+    val centTab = collectCentroidTable(
+      cents.select(col("cent_id"), col("cent_vec")), "cent_id", "cent_vec")
+    val (assigned, withV) = centTab match {
+      case Some((off, tab)) =>
+        val a = src.filter(col("v").isNotNull && size(col("v")) > 0)
+          .select(col("key"), col("v"),
+            (coarseAssignNative(col("v"), tab, zipLengths = false) +
+              lit(off)).alias("cent_id"))
+        (a.select(col("key"), col("cent_id")), a)
+      case None =>
+        val centExp = broadcast(cents
+          .select(col("cent_id"), norm(col("cent_vec")).alias("cent_norm"),
+            posexplode(col("cent_vec")).as(Seq("d", "cx"))))
+        val a = src
+          .select(col("key"), posexplode(col("v")).as(Seq("d", "x")))
+          .join(centExp, "d")
+          .groupBy(col("key"), col("cent_id"), col("cent_norm"))
+          .agg(sum(col("x") * col("cx")).alias("dot"))
+          .withColumn("score", when(col("cent_norm") === 0, lit(0.0))
+            .otherwise(-col("dot") / col("cent_norm")))
+          .groupBy(col("key"))
+          .agg(min_by(col("cent_id"), struct(col("score"), col("cent_id")))
+            .alias("cent_id"))
+        (a, src.join(a, "key"))
+    }
     val a = withV.select(col("cent_id"), col("key").alias("key_a"),
       col("v").alias("va"))
     val b = withV.select(col("cent_id"), col("key").alias("key_b"),
@@ -738,10 +842,15 @@ object Similarity {
   ): DataFrame = {
     val cb = codebook.getOrElse(
       pqSample(corpus, corpusKey, corpusVec, numCentroids))
+    // one driver collect feeds both the encode and the query tables —
+    // the dataflow form built (and broadcast) the codebook twice
+    val cbTab = collectCentroidTable(cb, "j", "cent_vec")
     // corpus side: codes as one array per row, ordered by subspace
-    val codes = pqEncodeWith(corpus, corpusKey, corpusVec, cb, numSubspaces)
+    val codes = pqEncodeWith(corpus, corpusKey, corpusVec, cb, numSubspaces,
+        preTab = cbTab)
       .select(col(corpusKey).alias("neighbor_key"), col("codes"))
-    val qtab = pqQueryTables(queries, queryKey, queryVec, cb, numSubspaces)
+    val qtab = pqQueryTables(queries, queryKey, queryVec, cb, numSubspaces,
+      preTab = cbTab)
     // ADC: query tables broadcast over the codes; the inner sum walks
     // subspaces in order (deterministic doubles, as above)
     val scored = codes.crossJoin(broadcast(qtab))
@@ -755,9 +864,23 @@ object Similarity {
   }
 
   /** Per-query PQ distance tables as array[m][j] (both levels ordered):
-    * `(query_key, tab)`.
+    * `(query_key, tab)`. Embeddable codebooks build the whole table in
+    * one per-row kernel call; the two-aggregation dataflow form remains
+    * for big/irregular codebooks and as the spec reference.
     */
-  private def pqQueryTables(queries: DataFrame, queryKey: String,
+  private[graft] def pqQueryTables(queries: DataFrame, queryKey: String,
+      queryVec: String, cb: DataFrame, numSubspaces: Int,
+      preTab: Option[(Int, IndexedSeq[IndexedSeq[Double]])] = None): DataFrame =
+    preTab.orElse(collectCentroidTable(cb, "j", "cent_vec"))
+      .filter(_._1 == 0) match {
+      case Some((_, tab)) =>
+        queries.select(col(queryKey).alias("query_key"),
+          pqSubDistTableNative(col(queryVec), tab, numSubspaces).alias("tab"))
+      case None =>
+        pqQueryTablesDataflow(queries, queryKey, queryVec, cb, numSubspaces)
+    }
+
+  private[graft] def pqQueryTablesDataflow(queries: DataFrame, queryKey: String,
       queryVec: String, cb: DataFrame, numSubspaces: Int): DataFrame =
     pqSubDists(
         queries.select(col(queryKey).alias("query_key"), col(queryVec)),
@@ -769,8 +892,21 @@ object Similarity {
       .agg(transform(sort_array(collect_list(struct(col("m"), col("row")))),
         s => s.getField("row")).alias("tab"))
 
-  /** In-order ADC sum: Σ_m tab[m][codes[m]] (deterministic doubles). */
+  /** In-order ADC sum: Σ_m tab[m][codes[m]] (deterministic doubles) — the
+    * native kernel ([[graft.expressions.PqAdistExpr]]); the interpreted
+    * `aggregate(zip_with(element_at))` twin it replaces is spec-pinned
+    * equivalent in PqSpec.
+    */
   private def pqAdist(tab: Column, codes: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.PqAdistExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(tab),
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(codes)))
+
+  /** Interpreted HOF twin of [[pqAdist]], kept as the spec-level
+    * reference the native kernel is verified against.
+    */
+  private[graft] def pqAdistHof(tab: Column, codes: Column): Column =
     aggregate(
       zip_with(tab, codes, (row, c) => element_at(row, c + 1)),
       lit(0.0), (acc, x) => acc + x)
@@ -840,26 +976,48 @@ object Similarity {
       pqSample(corpus, corpusKey, corpusVec, nCentroids))
     def coarse(src: DataFrame, keyAs: String): DataFrame =
       coarseScores(src, keyAs, coarseCents)
-    val corpusCell = coarse(
+    // embeddable centroid table → assignment is a per-row argmin kernel in
+    // the corpus scan projection (no crossJoin, no groupBy exchange); the
+    // coarseScores dataflow remains for big/irregular centroid sets
+    val coarseTab = collectCentroidTable(coarseCents, "j", "cent_vec")
+    val corpusCell = coarseTab match {
+      case Some((off, tab)) =>
         corpus.select(col(corpusKey).alias("neighbor_key"),
-          col(corpusVec).alias("__v")), "neighbor_key")
-      .groupBy(col("neighbor_key"))
-      .agg(min_by(col("cent_id"), struct(col("score"), col("cent_id")))
-        .alias("cent_id"))
+          (coarseAssignNative(col(corpusVec), tab, zipLengths = true) +
+            lit(off)).alias("cent_id"))
+      case None =>
+        coarse(corpus.select(col(corpusKey).alias("neighbor_key"),
+            col(corpusVec).alias("__v")), "neighbor_key")
+          .groupBy(col("neighbor_key"))
+          .agg(min_by(col("cent_id"), struct(col("score"), col("cent_id")))
+            .alias("cent_id"))
+    }
     val wProbe = Window.partitionBy(col("query_key"))
       .orderBy(col("score"), col("cent_id"))
-    val probes = coarse(
+    val queryScores = coarseTab match {
+      case Some((off, tab)) =>
         queries.select(col(queryKey).alias("query_key"),
+            posexplode(coarseScoresNative(col(queryVec), tab,
+              zipLengths = true)).as(Seq("__j", "score")))
+          .select(col("query_key"), (col("__j") + lit(off)).alias("cent_id"),
+            col("score"))
+      case None =>
+        coarse(queries.select(col(queryKey).alias("query_key"),
           col(queryVec).alias("__v")), "query_key")
+    }
+    val probes = queryScores
       .withColumn("__r", row_number().over(wProbe))
       .filter(col("__r") <= nProbe)
       .select(col("query_key"), col("cent_id"))
 
     val cb = pqCodebook.getOrElse(
       pqSample(corpus, corpusKey, corpusVec, pqCentroids))
-    val codes = pqEncodeWith(corpus, corpusKey, corpusVec, cb, numSubspaces)
+    val cbTab = collectCentroidTable(cb, "j", "cent_vec")
+    val codes = pqEncodeWith(corpus, corpusKey, corpusVec, cb, numSubspaces,
+        preTab = cbTab)
       .select(col(corpusKey).alias("neighbor_key"), col("codes"))
-    val qtab = pqQueryTables(queries, queryKey, queryVec, cb, numSubspaces)
+    val qtab = pqQueryTables(queries, queryKey, queryVec, cb, numSubspaces,
+      preTab = cbTab)
 
     // candidates: probed cells only (each corpus row lives in exactly one
     // cell, so no pair duplicates); then ADC-rank within them. The PROBE
@@ -867,10 +1025,20 @@ object Similarity {
     // hash join on it would funnel each cell — hot cells included — into
     // a single task; broadcasting the (small) query→cell list instead
     // keeps corpus rows in their existing partitioning, so a skewed cell
-    // stays spread across however many partitions already hold it
-    val scored = corpusCell.join(broadcast(probes), "cent_id")
+    // stays spread across however many partitions already hold it.
+    // When both centroid tables embed, cell id AND codes come out of ONE
+    // corpus scan projection — the corpus is never shuffled at all here
+    // (both remaining joins broadcast; only the rank window exchanges)
+    val corpusSide = (coarseTab, cbTab) match {
+      case (Some((off, ct)), Some((0, pt))) =>
+        corpus.select(col(corpusKey).alias("neighbor_key"),
+          (coarseAssignNative(col(corpusVec), ct, zipLengths = true) +
+            lit(off)).alias("cent_id"),
+          pqCodesNative(col(corpusVec), pt, numSubspaces).alias("codes"))
+      case _ => corpusCell.join(codes, "neighbor_key")
+    }
+    val scored = corpusSide.join(broadcast(probes), "cent_id")
       .filter(!(col("query_key") <=> col("neighbor_key")))
-      .join(codes, "neighbor_key")
       .join(broadcast(qtab), "query_key")
       .withColumn("adist", pqAdist(col("tab"), col("codes")))
     val w = Window.partitionBy(col("query_key"))
@@ -991,23 +1159,39 @@ object Similarity {
     // guard rationale)
     def coarse(src: DataFrame, keyAs: String): DataFrame =
       coarseScores(src, keyAs, coarseCents)
+    val coarseTab = collectCentroidTable(coarseCents, "j", "cent_vec")
     // materialized once (localCheckpoint, the house pattern): corpusCell
-    // feeds BOTH the residual build and the final scoring join, and the
-    // corpus-wide coarse assignment (posexplode + broadcast join + two
-    // aggregations) is the most expensive stage here — recomputing it per
-    // consumer would roughly double the job at corpus scale
-    val corpusCell = Mat.snapshot(coarse(
+    // feeds BOTH the residual build and the final scoring join — with the
+    // embedded-kernel assignment it is a cheap projection, but the
+    // snapshot still saves the second corpus scan; the dataflow form
+    // (posexplode + broadcast join + two aggregations) remains for
+    // big/irregular centroid sets
+    val corpusCell = Mat.snapshot(coarseTab match {
+      case Some((off, tab)) =>
         corpus.select(col(corpusKey).alias("neighbor_key"),
-          col(corpusVec).alias("__v")), "neighbor_key")
-      .groupBy(col("neighbor_key"))
-      .agg(min_by(col("cent_id"), struct(col("score"), col("cent_id")))
-        .alias("cent_id")),
-      checkpointDir, "ivfadc-cell")
+          (coarseAssignNative(col(corpusVec), tab, zipLengths = true) +
+            lit(off)).alias("cent_id"))
+      case None =>
+        coarse(corpus.select(col(corpusKey).alias("neighbor_key"),
+            col(corpusVec).alias("__v")), "neighbor_key")
+          .groupBy(col("neighbor_key"))
+          .agg(min_by(col("cent_id"), struct(col("score"), col("cent_id")))
+            .alias("cent_id"))
+    }, checkpointDir, "ivfadc-cell")
     val wProbe = Window.partitionBy(col("query_key"))
       .orderBy(col("score"), col("cent_id"))
-    val probes = coarse(
+    val queryScores = coarseTab match {
+      case Some((off, tab)) =>
         queries.select(col(queryKey).alias("query_key"),
+            posexplode(coarseScoresNative(col(queryVec), tab,
+              zipLengths = true)).as(Seq("__j", "score")))
+          .select(col("query_key"), (col("__j") + lit(off)).alias("cent_id"),
+            col("score"))
+      case None =>
+        coarse(queries.select(col(queryKey).alias("query_key"),
           col(queryVec).alias("__v")), "query_key")
+    }
+    val probes = queryScores
       .withColumn("__r", row_number().over(wProbe))
       .filter(col("__r") <= nProbe)
       .select(col("query_key"), col("cent_id"))
@@ -1025,7 +1209,9 @@ object Similarity {
       .select(col("neighbor_key"), col("__rv")),
       checkpointDir, "ivfadc-resid")
     val cb = pqSample(resid, "neighbor_key", "__rv", pqCentroids)
-    val codes = pqEncodeWith(resid, "neighbor_key", "__rv", cb, numSubspaces)
+    val cbTab = collectCentroidTable(cb, "j", "cent_vec")
+    val codes = pqEncodeWith(resid, "neighbor_key", "__rv", cb, numSubspaces,
+        preTab = cbTab)
       .select(col("neighbor_key"), col("codes"))
     // query residuals per PROBED cell; tables keyed (query, cell)
     val qresid = queries
@@ -1036,7 +1222,8 @@ object Similarity {
         (a, b) => a.cast("double") - b.cast("double")))
       .withColumn("__qc", struct(col("query_key"), col("cent_id")))
       .select(col("__qc"), col("__rv"))
-    val qtab = pqQueryTables(qresid, "__qc", "__rv", cb, numSubspaces)
+    val qtab = pqQueryTables(qresid, "__qc", "__rv", cb, numSubspaces,
+        preTab = cbTab)
       .select(col("query_key.query_key").alias("query_key"),
         col("query_key.cent_id").alias("cent_id"), col("tab"))
 
@@ -1100,10 +1287,28 @@ object Similarity {
   }
 
   /** [[pqEncode]] against an existing codebook (shared by encode + query
-    * so both sides quantize identically).
+    * so both sides quantize identically). With an embeddable codebook
+    * ([[collectCentroidTable]]) the encode is ONE per-row kernel call —
+    * no crossJoin, no subspace explode, no aggregation exchanges; the
+    * dataflow form below remains for big/irregular codebooks and as the
+    * spec-pinned reference.
     */
-  private def pqEncodeWith(corpus: DataFrame, keyCol: String, vecCol: String,
-      cb: DataFrame, numSubspaces: Int): DataFrame =
+  private[graft] def pqEncodeWith(corpus: DataFrame, keyCol: String, vecCol: String,
+      cb: DataFrame, numSubspaces: Int,
+      preTab: Option[(Int, IndexedSeq[IndexedSeq[Double]])] = None): DataFrame =
+    preTab.orElse(collectCentroidTable(cb, "j", "cent_vec"))
+      .filter(_._1 == 0) match {
+      case Some((_, tab)) =>
+        corpus.select(col(keyCol),
+          pqCodesNative(col(vecCol), tab, numSubspaces).alias("codes"))
+      case None => pqEncodeWithDataflow(corpus, keyCol, vecCol, cb, numSubspaces)
+    }
+
+  /** Dataflow (crossJoin + explode + two aggregations) form of
+    * [[pqEncodeWith]] — the big-codebook path and spec reference.
+    */
+  private[graft] def pqEncodeWithDataflow(corpus: DataFrame, keyCol: String,
+      vecCol: String, cb: DataFrame, numSubspaces: Int): DataFrame =
     pqSubDists(corpus.select(col(keyCol), col(vecCol)), keyCol, vecCol,
         cb, numSubspaces)
       .groupBy(col(keyCol), col("m"))

@@ -487,4 +487,87 @@ class PqSpec extends SparkTestBase {
       assert(rows.map(_._3).sorted.toSeq === (1 to 4))
     }
   }
+
+  // ---- native kernel ↔ dataflow equivalence (r18) --------------------------
+  // The embedded-codebook kernels must be BIT-identical to the crossJoin/
+  // explode/HOF dataflow forms they replace — same ascending folds, same
+  // min_by(struct) tie-breaks — or the oracle replay breaks.
+
+  /** Codebook-shaped frame (j, cent_vec) off a deterministic sample. */
+  private def codebookOf(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val sampled = df
+      .select(col("vec_id").alias("ck"), col("embedding").alias("cent_vec"))
+      .withColumn("__r", pmod(Similarity.portable60(col("ck")), lit(1000000L)))
+      .orderBy(col("__r"), col("ck")).limit(k)
+    val wc = Window.partitionBy(pmod(col("__r"), lit(1)))
+      .orderBy(col("__r"), col("ck"))
+    sampled.withColumn("j", row_number().over(wc) - 1)
+      .select(col("j"), col("cent_vec"))
+  }
+
+  test("native PQ encode is bit-identical to the dataflow form") {
+    val df = clustered(4, 12, 16) // float vectors exercise the cast path
+    val cb = codebookOf(df, 8)
+    val native = Similarity.pqEncodeWith(df, "vec_id", "embedding", cb, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val dataflow = Similarity
+      .pqEncodeWithDataflow(df, "vec_id", "embedding", cb, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native === dataflow)
+    assert(native.nonEmpty)
+  }
+
+  test("native query tables are bit-identical to the dataflow form") {
+    val df = clustered(4, 6, 16)
+    val cb = codebookOf(df, 8)
+    val queries = df.filter($"vec_id" < 4)
+    val native = Similarity
+      .pqQueryTables(queries, "vec_id", "embedding", cb, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Seq[Double]](1)).toMap
+    val dataflow = Similarity
+      .pqQueryTablesDataflow(queries, "vec_id", "embedding", cb, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Seq[Double]](1)).toMap
+    assert(native === dataflow) // exact doubles, not approximate
+    assert(native.nonEmpty)
+  }
+
+  test("native ADC sum is bit-identical to the HOF fold, nulls included") {
+    val rows = Seq(
+      (1L, Seq(Seq(0.5, 1.5), Seq(2.25, 0.125)), Seq(0, 1)),
+      (2L, Seq(Seq(0.5, 1.5), Seq(2.25, 0.125)), Seq(1, 0)),
+      (3L, Seq(Seq(0.5, 1.5), Seq(2.25, 0.125)), Seq(0, 5)), // OOB code
+      (4L, Seq(Seq(0.5, 1.5)), Seq(0, 1, 0))                 // length mismatch
+    ).toDF("id", "tab", "codes")
+    val both = rows.select(col("id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.PqAdistExpr(
+            org.apache.spark.sql.graft.ColumnBridge.expressionEager(col("tab")),
+            org.apache.spark.sql.graft.ColumnBridge.expressionEager(col("codes"))))
+          .alias("native"),
+        Similarity.pqAdistHof(col("tab"), col("codes")).alias("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"null parity for id ${r.getLong(0)}")
+      if (!r.isNullAt(1)) assert(r.getDouble(1) === r.getDouble(2))
+    }
+    assert(both.count(!_.isNullAt(1)) === 2)
+  }
+
+  test("collectCentroidTable refuses irregular tables (fallback stays reachable)") {
+    // non-consecutive ids
+    val gap = Seq((0, Seq(1.0, 2.0)), (2, Seq(3.0, 4.0)))
+      .toDF("j", "cent_vec")
+    assert(Similarity.collectCentroidTable(gap, "j", "cent_vec").isEmpty)
+    // ragged dims
+    val ragged = Seq((0, Seq(1.0, 2.0)), (1, Seq(3.0)))
+      .toDF("j", "cent_vec")
+    assert(Similarity.collectCentroidTable(ragged, "j", "cent_vec").isEmpty)
+    // clean table collects with its offset
+    val ok = Seq((1, Seq(1.0, 2.0)), (2, Seq(3.0, 4.0)))
+      .toDF("j", "cent_vec")
+    val got = Similarity.collectCentroidTable(ok, "j", "cent_vec")
+    assert(got === Some((1,
+      IndexedSeq(IndexedSeq(1.0, 2.0), IndexedSeq(3.0, 4.0)))))
+  }
 }
