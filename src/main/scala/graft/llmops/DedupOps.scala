@@ -359,27 +359,36 @@ object DedupOps {
         spark.read.parquet(cur.toString)
       case None => df.localCheckpoint()
     }
-    val edges = pairs.select(col("key_a").alias("src"), col("key_b").alias("dst"))
+    // r18: edges are seeded with one SELF-LOOP per key. The min-label
+    // step then folds "min over neighbors" and "keep own label" into ONE
+    // join + ONE aggregate — the old shape needed a second (left) join of
+    // the labels against the neighbor mins every iteration, i.e. one more
+    // exchange of the full label table per round (guide §2.4). The change
+    // flag still rides the same aggregate: the self-loop row carries the
+    // key's own label, so `min(all) < own` ⇔ some true neighbor improves.
+    val bare = pairs.select(col("key_a").alias("src"), col("key_b").alias("dst"))
       .unionByName(pairs.select(col("key_b").alias("src"), col("key_a").alias("dst")))
       .distinct()
+    val edges = bare
+      .unionByName(bare.select(col("src"), col("src").alias("dst")).distinct())
+      // pre-partitioned on the iteration join key, so the cached edge
+      // table enters every round's join without a fresh exchange
+      .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // init = min(dst ∪ {src}) per src — identical to least(min(dst), src)
     var labels = truncate(edges.groupBy(col("src"))
-      .agg(least(min(col("dst")), col("src")).alias("label"))
+      .agg(min(col("dst")).alias("label"))
       .withColumnRenamed("src", "key"))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // neighbor labels: for each key, the min label among its neighbors;
-      // the change flag rides in the same projection so convergence costs
-      // one aggregate over the checkpointed frame, not an extra self-join
-      val nbr = edges
+      val next0 = edges
         .join(labels.withColumnRenamed("key", "dst"), "dst")
         .groupBy(col("src").alias("key"))
-        .agg(min(col("label")).alias("nbr_label"))
-      val next = truncate(labels.join(nbr, Seq("key"), "left")
-        .select(col("key"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).alias("label"),
-          (coalesce(col("nbr_label"), col("label")) < col("label")).alias("__changed")))
+        .agg(min(col("label")).alias("label"),
+          min(when(col("dst") === col("src"), col("label"))).alias("__own"))
+      val next = truncate(next0.select(col("key"), col("label"),
+        (col("label") < col("__own")).alias("__changed")))
       converged = next.filter(col("__changed")).isEmpty
       labels = next.drop("__changed")
       i += 1
