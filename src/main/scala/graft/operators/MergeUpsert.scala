@@ -248,8 +248,13 @@ object MergeUpsert {
     try {
       Maintenance.recover(spark, path) // self-heal an interrupted prior swap
       sweepOrphanStaging(fs, path)     // dead writers' staged leftovers
-      val deduped = batch.dropDuplicates()
+      // r18: the batch is deduped only on the CREATE path — on the merge
+      // paths [[merge]]'s keep-one-per-key window subsumes a full-row
+      // dropDuplicates (identical rows hash equal in its tie-break, so
+      // the survivor set is the same), and the upfront dropDuplicates
+      // cost a full-batch-wide exchange before the window's own shuffle
       if (!fs.exists(hPath)) {
+        val deduped = batch.dropDuplicates()
         write(deduped, path, partitionCols)
         graft.sources.DeltaLog.reconcile(spark, path, deduped.schema,
           partitionCols, operation = "WRITE")
@@ -281,7 +286,7 @@ object MergeUpsert {
               case None =>
                 spark.read.option("mergeSchema", "true").parquet(path)
             }
-          val merged = merge(existing, deduped, idCols, autoMerge)
+          val merged = merge(existing, batch, idCols, autoMerge)
           val staging = stagingPath(path, lease.token)
           write(merged, staging.toString, partitionCols)
           lease.heartbeat() // staging (the long phase) done; still alive
@@ -298,7 +303,7 @@ object MergeUpsert {
           if (effRetain) { retainReplaced(fs, path); pinRetain(spark, path) }
           finishCommit(fs, path, staging)
         } else {
-          prunedUpsert(spark, fs, path, deduped, idCols, partitionCols,
+          prunedUpsert(spark, fs, path, batch, idCols, partitionCols,
             autoMerge, lease, effRetain, priorState)
         }
       }
