@@ -1181,7 +1181,8 @@ object Arrow {
     val batches = footer.batches.map(b => (b.offset, b.metaLen.toLong,
       b.bodyLen))
     batches.toDF("offset", "metaLen", "bodyLen")
-      .repartition(math.min(math.max(batches.size, 1), 4096))
+      .repartition(DriverPar.planPartitions(spark, batches.size,
+        batches.map(b => b._2 + b._3).sum, 32L << 20))
       .as[(Long, Long, Long)]
       .flatMap { case (offset, metaLen, bodyLen) =>
         // a healthy batch past the envelope must refuse LOUDLY — an
@@ -1306,7 +1307,8 @@ object Arrow {
     }.toMap
     val confB = new org.apache.spark.util.SerializableConfiguration(conf)
     files.toDF("path", "len")
-      .repartition(math.min(math.max(files.size, 1), 4096))
+      .repartition(DriverPar.planPartitions(spark, files.size,
+        files.map(_._2).sum, 32L << 20))
       .as[(String, Long)]
       .flatMap { case (path, len) =>
         Arrow.decodeStreamFile(confB, path, len, fieldsByPath(path),
@@ -1483,7 +1485,8 @@ object Arrow {
       f.batches.map(b => (p, b.offset, b.metaLen.toLong, b.bodyLen))
     }
     batches.toDF("path", "offset", "metaLen", "bodyLen")
-      .repartition(math.min(math.max(batches.size, 1), 4096))
+      .repartition(DriverPar.planPartitions(spark, batches.size,
+        batches.map(b => b._3 + b._4).sum, 32L << 20))
       .as[(String, Long, Long, Long)]
       .flatMap { case (path, offset, metaLen, bodyLen) =>
         require(metaLen + bodyLen <= MaxBatchBytes, // loud, same as readArrow

@@ -581,7 +581,8 @@ object Avro {
     val ranges = (0L until fileLen by rangeBytes.toLong)
       .map(s => (s, math.min(s + rangeBytes, fileLen)))
     ranges.toDF("start", "end")
-      .repartition(math.min(ranges.size, 4096))
+      .repartition(DriverPar.planPartitions(spark, ranges.size,
+        ranges.map(r => r._2 - r._1).sum, rangeBytes.toLong))
       .as[(Long, Long)]
       .flatMap { case (start, end) =>
         val p = new org.apache.hadoop.fs.Path(path)
@@ -754,7 +755,8 @@ object Avro {
       start <- 0L until math.max(1L, len) by rangeBytes.toLong
     } yield (p, start, math.min(start + rangeBytes, len))
     val offsets = ranges.toDF("path", "start", "end")
-      .repartition(math.min(math.max(ranges.size, 1), 4096))
+      .repartition(DriverPar.planPartitions(spark, ranges.size,
+        ranges.map(r => r._3 - r._2).sum, rangeBytes.toLong))
       .as[(String, Long, Long)]
       .flatMap { case (path, start, end) =>
         val sync = metaByPath(path)._2

@@ -180,7 +180,8 @@ object Bgzf {
       StructField("offset", LongType),
       StructField("content", BinaryType)))
     ranges.toDF("path", "len", "start", "end")
-      .repartition(math.min(math.max(ranges.size, 1), 4096))
+      .repartition(DriverPar.planPartitions(spark, ranges.size,
+        ranges.map(r => r._4 - r._3).sum, rangeBytes.toLong))
       .as[(String, Long, Long, Long)]
       .flatMap { case (p0, len, start, end) =>
         Bgzf.scanRange(confB, p0, len, start, end)
@@ -282,7 +283,8 @@ object Bgzf {
     val struct = StructType(Seq(StructField("offset", LongType),
       StructField("content", BinaryType)))
     ranges.toDF("start", "end")
-      .repartition(math.min(math.max(ranges.size, 1), 4096))
+      .repartition(DriverPar.planPartitions(spark, ranges.size,
+        ranges.map(r => r._2 - r._1).sum, rangeBytes.toLong))
       .as[(Long, Long)]
       .flatMap { case (start, end) =>
         Bgzf.scanRange(confB, path, len, start, end)

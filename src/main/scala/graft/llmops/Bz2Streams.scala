@@ -33,7 +33,8 @@ object Bz2Streams {
     val ranges = (0L until fileLen by rangeBytes.toLong)
       .map(s => (s, math.min(s + rangeBytes, fileLen))).toSeq
     ranges.toDF("start", "end")
-      .repartition(math.min(ranges.size, 4096))
+      .repartition(DriverPar.planPartitions(spark, ranges.size,
+        ranges.map(r => r._2 - r._1).sum, rangeBytes.toLong))
       .as[(Long, Long)]
       .flatMap { case (start, end) =>
         // +16 overlap: a magic beginning in [start, end) is matched

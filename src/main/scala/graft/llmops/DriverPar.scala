@@ -57,4 +57,23 @@ object DriverPar {
       }.toVector
     } finally pool.shutdownNow()
   }
+
+  /** Scan-task count for a planned list of (file/range/stripe) items —
+    * byte-aware instead of one-task-per-item (guide §6 small files):
+    * enough tasks that each handles ~`bytesPerTask`, floored at the
+    * session's default parallelism so small corpora still use every
+    * core, capped by the item count (an item is the split granularity —
+    * it cannot be subdivided further here) and by 4096 (the historical
+    * planning cap). A 100k-shard 3 TB landing dir still gets one task
+    * per 32 MB range; a 1000-file directory of KB-sized shards now packs
+    * into `defaultParallelism` tasks instead of 1000 task launches.
+    */
+  def planPartitions(spark: org.apache.spark.sql.SparkSession,
+      nItems: Int, totalBytes: Long, bytesPerTask: Long): Int = {
+    val byBytes = math.ceil(
+      totalBytes.toDouble / math.max(1L, bytesPerTask)).toLong
+    val floor = spark.sparkContext.defaultParallelism.toLong
+    math.max(1L, math.min(math.min(nItems.toLong,
+      math.max(byBytes, floor)), 4096L)).toInt
+  }
 }

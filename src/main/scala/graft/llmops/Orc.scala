@@ -1157,7 +1157,8 @@ object Orc {
     val stripes = kept.map(s => (s.offset, s.indexLength,
       s.dataLength, s.footerLength, s.rows))
     stripes.toDF("offset", "indexLen", "dataLen", "footerLen", "rows")
-      .repartition(math.min(math.max(stripes.size, 1), 4096))
+      .repartition(DriverPar.planPartitions(spark, stripes.size,
+        stripes.map(s => s._2 + s._3 + s._4).sum, 32L << 20))
       .as[(Long, Long, Long, Long, Long)]
       .flatMap { case (offset, il, dl, fl, rows) =>
         val total = il + dl + fl
@@ -1260,7 +1261,8 @@ object Orc {
     }
     stripes.toDF("path", "offset", "indexLen", "dataLen", "footerLen",
         "rows")
-      .repartition(math.min(math.max(stripes.size, 1), 4096))
+      .repartition(DriverPar.planPartitions(spark, stripes.size,
+        stripes.map(s => s._3 + s._4 + s._5).sum, 32L << 20))
       .as[(String, Long, Long, Long, Long, Long)]
       .flatMap { case (path, offset, il, dl, fl, rows) =>
         val total = il + dl + fl

@@ -270,7 +270,8 @@ object SeqFile {
     val ranges = (0L until fileLen by rangeBytes.toLong)
       .map(s => (s, math.min(s + rangeBytes, fileLen)))
     ranges.toDF("start", "end")
-      .repartition(math.min(ranges.size, 4096))
+      .repartition(DriverPar.planPartitions(spark, ranges.size,
+        ranges.map(r => r._2 - r._1).sum, rangeBytes.toLong))
       .as[(Long, Long)]
       .flatMap { case (start, end) =>
         val p = new org.apache.hadoop.fs.Path(path)

@@ -440,7 +440,8 @@ object Warc {
       spark.sparkContext.hadoopConfiguration)
     val ranges = archiveRanges(spark, pathOrGlob, rangeBytes)
     ranges.toDF("path", "len", "start", "end")
-      .repartition(math.min(math.max(1, ranges.size), 4096))
+      .repartition(DriverPar.planPartitions(spark, ranges.size,
+        ranges.map(r => r._4 - r._3).sum, rangeBytes.toLong))
       .as[(String, Long, Long, Long)]
       .flatMap { case (file, fileLen, start, end) =>
         val p = new org.apache.hadoop.fs.Path(file)
@@ -534,7 +535,8 @@ object Warc {
       }.toMap
     val dictB = spark.sparkContext.broadcast(dictByPath)
     ranges.toDF("path", "len", "start", "end")
-      .repartition(math.min(math.max(1, ranges.size), 4096))
+      .repartition(DriverPar.planPartitions(spark, ranges.size,
+        ranges.map(r => r._4 - r._3).sum, rangeBytes.toLong))
       .as[(String, Long, Long, Long)]
       .flatMap { case (file, fileLen, start, end) =>
         val p = new org.apache.hadoop.fs.Path(file)
