@@ -85,42 +85,76 @@ object Bzip2Writer {
 
   private def writeBlock(bw: Bw, block: Array[Byte], crc: Int): Unit = {
     val n = block.length
-    // --- BWT over rotations: Manber–Myers rank doubling ---
-    val sa = Array.tabulate(n)(identity)
+    // --- BWT over rotations: rank doubling with COUNTING sorts ---
+    // r18: each doubling round sorts by the key pair (rank(i),
+    // rank((i+k) mod n)) via two stable counting passes instead of a
+    // boxed comparator sort — O(n) per round with zero allocation per
+    // element, same lexicographic rotation order (ties among EQUAL
+    // rotations are identical strings, so the BWT bytes cannot differ).
+    // The by-second-key pass is the classic cyclic trick: the previous
+    // round's sa, shifted left by k (mod n), IS the order by second key.
+    var sa = Array.tabulate(n)(identity)
     var rank = new Array[Int](n)
     var i = 0
     while (i < n) { rank(i) = block(i) & 0xff; i += 1 }
-    var k = 1
     val tmp = new Array[Int](n)
-    val boxed = sa.map(Integer.valueOf)
-    var distinct = false
-    while (k < n && !distinct) {
-      val kk = k
-      val r = rank
-      val cmp = new java.util.Comparator[Integer] {
-        def compare(a: Integer, b: Integer): Int = {
-          val ai = a.intValue; val bi = b.intValue
-          val c = java.lang.Integer.compare(r(ai), r(bi))
-          if (c != 0) c
-          else java.lang.Integer.compare(
-            r((ai + kk) % n), r((bi + kk) % n))
-        }
-      }
-      java.util.Arrays.sort(boxed, cmp)
-      var j = 0
-      while (j < n) { sa(j) = boxed(j).intValue; j += 1 }
+    var sa2 = new Array[Int](n)
+    val cnt = new Array[Int](math.max(257, n + 1))
+    // initial order: counting sort by first byte (stable over index order)
+    if (n > 0) {
+      java.util.Arrays.fill(cnt, 0, 257, 0)
+      i = 0
+      while (i < n) { cnt(rank(i) + 1) += 1; i += 1 }
+      i = 1
+      while (i < 257) { cnt(i) += cnt(i - 1); i += 1 }
+      i = 0
+      while (i < n) { sa2(cnt(rank(i)) ) = i; cnt(rank(i)) += 1; i += 1 }
+      val t = sa; sa = sa2; sa2 = t
+      // compress initial ranks to 0..classes-1
       tmp(sa(0)) = 0
-      j = 1
-      while (j < n) {
-        val prev = sa(j - 1); val curr = sa(j)
-        val same = r(prev) == r(curr) &&
-          r((prev + kk) % n) == r((curr + kk) % n)
-        tmp(curr) = tmp(prev) + (if (same) 0 else 1)
-        j += 1
+      i = 1
+      while (i < n) {
+        tmp(sa(i)) = tmp(sa(i - 1)) +
+          (if ((block(sa(i)) & 0xff) == (block(sa(i - 1)) & 0xff)) 0 else 1)
+        i += 1
       }
-      val nr = new Array[Int](n)
-      System.arraycopy(tmp, 0, nr, 0, n)
-      rank = nr
+      System.arraycopy(tmp, 0, rank, 0, n)
+    }
+    var k = 1
+    var distinct = n > 0 && rank(sa(n - 1)) == n - 1
+    while (k < n && !distinct) {
+      // order by second key: shift previous sa left by k (mod n)
+      i = 0
+      while (i < n) {
+        var s = sa(i) - k
+        if (s < 0) s += n
+        sa2(i) = s
+        i += 1
+      }
+      // stable counting sort by first key (rank values are 0..n-1)
+      java.util.Arrays.fill(cnt, 0, n + 1, 0)
+      i = 0
+      while (i < n) { cnt(rank(i) + 1) += 1; i += 1 }
+      i = 1
+      while (i <= n) { cnt(i) += cnt(i - 1); i += 1 }
+      i = 0
+      while (i < n) {
+        val s = sa2(i)
+        sa(cnt(rank(s))) = s
+        cnt(rank(s)) += 1
+        i += 1
+      }
+      // recompute ranks off the (rank, rank2) classes
+      tmp(sa(0)) = 0
+      i = 1
+      while (i < n) {
+        val prev = sa(i - 1); val curr = sa(i)
+        val same = rank(prev) == rank(curr) &&
+          rank((prev + k) % n) == rank((curr + k) % n)
+        tmp(curr) = tmp(prev) + (if (same) 0 else 1)
+        i += 1
+      }
+      System.arraycopy(tmp, 0, rank, 0, n)
       distinct = rank(sa(n - 1)) == n - 1
       k <<= 1
     }
