@@ -339,6 +339,85 @@ case class CoarseAssignExpr(child: Expression,
       newChild: Expression): CoarseAssignExpr = copy(child = newChild)
 }
 
+/** Symmetric int8 quantization `struct(scale, codes)` in ONE pass — the
+  * Column composition re-evaluated the interpreted max-|x| aggregate
+  * inside the codes `transform` lambda, i.e. once per ELEMENT (64× per
+  * row on 64-dim vectors). Semantics replicated exactly: scale =
+  * (greatest fold over |x|, null elements skipped, NaN greatest) / 127;
+  * scale == 0 → all-zero codes (null elements included — the lambda was
+  * `_ => 0`); else floor(x/scale + 0.5) cast to int with non-ANSI
+  * semantics (Scala toInt: NaN → 0), null elements → null codes; a null
+  * vector → struct(null, null), NOT a null struct (struct() of null
+  * fields is non-null).
+  */
+case class QuantizeInt8Expr(child: Expression)
+    extends UnaryExpression with VecChildFloat {
+  import org.apache.spark.sql.types.StructType
+  import org.apache.spark.sql.types.StructField
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = true),
+    StructField("codes", ArrayType(IntegerType, containsNull = true),
+      nullable = true)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_quantize_int8"
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    QuantizeInt8Expr.compute(
+      if (v == null) null else v.asInstanceOf[ArrayData], childIsFloat)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val call = s"graft.expressions.QuantizeInt8Expr.compute(" +
+      s"${childGen.isNull} ? null : ${childGen.value}, $childIsFloat)"
+    ev.copy(
+      code = childGen.code +
+        code"InternalRow ${ev.value} = $call;",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): QuantizeInt8Expr = copy(child = newChild)
+}
+
+object QuantizeInt8Expr {
+  def compute(v: ArrayData, isFloat: Boolean):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    if (v == null)
+      return new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](null, null))
+    val n = v.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val a = math.abs(x)
+        // greatest(): nan-safe ordering, NaN greatest
+        if (!(a == acc) && java.lang.Double.compare(a, acc) > 0) acc = a
+      }
+      i += 1
+    }
+    val scale = acc / 127.0
+    val codes = new Array[Any](n)
+    if (scale == 0.0) {
+      i = 0
+      while (i < n) { codes(i) = 0; i += 1 }
+    } else {
+      i = 0
+      while (i < n) {
+        if (!v.isNullAt(i)) {
+          val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+          codes(i) = math.floor(x / scale + 0.5).toInt
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, new GenericArrayData(codes)))
+  }
+}
+
 /** In-order ADC sum `Σ_m tab[m][codes[m]]` as one native expression. */
 case class PqAdistExpr(left: Expression, right: Expression)
     extends BinaryExpression {

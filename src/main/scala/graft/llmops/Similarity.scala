@@ -583,7 +583,17 @@ object Similarity {
     * @return struct(scale: double, codes: array<int>); zero vectors get
     *         scale 0 and all-zero codes
     */
-  def quantizeInt8(v: Column): Column = {
+  def quantizeInt8(v: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.QuantizeInt8Expr(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(v)))
+
+  /** Interpreted HOF twin of [[quantizeInt8]] — spec-level reference the
+    * native kernel is verified against. Note the embedded `scale`
+    * aggregate re-evaluates inside the codes `transform` lambda once per
+    * ELEMENT, which is why the kernel replaced it on the hot path.
+    */
+  private[graft] def quantizeInt8Hof(v: Column): Column = {
     val scale = aggregate(v, lit(0.0),
       (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0
     struct(

@@ -554,6 +554,31 @@ class PqSpec extends SparkTestBase {
     assert(both.count(!_.isNullAt(1)) === 2)
   }
 
+  test("native quantizeInt8 is bit-identical to the HOF form, edge cases included") {
+    val rows = Seq(
+      (1L, Seq(1.0f, -2.5f, 127.0f, 0.1f)),
+      (2L, Seq(0.0f, 0.0f)),              // zero vector → scale 0, zero codes
+      (3L, Seq(-0.0f, 0.0f)),             // signed zero
+      (4L, Seq(Float.NaN, 1.0f)),         // NaN is greatest in greatest()
+      (5L, Seq.empty[Float])              // empty → scale 0, empty codes
+    ).toDF("id", "embedding")
+    val both = rows.select(col("id"),
+        Similarity.quantizeInt8(col("embedding")).alias("n"),
+        Similarity.quantizeInt8Hof(col("embedding")).alias("h"))
+      .selectExpr("id", "n.scale AS ns", "h.scale AS hs",
+        "n.codes AS nc", "h.codes AS hc")
+      .collect()
+    both.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"scale null parity id ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(java.lang.Double.compare(r.getDouble(1), r.getDouble(2)) === 0
+          || (r.getDouble(1).isNaN && r.getDouble(2).isNaN),
+          s"scale id ${r.getLong(0)}")
+      assert(r.getSeq[Integer](3) === r.getSeq[Integer](4),
+        s"codes id ${r.getLong(0)}")
+    }
+  }
+
   test("collectCentroidTable refuses irregular tables (fallback stays reachable)") {
     // non-consecutive ids
     val gap = Seq((0, Seq(1.0, 2.0)), (2, Seq(3.0, 4.0)))
