@@ -5655,9 +5655,18 @@ object SparkEntry {
       val ss = tuned(s)
       val M = graft.llmops.Multimodal
       val src = mp3TwinFixturesDF(ss, dir)
+      // r18: fused one-decode kernel — eh bit-identical to
+      // audioEnvelopeHash, ms fields bit-identical to mp3Samples, but the
+      // MP3 stream is huffman-decoded + synthesized ONCE per row, not
+      // once per expression (Mp3DecodeStatsSpec pins the equivalence)
       val h = src
-        .withColumn("eh", M.audioEnvelopeHash(col("content")))
-        .withColumn("ms", M.mp3Samples(col("content")))
+        .withColumn("pf", M.mp3DecodeStats(col("content")))
+        .withColumn("eh", col("pf.eh"))
+        .withColumn("ms", struct(
+          col("pf.channels").as("channels"),
+          col("pf.sample_rate").as("sample_rate"),
+          col("pf.n_frames").as("n_frames"),
+          col("pf.mp3_frames").as("mp3_frames")))
         .withColumn("av", M.avMeta(col("content")))
         // header-estimate vs decode-proof duration: AvMeta's CBR byte
         // estimate counts the Info frame (+26 ms) against the decoded

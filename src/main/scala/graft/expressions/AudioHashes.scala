@@ -198,3 +198,64 @@ object Mp3Samples {
       d.samples.length.toLong / d.channels, d.frames))
   }
 }
+
+/** One-decode fusion of [[AudioEnvelopeHash]] and [[Mp3Samples]] —
+  * `Mp3DecodeStats(content)` returns `struct<eh bigint, channels int,
+  * sample_rate int, n_frames bigint, mp3_frames int>` where `eh` is
+  * bit-identical to `AudioEnvelopeHash(content)` for EVERY input (same
+  * dispatch, same kernels) and the four stat fields are
+  * [[Mp3Samples]]'s, non-null only on the MP3 decode path (RIFF takes
+  * the exact-int streaming envelope with null stats; Ogg/FLAC clips
+  * hash but report null stats, matching Mp3Samples' refusal of them).
+  * Exists because the MP3 twin gate needs BOTH the fingerprint and the
+  * decode-proof counts — as separate expressions each ran its own full
+  * huffman+synthesis decode of the same stream.
+  */
+case class Mp3DecodeStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = Mp3DecodeStats.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_mp3_decode_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Mp3DecodeStats.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.expressions.Mp3DecodeStats.compute($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Mp3DecodeStats =
+    copy(child = newChild)
+}
+
+object Mp3DecodeStats {
+  val schema: StructType = StructType(Seq(
+    StructField("eh", LongType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("mp3_frames", IntegerType, nullable = true)))
+
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 4) return null
+    if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
+      val eh = WavEnvelopeHash.compute(b) // exact-int streaming path
+      return new GenericInternalRow(Array[Any](
+        if (eh == null) null else eh.longValue(), null, null, null, null))
+    }
+    val d = AudioPcm.decode(b)
+    if (d == null) return null
+    val s = d.samples
+    val eh = WavEnvelopeHash.computeFrom(d.channels, s.length / d.channels,
+      i => s(i))
+    val ehv: Any = if (eh == null) null else eh.longValue()
+    if (d.mp3Frames >= 0)
+      new GenericInternalRow(Array[Any](ehv, d.channels, d.sampleRate,
+        s.length.toLong / d.channels, d.mp3Frames))
+    else
+      new GenericInternalRow(Array[Any](ehv, null, null, null, null))
+  }
+}

@@ -384,6 +384,17 @@ object Multimodal {
       graft.expressions.Mp3Samples(
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
 
+  /** One-decode fusion of [[audioEnvelopeHash]] and [[mp3Samples]]
+    * ([[graft.expressions.Mp3DecodeStats]]): `eh` bit-identical to the
+    * dispatching envelope hash for every input, the stat fields
+    * bit-identical to the decode-proof counts on the MP3 path — one
+    * huffman+synthesis decode per row instead of one per expression.
+    */
+  def mp3DecodeStats(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.Mp3DecodeStats(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(content)))
+
   /** 64-bit time-domain energy-envelope fingerprint
     * ([[graft.expressions.WavEnvelopeHash]]) — gain-invariant loudness
     * contour, the audio sibling of [[pngDHash]]. NULL for undecodable

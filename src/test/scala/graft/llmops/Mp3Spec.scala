@@ -243,4 +243,32 @@ class Mp3Spec extends AnyFunSuite {
       if (d != null) assert(d.samples.length % 1 == 0)
     }
   }
+
+  // ---------- fused decode-stats kernel ----------
+
+  test("Mp3DecodeStats fuses envelope hash + decode proof bit-identically") {
+    import graft.expressions.{AudioEnvelopeHash, Mp3DecodeStats, Mp3Samples}
+    def statsOf(b: Array[Byte]) = Mp3DecodeStats.compute(b)
+    // MP3 path: eh == AudioEnvelopeHash, stats == Mp3Samples, one decode
+    val pcm = contourSignal(576 * 70, 0.013, 3)
+    val mp3 = Mp3Writer.mp3FromSamples(1, 44100, pcm)
+    val fused = statsOf(mp3)
+    assert(fused != null)
+    assert(java.lang.Long.valueOf(fused.getLong(0)) ===
+      AudioEnvelopeHash.compute(mp3))
+    val ms = Mp3Samples.compute(mp3)
+    assert(fused.getInt(1) === ms.getInt(0))   // channels
+    assert(fused.getInt(2) === ms.getInt(1))   // sample_rate
+    assert(fused.getLong(3) === ms.getLong(2)) // n_frames
+    assert(fused.getInt(4) === ms.getInt(3))   // mp3_frames
+    // WAV path: eh == the exact-int streaming hash, stats null
+    val wav = MediaWriter.wavFromSamples(1, 44100, pcm)
+    val fw = statsOf(wav)
+    assert(java.lang.Long.valueOf(fw.getLong(0)) ===
+      AudioEnvelopeHash.compute(wav))
+    (1 to 4).foreach(i => assert(fw.isNullAt(i), s"wav stat field $i"))
+    // refusal path: null struct, like both parents
+    assert(statsOf("not audio at all, truly".getBytes) == null)
+    assert(AudioEnvelopeHash.compute("not audio at all, truly".getBytes) == null)
+  }
 }
