@@ -495,7 +495,7 @@ object SparkEntry {
       }
     }
 
-  private def mp3TwinFixturesDF(ss: SparkSession, dir: String): DataFrame =
+  private[graft] def mp3TwinFixturesDF(ss: SparkSession, dir: String): DataFrame =
     fixtureTable(ss, dir, "mp3twin", StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("fmt", StringType, nullable = false),
