@@ -1007,72 +1007,52 @@ object TextAnalysis {
         org.apache.spark.sql.graft.ColumnBridge.expressionEager(col(textCol)),
         lmModel))
 
-    // run-length folds over sorted arrays; named_struct carries the fold
-    // state (prev element, current run, best/accumulator)
-    val maxRun =
-      """aggregate(__sw,
-         named_struct('p', '', 'r', 0L, 'b', 0L),
-         (s, x) -> named_struct('p', x,
-           'r', IF(x = s.p, s.r + 1L, 1L),
-           'b', GREATEST(s.b, IF(x = s.p, s.r + 1L, 1L))),
-         s -> s.b)"""
-    val topGram =
-      """aggregate(__g2s,
-         named_struct('p', '', 'r', 0L, 'bg', CAST(NULL AS STRING), 'bc', 0L),
-         (s, x) -> named_struct('p', x,
-           'r', IF(x = s.p, s.r + 1L, 1L),
-           'bg', IF(IF(x = s.p, s.r + 1L, 1L) > s.bc, x, s.bg),
-           'bc', GREATEST(s.bc, IF(x = s.p, s.r + 1L, 1L))),
-         s -> named_struct('bg', s.bg, 'bc', s.bc))"""
-    val dupChars =
-      """aggregate(__g5s,
-         named_struct('p', '', 'r', 0L, 'a', 0L),
-         (s, x) -> named_struct('p', x,
-           'r', IF(x = s.p, s.r + 1L, 1L),
-           'a', s.a + IF(x = s.p, 0L,
-             IF(s.r > 1L, s.r * length(s.p), 0L))),
-         s -> s.a + IF(s.r > 1L, s.r * length(s.p), 0L))"""
+    // r18: the word/gram statistics run as ONE native kernel pass
+    // ([[graft.expressions.CurationTextStats]]) — the former shape
+    // (split + three array_sorts + three interpreted run-length
+    // `aggregate` folds) allocated a named_struct per element per doc.
+    // The kernel returns raw counts; every fraction below divides the
+    // SAME values in Column space, so the output doubles are identical
+    // (equality with the standalone operators stays spec-pinned).
+    val statsCol = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.CurationTextStats(
+        org.apache.spark.sql.graft.ColumnBridge.expressionEager(col(textCol)),
+        topN, dupN))
     c4CleanLines(docs, textCol, minWordsPerLine)
-      .withColumn("__words",
-        filter(split(col(textCol), " "), w => length(w) > 0))
-      .withColumn("__sw", array_sort(col("__words")))
-      .withColumn("__g2s", array_sort(grams(topN)))
-      .withColumn("__g5s", array_sort(grams(dupN)))
+      .withColumn("__st", statsCol)
       .withColumn("__lm", lmCol)
       .withColumn("__chars", length(col(textCol)))
-      .withColumn("n_words", size(col("__words")).cast("long"))
+      .withColumn("n_words", col("__st.n_words"))
       .withColumn("mean_word_len",
-        round(expr("aggregate(__words, 0L, (s, w) -> s + length(w))")
-          .cast("double") / col("n_words"), 4))
+        round(col("__st.sum_word_len").cast("double") / col("n_words"), 4))
       .withColumn("frac_unique_words",
-        round(size(array_distinct(col("__words"))).cast("double") /
-          col("n_words"), 4))
+        round(col("__st.n_unique").cast("double") / col("n_words"), 4))
       .withColumn("top_word_frac",
-        round(expr(maxRun).cast("double") / col("n_words"), 4))
+        round(col("__st.max_word_run").cast("double") / col("n_words"), 4))
       .withColumn("passes_quality",
         col("n_words") >= 40 && col("n_words") <= 100000 &&
           col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
           col("frac_unique_words") >= 0.2 && col("top_word_frac") <= 0.2)
-      .withColumn("__top", expr(topGram))
-      .withColumn("top_ngram", col("__top.bg"))
+      .withColumn("top_ngram", col("__st.top_gram"))
       .withColumn("top_ngram_char_frac",
-        when(col("__top.bc") > 0,
-          round(least(lit(1.0), col("__top.bc") * length(col("top_ngram")) /
-            col("__chars").cast("double")), 4)))
-      // gated on the topN grams like the standalone operator's output row
-      // (present iff the doc has >= topN words, dup coverage coalesced to
-      // 0 when nothing repeats — the empty-array fold already yields 0)
-      .withColumn("dup_ngram_char_frac",
-        when(size(col("__g2s")) > 0,
+        when(col("__st.top_gram_run") > 0,
           round(least(lit(1.0),
-            expr(dupChars) / col("__chars").cast("double")), 4)))
+            col("__st.top_gram_run") * length(col("top_ngram")) /
+              col("__chars").cast("double")), 4)))
+      // gated on the topN grams like the standalone operator's output row
+      // (top_gram_run >= 1 ⇔ the doc has >= topN words; dup coverage is
+      // already 0 when nothing repeats)
+      .withColumn("dup_ngram_char_frac",
+        when(col("__st.top_gram_run") > 0,
+          round(least(lit(1.0),
+            col("__st.dup_gram_chars") / col("__chars").cast("double")), 4)))
       // NULL text has a NULL __lm struct; coalesce to the 0-gram shape
       // the SQL array fold produced (n_grams 0, lm_score null)
       .withColumn("n_grams", coalesce(col("__lm.n_grams"), lit(0L)))
       .withColumn("lm_score",
         when(col("n_grams") > 0,
           round(col("__lm.lm_sum") / col("n_grams"), 4)))
-      .drop("__words", "__sw", "__g2s", "__g5s", "__lm", "__chars", "__top")
+      .drop("__st", "__lm", "__chars")
   }
 
   // --- trainable hashed-n-gram quality classifier -----------------------
