@@ -366,14 +366,19 @@ object DedupOps {
     // exchange of the full label table per round (guide §2.4). The change
     // flag still rides the same aggregate: the self-loop row carries the
     // key's own label, so `min(all) < own` ⇔ some true neighbor improves.
-    val bare = pairs.select(col("key_a").alias("src"), col("key_b").alias("dst"))
+    // ONE exchange builds the cached edge table: the four-way union
+    // (both directions + a self-loop per endpoint) repartitions on the
+    // iteration join key and dedups IN PLACE — hash partitioning on dst
+    // colocates every (src, dst) pair, so the distinct aggregate needs
+    // no exchange of its own (vs the former distinct → self-loop
+    // distinct → repartition chain, three exchanges for the same rows),
+    // and every round's join then reuses the cached partitioning.
+    val edges = pairs.select(col("key_a").alias("src"), col("key_b").alias("dst"))
       .unionByName(pairs.select(col("key_b").alias("src"), col("key_a").alias("dst")))
-      .distinct()
-    val edges = bare
-      .unionByName(bare.select(col("src"), col("src").alias("dst")).distinct())
-      // pre-partitioned on the iteration join key, so the cached edge
-      // table enters every round's join without a fresh exchange
+      .unionByName(pairs.select(col("key_a").alias("src"), col("key_a").alias("dst")))
+      .unionByName(pairs.select(col("key_b").alias("src"), col("key_b").alias("dst")))
       .repartition(col("dst"))
+      .dropDuplicates("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // init = min(dst ∪ {src}) per src — identical to least(min(dst), src)
     var labels = truncate(edges.groupBy(col("src"))
